@@ -1,0 +1,14 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    // plain session, like the driver's smoke — no special configs
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.entry(spark)
+    df.show(10, false)
+    println(s"ENTRY_ROWS=${df.count()}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,279 @@
+package graft
+
+import graft.functions.{DoIf, LogLevel, Subst, XTime}
+import graft.model.FieldPath
+import graft.operators.Actions
+import graft.sources.Decoders
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The correctness-gate query registry: one entry per implemented operator
+  * from SURVEY §2, each with a DuckDB oracle (SparkEntry.oracleSql).
+  *
+  * Conventions for oracle hash-parity:
+  *  - output columns are strings / bigints / ints / booleans / decimals —
+  *    never raw doubles from reordered aggregation and never raw
+  *    nanosecond timestamps (Spark truncates parquet ns → µs, DuckDB
+  *    doesn't);
+  *  - monetary aggregates go through DECIMAL(18,2) before SUM on both
+  *    sides so arithmetic is exact;
+  *  - every computed column is aliased identically in Spark and SQL.
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ---------------------------------------------------------------- core
+
+  /** Flagship-style aggregation (sanity anchor for the harness). */
+  val q01_agg: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"),
+        count(lit(1)).as("cnt"))
+
+  val q01_sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+      |  COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------ decoders
+
+  /** json decoder: parse the events `props` JSON payload. */
+  val q02_dec_json: Q = (s, dir) =>
+    t(s, dir, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").try_cast("long").as("k"))
+
+  val q02_sql: String =
+    "SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"
+
+  /** cri decoder over lines reconstructed from the events table. */
+  val q03_dec_cri: Q = (s, dir) => {
+    val line = concat(
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"), lit(" "),
+      when(col("event_type") === "error", lit("stderr")).otherwise(lit("stdout")),
+      lit(" F "), col("props"))
+    val d = Decoders.cri(line)
+    t(s, dir, "events").select(
+      col("event_id"),
+      d.getField("time").as("c_time"),
+      d.getField("stream").as("c_stream"),
+      d.getField("partial").as("c_partial"),
+      d.getField("log").as("c_log"))
+  }
+
+  val q03_sql: String =
+    """WITH lines AS (
+      |  SELECT event_id,
+      |    strftime(ts, '%Y-%m-%dT%H:%M:%SZ') || ' ' ||
+      |    CASE WHEN event_type = 'error' THEN 'stderr' ELSE 'stdout' END ||
+      |    ' F ' || props AS line
+      |  FROM events)
+      |SELECT event_id,
+      |  regexp_extract(line, '^(\S+) (stdout|stderr) ([FP]) (.*)$', 1) AS c_time,
+      |  regexp_extract(line, '^(\S+) (stdout|stderr) ([FP]) (.*)$', 2) AS c_stream,
+      |  regexp_extract(line, '^(\S+) (stdout|stderr) ([FP]) (.*)$', 3) = 'P' AS c_partial,
+      |  regexp_extract(line, '^(\S+) (stdout|stderr) ([FP]) (.*)$', 4) AS c_log
+      |FROM lines""".stripMargin
+
+  /** syslog rfc3164 decoder over reconstructed lines. */
+  val q04_dec_syslog3164: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val pri = (col("user_id") % 24) * 8 + col("event_id") % 8
+    val line = concat(lit("<"), pri.cast("string"), lit(">Oct 11 22:14:15 host-"),
+      col("user_id").cast("string"), lit(" app["), col("event_id").cast("string"),
+      lit("]: "), col("event_type"))
+    val d = Decoders.syslog3164(line)
+    ev.select(
+      col("event_id"),
+      d.getField("priority").as("s_priority"),
+      d.getField("facility").as("s_facility"),
+      d.getField("severity").as("s_severity"),
+      d.getField("hostname").as("s_hostname"),
+      d.getField("app_name").as("s_app"),
+      d.getField("proc_id").as("s_proc"),
+      d.getField("message").as("s_msg"))
+  }
+
+  val q04_sql: String =
+    """WITH lines AS (
+      |  SELECT event_id,
+      |    '<' || CAST((user_id % 24) * 8 + event_id % 8 AS VARCHAR) ||
+      |    '>Oct 11 22:14:15 host-' || CAST(user_id AS VARCHAR) ||
+      |    ' app[' || CAST(event_id AS VARCHAR) || ']: ' || event_type AS line
+      |  FROM events)
+      |SELECT event_id,
+      |  CAST(regexp_extract(line, '^<(\d{1,3})>', 1) AS INT) AS s_priority,
+      |  CAST(regexp_extract(line, '^<(\d{1,3})>', 1) AS INT) // 8 AS s_facility,
+      |  CAST(regexp_extract(line, '^<(\d{1,3})>', 1) AS INT) % 8 AS s_severity,
+      |  regexp_extract(line, '^<\d{1,3}>[A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2} (\S+)', 1) AS s_hostname,
+      |  regexp_extract(line, '^<\d{1,3}>[A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2} \S+ ([^:\[ ]+)', 1) AS s_app,
+      |  regexp_extract(line, '\[(\d+)\]: ', 1) AS s_proc,
+      |  regexp_extract(line, '\]: (.*)$', 1) AS s_msg
+      |FROM lines""".stripMargin
+
+  /** csv decoder over reconstructed lines. */
+  val q05_dec_csv: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val line = concat_ws(",", col("event_type"), col("user_id").cast("string"),
+      col("event_id").cast("string"))
+    val schema = StructType(Seq(
+      StructField("c0", StringType), StructField("c1", LongType),
+      StructField("c2", LongType)))
+    val d = Decoders.csv(line, schema)
+    ev.select(col("event_id"),
+      d.getField("c0").as("c0"), d.getField("c1").as("c1"), d.getField("c2").as("c2"))
+  }
+
+  val q05_sql: String =
+    """SELECT event_id, event_type AS c0, user_id AS c1, event_id AS c2
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- do_if
+
+  /** do_if tree: (equal OR prefix) AND int_val_cmp over a JSON payload. */
+  val q06_doif: Q = (s, dir) => {
+    import DoIf._
+    val tree = And(Seq(
+      Or(Seq(
+        Equal(FieldPath("event_type"), Seq(Some("error"), Some("purchase"))),
+        Prefix(FieldPath("event_type"), Seq("sign")))),
+      IntValCmp(FieldPath("props.k"), Cmp.Gt, 50)))
+    val ev = t(s, dir, "events")
+    val resolve: FieldPath => Column = {
+      case FieldPath(Seq("props", rest @ _*)) =>
+        get_json_object(col("props"), FieldPath(rest).jsonPath)
+      case p => p.structCol.cast("string")
+    }
+    ev.filter(DoIf.compile(tree, resolve)).select(col("event_id"))
+  }
+
+  val q06_sql: String =
+    """SELECT event_id FROM events
+      |WHERE (event_type IN ('error','purchase') OR event_type LIKE 'sign%')
+      |  AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""".stripMargin
+
+  /** do_if length + regex + contains family over documents. */
+  val q07_doif_len_regex: Q = (s, dir) => {
+    import DoIf._
+    val tree = And(Seq(
+      ByteLenCmp(FieldPath("text"), Cmp.Gt, 200),
+      Or(Seq(
+        Regex(FieldPath("text"), Seq("join .* merge")),
+        Contains(FieldPath("text"), Seq("window window")))),
+      Not(Equal(FieldPath("lang"), Seq(Some("zh"))))))
+    val d = t(s, dir, "documents")
+    d.filter(DoIf.compile(tree, _.structCol.cast("string"))).select(col("doc_id"))
+  }
+
+  val q07_sql: String =
+    """SELECT doc_id FROM documents
+      |WHERE strlen(text) > 200
+      |  AND (regexp_matches(text, 'join .* merge') OR contains(text, 'window window'))
+      |  AND NOT lang = 'zh'""".stripMargin
+
+  // --------------------------------------------------------------- actions
+
+  /** keep_fields / remove_fields / rename over a struct doc. */
+  val q08_act_fields: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val doc0 = struct(ev.columns.map(col): _*)
+    val kept = Actions.keepFields(doc0,
+      Seq(FieldPath("event_id"), FieldPath("event_type"), FieldPath("user_id")))
+    val renamed = Actions.rename(kept, Seq(FieldPath("event_type") -> "etype"))
+    val fin = Actions.removeFields(renamed, Seq(FieldPath("user_id")))
+    ev.select(fin.as("doc")).select(col("doc.*"))
+  }
+
+  val q08_sql: String =
+    "SELECT event_id, event_type AS etype FROM events"
+
+  /** modify with substitution filters (re + cut + trim). */
+  val q09_act_modify: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val doc0 = struct(ev.columns.map(col): _*)
+    val doc = Actions.modify(doc0, Seq(
+      "summary" -> "lvl=${event_type|cut(first,3)} k=${props|re(\"\\\"k\\\": (\\d+)\",-1,[1],\",\")}"))
+    ev.select(col("event_id"), doc.getField("summary").as("summary"))
+  }
+
+  val q09_sql: String =
+    """SELECT event_id,
+      |  'lvl=' || left(event_type, 3) || ' k=' ||
+      |  regexp_extract(props, '"k": (\d+)', 1) AS summary
+      |FROM events""".stripMargin
+
+  /** convert_log_level: style=number with default. */
+  val q10_act_log_level: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val doc0 = struct(ev.columns.map(col): _*)
+    val doc = Actions.convertLogLevel(doc0, "event_type", "number", Some("informational"))
+    ev.select(col("event_id"), doc.getField("event_type").as("level"))
+  }
+
+  val q10_sql: String =
+    """SELECT event_id,
+      |  CASE WHEN lower(trim(event_type)) = 'error' THEN '3' ELSE '6' END AS level
+      |FROM events""".stripMargin
+
+  /** split: explode array field into child events (non-array passes). */
+  val q11_act_split: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+
+  val q11_sql: String =
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"
+
+  /** hash action (md5 variant for oracle parity; xxhash64 is the native
+    * default — see q31_act_hash_xx). */
+  val q12_act_hash: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val doc0 = struct(d.columns.map(col): _*)
+    val doc = Actions.hashAction(doc0, Seq(FieldPath("text")), "text_hash", algo = "md5")
+    d.select(col("doc_id"), doc.getField("text_hash").as("text_hash"))
+  }
+
+  val q12_sql: String =
+    "SELECT doc_id, md5(text) AS text_hash FROM documents"
+
+  // ------------------------------------------------------------- registry
+
+  val all: Map[String, Q] = Map(
+    "q01_agg" -> q01_agg,
+    "q02_dec_json" -> q02_dec_json,
+    "q03_dec_cri" -> q03_dec_cri,
+    "q04_dec_syslog3164" -> q04_dec_syslog3164,
+    "q05_dec_csv" -> q05_dec_csv,
+    "q06_doif" -> q06_doif,
+    "q07_doif_len_regex" -> q07_doif_len_regex,
+    "q08_act_fields" -> q08_act_fields,
+    "q09_act_modify" -> q09_act_modify,
+    "q10_act_log_level" -> q10_act_log_level,
+    "q11_act_split" -> q11_act_split,
+    "q12_act_hash" -> q12_act_hash
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg" -> q01_sql,
+    "q02_dec_json" -> q02_sql,
+    "q03_dec_cri" -> q03_sql,
+    "q04_dec_syslog3164" -> q04_sql,
+    "q05_dec_csv" -> q05_sql,
+    "q06_doif" -> q06_sql,
+    "q07_doif_len_regex" -> q07_sql,
+    "q08_act_fields" -> q08_sql,
+    "q09_act_modify" -> q09_sql,
+    "q10_act_log_level" -> q10_sql,
+    "q11_act_split" -> q11_sql,
+    "q12_act_hash" -> q12_sql
+  )
+}

@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.functions.{DoIf, LogLevel}
+import graft.model.FieldPath
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001: a representative file.d
+    * pipeline — json decode → do_if filter → convert_log_level →
+    * per-level/per-type aggregation — on the events table. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables(spark, dir, "events")
+    val k = get_json_object(col("props"), "$.k").try_cast("long")
+    ev.filter(col("event_type").isin("error", "purchase", "signup") && k.isNotNull)
+      .withColumn("level", coalesce(LogLevel.toNumber(col("event_type")), lit(6)))
+      .groupBy(col("level"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(k).as("sum_k"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → rows-only check. */
+  def oracleSql: Map[String, String] = Queries.oracles
 }

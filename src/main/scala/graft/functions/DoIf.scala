@@ -1,0 +1,164 @@
+package graft.functions
+
+import graft.model.FieldPath
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's predicate DSL (`do_if` trees + `match_fields`),
+  * compiled to Catalyst `Column` expressions so every predicate stays
+  * inside whole-stage codegen and participates in filter pushdown.
+  *
+  * Node/op inventory mirrors pipeline/doif/do_if.go:8-25 and
+  * pipeline/doif/field_op.go / len_cmp_op.go / ts_cmp_op.go /
+  * check_type_op.go / logical_op.go — re-expressed declaratively: the
+  * reference's hand-rolled short-circuiting and length-bucketed fast
+  * paths are subsumed by Catalyst boolean simplification + hash-set
+  * `isin`.
+  */
+object DoIf {
+
+  /** Comparison operator (reference: pipeline/doif/comparator.go:7-14). */
+  sealed abstract class Cmp(val apply: (Column, Column) => Column)
+  object Cmp {
+    case object Lt extends Cmp(_ < _)
+    case object Le extends Cmp(_ <= _)
+    case object Gt extends Cmp(_ > _)
+    case object Ge extends Cmp(_ >= _)
+    case object Eq extends Cmp(_ === _)
+    case object Ne extends Cmp(_ =!= _)
+    def parse(s: String): Cmp = s match {
+      case "lt" | "<"  => Lt
+      case "le" | "<=" => Le
+      case "gt" | ">"  => Gt
+      case "ge" | ">=" => Ge
+      case "eq" | "==" => Eq
+      case "ne" | "!=" => Ne
+      case other       => throw new IllegalArgumentException(s"bad cmp op: $other")
+    }
+  }
+
+  sealed trait Node
+
+  /** Byte-value field checks (field_op.go). `values` uses Option so null
+    * and "" stay distinguishable, as in the reference (field_op.go:316). */
+  final case class Equal(field: FieldPath, values: Seq[Option[String]],
+                         caseSensitive: Boolean = true) extends Node
+  final case class Contains(field: FieldPath, values: Seq[String],
+                            caseSensitive: Boolean = true) extends Node
+  /** True if the field contains ANY single character drawn from `values`
+    * (field_op.go:351-356). */
+  final case class ContainsAny(field: FieldPath, values: Seq[String]) extends Node
+  final case class Prefix(field: FieldPath, values: Seq[String],
+                          caseSensitive: Boolean = true) extends Node
+  final case class Suffix(field: FieldPath, values: Seq[String],
+                          caseSensitive: Boolean = true) extends Node
+  final case class Regex(field: FieldPath, patterns: Seq[String]) extends Node
+
+  final case class ByteLenCmp(field: FieldPath, op: Cmp, value: Long) extends Node
+  final case class ArrayLenCmp(field: FieldPath, op: Cmp, value: Long) extends Node
+  final case class IntValCmp(field: FieldPath, op: Cmp, value: Long) extends Node
+
+  /** ts_cmp (ts_cmp_op.go:61-120): parse field with `format`, compare to a
+    * constant or to query-start "now" shifted by `shiftMs`. */
+  final case class TsCmpConst(field: FieldPath, format: String, op: Cmp,
+                              value: java.sql.Timestamp) extends Node
+  final case class TsCmpNow(field: FieldPath, format: String, op: Cmp,
+                            shiftMs: Long) extends Node
+
+  /** check_type (check_type_op.go:47-56): obj / arr / number / string /
+    * null / nil over a JSON-string payload field. */
+  final case class CheckType(field: FieldPath, types: Seq[String]) extends Node
+
+  final case class And(children: Seq[Node]) extends Node
+  final case class Or(children: Seq[Node]) extends Node
+  final case class Not(child: Node) extends Node
+
+  /** Compile a do_if tree to one boolean Column. `resolve` maps a field
+    * path to its (string-typed) Column — struct-backed or JSON-string
+    * backed, the tree doesn't care. `rawJson` additionally resolves to the
+    * raw JSON text of the field (needed only by CheckType).
+    */
+  def compile(node: Node, resolve: FieldPath => Column,
+              rawJson: FieldPath => Column = null): Column = {
+    def go(n: Node): Column = n match {
+      case Equal(f, values, cs) =>
+        val c = if (cs) resolve(f) else lower(resolve(f))
+        val vs = values.collect { case Some(v) => if (cs) v else v.toLowerCase }
+        val nonNull = if (vs.nonEmpty) c.isin(vs: _*) else lit(false)
+        if (values.contains(None)) nonNull || c.isNull else nonNull && c.isNotNull
+      case Contains(f, values, cs) =>
+        val c = if (cs) resolve(f) else lower(resolve(f))
+        values.map(v => c.contains(lit(if (cs) v else v.toLowerCase)))
+          .reduce(_ || _)
+      case ContainsAny(f, values) =>
+        val chars = values.flatten.distinct.mkString
+        resolve(f).rlike("[" + java.util.regex.Pattern.quote(chars) + "]")
+      case Prefix(f, values, cs) =>
+        val c = if (cs) resolve(f) else lower(resolve(f))
+        values.map(v => c.startsWith(if (cs) v else v.toLowerCase)).reduce(_ || _)
+      case Suffix(f, values, cs) =>
+        val c = if (cs) resolve(f) else lower(resolve(f))
+        values.map(v => c.endsWith(if (cs) v else v.toLowerCase)).reduce(_ || _)
+      case Regex(f, patterns) =>
+        patterns.map(p => resolve(f).rlike(p)).reduce(_ || _)
+      case ByteLenCmp(f, op, v)  => op.apply(octet_length(resolve(f)), lit(v))
+      case ArrayLenCmp(f, op, v) => op.apply(size(resolve(f)), lit(v))
+      case IntValCmp(f, op, v)   => op.apply(resolve(f).try_cast("long"), lit(v))
+      case TsCmpConst(f, fmt, op, v) =>
+        op.apply(XTime.parse(resolve(f), fmt), lit(v))
+      case TsCmpNow(f, fmt, op, shiftMs) =>
+        op.apply(XTime.parse(resolve(f), fmt),
+          current_timestamp() + expr(s"INTERVAL ${shiftMs / 1000.0} SECOND"))
+      case CheckType(f, types) =>
+        val raw = if (rawJson != null) rawJson(f) else resolve(f)
+        types.map {
+          case "object"        => raw.startsWith("{")
+          case "array"         => raw.startsWith("[")
+          case "string"        => raw.startsWith("\"")
+          case "number" | "int" => raw.try_cast("double").isNotNull
+          case "null"          => trim(raw) === "null"
+          case "nil"           => raw.isNull
+          case other => throw new IllegalArgumentException(s"bad check_type: $other")
+        }.reduce(_ || _)
+      case And(cs) => cs.map(go).reduce(_ && _)
+      case Or(cs)  => cs.map(go).reduce(_ || _)
+      case Not(c)  => !go(c)
+    }
+    go(node)
+  }
+
+  // ---- match_fields (pipeline/plugin.go:124-260) -------------------------
+
+  sealed trait MatchMode
+  object MatchMode {
+    case object AndMode extends MatchMode
+    case object OrMode extends MatchMode
+    case object AndPrefix extends MatchMode
+    case object OrPrefix extends MatchMode
+  }
+
+  /** One match_fields condition: exact values OR regex (leading/trailing
+    * `/` marks a regex, as in the reference's config parsing). */
+  final case class MatchCond(field: FieldPath, values: Seq[String])
+
+  def compileMatch(conds: Seq[MatchCond], mode: MatchMode, invert: Boolean,
+                   resolve: FieldPath => Column): Column = {
+    import MatchMode._
+    def one(cond: MatchCond, prefix: Boolean): Column = {
+      val c = resolve(cond.field)
+      cond.values.map { v =>
+        if (v.length > 1 && v.startsWith("/") && v.endsWith("/"))
+          c.rlike(v.substring(1, v.length - 1))
+        else if (prefix) c.startsWith(v)
+        else c === v
+      }.reduce(_ || _)
+    }
+    val compiled = mode match {
+      case AndMode   => conds.map(one(_, prefix = false)).reduce(_ && _)
+      case OrMode    => conds.map(one(_, prefix = false)).reduce(_ || _)
+      case AndPrefix => conds.map(one(_, prefix = true)).reduce(_ && _)
+      case OrPrefix  => conds.map(one(_, prefix = true)).reduce(_ || _)
+    }
+    if (invert) !compiled else compiled
+  }
+}

@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** RFC-5424 log-level normalization (convert_log_level action).
+  * Mapping table mirrors the reference's pipeline/util.go:69-123:
+  * 0 emergency, 1 alert, 2 critical, 3 error, 4 warning, 5 notice,
+  * 6 informational, 7 debug — with the common aliases.
+  */
+object LogLevel {
+  val nameToNumber: Map[String, Int] = Map(
+    "0" -> 0, "emergency" -> 0, "emerg" -> 0, "fatal" -> 0, "panic" -> 0,
+    "1" -> 1, "alert" -> 1,
+    "2" -> 2, "critical" -> 2, "crit" -> 2,
+    "3" -> 3, "error" -> 3, "err" -> 3,
+    "4" -> 4, "warning" -> 4, "warn" -> 4,
+    "5" -> 5, "notice" -> 5,
+    "6" -> 6, "informational" -> 6, "info" -> 6, "log" -> 6,
+    "7" -> 7, "debug" -> 7, "trace" -> 7
+  )
+  val numberToName: Map[Int, String] = Map(
+    0 -> "emergency", 1 -> "alert", 2 -> "critical", 3 -> "error",
+    4 -> "warning", 5 -> "notice", 6 -> "informational", 7 -> "debug")
+
+  private def mapCol(m: Map[String, String]): Column =
+    map(m.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+
+  /** level string → RFC-5424 number (IntegerType, null when unknown). */
+  def toNumber(c: Column): Column =
+    element_at(mapCol(nameToNumber.map { case (k, v) => k -> v.toString }),
+      lower(trim(c))).try_cast("int")
+
+  /** level string → canonical RFC-5424 name (null when unknown). */
+  def toName(c: Column): Column =
+    element_at(
+      mapCol(nameToNumber.map { case (k, v) => k -> numberToName(v) }),
+      lower(trim(c)))
+}

@@ -1,0 +1,139 @@
+package graft.functions
+
+import graft.model.FieldPath
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The substitution template mini-language used by the `modify` action:
+  * `"... ${field.path|filter1|filter2} ..."` with filters re / trim /
+  * trim_to / cut (reference: cfg/substitution/filter.go:11-15,
+  * plugin/action/modify/modify.go:42-120). Compiled to a single `concat`
+  * of literal and derived segments — one codegen'd expression, no UDFs.
+  */
+object Subst {
+
+  sealed trait Filter
+  /** re(regex, limit, [groups], sep): concatenate up to `limit` matches'
+    * selected groups with `sep` (-1 = unlimited). */
+  final case class ReFilter(regex: String, limit: Int, groups: Seq[Int],
+                            sep: String, emptyOnNotMatched: Boolean = false) extends Filter
+  /** trim(mode, cutset), mode ∈ all|left|right. */
+  final case class TrimFilter(mode: String, cutset: String) extends Filter
+  /** trim_to(mode, cutset): drop everything before first (mode=left) /
+    * after last (mode=right) occurrence of cutset. */
+  final case class TrimToFilter(mode: String, cutset: String) extends Filter
+  /** cut(mode first|last, count): keep first/last `count` chars. */
+  final case class CutFilter(mode: String, count: Int) extends Filter
+
+  def applyFilter(c: Column, f: Filter): Column = f match {
+    case ReFilter(re, limit, groups, sep, emptyOnNot) =>
+      // Extract all matches of each selected group in order, interleaved
+      // per match as the reference does (modify.go doc: groups of match 1,
+      // then match 2, ...). Single-group fast path covers the common case.
+      val per = groups.map(g => regexp_extract_all(c, lit(re), lit(g)))
+      val all: Column =
+        if (per.size == 1) per.head
+        else {
+          // interleave groups per match: [g1@m1, g2@m1, g1@m2, ...]
+          val n = size(per.head)
+          when(n <= 0, array().cast("array<string>")).otherwise(
+            flatten(transform(sequence(lit(1), greatest(n, lit(1))),
+              i => array(per.map(p => element_at(p, i)): _*))))
+        }
+      val limited = if (limit < 0) all else slice(all, 1, limit)
+      val joined = array_join(limited, sep)
+      if (emptyOnNot) joined
+      else when(size(all) === 0, c).otherwise(joined)
+    case TrimFilter("left", cs)  => ltrim(c, cs)
+    case TrimFilter("right", cs) => rtrim(c, cs)
+    case TrimFilter(_, cs)       => trim(c, cs)
+    case TrimToFilter("left", cs) =>
+      // keep from the first occurrence of cs (inclusive)
+      when(locate(cs, c) > 0, substring_index_from(c, locate(cs, c))).otherwise(c)
+    case TrimToFilter(_, cs) =>
+      // keep up to the last occurrence of cs (inclusive)
+      val pos = length(c) - locate(cs.reverse, reverse(c)) + 1
+      when(locate(cs, c) > 0, c.substr(lit(1), pos + length(lit(cs)) - 1)).otherwise(c)
+    case CutFilter("first", n) => c.substr(1, n)
+    case CutFilter(_, n)       => c.substr(length(c) - n + 1, lit(n))
+  }
+
+  private def substring_index_from(c: Column, from: Column): Column =
+    c.substr(from, length(c))
+
+  /** One template segment: literal text or a field ref with filters. */
+  sealed trait Seg
+  final case class Lit(text: String) extends Seg
+  final case class Ref(path: FieldPath, filters: Seq[Filter]) extends Seg
+
+  /** Parse `"... ${a.b|cut(first,2)} ..."` into segments. Filter syntax is
+    * the reference's: name(args) piped with `|` inside the placeholder. */
+  def parseTemplate(t: String): Seq[Seg] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seg]
+    val sb = new StringBuilder
+    var i = 0
+    while (i < t.length) {
+      if (t.startsWith("${", i)) {
+        val end = t.indexOf('}', i)
+        require(end > 0, s"unterminated placeholder in template: $t")
+        if (sb.nonEmpty) { out += Lit(sb.result()); sb.clear() }
+        val body = t.substring(i + 2, end)
+        val parts = splitTop(body, '|')
+        out += Ref(FieldPath.parse(parts.head.trim), parts.tail.map(parseFilter))
+        i = end + 1
+      } else { sb.append(t.charAt(i)); i += 1 }
+    }
+    if (sb.nonEmpty) out += Lit(sb.result())
+    out.toSeq
+  }
+
+  /** Split on `sep` at paren/quote depth 0. */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false
+    val cur = new StringBuilder
+    s.foreach {
+      case '"' => inStr = !inStr; cur.append('"')
+      case '(' if !inStr => depth += 1; cur.append('(')
+      case ')' if !inStr => depth -= 1; cur.append(')')
+      case c if c == sep && depth == 0 && !inStr => out += cur.result(); cur.clear()
+      case c => cur.append(c)
+    }
+    out += cur.result()
+    out.toSeq
+  }
+
+  private def parseFilter(s: String): Filter = {
+    val t = s.trim
+    val open = t.indexOf('(')
+    require(open > 0 && t.endsWith(")"), s"bad filter: $s")
+    val name = t.substring(0, open)
+    val args = splitTop(t.substring(open + 1, t.length - 1), ',').map(_.trim)
+    def unq(a: String) =
+      if (a.length >= 2 && a.startsWith("\"") && a.endsWith("\"")) a.substring(1, a.length - 1)
+      else a
+    name match {
+      case "re" =>
+        val groups = args.lift(2).map(_.stripPrefix("[").stripSuffix("]")
+          .split(";|,").filter(_.nonEmpty).map(_.trim.toInt).toSeq).getOrElse(Seq(0))
+        ReFilter(unq(args(0)), args.lift(1).map(_.toInt).getOrElse(-1), groups,
+          args.lift(3).map(unq).getOrElse(""),
+          args.lift(4).exists(_.toBoolean))
+      case "trim"    => TrimFilter(unq(args(0)), unq(args(1)))
+      case "trim_to" => TrimToFilter(unq(args(0)), unq(args(1)))
+      case "cut"     => CutFilter(unq(args(0)), args(1).toInt)
+      case other     => throw new IllegalArgumentException(s"unknown filter: $other")
+    }
+  }
+
+  /** Compile a full template to one Column given a field resolver. */
+  def compile(template: String, resolve: FieldPath => Column): Column = {
+    val segs = parseTemplate(template)
+    val cols = segs.map {
+      case Lit(text) => lit(text)
+      case Ref(path, filters) =>
+        filters.foldLeft(resolve(path))(applyFilter)
+    }
+    if (cols.size == 1) cols.head else concat(cols.map(coalesce(_, lit(""))): _*)
+  }
+}

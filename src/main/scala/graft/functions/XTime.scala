@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Timestamp format-alias table: named formats → Spark parse/format
+  * expressions. Mirrors the reference's xtime alias set
+  * (reference: xtime/parse_format_name.go:10-53), re-expressed as
+  * Spark datetime patterns so parsing stays inside codegen.
+  *
+  * `unixtime*` aliases parse/format integer epoch values; everything else
+  * is a datetime pattern. Parsing uses try_to_timestamp so bad rows yield
+  * null (reference behavior: parse failure → action-specific fallback),
+  * never an ANSI error.
+  */
+object XTime {
+
+  /** Spark datetime pattern for a named layout alias (None = epoch-style). */
+  val patterns: Map[String, String] = Map(
+    "ansic"           -> "EEE MMM d HH:mm:ss yyyy",
+    "unixdate"        -> "EEE MMM d HH:mm:ss zzz yyyy",
+    "rubydate"        -> "EEE MMM dd HH:mm:ss Z yyyy",
+    "rfc822"          -> "dd MMM yy HH:mm zzz",
+    "rfc822z"         -> "dd MMM yy HH:mm Z",
+    "rfc850"          -> "EEEE, dd-MMM-yy HH:mm:ss zzz",
+    "rfc1123"         -> "EEE, dd MMM yyyy HH:mm:ss zzz",
+    "rfc1123z"        -> "EEE, dd MMM yyyy HH:mm:ss Z",
+    "kitchen"         -> "h:mma",
+    "stamp"           -> "MMM d HH:mm:ss",
+    "stampmilli"      -> "MMM d HH:mm:ss.SSS",
+    "stampmicro"      -> "MMM d HH:mm:ss.SSSSSS",
+    "stampnano"       -> "MMM d HH:mm:ss.SSSSSSSSS",
+    "nginx_errorlog"  -> "yyyy/MM/dd HH:mm:ss"
+  )
+
+  private val epochAliases =
+    Set("unixtime", "unixtimemilli", "unixtimemicro", "unixtimenano")
+
+  /** Parse a string column in the named format → TimestampType (null on
+    * failure). rfc3339/rfc3339nano use Spark's native ISO-8601 parser,
+    * which accepts variable-length fractions.
+    */
+  def parse(c: Column, format: String): Column = format match {
+    case "rfc3339" | "rfc3339nano" => try_to_timestamp(c)
+    case "unixtime"      => timestamp_seconds(c.try_cast("long"))
+    case "unixtimemilli" => timestamp_millis(c.try_cast("long"))
+    case "unixtimemicro" => timestamp_micros(c.try_cast("long"))
+    case "unixtimenano"  => timestamp_micros((c.try_cast("long") / 1000).cast("long"))
+    case alias if patterns.contains(alias) => try_to_timestamp(c, lit(patterns(alias)))
+    case custom => try_to_timestamp(c, lit(custom)) // raw Spark pattern passthrough
+  }
+
+  /** First-success parse over a prioritized format list (convert_date's
+    * source_formats semantics — reference:
+    * plugin/action/convert_date/convert_date.go:20-44). */
+  def parseAny(c: Column, formats: Seq[String]): Column =
+    coalesce(formats.map(parse(c, _)): _*)
+
+  /** Render a timestamp column in the named format. unixtime* produce
+    * LongType; layouts produce StringType. */
+  def format(ts: Column, fmt: String): Column = fmt match {
+    case "unixtime"      => unix_timestamp(ts)
+    case "unixtimemilli" => unix_millis(ts)
+    case "unixtimemicro" => unix_micros(ts)
+    case "unixtimenano"  => unix_micros(ts) * 1000
+    case "rfc3339"       => date_format(ts, "yyyy-MM-dd'T'HH:mm:ssXXX")
+    case "rfc3339nano"   => date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSSXXX")
+    case alias if patterns.contains(alias) => date_format(ts, patterns(alias))
+    case custom => date_format(ts, custom)
+  }
+
+  def isEpochAlias(fmt: String): Boolean = epochAliases.contains(fmt)
+}

@@ -1,0 +1,54 @@
+package graft.model
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dot-separated field selector with `\.` escaping, mirroring the
+  * reference's field-selector semantics (cfg.ParseFieldSelector, used by
+  * every action/do_if node — reference: pipeline/doif/field_op.go:238).
+  *
+  * "a.b\.c" selects key "b.c" under key "a".
+  */
+final case class FieldPath(parts: Seq[String]) {
+  require(parts.nonEmpty, "empty field path")
+
+  /** JSON path for get_json_object / json-string payloads. */
+  def jsonPath: String =
+    "$" + parts.map { p =>
+      if (p.forall(c => c.isLetterOrDigit || c == '_')) "." + p
+      else s"['$p']"
+    }.mkString
+
+  /** Column reference for typed/struct payloads ("a.`b.c`" quoting). */
+  def structCol: Column =
+    parts.tail.foldLeft(col(quote(parts.head)))((c, p) => c.getField(p))
+
+  /** Extract from a JSON-string payload column (string result). */
+  def fromJson(payload: Column): Column = get_json_object(payload, jsonPath)
+
+  def name: String = parts.mkString(".")
+  private def quote(p: String): String = "`" + p.replace("`", "``") + "`"
+}
+
+object FieldPath {
+  /** Parse "a.b\.c" → FieldPath(Seq("a", "b.c")). */
+  def parse(selector: String): FieldPath = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < selector.length) {
+      selector.charAt(i) match {
+        case '\\' if i + 1 < selector.length && selector.charAt(i + 1) == '.' =>
+          cur.append('.'); i += 2
+        case '.' =>
+          parts += cur.result(); cur.clear(); i += 1
+        case c =>
+          cur.append(c); i += 1
+      }
+    }
+    parts += cur.result()
+    FieldPath(parts.toSeq)
+  }
+
+  def apply(selector: String): FieldPath = parse(selector)
+}

