@@ -1,0 +1,591 @@
+package graft
+
+import graft.functions.{DoIf, Subst, XTime}
+import graft.model.FieldPath
+import graft.operators.Actions
+import graft.sources.Decoders
+import graft.state.SeqOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Operator-inventory queries, batch 2: remaining decoders, remaining
+  * stateless actions, and the sequence-stateful ops (batch analogs from
+  * graft.state.SeqOps). Same oracle conventions as Queries. */
+object Queries2 {
+
+  type Q = Queries.Q
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def k(): Column = get_json_object(col("props"), "$.k")
+
+  // ------------------------------------------------------------ decoders
+
+  val q13_dec_nginx: Q = (s, dir) => {
+    val line = concat(
+      date_format(col("ts"), "yyyy/MM/dd HH:mm:ss"),
+      lit(" [error] "), col("user_id").cast("string"), lit("#"),
+      col("event_id").cast("string"), lit(": *"), k(),
+      lit(" upstream timed out, context: ngx.timer"))
+    val d = Decoders.nginxError(line)
+    t(s, dir, "events").select(
+      col("event_id"),
+      d.getField("time").as("n_time"),
+      d.getField("level").as("n_level"),
+      d.getField("pid").as("n_pid"),
+      d.getField("tid").as("n_tid"),
+      d.getField("cid").as("n_cid"),
+      d.getField("message").as("n_msg"))
+  }
+
+  val q13_sql: String =
+    """WITH lines AS (
+      |  SELECT event_id,
+      |    strftime(ts, '%Y/%m/%d %H:%M:%S') || ' [error] ' ||
+      |    CAST(user_id AS VARCHAR) || '#' || CAST(event_id AS VARCHAR) ||
+      |    ': *' || json_extract_string(props, '$.k') ||
+      |    ' upstream timed out, context: ngx.timer' AS line
+      |  FROM events)
+      |SELECT event_id,
+      |  regexp_extract(line, '^(\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2})', 1) AS n_time,
+      |  regexp_extract(line, '\[(\w+)\]', 1) AS n_level,
+      |  regexp_extract(line, '\] (\d+)#', 1) AS n_pid,
+      |  regexp_extract(line, '#(\d+):', 1) AS n_tid,
+      |  regexp_extract(line, ': \*(\d+) ', 1) AS n_cid,
+      |  regexp_extract(line, ': \*\d+ (.*)$', 1) AS n_msg
+      |FROM lines""".stripMargin
+
+  val q14_dec_postgres: Q = (s, dir) => {
+    val line = concat(
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), lit(" GMT ["),
+      col("user_id").cast("string"), lit("] => ["),
+      (col("event_id") % 5).cast("string"), lit("-1] client=c"),
+      col("user_id").cast("string"), lit(",db=maindb,user=u"),
+      col("user_id").cast("string"), lit(" LOG:  "), col("event_type"))
+    val d = Decoders.postgres(line)
+    t(s, dir, "events").select(
+      col("event_id"),
+      d.getField("time").as("p_time"),
+      d.getField("pid").as("p_pid"),
+      d.getField("pid_message_number").as("p_msgno"),
+      d.getField("client").as("p_client"),
+      d.getField("db").as("p_db"),
+      d.getField("user").as("p_user"),
+      d.getField("log").as("p_log"))
+  }
+
+  val q14_sql: String =
+    """WITH lines AS (
+      |  SELECT event_id,
+      |    strftime(ts, '%Y-%m-%d %H:%M:%S') || ' GMT [' ||
+      |    CAST(user_id AS VARCHAR) || '] => [' ||
+      |    CAST(event_id % 5 AS VARCHAR) || '-1] client=c' ||
+      |    CAST(user_id AS VARCHAR) || ',db=maindb,user=u' ||
+      |    CAST(user_id AS VARCHAR) || ' LOG:  ' || event_type AS line
+      |  FROM events)
+      |SELECT event_id,
+      |  regexp_extract(line, '^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} \w+)', 1) AS p_time,
+      |  regexp_extract(line, '\[(\d+)\] =>', 1) AS p_pid,
+      |  regexp_extract(line, '=> \[(\S+)\]', 1) AS p_msgno,
+      |  regexp_extract(line, 'client=([^,]*),', 1) AS p_client,
+      |  regexp_extract(line, 'db=([^,]*),', 1) AS p_db,
+      |  regexp_extract(line, 'user=([^ ]*) ', 1) AS p_user,
+      |  regexp_extract(line, 'user=[^ ]* (.*)$', 1) AS p_log
+      |FROM lines""".stripMargin
+
+  val q15_dec_syslog5424: Q = (s, dir) => {
+    val line = concat(
+      lit("<165>1 2003-10-11T22:14:15.003Z host-"), col("user_id").cast("string"),
+      lit(" app-"), col("event_type"), lit(" "), col("event_id").cast("string"),
+      lit(" ID"), k(), lit(" [ex@32473 iut=\""), k(),
+      lit("\" src=\"app\"] msg "), col("event_type"))
+    val d = Decoders.syslog5424(line)
+    t(s, dir, "events").select(
+      col("event_id"),
+      d.getField("priority").as("s_pri"),
+      d.getField("facility").as("s_fac"),
+      d.getField("severity").as("s_sev"),
+      d.getField("version").as("s_ver"),
+      d.getField("hostname").as("s_host"),
+      d.getField("app_name").as("s_app"),
+      d.getField("proc_id").as("s_proc"),
+      d.getField("msg_id").as("s_msgid"),
+      element_at(Decoders.sdParams(d.getField("sd")), "iut").as("s_iut"),
+      d.getField("message").as("s_msg"))
+  }
+
+  val q15_sql: String =
+    """WITH lines AS (
+      |  SELECT event_id,
+      |    '<165>1 2003-10-11T22:14:15.003Z host-' || CAST(user_id AS VARCHAR) ||
+      |    ' app-' || event_type || ' ' || CAST(event_id AS VARCHAR) ||
+      |    ' ID' || json_extract_string(props, '$.k') ||
+      |    ' [ex@32473 iut="' || json_extract_string(props, '$.k') ||
+      |    '" src="app"] msg ' || event_type AS line
+      |  FROM events)
+      |SELECT event_id,
+      |  165 AS s_pri, 20 AS s_fac, 5 AS s_sev,
+      |  regexp_extract(line, '^<\d+>(\d+) ', 1) AS s_ver,
+      |  regexp_extract(line, '^<\d+>\d+ \S+ (\S+)', 1) AS s_host,
+      |  regexp_extract(line, '^<\d+>\d+ \S+ \S+ (\S+)', 1) AS s_app,
+      |  regexp_extract(line, '^<\d+>\d+ \S+ \S+ \S+ (\S+)', 1) AS s_proc,
+      |  regexp_extract(line, '^<\d+>\d+ \S+ \S+ \S+ \S+ (\S+)', 1) AS s_msgid,
+      |  regexp_extract(line, 'iut="([^"]*)"', 1) AS s_iut,
+      |  regexp_extract(line, '\] (.*)$', 1) AS s_msg
+      |FROM lines""".stripMargin
+
+  val q16_dec_raw: Q = (s, dir) => {
+    val d = Decoders.raw(col("props"))
+    t(s, dir, "events").select(col("event_id"), d.getField("message").as("message"))
+  }
+
+  val q16_sql: String = "SELECT event_id, props AS message FROM events"
+
+  // ------------------------------------------------------------- actions
+
+  val q17_act_convert_date: Q = (s, dir) => {
+    val rendered = date_format(col("ts"), "yyyy/MM/dd HH:mm:ss")
+    val parsed = XTime.parseAny(rendered, Seq("rfc3339", "nginx_errorlog"))
+    t(s, dir, "events").select(
+      col("event_id"),
+      XTime.format(parsed, "unixtime").as("epoch_s"))
+  }
+
+  val q17_sql: String =
+    """SELECT event_id,
+      |  CAST(epoch(strptime(strftime(ts, '%Y/%m/%d %H:%M:%S'),
+      |                      '%Y/%m/%d %H:%M:%S')) AS BIGINT) AS epoch_s
+      |FROM events""".stripMargin
+
+  val q18_act_set_time: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val doc0 = struct(col("event_id"))
+    val doc = Actions.setTime(doc0, "t", "rfc3339", override_ = true,
+      now = lit("2024-06-01 12:00:00").cast("timestamp"))
+    ev.select(col("event_id"), doc.getField("t").as("t"))
+  }
+
+  val q18_sql: String =
+    "SELECT event_id, '2024-06-01T12:00:00Z' AS t FROM events"
+
+  val q19_act_json_encode: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val doc0 = struct(struct(col("event_id"), col("event_type")).as("payload"))
+    val doc = Actions.jsonEncode(doc0, "payload")
+    ev.select(col("event_id"), doc.getField("payload").as("payload"))
+  }
+
+  val q19_sql: String =
+    """SELECT event_id,
+      |  '{"event_id":' || CAST(event_id AS VARCHAR) ||
+      |  ',"event_type":"' || event_type || '"}' AS payload
+      |FROM events""".stripMargin
+
+  val q20_act_json_extract: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val doc0 = struct(col("event_id"), col("props"))
+    val doc = Actions.jsonExtract(doc0, FieldPath("props"),
+      Seq(FieldPath("k")), prefix = "ex_")
+    ev.select(col("event_id"), doc.getField("ex_k").as("ex_k"))
+  }
+
+  val q20_sql: String =
+    "SELECT event_id, json_extract_string(props, '$.k') AS ex_k FROM events"
+
+  val q21_act_flatten: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val doc0 = struct(
+      col("event_id"),
+      struct(col("event_type").as("type"), col("user_id").as("owner")).as("animal"))
+    val doc = Actions.flatten(doc0, "animal", Seq("type", "owner"), prefix = "pet_")
+    ev.select(doc.as("doc")).select(col("doc.*"))
+  }
+
+  val q21_sql: String =
+    "SELECT event_id, event_type AS pet_type, user_id AS pet_owner FROM events"
+
+  val q22_act_move: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val doc0 = struct(col("event_id"), col("event_type"), col("user_id"))
+    val doc = Actions.move(doc0, Seq("event_id", "event_type", "user_id"),
+      Seq("event_type", "user_id"), "meta", allow = true)
+    ev.select(
+      col("event_id"),
+      doc.getField("meta").getField("event_type").as("m_type"),
+      doc.getField("meta").getField("user_id").as("m_user"))
+  }
+
+  val q22_sql: String =
+    "SELECT event_id, event_type AS m_type, user_id AS m_user FROM events"
+
+  val q23_act_mask: Q = (s, dir) => {
+    val seg = lpad((col("event_id") % 10000).cast("string"), 4, "0")
+    val line = concat(lit("card "), seg, lit(" "), seg, lit(" "), seg, lit(" "), seg,
+      lit(" user "), col("user_id").cast("string"))
+    val ev = t(s, dir, "events")
+    val doc0 = struct(col("event_id"), line.as("message"))
+    val doc = Actions.mask(doc0, "message",
+      "\\d{4} \\d{4} \\d{4} \\d{4}", "**** **** **** ****",
+      appliedField = Some(("masked", "card")))
+    ev.select(col("event_id"),
+      doc.getField("message").as("message"),
+      doc.getField("masked").as("masked"))
+  }
+
+  val q23_sql: String =
+    """SELECT event_id,
+      |  'card **** **** **** **** user ' || CAST(user_id AS VARCHAR) AS message,
+      |  'card' AS masked
+      |FROM events""".stripMargin
+
+  val q24_act_parse_re2: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val doc0 = struct(col("doc_id"), col("text"))
+    val doc = Actions.parseRe2(doc0, FieldPath("text"),
+      "^(\\w+) (\\w+)", Seq("first" -> 1, "second" -> 2), prefix = "g_")
+    d.select(col("doc_id"),
+      doc.getField("g_first").as("g_first"),
+      doc.getField("g_second").as("g_second"))
+  }
+
+  val q24_sql: String =
+    """SELECT doc_id,
+      |  regexp_extract(text, '^(\w+) (\w+)', 1) AS g_first,
+      |  regexp_extract(text, '^(\w+) (\w+)', 2) AS g_second
+      |FROM documents""".stripMargin
+
+  val q25_act_cutoff: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val doc0 = struct(col("doc_id"), col("text"))
+    val doc = Actions.cutOffByLimit(doc0, "text", 100, Some("is_cut"))
+    d.select(col("doc_id"),
+      doc.getField("text").as("text"),
+      doc.getField("is_cut").as("is_cut"))
+  }
+
+  val q25_sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN strlen(text) > 100 THEN left(text, 100) ELSE text END AS text,
+      |  strlen(text) > 100 AS is_cut
+      |FROM documents""".stripMargin
+
+  val q26_match_fields: Q = (s, dir) => {
+    import DoIf._
+    val pred = compileMatch(
+      Seq(MatchCond(FieldPath("event_type"), Seq("/^purch.*/", "signup"))),
+      MatchMode.OrMode, invert = true, _.structCol.cast("string"))
+    t(s, dir, "events").filter(pred).select(col("event_id"))
+  }
+
+  val q26_sql: String =
+    """SELECT event_id FROM events
+      |WHERE NOT (regexp_matches(event_type, '^purch.*') OR event_type = 'signup')""".stripMargin
+
+  val q27_doif_ts_cmp: Q = (s, dir) => {
+    import DoIf._
+    val ev = t(s, dir, "events")
+      .withColumn("ts_str", date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    val tree = TsCmpConst(FieldPath("ts_str"), "rfc3339", Cmp.Lt,
+      java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+    ev.filter(DoIf.compile(tree, _.structCol.cast("string"))).select(col("event_id"))
+  }
+
+  val q27_sql: String =
+    """SELECT event_id FROM events
+      |WHERE strptime(strftime(ts, '%Y-%m-%dT%H:%M:%SZ'), '%Y-%m-%dT%H:%M:%SZ')
+      |      < TIMESTAMP '2024-01-15 00:00:00'""".stripMargin
+
+  val q28_doif_check_type: Q = (s, dir) => {
+    import DoIf._
+    val payload = when(k().try_cast("long") > 50, col("props"))
+      .otherwise(concat(lit("["), k(), lit("]")))
+    val ev = t(s, dir, "events").withColumn("payload", payload)
+    val tree = CheckType(FieldPath("payload"), Seq("object"))
+    ev.filter(DoIf.compile(tree, _.structCol.cast("string")))
+      .select(col("event_id"))
+  }
+
+  val q28_sql: String =
+    """SELECT event_id FROM events
+      |WHERE (CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+      |       THEN props
+      |       ELSE '[' || json_extract_string(props, '$.k') || ']' END) LIKE '{%'""".stripMargin
+
+  val q29_act_decode: Q = (s, dir) => {
+    // decode action: re-decode a string field with another decoder (cri
+    // inside a JSON envelope), reference plugin/action/decode/decode.go
+    val criLine = concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+      lit(" stdout F "), col("event_type"))
+    val envelope = to_json(struct(criLine.as("line")))
+    val inner = get_json_object(envelope, "$.line")
+    val d = Decoders.cri(inner)
+    t(s, dir, "events").select(
+      col("event_id"),
+      d.getField("time").as("c_time"),
+      d.getField("log").as("c_log"))
+  }
+
+  val q29_sql: String =
+    """WITH env AS (
+      |  SELECT event_id,
+      |    json_extract_string(
+      |      to_json(struct_pack(line := strftime(ts, '%Y-%m-%dT%H:%M:%SZ') ||
+      |                                  ' stdout F ' || event_type))::VARCHAR,
+      |      '$.line') AS line
+      |  FROM events)
+      |SELECT event_id,
+      |  regexp_extract(line, '^(\S+) ', 1) AS c_time,
+      |  regexp_extract(line, '^\S+ (?:stdout|stderr) [FP] (.*)$', 1) AS c_log
+      |FROM env""".stripMargin
+
+  val q30_act_debug: Q = (s, dir) =>
+    // debug action: passthrough + observe()-based sampling counter
+    t(s, dir, "events")
+      .observe("graft_debug", count(lit(1)).as("events_seen"))
+      .select(col("event_id"))
+
+  val q30_sql: String = "SELECT event_id FROM events"
+
+  /** hash with the native xxhash64 + token normalizer — not expressible in
+    * DuckDB, declared without an oracle (rows-only driver check). */
+  val q31_act_hash_xx: Q = (s, dir) => {
+    val msg = concat(lit("2023-10-30T13:35:33Z "), col("event_type"),
+      lit(", client: 10.125.172.251, k="), k())
+    val ev = t(s, dir, "events")
+    val doc0 = struct(col("event_id"), msg.as("message"))
+    val doc = Actions.hashAction(doc0, Seq(FieldPath("message")), "h",
+      algo = "xxhash64", normalize = true)
+    ev.select(col("event_id"), doc.getField("h").as("h"))
+  }
+
+  // ------------------------------------------------- sequence-stateful
+
+  val q40_join_multiline: Q = (s, dir) =>
+    SeqOps.multilineJoin(
+      t(s, dir, "events"), Seq("user_id"), "event_id",
+      start = col("event_type") === "signup",
+      cont = col("event_type").isin("click", "view"),
+      field = "event_type", sep = "|")
+
+  val q40_sql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, event_type,
+      |    event_type = 'signup' AS st,
+      |    event_type IN ('click','view') AS cont,
+      |    SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY event_id) AS grp
+      |  FROM events),
+      |c AS (
+      |  SELECT *,
+      |    MIN(CASE WHEN NOT st AND NOT cont THEN event_id END)
+      |      OVER (PARTITION BY user_id, grp) AS closed_at,
+      |    MIN(event_id) OVER (PARTITION BY user_id, grp) AS grp_start
+      |  FROM g),
+      |f AS (
+      |  SELECT *, grp > 0 AND (event_id = grp_start OR
+      |    (cont AND (closed_at IS NULL OR event_id < closed_at))) AS in_seq
+      |  FROM c)
+      |SELECT user_id, MIN(event_id) AS event_id,
+      |  string_agg(event_type, '|' ORDER BY event_id) AS event_type,
+      |  COUNT(*) AS n_lines
+      |FROM f WHERE in_seq GROUP BY user_id, grp
+      |UNION ALL
+      |SELECT user_id, event_id, event_type, CAST(1 AS BIGINT) AS n_lines
+      |FROM f WHERE NOT in_seq""".stripMargin
+
+  val q41_join_template: Q = (s, dir) => {
+    // join_template (go_panic): same kernel, prebuilt non-regex predicates
+    val ev = t(s, dir, "events")
+    val line = when(col("event_type") === "error", concat(lit("panic: k="), k()))
+      .when(col("event_type") === "click", lit("goroutine 1 [running]:"))
+      .when(col("event_type") === "view", lit("main.main()"))
+      .when(col("event_type") === "purchase",
+        concat(lit("    /go/src/app.go:10 +0x"), k()))
+      .otherwise(lit("normal line"))
+    val df = ev.withColumn("line", line)
+    SeqOps.multilineJoin(df, Seq("user_id"), "event_id",
+      start = graft.state.JoinTemplates.goPanicStart(col("line")),
+      cont = graft.state.JoinTemplates.goPanicContinue(col("line")),
+      field = "line", sep = "|")
+  }
+
+  val q41_sql: String =
+    """WITH lines AS (
+      |  SELECT user_id, event_id,
+      |    CASE event_type
+      |      WHEN 'error' THEN 'panic: k=' || json_extract_string(props, '$.k')
+      |      WHEN 'click' THEN 'goroutine 1 [running]:'
+      |      WHEN 'view' THEN 'main.main()'
+      |      WHEN 'purchase' THEN '    /go/src/app.go:10 +0x' || json_extract_string(props, '$.k')
+      |      ELSE 'normal line' END AS line
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, event_id, line,
+      |    line LIKE 'panic: %' AS st,
+      |    (line LIKE 'goroutine %' OR line LIKE 'main.%' OR line LIKE '    /go/src/%') AS cont,
+      |    SUM(CASE WHEN line LIKE 'panic: %' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY event_id) AS grp
+      |  FROM lines),
+      |c AS (
+      |  SELECT *,
+      |    MIN(CASE WHEN NOT st AND NOT cont THEN event_id END)
+      |      OVER (PARTITION BY user_id, grp) AS closed_at,
+      |    MIN(event_id) OVER (PARTITION BY user_id, grp) AS grp_start
+      |  FROM g),
+      |f AS (
+      |  SELECT *, grp > 0 AND (event_id = grp_start OR
+      |    (cont AND (closed_at IS NULL OR event_id < closed_at))) AS in_seq
+      |  FROM c)
+      |SELECT user_id, MIN(event_id) AS event_id,
+      |  string_agg(line, '|' ORDER BY event_id) AS line,
+      |  COUNT(*) AS n_lines
+      |FROM f WHERE in_seq GROUP BY user_id, grp
+      |UNION ALL
+      |SELECT user_id, event_id, line, CAST(1 AS BIGINT) AS n_lines
+      |FROM f WHERE NOT in_seq""".stripMargin
+
+  val q42_throttle: Q = (s, dir) =>
+    SeqOps.throttle(t(s, dir, "events"), Seq("event_type"),
+      bucket = date_trunc("day", col("ts")), orderCol = "event_id", limit = 20)
+      .select(col("event_id"))
+
+  val q42_sql: String =
+    """SELECT event_id FROM events
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY event_type, date_trunc('day', ts)
+      |  ORDER BY event_id) <= 20""".stripMargin
+
+  val q43_cardinality: Q = (s, dir) =>
+    SeqOps.cardinality(t(s, dir, "events"), Seq("event_type"), "user_id",
+      orderCol = "event_id", limit = 5)
+      .select(col("event_id"))
+
+  val q43_sql: String =
+    """WITH firsts AS (
+      |  SELECT event_type, user_id, MIN(event_id) AS fs
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY fs, user_id) AS r
+      |  FROM firsts)
+      |SELECT e.event_id FROM events e
+      |JOIN ranked k ON e.event_type = k.event_type AND e.user_id = k.user_id
+      |WHERE k.r <= 5""".stripMargin
+
+  val q44_antispam: Q = (s, dir) =>
+    SeqOps.antispam(t(s, dir, "events"), Seq("user_id"),
+      bucket = expr("unix_timestamp(ts) div 604800"), threshold = 12)
+      .select(col("event_id"))
+
+  val q44_sql: String =
+    """WITH b AS (
+      |  SELECT event_id, user_id,
+      |    CAST(epoch(ts) AS BIGINT) // 604800 AS bkt
+      |  FROM events),
+      |counts AS (
+      |  SELECT user_id, bkt, COUNT(*) AS n FROM b GROUP BY 1, 2),
+      |flags AS (
+      |  SELECT user_id, bkt,
+      |    lag(bkt) OVER (PARTITION BY user_id ORDER BY bkt) AS prev_b,
+      |    lag(n) OVER (PARTITION BY user_id ORDER BY bkt) AS prev_n
+      |  FROM counts)
+      |SELECT e.event_id FROM b e
+      |JOIN flags f ON e.user_id = f.user_id AND e.bkt = f.bkt
+      |WHERE NOT (f.prev_b IS NOT NULL AND f.prev_b = f.bkt - 1 AND f.prev_n >= 12)""".stripMargin
+
+  val q45_parse_es: Q = (s, dir) => {
+    // parse_es pairing: per user stream, rows alternate action-line /
+    // doc-line by position; each doc pairs with the preceding action.
+    val ev = t(s, dir, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+    val rn = row_number().over(w)
+    val line = when(rn % 2 === 1,
+      concat(lit("{\"index\":{\"_index\":\"idx-"), col("user_id").cast("string"),
+        lit("\"}}"))).otherwise(col("props"))
+    val withLine = ev.withColumn("rn", rn).withColumn("line", line)
+      .withColumn("prev", lag(col("line"), 1).over(w))
+    withLine.filter(col("rn") % 2 === 0)
+      .select(col("event_id"),
+        get_json_object(col("prev"), "$.index._index").as("es_index"),
+        get_json_object(col("line"), "$.k").as("doc_k"))
+  }
+
+  val q45_sql: String =
+    """WITH numbered AS (
+      |  SELECT event_id, user_id, props,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |  FROM events),
+      |lines AS (
+      |  SELECT *,
+      |    CASE WHEN rn % 2 = 1
+      |      THEN '{"index":{"_index":"idx-' || CAST(user_id AS VARCHAR) || '"}}'
+      |      ELSE props END AS line
+      |  FROM numbered),
+      |paired AS (
+      |  SELECT *, lag(line) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      |  FROM lines)
+      |SELECT event_id,
+      |  json_extract_string(prev, '$.index._index') AS es_index,
+      |  json_extract_string(line, '$.k') AS doc_k
+      |FROM paired WHERE rn % 2 = 0""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val all: Map[String, Q] = Map(
+    "q13_dec_nginx" -> q13_dec_nginx,
+    "q14_dec_postgres" -> q14_dec_postgres,
+    "q15_dec_syslog5424" -> q15_dec_syslog5424,
+    "q16_dec_raw" -> q16_dec_raw,
+    "q17_act_convert_date" -> q17_act_convert_date,
+    "q18_act_set_time" -> q18_act_set_time,
+    "q19_act_json_encode" -> q19_act_json_encode,
+    "q20_act_json_extract" -> q20_act_json_extract,
+    "q21_act_flatten" -> q21_act_flatten,
+    "q22_act_move" -> q22_act_move,
+    "q23_act_mask" -> q23_act_mask,
+    "q24_act_parse_re2" -> q24_act_parse_re2,
+    "q25_act_cutoff" -> q25_act_cutoff,
+    "q26_match_fields" -> q26_match_fields,
+    "q27_doif_ts_cmp" -> q27_doif_ts_cmp,
+    "q28_doif_check_type" -> q28_doif_check_type,
+    "q29_act_decode" -> q29_act_decode,
+    "q30_act_debug" -> q30_act_debug,
+    "q31_act_hash_xx" -> q31_act_hash_xx,
+    "q40_join_multiline" -> q40_join_multiline,
+    "q41_join_template" -> q41_join_template,
+    "q42_throttle" -> q42_throttle,
+    "q43_cardinality" -> q43_cardinality,
+    "q44_antispam" -> q44_antispam,
+    "q45_parse_es" -> q45_parse_es
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q13_dec_nginx" -> q13_sql,
+    "q14_dec_postgres" -> q14_sql,
+    "q15_dec_syslog5424" -> q15_sql,
+    "q16_dec_raw" -> q16_sql,
+    "q17_act_convert_date" -> q17_sql,
+    "q18_act_set_time" -> q18_sql,
+    "q19_act_json_encode" -> q19_sql,
+    "q20_act_json_extract" -> q20_sql,
+    "q21_act_flatten" -> q21_sql,
+    "q22_act_move" -> q22_sql,
+    "q23_act_mask" -> q23_sql,
+    "q24_act_parse_re2" -> q24_sql,
+    "q25_act_cutoff" -> q25_sql,
+    "q26_match_fields" -> q26_sql,
+    "q27_doif_ts_cmp" -> q27_sql,
+    "q28_doif_check_type" -> q28_sql,
+    "q29_act_decode" -> q29_sql,
+    "q30_act_debug" -> q30_sql,
+    "q40_join_multiline" -> q40_sql,
+    "q41_join_template" -> q41_sql,
+    "q42_throttle" -> q42_sql,
+    "q43_cardinality" -> q43_sql,
+    "q44_antispam" -> q44_sql,
+    "q45_parse_es" -> q45_sql
+  )
+}

@@ -109,10 +109,8 @@ object Actions {
   def move(doc: Column, allNames: Seq[String], fields: Seq[String],
            target: String, allow: Boolean): Column = {
     val moved = if (allow) fields else allNames.filterNot(n => fields.contains(n) || n == target)
-    val withTarget = moved.foldLeft(doc) { (d, f) =>
-      d.withField(s"$target.$f", doc.getField(f))
-    }
-    withTarget.dropFields(moved: _*)
+    val targetStruct = struct(moved.map(f => doc.getField(f).as(f)): _*)
+    doc.dropFields(moved: _*).withField(target, targetStruct)
   }
 
   /** flatten (plugin/action/flatten/flatten.go:36): splice a struct
@@ -155,13 +153,15 @@ object Actions {
     }
   }
 
-  /** mask (plugin/action/mask/mask.go:142-184): replace regex matches with
-    * '*'s of equal length; optional appliedField marker. Group-targeted
-    * masking keeps surrounding context via capture groups. */
-  def mask(doc: Column, field: String, pattern: String,
+  /** mask (plugin/action/mask/mask.go:142-184): replace matched spans with
+    * a masked form; optional appliedField marker set only on change. The
+    * replacement is the caller-shaped star pattern (length-preserving for
+    * fixed-shape masks); free-length per-char masking is MaskExpr
+    * (custom Expression). */
+  def mask(doc: Column, field: String, pattern: String, replacement: String,
            appliedField: Option[(String, String)] = None): Column = {
     val src = doc.getField(field).cast("string")
-    val masked = Masks.maskAll(src, pattern)
+    val masked = regexp_replace(src, pattern, replacement)
     val d2 = doc.withField(field, masked)
     appliedField match {
       case Some((f, v)) => d2.withField(f, when(masked =!= src, lit(v)))

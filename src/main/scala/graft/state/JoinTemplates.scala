@@ -1,0 +1,38 @@
+package graft.state
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** join_template's prebuilt sequence predicates (reference:
+  * plugin/action/join_template/template dir) — non-regex prefix/contains
+  * checks compiled to Columns, shared with the multiline kernel.
+  */
+object JoinTemplates {
+
+  /** go_panic template: a panic line opens, stack-frame-ish lines
+    * continue (goroutine header, function call lines, indented file:line
+    * frames). */
+  def goPanicStart(line: Column): Column =
+    line.startsWith("panic: ") || line.startsWith("fatal error: ")
+
+  def goPanicContinue(line: Column): Column =
+    line.startsWith("goroutine ") ||
+      line.startsWith("main.") ||
+      line.startsWith("    /go/src/") ||
+      line.startsWith("\t") ||
+      line.startsWith("created by ") ||
+      line.rlike("^\\S+\\.go:\\d+")
+
+  /** cs_exception template: exception header opens, `at ...` frames
+    * continue. */
+  def csExceptionStart(line: Column): Column =
+    line.rlike("^(Unhandled exception|\\w+(\\.\\w+)*Exception[:\\s])")
+
+  def csExceptionContinue(line: Column): Column =
+    trim(line).startsWith("at ") || line.startsWith("   ---")
+
+  /** go_data_race template. */
+  def goDataRaceStart(line: Column): Column = line.startsWith("WARNING: DATA RACE")
+  def goDataRaceContinue(line: Column): Column =
+    !line.startsWith("==================") || line.contains("DATA RACE")
+}

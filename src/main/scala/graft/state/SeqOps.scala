@@ -1,0 +1,121 @@
+package graft.state
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch-mode equivalents of the reference's sequence-stateful actions
+  * (SURVEY §2.4: join/multiline, throttle, cardinality, antispam,
+  * parse_es). The reference serializes per-stream and walks events one at
+  * a time (pipeline/processor.go:163-243); on Spark the same per-key
+  * in-order semantics come from Window functions partitioned by the
+  * stream key — fully distributed, one shuffle per op, no driver-side
+  * state. Streaming variants live in graft.streaming.Kernels.
+  *
+  * Scale note: every op here shuffles once on its key. Key cardinality
+  * (sources × streams, throttle keys) is what bounds parallelism at
+  * 100 TB — these keys are naturally high-cardinality in log pipelines,
+  * so partitions stay balanced; AQE handles residual skew.
+  */
+object SeqOps {
+
+  /** Multiline join (plugin/action/join/join.go:63-110): `start` opens a
+    * sequence, `cont` extends it; a non-continue row closes it and passes
+    * through as its own event. Rows outside sequences pass through
+    * unchanged. Concatenates `field` with `sep` in event order.
+    *
+    * Output: key columns + `orderCol` (of the first row of each output
+    * event) + `field` (joined payload) + `n_lines`.
+    */
+  def multilineJoin(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                    start: Column, cont: Column, field: String,
+                    sep: String = "\n"): DataFrame = {
+    val keys = keyCols.map(col)
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col(orderCol))
+    // group id = running count of starts; grp 0 = before any start
+    val withGrp = df
+      .withColumn("_start", start)
+      .withColumn("_cont", cont)
+      .withColumn("_grp", sum(when(col("_start"), 1).otherwise(0)).over(wOrd))
+    // a sequence stays open until the first row in its group that is
+    // neither its start row nor a continue row
+    val wGrp = Window.partitionBy(keys :+ col("_grp"): _*)
+    val wGrpOrd = wGrp.orderBy(col(orderCol))
+    val closedAt = min(when(!col("_start") && !col("_cont"), col(orderCol))).over(wGrp)
+    val grpStart = min(col(orderCol)).over(wGrp)
+    val inSeq = col("_grp") > 0 &&
+      (col(orderCol) === grpStart ||
+        (col("_cont") && (closedAt.isNull || col(orderCol) < closedAt)))
+    val flagged = withGrp.withColumn("_in_seq", inSeq)
+
+    val joined = flagged.filter(col("_in_seq"))
+      .groupBy(keys :+ col("_grp"): _*)
+      .agg(
+        min(col(orderCol)).as(orderCol),
+        array_join(
+          transform(array_sort(collect_list(struct(col(orderCol).as("o"), col(field).as("v")))),
+            s => s.getField("v")),
+          sep).as(field),
+        count(lit(1)).as("n_lines"))
+      .drop("_grp")
+    val singles = flagged.filter(!col("_in_seq"))
+      .select((keys :+ col(orderCol) :+ col(field) :+ lit(1L).as("n_lines")): _*)
+    joined.unionByName(singles)
+  }
+
+  /** Throttle (plugin/action/throttle/throttle.go:60-170), limit_kind=
+    * count: keep at most `limit` events per (key, time-bucket). The
+    * reference's sliding bucket window collapses to an exact per-bucket
+    * rank in batch mode; `orderCol` supplies the deterministic in-bucket
+    * order (the reference uses arrival order).
+    */
+  def throttle(df: DataFrame, keyCols: Seq[String], bucket: Column,
+               orderCol: String, limit: Int): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col) :+ bucket: _*).orderBy(col(orderCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= limit)
+      .drop("_rn")
+  }
+
+  /** Cardinality guard (plugin/action/cardinality/cardinality.go:76-120):
+    * per `keyCols`, allow events whose `valueCol` is among the first
+    * `limit` distinct values by first appearance; later distinct values
+    * are discarded (action: discard mode).
+    */
+  def cardinality(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                  orderCol: String, limit: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val firsts = df.groupBy(keys :+ col(valueCol): _*)
+      .agg(min(col(orderCol)).as("_first_seen"))
+      .withColumn("_vrank",
+        row_number().over(
+          Window.partitionBy(keys: _*).orderBy(col("_first_seen"), col(valueCol))))
+      .filter(col("_vrank") <= limit)
+      .select(keys :+ col(valueCol): _*)
+    df.join(firsts, keyCols :+ valueCol, "left_semi")
+  }
+
+  /** Antispam (pipeline/antispam/antispammer.go:20-80): a source whose
+    * previous maintenance interval produced ≥ threshold events is banned
+    * for the current interval. Batch analog of the counter+ban flag:
+    * drop every event of (source, bucket) when bucket-1 of the same
+    * source reached the threshold.
+    */
+  def antispam(df: DataFrame, sourceCols: Seq[String], bucket: Column,
+               threshold: Int): DataFrame = {
+    val keys = sourceCols.map(col)
+    val counts = df.groupBy(keys :+ bucket.as("_b"): _*).agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(keys: _*).orderBy(col("_b"))
+    val banned = counts
+      .withColumn("_prev_b", lag(col("_b"), 1).over(w))
+      .withColumn("_prev_n", lag(col("_n"), 1).over(w))
+      .withColumn("_banned",
+        col("_prev_b").isNotNull && col("_prev_b") === col("_b") - 1 &&
+          col("_prev_n") >= threshold)
+      .select((keys :+ col("_b") :+ col("_banned")): _*)
+    df.withColumn("_b", bucket)
+      .join(banned, sourceCols :+ "_b")
+      .filter(!col("_banned"))
+      .drop("_b", "_banned")
+  }
+}
