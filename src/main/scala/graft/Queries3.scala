@@ -1,0 +1,348 @@
+package graft
+
+import graft.ml.{Ann, Dedup, Multimodal, TextOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Query batch 3: training-data-pipeline operators (dedup, similarity
+  * search, text analysis, multimodal plumbing) and the classic
+  * join/window/top-k shapes used as bench headliners. */
+object Queries3 {
+
+  type Q = Queries.Q
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // DuckDB fragment mirroring Dedup.tokenHash.
+  private def sqlHash(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  // DuckDB fragment mirroring Dedup.shingles(text, 3).
+  private val sqlShingles3: String =
+    "list_distinct(list_transform(" +
+      "range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1), " +
+      "i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' ')))"
+
+  // ------------------------------------------------------------- dedup
+
+  val q50_dedup_exact: Q = (s, dir) =>
+    Dedup.exactKeepFirst(t(s, dir, "documents"), Seq("text"), "doc_id")
+      .select(col("doc_id"))
+
+  val q50_sql: String =
+    "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+  val q51_dedup_jaccard: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val a = d.as("a")
+    val b = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh")).as("b")
+    a.join(b, col("b_id") === col("doc_id") + 1)
+      .select(col("doc_id"),
+        size(array_intersect(col("sh"), col("b_sh"))).as("inter"),
+        size(array_union(col("sh"), col("b_sh"))).as("uni"))
+  }
+
+  val q51_sql: String =
+    s"""WITH sh AS (SELECT doc_id, $sqlShingles3 AS s FROM documents)
+       |SELECT a.doc_id AS doc_id,
+       |  len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter,
+       |  len(a.s) + len(b.s) -
+       |    len(list_filter(a.s, x -> list_contains(b.s, x))) AS uni
+       |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin
+
+  private val MH_K = 9; private val MH_BANDS = 3; private val MH_ROWS = 3
+
+  val q52_dedup_minhash: Q = (s, dir) =>
+    Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 3, k = MH_K, bands = MH_BANDS, rows = MH_ROWS)
+
+  val q52_sql: String = {
+    val sigs = (0 until MH_K).map { j =>
+      s"list_min(list_transform(s, t -> (${Dedup.hashA(j)} * (${sqlHash("t")} % ${Dedup.P}) " +
+        s"+ ${Dedup.hashB(j)}) % ${Dedup.P})) AS mh_$j"
+    }.mkString(",\n    ")
+    val bandExprs = (0 until MH_BANDS).map { b =>
+      val parts = (b * MH_ROWS until (b + 1) * MH_ROWS)
+        .map(j => s"CAST(mh_$j AS VARCHAR)").mkString(" || ',' || ")
+      s"'$b,' || $parts"
+    }.mkString(", ")
+    s"""WITH sh AS (SELECT doc_id, $sqlShingles3 AS s FROM documents),
+       |mh AS (SELECT doc_id,
+       |    $sigs
+       |  FROM sh),
+       |bands AS (SELECT doc_id, [$bandExprs] AS bks FROM mh),
+       |e AS (SELECT doc_id, unnest(bks) AS bk FROM bands)
+       |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |FROM e l JOIN e r ON l.bk = r.bk AND l.doc_id < r.doc_id""".stripMargin
+  }
+
+  val q53_dedup_simhash: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"), Dedup.simhash(col("text"), 16).as("sim16"))
+
+  val q53_sql: String = {
+    val sums = (0 until 16).map(b => s"SUM((hv >> $b) & 1) AS s$b").mkString(", ")
+    val votes = (0 until 16)
+      .map(b => s"(CASE WHEN s$b * 2 > n THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, ${sqlHash("tok")} AS hv FROM toks),
+       |agg AS (SELECT doc_id, COUNT(*) AS n, $sums FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($votes AS BIGINT) AS sim16 FROM agg""".stripMargin
+  }
+
+  // -------------------------------------------------------- similarity
+
+  private def queryVec(s: SparkSession, dir: String): Seq[Float] =
+    t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .head().getSeq[Float](1)
+
+  val q54_ann_cosine: Q = (s, dir) => {
+    val q = queryVec(s, dir)
+    Ann.bruteForceTopK(
+      t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", q, 10)
+      .select(col("vec_id"), col("rnk"))
+  }
+
+  val q54_sql: String =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      |sims AS (
+      |  SELECT vec_id,
+      |    list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+      |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(qv, qv))) AS sim
+      |  FROM embeddings, q WHERE vec_id <> 0)
+      |SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk
+      |FROM sims ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** LSH-bucketed ANN — hyperplane signatures aren't SQL-reproducible;
+    * rows-only driver check, recall asserted in ScalaTest. */
+  val q55_ann_lsh: Q = (s, dir) => {
+    val q = queryVec(s, dir)
+    Ann.lshTopK(t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", dim = 64, query = q, k = 10, nBits = 6, maxHamming = 2)
+      .select(col("vec_id"), col("rnk"))
+  }
+
+  val q60_embed_neardup: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
+    e.join(b, col("b_id") === col("vec_id") + 1)
+      .select(col("vec_id"),
+        (Ann.dot(col("v"), col("b_v")) /
+          (sqrt(Ann.dot(col("v"), col("v"))) * sqrt(Ann.dot(col("b_v"), col("b_v"))))
+          > 0.2).as("is_near"))
+  }
+
+  val q60_sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.vec_id AS vec_id,
+      |  list_dot_product(a.v, b.v) /
+      |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.2 AS is_near
+      |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1""".stripMargin
+
+  // ------------------------------------------------------ text analysis
+
+  val q56_text_quality: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      round(TextOps.meanTokenLen(col("text")), 4).as("mean_len"),
+      round(TextOps.stopwordRatio(col("text"), "en"), 4).as("sw_ratio"))
+
+  val q56_sql: String = {
+    val sw = TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+       |  round(CAST(list_sum(list_transform(string_split(text, ' '), t -> strlen(t))) AS DOUBLE)
+       |        / len(string_split(text, ' ')), 4) AS mean_len,
+       |  round(CAST(len(list_filter(string_split(lower(text), ' '),
+       |                             t -> list_contains([$sw], t))) AS DOUBLE)
+       |        / len(string_split(lower(text), ' ')), 4) AS sw_ratio
+       |FROM documents""".stripMargin
+  }
+
+  val q57_text_langid: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"), TextOps.langId(col("text")).as("lang_guess"))
+
+  val q57_sql: String = {
+    val langs = TextOps.stopwords.keys.toSeq.sorted
+    val hitCols = langs.map { l =>
+      val sw = TextOps.stopwords(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(lower(text), ' '), t -> list_contains([$sw], t))) AS h_$l"
+    }.mkString(",\n    ")
+    val g = langs.map(l => s"h_$l").mkString(", ")
+    val cases = langs.map(l => s"WHEN h_$l = greatest($g) THEN '$l'").mkString(" ")
+    s"""WITH hits AS (SELECT doc_id,
+       |    $hitCols
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN greatest($g) = 0 THEN 'und' $cases END AS lang_guess
+       |FROM hits""".stripMargin
+  }
+
+  val q58_text_fingerprint: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp"))
+
+  val q58_sql: String =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+      |FROM documents""".stripMargin
+
+  // -------------------------------------------------------- multimodal
+
+  val q59_mm_meta: Q = (s, dir) => {
+    val withBin = t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val meta = Multimodal.withMediaMeta(col("payload"))
+    val decoded = Multimodal.decodePartitioned(withBin, "payload")
+    decoded.select(
+      col("doc_id"),
+      meta.getField("n_bytes").as("n_bytes"),
+      meta.getField("content_hash").as("content_hash"),
+      meta.getField("head_hex").as("head_hex"),
+      col("fake_width"), col("fake_first_byte"))
+  }
+
+  val q59_sql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_hash,
+      |  upper(hex(encode(substring(text, 1, 4)))) AS head_hex,
+      |  CAST(octet_length(encode(text)) % 256 AS INT) AS fake_width,
+      |  ascii(substring(text, 1, 1)) AS fake_first_byte
+      |FROM documents""".stripMargin
+
+  val q61_mm_slices: Q = (s, dir) => {
+    val payload = encode(col("text"), "UTF-8")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      array_join(transform(Multimodal.sampleSlices(payload, 4, 8),
+        sl => upper(hex(sl))), "|").as("frames"))
+  }
+
+  val q61_sql: String =
+    """SELECT doc_id,
+      |  array_to_string(list_transform(range(0, 4),
+      |    i -> upper(hex(encode(substring(text,
+      |           CAST(i * (octet_length(encode(text)) // 4) + 1 AS INT), 8))))), '|') AS frames
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------- joins / window / top-k
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private val one = lit(new java.math.BigDecimal("1.00"))
+
+  val q70_join_agg: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name").as("n_name"))
+      .agg(
+        sum(dec(li("l_extendedprice")) * (one - dec(li("l_discount"))))
+          .cast("decimal(18,4)").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q70_sql: String =
+    """SELECT n.n_name AS n_name,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1.00 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
+      |       AS DECIMAL(18,4)) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name""".stripMargin
+
+  val q71_topk: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .orderBy(desc("o_totalprice"), col("o_orderkey")).limit(20)
+    o.withColumn("rnk", row_number().over(
+      Window.orderBy(desc("o_totalprice"), col("o_orderkey"))))
+      .select(col("o_orderkey"), col("rnk"))
+  }
+
+  val q71_sql: String =
+    """SELECT o_orderkey, row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  val q72_window_running: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("decimal(18,2)").as("run_total"))
+  }
+
+  val q72_sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |       AS DECIMAL(18,2)) AS run_total
+      |FROM orders""".stripMargin
+
+  val q73_anti_join: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+  }
+
+  val q73_sql: String =
+    """SELECT c_custkey FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val all: Map[String, Q] = Map(
+    "q50_dedup_exact" -> q50_dedup_exact,
+    "q51_dedup_jaccard" -> q51_dedup_jaccard,
+    "q52_dedup_minhash" -> q52_dedup_minhash,
+    "q53_dedup_simhash" -> q53_dedup_simhash,
+    "q54_ann_cosine" -> q54_ann_cosine,
+    "q55_ann_lsh" -> q55_ann_lsh,
+    "q56_text_quality" -> q56_text_quality,
+    "q57_text_langid" -> q57_text_langid,
+    "q58_text_fingerprint" -> q58_text_fingerprint,
+    "q59_mm_meta" -> q59_mm_meta,
+    "q60_embed_neardup" -> q60_embed_neardup,
+    "q61_mm_slices" -> q61_mm_slices,
+    "q70_join_agg" -> q70_join_agg,
+    "q71_topk" -> q71_topk,
+    "q72_window_running" -> q72_window_running,
+    "q73_anti_join" -> q73_anti_join
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q50_dedup_exact" -> q50_sql,
+    "q51_dedup_jaccard" -> q51_sql,
+    "q52_dedup_minhash" -> q52_sql,
+    "q53_dedup_simhash" -> q53_sql,
+    "q54_ann_cosine" -> q54_sql,
+    "q56_text_quality" -> q56_sql,
+    "q57_text_langid" -> q57_sql,
+    "q58_text_fingerprint" -> q58_sql,
+    "q59_mm_meta" -> q59_sql,
+    "q60_embed_neardup" -> q60_sql,
+    "q61_mm_slices" -> q61_sql,
+    "q70_join_agg" -> q70_sql,
+    "q71_topk" -> q71_sql,
+    "q72_window_running" -> q72_sql,
+    "q73_anti_join" -> q73_sql
+  )
+}

@@ -1,0 +1,72 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>). Brute-force cosine is the exactness baseline (one
+  * broadcast of the query, one scan, one top-k — no shuffle of the
+  * corpus); the scale path is random-hyperplane LSH bucketing, which
+  * turns the scan into a bucket-key equi-join exactly like MinHash-LSH.
+  */
+object Ann {
+
+  /** Dot product of two float-array columns in double precision,
+    * summed left-to-right (bit-identical to the SQL oracle's
+    * list_dot_product on DOUBLE[]). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k by cosine against one query vector (broadcast as a
+    * literal — no join at all). Deterministic tiebreak on idCol. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    val sim = cosine(col(vecCol), q)
+    df.select(col(idCol), sim.as("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(desc("sim"), col(idCol))))
+  }
+
+  /** Random-hyperplane signature: bit b = sign(dot(vec, hyperplane_b)).
+    * Hyperplanes are deterministic pseudo-random from a seed so signatures
+    * are reproducible across runs/executors. */
+  def hyperplaneSig(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes = Seq.fill(nBits)(Seq.fill(dim)(rng.nextGaussian().toFloat))
+    (0 until nBits).map { b =>
+      when(dot(vec, array(planes(b).map(lit(_)): _*)) >= 0, lit(1L << b))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: probe only vectors whose hyperplane signature is
+    * within `maxHamming` bit-flips of the query's (multi-probe LSH). At
+    * scale the signature is the shuffle/partition key and each bucket is
+    * scanned locally; pick nBits ≈ log2(corpusSize / targetBucketSize)
+    * so buckets stay executor-sized — more bits = finer buckets = lower
+    * recall per probe radius.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+              query: Seq[Float], k: Int, nBits: Int = 6,
+              maxHamming: Int = 2): DataFrame = {
+    val sigCol = hyperplaneSig(col(vecCol), dim, nBits)
+    val withSig = df.withColumn("_sig", sigCol)
+    // query signature computed the same way on a literal row
+    val qSig = df.sparkSession.range(1).select(
+      hyperplaneSig(array(query.map(lit(_)): _*), dim, nBits).as("_qsig"))
+      .head().getLong(0)
+    // all signatures within hamming radius (multi-probe set)
+    val sigs = (0L until (1L << nBits))
+      .filter(s => java.lang.Long.bitCount(s ^ qSig) <= maxHamming)
+    val candidates = withSig.filter(col("_sig").isin(sigs: _*))
+    bruteForceTopK(candidates, idCol, vecCol, query, k)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  * All are bucket-join shaped — no O(n²) pairwise scan anywhere — so they
+  * hold at 100 TB: candidate generation is a groupBy/self-equi-join on a
+  * band/bucket key whose cardinality grows with the corpus, and exact
+  * verification only runs per candidate pair.
+  */
+object Dedup {
+
+  /** Deterministic 60-bit token hash shared with the SQL oracles:
+    * first 15 hex digits of md5, parsed base-16. (The perf path uses
+    * xxhash64 instead — see fingerprint64.) */
+  def tokenHash(tok: Column): Column =
+    conv(substring(md5(tok.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Distinct word n-gram shingles ("a b c" word windows). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val grams = transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    array_distinct(grams)
+  }
+
+  // MinHash universe: prime just above 2^32. Coefficients stay below
+  // 2^30 so a*(h mod P)+b < 2^62 — no int64 overflow (ANSI mode errors
+  // on overflow, and the SQL oracle's BIGINT would too).
+  val P: Long = 4294967311L
+  private val AB: Long = 1073741789L // prime < 2^30
+  def hashA(j: Int): Long = 1 + (1234567891L * (j + 1)) % (AB - 1)
+  def hashB(j: Int): Long = (987654321L * (j + 1) + 12345L) % AB
+
+  /** MinHash signature of a shingle set: k permutation-min values,
+    * sig_j = min over shingles of (a_j * (h mod P) + b_j) mod P. */
+  def minhashSignature(shingleArr: Column, k: Int): Seq[Column] =
+    (0 until k).map { j =>
+      array_min(transform(shingleArr,
+        t => pmod(lit(hashA(j)) * pmod(tokenHash(t), lit(P)) + lit(hashB(j)), lit(P))))
+        .as(s"mh_$j")
+    }
+
+  /** LSH band keys: signature split into `bands` bands of `rows` values,
+    * each band rendered as one string key. Docs sharing any band key are
+    * candidate pairs. */
+  def bandKeys(sig: Seq[Column], bands: Int, rows: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      concat_ws(",", lit(b.toString) +: sig.slice(b * rows, (b + 1) * rows): _*)
+        .as(s"band_$b")
+    }
+
+  /** MinHash-LSH candidate pairs: explode band keys, self-equi-join on
+    * the band key — the scalable pattern (shuffle on band key, bucket-
+    * local pair generation only). Returns distinct (id_a < id_b) pairs.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, k: Int, bands: Int, rows: Int): DataFrame = {
+    val sig = minhashSignature(shingles(col(textCol), shingleN), k)
+    val withBands = df.select(col(idCol) +: bandKeys(sig, bands, rows): _*)
+    val exploded = withBands.select(col(idCol).as("id"),
+      explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("bk"))
+    val l = exploded.as("l")
+    val r = exploded.as("r")
+    l.join(r, col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity between two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** SimHash: per-bit majority vote over token hashes. `bits` ≤ 60 with
+    * the md5 token hash (oracle-parity path); the perf path uses
+    * xxhash64 with bits=64. */
+  def simhash(text: Column, bits: Int,
+              hash: Column => Column = tokenHash): Column = {
+    val toks = array_distinct(tokens(text))
+    val n = size(toks)
+    (0 until bits).map { b =>
+      when(
+        aggregate(toks, lit(0L),
+          (acc, t) => acc + shiftright(hash(t), b).bitwiseAND(lit(1L))) * 2 > n,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact dedup: keep the first (min orderCol) row per key set —
+    * one hash-shuffle, map-side partial aggregation for free. */
+  def exactKeepFirst(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(orderCol)).as(orderCol))
+}

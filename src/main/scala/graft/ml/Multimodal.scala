@@ -1,0 +1,70 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads are opaque
+  * `binary` columns carried next to typed metadata, exactly like any
+  * other column — partition pruning, column projection and predicate
+  * pushdown still apply, and the bytes are only materialized by the
+  * partitions that decode them.
+  *
+  * The actual media decode (JPEG/PNG/audio codecs) is STUBBED — this
+  * container has no media libraries — behind `decodeStub` /
+  * `decodePartitioned`, deterministic fakes with the real signatures:
+  * the schema, partitioning, and batched per-partition execution shape
+  * are production code; the byte→pixels call is the single swap-in
+  * point.
+  */
+object Multimodal {
+
+  /** Metadata struct every media column travels with. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("content_hash", StringType, nullable = false),
+    StructField("head_hex", StringType, nullable = false)))
+
+  /** Wrap a binary payload column with its typed metadata (pure
+    * expressions — stays in codegen). */
+  def withMediaMeta(payload: Column): Column = struct(
+    octet_length(payload).cast("long").as("n_bytes"),
+    md5(payload).as("content_hash"),
+    upper(hex(substring(payload, 1, 4))).as("head_hex"))
+
+  /** Deterministic fake "decode" feature struct — STAND-IN for a real
+    * decoder; expression path (used when the decode is cheap enough to
+    * inline per row). */
+  def decodeStub(payload: Column): Column = struct(
+    (octet_length(payload) % 256).as("fake_width"),
+    when(octet_length(payload) > 0, ascii(payload.cast("string").substr(1, 1)))
+      .otherwise(lit(null)).cast("int").as("fake_first_byte"))
+
+  /** Frame/sample extraction: `n` evenly spaced byte-slices of `width`
+    * bytes — the video frame-sampling access pattern (seek + bounded
+    * read) over the binary column. */
+  def sampleSlices(payload: Column, n: Int, width: Int): Column =
+    transform(sequence(lit(0), lit(n - 1)),
+      i => payload.substr(i * (octet_length(payload).cast("int") / n).cast("int") + 1,
+        lit(width)))
+
+  /** Batched per-partition decode — the Scala analog of mapInPandas:
+    * one iterator pass per partition so a real codec initializes once
+    * per partition, not per row. Appends the fake feature columns. */
+  def decodePartitioned(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("fake_width", IntegerType) :+
+      StructField("fake_first_byte", IntegerType))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      // >>> per-partition decoder init goes HERE (stubbed) <<<
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val w: Integer = if (bytes == null) null else Int.box(bytes.length % 256)
+        val f: Integer =
+          if (bytes == null || bytes.isEmpty) null else Int.box(bytes(0).toInt & 0xff)
+        Row.fromSeq(row.toSeq :+ w :+ f)
+      }
+    }(Encoders.row(outSchema))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ml
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  * All pure Column expressions (whole-stage codegen, no UDFs).
+  */
+object TextOps {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, "\\s+"))
+
+  /** BPE-ish token estimate: word pieces + punctuation as separate
+    * tokens (regex class split, the standard cheap proxy). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  /** Mean token length (double — computed identically in oracles). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = split(text, " ")
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
+  }
+
+  /** Ratio of punctuation chars to total chars. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("double") /
+      length(text)
+
+  /** Tiny per-language stopword tables for the n-gram/stopword language
+    * heuristic. Deliberately small and deterministic — the point is the
+    * distributed scoring shape, not lexicon quality. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "que"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+
+  /** Count of tokens that appear in `words`. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(array_intersect_keepdup(split(lower(text), " "), words))
+
+  // filter-based count (keeps duplicates — a stopword used twice counts
+  // twice, matching the usual quality-score definition)
+  private def array_intersect_keepdup(toks: Column, words: Seq[String]): Column =
+    filter(toks, t => t.isin(words.map(w => lit(w): Any): _*))
+
+  /** Stopword ratio for one language's table. */
+  def stopwordRatio(text: Column, lang: String = "en"): Column =
+    stopwordHits(text, stopwords(lang)).cast("double") / size(split(lower(text), " "))
+
+  /** Language guess = argmax of per-language stopword hit counts; ties go
+    * to the alphabetically-first language; 'und' when nothing hits.
+    * array_max on (hits, -priority, lang) structs — field-order compare. */
+  def langId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.zipWithIndex.map { case (lang, i) =>
+      struct(stopwordHits(text, stopwords(lang)).as("hits"),
+        lit(-i).as("pri"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: hash of the sorted distinct token set (the
+    * classic "key collision" fingerprint). md5 flavor matches the SQL
+    * oracle; xxhash64 flavor is the production path. */
+  def fingerprintMd5(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(split(lower(text), " "))), " ").cast("binary"))
+
+  def fingerprint64(text: Column): Column =
+    xxhash64(array_join(array_sort(array_distinct(split(lower(text), " "))), " "))
+}
