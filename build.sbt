@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Without native Hadoop, RawLocalFileSystem shells out to chmod for
+  // streaming checkpoints; the default posix_spawn helper dies in this
+  // container — vfork works.
+  "-Djdk.lang.Process.launchMechanism=vfork",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

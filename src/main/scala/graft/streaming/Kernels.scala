@@ -1,0 +1,193 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming stateful kernels — the streaming form of the
+  * sequence-stateful actions (batch analogs: graft.state.SeqOps). Each is
+  * a flatMapGroupsWithState over the stream key, which is exactly the
+  * reference's execution model (per-stream sequential processing with
+  * event_timeout — pipeline/processor.go:163-243, streamer heartbeat)
+  * mapped onto Spark's state store: per-key ordering inside the group,
+  * timeouts via GroupStateTimeout, state persisted in the checkpoint.
+  *
+  * State sizes are bounded by construction (buffer caps, bucket arrays,
+  * bounded sets with eviction) so executors hold O(activeKeys × capBytes)
+  * regardless of input volume — the 100 TB requirement.
+  */
+object Kernels {
+
+  /** Generic keyed event: key = (source_id, stream) rendered as one
+    * string; seq = in-stream order (offset/seq_id); value = payload. */
+  final case class KEvent(key: String, seq: Long, value: String)
+
+  // ------------------------------------------------------- multiline join
+
+  final case class MultilineCfg(
+      startRe: String, continueRe: String, negate: Boolean = false,
+      maxEventSize: Int = 1 << 20, timeoutMs: Long = 30000L, sep: String = "\n")
+
+  final case class MultilineState(buf: List[String], firstSeq: Long)
+
+  /** Multiline join (plugin/action/join/join.go:63-110): `start` opens a
+    * sequence, `continue` (xor negate) extends, anything else flushes and
+    * passes through; a processing-time timeout flushes a dangling
+    * sequence (≙ event_timeout / TIMEOUT control events). */
+  def multiline(ds: Dataset[KEvent], cfg: MultilineCfg): Dataset[KEvent] = {
+    val start = cfg.startRe.r
+    val cont = cfg.continueRe.r
+    def isStart(v: String) = start.findFirstIn(v).isDefined
+    def isCont(v: String) = cont.findFirstIn(v).isDefined != cfg.negate
+
+    def flush(key: String, st: MultilineState): KEvent = {
+      val joined = st.buf.reverse.mkString(cfg.sep)
+      val capped =
+        if (joined.length > cfg.maxEventSize) joined.substring(0, cfg.maxEventSize)
+        else joined
+      KEvent(key, st.firstSeq, capped)
+    }
+
+    implicit val outEnc = Encoders.product[KEvent]
+    implicit val stEnc = Encoders.product[MultilineState]
+
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[MultilineState, KEvent](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (key, events, state: GroupState[MultilineState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(flush(key, _)).toList
+            state.remove()
+            out.iterator
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[KEvent]
+            var cur = state.getOption
+            events.toSeq.sortBy(_.seq).foreach { ev =>
+              cur match {
+                case Some(st) if isCont(ev.value) && !isStart(ev.value) =>
+                  cur = Some(st.copy(buf = ev.value :: st.buf))
+                case Some(st) =>
+                  out += flush(key, st)
+                  cur =
+                    if (isStart(ev.value)) Some(MultilineState(List(ev.value), ev.seq))
+                    else { out += ev; None }
+                case None =>
+                  if (isStart(ev.value)) cur = Some(MultilineState(List(ev.value), ev.seq))
+                  else out += ev
+              }
+            }
+            cur match {
+              case Some(st) =>
+                state.update(st)
+                state.setTimeoutDuration(cfg.timeoutMs)
+              case None => if (state.exists) state.remove()
+            }
+            out.iterator
+          }
+      }
+  }
+
+  // ------------------------------------------------------------- throttle
+
+  final case class ThrottleCfg(bucketIntervalMs: Long, bucketsCount: Int, limit: Long)
+
+  /** Circular bucket window, ported bucket math included
+    * (plugin/action/throttle/buckets.go:73 timeToBucketID ≙ eventTimeMs /
+    * interval). State = newest bucket id + per-bucket counts; events in
+    * buckets older than the window are dropped like the reference's
+    * "event is very old" path. */
+  final case class ThrottleState(newestBucket: Long, counts: Array[Long])
+
+  final case class TEvent(key: String, eventTimeMs: Long, value: String)
+
+  def throttle(ds: Dataset[TEvent], cfg: ThrottleCfg): Dataset[TEvent] = {
+    implicit val outEnc = Encoders.product[TEvent]
+    implicit val stEnc = Encoders.product[ThrottleState]
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[ThrottleState, TEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, events, state: GroupState[ThrottleState]) =>
+          var st = state.getOption.getOrElse(
+            ThrottleState(Long.MinValue, Array.fill(cfg.bucketsCount)(0L)))
+          val out = scala.collection.mutable.ArrayBuffer.empty[TEvent]
+          events.toSeq.sortBy(e => (e.eventTimeMs, e.value)).foreach { ev =>
+            val bucket = ev.eventTimeMs / cfg.bucketIntervalMs
+            if (st.newestBucket == Long.MinValue) st = st.copy(newestBucket = bucket)
+            if (bucket > st.newestBucket) {
+              // shift the circular window forward, zeroing vacated slots
+              val shift = math.min(bucket - st.newestBucket, cfg.bucketsCount.toLong).toInt
+              val counts = st.counts.drop(shift) ++ Array.fill(shift)(0L)
+              st = ThrottleState(bucket, counts)
+            }
+            val idx = cfg.bucketsCount - 1 - (st.newestBucket - bucket).toInt
+            if (idx >= 0 && st.counts(idx) < cfg.limit) {
+              st.counts(idx) += 1
+              out += ev
+            } // idx < 0: older than window → dropped; over limit → dropped
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  // ---------------------------------------------------------- cardinality
+
+  final case class CardinalityCfg(limit: Int)
+  final case class CardState(values: Set[String])
+
+  /** Per-key distinct-value guard (plugin/action/cardinality): events
+    * whose value is outside the first `limit` distinct values are
+    * discarded. State is a bounded Set — never grows past limit. */
+  def cardinality(ds: Dataset[KEvent], cfg: CardinalityCfg): Dataset[KEvent] = {
+    implicit val outEnc = Encoders.product[KEvent]
+    implicit val stEnc = Encoders.product[CardState]
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[CardState, KEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, events, state: GroupState[CardState]) =>
+          var vals = state.getOption.map(_.values).getOrElse(Set.empty[String])
+          val out = scala.collection.mutable.ArrayBuffer.empty[KEvent]
+          events.toSeq.sortBy(_.seq).foreach { ev =>
+            if (vals.contains(ev.value)) out += ev
+            else if (vals.size < cfg.limit) { vals += ev.value; out += ev }
+            // else: over the cardinality limit → discard
+          }
+          state.update(CardState(vals))
+          out.iterator
+      }
+  }
+
+  // ------------------------------------------------------------- antispam
+
+  final case class AntispamCfg(intervalMs: Long, threshold: Long,
+                               unbanIntervals: Int = 4)
+  final case class SpamState(bucket: Long, count: Long, quietIntervals: Int,
+                             banned: Boolean)
+
+  /** Source ban (pipeline/antispam/antispammer.go:20-80): a source
+    * exceeding `threshold` events per interval is banned; unbanned after
+    * `unbanIntervals` consecutive quiet intervals. */
+  def antispam(ds: Dataset[TEvent], cfg: AntispamCfg): Dataset[TEvent] = {
+    implicit val outEnc = Encoders.product[TEvent]
+    implicit val stEnc = Encoders.product[SpamState]
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[SpamState, TEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, events, state: GroupState[SpamState]) =>
+          var st = state.getOption.getOrElse(SpamState(Long.MinValue, 0L, 0, banned = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[TEvent]
+          events.toSeq.sortBy(_.eventTimeMs).foreach { ev =>
+            val bucket = ev.eventTimeMs / cfg.intervalMs
+            if (bucket != st.bucket) {
+              val quiet = if (st.count < cfg.threshold) st.quietIntervals + 1 else 0
+              val stillBanned = st.banned && quiet < cfg.unbanIntervals
+              st = SpamState(bucket, 0L, quiet, stillBanned)
+            }
+            st = st.copy(count = st.count + 1)
+            if (st.count >= cfg.threshold) st = st.copy(banned = true, quietIntervals = 0)
+            if (!st.banned) out += ev
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

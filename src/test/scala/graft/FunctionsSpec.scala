@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.{DoIf, LogLevel, Subst, XTime}
+import graft.model.FieldPath
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+
+  test("FieldPath parses dot selectors with escapes") {
+    assert(FieldPath.parse("a.b.c").parts == Seq("a", "b", "c"))
+    assert(FieldPath.parse("a.b\\.c").parts == Seq("a", "b.c"))
+    assert(FieldPath.parse("exception\\.type").parts == Seq("exception.type"))
+    assert(FieldPath.parse("plain").parts == Seq("plain"))
+    assert(FieldPath.parse("a.b\\.c").jsonPath == "$.a['b.c']")
+  }
+
+  test("Subst template parser splits literals, refs and filters") {
+    val segs = Subst.parseTemplate("lvl=${level|cut(first,3)} msg=${log.msg}")
+    assert(segs.size == 4)
+    assert(segs(0) == Subst.Lit("lvl="))
+    val r1 = segs(1).asInstanceOf[Subst.Ref]
+    assert(r1.path.parts == Seq("level"))
+    assert(r1.filters == Seq(Subst.CutFilter("first", 3)))
+    assert(segs(2) == Subst.Lit(" msg="))
+    assert(segs(3).asInstanceOf[Subst.Ref].path.parts == Seq("log", "msg"))
+  }
+
+  test("Subst re filter parses groups and separators") {
+    val Seq(ref: Subst.Ref) = Subst.parseTemplate("${m|re(\"(\\w+):\",-1,[1],\",\")}")
+    assert(ref.filters == Seq(Subst.ReFilter("(\\w+):", -1, Seq(1), ",")))
+  }
+
+  test("LogLevel maps aliases per RFC-5424") {
+    assert(LogLevel.nameToNumber("panic") == 0)
+    assert(LogLevel.nameToNumber("err") == 3)
+    assert(LogLevel.nameToNumber("informational") == 6)
+    assert(LogLevel.numberToName(4) == "warning")
+  }
+
+  test("XTime knows the reference alias table") {
+    assert(XTime.patterns.contains("rfc1123"))
+    assert(XTime.patterns("nginx_errorlog") == "yyyy/MM/dd HH:mm:ss")
+    assert(XTime.isEpochAlias("unixtimemilli"))
+    assert(!XTime.isEpochAlias("rfc3339"))
+  }
+
+  test("DoIf.Cmp parses operator spellings") {
+    assert(DoIf.Cmp.parse("lt") == DoIf.Cmp.Lt)
+    assert(DoIf.Cmp.parse(">=") == DoIf.Cmp.Ge)
+    assertThrows[IllegalArgumentException](DoIf.Cmp.parse("wat"))
+  }
+}

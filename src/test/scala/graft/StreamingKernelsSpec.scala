@@ -1,0 +1,130 @@
+package graft
+
+import graft.streaming.Kernels
+import graft.streaming.Kernels._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingKernelsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+
+  /** Poll the memory sink until `n` rows arrive — required for kernels
+    * with ProcessingTimeTimeout, where processAllAvailable never returns
+    * on Spark 4.1 (the registered timeout keeps the engine producing
+    * batches, so the no-new-data latch never fires). */
+  private def awaitRows(table: String, n: Long, timeoutMs: Long = 60000L): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (spark.table(table).count() < n && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    assert(spark.table(table).count() >= n, s"$table never reached $n rows")
+  }
+
+  test("multiline kernel joins panic blocks and passes singles") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[KEvent]
+    val cfg = MultilineCfg(startRe = "^panic:", continueRe = "^(goroutine|main\\.|\\s)",
+      timeoutMs = 2000L, sep = "|")
+    val out = Kernels.multiline(input.toDS(), cfg)
+    val q = out.writeStream.format("memory").queryName("ml_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      input.addData(
+        KEvent("s1", 1, "normal line"),
+        KEvent("s1", 2, "panic: boom"),
+        KEvent("s1", 3, "goroutine 1 [running]:"),
+        KEvent("s1", 4, "main.main()"),
+        KEvent("s1", 5, "another normal"), // closes the sequence
+        KEvent("s2", 1, "panic: other"))
+      awaitRows("ml_out", 3)
+      val rows = spark.table("ml_out").as[KEvent].collect()
+        .filter(_.key == "s1").sortBy(_.seq)
+      // s1: single(1), joined(2|3|4), single(5); s2 buffered until timeout
+      assert(rows.map(_.value).toSeq == Seq(
+        "normal line", "panic: boom|goroutine 1 [running]:|main.main()", "another normal"))
+      // the 2s processing-time timeout flushes the dangling s2 sequence
+      awaitRows("ml_out", 4, timeoutMs = 30000L)
+      val s2 = spark.table("ml_out").as[KEvent].collect().filter(_.key == "s2")
+      assert(s2.map(_.value).toSeq == Seq("panic: other"))
+    } finally q.stop()
+  }
+
+  test("throttle kernel enforces per-bucket limits across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[TEvent]
+    val cfg = ThrottleCfg(bucketIntervalMs = 60000L, bucketsCount = 3, limit = 2)
+    val out = Kernels.throttle(input.toDS(), cfg)
+    val q = out.writeStream.format("memory").queryName("th_out")
+      .outputMode("append").start()
+    try {
+      // 3 events in the same minute bucket → only 2 pass
+      input.addData(
+        TEvent("svc", 0L, "a"), TEvent("svc", 1000L, "b"), TEvent("svc", 2000L, "c"))
+      q.processAllAvailable()
+      assert(spark.table("th_out").count() == 2)
+      // next batch, same bucket → already full, drops; new bucket passes
+      input.addData(TEvent("svc", 3000L, "d"), TEvent("svc", 61000L, "e"))
+      q.processAllAvailable()
+      val vals = spark.table("th_out").as[TEvent].collect().map(_.value).toSet
+      assert(vals == Set("a", "b", "e"))
+    } finally q.stop()
+  }
+
+  test("cardinality kernel caps distinct values per key with state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[KEvent]
+    val out = Kernels.cardinality(input.toDS(), CardinalityCfg(limit = 2))
+    val q = out.writeStream.format("memory").queryName("ca_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        KEvent("reg", 1, "client1"), KEvent("reg", 2, "client2"),
+        KEvent("reg", 3, "client3"))
+      q.processAllAvailable()
+      assert(spark.table("ca_out").as[KEvent].collect().map(_.value).toSet ==
+        Set("client1", "client2"))
+      // seen values still pass in later batches; new ones stay blocked
+      input.addData(KEvent("reg", 4, "client1"), KEvent("reg", 5, "client4"))
+      q.processAllAvailable()
+      assert(spark.table("ca_out").count() == 3)
+    } finally q.stop()
+  }
+
+  test("antispam kernel bans noisy sources and unbans after quiet intervals") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[TEvent]
+    val out = Kernels.antispam(input.toDS(),
+      AntispamCfg(intervalMs = 1000L, threshold = 3, unbanIntervals = 2))
+    val q = out.writeStream.format("memory").queryName("as_out")
+      .outputMode("append").start()
+    try {
+      // 4 events in interval 0: 3rd hits threshold → banned from then on
+      input.addData(
+        TEvent("src", 0L, "a"), TEvent("src", 100L, "b"),
+        TEvent("src", 200L, "c"), TEvent("src", 300L, "d"))
+      q.processAllAvailable()
+      assert(spark.table("as_out").count() == 2)
+      // quiet interval 1 and 2 (1 event each, below threshold) → unban at 3
+      input.addData(TEvent("src", 1100L, "e"))
+      input.addData(TEvent("src", 2100L, "f"))
+      input.addData(TEvent("src", 3100L, "g"))
+      q.processAllAvailable()
+      val vals = spark.table("as_out").as[TEvent].collect().map(_.value).toSet
+      assert(vals.contains("g")) // unbanned after 2 quiet intervals
+      assert(!vals.contains("e")) // still banned during quiet period
+    } finally q.stop()
+  }
+}
