@@ -1,0 +1,272 @@
+package graft.compiler
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import graft.functions.{DoIf, LogLevel, Subst, XTime}
+import graft.model.FieldPath
+import graft.operators.Actions
+import graft.sources.{Decoders, Sources}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import scala.jdk.CollectionConverters._
+
+/** The pipeline compiler — our equivalent of the reference's daemon
+  * entry point (fd/file.d.go:42-62 → pipeline.New → SetupActions):
+  * a YAML pipeline config compiles to one declarative DataFrame
+  * transformation chain, so Catalyst sees the whole pipeline at once
+  * (predicate pushdown through the action chain, one parsed doc column
+  * end to end — the "decode once, dig lazily" discipline of
+  * pipeline/pipeline.go:488-505 as compiler invariants, not runtime
+  * machinery).
+  *
+  * Config shape mirrors file.d's:
+  * {{{
+  * input:  {type: file|fake|parquet, ...}
+  * decoder: {type: json|raw|cri|..., schema: "a string, b long"}
+  * actions:
+  *   - type: discard
+  *     match_fields: {field: [v1, v2]}
+  *     match_mode: or
+  *     do_if: {op: equal, field: x, values: [a]}
+  *   - type: modify
+  *     fields: {summary: "lvl=${level|cut(first,3)}"}
+  * output: {type: devnull|console|memory|file, ...}
+  * }}}
+  */
+object PipelineCompiler {
+
+  private val yaml = new ObjectMapper(new YAMLFactory())
+
+  final case class Compiled(df: DataFrame, outputType: String,
+                            outputConf: Map[String, String]) {
+    /** Batch run: applies the chain and returns the resulting events. */
+    def result(): DataFrame = df
+  }
+
+  def compile(spark: SparkSession, yamlText: String): Compiled = {
+    val root = yaml.readTree(yamlText)
+    val input = Option(root.get("input"))
+      .getOrElse(throw new IllegalArgumentException("missing input"))
+    val src = buildInput(spark, input)
+
+    // decode: value → doc struct
+    val decoded = Option(root.get("decoder")) match {
+      case Some(d) => src.withColumn("doc", buildDecoder(d, col("value")))
+      case None    => src.withColumn("doc", Decoders.raw(col("value")))
+    }
+
+    val actions = Option(root.get("actions")).map(_.elements().asScala.toSeq)
+      .getOrElse(Seq.empty)
+    val chained = actions.foldLeft(decoded)(applyAction)
+
+    val out = Option(root.get("output"))
+    Compiled(chained,
+      out.flatMap(o => Option(o.get("type")).map(_.asText())).getOrElse("devnull"),
+      out.map(o => o.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
+  }
+
+  // ----------------------------------------------------------- inputs
+
+  private def buildInput(spark: SparkSession, n: JsonNode): DataFrame =
+    n.get("type").asText() match {
+      case "fake" =>
+        Sources.fake(spark, n.get("lines").elements().asScala.map(_.asText()).toSeq)
+      case "file" =>
+        val dir = n.get("dir").asText()
+        if (Option(n.get("streaming")).exists(_.asBoolean()))
+          Sources.fileStream(spark, dir,
+            Option(n.get("filename_pattern")).map(_.asText()).getOrElse("*"))
+        else Sources.fileBatch(spark, dir,
+          Option(n.get("filename_pattern")).map(_.asText()).getOrElse("*"))
+      case "parquet" =>
+        // replay path: any parquet table re-serialized into the envelope
+        val df = spark.read.parquet(n.get("path").asText())
+        df.select(to_json(struct(df.columns.map(col): _*)).as("value"),
+          lit(n.get("path").asText()).as("source_name"))
+      case "kafka" =>
+        Sources.kafka(spark, n.get("brokers").asText(),
+          n.get("topics").elements().asScala.map(_.asText()).toSeq,
+          Option(n.get("offset")).map(_.asText()).getOrElse("newest"))
+      case "socket" =>
+        Sources.socket(spark, n.get("host").asText(), n.get("port").asInt())
+      case other => throw new IllegalArgumentException(s"unknown input: $other")
+    }
+
+  // ---------------------------------------------------------- decoders
+
+  private def buildDecoder(n: JsonNode, value: Column): Column =
+    n.get("type").asText() match {
+      case "json" =>
+        val schema = DataType.fromDDL(n.get("schema").asText()).asInstanceOf[StructType]
+        Decoders.json(value, schema)
+      case "raw"            => Decoders.raw(value)
+      case "cri"            => Decoders.cri(value)
+      case "postgres"       => Decoders.postgres(value)
+      case "nginx_error"    => Decoders.nginxError(value)
+      case "syslog_rfc3164" => Decoders.syslog3164(value)
+      case "syslog_rfc5424" => Decoders.syslog5424(value)
+      case "csv" =>
+        val schema = DataType.fromDDL(n.get("schema").asText()).asInstanceOf[StructType]
+        Decoders.csv(value, schema,
+          Option(n.get("delimiter")).map(_.asText()).getOrElse(","))
+      case other => throw new IllegalArgumentException(s"unknown decoder: $other")
+    }
+
+  // ----------------------------------------------------------- actions
+
+  /** Resolver for predicates: doc fields by path, with envelope columns
+    * (value, source_name) reachable under their own names. */
+  private def resolver(df: DataFrame): FieldPath => Column = { p =>
+    if (df.columns.contains(p.parts.head) && p.parts.head != "doc")
+      p.structCol.cast("string")
+    else {
+      val c = p.parts.foldLeft(col("doc"))((acc, part) => acc.getField(part))
+      c.cast("string")
+    }
+  }
+
+  private def matchPredicate(action: JsonNode, df: DataFrame): Option[Column] = {
+    val resolve = resolver(df)
+    val fromMatch = Option(action.get("match_fields")).map { mf =>
+      val conds = mf.properties().asScala.toSeq.map { e =>
+        val values = if (e.getValue.isArray)
+          e.getValue.elements().asScala.map(_.asText()).toSeq
+        else Seq(e.getValue.asText())
+        DoIf.MatchCond(FieldPath.parse(e.getKey), values)
+      }
+      val mode = Option(action.get("match_mode")).map(_.asText()).getOrElse("and") match {
+        case "or"         => DoIf.MatchMode.OrMode
+        case "and_prefix" => DoIf.MatchMode.AndPrefix
+        case "or_prefix"  => DoIf.MatchMode.OrPrefix
+        case _            => DoIf.MatchMode.AndMode
+      }
+      val invert = Option(action.get("match_invert")).exists(_.asBoolean())
+      DoIf.compileMatch(conds, mode, invert, resolve)
+    }
+    val fromDoIf = Option(action.get("do_if"))
+      .map(n => DoIf.compile(parseDoIf(n), resolve))
+    (fromMatch, fromDoIf) match {
+      case (Some(a), Some(b)) => Some(a && b)
+      case (a, b)             => a.orElse(b)
+    }
+  }
+
+  /** do_if YAML tree → DoIf ADT (ctor semantics:
+    * pipeline/doif/ctor.go:47-66). */
+  def parseDoIf(n: JsonNode): DoIf.Node = {
+    def strs(field: String): Seq[String] =
+      n.get(field).elements().asScala.map(_.asText()).toSeq
+    def fp = FieldPath.parse(n.get("field").asText())
+    def cmp = DoIf.Cmp.parse(n.get("cmp_op").asText())
+    n.get("op").asText() match {
+      case "and" => DoIf.And(n.get("operands").elements().asScala.map(parseDoIf).toSeq)
+      case "or"  => DoIf.Or(n.get("operands").elements().asScala.map(parseDoIf).toSeq)
+      case "not" => DoIf.Not(parseDoIf(n.get("operands").elements().asScala.next()))
+      case "equal" =>
+        DoIf.Equal(fp, n.get("values").elements().asScala
+          .map(v => if (v.isNull) None else Some(v.asText())).toSeq,
+          !Option(n.get("case_insensitive")).exists(_.asBoolean()))
+      case "contains"     => DoIf.Contains(fp, strs("values"))
+      case "contains_any" => DoIf.ContainsAny(fp, strs("values"))
+      case "prefix"       => DoIf.Prefix(fp, strs("values"))
+      case "suffix"       => DoIf.Suffix(fp, strs("values"))
+      case "regex"        => DoIf.Regex(fp, strs("values"))
+      case "byte_len_cmp" => DoIf.ByteLenCmp(fp, cmp, n.get("value").asLong())
+      case "array_len_cmp" => DoIf.ArrayLenCmp(fp, cmp, n.get("value").asLong())
+      case "int_val_cmp"  => DoIf.IntValCmp(fp, cmp, n.get("value").asLong())
+      case "ts_cmp" =>
+        DoIf.TsCmpConst(fp,
+          Option(n.get("format")).map(_.asText()).getOrElse("rfc3339"), cmp,
+          java.sql.Timestamp.valueOf(n.get("value").asText().replace("T", " ")
+            .stripSuffix("Z")))
+      case "check_type" => DoIf.CheckType(fp, strs("values"))
+      case other => throw new IllegalArgumentException(s"unknown do_if op: $other")
+    }
+  }
+
+  private def applyAction(df: DataFrame, action: JsonNode): DataFrame = {
+    val pred = matchPredicate(action, df)
+    val doc = col("doc")
+    def paths(field: String): Seq[FieldPath] =
+      action.get(field).elements().asScala.map(e => FieldPath.parse(e.asText())).toSeq
+    def guarded(newDoc: Column): DataFrame = pred match {
+      case Some(p) => df.withColumn("doc", when(p, newDoc).otherwise(doc))
+      case None    => df.withColumn("doc", newDoc)
+    }
+
+    action.get("type").asText() match {
+      case "discard" =>
+        pred.map(p => df.filter(!p)).getOrElse(df.limit(0))
+      case "keep" => // keep matched only (inverse discard, for tests)
+        pred.map(df.filter).getOrElse(df)
+      case "add_host" =>
+        guarded(Actions.addHost(doc,
+          Option(action.get("field")).map(_.asText()).getOrElse("host")))
+      case "add_file_name" =>
+        guarded(Actions.addFileName(doc, col("source_name"),
+          Option(action.get("field")).map(_.asText()).getOrElse("file_name")))
+      case "set_time" =>
+        guarded(Actions.setTime(doc,
+          Option(action.get("field")).map(_.asText()).getOrElse("time"),
+          Option(action.get("format")).map(_.asText()).getOrElse("rfc3339"),
+          override_ = Option(action.get("override")).forall(_.asBoolean())))
+      case "convert_date" =>
+        guarded(Actions.convertDate(doc,
+          FieldPath.parse(Option(action.get("field")).map(_.asText()).getOrElse("time")),
+          Option(action.get("source_formats"))
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq("rfc3339")),
+          Option(action.get("target_format")).map(_.asText()).getOrElse("unixtime")))
+      case "convert_log_level" =>
+        guarded(Actions.convertLogLevel(doc,
+          Option(action.get("field")).map(_.asText()).getOrElse("level"),
+          Option(action.get("style")).map(_.asText()).getOrElse("number"),
+          Option(action.get("default_level")).map(_.asText())))
+      case "rename" =>
+        val renames = action.get("fields").properties().asScala.toSeq
+          .map(e => FieldPath.parse(e.getKey) -> e.getValue.asText())
+        guarded(Actions.rename(doc, renames))
+      case "remove_fields" => guarded(Actions.removeFields(doc, paths("fields")))
+      case "keep_fields"   => guarded(Actions.keepFields(doc, paths("fields")))
+      case "modify" =>
+        val sets = action.get("fields").properties().asScala.toSeq
+          .map(e => e.getKey -> e.getValue.asText())
+        guarded(Actions.modify(doc, sets))
+      case "flatten" =>
+        guarded(Actions.flatten(doc, action.get("field").asText(),
+          action.get("keys").elements().asScala.map(_.asText()).toSeq,
+          Option(action.get("prefix")).map(_.asText()).getOrElse("")))
+      case "json_encode" =>
+        guarded(Actions.jsonEncode(doc, action.get("field").asText()))
+      case "json_extract" =>
+        guarded(Actions.jsonExtract(doc,
+          FieldPath.parse(action.get("field").asText()),
+          paths("extract_fields"),
+          Option(action.get("prefix")).map(_.asText()).getOrElse("")))
+      case "parse_re2" =>
+        val groups = action.get("groups").properties().asScala.toSeq
+          .map(e => e.getKey -> e.getValue.asInt())
+        guarded(Actions.parseRe2(doc, FieldPath.parse(action.get("field").asText()),
+          action.get("re2").asText(), groups,
+          Option(action.get("prefix")).map(_.asText()).getOrElse("")))
+      case "mask" =>
+        guarded(Actions.mask(doc, action.get("field").asText(),
+          action.get("re2").asText(), action.get("replacement").asText()))
+      case "hash" =>
+        guarded(Actions.hashAction(doc, paths("fields"),
+          Option(action.get("result_field")).map(_.asText()).getOrElse("hash"),
+          Option(action.get("algo")).map(_.asText()).getOrElse("xxhash64"),
+          Option(action.get("normalize")).exists(_.asBoolean())))
+      case "split" =>
+        Actions.split("doc", action.get("field").asText())(df)
+      case "decode" =>
+        val inner = buildDecoder(action.get("params"),
+          doc.getField(action.get("field").asText()).cast("string"))
+        guarded(doc.withField(action.get("field").asText(), inner))
+      case other => throw new IllegalArgumentException(s"unknown action: $other")
+    }
+  }
+}

@@ -1,0 +1,61 @@
+package graft.compiler
+
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end pipeline-compiler smoke over real test data:
+  * `sbt "runMain graft.compiler.PipelineDemo [sfDir]"`.
+  * Replays the events parquet as NDJSON through a file.d-shaped YAML
+  * pipeline and prints the resulting events. */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    val yaml =
+      s"""input:
+         |  type: parquet
+         |  path: $sfDir/events.parquet
+         |decoder:
+         |  type: json
+         |  schema: "event_id long, user_id long, event_type string, value double, props string"
+         |actions:
+         |  - type: discard
+         |    match_fields:
+         |      event_type: [click, view]
+         |    match_mode: or
+         |  - type: json_extract
+         |    field: props
+         |    extract_fields: [k]
+         |    prefix: "ex_"
+         |  - type: modify
+         |    fields:
+         |      summary: "type=$${event_type|cut(first,4)} k=$${ex_k}"
+         |  - type: convert_log_level
+         |    field: event_type
+         |    style: number
+         |    default_level: informational
+         |  - type: mask
+         |    field: summary
+         |    re2: "k=\\\\d\\\\d+"
+         |    replacement: "k=**"
+         |  - type: hash
+         |    fields: [summary]
+         |    result_field: h
+         |output:
+         |  type: devnull
+         |""".stripMargin
+
+    val compiled = PipelineCompiler.compile(spark, yaml)
+    val out = compiled.result()
+    val n = out.count()
+    println(s"PIPELINE_ROWS=$n")
+    out.selectExpr("doc.event_id", "doc.event_type", "doc.summary", "doc.h")
+      .orderBy("event_id").limit(5).show(false)
+    println(s"OUTPUT_TYPE=${compiled.outputType}")
+    spark.stop()
+  }
+}

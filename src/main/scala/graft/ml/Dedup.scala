@@ -37,13 +37,20 @@ object Dedup {
   def hashB(j: Int): Long = (987654321L * (j + 1) + 12345L) % AB
 
   /** MinHash signature of a shingle set: k permutation-min values,
-    * sig_j = min over shingles of (a_j * (h mod P) + b_j) mod P. */
-  def minhashSignature(shingleArr: Column, k: Int): Seq[Column] =
+    * sig_j = min over shingles of (a_j * (h mod P) + b_j) mod P.
+    * Expects the PRE-HASHED shingle array (shingleHashes) so the md5 is
+    * evaluated once per shingle, not once per permutation — the k
+    * permutations are then pure int64 arithmetic. */
+  def minhashSignature(hashArr: Column, k: Int): Seq[Column] =
     (0 until k).map { j =>
-      array_min(transform(shingleArr,
-        t => pmod(lit(hashA(j)) * pmod(tokenHash(t), lit(P)) + lit(hashB(j)), lit(P))))
+      array_min(transform(hashArr,
+        h => pmod(lit(hashA(j)) * h + lit(hashB(j)), lit(P))))
         .as(s"mh_$j")
     }
+
+  /** Shingle array → array of (tokenHash mod P) — the single md5 pass. */
+  def shingleHashes(shingleArr: Column): Column =
+    transform(shingleArr, t => pmod(tokenHash(t), lit(P)))
 
   /** LSH band keys: signature split into `bands` bands of `rows` values,
     * each band rendered as one string key. Docs sharing any band key are
@@ -60,10 +67,18 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, k: Int, bands: Int, rows: Int): DataFrame = {
-    val sig = minhashSignature(shingles(col(textCol), shingleN), k)
-    val withBands = df.select(col(idCol) +: bandKeys(sig, bands, rows): _*)
+    // stage 1: one md5 pass per shingle
+    val hashed = df.select(col(idCol),
+      shingleHashes(shingles(col(textCol), shingleN)).as("_hs"))
+    // stage 2: k cheap arithmetic permutations over the hash array
+    val sig = minhashSignature(col("_hs"), k)
+    val withBands = hashed.select(col(idCol) +: bandKeys(sig, bands, rows): _*)
+    // materialize the (id, bandKey) table once — both sides of the
+    // self-join read it, so the md5 pass isn't recomputed; spills to
+    // disk at scale instead of pinning memory
     val exploded = withBands.select(col(idCol).as("id"),
       explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("bk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = exploded.as("l")
     val r = exploded.as("r")
     l.join(r, col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))

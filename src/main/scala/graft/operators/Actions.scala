@@ -191,7 +191,9 @@ object Actions {
     val exploded = df.filter(arr.isNotNull)
       .withColumn(docCol, explode(arr))
     val passthrough = df.filter(arr.isNull)
-    exploded.unionByName(passthrough, allowMissingColumns = false)
+    // child docs carry the element schema, passthrough keeps the parent
+    // schema — union pads the missing struct fields with nulls
+    exploded.unionByName(passthrough, allowMissingColumns = true)
   }
 
   /** max_event_size / cut_off_event_by_limit

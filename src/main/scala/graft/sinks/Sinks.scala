@@ -1,0 +1,128 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+/** Output connectors (reference: SURVEY §2.6, plugin/output). Network
+  * sinks are split into (a) the wire-format projection — real, tested
+  * Column logic — and (b) a pluggable transport the deployment injects
+  * (this build environment has no egress). Batch semantics: micro-batch
+  * trigger ≙ batch_flush_timeout; in-batch chunking ≙ batch_size.
+  */
+object Sinks {
+
+  /** devnull (plugin/output/devnull). */
+  def devnull(df: DataFrame): DataStreamWriter[Row] =
+    df.writeStream.format("noop")
+
+  /** stdout (plugin/output/stdout). */
+  def console(df: DataFrame): DataStreamWriter[Row] =
+    df.writeStream.format("console")
+
+  /** file sink (plugin/output/file): NDJSON with time-based rotation ≙
+    * date-partitioned directories. */
+  def file(df: DataFrame, path: String, checkpoint: String,
+           flushTimeout: String = "10 seconds"): DataStreamWriter[Row] =
+    df.withColumn("_date", date_format(current_timestamp(), "yyyyMMdd-HH"))
+      .writeStream.format("json")
+      .partitionBy("_date")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(flushTimeout))
+
+  /** kafka sink (plugin/output/kafka): use_topic_field ≙ a `topic`
+    * column; payload must be in `value`. */
+  def kafka(df: DataFrame, brokers: String, defaultTopic: String,
+            topicField: Option[String] = None): DataStreamWriter[Row] = {
+    val withTopic = topicField match {
+      case Some(f) => df.withColumn("topic", coalesce(col(f), lit(defaultTopic)))
+      case None    => df.withColumn("topic", lit(defaultTopic))
+    }
+    withTopic.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+  }
+
+  // ---------------------------------------------------- wire formats
+
+  /** Elasticsearch /_bulk body lines (plugin/output/elasticsearch):
+    * action line + doc line per event; index name = prefix + formatted
+    * event date (`index_format`/`@time`). */
+  def esBulkLines(doc: org.apache.spark.sql.Column, indexPrefix: String,
+                  eventTime: org.apache.spark.sql.Column,
+                  timeFormat: String = "yyyy-MM-dd"): org.apache.spark.sql.Column =
+    concat(
+      lit(s"""{"index":{"_index":""""), lit(indexPrefix),
+      date_format(eventTime, timeFormat), lit("\"}}\n"),
+      to_json(doc))
+
+  /** GELF frame (plugin/output/gelf): version/host/short_message/
+    * timestamp/level + `_`-prefixed extras; null-byte terminated by the
+    * transport. */
+  def gelfFrame(host: org.apache.spark.sql.Column,
+                shortMessage: org.apache.spark.sql.Column,
+                timestamp: org.apache.spark.sql.Column,
+                level: org.apache.spark.sql.Column,
+                extras: Map[String, org.apache.spark.sql.Column] = Map.empty)
+  : org.apache.spark.sql.Column =
+    to_json(struct(
+      (Seq(
+        lit("1.1").as("version"),
+        host.as("host"),
+        shortMessage.as("short_message"),
+        unix_timestamp(timestamp).cast("double").as("timestamp"),
+        level.as("level")) ++
+        extras.toSeq.sortBy(_._1).map { case (k, v) => v.as(s"_$k") }): _*))
+
+  /** Splunk HEC envelope (plugin/output/splunk): {"event": doc,
+    * "time": epoch, "fields": {...}}. */
+  def splunkEvent(doc: org.apache.spark.sql.Column,
+                  eventTime: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    to_json(struct(doc.as("event"), unix_timestamp(eventTime).as("time")))
+
+  /** Loki push streams entry: [tsNanos, line]. */
+  def lokiEntry(eventTime: org.apache.spark.sql.Column,
+                line: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((unix_micros(eventTime) * 1000).cast("string"), line)
+
+  // ------------------------------------------------- foreachBatch + DLQ
+
+  /** A transport takes the rendered payload lines of one chunk.
+    * Injected per deployment (HTTP POST, TCP write, JDBC…). */
+  type Transport = Iterator[String] => Unit
+
+  /** foreachBatch writer with the reference's batcher + dead-queue
+    * semantics (pipeline/batch.go, router.go): payload column rendered,
+    * chunked to `batchSize`, each chunk handed to the transport with
+    * `retries`; failed chunks go to the DLQ writer instead of failing
+    * the query (≙ BatchStatusInDeadQueue). */
+  def foreachBatchSink(payloadCol: String, batchSize: Int, retries: Int,
+                       transport: Transport,
+                       dlq: Option[DataFrame => Unit] = None)
+  : (DataFrame, Long) => Unit = { (df, _epoch) =>
+    val spark = df.sparkSession
+    val failed = df.select(col(payloadCol)).rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { chunk =>
+          val lines = chunk.map(_.getString(0))
+          var attempt = 0
+          var ok = false
+          while (!ok && attempt <= retries) {
+            try { transport(lines.iterator); ok = true }
+            catch { case _: Throwable => attempt += 1 }
+          }
+          if (ok) Iterator.empty else lines.iterator
+        }
+      }
+    dlq match {
+      case Some(write) =>
+        val failedDf = spark.createDataFrame(
+          failed.map(Row(_)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("payload",
+              org.apache.spark.sql.types.StringType))))
+        if (!failedDf.isEmpty) write(failedDf)
+      case None => failed.count() // force evaluation; drop failures
+    }
+  }
+}

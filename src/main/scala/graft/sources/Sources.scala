@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Input connectors (reference: SURVEY §2.1, plugin/input). Each yields
+  * the canonical event envelope: `value` (raw line) + `source_name`;
+  * offsets/at-least-once are Structured Streaming checkpoint epochs
+  * (≙ the reference's offset files / commit flow).
+  */
+object Sources {
+
+  /** Directory text source — the v0 form of the reference's tailing
+    * `file` input (plugin/input/file/file.go:214): file-at-once
+    * semantics; rotation-aware inode tailing is a DSv2 source planned
+    * behind the same envelope. maxFilesPerTrigger ≙ the event-pool
+    * backpressure capacity. */
+  def fileStream(spark: SparkSession, dir: String, glob: String = "*",
+                 maxFilesPerTrigger: Int = 64): DataFrame =
+    spark.readStream
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+      .select(col("value"), col("_metadata.file_path").as("source_name"))
+
+  /** Batch flavor of the file input (for replay / backfill). */
+  def fileBatch(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.option("pathGlobFilter", glob).text(dir)
+      .select(col("value"), col("_metadata.file_path").as("source_name"))
+
+  /** Kafka input (plugin/input/kafka/kafka.go:77-129) → built-in source.
+    * file.d `offset: newest|oldest` ≙ startingOffsets latest|earliest;
+    * topic/partition/offset arrive as real columns (≙ meta templates). */
+  def kafka(spark: SparkSession, brokers: String, topics: Seq[String],
+            offsetReset: String = "newest",
+            options: Map[String, String] = Map.empty): DataFrame = {
+    val starting = if (offsetReset == "oldest") "earliest" else "latest"
+    options.foldLeft(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topics.mkString(","))
+        .option("startingOffsets", starting)) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .select(col("value").cast("string").as("value"),
+        concat(col("topic"), lit("/"), col("partition")).as("source_name"),
+        col("topic"), col("partition"), col("offset"))
+  }
+
+  /** TCP socket input (plugin/input/socket) → built-in socket source. */
+  def socket(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+      .select(col("value"), lit(s"$host:$port").as("source_name"))
+
+  /** fake input (plugin/input/fake): literal rows, for tests/playground. */
+  def fake(spark: SparkSession, lines: Seq[String]): DataFrame = {
+    import spark.implicits._
+    lines.toDF("value").select(col("value"), lit("fake").as("source_name"))
+  }
+}

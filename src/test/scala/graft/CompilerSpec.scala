@@ -1,0 +1,93 @@
+package graft
+
+import graft.compiler.PipelineCompiler
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class CompilerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("compiles the doc-example pipeline: json decode → discard → modify") {
+    // mirrors the reference's docs/configuring.md:33-60 shape
+    val yaml =
+      """input:
+        |  type: fake
+        |  lines:
+        |    - '{"level":"error","should_drop":"ok","message":"boom"}'
+        |    - '{"level":"info","should_drop":"no","message":"fine"}'
+        |    - '{"level":"warn","should_drop":"no","message":"meh"}'
+        |decoder:
+        |  type: json
+        |  schema: "level string, should_drop string, message string"
+        |actions:
+        |  - type: discard
+        |    match_fields:
+        |      should_drop: [ok]
+        |  - type: modify
+        |    fields:
+        |      summary: "lvl=${level|cut(first,1)} msg=${message}"
+        |  - type: convert_log_level
+        |    field: level
+        |    style: number
+        |output:
+        |  type: memory
+        |""".stripMargin
+    val compiled = PipelineCompiler.compile(spark, yaml)
+    val rows = compiled.result()
+      .selectExpr("doc.level", "doc.summary", "doc.message")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._3)
+    assert(rows.toSeq == Seq(
+      ("6", "lvl=i msg=fine", "fine"),
+      ("4", "lvl=w msg=meh", "meh")))
+    assert(compiled.outputType == "memory")
+  }
+
+  test("do_if trees and split compile from config") {
+    val yaml =
+      """input:
+        |  type: fake
+        |  lines:
+        |    - '{"pod":"payment-api-1","items":[{"w":"a"},{"w":"b"}]}'
+        |    - '{"pod":"test-pod-1","items":[{"w":"c"}]}'
+        |decoder:
+        |  type: json
+        |  schema: "pod string, items array<struct<w string>>"
+        |actions:
+        |  - type: discard
+        |    do_if:
+        |      op: prefix
+        |      field: pod
+        |      values: [test-]
+        |  - type: split
+        |    field: items
+        |""".stripMargin
+    val out = PipelineCompiler.compile(spark, yaml).result()
+    val ws = out.selectExpr("doc.w").collect().map(_.getString(0)).sorted
+    assert(ws.toSeq == Seq("a", "b"))
+  }
+
+  test("nested decode action re-decodes a field with another decoder") {
+    val yaml =
+      """input:
+        |  type: fake
+        |  lines:
+        |    - '{"line":"2016-10-06T00:17:09.66Z stderr F oh no"}'
+        |decoder:
+        |  type: json
+        |  schema: "line string"
+        |actions:
+        |  - type: decode
+        |    field: line
+        |    params:
+        |      type: cri
+        |""".stripMargin
+    val out = PipelineCompiler.compile(spark, yaml).result()
+    val r = out.selectExpr("doc.line.stream", "doc.line.log").collect().head
+    assert(r.getString(0) == "stderr" && r.getString(1) == "oh no")
+  }
+}
