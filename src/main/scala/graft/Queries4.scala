@@ -1,0 +1,33 @@
+package graft
+
+import graft.functions.Utf8Unescape
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query batch 4: custom-Expression operators. */
+object Queries4 {
+
+  type Q = Queries.Q
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** convert_utf8_bytes via the native Utf8Unescape expression. The
+    * fixture escapes known characters of the source text (`a`→\x61,
+    * `o`→o, space→\040 octal) in-engine, decodes with the custom
+    * expression, and the oracle simply states the original prefix —
+    * an independent expected value, not a reimplementation. */
+  val q32_act_utf8: Q = (s, dir) => {
+    val escaped = expr(
+      "replace(replace(replace(left(text, 40), 'a', '\\\\x61'), " +
+        "'o', '\\\\u006F'), ' ', '\\\\040')")
+    t(s, dir, "documents").select(
+      col("doc_id"), Utf8Unescape(escaped).as("decoded"))
+  }
+
+  val q32_sql: String =
+    "SELECT doc_id, left(text, 40) AS decoded FROM documents"
+
+  val all: Map[String, Q] = Map("q32_act_utf8" -> q32_act_utf8)
+  val oracles: Map[String, String] = Map("q32_act_utf8" -> q32_sql)
+}

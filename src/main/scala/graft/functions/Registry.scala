@@ -1,0 +1,15 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface registration for the engine's custom expressions, so
+  * `spark.sql("SELECT utf8_unescape(col) ...")` works alongside the
+  * Column API (reference analogue: the plugin registry,
+  * fd/plugin_registry.go).
+  */
+object Registry {
+  def registerAll(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "utf8_unescape", exprs => Utf8Unescape(exprs.head), "built-in")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** convert_utf8_bytes (reference:
+  * plugin/action/convert_utf8_bytes/convert_utf8_bytes.go:118-149):
+  * decode `\xNN`, `\uNNNN`, `\NNN` (octal) and standard backslash
+  * escapes embedded in a string field into real UTF-8 characters.
+  *
+  * Not expressible with built-in functions (regexp_replace can't compute
+  * the replacement byte from the match), so this is a native Catalyst
+  * `UnaryExpression` with `doGenCode` delegating to a static decoder —
+  * one virtual call per row, no boxing, stays inside whole-stage codegen.
+  */
+case class Utf8Unescape(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Utf8Unescape.decode(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Utf8Unescape.decode($c)")
+  override protected def withNewChildInternal(newChild: Expression): Utf8Unescape =
+    copy(child = newChild)
+  override def prettyName: String = "utf8_unescape"
+}
+
+object Utf8Unescape {
+  def apply(c: Column): Column =
+    GraftBridge.column(Utf8Unescape(GraftBridge.expression(c)))
+
+  /** Static decoder used by both interpreted eval and generated code. */
+  def decode(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (str.indexOf('\\') < 0) return s
+    val bytes = new java.io.ByteArrayOutputStream(str.length)
+    var i = 0
+    val n = str.length
+    def hex(c: Char): Int = Character.digit(c, 16)
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c != '\\' || i + 1 >= n) {
+        writeChar(bytes, c); i += 1
+      } else {
+        str.charAt(i + 1) match {
+          case 'x' if i + 3 < n && hex(str.charAt(i + 2)) >= 0 && hex(str.charAt(i + 3)) >= 0 =>
+            bytes.write(hex(str.charAt(i + 2)) * 16 + hex(str.charAt(i + 3))); i += 4
+          case 'u' if i + 5 < n && (2 to 5).forall(d => hex(str.charAt(i + d)) >= 0) =>
+            val cp = (2 to 5).foldLeft(0)((acc, d) => acc * 16 + hex(str.charAt(i + d)))
+            // surrogate pair: \uD800-\uDBFF followed by \uDC00-\uDFFF
+            if (Character.isHighSurrogate(cp.toChar) && i + 11 < n &&
+              str.charAt(i + 6) == '\\' && str.charAt(i + 7) == 'u') {
+              val lo = (8 to 11).foldLeft(0)((acc, d) => acc * 16 + hex(str.charAt(i + d)))
+              if (Character.isLowSurrogate(lo.toChar)) {
+                writeCodePoint(bytes, Character.toCodePoint(cp.toChar, lo.toChar)); i += 12
+              } else { writeCodePoint(bytes, cp); i += 6 }
+            } else { writeCodePoint(bytes, cp); i += 6 }
+          case d if d >= '0' && d <= '7' =>
+            var v = 0; var j = i + 1
+            while (j < n && j < i + 4 && str.charAt(j) >= '0' && str.charAt(j) <= '7') {
+              v = v * 8 + (str.charAt(j) - '0'); j += 1
+            }
+            bytes.write(v & 0xff); i = j
+          case 'n' => bytes.write('\n'); i += 2
+          case 't' => bytes.write('\t'); i += 2
+          case 'r' => bytes.write('\r'); i += 2
+          case '\\' => bytes.write('\\'); i += 2
+          case '"' => bytes.write('"'); i += 2
+          case '/' => bytes.write('/'); i += 2
+          case other => writeChar(bytes, c); i += 1
+        }
+      }
+    }
+    UTF8String.fromBytes(bytes.toByteArray)
+  }
+
+  private def writeChar(out: java.io.ByteArrayOutputStream, c: Char): Unit =
+    writeCodePoint(out, c.toInt)
+
+  private def writeCodePoint(out: java.io.ByteArrayOutputStream, cp: Int): Unit = {
+    val bs = new String(Character.toChars(cp)).getBytes("UTF-8")
+    out.write(bs, 0, bs.length)
+  }
+}
