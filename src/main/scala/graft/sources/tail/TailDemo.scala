@@ -1,0 +1,56 @@
+package graft.sources.tail
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** End-to-end tail-source smoke: starts a graft-tail stream over a temp
+  * dir, appends lines (including a partial line), truncates a file, and
+  * prints what arrived per phase. `sbt "runMain graft.sources.tail.TailDemo"`. */
+object TailDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dir = Files.createTempDirectory("graft_tail").toString
+    val f1 = Paths.get(dir, "app.log")
+    val f2 = Paths.get(dir, "other.log")
+    Files.writeString(f1, "line1\nline2\n")
+
+    val q = spark.readStream.format("graft-tail")
+      .option("path", dir).option("filename_pattern", "*.log").load()
+      .writeStream.format("memory").queryName("tail_out")
+      .outputMode("append").start()
+
+    def await(n: Long): Unit = {
+      val dl = System.currentTimeMillis() + 30000
+      while (spark.table("tail_out").count() < n && System.currentTimeMillis() < dl)
+        Thread.sleep(200)
+    }
+    def dump(phase: String): Unit = {
+      println(s"== $phase ==")
+      spark.table("tail_out").orderBy("source_name", "offset").show(false)
+    }
+
+    q.processAllAvailable(); await(2); dump("initial file")
+
+    // append: one full line + one PARTIAL line (no trailing newline)
+    Files.writeString(f1, "line3\npart", StandardOpenOption.APPEND)
+    Files.writeString(f2, "other1\n", StandardOpenOption.CREATE)
+    q.processAllAvailable(); await(4); dump("after append (partial 'part' must NOT appear)")
+
+    // complete the partial line
+    Files.writeString(f1, "ial4\n", StandardOpenOption.APPEND)
+    q.processAllAvailable(); await(5); dump("after completing partial (expect 'partial4')")
+
+    // truncate (rotation): offset must reset and re-read from 0
+    Files.writeString(f1, "fresh1\n")
+    q.processAllAvailable(); await(6); dump("after truncate (expect 'fresh1')")
+
+    val rows = spark.table("tail_out").collect().map(_.getString(0)).sorted.toSeq
+    val ok = rows == Seq("fresh1", "line1", "line2", "line3", "other1", "partial4")
+    println(s"TAIL_DEMO_${if (ok) "OK" else "MISMATCH: " + rows}")
+    q.stop(); spark.stop()
+  }
+}

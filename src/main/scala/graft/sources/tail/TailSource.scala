@@ -1,0 +1,192 @@
+package graft.sources.tail
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.io.RandomAccessFile
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** DSv2 micro-batch **tailing file source** — the reference's `file`
+  * input plugin (plugin/input/file/file.go:105-129: per-file offsets,
+  * tail appended bytes, reset on truncation) as a Spark connector.
+  * Spark's built-in file stream reads whole new files only; this source
+  * tracks a byte offset PER FILE and emits newly appended lines each
+  * micro-batch, so `tail -f` pipelines work natively.
+  *
+  * Offsets: `{path -> byteOffset}` where byteOffset always sits on a
+  * line boundary (latestOffset only advances past the last newline, so
+  * partial lines wait — the reference's partial-line handling).
+  * Truncation/rotation: current length < committed offset → offset
+  * resets to 0 (≙ `offsets_op: reset` on truncate,
+  * plugin/input/file/file.go:182). At-least-once delivery comes from
+  * checkpointed offsets exactly like the reference's offset file.
+  *
+  * Usage: `spark.readStream.format("graft-tail").option("path", dir)
+  * .option("filename_pattern", "*.log").load()` →
+  * columns (value, source_name, offset).
+  */
+class TailSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-tail"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TailSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new TailTable(properties.get("path"),
+      Option(properties.get("filename_pattern")).getOrElse("*"))
+}
+
+object TailSource {
+  val schema: StructType = StructType(Seq(
+    StructField("value", StringType),
+    StructField("source_name", StringType),
+    StructField("offset", LongType)))
+
+  private val mapper = new ObjectMapper()
+
+  def serialize(offsets: Map[String, Long]): String = {
+    val node = mapper.createObjectNode()
+    offsets.foreach { case (k, v) => node.put(k, v) }
+    mapper.writeValueAsString(node)
+  }
+
+  def deserialize(json: String): Map[String, Long] = {
+    val node = mapper.readTree(json)
+    node.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+  }
+
+  /** Current per-file end offsets, advanced only to the last newline. */
+  def scanDir(dir: String, glob: String): Map[String, Long] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Map.empty
+    val stream = Files.newDirectoryStream(d, glob)
+    try {
+      stream.asScala.filter(Files.isRegularFile(_)).map { p =>
+        p.toString -> lastNewlineOffset(p)
+      }.toMap
+    } finally stream.close()
+  }
+
+  /** Byte position just after the last '\n' in the file (0 if none). */
+  private def lastNewlineOffset(p: Path): Long = {
+    val raf = new RandomAccessFile(p.toFile, "r")
+    try {
+      val len = raf.length()
+      val window = math.min(len, 1 << 16).toInt
+      var pos = len
+      while (pos > 0) {
+        val start = math.max(0L, pos - window)
+        val buf = new Array[Byte]((pos - start).toInt)
+        raf.seek(start)
+        raf.readFully(buf)
+        var i = buf.length - 1
+        while (i >= 0) {
+          if (buf(i) == '\n') return start + i + 1
+          i -= 1
+        }
+        pos = start
+      }
+      0L
+    } finally raf.close()
+  }
+}
+
+class TailTable(path: String, glob: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-tail:$path/$glob"
+  override def schema(): StructType = TailSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new TailScan(path, glob)
+}
+
+class TailScan(path: String, glob: String) extends Scan {
+  override def readSchema(): StructType = TailSource.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new TailMicroBatchStream(path, glob)
+}
+
+case class TailOffset(offsets: Map[String, Long]) extends Offset {
+  override def json(): String = TailSource.serialize(offsets)
+}
+
+class TailMicroBatchStream(dir: String, glob: String) extends MicroBatchStream {
+
+  override def initialOffset(): Offset = TailOffset(Map.empty)
+
+  override def latestOffset(): Offset = TailOffset(TailSource.scanDir(dir, glob))
+
+  override def deserializeOffset(json: String): Offset =
+    TailOffset(TailSource.deserialize(json))
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[TailOffset].offsets
+    val to = end.asInstanceOf[TailOffset].offsets
+    to.flatMap { case (path, endOff) =>
+      val rawStart = from.getOrElse(path, 0L)
+      // truncation/rotation: file shrank below the committed offset
+      val startOff = if (endOff < rawStart) 0L else rawStart
+      if (endOff > startOff) Some(TailPartition(path, startOff, endOff))
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[TailPartition]
+      new TailReader(p.path, p.startOff, p.endOff)
+    }
+}
+
+case class TailPartition(path: String, startOff: Long, endOff: Long)
+  extends InputPartition
+
+/** Reads lines in [startOff, endOff) of one file; startOff is on a line
+  * boundary by construction (latestOffset stops at the last newline).
+  * The slice is read in one bounded I/O — per batch it's just the bytes
+  * appended since the previous epoch; a huge first-catch-up partition
+  * would be chunked at newline boundaries in a later iteration. */
+class TailReader(path: String, startOff: Long, endOff: Long)
+  extends PartitionReader[InternalRow] {
+
+  private val bytes: Array[Byte] = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      raf.seek(startOff)
+      val b = new Array[Byte]((endOff - startOff).toInt)
+      raf.readFully(b)
+      b
+    } finally raf.close()
+  }
+  private val pathUtf8 = UTF8String.fromString(path)
+  private var pos = 0
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (pos >= bytes.length) return false
+    var e = pos
+    while (e < bytes.length && bytes(e) != '\n') e += 1
+    current = InternalRow(
+      UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, pos, e)),
+      pathUtf8,
+      startOff + pos)
+    pos = e + 1
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
