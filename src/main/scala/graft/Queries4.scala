@@ -28,6 +28,37 @@ object Queries4 {
   val q32_sql: String =
     "SELECT doc_id, left(text, 40) AS decoded FROM documents"
 
-  val all: Map[String, Q] = Map("q32_act_utf8" -> q32_act_utf8)
-  val oracles: Map[String, String] = Map("q32_act_utf8" -> q32_sql)
+  /** Group-targeted mask: star groups 1-3 of the card number, keep the
+    * last group and all context. The oracle expresses the same result
+    * with a backreference replace (possible there only because the
+    * masked groups have fixed width — the expression handles variable
+    * widths too). */
+  val q33_act_mask_groups: Q = (s, dir) => {
+    val seg = lpad((col("event_id") % 10000).cast("string"), 4, "0")
+    val line = concat(lit("card "), seg, lit(" "), seg, lit(" "), seg, lit(" "), seg,
+      lit(" u"), col("user_id").cast("string"))
+    t(s, dir, "events").select(
+      col("event_id"),
+      graft.functions.MaskGroups(line,
+        "(\\d{4}) (\\d{4}) (\\d{4}) (\\d{4})", Seq(1, 2, 3)).as("masked"))
+  }
+
+  val q33_sql: String =
+    """SELECT event_id,
+      |  regexp_replace(
+      |    'card ' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') ||
+      |    ' ' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') ||
+      |    ' ' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') ||
+      |    ' ' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') ||
+      |    ' u' || CAST(user_id AS VARCHAR),
+      |    '(\d{4}) (\d{4}) (\d{4}) (\d{4})',
+      |    '**** **** **** \4') AS masked
+      |FROM events""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q32_act_utf8" -> q32_act_utf8,
+    "q33_act_mask_groups" -> q33_act_mask_groups)
+  val oracles: Map[String, String] = Map(
+    "q32_act_utf8" -> q32_sql,
+    "q33_act_mask_groups" -> q33_sql)
 }

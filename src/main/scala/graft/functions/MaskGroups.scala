@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.regex.Pattern
+
+/** Group-targeted masking (mask action, reference:
+  * plugin/action/mask/mask.go:142-184): for every match of `pattern`,
+  * replace the characters of the selected capture `groups` with '*',
+  * length-preserved, leaving surrounding context (and unselected groups)
+  * intact. regexp_replace can't express this — the replacement depends on
+  * each group's matched length — so it's a native expression; codegen
+  * calls the compiled-pattern instance via a captured reference.
+  */
+case class MaskGroups(child: Expression, pattern: String, groups: Seq[Int])
+    extends UnaryExpression {
+
+  @transient private lazy val compiled = Pattern.compile(pattern)
+
+  override def dataType: DataType = StringType
+
+  def mask(input: UTF8String): UTF8String = {
+    val s = input.toString
+    val m = compiled.matcher(s)
+    var sb: java.lang.StringBuilder = null
+    while (m.find()) {
+      if (sb == null) sb = new java.lang.StringBuilder(s)
+      groups.foreach { g =>
+        if (g <= m.groupCount() && m.start(g) >= 0) {
+          var i = m.start(g)
+          while (i < m.end(g)) { sb.setCharAt(i, '*'); i += 1 }
+        }
+      }
+    }
+    if (sb == null) input else UTF8String.fromString(sb.toString)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    mask(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("maskGroups", this, classOf[MaskGroups].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mask($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MaskGroups =
+    copy(child = newChild)
+  override def prettyName: String = "mask_groups"
+}
+
+object MaskGroups {
+  def apply(c: Column, pattern: String, groups: Seq[Int]): Column =
+    GraftBridge.column(MaskGroups(GraftBridge.expression(c), pattern, groups))
+}

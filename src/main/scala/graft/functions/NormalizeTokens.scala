@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.regex.Pattern
+
+/** Single-pass token normalizer for `hash format: normalize`
+  * (reference: plugin/action/hash/normalize, lexmachine DFA; pattern
+  * table normalize/README.md:10-37): datetimes, UUIDs, URLs, IPs, hex
+  * runs and numbers collapse to `<placeholder>` tokens.
+  *
+  * One combined alternation scanned once per value (the reference's
+  * single-DFA-pass shape) instead of N chained regexp_replace scans;
+  * the replacement token is chosen by which alternative matched, which
+  * regexp_replace cannot express.
+  */
+case class NormalizeTokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  def normalize(input: UTF8String): UTF8String = {
+    val m = NormalizeTokens.combined.matcher(input.toString)
+    if (!m.find()) return input
+    val sb = new java.lang.StringBuilder
+    do {
+      var g = 1
+      var tok: String = null
+      while (tok == null && g <= NormalizeTokens.tokens.length) {
+        if (m.start(g) >= 0) tok = NormalizeTokens.tokens(g - 1)
+        g += 1
+      }
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(tok))
+    } while (m.find())
+    m.appendTail(sb)
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("normalizer", this, classOf[NormalizeTokens].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.normalize($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeTokens =
+    copy(child = newChild)
+  override def prettyName: String = "normalize_tokens"
+}
+
+object NormalizeTokens {
+  /** (placeholder, pattern) in priority order — earlier alternatives win
+    * at the same position (mirrors the pattern priority of
+    * normalize/README.md). Each pattern is one capture group in the
+    * combined alternation. */
+  val table: Seq[(String, String)] = Seq(
+    "<datetime>" ->
+      ("\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?(?:Z|[+-]\\d{2}:?\\d{2})?" +
+        "|\\d{4}/\\d{2}/\\d{2} \\d{2}:\\d{2}:\\d{2}"),
+    "<uuid>" ->
+      "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "<url>" -> "https?://[^\\s\"']+",
+    "<ip>" -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}(?::\\d+)?\\b",
+    "<hex>" -> "\\b0[xX][0-9a-fA-F]+\\b",
+    "<int>" -> "\\b\\d+(?:\\.\\d+)?\\b")
+
+  val tokens: Array[String] = table.map(_._1).toArray
+  val combined: Pattern =
+    Pattern.compile(table.map { case (_, re) => s"($re)" }.mkString("|"))
+
+  def apply(c: Column): Column =
+    GraftBridge.column(NormalizeTokens(GraftBridge.expression(c)))
+}

@@ -233,22 +233,9 @@ object Masks {
 }
 
 /** Token normalizer used by `hash format: normalize`
-  * (plugin/action/hash/normalize/README.md:10-37): replace datetimes,
-  * IPs, UUIDs, hex, urls, numbers with placeholder tokens — a single
-  * chained regexp_replace pipeline (codegen'd), replacing the reference's
-  * lexmachine DFA.
-  */
+  * (plugin/action/hash/normalize/README.md:10-37) — delegates to the
+  * single-pass NormalizeTokens expression (one combined-alternation scan
+  * per value, mirroring the reference's one-DFA-pass shape). */
 object Normalizer {
-  private val subs: Seq[(String, String)] = Seq(
-    // ISO / RFC3339 datetimes first (most specific)
-    ("\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?(Z|[+-]\\d{2}:?\\d{2})?", "<datetime>"),
-    ("\\d{4}/\\d{2}/\\d{2} \\d{2}:\\d{2}:\\d{2}", "<datetime>"),
-    ("[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}", "<uuid>"),
-    ("https?://[^\\s\"']+", "<url>"),
-    ("\\b(\\d{1,3}\\.){3}\\d{1,3}(:\\d+)?\\b", "<ip>"),
-    ("\\b0[xX][0-9a-fA-F]+\\b", "<hex>"),
-    ("\\b\\d+(\\.\\d+)?\\b", "<int>")
-  )
-  def normalize(c: Column): Column =
-    subs.foldLeft(c) { case (acc, (re, tok)) => regexp_replace(acc, re, tok) }
+  def normalize(c: Column): Column = graft.functions.NormalizeTokens(c)
 }

@@ -129,6 +129,80 @@ object Kernels {
       }
   }
 
+  // ------------------------------------------- throttle limit_distribution
+
+  /** limit_distribution config (plugin/action/throttle/distribution.go:
+    * 13-60): the total limit is split by ratio over a field's values;
+    * unlisted values use the default share (1 - Σratios), and the default
+    * bucket may "steal" spare capacity from the most-free listed
+    * distribution once its own share is exhausted. */
+  final case class DistributionCfg(bucketIntervalMs: Long, bucketsCount: Int,
+                                   totalLimit: Long,
+                                   ratios: Seq[(Double, Seq[String])]) {
+    val distLimits: Array[Long] =
+      ratios.map(r => math.round(r._1 * totalLimit)).toArray
+    val defLimit: Long = {
+      val dif = 1.0 - ratios.map(_._1).sum
+      math.round(math.round(dif * 100) / 100.0 * totalLimit)
+    }
+    val idxByValue: Map[String, Int] =
+      ratios.zipWithIndex.flatMap { case ((_, vs), i) => vs.map(_ -> i) }.toMap
+  }
+
+  /** Event with the distribution-field value split out. */
+  final case class DEvent(key: String, eventTimeMs: Long, dval: String,
+                          value: String)
+
+  /** State: newest bucket + per-(bucket × distribution) counts flattened
+    * row-major; distribution slot 0 is the default bucket (mirrors
+    * in_memory_limiter.go getDistrData index shift). */
+  final case class DistThrottleState(newestBucket: Long, counts: Array[Long])
+
+  def throttleDistributed(ds: Dataset[DEvent], cfg: DistributionCfg): Dataset[DEvent] = {
+    val width = cfg.ratios.size + 1
+    implicit val outEnc = Encoders.product[DEvent]
+    implicit val stEnc = Encoders.product[DistThrottleState]
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[DistThrottleState, DEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, events, state: GroupState[DistThrottleState]) =>
+          var st = state.getOption.getOrElse(
+            DistThrottleState(Long.MinValue, Array.fill(cfg.bucketsCount * width)(0L)))
+          def cnt(b: Int, d: Int): Long = st.counts(b * width + d)
+          def add(b: Int, d: Int): Unit = st.counts(b * width + d) += 1
+          val out = scala.collection.mutable.ArrayBuffer.empty[DEvent]
+          events.toSeq.sortBy(e => (e.eventTimeMs, e.value)).foreach { ev =>
+            val bucket = ev.eventTimeMs / cfg.bucketIntervalMs
+            if (st.newestBucket == Long.MinValue) st = st.copy(newestBucket = bucket)
+            if (bucket > st.newestBucket) {
+              val shift = math.min(bucket - st.newestBucket, cfg.bucketsCount.toLong).toInt
+              val counts = st.counts.drop(shift * width) ++ Array.fill(shift * width)(0L)
+              st = DistThrottleState(bucket, counts)
+            }
+            val bIdx = cfg.bucketsCount - 1 - (st.newestBucket - bucket).toInt
+            if (bIdx >= 0) {
+              // distribution index: 0 = default, 1.. = listed ratios
+              var dIdx = cfg.idxByValue.get(ev.dval).map(_ + 1).getOrElse(0)
+              var limit = if (dIdx > 0) cfg.distLimits(dIdx - 1) else cfg.defLimit
+              if (dIdx == 0 && cnt(bIdx, 0) + 1 > limit) {
+                // default exhausted → steal from the most-free distribution
+                var maxDiff = -1L
+                cfg.distLimits.indices.foreach { i =>
+                  val curDiff = cfg.distLimits(i) - (cnt(bIdx, i + 1) + 1)
+                  if (curDiff > maxDiff) {
+                    maxDiff = curDiff; dIdx = i + 1; limit = cfg.distLimits(i)
+                  }
+                }
+              }
+              add(bIdx, dIdx) // denied events still count (reference behavior)
+              if (cnt(bIdx, dIdx) <= limit) out += ev
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ---------------------------------------------------------- cardinality
 
   final case class CardinalityCfg(limit: Int)

@@ -34,6 +34,10 @@ object StreamDemo {
     await("demo_ml", 3) // joined + single + timeout-flushed dangling
     println("== multiline ==")
     spark.table("demo_ml").orderBy("seq").show(false)
+    // stop early: with a registered ProcessingTimeTimeout this query
+    // spins timeout-check batches; stopping mid-batch later logs a
+    // harmless CANNOT_COMMIT from the interrupted epoch
+    mq.stop()
 
     // throttle
     val th = MemoryStream[TEvent]
@@ -65,7 +69,21 @@ object StreamDemo {
     println("== antispam (expect a,b only) ==")
     spark.table("demo_as").show(false)
 
-    Seq(mq, tq, cq, aq).foreach(_.stop())
+    // throttle with limit_distribution (README example: 100 → 50/30/20)
+    val dt = MemoryStream[DEvent]
+    val dq = Kernels.throttleDistributed(dt.toDS(),
+      DistributionCfg(60000L, 3, totalLimit = 10,
+        ratios = Seq(0.5 -> Seq("error"), 0.3 -> Seq("warn"))))
+      .writeStream.format("memory").queryName("demo_dt").outputMode("append").start()
+    dt.addData(
+      (1 to 8).map(i => DEvent("k", i.toLong, "error", s"e$i")) ++
+        (1 to 4).map(i => DEvent("k", 10L + i, "warn", s"w$i")) ++
+        (1 to 4).map(i => DEvent("k", 20L + i, "other", s"o$i")): _*)
+    dq.processAllAvailable()
+    println("== dist throttle (expect 5 error, 3 warn, 2 other) ==")
+    spark.table("demo_dt").groupBy("dval").count().show(false)
+
+    Seq(tq, cq, aq, dq).foreach(_.stop())
     println("STREAM_DEMO_OK")
     spark.stop()
   }

@@ -1,0 +1,60 @@
+package graft
+
+import graft.streaming.Kernels
+import graft.streaming.Kernels._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden cases from the reference's own README example
+  * (plugin/action/throttle/README.md limit_distribution): default_limit
+  * 100, ratios 0.5 [error] and 0.3 [warn, info] → ≤50 error, ≤30
+  * warn/info, ≥20 others, and the default bucket steals unused listed
+  * capacity. */
+class DistThrottleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val cfg = DistributionCfg(
+    bucketIntervalMs = 60000L, bucketsCount = 3, totalLimit = 100,
+    ratios = Seq(0.5 -> Seq("error"), 0.3 -> Seq("warn", "info")))
+
+  private def run(events: Seq[DEvent], name: String): Map[String, Int] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[DEvent]
+    val q = Kernels.throttleDistributed(input.toDS(), cfg)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      spark.table(name).as[DEvent].collect().groupBy(_.dval).view.mapValues(_.length).toMap
+    } finally q.stop()
+  }
+
+  test("ratios cap listed values and default keeps its share") {
+    val evs =
+      (1 to 60).map(i => DEvent("k", i.toLong, "error", s"e$i")) ++
+        (1 to 40).map(i => DEvent("k", 100L + i, "warn", s"w$i")) ++
+        (1 to 30).map(i => DEvent("k", 200L + i, "debug", s"d$i"))
+    val got = run(evs, "dt1")
+    assert(got == Map("error" -> 50, "warn" -> 30, "debug" -> 20))
+  }
+
+  test("default steals unused listed capacity when alone") {
+    val evs = (1 to 150).map(i => DEvent("k", i.toLong, "other", s"o$i"))
+    val got = run(evs, "dt2")
+    // 20 own + steals up to 50 (error share) + 30 (warn share) = 100
+    assert(got == Map("other" -> 100))
+  }
+
+  test("listed values cannot steal") {
+    val evs = (1 to 80).map(i => DEvent("k", i.toLong, "error", s"e$i"))
+    val got = run(evs, "dt3")
+    assert(got == Map("error" -> 50))
+  }
+}
