@@ -44,6 +44,37 @@ object PipelineCompiler {
                             outputConf: Map[String, String]) {
     /** Batch run: applies the chain and returns the resulting events. */
     def result(): DataFrame = df
+
+    /** Streaming run: wires the compiled chain to its configured sink and
+      * starts the query. Commit/at-least-once = checkpoint epochs
+      * (≙ the reference's output-ack → offset-commit flow,
+      * pipeline/pipeline.go:606-649). Events serialize back to NDJSON at
+      * the sink boundary — the single re-encode of the doc column. */
+    def startStream(): org.apache.spark.sql.streaming.StreamingQuery = {
+      import org.apache.spark.sql.functions._
+      val ckpt = outputConf.getOrElse("checkpoint",
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+      val rendered = df
+        .observe("graft_out", count(lit(1)).as("events_out"))
+        .select(to_json(col("doc")).as("value"))
+      outputType match {
+        case "file" =>
+          rendered.writeStream.format("text")
+            .option("path", outputConf("dir"))
+            .option("checkpointLocation", ckpt)
+            .start()
+        case "console" =>
+          rendered.writeStream.format("console")
+            .option("checkpointLocation", ckpt).start()
+        case "memory" =>
+          rendered.writeStream.format("memory")
+            .queryName(outputConf.getOrElse("name", "graft_pipe"))
+            .option("checkpointLocation", ckpt).outputMode("append").start()
+        case _ =>
+          rendered.writeStream.format("noop")
+            .option("checkpointLocation", ckpt).start()
+      }
+    }
   }
 
   def compile(spark: SparkSession, yamlText: String): Compiled = {
@@ -87,6 +118,16 @@ object PipelineCompiler {
         val df = spark.read.parquet(n.get("path").asText())
         df.select(to_json(struct(df.columns.map(col): _*)).as("value"),
           lit(n.get("path").asText()).as("source_name"))
+      case "tail" =>
+        // the DSv2 tailing source (graft.sources.tail) — file.d's `file`
+        // input with per-file offsets and rotation handling
+        spark.readStream.format("graft-tail")
+          .option("path", n.get("dir").asText())
+          .option("filename_pattern",
+            Option(n.get("filename_pattern")).map(_.asText()).getOrElse("*"))
+          .load()
+          .select(org.apache.spark.sql.functions.col("value"),
+            org.apache.spark.sql.functions.col("source_name"))
       case "kafka" =>
         Sources.kafka(spark, n.get("brokers").asText(),
           n.get("topics").elements().asScala.map(_.asText()).toSeq,

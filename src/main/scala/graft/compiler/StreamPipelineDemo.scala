@@ -1,0 +1,66 @@
+package graft.compiler
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Full streaming e2e: tail source → YAML-compiled action chain → file
+  * sink with checkpoint, with live appends mid-stream — the reference's
+  * daemon loop (file input → actions → file output) end to end.
+  * `sbt "runMain graft.compiler.StreamPipelineDemo"`. */
+object StreamPipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val in = Files.createTempDirectory("graft_pipe_in").toString
+    val outDir = Files.createTempDirectory("graft_pipe_out").toString
+    val log = Paths.get(in, "svc.log")
+    Files.writeString(log,
+      """{"level":"error","should_drop":"no","message":"boom"}
+        |{"level":"info","should_drop":"ok","message":"skipme"}
+        |""".stripMargin)
+
+    val yaml =
+      s"""input:
+         |  type: tail
+         |  dir: $in
+         |  filename_pattern: "*.log"
+         |decoder:
+         |  type: json
+         |  schema: "level string, should_drop string, message string"
+         |actions:
+         |  - type: discard
+         |    match_fields:
+         |      should_drop: [ok]
+         |  - type: convert_log_level
+         |    field: level
+         |    style: number
+         |  - type: add_file_name
+         |    field: src
+         |output:
+         |  type: file
+         |  dir: $outDir
+         |""".stripMargin
+
+    val q = PipelineCompiler.compile(spark, yaml).startStream()
+    q.processAllAvailable()
+
+    // live append while the pipeline runs — the tailing path
+    Files.writeString(log,
+      """{"level":"warn","should_drop":"no","message":"later"}
+        |""".stripMargin, StandardOpenOption.APPEND)
+    q.processAllAvailable()
+    q.stop()
+
+    val outRows = spark.read.text(outDir).collect().map(_.getString(0)).sorted
+    outRows.foreach(r => println("OUT|" + r))
+    val ok = outRows.length == 2 &&
+      outRows.exists(r => r.contains("\"level\":\"3\"") && r.contains("boom")) &&
+      outRows.exists(r => r.contains("\"level\":\"4\"") && r.contains("later")) &&
+      !outRows.exists(_.contains("skipme"))
+    println(if (ok) "STREAM_PIPE_OK" else "STREAM_PIPE_MISMATCH")
+    spark.stop()
+  }
+}
