@@ -91,7 +91,17 @@ object PipelineCompiler {
 
     val actions = Option(root.get("actions")).map(_.elements().asScala.toSeq)
       .getOrElse(Seq.empty)
-    val chained = actions.foldLeft(decoded)(applyAction)
+    // metrics: true → per-action observed counters (the reference's
+    // per-action prometheus metrics, pipeline/processor.go:269-329)
+    val withMetrics = Option(root.get("metrics")).exists(_.asBoolean())
+    val chained = actions.zipWithIndex.foldLeft(decoded) {
+      case (df, (action, i)) =>
+        val applied = applyAction(df, action)
+        if (withMetrics)
+          graft.metrics.Metrics.observeAction(applied,
+            s"graft_a${i}_${action.get("type").asText()}")
+        else applied
+    }
 
     val out = Option(root.get("output"))
     Compiled(chained,

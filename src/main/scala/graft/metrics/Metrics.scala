@@ -1,0 +1,58 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-action metric counters (reference: per-action CounterVec with
+  * label values dug from events, pipeline/processor.go:269-329, exposed
+  * via prometheus). On Spark these are `observe()`d aggregates — they
+  * ride the existing job with zero extra passes, and surface through
+  * QueryExecutionListener (batch) / StreamingQueryProgress.observedMetrics
+  * (streaming), i.e. Spark's own metrics bus instead of a scrape
+  * endpoint.
+  */
+object Metrics {
+
+  /** Attach an observation point named `name` counting total events and,
+    * optionally, per-label-value events (labelValues ≙ the reference's
+    * metric label sets — count_if per tracked value). */
+  def observeAction(df: DataFrame, name: String, labelCol: Option[Column] = None,
+                    labelValues: Seq[String] = Nil): DataFrame = {
+    val base = Seq(count(lit(1)).as("events_total"))
+    val labeled = labelCol match {
+      case Some(c) =>
+        labelValues.map(v => count_if(c === v).as(s"events_$v"))
+      case None => Nil
+    }
+    val aggs = base ++ labeled
+    df.observe(name, aggs.head, aggs.tail: _*)
+  }
+
+  /** Batch collector: registers a QueryExecutionListener for the duration
+    * of `body` and returns all observed metrics keyed
+    * "observationName.metricName". */
+  def collectBatch(spark: org.apache.spark.sql.SparkSession)(body: => Unit)
+  : Map[String, Any] = {
+    val collected = scala.collection.concurrent.TrieMap.empty[String, Any]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          row.schema.fieldNames.foreach { f =>
+            collected.put(s"$name.$f", row.getAs[Any](f))
+          }
+        }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      // listener bus is async — wait for delivery
+      org.apache.spark.GraftSparkBridge.waitListenerBusEmpty(spark.sparkContext)
+    } finally spark.listenerManager.unregister(listener)
+    collected.toMap
+  }
+}

@@ -1,0 +1,44 @@
+package graft.metrics
+
+import graft.compiler.PipelineCompiler
+import org.apache.spark.sql.SparkSession
+
+/** Metrics smoke: a pipeline with metrics:true, batch-run under the
+  * collector — prints per-action event counters like the reference's
+  * per-action prometheus metrics. */
+object MetricsDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val yaml =
+      """input:
+        |  type: fake
+        |  lines:
+        |    - '{"level":"error","m":"a"}'
+        |    - '{"level":"info","m":"b"}'
+        |    - '{"level":"error","m":"c"}'
+        |decoder:
+        |  type: json
+        |  schema: "level string, m string"
+        |metrics: true
+        |actions:
+        |  - type: discard
+        |    match_fields:
+        |      level: [info]
+        |  - type: convert_log_level
+        |    field: level
+        |    style: number
+        |""".stripMargin
+    val compiled = PipelineCompiler.compile(spark, yaml)
+    val metrics = Metrics.collectBatch(spark) {
+      compiled.result().write.mode("overwrite").format("noop").save()
+    }
+    metrics.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"METRIC|$k=$v") }
+    val ok = metrics.get("graft_a0_discard.events_total").contains(2L) &&
+      metrics.get("graft_a1_convert_log_level.events_total").contains(2L)
+    println(if (ok) "METRICS_OK" else "METRICS_MISMATCH")
+    spark.stop()
+  }
+}

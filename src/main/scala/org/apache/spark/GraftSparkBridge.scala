@@ -1,0 +1,8 @@
+package org.apache.spark
+
+/** Bridge to `private[spark]` internals needed by the metrics collector
+  * (the listener bus is async; tests and demos need a flush point). */
+object GraftSparkBridge {
+  def waitListenerBusEmpty(sc: SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+}
