@@ -55,10 +55,102 @@ object Queries4 {
       |    '**** **** **** \4') AS masked
       |FROM events""".stripMargin
 
+  /** Embedding near-dup at scale: bucket by sign bits of fixed dims
+    * (a deterministic hyperplane family both engines can compute), then
+    * cosine-verify only within buckets — the bucket-join shape that
+    * replaces the O(n²) scan. */
+  val q62_embed_neardup_lsh: Q = (s, dir) => {
+    val dims = Seq(1, 9, 17, 25, 33, 41) // 1-based, matching SQL
+    val e2 = t(s, dir, "embeddings").select(
+      col("vec_id"),
+      col("embedding").cast("array<double>").as("v"),
+      dims.zipWithIndex.map { case (d, i) =>
+        when(element_at(col("embedding"), d) >= 0f, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _).as("bkt"))
+    val a = e2.as("a")
+    val b = e2.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+      col("bkt").as("b_bkt")).as("b")
+    import graft.ml.Ann
+    a.join(b, col("bkt") === col("b_bkt") && col("vec_id") < col("b_id"))
+      .select(col("vec_id").as("id_a"), col("b_id").as("id_b"),
+        (Ann.dot(col("v"), col("b_v")) /
+          (sqrt(Ann.dot(col("v"), col("v"))) * sqrt(Ann.dot(col("b_v"), col("b_v"))))
+          > 0.2).as("is_near"))
+  }
+
+  val q62_sql: String = {
+    val dims = Seq(1, 9, 17, 25, 33, 41)
+    val bucketExpr = dims.zipWithIndex
+      .map { case (d, i) => s"(CASE WHEN embedding[$d] >= 0 THEN ${1L << i} ELSE 0 END)" }
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    $bucketExpr AS bkt
+       |  FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  list_dot_product(a.v, b.v) /
+       |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.2 AS is_near
+       |FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id""".stripMargin
+  }
+
+  /** The full near-dup pipeline: MinHash-LSH candidate pairs →
+    * exact-Jaccard verification, only on candidates. */
+  val q63_dedup_pipeline: Q = (s, dir) => {
+    import graft.ml.Dedup
+    val docs = t(s, dir, "documents")
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+      shingleN = 3, k = 9, bands = 3, rows = 3)
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).as("uni"))
+  }
+
+  val q63_sql: String = {
+    import graft.ml.Dedup
+    val sigs = (0 until 9).map { j =>
+      s"list_min(list_transform(s, t -> (${Dedup.hashA(j)} * " +
+        s"(('0x' || substr(md5(t), 1, 15))::BIGINT % ${Dedup.P}) " +
+        s"+ ${Dedup.hashB(j)}) % ${Dedup.P})) AS mh_$j"
+    }.mkString(",\n    ")
+    val bandExprs = (0 until 3).map { b =>
+      val parts = (b * 3 until (b + 1) * 3)
+        .map(j => s"CAST(mh_$j AS VARCHAR)").mkString(" || ',' || ")
+      s"'$b,' || $parts"
+    }.mkString(", ")
+    val shingles =
+      "list_distinct(list_transform(" +
+        "range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1), " +
+        "i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' ')))"
+    s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents),
+       |mh AS (SELECT doc_id,
+       |    $sigs
+       |  FROM sh),
+       |bands AS (SELECT doc_id, [$bandExprs] AS bks FROM mh),
+       |e AS (SELECT doc_id, unnest(bks) AS bk FROM bands),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM e l JOIN e r ON l.bk = r.bk AND l.doc_id < r.doc_id)
+       |SELECT c.id_a, c.id_b,
+       |  len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS inter,
+       |  len(sa.s) + len(sb.s) -
+       |    len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS uni
+       |FROM cand c
+       |JOIN sh sa ON sa.doc_id = c.id_a
+       |JOIN sh sb ON sb.doc_id = c.id_b""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q32_act_utf8" -> q32_act_utf8,
-    "q33_act_mask_groups" -> q33_act_mask_groups)
+    "q33_act_mask_groups" -> q33_act_mask_groups,
+    "q62_embed_neardup_lsh" -> q62_embed_neardup_lsh,
+    "q63_dedup_pipeline" -> q63_dedup_pipeline)
   val oracles: Map[String, String] = Map(
     "q32_act_utf8" -> q32_sql,
-    "q33_act_mask_groups" -> q33_sql)
+    "q33_act_mask_groups" -> q33_sql,
+    "q62_embed_neardup_lsh" -> q62_sql,
+    "q63_dedup_pipeline" -> q63_sql)
 }
