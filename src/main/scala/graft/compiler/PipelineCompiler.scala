@@ -153,7 +153,10 @@ object PipelineCompiler {
     n.get("type").asText() match {
       case "json" =>
         val schema = DataType.fromDDL(n.get("schema").asText()).asInstanceOf[StructType]
-        Decoders.json(value, schema)
+        val maxSizes = Option(n.get("json_max_fields_size"))
+          .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asInt()).toMap)
+          .getOrElse(Map.empty[String, Int])
+        Decoders.json(value, schema, maxSizes)
       case "raw"            => Decoders.raw(value)
       case "cri"            => Decoders.cri(value)
       case "postgres"       => Decoders.postgres(value)

@@ -14,9 +14,16 @@ object Decoders {
 
   /** json decoder (decoder/json.go): parse with explicit schema. The
     * reference is schema-on-read; on Spark the pipeline compiler supplies
-    * the schema it tracks per stage. */
-  def json(line: Column, schema: StructType): Column =
-    from_json(line, schema)
+    * the schema it tracks per stage. `maxFieldsSize` mirrors
+    * `json_max_fields_size` (decoder/readme.md:22-27): per-field length
+    * caps applied as a post-parse truncation. */
+  def json(line: Column, schema: StructType,
+           maxFieldsSize: Map[String, Int] = Map.empty): Column = {
+    val parsed = from_json(line, schema)
+    maxFieldsSize.foldLeft(parsed) { case (doc, (field, limit)) =>
+      doc.withField(field, substring(doc.getField(field), 1, limit))
+    }
+  }
 
   /** raw decoder: whole line into {"message": line}
     * (pipeline/pipeline.go:496). */

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.streaming.Kernels._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 /** End-to-end streaming smoke: drives every stateful kernel through a
@@ -83,7 +84,21 @@ object StreamDemo {
     println("== dist throttle (expect 5 error, 3 warn, 2 other) ==")
     spark.table("demo_dt").groupBy("dval").count().show(false)
 
-    Seq(tq, cq, aq, dq).foreach(_.stop())
+    // streaming exact dedup bounded by watermark (the streaming form of
+    // exact dedup — state expires with event time)
+    val dd = MemoryStream[TEvent]
+    val ddq = dd.toDS()
+      .withColumn("ts", expr("timestamp_millis(eventTimeMs)"))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("value")
+      .writeStream.format("memory").queryName("demo_dd").outputMode("append").start()
+    dd.addData(TEvent("k", 1000L, "a"), TEvent("k", 2000L, "a"),
+      TEvent("k", 3000L, "b"))
+    ddq.processAllAvailable()
+    println("== streaming dedup (expect a,b once each) ==")
+    spark.table("demo_dd").select("value").show(false)
+
+    Seq(tq, cq, aq, dq, ddq).foreach(_.stop())
     println("STREAM_DEMO_OK")
     spark.stop()
   }

@@ -71,6 +71,23 @@ class CompilerSpec extends AnyFunSuite {
     assert(ws.toSeq == Seq("a", "b"))
   }
 
+  test("json decoder honors json_max_fields_size truncation") {
+    val yaml =
+      """input:
+        |  type: fake
+        |  lines:
+        |    - '{"msg":"0123456789abcdef","keep":"full text stays"}'
+        |decoder:
+        |  type: json
+        |  schema: "msg string, keep string"
+        |  json_max_fields_size:
+        |    msg: 8
+        |""".stripMargin
+    val r = PipelineCompiler.compile(spark, yaml).result()
+      .selectExpr("doc.msg", "doc.keep").collect().head
+    assert(r.getString(0) == "01234567" && r.getString(1) == "full text stays")
+  }
+
   test("nested decode action re-decodes a field with another decoder") {
     val yaml =
       """input:
