@@ -55,6 +55,27 @@ object Queries4 {
       |    '**** **** **** \4') AS masked
       |FROM events""".stripMargin
 
+  /** nginx_with_custom_fields: k:v context tail parsed into a map. */
+  val q34_dec_nginx_custom: Q = (s, dir) => {
+    val k = get_json_object(col("props"), "$.k")
+    val msg = concat(lit("upstream timed out, client: 10.0.0."),
+      col("user_id").cast("string"), lit(", request: GET-"), k,
+      lit(", context: ngx.timer"))
+    val m = graft.sources.Decoders.nginxCustomFields(msg)
+    t(s, dir, "events").select(
+      col("event_id"),
+      element_at(m, "client").as("nf_client"),
+      element_at(m, "request").as("nf_request"),
+      element_at(m, "context").as("nf_context"))
+  }
+
+  val q34_sql: String =
+    """SELECT event_id,
+      |  '10.0.0.' || CAST(user_id AS VARCHAR) AS nf_client,
+      |  'GET-' || json_extract_string(props, '$.k') AS nf_request,
+      |  'ngx.timer' AS nf_context
+      |FROM events""".stripMargin
+
   /** Embedding near-dup at scale: bucket by sign bits of fixed dims
     * (a deterministic hyperplane family both engines can compute), then
     * cosine-verify only within buckets — the bucket-join shape that
@@ -145,11 +166,13 @@ object Queries4 {
 
   val all: Map[String, Q] = Map(
     "q32_act_utf8" -> q32_act_utf8,
+    "q34_dec_nginx_custom" -> q34_dec_nginx_custom,
     "q33_act_mask_groups" -> q33_act_mask_groups,
     "q62_embed_neardup_lsh" -> q62_embed_neardup_lsh,
     "q63_dedup_pipeline" -> q63_dedup_pipeline)
   val oracles: Map[String, String] = Map(
     "q32_act_utf8" -> q32_sql,
+    "q34_dec_nginx_custom" -> q34_sql,
     "q33_act_mask_groups" -> q33_sql,
     "q62_embed_neardup_lsh" -> q62_sql,
     "q63_dedup_pipeline" -> q63_sql)

@@ -107,6 +107,17 @@ object Decoders {
       regexp_extract(line, syslog5424Re, 9).as("message"))
   }
 
+  /** nginx_with_custom_fields (decoder/nginx.go:72-146): parse the
+    * trailing `key: value, key2: value2` context of an nginx error
+    * message into a map. */
+  def nginxCustomFields(message: Column): Column =
+    map_from_entries(
+      transform(
+        regexp_extract_all(message, lit("(\\w+): ([^,]+)(, |$)"), lit(0)),
+        kv => struct(
+          regexp_extract(kv, "(\\w+): ", 1).as("key"),
+          rtrim(regexp_extract(kv, "\\w+: ([^,]+)", 1)).as("value"))))
+
   /** SD-element params `[id k1="v1" k2="v2"]` → map<string,string>. */
   def sdParams(sd: Column): Column =
     map_from_entries(

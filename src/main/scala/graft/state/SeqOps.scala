@@ -48,8 +48,15 @@ object SeqOps {
         (col("_cont") && (closedAt.isNull || col(orderCol) < closedAt)))
     val flagged = withGrp.withColumn("_in_seq", inSeq)
 
-    val joined = flagged.filter(col("_in_seq"))
-      .groupBy(keys :+ col("_grp"): _*)
+    // One aggregation pass produces both outputs: in-sequence rows share
+    // their (key, grp) group; every other row gets a singleton group via
+    // its own order value. This halves the work vs a union of a grouped
+    // branch and a pass-through branch (one scan + one window instead of
+    // two of each), and the aggregation key is a superset of the window
+    // partition key so map-side partial aggregation applies.
+    val seqKey = when(col("_in_seq"), lit(-1L)).otherwise(col(orderCol))
+    flagged
+      .groupBy(keys :+ col("_grp") :+ seqKey.as("_sk"): _*)
       .agg(
         min(col(orderCol)).as(orderCol),
         array_join(
@@ -57,10 +64,7 @@ object SeqOps {
             s => s.getField("v")),
           sep).as(field),
         count(lit(1)).as("n_lines"))
-      .drop("_grp")
-    val singles = flagged.filter(!col("_in_seq"))
-      .select((keys :+ col(orderCol) :+ col(field) :+ lit(1L).as("n_lines")): _*)
-    joined.unionByName(singles)
+      .drop("_grp", "_sk")
   }
 
   /** Throttle (plugin/action/throttle/throttle.go:60-170), limit_kind=

@@ -88,6 +88,25 @@ class CompilerSpec extends AnyFunSuite {
     assert(r.getString(0) == "01234567" && r.getString(1) == "full text stays")
   }
 
+  test("keep_fields preserves nesting (reference fixture)") {
+    // FIXTURES §9: {"a":{"b":{"f1":1,"f2":2}},"c":0,"d":0}, keep [a.b.f1, c]
+    val yaml =
+      """input:
+        |  type: fake
+        |  lines:
+        |    - '{"a":{"b":{"f1":1,"f2":2}},"c":0,"d":0}'
+        |decoder:
+        |  type: json
+        |  schema: "a struct<b struct<f1 long, f2 long>>, c long, d long"
+        |actions:
+        |  - type: keep_fields
+        |    fields: [a.b.f1, c]
+        |""".stripMargin
+    val out = PipelineCompiler.compile(spark, yaml).result()
+    val r = out.selectExpr("to_json(doc)").collect().head.getString(0)
+    assert(r == """{"a":{"b":{"f1":1}},"c":0}""")
+  }
+
   test("nested decode action re-decodes a field with another decoder") {
     val yaml =
       """input:
