@@ -114,6 +114,46 @@ object Queries4 {
        |FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id""".stripMargin
   }
 
+  /** IVF ANN: nearest-centroid inverted lists, probe the 2 closest of 8
+    * deterministic centroids — oracle replays the identical assignment
+    * and probing in SQL. */
+  val q64_ann_ivf: Q = (s, dir) => {
+    val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .head().getSeq[Float](1)
+    graft.ml.Ann.ivfTopK(
+      t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", q, k = 10, nCentroids = 8, nProbe = 2)
+      .select(col("vec_id"), col("rnk"))
+  }
+
+  val q64_sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  WHERE vec_id <> 0),
+      |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+      |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      |assign AS (
+      |  SELECT e.vec_id, e.v, c.c_id,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_dot_product(e.v, c.cv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |      c.c_id) AS rn
+      |  FROM e, c),
+      |assigned AS (SELECT vec_id, v, c_id FROM assign WHERE rn = 1),
+      |probes AS (
+      |  SELECT c_id FROM c, q
+      |  ORDER BY list_dot_product(c.cv, q.qv) /
+      |    (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+      |    c.c_id
+      |  LIMIT 2),
+      |cand AS (
+      |  SELECT a.vec_id,
+      |    list_dot_product(a.v, q.qv) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+      |  FROM assigned a JOIN probes p ON a.c_id = p.c_id, q)
+      |SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk
+      |FROM cand ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
   /** The full near-dup pipeline: MinHash-LSH candidate pairs →
     * exact-Jaccard verification, only on candidates. */
   val q63_dedup_pipeline: Q = (s, dir) => {
@@ -169,11 +209,13 @@ object Queries4 {
     "q34_dec_nginx_custom" -> q34_dec_nginx_custom,
     "q33_act_mask_groups" -> q33_act_mask_groups,
     "q62_embed_neardup_lsh" -> q62_embed_neardup_lsh,
-    "q63_dedup_pipeline" -> q63_dedup_pipeline)
+    "q63_dedup_pipeline" -> q63_dedup_pipeline,
+    "q64_ann_ivf" -> q64_ann_ivf)
   val oracles: Map[String, String] = Map(
     "q32_act_utf8" -> q32_sql,
     "q34_dec_nginx_custom" -> q34_sql,
     "q33_act_mask_groups" -> q33_sql,
     "q62_embed_neardup_lsh" -> q62_sql,
-    "q63_dedup_pipeline" -> q63_sql)
+    "q63_dedup_pipeline" -> q63_sql,
+    "q64_ann_ivf" -> q64_sql)
 }

@@ -35,6 +35,48 @@ object Ann {
         org.apache.spark.sql.expressions.Window.orderBy(desc("sim"), col(idCol))))
   }
 
+  /** IVF-style ANN: partition the corpus into inverted lists by nearest
+    * centroid, probe only the `nProbe` lists closest to the query. The
+    * assignment is a broadcast join against the (tiny) centroid table and
+    * the probe is a bucket-key semi-join — the classic IVF shape with no
+    * full scan at query time. Centroids here are taken deterministically
+    * from the corpus (ids < nCentroids); production swaps in k-means
+    * centroids without changing the dataflow.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int, nCentroids: Int,
+              nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    val cents = e.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("_c_id"), col("_v").as("_cv"))
+    // assign every vector to its nearest centroid (broadcast the dim table)
+    val sim = dot(col("_v"), col("_cv")) /
+      (sqrt(dot(col("_v"), col("_v"))) * sqrt(dot(col("_cv"), col("_cv"))))
+    val assigned = e.crossJoin(org.apache.spark.sql.functions.broadcast(cents))
+      .withColumn("_sim_c", sim)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(desc("_sim_c"), col("_c_id"))))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("_v"), col("_c_id"))
+    // the query's nProbe nearest centroids
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val probes = cents
+      .withColumn("_qsim", dot(col("_cv"), q) /
+        (sqrt(dot(col("_cv"), col("_cv"))) * sqrt(dot(q, q))))
+      .orderBy(desc("_qsim"), col("_c_id"))
+      .limit(nProbe)
+      .select(col("_c_id"))
+    // scan only the probed inverted lists
+    val qsim = dot(col("_v"), q) /
+      (sqrt(dot(col("_v"), col("_v"))) * sqrt(dot(q, q)))
+    assigned.join(org.apache.spark.sql.functions.broadcast(probes), "_c_id")
+      .select(col(idCol), qsim.as("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+      .withColumn("rnk", row_number().over(Window.orderBy(desc("sim"), col(idCol))))
+  }
+
   /** Random-hyperplane signature: bit b = sign(dot(vec, hyperplane_b)).
     * Hyperplanes are deterministic pseudo-random from a seed so signatures
     * are reproducible across runs/executors. */
