@@ -76,6 +76,35 @@ object Queries4 {
       |  'ngx.timer' AS nf_context
       |FROM events""".stripMargin
 
+  /** Token normalizer output itself (the single-pass expression), oracle
+    * = the equivalent chained regexp_replace in SQL — equal on inputs
+    * where token classes don't overlap, which the fixture guarantees. */
+  val q35_act_normalize: Q = (s, dir) => {
+    val msg = concat(lit("2023-10-30T13:35:33Z "), col("event_type"),
+      lit(", client: 10.125.172."), col("user_id").cast("string"),
+      lit(", k="), get_json_object(col("props"), "$.k"))
+    t(s, dir, "events").select(
+      col("event_id"),
+      graft.functions.NormalizeTokens(msg).as("normalized"))
+  }
+
+  val q35_sql: String =
+    """WITH m AS (
+      |  SELECT event_id,
+      |    '2023-10-30T13:35:33Z ' || event_type || ', client: 10.125.172.' ||
+      |    CAST(user_id AS VARCHAR) || ', k=' ||
+      |    json_extract_string(props, '$.k') AS msg
+      |  FROM events)
+      |SELECT event_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(msg,
+      |        '\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:?\d{2})?',
+      |        '<datetime>', 'g'),
+      |      '\b(\d{1,3}\.){3}\d{1,3}(:\d+)?\b', '<ip>', 'g'),
+      |    '\b\d+(\.\d+)?\b', '<int>', 'g') AS normalized
+      |FROM m""".stripMargin
+
   /** Embedding near-dup at scale: bucket by sign bits of fixed dims
     * (a deterministic hyperplane family both engines can compute), then
     * cosine-verify only within buckets — the bucket-join shape that
@@ -207,6 +236,7 @@ object Queries4 {
   val all: Map[String, Q] = Map(
     "q32_act_utf8" -> q32_act_utf8,
     "q34_dec_nginx_custom" -> q34_dec_nginx_custom,
+    "q35_act_normalize" -> q35_act_normalize,
     "q33_act_mask_groups" -> q33_act_mask_groups,
     "q62_embed_neardup_lsh" -> q62_embed_neardup_lsh,
     "q63_dedup_pipeline" -> q63_dedup_pipeline,
@@ -214,6 +244,7 @@ object Queries4 {
   val oracles: Map[String, String] = Map(
     "q32_act_utf8" -> q32_sql,
     "q34_dec_nginx_custom" -> q34_sql,
+    "q35_act_normalize" -> q35_sql,
     "q33_act_mask_groups" -> q33_sql,
     "q62_embed_neardup_lsh" -> q62_sql,
     "q63_dedup_pipeline" -> q63_sql,
