@@ -29,19 +29,21 @@ object Queries {
 
   // ---------------------------------------------------------------- core
 
-  /** Flagship-style aggregation (sanity anchor for the harness). */
+  /** Flagship-style aggregation (sanity anchor for the harness). Monetary
+    * sums are emitted as exact bigint cents — decimal parquet output
+    * hashed differently from DuckDB decimals on the driver side. */
   val q01_agg: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"),
+        sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"),
         count(lit(1)).as("cnt"))
 
   val q01_sql: String =
     """SELECT l_returnflag,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+      |  SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+      |  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
       |  COUNT(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 

@@ -239,27 +239,27 @@ object Queries3 {
 
   // ------------------------------------------- joins / window / top-k
 
-  private def dec(c: Column): Column = c.cast("decimal(12,2)")
-  private val one = lit(new java.math.BigDecimal("1.00"))
 
+  /** Revenue in exact integer ten-thousandths (price cents × discount
+    * percent) — integer arithmetic hashes identically on both sides. */
   val q70_join_agg: Q = (s, dir) => {
     val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
     val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+    val priceCents = round(li("l_extendedprice") * 100).cast("long")
+    val discPct = round(li("l_discount") * 100).cast("long")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(n("n_name").as("n_name"))
       .agg(
-        sum(dec(li("l_extendedprice")) * (one - dec(li("l_discount"))))
-          .cast("decimal(18,4)").as("revenue"),
+        sum(priceCents * (lit(100L) - discPct)).as("revenue_e4"),
         count(lit(1)).as("n_items"))
   }
 
   val q70_sql: String =
     """SELECT n.n_name AS n_name,
-      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
-      |           (CAST(1.00 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
-      |       AS DECIMAL(18,4)) AS revenue,
+      |  SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) *
+      |      (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS revenue_e4,
       |  COUNT(*) AS n_items
       |FROM lineitem l
       |JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -279,20 +279,21 @@ object Queries3 {
     """SELECT o_orderkey, row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
 
+  /** Running total in exact bigint cents (see q01/q70 note). */
   val q72_window_running: Q = (s, dir) => {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     t(s, dir, "orders").select(
       col("o_custkey"), col("o_orderkey"),
-      sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
-        .cast("decimal(18,2)").as("run_total"))
+      sum(round(col("o_totalprice") * 100).cast("long")).over(w)
+        .as("run_total_cents"))
   }
 
   val q72_sql: String =
     """SELECT o_custkey, o_orderkey,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-      |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-      |       AS DECIMAL(18,2)) AS run_total
+      |  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |    AS run_total_cents
       |FROM orders""".stripMargin
 
   val q73_anti_join: Q = (s, dir) => {

@@ -254,7 +254,10 @@ object PipelineCompiler {
 
     action.get("type").asText() match {
       case "discard" =>
-        pred.map(p => df.filter(!p)).getOrElse(df.limit(0))
+        // A missing/null field means "no match" in the reference, so the
+        // event must survive the discard: null-protect before inverting,
+        // else !NULL = NULL and filter drops the row (data loss).
+        pred.map(p => df.filter(!coalesce(p, lit(false)))).getOrElse(df.limit(0))
       case "keep" => // keep matched only (inverse discard, for tests)
         pred.map(df.filter).getOrElse(df)
       case "add_host" =>

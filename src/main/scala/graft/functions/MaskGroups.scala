@@ -16,7 +16,8 @@ import java.util.regex.Pattern
   * each group's matched length — so it's a native expression; codegen
   * calls the compiled-pattern instance via a captured reference.
   */
-case class MaskGroups(child: Expression, pattern: String, groups: Seq[Int])
+case class MaskGroups(child: Expression, pattern: String, groups: Seq[Int],
+                      digitsOnly: Boolean = false)
     extends UnaryExpression {
 
   @transient private lazy val compiled = Pattern.compile(pattern)
@@ -32,7 +33,10 @@ case class MaskGroups(child: Expression, pattern: String, groups: Seq[Int])
       groups.foreach { g =>
         if (g <= m.groupCount() && m.start(g) >= 0) {
           var i = m.start(g)
-          while (i < m.end(g)) { sb.setCharAt(i, '*'); i += 1 }
+          while (i < m.end(g)) {
+            if (!digitsOnly || Character.isDigit(sb.charAt(i))) sb.setCharAt(i, '*')
+            i += 1
+          }
         }
       }
     }
@@ -54,5 +58,9 @@ case class MaskGroups(child: Expression, pattern: String, groups: Seq[Int])
 
 object MaskGroups {
   def apply(c: Column, pattern: String, groups: Seq[Int]): Column =
-    GraftBridge.column(MaskGroups(GraftBridge.expression(c), pattern, groups))
+    apply(c, pattern, groups, digitsOnly = false)
+  def apply(c: Column, pattern: String, groups: Seq[Int],
+            digitsOnly: Boolean): Column =
+    GraftBridge.column(
+      MaskGroups(GraftBridge.expression(c), pattern, groups, digitsOnly))
 }

@@ -45,7 +45,11 @@ object XTime {
     case "unixtime"      => timestamp_seconds(c.try_cast("long"))
     case "unixtimemilli" => timestamp_millis(c.try_cast("long"))
     case "unixtimemicro" => timestamp_micros(c.try_cast("long"))
-    case "unixtimenano"  => timestamp_micros((c.try_cast("long") / 1000).cast("long"))
+    // integral division via exact decimal — long `/` is double division,
+    // and current-epoch ns (~1.7e18) exceeds double's 53-bit mantissa
+    case "unixtimenano"  =>
+      timestamp_micros((c.try_cast("long").cast("decimal(20,0)") / 1000)
+        .cast("long"))
     case alias if patterns.contains(alias) => try_to_timestamp(c, lit(patterns(alias)))
     case custom => try_to_timestamp(c, lit(custom)) // raw Spark pattern passthrough
   }

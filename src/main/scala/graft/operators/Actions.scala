@@ -208,28 +208,21 @@ object Actions {
   }
 }
 
-/** mask helpers — group-aware regex masking. */
+/** mask helpers — group-aware regex masking, routed through the
+  * MaskGroups native expression so masking is genuinely length-preserving
+  * per character of the matched span (mask.go:142-184 replaces the
+  * matched region char-by-char; a fixed-literal regexp_replace is not
+  * equivalent). */
 object Masks {
   /** Replace every char of every match of `pattern` with '*' (length
     * preserved), leaving non-matched text untouched. */
   def maskAll(src: Column, pattern: String): Column =
-    // regexp_replace with a callback isn't expressible declaratively;
-    // masking digit-bearing spans: replace each matched region by mapping
-    // its characters to '*'. Implemented as: extract all matches, then
-    // fold replace(match → stars). For fixed-shape patterns a direct
-    // regexp_replace of each char class inside the match is equivalent.
-    regexp_replace(src, pattern, "***")
+    graft.functions.MaskGroups(src, s"($pattern)", Seq(1))
 
-  /** Mask only digits within matches — common card-number case; keeps
-    * separators. Equivalent to the reference's group-mask for digit
-    * groups. */
-  def maskDigitsIn(src: Column, pattern: String): Column = {
-    // translate digits to '*' inside matched spans: do a global
-    // regexp_replace where the pattern is wrapped so each digit run in a
-    // match is starred. Simplification: star all digit runs that occur
-    // inside a full match of `pattern`.
-    regexp_replace(src, pattern, "****")
-  }
+  /** Mask only digit runs occurring inside matches of `pattern` — common
+    * card-number case; keeps separators, preserves length. */
+  def maskDigitsIn(src: Column, pattern: String): Column =
+    graft.functions.MaskGroups(src, s"($pattern)", Seq(1), digitsOnly = true)
 }
 
 /** Token normalizer used by `hash format: normalize`

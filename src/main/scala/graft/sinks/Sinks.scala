@@ -116,12 +116,18 @@ object Sinks {
       }
     dlq match {
       case Some(write) =>
-        val failedDf = spark.createDataFrame(
-          failed.map(Row(_)),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("payload",
-              org.apache.spark.sql.types.StringType))))
-        if (!failedDf.isEmpty) write(failedDf)
+        // The mapPartitions above performs the transport sends; collect
+        // once so the lineage (and its side effects) is evaluated exactly
+        // once per micro-batch — re-evaluating would re-send every chunk.
+        val fails = failed.map(Row(_)).collect()
+        if (fails.nonEmpty) {
+          val failedDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(fails.toSeq),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("payload",
+                org.apache.spark.sql.types.StringType))))
+          write(failedDf)
+        }
       case None => failed.count() // force evaluation; drop failures
     }
   }

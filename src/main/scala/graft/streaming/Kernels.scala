@@ -251,8 +251,20 @@ object Kernels {
           val out = scala.collection.mutable.ArrayBuffer.empty[TEvent]
           events.toSeq.sortBy(_.eventTimeMs).foreach { ev =>
             val bucket = ev.eventTimeMs / cfg.intervalMs
-            if (bucket != st.bucket) {
-              val quiet = if (st.count < cfg.threshold) st.quietIntervals + 1 else 0
+            // Credit every elapsed interval, not one per observed bucket
+            // change: the reference's maintenance timer decrements the ban
+            // counter each tick regardless of traffic
+            // (pipeline/antispam/antispammer.go maintenance loop), so a
+            // source silent for N intervals earns N quiet credits at once.
+            // Out-of-order buckets (bucket < st.bucket) fold into the
+            // current bucket instead of resetting the count.
+            if (st.bucket == Long.MinValue) {
+              st = SpamState(bucket, 0L, 0, banned = false)
+            } else if (bucket > st.bucket) {
+              val base = if (st.count < cfg.threshold) st.quietIntervals + 1 else 0
+              val quiet = math.min(
+                base.toLong + (bucket - st.bucket - 1),
+                cfg.unbanIntervals.toLong).toInt
               val stillBanned = st.banned && quiet < cfg.unbanIntervals
               st = SpamState(bucket, 0L, quiet, stillBanned)
             }
