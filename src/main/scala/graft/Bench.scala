@@ -74,14 +74,24 @@ object Bench {
     SparkEntry.queries("q01_agg")(spark, sfDir).count()
     noop(throughputPipeline(spark, nd))
 
-    // throughput leg right after warmup (min of 2 — this box's effective
+    // throughput leg right after warmup (min of 3 — this box's effective
     // CPU share is noisy), before the query sweep perturbs the JVM
-    val tpSec = (1 to 2).map { _ =>
+    val tpSec = (1 to 3).map { _ =>
       val tp0 = System.nanoTime()
       noop(throughputPipeline(spark, nd))
       (System.nanoTime() - tp0) / 1e9
     }.min
     val mbps = corpusBytes / 1e6 / tpSec
+
+    // raw text-scan ceiling of this box (no decode) — calibrates how much
+    // of the gap to the reference's 1 GB/s is environment IO/CPU share
+    // vs engine overhead
+    val scanSec = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      noop(spark.read.text(nd).select(length(col("value")).as("n")))
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val scanMbps = corpusBytes / 1e6 / scanSec
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -94,7 +104,8 @@ object Bench {
     val total = results.map(_._2).sum + tpSec
     println(
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,""" +
-        f""""throughput_MBps":$mbps%.1f,"corpus_bytes":$corpusBytes,"sf":"$sfDir"}""")
+        f""""throughput_MBps":$mbps%.1f,"scan_MBps":$scanMbps%.1f,""" +
+        f""""corpus_bytes":$corpusBytes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

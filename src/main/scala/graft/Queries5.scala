@@ -1,0 +1,297 @@
+package graft
+
+import graft.functions.LogLevel
+import graft.model.FieldPath
+import graft.operators.Actions
+import graft.sinks.Sinks
+import graft.state.SeqOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Query batch 5 (round 2): sink wire-format projections (§2.6) and the
+  * remaining semantic corners of §2.4 (throttle limit_kind=size,
+  * cardinality action=remove_fields, antispam exception rules,
+  * convert_date remove_on_fail, trim_to/cut substitution filters, debug
+  * log sampling).
+  *
+  * The network sinks themselves can't be driven in this environment (no
+  * egress), but their wire formats are pure Column logic — these queries
+  * pin every byte of the rendered payloads against an independent DuckDB
+  * string construction.
+  */
+object Queries5 {
+
+  type Q = Queries.Q
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ------------------------------------------------- sink wire formats
+
+  /** elasticsearch /_bulk body (elasticsearch.go:234-309): action line
+    * with `index_format` + `@time` date, then the doc line. */
+  val q80_sink_es_bulk: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    ev.select(
+      col("event_id"),
+      Sinks.esBulkLines(struct(col("event_id"), col("event_type")),
+        "file-d-", col("ts")).as("bulk"))
+  }
+
+  val q80_sql: String =
+    """SELECT event_id,
+      |  '{"index":{"_index":"file-d-' || strftime(ts, '%Y-%m-%d') || '"}}' ||
+      |  chr(10) ||
+      |  '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}'
+      |  AS bulk
+      |FROM events""".stripMargin
+
+  /** GELF frame (gelf.go:202-274): version/host/short_message/timestamp
+    * (seconds with ms decimals)/level + `_`-prefixed extras. */
+  val q81_sink_gelf: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val lvl = coalesce(LogLevel.toNumber(col("event_type")), lit(6))
+    val k = coalesce(get_json_object(col("props"), "$.k"), lit("0"))
+    ev.select(
+      col("event_id"),
+      Sinks.gelfFrame(
+        concat(lit("h"), (col("user_id") % 10).cast("string")),
+        col("event_type"), col("ts"), lvl,
+        Map("k" -> k)).as("gelf"))
+  }
+
+  val q81_sql: String =
+    """SELECT event_id,
+      |  '{"version":"1.1","host":"h' || (user_id % 10) ||
+      |  '","short_message":"' || event_type ||
+      |  '","timestamp":' ||
+      |    CAST(CAST(epoch_ms(ts) AS DECIMAL(17,0)) / 1000 AS DECIMAL(14,3)) ||
+      |  ',"level":' ||
+      |    CASE WHEN lower(trim(event_type)) = 'error' THEN 3 ELSE 6 END ||
+      |  ',"_k":"' || coalesce(json_extract_string(props, '$.k'), '0') || '"}'
+      |  AS gelf
+      |FROM events""".stripMargin
+
+  /** Splunk HEC envelope (splunk.go:232-310). */
+  val q82_sink_splunk: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    ev.select(
+      col("event_id"),
+      Sinks.splunkEvent(struct(col("event_id"), col("event_type")),
+        col("ts")).as("hec"))
+  }
+
+  val q82_sql: String =
+    """SELECT event_id,
+      |  '{"event":{"event_id":' || event_id ||
+      |  ',"event_type":"' || event_type ||
+      |  '"},"time":' || CAST(floor(epoch(ts)) AS BIGINT) || '}' AS hec
+      |FROM events""".stripMargin
+
+  /** Loki push entry (loki.go:253-318): [nanos-as-string, line]. */
+  val q83_sink_loki: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    ev.select(
+      col("event_id"),
+      Sinks.lokiEntry(col("ts"),
+        concat(col("event_type"), lit(" "), col("props"))).as("entry"))
+  }
+
+  val q83_sql: String =
+    """SELECT event_id,
+      |  [CAST(epoch_us(ts) * 1000 AS VARCHAR),
+      |   event_type || ' ' || props] AS entry
+      |FROM events""".stripMargin
+
+  /** http sink batcher (http.go:207-281 + pipeline/batch.go): NDJSON
+    * payload chunked to batch_size per worker shard. */
+  val q84_sink_http_chunks: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val shard = (col("user_id") % 4).as("shard")
+    val rn = row_number().over(
+      Window.partitionBy(col("user_id") % 4).orderBy(col("event_id")))
+    ev.select(
+      col("event_id"), shard,
+      floor((rn - 1) / lit(100)).as("chunk"),
+      to_json(struct(col("event_id"), col("event_type"))).as("payload"))
+  }
+
+  val q84_sql: String =
+    """SELECT event_id, user_id % 4 AS shard,
+      |  (row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1)
+      |    // 100 AS chunk,
+      |  '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}'
+      |    AS payload
+      |FROM events""".stripMargin
+
+  // ----------------------------------------- §2.4 semantic completions
+
+  /** throttle limit_kind=size: running byte budget per (key, bucket);
+    * rejected events still charge the bucket (in_memory_limiter.go:85-100
+    * adds before checking). */
+  val q85_throttle_size: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    SeqOps.throttleSize(ev, Seq("event_type"),
+        bucket = expr("unix_timestamp(ts) div 604800"),
+        orderCol = "event_id",
+        sizeCol = octet_length(col("props")),
+        limitBytes = 4000L)
+      .select(col("event_id"))
+  }
+
+  val q85_sql: String =
+    """WITH b AS (
+      |  SELECT event_id, event_type, strlen(props) AS sz,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS bkt
+      |  FROM events),
+      |r AS (
+      |  SELECT event_id,
+      |    SUM(sz) OVER (PARTITION BY event_type, bkt ORDER BY event_id
+      |                  ROWS UNBOUNDED PRECEDING) AS run
+      |  FROM b)
+      |SELECT event_id FROM r WHERE run <= 4000""".stripMargin
+
+  /** cardinality action=remove_fields: rows over the distinct-value limit
+    * pass with the guarded field nulled out instead of being dropped. */
+  val q86_cardinality_remove: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    SeqOps.cardinalityOverLimit(ev, Seq("event_type"), "user_id",
+        "event_id", limit = 50)
+      .select(
+        col("event_id"),
+        when(col("_card_over"), lit(null)).otherwise(col("user_id"))
+          .as("user_id_kept"))
+  }
+
+  val q86_sql: String =
+    """WITH firsts AS (
+      |  SELECT event_type, user_id, min(event_id) AS fs
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY fs, user_id) AS r
+      |  FROM firsts)
+      |SELECT e.event_id,
+      |  CASE WHEN k.r <= 50 THEN e.user_id END AS user_id_kept
+      |FROM events e
+      |JOIN ranked k ON e.event_type = k.event_type AND e.user_id = k.user_id""".stripMargin
+
+  /** antispam with exception rules: excepted events always pass and never
+    * count toward the ban (antispammer.go exception check precedes the
+    * counter increment). */
+  val q87_antispam_except: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    SeqOps.antispam(ev, Seq("user_id"),
+        bucket = expr("unix_timestamp(ts) div 604800"), threshold = 12,
+        except = col("event_type") === "error")
+      .select(col("event_id"))
+  }
+
+  val q87_sql: String =
+    """WITH ne AS (
+      |  SELECT event_id, user_id,
+      |    CAST(epoch(ts) AS BIGINT) // 604800 AS bkt
+      |  FROM events WHERE event_type <> 'error'),
+      |counts AS (
+      |  SELECT user_id, bkt, COUNT(*) AS n FROM ne GROUP BY 1, 2),
+      |flags AS (
+      |  SELECT user_id, bkt,
+      |    lag(bkt) OVER (PARTITION BY user_id ORDER BY bkt) AS prev_b,
+      |    lag(n) OVER (PARTITION BY user_id ORDER BY bkt) AS prev_n
+      |  FROM counts)
+      |SELECT e.event_id FROM ne e
+      |JOIN flags f ON e.user_id = f.user_id AND e.bkt = f.bkt
+      |WHERE NOT (f.prev_b IS NOT NULL AND f.prev_b = f.bkt - 1
+      |           AND f.prev_n >= 12)
+      |UNION ALL
+      |SELECT event_id FROM events WHERE event_type = 'error'""".stripMargin
+
+  /** convert_date remove_on_fail: unparseable values are nulled out
+    * rather than passed through (convert_date.go remove_on_fail). */
+  val q88_convert_date_fail: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val raw = when(col("event_id") % 5 === 0, lit("not-a-date"))
+      .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+    val doc0 = struct(col("event_id"), raw.as("when"))
+    val doc = Actions.convertDate(doc0, FieldPath("when"),
+      Seq("yyyy-MM-dd HH:mm:ss"), "unixtime", removeOnFail = true)
+    ev.select(col("event_id"), doc.getField("when").as("when_unix"))
+  }
+
+  val q88_sql: String =
+    """SELECT event_id,
+      |  CASE WHEN event_id % 5 = 0 THEN NULL
+      |       ELSE CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR)
+      |  END AS when_unix
+      |FROM events""".stripMargin
+
+  /** modify with trim_to / cut(last) substitution filters
+    * (cfg/substitution: trim_to_filter.go, cut_filter.go). */
+  val q89_modify_trim_cut: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val doc0 = struct(ev.columns.map(col): _*)
+    val doc = Actions.modify(doc0, Seq(
+      "tail" -> "${props|trim_to(left,\"k\")|cut(last,10)}"))
+    ev.select(col("event_id"), doc.getField("tail").as("tail"))
+  }
+
+  val q89_sql: String =
+    """SELECT event_id,
+      |  right(CASE WHEN strpos(props, 'k') > 0
+      |             THEN substr(props, strpos(props, 'k'))
+      |             ELSE props END, 10) AS tail
+      |FROM events""".stripMargin
+
+  /** debug action's zap sampling (debug.go:48-61: interval/first/
+    * thereafter): per (source, interval) log the first N events then
+    * every M-th after that. */
+  val q91_debug_sampling: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val rn = row_number().over(
+      Window.partitionBy(col("user_id"),
+          expr("unix_timestamp(ts) div 604800"))
+        .orderBy(col("event_id")))
+    ev.select(col("event_id"), rn.as("rn"))
+      .filter(col("rn") <= 3 || (col("rn") - 3) % 10 === 0)
+      .select(col("event_id"))
+  }
+
+  val q91_sql: String =
+    """WITH r AS (
+      |  SELECT event_id, row_number() OVER (
+      |    PARTITION BY user_id, CAST(floor(epoch(ts)) AS BIGINT) // 604800
+      |    ORDER BY event_id) AS rn
+      |  FROM events)
+      |SELECT event_id FROM r WHERE rn <= 3 OR (rn - 3) % 10 = 0""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val all: Map[String, Q] = Map(
+    "q80_sink_es_bulk" -> q80_sink_es_bulk,
+    "q81_sink_gelf" -> q81_sink_gelf,
+    "q82_sink_splunk" -> q82_sink_splunk,
+    "q83_sink_loki" -> q83_sink_loki,
+    "q84_sink_http_chunks" -> q84_sink_http_chunks,
+    "q85_throttle_size" -> q85_throttle_size,
+    "q86_cardinality_remove" -> q86_cardinality_remove,
+    "q87_antispam_except" -> q87_antispam_except,
+    "q88_convert_date_fail" -> q88_convert_date_fail,
+    "q89_modify_trim_cut" -> q89_modify_trim_cut,
+    "q91_debug_sampling" -> q91_debug_sampling
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q80_sink_es_bulk" -> q80_sql,
+    "q81_sink_gelf" -> q81_sql,
+    "q82_sink_splunk" -> q82_sql,
+    "q83_sink_loki" -> q83_sql,
+    "q84_sink_http_chunks" -> q84_sql,
+    "q85_throttle_size" -> q85_sql,
+    "q86_cardinality_remove" -> q86_sql,
+    "q87_antispam_except" -> q87_sql,
+    "q88_convert_date_fail" -> q88_sql,
+    "q89_modify_trim_cut" -> q89_sql,
+    "q91_debug_sampling" -> q91_sql
+  )
+}

@@ -55,7 +55,10 @@ object Subst {
       val pos = length(c) - locate(cs.reverse, reverse(c)) + 1
       when(locate(cs, c) > 0, c.substr(lit(1), pos + length(lit(cs)) - 1)).otherwise(c)
     case CutFilter("first", n) => c.substr(1, n)
-    case CutFilter(_, n)       => c.substr(length(c) - n + 1, lit(n))
+    case CutFilter(_, n) =>
+      // clamp the start: substr with a negative start counts from the
+      // string end, silently re-truncating inputs shorter than n
+      c.substr(greatest(length(c) - n + 1, lit(1)), lit(n))
   }
 
   private def substring_index_from(c: Column, from: Column): Column =

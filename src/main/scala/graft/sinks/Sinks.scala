@@ -70,7 +70,10 @@ object Sinks {
         lit("1.1").as("version"),
         host.as("host"),
         shortMessage.as("short_message"),
-        unix_timestamp(timestamp).cast("double").as("timestamp"),
+        // GELF timestamp = seconds with decimals; exact ms-precision
+        // decimal (a double renders in scientific notation in JSON)
+        (unix_millis(timestamp).cast("decimal(17,0)") / 1000)
+          .cast("decimal(14,3)").as("timestamp"),
         level.as("level")) ++
         extras.toSeq.sortBy(_._1).map { case (k, v) => v.as(s"_$k") }): _*))
 

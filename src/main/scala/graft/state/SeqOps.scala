@@ -81,6 +81,22 @@ object SeqOps {
       .drop("_rn")
   }
 
+  /** Throttle limit_kind=size (in_memory_limiter.go:85-100): the bucket
+    * accumulates event size unconditionally — rejected events still count
+    * toward the bucket — and an event passes while the running total
+    * (including itself) stays within the limit. Exactly a running window
+    * sum in arrival order.
+    */
+  def throttleSize(df: DataFrame, keyCols: Seq[String], bucket: Column,
+                   orderCol: String, sizeCol: Column, limitBytes: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col) :+ bucket: _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_run", sum(sizeCol).over(w))
+      .filter(col("_run") <= limitBytes)
+      .drop("_run")
+  }
+
   /** Cardinality guard (plugin/action/cardinality/cardinality.go:76-120):
     * per `keyCols`, allow events whose `valueCol` is among the first
     * `limit` distinct values by first appearance; later distinct values
@@ -97,6 +113,35 @@ object SeqOps {
       .filter(col("_vrank") <= limit)
       .select(keys :+ col(valueCol): _*)
     df.join(firsts, keyCols :+ valueCol, "left_semi")
+  }
+
+  /** Cardinality with action: remove_fields (cardinality.go:274-278):
+    * same first-`limit`-distinct accounting as [[cardinality]], but every
+    * row passes and gets a boolean `_card_over` flag so the caller can
+    * null out / remove the configured fields instead of discarding.
+    */
+  def cardinalityOverLimit(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                           orderCol: String, limit: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val firsts = df.groupBy(keys :+ col(valueCol): _*)
+      .agg(min(col(orderCol)).as("_first_seen"))
+      .withColumn("_vrank",
+        row_number().over(
+          Window.partitionBy(keys: _*).orderBy(col("_first_seen"), col(valueCol))))
+      .select(keys ++ Seq(col(valueCol), col("_vrank")): _*)
+    df.join(firsts, keyCols :+ valueCol)
+      .withColumn("_card_over", col("_vrank") > limit)
+      .drop("_vrank")
+  }
+
+  /** Antispam exception rules (antispammer.go IsSpam exception check,
+    * cfg/matchrule): events matching `except` pass unconditionally and do
+    * not count toward the source's ban counter. */
+  def antispam(df: DataFrame, sourceCols: Seq[String], bucket: Column,
+               threshold: Int, except: Column): DataFrame = {
+    val exc = coalesce(except, lit(false))
+    antispam(df.filter(!exc), sourceCols, bucket, threshold)
+      .unionByName(df.filter(exc))
   }
 
   /** Antispam (pipeline/antispam/antispammer.go:20-80): a source whose
