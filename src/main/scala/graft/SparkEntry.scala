@@ -9,16 +9,38 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001: a representative file.d
-    * pipeline — json decode → do_if filter → convert_log_level →
-    * per-level/per-type aggregation — on the events table. */
+    * pipeline, expressed the way a file.d user would write it — a YAML
+    * config compiled by PipelineCompiler into one declarative chain
+    * (json decode → do_if keep → json_extract → convert_log_level),
+    * topped with a Spark-native per-level/per-type aggregation. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val ev = Tables(spark, dir, "events")
-    val k = get_json_object(col("props"), "$.k").try_cast("long")
-    ev.filter(col("event_type").isin("error", "purchase", "signup") && k.isNotNull)
-      .withColumn("level", coalesce(LogLevel.toNumber(col("event_type")), lit(6)))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val pipelineYaml =
+      """input: {type: parquet, path: "DIR/events.parquet"}
+        |decoder: {type: json, schema: "event_id long, user_id long, event_type string, props string"}
+        |actions:
+        |  - type: keep
+        |    do_if: {op: equal, field: event_type, values: [error, purchase, signup]}
+        |  - type: json_extract
+        |    field: props
+        |    extract_fields: [k]
+        |  - type: modify
+        |    fields: {level: "${event_type}"}
+        |  - type: convert_log_level
+        |    field: level
+        |    style: number
+        |    default_level: informational
+        |output: {type: devnull}
+        |""".stripMargin.replace("DIR", dir)
+    val piped = graft.compiler.PipelineCompiler.compile(spark, pipelineYaml).result()
+    val k = col("doc.k").try_cast("long")
+    piped
+      .filter(k.isNotNull)
+      .select(col("doc.level").cast("int").as("level"),
+        col("doc.event_type").as("event_type"), k.as("k"))
       .groupBy(col("level"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(k).as("sum_k"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
