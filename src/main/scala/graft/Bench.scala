@@ -21,21 +21,24 @@ object Bench {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** The reference-benchmark-shaped pipeline (decode → filter →
-    * transform). json_tuple does ONE streaming Jackson pass extracting
-    * only the referenced fields — measured ~3× faster than a full
-    * from_json struct here (330 vs 115 MB/s; raw text-scan ceiling on
-    * this box is ~410 MB/s), the "decode once, dig lazily" discipline. */
+    * transform). Decode = the native JsonFields expression: ONE streaming
+    * Jackson pass extracting only the referenced fields, returned as a
+    * struct so the whole scan → decode → filter → project chain stays in
+    * a single WholeStageCodegen stage (json_tuple has the same one-pass
+    * parse but is a Generator, which splits the stage — measured 305 vs
+    * 459 MB/s on the sf0.1 corpus; full-schema from_json is ~3× slower
+    * still). The "decode once, dig lazily" discipline. */
   def throughputPipeline(spark: SparkSession, ndjsonDir: String): DataFrame =
     spark.read.text(ndjsonDir)
-      .select(json_tuple(col("value"), "event_id", "event_type", "props")
-        .as(Seq("event_id", "event_type", "props")))
-      .filter(col("event_type").isNotNull &&
-        get_json_object(col("props"), "$.k").try_cast("long").isNotNull)
+      .select(graft.functions.JsonFields(col("value"),
+        Seq("event_id", "event_type", "props")).as("j"))
+      .filter(col("j.event_type").isNotNull &&
+        get_json_object(col("j.props"), "$.k").try_cast("long").isNotNull)
       .select(
-        col("event_id").cast("long"),
-        coalesce(graft.functions.LogLevel.toNumber(col("event_type")), lit(6))
+        col("j.event_id").cast("long"),
+        coalesce(graft.functions.LogLevel.toNumber(col("j.event_type")), lit(6))
           .as("level"),
-        xxhash64(col("props")).as("h"))
+        xxhash64(col("j.props")).as("h"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

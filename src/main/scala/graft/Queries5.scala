@@ -243,6 +243,24 @@ object Queries5 {
       |             ELSE props END, 10) AS tail
       |FROM events""".stripMargin
 
+  /** json_extract via the native one-pass JsonFields struct expression
+    * (the throughput-leg decoder — codegen-friendly json_tuple
+    * equivalent); also probes missing-field → null. */
+  val q90_json_fields: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    ev.select(col("event_id"),
+        graft.functions.JsonFields(col("props"), Seq("k", "absent")).as("j"))
+      .select(col("event_id"),
+        col("j.k").try_cast("long").as("k"),
+        col("j.absent").as("absent"))
+  }
+
+  val q90_sql: String =
+    """SELECT event_id,
+      |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  json_extract_string(props, '$.absent') AS absent
+      |FROM events""".stripMargin
+
   /** debug action's zap sampling (debug.go:48-61: interval/first/
     * thereafter): per (source, interval) log the first N events then
     * every M-th after that. */
@@ -278,6 +296,7 @@ object Queries5 {
     "q87_antispam_except" -> q87_antispam_except,
     "q88_convert_date_fail" -> q88_convert_date_fail,
     "q89_modify_trim_cut" -> q89_modify_trim_cut,
+    "q90_json_fields" -> q90_json_fields,
     "q91_debug_sampling" -> q91_debug_sampling
   )
 
@@ -292,6 +311,7 @@ object Queries5 {
     "q87_antispam_except" -> q87_sql,
     "q88_convert_date_fail" -> q88_sql,
     "q89_modify_trim_cut" -> q89_sql,
+    "q90_json_fields" -> q90_sql,
     "q91_debug_sampling" -> q91_sql
   )
 }

@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.JsonFields
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch A/B probe for the throughput-leg decode strategies. */
+object TpProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val nd = "/tmp/graft_bench__root_testdata_sf0.1"
+
+    def noop(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      noop(df) // warm
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); noop(df); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name: min=${ts.min}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+
+    val base = spark.read.text(nd)
+
+    time("json_tuple") {
+      base.select(json_tuple(col("value"), "event_id", "event_type", "props")
+          .as(Seq("event_id", "event_type", "props")))
+        .filter(col("event_type").isNotNull &&
+          get_json_object(col("props"), "$.k").try_cast("long").isNotNull)
+        .select(col("event_id").cast("long"),
+          coalesce(graft.functions.LogLevel.toNumber(col("event_type")), lit(6)).as("level"),
+          xxhash64(col("props")).as("h"))
+    }
+
+    time("json_fields") {
+      base.select(JsonFields(col("value"),
+          Seq("event_id", "event_type", "props")).as("j"))
+        .filter(col("j.event_type").isNotNull &&
+          get_json_object(col("j.props"), "$.k").try_cast("long").isNotNull)
+        .select(col("j.event_id").cast("long"),
+          coalesce(graft.functions.LogLevel.toNumber(col("j.event_type")), lit(6)).as("level"),
+          xxhash64(col("j.props")).as("h"))
+    }
+
+    spark.stop()
+  }
+}

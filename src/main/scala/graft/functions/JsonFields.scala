@@ -1,0 +1,94 @@
+package graft.functions
+
+import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass multi-field JSON extraction as a STRUCT-returning expression.
+  *
+  * Same streaming-Jackson semantics as Spark's `json_tuple`
+  * (top-level fields only, raw JSON text for non-scalar values, null for
+  * missing/malformed), but `json_tuple` is a Generator: the plan gets a
+  * `Generate` node that is not whole-stage-codegen-able, which breaks the
+  * fused pipeline exactly where the hot decode loop lives. This
+  * expression returns a struct instead, so scan → decode → filter →
+  * project stays inside one codegen stage. Used by the throughput path
+  * (reference headline: file → json decode → devnull, README.md:35-37).
+  *
+  * Early-exit: parsing stops once every requested field has been seen —
+  * for events-like rows where the requested fields come first, this skips
+  * the tail of the object entirely.
+  */
+case class JsonFields(child: Expression, fields: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    StructType(fields.map(f => StructField(f, StringType)))
+
+  @transient private lazy val factory = new JsonFactory()
+  @transient private lazy val idx: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    fields.zipWithIndex.foreach { case (f, i) => m.put(f, i) }
+    m
+  }
+
+  def extract(input: UTF8String): InternalRow = {
+    val out = new Array[Any](fields.length)
+    try {
+      val p = factory.createParser(input.getBytes)
+      try {
+        if (p.nextToken() == JsonToken.START_OBJECT) {
+          var remaining = fields.length
+          var tok = p.nextToken()
+          while (remaining > 0 && tok == JsonToken.FIELD_NAME) {
+            val i = idx.get(p.currentName())
+            val vtok = p.nextToken()
+            if (i != null && out(i) == null) {
+              out(i) = UTF8String.fromString(valueText(p, vtok))
+              remaining -= 1
+            } else if (vtok == JsonToken.START_OBJECT || vtok == JsonToken.START_ARRAY) {
+              p.skipChildren()
+            }
+            tok = p.nextToken()
+          }
+        }
+      } finally p.close()
+    } catch { case _: Exception => () } // malformed → all-null struct
+    new GenericInternalRow(out)
+  }
+
+  /** Scalar → token text; object/array → raw JSON re-render (json_tuple
+    * parity); JSON null → null. */
+  private def valueText(p: com.fasterxml.jackson.core.JsonParser,
+                        tok: JsonToken): String = tok match {
+    case JsonToken.VALUE_NULL => null
+    case JsonToken.START_OBJECT | JsonToken.START_ARRAY =>
+      val sw = new java.io.StringWriter()
+      val g = factory.createGenerator(sw)
+      g.copyCurrentStructure(p)
+      g.close()
+      sw.toString
+    case _ => p.getText
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    extract(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonFields", this, classOf[JsonFields].getName)
+    defineCodeGen(ctx, ev, c => s"(InternalRow) $ref.extract($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JsonFields =
+    copy(child = newChild)
+  override def prettyName: String = "json_fields"
+}
+
+object JsonFields {
+  def apply(c: Column, fields: Seq[String]): Column =
+    GraftBridge.column(JsonFields(GraftBridge.expression(c), fields))
+}

