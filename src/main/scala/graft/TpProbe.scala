@@ -48,6 +48,16 @@ object TpProbe {
           xxhash64(col("j.props")).as("h"))
     }
 
+    time("json_fields2") {
+      base.select(JsonFields(col("value"),
+          Seq("event_id", "event_type", "props")).as("j"))
+        .filter(col("j.event_type").isNotNull &&
+          JsonFields(col("j.props"), Seq("k")).getField("k").try_cast("long").isNotNull)
+        .select(col("j.event_id").cast("long"),
+          coalesce(graft.functions.LogLevel.toNumber(col("j.event_type")), lit(6)).as("level"),
+          xxhash64(col("j.props")).as("h"))
+    }
+
     spark.stop()
   }
 }

@@ -10,18 +10,27 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass multi-field JSON extraction as a STRUCT-returning expression.
   *
-  * Same streaming-Jackson semantics as Spark's `json_tuple`
-  * (top-level fields only, raw JSON text for non-scalar values, null for
-  * missing/malformed), but `json_tuple` is a Generator: the plan gets a
-  * `Generate` node that is not whole-stage-codegen-able, which breaks the
-  * fused pipeline exactly where the hot decode loop lives. This
-  * expression returns a struct instead, so scan → decode → filter →
-  * project stays inside one codegen stage. Used by the throughput path
-  * (reference headline: file → json decode → devnull, README.md:35-37).
+  * Semantics follow Spark's `json_tuple` (top-level fields only, raw JSON
+  * text for non-scalar values, null for missing/malformed) with one
+  * divergence: nested object/array values are returned as their original
+  * byte span rather than re-rendered (whitespace inside nested values is
+  * preserved; `json_tuple` normalizes it away). Downstream JSON consumers
+  * parse either form identically.
   *
-  * Early-exit: parsing stops once every requested field has been seen —
-  * for events-like rows where the requested fields come first, this skips
-  * the tail of the object entirely.
+  * Two reasons this exists instead of `json_tuple`:
+  *  - `json_tuple` is a Generator: the plan gets a `Generate` node that is
+  *    not whole-stage-codegen-able, splitting the fused pipeline exactly
+  *    where the hot decode loop lives. A struct return keeps
+  *    scan → decode → filter → project in ONE codegen stage.
+  *  - the hot path is a specialized byte scanner (the same idea as the
+  *    reference's insane-json, plugin ecosystem's decode workhorse): no
+  *    parser object churn, zero-copy `UTF8String` slices for unescaped
+  *    strings, direct span capture for numbers/nested values. Anything the
+  *    scanner isn't sure about (invalid escapes, lone surrogates, syntax
+  *    it doesn't expect) falls back to a full Jackson parse of the row,
+  *    so correctness never depends on the fast path.
+  *
+  * Early-exit: scanning stops once every requested field has been seen.
   */
 case class JsonFields(child: Expression, fields: Seq[String])
     extends UnaryExpression {
@@ -30,6 +39,8 @@ case class JsonFields(child: Expression, fields: Seq[String])
     StructType(fields.map(f => StructField(f, StringType)))
 
   @transient private lazy val factory = new JsonFactory()
+  @transient private lazy val fieldBytes: Array[Array[Byte]] =
+    fields.map(_.getBytes("UTF-8")).toArray
   @transient private lazy val idx: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
     fields.zipWithIndex.foreach { case (f, i) => m.put(f, i) }
@@ -38,8 +49,224 @@ case class JsonFields(child: Expression, fields: Seq[String])
 
   def extract(input: UTF8String): InternalRow = {
     val out = new Array[Any](fields.length)
+    val b = input.getBytes
+    if (!scanFast(b, out)) {
+      java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], null)
+      jackson(b, out)
+    }
+    new GenericInternalRow(out)
+  }
+
+  // ------------------------------------------------------- fast scanner
+
+  /** Returns false when the row needs the Jackson fallback. A plain
+    * non-object / truncated row is NOT a fallback case — json_tuple
+    * yields nulls there, and so do we (return true with nulls). */
+  private def scanFast(b: Array[Byte], out: Array[Any]): Boolean = {
+    val n = b.length
+    var i = skipWs(b, 0)
+    if (i >= n || b(i) != '{') return true // non-object → all null
+    i += 1
+    var remaining = fields.length
+    var first = true
+    while (remaining > 0) {
+      i = skipWs(b, i)
+      if (i >= n) return true // truncated → nulls so far (json_tuple: null)
+      if (b(i) == '}') return true
+      if (!first) {
+        if (b(i) != ',') return false
+        i = skipWs(b, i + 1)
+        if (i >= n) return true
+      }
+      first = false
+      if (i >= n || b(i) != '"') return false
+      // --- field name (escapes in names are rare → fallback)
+      val nameStart = i + 1
+      var j = nameStart
+      while (j < n && b(j) != '"' && b(j) != '\\') j += 1
+      if (j >= n) return true
+      if (b(j) == '\\') return false
+      val fi = matchField(b, nameStart, j - nameStart)
+      i = skipWs(b, j + 1)
+      if (i >= n || b(i) != ':') return false
+      i = skipWs(b, i + 1)
+      if (i >= n) return true
+      // --- value
+      val c = b(i)
+      if (c == '"') {
+        val vs = i + 1
+        var k = vs
+        var hasEsc = false
+        while (k < n && b(k) != '"') {
+          if (b(k) == '\\') { hasEsc = true; k += 2 } else k += 1
+        }
+        if (k >= n) return true // truncated string
+        if (fi >= 0 && out(fi) == null) {
+          if (!hasEsc) out(fi) = UTF8String.fromBytes(b, vs, k - vs)
+          else {
+            val u = unescape(b, vs, k)
+            if (u == null) return false
+            out(fi) = u
+          }
+          remaining -= 1
+        }
+        i = k + 1
+      } else if (c == '{' || c == '[') {
+        val end = scanNested(b, i)
+        if (end < 0) return if (end == -2) false else true // -1 truncated
+        if (fi >= 0 && out(fi) == null) {
+          out(fi) = UTF8String.fromBytes(b, i, end - i)
+          remaining -= 1
+        }
+        i = end
+      } else if (c == 'n' && i + 4 <= n && b(i + 1) == 'u' && b(i + 2) == 'l' && b(i + 3) == 'l') {
+        if (fi >= 0 && out(fi) == null) remaining -= 1 // stays null
+        i += 4
+      } else if (c == 't' && i + 4 <= n && b(i + 1) == 'r' && b(i + 2) == 'u' && b(i + 3) == 'e') {
+        if (fi >= 0 && out(fi) == null) { out(fi) = UTF8String.fromString("true"); remaining -= 1 }
+        i += 4
+      } else if (c == 'f' && i + 5 <= n && b(i + 1) == 'a' && b(i + 2) == 'l' && b(i + 3) == 's' && b(i + 4) == 'e') {
+        if (fi >= 0 && out(fi) == null) { out(fi) = UTF8String.fromString("false"); remaining -= 1 }
+        i += 5
+      } else if (c == '-' || (c >= '0' && c <= '9')) {
+        val vs = i
+        while (i < n && (b(i) match {
+          case ',' | '}' | ' ' | '\t' | '\n' | '\r' => false
+          case _ => true
+        })) i += 1
+        if (fi >= 0 && out(fi) == null) {
+          out(fi) = UTF8String.fromBytes(b, vs, i - vs)
+          remaining -= 1
+        }
+      } else return false
+    }
+    true
+  }
+
+  /** Span of a nested object/array (string- and escape-aware). Returns
+    * the index one past the closing bracket, -1 on truncation, -2 on
+    * anomaly. */
+  private def scanNested(b: Array[Byte], start: Int): Int = {
+    val n = b.length
+    var i = start
+    var depth = 0
+    while (i < n) {
+      b(i) match {
+        case '{' | '[' => depth += 1; i += 1
+        case '}' | ']' =>
+          depth -= 1; i += 1
+          if (depth == 0) return i
+          if (depth < 0) return -2
+        case '"' =>
+          i += 1
+          while (i < n && b(i) != '"') {
+            if (b(i) == '\\') i += 2 else i += 1
+          }
+          if (i >= n) return -1
+          i += 1
+        case _ => i += 1
+      }
+    }
+    -1
+  }
+
+  private def matchField(b: Array[Byte], off: Int, len: Int): Int = {
+    var f = 0
+    while (f < fieldBytes.length) {
+      val fb = fieldBytes(f)
+      if (fb.length == len) {
+        var k = 0
+        while (k < len && fb(k) == b(off + k)) k += 1
+        if (k == len) return f
+      }
+      f += 1
+    }
+    -1
+  }
+
+  private def skipWs(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i < b.length &&
+      (b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r')) i += 1
+    i
+  }
+
+  /** JSON string unescape over [from, until). Raw bytes (already valid
+    * UTF-8) copy through; escapes decode, \uXXXX with surrogate pairing.
+    * Returns null → caller falls back to Jackson. */
+  private def unescape(b: Array[Byte], from: Int, until: Int): UTF8String = {
+    val buf = new java.io.ByteArrayOutputStream(until - from)
+    var i = from
+    while (i < until) {
+      val c = b(i)
+      if (c != '\\') { buf.write(c); i += 1 }
+      else {
+        if (i + 1 >= until) return null
+        b(i + 1) match {
+          case '"'  => buf.write('"');  i += 2
+          case '\\' => buf.write('\\'); i += 2
+          case '/'  => buf.write('/');  i += 2
+          case 'b'  => buf.write('\b'); i += 2
+          case 'f'  => buf.write('\f'); i += 2
+          case 'n'  => buf.write('\n'); i += 2
+          case 'r'  => buf.write('\r'); i += 2
+          case 't'  => buf.write('\t'); i += 2
+          case 'u' =>
+            if (i + 6 > until) return null
+            val cp0 = hex4(b, i + 2)
+            if (cp0 < 0) return null
+            i += 6
+            var cp = cp0
+            if (cp0 >= 0xD800 && cp0 < 0xDC00) {
+              // high surrogate: pair with the following \uXXXX
+              if (i + 6 > until || b(i) != '\\' || b(i + 1) != 'u') return null
+              val lo = hex4(b, i + 2)
+              if (lo < 0xDC00 || lo > 0xDFFF) return null
+              cp = 0x10000 + ((cp0 - 0xD800) << 10) + (lo - 0xDC00)
+              i += 6
+            } else if (cp0 >= 0xDC00 && cp0 <= 0xDFFF) return null // lone low
+            writeUtf8(buf, cp)
+          case _ => return null
+        }
+      }
+    }
+    UTF8String.fromBytes(buf.toByteArray)
+  }
+
+  private def hex4(b: Array[Byte], off: Int): Int = {
+    var v = 0
+    var k = 0
+    while (k < 4) {
+      val c = b(off + k)
+      val d =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else return -1
+      v = (v << 4) | d
+      k += 1
+    }
+    v
+  }
+
+  private def writeUtf8(buf: java.io.ByteArrayOutputStream, cp: Int): Unit = {
+    if (cp < 0x80) buf.write(cp)
+    else if (cp < 0x800) {
+      buf.write(0xC0 | (cp >> 6)); buf.write(0x80 | (cp & 0x3F))
+    } else if (cp < 0x10000) {
+      buf.write(0xE0 | (cp >> 12)); buf.write(0x80 | ((cp >> 6) & 0x3F))
+      buf.write(0x80 | (cp & 0x3F))
+    } else {
+      buf.write(0xF0 | (cp >> 18)); buf.write(0x80 | ((cp >> 12) & 0x3F))
+      buf.write(0x80 | ((cp >> 6) & 0x3F)); buf.write(0x80 | (cp & 0x3F))
+    }
+  }
+
+  // ---------------------------------------------------- Jackson fallback
+
+  private def jackson(bytes: Array[Byte], out: Array[Any]): Unit = {
     try {
-      val p = factory.createParser(input.getBytes)
+      val p = factory.createParser(bytes)
       try {
         if (p.nextToken() == JsonToken.START_OBJECT) {
           var remaining = fields.length
@@ -48,7 +275,7 @@ case class JsonFields(child: Expression, fields: Seq[String])
             val i = idx.get(p.currentName())
             val vtok = p.nextToken()
             if (i != null && out(i) == null) {
-              out(i) = UTF8String.fromString(valueText(p, vtok))
+              out(i) = valueText(p, vtok)
               remaining -= 1
             } else if (vtok == JsonToken.START_OBJECT || vtok == JsonToken.START_ARRAY) {
               p.skipChildren()
@@ -57,22 +284,21 @@ case class JsonFields(child: Expression, fields: Seq[String])
           }
         }
       } finally p.close()
-    } catch { case _: Exception => () } // malformed → all-null struct
-    new GenericInternalRow(out)
+    } catch { case _: Exception => () } // malformed → nulls
   }
 
-  /** Scalar → token text; object/array → raw JSON re-render (json_tuple
-    * parity); JSON null → null. */
+  /** Scalar → token text; object/array → raw JSON re-render; JSON null →
+    * null. */
   private def valueText(p: com.fasterxml.jackson.core.JsonParser,
-                        tok: JsonToken): String = tok match {
+                        tok: JsonToken): UTF8String = tok match {
     case JsonToken.VALUE_NULL => null
     case JsonToken.START_OBJECT | JsonToken.START_ARRAY =>
       val sw = new java.io.StringWriter()
       val g = factory.createGenerator(sw)
       g.copyCurrentStructure(p)
       g.close()
-      sw.toString
-    case _ => p.getText
+      UTF8String.fromString(sw.toString)
+    case _ => UTF8String.fromString(p.getText)
   }
 
   override def nullSafeEval(input: Any): Any =
