@@ -283,6 +283,78 @@ object Queries5 {
       |  FROM events)
       |SELECT event_id FROM r WHERE rn <= 3 OR (rn - 3) % 10 = 0""".stripMargin
 
+  /** postgres sink in-batch dedup on `unique` columns (first per key by
+    * arrival order wins, then server-side ON CONFLICT). */
+  val q92_pg_unique: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    graft.sinks.Sinks.pgUniqueDedup(ev, Seq("user_id", "event_type"), "event_id")
+      .select(col("event_id"))
+  }
+
+  val q92_sql: String =
+    """WITH r AS (
+      |  SELECT event_id, row_number() OVER (
+      |    PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+      |  FROM events)
+      |SELECT event_id FROM r WHERE rn = 1""".stripMargin
+
+  /** clickhouse typed column projection (strict_types=false): try-cast to
+    * the configured schema, non-conforming → null. */
+  val q93_ch_typed: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    graft.sinks.Sinks.typedProjection(ev, Seq(
+      ("event_id", col("event_id"), "long"),
+      ("k_i32", get_json_object(col("props"), "$.k"), "int"),
+      ("is_err", col("event_type") === "error", "boolean"),
+      ("ts_sec", unix_timestamp(col("ts")), "long")))
+  }
+
+  val q93_sql: String =
+    """SELECT event_id,
+      |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_i32,
+      |  event_type = 'error' AS is_err,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      |FROM events""".stripMargin
+
+  /** s3 sink dynamic bucketing (bucket_field_event + per-bucket dirs):
+    * the partition path every event would land under. */
+  val q94_s3_bucket: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    ev.select(col("event_id"),
+      concat(lit("logs/_bucket="), col("event_type"),
+        lit("/_date="), date_format(col("ts"), "yyyyMMdd")).as("s3_prefix"))
+  }
+
+  val q94_sql: String =
+    """SELECT event_id,
+      |  'logs/_bucket=' || event_type || '/_date=' || strftime(ts, '%Y%m%d')
+      |    AS s3_prefix
+      |FROM events""".stripMargin
+
+  /** decode action with keep_origin + prefix + log_decode_error_mode=
+    * withnode: invalid payloads keep the origin, get a null decoded field
+    * and an error marker. */
+  val q95_decode_options: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val raw = when(col("event_id") % 7 === 0, lit("{bad json"))
+      .otherwise(col("props"))
+    val doc0 = struct(col("event_id"), raw.as("payload"))
+    val doc = Actions.decodeJsonField(doc0, "payload", Seq("k"),
+      prefix = "dec_", keepOrigin = true, errorField = Some("dec_error"))
+    ev.select(col("event_id"),
+      doc.getField("payload").as("origin"),
+      doc.getField("dec_k").as("dec_k"),
+      doc.getField("dec_error").as("dec_error"))
+  }
+
+  val q95_sql: String =
+    """SELECT event_id,
+      |  CASE WHEN event_id % 7 = 0 THEN '{bad json' ELSE props END AS origin,
+      |  CASE WHEN event_id % 7 = 0 THEN NULL
+      |       ELSE json_extract_string(props, '$.k') END AS dec_k,
+      |  event_id % 7 = 0 AS dec_error
+      |FROM events""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -297,7 +369,11 @@ object Queries5 {
     "q88_convert_date_fail" -> q88_convert_date_fail,
     "q89_modify_trim_cut" -> q89_modify_trim_cut,
     "q90_json_fields" -> q90_json_fields,
-    "q91_debug_sampling" -> q91_debug_sampling
+    "q91_debug_sampling" -> q91_debug_sampling,
+    "q92_pg_unique" -> q92_pg_unique,
+    "q93_ch_typed" -> q93_ch_typed,
+    "q94_s3_bucket" -> q94_s3_bucket,
+    "q95_decode_options" -> q95_decode_options
   )
 
   val oracles: Map[String, String] = Map(
@@ -312,6 +388,10 @@ object Queries5 {
     "q88_convert_date_fail" -> q88_sql,
     "q89_modify_trim_cut" -> q89_sql,
     "q90_json_fields" -> q90_sql,
-    "q91_debug_sampling" -> q91_sql
+    "q91_debug_sampling" -> q91_sql,
+    "q92_pg_unique" -> q92_sql,
+    "q93_ch_typed" -> q93_sql,
+    "q94_s3_bucket" -> q94_sql,
+    "q95_decode_options" -> q95_sql
   )
 }

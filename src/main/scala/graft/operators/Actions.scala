@@ -143,6 +143,25 @@ object Actions {
     }
   }
 
+  /** decode action options (plugin/action/decode/decode.go:657-721):
+    * `keep_origin` retains the source field next to the decoded values,
+    * `prefix` namespaces the decoded fields, and
+    * log_decode_error_mode=withnode attaches an error marker field when
+    * the payload doesn't decode. Validity = a streaming probe of the
+    * whole document (get_json_object "$"), not a full parse. */
+  def decodeJsonField(doc: Column, field: String, keys: Seq[String],
+                      prefix: String = "", keepOrigin: Boolean = false,
+                      errorField: Option[String] = None): Column = {
+    val src = doc.getField(field).cast("string")
+    val valid = get_json_object(src, "$").isNotNull
+    val withKeys = keys.foldLeft(doc) { (d, k) =>
+      d.withField(prefix + k, when(valid, get_json_object(src, "$." + k)))
+    }
+    val withErr = errorField.map(f => withKeys.withField(f, !valid))
+      .getOrElse(withKeys)
+    if (keepOrigin) withErr else withErr.dropFields(field)
+  }
+
   /** parse_re2 (plugin/action/parse_re2): regex named groups → fields.
     * Spark's regexp_extract uses group indexes; `groups` maps name→index. */
   def parseRe2(doc: Column, field: FieldPath, pattern: String,

@@ -88,6 +88,39 @@ object Sinks {
                 line: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     array((unix_micros(eventTime) * 1000).cast("string"), line)
 
+  /** postgres sink in-batch dedup (plugin/output/postgres: `unique`
+    * columns → first row per key within the batch wins, then ON CONFLICT
+    * upsert server-side). */
+  def pgUniqueDedup(df: DataFrame, uniqueCols: Seq[String],
+                    orderCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(uniqueCols.map(col): _*)
+      .orderBy(col(orderCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** clickhouse/postgres typed column projection (clickhouse/infer.go,
+    * strict_types=false): each configured column try-casts to its target
+    * type, non-conforming values become null instead of failing the
+    * batch. (name, source expr, Spark type). */
+  def typedProjection(df: DataFrame,
+                      cols: Seq[(String, org.apache.spark.sql.Column, String)])
+  : DataFrame =
+    df.select(cols.map { case (name, c, tpe) => c.try_cast(tpe).as(name) }: _*)
+
+  /** s3 sink (plugin/output/s3): dynamic per-event bucket
+    * (bucket_field_event) + time-based file layout ≙ a partitioned write
+    * on (bucket, date) — the object-store-native layout at scale. */
+  def s3Write(df: DataFrame, basePath: String,
+              bucketCol: org.apache.spark.sql.Column,
+              timeCol: org.apache.spark.sql.Column): Unit =
+    df.withColumn("_bucket", bucketCol)
+      .withColumn("_date", date_format(timeCol, "yyyyMMdd"))
+      .write.mode("append").partitionBy("_bucket", "_date")
+      .json(basePath)
+
   // ------------------------------------------------- foreachBatch + DLQ
 
   /** A transport takes the rendered payload lines of one chunk.

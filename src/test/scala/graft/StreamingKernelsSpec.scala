@@ -127,4 +127,28 @@ class StreamingKernelsSpec extends AnyFunSuite {
       assert(!vals.contains("e")) // still banned during quiet period
     } finally q.stop()
   }
+
+  test("antispam credits every elapsed quiet interval, not one per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[TEvent]
+    val out = Kernels.antispam(input.toDS(),
+      AntispamCfg(intervalMs = 1000L, threshold = 3, unbanIntervals = 2))
+    val q = out.writeStream.format("memory").queryName("as_gap_out")
+      .outputMode("append").start()
+    try {
+      // interval 0: 3 events → banned
+      input.addData(
+        TEvent("src", 0L, "a"), TEvent("src", 100L, "b"), TEvent("src", 200L, "c"))
+      q.processAllAvailable()
+      assert(spark.table("as_gap_out").count() == 2)
+      // silent through intervals 1-4, next event in interval 5: the 4
+      // empty intervals are ≥ unbanIntervals quiet credits → passes
+      // (the reference's maintenance timer decrements every tick)
+      input.addData(TEvent("src", 5100L, "late"))
+      q.processAllAvailable()
+      val vals = spark.table("as_gap_out").as[TEvent].collect().map(_.value).toSet
+      assert(vals.contains("late"))
+    } finally q.stop()
+  }
 }
