@@ -355,6 +355,47 @@ object Queries5 {
       |  event_id % 7 = 0 AS dec_error
       |FROM events""".stripMargin
 
+  /** as-of join: each event picks up the latest order (by order date,
+    * then orderkey) of the same user at or before the event time —
+    * union-tag + running-last window, one shuffle, no range explosion. */
+  val q96_asof_join: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    SeqOps.asofJoin(ev, o, keyL = "user_id", tsL = "ts",
+        keyR = "o_custkey", tsR = "o_orderdate",
+        payloadR = Seq("o_orderkey"))
+      .select(col("event_id"), col("o_orderkey").as("last_order"))
+  }
+
+  val q96_sql: String =
+    """WITH j AS (
+      |  SELECT e.event_id, o.o_orderkey,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e
+      |  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+      |SELECT e.event_id, j.o_orderkey AS last_order
+      |FROM events e
+      |LEFT JOIN j ON j.event_id = e.event_id AND j.rn = 1""".stripMargin
+
+  /** skew-salted dim join (deterministic salt so the oracle is just the
+    * plain join): result must be identical to the unsalted inner join. */
+  val q97_salted_join: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    SeqOps.saltedJoin(li, o, "l_orderkey", "o_orderkey",
+        salts = 8, saltOf = col("l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderpriority"))
+  }
+
+  val q97_sql: String =
+    """SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -373,7 +414,9 @@ object Queries5 {
     "q92_pg_unique" -> q92_pg_unique,
     "q93_ch_typed" -> q93_ch_typed,
     "q94_s3_bucket" -> q94_s3_bucket,
-    "q95_decode_options" -> q95_decode_options
+    "q95_decode_options" -> q95_decode_options,
+    "q96_asof_join" -> q96_asof_join,
+    "q97_salted_join" -> q97_salted_join
   )
 
   val oracles: Map[String, String] = Map(
@@ -392,6 +435,8 @@ object Queries5 {
     "q92_pg_unique" -> q92_sql,
     "q93_ch_typed" -> q93_sql,
     "q94_s3_bucket" -> q94_sql,
-    "q95_decode_options" -> q95_sql
+    "q95_decode_options" -> q95_sql,
+    "q96_asof_join" -> q96_sql,
+    "q97_salted_join" -> q97_sql
   )
 }

@@ -81,6 +81,51 @@ object SeqOps {
       .drop("_rn")
   }
 
+  /** Distributed as-of join: for every left row, the most recent right
+    * row of the same key with right ts ≤ left ts. Implemented as the
+    * scalable union-tag + running `last(ignoreNulls)` window — ONE
+    * shuffle on the key, sequential scan per key, no range-explosion
+    * O(n·m) join anywhere, so it holds when both sides are billions of
+    * rows. Deterministic tie-break: at equal ts, right rows order before
+    * left rows, and among right rows the largest payload wins.
+    *
+    * Right's key/ts columns are aligned onto left's names; `payloadR`
+    * columns are appended to left rows (null when no right row precedes).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               keyL: String, tsL: String, keyR: String, tsR: String,
+               payloadR: Seq[String]): DataFrame = {
+    val l = left.withColumn("_is_l", lit(1))
+    val r = right
+      .select(col(keyR).as(keyL) +: col(tsR).as(tsL) +: payloadR.map(col): _*)
+      .withColumn("_is_l", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyL))
+      .orderBy(col(tsL) +: col("_is_l") +: payloadR.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payloadR.foldLeft(u) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_is_l") === 1).drop("_is_l")
+  }
+
+  /** Skew-salted dim join: the big side gets a deterministic salt in
+    * [0, salts), the dim side is replicated once per salt value, and the
+    * join key becomes (key, salt) — a hot key's rows spread over `salts`
+    * shuffle partitions instead of one. Result ≡ plain inner join.
+    * (AQE's skew-join split handles residual skew post-shuffle; salting
+    * is the plan-level fix when one key alone exceeds a partition.)
+    */
+  def saltedJoin(big: DataFrame, dim: DataFrame, bigKey: String,
+                 dimKey: String, salts: Int, saltOf: Column): DataFrame = {
+    val b = big.withColumn("_salt_b", pmod(saltOf, lit(salts)).cast("int"))
+    val d = dim.withColumn("_salt_d",
+      explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
+    b.join(d, b.col(bigKey) === d.col(dimKey) &&
+        col("_salt_b") === col("_salt_d"))
+      .drop("_salt_b", "_salt_d")
+  }
+
   /** Throttle limit_kind=size (in_memory_limiter.go:85-100): the bucket
     * accumulates event size unconditionally — rejected events still count
     * toward the bucket — and an event passes while the running total
