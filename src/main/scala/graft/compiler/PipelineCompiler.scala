@@ -40,10 +40,43 @@ object PipelineCompiler {
 
   private val yaml = new ObjectMapper(new YAMLFactory())
 
+  /** Deployment-injected transport per output type (HTTP POST, TCP
+    * write…). Tests register recorders; the default discards — this
+    * environment has no egress. */
+  @volatile var transportFactory: String => (Iterator[String] => Unit) =
+    _ => (_ => ())
+
   final case class Compiled(df: DataFrame, outputType: String,
                             outputConf: Map[String, String]) {
     /** Batch run: applies the chain and returns the resulting events. */
     def result(): DataFrame = df
+
+    /** The sink's wire payload as a one-column DataFrame — the exact
+      * bytes each configured output would transmit (Sinks wire formats,
+      * oracle-verified in q80-q84). Net transports are injected at
+      * deployment; this is the engine-side half. */
+    def payload(): DataFrame = {
+      import graft.sinks.Sinks
+      val doc = col("doc")
+      def timeCol = outputConf.get("time_field")
+        .map(f => XTime.parse(doc.getField(f).cast("string"), "rfc3339"))
+        .getOrElse(current_timestamp())
+      val rendered = outputType match {
+        case "elasticsearch" =>
+          Sinks.esBulkLines(doc,
+            outputConf.getOrElse("index_prefix", "file-d-"), timeCol)
+        case "gelf" =>
+          Sinks.gelfFrame(
+            doc.getField(outputConf.getOrElse("host_field", "host")).cast("string"),
+            doc.getField(outputConf.getOrElse("message_field", "message")).cast("string"),
+            timeCol,
+            lit(6))
+        case "splunk" => Sinks.splunkEvent(doc, timeCol)
+        case "loki"   => Sinks.lokiEntry(timeCol, to_json(doc)).cast("string")
+        case _        => to_json(doc)
+      }
+      df.select(rendered.as("payload"))
+    }
 
     /** Streaming run: wires the compiled chain to its configured sink and
       * starts the query. Commit/at-least-once = checkpoint epochs
@@ -70,6 +103,16 @@ object PipelineCompiler {
           rendered.writeStream.format("memory")
             .queryName(outputConf.getOrElse("name", "graft_pipe"))
             .option("checkpointLocation", ckpt).outputMode("append").start()
+        case "elasticsearch" | "gelf" | "splunk" | "loki" | "http" =>
+          // net sink: wire-format payload → batcher → injected transport
+          // (devnull by default in this egress-less environment)
+          val sinkFn = graft.sinks.Sinks.foreachBatchSink("payload",
+            outputConf.get("batch_size").map(_.toInt).getOrElse(1000),
+            outputConf.get("retry").map(_.toInt).getOrElse(1),
+            PipelineCompiler.transportFactory(outputType))
+          payload().writeStream
+            .foreachBatch(sinkFn)
+            .option("checkpointLocation", ckpt).start()
         case _ =>
           rendered.writeStream.format("noop")
             .option("checkpointLocation", ckpt).start()
@@ -323,6 +366,75 @@ object PipelineCompiler {
         val inner = buildDecoder(action.get("params"),
           doc.getField(action.get("field").asText()).cast("string"))
         guarded(doc.withField(action.get("field").asText(), inner))
+
+      // ---- sequence-stateful actions (batch compile → SeqOps; the
+      // streaming path uses graft.streaming.Kernels). Event-time comes
+      // from a doc field (`time_field`, rfc3339 by default); arrival
+      // order from a monotonic id, the batch analog of arrival order.
+      case "throttle" =>
+        val interval = Option(action.get("bucket_interval_seconds"))
+          .map(_.asLong()).getOrElse(60L)
+        val limit = action.get("limit").asLong()
+        val kind = Option(action.get("limit_kind")).map(_.asText()).getOrElse("count")
+        val tsF = Option(action.get("time_field")).map(_.asText()).getOrElse("time")
+        val key = Option(action.get("throttle_field"))
+          .map(f => doc.getField(f.asText()).cast("string"))
+          .getOrElse(col("source_name"))
+        val bucket = floor(
+          unix_timestamp(XTime.parse(doc.getField(tsF).cast("string"), "rfc3339"))
+            / interval).cast("long")
+        val keyed = df.withColumn("_tkey", key)
+          .withColumn("_tord", monotonically_increasing_id())
+        val out = kind match {
+          case "size" => graft.state.SeqOps.throttleSize(keyed, Seq("_tkey"),
+            bucket, "_tord", octet_length(col("value")), limit)
+          case _ => graft.state.SeqOps.throttle(keyed, Seq("_tkey"),
+            bucket, "_tord", limit.toInt)
+        }
+        out.drop("_tkey", "_tord")
+
+      case "cardinality" =>
+        val keys = Option(action.get("keys"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+        val valueF = action.get("value_field").asText()
+        val limit = action.get("limit").asInt()
+        val mode = Option(action.get("action")).map(_.asText()).getOrElse("discard")
+        val keyCols = keys.indices.map(i => s"_ck$i")
+        val withKeys = keys.zip(keyCols)
+          .foldLeft(df) { case (d, (k, c)) =>
+            d.withColumn(c, doc.getField(k).cast("string"))
+          }
+          .withColumn("_cv", doc.getField(valueF).cast("string"))
+          .withColumn("_cord", monotonically_increasing_id())
+        val out = mode match {
+          case "remove_fields" =>
+            val toRemove = paths("fields")
+            graft.state.SeqOps.cardinalityOverLimit(withKeys, keyCols, "_cv",
+                "_cord", limit)
+              .withColumn("doc", when(col("_card_over"),
+                Actions.removeFields(doc, toRemove)).otherwise(doc))
+              .drop("_card_over")
+          case _ =>
+            graft.state.SeqOps.cardinality(withKeys, keyCols, "_cv", "_cord", limit)
+        }
+        out.drop(keyCols :+ "_cv" :+ "_cord": _*)
+
+      case "antispam" =>
+        val threshold = action.get("threshold").asInt()
+        val interval = Option(action.get("interval_seconds"))
+          .map(_.asLong()).getOrElse(60L)
+        val tsF = Option(action.get("time_field")).map(_.asText()).getOrElse("time")
+        val bucket = floor(
+          unix_timestamp(XTime.parse(doc.getField(tsF).cast("string"), "rfc3339"))
+            / interval).cast("long")
+        Option(action.get("exceptions"))
+          .map(n => DoIf.compile(parseDoIf(n), resolver(df))) match {
+          case Some(ex) => graft.state.SeqOps.antispam(df, Seq("source_name"),
+            bucket, threshold, ex)
+          case None => graft.state.SeqOps.antispam(df, Seq("source_name"),
+            bucket, threshold)
+        }
+
       case other => throw new IllegalArgumentException(s"unknown action: $other")
     }
   }

@@ -126,4 +126,86 @@ class CompilerSpec extends AnyFunSuite {
     val r = out.selectExpr("doc.line.stream", "doc.line.log").collect().head
     assert(r.getString(0) == "stderr" && r.getString(1) == "oh no")
   }
+
+  test("stateful actions compile from YAML: throttle, cardinality, antispam") {
+    // 5 events of one key in one bucket, limit 2 -> 2 survive; the lone
+    // key passes untouched
+    val lines = (1 to 5).map(i =>
+      s"""{\"time\":\"2024-01-01T00:00:0$i\",\"src\":\"a\",\"v\":\"x$i\"}""") :+
+      """{"time":"2024-01-01T00:00:07","src":"b","v":"y"}"""
+    val yaml =
+      s"""input:
+         |  type: fake
+         |  lines:
+         |${lines.map(l => "    - '" + l.replace("\"", "\"") + "'").mkString("\n")}
+         |decoder:
+         |  type: json
+         |  schema: "time string, src string, v string"
+         |actions:
+         |  - type: throttle
+         |    throttle_field: src
+         |    bucket_interval_seconds: 60
+         |    limit: 2
+         |output: {type: memory}
+         |""".stripMargin
+    val out = PipelineCompiler.compile(spark, yaml).result()
+    assert(out.count() == 3) // 2 of key a + 1 of key b
+
+    val yamlCard =
+      s"""input:
+         |  type: fake
+         |  lines:
+         |${lines.map(l => "    - '" + l.replace("\"", "\"") + "'").mkString("\n")}
+         |decoder:
+         |  type: json
+         |  schema: "time string, src string, v string"
+         |actions:
+         |  - type: cardinality
+         |    keys: [src]
+         |    value_field: v
+         |    limit: 2
+         |output: {type: memory}
+         |""".stripMargin
+    val outCard = PipelineCompiler.compile(spark, yamlCard).result()
+    assert(outCard.count() == 3) // first 2 distinct v per src + key b
+
+    val yamlSpam =
+      s"""input:
+         |  type: fake
+         |  lines:
+         |${lines.map(l => "    - '" + l.replace("\"", "\"") + "'").mkString("\n")}
+         |decoder:
+         |  type: json
+         |  schema: "time string, src string, v string"
+         |actions:
+         |  - type: antispam
+         |    threshold: 100
+         |    interval_seconds: 60
+         |output: {type: memory}
+         |""".stripMargin
+    val outSpam = PipelineCompiler.compile(spark, yamlSpam).result()
+    assert(outSpam.count() == 6) // below threshold: everything passes
+  }
+
+  test("sink payload renders the configured wire format") {
+    val yaml =
+      """input:
+        |  type: fake
+        |  lines:
+        |    - '{"id":7,"msg":"hello","time":"2024-01-02T03:04:05Z"}'
+        |decoder:
+        |  type: json
+        |  schema: "id long, msg string, time string"
+        |output:
+        |  type: elasticsearch
+        |  index_prefix: logs-
+        |  time_field: time
+        |""".stripMargin
+    val p = PipelineCompiler.compile(spark, yaml).payload()
+      .collect().map(_.getString(0))
+    assert(p.length == 1)
+    assert(p.head ==
+      "{\"index\":{\"_index\":\"logs-2024-01-02\"}}\n" +
+        "{\"id\":7,\"msg\":\"hello\",\"time\":\"2024-01-02T03:04:05Z\"}")
+  }
 }
