@@ -1,0 +1,42 @@
+package graft
+import graft.ml.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object MinhashProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    def time(name: String)(f: => Long): Unit = {
+      f // warm
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name: ${(System.nanoTime()-t0)/1e9}%.3f s (n=$n)")
+    }
+    val docs = Tables(spark, dir, "documents")
+    time("0_count") { docs.count() }
+    time("1_shingles") {
+      docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("s"))
+        .select(sum(size(col("s")))).head().getLong(0)
+    }
+    time("2_hashes") {
+      docs.select(col("doc_id"), Dedup.shingleHashes(Dedup.shingles(col("text"), 3)).as("_hs"))
+        .select(sum(size(col("_hs")))).head().getLong(0)
+    }
+    time("3_signature") {
+      val h = docs.select(col("doc_id"), Dedup.shingleHashes(Dedup.shingles(col("text"), 3)).as("_hs"))
+      h.select(col("doc_id") +: Dedup.minhashSignature(col("_hs"), 9): _*)
+        .select(sum(col("mh_0"))).head().getLong(0)
+    }
+    time("4_fused_hashes") {
+      docs.select(col("doc_id"), graft.functions.ShingleHash(col("text"), 3, Dedup.P).as("_hs"))
+        .select(sum(size(col("_hs")))).head().getLong(0)
+    }
+    // cold full run (no warm call — persist inside would mask the cost)
+    val t0 = System.nanoTime()
+    val nfull = Dedup.minhashCandidates(docs, "doc_id", "text", 3, 9, 3, 3).count()
+    println(f"5_full_cold: ${(System.nanoTime()-t0)/1e9}%.3f s (n=$nfull)")
+    spark.stop()
+  }
+}

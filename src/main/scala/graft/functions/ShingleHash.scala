@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word-n-gram shingle hashes in ONE pass: lowercase → split on
+  * single spaces → n-token windows → md5-based 60-bit hash mod P.
+  *
+  * Bit-for-bit equivalent to the declarative chain
+  * `transform(shingles(text, n), t -> pmod(tokenHash(t), P))`
+  * (Dedup.scala) and to the DuckDB oracle's SQL replica, but without
+  * materializing the intermediate token array, per-position `slice`
+  * arrays, or shingle-string array — the declarative chain was measured
+  * at ~1.6 s of the 3 s q52 runtime at sf0.1. Order is first-occurrence
+  * (array_distinct semantics); MinHash consumes it order-independently.
+  *
+  * Hash = first 15 hex digits of md5 parsed base-16 (= the first 8 bytes
+  * big-endian >>> 4), then mod P — identical to
+  * `conv(substring(md5(tok),1,15),16,10) % P`.
+  */
+case class ShingleHash(child: Expression, n: Int, mod: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val md5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  def shingleHashes(input: UTF8String): GenericArrayData = {
+    // UTF8String.toLowerCase matches Spark's lower() (locale-independent)
+    val toks = input.toLowerCase.toString.split(" ", -1)
+    val cnt = math.max(toks.length - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < cnt) {
+      val end = math.min(i + n, toks.length)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    val d = md5.get()
+    while (it.hasNext) {
+      d.reset()
+      val h = d.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex digits base-16 == first 8 bytes BE >>> 4 (60 bits)
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
+      out(k) = (v >>> 4) % mod
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    shingleHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHash", this, classOf[ShingleHash].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.shingleHashes($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hash"
+}
+
+object ShingleHash {
+  def apply(c: Column, n: Int, mod: Long): Column =
+    GraftBridge.column(ShingleHash(GraftBridge.expression(c), n, mod))
+}

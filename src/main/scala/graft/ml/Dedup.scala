@@ -67,9 +67,11 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, k: Int, bands: Int, rows: Int): DataFrame = {
-    // stage 1: one md5 pass per shingle
+    // stage 1: one fused pass text → distinct shingle hashes (native
+    // expression; bit-equal to shingleHashes(shingles(...)) — see
+    // ShingleHash scaladoc for the measured win)
     val hashed = df.select(col(idCol),
-      shingleHashes(shingles(col(textCol), shingleN)).as("_hs"))
+      graft.functions.ShingleHash(col(textCol), shingleN, P).as("_hs"))
     // stage 2: k cheap arithmetic permutations over the hash array
     val sig = minhashSignature(col("_hs"), k)
     val withBands = hashed.select(col(idCol) +: bandKeys(sig, bands, rows): _*)
