@@ -9,7 +9,32 @@ import org.apache.spark.sql.SparkSession
   */
 object Registry {
   def registerAll(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "utf8_unescape", exprs => Utf8Unescape(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "mask_groups", exprs => MaskGroups(exprs.head,
+        str(exprs(1)), intList(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "normalize_tokens", exprs => NormalizeTokens(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "json_fields", exprs => JsonFields(exprs.head,
+        exprs.tail.map(str)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_hash", exprs => ShingleHash(exprs.head,
+        int(exprs(1)), long(exprs(2))), "built-in")
   }
+
+  private def str(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
+    e.eval(null).toString
+  private def int(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e.eval(null).toString.toInt
+  private def long(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+    e.eval(null).toString.toLong
+  private def intList(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Int] =
+    e.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toIntArray().toSeq
+      case other => other.toString.split(",").map(_.trim.toInt).toSeq
+    }
 }

@@ -208,4 +208,19 @@ class CompilerSpec extends AnyFunSuite {
       "{\"index\":{\"_index\":\"logs-2024-01-02\"}}\n" +
         "{\"id\":7,\"msg\":\"hello\",\"time\":\"2024-01-02T03:04:05Z\"}")
   }
+
+  test("SQL function registry exposes the native expressions") {
+    graft.functions.Registry.registerAll(spark)
+    val r = spark.sql(
+      """SELECT utf8_unescape(concat(chr(92), 'x65')) AS u,
+        |  mask_groups('card 1234 end', '([0-9]+)', array(1)) AS m,
+        |  json_fields('{"a":1,"b":"x"}', 'a', 'b') AS j,
+        |  size(shingle_hash('a b c d', 3, 4294967311)) AS ns
+        |""".stripMargin).head()
+    assert(r.getString(0) == "e")
+    assert(r.getString(1) == "card **** end")
+    assert(r.getStruct(2).getString(0) == "1")
+    assert(r.getStruct(2).getString(1) == "x")
+    assert(r.getInt(3) == 2)
+  }
 }
