@@ -396,6 +396,52 @@ object Queries5 {
     """SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin
 
+  /** Product-quantization ANN (ADC, m=4 subspaces, 16 deterministic
+    * codes): the oracle replays encode + query-distance + pivoted ADC sum
+    * in SQL with bit-identical arithmetic. */
+  val q65_ann_pq: Q = (s, dir) => {
+    val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .head().getSeq[Float](1)
+    graft.ml.Ann.pqTopK(
+      t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", q, k = 10, m = 4, nCodes = 16)
+      .select(col("vec_id"), col("rnk"))
+  }
+
+  val q65_sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  WHERE vec_id <> 0),
+      |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      |      WHERE vec_id = 0),
+      |bs AS (SELECT unnest(range(0, 4)) AS b),
+      |parts AS (
+      |  SELECT e.vec_id, bs.b, e.v[(bs.b*16+1):(bs.b*16+16)] AS sv
+      |  FROM e, bs),
+      |cb AS (SELECT vec_id AS code, b, sv AS cv FROM parts WHERE vec_id < 16),
+      |enc AS (
+      |  SELECT p.vec_id, p.b, c.code,
+      |    row_number() OVER (PARTITION BY p.vec_id, p.b ORDER BY
+      |      list_sum(list_transform(p.sv,
+      |        (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))), c.code) AS rn
+      |  FROM parts p JOIN cb c ON p.b = c.b),
+      |enc1 AS (SELECT vec_id, b, code FROM enc WHERE rn = 1),
+      |qd AS (
+      |  SELECT c.b, c.code,
+      |    list_sum(list_transform(c.cv,
+      |      (x, i) -> (x - q.qv[c.b*16+i]) * (x - q.qv[c.b*16+i]))) AS d
+      |  FROM cb c, q),
+      |adc AS (
+      |  SELECT e1.vec_id,
+      |    SUM(CASE WHEN e1.b = 0 THEN qd.d END) +
+      |    SUM(CASE WHEN e1.b = 1 THEN qd.d END) +
+      |    SUM(CASE WHEN e1.b = 2 THEN qd.d END) +
+      |    SUM(CASE WHEN e1.b = 3 THEN qd.d END) AS dist
+      |  FROM enc1 e1 JOIN qd ON e1.b = qd.b AND e1.code = qd.code
+      |  GROUP BY e1.vec_id)
+      |SELECT vec_id, row_number() OVER (ORDER BY dist, vec_id) AS rnk
+      |FROM adc ORDER BY dist, vec_id LIMIT 10""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -415,6 +461,7 @@ object Queries5 {
     "q93_ch_typed" -> q93_ch_typed,
     "q94_s3_bucket" -> q94_s3_bucket,
     "q95_decode_options" -> q95_decode_options,
+    "q65_ann_pq" -> q65_ann_pq,
     "q96_asof_join" -> q96_asof_join,
     "q97_salted_join" -> q97_salted_join
   )
@@ -436,6 +483,7 @@ object Queries5 {
     "q93_ch_typed" -> q93_sql,
     "q94_s3_bucket" -> q94_sql,
     "q95_decode_options" -> q95_sql,
+    "q65_ann_pq" -> q65_sql,
     "q96_asof_join" -> q96_sql,
     "q97_salted_join" -> q97_sql
   )

@@ -77,6 +77,64 @@ object Ann {
       .withColumn("rnk", row_number().over(Window.orderBy(desc("sim"), col(idCol))))
   }
 
+  /** Squared L2 distance, summed left-to-right (bit-identical to the SQL
+    * oracle's indexed list_transform + list_sum). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Product-quantization ANN with asymmetric distance computation: the
+    * vector splits into `m` subvectors, each quantized to its nearest
+    * code in that subspace's codebook; query distance = Σ_b of the
+    * PRE-computed query→code distance of the vector's code in subspace b.
+    *
+    * Scale shape: the stored index is just (id, m codes) — ~m bytes per
+    * vector (32× compression on floats); the codebook and the m×nCodes
+    * query-distance table are broadcasts; query time touches no
+    * full-precision vectors at all. Codebooks here are deterministic
+    * (subvectors of ids < nCodes); production swaps in k-means codebooks
+    * without changing the dataflow. The final ADC sum is pivoted per
+    * subspace so the addition order is fixed (FP determinism for the
+    * oracle).
+    */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+             query: Seq[Float], k: Int, m: Int, nCodes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = query.length
+    val sub = dim / m
+    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    val parts = e.select(col(idCol),
+      posexplode(array((0 until m).map(b => slice(col("_v"), b * sub + 1, sub)): _*))
+        .as(Seq("_b", "_sv")))
+    val codebook = parts.filter(col(idCol) < nCodes)
+      .select(col(idCol).as("_code"), col("_b"), col("_sv").as("_cv"))
+    // encode: nearest code per (vector, subspace)
+    val encoded = parts.join(broadcast(codebook), "_b")
+      .withColumn("_d", l2sq(col("_sv"), col("_cv")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(idCol), col("_b")).orderBy(col("_d"), col("_code"))))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("_b"), col("_code"))
+    // query→code distance table (m × nCodes rows, broadcast)
+    val qsubs = array((0 until m).map(b =>
+      array(query.slice(b * sub, (b + 1) * sub).map(v => lit(v.toDouble)): _*)): _*)
+    val qd = codebook
+      .withColumn("_qd", l2sq(col("_cv"), element_at(qsubs, col("_b") + 1)))
+      .select(col("_b"), col("_code"), col("_qd"))
+    // ADC: pivot per subspace then add in fixed order
+    val dcols = (0 until m).map(b =>
+      sum(when(col("_b") === b, col("_qd"))).as(s"_d$b"))
+    val dist = (0 until m).map(b => col(s"_d$b")).reduce(_ + _)
+    encoded.join(broadcast(qd), Seq("_b", "_code"))
+      .groupBy(col(idCol))
+      .agg(dcols.head, dcols.tail: _*)
+      .select(col(idCol), dist.as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("dist"), col(idCol))))
+  }
+
   /** Random-hyperplane signature: bit b = sign(dot(vec, hyperplane_b)).
     * Hyperplanes are deterministic pseudo-random from a seed so signatures
     * are reproducible across runs/executors. */
