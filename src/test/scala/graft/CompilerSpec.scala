@@ -223,4 +223,18 @@ class CompilerSpec extends AnyFunSuite {
     assert(r.getStruct(2).getString(1) == "x")
     assert(r.getInt(3) == 2)
   }
+
+  test("asofJoin: no-earlier-row gives null, equal-ts row matches, ties pick max payload") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val l = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (2L, 5L, "e3"))
+      .toDF("k", "t", "ev")
+    val r = Seq((1L, 10L, 100L), (1L, 10L, 101L), (1L, 15L, 200L), (2L, 9L, 300L))
+      .toDF("rk", "t", "pay")
+    val out = graft.state.SeqOps.asofJoin(l, r, "k", "t", "rk", "t", Seq("pay"))
+      .select(col("ev"), col("pay")).collect().map(x => (x.getString(0), Option(x.get(1)))).toMap
+    assert(out("e1").contains(101L)) // equal ts matches; tie -> max payload
+    assert(out("e2").contains(200L)) // latest earlier row
+    assert(out("e3").isEmpty)        // right row is later -> null
+  }
 }
