@@ -371,6 +371,14 @@ object PipelineCompiler {
       // streaming path uses graft.streaming.Kernels). Event-time comes
       // from a doc field (`time_field`, rfc3339 by default); arrival
       // order from a monotonic id, the batch analog of arrival order.
+      case t @ ("throttle" | "cardinality" | "antispam" | "join")
+          if df.isStreaming =>
+        // Window functions don't run on streams; fail loudly instead of
+        // compiling a plan that errors at query start.
+        throw new UnsupportedOperationException(
+          s"action '$t' in a streaming pipeline: wire the matching " +
+            "graft.streaming.Kernels kernel (flatMapGroupsWithState) — " +
+            "the YAML compiler lowers it only for batch inputs")
       case "throttle" =>
         val interval = Option(action.get("bucket_interval_seconds"))
           .map(_.asLong()).getOrElse(60L)
@@ -418,6 +426,28 @@ object PipelineCompiler {
             graft.state.SeqOps.cardinality(withKeys, keyCols, "_cv", "_cord", limit)
         }
         out.drop(keyCols :+ "_cv" :+ "_cord": _*)
+
+      case "join" =>
+        // multiline assembly (join.go:63-110): start opens, continue
+        // extends; the joined payload lands in the sequence-opening
+        // event's doc. Batch form — the streaming path uses
+        // Kernels.multiline with event_timeout flushes.
+        val fieldName = Option(action.get("field")).map(_.asText()).getOrElse("log")
+        val src = doc.getField(fieldName).cast("string")
+        val startC = src.rlike(action.get("start").asText())
+        val contRaw = src.rlike(action.get("continue").asText())
+        val contC =
+          if (Option(action.get("negate")).exists(_.asBoolean())) !contRaw else contRaw
+        val maxSize = Option(action.get("max_event_size")).map(_.asInt())
+        val base = df.withColumn("_jord", monotonically_increasing_id())
+          .withColumn("_jf", src)
+        val joined = graft.state.SeqOps.multilineJoin(base, Seq("source_name"),
+          "_jord", startC, contC, "_jf", carryCols = Seq("doc"))
+        val payload = maxSize
+          .map(m => substring(col("_jf"), 1, m)).getOrElse(col("_jf"))
+        joined
+          .withColumn("doc", col("doc").withField(fieldName, payload))
+          .drop("_jf", "_jord", "n_lines")
 
       case "antispam" =>
         val threshold = action.get("threshold").asInt()

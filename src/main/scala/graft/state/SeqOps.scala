@@ -29,7 +29,8 @@ object SeqOps {
     */
   def multilineJoin(df: DataFrame, keyCols: Seq[String], orderCol: String,
                     start: Column, cont: Column, field: String,
-                    sep: String = "\n"): DataFrame = {
+                    sep: String = "\n", carryCols: Seq[String] = Seq.empty)
+  : DataFrame = {
     val keys = keyCols.map(col)
     val wOrd = Window.partitionBy(keys: _*).orderBy(col(orderCol))
     // group id = running count of starts; grp 0 = before any start
@@ -55,15 +56,19 @@ object SeqOps {
     // two of each), and the aggregation key is a superset of the window
     // partition key so map-side partial aggregation applies.
     val seqKey = when(col("_in_seq"), lit(-1L)).otherwise(col(orderCol))
+    // carryCols (e.g. the doc struct) take the FIRST row's value — the
+    // reference writes the joined payload into the sequence-opening event
+    val carries = carryCols.map(c =>
+      min_by(col(c), col(orderCol)).as(c))
     flagged
       .groupBy(keys :+ col("_grp") :+ seqKey.as("_sk"): _*)
       .agg(
         min(col(orderCol)).as(orderCol),
-        array_join(
+        (array_join(
           transform(array_sort(collect_list(struct(col(orderCol).as("o"), col(field).as("v")))),
             s => s.getField("v")),
-          sep).as(field),
-        count(lit(1)).as("n_lines"))
+          sep).as(field) +: carries) ++
+          Seq(count(lit(1)).as("n_lines")): _*)
       .drop("_grp", "_sk")
   }
 

@@ -237,4 +237,30 @@ class CompilerSpec extends AnyFunSuite {
     assert(out("e2").contains(200L)) // latest earlier row
     assert(out("e3").isEmpty)        // right row is later -> null
   }
+
+  test("join action assembles multiline sequences into the opening event") {
+    val yaml =
+      """input:
+        |  type: fake
+        |  lines:
+        |    - '{"log":"panic: oh no","svc":"a"}'
+        |    - '{"log":"  at frame1","svc":"a"}'
+        |    - '{"log":"  at frame2","svc":"a"}'
+        |    - '{"log":"plain line","svc":"a"}'
+        |decoder:
+        |  type: json
+        |  schema: "log string, svc string"
+        |actions:
+        |  - type: join
+        |    field: log
+        |    start: '^panic:'
+        |    continue: '^\s+at '
+        |output: {type: memory}
+        |""".stripMargin
+    val out = PipelineCompiler.compile(spark, yaml).result()
+      .selectExpr("doc.log").collect().map(_.getString(0)).sorted
+    assert(out.length == 2)
+    assert(out.contains("panic: oh no\n  at frame1\n  at frame2"))
+    assert(out.contains("plain line"))
+  }
 }
