@@ -217,6 +217,22 @@ object PipelineCompiler {
 
   /** Resolver for predicates: doc fields by path, with envelope columns
     * (value, source_name) reachable under their own names. */
+  /** The (doc, source_name) envelope as JSON + its schema — how events
+    * ride through the typed streaming kernels and come back. */
+  private def envelopeType(df: DataFrame): StructType =
+    new StructType()
+      .add("doc", df.schema("doc").dataType)
+      .add("source_name", org.apache.spark.sql.types.StringType)
+
+  private def envelopeJson: Column =
+    to_json(struct(col("doc"), col("source_name")))
+
+  private def unwrapEnvelope(df: DataFrame, envCol: String,
+                             t: StructType): DataFrame =
+    df.select(from_json(col(envCol), t).as("_env"))
+      .select(col("_env.doc").as("doc"),
+        col("_env.source_name").as("source_name"))
+
   private def resolver(df: DataFrame): FieldPath => Column = { p =>
     if (df.columns.contains(p.parts.head) && p.parts.head != "doc")
       p.structCol.cast("string")
@@ -371,14 +387,76 @@ object PipelineCompiler {
       // streaming path uses graft.streaming.Kernels). Event-time comes
       // from a doc field (`time_field`, rfc3339 by default); arrival
       // order from a monotonic id, the batch analog of arrival order.
-      case t @ ("throttle" | "cardinality" | "antispam" | "join")
-          if df.isStreaming =>
-        // Window functions don't run on streams; fail loudly instead of
-        // compiling a plan that errors at query start.
-        throw new UnsupportedOperationException(
-          s"action '$t' in a streaming pipeline: wire the matching " +
-            "graft.streaming.Kernels kernel (flatMapGroupsWithState) — " +
-            "the YAML compiler lowers it only for batch inputs")
+      // Streaming lowering: Window functions don't run on streams, so the
+      // stateful actions route through the flatMapGroupsWithState kernels.
+      // The (doc, source_name) envelope rides through the kernel as JSON
+      // and is re-parsed afterwards (the one re-encode these ops pay).
+      case "join" if df.isStreaming =>
+        val fieldName = Option(action.get("field")).map(_.asText()).getOrElse("log")
+        val t = envelopeType(df)
+        val ds = df.select(col("source_name").as("key"), lit(0L).as("seq"),
+            col("doc").getField(fieldName).cast("string").as("value"),
+            envelopeJson.as("carry"))
+          .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.KEvent])
+        val cfg = graft.streaming.Kernels.MultilineCfg(
+          action.get("start").asText(), action.get("continue").asText(),
+          Option(action.get("negate")).exists(_.asBoolean()),
+          Option(action.get("max_event_size")).map(_.asInt()).getOrElse(1 << 20),
+          Option(action.get("event_timeout_ms")).map(_.asLong()).getOrElse(30000L))
+        graft.streaming.Kernels.multiline(ds, cfg).toDF()
+          .select(
+            from_json(col("carry"), t).getField("doc")
+              .withField(fieldName, col("value")).as("doc"),
+            col("key").as("source_name"))
+
+      case "throttle" if df.isStreaming =>
+        val t = envelopeType(df)
+        val tsF = Option(action.get("time_field")).map(_.asText()).getOrElse("time")
+        val key = Option(action.get("throttle_field"))
+          .map(f => col("doc").getField(f.asText()).cast("string"))
+          .getOrElse(col("source_name"))
+        val ds = df.select(key.as("key"),
+            unix_millis(XTime.parse(col("doc").getField(tsF).cast("string"),
+              "rfc3339")).as("eventTimeMs"),
+            envelopeJson.as("value"))
+          .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.TEvent])
+        val cfg = graft.streaming.Kernels.ThrottleCfg(
+          Option(action.get("bucket_interval_seconds")).map(_.asLong() * 1000)
+            .getOrElse(60000L),
+          Option(action.get("buckets_count")).map(_.asInt()).getOrElse(3),
+          action.get("limit").asLong())
+        unwrapEnvelope(graft.streaming.Kernels.throttle(ds, cfg).toDF(), "value", t)
+
+      case "cardinality" if df.isStreaming =>
+        val t = envelopeType(df)
+        val keys = Option(action.get("keys"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+        val keyCol =
+          if (keys.isEmpty) col("source_name")
+          else concat_ws("",
+            keys.map(k => col("doc").getField(k).cast("string")): _*)
+        val ds = df.select(keyCol.as("key"), lit(0L).as("seq"),
+            col("doc").getField(action.get("value_field").asText())
+              .cast("string").as("value"),
+            envelopeJson.as("carry"))
+          .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.KEvent])
+        val cfg = graft.streaming.Kernels.CardinalityCfg(action.get("limit").asInt())
+        unwrapEnvelope(graft.streaming.Kernels.cardinality(ds, cfg).toDF(), "carry", t)
+
+      case "antispam" if df.isStreaming =>
+        val t = envelopeType(df)
+        val tsF = Option(action.get("time_field")).map(_.asText()).getOrElse("time")
+        val ds = df.select(col("source_name").as("key"),
+            unix_millis(XTime.parse(col("doc").getField(tsF).cast("string"),
+              "rfc3339")).as("eventTimeMs"),
+            envelopeJson.as("value"))
+          .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.TEvent])
+        val cfg = graft.streaming.Kernels.AntispamCfg(
+          Option(action.get("interval_seconds")).map(_.asLong() * 1000)
+            .getOrElse(60000L),
+          action.get("threshold").asLong())
+        unwrapEnvelope(graft.streaming.Kernels.antispam(ds, cfg).toDF(), "value", t)
+
       case "throttle" =>
         val interval = Option(action.get("bucket_interval_seconds"))
           .map(_.asLong()).getOrElse(60L)

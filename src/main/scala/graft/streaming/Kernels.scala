@@ -18,8 +18,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Kernels {
 
   /** Generic keyed event: key = (source_id, stream) rendered as one
-    * string; seq = in-stream order (offset/seq_id); value = payload. */
-  final case class KEvent(key: String, seq: Long, value: String)
+    * string; seq = in-stream order (offset/seq_id); value = payload;
+    * carry = opaque side data that rides through untouched (the compiler
+    * puts the serialized event envelope here — multiline keeps the
+    * sequence-OPENING event's carry, per the reference's join semantics). */
+  final case class KEvent(key: String, seq: Long, value: String,
+                          carry: String = "")
 
   // ------------------------------------------------------- multiline join
 
@@ -27,7 +31,8 @@ object Kernels {
       startRe: String, continueRe: String, negate: Boolean = false,
       maxEventSize: Int = 1 << 20, timeoutMs: Long = 30000L, sep: String = "\n")
 
-  final case class MultilineState(buf: List[String], firstSeq: Long)
+  final case class MultilineState(buf: List[String], firstSeq: Long,
+                                  firstCarry: String = "")
 
   /** Multiline join (plugin/action/join/join.go:63-110): `start` opens a
     * sequence, `continue` (xor negate) extends, anything else flushes and
@@ -44,7 +49,7 @@ object Kernels {
       val capped =
         if (joined.length > cfg.maxEventSize) joined.substring(0, cfg.maxEventSize)
         else joined
-      KEvent(key, st.firstSeq, capped)
+      KEvent(key, st.firstSeq, capped, st.firstCarry)
     }
 
     implicit val outEnc = Encoders.product[KEvent]
@@ -68,10 +73,10 @@ object Kernels {
                 case Some(st) =>
                   out += flush(key, st)
                   cur =
-                    if (isStart(ev.value)) Some(MultilineState(List(ev.value), ev.seq))
+                    if (isStart(ev.value)) Some(MultilineState(List(ev.value), ev.seq, ev.carry))
                     else { out += ev; None }
                 case None =>
-                  if (isStart(ev.value)) cur = Some(MultilineState(List(ev.value), ev.seq))
+                  if (isStart(ev.value)) cur = Some(MultilineState(List(ev.value), ev.seq, ev.carry))
                   else out += ev
               }
             }

@@ -263,4 +263,31 @@ class CompilerSpec extends AnyFunSuite {
     assert(out.contains("panic: oh no\n  at frame1\n  at frame2"))
     assert(out.contains("plain line"))
   }
+
+  test("streaming pipeline lowers stateful actions to the kernels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in")
+    val lines = java.util.Arrays.asList(
+      """{"time":"2024-01-01T00:00:01Z","u":"u1","v":"a"}""",
+      """{"time":"2024-01-01T00:00:02Z","u":"u1","v":"b"}""",
+      """{"time":"2024-01-01T00:00:03Z","u":"u1","v":"c"}""",
+      """{"time":"2024-01-01T00:00:04Z","u":"u2","v":"a"}""")
+    java.nio.file.Files.write(dir.resolve("a.ndjson"), lines)
+    val yaml =
+      s"""input: {type: file, streaming: true, dir: "$dir"}
+         |decoder: {type: json, schema: "time string, u string, v string"}
+         |actions:
+         |  - type: cardinality
+         |    keys: [u]
+         |    value_field: v
+         |    limit: 2
+         |output: {type: memory, name: card_stream_out}
+         |""".stripMargin
+    val q = PipelineCompiler.compile(spark, yaml).startStream()
+    try {
+      q.processAllAvailable()
+      val vals = spark.table("card_stream_out").collect().map(_.getString(0))
+      assert(vals.length == 3) // u1: a,b within limit (c dropped); u2: a
+      assert(vals.forall(v => v.contains("\"u\":") && v.contains("\"time\":")))
+    } finally q.stop()
+  }
 }
