@@ -415,17 +415,40 @@ object PipelineCompiler {
         val key = Option(action.get("throttle_field"))
           .map(f => col("doc").getField(f.asText()).cast("string"))
           .getOrElse(col("source_name"))
-        val ds = df.select(key.as("key"),
-            unix_millis(XTime.parse(col("doc").getField(tsF).cast("string"),
-              "rfc3339")).as("eventTimeMs"),
-            envelopeJson.as("value"))
-          .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.TEvent])
-        val cfg = graft.streaming.Kernels.ThrottleCfg(
-          Option(action.get("bucket_interval_seconds")).map(_.asLong() * 1000)
-            .getOrElse(60000L),
-          Option(action.get("buckets_count")).map(_.asInt()).getOrElse(3),
-          action.get("limit").asLong())
-        unwrapEnvelope(graft.streaming.Kernels.throttle(ds, cfg).toDF(), "value", t)
+        val intervalMs = Option(action.get("bucket_interval_seconds"))
+          .map(_.asLong() * 1000).getOrElse(60000L)
+        val bucketsCount =
+          Option(action.get("buckets_count")).map(_.asInt()).getOrElse(3)
+        val limit = action.get("limit").asLong()
+        val eventTime =
+          unix_millis(XTime.parse(col("doc").getField(tsF).cast("string"), "rfc3339"))
+        Option(action.get("limit_distribution")) match {
+          case Some(ld) =>
+            // ratio sub-limits over a field's values with default-bucket
+            // stealing (distribution.go) — the DEvent kernel
+            val dField = ld.get("field").asText()
+            val ratios = ld.get("ratios").elements().asScala.toSeq.map { r =>
+              (r.get("ratio").asDouble(),
+                r.get("values").elements().asScala.map(_.asText()).toSeq)
+            }
+            val ds = df.select(key.as("key"), eventTime.as("eventTimeMs"),
+                col("doc").getField(dField).cast("string").as("dval"),
+                envelopeJson.as("value"))
+              .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.DEvent])
+            val cfg = graft.streaming.Kernels.DistributionCfg(
+              intervalMs, bucketsCount, limit, ratios)
+            unwrapEnvelope(
+              graft.streaming.Kernels.throttleDistributed(ds, cfg).toDF(),
+              "value", t)
+          case None =>
+            val ds = df.select(key.as("key"), eventTime.as("eventTimeMs"),
+                envelopeJson.as("value"))
+              .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.TEvent])
+            val cfg = graft.streaming.Kernels.ThrottleCfg(
+              intervalMs, bucketsCount, limit)
+            unwrapEnvelope(graft.streaming.Kernels.throttle(ds, cfg).toDF(),
+              "value", t)
+        }
 
       case "cardinality" if df.isStreaming =>
         val t = envelopeType(df)

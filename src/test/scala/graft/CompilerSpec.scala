@@ -290,4 +290,36 @@ class CompilerSpec extends AnyFunSuite {
       assert(vals.forall(v => v.contains("\"u\":") && v.contains("\"time\":")))
     } finally q.stop()
   }
+
+  test("streaming throttle with limit_distribution compiles to the DEvent kernel") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_distr_in")
+    val lines = new java.util.ArrayList[String]()
+    for (i <- 1 to 4) lines.add(
+      s"""{"time":"2024-01-01T00:00:0$i","lvl":"err","v":"e$i"}""")
+    for (i <- 5 to 7) lines.add(
+      s"""{"time":"2024-01-01T00:00:0$i","lvl":"info","v":"i$i"}""")
+    java.nio.file.Files.write(dir.resolve("a.ndjson"), lines)
+    val yaml =
+      s"""input: {type: file, streaming: true, dir: "$dir"}
+         |decoder: {type: json, schema: "time string, lvl string, v string"}
+         |actions:
+         |  - type: throttle
+         |    bucket_interval_seconds: 60
+         |    limit: 4
+         |    limit_distribution:
+         |      field: lvl
+         |      ratios:
+         |        - ratio: 0.5
+         |          values: [err]
+         |output: {type: memory, name: distr_stream_out}
+         |""".stripMargin
+    val q = PipelineCompiler.compile(spark, yaml).startStream()
+    try {
+      q.processAllAvailable()
+      val vals = spark.table("distr_stream_out").collect().map(_.getString(0))
+      // err share = 0.5*4 = 2; default share = 2; no spare to steal
+      assert(vals.count(_.contains("\"lvl\":\"err\"")) == 2)
+      assert(vals.count(_.contains("\"lvl\":\"info\"")) == 2)
+    } finally q.stop()
+  }
 }
