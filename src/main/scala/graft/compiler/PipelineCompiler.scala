@@ -369,8 +369,21 @@ object PipelineCompiler {
           action.get("re2").asText(), groups,
           Option(action.get("prefix")).map(_.asText()).getOrElse("")))
       case "mask" =>
-        guarded(Actions.mask(doc, action.get("field").asText(),
-          action.get("re2").asText(), action.get("replacement").asText()))
+        // process_fields: apply the mask to each listed field (mask.go
+        // whitelist); single `field` is the degenerate one-element list
+        val fields = Option(action.get("process_fields"))
+          .map(_.elements().asScala.map(_.asText()).toSeq)
+          .getOrElse(Seq(action.get("field").asText()))
+        val ignore = Option(action.get("ignore_fields"))
+          .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty)
+        val applied = Option(action.get("applied_field")).map(f =>
+          (f.asText(),
+            Option(action.get("applied_value")).map(_.asText()).getOrElse("true")))
+        val masked = fields.filterNot(ignore).foldLeft(doc) { (d, f) =>
+          Actions.mask(d, f, action.get("re2").asText(),
+            action.get("replacement").asText(), applied)
+        }
+        guarded(masked)
       case "hash" =>
         guarded(Actions.hashAction(doc, paths("fields"),
           Option(action.get("result_field")).map(_.asText()).getOrElse("hash"),
@@ -379,9 +392,30 @@ object PipelineCompiler {
       case "split" =>
         Actions.split("doc", action.get("field").asText())(df)
       case "decode" =>
-        val inner = buildDecoder(action.get("params"),
-          doc.getField(action.get("field").asText()).cast("string"))
-        guarded(doc.withField(action.get("field").asText(), inner))
+        // options (decode.go:657-721): prefix namespaces the decoded
+        // struct, keep_origin retains the source string next to it,
+        // log_decode_error_mode=withnode adds an error marker
+        val field = action.get("field").asText()
+        val prefix = Option(action.get("prefix")).map(_.asText()).getOrElse("")
+        val keepOrigin = Option(action.get("keep_origin")).exists(_.asBoolean())
+        val errMode = Option(action.get("log_decode_error_mode"))
+          .map(_.asText()).getOrElse("off")
+        val src = doc.getField(field).cast("string")
+        val inner = buildDecoder(action.get("params"), src)
+        val target = prefix + field
+        var out = doc.withField(target, inner)
+        if (!keepOrigin && target != field) out = out.dropFields(field)
+        if (errMode == "withnode") {
+          // from_json (PERMISSIVE) yields an all-null struct on bad input
+          // rather than a null struct, so the json decoder needs a
+          // streaming validity probe of the whole document
+          val failed = Option(action.get("params").get("type")).map(_.asText()) match {
+            case Some("json") => src.isNotNull && get_json_object(src, "$").isNull
+            case _            => src.isNotNull && inner.isNull
+          }
+          out = out.withField("decode_error", failed)
+        }
+        guarded(out)
 
       // ---- sequence-stateful actions (batch compile → SeqOps; the
       // streaming path uses graft.streaming.Kernels). Event-time comes

@@ -322,4 +322,43 @@ class CompilerSpec extends AnyFunSuite {
       assert(vals.count(_.contains("\"lvl\":\"info\"")) == 2)
     } finally q.stop()
   }
+
+  test("decode options and mask field lists compile from YAML") {
+    val yaml =
+      """input:
+        |  type: fake
+        |  lines:
+        |    - '{"payload":"{\"k\":\"42\"}","card":"pan 1234 x","alt":"pan 5678 y"}'
+        |    - '{"payload":"not json","card":"clean","alt":"clean"}'
+        |decoder:
+        |  type: json
+        |  schema: "payload string, card string, alt string"
+        |actions:
+        |  - type: decode
+        |    field: payload
+        |    prefix: dec_
+        |    keep_origin: true
+        |    log_decode_error_mode: withnode
+        |    params: {type: json, schema: "k string"}
+        |  - type: mask
+        |    process_fields: [card, alt]
+        |    re2: '[0-9]{4}'
+        |    replacement: '****'
+        |    applied_field: masked
+        |    applied_value: "yes"
+        |output: {type: memory}
+        |""".stripMargin
+    val rows = PipelineCompiler.compile(spark, yaml).result()
+      .selectExpr("doc.payload", "doc.dec_payload.k", "doc.decode_error",
+        "doc.card", "doc.alt", "doc.masked")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+        r.getString(3), r.getString(4), r.getString(5)))
+      .sortBy(_._1)
+    // sorted by payload: "not json" < "{...}" ('n' 0x6e < '{' 0x7b)
+    assert(rows(0)._1 == "not json")
+    assert(rows(0)._2 == null)       // decode failed
+    assert(rows(0)._3 == true)       // error marker
+    assert(rows(0)._6 == null)       // mask not applied
+    assert(rows(1) == ("""{"k":"42"}""", "42", false, "pan **** x", "pan **** y", "yes"))
+  }
 }
