@@ -181,6 +181,12 @@ object PipelineCompiler {
           .load()
           .select(org.apache.spark.sql.functions.col("value"),
             org.apache.spark.sql.functions.col("source_name"))
+      case "es_bulk" =>
+        // HTTP /_bulk push entry (§3.3) via spool files; delete actions
+        // carry no document and don't enter the decode chain
+        Sources.esBulkSpool(spark, n.get("dir").asText(),
+          Option(n.get("filename_pattern")).map(_.asText()).getOrElse("*"))
+          .filter(col("value").isNotNull)
       case "kafka" =>
         Sources.kafka(spark, n.get("brokers").asText(),
           n.get("topics").elements().asScala.map(_.asText()).toSeq,

@@ -52,6 +52,54 @@ object Sources {
       .option("host", host).option("port", port).load()
       .select(col("value"), lit(s"$host:$port").as("source_name"))
 
+  /** ES-bulk push entry point (SURVEY §3.3, plugin/input/http with
+    * /_bulk emulation): request bodies land as spool files (this
+    * environment has no ingress — an HTTP frontend appending bodies to a
+    * spool directory is the deployment-side half), and each file is
+    * replayed through the bulk state machine: `index`/`create` action
+    * lines consume the NEXT line as their document, `delete` emits
+    * without a document, `update`/garbage lines are ignored
+    * (parse_es.go:42-87 semantics).
+    *
+    * Scale shape: one group per spool file (files are request-sized),
+    * parallel across files — per-file sequential pairing is the protocol,
+    * not a bottleneck.
+    */
+  def esBulkSpool(spark: SparkSession, dir: String, glob: String = "*")
+  : DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.option("pathGlobFilter", glob).text(dir)
+      .select(col("_metadata.file_path").as("file"),
+        monotonically_increasing_id().as("pos"), col("value"))
+      .as[(String, Long, String)]
+    lines.groupByKey(_._1).flatMapGroups { (file, it) =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def actionOf(line: String): Option[(String, String)] =
+        try {
+          val n = mapper.readTree(line)
+          Seq("index", "create", "delete", "update").collectFirst {
+            case op if n.has(op) =>
+              (op, Option(n.get(op).get("_index")).map(_.asText()).getOrElse(""))
+          }
+        } catch { case _: Exception => None }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String)]
+      var pending: Option[(String, String)] = None
+      it.toSeq.sortBy(_._2).foreach { case (_, _, line) =>
+        pending match {
+          case Some((op, idx)) =>
+            out += ((file, op, idx, line)); pending = None
+          case None =>
+            actionOf(line) match {
+              case Some(("delete", idx)) => out += ((file, "delete", idx, null))
+              case Some((op @ ("index" | "create"), idx)) => pending = Some((op, idx))
+              case _ => () // update (needs script semantics) / garbage: ignored
+            }
+        }
+      }
+      out.iterator
+    }.toDF("source_name", "op", "es_index", "value")
+  }
+
   /** fake input (plugin/input/fake): literal rows, for tests/playground. */
   def fake(spark: SparkSession, lines: Seq[String]): DataFrame = {
     import spark.implicits._

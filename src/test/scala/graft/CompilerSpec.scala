@@ -361,4 +361,31 @@ class CompilerSpec extends AnyFunSuite {
     assert(rows(0)._6 == null)       // mask not applied
     assert(rows(1) == ("""{"k":"42"}""", "42", false, "pan **** x", "pan **** y", "yes"))
   }
+
+  test("es_bulk spool input pairs action and document lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bulk_in")
+    val body = java.util.Arrays.asList(
+      """{"index":{"_index":"logs-1"}}""",
+      """{"msg":"first"}""",
+      """{"create":{"_index":"logs-2"}}""",
+      """{"msg":"second"}""",
+      """{"delete":{"_index":"logs-1","_id":"7"}}""",
+      """{"update":{"_index":"logs-1"}}""",
+      """not json at all""",
+      """{"index":{"_index":"logs-3"}}""",
+      """{"msg":"third"}""")
+    java.nio.file.Files.write(dir.resolve("bulk1.ndjson"), body)
+    val yaml =
+      s"""input: {type: es_bulk, dir: "$dir"}
+         |decoder: {type: json, schema: "msg string"}
+         |output: {type: memory}
+         |""".stripMargin
+    val rows = PipelineCompiler.compile(spark, yaml).result()
+      .selectExpr("op", "es_index", "doc.msg").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._3)
+    assert(rows.toSeq == Seq(
+      ("index", "logs-1", "first"),
+      ("create", "logs-2", "second"),
+      ("index", "logs-3", "third")))
+  }
 }
