@@ -348,9 +348,14 @@ object PipelineCompiler {
           Option(action.get("style")).map(_.asText()).getOrElse("number"),
           Option(action.get("default_level")).map(_.asText())))
       case "rename" =>
+        // journald underscore escape (rename.go:14-17): a config key
+        // starting with "_" sheds ONE leading underscore — "___HOSTNAME"
+        // targets field "_HOSTNAME", "_HOSTNAME" targets "HOSTNAME"
+        def unesc(k: String) = if (k.startsWith("_")) k.substring(1) else k
         val renames = action.get("fields").properties().asScala.toSeq
-          .map(e => FieldPath.parse(e.getKey) -> e.getValue.asText())
-        guarded(Actions.rename(doc, renames))
+          .map(e => FieldPath.parse(unesc(e.getKey)) -> e.getValue.asText())
+        val over = Option(action.get("override")).forall(_.asBoolean())
+        guarded(Actions.rename(doc, renames, over))
       case "remove_fields" => guarded(Actions.removeFields(doc, paths("fields")))
       case "keep_fields"   => guarded(Actions.keepFields(doc, paths("fields")))
       case "modify" =>
