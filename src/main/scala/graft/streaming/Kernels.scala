@@ -235,6 +235,45 @@ object Kernels {
       }
   }
 
+  // ------------------------------------------------- as-of enrichment
+
+  /** Tagged two-stream event for [[asofEnrich]]: right events update the
+    * per-key state, left events read it. */
+  final case class EEvent(key: String, ts: Long, isLeft: Boolean,
+                          value: String, carry: String = "")
+  final case class EnrichState(rightValue: String, rightTs: Long)
+
+  /** Streaming as-of enrichment (stream-stream latest-value join, the
+    * streaming counterpart of SeqOps.asofJoin): each left event picks up
+    * the newest right value of its key with right.ts ≤ left.ts seen so
+    * far. State per key = ONE (value, ts) pair — bounded by construction.
+    * Within a batch events process in (ts, right-before-left) order;
+    * across batches the right state persists in the checkpoint. Late
+    * right events older than the stored state are ignored (monotone
+    * state, the standard as-of stream contract).
+    */
+  def asofEnrich(ds: Dataset[EEvent]): Dataset[KEvent] = {
+    implicit val outEnc = Encoders.product[KEvent]
+    implicit val stEnc = Encoders.product[EnrichState]
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[EnrichState, KEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, events, state: GroupState[EnrichState]) =>
+          var st = state.getOption.getOrElse(EnrichState(null, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[KEvent]
+          events.toSeq.sortBy(e => (e.ts, e.isLeft)).foreach { ev =>
+            if (!ev.isLeft) {
+              if (ev.ts >= st.rightTs) st = EnrichState(ev.value, ev.ts)
+            } else {
+              val enriched = if (st.rightTs <= ev.ts) st.rightValue else null
+              out += KEvent(key, ev.ts, ev.value, enriched)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ------------------------------------------------------------- antispam
 
   final case class AntispamCfg(intervalMs: Long, threshold: Long,

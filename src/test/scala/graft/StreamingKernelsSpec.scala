@@ -151,4 +151,34 @@ class StreamingKernelsSpec extends AnyFunSuite {
       assert(vals.contains("late"))
     } finally q.stop()
   }
+
+  test("asofEnrich attaches the latest right value at or before each left event") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import Kernels.EEvent
+    val input = MemoryStream[EEvent]
+    val out = Kernels.asofEnrich(input.toDS())
+    val q = out.writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EEvent("k", 10, isLeft = false, "r1"),
+        EEvent("k", 20, isLeft = true, "l1"),
+        EEvent("k", 15, isLeft = true, "l2"))
+      q.processAllAvailable()
+      input.addData(
+        EEvent("k", 30, isLeft = false, "r2"),
+        EEvent("k", 40, isLeft = true, "l3"))
+      q.processAllAvailable()
+      // a left event older than the persisted right state: no time travel
+      input.addData(EEvent("k", 25, isLeft = true, "l4"))
+      q.processAllAvailable()
+      val got = spark.table("asof_out").as[Kernels.KEvent].collect()
+        .map(e => e.value -> Option(e.carry).filter(_.nonEmpty)).toMap
+      assert(got("l1").contains("r1"))
+      assert(got("l2").contains("r1"))
+      assert(got("l3").contains("r2"))
+      assert(got("l4").isEmpty)
+    } finally q.stop()
+  }
 }
