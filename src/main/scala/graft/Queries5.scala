@@ -396,6 +396,24 @@ object Queries5 {
     """SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin
 
+  /** multimodal resize plumbing: deterministic stub resize to w×h bytes
+    * with dims + actual-size contract (real scaler swaps in at `data`). */
+  val q66_mm_resize: Q = (s, dir) => {
+    val payload = encode(col("text"), "UTF-8")
+    val r = graft.ml.Multimodal.resizeStub(payload, 8, 4)
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      r.getField("w").as("w"), r.getField("h").as("h"),
+      upper(hex(r.getField("data"))).as("data_hex"),
+      r.getField("n_bytes").as("n_bytes"))
+  }
+
+  val q66_sql: String =
+    """SELECT doc_id, 8 AS w, 4 AS h,
+      |  upper(hex(encode(substring(text, 1, 32)))) AS data_hex,
+      |  CAST(least(octet_length(encode(text)), 32) AS INT) AS n_bytes
+      |FROM documents""".stripMargin
+
   /** Product-quantization ANN (ADC, m=4 subspaces, 16 deterministic
     * codes): the oracle replays encode + query-distance + pivoted ADC sum
     * in SQL with bit-identical arithmetic. */
@@ -462,6 +480,7 @@ object Queries5 {
     "q94_s3_bucket" -> q94_s3_bucket,
     "q95_decode_options" -> q95_decode_options,
     "q65_ann_pq" -> q65_ann_pq,
+    "q66_mm_resize" -> q66_mm_resize,
     "q96_asof_join" -> q96_asof_join,
     "q97_salted_join" -> q97_salted_join
   )
@@ -484,6 +503,7 @@ object Queries5 {
     "q94_s3_bucket" -> q94_sql,
     "q95_decode_options" -> q95_sql,
     "q65_ann_pq" -> q65_sql,
+    "q66_mm_resize" -> q66_sql,
     "q96_asof_join" -> q96_sql,
     "q97_salted_join" -> q97_sql
   )

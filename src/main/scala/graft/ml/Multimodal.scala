@@ -48,6 +48,18 @@ object Multimodal {
       i => payload.substr(i * (octet_length(payload).cast("int") / n).cast("int") + 1,
         lit(width)))
 
+  /** Resize stub: deterministic fake resize — payload truncated to
+    * exactly w*h bytes with the target dims carried in the struct (a
+    * real image scaler swaps in at the `data` field; the schema and the
+    * size contract are the production shape). */
+  def resizeStub(payload: Column, w: Int, h: Int): Column = {
+    val target = w * h
+    struct(
+      lit(w).as("w"), lit(h).as("h"),
+      substring(payload, 1, target).as("data"),
+      least(octet_length(payload), lit(target)).as("n_bytes"))
+  }
+
   /** Batched per-partition decode — the Scala analog of mapInPandas:
     * one iterator pass per partition so a real codec initializes once
     * per partition, not per row. Appends the fake feature columns. */
