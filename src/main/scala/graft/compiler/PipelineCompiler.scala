@@ -70,12 +70,38 @@ object PipelineCompiler {
             doc.getField(outputConf.getOrElse("host_field", "host")).cast("string"),
             doc.getField(outputConf.getOrElse("message_field", "message")).cast("string"),
             timeCol,
-            lit(6))
+            outputConf.get("level_field")
+              .map(f => coalesce(
+                graft.functions.LogLevel.toNumber(doc.getField(f).cast("string")),
+                lit(6)))
+              .getOrElse(lit(6)))
         case "splunk" => Sinks.splunkEvent(doc, timeCol)
         case "loki"   => Sinks.lokiEntry(timeCol, to_json(doc)).cast("string")
         case _        => to_json(doc)
       }
       df.select(rendered.as("payload"))
+    }
+
+    /** Batch egress: writes the chain's output to the configured sink.
+      * file → NDJSON dir; s3 → dynamic-bucket partitioned layout
+      * (plugin/output/s3 semantics over any object-store path); other
+      * types → the rendered wire payload as text. */
+    def write(): Unit = outputType match {
+      case "file" =>
+        df.select(to_json(col("doc")).as("value"))
+          .write.mode("overwrite").text(outputConf("dir"))
+      case "s3" =>
+        import graft.sinks.Sinks
+        Sinks.s3Write(
+          df.select(col("doc.*")),
+          outputConf("path"),
+          col(outputConf.getOrElse("bucket_field", "bucket")),
+          outputConf.get("time_field").map(f => col(f))
+            .getOrElse(current_timestamp()))
+      case _ =>
+        payload().write.mode("overwrite").text(
+          outputConf.getOrElse("dir",
+            java.nio.file.Files.createTempDirectory("graft_out").toString))
     }
 
     /** Streaming run: wires the compiled chain to its configured sink and

@@ -388,4 +388,25 @@ class CompilerSpec extends AnyFunSuite {
       ("create", "logs-2", "second"),
       ("index", "logs-3", "third")))
   }
+
+  test("batch write: s3 output lands a dynamic-bucket partitioned layout") {
+    val out = java.nio.file.Files.createTempDirectory("graft_s3_out").toString
+    val yaml =
+      s"""input:
+         |  type: fake
+         |  lines:
+         |    - '{"bucket":"team-a","msg":"one"}'
+         |    - '{"bucket":"team-b","msg":"two"}'
+         |decoder:
+         |  type: json
+         |  schema: "bucket string, msg string"
+         |output: {type: s3, path: "$out", bucket_field: bucket}
+         |""".stripMargin
+    PipelineCompiler.compile(spark, yaml).write()
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(dirs.toSeq == Seq("_bucket=team-a", "_bucket=team-b"))
+    val back = spark.read.json(out)
+    assert(back.count() == 2)
+  }
 }
