@@ -194,6 +194,8 @@ object PipelineCompiler {
           Option(n.get("filename_pattern")).map(_.asText()).getOrElse("*"))
       case "parquet" =>
         // replay path: any parquet table re-serialized into the envelope
+        // (nanos timestamps read as long — the testdata events table)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val df = spark.read.parquet(n.get("path").asText())
         df.select(to_json(struct(df.columns.map(col): _*)).as("value"),
           lit(n.get("path").asText()).as("source_name"))
@@ -557,11 +559,12 @@ object PipelineCompiler {
         val limit = action.get("limit").asLong()
         val kind = Option(action.get("limit_kind")).map(_.asText()).getOrElse("count")
         val tsF = Option(action.get("time_field")).map(_.asText()).getOrElse("time")
+        val tsFmt = Option(action.get("time_format")).map(_.asText()).getOrElse("rfc3339")
         val key = Option(action.get("throttle_field"))
           .map(f => doc.getField(f.asText()).cast("string"))
           .getOrElse(col("source_name"))
         val bucket = floor(
-          unix_timestamp(XTime.parse(doc.getField(tsF).cast("string"), "rfc3339"))
+          unix_timestamp(XTime.parse(doc.getField(tsF).cast("string"), tsFmt))
             / interval).cast("long")
         val keyed = df.withColumn("_tkey", key)
           .withColumn("_tord", monotonically_increasing_id())
@@ -626,8 +629,9 @@ object PipelineCompiler {
         val interval = Option(action.get("interval_seconds"))
           .map(_.asLong()).getOrElse(60L)
         val tsF = Option(action.get("time_field")).map(_.asText()).getOrElse("time")
+        val tsFmt = Option(action.get("time_format")).map(_.asText()).getOrElse("rfc3339")
         val bucket = floor(
-          unix_timestamp(XTime.parse(doc.getField(tsF).cast("string"), "rfc3339"))
+          unix_timestamp(XTime.parse(doc.getField(tsF).cast("string"), tsFmt))
             / interval).cast("long")
         Option(action.get("exceptions"))
           .map(n => DoIf.compile(parseDoIf(n), resolver(df))) match {

@@ -409,4 +409,41 @@ class CompilerSpec extends AnyFunSuite {
     val back = spark.read.json(out)
     assert(back.count() == 2)
   }
+
+  test("example pipeline configs compile and run") {
+    import java.nio.file.{Files, Paths}
+    def example(name: String): String =
+      new String(Files.readAllBytes(Paths.get(s"examples/$name")), "UTF-8")
+
+    // events replay: real testdata input, runs end to end
+    val replay = PipelineCompiler.compile(spark, example("events_replay_dedup.yaml"))
+    assert(replay.result().count() == 1000)
+    assert(replay.outputType == "s3")
+
+    // k8s CRI: fixture spool dir
+    val criDir = Files.createTempDirectory("graft_cri")
+    Files.write(criDir.resolve("pod_ns_c.log"), java.util.Arrays.asList(
+      """2024-01-02T03:04:05Z stdout F {"level":"error","msg":"boom"}""",
+      """2024-01-02T03:04:06Z stderr F {"level":"info","msg":"noise"}"""))
+    val k8s = PipelineCompiler.compile(spark,
+      example("k8s_to_elasticsearch.yaml")
+        .replace("/var/log/containers", criDir.toString))
+    val k8sRows = k8s.result().selectExpr("doc.msg", "doc.level").collect()
+    assert(k8sRows.map(_.getString(0)).toSeq == Seq("boom")) // stderr discarded
+    assert(k8sRows.head.getString(1) == "3")
+    assert(k8s.payload().head().getString(0).startsWith("""{"index":{"_index":"k8s-logs-"""))
+
+    // nginx errors: fixture log, multiline + mask + gelf payload
+    val ngDir = Files.createTempDirectory("graft_ng")
+    Files.write(ngDir.resolve("error.log"), java.util.Arrays.asList(
+      """2024/01/02 03:04:05 [error] 17#17: *42 card 1111 2222 3333 4444 used""",
+      """  at handler.c:12"""))
+    val ng = PipelineCompiler.compile(spark,
+      example("nginx_errors_to_gelf.yaml")
+        .replace("/var/log/nginx", ngDir.toString))
+    val gelf = ng.payload().head().getString(0)
+    assert(gelf.contains("\"short_message\":"))
+    assert(gelf.contains("**** **** **** ****"))
+    assert(!gelf.contains("1111"))
+  }
 }
