@@ -59,7 +59,8 @@ object PipelineCompiler {
       import graft.sinks.Sinks
       val doc = col("doc")
       def timeCol = outputConf.get("time_field")
-        .map(f => XTime.parse(doc.getField(f).cast("string"), "rfc3339"))
+        .map(f => XTime.parse(doc.getField(f).cast("string"),
+          outputConf.getOrElse("time_format", "rfc3339")))
         .getOrElse(current_timestamp())
       val rendered = outputType match {
         case "elasticsearch" =>
