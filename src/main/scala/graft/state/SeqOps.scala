@@ -33,21 +33,26 @@ object SeqOps {
   : DataFrame = {
     val keys = keyCols.map(col)
     val wOrd = Window.partitionBy(keys: _*).orderBy(col(orderCol))
-    // group id = running count of starts; grp 0 = before any start
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ONE window ordering for everything (1 shuffle + 1 sort):
+    //  _grp  = running count of starts (grp 0 = before any start)
+    //  _sbrk = running count of break rows (neither start nor continue)
+    //  _sbrk0 = _sbrk as of the current group's start row
+    // A row is in-sequence iff it's the start row, or a continue row with
+    // no break since the start (_sbrk unchanged). This replaces the
+    // per-(key, grp) closedAt window, whose different sort keys forced a
+    // second sort of the whole partition.
     val withGrp = df
       .withColumn("_start", start)
       .withColumn("_cont", cont)
       .withColumn("_grp", sum(when(col("_start"), 1).otherwise(0)).over(wOrd))
-    // a sequence stays open until the first row in its group that is
-    // neither its start row nor a continue row
-    val wGrp = Window.partitionBy(keys :+ col("_grp"): _*)
-    val wGrpOrd = wGrp.orderBy(col(orderCol))
-    val closedAt = min(when(!col("_start") && !col("_cont"), col(orderCol))).over(wGrp)
-    val grpStart = min(col(orderCol)).over(wGrp)
-    val inSeq = col("_grp") > 0 &&
-      (col(orderCol) === grpStart ||
-        (col("_cont") && (closedAt.isNull || col(orderCol) < closedAt)))
-    val flagged = withGrp.withColumn("_in_seq", inSeq)
+      .withColumn("_sbrk",
+        sum(when(!col("_start") && !col("_cont"), 1).otherwise(0)).over(wOrd))
+    val flagged = withGrp
+      .withColumn("_sbrk0",
+        last(when(col("_start"), col("_sbrk")), ignoreNulls = true).over(wOrd))
+      .withColumn("_in_seq", col("_grp") > 0 &&
+        (col("_start") || (col("_cont") && col("_sbrk") === col("_sbrk0"))))
 
     // One aggregation pass produces both outputs: in-sequence rows share
     // their (key, grp) group; every other row gets a singleton group via
