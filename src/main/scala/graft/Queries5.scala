@@ -396,6 +396,50 @@ object Queries5 {
     """SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin
 
+  /** corpus-frequency document scoring (the exact-integer core of a
+    * unigram quality filter): broadcast global token counts joined back
+    * per token; per doc, Σ corpus-count and token count. The ratio is the
+    * mean-token-frequency score — derived downstream so the gated output
+    * stays in exact bigints (doubles don't hash-compare across engines).
+    * Scale shape: vocab aggregation shuffles once on token; the join back
+    * is a broadcast (vocab ≪ corpus). */
+  val q67_text_unigram: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    toks.join(broadcast(vocab), "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("sum_tf"), count(lit(1)).as("n_toks"))
+  }
+
+  val q67_sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents),
+      |vocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok)
+      |SELECT t.doc_id, SUM(v.tf) AS sum_tf, COUNT(*) AS n_toks
+      |FROM toks t JOIN vocab v ON t.tok = v.tok
+      |GROUP BY t.doc_id""".stripMargin
+
+  /** deterministic stratified sampling: per-language keep rates applied
+    * via a content-hash threshold (reproducible across runs/engines —
+    * the standard training-mix downsampling op). */
+  val q68_stratified_sample: Q = (s, dir) => {
+    val h = pmod(graft.ml.Dedup.tokenHash(col("text")), lit(1000))
+    val rate = when(col("lang") === "en", 800)
+      .when(col("lang") === "de", 500)
+      .otherwise(250)
+    t(s, dir, "documents")
+      .filter(h < rate)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  val q68_sql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE ('0x' || substr(md5(text), 1, 15))::BIGINT % 1000 <
+      |  CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500 ELSE 250 END""".stripMargin
+
   /** multimodal resize plumbing: deterministic stub resize to w×h bytes
     * with dims + actual-size contract (real scaler swaps in at `data`). */
   val q66_mm_resize: Q = (s, dir) => {
@@ -481,6 +525,8 @@ object Queries5 {
     "q95_decode_options" -> q95_decode_options,
     "q65_ann_pq" -> q65_ann_pq,
     "q66_mm_resize" -> q66_mm_resize,
+    "q67_text_unigram" -> q67_text_unigram,
+    "q68_stratified_sample" -> q68_stratified_sample,
     "q96_asof_join" -> q96_asof_join,
     "q97_salted_join" -> q97_salted_join
   )
@@ -504,6 +550,8 @@ object Queries5 {
     "q95_decode_options" -> q95_sql,
     "q65_ann_pq" -> q65_sql,
     "q66_mm_resize" -> q66_sql,
+    "q67_text_unigram" -> q67_sql,
+    "q68_stratified_sample" -> q68_sql,
     "q96_asof_join" -> q96_sql,
     "q97_salted_join" -> q97_sql
   )
