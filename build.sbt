@@ -15,6 +15,10 @@ run / fork := true
 // every line with "[info] ", which breaks machine parsing of Bench's
 // single JSON metrics line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and sbt's trailing "[success] Total time: ..." status line lands on
+// stdout AFTER the metrics JSON, so the parser (which reads the last
+// line) never sees the JSON. Suppress it so the JSON is the final line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -42,8 +42,8 @@ object Queries {
 
   val q01_sql: String =
     """SELECT l_returnflag,
-      |  SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
-      |  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+      |  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
       |  COUNT(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 

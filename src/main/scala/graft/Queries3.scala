@@ -258,8 +258,8 @@ object Queries3 {
 
   val q70_sql: String =
     """SELECT n.n_name AS n_name,
-      |  SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) *
-      |      (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS revenue_e4,
+      |  CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) *
+      |      (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
       |  COUNT(*) AS n_items
       |FROM lineitem l
       |JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -291,9 +291,9 @@ object Queries3 {
 
   val q72_sql: String =
     """SELECT o_custkey, o_orderkey,
-      |  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
       |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-      |    AS run_total_cents
+      |    AS BIGINT) AS run_total_cents
       |FROM orders""".stripMargin
 
   val q73_anti_join: Q = (s, dir) => {

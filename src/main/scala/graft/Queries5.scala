@@ -100,8 +100,8 @@ object Queries5 {
 
   val q83_sql: String =
     """SELECT event_id,
-      |  [CAST(epoch_us(ts) * 1000 AS VARCHAR),
-      |   event_type || ' ' || props] AS entry
+      |  CAST(to_json([CAST(epoch_us(ts) * 1000 AS VARCHAR),
+      |                event_type || ' ' || props]) AS VARCHAR) AS entry
       |FROM events""".stripMargin
 
   /** http sink batcher (http.go:207-281 + pipeline/batch.go): NDJSON
@@ -418,7 +418,7 @@ object Queries5 {
       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
       |  FROM documents),
       |vocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok)
-      |SELECT t.doc_id, SUM(v.tf) AS sum_tf, COUNT(*) AS n_toks
+      |SELECT t.doc_id, CAST(SUM(v.tf) AS BIGINT) AS sum_tf, COUNT(*) AS n_toks
       |FROM toks t JOIN vocab v ON t.tok = v.tok
       |GROUP BY t.doc_id""".stripMargin
 

@@ -68,6 +68,10 @@ case class JsonFields(child: Expression, fields: Seq[String])
     if (i >= n || b(i) != '{') return true // non-object → all null
     i += 1
     var remaining = fields.length
+    // First occurrence wins; `seen` (not out(fi)==null) gates the
+    // decrement so a duplicate key with a null first value can't
+    // double-decrement and early-exit before later fields are scanned.
+    val seen = new Array[Boolean](fields.length)
     var first = true
     while (remaining > 0) {
       i = skipWs(b, i)
@@ -101,32 +105,32 @@ case class JsonFields(child: Expression, fields: Seq[String])
           if (b(k) == '\\') { hasEsc = true; k += 2 } else k += 1
         }
         if (k >= n) return true // truncated string
-        if (fi >= 0 && out(fi) == null) {
+        if (fi >= 0 && !seen(fi)) {
           if (!hasEsc) out(fi) = UTF8String.fromBytes(b, vs, k - vs)
           else {
             val u = unescape(b, vs, k)
             if (u == null) return false
             out(fi) = u
           }
-          remaining -= 1
+          seen(fi) = true; remaining -= 1
         }
         i = k + 1
       } else if (c == '{' || c == '[') {
         val end = scanNested(b, i)
         if (end < 0) return if (end == -2) false else true // -1 truncated
-        if (fi >= 0 && out(fi) == null) {
+        if (fi >= 0 && !seen(fi)) {
           out(fi) = UTF8String.fromBytes(b, i, end - i)
-          remaining -= 1
+          seen(fi) = true; remaining -= 1
         }
         i = end
       } else if (c == 'n' && i + 4 <= n && b(i + 1) == 'u' && b(i + 2) == 'l' && b(i + 3) == 'l') {
-        if (fi >= 0 && out(fi) == null) remaining -= 1 // stays null
+        if (fi >= 0 && !seen(fi)) { seen(fi) = true; remaining -= 1 } // stays null
         i += 4
       } else if (c == 't' && i + 4 <= n && b(i + 1) == 'r' && b(i + 2) == 'u' && b(i + 3) == 'e') {
-        if (fi >= 0 && out(fi) == null) { out(fi) = UTF8String.fromString("true"); remaining -= 1 }
+        if (fi >= 0 && !seen(fi)) { out(fi) = UTF8String.fromString("true"); seen(fi) = true; remaining -= 1 }
         i += 4
       } else if (c == 'f' && i + 5 <= n && b(i + 1) == 'a' && b(i + 2) == 'l' && b(i + 3) == 's' && b(i + 4) == 'e') {
-        if (fi >= 0 && out(fi) == null) { out(fi) = UTF8String.fromString("false"); remaining -= 1 }
+        if (fi >= 0 && !seen(fi)) { out(fi) = UTF8String.fromString("false"); seen(fi) = true; remaining -= 1 }
         i += 5
       } else if (c == '-' || (c >= '0' && c <= '9')) {
         val vs = i
@@ -134,9 +138,9 @@ case class JsonFields(child: Expression, fields: Seq[String])
           case ',' | '}' | ' ' | '\t' | '\n' | '\r' => false
           case _ => true
         })) i += 1
-        if (fi >= 0 && out(fi) == null) {
+        if (fi >= 0 && !seen(fi)) {
           out(fi) = UTF8String.fromBytes(b, vs, i - vs)
-          remaining -= 1
+          seen(fi) = true; remaining -= 1
         }
       } else return false
     }
@@ -270,13 +274,14 @@ case class JsonFields(child: Expression, fields: Seq[String])
       try {
         if (p.nextToken() == JsonToken.START_OBJECT) {
           var remaining = fields.length
+          val seen = new Array[Boolean](fields.length) // see scanFast
           var tok = p.nextToken()
           while (remaining > 0 && tok == JsonToken.FIELD_NAME) {
             val i = idx.get(p.currentName())
             val vtok = p.nextToken()
-            if (i != null && out(i) == null) {
+            if (i != null && !seen(i)) {
               out(i) = valueText(p, vtok)
-              remaining -= 1
+              seen(i) = true; remaining -= 1
             } else if (vtok == JsonToken.START_OBJECT || vtok == JsonToken.START_ARRAY) {
               p.skipChildren()
             }

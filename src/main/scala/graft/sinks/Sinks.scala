@@ -83,10 +83,13 @@ object Sinks {
                   eventTime: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     to_json(struct(doc.as("event"), unix_timestamp(eventTime).as("time")))
 
-  /** Loki push streams entry: [tsNanos, line]. */
+  /** Loki push streams entry, serialized to its wire form: the JSON
+    * array `["<tsNanos>","<line>"]` (loki.go:253-318). Emitted as one
+    * string — the actual bytes on the wire — rather than an array
+    * column, so downstream batching/verification stays scalar. */
   def lokiEntry(eventTime: org.apache.spark.sql.Column,
                 line: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    array((unix_micros(eventTime) * 1000).cast("string"), line)
+    to_json(array((unix_micros(eventTime) * 1000).cast("string"), line))
 
   /** postgres sink in-batch dedup (plugin/output/postgres: `unique`
     * columns → first row per key within the batch wins, then ON CONFLICT
@@ -152,18 +155,24 @@ object Sinks {
       }
     dlq match {
       case Some(write) =>
-        // The mapPartitions above performs the transport sends; collect
-        // once so the lineage (and its side effects) is evaluated exactly
-        // once per micro-batch — re-evaluating would re-send every chunk.
-        val fails = failed.map(Row(_)).collect()
-        if (fails.nonEmpty) {
-          val failedDf = spark.createDataFrame(
-            spark.sparkContext.parallelize(fails.toSeq),
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("payload",
-                org.apache.spark.sql.types.StringType))))
-          write(failedDf)
-        }
+        // The mapPartitions above performs the transport sends, so its
+        // lineage must be evaluated exactly once — re-evaluating would
+        // re-send every chunk. Persist (spills, never evicts to
+        // recompute short of executor loss) and count() to materialize;
+        // failures stay distributed instead of being collected to the
+        // driver (a transport outage over a whole micro-batch would
+        // otherwise pull every rendered payload into driver memory).
+        val rows = failed.map(Row(_))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (rows.count() > 0) {
+            val failedDf = spark.createDataFrame(rows,
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("payload",
+                  org.apache.spark.sql.types.StringType))))
+            write(failedDf)
+          }
+        } finally rows.unpersist(blocking = false)
       case None => failed.count() // force evaluation; drop failures
     }
   }

@@ -167,7 +167,14 @@ object SeqOps {
           Window.partitionBy(keys: _*).orderBy(col("_first_seen"), col(valueCol))))
       .filter(col("_vrank") <= limit)
       .select(keys :+ col(valueCol): _*)
-    df.join(firsts, keyCols :+ valueCol, "left_semi")
+    // Null-safe join keys: the reference counts an absent/empty value
+    // like any other distinct value, so null-valued (and null-keyed)
+    // rows must survive the membership check rather than being dropped
+    // by equi-join null semantics. EqualNullSafe still hash-joins.
+    val l = df.as("_l"); val r = firsts.as("_r")
+    val cond = (keyCols :+ valueCol)
+      .map(c => col(s"_l.`$c`") <=> col(s"_r.`$c`")).reduce(_ && _)
+    l.join(r, cond, "left_semi")
   }
 
   /** Cardinality with action: remove_fields (cardinality.go:274-278):
@@ -184,7 +191,14 @@ object SeqOps {
         row_number().over(
           Window.partitionBy(keys: _*).orderBy(col("_first_seen"), col(valueCol))))
       .select(keys ++ Seq(col(valueCol), col("_vrank")): _*)
-    df.join(firsts, keyCols :+ valueCol)
+    // Null-safe join (see cardinality): "every row passes" includes
+    // rows whose value field is null — they must reach the output with
+    // their over-limit flag, not vanish on a null equi-join key.
+    val l = df.as("_l"); val r = firsts.as("_r")
+    val cond = (keyCols :+ valueCol)
+      .map(c => col(s"_l.`$c`") <=> col(s"_r.`$c`")).reduce(_ && _)
+    l.join(r, cond)
+      .select(df.columns.map(c => col(s"_l.`$c`")) :+ col("_r._vrank"): _*)
       .withColumn("_card_over", col("_vrank") > limit)
       .drop("_vrank")
   }

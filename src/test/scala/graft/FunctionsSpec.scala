@@ -50,6 +50,10 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ex("""{"a": """) == Seq("1", null, null) ||
       ex("""{"a": """) == Seq(null, null, null))
     assert(ex("""[1,2]""") == Seq(null, null, null))
+    // duplicate key with null first value must not double-decrement the
+    // remaining-fields counter and early-exit before later fields
+    assert(ex("""{"a":null,"a":1,"b":2,"c":3}""") == Seq(null, "2", "3"))
+    assert(ex("""{"a":"x","a":"y","b":"z"}""") == Seq("x", "z", null))
   }
 
   test("LogLevel maps aliases per RFC-5424") {

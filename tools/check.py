@@ -25,38 +25,59 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 fails = []
-def norm(v):
-    if isinstance(v, float):
-        return round(v, 6)
-    return v
 
+# The driver materializes BOTH sides as pandas frames, sorts columns by
+# name, lexsorts rows, then hashes values. Two consequences we must
+# reproduce (round-2 postmortem):
+#   * DuckDB promotes SUM(BIGINT) -> HUGEINT, which pandas renders as
+#     float64; a float64 column can never hash-equal Spark's int64 even
+#     when every value is numerically identical. So compare DTYPES, and
+#     compare values exactly (no rounding).
+#   * array/struct-typed columns crash the driver's pandas lexsort
+#     ("unhashable type: numpy.ndarray"); surface that as a FAIL here.
 for name in sorted(oracle):
     files = glob.glob(f"{OUT}/{name}/*.parquet")
     if not files:
         fails.append((name, "no spark output")); print(f"FAIL {name}: no spark output"); continue
     try:
-        got = con.sql(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").fetchall()
-        gcols = [d[0] for d in con.sql(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet') LIMIT 0").description]
-        exp = con.sql(oracle[name]).fetchall()
-        ecols = [d[0] for d in con.sql(f"SELECT * FROM ({oracle[name]}) LIMIT 0").description]
-    except Exception as e:
-        fails.append((name, str(e))); print(f"FAIL {name}: oracle error {e}"); continue
-    if sorted(gcols) != sorted(ecols):
-        fails.append((name, f"cols {sorted(gcols)} != {sorted(ecols)}"))
-        print(f"FAIL {name}: cols {sorted(gcols)} != {sorted(ecols)}"); continue
-    gi = [gcols.index(c) for c in sorted(gcols)]
-    ei = [ecols.index(c) for c in sorted(ecols)]
-    g = sorted([tuple(norm(r[i]) for i in gi) for r in got], key=lambda x: tuple(str(v) for v in x))
-    e = sorted([tuple(norm(r[i]) for i in ei) for r in exp], key=lambda x: tuple(str(v) for v in x))
+        g = con.sql(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").df()
+        e = con.sql(oracle[name]).df()
+    except Exception as ex:
+        fails.append((name, str(ex))); print(f"FAIL {name}: oracle error {ex}"); continue
+    if sorted(g.columns) != sorted(e.columns):
+        fails.append((name, f"cols {sorted(g.columns)} != {sorted(e.columns)}"))
+        print(f"FAIL {name}: cols {sorted(g.columns)} != {sorted(e.columns)}"); continue
+    g = g[sorted(g.columns)]; e = e[sorted(e.columns)]
+    # Kind-level only: round-2 driver data shows int32-vs-int64 is
+    # hash-green (q71 rnk), while float64-vs-int64 (HUGEINT promotion)
+    # and object-vs-anything are hash-red.
+    def kind(s):
+        k = s.dtype.kind
+        return "i" if k in "iu" else k
+    dt = [(c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
+          if kind(g[c]) != kind(e[c])]
+    if dt:
+        fails.append((name, f"dtype mismatch {dt}"))
+        print(f"FAIL {name}: dtype mismatch (spark,oracle) {dt} — driver hash would differ"); continue
     if len(g) != len(e):
         fails.append((name, f"rows {len(g)} != {len(e)}"))
         print(f"FAIL {name}: rows {len(g)} != {len(e)}"); continue
-    bad = [(a, b) for a, b in zip(g, e) if a != b]
-    if bad:
-        fails.append((name, f"{len(bad)} mismatched rows, first: {bad[0]}"))
-        print(f"FAIL {name}: {len(bad)}/{len(g)} rows differ\n  spark={bad[0][0]}\n  duck ={bad[0][1]}")
-    else:
+    try:
+        cols = list(g.columns)
+        gs = g.sort_values(by=cols).reset_index(drop=True)
+        es = e.sort_values(by=cols).reset_index(drop=True)
+    except Exception as ex:
+        fails.append((name, f"driver lexsort would crash: {ex}"))
+        print(f"FAIL {name}: driver lexsort would crash: {ex}"); continue
+    neq = (gs != es) & ~(gs.isna() & es.isna())
+    bad = neq.any(axis=1)
+    if not bad.any():
         print(f"PASS {name} ({len(g)} rows)")
+    else:
+        i = int(bad.idxmax())
+        fails.append((name, f"{int(bad.sum())} mismatched rows"))
+        print(f"FAIL {name}: {int(bad.sum())}/{len(g)} rows differ\n"
+              f"  spark={tuple(gs.iloc[i])}\n  duck ={tuple(es.iloc[i])}")
 
 print(f"\n{len(oracle)-len(fails)}/{len(oracle)} PASS")
 sys.exit(1 if fails else 0)
