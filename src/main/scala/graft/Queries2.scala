@@ -446,6 +446,85 @@ object Queries2 {
       |SELECT user_id, event_id, line, CAST(1 AS BIGINT) AS n_lines
       |FROM f WHERE NOT in_seq""".stripMargin
 
+  /** Predicate-table oracle for the exact join_template scan ports
+    * (template/go_panic.go, cs_exception.go, go_data_race.go): 28
+    * fixture line forms — including the first-occurrence and
+    * scan-backwards corner cases a regex approximation gets wrong
+    * (forms 14, 21, 23) — with every template's start/continue decision
+    * as output columns. The oracle hardcodes the expected decision per
+    * form; any drift in the ports flips a boolean and fails the hash. */
+  val q46_join_template_forms: Q = (s, dir) => {
+    import graft.state.JoinTemplates._
+    val form = pmod(col("event_id"), lit(28))
+    val line = Queries2.templateForm(form)
+    t(s, dir, "events")
+      .select(form.as("form"), line.as("line")).distinct()
+      .select(col("form"), col("line"),
+        goPanicStart(col("line")).as("go_st"),
+        goPanicContinue(col("line")).as("go_cont"),
+        csExceptionStart(col("line")).as("cs_st"),
+        csExceptionContinue(col("line")).as("cs_cont"),
+        goDataRaceStart(col("line")).as("dr_st"),
+        goDataRaceContinue(col("line")).as("dr_cont"))
+  }
+
+  /** The 28 fixture forms, shared with the spec. Index = event_id mod 28. */
+  val templateFormStrings: Seq[String] = Seq(
+    /* 0*/ "http: panic serving 10.0.0.1:80: runtime error",
+    /* 1*/ "[signal SIGSEGV: segmentation violation code=0x1 addr=0x18 pc=0x45fbb1]",
+    /* 2*/ "",
+    /* 3*/ "   ",
+    /* 4*/ "goroutine 82 [chan receive, 5 minutes]:",
+    /* 5*/ "net/http.(*conn).serve(0xc8402f5600, 0x7f26d69b2a58)",
+    /* 6*/ "created by net/http.(*Server).Serve",
+    /* 7*/ "\t/usr/local/go/src/net/http/server.go:1739 +0x98",
+    /* 8*/ "panic(0x12e2c80, 0xc000010450)",
+    /* 9*/ "re-panic: recovered value",
+    /*10*/ "<autogenerated>:1 +0x29",
+    /*11*/ "exit status 2",
+    /*12*/ "normal log line",
+    /*13*/ "value (foo.bar)",
+    /*14*/ "goroutine abc goroutine 99 [running]:",
+    /*15*/ "Unhandled exception. System.InvalidOperationException: oops",
+    /*16*/ "   UNHANDLED EXCEPTION: boom",
+    /*17*/ "   at Program.Main(String[] args)",
+    /*18*/ "at-rest data",
+    /*19*/ " ---> System.IO.FileNotFoundException: missing",
+    /*20*/ "   --- End of inner exception stack trace ---",
+    /*21*/ "Exception: bare",
+    /*22*/ "My.Custom.Exception: x",
+    /*23*/ ".Exception: x",
+    /*24*/ "WARNING: DATA RACE",
+    /*25*/ "==================",
+    /*26*/ "Read at 0x00c000123 by goroutine 7:",
+    /*27*/ "fatal error: all goroutines are asleep - deadlock!")
+
+  private def templateForm(form: Column): Column =
+    templateFormStrings.zipWithIndex.tail.foldLeft(
+      when(form === 0, lit(templateFormStrings.head))) {
+      case (acc, (s, i)) => acc.when(form === i, lit(s))
+    }
+
+  val q46_sql: String = {
+    // chr(9) keeps the tab out of the SQL literal
+    val cases = templateFormStrings.zipWithIndex.map { case (s, i) =>
+      val esc = s.replace("'", "''").replace("\t", "' || chr(9) || '")
+      s"WHEN $i THEN '$esc'"
+    }.mkString("\n      ")
+    s"""WITH f AS (SELECT DISTINCT event_id % 28 AS form FROM events),
+       |l AS (SELECT form, CASE form
+       |      $cases
+       |      END AS line FROM f)
+       |SELECT form, line,
+       |  form IN (0, 27) AS go_st,
+       |  form IN (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 17) AS go_cont,
+       |  form IN (15, 16) AS cs_st,
+       |  form IN (15, 17, 19, 20, 22) AS cs_cont,
+       |  form IN (24) AS dr_st,
+       |  form NOT IN (25) AS dr_cont
+       |FROM l""".stripMargin
+  }
+
   val q42_throttle: Q = (s, dir) =>
     SeqOps.throttle(t(s, dir, "events"), Seq("event_type"),
       bucket = date_trunc("day", col("ts")), orderCol = "event_id", limit = 20)
@@ -556,6 +635,7 @@ object Queries2 {
     "q31_act_hash_xx" -> q31_act_hash_xx,
     "q40_join_multiline" -> q40_join_multiline,
     "q41_join_template" -> q41_join_template,
+    "q46_join_template_forms" -> q46_join_template_forms,
     "q42_throttle" -> q42_throttle,
     "q43_cardinality" -> q43_cardinality,
     "q44_antispam" -> q44_antispam,
@@ -583,6 +663,7 @@ object Queries2 {
     "q30_act_debug" -> q30_sql,
     "q40_join_multiline" -> q40_sql,
     "q41_join_template" -> q41_sql,
+    "q46_join_template_forms" -> q46_sql,
     "q42_throttle" -> q42_sql,
     "q43_cardinality" -> q43_sql,
     "q44_antispam" -> q44_sql,

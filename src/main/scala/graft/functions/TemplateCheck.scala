@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** join_template predicate as a native expression (reference: the
+  * plugin/action/join_template/template dir). The predicate tables are
+  * multi-pass substring scans with first/last-occurrence semantics that
+  * regexp_like can't reproduce exactly (and a regex port would be the
+  * slower spelling of the thing the reference deliberately de-regexed),
+  * so this delegates to the static ports in
+  * [[graft.state.JoinTemplateMatch]] — one static call per row, stays
+  * inside whole-stage codegen.
+  *
+  * `start = false` yields the CONTINUE decision with the template's
+  * Negate flag already applied (go_data_race continues while the finish
+  * separator has not matched).
+  */
+case class TemplateCheck(child: Expression, template: Int, start: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    graft.state.JoinTemplateMatch.check(input.asInstanceOf[UTF8String], template, start)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.state.JoinTemplateMatch.check($c, $template, $start)")
+  override protected def withNewChildInternal(newChild: Expression): TemplateCheck =
+    copy(child = newChild)
+  override def prettyName: String = "template_check"
+}
+
+object TemplateCheck {
+  def apply(line: Column, template: Int, start: Boolean): Column =
+    GraftBridge.column(TemplateCheck(GraftBridge.expression(line), template, start))
+}

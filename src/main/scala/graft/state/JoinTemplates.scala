@@ -1,38 +1,43 @@
 package graft.state
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
+
+import graft.functions.TemplateCheck
+import graft.state.{JoinTemplateMatch => M}
 
 /** join_template's prebuilt sequence predicates (reference:
-  * plugin/action/join_template/template dir) — non-regex prefix/contains
-  * checks compiled to Columns, shared with the multiline kernel.
+  * plugin/action/join_template/template dir) as Columns, shared by the
+  * batch multiline join and the streaming kernel. Each is the native
+  * [[TemplateCheck]] expression over the exact scan ports in
+  * [[JoinTemplateMatch]] — not the approximate prefix/regex sketch these
+  * started as.
   */
 object JoinTemplates {
 
-  /** go_panic template: a panic line opens, stack-frame-ish lines
-    * continue (goroutine header, function call lines, indented file:line
-    * frames). */
+  /** go_panic: `panic:`/`fatal error:` prefixes or an embedded
+    * `http: panic serving` open a block; stack-shaped lines (goroutine
+    * headers, `.go:N` frames, `created by`, call lines, signal/address
+    * lines, blank lines) continue it. */
   def goPanicStart(line: Column): Column =
-    line.startsWith("panic: ") || line.startsWith("fatal error: ")
+    TemplateCheck(line, M.GoPanic, start = true)
 
   def goPanicContinue(line: Column): Column =
-    line.startsWith("goroutine ") ||
-      line.startsWith("main.") ||
-      line.startsWith("    /go/src/") ||
-      line.startsWith("\t") ||
-      line.startsWith("created by ") ||
-      line.rlike("^\\S+\\.go:\\d+")
+    TemplateCheck(line, M.GoPanic, start = false)
 
-  /** cs_exception template: exception header opens, `at ...` frames
-    * continue. */
+  /** cs_exception: case-insensitive `Unhandled exception` opens;
+    * `at ...` frames, `--->` chains, `--- End of` trailers and
+    * `<name>Exception:` lines continue. */
   def csExceptionStart(line: Column): Column =
-    line.rlike("^(Unhandled exception|\\w+(\\.\\w+)*Exception[:\\s])")
+    TemplateCheck(line, M.CsException, start = true)
 
   def csExceptionContinue(line: Column): Column =
-    trim(line).startsWith("at ") || line.startsWith("   ---")
+    TemplateCheck(line, M.CsException, start = false)
 
-  /** go_data_race template. */
-  def goDataRaceStart(line: Column): Column = line.startsWith("WARNING: DATA RACE")
+  /** go_data_race: negated template — the block runs from the
+    * `WARNING: DATA RACE` header until the `==========` separator. */
+  def goDataRaceStart(line: Column): Column =
+    TemplateCheck(line, M.GoDataRace, start = true)
+
   def goDataRaceContinue(line: Column): Column =
-    !line.startsWith("==================") || line.contains("DATA RACE")
+    TemplateCheck(line, M.GoDataRace, start = false)
 }
