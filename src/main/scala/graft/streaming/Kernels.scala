@@ -281,9 +281,29 @@ object Kernels {
   final case class SpamState(bucket: Long, count: Long, quietIntervals: Int,
                              banned: Boolean)
 
-  /** Source ban (pipeline/antispam/antispammer.go:20-80): a source
-    * exceeding `threshold` events per interval is banned; unbanned after
-    * `unbanIntervals` consecutive quiet intervals. */
+  /** Source ban (pipeline/antispam/antispammer.go IsSpam + Maintenance):
+    * a source whose interval produced ≥ `threshold` events is banned
+    * starting at the NEXT interval — the ban counter flips the drop
+    * decision at the maintenance tick, so events up to the end of the
+    * spammy interval still pass, exactly like the batch analog
+    * [[graft.state.SeqOps.antispam]] (bans bucket N+1). The ban then
+    * decays: each elapsed interval whose count stayed under the
+    * threshold earns one quiet credit (a silent source earns one per
+    * elapsed empty interval — the maintenance timer ticks regardless of
+    * traffic), and `unbanIntervals` credits lift the ban, mirroring the
+    * counter jumping to unbanIterations×threshold on ban and shedding
+    * `threshold` per tick. Banned intervals still count their (dropped)
+    * events, so a still-spamming source re-arms its own ban.
+    *
+    * Documented delta: the reference also drops events of the CURRENT
+    * interval once its in-flight counter crosses the threshold
+    * mid-interval, and skips the counter increment when consecutive
+    * events arrive ≥ interval apart — both depend on wall-clock arrival
+    * order inside an interval, which a deterministic replay can't
+    * reproduce; this kernel is the interval-granular projection. With
+    * `unbanIntervals = 1` it is exactly equivalent to the batch op
+    * (spec-asserted in StreamingKernelsSpec).
+    */
   def antispam(ds: Dataset[TEvent], cfg: AntispamCfg): Dataset[TEvent] = {
     implicit val outEnc = Encoders.product[TEvent]
     implicit val stEnc = Encoders.product[SpamState]
@@ -295,25 +315,25 @@ object Kernels {
           val out = scala.collection.mutable.ArrayBuffer.empty[TEvent]
           events.toSeq.sortBy(_.eventTimeMs).foreach { ev =>
             val bucket = ev.eventTimeMs / cfg.intervalMs
-            // Credit every elapsed interval, not one per observed bucket
-            // change: the reference's maintenance timer decrements the ban
-            // counter each tick regardless of traffic
-            // (pipeline/antispam/antispammer.go maintenance loop), so a
-            // source silent for N intervals earns N quiet credits at once.
             // Out-of-order buckets (bucket < st.bucket) fold into the
             // current bucket instead of resetting the count.
             if (st.bucket == Long.MinValue) {
               st = SpamState(bucket, 0L, 0, banned = false)
             } else if (bucket > st.bucket) {
-              val base = if (st.count < cfg.threshold) st.quietIntervals + 1 else 0
-              val quiet = math.min(
-                base.toLong + (bucket - st.bucket - 1),
-                cfg.unbanIntervals.toLong).toInt
-              val stillBanned = st.banned && quiet < cfg.unbanIntervals
-              st = SpamState(bucket, 0L, quiet, stillBanned)
+              val gap = bucket - st.bucket - 1 // empty (quiet) intervals
+              if (st.count >= cfg.threshold) {
+                // Closed interval was spammy: ban arms at st.bucket+1,
+                // then the empty gap intervals decay it.
+                val quiet = math.min(gap, cfg.unbanIntervals.toLong).toInt
+                st = SpamState(bucket, 0L, quiet, banned = quiet < cfg.unbanIntervals)
+              } else {
+                val quiet = math.min(
+                  st.quietIntervals + 1L + gap, cfg.unbanIntervals.toLong).toInt
+                st = SpamState(bucket, 0L, quiet,
+                  banned = st.banned && quiet < cfg.unbanIntervals)
+              }
             }
             st = st.copy(count = st.count + 1)
-            if (st.count >= cfg.threshold) st = st.copy(banned = true, quietIntervals = 0)
             if (!st.banned) out += ev
           }
           state.update(st)

@@ -65,9 +65,9 @@ object StreamDemo {
     val aq = Kernels.antispam(as.toDS(), AntispamCfg(1000L, 3, 2))
       .writeStream.format("memory").queryName("demo_as").outputMode("append").start()
     as.addData(TEvent("src", 0, "a"), TEvent("src", 1, "b"), TEvent("src", 2, "c"),
-      TEvent("src", 3, "d"))
+      TEvent("src", 3, "d"), TEvent("src", 1001, "e"))
     aq.processAllAvailable()
-    println("== antispam (expect a,b only) ==")
+    println("== antispam (expect a-d; e banned — interval 0 was spammy) ==")
     spark.table("demo_as").show(false)
 
     // throttle with limit_distribution (README example: 100 → 50/30/20)

@@ -111,12 +111,14 @@ class StreamingKernelsSpec extends AnyFunSuite {
     val q = out.writeStream.format("memory").queryName("as_out")
       .outputMode("append").start()
     try {
-      // 4 events in interval 0: 3rd hits threshold → banned from then on
+      // 4 events in interval 0 reach the threshold, but the ban flips at
+      // the next maintenance tick — interval 0's own events all pass
+      // (same timing as the batch SeqOps.antispam: ban bucket N+1)
       input.addData(
         TEvent("src", 0L, "a"), TEvent("src", 100L, "b"),
         TEvent("src", 200L, "c"), TEvent("src", 300L, "d"))
       q.processAllAvailable()
-      assert(spark.table("as_out").count() == 2)
+      assert(spark.table("as_out").count() == 4)
       // quiet interval 1 and 2 (1 event each, below threshold) → unban at 3
       input.addData(TEvent("src", 1100L, "e"))
       input.addData(TEvent("src", 2100L, "f"))
@@ -124,7 +126,8 @@ class StreamingKernelsSpec extends AnyFunSuite {
       q.processAllAvailable()
       val vals = spark.table("as_out").as[TEvent].collect().map(_.value).toSet
       assert(vals.contains("g")) // unbanned after 2 quiet intervals
-      assert(!vals.contains("e")) // still banned during quiet period
+      assert(!vals.contains("e")) // banned: interval 0 was spammy
+      assert(!vals.contains("f")) // still banned: only 1 quiet credit so far
     } finally q.stop()
   }
 
@@ -137,11 +140,11 @@ class StreamingKernelsSpec extends AnyFunSuite {
     val q = out.writeStream.format("memory").queryName("as_gap_out")
       .outputMode("append").start()
     try {
-      // interval 0: 3 events → banned
+      // interval 0: 3 events → spammy; its own events pass, ban arms at 1
       input.addData(
         TEvent("src", 0L, "a"), TEvent("src", 100L, "b"), TEvent("src", 200L, "c"))
       q.processAllAvailable()
-      assert(spark.table("as_gap_out").count() == 2)
+      assert(spark.table("as_gap_out").count() == 3)
       // silent through intervals 1-4, next event in interval 5: the 4
       // empty intervals are ≥ unbanIntervals quiet credits → passes
       // (the reference's maintenance timer decrements every tick)
@@ -150,6 +153,51 @@ class StreamingKernelsSpec extends AnyFunSuite {
       val vals = spark.table("as_gap_out").as[TEvent].collect().map(_.value).toSet
       assert(vals.contains("late"))
     } finally q.stop()
+  }
+
+  test("antispam streaming kernel ≡ batch SeqOps.antispam on the same sequence") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor}
+    // Shared event sequence exercising: spam bucket, events during a
+    // banned bucket (counted but dropped), unban after an under-threshold
+    // bucket, re-arm, gap-unban, and an independent clean source.
+    val events = Seq(
+      // src1 bucket 0: spammy (4 ≥ 3) — all pass, ban arms at bucket 1
+      TEvent("src1", 0L, "a1"), TEvent("src1", 100L, "a2"),
+      TEvent("src1", 200L, "a3"), TEvent("src1", 300L, "a4"),
+      // src1 bucket 1: banned (2 events dropped, still counted, < 3)
+      TEvent("src1", 1000L, "b1"), TEvent("src1", 1100L, "b2"),
+      // src1 bucket 2: unbanned (bucket 1 stayed under threshold)
+      TEvent("src1", 2000L, "c1"),
+      // src1 bucket 3: spammy again
+      TEvent("src1", 3000L, "d1"), TEvent("src1", 3100L, "d2"),
+      TEvent("src1", 3200L, "d3"),
+      // src1 bucket 5: after an empty bucket 4 → gap-unbanned
+      TEvent("src1", 5000L, "e1"),
+      // src2: never crosses the threshold
+      TEvent("src2", 0L, "x1"), TEvent("src2", 1000L, "x2"))
+
+    // unbanIntervals = 1 is exactly the batch op's model: banned iff the
+    // immediately preceding bucket reached the threshold.
+    val input = MemoryStream[TEvent]
+    val out = Kernels.antispam(input.toDS(),
+      AntispamCfg(intervalMs = 1000L, threshold = 3, unbanIntervals = 1))
+    val q = out.writeStream.format("memory").queryName("as_eq_out")
+      .outputMode("append").start()
+    val streamed = try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      spark.table("as_eq_out").as[TEvent].collect().map(_.value).toSet
+    } finally q.stop()
+
+    val batch = graft.state.SeqOps.antispam(
+      events.toDF(), Seq("key"), floor(col("eventTimeMs") / 1000L), threshold = 3)
+      .as[TEvent].collect().map(_.value).toSet
+
+    assert(streamed == batch)
+    assert(streamed == Set("a1", "a2", "a3", "a4", "c1", "d1", "d2", "d3",
+      "e1", "x1", "x2"))
   }
 
   test("asofEnrich attaches the latest right value at or before each left event") {
