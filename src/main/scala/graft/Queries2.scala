@@ -525,6 +525,41 @@ object Queries2 {
        |FROM l""".stripMargin
   }
 
+  /** protobuf decoder (decoder/protobuf.go): proto3 wire bytes built by
+    * the symmetric encoder from events columns, then decoded by the
+    * native ProtoFields reader — varint, zigzag sint64, fixed64, bool,
+    * double, string all on the wire. The oracle selects the original
+    * columns directly: any wire-format asymmetry (and any decode bug
+    * that isn't exactly compensated by an encode bug — the unit vectors
+    * pin the byte layout) breaks the match. Doubles roundtrip bit-exact
+    * but are emitted as bigint centi-units for driver hash stability. */
+  val q47_dec_protobuf: Q = (s, dir) => {
+    val spec = "1:id:int64,2:etype:string,3:neg:sint64,4:uid_fixed:fixed64," +
+      "5:flag:bool,6:score:double"
+    val ev = t(s, dir, "events")
+    val enc = graft.functions.ProtoFields.encodeCol(
+      struct(
+        col("event_id"),
+        col("event_type"),
+        (-col("user_id")).cast("long"),
+        col("user_id").cast("long"),
+        (col("event_id") % 2 === 0),
+        col("value").cast("double")), spec)
+    ev.select(col("event_id"), graft.functions.ProtoFields(enc, spec).as("p"))
+      .select(col("event_id"),
+        col("p.id").as("id"), col("p.etype").as("etype"),
+        col("p.neg").as("neg"), col("p.uid_fixed").as("uid_fixed"),
+        col("p.flag").as("flag"),
+        round(col("p.score") * 100).cast("long").as("score_centi"))
+  }
+
+  val q47_sql: String =
+    """SELECT event_id, event_id AS id, event_type AS etype,
+      |  -user_id AS neg, user_id AS uid_fixed,
+      |  event_id % 2 = 0 AS flag,
+      |  CAST(ROUND(value * 100) AS BIGINT) AS score_centi
+      |FROM events""".stripMargin
+
   val q42_throttle: Q = (s, dir) =>
     SeqOps.throttle(t(s, dir, "events"), Seq("event_type"),
       bucket = date_trunc("day", col("ts")), orderCol = "event_id", limit = 20)
@@ -636,6 +671,7 @@ object Queries2 {
     "q40_join_multiline" -> q40_join_multiline,
     "q41_join_template" -> q41_join_template,
     "q46_join_template_forms" -> q46_join_template_forms,
+    "q47_dec_protobuf" -> q47_dec_protobuf,
     "q42_throttle" -> q42_throttle,
     "q43_cardinality" -> q43_cardinality,
     "q44_antispam" -> q44_antispam,
@@ -664,6 +700,7 @@ object Queries2 {
     "q40_join_multiline" -> q40_sql,
     "q41_join_template" -> q41_sql,
     "q46_join_template_forms" -> q46_sql,
+    "q47_dec_protobuf" -> q47_sql,
     "q42_throttle" -> q42_sql,
     "q43_cardinality" -> q43_sql,
     "q44_antispam" -> q44_sql,

@@ -245,6 +245,16 @@ object PipelineCompiler {
         val schema = DataType.fromDDL(n.get("schema").asText()).asInstanceOf[StructType]
         Decoders.csv(value, schema,
           Option(n.get("delimiter")).map(_.asText()).getOrElse(","))
+      case "protobuf" =>
+        // fields: "1:id:int64,2:name:string" (≙ proto_file/proto_message,
+        // decoder/readme.md). Text inputs carry the wire bytes base64'd;
+        // encoding: binary takes the column as-is.
+        val spec = n.get("fields").asText()
+        val bin = Option(n.get("encoding")).map(_.asText()) match {
+          case Some("binary") => value.cast("binary")
+          case _              => unbase64(value)
+        }
+        Decoders.protobuf(bin, spec)
       case other => throw new IllegalArgumentException(s"unknown decoder: $other")
     }
 

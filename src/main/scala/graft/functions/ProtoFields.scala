@@ -1,0 +1,253 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Minimal protobuf decoder (reference: decoder/protobuf.go +
+  * decoder/readme.md `proto_file`/`proto_message` params). The reference
+  * compiles a .proto source and unmarshals via dynamicpb; neither a
+  * protobuf runtime nor the spark-protobuf connector exists in this
+  * environment, so this is a from-scratch proto3 WIRE-FORMAT reader for
+  * scalar fields — varint (int32/64, uint, sint zigzag, bool, enum),
+  * fixed64/32 (double/float/(s)fixed), and length-delimited
+  * (string/bytes) — driven by a compact field spec instead of a .proto
+  * file: `"1:id:int64,2:name:string,3:score:double"`.
+  *
+  * Semantics follow the reference's protojson output with
+  * EmitDefaultValues: absent scalars yield proto3 defaults (0, "",
+  * false), later occurrences of a non-repeated field win, unknown
+  * fields and wire-type mismatches are skipped by wire type. A
+  * malformed payload (truncated varint/length, group wire types) yields
+  * an all-null row. Nested messages and repeated fields are out of
+  * scope (documented delta — they need the full descriptor machinery).
+  *
+  * Returns a struct, same fusion story as [[JsonFields]]: one static
+  * call per row inside whole-stage codegen.
+  */
+case class ProtoFields(child: Expression, spec: String)
+    extends UnaryExpression {
+
+  @transient private lazy val fields = ProtoFields.parseSpec(spec)
+
+  override def dataType: DataType = StructType(fields.map(f =>
+    StructField(f.name, ProtoFields.sparkType(f.ptype))))
+
+  override def nullSafeEval(input: Any): Any =
+    ProtoFields.decode(input.asInstanceOf[Array[Byte]], fields)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("protoFields", this, classOf[ProtoFields].getName)
+    defineCodeGen(ctx, ev, c => s"(InternalRow) $ref.decodeRow($c)")
+  }
+
+  def decodeRow(bytes: Array[Byte]): InternalRow = ProtoFields.decode(bytes, fields)
+
+  override protected def withNewChildInternal(newChild: Expression): ProtoFields =
+    copy(child = newChild)
+  override def prettyName: String = "proto_fields"
+}
+
+/** Wire-format encoder for the same field spec — fixture scaffolding so
+  * decode can be oracle-verified (decode(encode(row)) vs the original
+  * columns) and a usable proto sink payload renderer. Takes a struct
+  * whose fields line up with the spec positionally; null fields are
+  * omitted from the wire (proto3 absence). */
+case class ProtoEncode(child: Expression, spec: String)
+    extends UnaryExpression {
+
+  @transient private lazy val fields = ProtoFields.parseSpec(spec)
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(input: Any): Any =
+    ProtoFields.encode(input.asInstanceOf[InternalRow], fields)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("protoEncode", this, classOf[ProtoEncode].getName)
+    defineCodeGen(ctx, ev, c => s"(byte[]) $ref.encodeRow($c)")
+  }
+
+  def encodeRow(row: InternalRow): Array[Byte] = ProtoFields.encode(row, fields)
+
+  override protected def withNewChildInternal(newChild: Expression): ProtoEncode =
+    copy(child = newChild)
+  override def prettyName: String = "proto_encode"
+}
+
+object ProtoFields {
+
+  def apply(c: Column, spec: String): Column =
+    GraftBridge.column(ProtoFields(GraftBridge.expression(c), spec))
+  def encodeCol(c: Column, spec: String): Column =
+    GraftBridge.column(ProtoEncode(GraftBridge.expression(c), spec))
+
+  final case class PField(num: Int, name: String, ptype: String)
+
+  def parseSpec(spec: String): Seq[PField] =
+    spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
+      part.split(":") match {
+        case Array(num, name, t) => PField(num.trim.toInt, name.trim, t.trim)
+        case _ => throw new IllegalArgumentException(
+          s"proto field spec must be num:name:type, got '$part'")
+      }
+    }
+
+  def sparkType(t: String): DataType = t match {
+    case "double" => DoubleType
+    case "float" => FloatType
+    case "string" => StringType
+    case "bytes" => BinaryType
+    case "bool" => BooleanType
+    case "int32" | "int64" | "uint32" | "uint64" | "sint32" | "sint64" |
+         "fixed32" | "fixed64" | "sfixed32" | "sfixed64" | "enum" => LongType
+    case other => throw new IllegalArgumentException(s"unsupported proto type '$other'")
+  }
+
+  private def defaultValue(t: String): Any = t match {
+    case "double" => 0.0d
+    case "float" => 0.0f
+    case "string" => UTF8String.EMPTY_UTF8
+    case "bytes" => Array.emptyByteArray
+    case "bool" => false
+    case _ => 0L
+  }
+
+  // ---------------------------------------------------------- decode
+
+  def decode(b: Array[Byte], fields: Seq[PField]): InternalRow = {
+    val n = fields.length
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) { out(i) = defaultValue(fields(i).ptype); i += 1 }
+
+    var pos = 0
+    val len = b.length
+    // tiny spec lists → linear probe beats a map
+    def fieldIdx(num: Int): Int = {
+      var j = 0
+      while (j < n) { if (fields(j).num == num) return j; j += 1 }
+      -1
+    }
+    def varint(): Long = {
+      var shift = 0; var acc = 0L
+      while (pos < len && shift < 64) {
+        val c = b(pos); pos += 1
+        acc |= (c & 0x7FL) << shift
+        if ((c & 0x80) == 0) return acc
+        shift += 7
+      }
+      throw MalformedProto
+    }
+    def fixed(nBytes: Int): Long = {
+      if (pos + nBytes > len) throw MalformedProto
+      var acc = 0L; var j = nBytes - 1
+      while (j >= 0) { acc = (acc << 8) | (b(pos + j) & 0xFFL); j -= 1 }
+      pos += nBytes
+      acc
+    }
+
+    try {
+      while (pos < len) {
+        val tag = varint()
+        val num = (tag >>> 3).toInt
+        val wire = (tag & 7).toInt
+        val fi = fieldIdx(num)
+        val t = if (fi >= 0) fields(fi).ptype else null
+        wire match {
+          case 0 =>
+            val v = varint()
+            if (fi >= 0) t match {
+              case "sint32" | "sint64" => out(fi) = (v >>> 1) ^ -(v & 1)
+              case "bool" => out(fi) = v != 0
+              case "int32" | "int64" | "uint32" | "uint64" | "enum" => out(fi) = v
+              case _ => () // wire/type mismatch → skip, keep default
+            }
+          case 1 =>
+            val v = fixed(8)
+            if (fi >= 0) t match {
+              case "double" => out(fi) = java.lang.Double.longBitsToDouble(v)
+              case "fixed64" | "sfixed64" => out(fi) = v
+              case _ => ()
+            }
+          case 5 =>
+            val v = fixed(4)
+            if (fi >= 0) t match {
+              case "float" => out(fi) = java.lang.Float.intBitsToFloat(v.toInt)
+              case "fixed32" => out(fi) = v & 0xFFFFFFFFL
+              case "sfixed32" => out(fi) = v.toInt.toLong
+              case _ => ()
+            }
+          case 2 =>
+            val l = varint()
+            if (l < 0 || pos + l > len) throw MalformedProto
+            if (fi >= 0) t match {
+              case "string" => out(fi) = UTF8String.fromBytes(b, pos, l.toInt)
+              case "bytes" => out(fi) = java.util.Arrays.copyOfRange(b, pos, pos + l.toInt)
+              case _ => () // nested message / packed → skip
+            }
+            pos += l.toInt
+          case _ => throw MalformedProto // groups (3/4) unsupported
+        }
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+    } catch {
+      case MalformedProto =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(new Array[Any](n))
+    }
+  }
+
+  private case object MalformedProto extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  // ---------------------------------------------------------- encode
+
+  def encode(row: InternalRow, fields: Seq[PField]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream(64)
+    def putVarint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7FL) != 0) { buf.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+      buf.write(v.toInt)
+    }
+    def putFixed(v: Long, nBytes: Int): Unit = {
+      var j = 0
+      while (j < nBytes) { buf.write(((v >>> (8 * j)) & 0xFF).toInt); j += 1 }
+    }
+    var i = 0
+    while (i < fields.length) {
+      val f = fields(i)
+      if (!row.isNullAt(i)) f.ptype match {
+        case "double" =>
+          putVarint((f.num << 3) | 1)
+          putFixed(java.lang.Double.doubleToLongBits(row.getDouble(i)), 8)
+        case "float" =>
+          putVarint((f.num << 3) | 5)
+          putFixed(java.lang.Float.floatToIntBits(row.getFloat(i)) & 0xFFFFFFFFL, 4)
+        case "string" =>
+          val bytes = row.getUTF8String(i).getBytes
+          putVarint((f.num << 3) | 2); putVarint(bytes.length.toLong); buf.write(bytes)
+        case "bytes" =>
+          val bytes = row.getBinary(i)
+          putVarint((f.num << 3) | 2); putVarint(bytes.length.toLong); buf.write(bytes)
+        case "bool" =>
+          putVarint((f.num << 3) | 0); putVarint(if (row.getBoolean(i)) 1L else 0L)
+        case "sint32" | "sint64" =>
+          val v = row.getLong(i)
+          putVarint((f.num << 3) | 0); putVarint((v << 1) ^ (v >> 63))
+        case "fixed64" | "sfixed64" =>
+          putVarint((f.num << 3) | 1); putFixed(row.getLong(i), 8)
+        case "fixed32" | "sfixed32" =>
+          putVarint((f.num << 3) | 5); putFixed(row.getLong(i) & 0xFFFFFFFFL, 4)
+        case _ => // int32/int64/uint32/uint64/enum
+          putVarint((f.num << 3) | 0); putVarint(row.getLong(i))
+      }
+      i += 1
+    }
+    buf.toByteArray
+  }
+}

@@ -29,6 +29,14 @@ object Decoders {
     * (pipeline/pipeline.go:496). */
   def raw(line: Column): Column = struct(line.as("message"))
 
+  /** protobuf decoder (decoder/protobuf.go): the reference compiles a
+    * .proto and unmarshals via dynamicpb; with no protobuf runtime in
+    * the environment this is the from-scratch wire-format reader in
+    * [[graft.functions.ProtoFields]], driven by a `num:name:type` field
+    * spec instead of a .proto file. `bin` must be BinaryType. */
+  def protobuf(bin: Column, fieldSpec: String): Column =
+    graft.functions.ProtoFields(bin, fieldSpec)
+
   private val criRe = "^(\\S+) (stdout|stderr) ([FP]) (.*)$"
 
   /** CRI decoder (decoder/cri.go): `TIME STREAM TAG LOG`, tag F=full,

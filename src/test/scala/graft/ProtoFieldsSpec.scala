@@ -1,0 +1,96 @@
+package graft
+
+import graft.functions.ProtoFields
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wire-format vectors for the minimal protobuf codec (reference:
+  * decoder/protobuf.go — semantics of protojson with EmitDefaultValues).
+  * The byte layouts are the well-known proto3 encoding-doc examples,
+  * hand-assembled, so the decoder is pinned independently of the
+  * symmetric encoder used by q47's fixture. */
+class ProtoFieldsSpec extends AnyFunSuite {
+
+  private def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  test("decodes the canonical varint example: field 1 = 150") {
+    val fields = ProtoFields.parseSpec("1:a:int64")
+    // tag 0x08 (field 1, wire 0), varint 150 = 0x96 0x01
+    val row = ProtoFields.decode(b(0x08, 0x96, 0x01), fields)
+    assert(row.getLong(0) == 150L)
+  }
+
+  test("decodes the canonical string example: field 2 = \"testing\"") {
+    val fields = ProtoFields.parseSpec("2:s:string")
+    val payload = b(0x12, 0x07) ++ "testing".getBytes("UTF-8")
+    val row = ProtoFields.decode(payload, fields)
+    assert(row.getUTF8String(0).toString == "testing")
+  }
+
+  test("zigzag, bool, double, fixed64 decode") {
+    val fields = ProtoFields.parseSpec("1:z:sint64,2:f:bool,3:d:double,4:x:fixed64")
+    // sint64 -2 → zigzag 3; bool true; double 1.5; fixed64 257
+    val d15 = java.lang.Double.doubleToLongBits(1.5)
+    val payload = b(0x08, 0x03) ++ b(0x10, 0x01) ++
+      (b(0x19) ++ (0 to 7).map(i => ((d15 >>> (8 * i)) & 0xFF).toInt).map(_.toByte)) ++
+      (b(0x21) ++ b(0x01, 0x01, 0, 0, 0, 0, 0, 0))
+    val row = ProtoFields.decode(payload, fields)
+    assert(row.getLong(0) == -2L)
+    assert(row.getBoolean(1))
+    assert(row.getDouble(2) == 1.5)
+    assert(row.getLong(3) == 257L)
+  }
+
+  test("absent fields yield proto3 defaults; unknown fields are skipped") {
+    val fields = ProtoFields.parseSpec("1:a:int64,2:s:string,3:f:bool")
+    // only unknown field 9 (varint) and unknown field 10 (length-delim)
+    val payload = b(0x48, 0x05) ++ b(0x52, 0x03) ++ "abc".getBytes("UTF-8")
+    val row = ProtoFields.decode(payload, fields)
+    assert(row.getLong(0) == 0L)
+    assert(row.getUTF8String(1) == UTF8String.EMPTY_UTF8)
+    assert(!row.getBoolean(2))
+  }
+
+  test("last occurrence of a non-repeated field wins") {
+    val fields = ProtoFields.parseSpec("1:a:int64")
+    val row = ProtoFields.decode(b(0x08, 0x01, 0x08, 0x02), fields)
+    assert(row.getLong(0) == 2L)
+  }
+
+  test("truncated payload yields an all-null row") {
+    val fields = ProtoFields.parseSpec("1:a:int64,2:s:string")
+    val row = ProtoFields.decode(b(0x12, 0x7F, 0x61), fields) // len 127 > avail
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
+  test("negative int64 uses the 10-byte two's-complement varint") {
+    val fields = ProtoFields.parseSpec("1:a:int64")
+    val enc = ProtoFields.encode(
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](-1L)), fields)
+    // tag + ten 0xFF..0x01 bytes per the encoding doc
+    assert(enc.length == 11)
+    assert(ProtoFields.decode(enc, fields).getLong(0) == -1L)
+  }
+
+  test("encode/decode roundtrip across all supported types") {
+    val spec = "1:a:int64,2:s:string,3:z:sint64,4:f:fixed64,5:b:bool,6:d:double," +
+      "7:by:bytes,8:g:fixed32,9:fl:float"
+    val fields = ProtoFields.parseSpec(spec)
+    val in: Array[Any] = Array(
+      -42L, UTF8String.fromString("héllo"), -7L, 123456789L, true, 2.75,
+      Array[Byte](1, 2, 3), 4000000000L, 1.25f)
+    val enc = ProtoFields.encode(
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(in), fields)
+    val row = ProtoFields.decode(enc, fields)
+    assert(row.getLong(0) == -42L)
+    assert(row.getUTF8String(1).toString == "héllo")
+    assert(row.getLong(2) == -7L)
+    assert(row.getLong(3) == 123456789L)
+    assert(row.getBoolean(4))
+    assert(row.getDouble(5) == 2.75)
+    assert(row.getBinary(6).toSeq == Seq[Byte](1, 2, 3))
+    assert(row.getLong(7) == 4000000000L)
+    assert(row.getFloat(8) == 1.25f)
+  }
+}
