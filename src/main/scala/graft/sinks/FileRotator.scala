@@ -1,0 +1,111 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+/** file sink seal/rename contract (reference: plugin/output/file/file.go
+  * Start/createNew/sealUp/getStartIdx, config in file.go:60-113):
+  *
+  *  - the ACTIVE file is `<dir>/<unixSeconds>_<name><ext>`; on (re)start
+  *    an existing active file matching `*_<name><ext>` is reused, so an
+  *    unclean stop appends instead of losing the open chunk;
+  *  - every `retention_interval` the active file is SEALED: renamed to
+  *    `<dir>/<name>_<idx>_<layout(now)><ext>` (layout default
+  *    `01-02-2006_15:04:05` ≙ MM-dd-yyyy_HH:mm:ss), the index continues
+  *    from the largest sealed index found on disk (getStartIdx), and a
+  *    fresh active file is opened;
+  *  - sealing an EMPTY active file is a no-op (sealUp's size==0 check);
+  *  - the seal timer is armed from the active file's creation timestamp,
+  *    so a restart seals an old enough inherited file on schedule.
+  *
+  * Single-writer by design, like the reference (one plugin instance owns
+  * the target file) — used from foreachBatch on the driver. The
+  * distributed scale path for file output remains [[Sinks.file]]'s
+  * time-partitioned directory layout; this rotator exists for the
+  * reference's exact single-file contract.
+  *
+  * `clock` is injectable for deterministic specs.
+  */
+final class FileRotator(targetFile: String, retentionMs: Long,
+                        layout: String = "MM-dd-yyyy_HH:mm:ss",
+                        clock: () => Long = System.currentTimeMillis) {
+
+  private val target = Paths.get(targetFile).toAbsolutePath
+  private val dir: Path = target.getParent
+  private val (name: String, ext: String) = {
+    val f = target.getFileName.toString
+    val dot = f.lastIndexOf('.')
+    if (dot <= 0) (f, "") else (f.substring(0, dot), f.substring(dot))
+  }
+  private val fmt = DateTimeFormatter.ofPattern(layout).withZone(ZoneOffset.UTC)
+
+  private var idx: Int = getStartIdx
+  private var active: Path = _
+  private var createdAtMs: Long = _
+  createNew()
+
+  def activeFile: Path = active
+  def currentIdx: Int = idx
+
+  private def list(glob: String): Seq[Path] = {
+    val s = Files.newDirectoryStream(dir, glob)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
+  /** Largest `<name>_<idx>_...` index on disk + 1 (file.go getStartIdx). */
+  private def getStartIdx: Int = {
+    val sealed0 = list(s"${name}_*_*$ext")
+    val idxs = sealed0.flatMap { p =>
+      val base = p.getFileName.toString
+      val rest = base.substring(name.length + 1, base.length - ext.length)
+      rest.takeWhile(_ != '_') match {
+        case s if s.nonEmpty && s.forall(_.isDigit) => Some(s.toInt)
+        case _ => None
+      }
+    }
+    if (idxs.isEmpty) 0 else idxs.max + 1
+  }
+
+  /** Open a fresh `<unixSeconds>_<name><ext>`, reusing a pre-existing
+    * active file if one is on disk (file.go createNew's glob). */
+  private def createNew(): Unit = {
+    Files.createDirectories(dir)
+    val existing = list(s"*_$name$ext").filter(
+      _.getFileName.toString.takeWhile(_ != '_').forall(_.isDigit))
+    val nowSec = clock() / 1000
+    active = existing.headOption.getOrElse(dir.resolve(s"${nowSec}_$name$ext"))
+    createdAtMs = active.getFileName.toString.takeWhile(_ != '_') match {
+      case s if s.nonEmpty => s.toLong * 1000
+      case _ => clock()
+    }
+    if (!Files.exists(active)) Files.createFile(active)
+  }
+
+  def write(lines: Iterator[String]): Unit = {
+    val w = Files.newBufferedWriter(active,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    try lines.foreach { l => w.write(l); w.write('\n') } finally w.close()
+  }
+
+  /** Seal when the retention interval has elapsed since the active
+    * file's creation. Call once per micro-batch. */
+  def maybeSeal(): Unit =
+    if (clock() >= createdAtMs + retentionMs) sealUp()
+
+  /** Rename-close-reopen (file.go sealUp); empty file → no-op. */
+  def sealUp(): Unit = {
+    if (Files.size(active) == 0) return
+    val sealedName = s"${name}_${idx}_${fmt.format(Instant.ofEpochMilli(clock()))}$ext"
+    Files.move(active, dir.resolve(sealedName))
+    idx += 1
+    createNew()
+  }
+
+  private implicit class IterScala[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+}

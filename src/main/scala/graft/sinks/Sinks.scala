@@ -31,6 +31,22 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(flushTimeout))
 
+  /** file sink with the reference's exact seal/rename rotation contract
+    * (plugin/output/file/file.go): one active `<unixts>_<name><ext>`
+    * file, renamed to `<name>_<idx>_<layout><ext>` every
+    * `retention_interval`. Single-writer foreachBatch (the reference is
+    * also a single file owner); [[file]]'s partitioned layout is the
+    * distributed-scale spelling. */
+  def fileRotating(payloadCol: String, rotator: FileRotator)
+  : (DataFrame, Long) => Unit = { (df, _epoch) =>
+    val lines = df.select(col(payloadCol)).toLocalIterator()
+    rotator.write(new Iterator[String] {
+      def hasNext: Boolean = lines.hasNext
+      def next(): String = lines.next().getString(0)
+    })
+    rotator.maybeSeal()
+  }
+
   /** kafka sink (plugin/output/kafka): use_topic_field ≙ a `topic`
     * column; payload must be in `value`. */
   def kafka(df: DataFrame, brokers: String, defaultTopic: String,

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import graft.sinks.FileRotator
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seal/rename contract vectors (reference: plugin/output/file/file.go
+  * createNew/sealUp/getStartIdx). Deterministic via an injected clock. */
+class FileRotatorSpec extends AnyFunSuite {
+
+  private def tmpDir(): Path = Files.createTempDirectory("rotator")
+  private def names(dir: Path): Set[String] = {
+    val s = Files.list(dir)
+    try {
+      val it = s.iterator(); val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next().getFileName.toString
+      b.result()
+    } finally s.close()
+  }
+
+  test("active file is <unixts>_<name><ext>; seal renames to <name>_<idx>_<layout><ext>") {
+    val dir = tmpDir()
+    var now = 1700000000000L
+    val r = new FileRotator(s"$dir/app.log", retentionMs = 3600 * 1000L,
+      clock = () => now)
+    assert(names(dir) == Set("1700000000_app.log"))
+
+    r.write(Iterator("line1", "line2"))
+    now += 3600 * 1000L + 1
+    r.maybeSeal()
+    // 1700003600001 ms UTC = 11-14-2023_23:26:40 + 1h → sealed with layout
+    val after = names(dir)
+    assert(after.size == 2)
+    val sealedName = (after - "1700003600_app.log").head
+    assert(sealedName.matches("app_0_\\d{2}-\\d{2}-\\d{4}_\\d{2}:\\d{2}:\\d{2}\\.log"),
+      sealedName)
+    assert(Files.readAllLines(dir.resolve(sealedName)).size() == 2)
+  }
+
+  test("sealing an empty active file is a no-op") {
+    val dir = tmpDir()
+    var now = 1700000000000L
+    val r = new FileRotator(s"$dir/app.log", retentionMs = 1000L, clock = () => now)
+    now += 5000L
+    r.maybeSeal()
+    assert(names(dir) == Set("1700000000_app.log")) // nothing sealed
+  }
+
+  test("restart reuses the existing active file and continues the sealed index") {
+    val dir = tmpDir()
+    var now = 1700000000000L
+    val r1 = new FileRotator(s"$dir/app.log", retentionMs = 1000L, clock = () => now)
+    r1.write(Iterator("a"))
+    now += 1500L
+    r1.maybeSeal() // sealed idx 0
+    r1.write(Iterator("b"))
+
+    // "restart": a new rotator over the same target
+    val r2 = new FileRotator(s"$dir/app.log", retentionMs = 1000L, clock = () => now)
+    assert(r2.currentIdx == 1) // getStartIdx scanned the sealed file
+    assert(r2.activeFile.getFileName.toString == "1700000001_app.log") // reused
+    r2.write(Iterator("c"))
+    now += 1500L
+    r2.maybeSeal()
+    val sealedIdx1 = names(dir).filter(_.startsWith("app_1_"))
+    assert(sealedIdx1.size == 1)
+    // the inherited line "b" and the new "c" are both in the sealed file
+    assert(Files.readAllLines(dir.resolve(sealedIdx1.head)).size() == 2)
+  }
+
+  test("seal timer arms from the inherited active file's creation time") {
+    val dir = tmpDir()
+    var now = 1700000000000L
+    val r1 = new FileRotator(s"$dir/app.log", retentionMs = 10000L, clock = () => now)
+    r1.write(Iterator("x"))
+    // restart 9s later; inherited file is 9s old
+    now += 9000L
+    val r2 = new FileRotator(s"$dir/app.log", retentionMs = 10000L, clock = () => now)
+    r2.maybeSeal()
+    assert(names(dir).count(_.startsWith("app_")) == 0) // not yet due
+    now += 1500L
+    r2.maybeSeal() // 10.5s since creation → seals
+    assert(names(dir).count(_.startsWith("app_")) == 1)
+  }
+}
