@@ -440,22 +440,34 @@ object Queries5 {
       |WHERE ('0x' || substr(md5(text), 1, 15))::BIGINT % 1000 <
       |  CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500 ELSE 250 END""".stripMargin
 
-  /** multimodal resize plumbing: deterministic stub resize to w×h bytes
-    * with dims + actual-size contract (real scaler swaps in at `data`). */
+  /** multimodal decode + resize, REAL codec path (javax.imageio, pure
+    * JDK): deterministic PNG bytes generated per doc (dims derived from
+    * doc_id), decoded back through the per-partition image decoder, then
+    * nearest-neighbor-resized to 4×3 and decoded again. The oracle
+    * predicts both dim pairs from doc_id — a broken encoder, decoder, or
+    * resizer all break the match. */
   val q66_mm_resize: Q = (s, dir) => {
-    val payload = encode(col("text"), "UTF-8")
-    val r = graft.ml.Multimodal.resizeStub(payload, 8, 4)
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      r.getField("w").as("w"), r.getField("h").as("h"),
-      upper(hex(r.getField("data"))).as("data_hex"),
-      r.getField("n_bytes").as("n_bytes"))
+    import s.implicits._
+    val pngs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val png = graft.ml.Multimodal.pngBytes(
+            (id % 7 + 1).toInt, (id % 5 + 1).toInt, id)
+          (id, png, graft.ml.Multimodal.resizeImage(png, 4, 3))
+        }
+      }.toDF("doc_id", "png", "resized")
+    graft.ml.Multimodal.imageDecodePartitioned(
+      graft.ml.Multimodal.imageDecodePartitioned(pngs, "png", "img"),
+      "resized", "rs")
+      .select(col("doc_id"), col("img_w"), col("img_h"),
+        col("rs_w"), col("rs_h"))
   }
 
   val q66_sql: String =
-    """SELECT doc_id, 8 AS w, 4 AS h,
-      |  upper(hex(encode(substring(text, 1, 32)))) AS data_hex,
-      |  CAST(least(octet_length(encode(text)), 32) AS INT) AS n_bytes
+    """SELECT doc_id,
+      |  CAST(doc_id % 7 + 1 AS INT) AS img_w,
+      |  CAST(doc_id % 5 + 1 AS INT) AS img_h,
+      |  4 AS rs_w, 3 AS rs_h
       |FROM documents""".stripMargin
 
   /** Product-quantization ANN (ADC, m=4 subspaces, 16 deterministic

@@ -10,12 +10,14 @@ import org.apache.spark.sql.types._
   * pushdown still apply, and the bytes are only materialized by the
   * partitions that decode them.
   *
-  * The actual media decode (JPEG/PNG/audio codecs) is STUBBED — this
-  * container has no media libraries — behind `decodeStub` /
-  * `decodePartitioned`, deterministic fakes with the real signatures:
-  * the schema, partitioning, and batched per-partition execution shape
-  * are production code; the byte→pixels call is the single swap-in
-  * point.
+  * IMAGE decode/resize is REAL: javax.imageio ships in the JDK, so
+  * PNG/JPEG/BMP/GIF payloads go through [[imageDecodePartitioned]] /
+  * [[resizeImage]] (one codec context per partition, undecodable bytes
+  * → null columns, never a task failure). Audio/video codecs don't
+  * exist in this environment; those paths keep the deterministic
+  * `decodeStub`/`decodePartitioned` fakes whose schema, partitioning
+  * and batched per-partition shape are the production contract with a
+  * single byte→samples swap-in point.
   */
 object Multimodal {
 
@@ -59,6 +61,88 @@ object Multimodal {
       substring(payload, 1, target).as("data"),
       least(octet_length(payload), lit(target)).as("n_bytes"))
   }
+
+  // ------------------------------------------------- real image codec
+
+  /** Deterministic PNG bytes for fixtures and specs: a w×h image whose
+    * pixel (x,y) is a pure function of (seed,x,y). Pure JDK
+    * (BufferedImage + ImageIO PNG writer), headless-safe. */
+  def pngBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (((seed * 31 + x) * 31 + y) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val buf = new java.io.ByteArrayOutputStream(64 + w * h * 3)
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  /** Real decode of one payload: (width, height) or null when the bytes
+    * aren't a decodable image. */
+  def decodeDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (bytes == null) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      Option(img).map(i => (i.getWidth, i.getHeight))
+    } catch { case _: Exception => None }
+
+  /** Real nearest-neighbor resize, deterministic across JVMs (no
+    * Graphics2D interpolation, pixel picks are pure integer math);
+    * returns PNG bytes, or null if the input doesn't decode. */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+    if (bytes == null) null
+    else try {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (src == null) null
+      else {
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          val sy = y * src.getHeight / h
+          var x = 0
+          while (x < w) {
+            dst.setRGB(x, y, src.getRGB(x * src.getWidth / w, sy))
+            x += 1
+          }
+          y += 1
+        }
+        val buf = new java.io.ByteArrayOutputStream(64 + w * h * 3)
+        javax.imageio.ImageIO.write(dst, "png", buf)
+        buf.toByteArray
+      }
+    } catch { case _: Exception => null }
+
+  /** Batched per-partition REAL image decode (javax.imageio): appends
+    * `img_w`/`img_h`, null for undecodable payloads. One iterator pass
+    * per partition — the mapInPandas shape — so codec caches warm once
+    * per partition, and a poison payload nulls its row instead of
+    * killing the task. */
+  def imageDecodePartitioned(df: DataFrame, payloadCol: String,
+                             outPrefix: String = "img"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(s"${outPrefix}_w", IntegerType) :+
+      StructField(s"${outPrefix}_h", IntegerType))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      it.map { row =>
+        val dims = decodeDims(row.getAs[Array[Byte]](idx))
+        Row.fromSeq(row.toSeq :+
+          dims.map(d => Int.box(d._1)).orNull :+
+          dims.map(d => Int.box(d._2)).orNull)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  // --------------------------------------- stubbed non-image modalities
 
   /** Batched per-partition decode — the Scala analog of mapInPandas:
     * one iterator pass per partition so a real codec initializes once

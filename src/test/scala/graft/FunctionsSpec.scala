@@ -56,6 +56,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ex("""{"a":"x","a":"y","b":"z"}""") == Seq("x", "z", null))
   }
 
+  test("Multimodal image codec: PNG roundtrip, nearest-neighbor resize, poison bytes") {
+    import graft.ml.Multimodal
+    val png = Multimodal.pngBytes(6, 4, seed = 42L)
+    assert(Multimodal.decodeDims(png).contains((6, 4)))
+    // resize decodes to the target dims
+    val rs = Multimodal.resizeImage(png, 3, 2)
+    assert(Multimodal.decodeDims(rs).contains((3, 2)))
+    // nearest-neighbor is pure integer picking: pixel (x,y) of the
+    // resized image equals source pixel (x*6/3, y*4/2)
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val dst = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rs))
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert(dst.getRGB(x, y) == src.getRGB(x * 2, y * 2))
+    // undecodable payloads are null results, not exceptions
+    assert(Multimodal.decodeDims("not an image".getBytes).isEmpty)
+    assert(Multimodal.resizeImage("junk".getBytes, 2, 2) == null)
+    assert(Multimodal.decodeDims(null).isEmpty)
+  }
+
   test("LogLevel maps aliases per RFC-5424") {
     assert(LogLevel.nameToNumber("panic") == 0)
     assert(LogLevel.nameToNumber("err") == 3)
