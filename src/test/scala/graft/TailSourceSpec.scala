@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.{Files, Path, StandardOpenOption}
+import graft.sources.tail.{TailMicroBatchStream, TailOffset, TailSource}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic replay of the reference file input's offset semantics
+  * (plugin/input/file/offset.go + worker.go): per-file byte offsets on
+  * line boundaries, partial lines held back, truncation resets to 0,
+  * rotation = old inode read to the end under its new name + new file
+  * at the old name read from 0. Drives the DSv2 MicroBatchStream
+  * epoch-by-epoch — no wall clock, no streaming engine. */
+class TailSourceSpec extends AnyFunSuite {
+
+  private def write(p: Path, s: String): Unit =
+    Files.write(p, s.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+  /** One epoch: [start, latest) → emitted (line, fileName, offset). */
+  private def epoch(stream: TailMicroBatchStream, start: TailOffset)
+  : (Seq[(String, String, Long)], TailOffset) = {
+    val end = stream.latestOffset().asInstanceOf[TailOffset]
+    val rows = stream.planInputPartitions(start, end).flatMap { part =>
+      val r = stream.createReaderFactory().createReader(part)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      while (r.next()) {
+        val row = r.get()
+        buf += ((row.getUTF8String(0).toString,
+          java.nio.file.Paths.get(row.getUTF8String(1).toString)
+            .getFileName.toString,
+          row.getLong(2)))
+      }
+      buf
+    }.toSeq
+    (rows, end)
+  }
+
+  test("appends, partial lines, truncation reset, and rotation") {
+    val dir = Files.createTempDirectory("tail")
+    val log = dir.resolve("app.log")
+    val stream = new TailMicroBatchStream(dir.toString, "*.log")
+
+    // epoch 1: two complete lines + one partial — partial held back
+    write(log, "l1\nl2\npart")
+    val (e1, o1) = epoch(stream, TailOffset(Map.empty))
+    assert(e1 == Seq(("l1", "app.log", 0L), ("l2", "app.log", 3L)))
+    assert(o1.offsets(log.toString) == 6L) // stops at the last newline
+
+    // epoch 2: the partial line completes → emitted from its start offset
+    write(log, "ial\n")
+    val (e2, o2) = epoch(stream, o1)
+    assert(e2 == Seq(("partial", "app.log", 6L)))
+    assert(o2.offsets(log.toString) == 14L)
+
+    // epoch 3: nothing new → no partitions
+    val (e3, o3) = epoch(stream, o2)
+    assert(e3.isEmpty && o3 == o2)
+
+    // epoch 4: TRUNCATE (copytruncate-style rotation): size below the
+    // committed offset → offset resets to 0, new content re-read
+    // (file.go:182 offsets_op reset-on-truncate)
+    Files.write(log, "fresh\n".getBytes("UTF-8"))
+    val (e4, o4) = epoch(stream, o3)
+    assert(e4 == Seq(("fresh", "app.log", 0L)))
+    assert(o4.offsets(log.toString) == 6L)
+
+    // epoch 5: RENAME rotation: app.log → app.1.log (+ tail written to
+    // the rotated file before the new file appears). The rotated file is
+    // a new path: it replays from 0 — at-least-once, like the reference
+    // re-keying when the fingerprint changes — and the tail appended to
+    // it after rotation is not lost.
+    Files.move(log, dir.resolve("app.1.log"))
+    write(dir.resolve("app.1.log"), "tail-after-rotate\n")
+    write(log, "new1\n")
+    val (e5, o5) = epoch(stream, o4)
+    assert(e5.toSet == Set(
+      ("fresh", "app.1.log", 0L),
+      ("tail-after-rotate", "app.1.log", 6L),
+      ("new1", "app.log", 0L)))
+    assert(o5.offsets(log.toString) == 5L)
+    assert(o5.offsets(dir.resolve("app.1.log").toString) == 24L)
+
+    // epoch 6: appends to both generations are tailed independently
+    write(dir.resolve("app.1.log"), "old-gen\n")
+    write(log, "new2\n")
+    val (e6, _) = epoch(stream, o5)
+    assert(e6.toSet == Set(
+      ("old-gen", "app.1.log", 24L), ("new2", "app.log", 5L)))
+  }
+
+  test("offset JSON roundtrips through the checkpoint format") {
+    val offs = Map("/a/b.log" -> 42L, "/a/c.log" -> 0L)
+    assert(TailSource.deserialize(TailSource.serialize(offs)) == offs)
+    val stream = new TailMicroBatchStream("/nonexistent", "*")
+    assert(stream.deserializeOffset(TailOffset(offs).json())
+      .asInstanceOf[TailOffset].offsets == offs)
+  }
+
+  test("empty and newline-less files produce no partitions") {
+    val dir = Files.createTempDirectory("tail2")
+    Files.write(dir.resolve("empty.log"), Array.emptyByteArray)
+    write(dir.resolve("partial.log"), "no newline yet")
+    val stream = new TailMicroBatchStream(dir.toString, "*.log")
+    val (rows, end) = epoch(stream, TailOffset(Map.empty))
+    assert(rows.isEmpty)
+    assert(end.offsets(dir.resolve("empty.log").toString) == 0L)
+    assert(end.offsets(dir.resolve("partial.log").toString) == 0L)
+  }
+}
