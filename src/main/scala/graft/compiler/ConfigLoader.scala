@@ -1,0 +1,99 @@
+package graft.compiler
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ObjectNode, TextNode}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+
+import scala.jdk.CollectionConverters._
+
+/** Config front-end (reference: cfg/config.go NewConfigFromFile +
+  * applyEnvs, cfg/envs.go):
+  *
+  *  - MULTI-FILE MERGE: later files deep-merge into earlier ones — maps
+  *    merge recursively, scalars and lists are replaced wholesale
+  *    (config.go mergeYAMLs);
+  *  - ENV PATH OVERRIDES: `FILED_A_B_C=v` sets config path `a.b.c`
+  *    (lowercased, `_`-split — config.go applyEnvs), creating
+  *    intermediate objects as needed;
+  *  - ENV VALUE FUNCS: a string value that is exactly `env(NAME)`
+  *    resolves to that variable (missing variable → error, like the
+  *    reference's Fatal), and a `\env(...)` prefix escapes to the
+  *    literal text (cfg/envs.go tryApply).
+  *
+  * The environment is injectable so specs are deterministic.
+  */
+object ConfigLoader {
+
+  private val yaml = new ObjectMapper(new YAMLFactory())
+
+  /** Parse + merge + apply env overrides and env() funcs. */
+  def load(yamls: Seq[String],
+           env: Map[String, String] = sys.env): JsonNode = {
+    val merged = yamls.map(yaml.readTree).reduceLeft(merge)
+    val withOverrides = applyEnvOverrides(merged, env)
+    applyEnvFuncs(withOverrides, env)
+  }
+
+  /** Deep merge: `b` wins; nested objects merge recursively
+    * (config.go mergeYAMLs). */
+  def merge(a: JsonNode, b: JsonNode): JsonNode =
+    if (a.isObject && b.isObject) {
+      val out = a.deepCopy[ObjectNode]()
+      b.properties().asScala.foreach { e =>
+        val k = e.getKey
+        out.set[JsonNode](k,
+          if (out.has(k)) merge(out.get(k), e.getValue) else e.getValue)
+      }
+      out
+    } else b
+
+  /** `FILED_A_B_C=v` → path a.b.c = v (config.go applyEnvs: lowercase,
+    * split on '_', skip the prefix). */
+  def applyEnvOverrides(root: JsonNode, env: Map[String, String]): JsonNode = {
+    val out = root.deepCopy[JsonNode]()
+    env.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      if (k.startsWith("FILED_")) {
+        val path = k.toLowerCase.split("_").toSeq.drop(1).filter(_.nonEmpty)
+        if (path.nonEmpty && out.isObject) {
+          var node = out.asInstanceOf[ObjectNode]
+          path.init.foreach { seg =>
+            node = node.get(seg) match {
+              case o: ObjectNode => o
+              case _ => node.putObject(seg)
+            }
+          }
+          node.put(path.last, v)
+        }
+      }
+    }
+    out
+  }
+
+  /** Resolve `env(NAME)` string values anywhere in the tree; `\env(`
+    * escapes to the literal (cfg/envs.go tryApply). */
+  def applyEnvFuncs(root: JsonNode, env: Map[String, String]): JsonNode = root match {
+    case o: ObjectNode =>
+      val out = o.deepCopy[ObjectNode]()
+      o.properties().asScala.foreach { e =>
+        out.set[JsonNode](e.getKey, applyEnvFuncs(e.getValue, env))
+      }
+      out
+    case a if a.isArray =>
+      val out = a.deepCopy[com.fasterxml.jackson.databind.node.ArrayNode]()
+      (0 until a.size).foreach(i => out.set(i, applyEnvFuncs(a.get(i), env)))
+      out
+    case t if t.isTextual =>
+      val s = t.asText()
+      if (s.startsWith("\\env(")) new TextNode(s.replace("\\env(", "env("))
+      else if (s.startsWith("env(") && s.endsWith(")")) {
+        val name = s.stripPrefix("env(").stripSuffix(")")
+        env.get(name) match {
+          case Some(v) => new TextNode(v)
+          case None => throw new IllegalArgumentException(
+            s"config references undefined environment variable '$name'")
+        }
+      } else t
+    case other => other
+  }
+}

@@ -147,8 +147,19 @@ object PipelineCompiler {
     }
   }
 
-  def compile(spark: SparkSession, yamlText: String): Compiled = {
-    val root = yaml.readTree(yamlText)
+  /** Multi-file entry with the reference's config front-end: later
+    * files deep-merge over earlier ones, then `FILED_*` env path
+    * overrides and `env(NAME)` value substitution apply
+    * (cfg/config.go) — see [[ConfigLoader]]. */
+  def compileAll(spark: SparkSession, yamlTexts: Seq[String],
+                 env: Map[String, String] = sys.env): Compiled =
+    compileNode(spark, ConfigLoader.load(yamlTexts, env))
+
+  def compile(spark: SparkSession, yamlText: String): Compiled =
+    compileNode(spark, yaml.readTree(yamlText))
+
+  private def compileNode(spark: SparkSession, rootNode: JsonNode): Compiled = {
+    val root = rootNode
     val input = Option(root.get("input"))
       .getOrElse(throw new IllegalArgumentException("missing input"))
     val src = buildInput(spark, input)

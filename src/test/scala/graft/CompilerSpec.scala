@@ -12,6 +12,46 @@ class CompilerSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("config front-end: multi-file merge, FILED_* overrides, env() funcs") {
+    import graft.compiler.ConfigLoader
+    // Later file deep-merges over the base (cfg/config.go mergeYAMLs):
+    // nested maps merge, scalars replace.
+    val base =
+      """input:
+        |  type: fake
+        |  lines: ['{"v":"a"}', '{"v":"b"}']
+        |decoder:
+        |  type: json
+        |  schema: "v string"
+        |output: {type: memory}
+        |""".stripMargin
+    val overlay =
+      """input:
+        |  lines: ['{"v":"only"}']
+        |""".stripMargin
+    val merged = ConfigLoader.load(Seq(base, overlay), env = Map.empty)
+    assert(merged.get("input").get("type").asText() == "fake") // kept from base
+    assert(merged.get("input").get("lines").size() == 1)       // replaced list
+    assert(PipelineCompiler.compileAll(spark, Seq(base, overlay), Map.empty)
+      .result().count() == 1)
+
+    // FILED_DECODER_TYPE overrides path decoder.type (cfg applyEnvs)
+    val over = ConfigLoader.load(Seq(base),
+      env = Map("FILED_DECODER_TYPE" -> "raw", "IGNORED" -> "x"))
+    assert(over.get("decoder").get("type").asText() == "raw")
+
+    // env(NAME) value substitution + \env( escape (cfg/envs.go)
+    val withFunc = base.replace("type: fake", "type: env(SRC_TYPE)")
+    val sub = ConfigLoader.load(Seq(withFunc), env = Map("SRC_TYPE" -> "fake"))
+    assert(sub.get("input").get("type").asText() == "fake")
+    val esc = ConfigLoader.load(
+      Seq(base.replace("type: fake", "type: \"\\\\env(SRC_TYPE)\"")),
+      env = Map.empty)
+    assert(esc.get("input").get("type").asText() == "env(SRC_TYPE)")
+    assertThrows[IllegalArgumentException](
+      ConfigLoader.load(Seq(withFunc), env = Map.empty)) // missing var is fatal
+  }
+
   test("compiles the doc-example pipeline: json decode → discard → modify") {
     // mirrors the reference's docs/configuring.md:33-60 shape
     val yaml =
