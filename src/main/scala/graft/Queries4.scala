@@ -233,7 +233,41 @@ object Queries4 {
        |JOIN sh sb ON sb.doc_id = c.id_b""".stripMargin
   }
 
+  /** Near-dup clustering: LSH candidate pairs → connected components →
+    * per-doc cluster label + the canonical keep/drop decision (keep the
+    * minimum doc_id of each cluster) — the final step that turns
+    * pairwise dedup signals into "emit one representative per
+    * duplicate set". The oracle replays the pairs CTE and computes
+    * components via recursive min-label reachability. */
+  val q69_dedup_clusters: Q = (s, dir) => {
+    import graft.ml.Dedup
+    val docs = t(s, dir, "documents")
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+      shingleN = 3, k = 9, bands = 3, rows = 3)
+    Dedup.connectedComponents(cands)
+      .select(col("node").as("doc_id"), col("component"),
+        (col("node") === col("component")).as("keep"))
+  }
+
+  val q69_sql: String = {
+    // same candidate-pair construction as q63's oracle
+    val candCte = q63_sql.substring(0, q63_sql.indexOf("SELECT c.id_a"))
+      .trim.stripPrefix("WITH ")
+    s"""WITH RECURSIVE $candCte,
+       |nodes AS (SELECT id_a AS node FROM cand UNION SELECT id_b FROM cand),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM cand
+       |          UNION SELECT id_b, id_a FROM cand),
+       |walk(node, lab) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.u, w.lab FROM edges e JOIN walk w ON w.node = e.v)
+       |SELECT node AS doc_id, MIN(lab) AS component,
+       |  node = MIN(lab) AS keep
+       |FROM walk GROUP BY node""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q69_dedup_clusters" -> q69_dedup_clusters,
     "q32_act_utf8" -> q32_act_utf8,
     "q34_dec_nginx_custom" -> q34_dec_nginx_custom,
     "q35_act_normalize" -> q35_act_normalize,
@@ -242,6 +276,7 @@ object Queries4 {
     "q63_dedup_pipeline" -> q63_dedup_pipeline,
     "q64_ann_ivf" -> q64_ann_ivf)
   val oracles: Map[String, String] = Map(
+    "q69_dedup_clusters" -> q69_sql,
     "q32_act_utf8" -> q32_sql,
     "q34_dec_nginx_custom" -> q34_sql,
     "q35_act_normalize" -> q35_sql,

@@ -116,4 +116,53 @@ object Dedup {
   def exactKeepFirst(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame =
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(orderCol)).as(orderCol))
+
+  /** Connected components over candidate-duplicate pairs — the cluster
+    * step of a dedup pipeline ("keep one doc per duplicate cluster"):
+    * every node ends up labeled with the minimum id reachable from it.
+    *
+    * Min-label propagation: per iteration each node takes
+    * `min(own label, neighbors' labels)` — one shuffle join on the edge
+    * destination plus one map-side-combined min aggregation, with the
+    * (undirected, deduplicated) edge list persisted and reused across
+    * iterations. Iteration count is bounded by the cluster diameter;
+    * near-dup clusters are clique-ish (every member shares a band with
+    * most others), so 2-3 passes converge in practice and `maxIter`
+    * (with a convergence check per pass, cheap AQE-sized counts) is a
+    * safety bound, not the expected cost. At 100 TB the edge table is
+    * orders of magnitude smaller than the corpus (only candidate pairs
+    * survive LSH), so the loop runs on the reduced graph.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val e0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val edges = e0.union(e0.select(col("v"), col("u")).toDF("u", "v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Iterative joins MUST truncate lineage each pass: the next plan
+    // references the previous one twice, so without a checkpoint the
+    // logical plan doubles per iteration (the computation is cached but
+    // planning itself blows up). localCheckpoint materializes to
+    // executor-local storage and replaces the plan with the RDD scan;
+    // on a long-lived cluster job swap in checkpoint() on reliable
+    // storage if executor loss during the loop matters.
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels, edges("v") === labels("node"))
+        .groupBy(col("u").as("node")).agg(min(col("label")).as("_nl"))
+      val next = labels.join(viaNeighbors, "node")
+        .select(col("node"), col("label"),
+          least(col("label"), col("_nl")).as("_label2"))
+        .localCheckpoint(true)
+      converged = next.filter(col("_label2") =!= col("label")).isEmpty
+      labels = next.select(col("node"), col("_label2").as("label"))
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.withColumnRenamed("label", "component")
+  }
 }

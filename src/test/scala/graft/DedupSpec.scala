@@ -1,0 +1,38 @@
+package graft
+
+import graft.ml.Dedup
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("connectedComponents labels chains, cliques, and pairs with the min id") {
+    import spark.implicits._
+    // component {1,2,3,4} as a path (forces multi-iteration label
+    // propagation), component {10,11,12} as a clique, isolated pair {20,21}
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents converges on a long path within maxIter") {
+    import spark.implicits._
+    val n = 12
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(cc.length == n)
+    assert(cc.forall(_._2 == 1L))
+  }
+}
