@@ -516,6 +516,31 @@ object Queries5 {
       |SELECT vec_id, row_number() OVER (ORDER BY dist, vec_id) AS rnk
       |FROM adc ORDER BY dist, vec_id LIMIT 10""".stripMargin
 
+  /** Repetition quality signals: token multiplicity + most-frequent-
+    * bigram concentration, exact integers (ratios derive downstream). */
+  val q74_text_repetition: Q = (s, dir) =>
+    graft.ml.TextOps.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+
+  val q74_sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |b2 AS (
+      |  SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_distinct_tok, t
+      |  FROM base),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+      |  FROM b2, unnest(range(1, n_tok)) AS u(i)
+      |  WHERE n_tok >= 2),
+      |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+      |agg AS (
+      |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_gram_cnt,
+      |    CAST(SUM(c) AS BIGINT) AS n_grams
+      |  FROM gc GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_tok, b.n_distinct_tok,
+      |  coalesce(a.top_gram_cnt, 0) AS top_gram_cnt,
+      |  coalesce(a.n_grams, 0) AS n_grams
+      |FROM b2 b LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -539,6 +564,7 @@ object Queries5 {
     "q66_mm_resize" -> q66_mm_resize,
     "q67_text_unigram" -> q67_text_unigram,
     "q68_stratified_sample" -> q68_stratified_sample,
+    "q74_text_repetition" -> q74_text_repetition,
     "q96_asof_join" -> q96_asof_join,
     "q97_salted_join" -> q97_salted_join
   )
@@ -564,6 +590,7 @@ object Queries5 {
     "q66_mm_resize" -> q66_sql,
     "q67_text_unigram" -> q67_sql,
     "q68_stratified_sample" -> q68_sql,
+    "q74_text_repetition" -> q74_sql,
     "q96_asof_join" -> q96_sql,
     "q97_salted_join" -> q97_sql
   )

@@ -72,4 +72,34 @@ object TextOps {
 
   def fingerprint64(text: Column): Column =
     xxhash64(array_join(array_sort(array_distinct(split(lower(text), " "))), " "))
+
+  /** Repetition signals — the standard "repetitive document" quality
+    * filters: token multiplicity (`n_tok` vs `n_distinct_tok`) and the
+    * concentration of the single most frequent bigram (`top_gram_cnt`
+    * of `n_grams` occurrences). Ratios are derived downstream so the
+    * output stays in exact integers.
+    *
+    * Shape at scale: the distinct-token leg is pure expressions (no
+    * shuffle); the bigram leg explodes to (doc, gram) and aggregates
+    * twice — one shuffle on (doc, gram) with map-side combine, then a
+    * doc-local max/sum, same layout as the unigram corpus scorer.
+    * Documents with fewer than two tokens yield zero gram counts. */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol), split(lower(col(textCol)), " ").as("_t"))
+      .withColumn("_n_tok", size(col("_t")))
+      .withColumn("_n_dist", size(array_distinct(col("_t"))))
+    val grams = base.select(col(idCol),
+      explode(when(col("_n_tok") >= 2,
+        transform(sequence(lit(1), col("_n_tok") - 1),
+          i => concat_ws(" ", element_at(col("_t"), i), element_at(col("_t"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("_g"))
+    val agg = grams.groupBy(col(idCol), col("_g")).count()
+      .groupBy(col(idCol))
+      .agg(max("count").as("top_gram_cnt"), sum("count").as("n_grams"))
+    base.select(col(idCol), col("_n_tok").as("n_tok"),
+        col("_n_dist").as("n_distinct_tok"))
+      .join(agg, Seq(idCol), "left")
+      .na.fill(0L, Seq("top_gram_cnt", "n_grams"))
+  }
 }
