@@ -560,6 +560,46 @@ object Queries2 {
       |  CAST(ROUND(value * 100) AS BIGINT) AS score_centi
       |FROM events""".stripMargin
 
+  /** k8s metadata from log-file paths (plugin/input/k8s/meta/meta.go):
+    * kubelet-named paths built from events columns, parsed back by the
+    * pure-expression scanner. Covers inner-hyphen containers, trailing
+    * hyphen-run trimming, and a structurally invalid class → nulls. */
+  val q48_k8s_meta: Q = (s, dir) => {
+    val cid = concat(md5(col("event_id").cast("string")),
+      md5(col("user_id").cast("string")))
+    val container = when(pmod(col("event_id"), lit(3)) === 0, lit("app"))
+      .when(pmod(col("event_id"), lit(3)) === 1, lit("side-car"))
+      .otherwise(lit("web-")) // trailing '-' exercises the trim
+    val path = when(col("event_type") === "purchase", lit("nounderscore.log"))
+      .otherwise(concat(
+        lit("/var/log/pods/"),
+        lit("pod-"), pmod(col("user_id"), lit(50)).cast("string"), lit("_"),
+        col("event_type"), lit("_"),
+        container, lit("-"), cid, lit(".log")))
+    val m = graft.sources.K8sMeta.parse(path)
+    t(s, dir, "events").select(
+      col("event_id"),
+      m.getField("pod_name").as("pod_name"),
+      m.getField("namespace").as("namespace"),
+      m.getField("container_name").as("container_name"),
+      m.getField("container_id").as("container_id"))
+  }
+
+  val q48_sql: String =
+    """SELECT event_id,
+      |  CASE WHEN event_type = 'purchase' THEN NULL
+      |       ELSE 'pod-' || (user_id % 50) END AS pod_name,
+      |  CASE WHEN event_type = 'purchase' THEN NULL
+      |       ELSE event_type END AS namespace,
+      |  CASE WHEN event_type = 'purchase' THEN NULL
+      |       WHEN event_id % 3 = 0 THEN 'app'
+      |       WHEN event_id % 3 = 1 THEN 'side-car'
+      |       ELSE 'web' END AS container_name,
+      |  CASE WHEN event_type = 'purchase' THEN NULL
+      |       ELSE md5(CAST(event_id AS VARCHAR)) || md5(CAST(user_id AS VARCHAR))
+      |       END AS container_id
+      |FROM events""".stripMargin
+
   val q42_throttle: Q = (s, dir) =>
     SeqOps.throttle(t(s, dir, "events"), Seq("event_type"),
       bucket = date_trunc("day", col("ts")), orderCol = "event_id", limit = 20)
@@ -672,6 +712,7 @@ object Queries2 {
     "q41_join_template" -> q41_join_template,
     "q46_join_template_forms" -> q46_join_template_forms,
     "q47_dec_protobuf" -> q47_dec_protobuf,
+    "q48_k8s_meta" -> q48_k8s_meta,
     "q42_throttle" -> q42_throttle,
     "q43_cardinality" -> q43_cardinality,
     "q44_antispam" -> q44_antispam,
@@ -701,6 +742,7 @@ object Queries2 {
     "q41_join_template" -> q41_sql,
     "q46_join_template_forms" -> q46_sql,
     "q47_dec_protobuf" -> q47_sql,
+    "q48_k8s_meta" -> q48_sql,
     "q42_throttle" -> q42_sql,
     "q43_cardinality" -> q43_sql,
     "q44_antispam" -> q44_sql,

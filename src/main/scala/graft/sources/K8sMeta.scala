@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** k8s log-file metadata extraction (reference:
+  * plugin/input/k8s/meta/meta.go NewK8sMetaInformation): kubelet names
+  * container logs `<pod>_<namespace>_<container>-<containerID>.log`
+  * with a 64-char container ID, so the pod/namespace/container columns
+  * come straight out of the `source_name` path — no API server needed
+  * on the hot path (the reference's watcher enrichment is the broadcast
+  * dim-table join pattern, q70). Pure Column expressions, stays in
+  * whole-stage codegen.
+  *
+  * Faithful to the reference's scan: name = path after the last '/'
+  * minus a 4-char extension; pod = up to the first '_'; namespace = up
+  * to the next '_'; containerID = the LAST 64 chars of the rest (not
+  * validated as hex, same as the reference); container = the rest minus
+  * the ID with trailing '-' runs trimmed. Any structural violation
+  * (no '/', missing underscores, remainder shorter than 65) yields a
+  * null struct, mirroring the reference's error returns.
+  */
+object K8sMeta {
+
+  def parse(path: Column): Column = {
+    val fname = element_at(split(path, "/"), -1)
+    val base = fname.substr(lit(1), length(fname) - 4)
+    val pod = substring_index(base, "_", 1)
+    val afterPod = base.substr(length(pod) + 2, length(base))
+    val ns = substring_index(afterPod, "_", 1)
+    val rest = afterPod.substr(length(ns) + 2, length(afterPod))
+    val cid = rest.substr(-64, 64)
+    val container = regexp_replace(
+      rest.substr(lit(1), length(rest) - 64), "-+$", "")
+    val valid = path.contains("/") &&
+      length(fname) > 4 &&
+      length(base) >= 4 &&
+      base.contains("_") &&
+      afterPod.contains("_") &&
+      length(rest) >= 65
+    when(valid, struct(
+      pod.as("pod_name"), ns.as("namespace"),
+      container.as("container_name"), cid.as("container_id")))
+      .otherwise(lit(null).cast(
+        "struct<pod_name:string,namespace:string," +
+          "container_name:string,container_id:string>"))
+  }
+}
