@@ -218,6 +218,8 @@ object PipelineCompiler {
           .option("path", n.get("dir").asText())
           .option("filename_pattern",
             Option(n.get("filename_pattern")).map(_.asText()).getOrElse("*"))
+          .option("offsets_op", // continue ≙ the checkpoint itself
+            Option(n.get("offsets_op")).map(_.asText()).getOrElse("reset"))
           .load()
           .select(org.apache.spark.sql.functions.col("value"),
             org.apache.spark.sql.functions.col("source_name"))

@@ -42,7 +42,8 @@ class TailSourceProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
     new TailTable(properties.get("path"),
-      Option(properties.get("filename_pattern")).getOrElse("*"))
+      Option(properties.get("filename_pattern")).getOrElse("*"),
+      Option(properties.get("offsets_op")).getOrElse("reset"))
 }
 
 object TailSource {
@@ -100,28 +101,39 @@ object TailSource {
   }
 }
 
-class TailTable(path: String, glob: String) extends Table with SupportsRead {
+class TailTable(path: String, glob: String, offsetsOp: String)
+    extends Table with SupportsRead {
   override def name(): String = s"graft-tail:$path/$glob"
   override def schema(): StructType = TailSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new TailScan(path, glob)
+    () => new TailScan(path, glob, offsetsOp)
 }
 
-class TailScan(path: String, glob: String) extends Scan {
+class TailScan(path: String, glob: String, offsetsOp: String) extends Scan {
   override def readSchema(): StructType = TailSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TailMicroBatchStream(path, glob)
+    new TailMicroBatchStream(path, glob, offsetsOp)
 }
 
 case class TailOffset(offsets: Map[String, Long]) extends Offset {
   override def json(): String = TailSource.serialize(offsets)
 }
 
-class TailMicroBatchStream(dir: String, glob: String) extends MicroBatchStream {
+class TailMicroBatchStream(dir: String, glob: String,
+                           offsetsOp: String = "reset") extends MicroBatchStream {
 
-  override def initialOffset(): Offset = TailOffset(Map.empty)
+  /** Start position when no checkpoint exists (file.go `offsets_op`):
+    * `reset` reads every file from 0; `tail` starts at the current file
+    * ends (only new appends flow). `continue` is the checkpoint itself —
+    * when Spark restores offsets from the checkpoint, initialOffset is
+    * never consulted, which is exactly the reference's offset-file
+    * semantics. */
+  override def initialOffset(): Offset = offsetsOp match {
+    case "tail" => TailOffset(TailSource.scanDir(dir, glob))
+    case _      => TailOffset(Map.empty)
+  }
 
   override def latestOffset(): Offset = TailOffset(TailSource.scanDir(dir, glob))
 

@@ -88,6 +88,24 @@ class TailSourceSpec extends AnyFunSuite {
       ("old-gen", "app.1.log", 24L), ("new2", "app.log", 5L)))
   }
 
+  test("offsets_op: tail starts at current ends; reset replays from zero") {
+    val dir = Files.createTempDirectory("tail3")
+    val log = dir.resolve("app.log")
+    write(log, "old1\nold2\n")
+    // reset (default): pre-existing content replays
+    val resetStream = new TailMicroBatchStream(dir.toString, "*.log", "reset")
+    val (rowsReset, _) =
+      epoch(resetStream, resetStream.initialOffset().asInstanceOf[TailOffset])
+    assert(rowsReset.map(_._1) == Seq("old1", "old2"))
+    // tail: initial offset sits at the current end — only new appends flow
+    val tailStream = new TailMicroBatchStream(dir.toString, "*.log", "tail")
+    val start = tailStream.initialOffset().asInstanceOf[TailOffset]
+    assert(start.offsets(log.toString) == 10L)
+    write(log, "new1\n")
+    val (rowsTail, _) = epoch(tailStream, start)
+    assert(rowsTail == Seq(("new1", "app.log", 10L)))
+  }
+
   test("offset JSON roundtrips through the checkpoint format") {
     val offs = Map("/a/b.log" -> 42L, "/a/c.log" -> 0L)
     assert(TailSource.deserialize(TailSource.serialize(offs)) == offs)
