@@ -197,24 +197,33 @@ case class JsonFields(child: Expression, fields: Seq[String])
 
   /** JSON string unescape over [from, until). Raw bytes (already valid
     * UTF-8) copy through; escapes decode, \uXXXX with surrogate pairing.
-    * Returns null → caller falls back to Jackson. */
+    * Returns null → caller falls back to Jackson.
+    *
+    * Hot path on escaped-JSON corpora (a JSON doc embedded as a string
+    * field escapes every quote, so most rows land here): writes into a
+    * preallocated array (unescaping never grows the byte count) with
+    * arraycopy for the runs between escapes — ByteArrayOutputStream's
+    * synchronized per-byte writes cost a lock op per byte. */
   private def unescape(b: Array[Byte], from: Int, until: Int): UTF8String = {
-    val buf = new java.io.ByteArrayOutputStream(until - from)
+    val out = new Array[Byte](until - from)
+    var o = 0
     var i = from
     while (i < until) {
-      val c = b(i)
-      if (c != '\\') { buf.write(c); i += 1 }
-      else {
+      // bulk-copy the run up to the next escape
+      var r = i
+      while (r < until && b(r) != '\\') r += 1
+      if (r > i) { System.arraycopy(b, i, out, o, r - i); o += r - i; i = r }
+      if (i < until) {
         if (i + 1 >= until) return null
         b(i + 1) match {
-          case '"'  => buf.write('"');  i += 2
-          case '\\' => buf.write('\\'); i += 2
-          case '/'  => buf.write('/');  i += 2
-          case 'b'  => buf.write('\b'); i += 2
-          case 'f'  => buf.write('\f'); i += 2
-          case 'n'  => buf.write('\n'); i += 2
-          case 'r'  => buf.write('\r'); i += 2
-          case 't'  => buf.write('\t'); i += 2
+          case '"'  => out(o) = '"';  o += 1; i += 2
+          case '\\' => out(o) = '\\'; o += 1; i += 2
+          case '/'  => out(o) = '/';  o += 1; i += 2
+          case 'b'  => out(o) = '\b'; o += 1; i += 2
+          case 'f'  => out(o) = '\f'; o += 1; i += 2
+          case 'n'  => out(o) = '\n'; o += 1; i += 2
+          case 'r'  => out(o) = '\r'; o += 1; i += 2
+          case 't'  => out(o) = '\t'; o += 1; i += 2
           case 'u' =>
             if (i + 6 > until) return null
             val cp0 = hex4(b, i + 2)
@@ -229,12 +238,12 @@ case class JsonFields(child: Expression, fields: Seq[String])
               cp = 0x10000 + ((cp0 - 0xD800) << 10) + (lo - 0xDC00)
               i += 6
             } else if (cp0 >= 0xDC00 && cp0 <= 0xDFFF) return null // lone low
-            writeUtf8(buf, cp)
+            o = writeUtf8(out, o, cp)
           case _ => return null
         }
       }
     }
-    UTF8String.fromBytes(buf.toByteArray)
+    UTF8String.fromBytes(out, 0, o)
   }
 
   private def hex4(b: Array[Byte], off: Int): Int = {
@@ -253,17 +262,26 @@ case class JsonFields(child: Expression, fields: Seq[String])
     v
   }
 
-  private def writeUtf8(buf: java.io.ByteArrayOutputStream, cp: Int): Unit = {
-    if (cp < 0x80) buf.write(cp)
+  /** UTF-8 encode `cp` into out[o..]; returns the new offset. */
+  private def writeUtf8(out: Array[Byte], o0: Int, cp: Int): Int = {
+    var o = o0
+    if (cp < 0x80) { out(o) = cp.toByte; o += 1 }
     else if (cp < 0x800) {
-      buf.write(0xC0 | (cp >> 6)); buf.write(0x80 | (cp & 0x3F))
+      out(o) = (0xC0 | (cp >> 6)).toByte; out(o + 1) = (0x80 | (cp & 0x3F)).toByte
+      o += 2
     } else if (cp < 0x10000) {
-      buf.write(0xE0 | (cp >> 12)); buf.write(0x80 | ((cp >> 6) & 0x3F))
-      buf.write(0x80 | (cp & 0x3F))
+      out(o) = (0xE0 | (cp >> 12)).toByte
+      out(o + 1) = (0x80 | ((cp >> 6) & 0x3F)).toByte
+      out(o + 2) = (0x80 | (cp & 0x3F)).toByte
+      o += 3
     } else {
-      buf.write(0xF0 | (cp >> 18)); buf.write(0x80 | ((cp >> 12) & 0x3F))
-      buf.write(0x80 | ((cp >> 6) & 0x3F)); buf.write(0x80 | (cp & 0x3F))
+      out(o) = (0xF0 | (cp >> 18)).toByte
+      out(o + 1) = (0x80 | ((cp >> 12) & 0x3F)).toByte
+      out(o + 2) = (0x80 | ((cp >> 6) & 0x3F)).toByte
+      out(o + 3) = (0x80 | (cp & 0x3F)).toByte
+      o += 4
     }
+    o
   }
 
   // ---------------------------------------------------- Jackson fallback

@@ -54,6 +54,20 @@ class FunctionsSpec extends AnyFunSuite {
     // remaining-fields counter and early-exit before later fields
     assert(ex("""{"a":null,"a":1,"b":2,"c":3}""") == Seq(null, "2", "3"))
     assert(ex("""{"a":"x","a":"y","b":"z"}""") == Seq("x", "z", null))
+    // escaped strings: standard escapes, \uXXXX, surrogate pairs, and
+    // escape runs interleaved with plain runs (arraycopy path)
+    assert(ex("""{"a":"q\"inner\"q","b":"tab\there","c":"\n"}""") ==
+      Seq("q\"inner\"q", "tab\there", "\n"))
+    assert(ex("""{"a":"éxé","b":"😀!","c":"pre\\post"}""") ==
+      Seq("éxé", new String(Character.toChars(0x1F600)) + "!", "pre\\post"))
+    // embedded-JSON shape (every row of the bench corpus): quotes
+    // escaped throughout a long value
+    assert(ex("""{"a":"{\"k\":1,\"s\":\"v\"}","b":"y"}""") ==
+      Seq("""{"k":1,"s":"v"}""", "y", null))
+    // \uXXXX decode incl. a surrogate pair (built with runtime escapes —
+    // Scala's lexer would eat \u in a literal)
+    assert(ex("{\"a\":\"\\u00e9\",\"b\":\"\\ud83d\\ude00\"}") ==
+      Seq("é", new String(Character.toChars(0x1F600)), null))
   }
 
   test("Multimodal image codec: PNG roundtrip, nearest-neighbor resize, poison bytes") {
