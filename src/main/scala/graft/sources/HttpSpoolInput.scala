@@ -1,0 +1,106 @@
+package graft.sources
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.io.InputStream
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicLong
+import java.util.zip.GZIPInputStream
+
+/** REAL HTTP push input on loopback (reference: plugin/input/http/
+  * http.go:278-596 + elasticsearch.go): a JDK `com.sun.net.httpserver`
+  * listener that spools each request body to disk ATOMICALLY
+  * (tmp + rename) before acking — the reference's contract that
+  * processBulk completes before the 200 result is written, which is
+  * what makes the ack mean "durably accepted". The spool dir is the
+  * replay seam the engine already reads (`Sources.esBulkSpool` / the
+  * compiler's `es_bulk` input), so listener and pipeline decouple
+  * exactly like the reference's controller/plugin split, and the
+  * engine side stays a deterministic, replayable source.
+  *
+  * `emulate_mode: elasticsearch` (http.go:437-480): answers the client
+  * handshake surface — `/` info, `/_xpack`, `/_license`, and the
+  * `/_ilm`, `/_index_template`, `/_template`, `/_ingest`, `/_nodes`
+  * probes with `{}` — using the reference's canned wire payloads
+  * (elasticsearch.go:7-105) so beats/logstash-style clients proceed to
+  * POST `/_bulk`. Plain mode bulk-accepts every path. gzip
+  * Content-Encoding is honored; non-POST bulk → 405, like serveBulk.
+  *
+  * Loopback-only by construction (this environment has no ingress);
+  * `port = 0` binds an ephemeral port, returned by `start()`.
+  */
+final class HttpSpoolInput(port: Int, spoolDir: Path, emulateEs: Boolean) {
+
+  private val seq = new AtomicLong(0)
+  private var server: HttpServer = _
+
+  private val infoJson =
+    """{"name":"graft","cluster_name":"graft","cluster_uuid":"Rz-wj_pkT8a0Y1KXTLmN9g",
+      |"version":{"number":"6.7.1","build_flavor":"default","build_type":"deb",
+      |"build_hash":"2f32220","build_date":"2019-04-02T15:59:27.961366Z",
+      |"build_snapshot":false,"lucene_version":"7.7.0",
+      |"minimum_wire_compatibility_version":"5.6.0",
+      |"minimum_index_compatibility_version":"5.0.0"},
+      |"tagline":"You know, for search"}""".stripMargin.replace("\n", "")
+  private val licenseJson =
+    """{"license":{"mode":"basic","status":"active","type":"basic",
+      |"uid":"e76d6ce9-f78c-44ff-8fd5-b5877357d649"}}""".stripMargin.replace("\n", "")
+  private val xpackJson =
+    s"""{"build":{"date":"2019-04-02T15:59:27.961366Z","hash":"2f32220"},
+       |"features":{},"license":{"mode":"basic","status":"active","type":"basic",
+       |"uid":"e76d6ce9-f78c-44ff-8fd5-b5877357d649"},
+       |"tagline":"You know, for nothing"}""".stripMargin.replace("\n", "")
+  private val bulkResult = """{"took":30,"errors":false,"items":[]}"""
+
+  def start(): Int = {
+    Files.createDirectories(spoolDir)
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      val path = ex.getRequestURI.getPath
+      if (emulateEs) {
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.getResponseHeaders.add("X-Elastic-Product", "Elasticsearch")
+        path match {
+          case "/_bulk"    => serveBulk(ex)
+          case "/"         => respond(ex, 200, infoJson)
+          case "/_xpack"   => respond(ex, 200, xpackJson)
+          case "/_license" => respond(ex, 200, licenseJson)
+          case p if p.startsWith("/_ilm/policy") || p.startsWith("/_index_template") ||
+            p.startsWith("/_template") || p.startsWith("/_ingest") ||
+            p.startsWith("/_nodes") => respond(ex, 200, "{}")
+          case _ => respond(ex, 404, "")
+        }
+      } else serveBulk(ex)
+    } finally ex.close()
+
+  /** http.go serveBulk: POST only, optional gzip, durable spool BEFORE
+    * the ack. */
+  private def serveBulk(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") { respond(ex, 405, ""); return }
+    val raw: InputStream =
+      if ("gzip".equalsIgnoreCase(
+        ex.getRequestHeaders.getFirst("Content-Encoding")))
+        new GZIPInputStream(ex.getRequestBody)
+      else ex.getRequestBody
+    val body = raw.readAllBytes()
+    val name = f"${System.currentTimeMillis()}%013d_${seq.getAndIncrement()}%06d.bulk"
+    val tmp = spoolDir.resolve(name + ".tmp")
+    Files.write(tmp, body)
+    Files.move(tmp, spoolDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    respond(ex, 200, bulkResult)
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val b = body.getBytes("UTF-8")
+    ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length)
+    if (b.nonEmpty) ex.getResponseBody.write(b)
+  }
+}

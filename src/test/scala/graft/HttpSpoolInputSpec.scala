@@ -1,0 +1,90 @@
+package graft
+
+import java.net.HttpURLConnection
+import java.net.URI
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+import graft.sources.HttpSpoolInput
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end push-ingestion contract (reference: plugin/input/http):
+  * a real loopback listener, real HTTP clients, durable spool before
+  * ack, ES handshake emulation, then the spooled bodies decoded by the
+  * engine's es_bulk reader. */
+class HttpSpoolInputSpec extends AnyFunSuite {
+
+  private def request(url: String, method: String = "GET",
+                      body: Array[Byte] = null, gzip: Boolean = false)
+  : (Int, String) = {
+    val c = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    c.setRequestMethod(method)
+    if (body != null) {
+      c.setDoOutput(true)
+      if (gzip) c.setRequestProperty("Content-Encoding", "gzip")
+      val os = c.getOutputStream
+      val w = if (gzip) new GZIPOutputStream(os) else os
+      w.write(body); w.close()
+    }
+    val code = c.getResponseCode
+    val in = if (code < 400) c.getInputStream else c.getErrorStream
+    val text = if (in == null) "" else new String(in.readAllBytes(), "UTF-8")
+    (code, text)
+  }
+
+  test("bulk POST spools durably before the ack; ES handshake answers") {
+    val dir = Files.createTempDirectory("httpspool")
+    val srv = new HttpSpoolInput(0, dir, emulateEs = true)
+    val port = srv.start()
+    try {
+      val base = s"http://127.0.0.1:$port"
+      // handshake endpoints a beats/logstash-style client probes
+      val (c1, info) = request(s"$base/")
+      assert(c1 == 200 && info.contains("\"number\":\"6.7.1\""))
+      assert(request(s"$base/_license")._2.contains("\"mode\":\"basic\""))
+      assert(request(s"$base/_xpack")._1 == 200)
+      assert(request(s"$base/_template/foo")._2 == "{}")
+      // bulk: ack body is the reference's result payload
+      val bulk = "{\"index\":{\"_index\":\"logs\"}}\n{\"msg\":\"a\"}\n"
+      val (code, ack) = request(s"$base/_bulk", "POST", bulk.getBytes("UTF-8"))
+      assert(code == 200)
+      assert(ack == """{"took":30,"errors":false,"items":[]}""")
+      // the ack implies the body is already durable in the spool
+      val spooled = Files.list(dir).toArray.map(_.toString).filter(_.endsWith(".bulk"))
+      assert(spooled.length == 1)
+      assert(new String(Files.readAllBytes(
+        java.nio.file.Paths.get(spooled.head)), "UTF-8") == bulk)
+      // gzip bodies decode; GET bulk is rejected like serveBulk
+      assert(request(s"$base/_bulk", "POST",
+        "{\"index\":{}}\n{\"msg\":\"gz\"}\n".getBytes("UTF-8"), gzip = true)._1 == 200)
+      assert(request(s"$base/_bulk")._1 == 405)
+      assert(Files.list(dir).toArray.count(_.toString.endsWith(".bulk")) == 2)
+    } finally srv.stop()
+  }
+
+  test("spooled bulk bodies flow through the engine's es_bulk decoder") {
+    val dir = Files.createTempDirectory("httpspool2")
+    val srv = new HttpSpoolInput(0, dir, emulateEs = false) // plain mode: any path
+    val port = srv.start()
+    try {
+      val bulk = "{\"index\":{\"_index\":\"app\"}}\n{\"m\":1}\n" +
+        "{\"index\":{\"_index\":\"app\"}}\n{\"m\":2}\n"
+      assert(request(s"http://127.0.0.1:$port/ingest", "POST",
+        bulk.getBytes("UTF-8"))._1 == 200)
+      val spark = SparkSession()
+      val rows = graft.sources.Sources.esBulkSpool(spark, dir.toString, "*.bulk")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getAs[String]("value")).sorted.toSeq ==
+        Seq("{\"m\":1}", "{\"m\":2}"))
+      assert(rows.forall(_.getAs[String]("op") == "index"))
+      assert(rows.forall(_.getAs[String]("es_index") == "app"))
+    } finally srv.stop()
+  }
+
+  private def SparkSession(): org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}
