@@ -146,6 +146,21 @@ object Sinks {
     * Injected per deployment (HTTP POST, TCP write, JDBC…). */
   type Transport = Iterator[String] => Unit
 
+  /** A real TCP transport: one connection per chunk, newline-framed
+    * lines, flushed and closed so the receiver sees the chunk boundary —
+    * the socket-sink leg matching [[graft.sources.SocketSpoolInput]]'s
+    * framing. Throws on connect/write failure so the foreachBatch
+    * batcher's retry/DLQ path engages. */
+  def socketTransport(host: String, port: Int): Transport = { lines =>
+    val s = new java.net.Socket(host, port)
+    try {
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8"))
+      lines.foreach { l => w.write(l); w.write('\n') }
+      w.flush()
+    } finally s.close()
+  }
+
   /** foreachBatch writer with the reference's batcher + dead-queue
     * semantics (pipeline/batch.go, router.go): payload column rendered,
     * chunked to `batchSize`, each chunk handed to the transport with

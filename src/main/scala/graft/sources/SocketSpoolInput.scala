@@ -1,0 +1,90 @@
+package graft.sources
+
+import java.io.BufferedReader
+import java.io.InputStreamReader
+import java.net.{DatagramPacket, DatagramSocket, InetAddress, ServerSocket, Socket}
+import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
+import java.util.concurrent.atomic.AtomicLong
+
+/** REAL socket input on loopback (reference: plugin/input/socket/
+  * socket.go): TCP (newline-framed, one handler per connection) and UDP
+  * (one datagram = one-or-more newline-framed events) listeners that
+  * spool received lines to disk, the same replay seam as the HTTP
+  * input — the engine reads the spool dir with `spark.read(Stream)` /
+  * the tail source, keeping the network edge out of the deterministic
+  * pipeline. A connection's lines become visible to the engine
+  * atomically (tmp + rename) when the sender closes or after
+  * `flushLines` lines, bounding both loss-on-crash and latency.
+  * TLS and unix sockets are deployment variants of the same loop
+  * (no certs/ingress in this environment; loopback only). */
+final class SocketSpoolInput(network: String, port: Int, spoolDir: Path,
+                             flushLines: Int = 1000) {
+
+  private val seq = new AtomicLong(0)
+  @volatile private var running = true
+  private var tcp: ServerSocket = _
+  private var udp: DatagramSocket = _
+  private val threads = scala.collection.mutable.ArrayBuffer.empty[Thread]
+
+  def start(): Int = {
+    Files.createDirectories(spoolDir)
+    network match {
+      case "tcp" =>
+        tcp = new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
+        spawn { () =>
+          while (running)
+            try { val c = tcp.accept(); spawn(() => handleConn(c)) }
+            catch { case _: Exception => () } // closed on stop
+        }
+        tcp.getLocalPort
+      case "udp" =>
+        udp = new DatagramSocket(port, InetAddress.getLoopbackAddress)
+        spawn { () =>
+          val buf = new Array[Byte](65536)
+          while (running)
+            try {
+              val pkt = new DatagramPacket(buf, buf.length)
+              udp.receive(pkt)
+              val s = new String(pkt.getData, pkt.getOffset, pkt.getLength, "UTF-8")
+              writeSpool(s.split("\n").toSeq.filter(_.nonEmpty))
+            } catch { case _: Exception => () }
+        }
+        udp.getLocalPort
+      case other => throw new IllegalArgumentException(s"unknown network '$other'")
+    }
+  }
+
+  def stop(): Unit = {
+    running = false
+    if (tcp != null) tcp.close()
+    if (udp != null) udp.close()
+    threads.foreach(_.join(2000))
+  }
+
+  private def spawn(r: Runnable): Unit = {
+    val t = new Thread(r); t.setDaemon(true); t.start()
+    threads.synchronized(threads += t)
+  }
+
+  private def handleConn(conn: Socket): Unit =
+    try {
+      val in = new BufferedReader(
+        new InputStreamReader(conn.getInputStream, "UTF-8"))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var line = in.readLine()
+      while (line != null) {
+        buf += line
+        if (buf.size >= flushLines) { writeSpool(buf.toSeq); buf.clear() }
+        line = in.readLine()
+      }
+      if (buf.nonEmpty) writeSpool(buf.toSeq)
+    } catch { case _: Exception => () } finally conn.close()
+
+  private def writeSpool(lines: Seq[String]): Unit = if (lines.nonEmpty) {
+    val name = f"${System.currentTimeMillis()}%013d_${seq.getAndIncrement()}%06d.sock"
+    val tmp = spoolDir.resolve(name + ".tmp")
+    Files.write(tmp, String.join("\n", lines: _*).concat("\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    Files.move(tmp, spoolDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.net.{DatagramPacket, DatagramSocket, InetAddress, Socket}
+import java.nio.file.Files
+import graft.sources.SocketSpoolInput
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Socket edge contract (reference: plugin/input/socket): real loopback
+  * TCP/UDP listeners spooling newline-framed events, and the TCP sink
+  * transport feeding a listener — both ends of the socket leg, live. */
+class SocketSpoolInputSpec extends AnyFunSuite {
+
+  private def awaitSpool(dir: java.nio.file.Path, n: Int,
+                         timeoutMs: Long = 10000): Seq[java.nio.file.Path] = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var files = Seq.empty[java.nio.file.Path]
+    while (files.size < n && System.currentTimeMillis() < deadline) {
+      files = Files.list(dir).toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".sock"))
+      if (files.size < n) Thread.sleep(50)
+    }
+    files
+  }
+
+  test("tcp listener spools newline-framed lines per connection") {
+    val dir = Files.createTempDirectory("sockspool")
+    val srv = new SocketSpoolInput("tcp", 0, dir)
+    val port = srv.start()
+    try {
+      val c1 = new Socket(InetAddress.getLoopbackAddress, port)
+      c1.getOutputStream.write("a1\na2\n".getBytes("UTF-8")); c1.close()
+      val c2 = new Socket(InetAddress.getLoopbackAddress, port)
+      c2.getOutputStream.write("b1\n".getBytes("UTF-8")); c2.close()
+      val files = awaitSpool(dir, 2)
+      assert(files.size == 2)
+      val all = files.flatMap(f =>
+        new String(Files.readAllBytes(f), "UTF-8").split("\n").toSeq)
+      assert(all.toSet == Set("a1", "a2", "b1"))
+    } finally srv.stop()
+  }
+
+  test("udp listener spools one datagram's events atomically") {
+    val dir = Files.createTempDirectory("sockspool2")
+    val srv = new SocketSpoolInput("udp", 0, dir)
+    val port = srv.start()
+    try {
+      val sock = new DatagramSocket()
+      val payload = "u1\nu2\n".getBytes("UTF-8")
+      sock.send(new DatagramPacket(payload, payload.length,
+        InetAddress.getLoopbackAddress, port))
+      sock.close()
+      val files = awaitSpool(dir, 1)
+      assert(files.size == 1)
+      assert(new String(Files.readAllBytes(files.head), "UTF-8") == "u1\nu2\n")
+    } finally srv.stop()
+  }
+
+  test("socket sink transport delivers a chunk to a live listener") {
+    val dir = Files.createTempDirectory("sockspool3")
+    val srv = new SocketSpoolInput("tcp", 0, dir)
+    val port = srv.start()
+    try {
+      graft.sinks.Sinks.socketTransport("127.0.0.1", port)(
+        Iterator("{\"id\":1}", "{\"id\":2}"))
+      val files = awaitSpool(dir, 1)
+      assert(files.size == 1)
+      assert(new String(Files.readAllBytes(files.head), "UTF-8") ==
+        "{\"id\":1}\n{\"id\":2}\n")
+      // a dead endpoint raises, engaging the batcher's retry/DLQ path
+      srv.stop()
+      assertThrows[Exception](
+        graft.sinks.Sinks.socketTransport("127.0.0.1", port)(Iterator("x")))
+    } finally srv.stop()
+  }
+}
