@@ -130,13 +130,24 @@ object PipelineCompiler {
           rendered.writeStream.format("memory")
             .queryName(outputConf.getOrElse("name", "graft_pipe"))
             .option("checkpointLocation", ckpt).outputMode("append").start()
-        case "elasticsearch" | "gelf" | "splunk" | "loki" | "http" =>
-          // net sink: wire-format payload → batcher → injected transport
-          // (devnull by default in this egress-less environment)
+        case "elasticsearch" | "gelf" | "splunk" | "loki" | "http" | "socket" =>
+          // net sink: wire-format payload → batcher → transport. An
+          // `endpoint` in the config gets a REAL transport (HTTP POST
+          // or TCP chunk write — loopback-reachable here); otherwise
+          // the injected factory (devnull by default, no egress).
+          val transport = outputConf.get("endpoint") match {
+            case Some(url) if url.startsWith("http") =>
+              graft.sinks.Sinks.httpTransport(url,
+                outputConf.get("use_gzip").exists(_.toBoolean))
+            case Some(hostPort) if hostPort.contains(":") =>
+              val Array(h, p) = hostPort.split(":", 2)
+              graft.sinks.Sinks.socketTransport(h, p.toInt)
+            case _ => PipelineCompiler.transportFactory(outputType)
+          }
           val sinkFn = graft.sinks.Sinks.foreachBatchSink("payload",
             outputConf.get("batch_size").map(_.toInt).getOrElse(1000),
             outputConf.get("retry").map(_.toInt).getOrElse(1),
-            PipelineCompiler.transportFactory(outputType))
+            transport)
           payload().writeStream
             .foreachBatch(sinkFn)
             .option("checkpointLocation", ckpt).start()

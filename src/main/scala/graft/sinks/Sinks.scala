@@ -146,6 +146,29 @@ object Sinks {
     * Injected per deployment (HTTP POST, TCP write, JDBC…). */
   type Transport = Iterator[String] => Unit
 
+  /** A real HTTP transport: one POST per chunk, newline-joined body
+    * (the NDJSON/_bulk wire shape every HTTP-family sink renders into),
+    * gzip optional. Non-2xx or connect failure throws so the
+    * foreachBatch batcher's retry/DLQ path engages — covers the http,
+    * elasticsearch, loki, splunk and gelf-over-http sink legs. */
+  def httpTransport(url: String, gzip: Boolean = false): Transport = { lines =>
+    val c = java.net.URI.create(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      c.setRequestMethod("POST")
+      c.setDoOutput(true)
+      c.setRequestProperty("Content-Type", "application/json")
+      if (gzip) c.setRequestProperty("Content-Encoding", "gzip")
+      val os = c.getOutputStream
+      val w = if (gzip) new java.util.zip.GZIPOutputStream(os) else os
+      lines.foreach { l => w.write(l.getBytes("UTF-8")); w.write('\n') }
+      w.close()
+      val code = c.getResponseCode
+      if (code < 200 || code >= 300)
+        throw new java.io.IOException(s"http transport: status $code from $url")
+    } finally c.disconnect()
+  }
+
   /** A real TCP transport: one connection per chunk, newline-framed
     * lines, flushed and closed so the receiver sees the chunk boundary —
     * the socket-sink leg matching [[graft.sources.SocketSpoolInput]]'s

@@ -61,6 +61,23 @@ class HttpSpoolInputSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("http sink transport POSTs chunks to a live listener; failures raise") {
+    val dir = Files.createTempDirectory("httpspool3")
+    val srv = new HttpSpoolInput(0, dir, emulateEs = true)
+    val port = srv.start()
+    try {
+      val send = graft.sinks.Sinks.httpTransport(s"http://127.0.0.1:$port/_bulk")
+      send(Iterator("{\"index\":{\"_index\":\"x\"}}", "{\"v\":1}"))
+      graft.sinks.Sinks.httpTransport(
+        s"http://127.0.0.1:$port/_bulk", gzip = true)(Iterator("{\"index\":{}}", "{\"v\":2}"))
+      val spooled = Files.list(dir).toArray.map(_.toString).filter(_.endsWith(".bulk"))
+      assert(spooled.length == 2)
+      // a non-2xx ack raises, engaging the batcher's retry/DLQ
+      assertThrows[Exception](
+        graft.sinks.Sinks.httpTransport(s"http://127.0.0.1:$port/nope")(Iterator("x")))
+    } finally srv.stop()
+  }
+
   test("spooled bulk bodies flow through the engine's es_bulk decoder") {
     val dir = Files.createTempDirectory("httpspool2")
     val srv = new HttpSpoolInput(0, dir, emulateEs = false) // plain mode: any path
