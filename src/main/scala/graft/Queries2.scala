@@ -600,6 +600,37 @@ object Queries2 {
       |       END AS container_id
       |FROM events""".stripMargin
 
+  /** dmesg / kmsg decoder (plugin/input/dmesg via kmsgparser):
+    * `pri,seq,tsUs,flags;message` records built from events, decoded
+    * with the reference's level mapping. */
+  val q49_dec_kmsg: Q = (s, dir) => {
+    val line = concat(
+      pmod(col("user_id"), lit(10)).cast("string"), lit(","),
+      col("event_id").cast("string"), lit(","),
+      unix_micros(col("ts")).cast("string"), lit(",-;"),
+      col("event_type"), lit(" "), col("props"))
+    val d = Decoders.kmsg(line)
+    t(s, dir, "events").select(
+      col("event_id"),
+      d.getField("level").as("level"),
+      d.getField("priority").as("priority"),
+      d.getField("sequence_number").as("sequence_number"),
+      d.getField("ts_us").as("ts_us"),
+      d.getField("message").as("message"))
+  }
+
+  val q49_sql: String =
+    """SELECT event_id,
+      |  CASE WHEN user_id % 10 <= 3 THEN 'error'
+      |       WHEN user_id % 10 <= 5 THEN 'warn'
+      |       WHEN user_id % 10 = 6 THEN 'info'
+      |       ELSE 'debug' END AS level,
+      |  user_id % 10 AS priority,
+      |  event_id AS sequence_number,
+      |  epoch_us(ts) AS ts_us,
+      |  event_type || ' ' || props AS message
+      |FROM events""".stripMargin
+
   val q42_throttle: Q = (s, dir) =>
     SeqOps.throttle(t(s, dir, "events"), Seq("event_type"),
       bucket = date_trunc("day", col("ts")), orderCol = "event_id", limit = 20)
@@ -713,6 +744,7 @@ object Queries2 {
     "q46_join_template_forms" -> q46_join_template_forms,
     "q47_dec_protobuf" -> q47_dec_protobuf,
     "q48_k8s_meta" -> q48_k8s_meta,
+    "q49_dec_kmsg" -> q49_dec_kmsg,
     "q42_throttle" -> q42_throttle,
     "q43_cardinality" -> q43_cardinality,
     "q44_antispam" -> q44_antispam,
@@ -743,6 +775,7 @@ object Queries2 {
     "q46_join_template_forms" -> q46_sql,
     "q47_dec_protobuf" -> q47_sql,
     "q48_k8s_meta" -> q48_sql,
+    "q49_dec_kmsg" -> q49_sql,
     "q42_throttle" -> q42_sql,
     "q43_cardinality" -> q43_sql,
     "q44_antispam" -> q44_sql,

@@ -37,6 +37,26 @@ object Decoders {
   def protobuf(bin: Column, fieldSpec: String): Column =
     graft.functions.ProtoFields(bin, fieldSpec)
 
+  private val kmsgRe = "^(\\d+),(\\d+),(\\d+),([^;]*);(.*)$"
+
+  /** /dev/kmsg record decoder (reference: plugin/input/dmesg/dmesg.go:
+    * 57-131 via kmsgparser): `priority,seq,timestampUs,flags;message`,
+    * with the reference's level mapping — 0-3 error, 4-5 warn, 6 info,
+    * else debug. The devfs itself is just a path (no /dev/kmsg in this
+    * environment); this decoder + a tail over the configured path is
+    * the whole input, and the reference's ts<=saved dedup is the tail
+    * source's offset. */
+  def kmsg(line: Column): Column = {
+    val pri = regexp_extract(line, kmsgRe, 1).try_cast("long")
+    struct(
+      when(pri <= 3, "error").when(pri <= 5, "warn")
+        .when(pri === 6, "info").otherwise("debug").as("level"),
+      pri.as("priority"),
+      regexp_extract(line, kmsgRe, 2).try_cast("long").as("sequence_number"),
+      regexp_extract(line, kmsgRe, 3).try_cast("long").as("ts_us"),
+      regexp_extract(line, kmsgRe, 5).as("message"))
+  }
+
   private val criRe = "^(\\S+) (stdout|stderr) ([FP]) (.*)$"
 
   /** CRI decoder (decoder/cri.go): `TIME STREAM TAG LOG`, tag F=full,

@@ -1,0 +1,110 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
+import java.util.concurrent.atomic.AtomicLong
+
+/** journalctl input (reference: plugin/input/journalctl/journalctl.go +
+  * reader.go): spawns `journalctl -o json -a` (plus configured args),
+  * reads JSON entries line-by-line, tracks the `__CURSOR` of the last
+  * delivered entry in an offsets file, and on restart resumes with
+  * `-c <cursor>` — skipping the first line, because the cursor points
+  * at the last already-sent message (reader.go:36-44). Fresh starts add
+  * `-n all` (reader.go:73-80).
+  *
+  * The spawned binary is configurable (`cmd`) so the mechanism is fully
+  * testable with a stand-in script — the container has no systemd; with
+  * a real `journalctl` on PATH the default config is the reference's
+  * invocation. Entries spool to the same replay-seam directory the
+  * HTTP/socket edges use; the engine tails the spool.
+  */
+final class JournalInput(spoolDir: Path, offsetsFile: Path,
+                         cmd: Seq[String] = Seq("journalctl"),
+                         journalArgs: Seq[String] = Seq.empty,
+                         maxLines: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private val seq = new AtomicLong(0)
+  private var proc: Process = _
+  private var reader: Thread = _
+  @volatile private var cursor: String = loadCursor()
+
+  def currentCursor: String = cursor
+
+  private def loadCursor(): String =
+    if (Files.exists(offsetsFile)) {
+      // offsets file shape mirrors the reference's YAML: `cursor: <c>`
+      Files.readAllLines(offsetsFile).toArray.map(_.toString)
+        .collectFirst { case l if l.startsWith("cursor: ") =>
+          l.stripPrefix("cursor: ") }
+        .getOrElse("")
+    } else ""
+
+  private def saveCursor(): Unit = {
+    val tmp = offsetsFile.resolveSibling(offsetsFile.getFileName.toString + ".tmp")
+    Files.write(tmp, s"cursor: $cursor\n".getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE)
+    Files.move(tmp, offsetsFile, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** reader.go newJournalReader: -o json -a, then -c <cursor> on resume
+    * (first line skipped) or -n all on a fresh start. */
+  def args: Seq[String] = {
+    val base = Seq("-o", "json", "-a")
+    (if (cursor.nonEmpty) base ++ Seq("-c", cursor) else base ++ Seq("-n", "all")) ++
+      journalArgs
+  }
+
+  def start(): Unit = {
+    Files.createDirectories(spoolDir)
+    if (offsetsFile.getParent != null) Files.createDirectories(offsetsFile.getParent)
+    proc = new ProcessBuilder((cmd ++ args): _*)
+      .redirectErrorStream(false).start()
+    val skipFirst = cursor.nonEmpty
+    reader = new Thread(() => readLines(skipFirst))
+    reader.setDaemon(true)
+    reader.start()
+  }
+
+  private def readLines(skipFirst0: Boolean): Unit = {
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream, "UTF-8"), 10 * 1024 * 1024)
+    var skipFirst = skipFirst0
+    var total = 0
+    try {
+      var line = in.readLine()
+      while (line != null && (maxLines <= 0 || total < maxLines)) {
+        if (skipFirst) skipFirst = false
+        else {
+          spool(line)
+          total += 1
+          try {
+            val c = mapper.readTree(line).get("__CURSOR")
+            if (c != null) { cursor = c.asText(); saveCursor() }
+          } catch { case _: Exception => () }
+        }
+        line = in.readLine()
+      }
+    } catch { case _: Exception => () }
+  }
+
+  private def spool(line: String): Unit = {
+    val name = f"${System.currentTimeMillis()}%013d_${seq.getAndIncrement()}%06d.journal"
+    val tmp = spoolDir.resolve(name + ".tmp")
+    Files.write(tmp, (line + "\n").getBytes("UTF-8"))
+    Files.move(tmp, spoolDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def awaitExit(timeoutMs: Long = 10000): Unit = {
+    if (proc != null) proc.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    if (reader != null) reader.join(timeoutMs)
+  }
+
+  def stop(): Unit = {
+    if (proc != null) proc.destroy() // ≙ SIGTERM (reader.go stop)
+    if (reader != null) reader.join(2000)
+    saveCursor()
+  }
+}

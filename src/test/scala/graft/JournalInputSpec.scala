@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.PosixFilePermissions
+import graft.sources.JournalInput
+import org.scalatest.funsuite.AnyFunSuite
+
+/** journalctl mechanism contract (reference: plugin/input/journalctl):
+  * spawn, JSON-line read, __CURSOR offset persistence, and -c resume
+  * with the first (already-sent) line skipped — driven by a stand-in
+  * script since the container has no systemd. */
+class JournalInputSpec extends AnyFunSuite {
+
+  /** Fake journalctl honoring `-c <cursor>` and `-n all`; emits entries
+    * c<START>..c<MAX> where MAX comes from the FAKE_MAX env. */
+  private def fakeJournalctl(dir: Path): Path = {
+    val script = dir.resolve("journalctl")
+    Files.write(script,
+      """#!/bin/bash
+        |START=0
+        |while [[ $# -gt 0 ]]; do
+        |  case "$1" in
+        |    -c) START="${2#c}"; shift 2;;
+        |    *) shift;;
+        |  esac
+        |done
+        |for i in $(seq "$START" "${FAKE_MAX:-9}"); do
+        |  echo "{\"__CURSOR\":\"c$i\",\"MESSAGE\":\"m$i\"}"
+        |done
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.setPosixFilePermissions(script,
+      PosixFilePermissions.fromString("rwxr-xr-x"))
+    script
+  }
+
+  private def spooled(dir: Path): Seq[String] = {
+    val files = Files.list(dir).toArray.map(_.asInstanceOf[Path])
+      .filter(_.toString.endsWith(".journal")).sortBy(_.getFileName.toString)
+    files.toSeq.flatMap(f =>
+      new String(Files.readAllBytes(f), "UTF-8").split("\n").toSeq)
+  }
+
+  test("fresh start reads all entries and persists the last cursor") {
+    val dir = Files.createTempDirectory("journal")
+    val script = fakeJournalctl(dir)
+    val spool = dir.resolve("spool"); val off = dir.resolve("offsets.yaml")
+    val j = new JournalInput(spool, off, cmd = Seq(script.toString))
+    assert(j.args == Seq("-o", "json", "-a", "-n", "all"))
+    j.start(); j.awaitExit(); j.stop()
+    val lines = spooled(spool)
+    assert(lines.size == 10)
+    assert(lines.head.contains("\"m0\"") && lines.last.contains("\"m9\""))
+    assert(j.currentCursor == "c9")
+    assert(new String(Files.readAllBytes(off), "UTF-8") == "cursor: c9\n")
+  }
+
+  test("resume passes -c and skips the first (already-sent) line") {
+    val dir = Files.createTempDirectory("journal2")
+    val script = fakeJournalctl(dir)
+    val spool = dir.resolve("spool"); val off = dir.resolve("offsets.yaml")
+    Files.write(off, "cursor: c7\n".getBytes("UTF-8"))
+    val j = new JournalInput(spool, off, cmd = Seq(script.toString))
+    assert(j.args == Seq("-o", "json", "-a", "-c", "c7"))
+    j.start(); j.awaitExit(); j.stop()
+    // script emits c7..c9; c7 was already delivered → only m8, m9 land
+    assert(spooled(spool).map(l => l.substring(l.indexOf("\"m"))) ==
+      Seq("\"m8\"}", "\"m9\"}"))
+    assert(j.currentCursor == "c9")
+  }
+
+  test("a caught-up journal delivers nothing new on restart") {
+    val dir = Files.createTempDirectory("journal3")
+    val script = fakeJournalctl(dir)
+    val spool = dir.resolve("spool"); val off = dir.resolve("offsets.yaml")
+    Files.write(off, "cursor: c9\n".getBytes("UTF-8"))
+    val j = new JournalInput(spool, off, cmd = Seq(script.toString))
+    j.start(); j.awaitExit(); j.stop()
+    assert(spooled(spool).isEmpty) // only c9 re-emitted, and it's skipped
+    assert(j.currentCursor == "c9")
+  }
+}
