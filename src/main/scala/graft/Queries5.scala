@@ -541,6 +541,23 @@ object Queries5 {
       |  coalesce(a.n_grams, 0) AS n_grams
       |FROM b2 b LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** Chunk→document embedding mean-pool (flattened exact-integer
+    * sums — see Ann.meanPoolSums for the determinism argument). */
+  val q75_embed_meanpool: Q = (s, dir) =>
+    graft.ml.Ann.meanPoolSums(
+      t(s, dir, "embeddings"), pmod(col("vec_id"), lit(50)), col("embedding"))
+
+  val q75_sql: String =
+    """WITH x AS (
+      |  SELECT vec_id % 50 AS key,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |    generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings)
+      |SELECT key, pos - 1 AS pos,
+      |  CAST(SUM(CAST(ROUND(v * 1000000) AS BIGINT)) AS BIGINT) AS sum_e6,
+      |  COUNT(*) AS n_chunks
+      |FROM x GROUP BY key, pos""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -565,6 +582,7 @@ object Queries5 {
     "q67_text_unigram" -> q67_text_unigram,
     "q68_stratified_sample" -> q68_stratified_sample,
     "q74_text_repetition" -> q74_text_repetition,
+    "q75_embed_meanpool" -> q75_embed_meanpool,
     "q96_asof_join" -> q96_asof_join,
     "q97_salted_join" -> q97_salted_join
   )
@@ -591,6 +609,7 @@ object Queries5 {
     "q67_text_unigram" -> q67_sql,
     "q68_stratified_sample" -> q68_sql,
     "q74_text_repetition" -> q74_sql,
+    "q75_embed_meanpool" -> q75_sql,
     "q96_asof_join" -> q96_sql,
     "q97_salted_join" -> q97_sql
   )

@@ -138,6 +138,24 @@ object Ann {
   /** Random-hyperplane signature: bit b = sign(dot(vec, hyperplane_b)).
     * Hyperplanes are deterministic pseudo-random from a seed so signatures
     * are reproducible across runs/executors. */
+  /** Mean-pooling of chunk embeddings into a per-document vector — the
+    * standard "document embedding = mean of its chunks" aggregation.
+    * Emitted flattened as (key, pos, sum_e6, n_chunks): per-element
+    * values are rounded to exact 1e-6 units BEFORE the sum, so the
+    * aggregation is integer arithmetic — order-independent across
+    * partitions (float summation order isn't) and engine-reproducible;
+    * the mean divides downstream in whatever precision the caller
+    * wants. Shape: posexplode to (key, pos) then one map-side-combined
+    * shuffle — the same layout as any wide aggregation, no vector-width
+    * skew. Rebuild the array form with sort_array(collect_list(...)) if
+    * a vector column is needed. */
+  def meanPoolSums(df: DataFrame, keyCol: Column, vecCol: Column): DataFrame =
+    df.select(keyCol.as("key"), posexplode(vecCol).as(Seq("pos", "v")))
+      .groupBy(col("key"), col("pos"))
+      .agg(
+        sum(round(col("v").cast("double") * 1e6).cast("long")).as("sum_e6"),
+        count(lit(1)).as("n_chunks"))
+
   def hyperplaneSig(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
     val rng = new scala.util.Random(seed)
     val planes = Seq.fill(nBits)(Seq.fill(dim)(rng.nextGaussian().toFloat))
