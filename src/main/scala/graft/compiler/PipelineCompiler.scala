@@ -158,6 +158,25 @@ object PipelineCompiler {
     }
   }
 
+  /** `template:` (single, deprecated in the reference) or `templates:`
+    * (list) → JoinTemplateMatch ids (join_template.go Start). */
+  private[compiler] def templateIds(action: JsonNode): Seq[Int] = {
+    def toId(name: String): Int = name match {
+      case "go_panic" => graft.state.JoinTemplateMatch.GoPanic
+      case "cs_exception" => graft.state.JoinTemplateMatch.CsException
+      case "go_data_race" => graft.state.JoinTemplateMatch.GoDataRace
+      case other => throw new IllegalArgumentException(
+        s"join template '$other' not found")
+    }
+    val many = Option(action.get("templates"))
+      .map(_.elements().asScala.map(n => toId(n.asText())).toSeq)
+      .getOrElse(Seq.empty)
+    if (many.nonEmpty) many
+    else Option(action.get("template")).map(n => Seq(toId(n.asText())))
+      .getOrElse(throw new IllegalArgumentException(
+        "either 'template' or 'templates' must be set"))
+  }
+
   /** Multi-file entry with the reference's config front-end: later
     * files deep-merge over earlier ones, then `FILED_*` env path
     * overrides and `env(NAME)` value substitution apply
@@ -517,6 +536,27 @@ object PipelineCompiler {
               .withField(fieldName, col("value")).as("doc"),
             col("key").as("source_name"))
 
+      case "join_template" if df.isStreaming =>
+        // prebuilt templates with the reference's multi-template
+        // selection: first matching start locks the template for the
+        // sequence (join_template.go firstCheck/nextCheck)
+        val fieldName = Option(action.get("field")).map(_.asText()).getOrElse("log")
+        val t = envelopeType(df)
+        val ds = df.select(col("source_name").as("key"), lit(0L).as("seq"),
+            col("doc").getField(fieldName).cast("string").as("value"),
+            envelopeJson.as("carry"))
+          .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.KEvent])
+        val cfg = graft.streaming.Kernels.MultilineCfg(
+          "", "", negate = false,
+          Option(action.get("max_event_size")).map(_.asInt()).getOrElse(1 << 20),
+          Option(action.get("event_timeout_ms")).map(_.asLong()).getOrElse(30000L),
+          templates = PipelineCompiler.templateIds(action))
+        graft.streaming.Kernels.multiline(ds, cfg).toDF()
+          .select(
+            from_json(col("carry"), t).getField("doc")
+              .withField(fieldName, col("value")).as("doc"),
+            col("key").as("source_name"))
+
       case "throttle" if df.isStreaming =>
         val t = envelopeType(df)
         val tsF = Option(action.get("time_field")).map(_.asText()).getOrElse("time")
@@ -648,6 +688,31 @@ object PipelineCompiler {
         val contRaw = src.rlike(action.get("continue").asText())
         val contC =
           if (Option(action.get("negate")).exists(_.asBoolean())) !contRaw else contRaw
+        val maxSize = Option(action.get("max_event_size")).map(_.asInt())
+        val base = df.withColumn("_jord", monotonically_increasing_id())
+          .withColumn("_jf", src)
+        val joined = graft.state.SeqOps.multilineJoin(base, Seq("source_name"),
+          "_jord", startC, contC, "_jf", carryCols = Seq("doc"))
+        val payload = maxSize
+          .map(m => substring(col("_jf"), 1, m)).getOrElse(col("_jf"))
+        joined
+          .withColumn("doc", col("doc").withField(fieldName, payload))
+          .drop("_jf", "_jord", "n_lines")
+
+      case "join_template" =>
+        // join alias with prebuilt predicate tables (join_template.go).
+        // Batch lowers one template to the exact TemplateCheck columns;
+        // the multi-template firstCheck/nextCheck state machine (the
+        // matching template governs its whole sequence) needs per-
+        // sequence state — streaming handles it, batch rejects rather
+        // than approximate with OR'd predicates.
+        val tmplIds = PipelineCompiler.templateIds(action)
+        require(tmplIds.size == 1,
+          "batch join_template supports one template; use streaming for a template list")
+        val fieldName = Option(action.get("field")).map(_.asText()).getOrElse("log")
+        val src = doc.getField(fieldName).cast("string")
+        val startC = graft.functions.TemplateCheck(src, tmplIds.head, start = true)
+        val contC = graft.functions.TemplateCheck(src, tmplIds.head, start = false)
         val maxSize = Option(action.get("max_event_size")).map(_.asInt())
         val base = df.withColumn("_jord", monotonically_increasing_id())
           .withColumn("_jf", src)

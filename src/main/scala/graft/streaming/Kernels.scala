@@ -27,22 +27,40 @@ object Kernels {
 
   // ------------------------------------------------------- multiline join
 
+  /** `templates` (ids from [[graft.state.JoinTemplateMatch]]) switches
+    * the predicates from the regexes to the prebuilt join_template
+    * tables, with the reference's multi-template selection
+    * (join_template.go firstCheck/nextCheck): the FIRST template whose
+    * start matches opens the sequence and ITS continue check (Negate
+    * applied) governs the rest of that sequence. */
   final case class MultilineCfg(
       startRe: String, continueRe: String, negate: Boolean = false,
-      maxEventSize: Int = 1 << 20, timeoutMs: Long = 30000L, sep: String = "\n")
+      maxEventSize: Int = 1 << 20, timeoutMs: Long = 30000L, sep: String = "\n",
+      templates: Seq[Int] = Nil)
 
   final case class MultilineState(buf: List[String], firstSeq: Long,
-                                  firstCarry: String = "")
+                                  firstCarry: String = "", tmpl: Int = -1)
 
   /** Multiline join (plugin/action/join/join.go:63-110): `start` opens a
     * sequence, `continue` (xor negate) extends, anything else flushes and
     * passes through; a processing-time timeout flushes a dangling
     * sequence (≙ event_timeout / TIMEOUT control events). */
   def multiline(ds: Dataset[KEvent], cfg: MultilineCfg): Dataset[KEvent] = {
-    val start = cfg.startRe.r
-    val cont = cfg.continueRe.r
-    def isStart(v: String) = start.findFirstIn(v).isDefined
-    def isCont(v: String) = cont.findFirstIn(v).isDefined != cfg.negate
+    val start = if (cfg.templates.isEmpty) cfg.startRe.r else null
+    val cont = if (cfg.templates.isEmpty) cfg.continueRe.r else null
+    import org.apache.spark.unsafe.types.UTF8String
+    // returns the matched template's id, or -1; regex mode uses id 0
+    def startTemplate(v: String): Int =
+      if (cfg.templates.isEmpty) {
+        if (start.findFirstIn(v).isDefined) 0 else -1
+      } else cfg.templates.find(t =>
+        graft.state.JoinTemplateMatch.check(UTF8String.fromString(v), t, start = true))
+        .getOrElse(-1)
+    def isStart(v: String) = startTemplate(v) >= 0
+    def isCont(tmpl: Int, v: String) =
+      if (cfg.templates.isEmpty) cont.findFirstIn(v).isDefined != cfg.negate
+      else graft.state.JoinTemplateMatch.check(
+        UTF8String.fromString(v), tmpl, start = false)
 
     def flush(key: String, st: MultilineState): KEvent = {
       val joined = st.buf.reverse.mkString(cfg.sep)
@@ -68,15 +86,17 @@ object Kernels {
             var cur = state.getOption
             events.toSeq.sortBy(_.seq).foreach { ev =>
               cur match {
-                case Some(st) if isCont(ev.value) && !isStart(ev.value) =>
+                case Some(st) if isCont(st.tmpl, ev.value) && !isStart(ev.value) =>
                   cur = Some(st.copy(buf = ev.value :: st.buf))
                 case Some(st) =>
                   out += flush(key, st)
+                  val t = startTemplate(ev.value)
                   cur =
-                    if (isStart(ev.value)) Some(MultilineState(List(ev.value), ev.seq, ev.carry))
+                    if (t >= 0) Some(MultilineState(List(ev.value), ev.seq, ev.carry, t))
                     else { out += ev; None }
                 case None =>
-                  if (isStart(ev.value)) cur = Some(MultilineState(List(ev.value), ev.seq, ev.carry))
+                  val t = startTemplate(ev.value)
+                  if (t >= 0) cur = Some(MultilineState(List(ev.value), ev.seq, ev.carry, t))
                   else out += ev
               }
             }

@@ -227,6 +227,37 @@ class CompilerSpec extends AnyFunSuite {
     assert(outSpam.count() == 6) // below threshold: everything passes
   }
 
+  test("join_template action compiles with the exact predicate tables") {
+    val lines = Seq(
+      """{"log":"panic: boom","src":"a"}""",
+      """{"log":"goroutine 7 [running]:","src":"a"}""",
+      """{"log":"main.main()","src":"a"}""",
+      """{"log":"plain line","src":"a"}""")
+    val yaml =
+      s"""input:
+         |  type: fake
+         |  lines:
+         |${lines.map(l => "    - '" + l + "'").mkString("\n")}
+         |decoder:
+         |  type: json
+         |  schema: "log string, src string"
+         |actions:
+         |  - type: join_template
+         |    template: go_panic
+         |    field: log
+         |output: {type: memory}
+         |""".stripMargin
+    val out = PipelineCompiler.compile(spark, yaml).result()
+      .select(org.apache.spark.sql.functions.col("doc.log")).collect().map(_.getString(0))
+    assert(out.toSet == Set(
+      "panic: boom\ngoroutine 7 [running]:\nmain.main()", "plain line"))
+    // a template list is a streaming-only contract in batch mode
+    assertThrows[IllegalArgumentException](
+      PipelineCompiler.compile(spark,
+        yaml.replace("    template: go_panic",
+          "    templates: [go_panic, cs_exception]")).result())
+  }
+
   test("sink payload renders the configured wire format") {
     val yaml =
       """input:

@@ -102,6 +102,42 @@ class StreamingKernelsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multiline kernel multi-template: the matching template governs its sequence") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.state.JoinTemplateMatch
+    val input = MemoryStream[KEvent]
+    val cfg = MultilineCfg("", "", timeoutMs = 2000L, sep = "|",
+      templates = Seq(JoinTemplateMatch.GoPanic, JoinTemplateMatch.CsException))
+    val out = Kernels.multiline(input.toDS(), cfg)
+    val q = out.writeStream.format("memory").queryName("mt_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      input.addData(
+        // go_panic sequence: ' ---> ' is a cs_exception continue but NOT
+        // a go_panic one — with per-sequence template lock it flushes here
+        KEvent("s", 1, "panic: boom"),
+        KEvent("s", 2, "goroutine 5 [running]:"),
+        KEvent("s", 3, " ---> System.IO.FileNotFoundException: x"),
+        // cs_exception sequence opened by the second template's start
+        KEvent("s", 4, "Unhandled exception. System.Exception: y"),
+        KEvent("s", 5, "   at Program.Main(String[] args)"),
+        KEvent("s", 6, "plain line"))
+      awaitRows("mt_out", 4)
+      val vals = spark.table("mt_out").as[KEvent].collect().map(_.value).toSet
+      // the ' ---> ' line did NOT extend the go_panic sequence (it is a
+      // cs_exception continue only) — it flushed the panic block and
+      // passed through on its own
+      assert(vals == Set(
+        "panic: boom|goroutine 5 [running]:",
+        " ---> System.IO.FileNotFoundException: x",
+        "Unhandled exception. System.Exception: y|   at Program.Main(String[] args)",
+        "plain line"))
+    } finally q.stop()
+  }
+
   test("antispam kernel bans noisy sources and unbans after quiet intervals") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
