@@ -280,6 +280,7 @@ object PipelineCompiler {
         Decoders.json(value, schema, maxSizes)
       case "raw"            => Decoders.raw(value)
       case "cri"            => Decoders.cri(value)
+      case "kmsg"           => Decoders.kmsg(value)
       case "postgres"       => Decoders.postgres(value)
       case "nginx_error"    => Decoders.nginxError(value)
       case "syslog_rfc3164" => Decoders.syslog3164(value)
