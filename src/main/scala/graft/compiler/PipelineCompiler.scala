@@ -51,6 +51,31 @@ object PipelineCompiler {
     /** Batch run: applies the chain and returns the resulting events. */
     def result(): DataFrame = df
 
+    /** Net-sink batcher: wire-format payload → chunking/retry/DLQ →
+      * transport. An `endpoint` in the config gets a REAL transport
+      * (HTTP POST or host:port TCP — loopback-reachable here);
+      * otherwise the injected factory (devnull by default, no egress). */
+    private def netSinkFn: (DataFrame, Long) => Unit = {
+      val transport = outputConf.get("endpoint") match {
+        case Some(url) if url.startsWith("http") =>
+          graft.sinks.Sinks.httpTransport(url,
+            outputConf.get("use_gzip").exists(_.toBoolean))
+        case Some(hostPort) if hostPort.contains(":") =>
+          val Array(h, p) = hostPort.split(":", 2)
+          graft.sinks.Sinks.socketTransport(h, p.toInt)
+        case _ => PipelineCompiler.transportFactory(outputType)
+      }
+      graft.sinks.Sinks.foreachBatchSink("payload",
+        outputConf.get("batch_size").map(_.toInt).getOrElse(1000),
+        outputConf.get("retry").map(_.toInt).getOrElse(1),
+        transport)
+    }
+
+    /** Batch egress for net sinks: render the payload and push it
+      * through the configured transport once — the batch counterpart of
+      * startStream's foreachBatch leg. */
+    def send(): Unit = netSinkFn(payload(), 0L)
+
     /** The sink's wire payload as a one-column DataFrame — the exact
       * bytes each configured output would transmit (Sinks wire formats,
       * oracle-verified in q80-q84). Net transports are injected at
@@ -131,25 +156,8 @@ object PipelineCompiler {
             .queryName(outputConf.getOrElse("name", "graft_pipe"))
             .option("checkpointLocation", ckpt).outputMode("append").start()
         case "elasticsearch" | "gelf" | "splunk" | "loki" | "http" | "socket" =>
-          // net sink: wire-format payload → batcher → transport. An
-          // `endpoint` in the config gets a REAL transport (HTTP POST
-          // or TCP chunk write — loopback-reachable here); otherwise
-          // the injected factory (devnull by default, no egress).
-          val transport = outputConf.get("endpoint") match {
-            case Some(url) if url.startsWith("http") =>
-              graft.sinks.Sinks.httpTransport(url,
-                outputConf.get("use_gzip").exists(_.toBoolean))
-            case Some(hostPort) if hostPort.contains(":") =>
-              val Array(h, p) = hostPort.split(":", 2)
-              graft.sinks.Sinks.socketTransport(h, p.toInt)
-            case _ => PipelineCompiler.transportFactory(outputType)
-          }
-          val sinkFn = graft.sinks.Sinks.foreachBatchSink("payload",
-            outputConf.get("batch_size").map(_.toInt).getOrElse(1000),
-            outputConf.get("retry").map(_.toInt).getOrElse(1),
-            transport)
           payload().writeStream
-            .foreachBatch(sinkFn)
+            .foreachBatch(netSinkFn)
             .option("checkpointLocation", ckpt).start()
         case _ =>
           rendered.writeStream.format("noop")

@@ -98,6 +98,54 @@ class HttpSpoolInputSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("full push loop: HTTP in → YAML pipeline → HTTP out") {
+    val inDir = Files.createTempDirectory("loop_in")
+    val outDir = Files.createTempDirectory("loop_out")
+    val inSrv = new HttpSpoolInput(0, inDir, emulateEs = true)
+    val outSrv = new HttpSpoolInput(0, outDir, emulateEs = true)
+    val pIn = inSrv.start(); val pOut = outSrv.start()
+    try {
+      // a client pushes documents into listener A
+      val bulk = "{\"index\":{\"_index\":\"src\"}}\n" +
+        "{\"level\":\"error\",\"message\":\"boom\",\"time\":\"2024-01-02T03:04:05Z\"}\n" +
+        "{\"index\":{\"_index\":\"src\"}}\n" +
+        "{\"level\":\"info\",\"message\":\"fine\",\"time\":\"2024-01-02T03:04:06Z\"}\n"
+      assert(request(s"http://127.0.0.1:$pIn/_bulk", "POST",
+        bulk.getBytes("UTF-8"))._1 == 200)
+
+      // the engine replays the spool, filters, and pushes to listener B
+      val yaml =
+        s"""input:
+           |  type: es_bulk
+           |  dir: $inDir
+           |  filename_pattern: "*.bulk"
+           |decoder:
+           |  type: json
+           |  schema: "level string, message string, time string"
+           |actions:
+           |  - type: discard
+           |    do_if: {op: equal, field: level, values: [info]}
+           |output:
+           |  type: elasticsearch
+           |  index_prefix: out-
+           |  time_field: time
+           |  endpoint: http://127.0.0.1:$pOut/_bulk
+           |""".stripMargin
+      graft.compiler.PipelineCompiler.compile(SparkSession(), yaml).send()
+
+      // listener B durably spooled the re-rendered bulk wire format
+      val got = Files.list(outDir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".bulk"))
+      assert(got.length == 1)
+      val lines = new String(Files.readAllBytes(got.head), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSeq
+      assert(lines.size == 2) // action line + surviving doc, info dropped
+      assert(lines.head == "{\"index\":{\"_index\":\"out-2024-01-02\"}}")
+      assert(lines(1).contains("\"message\":\"boom\""))
+      assert(!lines.mkString.contains("fine"))
+    } finally { inSrv.stop(); outSrv.stop() }
+  }
+
   private def SparkSession(): org.apache.spark.sql.SparkSession =
     org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
