@@ -558,6 +558,69 @@ object Queries5 {
       |  COUNT(*) AS n_chunks
       |FROM x GROUP BY key, pos""".stripMargin
 
+  /** Sessionization: a new session when the per-user gap exceeds 30
+    * minutes — one shuffle on user, two window passes over the same
+    * (user, ts) ordering so Catalyst reuses the sort. */
+  val q76_sessionize: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    val prev = lag(col("ts"), 1).over(w)
+    val newSess = when(prev.isNull ||
+      unix_micros(col("ts")) - unix_micros(prev) > gapUs, 1L).otherwise(0L)
+    t(s, dir, "events").select(
+      col("user_id"), col("event_id"),
+      sum(newSess).over(w).as("session_id"))
+  }
+
+  val q76_sql: String =
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+      |  FROM events)
+      |SELECT user_id, event_id,
+      |  CAST(SUM(CASE WHEN pts IS NULL
+      |                  OR epoch_us(ts) - epoch_us(pts) > 1800000000
+      |                THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+      |    AS session_id
+      |FROM x""".stripMargin
+
+  /** Exact per-language token-count percentiles (p50/p95 by rank — the
+    * quality-gate thresholds), deterministic tie-break on doc_id so the
+    * picked row is engine-stable; integers end to end. */
+  val q77_token_percentiles: Q = (s, dir) => {
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_tok"), col("doc_id"))
+    val wc = Window.partitionBy(col("lang"))
+    t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), nTok.as("n_tok"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .filter(col("rn") === ceil(col("cnt") * 0.5) ||
+        col("rn") === ceil(col("cnt") * 0.95))
+      .select(col("lang"),
+        when(col("rn") === ceil(col("cnt") * 0.5), "p50").otherwise("p95").as("q"),
+        col("n_tok"))
+  }
+
+  val q77_sql: String =
+    """WITH x AS (
+      |  SELECT lang, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, n_tok,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM x)
+      |SELECT lang,
+      |  CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT) THEN 'p50'
+      |       ELSE 'p95' END AS q,
+      |  n_tok
+      |FROM r
+      |WHERE rn = CAST(ceil(cnt * 0.5) AS BIGINT)
+      |   OR rn = CAST(ceil(cnt * 0.95) AS BIGINT)""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -583,6 +646,8 @@ object Queries5 {
     "q68_stratified_sample" -> q68_stratified_sample,
     "q74_text_repetition" -> q74_text_repetition,
     "q75_embed_meanpool" -> q75_embed_meanpool,
+    "q76_sessionize" -> q76_sessionize,
+    "q77_token_percentiles" -> q77_token_percentiles,
     "q96_asof_join" -> q96_asof_join,
     "q97_salted_join" -> q97_salted_join
   )
@@ -610,6 +675,8 @@ object Queries5 {
     "q68_stratified_sample" -> q68_sql,
     "q74_text_repetition" -> q74_sql,
     "q75_embed_meanpool" -> q75_sql,
+    "q76_sessionize" -> q76_sql,
+    "q77_token_percentiles" -> q77_sql,
     "q96_asof_join" -> q96_sql,
     "q97_salted_join" -> q97_sql
   )
