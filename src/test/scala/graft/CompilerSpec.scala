@@ -516,5 +516,21 @@ class CompilerSpec extends AnyFunSuite {
     assert(gelf.contains("\"short_message\":"))
     assert(gelf.contains("**** **** **** ****"))
     assert(!gelf.contains("1111"))
+
+    // pushed panics: spool fixture → join_template → loki entry
+    val spool = Files.createTempDirectory("graft_push")
+    Files.write(spool.resolve("r1.bulk"), java.util.Arrays.asList(
+      """{"index":{"_index":"app"}}""",
+      """{"log":"panic: oops","time":"2024-01-02T03:04:05Z"}""",
+      """{"index":{"_index":"app"}}""",
+      """{"log":"goroutine 7 [running]:","time":"2024-01-02T03:04:05Z"}""",
+      """{"index":{"_index":"app"}}""",
+      """{"log":"all good","time":"2024-01-02T03:04:06Z"}"""))
+    val push = PipelineCompiler.compile(spark,
+      example("push_panics_to_loki.yaml")
+        .replace("/var/spool/graft-http", spool.toString))
+    val logs = push.result().selectExpr("doc.log").collect().map(_.getString(0))
+    assert(logs.toSet == Set("panic: oops\ngoroutine 7 [running]:", "all good"))
+    assert(push.payload().head().getString(0).startsWith("[\""))
   }
 }
