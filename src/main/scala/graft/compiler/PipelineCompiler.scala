@@ -113,6 +113,15 @@ object PipelineCompiler {
       * (plugin/output/s3 semantics over any object-store path); other
       * types → the rendered wire payload as text. */
     def write(): Unit = outputType match {
+      case "file" if outputConf.contains("target_file") =>
+        // single-file seal/rename contract (file.go) — the reference's
+        // exact rotation; `dir` layout below is the distributed path
+        val rot = new graft.sinks.FileRotator(outputConf("target_file"),
+          outputConf.get("retention_interval_ms").map(_.toLong)
+            .getOrElse(3600 * 1000L),
+          outputConf.getOrElse("time_layout", "MM-dd-yyyy_HH:mm:ss"))
+        graft.sinks.Sinks.fileRotating("value", rot)(
+          df.select(to_json(col("doc")).as("value")), 0L)
       case "file" =>
         df.select(to_json(col("doc")).as("value"))
           .write.mode("overwrite").text(outputConf("dir"))
@@ -143,6 +152,14 @@ object PipelineCompiler {
         .observe("graft_out", count(lit(1)).as("events_out"))
         .select(to_json(col("doc")).as("value"))
       outputType match {
+        case "file" if outputConf.contains("target_file") =>
+          val rot = new graft.sinks.FileRotator(outputConf("target_file"),
+            outputConf.get("retention_interval_ms").map(_.toLong)
+              .getOrElse(3600 * 1000L),
+            outputConf.getOrElse("time_layout", "MM-dd-yyyy_HH:mm:ss"))
+          rendered.writeStream
+            .foreachBatch(graft.sinks.Sinks.fileRotating("value", rot))
+            .option("checkpointLocation", ckpt).start()
         case "file" =>
           rendered.writeStream.format("text")
             .option("path", outputConf("dir"))

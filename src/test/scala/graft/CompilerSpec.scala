@@ -258,6 +258,28 @@ class CompilerSpec extends AnyFunSuite {
           "    templates: [go_panic, cs_exception]")).result())
   }
 
+  test("file output with target_file writes through the seal/rename rotator") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("rotout")
+    val yaml =
+      s"""input:
+         |  type: fake
+         |  lines: ['{"m":"a"}', '{"m":"b"}']
+         |decoder:
+         |  type: json
+         |  schema: "m string"
+         |output:
+         |  type: file
+         |  target_file: $dir/app.log
+         |  retention_interval_ms: 3600000
+         |""".stripMargin
+    PipelineCompiler.compile(spark, yaml).write()
+    val files = Files.list(dir).toArray.map(_.toString)
+    assert(files.length == 1 && files.head.matches(".*/\\d+_app\\.log"))
+    assert(Files.readAllLines(
+      java.nio.file.Paths.get(files.head)).size() == 2)
+  }
+
   test("sink payload renders the configured wire format") {
     val yaml =
       """input:
