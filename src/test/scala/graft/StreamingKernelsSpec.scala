@@ -191,6 +191,40 @@ class StreamingKernelsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization via the built-in session_window") {
+    // the streaming counterpart of q76: Spark's native session_window
+    // (gap-based merge inside the state store) — no custom kernel needed,
+    // which is exactly the prefer-built-ins rule
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, session_window, timestamp_millis}
+    val input = MemoryStream[TEvent]
+    val out = input.toDS()
+      .withColumn("ts", timestamp_millis(col("eventTimeMs")))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("key"), session_window(col("ts"), "30 minutes"))
+      .agg(count("*").as("n"))
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      val min = 60000L
+      input.addData(
+        TEvent("u1", 0L, "a"), TEvent("u1", 10 * min, "b"),   // session 1
+        TEvent("u1", 50 * min, "c"),                          // session 2 (40m gap)
+        TEvent("u2", 0L, "x"))
+      // advance the watermark past every session's close so they emit
+      input.addData(TEvent("u3", 200 * min, "w"))
+      q.processAllAvailable()
+      input.addData(TEvent("u3", 400 * min, "w2"))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .selectExpr("key", "n").as[(String, Long)].collect().toSet
+      assert(rows.contains(("u1", 2L))) // a+b merged, 40-minute gap split
+      assert(rows.contains(("u1", 1L)))
+      assert(rows.contains(("u2", 1L)))
+    } finally q.stop()
+  }
+
   test("antispam streaming kernel ≡ batch SeqOps.antispam on the same sequence") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
