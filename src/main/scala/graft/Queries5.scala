@@ -621,6 +621,45 @@ object Queries5 {
       |WHERE rn = CAST(ceil(cnt * 0.5) AS BIGINT)
       |   OR rn = CAST(ceil(cnt * 0.95) AS BIGINT)""".stripMargin
 
+  /** Trained IVF centroids: 2 Lloyd iterations of the quantized k-means
+    * (exact integer math — see Ann.kmeansQuantized), oracle = the same
+    * two iterations unrolled in SQL. */
+  val q78_kmeans: Q = (s, dir) =>
+    graft.ml.Ann.kmeansQuantized(
+      t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+
+  val q78_sql: String = {
+    val iterCtes = (1 to 2).map { i =>
+      s"""d$i AS (
+         |  SELECT v.vid, c.cid,
+         |    SUM((v.xe6 - c.ce6) * (v.xe6 - c.ce6)) AS d2
+         |  FROM v JOIN c${i - 1} c ON v.pos = c.pos
+         |  GROUP BY v.vid, c.cid),
+         |a$i AS (
+         |  SELECT vid, cid FROM (
+         |    SELECT vid, cid,
+         |      row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+         |    FROM d$i) WHERE rn = 1),
+         |u$i AS (
+         |  SELECT a.cid, v.pos,
+         |    CAST(floor(CAST(SUM(v.xe6) AS BIGINT) / COUNT(*)) AS BIGINT) AS ce6
+         |  FROM v JOIN a$i a ON v.vid = a.vid
+         |  GROUP BY a.cid, v.pos),
+         |c$i AS (
+         |  SELECT c.cid, c.pos, coalesce(u.ce6, c.ce6) AS ce6
+         |  FROM c${i - 1} c LEFT JOIN u$i u ON u.cid = c.cid AND u.pos = c.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id AS vid,
+       |    generate_subscripts(embedding, 1) - 1 AS pos,
+       |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xe6
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(vid AS INT) AS cid, pos, xe6 AS ce6 FROM v WHERE vid < 8),
+       |$iterCtes
+       |SELECT cid, pos, ce6 FROM c2""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -648,6 +687,7 @@ object Queries5 {
     "q75_embed_meanpool" -> q75_embed_meanpool,
     "q76_sessionize" -> q76_sessionize,
     "q77_token_percentiles" -> q77_token_percentiles,
+    "q78_kmeans" -> q78_kmeans,
     "q96_asof_join" -> q96_asof_join,
     "q97_salted_join" -> q97_salted_join
   )
@@ -677,6 +717,7 @@ object Queries5 {
     "q75_embed_meanpool" -> q75_sql,
     "q76_sessionize" -> q76_sql,
     "q77_token_percentiles" -> q77_sql,
+    "q78_kmeans" -> q78_sql,
     "q96_asof_join" -> q96_sql,
     "q97_salted_join" -> q97_sql
   )

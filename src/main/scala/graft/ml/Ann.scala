@@ -1,6 +1,7 @@
 package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -155,6 +156,49 @@ object Ann {
       .agg(
         sum(round(col("v").cast("double") * 1e6).cast("long")).as("sum_e6"),
         count(lit(1)).as("n_chunks"))
+
+  /** Distributed Lloyd k-means over QUANTIZED coordinates — the trained-
+    * centroid path for IVF (vs the first-k seeding ivfTopK uses).
+    * Every quantity is exact integer math so the result is independent
+    * of partitioning and engine: coordinates round to 1e-6 units up
+    * front, distances are integer squared-L2 with ties broken by
+    * centroid id, and centroid updates are floor(intSum / count).
+    * Per iteration: one (pos) join + (vid,cid) partial-agg shuffle for
+    * assignment, one (cid,pos) shuffle for the update — the standard
+    * scalable k-means shape (no driver-side state; the centroid table
+    * is k×dim rows and localCheckpointed per pass to stop plan growth).
+    * Empty clusters keep their previous centroid. Returns
+    * (cid, pos, ce6). */
+  def kmeansQuantized(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame = {
+    val v = df
+      .select(col(idCol).as("vid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("vid"), col("pos"),
+        round(col("x").cast("double") * 1e6).cast("long").as("xe6"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = v.filter(col("vid") < k)
+      .select(col("vid").cast("int").as("cid"), col("pos"), col("xe6").as("ce6"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val d2 = v.join(cents, "pos")
+        .groupBy(col("vid"), col("cid"))
+        .agg(sum((col("xe6") - col("ce6")) * (col("xe6") - col("ce6"))).as("d2"))
+      val assign = d2
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vid")).orderBy(col("d2"), col("cid"))))
+        .filter(col("rn") === 1).select(col("vid"), col("cid"))
+      val updated = v.join(assign, "vid")
+        .groupBy(col("cid"), col("pos"))
+        .agg(floor(sum(col("xe6")).cast("double") / count(lit(1)))
+          .cast("long").as("ce6new"))
+      cents = cents.join(updated, Seq("cid", "pos"), "left")
+        .select(col("cid"), col("pos"),
+          coalesce(col("ce6new"), col("ce6")).as("ce6"))
+        .localCheckpoint(true)
+    }
+    v.unpersist(blocking = false)
+    cents
+  }
 
   def hyperplaneSig(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
     val rng = new scala.util.Random(seed)
