@@ -35,20 +35,20 @@ final class HttpSpoolInput(port: Int, spoolDir: Path, emulateEs: Boolean) {
   private var server: HttpServer = _
 
   private val infoJson =
-    """{"name":"graft","cluster_name":"graft","cluster_uuid":"Rz-wj_pkT8a0Y1KXTLmN9g",
+    """{"name":"graft","cluster_name":"graft","cluster_uuid":"GrAfTspark0000000000ag",
       |"version":{"number":"6.7.1","build_flavor":"default","build_type":"deb",
-      |"build_hash":"2f32220","build_date":"2019-04-02T15:59:27.961366Z",
+      |"build_hash":"a7f01e3","build_date":"2020-01-01T00:00:00.000000Z",
       |"build_snapshot":false,"lucene_version":"7.7.0",
       |"minimum_wire_compatibility_version":"5.6.0",
       |"minimum_index_compatibility_version":"5.0.0"},
       |"tagline":"You know, for search"}""".stripMargin.replace("\n", "")
   private val licenseJson =
     """{"license":{"mode":"basic","status":"active","type":"basic",
-      |"uid":"e76d6ce9-f78c-44ff-8fd5-b5877357d649"}}""".stripMargin.replace("\n", "")
+      |"uid":"3a1b77e0-0000-4e10-9d28-5d5f2e7a9c41"}}""".stripMargin.replace("\n", "")
   private val xpackJson =
-    s"""{"build":{"date":"2019-04-02T15:59:27.961366Z","hash":"2f32220"},
+    s"""{"build":{"date":"2020-01-01T00:00:00.000000Z","hash":"a7f01e3"},
        |"features":{},"license":{"mode":"basic","status":"active","type":"basic",
-       |"uid":"e76d6ce9-f78c-44ff-8fd5-b5877357d649"},
+       |"uid":"3a1b77e0-0000-4e10-9d28-5d5f2e7a9c41"},
        |"tagline":"You know, for nothing"}""".stripMargin.replace("\n", "")
   private val bulkResult = """{"took":30,"errors":false,"items":[]}"""
 
