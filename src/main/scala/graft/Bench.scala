@@ -82,13 +82,15 @@ object Bench {
     SparkEntry.queries("q01_agg")(spark, sfDir).count()
     noop(throughputPipeline(spark, nd))
 
-    // throughput leg right after warmup (min of 3 — this box's effective
-    // CPU share is noisy), before the query sweep perturbs the JVM
-    val tpSec = (1 to 3).map { _ =>
+    // throughput leg right after warmup (min of 5 — this box's effective
+    // CPU share is noisy; keep every sample so an outlier run is visible
+    // inside the artifact), before the query sweep perturbs the JVM
+    val tpSamples = (1 to 5).map { _ =>
       val tp0 = System.nanoTime()
       noop(throughputPipeline(spark, nd))
       (System.nanoTime() - tp0) / 1e9
-    }.min
+    }
+    val tpSec = tpSamples.min
     val mbps = corpusBytes / 1e6 / tpSec
 
     // raw text-scan ceiling of this box (no decode) — calibrates how much
@@ -110,10 +112,25 @@ object Bench {
     val qs = (results :+ ("tp_json_decode" -> tpSec))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + tpSec
-    println(
+
+    // Full per-query map + every tp/scan sample → a FILE, not stdout:
+    // the ~3.6 KB per-query line overflowed the driver's tail/parse
+    // buffer three rounds running (VERDICT r3 "What's wrong" #1).
+    val tpArr = tpSamples.map(v => f"$v%.4f").mkString("[", ",", "]")
+    val detail =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,""" +
         f""""throughput_MBps":$mbps%.1f,"scan_MBps":$scanMbps%.1f,""" +
-        f""""corpus_bytes":$corpusBytes,"sf":"$sfDir"}""")
+        f""""tp_samples_sec":$tpArr,"corpus_bytes":$corpusBytes,"sf":"$sfDir"}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detail + "\n").getBytes("UTF-8"))
+
+    // Final stdout line stays SHORT (summary only) so the driver's
+    // tail/parse buffer always holds the whole JSON.
+    println(
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec",""" +
+        f""""throughput_MBps":$mbps%.1f,"scan_MBps":$scanMbps%.1f,""" +
+        f""""total_sec":$total%.4f,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

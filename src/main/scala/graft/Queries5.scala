@@ -660,6 +660,117 @@ object Queries5 {
        |SELECT cid, pos, ce6 FROM c2""".stripMargin
   }
 
+  /** clickhouse full column-type matrix (strict_types=false), the
+    * reference's colgenerator table end-to-end: Enum8 (with an unknown
+    * name), IPv4 (valid/overflow/garbage), IPv6 (expanded, compressed,
+    * invalid), UUID (valid/invalid), DateTime64(3) fed both RFC3339 and
+    * unix-millis, DateTime from unix seconds, Int32/UInt16 wrap
+    * arithmetic, Int128 by way of int64, Bool from a number, String
+    * zero-fill on null + JSON-encode of an object, LowCardinality
+    * pass-through, Array(String) and Map(String,String) (JSON-rendered
+    * for the compare — the driver can't hash container columns), and
+    * Nullable(Int64). Enum and Nullable outputs render as strings so
+    * their NULLs stay object-typed on both sides. */
+  val q98_ch_matrix: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val id = col("event_id")
+    val md = md5(id.cast("string"))
+    val src = ev.select(
+      id,
+      col("event_type").as("enum_s"),
+      when(id % 13 === 0, concat(lit("10.0.300."), (col("user_id") % 256).cast("string")))
+        .when(id % 7 === 0, lit("not-an-ip"))
+        .otherwise(concat(lit("10."), (col("user_id") % 200).cast("string"),
+          lit("."), (id % 250).cast("string"), lit(".7"))).as("ip4_s"),
+      when(id % 11 === 0, lit("not:an::ip6::"))
+        .when(id % 3 === 0, concat(lit("2001:db8::"),
+          format_string("%x", col("user_id") % 65535 + 1)))
+        .otherwise(concat(lit("2001:0db8:0000:0000:0000:0000:0000:"),
+          lpad(format_string("%x", id % 65536), 4, "0"))).as("ip6_s"),
+      when(id % 5 === 0, lit("zz-not-a-uuid"))
+        .otherwise(concat(
+          substring(md, 1, 8), lit("-"), substring(md, 9, 4), lit("-"),
+          substring(md, 13, 4), lit("-"), substring(md, 17, 4), lit("-"),
+          substring(md, 21, 12))).as("uuid_s"),
+      when(id % 2 === 0, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+        .otherwise(unix_millis(col("ts")).cast("string")).as("dt64_s"),
+      unix_timestamp(col("ts")).as("dt_n"),
+      (id * 1234567891L).as("i32_n"),
+      (id * 7919L).as("u16_n"),
+      when(id % 11 === 0, lit("garbage"))
+        .otherwise((id * 1000003L).cast("string")).as("i128_s"),
+      (id % 2).as("bool_n"),
+      when(id % 4 === 0, lit(null).cast("string"))
+        .otherwise(col("event_type")).as("strz_s"),
+      struct(col("user_id").as("k")).as("obj_v"),
+      array(col("event_type"), col("user_id").cast("string")).as("arr_v"),
+      map(lit("u"), col("user_id").cast("string")).as("map_v"),
+      when(id % 6 === 0, lit(null).cast("long")).otherwise(id).as("ni64_n"))
+    val proj = graft.sinks.ChColumns.chProjection(src, Seq(
+      ("event_id", col("event_id"), "Int64"),
+      ("c_enum", col("enum_s"),
+        "Enum8('click' = 1, 'view' = 2, 'purchase' = 3, 'error' = 4)"),
+      ("c_ip4", col("ip4_s"), "IPv4"),
+      ("c_ip6", col("ip6_s"), "IPv6"),
+      ("c_uuid", col("uuid_s"), "UUID"),
+      ("c_dt64", col("dt64_s"), "DateTime64(3)"),
+      ("c_dt", col("dt_n"), "DateTime"),
+      ("c_i32", col("i32_n"), "Int32"),
+      ("c_u16", col("u16_n"), "UInt16"),
+      ("c_i128", col("i128_s"), "Int128"),
+      ("c_bool", col("bool_n"), "Bool"),
+      ("c_str", col("strz_s"), "String"),
+      ("c_obj", col("obj_v"), "String"),
+      ("c_lc", col("enum_s"), "LowCardinality(String)"),
+      ("c_arr", col("arr_v"), "Array(String)"),
+      ("c_map", col("map_v"), "Map(String,String)"),
+      ("c_ni64", col("ni64_n"), "Nullable(Int64)")), strictTypes = false)
+    proj.select(col("event_id"),
+      col("c_enum").cast("string").as("c_enum"), col("c_ip4"), col("c_ip6"),
+      col("c_uuid"), col("c_dt64"), col("c_dt"), col("c_i32"), col("c_u16"),
+      col("c_i128").cast("string").as("c_i128"), col("c_bool"), col("c_str"),
+      col("c_obj"), col("c_lc"), to_json(col("c_arr")).as("c_arr"),
+      to_json(col("c_map")).as("c_map"),
+      col("c_ni64").cast("string").as("c_ni64"))
+  }
+
+  val q98_sql: String =
+    """SELECT event_id,
+      |  CASE event_type WHEN 'click' THEN '1' WHEN 'view' THEN '2'
+      |    WHEN 'purchase' THEN '3' WHEN 'error' THEN '4' END AS c_enum,
+      |  CASE WHEN event_id % 13 = 0 THEN 0 WHEN event_id % 7 = 0 THEN 0
+      |    ELSE 10 * 16777216 + (user_id % 200) * 65536
+      |       + (event_id % 250) * 256 + 7 END AS c_ip4,
+      |  CASE WHEN event_id % 11 = 0 THEN repeat('0', 32)
+      |    ELSE '20010db8' || repeat('0', 20) ||
+      |      lpad(printf('%x', CASE WHEN event_id % 3 = 0
+      |        THEN user_id % 65535 + 1 ELSE event_id % 65536 END), 4, '0')
+      |  END AS c_ip6,
+      |  CASE WHEN event_id % 5 = 0
+      |    THEN '00000000-0000-0000-0000-000000000000'
+      |    ELSE substr(md5(CAST(event_id AS VARCHAR)), 1, 8) || '-' ||
+      |      substr(md5(CAST(event_id AS VARCHAR)), 9, 4) || '-' ||
+      |      substr(md5(CAST(event_id AS VARCHAR)), 13, 4) || '-' ||
+      |      substr(md5(CAST(event_id AS VARCHAR)), 17, 4) || '-' ||
+      |      substr(md5(CAST(event_id AS VARCHAR)), 21, 12)
+      |  END AS c_uuid,
+      |  epoch_ms(ts) AS c_dt64,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS c_dt,
+      |  CAST((event_id * 1234567891 + 2147483648) % 4294967296
+      |    - 2147483648 AS INTEGER) AS c_i32,
+      |  CAST((event_id * 7919) % 65536 AS INTEGER) AS c_u16,
+      |  CASE WHEN event_id % 11 = 0 THEN '0'
+      |    ELSE CAST(event_id * 1000003 AS VARCHAR) END AS c_i128,
+      |  event_id % 2 = 1 AS c_bool,
+      |  CASE WHEN event_id % 4 = 0 THEN '' ELSE event_type END AS c_str,
+      |  '{"k":' || CAST(user_id AS VARCHAR) || '}' AS c_obj,
+      |  event_type AS c_lc,
+      |  '["' || event_type || '","' || CAST(user_id AS VARCHAR) || '"]' AS c_arr,
+      |  '{"u":"' || CAST(user_id AS VARCHAR) || '"}' AS c_map,
+      |  CASE WHEN event_id % 6 = 0 THEN NULL
+      |    ELSE CAST(event_id AS VARCHAR) END AS c_ni64
+      |FROM events""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -689,7 +800,8 @@ object Queries5 {
     "q77_token_percentiles" -> q77_token_percentiles,
     "q78_kmeans" -> q78_kmeans,
     "q96_asof_join" -> q96_asof_join,
-    "q97_salted_join" -> q97_salted_join
+    "q97_salted_join" -> q97_salted_join,
+    "q98_ch_matrix" -> q98_ch_matrix
   )
 
   val oracles: Map[String, String] = Map(
@@ -719,6 +831,7 @@ object Queries5 {
     "q77_token_percentiles" -> q77_sql,
     "q78_kmeans" -> q78_sql,
     "q96_asof_join" -> q96_sql,
-    "q97_salted_join" -> q97_sql
+    "q97_salted_join" -> q97_sql,
+    "q98_ch_matrix" -> q98_sql
   )
 }

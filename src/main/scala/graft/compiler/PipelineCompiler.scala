@@ -56,13 +56,19 @@ object PipelineCompiler {
       * (HTTP POST or host:port TCP — loopback-reachable here);
       * otherwise the injected factory (devnull by default, no egress). */
     private def netSinkFn: (DataFrame, Long) => Unit = {
+      // Scheme-exact dispatch: a plain TCP endpoint whose HOSTNAME
+      // begins with "http" (httpserver1:9000) must not be misrouted to
+      // the HTTP transport; host:port splits on the LAST colon so
+      // bracketed IPv6 literals ([::1]:9000) keep their address intact.
       val transport = outputConf.get("endpoint") match {
-        case Some(url) if url.startsWith("http") =>
+        case Some(url) if url.startsWith("http://") || url.startsWith("https://") =>
           graft.sinks.Sinks.httpTransport(url,
             outputConf.get("use_gzip").exists(_.toBoolean))
         case Some(hostPort) if hostPort.contains(":") =>
-          val Array(h, p) = hostPort.split(":", 2)
-          graft.sinks.Sinks.socketTransport(h, p.toInt)
+          val cut = hostPort.lastIndexOf(':')
+          val h0 = hostPort.substring(0, cut)
+          val h = if (h0.startsWith("[") && h0.endsWith("]")) h0.substring(1, h0.length - 1) else h0
+          graft.sinks.Sinks.socketTransport(h, hostPort.substring(cut + 1).toInt)
         case _ => PipelineCompiler.transportFactory(outputType)
       }
       graft.sinks.Sinks.foreachBatchSink("payload",

@@ -169,6 +169,17 @@ object Ann {
     * is k×dim rows and localCheckpointed per pass to stop plan growth).
     * Empty clusters keep their previous centroid. Returns
     * (cid, pos, ce6). */
+  /** One k-means assignment pass: per-(vid,cid) integer squared-L2.
+    * cents is k-by-dim rows — tiny, but localCheckpoint drops its
+    * stats, so without the hint Catalyst shuffle-joins keyed on pos
+    * alone (parallelism capped at the vector dimension, full corpus
+    * reshuffled every pass). Broadcast explicitly, like every other
+    * centroid join in this file. */
+  private[graft] def assignmentDistances(v: DataFrame, cents: DataFrame): DataFrame =
+    v.join(broadcast(cents), "pos")
+      .groupBy(col("vid"), col("cid"))
+      .agg(sum((col("xe6") - col("ce6")) * (col("xe6") - col("ce6"))).as("d2"))
+
   def kmeansQuantized(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int): DataFrame = {
     val v = df
@@ -180,9 +191,7 @@ object Ann {
       .select(col("vid").cast("int").as("cid"), col("pos"), col("xe6").as("ce6"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val d2 = v.join(cents, "pos")
-        .groupBy(col("vid"), col("cid"))
-        .agg(sum((col("xe6") - col("ce6")) * (col("xe6") - col("ce6"))).as("d2"))
+      val d2 = assignmentDistances(v, cents)
       val assign = d2
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("vid")).orderBy(col("d2"), col("cid"))))
@@ -191,10 +200,12 @@ object Ann {
         .groupBy(col("cid"), col("pos"))
         .agg(floor(sum(col("xe6")).cast("double") / count(lit(1)))
           .cast("long").as("ce6new"))
-      cents = cents.join(updated, Seq("cid", "pos"), "left")
+      val next = cents.join(broadcast(updated), Seq("cid", "pos"), "left")
         .select(col("cid"), col("pos"),
           coalesce(col("ce6new"), col("ce6")).as("ce6"))
         .localCheckpoint(true)
+      CheckpointUtil.unpersistCheckpoint(cents)
+      cents = next
     }
     v.unpersist(blocking = false)
     cents

@@ -1,0 +1,25 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+
+/** Storage hygiene for iterative DataFrame algorithms.
+  *
+  * `localCheckpoint(true)` per pass is mandatory (the logical plan
+  * doubles per iteration otherwise), but each checkpoint pins its RDD
+  * blocks in the executor block manager, so a long run leaks storage
+  * linearly with iteration count. After the new pass's checkpoint has
+  * materialized, the previous snapshot's RDD can be dropped.
+  */
+object CheckpointUtil {
+
+  /** Unpersist every checkpoint RDD referenced by `df`'s plan (no-op
+    * when none). The plan may be the checkpointed node itself or a thin
+    * projection over it. Call only after every downstream consumer of
+    * `df` has been checkpointed itself (so nothing re-reads the blocks). */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}

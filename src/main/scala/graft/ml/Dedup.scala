@@ -154,15 +154,31 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels, edges("v") === labels("node"))
         .groupBy(col("u").as("node")).agg(min(col("label")).as("_nl"))
+      // Convergence rides the same job that materializes the checkpoint:
+      // observe() counts changed labels as a side metric of the pass, so
+      // there is no separate full scan of the label table per iteration.
+      val obs = new org.apache.spark.sql.Observation()
       val next = labels.join(viaNeighbors, "node")
         .select(col("node"), col("label"),
           least(col("label"), col("_nl")).as("_label2"))
+        .observe(obs, sum(when(col("_label2") =!= col("label"), 1L)
+          .otherwise(0L)).as("changed"))
         .localCheckpoint(true)
-      converged = next.filter(col("_label2") =!= col("label")).isEmpty
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      CheckpointUtil.unpersistCheckpoint(labels)
       labels = next.select(col("node"), col("_label2").as("label"))
       iter += 1
     }
     edges.unpersist(blocking = false)
+    if (!converged)
+      // One-hop min-label propagation needs diameter iterations; a
+      // silent exit here would return partially-propagated (wrong)
+      // component labels. Fail loudly instead — raise maxIter for
+      // pathological long-chain graphs (near-dup clusters are
+      // clique-ish, so 2-3 passes converge in practice).
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter " +
+          "iterations; labels would be incomplete. Raise maxIter.")
     labels.withColumnRenamed("label", "component")
   }
 }

@@ -1,0 +1,312 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ClickHouse sink column model — the full type matrix of the reference
+  * (plugin/output/clickhouse/colgenerator/colgenerator.go:70-180,
+  * infer.go:48-130, insanenode.go, column_custom.go):
+  *
+  *   Bool, String, Enum8/Enum16, Int/UInt 8-64, Int128/UInt128/
+  *   Int256/UInt256, Float32/64, DateTime, DateTime64(p), IPv4, IPv6,
+  *   UUID, Array(String), Map(String,String), with Nullable(...) and
+  *   LowCardinality(String) wrappers.
+  *
+  * Semantics ported from the reference's append path
+  * (clickhouse.go:646-676 + insanenode.go):
+  *   - A null/missing value zero-fills a non-Nullable column in BOTH
+  *     modes (Append(nil) -> ErrNodeIsNil -> ZeroValueNode); Nullable
+  *     columns take NULL. strict_types only governs PRESENT values.
+  *   - strict_types=false: conversions are best-effort and never fail —
+  *     a number lands in a Bool as 1->true, garbage lands in an Int as
+  *     0, an invalid UUID/IP becomes the zero value, and String columns
+  *     JSON-encode non-string values (NonStrictNode).
+  *   - strict_types=true: a present value whose JSON type mismatches
+  *     the column raises (StrictNode errors -> the reference fails the
+  *     batch; distributed analogue = raise_error fails the job).
+  *   - Int128-256 convert by way of int64 (clickhouse.go:215 "File.d
+  *     will cast the number to the int64"), widened to Decimal(38,0)
+  *     column storage.
+  *   - DateTime/DateTime64(p) accept RFC3339(Nano) strings or unix
+  *     timestamps already in the column's precision
+  *     (clickhouse.go:216-225); emitted as epoch ticks at precision p
+  *     (nanosecond fractions truncate to Spark's micros).
+  *   - Narrow ints wrap like Go's int8/int16/int32 conversions (pmod
+  *     arithmetic — ANSI casts would throw, try_cast would null).
+  *   - IPv4 -> its uint32 value (proto.IPv4); IPv6 -> the 16-byte
+  *     address as a 32-char lowercase hex string (printable stand-in
+  *     for the wire bytes); UUID -> canonical lowercase string.
+  *
+  * Documented divergences (each a corner where the reference's
+  * whole-batch failure has no sane per-row analogue): unknown Enum
+  * names become NULL rather than poisoning the batch at wire-encode
+  * time; a non-array value entering Array(String) wraps as a one-element
+  * array of its plain string form (the reference JSON-quotes it).
+  *
+  * Everything here composes Spark built-ins only — the projection stays
+  * inside whole-stage codegen.
+  */
+object ChColumns {
+
+  final case class ChType(base: String, nullable: Boolean = false,
+                          lowCardinality: Boolean = false, precision: Int = 0,
+                          enumValues: Seq[(String, Int)] = Nil)
+
+  private val enumPair = """'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)""".r
+
+  /** Parse a ClickHouse column type declaration, e.g.
+    * `Nullable(Int64)`, `LowCardinality(String)`, `Enum8('a' = 1)`,
+    * `DateTime64(3)`, `Array(String)`, `Map(String,String)`. Unknown or
+    * unsupported declarations throw (infer.go returns an error — schema
+    * is validated at start, not per batch). */
+  def parseType(s0: String): ChType = {
+    val s = s0.trim
+    def inner(prefix: String): Option[String] =
+      if (s.startsWith(prefix + "(") && s.endsWith(")"))
+        Some(s.substring(prefix.length + 1, s.length - 1).trim)
+      else None
+
+    inner("Nullable").map(i => parseType(i).copy(nullable = true))
+      .orElse(inner("LowCardinality").map { i =>
+        val t = parseType(i)
+        require(t.base == "String",
+          s"LowCardinality supports String only, got: $s0")
+        t.copy(lowCardinality = true)
+      })
+      .orElse(inner("Enum8").map(i => ChType("Enum8", enumValues = parseEnum(i))))
+      .orElse(inner("Enum16").map(i => ChType("Enum16", enumValues = parseEnum(i))))
+      .orElse(inner("DateTime64").map { i =>
+        val p = i.toInt
+        require(Set(0, 3, 6, 9)(p), s"DateTime64 precision must be 0/3/6/9: $s0")
+        ChType("DateTime64", precision = p)
+      })
+      .orElse(inner("Array").map { i =>
+        require(i == "String", s"array of type $i is not supported")
+        ChType("ArrayString")
+      })
+      .orElse(inner("Map").map { i =>
+        require(i.replaceAll("\\s", "") == "String,String",
+          s"map of type ($i) is not supported")
+        ChType("MapStringString")
+      })
+      .getOrElse {
+        val scalars = Set("Bool", "String", "DateTime",
+          "Int8", "Int16", "Int32", "Int64", "UInt8", "UInt16", "UInt32",
+          "UInt64", "Int128", "UInt128", "Int256", "UInt256",
+          "Float32", "Float64", "IPv4", "IPv6", "UUID")
+        require(scalars(s), s"auto infer: unsupported column type: $s0")
+        ChType(s)
+      }
+  }
+
+  private def parseEnum(decl: String): Seq[(String, Int)] = {
+    val vs = enumPair.findAllMatchIn(decl)
+      .map(m => m.group(1).replace("\\'", "'") -> m.group(2).toInt).toSeq
+    require(vs.nonEmpty, s"empty enum declaration: $decl")
+    vs
+  }
+
+  // ------------------------------------------------------- conversions
+
+  /** Dotted-quad IPv4 string to its uint32 value; null when invalid. */
+  private def ip4Value(src: Column): Column = {
+    val p = split(src, "\\.")
+    def oct(i: Int) = element_at(p, i).try_cast("long")
+    val shapeOk = src.rlike("^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}$") &&
+      (1 to 4).map(i => oct(i) <= 255).reduce(_ && _)
+    when(shapeOk,
+      oct(1) * 16777216L + oct(2) * 65536L + oct(3) * 256L + oct(4))
+  }
+
+  /** IPv6 string (expanded or one `::` compression) to the 16-byte
+    * address as 32 lowercase hex chars; null when invalid. Embedded-IPv4
+    * forms (`::ffff:1.2.3.4`) are out of scope and read as invalid. */
+  private def ip6Hex(src: Column): Column = {
+    val dc = instr(src, "::") > 0
+    val leftG = filter(split(substring_index(src, "::", 1), ":"), g => g =!= "")
+    val rightG = filter(split(substring_index(src, "::", -1), ":"), g => g =!= "")
+    val groups = when(dc,
+      concat(leftG,
+        array_repeat(lit("0"), (lit(8) - size(leftG) - size(rightG)).cast("int")),
+        rightG))
+      .otherwise(split(src, ":"))
+    val shapeOk = src.rlike("^[0-9a-fA-F:]+$") && !src.rlike(":::") &&
+      (!dc || size(split(src, "::", -1)) === 2) &&
+      size(groups) === 8 &&
+      forall(groups, g => g.rlike("^[0-9a-fA-F]{1,4}$"))
+    when(shapeOk,
+      lower(concat_ws("", transform(groups, g => lpad(g, 4, "0")))))
+  }
+
+  private val uuidRe =
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+
+  /** RFC3339(Nano) string or unix-integer-at-precision to epoch ticks
+    * at precision `prec` (0/3/6/9). */
+  private def epochTicks(src: Column, prec: Int): Column = {
+    val s = src.cast("string")
+    val micros = unix_micros(try_to_timestamp(s))
+    val fromStr = prec match {
+      case 0 => floor(micros.cast("double") / 1e6).cast("long")
+      case 3 => floor(micros.cast("double") / 1e3).cast("long")
+      case 6 => micros
+      case 9 => micros * 1000L
+    }
+    when(s.rlike("^[0-9]+$"), s.try_cast("long")).otherwise(fromStr)
+  }
+
+  /** NonStrictNode string encoding over a statically-typed column:
+    * strings pass through, containers JSON-encode, scalars render. */
+  private def encodeString(src: Column, srcType: DataType): Column = srcType match {
+    case StringType => src
+    case _: StructType | _: ArrayType | _: MapType => to_json(src)
+    case _ => src.cast("string")
+  }
+
+  private def wrapSigned(v: Column, bits: Int): Column = {
+    val half = 1L << (bits - 1)
+    (pmod(v + half, lit(half * 2)) - half).cast(bits match {
+      case 8 => ByteType; case 16 => ShortType; case 32 => IntegerType
+    })
+  }
+
+  private def wrapUnsigned(v: Column, bits: Int): Column =
+    pmod(v, lit(1L << bits)).cast(if (bits <= 16) IntegerType else LongType)
+
+  // --------------------------------------------------------- assembly
+
+  private def outputType(ch: ChType): DataType = ch.base match {
+    case "Bool" => BooleanType
+    case "String" => StringType
+    case "Enum8" | "Enum16" => IntegerType
+    case "Int8" => ByteType
+    case "Int16" => ShortType
+    case "Int32" => IntegerType
+    case "Int64" | "UInt32" | "UInt64" => LongType
+    case "UInt8" | "UInt16" => IntegerType
+    case "Int128" | "UInt128" | "Int256" | "UInt256" => DecimalType(38, 0)
+    case "Float32" => FloatType
+    case "Float64" => DoubleType
+    case "DateTime" | "DateTime64" => LongType
+    case "IPv4" => LongType
+    case "IPv6" | "UUID" => StringType
+    case "ArrayString" => ArrayType(StringType)
+    case "MapStringString" => MapType(StringType, StringType)
+  }
+
+  /** The ZeroValueNode analogue (insanenode.go:263-320): what lands in
+    * a non-Nullable column when the event has no usable value. */
+  private def zeroValue(ch: ChType): Column = ch.base match {
+    case "Bool" => lit(false)
+    case "String" => lit("")
+    case "Enum8" | "Enum16" => lit(null).cast(IntegerType)
+    case "Float32" => lit(0f)
+    case "Float64" => lit(0d)
+    case "IPv6" => lit("0" * 32)
+    case "UUID" => lit("00000000-0000-0000-0000-000000000000")
+    case "ArrayString" => array().cast(ArrayType(StringType))
+    case "MapStringString" => typedLit(Map.empty[String, String])
+    case _ => lit(0L).cast(outputType(ch))
+  }
+
+  /** Whether a present value of this STATIC Spark type is acceptable to
+    * the column under strict_types (StrictNode errors otherwise — the
+    * JSON type must match, not merely be convertible). */
+  private def strictTypeOk(srcType: DataType, ch: ChType): Boolean = ch.base match {
+    case "Bool" => srcType == BooleanType
+    case "String" | "Enum8" | "Enum16" | "UUID" | "IPv4" | "IPv6" =>
+      srcType == StringType
+    case "DateTime" | "DateTime64" =>
+      srcType == StringType || srcType.isInstanceOf[NumericType]
+    case "ArrayString" => srcType == ArrayType(StringType)
+    case "MapStringString" => srcType == MapType(StringType, StringType)
+    case _ => srcType.isInstanceOf[NumericType] // all int/float flavors
+  }
+
+  /** Best-effort conversion (null = not convertible; the caller decides
+    * zero-fill vs raise). */
+  private def convert(src: Column, srcType: DataType, ch: ChType): Column = {
+    // insane-json AsInt64 truncates fractional numbers and parses
+    // numeric strings; non-numeric garbage reads as 0 (handled by the
+    // caller's zero-fill of our null).
+    def asLong: Column = srcType match {
+      case ByteType | ShortType | IntegerType | LongType => src.cast("long")
+      case _: NumericType => floor(src.cast("double")).cast("long")
+      case _ =>
+        val s = src.try_cast("string")
+        coalesce(s.try_cast("long"), floor(s.try_cast("double")).cast("long"))
+    }
+    ch.base match {
+      case "Bool" => src.try_cast("string").try_cast("boolean")
+      case "String" => encodeString(src, srcType)
+      case "Enum8" | "Enum16" =>
+        ch.enumValues.map { case (n, v) => when(src === lit(n), lit(v)) }
+          .reduce((a, b) => coalesce(a, b))
+      case "Int8" => wrapSigned(asLong, 8)
+      case "Int16" => wrapSigned(asLong, 16)
+      case "Int32" => wrapSigned(asLong, 32)
+      case "UInt8" => wrapUnsigned(asLong, 8)
+      case "UInt16" => wrapUnsigned(asLong, 16)
+      case "UInt32" => wrapUnsigned(asLong, 32)
+      case "Int64" | "UInt64" => asLong
+      case "Int128" | "UInt128" | "Int256" | "UInt256" =>
+        asLong.cast(DecimalType(38, 0))
+      case "Float32" => src.try_cast("string").try_cast("float")
+      case "Float64" => src.try_cast("string").try_cast("double")
+      case "DateTime" => epochTicks(src, 0)
+      case "DateTime64" => epochTicks(src, ch.precision)
+      case "IPv4" => ip4Value(src.try_cast("string"))
+      case "IPv6" => ip6Hex(src.try_cast("string"))
+      case "UUID" =>
+        when(src.try_cast("string").rlike(uuidRe), lower(src.cast("string")))
+      case "ArrayString" => srcType match {
+        case ArrayType(et, _) =>
+          transform(src, e => encodeString(e, et))
+        case _ => array(encodeString(src, srcType))
+      }
+      case "MapStringString" => srcType match {
+        case MapType(_, vt, _) =>
+          map_from_arrays(
+            transform(map_keys(src), k => k.cast("string")),
+            transform(map_values(src), v => encodeString(v, vt)))
+        case _ => zeroValue(ch)
+      }
+    }
+  }
+
+  /** Full column expression for one configured ClickHouse column. */
+  def columnExpr(src: Column, srcType: DataType, ch: ChType,
+                 strict: Boolean, name: String): Column = {
+    val out = outputType(ch)
+    val onNull = if (ch.nullable) lit(null).cast(out) else zeroValue(ch)
+    val conv = convert(src, srcType, ch)
+    val body =
+      if (!strict) {
+        // Enum divergence: unknown names stay NULL (see scaladoc).
+        if (ch.base.startsWith("Enum")) conv
+        else coalesce(conv, zeroValue(ch))
+      } else if (!strictTypeOk(srcType, ch)) {
+        raise_error(concat(lit(s"strict_types: column '$name' (${ch.base}) " +
+          s"got incompatible type ${srcType.simpleString}, value="),
+          src.cast("string"))).cast(out)
+      } else {
+        coalesce(conv,
+          raise_error(concat(lit(s"strict_types: column '$name' (${ch.base}) " +
+            "failed to convert value="), src.cast("string"))).cast(out))
+      }
+    when(src.isNull, onNull).otherwise(body).as(name)
+  }
+
+  /** The sink-side projection: every configured (name, source expr,
+    * ClickHouse type decl) becomes a typed column with the reference's
+    * append semantics. Source static types come from the frame itself —
+    * the engine's schema IS the event's JSON type. */
+  def chProjection(df: DataFrame, cols: Seq[(String, Column, String)],
+                   strictTypes: Boolean = false): DataFrame = {
+    val srcTypes = df.select(cols.map(_._2): _*).schema.fields.map(_.dataType)
+    df.select(cols.zip(srcTypes).map { case ((name, c, tpe), st) =>
+      columnExpr(c, st, parseType(tpe), strictTypes, name)
+    }: _*)
+  }
+}

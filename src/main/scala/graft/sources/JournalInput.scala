@@ -40,7 +40,11 @@ final class JournalInput(spoolDir: Path, offsetsFile: Path,
         .getOrElse("")
     } else ""
 
-  private def saveCursor(): Unit = {
+  // synchronized: called from the reader thread per entry AND from
+  // stop(); both share the same .tmp sibling, so an interleaved
+  // write+ATOMIC_MOVE could otherwise throw NoSuchFileException out of
+  // stop() or race the cursor file.
+  private def saveCursor(): Unit = synchronized {
     val tmp = offsetsFile.resolveSibling(offsetsFile.getFileName.toString + ".tmp")
     Files.write(tmp, s"cursor: $cursor\n".getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,

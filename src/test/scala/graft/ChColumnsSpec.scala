@@ -1,0 +1,177 @@
+package graft
+
+import graft.sinks.ChColumns
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ClickHouse column model (reference plugin/output/clickhouse):
+  * type-declaration grammar, non-strict best-effort conversions,
+  * zero-fill-vs-NULL on missing values, and strict_types raising on
+  * present type mismatches. */
+class ChColumnsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("type grammar: wrappers, enums, precision, containers") {
+    import ChColumns._
+    assert(parseType("Nullable(Int64)") == ChType("Int64", nullable = true))
+    assert(parseType("LowCardinality(String)") ==
+      ChType("String", lowCardinality = true))
+    assert(parseType("Nullable(LowCardinality(String))") ==
+      ChType("String", nullable = true, lowCardinality = true))
+    assert(parseType("Enum8('a' = 1, 'b' = 2)").enumValues ==
+      Seq("a" -> 1, "b" -> 2))
+    assert(parseType("DateTime64(9)").precision == 9)
+    assert(parseType("Array(String)").base == "ArrayString")
+    assert(parseType("Map(String, String)").base == "MapStringString")
+    intercept[IllegalArgumentException](parseType("Array(Int64)"))
+    intercept[IllegalArgumentException](parseType("Map(String,Int64)"))
+    intercept[IllegalArgumentException](parseType("DateTime64(5)"))
+    intercept[IllegalArgumentException](parseType("LowCardinality(Int64)"))
+    intercept[IllegalArgumentException](parseType("Whatever"))
+  }
+
+  test("non-strict: best-effort conversions, wrap arithmetic, zero fill") {
+    import spark.implicits._
+    val df = Seq(
+      // (id, int_s, ip4, ip6, uuid)
+      (1L, "200", "1.2.3.4", "2001:db8::1", "123E4567-E89B-12D3-A456-426614174000"),
+      (2L, "garbage", "1.2.3.256", "nope", "nope"),
+      (3L, null, null, null, null)
+    ).toDF("id", "int_s", "ip4_s", "ip6_s", "uuid_s")
+    val out = ChColumns.chProjection(df, Seq(
+      ("id", col("id"), "Int64"),
+      ("i8", col("int_s"), "Int8"),
+      ("u8", col("int_s"), "UInt8"),
+      ("ip4", col("ip4_s"), "IPv4"),
+      ("ip6", col("ip6_s"), "IPv6"),
+      ("uuid", col("uuid_s"), "UUID"),
+      ("ni64", col("int_s"), "Nullable(Int64)")),
+      strictTypes = false).orderBy("id").collect()
+
+    // Go int8(200) wraps to -56; uint8(200) stays 200.
+    assert(out(0).getAs[Byte]("i8") == -56)
+    assert(out(0).getAs[Int]("u8") == 200)
+    assert(out(0).getAs[Long]("ip4") == (1L << 24) + (2L << 16) + (3L << 8) + 4)
+    assert(out(0).getAs[String]("ip6") ==
+      "20010db8" + "0" * 20 + "0001")
+    assert(out(0).getAs[String]("uuid") ==
+      "123e4567-e89b-12d3-a456-426614174000")
+    // garbage: every converter falls back to its zero value (AsInt -> 0,
+    // uuid.Nil, IPv4 0, IPv6 zero bytes)
+    assert(out(1).getAs[Byte]("i8") == 0)
+    assert(out(1).getAs[Long]("ip4") == 0L)
+    assert(out(1).getAs[String]("ip6") == "0" * 32)
+    assert(out(1).getAs[String]("uuid") ==
+      "00000000-0000-0000-0000-000000000000")
+    // garbage into Nullable is still PRESENT -> best-effort zero, not null
+    assert(!out(1).isNullAt(out(1).fieldIndex("ni64")))
+    assert(out(1).getAs[Long]("ni64") == 0L)
+    // null: zero-fills non-Nullable, NULLs Nullable
+    assert(out(2).getAs[Byte]("i8") == 0)
+    assert(out(2).getAs[String]("uuid") ==
+      "00000000-0000-0000-0000-000000000000")
+    assert(out(2).isNullAt(out(2).fieldIndex("ni64")))
+  }
+
+  test("non-strict: string JSON-encodes containers; arrays and maps") {
+    import spark.implicits._
+    val df = Seq((1L, Map("a" -> 1L), Seq(1L, 2L))).toDF("id", "m", "arr")
+    val out = ChColumns.chProjection(df, Seq(
+      ("s_of_map", col("m"), "String"),
+      ("arr", col("arr"), "Array(String)"),
+      ("arr_of_scalar", col("id"), "Array(String)"),
+      ("m", col("m"), "Map(String,String)"),
+      ("m_of_scalar", col("id"), "Map(String,String)")),
+      strictTypes = false).collect()(0)
+    assert(out.getAs[String]("s_of_map") == """{"a":1}""")
+    assert(out.getAs[scala.collection.Seq[String]]("arr").toSeq == Seq("1", "2"))
+    assert(out.getAs[scala.collection.Seq[String]]("arr_of_scalar").toSeq == Seq("1"))
+    assert(out.getAs[Map[String, String]]("m") == Map("a" -> "1"))
+    assert(out.getAs[Map[String, String]]("m_of_scalar") == Map.empty)
+  }
+
+  test("ipv6 forms: expanded, compressed, edge and invalid shapes") {
+    import spark.implicits._
+    val cases = Seq(
+      "2001:0db8:0000:0000:0000:0000:0000:0001" -> ("20010db8" + "0" * 20 + "0001"),
+      "2001:db8::1" -> ("20010db8" + "0" * 20 + "0001"),
+      "::1" -> ("0" * 31 + "1"),
+      "fe80::" -> ("fe80" + "0" * 28),
+      "::" -> ("0" * 32),
+      "a:b:c:d:e:f:1:2" -> "000a000b000c000d000e000f00010002",
+      "1::2::3" -> ("0" * 32), // two compressions: invalid -> zero fill
+      "12345::1" -> ("0" * 32), // 5-digit group
+      "1:2:3" -> ("0" * 32))
+    val df = cases.map(_._1).toDF("s")
+    val got = ChColumns.chProjection(df, Seq(("h", col("s"), "IPv6")))
+      .collect().map(_.getString(0))
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"for $in")
+    }
+  }
+
+  test("datetime: rfc3339 or unix at column precision") {
+    import spark.implicits._
+    val df = Seq(
+      ("2024-01-02T03:04:05.678Z", "1704164645678"),
+      ("1704164645", "999")).toDF("a", "b")
+    val out = ChColumns.chProjection(df, Seq(
+      ("dt_s", col("a"), "DateTime"),
+      ("dt64_s", col("a"), "DateTime64(3)"),
+      ("dt64_unix", col("b"), "DateTime64(3)")),
+      strictTypes = false).collect()
+    assert(out(0).getAs[Long]("dt_s") == 1704164645L)
+    assert(out(0).getAs[Long]("dt64_s") == 1704164645678L)
+    // digit strings are ALREADY in column precision (clickhouse.go:216-225)
+    assert(out(0).getAs[Long]("dt64_unix") == 1704164645678L)
+    assert(out(1).getAs[Long]("dt_s") == 1704164645L)
+    assert(out(1).getAs[Long]("dt64_unix") == 999L)
+  }
+
+  test("strict_types: present mismatches raise; nulls still zero-fill") {
+    import spark.implicits._
+    val bad = Seq((1L, "zz")).toDF("id", "s")
+    // static type mismatch: a number into a String column
+    intercept[Exception] {
+      ChColumns.chProjection(bad, Seq(("x", col("id"), "String")),
+        strictTypes = true).collect()
+    }
+    // runtime conversion failure: invalid uuid string
+    intercept[Exception] {
+      ChColumns.chProjection(bad, Seq(("x", col("s"), "UUID")),
+        strictTypes = true).collect()
+    }
+    // but a MISSING value zero-fills even under strict (Append(nil) ->
+    // ZeroValueNode, clickhouse.go:646-676)
+    val withNull = Seq((1L, Option.empty[String])).toDF("id", "s")
+    val ok = ChColumns.chProjection(withNull, Seq(
+      ("u", col("s"), "UUID"),
+      ("nu", col("s"), "Nullable(UUID)")), strictTypes = true).collect()(0)
+    assert(ok.getAs[String]("u") == "00000000-0000-0000-0000-000000000000")
+    assert(ok.isNullAt(1))
+    // valid strict row passes
+    val good = Seq(("123e4567-e89b-12d3-a456-426614174000", 7L))
+      .toDF("u", "n")
+    val row = ChColumns.chProjection(good, Seq(
+      ("u", col("u"), "UUID"),
+      ("n", col("n"), "Int32")), strictTypes = true).collect()(0)
+    assert(row.getString(0) == "123e4567-e89b-12d3-a456-426614174000")
+    assert(row.getInt(1) == 7)
+  }
+
+  test("enum maps names to codes; unknown name -> NULL (divergence doc'd)") {
+    import spark.implicits._
+    val df = Seq("click", "signup").toDF("t")
+    val got = ChColumns.chProjection(df,
+      Seq(("e", col("t"), "Enum8('click' = 1, 'view' = 2)"))).collect()
+    assert(got(0).getInt(0) == 1)
+    assert(got(1).isNullAt(0))
+  }
+}

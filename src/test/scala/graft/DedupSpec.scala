@@ -2,6 +2,7 @@ package graft
 
 import graft.ml.Dedup
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class DedupSpec extends AnyFunSuite {
@@ -34,5 +35,39 @@ class DedupSpec extends AnyFunSuite {
     val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
     assert(cc.length == n)
     assert(cc.forall(_._2 == 1L))
+  }
+
+  test("connectedComponents fails loudly when maxIter is too small") {
+    import spark.implicits._
+    // a path of diameter 6 cannot converge in 2 one-hop passes; a silent
+    // exit would hand back partially-propagated labels
+    val pairs = (1 until 7).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("maxIter"))
+  }
+
+  test("kmeansQuantized broadcasts the centroid table in the assignment join") {
+    import spark.implicits._
+    val vecs = (0 until 32).map(i =>
+      (i.toLong, Array.fill(4)((i % 5).toFloat))).toDF("vec_id", "embedding")
+    val cents = graft.ml.Ann.kmeansQuantized(vecs, "vec_id", "embedding",
+      k = 3, iters = 2)
+    assert(cents.count() == 12) // k * dim
+    // the scale contract: the per-iteration assignment join must be a
+    // broadcast, never a shuffle keyed on pos alone (VERDICT r3). The
+    // returned cents is localCheckpointed — exactly the stats-less shape
+    // the loop feeds back in — so planning the REAL loop stage against
+    // it proves the hint holds where it matters.
+    val v = vecs.select(col("vec_id").as("vid"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vid"), col("pos"),
+        round(col("x").cast("double") * 1e6).cast("long").as("xe6"))
+    val phys = graft.ml.Ann.assignmentDistances(v, cents)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"))
+    assert(!phys.contains("SortMergeJoin") && !phys.contains("ShuffledHashJoin"))
   }
 }
