@@ -121,13 +121,44 @@ object Queries3 {
       |SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk
       |FROM sims ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
-  /** LSH-bucketed ANN — hyperplane signatures aren't SQL-reproducible;
-    * rows-only driver check, recall asserted in ScalaTest. */
+  /** LSH-bucketed ANN. The hyperplanes are seeded and deterministic
+    * (Ann.hyperplanes), so the ENTIRE pipeline — signatures, the
+    * hamming<=2 multi-probe set, and the in-bucket cosine top-k — is
+    * replicated in SQL with the same plane literals; recall vs the
+    * exact q54 is additionally asserted in ScalaTest. */
   val q55_ann_lsh: Q = (s, dir) => {
     val q = queryVec(s, dir)
     Ann.lshTopK(t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
       "vec_id", "embedding", dim = 64, query = q, k = 10, nBits = 6, maxHamming = 2)
       .select(col("vec_id"), col("rnk"))
+  }
+
+  /** The same signature computation unrolled over the literal planes:
+    * each float widens to double (exactly, so Double.toString round-
+    * trips through DuckDB's parser) and list_dot_product on DOUBLE[] is
+    * the same left-to-right double sum as Ann.dot (proven by q54). */
+  val q55_sql: String = {
+    val planes = Ann.hyperplanes(dim = 64, nBits = 6)
+    def sigExpr(vcol: String): String = (0 until 6).map { b =>
+      val lits = planes(b).map(_.toDouble.toString).mkString(", ")
+      s"(CASE WHEN list_dot_product($vcol, [$lits]) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id <> 0),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       |qsig AS (SELECT ${sigExpr("qv")} AS qs FROM q),
+       |sigs AS (SELECT vec_id, v, ${sigExpr("v")} AS sig FROM e),
+       |cand AS (
+       |  SELECT s.vec_id, s.v FROM sigs s, qsig
+       |  WHERE bit_count(xor(s.sig, qsig.qs)) <= 2),
+       |sims AS (
+       |  SELECT vec_id,
+       |    list_dot_product(v, qv) /
+       |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+       |  FROM cand, q)
+       |SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk
+       |FROM sims ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
   }
 
   val q60_embed_neardup: Q = (s, dir) => {
@@ -335,6 +366,7 @@ object Queries3 {
     "q52_dedup_minhash" -> q52_sql,
     "q53_dedup_simhash" -> q53_sql,
     "q54_ann_cosine" -> q54_sql,
+    "q55_ann_lsh" -> q55_sql,
     "q56_text_quality" -> q56_sql,
     "q57_text_langid" -> q57_sql,
     "q58_text_fingerprint" -> q58_sql,

@@ -316,20 +316,36 @@ object Queries5 {
       |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
       |FROM events""".stripMargin
 
-  /** s3 sink dynamic bucketing (bucket_field_event + per-bucket dirs):
-    * the partition path every event would land under. */
+  /** s3 sink dynamic bucketing (bucket_field_event + multi_buckets +
+    * dynamic_buckets_limit, s3.go:364-450): click/view are configured
+    * multi_buckets; the remaining event types are dynamic buckets of
+    * which only the first 2 (by first-arrival order) may be created —
+    * the third falls back to the default. Output is the partition path
+    * every event would land under. */
   val q94_s3_bucket: Q = (s, dir) => {
     val ev = t(s, dir, "events")
-    ev.select(col("event_id"),
-      concat(lit("logs/_bucket="), col("event_type"),
-        lit("/_date="), date_format(col("ts"), "yyyyMMdd")).as("s3_prefix"))
+    graft.sinks.Sinks.s3BucketResolve(ev, col("event_type"), col("event_id"),
+        defaultBucket = "logs-default", staticBuckets = Seq("click", "view"),
+        dynamicLimit = 2)
+      .select(col("event_id"),
+        concat(lit("logs/_bucket="), col("_bucket"),
+          lit("/_date="), date_format(col("ts"), "yyyyMMdd")).as("s3_prefix"))
   }
 
   val q94_sql: String =
-    """SELECT event_id,
-      |  'logs/_bucket=' || event_type || '/_date=' || strftime(ts, '%Y%m%d')
-      |    AS s3_prefix
-      |FROM events""".stripMargin
+    """WITH firsts AS (
+      |  SELECT event_type, min(event_id) AS fs FROM events
+      |  WHERE event_type NOT IN ('logs-default', 'click', 'view')
+      |  GROUP BY 1),
+      |ranked AS (
+      |  SELECT event_type, row_number() OVER (ORDER BY fs, event_type) AS r
+      |  FROM firsts)
+      |SELECT e.event_id,
+      |  'logs/_bucket=' ||
+      |  CASE WHEN k.event_type IS NULL OR k.r <= 2 THEN e.event_type
+      |       ELSE 'logs-default' END ||
+      |  '/_date=' || strftime(ts, '%Y%m%d') AS s3_prefix
+      |FROM events e LEFT JOIN ranked k ON e.event_type = k.event_type""".stripMargin
 
   /** decode action with keep_origin + prefix + log_decode_error_mode=
     * withnode: invalid payloads keep the origin, get a null decoded field

@@ -19,7 +19,15 @@ import scala.jdk.CollectionConverters._
   *  - ENV VALUE FUNCS: a string value that is exactly `env(NAME)`
   *    resolves to that variable (missing variable → error, like the
   *    reference's Fatal), and a `\env(...)` prefix escapes to the
-  *    literal text (cfg/envs.go tryApply).
+  *    literal text (cfg/envs.go tryApply);
+  *  - VAULT FUNCS: a string value that is exactly `vault(path, key)`
+  *    resolves through a pluggable secret resolver (cfg/vault.go
+  *    tryApplySecreter: spaces inside the args are ignored, a
+  *    `\vault(` prefix escapes to the literal text). The real vault
+  *    client needs network access this environment lacks, so the
+  *    resolver is injected — deployments pass an API-backed one, specs
+  *    a map, and the DEFAULT fails with the reference's
+  *    "can't get secret without connection" contract.
   *
   * The environment is injectable so specs are deterministic.
   */
@@ -27,12 +35,21 @@ object ConfigLoader {
 
   private val yaml = new ObjectMapper(new YAMLFactory())
 
-  /** Parse + merge + apply env overrides and env() funcs. */
+  /** (path, key) → secret. The default mirrors vault.go GetSecret with
+    * no client: any vault( ref without a configured resolver is fatal. */
+  type VaultResolver = (String, String) => String
+  val noVault: VaultResolver = (path, _) =>
+    throw new IllegalStateException(
+      s"can't get secret without connection to vault (ref path '$path'); " +
+        "configure a vault resolver")
+
+  /** Parse + merge + apply env overrides and env()/vault() funcs. */
   def load(yamls: Seq[String],
-           env: Map[String, String] = sys.env): JsonNode = {
+           env: Map[String, String] = sys.env,
+           vault: VaultResolver = noVault): JsonNode = {
     val merged = yamls.map(yaml.readTree).reduceLeft(merge)
     val withOverrides = applyEnvOverrides(merged, env)
-    applyEnvFuncs(withOverrides, env)
+    applyEnvFuncs(withOverrides, env, vault)
   }
 
   /** Deep merge: `b` wins; nested objects merge recursively
@@ -70,28 +87,41 @@ object ConfigLoader {
     out
   }
 
-  /** Resolve `env(NAME)` string values anywhere in the tree; `\env(`
-    * escapes to the literal (cfg/envs.go tryApply). */
-  def applyEnvFuncs(root: JsonNode, env: Map[String, String]): JsonNode = root match {
+  /** Resolve `env(NAME)` and `vault(path, key)` string values anywhere
+    * in the tree; `\env(` / `\vault(` escape to the literal
+    * (cfg/envs.go + cfg/vault.go tryApply). */
+  def applyEnvFuncs(root: JsonNode, env: Map[String, String],
+                    vault: VaultResolver = noVault): JsonNode = root match {
     case o: ObjectNode =>
       val out = o.deepCopy[ObjectNode]()
       o.properties().asScala.foreach { e =>
-        out.set[JsonNode](e.getKey, applyEnvFuncs(e.getValue, env))
+        out.set[JsonNode](e.getKey, applyEnvFuncs(e.getValue, env, vault))
       }
       out
     case a if a.isArray =>
       val out = a.deepCopy[com.fasterxml.jackson.databind.node.ArrayNode]()
-      (0 until a.size).foreach(i => out.set(i, applyEnvFuncs(a.get(i), env)))
+      (0 until a.size).foreach(i => out.set(i, applyEnvFuncs(a.get(i), env, vault)))
       out
     case t if t.isTextual =>
       val s = t.asText()
       if (s.startsWith("\\env(")) new TextNode(s.replace("\\env(", "env("))
+      else if (s.startsWith("\\vault(")) new TextNode(s.replace("\\vault(", "vault("))
       else if (s.startsWith("env(") && s.endsWith(")")) {
         val name = s.stripPrefix("env(").stripSuffix(")")
         env.get(name) match {
           case Some(v) => new TextNode(v)
           case None => throw new IllegalArgumentException(
             s"config references undefined environment variable '$name'")
+        }
+      } else if (s.startsWith("vault(") && s.endsWith(")")) {
+        // vault.go tryApplySecreter: strip the call, drop ALL spaces in
+        // the args, split path,key
+        val args = s.stripPrefix("vault(").stripSuffix(")").replace(" ", "")
+        args.split(",", -1) match {
+          case Array(path, key) if path.nonEmpty && key.nonEmpty =>
+            new TextNode(vault(path, key))
+          case _ => throw new IllegalArgumentException(
+            s"malformed vault reference '$s': expected vault(path, key)")
         }
       } else t
     case other => other

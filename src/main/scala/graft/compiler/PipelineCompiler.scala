@@ -219,6 +219,38 @@ object PipelineCompiler {
   def compile(spark: SparkSession, yamlText: String): Compiled =
     compileNode(spark, yaml.readTree(yamlText))
 
+  /** Playground equivalent (reference playground/playground.go:60-110,
+    * SURVEY 3.3): run a batch of raw JSON events through the config's
+    * action chain on a transient pipeline and return the surviving
+    * documents as JSON strings. The config's input/output are replaced
+    * with fake/devnull — only `actions` (and an explicit `decoder`, if
+    * given) matter, like the playground's per-request pipeline. With no
+    * decoder the events' schema is INFERRED from the batch itself: the
+    * playground decodes dynamic JSON, and schema inference over the
+    * posted batch is the Spark-native analogue. */
+  def runActionsOnBatch(spark: SparkSession, events: Seq[String],
+                        yamlText: String): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val root = yaml.readTree(yamlText)
+      .deepCopy().asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.remove("input")
+    root.remove("output")
+    val in = root.putObject("input")
+    in.put("type", "fake")
+    val lines = in.putArray("lines")
+    events.foreach(lines.add)
+    if (!root.has("decoder")) {
+      import spark.implicits._
+      val schema = spark.read.json(events.toDS()).schema
+      val d = root.putObject("decoder")
+      d.put("type", "json")
+      d.put("schema", schema.toDDL)
+    }
+    compileNode(spark, root).result()
+      .select(to_json(col("doc")).as("j"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
   private def compileNode(spark: SparkSession, rootNode: JsonNode): Compiled = {
     val root = rootNode
     val input = Option(root.get("input"))

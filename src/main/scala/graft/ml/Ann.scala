@@ -211,9 +211,16 @@ object Ann {
     cents
   }
 
-  def hyperplaneSig(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+  /** The seeded random hyperplanes behind hyperplaneSig — exposed so
+    * the SQL oracle can embed the exact same plane literals (each float
+    * widened to double prints via Double.toString, which round-trips). */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Seq[Float]] = {
     val rng = new scala.util.Random(seed)
-    val planes = Seq.fill(nBits)(Seq.fill(dim)(rng.nextGaussian().toFloat))
+    Seq.fill(nBits)(Seq.fill(dim)(rng.nextGaussian().toFloat))
+  }
+
+  def hyperplaneSig(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(dim, nBits, seed)
     (0 until nBits).map { b =>
       when(dot(vec, array(planes(b).map(lit(_)): _*)) >= 0, lit(1L << b))
         .otherwise(lit(0L))

@@ -129,16 +129,52 @@ object Sinks {
   : DataFrame =
     df.select(cols.map { case (name, c, tpe) => c.try_cast(tpe).as(name) }: _*)
 
+  /** s3 bucket routing (plugin/output/s3/s3.go:364-450 getBucketName +
+    * tryRunNewPlugin): an empty/missing bucket field routes to the
+    * default bucket; a configured multi_buckets name routes to itself;
+    * any OTHER name is a dynamic bucket, created on first arrival until
+    * `dynamic_buckets_limit` distinct ones exist — past the limit the
+    * event falls back to the default. "First arrival" is made
+    * deterministic the same way the cardinality guard is: rank dynamic
+    * names by their minimum order-column value (first event that named
+    * them), keep ranks <= limit. The rank table is one tiny aggregation
+    * (distinct bucket names), broadcast back — no corpus shuffle. */
+  def s3BucketResolve(df: DataFrame, bucketCol: org.apache.spark.sql.Column,
+                      orderCol: org.apache.spark.sql.Column,
+                      defaultBucket: String, staticBuckets: Seq[String],
+                      dynamicLimit: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_fs"), col("_dynb"))
+    val named = df.withColumn("_bname",
+      when(bucketCol.isNull || bucketCol === "", lit(defaultBucket))
+        .otherwise(bucketCol))
+    val dyn = named
+      .filter(!col("_bname").isin(defaultBucket +: staticBuckets: _*))
+      .groupBy(col("_bname").as("_dynb")).agg(min(orderCol).as("_fs"))
+      .withColumn("_r", row_number().over(w))
+      .drop("_fs")
+    named.join(broadcast(dyn), col("_bname") === col("_dynb"), "left")
+      .withColumn("_bucket",
+        when(col("_dynb").isNull || col("_r") <= dynamicLimit, col("_bname"))
+          .otherwise(lit(defaultBucket)))
+      .drop("_bname", "_dynb", "_r")
+  }
+
   /** s3 sink (plugin/output/s3): dynamic per-event bucket
     * (bucket_field_event) + time-based file layout ≙ a partitioned write
-    * on (bucket, date) — the object-store-native layout at scale. */
+    * on (bucket, date) — the object-store-native layout at scale. Each
+    * object compresses via the writer codec (`compression_type` — the
+    * reference zips each object; gzip is the codec-per-object analogue
+    * Spark writers speak natively). */
   def s3Write(df: DataFrame, basePath: String,
               bucketCol: org.apache.spark.sql.Column,
-              timeCol: org.apache.spark.sql.Column): Unit =
-    df.withColumn("_bucket", bucketCol)
+              timeCol: org.apache.spark.sql.Column,
+              compression: Option[String] = None): Unit = {
+    val w = df.withColumn("_bucket", bucketCol)
       .withColumn("_date", date_format(timeCol, "yyyyMMdd"))
       .write.mode("append").partitionBy("_bucket", "_date")
-      .json(basePath)
+    compression.fold(w)(c => w.option("compression", c)).json(basePath)
+  }
 
   // ------------------------------------------------- foreachBatch + DLQ
 

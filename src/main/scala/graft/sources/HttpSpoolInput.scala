@@ -4,8 +4,47 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import java.io.InputStream
 import java.net.InetSocketAddress
 import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.Base64
 import java.util.concurrent.atomic.AtomicLong
 import java.util.zip.GZIPInputStream
+
+/** Auth config for the HTTP input (reference http.go:184-204 AuthConfig):
+  * `strategy` disabled/basic/bearer, an overridable header name, and a
+  * secrets map — basic keys are logins with password values, bearer keys
+  * are secret NAMES with token values (the name labels the metric, so
+  * lookup is by token). */
+final case class HttpAuth(strategy: String = "disabled",
+                          header: String = "Authorization",
+                          secrets: Map[String, String] = Map.empty) {
+  require(Set("disabled", "basic", "bearer")(strategy),
+    s"auth strategy must be disabled|basic|bearer: $strategy")
+  private val nameByBearerToken: Map[String, String] =
+    secrets.map { case (name, token) => token -> name }
+
+  /** Some(login/secret-name) when the request may pass, None -> 401.
+    * Ports auth/authBasic/authBearer (http.go:605-648). */
+  def authorize(headerValue: String): Option[String] = strategy match {
+    case "disabled" => Some("")
+    case "basic" =>
+      val prefix = "Basic "
+      if (headerValue == null || !headerValue.startsWith(prefix)) None
+      else {
+        val decoded =
+          try new String(Base64.getDecoder.decode(headerValue.substring(prefix.length)), "UTF-8")
+          catch { case _: IllegalArgumentException => "" }
+        val cut = decoded.indexOf(':')
+        if (cut < 0) None
+        else {
+          val (user, pass) = (decoded.substring(0, cut), decoded.substring(cut + 1))
+          if (secrets.get(user).contains(pass)) Some(user) else None
+        }
+      }
+    case "bearer" =>
+      val prefix = "Bearer "
+      if (headerValue == null || !headerValue.startsWith(prefix)) None
+      else nameByBearerToken.get(headerValue.substring(prefix.length))
+  }
+}
 
 /** REAL HTTP push input on loopback (reference: plugin/input/http/
   * http.go:278-596 + elasticsearch.go): a JDK `com.sun.net.httpserver`
@@ -29,7 +68,8 @@ import java.util.zip.GZIPInputStream
   * Loopback-only by construction (this environment has no ingress);
   * `port = 0` binds an ephemeral port, returned by `start()`.
   */
-final class HttpSpoolInput(port: Int, spoolDir: Path, emulateEs: Boolean) {
+final class HttpSpoolInput(port: Int, spoolDir: Path, emulateEs: Boolean,
+                           auth: HttpAuth = HttpAuth()) {
 
   private val seq = new AtomicLong(0)
   private var server: HttpServer = _
@@ -81,10 +121,15 @@ final class HttpSpoolInput(port: Int, spoolDir: Path, emulateEs: Boolean) {
       } else serveBulk(ex)
     } finally ex.close()
 
-  /** http.go serveBulk: POST only, optional gzip, durable spool BEFORE
-    * the ack. */
+  /** http.go serveBulk: POST only, auth BEFORE anything is spooled
+    * (http.go:413-425 — a 401 request leaves no trace on disk), then
+    * optional gzip and durable spool BEFORE the ack. The emulate-mode
+    * handshake endpoints stay anonymous so health probes work. */
   private def serveBulk(ex: HttpExchange): Unit = {
     if (ex.getRequestMethod != "POST") { respond(ex, 405, ""); return }
+    if (auth.authorize(ex.getRequestHeaders.getFirst(auth.header)).isEmpty) {
+      respond(ex, 401, "auth failed"); return
+    }
     val raw: InputStream =
       if ("gzip".equalsIgnoreCase(
         ex.getRequestHeaders.getFirst("Content-Encoding")))

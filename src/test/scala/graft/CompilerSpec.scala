@@ -12,6 +12,38 @@ class CompilerSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("config front-end: vault(path, key) refs via pluggable resolver") {
+    import graft.compiler.ConfigLoader
+    val cfg =
+      """input: {type: fake, lines: ['{}']}
+        |output:
+        |  type: http
+        |  token: vault(secret/data/pipeline, token)
+        |  note: \vault(kept, literal)
+        |""".stripMargin
+    // env-backed fake resolver (the real client is env-blocked)
+    val secrets = Map(("secret/data/pipeline", "token") -> "s3cr3t-tok")
+    val loaded = ConfigLoader.load(Seq(cfg), env = Map.empty,
+      vault = (p, k) => secrets.getOrElse((p, k),
+        throw new IllegalStateException(s"no secret $p/$k")))
+    // resolved value lands in the compiled pipeline config
+    assert(loaded.get("output").get("token").asText() == "s3cr3t-tok")
+    // the escape sheds the backslash and stays un-resolved
+    assert(loaded.get("output").get("note").asText() == "vault(kept, literal)")
+    // unresolvable ref -> clear error (reference Fatals)
+    val bad = cfg.replace("secret/data/pipeline, token", "nope, nope")
+    val ex = intercept[IllegalStateException] {
+      ConfigLoader.load(Seq(bad), env = Map.empty,
+        vault = (p, k) => secrets.getOrElse((p, k),
+          throw new IllegalStateException(s"no secret $p/$k")))
+    }
+    assert(ex.getMessage.contains("no secret"))
+    // and with NO resolver configured, any vault ref is fatal
+    assert(intercept[IllegalStateException] {
+      ConfigLoader.load(Seq(cfg), env = Map.empty)
+    }.getMessage.contains("without connection"))
+  }
+
   test("config front-end: multi-file merge, FILED_* overrides, env() funcs") {
     import graft.compiler.ConfigLoader
     // Later file deep-merges over the base (cfg/config.go mergeYAMLs):

@@ -14,10 +14,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class HttpSpoolInputSpec extends AnyFunSuite {
 
   private def request(url: String, method: String = "GET",
-                      body: Array[Byte] = null, gzip: Boolean = false)
+                      body: Array[Byte] = null, gzip: Boolean = false,
+                      headers: Map[String, String] = Map.empty)
   : (Int, String) = {
     val c = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
     c.setRequestMethod(method)
+    headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
     if (body != null) {
       c.setDoOutput(true)
       if (gzip) c.setRequestProperty("Content-Encoding", "gzip")
@@ -59,6 +61,56 @@ class HttpSpoolInputSpec extends AnyFunSuite {
       assert(request(s"$base/_bulk")._1 == 405)
       assert(Files.list(dir).toArray.count(_.toString.endsWith(".bulk")) == 2)
     } finally srv.stop()
+  }
+
+  test("auth strategies: 401 before spool, correct creds spool (http.go:605-648)") {
+    import graft.sources.HttpAuth
+    val basic = java.util.Base64.getEncoder
+    val bulk = "{\"index\":{}}\n{\"m\":1}\n".getBytes("UTF-8")
+
+    // basic: key = login, value = password
+    val dirB = Files.createTempDirectory("httpauth_b")
+    val srvB = new HttpSpoolInput(0, dirB, emulateEs = true,
+      auth = HttpAuth("basic", secrets = Map("alice" -> "s3cret")))
+    val pB = srvB.start()
+    try {
+      val base = s"http://127.0.0.1:$pB"
+      def basicHdr(v: String) =
+        Map("Authorization" -> ("Basic " + basic.encodeToString(v.getBytes("UTF-8"))))
+      // no creds / wrong password / unknown user / garbage b64 -> 401, NOTHING spooled
+      assert(request(s"$base/_bulk", "POST", bulk)._1 == 401)
+      assert(request(s"$base/_bulk", "POST", bulk, headers = basicHdr("alice:wrong"))._1 == 401)
+      assert(request(s"$base/_bulk", "POST", bulk, headers = basicHdr("bob:s3cret"))._1 == 401)
+      assert(request(s"$base/_bulk", "POST", bulk,
+        headers = Map("Authorization" -> "Basic !!!"))._1 == 401)
+      assert(Files.list(dirB).toArray.isEmpty)
+      // the emulate handshake stays anonymous (health probes work)
+      assert(request(s"$base/")._1 == 200)
+      assert(request(s"$base/_license")._1 == 200)
+      // right creds -> spooled + acked
+      assert(request(s"$base/_bulk", "POST", bulk, headers = basicHdr("alice:s3cret"))._1 == 200)
+      assert(Files.list(dirB).toArray.count(_.toString.endsWith(".bulk")) == 1)
+    } finally srvB.stop()
+
+    // bearer: key = secret NAME, value = token (lookup by token)
+    val dirT = Files.createTempDirectory("httpauth_t")
+    val srvT = new HttpSpoolInput(0, dirT, emulateEs = false,
+      auth = HttpAuth("bearer", header = "X-Auth",
+        secrets = Map("svc-logs" -> "tok123")))
+    val pT = srvT.start()
+    try {
+      val base = s"http://127.0.0.1:$pT"
+      assert(request(s"$base/ingest", "POST", bulk)._1 == 401)
+      assert(request(s"$base/ingest", "POST", bulk,
+        headers = Map("X-Auth" -> "Bearer nope"))._1 == 401)
+      // the token must arrive on the CONFIGURED header
+      assert(request(s"$base/ingest", "POST", bulk,
+        headers = Map("Authorization" -> "Bearer tok123"))._1 == 401)
+      assert(Files.list(dirT).toArray.isEmpty)
+      assert(request(s"$base/ingest", "POST", bulk,
+        headers = Map("X-Auth" -> "Bearer tok123"))._1 == 200)
+      assert(Files.list(dirT).toArray.count(_.toString.endsWith(".bulk")) == 1)
+    } finally srvT.stop()
   }
 
   test("http sink transport POSTs chunks to a live listener; failures raise") {

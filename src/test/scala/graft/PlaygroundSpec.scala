@@ -1,0 +1,128 @@
+package graft
+
+import graft.compiler.PipelineCompiler.runActionsOnBatch
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Playground harness (reference playground/playground.go:60-110):
+  * events + YAML actions in, surviving documents out. Golden cases are
+  * the four match-mode decision tables documented at
+  * pipeline/plugin.go:161-259 — each example lists which events a
+  * discard action drops, so the surviving set pins the semantics. */
+class PlaygroundSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ev(ns: String, pod: String): String =
+    s"""{"k8s_namespace": "$ns", "k8s_pod":"$pod"}"""
+
+  private def survivors(events: Seq[String], yaml: String): Set[String] =
+    runActionsOnBatch(spark, events, yaml).toSet
+
+  test("match_mode: and (plugin.go and-table)") {
+    val yaml =
+      """actions:
+        |  - type: discard
+        |    match_fields:
+        |      k8s_namespace: [payment, tarifficator]
+        |      k8s_pod: /^payment-api.*/
+        |    match_mode: and
+        |""".stripMargin
+    val events = Seq(
+      ev("payment", "payment-api-abcd"),             // discarded
+      ev("tarifficator", "payment-api"),             // discarded
+      ev("payment-tarifficator", "payment-api"),     // survives
+      ev("tarifficator", "no-payment-api"))          // survives
+    val out = survivors(events, yaml)
+    assert(out.size == 2)
+    assert(out.exists(_.contains("payment-tarifficator")))
+    assert(out.exists(_.contains("no-payment-api")))
+  }
+
+  test("match_mode: or (plugin.go or-table)") {
+    val yaml =
+      """actions:
+        |  - type: discard
+        |    match_fields:
+        |      k8s_namespace: [payment, tarifficator]
+        |      k8s_pod: /^payment-api.*/
+        |    match_mode: or
+        |""".stripMargin
+    val events = Seq(
+      ev("payment", "payment-api-abcd"),              // discarded
+      ev("tarifficator", "payment-api"),              // discarded
+      ev("map", "payment-api"),                       // discarded
+      ev("payment", "map-api"),                       // discarded
+      ev("tarifficator", "tarifficator-go-api"),      // discarded
+      ev("sre", "cpu-quotas-abcd-1234"))              // survives
+    val out = survivors(events, yaml)
+    assert(out.size == 1)
+    assert(out.head.contains("cpu-quotas-abcd-1234"))
+  }
+
+  test("match_mode: and_prefix (plugin.go and_prefix-table)") {
+    val yaml =
+      """actions:
+        |  - type: discard
+        |    match_fields:
+        |      k8s_namespace: payment
+        |      k8s_pod: payment-api-
+        |    match_mode: and_prefix
+        |""".stripMargin
+    val events = Seq(
+      ev("payment", "payment-api-abcd-1234"),    // discarded
+      ev("payment-2", "payment-api-abcd-1234"),  // discarded (prefix)
+      ev("payment", "checkout"),                 // survives
+      ev("map", "payment-api-abcd-1234"),        // survives
+      ev("payment-abcd", "payment-api"))         // survives (pod not prefixed)
+    val out = survivors(events, yaml)
+    assert(out.size == 3)
+    assert(out.exists(_.contains("checkout")))
+    assert(out.exists(_.contains("\"map\"")))
+    assert(out.exists(_.contains("payment-abcd")))
+  }
+
+  test("match_mode: or_prefix (plugin.go or_prefix-table)") {
+    val yaml =
+      """actions:
+        |  - type: discard
+        |    match_fields:
+        |      k8s_namespace: [payment, tarifficator]
+        |      k8s_pod: /-api-.*/
+        |    match_mode: or_prefix
+        |""".stripMargin
+    val events = Seq(
+      ev("payment", "payment-api-abcd-1234"),  // discarded
+      ev("payment", "checkout"),               // discarded (ns prefix)
+      ev("map", "map-go-api-abcd-1234"),       // discarded (pod regex)
+      ev("map", "payment-api"),                // survives
+      ev("tariff", "tarifficator"))            // survives
+    val out = survivors(events, yaml)
+    assert(out.size == 2)
+    assert(out.exists(s => s.contains("\"map\"") && s.contains("payment-api")))
+    assert(out.exists(_.contains("tariff")))
+  }
+
+  test("action chain end-to-end: modify + rename + discard do_if") {
+    val yaml =
+      """actions:
+        |  - type: modify
+        |    fields: {lvl: "x-${level}"}
+        |  - type: rename
+        |    fields: {msg: message}
+        |  - type: discard
+        |    do_if: {op: equal, field: level, values: [debug]}
+        |""".stripMargin
+    val events = Seq(
+      """{"level": "error", "msg": "boom"}""",
+      """{"level": "debug", "msg": "noise"}""")
+    val out = runActionsOnBatch(spark, events, yaml)
+    assert(out.length == 1)
+    assert(out.head.contains("\"message\":\"boom\""))
+    assert(out.head.contains("\"lvl\":\"x-error\""))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.sinks.Sinks
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** s3 sink semantics (reference plugin/output/s3/s3.go): bucket routing
+  * with multi_buckets + dynamic limit + default fallback, per-bucket
+  * directory layout, and per-object compression. */
+class S3SinkSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("bucket routing: static, dynamic-within-limit, overflow, empty") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "statica"),   // configured multi_bucket
+      (2L, "dyn1"),      // 1st dynamic -> created
+      (3L, "dyn2"),      // 2nd dynamic -> created
+      (4L, "dyn3"),      // over dynamic_buckets_limit=2 -> default
+      (5L, ""),          // empty bucket field -> default
+      (6L, "dyn1")       // already-created dynamic -> itself
+    ).toDF("id", "b")
+    val out = Sinks.s3BucketResolve(df, col("b"), col("id"),
+        defaultBucket = "main", staticBuckets = Seq("statica"),
+        dynamicLimit = 2)
+      .select(col("id"), col("_bucket")).as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "statica", 2L -> "dyn1", 3L -> "dyn2",
+      4L -> "main", 5L -> "main", 6L -> "dyn1"))
+  }
+
+  test("compressed partitioned layout: _bucket/_date dirs, .json.gz objects") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("s3sink").toString
+    val df = Seq(
+      (1L, "app", "2024-01-02 03:04:05"),
+      (2L, "web", "2024-02-03 04:05:06")
+    ).toDF("id", "b", "tss").withColumn("ts", to_timestamp(col("tss")))
+    Sinks.s3Write(df.select(col("id"), col("b"), col("ts")), dir,
+      col("b"), col("ts"), compression = Some("gzip"))
+    def ls(p: String) = Files.list(Paths.get(p)).toArray.map(_.toString)
+    // per-bucket dirs with date subdirs (the reference's
+    // bucket/dynamic-dir file layout, object-store partition style)
+    val bucketDirs = ls(dir).filter(_.contains("_bucket=")).sorted
+    assert(bucketDirs.map(_.split("/").last).toSeq ==
+      Seq("_bucket=app", "_bucket=web"))
+    val appFiles = ls(bucketDirs.head + "/_date=20240102")
+      .filter(_.endsWith(".json.gz"))
+    assert(appFiles.nonEmpty)
+    // objects really are gzip; reading back through the engine works
+    val back = spark.read.json(dir)
+    assert(back.count() == 2)
+    assert(Set("id", "_bucket", "_date").subsetOf(back.columns.toSet))
+  }
+}
