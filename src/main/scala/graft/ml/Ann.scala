@@ -167,8 +167,6 @@ object Ann {
     * assignment, one (cid,pos) shuffle for the update — the standard
     * scalable k-means shape (no driver-side state; the centroid table
     * is k×dim rows and localCheckpointed per pass to stop plan growth).
-    * Empty clusters keep their previous centroid. Returns
-    * (cid, pos, ce6). */
   /** One k-means assignment pass: per-(vid,cid) integer squared-L2.
     * cents is k-by-dim rows — tiny, but localCheckpoint drops its
     * stats, so without the hint Catalyst shuffle-joins keyed on pos
@@ -180,6 +178,18 @@ object Ann {
       .groupBy(col("vid"), col("cid"))
       .agg(sum((col("xe6") - col("ce6")) * (col("xe6") - col("ce6"))).as("d2"))
 
+  /** Distributed Lloyd k-means over QUANTIZED coordinates — the trained-
+    * centroid path for IVF (vs the first-k seeding ivfTopK uses).
+    * Every quantity is exact integer math so the result is independent
+    * of partitioning and engine: coordinates round to 1e-6 units up
+    * front, distances are integer squared-L2 with ties broken by
+    * centroid id, and centroid updates are floor(intSum / count).
+    * Per iteration: one broadcast (pos) join + (vid,cid) partial-agg
+    * shuffle for assignment, one (cid,pos) shuffle for the update — the
+    * standard scalable k-means shape (no driver-side state; the
+    * centroid table is k×dim rows, localCheckpointed per pass to stop
+    * plan growth with superseded snapshots unpersisted). Empty clusters
+    * keep their previous centroid. Returns (cid, pos, ce6). */
   def kmeansQuantized(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int): DataFrame = {
     val v = df

@@ -360,4 +360,77 @@ object Kernels {
           out.iterator
       }
   }
+
+  // ------------------------------------- streaming connected components
+
+  /** A candidate-duplicate pair arriving on the stream. `graph` shards
+    * the state: edges that can ever connect must share a graph id (one
+    * dedup job = one graph; independent corpora/tenants parallelize
+    * across keys). */
+  final case class EdgeEvent(graph: String, u: Long, v: Long)
+
+  /** A (node → component) label assignment that changed this batch. The
+    * latest update per node is the current labeling. */
+  final case class CCUpdate(graph: String, node: Long, component: Long)
+
+  /** parent = union-find forest (roots are component minima); emitted =
+    * the last labeling announced downstream, so a batch only re-emits
+    * nodes whose component actually changed. */
+  final case class CCState(parent: Map[Long, Long], emitted: Map[Long, Long])
+
+  /** Incremental union-find — the streaming leg of the dedup pipeline
+    * (batch analog: graft.ml.Dedup.connectedComponents, labels = min
+    * reachable id). Each micro-batch unions its edges into the
+    * checkpointed forest (union-by-min keeps roots the component
+    * minima, path compression keeps finds near-O(1)) and emits a
+    * CCUpdate for every node whose label changed — including nodes from
+    * PREVIOUS batches swallowed by a merge, so downstream always
+    * converges to the batch labeling on the same edges.
+    *
+    * State is O(nodes of the candidate graph) per graph key — the
+    * LSH-reduced graph, orders of magnitude smaller than the corpus
+    * (the q69 scale argument). A single graph key serializes its own
+    * merges, which is inherent: connectivity is global per graph. At
+    * 100 TB the batch operator remains the bulk path; this kernel
+    * serves continuous ingest, where per-batch edge counts are small
+    * and per-tenant graphs parallelize across keys. */
+  def connectedComponents(ds: Dataset[EdgeEvent]): Dataset[CCUpdate] = {
+    implicit val outEnc = Encoders.product[CCUpdate]
+    implicit val stEnc = Encoders.product[CCState]
+    ds.groupByKey(_.graph)(Encoders.STRING)
+      .flatMapGroupsWithState[CCState, CCUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (graph, edges, state: GroupState[CCState]) =>
+          val st = state.getOption.getOrElse(CCState(Map.empty, Map.empty))
+          val parent = scala.collection.mutable.Map.empty[Long, Long] ++ st.parent
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x // path compression
+            while (parent.getOrElse(c, c) != r) {
+              val n = parent(c); parent(c) = r; c = n
+            }
+            r
+          }
+          edges.foreach { e =>
+            parent.getOrElseUpdate(e.u, e.u)
+            parent.getOrElseUpdate(e.v, e.v)
+            val (ru, rv) = (find(e.u), find(e.v))
+            if (ru != rv) {
+              if (ru < rv) parent(rv) = ru else parent(ru) = rv
+            }
+          }
+          val emitted = scala.collection.mutable.Map.empty[Long, Long] ++ st.emitted
+          val out = scala.collection.mutable.ArrayBuffer.empty[CCUpdate]
+          parent.keys.toSeq.sorted.foreach { node =>
+            val root = find(node)
+            if (!emitted.get(node).contains(root)) {
+              emitted(node) = root
+              out += CCUpdate(graph, node, root)
+            }
+          }
+          state.update(CCState(parent.toMap, emitted.toMap))
+          out.iterator
+      }
+  }
 }

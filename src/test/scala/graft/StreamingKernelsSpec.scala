@@ -299,4 +299,43 @@ class StreamingKernelsSpec extends AnyFunSuite {
       assert(got("l4").isEmpty)
     } finally q.stop()
   }
+
+  test("streaming connected components merges clusters across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EdgeEvent]
+    val out = Kernels.connectedComponents(input.toDS())
+    val q = out.writeStream.format("memory").queryName("cc_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two disjoint clusters {1,2,3} and {10,11}
+      input.addData(EdgeEvent("g", 2, 1), EdgeEvent("g", 2, 3),
+        EdgeEvent("g", 10, 11))
+      q.processAllAvailable()
+      // labels only ever DECREASE (min-label), so the latest update per
+      // node is deterministically its minimum — no sink-order reliance
+      val after1 = spark.table("cc_out").as[CCUpdate].collect()
+        .groupBy(_.node).map { case (n, us) => n -> us.map(_.component).min }
+      assert(after1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+
+      // batch 2: an edge MERGES the two clusters -> the swallowed
+      // cluster's nodes re-emit with the global min label
+      input.addData(EdgeEvent("g", 3, 10))
+      q.processAllAvailable()
+      // batch 3: growth on the merged cluster + an isolated pair
+      input.addData(EdgeEvent("g", 11, 12), EdgeEvent("g", 20, 21))
+      q.processAllAvailable()
+
+      val finalLabels = spark.table("cc_out").as[CCUpdate].collect()
+        .groupBy(_.node).map { case (n, us) => n -> us.map(_.component).min }
+
+      // must equal the batch operator on the SAME edge set (q69 semantics)
+      val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (3L, 10L),
+        (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+      val batch = graft.ml.Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(finalLabels == batch)
+      assert(finalLabels(12L) == 1L && finalLabels(20L) == 20L)
+    } finally q.stop()
+  }
 }
