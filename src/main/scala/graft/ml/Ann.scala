@@ -157,16 +157,6 @@ object Ann {
         sum(round(col("v").cast("double") * 1e6).cast("long")).as("sum_e6"),
         count(lit(1)).as("n_chunks"))
 
-  /** Distributed Lloyd k-means over QUANTIZED coordinates — the trained-
-    * centroid path for IVF (vs the first-k seeding ivfTopK uses).
-    * Every quantity is exact integer math so the result is independent
-    * of partitioning and engine: coordinates round to 1e-6 units up
-    * front, distances are integer squared-L2 with ties broken by
-    * centroid id, and centroid updates are floor(intSum / count).
-    * Per iteration: one (pos) join + (vid,cid) partial-agg shuffle for
-    * assignment, one (cid,pos) shuffle for the update — the standard
-    * scalable k-means shape (no driver-side state; the centroid table
-    * is k×dim rows and localCheckpointed per pass to stop plan growth).
   /** One k-means assignment pass: per-(vid,cid) integer squared-L2.
     * cents is k-by-dim rows — tiny, but localCheckpoint drops its
     * stats, so without the hint Catalyst shuffle-joins keyed on pos
