@@ -787,6 +787,57 @@ object Queries5 {
       |    ELSE CAST(event_id AS VARCHAR) END AS c_ni64
       |FROM events""".stripMargin
 
+  /** REAL audio decode roundtrip (javax.sound.sampled, the audio
+    * counterpart of q66's imageio oracle): a deterministic PCM16 WAV is
+    * generated per doc (samples from a pure formula), decoded back by
+    * the actual codec, and the decoded features must equal the formula
+    * recomputed in SQL. Every 13th payload is poisoned -> null features
+    * (rendered as strings so NULLs stay object-typed in the compare).
+    * 16 partitions exercise the per-partition codec init. */
+  val q99_mm_audio: Q = (s, dir) => {
+    import s.implicits._
+    val wavs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(16)
+      .mapPartitions { it =>
+        it.map { id =>
+          val wav =
+            if (id % 13 == 0) Array[Byte](1, 2, 3, 4) // poison
+            else graft.ml.Multimodal.wavBytes(
+              (id % 20 + 50).toInt, (8000 + (id % 4) * 4000).toInt, id)
+          (id, wav)
+        }
+      }.toDF("doc_id", "wav")
+    graft.ml.Multimodal.audioDecodePartitioned(wavs, "wav", "a")
+      .select(col("doc_id"),
+        col("a_rate").cast("string").as("a_rate"),
+        col("a_channels").cast("string").as("a_channels"),
+        col("a_frames").cast("string").as("a_frames"),
+        col("a_peak").cast("string").as("a_peak"),
+        col("a_meanabs").cast("string").as("a_meanabs"))
+  }
+
+  val q99_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 20 + 50 AS n FROM documents),
+      |samp AS (
+      |  SELECT doc_id, n, unnest(range(0, n)) AS j FROM d),
+      |feats AS (
+      |  SELECT doc_id,
+      |    max(abs((doc_id * 31 + j * 17) % 65536 - 32768)) AS peak,
+      |    sum(abs((doc_id * 31 + j * 17) % 65536 - 32768)) // count(*) AS meanabs
+      |  FROM samp GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CASE WHEN d.doc_id % 13 = 0 THEN NULL
+      |       ELSE CAST(8000 + (d.doc_id % 4) * 4000 AS VARCHAR) END AS a_rate,
+      |  CASE WHEN d.doc_id % 13 = 0 THEN NULL ELSE '1' END AS a_channels,
+      |  CASE WHEN d.doc_id % 13 = 0 THEN NULL
+      |       ELSE CAST(d.n AS VARCHAR) END AS a_frames,
+      |  CASE WHEN d.doc_id % 13 = 0 THEN NULL
+      |       ELSE CAST(f.peak AS VARCHAR) END AS a_peak,
+      |  CASE WHEN d.doc_id % 13 = 0 THEN NULL
+      |       ELSE CAST(f.meanabs AS VARCHAR) END AS a_meanabs
+      |FROM d JOIN feats f ON f.doc_id = d.doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -817,7 +868,8 @@ object Queries5 {
     "q78_kmeans" -> q78_kmeans,
     "q96_asof_join" -> q96_asof_join,
     "q97_salted_join" -> q97_salted_join,
-    "q98_ch_matrix" -> q98_ch_matrix
+    "q98_ch_matrix" -> q98_ch_matrix,
+    "q99_mm_audio" -> q99_mm_audio
   )
 
   val oracles: Map[String, String] = Map(
@@ -848,6 +900,7 @@ object Queries5 {
     "q78_kmeans" -> q78_sql,
     "q96_asof_join" -> q96_sql,
     "q97_salted_join" -> q97_sql,
-    "q98_ch_matrix" -> q98_sql
+    "q98_ch_matrix" -> q98_sql,
+    "q99_mm_audio" -> q99_sql
   )
 }

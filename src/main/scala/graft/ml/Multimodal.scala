@@ -13,11 +13,14 @@ import org.apache.spark.sql.types._
   * IMAGE decode/resize is REAL: javax.imageio ships in the JDK, so
   * PNG/JPEG/BMP/GIF payloads go through [[imageDecodePartitioned]] /
   * [[resizeImage]] (one codec context per partition, undecodable bytes
-  * → null columns, never a task failure). Audio/video codecs don't
-  * exist in this environment; those paths keep the deterministic
-  * `decodeStub`/`decodePartitioned` fakes whose schema, partitioning
-  * and batched per-partition shape are the production contract with a
-  * single byte→samples swap-in point.
+  * → null columns, never a task failure). AUDIO decode is REAL for WAV:
+  * javax.sound.sampled also ships in the JDK, so PCM payloads go
+  * through [[audioDecodePartitioned]] with integer-exact features.
+  * Compressed-audio and video codecs don't exist in this environment;
+  * the video path keeps the deterministic `decodeStub`/
+  * `decodePartitioned` fakes whose schema, partitioning and batched
+  * per-partition shape are the production contract with a single
+  * byte→samples swap-in point.
   */
 object Multimodal {
 
@@ -138,6 +141,83 @@ object Multimodal {
         Row.fromSeq(row.toSeq :+
           dims.map(d => Int.box(d._1)).orNull :+
           dims.map(d => Int.box(d._2)).orNull)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  // ------------------------------------------------- audio (REAL: WAV)
+
+  /** Deterministic PCM16 mono WAV generator — the audio analogue of
+    * pngBytes: a RIFF/WAVE container around samples
+    * s_j = ((seed*31 + j*17) mod 65536) - 32768, so an oracle can
+    * recompute every decoded feature from the formula alone. */
+  def wavBytes(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var j = 0
+    while (j < nSamples) {
+      bb.putShort((((seed * 31 + j * 17) % 65536) - 32768).toShort)
+      j += 1
+    }
+    bb.array()
+  }
+
+  /** REAL WAV decode via javax.sound.sampled (ships in the JDK, like
+    * imageio): (sample_rate, channels, n_frames, peak_abs, mean_abs) of
+    * the PCM16 stream, all integers so the result is engine- and
+    * partition-deterministic. None for undecodable bytes. */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Long, Int, Long)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        val data = in.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(data)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var peak = 0
+        var sumAbs = 0L
+        var n = 0L
+        while (bb.remaining() >= 2) {
+          val a = math.abs(bb.getShort.toInt)
+          if (a > peak) peak = a
+          sumAbs += a
+          n += 1
+        }
+        Some((f.getSampleRate.toInt, f.getChannels, n, peak,
+          if (n == 0) 0L else sumAbs / n))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Batched per-partition audio decode (one codec context per
+    * partition, poison bytes → null features): appends
+    * `{prefix}_rate/_channels/_frames/_peak/_meanabs`. */
+  def audioDecodePartitioned(df: DataFrame, payloadCol: String,
+                             outPrefix: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField(s"${outPrefix}_rate", IntegerType),
+      StructField(s"${outPrefix}_channels", IntegerType),
+      StructField(s"${outPrefix}_frames", LongType),
+      StructField(s"${outPrefix}_peak", IntegerType),
+      StructField(s"${outPrefix}_meanabs", LongType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val d = Option(row.getAs[Array[Byte]](idx)).flatMap(decodeWav)
+        Row.fromSeq(row.toSeq :+
+          d.map(x => Int.box(x._1)).orNull :+
+          d.map(x => Int.box(x._2)).orNull :+
+          d.map(x => Long.box(x._3)).orNull :+
+          d.map(x => Int.box(x._4)).orNull :+
+          d.map(x => Long.box(x._5)).orNull)
       }
     }(Encoders.row(outSchema))
   }

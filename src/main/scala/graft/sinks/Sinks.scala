@@ -212,12 +212,29 @@ object Sinks {
     * batcher's retry/DLQ path engages. */
   def socketTransport(host: String, port: Int): Transport = { lines =>
     val s = new java.net.Socket(host, port)
-    try {
-      val w = new java.io.BufferedWriter(
-        new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8"))
-      lines.foreach { l => w.write(l); w.write('\n') }
-      w.flush()
-    } finally s.close()
+    try writeFramed(s.getOutputStream, lines) finally s.close()
+  }
+
+  /** TLS client transport pinning the listener's PEM cert (the sender
+    * half of the socket input's ca_cert/private_key leg). */
+  def socketTlsTransport(host: String, port: Int, caCert: String): Transport = { lines =>
+    val s = graft.sources.SocketTls.clientContext(caCert)
+      .getSocketFactory.createSocket(host, port)
+    try writeFramed(s.getOutputStream, lines) finally s.close()
+  }
+
+  /** AF_UNIX client transport (the sender half of `network: unix`). */
+  def unixTransport(path: String): Transport = { lines =>
+    val ch = java.nio.channels.SocketChannel.open(
+      java.net.UnixDomainSocketAddress.of(path))
+    try writeFramed(java.nio.channels.Channels.newOutputStream(ch), lines)
+    finally ch.close()
+  }
+
+  private def writeFramed(os: java.io.OutputStream, lines: Iterator[String]): Unit = {
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(os, "UTF-8"))
+    lines.foreach { l => w.write(l); w.write('\n') }
+    w.flush()
   }
 
   /** foreachBatch writer with the reference's batcher + dead-queue

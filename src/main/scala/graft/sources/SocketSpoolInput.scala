@@ -1,9 +1,12 @@
 package graft.sources
 
 import java.io.BufferedReader
+import java.io.InputStream
 import java.io.InputStreamReader
-import java.net.{DatagramPacket, DatagramSocket, InetAddress, ServerSocket, Socket}
-import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
+import java.net.{DatagramPacket, DatagramSocket, InetAddress, ServerSocket, Socket,
+  StandardProtocolFamily, UnixDomainSocketAddress}
+import java.nio.channels.{Channels, ServerSocketChannel}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import java.util.concurrent.atomic.AtomicLong
 
 /** REAL socket input on loopback (reference: plugin/input/socket/
@@ -15,28 +18,54 @@ import java.util.concurrent.atomic.AtomicLong
   * pipeline. A connection's lines become visible to the engine
   * atomically (tmp + rename) when the sender closes or after
   * `flushLines` lines, bounding both loss-on-crash and latency.
-  * TLS and unix sockets are deployment variants of the same loop
-  * (no certs/ingress in this environment; loopback only). */
+  *
+  * All four reference networks (socket.go:100-122, 164-180): `tcp`
+  * (plain), `tcp` with `ca_cert`+`private_key` (TLS via SocketTls —
+  * same PEM path-or-content contract as xtls), `udp`, and `unix`
+  * (stream socket at `unixPath`, JDK AF_UNIX channels). Loopback/
+  * filesystem only — this environment has no ingress. */
 final class SocketSpoolInput(network: String, port: Int, spoolDir: Path,
-                             flushLines: Int = 1000) {
+                             flushLines: Int = 1000,
+                             caCert: String = "", privateKey: String = "",
+                             unixPath: String = "") {
 
   private val seq = new AtomicLong(0)
   @volatile private var running = true
   private var tcp: ServerSocket = _
   private var udp: DatagramSocket = _
+  private var unix: ServerSocketChannel = _
   private val threads = scala.collection.mutable.ArrayBuffer.empty[Thread]
 
   def start(): Int = {
     Files.createDirectories(spoolDir)
     network match {
       case "tcp" =>
-        tcp = new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
+        tcp =
+          if (caCert.nonEmpty && privateKey.nonEmpty)
+            // tls.Listen leg: same accept loop behind an SSL handshake
+            SocketTls.serverContext(caCert, privateKey).getServerSocketFactory
+              .createServerSocket(port, 50, InetAddress.getLoopbackAddress)
+          else new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
         spawn { () =>
           while (running)
             try { val c = tcp.accept(); spawn(() => handleConn(c)) }
             catch { case _: Exception => () } // closed on stop
         }
         tcp.getLocalPort
+      case "unix" =>
+        require(unixPath.nonEmpty, "unix network needs unixPath")
+        Files.deleteIfExists(Paths.get(unixPath))
+        unix = ServerSocketChannel.open(StandardProtocolFamily.UNIX)
+        unix.bind(UnixDomainSocketAddress.of(unixPath))
+        spawn { () =>
+          while (running)
+            try {
+              val ch = unix.accept()
+              spawn(() => handleStream(Channels.newInputStream(ch),
+                () => ch.close()))
+            } catch { case _: Exception => () } // closed on stop
+        }
+        0
       case "udp" =>
         udp = new DatagramSocket(port, InetAddress.getLoopbackAddress)
         spawn { () =>
@@ -58,6 +87,7 @@ final class SocketSpoolInput(network: String, port: Int, spoolDir: Path,
     running = false
     if (tcp != null) tcp.close()
     if (udp != null) udp.close()
+    if (unix != null) { unix.close(); Files.deleteIfExists(Paths.get(unixPath)) }
     threads.foreach(_.join(2000))
   }
 
@@ -67,9 +97,11 @@ final class SocketSpoolInput(network: String, port: Int, spoolDir: Path,
   }
 
   private def handleConn(conn: Socket): Unit =
+    handleStream(conn.getInputStream, () => conn.close())
+
+  private def handleStream(is: InputStream, close: () => Unit): Unit =
     try {
-      val in = new BufferedReader(
-        new InputStreamReader(conn.getInputStream, "UTF-8"))
+      val in = new BufferedReader(new InputStreamReader(is, "UTF-8"))
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]
       var line = in.readLine()
       while (line != null) {
@@ -78,7 +110,7 @@ final class SocketSpoolInput(network: String, port: Int, spoolDir: Path,
         line = in.readLine()
       }
       if (buf.nonEmpty) writeSpool(buf.toSeq)
-    } catch { case _: Exception => () } finally conn.close()
+    } catch { case _: Exception => () } finally close()
 
   private def writeSpool(lines: Seq[String]): Unit = if (lines.nonEmpty) {
     val name = f"${System.currentTimeMillis()}%013d_${seq.getAndIncrement()}%06d.sock"

@@ -1,0 +1,76 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.nio.file.{Files, Paths}
+import java.security.KeyStore
+import java.security.cert.CertificateFactory
+import java.security.spec.PKCS8EncodedKeySpec
+import java.util.Base64
+import javax.net.ssl.{KeyManagerFactory, SSLContext, TrustManagerFactory}
+
+/** TLS material loader for the socket/http edges (reference:
+  * xtls/tls.go ConfigBuilder.AppendX509KeyPair + the socket input's
+  * `ca_cert` / `private_key` options, socket.go:100-122): each value
+  * "can be a path or the content of the certificate" — exactly that
+  * contract, PEM in, JVM SSLContext out. The key must be unencrypted
+  * PKCS#8 (`BEGIN PRIVATE KEY`), the standard `openssl req -nodes`
+  * output. */
+object SocketTls {
+
+  private def material(v: String): String =
+    if (v.contains("-----BEGIN")) v
+    else new String(Files.readAllBytes(Paths.get(v)), "UTF-8")
+
+  private def pemBlock(pem: String, header: String): Array[Byte] = {
+    val re = ("(?s)-----BEGIN " + header + "-----(.*?)-----END " + header + "-----").r
+    val body = re.findFirstMatchIn(pem)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no '$header' PEM block found"))
+      .group(1).replaceAll("\\s", "")
+    Base64.getDecoder.decode(body)
+  }
+
+  /** Server-side context from a PEM cert (chain) + PKCS#8 private key. */
+  def serverContext(caCert: String, privateKey: String): SSLContext = {
+    val certPem = material(caCert)
+    val cf = CertificateFactory.getInstance("X.509")
+    val certs = cf.generateCertificates(
+      new ByteArrayInputStream(certPem.getBytes("UTF-8")))
+    val keyBytes = pemBlock(material(privateKey), "PRIVATE KEY")
+    // try RSA then EC — PKCS#8 wraps either
+    val key = try
+      java.security.KeyFactory.getInstance("RSA")
+        .generatePrivate(new PKCS8EncodedKeySpec(keyBytes))
+    catch {
+      case _: Exception =>
+        java.security.KeyFactory.getInstance("EC")
+          .generatePrivate(new PKCS8EncodedKeySpec(keyBytes))
+    }
+    val ks = KeyStore.getInstance("PKCS12")
+    ks.load(null, null)
+    ks.setKeyEntry("key", key, Array.emptyCharArray,
+      certs.toArray(new Array[java.security.cert.Certificate](0)))
+    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, Array.emptyCharArray)
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
+
+  /** Client-side context trusting exactly the given PEM cert (what a
+    * sender deployment pins for a self-signed listener). */
+  def clientContext(caCert: String): SSLContext = {
+    val cf = CertificateFactory.getInstance("X.509")
+    val certs = cf.generateCertificates(
+      new ByteArrayInputStream(material(caCert).getBytes("UTF-8")))
+    val ts = KeyStore.getInstance("PKCS12")
+    ts.load(null, null)
+    var i = 0
+    certs.forEach { c => ts.setCertificateEntry(s"ca$i", c); i += 1 }
+    val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ts)
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(null, tmf.getTrustManagers, null)
+    ctx
+  }
+}

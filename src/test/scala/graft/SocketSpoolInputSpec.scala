@@ -1,7 +1,7 @@
 package graft
 
 import java.net.{DatagramPacket, DatagramSocket, InetAddress, Socket}
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import graft.sources.SocketSpoolInput
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -70,6 +70,62 @@ class SocketSpoolInputSpec extends AnyFunSuite {
       srv.stop()
       assertThrows[Exception](
         graft.sinks.Sinks.socketTransport("127.0.0.1", port)(Iterator("x")))
+    } finally srv.stop()
+  }
+
+  test("TLS tcp leg: openssl PEM cert/key, real handshake, plain client rejected") {
+    // generate the reference-shaped material: PEM cert + unencrypted
+    // PKCS#8 key (socket.go ca_cert/private_key accept path or content)
+    val certDir = Files.createTempDirectory("tlsmat")
+    val key = certDir.resolve("key.pem"); val crt = certDir.resolve("cert.pem")
+    val gen = new ProcessBuilder("openssl", "req", "-x509", "-newkey", "rsa:2048",
+      "-keyout", key.toString, "-out", crt.toString, "-days", "1", "-nodes",
+      "-subj", "/CN=localhost").redirectErrorStream(true).start()
+    assert(gen.waitFor() == 0, "openssl cert generation failed")
+
+    val dir = Files.createTempDirectory("sockspool_tls")
+    val srv = new SocketSpoolInput("tcp", 0, dir,
+      caCert = crt.toString, privateKey = key.toString)
+    val port = srv.start()
+    try {
+      // pinned TLS client delivers; lines land in the spool
+      graft.sinks.Sinks.socketTlsTransport("127.0.0.1", port, crt.toString)(
+        Iterator("""{"m":"secure1"}""", """{"m":"secure2"}"""))
+      val deadline = System.currentTimeMillis() + 10000
+      def spooled() = Files.list(dir).toArray.map(_.toString).count(_.endsWith(".sock"))
+      while (spooled() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(spooled() >= 1)
+      val lines = Files.list(dir).toArray.map(_.toString).filter(_.endsWith(".sock"))
+        .flatMap(f => new String(Files.readAllBytes(Paths.get(f)), "UTF-8").split("\n"))
+      assert(lines.toSet == Set("""{"m":"secure1"}""", """{"m":"secure2"}"""))
+      // a PLAINTEXT client on the TLS port must not produce events
+      try {
+        val plain = new java.net.Socket("127.0.0.1", port)
+        try {
+          plain.getOutputStream.write("{\"m\":\"plain\"}\n".getBytes("UTF-8"))
+          plain.getOutputStream.flush()
+        } finally plain.close()
+      } catch { case _: Exception => () }
+      Thread.sleep(500)
+      val after = Files.list(dir).toArray.map(_.toString).filter(_.endsWith(".sock"))
+        .flatMap(f => new String(Files.readAllBytes(Paths.get(f)), "UTF-8").split("\n"))
+      assert(!after.exists(_.contains("plain")))
+    } finally srv.stop()
+  }
+
+  test("unix socket leg: AF_UNIX listener + client transport") {
+    val dir = Files.createTempDirectory("sockspool_unix")
+    val sockPath = Files.createTempDirectory("unixsock").resolve("filed.sock").toString
+    val srv = new SocketSpoolInput("unix", 0, dir, unixPath = sockPath)
+    srv.start()
+    try {
+      graft.sinks.Sinks.unixTransport(sockPath)(
+        Iterator("""{"u":1}""", """{"u":2}""", """{"u":3}"""))
+      val deadline = System.currentTimeMillis() + 10000
+      def lines() = Files.list(dir).toArray.map(_.toString).filter(_.endsWith(".sock"))
+        .flatMap(f => new String(Files.readAllBytes(Paths.get(f)), "UTF-8").split("\n"))
+      while (lines().length < 3 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(lines().toSet == Set("""{"u":1}""", """{"u":2}""", """{"u":3}"""))
     } finally srv.stop()
   }
 }
