@@ -838,6 +838,55 @@ object Queries5 {
       |       ELSE CAST(f.meanabs AS VARCHAR) END AS a_meanabs
       |FROM d JOIN feats f ON f.doc_id = d.doc_id""".stripMargin
 
+  /** REAL video decode roundtrip (Y4M/YUV4MPEG2 — uncompressed planar
+    * YUV, so unlike JPEG/H.264 every decoded byte is exactly
+    * recomputable): a deterministic Y4M clip is generated per doc (luma
+    * byte j of frame k = (seed + k*131 + j) mod 256), parsed back by
+    * the real container reader, which frame-samples 3 evenly spaced
+    * frames and reports integer mean-luma — all re-derived in SQL from
+    * the formula. Every 13th payload is poisoned -> null features. */
+  val q100_mm_video: Q = (s, dir) => {
+    import s.implicits._
+    val vids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(16)
+      .mapPartitions { it =>
+        it.map { id =>
+          val v =
+            if (id % 13 == 0) Array[Byte](9, 9, 9, 9) // poison
+            else graft.ml.Multimodal.y4mBytes(
+              (8 + (id % 3) * 4).toInt, 8, (id % 6 + 3).toInt, id)
+          (id, v)
+        }
+      }.toDF("doc_id", "y4m")
+    graft.ml.Multimodal.videoDecodePartitioned(vids, "y4m", "v", sampleN = 3)
+      .select(col("doc_id"),
+        col("v_w").cast("string").as("v_w"),
+        col("v_h").cast("string").as("v_h"),
+        col("v_frames").cast("string").as("v_frames"),
+        col("v_luma").cast("string").as("v_luma"))
+  }
+
+  val q100_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + (doc_id % 3) * 4 AS w, 8 AS h,
+      |         doc_id % 6 + 3 AS nf FROM documents),
+      |samp AS (  -- 3 evenly spaced frame indices, then every Y-plane byte
+      |  SELECT doc_id, w, h, nf, (i * nf) // 3 AS k, unnest(range(0, w * h)) AS j
+      |  FROM d, (SELECT unnest(range(0, 3)) AS i)),
+      |means AS (  -- integer mean luma per sampled frame
+      |  SELECT doc_id, k, sum((doc_id + k * 131 + j) % 256) // (w * h) AS m
+      |  FROM samp GROUP BY doc_id, k, w, h),
+      |feats AS (SELECT doc_id, sum(m) AS luma FROM means GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CASE WHEN d.doc_id % 13 = 0 THEN NULL
+      |       ELSE CAST(d.w AS VARCHAR) END AS v_w,
+      |  CASE WHEN d.doc_id % 13 = 0 THEN NULL ELSE '8' END AS v_h,
+      |  CASE WHEN d.doc_id % 13 = 0 THEN NULL
+      |       ELSE CAST(d.nf AS VARCHAR) END AS v_frames,
+      |  CASE WHEN d.doc_id % 13 = 0 THEN NULL
+      |       ELSE CAST(f.luma AS VARCHAR) END AS v_luma
+      |FROM d JOIN feats f ON f.doc_id = d.doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -869,7 +918,8 @@ object Queries5 {
     "q96_asof_join" -> q96_asof_join,
     "q97_salted_join" -> q97_salted_join,
     "q98_ch_matrix" -> q98_ch_matrix,
-    "q99_mm_audio" -> q99_mm_audio
+    "q99_mm_audio" -> q99_mm_audio,
+    "q100_mm_video" -> q100_mm_video
   )
 
   val oracles: Map[String, String] = Map(
@@ -901,6 +951,7 @@ object Queries5 {
     "q96_asof_join" -> q96_sql,
     "q97_salted_join" -> q97_sql,
     "q98_ch_matrix" -> q98_sql,
-    "q99_mm_audio" -> q99_sql
+    "q99_mm_audio" -> q99_sql,
+    "q100_mm_video" -> q100_sql
   )
 }

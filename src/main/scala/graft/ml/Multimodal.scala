@@ -16,11 +16,15 @@ import org.apache.spark.sql.types._
   * → null columns, never a task failure). AUDIO decode is REAL for WAV:
   * javax.sound.sampled also ships in the JDK, so PCM payloads go
   * through [[audioDecodePartitioned]] with integer-exact features.
-  * Compressed-audio and video codecs don't exist in this environment;
-  * the video path keeps the deterministic `decodeStub`/
-  * `decodePartitioned` fakes whose schema, partitioning and batched
-  * per-partition shape are the production contract with a single
-  * byte→samples swap-in point.
+  * VIDEO decode is REAL for two containers that need no external
+  * codecs: Y4M/YUV4MPEG2 (uncompressed planar YUV — header + raw
+  * frames, so every decoded feature is integer-exact and
+  * oracle-recomputable) via [[videoDecodePartitioned]], and
+  * MJPEG-in-AVI (RIFF chunk walk, each `00dc` frame through the JDK's
+  * actual JPEG codec) via [[decodeAviMjpeg]]. Inter-frame codecs
+  * (H.264 etc.) don't exist in this environment; the generic
+  * `decodeStub`/`decodePartitioned` fakes remain as the swap-in shape
+  * for those.
   */
 object Multimodal {
 
@@ -220,6 +224,209 @@ object Multimodal {
           d.map(x => Long.box(x._5)).orNull)
       }
     }(Encoders.row(outSchema))
+  }
+
+  // ------------------------------------- video (REAL: Y4M + MJPEG-AVI)
+
+  /** Deterministic Y4M (YUV4MPEG2) generator — the video analogue of
+    * pngBytes/wavBytes: `YUV4MPEG2 W.. H.. F25:1 Ip A1:1 C420` header,
+    * then per frame a bare `FRAME` marker + planar YUV420. Luma byte j
+    * of frame k is `(seed + k*131 + j) mod 256` (chroma fixed at 128),
+    * so an oracle can recompute every decoded feature from the formula
+    * alone. Dims must be even (C420 subsampling). */
+  def y4mBytes(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    require(w % 2 == 0 && h % 2 == 0, "C420 needs even dims")
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII")
+    val ySize = w * h
+    val frameSize = 6 + ySize + ySize / 2 // "FRAME\n" + Y + U + V
+    val out = new Array[Byte](header.length + nFrames.toLong.toInt * frameSize)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var pos = header.length
+    var k = 0
+    while (k < nFrames) {
+      "FRAME\n".getBytes("US-ASCII").copyToArray(out, pos); pos += 6
+      var j = 0
+      while (j < ySize) {
+        out(pos) = ((seed + k * 131L + j) % 256).toByte; pos += 1; j += 1
+      }
+      java.util.Arrays.fill(out, pos, pos + ySize / 2, 128.toByte)
+      pos += ySize / 2
+      k += 1
+    }
+    out
+  }
+
+  /** REAL Y4M parse + frame-sample: reads the container header, walks
+    * the FRAME stream, and for `sampleN` evenly spaced frames (indices
+    * `i*nFrames/sampleN`) computes the integer mean luma of the Y
+    * plane, returning (w, h, n_frames, sum of sampled mean lumas). The
+    * seek-then-bounded-read access pattern is exactly what a production
+    * frame sampler does — only the sampled planes are touched. None for
+    * bytes that aren't a valid Y4M stream. */
+  def decodeY4m(bytes: Array[Byte], sampleN: Int): Option[(Int, Int, Int, Long)] = {
+    if (bytes == null || bytes.length < 10) return None
+    try {
+      val nl = bytes.indexOf('\n'.toByte)
+      if (nl < 0) return None
+      val header = new String(bytes, 0, nl, "US-ASCII")
+      val toks = header.split(" ")
+      if (toks(0) != "YUV4MPEG2") return None
+      var w = -1; var h = -1
+      toks.iterator.drop(1).foreach { t =>
+        if (t.startsWith("W")) w = t.substring(1).toInt
+        else if (t.startsWith("H")) h = t.substring(1).toInt
+        else if (t.startsWith("C") && t != "C420") return None // only 4:2:0
+      }
+      if (w <= 0 || h <= 0) return None
+      val ySize = w * h
+      val frameSize = 6 + ySize + ySize / 2
+      val body = bytes.length - (nl + 1)
+      if (body % frameSize != 0) return None
+      val nFrames = body / frameSize
+      if (nFrames == 0) return None
+      var lumaSum = 0L
+      var i = 0
+      while (i < sampleN) {
+        val k = i * nFrames / sampleN
+        val base = nl + 1 + k * frameSize
+        if (new String(bytes, base, 6, "US-ASCII") != "FRAME\n") return None
+        var acc = 0L
+        var j = 0
+        while (j < ySize) { acc += bytes(base + 6 + j) & 0xFF; j += 1 }
+        lumaSum += acc / ySize
+        i += 1
+      }
+      Some((w, h, nFrames, lumaSum))
+    } catch { case _: Exception => None }
+  }
+
+  /** Batched per-partition Y4M video decode (same contract as the
+    * image/audio legs — poison bytes null the row, one pass per
+    * partition): appends `{prefix}_w/_h/_frames/_luma`. */
+  def videoDecodePartitioned(df: DataFrame, payloadCol: String,
+                             outPrefix: String, sampleN: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField(s"${outPrefix}_w", IntegerType),
+      StructField(s"${outPrefix}_h", IntegerType),
+      StructField(s"${outPrefix}_frames", IntegerType),
+      StructField(s"${outPrefix}_luma", LongType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val d = decodeY4m(row.getAs[Array[Byte]](idx), sampleN)
+        Row.fromSeq(row.toSeq :+
+          d.map(x => Int.box(x._1)).orNull :+
+          d.map(x => Int.box(x._2)).orNull :+
+          d.map(x => Int.box(x._3)).orNull :+
+          d.map(x => Long.box(x._4)).orNull)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic MJPEG-in-AVI generator: a minimal but well-formed
+    * RIFF AVI (hdrl with avih + one vids/MJPG strl, then a movi LIST of
+    * `00dc` chunks, each a real JPEG from the JDK encoder over the same
+    * (seed,x,y) pixel formula as pngBytes). */
+  def aviMjpegBytes(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    def jpeg(k: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, ((((seed + k) * 31 + x) * 31 + y) & 0xFFFFFF).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val buf = new java.io.ByteArrayOutputStream(256)
+      javax.imageio.ImageIO.write(img, "jpg", buf)
+      buf.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream(4096)
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def u32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+      out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+    }
+    // Build inner LISTs into byte arrays first so sizes are exact.
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      if ((body.length & 1) == 1) bb.put(0.toByte) // RIFF even padding
+      bb.array()
+    }
+    def list(listType: String, bodies: Array[Byte]*): Array[Byte] = {
+      val inner = bodies.foldLeft(Array.emptyByteArray)(_ ++ _)
+      val bb = java.nio.ByteBuffer.allocate(12 + inner.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("LIST".getBytes("US-ASCII")).putInt(4 + inner.length)
+        .put(listType.getBytes("US-ASCII")).put(inner)
+      bb.array()
+    }
+    def le32(vals: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(vals.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putInt); bb.array()
+    }
+    val avih = chunk("avih", le32(40000, 0, 0, 0x10, nFrames, 0, 1, 0, w, h,
+      0, 0, 0, 0)) // usec/frame, flags=HASINDEX off, 1 stream
+    val strh = chunk("strh", "vids".getBytes("US-ASCII") ++
+      "MJPG".getBytes("US-ASCII") ++ le32(0, 0, 0, 1, 25, 0, nFrames, 0, -1, 0) ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 0)) // rate 25/1, rect
+    val strf = chunk("strf", le32(40, w, h) ++
+      Array[Byte](1, 0, 24, 0) ++ "MJPG".getBytes("US-ASCII") ++
+      le32(w * h * 3, 0, 0, 0, 0))
+    val hdrl = list("hdrl", avih, list("strl", strh, strf))
+    val movi = list("movi",
+      (0 until nFrames).map(k => chunk("00dc", jpeg(k))): _*)
+    val inner = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    fourcc("RIFF"); u32(inner.length); out.write(inner)
+    out.toByteArray
+  }
+
+  /** REAL MJPEG-AVI decode: RIFF chunk walk to the movi LIST, each
+    * `00dc` payload through the JDK's actual JPEG codec. Returns
+    * (width, height, frames decoded) from the codec's own output — not
+    * the header — or None when the bytes aren't a decodable AVI. */
+  def decodeAviMjpeg(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes == null || bytes.length < 12) return None
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+      }
+      if (fourcc() != "RIFF") return None
+      bb.getInt // riff size
+      if (fourcc() != "AVI ") return None
+      var w = -1; var h = -1; var frames = 0
+      def walk(end: Int): Unit = {
+        while (bb.position() + 8 <= end) {
+          val id = fourcc()
+          val sz = bb.getInt
+          val next = bb.position() + sz + (sz & 1)
+          if (id == "LIST") {
+            fourcc() // list type — descend regardless
+            walk(bb.position() + sz - 4)
+          } else if (id.endsWith("dc") && sz > 0) {
+            val frame = new Array[Byte](sz)
+            bb.get(frame)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(frame))
+            if (img != null) {
+              if (w < 0) { w = img.getWidth; h = img.getHeight }
+              frames += 1
+            }
+          }
+          bb.position(math.min(next, end))
+        }
+      }
+      walk(bytes.length)
+      if (frames == 0) None else Some((w, h, frames))
+    } catch { case _: Exception => None }
   }
 
   // --------------------------------------- stubbed non-image modalities

@@ -89,6 +89,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Multimodal.decodeDims(null).isEmpty)
   }
 
+  test("Multimodal video codecs: Y4M exact features, MJPEG-AVI through the JPEG codec, poison") {
+    import graft.ml.Multimodal
+    // Y4M: 12x8 luma plane, 5 frames, seed 7 — features recomputed from
+    // the generator formula (luma byte j of frame k = (7+k*131+j)%256)
+    val y4m = Multimodal.y4mBytes(12, 8, 5, seed = 7L)
+    def meanLuma(k: Int): Long =
+      (0 until 96).map(j => (7L + k * 131 + j) % 256).sum / 96
+    val expected = Seq(0, 1 * 5 / 3, 2 * 5 / 3).map(meanLuma).sum
+    assert(Multimodal.decodeY4m(y4m, sampleN = 3).contains((12, 8, 5, expected)))
+    // container guards: bad magic, truncated frame, unsupported chroma
+    assert(Multimodal.decodeY4m("not a video".getBytes, 3).isEmpty)
+    assert(Multimodal.decodeY4m(y4m.dropRight(1), 3).isEmpty)
+    assert(Multimodal.decodeY4m(
+      "YUV4MPEG2 W4 H4 C444\n".getBytes ++ new Array[Byte](30), 3).isEmpty)
+    assert(Multimodal.decodeY4m(null, 3).isEmpty)
+    // MJPEG-AVI: every 00dc frame decodes through the real JDK JPEG
+    // codec; dims and count come from the codec output, not the header
+    val avi = Multimodal.aviMjpegBytes(16, 10, 4, seed = 3L)
+    assert(Multimodal.decodeAviMjpeg(avi).contains((16, 10, 4)))
+    assert(Multimodal.decodeAviMjpeg("RIFFjunk".getBytes).isEmpty)
+    assert(Multimodal.decodeAviMjpeg(null).isEmpty)
+  }
+
   test("LogLevel maps aliases per RFC-5424") {
     assert(LogLevel.nameToNumber("panic") == 0)
     assert(LogLevel.nameToNumber("err") == 3)
