@@ -887,6 +887,55 @@ object Queries5 {
       |       ELSE CAST(f.luma AS VARCHAR) END AS v_luma
       |FROM d JOIN feats f ON f.doc_id = d.doc_id""".stripMargin
 
+  /** Protobuf NESTED + REPEATED wire coverage (decoder/protobuf.go —
+    * dynamicpb handles arbitrary message shapes; our spec-driven reader
+    * covers them via `{...}` sub-specs and `[]` suffixes): a message
+    * with repeated strings, packed zigzag sint64s, a nested sub-message
+    * carrying its own packed fixed32 list, and a repeated sub-message —
+    * built from events columns, encoded to real proto3 wire bytes,
+    * decoded back, leaves projected as strings (the driver's compare
+    * can't lexsort array columns). The oracle reconstructs every leaf
+    * directly; the unit vectors in ProtoFieldsSpec pin the byte layout
+    * so a decode bug can't be masked by a symmetric encode bug. */
+  val q101_proto_nested: Q = (s, dir) => {
+    val spec = "1:id:int64,2:tags:string[],3:nums:sint64[]," +
+      "4:u:{1:uid:int64,2:name:string,3:sc:fixed32[]},5:evs:{1:k:int64,2:v:string}[]"
+    val ev = t(s, dir, "events")
+    val enc = graft.functions.ProtoFields.encodeCol(
+      struct(
+        col("event_id"),
+        array(col("event_type"), concat(col("event_type"), lit("-2"))),
+        array((-col("user_id")).cast("long"), lit(0L), col("user_id").cast("long")),
+        struct(
+          col("user_id").cast("long"),
+          col("event_type"),
+          array(pmod(col("user_id"), lit(100000)).cast("long"), lit(7L))),
+        array(
+          struct(col("event_id").as("k"), col("event_type").as("v")),
+          struct((col("event_id") + 1).cast("long").as("k"), lit("x").as("v")))), spec)
+    ev.select(col("event_id"), graft.functions.ProtoFields(enc, spec).as("p"))
+      .select(
+        col("event_id"),
+        col("p.id").as("id"),
+        array_join(col("p.tags"), ",").as("tags"),
+        array_join(transform(col("p.nums"), _.cast("string")), ",").as("nums"),
+        col("p.u.uid").as("uid"),
+        col("p.u.name").as("uname"),
+        array_join(transform(col("p.u.sc"), _.cast("string")), ",").as("usc"),
+        size(col("p.evs")).as("n_evs"),
+        element_at(col("p.evs"), 1).getField("k").as("ev1_k"),
+        element_at(col("p.evs"), 2).getField("v").as("ev2_v"))
+  }
+
+  val q101_sql: String =
+    """SELECT event_id, event_id AS id,
+      |  event_type || ',' || event_type || '-2' AS tags,
+      |  CAST(-user_id AS VARCHAR) || ',0,' || CAST(user_id AS VARCHAR) AS nums,
+      |  user_id AS uid, event_type AS uname,
+      |  CAST(user_id % 100000 AS VARCHAR) || ',7' AS usc,
+      |  2 AS n_evs, event_id AS ev1_k, 'x' AS ev2_v
+      |FROM events""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -919,7 +968,8 @@ object Queries5 {
     "q97_salted_join" -> q97_salted_join,
     "q98_ch_matrix" -> q98_ch_matrix,
     "q99_mm_audio" -> q99_mm_audio,
-    "q100_mm_video" -> q100_mm_video
+    "q100_mm_video" -> q100_mm_video,
+    "q101_proto_nested" -> q101_proto_nested
   )
 
   val oracles: Map[String, String] = Map(
@@ -952,6 +1002,7 @@ object Queries5 {
     "q97_salted_join" -> q97_sql,
     "q98_ch_matrix" -> q98_sql,
     "q99_mm_audio" -> q99_sql,
-    "q100_mm_video" -> q100_sql
+    "q100_mm_video" -> q100_sql,
+    "q101_proto_nested" -> q101_sql
   )
 }

@@ -8,23 +8,31 @@ import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Minimal protobuf decoder (reference: decoder/protobuf.go +
+/** Protobuf decoder (reference: decoder/protobuf.go +
   * decoder/readme.md `proto_file`/`proto_message` params). The reference
   * compiles a .proto source and unmarshals via dynamicpb; neither a
   * protobuf runtime nor the spark-protobuf connector exists in this
-  * environment, so this is a from-scratch proto3 WIRE-FORMAT reader for
-  * scalar fields — varint (int32/64, uint, sint zigzag, bool, enum),
-  * fixed64/32 (double/float/(s)fixed), and length-delimited
-  * (string/bytes) — driven by a compact field spec instead of a .proto
-  * file: `"1:id:int64,2:name:string,3:score:double"`.
+  * environment, so this is a from-scratch proto3 WIRE-FORMAT reader
+  * driven by a compact field spec instead of a .proto file:
+  * `"1:id:int64,2:name:string,3:score:double"`.
+  *
+  * Covered: varint scalars (int32/64, uint, sint zigzag, bool, enum),
+  * fixed64/32 (double/float/(s)fixed), length-delimited (string/bytes),
+  * NESTED MESSAGES (`4:user:{1:uid:int64,2:name:string}` → a nested
+  * struct) and REPEATED fields (`5:tags:string[]`, `6:nums:sint64[]`,
+  * `7:evs:{1:k:int64}[]` → array columns). Repeated numeric fields
+  * accept both packed (one length-delimited run) and unpacked (one tag
+  * per element) encodings, as the proto3 spec requires of parsers;
+  * occurrences concatenate in wire order.
   *
   * Semantics follow the reference's protojson output with
   * EmitDefaultValues: absent scalars yield proto3 defaults (0, "",
-  * false), later occurrences of a non-repeated field win, unknown
-  * fields and wire-type mismatches are skipped by wire type. A
-  * malformed payload (truncated varint/length, group wire types) yields
-  * an all-null row. Nested messages and repeated fields are out of
-  * scope (documented delta — they need the full descriptor machinery).
+  * false), absent repeated fields yield empty arrays, absent messages
+  * yield null structs; later occurrences of a non-repeated scalar win,
+  * repeated occurrences of a non-repeated MESSAGE merge field-wise
+  * (proto merge semantics); unknown fields and wire-type mismatches are
+  * skipped by wire type. A malformed payload (truncated varint/length,
+  * group wire types) yields an all-null row.
   *
   * Returns a struct, same fusion story as [[JsonFields]]: one static
   * call per row inside whole-stage codegen.
@@ -35,7 +43,7 @@ case class ProtoFields(child: Expression, spec: String)
   @transient private lazy val fields = ProtoFields.parseSpec(spec)
 
   override def dataType: DataType = StructType(fields.map(f =>
-    StructField(f.name, ProtoFields.sparkType(f.ptype))))
+    StructField(f.name, ProtoFields.sparkTypeOf(f))))
 
   override def nullSafeEval(input: Any): Any =
     ProtoFields.decode(input.asInstanceOf[Array[Byte]], fields)
@@ -86,16 +94,62 @@ object ProtoFields {
   def encodeCol(c: Column, spec: String): Column =
     GraftBridge.column(ProtoEncode(GraftBridge.expression(c), spec))
 
-  final case class PField(num: Int, name: String, ptype: String)
+  final case class PField(num: Int, name: String, ptype: String,
+                          repeated: Boolean = false, nested: Seq[PField] = Nil)
 
+  /** `num:name:type` comma-list; type is a scalar name, `scalar[]`,
+    * `{subspec}` (nested message), or `{subspec}[]`. Commas inside
+    * braces belong to the nested spec. */
   def parseSpec(spec: String): Seq[PField] =
-    spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
-      part.split(":") match {
-        case Array(num, name, t) => PField(num.trim.toInt, name.trim, t.trim)
-        case _ => throw new IllegalArgumentException(
-          s"proto field spec must be num:name:type, got '$part'")
+    splitTopLevel(spec).map(parseField)
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ => ()
       }
+      i += 1
     }
+    if (depth != 0) throw new IllegalArgumentException(
+      s"unbalanced braces in proto spec '$s'")
+    out += s.substring(start)
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def parseField(part: String): PField = {
+    val c1 = part.indexOf(':')
+    val c2 = if (c1 < 0) -1 else part.indexOf(':', c1 + 1)
+    if (c1 < 0 || c2 < 0) throw new IllegalArgumentException(
+      s"proto field spec must be num:name:type, got '$part'")
+    val num = part.substring(0, c1).trim.toInt
+    val name = part.substring(c1 + 1, c2).trim
+    var t = part.substring(c2 + 1).trim
+    val rep = t.endsWith("[]")
+    if (rep) t = t.dropRight(2).trim
+    if (t.startsWith("{")) {
+      if (!t.endsWith("}")) throw new IllegalArgumentException(
+        s"nested message spec must end with '}', got '$part'")
+      PField(num, name, "message", rep, parseSpec(t.substring(1, t.length - 1)))
+    } else {
+      sparkType(t) // validates the scalar name
+      PField(num, name, t, rep)
+    }
+  }
+
+  def sparkTypeOf(f: PField): DataType = {
+    val base =
+      if (f.nested.nonEmpty)
+        StructType(f.nested.map(n => StructField(n.name, sparkTypeOf(n))))
+      else sparkType(f.ptype)
+    if (f.repeated) ArrayType(base) else base
+  }
 
   def sparkType(t: String): DataType = t match {
     case "double" => DoubleType
@@ -119,14 +173,92 @@ object ProtoFields {
 
   // ---------------------------------------------------------- decode
 
-  def decode(b: Array[Byte], fields: Seq[PField]): InternalRow = {
-    val n = fields.length
-    val out = new Array[Any](n)
-    var i = 0
-    while (i < n) { out(i) = defaultValue(fields(i).ptype); i += 1 }
+  /** Natural (non-packed) wire type of a scalar. */
+  private def naturalWire(t: String): Int = t match {
+    case "double" | "fixed64" | "sfixed64" => 1
+    case "float" | "fixed32" | "sfixed32" => 5
+    case "string" | "bytes" => 2
+    case _ => 0 // varint family
+  }
 
-    var pos = 0
-    val len = b.length
+  private def convertVarint(t: String, v: Long): Any = t match {
+    case "sint32" | "sint64" => (v >>> 1) ^ -(v & 1)
+    case "bool" => v != 0
+    case "int32" | "int64" | "uint32" | "uint64" | "enum" => v
+    case _ => SkipValue
+  }
+  private def convertFixed64(t: String, v: Long): Any = t match {
+    case "double" => java.lang.Double.longBitsToDouble(v)
+    case "fixed64" | "sfixed64" => v
+    case _ => SkipValue
+  }
+  private def convertFixed32(t: String, v: Long): Any = t match {
+    case "float" => java.lang.Float.intBitsToFloat(v.toInt)
+    case "fixed32" => v & 0xFFFFFFFFL
+    case "sfixed32" => v.toInt.toLong
+    case _ => SkipValue
+  }
+
+  private object SkipValue
+
+  /** Accumulator slots: scalar → boxed value (starts at default);
+    * repeated → ArrayBuffer[Any]; non-repeated message → Array[Any] (the
+    * sub-accumulator, created on first occurrence so merges work) or
+    * null when absent. */
+  private def newAcc(fields: Seq[PField]): Array[Any] = {
+    val out = new Array[Any](fields.length)
+    var i = 0
+    while (i < fields.length) {
+      val f = fields(i)
+      out(i) =
+        if (f.repeated) new scala.collection.mutable.ArrayBuffer[Any](4)
+        else if (f.nested.nonEmpty) null
+        else defaultValue(f.ptype)
+      i += 1
+    }
+    out
+  }
+
+  private def finish(fields: Seq[PField], acc: Array[Any]): InternalRow = {
+    val res = new Array[Any](fields.length)
+    var i = 0
+    while (i < fields.length) {
+      val f = fields(i)
+      res(i) =
+        if (f.repeated) {
+          val buf = acc(i).asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]]
+          val arr =
+            if (f.nested.nonEmpty) buf.map(a => finish(f.nested, a.asInstanceOf[Array[Any]]): Any).toArray
+            else buf.toArray
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+        } else if (f.nested.nonEmpty) acc(i) match {
+          case null => null
+          case a: Array[Any] => finish(f.nested, a)
+        }
+        else acc(i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(res)
+  }
+
+  def decode(b: Array[Byte], fields: Seq[PField]): InternalRow = {
+    val out = newAcc(fields)
+    try {
+      decodeRange(b, 0, b.length, fields, out)
+      finish(fields, out)
+    } catch {
+      case MalformedProto =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new Array[Any](fields.length))
+    }
+  }
+
+  /** One wire pass over b[start,end) into the accumulator; recurses for
+    * nested messages. Throws [[MalformedProto]] on structural damage. */
+  private def decodeRange(b: Array[Byte], start: Int, end: Int,
+                          fields: Seq[PField], out: Array[Any]): Unit = {
+    val n = fields.length
+    var pos = start
     // tiny spec lists → linear probe beats a map
     def fieldIdx(num: Int): Int = {
       var j = 0
@@ -135,7 +267,7 @@ object ProtoFields {
     }
     def varint(): Long = {
       var shift = 0; var acc = 0L
-      while (pos < len && shift < 64) {
+      while (pos < end && shift < 64) {
         val c = b(pos); pos += 1
         acc |= (c & 0x7FL) << shift
         if ((c & 0x80) == 0) return acc
@@ -144,60 +276,71 @@ object ProtoFields {
       throw MalformedProto
     }
     def fixed(nBytes: Int): Long = {
-      if (pos + nBytes > len) throw MalformedProto
+      if (pos + nBytes > end) throw MalformedProto
       var acc = 0L; var j = nBytes - 1
       while (j >= 0) { acc = (acc << 8) | (b(pos + j) & 0xFFL); j -= 1 }
       pos += nBytes
       acc
     }
-
-    try {
-      while (pos < len) {
-        val tag = varint()
-        val num = (tag >>> 3).toInt
-        val wire = (tag & 7).toInt
-        val fi = fieldIdx(num)
-        val t = if (fi >= 0) fields(fi).ptype else null
-        wire match {
-          case 0 =>
-            val v = varint()
-            if (fi >= 0) t match {
-              case "sint32" | "sint64" => out(fi) = (v >>> 1) ^ -(v & 1)
-              case "bool" => out(fi) = v != 0
-              case "int32" | "int64" | "uint32" | "uint64" | "enum" => out(fi) = v
-              case _ => () // wire/type mismatch → skip, keep default
-            }
-          case 1 =>
-            val v = fixed(8)
-            if (fi >= 0) t match {
-              case "double" => out(fi) = java.lang.Double.longBitsToDouble(v)
-              case "fixed64" | "sfixed64" => out(fi) = v
-              case _ => ()
-            }
-          case 5 =>
-            val v = fixed(4)
-            if (fi >= 0) t match {
-              case "float" => out(fi) = java.lang.Float.intBitsToFloat(v.toInt)
-              case "fixed32" => out(fi) = v & 0xFFFFFFFFL
-              case "sfixed32" => out(fi) = v.toInt.toLong
-              case _ => ()
-            }
-          case 2 =>
-            val l = varint()
-            if (l < 0 || pos + l > len) throw MalformedProto
-            if (fi >= 0) t match {
-              case "string" => out(fi) = UTF8String.fromBytes(b, pos, l.toInt)
-              case "bytes" => out(fi) = java.util.Arrays.copyOfRange(b, pos, pos + l.toInt)
-              case _ => () // nested message / packed → skip
-            }
-            pos += l.toInt
-          case _ => throw MalformedProto // groups (3/4) unsupported
-        }
+    def put(fi: Int, repeated: Boolean, v: Any): Unit =
+      if (v.asInstanceOf[AnyRef] ne SkipValue) {
+        if (repeated) out(fi).asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]] += v
+        else out(fi) = v
       }
-      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
-    } catch {
-      case MalformedProto =>
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(new Array[Any](n))
+
+    while (pos < end) {
+      val tag = varint()
+      val num = (tag >>> 3).toInt
+      val wire = (tag & 7).toInt
+      val fi = fieldIdx(num)
+      val f = if (fi >= 0) fields(fi) else null
+      wire match {
+        case 0 =>
+          val v = varint()
+          if (f != null && f.nested.isEmpty) put(fi, f.repeated, convertVarint(f.ptype, v))
+        case 1 =>
+          val v = fixed(8)
+          if (f != null && f.nested.isEmpty) put(fi, f.repeated, convertFixed64(f.ptype, v))
+        case 5 =>
+          val v = fixed(4)
+          if (f != null && f.nested.isEmpty) put(fi, f.repeated, convertFixed32(f.ptype, v))
+        case 2 =>
+          val l = varint()
+          if (l < 0 || pos + l > end) throw MalformedProto
+          val vs = pos
+          val ve = pos + l.toInt
+          pos = ve
+          if (f != null) {
+            if (f.nested.nonEmpty) {
+              if (f.repeated) {
+                val sub = newAcc(f.nested)
+                decodeRange(b, vs, ve, f.nested, sub)
+                out(fi).asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]] += sub
+              } else {
+                // proto merge: occurrences of a singular message merge field-wise
+                if (out(fi) == null) out(fi) = newAcc(f.nested)
+                decodeRange(b, vs, ve, f.nested, out(fi).asInstanceOf[Array[Any]])
+              }
+            } else f.ptype match {
+              case "string" => put(fi, f.repeated, UTF8String.fromBytes(b, vs, ve - vs))
+              case "bytes" => put(fi, f.repeated, java.util.Arrays.copyOfRange(b, vs, ve))
+              case t if f.repeated =>
+                // packed numeric run: values back-to-back until the span ends
+                val savedEnd = pos // == ve
+                pos = vs
+                naturalWire(t) match {
+                  case 0 => while (pos < ve) put(fi, repeated = true, convertVarint(t, varint()))
+                  case 1 => while (pos < ve) put(fi, repeated = true, convertFixed64(t, fixed(8)))
+                  case 5 => while (pos < ve) put(fi, repeated = true, convertFixed32(t, fixed(4)))
+                  case _ => ()
+                }
+                if (pos != ve) throw MalformedProto // packed run overran its span
+                pos = savedEnd
+              case _ => () // singular scalar with wire 2 → mismatch, skip
+            }
+          }
+        case _ => throw MalformedProto // groups (3/4) unsupported
+      }
     }
   }
 
@@ -209,6 +352,12 @@ object ProtoFields {
 
   def encode(row: InternalRow, fields: Seq[PField]): Array[Byte] = {
     val buf = new java.io.ByteArrayOutputStream(64)
+    encodeInto(buf, row, fields)
+    buf.toByteArray
+  }
+
+  private def encodeInto(buf: java.io.ByteArrayOutputStream,
+                         row: InternalRow, fields: Seq[PField]): Unit = {
     def putVarint(v0: Long): Unit = {
       var v = v0
       while ((v & ~0x7FL) != 0) { buf.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
@@ -218,36 +367,102 @@ object ProtoFields {
       var j = 0
       while (j < nBytes) { buf.write(((v >>> (8 * j)) & 0xFF).toInt); j += 1 }
     }
+    def putLenDelim(num: Int, bytes: Array[Byte]): Unit = {
+      putVarint((num << 3) | 2); putVarint(bytes.length.toLong); buf.write(bytes)
+    }
+    // Scalar value at ordinal `j` of `src` (row or array element),
+    // written with its tag. Null array elements are skipped (proto has
+    // no null elements).
+    def putScalar(t: String, num: Int,
+                  getLong: => Long, getDouble: => Double, getFloat: => Float,
+                  getBool: => Boolean, getStr: => UTF8String, getBin: => Array[Byte]): Unit =
+      t match {
+        case "double" =>
+          putVarint((num << 3) | 1); putFixed(java.lang.Double.doubleToLongBits(getDouble), 8)
+        case "float" =>
+          putVarint((num << 3) | 5); putFixed(java.lang.Float.floatToIntBits(getFloat) & 0xFFFFFFFFL, 4)
+        case "string" => putLenDelim(num, getStr.getBytes)
+        case "bytes" => putLenDelim(num, getBin)
+        case "bool" =>
+          putVarint((num << 3) | 0); putVarint(if (getBool) 1L else 0L)
+        case "sint32" | "sint64" =>
+          val v = getLong; putVarint((num << 3) | 0); putVarint((v << 1) ^ (v >> 63))
+        case "fixed64" | "sfixed64" =>
+          putVarint((num << 3) | 1); putFixed(getLong, 8)
+        case "fixed32" | "sfixed32" =>
+          putVarint((num << 3) | 5); putFixed(getLong & 0xFFFFFFFFL, 4)
+        case _ => // int32/int64/uint32/uint64/enum
+          putVarint((num << 3) | 0); putVarint(getLong)
+      }
+
     var i = 0
     while (i < fields.length) {
       val f = fields(i)
-      if (!row.isNullAt(i)) f.ptype match {
-        case "double" =>
-          putVarint((f.num << 3) | 1)
-          putFixed(java.lang.Double.doubleToLongBits(row.getDouble(i)), 8)
-        case "float" =>
-          putVarint((f.num << 3) | 5)
-          putFixed(java.lang.Float.floatToIntBits(row.getFloat(i)) & 0xFFFFFFFFL, 4)
-        case "string" =>
-          val bytes = row.getUTF8String(i).getBytes
-          putVarint((f.num << 3) | 2); putVarint(bytes.length.toLong); buf.write(bytes)
-        case "bytes" =>
-          val bytes = row.getBinary(i)
-          putVarint((f.num << 3) | 2); putVarint(bytes.length.toLong); buf.write(bytes)
-        case "bool" =>
-          putVarint((f.num << 3) | 0); putVarint(if (row.getBoolean(i)) 1L else 0L)
-        case "sint32" | "sint64" =>
-          val v = row.getLong(i)
-          putVarint((f.num << 3) | 0); putVarint((v << 1) ^ (v >> 63))
-        case "fixed64" | "sfixed64" =>
-          putVarint((f.num << 3) | 1); putFixed(row.getLong(i), 8)
-        case "fixed32" | "sfixed32" =>
-          putVarint((f.num << 3) | 5); putFixed(row.getLong(i) & 0xFFFFFFFFL, 4)
-        case _ => // int32/int64/uint32/uint64/enum
-          putVarint((f.num << 3) | 0); putVarint(row.getLong(i))
+      if (!row.isNullAt(i)) {
+        if (f.repeated) {
+          val arr = row.getArray(i)
+          val len = arr.numElements()
+          if (f.nested.nonEmpty) {
+            // repeated message: one length-delimited record per element
+            var j = 0
+            while (j < len) {
+              if (!arr.isNullAt(j)) {
+                val sub = new java.io.ByteArrayOutputStream(64)
+                encodeInto(sub, arr.getStruct(j, f.nested.length), f.nested)
+                putLenDelim(f.num, sub.toByteArray)
+              }
+              j += 1
+            }
+          } else if (naturalWire(f.ptype) == 2) {
+            // repeated string/bytes: never packed
+            var j = 0
+            while (j < len) {
+              if (!arr.isNullAt(j)) {
+                if (f.ptype == "string") putLenDelim(f.num, arr.getUTF8String(j).getBytes)
+                else putLenDelim(f.num, arr.getBinary(j))
+              }
+              j += 1
+            }
+          } else if (len > 0) {
+            // repeated numeric: packed (proto3 default encoding)
+            val sub = new java.io.ByteArrayOutputStream(16)
+            def subVarint(v0: Long): Unit = {
+              var v = v0
+              while ((v & ~0x7FL) != 0) { sub.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+              sub.write(v.toInt)
+            }
+            def subFixed(v: Long, nBytes: Int): Unit = {
+              var j = 0
+              while (j < nBytes) { sub.write(((v >>> (8 * j)) & 0xFF).toInt); j += 1 }
+            }
+            var j = 0
+            while (j < len) {
+              if (!arr.isNullAt(j)) f.ptype match {
+                case "double" => subFixed(java.lang.Double.doubleToLongBits(arr.getDouble(j)), 8)
+                case "float" => subFixed(java.lang.Float.floatToIntBits(arr.getFloat(j)) & 0xFFFFFFFFL, 4)
+                case "bool" => subVarint(if (arr.getBoolean(j)) 1L else 0L)
+                case "sint32" | "sint64" =>
+                  val v = arr.getLong(j); subVarint((v << 1) ^ (v >> 63))
+                case "fixed64" | "sfixed64" => subFixed(arr.getLong(j), 8)
+                case "fixed32" | "sfixed32" => subFixed(arr.getLong(j) & 0xFFFFFFFFL, 4)
+                case _ => subVarint(arr.getLong(j))
+              }
+              j += 1
+            }
+            putLenDelim(f.num, sub.toByteArray)
+          }
+        } else if (f.nested.nonEmpty) {
+          val sub = new java.io.ByteArrayOutputStream(64)
+          encodeInto(sub, row.getStruct(i, f.nested.length), f.nested)
+          putLenDelim(f.num, sub.toByteArray)
+        } else {
+          val j = i
+          putScalar(f.ptype, f.num,
+            row.getLong(j), row.getDouble(j), row.getFloat(j),
+            row.getBoolean(j), row.getUTF8String(j), row.getBinary(j))
+      }
       }
       i += 1
     }
-    buf.toByteArray
   }
 }

@@ -73,6 +73,82 @@ class ProtoFieldsSpec extends AnyFunSuite {
     assert(ProtoFields.decode(enc, fields).getLong(0) == -1L)
   }
 
+  test("repeated scalars: packed and unpacked wire forms concatenate") {
+    val fields = ProtoFields.parseSpec("4:d:int32[]")
+    // canonical packed example from the encoding doc: field 4,
+    // values 3, 270, 86942 → 22 06 03 8E 02 9E A7 05
+    val packed = b(0x22, 0x06, 0x03, 0x8E, 0x02, 0x9E, 0xA7, 0x05)
+    val r1 = ProtoFields.decode(packed, fields)
+    assert(r1.getArray(0).toLongArray.toSeq == Seq(3L, 270L, 86942L))
+    // unpacked: one tag (wire 0) per element, then a packed tail — all
+    // occurrences concatenate in wire order
+    val mixed = b(0x20, 0x01, 0x20, 0x02) ++ b(0x22, 0x01, 0x03)
+    val r2 = ProtoFields.decode(mixed, fields)
+    assert(r2.getArray(0).toLongArray.toSeq == Seq(1L, 2L, 3L))
+    // absent repeated field → empty array, not null
+    assert(ProtoFields.decode(Array.emptyByteArray, fields).getArray(0).numElements() == 0)
+  }
+
+  test("repeated strings: one length-delimited occurrence per element") {
+    val fields = ProtoFields.parseSpec("1:t:string[]")
+    val payload = b(0x0A, 0x02) ++ "ab".getBytes ++ b(0x0A, 0x01) ++ "c".getBytes
+    val arr = ProtoFields.decode(payload, fields).getArray(0)
+    assert(arr.numElements() == 2)
+    assert(arr.getUTF8String(0).toString == "ab" && arr.getUTF8String(1).toString == "c")
+  }
+
+  test("nested message decodes to a struct; singular occurrences merge field-wise") {
+    val fields = ProtoFields.parseSpec("3:m:{1:a:int64,2:s:string}")
+    // canonical nested example: field 3 = message{ a: 150 }
+    val one = b(0x1A, 0x03, 0x08, 0x96, 0x01)
+    val r1 = ProtoFields.decode(one, fields).getStruct(0, 2)
+    assert(r1.getLong(0) == 150L && r1.getUTF8String(1) == UTF8String.EMPTY_UTF8)
+    // two occurrences: {a:1} then {s:"x"} → proto merge {a:1, s:"x"}
+    val two = b(0x1A, 0x02, 0x08, 0x01) ++
+      (b(0x1A, 0x03, 0x12, 0x01) ++ "x".getBytes)
+    val r2 = ProtoFields.decode(two, fields).getStruct(0, 2)
+    assert(r2.getLong(0) == 1L && r2.getUTF8String(1).toString == "x")
+    // absent message → null struct (protojson: unset message is absent)
+    assert(ProtoFields.decode(Array.emptyByteArray, fields).isNullAt(0))
+  }
+
+  test("repeated nested messages roundtrip through the encoder") {
+    val spec = "1:id:int64,2:tags:string[],3:nums:sint64[]," +
+      "4:u:{1:uid:int64,2:name:string,3:sc:fixed32[]},5:evs:{1:k:int64,2:v:string}[]"
+    val fields = ProtoFields.parseSpec(spec)
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val in = new GenericInternalRow(Array[Any](
+      7L,
+      new GenericArrayData(Array[Any](UTF8String.fromString("a"), UTF8String.fromString("bb"))),
+      new GenericArrayData(Array[Any](-3L, 0L, 9L)),
+      new GenericInternalRow(Array[Any](11L, UTF8String.fromString("u1"),
+        new GenericArrayData(Array[Any](5L, 4000000000L)))),
+      new GenericArrayData(Array[Any](
+        new GenericInternalRow(Array[Any](1L, UTF8String.fromString("x"))),
+        new GenericInternalRow(Array[Any](2L, UTF8String.fromString("y")))))))
+    val row = ProtoFields.decode(ProtoFields.encode(in, fields), fields)
+    assert(row.getLong(0) == 7L)
+    val tags = row.getArray(1)
+    assert(tags.getUTF8String(0).toString == "a" && tags.getUTF8String(1).toString == "bb")
+    assert(row.getArray(2).toLongArray.toSeq == Seq(-3L, 0L, 9L))
+    val u = row.getStruct(3, 3)
+    assert(u.getLong(0) == 11L && u.getUTF8String(1).toString == "u1")
+    assert(u.getArray(2).toLongArray.toSeq == Seq(5L, 4000000000L))
+    val evs = row.getArray(4)
+    assert(evs.numElements() == 2)
+    assert(evs.getStruct(0, 2).getLong(0) == 1L)
+    assert(evs.getStruct(1, 2).getUTF8String(1).toString == "y")
+  }
+
+  test("malformed packed run (overruns its span) nulls the row") {
+    val fields = ProtoFields.parseSpec("1:d:fixed64[]")
+    // span of 7 bytes can't hold fixed64 elements
+    val payload = b(0x0A, 0x07, 1, 2, 3, 4, 5, 6, 7)
+    val row = ProtoFields.decode(payload, fields)
+    assert(row.isNullAt(0))
+  }
+
   test("encode/decode roundtrip across all supported types") {
     val spec = "1:a:int64,2:s:string,3:z:sint64,4:f:fixed64,5:b:bool,6:d:double," +
       "7:by:bytes,8:g:fixed32,9:fl:float"
