@@ -59,9 +59,14 @@ object Bench {
 
     // NDJSON corpus for the throughput leg (cached across runs).
     // Replicated so the corpus is big enough that scan+decode dominates
-    // job-scheduling overhead (reference bench uses ~690 MB).
-    val replicate = sys.env.getOrElse("SPARK_GRAFT_TP_REPLICATE", "16").toInt
-    val nd = "/tmp/graft_bench_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    // job-scheduling overhead: the reference bench measures over
+    // ~690 MB, and at 32 threads a sub-200 MB corpus is a ~0.3 s job
+    // whose fixed scheduling cost understates MB/s by ~40% (measured
+    // via BenchProbe: same pipeline, 197 MB → 745 MB/s, 790 MB →
+    // 1058 MB/s with a 2.8 GB/s scan ceiling). rep=64 at sf0.1 ≈ 790 MB.
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_TP_REPLICATE", "64").toInt
+    val nd = "/tmp/graft_bench_rep" + replicate + "_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     if (!new java.io.File(nd, "_SUCCESS").exists()) {
       val ev = Tables(spark, sfDir, "events")
       ev.crossJoin(spark.range(replicate))

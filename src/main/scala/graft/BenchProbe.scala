@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch probe for the throughput leg: times each pipeline stage and
+  * two corpus sizes so regressions can be localized (scan vs decode vs
+  * filter vs project) and job-scheduling overhead quantified. Not part
+  * of the driver contract.
+  */
+object BenchProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def corpus(replicate: Int): (String, Long) = {
+      val nd = s"/tmp/graft_probe_rep$replicate"
+      if (!new java.io.File(nd, "_SUCCESS").exists()) {
+        val ev = Tables(spark, sfDir, "events")
+        ev.crossJoin(spark.range(replicate))
+          .select(to_json(struct(ev.columns.map(col): _*)).as("value"))
+          .repartition(32)
+          .write.mode("overwrite").text(nd)
+      }
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      (nd, walk(new java.io.File(nd)))
+    }
+
+    def noop(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    def time(label: String, bytes: Long, reps: Int)(mk: => DataFrame): Unit = {
+      noop(mk) // warm
+      val secs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); noop(mk); (System.nanoTime() - t0) / 1e9
+      }
+      val best = secs.min
+      println(f"PROBE $label%-28s best=$best%6.3fs  ${bytes / 1e6 / best}%7.1f MB/s  all=${secs.map(s => f"$s%.3f").mkString(",")}")
+    }
+
+    for (rep <- Seq(16, 64)) {
+      val (nd, bytes) = corpus(rep)
+      println(s"--- corpus rep=$rep bytes=$bytes")
+      time("scan_only", bytes, 5)(
+        spark.read.text(nd).select(length(col("value")).as("n")))
+      time("scan+json3", bytes, 5)(
+        spark.read.text(nd).select(graft.functions.JsonFields(col("value"),
+          Seq("event_id", "event_type", "props")).as("j")))
+      time("scan+json3+filter", bytes, 5)(
+        spark.read.text(nd).select(graft.functions.JsonFields(col("value"),
+          Seq("event_id", "event_type", "props")).as("j"))
+          .filter(col("j.event_type").isNotNull &&
+            graft.functions.JsonFields(col("j.props"), Seq("k")).getField("k")
+              .try_cast("long").isNotNull))
+      time("full_tp", bytes, 5)(Bench.throughputPipeline(spark, nd))
+    }
+    spark.stop()
+  }
+}
