@@ -936,6 +936,55 @@ object Queries5 {
       |  2 AS n_evs, event_id AS ev1_k, 'x' AS ev2_v
       |FROM events""".stripMargin
 
+  /** Benchmark decontamination (GPT-3 §C / PaLM-style n-gram overlap):
+    * docs with doc_id % 97 == 0 stand in for the eval benchmark; every
+    * train doc is scored by its count of distinct 3-grams shared with
+    * that set. The eval gram table is broadcast — at 100 TB the train
+    * side never shuffles its text, only the partial-aggregated
+    * (doc_id, count) pairs. */
+  val q102_decontaminate: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    graft.ml.Corpus.decontaminate(
+      docs, docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 3, threshold = 10)
+  }
+
+  val q102_sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+      |    FOR i IN range(1, greatest(len(w) - 2, 1) + 1)]) AS gs FROM toks),
+      |eval_grams AS (
+      |  SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 97 = 0),
+      |hits AS (
+      |  SELECT g.doc_id, count(*) AS ngram_hits
+      |  FROM (SELECT doc_id, unnest(gs) AS gram FROM grams) g
+      |  JOIN eval_grams e USING (gram) GROUP BY g.doc_id)
+      |SELECT d.doc_id, coalesce(h.ngram_hits, 0) AS ngram_hits,
+      |       coalesce(h.ngram_hits, 0) >= 10 AS contaminated
+      |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin
+
+  /** Sliding-window chunking for embedding: 40-token windows, stride
+    * 30, last chunk clamped to the tail, short docs → one chunk. Pure
+    * expression work (sequence/slice/array_join in codegen) — zero
+    * shuffle at any corpus size. */
+  val q103_chunk: Q = (s, dir) =>
+    graft.ml.Corpus.chunk(t(s, dir, "documents"), "doc_id", "text",
+      window = 40, stride = 30)
+
+  val q103_sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |idx AS (
+      |  SELECT doc_id, w,
+      |    unnest(range(0, greatest((len(w) - 40 + 29) // 30, 0) + 1)) AS ci
+      |  FROM toks)
+      |SELECT doc_id, ci AS chunk_idx,
+      |  array_to_string(w[ci*30+1 : ci*30+40], ' ') AS chunk,
+      |  len(w[ci*30+1 : ci*30+40]) AS n_tok
+      |FROM idx""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -969,7 +1018,9 @@ object Queries5 {
     "q98_ch_matrix" -> q98_ch_matrix,
     "q99_mm_audio" -> q99_mm_audio,
     "q100_mm_video" -> q100_mm_video,
-    "q101_proto_nested" -> q101_proto_nested
+    "q101_proto_nested" -> q101_proto_nested,
+    "q102_decontaminate" -> q102_decontaminate,
+    "q103_chunk" -> q103_chunk
   )
 
   val oracles: Map[String, String] = Map(
@@ -1003,6 +1054,8 @@ object Queries5 {
     "q98_ch_matrix" -> q98_sql,
     "q99_mm_audio" -> q99_sql,
     "q100_mm_video" -> q100_sql,
-    "q101_proto_nested" -> q101_sql
+    "q101_proto_nested" -> q101_sql,
+    "q102_decontaminate" -> q102_sql,
+    "q103_chunk" -> q103_sql
   )
 }

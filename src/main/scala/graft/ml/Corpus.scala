@@ -1,0 +1,65 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a training-data pipeline runs after
+  * filtering/dedup: benchmark decontamination and document chunking.
+  * Both are designed for the 100 TB shape:
+  *
+  *  - decontamination joins the (tiny) benchmark n-gram set via
+  *    broadcast, so the train side never shuffles its text — one
+  *    map-side semi-join plus a partial-aggregated count by doc_id;
+  *  - chunking is pure per-row expression work (sequence/slice/
+  *    array_join inside whole-stage codegen), no shuffle at all.
+  */
+object Corpus {
+
+  /** Per-train-doc overlap with a benchmark ("eval") corpus, the
+    * GPT-3/PaLM-style n-gram contamination check: a train document is
+    * contaminated when it shares ≥ `threshold` distinct word n-grams
+    * with any benchmark text. Returns the train frame's id column plus
+    * `ngram_hits` and `contaminated`.
+    *
+    * `evalGrams` is collected into a broadcast by Catalyst — benchmark
+    * suites are MBs against a 100 TB train corpus, which is exactly the
+    * broadcast-join case; the count aggregates map-side partially
+    * before the one doc_id shuffle. */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+                    idCol: String, textCol: String,
+                    n: Int, threshold: Int): DataFrame = {
+    val evalGrams = eval
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val hits = train
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("ngram_hits"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("ngram_hits"), lit(0L)).as("ngram_hits"),
+        (coalesce(col("ngram_hits"), lit(0L)) >= threshold).as("contaminated"))
+  }
+
+  /** Overlapping sliding-window chunks for embedding: windows of
+    * `window` tokens advancing by `stride`, the last chunk clamped to
+    * the document tail, short documents yielding one chunk. Emits
+    * (id, chunk_idx, chunk, n_tok). All expression-level — the chunk
+    * count per row is 1 + max(0, ceil((len - window) / stride)). */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            window: Int, stride: Int): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    // floor division (matches SQL's `//`); the numerator is negative
+    // only when len <= window, where greatest(..., 0) clamps to 0
+    val extra = greatest(
+      floor((size(toks) - window + (stride - 1)) / stride).cast("int"), lit(0))
+    val chunks = transform(sequence(lit(0), extra), i => struct(
+      i.cast("long").as("chunk_idx"),
+      array_join(slice(toks, i * stride + 1, lit(window)), " ").as("chunk"),
+      size(slice(toks, i * stride + 1, lit(window))).cast("long").as("n_tok")))
+    df.select(col(idCol), explode(chunks).as("c"))
+      .select(col(idCol), col("c.chunk_idx"), col("c.chunk"), col("c.n_tok"))
+  }
+}
