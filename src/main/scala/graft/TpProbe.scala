@@ -13,7 +13,7 @@ object TpProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val nd = "/tmp/graft_bench__root_testdata_sf0.1"
+    val nd = "/tmp/graft_bench_rep64__root_testdata_sf0.1"
 
     def noop(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
@@ -53,6 +53,30 @@ object TpProbe {
           Seq("event_id", "event_type", "props")).as("j"))
         .filter(col("j.event_type").isNotNull &&
           JsonFields(col("j.props"), Seq("k")).getField("k").try_cast("long").isNotNull)
+        .select(col("j.event_id").cast("long"),
+          coalesce(graft.functions.LogLevel.toNumber(col("j.event_type")), lit(6)).as("level"),
+          xxhash64(col("j.props")).as("h"))
+    }
+
+    time("json_fields_fused") {
+      base.select(JsonFields(col("value"),
+          Seq("event_id", "event_type", "props", "props.k")).as("j"))
+        .filter(col("j.event_type").isNotNull &&
+          col("j.`props.k`").try_cast("long").isNotNull)
+        .select(col("j.event_id").cast("long"),
+          coalesce(graft.functions.LogLevel.toNumber(col("j.event_type")), lit(6)).as("level"),
+          xxhash64(col("j.props")).as("h"))
+    }
+
+    // same, but the projection carries a nondeterministic column so
+    // PushPredicateThroughNonJoin can't substitute the filter below it
+    // and force a second full-row parse
+    time("json_fields_fused_nopush") {
+      base.select(JsonFields(col("value"),
+          Seq("event_id", "event_type", "props", "props.k")).as("j"),
+          spark_partition_id().as("_p"))
+        .filter(col("j.event_type").isNotNull &&
+          col("j.`props.k`").try_cast("long").isNotNull)
         .select(col("j.event_id").cast("long"),
           coalesce(graft.functions.LogLevel.toNumber(col("j.event_type")), lit(6)).as("level"),
           xxhash64(col("j.props")).as("h"))

@@ -17,6 +17,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * preserved; `json_tuple` normalizes it away). Downstream JSON consumers
   * parse either form identically.
   *
+  * A DOTTED field name (`"props.k"`) digs one level per dot: the value of
+  * the part before the first dot — whether a nested JSON object or a
+  * string containing escaped JSON, the common log shape — is scanned for
+  * the rest of the path IN THE SAME PASS, while its bytes are hot in
+  * cache. This is what makes the fused pipeline `scan → decode →
+  * filter-on-props.k → project` one parse per row instead of two: the
+  * separate `JsonFields(j.props, ["k"])` form re-reads the props bytes
+  * through a second expression, a per-row copy + struct alloc that costs
+  * ~25% of the whole throughput leg at 790 MB. Literal top-level keys
+  * that themselves contain dots become unreachable under this rule —
+  * acceptable for log pipelines (the reference's json_extract field
+  * paths have the same property).
+  *
   * Two reasons this exists instead of `json_tuple`:
   *  - `json_tuple` is a Generator: the plan gets a `Generate` node that is
   *    not whole-stage-codegen-able, splitting the fused pipeline exactly
@@ -39,12 +52,58 @@ case class JsonFields(child: Expression, fields: Seq[String])
     StructType(fields.map(f => StructField(f, StringType)))
 
   @transient private lazy val factory = new JsonFactory()
-  @transient private lazy val fieldBytes: Array[Array[Byte]] =
-    fields.map(_.getBytes("UTF-8")).toArray
+
+  /** One scanned top-level key, fanned out to its output slots: the
+    * slot wanting the raw value (or -1) plus, for dotted paths, the
+    * sub-path scanner (a child JsonFields over the remainder, so `a.b.c`
+    * recurses a level per dot) and the slots its results land in. */
+  private final case class Outer(nameBytes: Array[Byte], rawSlot: Int,
+                                 scanner: JsonFields, subSlots: Array[Int])
+
+  @transient private lazy val outers: Array[Outer] = {
+    val order = new scala.collection.mutable.LinkedHashMap[String,
+      (Array[Int], scala.collection.mutable.ArrayBuffer[(String, Int)])]()
+    fields.zipWithIndex.foreach { case (f, s) =>
+      val d = f.indexOf('.')
+      val outer = if (d < 0) f else f.substring(0, d)
+      val e = order.getOrElseUpdate(outer,
+        (Array(-1), new scala.collection.mutable.ArrayBuffer[(String, Int)]()))
+      if (d < 0) e._1(0) = s else e._2 += ((f.substring(d + 1), s))
+    }
+    order.iterator.map { case (name, (raw, subs)) =>
+      Outer(name.getBytes("UTF-8"), raw(0),
+        if (subs.isEmpty) null else JsonFields(child, subs.map(_._1).toSeq),
+        if (subs.isEmpty) null else subs.map(_._2).toArray)
+    }.toArray
+  }
+
+  // flat copy for the scanner's per-key comparison loop (one less
+  // dereference per candidate field than outers(f).nameBytes)
+  @transient private lazy val outerNameBytes: Array[Array[Byte]] =
+    outers.map(_.nameBytes)
+
   @transient private lazy val idx: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
-    fields.zipWithIndex.foreach { case (f, i) => m.put(f, i) }
+    outers.zipWithIndex.foreach { case (o, i) =>
+      m.put(new String(o.nameBytes, "UTF-8"), i)
+    }
     m
+  }
+
+  /** Fan a scanned outer value out to its slots, digging dotted
+    * sub-paths with a recursive extract over the value's bytes (still
+    * hot in cache — this is the single-pass fusion point). */
+  private def deliver(out: Array[Any], oi: Int, v: UTF8String): Unit = {
+    val o = outers(oi)
+    if (o.rawSlot >= 0) out(o.rawSlot) = v
+    if (o.scanner != null && v != null) {
+      val sub = o.scanner.extract(v)
+      var s = 0
+      while (s < o.subSlots.length) {
+        out(o.subSlots(s)) = sub.getUTF8String(s)
+        s += 1
+      }
+    }
   }
 
   def extract(input: UTF8String): InternalRow = {
@@ -67,11 +126,11 @@ case class JsonFields(child: Expression, fields: Seq[String])
     var i = skipWs(b, 0)
     if (i >= n || b(i) != '{') return true // non-object → all null
     i += 1
-    var remaining = fields.length
+    var remaining = outers.length
     // First occurrence wins; `seen` (not out(fi)==null) gates the
     // decrement so a duplicate key with a null first value can't
     // double-decrement and early-exit before later fields are scanned.
-    val seen = new Array[Boolean](fields.length)
+    val seen = new Array[Boolean](outers.length)
     var first = true
     while (remaining > 0) {
       i = skipWs(b, i)
@@ -106,11 +165,11 @@ case class JsonFields(child: Expression, fields: Seq[String])
         }
         if (k >= n) return true // truncated string
         if (fi >= 0 && !seen(fi)) {
-          if (!hasEsc) out(fi) = UTF8String.fromBytes(b, vs, k - vs)
+          if (!hasEsc) deliver(out, fi, UTF8String.fromBytes(b, vs, k - vs))
           else {
             val u = unescape(b, vs, k)
             if (u == null) return false
-            out(fi) = u
+            deliver(out, fi, u)
           }
           seen(fi) = true; remaining -= 1
         }
@@ -119,7 +178,7 @@ case class JsonFields(child: Expression, fields: Seq[String])
         val end = scanNested(b, i)
         if (end < 0) return if (end == -2) false else true // -1 truncated
         if (fi >= 0 && !seen(fi)) {
-          out(fi) = UTF8String.fromBytes(b, i, end - i)
+          deliver(out, fi, UTF8String.fromBytes(b, i, end - i))
           seen(fi) = true; remaining -= 1
         }
         i = end
@@ -127,10 +186,10 @@ case class JsonFields(child: Expression, fields: Seq[String])
         if (fi >= 0 && !seen(fi)) { seen(fi) = true; remaining -= 1 } // stays null
         i += 4
       } else if (c == 't' && i + 4 <= n && b(i + 1) == 'r' && b(i + 2) == 'u' && b(i + 3) == 'e') {
-        if (fi >= 0 && !seen(fi)) { out(fi) = UTF8String.fromString("true"); seen(fi) = true; remaining -= 1 }
+        if (fi >= 0 && !seen(fi)) { deliver(out, fi, UTF8String.fromString("true")); seen(fi) = true; remaining -= 1 }
         i += 4
       } else if (c == 'f' && i + 5 <= n && b(i + 1) == 'a' && b(i + 2) == 'l' && b(i + 3) == 's' && b(i + 4) == 'e') {
-        if (fi >= 0 && !seen(fi)) { out(fi) = UTF8String.fromString("false"); seen(fi) = true; remaining -= 1 }
+        if (fi >= 0 && !seen(fi)) { deliver(out, fi, UTF8String.fromString("false")); seen(fi) = true; remaining -= 1 }
         i += 5
       } else if (c == '-' || (c >= '0' && c <= '9')) {
         val vs = i
@@ -139,7 +198,7 @@ case class JsonFields(child: Expression, fields: Seq[String])
           case _ => true
         })) i += 1
         if (fi >= 0 && !seen(fi)) {
-          out(fi) = UTF8String.fromBytes(b, vs, i - vs)
+          deliver(out, fi, UTF8String.fromBytes(b, vs, i - vs))
           seen(fi) = true; remaining -= 1
         }
       } else return false
@@ -175,9 +234,10 @@ case class JsonFields(child: Expression, fields: Seq[String])
   }
 
   private def matchField(b: Array[Byte], off: Int, len: Int): Int = {
+    val names = outerNameBytes
     var f = 0
-    while (f < fieldBytes.length) {
-      val fb = fieldBytes(f)
+    while (f < names.length) {
+      val fb = names(f)
       if (fb.length == len) {
         var k = 0
         while (k < len && fb(k) == b(off + k)) k += 1
@@ -291,14 +351,14 @@ case class JsonFields(child: Expression, fields: Seq[String])
       val p = factory.createParser(bytes)
       try {
         if (p.nextToken() == JsonToken.START_OBJECT) {
-          var remaining = fields.length
-          val seen = new Array[Boolean](fields.length) // see scanFast
+          var remaining = outers.length
+          val seen = new Array[Boolean](outers.length) // see scanFast
           var tok = p.nextToken()
           while (remaining > 0 && tok == JsonToken.FIELD_NAME) {
             val i = idx.get(p.currentName())
             val vtok = p.nextToken()
             if (i != null && !seen(i)) {
-              out(i) = valueText(p, vtok)
+              deliver(out, i, valueText(p, vtok))
               seen(i) = true; remaining -= 1
             } else if (vtok == JsonToken.START_OBJECT || vtok == JsonToken.START_ARRAY) {
               p.skipChildren()

@@ -30,6 +30,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ref.filters == Seq(Subst.ReFilter("(\\w+):", -1, Seq(1), ",")))
   }
 
+  test("JsonFields dotted paths dig nested objects and escaped-JSON strings in one pass") {
+    import graft.functions.JsonFields
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = JsonFields(Literal("x"), Seq("a", "p.k", "p", "p.missing", "q.deep.x"))
+    def ex(s: String): Seq[String] = {
+      val r = e.extract(UTF8String.fromString(s))
+      (0 until 5).map(i => Option(r.getUTF8String(i)).map(_.toString).orNull)
+    }
+    // parent is a nested JSON object → sub-path digs the span
+    assert(ex("""{"a":1,"p":{"k":7,"z":0},"q":{"deep":{"x":"v"}}}""") ==
+      Seq("1", "7", """{"k":7,"z":0}""", null, "v"))
+    // parent is a STRING holding escaped JSON (the log-pipeline shape)
+    assert(ex("""{"p":"{\"k\":\"42\"}","a":"y"}""") ==
+      Seq("y", "42", """{"k":"42"}""", null, null))
+    // parent scalar / missing → sub-paths null, raw carries the scalar
+    assert(ex("""{"p":5,"a":null}""") == Seq(null, null, "5", null, null))
+    assert(ex("""{}""") == Seq(null, null, null, null, null))
+    // duplicate parent: first occurrence wins for raw AND subs
+    assert(ex("""{"p":{"k":1},"p":{"k":2},"a":0}""") ==
+      Seq("0", "1", """{"k":1}""", null, null))
+  }
+
   test("JsonFields extracts one-pass with json_tuple semantics") {
     import graft.functions.JsonFields
     import org.apache.spark.sql.catalyst.expressions.Literal
