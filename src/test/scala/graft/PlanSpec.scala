@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the scale claims the operator docs make.
+  * These are the properties that decide whether a plan survives a 100×
+  * scale-up, checked mechanically so a refactor can't silently regress
+  * them: broadcast where a side is small, zero shuffles where the op is
+  * per-row, one shuffle where the algorithm needs exactly one, filters
+  * reaching the parquet scan.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", 2)
+    .config("spark.ui.enabled", "false")
+    .appName("plan-spec")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("chunking is zero-shuffle: no Exchange anywhere in the plan") {
+    val p = plan(graft.ml.Corpus.chunk(
+      Tables(spark, sf, "documents"), "doc_id", "text", 40, 30))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("decontamination broadcasts the eval grams and never sort-merge-joins the corpus") {
+    val docs = Tables(spark, sf, "documents")
+    val p = plan(graft.ml.Corpus.decontaminate(
+      docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 3, 10))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("brute-force ANN top-k is TakeOrdered over a scan: no hash-partition shuffle") {
+    val p = plan(graft.ml.Ann.bruteForceTopK(
+      Tables(spark, sf, "embeddings"), "vec_id", "embedding",
+      Seq.fill(8)(0.1f), 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("as-of join costs exactly one shuffle (the window key)") {
+    val ev = Tables(spark, sf, "events")
+    val l = ev.select(col("user_id"), col("event_id"), col("ts"))
+    val r = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("uid_r"), col("ts").as("ts_r"),
+        col("event_id").as("pay"))
+    val p = plan(graft.state.SeqOps.asofJoin(
+      l, r, "user_id", "ts", "uid_r", "ts_r", Seq("pay")))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles in:\n$p")
+  }
+
+  test("filter and projection reach the parquet scan (pushdown + pruning)") {
+    val p = plan(Tables(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_quantity")))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40"), p)
+    // pruned read schema: only the two referenced columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:"), p)
+  }
+
+  test("the throughput pipeline decodes inside whole-stage codegen") {
+    // one NDJSON row is enough to plan against
+    val tmp = java.nio.file.Files.createTempDirectory("plan_tp").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "a.json"),
+      """{"event_id":1,"event_type":"error","props":"{\"k\":\"1\"}"}""".getBytes)
+    val p = plan(Bench.throughputPipeline(spark, tmp))
+    // the decode chain (filter + both projections) fuses into ONE
+    // codegen stage (the `*(1)` operator prefix) with no Exchange
+    assert(p.contains("*(1) Project") && p.contains("*(1) Filter"), p)
+    assert(!p.contains("*(2)"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+}
