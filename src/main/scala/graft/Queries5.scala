@@ -985,6 +985,51 @@ object Queries5 {
       |  len(w[ci*30+1 : ci*30+40]) AS n_tok
       |FROM idx""".stripMargin
 
+  /** Domain-mixing upsampling (fractional epochs, weight > 1): source
+    * digit d → weight (500 + d*400) milli, so src0 keeps ~half its docs
+    * and src9 gets 4 copies + a 10% fourth-copy chance. The fractional
+    * coin is the same md5-threshold as q68's downsampling — the whole
+    * mixture is reproducible across engines and partitionings. */
+  val q104_upsample: Q = (s, dir) => {
+    val d = substring(col("source"), 4, 2).cast("int")
+    graft.ml.Corpus.upsample(
+      t(s, dir, "documents"), "text", (lit(500) + d * 400).cast("long"))
+      .select(col("doc_id"), col("source"), col("copy_idx").cast("long").as("copy_idx"))
+  }
+
+  val q104_sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, source, text,
+      |    500 + CAST(substr(source, 4, 2) AS INT) * 400 AS wm FROM documents),
+      |c AS (
+      |  SELECT doc_id, source,
+      |    wm // 1000 +
+      |    CASE WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 1000 < wm % 1000
+      |         THEN 1 ELSE 0 END AS copies
+      |  FROM w)
+      |SELECT doc_id, source, unnest(range(0, copies)) AS copy_idx
+      |FROM c WHERE copies > 0""".stripMargin
+
+  /** Training sequence packing: docs concatenate per source in doc_id
+    * order and cut at 512-token boundaries; each doc lands in the
+    * sequence where it starts. One shuffle (the per-source window). */
+  val q105_pack: Q = (s, dir) =>
+    graft.ml.Corpus.packSequences(
+      t(s, dir, "documents"), "source", "doc_id", "text", budget = 512)
+
+  val q105_sql: String =
+    """SELECT source, doc_id,
+      |  len(string_split(text, ' ')) AS n_tok,
+      |  coalesce(CAST(SUM(len(string_split(text, ' '))) OVER (
+      |    PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // 512
+      |    AS seq_idx,
+      |  coalesce(CAST(SUM(len(string_split(text, ' '))) OVER (
+      |    PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) % 512
+      |    AS offset_in_seq
+      |FROM documents""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1020,7 +1065,9 @@ object Queries5 {
     "q100_mm_video" -> q100_mm_video,
     "q101_proto_nested" -> q101_proto_nested,
     "q102_decontaminate" -> q102_decontaminate,
-    "q103_chunk" -> q103_chunk
+    "q103_chunk" -> q103_chunk,
+    "q104_upsample" -> q104_upsample,
+    "q105_pack" -> q105_pack
   )
 
   val oracles: Map[String, String] = Map(
@@ -1056,6 +1103,8 @@ object Queries5 {
     "q100_mm_video" -> q100_sql,
     "q101_proto_nested" -> q101_sql,
     "q102_decontaminate" -> q102_sql,
-    "q103_chunk" -> q103_sql
+    "q103_chunk" -> q103_sql,
+    "q104_upsample" -> q104_sql,
+    "q105_pack" -> q105_sql
   )
 }

@@ -43,6 +43,49 @@ object Corpus {
         (coalesce(col("ngram_hits"), lit(0L)) >= threshold).as("contaminated"))
   }
 
+  /** Fractional-epoch upsampling for domain mixing (the Pile/Dolma
+    * "weight > 1" case; downsampling is the hash-threshold stratified
+    * sample): a document with weight w gets floor(w) full copies plus
+    * one more with probability frac(w), decided by the same
+    * deterministic md5-threshold used for downsampling so the mixture
+    * is engine- and partitioning-reproducible. Emits one row per copy
+    * with `copy_idx`. Pure per-row explode — no shuffle; the blow-up
+    * factor is the weight itself, which is how epoch mixing costs at
+    * 100 TB too. `weightMilli` is the weight in thousandths (integer,
+    * so no float drift between engines). */
+  def upsample(df: DataFrame, textCol: String, weightMilli: Column): DataFrame = {
+    val whole = (weightMilli / 1000).cast("int")
+    val frac = pmod(weightMilli, lit(1000))
+    val extra = (pmod(Dedup.tokenHash(col(textCol)), lit(1000)) < frac).cast("int")
+    val copies = (whole + extra).cast("int")
+    // explode (not explode_outer) drops the null array when copies = 0
+    df.withColumn("copy_idx", explode(when(copies > 0, sequence(lit(0), copies - 1))))
+  }
+
+  /** Sequence packing for LLM training: concatenate documents in a
+    * deterministic order and cut at `budget`-token boundaries. Each doc
+    * is assigned the sequence where it starts: seq_idx =
+    * floor(tokens_before / budget), with tokens_before the running sum
+    * of earlier docs in its `groupCol` partition (ordered by `idCol`).
+    * One shuffle (the window key); at scale the group key is the
+    * shard/source, so packing parallelizes across shards exactly like
+    * the writers that consume it. Emits (group, id, n_tok, seq_idx,
+    * offset_in_seq). */
+  def packSequences(df: DataFrame, groupCol: String, idCol: String,
+                    textCol: String, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nTok = size(split(col(textCol), " ")).cast("long")
+    df.select(col(groupCol), col(idCol), nTok.as("n_tok"))
+      .withColumn("before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col(groupCol), col(idCol), col("n_tok"),
+        // integer DIV, not `/`: double division loses exactness past
+        // 2^53 summed tokens, which a 100 TB corpus reaches
+        expr(s"before DIV $budget").as("seq_idx"),
+        pmod(col("before"), lit(budget.toLong)).as("offset_in_seq"))
+  }
+
   /** Overlapping sliding-window chunks for embedding: windows of
     * `window` tokens advancing by `stride`, the last chunk clamped to
     * the document tail, short documents yielding one chunk. Emits
