@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query batch 6 (round 4): corpus-preparation operators past dedup —
+  * the substring-level duplicate signal, corpus-LM quality scoring, PII
+  * scrubbing, the pre-training global shuffle and the train/val/test
+  * split. All exact-integer or string-exact so the DuckDB oracles
+  * hash-match byte for byte.
+  */
+object Queries6 {
+
+  type Q = Queries.Q
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Duplicated-span fraction: distinct 3-grams per doc vs 3-grams shared
+    * with at least one other document (substring-level dedup signal — the
+    * gate that catches boilerplate whole-doc dedup misses). */
+  val q106_dup_ngrams: Q = (s, dir) =>
+    graft.ml.Dedup.dupGramSignal(t(s, dir, "documents"), "doc_id", "text", n = 3)
+
+  val q106_sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+      |    FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS gram FROM toks),
+      |nd AS (SELECT gram, COUNT(*) AS n FROM grams GROUP BY gram),
+      |dup AS (
+      |  SELECT g.doc_id, COUNT(*) AS dup_grams
+      |  FROM grams g JOIN nd USING (gram) WHERE nd.n > 1 GROUP BY g.doc_id),
+      |tot AS (
+      |  SELECT doc_id, CAST(len(list_distinct([array_to_string(w[i:i+2], ' ')
+      |    FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS BIGINT) AS n_grams
+      |  FROM toks)
+      |SELECT t.doc_id, t.n_grams, coalesce(d.dup_grams, 0) AS dup_grams
+      |FROM tot t LEFT JOIN dup d USING (doc_id)""".stripMargin
+
+  /** Bigram-LM scoring with the corpus as the LM: per bigram occurrence
+    * count(w1 w2)*1e6 DIV count(w1), summed per doc (integer micro-units;
+    * the mean is derived downstream). */
+  val q107_bigram_lm: Q = (s, dir) =>
+    graft.ml.TextOps.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+
+  val q107_sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |idx AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks),
+      |occ AS (
+      |  SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS g FROM idx),
+      |uni AS (
+      |  SELECT unnest(w) AS w1 FROM toks),
+      |uni_c AS (SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY w1),
+      |big_c AS (SELECT g, COUNT(*) AS c2 FROM occ GROUP BY g)
+      |SELECT o.doc_id,
+      |  CAST(SUM((b.c2 * 1000000) // u.c1) AS BIGINT) AS lm_score_micro,
+      |  COUNT(*) AS n_bigrams
+      |FROM occ o JOIN big_c b USING (g) JOIN uni_c u USING (w1)
+      |GROUP BY o.doc_id""".stripMargin
+
+  /** PII scrubbing: deterministic synthetic PII (email + IPv4 + phone
+    * derived from doc_id) appended to each document, then scrubbed to
+    * typed placeholders with per-type hit counts. The patterns stay in
+    * the RE2-compatible subset so java.util.regex and DuckDB agree. */
+  val q108_pii_scrub: Q = (s, dir) => {
+    val withPii = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com via 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".0.1 tel +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text"))
+    val (ne, ni, np) = graft.ml.TextOps.piiCounts(col("text"))
+    withPii.select(col("doc_id"),
+      graft.ml.TextOps.piiScrub(col("text")).as("scrubbed"),
+      ne.as("n_email"), ni.as("n_ip"), np.as("n_phone"))
+  }
+
+  val q108_sql: String =
+    """WITH pii AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@example.com via 10.' ||
+      |    (doc_id % 256) || '.0.1 tel +1-555-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\+\d[\d-]{6,}\d', '<PHONE>', 'g') AS scrubbed,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(text,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+      |  CAST(len(regexp_extract_all(text,
+      |    '\+\d[\d-]{6,}\d')) AS BIGINT) AS n_phone
+      |FROM pii""".stripMargin
+
+  /** Pre-training global shuffle, sharded the way it runs at 100 TB:
+    * hash → shard (output file) + stable position within the shard.
+    * One shuffle + per-shard sort, no single-partition window. */
+  val q109_corpus_shuffle: Q = (s, dir) =>
+    graft.ml.Corpus.shardedShuffle(t(s, dir, "documents"), "doc_id", "text",
+      seed = 42L, shards = 8)
+
+  val q109_sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(text || '#42'), 1, 15))::BIGINT AS shuffle_key
+      |  FROM documents)
+      |SELECT doc_id, shuffle_key, shuffle_key % 8 AS shard,
+      |  row_number() OVER (PARTITION BY shuffle_key % 8
+      |    ORDER BY shuffle_key, doc_id) - 1 AS pos_in_shard
+      |FROM h""".stripMargin
+
+  /** Deterministic 80/10/10 train/val/test assignment (content-hash
+    * buckets, salt independent of the shuffle/sample hashes). */
+  val q110_split_assign: Q = (s, dir) =>
+    t(s, dir, "documents").select(col("doc_id"),
+      graft.ml.Corpus.splitAssign(col("text"), seed = 7L, cuts = (800, 900))
+        .as("split"))
+
+  val q110_sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |        ('0x' || substr(md5(text || '|split7'), 1, 15))::BIGINT % 1000 AS b
+      |      FROM documents)""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val all: Map[String, Q] = Map(
+    "q106_dup_ngrams" -> q106_dup_ngrams,
+    "q107_bigram_lm" -> q107_bigram_lm,
+    "q108_pii_scrub" -> q108_pii_scrub,
+    "q109_corpus_shuffle" -> q109_corpus_shuffle,
+    "q110_split_assign" -> q110_split_assign
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q106_dup_ngrams" -> q106_sql,
+    "q107_bigram_lm" -> q107_sql,
+    "q108_pii_scrub" -> q108_sql,
+    "q109_corpus_shuffle" -> q109_sql,
+    "q110_split_assign" -> q110_sql
+  )
+}

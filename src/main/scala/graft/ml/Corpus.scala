@@ -86,6 +86,34 @@ object Corpus {
         pmod(col("before"), lit(budget.toLong)).as("offset_in_seq"))
   }
 
+  /** Deterministic sharded corpus shuffle — the "global shuffle before
+    * training" op, shaped the way it actually runs at 100 TB: documents
+    * hash into `shards` buckets (the output files) and get a stable
+    * position within their shard, rather than one global row_number whose
+    * single-partition window would bottleneck on a driver-adjacent task.
+    * One shuffle on the shard key, per-shard local sort; the (hash, id)
+    * order is engine- and partitioning-reproducible, and re-running with
+    * another `seed` yields an independent permutation. */
+  def shardedShuffle(df: DataFrame, idCol: String, textCol: String,
+                     seed: Long, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Dedup.tokenHash(concat(col(textCol), lit("#" + seed)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("shuffle_key"), col(idCol))
+    df.select(col(idCol), h.as("shuffle_key"))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(shards.toLong)))
+      .withColumn("pos_in_shard", row_number().over(w).cast("long") - 1)
+  }
+
+  /** Deterministic train/validation/test split: a content-hash bucket in
+    * [0,1000) against cumulative per-mille thresholds — reproducible
+    * across engines, runs and partitionings, and independent of the
+    * shuffle/sample hashes (different salt). Pure expression, no
+    * shuffle. `cuts` = (train‰, train+val‰), e.g. (800, 900) → 80/10/10. */
+  def splitAssign(textCol: Column, seed: Long, cuts: (Int, Int)): Column = {
+    val b = pmod(Dedup.tokenHash(concat(textCol, lit("|split" + seed))), lit(1000))
+    when(b < cuts._1, "train").when(b < cuts._2, "val").otherwise(lit("test"))
+  }
+
   /** Overlapping sliding-window chunks for embedding: windows of
     * `window` tokens advancing by `stride`, the last chunk clamped to
     * the document tail, short documents yielding one chunk. Emits

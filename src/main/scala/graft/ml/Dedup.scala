@@ -117,6 +117,38 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(orderCol)).as(orderCol))
 
+  /** Duplicate-n-gram signal — the substring-level dedup stat (the
+    * "dedup training data at the substring level" idea: instead of
+    * whole-document near-dup, measure how much of each document is
+    * boilerplate shared with the rest of the corpus). Per document:
+    * `n_grams` distinct word n-grams and `dup_grams`, the count of those
+    * appearing in at least one OTHER document. `dup_grams / n_grams` is
+    * the duplicated-span fraction a quality gate thresholds on.
+    *
+    * Shape at scale: (doc, gram) pairs are distinct per doc already
+    * (shingles are de-duplicated), so the per-gram document count is a
+    * plain `count(*)` — no expensive distinct aggregation. Two shuffles
+    * on the gram key (count + join back) with map-side combine, then one
+    * on doc_id; the shared-gram table the join touches is only the grams
+    * that repeat, a small fraction of the gram universe. */
+  def dupGramSignal(df: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(shingles(col(textCol), n)).as("gram"))
+    // (id, gram) distinct per doc → count(*) = number of docs w/ the gram
+    val shared = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") > 1)
+      .select(col("gram"))
+    val dup = grams.join(shared, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dup_grams"))
+    df.select(col(idCol),
+        size(shingles(col(textCol), n)).cast("long").as("n_grams"))
+      .join(dup, Seq(idCol), "left")
+      .na.fill(0L, Seq("dup_grams"))
+  }
+
   /** Connected components over candidate-duplicate pairs — the cluster
     * step of a dedup pipeline ("keep one doc per duplicate cluster"):
     * every node ends up labeled with the minimum id reachable from it.

@@ -73,6 +73,66 @@ object TextOps {
   def fingerprint64(text: Column): Column =
     xxhash64(array_join(array_sort(array_distinct(split(lower(text), " "))), " "))
 
+  // PII patterns kept to the RE2-compatible subset (no lookaround, no
+  // backreferences) so the Spark (java.util.regex) and oracle (DuckDB,
+  // RE2) engines match byte-for-byte. \b and \d are ASCII in both.
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\+\\d[\\d-]{6,}\\d"
+
+  /** PII scrubbing for training corpora: emails, IPv4 addresses and
+    * international-format phone numbers replaced with typed placeholder
+    * tokens. Order matters — emails first (their domains would otherwise
+    * feed the IP/phone patterns), then IPs, then phones. Pure
+    * regexp_replace chain: whole-stage codegen, no shuffle, and the
+    * per-type hit counts are computed on the original text so a gate can
+    * drop documents that are mostly PII. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(emailRe), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(ipv4Re), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(phoneRe), lit(0))).cast("long"))
+
+  /** Bigram-LM document scoring — the exact-integer core of a CCNet-ish
+    * "LM perplexity" quality filter, with the corpus itself as the LM:
+    * each bigram occurrence (w1 w2) scores the MLE conditional
+    * count(w1 w2) * 1e6 DIV count(w1) in integer micro-units; the
+    * document score is the sum over its bigram occurrences (ratio to
+    * `n_bigrams` derived downstream, keeping the gate in exact bigints —
+    * doubles don't hash-compare across engines).
+    *
+    * Shape at scale: unigram and bigram vocab aggregations shuffle once
+    * each with map-side combine; both vocab tables join back broadcast
+    * (vocab ≪ corpus). The corpus text itself shuffles only as
+    * (doc_id, agg) partials — same layout as the unigram scorer. */
+  def bigramLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol), split(lower(col(textCol)), " ").as("_t"))
+      .withColumn("_n", size(col("_t")))
+    val occ = base.select(col(idCol),
+      explode(when(col("_n") >= 2,
+        transform(sequence(lit(1), col("_n") - 1),
+          i => struct(element_at(col("_t"), i).as("w1"),
+            concat_ws(" ", element_at(col("_t"), i),
+              element_at(col("_t"), i + 1)).as("g"))))
+        .otherwise(array().cast("array<struct<w1:string,g:string>>"))).as("_o"))
+      .select(col(idCol), col("_o.w1").as("w1"), col("_o.g").as("g"))
+    val uni = base.select(explode(col("_t")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val big = occ.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    occ.join(broadcast(big), "g")
+      .join(broadcast(uni), "w1")
+      .groupBy(col(idCol))
+      .agg(sum(expr("(c2 * 1000000) DIV c1")).as("lm_score_micro"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Repetition signals — the standard "repetitive document" quality
     * filters: token multiplicity (`n_tok` vs `n_distinct_tok`) and the
     * concentration of the single most frequent bigram (`top_gram_cnt`

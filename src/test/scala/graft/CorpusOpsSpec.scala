@@ -1,0 +1,102 @@
+package graft
+
+import graft.ml.{Corpus, Dedup, TextOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("dupGramSignal counts grams shared with at least one other doc") {
+    import spark.implicits._
+    // docs 1 and 2 share exactly one 2-gram ("b c"); doc 3 is disjoint
+    val docs = Seq(
+      (1L, "a b c d"), // grams: "a b","b c","c d"
+      (2L, "x b c y"), // grams: "x b","b c","c y"
+      (3L, "p q r")    // grams: "p q","q r"
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupGramSignal(docs, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(1L -> ((3L, 1L)), 2L -> ((3L, 1L)), 3L -> ((2L, 0L))))
+  }
+
+  test("piiScrub replaces emails, IPv4s and phones; counts hit per type") {
+    import spark.implicits._
+    val rows = Seq(
+      ("mail me at a.b+c@ex-1.example.org now", "mail me at <EMAIL> now", (1L, 0L, 0L)),
+      ("host 192.168.0.1 and 10.0.0.255 up", "host <IP> and <IP> up", (0L, 2L, 0L)),
+      ("call +49-30-123456 today", "call <PHONE> today", (0L, 0L, 1L)),
+      // email first: its domain must not leave a partial for the IP pass
+      ("x u1@a.bc.de y", "x <EMAIL> y", (1L, 0L, 0L)),
+      ("no pii here", "no pii here", (0L, 0L, 0L))
+    )
+    val df = rows.map(_._1).toDF("text")
+    val (ne, ni, np) = TextOps.piiCounts(col("text"))
+    val got = df.select(TextOps.piiScrub(col("text")).as("s"),
+      ne.as("e"), ni.as("i"), np.as("p"))
+      .as[(String, Long, Long, Long)].collect()
+    rows.zip(got).foreach { case ((_, want, (we, wi, wp)), (s, e, i, p)) =>
+      assert(s == want, s"scrub mismatch for $want")
+      assert((e, i, p) == ((we, wi, wp)), s"counts mismatch for $want")
+    }
+  }
+
+  test("bigramLmScore matches a hand computation") {
+    import spark.implicits._
+    // corpus: "a b a b" and "a c". unigrams: a=3, b=2, c=1.
+    // bigrams: "a b"=2, "b a"=1, "a c"=1.
+    // doc 1 occurrences: a b (2e6/3=666666), b a (1e6/2=500000), a b (666666)
+    //   → sum 1833332, n=3
+    // doc 2: a c (1e6/3=333333) → sum 333333, n=1
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.bigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(1L -> ((1833332L, 3L)), 2L -> ((333333L, 1L))))
+  }
+
+  test("shardedShuffle gives stable dense per-shard positions; seed changes the order") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"doc number $i body")).toDF("doc_id", "text")
+    val a = Corpus.shardedShuffle(docs, "doc_id", "text", seed = 1L, shards = 4)
+    val b = Corpus.shardedShuffle(docs, "doc_id", "text", seed = 1L, shards = 4)
+    val c = Corpus.shardedShuffle(docs, "doc_id", "text", seed = 2L, shards = 4)
+    val rowsA = a.select("doc_id", "shard", "pos_in_shard")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // deterministic across runs
+    assert(rowsA.sameElements(b.select("doc_id", "shard", "pos_in_shard")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)))
+    // a different seed is a different permutation
+    assert(!rowsA.sameElements(c.select("doc_id", "shard", "pos_in_shard")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)))
+    // positions are dense 0..n-1 within every shard
+    rowsA.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.sameElements(rs.indices.map(_.toLong)))
+    }
+    // every doc appears exactly once
+    assert(rowsA.map(_._1).distinct.length == 40)
+  }
+
+  test("splitAssign is deterministic, total, and respects the cut order") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"text body $i")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      Corpus.splitAssign(col("text"), seed = 7L, cuts = (800, 900)).as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(out.size == 200)
+    assert(out.values.toSet.subsetOf(Set("train", "val", "test")))
+    // deterministic re-run
+    val again = docs.select(col("doc_id"),
+      Corpus.splitAssign(col("text"), seed = 7L, cuts = (800, 900)).as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(out == again)
+    // with an 80/10/10 cut the majority class must be train on 200 docs
+    assert(out.values.count(_ == "train") > out.values.count(_ == "val"))
+    assert(out.values.count(_ == "train") > out.values.count(_ == "test"))
+  }
+}
