@@ -1,0 +1,134 @@
+package graft.metrics
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** Prometheus-style counter registry + diagnostics endpoint, the engine's
+  * equivalent of the reference daemon's scrape surface (fd/file.d.go:335-369:
+  * `/metrics` via promhttp, `/live` always-200, `/ready` 503 once shutdown
+  * begins). Spark publishes per-job metrics through its own listener bus —
+  * `Metrics.observeAction` + `attachExporter` bridge those observations into
+  * this registry, so an operator can point the same Prometheus scrape config
+  * at a graft driver that they point at a file.d box.
+  *
+  * Counters only (the reference's per-action metrics are CounterVecs); the
+  * exposition format is the v0.0.4 text format promhttp emits.
+  */
+final class PromRegistry {
+  private val counters = new ConcurrentHashMap[String, AtomicLong]()
+  private val help = new ConcurrentHashMap[String, String]()
+
+  private def esc(v: String): String =
+    v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
+  private def key(name: String, labels: Seq[(String, String)]): String =
+    if (labels.isEmpty) name
+    else labels.sortBy(_._1)
+      .map { case (k, v) => s"""$k="${esc(v)}"""" }
+      .mkString(s"$name{", ",", "}")
+
+  def describe(name: String, text: String): Unit = help.putIfAbsent(name, text)
+
+  def inc(name: String, labels: Seq[(String, String)] = Nil, n: Long = 1L): Unit =
+    counters.computeIfAbsent(key(name, labels), _ => new AtomicLong())
+      .addAndGet(n)
+
+  /** Set-to-max semantics for re-observed batch totals (a re-run of the
+    * same job must not double-count). */
+  def observe(name: String, labels: Seq[(String, String)], n: Long): Unit =
+    counters.computeIfAbsent(key(name, labels), _ => new AtomicLong())
+      .accumulateAndGet(n, math.max)
+
+  def value(series: String): Long =
+    Option(counters.get(series)).map(_.get()).getOrElse(0L)
+
+  /** Prometheus text exposition (v0.0.4): HELP/TYPE per metric family,
+    * series sorted for a stable scrape. */
+  def render(): String = {
+    import scala.jdk.CollectionConverters._
+    val bySeries = counters.asScala.toSeq.sortBy(_._1)
+    val families = bySeries.groupBy { case (s, _) =>
+      val brace = s.indexOf('{'); if (brace < 0) s else s.substring(0, brace)
+    }
+    families.toSeq.sortBy(_._1).map { case (fam, series) =>
+      val header =
+        s"# HELP $fam ${Option(help.get(fam)).getOrElse("graft counter")}\n" +
+          s"# TYPE $fam counter\n"
+      header + series.sortBy(_._1)
+        .map { case (s, v) => s"$s ${v.get()}" }.mkString("", "\n", "\n")
+    }.mkString
+  }
+}
+
+object MetricsHttp {
+
+  /** Diagnostics server on loopback. Routes (reference parity):
+    * `/metrics` — Prometheus text; `/live` — 200 always;
+    * `/ready` — 200, or 503 after `beginShutdown()` (file.d returns 503
+    * from /ready while draining so the LB stops routing, but keeps /live
+    * green to avoid a kill mid-drain). Port 0 picks an ephemeral port. */
+  final class Server(registry: PromRegistry, port: Int) {
+    private val stopping = new AtomicBoolean(false)
+    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 16)
+
+    private def respond(ex: HttpExchange, code: Int, body: String,
+                        contentType: String = "text/plain; charset=utf-8"): Unit = {
+      val bytes = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", contentType)
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+
+    server.createContext("/metrics", (ex: HttpExchange) =>
+      respond(ex, 200, registry.render(),
+        "text/plain; version=0.0.4; charset=utf-8"))
+    server.createContext("/live", (ex: HttpExchange) => respond(ex, 200, ""))
+    server.createContext("/ready", (ex: HttpExchange) =>
+      respond(ex, if (stopping.get()) 503 else 200, ""))
+    server.setExecutor(null)
+    server.start()
+
+    def boundPort: Int = server.getAddress.getPort
+    def beginShutdown(): Unit = stopping.set(true)
+    def stop(): Unit = server.stop(0)
+  }
+
+  def serve(registry: PromRegistry, port: Int = 0): Server =
+    new Server(registry, port)
+
+  /** Bridge Spark's observation bus into the registry: every
+    * `Metrics.observeAction` point becomes
+    * `graft_action_events_total{action=..., metric=...}` on the next job
+    * completion (max-merge, so a re-observed total never double-counts).
+    * Returns an unregister handle. */
+  def attachExporter(spark: org.apache.spark.sql.SparkSession,
+                     registry: PromRegistry): () => Unit = {
+    registry.describe("graft_action_events_total",
+      "events seen per observed action (observe() aggregates)")
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          row.schema.fieldNames.foreach { f =>
+            row.getAs[Any](f) match {
+              case n: Long =>
+                registry.observe("graft_action_events_total",
+                  Seq("action" -> name, "metric" -> f), n)
+              case _ => ()
+            }
+          }
+        }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    () => spark.listenerManager.unregister(listener)
+  }
+}

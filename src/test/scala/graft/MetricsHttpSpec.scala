@@ -1,0 +1,76 @@
+package graft
+
+import java.net.{HttpURLConnection, URL}
+
+import graft.metrics.{Metrics, MetricsHttp, PromRegistry}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MetricsHttpSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val conn = new URL(s"http://127.0.0.1:$port$path")
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(3000)
+    conn.setReadTimeout(3000)
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val body = if (is == null) ""
+      else new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    conn.disconnect()
+    (code, body)
+  }
+
+  test("live/ready lifecycle: ready flips to 503 after beginShutdown, live stays 200") {
+    val srv = MetricsHttp.serve(new PromRegistry)
+    try {
+      assert(get(srv.boundPort, "/live")._1 == 200)
+      assert(get(srv.boundPort, "/ready")._1 == 200)
+      srv.beginShutdown()
+      assert(get(srv.boundPort, "/ready")._1 == 503)
+      assert(get(srv.boundPort, "/live")._1 == 200)
+    } finally srv.stop()
+  }
+
+  test("observed action metrics surface in the Prometheus text scrape") {
+    val registry = new PromRegistry
+    val detach = MetricsHttp.attachExporter(spark, registry)
+    val srv = MetricsHttp.serve(registry)
+    try {
+      import spark.implicits._
+      val df = Seq(("a", 1), ("b", 2), ("a", 3)).toDF("k", "v")
+      Metrics.observeAction(df, "mask_act", Some(col("k")), Seq("a", "b")).count()
+      org.apache.spark.GraftSparkBridge.waitListenerBusEmpty(spark.sparkContext)
+      val (code, body) = get(srv.boundPort, "/metrics")
+      assert(code == 200)
+      assert(body.contains("# TYPE graft_action_events_total counter"))
+      assert(body.contains(
+        """graft_action_events_total{action="mask_act",metric="events_total"} 3"""))
+      assert(body.contains(
+        """graft_action_events_total{action="mask_act",metric="events_a"} 2"""))
+      // re-running the same observed job must not double-count (max-merge)
+      Metrics.observeAction(df, "mask_act", Some(col("k")), Seq("a", "b")).count()
+      org.apache.spark.GraftSparkBridge.waitListenerBusEmpty(spark.sparkContext)
+      val (_, body2) = get(srv.boundPort, "/metrics")
+      assert(body2.contains(
+        """graft_action_events_total{action="mask_act",metric="events_total"} 3"""))
+    } finally {
+      srv.stop()
+      detach()
+    }
+  }
+
+  test("label values are escaped in the exposition format") {
+    val r = new PromRegistry
+    r.inc("graft_test_total", Seq("path" -> "a\\b\"c\nd"), 5)
+    val out = r.render()
+    assert(out.contains("""graft_test_total{path="a\\b\"c\nd"} 5"""))
+  }
+}
