@@ -68,6 +68,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:"), p)
   }
 
+  test("PII scrub and split assignment are zero-shuffle") {
+    val docs = Tables(spark, sf, "documents")
+    val scrub = plan(docs.select(col("doc_id"),
+      graft.ml.TextOps.piiScrub(col("text")).as("s")))
+    assert(!scrub.contains("Exchange"), scrub)
+    val split = plan(docs.select(col("doc_id"),
+      graft.ml.Corpus.splitAssign(col("text"), 7L, (800, 900)).as("sp")))
+    assert(!split.contains("Exchange"), split)
+  }
+
+  test("bigram-LM scoring broadcasts both vocab tables back onto the corpus") {
+    val p = plan(graft.ml.TextOps.bigramLmScore(
+      Tables(spark, sf, "documents"), "doc_id", "text"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sharded shuffle costs exactly one shuffle (the shard key)") {
+    val p = plan(graft.ml.Corpus.shardedShuffle(
+      Tables(spark, sf, "documents"), "doc_id", "text", 42L, 8))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles in:\n$p")
+    // and crucially no single-partition global window
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("dup-gram signal is join/agg shaped: no cartesian, no nested-loop") {
+    val p = plan(graft.ml.Dedup.dupGramSignal(
+      Tables(spark, sf, "documents"), "doc_id", "text", 3))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("the throughput pipeline decodes inside whole-stage codegen") {
     // one NDJSON row is enough to plan against
     val tmp = java.nio.file.Files.createTempDirectory("plan_tp").toString
