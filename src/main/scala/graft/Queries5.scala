@@ -413,18 +413,21 @@ object Queries5 {
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin
 
   /** corpus-frequency document scoring (the exact-integer core of a
-    * unigram quality filter): broadcast global token counts joined back
-    * per token; per doc, Σ corpus-count and token count. The ratio is the
+    * unigram quality filter): global token counts joined back per token;
+    * per doc, Σ corpus-count and token count. The ratio is the
     * mean-token-frequency score — derived downstream so the gated output
     * stays in exact bigints (doubles don't hash-compare across engines).
-    * Scale shape: vocab aggregation shuffles once on token; the join back
-    * is a broadcast (vocab ≪ corpus). */
+    * Scale shape: vocab aggregation shuffles once on token. The vocab is
+    * corpus-derived (a web-scale corpus has 10⁸-10⁹ distinct tokens —
+    * URLs, typos), so the join back is deliberately unhinted: AQE
+    * broadcasts at small scale and shuffle-joins on `tok` at large scale,
+    * the same key `toks` already shuffles by for the vocab aggregation. */
   val q67_text_unigram: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val toks = docs.select(col("doc_id"),
       explode(split(lower(col("text")), " ")).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-    toks.join(broadcast(vocab), "tok")
+    toks.join(vocab, "tok")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("sum_tf"), count(lit(1)).as("n_toks"))
   }

@@ -129,6 +129,11 @@ object ProtoFields {
     if (c1 < 0 || c2 < 0) throw new IllegalArgumentException(
       s"proto field spec must be num:name:type, got '$part'")
     val num = part.substring(0, c1).trim.toInt
+    // protobuf field numbers are 1..2^29-1 (a 0/negative/oversized number
+    // would make the Int tag math `(num << 3) | wire` overflow and emit a
+    // corrupt sign-extended tag)
+    if (num < 1 || num > 536870911) throw new IllegalArgumentException(
+      s"proto field number must be in [1, 536870911], got $num in '$part'")
     val name = part.substring(c1 + 1, c2).trim
     var t = part.substring(c2 + 1).trim
     val rep = t.endsWith("[]")
@@ -368,7 +373,7 @@ object ProtoFields {
       while (j < nBytes) { buf.write(((v >>> (8 * j)) & 0xFF).toInt); j += 1 }
     }
     def putLenDelim(num: Int, bytes: Array[Byte]): Unit = {
-      putVarint((num << 3) | 2); putVarint(bytes.length.toLong); buf.write(bytes)
+      putVarint((num.toLong << 3) | 2); putVarint(bytes.length.toLong); buf.write(bytes)
     }
     // Scalar value at ordinal `j` of `src` (row or array element),
     // written with its tag. Null array elements are skipped (proto has
@@ -378,21 +383,21 @@ object ProtoFields {
                   getBool: => Boolean, getStr: => UTF8String, getBin: => Array[Byte]): Unit =
       t match {
         case "double" =>
-          putVarint((num << 3) | 1); putFixed(java.lang.Double.doubleToLongBits(getDouble), 8)
+          putVarint((num.toLong << 3) | 1); putFixed(java.lang.Double.doubleToLongBits(getDouble), 8)
         case "float" =>
-          putVarint((num << 3) | 5); putFixed(java.lang.Float.floatToIntBits(getFloat) & 0xFFFFFFFFL, 4)
+          putVarint((num.toLong << 3) | 5); putFixed(java.lang.Float.floatToIntBits(getFloat) & 0xFFFFFFFFL, 4)
         case "string" => putLenDelim(num, getStr.getBytes)
         case "bytes" => putLenDelim(num, getBin)
         case "bool" =>
-          putVarint((num << 3) | 0); putVarint(if (getBool) 1L else 0L)
+          putVarint((num.toLong << 3) | 0); putVarint(if (getBool) 1L else 0L)
         case "sint32" | "sint64" =>
-          val v = getLong; putVarint((num << 3) | 0); putVarint((v << 1) ^ (v >> 63))
+          val v = getLong; putVarint((num.toLong << 3) | 0); putVarint((v << 1) ^ (v >> 63))
         case "fixed64" | "sfixed64" =>
-          putVarint((num << 3) | 1); putFixed(getLong, 8)
+          putVarint((num.toLong << 3) | 1); putFixed(getLong, 8)
         case "fixed32" | "sfixed32" =>
-          putVarint((num << 3) | 5); putFixed(getLong & 0xFFFFFFFFL, 4)
+          putVarint((num.toLong << 3) | 5); putFixed(getLong & 0xFFFFFFFFL, 4)
         case _ => // int32/int64/uint32/uint64/enum
-          putVarint((num << 3) | 0); putVarint(getLong)
+          putVarint((num.toLong << 3) | 0); putVarint(getLong)
       }
 
     var i = 0

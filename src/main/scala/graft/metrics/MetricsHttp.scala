@@ -21,6 +21,11 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 final class PromRegistry {
   private val counters = new ConcurrentHashMap[String, AtomicLong]()
   private val help = new ConcurrentHashMap[String, String]()
+  // exposition TYPE per family: "counter" unless the family is fed via
+  // observe(), whose max-merge semantics are not monotonic-sum — a
+  // Prometheus rate() over a max-merged series would be meaningless, so
+  // those families expose as gauge
+  private val ptype = new ConcurrentHashMap[String, String]()
 
   private def esc(v: String): String =
     v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
@@ -38,10 +43,15 @@ final class PromRegistry {
       .addAndGet(n)
 
   /** Set-to-max semantics for re-observed batch totals (a re-run of the
-    * same job must not double-count). */
-  def observe(name: String, labels: Seq[(String, String)], n: Long): Unit =
+    * same job must not double-count). Families fed this way are exposed
+    * as TYPE gauge: max-merge is not a monotonic sum, and two distinct
+    * jobs sharing an (action, metric) label set would be max-merged, not
+    * summed — action names should be unique per logical dataset. */
+  def observe(name: String, labels: Seq[(String, String)], n: Long): Unit = {
+    ptype.put(name, "gauge")
     counters.computeIfAbsent(key(name, labels), _ => new AtomicLong())
       .accumulateAndGet(n, math.max)
+  }
 
   def value(series: String): Long =
     Option(counters.get(series)).map(_.get()).getOrElse(0L)
@@ -57,7 +67,7 @@ final class PromRegistry {
     families.toSeq.sortBy(_._1).map { case (fam, series) =>
       val header =
         s"# HELP $fam ${Option(help.get(fam)).getOrElse("graft counter")}\n" +
-          s"# TYPE $fam counter\n"
+          s"# TYPE $fam ${Option(ptype.get(fam)).getOrElse("counter")}\n"
       header + series.sortBy(_._1)
         .map { case (s, v) => s"$s ${v.get()}" }.mkString("", "\n", "\n")
     }.mkString
@@ -90,12 +100,16 @@ object MetricsHttp {
     server.createContext("/live", (ex: HttpExchange) => respond(ex, 200, ""))
     server.createContext("/ready", (ex: HttpExchange) =>
       respond(ex, if (stopping.get()) 503 else 200, ""))
-    server.setExecutor(null)
+    // small pool so a slow /metrics scrape can't delay /live and /ready —
+    // the reference keeps liveness green while draining; a serial
+    // dispatcher (setExecutor(null)) would fail a probe behind one stall
+    private val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    server.setExecutor(pool)
     server.start()
 
     def boundPort: Int = server.getAddress.getPort
     def beginShutdown(): Unit = stopping.set(true)
-    def stop(): Unit = server.stop(0)
+    def stop(): Unit = { server.stop(0); pool.shutdown() }
   }
 
   def serve(registry: PromRegistry, port: Int = 0): Server =

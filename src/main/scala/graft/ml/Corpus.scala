@@ -54,8 +54,18 @@ object Corpus {
     * 100 TB too. `weightMilli` is the weight in thousandths (integer,
     * so no float drift between engines). */
   def upsample(df: DataFrame, textCol: String, weightMilli: Column): DataFrame = {
-    val whole = (weightMilli / 1000).cast("int")
-    val frac = pmod(weightMilli, lit(1000))
+    // negative weights are a config error, not a 0-copy request — fail the
+    // row loudly rather than emit a nonsensical trunc-vs-pmod mix
+    val w = when(weightMilli >= 0, weightMilli)
+      .otherwise(raise_error(concat(lit("upsample: negative weightMilli "),
+        weightMilli.cast("string"))))
+    // integer DIV (not `/` + cast): double division loses exactness for
+    // weights past 2^53 milli-units and pairs consistently with the pmod
+    val whole = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftBridge.expression(w.cast("long")),
+        org.apache.spark.sql.catalyst.expressions.Literal(1000L))).cast("int")
+    val frac = pmod(w, lit(1000))
     val extra = (pmod(Dedup.tokenHash(col(textCol)), lit(1000)) < frac).cast("int")
     val copies = (whole + extra).cast("int")
     // explode (not explode_outer) drops the null array when copies = 0

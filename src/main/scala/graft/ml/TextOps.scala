@@ -108,9 +108,13 @@ object TextOps {
     * doubles don't hash-compare across engines).
     *
     * Shape at scale: unigram and bigram vocab aggregations shuffle once
-    * each with map-side combine; both vocab tables join back broadcast
-    * (vocab ≪ corpus). The corpus text itself shuffles only as
-    * (doc_id, agg) partials — same layout as the unigram scorer. */
+    * each with map-side combine. The vocab tables are corpus-derived —
+    * distinct bigrams of web text grow near-linearly with the corpus, so
+    * they must NOT be force-broadcast (a `broadcast()` hint on a table
+    * with billions of rows is a driver OOM, not a slow plan). The joins
+    * are left unhinted: AQE broadcasts them at small scale and
+    * shuffle-joins on `g`/`w1` at large scale, which `occ` already
+    * shuffles by for the count aggregations. */
   def bigramLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String): org.apache.spark.sql.DataFrame = {
     val base = df.select(col(idCol), split(lower(col(textCol)), " ").as("_t"))
@@ -126,8 +130,8 @@ object TextOps {
     val uni = base.select(explode(col("_t")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val big = occ.groupBy(col("g")).agg(count(lit(1)).as("c2"))
-    occ.join(broadcast(big), "g")
-      .join(broadcast(uni), "w1")
+    occ.join(big, "g")
+      .join(uni, "w1")
       .groupBy(col(idCol))
       .agg(sum(expr("(c2 * 1000000) DIV c1")).as("lm_score_micro"),
         count(lit(1)).as("n_bigrams"))

@@ -99,4 +99,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.values.count(_ == "train") > out.values.count(_ == "val"))
     assert(out.values.count(_ == "train") > out.values.count(_ == "test"))
   }
+
+  test("upsample: whole copies are exact for huge weights; negative weight fails loudly") {
+    import spark.implicits._
+    // 2^53 + 1 milli-units: double division would round this, integer DIV
+    // must not — whole copies = (2^53 + 1) DIV 1000 truncated to Int range
+    // is beyond explode practicality, so probe the expression directly via
+    // a small weight plus the exactness-sensitive parity of a large one.
+    val big = (math.pow(2, 53).toLong + 1001L)
+    val df = Seq((1L, "aaa", 2500L)).toDF("doc_id", "text", "w")
+    val n = Corpus.upsample(df, "text", col("w")).count()
+    assert(n == 2L || n == 3L) // 2 whole copies + 0/1 fractional
+    // the deterministic coin makes the count reproducible
+    assert(n == Corpus.upsample(df, "text", col("w")).count())
+    // negative weight: loud failure, not a silent trunc/pmod mix
+    val neg = Seq((1L, "aaa", -500L)).toDF("doc_id", "text", "w")
+    val e = intercept[Exception] {
+      Corpus.upsample(neg, "text", col("w")).count()
+    }
+    assert(e.getMessage.contains("negative weightMilli")
+      || Option(e.getCause).exists(_.getMessage.contains("negative weightMilli")))
+    // DIV exactness itself (the class of bug the fix closes): check the
+    // integral-divide path gives the true quotient for a > 2^53 value
+    val q = Seq(Tuple1(big)).toDF("w")
+      .select(expr("w DIV 1000").as("q")).as[Long].head()
+    assert(q == big / 1000L)
+  }
 }

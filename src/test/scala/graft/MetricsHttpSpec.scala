@@ -50,7 +50,9 @@ class MetricsHttpSpec extends AnyFunSuite {
       org.apache.spark.GraftSparkBridge.waitListenerBusEmpty(spark.sparkContext)
       val (code, body) = get(srv.boundPort, "/metrics")
       assert(code == 200)
-      assert(body.contains("# TYPE graft_action_events_total counter"))
+      // observe()-fed families are max-merged, not summed, so they expose
+      // as gauge (rate() over a max-merged "counter" would be meaningless)
+      assert(body.contains("# TYPE graft_action_events_total gauge"))
       assert(body.contains(
         """graft_action_events_total{action="mask_act",metric="events_total"} 3"""))
       assert(body.contains(

@@ -78,11 +78,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!split.contains("Exchange"), split)
   }
 
-  test("bigram-LM scoring broadcasts both vocab tables back onto the corpus") {
-    val p = plan(graft.ml.TextOps.bigramLmScore(
-      Tables(spark, sf, "documents"), "doc_id", "text"))
-    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
-    assert(!p.contains("SortMergeJoin"), p)
+  test("bigram-LM / unigram scoring never force-broadcasts corpus-derived vocab") {
+    // The vocab tables grow with the corpus (distinct bigrams of web text
+    // are near-linear in corpus size), so a broadcast() hint is a driver
+    // OOM at 100 TB. The scale-safe property: no hint in the logical plan,
+    // and with auto-broadcast disabled (what a too-big table looks like at
+    // runtime) the plan degrades to shuffle joins instead of failing.
+    def build(): Seq[org.apache.spark.sql.DataFrame] = Seq(
+      graft.ml.TextOps.bigramLmScore(
+        Tables(spark, sf, "documents"), "doc_id", "text"),
+      Queries5.q67_text_unigram(spark, sf))
+    for (df <- build())
+      assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        "corpus-derived vocab join carries a broadcast hint:\n" +
+          df.queryExecution.analyzed)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (df <- build()) {
+        val p = plan(df)
+        assert(!p.contains("BroadcastHashJoin"), p)
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("sharded shuffle costs exactly one shuffle (the shard key)") {

@@ -169,4 +169,23 @@ class ProtoFieldsSpec extends AnyFunSuite {
     assert(row.getLong(7) == 4000000000L)
     assert(row.getFloat(8) == 1.25f)
   }
+
+  test("field numbers outside [1, 2^29-1] are rejected at parse time") {
+    for (bad <- Seq("0:a:int64", "-3:a:int64", "536870912:a:int64"))
+      intercept[IllegalArgumentException] { ProtoFields.parseSpec(bad) }
+  }
+
+  test("max valid field number (2^29-1) roundtrips without tag overflow") {
+    // the 5-byte tag (536870911 << 3 | wire) needs Long math — Int
+    // overflow would emit a corrupt sign-extended 10-byte tag
+    val fields = ProtoFields.parseSpec("536870911:a:int64")
+    val in: Array[Any] = Array(99L)
+    val enc = ProtoFields.encode(
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(in), fields)
+    // varint tag of (536870911L << 3) = 0xFFFFFFF8 is exactly 5 bytes,
+    // high bit clear on the last
+    assert((enc(4) & 0x80) == 0)
+    val row = ProtoFields.decode(enc, fields)
+    assert(row.getLong(0) == 99L)
+  }
 }
