@@ -126,7 +126,12 @@ object Bench {
     val tpOverScan = tpSec match { case t if t > 0 => scanSec / t case _ => 0.0 }
     val spread = (tpSamples.max - tpSamples.min) / tpSamples.min
     val noiseBand = 0.25
-    if (spread > noiseBand)
+    val noisy = spread > noiseBand
+    // Median-of-5 throughput: robust to the single-outlier runs that made
+    // min-of-5 claim a 10% "regression" in r5 over an 11×-spread sample.
+    val tpMedianSec = tpSamples.sorted.apply(tpSamples.size / 2)
+    val tpMedianMbps = corpusBytes / 1e6 / tpMedianSec
+    if (noisy)
       System.err.println(
         f"[bench] WARN tp sample spread $spread%.2f exceeds noise band " +
           f"$noiseBand%.2f — samples ${tpSamples.map(v => f"$v%.3f").mkString(",")}; " +
@@ -138,7 +143,9 @@ object Bench {
     val tpArr = tpSamples.map(v => f"$v%.4f").mkString("[", ",", "]")
     val detail =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,""" +
-        f""""throughput_MBps":$mbps%.1f,"scan_MBps":$scanMbps%.1f,""" +
+        f""""throughput_MBps":$mbps%.1f,"tp_median_MBps":$tpMedianMbps%.1f,""" +
+        f""""scan_MBps":$scanMbps%.1f,"tp_over_scan":$tpOverScan%.4f,""" +
+        f""""tp_spread":$spread%.4f,"tp_noisy":$noisy,""" +
         f""""tp_samples_sec":$tpArr,"corpus_bytes":$corpusBytes,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
@@ -148,7 +155,9 @@ object Bench {
     // tail/parse buffer always holds the whole JSON.
     println(
       f"""{"metric":"total","value":$total%.4f,"unit":"sec",""" +
-        f""""throughput_MBps":$mbps%.1f,"scan_MBps":$scanMbps%.1f,""" +
+        f""""throughput_MBps":$mbps%.1f,"tp_median_MBps":$tpMedianMbps%.1f,""" +
+        f""""scan_MBps":$scanMbps%.1f,"tp_over_scan":$tpOverScan%.4f,""" +
+        f""""tp_spread":$spread%.4f,"tp_noisy":$noisy,""" +
         f""""total_sec":$total%.4f,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

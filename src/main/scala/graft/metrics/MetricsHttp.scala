@@ -38,17 +38,34 @@ final class PromRegistry {
 
   def describe(name: String, text: String): Unit = help.putIfAbsent(name, text)
 
-  def inc(name: String, labels: Seq[(String, String)] = Nil, n: Long = 1L): Unit =
+  // a family fed by both inc() and observe() would silently flip its
+  // whole exposition to gauge — fail at the feed site instead
+  private def claim(name: String, t: String): Unit = {
+    val prev = ptype.putIfAbsent(name, t)
+    require(prev == null || prev == t,
+      s"metric family $name is already $prev; mixing inc() and observe() " +
+        "on one family is not allowed — use distinct family names")
+  }
+
+  def inc(name: String, labels: Seq[(String, String)] = Nil, n: Long = 1L): Unit = {
+    claim(name, "counter")
     counters.computeIfAbsent(key(name, labels), _ => new AtomicLong())
       .addAndGet(n)
+  }
 
   /** Set-to-max semantics for re-observed batch totals (a re-run of the
     * same job must not double-count). Families fed this way are exposed
     * as TYPE gauge: max-merge is not a monotonic sum, and two distinct
     * jobs sharing an (action, metric) label set would be max-merged, not
-    * summed — action names should be unique per logical dataset. */
+    * summed — action names should be unique per logical dataset.
+    * Callers must NOT use the `_total` suffix for these families:
+    * OpenMetrics reserves `*_total` for counters, and strict parsers
+    * reject a `*_total` gauge. */
   def observe(name: String, labels: Seq[(String, String)], n: Long): Unit = {
-    ptype.put(name, "gauge")
+    require(!name.endsWith("_total"),
+      s"observe()-fed family $name exposes as gauge; OpenMetrics reserves " +
+        "the _total suffix for counters — drop the suffix")
+    claim(name, "gauge")
     counters.computeIfAbsent(key(name, labels), _ => new AtomicLong())
       .accumulateAndGet(n, math.max)
   }
@@ -117,12 +134,14 @@ object MetricsHttp {
 
   /** Bridge Spark's observation bus into the registry: every
     * `Metrics.observeAction` point becomes
-    * `graft_action_events_total{action=..., metric=...}` on the next job
+    * `graft_action_events{action=..., metric=...}` on the next job
     * completion (max-merge, so a re-observed total never double-counts).
-    * Returns an unregister handle. */
+    * No `_total` suffix: the family exposes as TYPE gauge (max-merge is
+    * not a monotonic sum) and OpenMetrics reserves `*_total` for
+    * counters. Returns an unregister handle. */
   def attachExporter(spark: org.apache.spark.sql.SparkSession,
                      registry: PromRegistry): () => Unit = {
-    registry.describe("graft_action_events_total",
+    registry.describe("graft_action_events",
       "events seen per observed action (observe() aggregates)")
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
@@ -132,7 +151,7 @@ object MetricsHttp {
           row.schema.fieldNames.foreach { f =>
             row.getAs[Any](f) match {
               case n: Long =>
-                registry.observe("graft_action_events_total",
+                registry.observe("graft_action_events",
                   Seq("action" -> name, "metric" -> f), n)
               case _ => ()
             }

@@ -53,18 +53,27 @@ object Corpus {
     * factor is the weight itself, which is how epoch mixing costs at
     * 100 TB too. `weightMilli` is the weight in thousandths (integer,
     * so no float drift between engines). */
-  def upsample(df: DataFrame, textCol: String, weightMilli: Column): DataFrame = {
-    // negative weights are a config error, not a 0-copy request — fail the
-    // row loudly rather than emit a nonsensical trunc-vs-pmod mix
-    val w = when(weightMilli >= 0, weightMilli)
-      .otherwise(raise_error(concat(lit("upsample: negative weightMilli "),
-        weightMilli.cast("string"))))
-    // integer DIV (not `/` + cast): double division loses exactness for
-    // weights past 2^53 milli-units and pairs consistently with the pmod
-    val whole = org.apache.spark.sql.GraftBridge.column(
+  /** Whole-copy count from an integer milli-weight: `w DIV 1000` via
+    * Catalyst IntegralDivide — NOT `/` + cast, whose double division
+    * loses exactness past 2^53 milli-units. Package-visible so the spec
+    * probes the exact expression upsample runs, not a stand-in. */
+  private[graft] def wholeMilliCopies(w: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         org.apache.spark.sql.GraftBridge.expression(w.cast("long")),
-        org.apache.spark.sql.catalyst.expressions.Literal(1000L))).cast("int")
+        org.apache.spark.sql.catalyst.expressions.Literal(1000L)))
+
+  def upsample(df: DataFrame, textCol: String, weightMilli: Column): DataFrame = {
+    // null and negative weights are config errors, not 0-copy requests —
+    // fail the row loudly rather than emit a nonsensical trunc-vs-pmod
+    // mix (null must be tested first: `null >= 0` is null, so it would
+    // otherwise fall through and produce an empty raise_error message)
+    val w = when(weightMilli.isNull,
+        raise_error(lit("upsample: null weightMilli")))
+      .when(weightMilli >= 0, weightMilli)
+      .otherwise(raise_error(concat(lit("upsample: negative weightMilli "),
+        weightMilli.cast("string"))))
+    val whole = wholeMilliCopies(w).cast("int")
     val frac = pmod(w, lit(1000))
     val extra = (pmod(Dedup.tokenHash(col(textCol)), lit(1000)) < frac).cast("int")
     val copies = (whole + extra).cast("int")

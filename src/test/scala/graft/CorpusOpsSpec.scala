@@ -102,11 +102,8 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   test("upsample: whole copies are exact for huge weights; negative weight fails loudly") {
     import spark.implicits._
-    // 2^53 + 1 milli-units: double division would round this, integer DIV
-    // must not — whole copies = (2^53 + 1) DIV 1000 truncated to Int range
-    // is beyond explode practicality, so probe the expression directly via
-    // a small weight plus the exactness-sensitive parity of a large one.
-    val big = (math.pow(2, 53).toLong + 1001L)
+    // Huge weights are beyond explode practicality, so probe the division
+    // expression directly (below) plus end-to-end behavior on a small one.
     val df = Seq((1L, "aaa", 2500L)).toDF("doc_id", "text", "w")
     val n = Corpus.upsample(df, "text", col("w")).count()
     assert(n == 2L || n == 3L) // 2 whole copies + 0/1 fractional
@@ -119,10 +116,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("negative weightMilli")
       || Option(e.getCause).exists(_.getMessage.contains("negative weightMilli")))
-    // DIV exactness itself (the class of bug the fix closes): check the
-    // integral-divide path gives the true quotient for a > 2^53 value
-    val q = Seq(Tuple1(big)).toDF("w")
-      .select(expr("w DIV 1000").as("q")).as[Long].head()
-    assert(q == big / 1000L)
+    // DIV exactness on upsample's OWN whole-copies expression (not a
+    // stand-in expr()): the IntegralDivide-via-GraftBridge path must give
+    // the true quotient for a value where double division verifiably
+    // rounds the other way (2^60 / 1000.0 = ...847.0 but DIV = ...846)
+    val huge = 1152921504606846976L // 2^60
+    val q = Seq(Tuple1(huge)).toDF("w")
+      .select(Corpus.wholeMilliCopies(col("w")).as("q")).as[Long].head()
+    assert(q == huge / 1000L)
+    assert(q != (huge.toDouble / 1000.0).toLong) // double division rounds up here
+    // null weight: loud failure with its own message, not an empty
+    // "negative weightMilli null" concat (nulls used to yield 0 copies)
+    val nul = Seq((1L, "aaa", Option.empty[java.lang.Long])).toDF("doc_id", "text", "w")
+    val en = intercept[Exception] {
+      Corpus.upsample(nul, "text", col("w")).count()
+    }
+    assert(en.getMessage.contains("null weightMilli")
+      || Option(en.getCause).exists(_.getMessage.contains("null weightMilli")))
   }
 }

@@ -52,17 +52,18 @@ class MetricsHttpSpec extends AnyFunSuite {
       assert(code == 200)
       // observe()-fed families are max-merged, not summed, so they expose
       // as gauge (rate() over a max-merged "counter" would be meaningless)
-      assert(body.contains("# TYPE graft_action_events_total gauge"))
+      // and carry no _total suffix (OpenMetrics reserves it for counters)
+      assert(body.contains("# TYPE graft_action_events gauge"))
       assert(body.contains(
-        """graft_action_events_total{action="mask_act",metric="events_total"} 3"""))
+        """graft_action_events{action="mask_act",metric="events_total"} 3"""))
       assert(body.contains(
-        """graft_action_events_total{action="mask_act",metric="events_a"} 2"""))
+        """graft_action_events{action="mask_act",metric="events_a"} 2"""))
       // re-running the same observed job must not double-count (max-merge)
       Metrics.observeAction(df, "mask_act", Some(col("k")), Seq("a", "b")).count()
       org.apache.spark.GraftSparkBridge.waitListenerBusEmpty(spark.sparkContext)
       val (_, body2) = get(srv.boundPort, "/metrics")
       assert(body2.contains(
-        """graft_action_events_total{action="mask_act",metric="events_total"} 3"""))
+        """graft_action_events{action="mask_act",metric="events_total"} 3"""))
     } finally {
       srv.stop()
       detach()
@@ -74,5 +75,16 @@ class MetricsHttpSpec extends AnyFunSuite {
     r.inc("graft_test_total", Seq("path" -> "a\\b\"c\nd"), 5)
     val out = r.render()
     assert(out.contains("""graft_test_total{path="a\\b\"c\nd"} 5"""))
+  }
+
+  test("mixed inc()/observe() on one family and *_total gauges are rejected") {
+    val r = new PromRegistry
+    r.inc("graft_mixed", Nil, 1)
+    intercept[IllegalArgumentException] { r.observe("graft_mixed", Nil, 2) }
+    // gauge families must not claim the counter-reserved _total suffix
+    intercept[IllegalArgumentException] { r.observe("graft_bad_total", Nil, 2) }
+    val r2 = new PromRegistry
+    r2.observe("graft_obs", Nil, 2)
+    intercept[IllegalArgumentException] { r2.inc("graft_obs", Nil, 1) }
   }
 }
