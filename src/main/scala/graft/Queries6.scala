@@ -130,6 +130,41 @@ object Queries6 {
       |        ('0x' || substr(md5(text || '|split7'), 1, 15))::BIGINT % 1000 AS b
       |      FROM documents)""".stripMargin
 
+  /** Kafka round-trip under the oracle harness (round 6): a loopback
+    * broker speaking the REAL wire protocol over TCP is stood up inside
+    * the query, a deterministic slice of `events` is produced through
+    * the wire SINK (keyed by event_id → DefaultPartitioner spread over
+    * 3 partitions, distributed foreachPartition producers), and the
+    * result is the wire SOURCE reading it back through consumer-group
+    * offset planning — so both §2 kafka legs run under the same
+    * hash-compared oracle as every other operator, not just in specs.
+    * The broker serves on daemon threads for the query's lifetime
+    * (ephemeral loopback port; a fixture stand-in for the real cluster
+    * the same client code would reach). */
+  val q111_kafka_roundtrip: Q = (s, dir) => {
+    val broker = new graft.sources.KafkaLoopbackBroker(numPartitions = 3)
+    val feed = t(s, dir, "events")
+      .filter(col("event_id") <= 2000)
+      .select(col("event_id").cast("string").as("k"),
+        to_json(struct(col("event_id"), col("event_type"), col("user_id")))
+          .as("value"))
+    graft.sinks.Sinks.kafkaWireSink(feed, broker.bootstrap,
+      defaultTopic = "events", keyField = Some("k"))
+    val back = graft.sources.Sources
+      .kafkaWireBatch(s, broker.bootstrap, "events", group = "q111")
+      .df
+    val j = graft.functions.JsonFields(col("value"),
+      Seq("event_id", "event_type", "user_id"))
+    back.select(
+      j.getField("event_id").cast("long").as("event_id"),
+      j.getField("event_type").as("event_type"),
+      j.getField("user_id").cast("long").as("user_id"))
+  }
+
+  val q111_sql: String =
+    """SELECT event_id, event_type, user_id
+      |FROM events WHERE event_id <= 2000""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -137,7 +172,8 @@ object Queries6 {
     "q107_bigram_lm" -> q107_bigram_lm,
     "q108_pii_scrub" -> q108_pii_scrub,
     "q109_corpus_shuffle" -> q109_corpus_shuffle,
-    "q110_split_assign" -> q110_split_assign
+    "q110_split_assign" -> q110_split_assign,
+    "q111_kafka_roundtrip" -> q111_kafka_roundtrip
   )
 
   val oracles: Map[String, String] = Map(
@@ -145,6 +181,7 @@ object Queries6 {
     "q107_bigram_lm" -> q107_sql,
     "q108_pii_scrub" -> q108_sql,
     "q109_corpus_shuffle" -> q109_sql,
-    "q110_split_assign" -> q110_sql
+    "q110_split_assign" -> q110_sql,
+    "q111_kafka_roundtrip" -> q111_sql
   )
 }

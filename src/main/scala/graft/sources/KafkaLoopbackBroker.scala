@@ -1,0 +1,304 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.ByteBuffer
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+/** Single-node loopback Kafka broker emulation — the same playbook as
+  * [[HttpSpoolInput]] for the HTTP leg: this zero-egress environment has
+  * no broker and no connector jar, so the kafka source/sink speak the
+  * REAL wire protocol (see [[KafkaWire]]) against this in-memory
+  * emulation, end to end over TCP. Serves the pre-flexible subset the
+  * client uses: ApiVersions v0, Metadata v0-1, Produce v2, Fetch v2,
+  * ListOffsets v0-1, FindCoordinator v0, OffsetCommit v2, OffsetFetch
+  * v0-1.
+  *
+  * Semantics kept honest to a real broker where the reference relies on
+  * them (plugin/input/kafka/kafka.go:77-129): monotonically assigned
+  * offsets per partition, high-watermark in fetch responses, fetch past
+  * the log end → OFFSET_OUT_OF_RANGE, fetch responses capped at
+  * max_bytes (but always carrying at least one message, the v3+ rule
+  * that prevents a large-message livelock), per-group committed offsets
+  * stored independently of the log (≙ __consumer_offsets), topics
+  * auto-created on first metadata reference. Loopback-only by
+  * construction; not a distributed broker — the durability story at
+  * scale is a real Kafka cluster, reached by this same client code.
+  */
+final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0)
+    extends AutoCloseable {
+  import KafkaWire._
+
+  private val logs =
+    new ConcurrentHashMap[(String, Int), java.util.ArrayList[RecordMsg]]()
+  // java.lang.Long values: a missing key must read as None/-1, not as a
+  // silently null-unboxed 0 (which would look like a committed offset 0)
+  private val groupOffsets = new ConcurrentHashMap[(String, String, Int), java.lang.Long]()
+  private val topics = ConcurrentHashMap.newKeySet[String]()
+  private val server =
+    new ServerSocket(port, 64, InetAddress.getLoopbackAddress)
+  @volatile private var running = true
+
+  def host: String = "127.0.0.1"
+  def boundPort: Int = server.getLocalPort
+  def bootstrap: String = s"$host:$boundPort"
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val s = server.accept()
+        val t = new Thread(() => serve(s))
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Exception => () } // closed during accept
+    }
+  }, "kafka-loopback-acceptor")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  override def close(): Unit = { running = false; server.close() }
+
+  // ---------------------------------------------- assertion surface
+
+  def logEnd(topic: String, partition: Int): Long =
+    log(topic, partition).synchronized { log(topic, partition).size.toLong }
+
+  def committed(group: String, topic: String, partition: Int): Option[Long] =
+    Option(groupOffsets.get((group, topic, partition))).map(_.longValue)
+
+  def values(topic: String, partition: Int): Seq[String] = {
+    val l = log(topic, partition)
+    l.synchronized {
+      l.asScala.map(m => new String(m.value, "UTF-8")).toVector
+    }
+  }
+
+  // ------------------------------------------------------- serving
+
+  private def log(topic: String, p: Int): java.util.ArrayList[RecordMsg] =
+    logs.computeIfAbsent((topic, p), _ => new java.util.ArrayList[RecordMsg]())
+
+  private def serve(s: Socket): Unit = {
+    s.setTcpNoDelay(true)
+    val in = new DataInputStream(new BufferedInputStream(s.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(s.getOutputStream))
+    try {
+      while (running) {
+        val size = in.readInt()
+        val req = new Array[Byte](size)
+        in.readFully(req)
+        val bb = ByteBuffer.wrap(req)
+        val api = bb.getShort
+        val version = bb.getShort
+        val corr = bb.getInt
+        rNStr(bb) // client_id
+        val body = api match {
+          case ApiApiVersions    => apiVersionsResp()
+          case ApiMetadata       => metadataResp(bb, version)
+          case ApiProduce        => produceResp(bb)
+          case ApiFetch          => fetchResp(bb)
+          case ApiListOffsets    => listOffsetsResp(bb)
+          case ApiFindCoordinator => findCoordinatorResp(bb)
+          case ApiOffsetCommit   => offsetCommitResp(bb)
+          case ApiOffsetFetch    => offsetFetchResp(bb)
+          case other =>
+            throw new UnsupportedOperationException(s"api key $other")
+        }
+        out.writeInt(4 + body.length)
+        out.writeInt(corr)
+        out.write(body)
+        out.flush()
+      }
+    } catch {
+      case _: java.io.EOFException | _: java.net.SocketException => () // client gone
+    } finally s.close()
+  }
+
+  private def apiVersionsResp(): Array[Byte] = {
+    val supported = Seq[(Short, Short, Short)](
+      (ApiProduce, 2, 2), (ApiFetch, 2, 2), (ApiListOffsets, 0, 1),
+      (ApiMetadata, 0, 1), (ApiOffsetCommit, 2, 2), (ApiOffsetFetch, 0, 1),
+      (ApiFindCoordinator, 0, 0), (ApiApiVersions, 0, 0))
+    val w = new Writer().i16(0).i32(supported.size)
+    supported.foreach { case (k, lo, hi) => w.i16(k).i16(lo).i16(hi) }
+    w.result
+  }
+
+  private def metadataResp(bb: ByteBuffer, version: Short): Array[Byte] = {
+    val n = bb.getInt
+    val requested =
+      if (n < 0) topics.asScala.toSeq.sorted // null array = all topics
+      else (0 until n).map(_ => rStr(bb))
+    requested.foreach(topics.add)
+    val w = new Writer()
+    w.i32(1).i32(0).str(host).i32(boundPort) // one broker, node 0
+    if (version >= 1) w.nstr(null) // rack
+    if (version >= 1) w.i32(0) // controller_id
+    w.i32(requested.size)
+    requested.foreach { t =>
+      w.i16(0).str(t)
+      if (version >= 1) w.i8(0) // is_internal
+      w.i32(numPartitions)
+      (0 until numPartitions).foreach { p =>
+        w.i16(0).i32(p).i32(0) // error, index, leader
+        w.i32(1).i32(0) // replicas [0]
+        w.i32(1).i32(0) // isr [0]
+      }
+    }
+    w.result
+  }
+
+  private def produceResp(bb: ByteBuffer): Array[Byte] = {
+    bb.getShort // acks
+    bb.getInt // timeout_ms
+    val w = new Writer()
+    val nt = bb.getInt
+    w.i32(nt)
+    (0 until nt).foreach { _ =>
+      val topic = rStr(bb)
+      topics.add(topic)
+      val np = bb.getInt
+      w.str(topic).i32(np)
+      (0 until np).foreach { _ =>
+        val p = bb.getInt
+        val set = rBytes(bb)
+        if (p < 0 || p >= numPartitions)
+          w.i32(p).i16(ErrUnknownTopicOrPartition).i64(-1L).i64(-1L)
+        else {
+          val entries = decodeMessageSet(set)
+          val l = log(topic, p)
+          val base = l.synchronized {
+            val b = l.size.toLong
+            entries.zipWithIndex.foreach { case (e, i) =>
+              l.add(RecordMsg(b + i, e.timestamp, e.key, e.value))
+            }
+            b
+          }
+          w.i32(p).i16(0).i64(base).i64(-1L)
+        }
+      }
+    }
+    w.i32(0) // throttle_time_ms
+    w.result
+  }
+
+  private def fetchResp(bb: ByteBuffer): Array[Byte] = {
+    bb.getInt // replica_id
+    bb.getInt // max_wait_ms
+    bb.getInt // min_bytes
+    val w = new Writer().i32(0) // throttle_time_ms
+    val nt = bb.getInt
+    w.i32(nt)
+    (0 until nt).foreach { _ =>
+      val topic = rStr(bb)
+      val np = bb.getInt
+      w.str(topic).i32(np)
+      (0 until np).foreach { _ =>
+        val p = bb.getInt
+        val off = bb.getLong
+        val maxBytes = bb.getInt
+        val l = log(topic, p)
+        val (hw, slice) = l.synchronized {
+          val end = l.size.toLong
+          if (off < 0 || off > end) (end, null)
+          else {
+            // at least one message even past max_bytes; stop before the
+            // first message that would overflow the cap after that
+            val picked = Vector.newBuilder[RecordMsg]
+            var bytes = 0
+            var i = off.toInt
+            var stop = false
+            while (i < l.size && !stop) {
+              val m = l.get(i)
+              val sz = 26 + 12 +
+                (if (m.key == null) 0 else m.key.length) +
+                (if (m.value == null) 0 else m.value.length)
+              if (bytes > 0 && bytes + sz > maxBytes) stop = true
+              else { picked += m; bytes += sz; i += 1 }
+            }
+            (end, picked.result())
+          }
+        }
+        if (slice == null)
+          w.i32(p).i16(ErrOffsetOutOfRange).i64(hw).i32(0)
+        else {
+          val set = encodeMessageSet(slice)
+          w.i32(p).i16(0).i64(hw).i32(set.length).raw(set)
+        }
+      }
+    }
+    w.result
+  }
+
+  private def listOffsetsResp(bb: ByteBuffer): Array[Byte] = {
+    bb.getInt // replica_id
+    val w = new Writer()
+    val nt = bb.getInt
+    w.i32(nt)
+    (0 until nt).foreach { _ =>
+      val topic = rStr(bb)
+      val np = bb.getInt
+      w.str(topic).i32(np)
+      (0 until np).foreach { _ =>
+        val p = bb.getInt
+        val ts = bb.getLong
+        val l = log(topic, p)
+        val off = ts match {
+          case -2L => 0L // log start (no retention truncation here)
+          case _   => l.synchronized { l.size.toLong } // -1L and any time: log end
+        }
+        w.i32(p).i16(0).i64(-1L).i64(off)
+      }
+    }
+    w.result
+  }
+
+  private def findCoordinatorResp(bb: ByteBuffer): Array[Byte] = {
+    rStr(bb) // group: single node coordinates every group
+    new Writer().i16(0).i32(0).str(host).i32(boundPort).result
+  }
+
+  private def offsetCommitResp(bb: ByteBuffer): Array[Byte] = {
+    val group = rStr(bb)
+    bb.getInt // generation_id
+    rStr(bb) // member_id
+    bb.getLong // retention_time_ms
+    val w = new Writer()
+    val nt = bb.getInt
+    w.i32(nt)
+    (0 until nt).foreach { _ =>
+      val topic = rStr(bb)
+      val np = bb.getInt
+      w.str(topic).i32(np)
+      (0 until np).foreach { _ =>
+        val p = bb.getInt
+        val off = bb.getLong
+        rNStr(bb) // metadata
+        groupOffsets.put((group, topic, p), java.lang.Long.valueOf(off))
+        w.i32(p).i16(0)
+      }
+    }
+    w.result
+  }
+
+  private def offsetFetchResp(bb: ByteBuffer): Array[Byte] = {
+    val group = rStr(bb)
+    val w = new Writer()
+    val nt = bb.getInt
+    w.i32(nt)
+    (0 until nt).foreach { _ =>
+      val topic = rStr(bb)
+      val np = bb.getInt
+      w.str(topic).i32(np)
+      (0 until np).foreach { _ =>
+        val p = bb.getInt
+        val off = Option(groupOffsets.get((group, topic, p)))
+          .map(_.longValue).getOrElse(-1L)
+        w.i32(p).i64(off).nstr(null).i16(0)
+      }
+    }
+    w.result
+  }
+}

@@ -1,0 +1,352 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.CRC32
+
+/** The Kafka wire protocol, spoken natively — the client half of the
+  * reference's kafka input/output (plugin/input/kafka/kafka.go:77-129:
+  * consumer-group offsets, offset commit after ack, topic/partition/
+  * offset meta; plugin/output/kafka/kafka.go:53-121: keyed produce,
+  * default-topic + use_topic_field routing), implemented from the public
+  * protocol spec (kafka.apache.org/protocol) so the leg is testable in
+  * this zero-egress environment against [[KafkaLoopbackBroker]] and
+  * interoperable with any real broker at the same API versions.
+  *
+  * Deliberately pre-flexible protocol versions (fixed-width lengths, no
+  * compact strings or tagged fields) with magic-1 message sets
+  * (CRC32-guarded): ApiVersions v0, Metadata v1, Produce v2, Fetch v2,
+  * ListOffsets v1, FindCoordinator v0, OffsetCommit v2, OffsetFetch v1 —
+  * a subset every broker since 0.10 serves. One TCP connection per
+  * client, correlation-id matched request/response.
+  */
+object KafkaWire {
+
+  val ApiProduce: Short = 0
+  val ApiFetch: Short = 1
+  val ApiListOffsets: Short = 2
+  val ApiMetadata: Short = 3
+  val ApiOffsetCommit: Short = 8
+  val ApiOffsetFetch: Short = 9
+  val ApiFindCoordinator: Short = 10
+  val ApiApiVersions: Short = 18
+
+  val ErrNone: Short = 0
+  val ErrOffsetOutOfRange: Short = 1
+  val ErrUnknownTopicOrPartition: Short = 3
+
+  /** One message as stored/fetched: absolute offset + CreateTime. */
+  final case class RecordMsg(offset: Long, timestamp: Long,
+                             key: Array[Byte], value: Array[Byte])
+
+  /** Partition → leader address, from a Metadata response. */
+  final case class PartitionMeta(partition: Int, leaderHost: String, leaderPort: Int)
+
+  /** Big-endian wire writer (the protocol's INT8/16/32/64, STRING,
+    * NULLABLE_STRING, BYTES, ARRAY primitives). */
+  final class Writer {
+    private val bos = new ByteArrayOutputStream(256)
+    private val o = new DataOutputStream(bos)
+    def i8(v: Int): Writer = { o.writeByte(v); this }
+    def i16(v: Int): Writer = { o.writeShort(v); this }
+    def i32(v: Int): Writer = { o.writeInt(v); this }
+    def i64(v: Long): Writer = { o.writeLong(v); this }
+    def str(s: String): Writer = {
+      val b = s.getBytes(UTF_8); o.writeShort(b.length); o.write(b); this
+    }
+    def nstr(s: String): Writer =
+      if (s == null) i16(-1) else str(s)
+    def bytes(b: Array[Byte]): Writer =
+      if (b == null) i32(-1) else { o.writeInt(b.length); o.write(b); this }
+    def raw(b: Array[Byte]): Writer = { o.write(b); this }
+    def result: Array[Byte] = { o.flush(); bos.toByteArray }
+  }
+
+  def rStr(b: ByteBuffer): String = {
+    val n = b.getShort
+    require(n >= 0, s"non-nullable STRING with length $n")
+    val a = new Array[Byte](n); b.get(a); new String(a, UTF_8)
+  }
+
+  def rNStr(b: ByteBuffer): String = {
+    val n = b.getShort
+    if (n < 0) null else { val a = new Array[Byte](n); b.get(a); new String(a, UTF_8) }
+  }
+
+  def rBytes(b: ByteBuffer): Array[Byte] = {
+    val n = b.getInt
+    if (n < 0) null else { val a = new Array[Byte](n); b.get(a); a }
+  }
+
+  /** Encode a magic-1 message set: [offset INT64, size INT32, message]*
+    * with message = CRC32(magic..end) INT32, magic=1, attributes=0 (no
+    * compression), CreateTime INT64, key BYTES, value BYTES. */
+  def encodeMessageSet(entries: Seq[RecordMsg]): Array[Byte] = {
+    val w = new Writer
+    entries.foreach { e =>
+      val body = new Writer()
+        .i8(1).i8(0).i64(e.timestamp).bytes(e.key).bytes(e.value).result
+      val crc = new CRC32(); crc.update(body)
+      w.i64(e.offset).i32(4 + body.length).i32(crc.getValue.toInt).raw(body)
+    }
+    w.result
+  }
+
+  /** Decode a magic-1 message set, CRC-verifying each message. A
+    * truncated trailing message (the broker cut the set at max_bytes,
+    * legal in the protocol) is dropped, not an error. */
+  def decodeMessageSet(data: Array[Byte]): Seq[RecordMsg] = {
+    val out = Vector.newBuilder[RecordMsg]
+    val bb = ByteBuffer.wrap(data)
+    var done = false
+    while (!done && bb.remaining >= 12) {
+      val offset = bb.getLong
+      val size = bb.getInt
+      if (bb.remaining < size) done = true
+      else {
+        val msg = new Array[Byte](size); bb.get(msg)
+        val mb = ByteBuffer.wrap(msg)
+        val wireCrc = mb.getInt.toLong & 0xffffffffL
+        val crc = new CRC32(); crc.update(msg, 4, msg.length - 4)
+        require(crc.getValue == wireCrc,
+          s"message CRC mismatch at offset $offset: ${crc.getValue} != $wireCrc")
+        val magic = mb.get()
+        require(magic == 1, s"unsupported message magic $magic (only v1)")
+        val attrs = mb.get()
+        require((attrs & 0x07) == 0, s"compressed message sets unsupported (attrs=$attrs)")
+        val ts = mb.getLong
+        out += RecordMsg(offset, ts, rBytes(mb), rBytes(mb))
+      }
+    }
+    out.result()
+  }
+
+  /** murmur2 (Austin Appleby's public-domain algorithm, the hash behind
+    * Kafka's DefaultPartitioner) — byte-compatible so a key routed by
+    * this sink lands on the same partition a stock Java producer picks. */
+  def murmur2(data: Array[Byte]): Int = {
+    val seed = 0x9747b28c
+    val m = 0x5bd1e995
+    val r = 24
+    val length = data.length
+    var h = seed ^ length
+    val length4 = length / 4
+    var i = 0
+    while (i < length4) {
+      val i4 = i * 4
+      var k = (data(i4) & 0xff) + ((data(i4 + 1) & 0xff) << 8) +
+        ((data(i4 + 2) & 0xff) << 16) + ((data(i4 + 3) & 0xff) << 24)
+      k *= m
+      k ^= k >>> r
+      k *= m
+      h *= m
+      h ^= k
+      i += 1
+    }
+    val tail = length4 * 4
+    if ((length & 3) >= 3) h ^= (data(tail + 2) & 0xff) << 16
+    if ((length & 3) >= 2) h ^= (data(tail + 1) & 0xff) << 8
+    if ((length & 3) >= 1) { h ^= data(tail) & 0xff; h *= m }
+    h ^= h >>> 13
+    h *= m
+    h ^= h >>> 15
+    h
+  }
+
+  /** DefaultPartitioner for keyed records: toPositive(murmur2(key)) % n. */
+  def partitionFor(key: Array[Byte], numPartitions: Int): Int =
+    (murmur2(key) & 0x7fffffff) % numPartitions
+
+  /** "host:port[,host:port…]" → first bootstrap address. */
+  def parseBroker(brokers: String): (String, Int) = {
+    val first = brokers.split(',').head.trim
+    val cut = first.lastIndexOf(':')
+    require(cut > 0, s"broker address must be host:port: $first")
+    (first.substring(0, cut), first.substring(cut + 1).toInt)
+  }
+}
+
+/** Blocking single-connection Kafka client. Thread-confined per Spark
+  * task (each task opens its own — the same shape as one consumer/
+  * producer per task in the official connector). */
+final class KafkaWireClient(host: String, port: Int, clientId: String = "graft")
+    extends AutoCloseable {
+  import KafkaWire._
+
+  private val sock = new Socket(host, port)
+  sock.setTcpNoDelay(true)
+  private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+  private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+  private var correlation = 0
+
+  private def call(api: Short, version: Short, body: Writer): ByteBuffer = {
+    correlation += 1
+    val payload = new Writer()
+      .i16(api).i16(version).i32(correlation).nstr(clientId).result ++ body.result
+    out.writeInt(payload.length)
+    out.write(payload)
+    out.flush()
+    val n = in.readInt()
+    val resp = new Array[Byte](n)
+    in.readFully(resp)
+    val bb = ByteBuffer.wrap(resp)
+    val corr = bb.getInt
+    require(corr == correlation, s"correlation mismatch: got $corr want $correlation")
+    bb
+  }
+
+  /** ApiVersions v0 → api_key → (min, max). */
+  def apiVersions(): Map[Short, (Short, Short)] = {
+    val bb = call(ApiApiVersions, 0, new Writer)
+    val err = bb.getShort
+    require(err == 0, s"ApiVersions error $err")
+    (0 until bb.getInt).map { _ => bb.getShort -> ((bb.getShort, bb.getShort)) }.toMap
+  }
+
+  /** Metadata v1 → topic → partitions with leader addresses. */
+  def metadata(topics: Seq[String]): Map[String, Seq[PartitionMeta]] = {
+    val w = new Writer().i32(topics.size)
+    topics.foreach(w.str)
+    val bb = call(ApiMetadata, 1, w)
+    val brokers = (0 until bb.getInt).map { _ =>
+      val id = bb.getInt; val h = rStr(bb); val p = bb.getInt; rNStr(bb)
+      id -> ((h, p))
+    }.toMap
+    bb.getInt // controller_id
+    (0 until bb.getInt).map { _ =>
+      val err = bb.getShort
+      val name = rStr(bb)
+      bb.get() // is_internal
+      val parts = (0 until bb.getInt).map { _ =>
+        val perr = bb.getShort
+        val idx = bb.getInt
+        val leader = bb.getInt
+        (0 until bb.getInt).foreach(_ => bb.getInt) // replicas
+        (0 until bb.getInt).foreach(_ => bb.getInt) // isr
+        require(perr == 0, s"metadata partition error $perr for $name/$idx")
+        val (lh, lp) = brokers(leader)
+        PartitionMeta(idx, lh, lp)
+      }
+      require(err == 0, s"metadata error $err for topic $name")
+      name -> parts.sortBy(_.partition)
+    }.toMap
+  }
+
+  /** Produce v2, one partition per call → base offset assigned. */
+  def produce(topic: String, partition: Int,
+              records: Seq[(Array[Byte], Array[Byte])], timestamp: Long,
+              acks: Short = 1): Long = {
+    val set = encodeMessageSet(
+      records.map { case (k, v) => RecordMsg(0L, timestamp, k, v) })
+    val w = new Writer().i16(acks).i32(30000)
+      .i32(1).str(topic).i32(1).i32(partition).i32(set.length).raw(set)
+    val bb = call(ApiProduce, 2, w)
+    require(bb.getInt == 1, "produce: unexpected topic count")
+    rStr(bb)
+    require(bb.getInt == 1, "produce: unexpected partition count")
+    bb.getInt // partition index
+    val err = bb.getShort
+    val base = bb.getLong
+    bb.getLong // log_append_time
+    bb.getInt // throttle_time_ms
+    require(err == 0, s"produce error $err on $topic/$partition")
+    base
+  }
+
+  /** Fetch v2 from `offset` → (high watermark, CRC-verified records at
+    * offset or later). Empty when caught up. */
+  def fetch(topic: String, partition: Int, offset: Long,
+            maxBytes: Int = 1 << 20, maxWaitMs: Int = 100): (Long, Seq[RecordMsg]) = {
+    val w = new Writer().i32(-1).i32(maxWaitMs).i32(1)
+      .i32(1).str(topic).i32(1).i32(partition).i64(offset).i32(maxBytes)
+    val bb = call(ApiFetch, 2, w)
+    bb.getInt // throttle_time_ms
+    require(bb.getInt == 1, "fetch: unexpected topic count")
+    rStr(bb)
+    require(bb.getInt == 1, "fetch: unexpected partition count")
+    bb.getInt // partition index
+    val err = bb.getShort
+    val hw = bb.getLong
+    val set = rBytes(bb)
+    require(err == 0, s"fetch error $err on $topic/$partition@$offset")
+    val recs = if (set == null) Nil
+      // magic-1 sets may start before the requested offset; trim client-side
+      else decodeMessageSet(set).filter(_.offset >= offset)
+    (hw, recs)
+  }
+
+  /** ListOffsets v1: timestamp -1 = log end, -2 = log start. */
+  def listOffset(topic: String, partition: Int, timestamp: Long): Long = {
+    val w = new Writer().i32(-1)
+      .i32(1).str(topic).i32(1).i32(partition).i64(timestamp)
+    val bb = call(ApiListOffsets, 1, w)
+    require(bb.getInt == 1, "listOffsets: unexpected topic count")
+    rStr(bb)
+    require(bb.getInt == 1, "listOffsets: unexpected partition count")
+    bb.getInt // partition index
+    val err = bb.getShort
+    bb.getLong // timestamp
+    val off = bb.getLong
+    require(err == 0, s"listOffsets error $err on $topic/$partition")
+    off
+  }
+
+  /** FindCoordinator v0 → the group coordinator's address. */
+  def findCoordinator(group: String): (String, Int) = {
+    val bb = call(ApiFindCoordinator, 0, new Writer().str(group))
+    val err = bb.getShort
+    bb.getInt // node_id
+    val h = rStr(bb)
+    val p = bb.getInt
+    require(err == 0, s"findCoordinator error $err for group $group")
+    (h, p)
+  }
+
+  /** OffsetCommit v2 with generation -1 / empty member — the protocol's
+    * "simple consumer" storage mode (no group membership), which is what
+    * a Spark-driven reader needs: Spark owns the partition assignment,
+    * Kafka just stores progress. Offsets are NEXT-to-read positions. */
+  def offsetCommit(group: String, offsets: Seq[(String, Int, Long)]): Unit = {
+    val w = new Writer().str(group).i32(-1).str("").i64(-1)
+    val byTopic = offsets.groupBy(_._1).toSeq.sortBy(_._1)
+    w.i32(byTopic.size)
+    byTopic.foreach { case (t, ps) =>
+      w.str(t).i32(ps.size)
+      ps.foreach { case (_, p, o) => w.i32(p).i64(o).nstr(null) }
+    }
+    val bb = call(ApiOffsetCommit, 2, w)
+    (0 until bb.getInt).foreach { _ =>
+      val t = rStr(bb)
+      (0 until bb.getInt).foreach { _ =>
+        val p = bb.getInt
+        val err = bb.getShort
+        require(err == 0, s"offsetCommit error $err on $t/$p")
+      }
+    }
+  }
+
+  /** OffsetFetch v1 → partition → committed offset (-1 = none). */
+  def offsetFetch(group: String, topic: String, partitions: Seq[Int]): Map[Int, Long] = {
+    val w = new Writer().str(group)
+      .i32(1).str(topic).i32(partitions.size)
+    partitions.foreach(w.i32)
+    val bb = call(ApiOffsetFetch, 1, w)
+    require(bb.getInt == 1, "offsetFetch: unexpected topic count")
+    rStr(bb)
+    (0 until bb.getInt).map { _ =>
+      val p = bb.getInt
+      val off = bb.getLong
+      rNStr(bb) // metadata
+      val err = bb.getShort
+      require(err == 0, s"offsetFetch error $err on $topic/$p")
+      p -> off
+    }.toMap
+  }
+
+  def close(): Unit = {
+    try out.flush() catch { case _: Exception => () }
+    sock.close()
+  }
+}
