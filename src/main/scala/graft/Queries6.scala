@@ -165,6 +165,57 @@ object Queries6 {
     """SELECT event_id, event_type, user_id
       |FROM events WHERE event_id <= 2000""".stripMargin
 
+  /** Protobuf decode driven by the reference's `.proto` config surface
+    * (round 6): the schema below is COMPILED FROM PROTO SOURCE by
+    * ProtoSchema (json_name naming, nested message reference, map field
+    * → repeated {key,value} wire entries, zigzag repeated) into the same
+    * spec engine q101 exercises — so the front-end, not just the wire
+    * reader, sits under the oracle. */
+  val q112_proto_file: Q = (s, dir) => {
+    import graft.functions.{ProtoFields, ProtoSchema}
+    val proto =
+      """syntax = "proto3";
+        |package graft.test;
+        |message User { int64 uid = 1; string user_name = 2 [json_name="uname"]; }
+        |message Event {
+        |  int64 event_id = 1;
+        |  string kind = 2;
+        |  User user = 3;
+        |  repeated sint64 deltas = 4;
+        |  map<string, int64> counts = 5;
+        |}""".stripMargin
+    val spec = ProtoSchema.compileSpec(proto, "Event")
+    val ev = t(s, dir, "events")
+    val enc = ProtoFields.encodeCol(
+      struct(
+        col("event_id"),
+        col("event_type"),
+        struct(col("user_id").cast("long"),
+          concat(lit("u"), col("user_id").cast("string"))),
+        array((-col("event_id")).cast("long"), col("user_id").cast("long")),
+        array(
+          struct(lit("a").as("key"), col("event_id").cast("long").as("value")),
+          struct(lit("b").as("key"), (col("user_id") * 2).cast("long").as("value")))),
+      spec)
+    ev.select(col("event_id"), ProtoFields(enc, spec).as("p"))
+      .select(
+        col("event_id"),
+        col("p.eventId").as("pid"),
+        col("p.kind").as("kind"),
+        col("p.user.uid").as("uid"),
+        col("p.user.uname").as("uname"),
+        array_join(transform(col("p.deltas"), _.cast("string")), ",").as("deltas"),
+        element_at(col("p.counts"), 1).getField("key").as("c1_key"),
+        element_at(col("p.counts"), 2).getField("value").as("c2_val"))
+  }
+
+  val q112_sql: String =
+    """SELECT event_id, event_id AS pid, event_type AS kind,
+      |  user_id AS uid, 'u' || CAST(user_id AS VARCHAR) AS uname,
+      |  CAST(-event_id AS VARCHAR) || ',' || CAST(user_id AS VARCHAR) AS deltas,
+      |  'a' AS c1_key, user_id * 2 AS c2_val
+      |FROM events""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -173,7 +224,8 @@ object Queries6 {
     "q108_pii_scrub" -> q108_pii_scrub,
     "q109_corpus_shuffle" -> q109_corpus_shuffle,
     "q110_split_assign" -> q110_split_assign,
-    "q111_kafka_roundtrip" -> q111_kafka_roundtrip
+    "q111_kafka_roundtrip" -> q111_kafka_roundtrip,
+    "q112_proto_file" -> q112_proto_file
   )
 
   val oracles: Map[String, String] = Map(
@@ -182,6 +234,7 @@ object Queries6 {
     "q108_pii_scrub" -> q108_sql,
     "q109_corpus_shuffle" -> q109_sql,
     "q110_split_assign" -> q110_sql,
-    "q111_kafka_roundtrip" -> q111_sql
+    "q111_kafka_roundtrip" -> q111_sql,
+    "q112_proto_file" -> q112_sql
   )
 }

@@ -353,10 +353,22 @@ object PipelineCompiler {
         Decoders.csv(value, schema,
           Option(n.get("delimiter")).map(_.asText()).getOrElse(","))
       case "protobuf" =>
-        // fields: "1:id:int64,2:name:string" (≙ proto_file/proto_message,
-        // decoder/readme.md). Text inputs carry the wire bytes base64'd;
-        // encoding: binary takes the column as-is.
-        val spec = n.get("fields").asText()
+        // The reference's config surface (decoder/readme.md):
+        // proto_file (path or inline source) + proto_message +
+        // proto_import_paths, compiled by ProtoSchema into the same
+        // field spec the compact `fields` DSL
+        // ("1:id:int64,2:name:string") feeds directly. Text inputs
+        // carry the wire bytes base64'd; encoding: binary takes the
+        // column as-is.
+        val spec = Option(n.get("proto_file")).map(_.asText()) match {
+          case Some(protoFile) =>
+            val importPaths = Option(n.get("proto_import_paths"))
+              .map(_.elements().asScala.map(_.asText()).toSeq)
+              .getOrElse(Nil)
+            graft.functions.ProtoSchema.compileSpec(protoFile,
+              n.get("proto_message").asText(), importPaths)
+          case None => n.get("fields").asText()
+        }
         val bin = Option(n.get("encoding")).map(_.asText()) match {
           case Some("binary") => value.cast("binary")
           case _              => unbase64(value)

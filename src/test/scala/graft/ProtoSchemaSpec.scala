@@ -1,0 +1,177 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.{ProtoFields, ProtoSchema}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** .proto front-end: source → PField spec compilation, protoc-style
+  * import/type resolution, and the wire round-trip through the compiled
+  * schema (reference config surface decoder/protobuf.go:36-78 +
+  * testdata/proto fixtures). */
+class ProtoSchemaSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // the reference's valid.proto shape: json_name options, a nested
+  // message declaration, cross-message references, comments
+  private val validProto =
+    """syntax = "proto3";
+      |
+      |package test;
+      |option go_package = "test.v1"; // trailing comment
+      |
+      |message Data {
+      |  string stringData = 1 [json_name="string_data"];
+      |  int32 intData = 2 [json_name="int_data"];
+      |}
+      |
+      |/* block
+      |   comment */
+      |message MyMessage {
+      |  message InternalData {
+      |    repeated string myStrings = 1 [json_name="my_strings"];
+      |    bool isValid = 2 [json_name="is_valid"];
+      |  }
+      |
+      |  Data data = 1;
+      |  InternalData internalData = 2 [json_name="internal_data"];
+      |  uint64 version = 3;
+      |}""".stripMargin
+
+  test("inline source compiles to the PField spec, honoring json_name") {
+    // not ending in .proto -> in-memory source (protobuf.go:46-53)
+    val spec = ProtoSchema.compileSpec(validProto, "MyMessage")
+    assert(spec ==
+      "1:data:{1:string_data:string,2:int_data:int32}," +
+        "2:internal_data:{1:my_strings:string[],2:is_valid:bool}," +
+        "3:version:uint64")
+    // protojson lowerCamelCase when json_name is absent
+    val spec2 = ProtoSchema.compileSpec(
+      "syntax = \"proto3\"; message M { int64 my_field_name = 1; }", "M")
+    assert(spec2 == "1:myFieldName:int64")
+  }
+
+  test("imports resolve through proto_import_paths and well-known types") {
+    val dirA = Files.createTempDirectory("protoA")
+    val dirB = Files.createTempDirectory("protoB")
+    Files.writeString(dirB.resolve("imported.proto"),
+      """syntax = "proto3";
+        |import "google/protobuf/timestamp.proto";
+        |package test;
+        |message Imported {
+        |  string data = 1;
+        |  google.protobuf.Timestamp timestamp = 2;
+        |}""".stripMargin)
+    val root = dirA.resolve("with_imports.proto")
+    Files.writeString(root,
+      """syntax = "proto3";
+        |import "imported.proto";
+        |package test;
+        |message Holder {
+        |  test.Imported imported = 1;
+        |  .test.Imported absolute = 2;
+        |  Imported relative = 3;
+        |}""".stripMargin)
+    val spec = ProtoSchema.compileSpec(root.toString, "Holder",
+      importPaths = Seq(dirB.toString))
+    val sub = "{1:data:string,2:timestamp:{1:seconds:int64,2:nanos:int32}}"
+    assert(spec == s"1:imported:$sub,2:absolute:$sub,3:relative:$sub")
+    // unresolvable import: loud failure naming the path
+    val broken = dirA.resolve("broken.proto")
+    Files.writeString(broken,
+      "syntax = \"proto3\"; import \"nowhere.proto\"; message X { int32 a = 1; }")
+    val e = intercept[IllegalArgumentException] {
+      ProtoSchema.compileSpec(broken.toString, "X")
+    }
+    assert(e.getMessage.contains("nowhere.proto"))
+  }
+
+  test("maps, oneofs, enums, proto2 labels, and rejection cases") {
+    val src =
+      """syntax = "proto2";
+        |package p;
+        |enum Level { option allow_alias = true; L0 = 0; LOW = 0; HIGH = 5; }
+        |message Rec {
+        |  required int64 id = 1;
+        |  optional Level level = 2;
+        |  map<string, int64> counts = 3;
+        |  oneof body {
+        |    string text = 4;
+        |    bytes blob = 5;
+        |  }
+        |  repeated sint64 deltas = 6 [packed=true];
+        |  optional string note = 7 [default = "none"];
+        |}""".stripMargin
+    val spec = ProtoSchema.compileSpec(src, "Rec")
+    assert(spec == "1:id:int64,2:level:enum," +
+      "3:counts:{1:key:string,2:value:int64}[]," +
+      "4:text:string,5:blob:bytes,6:deltas:sint64[],7:note:string")
+
+    // recursive message type: no finite struct schema
+    val rec = "syntax = \"proto3\"; message Node { int64 v = 1; Node next = 2; }"
+    val e1 = intercept[IllegalArgumentException] {
+      ProtoSchema.compileSpec(rec, "Node")
+    }
+    assert(e1.getMessage.contains("recursive"))
+    // proto2 groups are not supported
+    val grp =
+      "syntax = \"proto2\"; message G { optional group Sub = 1 { optional int32 a = 2; } }"
+    intercept[IllegalArgumentException] { ProtoSchema.compileSpec(grp, "G") }
+    // unknown top-level message
+    val e2 = intercept[IllegalArgumentException] {
+      ProtoSchema.compileSpec(validProto, "Nope")
+    }
+    assert(e2.getMessage.contains("Nope"))
+  }
+
+  test("wire round-trip through a .proto-compiled schema") {
+    import spark.implicits._
+    val spec = ProtoSchema.compileSpec(validProto, "MyMessage")
+    val rows = Seq(
+      (("hello", 42L), (Seq("a", "b"), true), 7L),
+      (("", 0L), (Seq.empty[String], false), 0L))
+      .toDF("data", "internal_data", "version")
+    val wire = rows.select(ProtoFields.encodeCol(
+      struct(col("data"), col("internal_data"), col("version")), spec).as("bin"))
+    val back = wire.select(ProtoFields(col("bin"), spec).as("m"))
+      .select(col("m.data.string_data"), col("m.data.int_data"),
+        col("m.internal_data.my_strings"), col("m.internal_data.is_valid"),
+        col("m.version"))
+      .as[(String, Long, Seq[String], Boolean, Long)]
+      .collect().toSeq
+    assert(back == Seq(
+      ("hello", 42L, Seq("a", "b"), true, 7L),
+      ("", 0L, Seq.empty[String], false, 0L)))
+  }
+
+  test("pipeline compiler accepts proto_file/proto_message config") {
+    import spark.implicits._
+    // produce a real wire payload through the compiled schema, base64 it
+    // (the decoder's default text encoding), and feed it as a fake line
+    val spec = ProtoSchema.compileSpec(
+      """syntax = "proto3"; message Ev { int64 id = 1; string name = 2; }""", "Ev")
+    val wireB64 = Seq(1).toDF("x")
+      .select(base64(ProtoFields.encodeCol(
+        struct(lit(11L).as("id"), lit("n1").as("name")), spec)).as("b"))
+      .as[String].head()
+    val yaml =
+      s"""input: {type: fake, lines: ["$wireB64"]}
+         |decoder:
+         |  type: protobuf
+         |  proto_file: 'syntax = "proto3"; message Ev { int64 id = 1; string name = 2; }'
+         |  proto_message: Ev
+         |output: {type: devnull}
+         |""".stripMargin
+    val out = graft.compiler.PipelineCompiler.compile(spark, yaml).result()
+      .select(col("doc.id"), col("doc.name"))
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq((11L, "n1")))
+  }
+}
