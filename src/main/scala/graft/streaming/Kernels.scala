@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** Structured-Streaming stateful kernels — the streaming form of the
   * sequence-stateful actions (batch analogs: graft.state.SeqOps). Each is
@@ -373,64 +373,114 @@ object Kernels {
     * latest update per node is the current labeling. */
   final case class CCUpdate(graph: String, node: Long, component: Long)
 
-  /** parent = union-find forest (roots are component minima); emitted =
-    * the last labeling announced downstream, so a batch only re-emits
-    * nodes whose component actually changed. */
-  final case class CCState(parent: Map[Long, Long], emitted: Map[Long, Long])
+  /** Member-id list of one live component, keyed by its root in the
+    * `members` MapState (a case class so the value has a product
+    * encoder). */
+  final case class CCMembers(ids: Array[Long])
 
-  /** Incremental union-find — the streaming leg of the dedup pipeline
-    * (batch analog: graft.ml.Dedup.connectedComponents, labels = min
-    * reachable id). Each micro-batch unions its edges into the
-    * checkpointed forest (union-by-min keeps roots the component
-    * minima, path compression keeps finds near-O(1)) and emits a
-    * CCUpdate for every node whose label changed — including nodes from
-    * PREVIOUS batches swallowed by a merge, so downstream always
-    * converges to the batch labeling on the same edges.
+  /** State-store op counter for [[connectedComponents]] — probe hook for
+    * the state-economy spec. JVM-local (meaningful under local[*] test
+    * runs only); counts point reads/writes since [[ccOpsReset]]. */
+  val ccStateOps = new java.util.concurrent.atomic.AtomicLong(0L)
+  def ccOpsReset(): Unit = ccStateOps.set(0L)
+
+  /** Incremental connected components on PER-NODE state (batch analog:
+    * graft.ml.Dedup.connectedComponents, labels = min reachable id).
     *
-    * State is O(nodes of the candidate graph) per graph key — the
-    * LSH-reduced graph, orders of magnitude smaller than the corpus
-    * (the q69 scale argument). A single graph key serializes its own
-    * merges, which is inherent: connectivity is global per graph. At
-    * 100 TB the batch operator remains the bulk path; this kernel
-    * serves continuous ingest, where per-batch edge counts are small
-    * and per-tenant graphs parallelize across keys. */
+    * Layout — transformWithState with two MapState column families,
+    * so the state store does point reads/writes per node instead of
+    * round-tripping one forest blob per graph key:
+    *   root:    node → component root, kept DIRECT (always points at
+    *            the root, so a lookup is a single state read)
+    *   members: root → member ids of that live component
+    *
+    * A micro-batch touches state in proportion to its own work, never
+    * to the graph built so far: a no-merge edge costs O(1) point
+    * lookups; a merge relabels exactly the swallowed component's
+    * members — the same nodes that must be re-emitted downstream
+    * anyway — so per-batch state traffic is O(batch edges + relabeled
+    * nodes) = O(output). (The earlier flatMapGroupsWithState version
+    * deserialized, copied, and rewrote the whole O(all-nodes) forest
+    * every batch — the rewrite amplification flagged in r4/r5.)
+    * Union-by-min keeps roots the component minima, so a node's label
+    * only ever decreases; downstream takes the latest (= minimum)
+    * update per node and converges to the batch labeling on the same
+    * edge set, including nodes from previous batches swallowed by a
+    * merge.
+    *
+    * Requires a column-family-capable state store —
+    * set spark.sql.streaming.stateStore.providerClass to
+    * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+    * (transformWithState rejects the HDFS-backed default at query
+    * start). State is O(nodes of the LSH candidate graph) per graph
+    * key — orders of magnitude smaller than the corpus (the q69 scale
+    * argument) — and RocksDB keeps it off-heap with incremental
+    * checkpointing. A single graph key serializes its own merges,
+    * which is inherent (connectivity is global per graph); independent
+    * corpora/tenants parallelize across keys. */
   def connectedComponents(ds: Dataset[EdgeEvent]): Dataset[CCUpdate] = {
     implicit val outEnc = Encoders.product[CCUpdate]
-    implicit val stEnc = Encoders.product[CCState]
     ds.groupByKey(_.graph)(Encoders.STRING)
-      .flatMapGroupsWithState[CCState, CCUpdate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (graph, edges, state: GroupState[CCState]) =>
-          val st = state.getOption.getOrElse(CCState(Map.empty, Map.empty))
-          val parent = scala.collection.mutable.Map.empty[Long, Long] ++ st.parent
-          def find(x: Long): Long = {
-            var r = x
-            while (parent.getOrElse(r, r) != r) r = parent(r)
-            var c = x // path compression
-            while (parent.getOrElse(c, c) != r) {
-              val n = parent(c); parent(c) = r; c = n
-            }
-            r
-          }
-          edges.foreach { e =>
-            parent.getOrElseUpdate(e.u, e.u)
-            parent.getOrElseUpdate(e.v, e.v)
-            val (ru, rv) = (find(e.u), find(e.v))
-            if (ru != rv) {
-              if (ru < rv) parent(rv) = ru else parent(ru) = rv
-            }
-          }
-          val emitted = scala.collection.mutable.Map.empty[Long, Long] ++ st.emitted
-          val out = scala.collection.mutable.ArrayBuffer.empty[CCUpdate]
-          parent.keys.toSeq.sorted.foreach { node =>
-            val root = find(node)
-            if (!emitted.get(node).contains(root)) {
-              emitted(node) = root
-              out += CCUpdate(graph, node, root)
-            }
-          }
-          state.update(CCState(parent.toMap, emitted.toMap))
-          out.iterator
+      .transformWithState(new CCProcessor(), TimeMode.None(), OutputMode.Append)
+  }
+}
+
+/** The per-key processor behind [[Kernels.connectedComponents]] —
+  * top-level so the serialized processor carries no outer reference. */
+private[streaming] class CCProcessor
+    extends StatefulProcessor[String, Kernels.EdgeEvent, Kernels.CCUpdate] {
+  import Kernels.{CCMembers, CCUpdate, EdgeEvent}
+
+  @transient private var root: MapState[Long, Long] = _
+  @transient private var members: MapState[Long, CCMembers] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    root = getHandle.getMapState[Long, Long](
+      "root", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    members = getHandle.getMapState[Long, CCMembers](
+      "members", Encoders.scalaLong, Encoders.product[CCMembers], TTLConfig.NONE)
+  }
+
+  override def handleInputRows(graph: String, edges: Iterator[EdgeEvent],
+      timerValues: TimerValues): Iterator[CCUpdate] = {
+    val ops = Kernels.ccStateOps
+    // node → final label this batch (last write wins; LinkedHashMap for
+    // deterministic emission order). Bounded by nodes touched this batch.
+    val changed = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    // Registers an unseen node as its own singleton component; returns
+    // the node's current root either way (one read — pointers are direct).
+    def ensureRoot(x: Long): Long = {
+      ops.incrementAndGet()
+      if (!root.containsKey(x)) {
+        ops.addAndGet(2)
+        root.updateValue(x, x)
+        members.updateValue(x, CCMembers(Array(x)))
+        changed(x) = x
+        x
+      } else {
+        ops.incrementAndGet()
+        root.getValue(x)
       }
+    }
+    edges.foreach { e =>
+      val ru = ensureRoot(e.u)
+      val rv = ensureRoot(e.v)
+      if (ru != rv) {
+        val lo = math.min(ru, rv)
+        val hi = math.max(ru, rv)
+        ops.addAndGet(2)
+        val hiIds = members.getValue(hi).ids
+        val loIds = members.getValue(lo).ids
+        hiIds.foreach { n =>
+          ops.incrementAndGet()
+          root.updateValue(n, lo)
+          changed(n) = lo
+        }
+        ops.addAndGet(2)
+        members.updateValue(lo, CCMembers(loIds ++ hiIds))
+        members.removeKey(hi)
+      }
+    }
+    changed.iterator.map { case (n, c) => CCUpdate(graph, n, c) }
   }
 }

@@ -300,7 +300,23 @@ class StreamingKernelsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** transformWithState needs a column-family-capable store; scope the
+    * RocksDB provider to the test so the flatMapGroupsWithState kernels
+    * keep running on the session default. */
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming connected components merges clusters across micro-batches") {
+    withRocksDb {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[EdgeEvent]
@@ -337,5 +353,49 @@ class StreamingKernelsSpec extends AnyFunSuite {
       assert(finalLabels == batch)
       assert(finalLabels(12L) == 1L && finalLabels(20L) == 20L)
     } finally q.stop()
+    }
+  }
+
+  test("streaming CC per-batch state traffic is bounded by batch work, not graph size") {
+    withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EdgeEvent]
+    val out = Kernels.connectedComponents(input.toDS())
+    val q = out.writeStream.format("memory").queryName("cc_probe_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: a 201-node chain (each edge attaches one new node to the
+      // existing component, so per-edge union work is O(1))
+      val n = 200
+      input.addData((1 to n).map(i => EdgeEvent("g", i.toLong, i.toLong + 1)): _*)
+      q.processAllAvailable()
+      assert(spark.table("cc_probe_out").count() == n + 1)
+
+      // batch 2: ONE no-merge edge inside the 201-node component — state
+      // traffic must be a handful of point ops, not a forest rewrite
+      Kernels.ccOpsReset()
+      input.addData(EdgeEvent("g", 1, 150))
+      q.processAllAvailable()
+      val opsNoMerge = Kernels.ccStateOps.get()
+      // 2 endpoint lookups × (containsKey + getValue) = 4; allow slack
+      assert(opsNoMerge <= 12, s"no-merge batch did $opsNoMerge state ops")
+      assert(opsNoMerge < n, "per-batch cost scaled with graph size")
+      assert(spark.table("cc_probe_out").count() == n + 1) // nothing re-emitted
+
+      // batch 3: a merge touches exactly the swallowed side (node 300
+      // chain of 3) plus the edge endpoints — not the 201-node component
+      input.addData(EdgeEvent("g", 300, 301), EdgeEvent("g", 301, 302))
+      q.processAllAvailable()
+      Kernels.ccOpsReset()
+      input.addData(EdgeEvent("g", 5, 300))
+      q.processAllAvailable()
+      val opsMerge = Kernels.ccStateOps.get()
+      assert(opsMerge < 30, s"merge batch did $opsMerge state ops")
+      val labels = spark.table("cc_probe_out").as[CCUpdate].collect()
+        .groupBy(_.node).map { case (k, us) => k -> us.map(_.component).min }
+      assert(labels(300L) == 1L && labels(302L) == 1L)
+    } finally q.stop()
+    }
   }
 }
