@@ -113,7 +113,14 @@ object Kernels {
 
   // ------------------------------------------------------------- throttle
 
-  final case class ThrottleCfg(bucketIntervalMs: Long, bucketsCount: Int, limit: Long)
+  /** `stateTtlMs` > 0 evicts a key's state after that much processing
+    * time without events (see [[ttlMode]]) — the 100 TB guard against
+    * unbounded key cardinality. On expiry the key restarts with a fresh
+    * window, exactly like a reference restart clears its in-memory
+    * limiter map; a TTL far above bucketIntervalMs × bucketsCount means
+    * only windows that are entirely stale anyway are dropped. */
+  final case class ThrottleCfg(bucketIntervalMs: Long, bucketsCount: Int, limit: Long,
+                               stateTtlMs: Long = 0L)
 
   /** Circular bucket window, ported bucket math included
     * (plugin/action/throttle/buckets.go:73 timeToBucketID ≙ eventTimeMs /
@@ -124,13 +131,30 @@ object Kernels {
 
   final case class TEvent(key: String, eventTimeMs: Long, value: String)
 
+  /** ProcessingTimeTimeout only when a TTL is configured: registering a
+    * timeout makes the microbatch engine emit continuous maintenance
+    * batches, which TTL-less pipelines shouldn't pay for. */
+  private def ttlMode(ttlMs: Long): GroupStateTimeout =
+    if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+
+  /** Arms the idle-eviction alarm for this key if a TTL is configured.
+    * Call after every state.update — the clock re-arms on each batch
+    * the key appears in, so only genuinely idle keys decay. */
+  private def armTtl[S](state: GroupState[S], ttlMs: Long): Unit =
+    if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+
   def throttle(ds: Dataset[TEvent], cfg: ThrottleCfg): Dataset[TEvent] = {
     implicit val outEnc = Encoders.product[TEvent]
     implicit val stEnc = Encoders.product[ThrottleState]
     ds.groupByKey(_.key)(Encoders.STRING)
       .flatMapGroupsWithState[ThrottleState, TEvent](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, ttlMode(cfg.stateTtlMs)) {
         (key, events, state: GroupState[ThrottleState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle past TTL → drop the window entirely
+            Iterator.empty
+          } else {
           var st = state.getOption.getOrElse(
             ThrottleState(Long.MinValue, Array.fill(cfg.bucketsCount)(0L)))
           val out = scala.collection.mutable.ArrayBuffer.empty[TEvent]
@@ -150,7 +174,9 @@ object Kernels {
             } // idx < 0: older than window → dropped; over limit → dropped
           }
           state.update(st)
+          armTtl(state, cfg.stateTtlMs)
           out.iterator
+          }
       }
   }
 
@@ -163,7 +189,8 @@ object Kernels {
     * distribution once its own share is exhausted. */
   final case class DistributionCfg(bucketIntervalMs: Long, bucketsCount: Int,
                                    totalLimit: Long,
-                                   ratios: Seq[(Double, Seq[String])]) {
+                                   ratios: Seq[(Double, Seq[String])],
+                                   stateTtlMs: Long = 0L) {
     val distLimits: Array[Long] =
       ratios.map(r => math.round(r._1 * totalLimit)).toArray
     val defLimit: Long = {
@@ -189,8 +216,12 @@ object Kernels {
     implicit val stEnc = Encoders.product[DistThrottleState]
     ds.groupByKey(_.key)(Encoders.STRING)
       .flatMapGroupsWithState[DistThrottleState, DEvent](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, ttlMode(cfg.stateTtlMs)) {
         (key, events, state: GroupState[DistThrottleState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           var st = state.getOption.getOrElse(
             DistThrottleState(Long.MinValue, Array.fill(cfg.bucketsCount * width)(0L)))
           def cnt(b: Int, d: Int): Long = st.counts(b * width + d)
@@ -224,13 +255,19 @@ object Kernels {
             }
           }
           state.update(st)
+          armTtl(state, cfg.stateTtlMs)
           out.iterator
+          }
       }
   }
 
   // ---------------------------------------------------------- cardinality
 
-  final case class CardinalityCfg(limit: Int)
+  /** `stateTtlMs` > 0 evicts the distinct-value set of a key idle for
+    * that much processing time — see [[ThrottleCfg.stateTtlMs]]; on
+    * expiry the key tracks a fresh first-`limit` set, like a reference
+    * restart clearing its in-memory cache. */
+  final case class CardinalityCfg(limit: Int, stateTtlMs: Long = 0L)
   final case class CardState(values: Set[String])
 
   /** Per-key distinct-value guard (plugin/action/cardinality): events
@@ -241,8 +278,12 @@ object Kernels {
     implicit val stEnc = Encoders.product[CardState]
     ds.groupByKey(_.key)(Encoders.STRING)
       .flatMapGroupsWithState[CardState, KEvent](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, ttlMode(cfg.stateTtlMs)) {
         (key, events, state: GroupState[CardState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           var vals = state.getOption.map(_.values).getOrElse(Set.empty[String])
           val out = scala.collection.mutable.ArrayBuffer.empty[KEvent]
           events.toSeq.sortBy(_.seq).foreach { ev =>
@@ -251,7 +292,9 @@ object Kernels {
             // else: over the cardinality limit → discard
           }
           state.update(CardState(vals))
+          armTtl(state, cfg.stateTtlMs)
           out.iterator
+          }
       }
   }
 

@@ -27,6 +27,68 @@ class StreamingKernelsSpec extends AnyFunSuite {
     assert(spark.table(table).count() >= n, s"$table never reached $n rows")
   }
 
+  /** Poll the query's state-operator row count until it reaches `n` —
+    * the TTL-decay observable (each maintenance batch reports state
+    * rows in the progress event). */
+  private def awaitStateRows(q: org.apache.spark.sql.streaming.StreamingQuery,
+                             n: Long, timeoutMs: Long = 60000L): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    def cur: Long = Option(q.lastProgress).flatMap(_.stateOperators.headOption)
+      .map(_.numRowsTotal).getOrElse(-1L)
+    while (cur != n && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    assert(cur == n, s"state rows never decayed to $n (now $cur)")
+  }
+
+  test("throttle state decays after the idle TTL and the window restarts fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[TEvent]
+    val cfg = ThrottleCfg(bucketIntervalMs = 60000L, bucketsCount = 3,
+      limit = 2, stateTtlMs = 1500L)
+    val q = Kernels.throttle(input.toDS(), cfg)
+      .writeStream.format("memory").queryName("th_ttl_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      // bucket 0 fills its limit: 2 of 3 pass, state holds the window
+      input.addData(
+        TEvent("svc", 0L, "a"), TEvent("svc", 1000L, "b"), TEvent("svc", 2000L, "c"))
+      awaitRows("th_ttl_out", 2)
+      // idle past the TTL: the maintenance tick removes the key's state
+      awaitStateRows(q, 0)
+      // the SAME bucket admits again — the exhausted window was evicted
+      input.addData(TEvent("svc", 3000L, "d"))
+      awaitRows("th_ttl_out", 3)
+      val vals = spark.table("th_ttl_out").as[TEvent].collect().map(_.value).toSet
+      assert(vals == Set("a", "b", "d"))
+    } finally q.stop()
+  }
+
+  test("cardinality state decays after the idle TTL and tracks a fresh set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[KEvent]
+    val q = Kernels.cardinality(input.toDS(),
+        CardinalityCfg(limit = 2, stateTtlMs = 1500L))
+      .writeStream.format("memory").queryName("ca_ttl_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      input.addData(
+        KEvent("reg", 1, "client1"), KEvent("reg", 2, "client2"),
+        KEvent("reg", 3, "client3")) // client3 over the limit → blocked
+      awaitRows("ca_ttl_out", 2)
+      awaitStateRows(q, 0)
+      // after eviction the key starts a fresh first-`limit` set
+      input.addData(KEvent("reg", 4, "client3"))
+      awaitRows("ca_ttl_out", 3)
+      val vals = spark.table("ca_ttl_out").as[KEvent].collect().map(_.value).toSet
+      assert(vals == Set("client1", "client2", "client3"))
+    } finally q.stop()
+  }
+
   test("multiline kernel joins panic blocks and passes singles") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
