@@ -228,29 +228,35 @@ object Sinks {
     * any OTHER name is a dynamic bucket, created on first arrival until
     * `dynamic_buckets_limit` distinct ones exist — past the limit the
     * event falls back to the default. "First arrival" is made
-    * deterministic the same way the cardinality guard is: rank dynamic
-    * names by their minimum order-column value (first event that named
-    * them), keep ranks <= limit. The rank table is one tiny aggregation
-    * (distinct bucket names), broadcast back — no corpus shuffle. */
+    * deterministic the same way the cardinality guard is: the allowed
+    * set is the first `dynamicLimit` dynamic names by (minimum
+    * order-column value, name). That set is computed as orderBy+limit
+    * over the per-name aggregate, which Catalyst plans as TakeOrdered —
+    * per-partition top-K then a K-row merge — so a user pointing
+    * bucket_field_event at a high-cardinality field costs one map-side-
+    * combined aggregation, never a single-partition global sort (the
+    * row_number window this replaces funneled every distinct name
+    * through one task before the limit applied). */
   def s3BucketResolve(df: DataFrame, bucketCol: org.apache.spark.sql.Column,
                       orderCol: org.apache.spark.sql.Column,
                       defaultBucket: String, staticBuckets: Seq[String],
                       dynamicLimit: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("_fs"), col("_dynb"))
     val named = df.withColumn("_bname",
       when(bucketCol.isNull || bucketCol === "", lit(defaultBucket))
         .otherwise(bucketCol))
-    val dyn = named
-      .filter(!col("_bname").isin(defaultBucket +: staticBuckets: _*))
+      .withColumn("_isdyn",
+        !col("_bname").isin(defaultBucket +: staticBuckets: _*))
+    val allowed = named
+      .filter(col("_isdyn"))
       .groupBy(col("_bname").as("_dynb")).agg(min(orderCol).as("_fs"))
-      .withColumn("_r", row_number().over(w))
-      .drop("_fs")
-    named.join(broadcast(dyn), col("_bname") === col("_dynb"), "left")
+      .orderBy(col("_fs"), col("_dynb"))
+      .limit(dynamicLimit)
+      .select("_dynb")
+    named.join(broadcast(allowed), col("_bname") === col("_dynb"), "left")
       .withColumn("_bucket",
-        when(col("_dynb").isNull || col("_r") <= dynamicLimit, col("_bname"))
+        when(!col("_isdyn") || col("_dynb").isNotNull, col("_bname"))
           .otherwise(lit(defaultBucket)))
-      .drop("_bname", "_dynb", "_r")
+      .drop("_bname", "_dynb", "_isdyn")
   }
 
   /** s3 sink (plugin/output/s3): dynamic per-event bucket
@@ -267,6 +273,69 @@ object Sinks {
       .withColumn("_date", date_format(timeCol, "yyyyMMdd"))
       .write.mode("append").partitionBy("_bucket", "_date")
     compression.fold(w)(c => w.option("compression", c)).json(basePath)
+  }
+
+  /** s3 zip-per-object leg (plugin/output/s3/s3.go:166-251
+    * compressFile/uploadFile: every sealed log file is zipped into its
+    * own archive and uploaded as one object). foreachBatch writer:
+    * rows repartition on (bucket, date) so a task owns whole objects,
+    * then each task streams its groups into
+    * `<base>/<bucket>/<date>/<epoch>_<task>_<seq>.zip` — a ZIP
+    * container holding one NDJSON entry named like the sealed log file
+    * — through the Hadoop FS API, so the same code path writes file://
+    * under test and s3a:// on a cluster. Objects seal and roll at
+    * `maxObjectEvents`, bounding archive size regardless of partition
+    * size. [[s3Write]]'s .json.gz codec layout stays the Spark-native
+    * alternative (`compression_type: gzip` vs the reference default). */
+  def s3ZipObjectsSink(basePath: String,
+                       bucketCol: org.apache.spark.sql.Column,
+                       timeCol: org.apache.spark.sql.Column,
+                       payloadCol: org.apache.spark.sql.Column,
+                       maxObjectEvents: Int = 100000)
+  : (DataFrame, Long) => Unit = { (df, epoch) =>
+    val maxEv = maxObjectEvents
+    val base = basePath
+    df.select(bucketCol.cast("string").as("_bucket"),
+        date_format(timeCol, "yyyyMMdd").as("_date"),
+        payloadCol.cast("string").as("_payload"))
+      .filter(col("_payload").isNotNull)
+      .repartition(col("_bucket"), col("_date"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        import java.util.zip.{ZipEntry, ZipOutputStream}
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val baseP = new org.apache.hadoop.fs.Path(base)
+        val fs = baseP.getFileSystem(conf)
+        val task = math.max(org.apache.spark.TaskContext.getPartitionId(), 0)
+        // one open archive per (bucket, date) owned by this task
+        class Obj(b: String, d: String) {
+          private var seq = 0
+          private var n = 0
+          private var zos: ZipOutputStream = _
+          private def roll(): Unit = {
+            close()
+            val objName = s"${epoch}_${task}_$seq"
+            zos = new ZipOutputStream(
+              fs.create(new org.apache.hadoop.fs.Path(baseP, s"$b/$d/$objName.zip"), true))
+            zos.putNextEntry(new ZipEntry(s"$objName.log"))
+            seq += 1
+            n = 0
+          }
+          def write(line: String): Unit = {
+            if (zos == null || n >= maxEv) roll()
+            zos.write(line.getBytes("UTF-8"))
+            zos.write('\n')
+            n += 1
+          }
+          def close(): Unit = if (zos != null) {
+            zos.closeEntry(); zos.close(); zos = null
+          }
+        }
+        val open = scala.collection.mutable.Map.empty[(String, String), Obj]
+        try rows.foreach { r =>
+          open.getOrElseUpdate((r.getString(0), r.getString(1)),
+            new Obj(r.getString(0), r.getString(1))).write(r.getString(2))
+        } finally open.values.foreach(_.close())
+      }
   }
 
   // ------------------------------------------------- foreachBatch + DLQ

@@ -35,6 +35,56 @@ class S3SinkSpec extends AnyFunSuite {
       4L -> "main", 5L -> "main", 6L -> "dyn1"))
   }
 
+  test("bucket routing stays TakeOrdered-shaped on a high-cardinality bucket field") {
+    import spark.implicits._
+    // 10k distinct dynamic names — the resolve must plan the allowed-set
+    // as per-partition top-K (TakeOrdered), never a global row_number
+    // window funneling every distinct name through one task
+    val df = (1L to 10000L).map(i => (i, s"dyn$i")).toDF("id", "b")
+    val resolved = Sinks.s3BucketResolve(df, col("b"), col("id"),
+      defaultBucket = "main", staticBuckets = Nil, dynamicLimit = 3)
+    val plan = resolved.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"allowed-set not TakeOrdered:\n$plan")
+    assert(!plan.contains("Window"), s"single-partition rank survived:\n$plan")
+    val out = resolved.select(col("id"), col("_bucket"))
+      .as[(Long, String)].collect().toMap
+    // first 3 by (first-seen, name) keep their names; the rest overflow
+    assert(out(1L) == "dyn1" && out(2L) == "dyn2" && out(3L) == "dyn3")
+    assert(out(4L) == "main" && out(9999L) == "main")
+  }
+
+  test("zip-per-object: one readable .zip archive per sealed object") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("s3zip").toString
+    val df = Seq(
+      (1L, "app", "2024-01-02 03:04:05", """{"m":"a"}"""),
+      (2L, "app", "2024-01-02 03:04:06", """{"m":"b"}"""),
+      (3L, "app", "2024-01-02 03:04:07", """{"m":"c"}"""),
+      (4L, "web", "2024-02-03 04:05:06", """{"m":"d"}""")
+    ).toDF("id", "b", "tss", "payload").withColumn("ts", to_timestamp(col("tss")))
+    // maxObjectEvents=2: app/20240102 must seal into 2 archives
+    Sinks.s3ZipObjectsSink(dir, col("b"), col("ts"), col("payload"),
+      maxObjectEvents = 2)(df, 7L)
+    def zips(sub: String): Array[java.io.File] =
+      Paths.get(dir, sub).toFile.listFiles().filter(_.getName.endsWith(".zip"))
+    val appZips = zips("app/20240102")
+    assert(appZips.length == 2, s"expected 2 sealed objects, got ${appZips.toSeq}")
+    assert(zips("web/20240203").length == 1)
+    // archives are REAL zip containers: one .log entry, NDJSON inside
+    val lines = (appZips ++ zips("web/20240203")).flatMap { f =>
+      val zf = new java.util.zip.ZipFile(f)
+      try {
+        val entries = zf.entries()
+        val e = entries.nextElement()
+        assert(e.getName.endsWith(".log"), s"entry ${e.getName}")
+        assert(!entries.hasMoreElements, "expected exactly one entry")
+        scala.io.Source.fromInputStream(zf.getInputStream(e)).getLines().toList
+      } finally zf.close()
+    }
+    assert(lines.toSet ==
+      Set("""{"m":"a"}""", """{"m":"b"}""", """{"m":"c"}""", """{"m":"d"}"""))
+  }
+
   test("compressed partitioned layout: _bucket/_date dirs, .json.gz objects") {
     import spark.implicits._
     val dir = Files.createTempDirectory("s3sink").toString
