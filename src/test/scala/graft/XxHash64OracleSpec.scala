@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Test-only reimplementation of XXH64 written straight from the public
+  * algorithm description (github.com/Cyan4973/xxHash
+  * doc/xxhash_spec.md): 4×64-bit lane accumulators over 32-byte
+  * stripes, then 8/4/1-byte tail mixing, then the avalanche. Exists so
+  * q31_act_hash_xx — whose DuckDB oracle can't compute xxhash64 and is
+  * therefore a rows-only driver check — gets an INDEPENDENT value
+  * check: this implementation shares no code with Spark's
+  * catalyst.expressions.XXH64, so byte-equality over the q31 corpus
+  * plus arbitrary generated strings is a real cross-oracle. */
+object XxHash64Ref {
+  private val P1 = 0x9E3779B185EBCA87L
+  private val P2 = 0xC2B2AE3D27D4EB4FL
+  private val P3 = 0x165667B19E3779F9L
+  private val P4 = 0x85EBCA77C2B2AE63L
+  private val P5 = 0x27D4EB2F165667C5L
+
+  private def rotl(x: Long, r: Int): Long = java.lang.Long.rotateLeft(x, r)
+  private def round(acc: Long, input: Long): Long = rotl(acc + input * P2, 31) * P1
+  private def mergeRound(acc: Long, v: Long): Long = (acc ^ round(0L, v)) * P1 + P4
+
+  def hash(data: Array[Byte], seed: Long): Long = {
+    val len = data.length
+    val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    var h = 0L
+    if (len >= 32) {
+      var v1 = seed + P1 + P2
+      var v2 = seed + P2
+      var v3 = seed
+      var v4 = seed - P1
+      while (i + 32 <= len) {
+        v1 = round(v1, bb.getLong(i))
+        v2 = round(v2, bb.getLong(i + 8))
+        v3 = round(v3, bb.getLong(i + 16))
+        v4 = round(v4, bb.getLong(i + 24))
+        i += 32
+      }
+      h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+      h = mergeRound(h, v1)
+      h = mergeRound(h, v2)
+      h = mergeRound(h, v3)
+      h = mergeRound(h, v4)
+    } else h = seed + P5
+    h += len
+    while (i + 8 <= len) {
+      h = rotl(h ^ round(0L, bb.getLong(i)), 27) * P1 + P4
+      i += 8
+    }
+    if (i + 4 <= len) {
+      h = rotl(h ^ ((bb.getInt(i) & 0xFFFFFFFFL) * P1), 23) * P2 + P3
+      i += 4
+    }
+    while (i < len) {
+      h = rotl(h ^ ((data(i) & 0xFFL) * P5), 11) * P1
+      i += 1
+    }
+    h ^= h >>> 33
+    h *= P2
+    h ^= h >>> 29
+    h *= P3
+    h ^= h >>> 32
+    h
+  }
+
+  def hashUtf8(s: String, seed: Long): Long = hash(s.getBytes("UTF-8"), seed)
+}
+
+class XxHash64OracleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Spark's default seed for the xxhash64 SQL function. */
+  private val SparkSeed = 42L
+
+  test("matches the published xxhash64 reference vector") {
+    // XXH64 of the empty input with seed 0 — the canonical spec vector
+    assert(XxHash64Ref.hash(Array.emptyByteArray, 0L) == 0xEF46DB3751D8E999L)
+  }
+
+  test("byte-equal with Spark's builtin across generated strings") {
+    import spark.implicits._
+    val gen: Gen[String] = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      // multi-byte UTF-8 code points exercise non-ASCII byte patterns
+      Gen.listOf(Gen.choose(0x00A1.toChar, 0xD7FF.toChar)).map(_.mkString),
+      // lengths that straddle every code path: stripe (32B), word (8B),
+      // int (4B) and byte tails
+      Gen.choose(0, 100).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar)))
+    val samples: Seq[String] = (0 until 200).flatMap(i => gen.apply(
+      Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong))).distinct
+    val sparkHashes = samples.toDF("s")
+      .select(col("s"), xxhash64(col("s")).as("h"))
+      .as[(String, Long)].collect().toMap
+    samples.foreach { s =>
+      assert(sparkHashes(s) == XxHash64Ref.hashUtf8(s, SparkSeed),
+        s"mismatch on ${s.take(40)} (len ${s.length})")
+    }
+  }
+
+  test("byte-equal with Spark's builtin on the q31 corpus") {
+    // the exact strings q31_act_hash_xx hashes: the normalized synthetic
+    // nginx-style message built over events.parquet
+    val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    val msg = concat(lit("2023-10-30T13:35:33Z "), col("event_type"),
+      lit(", client: 10.125.172.251, k="),
+      get_json_object(col("props"), "$.k"))
+    val normalized = graft.operators.Normalizer.normalize(msg)
+    import spark.implicits._
+    val rows = ev.select(normalized.as("n"), xxhash64(normalized).as("h"))
+      .as[(String, Long)].collect()
+    assert(rows.length > 0)
+    rows.foreach { case (n, h) =>
+      assert(h == XxHash64Ref.hashUtf8(n, SparkSeed), s"mismatch on $n")
+    }
+  }
+}
