@@ -22,9 +22,11 @@ import org.apache.spark.sql.types._
   * oracle-recomputable) via [[videoDecodePartitioned]], and
   * MJPEG-in-AVI (RIFF chunk walk, each `00dc` frame through the JDK's
   * actual JPEG codec) via [[decodeAviMjpeg]]. Inter-frame codecs
-  * (H.264 etc.) don't exist in this environment; the generic
-  * `decodeStub`/`decodePartitioned` fakes remain as the swap-in shape
-  * for those.
+  * (H.264 etc.) are FORMALLY DESCOPED — see COVERAGE.md "Descoped":
+  * a conformant pure-JVM decoder is a codec project in its own right
+  * and production deployments bind ffmpeg via JNI instead; the
+  * tested swap-in point for such a binding is
+  * [[decodePartitioned]]'s per-partition init/decode block.
   */
 object Multimodal {
 
