@@ -218,6 +218,39 @@ object Queries6 {
 
   // ------------------------------------------------------------- registry
 
+  /** Corpus-level boilerplate scrub (round 6, `Corpus.boilerplateScrub`
+    * — the CCNet/RefinedWeb repeated-line cut): segments present in ≥
+    * 80% of documents are boilerplate and removed order-preservingly.
+    * Word-delimited here because the synthetic docs are flat word
+    * streams; production passes '\n' (lines) or a paragraph break. The
+    * threshold is corpus-relative (one count()) so the query exercises
+    * the same selectivity at every SF. */
+  val q113_boilerplate: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val minDocs = math.ceil(0.8 * docs.count()).toLong
+    graft.ml.Corpus.boilerplateScrub(docs, "doc_id", "text",
+      delim = " ", minDocs = minDocs)
+  }
+
+  val q113_sql: String =
+    """WITH seg AS (
+      |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS seg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+      |freq AS (
+      |  SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY 1)
+      |  WHERE df >= CEIL(0.8 * (SELECT count(*) FROM documents))),
+      |kept AS (
+      |  SELECT s.doc_id, s.pos, s.seg FROM seg s LEFT JOIN freq f USING (seg)
+      |  WHERE f.seg IS NULL),
+      |re AS (
+      |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean,
+      |    CAST(count(*) AS BIGINT) AS kn
+      |  FROM kept GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(re.clean, '') AS clean_text,
+      |  CAST(len(string_split(d.text, ' ')) - coalesce(re.kn, 0) AS BIGINT) AS n_removed
+      |FROM documents d LEFT JOIN re USING (doc_id)""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q106_dup_ngrams" -> q106_dup_ngrams,
     "q107_bigram_lm" -> q107_bigram_lm,
@@ -225,7 +258,8 @@ object Queries6 {
     "q109_corpus_shuffle" -> q109_corpus_shuffle,
     "q110_split_assign" -> q110_split_assign,
     "q111_kafka_roundtrip" -> q111_kafka_roundtrip,
-    "q112_proto_file" -> q112_proto_file
+    "q112_proto_file" -> q112_proto_file,
+    "q113_boilerplate" -> q113_boilerplate
   )
 
   val oracles: Map[String, String] = Map(
@@ -235,6 +269,7 @@ object Queries6 {
     "q109_corpus_shuffle" -> q109_sql,
     "q110_split_assign" -> q110_sql,
     "q111_kafka_roundtrip" -> q111_sql,
-    "q112_proto_file" -> q112_sql
+    "q112_proto_file" -> q112_sql,
+    "q113_boilerplate" -> q113_sql
   )
 }

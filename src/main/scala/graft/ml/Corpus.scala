@@ -43,6 +43,48 @@ object Corpus {
         (coalesce(col("ngram_hits"), lit(0L)) >= threshold).as("contaminated"))
   }
 
+  /** Corpus-level boilerplate removal (the CCNet/RefinedWeb line-dedup
+    * pass): segments — lines, paragraphs, here any `delim`-separated
+    * span — that occur in ≥ `minDocs` distinct documents are
+    * boilerplate (headers, footers, nav bars, license blurbs) and are
+    * cut from every document, preserving the order of what remains.
+    * Returns (id, clean text, n_removed).
+    *
+    * Scale shape: the segment document-frequency table is one shuffle
+    * with map-side partial aggregation; the frequent set (df ≥
+    * minDocs) is then anti-joined against the exploded segments —
+    * deliberately UNHINTED, the q107 rule: the set is corpus-derived,
+    * so AQE broadcasts it when its runtime size allows (the normal
+    * case — boilerplate is by definition few distinct segments) and
+    * degrades to a shuffle join instead of a driver OOM when a
+    * pathological threshold makes it huge. Reassembly regroups
+    * surviving segments by document — the one inherent corpus shuffle,
+    * keyed on the id. */
+  def boilerplateScrub(df: DataFrame, idCol: String, textCol: String,
+                       delim: String, minDocs: Long): DataFrame = {
+    val lit_delim = java.util.regex.Pattern.quote(delim)
+    val seg = df.select(col(idCol),
+      posexplode(split(col(textCol), lit_delim)).as(Seq("pos", "seg")))
+    val frequent = seg
+      .groupBy(col("seg"))
+      .agg(count_distinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("seg")
+    val kept = seg.join(frequent, Seq("seg"), "left_anti")
+    val reassembled = kept
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          s => s.getField("seg")), delim).as("clean_text"),
+        count(lit(1)).as("_kept"))
+    df.select(col(idCol), size(split(col(textCol), lit_delim)).as("_n"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("_n") - coalesce(col("_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Fractional-epoch upsampling for domain mixing (the Pile/Dolma
     * "weight > 1" case; downsampling is the hash-threshold stratified
     * sample): a document with weight w gets floor(w) full copies plus

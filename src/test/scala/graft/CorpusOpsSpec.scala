@@ -134,4 +134,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(en.getMessage.contains("null weightMilli")
       || Option(en.getCause).exists(_.getMessage.contains("null weightMilli")))
   }
+
+  test("boilerplateScrub cuts segments frequent across docs, preserves order, keeps empty docs") {
+    import spark.implicits._
+    // "FOOTER" is in 3/4 docs (>= minDocs 3) -> boilerplate; everything
+    // else is document-specific. doc 4 is ALL boilerplate -> empty text.
+    val docs = Seq(
+      (1L, "alpha beta FOOTER gamma"),
+      (2L, "FOOTER delta"),
+      (3L, "epsilon zeta eta"),
+      (4L, "FOOTER FOOTER")
+    ).toDF("doc_id", "text")
+    val out = Corpus.boilerplateScrub(docs, "doc_id", "text",
+        delim = " ", minDocs = 3L)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("alpha beta gamma", 1L)))
+    assert(out(2L) == (("delta", 1L)))
+    assert(out(3L) == (("epsilon zeta eta", 0L))) // untouched
+    assert(out(4L) == (("", 2L)))                 // survives as empty
+  }
 }

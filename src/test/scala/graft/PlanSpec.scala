@@ -103,6 +103,23 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("boilerplate scrub never force-broadcasts the corpus-derived frequent set") {
+    // Same rule as the vocab joins: the frequent-segment set is
+    // corpus-derived (a pathological threshold makes it huge), so no
+    // hint — AQE broadcasts when runtime size allows, and with
+    // auto-broadcast disabled the anti-join degrades to a shuffle join.
+    def build() = graft.ml.Corpus.boilerplateScrub(
+      Tables(spark, sf, "documents"), "doc_id", "text", " ", 400L)
+    assert(!build().queryExecution.analyzed.toString.contains("ResolvedHint"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(build())
+      assert(!p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sharded shuffle costs exactly one shuffle (the shard key)") {
     val p = plan(graft.ml.Corpus.shardedShuffle(
       Tables(spark, sf, "documents"), "doc_id", "text", 42L, 8))
