@@ -416,40 +416,42 @@ object Kernels {
     * latest update per node is the current labeling. */
   final case class CCUpdate(graph: String, node: Long, component: Long)
 
-  /** Member-id list of one live component, keyed by its root in the
-    * `members` MapState (a case class so the value has a product
-    * encoder). */
-  final case class CCMembers(ids: Array[Long])
-
   /** State-store op counter for [[connectedComponents]] — probe hook for
     * the state-economy spec. JVM-local (meaningful under local[*] test
-    * runs only); counts point reads/writes since [[ccOpsReset]]. */
+    * runs only); counts point reads/writes since [[ccOpsReset]]. Every
+    * state value in the kernel is a scalar, so ops ≈ bytes. */
   val ccStateOps = new java.util.concurrent.atomic.AtomicLong(0L)
   def ccOpsReset(): Unit = ccStateOps.set(0L)
 
   /** Incremental connected components on PER-NODE state (batch analog:
     * graft.ml.Dedup.connectedComponents, labels = min reachable id).
     *
-    * Layout — transformWithState with two MapState column families,
-    * so the state store does point reads/writes per node instead of
-    * round-tripping one forest blob per graph key:
-    *   root:    node → component root, kept DIRECT (always points at
-    *            the root, so a lookup is a single state read)
-    *   members: root → member ids of that live component
+    * Layout — transformWithState with three MapState column families,
+    * every value a SCALAR, so the state store does point reads/writes
+    * per node and no state write ever exceeds one long:
+    *   root: node → component root, kept DIRECT (always points at the
+    *         root, so a lookup is a single state read)
+    *   next: node → next member of its component (absent = chain end);
+    *         each component's members form a linked chain starting at
+    *         its root
+    *   tail: root → last member of its chain (live roots only)
     *
     * A micro-batch touches state in proportion to its own work, never
     * to the graph built so far: a no-merge edge costs O(1) point
-    * lookups; a merge relabels exactly the swallowed component's
-    * members — the same nodes that must be re-emitted downstream
-    * anyway — so per-batch state traffic is O(batch edges + relabeled
-    * nodes) = O(output). (The earlier flatMapGroupsWithState version
-    * deserialized, copied, and rewrote the whole O(all-nodes) forest
-    * every batch — the rewrite amplification flagged in r4/r5.)
-    * Union-by-min keeps roots the component minima, so a node's label
-    * only ever decreases; downstream takes the latest (= minimum)
-    * update per node and converges to the batch labeling on the same
-    * edge set, including nodes from previous batches swallowed by a
-    * merge.
+    * lookups; a merge walks exactly the swallowed component's chain —
+    * the same nodes that must be re-emitted downstream anyway — then
+    * splices it after the survivor's tail in O(1) (three scalar writes,
+    * no member-array rewrite; an array layout would re-serialize the
+    * SURVIVING side's members too, an O(|surviving|) amplification when
+    * singletons trickle into a giant cluster). Per-batch state traffic
+    * is O(batch edges + relabeled nodes) = O(output), worst case. (The
+    * earlier flatMapGroupsWithState version deserialized, copied, and
+    * rewrote the whole O(all-nodes) forest every batch — the rewrite
+    * amplification flagged in r4/r5.) Union-by-min keeps roots the
+    * component minima, so a node's label only ever decreases;
+    * downstream takes the latest (= minimum) update per node and
+    * converges to the batch labeling on the same edge set, including
+    * nodes from previous batches swallowed by a merge.
     *
     * Requires a column-family-capable state store —
     * set spark.sql.streaming.stateStore.providerClass to
@@ -472,16 +474,19 @@ object Kernels {
   * top-level so the serialized processor carries no outer reference. */
 private[streaming] class CCProcessor
     extends StatefulProcessor[String, Kernels.EdgeEvent, Kernels.CCUpdate] {
-  import Kernels.{CCMembers, CCUpdate, EdgeEvent}
+  import Kernels.{CCUpdate, EdgeEvent}
 
   @transient private var root: MapState[Long, Long] = _
-  @transient private var members: MapState[Long, CCMembers] = _
+  @transient private var next: MapState[Long, Long] = _
+  @transient private var tail: MapState[Long, Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     root = getHandle.getMapState[Long, Long](
       "root", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
-    members = getHandle.getMapState[Long, CCMembers](
-      "members", Encoders.scalaLong, Encoders.product[CCMembers], TTLConfig.NONE)
+    next = getHandle.getMapState[Long, Long](
+      "next", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    tail = getHandle.getMapState[Long, Long](
+      "tail", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
   }
 
   override def handleInputRows(graph: String, edges: Iterator[EdgeEvent],
@@ -497,7 +502,7 @@ private[streaming] class CCProcessor
       if (!root.containsKey(x)) {
         ops.addAndGet(2)
         root.updateValue(x, x)
-        members.updateValue(x, CCMembers(Array(x)))
+        tail.updateValue(x, x)
         changed(x) = x
         x
       } else {
@@ -511,17 +516,24 @@ private[streaming] class CCProcessor
       if (ru != rv) {
         val lo = math.min(ru, rv)
         val hi = math.max(ru, rv)
-        ops.addAndGet(2)
-        val hiIds = members.getValue(hi).ids
-        val loIds = members.getValue(lo).ids
-        hiIds.foreach { n =>
-          ops.incrementAndGet()
+        // walk the swallowed component's member chain (starts at its
+        // root), repointing each member — O(swallowed component) only
+        var n = hi
+        var more = true
+        while (more) {
+          ops.addAndGet(2)
           root.updateValue(n, lo)
           changed(n) = lo
+          ops.incrementAndGet()
+          if (next.containsKey(n)) { ops.incrementAndGet(); n = next.getValue(n) }
+          else more = false
         }
-        ops.addAndGet(2)
-        members.updateValue(lo, CCMembers(loIds ++ hiIds))
-        members.removeKey(hi)
+        // splice hi's chain after lo's tail: three scalar writes, no
+        // dependence on the surviving component's size
+        ops.addAndGet(5)
+        next.updateValue(tail.getValue(lo), hi)
+        tail.updateValue(lo, tail.getValue(hi))
+        tail.removeKey(hi)
       }
     }
     changed.iterator.map { case (n, c) => CCUpdate(graph, n, c) }

@@ -457,6 +457,15 @@ class StreamingKernelsSpec extends AnyFunSuite {
       val labels = spark.table("cc_probe_out").as[CCUpdate].collect()
         .groupBy(_.node).map { case (k, us) => k -> us.map(_.component).min }
       assert(labels(300L) == 1L && labels(302L) == 1L)
+
+      // batch 4: a singleton attaching to the now-205-node component —
+      // cost must not depend on the SURVIVING side's size either (the
+      // array-members layout this replaced rewrote all 205 ids here)
+      Kernels.ccOpsReset()
+      input.addData(EdgeEvent("g", 3, 500))
+      q.processAllAvailable()
+      val opsAttach = Kernels.ccStateOps.get()
+      assert(opsAttach <= 20, s"singleton attach did $opsAttach state ops")
     } finally q.stop()
     }
   }
