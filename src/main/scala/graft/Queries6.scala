@@ -141,8 +141,15 @@ object Queries6 {
     * The broker serves on daemon threads for the query's lifetime
     * (ephemeral loopback port; a fixture stand-in for the real cluster
     * the same client code would reach). */
+  /** One loopback broker per JVM, shared across q111 invocations: the
+    * returned DataFrame is lazy, so the broker must outlive the call —
+    * newing one per invocation leaked a ServerSocket + acceptor thread
+    * per bench/verify iteration. */
+  private lazy val q111Broker =
+    new graft.sources.KafkaLoopbackBroker(numPartitions = 3)
+
   val q111_kafka_roundtrip: Q = (s, dir) => {
-    val broker = new graft.sources.KafkaLoopbackBroker(numPartitions = 3)
+    val broker = q111Broker
     val feed = t(s, dir, "events")
       .filter(col("event_id") <= 2000)
       .select(col("event_id").cast("string").as("k"),
@@ -150,9 +157,16 @@ object Queries6 {
           .as("value"))
     graft.sinks.Sinks.kafkaWireSink(feed, broker.bootstrap,
       defaultTopic = "events", keyField = Some("k"))
-    val back = graft.sources.Sources
+    val batch = graft.sources.Sources
       .kafkaWireBatch(s, broker.bootstrap, "events", group = "q111")
-      .df
+    // Commit the pinned range NOW (it can't shift — kafkaWireBatch pins
+    // [start,end) at plan time): a re-invocation on the shared broker
+    // then resumes from this run's end and reads exactly its own fresh
+    // 2000 records — deterministic reruns AND the commit leg under the
+    // same oracle.
+    graft.sources.Sources.kafkaWireCommit(broker.bootstrap, "q111",
+      batch.endOffsets)
+    val back = batch.df
     val j = graft.functions.JsonFields(col("value"),
       Seq("event_id", "event_type", "user_id"))
     back.select(

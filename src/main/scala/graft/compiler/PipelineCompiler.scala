@@ -365,8 +365,10 @@ object PipelineCompiler {
             val importPaths = Option(n.get("proto_import_paths"))
               .map(_.elements().asScala.map(_.asText()).toSeq)
               .getOrElse(Nil)
-            graft.functions.ProtoSchema.compileSpec(protoFile,
-              n.get("proto_message").asText(), importPaths)
+            val message = Option(n.get("proto_message")).map(_.asText())
+              .getOrElse(throw new IllegalArgumentException(
+                "protobuf decoder: proto_file requires proto_message"))
+            graft.functions.ProtoSchema.compileSpec(protoFile, message, importPaths)
           case None => n.get("fields").asText()
         }
         val bin = Option(n.get("encoding")).map(_.asText()) match {

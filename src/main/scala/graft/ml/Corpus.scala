@@ -76,13 +76,20 @@ object Corpus {
       .agg(
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("seg")))),
-          s => s.getField("seg")), delim).as("clean_text"),
-        count(lit(1)).as("_kept"))
-    df.select(col(idCol), size(split(col(textCol), lit_delim)).as("_n"))
+          s => s.getField("seg")), delim).as("clean_text"))
+    // removal count from the OTHER side of the anti-join split (a
+    // map-side-combined count of boilerplate occurrences) — counting via
+    // "total minus kept" would re-tokenize every document a second time,
+    // and turns a NULL text into size(split(null)) = -1
+    val removed = seg.join(frequent, Seq("seg"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_removed"))
+    df.select(col(idCol))
       .join(reassembled, Seq(idCol), "left")
+      .join(removed, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
-        (col("_n") - coalesce(col("_kept"), lit(0L))).as("n_removed"))
+        coalesce(col("_removed"), lit(0L)).as("n_removed"))
   }
 
   /** Fractional-epoch upsampling for domain mixing (the Pile/Dolma

@@ -135,11 +135,14 @@ object Sinks {
     val boot = new KafkaWireClient(bh, bp)
     try {
       val parts = boot.metadata(Seq(topic))(topic)
-      var rr = scala.util.hashing.MurmurHash3.stringHash(topic).abs
+      // floorMod everywhere: .abs is Int.MinValue for Int.MinValue and
+      // `%` keeps the sign, either of which would index negatively
+      var rr = math.floorMod(scala.util.hashing.MurmurHash3.stringHash(topic),
+        parts.size)
       lines.grouped(produceBatch).foreach { chunk =>
         val byPartition = chunk.map { l =>
           rr += 1
-          (parts((rr - 1) % parts.size), l)
+          (parts(math.floorMod(rr - 1, parts.size)), l)
         }.groupBy(_._1)
         byPartition.foreach { case (pm, ls) =>
           // loopback/single-broker: leader is the bootstrap node; a
@@ -295,6 +298,17 @@ object Sinks {
   : (DataFrame, Long) => Unit = { (df, epoch) =>
     val maxEv = maxObjectEvents
     val base = basePath
+    // the SESSION's Hadoop conf, broadcast to the tasks as key-value
+    // pairs (Configuration isn't Serializable and Spark's wrapper is
+    // private) — a bare new Configuration() in the task would drop every
+    // spark.hadoop.* setting (s3a credentials/endpoint) on a real cluster
+    val sc = df.sparkSession.sparkContext
+    val hadoopKv = sc.broadcast {
+      val it = sc.hadoopConfiguration.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+      b.result()
+    }
     df.select(bucketCol.cast("string").as("_bucket"),
         date_format(timeCol, "yyyyMMdd").as("_date"),
         payloadCol.cast("string").as("_payload"))
@@ -302,7 +316,8 @@ object Sinks {
       .repartition(col("_bucket"), col("_date"))
       .foreachPartition { (rows: Iterator[Row]) =>
         import java.util.zip.{ZipEntry, ZipOutputStream}
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        hadoopKv.value.foreach { case (k, v) => conf.set(k, v) }
         val baseP = new org.apache.hadoop.fs.Path(base)
         val fs = baseP.getFileSystem(conf)
         val task = math.max(org.apache.spark.TaskContext.getPartitionId(), 0)

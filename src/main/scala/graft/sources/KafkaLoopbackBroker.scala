@@ -118,7 +118,10 @@ final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0)
 
   private def apiVersionsResp(): Array[Byte] = {
     val supported = Seq[(Short, Short, Short)](
-      (ApiProduce, 2, 2), (ApiFetch, 2, 2), (ApiListOffsets, 0, 1),
+      // ListOffsets advertises v1 only: listOffsetsResp parses/emits the
+      // v1 shapes unconditionally (v0's max_num_offsets + offsets-array
+      // body would desync a client that legally picked v0)
+      (ApiProduce, 2, 2), (ApiFetch, 2, 2), (ApiListOffsets, 1, 1),
       (ApiMetadata, 0, 1), (ApiOffsetCommit, 2, 2), (ApiOffsetFetch, 0, 1),
       (ApiFindCoordinator, 0, 0), (ApiApiVersions, 0, 0))
     val w = new Writer().i16(0).i32(supported.size)

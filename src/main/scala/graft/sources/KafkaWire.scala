@@ -234,10 +234,16 @@ final class KafkaWireClient(host: String, port: Int, clientId: String = "graft")
     }.toMap
   }
 
-  /** Produce v2, one partition per call → base offset assigned. */
+  /** Produce v2, one partition per call → base offset assigned.
+    * acks=0 is rejected: the protocol sends NO response for acks=0, so
+    * the blocking call() below would hang forever against a real broker
+    * (and fire-and-forget defeats the ack-then-commit contract anyway —
+    * the reference's `acks: no` maps to a different client mode). */
   def produce(topic: String, partition: Int,
               records: Seq[(Array[Byte], Array[Byte])], timestamp: Long,
               acks: Short = 1): Long = {
+    require(acks != 0,
+      "produce: acks=0 unsupported — no response frame to wait for")
     val set = encodeMessageSet(
       records.map { case (k, v) => RecordMsg(0L, timestamp, k, v) })
     val w = new Writer().i16(acks).i32(30000)

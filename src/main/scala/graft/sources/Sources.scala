@@ -84,10 +84,27 @@ object Sources {
           val buf = Vector.newBuilder[Row]
           try {
             var off = start
+            var fetchBytes = maxBytesPerFetch
+            val fetchBytesCap = 1 << 27 // 128 MiB, above any sane max.message.bytes
             while (off < end) {
-              val (_, recs) = c.fetch(topic, pm.partition, off, maxBytesPerFetch)
-              if (recs.isEmpty) off = end // log truncated under us: stop cleanly
+              val (_, recs) = c.fetch(topic, pm.partition, off, fetchBytes)
+              if (recs.isEmpty) {
+                // The pinned range says data exists at `off`, and fetch()
+                // throws on broker error codes — so an empty decode is
+                // Fetch v2's truncated-first-message case (a message
+                // larger than max_bytes; the at-least-one-message rule
+                // only exists in v3+). Grow the budget and retry the SAME
+                // offset; skipping would silently lose the tail of the
+                // partition and then commit past it.
+                if (fetchBytes >= fetchBytesCap)
+                  throw new IllegalStateException(
+                    s"kafka fetch $topic/${pm.partition}@$off: no complete " +
+                      s"record within max_bytes=$fetchBytes — message larger " +
+                      "than the fetch cap")
+                fetchBytes = math.min(fetchBytes.toLong * 2, fetchBytesCap.toLong).toInt
+              }
               else {
+                fetchBytes = maxBytesPerFetch
                 recs.iterator.filter(_.offset < end).foreach { r =>
                   buf += Row(
                     if (r.value == null) null else new String(r.value, "UTF-8"),

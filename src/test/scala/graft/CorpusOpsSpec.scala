@@ -143,7 +143,8 @@ class CorpusOpsSpec extends AnyFunSuite {
       (1L, "alpha beta FOOTER gamma"),
       (2L, "FOOTER delta"),
       (3L, "epsilon zeta eta"),
-      (4L, "FOOTER FOOTER")
+      (4L, "FOOTER FOOTER"),
+      (5L, null: String)
     ).toDF("doc_id", "text")
     val out = Corpus.boilerplateScrub(docs, "doc_id", "text",
         delim = " ", minDocs = 3L)
@@ -153,5 +154,6 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(2L) == (("delta", 1L)))
     assert(out(3L) == (("epsilon zeta eta", 0L))) // untouched
     assert(out(4L) == (("", 2L)))                 // survives as empty
+    assert(out(5L) == (("", 0L)))                 // null text: empty, NOT -1
   }
 }

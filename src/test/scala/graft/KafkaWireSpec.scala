@@ -219,4 +219,15 @@ class KafkaWireSpec extends AnyFunSuite {
       assert(all.toSet == (0 until 40).map(i => s"""{"i":$i}""").toSet)
     }
   }
+
+  test("q111 roundtrip re-invocation on the shared broker stays deterministic") {
+    // the query eagerly commits its pinned range, so a second run on the
+    // same JVM-shared broker reads exactly its OWN fresh produce batch
+    val sf = "/root/testdata/sf0.001"
+    val first = Queries6.q111_kafka_roundtrip(spark, sf).collect()
+    val second = Queries6.q111_kafka_roundtrip(spark, sf).collect()
+    assert(first.length == second.length)
+    assert(first.map(_.toString).sorted.toSeq ==
+      second.map(_.toString).sorted.toSeq)
+  }
 }
