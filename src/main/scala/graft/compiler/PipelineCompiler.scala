@@ -133,12 +133,25 @@ object PipelineCompiler {
           .write.mode("overwrite").text(outputConf("dir"))
       case "s3" =>
         import graft.sinks.Sinks
-        Sinks.s3Write(
-          df.select(col("doc.*")),
-          outputConf("path"),
-          col(outputConf.getOrElse("bucket_field", "bucket")),
-          outputConf.get("time_field").map(f => col(f))
-            .getOrElse(current_timestamp()))
+        val bucketField = outputConf.getOrElse("bucket_field", "bucket")
+        // compression_type: zip = the reference's one-.zip-per-object
+        // semantics (s3.go:166-251); gzip = the Spark-native .json.gz
+        // codec layout; absent/none = plain NDJSON objects
+        outputConf.getOrElse("compression_type", "none") match {
+          case "zip" =>
+            // fields still live inside the envelope's doc struct here
+            Sinks.s3ZipObjectsSink(outputConf("path"),
+              col(s"doc.$bucketField"),
+              outputConf.get("time_field").map(f => col(s"doc.$f"))
+                .getOrElse(current_timestamp()),
+              to_json(col("doc")))(df, 0L)
+          case c =>
+            Sinks.s3Write(df.select(col("doc.*")), outputConf("path"),
+              col(bucketField),
+              outputConf.get("time_field").map(f => col(f))
+                .getOrElse(current_timestamp()),
+              compression = Some(c).filter(_ != "none"))
+        }
       case _ =>
         payload().write.mode("overwrite").text(
           outputConf.getOrElse("dir",

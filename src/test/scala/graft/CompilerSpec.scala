@@ -535,6 +535,35 @@ class CompilerSpec extends AnyFunSuite {
     assert(back.count() == 2)
   }
 
+  test("batch write: s3 compression_type zip lands one readable archive per object") {
+    val out = java.nio.file.Files.createTempDirectory("graft_s3zip_out").toString
+    val yaml =
+      s"""input:
+         |  type: fake
+         |  lines:
+         |    - '{"bucket":"team-a","msg":"one"}'
+         |    - '{"bucket":"team-b","msg":"two"}'
+         |decoder:
+         |  type: json
+         |  schema: "bucket string, msg string"
+         |output: {type: s3, path: "$out", bucket_field: bucket, compression_type: zip}
+         |""".stripMargin
+    PipelineCompiler.compile(spark, yaml).write()
+    val zips = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .flatMap(d => d.listFiles().flatMap(_.listFiles()))
+      .filter(_.getName.endsWith(".zip"))
+    assert(zips.nonEmpty)
+    val lines = zips.flatMap { f =>
+      val zf = new java.util.zip.ZipFile(f)
+      try {
+        val e = zf.entries().nextElement()
+        scala.io.Source.fromInputStream(zf.getInputStream(e)).getLines().toList
+      } finally zf.close()
+    }
+    assert(lines.count(_.contains("\"msg\":\"one\"")) == 1)
+    assert(lines.count(_.contains("\"msg\":\"two\"")) == 1)
+  }
+
   test("example pipeline configs compile and run") {
     import java.nio.file.{Files, Paths}
     def example(name: String): String =
