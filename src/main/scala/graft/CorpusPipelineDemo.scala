@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * individual graft.ml operators exist for, run as one DataFrame program:
   *
   *   quality gate → language filter → exact dedup → MinHash/LSH near-dup
-  *   clustering → canonical-doc selection → benchmark decontamination →
-  *   domain-mixing upsample → sequence packing → chunking
+  *   clustering → canonical-doc selection → global keep-first segment
+  *   dedup → benchmark decontamination → per-source token quota → DSIR
+  *   importance weighting → domain-mixing upsample → sequence packing →
+  *   chunking
   *
-  * Every stage is the oracle-verified operator (q50/q52/q69/q102/q104/
-  * q105/q103); this main proves they compose, prints per-stage counts,
-  * and asserts the invariants that matter (no duplicate survivors, no
-  * contaminated docs downstream, pack offsets within budget). Exits via
+  * Every stage is the oracle-verified operator (q50/q52/q69/q115/q102/
+  * q116/q117/q104/q105/q103); this main proves they compose, prints
+  * per-stage counts, and asserts the invariants that matter (no
+  * duplicate survivors, no contaminated docs downstream, quota respected
+  * per source, pack offsets within budget). Exits via
   * CORPUS_PIPELINE_OK for harness greps.
   */
 object CorpusPipelineDemo {
@@ -59,22 +62,55 @@ object CorpusPipelineDemo {
         Seq("doc_id"), "left_anti")
     n("near-dup canonical", canonical)
 
-    // 4. decontamination: drop docs overlapping the held-out benchmark
+    // 4. global keep-first segment dedup (the C4 rule) on the survivors.
+    //    The synthetic docs are flat word streams with no sentence
+    //    punctuation, so segment = 12-token pseudo-sentence (production
+    //    passes '\n' lines or a sentence split directly); docs scrubbed
+    //    to nothing drop out.
+    val toks = split(col("text"), " ")
+    val sentenced = canonical.withColumn("text",
+      array_join(transform(
+        sequence(lit(0), floor((size(toks) - 1) / 12).cast("int")),
+        i => array_join(slice(toks, i * 12 + 1, lit(12)), " ")), "\n"))
+    val scrubbed = canonical.drop("text").join(
+      graft.ml.Corpus.lineDedupKeepFirst(sentenced, "doc_id", "text", "\n")
+        .filter(length(col("clean_text")) > 0)
+        .select(col("doc_id"),
+          regexp_replace(col("clean_text"), "\n", " ").as("text")),
+      Seq("doc_id"))
+    n("segment dedup", scrubbed)
+
+    // 5. decontamination: drop docs overlapping the held-out benchmark
     val evalSet = docs.filter(col("doc_id") % 97 === 0)
-    val decon = canonical.join(
-      graft.ml.Corpus.decontaminate(canonical, evalSet, "doc_id", "text",
+    val decon = scrubbed.join(
+      graft.ml.Corpus.decontaminate(scrubbed, evalSet, "doc_id", "text",
           n = 3, threshold = 10)
         .filter(!col("contaminated")).select("doc_id"),
       Seq("doc_id"))
     n("decontaminated", decon)
 
-    // 5. domain mixing: source digit → milli-weight 500..4100
-    val weight = (lit(500) + substring(col("source"), 4, 2).cast("int") * 400)
-      .cast("long")
-    val mixed = graft.ml.Corpus.upsample(decon, "text", weight)
+    // 6. per-source token quota: no source contributes more than 400
+    //    tokens past this point
+    val quota = graft.ml.Corpus.sourceQuota(decon, "source", "doc_id",
+      "text", budget = 400L, seed = 11L)
+    val capped = decon.join(quota.select("doc_id"), Seq("doc_id"))
+    n("source quota", capped)
+    val overs = quota.groupBy("source")
+      .agg(max(col("tokens_before")).as("mx")).filter(col("mx") >= 400L)
+    assert(overs.isEmpty, "quota admitted a doc starting past the budget")
+
+    // 7. DSIR importance weights (target = lang 'en') drive the domain
+    //    mixing: weight_milli/n_grams rescaled to a 500..4000 milli range
+    val dsir = graft.ml.TextOps.dsirWeights(capped, "doc_id", "text",
+      isTarget = col("lang") === "en", buckets = 64)
+      .select(col("doc_id"),
+        least(lit(4000L), greatest(lit(500L),
+          expr("(weight_milli * 4) DIV n_grams"))).as("w_milli"))
+    val mixed = graft.ml.Corpus.upsample(
+      capped.join(dsir, Seq("doc_id")), "text", col("w_milli"))
     n("mixed (upsampled)", mixed)
 
-    // 6. sequence packing at 512 tokens per training sequence
+    // 8. sequence packing at 512 tokens per training sequence
     val packed = graft.ml.Corpus.packSequences(
       mixed.withColumn("doc_copy",
         concat(col("doc_id"), lit("#"), col("copy_idx"))),
@@ -83,7 +119,7 @@ object CorpusPipelineDemo {
       "pack offset outside budget")
     n("packed rows", packed)
 
-    // 7. chunking for the embedding index
+    // 9. chunking for the embedding index
     val chunks = graft.ml.Corpus.chunk(decon, "doc_id", "text", 40, 30)
     assert(chunks.filter(col("n_tok") > 40).isEmpty, "chunk over window")
     val nChunks = n("chunks", chunks)

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query batch 7 (round 6, continuation): the corpus-curation ops that
+  * sit between quality filtering and the final mixture — keyword
+  * extraction (TF-IDF), the C4 global keep-first segment dedup,
+  * per-source token-budget capping, and DSIR hashed-n-gram importance
+  * weighting. All exact-integer or string-exact so the DuckDB oracles
+  * hash-match byte for byte.
+  */
+object Queries7 {
+
+  type Q = Queries.Q
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Exact-integer TF-IDF top-3 terms per document. N (corpus document
+    * count) is corpus-relative — one count() job, the q113 pattern — so
+    * the query exercises identical selectivity at every SF. */
+  val q114_tfidf_topterms: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    graft.ml.TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 3,
+      nDocs = docs.count())
+  }
+
+  val q114_sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT t.doc_id, t.term, t.tf,
+      |    t.tf * (((SELECT COUNT(*) FROM documents) * 1000) // d.df)
+      |      AS score_milli
+      |  FROM tf t JOIN dfr d USING (term)),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score_milli DESC, term) AS rank
+      |  FROM sc)
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf,
+      |  CAST(score_milli AS BIGINT) AS score_milli
+      |FROM rk WHERE rank <= 3""".stripMargin
+
+  /** C4-style global exact segment dedup, keep-first occurrence.
+    * Word-delimited here because the synthetic docs are flat word
+    * streams; production passes '\n' (lines) or a sentence split. */
+  val q115_line_dedup: Q = (s, dir) =>
+    graft.ml.Corpus.lineDedupKeepFirst(t(s, dir, "documents"),
+      "doc_id", "text", delim = " ")
+
+  val q115_sql: String =
+    """WITH seg AS (
+      |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS seg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+      |win AS (
+      |  SELECT seg, min(doc_id * 4294967296 + pos) AS first_ord
+      |  FROM seg GROUP BY 1),
+      |fl AS (
+      |  SELECT s.doc_id, s.pos, s.seg,
+      |    (s.doc_id * 4294967296 + s.pos = w.first_ord) AS keep
+      |  FROM seg s JOIN win w USING (seg)),
+      |re AS (
+      |  SELECT doc_id,
+      |    coalesce(string_agg(seg, ' ' ORDER BY pos)
+      |      FILTER (WHERE keep), '') AS clean_text,
+      |    CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed
+      |  FROM fl GROUP BY 1)
+      |SELECT d.doc_id, coalesce(re.clean_text, '') AS clean_text,
+      |  coalesce(re.n_removed, 0) AS n_removed
+      |FROM documents d LEFT JOIN re USING (doc_id)""".stripMargin
+
+  /** Per-source token-budget quota: each source contributes at most
+    * 700 tokens, documents taken in deterministic content-hash order.
+    * The budget is sized so the cap BINDS at every SF (the synthetic
+    * documents table carries ≥1.1k tokens per source at sf0.001 and
+    * ~14k at sf0.1) — a never-binding budget would leave the
+    * prefix-selection logic untested. */
+  val q116_source_quota: Q = (s, dir) =>
+    graft.ml.Corpus.sourceQuota(t(s, dir, "documents"),
+      "source", "doc_id", "text", budget = 700L, seed = 7L)
+
+  val q116_sql: String =
+    """WITH h AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    ('0x' || substr(md5(text || '#q7'), 1, 15))::BIGINT AS hk
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, n_tok,
+      |    coalesce(CAST(sum(n_tok) OVER (PARTITION BY source
+      |      ORDER BY hk, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |      AS tokens_before
+      |  FROM h)
+      |SELECT source, doc_id, n_tok, tokens_before
+      |FROM r WHERE tokens_before < 700""".stripMargin
+
+  /** DSIR hashed-bigram importance weights with lang='en' as the target
+    * domain, 64 feature buckets. */
+  val q117_dsir_weights: Q = (s, dir) =>
+    graft.ml.TextOps.dsirWeights(t(s, dir, "documents"),
+      "doc_id", "text", isTarget = col("lang") === "en", buckets = 64)
+
+  val q117_sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang = 'en' AS it, string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id, it,
+      |    ('0x' || substr(md5(array_to_string(w[i:i+1], ' ')), 1, 15))::BIGINT
+      |      % 64 AS b
+      |  FROM (SELECT doc_id, it, w,
+      |          unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i
+      |        FROM toks)),
+      |cnt AS (
+      |  SELECT b, COUNT(*) AS cr, COUNT(*) FILTER (WHERE it) AS ct
+      |  FROM occ GROUP BY 1),
+      |r AS (SELECT b, ((ct + 1) * 1000) // (cr + 1) AS ratio_milli FROM cnt)
+      |SELECT o.doc_id, CAST(SUM(r.ratio_milli) AS BIGINT) AS weight_milli,
+      |  COUNT(*) AS n_grams
+      |FROM occ o JOIN r USING (b) GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val all: Map[String, Q] = Map(
+    "q114_tfidf_topterms" -> q114_tfidf_topterms,
+    "q115_line_dedup" -> q115_line_dedup,
+    "q116_source_quota" -> q116_source_quota,
+    "q117_dsir_weights" -> q117_dsir_weights
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q114_tfidf_topterms" -> q114_sql,
+    "q115_line_dedup" -> q115_sql,
+    "q116_source_quota" -> q116_sql,
+    "q117_dsir_weights" -> q117_sql
+  )
+}

@@ -201,4 +201,78 @@ object Corpus {
     df.select(col(idCol), explode(chunks).as("c"))
       .select(col(idCol), col("c.chunk_idx"), col("c.chunk"), col("c.n_tok"))
   }
+
+  /** Global exact segment dedup, keep-first (the C4 rule: any
+    * `delim`-separated segment that occurs more than once ANYWHERE in
+    * the corpus — across documents or within one — survives only at its
+    * first occurrence; boilerplateScrub by contrast cuts frequent
+    * segments from *every* document). "First" is the (doc, position)
+    * order, encoded as one BIGINT `doc_id·2^32 + pos` so the min
+    * aggregates map-side partially — a lexicographic struct-min would
+    * too, but the scalar folds cheaper and the SQL oracle expresses it
+    * verbatim. Returns (id, clean_text, n_removed), order-preserving.
+    *
+    * Shape at scale: winner selection is one segment-key shuffle with
+    * map-side partial min — NOT a per-segment window (a window needs
+    * the full occurrence list per key sorted in one task, which a
+    * million-occurrence boilerplate line turns into a straggler; the
+    * min-agg folds it down inside each map task). The winner join is
+    * corpus-derived — UNHINTED (bigramLmScore rule), and both sides
+    * arrive partitioned by `seg` from the agg. Reassembly is the one
+    * inherent doc-key shuffle; the kept/removed split happens inside
+    * that single aggregation (conditional collect + sum), so the corpus
+    * is tokenized exactly once. */
+  def lineDedupKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                         delim: String): DataFrame = {
+    val litDelim = java.util.regex.Pattern.quote(delim)
+    val ord = col(idCol) * lit(4294967296L) + col("pos")
+    val seg = df.select(col(idCol),
+      posexplode(split(col(textCol), litDelim)).as(Seq("pos", "seg")))
+    val winner = seg.groupBy(col("seg")).agg(min(ord).as("first_ord"))
+    val flagged = seg.join(winner, Seq("seg"))
+      .select(col(idCol), col("pos"), col("seg"),
+        (ord === col("first_ord")).as("keep"))
+    val re = flagged.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("seg"))))),
+          s => s.getField("seg")), delim).as("clean_text"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+    df.select(col(idCol))
+      .join(re, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  /** Per-source token-budget quota (mixture capping: no source may
+    * contribute more than `budget` tokens to the corpus — the Dolma/
+    * RedPajama per-domain cap). Documents within a source are taken in
+    * a deterministic content-hash order (salted independently of the
+    * shuffle/split/sample hashes, id tie-break), each charged its token
+    * count against the running budget; a document is kept iff the
+    * tokens BEFORE it fit the budget, so the cap may overshoot by at
+    * most one document — the same semantics as a greedy reservoir and
+    * exactly reproducible across engines and partitionings. Returns
+    * kept rows as (group, id, n_tok, tokens_before).
+    *
+    * Shape at scale: one shuffle on the group key, then a per-group
+    * running sum — the packSequences layout; parallelism is the number
+    * of sources, so a single colossal source funnels to one task (cap
+    * that case upstream by sharding the source label, e.g.
+    * 'cc' → 'cc/0..N', and summing shard budgets). */
+  def sourceQuota(df: DataFrame, groupCol: String, idCol: String,
+                  textCol: String, budget: Long, seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Dedup.tokenHash(concat(col(textCol), lit("#q" + seed)))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("hk"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(groupCol), col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tok"),
+        h.as("hk"))
+      .withColumn("tokens_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .filter(col("tokens_before") < budget)
+      .select(col(groupCol), col(idCol), col("n_tok"), col("tokens_before"))
+  }
 }

@@ -166,4 +166,80 @@ object TextOps {
       .join(agg, Seq(idCol), "left")
       .na.fill(0L, Seq("top_gram_cnt", "n_grams"))
   }
+
+  /** Exact-integer TF-IDF with the top-`k` terms per document — the
+    * keyword-extraction / topical-signature op (per-doc salient terms
+    * feed clustering, mixture labeling, and topic-balanced sampling).
+    * idf is kept in integer milli-units, `(N * 1000) DIV df` (N = corpus
+    * document count, df = documents containing the term), so
+    * score_milli = tf * idf_milli stays an exact BIGINT that
+    * hash-compares across engines (log-idf is a float; any downstream
+    * that wants it applies log to the returned ratio). Ties break on the
+    * term string so the top-k set is deterministic.
+    *
+    * Shape at scale: tf is one (doc, term) shuffle with map-side
+    * combine; df folds FROM the tf table (one row per doc-term already)
+    * so the corpus text is tokenized exactly once. The df join is
+    * corpus-derived vocab — UNHINTED, the bigramLmScore rule: AQE
+    * broadcasts it when runtime size allows and degrades to a shuffle
+    * join on `term`, which tf is already partitioned by. The top-k
+    * window partitions by doc — per-document state only, no global
+    * sort. Overflow headroom: milli-idf ≤ 1000·N ≈ 1e13 at 1e10 docs,
+    * ×tf ≤ 1e6 stays under 2^63. */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int, nDocs: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(split(lower(col(textCol)), " ")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .select(col(idCol), col("term"), col("tf"),
+        (col("tf") * expr(s"(${nDocs}L * 1000) DIV df")).as("score_milli"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_milli").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("score_milli"))
+  }
+
+  /** Hashed n-gram importance weights (the DSIR recipe — Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): bigram occurrences hash into `buckets` feature
+    * buckets; a document's weight is the sum over its bigram
+    * occurrences of the add-one-smoothed target/raw frequency ratio of
+    * the occurrence's bucket, in integer milli-units
+    * `((ct+1) * 1000) DIV (cr+1)` — so in-target-domain text scores
+    * high and the weights feed `Corpus.upsample`/stratified sampling
+    * directly. Exact integers end to end (the paper's log-ratio is
+    * monotone in this ratio per bucket; callers wanting log-space apply
+    * it downstream). `isTarget` marks the in-domain rows (e.g.
+    * lang = 'en', or a curated wiki/books source flag).
+    *
+    * Shape at scale: one (bucket) shuffle with map-side combine builds
+    * both count columns in a single pass (conditional sum, not two
+    * scans); the ratio table has AT MOST `buckets` rows — fixed-size by
+    * construction, like PQ codebooks and eval-gram sets, so the
+    * `broadcast()` is the legitimate case (not corpus-derived: its
+    * cardinality is the constructor constant regardless of corpus
+    * size). The per-doc weight sum is one doc-key shuffle. Ratio values
+    * are ≤ 1000·(ct+1)/(cr+1) ≤ 1001, so a 2^63 sum needs ~9e15 grams
+    * in ONE document — not a real corpus shape. */
+  def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, isTarget: Column, buckets: Int): org.apache.spark.sql.DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val grams = transform(sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+      i => array_join(slice(toks, i, lit(2)), " "))
+    val occ = df.select(col(idCol), isTarget.as("_it"), explode(grams).as("_g"))
+      .select(col(idCol), col("_it"),
+        pmod(Dedup.tokenHash(col("_g")), lit(buckets.toLong)).as("b"))
+    val ratio = occ.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("_it"), 1L).otherwise(0L)).as("ct"))
+      .select(col("b"), expr("((ct + 1) * 1000) DIV (cr + 1)").as("ratio_milli"))
+    occ.join(broadcast(ratio), "b")
+      .groupBy(col(idCol))
+      .agg(sum(col("ratio_milli")).as("weight_milli"),
+        count(lit(1)).as("n_grams"))
+  }
 }

@@ -1,0 +1,111 @@
+package graft
+
+import graft.ml.{Corpus, TextOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed vectors for the batch-7 corpus-curation operators:
+  * TF-IDF top terms, C4 keep-first segment dedup, per-source token
+  * quota, DSIR importance weights. */
+class CurationOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("tfidfTopTerms scores tf * integer milli-idf with term tie-break") {
+    import spark.implicits._
+    // N=2. tf: d1 {a:2, b:1}, d2 {b:1, c:1}. df: a=1, b=2, c=1.
+    // idf_milli: a=2000, b=1000, c=2000.
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 3, nDocs = 2L)
+      .as[(Long, Long, String, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, "a", 2L, 4000L), (1L, 2L, "b", 1L, 1000L),
+      (2L, 1L, "c", 1L, 2000L), (2L, 2L, "b", 1L, 1000L)))
+  }
+
+  test("tfidfTopTerms keeps only k rows per document, ties broken by term") {
+    import spark.implicits._
+    // every term unique to the doc → identical scores; tie-break = term asc
+    val docs = Seq((1L, "d c b a")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 2, nDocs = 1L)
+      .orderBy("rank").as[(Long, Long, String, Long, Long)].collect()
+    assert(out.map(_._3).toSeq == Seq("a", "b"))
+  }
+
+  test("lineDedupKeepFirst keeps the global first occurrence only, order-preserving") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a"), // within-doc dup: second "a" cut
+      (2L, "b c"),   // "b" already seen in doc 1
+      (3L, "a")      // everything cut → empty survivor row
+    ).toDF("doc_id", "text")
+    val out = Corpus.lineDedupKeepFirst(docs, "doc_id", "text", delim = " ")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      1L -> (("a b", 1L)),
+      2L -> (("c", 1L)),
+      3L -> (("", 1L))))
+  }
+
+  test("sourceQuota keeps a deterministic prefix per source under the budget") {
+    import spark.implicits._
+    val docs = (1L to 20L).map { i =>
+      (if (i <= 12) "web" else "books", i, Seq.fill(i.toInt)("t" + i).mkString(" "))
+    }.toDF("source", "doc_id", "text")
+    // unbounded budget: everything kept, running sums consistent per source
+    val all = Corpus.sourceQuota(docs, "source", "doc_id", "text",
+      budget = Long.MaxValue, seed = 7L)
+      .as[(String, Long, Long, Long)].collect()
+    assert(all.length == 20)
+    for ((src, rows) <- all.groupBy(_._1)) {
+      val ordered = rows.sortBy(_._4)
+      assert(ordered.head._4 == 0L, s"$src must start at 0")
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._4 == a._4 + a._3, s"$src running sum broken at ${b._2}")
+        case _ =>
+      }
+    }
+    // tight budget: kept = exactly the prefix of the full ordering
+    val budget = 30L
+    val kept = Corpus.sourceQuota(docs, "source", "doc_id", "text",
+      budget, seed = 7L).as[(String, Long, Long, Long)].collect()
+    assert(kept.forall(_._4 < budget))
+    val wantIds = all.filter(_._4 < budget).map(r => (r._1, r._2)).toSet
+    assert(kept.map(r => (r._1, r._2)).toSet == wantIds)
+    assert(kept.length < all.length)
+  }
+
+  test("dsirWeights with one bucket is the add-one global ratio times gram count") {
+    import spark.implicits._
+    // grams: d1 target {a b, b c} (2), d2 raw {x y} (1), d3 target {z} (1)
+    // → cr=4, ct=3, ratio_milli = (4*1000) DIV 5 = 800
+    val docs = Seq(
+      (1L, "a b c", "en"), (2L, "x y", "de"), (3L, "z", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.dsirWeights(docs, "doc_id", "text",
+      isTarget = col("lang") === "en", buckets = 1)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      1L -> ((1600L, 2L)), 2L -> ((800L, 1L)), 3L -> ((800L, 1L))))
+  }
+
+  test("dsirWeights separates target-typical from off-domain text") {
+    import spark.implicits._
+    // target docs all share the same bigrams; the off-domain doc has its
+    // own — its buckets carry no target mass, so its ratio is lower
+    val docs = (Seq.tabulate(8)(i => (i.toLong, "the quick brown fox", "en")) :+
+      ((100L, "völlig anderes vokabular hier", "de"))).toDF("doc_id", "text", "lang")
+    val out = TextOps.dsirWeights(docs, "doc_id", "text",
+      isTarget = col("lang") === "en", buckets = 64)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2 / r._3.toDouble).toMap
+    val target = out.filterNot(_._1 == 100L).values.head
+    assert(out(100L) < target,
+      s"off-domain per-gram weight ${out(100L)} should be below target $target")
+  }
+}

@@ -136,6 +136,62 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("TF-IDF and keep-first dedup never force-broadcast corpus-derived tables") {
+    // Both join a corpus-derived table (term document frequencies / the
+    // per-segment first-occurrence winners) that grows with the corpus —
+    // the bigram-LM rule: no hint, and with auto-broadcast disabled the
+    // plan degrades to shuffle joins instead of a driver OOM.
+    def build(): Seq[org.apache.spark.sql.DataFrame] = Seq(
+      graft.ml.TextOps.tfidfTopTerms(
+        Tables(spark, sf, "documents"), "doc_id", "text", 3, 1000L),
+      graft.ml.Corpus.lineDedupKeepFirst(
+        Tables(spark, sf, "documents"), "doc_id", "text", " "))
+    for (df <- build())
+      assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        "corpus-derived join carries a broadcast hint:\n" +
+          df.queryExecution.analyzed)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (df <- build()) {
+        val p = plan(df)
+        assert(!p.contains("BroadcastHashJoin"), p)
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("keep-first dedup picks winners by aggregation, not a per-segment window") {
+    // a window over the segment key sorts each key's full occurrence
+    // list in one task — a million-occurrence boilerplate line becomes a
+    // straggler; the min-agg folds map-side. Reassembly's doc-key
+    // aggregation is the only remaining wide op, so: no Window operator
+    // anywhere in the plan.
+    val p = plan(graft.ml.Corpus.lineDedupKeepFirst(
+      Tables(spark, sf, "documents"), "doc_id", "text", " "))
+    assert(!p.contains("Window"), p)
+  }
+
+  test("DSIR ratio table broadcasts (bounded by the bucket constant)") {
+    // the one legitimate broadcast in the batch: the ratio table has at
+    // most `buckets` rows regardless of corpus size — same class as PQ
+    // codebooks and eval-gram sets
+    val p = plan(graft.ml.TextOps.dsirWeights(
+      Tables(spark, sf, "documents"), "doc_id", "text",
+      col("lang") === "en", buckets = 64))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("source quota costs exactly one shuffle (the group key)") {
+    val p = plan(graft.ml.Corpus.sourceQuota(
+      Tables(spark, sf, "documents"), "source", "doc_id", "text",
+      budget = 200000L, seed = 7L))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles in:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("the throughput pipeline decodes inside whole-stage codegen") {
     // one NDJSON row is enough to plan against
     val tmp = java.nio.file.Files.createTempDirectory("plan_tp").toString
