@@ -180,6 +180,51 @@ object Kernels {
       }
   }
 
+  // ----------------------------------------------- corpus source quota
+
+  final case class DocEvent(source: String, docId: Long, nTok: Long)
+  final case class QuotaState(consumed: Long)
+
+  /** Streaming per-source token-budget quota — the continuous-ingest
+    * analogue of `Corpus.sourceQuota` (q116): a document is admitted
+    * iff the tokens its source has ALREADY been granted are under
+    * `budget`, so the cap may overshoot by at most one document — the
+    * batch rule. Order is arrival order (docId-sorted within a
+    * micro-batch for determinism) where the batch op uses a content-
+    * hash order; the admitted set is a greedy prefix either way.
+    * Admission is monotone (once a source is over budget nothing later
+    * admits), so charging only admitted documents is equivalent to the
+    * batch running sum and keeps the state at ONE long per source —
+    * the state-economy rule: per-key state is a scalar, not a history.
+    * `stateTtlMs` evicts idle sources (a quota that must survive
+    * arbitrary idle gaps runs with TTL 0). */
+  def sourceQuota(ds: Dataset[DocEvent], budget: Long,
+                  stateTtlMs: Long = 0L): Dataset[DocEvent] = {
+    implicit val outEnc = Encoders.product[DocEvent]
+    implicit val stEnc = Encoders.product[QuotaState]
+    ds.groupByKey(_.source)(Encoders.STRING)
+      .flatMapGroupsWithState[QuotaState, DocEvent](
+        OutputMode.Append, ttlMode(stateTtlMs)) {
+        (_, events, state: GroupState[QuotaState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var consumed = state.getOption.map(_.consumed).getOrElse(0L)
+            val out = scala.collection.mutable.ArrayBuffer.empty[DocEvent]
+            events.toSeq.sortBy(_.docId).foreach { d =>
+              if (consumed < budget) {
+                out += d
+                consumed += d.nTok
+              }
+            }
+            state.update(QuotaState(consumed))
+            armTtl(state, stateTtlMs)
+            out.iterator
+          }
+      }
+  }
+
   // ------------------------------------------- throttle limit_distribution
 
   /** limit_distribution config (plugin/action/throttle/distribution.go:

@@ -1,0 +1,107 @@
+package graft
+
+import graft.streaming.Kernels
+import graft.streaming.Kernels.DocEvent
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus curation on continuous ingest: the streaming source-quota
+  * kernel (scalar state per source) and the foreachBatch composition
+  * that runs the batch curation operators per micro-batch. */
+class StreamingCurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("streaming source quota admits a greedy prefix across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[DocEvent]
+    val q = Kernels.sourceQuota(input.toDS(), budget = 100L)
+      .writeStream.format("memory").queryName("quota_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: web consumes 90 of its 100; books unaffected
+      input.addData(
+        DocEvent("web", 1L, 60L), DocEvent("web", 2L, 30L),
+        DocEvent("books", 1L, 5L))
+      q.processAllAvailable()
+      // batch 2: web's consumed=90 < 100 → doc 3 admitted (overshoot by
+      // one is the batch rule), then consumed=140 → doc 4 rejected;
+      // books keeps admitting independently
+      input.addData(
+        DocEvent("web", 3L, 50L), DocEvent("web", 4L, 1L),
+        DocEvent("books", 2L, 94L), DocEvent("books", 3L, 7L))
+      q.processAllAvailable()
+      val got = spark.table("quota_out").as[DocEvent].collect()
+        .map(d => (d.source, d.docId)).toSet
+      // books doc 3: consumed=99 < 100 → admitted (overshoot)
+      assert(got == Set(
+        ("web", 1L), ("web", 2L), ("web", 3L),
+        ("books", 1L), ("books", 2L), ("books", 3L)))
+      // batch 3: both sources now over budget — nothing admits
+      input.addData(DocEvent("web", 5L, 1L), DocEvent("books", 4L, 1L))
+      q.processAllAvailable()
+      assert(spark.table("quota_out").count() == 6)
+    } finally q.stop()
+  }
+
+  test("foreachBatch runs the batch curation operators per micro-batch") {
+    // the production shape for micro-batch curation: each batch is a
+    // corpus chunk run through the SAME oracle-verified batch operators
+    // (here: quality gate + decontamination against a static eval set)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evalSet = Seq((900L, "w x y z w x y z w x y z")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val gated = batch.filter(graft.ml.TextOps.tokenCount(col("text")) >= 3)
+        val out = graft.ml.Corpus.decontaminate(gated, evalSet,
+          "doc_id", "text", n = 3, threshold = 2)
+          .select(col("doc_id"), col("contaminated"))
+          .as[(Long, Boolean)].collect()
+        sink.synchronized { sink ++= out }
+        ()
+      }.start()
+    try {
+      input.addData((1L, "a b c d e"), (2L, "w x y z w x")) // 2 overlaps eval
+      q.processAllAvailable()
+      input.addData((3L, "short"), (4L, "p q r s"))         // 3 fails the gate
+      q.processAllAvailable()
+      val got = sink.synchronized(sink.toMap)
+      assert(got == Map(1L -> false, 2L -> true, 4L -> false))
+    } finally q.stop()
+  }
+
+  test("expression-level gates run stateless on a stream in append mode") {
+    // quality scoring + split assignment are pure expressions — no
+    // watermark, no state operator, append mode just works
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.ml.TextOps.langId(col("text")).as("lang"),
+        graft.ml.Corpus.splitAssign(col("text"), 7L, (800, 900)).as("split"))
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "the quick brown fox and the lazy dog"),
+        (2L, "der schnelle braune fuchs und der faule hund"))
+      q.processAllAvailable()
+      val rows = spark.table("gate_out").collect()
+      assert(rows.length == 2)
+      assert(rows.forall(r => Set("train", "val", "test")(r.getString(2))))
+      // no state operator in the progress — truly stateless
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+}
