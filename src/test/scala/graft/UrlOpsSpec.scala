@@ -1,0 +1,74 @@
+package graft
+
+import graft.ml.UrlOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class UrlOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("normalize: fragments, tracking params, ports, case, trailing slash") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host lowercased, :443 dropped, utm/ref stripped, fragment off
+      ("HTTPS://WWW.Example.COM:443/Path/A/?utm_source=x&id=5&ref=tw#frag",
+        "https://www.example.com/Path/A/?id=5"),
+      // :80 dropped; path case PRESERVED; trailing slash trimmed
+      ("http://Host.ORG:80/CaseSensitive/", "http://host.org/CaseSensitive"),
+      // non-default port kept
+      ("http://h.net:8080/a", "http://h.net:8080/a"),
+      // only tracking params → the dangling '?' goes too
+      ("https://h.com/p?utm_campaign=c&utm_medium=m", "https://h.com/p"),
+      // tracking param in the middle: no double-&
+      ("https://h.com/p?a=1&utm_source=s&b=2", "https://h.com/p?a=1&b=2"),
+      // bare host root: trailing slash trimmed
+      ("https://H.com/", "https://h.com")
+    )
+    val got = cases.map(_._1).toDF("url")
+      .select(UrlOps.normalize(col("url"))).as[String].collect()
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"normalize($in)")
+    }
+  }
+
+  test("host and registered domain, including multi-label public suffixes") {
+    import spark.implicits._
+    val cases = Seq(
+      ("https://www.example.com/p", "www.example.com", "example.com"),
+      ("https://a.b.news.co.uk/x?q=1", "a.b.news.co.uk", "news.co.uk"),
+      ("http://h.net:8080/a", "h.net", "h.net"),
+      ("https://deep.sub.site.com.au/", "deep.sub.site.com.au", "site.com.au")
+    )
+    val got = cases.map(_._1).toDF("url")
+      .select(UrlOps.host(UrlOps.normalize(col("url"))).as("h"))
+      .withColumn("d", UrlOps.registeredDomain(col("h")))
+      .as[(String, String)].collect()
+    cases.zip(got).foreach { case ((in, wh, wd), (h, d)) =>
+      assert(h == wh, s"host($in)")
+      assert(d == wd, s"registeredDomain($in)")
+    }
+  }
+
+  test("domainCap keeps at most k docs per domain, deterministically") {
+    import spark.implicits._
+    val docs = (1L to 30L).map { i =>
+      (if (i <= 25) "big.com" else "small.org", i, s"text body $i")
+    }.toDF("reg_domain", "doc_id", "text")
+    val out = UrlOps.domainCap(docs, "reg_domain", "doc_id", "text",
+      k = 10, seed = 11L)
+      .as[(String, Long, Long)].collect()
+    val byDom = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byDom == Map("big.com" -> 10, "small.org" -> 5))
+    assert(out.filter(_._1 == "big.com").map(_._3).sorted.toSeq == (1L to 10L))
+    // deterministic across runs
+    val again = UrlOps.domainCap(docs, "reg_domain", "doc_id", "text",
+      k = 10, seed = 11L).as[(String, Long, Long)].collect()
+    assert(out.sortBy(_._2).toSeq == again.sortBy(_._2).toSeq)
+  }
+}
