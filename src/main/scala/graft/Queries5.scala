@@ -647,8 +647,11 @@ object Queries5 {
     graft.ml.Ann.kmeansQuantized(
       t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
 
-  val q78_sql: String = {
-    val iterCtes = (1 to 2).map { i =>
+  /** The quantized-k-means CTE chain (v, c0, d1..cN) — shared by the
+    * q78 oracle and the SemDeDup oracle (q120), which trains the same
+    * centroids before its assignment + pairwise stage. */
+  private[graft] def kmeansSqlCtes(k: Int, iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
       s"""d$i AS (
          |  SELECT v.vid, c.cid,
          |    SUM((v.xe6 - c.ce6) * (v.xe6 - c.ce6)) AS d2
@@ -668,16 +671,19 @@ object Queries5 {
          |  SELECT c.cid, c.pos, coalesce(u.ce6, c.ce6) AS ce6
          |  FROM c${i - 1} c LEFT JOIN u$i u ON u.cid = c.cid AND u.pos = c.pos)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT vec_id AS vid,
        |    generate_subscripts(embedding, 1) - 1 AS pos,
        |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xe6
        |  FROM embeddings),
        |c0 AS (
-       |  SELECT CAST(vid AS INT) AS cid, pos, xe6 AS ce6 FROM v WHERE vid < 8),
-       |$iterCtes
-       |SELECT cid, pos, ce6 FROM c2""".stripMargin
+       |  SELECT CAST(vid AS INT) AS cid, pos, xe6 AS ce6 FROM v WHERE vid < $k),
+       |$iterCtes""".stripMargin
   }
+
+  val q78_sql: String =
+    s"""WITH ${kmeansSqlCtes(k = 8, iters = 2)}
+       |SELECT cid, pos, ce6 FROM c2""".stripMargin
 
   /** clickhouse full column-type matrix (strict_types=false), the
     * reference's colgenerator table end-to-end: Enum8 (with an unknown

@@ -133,15 +133,61 @@ object Queries8 {
       |SELECT reg_domain, doc_id, CAST(rank AS BIGINT) AS rank
       |FROM rk WHERE rank <= 40""".stripMargin
 
+  /** SemDeDup (embedding-space near-dup removal): k-means clusters →
+    * within-cluster cosine pairs ≥ τ → connected components → keep the
+    * min id per component. The oracle replays the SAME two k-means
+    * iterations (q78's CTE chain), one assignment pass, the pairwise
+    * stage, and the q69 recursive min-label reachability. τ = 0.36 sits
+    * inside the synthetic embeddings' upper cosine tail so the edge set
+    * is non-trivial at every SF. */
+  val q120_semdedup: Q = (s, dir) =>
+    graft.ml.Dedup.semDedup(t(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 8, iters = 2, tau = 0.36)
+
+  val q120_sql: String =
+    s"""WITH RECURSIVE ${Queries5.kmeansSqlCtes(k = 8, iters = 2)},
+      |d3 AS (
+      |  SELECT v.vid, c.cid,
+      |    SUM((v.xe6 - c.ce6) * (v.xe6 - c.ce6)) AS d2
+      |  FROM v JOIN c2 c ON v.pos = c.pos
+      |  GROUP BY v.vid, c.cid),
+      |a3 AS (
+      |  SELECT vid, cid FROM (
+      |    SELECT vid, cid,
+      |      row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+      |    FROM d3) WHERE rn = 1),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      |p AS (
+      |  SELECT ax.vid AS id_a, ay.vid AS id_b
+      |  FROM a3 ax JOIN a3 ay ON ax.cid = ay.cid AND ax.vid < ay.vid
+      |  JOIN e x ON x.vec_id = ax.vid
+      |  JOIN e y ON y.vec_id = ay.vid
+      |  WHERE list_dot_product(x.ve, y.ve) /
+      |    (sqrt(list_dot_product(x.ve, x.ve)) *
+      |     sqrt(list_dot_product(y.ve, y.ve))) >= 0.36),
+      |nodes AS (SELECT id_a AS node FROM p UNION SELECT id_b FROM p),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM p
+      |          UNION SELECT id_b, id_a FROM p),
+      |walk(node, lab) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT e.u, w.lab FROM edges e JOIN walk w ON w.node = e.v),
+      |comp AS (SELECT node, MIN(lab) AS component FROM walk GROUP BY 1)
+      |SELECT e.vec_id, coalesce(c.component, e.vec_id) AS component,
+      |  coalesce(c.component, e.vec_id) = e.vec_id AS keep
+      |FROM e LEFT JOIN comp c ON c.node = e.vec_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
     "q118_url_normalize" -> q118_url_normalize,
-    "q119_domain_cap" -> q119_domain_cap
+    "q119_domain_cap" -> q119_domain_cap,
+    "q120_semdedup" -> q120_semdedup
   )
 
   val oracles: Map[String, String] = Map(
     "q118_url_normalize" -> q118_sql,
-    "q119_domain_cap" -> q119_sql
+    "q119_domain_cap" -> q119_sql,
+    "q120_semdedup" -> q120_sql
   )
 }

@@ -168,6 +168,23 @@ object Ann {
       .groupBy(col("vid"), col("cid"))
       .agg(sum((col("xe6") - col("ce6")) * (col("xe6") - col("ce6"))).as("d2"))
 
+  /** Nearest-centroid assignment against a trained centroid table
+    * (kmeansQuantized output): same integer squared-L2 + cid tie-break
+    * as the training passes, so an assignment is reproducible across
+    * engines and partitionings. Returns (vid, cid). */
+  def assignClusters(df: DataFrame, idCol: String, vecCol: String,
+                     cents: DataFrame): DataFrame = {
+    val v = df
+      .select(col(idCol).as("vid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("vid"), col("pos"),
+        round(col("x").cast("double") * 1e6).cast("long").as("xe6"))
+    assignmentDistances(v, cents)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vid")).orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("cid"))
+  }
+
   /** Distributed Lloyd k-means over QUANTIZED coordinates — the trained-
     * centroid path for IVF (vs the first-k seeding ivfTopK uses).
     * Every quantity is exact integer math so the result is independent

@@ -213,4 +213,44 @@ object Dedup {
           "iterations; labels would be incomplete. Raise maxIter.")
     labels.withColumnRenamed("label", "component")
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): embedding-space
+    * near-dup removal — cluster with k-means, compare pairs ONLY within
+    * a cluster, connect pairs with cosine ≥ `tau`, keep one document
+    * per component (the min id; the paper keeps the farthest-from-
+    * centroid — a one-line order swap). Returns one row per input id:
+    * (id, component, keep).
+    *
+    * Scale shape: clustering is the quantized k-means (exact integer
+    * math, broadcast centroids); the pairwise stage is the paper's
+    * point — within-cluster only, never all-pairs, with `k` scaled so
+    * the expected cluster size is bounded (the paper runs k=50k on
+    * LAION; pairs per cluster ~ (N/k)²). The cluster self-join
+    * shuffles both sides on cid; a skewed cluster is AQE's skew-join
+    * case. Components run on the similarity edges only (q69 kernel).
+    * Cosines are doubles over float-widened inputs with a fixed
+    * fold order on both engines, the q54 precedent — the OUTPUT stays
+    * integer/boolean. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, tau: Double): DataFrame = {
+    val cents = Ann.kmeansQuantized(df, idCol, vecCol, k, iters)
+    val assign = Ann.assignClusters(df, idCol, vecCol, cents)
+    val vecs = df
+      .select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("ve"))
+      .join(assign, "vid")
+    val a = vecs.select(col("cid"), col("vid").as("id_a"), col("ve").as("va"))
+    val b = vecs.select(col("cid"), col("vid").as("id_b"), col("ve").as("vb"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Ann.dot(col("va"), col("vb")) /
+        (Ann.norm(col("va")) * Ann.norm(col("vb"))) >= tau)
+      .select(col("id_a"), col("id_b"))
+    val comp = connectedComponents(pairs)
+    df.select(col(idCol).as("vid"))
+      .join(comp.withColumnRenamed("node", "vid"), Seq("vid"), "left")
+      .select(col("vid").as(idCol),
+        coalesce(col("component"), col("vid")).as("component"),
+        (coalesce(col("component"), col("vid")) === col("vid")).as("keep"))
+  }
 }

@@ -70,4 +70,26 @@ class DedupSpec extends AnyFunSuite {
     assert(phys.contains("BroadcastHashJoin"))
     assert(!phys.contains("SortMergeJoin") && !phys.contains("ShuffledHashJoin"))
   }
+
+  test("semDedup connects within-cluster cosine near-dups and keeps the min id") {
+    import spark.implicits._
+    // two well-separated clusters seeded by vids 0 and 1 (k-means c0 =
+    // first-k ids); 2 duplicates 0, 3 duplicates 1, 4 is orthogonal to
+    // everything — cross-cluster pairs never reach the cosine stage
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0.999f, 0.001f, 0f, 0f)),
+      (3L, Seq(0f, 0.998f, 0.002f, 0f)),
+      (4L, Seq(0f, 0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(vecs, "vec_id", "embedding",
+      k = 2, iters = 2, tau = 0.99)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      0L -> ((0L, true)), 2L -> ((0L, false)),
+      1L -> ((1L, true)), 3L -> ((1L, false)),
+      4L -> ((4L, true))))
+  }
 }
