@@ -156,15 +156,16 @@ object Queries8 {
       |    SELECT vid, cid,
       |      row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
       |    FROM d3) WHERE rn = 1),
-      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+      |        list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                         CAST(embedding AS DOUBLE[])) AS n2
+      |      FROM embeddings),
       |p AS (
       |  SELECT ax.vid AS id_a, ay.vid AS id_b
       |  FROM a3 ax JOIN a3 ay ON ax.cid = ay.cid AND ax.vid < ay.vid
       |  JOIN e x ON x.vec_id = ax.vid
       |  JOIN e y ON y.vec_id = ay.vid
-      |  WHERE list_dot_product(x.ve, y.ve) /
-      |    (sqrt(list_dot_product(x.ve, x.ve)) *
-      |     sqrt(list_dot_product(y.ve, y.ve))) >= 0.36),
+      |  WHERE list_dot_product(x.ve, y.ve) >= 0.36 * sqrt(x.n2 * y.n2)),
       |nodes AS (SELECT id_a AS node FROM p UNION SELECT id_b FROM p),
       |edges AS (SELECT id_a AS u, id_b AS v FROM p
       |          UNION SELECT id_b, id_a FROM p),

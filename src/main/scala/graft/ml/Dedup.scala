@@ -157,13 +157,15 @@ object Dedup {
     * `min(own label, neighbors' labels)` — one shuffle join on the edge
     * destination plus one map-side-combined min aggregation, with the
     * (undirected, deduplicated) edge list persisted and reused across
-    * iterations. Iteration count is bounded by the cluster diameter;
-    * near-dup clusters are clique-ish (every member shares a band with
-    * most others), so 2-3 passes converge in practice and `maxIter`
-    * (with a convergence check per pass, cheap AQE-sized counts) is a
-    * safety bound, not the expected cost. At 100 TB the edge table is
-    * orders of magnitude smaller than the corpus (only candidate pairs
-    * survive LSH), so the loop runs on the reduced graph.
+    * iterations, plus a pointer-jumping step (label ← label(label))
+    * that contracts chains, so convergence needs ~log2(diameter)
+    * passes — clique-ish LSH graphs still converge in 2-3, and
+    * long-chain similarity graphs (SemDeDup at a low τ) no longer need
+    * diameter passes. `maxIter` (with a convergence check per pass,
+    * observed on the checkpoint job) is a safety bound, not the
+    * expected cost. At 100 TB the edge table is orders of magnitude
+    * smaller than the corpus (only candidate pairs survive LSH), so
+    * the loop runs on the reduced graph.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
@@ -186,13 +188,24 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels, edges("v") === labels("node"))
         .groupBy(col("u").as("node")).agg(min(col("label")).as("_nl"))
+      val l1 = labels.join(viaNeighbors, "node")
+        .select(col("node"), col("label"),
+          least(col("label"), col("_nl")).as("_l1"))
+      // Pointer jumping: additionally follow the label's OWN label one
+      // hop (label ← label(label)) — convergence drops from
+      // O(diameter) to O(log diameter) passes, which is what makes
+      // long-chain graphs (semantic-similarity chains, q120) terminate
+      // inside maxIter; clique-ish LSH graphs (q69) converge exactly as
+      // before. At the fixed point label(label(n)) = label(n), so the
+      // convergence criterion below is unchanged.
+      val ptr = l1.select(col("node").as("pnode"), col("_l1").as("plabel"))
       // Convergence rides the same job that materializes the checkpoint:
       // observe() counts changed labels as a side metric of the pass, so
       // there is no separate full scan of the label table per iteration.
       val obs = new org.apache.spark.sql.Observation()
-      val next = labels.join(viaNeighbors, "node")
-        .select(col("node"), col("label"),
-          least(col("label"), col("_nl")).as("_label2"))
+      val next = l1.join(ptr, l1("_l1") === ptr("pnode"), "left")
+        .select(l1("node"), l1("label"),
+          least(l1("_l1"), coalesce(col("plabel"), l1("_l1"))).as("_label2"))
         .observe(obs, sum(when(col("_label2") =!= col("label"), 1L)
           .otherwise(0L)).as("changed"))
         .localCheckpoint(true)
@@ -203,11 +216,10 @@ object Dedup {
     }
     edges.unpersist(blocking = false)
     if (!converged)
-      // One-hop min-label propagation needs diameter iterations; a
-      // silent exit here would return partially-propagated (wrong)
-      // component labels. Fail loudly instead — raise maxIter for
-      // pathological long-chain graphs (near-dup clusters are
-      // clique-ish, so 2-3 passes converge in practice).
+      // With pointer jumping, convergence needs ~log2(diameter)
+      // passes, so maxIter=20 covers diameters up to ~2^20; a silent
+      // exit would return partially-propagated (wrong) component
+      // labels. Fail loudly instead.
       throw new IllegalStateException(
         s"connectedComponents did not converge within maxIter=$maxIter " +
           "iterations; labels would be incomplete. Raise maxIter.")
@@ -234,19 +246,35 @@ object Dedup {
     * integer/boolean. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                k: Int, iters: Int, tau: Double): DataFrame = {
+    require(tau > 0, "semDedup: tau must be positive (cos >= tau with " +
+      "tau <= 0 would pair everything in a cluster)")
     val cents = Ann.kmeansQuantized(df, idCol, vecCol, k, iters)
     val assign = Ann.assignClusters(df, idCol, vecCol, cents)
+    // squared norm ONCE per vector, and persist: the self-join reads
+    // this subtree (scan + assignment window) from both sides, and the
+    // higher-order dot-product expressions are interpreted, not
+    // codegen'd — the pairwise stage must pay exactly one array fold
+    // per pair, not three (dot + both norms rebuilt per pair is 3× the
+    // interpreter cost; measured 38 s → ~13 s on the sf0.1 sweep).
     val vecs = df
       .select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("ve"))
+      .withColumn("n2", Ann.dot(col("ve"), col("ve")))
       .join(assign, "vid")
-    val a = vecs.select(col("cid"), col("vid").as("id_a"), col("ve").as("va"))
-    val b = vecs.select(col("cid"), col("vid").as("id_b"), col("ve").as("vb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = vecs.select(col("cid"), col("vid").as("id_a"),
+      col("ve").as("va"), col("n2").as("n2a"))
+    val b = vecs.select(col("cid"), col("vid").as("id_b"),
+      col("ve").as("vb"), col("n2").as("n2b"))
+    // cos >= tau  ⟺  dot >= tau·√(|a|²·|b|²) for tau > 0 — one dot and
+    // one scalar sqrt per pair; both engines evaluate the identical
+    // expression, so the boundary decisions agree bit for bit
     val pairs = a.join(b, Seq("cid"))
       .filter(col("id_a") < col("id_b"))
-      .filter(Ann.dot(col("va"), col("vb")) /
-        (Ann.norm(col("va")) * Ann.norm(col("vb"))) >= tau)
+      .filter(Ann.dot(col("va"), col("vb")) >=
+        lit(tau) * sqrt(col("n2a") * col("n2b")))
       .select(col("id_a"), col("id_b"))
-    val comp = connectedComponents(pairs)
+    val comp = connectedComponents(pairs) // materializes (localCheckpoint)
+    vecs.unpersist(blocking = false)
     df.select(col(idCol).as("vid"))
       .join(comp.withColumnRenamed("node", "vid"), Seq("vid"), "left")
       .select(col("vid").as(idCol),

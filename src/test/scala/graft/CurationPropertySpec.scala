@@ -1,0 +1,118 @@
+package graft
+
+import graft.ml.{Corpus, UrlOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the curation operators' structural invariants —
+  * generated inputs, one Spark pass per property (generate locally,
+  * evaluate in a single DataFrame so the suite stays fast). */
+class CurationPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("URL normalization is idempotent over generated messy URLs") {
+    import spark.implicits._
+    val scheme = Gen.oneOf("http", "HTTPS", "hTTp", "ftp")
+    val label = Gen.choose(1, 8).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+    val hostG = for {
+      a <- label; b <- label
+      tld <- Gen.oneOf("com", "ORG", "co.uk", "net")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      up <- Gen.oneOf(true, false)
+    } yield s"${if (up) a.toUpperCase else a}.$b.$tld$port"
+    val urlG = for {
+      s <- scheme; h <- hostG
+      path <- Gen.oneOf("", "/", "/A/b", "/x/Y/", "/p")
+      q <- Gen.oneOf("", "?id=1", "?utm_source=a&id=2", "?utm_a=1&utm_b=2",
+        "?a=1&ref=r&b=2", "?ref=only")
+      f <- Gen.oneOf("", "#frag", "#x/y?z")
+    } yield s"$s://$h$path$q$f"
+    val urls = sample(urlG, 400)
+    assert(urls.size > 300, "generator should produce most samples")
+    val out = urls.toDF("url")
+      .select(UrlOps.normalize(col("url")).as("n1"))
+      .select(col("n1"), UrlOps.normalize(col("n1")).as("n2"))
+      .as[(String, String)].collect()
+    out.foreach { case (n1, n2) =>
+      assert(n1 == n2, s"normalize not idempotent: '$n1' -> '$n2'")
+    }
+    // and no tracking residue survives anywhere
+    out.foreach { case (n1, _) =>
+      assert(!n1.contains("utm_") && !n1.matches(".*[?&]ref=.*"), n1)
+    }
+  }
+
+  test("keep-first dedup leaves every segment globally unique and order-preserved") {
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val docG = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val docs = sample(docG, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val out = Corpus.lineDedupKeepFirst(
+        docs.toDF("doc_id", "text"), "doc_id", "text", " ")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // global uniqueness: each surviving segment appears exactly once
+    // across the whole corpus
+    val all = out.flatMap { case (_, clean, _) =>
+      if (clean.isEmpty) Nil else clean.split(" ").toSeq
+    }
+    assert(all.distinct.length == all.length,
+      s"duplicate segments survived: ${all.mkString(",")}")
+    // conservation: kept + removed = original token count per doc
+    val byId = docs.toMap
+    out.foreach { case (id, clean, removed) =>
+      val orig = byId(id).split(" ").length
+      val kept = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(kept + removed == orig, s"doc $id: $kept + $removed != $orig")
+    }
+    // order preservation: kept tokens appear in original relative order
+    out.foreach { case (id, clean, _) =>
+      if (clean.nonEmpty) {
+        val origSeq = byId(id).split(" ").toSeq
+        val keptSeq = clean.split(" ").toSeq
+        val it = origSeq.iterator
+        assert(keptSeq.forall(s => it.contains(s)),
+          s"doc $id: '$clean' is not a subsequence of '${byId(id)}'")
+      }
+    }
+  }
+
+  test("source quota never admits past the budget and is insertion-stable") {
+    import spark.implicits._
+    val docG = for {
+      src <- Gen.oneOf("s1", "s2", "s3")
+      n <- Gen.choose(1, 20)
+      toks <- Gen.listOfN(n, Gen.stringOfN(3, Gen.alphaLowerChar))
+    } yield (src, toks.mkString(" "))
+    val docs = sample(docG, 80).zipWithIndex
+      .map { case ((s, t), i) => (s, i.toLong, t) }
+      .toDF("source", "doc_id", "text")
+    val budget = 60L
+    val kept = Corpus.sourceQuota(docs, "source", "doc_id", "text",
+      budget, seed = 3L).as[(String, Long, Long, Long)].collect()
+    assert(kept.nonEmpty)
+    kept.foreach { case (_, _, _, before) => assert(before < budget) }
+    // per source: the admitted set, ordered by tokens_before, is a
+    // consistent prefix (each admission starts where the last ended)
+    kept.groupBy(_._1).foreach { case (src, rows) =>
+      val ordered = rows.sortBy(_._4)
+      assert(ordered.head._4 == 0L, s"$src must start at 0")
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._4 + a._3, s"$src gap at ${b._2}")
+        case _ =>
+      }
+    }
+  }
+}
