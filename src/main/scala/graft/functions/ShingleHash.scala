@@ -7,22 +7,27 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct word-n-gram shingle hashes in ONE pass: lowercase → split on
-  * single spaces → n-token windows → md5-based 60-bit hash mod P.
+/** Word-n-gram shingle hashes in ONE pass: lowercase → split on single
+  * spaces → n-token windows → md5-based 60-bit hash mod `mod`.
+  * `distinct = true` (the MinHash case) keeps first occurrences only
+  * (array_distinct semantics, order-insensitive downstream);
+  * `distinct = false` emits every window in document order (the
+  * occurrence-counting case — DSIR feature buckets, q117).
   *
   * Bit-for-bit equivalent to the declarative chain
-  * `transform(shingles(text, n), t -> pmod(tokenHash(t), P))`
+  * `transform(shingles(text, n), t -> pmod(tokenHash(t), mod))`
   * (Dedup.scala) and to the DuckDB oracle's SQL replica, but without
   * materializing the intermediate token array, per-position `slice`
   * arrays, or shingle-string array — the declarative chain was measured
-  * at ~1.6 s of the 3 s q52 runtime at sf0.1. Order is first-occurrence
-  * (array_distinct semantics); MinHash consumes it order-independently.
+  * at ~1.6 s of the 3 s q52 runtime at sf0.1 (and ~1.6 s per pass of
+  * the DSIR occ table).
   *
   * Hash = first 15 hex digits of md5 parsed base-16 (= the first 8 bytes
-  * big-endian >>> 4), then mod P — identical to
-  * `conv(substring(md5(tok),1,15),16,10) % P`.
+  * big-endian >>> 4), then mod — identical to
+  * `conv(substring(md5(tok),1,15),16,10) % mod`.
   */
-case class ShingleHash(child: Expression, n: Int, mod: Long)
+case class ShingleHash(child: Expression, n: Int, mod: Long,
+                       distinct: Boolean = true)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -37,7 +42,9 @@ case class ShingleHash(child: Expression, n: Int, mod: Long)
     // UTF8String.toLowerCase matches Spark's lower() (locale-independent)
     val toks = input.toLowerCase.toString.split(" ", -1)
     val cnt = math.max(toks.length - (n - 1), 1)
-    val seen = new java.util.LinkedHashSet[String]()
+    val grams = new java.util.ArrayList[String](cnt)
+    val seen: java.util.HashSet[String] =
+      if (distinct) new java.util.HashSet[String]() else null
     var i = 0
     while (i < cnt) {
       val end = math.min(i + n, toks.length)
@@ -48,16 +55,16 @@ case class ShingleHash(child: Expression, n: Int, mod: Long)
         sb.append(toks(j))
         j += 1
       }
-      seen.add(sb.toString)
+      val g = sb.toString
+      if (seen == null || seen.add(g)) grams.add(g)
       i += 1
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
+    val out = new Array[Long](grams.size)
     var k = 0
     val d = md5.get()
-    while (it.hasNext) {
+    while (k < grams.size) {
       d.reset()
-      val h = d.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = d.digest(grams.get(k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // first 15 hex digits base-16 == first 8 bytes BE >>> 4 (60 bits)
       var v = 0L
       var b = 0
@@ -84,4 +91,7 @@ case class ShingleHash(child: Expression, n: Int, mod: Long)
 object ShingleHash {
   def apply(c: Column, n: Int, mod: Long): Column =
     GraftBridge.column(ShingleHash(GraftBridge.expression(c), n, mod))
+  def occurrences(c: Column, n: Int, mod: Long): Column =
+    GraftBridge.column(
+      ShingleHash(GraftBridge.expression(c), n, mod, distinct = false))
 }

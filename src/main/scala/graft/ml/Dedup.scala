@@ -258,19 +258,22 @@ object Dedup {
     // interpreter cost; measured 38 s → ~13 s on the sf0.1 sweep).
     val vecs = df
       .select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("ve"))
-      .withColumn("n2", Ann.dot(col("ve"), col("ve")))
+      .withColumn("n2",
+        graft.functions.VecDot(col("ve"), col("ve")))
       .join(assign, "vid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = vecs.select(col("cid"), col("vid").as("id_a"),
       col("ve").as("va"), col("n2").as("n2a"))
     val b = vecs.select(col("cid"), col("vid").as("id_b"),
       col("ve").as("vb"), col("n2").as("n2b"))
-    // cos >= tau  ⟺  dot >= tau·√(|a|²·|b|²) for tau > 0 — one dot and
-    // one scalar sqrt per pair; both engines evaluate the identical
-    // expression, so the boundary decisions agree bit for bit
+    // cos >= tau  ⟺  dot >= tau·√(|a|²·|b|²) for tau > 0 — one fused
+    // codegen dot (VecDot: the same left-to-right fold as the HOF chain
+    // and DuckDB's list_dot_product) and one scalar sqrt per pair; both
+    // engines evaluate the identical expression, so the boundary
+    // decisions agree bit for bit
     val pairs = a.join(b, Seq("cid"))
       .filter(col("id_a") < col("id_b"))
-      .filter(Ann.dot(col("va"), col("vb")) >=
+      .filter(graft.functions.VecDot(col("va"), col("vb")) >=
         lit(tau) * sqrt(col("n2a") * col("n2b")))
       .select(col("id_a"), col("id_b"))
     val comp = connectedComponents(pairs) // materializes (localCheckpoint)

@@ -227,12 +227,13 @@ object TextOps {
     * in ONE document — not a real corpus shape. */
   def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, isTarget: Column, buckets: Int): org.apache.spark.sql.DataFrame = {
-    val toks = Dedup.tokens(col(textCol))
-    val grams = transform(sequence(lit(1), greatest(size(toks) - 1, lit(1))),
-      i => array_join(slice(toks, i, lit(2)), " "))
-    val occ = df.select(col(idCol), isTarget.as("_it"), explode(grams).as("_g"))
-      .select(col(idCol), col("_it"),
-        pmod(Dedup.tokenHash(col("_g")), lit(buckets.toLong)).as("b"))
+    // fused tokenize→bigram→hash→bucket expression (one codegen pass,
+    // occurrence order, no intermediate token/gram arrays): the
+    // declarative transform/slice/array_join chain costs ~1.6 s per
+    // pass over the sf0.1 corpus and this table is consumed twice
+    val occ = df.select(col(idCol), isTarget.as("_it"),
+      explode(graft.functions.ShingleHash.occurrences(
+        col(textCol), 2, buckets.toLong)).as("b"))
     val ratio = occ.groupBy(col("b"))
       .agg(count(lit(1)).as("cr"),
         sum(when(col("_it"), 1L).otherwise(0L)).as("ct"))
