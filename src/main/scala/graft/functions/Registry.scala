@@ -22,7 +22,10 @@ object Registry {
         exprs.tail.map(str)), "built-in")
     reg.createOrReplaceTempFunction(
       "shingle_hash", exprs => ShingleHash(exprs.head,
-        int(exprs(1)), long(exprs(2))), "built-in")
+        int(exprs(1)), long(exprs(2)),
+        distinct = exprs.length < 4 || bool(exprs(3))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
   }
 
   private def str(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
@@ -31,6 +34,8 @@ object Registry {
     e.eval(null).toString.toInt
   private def long(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
     e.eval(null).toString.toLong
+  private def bool(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e.eval(null).toString.toBoolean
   private def intList(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Int] =
     e.eval(null) match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>

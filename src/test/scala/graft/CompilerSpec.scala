@@ -340,13 +340,17 @@ class CompilerSpec extends AnyFunSuite {
       """SELECT utf8_unescape(concat(chr(92), 'x65')) AS u,
         |  mask_groups('card 1234 end', '([0-9]+)', array(1)) AS m,
         |  json_fields('{"a":1,"b":"x"}', 'a', 'b') AS j,
-        |  size(shingle_hash('a b c d', 3, 4294967311)) AS ns
+        |  size(shingle_hash('a b c d', 3, 4294967311)) AS ns,
+        |  size(shingle_hash('a b a b', 2, 4294967311, false)) AS no,
+        |  vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d
         |""".stripMargin).head()
     assert(r.getString(0) == "e")
     assert(r.getString(1) == "card **** end")
     assert(r.getStruct(2).getString(0) == "1")
     assert(r.getStruct(2).getString(1) == "x")
     assert(r.getInt(3) == 2)
+    assert(r.getInt(4) == 3) // occurrence mode keeps the repeated "a b"
+    assert(r.getDouble(5) == 32.0)
   }
 
   test("asofJoin: no-earlier-row gives null, equal-ts row matches, ties pick max payload") {
