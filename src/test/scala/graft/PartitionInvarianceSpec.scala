@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partitioning-invariance: the determinism claim the operator docs
+  * make ("engine- and partitioning-reproducible") tested directly —
+  * every op below must produce IDENTICAL rows whether its input arrives
+  * in 1 partition or 13, pre-shuffled or not. This is the property that
+  * silently breaks at 1000 executors when an op depends on row order,
+  * float accumulation order, or first-seen semantics. */
+class PartitionInvarianceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Runs `op` over the same data in three partition layouts and
+    * asserts set-identical output rows. */
+  private def invariant(name: String)(op: DataFrame => DataFrame): Unit = {
+    val base = Tables(spark, sf, "documents")
+    val layouts = Seq(
+      base.coalesce(1),
+      base.repartition(13),
+      base.repartition(7, col("lang")))
+    val results = layouts.map(l =>
+      op(l).collect().map(_.toString).sorted.toSeq)
+    assert(results(0).nonEmpty, s"$name returned nothing")
+    assert(results(0) == results(1),
+      s"$name differs between 1 and 13 partitions")
+    assert(results(0) == results(2),
+      s"$name differs under a pre-shuffle by lang")
+  }
+
+  test("sourceQuota admits the same prefix under any input partitioning") {
+    invariant("sourceQuota")(d =>
+      graft.ml.Corpus.sourceQuota(d, "source", "doc_id", "text", 700L, 7L))
+  }
+
+  test("shardedShuffle assigns the same shard positions under any partitioning") {
+    invariant("shardedShuffle")(d =>
+      graft.ml.Corpus.shardedShuffle(d, "doc_id", "text", 42L, 8))
+  }
+
+  test("dsirWeights sums the same bucket ratios under any partitioning") {
+    invariant("dsirWeights")(d =>
+      graft.ml.TextOps.dsirWeights(d, "doc_id", "text",
+        col("lang") === "en", 64))
+  }
+
+  test("lineDedupKeepFirst picks the same global winners under any partitioning") {
+    invariant("lineDedupKeepFirst")(d =>
+      graft.ml.Corpus.lineDedupKeepFirst(d, "doc_id", "text", " "))
+  }
+
+  test("tfidfTopTerms ranks the same terms under any partitioning") {
+    invariant("tfidfTopTerms")(d =>
+      graft.ml.TextOps.tfidfTopTerms(d, "doc_id", "text", 3, 500L))
+  }
+
+  test("domainCap keeps the same documents under any partitioning") {
+    invariant("domainCap")(d =>
+      graft.ml.UrlOps.domainCap(
+        d.withColumn("reg_domain", concat(lit("d"),
+          pmod(col("doc_id"), lit(5)).cast("string"))),
+        "reg_domain", "doc_id", "text", 10, 11L))
+  }
+
+  test("semDedup labels the same components under any partitioning") {
+    val base = Tables(spark, sf, "embeddings")
+    val layouts = Seq(base.coalesce(1), base.repartition(13))
+    val results = layouts.map(l =>
+      graft.ml.Dedup.semDedup(l, "vec_id", "embedding", 8, 1, 0.40)
+        .collect().map(_.toString).sorted.toSeq)
+    assert(results(0).nonEmpty && results(0) == results(1),
+      "semDedup differs between 1 and 13 partitions")
+  }
+}
