@@ -181,17 +181,55 @@ object Queries8 {
       |  coalesce(c.component, e.vec_id) = e.vec_id AS keep
       |FROM e LEFT JOIN comp c ON c.node = e.vec_id""".stripMargin
 
+  /** Gopher heuristic quality gate (Rae et al. 2021 Appendix A):
+    * integer centi/milli signals + the pass verdict. The synthetic
+    * docs split non-trivially on the token-count (10..99 tokens vs the
+    * ≥50 rule), stopword and repetition rules. */
+  val q121_gopher_gate: Q = (s, dir) =>
+    graft.ml.TextOps.gopherGate(t(s, dir, "documents"), "doc_id", "text")
+
+  val q121_sql: String = {
+    val sw = graft.ml.TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH sig AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+      |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS char_sum,
+      |    CAST(len(list_filter(string_split(lower(text), ' '),
+      |      t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT) AS alpha_cnt,
+      |    CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+      |      AS distinct_cnt,
+      |    CAST(len(list_filter(string_split(lower(text), ' '),
+      |      t -> list_contains([$sw], t))) AS BIGINT) AS stop_hits
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id, n_tok,
+      |    (char_sum * 100) // n_tok AS mean_len_centi,
+      |    (alpha_cnt * 1000) // n_tok AS alpha_milli,
+      |    (distinct_cnt * 1000) // n_tok AS distinct_milli,
+      |    stop_hits
+      |  FROM sig)
+      |SELECT doc_id, n_tok, mean_len_centi, alpha_milli, distinct_milli,
+      |  stop_hits,
+      |  (n_tok BETWEEN 50 AND 100000) AND
+      |  (mean_len_centi BETWEEN 300 AND 1000) AND
+      |  alpha_milli >= 800 AND stop_hits >= 2 AND
+      |  distinct_milli >= 300 AS pass
+      |FROM u""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
     "q118_url_normalize" -> q118_url_normalize,
     "q119_domain_cap" -> q119_domain_cap,
-    "q120_semdedup" -> q120_semdedup
+    "q120_semdedup" -> q120_semdedup,
+    "q121_gopher_gate" -> q121_gopher_gate
   )
 
   val oracles: Map[String, String] = Map(
     "q118_url_normalize" -> q118_sql,
     "q119_domain_cap" -> q119_sql,
-    "q120_semdedup" -> q120_sql
+    "q120_semdedup" -> q120_sql,
+    "q121_gopher_gate" -> q121_sql
   )
 }

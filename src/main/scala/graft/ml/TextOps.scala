@@ -225,6 +225,40 @@ object TextOps {
     * size). The per-doc weight sum is one doc-key shuffle. Ratio values
     * are ≤ 1000·(ct+1)/(cr+1) ≤ 1001, so a 2^63 sum needs ~9e15 grams
     * in ONE document — not a real corpus shape. */
+  /** The Gopher quality rules (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * Appendix A — the standard heuristic pre-filter): token-count
+    * bounds, mean-word-length bounds, minimum alphabetic-word
+    * fraction, a stopword requirement, and a repetition bound
+    * (distinct-token ratio). All signals are exact integers
+    * (centi/milli units, integer DIV) so the gate hash-compares across
+    * engines; the thresholds are the paper's, scaled to those units.
+    * Pure expression work — zero shuffle, whole corpus gated in one
+    * codegen'd scan pass. */
+  def gopherGate(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, minTok: Int = 50,
+                 maxTok: Int = 100000): org.apache.spark.sql.DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val nTok = size(toks).cast("long")
+    val charSum = length(regexp_replace(col(textCol), " ", "")).cast("long")
+    val alphaCnt = size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("long")
+    val distinctCnt = size(array_distinct(toks)).cast("long")
+    df.select(col(idCol), nTok.as("n_tok"), charSum.as("char_sum"),
+        alphaCnt.as("alpha_cnt"), distinctCnt.as("distinct_cnt"),
+        stopwordHits(col(textCol), stopwords("en")).cast("long").as("stop_hits"))
+      .select(col(idCol), col("n_tok"),
+        expr("(char_sum * 100) DIV n_tok").as("mean_len_centi"),
+        expr("(alpha_cnt * 1000) DIV n_tok").as("alpha_milli"),
+        expr("(distinct_cnt * 1000) DIV n_tok").as("distinct_milli"),
+        col("stop_hits"))
+      .withColumn("pass",
+        col("n_tok").between(minTok, maxTok) &&
+          col("mean_len_centi").between(300L, 1000L) &&
+          col("alpha_milli") >= 800L &&
+          col("stop_hits") >= 2L &&
+          col("distinct_milli") >= 300L)
+  }
+
   def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, isTarget: Column, buckets: Int): org.apache.spark.sql.DataFrame = {
     // fused tokenize→bigram→hash→bucket expression (one codegen pass,

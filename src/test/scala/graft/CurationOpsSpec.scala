@@ -81,6 +81,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(kept.length < all.length)
   }
 
+  test("gopherGate fails each rule independently and passes a clean doc") {
+    import spark.implicits._
+    // 48 distinct 4-letter alphabetic words
+    val ws = (for (a <- 'a' to 'z'; b <- 'a' to 'z') yield s"w$a${b}x").take(48)
+    val clean = ("the and " + ws.mkString(" "))          // all rules pass
+    val noStop = (ws ++ Seq("waaa", "wbbb")).mkString(" ") // stop_hits 0
+    val short = "the and cati dogi"                       // n_tok 4 < 50
+    val repetitive = "the and " + Seq.fill(48)("wooo").mkString(" ") // distinct 60‰
+    val digits = "the and " + (1 to 48).map(i => f"w$i%03d").mkString(" ") // alpha 40‰
+    val out = TextOps.gopherGate(
+      Seq((1L, clean), (2L, noStop), (3L, short), (4L, repetitive),
+        (5L, digits)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select("doc_id", "pass", "n_tok", "mean_len_centi", "alpha_milli",
+        "distinct_milli", "stop_hits")
+      .as[(Long, Boolean, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2, s"clean doc must pass: ${out(1L)}")
+    assert(out(1L)._3 == 50L && out(1L)._4 == 396L && out(1L)._5 == 1000L)
+    assert(!out(2L)._2 && out(2L)._7 == 0L, "no stopwords must fail")
+    assert(!out(3L)._2 && out(3L)._3 == 4L, "short doc must fail")
+    assert(!out(4L)._2 && out(4L)._6 == 60L, "repetitive doc must fail")
+    assert(!out(5L)._2 && out(5L)._5 == 40L, "digit-word doc must fail")
+  }
+
   test("dsirWeights with one bucket is the add-one global ratio times gram count") {
     import spark.implicits._
     // grams: d1 target {a b, b c} (2), d2 raw {x y} (1), d3 target {z} (1)
