@@ -36,9 +36,12 @@ object CorpusPipelineDemo {
     }
     val total = n("input", docs)
 
-    // 1. quality + language gate (pure expressions)
+    // 1. quality gate: the Gopher rules (token bound relaxed to the
+    //    synthetic corpus's 10..99-token docs) + language id
+    val gopher = graft.ml.TextOps.gopherGate(docs, "doc_id", "text",
+      minTok = 5)
     val gated = docs
-      .filter(graft.ml.TextOps.tokenCount(col("text")) >= 5)
+      .join(gopher.filter(col("pass")).select("doc_id"), Seq("doc_id"))
       .filter(graft.ml.TextOps.langId(col("text")).isNotNull)
     n("quality+lang gate", gated)
 
@@ -87,13 +90,20 @@ object CorpusPipelineDemo {
           n = 3, threshold = 10)
         .filter(!col("contaminated")).select("doc_id"),
       Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     n("decontaminated", decon)
 
     // 6. per-source token quota: no source contributes more than 400
-    //    tokens past this point
+    //    tokens past this point. The post-cleaning corpus is persisted
+    //    here — every downstream stage (DSIR build + probe, mixing,
+    //    packing, chunking) fans out from it, and without the cache each
+    //    count() would re-execute the whole dedup/decontamination
+    //    lineage (the production shape too: materialize once after
+    //    cleaning, before the mixture fan-out).
     val quota = graft.ml.Corpus.sourceQuota(decon, "source", "doc_id",
       "text", budget = 400L, seed = 11L)
     val capped = decon.join(quota.select("doc_id"), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     n("source quota", capped)
     val overs = quota.groupBy("source")
       .agg(max(col("tokens_before")).as("mx")).filter(col("mx") >= 400L)
