@@ -55,6 +55,31 @@ class UrlOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("normalize and extraction degrade gracefully on non-URL input") {
+    import spark.implicits._
+    val cases = Seq(
+      // no scheme: authority regex misses, string passes through
+      // (minus a trailing slash / tracking cleanup, which are purely
+      // textual rules)
+      ("www.example.com/p?utm_source=x", "www.example.com/p"),
+      ("", ""),
+      ("not a url at all", "not a url at all"),
+      // scheme but empty authority
+      ("file:///tmp/x/", "file:///tmp/x")
+    )
+    val got = cases.map(_._1).toDF("url")
+      .select(UrlOps.normalize(col("url"))).as[String].collect()
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"normalize($in)")
+    }
+    // host/domain of a non-URL are empty strings, not nulls or errors
+    val hd = Seq("no scheme here").toDF("u")
+      .select(UrlOps.host(col("u")).as("h"))
+      .withColumn("d", UrlOps.registeredDomain(col("h")))
+      .as[(String, String)].head()
+    assert(hd == (("", "")))
+  }
+
   test("domainCap keeps at most k docs per domain, deterministically") {
     import spark.implicits._
     val docs = (1L to 30L).map { i =>
