@@ -71,6 +71,29 @@ class PartitionInvarianceSpec extends AnyFunSuite {
         "reg_domain", "doc_id", "text", 10, 11L))
   }
 
+  test("upsample emits the same copy multiset under any partitioning") {
+    invariant("upsample")(d =>
+      graft.ml.Corpus.upsample(
+        d.select(col("doc_id"), col("text")), "text",
+        (lit(500) + pmod(col("doc_id"), lit(40)) * lit(100)).cast("long")))
+  }
+
+  test("packSequences assigns the same sequence slots under any partitioning") {
+    invariant("packSequences")(d =>
+      graft.ml.Corpus.packSequences(d, "source", "doc_id", "text", 512))
+  }
+
+  test("boilerplateScrub cuts the same segments under any partitioning") {
+    invariant("boilerplateScrub")(d =>
+      graft.ml.Corpus.boilerplateScrub(d, "doc_id", "text", " ", 400L))
+  }
+
+  test("splitAssign gives the same split labels under any partitioning") {
+    invariant("splitAssign")(d =>
+      d.select(col("doc_id"),
+        graft.ml.Corpus.splitAssign(col("text"), 7L, (800, 900)).as("split")))
+  }
+
   test("semDedup labels the same components under any partitioning") {
     val base = Tables(spark, sf, "embeddings")
     val layouts = Seq(base.coalesce(1), base.repartition(13))
