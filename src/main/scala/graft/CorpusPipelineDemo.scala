@@ -105,9 +105,16 @@ object CorpusPipelineDemo {
     val capped = decon.join(quota.select("doc_id"), Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     n("source quota", capped)
-    val overs = quota.groupBy("source")
-      .agg(max(col("tokens_before")).as("mx")).filter(col("mx") >= 400L)
-    assert(overs.isEmpty, "quota admitted a doc starting past the budget")
+    // asserted on the ADMITTED set (quota's own tokens_before < budget
+    // is true by construction): each source's total admitted tokens
+    // stay under budget + its largest admitted doc — the documented
+    // overshoot-by-one bound of the greedy prefix
+    val overs = capped
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(sum(col("nt")).as("tok"), max(col("nt")).as("mxdoc"))
+      .filter(col("tok") >= lit(400L) + col("mxdoc"))
+    assert(overs.isEmpty, "source quota overshot the overshoot-by-one bound")
 
     // 7. DSIR importance weights (target = lang 'en') drive the domain
     //    mixing: weight_milli/n_grams rescaled to a 500..4000 milli range

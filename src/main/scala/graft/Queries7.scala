@@ -56,13 +56,11 @@ object Queries7 {
     """WITH seg AS (
       |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS seg
       |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
-      |win AS (
-      |  SELECT seg, min(doc_id * 4294967296 + pos) AS first_ord
-      |  FROM seg GROUP BY 1),
       |fl AS (
-      |  SELECT s.doc_id, s.pos, s.seg,
-      |    (s.doc_id * 4294967296 + s.pos = w.first_ord) AS keep
-      |  FROM seg s JOIN win w USING (seg)),
+      |  SELECT doc_id, pos, seg,
+      |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1
+      |      AS keep
+      |  FROM seg),
       |re AS (
       |  SELECT doc_id,
       |    coalesce(string_agg(seg, ' ' ORDER BY pos)

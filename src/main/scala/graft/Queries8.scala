@@ -58,7 +58,7 @@ object Queries8 {
       |  SELECT doc_id, url,
       |    regexp_replace(regexp_replace(
       |      regexp_replace(url, '#.*$$', ''),
-      |      '(utm_[a-z]+|ref)=[^&#]*&?', '', 'g'), '[?&]+$$', '') AS s
+      |      '([?&])((?:utm_[a-z]+|ref)=[^&#]*&?)+', '\\1', 'g'), '[?&]+$$', '') AS s
       |  FROM u),
       |n3 AS (
       |  SELECT doc_id, url, s,
@@ -102,7 +102,7 @@ object Queries8 {
       |  SELECT doc_id, text, url,
       |    regexp_replace(regexp_replace(
       |      regexp_replace(url, '#.*$$', ''),
-      |      '(utm_[a-z]+|ref)=[^&#]*&?', '', 'g'), '[?&]+$$', '') AS s
+      |      '([?&])((?:utm_[a-z]+|ref)=[^&#]*&?)+', '\\1', 'g'), '[?&]+$$', '') AS s
       |  FROM u),
       |n3 AS (
       |  SELECT doc_id, text, s,

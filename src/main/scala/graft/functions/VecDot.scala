@@ -32,7 +32,12 @@ case class VecDot(left: Expression, right: Expression)
   }
 
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // ragged embeddings are data corruption, not a similarity of 0 —
+    // fail loudly like DuckDB's list_dot_product, never truncate
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_dot: mismatched vector lengths $n vs ${b.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < n) {

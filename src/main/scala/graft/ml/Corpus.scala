@@ -207,10 +207,12 @@ object Corpus {
     * the corpus — across documents or within one — survives only at its
     * first occurrence; boilerplateScrub by contrast cuts frequent
     * segments from *every* document). "First" is the (doc, position)
-    * order, encoded as one BIGINT `doc_id·2^32 + pos` so the min
-    * aggregates map-side partially — a lexicographic struct-min would
-    * too, but the scalar folds cheaper and the SQL oracle expresses it
-    * verbatim. Returns (id, clean_text, n_removed), order-preserving.
+    * order as a lexicographic struct-min — structs are orderable, so
+    * the min still folds map-side partially, and unlike the tempting
+    * scalar `doc_id·2^32 + pos` encoding it neither overflows for
+    * doc_id ≥ 2^31 (Spark wraps silently → wrong winner) nor collides
+    * for pos ≥ 2^32, and works for any orderable id type. Returns
+    * (id, clean_text, n_removed), order-preserving.
     *
     * Shape at scale: winner selection is one segment-key shuffle with
     * map-side partial min — NOT a per-segment window (a window needs
@@ -225,7 +227,7 @@ object Corpus {
   def lineDedupKeepFirst(df: DataFrame, idCol: String, textCol: String,
                          delim: String): DataFrame = {
     val litDelim = java.util.regex.Pattern.quote(delim)
-    val ord = col(idCol) * lit(4294967296L) + col("pos")
+    val ord = struct(col(idCol), col("pos"))
     val seg = df.select(col(idCol),
       posexplode(split(col(textCol), litDelim)).as(Seq("pos", "seg")))
     val winner = seg.groupBy(col("seg")).agg(min(ord).as("first_ord"))

@@ -241,7 +241,9 @@ object TextOps {
     val toks = split(lower(col(textCol)), " ")
     val nTok = size(toks).cast("long")
     val charSum = length(regexp_replace(col(textCol), " ", "")).cast("long")
-    val alphaCnt = size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("long")
+    // \A..\z, not ^..$: Java's $ also matches before a trailing \n, so
+    // "word\n" would pass here yet fail the oracle's regexp_full_match
+    val alphaCnt = size(filter(toks, t => t.rlike("\\A[a-z]+\\z"))).cast("long")
     val distinctCnt = size(array_distinct(toks)).cast("long")
     df.select(col(idCol), nTok.as("n_tok"), charSum.as("char_sum"),
         alphaCnt.as("alpha_cnt"), distinctCnt.as("distinct_cnt"),

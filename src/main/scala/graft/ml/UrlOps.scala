@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   *
   * All extraction is pure expression work — regexp chains inside
   * whole-stage codegen, zero shuffle — and the patterns stay in the
-  * RE2-compatible subset with no group references in replacements, so
+  * RE2-compatible subset (the one group reference in a replacement,
+  * the kept separator in `normalize`, is `$1` in Java and `\1` in RE2
+  * rewrite — same semantics, dialect-local spelling), so
   * java.util.regex and the DuckDB oracles agree byte for byte (the
   * piiScrub rule). The domain cap is one window shuffle on the domain
   * key, count-based where sourceQuota is token-based.
@@ -20,11 +22,20 @@ object UrlOps {
   /** Fragment off, tracking params (utm_*, ref) off, dangling ?/&
     * cleaned, scheme+authority lowercased (path/query case preserved —
     * paths are case-sensitive, hosts are not), default :80/:443 port
-    * dropped, trailing slash trimmed. */
+    * dropped, trailing slash trimmed.
+    *
+    * The tracking-param name is anchored to a `?`/`&` separator so a
+    * param whose name merely ends in "ref" (href=, xref=) survives
+    * intact, and the pattern consumes a whole RUN of consecutive
+    * tracking params after one separator — a single-param pattern with
+    * a kept `$1` separator would skip every second param in
+    * `?utm_a=1&utm_b=2` because the scan resumes after the consumed
+    * `&`. */
   def normalize(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val noTrack = regexp_replace(
-      regexp_replace(noFrag, "(utm_[a-z]+|ref)=[^&#]*&?", ""),
+      regexp_replace(noFrag,
+        "([?&])((?:utm_[a-z]+|ref)=[^&#]*&?)+", "$1"),
       "[?&]+$", "")
     // lowercase ONLY scheme://host[:port] — split at the end of the
     // authority, lower the left, keep the right verbatim

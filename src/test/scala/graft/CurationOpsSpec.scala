@@ -52,6 +52,19 @@ class CurationOpsSpec extends AnyFunSuite {
       3L -> (("", 1L))))
   }
 
+  test("lineDedupKeepFirst winner order survives doc_id >= 2^31 (no scalar overflow)") {
+    import spark.implicits._
+    // the retired doc_id*2^32+pos encoding wrapped negative here and
+    // crowned the WRONG first occurrence; the struct-min must not
+    val big = 3000000000L // > 2^31
+    val docs = Seq((big, "x y"), (big + 1, "x z")).toDF("doc_id", "text")
+    val out = Corpus.lineDedupKeepFirst(docs, "doc_id", "text", delim = " ")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      big -> (("x y", 0L)),
+      (big + 1) -> (("z", 1L))))
+  }
+
   test("sourceQuota keeps a deterministic prefix per source under the budget") {
     import spark.implicits._
     val docs = (1L to 20L).map { i =>

@@ -92,4 +92,15 @@ class DedupSpec extends AnyFunSuite {
       1L -> ((1L, true)), 3L -> ((1L, false)),
       4L -> ((4L, true))))
   }
+
+  test("VecDot refuses ragged vectors instead of truncating") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal(1.0)
+    val vd = graft.functions.VecDot(lit, lit)
+    val a = new GenericArrayData(Array(1.0, 2.0, 3.0))
+    val b = new GenericArrayData(Array(1.0, 2.0))
+    assert(vd.dot(a, a) == 14.0)
+    val e = intercept[IllegalArgumentException](vd.dot(a, b))
+    assert(e.getMessage.contains("mismatched vector lengths"))
+  }
 }

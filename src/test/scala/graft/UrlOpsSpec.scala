@@ -37,6 +37,25 @@ class UrlOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("normalize: params merely ending in 'ref' survive; tracking runs go whole") {
+    import spark.implicits._
+    val cases = Seq(
+      // href=/xref= are NOT the tracking param 'ref' — must survive intact
+      ("https://h.com/p?href=x&id=1", "https://h.com/p?href=x&id=1"),
+      ("https://h.com/p?xref=a&ref=b&aref=c", "https://h.com/p?xref=a&aref=c"),
+      // a RUN of consecutive tracking params after one separator is
+      // consumed whole (single-param patterns skip every second one)
+      ("https://h.com/p?utm_a=1&utm_b=2&id=3", "https://h.com/p?id=3"),
+      ("https://h.com/p?id=1&utm_a=2&ref=3&utm_b=4", "https://h.com/p?id=1"),
+      ("https://h.com/p?utm_a=1&utm_b=2", "https://h.com/p")
+    )
+    val got = cases.map(_._1).toDF("url")
+      .select(UrlOps.normalize(col("url"))).as[String].collect()
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"normalize($in)")
+    }
+  }
+
   test("host and registered domain, including multi-label public suffixes") {
     import spark.implicits._
     val cases = Seq(
