@@ -6,6 +6,14 @@ import org.apache.spark.sql.types._
 
 /** Per-round benchmark: one JSON line on stdout.
   *
+  * Noise discipline (this box's CPU share is bimodal — identical code
+  * has measured 25× apart): the tp leg is 5 samples (min + median +
+  * spread + noisy flag), and the query sweep runs twice INTERLEAVED
+  * with per-query min reported and per-query spread emitted, so a
+  * stall landing on one sample of one query is visible and discounted
+  * inside the artifact instead of reading as a regression. `total` is
+  * the sum of per-query minima — the stall-free sweep time.
+  *
   * Besides timing every registry query (count()-driven), measures the
   * reference's headline number — file → json decode → devnull
   * throughput (README.md:35-37, 1.0 GB/s on 2 laptop cores ≈
@@ -108,14 +116,32 @@ object Bench {
     }.min
     val scanMbps = corpusBytes / 1e6 / scanSec
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Query sweep, run SPARK_GRAFT_SWEEPS times INTERLEAVED (full pass
+    // over all queries, then again — never the same query back-to-back,
+    // so one multi-second CPU-steal stall cannot poison both samples of
+    // one query). Per query: min across sweeps is the reported time
+    // (the stall-free sample), spread = (max-min)/min is the per-query
+    // noise the r6 verdict demanded — a ×12 "regression" on untouched
+    // code is now distinguishable from a real one inside the artifact.
+    val sweeps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "2").toInt)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sampleMap = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    for (_ <- 1 to sweeps; (name, fn) <- names) {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      sampleMap(name) = sampleMap.getOrElse(name, Vector.empty) :+ sec
+    }
+    val results = names.map { case (name, _) => name -> sampleMap(name).min }
+    val qSpread = names.map { case (name, _) =>
+      val ss = sampleMap(name)
+      name -> (if (ss.min > 0) (ss.max - ss.min) / ss.min else 0.0)
     }
 
     val qs = (results :+ ("tp_json_decode" -> tpSec))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    val qsSpread = qSpread
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + tpSec
 
     // Self-diagnosing variance: decode-cost ratio (tp vs this box's own
@@ -137,15 +163,33 @@ object Bench {
           f"$noiseBand%.2f — samples ${tpSamples.map(v => f"$v%.3f").mkString(",")}; " +
           "treat throughput_MBps as unstable for this run")
 
+    // Aggregate sweep-noise diagnostics: how many queries saw a
+    // past-noise-band spread between their interleaved samples, and the
+    // worst one. Sweep 1 includes per-query codegen/JIT warm-up, so a
+    // moderate spread is expected even on a quiet box — the per-query
+    // min discounts warm-up and stalls alike; what q_spread_max
+    // distinguishes is the ×10-class CPU-steal stall (r6's q107 "×12")
+    // from a real regression, which would slow BOTH samples.
+    val qNoisy = qSpread.filter(_._2 > noiseBand)
+    val qNoisyCount = qNoisy.size
+    val qSpreadMax = if (qSpread.nonEmpty) qSpread.map(_._2).max else 0.0
+    if (qNoisyCount > 0)
+      System.err.println(
+        f"[bench] WARN $qNoisyCount queries exceeded per-query noise band " +
+          f"$noiseBand%.2f across $sweeps sweeps (max spread $qSpreadMax%.2f: " +
+          qNoisy.maxBy(_._2)._1 + "); per-query min is reported, spreads in detail file")
+
     // Full per-query map + every tp/scan sample → a FILE, not stdout:
     // the ~3.6 KB per-query line overflowed the driver's tail/parse
     // buffer three rounds running (VERDICT r3 "What's wrong" #1).
     val tpArr = tpSamples.map(v => f"$v%.4f").mkString("[", ",", "]")
     val detail =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,""" +
+        f""""query_spread":$qsSpread,"sweeps":$sweeps,""" +
         f""""throughput_MBps":$mbps%.1f,"tp_median_MBps":$tpMedianMbps%.1f,""" +
         f""""scan_MBps":$scanMbps%.1f,"tp_over_scan":$tpOverScan%.4f,""" +
         f""""tp_spread":$spread%.4f,"tp_noisy":$noisy,""" +
+        f""""q_noisy_count":$qNoisyCount,"q_spread_max":$qSpreadMax%.3f,""" +
         f""""tp_samples_sec":$tpArr,"corpus_bytes":$corpusBytes,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
@@ -158,6 +202,8 @@ object Bench {
         f""""throughput_MBps":$mbps%.1f,"tp_median_MBps":$tpMedianMbps%.1f,""" +
         f""""scan_MBps":$scanMbps%.1f,"tp_over_scan":$tpOverScan%.4f,""" +
         f""""tp_spread":$spread%.4f,"tp_noisy":$noisy,""" +
+        f""""sweeps":$sweeps,"q_noisy_count":$qNoisyCount,""" +
+        f""""q_spread_max":$qSpreadMax%.3f,""" +
         f""""total_sec":$total%.4f,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
