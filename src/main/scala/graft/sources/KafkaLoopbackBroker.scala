@@ -68,6 +68,12 @@ final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0)
   def committed(group: String, topic: String, partition: Int): Option[Long] =
     Option(groupOffsets.get((group, topic, partition))).map(_.longValue)
 
+  /** Fetch requests served so far — the laziness probe: a consumer that
+    * abandons its iterator after a few rows must NOT have fetched the
+    * whole pinned range. */
+  def fetchCount: Long = fetches.get()
+  private val fetches = new java.util.concurrent.atomic.AtomicLong()
+
   def values(topic: String, partition: Int): Seq[String] = {
     val l = log(topic, partition)
     l.synchronized {
@@ -188,6 +194,7 @@ final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0)
   }
 
   private def fetchResp(bb: ByteBuffer): Array[Byte] = {
+    fetches.incrementAndGet()
     bb.getInt // replica_id
     bb.getInt // max_wait_ms
     bb.getInt // min_bytes

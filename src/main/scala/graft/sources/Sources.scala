@@ -78,15 +78,28 @@ object Sources {
     val rdd = spark.sparkContext
       .parallelize(ranges, math.max(ranges.size, 1))
       .flatMap { case (pm, start, end) =>
+        // LAZY iterator: at most one fetch's worth of decoded records
+        // (≤ fetchBytes) lives on the heap at a time, so a 100 GB
+        // backlog partition streams through the task instead of
+        // materializing before the first row is emitted (the official
+        // connector's behavior). The connection closes on exhaustion
+        // AND on task completion/failure (listener), so an abandoned
+        // iterator — limit(), take(), task kill — never leaks a socket.
         if (end <= start) Iterator.empty
-        else {
-          val c = new KafkaWireClient(pm.leaderHost, pm.leaderPort)
-          val buf = Vector.newBuilder[Row]
-          try {
-            var off = start
-            var fetchBytes = maxBytesPerFetch
-            val fetchBytesCap = 1 << 27 // 128 MiB, above any sane max.message.bytes
-            while (off < end) {
+        else new Iterator[Row] {
+          private val c = new KafkaWireClient(pm.leaderHost, pm.leaderPort)
+          private var closed = false
+          private def closeOnce(): Unit =
+            if (!closed) { closed = true; c.close() }
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+          private var off = start
+          private var fetchBytes = maxBytesPerFetch
+          private val fetchBytesCap = 1 << 27 // 128 MiB, above any sane max.message.bytes
+          private var pending: Iterator[KafkaWire.RecordMsg] = Iterator.empty
+
+          private def fill(): Unit = {
+            while (!pending.hasNext && off < end) {
               val (_, recs) = c.fetch(topic, pm.partition, off, fetchBytes)
               if (recs.isEmpty) {
                 // The pinned range says data exists at `off`, and fetch()
@@ -102,21 +115,25 @@ object Sources {
                       s"record within max_bytes=$fetchBytes — message larger " +
                       "than the fetch cap")
                 fetchBytes = math.min(fetchBytes.toLong * 2, fetchBytesCap.toLong).toInt
-              }
-              else {
+              } else {
                 fetchBytes = maxBytesPerFetch
-                recs.iterator.filter(_.offset < end).foreach { r =>
-                  buf += Row(
-                    if (r.value == null) null else new String(r.value, "UTF-8"),
-                    s"$topic/${pm.partition}", topic, pm.partition, r.offset,
-                    if (r.key == null) null else new String(r.key, "UTF-8"),
-                    r.timestamp)
-                }
+                pending = recs.iterator.filter(_.offset < end)
                 off = math.max(recs.last.offset + 1, off + 1)
               }
             }
-          } finally c.close()
-          buf.result().iterator
+            if (!pending.hasNext) closeOnce()
+          }
+
+          override def hasNext: Boolean = { fill(); pending.hasNext }
+          override def next(): Row = {
+            fill()
+            val r = pending.next()
+            Row(
+              if (r.value == null) null else new String(r.value, "UTF-8"),
+              s"$topic/${pm.partition}", topic, pm.partition, r.offset,
+              if (r.key == null) null else new String(r.key, "UTF-8"),
+              r.timestamp)
+          }
         }
       }
     KafkaBatch(spark.createDataFrame(rdd, schema),

@@ -120,6 +120,37 @@ class KafkaWireSpec extends AnyFunSuite {
     }
   }
 
+  test("batch source streams its range lazily: few rows consumed -> few fetches") {
+    withBroker(1) { b =>
+      val c = new KafkaWireClient(b.host, b.boundPort)
+      val payloads = (0 until 400).map(i => f"rec-$i%03d-${"x" * 60}")
+      try {
+        payloads.grouped(50).foreach { g =>
+          c.produce("lazy", 0, g.map(v => (null, v.getBytes("UTF-8"))), 1L)
+        }
+      } finally c.close()
+
+      // ~90 bytes/record and a 256-byte budget → a full scan of the 400
+      // pinned records needs >100 fetches; an EAGER task does them all
+      // before yielding its first row, a lazy one stops after its take()
+      val before = b.fetchCount
+      val batch = Sources.kafkaWireBatch(spark, b.bootstrap, "lazy", "gl",
+        maxBytesPerFetch = 256)
+      val few = batch.df.rdd
+        .mapPartitions(it => it.take(3))
+        .map(_.getAs[String]("value")).collect()
+      assert(few.toSeq == payloads.take(3))
+      val lazyFetches = b.fetchCount - before
+      assert(lazyFetches <= 5,
+        s"truncated consume issued $lazyFetches fetches — range was materialized eagerly")
+
+      // and the same plan consumed fully really does page the range
+      val beforeFull = b.fetchCount
+      assert(batch.df.count() == 400)
+      assert(b.fetchCount - beforeFull > 100)
+    }
+  }
+
   test("batch source: group resume, meta columns, commit after ack") {
     withBroker() { b =>
       val c = new KafkaWireClient(b.host, b.boundPort)
