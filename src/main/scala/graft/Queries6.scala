@@ -144,9 +144,14 @@ object Queries6 {
   /** One loopback broker per JVM, shared across q111 invocations: the
     * returned DataFrame is lazy, so the broker must outlive the call —
     * newing one per invocation leaked a ServerSocket + acceptor thread
-    * per bench/verify iteration. */
+    * per bench/verify iteration. Retention caps the in-memory log at
+    * 4096 records/partition (each invocation appends ~667), so a
+    * long-lived session — bench sweeps re-invoke q111 repeatedly — holds
+    * a bounded log instead of growing 2,001 records per invocation;
+    * committed group offsets always point inside the retained window. */
   private lazy val q111Broker =
-    new graft.sources.KafkaLoopbackBroker(numPartitions = 3)
+    new graft.sources.KafkaLoopbackBroker(numPartitions = 3,
+      retainPerPartition = 4096)
 
   val q111_kafka_roundtrip: Q = (s, dir) => {
     val broker = q111Broker

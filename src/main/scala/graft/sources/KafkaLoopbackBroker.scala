@@ -27,12 +27,28 @@ import scala.jdk.CollectionConverters._
   * construction; not a distributed broker — the durability story at
   * scale is a real Kafka cluster, reached by this same client code.
   */
-final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0)
+final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0,
+                                retainPerPartition: Int = Int.MaxValue)
     extends AutoCloseable {
   import KafkaWire._
 
-  private val logs =
-    new ConcurrentHashMap[(String, Int), java.util.ArrayList[RecordMsg]]()
+  /** Partition log with a real base offset — retention drops the head
+    * (oldest records) when the buffer exceeds `retainPerPartition`, the
+    * size-based `log.retention.bytes` analogue, so a JVM-lifetime
+    * broker (q111's) stays bounded across invocations. Offsets stay
+    * monotone and stable; a fetch below `base` is OFFSET_OUT_OF_RANGE,
+    * exactly like a retention-expired offset on a real broker. */
+  private final class PartLog {
+    var base: Long = 0L
+    val buf = new java.util.ArrayList[RecordMsg]()
+    def end: Long = base + buf.size
+    def trim(): Unit = {
+      val over = buf.size - retainPerPartition
+      if (over > 0) { buf.subList(0, over).clear(); base += over }
+    }
+  }
+
+  private val logs = new ConcurrentHashMap[(String, Int), PartLog]()
   // java.lang.Long values: a missing key must read as None/-1, not as a
   // silently null-unboxed 0 (which would look like a committed offset 0)
   private val groupOffsets = new ConcurrentHashMap[(String, String, Int), java.lang.Long]()
@@ -62,8 +78,16 @@ final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0)
 
   // ---------------------------------------------- assertion surface
 
-  def logEnd(topic: String, partition: Int): Long =
-    log(topic, partition).synchronized { log(topic, partition).size.toLong }
+  def logEnd(topic: String, partition: Int): Long = {
+    val l = log(topic, partition)
+    l.synchronized { l.end }
+  }
+
+  /** Records currently held for a partition (≤ retainPerPartition). */
+  def retainedCount(topic: String, partition: Int): Int = {
+    val l = log(topic, partition)
+    l.synchronized { l.buf.size }
+  }
 
   def committed(group: String, topic: String, partition: Int): Option[Long] =
     Option(groupOffsets.get((group, topic, partition))).map(_.longValue)
@@ -77,14 +101,14 @@ final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0)
   def values(topic: String, partition: Int): Seq[String] = {
     val l = log(topic, partition)
     l.synchronized {
-      l.asScala.map(m => new String(m.value, "UTF-8")).toVector
+      l.buf.asScala.map(m => new String(m.value, "UTF-8")).toVector
     }
   }
 
   // ------------------------------------------------------- serving
 
-  private def log(topic: String, p: Int): java.util.ArrayList[RecordMsg] =
-    logs.computeIfAbsent((topic, p), _ => new java.util.ArrayList[RecordMsg]())
+  private def log(topic: String, p: Int): PartLog =
+    logs.computeIfAbsent((topic, p), _ => new PartLog)
 
   private def serve(s: Socket): Unit = {
     s.setTcpNoDelay(true)
@@ -179,10 +203,11 @@ final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0)
           val entries = decodeMessageSet(set)
           val l = log(topic, p)
           val base = l.synchronized {
-            val b = l.size.toLong
+            val b = l.end
             entries.zipWithIndex.foreach { case (e, i) =>
-              l.add(RecordMsg(b + i, e.timestamp, e.key, e.value))
+              l.buf.add(RecordMsg(b + i, e.timestamp, e.key, e.value))
             }
+            l.trim()
             b
           }
           w.i32(p).i16(0).i64(base).i64(-1L)
@@ -211,17 +236,17 @@ final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0)
         val maxBytes = bb.getInt
         val l = log(topic, p)
         val (hw, slice) = l.synchronized {
-          val end = l.size.toLong
-          if (off < 0 || off > end) (end, null)
+          val end = l.end
+          if (off < l.base || off > end) (end, null)
           else {
             // at least one message even past max_bytes; stop before the
             // first message that would overflow the cap after that
             val picked = Vector.newBuilder[RecordMsg]
             var bytes = 0
-            var i = off.toInt
+            var i = (off - l.base).toInt
             var stop = false
-            while (i < l.size && !stop) {
-              val m = l.get(i)
+            while (i < l.buf.size && !stop) {
+              val m = l.buf.get(i)
               val sz = 26 + 12 +
                 (if (m.key == null) 0 else m.key.length) +
                 (if (m.value == null) 0 else m.value.length)
@@ -256,8 +281,8 @@ final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0)
         val ts = bb.getLong
         val l = log(topic, p)
         val off = ts match {
-          case -2L => 0L // log start (no retention truncation here)
-          case _   => l.synchronized { l.size.toLong } // -1L and any time: log end
+          case -2L => l.synchronized { l.base } // log start (post-retention)
+          case _   => l.synchronized { l.end } // -1L and any time: log end
         }
         w.i32(p).i16(0).i64(-1L).i64(off)
       }

@@ -120,6 +120,40 @@ class KafkaWireSpec extends AnyFunSuite {
     }
   }
 
+  test("retention cap bounds broker memory across consecutive roundtrips") {
+    // the q111 shape: a JVM-lifetime broker fed by repeated
+    // produce→fetch→commit invocations must hold a BOUNDED log
+    val b = new KafkaLoopbackBroker(numPartitions = 1, retainPerPartition = 150)
+    try {
+      for (round <- 0 until 3) {
+        val c = new KafkaWireClient(b.host, b.boundPort)
+        try {
+          val vals = (0 until 100).map(i => s"r$round-$i")
+          vals.grouped(25).foreach { g =>
+            c.produce("cap", 0, g.map(v => (null, v.getBytes("UTF-8"))), 1L)
+          }
+        } finally c.close()
+        val batch = Sources.kafkaWireBatch(spark, b.bootstrap, "cap", "gc")
+        // each roundtrip reads exactly its OWN fresh 100 records — the
+        // committed offset stays inside the retained window
+        val got = batch.df.collect().map(_.getAs[String]("value")).sorted
+        assert(got.length == 100, s"round $round read ${got.length}")
+        assert(got.forall(_.startsWith(s"r$round-")))
+        Sources.kafkaWireCommit(b.bootstrap, "gc", batch.endOffsets)
+        // bounded: never more than the cap, offsets still monotone
+        assert(b.retainedCount("cap", 0) <= 150)
+        assert(b.logEnd("cap", 0) == (round + 1) * 100L)
+      }
+      // a fetch below the retention floor fails loudly, like a real
+      // retention-expired offset
+      val c = new KafkaWireClient(b.host, b.boundPort)
+      try {
+        val e = intercept[IllegalArgumentException](c.fetch("cap", 0, 0L))
+        assert(e.getMessage.contains("fetch error"))
+      } finally c.close()
+    } finally b.close()
+  }
+
   test("batch source streams its range lazily: few rows consumed -> few fetches") {
     withBroker(1) { b =>
       val c = new KafkaWireClient(b.host, b.boundPort)
