@@ -1,0 +1,233 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** DSv2 micro-batch **kafka source** over the native wire client — the
+  * continuous-consumer half of the reference's kafka input
+  * (plugin/input/kafka/kafka.go:77-129), completing [[Sources.kafkaWireBatch]]
+  * (one pinned shot) with a long-running stream: each micro-batch pins
+  * `[committed/previous end, current log end)` per partition, reads it with
+  * one Spark task per Kafka partition, and on epoch commit — AFTER the sink
+  * has durably processed the batch — advances the consumer group's offsets
+  * on the broker (commit-after-ack, the reference's at-least-once loop;
+  * kafka.go commits on event commit, not on fetch).
+  *
+  * Offset authority: Spark's checkpoint is authoritative for resume (exact
+  * epoch replay); the broker-side group commit tracks the same frontier so
+  * external tooling — and a checkpoint-less restart — observe/resume the
+  * group's progress exactly like any other consumer.
+  *
+  * Usage: `spark.readStream.format("graft-kafka")
+  *   .option("brokers", "host:port").option("topic", t)
+  *   .option("group", g).option("offset", "oldest|newest").load()`
+  * → columns (value, source_name, topic, partition, offset, key, ts_ms) —
+  * the same envelope as the batch flavor.
+  *
+  * Scale shape: reading parallelism ≡ Kafka partition count (the official
+  * connector's planning); each reader streams its range lazily — one fetch's
+  * worth of records on the heap at a time — and opens one connection to its
+  * partition's leader.
+  */
+class KafkaWireStreamProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-kafka"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KafkaWireStream.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new KafkaWireTable(
+      properties.get("brokers"),
+      properties.get("topic"),
+      Option(properties.get("group")).getOrElse("graft"),
+      Option(properties.get("offset")).getOrElse("oldest"),
+      Option(properties.get("maxbytesperfetch")).map(_.toInt).getOrElse(1 << 20))
+}
+
+object KafkaWireStream {
+  val schema: StructType = StructType(Seq(
+    StructField("value", StringType), StructField("source_name", StringType),
+    StructField("topic", StringType), StructField("partition", IntegerType),
+    StructField("offset", LongType), StructField("key", StringType),
+    StructField("ts_ms", LongType)))
+
+  private val mapper = new ObjectMapper()
+
+  def serialize(offsets: Map[Int, Long]): String = {
+    val node = mapper.createObjectNode()
+    offsets.toSeq.sortBy(_._1).foreach { case (p, o) => node.put(p.toString, o) }
+    mapper.writeValueAsString(node)
+  }
+
+  def deserialize(json: String): Map[Int, Long] = {
+    val node = mapper.readTree(json)
+    node.properties().asScala.map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
+  }
+}
+
+class KafkaWireTable(brokers: String, topic: String, group: String,
+                     offsetReset: String, maxBytesPerFetch: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-kafka:$topic@$brokers"
+  override def schema(): StructType = KafkaWireStream.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new KafkaWireScan(brokers, topic, group, offsetReset, maxBytesPerFetch)
+}
+
+class KafkaWireScan(brokers: String, topic: String, group: String,
+                    offsetReset: String, maxBytesPerFetch: Int) extends Scan {
+  override def readSchema(): StructType = KafkaWireStream.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new KafkaWireMicroBatchStream(brokers, topic, group, offsetReset,
+      maxBytesPerFetch)
+}
+
+/** next-to-read offset per partition (the consumer-group convention). */
+case class KafkaWireOffset(offsets: Map[Int, Long]) extends Offset {
+  override def json(): String = KafkaWireStream.serialize(offsets)
+}
+
+class KafkaWireMicroBatchStream(brokers: String, topic: String, group: String,
+                                offsetReset: String, maxBytesPerFetch: Int)
+    extends MicroBatchStream {
+
+  private def withClient[A](f: KafkaWireClient => A): A = {
+    val (h, p) = KafkaWire.parseBroker(brokers)
+    val c = new KafkaWireClient(h, p)
+    try f(c) finally c.close()
+  }
+
+  /** Committed group offset per partition, falling back to
+    * `offset: oldest|newest` — identical to the batch flavor's planning.
+    * Only consulted when no checkpoint exists; with one, Spark restores
+    * the frontier via deserializeOffset (≙ the reference's offset file,
+    * with the broker group as the secondary copy). */
+  override def initialOffset(): Offset = withClient { c =>
+    val parts = c.metadata(Seq(topic))(topic)
+    val committed = c.offsetFetch(group, topic, parts.map(_.partition))
+    val off = KafkaWireOffset(parts.map { pm =>
+      val fromCommit = committed.getOrElse(pm.partition, -1L)
+      val start =
+        if (fromCommit >= 0) fromCommit
+        else c.listOffset(topic, pm.partition,
+          if (offsetReset == "oldest") -2L else -1L)
+      pm.partition -> start
+    }.toMap)
+    off
+  }
+
+  override def latestOffset(): Offset = withClient { c =>
+    val parts = c.metadata(Seq(topic))(topic)
+    KafkaWireOffset(parts.map { pm =>
+      pm.partition -> c.listOffset(topic, pm.partition, -1L)
+    }.toMap)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    KafkaWireOffset(KafkaWireStream.deserialize(json))
+
+  /** Epoch commit — Spark calls this after the sink has committed the
+    * micro-batch, so advancing the broker-side group offsets here IS the
+    * reference's commit-after-ack contract. Note the engine's protocol:
+    * batch N's commit fires when batch N+1 is CONSTRUCTED (and idle
+    * periods construct no batches), so the broker-side group frontier
+    * lags the sink by one batch until new data arrives — the same lag
+    * the official connector's group-offset feature has. Spark's own
+    * checkpoint, which does not lag, remains the resume authority. */
+  override def commit(end: Offset): Unit = {
+    val offs = end.asInstanceOf[KafkaWireOffset].offsets
+    Sources.kafkaWireCommit(brokers, group,
+      offs.toSeq.map { case (p, o) => (topic, p, o) })
+  }
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[KafkaWireOffset].offsets
+    val to = end.asInstanceOf[KafkaWireOffset].offsets
+    // leaders re-resolved each epoch: a moved partition leader is picked
+    // up at the next batch, not pinned for the query's lifetime
+    val leaders = withClient(_.metadata(Seq(topic))(topic))
+      .map(pm => pm.partition -> ((pm.leaderHost, pm.leaderPort))).toMap
+    to.toSeq.sortBy(_._1).flatMap { case (p, endOff) =>
+      val startOff = from.getOrElse(p, endOff)
+      val (lh, lp) = leaders(p)
+      if (endOff > startOff)
+        Some(KafkaWirePartition(topic, p, startOff, endOff, lh, lp,
+          maxBytesPerFetch))
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[KafkaWirePartition]
+      new KafkaWireReader(p)
+    }
+}
+
+case class KafkaWirePartition(topic: String, partition: Int,
+                              startOff: Long, endOff: Long,
+                              leaderHost: String, leaderPort: Int,
+                              maxBytesPerFetch: Int) extends InputPartition
+
+/** Streams `[startOff, endOff)` of one partition — the same lazy chunked
+  * fetch loop as the batch flavor: at most one fetch's worth of decoded
+  * records on the heap, fetch budget doubled on a truncated-first-message
+  * response (Fetch v2 has no at-least-one-message rule), connection closed
+  * by Spark's reader close(). */
+class KafkaWireReader(p: KafkaWirePartition)
+    extends PartitionReader[InternalRow] {
+
+  private val c = new KafkaWireClient(p.leaderHost, p.leaderPort)
+  private val fetchBytesCap = 1 << 27
+  private var fetchBytes = p.maxBytesPerFetch
+  private var off = p.startOff
+  private var pending: Iterator[KafkaWire.RecordMsg] = Iterator.empty
+  private var current: InternalRow = _
+  private val topicUtf8 = UTF8String.fromString(p.topic)
+  private val srcUtf8 = UTF8String.fromString(s"${p.topic}/${p.partition}")
+
+  private def fill(): Unit = {
+    while (!pending.hasNext && off < p.endOff) {
+      val (_, recs) = c.fetch(p.topic, p.partition, off, fetchBytes)
+      if (recs.isEmpty) {
+        if (fetchBytes >= fetchBytesCap)
+          throw new IllegalStateException(
+            s"kafka fetch ${p.topic}/${p.partition}@$off: no complete record " +
+              s"within max_bytes=$fetchBytes — message larger than the fetch cap")
+        fetchBytes = math.min(fetchBytes.toLong * 2, fetchBytesCap.toLong).toInt
+      } else {
+        fetchBytes = p.maxBytesPerFetch
+        pending = recs.iterator.filter(_.offset < p.endOff)
+        off = math.max(recs.last.offset + 1, off + 1)
+      }
+    }
+  }
+
+  override def next(): Boolean = {
+    fill()
+    if (!pending.hasNext) return false
+    val r = pending.next()
+    current = InternalRow(
+      if (r.value == null) null else UTF8String.fromBytes(r.value),
+      srcUtf8, topicUtf8, p.partition, r.offset,
+      if (r.key == null) null else UTF8String.fromBytes(r.key),
+      r.timestamp)
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = c.close()
+}

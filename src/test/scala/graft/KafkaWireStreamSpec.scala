@@ -1,0 +1,149 @@
+package graft
+
+import graft.sources.{KafkaLoopbackBroker, KafkaWireClient, KafkaWireStream}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end spec for the DSv2 kafka micro-batch source: a continuous
+  * consumer fed while the query runs, broker-side group offsets advancing
+  * commit-after-sink, and a checkpoint restart resuming mid-topic (file
+  * sink — the memory sink forbids checkpoint recovery). */
+class KafkaWireStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def produce(b: KafkaLoopbackBroker, topic: String, p: Int,
+                      vals: Seq[String]): Unit = {
+    val c = new KafkaWireClient(b.host, b.boundPort)
+    try c.produce(topic, p, vals.map(v => (null, v.getBytes("UTF-8"))), 7L)
+    finally c.close()
+  }
+
+  private def await(what: String, timeoutMs: Long = 60000L)(ok: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!ok && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    assert(ok, s"timed out waiting for $what")
+  }
+
+  test("micro-batch stream: live consume, commit-after-sink, checkpoint resume") {
+    val b = new KafkaLoopbackBroker(numPartitions = 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("kwstream_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("kwstream_out").toString
+    def sunk(): DataFrame = spark.read.schema(KafkaWireStream.schema).json(out)
+    try {
+      produce(b, "live", 0, (0 until 10).map(i => s"a$i"))
+      produce(b, "live", 1, (0 until 5).map(i => s"b$i"))
+
+      def startQuery() = spark.readStream
+        .format("graft-kafka")
+        .option("brokers", b.bootstrap)
+        .option("topic", "live")
+        .option("group", "gs")
+        .load()
+        .writeStream.format("json")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+
+      val q1 = startQuery()
+      try {
+        await("initial 15 rows")(sunk().count() == 15)
+
+        // produce WHILE the query runs → the records flow within a batch;
+        // constructing that batch also fires the PREVIOUS batch's source
+        // commit (Spark's protocol: batch N's source commit happens at
+        // batch N+1 construction), so the broker-side group frontier —
+        // the commit-after-sink observable — now reaches batch 0's end
+        produce(b, "live", 0, (10 until 18).map(i => s"a$i"))
+        await("mid-run produce visible")(sunk().count() == 23)
+        await("group commit of batch 0, p0") {
+          b.committed("gs", "live", 0).exists(_ >= 10L)
+        }
+        await("group commit of batch 0, p1") {
+          b.committed("gs", "live", 1).exists(_ >= 5L)
+        }
+
+        // one more round pushes the group frontier past the mid-run batch
+        produce(b, "live", 0, (18 until 20).map(i => s"a$i"))
+        await("second produce visible")(sunk().count() == 25)
+        await("group commit past the mid-run batch") {
+          b.committed("gs", "live", 0).exists(_ >= 18L)
+        }
+
+        val rows = sunk().collect()
+        assert(rows.map(_.getAs[String]("value")).sorted.toSeq ==
+          ((0 until 20).map(i => s"a$i") ++ (0 until 5).map(i => s"b$i")).sorted)
+        assert(rows.forall(_.getAs[String]("topic") == "live"))
+        assert(rows.forall(_.getAs[Long]("ts_ms") == 7L))
+        // per-partition offsets are contiguous from 0 — nothing lost,
+        // nothing duplicated
+        rows.groupBy(_.getAs[Int]("partition")).foreach { case (_, rs) =>
+          assert(rs.map(_.getAs[Long]("offset")).sorted.toSeq ==
+            (0L until rs.length.toLong))
+        }
+      } finally q1.stop()
+
+      // produce while DOWN, restart on the same checkpoint → the new
+      // incarnation resumes mid-topic: the sink gains EXACTLY the unseen
+      // records, nothing re-read, nothing duplicated
+      produce(b, "live", 1, (5 until 9).map(i => s"b$i"))
+      val q2 = startQuery()
+      try {
+        await("resume reads only the 4 offline records")(sunk().count() == 29)
+        val vals2 = sunk().collect().map(_.getAs[String]("value"))
+        assert(vals2.length == vals2.distinct.length, "duplicates after resume")
+        assert(vals2.sorted.toSeq ==
+          ((0 until 20).map(i => s"a$i") ++ (0 until 9).map(i => s"b$i")).sorted)
+        // next batch's construction commits the resume batch's frontier
+        produce(b, "live", 0, Seq("a20"))
+        await("post-resume row")(sunk().count() == 30)
+        await("group commit of the resume batch") {
+          b.committed("gs", "live", 1).exists(_ >= 9L)
+        }
+      } finally q2.stop()
+    } finally {
+      b.close()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
+  }
+
+  test("fresh group with offset=newest skips the backlog") {
+    val b = new KafkaLoopbackBroker(numPartitions = 1)
+    val ckpt = java.nio.file.Files.createTempDirectory("kwstream2").toString
+    try {
+      produce(b, "skip", 0, (0 until 20).map(i => s"old$i"))
+      val q = spark.readStream
+        .format("graft-kafka")
+        .option("brokers", b.bootstrap)
+        .option("topic", "skip")
+        .option("group", "gn")
+        .option("offset", "newest")
+        .load()
+        .writeStream.format("memory").queryName("kwn")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      try {
+        // barrier: batch 0 must pin the "newest" frontier BEFORE the new
+        // records land, else they'd (correctly) fall behind the start
+        q.processAllAvailable()
+        produce(b, "skip", 0, Seq("new0", "new1"))
+        await("the 2 fresh records")(spark.table("kwn").count() == 2)
+        Thread.sleep(300) // a further batch must not surface the backlog
+        val vals = spark.table("kwn").collect().map(_.getAs[String]("value"))
+        assert(vals.sorted.toSeq == Seq("new0", "new1"))
+      } finally q.stop()
+    } finally {
+      b.close()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+}
