@@ -245,7 +245,8 @@ object Dedup {
     * fold order on both engines, the q54 precedent — the OUTPUT stays
     * integer/boolean. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-               k: Int, iters: Int, tau: Double): DataFrame = {
+               k: Int, iters: Int, tau: Double,
+               maxAvgClusterSize: Long = 10000L): DataFrame = {
     require(tau > 0, "semDedup: tau must be positive (cos >= tau with " +
       "tau <= 0 would pair everything in a cluster)")
     val cents = Ann.kmeansQuantized(df, idCol, vecCol, k, iters)
@@ -262,6 +263,21 @@ object Dedup {
         graft.functions.VecDot(col("ve"), col("ve")))
       .join(assign, "vid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // LOUD guard on the k-scaling rule: within-cluster pairs grow as
+    // (N/k)² per cluster, so a fixed k on a growing corpus is quadratic
+    // even though the operator is within-cluster-only. Measured on the
+    // ACTUAL assignment (one tiny agg over the already-persisted vecs —
+    // it doubles as the persist warm-up before the self-join reads it
+    // twice); callers who can't pick k use semDedupAutoK.
+    val stats = vecs.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .agg(avg(col("n")).as("avgSz"), max(col("n")).as("maxSz")).head()
+    val avgSz = stats.getDouble(0)
+    if (avgSz > maxAvgClusterSize)
+      throw new IllegalArgumentException(
+        f"semDedup: average cluster size $avgSz%.0f exceeds " +
+          s"$maxAvgClusterSize — pairwise stage would be quadratic. " +
+          "Scale k with the corpus (k = N / targetClusterSize; " +
+          "semDedupAutoK does this) or raise maxAvgClusterSize knowingly.")
     val a = vecs.select(col("cid"), col("vid").as("id_a"),
       col("ve").as("va"), col("n2").as("n2a"))
     val b = vecs.select(col("cid"), col("vid").as("id_b"),
@@ -283,5 +299,23 @@ object Dedup {
       .select(col("vid").as(idCol),
         coalesce(col("component"), col("vid")).as("component"),
         (coalesce(col("component"), col("vid")) === col("vid")).as("keep"))
+  }
+
+  /** [[semDedup]] with `k` derived from the corpus size — the paper's
+    * k-scaling rule made explicit: `k = max(8, ⌈N / targetClusterSize⌉)`
+    * keeps the EXPECTED cluster size (and so pairs-per-cluster,
+    * ~targetClusterSize²/2) constant as the corpus grows, which is what
+    * makes within-cluster-only comparison subquadratic (SemDeDup runs
+    * k = 50k on LAION-440M ⇒ ~9k per cluster). One count() job buys the
+    * derivation; pass a known N via `knownCount` to skip it. */
+  def semDedupAutoK(df: DataFrame, idCol: String, vecCol: String,
+                    targetClusterSize: Long, iters: Int, tau: Double,
+                    knownCount: Long = -1L,
+                    maxAvgClusterSize: Long = 10000L): DataFrame = {
+    require(targetClusterSize > 0, "semDedupAutoK: targetClusterSize must be positive")
+    val n = if (knownCount >= 0) knownCount else df.count()
+    val k = math.max(8L, (n + targetClusterSize - 1) / targetClusterSize)
+      .min(Int.MaxValue.toLong).toInt
+    semDedup(df, idCol, vecCol, k, iters, tau, maxAvgClusterSize)
   }
 }

@@ -93,6 +93,33 @@ class DedupSpec extends AnyFunSuite {
       4L -> ((4L, true))))
   }
 
+  test("semDedup k-scaling: fixed k trips the cluster-size guard where autoK stays bounded") {
+    import spark.implicits._
+    // 400 spread-out 4-dim vectors (unit-ish, varied directions): with
+    // fixed k=8 the average cluster is 50 vectors — quadratic territory
+    // under a 40-cap — while autoK(target=20) derives k=20 and stays in
+    def corpus(n: Int) = (0L until n.toLong).map { i =>
+      val a = (i % 37).toFloat / 37f
+      (i, Seq(math.cos(a).toFloat, math.sin(a).toFloat,
+        ((i % 11).toFloat - 5f) / 11f, ((i % 7).toFloat - 3f) / 7f))
+    }.toDF("vec_id", "embedding")
+    val docs = corpus(400)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semDedup(docs, "vec_id", "embedding", k = 8, iters = 1,
+        tau = 0.99, maxAvgClusterSize = 40L)
+    }
+    assert(e.getMessage.contains("average cluster size"))
+    val out = Dedup.semDedupAutoK(docs, "vec_id", "embedding",
+      targetClusterSize = 20L, iters = 1, tau = 0.99, maxAvgClusterSize = 40L)
+    assert(out.count() == 400) // one verdict row per input id
+
+    // growing the corpus 2× does NOT grow the average cluster: autoK
+    // doubles k instead (the property the fixed-k demo parameter hides)
+    val out2 = Dedup.semDedupAutoK(corpus(800), "vec_id", "embedding",
+      targetClusterSize = 20L, iters = 1, tau = 0.99, maxAvgClusterSize = 40L)
+    assert(out2.count() == 800)
+  }
+
   test("VecDot refuses ragged vectors instead of truncating") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val lit = org.apache.spark.sql.catalyst.expressions.Literal(1.0)
