@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query batch 9 (round 7): line-structured quality rules and
+  * skip-distance decontamination. The documents table is a flat word
+  * stream, so line structure is SYNTHESIZED deterministically from
+  * (doc_id, token position) — the q118 synthesize-from-doc_id pattern:
+  * 5-token lines, a rotating terminal-punctuation suffix and a rotating
+  * bullet prefix, giving every signal a non-trivial split at every SF.
+  */
+object Queries9 {
+
+  type Q = Queries.Q
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Deterministic line-structured text per document (mirrored verbatim
+    * in the SQL oracle): line i = [maybe "- "] + 5 tokens + {. | ε | ?}. */
+  private def synthLines(docId: Column, text: Column): Column = {
+    val toks = split(text, " ")
+    val lineArr = transform(
+      sequence(lit(0), floor((size(toks) - 1) / 5).cast("int")),
+      i => concat(
+        when(pmod(docId + i, lit(5)) === 0, lit("- ")).otherwise(lit("")),
+        array_join(slice(toks, i * 5 + 1, lit(5)), " "),
+        when(pmod(docId + i, lit(3)) === 0, lit("."))
+          .when(pmod(docId + i, lit(3)) === 1, lit(""))
+          .otherwise(lit("?"))))
+    array_join(lineArr, "\n")
+  }
+
+  private val synthLinesSql: String =
+    """array_to_string(list_transform(
+      |      generate_series(0, (len(string_split(text, ' ')) - 1) // 5),
+      |      i -> (CASE WHEN (doc_id + i) % 5 = 0 THEN '- ' ELSE '' END) ||
+      |        array_to_string((string_split(text, ' '))[i*5+1 : i*5+5], ' ') ||
+      |        (CASE (doc_id + i) % 3 WHEN 0 THEN '.' WHEN 1 THEN ''
+      |              ELSE '?' END)), chr(10))""".stripMargin
+
+  /** FineWeb line-wise quality gate over the synthesized line corpus. */
+  val q122_fineweb_lines: Q = (s, dir) => {
+    val lined = t(s, dir, "documents")
+      .select(col("doc_id"), synthLines(col("doc_id"), col("text")).as("text"))
+    graft.ml.TextOps.finewebLineSignals(lined, "doc_id", "text")
+  }
+
+  val q122_sql: String =
+    s"""WITH l AS (
+      |  SELECT doc_id, $synthLinesSql AS text
+      |  FROM documents),
+      |sig AS (
+      |  SELECT doc_id, string_split(text, chr(10)) AS ln FROM l),
+      |cnt AS (
+      |  SELECT doc_id,
+      |    CAST(len(ln) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(ln, x -> regexp_matches(x, '[.!?"'']\\z')))
+      |      AS BIGINT) AS term_cnt,
+      |    CAST(len(list_filter(ln, x -> len(x) < 30)) AS BIGINT) AS short_cnt,
+      |    CAST(len(list_filter(ln, x ->
+      |      regexp_matches(x, '\\A\\s*(?:[-*]|[0-9]+[.)])\\s')))
+      |      AS BIGINT) AS bullet_cnt,
+      |    CAST(coalesce(list_sum(list_transform(ln, x -> len(x))), 0)
+      |      AS BIGINT) AS char_total,
+      |    CAST(coalesce(list_sum(list_transform(list_distinct(ln),
+      |      x -> len(x))), 0) AS BIGINT) AS char_distinct
+      |  FROM sig),
+      |u AS (
+      |  SELECT doc_id, n_lines,
+      |    (term_cnt * 1000) // n_lines AS term_punct_milli,
+      |    (short_cnt * 1000) // n_lines AS short_line_milli,
+      |    (bullet_cnt * 1000) // n_lines AS bullet_milli,
+      |    ((char_total - char_distinct) * 1000) // greatest(char_total, 1)
+      |      AS dup_char_milli
+      |  FROM cnt)
+      |SELECT doc_id, n_lines, term_punct_milli, short_line_milli,
+      |  bullet_milli, dup_char_milli,
+      |  term_punct_milli >= 120 AND short_line_milli < 670 AND
+      |  bullet_milli <= 900 AND dup_char_milli <= 200 AS pass
+      |FROM u""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val all: Map[String, Q] = Map(
+    "q122_fineweb_lines" -> q122_fineweb_lines
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q122_fineweb_lines" -> q122_sql
+  )
+}

@@ -261,6 +261,53 @@ object TextOps {
           col("distinct_milli") >= 300L)
   }
 
+  /** FineWeb-style LINE-wise quality signals (Penedo et al. 2024 §3.3's
+    * custom filters + the MassiveText repetition rule they adopt):
+    * where gopherGate judges the token stream, these judge the LINE
+    * structure — terminal-punctuation line ratio (the C4 heuristic:
+    * prose lines end in punctuation), short-line ratio (boilerplate
+    * navigation is short), bullet-line ratio (list-likeness), and the
+    * duplicate-line character fraction (within-doc template repetition).
+    * All exact integer milli signals (integer DIV, the gopherGate
+    * convention) so the verdict hash-compares across engines; the pass
+    * thresholds are the papers': punct ≥ 0.12, short < 0.67,
+    * bullets ≤ 0.90, dup chars ≤ 0.20.
+    *
+    * Scale: pure expression work over the line array — zero shuffle,
+    * whole corpus gated in one codegen'd scan pass (locked by PlanSpec).
+    */
+  def finewebLineSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String,
+                         shortLineChars: Int = 30): org.apache.spark.sql.DataFrame = {
+    val lines = split(col(textCol), "\n")
+    // \z anchors (not $): a line can't contain \n post-split, but the
+    // gopherGate lesson stands — match regexp_full_match-class exactness
+    val termCnt = size(filter(lines, l => l.rlike("[.!?\"']\\z"))).cast("long")
+    val shortCnt = size(filter(lines, l => length(l) < shortLineChars)).cast("long")
+    val bulletCnt = size(filter(lines,
+      l => l.rlike("\\A\\s*(?:[-*]|[0-9]+[.)])\\s"))).cast("long")
+    val charTotal = aggregate(transform(lines, l => length(l).cast("long")),
+      lit(0L), (a, b) => a + b)
+    val charDistinct = aggregate(
+      transform(array_distinct(lines), l => length(l).cast("long")),
+      lit(0L), (a, b) => a + b)
+    df.select(col(idCol), size(lines).cast("long").as("n_lines"),
+        termCnt.as("term_cnt"), shortCnt.as("short_cnt"),
+        bulletCnt.as("bullet_cnt"), charTotal.as("char_total"),
+        charDistinct.as("char_distinct"))
+      .select(col(idCol), col("n_lines"),
+        expr("(term_cnt * 1000) DIV n_lines").as("term_punct_milli"),
+        expr("(short_cnt * 1000) DIV n_lines").as("short_line_milli"),
+        expr("(bullet_cnt * 1000) DIV n_lines").as("bullet_milli"),
+        expr("((char_total - char_distinct) * 1000) DIV greatest(char_total, 1)")
+          .as("dup_char_milli"))
+      .withColumn("pass",
+        col("term_punct_milli") >= 120L &&
+          col("short_line_milli") < 670L &&
+          col("bullet_milli") <= 900L &&
+          col("dup_char_milli") <= 200L)
+  }
+
   def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, isTarget: Column, buckets: Int): org.apache.spark.sql.DataFrame = {
     // fused tokenize→bigram→hash→bucket expression (one codegen pass,

@@ -37,6 +37,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.map(_._3).toSeq == Seq("a", "b"))
   }
 
+  test("finewebLineSignals: each rule fires on its designed pathology") {
+    import spark.implicits._
+    val prose = (1 to 10).map(i => s"this is honest prose line number $i.").mkString("\n")
+    val nav = (1 to 10).map(i => s"home > p$i").mkString("\n")          // short, unpunctuated
+    val list = (1 to 10).map(i => s"- item $i.").mkString("\n")        // bullets (short too)
+    val dup = (("repeated template line one." * 2) + "\n") * 9 + "unique closing line here."
+    val docs = Seq((1L, prose), (2L, nav), (3L, list), (4L, dup))
+      .toDF("doc_id", "text")
+    val out = TextOps.finewebLineSignals(docs, "doc_id", "text")
+      .select("doc_id", "term_punct_milli", "short_line_milli",
+        "bullet_milli", "dup_char_milli", "pass")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._6, "prose must pass")
+    assert(out(1L)._2 == 1000 && out(1L)._3 == 0 && out(1L)._4 == 0)
+    assert(!out(2L)._6 && out(2L)._2 == 0 && out(2L)._3 == 1000,
+      "short unpunctuated nav must fail")
+    assert(!out(3L)._6 && out(3L)._4 == 1000, "all-bullet list must fail")
+    assert(!out(4L)._6 && out(4L)._5 > 200, "template repetition must fail")
+  }
+
   test("lineDedupKeepFirst keeps the global first occurrence only, order-preserving") {
     import spark.implicits._
     val docs = Seq(

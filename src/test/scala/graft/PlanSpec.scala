@@ -68,6 +68,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:"), p)
   }
 
+  test("FineWeb line signals are zero-shuffle: no Exchange anywhere in the plan") {
+    val p = plan(graft.ml.TextOps.finewebLineSignals(
+      Tables(spark, sf, "documents"), "doc_id", "text"))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("PII scrub and split assignment are zero-shuffle") {
     val docs = Tables(spark, sf, "documents")
     val scrub = plan(docs.select(col("doc_id"),
