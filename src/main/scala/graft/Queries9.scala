@@ -81,13 +81,45 @@ object Queries9 {
       |  bullet_milli <= 900 AND dup_char_milli <= 200 AS pass
       |FROM u""".stripMargin
 
+  /** Skip-distance 13-gram decontamination (the GPT-3/4-report sweep
+    * family, q102's contiguous-3-gram sibling): grams sample every 2nd
+    * token over a 25-token span, eval set = every 97th doc. At sf0.001
+    * the split is 5 contaminated / 2 sub-threshold 1-hit docs / 493
+    * clean — the threshold leg is genuinely exercised. */
+  val q123_decontaminate_skip: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    graft.ml.Corpus.decontaminateSkip(docs,
+      docs.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+      n = 13, skip = 2, threshold = 5)
+  }
+
+  val q123_sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id, list_distinct([
+      |    array_to_string([w[i + j*2] FOR j IN range(0, 13)], ' ')
+      |    FOR i IN range(1, greatest(len(w) - 24, 1) + 1)]) AS gs
+      |  FROM toks),
+      |eval_grams AS (
+      |  SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 97 = 0),
+      |hits AS (
+      |  SELECT g.doc_id, count(*) AS ngram_hits
+      |  FROM (SELECT doc_id, unnest(gs) AS gram FROM grams) g
+      |  JOIN eval_grams e USING (gram) GROUP BY g.doc_id)
+      |SELECT d.doc_id, coalesce(h.ngram_hits, 0) AS ngram_hits,
+      |       coalesce(h.ngram_hits, 0) >= 5 AS contaminated
+      |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
-    "q122_fineweb_lines" -> q122_fineweb_lines
+    "q122_fineweb_lines" -> q122_fineweb_lines,
+    "q123_decontaminate_skip" -> q123_decontaminate_skip
   )
 
   val oracles: Map[String, String] = Map(
-    "q122_fineweb_lines" -> q122_sql
+    "q122_fineweb_lines" -> q122_sql,
+    "q123_decontaminate_skip" -> q123_sql
   )
 }

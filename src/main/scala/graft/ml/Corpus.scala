@@ -27,12 +27,31 @@ object Corpus {
     * before the one doc_id shuffle. */
   def decontaminate(train: DataFrame, eval: DataFrame,
                     idCol: String, textCol: String,
-                    n: Int, threshold: Int): DataFrame = {
+                    n: Int, threshold: Int): DataFrame =
+    decontaminateBy(train, eval, idCol, textCol,
+      Dedup.shingles(_, n), threshold)
+
+  /** Skip-distance variant of [[decontaminate]] (the GPT-3/4-report
+    * 13-gram sweep family): grams sample every `skip`-th token, so an
+    * edit confined to the skipped parity classes (substituted template
+    * slots, dates, numbers) — which breaks every contiguous n-gram
+    * touching it — still leaves matching skipped grams. Same
+    * broadcast-eval-grams plan shape. */
+  def decontaminateSkip(train: DataFrame, eval: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int, skip: Int, threshold: Int): DataFrame =
+    decontaminateBy(train, eval, idCol, textCol,
+      Dedup.skipShingles(_, n, skip), threshold)
+
+  private def decontaminateBy(train: DataFrame, eval: DataFrame,
+                              idCol: String, textCol: String,
+                              grams: Column => Column,
+                              threshold: Int): DataFrame = {
     val evalGrams = eval
-      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .select(explode(grams(col(textCol))).as("gram"))
       .distinct()
     val hits = train
-      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .select(col(idCol), explode(grams(col(textCol))).as("gram"))
       .join(broadcast(evalGrams), "gram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("ngram_hits"))

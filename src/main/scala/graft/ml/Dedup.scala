@@ -28,6 +28,28 @@ object Dedup {
     array_distinct(grams)
   }
 
+  /** Distinct SKIP-distance n-gram shingles: the gram at position i
+    * samples tokens i, i+skip, …, i+(n-1)·skip — contiguous n-grams are
+    * `skip = 1`. A skipped gram survives edits confined to the OTHER
+    * parity classes of its window (substituted template slots, dates,
+    * numbers — the common leak mangle) which break every contiguous
+    * n-gram touching them, which is why eval-set decontamination sweeps
+    * use them alongside exact grams. Tail behavior matches [[shingles]]: a doc
+    * shorter than the full span yields one truncated gram
+    * (out-of-range positions drop out of the join — array_join skips
+    * nulls, as does DuckDB's array_to_string, so the oracles agree). */
+  def skipShingles(text: Column, n: Int, skip: Int): Column = {
+    require(skip >= 1, "skipShingles: skip must be >= 1")
+    val toks = tokens(text)
+    val span = (n - 1) * skip
+    val grams = transform(sequence(lit(1), greatest(size(toks) - span, lit(1))),
+      i => array_join(
+        transform(sequence(lit(0), lit(n - 1)),
+          j => get(toks, i + j * skip - 1)), // get() is 0-based, null OOR
+        " "))
+    array_distinct(grams)
+  }
+
   // MinHash universe: prime just above 2^32. Coefficients stay below
   // 2^30 so a*(h mod P)+b < 2^62 — no int64 overflow (ANSI mode errors
   // on overflow, and the SQL oracle's BIGINT would too).

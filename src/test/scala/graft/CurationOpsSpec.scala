@@ -37,6 +37,37 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.map(_._3).toSeq == Seq("a", "b"))
   }
 
+  test("skip-gram decontamination catches periodic substitutions contiguous grams miss") {
+    import spark.implicits._
+    val evalToks = ('a' to 'y').map(_.toString) // 25 tokens
+    val evalText = evalToks.mkString(" ")
+    // leaked copy with every EVEN-position token substituted (the
+    // template-slot/date/number mangle): every contiguous 13-gram
+    // contains a substituted token, but the skip-2 gram samples the
+    // untouched odd parity class verbatim
+    val leaked = evalToks.zipWithIndex
+      .map { case (t, i) => if (i % 2 == 1) s"x$i" else t }.mkString(" ")
+    val clean = (1 to 26).map(i => s"w$i").mkString(" ")
+    val train = Seq((1L, evalText), (2L, leaked), (3L, clean))
+      .toDF("doc_id", "text")
+    val evalDf = Seq((9L, evalText)).toDF("doc_id", "text")
+
+    val skip = Corpus.decontaminateSkip(train, evalDf, "doc_id", "text",
+      n = 13, skip = 2, threshold = 1)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    assert(skip(1L) > 0, "verbatim leak must hit")
+    assert(skip(2L) > 0, "substitution-mangled leak must still hit skip grams")
+    assert(skip(3L) == 0, "clean doc must not hit")
+
+    // the contiguous 13-gram sweep misses the mangled leak entirely —
+    // the motivation for the skip variant
+    val contiguous = Corpus.decontaminate(train, evalDf, "doc_id", "text",
+      n = 13, threshold = 1)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    assert(contiguous(1L) > 0)
+    assert(contiguous(2L) == 0, "every contiguous gram contains a substitution")
+  }
+
   test("finewebLineSignals: each rule fires on its designed pathology") {
     import spark.implicits._
     val prose = (1 to 10).map(i => s"this is honest prose line number $i.").mkString("\n")
