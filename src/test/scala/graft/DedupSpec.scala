@@ -37,6 +37,24 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.forall(_._2 == 1L))
   }
 
+  test("pointer-jumping CC converges on a 10k-node chain well inside maxIter=20") {
+    import spark.implicits._
+    // worst-case topology for label propagation: one path of diameter
+    // 10k. Pointer jumping reaches ~2^k - 1 hops after k passes, so
+    // convergence needs ~14 passes + 1 zero-change detection pass;
+    // maxIter = 17 < 20 asserts the O(log diameter) claim with margin —
+    // naive one-hop propagation would need 10k passes and fail loudly.
+    // (Closes the large-star/small-star question: chains this deep
+    // terminate comfortably, so the heavier algorithm isn't needed.)
+    val n = 10000
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, maxIter = 17)
+      .as[(Long, Long)].collect()
+    assert(cc.length == n)
+    assert(cc.forall(_._2 == 1L))
+  }
+
   test("connectedComponents fails loudly when maxIter is too small") {
     import spark.implicits._
     // a path of diameter 6 cannot converge in 2 one-hop passes; a silent
