@@ -37,6 +37,11 @@ class PlanSpec extends AnyFunSuite {
       docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 3, 10))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    // the skip-gram variant shares the plan body — same guarantee
+    val ps = plan(graft.ml.Corpus.decontaminateSkip(
+      docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 13, 2, 5))
+    assert(ps.contains("BroadcastHashJoin"), ps)
+    assert(!ps.contains("SortMergeJoin"), ps)
   }
 
   test("brute-force ANN top-k is TakeOrdered over a scan: no hash-partition shuffle") {
