@@ -111,15 +111,68 @@ object Queries9 {
       |       coalesce(h.ngram_hits, 0) >= 5 AS contaminated
       |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin
 
+  /** MassiveText repetition filters in char-fraction form. The raw
+    * synthetic docs carry no duplicated 5-grams, so every 7th doc gets
+    * its own first 6 tokens appended (deterministic, mirrored in SQL) —
+    * the dup-5-gram rule then BINDS (72 docs over threshold at
+    * sf0.001; overlap counting pushes milli past 1000 by design,
+    * documented on the operator). */
+  val q124_repetition_chars: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat_ws(" ", col("text"),
+          array_join(slice(split(col("text"), " "), 1, 6), " ")))
+        .otherwise(col("text")).as("text"))
+    graft.ml.TextOps.massiveTextRepetition(docs, "doc_id", "text")
+  }
+
+  val q124_sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' ||
+      |      array_to_string((string_split(text, ' '))[1:6], ' ')
+      |    ELSE text END AS text
+      |  FROM documents),
+      |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM docs),
+      |g AS (
+      |  SELECT doc_id, n, unnest(gl) AS gram FROM (
+      |    SELECT doc_id, n,
+      |      [array_to_string(w[i:i+n-1], ' ')
+      |       FOR i IN range(1, greatest(len(w) - (n-1), 1) + 1)] AS gl
+      |    FROM toks, (SELECT unnest([1, 2, 3, 5]) AS n) nn)),
+      |cnt AS (
+      |  SELECT doc_id, n, gram, count(*) AS c,
+      |    len(replace(gram, ' ', '')) AS gchars
+      |  FROM g GROUP BY 1, 2, 3),
+      |per AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN n = 1 THEN c*gchars END) AS BIGINT) AS char_sum,
+      |    CAST(max(CASE WHEN n = 2 THEN c*gchars END) AS BIGINT) AS top2,
+      |    CAST(max(CASE WHEN n = 3 THEN c*gchars END) AS BIGINT) AS top3,
+      |    CAST(coalesce(sum(CASE WHEN n = 5 AND c >= 2 THEN c*gchars END), 0)
+      |      AS BIGINT) AS dup5
+      |  FROM cnt GROUP BY 1),
+      |u AS (
+      |  SELECT doc_id, char_sum,
+      |    (top2 * 1000) // greatest(char_sum, 1) AS top2_milli,
+      |    (top3 * 1000) // greatest(char_sum, 1) AS top3_milli,
+      |    (dup5 * 1000) // greatest(char_sum, 1) AS dup5_milli
+      |  FROM per)
+      |SELECT doc_id, char_sum, top2_milli, top3_milli, dup5_milli,
+      |  top2_milli <= 200 AND top3_milli <= 180 AND dup5_milli <= 150 AS pass
+      |FROM u""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
     "q122_fineweb_lines" -> q122_fineweb_lines,
-    "q123_decontaminate_skip" -> q123_decontaminate_skip
+    "q123_decontaminate_skip" -> q123_decontaminate_skip,
+    "q124_repetition_chars" -> q124_repetition_chars
   )
 
   val oracles: Map[String, String] = Map(
     "q122_fineweb_lines" -> q122_sql,
-    "q123_decontaminate_skip" -> q123_sql
+    "q123_decontaminate_skip" -> q123_sql,
+    "q124_repetition_chars" -> q124_sql
   )
 }

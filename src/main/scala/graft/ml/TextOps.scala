@@ -167,6 +167,52 @@ object TextOps {
       .na.fill(0L, Seq("top_gram_cnt", "n_grams"))
   }
 
+  /** MassiveText repetition filters in CHARACTER-fraction form (Rae et
+    * al. 2021 Table A1 — the rows q74's count-concentration signals
+    * don't cover): fraction of characters covered by the top 2-gram /
+    * top 3-gram, and by duplicated 5-grams. "Covered chars" of a gram =
+    * occurrences × non-space gram length; "top" maximizes covered chars
+    * (count alone needs a tie-break the paper doesn't specify; the
+    * product form is deterministic and what the threshold actually
+    * bounds). Duplicate coverage sums occurrence chars without span
+    * union — overlapping duplicates count each occurrence, the usual
+    * implementation shortcut, documented here. Integer milli units,
+    * paper thresholds: top-2 ≤ 0.20, top-3 ≤ 0.18, dup-5 ≤ 0.15.
+    *
+    * Scale shape: one explode tagged by n ∈ {1,2,3,5} (the n=1 leg IS
+    * the char_sum, so the corpus tokenizes once and no second scan or
+    * doc-key join is needed), one (doc,n,gram) shuffle with map-side
+    * partial counts, one (doc) fold — no window, no global sort. */
+  def massiveTextRepetition(df: org.apache.spark.sql.DataFrame, idCol: String,
+                            textCol: String): org.apache.spark.sql.DataFrame = {
+    val ns = Seq(1, 2, 3, 5)
+    val base = df.select(col(idCol), split(lower(col(textCol)), " ").as("_t"))
+    def gramsOf(n: Int): Column =
+      transform(sequence(lit(1), greatest(size(col("_t")) - (n - 1), lit(1))),
+        i => struct(lit(n).as("n"), array_join(slice(col("_t"), i, lit(n)), " ").as("gram")))
+    val tagged = base
+      .select(col(idCol), explode(flatten(array(ns.map(gramsOf): _*))).as("g"))
+      .select(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
+    val cnt = tagged.groupBy(col(idCol), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("gchars",
+        length(regexp_replace(col("gram"), " ", "")).cast("long"))
+    cnt.groupBy(col(idCol))
+      .agg(
+        sum(when(col("n") === 1, col("c") * col("gchars"))).as("char_sum"),
+        max(when(col("n") === 2, col("c") * col("gchars"))).as("top2"),
+        max(when(col("n") === 3, col("c") * col("gchars"))).as("top3"),
+        coalesce(sum(when(col("n") === 5 && col("c") >= 2,
+          col("c") * col("gchars"))), lit(0L)).as("dup5"))
+      .select(col(idCol), col("char_sum"),
+        expr("(top2 * 1000) DIV greatest(char_sum, 1)").as("top2_milli"),
+        expr("(top3 * 1000) DIV greatest(char_sum, 1)").as("top3_milli"),
+        expr("(dup5 * 1000) DIV greatest(char_sum, 1)").as("dup5_milli"))
+      .withColumn("pass",
+        col("top2_milli") <= 200L && col("top3_milli") <= 180L &&
+          col("dup5_milli") <= 150L)
+  }
+
   /** Exact-integer TF-IDF with the top-`k` terms per document — the
     * keyword-extraction / topical-signature op (per-doc salient terms
     * feed clustering, mixture labeling, and topic-balanced sampling).

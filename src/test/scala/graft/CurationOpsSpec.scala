@@ -68,6 +68,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(contiguous(2L) == 0, "every contiguous gram contains a substitution")
   }
 
+  test("massiveTextRepetition: char fractions fire per rule, clean prose passes") {
+    import spark.implicits._
+    val clean = (1 to 30).map(i => s"tok$i").mkString(" ")
+    // one dominant bigram: "very good" repeated 10x of 20 bigrams
+    val top2 = (1 to 10).map(_ => "very good").mkString(" ") + " " +
+      (1 to 10).map(i => s"w$i").mkString(" ")
+    // a duplicated 5-token run (twice) inside otherwise-unique text
+    val run = "alpha beta gamma delta epsilon"
+    val dup5 = s"$run x1 x2 x3 x4 x5 x6 x7 x8 $run"
+    val docs = Seq((1L, clean), (2L, top2), (3L, dup5))
+      .toDF("doc_id", "text")
+    val out = TextOps.massiveTextRepetition(docs, "doc_id", "text")
+      .select("doc_id", "top2_milli", "top3_milli", "dup5_milli", "pass")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._5, "clean prose must pass")
+    assert(out(1L)._4 == 0L)
+    assert(!out(2L)._5 && out(2L)._2 > 200L, "dominant bigram must fail top-2")
+    assert(!out(3L)._5 && out(3L)._4 > 150L, "duplicated 5-gram run must fail dup-5")
+    // exact hand value for doc 3: only the exact run duplicates (every
+    // other 5-gram touches an x-token): 2 occurrences x run chars
+    val total = dup5.replace(" ", "").length.toLong
+    val runChars = run.replace(" ", "").length.toLong
+    assert(out(3L)._4 == 2L * runChars * 1000L / total)
+  }
+
   test("finewebLineSignals: each rule fires on its designed pathology") {
     import spark.implicits._
     val prose = (1 to 10).map(i => s"this is honest prose line number $i.").mkString("\n")
