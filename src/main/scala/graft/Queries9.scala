@@ -162,17 +162,46 @@ object Queries9 {
       |  top2_milli <= 200 AND top3_milli <= 180 AND dup5_milli <= 150 AS pass
       |FROM u""".stripMargin
 
+  /** Cross-doc duplicate 20-token spans, keep-first staleness. The
+    * fixture's duplicate/near-dup doc pairs give a genuinely-exercised
+    * threshold at 900: 20 flagged / 2 sub-threshold (800, 833) / 478
+    * clean at sf0.001. */
+  val q125_duplicate_spans: Q = (s, dir) =>
+    graft.ml.Corpus.duplicateSpans(t(s, dir, "documents"),
+      "doc_id", "text", n = 20, thresholdMilli = 900L)
+
+  val q125_sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest([array_to_string(w[i:i+19], ' ')
+      |    FOR i IN range(1, greatest(len(w) - 19, 1) + 1)]) AS gram
+      |  FROM toks),
+      |win AS (SELECT gram, min(doc_id) AS wdoc FROM g GROUP BY 1),
+      |per AS (
+      |  SELECT g.doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(count(*) FILTER (WHERE w.wdoc < g.doc_id) AS BIGINT)
+      |      AS stale_grams
+      |  FROM g JOIN win w USING (gram) GROUP BY 1)
+      |SELECT doc_id, n_grams, stale_grams,
+      |  (stale_grams * 1000) // n_grams AS dup_span_milli,
+      |  (stale_grams * 1000) // n_grams >= 900 AS flagged
+      |FROM per""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
     "q122_fineweb_lines" -> q122_fineweb_lines,
     "q123_decontaminate_skip" -> q123_decontaminate_skip,
-    "q124_repetition_chars" -> q124_repetition_chars
+    "q124_repetition_chars" -> q124_repetition_chars,
+    "q125_duplicate_spans" -> q125_duplicate_spans
   )
 
   val oracles: Map[String, String] = Map(
     "q122_fineweb_lines" -> q122_sql,
     "q123_decontaminate_skip" -> q123_sql,
-    "q124_repetition_chars" -> q124_sql
+    "q124_repetition_chars" -> q124_sql,
+    "q125_duplicate_spans" -> q125_sql
   )
 }

@@ -43,6 +43,38 @@ object Corpus {
     decontaminateBy(train, eval, idCol, textCol,
       Dedup.skipShingles(_, n, skip), threshold)
 
+  /** Cross-document duplicate-SPAN signal (the doc-level form of Lee et
+    * al. 2022's exact-substring dedup, "Deduplicating Training Data
+    * Makes Language Models Better"): an n-token window is STALE in doc d
+    * when some earlier document (min doc id over its occurrences — the
+    * keep-first convention) contains the identical window. Emits per doc
+    * the window count, stale count, stale fraction in integer milli, and
+    * the flag at `thresholdMilli` — the curation pass then drops or
+    * trims flagged docs; within-doc repetition is deliberately NOT
+    * counted here (massiveTextRepetition owns that signal).
+    *
+    * Scale shape: one gram-key shuffle with map-side partial min for the
+    * winner table, then an UNHINTED winner join (corpus-derived size —
+    * the q107 rule: AQE broadcasts when it fits, degrades to shuffle
+    * when it doesn't) feeding one doc-key fold. No window, no global
+    * sort; the q115 straggler argument applies verbatim. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int, thresholdMilli: Long = 900L): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    val g = df.select(col(idCol), explode(grams).as("gram"))
+    val win = g.groupBy(col("gram")).agg(min(col(idCol)).as("wdoc"))
+    g.join(win, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("wdoc") < col(idCol), 1L).otherwise(0L)).as("stale_grams"))
+      .select(col(idCol), col("n_grams"), col("stale_grams"),
+        expr("(stale_grams * 1000) DIV n_grams").as("dup_span_milli"))
+      .withColumn("flagged", col("dup_span_milli") >= thresholdMilli)
+  }
+
   private def decontaminateBy(train: DataFrame, eval: DataFrame,
                               idCol: String, textCol: String,
                               grams: Column => Column,

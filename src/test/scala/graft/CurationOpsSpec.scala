@@ -68,6 +68,28 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(contiguous(2L) == 0, "every contiguous gram contains a substitution")
   }
 
+  test("duplicateSpans flags cross-doc repeats keep-first, ignores within-doc repeats") {
+    import spark.implicits._
+    val span = (1 to 5).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, span + " u1 u2 u3"),          // original: never stale
+      (2L, "v1 " + span + " v2 v3"),     // copies doc 1's span -> stale grams
+      (3L, span + " w " + span),         // within-doc repeat of ITS OWN...
+      (4L, "c1 c2 c3 c4 c5 c6 c7 c8")    // clean
+    ).toDF("doc_id", "text")
+    val out = Corpus.duplicateSpans(docs, "doc_id", "text",
+      n = 5, thresholdMilli = 200L)
+      .select("doc_id", "n_grams", "stale_grams", "dup_span_milli", "flagged")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._3 == 0L && !out(1L)._5, "first occurrence never stale")
+    assert(out(2L)._3 > 0L && out(2L)._5, "verbatim copied span must flag")
+    assert(out(4L)._3 == 0L && !out(4L)._5)
+    // doc 3 repeats doc 1's span — stale vs doc 1, but its own internal
+    // duplicate contributes per occurrence against the EARLIER doc only
+    assert(out(3L)._3 >= 2L && out(3L)._5)
+  }
+
   test("massiveTextRepetition: char fractions fire per rule, clean prose passes") {
     import spark.implicits._
     val clean = (1 to 30).map(i => s"tok$i").mkString(" ")
