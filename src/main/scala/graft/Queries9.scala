@@ -189,19 +189,90 @@ object Queries9 {
       |  (stale_grams * 1000) // n_grams >= 900 AS flagged
       |FROM per""".stripMargin
 
+  /** Deterministic HTML scaffold per document (mirrored in SQL): title
+    * + script/style blocks to drop, a nav link over the first 3 tokens,
+    * every 4th doc link-wraps its middle tokens too (link-heavy page),
+    * entities to decode. */
+  private def synthHtml(docId: Column, text: Column): Column = {
+    val toks = split(text, " ")
+    val first3 = array_join(slice(toks, 1, 3), " ")
+    val mid = array_join(slice(toks, 4, 8), " ")
+    val rest = array_join(slice(toks, 12, 1000000), " ")
+    concat(
+      lit("<html><head><title>Doc "), docId.cast("string"),
+      lit("</title><script>var id="), docId.cast("string"),
+      lit(";</script><style>.x{color:red}</style></head><body><h1>H"),
+      docId.cast("string"),
+      lit("</h1><p><a href=\"/d"), docId.cast("string"), lit("\">"), first3,
+      lit("</a></p><p>"),
+      when(pmod(docId, lit(4)) === 0,
+        concat(lit("<a href=\"/m\">"), mid, lit("</a>"))).otherwise(mid),
+      lit(" &amp; tail &lt;"), docId.cast("string"), lit("&gt; "),
+      rest, lit("</p></body></html>"))
+  }
+
+  /** HTML extraction + link density over the synthesized scaffold. */
+  val q126_html_extract: Q = (s, dir) => {
+    val h = t(s, dir, "documents")
+      .select(col("doc_id"), synthHtml(col("doc_id"), col("text")).as("html"))
+    graft.ml.TextOps.htmlExtract(h, "doc_id", "html")
+  }
+
+  val q126_sql: String =
+    """WITH w0 AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || doc_id || '</title><script>var id=' ||
+      |    doc_id || ';</script><style>.x{color:red}</style></head><body><h1>H' ||
+      |    doc_id || '</h1><p><a href="/d' || doc_id || '">' ||
+      |    array_to_string(w[1:3], ' ') || '</a></p><p>' ||
+      |    CASE WHEN doc_id % 4 = 0
+      |      THEN '<a href="/m">' || array_to_string(w[4:11], ' ') || '</a>'
+      |      ELSE array_to_string(w[4:11], ' ') END ||
+      |    ' &amp; tail &lt;' || doc_id || '&gt; ' ||
+      |    coalesce(array_to_string(w[12:], ' '), '') ||
+      |    '</p></body></html>' AS html
+      |  FROM w0),
+      |stripped AS (
+      |  SELECT doc_id, html,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      |            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+      |          '<[^>]+>', ' ', 'g'),
+      |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+      |      '\s+', ' ', 'g')) AS text_clean,
+      |    regexp_extract(html, '(?s)<title>(.*?)</title>', 1) AS title,
+      |    CAST(coalesce(list_sum(list_transform(
+      |      regexp_extract_all(html, '(?s)<a[^>]*>(.*?)</a>', 1),
+      |      t -> len(trim(regexp_replace(regexp_replace(t, '<[^>]+>', ' ', 'g'),
+      |        '\s+', ' ', 'g'))))), 0) AS BIGINT) AS link_chars
+      |  FROM h)
+      |SELECT doc_id, text_clean, title, link_chars,
+      |  CAST(len(text_clean) AS BIGINT) AS text_chars,
+      |  (link_chars * 1000) // greatest(CAST(len(text_clean) AS BIGINT), 1)
+      |    AS link_density_milli
+      |FROM stripped""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
     "q122_fineweb_lines" -> q122_fineweb_lines,
     "q123_decontaminate_skip" -> q123_decontaminate_skip,
     "q124_repetition_chars" -> q124_repetition_chars,
-    "q125_duplicate_spans" -> q125_duplicate_spans
+    "q125_duplicate_spans" -> q125_duplicate_spans,
+    "q126_html_extract" -> q126_html_extract
   )
 
   val oracles: Map[String, String] = Map(
     "q122_fineweb_lines" -> q122_sql,
     "q123_decontaminate_skip" -> q123_sql,
     "q124_repetition_chars" -> q124_sql,
-    "q125_duplicate_spans" -> q125_sql
+    "q125_duplicate_spans" -> q125_sql,
+    "q126_html_extract" -> q126_sql
   )
 }

@@ -167,6 +167,48 @@ object TextOps {
       .na.fill(0L, Seq("top_gram_cnt", "n_grams"))
   }
 
+  /** HTML → text extraction with the trafilatura/RefinedWeb-style
+    * quality signals: script/style blocks dropped WITH their content,
+    * tags stripped, the common entities decoded (`&amp;` decoded LAST —
+    * decoding it first would double-decode `&amp;lt;`), whitespace
+    * collapsed. `linkDensityMilli` = characters inside `<a>` elements /
+    * total visible characters — the classic navigation-vs-content
+    * discriminator (link-heavy pages are boilerplate).
+    *
+    * Everything is an RE2-safe regexp_replace/extract chain — no
+    * backreferences, no lookarounds, `(?s)` only — evaluated inside
+    * whole-stage codegen with zero shuffle; the DuckDB oracle runs the
+    * byte-identical patterns. A production deployment swaps in a real
+    * HTML5 parser only if it needs malformed-markup recovery; the
+    * signal definitions are unchanged. */
+  def htmlExtract(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  htmlCol: String): org.apache.spark.sql.DataFrame = {
+    val noBlocks = regexp_replace(
+      regexp_replace(col(htmlCol), "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(
+        noTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
+      "&#39;", "'"), "&nbsp;", " "), "&amp;", "&")
+    val clean = trim(regexp_replace(decoded, "\\s+", " "))
+    val linkTexts = regexp_extract_all(col(htmlCol),
+      lit("(?s)<a[^>]*>(.*?)</a>"), lit(1))
+    val linkChars = aggregate(
+      transform(linkTexts,
+        t => length(trim(regexp_replace(regexp_replace(t, "<[^>]+>", " "),
+          "\\s+", " "))).cast("long")),
+      lit(0L), (a, b) => a + b)
+    df.select(col(idCol),
+        clean.as("text_clean"),
+        regexp_extract(col(htmlCol), "(?s)<title>(.*?)</title>", 1).as("title"),
+        linkChars.as("link_chars"))
+      .withColumn("text_chars", length(col("text_clean")).cast("long"))
+      .withColumn("link_density_milli",
+        expr("(link_chars * 1000) DIV greatest(text_chars, 1)"))
+  }
+
   /** MassiveText repetition filters in CHARACTER-fraction form (Rae et
     * al. 2021 Table A1 — the rows q74's count-concentration signals
     * don't cover): fraction of characters covered by the top 2-gram /

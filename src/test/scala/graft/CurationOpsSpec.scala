@@ -68,6 +68,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(contiguous(2L) == 0, "every contiguous gram contains a substitution")
   }
 
+  test("htmlExtract strips blocks and tags, decodes entities amp-last, link density") {
+    import spark.implicits._
+    val html = "<html><head><title>T</title>" +
+      "<script>var x=\"<p>ignored</p>\";</script><style>p{color:red}</style>" +
+      "</head><body><h1>Head</h1><p>one <b>two</b> &amp;lt; three</p>" +
+      "<a href=\"/x\">link <b>text</b></a></body></html>"
+    val out = TextOps.htmlExtract(
+      Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .select("text_clean", "title", "link_chars", "link_density_milli")
+      .as[(String, String, Long, Long)].head()
+    // script/style content gone (including the <p> inside the string
+    // literal), tags stripped, &amp;lt; decodes to the LITERAL "&lt;"
+    // (amp-last, no double decode)
+    assert(out._1 == "T Head one two &lt; three link text")
+    assert(out._2 == "T")
+    assert(out._3 == "link text".length.toLong)
+    assert(out._4 == out._3 * 1000 / out._1.length)
+  }
+
   test("duplicateSpans flags cross-doc repeats keep-first, ignores within-doc repeats") {
     import spark.implicits._
     val span = (1 to 5).map(i => s"s$i").mkString(" ")
