@@ -94,6 +94,16 @@ class PartitionInvarianceSpec extends AnyFunSuite {
         graft.ml.Corpus.splitAssign(col("text"), 7L, (800, 900)).as("split")))
   }
 
+  test("massiveTextRepetition scores the same char fractions under any partitioning") {
+    invariant("massiveTextRepetition")(d =>
+      graft.ml.TextOps.massiveTextRepetition(d, "doc_id", "text"))
+  }
+
+  test("duplicateSpans picks the same keep-first winners under any partitioning") {
+    invariant("duplicateSpans")(d =>
+      graft.ml.Corpus.duplicateSpans(d, "doc_id", "text", 20, 900L))
+  }
+
   test("semDedup labels the same components under any partitioning") {
     val base = Tables(spark, sf, "embeddings")
     val layouts = Seq(base.coalesce(1), base.repartition(13))

@@ -79,6 +79,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("HTML extraction is zero-shuffle: no Exchange anywhere in the plan") {
+    val p = plan(graft.ml.TextOps.htmlExtract(
+      Tables(spark, sf, "documents").select(col("doc_id"), col("text").as("html")),
+      "doc_id", "html"))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("duplicateSpans: unhinted winner join, no window, shuffle-bounded") {
+    val p = plan(graft.ml.Corpus.duplicateSpans(
+      Tables(spark, sf, "documents"), "doc_id", "text", 20, 900L))
+    assert(!p.contains("Window"), p)
+    // winner table is corpus-derived: no ResolvedHint / forced broadcast
+    assert(!plan(graft.ml.Corpus.duplicateSpans(
+      Tables(spark, sf, "documents"), "doc_id", "text", 20, 900L))
+      .contains("ResolvedHint"), "winner join must stay unhinted")
+  }
+
   test("PII scrub and split assignment are zero-shuffle") {
     val docs = Tables(spark, sf, "documents")
     val scrub = plan(docs.select(col("doc_id"),
