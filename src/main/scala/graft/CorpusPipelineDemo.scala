@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-data preparation pipeline — the composition the
   * individual graft.ml operators exist for, run as one DataFrame program:
   *
-  *   quality gate → language filter → exact dedup → MinHash/LSH near-dup
-  *   clustering → canonical-doc selection → global keep-first segment
-  *   dedup → benchmark decontamination → per-source token quota → DSIR
+  *   quality gate → language filter → repetition gate → exact dedup →
+  *   duplicate-span scrub → MinHash/LSH near-dup clustering →
+  *   canonical-doc selection → global keep-first segment dedup →
+  *   benchmark decontamination → per-source token quota → DSIR
   *   importance weighting → domain-mixing upsample → sequence packing →
   *   chunking
   *
   * Every stage is the oracle-verified operator (q50/q52/q69/q115/q102/
+  * q124/q125/
   * q116/q117/q104/q105/q103); this main proves they compose, prints
   * per-stage counts, and asserts the invariants that matter (no
   * duplicate survivors, no contaminated docs downstream, quota respected
@@ -45,21 +47,42 @@ object CorpusPipelineDemo {
       .filter(graft.ml.TextOps.langId(col("text")).isNotNull)
     n("quality+lang gate", gated)
 
+    // 1b. repetition gate (MassiveText char fractions): degenerate
+    //     template/repeat docs out before any expensive pairwise work
+    val rep = graft.ml.TextOps.massiveTextRepetition(gated, "doc_id", "text")
+    val unrepeated = gated
+      .join(rep.filter(col("pass")).select("doc_id"), Seq("doc_id"))
+    n("repetition gate", unrepeated)
+
     // 2. exact dedup: keep the lowest doc_id per text, then restore the
     //    survivors' full rows
-    val exact = gated.join(
-      graft.ml.Dedup.exactKeepFirst(gated, Seq("text"), "doc_id")
+    val exact = unrepeated.join(
+      graft.ml.Dedup.exactKeepFirst(unrepeated, Seq("text"), "doc_id")
         .select("doc_id"), Seq("doc_id"))
     val nExact = n("exact dedup", exact)
     assert(exact.select(col("text")).distinct().count() == nExact,
       "exact dedup left duplicate texts")
 
+    // 2b. cross-doc duplicate-span scrub (Lee et al. signal): drop docs
+    //     that are mostly earlier docs' 20-token spans — catches the
+    //     near-verbatim copies exact dedup can't
+    val spans = graft.ml.Corpus.duplicateSpans(exact, "doc_id", "text",
+      n = 20, thresholdMilli = 900L)
+    val spanClean = exact
+      .join(spans.filter(!col("flagged")).select("doc_id"), Seq("doc_id"))
+    n("span dedup", spanClean)
+
     // 3. near-dup: LSH candidates → connected components → keep the
     //    cluster's min doc_id (candidate graph only, never all pairs)
-    val cands = graft.ml.Dedup.minhashCandidates(exact, "doc_id", "text",
+    // (On this synthetic corpus the span scrub above subsumes the LSH
+    // stage — every planted near-dup is a verbatim-span copy, so the
+    // canonical count doesn't move. On real data the roles differ: LSH
+    // catches paraphrase-level Jaccard similarity that shares no exact
+    // 20-token span; both stages stay.)
+    val cands = graft.ml.Dedup.minhashCandidates(spanClean, "doc_id", "text",
       shingleN = 3, k = 12, bands = 4, rows = 3)
     val clusters = graft.ml.Dedup.connectedComponents(cands)
-    val canonical = exact.join(
+    val canonical = spanClean.join(
         clusters.filter(col("node") =!= col("component"))
           .select(col("node").as("doc_id")),
         Seq("doc_id"), "left_anti")

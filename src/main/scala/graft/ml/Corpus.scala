@@ -57,7 +57,11 @@ object Corpus {
     * winner table, then an UNHINTED winner join (corpus-derived size —
     * the q107 rule: AQE broadcasts when it fits, degrades to shuffle
     * when it doesn't) feeding one doc-key fold. No window, no global
-    * sort; the q115 straggler argument applies verbatim. */
+    * sort; the q115 straggler argument applies verbatim. The shuffle
+    * payload is the raw n-token gram string (oracle-exact); at extreme
+    * corpus sizes swap it for a 128-bit fingerprint column — 60-bit
+    * hashes start colliding near 10^9 distinct grams, which is why the
+    * swap point is 128-bit, and the rest of the plan is unchanged. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      n: Int, thresholdMilli: Long = 900L): DataFrame = {
     val toks = split(lower(col(textCol)), " ")
