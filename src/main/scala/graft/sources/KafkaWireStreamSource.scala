@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -30,9 +30,12 @@ import scala.jdk.CollectionConverters._
   *
   * Usage: `spark.readStream.format("graft-kafka")
   *   .option("brokers", "host:port").option("topic", t)
-  *   .option("group", g).option("offset", "oldest|newest").load()`
+  *   .option("group", g).option("offset", "oldest|newest")
+  *   .option("maxoffsetspertrigger", "10000").load()`
   * → columns (value, source_name, topic, partition, offset, key, ts_ms) —
-  * the same envelope as the batch flavor.
+  * the same envelope as the batch flavor. `maxoffsetspertrigger` bounds
+  * each micro-batch (admission control) so a deep backlog drains in
+  * bounded epochs instead of one giant first batch.
   *
   * Scale shape: reading parallelism ≡ Kafka partition count (the official
   * connector's planning); each reader streams its range lazily — one fetch's
@@ -50,7 +53,8 @@ class KafkaWireStreamProvider extends TableProvider with DataSourceRegister {
       properties.get("topic"),
       Option(properties.get("group")).getOrElse("graft"),
       Option(properties.get("offset")).getOrElse("oldest"),
-      Option(properties.get("maxbytesperfetch")).map(_.toInt).getOrElse(1 << 20))
+      Option(properties.get("maxbytesperfetch")).map(_.toInt).getOrElse(1 << 20),
+      Option(properties.get("maxoffsetspertrigger")).map(_.toLong).getOrElse(0L))
 }
 
 object KafkaWireStream {
@@ -75,22 +79,25 @@ object KafkaWireStream {
 }
 
 class KafkaWireTable(brokers: String, topic: String, group: String,
-                     offsetReset: String, maxBytesPerFetch: Int)
+                     offsetReset: String, maxBytesPerFetch: Int,
+                     maxOffsetsPerTrigger: Long = 0L)
     extends Table with SupportsRead {
   override def name(): String = s"graft-kafka:$topic@$brokers"
   override def schema(): StructType = KafkaWireStream.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new KafkaWireScan(brokers, topic, group, offsetReset, maxBytesPerFetch)
+    () => new KafkaWireScan(brokers, topic, group, offsetReset,
+      maxBytesPerFetch, maxOffsetsPerTrigger)
 }
 
 class KafkaWireScan(brokers: String, topic: String, group: String,
-                    offsetReset: String, maxBytesPerFetch: Int) extends Scan {
+                    offsetReset: String, maxBytesPerFetch: Int,
+                    maxOffsetsPerTrigger: Long = 0L) extends Scan {
   override def readSchema(): StructType = KafkaWireStream.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KafkaWireMicroBatchStream(brokers, topic, group, offsetReset,
-      maxBytesPerFetch)
+      maxBytesPerFetch, maxOffsetsPerTrigger)
 }
 
 /** next-to-read offset per partition (the consumer-group convention). */
@@ -99,8 +106,9 @@ case class KafkaWireOffset(offsets: Map[Int, Long]) extends Offset {
 }
 
 class KafkaWireMicroBatchStream(brokers: String, topic: String, group: String,
-                                offsetReset: String, maxBytesPerFetch: Int)
-    extends MicroBatchStream {
+                                offsetReset: String, maxBytesPerFetch: Int,
+                                maxOffsetsPerTrigger: Long = 0L)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private def withClient[A](f: KafkaWireClient => A): A = {
     val (h, p) = KafkaWire.parseBroker(brokers)
@@ -132,6 +140,43 @@ class KafkaWireMicroBatchStream(brokers: String, topic: String, group: String,
     KafkaWireOffset(parts.map { pm =>
       pm.partition -> c.listOffset(topic, pm.partition, -1L)
     }.toMap)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxOffsetsPerTrigger > 0) ReadLimit.maxRows(maxOffsetsPerTrigger)
+    else ReadLimit.allAvailable()
+
+  /** Admission control — the backlog-bounding half of the official
+    * connector's `maxOffsetsPerTrigger`: without it, the FIRST batch
+    * after a long outage (or an `offset: oldest` start) pins the entire
+    * backlog into one micro-batch — one giant epoch, one giant commit.
+    * The cap is allocated across partitions proportionally to their lag
+    * (the official connector's rate-limit policy), so a skewed backlog
+    * drains evenly instead of starving the small partitions. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val ends = latestOffset().asInstanceOf[KafkaWireOffset].offsets
+    limit match {
+      case r: ReadMaxRows =>
+        val from = start.asInstanceOf[KafkaWireOffset].offsets
+        val lags = ends.map { case (p, e) =>
+          p -> math.max(0L, e - from.getOrElse(p, e))
+        }
+        val totalLag = lags.values.sum
+        if (totalLag <= r.maxRows) KafkaWireOffset(ends)
+        else KafkaWireOffset(ends.map { case (p, e) =>
+          val startOff = from.getOrElse(p, e)
+          // proportional share, floored — but every lagging partition
+          // admits at least ONE record, else a cap smaller than the
+          // lagging-partition count floors every share to 0 and the
+          // stream livelocks (no offset movement → no batch → no
+          // progress, forever). Overshoot is ≤ 1 record per partition —
+          // the sourceQuota overshoot-by-one family.
+          val share = math.max(lags(p) * r.maxRows / totalLag,
+            if (lags(p) > 0) 1L else 0L)
+          p -> math.min(e, startOff + share)
+        })
+      case _ => KafkaWireOffset(ends)
+    }
   }
 
   override def deserializeOffset(json: String): Offset =

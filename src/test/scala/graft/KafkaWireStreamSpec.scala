@@ -115,6 +115,65 @@ class KafkaWireStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("admission control allocates the row cap proportionally to partition lag") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val b = new KafkaLoopbackBroker(numPartitions = 2)
+    try {
+      produce(b, "lag", 0, (0 until 90).map(i => s"a$i"))
+      produce(b, "lag", 1, (0 until 10).map(i => s"b$i"))
+      val stream = new graft.sources.KafkaWireMicroBatchStream(
+        b.bootstrap, "lag", "ga", "oldest", 1 << 20, 30L)
+      val start = graft.sources.KafkaWireOffset(Map(0 -> 0L, 1 -> 0L))
+      val capped = stream.latestOffset(start, ReadLimit.maxRows(30L))
+        .asInstanceOf[graft.sources.KafkaWireOffset].offsets
+      // lag 90:10, cap 30 → proportional floor 27:3
+      assert(capped == Map(0 -> 27L, 1 -> 3L), capped.toString)
+      // under-cap lag passes through uncapped
+      val all = stream.latestOffset(
+        graft.sources.KafkaWireOffset(Map(0 -> 80L, 1 -> 5L)),
+        ReadLimit.maxRows(30L))
+        .asInstanceOf[graft.sources.KafkaWireOffset].offsets
+      assert(all == Map(0 -> 90L, 1 -> 10L))
+      // livelock guard: cap 1 with two lagging partitions still
+      // advances BOTH by one (documented overshoot-by-one per partition)
+      val tiny = stream.latestOffset(start, ReadLimit.maxRows(1L))
+        .asInstanceOf[graft.sources.KafkaWireOffset].offsets
+      assert(tiny == Map(0 -> 1L, 1 -> 1L), tiny.toString)
+    } finally b.close()
+  }
+
+  test("maxoffsetspertrigger drains a backlog in bounded micro-batches") {
+    val b = new KafkaLoopbackBroker(numPartitions = 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("kwstream3").toString
+    try {
+      produce(b, "drain", 0, (0 until 70).map(i => s"a$i"))
+      produce(b, "drain", 1, (0 until 30).map(i => s"b$i"))
+      val q = spark.readStream
+        .format("graft-kafka")
+        .option("brokers", b.bootstrap)
+        .option("topic", "drain")
+        .option("group", "gd")
+        .option("maxoffsetspertrigger", "30")
+        .load()
+        .writeStream.format("memory").queryName("kwd")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      try {
+        await("full backlog drained")(spark.table("kwd").count() == 100)
+        val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+        assert(sizes.length >= 4, s"backlog must drain over several batches: ${sizes.toSeq}")
+        // cap + the documented ≤1-per-partition overshoot
+        assert(sizes.forall(_ <= 32), sizes.toSeq.toString)
+        val vals = spark.table("kwd").collect().map(_.getAs[String]("value"))
+        assert(vals.length == vals.distinct.length, "no duplicates while paging")
+      } finally q.stop()
+    } finally {
+      b.close()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   test("fresh group with offset=newest skips the backlog") {
     val b = new KafkaLoopbackBroker(numPartitions = 1)
     val ckpt = java.nio.file.Files.createTempDirectory("kwstream2").toString
