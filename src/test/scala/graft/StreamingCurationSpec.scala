@@ -81,6 +81,53 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("round-7 gates run per micro-batch with batch-identical verdicts") {
+    // fineweb line signals are pure expressions (stream in append mode
+    // directly); massiveTextRepetition shuffles, so it runs per batch
+    // under foreachBatch — both must agree with their batch flavor
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i =>
+        s"honest prose sentence number $i with several words.").mkString("\n")),
+      (2L, (1 to 10).map(i => s"- item $i").mkString("\n")),
+      (3L, ("very good " * 12).trim))
+    val batchFine = graft.ml.TextOps.finewebLineSignals(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "pass").as[(Long, Boolean)].collect().toMap
+    val batchRep = graft.ml.TextOps.massiveTextRepetition(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "pass").as[(Long, Boolean)].collect().toMap
+
+    val input = MemoryStream[(Long, String)]
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Boolean)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val f = graft.ml.TextOps.finewebLineSignals(batch, "doc_id", "text")
+          .select(col("doc_id"), col("pass").as("fine"))
+        val r = graft.ml.TextOps.massiveTextRepetition(batch, "doc_id", "text")
+          .select(col("doc_id"), col("pass").as("rep"))
+        val out = f.join(r, "doc_id")
+          .as[(Long, Boolean, Boolean)].collect()
+        sink.synchronized { sink ++= out }
+        ()
+      }.start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val got = sink.synchronized(sink.map(t => t._1 -> ((t._2, t._3))).toMap)
+      assert(got.keySet == Set(1L, 2L, 3L))
+      got.foreach { case (id, (fine, rep)) =>
+        assert(fine == batchFine(id), s"fineweb verdict diverged for doc $id")
+        assert(rep == batchRep(id), s"repetition verdict diverged for doc $id")
+      }
+      assert(batchFine(1L) && !batchFine(2L), "fixture must split on fineweb")
+      assert(!batchRep(3L), "fixture must split on repetition")
+    } finally q.stop()
+  }
+
   test("expression-level gates run stateless on a stream in append mode") {
     // quality scoring + split assignment are pure expressions — no
     // watermark, no state operator, append mode just works
