@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, ReportsSourceMetrics, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -108,7 +108,35 @@ case class KafkaWireOffset(offsets: Map[Int, Long]) extends Offset {
 class KafkaWireMicroBatchStream(brokers: String, topic: String, group: String,
                                 offsetReset: String, maxBytesPerFetch: Int,
                                 maxOffsetsPerTrigger: Long = 0L)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsTriggerAvailableNow
+    with ReportsSourceMetrics {
+
+  // Trigger.AvailableNow: the log ends pinned at prepare time — batches
+  // drain up to exactly this frontier and the query stops, regardless
+  // of concurrent produce (the official connector's batch-drain
+  // semantics). Admission control still paces the drain.
+  @volatile private var availableNowEnd: Option[Map[Int, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd =
+      Some(latestLogEnds().asInstanceOf[KafkaWireOffset].offsets)
+
+  /** Consumer-lag observability (the official connector's records-lag
+    * metrics): how far the just-committed frontier trails the CURRENT
+    * log ends, per query progress event. */
+  override def metrics(latestConsumed: java.util.Optional[Offset]): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    if (latestConsumed.isPresent) {
+      val consumed = latestConsumed.get.asInstanceOf[KafkaWireOffset].offsets
+      val ends = latestLogEnds().asInstanceOf[KafkaWireOffset].offsets
+      val lags = ends.map { case (p, e) =>
+        math.max(0L, e - consumed.getOrElse(p, e))
+      }
+      m.put("recordsLagTotal", lags.sum.toString)
+      m.put("recordsLagMax", (if (lags.isEmpty) 0L else lags.max).toString)
+    }
+    m
+  }
 
   private def withClient[A](f: KafkaWireClient => A): A = {
     val (h, p) = KafkaWire.parseBroker(brokers)
@@ -135,11 +163,21 @@ class KafkaWireMicroBatchStream(brokers: String, topic: String, group: String,
     off
   }
 
-  override def latestOffset(): Offset = withClient { c =>
+  private def latestLogEnds(): Offset = withClient { c =>
     val parts = c.metadata(Seq(topic))(topic)
     KafkaWireOffset(parts.map { pm =>
       pm.partition -> c.listOffset(topic, pm.partition, -1L)
     }.toMap)
+  }
+
+  override def latestOffset(): Offset = {
+    val ends = latestLogEnds().asInstanceOf[KafkaWireOffset].offsets
+    KafkaWireOffset(availableNowEnd match {
+      case Some(pinned) => ends.map { case (p, e) =>
+        p -> math.min(e, pinned.getOrElse(p, e))
+      }
+      case None => ends
+    })
   }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -154,6 +192,7 @@ class KafkaWireMicroBatchStream(brokers: String, topic: String, group: String,
     * (the official connector's rate-limit policy), so a skewed backlog
     * drains evenly instead of starving the small partitions. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    // respects the AvailableNow pin via latestOffset()
     val ends = latestOffset().asInstanceOf[KafkaWireOffset].offsets
     limit match {
       case r: ReadMaxRows =>

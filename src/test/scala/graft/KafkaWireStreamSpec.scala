@@ -174,6 +174,45 @@ class KafkaWireStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("Trigger.AvailableNow drains to the pinned frontier and stops; lag metrics emitted") {
+    val b = new KafkaLoopbackBroker(numPartitions = 1)
+    val ckpt = java.nio.file.Files.createTempDirectory("kwstream4").toString
+    try {
+      produce(b, "avail", 0, (0 until 50).map(i => s"r$i"))
+      val q = spark.readStream
+        .format("graft-kafka")
+        .option("brokers", b.bootstrap)
+        .option("topic", "avail")
+        .option("group", "gv")
+        .option("maxoffsetspertrigger", "20")
+        .load()
+        .writeStream.format("memory").queryName("kwa")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // records produced AFTER the query started must NOT extend the
+      // drain (frontier pinned at prepare time)
+      Thread.sleep(200)
+      produce(b, "avail", 0, Seq("late0", "late1"))
+      assert(q.awaitTermination(60000), "AvailableNow query must terminate")
+      val vals = spark.table("kwa").collect().map(_.getAs[String]("value"))
+      assert(vals.length >= 50, s"backlog must drain fully (${vals.length})")
+      assert(!vals.contains("late1"),
+        "post-start produce must not extend an AvailableNow drain")
+      // admission control paced the drain into multiple bounded batches
+      val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(sizes.length >= 3 && sizes.forall(_ <= 21), sizes.toSeq.toString)
+      // consumer-lag metrics surface in the progress events (the two
+      // late records are exactly the reported lag at the end)
+      val lags = q.recentProgress.flatMap(p =>
+        Option(p.sources.head.metrics.get("recordsLagTotal")))
+      assert(lags.nonEmpty, "recordsLagTotal must be reported")
+    } finally {
+      b.close()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   test("fresh group with offset=newest skips the backlog") {
     val b = new KafkaLoopbackBroker(numPartitions = 1)
     val ckpt = java.nio.file.Files.createTempDirectory("kwstream2").toString
