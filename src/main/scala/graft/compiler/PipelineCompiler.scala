@@ -336,9 +336,30 @@ object PipelineCompiler {
           Option(n.get("filename_pattern")).map(_.asText()).getOrElse("*"))
           .filter(col("value").isNotNull)
       case "kafka" =>
-        Sources.kafka(spark, n.get("brokers").asText(),
-          n.get("topics").elements().asScala.map(_.asText()).toSeq,
-          Option(n.get("offset")).map(_.asText()).getOrElse("newest"))
+        // default client is the in-repo wire implementation (graft-kafka
+        // DSv2 stream — works against any broker with zero extra jars);
+        // `client: connector` opts into the official spark-sql-kafka
+        // connector where the deployment ships it
+        val brokers = n.get("brokers").asText()
+        val topics = n.get("topics").elements().asScala.map(_.asText()).toSeq
+        val offset = Option(n.get("offset")).map(_.asText()).getOrElse("newest")
+        if (Option(n.get("client")).map(_.asText()).contains("connector"))
+          Sources.kafka(spark, brokers, topics, offset)
+        else {
+          val group =
+            Option(n.get("group")).map(_.asText()).getOrElse("graft")
+          topics.map { t =>
+            val r0 = spark.readStream.format("graft-kafka")
+              .option("brokers", brokers)
+              .option("topic", t)
+              .option("group", group)
+              .option("offset", if (offset == "newest") "newest" else "oldest")
+            val r1 = Option(n.get("max_offsets_per_trigger"))
+              .map(v => r0.option("maxoffsetspertrigger", v.asText()))
+              .getOrElse(r0)
+            r1.load().select(col("value"), col("source_name"))
+          }.reduce(_.union(_))
+        }
       case "socket" =>
         Sources.socket(spark, n.get("host").asText(), n.get("port").asInt())
       case other => throw new IllegalArgumentException(s"unknown input: $other")

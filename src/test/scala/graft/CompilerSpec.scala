@@ -393,6 +393,34 @@ class CompilerSpec extends AnyFunSuite {
     assert(out.contains("plain line"))
   }
 
+  test("kafka input compiles to the wire streaming source and flows end to end") {
+    val b = new graft.sources.KafkaLoopbackBroker(numPartitions = 2)
+    try {
+      val c = new graft.sources.KafkaWireClient(b.host, b.boundPort)
+      try {
+        c.produce("ev", 0, Seq((null, """{"lvl":"error","m":"boom"}""".getBytes("UTF-8")),
+          (null, """{"lvl":"info","m":"ok"}""".getBytes("UTF-8"))), 1L)
+        c.produce("ev", 1, Seq((null, """{"lvl":"error","m":"bang"}""".getBytes("UTF-8"))), 1L)
+      } finally c.close()
+      val yaml =
+        s"""input: {type: kafka, brokers: "${b.bootstrap}", topics: [ev],
+           |        group: cg, offset: oldest}
+           |decoder: {type: json, schema: "lvl string, m string"}
+           |actions:
+           |  - type: discard
+           |    do_if: {field: lvl, op: equal, values: [info]}
+           |output: {type: memory, name: kafka_compiled_out}
+           |""".stripMargin
+      val q = PipelineCompiler.compile(spark, yaml).startStream()
+      try {
+        q.processAllAvailable()
+        val vals = spark.table("kafka_compiled_out").collect().map(_.getString(0))
+        assert(vals.length == 2, vals.toSeq.toString)
+        assert(vals.forall(_.contains("\"lvl\":\"error\"")))
+      } finally q.stop()
+    } finally b.close()
+  }
+
   test("streaming pipeline lowers stateful actions to the kernels") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_in")
     val lines = java.util.Arrays.asList(
