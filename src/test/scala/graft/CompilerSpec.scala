@@ -606,6 +606,14 @@ class CompilerSpec extends AnyFunSuite {
     assert(replay.result().count() == 1000)
     assert(replay.outputType == "s3")
 
+    // kafka consumer: compiles to the wire streaming source (plan-time
+    // only — no broker contact until start; the live e2e is the
+    // dedicated kafka-input test above)
+    val kafka = PipelineCompiler.compile(spark,
+      example("kafka_errors_to_elasticsearch.yaml"))
+    assert(kafka.df.isStreaming, "kafka input must compile to a stream")
+    assert(kafka.outputType == "elasticsearch")
+
     // k8s CRI: fixture spool dir
     val criDir = Files.createTempDirectory("graft_cri")
     Files.write(criDir.resolve("pod_ns_c.log"), java.util.Arrays.asList(
