@@ -258,6 +258,40 @@ object Queries9 {
       |    AS link_density_milli
       |FROM stripped""".stripMargin
 
+  /** Span-level decontamination: q102's eval set (every 97th doc),
+    * 3-gram windows — matching spans are CUT, survivors reassemble. */
+  val q127_span_scrub: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    graft.ml.Corpus.evalSpanScrub(docs,
+      docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 3)
+  }
+
+  val q127_sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS wo,
+      |         string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |eg AS (
+      |  SELECT DISTINCT unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+      |    FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS gram
+      |  FROM toks WHERE doc_id % 97 = 0),
+      |pg AS (
+      |  SELECT doc_id, i AS p, array_to_string(w[i:i+2], ' ') AS gram
+      |  FROM toks, LATERAL (SELECT
+      |    unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i)),
+      |m AS (
+      |  SELECT pg.doc_id, list_sort(list(pg.p)) AS mp
+      |  FROM pg JOIN eg USING (gram) GROUP BY 1),
+      |kept AS (
+      |  SELECT t.doc_id, len(t.w) AS ntok,
+      |    [t.wo[x] FOR x IN generate_series(1, len(t.w))
+      |     IF len(list_filter(coalesce(m.mp, []),
+      |            p -> p <= x AND x <= p + 2)) = 0] AS kl
+      |  FROM toks t LEFT JOIN m USING (doc_id))
+      |SELECT doc_id, coalesce(array_to_string(kl, ' '), '') AS clean_text,
+      |  CAST(ntok - len(kl) AS BIGINT) AS n_removed_tok
+      |FROM kept""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -265,7 +299,8 @@ object Queries9 {
     "q123_decontaminate_skip" -> q123_decontaminate_skip,
     "q124_repetition_chars" -> q124_repetition_chars,
     "q125_duplicate_spans" -> q125_duplicate_spans,
-    "q126_html_extract" -> q126_html_extract
+    "q126_html_extract" -> q126_html_extract,
+    "q127_span_scrub" -> q127_span_scrub
   )
 
   val oracles: Map[String, String] = Map(
@@ -273,6 +308,7 @@ object Queries9 {
     "q123_decontaminate_skip" -> q123_sql,
     "q124_repetition_chars" -> q124_sql,
     "q125_duplicate_spans" -> q125_sql,
-    "q126_html_extract" -> q126_sql
+    "q126_html_extract" -> q126_sql,
+    "q127_span_scrub" -> q127_sql
   )
 }

@@ -79,6 +79,48 @@ object Corpus {
       .withColumn("flagged", col("dup_span_milli") >= thresholdMilli)
   }
 
+  /** SPAN-level decontamination — where [[decontaminate]] FLAGS a
+    * document, this CUTS exactly the leaked text and keeps the rest
+    * (the surgical variant: dropping a whole long doc for one quoted
+    * benchmark item wastes good tokens). A token is removed iff some
+    * n-gram window covering it matches an eval-set n-gram (match on
+    * lowercased tokens, emit original tokens); survivors reassemble in
+    * order. Returns (id, clean_text, n_removed_tok).
+    *
+    * Scale shape: eval grams broadcast (fixed-size by construction —
+    * the q102 rule); positional grams explode once; the matched
+    * positions fold to ONE small array per touched doc (map-side
+    * partial); reassembly joins that array back by id — the one
+    * inherent doc-key shuffle — and the uncovered-token filter is pure
+    * expression work per doc (O(tokens × matches), matches being few
+    * by nature). */
+  def evalSpanScrub(train: DataFrame, eval: DataFrame,
+                    idCol: String, textCol: String, n: Int): DataFrame = {
+    val evalGrams = eval
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val toksL = Dedup.tokens(col(textCol))
+    val posGrams = transform(
+      sequence(lit(1), greatest(size(toksL) - (n - 1), lit(1))),
+      i => struct(i.as("p"), array_join(slice(toksL, i, lit(n)), " ").as("gram")))
+    val matched = train.select(col(idCol), explode(posGrams).as("pg"))
+      .select(col(idCol), col("pg.p").as("p"), col("pg.gram").as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("p"))).as("mp"))
+    val toksO = split(col(textCol), " ")
+    train.join(matched, Seq(idCol), "left")
+      .select(col(idCol), toksO.as("_t"),
+        coalesce(col("mp"), array().cast("array<int>")).as("_mp"))
+      .select(col(idCol),
+        filter(col("_t"), (t, i) =>
+          !exists(col("_mp"), p => p <= i + 1 && i + 1 <= p + (n - 1))).as("_kept"),
+        size(col("_t")).cast("long").as("_ntok"))
+      .select(col(idCol),
+        array_join(col("_kept"), " ").as("clean_text"),
+        (col("_ntok") - size(col("_kept")).cast("long")).as("n_removed_tok"))
+  }
+
   private def decontaminateBy(train: DataFrame, eval: DataFrame,
                               idCol: String, textCol: String,
                               grams: Column => Column,

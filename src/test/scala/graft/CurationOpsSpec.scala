@@ -68,6 +68,28 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(contiguous(2L) == 0, "every contiguous gram contains a substitution")
   }
 
+  test("evalSpanScrub cuts exactly the leaked windows and keeps the rest in order") {
+    import spark.implicits._
+    val evalDf = Seq((9L, "alpha beta gamma")).toDF("doc_id", "text")
+    val docs = Seq(
+      // the leaked 3-gram sits mid-doc: exactly its 3 tokens go
+      (1L, "keep1 keep2 alpha beta gamma keep3 keep4"),
+      // flanked by singles: only the matched window's 3 tokens go
+      (2L, "x alpha beta gamma y"),
+      (3L, "no leak here at all")
+    ).toDF("doc_id", "text")
+    val out = Corpus.evalSpanScrub(docs, evalDf, "doc_id", "text", n = 3)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("keep1 keep2 keep3 keep4", 3L)))
+    assert(out(2L) == (("x y", 3L)))
+    assert(out(3L) == (("no leak here at all", 0L)))
+    // case-insensitive match, original case emitted
+    val cased = Seq((5L, "keep ALPHA Beta gamma keep2")).toDF("doc_id", "text")
+    val got = Corpus.evalSpanScrub(cased, evalDf, "doc_id", "text", n = 3)
+      .as[(Long, String, Long)].head()
+    assert(got == ((5L, "keep keep2", 3L)))
+  }
+
   test("htmlExtract strips blocks and tags, decodes entities amp-last, link density") {
     import spark.implicits._
     val html = "<html><head><title>T</title>" +
