@@ -104,6 +104,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       graft.ml.Corpus.duplicateSpans(d, "doc_id", "text", 20, 900L))
   }
 
+  test("evalSpanScrub rebuilds the same survivors under any partitioning") {
+    invariant("evalSpanScrub")(d =>
+      graft.ml.Corpus.evalSpanScrub(d,
+        d.filter(col("doc_id") % 97 === 0), "doc_id", "text", 3))
+  }
+
   test("semDedup labels the same components under any partitioning") {
     val base = Tables(spark, sf, "embeddings")
     val layouts = Seq(base.coalesce(1), base.repartition(13))
