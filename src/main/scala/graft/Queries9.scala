@@ -292,6 +292,41 @@ object Queries9 {
       |  CAST(ntok - len(kl) AS BIGINT) AS n_removed_tok
       |FROM kept""".stripMargin
 
+  /** fastText-style hashed-bigram linear classifier gate. The weight
+    * table is synthesized deterministically per bucket (signed milli
+    * weights; the offline-trained table arrives the same shape) —
+    * mirrored verbatim in SQL. 64 buckets over bigrams, bias 0,
+    * threshold at the weight range's midpoint so the gate BINDS. */
+  val q128_classifier_gate: Q = (s, dir) => {
+    val weights = s.range(64).select(col("id").as("b"),
+      (col("id") * 37 % 211 - 105).as("w_milli"))
+    graft.ml.TextOps.classifierGate(t(s, dir, "documents"),
+      "doc_id", "text", weights, n = 2, buckets = 64,
+      biasMilli = 0L, thresholdMilli = 5L)
+  }
+
+  val q128_sql: String =
+    """WITH wt AS (
+      |  SELECT b, b * 37 % 211 - 105 AS w_milli
+      |  FROM (SELECT unnest(range(0, 64)) AS b)),
+      |toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |occ AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(array_to_string(w[i:i+1], ' ')), 1, 15))::BIGINT
+      |      % 64 AS b
+      |  FROM (SELECT doc_id, w,
+      |          unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i
+      |        FROM toks)),
+      |agg AS (
+      |  SELECT o.doc_id,
+      |    CAST(SUM(coalesce(wt.w_milli, 0)) AS BIGINT) AS w_sum,
+      |    CAST(COUNT(*) AS BIGINT) AS n_grams
+      |  FROM occ o LEFT JOIN wt USING (b) GROUP BY 1)
+      |SELECT doc_id, n_grams, w_sum // n_grams AS score_milli,
+      |  w_sum // n_grams >= 5 AS pass
+      |FROM agg""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -300,7 +335,8 @@ object Queries9 {
     "q124_repetition_chars" -> q124_repetition_chars,
     "q125_duplicate_spans" -> q125_duplicate_spans,
     "q126_html_extract" -> q126_html_extract,
-    "q127_span_scrub" -> q127_span_scrub
+    "q127_span_scrub" -> q127_span_scrub,
+    "q128_classifier_gate" -> q128_classifier_gate
   )
 
   val oracles: Map[String, String] = Map(
@@ -309,6 +345,7 @@ object Queries9 {
     "q124_repetition_chars" -> q124_sql,
     "q125_duplicate_spans" -> q125_sql,
     "q126_html_extract" -> q126_sql,
-    "q127_span_scrub" -> q127_sql
+    "q127_span_scrub" -> q127_sql,
+    "q128_classifier_gate" -> q128_sql
   )
 }

@@ -396,6 +396,37 @@ object TextOps {
           col("dup_char_milli") <= 200L)
   }
 
+  /** Linear quality classifier over hashed n-gram features — the
+    * fastText/DCLM-style classifier GATE with externally-supplied
+    * weights (training happens offline; this is the apply side that
+    * has to run over 100 TB). score = bias + mean bucket weight of the
+    * doc's n-gram occurrences, all in integer milli units (engine-exact;
+    * both Spark DIV and DuckDB // truncate toward zero, so signed
+    * weights are safe); gate at `thresholdMilli`. Unknown buckets (no
+    * weight row) contribute 0 but still count in the mean — fastText's
+    * averaging denominator.
+    *
+    * Scale shape: the fused ShingleHash occurrence expression (one
+    * codegen pass, no intermediate gram arrays) feeds a LEFT join
+    * against the weight table — ≤ `buckets` rows, fixed-size by
+    * construction, the legitimate `broadcast()` case (dsirWeights'
+    * rule) — then one doc-key fold. */
+  def classifierGate(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, weights: org.apache.spark.sql.DataFrame,
+                     n: Int, buckets: Int, biasMilli: Long,
+                     thresholdMilli: Long): org.apache.spark.sql.DataFrame = {
+    val occ = df.select(col(idCol),
+      explode(graft.functions.ShingleHash.occurrences(
+        col(textCol), n, buckets.toLong)).as("b"))
+    occ.join(broadcast(weights), Seq("b"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("w_milli"), lit(0L))).as("w_sum"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("n_grams"),
+        (lit(biasMilli) + expr("w_sum DIV n_grams")).as("score_milli"))
+      .withColumn("pass", col("score_milli") >= thresholdMilli)
+  }
+
   def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, isTarget: Column, buckets: Int): org.apache.spark.sql.DataFrame = {
     // fused tokenize→bigram→hash→bucket expression (one codegen pass,

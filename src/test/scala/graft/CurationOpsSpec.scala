@@ -68,6 +68,30 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(contiguous(2L) == 0, "every contiguous gram contains a substitution")
   }
 
+  test("classifierGate averages bucket weights, zero-fills unknown buckets") {
+    import spark.implicits._
+    // 2 buckets via mod 2 on the 60-bit gram hash; weight only bucket 0
+    // so docs split on which parity their bigrams hash to
+    val weights = Seq((0L, 1000L)).toDF("b", "w_milli")
+    val docs = Seq((1L, "a b c"), (2L, "x y")).toDF("doc_id", "text")
+    val out = TextOps.classifierGate(docs, "doc_id", "text", weights,
+      n = 2, buckets = 2, biasMilli = 100L, thresholdMilli = 600L)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // exact replay of the operator's hash on the driver side:
+    def bucket(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16) % 2
+    }
+    def expect(grams: Seq[String]): Long =
+      100L + grams.map(g => if (bucket(g) == 0) 1000L else 0L).sum / grams.size
+    assert(out(1L)._3 == expect(Seq("a b", "b c")))
+    assert(out(2L)._3 == expect(Seq("x y")))
+    assert(out(1L)._4 == (out(1L)._3 >= 600L))
+    assert(out(2L)._4 == (out(2L)._3 >= 600L))
+  }
+
   test("evalSpanScrub cuts exactly the leaked windows and keeps the rest in order") {
     import spark.implicits._
     val evalDf = Seq((9L, "alpha beta gamma")).toDF("doc_id", "text")
