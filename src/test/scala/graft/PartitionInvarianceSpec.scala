@@ -104,6 +104,13 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       graft.ml.Corpus.duplicateSpans(d, "doc_id", "text", 20, 900L))
   }
 
+  test("classifierGate scores the same docs under any partitioning") {
+    val w = spark.range(64).select(col("id").as("b"),
+      (col("id") * 37 % 211 - 105).as("w_milli"))
+    invariant("classifierGate")(d =>
+      graft.ml.TextOps.classifierGate(d, "doc_id", "text", w, 2, 64, 0L, 5L))
+  }
+
   test("evalSpanScrub rebuilds the same survivors under any partitioning") {
     invariant("evalSpanScrub")(d =>
       graft.ml.Corpus.evalSpanScrub(d,
