@@ -342,23 +342,30 @@ object PipelineCompiler {
         // connector where the deployment ships it
         val brokers = n.get("brokers").asText()
         val topics = n.get("topics").elements().asScala.map(_.asText()).toSeq
+        require(topics.nonEmpty,
+          "input kafka: `topics` must list at least one topic " +
+            "(e.g. topics: [events])")
         val offset = Option(n.get("offset")).map(_.asText()).getOrElse("newest")
+        require(offset == "newest" || offset == "oldest",
+          s"input kafka: offset must be `newest` or `oldest`, got `$offset` " +
+            "(the reference's offset_type enum: cfg/kafka_client.go)")
         if (Option(n.get("client")).map(_.asText()).contains("connector"))
           Sources.kafka(spark, brokers, topics, offset)
         else {
           val group =
             Option(n.get("group")).map(_.asText()).getOrElse("graft")
-          topics.map { t =>
-            val r0 = spark.readStream.format("graft-kafka")
-              .option("brokers", brokers)
-              .option("topic", t)
-              .option("group", group)
-              .option("offset", if (offset == "newest") "newest" else "oldest")
-            val r1 = Option(n.get("max_offsets_per_trigger"))
-              .map(v => r0.option("maxoffsetspertrigger", v.asText()))
-              .getOrElse(r0)
-            r1.load().select(col("value"), col("source_name"))
-          }.reduce(_.union(_))
+          // one stream subscribes to every topic — offsets are keyed
+          // (topic, partition) natively, so a single checkpoint covers
+          // the whole subscription (kafka.go:81-82 `topics: [...]`)
+          val r0 = spark.readStream.format("graft-kafka")
+            .option("brokers", brokers)
+            .option("topics", topics.mkString(","))
+            .option("group", group)
+            .option("offset", offset)
+          val r1 = Option(n.get("max_offsets_per_trigger"))
+            .map(v => r0.option("maxoffsetspertrigger", v.asText()))
+            .getOrElse(r0)
+          r1.load().select(col("value"), col("source_name"))
         }
       case "socket" =>
         Sources.socket(spark, n.get("host").asText(), n.get("port").asInt())

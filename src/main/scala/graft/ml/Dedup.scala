@@ -293,7 +293,9 @@ object Dedup {
     // twice); callers who can't pick k use semDedupAutoK.
     val stats = vecs.groupBy(col("cid")).agg(count(lit(1)).as("n"))
       .agg(avg(col("n")).as("avgSz"), max(col("n")).as("maxSz")).head()
-    val avgSz = stats.getDouble(0)
+    // empty input → avg(n) over zero groups is NULL; treat as 0 so an
+    // empty corpus yields an empty result instead of an NPE here
+    val avgSz = if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)
     if (avgSz > maxAvgClusterSize)
       throw new IllegalArgumentException(
         f"semDedup: average cluster size $avgSz%.0f exceeds " +

@@ -1,6 +1,7 @@
 package graft.sources
 
 import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -17,11 +18,17 @@ import scala.jdk.CollectionConverters._
   * continuous-consumer half of the reference's kafka input
   * (plugin/input/kafka/kafka.go:77-129), completing [[Sources.kafkaWireBatch]]
   * (one pinned shot) with a long-running stream: each micro-batch pins
-  * `[committed/previous end, current log end)` per partition, reads it with
-  * one Spark task per Kafka partition, and on epoch commit — AFTER the sink
-  * has durably processed the batch — advances the consumer group's offsets
-  * on the broker (commit-after-ack, the reference's at-least-once loop;
-  * kafka.go commits on event commit, not on fetch).
+  * `[committed/previous end, current log end)` per (topic, partition), reads
+  * it with one Spark task per (topic, partition), and on epoch commit — AFTER
+  * the sink has durably processed the batch — advances the consumer group's
+  * offsets on the broker (commit-after-ack, the reference's at-least-once
+  * loop; kafka.go commits on event commit, not on fetch).
+  *
+  * Multi-topic subscribe matches the reference input's `topics: [t1, t2]`
+  * (plugin/input/kafka/kafka.go:81-82): the offset frontier, planning, lag
+  * math, and broker group commits are all keyed by (topic, partition), so a
+  * single stream + single checkpoint covers the whole subscription — no
+  * union-of-streams bookkeeping.
   *
   * Offset authority: Spark's checkpoint is authoritative for resume (exact
   * epoch replay); the broker-side group commit tracks the same frontier so
@@ -29,32 +36,40 @@ import scala.jdk.CollectionConverters._
   * group's progress exactly like any other consumer.
   *
   * Usage: `spark.readStream.format("graft-kafka")
-  *   .option("brokers", "host:port").option("topic", t)
+  *   .option("brokers", "host:port").option("topics", "t1,t2")
   *   .option("group", g).option("offset", "oldest|newest")
   *   .option("maxoffsetspertrigger", "10000").load()`
+  * (`topic` remains accepted for a single-topic subscription)
   * → columns (value, source_name, topic, partition, offset, key, ts_ms) —
   * the same envelope as the batch flavor. `maxoffsetspertrigger` bounds
   * each micro-batch (admission control) so a deep backlog drains in
   * bounded epochs instead of one giant first batch.
   *
-  * Scale shape: reading parallelism ≡ Kafka partition count (the official
-  * connector's planning); each reader streams its range lazily — one fetch's
-  * worth of records on the heap at a time — and opens one connection to its
-  * partition's leader.
+  * Scale shape: reading parallelism ≡ total Kafka partition count across
+  * the subscription (the official connector's planning); each reader
+  * streams its range lazily — one fetch's worth of records on the heap at
+  * a time — and opens one connection to its partition's leader.
   */
 class KafkaWireStreamProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-kafka"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     KafkaWireStream.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
+                        properties: java.util.Map[String, String]): Table = {
+    val topics = Option(properties.get("topics"))
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .orElse(Option(properties.get("topic")).map(t => Seq(t.trim)))
+      .getOrElse(Seq.empty)
+    require(topics.nonEmpty,
+      "graft-kafka: set `topics` (comma-separated) or `topic`")
     new KafkaWireTable(
       properties.get("brokers"),
-      properties.get("topic"),
+      topics,
       Option(properties.get("group")).getOrElse("graft"),
       Option(properties.get("offset")).getOrElse("oldest"),
       Option(properties.get("maxbytesperfetch")).map(_.toInt).getOrElse(1 << 20),
       Option(properties.get("maxoffsetspertrigger")).map(_.toLong).getOrElse(0L))
+  }
 }
 
 object KafkaWireStream {
@@ -66,74 +81,111 @@ object KafkaWireStream {
 
   private val mapper = new ObjectMapper()
 
-  def serialize(offsets: Map[Int, Long]): String = {
+  /** `{"topic": {"partition": offset}}`, keys sorted for stable JSON. */
+  def serialize(offsets: Map[(String, Int), Long]): String = {
     val node = mapper.createObjectNode()
-    offsets.toSeq.sortBy(_._1).foreach { case (p, o) => node.put(p.toString, o) }
+    offsets.groupBy(_._1._1).toSeq.sortBy(_._1).foreach { case (t, po) =>
+      val tn = node.putObject(t)
+      po.toSeq.sortBy(_._1._2).foreach { case ((_, p), o) => tn.put(p.toString, o) }
+    }
     mapper.writeValueAsString(node)
   }
 
-  def deserialize(json: String): Map[Int, Long] = {
+  /** Reads the nested (topic, partition) format; a flat `{"0": 5}` object
+    * (the single-topic layout checkpoints wrote before multi-topic) is
+    * upgraded in place by keying it to `legacyTopic` — an old checkpoint
+    * resumes seamlessly on the new offset model. */
+  def deserialize(json: String, legacyTopic: String): Map[(String, Int), Long] = {
     val node = mapper.readTree(json)
-    node.properties().asScala.map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
+    val entries = node.properties().asScala.toSeq
+    if (entries.forall(_.getValue.isNumber))
+      entries.map(e => (legacyTopic, e.getKey.toInt) -> e.getValue.asLong()).toMap
+    else
+      entries.flatMap { e =>
+        e.getValue.properties().asScala.map(pe =>
+          (e.getKey, pe.getKey.toInt) -> pe.getValue.asLong())
+      }.toMap
   }
 }
 
-class KafkaWireTable(brokers: String, topic: String, group: String,
+class KafkaWireTable(brokers: String, topics: Seq[String], group: String,
                      offsetReset: String, maxBytesPerFetch: Int,
                      maxOffsetsPerTrigger: Long = 0L)
     extends Table with SupportsRead {
-  override def name(): String = s"graft-kafka:$topic@$brokers"
+  override def name(): String = s"graft-kafka:${topics.mkString(",")}@$brokers"
   override def schema(): StructType = KafkaWireStream.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new KafkaWireScan(brokers, topic, group, offsetReset,
+    () => new KafkaWireScan(brokers, topics, group, offsetReset,
       maxBytesPerFetch, maxOffsetsPerTrigger)
 }
 
-class KafkaWireScan(brokers: String, topic: String, group: String,
+class KafkaWireScan(brokers: String, topics: Seq[String], group: String,
                     offsetReset: String, maxBytesPerFetch: Int,
                     maxOffsetsPerTrigger: Long = 0L) extends Scan {
   override def readSchema(): StructType = KafkaWireStream.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KafkaWireMicroBatchStream(brokers, topic, group, offsetReset,
+    new KafkaWireMicroBatchStream(brokers, topics, group, offsetReset,
       maxBytesPerFetch, maxOffsetsPerTrigger)
 }
 
-/** next-to-read offset per partition (the consumer-group convention). */
-case class KafkaWireOffset(offsets: Map[Int, Long]) extends Offset {
+/** next-to-read offset per (topic, partition) — the consumer-group
+  * convention. */
+case class KafkaWireOffset(offsets: Map[(String, Int), Long]) extends Offset {
   override def json(): String = KafkaWireStream.serialize(offsets)
 }
 
-class KafkaWireMicroBatchStream(brokers: String, topic: String, group: String,
+class KafkaWireMicroBatchStream(brokers: String, topics: Seq[String],
+                                group: String,
                                 offsetReset: String, maxBytesPerFetch: Int,
                                 maxOffsetsPerTrigger: Long = 0L)
     extends MicroBatchStream with SupportsTriggerAvailableNow
-    with ReportsSourceMetrics {
+    with ReportsSourceMetrics with Logging {
+
+  /** Single-topic convenience (specs, direct construction). */
+  def this(brokers: String, topic: String, group: String, offsetReset: String,
+           maxBytesPerFetch: Int, maxOffsetsPerTrigger: Long) =
+    this(brokers, Seq(topic), group, offsetReset, maxBytesPerFetch,
+      maxOffsetsPerTrigger)
 
   // Trigger.AvailableNow: the log ends pinned at prepare time — batches
   // drain up to exactly this frontier and the query stops, regardless
   // of concurrent produce (the official connector's batch-drain
   // semantics). Admission control still paces the drain.
-  @volatile private var availableNowEnd: Option[Map[Int, Long]] = None
+  @volatile private var availableNowEnd: Option[Map[(String, Int), Long]] = None
+
+  // Last frontier observed by latestLogEnds() — reused by metrics() so a
+  // progress event never opens its own broker connection (the official
+  // connector likewise derives records-lag from offsets it already
+  // fetched for planning).
+  @volatile private var lastKnownEnds: Map[(String, Int), Long] = Map.empty
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd =
       Some(latestLogEnds().asInstanceOf[KafkaWireOffset].offsets)
 
   /** Consumer-lag observability (the official connector's records-lag
-    * metrics): how far the just-committed frontier trails the CURRENT
-    * log ends, per query progress event. */
+    * metrics): how far the just-committed frontier trails the most
+    * recently OBSERVED log ends, per query progress event. Reporting is
+    * best-effort: it reuses the frontier the last planning cycle already
+    * fetched, and any failure degrades to an empty map rather than
+    * crashing the progress reporter. */
   override def metrics(latestConsumed: java.util.Optional[Offset]): java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()
-    if (latestConsumed.isPresent) {
-      val consumed = latestConsumed.get.asInstanceOf[KafkaWireOffset].offsets
-      val ends = latestLogEnds().asInstanceOf[KafkaWireOffset].offsets
-      val lags = ends.map { case (p, e) =>
-        math.max(0L, e - consumed.getOrElse(p, e))
+    try {
+      if (latestConsumed.isPresent && lastKnownEnds.nonEmpty) {
+        val consumed = latestConsumed.get.asInstanceOf[KafkaWireOffset].offsets
+        val lags = lastKnownEnds.map { case (tp, e) =>
+          math.max(0L, e - consumed.getOrElse(tp, e))
+        }
+        m.put("recordsLagTotal", lags.sum.toString)
+        m.put("recordsLagMax", (if (lags.isEmpty) 0L else lags.max).toString)
       }
-      m.put("recordsLagTotal", lags.sum.toString)
-      m.put("recordsLagMax", (if (lags.isEmpty) 0L else lags.max).toString)
+    } catch {
+      case e: Exception =>
+        logWarning(s"graft-kafka: lag metrics unavailable: ${e.getMessage}")
+        m.clear()
     }
     m
   }
@@ -144,37 +196,64 @@ class KafkaWireMicroBatchStream(brokers: String, topic: String, group: String,
     try f(c) finally c.close()
   }
 
-  /** Committed group offset per partition, falling back to
+  /** Committed group offset per (topic, partition), falling back to
     * `offset: oldest|newest` — identical to the batch flavor's planning.
     * Only consulted when no checkpoint exists; with one, Spark restores
     * the frontier via deserializeOffset (≙ the reference's offset file,
     * with the broker group as the secondary copy). */
   override def initialOffset(): Offset = withClient { c =>
-    val parts = c.metadata(Seq(topic))(topic)
-    val committed = c.offsetFetch(group, topic, parts.map(_.partition))
-    val off = KafkaWireOffset(parts.map { pm =>
-      val fromCommit = committed.getOrElse(pm.partition, -1L)
-      val start =
-        if (fromCommit >= 0) fromCommit
-        else c.listOffset(topic, pm.partition,
-          if (offsetReset == "oldest") -2L else -1L)
-      pm.partition -> start
+    val meta = c.metadata(topics)
+    KafkaWireOffset(topics.flatMap { t =>
+      val parts = meta(t)
+      val committed = c.offsetFetch(group, t, parts.map(_.partition))
+      parts.map { pm =>
+        val fromCommit = committed.getOrElse(pm.partition, -1L)
+        val start =
+          if (fromCommit >= 0) fromCommit
+          else c.listOffset(t, pm.partition,
+            if (offsetReset == "oldest") -2L else -1L)
+        (t, pm.partition) -> start
+      }
     }.toMap)
-    off
   }
 
   private def latestLogEnds(): Offset = withClient { c =>
-    val parts = c.metadata(Seq(topic))(topic)
-    KafkaWireOffset(parts.map { pm =>
-      pm.partition -> c.listOffset(topic, pm.partition, -1L)
-    }.toMap)
+    val meta = c.metadata(topics)
+    val ends = topics.flatMap { t =>
+      meta(t).map(pm => (t, pm.partition) -> c.listOffset(t, pm.partition, -1L))
+    }.toMap
+    lastKnownEnds = ends
+    KafkaWireOffset(ends)
+  }
+
+  /** Start offsets for partitions present in the current frontier but
+    * absent from `from` — partitions ADDED to a topic mid-query. They
+    * must begin at the log start (the official connector starts
+    * newly-discovered partitions at earliest), not at the current log
+    * end: every record produced to them before discovery would otherwise
+    * be silently skipped. `offsetReset` governs only the FIRST start of
+    * a fresh group, not mid-query discovery. */
+  private def resolveNewPartitions(from: Map[(String, Int), Long],
+                                   ends: Map[(String, Int), Long]): Map[(String, Int), Long] = {
+    val fresh = ends.keySet.diff(from.keySet)
+    if (fresh.isEmpty) from
+    else {
+      val starts = withClient { c =>
+        fresh.toSeq.map { case tp @ (t, p) => tp -> c.listOffset(t, p, -2L) }
+      }.toMap
+      starts.foreach { case ((t, p), o) =>
+        logInfo(s"graft-kafka: discovered new partition $t/$p mid-query, " +
+          s"starting at earliest offset $o")
+      }
+      from ++ starts
+    }
   }
 
   override def latestOffset(): Offset = {
     val ends = latestLogEnds().asInstanceOf[KafkaWireOffset].offsets
     KafkaWireOffset(availableNowEnd match {
-      case Some(pinned) => ends.map { case (p, e) =>
-        p -> math.min(e, pinned.getOrElse(p, e))
+      case Some(pinned) => ends.map { case (tp, e) =>
+        tp -> math.min(e, pinned.getOrElse(tp, e))
       }
       case None => ends
     })
@@ -194,32 +273,37 @@ class KafkaWireMicroBatchStream(brokers: String, topic: String, group: String,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     // respects the AvailableNow pin via latestOffset()
     val ends = latestOffset().asInstanceOf[KafkaWireOffset].offsets
+    val from = resolveNewPartitions(
+      start.asInstanceOf[KafkaWireOffset].offsets, ends)
     limit match {
       case r: ReadMaxRows =>
-        val from = start.asInstanceOf[KafkaWireOffset].offsets
-        val lags = ends.map { case (p, e) =>
-          p -> math.max(0L, e - from.getOrElse(p, e))
+        val lags = ends.map { case (tp, e) =>
+          tp -> math.max(0L, e - from.getOrElse(tp, e))
         }
         val totalLag = lags.values.sum
         if (totalLag <= r.maxRows) KafkaWireOffset(ends)
-        else KafkaWireOffset(ends.map { case (p, e) =>
-          val startOff = from.getOrElse(p, e)
-          // proportional share, floored — but every lagging partition
+        else KafkaWireOffset(ends.map { case (tp, e) =>
+          val startOff = from.getOrElse(tp, e)
+          // proportional share, floored, computed in double space so
+          // lag × maxRows can never overflow Long (a huge backlog times
+          // a huge cap would go negative in 64-bit and clamp the batch
+          // to 1 record/partition) — but every lagging partition still
           // admits at least ONE record, else a cap smaller than the
           // lagging-partition count floors every share to 0 and the
           // stream livelocks (no offset movement → no batch → no
           // progress, forever). Overshoot is ≤ 1 record per partition —
           // the sourceQuota overshoot-by-one family.
-          val share = math.max(lags(p) * r.maxRows / totalLag,
-            if (lags(p) > 0) 1L else 0L)
-          p -> math.min(e, startOff + share)
+          val share = math.max(
+            (lags(tp).toDouble / totalLag * r.maxRows).toLong,
+            if (lags(tp) > 0) 1L else 0L)
+          tp -> math.min(e, startOff + share)
         })
       case _ => KafkaWireOffset(ends)
     }
   }
 
   override def deserializeOffset(json: String): Offset =
-    KafkaWireOffset(KafkaWireStream.deserialize(json))
+    KafkaWireOffset(KafkaWireStream.deserialize(json, topics.head))
 
   /** Epoch commit — Spark calls this after the sink has committed the
     * micro-batch, so advancing the broker-side group offsets here IS the
@@ -232,26 +316,30 @@ class KafkaWireMicroBatchStream(brokers: String, topic: String, group: String,
   override def commit(end: Offset): Unit = {
     val offs = end.asInstanceOf[KafkaWireOffset].offsets
     Sources.kafkaWireCommit(brokers, group,
-      offs.toSeq.map { case (p, o) => (topic, p, o) })
+      offs.toSeq.map { case ((t, p), o) => (t, p, o) })
   }
 
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[KafkaWireOffset].offsets
     val to = end.asInstanceOf[KafkaWireOffset].offsets
+    val from = resolveNewPartitions(
+      start.asInstanceOf[KafkaWireOffset].offsets, to)
     // leaders re-resolved each epoch: a moved partition leader is picked
     // up at the next batch, not pinned for the query's lifetime
-    val leaders = withClient(_.metadata(Seq(topic))(topic))
-      .map(pm => pm.partition -> ((pm.leaderHost, pm.leaderPort))).toMap
-    to.toSeq.sortBy(_._1).flatMap { case (p, endOff) =>
-      val startOff = from.getOrElse(p, endOff)
-      val (lh, lp) = leaders(p)
-      if (endOff > startOff)
-        Some(KafkaWirePartition(topic, p, startOff, endOff, lh, lp,
-          maxBytesPerFetch))
-      else None
-    }.toArray
+    val meta = withClient(_.metadata(topics))
+    val leaders = meta.flatMap { case (t, pms) =>
+      pms.map(pm => (t, pm.partition) -> ((pm.leaderHost, pm.leaderPort)))
+    }
+    to.toSeq.sortBy { case ((t, p), _) => (t, p) }
+      .flatMap { case (tp @ (t, p), endOff) =>
+        val startOff = from.getOrElse(tp, endOff)
+        val (lh, lp) = leaders(tp)
+        if (endOff > startOff)
+          Some(KafkaWirePartition(t, p, startOff, endOff, lh, lp,
+            maxBytesPerFetch))
+        else None
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -123,23 +123,104 @@ class KafkaWireStreamSpec extends AnyFunSuite {
       produce(b, "lag", 1, (0 until 10).map(i => s"b$i"))
       val stream = new graft.sources.KafkaWireMicroBatchStream(
         b.bootstrap, "lag", "ga", "oldest", 1 << 20, 30L)
-      val start = graft.sources.KafkaWireOffset(Map(0 -> 0L, 1 -> 0L))
+      val start = graft.sources.KafkaWireOffset(
+        Map(("lag", 0) -> 0L, ("lag", 1) -> 0L))
       val capped = stream.latestOffset(start, ReadLimit.maxRows(30L))
         .asInstanceOf[graft.sources.KafkaWireOffset].offsets
       // lag 90:10, cap 30 → proportional floor 27:3
-      assert(capped == Map(0 -> 27L, 1 -> 3L), capped.toString)
+      assert(capped == Map(("lag", 0) -> 27L, ("lag", 1) -> 3L), capped.toString)
       // under-cap lag passes through uncapped
       val all = stream.latestOffset(
-        graft.sources.KafkaWireOffset(Map(0 -> 80L, 1 -> 5L)),
+        graft.sources.KafkaWireOffset(Map(("lag", 0) -> 80L, ("lag", 1) -> 5L)),
         ReadLimit.maxRows(30L))
         .asInstanceOf[graft.sources.KafkaWireOffset].offsets
-      assert(all == Map(0 -> 90L, 1 -> 10L))
+      assert(all == Map(("lag", 0) -> 90L, ("lag", 1) -> 10L))
       // livelock guard: cap 1 with two lagging partitions still
       // advances BOTH by one (documented overshoot-by-one per partition)
       val tiny = stream.latestOffset(start, ReadLimit.maxRows(1L))
         .asInstanceOf[graft.sources.KafkaWireOffset].offsets
-      assert(tiny == Map(0 -> 1L, 1 -> 1L), tiny.toString)
+      assert(tiny == Map(("lag", 0) -> 1L, ("lag", 1) -> 1L), tiny.toString)
+      // a partition absent from `start` (added to the topic mid-query)
+      // is admitted from EARLIEST — its pre-discovery backlog is read,
+      // not skipped (the official connector's new-partition rule)
+      val partial = graft.sources.KafkaWireOffset(Map(("lag", 0) -> 85L))
+      val disc = stream.latestOffset(partial, ReadLimit.maxRows(100L))
+        .asInstanceOf[graft.sources.KafkaWireOffset].offsets
+      assert(disc == Map(("lag", 0) -> 90L, ("lag", 1) -> 10L), disc.toString)
+      val planned = stream.planInputPartitions(partial,
+        graft.sources.KafkaWireOffset(disc))
+      val p1 = planned.collectFirst {
+        case p: graft.sources.KafkaWirePartition if p.partition == 1 => p
+      }
+      assert(p1.exists(_.startOff == 0L),
+        s"new partition must start at earliest: ${planned.toSeq}")
     } finally b.close()
+  }
+
+  test("multi-topic subscribe: one stream, offsets keyed (topic, partition), checkpoint resume") {
+    val b = new KafkaLoopbackBroker(numPartitions = 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("kwstream_mt").toString
+    val out = java.nio.file.Files.createTempDirectory("kwstream_mt_out").toString
+    def sunk(): DataFrame = spark.read.schema(KafkaWireStream.schema).json(out)
+    try {
+      produce(b, "alpha", 0, (0 until 6).map(i => s"al$i"))
+      produce(b, "beta", 1, (0 until 4).map(i => s"be$i"))
+
+      def startQuery() = spark.readStream
+        .format("graft-kafka")
+        .option("brokers", b.bootstrap)
+        .option("topics", "alpha,beta")
+        .option("group", "gmt")
+        .load()
+        .writeStream.format("json")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+
+      val q1 = startQuery()
+      try {
+        await("both topics' backlogs")(sunk().count() == 10)
+        // mid-run produce to BOTH topics flows through the same stream
+        produce(b, "alpha", 1, Seq("al6", "al7"))
+        produce(b, "beta", 0, Seq("be4"))
+        await("mid-run rows from both topics")(sunk().count() == 13)
+        // group commits advance per (topic, partition)
+        await("alpha commit")(b.committed("gmt", "alpha", 0).exists(_ >= 6L))
+        await("beta commit")(b.committed("gmt", "beta", 1).exists(_ >= 4L))
+      } finally q1.stop()
+
+      // produce to both topics while DOWN; resume must pick up exactly
+      // the unseen records of each topic from one checkpoint
+      produce(b, "alpha", 0, Seq("al8"))
+      produce(b, "beta", 1, Seq("be5", "be6"))
+      val q2 = startQuery()
+      try {
+        await("resume reads the 3 offline records")(sunk().count() == 16)
+        val rows = sunk().collect()
+        val vals = rows.map(_.getAs[String]("value"))
+        assert(vals.length == vals.distinct.length, "duplicates after resume")
+        assert(vals.count(_.startsWith("al")) == 9)
+        assert(vals.count(_.startsWith("be")) == 7)
+        assert(rows.map(_.getAs[String]("topic")).toSet == Set("alpha", "beta"))
+        // source_name carries topic/partition for routing downstream
+        assert(rows.map(_.getAs[String]("source_name")).toSet ==
+          Set("alpha/0", "alpha/1", "beta/0", "beta/1"))
+      } finally q2.stop()
+    } finally {
+      b.close()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
+  }
+
+  test("offset json round-trips and upgrades the legacy single-topic layout") {
+    val off = Map(("a", 0) -> 5L, ("a", 1) -> 7L, ("b", 0) -> 2L)
+    assert(KafkaWireStream.deserialize(
+      KafkaWireStream.serialize(off), "a") == off)
+    // pre-multi-topic checkpoints wrote {"partition": offset}
+    assert(KafkaWireStream.deserialize("""{"0":10,"1":3}""", "live") ==
+      Map(("live", 0) -> 10L, ("live", 1) -> 3L))
   }
 
   test("maxoffsetspertrigger drains a backlog in bounded micro-batches") {
