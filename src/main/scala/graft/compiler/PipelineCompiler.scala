@@ -362,9 +362,36 @@ object PipelineCompiler {
             .option("topics", topics.mkString(","))
             .option("group", group)
             .option("offset", offset)
+          // auth surface ≙ the reference kafka client config
+          // (kafka.go:174-215): is_sasl_enabled + mechanism/user/pass,
+          // is_ssl_enabled + skip-verify / ca_cert / client cert+key
+          val withSasl =
+            if (Option(n.get("is_sasl_enabled")).exists(_.asBoolean())) {
+              r0.option("sasl_mechanism",
+                  Option(n.get("sasl_mechanism")).map(_.asText())
+                    .getOrElse("SCRAM-SHA-512"))
+                .option("sasl_username",
+                  Option(n.get("sasl_username")).map(_.asText()).getOrElse("user"))
+                .option("sasl_password",
+                  Option(n.get("sasl_password")).map(_.asText())
+                    .getOrElse("password"))
+            } else r0
+          val withSsl =
+            if (Option(n.get("is_ssl_enabled")).exists(_.asBoolean())) {
+              var r = withSasl.option("ssl", "true")
+              Option(n.get("ssl_skip_verify"))
+                .foreach(v => r = r.option("ssl_skip_verify", v.asText()))
+              Option(n.get("ca_cert"))
+                .foreach(v => r = r.option("ca_cert", v.asText()))
+              Option(n.get("client_cert"))
+                .foreach(v => r = r.option("client_cert", v.asText()))
+              Option(n.get("client_key"))
+                .foreach(v => r = r.option("client_key", v.asText()))
+              r
+            } else withSasl
           val r1 = Option(n.get("max_offsets_per_trigger"))
-            .map(v => r0.option("maxoffsetspertrigger", v.asText()))
-            .getOrElse(r0)
+            .map(v => withSsl.option("maxoffsetspertrigger", v.asText()))
+            .getOrElse(withSsl)
           r1.load().select(col("value"), col("source_name"))
         }
       case "socket" =>

@@ -79,7 +79,9 @@ object Sinks {
                     topicField: Option[String] = None,
                     keyField: Option[String] = None,
                     valueField: String = "value",
-                    batchSize: Int = 500): Unit = {
+                    batchSize: Int = 500,
+                    security: graft.sources.KafkaSecurity =
+                      graft.sources.KafkaSecurity.none): Unit = {
     import graft.sources.{KafkaWire, KafkaWireClient}
     val projected = df.select(
       topicField.map(f => coalesce(col(f).cast("string"), lit(defaultTopic)))
@@ -91,7 +93,8 @@ object Sinks {
       val (bh, bp) = KafkaWire.parseBroker(brokers)
       val clients = scala.collection.mutable.Map.empty[(String, Int), KafkaWireClient]
       def client(h: String, p: Int): KafkaWireClient =
-        clients.getOrElseUpdate((h, p), new KafkaWireClient(h, p))
+        clients.getOrElseUpdate((h, p),
+          new KafkaWireClient(h, p, security = security))
       val meta = scala.collection.mutable.Map.empty[String, Seq[KafkaWire.PartitionMeta]]
       def partsOf(t: String): Seq[KafkaWire.PartitionMeta] =
         meta.getOrElseUpdate(t, client(bh, bp).metadata(Seq(t))(t))
@@ -129,10 +132,12 @@ object Sinks {
     * chunking/retry/DLQ machinery drives Kafka exactly like the HTTP and
     * socket sinks. */
   def kafkaTransport(brokers: String, topic: String,
-                     produceBatch: Int = 500): Transport = { lines =>
+                     produceBatch: Int = 500,
+                     security: graft.sources.KafkaSecurity =
+                       graft.sources.KafkaSecurity.none): Transport = { lines =>
     import graft.sources.{KafkaWire, KafkaWireClient}
     val (bh, bp) = KafkaWire.parseBroker(brokers)
-    val boot = new KafkaWireClient(bh, bp)
+    val boot = new KafkaWireClient(bh, bp, security = security)
     try {
       val parts = boot.metadata(Seq(topic))(topic)
       // floorMod everywhere: .abs is Int.MinValue for Int.MinValue and

@@ -28,9 +28,22 @@ import scala.jdk.CollectionConverters._
   * scale is a real Kafka cluster, reached by this same client code.
   */
 final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0,
-                                retainPerPartition: Int = Int.MaxValue)
+                                retainPerPartition: Int = Int.MaxValue,
+                                saslUsers: Map[String, String] = Map.empty,
+                                saslMechanisms: Set[String] =
+                                  Set("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512"),
+                                sslContext: Option[javax.net.ssl.SSLContext] = None,
+                                needClientAuth: Boolean = false)
     extends AutoCloseable {
   import KafkaWire._
+
+  /** nonEmpty `saslUsers` (user → password) makes authentication
+    * MANDATORY: any data API on an unauthenticated connection closes it,
+    * like a real SASL-only listener. The SCRAM side runs the genuine
+    * RFC 5802 server algorithm (fresh salt + nonce per connection,
+    * proof verified against the derived StoredKey, server signature
+    * returned), so the client leg is exercised end-to-end. */
+  private val authRequired = saslUsers.nonEmpty
 
   /** Partition log with a real base offset — retention drops the head
     * (oldest records) when the buffer exceeds `retainPerPartition`, the
@@ -53,8 +66,15 @@ final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0,
   // silently null-unboxed 0 (which would look like a committed offset 0)
   private val groupOffsets = new ConcurrentHashMap[(String, String, Int), java.lang.Long]()
   private val topics = ConcurrentHashMap.newKeySet[String]()
-  private val server =
-    new ServerSocket(port, 64, InetAddress.getLoopbackAddress)
+  private val server = sslContext match {
+    case Some(ctx) =>
+      val s = ctx.getServerSocketFactory
+        .createServerSocket(port, 64, InetAddress.getLoopbackAddress)
+      if (needClientAuth)
+        s.asInstanceOf[javax.net.ssl.SSLServerSocket].setNeedClientAuth(true)
+      s
+    case None => new ServerSocket(port, 64, InetAddress.getLoopbackAddress)
+  }
   @volatile private var running = true
 
   def host: String = "127.0.0.1"
@@ -110,10 +130,23 @@ final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0,
   private def log(topic: String, p: Int): PartLog =
     logs.computeIfAbsent((topic, p), _ => new PartLog)
 
+  /** Per-connection SASL progress: which mechanism the handshake agreed
+    * on, SCRAM round-trip intermediates, and whether auth completed. */
+  private final class ConnAuth {
+    var authenticated: Boolean = !authRequired
+    var mechanism: String = _
+    // SCRAM server round state (client-first seen, awaiting client-final)
+    var scramUser: String = _
+    var scramFirstBare: String = _
+    var scramServerFirst: String = _
+    var scramSalted: Array[Byte] = _
+  }
+
   private def serve(s: Socket): Unit = {
     s.setTcpNoDelay(true)
     val in = new DataInputStream(new BufferedInputStream(s.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(s.getOutputStream))
+    val auth = new ConnAuth
     try {
       while (running) {
         val size = in.readInt()
@@ -124,8 +157,16 @@ final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0,
         val version = bb.getShort
         val corr = bb.getInt
         rNStr(bb) // client_id
+        // an unauthenticated connection may only negotiate: ApiVersions,
+        // SaslHandshake, SaslAuthenticate. Anything else → drop the
+        // connection, like a real SASL listener
+        if (!auth.authenticated && api != ApiApiVersions &&
+            api != ApiSaslHandshake && api != ApiSaslAuthenticate)
+          throw new java.io.EOFException("unauthenticated data request")
         val body = api match {
           case ApiApiVersions    => apiVersionsResp()
+          case ApiSaslHandshake  => saslHandshakeResp(bb, auth)
+          case ApiSaslAuthenticate => saslAuthenticateResp(bb, auth)
           case ApiMetadata       => metadataResp(bb, version)
           case ApiProduce        => produceResp(bb)
           case ApiFetch          => fetchResp(bb)
@@ -142,8 +183,97 @@ final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0,
         out.flush()
       }
     } catch {
-      case _: java.io.EOFException | _: java.net.SocketException => () // client gone
+      // client gone, plaintext-into-TLS garbage, rejected handshake —
+      // all end this connection quietly, like a real broker's log-only
+      case _: java.io.IOException => ()
     } finally s.close()
+  }
+
+  // ------------------------------------------------------------- SASL
+
+  private def saslHandshakeResp(bb: ByteBuffer, auth: ConnAuth): Array[Byte] = {
+    val mech = rStr(bb)
+    val w = new Writer()
+    if (!saslMechanisms.contains(mech)) {
+      w.i16(ErrUnsupportedSaslMechanism)
+      w.i32(saslMechanisms.size)
+      saslMechanisms.toSeq.sorted.foreach(w.str)
+    } else {
+      auth.mechanism = mech
+      w.i16(0).i32(saslMechanisms.size)
+      saslMechanisms.toSeq.sorted.foreach(w.str)
+    }
+    w.result
+  }
+
+  private def saslFail(msg: String): Array[Byte] =
+    new Writer().i16(ErrSaslAuthenticationFailed).nstr(msg).bytes(Array.emptyByteArray).result
+  private def saslOk(token: Array[Byte]): Array[Byte] =
+    new Writer().i16(0).nstr(null).bytes(token).result
+
+  private def saslAuthenticateResp(bb: ByteBuffer, auth: ConnAuth): Array[Byte] = {
+    val token = rBytes(bb)
+    auth.mechanism match {
+      case null =>
+        new Writer().i16(ErrIllegalSaslState)
+          .nstr("SaslAuthenticate before SaslHandshake")
+          .bytes(Array.emptyByteArray).result
+      case "PLAIN" =>
+        KafkaSasl.parsePlainToken(token) match {
+          case Some((user, pass)) if saslUsers.get(user).contains(pass) =>
+            auth.authenticated = true
+            saslOk(Array.emptyByteArray)
+          case _ => saslFail("Authentication failed: Invalid username or password")
+        }
+      case mech if auth.scramServerFirst == null =>
+        // client-first-message: gs2-header "n,," + bare "n=user,r=cnonce"
+        val msg = new String(token, "UTF-8")
+        if (!msg.startsWith("n,,")) saslFail("unsupported gs2 header")
+        else {
+          val bare = msg.substring(3)
+          val f = KafkaSasl.fields(bare)
+          val user = f.getOrElse("n", "").replace("=2C", ",").replace("=3D", "=")
+          saslUsers.get(user) match {
+            case None => saslFail(s"unknown user $user")
+            case Some(pass) =>
+              val salt = KafkaSasl.randomSalt()
+              val iters = 4096
+              val nonce = f("r") + KafkaSasl.nonce()
+              auth.scramUser = user
+              auth.scramFirstBare = bare
+              auth.scramSalted = KafkaSasl.saltedPassword(mech, pass, salt, iters)
+              auth.scramServerFirst = s"r=$nonce," +
+                s"s=${java.util.Base64.getEncoder.encodeToString(salt)},i=$iters"
+              saslOk(auth.scramServerFirst.getBytes("UTF-8"))
+          }
+        }
+      case mech =>
+        // client-final-message: "c=biws,r=nonce,p=proof"
+        val msg = new String(token, "UTF-8")
+        val f = KafkaSasl.fields(msg)
+        val expectedNonce = KafkaSasl.fields(auth.scramServerFirst)("r")
+        val withoutProof = msg.substring(0, msg.lastIndexOf(",p="))
+        val authMessage =
+          s"${auth.scramFirstBare},${auth.scramServerFirst},$withoutProof"
+            .getBytes("UTF-8")
+        val ck = KafkaSasl.clientKey(mech, auth.scramSalted)
+        val sk = KafkaSasl.storedKey(mech, ck)
+        val expectedProof =
+          KafkaSasl.xor(ck, KafkaSasl.hmac(mech, sk, authMessage))
+        val proofOk = f.get("p").exists(p =>
+          java.security.MessageDigest.isEqual(
+            java.util.Base64.getDecoder.decode(p), expectedProof))
+        if (!f.get("r").contains(expectedNonce) || !proofOk) {
+          auth.scramServerFirst = null // a retry restarts the exchange
+          saslFail("Authentication failed: SCRAM proof mismatch")
+        } else {
+          auth.authenticated = true
+          val sig = KafkaSasl.hmac(mech,
+            KafkaSasl.serverKey(mech, auth.scramSalted), authMessage)
+          saslOk(
+            s"v=${java.util.Base64.getEncoder.encodeToString(sig)}".getBytes("UTF-8"))
+        }
+    }
   }
 
   private def apiVersionsResp(): Array[Byte] = {
@@ -153,7 +283,8 @@ final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0,
       // body would desync a client that legally picked v0)
       (ApiProduce, 2, 2), (ApiFetch, 2, 2), (ApiListOffsets, 1, 1),
       (ApiMetadata, 0, 1), (ApiOffsetCommit, 2, 2), (ApiOffsetFetch, 0, 1),
-      (ApiFindCoordinator, 0, 0), (ApiApiVersions, 0, 0))
+      (ApiFindCoordinator, 0, 0), (ApiApiVersions, 0, 0),
+      (ApiSaslHandshake, 1, 1), (ApiSaslAuthenticate, 0, 0))
     val w = new Writer().i16(0).i32(supported.size)
     supported.foreach { case (k, lo, hi) => w.i16(k).i16(lo).i16(hi) }
     w.result

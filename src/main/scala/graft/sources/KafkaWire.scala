@@ -31,11 +31,16 @@ object KafkaWire {
   val ApiOffsetCommit: Short = 8
   val ApiOffsetFetch: Short = 9
   val ApiFindCoordinator: Short = 10
+  val ApiSaslHandshake: Short = 17
   val ApiApiVersions: Short = 18
+  val ApiSaslAuthenticate: Short = 36
 
   val ErrNone: Short = 0
   val ErrOffsetOutOfRange: Short = 1
   val ErrUnknownTopicOrPartition: Short = 3
+  val ErrUnsupportedSaslMechanism: Short = 33
+  val ErrIllegalSaslState: Short = 34
+  val ErrSaslAuthenticationFailed: Short = 58
 
   /** One message as stored/fetched: absolute offset + CreateTime. */
   final case class RecordMsg(offset: Long, timestamp: Long,
@@ -170,16 +175,30 @@ object KafkaWire {
 
 /** Blocking single-connection Kafka client. Thread-confined per Spark
   * task (each task opens its own — the same shape as one consumer/
-  * producer per task in the official connector). */
-final class KafkaWireClient(host: String, port: Int, clientId: String = "graft")
+  * producer per task in the official connector).
+  *
+  * `security` covers the reference's client auth surface
+  * (cfg/kafka_client.go:19-36): an optional TLS wrap of the connection
+  * (CA / client-cert / skip-verify → PLAINTEXT, SSL, SASL_PLAINTEXT or
+  * SASL_SSL, picked by which parts are set) and an optional SASL
+  * handshake (PLAIN / SCRAM-SHA-256 / SCRAM-SHA-512) that authenticates
+  * the connection BEFORE any data API is issued, via the protocol's
+  * SaslHandshake v1 + SaslAuthenticate v0 framing. */
+final class KafkaWireClient(host: String, port: Int, clientId: String = "graft",
+                            security: KafkaSecurity = KafkaSecurity.none)
     extends AutoCloseable {
   import KafkaWire._
 
-  private val sock = new Socket(host, port)
+  private val sock = security.ssl match {
+    case Some(ssl) => KafkaTls.clientSocket(host, port, ssl)
+    case None      => new Socket(host, port)
+  }
   sock.setTcpNoDelay(true)
   private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
   private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
   private var correlation = 0
+
+  security.sasl.foreach(authenticate)
 
   private def call(api: Short, version: Short, body: Writer): ByteBuffer = {
     correlation += 1
@@ -349,6 +368,74 @@ final class KafkaWireClient(host: String, port: Int, clientId: String = "graft")
       require(err == 0, s"offsetFetch error $err on $topic/$p")
       p -> off
     }.toMap
+  }
+
+  // ------------------------------------------------------------ SASL
+
+  /** SaslHandshake v1: agree on the mechanism. (v0 would switch the
+    * connection to RAW unframed tokens; v1 keeps every auth token inside
+    * SaslAuthenticate frames — the modern client behavior.) */
+  private def saslHandshake(mechanism: String): Unit = {
+    val bb = call(ApiSaslHandshake, 1, new Writer().str(mechanism))
+    val err = bb.getShort
+    val offered = (0 until bb.getInt).map(_ => rStr(bb))
+    if (err == ErrUnsupportedSaslMechanism)
+      throw new SecurityException(
+        s"sasl: broker rejected mechanism $mechanism (offers: ${offered.mkString(", ")})")
+    require(err == 0, s"sasl handshake error $err")
+  }
+
+  /** SaslAuthenticate v0: one client token → server token. */
+  private def saslAuthenticate(token: Array[Byte]): Array[Byte] = {
+    val bb = call(ApiSaslAuthenticate, 0, new Writer().bytes(token))
+    val err = bb.getShort
+    val msg = rNStr(bb)
+    val resp = rBytes(bb)
+    if (err == ErrSaslAuthenticationFailed)
+      throw new SecurityException(
+        s"sasl: authentication failed${Option(msg).fold("")(m => s": $m")}")
+    require(err == 0, s"sasl authenticate error $err: $msg")
+    resp
+  }
+
+  private def authenticate(sasl: KafkaSaslConfig): Unit = {
+    saslHandshake(sasl.mechanism)
+    sasl.mechanism match {
+      case "PLAIN" =>
+        saslAuthenticate(KafkaSasl.plainToken(sasl.username, sasl.password))
+      case mech =>
+        // SCRAM (RFC 5802): client-first → server-first (salt + iters) →
+        // client-final (proof) → server-final (server signature, which
+        // the client VERIFIES — mutual authentication, so a MITM broker
+        // that doesn't know the password is detected client-side too)
+        val cnonce = KafkaSasl.nonce()
+        val firstBare = s"n=${KafkaSasl.saslName(sasl.username)},r=$cnonce"
+        val serverFirst = new String(
+          saslAuthenticate(s"n,,$firstBare".getBytes(UTF_8)), UTF_8)
+        val f = KafkaSasl.fields(serverFirst)
+        val nonce = f("r")
+        require(nonce.startsWith(cnonce), "scram: server nonce must extend ours")
+        val salt = java.util.Base64.getDecoder.decode(f("s"))
+        val iters = f("i").toInt
+        val salted = KafkaSasl.saltedPassword(mech, sasl.password, salt, iters)
+        val ck = KafkaSasl.clientKey(mech, salted)
+        val withoutProof = s"c=biws,r=$nonce"
+        val authMessage =
+          s"$firstBare,$serverFirst,$withoutProof".getBytes(UTF_8)
+        val proof = KafkaSasl.xor(ck,
+          KafkaSasl.hmac(mech, KafkaSasl.storedKey(mech, ck), authMessage))
+        val b64 = java.util.Base64.getEncoder
+        val serverFinal = new String(saslAuthenticate(
+          s"$withoutProof,p=${b64.encodeToString(proof)}".getBytes(UTF_8)), UTF_8)
+        val expectedSig = KafkaSasl.hmac(mech,
+          KafkaSasl.serverKey(mech, salted), authMessage)
+        val v = KafkaSasl.fields(serverFinal).getOrElse("v",
+          throw new SecurityException("scram: server-final carries no signature"))
+        if (!java.security.MessageDigest.isEqual(
+            java.util.Base64.getDecoder.decode(v), expectedSig))
+          throw new SecurityException(
+            "scram: server signature mismatch — broker does not know the password")
+    }
   }
 
   def close(): Unit = {

@@ -68,7 +68,8 @@ class KafkaWireStreamProvider extends TableProvider with DataSourceRegister {
       Option(properties.get("group")).getOrElse("graft"),
       Option(properties.get("offset")).getOrElse("oldest"),
       Option(properties.get("maxbytesperfetch")).map(_.toInt).getOrElse(1 << 20),
-      Option(properties.get("maxoffsetspertrigger")).map(_.toLong).getOrElse(0L))
+      Option(properties.get("maxoffsetspertrigger")).map(_.toLong).getOrElse(0L),
+      KafkaSecurity.fromOptions(k => Option(properties.get(k))))
   }
 }
 
@@ -110,7 +111,8 @@ object KafkaWireStream {
 
 class KafkaWireTable(brokers: String, topics: Seq[String], group: String,
                      offsetReset: String, maxBytesPerFetch: Int,
-                     maxOffsetsPerTrigger: Long = 0L)
+                     maxOffsetsPerTrigger: Long = 0L,
+                     security: KafkaSecurity = KafkaSecurity.none)
     extends Table with SupportsRead {
   override def name(): String = s"graft-kafka:${topics.mkString(",")}@$brokers"
   override def schema(): StructType = KafkaWireStream.schema
@@ -118,16 +120,17 @@ class KafkaWireTable(brokers: String, topics: Seq[String], group: String,
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new KafkaWireScan(brokers, topics, group, offsetReset,
-      maxBytesPerFetch, maxOffsetsPerTrigger)
+      maxBytesPerFetch, maxOffsetsPerTrigger, security)
 }
 
 class KafkaWireScan(brokers: String, topics: Seq[String], group: String,
                     offsetReset: String, maxBytesPerFetch: Int,
-                    maxOffsetsPerTrigger: Long = 0L) extends Scan {
+                    maxOffsetsPerTrigger: Long = 0L,
+                    security: KafkaSecurity = KafkaSecurity.none) extends Scan {
   override def readSchema(): StructType = KafkaWireStream.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KafkaWireMicroBatchStream(brokers, topics, group, offsetReset,
-      maxBytesPerFetch, maxOffsetsPerTrigger)
+      maxBytesPerFetch, maxOffsetsPerTrigger, security)
 }
 
 /** next-to-read offset per (topic, partition) — the consumer-group
@@ -139,7 +142,8 @@ case class KafkaWireOffset(offsets: Map[(String, Int), Long]) extends Offset {
 class KafkaWireMicroBatchStream(brokers: String, topics: Seq[String],
                                 group: String,
                                 offsetReset: String, maxBytesPerFetch: Int,
-                                maxOffsetsPerTrigger: Long = 0L)
+                                maxOffsetsPerTrigger: Long = 0L,
+                                security: KafkaSecurity = KafkaSecurity.none)
     extends MicroBatchStream with SupportsTriggerAvailableNow
     with ReportsSourceMetrics with Logging {
 
@@ -192,7 +196,7 @@ class KafkaWireMicroBatchStream(brokers: String, topics: Seq[String],
 
   private def withClient[A](f: KafkaWireClient => A): A = {
     val (h, p) = KafkaWire.parseBroker(brokers)
-    val c = new KafkaWireClient(h, p)
+    val c = new KafkaWireClient(h, p, security = security)
     try f(c) finally c.close()
   }
 
@@ -316,7 +320,7 @@ class KafkaWireMicroBatchStream(brokers: String, topics: Seq[String],
   override def commit(end: Offset): Unit = {
     val offs = end.asInstanceOf[KafkaWireOffset].offsets
     Sources.kafkaWireCommit(brokers, group,
-      offs.toSeq.map { case ((t, p), o) => (t, p, o) })
+      offs.toSeq.map { case ((t, p), o) => (t, p, o) }, security)
   }
 
   override def stop(): Unit = ()
@@ -337,7 +341,7 @@ class KafkaWireMicroBatchStream(brokers: String, topics: Seq[String],
         val (lh, lp) = leaders(tp)
         if (endOff > startOff)
           Some(KafkaWirePartition(t, p, startOff, endOff, lh, lp,
-            maxBytesPerFetch))
+            maxBytesPerFetch, security))
         else None
       }.toArray
   }
@@ -352,7 +356,9 @@ class KafkaWireMicroBatchStream(brokers: String, topics: Seq[String],
 case class KafkaWirePartition(topic: String, partition: Int,
                               startOff: Long, endOff: Long,
                               leaderHost: String, leaderPort: Int,
-                              maxBytesPerFetch: Int) extends InputPartition
+                              maxBytesPerFetch: Int,
+                              security: KafkaSecurity = KafkaSecurity.none)
+    extends InputPartition
 
 /** Streams `[startOff, endOff)` of one partition — the same lazy chunked
   * fetch loop as the batch flavor: at most one fetch's worth of decoded
@@ -362,7 +368,8 @@ case class KafkaWirePartition(topic: String, partition: Int,
 class KafkaWireReader(p: KafkaWirePartition)
     extends PartitionReader[InternalRow] {
 
-  private val c = new KafkaWireClient(p.leaderHost, p.leaderPort)
+  private val c = new KafkaWireClient(p.leaderHost, p.leaderPort,
+    security = p.security)
   private val fetchBytesCap = 1 << 27
   private var fetchBytes = p.maxBytesPerFetch
   private var off = p.startOff

@@ -52,11 +52,12 @@ object Sources {
     * one batch). */
   def kafkaWireBatch(spark: SparkSession, brokers: String, topic: String,
                      group: String, offsetReset: String = "oldest",
-                     maxBytesPerFetch: Int = 1 << 20): KafkaBatch = {
+                     maxBytesPerFetch: Int = 1 << 20,
+                     security: KafkaSecurity = KafkaSecurity.none): KafkaBatch = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val (bh, bp) = KafkaWire.parseBroker(brokers)
-    val admin = new KafkaWireClient(bh, bp)
+    val admin = new KafkaWireClient(bh, bp, security = security)
     val ranges = try {
       val parts = admin.metadata(Seq(topic))(topic)
       val committed = admin.offsetFetch(group, topic, parts.map(_.partition))
@@ -87,7 +88,8 @@ object Sources {
         // iterator — limit(), take(), task kill — never leaks a socket.
         if (end <= start) Iterator.empty
         else new Iterator[Row] {
-          private val c = new KafkaWireClient(pm.leaderHost, pm.leaderPort)
+          private val c =
+            new KafkaWireClient(pm.leaderHost, pm.leaderPort, security = security)
           private var closed = false
           private def closeOnce(): Unit =
             if (!closed) { closed = true; c.close() }
@@ -144,14 +146,15 @@ object Sources {
     * the sink acked the batch, completing the at-least-once loop. Routes
     * through FindCoordinator like a real client. */
   def kafkaWireCommit(brokers: String, group: String,
-                      offsets: Seq[(String, Int, Long)]): Unit = {
+                      offsets: Seq[(String, Int, Long)],
+                      security: KafkaSecurity = KafkaSecurity.none): Unit = {
     val (bh, bp) = KafkaWire.parseBroker(brokers)
-    val boot = new KafkaWireClient(bh, bp)
+    val boot = new KafkaWireClient(bh, bp, security = security)
     try {
       val (ch, cp) = boot.findCoordinator(group)
       if (ch == bh && cp == bp) boot.offsetCommit(group, offsets)
       else {
-        val coord = new KafkaWireClient(ch, cp)
+        val coord = new KafkaWireClient(ch, cp, security = security)
         try coord.offsetCommit(group, offsets) finally coord.close()
       }
     } finally boot.close()
