@@ -327,6 +327,37 @@ object Queries9 {
       |  w_sum // n_grams >= 5 AS pass
       |FROM agg""".stripMargin
 
+  /** Antispam with per-source threshold overrides — the reference's
+    * `sourcesThresholds` (antispammer.go:30,71) on the q44 weekly-bucket
+    * setup: user 4 bans at a LOWER threshold than its peers, user 7 is
+    * unlimited (never banned, sentinel -1), user 10 is blocked outright
+    * (sentinel 0), everyone else keeps the global 12. */
+  val q129_antispam_per_source: Q = (s, dir) =>
+    graft.state.SeqOps.antispam(t(s, dir, "events"), Seq("user_id"),
+      bucket = expr("unix_timestamp(ts) div 604800"), threshold = 12,
+      sourceThresholds = Map("4" -> 4, "7" -> -1, "10" -> 0))
+      .select(col("event_id"))
+
+  val q129_sql: String =
+    """WITH b AS (
+      |  SELECT event_id, user_id,
+      |    CAST(epoch(ts) AS BIGINT) // 604800 AS bkt
+      |  FROM events),
+      |counts AS (
+      |  SELECT user_id, bkt, COUNT(*) AS n FROM b GROUP BY 1, 2),
+      |flags AS (
+      |  SELECT user_id, bkt,
+      |    CASE CAST(user_id AS VARCHAR)
+      |      WHEN '4' THEN 4 WHEN '7' THEN -1 WHEN '10' THEN 0
+      |      ELSE 12 END AS thr,
+      |    lag(bkt) OVER (PARTITION BY user_id ORDER BY bkt) AS prev_b,
+      |    lag(n) OVER (PARTITION BY user_id ORDER BY bkt) AS prev_n
+      |  FROM counts)
+      |SELECT e.event_id FROM b e
+      |JOIN flags f ON e.user_id = f.user_id AND e.bkt = f.bkt
+      |WHERE NOT (f.thr = 0 OR (f.thr > 0 AND f.prev_b IS NOT NULL
+      |  AND f.prev_b = f.bkt - 1 AND f.prev_n >= f.thr))""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -336,7 +367,8 @@ object Queries9 {
     "q125_duplicate_spans" -> q125_duplicate_spans,
     "q126_html_extract" -> q126_html_extract,
     "q127_span_scrub" -> q127_span_scrub,
-    "q128_classifier_gate" -> q128_classifier_gate
+    "q128_classifier_gate" -> q128_classifier_gate,
+    "q129_antispam_per_source" -> q129_antispam_per_source
   )
 
   val oracles: Map[String, String] = Map(
@@ -346,6 +378,7 @@ object Queries9 {
     "q125_duplicate_spans" -> q125_sql,
     "q126_html_extract" -> q126_sql,
     "q127_span_scrub" -> q127_sql,
-    "q128_classifier_gate" -> q128_sql
+    "q128_classifier_gate" -> q128_sql,
+    "q129_antispam_per_source" -> q129_sql
   )
 }

@@ -771,7 +771,11 @@ object PipelineCompiler {
         val cfg = graft.streaming.Kernels.AntispamCfg(
           Option(action.get("interval_seconds")).map(_.asLong() * 1000)
             .getOrElse(60000L),
-          action.get("threshold").asLong())
+          action.get("threshold").asLong(),
+          sourceThresholds = Option(action.get("source_thresholds"))
+            .map(_.properties().asScala
+              .map(e => e.getKey -> e.getValue.asLong()).toMap)
+            .getOrElse(Map.empty))
         unwrapEnvelope(graft.streaming.Kernels.antispam(ds, cfg).toDF(), "value", t)
 
       case "throttle" =>
@@ -879,12 +883,16 @@ object PipelineCompiler {
         val bucket = floor(
           unix_timestamp(XTime.parse(doc.getField(tsF).cast("string"), tsFmt))
             / interval).cast("long")
+        val srcThr = Option(action.get("source_thresholds"))
+          .map(_.properties().asScala
+            .map(e => e.getKey -> e.getValue.asInt()).toMap)
+          .getOrElse(Map.empty[String, Int])
         Option(action.get("exceptions"))
           .map(n => DoIf.compile(parseDoIf(n), resolver(df))) match {
           case Some(ex) => graft.state.SeqOps.antispam(df, Seq("source_name"),
             bucket, threshold, ex)
           case None => graft.state.SeqOps.antispam(df, Seq("source_name"),
-            bucket, threshold)
+            bucket, threshold, srcThr)
         }
 
       case other => throw new IllegalArgumentException(s"unknown action: $other")

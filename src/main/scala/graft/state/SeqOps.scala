@@ -220,16 +220,37 @@ object SeqOps {
     * source reached the threshold.
     */
   def antispam(df: DataFrame, sourceCols: Seq[String], bucket: Column,
-               threshold: Int): DataFrame = {
+               threshold: Int): DataFrame =
+    antispam(df, sourceCols, bucket, threshold, Map.empty[String, Int])
+
+  /** [[antispam]] with per-source threshold overrides — the reference's
+    * `sourcesThresholds` map (antispammer.go:30,71,162: rule-resolved
+    * thresholds stored per source id). Overrides key on the FIRST
+    * source column's string value; a source absent from the map uses
+    * the global `threshold`. Sentinels follow antispammer.go:16-17:
+    * `-1` = unlimited (that source is never banned), `0` = blocked
+    * (every event of that source drops).
+    *
+    * Scale shape: the override map is bounded config (it mirrors YAML
+    * rules), compiled into a CASE chain on the count table — no extra
+    * shuffle or join beyond the global flavor. */
+  def antispam(df: DataFrame, sourceCols: Seq[String], bucket: Column,
+               threshold: Int, sourceThresholds: Map[String, Int]): DataFrame = {
     val keys = sourceCols.map(col)
+    val thr = sourceThresholds.toSeq.sortBy(_._1).foldLeft(lit(threshold)) {
+      case (acc, (k, v)) =>
+        when(col(sourceCols.head).cast("string") === lit(k), lit(v)).otherwise(acc)
+    }
     val counts = df.groupBy(keys :+ bucket.as("_b"): _*).agg(count(lit(1)).as("_n"))
     val w = Window.partitionBy(keys: _*).orderBy(col("_b"))
     val banned = counts
+      .withColumn("_thr", thr)
       .withColumn("_prev_b", lag(col("_b"), 1).over(w))
       .withColumn("_prev_n", lag(col("_n"), 1).over(w))
       .withColumn("_banned",
-        col("_prev_b").isNotNull && col("_prev_b") === col("_b") - 1 &&
-          col("_prev_n") >= threshold)
+        (col("_thr") === 0) || (col("_thr") > 0 &&
+          col("_prev_b").isNotNull && col("_prev_b") === col("_b") - 1 &&
+          col("_prev_n") >= col("_thr")))
       .select((keys :+ col("_b") :+ col("_banned")): _*)
     df.withColumn("_b", bucket)
       .join(banned, sourceCols :+ "_b")

@@ -384,8 +384,13 @@ object Kernels {
 
   // ------------------------------------------------------------- antispam
 
+  /** `sourceThresholds` = the reference's per-source overrides
+    * (antispammer.go:30,71): keyed by the event's `key` (source name);
+    * `-1` = unlimited (never banned), `0` = blocked (all events drop) —
+    * antispammer.go:16-17 sentinels. */
   final case class AntispamCfg(intervalMs: Long, threshold: Long,
-                               unbanIntervals: Int = 4)
+                               unbanIntervals: Int = 4,
+                               sourceThresholds: Map[String, Long] = Map.empty)
   final case class SpamState(bucket: Long, count: Long, quietIntervals: Int,
                              banned: Boolean)
 
@@ -419,6 +424,14 @@ object Kernels {
       .flatMapGroupsWithState[SpamState, TEvent](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key, events, state: GroupState[SpamState]) =>
+          val thr = cfg.sourceThresholds.getOrElse(key, cfg.threshold)
+          if (thr == 0L) {
+            // blocked source: nothing passes, no state to keep
+            Iterator.empty
+          } else if (thr < 0L) {
+            // unlimited source: everything passes, never counted
+            events
+          } else {
           var st = state.getOption.getOrElse(SpamState(Long.MinValue, 0L, 0, banned = false))
           val out = scala.collection.mutable.ArrayBuffer.empty[TEvent]
           events.toSeq.sortBy(_.eventTimeMs).foreach { ev =>
@@ -429,7 +442,7 @@ object Kernels {
               st = SpamState(bucket, 0L, 0, banned = false)
             } else if (bucket > st.bucket) {
               val gap = bucket - st.bucket - 1 // empty (quiet) intervals
-              if (st.count >= cfg.threshold) {
+              if (st.count >= thr) {
                 // Closed interval was spammy: ban arms at st.bucket+1,
                 // then the empty gap intervals decay it.
                 val quiet = math.min(gap, cfg.unbanIntervals.toLong).toInt
@@ -446,6 +459,7 @@ object Kernels {
           }
           state.update(st)
           out.iterator
+          }
       }
   }
 

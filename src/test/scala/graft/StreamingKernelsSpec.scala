@@ -332,6 +332,46 @@ class StreamingKernelsSpec extends AnyFunSuite {
       "e1", "x1", "x2"))
   }
 
+  test("antispam per-source thresholds: override bans where peers don't; batch ≡ streaming") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor}
+    // strict (threshold 2) and lax (global 3) sources emit the SAME
+    // sequence: 2 events in bucket 0, 1 in bucket 1. Only the strict
+    // source's bucket-1 event is dropped. A blocked source (0) never
+    // emits; an unlimited source (-1) spams freely and never bans.
+    def seqFor(src: String) = Seq(
+      TEvent(src, 0L, s"$src-a1"), TEvent(src, 100L, s"$src-a2"),
+      TEvent(src, 1000L, s"$src-b1"))
+    val events = seqFor("strict") ++ seqFor("lax") ++ seqFor("blocked") ++
+      (0 until 5).map(i => TEvent("unlim", i * 100L, s"unlim-a$i")) :+
+      TEvent("unlim", 1000L, "unlim-b1")
+    val overrides = Map("strict" -> 2L, "blocked" -> 0L, "unlim" -> -1L)
+
+    val input = MemoryStream[TEvent]
+    val out = Kernels.antispam(input.toDS(),
+      AntispamCfg(intervalMs = 1000L, threshold = 3, unbanIntervals = 1,
+        sourceThresholds = overrides))
+    val q = out.writeStream.format("memory").queryName("as_src_out")
+      .outputMode("append").start()
+    val streamed = try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      spark.table("as_src_out").as[TEvent].collect().map(_.value).toSet
+    } finally q.stop()
+
+    val batch = graft.state.SeqOps.antispam(
+      events.toDF(), Seq("key"), floor(col("eventTimeMs") / 1000L),
+      threshold = 3, sourceThresholds = overrides.map { case (k, v) => k -> v.toInt })
+      .as[TEvent].collect().map(_.value).toSet
+
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed == Set("strict-a1", "strict-a2", // b1 banned: 2 ≥ 2
+      "lax-a1", "lax-a2", "lax-b1",                  // 2 < 3 → no ban
+      "unlim-a0", "unlim-a1", "unlim-a2", "unlim-a3", "unlim-a4",
+      "unlim-b1"))                                   // -1: spam passes
+  }
+
   test("asofEnrich attaches the latest right value at or before each left event") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
