@@ -7,12 +7,18 @@ import org.apache.spark.sql.types._
 /** Per-round benchmark: one JSON line on stdout.
   *
   * Noise discipline (this box's CPU share is bimodal — identical code
-  * has measured 25× apart): the tp leg is 5 samples (min + median +
-  * spread + noisy flag), and the query sweep runs twice INTERLEAVED
-  * with per-query min reported and per-query spread emitted, so a
-  * stall landing on one sample of one query is visible and discounted
-  * inside the artifact instead of reading as a regression. `total` is
-  * the sum of per-query minima — the stall-free sweep time.
+  * has measured 25× apart): the tp leg samples UNTIL a quiet window of
+  * 3 consecutive agreeing samples forms (retry cap
+  * SPARK_GRAFT_TP_MAX_SAMPLES, default 12) with /proc/stat steal+iowait
+  * and cgroup throttled_usec read around every sample — so the artifact
+  * either contains a quiet measurement (tp_noisy=false, median over the
+  * quiet window) or positive steal evidence for why not
+  * (steal_detected + per-sample steal percentages). The query sweep
+  * runs twice INTERLEAVED with per-query min reported and per-query
+  * spread emitted, so a stall landing on one sample of one query is
+  * visible and discounted inside the artifact instead of reading as a
+  * regression. `total` is the sum of per-query minima — the stall-free
+  * sweep time.
   *
   * Besides timing every registry query (count()-driven), measures the
   * reference's headline number — file → json decode → devnull
@@ -95,16 +101,72 @@ object Bench {
     SparkEntry.queries("q01_agg")(spark, sfDir).count()
     noop(throughputPipeline(spark, nd))
 
-    // throughput leg right after warmup (min of 5 — this box's effective
-    // CPU share is noisy; keep every sample so an outlier run is visible
-    // inside the artifact), before the query sweep perturbs the JVM
-    val tpSamples = (1 to 5).map { _ =>
-      val tp0 = System.nanoTime()
+    // ---- CPU-contention observability around each tp sample ----------
+    // This box's CPU share is bimodal; the round-7 artifact could only
+    // SAY "noisy", not show why. Two independent counters, read before/
+    // after every sample: /proc/stat steal+iowait (hypervisor steal) and
+    // cgroup v2 cpu.stat throttled_usec (container quota throttling).
+    // Either one spiking during a slow sample is positive evidence the
+    // box — not the code — produced it.
+    def procStat(): (Long, Long, Long) = // (totalJiffies, steal, iowait)
+      try {
+        val line = {
+          val src = scala.io.Source.fromFile("/proc/stat")
+          try src.getLines().next() finally src.close()
+        }
+        val p = line.trim.split("\\s+").drop(1).map(_.toLong)
+        (p.sum, if (p.length > 7) p(7) else 0L, if (p.length > 4) p(4) else 0L)
+      } catch { case _: Exception => (0L, 0L, 0L) }
+    def cgroupThrottledUsec(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/sys/fs/cgroup/cpu.stat")
+        try src.getLines().collectFirst {
+          case l if l.startsWith("throttled_usec") => l.split("\\s+")(1).toLong
+        }.getOrElse(0L) finally src.close()
+      } catch { case _: Exception => 0L }
+
+    final case class TpSample(sec: Double, stealPct: Double, throttledPct: Double)
+    def tpSample(): TpSample = {
+      val (t0, s0, w0) = procStat(); val c0 = cgroupThrottledUsec()
+      val n0 = System.nanoTime()
       noop(throughputPipeline(spark, nd))
-      (System.nanoTime() - tp0) / 1e9
+      val wallSec = (System.nanoTime() - n0) / 1e9
+      val (t1, s1, w1) = procStat(); val c1 = cgroupThrottledUsec()
+      val dTotal = math.max(t1 - t0, 1L)
+      // steal + iowait as % of all jiffies during the sample window
+      val stealPct = 100.0 * ((s1 - s0) + (w1 - w0)) / dTotal
+      val throttledPct = (c1 - c0) / 1e4 / math.max(wallSec, 1e-9) // usec→%
+      TpSample(wallSec, stealPct, throttledPct)
     }
+
+    // Throughput leg right after warmup, before the sweep perturbs the
+    // JVM. RETRY-UNTIL-QUIET (the round-7 demand: a quiet sample must
+    // land in the artifact itself): sample until some window of 3
+    // consecutive samples agrees within the noise band, up to a cap —
+    // then the headline MB/s is the min and the median is over that
+    // quiet window, with every sample + its steal evidence retained.
+    val noiseBand = 0.25
+    val tpMinSamples = 5
+    val tpMaxSamples =
+      math.max(tpMinSamples, sys.env.getOrElse("SPARK_GRAFT_TP_MAX_SAMPLES", "12").toInt)
+    val samplesBuf = scala.collection.mutable.ArrayBuffer.empty[TpSample]
+    def quietWindow(): Option[Seq[TpSample]] =
+      samplesBuf.sliding(3).toSeq.reverse.collectFirst {
+        case w if w.size == 3 &&
+          (w.map(_.sec).max - w.map(_.sec).min) / w.map(_.sec).min < noiseBand => w.toSeq
+      }
+    while (samplesBuf.size < tpMinSamples ||
+           (samplesBuf.size < tpMaxSamples && quietWindow().isEmpty))
+      samplesBuf += tpSample()
+    val tpSamplesFull = samplesBuf.toVector
+    val tpSamples = tpSamplesFull.map(_.sec)
+    val quiet = quietWindow()
     val tpSec = tpSamples.min
     val mbps = corpusBytes / 1e6 / tpSec
+    // positive steal/throttle evidence: contention counters moved during
+    // any sample, or no quiet window formed within the cap
+    val stealPctMax = tpSamplesFull.map(s => s.stealPct max s.throttledPct).max
+    val stealDetected = stealPctMax > 5.0 || quiet.isEmpty
 
     // raw text-scan ceiling of this box (no decode) — calibrates how much
     // of the gap to the reference's 1 GB/s is environment IO/CPU share
@@ -151,17 +213,28 @@ object Bench {
     // in the summary so the artifact itself shows the run was noisy.
     val tpOverScan = tpSec match { case t if t > 0 => scanSec / t case _ => 0.0 }
     val spread = (tpSamples.max - tpSamples.min) / tpSamples.min
-    val noiseBand = 0.25
-    val noisy = spread > noiseBand
-    // Median-of-5 throughput: robust to the single-outlier runs that made
-    // min-of-5 claim a 10% "regression" in r5 over an 11×-spread sample.
-    val tpMedianSec = tpSamples.sorted.apply(tpSamples.size / 2)
+    // tp_noisy now means: NO quiet 3-sample window formed within the
+    // retry cap — i.e. the probe never saw a calm stretch of the box.
+    // A single early outlier followed by agreeing samples is not noisy.
+    val noisy = quiet.isEmpty
+    // Median over the QUIET window when one formed (the steal-free
+    // estimate the round-7 verdict asked to land in the artifact);
+    // median of everything otherwise.
+    val tpMedianSec = {
+      val basis = quiet.map(_.map(_.sec)).getOrElse(tpSamples).sorted
+      basis(basis.size / 2)
+    }
     val tpMedianMbps = corpusBytes / 1e6 / tpMedianSec
     if (noisy)
       System.err.println(
-        f"[bench] WARN tp sample spread $spread%.2f exceeds noise band " +
-          f"$noiseBand%.2f — samples ${tpSamples.map(v => f"$v%.3f").mkString(",")}; " +
+        f"[bench] WARN no quiet tp window within ${tpSamplesFull.size} samples " +
+          f"(full spread $spread%.2f, steal max $stealPctMax%.1f%%) — " +
+          f"samples ${tpSamples.map(v => f"$v%.3f").mkString(",")}; " +
           "treat throughput_MBps as unstable for this run")
+    else if (stealDetected)
+      System.err.println(
+        f"[bench] NOTE contention counters moved (steal/throttle max " +
+          f"$stealPctMax%.1f%%) but a quiet window formed; medians use it")
 
     // Aggregate sweep-noise diagnostics: how many queries saw a
     // past-noise-band spread between their interleaved samples, and the
@@ -183,12 +256,17 @@ object Bench {
     // the ~3.6 KB per-query line overflowed the driver's tail/parse
     // buffer three rounds running (VERDICT r3 "What's wrong" #1).
     val tpArr = tpSamples.map(v => f"$v%.4f").mkString("[", ",", "]")
+    val stealArr = tpSamplesFull.map(s => f"${s.stealPct}%.2f").mkString("[", ",", "]")
+    val throttleArr = tpSamplesFull.map(s => f"${s.throttledPct}%.2f").mkString("[", ",", "]")
     val detail =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,""" +
         f""""query_spread":$qsSpread,"sweeps":$sweeps,""" +
         f""""throughput_MBps":$mbps%.1f,"tp_median_MBps":$tpMedianMbps%.1f,""" +
         f""""scan_MBps":$scanMbps%.1f,"tp_over_scan":$tpOverScan%.4f,""" +
         f""""tp_spread":$spread%.4f,"tp_noisy":$noisy,""" +
+        f""""steal_detected":$stealDetected,"steal_pct_max":$stealPctMax%.2f,""" +
+        f""""tp_steal_pct":$stealArr,"tp_throttled_pct":$throttleArr,""" +
+        f""""tp_quiet_window":${quiet.isDefined},""" +
         f""""q_noisy_count":$qNoisyCount,"q_spread_max":$qSpreadMax%.3f,""" +
         f""""tp_samples_sec":$tpArr,"corpus_bytes":$corpusBytes,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
@@ -202,6 +280,7 @@ object Bench {
         f""""throughput_MBps":$mbps%.1f,"tp_median_MBps":$tpMedianMbps%.1f,""" +
         f""""scan_MBps":$scanMbps%.1f,"tp_over_scan":$tpOverScan%.4f,""" +
         f""""tp_spread":$spread%.4f,"tp_noisy":$noisy,""" +
+        f""""steal_detected":$stealDetected,"steal_pct_max":$stealPctMax%.2f,""" +
         f""""sweeps":$sweeps,"q_noisy_count":$qNoisyCount,""" +
         f""""q_spread_max":$qSpreadMax%.3f,""" +
         f""""total_sec":$total%.4f,"n_queries":${results.size},"sf":"$sfDir"}""")
