@@ -200,6 +200,31 @@ object Bench {
       name -> (if (ss.min > 0) (ss.max - ss.min) / ss.min else 0.0)
     }
 
+    // 128-bit-fingerprint payload evidence (q125/q130): the same
+    // duplicate-span operator with string vs MD5 shuffle keys, total
+    // shuffle bytes written captured via a stage listener — the
+    // artifact-level proof of the payload cut that fingerprint mode
+    // buys at scale.
+    def shuffleBytes(run: => Unit): Long = {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val l = new SparkListener {
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+          acc.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { run; Thread.sleep(800) } // let the listener bus drain
+      finally spark.sparkContext.removeSparkListener(l)
+      acc.get()
+    }
+    val dupSpanStrBytes = shuffleBytes(
+      graft.ml.Corpus.duplicateSpans(Tables(spark, sfDir, "documents"),
+        "doc_id", "text", n = 20, thresholdMilli = 900L).count())
+    val dupSpanFpBytes = shuffleBytes(
+      graft.ml.Corpus.duplicateSpans(Tables(spark, sfDir, "documents"),
+        "doc_id", "text", n = 20, thresholdMilli = 900L,
+        fingerprint = true).count())
+
     val qs = (results :+ ("tp_json_decode" -> tpSec))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val qsSpread = qSpread
@@ -268,6 +293,8 @@ object Bench {
         f""""tp_steal_pct":$stealArr,"tp_throttled_pct":$throttleArr,""" +
         f""""tp_quiet_window":${quiet.isDefined},""" +
         f""""q_noisy_count":$qNoisyCount,"q_spread_max":$qSpreadMax%.3f,""" +
+        f""""dupspan_shuffle_bytes_string":$dupSpanStrBytes,""" +
+        f""""dupspan_shuffle_bytes_fp":$dupSpanFpBytes,""" +
         f""""tp_samples_sec":$tpArr,"corpus_bytes":$corpusBytes,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),

@@ -358,6 +358,59 @@ object Queries9 {
       |WHERE NOT (f.thr = 0 OR (f.thr > 0 AND f.prev_b IS NOT NULL
       |  AND f.prev_b = f.bkt - 1 AND f.prev_n >= f.thr))""".stripMargin
 
+  /** q125 in 128-bit fingerprint mode — the at-scale spelling where the
+    * gram shuffle carries 16-byte MD5s instead of 20-token strings. The
+    * oracle keys on DuckDB's md5 of the same gram, so both engines
+    * agree on the fingerprinted semantics (not merely on a
+    * collision-free coincidence). */
+  val q130_duplicate_spans_fp: Q = (s, dir) =>
+    graft.ml.Corpus.duplicateSpans(t(s, dir, "documents"),
+      "doc_id", "text", n = 20, thresholdMilli = 900L, fingerprint = true)
+
+  val q130_sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, md5(unnest([array_to_string(w[i:i+19], ' ')
+      |    FOR i IN range(1, greatest(len(w) - 19, 1) + 1)])) AS fp
+      |  FROM toks),
+      |win AS (SELECT fp, min(doc_id) AS wdoc FROM g GROUP BY 1),
+      |per AS (
+      |  SELECT g.doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(count(*) FILTER (WHERE w.wdoc < g.doc_id) AS BIGINT)
+      |      AS stale_grams
+      |  FROM g JOIN win w USING (fp) GROUP BY 1)
+      |SELECT doc_id, n_grams, stale_grams,
+      |  (stale_grams * 1000) // n_grams AS dup_span_milli,
+      |  (stale_grams * 1000) // n_grams >= 900 AS flagged
+      |FROM per""".stripMargin
+
+  /** q115 in fingerprint mode: keep-first winner keyed by the segment's
+    * MD5; reassembled text identical. */
+  val q131_line_dedup_fp: Q = (s, dir) =>
+    graft.ml.Corpus.lineDedupKeepFirst(t(s, dir, "documents"),
+      "doc_id", "text", delim = " ", fingerprint = true)
+
+  val q131_sql: String =
+    """WITH seg AS (
+      |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS seg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+      |fl AS (
+      |  SELECT doc_id, pos, seg,
+      |    row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) = 1
+      |      AS keep
+      |  FROM seg),
+      |re AS (
+      |  SELECT doc_id,
+      |    coalesce(string_agg(seg, ' ' ORDER BY pos)
+      |      FILTER (WHERE keep), '') AS clean_text,
+      |    CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed
+      |  FROM fl GROUP BY 1)
+      |SELECT d.doc_id, coalesce(re.clean_text, '') AS clean_text,
+      |  coalesce(re.n_removed, 0) AS n_removed
+      |FROM documents d LEFT JOIN re USING (doc_id)""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -368,7 +421,9 @@ object Queries9 {
     "q126_html_extract" -> q126_html_extract,
     "q127_span_scrub" -> q127_span_scrub,
     "q128_classifier_gate" -> q128_classifier_gate,
-    "q129_antispam_per_source" -> q129_antispam_per_source
+    "q129_antispam_per_source" -> q129_antispam_per_source,
+    "q130_duplicate_spans_fp" -> q130_duplicate_spans_fp,
+    "q131_line_dedup_fp" -> q131_line_dedup_fp
   )
 
   val oracles: Map[String, String] = Map(
@@ -379,6 +434,8 @@ object Queries9 {
     "q126_html_extract" -> q126_sql,
     "q127_span_scrub" -> q127_sql,
     "q128_classifier_gate" -> q128_sql,
-    "q129_antispam_per_source" -> q129_sql
+    "q129_antispam_per_source" -> q129_sql,
+    "q130_duplicate_spans_fp" -> q130_sql,
+    "q131_line_dedup_fp" -> q131_sql
   )
 }

@@ -58,17 +58,23 @@ object Corpus {
     * the q107 rule: AQE broadcasts when it fits, degrades to shuffle
     * when it doesn't) feeding one doc-key fold. No window, no global
     * sort; the q115 straggler argument applies verbatim. The shuffle
-    * payload is the raw n-token gram string (oracle-exact); at extreme
-    * corpus sizes swap it for a 128-bit fingerprint column — 60-bit
-    * hashes start colliding near 10^9 distinct grams, which is why the
-    * swap point is 128-bit, and the rest of the plan is unchanged. */
+    * payload is the raw n-token gram string (oracle-exact) by default;
+    * `fingerprint = true` swaps every shuffled gram for its 128-bit MD5
+    * (16-byte binary) — a ~7× payload cut on 20-token grams with the
+    * plan unchanged. 128-bit because 60-bit hashes start colliding near
+    * 10^9 distinct grams; at 2^64 grams the MD5 collision odds are
+    * ~1e-20, i.e. fingerprint mode is the 100 TB spelling. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-                     n: Int, thresholdMilli: Long = 900L): DataFrame = {
+                     n: Int, thresholdMilli: Long = 900L,
+                     fingerprint: Boolean = false): DataFrame = {
     val toks = split(lower(col(textCol)), " ")
     val grams = transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => array_join(slice(toks, i, lit(n)), " "))
-    val g = df.select(col(idCol), explode(grams).as("gram"))
+    val gramKey =
+      if (fingerprint) unhex(md5(col("_gram_str"))) else col("_gram_str")
+    val g = df.select(col(idCol), explode(grams).as("_gram_str"))
+      .select(col(idCol), gramKey.as("gram"))
     val win = g.groupBy(col("gram")).agg(min(col(idCol)).as("wdoc"))
     g.join(win, Seq("gram"))
       .groupBy(col(idCol))
@@ -158,16 +164,20 @@ object Corpus {
     * surviving segments by document — the one inherent corpus shuffle,
     * keyed on the id. */
   def boilerplateScrub(df: DataFrame, idCol: String, textCol: String,
-                       delim: String, minDocs: Long): DataFrame = {
+                       delim: String, minDocs: Long,
+                       fingerprint: Boolean = false): DataFrame = {
     val lit_delim = java.util.regex.Pattern.quote(delim)
     val seg = df.select(col(idCol),
       posexplode(split(col(textCol), lit_delim)).as(Seq("pos", "seg")))
+      // fingerprint mode: document-frequency agg + both join legs key on
+      // the segment's 128-bit MD5 (the duplicateSpans swap point)
+      .withColumn("_k", if (fingerprint) unhex(md5(col("seg"))) else col("seg"))
     val frequent = seg
-      .groupBy(col("seg"))
+      .groupBy(col("_k"))
       .agg(count_distinct(col(idCol)).as("df"))
       .filter(col("df") >= minDocs)
-      .select("seg")
-    val kept = seg.join(frequent, Seq("seg"), "left_anti")
+      .select("_k")
+    val kept = seg.join(frequent, Seq("_k"), "left_anti")
     val reassembled = kept
       .groupBy(col(idCol))
       .agg(
@@ -178,7 +188,7 @@ object Corpus {
     // map-side-combined count of boilerplate occurrences) — counting via
     // "total minus kept" would re-tokenize every document a second time,
     // and turns a NULL text into size(split(null)) = -1
-    val removed = seg.join(frequent, Seq("seg"), "left_semi")
+    val removed = seg.join(frequent, Seq("_k"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("_removed"))
     df.select(col(idCol))
@@ -322,13 +332,20 @@ object Corpus {
     * that single aggregation (conditional collect + sum), so the corpus
     * is tokenized exactly once. */
   def lineDedupKeepFirst(df: DataFrame, idCol: String, textCol: String,
-                         delim: String): DataFrame = {
+                         delim: String, fingerprint: Boolean = false): DataFrame = {
     val litDelim = java.util.regex.Pattern.quote(delim)
     val ord = struct(col(idCol), col("pos"))
-    val seg = df.select(col(idCol),
+    val seg0 = df.select(col(idCol),
       posexplode(split(col(textCol), litDelim)).as(Seq("pos", "seg")))
-    val winner = seg.groupBy(col("seg")).agg(min(ord).as("first_ord"))
-    val flagged = seg.join(winner, Seq("seg"))
+    // fingerprint mode: the winner aggregation and join key by the
+    // segment's 128-bit MD5 instead of the segment text — the agg-side
+    // shuffle carries 16 bytes per row regardless of line length (the
+    // duplicateSpans swap; reassembly still carries `seg` on the
+    // flagged side, which is inherent — the text must survive)
+    val seg = seg0.withColumn("_k",
+      if (fingerprint) unhex(md5(col("seg"))) else col("seg"))
+    val winner = seg.groupBy(col("_k")).agg(min(ord).as("first_ord"))
+    val flagged = seg.join(winner, Seq("_k"))
       .select(col(idCol), col("pos"), col("seg"),
         (ord === col("first_ord")).as("keep"))
     val re = flagged.groupBy(col(idCol))
