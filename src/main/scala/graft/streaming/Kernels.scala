@@ -527,6 +527,43 @@ object Kernels {
     ds.groupByKey(_.graph)(Encoders.STRING)
       .transformWithState(new CCProcessor(), TimeMode.None(), OutputMode.Append)
   }
+
+  // ----------------------------------- streaming duplicate spans (q125)
+
+  /** One n-token window occurrence on the ingest stream. `shard` =
+    * hash(gram) mod S — it distributes the gram universe across state
+    * partitions (the streaming spelling of the batch winner table's
+    * gram-key shuffle); `gram` may be the raw window or its 128-bit
+    * fingerprint (the q130 swap applies here identically). */
+  final case class GramEvent(shard: Int, doc: Long, gram: String)
+
+  /** Per-(shard, doc) partial verdict for one micro-batch: how many of
+    * the doc's windows this shard saw, and how many were stale (already
+    * owned by an earlier-arriving doc). Summing partials over shards
+    * gives the doc's n_grams / stale_grams — the batch operator's
+    * columns. */
+  final case class SpanPartial(shard: Int, doc: Long,
+                               nGrams: Long, staleGrams: Long)
+
+  /** Streaming [[graft.ml.Corpus.duplicateSpans]]: MapState gram →
+    * first-owner doc, keyed by gram shard — the same O(1)-per-event
+    * union shape as the streaming CC kernel. A window is STALE iff an
+    * earlier doc (smaller id among arrivals so far) already owns its
+    * gram; on in-id-order ingest the verdicts equal the batch
+    * operator's exactly (spec-asserted). Verdicts are AT ARRIVAL TIME:
+    * a later doc with a smaller id takes ownership for the future but
+    * does not revise already-emitted verdicts — the monotone-admission
+    * contract every streaming kernel here shares (sourceQuota,
+    * antispam). State is O(distinct grams), the batch winner table held
+    * incrementally; shard count bounds per-task state and RocksDB keeps
+    * it off-heap. Downstream folds partials per doc (sum over shards —
+    * each batch carries a doc wholly, so the fold is per-batch local). */
+  def duplicateSpanPartials(ds: Dataset[GramEvent]): Dataset[SpanPartial] = {
+    implicit val outEnc = Encoders.product[SpanPartial]
+    ds.groupByKey(_.shard)(Encoders.scalaInt)
+      .transformWithState(new SpanWinnerProcessor(), TimeMode.None(),
+        OutputMode.Append)
+  }
 }
 
 /** The per-key processor behind [[Kernels.connectedComponents]] —
@@ -596,5 +633,36 @@ private[streaming] class CCProcessor
       }
     }
     changed.iterator.map { case (n, c) => CCUpdate(graph, n, c) }
+  }
+}
+
+/** The per-shard processor behind [[Kernels.duplicateSpanPartials]]:
+  * MapState gram → first-owner doc id. Top-level so the serialized
+  * processor carries no outer reference. */
+private[streaming] class SpanWinnerProcessor
+    extends StatefulProcessor[Int, Kernels.GramEvent, Kernels.SpanPartial] {
+  import Kernels.{GramEvent, SpanPartial}
+
+  @transient private var winner: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    winner = getHandle.getMapState[String, Long](
+      "winner", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(shard: Int, events: Iterator[GramEvent],
+      timerValues: TimerValues): Iterator[SpanPartial] = {
+    // docs processed in id order WITHIN the batch so intra-batch
+    // duplicates resolve keep-first deterministically, like the batch
+    // operator's min(doc) winner
+    val perDoc = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long)]
+    events.toSeq.sortBy(e => (e.doc, e.gram)).foreach { e =>
+      val owner =
+        if (winner.containsKey(e.gram)) winner.getValue(e.gram) else Long.MaxValue
+      val stale = owner < e.doc
+      if (e.doc < owner) winner.updateValue(e.gram, e.doc)
+      val (n, s) = perDoc.getOrElse(e.doc, (0L, 0L))
+      perDoc(e.doc) = (n + 1, if (stale) s + 1 else s)
+    }
+    perDoc.iterator.map { case (d, (n, s)) => SpanPartial(shard, d, n, s) }
   }
 }

@@ -128,6 +128,76 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** transformWithState needs a column-family-capable store; scope the
+    * RocksDB provider to the test (same helper as StreamingKernelsSpec). */
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("streaming duplicate spans ≡ batch operator on in-order ingest") {
+    withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val n = 4
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // owns its windows
+      (2L, "alpha beta gamma delta epsilon zeta"),   // full duplicate of 1
+      (3L, "other words entirely here now"),         // clean
+      (4L, "prefix alpha beta gamma delta suffix"),  // partial overlap w/ 1
+      (5L, "tiny doc"))                              // < n tokens: 1 short gram
+    // the batch truth (oracle-verified operator, q125 family)
+    val batch = graft.ml.Corpus.duplicateSpans(
+      docs.toDF("doc_id", "text"), "doc_id", "text", n = n)
+      .select("doc_id", "n_grams", "stale_grams", "dup_span_milli", "flagged")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+    // same gram construction as the operator: lowercase whitespace
+    // tokens, windows at 1..max(len-n+1, 1) (a short doc yields one
+    // truncated gram)
+    def gramsOf(text: String): Seq[String] = {
+      val t = text.toLowerCase.split(" ").toSeq
+      (0 until math.max(t.length - (n - 1), 1)).map(i =>
+        t.slice(i, i + n).mkString(" "))
+    }
+    def events(d: (Long, String)): Seq[Kernels.GramEvent] =
+      gramsOf(d._2).map(g =>
+        Kernels.GramEvent(math.floorMod(g.hashCode, 4), d._1, g))
+
+    val input = MemoryStream[Kernels.GramEvent]
+    val q = Kernels.duplicateSpanPartials(input.toDS())
+      .writeStream.format("memory").queryName("span_out")
+      .outputMode("append").start()
+    try {
+      // in-id-order ingest split across micro-batches — cross-BATCH
+      // staleness (doc 2 and 4 vs doc 1) must come from the state store
+      input.addData(docs.take(2).flatMap(events): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2).flatMap(events): _*)
+      q.processAllAvailable()
+      val folded = spark.table("span_out").as[Kernels.SpanPartial].collect()
+        .groupBy(_.doc).map { case (d, ps) =>
+          val ng = ps.map(_.nGrams).sum
+          val st = ps.map(_.staleGrams).sum
+          d -> ((ng, st, st * 1000 / ng, st * 1000 / ng >= 900L))
+        }
+      assert(folded == batch, s"streaming=$folded batch=$batch")
+      // fixture sanity: the duplicate doc is flagged, the partial
+      // overlap is stale-but-under-threshold, the clean doc is clean
+      assert(batch(2L)._4 && batch(3L)._2 == 0L &&
+        batch(4L)._2 > 0L && !batch(4L)._4)
+    } finally q.stop()
+    }
+  }
+
   test("expression-level gates run stateless on a stream in append mode") {
     // quality scoring + split assignment are pure expressions — no
     // watermark, no state operator, append mode just works
