@@ -898,4 +898,128 @@ object PipelineCompiler {
       case other => throw new IllegalArgumentException(s"unknown action: $other")
     }
   }
+
+  // --------------------------------------------------- curation pipelines
+
+  /** Compiles a `curation:` config — the LLM-corpus surface (quality
+    * gates, dedup, decontamination, quota, chunking) as YAML, so the
+    * CorpusPipelineDemo composition is a config file, not a Scala
+    * program. Each stage is the oracle-verified graft.ml operator the
+    * demo chains (q121/q124/q50/q125/q69/q115/q102/q116/q103 …); the
+    * compiled result is ONE declarative DataFrame, so Catalyst sees the
+    * whole corpus pipeline like it sees the log pipeline.
+    *
+    * {{{
+    * curation:
+    *   input:  {dir: /data/sf, table: documents}   # or {path: …parquet}
+    *   stages:
+    *     - {type: gopher_gate, min_tok: 5}
+    *     - {type: lang_filter}                     # or lang: en
+    *     - {type: repetition_gate}
+    *     - {type: exact_dedup}                     # keys: [text]
+    *     - {type: duplicate_spans, n: 20, threshold_milli: 900}
+    *     - {type: minhash_dedup, shingle_n: 3, k: 12, bands: 4, rows: 3}
+    *     - {type: line_dedup, delim: "\n"}         # fingerprint: true
+    *     - {type: decontaminate, eval_filter: "doc_id % 97 = 0",
+    *        n: 3, threshold: 10}                   # or eval_input: {dir,table}
+    *     - {type: span_scrub, eval_filter: "…", n: 13}
+    *     - {type: source_quota, group: source, budget: 400, seed: 11}
+    *     - {type: chunk, window: 40, stride: 30}
+    * }}}
+    */
+  def compileCuration(spark: SparkSession, yamlStr: String): DataFrame = {
+    val root = yaml.readTree(yamlStr)
+    val cur = Option(root.get("curation")).getOrElse(root)
+    val in = cur.get("input")
+    require(in != null, "curation: missing input {dir, table} or {path}")
+    val base: DataFrame = Option(in.get("table")) match {
+      case Some(tn) => graft.Tables(spark, in.get("dir").asText(), tn.asText())
+      case None     => spark.read.parquet(in.get("path").asText())
+    }
+    var df = base
+    val stages = cur.get("stages")
+    require(stages != null && stages.elements().hasNext,
+      "curation: `stages` must list at least one stage")
+    stages.elements().asScala.foreach { st =>
+      df = curationStage(spark, base, df, st)
+    }
+    df
+  }
+
+  private def curationStage(spark: SparkSession, base: DataFrame,
+                            df: DataFrame, st: JsonNode): DataFrame = {
+    val id = Option(st.get("id_col")).map(_.asText()).getOrElse("doc_id")
+    val text = Option(st.get("text_col")).map(_.asText()).getOrElse("text")
+    def intOpt(k: String, d: Int): Int = Option(st.get(k)).map(_.asInt()).getOrElse(d)
+    def longOpt(k: String, d: Long): Long = Option(st.get(k)).map(_.asLong()).getOrElse(d)
+    def boolOpt(k: String): Boolean = Option(st.get(k)).exists(_.asBoolean())
+    // decontamination stages take the held-out set either as a filter
+    // over the ORIGINAL input (the demo's benchmark slice) or as an
+    // external table
+    def evalSet: DataFrame = Option(st.get("eval_filter")) match {
+      case Some(f) => base.filter(expr(f.asText()))
+      case None =>
+        val ein = st.get("eval_input")
+        require(ein != null,
+          s"curation ${st.get("type").asText()}: set eval_filter or eval_input")
+        graft.Tables(spark, ein.get("dir").asText(), ein.get("table").asText())
+    }
+    def keepIds(verdict: DataFrame, keep: Column): DataFrame =
+      df.join(verdict.filter(keep).select(id), Seq(id))
+    st.get("type").asText() match {
+      case "gopher_gate" =>
+        keepIds(graft.ml.TextOps.gopherGate(df, id, text,
+          minTok = intOpt("min_tok", 50), maxTok = intOpt("max_tok", 100000)),
+          col("pass"))
+      case "fineweb_gate" =>
+        keepIds(graft.ml.TextOps.finewebLineSignals(df, id, text), col("pass"))
+      case "repetition_gate" =>
+        keepIds(graft.ml.TextOps.massiveTextRepetition(df, id, text), col("pass"))
+      case "lang_filter" =>
+        val lid = graft.ml.TextOps.langId(col(text))
+        Option(st.get("lang")).map(l => df.filter(lid === l.asText()))
+          .getOrElse(df.filter(lid.isNotNull))
+      case "exact_dedup" =>
+        val keys = Option(st.get("keys"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq(text))
+        df.join(graft.ml.Dedup.exactKeepFirst(df, keys, id).select(id), Seq(id))
+      case "duplicate_spans" =>
+        keepIds(graft.ml.Corpus.duplicateSpans(df, id, text,
+          n = intOpt("n", 20), thresholdMilli = longOpt("threshold_milli", 900L),
+          fingerprint = boolOpt("fingerprint")), !col("flagged"))
+      case "minhash_dedup" =>
+        val cands = graft.ml.Dedup.minhashCandidates(df, id, text,
+          shingleN = intOpt("shingle_n", 3), k = intOpt("k", 12),
+          bands = intOpt("bands", 4), rows = intOpt("rows", 3))
+        val clusters = graft.ml.Dedup.connectedComponents(cands)
+        df.join(clusters.filter(col("node") =!= col("component"))
+          .select(col("node").as(id)), Seq(id), "left_anti")
+      case "line_dedup" =>
+        df.drop(text).join(
+          graft.ml.Corpus.lineDedupKeepFirst(df, id, text,
+            delim = Option(st.get("delim")).map(_.asText()).getOrElse("\n"),
+            fingerprint = boolOpt("fingerprint"))
+            .filter(length(col("clean_text")) > 0)
+            .select(col(id), col("clean_text").as(text)), Seq(id))
+      case "decontaminate" =>
+        keepIds(graft.ml.Corpus.decontaminate(df, evalSet, id, text,
+          n = intOpt("n", 13), threshold = intOpt("threshold", 5)),
+          !col("contaminated"))
+      case "span_scrub" =>
+        df.drop(text).join(
+          graft.ml.Corpus.evalSpanScrub(df, evalSet, id, text,
+            n = intOpt("n", 13))
+            .select(col(id), col("clean_text").as(text)), Seq(id))
+      case "source_quota" =>
+        df.join(graft.ml.Corpus.sourceQuota(df,
+          Option(st.get("group")).map(_.asText()).getOrElse("source"),
+          id, text, budget = st.get("budget").asLong(),
+          seed = longOpt("seed", 0L)).select(id), Seq(id))
+      case "chunk" =>
+        graft.ml.Corpus.chunk(df, id, text,
+          window = st.get("window").asInt(), stride = st.get("stride").asInt())
+      case other =>
+        throw new IllegalArgumentException(s"unknown curation stage: $other")
+    }
+  }
 }

@@ -656,4 +656,74 @@ class CompilerSpec extends AnyFunSuite {
     assert(logs.toSet == Set("panic: oops\ngoroutine 7 [running]:", "all good"))
     assert(push.payload().head().getString(0).startsWith("[\""))
   }
+
+  test("curation YAML compiles the corpus pipeline with operator-identical output") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    // the CorpusPipelineDemo cleaning chain as config (each stage the
+    // oracle-verified operator: q121, q124, q50, q125, q102, q116)
+    val yaml =
+      s"""curation:
+         |  input: {dir: "$dir", table: documents}
+         |  stages:
+         |    - {type: gopher_gate, min_tok: 5}
+         |    - {type: lang_filter}
+         |    - {type: repetition_gate}
+         |    - {type: exact_dedup}
+         |    - {type: duplicate_spans, n: 20, threshold_milli: 900}
+         |    - {type: decontaminate, eval_filter: "doc_id % 97 = 0",
+         |       n: 3, threshold: 10}
+         |    - {type: source_quota, group: source, budget: 400, seed: 11}
+         |""".stripMargin
+    val got = PipelineCompiler.compileCuration(spark, yaml)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // the same chain composed directly in Scala (the demo's shape)
+    val docs = Tables(spark, dir, "documents")
+    val gated = docs
+      .join(graft.ml.TextOps.gopherGate(docs, "doc_id", "text", minTok = 5)
+        .filter(col("pass")).select("doc_id"), Seq("doc_id"))
+      .filter(graft.ml.TextOps.langId(col("text")).isNotNull)
+    val unrep = gated.join(
+      graft.ml.TextOps.massiveTextRepetition(gated, "doc_id", "text")
+        .filter(col("pass")).select("doc_id"), Seq("doc_id"))
+    val exact = unrep.join(
+      graft.ml.Dedup.exactKeepFirst(unrep, Seq("text"), "doc_id")
+        .select("doc_id"), Seq("doc_id"))
+    val spanClean = exact.join(
+      graft.ml.Corpus.duplicateSpans(exact, "doc_id", "text", n = 20,
+        thresholdMilli = 900L)
+        .filter(!col("flagged")).select("doc_id"), Seq("doc_id"))
+    val decon = spanClean.join(
+      graft.ml.Corpus.decontaminate(spanClean,
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+        n = 3, threshold = 10)
+        .filter(!col("contaminated")).select("doc_id"), Seq("doc_id"))
+    val expected = decon.join(
+      graft.ml.Corpus.sourceQuota(decon, "source", "doc_id", "text",
+        budget = 400L, seed = 11L).select("doc_id"), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(got == expected, s"yaml=${got.size} scala=${expected.size}")
+    assert(got.nonEmpty && got.size < docs.count(),
+      "chain must keep some docs and drop some docs")
+
+    // config validation fails loudly
+    intercept[IllegalArgumentException] {
+      PipelineCompiler.compileCuration(spark,
+        s"""curation:
+           |  input: {dir: "$dir", table: documents}
+           |  stages: [{type: nonsense}]
+           |""".stripMargin).count()
+    }
+
+    // the shipped example (adds minhash_dedup + chunk stages) runs end
+    // to end and produces chunks within the window bound
+    val ex = PipelineCompiler.compileCuration(spark, new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("examples/corpus_curation.yaml")), "UTF-8"))
+    val chunks = ex.select("doc_id", "n_tok").collect()
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(_.getLong(1) <= 40L), "chunk over window")
+  }
 }

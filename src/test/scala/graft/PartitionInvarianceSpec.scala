@@ -58,6 +58,15 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       graft.ml.Corpus.lineDedupKeepFirst(d, "doc_id", "text", " "))
   }
 
+  test("fingerprint-keyed dedup ops match their string-keyed selves under any partitioning") {
+    invariant("lineDedupKeepFirst(fp)")(d =>
+      graft.ml.Corpus.lineDedupKeepFirst(d, "doc_id", "text", " ",
+        fingerprint = true))
+    invariant("duplicateSpans(fp)")(d =>
+      graft.ml.Corpus.duplicateSpans(d, "doc_id", "text", 20, 900L,
+        fingerprint = true))
+  }
+
   test("tfidfTopTerms ranks the same terms under any partitioning") {
     invariant("tfidfTopTerms")(d =>
       graft.ml.TextOps.tfidfTopTerms(d, "doc_id", "text", 3, 500L))
