@@ -411,6 +411,41 @@ object Queries9 {
       |  coalesce(re.n_removed, 0) AS n_removed
       |FROM documents d LEFT JOIN re USING (doc_id)""".stripMargin
 
+  /** Antispam with rule-resolved thresholds — the reference's primary
+    * mechanism (antispammer.go:114-135): first matching rule wins.
+    * Rules here: 'error' events are blocked outright (0), 'view' events
+    * ban at 4 (stricter than peers), 'signup' events are unlimited
+    * (-1, pass uncounted), everything else uses the global 12 — all
+    * four sentinel/numeric paths exercised on real data. */
+  val q132_antispam_rules: Q = (s, dir) =>
+    graft.state.SeqOps.antispamRules(t(s, dir, "events"), Seq("user_id"),
+      bucket = expr("unix_timestamp(ts) div 604800"), threshold = 12,
+      rules = Seq(
+        (col("event_type") === "error", 0),
+        (col("event_type") === "view", 4),
+        (col("event_type") === "signup", -1)))
+      .select(col("event_id"))
+
+  val q132_sql: String =
+    """WITH b AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CASE event_type WHEN 'error' THEN 0 WHEN 'view' THEN 4
+      |      WHEN 'signup' THEN -1 ELSE 12 END AS thr,
+      |    CAST(epoch(ts) AS BIGINT) // 604800 AS bkt
+      |  FROM events),
+      |counts AS (
+      |  SELECT user_id, bkt, COUNT(*) AS n FROM b WHERE thr > 0
+      |  GROUP BY 1, 2),
+      |flags AS (
+      |  SELECT user_id, bkt,
+      |    lag(bkt) OVER (PARTITION BY user_id ORDER BY bkt) AS prev_b,
+      |    lag(n) OVER (PARTITION BY user_id ORDER BY bkt) AS prev_n
+      |  FROM counts)
+      |SELECT e.event_id FROM b e
+      |LEFT JOIN flags f ON e.user_id = f.user_id AND e.bkt = f.bkt
+      |WHERE e.thr = -1 OR (e.thr > 0 AND NOT (f.prev_b IS NOT NULL
+      |  AND f.prev_b = e.bkt - 1 AND f.prev_n >= e.thr))""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -423,7 +458,8 @@ object Queries9 {
     "q128_classifier_gate" -> q128_classifier_gate,
     "q129_antispam_per_source" -> q129_antispam_per_source,
     "q130_duplicate_spans_fp" -> q130_duplicate_spans_fp,
-    "q131_line_dedup_fp" -> q131_line_dedup_fp
+    "q131_line_dedup_fp" -> q131_line_dedup_fp,
+    "q132_antispam_rules" -> q132_antispam_rules
   )
 
   val oracles: Map[String, String] = Map(
@@ -436,6 +472,7 @@ object Queries9 {
     "q128_classifier_gate" -> q128_sql,
     "q129_antispam_per_source" -> q129_sql,
     "q130_duplicate_spans_fp" -> q130_sql,
-    "q131_line_dedup_fp" -> q131_sql
+    "q131_line_dedup_fp" -> q131_sql,
+    "q132_antispam_rules" -> q132_sql
   )
 }

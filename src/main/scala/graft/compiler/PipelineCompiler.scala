@@ -887,12 +887,25 @@ object PipelineCompiler {
           .map(_.properties().asScala
             .map(e => e.getKey -> e.getValue.asInt()).toMap)
           .getOrElse(Map.empty[String, Int])
-        Option(action.get("exceptions"))
-          .map(n => DoIf.compile(parseDoIf(n), resolver(df))) match {
-          case Some(ex) => graft.state.SeqOps.antispam(df, Seq("source_name"),
-            bucket, threshold, ex)
-          case None => graft.state.SeqOps.antispam(df, Seq("source_name"),
-            bucket, threshold, srcThr)
+        // rules REPLACE exceptions when configured, like the reference
+        // (antispammer.go:94-135: the rule list is checked instead of
+        // the exception list; first match resolves the threshold)
+        Option(action.get("rules")) match {
+          case Some(rn) =>
+            val rules = rn.elements().asScala.map { r =>
+              (DoIf.compile(parseDoIf(r.get("do_if")), resolver(df)),
+                r.get("threshold").asInt())
+            }.toSeq
+            graft.state.SeqOps.antispamRules(df, Seq("source_name"),
+              bucket, threshold, rules)
+          case None =>
+            Option(action.get("exceptions"))
+              .map(n => DoIf.compile(parseDoIf(n), resolver(df))) match {
+              case Some(ex) => graft.state.SeqOps.antispam(df, Seq("source_name"),
+                bucket, threshold, ex)
+              case None => graft.state.SeqOps.antispam(df, Seq("source_name"),
+                bucket, threshold, srcThr)
+            }
         }
 
       case other => throw new IllegalArgumentException(s"unknown action: $other")

@@ -234,6 +234,46 @@ object SeqOps {
     * Scale shape: the override map is bounded config (it mirrors YAML
     * rules), compiled into a CASE chain on the count table — no extra
     * shuffle or join beyond the global flavor. */
+  /** Rule-resolved antispam thresholds — the reference's PRIMARY
+    * mechanism (antispammer.go:114-135: when `rules` are configured they
+    * replace the exception list, and the FIRST rule whose DoIf predicate
+    * matches an event resolves that event's threshold). Sentinels as in
+    * the reference: a rule threshold of `-1` passes the event
+    * unconditionally and UNCOUNTED (IsSpam returns before the counter
+    * increment), `0` drops it unconditionally and uncounted; a positive
+    * rule threshold counts the event and bans it against THAT threshold
+    * (the per-event resolved value compares against the shared source
+    * counter — here, the previous bucket's count of counted events).
+    * Events matching no rule use the global `threshold`.
+    *
+    * Scale shape: rule predicates are bounded config compiled into one
+    * CASE chain per event (zero-shuffle); the count table and its lag
+    * window are the same single shuffle as the base op, with a LEFT
+    * join back so buckets holding only uncounted events still resolve. */
+  def antispamRules(df: DataFrame, sourceCols: Seq[String], bucket: Column,
+                    threshold: Int, rules: Seq[(Column, Int)]): DataFrame = {
+    val keys = sourceCols.map(col)
+    val thr = rules.foldRight(lit(threshold): Column) {
+      case ((p, t), acc) => when(coalesce(p, lit(false)), lit(t)).otherwise(acc)
+    }
+    val ev = df.withColumn("_thr", thr).withColumn("_b", bucket)
+    // counted events only: unlimited (-1) and blocked (0) events skip
+    // the counter increment in the reference
+    val counts = ev.filter(col("_thr") > 0)
+      .groupBy(keys :+ col("_b"): _*).agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(keys: _*).orderBy(col("_b"))
+    val prev = counts
+      .withColumn("_prev_b", lag(col("_b"), 1).over(w))
+      .withColumn("_prev_n", lag(col("_n"), 1).over(w))
+      .select((keys :+ col("_b") :+ col("_prev_b") :+ col("_prev_n")): _*)
+    ev.join(prev, sourceCols :+ "_b", "left")
+      .filter(col("_thr") === -1 ||
+        (col("_thr") > 0 &&
+          !(col("_prev_b").isNotNull && col("_prev_b") === col("_b") - 1 &&
+            col("_prev_n") >= col("_thr"))))
+      .drop("_thr", "_b", "_prev_b", "_prev_n")
+  }
+
   def antispam(df: DataFrame, sourceCols: Seq[String], bucket: Column,
                threshold: Int, sourceThresholds: Map[String, Int]): DataFrame = {
     val keys = sourceCols.map(col)

@@ -257,6 +257,29 @@ class CompilerSpec extends AnyFunSuite {
          |""".stripMargin
     val outSpam = PipelineCompiler.compile(spark, yamlSpam).result()
     assert(outSpam.count() == 6) // below threshold: everything passes
+
+    // rule-resolved thresholds (antispammer.go rules): a blocked rule
+    // drops its matches outright regardless of any counter
+    val yamlRules =
+      s"""input:
+         |  type: fake
+         |  lines:
+         |${lines.map(l => "    - '" + l.replace("\"", "\"") + "'").mkString("\n")}
+         |decoder:
+         |  type: json
+         |  schema: "time string, src string, v string"
+         |actions:
+         |  - type: antispam
+         |    threshold: 100
+         |    interval_seconds: 60
+         |    rules:
+         |      - do_if: {op: equal, field: v, values: [y]}
+         |        threshold: 0
+         |output: {type: memory}
+         |""".stripMargin
+    val outRules = PipelineCompiler.compile(spark, yamlRules).result()
+    // the v=y event is blocked by rule; the 5 others pass under 100
+    assert(outRules.count() == 5)
   }
 
   test("join_template action compiles with the exact predicate tables") {
