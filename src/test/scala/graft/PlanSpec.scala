@@ -94,6 +94,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan(graft.ml.Corpus.duplicateSpans(
       Tables(spark, sf, "documents"), "doc_id", "text", 20, 900L))
       .contains("ResolvedHint"), "winner join must stay unhinted")
+    // fingerprint mode keeps the identical shape (same joins, no
+    // window, no hint) — only the key column narrows to 16 bytes
+    val fp = plan(graft.ml.Corpus.duplicateSpans(
+      Tables(spark, sf, "documents"), "doc_id", "text", 20, 900L,
+      fingerprint = true))
+    assert(!fp.contains("Window") && !fp.contains("ResolvedHint"), fp)
+  }
+
+  test("antispam rule thresholds add no shuffle beyond the base op's count table") {
+    import org.apache.spark.sql.functions.{col, expr}
+    def exchanges(p: String): Int = "Exchange".r.findAllIn(p).length
+    val ev = Tables(spark, sf, "events")
+    val base = plan(graft.state.SeqOps.antispam(ev, Seq("user_id"),
+      expr("unix_timestamp(ts) div 604800"), 12))
+    val rules = plan(graft.state.SeqOps.antispamRules(ev, Seq("user_id"),
+      expr("unix_timestamp(ts) div 604800"), 12,
+      Seq((col("event_type") === "error", 0))))
+    assert(exchanges(rules) <= exchanges(base),
+      s"rules=$rules\nbase=$base")
   }
 
   test("PII scrub and split assignment are zero-shuffle") {
