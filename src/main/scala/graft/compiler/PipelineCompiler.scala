@@ -82,6 +82,51 @@ object PipelineCompiler {
       * startStream's foreachBatch leg. */
     def send(): Unit = netSinkFn(payload(), 0L)
 
+    /** Reference kafka-output auth fields → client security — the same
+      * surface as the input side (kafka.go:174-215). */
+    private def kafkaOutSecurity: graft.sources.KafkaSecurity = {
+      import graft.sources.{KafkaSaslConfig, KafkaSecurity, KafkaSslConfig}
+      val sasl =
+        if (outputConf.get("is_sasl_enabled").exists(_.toBoolean))
+          Some(KafkaSaslConfig(
+            outputConf.getOrElse("sasl_mechanism", "SCRAM-SHA-512"),
+            outputConf.getOrElse("sasl_username", "user"),
+            outputConf.getOrElse("sasl_password", "password")))
+        else None
+      val ssl =
+        if (outputConf.get("is_ssl_enabled").exists(_.toBoolean))
+          Some(KafkaSslConfig(outputConf.get("ca_cert"),
+            outputConf.get("client_cert"), outputConf.get("client_key"),
+            outputConf.get("ssl_skip_verify").exists(_.toBoolean)))
+        else None
+      KafkaSecurity(sasl, ssl)
+    }
+
+    /** One batch through the native kafka wire producer —
+      * `default_topic` + `use_topic_field`/`topic_field` routing and
+      * `key_field` keyed partitioning (plugin/output/kafka/
+      * kafka.go:53-121), value = the event doc as NDJSON. */
+    private def kafkaSinkFn: (DataFrame, Long) => Unit = {
+      val brokers = outputConf("brokers")
+      val defaultTopic = outputConf.getOrElse("default_topic", "events")
+      val useTopicField = outputConf.get("use_topic_field").exists(_.toBoolean)
+      val topicField = outputConf.getOrElse("topic_field", "topic")
+      val keyField = outputConf.get("key_field")
+      val batchSize = outputConf.get("batch_size").map(_.toInt).getOrElse(500)
+      val sec = kafkaOutSecurity
+      (batch: DataFrame, _: Long) => {
+        val projected = batch.select(
+          (if (useTopicField) col("doc").getField(topicField).cast("string")
+           else lit(null).cast("string")).as("_t"),
+          keyField.map(f => col("doc").getField(f).cast("string"))
+            .getOrElse(lit(null).cast("string")).as("_k"),
+          to_json(col("doc")).as("_v"))
+        graft.sinks.Sinks.kafkaWireSink(projected, brokers, defaultTopic,
+          topicField = Some("_t"), keyField = Some("_k"), valueField = "_v",
+          batchSize = batchSize, security = sec)
+      }
+    }
+
     /** The sink's wire payload as a one-column DataFrame — the exact
       * bytes each configured output would transmit (Sinks wire formats,
       * oracle-verified in q80-q84). Net transports are injected at
@@ -119,6 +164,8 @@ object PipelineCompiler {
       * (plugin/output/s3 semantics over any object-store path); other
       * types → the rendered wire payload as text. */
     def write(): Unit = outputType match {
+      case "kafka" =>
+        kafkaSinkFn(df, 0L)
       case "file" if outputConf.contains("target_file") =>
         // single-file seal/rename contract (file.go) — the reference's
         // exact rotation; `dir` layout below is the distributed path
@@ -191,6 +238,10 @@ object PipelineCompiler {
           rendered.writeStream.format("memory")
             .queryName(outputConf.getOrElse("name", "graft_pipe"))
             .option("checkpointLocation", ckpt).outputMode("append").start()
+        case "kafka" =>
+          df.writeStream
+            .foreachBatch(kafkaSinkFn)
+            .option("checkpointLocation", ckpt).start()
         case "elasticsearch" | "gelf" | "splunk" | "loki" | "http" | "socket" =>
           payload().writeStream
             .foreachBatch(netSinkFn)

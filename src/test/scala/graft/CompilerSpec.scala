@@ -680,6 +680,44 @@ class CompilerSpec extends AnyFunSuite {
     assert(push.payload().head().getString(0).startsWith("[\""))
   }
 
+  test("kafka output: YAML sink produces through the wire client with SASL auth") {
+    val b = new graft.sources.KafkaLoopbackBroker(numPartitions = 2,
+      saslUsers = Map("svc" -> "pw1"))
+    try {
+      val yaml =
+        s"""input:
+           |  type: fake
+           |  lines:
+           |    - '{"topic":"hot","k":"a","m":"one"}'
+           |    - '{"topic":"cold","k":"b","m":"two"}'
+           |    - '{"m":"three"}'
+           |decoder:
+           |  type: json
+           |  schema: "topic string, k string, m string"
+           |output:
+           |  type: kafka
+           |  brokers: "${b.bootstrap}"
+           |  default_topic: fallback
+           |  use_topic_field: true
+           |  key_field: k
+           |  is_sasl_enabled: true
+           |  sasl_mechanism: SCRAM-SHA-256
+           |  sasl_username: svc
+           |  sasl_password: pw1
+           |""".stripMargin
+      PipelineCompiler.compile(spark, yaml).write()
+      def all(t: String): Seq[String] =
+        (0 until 2).flatMap(p => b.values(t, p))
+      assert(all("hot").exists(_.contains("\"m\":\"one\"")))
+      assert(all("cold").exists(_.contains("\"m\":\"two\"")))
+      // topic-less doc falls back to default_topic
+      assert(all("fallback").exists(_.contains("\"m\":\"three\"")))
+      // bad credentials fail loudly, not silently
+      val badYaml = yaml.replace("sasl_password: pw1", "sasl_password: nope")
+      intercept[Exception] { PipelineCompiler.compile(spark, badYaml).write() }
+    } finally b.close()
+  }
+
   test("curation YAML compiles the corpus pipeline with operator-identical output") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
