@@ -814,7 +814,13 @@ object PipelineCompiler {
       case "antispam" if df.isStreaming =>
         val t = envelopeType(df)
         val tsF = Option(action.get("time_field")).map(_.asText()).getOrElse("time")
-        val ds = df.select(col("source_name").as("key"),
+        // source_name_meta_field (pipeline.go:452-462): ban-key by a doc
+        // field instead of the ingest source, falling back when absent
+        val srcKey = Option(action.get("source_name_meta_field"))
+          .map(f => coalesce(col("doc").getField(f.asText()).cast("string"),
+            col("source_name")))
+          .getOrElse(col("source_name"))
+        val ds = df.select(srcKey.as("key"),
             unix_millis(XTime.parse(col("doc").getField(tsF).cast("string"),
               "rfc3339")).as("eventTimeMs"),
             envelopeJson.as("value"))
@@ -938,26 +944,36 @@ object PipelineCompiler {
           .map(_.properties().asScala
             .map(e => e.getKey -> e.getValue.asInt()).toMap)
           .getOrElse(Map.empty[String, Int])
+        // source_name_meta_field: ban-key by a doc field (pipeline.go:452-462)
+        val srcCol = Option(action.get("source_name_meta_field")).map { f =>
+          coalesce(col("doc").getField(f.asText()).cast("string"),
+            col("source_name"))
+        }
         // rules REPLACE exceptions when configured, like the reference
         // (antispammer.go:94-135: the rule list is checked instead of
         // the exception list; first match resolves the threshold)
-        Option(action.get("rules")) match {
+        val (dfs, srcCols) = srcCol match {
+          case Some(c) => (df.withColumn("_as_src", c), Seq("_as_src"))
+          case None    => (df, Seq("source_name"))
+        }
+        val banned = Option(action.get("rules")) match {
           case Some(rn) =>
             val rules = rn.elements().asScala.map { r =>
               (DoIf.compile(parseDoIf(r.get("do_if")), resolver(df)),
                 r.get("threshold").asInt())
             }.toSeq
-            graft.state.SeqOps.antispamRules(df, Seq("source_name"),
+            graft.state.SeqOps.antispamRules(dfs, srcCols,
               bucket, threshold, rules)
           case None =>
             Option(action.get("exceptions"))
               .map(n => DoIf.compile(parseDoIf(n), resolver(df))) match {
-              case Some(ex) => graft.state.SeqOps.antispam(df, Seq("source_name"),
+              case Some(ex) => graft.state.SeqOps.antispam(dfs, srcCols,
                 bucket, threshold, ex)
-              case None => graft.state.SeqOps.antispam(df, Seq("source_name"),
+              case None => graft.state.SeqOps.antispam(dfs, srcCols,
                 bucket, threshold, srcThr)
             }
         }
+        if (srcCol.isDefined) banned.drop("_as_src") else banned
 
       case other => throw new IllegalArgumentException(s"unknown action: $other")
     }

@@ -280,6 +280,36 @@ class CompilerSpec extends AnyFunSuite {
     val outRules = PipelineCompiler.compile(spark, yamlRules).result()
     // the v=y event is blocked by rule; the 5 others pass under 100
     assert(outRules.count() == 5)
+
+    // source_name_meta_field: ban-key by a doc field — the noisy group
+    // bans alone while the quiet group sharing the same ingest source
+    // keeps flowing (pipeline.go:452-462)
+    val metaLines = Seq(
+      """{"time":"2024-01-01T00:00:01","g":"x","v":"1"}""",
+      """{"time":"2024-01-01T00:00:02","g":"x","v":"2"}""",
+      """{"time":"2024-01-01T00:00:03","g":"x","v":"3"}""",
+      """{"time":"2024-01-01T00:00:04","g":"y","v":"4"}""",
+      """{"time":"2024-01-01T00:01:05","g":"x","v":"5"}""",
+      """{"time":"2024-01-01T00:01:06","g":"y","v":"6"}""")
+    val yamlMeta =
+      s"""input:
+         |  type: fake
+         |  lines:
+         |${metaLines.map(l => "    - '" + l + "'").mkString("\n")}
+         |decoder:
+         |  type: json
+         |  schema: "time string, g string, v string"
+         |actions:
+         |  - type: antispam
+         |    threshold: 3
+         |    interval_seconds: 60
+         |    source_name_meta_field: g
+         |output: {type: memory}
+         |""".stripMargin
+    val outMeta = PipelineCompiler.compile(spark, yamlMeta).result()
+    val kept = outMeta.selectExpr("doc.v").collect().map(_.getString(0)).toSet
+    // bucket 0 all pass; bucket 1: x banned (3 ≥ 3 in bucket 0), y passes
+    assert(kept == Set("1", "2", "3", "4", "6"), kept.toString)
   }
 
   test("join_template action compiles with the exact predicate tables") {
