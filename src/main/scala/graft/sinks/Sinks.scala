@@ -90,8 +90,9 @@ object Sinks {
         .getOrElse(lit(null).cast("string")).as("_key"),
       col(valueField).cast("string").as("_value"))
     projected.foreachPartition { (rows: Iterator[Row]) =>
-      val (bh, bp) = KafkaWire.parseBroker(brokers)
       val clients = scala.collection.mutable.Map.empty[(String, Int), KafkaWireClient]
+      val (boot0, (bh, bp)) = KafkaWire.connectBootstrap(brokers, security = security)
+      clients((bh, bp)) = boot0
       def client(h: String, p: Int): KafkaWireClient =
         clients.getOrElseUpdate((h, p),
           new KafkaWireClient(h, p, security = security))
@@ -136,8 +137,7 @@ object Sinks {
                      security: graft.sources.KafkaSecurity =
                        graft.sources.KafkaSecurity.none): Transport = { lines =>
     import graft.sources.{KafkaWire, KafkaWireClient}
-    val (bh, bp) = KafkaWire.parseBroker(brokers)
-    val boot = new KafkaWireClient(bh, bp, security = security)
+    val (boot, _) = KafkaWire.connectBootstrap(brokers, security = security)
     try {
       val parts = boot.metadata(Seq(topic))(topic)
       // floorMod everywhere: .abs is Int.MinValue for Int.MinValue and

@@ -165,11 +165,38 @@ object KafkaWire {
     (murmur2(key) & 0x7fffffff) % numPartitions
 
   /** "host:port[,host:port…]" → first bootstrap address. */
-  def parseBroker(brokers: String): (String, Int) = {
-    val first = brokers.split(',').head.trim
-    val cut = first.lastIndexOf(':')
-    require(cut > 0, s"broker address must be host:port: $first")
-    (first.substring(0, cut), first.substring(cut + 1).toInt)
+  def parseBroker(brokers: String): (String, Int) = parseBrokers(brokers).head
+
+  /** "host:port[,host:port…]" → every bootstrap address, in order. */
+  def parseBrokers(brokers: String): Seq[(String, Int)] =
+    brokers.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { b =>
+      val cut = b.lastIndexOf(':')
+      require(cut > 0, s"broker address must be host:port: $b")
+      (b.substring(0, cut), b.substring(cut + 1).toInt)
+    }
+
+  /** Bootstrap connect with failover: tries each listed address in
+    * order (any broker can serve metadata/coordination), connecting to
+    * the first that answers — the standard multi-bootstrap contract; a
+    * single dead seed must not take the pipeline down. Returns the
+    * client plus the address it actually connected to (coordination
+    * code compares against it). Auth errors are NOT failed over: a
+    * rejected credential on a live broker is a configuration error,
+    * and retrying it against every seed would just trip lockouts. */
+  def connectBootstrap(brokers: String, clientId: String = "graft",
+                       security: KafkaSecurity = KafkaSecurity.none): (KafkaWireClient, (String, Int)) = {
+    val addrs = parseBrokers(brokers)
+    require(addrs.nonEmpty, s"no broker addresses in: $brokers")
+    var lastErr: Throwable = null
+    addrs.foreach { case (h, p) =>
+      try return (new KafkaWireClient(h, p, clientId, security), (h, p))
+      catch {
+        case e: SecurityException => throw e
+        case e: Exception => lastErr = e
+      }
+    }
+    throw new java.io.IOException(
+      s"no bootstrap broker reachable in [$brokers]", lastErr)
   }
 }
 

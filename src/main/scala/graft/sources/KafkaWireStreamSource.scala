@@ -195,8 +195,7 @@ class KafkaWireMicroBatchStream(brokers: String, topics: Seq[String],
   }
 
   private def withClient[A](f: KafkaWireClient => A): A = {
-    val (h, p) = KafkaWire.parseBroker(brokers)
-    val c = new KafkaWireClient(h, p, security = security)
+    val (c, _) = KafkaWire.connectBootstrap(brokers, security = security)
     try f(c) finally c.close()
   }
 

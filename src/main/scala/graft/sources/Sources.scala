@@ -56,8 +56,7 @@ object Sources {
                      security: KafkaSecurity = KafkaSecurity.none): KafkaBatch = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val (bh, bp) = KafkaWire.parseBroker(brokers)
-    val admin = new KafkaWireClient(bh, bp, security = security)
+    val (admin, _) = KafkaWire.connectBootstrap(brokers, security = security)
     val ranges = try {
       val parts = admin.metadata(Seq(topic))(topic)
       val committed = admin.offsetFetch(group, topic, parts.map(_.partition))
@@ -148,8 +147,7 @@ object Sources {
   def kafkaWireCommit(brokers: String, group: String,
                       offsets: Seq[(String, Int, Long)],
                       security: KafkaSecurity = KafkaSecurity.none): Unit = {
-    val (bh, bp) = KafkaWire.parseBroker(brokers)
-    val boot = new KafkaWireClient(bh, bp, security = security)
+    val (boot, (bh, bp)) = KafkaWire.connectBootstrap(brokers, security = security)
     try {
       val (ch, cp) = boot.findCoordinator(group)
       if (ch == bh && cp == bp) boot.offsetCommit(group, offsets)

@@ -285,6 +285,31 @@ class KafkaWireSpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrap failover: a dead first seed does not take the read down") {
+    withBroker() { b =>
+      // grab a port that is certainly closed (bind then release)
+      val dead = {
+        val ss = new java.net.ServerSocket(0)
+        try ss.getLocalPort finally ss.close()
+      }
+      val seeds = s"127.0.0.1:$dead,${b.bootstrap}"
+      val c = new KafkaWireClient(b.host, b.boundPort)
+      try c.produce("fo", 0, Seq((null, "v0".getBytes("UTF-8"))), 1L)
+      finally c.close()
+      // batch source plans + reads through the second seed
+      val batch = graft.sources.Sources.kafkaWireBatch(spark, seeds, "fo", "fg")
+      assert(batch.df.count() == 1)
+      // commit routes through the live seed too
+      graft.sources.Sources.kafkaWireCommit(seeds, "fg", batch.endOffsets)
+      assert(b.committed("fg", "fo", 0).contains(1L))
+      // all seeds dead → a loud IOException naming the list
+      val e = intercept[java.io.IOException] {
+        graft.sources.KafkaWire.connectBootstrap(s"127.0.0.1:$dead")
+      }
+      assert(e.getMessage.contains("no bootstrap broker reachable"))
+    }
+  }
+
   test("q111 roundtrip re-invocation on the shared broker stays deterministic") {
     // the query eagerly commits its pinned range, so a second run on the
     // same JVM-shared broker reads exactly its OWN fresh produce batch
