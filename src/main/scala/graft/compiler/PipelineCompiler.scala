@@ -1098,6 +1098,25 @@ object PipelineCompiler {
       case "chunk" =>
         graft.ml.Corpus.chunk(df, id, text,
           window = st.get("window").asInt(), stride = st.get("stride").asInt())
+      // ---- mixing stages (the demo's back half) ----
+      case "split_assign" =>
+        // adds a train/val/test column; deterministic content-hash cuts
+        df.withColumn(
+          Option(st.get("out_col")).map(_.asText()).getOrElse("split"),
+          graft.ml.Corpus.splitAssign(col(text), longOpt("seed", 0L),
+            (intOpt("train_permille", 800), intOpt("val_permille", 900))))
+      case "upsample" =>
+        // weight_expr: SQL over the row producing the weight in milli
+        // (e.g. "CASE WHEN lang = 'en' THEN 2500 ELSE 1000 END")
+        graft.ml.Corpus.upsample(df, text,
+          expr(st.get("weight_expr").asText()).cast("long"))
+      case "pack" =>
+        graft.ml.Corpus.packSequences(df,
+          Option(st.get("group")).map(_.asText()).getOrElse("source"),
+          id, text, budget = st.get("budget").asInt())
+      case "shard_shuffle" =>
+        graft.ml.Corpus.shardedShuffle(df, id, text,
+          seed = longOpt("seed", 0L), shards = intOpt("shards", 64))
       case other =>
         throw new IllegalArgumentException(s"unknown curation stage: $other")
     }

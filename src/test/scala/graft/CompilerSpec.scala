@@ -816,5 +816,37 @@ class CompilerSpec extends AnyFunSuite {
     val chunks = ex.select("doc_id", "n_tok").collect()
     assert(chunks.nonEmpty)
     assert(chunks.forall(_.getLong(1) <= 40L), "chunk over window")
+
+    // mixing stages: split + expression-weighted upsample ≡ direct calls
+    val mixed = PipelineCompiler.compileCuration(spark,
+      s"""curation:
+         |  input: {dir: "$dir", table: documents}
+         |  stages:
+         |    - {type: split_assign, seed: 7}
+         |    - {type: upsample,
+         |       weight_expr: "CASE WHEN lang = 'en' THEN 2100 ELSE 1000 END"}
+         |""".stripMargin)
+      .select("doc_id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSet
+    val docsAll = Tables(spark, dir, "documents")
+    val mixedDirect = graft.ml.Corpus.upsample(
+      docsAll.withColumn("split",
+        graft.ml.Corpus.splitAssign(col("text"), 7L, (800, 900))),
+      "text", org.apache.spark.sql.functions.expr(
+        "CASE WHEN lang = 'en' THEN 2100 ELSE 1000 END").cast("long"))
+      .select("doc_id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSet
+    assert(mixed == mixedDirect && mixed.size > docsAll.count(),
+      "upsample via YAML must emit the same copies as the direct call")
+
+    // packing: offsets stay inside the budget
+    val packed = PipelineCompiler.compileCuration(spark,
+      s"""curation:
+         |  input: {dir: "$dir", table: documents}
+         |  stages:
+         |    - {type: pack, group: source, budget: 512}
+         |""".stripMargin)
+    assert(packed.filter(col("offset_in_seq") >= 512).isEmpty)
+    assert(packed.count() == docsAll.count())
   }
 }
