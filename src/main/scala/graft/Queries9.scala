@@ -411,6 +411,38 @@ object Queries9 {
       |  coalesce(re.n_removed, 0) AS n_removed
       |FROM documents d LEFT JOIN re USING (doc_id)""".stripMargin
 
+  /** q113 boilerplate scrub in fingerprint mode — completes the
+    * fingerprint triple (q130 spans, q131 lines, q133 boilerplate):
+    * the document-frequency agg and both join legs key on md5(seg).
+    * Oracle keys on DuckDB's md5 of the same segment. */
+  val q133_boilerplate_fp: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val minDocs = math.ceil(0.8 * docs.count()).toLong
+    graft.ml.Corpus.boilerplateScrub(docs, "doc_id", "text",
+      delim = " ", minDocs = minDocs, fingerprint = true)
+  }
+
+  val q133_sql: String =
+    """WITH seg AS (
+      |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS seg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+      |freq AS (
+      |  SELECT fp FROM (SELECT md5(seg) AS fp, count(DISTINCT doc_id) AS df
+      |                  FROM seg GROUP BY 1)
+      |  WHERE df >= CEIL(0.8 * (SELECT count(*) FROM documents))),
+      |kept AS (
+      |  SELECT s.doc_id, s.pos, s.seg
+      |  FROM seg s LEFT JOIN freq f ON md5(s.seg) = f.fp
+      |  WHERE f.fp IS NULL),
+      |re AS (
+      |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean,
+      |    CAST(count(*) AS BIGINT) AS kn
+      |  FROM kept GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(re.clean, '') AS clean_text,
+      |  CAST(len(string_split(d.text, ' ')) - coalesce(re.kn, 0) AS BIGINT) AS n_removed
+      |FROM documents d LEFT JOIN re USING (doc_id)""".stripMargin
+
   /** Antispam with rule-resolved thresholds — the reference's primary
     * mechanism (antispammer.go:114-135): first matching rule wins.
     * Rules here: 'error' events are blocked outright (0), 'view' events
@@ -459,7 +491,8 @@ object Queries9 {
     "q129_antispam_per_source" -> q129_antispam_per_source,
     "q130_duplicate_spans_fp" -> q130_duplicate_spans_fp,
     "q131_line_dedup_fp" -> q131_line_dedup_fp,
-    "q132_antispam_rules" -> q132_antispam_rules
+    "q132_antispam_rules" -> q132_antispam_rules,
+    "q133_boilerplate_fp" -> q133_boilerplate_fp
   )
 
   val oracles: Map[String, String] = Map(
@@ -473,6 +506,7 @@ object Queries9 {
     "q129_antispam_per_source" -> q129_sql,
     "q130_duplicate_spans_fp" -> q130_sql,
     "q131_line_dedup_fp" -> q131_sql,
-    "q132_antispam_rules" -> q132_sql
+    "q132_antispam_rules" -> q132_sql,
+    "q133_boilerplate_fp" -> q133_sql
   )
 }
