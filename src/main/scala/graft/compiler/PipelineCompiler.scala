@@ -350,6 +350,54 @@ object PipelineCompiler {
 
   // ----------------------------------------------------------- inputs
 
+  /** Maps the reference's kafka auth fields onto the official
+    * connector's `kafka.*` options, so `client: connector` honors the
+    * SAME YAML as the native wire path instead of silently dropping
+    * auth. `ssl_skip_verify` maps to disabling endpoint identification
+    * (the official client has no trust-all mode — pin a CA for full
+    * skip-verify-free operation). A free-form `options:` map passes
+    * through last and wins. */
+  private[graft] def connectorKafkaOptions(n: JsonNode): Map[String, String] = {
+    val saslOn = Option(n.get("is_sasl_enabled")).exists(_.asBoolean())
+    val sslOn = Option(n.get("is_ssl_enabled")).exists(_.asBoolean())
+    val proto = (saslOn, sslOn) match {
+      case (true, true)  => Map("kafka.security.protocol" -> "SASL_SSL")
+      case (true, false) => Map("kafka.security.protocol" -> "SASL_PLAINTEXT")
+      case (false, true) => Map("kafka.security.protocol" -> "SSL")
+      case _             => Map.empty[String, String]
+    }
+    val saslOpts = if (!saslOn) Map.empty[String, String] else {
+      val mech = Option(n.get("sasl_mechanism")).map(_.asText())
+        .getOrElse("SCRAM-SHA-512")
+      val user = Option(n.get("sasl_username")).map(_.asText()).getOrElse("user")
+      val pass = Option(n.get("sasl_password")).map(_.asText()).getOrElse("password")
+      val module =
+        if (mech == "PLAIN") "org.apache.kafka.common.security.plain.PlainLoginModule"
+        else "org.apache.kafka.common.security.scram.ScramLoginModule"
+      Map("kafka.sasl.mechanism" -> mech,
+        "kafka.sasl.jaas.config" ->
+          s"""$module required username="$user" password="$pass";""")
+    }
+    val sslOpts = if (!sslOn) Map.empty[String, String] else {
+      val ca = Option(n.get("ca_cert")).map(_.asText()).map { c =>
+        val pem = if (c.contains("-----BEGIN")) c
+          else new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(c)), "UTF-8")
+        Map("kafka.ssl.truststore.type" -> "PEM",
+          "kafka.ssl.truststore.certificates" -> pem)
+      }.getOrElse(Map.empty[String, String])
+      val skip =
+        if (Option(n.get("ssl_skip_verify")).exists(_.asBoolean()))
+          Map("kafka.ssl.endpoint.identification.algorithm" -> "")
+        else Map.empty[String, String]
+      ca ++ skip
+    }
+    val freeform = Option(n.get("options"))
+      .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty[String, String])
+    proto ++ saslOpts ++ sslOpts ++ freeform
+  }
+
   private def buildInput(spark: SparkSession, n: JsonNode): DataFrame =
     n.get("type").asText() match {
       case "fake" =>
@@ -401,7 +449,8 @@ object PipelineCompiler {
           s"input kafka: offset must be `newest` or `oldest`, got `$offset` " +
             "(the reference's offset_type enum: cfg/kafka_client.go)")
         if (Option(n.get("client")).map(_.asText()).contains("connector"))
-          Sources.kafka(spark, brokers, topics, offset)
+          Sources.kafka(spark, brokers, topics, offset,
+            connectorKafkaOptions(n))
         else {
           val group =
             Option(n.get("group")).map(_.asText()).getOrElse("graft")

@@ -710,6 +710,41 @@ class CompilerSpec extends AnyFunSuite {
     assert(push.payload().head().getString(0).startsWith("[\""))
   }
 
+  test("client: connector maps the auth fields onto official kafka.* options") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    val n = mapper.readTree(
+      """type: kafka
+        |client: connector
+        |is_sasl_enabled: true
+        |sasl_mechanism: SCRAM-SHA-256
+        |sasl_username: svc
+        |sasl_password: pw
+        |is_ssl_enabled: true
+        |ssl_skip_verify: true
+        |ca_cert: "-----BEGIN CERTIFICATE-----\nAA==\n-----END CERTIFICATE-----"
+        |options: {kafka.fetch.max.bytes: "123"}
+        |""".stripMargin)
+    val o = PipelineCompiler.connectorKafkaOptions(n)
+    assert(o("kafka.security.protocol") == "SASL_SSL")
+    assert(o("kafka.sasl.mechanism") == "SCRAM-SHA-256")
+    assert(o("kafka.sasl.jaas.config").contains("ScramLoginModule") &&
+      o("kafka.sasl.jaas.config").contains("username=\"svc\""))
+    assert(o("kafka.ssl.truststore.type") == "PEM")
+    assert(o("kafka.ssl.truststore.certificates").contains("BEGIN CERTIFICATE"))
+    assert(o("kafka.ssl.endpoint.identification.algorithm") == "")
+    assert(o("kafka.fetch.max.bytes") == "123") // free-form passthrough
+    // sasl-only → SASL_PLAINTEXT + PLAIN module for PLAIN
+    val p = PipelineCompiler.connectorKafkaOptions(mapper.readTree(
+      """{type: kafka, client: connector, is_sasl_enabled: true,
+        | sasl_mechanism: PLAIN}""".stripMargin))
+    assert(p("kafka.security.protocol") == "SASL_PLAINTEXT")
+    assert(p("kafka.sasl.jaas.config").contains("PlainLoginModule"))
+    // no auth fields → no injected options
+    assert(PipelineCompiler.connectorKafkaOptions(
+      mapper.readTree("{type: kafka, client: connector}")).isEmpty)
+  }
+
   test("kafka output: YAML sink produces through the wire client with SASL auth") {
     val b = new graft.sources.KafkaLoopbackBroker(numPartitions = 2,
       saslUsers = Map("svc" -> "pw1"))
