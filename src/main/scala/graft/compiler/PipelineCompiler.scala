@@ -1166,6 +1166,28 @@ object PipelineCompiler {
       case "shard_shuffle" =>
         graft.ml.Corpus.shardedShuffle(df, id, text,
           seed = longOpt("seed", 0L), shards = intOpt("shards", 64))
+      case "classifier_gate" =>
+        // offline-trained hashed-ngram weight table from parquet with
+        // columns (b, w_milli) — the fastText/DCLM apply side (q128)
+        val weights = spark.read.parquet(st.get("weights_path").asText())
+        keepIds(graft.ml.TextOps.classifierGate(df, id, text, weights,
+          n = intOpt("n", 2), buckets = intOpt("buckets", 1 << 20),
+          biasMilli = longOpt("bias_milli", 0L),
+          thresholdMilli = longOpt("threshold_milli", 0L)), col("pass"))
+      case "dsir_upsample" =>
+        // the demo's mixing composition (q117 + q104): DSIR importance
+        // weights against `target_expr`, rescaled into
+        // [min_milli, max_milli], driving fractional upsampling
+        val lo = longOpt("min_milli", 500L)
+        val hi = longOpt("max_milli", 4000L)
+        val w = graft.ml.TextOps.dsirWeights(df, id, text,
+          isTarget = expr(st.get("target_expr").asText()),
+          buckets = intOpt("buckets", 64))
+          .select(col(id),
+            least(lit(hi), greatest(lit(lo),
+              expr("(weight_milli * 4) DIV n_grams"))).as("_w_milli"))
+        graft.ml.Corpus.upsample(df.join(w, Seq(id)), text, col("_w_milli"))
+          .drop("_w_milli")
       case other =>
         throw new IllegalArgumentException(s"unknown curation stage: $other")
     }

@@ -883,5 +883,51 @@ class CompilerSpec extends AnyFunSuite {
          |""".stripMargin)
     assert(packed.filter(col("offset_in_seq") >= 512).isEmpty)
     assert(packed.count() == docsAll.count())
+
+    // dsir_upsample ≡ the demo's DSIR→rescale→upsample composition
+    val dsirYaml = PipelineCompiler.compileCuration(spark,
+      s"""curation:
+         |  input: {dir: "$dir", table: documents}
+         |  stages:
+         |    - {type: dsir_upsample, target_expr: "lang = 'en'", buckets: 64}
+         |""".stripMargin)
+      .select("doc_id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSet
+    val dsirW = graft.ml.TextOps.dsirWeights(docsAll, "doc_id", "text",
+      col("lang") === "en", 64)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.least(
+          org.apache.spark.sql.functions.lit(4000L),
+          org.apache.spark.sql.functions.greatest(
+            org.apache.spark.sql.functions.lit(500L),
+            org.apache.spark.sql.functions.expr(
+              "(weight_milli * 4) DIV n_grams"))).as("w"))
+    val dsirDirect = graft.ml.Corpus.upsample(
+      docsAll.join(dsirW, Seq("doc_id")), "text", col("w"))
+      .select("doc_id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSet
+    assert(dsirYaml == dsirDirect)
+
+    // classifier_gate from an offline weights parquet (the q128 table)
+    val wdir = java.nio.file.Files.createTempDirectory("clf_w").toString
+    spark.range(64).select(col("id").as("b"),
+      (col("id") * 37 % 211 - 105).as("w_milli"))
+      .write.mode("overwrite").parquet(wdir)
+    val gatedYaml = PipelineCompiler.compileCuration(spark,
+      s"""curation:
+         |  input: {dir: "$dir", table: documents}
+         |  stages:
+         |    - {type: classifier_gate, weights_path: "$wdir",
+         |       n: 2, buckets: 64, threshold_milli: 5}
+         |""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gatedDirect = docsAll.join(
+      graft.ml.TextOps.classifierGate(docsAll, "doc_id", "text",
+        spark.read.parquet(wdir), n = 2, buckets = 64,
+        biasMilli = 0L, thresholdMilli = 5L)
+        .filter(col("pass")).select("doc_id"), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gatedYaml == gatedDirect &&
+      gatedYaml.nonEmpty && gatedYaml.size < docsAll.count())
   }
 }
