@@ -223,12 +223,19 @@ object KafkaTls {
   def clientSocket(host: String, port: Int, ssl: KafkaSslConfig): java.net.Socket = {
     val s = clientContext(ssl).getSocketFactory
       .createSocket(host, port).asInstanceOf[SSLSocket]
-    if (!ssl.skipVerify) {
-      val p = s.getSSLParameters
-      p.setEndpointIdentificationAlgorithm("HTTPS")
-      s.setSSLParameters(p)
+    try {
+      if (!ssl.skipVerify) {
+        val p = s.getSSLParameters
+        p.setEndpointIdentificationAlgorithm("HTTPS")
+        s.setSSLParameters(p)
+      }
+      s.startHandshake()
+      s
+    } catch {
+      // a failed handshake must not leak the half-open socket
+      case e: Throwable =>
+        try s.close() catch { case _: Exception => () }
+        throw e
     }
-    s.startHandshake()
-    s
   }
 }

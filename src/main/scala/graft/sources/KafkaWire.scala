@@ -225,7 +225,12 @@ final class KafkaWireClient(host: String, port: Int, clientId: String = "graft",
   private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
   private var correlation = 0
 
-  security.sasl.foreach(authenticate)
+  // constructor-time auth: on failure the socket MUST close before the
+  // exception escapes — the object is never returned, so nothing else
+  // can release it (a credential-retry loop would otherwise leak one
+  // file descriptor per attempt)
+  try security.sasl.foreach(authenticate)
+  catch { case e: Throwable => try close() catch { case _: Exception => () }; throw e }
 
   private def call(api: Short, version: Short, body: Writer): ByteBuffer = {
     correlation += 1
