@@ -107,7 +107,9 @@ object PipelineCompiler {
       * `key_field` keyed partitioning (plugin/output/kafka/
       * kafka.go:53-121), value = the event doc as NDJSON. */
     private def kafkaSinkFn: (DataFrame, Long) => Unit = {
-      val brokers = outputConf("brokers")
+      val brokers = outputConf.getOrElse("brokers",
+        throw new IllegalArgumentException(
+          "output kafka: missing required field `brokers`"))
       val defaultTopic = outputConf.getOrElse("default_topic", "events")
       val useTopicField = outputConf.get("use_topic_field").exists(_.toBoolean)
       val topicField = outputConf.getOrElse("topic_field", "topic")
@@ -1079,6 +1081,9 @@ object PipelineCompiler {
                             df: DataFrame, st: JsonNode): DataFrame = {
     val id = Option(st.get("id_col")).map(_.asText()).getOrElse("doc_id")
     val text = Option(st.get("text_col")).map(_.asText()).getOrElse("text")
+    def req(k: String): JsonNode = Option(st.get(k)).getOrElse(
+      throw new IllegalArgumentException(
+        s"curation ${st.get("type").asText()}: missing required field `$k`"))
     def intOpt(k: String, d: Int): Int = Option(st.get(k)).map(_.asInt()).getOrElse(d)
     def longOpt(k: String, d: Long): Long = Option(st.get(k)).map(_.asLong()).getOrElse(d)
     def boolOpt(k: String): Boolean = Option(st.get(k)).exists(_.asBoolean())
@@ -1142,11 +1147,11 @@ object PipelineCompiler {
       case "source_quota" =>
         df.join(graft.ml.Corpus.sourceQuota(df,
           Option(st.get("group")).map(_.asText()).getOrElse("source"),
-          id, text, budget = st.get("budget").asLong(),
+          id, text, budget = req("budget").asLong(),
           seed = longOpt("seed", 0L)).select(id), Seq(id))
       case "chunk" =>
         graft.ml.Corpus.chunk(df, id, text,
-          window = st.get("window").asInt(), stride = st.get("stride").asInt())
+          window = req("window").asInt(), stride = req("stride").asInt())
       // ---- mixing stages (the demo's back half) ----
       case "split_assign" =>
         // adds a train/val/test column; deterministic content-hash cuts
@@ -1158,18 +1163,18 @@ object PipelineCompiler {
         // weight_expr: SQL over the row producing the weight in milli
         // (e.g. "CASE WHEN lang = 'en' THEN 2500 ELSE 1000 END")
         graft.ml.Corpus.upsample(df, text,
-          expr(st.get("weight_expr").asText()).cast("long"))
+          expr(req("weight_expr").asText()).cast("long"))
       case "pack" =>
         graft.ml.Corpus.packSequences(df,
           Option(st.get("group")).map(_.asText()).getOrElse("source"),
-          id, text, budget = st.get("budget").asInt())
+          id, text, budget = req("budget").asInt())
       case "shard_shuffle" =>
         graft.ml.Corpus.shardedShuffle(df, id, text,
           seed = longOpt("seed", 0L), shards = intOpt("shards", 64))
       case "classifier_gate" =>
         // offline-trained hashed-ngram weight table from parquet with
         // columns (b, w_milli) — the fastText/DCLM apply side (q128)
-        val weights = spark.read.parquet(st.get("weights_path").asText())
+        val weights = spark.read.parquet(req("weights_path").asText())
         keepIds(graft.ml.TextOps.classifierGate(df, id, text, weights,
           n = intOpt("n", 2), buckets = intOpt("buckets", 1 << 20),
           biasMilli = longOpt("bias_milli", 0L),
@@ -1181,7 +1186,7 @@ object PipelineCompiler {
         val lo = longOpt("min_milli", 500L)
         val hi = longOpt("max_milli", 4000L)
         val w = graft.ml.TextOps.dsirWeights(df, id, text,
-          isTarget = expr(st.get("target_expr").asText()),
+          isTarget = expr(req("target_expr").asText()),
           buckets = intOpt("buckets", 64))
           .select(col(id),
             least(lit(hi), greatest(lit(lo),
