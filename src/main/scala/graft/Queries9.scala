@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Query batch 9 (round 7): line-structured quality rules and
-  * skip-distance decontamination. The documents table is a flat word
+/** Query batch 9 (rounds 7-8): line-structured quality rules,
+  * skip-distance decontamination, antispam threshold variants, and
+  * the fingerprint-mode dedup oracles. The documents table is a flat word
   * stream, so line structure is SYNTHESIZED deterministically from
   * (doc_id, token position) — the q118 synthesize-from-doc_id pattern:
   * 5-token lines, a rotating terminal-punctuation suffix and a rotating
