@@ -125,7 +125,8 @@ object PipelineCompiler {
           to_json(col("doc")).as("_v"))
         graft.sinks.Sinks.kafkaWireSink(projected, brokers, defaultTopic,
           topicField = Some("_t"), keyField = Some("_k"), valueField = "_v",
-          batchSize = batchSize, security = sec)
+          batchSize = batchSize, security = sec,
+          compression = outputConf.getOrElse("compression", "none"))
       }
     }
 

@@ -81,8 +81,19 @@ object Sinks {
                     valueField: String = "value",
                     batchSize: Int = 500,
                     security: graft.sources.KafkaSecurity =
-                      graft.sources.KafkaSecurity.none): Unit = {
+                      graft.sources.KafkaSecurity.none,
+                    compression: String = "none"): Unit = {
     import graft.sources.{KafkaWire, KafkaWireClient}
+    // reference surface kafka.go:116: none|gzip|snappy|lz4|zstd — gzip
+    // is JDK-native; the other codecs need libraries this build doesn't
+    // ship, so they fail at CONFIG time by name, not mid-produce
+    val codec = compression match {
+      case "none" => KafkaWire.CodecNone
+      case "gzip" => KafkaWire.CodecGzip
+      case other => throw new IllegalArgumentException(
+        s"kafka compression `$other` needs a codec library this build " +
+          "doesn't ship — use none or gzip")
+    }
     val projected = df.select(
       topicField.map(f => coalesce(col(f).cast("string"), lit(defaultTopic)))
         .getOrElse(lit(defaultTopic)).as("_topic"),
@@ -106,7 +117,8 @@ object Sinks {
         pending.remove((t, p)).filter(_.nonEmpty).foreach { chunk =>
           val pm = partsOf(t).find(_.partition == p).get
           client(pm.leaderHost, pm.leaderPort)
-            .produce(t, p, chunk.toSeq, System.currentTimeMillis())
+            .produce(t, p, chunk.toSeq, System.currentTimeMillis(),
+              codec = codec)
         }
       try {
         rows.foreach { r =>

@@ -85,23 +85,58 @@ object KafkaWire {
     if (n < 0) null else { val a = new Array[Byte](n); b.get(a); a }
   }
 
+  val CodecNone: Int = 0
+  val CodecGzip: Int = 1
+
   /** Encode a magic-1 message set: [offset INT64, size INT32, message]*
-    * with message = CRC32(magic..end) INT32, magic=1, attributes=0 (no
-    * compression), CreateTime INT64, key BYTES, value BYTES. */
-  def encodeMessageSet(entries: Seq[RecordMsg]): Array[Byte] = {
-    val w = new Writer
-    entries.foreach { e =>
+    * with message = CRC32(magic..end) INT32, magic=1, CreateTime INT64,
+    * key BYTES, value BYTES. `codec = CodecGzip` wraps the whole set in
+    * one gzip-compressed wrapper message (attributes bit 0), inner
+    * offsets RELATIVE 0..n-1 and the wrapper carrying the last relative
+    * offset — the magic-1 convention modern clients produce; snappy/
+    * lz4/zstd need codec libraries this environment doesn't ship and
+    * are rejected by name at the config boundary. */
+  def encodeMessageSet(entries: Seq[RecordMsg]): Array[Byte] =
+    encodeMessageSet(entries, CodecNone)
+
+  def encodeMessageSet(entries: Seq[RecordMsg], codec: Int): Array[Byte] = codec match {
+    case CodecNone =>
+      val w = new Writer
+      entries.foreach { e =>
+        val body = new Writer()
+          .i8(1).i8(0).i64(e.timestamp).bytes(e.key).bytes(e.value).result
+        val crc = new CRC32(); crc.update(body)
+        w.i64(e.offset).i32(4 + body.length).i32(crc.getValue.toInt).raw(body)
+      }
+      w.result
+    case CodecGzip =>
+      require(entries.nonEmpty, "cannot gzip-wrap an empty message set")
+      val inner = encodeMessageSet(
+        entries.zipWithIndex.map { case (e, i) => e.copy(offset = i.toLong) },
+        CodecNone)
+      val bos = new ByteArrayOutputStream(inner.length / 2 + 64)
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(inner); gz.close()
       val body = new Writer()
-        .i8(1).i8(0).i64(e.timestamp).bytes(e.key).bytes(e.value).result
+        .i8(1).i8(CodecGzip).i64(entries.map(_.timestamp).max)
+        .bytes(null).bytes(bos.toByteArray).result
       val crc = new CRC32(); crc.update(body)
-      w.i64(e.offset).i32(4 + body.length).i32(crc.getValue.toInt).raw(body)
-    }
-    w.result
+      new Writer()
+        .i64(entries.size - 1L).i32(4 + body.length)
+        .i32(crc.getValue.toInt).raw(body).result
+    case other =>
+      throw new IllegalArgumentException(s"unsupported compression codec $other")
   }
 
   /** Decode a magic-1 message set, CRC-verifying each message. A
     * truncated trailing message (the broker cut the set at max_bytes,
-    * legal in the protocol) is dropped, not an error. */
+    * legal in the protocol) is dropped, not an error. Gzip wrapper
+    * messages (attributes codec = 1) are unwrapped recursively with the
+    * standard base-offset translation `base = wrapperOffset - lastInner`
+    * — which handles BOTH relative inner offsets (modern producers) and
+    * absolute ones (legacy producers, where base folds to 0). Snappy/
+    * lz4/zstd sets fail by name: those codecs need libraries this
+    * build doesn't ship, and silently skipping data would be worse. */
   def decodeMessageSet(data: Array[Byte]): Seq[RecordMsg] = {
     val out = Vector.newBuilder[RecordMsg]
     val bb = ByteBuffer.wrap(data)
@@ -120,9 +155,29 @@ object KafkaWire {
         val magic = mb.get()
         require(magic == 1, s"unsupported message magic $magic (only v1)")
         val attrs = mb.get()
-        require((attrs & 0x07) == 0, s"compressed message sets unsupported (attrs=$attrs)")
         val ts = mb.getLong
-        out += RecordMsg(offset, ts, rBytes(mb), rBytes(mb))
+        (attrs & 0x07) match {
+          case CodecNone =>
+            out += RecordMsg(offset, ts, rBytes(mb), rBytes(mb))
+          case CodecGzip =>
+            rBytes(mb) // wrapper key, unused
+            val compressed = rBytes(mb)
+            val gz = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(compressed))
+            val inner = try gz.readAllBytes() finally gz.close()
+            val msgs = decodeMessageSet(inner)
+            if (msgs.nonEmpty) {
+              val base = offset - msgs.last.offset
+              msgs.foreach(m => out += m.copy(offset = m.offset + base))
+            }
+          case other =>
+            throw new IllegalStateException(
+              s"message set compressed with codec $other (" +
+                (other match {
+                  case 2 => "snappy"; case 3 => "lz4"; case 4 => "zstd"
+                  case _ => "unknown"
+                }) + ") — only none/gzip are supported by this build")
+        }
       }
     }
     out.result()
@@ -292,11 +347,11 @@ final class KafkaWireClient(host: String, port: Int, clientId: String = "graft",
     * the reference's `acks: no` maps to a different client mode). */
   def produce(topic: String, partition: Int,
               records: Seq[(Array[Byte], Array[Byte])], timestamp: Long,
-              acks: Short = 1): Long = {
+              acks: Short = 1, codec: Int = CodecNone): Long = {
     require(acks != 0,
       "produce: acks=0 unsupported — no response frame to wait for")
     val set = encodeMessageSet(
-      records.map { case (k, v) => RecordMsg(0L, timestamp, k, v) })
+      records.map { case (k, v) => RecordMsg(0L, timestamp, k, v) }, codec)
     val w = new Writer().i16(acks).i32(30000)
       .i32(1).str(topic).i32(1).i32(partition).i32(set.length).raw(set)
     val bb = call(ApiProduce, 2, w)

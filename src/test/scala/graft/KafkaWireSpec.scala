@@ -285,6 +285,75 @@ class KafkaWireSpec extends AnyFunSuite {
     }
   }
 
+  test("gzip message sets: codec round-trip, offset translation, e2e produce") {
+    import graft.sources.KafkaWire
+    import graft.sources.KafkaWire.RecordMsg
+    // encode→decode round trip preserves payloads and timestamps
+    val entries = Seq(
+      RecordMsg(0L, 5L, "k0".getBytes("UTF-8"), "hello".getBytes("UTF-8")),
+      RecordMsg(0L, 7L, null, ("x" * 2000).getBytes("UTF-8")),
+      RecordMsg(0L, 9L, "k2".getBytes("UTF-8"), null))
+    val wire = KafkaWire.encodeMessageSet(entries, KafkaWire.CodecGzip)
+    // the 2k repetitive payload must actually compress
+    assert(wire.length < 600, s"gzip set not compressed: ${wire.length}")
+    val back = KafkaWire.decodeMessageSet(wire)
+    assert(back.map(_.timestamp) == Seq(5L, 7L, 9L))
+    assert(new String(back.head.value, "UTF-8") == "hello")
+    assert(back(1).key == null && back(2).value == null)
+    // relative inner offsets 0..n-1: a broker-stored wrapper at absolute
+    // offset 41 (last of 3 → base 39) must yield 39,40,41
+    val stored = {
+      val bb = java.nio.ByteBuffer.wrap(wire)
+      bb.putLong(0, 41L) // rewrite the wrapper offset like a broker does
+      bb.array()
+    }
+    assert(KafkaWire.decodeMessageSet(stored).map(_.offset) == Seq(39L, 40L, 41L))
+    // legacy ABSOLUTE inner offsets (base folds to 0) decode unchanged
+    val legacyInner = KafkaWire.encodeMessageSet(Seq(
+      RecordMsg(41L, 1L, null, "a".getBytes), RecordMsg(42L, 1L, null, "b".getBytes)))
+    val legacyWrapped = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(legacyInner); gz.close()
+      val w = new KafkaWire.Writer()
+      val body = new KafkaWire.Writer()
+        .i8(1).i8(1).i64(1L).bytes(null).bytes(bos.toByteArray).result
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      w.i64(42L).i32(4 + body.length).i32(crc.getValue.toInt).raw(body).result
+    }
+    assert(KafkaWire.decodeMessageSet(legacyWrapped).map(_.offset) == Seq(41L, 42L))
+    // unsupported codec fails by name
+    val e = intercept[IllegalStateException] {
+      val body = new KafkaWire.Writer()
+        .i8(1).i8(2).i64(1L).bytes(null).bytes("zz".getBytes).result
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      KafkaWire.decodeMessageSet(new KafkaWire.Writer()
+        .i64(0L).i32(4 + body.length).i32(crc.getValue.toInt).raw(body).result)
+    }
+    assert(e.getMessage.contains("snappy"))
+
+    // e2e: gzip produce → broker assigns offsets → plain fetch
+    withBroker() { b =>
+      val c = new KafkaWireClient(b.host, b.boundPort)
+      try {
+        val base = c.produce("gz", 0,
+          (0 until 10).map(i => (null, s"m$i".getBytes("UTF-8"))), 3L,
+          codec = KafkaWire.CodecGzip)
+        assert(base == 0L)
+        val (_, recs) = c.fetch("gz", 0, 0L)
+        assert(recs.map(r => new String(r.value, "UTF-8")) ==
+          (0 until 10).map(i => s"m$i"))
+        assert(recs.map(_.offset) == (0L until 10L))
+      } finally c.close()
+    }
+    // sink-level config: unknown codec rejected at config time by name
+    val cfgErr = intercept[IllegalArgumentException] {
+      Sinks.kafkaWireSink(spark.range(1).selectExpr("'x' AS value"),
+        "127.0.0.1:1", "t", compression = "zstd")
+    }
+    assert(cfgErr.getMessage.contains("zstd"))
+  }
+
   test("bootstrap failover: a dead first seed does not take the read down") {
     withBroker() { b =>
       // grab a port that is certainly closed (bind then release)
