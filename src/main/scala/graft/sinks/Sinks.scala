@@ -84,15 +84,20 @@ object Sinks {
                       graft.sources.KafkaSecurity.none,
                     compression: String = "none"): Unit = {
     import graft.sources.{KafkaWire, KafkaWireClient}
-    // reference surface kafka.go:116: none|gzip|snappy|lz4|zstd — gzip
-    // is JDK-native; the other codecs need libraries this build doesn't
-    // ship, so they fail at CONFIG time by name, not mid-produce
+    // reference surface kafka.go:116: none|gzip|snappy|lz4|zstd —
+    // zstd is v2-record-batch-only (KIP-110) and this client speaks
+    // magic-1 sets, so it fails at CONFIG time with that reason
     val codec = compression match {
-      case "none" => KafkaWire.CodecNone
-      case "gzip" => KafkaWire.CodecGzip
+      case "none"   => KafkaWire.CodecNone
+      case "gzip"   => KafkaWire.CodecGzip
+      case "snappy" => KafkaWire.CodecSnappy
+      case "lz4"    => KafkaWire.CodecLz4
+      case "zstd" => throw new IllegalArgumentException(
+        "kafka compression `zstd` requires message-format v2 record " +
+          "batches (KIP-110) which the magic-1 wire client doesn't " +
+          "speak — use none|gzip|snappy|lz4")
       case other => throw new IllegalArgumentException(
-        s"kafka compression `$other` needs a codec library this build " +
-          "doesn't ship — use none or gzip")
+        s"unknown kafka compression `$other` — use none|gzip|snappy|lz4")
     }
     val projected = df.select(
       topicField.map(f => coalesce(col(f).cast("string"), lit(defaultTopic)))

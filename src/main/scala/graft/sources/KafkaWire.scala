@@ -87,15 +87,46 @@ object KafkaWire {
 
   val CodecNone: Int = 0
   val CodecGzip: Int = 1
+  val CodecSnappy: Int = 2
+  val CodecLz4: Int = 3
+  val CodecZstd: Int = 4
+
+  /** The compressed-stream framing each codec uses inside a magic-1
+    * wrapper message, matching the Java client: gzip = RFC 1952,
+    * snappy = xerial block-stream (snappy-java's SnappyOutputStream),
+    * lz4 = LZ4 frame (magic-1 uses the spec-correct frame checksum).
+    * zstd is NOT valid here: real brokers accept zstd only with
+    * message-format v2 record batches (KIP-110), which this magic-1
+    * client doesn't speak — rejected with that exact reason. */
+  private def compress(codec: Int, data: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(data.length / 2 + 64)
+    val out = codec match {
+      case CodecGzip   => new java.util.zip.GZIPOutputStream(bos)
+      case CodecSnappy => new org.xerial.snappy.SnappyOutputStream(bos)
+      case CodecLz4    => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      case _ => throw new IllegalArgumentException(s"unsupported codec $codec")
+    }
+    out.write(data); out.close()
+    bos.toByteArray
+  }
+
+  private def decompress(codec: Int, data: Array[Byte]): Array[Byte] = {
+    val bis = new java.io.ByteArrayInputStream(data)
+    val in = codec match {
+      case CodecGzip   => new java.util.zip.GZIPInputStream(bis)
+      case CodecSnappy => new org.xerial.snappy.SnappyInputStream(bis)
+      case CodecLz4    => new net.jpountz.lz4.LZ4FrameInputStream(bis)
+      case _ => throw new IllegalArgumentException(s"unsupported codec $codec")
+    }
+    try in.readAllBytes() finally in.close()
+  }
 
   /** Encode a magic-1 message set: [offset INT64, size INT32, message]*
     * with message = CRC32(magic..end) INT32, magic=1, CreateTime INT64,
-    * key BYTES, value BYTES. `codec = CodecGzip` wraps the whole set in
-    * one gzip-compressed wrapper message (attributes bit 0), inner
+    * key BYTES, value BYTES. A compression codec wraps the whole set in
+    * one compressed wrapper message (attributes bits 0-2), inner
     * offsets RELATIVE 0..n-1 and the wrapper carrying the last relative
-    * offset — the magic-1 convention modern clients produce; snappy/
-    * lz4/zstd need codec libraries this environment doesn't ship and
-    * are rejected by name at the config boundary. */
+    * offset — the magic-1 convention modern clients produce. */
   def encodeMessageSet(entries: Seq[RecordMsg]): Array[Byte] =
     encodeMessageSet(entries, CodecNone)
 
@@ -109,21 +140,22 @@ object KafkaWire {
         w.i64(e.offset).i32(4 + body.length).i32(crc.getValue.toInt).raw(body)
       }
       w.result
-    case CodecGzip =>
-      require(entries.nonEmpty, "cannot gzip-wrap an empty message set")
+    case c if c == CodecGzip || c == CodecSnappy || c == CodecLz4 =>
+      require(entries.nonEmpty, "cannot compress an empty message set")
       val inner = encodeMessageSet(
         entries.zipWithIndex.map { case (e, i) => e.copy(offset = i.toLong) },
         CodecNone)
-      val bos = new ByteArrayOutputStream(inner.length / 2 + 64)
-      val gz = new java.util.zip.GZIPOutputStream(bos)
-      gz.write(inner); gz.close()
       val body = new Writer()
-        .i8(1).i8(CodecGzip).i64(entries.map(_.timestamp).max)
-        .bytes(null).bytes(bos.toByteArray).result
+        .i8(1).i8(c).i64(entries.map(_.timestamp).max)
+        .bytes(null).bytes(compress(c, inner)).result
       val crc = new CRC32(); crc.update(body)
       new Writer()
         .i64(entries.size - 1L).i32(4 + body.length)
         .i32(crc.getValue.toInt).raw(body).result
+    case CodecZstd =>
+      throw new IllegalArgumentException(
+        "zstd requires message-format v2 record batches (KIP-110); " +
+          "this magic-1 client supports none|gzip|snappy|lz4")
     case other =>
       throw new IllegalArgumentException(s"unsupported compression codec $other")
   }
@@ -159,13 +191,9 @@ object KafkaWire {
         (attrs & 0x07) match {
           case CodecNone =>
             out += RecordMsg(offset, ts, rBytes(mb), rBytes(mb))
-          case CodecGzip =>
+          case c if c == CodecGzip || c == CodecSnappy || c == CodecLz4 =>
             rBytes(mb) // wrapper key, unused
-            val compressed = rBytes(mb)
-            val gz = new java.util.zip.GZIPInputStream(
-              new java.io.ByteArrayInputStream(compressed))
-            val inner = try gz.readAllBytes() finally gz.close()
-            val msgs = decodeMessageSet(inner)
+            val msgs = decodeMessageSet(decompress(c, rBytes(mb)))
             if (msgs.nonEmpty) {
               val base = offset - msgs.last.offset
               msgs.foreach(m => out += m.copy(offset = m.offset + base))
@@ -173,10 +201,8 @@ object KafkaWire {
           case other =>
             throw new IllegalStateException(
               s"message set compressed with codec $other (" +
-                (other match {
-                  case 2 => "snappy"; case 3 => "lz4"; case 4 => "zstd"
-                  case _ => "unknown"
-                }) + ") — only none/gzip are supported by this build")
+                (if (other == CodecZstd) "zstd — v2-record-batch only, KIP-110"
+                 else "unknown") + ") — this client decodes none/gzip/snappy/lz4")
         }
       }
     }

@@ -285,21 +285,31 @@ class KafkaWireSpec extends AnyFunSuite {
     }
   }
 
-  test("gzip message sets: codec round-trip, offset translation, e2e produce") {
+  test("compressed message sets: codec round-trips, offset translation, e2e produce") {
     import graft.sources.KafkaWire
     import graft.sources.KafkaWire.RecordMsg
-    // encode→decode round trip preserves payloads and timestamps
+    // encode→decode round trip preserves payloads and timestamps for
+    // every magic-1 codec (gzip/snappy/lz4 — the Java client's stream
+    // framings via the same libraries Spark ships)
     val entries = Seq(
       RecordMsg(0L, 5L, "k0".getBytes("UTF-8"), "hello".getBytes("UTF-8")),
       RecordMsg(0L, 7L, null, ("x" * 2000).getBytes("UTF-8")),
       RecordMsg(0L, 9L, "k2".getBytes("UTF-8"), null))
+    for (codec <- Seq(KafkaWire.CodecGzip, KafkaWire.CodecSnappy,
+                      KafkaWire.CodecLz4)) {
+      val w = KafkaWire.encodeMessageSet(entries, codec)
+      // the 2k repetitive payload must actually compress
+      assert(w.length < 600, s"codec $codec set not compressed: ${w.length}")
+      val b = KafkaWire.decodeMessageSet(w)
+      assert(b.map(_.timestamp) == Seq(5L, 7L, 9L), s"codec $codec")
+      assert(new String(b.head.value, "UTF-8") == "hello")
+      assert(b(1).key == null && b(2).value == null)
+    }
+    // zstd is v2-record-batch-only: rejected with the protocol reason
+    assert(intercept[IllegalArgumentException] {
+      KafkaWire.encodeMessageSet(entries, KafkaWire.CodecZstd)
+    }.getMessage.contains("KIP-110"))
     val wire = KafkaWire.encodeMessageSet(entries, KafkaWire.CodecGzip)
-    // the 2k repetitive payload must actually compress
-    assert(wire.length < 600, s"gzip set not compressed: ${wire.length}")
-    val back = KafkaWire.decodeMessageSet(wire)
-    assert(back.map(_.timestamp) == Seq(5L, 7L, 9L))
-    assert(new String(back.head.value, "UTF-8") == "hello")
-    assert(back(1).key == null && back(2).value == null)
     // relative inner offsets 0..n-1: a broker-stored wrapper at absolute
     // offset 41 (last of 3 → base 39) must yield 39,40,41
     val stored = {
@@ -322,36 +332,42 @@ class KafkaWireSpec extends AnyFunSuite {
       w.i64(42L).i32(4 + body.length).i32(crc.getValue.toInt).raw(body).result
     }
     assert(KafkaWire.decodeMessageSet(legacyWrapped).map(_.offset) == Seq(41L, 42L))
-    // unsupported codec fails by name
+    // a zstd-compressed set from some OTHER producer fails with the
+    // protocol reason, not a crash deeper down
     val e = intercept[IllegalStateException] {
       val body = new KafkaWire.Writer()
-        .i8(1).i8(2).i64(1L).bytes(null).bytes("zz".getBytes).result
+        .i8(1).i8(4).i64(1L).bytes(null).bytes("zz".getBytes).result
       val crc = new java.util.zip.CRC32(); crc.update(body)
       KafkaWire.decodeMessageSet(new KafkaWire.Writer()
         .i64(0L).i32(4 + body.length).i32(crc.getValue.toInt).raw(body).result)
     }
-    assert(e.getMessage.contains("snappy"))
+    assert(e.getMessage.contains("zstd"))
 
-    // e2e: gzip produce → broker assigns offsets → plain fetch
+    // e2e per codec: compressed produce → broker assigns offsets →
+    // plain fetch
     withBroker() { b =>
-      val c = new KafkaWireClient(b.host, b.boundPort)
-      try {
-        val base = c.produce("gz", 0,
-          (0 until 10).map(i => (null, s"m$i".getBytes("UTF-8"))), 3L,
-          codec = KafkaWire.CodecGzip)
-        assert(base == 0L)
-        val (_, recs) = c.fetch("gz", 0, 0L)
-        assert(recs.map(r => new String(r.value, "UTF-8")) ==
-          (0 until 10).map(i => s"m$i"))
-        assert(recs.map(_.offset) == (0L until 10L))
-      } finally c.close()
+      for ((codec, t) <- Seq(
+          (KafkaWire.CodecGzip, "gz"), (KafkaWire.CodecSnappy, "sn"),
+          (KafkaWire.CodecLz4, "l4"))) {
+        val c = new KafkaWireClient(b.host, b.boundPort)
+        try {
+          val base = c.produce(t, 0,
+            (0 until 10).map(i => (null, s"m$i".getBytes("UTF-8"))), 3L,
+            codec = codec)
+          assert(base == 0L)
+          val (_, recs) = c.fetch(t, 0, 0L)
+          assert(recs.map(r => new String(r.value, "UTF-8")) ==
+            (0 until 10).map(i => s"m$i"), s"codec $codec")
+          assert(recs.map(_.offset) == (0L until 10L))
+        } finally c.close()
+      }
     }
-    // sink-level config: unknown codec rejected at config time by name
+    // sink-level config: zstd rejected at config time with the reason
     val cfgErr = intercept[IllegalArgumentException] {
       Sinks.kafkaWireSink(spark.range(1).selectExpr("'x' AS value"),
         "127.0.0.1:1", "t", compression = "zstd")
     }
-    assert(cfgErr.getMessage.contains("zstd"))
+    assert(cfgErr.getMessage.contains("KIP-110"))
   }
 
   test("bootstrap failover: a dead first seed does not take the read down") {
