@@ -872,20 +872,42 @@ object PipelineCompiler {
           .map(f => coalesce(col("doc").getField(f.asText()).cast("string"),
             col("source_name")))
           .getOrElse(col("source_name"))
-        val ds = df.select(srcKey.as("key"),
-            unix_millis(XTime.parse(col("doc").getField(tsF).cast("string"),
-              "rfc3339")).as("eventTimeMs"),
-            envelopeJson.as("value"))
-          .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.TEvent])
-        val cfg = graft.streaming.Kernels.AntispamCfg(
-          Option(action.get("interval_seconds")).map(_.asLong() * 1000)
-            .getOrElse(60000L),
-          action.get("threshold").asLong(),
-          sourceThresholds = Option(action.get("source_thresholds"))
-            .map(_.properties().asScala
-              .map(e => e.getKey -> e.getValue.asLong()).toMap)
-            .getOrElse(Map.empty))
-        unwrapEnvelope(graft.streaming.Kernels.antispam(ds, cfg).toDF(), "value", t)
+        val intervalMs = Option(action.get("interval_seconds"))
+          .map(_.asLong() * 1000).getOrElse(60000L)
+        val tsMs = unix_millis(XTime.parse(
+          col("doc").getField(tsF).cast("string"), "rfc3339"))
+        Option(action.get("rules")) match {
+          case Some(rn) =>
+            // rule thresholds resolve on the DataFrame (DoIf CASE
+            // chain), the kernel bans per event against its own value —
+            // the batch antispamRules model, spec'd batch≡streaming
+            val thr = rn.elements().asScala.toSeq.foldRight(
+              lit(action.get("threshold").asLong()): Column) {
+              case (r, acc) =>
+                when(coalesce(DoIf.compile(parseDoIf(r.get("do_if")),
+                  resolver(df)), lit(false)),
+                  lit(r.get("threshold").asLong())).otherwise(acc)
+            }
+            val ds = df.select(srcKey.as("key"), tsMs.as("eventTimeMs"),
+                envelopeJson.as("value"), thr.cast("long").as("thr"))
+              .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.TEventR])
+            unwrapEnvelope(
+              graft.streaming.Kernels.antispamRules(ds, intervalMs).toDF(),
+              "value", t)
+          case None =>
+            val ds = df.select(srcKey.as("key"), tsMs.as("eventTimeMs"),
+                envelopeJson.as("value"))
+              .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.TEvent])
+            val cfg = graft.streaming.Kernels.AntispamCfg(
+              intervalMs,
+              action.get("threshold").asLong(),
+              sourceThresholds = Option(action.get("source_thresholds"))
+                .map(_.properties().asScala
+                  .map(e => e.getKey -> e.getValue.asLong()).toMap)
+                .getOrElse(Map.empty))
+            unwrapEnvelope(graft.streaming.Kernels.antispam(ds, cfg).toDF(),
+              "value", t)
+        }
 
       case "throttle" =>
         val interval = Option(action.get("bucket_interval_seconds"))

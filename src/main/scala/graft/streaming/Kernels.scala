@@ -528,6 +528,57 @@ object Kernels {
       .transformWithState(new CCProcessor(), TimeMode.None(), OutputMode.Append)
   }
 
+  /** [[TEvent]] plus a per-event resolved ban threshold — the rule
+    * mechanism's streaming carrier (the DoIf CASE chain runs on the
+    * DataFrame BEFORE the kernel, so the kernel never re-evaluates
+    * predicates). Sentinels as in the batch op: `-1` pass uncounted,
+    * `0` drop uncounted. */
+  final case class TEventR(key: String, eventTimeMs: Long, value: String,
+                           thr: Long)
+
+  /** Streaming [[graft.state.SeqOps.antispamRules]] — per-event
+    * rule-resolved thresholds over the batch op's exact model: an event
+    * with positive threshold is banned iff the immediately preceding
+    * interval's COUNTED events reached that threshold (the
+    * unbanIntervals=1 projection; per-event thresholds and the decay
+    * ladder don't compose, so rules use the batch-defined semantics —
+    * spec-asserted batch ≡ streaming). State per source: current and
+    * previous interval counts, four scalars. */
+  def antispamRules(ds: Dataset[TEventR], intervalMs: Long): Dataset[TEventR] = {
+    implicit val outEnc = Encoders.product[TEventR]
+    implicit val stEnc = Encoders.product[RuleSpamState]
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[RuleSpamState, TEventR](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, events, state: GroupState[RuleSpamState]) =>
+          var st = state.getOption.getOrElse(
+            RuleSpamState(Long.MinValue, 0L, Long.MinValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[TEventR]
+          events.toSeq.sortBy(_.eventTimeMs).foreach { ev =>
+            val bucket = ev.eventTimeMs / intervalMs
+            if (st.bucket == Long.MinValue) {
+              st = RuleSpamState(bucket, 0L, Long.MinValue, 0L)
+            } else if (bucket > st.bucket) {
+              st = RuleSpamState(bucket, 0L, st.bucket, st.count)
+            }
+            // out-of-order buckets fold into the current one, like the
+            // global kernel
+            if (ev.thr == -1L) out += ev
+            else if (ev.thr > 0L) {
+              val banned =
+                st.prevBucket == bucket - 1 && st.prevCount >= ev.thr
+              st = st.copy(count = st.count + 1)
+              if (!banned) out += ev
+            } // thr == 0: blocked, dropped, uncounted
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  final case class RuleSpamState(bucket: Long, count: Long,
+                                 prevBucket: Long, prevCount: Long)
+
   // ----------------------------------- streaming duplicate spans (q125)
 
   /** One n-token window occurrence on the ingest stream. `shard` =

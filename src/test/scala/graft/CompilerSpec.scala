@@ -312,6 +312,36 @@ class CompilerSpec extends AnyFunSuite {
     assert(kept == Set("1", "2", "3", "4", "6"), kept.toString)
   }
 
+  test("streaming antispam rules compile to the per-event-threshold kernel") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_asr_in")
+    val lines = java.util.Arrays.asList(
+      """{"time":"2024-01-01T00:00:01Z","g":"x","v":"keep1"}""",
+      """{"time":"2024-01-01T00:00:02Z","g":"x","v":"drop-me"}""",
+      """{"time":"2024-01-01T00:00:03Z","g":"x","v":"keep2"}""")
+    java.nio.file.Files.write(dir.resolve("a.ndjson"), lines)
+    val yaml =
+      s"""input: {type: file, streaming: true, dir: "$dir"}
+         |decoder: {type: json, schema: "time string, g string, v string"}
+         |actions:
+         |  - type: antispam
+         |    threshold: 100
+         |    interval_seconds: 60
+         |    rules:
+         |      - do_if: {op: prefix, field: v, values: [drop-]}
+         |        threshold: 0
+         |output: {type: memory, name: asr_stream_out}
+         |""".stripMargin
+    val q = PipelineCompiler.compile(spark, yaml).startStream()
+    try {
+      q.processAllAvailable()
+      val vals = spark.table("asr_stream_out").collect().map(_.getString(0))
+      assert(vals.length == 2 && vals.forall(_.contains("keep")), vals.toSeq)
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
   test("join_template action compiles with the exact predicate tables") {
     val lines = Seq(
       """{"log":"panic: boom","src":"a"}""",

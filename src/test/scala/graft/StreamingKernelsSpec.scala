@@ -372,6 +372,56 @@ class StreamingKernelsSpec extends AnyFunSuite {
       "unlim-b1"))                                   // -1: spam passes
   }
 
+  test("antispam rule thresholds: streaming kernel ≡ batch antispamRules") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor}
+    // one source, rule-resolved per-event thresholds: values starting
+    // "b" are blocked (0), "u" unlimited (-1), "s" strict (2), rest
+    // global (3). Bucket 0 carries 2 strict + 1 global + noise;
+    // bucket 1's strict event is banned (prev counted 3 ≥ 2) while the
+    // global event passes (3 ≥ 3 → banned too, actually: prev count 3
+    // ≥ global 3 → banned). Bucket 2 (after under-threshold bucket 1)
+    // passes again.
+    val events = Seq(
+      TEvent("src", 0L, "s-a1"), TEvent("src", 100L, "s-a2"),
+      TEvent("src", 200L, "g-a1"), TEvent("src", 300L, "b-a1"),
+      TEvent("src", 400L, "u-a1"),
+      TEvent("src", 1000L, "s-b1"), TEvent("src", 1100L, "g-b1"),
+      TEvent("src", 1200L, "u-b1"),
+      TEvent("src", 2000L, "s-c1"), TEvent("src", 2100L, "g-c1"))
+    def thrOf(v: String): Long = v.head match {
+      case 'b' => 0L; case 'u' => -1L; case 's' => 2L; case _ => 3L
+    }
+
+    val input = MemoryStream[Kernels.TEventR]
+    val out = Kernels.antispamRules(input.toDS(), intervalMs = 1000L)
+    val q = out.writeStream.format("memory").queryName("as_rule_out")
+      .outputMode("append").start()
+    val streamed = try {
+      input.addData(events.map(e =>
+        Kernels.TEventR(e.key, e.eventTimeMs, e.value, thrOf(e.value))): _*)
+      q.processAllAvailable()
+      spark.table("as_rule_out").as[Kernels.TEventR].collect().map(_.value).toSet
+    } finally q.stop()
+
+    val batch = graft.state.SeqOps.antispamRules(
+      events.toDF(), Seq("key"), floor(col("eventTimeMs") / 1000L),
+      threshold = 3,
+      rules = Seq(
+        (col("value").startsWith("b"), 0),
+        (col("value").startsWith("u"), -1),
+        (col("value").startsWith("s"), 2)))
+      .as[TEvent].collect().map(_.value).toSet
+
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // blocked events never pass; unlimited always; bucket-1 counted
+    // events banned (prev counted = 3 ≥ both 2 and 3); bucket-2
+    // recovers (bucket 1 counted only 2 < thresholds... s-c1 banned iff
+    // prev count 2 ≥ 2 → banned; g-c1 passes: 2 < 3)
+    assert(streamed == Set("s-a1", "s-a2", "g-a1", "u-a1", "u-b1", "g-c1"))
+  }
+
   test("asofEnrich attaches the latest right value at or before each left event") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
