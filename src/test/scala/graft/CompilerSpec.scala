@@ -697,6 +697,16 @@ class CompilerSpec extends AnyFunSuite {
     assert(kafka.df.isStreaming, "kafka input must compile to a stream")
     assert(kafka.outputType == "elasticsearch")
 
+    // SASL_SSL kafka→kafka (env(KAFKA_PASSWORD) resolved by the config
+    // front-end; plan-time only, auth exercised live in KafkaWireAuthSpec)
+    val sec = PipelineCompiler.compileAll(spark,
+      Seq(example("kafka_sasl_ssl_pipeline.yaml")),
+      Map("KAFKA_PASSWORD" -> "pw"))
+    assert(sec.df.isStreaming)
+    assert(sec.outputType == "kafka" &&
+      sec.outputConf("compression") == "lz4" &&
+      sec.outputConf("sasl_password") == "pw")
+
     // k8s CRI: fixture spool dir
     val criDir = Files.createTempDirectory("graft_cri")
     Files.write(criDir.resolve("pod_ns_c.log"), java.util.Arrays.asList(
