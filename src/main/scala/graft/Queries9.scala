@@ -479,6 +479,120 @@ object Queries9 {
       |WHERE e.thr = -1 OR (e.thr > 0 AND NOT (f.prev_b IS NOT NULL
       |  AND f.prev_b = e.bkt - 1 AND f.prev_n >= e.thr))""".stripMargin
 
+  /** The capstone: the ENTIRE curation chain — compiled from YAML by
+    * `PipelineCompiler.compileCuration`, not hand-composed — against
+    * ONE DuckDB query chaining the per-stage oracles (q121 gopher at
+    * min_tok 5 → q124 repetition on raw text → q50 exact keep-first →
+    * q125 duplicate spans → q102 decontamination n=3/thr=10 → q116
+    * source quota budget 400 seed 11). Set-dependent stages (dedup,
+    * spans, quota) are computed over each step's SURVIVORS, exactly as
+    * the compiled DataFrame does; per-doc gates fold into the first
+    * filter. */
+  val q134_curation_chain: Q = (s, dir) =>
+    graft.compiler.PipelineCompiler.compileCuration(s,
+      s"""curation:
+         |  input: {dir: "$dir", table: documents}
+         |  stages:
+         |    - {type: gopher_gate, min_tok: 5}
+         |    - {type: lang_filter}
+         |    - {type: repetition_gate}
+         |    - {type: exact_dedup}
+         |    - {type: duplicate_spans, n: 20, threshold_milli: 900}
+         |    - {type: decontaminate, eval_filter: "doc_id % 97 = 0",
+         |       n: 3, threshold: 10}
+         |    - {type: source_quota, group: source, budget: 400, seed: 11}
+         |""".stripMargin)
+      .select(col("doc_id"))
+
+  val q134_sql: String = {
+    val sw = graft.ml.TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH gop AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+      |      CAST(len(replace(text, ' ', '')) AS BIGINT) AS char_sum,
+      |      CAST(len(list_filter(string_split(lower(text), ' '),
+      |        t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT) AS alpha_cnt,
+      |      CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+      |        AS distinct_cnt,
+      |      CAST(len(list_filter(string_split(lower(text), ' '),
+      |        t -> list_contains([$sw], t))) AS BIGINT) AS stop_hits
+      |    FROM documents)
+      |  WHERE (n_tok BETWEEN 5 AND 100000)
+      |    AND ((char_sum * 100) // n_tok BETWEEN 300 AND 1000)
+      |    AND (alpha_cnt * 1000) // n_tok >= 800 AND stop_hits >= 2
+      |    AND (distinct_cnt * 1000) // n_tok >= 300),
+      |rtoks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |          FROM documents),
+      |rg AS (
+      |  SELECT doc_id, n, unnest(gl) AS gram FROM (
+      |    SELECT doc_id, n,
+      |      [array_to_string(w[i:i+n-1], ' ')
+      |       FOR i IN range(1, greatest(len(w) - (n-1), 1) + 1)] AS gl
+      |    FROM rtoks, (SELECT unnest([1, 2, 3, 5]) AS n) nn)),
+      |rcnt AS (
+      |  SELECT doc_id, n, gram, count(*) AS c,
+      |    len(replace(gram, ' ', '')) AS gchars
+      |  FROM rg GROUP BY 1, 2, 3),
+      |rep AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |      CAST(sum(CASE WHEN n = 1 THEN c*gchars END) AS BIGINT) AS char_sum,
+      |      CAST(max(CASE WHEN n = 2 THEN c*gchars END) AS BIGINT) AS top2,
+      |      CAST(max(CASE WHEN n = 3 THEN c*gchars END) AS BIGINT) AS top3,
+      |      CAST(coalesce(sum(CASE WHEN n = 5 AND c >= 2 THEN c*gchars END), 0)
+      |        AS BIGINT) AS dup5
+      |    FROM rcnt GROUP BY 1)
+      |  WHERE (top2 * 1000) // greatest(char_sum, 1) <= 200
+      |    AND (top3 * 1000) // greatest(char_sum, 1) <= 180
+      |    AND (dup5 * 1000) // greatest(char_sum, 1) <= 150),
+      |g1 AS (
+      |  SELECT d.doc_id, d.text, d.source FROM documents d
+      |  JOIN gop USING (doc_id) JOIN rep USING (doc_id)),
+      |ex AS (SELECT MIN(doc_id) AS doc_id FROM g1 GROUP BY text),
+      |g2 AS (SELECT g1.* FROM g1 JOIN ex USING (doc_id)),
+      |t2 AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM g2),
+      |gg AS (
+      |  SELECT doc_id, unnest([array_to_string(w[i:i+19], ' ')
+      |    FOR i IN range(1, greatest(len(w) - 19, 1) + 1)]) AS gram FROM t2),
+      |win AS (SELECT gram, min(doc_id) AS wdoc FROM gg GROUP BY 1),
+      |spans AS (
+      |  SELECT g.doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(count(*) FILTER (WHERE w.wdoc < g.doc_id) AS BIGINT) AS stale
+      |  FROM gg g JOIN win w USING (gram) GROUP BY 1),
+      |g3 AS (
+      |  SELECT g2.* FROM g2 JOIN spans USING (doc_id)
+      |  WHERE (spans.stale * 1000) // spans.n_grams < 900),
+      |etoks AS (SELECT string_split(lower(text), ' ') AS w
+      |          FROM documents WHERE doc_id % 97 = 0),
+      |eg AS (SELECT DISTINCT unnest([array_to_string(w[i:i+2], ' ')
+      |    FOR i IN range(1, greatest(len(w) - 2, 1) + 1)]) AS gram FROM etoks),
+      |t3 AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM g3),
+      |g3g AS (
+      |  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+      |    FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS gram FROM t3),
+      |hits AS (
+      |  SELECT g.doc_id, count(*) AS h FROM g3g g JOIN eg USING (gram)
+      |  GROUP BY 1),
+      |g4 AS (
+      |  SELECT g3.* FROM g3 LEFT JOIN hits USING (doc_id)
+      |  WHERE coalesce(hits.h, 0) < 10),
+      |h AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    ('0x' || substr(md5(text || '#q11'), 1, 15))::BIGINT AS hk
+      |  FROM g4),
+      |r AS (
+      |  SELECT doc_id,
+      |    coalesce(CAST(sum(n_tok) OVER (PARTITION BY source
+      |      ORDER BY hk, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |      AS tb
+      |  FROM h)
+      |SELECT doc_id FROM r WHERE tb < 400""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -493,7 +607,8 @@ object Queries9 {
     "q130_duplicate_spans_fp" -> q130_duplicate_spans_fp,
     "q131_line_dedup_fp" -> q131_line_dedup_fp,
     "q132_antispam_rules" -> q132_antispam_rules,
-    "q133_boilerplate_fp" -> q133_boilerplate_fp
+    "q133_boilerplate_fp" -> q133_boilerplate_fp,
+    "q134_curation_chain" -> q134_curation_chain
   )
 
   val oracles: Map[String, String] = Map(
@@ -508,6 +623,7 @@ object Queries9 {
     "q130_duplicate_spans_fp" -> q130_sql,
     "q131_line_dedup_fp" -> q131_sql,
     "q132_antispam_rules" -> q132_sql,
-    "q133_boilerplate_fp" -> q133_sql
+    "q133_boilerplate_fp" -> q133_sql,
+    "q134_curation_chain" -> q134_sql
   )
 }
