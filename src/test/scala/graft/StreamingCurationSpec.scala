@@ -198,6 +198,34 @@ class StreamingCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming duplicate spans: out-of-order arrival follows the documented at-arrival contract") {
+    withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // doc 9 arrives FIRST and owns the gram; doc 1 (smaller id) arrives
+    // in a LATER batch: its occurrence is NOT stale (no earlier-id owner
+    // among arrivals... the owner is 9 > 1), it takes ownership for the
+    // future, and doc 9's already-emitted verdict is NOT revised —
+    // monotone admission. A third doc then sees owner 1 and is stale.
+    def ev(doc: Long, g: String) = Kernels.GramEvent(0, doc, g)
+    val input = MemoryStream[Kernels.GramEvent]
+    val q = Kernels.duplicateSpanPartials(input.toDS())
+      .writeStream.format("memory").queryName("span_ooo")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(9L, "shared gram"))
+      q.processAllAvailable()
+      input.addData(ev(1L, "shared gram"))
+      q.processAllAvailable()
+      input.addData(ev(5L, "shared gram"))
+      q.processAllAvailable()
+      val got = spark.table("span_ooo").as[Kernels.SpanPartial].collect()
+        .map(p => p.doc -> p.staleGrams).toMap
+      assert(got == Map(9L -> 0L, 1L -> 0L, 5L -> 1L), got.toString)
+    } finally q.stop()
+    }
+  }
+
   test("expression-level gates run stateless on a stream in append mode") {
     // quality scoring + split assignment are pure expressions — no
     // watermark, no state operator, append mode just works
