@@ -116,17 +116,28 @@ object PipelineCompiler {
       val keyField = outputConf.get("key_field")
       val batchSize = outputConf.get("batch_size").map(_.toInt).getOrElse(500)
       val sec = kafkaOutSecurity
+      // message_format: 2 (default, magic-2 record batches — what any
+      // 0.11+/4.x broker expects; enables zstd + headers) or 1 (legacy
+      // magic-1 sets for pre-0.11 brokers). headers_field names a doc
+      // field holding [{key, value}…] to send as record headers.
+      val msgFormat = outputConf.get("message_format").map(_.toInt).getOrElse(2)
+      val headersField = outputConf.get("headers_field")
       (batch: DataFrame, _: Long) => {
         val projected = batch.select(
-          (if (useTopicField) col("doc").getField(topicField).cast("string")
-           else lit(null).cast("string")).as("_t"),
-          keyField.map(f => col("doc").getField(f).cast("string"))
-            .getOrElse(lit(null).cast("string")).as("_k"),
-          to_json(col("doc")).as("_v"))
+          Seq(
+            (if (useTopicField) col("doc").getField(topicField).cast("string")
+             else lit(null).cast("string")).as("_t"),
+            keyField.map(f => col("doc").getField(f).cast("string"))
+              .getOrElse(lit(null).cast("string")).as("_k"),
+            to_json(col("doc")).as("_v")) ++
+          headersField.map(f => col("doc").getField(f)
+            .cast("array<struct<key:string,value:string>>").as("_h")): _*)
         graft.sinks.Sinks.kafkaWireSink(projected, brokers, defaultTopic,
           topicField = Some("_t"), keyField = Some("_k"), valueField = "_v",
           batchSize = batchSize, security = sec,
-          compression = outputConf.getOrElse("compression", "none"))
+          compression = outputConf.getOrElse("compression", "none"),
+          messageFormat = msgFormat,
+          headersField = headersField.map(_ => "_h"))
       }
     }
 
@@ -377,9 +388,14 @@ object PipelineCompiler {
       val module =
         if (mech == "PLAIN") "org.apache.kafka.common.security.plain.PlainLoginModule"
         else "org.apache.kafka.common.security.scram.ScramLoginModule"
+      // JAAS escaping: a credential containing \ or " must not break out
+      // of its quoted value (a crafted password could otherwise inject
+      // extra JAAS options into the config string)
+      def jaasQuote(s: String): String =
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       Map("kafka.sasl.mechanism" -> mech,
         "kafka.sasl.jaas.config" ->
-          s"""$module required username="$user" password="$pass";""")
+          s"""$module required username=${jaasQuote(user)} password=${jaasQuote(pass)};""")
     }
     val sslOpts = if (!sslOn) Map.empty[String, String] else {
       val ca = Option(n.get("ca_cert")).map(_.asText()).map { c =>
@@ -495,7 +511,20 @@ object PipelineCompiler {
           val r1 = Option(n.get("max_offsets_per_trigger"))
             .map(v => withSsl.option("maxoffsetspertrigger", v.asText()))
             .getOrElse(withSsl)
-          r1.load().select(col("value"), col("source_name"))
+          // message_format: 1|2 (2 default — magic-2 record batches);
+          // include_headers: true rides the record headers along as a
+          // `headers` meta column ([{key,value}…]), the reference's
+          // header meta surface (kafka.go:156, franz-go Record.Headers)
+          val r2 = Option(n.get("message_format"))
+            .map(v => r1.option("message_format", v.asText())).getOrElse(r1)
+          val includeHeaders =
+            Option(n.get("include_headers")).exists(_.asBoolean())
+          val r3 =
+            if (includeHeaders) r2.option("include_headers", "true") else r2
+          val loaded = r3.load()
+          if (includeHeaders)
+            loaded.select(col("value"), col("source_name"), col("headers"))
+          else loaded.select(col("value"), col("source_name"))
         }
       case "socket" =>
         Sources.socket(spark, n.get("host").asText(), n.get("port").asInt())

@@ -82,62 +82,81 @@ object Sinks {
                     batchSize: Int = 500,
                     security: graft.sources.KafkaSecurity =
                       graft.sources.KafkaSecurity.none,
-                    compression: String = "none"): Unit = {
+                    compression: String = "none",
+                    messageFormat: Int = 2,
+                    headersField: Option[String] = None): Unit = {
     import graft.sources.{KafkaWire, KafkaWireClient}
     // reference surface kafka.go:116: none|gzip|snappy|lz4|zstd —
-    // zstd is v2-record-batch-only (KIP-110) and this client speaks
-    // magic-1 sets, so it fails at CONFIG time with that reason
+    // zstd needs magic-2 record batches (KIP-110), so it is legal on
+    // the default message_format 2 and fails at CONFIG time on the
+    // legacy magic-1 mode with that reason
     val codec = compression match {
       case "none"   => KafkaWire.CodecNone
       case "gzip"   => KafkaWire.CodecGzip
       case "snappy" => KafkaWire.CodecSnappy
       case "lz4"    => KafkaWire.CodecLz4
+      case "zstd" if messageFormat == 2 => KafkaWire.CodecZstd
       case "zstd" => throw new IllegalArgumentException(
         "kafka compression `zstd` requires message-format v2 record " +
-          "batches (KIP-110) which the magic-1 wire client doesn't " +
-          "speak — use none|gzip|snappy|lz4")
+          "batches (KIP-110) — drop `message_format: 1` or use " +
+          "none|gzip|snappy|lz4")
       case other => throw new IllegalArgumentException(
-        s"unknown kafka compression `$other` — use none|gzip|snappy|lz4")
+        s"unknown kafka compression `$other` — use none|gzip|snappy|lz4|zstd")
     }
+    require(headersField.isEmpty || messageFormat == 2,
+      "kafka record headers require message-format v2 (KIP-82); " +
+        "magic-1 messages cannot carry them")
     val projected = df.select(
       topicField.map(f => coalesce(col(f).cast("string"), lit(defaultTopic)))
         .getOrElse(lit(defaultTopic)).as("_topic"),
       keyField.map(f => col(f).cast("string"))
         .getOrElse(lit(null).cast("string")).as("_key"),
-      col(valueField).cast("string").as("_value"))
+      col(valueField).cast("string").as("_value"),
+      headersField.map(f => col(f))
+        .getOrElse(lit(null)
+          .cast("array<struct<key:string,value:string>>")).as("_headers"))
     projected.foreachPartition { (rows: Iterator[Row]) =>
       val clients = scala.collection.mutable.Map.empty[(String, Int), KafkaWireClient]
-      val (boot0, (bh, bp)) = KafkaWire.connectBootstrap(brokers, security = security)
+      val (boot0, (bh, bp)) = KafkaWire.connectBootstrap(brokers,
+        security = security, messageFormat = messageFormat)
       clients((bh, bp)) = boot0
       def client(h: String, p: Int): KafkaWireClient =
         clients.getOrElseUpdate((h, p),
-          new KafkaWireClient(h, p, security = security))
+          new KafkaWireClient(h, p, security = security,
+            messageFormat = messageFormat))
       val meta = scala.collection.mutable.Map.empty[String, Seq[KafkaWire.PartitionMeta]]
       def partsOf(t: String): Seq[KafkaWire.PartitionMeta] =
         meta.getOrElseUpdate(t, client(bh, bp).metadata(Seq(t))(t))
       var rr = math.max(org.apache.spark.TaskContext.getPartitionId(), 0)
       val pending = scala.collection.mutable.Map
-        .empty[(String, Int), scala.collection.mutable.ArrayBuffer[(Array[Byte], Array[Byte])]]
+        .empty[(String, Int), scala.collection.mutable.ArrayBuffer[KafkaWire.RecordMsg]]
+      val now = System.currentTimeMillis()
       def flush(t: String, p: Int): Unit =
         pending.remove((t, p)).filter(_.nonEmpty).foreach { chunk =>
           val pm = partsOf(t).find(_.partition == p).get
           client(pm.leaderHost, pm.leaderPort)
-            .produce(t, p, chunk.toSeq, System.currentTimeMillis(),
-              codec = codec)
+            .produceRecords(t, p, chunk.toSeq, codec = codec)
         }
       try {
         rows.foreach { r =>
           val t = r.getString(0)
           val k = r.getString(1)
           val v = r.getString(2)
+          val hdrs: Seq[(String, Array[Byte])] =
+            if (r.isNullAt(3)) Nil
+            else r.getSeq[Row](3).map { h =>
+              (h.getString(0),
+                if (h.isNullAt(1)) null else h.getString(1).getBytes("UTF-8"))
+            }
           val n = partsOf(t).size
           val p =
             if (k == null) { rr += 1; (rr - 1) % n }
             else KafkaWire.partitionFor(k.getBytes("UTF-8"), n)
           val buf = pending.getOrElseUpdate((t, p),
             scala.collection.mutable.ArrayBuffer.empty)
-          buf += ((if (k == null) null else k.getBytes("UTF-8"),
-            if (v == null) null else v.getBytes("UTF-8")))
+          buf += KafkaWire.RecordMsg(0L, now,
+            if (k == null) null else k.getBytes("UTF-8"),
+            if (v == null) null else v.getBytes("UTF-8"), hdrs)
           if (buf.size >= batchSize) flush(t, p)
         }
         pending.keys.toSeq.foreach { case (t, p) => flush(t, p) }

@@ -12,9 +12,12 @@ import scala.jdk.CollectionConverters._
   * no broker and no connector jar, so the kafka source/sink speak the
   * REAL wire protocol (see [[KafkaWire]]) against this in-memory
   * emulation, end to end over TCP. Serves the pre-flexible subset the
-  * client uses: ApiVersions v0, Metadata v0-1, Produce v2, Fetch v2,
+  * client uses: ApiVersions v0, Metadata v0-1, Produce v2-3, Fetch v2-4,
   * ListOffsets v0-1, FindCoordinator v0, OffsetCommit v2, OffsetFetch
-  * v0-1.
+  * v0-1. Both message formats are spoken: Produce decodes magic-1 sets
+  * and magic-2 record batches alike (headers stored), Fetch v4 serves
+  * native magic-2 batches while Fetch v2 down-converts to magic-1
+  * (headers dropped) — the compatibility matrix of a real 0.11+ broker.
   *
   * Semantics kept honest to a real broker where the reference relies on
   * them (plugin/input/kafka/kafka.go:77-129): monotonically assigned
@@ -168,8 +171,8 @@ final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0,
           case ApiSaslHandshake  => saslHandshakeResp(bb, auth)
           case ApiSaslAuthenticate => saslAuthenticateResp(bb, auth)
           case ApiMetadata       => metadataResp(bb, version)
-          case ApiProduce        => produceResp(bb)
-          case ApiFetch          => fetchResp(bb)
+          case ApiProduce        => produceResp(bb, version)
+          case ApiFetch          => fetchResp(bb, version)
           case ApiListOffsets    => listOffsetsResp(bb)
           case ApiFindCoordinator => findCoordinatorResp(bb)
           case ApiOffsetCommit   => offsetCommitResp(bb)
@@ -281,7 +284,7 @@ final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0,
       // ListOffsets advertises v1 only: listOffsetsResp parses/emits the
       // v1 shapes unconditionally (v0's max_num_offsets + offsets-array
       // body would desync a client that legally picked v0)
-      (ApiProduce, 2, 2), (ApiFetch, 2, 2), (ApiListOffsets, 1, 1),
+      (ApiProduce, 2, 3), (ApiFetch, 2, 4), (ApiListOffsets, 1, 1),
       (ApiMetadata, 0, 1), (ApiOffsetCommit, 2, 2), (ApiOffsetFetch, 0, 1),
       (ApiFindCoordinator, 0, 0), (ApiApiVersions, 0, 0),
       (ApiSaslHandshake, 1, 1), (ApiSaslAuthenticate, 0, 0))
@@ -314,7 +317,11 @@ final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0,
     w.result
   }
 
-  private def produceResp(bb: ByteBuffer): Array[Byte] = {
+  /** Produce v2 (magic-1 sets) and v3 (magic-2 batches). The set is
+    * decoded magic-agnostically — headers survive storage, exactly like
+    * a real 0.11+ broker's native v2 log. */
+  private def produceResp(bb: ByteBuffer, version: Short): Array[Byte] = {
+    if (version >= 3) rNStr(bb) // transactional_id
     bb.getShort // acks
     bb.getInt // timeout_ms
     val w = new Writer()
@@ -331,12 +338,12 @@ final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0,
         if (p < 0 || p >= numPartitions)
           w.i32(p).i16(ErrUnknownTopicOrPartition).i64(-1L).i64(-1L)
         else {
-          val entries = decodeMessageSet(set)
+          val entries = decodeRecordSet(set)
           val l = log(topic, p)
           val base = l.synchronized {
             val b = l.end
             entries.zipWithIndex.foreach { case (e, i) =>
-              l.buf.add(RecordMsg(b + i, e.timestamp, e.key, e.value))
+              l.buf.add(RecordMsg(b + i, e.timestamp, e.key, e.value, e.headers))
             }
             l.trim()
             b
@@ -349,11 +356,17 @@ final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0,
     w.result
   }
 
-  private def fetchResp(bb: ByteBuffer): Array[Byte] = {
+  /** Fetch v2 (serves magic-1 sets — real-broker down-conversion,
+    * headers dropped) and v4 (serves native magic-2 batches, headers
+    * intact, plus the v4 last_stable_offset / aborted-transactions
+    * response fields). */
+  private def fetchResp(bb: ByteBuffer, version: Short): Array[Byte] = {
     fetches.incrementAndGet()
     bb.getInt // replica_id
     bb.getInt // max_wait_ms
     bb.getInt // min_bytes
+    if (version >= 3) bb.getInt // response-level max_bytes
+    if (version >= 4) bb.get() // isolation_level
     val w = new Writer().i32(0) // throttle_time_ms
     val nt = bb.getInt
     w.i32(nt)
@@ -380,18 +393,31 @@ final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0,
               val m = l.buf.get(i)
               val sz = 26 + 12 +
                 (if (m.key == null) 0 else m.key.length) +
-                (if (m.value == null) 0 else m.value.length)
+                (if (m.value == null) 0 else m.value.length) +
+                m.headers.map { case (hk, hv) =>
+                  hk.length + (if (hv == null) 0 else hv.length) + 4
+                }.sum
               if (bytes > 0 && bytes + sz > maxBytes) stop = true
               else { picked += m; bytes += sz; i += 1 }
             }
             (end, picked.result())
           }
         }
-        if (slice == null)
-          w.i32(p).i16(ErrOffsetOutOfRange).i64(hw).i32(0)
-        else {
-          val set = encodeMessageSet(slice)
-          w.i32(p).i16(0).i64(hw).i32(set.length).raw(set)
+        def partHeader(err: Short): Unit = {
+          w.i32(p).i16(err).i64(hw)
+          if (version >= 4) w.i64(hw).i32(0) // last_stable_offset, no aborted txns
+        }
+        if (slice == null) {
+          partHeader(ErrOffsetOutOfRange)
+          w.i32(0)
+        } else {
+          val set =
+            if (slice.isEmpty) Array.emptyByteArray
+            else if (version >= 4)
+              encodeRecordBatch(slice, CodecNone, slice.head.offset)
+            else encodeMessageSet(slice)
+          partHeader(0)
+          w.i32(set.length).raw(set)
         }
       }
     }

@@ -4,7 +4,7 @@ import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream
 import java.net.Socket
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.zip.CRC32
+import java.util.zip.{CRC32, CRC32C}
 
 /** The Kafka wire protocol, spoken natively — the client half of the
   * reference's kafka input/output (plugin/input/kafka/kafka.go:77-129:
@@ -16,11 +16,16 @@ import java.util.zip.CRC32
   * interoperable with any real broker at the same API versions.
   *
   * Deliberately pre-flexible protocol versions (fixed-width lengths, no
-  * compact strings or tagged fields) with magic-1 message sets
-  * (CRC32-guarded): ApiVersions v0, Metadata v1, Produce v2, Fetch v2,
-  * ListOffsets v1, FindCoordinator v0, OffsetCommit v2, OffsetFetch v1 —
-  * a subset every broker since 0.10 serves. One TCP connection per
-  * client, correlation-id matched request/response.
+  * compact strings or tagged fields): ApiVersions v0, Metadata v1,
+  * FindCoordinator v0, OffsetCommit v2, OffsetFetch v1, ListOffsets v1 —
+  * a subset every broker since 0.10 serves. The DATA path speaks both
+  * message formats: magic-1 message sets (CRC32-guarded) over Produce
+  * v2 / Fetch v2 for legacy brokers, and magic-2 record batches
+  * (CRC32C, varint-delta records, headers, zstd — KIP-98/KIP-110) over
+  * Produce v3 / Fetch v4, the format every broker since 0.11 stores
+  * natively and the ONLY one 4.x brokers accept for produce (KIP-724
+  * removed the v0/v1 write path). One TCP connection per client,
+  * correlation-id matched request/response.
   */
 object KafkaWire {
 
@@ -42,9 +47,13 @@ object KafkaWire {
   val ErrIllegalSaslState: Short = 34
   val ErrSaslAuthenticationFailed: Short = 58
 
-  /** One message as stored/fetched: absolute offset + CreateTime. */
+  /** One record as stored/fetched: absolute offset + CreateTime.
+    * `headers` is the magic-2 record-header list (KIP-82: ordered,
+    * duplicate keys legal); magic-1 encoding drops it — the same loss a
+    * real broker's down-conversion incurs. */
   final case class RecordMsg(offset: Long, timestamp: Long,
-                             key: Array[Byte], value: Array[Byte])
+                             key: Array[Byte], value: Array[Byte],
+                             headers: Seq[(String, Array[Byte])] = Nil)
 
   /** Partition → leader address, from a Metadata response. */
   final case class PartitionMeta(partition: Int, leaderHost: String, leaderPort: Int)
@@ -66,7 +75,34 @@ object KafkaWire {
     def bytes(b: Array[Byte]): Writer =
       if (b == null) i32(-1) else { o.writeInt(b.length); o.write(b); this }
     def raw(b: Array[Byte]): Writer = { o.write(b); this }
+    /** Zigzag varint (protobuf sint32 encoding) — the integer encoding
+      * of every field inside a magic-2 record (KIP-98). */
+    def varint(v: Int): Writer = varlong(v.toLong)
+    def varlong(v: Long): Writer = {
+      var z = (v << 1) ^ (v >> 63) // zigzag
+      while ((z & ~0x7fL) != 0) { o.writeByte(((z & 0x7f) | 0x80).toInt); z >>>= 7 }
+      o.writeByte(z.toInt)
+      this
+    }
+    def size: Int = bos.size()
     def result: Array[Byte] = { o.flush(); bos.toByteArray }
+  }
+
+  def rVarlong(b: ByteBuffer): Long = {
+    var z = 0L; var shift = 0; var cur = 0L
+    do {
+      require(shift <= 63, "varlong longer than 10 bytes")
+      cur = b.get().toLong
+      z |= (cur & 0x7f) << shift
+      shift += 7
+    } while ((cur & 0x80) != 0)
+    (z >>> 1) ^ -(z & 1) // un-zigzag
+  }
+
+  def rVarint(b: ByteBuffer): Int = {
+    val v = rVarlong(b)
+    require(v >= Int.MinValue && v <= Int.MaxValue, s"varint out of range: $v")
+    v.toInt
   }
 
   def rStr(b: ByteBuffer): String = {
@@ -91,19 +127,20 @@ object KafkaWire {
   val CodecLz4: Int = 3
   val CodecZstd: Int = 4
 
-  /** The compressed-stream framing each codec uses inside a magic-1
-    * wrapper message, matching the Java client: gzip = RFC 1952,
-    * snappy = xerial block-stream (snappy-java's SnappyOutputStream),
-    * lz4 = LZ4 frame (magic-1 uses the spec-correct frame checksum).
-    * zstd is NOT valid here: real brokers accept zstd only with
-    * message-format v2 record batches (KIP-110), which this magic-1
-    * client doesn't speak — rejected with that exact reason. */
+  /** The compressed-stream framing each codec uses on the wire,
+    * matching the Java client: gzip = RFC 1952, snappy = xerial
+    * block-stream (snappy-java's SnappyOutputStream), lz4 = LZ4 frame,
+    * zstd = zstd frame (zstd-jni, which Spark already ships). zstd is
+    * only reachable from the magic-2 record-batch path: inside a
+    * magic-1 wrapper it is rejected upstream (KIP-110 made zstd legal
+    * exclusively for message-format v2). */
   private def compress(codec: Int, data: Array[Byte]): Array[Byte] = {
     val bos = new ByteArrayOutputStream(data.length / 2 + 64)
     val out = codec match {
       case CodecGzip   => new java.util.zip.GZIPOutputStream(bos)
       case CodecSnappy => new org.xerial.snappy.SnappyOutputStream(bos)
       case CodecLz4    => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      case CodecZstd   => new com.github.luben.zstd.ZstdOutputStream(bos)
       case _ => throw new IllegalArgumentException(s"unsupported codec $codec")
     }
     out.write(data); out.close()
@@ -116,6 +153,7 @@ object KafkaWire {
       case CodecGzip   => new java.util.zip.GZIPInputStream(bis)
       case CodecSnappy => new org.xerial.snappy.SnappyInputStream(bis)
       case CodecLz4    => new net.jpountz.lz4.LZ4FrameInputStream(bis)
+      case CodecZstd   => new com.github.luben.zstd.ZstdInputStream(bis)
       case _ => throw new IllegalArgumentException(s"unsupported codec $codec")
     }
     try in.readAllBytes() finally in.close()
@@ -162,13 +200,14 @@ object KafkaWire {
 
   /** Decode a magic-1 message set, CRC-verifying each message. A
     * truncated trailing message (the broker cut the set at max_bytes,
-    * legal in the protocol) is dropped, not an error. Gzip wrapper
-    * messages (attributes codec = 1) are unwrapped recursively with the
-    * standard base-offset translation `base = wrapperOffset - lastInner`
-    * — which handles BOTH relative inner offsets (modern producers) and
-    * absolute ones (legacy producers, where base folds to 0). Snappy/
-    * lz4/zstd sets fail by name: those codecs need libraries this
-    * build doesn't ship, and silently skipping data would be worse. */
+    * legal in the protocol) is dropped, not an error. Compressed
+    * wrapper messages (attributes codec = gzip/snappy/lz4) are
+    * unwrapped recursively with the standard base-offset translation
+    * `base = wrapperOffset - lastInner` — which handles BOTH relative
+    * inner offsets (modern producers) and absolute ones (legacy
+    * producers, where base folds to 0). A zstd wrapper fails by name:
+    * KIP-110 made zstd legal only for magic-2 record batches, so a
+    * magic-1 zstd set is a protocol violation, not a missing codec. */
   def decodeMessageSet(data: Array[Byte]): Seq[RecordMsg] = {
     val out = Vector.newBuilder[RecordMsg]
     val bb = ByteBuffer.wrap(data)
@@ -204,6 +243,148 @@ object KafkaWire {
                 (if (other == CodecZstd) "zstd — v2-record-batch only, KIP-110"
                  else "unknown") + ") — this client decodes none/gzip/snappy/lz4")
         }
+      }
+    }
+    out.result()
+  }
+
+  // ------------------------------------- magic-2 record batches (KIP-98)
+
+  /** Header bytes of a v2 batch after the `batchLength` field:
+    * partitionLeaderEpoch(4) magic(1) crc(4) attributes(2)
+    * lastOffsetDelta(4) baseTimestamp(8) maxTimestamp(8) producerId(8)
+    * producerEpoch(2) baseSequence(4) recordCount(4). */
+  private val V2HeaderAfterLength = 49
+  /** Offset of the attributes field (= first CRC-covered byte) within a
+    * batch unit that starts at baseOffset. */
+  private val V2CrcStart = 21
+
+  private def crc32c(data: Array[Byte], off: Int, len: Int): Long = {
+    val c = new CRC32C(); c.update(data, off, len); c.getValue
+  }
+
+  /** Encode one magic-2 record batch (the format every broker since
+    * 0.11 stores natively): varint-delta records carrying headers,
+    * CRC32C over attributes..end, compression (any of gzip/snappy/lz4/
+    * zstd — KIP-110 allows zstd here and only here) covering the
+    * records block only, batch header always plain. Idempotent/
+    * transactional fields are the non-participating sentinels
+    * (producerId -1, epoch -1, sequence -1) — the reference's client
+    * likewise produces non-transactionally (kafka.go:53-121). */
+  def encodeRecordBatch(entries: Seq[RecordMsg], codec: Int = CodecNone,
+                        baseOffset: Long = 0L): Array[Byte] = {
+    require(entries.nonEmpty, "cannot encode an empty record batch")
+    require(codec >= CodecNone && codec <= CodecZstd,
+      s"unsupported compression codec $codec")
+    val baseTs = entries.map(_.timestamp).min
+    val maxTs = entries.map(_.timestamp).max
+    val recs = new Writer
+    entries.foreach { e =>
+      val body = new Writer()
+        .i8(0) // record attributes: unused in the protocol
+        .varlong(e.timestamp - baseTs)
+        .varint((e.offset - baseOffset).toInt)
+      def vbytes(b: Array[Byte]): Unit =
+        if (b == null) body.varint(-1) else { body.varint(b.length); body.raw(b) }
+      vbytes(e.key); vbytes(e.value)
+      body.varint(e.headers.size)
+      e.headers.foreach { case (k, v) =>
+        val kb = k.getBytes(UTF_8)
+        body.varint(kb.length); body.raw(kb)
+        vbytes(v)
+      }
+      val bb = body.result
+      recs.varint(bb.length).raw(bb)
+    }
+    val recordsBlock =
+      if (codec == CodecNone) recs.result else compress(codec, recs.result)
+    val afterCrc = new Writer()
+      .i16(codec) // attributes: bits 0-2 codec, CreateTime, non-txn
+      .i32((entries.last.offset - baseOffset).toInt) // lastOffsetDelta
+      .i64(baseTs).i64(maxTs)
+      .i64(-1L).i16(-1).i32(-1) // producerId / epoch / baseSequence
+      .i32(entries.size)
+      .raw(recordsBlock).result
+    val crc = crc32c(afterCrc, 0, afterCrc.length)
+    new Writer()
+      .i64(baseOffset)
+      .i32(V2HeaderAfterLength + recordsBlock.length) // batchLength
+      .i32(-1) // partitionLeaderEpoch
+      .i8(2) // magic
+      .i32(crc.toInt)
+      .raw(afterCrc).result
+  }
+
+  /** Decode ONE complete magic-2 batch unit (baseOffset..end),
+    * CRC32C-verifying, decompressing the records block, and
+    * reconstructing absolute offsets/timestamps from the varint deltas.
+    * Control batches (attributes bit 5 — transaction markers) decode to
+    * no records, exactly like a consumer skipping them. */
+  def decodeRecordBatch(unit: Array[Byte]): Seq[RecordMsg] = {
+    val bb = ByteBuffer.wrap(unit)
+    val baseOffset = bb.getLong
+    val batchLength = bb.getInt
+    require(unit.length >= 12 + batchLength, "truncated record batch")
+    bb.getInt // partitionLeaderEpoch
+    val magic = bb.get()
+    require(magic == 2, s"decodeRecordBatch on magic $magic")
+    val wireCrc = bb.getInt.toLong & 0xffffffffL
+    val computed = crc32c(unit, V2CrcStart, 12 + batchLength - V2CrcStart)
+    require(computed == wireCrc,
+      s"record batch CRC32C mismatch at base $baseOffset: $computed != $wireCrc")
+    val attrs = bb.getShort
+    bb.getInt // lastOffsetDelta
+    val baseTs = bb.getLong
+    bb.getLong // maxTimestamp
+    bb.getLong; bb.getShort; bb.getInt // producerId / epoch / baseSequence
+    val count = bb.getInt
+    if ((attrs & 0x20) != 0) return Nil // control batch
+    val blob = new Array[Byte](12 + batchLength - bb.position())
+    bb.get(blob)
+    val rb = ByteBuffer.wrap(
+      if ((attrs & 0x07) == CodecNone) blob else decompress(attrs & 0x07, blob))
+    (0 until count).map { _ =>
+      val len = rVarint(rb)
+      val end = rb.position() + len
+      rb.get() // record attributes
+      val tsDelta = rVarlong(rb)
+      val offDelta = rVarint(rb)
+      def vbytes(): Array[Byte] = {
+        val n = rVarint(rb)
+        if (n < 0) null else { val a = new Array[Byte](n); rb.get(a); a }
+      }
+      val key = vbytes()
+      val value = vbytes()
+      val headers = (0 until rVarint(rb)).map { _ =>
+        val kn = rVarint(rb)
+        require(kn >= 0, "record header key must be non-null")
+        val kb = new Array[Byte](kn); rb.get(kb)
+        (new String(kb, UTF_8), vbytes())
+      }
+      require(rb.position() == end,
+        s"record length $len does not match decoded fields")
+      RecordMsg(baseOffset + offDelta, baseTs + tsDelta, key, value, headers)
+    }
+  }
+
+  /** Decode a fetched record set of EITHER format — both magic-1
+    * message sets and magic-2 batches put a length at byte 8 and the
+    * magic at byte 16 of each unit, so a response is walked unit by
+    * unit and dispatched per magic (a real log can interleave formats
+    * across segments after a cluster upgrade). A truncated trailing
+    * unit (max_bytes cut) is dropped, not an error. */
+  def decodeRecordSet(data: Array[Byte]): Seq[RecordMsg] = {
+    val out = Vector.newBuilder[RecordMsg]
+    var pos = 0
+    var done = false
+    while (!done && data.length - pos >= 17) {
+      val len = ByteBuffer.wrap(data, pos + 8, 4).getInt
+      if (data.length - pos < 12 + len) done = true
+      else {
+        val unit = java.util.Arrays.copyOfRange(data, pos, pos + 12 + len)
+        out ++= (if (data(pos + 16) == 2) decodeRecordBatch(unit)
+                 else decodeMessageSet(unit))
+        pos += 12 + len
       }
     }
     out.result()
@@ -263,16 +444,22 @@ object KafkaWire {
     * client plus the address it actually connected to (coordination
     * code compares against it). Auth errors are NOT failed over: a
     * rejected credential on a live broker is a configuration error,
-    * and retrying it against every seed would just trip lockouts. */
+    * and retrying it against every seed would just trip lockouts.
+    * TLS handshake failures likewise rethrow rather than fail over:
+    * every seed presents the same server certificate chain in practice,
+    * so a bad CA must surface as a certificate error, not be misreported
+    * as "no bootstrap broker reachable". */
   def connectBootstrap(brokers: String, clientId: String = "graft",
-                       security: KafkaSecurity = KafkaSecurity.none): (KafkaWireClient, (String, Int)) = {
+                       security: KafkaSecurity = KafkaSecurity.none,
+                       messageFormat: Int = 2): (KafkaWireClient, (String, Int)) = {
     val addrs = parseBrokers(brokers)
     require(addrs.nonEmpty, s"no broker addresses in: $brokers")
     var lastErr: Throwable = null
     addrs.foreach { case (h, p) =>
-      try return (new KafkaWireClient(h, p, clientId, security), (h, p))
+      try return (new KafkaWireClient(h, p, clientId, security, messageFormat), (h, p))
       catch {
         case e: SecurityException => throw e
+        case e: javax.net.ssl.SSLException => throw e
         case e: Exception => lastErr = e
       }
     }
@@ -291,11 +478,23 @@ object KafkaWire {
   * SASL_SSL, picked by which parts are set) and an optional SASL
   * handshake (PLAIN / SCRAM-SHA-256 / SCRAM-SHA-512) that authenticates
   * the connection BEFORE any data API is issued, via the protocol's
-  * SaslHandshake v1 + SaslAuthenticate v0 framing. */
+  * SaslHandshake v1 + SaslAuthenticate v0 framing.
+  *
+  * `messageFormat` picks the data-path dialect: 2 (default) produces
+  * magic-2 record batches over Produce v3 and fetches with Fetch v4 —
+  * what a current (0.11+, and exclusively 4.x per KIP-724) broker
+  * expects — while 1 keeps the legacy magic-1 message sets over
+  * Produce v2 / Fetch v2 for pre-0.11 brokers. Decoding is
+  * format-agnostic either way ([[KafkaWire.decodeRecordSet]] dispatches
+  * on the magic byte), so a mixed-format log reads correctly. */
 final class KafkaWireClient(host: String, port: Int, clientId: String = "graft",
-                            security: KafkaSecurity = KafkaSecurity.none)
+                            security: KafkaSecurity = KafkaSecurity.none,
+                            messageFormat: Int = 2)
     extends AutoCloseable {
   import KafkaWire._
+
+  require(messageFormat == 1 || messageFormat == 2,
+    s"messageFormat must be 1 (magic-1 sets) or 2 (record batches), got $messageFormat")
 
   private val sock = security.ssl match {
     case Some(ssl) => KafkaTls.clientSocket(host, port, ssl)
@@ -366,21 +565,42 @@ final class KafkaWireClient(host: String, port: Int, clientId: String = "graft",
     }.toMap
   }
 
-  /** Produce v2, one partition per call → base offset assigned.
+  /** Produce (v3 with magic-2 batches, v2 with magic-1 sets), one
+    * partition per call → base offset assigned.
     * acks=0 is rejected: the protocol sends NO response for acks=0, so
     * the blocking call() below would hang forever against a real broker
     * (and fire-and-forget defeats the ack-then-commit contract anyway —
     * the reference's `acks: no` maps to a different client mode). */
   def produce(topic: String, partition: Int,
               records: Seq[(Array[Byte], Array[Byte])], timestamp: Long,
-              acks: Short = 1, codec: Int = CodecNone): Long = {
+              acks: Short = 1, codec: Int = CodecNone): Long =
+    produceRecords(topic, partition,
+      records.map { case (k, v) => RecordMsg(0L, timestamp, k, v) }, acks, codec)
+
+  /** Produce full records (headers included). Headers require
+    * messageFormat 2 — magic-1 messages have no header field (KIP-82),
+    * and silently dropping them would betray the at-least-once story. */
+  def produceRecords(topic: String, partition: Int, records: Seq[RecordMsg],
+                     acks: Short = 1, codec: Int = CodecNone): Long = {
     require(acks != 0,
       "produce: acks=0 unsupported — no response frame to wait for")
-    val set = encodeMessageSet(
-      records.map { case (k, v) => RecordMsg(0L, timestamp, k, v) }, codec)
-    val w = new Writer().i16(acks).i32(30000)
-      .i32(1).str(topic).i32(1).i32(partition).i32(set.length).raw(set)
-    val bb = call(ApiProduce, 2, w)
+    // deltas inside the produced set are 0..n-1; the broker assigns the base
+    val seq = records.zipWithIndex.map { case (r, i) => r.copy(offset = i.toLong) }
+    val w = new Writer()
+    if (messageFormat == 2) {
+      val set = encodeRecordBatch(seq, codec)
+      w.nstr(null) // transactional_id (Produce v3+)
+        .i16(acks).i32(30000)
+        .i32(1).str(topic).i32(1).i32(partition).i32(set.length).raw(set)
+    } else {
+      require(seq.forall(_.headers.isEmpty),
+        "record headers require message-format v2 (KIP-82); " +
+          "magic-1 messages cannot carry them")
+      val set = encodeMessageSet(seq, codec)
+      w.i16(acks).i32(30000)
+        .i32(1).str(topic).i32(1).i32(partition).i32(set.length).raw(set)
+    }
+    val bb = call(ApiProduce, if (messageFormat == 2) 3 else 2, w)
     require(bb.getInt == 1, "produce: unexpected topic count")
     rStr(bb)
     require(bb.getInt == 1, "produce: unexpected partition count")
@@ -393,13 +613,18 @@ final class KafkaWireClient(host: String, port: Int, clientId: String = "graft",
     base
   }
 
-  /** Fetch v2 from `offset` → (high watermark, CRC-verified records at
-    * offset or later). Empty when caught up. */
+  /** Fetch from `offset` → (high watermark, CRC-verified records at
+    * offset or later). Empty when caught up. Fetch v4 (messageFormat 2)
+    * asks the broker for native magic-2 batches; Fetch v2 triggers a
+    * real broker's down-conversion. Either way the response is decoded
+    * magic-agnostically. */
   def fetch(topic: String, partition: Int, offset: Long,
             maxBytes: Int = 1 << 20, maxWaitMs: Int = 100): (Long, Seq[RecordMsg]) = {
     val w = new Writer().i32(-1).i32(maxWaitMs).i32(1)
-      .i32(1).str(topic).i32(1).i32(partition).i64(offset).i32(maxBytes)
-    val bb = call(ApiFetch, 2, w)
+    if (messageFormat == 2)
+      w.i32(maxBytes).i8(0) // response-level max_bytes, READ_UNCOMMITTED
+    w.i32(1).str(topic).i32(1).i32(partition).i64(offset).i32(maxBytes)
+    val bb = call(ApiFetch, if (messageFormat == 2) 4 else 2, w)
     bb.getInt // throttle_time_ms
     require(bb.getInt == 1, "fetch: unexpected topic count")
     rStr(bb)
@@ -407,11 +632,16 @@ final class KafkaWireClient(host: String, port: Int, clientId: String = "graft",
     bb.getInt // partition index
     val err = bb.getShort
     val hw = bb.getLong
+    if (messageFormat == 2) {
+      bb.getLong // last_stable_offset
+      val aborted = bb.getInt // nullable array of aborted transactions
+      (0 until math.max(aborted, 0)).foreach { _ => bb.getLong; bb.getLong }
+    }
     val set = rBytes(bb)
     require(err == 0, s"fetch error $err on $topic/$partition@$offset")
     val recs = if (set == null) Nil
-      // magic-1 sets may start before the requested offset; trim client-side
-      else decodeMessageSet(set).filter(_.offset >= offset)
+      // sets/batches may start before the requested offset; trim client-side
+      else decodeRecordSet(set).filter(_.offset >= offset)
     (hw, recs)
   }
 

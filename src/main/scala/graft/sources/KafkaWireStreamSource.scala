@@ -53,7 +53,7 @@ import scala.jdk.CollectionConverters._
 class KafkaWireStreamProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-kafka"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    KafkaWireStream.schema
+    KafkaWireStream.schemaWith(options.getBoolean("include_headers", false))
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val topics = Option(properties.get("topics"))
@@ -69,7 +69,9 @@ class KafkaWireStreamProvider extends TableProvider with DataSourceRegister {
       Option(properties.get("offset")).getOrElse("oldest"),
       Option(properties.get("maxbytesperfetch")).map(_.toInt).getOrElse(1 << 20),
       Option(properties.get("maxoffsetspertrigger")).map(_.toLong).getOrElse(0L),
-      KafkaSecurity.fromOptions(k => Option(properties.get(k))))
+      KafkaSecurity.fromOptions(k => Option(properties.get(k))),
+      Option(properties.get("message_format")).map(_.toInt).getOrElse(2),
+      Option(properties.get("include_headers")).exists(_.toBoolean))
   }
 }
 
@@ -79,6 +81,18 @@ object KafkaWireStream {
     StructField("topic", StringType), StructField("partition", IntegerType),
     StructField("offset", LongType), StructField("key", StringType),
     StructField("ts_ms", LongType)))
+
+  /** Record-header column shape (official connector's includeHeaders:
+    * ordered list, duplicate keys legal — a map would silently merge
+    * them). Values decode as UTF-8 strings, matching the string-typed
+    * envelope the rest of the pipeline speaks. */
+  val headersType: DataType = ArrayType(StructType(Seq(
+    StructField("key", StringType), StructField("value", StringType))))
+
+  def schemaWith(includeHeaders: Boolean): StructType =
+    if (includeHeaders)
+      StructType(schema.fields :+ StructField("headers", headersType))
+    else schema
 
   private val mapper = new ObjectMapper()
 
@@ -95,13 +109,23 @@ object KafkaWireStream {
   /** Reads the nested (topic, partition) format; a flat `{"0": 5}` object
     * (the single-topic layout checkpoints wrote before multi-topic) is
     * upgraded in place by keying it to `legacyTopic` — an old checkpoint
-    * resumes seamlessly on the new offset model. */
-  def deserialize(json: String, legacyTopic: String): Map[(String, Int), Long] = {
+    * resumes seamlessly on the new offset model. The upgrade is only
+    * well-defined for a single-topic subscription: with several topics
+    * there is no way to know which one the flat offsets belonged to, so
+    * guessing (e.g. the first listed) could silently attribute them to
+    * the wrong topic — that case fails loudly instead. */
+  def deserialize(json: String, legacyTopic: String,
+                  subscribedTopics: Int = 1): Map[(String, Int), Long] = {
     val node = mapper.readTree(json)
     val entries = node.properties().asScala.toSeq
-    if (entries.forall(_.getValue.isNumber))
+    if (entries.forall(_.getValue.isNumber)) {
+      require(subscribedTopics <= 1,
+        "graft-kafka: checkpoint uses the legacy single-topic offset " +
+          "layout but the query subscribes to multiple topics — the " +
+          "offsets cannot be attributed safely. Restart from a fresh " +
+          "checkpoint, or run single-topic once to upgrade it first.")
       entries.map(e => (legacyTopic, e.getKey.toInt) -> e.getValue.asLong()).toMap
-    else
+    } else
       entries.flatMap { e =>
         e.getValue.properties().asScala.map(pe =>
           (e.getKey, pe.getKey.toInt) -> pe.getValue.asLong())
@@ -112,25 +136,32 @@ object KafkaWireStream {
 class KafkaWireTable(brokers: String, topics: Seq[String], group: String,
                      offsetReset: String, maxBytesPerFetch: Int,
                      maxOffsetsPerTrigger: Long = 0L,
-                     security: KafkaSecurity = KafkaSecurity.none)
+                     security: KafkaSecurity = KafkaSecurity.none,
+                     messageFormat: Int = 2,
+                     includeHeaders: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft-kafka:${topics.mkString(",")}@$brokers"
-  override def schema(): StructType = KafkaWireStream.schema
+  override def schema(): StructType = KafkaWireStream.schemaWith(includeHeaders)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new KafkaWireScan(brokers, topics, group, offsetReset,
-      maxBytesPerFetch, maxOffsetsPerTrigger, security)
+      maxBytesPerFetch, maxOffsetsPerTrigger, security, messageFormat,
+      includeHeaders)
 }
 
 class KafkaWireScan(brokers: String, topics: Seq[String], group: String,
                     offsetReset: String, maxBytesPerFetch: Int,
                     maxOffsetsPerTrigger: Long = 0L,
-                    security: KafkaSecurity = KafkaSecurity.none) extends Scan {
-  override def readSchema(): StructType = KafkaWireStream.schema
+                    security: KafkaSecurity = KafkaSecurity.none,
+                    messageFormat: Int = 2,
+                    includeHeaders: Boolean = false) extends Scan {
+  override def readSchema(): StructType =
+    KafkaWireStream.schemaWith(includeHeaders)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KafkaWireMicroBatchStream(brokers, topics, group, offsetReset,
-      maxBytesPerFetch, maxOffsetsPerTrigger, security)
+      maxBytesPerFetch, maxOffsetsPerTrigger, security, messageFormat,
+      includeHeaders)
 }
 
 /** next-to-read offset per (topic, partition) — the consumer-group
@@ -143,7 +174,9 @@ class KafkaWireMicroBatchStream(brokers: String, topics: Seq[String],
                                 group: String,
                                 offsetReset: String, maxBytesPerFetch: Int,
                                 maxOffsetsPerTrigger: Long = 0L,
-                                security: KafkaSecurity = KafkaSecurity.none)
+                                security: KafkaSecurity = KafkaSecurity.none,
+                                messageFormat: Int = 2,
+                                includeHeaders: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow
     with ReportsSourceMetrics with Logging {
 
@@ -195,7 +228,8 @@ class KafkaWireMicroBatchStream(brokers: String, topics: Seq[String],
   }
 
   private def withClient[A](f: KafkaWireClient => A): A = {
-    val (c, _) = KafkaWire.connectBootstrap(brokers, security = security)
+    val (c, _) = KafkaWire.connectBootstrap(brokers, security = security,
+      messageFormat = messageFormat)
     try f(c) finally c.close()
   }
 
@@ -306,7 +340,7 @@ class KafkaWireMicroBatchStream(brokers: String, topics: Seq[String],
   }
 
   override def deserializeOffset(json: String): Offset =
-    KafkaWireOffset(KafkaWireStream.deserialize(json, topics.head))
+    KafkaWireOffset(KafkaWireStream.deserialize(json, topics.head, topics.size))
 
   /** Epoch commit — Spark calls this after the sink has committed the
     * micro-batch, so advancing the broker-side group offsets here IS the
@@ -340,7 +374,7 @@ class KafkaWireMicroBatchStream(brokers: String, topics: Seq[String],
         val (lh, lp) = leaders(tp)
         if (endOff > startOff)
           Some(KafkaWirePartition(t, p, startOff, endOff, lh, lp,
-            maxBytesPerFetch, security))
+            maxBytesPerFetch, security, messageFormat, includeHeaders))
         else None
       }.toArray
   }
@@ -356,7 +390,9 @@ case class KafkaWirePartition(topic: String, partition: Int,
                               startOff: Long, endOff: Long,
                               leaderHost: String, leaderPort: Int,
                               maxBytesPerFetch: Int,
-                              security: KafkaSecurity = KafkaSecurity.none)
+                              security: KafkaSecurity = KafkaSecurity.none,
+                              messageFormat: Int = 2,
+                              includeHeaders: Boolean = false)
     extends InputPartition
 
 /** Streams `[startOff, endOff)` of one partition — the same lazy chunked
@@ -368,7 +404,7 @@ class KafkaWireReader(p: KafkaWirePartition)
     extends PartitionReader[InternalRow] {
 
   private val c = new KafkaWireClient(p.leaderHost, p.leaderPort,
-    security = p.security)
+    security = p.security, messageFormat = p.messageFormat)
   private val fetchBytesCap = 1 << 27
   private var fetchBytes = p.maxBytesPerFetch
   private var off = p.startOff
@@ -398,11 +434,19 @@ class KafkaWireReader(p: KafkaWirePartition)
     fill()
     if (!pending.hasNext) return false
     val r = pending.next()
-    current = InternalRow(
+    val base = Seq[Any](
       if (r.value == null) null else UTF8String.fromBytes(r.value),
       srcUtf8, topicUtf8, p.partition, r.offset,
       if (r.key == null) null else UTF8String.fromBytes(r.key),
       r.timestamp)
+    current = InternalRow.fromSeq(
+      if (p.includeHeaders)
+        base :+ new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          r.headers.map { case (hk, hv) =>
+            InternalRow(UTF8String.fromString(hk),
+              if (hv == null) null else UTF8String.fromBytes(hv))
+          })
+      else base)
     true
   }
 

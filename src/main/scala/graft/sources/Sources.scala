@@ -53,10 +53,13 @@ object Sources {
   def kafkaWireBatch(spark: SparkSession, brokers: String, topic: String,
                      group: String, offsetReset: String = "oldest",
                      maxBytesPerFetch: Int = 1 << 20,
-                     security: KafkaSecurity = KafkaSecurity.none): KafkaBatch = {
+                     security: KafkaSecurity = KafkaSecurity.none,
+                     messageFormat: Int = 2,
+                     includeHeaders: Boolean = false): KafkaBatch = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val (admin, _) = KafkaWire.connectBootstrap(brokers, security = security)
+    val (admin, _) = KafkaWire.connectBootstrap(brokers, security = security,
+      messageFormat = messageFormat)
     val ranges = try {
       val parts = admin.metadata(Seq(topic))(topic)
       val committed = admin.offsetFetch(group, topic, parts.map(_.partition))
@@ -70,11 +73,16 @@ object Sources {
         (pm, start, end)
       }
     } finally admin.close()
+    // headers ride along only when asked for (the official connector's
+    // includeHeaders switch) so the default envelope — and every oracle
+    // built on it — keeps its schema
     val schema = StructType(Seq(
       StructField("value", StringType), StructField("source_name", StringType),
       StructField("topic", StringType), StructField("partition", IntegerType),
       StructField("offset", LongType), StructField("key", StringType),
-      StructField("ts_ms", LongType)))
+      StructField("ts_ms", LongType)) ++
+      (if (includeHeaders) Seq(StructField("headers", KafkaWireStream.headersType))
+       else Nil))
     val rdd = spark.sparkContext
       .parallelize(ranges, math.max(ranges.size, 1))
       .flatMap { case (pm, start, end) =>
@@ -88,7 +96,8 @@ object Sources {
         if (end <= start) Iterator.empty
         else new Iterator[Row] {
           private val c =
-            new KafkaWireClient(pm.leaderHost, pm.leaderPort, security = security)
+            new KafkaWireClient(pm.leaderHost, pm.leaderPort,
+              security = security, messageFormat = messageFormat)
           private var closed = false
           private def closeOnce(): Unit =
             if (!closed) { closed = true; c.close() }
@@ -129,11 +138,17 @@ object Sources {
           override def next(): Row = {
             fill()
             val r = pending.next()
-            Row(
+            val base = Seq(
               if (r.value == null) null else new String(r.value, "UTF-8"),
               s"$topic/${pm.partition}", topic, pm.partition, r.offset,
               if (r.key == null) null else new String(r.key, "UTF-8"),
               r.timestamp)
+            Row.fromSeq(
+              if (includeHeaders)
+                base :+ r.headers.map { case (hk, hv) =>
+                  Row(hk, if (hv == null) null else new String(hv, "UTF-8"))
+                }
+              else base)
           }
         }
       }

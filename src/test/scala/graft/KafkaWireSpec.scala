@@ -362,10 +362,12 @@ class KafkaWireSpec extends AnyFunSuite {
         } finally c.close()
       }
     }
-    // sink-level config: zstd rejected at config time with the reason
+    // sink-level config: zstd on the LEGACY magic-1 mode is rejected at
+    // config time with the reason (on the default message_format 2 it is
+    // legal — KafkaWireV2Spec covers that end to end)
     val cfgErr = intercept[IllegalArgumentException] {
       Sinks.kafkaWireSink(spark.range(1).selectExpr("'x' AS value"),
-        "127.0.0.1:1", "t", compression = "zstd")
+        "127.0.0.1:1", "t", compression = "zstd", messageFormat = 1)
     }
     assert(cfgErr.getMessage.contains("KIP-110"))
   }

@@ -1,0 +1,266 @@
+package graft
+
+import graft.sources.{KafkaLoopbackBroker, KafkaWire, KafkaWireClient, Sources}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Message-format v2 (magic-2 record batches, KIP-98/KIP-110/KIP-82):
+  * the varint/CRC32C codec layer byte-for-byte, both compression
+  * matrices (magic-1 gzip/snappy/lz4, magic-2 + zstd), record headers
+  * end-to-end through the loopback broker, real-broker down-conversion
+  * on old fetch versions, and the magic-1 compatibility mode — the data
+  * path a current (0.11+, exclusively 4.x per KIP-724) broker requires. */
+class KafkaWireV2Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def withBroker[A](numPartitions: Int = 3)(f: KafkaLoopbackBroker => A): A = {
+    val b = new KafkaLoopbackBroker(numPartitions)
+    try f(b) finally b.close()
+  }
+
+  private def msg(off: Long, ts: Long, k: String, v: String,
+                  hdrs: (String, String)*): KafkaWire.RecordMsg =
+    KafkaWire.RecordMsg(off, ts,
+      if (k == null) null else k.getBytes("UTF-8"),
+      if (v == null) null else v.getBytes("UTF-8"),
+      hdrs.map { case (hk, hv) =>
+        (hk, if (hv == null) null else hv.getBytes("UTF-8"))
+      })
+
+  test("zigzag varint encoding matches the protobuf sint vectors") {
+    // the public protobuf/Kafka zigzag table: 0→0, -1→1, 1→2, -2→3, 2→4…
+    def enc(v: Long): Seq[Int] =
+      new KafkaWire.Writer().varlong(v).result.toSeq.map(_ & 0xff)
+    assert(enc(0L) == Seq(0))
+    assert(enc(-1L) == Seq(1))
+    assert(enc(1L) == Seq(2))
+    assert(enc(-2L) == Seq(3))
+    assert(enc(63L) == Seq(126))
+    assert(enc(64L) == Seq(0x80, 1))
+    assert(enc(-65L) == Seq(0x81, 1))
+    assert(enc(300L) == Seq(0xd8, 4)) // zigzag(300)=600=0b1001011000
+    // round-trip across the full range, including Long extremes
+    Seq(0L, 1L, -1L, 127L, -128L, 300L, Int.MaxValue.toLong,
+      Int.MinValue.toLong, Long.MaxValue, Long.MinValue).foreach { v =>
+      val bb = java.nio.ByteBuffer.wrap(new KafkaWire.Writer().varlong(v).result)
+      assert(KafkaWire.rVarlong(bb) == v, s"varlong($v)")
+    }
+  }
+
+  test("record batch round-trips offsets, timestamps, headers, nulls; CRC32C rejects corruption") {
+    val entries = Seq(
+      msg(100L, 5000L, "k1", "v1", "h1" -> "x", "h1" -> "dup-key", "h2" -> null),
+      msg(101L, 5001L, null, "v2 with a longer body"),
+      msg(103L, 4999L, "k3", null)) // gap in offsets + non-monotone ts are legal
+    val bytes = KafkaWire.encodeRecordBatch(entries, baseOffset = 100L)
+    // structural pins of the public layout: magic=2 at byte 16,
+    // batchLength at byte 8 covers the unit exactly
+    assert(bytes(16) == 2)
+    assert(java.nio.ByteBuffer.wrap(bytes, 8, 4).getInt == bytes.length - 12)
+    val back = KafkaWire.decodeRecordBatch(bytes)
+    assert(back.map(_.offset) == Seq(100L, 101L, 103L))
+    assert(back.map(_.timestamp) == Seq(5000L, 5001L, 4999L))
+    assert(new String(back(1).value, "UTF-8") == "v2 with a longer body")
+    assert(back(1).key == null && back(2).value == null)
+    assert(back(0).headers.map(_._1) == Seq("h1", "h1", "h2")) // order + dups kept
+    assert(new String(back(0).headers(1)._2, "UTF-8") == "dup-key")
+    assert(back(0).headers(2)._2 == null)
+    assert(back(1).headers.isEmpty)
+    // flip one record byte: CRC32C must catch it
+    val corrupt = bytes.clone()
+    corrupt(corrupt.length - 3) = (corrupt(corrupt.length - 3) ^ 0x1).toByte
+    intercept[IllegalArgumentException] { KafkaWire.decodeRecordBatch(corrupt) }
+    // decodeRecordSet: dispatches on magic, drops a truncated trailing batch
+    assert(KafkaWire.decodeRecordSet(bytes).size == 3)
+    assert(KafkaWire.decodeRecordSet(bytes.dropRight(1)).isEmpty)
+    assert(KafkaWire.decodeRecordSet(bytes ++ bytes.dropRight(1)).size == 3)
+  }
+
+  test("codec matrix: magic-2 round-trips gzip/snappy/lz4/zstd, magic-1 all but zstd") {
+    val entries = (0 until 40).map(i =>
+      msg(i.toLong, 1000L + i, s"k$i", s"value-$i " * 8, "h" -> s"$i"))
+    for (codec <- Seq(KafkaWire.CodecGzip, KafkaWire.CodecSnappy,
+                      KafkaWire.CodecLz4, KafkaWire.CodecZstd)) {
+      val w = KafkaWire.encodeRecordBatch(entries, codec)
+      assert(w.length < KafkaWire.encodeRecordBatch(entries).length,
+        s"codec $codec should compress this redundant payload")
+      val back = KafkaWire.decodeRecordBatch(w)
+      assert(back.map(_.offset) == entries.map(_.offset), s"codec $codec")
+      assert(back.map(r => new String(r.value, "UTF-8")) ==
+        entries.map(r => new String(r.value, "UTF-8")), s"codec $codec")
+      assert(back.forall(r => r.headers.size == 1), s"codec $codec headers")
+    }
+    // magic-1 matrix unchanged: gzip/snappy/lz4 legal, zstd rejected (KIP-110)
+    val flat = entries.take(5).map(_.copy(headers = Nil))
+    for (codec <- Seq(KafkaWire.CodecGzip, KafkaWire.CodecSnappy, KafkaWire.CodecLz4)) {
+      val w = KafkaWire.encodeMessageSet(flat, codec)
+      assert(KafkaWire.decodeMessageSet(w).map(_.offset) == flat.map(_.offset))
+      assert(KafkaWire.decodeRecordSet(w).map(_.offset) == flat.map(_.offset))
+    }
+    intercept[IllegalArgumentException] {
+      KafkaWire.encodeMessageSet(flat, KafkaWire.CodecZstd)
+    }
+  }
+
+  test("control batches (transaction markers) decode to zero records") {
+    val bytes = KafkaWire.encodeRecordBatch(Seq(msg(7L, 1L, null, "marker")),
+      baseOffset = 7L)
+    // set attributes bit 5 (control) and re-stamp the CRC32C like a broker would
+    bytes(22) = (bytes(22) | 0x20).toByte
+    val crc = new java.util.zip.CRC32C()
+    crc.update(bytes, 21, bytes.length - 21)
+    java.nio.ByteBuffer.wrap(bytes, 17, 4).putInt(crc.getValue.toInt)
+    assert(KafkaWire.decodeRecordBatch(bytes).isEmpty)
+  }
+
+  test("v2 produce/fetch through the broker: headers survive, zstd works end-to-end") {
+    withBroker() { b =>
+      val c = new KafkaWireClient(b.host, b.boundPort) // default = v2
+      try {
+        val base = c.produceRecords("h2", 0, Seq(
+          msg(0L, 42L, "k0", "with headers", "trace-id" -> "abc", "retry" -> "2"),
+          msg(0L, 43L, null, "no headers")), codec = KafkaWire.CodecZstd)
+        assert(base == 0L)
+        val (hw, recs) = c.fetch("h2", 0, 0L)
+        assert(hw == 2L && recs.size == 2)
+        assert(recs.head.headers.map { case (k, v) =>
+          (k, new String(v, "UTF-8")) } == Seq("trace-id" -> "abc", "retry" -> "2"))
+        assert(recs(1).headers.isEmpty)
+        assert(new String(recs.head.value, "UTF-8") == "with headers")
+      } finally c.close()
+    }
+  }
+
+  test("down-conversion: v2-produced records fetch as magic-1 on an old client, headers dropped") {
+    withBroker() { b =>
+      val modern = new KafkaWireClient(b.host, b.boundPort)
+      val legacy = new KafkaWireClient(b.host, b.boundPort, messageFormat = 1)
+      try {
+        modern.produceRecords("dc", 1, Seq(
+          msg(0L, 9L, "k", "payload", "h" -> "lost-on-downconvert")))
+        val (_, recs) = legacy.fetch("dc", 1, 0L)
+        assert(recs.size == 1)
+        assert(new String(recs.head.value, "UTF-8") == "payload")
+        assert(recs.head.headers.isEmpty) // magic-1 cannot carry them
+        // and the legacy producer path still works against the same log
+        legacy.produce("dc", 1, Seq((null, "old-style".getBytes("UTF-8"))), 10L)
+        val (_, all) = modern.fetch("dc", 1, 0L)
+        assert(all.map(r => new String(r.value, "UTF-8")) ==
+          Seq("payload", "old-style"))
+      } finally { modern.close(); legacy.close() }
+    }
+  }
+
+  test("magic-1 client rejects headers at produce time instead of dropping them") {
+    withBroker() { b =>
+      val legacy = new KafkaWireClient(b.host, b.boundPort, messageFormat = 1)
+      try {
+        val e = intercept[IllegalArgumentException] {
+          legacy.produceRecords("nh", 0, Seq(msg(0L, 1L, null, "v", "h" -> "x")))
+        }
+        assert(e.getMessage.contains("KIP-82"))
+      } finally legacy.close()
+    }
+  }
+
+  test("batch source surfaces headers as a meta column when asked") {
+    withBroker(numPartitions = 2) { b =>
+      val c = new KafkaWireClient(b.host, b.boundPort)
+      try {
+        c.produceRecords("meta", 0, Seq(
+          msg(0L, 1L, null, "a", "env" -> "prod"),
+          msg(0L, 2L, null, "b")))
+        c.produceRecords("meta", 1, Seq(msg(0L, 3L, null, "c", "env" -> "dev")))
+      } finally c.close()
+      // default envelope unchanged (oracle schema stability)
+      val plain = Sources.kafkaWireBatch(spark, b.bootstrap, "meta", "g0")
+      assert(!plain.df.columns.contains("headers"))
+      val withH = Sources.kafkaWireBatch(spark, b.bootstrap, "meta", "g1",
+        includeHeaders = true)
+      val rows = withH.df.selectExpr("value", "headers").collect()
+        .map(r => r.getString(0) ->
+          Option(r.getSeq[org.apache.spark.sql.Row](1)).map(_.map(h =>
+            (h.getString(0), h.getString(1))).toList).getOrElse(Nil))
+        .toMap
+      assert(rows("a") == List("env" -> "prod"))
+      assert(rows("b") == Nil)
+      assert(rows("c") == List("env" -> "dev"))
+    }
+  }
+
+  test("graft-kafka stream exposes headers under include_headers and keeps the plain schema otherwise") {
+    withBroker(numPartitions = 1) { b =>
+      val c = new KafkaWireClient(b.host, b.boundPort)
+      try c.produceRecords("hs", 0, Seq(msg(0L, 1L, null, "x", "a" -> "1")))
+      finally c.close()
+      val plain = spark.readStream.format("graft-kafka")
+        .option("brokers", b.bootstrap).option("topic", "hs")
+        .option("group", "sg").option("offset", "oldest").load()
+      assert(!plain.schema.fieldNames.contains("headers"))
+      val withH = spark.readStream.format("graft-kafka")
+        .option("brokers", b.bootstrap).option("topic", "hs")
+        .option("group", "sg").option("offset", "oldest")
+        .option("include_headers", "true").load()
+      assert(withH.schema.fieldNames.contains("headers"))
+      val dir = java.nio.file.Files.createTempDirectory("kwv2-stream").toString
+      val q = withH.writeStream.format("memory").queryName("kwv2_hs")
+        .option("checkpointLocation", s"$dir/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(30000)
+      val got = spark.table("kwv2_hs")
+        .selectExpr("value", "headers[0].key", "headers[0].value").collect()
+      assert(got.length == 1)
+      assert(got(0).getString(0) == "x")
+      assert(got(0).getString(1) == "a" && got(0).getString(2) == "1")
+    }
+  }
+
+  test("wire sink writes headers from a column and zstd-compresses v2 batches") {
+    withBroker(numPartitions = 1) { b =>
+      import spark.implicits._
+      val df = Seq(("ev1", "prod"), ("ev2", "dev")).toDF("value", "env")
+        .selectExpr("value",
+          "array(named_struct('key', 'env', 'value', env)) AS hdrs")
+      graft.sinks.Sinks.kafkaWireSink(df, b.bootstrap, defaultTopic = "sh",
+        headersField = Some("hdrs"), compression = "zstd")
+      val c = new KafkaWireClient(b.host, b.boundPort)
+      try {
+        val (_, recs) = c.fetch("sh", 0, 0L)
+        val byVal = recs.map(r => new String(r.value, "UTF-8") ->
+          r.headers.map { case (k, v) => (k, new String(v, "UTF-8")) }).toMap
+        assert(byVal("ev1") == Seq("env" -> "prod"))
+        assert(byVal("ev2") == Seq("env" -> "dev"))
+      } finally c.close()
+      // config-time guards: headers and zstd both demand message_format 2
+      intercept[IllegalArgumentException] {
+        graft.sinks.Sinks.kafkaWireSink(df, b.bootstrap, defaultTopic = "sh",
+          headersField = Some("hdrs"), messageFormat = 1)
+      }
+      intercept[IllegalArgumentException] {
+        graft.sinks.Sinks.kafkaWireSink(df, b.bootstrap, defaultTopic = "sh",
+          compression = "zstd", messageFormat = 1)
+      }
+    }
+  }
+
+  test("legacy flat checkpoint fails loudly under a multi-topic subscription") {
+    import graft.sources.KafkaWireStream
+    // single-topic: upgraded in place, as before
+    assert(KafkaWireStream.deserialize("""{"0":10,"1":3}""", "only") ==
+      Map(("only", 0) -> 10L, ("only", 1) -> 3L))
+    // multi-topic: attribution is a guess — refuse instead of corrupting offsets
+    val e = intercept[IllegalArgumentException] {
+      KafkaWireStream.deserialize("""{"0":10}""", "t1", subscribedTopics = 2)
+    }
+    assert(e.getMessage.contains("legacy single-topic"))
+    // nested layout is fine regardless of subscription width
+    val nested = KafkaWireStream.serialize(Map(("t1", 0) -> 1L, ("t2", 0) -> 2L))
+    assert(KafkaWireStream.deserialize(nested, "t1", subscribedTopics = 2) ==
+      Map(("t1", 0) -> 1L, ("t2", 0) -> 2L))
+  }
+}
