@@ -31,7 +31,8 @@ object Queries8 {
     lit("&utm_campaign=c"), pmod(docId, lit(4)).cast("string"),
     lit("&ref=tw#frag"), docId.cast("string"))
 
-  private val synthUrlSql: String =
+  /** Shared with Queries9's q135 oracle (same synthetic URL, same text). */
+  private[graft] val synthUrlSql: String =
     """'HTTPS://Sub' || (doc_id % 3) || '.Site' || (doc_id % 7) ||
       |    CASE WHEN doc_id % 3 = 0 THEN '.example.COM:443'
       |         WHEN doc_id % 3 = 1 THEN '.example.co.uk'

@@ -593,6 +593,113 @@ object Queries9 {
       |SELECT doc_id FROM r WHERE tb < 400""".stripMargin
   }
 
+  /** The synthetic URL of q118/q119 as a SPARK SQL expression (explicit
+    * casts — concat of mixed types is not implicitly coerced under
+    * ANSI), consumed by the q135 YAML `url_expr`. The DuckDB oracle
+    * keeps using Queries8.synthUrlSql; both spell the same URL. */
+  private val synthUrlSpark: String =
+    "concat('HTTPS://Sub', CAST(doc_id % 3 AS STRING), '.Site', " +
+      "CAST(doc_id % 7 AS STRING), " +
+      "CASE WHEN doc_id % 3 = 0 THEN '.example.COM:443' " +
+      "WHEN doc_id % 3 = 1 THEN '.example.co.uk' " +
+      "ELSE '.example.ORG:80' END, " +
+      "'/Path/', CAST(doc_id AS STRING), " +
+      "'/?utm_source=feed&id=', CAST(doc_id AS STRING), " +
+      "'&utm_campaign=c', CAST(doc_id % 4 AS STRING), " +
+      "'&ref=tw#frag', CAST(doc_id AS STRING))"
+
+  /** Round-9 capstone variant: a WEB-corpus curation chain through the
+    * stages round 8 left Scala-only — boilerplate_scrub (ratio
+    * threshold + fingerprint mode) and url_normalize → domain_cap —
+    * compiled from YAML and oracled as ONE chained DuckDB query (q121
+    * gopher → q133 boilerplate over the survivors → q118 URL
+    * canonicalization → q119 per-domain cap over the SCRUBBED text).
+    * The ratio threshold (min_docs_permille 800 ≙ q133's ceil(0.8·N))
+    * is evaluated over the gopher survivors on both engines. */
+  val q135_curation_web: Q = (s, dir) =>
+    graft.compiler.PipelineCompiler.compileCuration(s,
+      s"""curation:
+         |  input: {dir: "$dir", table: documents}
+         |  stages:
+         |    - {type: gopher_gate, min_tok: 5}
+         |    - {type: boilerplate_scrub, delim: " ",
+         |       min_docs_permille: 800, fingerprint: true}
+         |    - {type: url_normalize, url_expr: "$synthUrlSpark"}
+         |    - {type: domain_cap, k: 40, seed: 11}
+         |""".stripMargin)
+      .select(col("doc_id"))
+
+  val q135_sql: String = {
+    val sw = graft.ml.TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH gop AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+      |      CAST(len(replace(text, ' ', '')) AS BIGINT) AS char_sum,
+      |      CAST(len(list_filter(string_split(lower(text), ' '),
+      |        t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT) AS alpha_cnt,
+      |      CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+      |        AS distinct_cnt,
+      |      CAST(len(list_filter(string_split(lower(text), ' '),
+      |        t -> list_contains([$sw], t))) AS BIGINT) AS stop_hits
+      |    FROM documents)
+      |  WHERE (n_tok BETWEEN 5 AND 100000)
+      |    AND ((char_sum * 100) // n_tok BETWEEN 300 AND 1000)
+      |    AND (alpha_cnt * 1000) // n_tok >= 800 AND stop_hits >= 2
+      |    AND (distinct_cnt * 1000) // n_tok >= 300),
+      |g1 AS (
+      |  SELECT d.doc_id, d.text FROM documents d JOIN gop USING (doc_id)),
+      |seg AS (
+      |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS seg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM g1)),
+      |freq AS (
+      |  SELECT fp FROM (SELECT md5(seg) AS fp, count(DISTINCT doc_id) AS df
+      |                  FROM seg GROUP BY 1)
+      |  WHERE df >= CEIL(0.8 * (SELECT count(*) FROM g1))),
+      |kept AS (
+      |  SELECT s.doc_id, s.pos, s.seg
+      |  FROM seg s LEFT JOIN freq f ON md5(s.seg) = f.fp
+      |  WHERE f.fp IS NULL),
+      |re AS (
+      |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean
+      |  FROM kept GROUP BY 1),
+      |g2 AS (SELECT doc_id, clean AS text FROM re WHERE length(clean) > 0),
+      |u AS (SELECT doc_id, text, ${Queries8.synthUrlSql} AS url FROM g2),
+      |n2 AS (
+      |  SELECT doc_id, text,
+      |    regexp_replace(regexp_replace(
+      |      regexp_replace(url, '#.*$$', ''),
+      |      '([?&])((?:utm_[a-z]+|ref)=[^&#]*&?)+', '\\1', 'g'), '[?&]+$$', '') AS s
+      |  FROM u),
+      |n3 AS (
+      |  SELECT doc_id, text, s,
+      |    regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS auth
+      |  FROM n2),
+      |h AS (
+      |  SELECT doc_id, text,
+      |    regexp_extract(
+      |      regexp_replace(
+      |        regexp_replace(lower(auth), ':(443|80)$$', '') ||
+      |          substr(s, length(auth) + 1), '/$$', ''),
+      |      '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+      |  FROM n3),
+      |d AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN coalesce(regexp_extract(host,
+      |        '([^.]+\\.(?:co\\.uk|com\\.au|co\\.jp|ac\\.uk))$$', 1), '') <> ''
+      |      THEN regexp_extract(host,
+      |        '([^.]+\\.(?:co\\.uk|com\\.au|co\\.jp|ac\\.uk))$$', 1)
+      |      ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END AS reg_domain
+      |  FROM h),
+      |rk AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (PARTITION BY reg_domain ORDER BY
+      |      ('0x' || substr(md5(text || '#d11'), 1, 15))::BIGINT, doc_id)
+      |      AS rank
+      |  FROM d)
+      |SELECT doc_id FROM rk WHERE rank <= 40""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -608,7 +715,8 @@ object Queries9 {
     "q131_line_dedup_fp" -> q131_line_dedup_fp,
     "q132_antispam_rules" -> q132_antispam_rules,
     "q133_boilerplate_fp" -> q133_boilerplate_fp,
-    "q134_curation_chain" -> q134_curation_chain
+    "q134_curation_chain" -> q134_curation_chain,
+    "q135_curation_web" -> q135_curation_web
   )
 
   val oracles: Map[String, String] = Map(
@@ -624,6 +732,7 @@ object Queries9 {
     "q131_line_dedup_fp" -> q131_sql,
     "q132_antispam_rules" -> q132_sql,
     "q133_boilerplate_fp" -> q133_sql,
-    "q134_curation_chain" -> q134_sql
+    "q134_curation_chain" -> q134_sql,
+    "q135_curation_web" -> q135_sql
   )
 }

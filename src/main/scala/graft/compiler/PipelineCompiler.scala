@@ -1103,6 +1103,14 @@ object PipelineCompiler {
     *     - {type: duplicate_spans, n: 20, threshold_milli: 900}
     *     - {type: minhash_dedup, shingle_n: 3, k: 12, bands: 4, rows: 3}
     *     - {type: line_dedup, delim: "\n"}         # fingerprint: true
+    *     - {type: semdedup, vec_col: emb, tau: 0.95,
+    *        target_cluster_size: 5000}             # or a fixed k
+    *     - {type: html_extract, html_col: html,
+    *        max_link_density_milli: 500}
+    *     - {type: boilerplate_scrub, delim: "\n",
+    *        min_docs_permille: 800}                # or min_docs: N
+    *     - {type: url_normalize, url_col: url}     # or url_expr: SQL
+    *     - {type: domain_cap, k: 40, seed: 11}     # needs reg_domain
     *     - {type: decontaminate, eval_filter: "doc_id % 97 = 0",
     *        n: 3, threshold: 10}                   # or eval_input: {dir,table}
     *     - {type: span_scrub, eval_filter: "…", n: 13}
@@ -1195,6 +1203,67 @@ object PipelineCompiler {
         df.drop(text).join(
           graft.ml.Corpus.evalSpanScrub(df, evalSet, id, text,
             n = intOpt("n", 13))
+            .select(col(id), col("clean_text").as(text)), Seq(id))
+      case "semdedup" =>
+        // SemDeDup (q120) over a vector column on the current rows:
+        // keep one representative per cosine-similarity component.
+        // target_cluster_size engages the k-scaling rule (semDedupAutoK)
+        // — the spelling that stays subquadratic as the corpus grows;
+        // a fixed k is accepted for pinned-size runs.
+        val vec = Option(st.get("vec_col")).map(_.asText()).getOrElse("embedding")
+        val tau = Option(st.get("tau")).map(_.asDouble()).getOrElse(0.95)
+        val iters = intOpt("iters", 2)
+        val verdict = Option(st.get("target_cluster_size")).map(_.asLong()) match {
+          case Some(tcs) =>
+            graft.ml.Dedup.semDedupAutoK(df, id, vec, tcs, iters, tau)
+          case None =>
+            graft.ml.Dedup.semDedup(df, id, vec, k = intOpt("k", 8), iters, tau)
+        }
+        keepIds(verdict, col("keep"))
+      case "url_normalize" =>
+        // q118: canonicalize a URL column (or a SQL `url_expr`) and
+        // annotate url_norm / host / reg_domain — zero-shuffle codegen
+        // chain, feeding the domain_cap stage below
+        val urlCol = Option(st.get("url_expr")).map(e => expr(e.asText()))
+          .getOrElse(col(Option(st.get("url_col")).map(_.asText()).getOrElse("url")))
+        df.withColumn("url_norm", graft.ml.UrlOps.normalize(urlCol))
+          .withColumn("host", graft.ml.UrlOps.host(col("url_norm")))
+          .withColumn("reg_domain",
+            graft.ml.UrlOps.registeredDomain(col("host")))
+      case "domain_cap" =>
+        // q119: at most k docs per registered domain, deterministic
+        // content-hash order (one shuffle on the domain key)
+        df.join(graft.ml.UrlOps.domainCap(df,
+          Option(st.get("domain_col")).map(_.asText()).getOrElse("reg_domain"),
+          id, text, k = req("k").asInt(),
+          seed = longOpt("seed", 0L)).select(id), Seq(id))
+      case "html_extract" =>
+        // q126: strip markup/scripts/styles, decode entities, and
+        // replace the text column with the visible text; optional
+        // link-density gate (navigation-page filter)
+        val htmlCol = Option(st.get("html_col")).map(_.asText()).getOrElse(text)
+        val ex = graft.ml.TextOps.htmlExtract(df, id, htmlCol)
+        val gated = Option(st.get("max_link_density_milli")).map(_.asLong())
+          .map(m => ex.filter(col("link_density_milli") <= m)).getOrElse(ex)
+        df.drop(text).drop(htmlCol)
+          .join(gated.select(col(id), col("text_clean").as(text)), Seq(id))
+      case "boilerplate_scrub" =>
+        // q113/q133: segments appearing in >= min_docs distinct docs are
+        // cut everywhere; docs scrubbed to empty are dropped (the
+        // line_dedup convention). min_docs_permille pins the threshold
+        // to a corpus FRACTION (ceil), the q133 convention that stays
+        // meaningful at every scale factor — one count() job buys it.
+        val minDocs = Option(st.get("min_docs")).map(_.asLong()).getOrElse {
+          val pm = longOpt("min_docs_permille", 0L)
+          require(pm > 0,
+            "curation boilerplate_scrub: set min_docs or min_docs_permille")
+          (df.count() * pm + 999) / 1000
+        }
+        df.drop(text).join(
+          graft.ml.Corpus.boilerplateScrub(df, id, text,
+            delim = Option(st.get("delim")).map(_.asText()).getOrElse("\n"),
+            minDocs = minDocs, fingerprint = boolOpt("fingerprint"))
+            .filter(length(col("clean_text")) > 0)
             .select(col(id), col("clean_text").as(text)), Seq(id))
       case "source_quota" =>
         df.join(graft.ml.Corpus.sourceQuota(df,

@@ -823,6 +823,97 @@ class CompilerSpec extends AnyFunSuite {
     } finally b.close()
   }
 
+  test("curation YAML: round-9 stages (boilerplate_scrub, url_normalize, domain_cap, semdedup, html_extract) equal their direct Scala calls") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docsAll = Tables(spark, dir, "documents")
+
+    // boilerplate_scrub: ratio threshold + fingerprint mode; the text
+    // column is REPLACED by the scrubbed text, scrubbed-empty docs drop
+    val bp = PipelineCompiler.compileCuration(spark,
+      s"""curation:
+         |  input: {dir: "$dir", table: documents}
+         |  stages:
+         |    - {type: boilerplate_scrub, delim: " ",
+         |       min_docs_permille: 800, fingerprint: true}
+         |""".stripMargin)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val minDocs = (docsAll.count() * 800 + 999) / 1000
+    val bpDirect = graft.ml.Corpus.boilerplateScrub(
+      docsAll, "doc_id", "text", " ", minDocs, fingerprint = true)
+      .filter(length(col("clean_text")) > 0)
+      .select("doc_id", "clean_text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(bp == bpDirect && bp.nonEmpty)
+    val origText = docsAll.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(bp.exists { case (id, t) => origText(id) != t },
+      "the scrub must actually cut boilerplate from some document")
+
+    // url_normalize (SQL expression input) + domain_cap: the cap binds
+    // and keeps exactly the direct composition's ids
+    val urlExpr = "concat('https://www.site', CAST(doc_id % 5 AS STRING), '.com/p')"
+    val capped = PipelineCompiler.compileCuration(spark,
+      s"""curation:
+         |  input: {dir: "$dir", table: documents}
+         |  stages:
+         |    - {type: url_normalize, url_expr: "$urlExpr"}
+         |    - {type: domain_cap, k: 10, seed: 3}
+         |""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dom = docsAll
+      .withColumn("url_norm", graft.ml.UrlOps.normalize(expr(urlExpr)))
+      .withColumn("host", graft.ml.UrlOps.host(col("url_norm")))
+      .withColumn("reg_domain",
+        graft.ml.UrlOps.registeredDomain(col("host")))
+    val cappedDirect = dom.join(
+      graft.ml.UrlOps.domainCap(dom, "reg_domain", "doc_id", "text",
+        k = 10, seed = 3L).select("doc_id"), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(capped == cappedDirect)
+    assert(capped.size == 50, // 5 registered domains × k=10 — the cap BINDS
+      s"expected 5 domains x 10, got ${capped.size}")
+
+    // semdedup with the k-scaling rule: target_cluster_size 400 over the
+    // 3200-vector table derives k=8 — byte-identical to the q120 call
+    val sd = PipelineCompiler.compileCuration(spark,
+      s"""curation:
+         |  input: {dir: "$dir", table: embeddings}
+         |  stages:
+         |    - {type: semdedup, id_col: vec_id, vec_col: embedding,
+         |       target_cluster_size: 400, iters: 1, tau: 0.40}
+         |""".stripMargin)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val emb = Tables(spark, dir, "embeddings")
+    val sdDirect = emb.join(
+      graft.ml.Dedup.semDedup(emb, "vec_id", "embedding",
+        k = 8, iters = 1, tau = 0.40)
+        .filter(col("keep")).select("vec_id"), Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(sd == sdDirect)
+    assert(sd.nonEmpty && sd.size < emb.count(),
+      "semdedup must keep some and drop some near-duplicates")
+
+    // html_extract: replaces the text column with the extracted visible
+    // text (plain text in → whitespace-collapsed text out)
+    val he = PipelineCompiler.compileCuration(spark,
+      s"""curation:
+         |  input: {dir: "$dir", table: documents}
+         |  stages:
+         |    - {type: html_extract, max_link_density_milli: 500}
+         |""".stripMargin)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val heDirect = docsAll.drop("text").join(
+      graft.ml.TextOps.htmlExtract(docsAll, "doc_id", "text")
+        .filter(col("link_density_milli") <= 500)
+        .select(col("doc_id"), col("text_clean").as("text")), Seq("doc_id"))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(he == heDirect && he.nonEmpty)
+  }
+
   test("curation YAML compiles the corpus pipeline with operator-identical output") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
