@@ -333,7 +333,23 @@ object PipelineCompiler {
     val root = rootNode
     val input = Option(root.get("input"))
       .getOrElse(throw new IllegalArgumentException("missing input"))
-    val src = buildInput(spark, input)
+    // pipeline `settings:` (pipeline.go:55-56,586-605): stream_field
+    // names the doc field that subdivides a source into ordered streams
+    // (default "stream" — k8s stdout/stderr); disable_streams ignores
+    // it (sequences key by source only); use_spread additionally
+    // round-robins the rows across the cluster — the reference's
+    // SeqID%procCount load-balancing, which forfeits per-stream order,
+    // so it implies disable_streams exactly like the reference pairing.
+    val settings = Option(root.get("settings"))
+    val streamField = settings.flatMap(s => Option(s.get("stream_field")))
+      .map(_.asText()).getOrElse("stream")
+    val disableStreams = settings.exists(s =>
+      Option(s.get("disable_streams")).exists(_.asBoolean()))
+    val useSpread = settings.exists(s =>
+      Option(s.get("use_spread")).exists(_.asBoolean()))
+    val streamKey = if (disableStreams || useSpread) None else Some(streamField)
+    val src0 = buildInput(spark, input)
+    val src = if (useSpread) src0.repartition() else src0
 
     // decode: value → doc struct
     val decoded = Option(root.get("decoder")) match {
@@ -348,7 +364,7 @@ object PipelineCompiler {
     val withMetrics = Option(root.get("metrics")).exists(_.asBoolean())
     val chained = actions.zipWithIndex.foldLeft(decoded) {
       case (df, (action, i)) =>
-        val applied = applyAction(df, action)
+        val applied = applyAction(df, action, streamKey)
         if (withMetrics)
           graft.metrics.Metrics.observeAction(applied,
             s"graft_a${i}_${action.get("type").asText()}")
@@ -667,7 +683,8 @@ object PipelineCompiler {
     }
   }
 
-  private def applyAction(df: DataFrame, action: JsonNode): DataFrame = {
+  private def applyAction(df: DataFrame, action: JsonNode,
+                          streamKey: Option[String] = Some("stream")): DataFrame = {
     val pred = matchPredicate(action, df)
     val doc = col("doc")
     def paths(field: String): Seq[FieldPath] =
@@ -675,6 +692,27 @@ object PipelineCompiler {
     def guarded(newDoc: Column): DataFrame = pred match {
       case Some(p) => df.withColumn("doc", when(p, newDoc).otherwise(doc))
       case None    => df.withColumn("doc", newDoc)
+    }
+    // The multiline-sequence key: (source, stream) when streams are on
+    // AND the decoded doc actually carries the stream field (the
+    // reference's Dig returns nil for a missing field → one unnamed
+    // stream per source, same as keying by source alone); source only
+    // under disable_streams/use_spread.
+    def docHasStream: Option[String] = streamKey.filter(f =>
+      df.schema("doc").dataType match {
+        case s: org.apache.spark.sql.types.StructType => s.fieldNames.contains(f)
+        case _ => false
+      })
+    def seqKeyCols(d: DataFrame): (DataFrame, Seq[String]) = docHasStream match {
+      case Some(f) => (d.withColumn("_stream",
+          coalesce(doc.getField(f).cast("string"), lit(""))),
+        Seq("source_name", "_stream"))
+      case None => (d, Seq("source_name"))
+    }
+    def seqKeyCol: Column = docHasStream match {
+      case Some(f) => concat(col("source_name"), lit("/"),
+        coalesce(doc.getField(f).cast("string"), lit("")))
+      case None => col("source_name")
     }
 
     action.get("type").asText() match {
@@ -799,7 +837,10 @@ object PipelineCompiler {
       case "join" if df.isStreaming =>
         val fieldName = Option(action.get("field")).map(_.asText()).getOrElse("log")
         val t = envelopeType(df)
-        val ds = df.select(col("source_name").as("key"), lit(0L).as("seq"),
+        // kernel key = (source, stream) — source_name is restored from
+        // the carried envelope, not the key, so the stream suffix never
+        // leaks into the output column
+        val ds = df.select(seqKeyCol.as("key"), lit(0L).as("seq"),
             col("doc").getField(fieldName).cast("string").as("value"),
             envelopeJson.as("carry"))
           .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.KEvent])
@@ -812,7 +853,7 @@ object PipelineCompiler {
           .select(
             from_json(col("carry"), t).getField("doc")
               .withField(fieldName, col("value")).as("doc"),
-            col("key").as("source_name"))
+            from_json(col("carry"), t).getField("source_name").as("source_name"))
 
       case "join_template" if df.isStreaming =>
         // prebuilt templates with the reference's multi-template
@@ -820,7 +861,7 @@ object PipelineCompiler {
         // sequence (join_template.go firstCheck/nextCheck)
         val fieldName = Option(action.get("field")).map(_.asText()).getOrElse("log")
         val t = envelopeType(df)
-        val ds = df.select(col("source_name").as("key"), lit(0L).as("seq"),
+        val ds = df.select(seqKeyCol.as("key"), lit(0L).as("seq"),
             col("doc").getField(fieldName).cast("string").as("value"),
             envelopeJson.as("carry"))
           .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.KEvent])
@@ -833,7 +874,7 @@ object PipelineCompiler {
           .select(
             from_json(col("carry"), t).getField("doc")
               .withField(fieldName, col("value")).as("doc"),
-            col("key").as("source_name"))
+            from_json(col("carry"), t).getField("source_name").as("source_name"))
 
       case "throttle" if df.isStreaming =>
         val t = envelopeType(df)
@@ -999,15 +1040,16 @@ object PipelineCompiler {
         val contC =
           if (Option(action.get("negate")).exists(_.asBoolean())) !contRaw else contRaw
         val maxSize = Option(action.get("max_event_size")).map(_.asInt())
-        val base = df.withColumn("_jord", monotonically_increasing_id())
+        val base0 = df.withColumn("_jord", monotonically_increasing_id())
           .withColumn("_jf", src)
-        val joined = graft.state.SeqOps.multilineJoin(base, Seq("source_name"),
+        val (base, keyCols) = seqKeyCols(base0)
+        val joined = graft.state.SeqOps.multilineJoin(base, keyCols,
           "_jord", startC, contC, "_jf", carryCols = Seq("doc"))
         val payload = maxSize
           .map(m => substring(col("_jf"), 1, m)).getOrElse(col("_jf"))
         joined
           .withColumn("doc", col("doc").withField(fieldName, payload))
-          .drop("_jf", "_jord", "n_lines")
+          .drop("_jf", "_jord", "n_lines", "_stream")
 
       case "join_template" =>
         // join alias with prebuilt predicate tables (join_template.go).
@@ -1024,15 +1066,16 @@ object PipelineCompiler {
         val startC = graft.functions.TemplateCheck(src, tmplIds.head, start = true)
         val contC = graft.functions.TemplateCheck(src, tmplIds.head, start = false)
         val maxSize = Option(action.get("max_event_size")).map(_.asInt())
-        val base = df.withColumn("_jord", monotonically_increasing_id())
+        val base0 = df.withColumn("_jord", monotonically_increasing_id())
           .withColumn("_jf", src)
-        val joined = graft.state.SeqOps.multilineJoin(base, Seq("source_name"),
+        val (base, keyCols) = seqKeyCols(base0)
+        val joined = graft.state.SeqOps.multilineJoin(base, keyCols,
           "_jord", startC, contC, "_jf", carryCols = Seq("doc"))
         val payload = maxSize
           .map(m => substring(col("_jf"), 1, m)).getOrElse(col("_jf"))
         joined
           .withColumn("doc", col("doc").withField(fieldName, payload))
-          .drop("_jf", "_jord", "n_lines")
+          .drop("_jf", "_jord", "n_lines", "_stream")
 
       case "antispam" =>
         val threshold = action.get("threshold").asInt()

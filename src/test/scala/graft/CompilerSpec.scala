@@ -823,6 +823,95 @@ class CompilerSpec extends AnyFunSuite {
     } finally b.close()
   }
 
+  test("settings: stream_field keys multiline sequences per (source, stream); disable_streams and use_spread drop it") {
+    // one source, two interleaved streams (the k8s stdout/stderr shape)
+    val lines = Seq(
+      """{"stream":"stdout","log":"START a"}""",
+      """{"stream":"stderr","log":"START x"}""",
+      """{"stream":"stdout","log":"cont b"}""",
+      """{"stream":"stderr","log":"cont y"}""")
+    def yaml(settings: String) =
+      s"""$settings
+         |input:
+         |  type: fake
+         |  lines:
+         |${lines.map(l => "    - '" + l.replace("'", "''") + "'").mkString("\n")}
+         |decoder: {type: json, schema: "log string, stream string"}
+         |actions:
+         |  - {type: join, field: log, start: "^START", continue: "^cont"}
+         |output: {type: devnull}
+         |""".stripMargin
+    def joinedLogs(settings: String): Set[String] =
+      PipelineCompiler.compile(spark, yaml(settings)).result()
+        .select("doc.log").collect().map(_.getString(0)).toSet
+
+    // default (streams ON): each stream joins independently
+    assert(joinedLogs("") ==
+      Set("START a\ncont b", "START x\ncont y"))
+    // disable_streams: one sequence per source — the second START
+    // flushes the first, the conts extend the second
+    assert(joinedLogs("settings: {disable_streams: true}") ==
+      Set("START a", "START x\ncont b\ncont y"))
+    // use_spread implies disable_streams (order is forfeited for
+    // load-balancing, like the reference's SeqID%procCount): with a
+    // single line per sequence the output is unaffected by the
+    // round-robin repartition
+    val spreadYaml =
+      s"""settings: {use_spread: true}
+         |input:
+         |  type: fake
+         |  lines: ['{"stream":"a","log":"START 1"}', '{"stream":"b","log":"START 2"}']
+         |decoder: {type: json, schema: "log string, stream string"}
+         |actions:
+         |  - {type: join, field: log, start: "^START", continue: "^cont"}
+         |output: {type: devnull}
+         |""".stripMargin
+    assert(PipelineCompiler.compile(spark, spreadYaml).result()
+      .select("doc.log").collect().map(_.getString(0)).toSet ==
+      Set("START 1", "START 2"))
+    // custom stream_field name
+    assert(PipelineCompiler.compile(spark,
+      yaml("settings: {stream_field: stream}")).result().count() == 2)
+
+    // single-stream data: streams-on ≡ disable_streams (the verdict's
+    // identity) — same events either way when only one stream exists
+    val single = Seq(
+      """{"stream":"only","log":"START p"}""",
+      """{"stream":"only","log":"cont q"}""")
+    def yamlS(settings: String) =
+      s"""$settings
+         |input:
+         |  type: fake
+         |  lines:
+         |${single.map(l => "    - '" + l + "'").mkString("\n")}
+         |decoder: {type: json, schema: "log string, stream string"}
+         |actions:
+         |  - {type: join, field: log, start: "^START", continue: "^cont"}
+         |output: {type: devnull}
+         |""".stripMargin
+    val a = PipelineCompiler.compile(spark, yamlS("")).result()
+      .select("doc.log").collect().map(_.getString(0)).toSet
+    val b = PipelineCompiler.compile(spark,
+      yamlS("settings: {disable_streams: true}")).result()
+      .select("doc.log").collect().map(_.getString(0)).toSet
+    assert(a == b && a == Set("START p\ncont q"))
+
+    // docs WITHOUT the stream field: keying degrades to source-only
+    // even with streams on (the reference's nil Dig), no analysis error
+    val noStream =
+      s"""input:
+         |  type: fake
+         |  lines: ['{"log":"START m"}', '{"log":"cont n"}']
+         |decoder: {type: json, schema: "log string"}
+         |actions:
+         |  - {type: join, field: log, start: "^START", continue: "^cont"}
+         |output: {type: devnull}
+         |""".stripMargin
+    assert(PipelineCompiler.compile(spark, noStream).result()
+      .select("doc.log").collect().map(_.getString(0)).toSet ==
+      Set("START m\ncont n"))
+  }
+
   test("curation YAML: round-9 stages (boilerplate_scrub, url_normalize, domain_cap, semdedup, html_extract) equal their direct Scala calls") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
