@@ -87,8 +87,12 @@ object Dedup {
     * the band key — the scalable pattern (shuffle on band key, bucket-
     * local pair generation only). Returns distinct (id_a < id_b) pairs.
     */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int, k: Int, bands: Int, rows: Int): DataFrame = {
+  /** The exploded (id, band-key) LSH table — the exact bucketing the
+    * batch self-join and the streaming kernel
+    * ([[graft.streaming.Kernels.minhashCandidatePairs]]) both consume,
+    * so the two paths bucket identically by construction. */
+  def minhashBandTable(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, k: Int, bands: Int, rows: Int): DataFrame = {
     // stage 1: one fused pass text → distinct shingle hashes (native
     // expression; bit-equal to shingleHashes(shingles(...)) — see
     // ShingleHash scaladoc for the measured win)
@@ -97,11 +101,16 @@ object Dedup {
     // stage 2: k cheap arithmetic permutations over the hash array
     val sig = minhashSignature(col("_hs"), k)
     val withBands = hashed.select(col(idCol) +: bandKeys(sig, bands, rows): _*)
+    withBands.select(col(idCol).as("id"),
+      explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("bk"))
+  }
+
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, k: Int, bands: Int, rows: Int): DataFrame = {
     // materialize the (id, bandKey) table once — both sides of the
     // self-join read it, so the md5 pass isn't recomputed; spills to
     // disk at scale instead of pinning memory
-    val exploded = withBands.select(col(idCol).as("id"),
-      explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("bk"))
+    val exploded = minhashBandTable(df, idCol, textCol, shingleN, k, bands, rows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = exploded.as("l")
     val r = exploded.as("r")

@@ -615,6 +615,38 @@ object Kernels {
       .transformWithState(new SpanWinnerProcessor(), TimeMode.None(),
         OutputMode.Append)
   }
+
+  // --------------------------------------------- streaming minhash-LSH
+
+  /** One (band-key, doc) LSH membership — the exploded band table
+    * ([[graft.ml.Dedup.minhashBandTable]]) arriving incrementally.
+    * Using the SAME band-key expressions as the batch operator makes
+    * streaming and batch bucket identically by construction. */
+  final case class BandEvent(bk: String, doc: Long)
+  /** A candidate near-duplicate pair, idA < idB. */
+  final case class CandPair(idA: Long, idB: Long)
+
+  /** Streaming [[graft.ml.Corpus]] minhash-LSH candidate generation
+    * (the q52 operator's incremental form): ListState doc-membership
+    * per band key — a new arrival pairs with every EXISTING member of
+    * its bucket, then joins it, so the union of per-batch emissions on
+    * any ingest order equals the batch self-join's pair set
+    * (spec-asserted against `Dedup.minhashCandidates` on the q52
+    * corpus). A pair shared by several bands is emitted once per band
+    * (the batch `.distinct()` is global and has no incremental
+    * equivalent with bounded state); the natural downstream —
+    * [[connectedComponents]]'s union — is idempotent to duplicate
+    * edges, and a batch-local `dropDuplicates` covers set consumers.
+    * State is O(total band memberships) = the batch exploded table
+    * held incrementally, sharded across band keys; RocksDB keeps it
+    * off-heap. Candidate emission per arrival is O(bucket size) — the
+    * same output cardinality the batch bucket-join pays. */
+  def minhashCandidatePairs(ds: Dataset[BandEvent]): Dataset[CandPair] = {
+    implicit val outEnc = Encoders.product[CandPair]
+    ds.groupByKey(_.bk)(Encoders.STRING)
+      .transformWithState(new BandBucketProcessor(), TimeMode.None(),
+        OutputMode.Append)
+  }
 }
 
 /** The per-key processor behind [[Kernels.connectedComponents]] —
@@ -715,5 +747,38 @@ private[streaming] class SpanWinnerProcessor
       perDoc(e.doc) = (n + 1, if (stale) s + 1 else s)
     }
     perDoc.iterator.map { case (d, (n, s)) => SpanPartial(shard, d, n, s) }
+  }
+}
+
+/** The per-band-key processor behind [[Kernels.minhashCandidatePairs]]:
+  * ListState of bucket members in arrival order. Top-level so the
+  * serialized processor carries no outer reference. */
+private[streaming] class BandBucketProcessor
+    extends StatefulProcessor[String, Kernels.BandEvent, Kernels.CandPair] {
+  import Kernels.{BandEvent, CandPair}
+
+  @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    members = getHandle.getListState[Long](
+      "members", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(bk: String, events: Iterator[BandEvent],
+      timerValues: TimerValues): Iterator[CandPair] = {
+    // id-sorted intake so intra-batch arrivals pair deterministically
+    // (smaller id joins the bucket first — the batch operator's
+    // id_a < id_b convention falls out of min/max either way)
+    val known = scala.collection.mutable.LinkedHashSet.empty[Long]
+    members.get().foreach(known += _)
+    val out = Vector.newBuilder[CandPair]
+    events.map(_.doc).toSeq.distinct.sorted.foreach { d =>
+      if (!known.contains(d)) {
+        known.foreach(m =>
+          out += CandPair(math.min(m, d), math.max(m, d)))
+        known += d
+        members.appendValue(d)
+      }
+    }
+    out.result().iterator
   }
 }

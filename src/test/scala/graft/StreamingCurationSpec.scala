@@ -249,4 +249,47 @@ class StreamingCurationSpec extends AnyFunSuite {
       assert(q.lastProgress.stateOperators.isEmpty)
     } finally q.stop()
   }
+
+  test("streaming minhash-LSH candidates equal the batch pair set on in-order ingest") { withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+    // q52's corpus and parameters (shingle 3-grams, k=9, 3 bands x 3 rows)
+    val bandEvents = graft.ml.Dedup
+      .minhashBandTable(docs, "doc_id", "text", shingleN = 3, k = 9,
+        bands = 3, rows = 3)
+      .as[(Long, String)].collect()
+      .map { case (id, bk) => Kernels.BandEvent(bk, id) }
+      .sortBy(_.doc)
+    val batchPairs = graft.ml.Dedup
+      .minhashCandidates(docs, "doc_id", "text", shingleN = 3, k = 9,
+        bands = 3, rows = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(batchPairs.nonEmpty, "fixture must contain near-duplicates")
+
+    val input = MemoryStream[Kernels.BandEvent]
+    val q = Kernels.minhashCandidatePairs(input.toDS())
+      .writeStream.format("memory").queryName("mh_pairs")
+      .outputMode("append").start()
+    try {
+      // in-id-order ingest split across micro-batches: batch-2 arrivals
+      // must pair with batch-1 members THROUGH the state store
+      val (b1, b2) = bandEvents.splitAt(bandEvents.length / 2)
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("mh_pairs").as[Kernels.CandPair].collect()
+        .map(p => (p.idA, p.idB)).toSet
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mh_pairs").as[Kernels.CandPair].collect()
+        .map(p => (p.idA, p.idB)).toSet
+      // union of per-batch emissions (set-deduped: a pair shared by
+      // several bands is emitted per band) ≡ the batch self-join
+      assert(streamed == batchPairs,
+        s"streaming=${streamed.size} batch=${batchPairs.size}")
+      assert(afterB1.subsetOf(streamed) && afterB1 != streamed,
+        "cross-batch candidates must come from the state store")
+    } finally q.stop()
+  } }
 }
