@@ -17,8 +17,11 @@ import org.apache.spark.sql.types._
   * runs twice INTERLEAVED with per-query min reported and per-query
   * spread emitted, so a stall landing on one sample of one query is
   * visible and discounted inside the artifact instead of reading as a
-  * regression. `total` is the sum of per-query minima — the stall-free
-  * sweep time.
+  * regression; queries whose two best samples disagree past the band
+  * are re-sampled (same retry-until-quiet discipline as the tp probe,
+  * capped per query) with steal counters around every sample, so each
+  * still-noisy query carries its own contention evidence. `total` is
+  * the sum of per-query minima — the stall-free sweep time.
   *
   * Besides timing every registry query (count()-driven), measures the
   * reference's headline number — file → json decode → devnull
@@ -185,20 +188,61 @@ object Bench {
     // (the stall-free sample), spread = (max-min)/min is the per-query
     // noise the r6 verdict demanded — a ×12 "regression" on untouched
     // code is now distinguishable from a real one inside the artifact.
+    //
+    // RETRY-UNTIL-QUIET per query (the round-8 demand, mirroring the tp
+    // probe): a query is QUIET once its two best samples agree within
+    // the noise band — the best sample is then reproduced, not a fluke
+    // — and the full (max-min)/min spread, which inevitably includes
+    // sweep-1 codegen warm-up, stops deciding noisiness. Queries whose
+    // best two still disagree get re-sampled (interleaved, so a stall
+    // can't poison a whole retry round) up to SPARK_GRAFT_Q_MAX_SAMPLES
+    // each, with the steal/throttle counters read around every sample —
+    // a query still noisy at the cap carries its own per-sample steal
+    // evidence in the detail artifact.
     val sweeps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "2").toInt)
+    val qMaxSamples = math.max(sweeps,
+      sys.env.getOrElse("SPARK_GRAFT_Q_MAX_SAMPLES", "5").toInt)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    val sampleMap = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
-    for (_ <- 1 to sweeps; (name, fn) <- names) {
+    final case class QSample(sec: Double, stealPct: Double)
+    val sampleMap = scala.collection.mutable.LinkedHashMap[String, Vector[QSample]]()
+    def qSample(name: String, fn: (SparkSession, String) => DataFrame): Unit = {
+      val (t0j, s0, w0) = procStat(); val c0 = cgroupThrottledUsec()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
-      sampleMap(name) = sampleMap.getOrElse(name, Vector.empty) :+ sec
+      val (t1j, s1, w1) = procStat(); val c1 = cgroupThrottledUsec()
+      val dTotal = math.max(t1j - t0j, 1L)
+      val stealPct = math.max(
+        100.0 * ((s1 - s0) + (w1 - w0)) / dTotal,
+        (c1 - c0) / 1e4 / math.max(sec, 1e-9))
+      sampleMap(name) = sampleMap.getOrElse(name, Vector.empty) :+
+        QSample(sec, stealPct)
     }
-    val results = names.map { case (name, _) => name -> sampleMap(name).min }
+    // best-two agreement: (2nd-best − best) / best
+    def spread2(name: String): Double = {
+      val ss = sampleMap(name).map(_.sec).sorted
+      if (ss.size < 2 || ss.head <= 0) 0.0 else (ss(1) - ss.head) / ss.head
+    }
+    for (_ <- 1 to sweeps; (name, fn) <- names) qSample(name, fn)
+    var retryRounds = 0
+    var retried = 0
+    var loud = names.filter { case (n, _) =>
+      spread2(n) > noiseBand && sampleMap(n).size < qMaxSamples }
+    while (loud.nonEmpty && retryRounds < qMaxSamples) {
+      retryRounds += 1
+      loud.foreach { case (n, fn) => qSample(n, fn); retried += 1 }
+      loud = loud.filter { case (n, _) =>
+        spread2(n) > noiseBand && sampleMap(n).size < qMaxSamples }
+    }
+    val results = names.map { case (name, _) =>
+      name -> sampleMap(name).map(_.sec).min }
     val qSpread = names.map { case (name, _) =>
-      val ss = sampleMap(name)
+      val ss = sampleMap(name).map(_.sec)
       name -> (if (ss.min > 0) (ss.max - ss.min) / ss.min else 0.0)
     }
+    val qSpread2 = names.map { case (name, _) => name -> spread2(name) }
+    val qStealMax = names.map { case (name, _) =>
+      name -> sampleMap(name).map(_.stealPct).max }
 
     // 128-bit-fingerprint payload evidence (q125/q130): the same
     // duplicate-span operator with string vs MD5 shuffle keys, total
@@ -261,21 +305,28 @@ object Bench {
         f"[bench] NOTE contention counters moved (steal/throttle max " +
           f"$stealPctMax%.1f%%) but a quiet window formed; medians use it")
 
-    // Aggregate sweep-noise diagnostics: how many queries saw a
-    // past-noise-band spread between their interleaved samples, and the
-    // worst one. Sweep 1 includes per-query codegen/JIT warm-up, so a
-    // moderate spread is expected even on a quiet box — the per-query
-    // min discounts warm-up and stalls alike; what q_spread_max
-    // distinguishes is the ×10-class CPU-steal stall (r6's q107 "×12")
-    // from a real regression, which would slow BOTH samples.
-    val qNoisy = qSpread.filter(_._2 > noiseBand)
+    // Aggregate sweep-noise diagnostics. A query counts as NOISY only if
+    // its two best samples still disagree past the band after the retry
+    // loop — i.e. the probe never reproduced its best time within the
+    // sample cap. The full (max-min)/min spread is still reported per
+    // query (it shows warm-up + stall magnitude) but no longer decides
+    // noisiness: sweep-1 codegen warm-up alone pushed ~45 queries past
+    // the band in round 8 with per-query minima that were perfectly
+    // reproducible. Each noisy survivor carries its max per-sample
+    // steal% — positive evidence whether the residue is the box.
+    val qNoisy = qSpread2.filter(_._2 > noiseBand)
     val qNoisyCount = qNoisy.size
     val qSpreadMax = if (qSpread.nonEmpty) qSpread.map(_._2).max else 0.0
-    if (qNoisyCount > 0)
+    val qSpread2Max = if (qSpread2.nonEmpty) qSpread2.map(_._2).max else 0.0
+    if (qNoisyCount > 0) {
+      val worst = qNoisy.maxBy(_._2)
+      val worstSteal = qStealMax.toMap.getOrElse(worst._1, 0.0)
       System.err.println(
-        f"[bench] WARN $qNoisyCount queries exceeded per-query noise band " +
-          f"$noiseBand%.2f across $sweeps sweeps (max spread $qSpreadMax%.2f: " +
-          qNoisy.maxBy(_._2)._1 + "); per-query min is reported, spreads in detail file")
+        f"[bench] WARN $qNoisyCount queries never reproduced their best " +
+          f"sample within band $noiseBand%.2f after $retried retries " +
+          f"(worst ${worst._1} spread2 ${worst._2}%.2f, steal " +
+          f"$worstSteal%.1f%%); per-query min is reported, evidence in detail file")
+    }
 
     // Full per-query map + every tp/scan sample → a FILE, not stdout:
     // the ~3.6 KB per-query line overflowed the driver's tail/parse
@@ -283,9 +334,15 @@ object Bench {
     val tpArr = tpSamples.map(v => f"$v%.4f").mkString("[", ",", "]")
     val stealArr = tpSamplesFull.map(s => f"${s.stealPct}%.2f").mkString("[", ",", "]")
     val throttleArr = tpSamplesFull.map(s => f"${s.throttledPct}%.2f").mkString("[", ",", "]")
+    val qsSpread2 = qSpread2
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qsSteal = qStealMax
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val detail =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,""" +
-        f""""query_spread":$qsSpread,"sweeps":$sweeps,""" +
+        f""""query_spread":$qsSpread,"query_spread2":$qsSpread2,""" +
+        f""""query_steal_pct":$qsSteal,"q_retries":$retried,""" +
+        f""""q_spread2_max":$qSpread2Max%.3f,"sweeps":$sweeps,""" +
         f""""throughput_MBps":$mbps%.1f,"tp_median_MBps":$tpMedianMbps%.1f,""" +
         f""""scan_MBps":$scanMbps%.1f,"tp_over_scan":$tpOverScan%.4f,""" +
         f""""tp_spread":$spread%.4f,"tp_noisy":$noisy,""" +
@@ -309,7 +366,8 @@ object Bench {
         f""""tp_spread":$spread%.4f,"tp_noisy":$noisy,""" +
         f""""steal_detected":$stealDetected,"steal_pct_max":$stealPctMax%.2f,""" +
         f""""sweeps":$sweeps,"q_noisy_count":$qNoisyCount,""" +
-        f""""q_spread_max":$qSpreadMax%.3f,""" +
+        f""""q_spread_max":$qSpreadMax%.3f,"q_spread2_max":$qSpread2Max%.3f,""" +
+        f""""q_retries":$retried,""" +
         f""""total_sec":$total%.4f,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

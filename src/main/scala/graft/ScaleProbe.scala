@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-cliff probe (round 9): run the gram-shuffle family and the
+  * q134 curation chain at sf0.1 AND at a synthesized 10× corpus
+  * ("sf1": the sf0.1 documents replicated 10× with remapped doc ids —
+  * texts repeat, so gram cardinality is a LOWER bound, but shuffle
+  * volume, winner-table size, and partition pressure scale honestly),
+  * recording wall seconds, total shuffle bytes written, and peak
+  * single-task execution memory per operator. A linear-ish growth in
+  * shuffle bytes and flat-ish peak task memory is the evidence behind
+  * the "survives 100×" claim; super-linear blowup in either is the
+  * cliff this probe exists to catch. Results land in NOTES.md by hand.
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe"` (env SPARK_GRAFT_SF_DIR for
+  * the base SF, default /root/testdata/sf0.1).
+  */
+object ScaleProbe {
+
+  final case class Metrics(wallSec: Double, shuffleBytes: Long,
+                           peakTaskMemMb: Long, rows: Long)
+
+  private def measure(spark: SparkSession)(run: => Long): Metrics = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    val peak = new java.util.concurrent.atomic.AtomicLong()
+    val l = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        peak.accumulateAndGet(
+          sc.stageInfo.taskMetrics.peakExecutionMemory, math.max(_, _))
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val t0 = System.nanoTime()
+    val rows = try { val r = run; Thread.sleep(800); r } // listener bus drain
+      finally spark.sparkContext.removeSparkListener(l)
+    Metrics((System.nanoTime() - t0) / 1e9, bytes.get(),
+      peak.get() >> 20, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // synthesize the 10× corpus once (cached across runs)
+    val sf1Dir = "/tmp/graft_sf1"
+    val docs1Path = s"$sf1Dir/documents.parquet"
+    if (!new java.io.File(docs1Path, "_SUCCESS").exists()) {
+      val d = Tables(spark, base, "documents")
+      d.crossJoin(spark.range(10).select(col("id").as("_rep")))
+        .select((col("doc_id") * 10 + col("_rep")).as("doc_id"),
+          col("text"), col("lang"),
+          concat(col("source"), lit("_"), col("_rep")).as("source"),
+          col("n_chars"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(docs1Path)
+    }
+
+    def docsAt(scale: String): DataFrame =
+      if (scale == "base") Tables(spark, base, "documents")
+      else spark.read.parquet(docs1Path)
+
+    def curationYaml(dir: String, table: String): String =
+      s"""curation:
+         |  input: {dir: "$dir", table: $table}
+         |  stages:
+         |    - {type: gopher_gate, min_tok: 5}
+         |    - {type: lang_filter}
+         |    - {type: repetition_gate}
+         |    - {type: exact_dedup}
+         |    - {type: duplicate_spans, n: 20, threshold_milli: 900,
+         |       fingerprint: true}
+         |    - {type: decontaminate, eval_filter: "doc_id % 97 = 0",
+         |       n: 3, threshold: 10}
+         |    - {type: source_quota, group: source, budget: 400, seed: 11}
+         |""".stripMargin
+
+    val ops: Seq[(String, String => Metrics)] = Seq(
+      "duplicate_spans_fp" -> { scale: String =>
+        measure(spark)(graft.ml.Corpus.duplicateSpans(docsAt(scale),
+          "doc_id", "text", n = 20, thresholdMilli = 900L,
+          fingerprint = true).count())
+      },
+      "line_dedup_fp" -> { scale: String =>
+        measure(spark)(graft.ml.Corpus.lineDedupKeepFirst(docsAt(scale),
+          "doc_id", "text", delim = " ", fingerprint = true).count())
+      },
+      "boilerplate_fp" -> { scale: String =>
+        val d = docsAt(scale)
+        val minDocs = math.ceil(0.8 * d.count()).toLong
+        measure(spark)(graft.ml.Corpus.boilerplateScrub(d, "doc_id", "text",
+          delim = " ", minDocs = minDocs, fingerprint = true).count())
+      },
+      "repetition_gate" -> { scale: String =>
+        measure(spark)(graft.ml.TextOps.massiveTextRepetition(
+          docsAt(scale), "doc_id", "text").count())
+      },
+      "minhash_candidates" -> { scale: String =>
+        measure(spark)(graft.ml.Dedup.minhashCandidates(docsAt(scale),
+          "doc_id", "text", shingleN = 3, k = 9, bands = 3, rows = 3).count())
+      },
+      "curation_chain_q134" -> { scale: String =>
+        val (dir, table) =
+          if (scale == "base") (base, "documents") else (sf1Dir, "documents")
+        measure(spark)(graft.compiler.PipelineCompiler.compileCuration(
+          spark, curationYaml(dir, table)).count())
+      }
+    )
+
+    // interleave scales so a CPU-steal stall cannot poison one scale's
+    // whole column; keep the better (min-wall) measurement per cell
+    val out = scala.collection.mutable.LinkedHashMap.empty[(String, String), Metrics]
+    for (pass <- 1 to 2; (name, f) <- ops; scale <- Seq("base", "x10")) {
+      val m = f(scale)
+      val k = (name, scale)
+      if (!out.contains(k) || m.wallSec < out(k).wallSec) out(k) = m
+    }
+    println("op,scale,wall_sec,shuffle_mb,peak_task_mem_mb,rows")
+    ops.foreach { case (name, _) =>
+      Seq("base", "x10").foreach { s =>
+        val m = out((name, s))
+        println(f"$name,$s,${m.wallSec}%.2f,${m.shuffleBytes / 1e6}%.1f," +
+          f"${m.peakTaskMemMb},${m.rows}")
+      }
+      val b = out((name, "base")); val x = out((name, "x10"))
+      val shufRatio = if (b.shuffleBytes > 0) x.shuffleBytes.toDouble / b.shuffleBytes else 0.0
+      val wallRatio = if (b.wallSec > 0) x.wallSec / b.wallSec else 0.0
+      println(f"# $name: shuffle x$shufRatio%.1f, wall x$wallRatio%.1f, " +
+        f"peak-mem ${b.peakTaskMemMb} -> ${x.peakTaskMemMb} MB at 10x data")
+    }
+    spark.stop()
+  }
+}
