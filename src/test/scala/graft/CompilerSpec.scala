@@ -704,7 +704,7 @@ class CompilerSpec extends AnyFunSuite {
       Map("KAFKA_PASSWORD" -> "pw"))
     assert(sec.df.isStreaming)
     assert(sec.outputType == "kafka" &&
-      sec.outputConf("compression") == "lz4" &&
+      sec.outputConf("compression") == "zstd" && // legal: message_format 2 default
       sec.outputConf("sasl_password") == "pw")
 
     // k8s CRI: fixture spool dir
