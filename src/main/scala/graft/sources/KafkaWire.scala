@@ -223,10 +223,15 @@ object KafkaWire {
         val crc = new CRC32(); crc.update(msg, 4, msg.length - 4)
         require(crc.getValue == wireCrc,
           s"message CRC mismatch at offset $offset: ${crc.getValue} != $wireCrc")
+        // magic 0 = the pre-0.10 layout (no timestamp field); decode
+        // reads both so a mixed-age log (or an ancient broker's
+        // down-conversion) never throws — CreateTime surfaces as -1,
+        // the protocol's "no timestamp" sentinel. Encode stays magic-1+.
         val magic = mb.get()
-        require(magic == 1, s"unsupported message magic $magic (only v1)")
+        require(magic == 0 || magic == 1,
+          s"unsupported message magic $magic in a message set (0/1 only)")
         val attrs = mb.get()
-        val ts = mb.getLong
+        val ts = if (magic == 1) mb.getLong else -1L
         (attrs & 0x07) match {
           case CodecNone =>
             out += RecordMsg(offset, ts, rBytes(mb), rBytes(mb))

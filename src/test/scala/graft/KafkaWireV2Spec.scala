@@ -107,6 +107,28 @@ class KafkaWireV2Spec extends AnyFunSuite {
     }
   }
 
+  test("magic-0 messages (pre-0.10, no timestamp) decode with ts=-1") {
+    // hand-encode the v0 layout: crc, magic=0, attributes, key, value
+    val body = new KafkaWire.Writer()
+      .i8(0).i8(0).bytes("k".getBytes("UTF-8")).bytes("ancient".getBytes("UTF-8"))
+      .result
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    val wire = new KafkaWire.Writer()
+      .i64(7L).i32(4 + body.length).i32(crc.getValue.toInt).raw(body).result
+    val recs = KafkaWire.decodeRecordSet(wire)
+    assert(recs.size == 1)
+    assert(recs.head.offset == 7L && recs.head.timestamp == -1L)
+    assert(new String(recs.head.value, "UTF-8") == "ancient")
+    // magic 3 (not a real format) still fails loudly
+    val bad = new KafkaWire.Writer()
+      .i8(3).i8(0).i64(1L).bytes(null).bytes("x".getBytes).result
+    val badCrc = new java.util.zip.CRC32(); badCrc.update(bad)
+    intercept[IllegalArgumentException] {
+      KafkaWire.decodeMessageSet(new KafkaWire.Writer()
+        .i64(0L).i32(4 + bad.length).i32(badCrc.getValue.toInt).raw(bad).result)
+    }
+  }
+
   test("control batches (transaction markers) decode to zero records") {
     val bytes = KafkaWire.encodeRecordBatch(Seq(msg(7L, 1L, null, "marker")),
       baseOffset = 7L)
