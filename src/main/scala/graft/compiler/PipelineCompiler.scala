@@ -119,10 +119,16 @@ object PipelineCompiler {
       // message_format: 2 (default, magic-2 record batches — what any
       // 0.11+/4.x broker expects; enables zstd + headers) or 1 (legacy
       // magic-1 sets for pre-0.11 brokers). headers_field names a doc
-      // field holding [{key, value}…] to send as record headers.
+      // field holding [{key, value}…] to send as record headers — or an
+      // ENVELOPE column of the same shape, which is what an input with
+      // `include_headers: true` provides as `headers`, making
+      // kafka→kafka header pass-through one config line.
       val msgFormat = outputConf.get("message_format").map(_.toInt).getOrElse(2)
       val headersField = outputConf.get("headers_field")
       (batch: DataFrame, _: Long) => {
+        def headerCol(f: String): Column =
+          (if (batch.columns.contains(f)) col(f) else col("doc").getField(f))
+            .cast("array<struct<key:string,value:string>>")
         val projected = batch.select(
           Seq(
             (if (useTopicField) col("doc").getField(topicField).cast("string")
@@ -130,8 +136,7 @@ object PipelineCompiler {
             keyField.map(f => col("doc").getField(f).cast("string"))
               .getOrElse(lit(null).cast("string")).as("_k"),
             to_json(col("doc")).as("_v")) ++
-          headersField.map(f => col("doc").getField(f)
-            .cast("array<struct<key:string,value:string>>").as("_h")): _*)
+          headersField.map(f => headerCol(f).as("_h")): _*)
         graft.sinks.Sinks.kafkaWireSink(projected, brokers, defaultTopic,
           topicField = Some("_t"), keyField = Some("_k"), valueField = "_v",
           batchSize = batchSize, security = sec,

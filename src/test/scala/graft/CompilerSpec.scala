@@ -823,6 +823,44 @@ class CompilerSpec extends AnyFunSuite {
     } finally b.close()
   }
 
+  test("kafka→kafka header pass-through: include_headers meta column feeds headers_field") {
+    import graft.sources.{KafkaLoopbackBroker, KafkaWire, KafkaWireClient}
+    val b = new KafkaLoopbackBroker(numPartitions = 1)
+    try {
+      val c = new KafkaWireClient(b.host, b.boundPort)
+      try c.produceRecords("hin", 0, Seq(
+        KafkaWire.RecordMsg(0L, 1L, null, """{"m":"one"}""".getBytes("UTF-8"),
+          Seq("trace" -> "t1".getBytes("UTF-8"))),
+        KafkaWire.RecordMsg(0L, 2L, null, """{"m":"two"}""".getBytes("UTF-8"))))
+      finally c.close()
+      // one config line each side: the input rides record headers along
+      // as the `headers` envelope column, the output writes that column
+      // back as record headers (headers_field resolves envelope columns
+      // before doc fields)
+      val yaml =
+        s"""input: {type: kafka, brokers: "${b.bootstrap}", topics: [hin],
+           |        group: hg, offset: oldest, include_headers: true}
+           |decoder: {type: json, schema: "m string"}
+           |output: {type: kafka, brokers: "${b.bootstrap}",
+           |         default_topic: hout, headers_field: headers}
+           |""".stripMargin
+      val q = PipelineCompiler.compile(spark, yaml).startStream()
+      try {
+        q.processAllAvailable()
+        val c2 = new KafkaWireClient(b.host, b.boundPort)
+        try {
+          val (_, recs) = c2.fetch("hout", 0, 0L)
+          val byVal = recs.map(r => new String(r.value, "UTF-8") ->
+            r.headers.map { case (k, v) => (k, new String(v, "UTF-8")) }).toMap
+          assert(byVal.size == 2)
+          assert(byVal(byVal.keys.find(_.contains("one")).get) ==
+            Seq("trace" -> "t1"))
+          assert(byVal(byVal.keys.find(_.contains("two")).get).isEmpty)
+        } finally c2.close()
+      } finally q.stop()
+    } finally b.close()
+  }
+
   test("settings: stream_field keys multiline sequences per (source, stream); disable_streams and use_spread drop it") {
     // one source, two interleaved streams (the k8s stdout/stderr shape)
     val lines = Seq(
