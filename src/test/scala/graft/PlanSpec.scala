@@ -252,6 +252,28 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles == 1, s"expected 1 shuffle, got $shuffles in:\n$cap")
   }
 
+  test("the q135 web-curation chain stays hint-free with no cartesian") {
+    // boilerplate scrub's frequent-segment table and domain_cap's window
+    // are both corpus-derived: the composed YAML chain must carry no
+    // forced broadcast and produce no cartesian/nested-loop join, the
+    // same rule every stage obeys individually
+    val df = graft.compiler.PipelineCompiler.compileCuration(spark,
+      s"""curation:
+         |  input: {dir: "$sf", table: documents}
+         |  stages:
+         |    - {type: gopher_gate, min_tok: 5}
+         |    - {type: boilerplate_scrub, delim: " ", min_docs: 400,
+         |       fingerprint: true}
+         |    - {type: url_normalize,
+         |       url_expr: "concat('https://www.s', CAST(doc_id % 5 AS STRING), '.com/p')"}
+         |    - {type: domain_cap, k: 40, seed: 11}
+         |""".stripMargin)
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "curation chain must not force-broadcast corpus-derived tables")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("the throughput pipeline decodes inside whole-stage codegen") {
     // one NDJSON row is enough to plan against
     val tmp = java.nio.file.Files.createTempDirectory("plan_tp").toString
