@@ -142,7 +142,8 @@ object PipelineCompiler {
           batchSize = batchSize, security = sec,
           compression = outputConf.getOrElse("compression", "none"),
           messageFormat = msgFormat,
-          headersField = headersField.map(_ => "_h"))
+          headersField = headersField.map(_ => "_h"),
+          ack = outputConf.getOrElse("ack", "leader"))
       }
     }
 

@@ -84,8 +84,24 @@ object Sinks {
                       graft.sources.KafkaSecurity.none,
                     compression: String = "none",
                     messageFormat: Int = 2,
-                    headersField: Option[String] = None): Unit = {
+                    headersField: Option[String] = None,
+                    ack: String = "leader"): Unit = {
     import graft.sources.{KafkaWire, KafkaWireClient}
+    // reference surface kafka.go:121: ack no|leader|all-isr. `no`
+    // (acks=0) is rejected at config time: the protocol sends no
+    // response frame for acks=0, so the blocking producer cannot await
+    // it — and fire-and-forget defeats the commit-after-ack contract
+    // this sink exists to uphold.
+    val acks: Short = ack match {
+      case "leader"  => 1
+      case "all-isr" => -1
+      case "no" => throw new IllegalArgumentException(
+        "kafka ack `no` (acks=0) unsupported: the wire protocol sends no " +
+          "response for acks=0 and fire-and-forget defeats commit-after-ack " +
+          "— use leader or all-isr")
+      case other => throw new IllegalArgumentException(
+        s"unknown kafka ack `$other` — use no|leader|all-isr")
+    }
     // reference surface kafka.go:116: none|gzip|snappy|lz4|zstd —
     // zstd needs magic-2 record batches (KIP-110), so it is legal on
     // the default message_format 2 and fails at CONFIG time on the
@@ -135,7 +151,7 @@ object Sinks {
         pending.remove((t, p)).filter(_.nonEmpty).foreach { chunk =>
           val pm = partsOf(t).find(_.partition == p).get
           client(pm.leaderHost, pm.leaderPort)
-            .produceRecords(t, p, chunk.toSeq, codec = codec)
+            .produceRecords(t, p, chunk.toSeq, acks = acks, codec = codec)
         }
       try {
         rows.foreach { r =>

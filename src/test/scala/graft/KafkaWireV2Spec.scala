@@ -270,6 +270,24 @@ class KafkaWireV2Spec extends AnyFunSuite {
     }
   }
 
+  test("sink ack modes: leader and all-isr produce, `no` rejected at config time") {
+    withBroker(numPartitions = 1) { b =>
+      import spark.implicits._
+      val df = Seq("a1").toDF("value")
+      graft.sinks.Sinks.kafkaWireSink(df, b.bootstrap, "am", ack = "leader")
+      graft.sinks.Sinks.kafkaWireSink(df, b.bootstrap, "am", ack = "all-isr")
+      assert(b.values("am", 0) == Seq("a1", "a1"))
+      // acks=0 has no response frame — config-time rejection with the reason
+      val e = intercept[IllegalArgumentException] {
+        graft.sinks.Sinks.kafkaWireSink(df, b.bootstrap, "am", ack = "no")
+      }
+      assert(e.getMessage.contains("commit-after-ack"))
+      intercept[IllegalArgumentException] {
+        graft.sinks.Sinks.kafkaWireSink(df, b.bootstrap, "am", ack = "bogus")
+      }
+    }
+  }
+
   test("legacy flat checkpoint fails loudly under a multi-topic subscription") {
     import graft.sources.KafkaWireStream
     // single-topic: upgraded in place, as before
