@@ -143,7 +143,10 @@ object PipelineCompiler {
           compression = outputConf.getOrElse("compression", "none"),
           messageFormat = msgFormat,
           headersField = headersField.map(_ => "_h"),
-          ack = outputConf.getOrElse("ack", "leader"))
+          ack = outputConf.getOrElse("ack", "leader"),
+          maxMessageBytes =
+            outputConf.get("max_message_bytes").map(_.toInt).getOrElse(1000000),
+          produceRetries = outputConf.get("retry").map(_.toInt).getOrElse(10))
       }
     }
 

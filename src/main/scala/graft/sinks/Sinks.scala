@@ -85,7 +85,9 @@ object Sinks {
                     compression: String = "none",
                     messageFormat: Int = 2,
                     headersField: Option[String] = None,
-                    ack: String = "leader"): Unit = {
+                    ack: String = "leader",
+                    maxMessageBytes: Int = 1000000,
+                    produceRetries: Int = 10): Unit = {
     import graft.sources.{KafkaWire, KafkaWireClient}
     // reference surface kafka.go:121: ack no|leader|all-isr. `no`
     // (acks=0) is rejected at config time: the protocol sends no
@@ -146,12 +148,50 @@ object Sinks {
       var rr = math.max(org.apache.spark.TaskContext.getPartitionId(), 0)
       val pending = scala.collection.mutable.Map
         .empty[(String, Int), scala.collection.mutable.ArrayBuffer[KafkaWire.RecordMsg]]
+      val pendingBytes = scala.collection.mutable.Map
+        .empty[(String, Int), Long].withDefaultValue(0L)
       val now = System.currentTimeMillis()
+      def wireBytes(m: KafkaWire.RecordMsg): Long =
+        70L + (if (m.key == null) 0 else m.key.length) +
+          (if (m.value == null) 0 else m.value.length) +
+          m.headers.map { case (hk, hv) =>
+            hk.length + (if (hv == null) 0 else hv.length) + 10 }.sum
+      def dropAllClients(): Unit = {
+        clients.values.foreach(c => try c.close() catch { case _: Exception => () })
+        clients.clear()
+      }
+      // Failed chunks RETRY with a forced metadata + connection refresh
+      // (kafka.go:124-135: mid-election NOT_LEADER errors resolve by
+      // re-fetching metadata, not by giving up); config/auth errors are
+      // not retryable. Exhausted retries throw so the foreachBatch
+      // retry/DLQ wrapper — the fatal_on_failed_insert analog — engages.
       def flush(t: String, p: Int): Unit =
         pending.remove((t, p)).filter(_.nonEmpty).foreach { chunk =>
-          val pm = partsOf(t).find(_.partition == p).get
-          client(pm.leaderHost, pm.leaderPort)
-            .produceRecords(t, p, chunk.toSeq, acks = acks, codec = codec)
+          pendingBytes.remove((t, p))
+          var attempt = 0
+          var done = false
+          var last: Throwable = null
+          while (!done && attempt <= produceRetries) {
+            try {
+              val pm = partsOf(t).find(_.partition == p).get
+              client(pm.leaderHost, pm.leaderPort)
+                .produceRecords(t, p, chunk.toSeq, acks = acks, codec = codec)
+              done = true
+            } catch {
+              case e: SecurityException => throw e
+              case e: IllegalArgumentException => throw e
+              case e: Exception =>
+                last = e
+                attempt += 1
+                meta.remove(t) // leader may have moved — re-resolve
+                dropAllClients()
+                Thread.sleep(math.min(50L * attempt, 1000L))
+            }
+          }
+          if (!done)
+            throw new java.io.IOException(
+              s"kafka produce failed after ${produceRetries + 1} attempts " +
+                s"on $t/$p", last)
         }
       try {
         rows.foreach { r =>
@@ -168,15 +208,28 @@ object Sinks {
           val p =
             if (k == null) { rr += 1; (rr - 1) % n }
             else KafkaWire.partitionFor(k.getBytes("UTF-8"), n)
-          val buf = pending.getOrElseUpdate((t, p),
-            scala.collection.mutable.ArrayBuffer.empty)
-          buf += KafkaWire.RecordMsg(0L, now,
+          val rec = KafkaWire.RecordMsg(0L, now,
             if (k == null) null else k.getBytes("UTF-8"),
             if (v == null) null else v.getBytes("UTF-8"), hdrs)
+          val rb = wireBytes(rec)
+          // max_message_bytes (kafka.go:110): a produce request's set
+          // stays under the broker's message.max.bytes — flush before a
+          // record would overflow the budget; a SINGLE record past it
+          // can never fit and fails loudly (RecordTooLarge) instead of
+          // bouncing off the broker after the upload
+          require(rb <= maxMessageBytes,
+            s"kafka record of ~$rb bytes exceeds max_message_bytes=" +
+              s"$maxMessageBytes — raise it (and the broker's " +
+              "message.max.bytes) or cut the event upstream")
+          if (pendingBytes((t, p)) + rb > maxMessageBytes) flush(t, p)
+          val buf = pending.getOrElseUpdate((t, p),
+            scala.collection.mutable.ArrayBuffer.empty)
+          buf += rec
+          pendingBytes((t, p)) = pendingBytes((t, p)) + rb
           if (buf.size >= batchSize) flush(t, p)
         }
         pending.keys.toSeq.foreach { case (t, p) => flush(t, p) }
-      } finally clients.values.foreach(_.close())
+      } finally dropAllClients()
     }
   }
 

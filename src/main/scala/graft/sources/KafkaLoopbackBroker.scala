@@ -40,6 +40,15 @@ final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0,
     extends AutoCloseable {
   import KafkaWire._
 
+  /** Transient-failure injection: the next `n` Produce requests answer
+    * NOT_LEADER_FOR_PARTITION (error 6) without appending — the mid-
+    * election condition a producer's retry loop must survive. */
+  def failNextProduces(n: Int): Unit = produceFailures.set(n)
+  private val produceFailures = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Produce requests served (including injected failures). */
+  def produceCount: Long = produces.get()
+  private val produces = new java.util.concurrent.atomic.AtomicLong()
+
   /** nonEmpty `saslUsers` (user → password) makes authentication
     * MANDATORY: any data API on an unauthenticated connection closes it,
     * like a real SASL-only listener. The SCRAM side runs the genuine
@@ -321,6 +330,9 @@ final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0,
     * decoded magic-agnostically — headers survive storage, exactly like
     * a real 0.11+ broker's native v2 log. */
   private def produceResp(bb: ByteBuffer, version: Short): Array[Byte] = {
+    produces.incrementAndGet()
+    val injectFailure =
+      produceFailures.getAndUpdate(n => math.max(n - 1, 0)) > 0
     if (version >= 3) rNStr(bb) // transactional_id
     bb.getShort // acks
     bb.getInt // timeout_ms
@@ -335,7 +347,9 @@ final class KafkaLoopbackBroker(numPartitions: Int = 3, port: Int = 0,
       (0 until np).foreach { _ =>
         val p = bb.getInt
         val set = rBytes(bb)
-        if (p < 0 || p >= numPartitions)
+        if (injectFailure)
+          w.i32(p).i16(6 /* NOT_LEADER_FOR_PARTITION */).i64(-1L).i64(-1L)
+        else if (p < 0 || p >= numPartitions)
           w.i32(p).i16(ErrUnknownTopicOrPartition).i64(-1L).i64(-1L)
         else {
           val entries = decodeRecordSet(set)

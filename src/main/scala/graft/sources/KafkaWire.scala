@@ -614,7 +614,11 @@ final class KafkaWireClient(host: String, port: Int, clientId: String = "graft",
     val base = bb.getLong
     bb.getLong // log_append_time
     bb.getInt // throttle_time_ms
-    require(err == 0, s"produce error $err on $topic/$partition")
+    // broker-reported produce errors (NOT_LEADER during an election,
+    // etc.) are transient I/O conditions — typed as IOException so a
+    // retry loop can distinguish them from config errors
+    if (err != 0)
+      throw new java.io.IOException(s"produce error $err on $topic/$partition")
     base
   }
 

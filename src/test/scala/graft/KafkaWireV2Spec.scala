@@ -288,6 +288,49 @@ class KafkaWireV2Spec extends AnyFunSuite {
     }
   }
 
+  test("produce retry survives transient NOT_LEADER; exhausted retries throw") {
+    withBroker(numPartitions = 1) { b =>
+      import spark.implicits._
+      // two injected mid-election failures, three retries: data lands
+      b.failNextProduces(2)
+      graft.sinks.Sinks.kafkaWireSink(Seq("r1").toDF("value"), b.bootstrap,
+        "rt", produceRetries = 3)
+      assert(b.values("rt", 0) == Seq("r1"))
+      assert(b.produceCount >= 3) // 2 failures + >=1 success served
+      // more failures than retries: the task throws for the DLQ wrapper
+      b.failNextProduces(10)
+      val e = intercept[org.apache.spark.SparkException] {
+        graft.sinks.Sinks.kafkaWireSink(Seq("r2").toDF("value").coalesce(1),
+          b.bootstrap, "rt", produceRetries = 1)
+      }
+      assert(e.getMessage.contains("attempts") ||
+        Option(e.getCause).exists(_.getMessage.contains("attempts")))
+      b.failNextProduces(0)
+    }
+  }
+
+  test("max_message_bytes splits produce sets and rejects an oversized single record") {
+    withBroker(numPartitions = 1) { b =>
+      import spark.implicits._
+      // ~170-byte records against a 400-byte budget: several produce
+      // requests, every record delivered
+      val before = b.produceCount
+      val vals = (0 until 6).map(i => s"v$i-" + ("x" * 100))
+      graft.sinks.Sinks.kafkaWireSink(vals.toDF("value").coalesce(1),
+        b.bootstrap, "mb", maxMessageBytes = 400)
+      assert(b.values("mb", 0).toSet == vals.toSet)
+      assert(b.produceCount - before >= 3,
+        s"expected the 400-byte budget to split the set, got ${b.produceCount - before} requests")
+      // a single record that can never fit fails loudly at the sink
+      val big = intercept[org.apache.spark.SparkException] {
+        graft.sinks.Sinks.kafkaWireSink(Seq("y" * 500).toDF("value").coalesce(1),
+          b.bootstrap, "mb", maxMessageBytes = 400)
+      }
+      assert(big.getMessage.contains("max_message_bytes") ||
+        Option(big.getCause).exists(_.getMessage.contains("max_message_bytes")))
+    }
+  }
+
   test("legacy flat checkpoint fails loudly under a multi-topic subscription") {
     import graft.sources.KafkaWireStream
     // single-topic: upgraded in place, as before
