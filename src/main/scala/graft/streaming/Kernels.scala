@@ -616,6 +616,37 @@ object Kernels {
         OutputMode.Append)
   }
 
+  // --------------------------------------------- streaming line dedup
+
+  /** One segment occurrence of the corpus line-dedup family (q115/q131):
+    * `key` is the segment text (or its fingerprint — use the same
+    * spelling as the batch call being mirrored), shard bounds per-task
+    * state like the duplicate-spans kernel. */
+  final case class SegEvent(shard: Int, doc: Long, pos: Int, key: String)
+  /** keep-first verdict for one occurrence; reassembly (group by doc,
+    * sort kept positions, join) is the stateless fold the batch
+    * operator already performs per micro-batch. */
+  final case class SegVerdict(shard: Int, doc: Long, pos: Int, keep: Boolean)
+  /** MapState value for [[lineDedupVerdicts]]: the first-owner
+    * occurrence of a segment. */
+  final case class OwnerRef(doc: Long, pos: Int)
+
+  /** Streaming [[graft.ml.Corpus.lineDedupKeepFirst]] verdicts: MapState
+    * segment → first-owner (doc, pos); an occurrence is kept iff no
+    * earlier occurrence owns its segment — on in-(doc,pos)-order ingest
+    * the verdicts equal the batch operator's min-(id,pos) winners
+    * exactly (spec-asserted). Verdicts are AT ARRIVAL TIME: a
+    * later-arriving smaller (doc, pos) takes ownership for the future
+    * without revising emitted verdicts — the monotone-admission
+    * contract of the kernel family. State is O(distinct segments), the
+    * batch winner table held incrementally. */
+  def lineDedupVerdicts(ds: Dataset[SegEvent]): Dataset[SegVerdict] = {
+    implicit val outEnc = Encoders.product[SegVerdict]
+    ds.groupByKey(_.shard)(Encoders.scalaInt)
+      .transformWithState(new LineOwnerProcessor(), TimeMode.None(),
+        OutputMode.Append)
+  }
+
   // --------------------------------------------- streaming minhash-LSH
 
   /** One (band-key, doc) LSH membership — the exploded band table
@@ -778,6 +809,37 @@ private[streaming] class BandBucketProcessor
         known += d
         members.appendValue(d)
       }
+    }
+    out.result().iterator
+  }
+}
+
+/** The per-shard processor behind [[Kernels.lineDedupVerdicts]]:
+  * MapState segment-key → packed first-owner (doc << 32 | pos is NOT
+  * used — doc ids exceed 2^31 in real corpora, so owner doc and pos
+  * are kept as a case class). Top-level so the serialized processor
+  * carries no outer reference. */
+private[streaming] class LineOwnerProcessor
+    extends StatefulProcessor[Int, Kernels.SegEvent, Kernels.SegVerdict] {
+  import Kernels.{OwnerRef, SegEvent, SegVerdict}
+
+  @transient private var owner: MapState[String, OwnerRef] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    owner = getHandle.getMapState[String, OwnerRef](
+      "owner", Encoders.STRING, Encoders.product[OwnerRef], TTLConfig.NONE)
+
+  override def handleInputRows(shard: Int, events: Iterator[SegEvent],
+      timerValues: TimerValues): Iterator[SegVerdict] = {
+    val out = Vector.newBuilder[SegVerdict]
+    // (doc, pos) order within the batch so intra-batch duplicates
+    // resolve keep-first deterministically, like the batch min(ord)
+    events.toSeq.sortBy(e => (e.doc, e.pos)).foreach { e =>
+      val cur = if (owner.containsKey(e.key)) Some(owner.getValue(e.key)) else None
+      val earlier = cur.exists(o =>
+        o.doc < e.doc || (o.doc == e.doc && o.pos < e.pos))
+      if (!earlier) owner.updateValue(e.key, OwnerRef(e.doc, e.pos))
+      out += SegVerdict(shard, e.doc, e.pos, keep = !earlier)
     }
     out.result().iterator
   }

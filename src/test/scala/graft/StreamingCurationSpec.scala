@@ -250,6 +250,51 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming line-dedup verdicts equal the batch keep-first winners on in-order ingest") { withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 120)
+    // the batch operator's winner rule, recomputed openly: an occurrence
+    // is kept iff it is the min (doc, pos) for its segment (q115 corpus,
+    // word segments like q131)
+    val seg = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "seg")))
+    val winner = seg.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first_ord"))
+    val batchVerdicts = seg.join(winner, Seq("seg"))
+      .select(col("doc_id"), col("pos"),
+        (struct(col("doc_id"), col("pos")) === col("first_ord")).as("keep"))
+      .as[(Long, Int, Boolean)].collect()
+      .map { case (d, p, k) => (d, p) -> k }.toMap
+
+    val events = seg.select(col("doc_id"), col("pos"), col("seg"))
+      .as[(Long, Int, String)].collect()
+      .map { case (d, p, s) =>
+        Kernels.SegEvent(math.floorMod(s.hashCode, 4), d, p, s) }
+      .sortBy(e => (e.doc, e.pos))
+    val input = MemoryStream[Kernels.SegEvent]
+    val q = Kernels.lineDedupVerdicts(input.toDS())
+      .writeStream.format("memory").queryName("ld_verdicts")
+      .outputMode("append").start()
+    try {
+      // id-ordered ingest split across micro-batches: cross-batch
+      // duplicate lines must be caught through the state store
+      val cut = events.indexWhere(_.doc >= 60)
+      input.addData(events.take(cut).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(events.drop(cut).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ld_verdicts").as[Kernels.SegVerdict].collect()
+        .map(v => (v.doc, v.pos) -> v.keep).toMap
+      assert(streamed == batchVerdicts)
+      assert(streamed.valuesIterator.contains(false),
+        "fixture must contain duplicate lines")
+      // and some batch-2 occurrence must lose to a batch-1 owner
+      assert(streamed.exists { case ((d, _), k) => d >= 60 && !k })
+    } finally q.stop()
+  } }
+
   test("streaming minhash-LSH candidates equal the batch pair set on in-order ingest") { withRocksDb {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
