@@ -496,8 +496,10 @@ object PipelineCompiler {
           Sources.kafka(spark, brokers, topics, offset,
             connectorKafkaOptions(n))
         else {
-          val group =
-            Option(n.get("group")).map(_.asText()).getOrElse("graft")
+          // `consumer_group` is the reference's field name (kafka.go:87);
+          // `group` stays accepted as the shorter spelling
+          val group = Option(n.get("consumer_group")).map(_.asText())
+            .orElse(Option(n.get("group")).map(_.asText())).getOrElse("graft")
           // one stream subscribes to every topic — offsets are keyed
           // (topic, partition) natively, so a single checkpoint covers
           // the whole subscription (kafka.go:81-82 `topics: [...]`)
@@ -533,9 +535,12 @@ object PipelineCompiler {
                 .foreach(v => r = r.option("client_key", v.asText()))
               r
             } else withSasl
+          val r0b = Option(n.get("fetch_max_bytes"))
+            .map(v => withSsl.option("maxbytesperfetch", v.asText()))
+            .getOrElse(withSsl) // kafka.go:115 — per-fetch byte budget
           val r1 = Option(n.get("max_offsets_per_trigger"))
-            .map(v => withSsl.option("maxoffsetspertrigger", v.asText()))
-            .getOrElse(withSsl)
+            .map(v => r0b.option("maxoffsetspertrigger", v.asText()))
+            .getOrElse(r0b)
           // message_format: 1|2 (2 default — magic-2 record batches);
           // include_headers: true rides the record headers along as a
           // `headers` meta column ([{key,value}…]), the reference's
@@ -547,9 +552,17 @@ object PipelineCompiler {
           val r3 =
             if (includeHeaders) r2.option("include_headers", "true") else r2
           val loaded = r3.load()
-          if (includeHeaders)
-            loaded.select(col("value"), col("source_name"), col("headers"))
-          else loaded.select(col("value"), col("source_name"))
+          // include_meta: topic/partition/offset/key/ts_ms ride the
+          // envelope — the reference's kafka meta-template variables
+          // (kafka.go:156,224) as real columns
+          val metaCols =
+            if (Option(n.get("include_meta")).exists(_.asBoolean()))
+              Seq(col("topic"), col("partition"), col("offset"),
+                col("key"), col("ts_ms"))
+            else Nil
+          val headerCols = if (includeHeaders) Seq(col("headers")) else Nil
+          loaded.select(
+            Seq(col("value"), col("source_name")) ++ metaCols ++ headerCols: _*)
         }
       case "socket" =>
         Sources.socket(spark, n.get("host").asText(), n.get("port").asInt())
