@@ -357,12 +357,16 @@ object PipelineCompiler {
     val useSpread = settings.exists(s =>
       Option(s.get("use_spread")).exists(_.asBoolean()))
     val streamKey = if (disableStreams || useSpread) None else Some(streamField)
+    // is_strict (pipeline.go:159): a malformed event fails the run
+    // instead of flowing on as a null doc
+    val isStrict = settings.exists(s =>
+      Option(s.get("is_strict")).exists(_.asBoolean()))
     val src0 = buildInput(spark, input)
     val src = if (useSpread) src0.repartition() else src0
 
     // decode: value → doc struct
     val decoded = Option(root.get("decoder")) match {
-      case Some(d) => src.withColumn("doc", buildDecoder(d, col("value")))
+      case Some(d) => src.withColumn("doc", buildDecoder(d, col("value"), isStrict))
       case None    => src.withColumn("doc", Decoders.raw(col("value")))
     }
 
@@ -571,14 +575,15 @@ object PipelineCompiler {
 
   // ---------------------------------------------------------- decoders
 
-  private def buildDecoder(n: JsonNode, value: Column): Column =
+  private def buildDecoder(n: JsonNode, value: Column,
+                           isStrict: Boolean = false): Column =
     n.get("type").asText() match {
       case "json" =>
         val schema = DataType.fromDDL(n.get("schema").asText()).asInstanceOf[StructType]
         val maxSizes = Option(n.get("json_max_fields_size"))
           .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asInt()).toMap)
           .getOrElse(Map.empty[String, Int])
-        Decoders.json(value, schema, maxSizes)
+        Decoders.json(value, schema, maxSizes, strict = isStrict)
       case "raw"            => Decoders.raw(value)
       case "cri"            => Decoders.cri(value)
       case "kmsg"           => Decoders.kmsg(value)

@@ -18,8 +18,14 @@ object Decoders {
     * `json_max_fields_size` (decoder/readme.md:22-27): per-field length
     * caps applied as a post-parse truncation. */
   def json(line: Column, schema: StructType,
-           maxFieldsSize: Map[String, Int] = Map.empty): Column = {
-    val parsed = from_json(line, schema)
+           maxFieldsSize: Map[String, Int] = Map.empty,
+           strict: Boolean = false): Column = {
+    // strict = the pipeline-level IsStrict contract (pipeline.go:159):
+    // a malformed event aborts the run (FAILFAST) instead of flowing on
+    // as a null doc
+    val parsed =
+      if (strict) from_json(line, schema, Map("mode" -> "FAILFAST"))
+      else from_json(line, schema)
     maxFieldsSize.foldLeft(parsed) { case (doc, (field, limit)) =>
       doc.withField(field, substring(doc.getField(field), 1, limit))
     }

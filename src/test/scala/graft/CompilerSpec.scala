@@ -972,6 +972,25 @@ class CompilerSpec extends AnyFunSuite {
       .select("doc.log").collect().map(_.getString(0)).toSet
     assert(a == b && a == Set("START p\ncont q"))
 
+    // is_strict (pipeline.go:159): a malformed event FAILS the run;
+    // without it the event flows on as a null doc (permissive decode)
+    def strictYaml(settings: String) =
+      s"""$settings
+         |input: {type: fake, lines: ['{"log":"ok"}', 'not json {{{']}
+         |decoder: {type: json, schema: "log string"}
+         |output: {type: devnull}
+         |""".stripMargin
+    val lax = PipelineCompiler.compile(spark, strictYaml("")).result()
+      .select("doc.log").collect().map(r => Option(r.getString(0)))
+    assert(lax.toSet == Set(Some("ok"), None))
+    val strictErr = intercept[Exception] {
+      PipelineCompiler.compile(spark,
+        strictYaml("settings: {is_strict: true}")).result().collect()
+    }
+    assert(strictErr.toString.contains("Malformed") ||
+      Option(strictErr.getCause).exists(_.toString.contains("Malformed")),
+      strictErr.toString)
+
     // docs WITHOUT the stream field: keying degrades to source-only
     // even with streams on (the reference's nil Dig), no analysis error
     val noStream =
