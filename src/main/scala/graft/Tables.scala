@@ -9,16 +9,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects by default. Read nanos as long and convert to a µs timestamp
-    * with integral arithmetic (no double round-trip — ns epoch values
-    * exceed double's 53-bit mantissa).
+  /** events.parquet has shipped with either TIMESTAMP(NANOS) or
+    * TIMESTAMP(MICROS) depending on the generator version. Spark's parquet
+    * reader rejects nanos by default, so enable nanos-as-long before the
+    * read; if `ts` then surfaces as a long it was the nanos layout and is
+    * converted to a µs timestamp with integral arithmetic (no double
+    * round-trip — ns epoch values exceed double's 53-bit mantissa). A
+    * micros layout already reads as a timestamp and passes through.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
