@@ -9,22 +9,41 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.parquet has shipped with either TIMESTAMP(NANOS) or
-    * TIMESTAMP(MICROS) depending on the generator version. Spark's parquet
-    * reader rejects nanos by default, so enable nanos-as-long before the
-    * read; if `ts` then surfaces as a long it was the nanos layout and is
-    * converted to a µs timestamp with integral arithmetic (no double
-    * round-trip — ns epoch values exceed double's 53-bit mantissa). A
-    * micros layout already reads as a timestamp and passes through.
+  /** events.parquet has shipped with TIMESTAMP(NANOS), TIMESTAMP(MICROS,
+    * adjusted-to-UTC) or TIMESTAMP(MICROS, wall-clock) depending on the
+    * generator version. Spark's parquet reader rejects nanos by default, so
+    * enable nanos-as-long around the read (restoring the prior value — the
+    * session is shared); the surfaced `ts` type then tells the layout:
+    *  - LongType         → nanos layout; converted to a µs timestamp with
+    *    integral arithmetic (no double round-trip — ns epoch values exceed
+    *    double's 53-bit mantissa);
+    *  - TimestampNTZType → wall-clock micros; cast to TimestampType, which
+    *    under the UTC session timezone (Verify/Bench set it) is
+    *    epoch-identical to DuckDB's naive reading of the same file;
+    *  - TimestampType    → UTC-adjusted micros; passes through.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val flag = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = spark.conf.getOption(flag)
+      spark.conf.set(flag, "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
+      val restore = () => prior match {
+        case Some(v) => spark.conf.set(flag, v)
+        case None    => spark.conf.unset(flag)
+      }
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
+          // Nanos layout: the flag must STAY set — execution-time footer
+          // conversion consults the live conf, and unsetting it would make
+          // the scan fail later. The flag is harmless for the other tables
+          // (none carry a nanos column).
           df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case _ => df
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          restore()
+          df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ =>
+          restore(); df
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
