@@ -458,11 +458,25 @@ object PipelineCompiler {
         else Sources.fileBatch(spark, dir,
           Option(n.get("filename_pattern")).map(_.asText()).getOrElse("*"))
       case "parquet" =>
-        // replay path: any parquet table re-serialized into the envelope
-        // (nanos timestamps read as long — the testdata events table)
+        // replay path: any parquet table re-serialized into the envelope.
+        // Timestamp columns are rendered as epoch-NANOS longs regardless of
+        // the file's physical layout (nanos-as-long, UTC micros, or
+        // wall-clock NTZ micros) so downstream time_format: unixtimenano
+        // parsing is layout-stable across testdata generator versions.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val df = spark.read.parquet(n.get("path").asText())
-        df.select(to_json(struct(df.columns.map(col): _*)).as("value"),
+        import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+        val cols = df.schema.fields.map { f =>
+          f.dataType match {
+            case TimestampType =>
+              (unix_micros(col(f.name)) * 1000L).as(f.name)
+            case TimestampNTZType =>
+              (unix_micros(col(f.name).cast(TimestampType)) * 1000L).as(f.name)
+            case _ => col(f.name)
+          }
+        }
+        val norm = df.select(cols: _*)
+        norm.select(to_json(struct(norm.columns.map(col): _*)).as("value"),
           lit(n.get("path").asText()).as("source_name"))
       case "tail" =>
         // the DSv2 tailing source (graft.sources.tail) — file.d's `file`
