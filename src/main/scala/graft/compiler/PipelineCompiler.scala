@@ -1215,7 +1215,36 @@ object PipelineCompiler {
     val stages = cur.get("stages")
     require(stages != null && stages.elements().hasNext,
       "curation: `stages` must list at least one stage")
+    // Set-dependent stages consume the incoming frame TWICE (once to
+    // compute the verdict, once as the join-back side). Column pruning
+    // projects different attribute sets into the two subtree copies, so
+    // exchange reuse cannot collapse them and the whole upstream chain
+    // re-executes per stage — quadratic in chain length. Persisting the
+    // incoming frame at those boundaries makes each stage run once; the
+    // persisted frames are the (shrinking) survivor sets, MEMORY_AND_DISK
+    // so they spill instead of evicting the executors. `cache_stages:
+    // off|memory|disk` overrides (off = the pre-round-10 lazy chain; at
+    // full 100 TB scale a deployment would swap this for per-stage
+    // checkpoint-to-parquet, which the `write` of each stage's survivors
+    // gives for free if the chain is split into separate jobs).
+    val cacheMode =
+      Option(cur.get("cache_stages")).map(_.asText()).getOrElse("memory")
+    val level = cacheMode match {
+      case "off"    => None
+      case "disk"   => Some(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      case "memory" => Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case other => throw new IllegalArgumentException(
+        s"curation cache_stages: off|memory|disk, got `$other`")
+    }
+    val twiceUsing = Set("repetition_gate", "exact_dedup", "duplicate_spans",
+      "minhash_dedup", "line_dedup", "semdedup", "domain_cap", "html_extract",
+      "boilerplate_scrub", "decontaminate", "span_scrub", "source_quota",
+      "classifier_gate", "dsir_upsample")
     stages.elements().asScala.foreach { st =>
+      val twice = twiceUsing(st.get("type").asText())
+      // never cache the raw input scan: re-reading parquet twice beats
+      // pinning the whole uncurated corpus in executor storage
+      if (twice && !(df eq base)) level.foreach(df.persist)
       df = curationStage(spark, base, df, st)
     }
     df
@@ -1242,15 +1271,23 @@ object PipelineCompiler {
           s"curation ${st.get("type").asText()}: set eval_filter or eval_input")
         graft.Tables(spark, ein.get("dir").asText(), ein.get("table").asText())
     }
+    // Verdict frames that required an aggregation join back by id —
+    // LEFT SEMI: same survivor set as the inner join on unique doc ids,
+    // but the verdict side contributes no output columns, so the
+    // planner is free to broadcast it and never widens the row.
     def keepIds(verdict: DataFrame, keep: Column): DataFrame =
-      df.join(verdict.filter(keep).select(id), Seq(id))
+      df.join(verdict.filter(keep).select(id), Seq(id), "left_semi")
     st.get("type").asText() match {
+      // The two narrow gates filter IN PLACE: their verdict is pure
+      // per-row expression work (gopherPass / finewebPass), so a
+      // `.filter` stays zero-shuffle inside the scan's codegen span and
+      // avoids doubling the upstream plan — where the keepIds spelling
+      // would shuffle the whole corpus twice to join its own verdict.
       case "gopher_gate" =>
-        keepIds(graft.ml.TextOps.gopherGate(df, id, text,
-          minTok = intOpt("min_tok", 50), maxTok = intOpt("max_tok", 100000)),
-          col("pass"))
+        df.filter(graft.ml.TextOps.gopherPass(col(text),
+          minTok = intOpt("min_tok", 50), maxTok = intOpt("max_tok", 100000)))
       case "fineweb_gate" =>
-        keepIds(graft.ml.TextOps.finewebLineSignals(df, id, text), col("pass"))
+        df.filter(graft.ml.TextOps.finewebPass(col(text)))
       case "repetition_gate" =>
         keepIds(graft.ml.TextOps.massiveTextRepetition(df, id, text), col("pass"))
       case "lang_filter" =>

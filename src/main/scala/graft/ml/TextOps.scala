@@ -323,24 +323,54 @@ object TextOps {
     * engines; the thresholds are the paper's, scaled to those units.
     * Pure expression work — zero shuffle, whole corpus gated in one
     * codegen'd scan pass. */
-  def gopherGate(df: org.apache.spark.sql.DataFrame, idCol: String,
-                 textCol: String, minTok: Int = 50,
-                 maxTok: Int = 100000): org.apache.spark.sql.DataFrame = {
-    val toks = split(lower(col(textCol)), " ")
+  /** Integer division (truncation) as a Column — the SQL `DIV` operator
+    * via its registered function name, keeping gate arithmetic
+    * engine-exact without a double round-trip or a named-column hop. */
+  private def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+
+  /** The gopherGate signal expressions, shared between the verdict
+    * frame (named milli columns) and [[gopherPass]] (one composed
+    * filter Column): (n_tok, mean_len_centi, alpha_milli,
+    * distinct_milli, stop_hits). */
+  private def gopherSig(text: Column): (Column, Column, Column, Column, Column) = {
+    val toks = split(lower(text), " ")
     val nTok = size(toks).cast("long")
-    val charSum = length(regexp_replace(col(textCol), " ", "")).cast("long")
+    val charSum = length(regexp_replace(text, " ", "")).cast("long")
     // \A..\z, not ^..$: Java's $ also matches before a trailing \n, so
     // "word\n" would pass here yet fail the oracle's regexp_full_match
     val alphaCnt = size(filter(toks, t => t.rlike("\\A[a-z]+\\z"))).cast("long")
     val distinctCnt = size(array_distinct(toks)).cast("long")
-    df.select(col(idCol), nTok.as("n_tok"), charSum.as("char_sum"),
-        alphaCnt.as("alpha_cnt"), distinctCnt.as("distinct_cnt"),
-        stopwordHits(col(textCol), stopwords("en")).cast("long").as("stop_hits"))
-      .select(col(idCol), col("n_tok"),
-        expr("(char_sum * 100) DIV n_tok").as("mean_len_centi"),
-        expr("(alpha_cnt * 1000) DIV n_tok").as("alpha_milli"),
-        expr("(distinct_cnt * 1000) DIV n_tok").as("distinct_milli"),
-        col("stop_hits"))
+    (nTok,
+      idiv(charSum * 100L, nTok),
+      idiv(alphaCnt * 1000L, nTok),
+      idiv(distinctCnt * 1000L, nTok),
+      stopwordHits(text, stopwords("en")).cast("long"))
+  }
+
+  /** The gate verdict as ONE Column over the raw text — for callers
+    * that only need the survivors (the curation compiler): a plain
+    * `.filter` keeps the stage zero-shuffle and inside the scan's
+    * codegen span, where joining the verdict frame back would cost two
+    * corpus-wide id shuffles. Thresholds identical to [[gopherGate]]. */
+  def gopherPass(text: Column, minTok: Int = 50, maxTok: Int = 100000): Column = {
+    val (nTok, meanLenCenti, alphaMilli, distinctMilli, stopHits) = gopherSig(text)
+    nTok.between(minTok, maxTok) &&
+      meanLenCenti.between(300L, 1000L) &&
+      alphaMilli >= 800L &&
+      stopHits >= 2L &&
+      distinctMilli >= 300L
+  }
+
+  def gopherGate(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, minTok: Int = 50,
+                 maxTok: Int = 100000): org.apache.spark.sql.DataFrame = {
+    val (nTok, meanLenCenti, alphaMilli, distinctMilli, stopHits) =
+      gopherSig(col(textCol))
+    df.select(col(idCol), nTok.as("n_tok"),
+        meanLenCenti.as("mean_len_centi"),
+        alphaMilli.as("alpha_milli"),
+        distinctMilli.as("distinct_milli"),
+        stopHits.as("stop_hits"))
       .withColumn("pass",
         col("n_tok").between(minTok, maxTok) &&
           col("mean_len_centi").between(300L, 1000L) &&
@@ -364,10 +394,13 @@ object TextOps {
     * Scale: pure expression work over the line array — zero shuffle,
     * whole corpus gated in one codegen'd scan pass (locked by PlanSpec).
     */
-  def finewebLineSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
-                         textCol: String,
-                         shortLineChars: Int = 30): org.apache.spark.sql.DataFrame = {
-    val lines = split(col(textCol), "\n")
+  /** The fineweb line-signal expressions, shared between the verdict
+    * frame and [[finewebPass]]: (n_lines, term_punct_milli,
+    * short_line_milli, bullet_milli, dup_char_milli). */
+  private def finewebSig(text: Column,
+                         shortLineChars: Int): (Column, Column, Column, Column, Column) = {
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
     // \z anchors (not $): a line can't contain \n post-split, but the
     // gopherGate lesson stands — match regexp_full_match-class exactness
     val termCnt = size(filter(lines, l => l.rlike("[.!?\"']\\z"))).cast("long")
@@ -379,16 +412,35 @@ object TextOps {
     val charDistinct = aggregate(
       transform(array_distinct(lines), l => length(l).cast("long")),
       lit(0L), (a, b) => a + b)
-    df.select(col(idCol), size(lines).cast("long").as("n_lines"),
-        termCnt.as("term_cnt"), shortCnt.as("short_cnt"),
-        bulletCnt.as("bullet_cnt"), charTotal.as("char_total"),
-        charDistinct.as("char_distinct"))
-      .select(col(idCol), col("n_lines"),
-        expr("(term_cnt * 1000) DIV n_lines").as("term_punct_milli"),
-        expr("(short_cnt * 1000) DIV n_lines").as("short_line_milli"),
-        expr("(bullet_cnt * 1000) DIV n_lines").as("bullet_milli"),
-        expr("((char_total - char_distinct) * 1000) DIV greatest(char_total, 1)")
-          .as("dup_char_milli"))
+    (nLines,
+      idiv(termCnt * 1000L, nLines),
+      idiv(shortCnt * 1000L, nLines),
+      idiv(bulletCnt * 1000L, nLines),
+      idiv((charTotal - charDistinct) * 1000L, greatest(charTotal, lit(1L))))
+  }
+
+  /** The gate verdict as ONE Column over the raw text — the
+    * [[gopherPass]] rationale verbatim: lets the curation compiler
+    * filter in place instead of shuffling the corpus twice to join a
+    * narrow verdict frame back. Thresholds identical to
+    * [[finewebLineSignals]]. */
+  def finewebPass(text: Column, shortLineChars: Int = 30): Column = {
+    val (_, termPunct, shortLine, bullet, dupChar) =
+      finewebSig(text, shortLineChars)
+    termPunct >= 120L && shortLine < 670L &&
+      bullet <= 900L && dupChar <= 200L
+  }
+
+  def finewebLineSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String,
+                         shortLineChars: Int = 30): org.apache.spark.sql.DataFrame = {
+    val (nLines, termPunct, shortLine, bullet, dupChar) =
+      finewebSig(col(textCol), shortLineChars)
+    df.select(col(idCol), nLines.as("n_lines"),
+        termPunct.as("term_punct_milli"),
+        shortLine.as("short_line_milli"),
+        bullet.as("bullet_milli"),
+        dupChar.as("dup_char_milli"))
       .withColumn("pass",
         col("term_punct_milli") >= 120L &&
           col("short_line_milli") < 670L &&
