@@ -73,8 +73,18 @@ object Corpus {
       i => array_join(slice(toks, i, lit(n)), " "))
     val gramKey =
       if (fingerprint) unhex(md5(col("_gram_str"))) else col("_gram_str")
+    // One explicit gram-key exchange feeds BOTH the winner aggregate and
+    // the join probe side: groupBy and SortMergeJoin each require
+    // HashPartitioning(gram), which the repartition already satisfies, so
+    // neither adds an exchange and the expensive scan+explode runs ONCE
+    // (the naive `g.groupBy…; g.join…` spelling re-explodes the corpus —
+    // the winner side's map-side partial agg rows make its exchange
+    // non-identical to the probe side's, so ReusedExchange never fires;
+    // and on real corpora most n-token windows are unique, so that
+    // partial agg bought almost no shuffle reduction anyway).
     val g = df.select(col(idCol), explode(grams).as("_gram_str"))
       .select(col(idCol), gramKey.as("gram"))
+      .repartition(col("gram"))
     val win = g.groupBy(col("gram")).agg(min(col(idCol)).as("wdoc"))
     g.join(win, Seq("gram"))
       .groupBy(col(idCol))
@@ -183,20 +193,21 @@ object Corpus {
       .agg(
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("seg")))),
-          s => s.getField("seg")), delim).as("clean_text"))
-    // removal count from the OTHER side of the anti-join split (a
-    // map-side-combined count of boilerplate occurrences) — counting via
-    // "total minus kept" would re-tokenize every document a second time,
-    // and turns a NULL text into size(split(null)) = -1
-    val removed = seg.join(frequent, Seq("_k"), "left_semi")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("_removed"))
-    df.select(col(idCol))
+          s => s.getField("seg")), delim).as("clean_text"),
+        count(lit(1)).as("_n_kept"))
+    // removal count as total-minus-kept: the per-doc segment total is a
+    // narrow split+size over the original text (NULL guarded — split(null)
+    // would read as -1), which costs one cheap scan; the former
+    // semi-join spelling re-exploded and re-shuffled the whole segment
+    // table a THIRD time just to count the boilerplate occurrences.
+    df.select(col(idCol),
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(split(col(textCol), lit_delim)).cast("long"))
+          .as("_n_total"))
       .join(reassembled, Seq(idCol), "left")
-      .join(removed, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("_removed"), lit(0L)).as("n_removed"))
+        (col("_n_total") - coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
   }
 
   /** Fractional-epoch upsampling for domain mixing (the Pile/Dolma
