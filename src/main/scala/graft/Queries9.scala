@@ -700,6 +700,38 @@ object Queries9 {
       |SELECT doc_id FROM rk WHERE rank <= 40""".stripMargin
   }
 
+  /** Round-10: partitioned LAKE write round-trip — the write side of the
+    * curation story. Derives typed columns (train/val/test assignment by
+    * the q110 content-hash rule, token counts), writes them through
+    * `Sinks.lakeWrite` — hive `source=…/split=…` partition dirs,
+    * per-partition doc_id sort, `maxRecordsPerFile` shard bounding, a
+    * 2-way hot-partition salt — and returns the READ-BACK of that
+    * layout, so the oracle hash proves the whole write→layout→read path
+    * loses and duplicates nothing (partition values come back from
+    * directory names, not data pages; a layout bug is a row diff here).
+    * Pruning on the partition keys is asserted in PlanSpec. */
+  val q136_lake_roundtrip: Q = (s, dir) => {
+    val rows = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      graft.ml.Corpus.splitAssign(col("text"), seed = 7L, cuts = (800, 900))
+        .as("split"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val out = java.nio.file.Files.createTempDirectory("graft_q136_lake").toString
+    graft.sinks.Sinks.lakeWrite(rows, out,
+      partitionBy = Seq("source", "split"), sortWithin = Seq("doc_id"),
+      maxRecordsPerFile = 500L, fileShards = 2)
+    s.read.parquet(out)
+      .select(col("doc_id"), col("source"), col("split"), col("n_tok"))
+  }
+
+  val q136_sql: String =
+    """SELECT doc_id, source,
+      |  CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |FROM (SELECT doc_id, source, text,
+      |        ('0x' || substr(md5(text || '|split7'), 1, 15))::BIGINT % 1000 AS b
+      |      FROM documents)""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -716,7 +748,8 @@ object Queries9 {
     "q132_antispam_rules" -> q132_antispam_rules,
     "q133_boilerplate_fp" -> q133_boilerplate_fp,
     "q134_curation_chain" -> q134_curation_chain,
-    "q135_curation_web" -> q135_curation_web
+    "q135_curation_web" -> q135_curation_web,
+    "q136_lake_roundtrip" -> q136_lake_roundtrip
   )
 
   val oracles: Map[String, String] = Map(
@@ -733,6 +766,7 @@ object Queries9 {
     "q132_antispam_rules" -> q132_sql,
     "q133_boilerplate_fp" -> q133_sql,
     "q134_curation_chain" -> q134_sql,
-    "q135_curation_web" -> q135_sql
+    "q135_curation_web" -> q135_sql,
+    "q136_lake_roundtrip" -> q136_sql
   )
 }

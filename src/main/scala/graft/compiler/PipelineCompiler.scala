@@ -186,9 +186,33 @@ object PipelineCompiler {
       * file → NDJSON dir; s3 → dynamic-bucket partitioned layout
       * (plugin/output/s3 semantics over any object-store path); other
       * types → the rendered wire payload as text. */
+    /** lake output knobs, shared by the batch and streaming legs:
+      * `path` (required), `partition_by`/`sort_within` (list or
+      * comma-joined), `max_records_per_file`, `file_shards`,
+      * `format: parquet|json`, `mode: overwrite|append` (batch only). */
+    private def lakeConf: (String, Seq[String], Seq[String], Long, Int, String) = (
+      outputConf.getOrElse("path", throw new IllegalArgumentException(
+        "output lake: missing required field `path`")),
+      outputConf.get("partition_by").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      outputConf.get("sort_within").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      outputConf.get("max_records_per_file").map(_.toLong).getOrElse(0L),
+      outputConf.get("file_shards").map(_.toInt).getOrElse(0),
+      outputConf.getOrElse("format", "parquet"))
+
     def write(): Unit = outputType match {
       case "kafka" =>
         kafkaSinkFn(df, 0L)
+      case "lake" =>
+        // event fields leave the envelope: the lake holds typed columns,
+        // not the NDJSON doc — this is the boundary where log-pipeline
+        // rows become training-data table rows
+        val (path, parts, sorts, maxRec, shards, fmt) = lakeConf
+        graft.sinks.Sinks.lakeWrite(df.select(col("doc.*")), path,
+          partitionBy = parts, sortWithin = sorts,
+          maxRecordsPerFile = maxRec, fileShards = shards, format = fmt,
+          mode = outputConf.getOrElse("mode", "overwrite"))
       case "file" if outputConf.contains("target_file") =>
         // single-file seal/rename contract (file.go) — the reference's
         // exact rotation; `dir` layout below is the distributed path
@@ -265,6 +289,30 @@ object PipelineCompiler {
           df.writeStream
             .foreachBatch(kafkaSinkFn)
             .option("checkpointLocation", ckpt).start()
+        case "lake" =>
+          // the NATIVE file sink: manifest-tracked files per epoch =
+          // exactly-once on recovery (a foreachBatch append would demote
+          // that to at-least-once). Same hive partition layout as the
+          // batch leg; rows repartition per micro-batch so a task owns
+          // whole partitions. sort_within is batch-leg-only (global
+          // per-partition sort is undefined over an unbounded stream).
+          val (path, parts, _, maxRec, shards, fmt) = lakeConf
+          val flat = df.observe("graft_lake", count(lit(1)).as("events_out"))
+            .select(col("doc.*"))
+          val keyed =
+            if (parts.isEmpty) flat
+            else if (shards > 1)
+              flat.withColumn("_shard",
+                  pmod(xxhash64(struct(flat.columns.map(col): _*)), lit(shards)))
+                .repartition(parts.map(col) :+ col("_shard"): _*)
+                .drop("_shard")
+            else flat.repartition(parts.map(col): _*)
+          var w = keyed.writeStream.format(fmt)
+            .option("path", path)
+            .option("checkpointLocation", ckpt)
+          if (parts.nonEmpty) w = w.partitionBy(parts: _*)
+          if (maxRec > 0) w = w.option("maxRecordsPerFile", maxRec.toString)
+          w.start()
         case "elasticsearch" | "gelf" | "splunk" | "loki" | "http" | "socket" =>
           payload().writeStream
             .foreachBatch(netSinkFn)
@@ -388,7 +436,15 @@ object PipelineCompiler {
     Compiled(chained,
       out.flatMap(o => Option(o.get("type")).map(_.asText())).getOrElse("devnull"),
       out.map(o => o.properties().asScala
-        .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
+        .map { e =>
+          // list-valued fields (lake partition_by/sort_within) flatten to
+          // the comma-joined spelling both forms normalize to
+          val v =
+            if (e.getValue.isArray)
+              e.getValue.elements().asScala.map(_.asText()).mkString(",")
+            else e.getValue.asText()
+          e.getKey -> v
+        }.toMap).getOrElse(Map.empty))
   }
 
   // ----------------------------------------------------------- inputs

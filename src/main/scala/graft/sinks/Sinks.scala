@@ -388,6 +388,55 @@ object Sinks {
     compression.fold(w)(c => w.option("compression", c)).json(basePath)
   }
 
+  /** Partitioned training-data LAKE writer — the write side of a 100 TB
+    * curation pipeline: hive-layout `partition_by` dirs so downstream
+    * readers get partition PRUNING on the partition keys, rows
+    * repartitioned so a task owns whole partitions (without it every
+    * task writes a sliver of every partition — tasks × partitions small
+    * files), `sort_within` for clustered reads (e.g. doc_id range
+    * locality), `maxRecordsPerFile` to bound shard size for
+    * loader-friendly chunks. `fileShards > 1` salts the repartition so
+    * a HOT partition value (one giant source) spreads across that many
+    * tasks instead of funneling to one straggler — the skew escape
+    * hatch; the salt is a deterministic row hash, so layout is
+    * reproducible. */
+  def lakeWrite(df: DataFrame, path: String,
+                partitionBy: Seq[String],
+                sortWithin: Seq[String] = Nil,
+                maxRecordsPerFile: Long = 0L,
+                fileShards: Int = 0,
+                format: String = "parquet",
+                mode: String = "overwrite"): Unit = {
+    val keyed =
+      if (partitionBy.isEmpty) df
+      else if (fileShards > 1) {
+        // explicit partition count: sharding was REQUESTED, so pin the
+        // exchange (an AQE-coalescible REPARTITION_BY_COL would merge
+        // the salted buckets of a small-at-test-scale partition right
+        // back into one task, defeating the knob)
+        val n = math.max(fileShards,
+          df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+        df.withColumn("_shard",
+            pmod(xxhash64(struct(df.columns.map(col): _*)), lit(fileShards)))
+          .repartition(n, partitionBy.map(col) :+ col("_shard"): _*)
+          .drop("_shard")
+      }
+      else df.repartition(partitionBy.map(col): _*)
+    val sorted =
+      if (sortWithin.nonEmpty) keyed.sortWithinPartitions(sortWithin.map(col): _*)
+      else keyed
+    var w = sorted.write.mode(mode)
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    if (maxRecordsPerFile > 0)
+      w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+    format match {
+      case "parquet" => w.parquet(path)
+      case "json"    => w.json(path)
+      case other => throw new IllegalArgumentException(
+        s"lakeWrite: format parquet|json, got `$other`")
+    }
+  }
+
   /** s3 zip-per-object leg (plugin/output/s3/s3.go:166-251
     * compressFile/uploadFile: every sealed log file is zipped into its
     * own archive and uploaded as one object). foreachBatch writer:

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** The partitioned lake writer (round 10): hive layout, task-owned
+  * partitions, shard bounding, in-file clustering, partition pruning on
+  * read-back, and the YAML `output: {type: lake}` batch + streaming
+  * legs. The row-level write→read equality is q136's oracle; this spec
+  * owns the LAYOUT contracts the oracle can't see. */
+class LakeSinkSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .appName("lake-spec").getOrCreate()
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def sampleRows = {
+    val s = spark
+    import s.implicits._
+    (1 to 900).map(i =>
+      (i.toLong, if (i % 3 == 0) "web" else "books",
+        if (i % 10 < 8) "train" else "val", s"doc number $i"))
+      .toDF("doc_id", "source", "split", "text")
+  }
+
+  test("hive layout + maxRecordsPerFile + in-file doc_id sort") {
+    val out = tmp("lake_layout")
+    sinks.Sinks.lakeWrite(sampleRows, out,
+      partitionBy = Seq("source", "split"), sortWithin = Seq("doc_id"),
+      maxRecordsPerFile = 100L)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet == Set("source=web", "source=books"))
+    val leaf = Paths.get(out, "source=books", "split=train").toFile
+    assert(leaf.isDirectory, "expected nested split= partition dirs")
+    // every data file honors the record bound and is internally sorted
+    val files = Files.walk(Paths.get(out)).iterator()
+    var checked = 0
+    files.forEachRemaining { p =>
+      if (p.toString.endsWith(".parquet")) {
+        val ids = spark.read.parquet(p.toString)
+          .select("doc_id").collect().map(_.getLong(0))
+        assert(ids.length <= 100, s"file $p exceeds maxRecordsPerFile")
+        assert(ids.sameElements(ids.sorted), s"file $p not sorted by doc_id")
+        checked += 1
+      }
+    }
+    assert(checked > sampleRows.select("source", "split").distinct().count(),
+      "maxRecordsPerFile should split at least one partition into shards")
+    // nothing lost or duplicated across the layout
+    assert(spark.read.parquet(out).count() == 900)
+  }
+
+  test("file_shards salts a hot partition across tasks deterministically") {
+    val out1 = tmp("lake_shard1")
+    val out2 = tmp("lake_shard2")
+    // one giant partition value: without salting it funnels to one task
+    val hot = sampleRows.withColumn("source", lit("cc"))
+    sinks.Sinks.lakeWrite(hot, out1, partitionBy = Seq("source"), fileShards = 4)
+    sinks.Sinks.lakeWrite(hot, out2, partitionBy = Seq("source"), fileShards = 4)
+    def dataFiles(out: String) = {
+      val b = Seq.newBuilder[String]
+      Files.walk(Paths.get(out)).iterator().forEachRemaining { p =>
+        if (p.toString.endsWith(".parquet")) b += p.toString
+      }
+      b.result()
+    }
+    assert(dataFiles(out1).size > 1, "salt should spread the hot partition")
+    assert(spark.read.parquet(out1).count() == 900)
+    // deterministic row hash → reproducible file count across runs
+    assert(dataFiles(out1).size == dataFiles(out2).size)
+  }
+
+  test("read-back filter on a partition key prunes at the scan") {
+    val out = tmp("lake_prune")
+    sinks.Sinks.lakeWrite(sampleRows, out, partitionBy = Seq("source", "split"))
+    val df = spark.read.parquet(out).filter(col("source") === "web")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.replaceAll("\\s+", " ").contains("isnotnull(source"),
+      s"partition filter not pushed to scan:\n$scan")
+    assert(df.count() == 300)
+  }
+
+  test("YAML output type lake: batch write(), list-form partition_by") {
+    val out = tmp("lake_yaml")
+    val compiled = compiler.PipelineCompiler.compile(spark,
+      s"""input:
+         |  type: fake
+         |  lines:
+         |    - '{"source":"web","doc_id":1,"msg":"a"}'
+         |    - '{"source":"web","doc_id":2,"msg":"b"}'
+         |    - '{"source":"books","doc_id":3,"msg":"c"}'
+         |decoder:
+         |  type: json
+         |  schema: "source string, doc_id long, msg string"
+         |output:
+         |  type: lake
+         |  path: "$out"
+         |  partition_by: [source]
+         |  sort_within: [doc_id]
+         |""".stripMargin)
+    compiled.write()
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3)
+    assert(back.filter(col("source") === "web").count() == 2)
+    assert(back.columns.toSet == Set("source", "doc_id", "msg"))
+  }
+
+  test("YAML streaming lake leg: native file sink, partitioned, resumes clean") {
+    val in = tmp("lake_stream_in")
+    val out = tmp("lake_stream_out")
+    val ckpt = tmp("lake_stream_ckpt")
+    Files.write(Paths.get(in, "a.ndjson"),
+      "{\"source\":\"web\",\"doc_id\":1}\n{\"source\":\"books\",\"doc_id\":2}\n"
+        .getBytes("UTF-8"))
+    val compiled = compiler.PipelineCompiler.compile(spark,
+      s"""input: {type: file, dir: "$in", streaming: true}
+         |decoder:
+         |  type: json
+         |  schema: "source string, doc_id long"
+         |output:
+         |  type: lake
+         |  path: "$out"
+         |  partition_by: [source]
+         |  checkpoint: "$ckpt"
+         |""".stripMargin)
+    val q = compiled.startStream()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      def rows(): Long =
+        try spark.read.parquet(out).count() catch { case _: Exception => 0L }
+      while (rows() < 2 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(rows() == 2)
+      assert(new java.io.File(out, "source=web").isDirectory,
+        "streaming leg must produce the same hive layout as batch")
+    } finally q.stop()
+  }
+}
