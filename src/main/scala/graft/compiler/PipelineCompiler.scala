@@ -1306,6 +1306,38 @@ object PipelineCompiler {
     df
   }
 
+  /** [[compileCuration]] + the terminal LAKE write: a `curation:` block
+    * with an `output: {type: lake, path, partition_by, sort_within,
+    * max_records_per_file, file_shards, format, mode}` runs the chain
+    * and lands the survivors as a partitioned training-data lake (the
+    * pipeline `output: {type: lake}` knobs verbatim). Returns the
+    * written frame so callers can keep composing. */
+  def runCuration(spark: SparkSession, yamlStr: String): DataFrame = {
+    val df = compileCuration(spark, yamlStr)
+    val root = yaml.readTree(yamlStr)
+    val cur = Option(root.get("curation")).getOrElse(root)
+    Option(cur.get("output")).foreach { o =>
+      def strs(k: String): Seq[String] = Option(o.get(k)).toSeq.flatMap { n =>
+        if (n.isArray) n.elements().asScala.map(_.asText()).toSeq
+        else n.asText().split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      }
+      require(Option(o.get("type")).forall(_.asText() == "lake"),
+        "curation output: only {type: lake} is supported")
+      graft.sinks.Sinks.lakeWrite(df,
+        Option(o.get("path")).map(_.asText()).getOrElse(
+          throw new IllegalArgumentException(
+            "curation output: missing required field `path`")),
+        partitionBy = strs("partition_by"),
+        sortWithin = strs("sort_within"),
+        maxRecordsPerFile =
+          Option(o.get("max_records_per_file")).map(_.asLong()).getOrElse(0L),
+        fileShards = Option(o.get("file_shards")).map(_.asInt()).getOrElse(0),
+        format = Option(o.get("format")).map(_.asText()).getOrElse("parquet"),
+        mode = Option(o.get("mode")).map(_.asText()).getOrElse("overwrite"))
+    }
+    df
+  }
+
   private def curationStage(spark: SparkSession, base: DataFrame,
                             df: DataFrame, st: JsonNode): DataFrame = {
     val id = Option(st.get("id_col")).map(_.asText()).getOrElse("doc_id")

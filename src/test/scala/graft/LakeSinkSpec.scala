@@ -115,6 +115,25 @@ class LakeSinkSpec extends AnyFunSuite {
     assert(back.columns.toSet == Set("source", "doc_id", "msg"))
   }
 
+  test("curation output block lands survivors as a partitioned lake") {
+    val out = tmp("lake_curation")
+    val df = compiler.PipelineCompiler.runCuration(spark,
+      s"""curation:
+         |  input: {dir: "/root/testdata/sf0.001", table: documents}
+         |  stages:
+         |    - {type: gopher_gate, min_tok: 5}
+         |  output:
+         |    type: lake
+         |    path: "$out"
+         |    partition_by: [source]
+         |    sort_within: [doc_id]
+         |""".stripMargin)
+    val back = spark.read.parquet(out)
+    assert(back.count() == df.count() && back.count() > 0)
+    assert(new java.io.File(out).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("source=")))
+  }
+
   test("YAML streaming lake leg: native file sink, partitioned, resumes clean") {
     val in = tmp("lake_stream_in")
     val out = tmp("lake_stream_out")
