@@ -290,29 +290,14 @@ object PipelineCompiler {
             .foreachBatch(kafkaSinkFn)
             .option("checkpointLocation", ckpt).start()
         case "lake" =>
-          // the NATIVE file sink: manifest-tracked files per epoch =
-          // exactly-once on recovery (a foreachBatch append would demote
-          // that to at-least-once). Same hive partition layout as the
-          // batch leg; rows repartition per micro-batch so a task owns
-          // whole partitions. sort_within is batch-leg-only (global
-          // per-partition sort is undefined over an unbounded stream).
+          // native-file-sink exactly-once; sort_within is batch-leg-only
+          // (Sinks.lakeStream documents both)
           val (path, parts, _, maxRec, shards, fmt) = lakeConf
-          val flat = df.observe("graft_lake", count(lit(1)).as("events_out"))
-            .select(col("doc.*"))
-          val keyed =
-            if (parts.isEmpty) flat
-            else if (shards > 1)
-              flat.withColumn("_shard",
-                  pmod(xxhash64(struct(flat.columns.map(col): _*)), lit(shards)))
-                .repartition(parts.map(col) :+ col("_shard"): _*)
-                .drop("_shard")
-            else flat.repartition(parts.map(col): _*)
-          var w = keyed.writeStream.format(fmt)
-            .option("path", path)
-            .option("checkpointLocation", ckpt)
-          if (parts.nonEmpty) w = w.partitionBy(parts: _*)
-          if (maxRec > 0) w = w.option("maxRecordsPerFile", maxRec.toString)
-          w.start()
+          graft.sinks.Sinks.lakeStream(
+            df.observe("graft_lake", count(lit(1)).as("events_out"))
+              .select(col("doc.*")),
+            path, partitionBy = parts, maxRecordsPerFile = maxRec,
+            fileShards = shards, format = fmt, checkpoint = ckpt)
         case "elasticsearch" | "gelf" | "splunk" | "loki" | "http" | "socket" =>
           payload().writeStream
             .foreachBatch(netSinkFn)
@@ -1336,6 +1321,154 @@ object PipelineCompiler {
         mode = Option(o.get("mode")).map(_.asText()).getOrElse("overwrite"))
     }
     df
+  }
+
+  /** STREAMING curation — incremental cleaning over a parquet LANDING
+    * directory (new files = new micro-batches), the continuous-ingest
+    * spelling of [[compileCuration]]:
+    *
+    * {{{
+    * curation:
+    *   input: {path: /data/landing, max_files_per_trigger: 4}
+    *   stages:
+    *     - {type: gopher_gate, min_tok: 5}        # per-row filter
+    *     - {type: fineweb_gate}                   # per-row filter
+    *     - {type: lang_filter, lang: en}          # per-row filter
+    *     - {type: exact_dedup}                    # stateful first-owner
+    *     - {type: source_quota, group: source,
+    *        budget: 400, state_ttl_ms: 0}         # stateful kernel
+    *     - {type: split_assign, seed: 7}          # per-row transform
+    *     - {type: chunk, window: 40, stride: 30}  # per-row transform
+    *   output: {type: lake, path: …, partition_by: [source],
+    *            checkpoint: …}                    # startCurationStream
+    * }}}
+    *
+    * The quality gates became plain filters in round 10, so they run on
+    * a stream unchanged. `exact_dedup` is Spark's stateful
+    * dropDuplicates — the FIRST-ARRIVAL owner keeps the key, which
+    * equals the batch min-id rule under in-id-order ingest (the
+    * monotone-admission contract every streaming kernel here ships
+    * with). `source_quota` threads each full row through
+    * `Kernels.sourceQuota` as a JSON payload and restores the exact
+    * columns after admission. Set-dependent corpus stages
+    * (duplicate_spans, minhash_dedup, decontaminate, …) are
+    * deliberately NOT offered on the stream — their verdicts need the
+    * corpus, not a prefix; run them as periodic batch compaction over
+    * the landed lake (the streaming kernels in `graft.streaming` cover
+    * the per-shard incremental forms). */
+  def compileCurationStream(spark: SparkSession, yamlStr: String): DataFrame = {
+    val root = yaml.readTree(yamlStr)
+    val cur = Option(root.get("curation")).getOrElse(root)
+    val in = cur.get("input")
+    require(in != null && in.get("path") != null,
+      "curation (streaming): input needs {path: <parquet landing dir>}")
+    val path = in.get("path").asText()
+    // a streaming reader needs a schema: take it from the files already
+    // landed (a landing dir starts with at least the seed shard)
+    val schema = spark.read.parquet(path).schema
+    var reader = spark.readStream.schema(schema)
+    Option(in.get("max_files_per_trigger")).foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n.asInt()))
+    var df: DataFrame = reader.parquet(path)
+    val stages = cur.get("stages")
+    require(stages != null && stages.elements().hasNext,
+      "curation (streaming): `stages` must list at least one stage")
+    stages.elements().asScala.foreach { st => df = streamStage(spark, df, st) }
+    df
+  }
+
+  /** [[compileCurationStream]] + the terminal lake write (required
+    * `output: {type: lake}`): starts and returns the query. */
+  def startCurationStream(spark: SparkSession, yamlStr: String)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val df = compileCurationStream(spark, yamlStr)
+    val root = yaml.readTree(yamlStr)
+    val cur = Option(root.get("curation")).getOrElse(root)
+    val o = Option(cur.get("output")).getOrElse(throw new IllegalArgumentException(
+      "curation (streaming): startCurationStream needs an output {type: lake}"))
+    require(Option(o.get("type")).forall(_.asText() == "lake"),
+      "curation output: only {type: lake} is supported")
+    def strs(k: String): Seq[String] = Option(o.get(k)).toSeq.flatMap { n =>
+      if (n.isArray) n.elements().asScala.map(_.asText()).toSeq
+      else n.asText().split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    graft.sinks.Sinks.lakeStream(df,
+      Option(o.get("path")).map(_.asText()).getOrElse(
+        throw new IllegalArgumentException(
+          "curation output: missing required field `path`")),
+      partitionBy = strs("partition_by"),
+      maxRecordsPerFile =
+        Option(o.get("max_records_per_file")).map(_.asLong()).getOrElse(0L),
+      fileShards = Option(o.get("file_shards")).map(_.asInt()).getOrElse(0),
+      format = Option(o.get("format")).map(_.asText()).getOrElse("parquet"),
+      checkpoint = Option(o.get("checkpoint")).map(_.asText()).getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_cur_ckpt").toString))
+  }
+
+  private def streamStage(spark: SparkSession, df: DataFrame,
+                          st: JsonNode): DataFrame = {
+    val id = Option(st.get("id_col")).map(_.asText()).getOrElse("doc_id")
+    val text = Option(st.get("text_col")).map(_.asText()).getOrElse("text")
+    def intOpt(k: String, d: Int): Int = Option(st.get(k)).map(_.asInt()).getOrElse(d)
+    def longOpt(k: String, d: Long): Long = Option(st.get(k)).map(_.asLong()).getOrElse(d)
+    st.get("type").asText() match {
+      case "gopher_gate" =>
+        df.filter(graft.ml.TextOps.gopherPass(col(text),
+          minTok = intOpt("min_tok", 50), maxTok = intOpt("max_tok", 100000)))
+      case "fineweb_gate" =>
+        df.filter(graft.ml.TextOps.finewebPass(col(text)))
+      case "lang_filter" =>
+        val lid = graft.ml.TextOps.langId(col(text))
+        Option(st.get("lang")).map(l => df.filter(lid === l.asText()))
+          .getOrElse(df.filter(lid.isNotNull))
+      case "exact_dedup" =>
+        val keys = Option(st.get("keys"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq(text))
+        df.dropDuplicates(keys)
+      case "source_quota" =>
+        val group = Option(st.get("group")).map(_.asText()).getOrElse("source")
+        val budget = Option(st.get("budget")).map(_.asLong()).getOrElse(
+          throw new IllegalArgumentException(
+            "curation source_quota: missing required field `budget`"))
+        val inner = df.schema
+        implicit val enc = org.apache.spark.sql.Encoders.product[
+          graft.streaming.Kernels.DocEvent]
+        val ds = df.select(
+          col(group).cast("string").as("source"),
+          col(id).cast("long").as("docId"),
+          size(split(col(text), " ")).cast("long").as("nTok"),
+          to_json(struct(df.columns.map(col): _*)).as("payload"))
+          .as[graft.streaming.Kernels.DocEvent]
+        graft.streaming.Kernels.sourceQuota(ds, budget,
+          stateTtlMs = longOpt("state_ttl_ms", 0L))
+          .select(from_json(col("payload"), inner).as("_r"))
+          .select(col("_r.*"))
+      case "split_assign" =>
+        df.withColumn(
+          Option(st.get("out_col")).map(_.asText()).getOrElse("split"),
+          graft.ml.Corpus.splitAssign(col(text), longOpt("seed", 0L),
+            (intOpt("train_permille", 800), intOpt("val_permille", 900))))
+      case "upsample" =>
+        graft.ml.Corpus.upsample(df, text,
+          expr(Option(st.get("weight_expr")).map(_.asText()).getOrElse(
+            throw new IllegalArgumentException(
+              "curation upsample: missing required field `weight_expr`"))).cast("long"))
+      case "chunk" =>
+        graft.ml.Corpus.chunk(df, id, text,
+          window = Option(st.get("window")).map(_.asInt()).getOrElse(
+            throw new IllegalArgumentException(
+              "curation chunk: missing required field `window`")),
+          stride = Option(st.get("stride")).map(_.asInt()).getOrElse(
+            throw new IllegalArgumentException(
+              "curation chunk: missing required field `stride`")))
+      case other =>
+        throw new IllegalArgumentException(
+          s"curation stage `$other` is not streamable — its verdict needs " +
+            "the corpus, not a prefix. Streamable stages: gopher_gate, " +
+            "fineweb_gate, lang_filter, exact_dedup, source_quota, " +
+            "split_assign, upsample, chunk. Run set-dependent stages as " +
+            "periodic batch compaction over the landed lake.")
+    }
   }
 
   private def curationStage(spark: SparkSession, base: DataFrame,

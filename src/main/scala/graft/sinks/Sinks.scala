@@ -400,6 +400,25 @@ object Sinks {
     * tasks instead of funneling to one straggler — the skew escape
     * hatch; the salt is a deterministic row hash, so layout is
     * reproducible. */
+  /** Task-owns-whole-partitions distribution for the lake writers, with
+    * the optional deterministic hot-partition salt. */
+  private def lakeKeyed(df: DataFrame, partitionBy: Seq[String],
+                        fileShards: Int): DataFrame =
+    if (partitionBy.isEmpty) df
+    else if (fileShards > 1) {
+      // explicit partition count: sharding was REQUESTED, so pin the
+      // exchange (an AQE-coalescible REPARTITION_BY_COL would merge
+      // the salted buckets of a small-at-test-scale partition right
+      // back into one task, defeating the knob)
+      val n = math.max(fileShards,
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      df.withColumn("_shard",
+          pmod(xxhash64(struct(df.columns.map(col): _*)), lit(fileShards)))
+        .repartition(n, partitionBy.map(col) :+ col("_shard"): _*)
+        .drop("_shard")
+    }
+    else df.repartition(partitionBy.map(col): _*)
+
   def lakeWrite(df: DataFrame, path: String,
                 partitionBy: Seq[String],
                 sortWithin: Seq[String] = Nil,
@@ -407,21 +426,7 @@ object Sinks {
                 fileShards: Int = 0,
                 format: String = "parquet",
                 mode: String = "overwrite"): Unit = {
-    val keyed =
-      if (partitionBy.isEmpty) df
-      else if (fileShards > 1) {
-        // explicit partition count: sharding was REQUESTED, so pin the
-        // exchange (an AQE-coalescible REPARTITION_BY_COL would merge
-        // the salted buckets of a small-at-test-scale partition right
-        // back into one task, defeating the knob)
-        val n = math.max(fileShards,
-          df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-        df.withColumn("_shard",
-            pmod(xxhash64(struct(df.columns.map(col): _*)), lit(fileShards)))
-          .repartition(n, partitionBy.map(col) :+ col("_shard"): _*)
-          .drop("_shard")
-      }
-      else df.repartition(partitionBy.map(col): _*)
+    val keyed = lakeKeyed(df, partitionBy, fileShards)
     val sorted =
       if (sortWithin.nonEmpty) keyed.sortWithinPartitions(sortWithin.map(col): _*)
       else keyed
@@ -435,6 +440,28 @@ object Sinks {
       case other => throw new IllegalArgumentException(
         s"lakeWrite: format parquet|json, got `$other`")
     }
+  }
+
+  /** Streaming leg of [[lakeWrite]]: the NATIVE file sink (manifest-
+    * tracked files per epoch = exactly-once on recovery — a foreachBatch
+    * append would be at-least-once), same hive layout and per-micro-batch
+    * task-owns-whole-partitions distribution. sort-within is batch-only
+    * (a per-partition global sort is undefined over an unbounded
+    * stream). */
+  def lakeStream(df: DataFrame, path: String,
+                 partitionBy: Seq[String],
+                 maxRecordsPerFile: Long = 0L,
+                 fileShards: Int = 0,
+                 format: String = "parquet",
+                 checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val keyed = lakeKeyed(df, partitionBy, fileShards)
+    var w = keyed.writeStream.format(format)
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    if (maxRecordsPerFile > 0)
+      w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+    w.start()
   }
 
   /** s3 zip-per-object leg (plugin/output/s3/s3.go:166-251

@@ -182,7 +182,10 @@ object Kernels {
 
   // ----------------------------------------------- corpus source quota
 
-  final case class DocEvent(source: String, docId: Long, nTok: Long)
+  /** `payload` rides along untouched (the streaming-curation compiler
+    * threads the document text through the quota kernel with it). */
+  final case class DocEvent(source: String, docId: Long, nTok: Long,
+                            payload: String = "")
   final case class QuotaState(consumed: Long)
 
   /** Streaming per-source token-budget quota — the continuous-ingest

@@ -337,4 +337,120 @@ class StreamingCurationSpec extends AnyFunSuite {
         "cross-batch candidates must come from the state store")
     } finally q.stop()
   } }
+
+  // ------------------------- round 10: the streaming curation COMPILER
+
+  private def landDocs(dir: String, rows: Seq[(Long, String, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "text").coalesce(1)
+      .write.mode("append").parquet(dir)
+  }
+
+  private val goodText =
+    "the quick brown fox jumps over a lazy dog and then it runs away. "
+
+  test("compiled stream: gates + exact_dedup match the batch chain on the same landing dir") {
+    val dir = java.nio.file.Files.createTempDirectory("cur_stream_in").toString
+    landDocs(dir, Seq(
+      (1L, "web", goodText * 2),
+      (2L, "web", goodText * 2),           // exact duplicate of 1 by text
+      (3L, "web", "x"),                    // fails gopher (too short)
+      (4L, "books", goodText + "unique tail of document four it was."),
+      (5L, "books", "zz " * 400)))         // fails gopher (distinct ratio)
+    val yaml =
+      s"""curation:
+         |  input: {path: "$dir"}
+         |  stages:
+         |    - {type: gopher_gate, min_tok: 5}
+         |    - {type: exact_dedup}
+         |""".stripMargin
+    val streamed = compiler.PipelineCompiler.compileCurationStream(spark, yaml)
+    val q = streamed.writeStream.format("memory").queryName("cur_cmp")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cur_cmp")
+      val want = compiler.PipelineCompiler.compileCuration(spark, yaml)
+      // survivor TEXT sets must agree; the retained id for a duplicate
+      // group may differ (first-arrival vs min-id owner — the
+      // monotone-admission contract; equal under in-id-order ingest)
+      assert(got.select("text").collect().map(_.getString(0)).sorted.toSeq ==
+        want.select("text").collect().map(_.getString(0)).sorted.toSeq)
+      assert(got.count() == want.count())
+    } finally q.stop()
+  }
+
+  test("compiled stream: source_quota keeps state across micro-batches and restores full rows") {
+    val dir = java.nio.file.Files.createTempDirectory("cur_stream_q").toString
+    // file 1 lands before the stream starts; budget 30 tokens per source
+    landDocs(dir, Seq((1L, "web", "a " * 20), (2L, "books", "b " * 10)))
+    val yaml =
+      s"""curation:
+         |  input: {path: "$dir", max_files_per_trigger: 1}
+         |  stages:
+         |    - {type: source_quota, group: source, budget: 30}
+         |""".stripMargin
+    val streamed = compiler.PipelineCompiler.compileCurationStream(spark, yaml)
+    val q = streamed.writeStream.format("memory").queryName("cur_quota")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cur_quota").count() == 2)
+      // file 2: web is at 20/30 → doc 3 admitted (overshoot-by-one rule),
+      // then web closes; doc 5 must NOT admit. books at 10/30 → doc 4 in.
+      landDocs(dir, Seq(
+        (3L, "web", "c " * 25), (5L, "web", "e e e"),
+        (4L, "books", "d " * 15)))
+      q.processAllAvailable()
+      val got = spark.table("cur_quota")
+      assert(got.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L))
+      // the JSON payload round-trip restored the exact input columns
+      assert(got.columns.toSeq == Seq("doc_id", "source", "text"))
+      assert(got.filter(col("doc_id") === 3L).select("text")
+        .head().getString(0) == "c " * 25)
+    } finally q.stop()
+  }
+
+  test("startCurationStream lands survivors as a partitioned lake") {
+    val dir = java.nio.file.Files.createTempDirectory("cur_stream_l").toString
+    val out = java.nio.file.Files.createTempDirectory("cur_stream_lake").toString
+    landDocs(dir, Seq(
+      (1L, "web", goodText * 2), (2L, "books", goodText * 3), (3L, "web", "x")))
+    val q = compiler.PipelineCompiler.startCurationStream(spark,
+      s"""curation:
+         |  input: {path: "$dir"}
+         |  stages:
+         |    - {type: gopher_gate, min_tok: 5}
+         |    - {type: split_assign, seed: 7}
+         |  output:
+         |    type: lake
+         |    path: "$out"
+         |    partition_by: [source]
+         |""".stripMargin)
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      def rows(): Long =
+        try spark.read.parquet(out).count() catch { case _: Exception => 0L }
+      while (rows() < 2 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(rows() == 2, "gopher survivors must land")
+      assert(new java.io.File(out, "source=web").isDirectory)
+      assert(spark.read.parquet(out).columns.contains("split"))
+    } finally q.stop()
+  }
+
+  test("set-dependent stages are rejected on the stream for cause") {
+    val dir = java.nio.file.Files.createTempDirectory("cur_stream_rej").toString
+    landDocs(dir, Seq((1L, "web", goodText)))
+    val e = intercept[IllegalArgumentException] {
+      compiler.PipelineCompiler.compileCurationStream(spark,
+        s"""curation:
+           |  input: {path: "$dir"}
+           |  stages:
+           |    - {type: duplicate_spans, n: 20}
+           |""".stripMargin)
+    }
+    assert(e.getMessage.contains("not streamable") &&
+      e.getMessage.contains("batch compaction"))
+  }
 }
