@@ -168,6 +168,16 @@ object Ann {
       .groupBy(col("vid"), col("cid"))
       .agg(sum((col("xe6") - col("ce6")) * (col("xe6") - col("ce6"))).as("d2"))
 
+  /** argmin over the per-(vid,cid) distance rows as a STRUCT-MIN hash
+    * aggregation — min(struct(d2, cid)) compares field-by-field, which
+    * is exactly the (d2 asc, cid asc) tie-break the former row_number
+    * Window spelled, but with map-side partial min (each map partition
+    * ships ONE candidate per vid instead of k) and no per-key sort. */
+  private[graft] def argminCid(d2: DataFrame): DataFrame =
+    d2.groupBy(col("vid"))
+      .agg(min(struct(col("d2"), col("cid"))).as("_m"))
+      .select(col("vid"), col("_m.cid").as("cid"))
+
   /** Nearest-centroid assignment against a trained centroid table
     * (kmeansQuantized output): same integer squared-L2 + cid tie-break
     * as the training passes, so an assignment is reproducible across
@@ -178,11 +188,7 @@ object Ann {
       .select(col(idCol).as("vid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .select(col("vid"), col("pos"),
         round(col("x").cast("double") * 1e6).cast("long").as("xe6"))
-    assignmentDistances(v, cents)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vid")).orderBy(col("d2"), col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("vid"), col("cid"))
+    argminCid(assignmentDistances(v, cents))
   }
 
   /** Distributed Lloyd k-means over QUANTIZED coordinates — the trained-
@@ -208,11 +214,7 @@ object Ann {
       .select(col("vid").cast("int").as("cid"), col("pos"), col("xe6").as("ce6"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val d2 = assignmentDistances(v, cents)
-      val assign = d2
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vid")).orderBy(col("d2"), col("cid"))))
-        .filter(col("rn") === 1).select(col("vid"), col("cid"))
+      val assign = argminCid(assignmentDistances(v, cents))
       val updated = v.join(assign, "vid")
         .groupBy(col("cid"), col("pos"))
         .agg(floor(sum(col("xe6")).cast("double") / count(lit(1)))
