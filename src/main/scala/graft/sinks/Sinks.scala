@@ -442,6 +442,70 @@ object Sinks {
     }
   }
 
+  /** Small-file COMPACTION for a landed lake — the maintenance job a
+    * streaming ingest needs: the exactly-once file sink writes at least
+    * one file per partition per epoch, so a day of minute-cadence
+    * micro-batches leaves ~1440 slivers per partition and every
+    * downstream scan pays the per-file open cost. Rewrites the dataset
+    * with the [[lakeWrite]] distribution (task-owns-whole-partitions,
+    * optional sort/shard-size bounds) into `<path>.compact.tmp`, then
+    * atomically swaps the directories (old data parks at
+    * `<path>.compact.old` until the post-swap delete — crash between
+    * the two renames leaves BOTH copies on disk, never neither).
+    *
+    * A `_spark_metadata` streaming manifest, if present, is dropped:
+    * the manifest lists the pre-compaction files, and a batch reader of
+    * a streaming-sink dir trusts the manifest over the listing — so
+    * after compaction it would resolve to deleted files. Compacting
+    * therefore CONVERTS the dir to a plain lake dir; the writing stream
+    * must have moved on (point it at a fresh landing dir, or stop it
+    * before compacting — the same contract as any lake table
+    * maintenance window). */
+  def lakeCompact(spark: org.apache.spark.sql.SparkSession, path: String,
+                  partitionBy: Seq[String],
+                  sortWithin: Seq[String] = Nil,
+                  maxRecordsPerFile: Long = 0L,
+                  fileShards: Int = 0,
+                  format: String = "parquet"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path)
+    val tmp = new Path(path + ".compact.tmp")
+    val old = new Path(path + ".compact.old")
+    require(fs.exists(live), s"lakeCompact: $path does not exist")
+    require(!fs.exists(tmp) && !fs.exists(old),
+      s"lakeCompact: stale $tmp or $old from an interrupted run — " +
+        "inspect and remove it first (both copies survive a crash)")
+    // drop the manifest BEFORE reading: a batch read of a dir with
+    // _spark_metadata resolves files through the manifest, which both
+    // hides post-last-commit files and would make the compacted read
+    // miss nothing-but-it — the plain listing is the truth here. A crash
+    // right after this line leaves a plain, complete lake dir.
+    val manifest = new Path(live, "_spark_metadata")
+    if (fs.exists(manifest)) fs.delete(manifest, true)
+    // partition values must round-trip BYTE-IDENTICAL through the
+    // rewrite (type inference would turn split=01 into split=1 and
+    // silently rename partition dirs) — read them as strings
+    val infKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val priorInf = spark.conf.get(infKey)
+    spark.conf.set(infKey, "false")
+    try {
+      val df = format match {
+        case "parquet" => spark.read.parquet(path)
+        case "json"    => spark.read.json(path)
+        case other => throw new IllegalArgumentException(
+          s"lakeCompact: format parquet|json, got `$other`")
+      }
+      lakeWrite(df, tmp.toString, partitionBy = partitionBy,
+        sortWithin = sortWithin, maxRecordsPerFile = maxRecordsPerFile,
+        fileShards = fileShards, format = format, mode = "overwrite")
+    } finally spark.conf.set(infKey, priorInf)
+    require(fs.rename(live, old), s"lakeCompact: could not park $live")
+    require(fs.rename(tmp, live), s"lakeCompact: could not promote $tmp — " +
+      s"original data is intact at $old")
+    fs.delete(old, true)
+  }
+
   /** Streaming leg of [[lakeWrite]]: the NATIVE file sink (manifest-
     * tracked files per epoch = exactly-once on recovery — a foreachBatch
     * append would be at-least-once), same hive layout and per-micro-batch

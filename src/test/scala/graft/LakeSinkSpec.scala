@@ -163,4 +163,55 @@ class LakeSinkSpec extends AnyFunSuite {
         "streaming leg must produce the same hive layout as batch")
     } finally q.stop()
   }
+
+  test("lakeCompact collapses streaming slivers, drops the manifest, keeps every row") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val out = tmp("lake_compact")
+    val ckpt = tmp("lake_compact_ckpt")
+    val input = MemoryStream[(Long, String)]
+    val q = sinks.Sinks.lakeStream(
+      input.toDS().toDF("doc_id", "source"),
+      out, partitionBy = Seq("source"), checkpoint = ckpt)
+    try {
+      // three epochs = at least three sliver files per touched partition
+      for (batch <- 0 until 3) {
+        input.addData((1 to 40).map(i => (batch * 100L + i, "web")): _*)
+        input.addData((1 to 10).map(i => (batch * 100L + 50 + i, "books")): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def files(sub: String) = {
+      val d = new java.io.File(out, sub)
+      if (d.isDirectory) d.listFiles().count(_.getName.endsWith(".parquet")) else 0
+    }
+    assert(files("source=web") >= 3, "stream should have left sliver files")
+    assert(new java.io.File(out, "_spark_metadata").isDirectory)
+    val before = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    sinks.Sinks.lakeCompact(spark, out, partitionBy = Seq("source"),
+      sortWithin = Seq("doc_id"))
+
+    assert(files("source=web") == 1 && files("source=books") == 1,
+      "compaction must collapse each partition to one file here")
+    assert(!new java.io.File(out, "_spark_metadata").exists(),
+      "compaction converts the dir to a plain lake dir")
+    assert(!new java.io.File(out + ".compact.tmp").exists())
+    assert(!new java.io.File(out + ".compact.old").exists())
+    val after = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before, "compaction must not lose or duplicate rows")
+  }
+
+  test("lakeCompact refuses to run over leftovers from an interrupted run") {
+    val out = tmp("lake_compact_stale")
+    sampleRows.write.mode("overwrite").parquet(out)
+    Files.createDirectory(Paths.get(out + ".compact.tmp"))
+    val e = intercept[IllegalArgumentException] {
+      sinks.Sinks.lakeCompact(spark, out, partitionBy = Seq("source"))
+    }
+    assert(e.getMessage.contains("interrupted"))
+  }
 }
