@@ -1243,7 +1243,15 @@ object PipelineCompiler {
     *     - {type: chunk, window: 40, stride: 30}
     * }}}
     */
-  def compileCuration(spark: SparkSession, yamlStr: String): DataFrame = {
+  def compileCuration(spark: SparkSession, yamlStr: String): DataFrame =
+    compileCurationTapped(spark, yamlStr, (_, _) => ())
+
+  /** [[compileCuration]] with an observation tap: `tap` fires with
+    * ("input", base) and then (stage type, stage output) per stage —
+    * the [[curationReport]] hook, threaded explicitly (no shared
+    * mutable state, safe under concurrent compiles). */
+  private def compileCurationTapped(spark: SparkSession, yamlStr: String,
+                                    tap: (String, DataFrame) => Unit): DataFrame = {
     val root = yaml.readTree(yamlStr)
     val cur = Option(root.get("curation")).getOrElse(root)
     val in = cur.get("input")
@@ -1252,6 +1260,7 @@ object PipelineCompiler {
       case Some(tn) => graft.Tables(spark, in.get("dir").asText(), tn.asText())
       case None     => spark.read.parquet(in.get("path").asText())
     }
+    tap("input", base)
     var df = base
     val stages = cur.get("stages")
     require(stages != null && stages.elements().hasNext,
@@ -1287,8 +1296,31 @@ object PipelineCompiler {
       // pinning the whole uncurated corpus in executor storage
       if (twice && !(df eq base)) level.foreach(df.persist)
       df = curationStage(spark, base, df, st)
+      tap(st.get("type").asText(), df)
     }
     df
+  }
+
+  /** Per-stage retention report — the observability a 100 TB curation
+    * run needs before anyone trusts its output: compiles the chain via
+    * [[compileCuration]] (identical plans, same stage persistence) and
+    * counts each stage's survivors. Returns (stage_idx, stage, rows,
+    * dropped, dropped_permille) with idx 0 = the raw input; `dropped`
+    * is negative for row-EMITTING stages (chunk, upsample) — that is
+    * expansion, not loss. The boundary persists make the incremental
+    * counts cost ~one chain run, not stages× runs. */
+  def curationReport(spark: SparkSession, yamlStr: String): DataFrame = {
+    val frames = Seq.newBuilder[(String, DataFrame)]
+    compileCurationTapped(spark, yamlStr, (n, f) => frames += ((n, f)))
+    val counts = frames.result().map { case (n, f) => (n, f.count()) }
+    val rows = counts.zipWithIndex.map { case ((n, c), i) =>
+      val prev = if (i == 0) c else counts(i - 1)._2
+      val dropped = prev - c
+      (i.toLong, n, c, dropped,
+        if (prev == 0) 0L else dropped * 1000L / prev)
+    }
+    spark.createDataFrame(rows)
+      .toDF("stage_idx", "stage", "rows", "dropped", "dropped_permille")
   }
 
   /** [[compileCuration]] + the terminal LAKE write: a `curation:` block

@@ -1245,4 +1245,31 @@ class CompilerSpec extends AnyFunSuite {
     assert(gatedYaml == gatedDirect &&
       gatedYaml.nonEmpty && gatedYaml.size < docsAll.count())
   }
+
+  test("curationReport counts per-stage retention, including emitting stages") {
+    val yaml =
+      """curation:
+        |  input: {dir: "/root/testdata/sf0.001", table: documents}
+        |  stages:
+        |    - {type: gopher_gate, min_tok: 5}
+        |    - {type: exact_dedup}
+        |    - {type: chunk, window: 40, stride: 30}
+        |""".stripMargin
+    val rep = PipelineCompiler.curationReport(spark, yaml)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rep.map(_._2).toSeq ==
+      Seq("input", "gopher_gate", "exact_dedup", "chunk"))
+    // stage-by-stage cross-check against the independently-compiled chains
+    def rowsAfter(k: Int): Long = PipelineCompiler.compileCuration(spark,
+      yaml.linesIterator.take(3 + k).mkString("\n")).count()
+    val input = graft.Tables(spark, "/root/testdata/sf0.001", "documents").count()
+    assert(rep(0)._3 == input && rep(0)._4 == 0L)
+    assert(rep(1)._3 == rowsAfter(1))
+    assert(rep(2)._3 == rowsAfter(2))
+    assert(rep(3)._3 == rowsAfter(3))
+    // gates drop, chunking EMITS (negative dropped = expansion)
+    assert(rep(1)._4 > 0 && rep(1)._5 == rep(1)._4 * 1000 / input)
+    assert(rep(3)._4 < 0 && rep(3)._5 < 0)
+  }
 }
