@@ -274,6 +274,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("curation quality gates compile to zero-shuffle in-place filters") {
+    // the round-10 property: gopher/fineweb stages are plain filters over
+    // the scan — no Exchange, no Join anywhere (the former keepIds
+    // spelling shuffled the corpus twice per gate to join its own
+    // narrow verdict back)
+    val df = graft.compiler.PipelineCompiler.compileCuration(spark,
+      s"""curation:
+         |  input: {dir: "$sf", table: documents}
+         |  stages:
+         |    - {type: gopher_gate, min_tok: 5}
+         |    - {type: fineweb_gate}
+         |    - {type: lang_filter}
+         |""".stripMargin)
+    val p = plan(df)
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
+
+  test("duplicateSpans shuffles the gram stream ONCE, reused by winner and probe") {
+    // the round-10 property: one REPARTITION_BY_COL gram exchange feeds
+    // both the winner aggregate and the join probe; the final adaptive
+    // plan must show the reuse (two independent exchanges would scan +
+    // 20-token-explode the corpus twice)
+    val df = graft.ml.Corpus.duplicateSpans(
+      Tables(spark, sf, "documents"), "doc_id", "text", n = 20)
+    df.collect() // finalize AQE so reuse is visible in the executed plan
+    val p = plan(df)
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
+  }
+
   test("the throughput pipeline decodes inside whole-stage codegen") {
     // one NDJSON row is enough to plan against
     val tmp = java.nio.file.Files.createTempDirectory("plan_tp").toString
