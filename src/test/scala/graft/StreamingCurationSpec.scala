@@ -439,6 +439,40 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation stream restart: dedup and quota state survive the checkpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("cur_restart_in").toString
+    val out = java.nio.file.Files.createTempDirectory("cur_restart_lake").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cur_restart_ck").toString
+    landDocs(dir, Seq(
+      (1L, "web", "a " * 20),            // web at 20/30 after batch 1
+      (2L, "web", "a " * 20)))           // exact duplicate text → deduped
+    val yaml =
+      s"""curation:
+         |  input: {path: "$dir"}
+         |  stages:
+         |    - {type: exact_dedup}
+         |    - {type: source_quota, group: source, budget: 30}
+         |  output: {type: lake, path: "$out", partition_by: [source],
+         |           checkpoint: "$ckpt"}
+         |""".stripMargin
+    def landed(): Seq[Long] =
+      try spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      catch { case _: Exception => Seq.empty }
+    val q1 = compiler.PipelineCompiler.startCurationStream(spark, yaml)
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(landed() == Seq(1L))
+    // restart from the SAME checkpoint; new file arrives after the stop
+    landDocs(dir, Seq(
+      (3L, "web", "a " * 20),            // duplicate of 1 ACROSS restart
+      (4L, "web", "c " * 25),            // web 20/30 → admitted (overshoot)
+      (5L, "web", "e e e")))             // web closed → rejected
+    val q2 = compiler.PipelineCompiler.startCurationStream(spark, yaml)
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(landed() == Seq(1L, 4L),
+      "dedup must remember doc 1's text and quota must remember web's 20 tokens")
+  }
+
   test("set-dependent stages are rejected on the stream for cause") {
     val dir = java.nio.file.Files.createTempDirectory("cur_stream_rej").toString
     landDocs(dir, Seq((1L, "web", goodText)))
