@@ -732,6 +732,30 @@ object Queries9 {
       |        ('0x' || substr(md5(text || '|split7'), 1, 15))::BIGINT % 1000 AS b
       |      FROM documents)""".stripMargin
 
+  /** Round-10: lake COMPACTION under the hash gate — q136's layout is
+    * deliberately fragmented (tiny shard files via maxRecordsPerFile 100
+    * + a 4-way salt), then `Sinks.lakeCompact` rewrites it through the
+    * tmp-dir + double-rename swap, and the oracle hashes the
+    * POST-COMPACTION read-back. Any row lost or duplicated by the
+    * rewrite, the manifest handling, or the directory swap is a gate
+    * failure; the file-count collapse itself is asserted in
+    * LakeSinkSpec. */
+  val q137_lake_compact: Q = (s, dir) => {
+    val rows = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val out = java.nio.file.Files.createTempDirectory("graft_q137_lake").toString
+    graft.sinks.Sinks.lakeWrite(rows, out,
+      partitionBy = Seq("source"), maxRecordsPerFile = 100L, fileShards = 4)
+    graft.sinks.Sinks.lakeCompact(s, out,
+      partitionBy = Seq("source"), sortWithin = Seq("doc_id"))
+    s.read.parquet(out).select(col("doc_id"), col("source"), col("n_tok"))
+  }
+
+  val q137_sql: String =
+    """SELECT doc_id, source,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |FROM documents""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -749,7 +773,8 @@ object Queries9 {
     "q133_boilerplate_fp" -> q133_boilerplate_fp,
     "q134_curation_chain" -> q134_curation_chain,
     "q135_curation_web" -> q135_curation_web,
-    "q136_lake_roundtrip" -> q136_lake_roundtrip
+    "q136_lake_roundtrip" -> q136_lake_roundtrip,
+    "q137_lake_compact" -> q137_lake_compact
   )
 
   val oracles: Map[String, String] = Map(
@@ -767,6 +792,7 @@ object Queries9 {
     "q133_boilerplate_fp" -> q133_sql,
     "q134_curation_chain" -> q134_sql,
     "q135_curation_web" -> q135_sql,
-    "q136_lake_roundtrip" -> q136_sql
+    "q136_lake_roundtrip" -> q136_sql,
+    "q137_lake_compact" -> q137_sql
   )
 }
