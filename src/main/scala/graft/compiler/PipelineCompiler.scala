@@ -339,6 +339,24 @@ object PipelineCompiler {
   def compile(spark: SparkSession, yamlText: String): Compiled =
     compileNode(spark, yaml.readTree(yamlText))
 
+  /** The reference's top-level config shape (cfg/config.go:188-191):
+    * `pipelines: {name: {input, actions, output, settings}}` — every
+    * named pipeline compiles independently into its own Compiled chain;
+    * an empty or missing map is a config error (the reference Fatals
+    * with "no pipelines defined in config"). Multi-file merge, FILED_*
+    * env path overrides and env()/vault() value functions apply BEFORE
+    * the split, via ConfigLoader — so one override file can patch any
+    * pipeline by its `pipelines.<name>.…` path. */
+  def compilePipelines(spark: SparkSession, yamlTexts: Seq[String],
+                       env: Map[String, String] = sys.env): Map[String, Compiled] = {
+    val root = ConfigLoader.load(yamlTexts, env)
+    val ps = Option(root.get("pipelines"))
+      .filter(p => p.properties().asScala.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        "no pipelines defined in config"))
+    ps.properties().asScala.map(e => e.getKey -> compileNode(spark, e.getValue)).toMap
+  }
+
   /** Playground equivalent (reference playground/playground.go:60-110,
     * SURVEY 3.3): run a batch of raw JSON events through the config's
     * action chain on a transient pipeline and return the surviving

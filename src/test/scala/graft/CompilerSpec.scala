@@ -1246,6 +1246,40 @@ class CompilerSpec extends AnyFunSuite {
       gatedYaml.nonEmpty && gatedYaml.size < docsAll.count())
   }
 
+  test("top-level pipelines map: each named pipeline compiles independently") {
+    val cfg =
+      """pipelines:
+        |  errors:
+        |    input: {type: fake, lines: ['{"level":"error","m":"a"}',
+        |                                '{"level":"info","m":"b"}']}
+        |    decoder: {type: json, schema: "level string, m string"}
+        |    actions:
+        |      - type: discard
+        |        do_if:
+        |          op: not
+        |          operands:
+        |            - {op: equal, field: level, values: [error]}
+        |    output: {type: devnull}
+        |  audit:
+        |    input: {type: fake, lines: ['{"level":"info","m":"c"}']}
+        |    decoder: {type: json, schema: "level string, m string"}
+        |    output: {type: devnull}
+        |""".stripMargin
+    val ps = PipelineCompiler.compilePipelines(spark, Seq(cfg), env = Map.empty)
+    assert(ps.keySet == Set("errors", "audit"))
+    assert(ps("errors").result().count() == 1)
+    assert(ps("audit").result().count() == 1)
+    // a FILED_* path override reaches INTO a named pipeline
+    val patched = PipelineCompiler.compilePipelines(spark, Seq(cfg),
+      env = Map("FILED_PIPELINES_AUDIT_DECODER_TYPE" -> "raw"))
+    assert(patched("audit").result().select("doc.message").count() == 1)
+    // the reference Fatals on an empty pipelines map (config.go:190-191)
+    val e = intercept[IllegalArgumentException] {
+      PipelineCompiler.compilePipelines(spark, Seq("pipelines: {}"), Map.empty)
+    }
+    assert(e.getMessage.contains("no pipelines defined"))
+  }
+
   test("curationReport counts per-stage retention, including emitting stages") {
     val yaml =
       """curation:
