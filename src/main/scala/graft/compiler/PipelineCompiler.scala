@@ -412,6 +412,34 @@ object PipelineCompiler {
     // instead of flowing on as a null doc
     val isStrict = settings.exists(s =>
       Option(s.get("is_strict")).exists(_.asBoolean()))
+    // settings-level antispam (fd/util.go:96-126): `settings.antispam:
+    // {threshold, maintenance_interval, rules}` or the legacy
+    // `settings.antispam_threshold`, with `antispam_exceptions` beside
+    // it — compiled by PREPENDING an antispam action, since the pipeline
+    // applies it before the action chain (pipeline.go:442-474). The
+    // reference multiplies the configured threshold by the maintenance
+    // interval in seconds (fd/util.go:119-120); mirrored exactly, as is
+    // the 5 s default interval (pipeline.go:38). Exceptions/rules use
+    // the graft do_if spelling the action already established.
+    val settingsAntispam: Option[JsonNode] = settings.flatMap { s =>
+      val asMap = Option(s.get("antispam")).filter(_.isObject)
+      val thr0 = asMap.flatMap(a => Option(a.get("threshold"))).map(_.asInt())
+        .orElse(Option(s.get("antispam_threshold")).map(_.asInt()))
+      thr0.filter(_ > 0).map { t =>
+        val ivalSec = asMap.flatMap(a => Option(a.get("maintenance_interval")))
+          .map(d => goDurationSeconds(d.asText())).getOrElse(5L)
+        val node = yaml.createObjectNode()
+        node.put("type", "antispam")
+        node.put("threshold", t * ivalSec)
+        node.put("interval_seconds", ivalSec)
+        Option(s.get("source_name_meta_field"))
+          .foreach(f => node.put("source_name_meta_field", f.asText()))
+        Option(s.get("antispam_exceptions")).foreach(e => node.set[JsonNode]("exceptions", e))
+        asMap.flatMap(a => Option(a.get("rules")))
+          .foreach(r => node.set[JsonNode]("rules", r))
+        (node: JsonNode)
+      }
+    }
     val src0 = buildInput(spark, input)
     val src = if (useSpread) src0.repartition() else src0
 
@@ -421,8 +449,9 @@ object PipelineCompiler {
       case None    => src.withColumn("doc", Decoders.raw(col("value")))
     }
 
-    val actions = Option(root.get("actions")).map(_.elements().asScala.toSeq)
-      .getOrElse(Seq.empty)
+    val actions = settingsAntispam.toSeq ++
+      Option(root.get("actions")).map(_.elements().asScala.toSeq)
+        .getOrElse(Seq.empty)
     // metrics: true → per-action observed counters (the reference's
     // per-action prometheus metrics, pipeline/processor.go:269-329)
     val withMetrics = Option(root.get("metrics")).exists(_.asBoolean())
@@ -747,6 +776,28 @@ object PipelineCompiler {
     (fromMatch, fromDoIf) match {
       case (Some(a), Some(b)) => Some(a && b)
       case (a, b)             => a.orElse(b)
+    }
+  }
+
+  /** Go-style duration string → whole seconds ("300ms" → 0, "5s" → 5,
+    * "2m" → 120, "1h" → 3600; bare numbers are seconds). The config
+    * fields that take these (maintenance_interval, event_timeout) are
+    * second-granularity in the compiled pipelines. */
+  private[compiler] def goDurationSeconds(s: String): Long = {
+    val t = s.trim
+    val ms = "^(\\d+)ms$".r
+    val sec = "^(\\d+)s$".r
+    val min = "^(\\d+)m$".r
+    val hr = "^(\\d+)h$".r
+    val bare = "^(\\d+)$".r
+    t match {
+      case ms(v)   => v.toLong / 1000
+      case sec(v)  => v.toLong
+      case min(v)  => v.toLong * 60
+      case hr(v)   => v.toLong * 3600
+      case bare(v) => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"cannot parse duration `$other` (expected <n>ms|s|m|h)")
     }
   }
 

@@ -1280,6 +1280,40 @@ class CompilerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no pipelines defined"))
   }
 
+  test("settings-level antispam compiles to a prepended action with the reference scaling") {
+    // bucket 0 carries 6 events (≥ the effective threshold 1 × 5 s = 5),
+    // so bucket 1's 2 events are banned — the previous-interval ban rule
+    val lines = ((1 to 6).map(i =>
+      s"""'{"time":"2024-01-01T00:00:01","m":"x$i"}'""") ++ (7 to 8).map(i =>
+      s"""'{"time":"2024-01-01T00:00:06","m":"x$i"}'""")).mkString(", ")
+    def run(header: String): Seq[String] =
+      PipelineCompiler.compile(spark,
+        s"""$header
+           |input: {type: fake, lines: [$lines]}
+           |decoder: {type: json, schema: "time string, m string"}
+           |output: {type: devnull}
+           |""".stripMargin)
+        .result().select("doc.m").collect().map(_.getString(0)).sorted.toSeq
+    val viaSettings = run(
+      """settings:
+        |  antispam:
+        |    threshold: 1
+        |    maintenance_interval: 5s""".stripMargin)
+    val viaLegacy = run("settings: {antispam_threshold: 1}")
+    val viaAction = PipelineCompiler.compile(spark,
+      s"""input: {type: fake, lines: [$lines]}
+         |decoder: {type: json, schema: "time string, m string"}
+         |actions:
+         |  - {type: antispam, threshold: 5, interval_seconds: 5}
+         |output: {type: devnull}
+         |""".stripMargin)
+      .result().select("doc.m").collect().map(_.getString(0)).sorted.toSeq
+    assert(viaSettings == viaAction,
+      s"settings antispam must equal the action spelling: $viaSettings vs $viaAction")
+    assert(viaLegacy == viaAction, "legacy antispam_threshold must map identically")
+    assert(viaSettings.size < 8, "the threshold must actually bind in this fixture")
+  }
+
   test("curationReport counts per-stage retention, including emitting stages") {
     val yaml =
       """curation:
