@@ -449,9 +449,26 @@ object PipelineCompiler {
       case None    => src.withColumn("doc", Decoders.raw(col("value")))
     }
 
-    val actions = settingsAntispam.toSeq ++
+    val actions0 = settingsAntispam.toSeq ++
       Option(root.get("actions")).map(_.elements().asScala.toSeq)
         .getOrElse(Seq.empty)
+    // settings.event_timeout (fd/util.go:85-92): the pipeline default
+    // for the sequence-joining actions' flush timeout — injected into
+    // join/join_template nodes that don't set event_timeout_ms
+    val actions = settings.flatMap(s => Option(s.get("event_timeout")))
+      .map(d => goDurationMillis(d.asText())) match {
+      case Some(ms) => actions0.map { a =>
+        val ty = Option(a.get("type")).map(_.asText()).getOrElse("")
+        if ((ty == "join" || ty == "join_template") &&
+            a.get("event_timeout_ms") == null) {
+          val c = a.deepCopy()
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          c.put("event_timeout_ms", ms)
+          (c: JsonNode)
+        } else a
+      }
+      case None => actions0
+    }
     // metrics: true → per-action observed counters (the reference's
     // per-action prometheus metrics, pipeline/processor.go:269-329)
     val withMetrics = Option(root.get("metrics")).exists(_.asBoolean())
@@ -779,11 +796,9 @@ object PipelineCompiler {
     }
   }
 
-  /** Go-style duration string → whole seconds ("300ms" → 0, "5s" → 5,
-    * "2m" → 120, "1h" → 3600; bare numbers are seconds). The config
-    * fields that take these (maintenance_interval, event_timeout) are
-    * second-granularity in the compiled pipelines. */
-  private[compiler] def goDurationSeconds(s: String): Long = {
+  /** Go-style duration string → milliseconds ("300ms" → 300, "5s" →
+    * 5000, "2m" → 120000, "1h" → 3600000; bare numbers are seconds). */
+  private[graft] def goDurationMillis(s: String): Long = {
     val t = s.trim
     val ms = "^(\\d+)ms$".r
     val sec = "^(\\d+)s$".r
@@ -791,15 +806,20 @@ object PipelineCompiler {
     val hr = "^(\\d+)h$".r
     val bare = "^(\\d+)$".r
     t match {
-      case ms(v)   => v.toLong / 1000
-      case sec(v)  => v.toLong
-      case min(v)  => v.toLong * 60
-      case hr(v)   => v.toLong * 3600
-      case bare(v) => v.toLong
+      case ms(v)   => v.toLong
+      case sec(v)  => v.toLong * 1000
+      case min(v)  => v.toLong * 60000
+      case hr(v)   => v.toLong * 3600000
+      case bare(v) => v.toLong * 1000
       case other => throw new IllegalArgumentException(
         s"cannot parse duration `$other` (expected <n>ms|s|m|h)")
     }
   }
+
+  /** [[goDurationMillis]] truncated to whole seconds — the granularity
+    * of the compiled antispam maintenance buckets. */
+  private[graft] def goDurationSeconds(s: String): Long =
+    goDurationMillis(s) / 1000
 
   /** do_if YAML tree → DoIf ADT (ctor semantics:
     * pipeline/doif/ctor.go:47-66). */

@@ -1314,6 +1314,17 @@ class CompilerSpec extends AnyFunSuite {
     assert(viaSettings.size < 8, "the threshold must actually bind in this fixture")
   }
 
+  test("go duration strings parse at ms granularity") {
+    import PipelineCompiler.{goDurationMillis, goDurationSeconds}
+    assert(goDurationMillis("300ms") == 300L)
+    assert(goDurationMillis("5s") == 5000L)
+    assert(goDurationMillis("2m") == 120000L)
+    assert(goDurationMillis("1h") == 3600000L)
+    assert(goDurationMillis("7") == 7000L)
+    assert(goDurationSeconds("90s") == 90L)
+    intercept[IllegalArgumentException](goDurationMillis("5 parsecs"))
+  }
+
   test("curationReport counts per-stage retention, including emitting stages") {
     val yaml =
       """curation:
