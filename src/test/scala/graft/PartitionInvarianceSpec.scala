@@ -135,4 +135,31 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     assert(results(0).nonEmpty && results(0) == results(1),
       "semDedup differs between 1 and 13 partitions")
   }
+
+  test("a whole compiled curation chain survives input file layout changes") {
+    // chain-LEVEL invariance: the q134 composition over the same data
+    // written as ONE parquet file vs ELEVEN must keep the same doc ids —
+    // the layout a 1000-executor scan actually varies
+    val docs = Tables(spark, sf, "documents")
+    val one = java.nio.file.Files.createTempDirectory("cur_inv_1").toString
+    val eleven = java.nio.file.Files.createTempDirectory("cur_inv_11").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(one)
+    docs.repartition(11).write.mode("overwrite").parquet(eleven)
+    def chain(path: String): Seq[Long] =
+      graft.compiler.PipelineCompiler.compileCuration(spark,
+        s"""curation:
+           |  input: {path: "$path"}
+           |  stages:
+           |    - {type: gopher_gate, min_tok: 5}
+           |    - {type: repetition_gate}
+           |    - {type: exact_dedup}
+           |    - {type: duplicate_spans, n: 20, threshold_milli: 900}
+           |    - {type: source_quota, group: source, budget: 400, seed: 11}
+           |""".stripMargin)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val a = chain(one)
+    val b = chain(eleven)
+    assert(a.nonEmpty && a == b,
+      s"curation chain differs across file layouts: ${a.size} vs ${b.size}")
+  }
 }
