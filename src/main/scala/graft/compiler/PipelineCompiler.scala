@@ -1369,7 +1369,10 @@ object PipelineCompiler {
     val cacheMode =
       Option(cur.get("cache_stages")).map(_.asText()).getOrElse("memory")
     val level = cacheMode match {
-      case "off"    => None
+      // YAML 1.1 reads a bare `off`/`on` as a boolean — accept both
+      // spellings of the same intent
+      case "off" | "false" => None
+      case "true"          => Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case "disk"   => Some(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       case "memory" => Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case other => throw new IllegalArgumentException(

@@ -707,6 +707,17 @@ class CompilerSpec extends AnyFunSuite {
       sec.outputConf("compression") == "zstd" && // legal: message_format 2 default
       sec.outputConf("sasl_password") == "pw")
 
+    // multi-pipeline config: both named pipelines compile (plan-time —
+    // the file inputs point at deployment paths), FILED_ reaches inside
+    val multi = PipelineCompiler.compilePipelines(spark,
+      Seq(example("multi_pipeline.yaml")
+        .replace("/var/log/app", Files.createTempDirectory("mp_a").toString)
+        .replace("/var/log/audit", Files.createTempDirectory("mp_b").toString)))
+    assert(multi.keySet == Set("errors", "audit"))
+    assert(multi("errors").outputType == "elasticsearch")
+    assert(multi("audit").outputType == "lake")
+    assert(multi("audit").df.isStreaming)
+
     // k8s CRI: fixture spool dir
     val criDir = Files.createTempDirectory("graft_cri")
     Files.write(criDir.resolve("pod_ns_c.log"), java.util.Arrays.asList(
@@ -1312,6 +1323,27 @@ class CompilerSpec extends AnyFunSuite {
       s"settings antispam must equal the action spelling: $viaSettings vs $viaAction")
     assert(viaLegacy == viaAction, "legacy antispam_threshold must map identically")
     assert(viaSettings.size < 8, "the threshold must actually bind in this fixture")
+  }
+
+  test("cache_stages knob: off and disk match the default chain; bad value rejected") {
+    def yaml(mode: String) =
+      s"""curation:
+         |  input: {dir: "/root/testdata/sf0.001", table: documents}
+         |  cache_stages: $mode
+         |  stages:
+         |    - {type: gopher_gate, min_tok: 5}
+         |    - {type: exact_dedup}
+         |    - {type: source_quota, group: source, budget: 400, seed: 11}
+         |""".stripMargin
+    def ids(y: String): Seq[Long] =
+      PipelineCompiler.compileCuration(spark, y)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val default = ids(yaml("memory"))
+    assert(default.nonEmpty)
+    assert(ids(yaml("off")) == default, "cache_stages must be result-neutral")
+    assert(ids(yaml("disk")) == default)
+    val e = intercept[IllegalArgumentException](ids(yaml("sometimes")))
+    assert(e.getMessage.contains("cache_stages"))
   }
 
   test("go duration strings parse at ms granularity") {
