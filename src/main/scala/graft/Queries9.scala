@@ -756,6 +756,66 @@ object Queries9 {
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
       |FROM documents""".stripMargin
 
+  /** Round-10: INCREMENTAL exact dedup — every 4th doc plays the
+    * previously-kept index (its text keys are "already in the corpus"),
+    * the rest arrive as the new crawl batch; survivors must be absent
+    * from the index and first (min doc_id) within the batch. */
+  val q138_dedup_against: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val index = graft.ml.Dedup.exactKeepFirst(
+      docs.filter(col("doc_id") % 4 === 0), Seq("text"), "doc_id")
+    graft.ml.Dedup.exactKeepFirstAgainst(
+      docs.filter(col("doc_id") % 4 =!= 0), index, Seq("text"), "doc_id")
+      .select(col("doc_id"))
+  }
+
+  val q138_sql: String =
+    """SELECT min(doc_id) AS doc_id
+      |FROM documents
+      |WHERE doc_id % 4 <> 0
+      |  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 4 = 0)
+      |GROUP BY text""".stripMargin
+
+  /** Round-10: INCREMENTAL duplicate spans — the winner index is built
+    * from the old slice (doc_id % 4 = 0) by duplicateSpanIndex, then
+    * the new batch measures staleness against index hits plus its own
+    * keep-first winners; the old corpus is never re-exploded. */
+  val q139_spans_against: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val index = graft.ml.Corpus.duplicateSpanIndex(
+      docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", n = 20)
+    graft.ml.Corpus.duplicateSpansAgainst(
+      docs.filter(col("doc_id") % 4 =!= 0), index,
+      "doc_id", "text", n = 20, thresholdMilli = 900L)
+  }
+
+  val q139_sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest([array_to_string(w[i:i+19], ' ')
+      |    FOR i IN range(1, greatest(len(w) - 19, 1) + 1)]) AS gram
+      |  FROM toks),
+      |old_grams AS (
+      |  SELECT DISTINCT gram FROM g WHERE doc_id % 4 = 0),
+      |gn AS (SELECT doc_id, gram FROM g WHERE doc_id % 4 <> 0),
+      |bwin AS (SELECT gram, min(doc_id) AS bdoc FROM gn GROUP BY gram),
+      |j AS (
+      |  SELECT gn.doc_id,
+      |    CASE WHEN o.gram IS NOT NULL OR b.bdoc < gn.doc_id
+      |         THEN 1 ELSE 0 END AS stale
+      |  FROM gn
+      |  JOIN bwin b USING (gram)
+      |  LEFT JOIN old_grams o ON o.gram = gn.gram),
+      |per AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(sum(stale) AS BIGINT) AS stale_grams
+      |  FROM j GROUP BY doc_id)
+      |SELECT doc_id, n_grams, stale_grams,
+      |  (stale_grams * 1000) // n_grams AS dup_span_milli,
+      |  (stale_grams * 1000) // n_grams >= 900 AS flagged
+      |FROM per""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -774,7 +834,9 @@ object Queries9 {
     "q134_curation_chain" -> q134_curation_chain,
     "q135_curation_web" -> q135_curation_web,
     "q136_lake_roundtrip" -> q136_lake_roundtrip,
-    "q137_lake_compact" -> q137_lake_compact
+    "q137_lake_compact" -> q137_lake_compact,
+    "q138_dedup_against" -> q138_dedup_against,
+    "q139_spans_against" -> q139_spans_against
   )
 
   val oracles: Map[String, String] = Map(
@@ -793,6 +855,8 @@ object Queries9 {
     "q134_curation_chain" -> q134_sql,
     "q135_curation_web" -> q135_sql,
     "q136_lake_roundtrip" -> q136_sql,
-    "q137_lake_compact" -> q137_sql
+    "q137_lake_compact" -> q137_sql,
+    "q138_dedup_against" -> q138_sql,
+    "q139_spans_against" -> q139_sql
   )
 }

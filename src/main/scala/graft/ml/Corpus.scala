@@ -95,6 +95,61 @@ object Corpus {
       .withColumn("flagged", col("dup_span_milli") >= thresholdMilli)
   }
 
+  /** The gram→first-owner WINNER TABLE of [[duplicateSpans]], exposed
+    * for the incremental pattern: persist it (lakeWrite) after a run
+    * and feed it to [[duplicateSpansAgainst]] so the next crawl batch
+    * measures staleness against everything already kept WITHOUT
+    * re-exploding the old corpus. One gram shuffle with map-side
+    * partial min. */
+  def duplicateSpanIndex(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, fingerprint: Boolean = false): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    val gramKey =
+      if (fingerprint) unhex(md5(col("_gram_str"))) else col("_gram_str")
+    df.select(col(idCol), explode(grams).as("_gram_str"))
+      .select(col(idCol), gramKey.as("gram"))
+      .groupBy(col("gram")).agg(min(col(idCol)).as("wdoc"))
+  }
+
+  /** INCREMENTAL [[duplicateSpans]] — the growing-corpus form: a new
+    * batch's staleness is measured against an EXISTING winner index
+    * (gram → wdoc, from [[duplicateSpanIndex]] over previous runs)
+    * plus the batch itself. An index hit makes a window stale
+    * regardless of ids (the old corpus is by definition earlier);
+    * within the batch the keep-first rule applies unchanged. Plan
+    * shape: the batch pays its one reused gram exchange (the
+    * [[duplicateSpans]] spelling), the index joins UNHINTED on the
+    * already-partitioned winner table (corpus-derived, AQE decides),
+    * and the OLD corpus is never re-exploded — that is the point. */
+  def duplicateSpansAgainst(df: DataFrame, index: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int, thresholdMilli: Long = 900L,
+                            fingerprint: Boolean = false): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    val gramKey =
+      if (fingerprint) unhex(md5(col("_gram_str"))) else col("_gram_str")
+    val g = df.select(col(idCol), explode(grams).as("_gram_str"))
+      .select(col(idCol), gramKey.as("gram"))
+      .repartition(col("gram"))
+    val batchWin = g.groupBy(col("gram")).agg(min(col(idCol)).as("bdoc"))
+    val win = batchWin.join(
+      index.select(col("gram"), col("wdoc").as("_old")), Seq("gram"), "left")
+    g.join(win, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_old").isNotNull || col("bdoc") < col(idCol), 1L)
+          .otherwise(0L)).as("stale_grams"))
+      .select(col(idCol), col("n_grams"), col("stale_grams"),
+        expr("(stale_grams * 1000) DIV n_grams").as("dup_span_milli"))
+      .withColumn("flagged", col("dup_span_milli") >= thresholdMilli)
+  }
+
   /** SPAN-level decontamination — where [[decontaminate]] FLAGS a
     * document, this CUTS exactly the leaked text and keeps the rest
     * (the surgical variant: dropping a whole long doc for one quoted

@@ -148,6 +148,22 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(orderCol)).as(orderCol))
 
+  /** INCREMENTAL exact dedup — the growing-corpus pattern at 100 TB: a
+    * new crawl batch dedups against the keys already KEPT by previous
+    * runs without recomputing them. `index` carries one row per
+    * previously-kept key (exactly `keyCols`; extra columns are
+    * ignored). Survivors = new rows whose key is absent from the index,
+    * then keep-first within the batch. The anti-join is deliberately
+    * UNHINTED (the index is corpus-derived and grows run over run —
+    * AQE broadcasts while it fits, degrades to shuffle after); compose
+    * with `lakeWrite`/`spark.read.parquet` to persist the union of the
+    * index and the survivors' keys as the next run's index. */
+  def exactKeepFirstAgainst(df: DataFrame, index: DataFrame,
+                            keyCols: Seq[String], orderCol: String): DataFrame =
+    exactKeepFirst(
+      df.join(index.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti"),
+      keyCols, orderCol)
+
   /** Duplicate-n-gram signal — the substring-level dedup stat (the
     * "dedup training data at the substring level" idea: instead of
     * whole-document near-dup, measure how much of each document is
