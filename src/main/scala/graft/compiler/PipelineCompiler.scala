@@ -1642,11 +1642,27 @@ object PipelineCompiler {
       case "exact_dedup" =>
         val keys = Option(st.get("keys"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq(text))
-        df.join(graft.ml.Dedup.exactKeepFirst(df, keys, id).select(id), Seq(id))
+        // index_path: incremental mode — dedup against the kept-key
+        // index persisted by previous runs (q138), then within the batch
+        val winners = Option(st.get("index_path")) match {
+          case Some(p) => graft.ml.Dedup.exactKeepFirstAgainst(
+            df, spark.read.parquet(p.asText()), keys, id)
+          case None => graft.ml.Dedup.exactKeepFirst(df, keys, id)
+        }
+        df.join(winners.select(id), Seq(id), "left_semi")
       case "duplicate_spans" =>
-        keepIds(graft.ml.Corpus.duplicateSpans(df, id, text,
-          n = intOpt("n", 20), thresholdMilli = longOpt("threshold_milli", 900L),
-          fingerprint = boolOpt("fingerprint")), !col("flagged"))
+        // index_path: incremental mode — staleness vs the persisted
+        // gram→first-owner winner table (duplicateSpanIndex, q139)
+        val verdict = Option(st.get("index_path")) match {
+          case Some(p) => graft.ml.Corpus.duplicateSpansAgainst(
+            df, spark.read.parquet(p.asText()), id, text,
+            n = intOpt("n", 20), thresholdMilli = longOpt("threshold_milli", 900L),
+            fingerprint = boolOpt("fingerprint"))
+          case None => graft.ml.Corpus.duplicateSpans(df, id, text,
+            n = intOpt("n", 20), thresholdMilli = longOpt("threshold_milli", 900L),
+            fingerprint = boolOpt("fingerprint"))
+        }
+        keepIds(verdict, !col("flagged"))
       case "minhash_dedup" =>
         val cands = graft.ml.Dedup.minhashCandidates(df, id, text,
           shingleN = intOpt("shingle_n", 3), k = intOpt("k", 12),
@@ -1702,7 +1718,7 @@ object PipelineCompiler {
         df.join(graft.ml.UrlOps.domainCap(df,
           Option(st.get("domain_col")).map(_.asText()).getOrElse("reg_domain"),
           id, text, k = req("k").asInt(),
-          seed = longOpt("seed", 0L)).select(id), Seq(id))
+          seed = longOpt("seed", 0L)).select(id), Seq(id), "left_semi")
       case "html_extract" =>
         // q126: strip markup/scripts/styles, decode entities, and
         // replace the text column with the visible text; optional
@@ -1735,7 +1751,7 @@ object PipelineCompiler {
         df.join(graft.ml.Corpus.sourceQuota(df,
           Option(st.get("group")).map(_.asText()).getOrElse("source"),
           id, text, budget = req("budget").asLong(),
-          seed = longOpt("seed", 0L)).select(id), Seq(id))
+          seed = longOpt("seed", 0L)).select(id), Seq(id), "left_semi")
       case "chunk" =>
         graft.ml.Corpus.chunk(df, id, text,
           window = req("window").asInt(), stride = req("stride").asInt())

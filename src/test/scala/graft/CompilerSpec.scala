@@ -1346,6 +1346,37 @@ class CompilerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cache_stages"))
   }
 
+  test("index_path stages run the incremental dedup forms against a persisted index") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val keyIdx = java.nio.file.Files.createTempDirectory("idx_keys").toString
+    val gramIdx = java.nio.file.Files.createTempDirectory("idx_grams").toString
+    val old = docs.filter(col("doc_id") % 4 === 0)
+    val batchPath = java.nio.file.Files.createTempDirectory("idx_batch").toString
+    docs.filter(col("doc_id") % 4 =!= 0).write.mode("overwrite").parquet(batchPath)
+    old.select("text").distinct().write.mode("overwrite").parquet(keyIdx)
+    graft.ml.Corpus.duplicateSpanIndex(old, "doc_id", "text", n = 20)
+      .write.mode("overwrite").parquet(gramIdx)
+    val got = PipelineCompiler.compileCuration(spark,
+      s"""curation:
+         |  input: {path: "$batchPath"}
+         |  stages:
+         |    - {type: exact_dedup, index_path: "$keyIdx"}
+         |    - {type: duplicate_spans, n: 20, index_path: "$gramIdx"}
+         |""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = docs.filter(col("doc_id") % 4 =!= 0)
+    val step1 = batch.join(graft.ml.Dedup.exactKeepFirstAgainst(
+      batch, old.select("text"), Seq("text"), "doc_id")
+      .select("doc_id"), Seq("doc_id"), "left_semi")
+    val want = step1.join(graft.ml.Corpus.duplicateSpansAgainst(
+      step1, graft.ml.Corpus.duplicateSpanIndex(old, "doc_id", "text", 20),
+      "doc_id", "text", n = 20).filter(!col("flagged")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty && got.size < batch.count())
+  }
+
   test("go duration strings parse at ms granularity") {
     import PipelineCompiler.{goDurationMillis, goDurationSeconds}
     assert(goDurationMillis("300ms") == 300L)
