@@ -1,0 +1,214 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query batch 10 (round 10): the INCREMENTAL-INDEX dedup family and
+  * persisted ANN — the growing-corpus pattern at 100 TB, where a new
+  * crawl batch is measured against compact indexes landed by previous
+  * runs instead of re-processing the old corpus. Every oracle splits
+  * the documents table deterministically (`doc_id % 4 = 0` plays the
+  * previously-kept corpus, the rest the new batch) so the index build
+  * and the probe are both inside the hash gate.
+  */
+object Queries10 {
+
+  type Q = Queries.Q
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // DuckDB fragment mirroring Dedup.tokenHash (shared convention with
+  // Queries3's oracles).
+  private def sqlHash(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  private val sqlShingles3: String =
+    "list_distinct(list_transform(" +
+      "range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1), " +
+      "i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' ')))"
+
+  // ------------------------------------------------- minhash against
+
+  private val MH_K = 9; private val MH_BANDS = 3; private val MH_ROWS = 3
+
+  /** Round-10: INCREMENTAL MinHash-LSH — the old slice's band table
+    * plays the persisted index; the new batch generates (new, match)
+    * candidates against it plus itself without re-shingling the old
+    * corpus. Band parameters match q52. */
+  val q140_minhash_against: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val index = graft.ml.Dedup.minhashBandTable(
+      docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+      shingleN = 3, k = MH_K, bands = MH_BANDS, rows = MH_ROWS)
+    graft.ml.Dedup.minhashCandidatesAgainst(
+      docs.filter(col("doc_id") % 4 =!= 0), index, "doc_id", "text",
+      shingleN = 3, k = MH_K, bands = MH_BANDS, rows = MH_ROWS)
+  }
+
+  val q140_sql: String = {
+    val sigs = (0 until MH_K).map { j =>
+      s"list_min(list_transform(s, t -> (${graft.ml.Dedup.hashA(j)} * " +
+        s"(${sqlHash("t")} % ${graft.ml.Dedup.P}) " +
+        s"+ ${graft.ml.Dedup.hashB(j)}) % ${graft.ml.Dedup.P})) AS mh_$j"
+    }.mkString(",\n    ")
+    val bandExprs = (0 until MH_BANDS).map { b =>
+      val parts = (b * MH_ROWS until (b + 1) * MH_ROWS)
+        .map(j => s"CAST(mh_$j AS VARCHAR)").mkString(" || ',' || ")
+      s"'$b,' || $parts"
+    }.mkString(", ")
+    s"""WITH sh AS (SELECT doc_id, $sqlShingles3 AS s FROM documents),
+       |mh AS (SELECT doc_id,
+       |    $sigs
+       |  FROM sh),
+       |bands AS (SELECT doc_id, [$bandExprs] AS bks FROM mh),
+       |e AS (SELECT doc_id, unnest(bks) AS bk, doc_id % 4 = 0 AS old
+       |  FROM bands)
+       |SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_match
+       |FROM e n JOIN e o ON n.bk = o.bk
+       |WHERE NOT n.old AND (o.old OR o.doc_id < n.doc_id)""".stripMargin
+  }
+
+  // ------------------------------------------------- simhash near-dup
+
+  private val SH_BITS = 60; private val SH_BLOCKS = 4; private val SH_HAM = 3
+  private val SH_W = SH_BITS / SH_BLOCKS
+
+  // q53's simhash machinery generalized to 60 bits: per-bit majority
+  // vote in SQL, then the block keys as pure bit arithmetic.
+  private def simhashSqlCtes(where: String): String = {
+    val sums = (0 until SH_BITS).map(b => s"SUM((hv >> $b) & 1) AS s$b")
+      .mkString(", ")
+    val votes = (0 until SH_BITS)
+      .map(b => s"(CASE WHEN s$b * 2 > n THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    val blks = (0 until SH_BLOCKS)
+      .map(b => s"(CAST(${b.toLong << SH_W} AS BIGINT) + " +
+        s"((sim >> ${b * SH_W}) & ${(1L << SH_W) - 1}))")
+      .mkString(", ")
+    s"""toks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+       |  FROM documents$where),
+       |h AS (SELECT doc_id, ${sqlHash("tok")} AS hv FROM toks),
+       |agg AS (SELECT doc_id, COUNT(*) AS n, $sums FROM h GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($votes AS BIGINT) AS sim FROM agg),
+       |e AS (SELECT doc_id, sim, unnest([$blks]) AS blk FROM sim)""".stripMargin
+  }
+
+  /** Round-10: SimHash near-duplicate PAIRS by block decomposition —
+    * candidate generation is an equi-join on one of 4 15-bit blocks
+    * (complete for hamming ≤ 3 by pigeonhole), verification is the
+    * exact hamming distance. No pairwise scan anywhere. */
+  val q141_simhash_neardup: Q = (s, dir) =>
+    graft.ml.Dedup.simhashNearDup(t(s, dir, "documents"),
+      "doc_id", "text", bits = SH_BITS, blocks = SH_BLOCKS,
+      maxHamming = SH_HAM)
+      .withColumn("ham", col("ham").cast("long"))
+
+  val q141_sql: String =
+    s"""WITH ${simhashSqlCtes("")}
+       |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+       |  CAST(bit_count(xor(l.sim, r.sim)) AS BIGINT) AS ham
+       |FROM e l JOIN e r ON l.blk = r.blk AND l.doc_id < r.doc_id
+       |WHERE bit_count(xor(l.sim, r.sim)) <= $SH_HAM""".stripMargin
+
+  /** Round-10: INCREMENTAL SimHash — the old slice persists only (id,
+    * 8-byte signature); the new batch probes it plus itself. */
+  val q142_simhash_against: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val index = graft.ml.Dedup.simhashIndex(
+      docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", bits = SH_BITS)
+    graft.ml.Dedup.simhashNearDupAgainst(
+      docs.filter(col("doc_id") % 4 =!= 0), index, "doc_id", "text",
+      bits = SH_BITS, blocks = SH_BLOCKS, maxHamming = SH_HAM)
+      .withColumn("ham", col("ham").cast("long"))
+  }
+
+  val q142_sql: String =
+    s"""WITH ${simhashSqlCtes("")}
+       |SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_match,
+       |  CAST(bit_count(xor(n.sim, o.sim)) AS BIGINT) AS ham
+       |FROM e n JOIN e o ON n.blk = o.blk
+       |WHERE n.doc_id % 4 <> 0
+       |  AND (o.doc_id % 4 = 0 OR o.doc_id < n.doc_id)
+       |  AND bit_count(xor(n.sim, o.sim)) <= $SH_HAM""".stripMargin
+
+  // ----------------------------------------------- line dedup against
+
+  /** Round-10: INCREMENTAL C4 line dedup — segments already kept by the
+    * old slice (the persisted key set) are removed at every occurrence
+    * in the new batch; segments new to the corpus keep their first
+    * (doc, position) occurrence within the batch. Word-delimited (the
+    * synthetic docs are flat word streams), like q115. */
+  val q143_line_dedup_against: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val index = graft.ml.Corpus.lineDedupIndex(
+      docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", delim = " ")
+    graft.ml.Corpus.lineDedupAgainst(
+      docs.filter(col("doc_id") % 4 =!= 0), index, "doc_id", "text",
+      delim = " ")
+  }
+
+  val q143_sql: String =
+    """WITH seg AS (
+      |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS seg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+      |old AS (SELECT DISTINCT seg FROM seg WHERE doc_id % 4 = 0),
+      |segn AS (SELECT * FROM seg WHERE doc_id % 4 <> 0),
+      |fl AS (
+      |  SELECT sn.doc_id, sn.pos, sn.seg,
+      |    (o.seg IS NULL AND row_number() OVER (PARTITION BY sn.seg
+      |      ORDER BY sn.doc_id, sn.pos) = 1) AS keep
+      |  FROM segn sn LEFT JOIN old o ON o.seg = sn.seg),
+      |re AS (
+      |  SELECT doc_id,
+      |    coalesce(string_agg(seg, ' ' ORDER BY pos)
+      |      FILTER (WHERE keep), '') AS clean_text,
+      |    CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed
+      |  FROM fl GROUP BY 1)
+      |SELECT d.doc_id, coalesce(re.clean_text, '') AS clean_text,
+      |  coalesce(re.n_removed, 0) AS n_removed
+      |FROM documents d LEFT JOIN re USING (doc_id)
+      |WHERE d.doc_id % 4 <> 0""".stripMargin
+
+  // -------------------------------------------------- persisted IVF
+
+  /** Round-10: PERSISTED IVF index — build once (centroids + hive-
+    * partitioned inverted lists on disk), then answer the q64 query by
+    * reading ONLY the probed lists' files (PartitionFilters directory
+    * pruning). Same answer as the ad-hoc q64 dataflow by construction;
+    * the layout contract (pruned scan, list directories) is asserted in
+    * AnnIndexSpec. */
+  val q144_ann_index: Q = (s, dir) => {
+    val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .head().getSeq[Float](1)
+    val out = java.nio.file.Files.createTempDirectory("graft_q144_ivf").toString
+    graft.ml.Ann.ivfWriteIndex(
+      t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", nCentroids = 8, path = out)
+    graft.ml.Ann.ivfTopKIndexed(s, out, "vec_id", q, k = 10, nProbe = 2)
+      .select(col("vec_id"), col("rnk"))
+  }
+
+  // The persisted-index roundtrip must not change the answer — the
+  // oracle is exactly q64's (Queries4.q64_sql).
+  val q144_sql: String = Queries4.q64_sql
+
+  // ------------------------------------------------------------- registry
+
+  val all: Map[String, Q] = Map(
+    "q140_minhash_against" -> q140_minhash_against,
+    "q141_simhash_neardup" -> q141_simhash_neardup,
+    "q142_simhash_against" -> q142_simhash_against,
+    "q143_line_dedup_against" -> q143_line_dedup_against,
+    "q144_ann_index" -> q144_ann_index
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q140_minhash_against" -> q140_sql,
+    "q141_simhash_neardup" -> q141_sql,
+    "q142_simhash_against" -> q142_sql,
+    "q143_line_dedup_against" -> q143_sql,
+    "q144_ann_index" -> q144_sql
+  )
+}

@@ -1664,18 +1664,34 @@ object PipelineCompiler {
         }
         keepIds(verdict, !col("flagged"))
       case "minhash_dedup" =>
-        val cands = graft.ml.Dedup.minhashCandidates(df, id, text,
-          shingleN = intOpt("shingle_n", 3), k = intOpt("k", 12),
-          bands = intOpt("bands", 4), rows = intOpt("rows", 3))
-        val clusters = graft.ml.Dedup.connectedComponents(cands)
-        df.join(clusters.filter(col("node") =!= col("component"))
-          .select(col("node").as(id)), Seq(id), "left_anti")
+        val sn = intOpt("shingle_n", 3); val kk = intOpt("k", 12)
+        val bb = intOpt("bands", 4); val rr = intOpt("rows", 3)
+        Option(st.get("index_path")) match {
+          // index_path: incremental mode — band-bucket hits against the
+          // persisted index (minhashBandTable over previous runs) drop
+          // first, the remainder dedups within the batch (q140 family)
+          case Some(p) => graft.ml.Dedup.minhashDedupAgainst(
+            df, spark.read.parquet(p.asText()), id, text, sn, kk, bb, rr)
+          case None =>
+            val cands = graft.ml.Dedup.minhashCandidates(df, id, text,
+              shingleN = sn, k = kk, bands = bb, rows = rr)
+            val clusters = graft.ml.Dedup.connectedComponents(cands)
+            df.join(clusters.filter(col("node") =!= col("component"))
+              .select(col("node").as(id)), Seq(id), "left_anti")
+        }
       case "line_dedup" =>
+        val delim = Option(st.get("delim")).map(_.asText()).getOrElse("\n")
+        // index_path: incremental mode — segments in the persisted key
+        // set (lineDedupIndex) are stale at every occurrence (q143)
+        val cleaned = Option(st.get("index_path")) match {
+          case Some(p) => graft.ml.Corpus.lineDedupAgainst(
+            df, spark.read.parquet(p.asText()), id, text,
+            delim = delim, fingerprint = boolOpt("fingerprint"))
+          case None => graft.ml.Corpus.lineDedupKeepFirst(df, id, text,
+            delim = delim, fingerprint = boolOpt("fingerprint"))
+        }
         df.drop(text).join(
-          graft.ml.Corpus.lineDedupKeepFirst(df, id, text,
-            delim = Option(st.get("delim")).map(_.asText()).getOrElse("\n"),
-            fingerprint = boolOpt("fingerprint"))
-            .filter(length(col("clean_text")) > 0)
+          cleaned.filter(length(col("clean_text")) > 0)
             .select(col(id), col("clean_text").as(text)), Seq(id))
       case "decontaminate" =>
         keepIds(graft.ml.Corpus.decontaminate(df, evalSet, id, text,

@@ -48,18 +48,7 @@ object Ann {
               query: Seq[Float], k: Int, nCentroids: Int,
               nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
-    val cents = e.filter(col(idCol) < nCentroids)
-      .select(col(idCol).as("_c_id"), col("_v").as("_cv"))
-    // assign every vector to its nearest centroid (broadcast the dim table)
-    val sim = dot(col("_v"), col("_cv")) /
-      (sqrt(dot(col("_v"), col("_v"))) * sqrt(dot(col("_cv"), col("_cv"))))
-    val assigned = e.crossJoin(org.apache.spark.sql.functions.broadcast(cents))
-      .withColumn("_sim_c", sim)
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(desc("_sim_c"), col("_c_id"))))
-      .filter(col("_rn") === 1)
-      .select(col(idCol), col("_v"), col("_c_id"))
+    val (cents, assigned) = ivfAssigned(df, idCol, vecCol, nCentroids)
     // the query's nProbe nearest centroids
     val q = array(query.map(v => lit(v.toDouble)): _*)
     val probes = cents
@@ -76,6 +65,76 @@ object Ann {
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
       .withColumn("rnk", row_number().over(Window.orderBy(desc("sim"), col(idCol))))
+  }
+
+  /** Nearest-centroid assignment shared by [[ivfTopK]] and the
+    * persisted-index build — one code path, so an index written by
+    * [[ivfWriteIndex]] and probed by [[ivfTopKIndexed]] returns exactly
+    * the ad-hoc [[ivfTopK]] answer. Returns (centroids, assigned). */
+  private def ivfAssigned(df: DataFrame, idCol: String, vecCol: String,
+                          nCentroids: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    val cents = e.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("_c_id"), col("_v").as("_cv"))
+    // assign every vector to its nearest centroid (broadcast the dim table)
+    val sim = dot(col("_v"), col("_cv")) /
+      (sqrt(dot(col("_v"), col("_v"))) * sqrt(dot(col("_cv"), col("_cv"))))
+    val assigned = e.crossJoin(org.apache.spark.sql.functions.broadcast(cents))
+      .withColumn("_sim_c", sim)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(desc("_sim_c"), col("_c_id"))))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("_v"), col("_c_id"))
+    (cents, assigned)
+  }
+
+  /** Build and PERSIST an IVF index: `path/centroids` (the tiny centroid
+    * table) and `path/lists` — the corpus laid out as hive-partitioned
+    * inverted lists (`_c_id=<k>/` directories). Query time then prunes
+    * at the FILESYSTEM level: only the probed lists' files are opened
+    * (PartitionFilters), which is the actual IVF win at 100 TB — the
+    * index is built once per corpus version and amortized over every
+    * query, instead of re-assigning the corpus per query the way the
+    * ad-hoc [[ivfTopK]] dataflow does. Centroids here are deterministic
+    * (ids < nCentroids); production swaps in k-means centroids
+    * (kmeansQuantized) without changing the layout. */
+  def ivfWriteIndex(df: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int, path: String): Unit = {
+    val (cents, assigned) = ivfAssigned(df, idCol, vecCol, nCentroids)
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    assigned.write.mode("overwrite").partitionBy("_c_id")
+      .parquet(path + "/lists")
+  }
+
+  /** Probe a persisted IVF index ([[ivfWriteIndex]]): rank centroids
+    * against the query, read ONLY the nProbe nearest inverted-list
+    * partitions (directory pruning via a literal partition filter), and
+    * take the cosine top-k inside them. The probe-id collect touches the
+    * centroid table only — bounded at construction (nCentroids rows),
+    * the broadcast-dim pattern, never the corpus. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     idCol: String, query: Seq[Float], k: Int,
+                     nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val cents = spark.read.parquet(path + "/centroids")
+    val probeIds = cents
+      .withColumn("_qsim", dot(col("_cv"), q) /
+        (sqrt(dot(col("_cv"), col("_cv"))) * sqrt(dot(q, q))))
+      .orderBy(desc("_qsim"), col("_c_id"))
+      .limit(nProbe)
+      .select(col("_c_id").cast("long"))
+      .collect().map(_.getLong(0))
+    val lists = spark.read.parquet(path + "/lists")
+      .filter(col("_c_id").isin(probeIds: _*))
+    val qsim = dot(col("_v"), q) /
+      (sqrt(dot(col("_v"), col("_v"))) * sqrt(dot(q, q)))
+    lists.select(col(idCol), qsim.as("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(desc("sim"), col(idCol))))
   }
 
   /** Squared L2 distance, summed left-to-right (bit-identical to the SQL

@@ -428,6 +428,64 @@ object Corpus {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
+  /** The persisted segment-key set of [[lineDedupKeepFirst]] — the
+    * incremental C4 pattern: land this after a run (lakeWrite) and feed
+    * it to [[lineDedupAgainst]] so the next crawl batch removes every
+    * segment the corpus has already kept WITHOUT re-splitting the old
+    * corpus. One segment-key shuffle with map-side distinct; rows are
+    * one 16-byte key (fingerprint mode) or the segment text. */
+  def lineDedupIndex(df: DataFrame, idCol: String, textCol: String,
+                     delim: String, fingerprint: Boolean = false): DataFrame = {
+    val litDelim = java.util.regex.Pattern.quote(delim)
+    val seg = df.select(explode(split(col(textCol), litDelim)).as("seg"))
+    seg.select(
+      (if (fingerprint) unhex(md5(col("seg"))) else col("seg")).as("seg_key"))
+      .distinct()
+  }
+
+  /** INCREMENTAL [[lineDedupKeepFirst]] — the growing-corpus form: a
+    * segment present in the persisted index ([[lineDedupIndex]] over
+    * previous runs) is removed at EVERY occurrence in the new batch
+    * (the old corpus is by definition earlier); segments new to the
+    * corpus keep their first (doc, position) occurrence within the
+    * batch, exactly the batch rule. Returns (id, clean_text,
+    * n_removed), order-preserving.
+    *
+    * Plan shape: the batch pays the [[lineDedupKeepFirst]] plan
+    * unchanged (one segment-key winner shuffle + the doc-key reassembly
+    * shuffle); the index joins LEFT on the winner table — the SMALL
+    * side of the batch (one row per distinct batch segment), not the
+    * occurrence stream — and is corpus-derived, so it stays UNHINTED
+    * (AQE broadcasts while it fits). The old corpus is never re-split. */
+  def lineDedupAgainst(df: DataFrame, index: DataFrame,
+                       idCol: String, textCol: String,
+                       delim: String, fingerprint: Boolean = false): DataFrame = {
+    val litDelim = java.util.regex.Pattern.quote(delim)
+    val ord = struct(col(idCol), col("pos"))
+    val seg0 = df.select(col(idCol),
+      posexplode(split(col(textCol), litDelim)).as(Seq("pos", "seg")))
+    val seg = seg0.withColumn("_k",
+      if (fingerprint) unhex(md5(col("seg"))) else col("seg"))
+    val winner = seg.groupBy(col("_k")).agg(min(ord).as("first_ord"))
+      .join(index.select(col("seg_key").as("_k"), lit(true).as("_old")),
+        Seq("_k"), "left")
+    val flagged = seg.join(winner, Seq("_k"))
+      .select(col(idCol), col("pos"), col("seg"),
+        (col("_old").isNull && ord === col("first_ord")).as("keep"))
+    val re = flagged.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("seg"))))),
+          s => s.getField("seg")), delim).as("clean_text"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+    df.select(col(idCol))
+      .join(re, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** Per-source token-budget quota (mixture capping: no source may
     * contribute more than `budget` tokens to the corpus — the Dolma/
     * RedPajama per-domain cap). Documents within a source are taken in

@@ -119,6 +119,65 @@ object Dedup {
       .distinct()
   }
 
+  /** INCREMENTAL MinHash-LSH — the growing-corpus candidate generator:
+    * a new crawl batch finds its near-duplicate candidates against the
+    * PERSISTED band table of everything already kept (`index` =
+    * [[minhashBandTable]] rows from previous runs, landed via
+    * `lakeWrite`/parquet) plus itself, without re-shingling the old
+    * corpus. Band parameters must match the index build — the bucket
+    * space is only comparable under identical (shingleN, k, bands,
+    * rows).
+    *
+    * Returns distinct (id_new, id_match) pairs: id_new is always from
+    * the batch; id_match is an index doc (any id) or an earlier batch
+    * doc (id_match < id_new) — i.e. the doc that would WIN keep-first.
+    * Plan shape: the batch band table is built once and persisted
+    * (MEMORY_AND_DISK); both joins are equi-joins on the band key; the
+    * index side is corpus-derived and deliberately UNHINTED — AQE
+    * broadcasts while it fits, degrades to shuffle after. The old
+    * corpus text is never touched — that is the point. */
+  def minhashCandidatesAgainst(df: DataFrame, index: DataFrame,
+                               idCol: String, textCol: String,
+                               shingleN: Int, k: Int, bands: Int,
+                               rows: Int): DataFrame = {
+    val newTab = minhashBandTable(df, idCol, textCol, shingleN, k, bands, rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vsOld = newTab
+      .join(index.select(col("id").as("_oid"), col("bk")), Seq("bk"))
+      .select(col("id").as("id_new"), col("_oid").as("id_match"))
+    val l = newTab.as("l")
+    val r = newTab.as("r")
+    val vsNew = l.join(r, col("l.bk") === col("r.bk") && col("l.id") > col("r.id"))
+      .select(col("l.id").as("id_new"), col("r.id").as("id_match"))
+    vsOld.union(vsNew).distinct()
+  }
+
+  /** INCREMENTAL MinHash dedup SURVIVORS — the whole-stage form the
+    * curation compiler's `minhash_dedup` + `index_path` spelling uses:
+    * (1) a batch doc sharing ANY band bucket with the persisted index
+    * is a near-duplicate of the already-kept corpus → dropped; (2) the
+    * remainder dedups within the batch (candidate pairs → connected
+    * components → one representative, the min-id node, per cluster).
+    * The batch band table is built once; the index never re-shingles. */
+  def minhashDedupAgainst(df: DataFrame, index: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleN: Int, k: Int, bands: Int,
+                          rows: Int): DataFrame = {
+    val bandTab = minhashBandTable(df, idCol, textCol, shingleN, k, bands, rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oldHitIds = bandTab.join(index.select(col("bk")), Seq("bk"), "left_semi")
+      .select(col("id")).distinct()
+    val restTab = bandTab.join(oldHitIds, Seq("id"), "left_anti")
+    val l = restTab.as("l")
+    val r = restTab.as("r")
+    val cands = l.join(r, col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
+    val clusters = connectedComponents(cands)
+    df.join(oldHitIds.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .join(clusters.filter(col("node") =!= col("component"))
+        .select(col("node").as(idCol)), Seq(idCol), "left_anti")
+  }
+
   /** Exact Jaccard similarity between two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
@@ -141,6 +200,88 @@ object Dedup {
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash block keys for the exact-near-neighbor pigeonhole scheme:
+    * the `bits`-bit signature splits into `blocks` equal-width blocks;
+    * key b = (b << width) | blockValue, so keys from different block
+    * positions never collide. Two signatures within hamming distance
+    * `blocks - 1` MUST agree on at least one whole block (pigeonhole) —
+    * so an equi-join on the block key is a complete candidate generator
+    * for any maxHamming ≤ blocks - 1, and the exact hamming filter then
+    * removes false positives. Pure bit arithmetic, zero shuffle. */
+  def simhashBlockKeys(sim: Column, bits: Int, blocks: Int): Column = {
+    require(bits % blocks == 0, "simhashBlockKeys: blocks must divide bits")
+    val w = bits / blocks
+    array((0 until blocks).map { b =>
+      lit(b.toLong << w) +
+        shiftright(sim, b * w).bitwiseAND(lit((1L << w) - 1))
+    }: _*)
+  }
+
+  /** SimHash near-duplicate pairs — candidate generation by block-key
+    * equi-join (no pairwise scan), exact verification by hamming
+    * distance. Complete for maxHamming ≤ blocks - 1 (see
+    * [[simhashBlockKeys]]). Returns distinct (id_a < id_b, ham) pairs.
+    *
+    * Shape at scale: one signature pass over the corpus, a `blocks`-way
+    * explode (small constant), a self-equi-join on the block key with
+    * the exploded table persisted so the signature pass runs once —
+    * the duplicated-block population (not the corpus size) drives join
+    * fan-out, the MinHash-LSH argument in 64 fewer hash evaluations. */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     bits: Int, blocks: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming <= blocks - 1,
+      s"simhashNearDup: completeness needs maxHamming <= blocks-1 " +
+        s"(got maxHamming=$maxHamming, blocks=$blocks)")
+    val sigs = df.select(col(idCol).as("id"),
+      simhash(col(textCol), bits).as("sim"))
+    val e = sigs.select(col("id"), col("sim"),
+        explode(simhashBlockKeys(col("sim"), bits, blocks)).as("blk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = e.as("l")
+    val r = e.as("r")
+    l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        hamming(col("l.sim"), col("r.sim")).as("ham"))
+      .distinct()
+      .filter(col("ham") <= maxHamming)
+  }
+
+  /** The persisted form of a SimHash index is just (id, sim) — 8 bytes
+    * of signature per document; block keys are recomputed on load (pure
+    * bit arithmetic), so the index never bakes in a block count. */
+  def simhashIndex(df: DataFrame, idCol: String, textCol: String,
+                   bits: Int): DataFrame =
+    df.select(col(idCol).as("id"), simhash(col(textCol), bits).as("sim"))
+
+  /** INCREMENTAL SimHash near-dup — new batch vs the persisted (id,
+    * sim) index ([[simhashIndex]] over previous runs) plus itself.
+    * Returns distinct (id_new, id_match, ham): id_match is an index doc
+    * (any id) or an earlier batch doc (id_match < id_new). The old
+    * corpus is never re-hashed — its 8-byte signatures are the index. */
+  def simhashNearDupAgainst(df: DataFrame, index: DataFrame,
+                            idCol: String, textCol: String,
+                            bits: Int, blocks: Int,
+                            maxHamming: Int): DataFrame = {
+    require(maxHamming <= blocks - 1,
+      s"simhashNearDupAgainst: completeness needs maxHamming <= blocks-1 " +
+        s"(got maxHamming=$maxHamming, blocks=$blocks)")
+    val newE = simhashIndex(df, idCol, textCol, bits)
+      .select(col("id"), col("sim"),
+        explode(simhashBlockKeys(col("sim"), bits, blocks)).as("blk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oldE = index.select(col("id").as("_oid"), col("sim").as("_osim"),
+      explode(simhashBlockKeys(col("sim"), bits, blocks)).as("blk"))
+    val vsOld = newE.join(oldE, Seq("blk"))
+      .select(col("id").as("id_new"), col("_oid").as("id_match"),
+        hamming(col("sim"), col("_osim")).as("ham"))
+    val l = newE.as("l")
+    val r = newE.as("r")
+    val vsNew = l.join(r, col("l.blk") === col("r.blk") && col("l.id") > col("r.id"))
+      .select(col("l.id").as("id_new"), col("r.id").as("id_match"),
+        hamming(col("l.sim"), col("r.sim")).as("ham"))
+    vsOld.union(vsNew).distinct().filter(col("ham") <= maxHamming)
+  }
 
   /** Exact dedup: keep the first (min orderCol) row per key set —
     * one hash-shuffle, map-side partial aggregation for free. */

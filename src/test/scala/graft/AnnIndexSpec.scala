@@ -1,0 +1,52 @@
+package graft
+
+import graft.ml.Ann
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of the PERSISTED IVF index (round 10): the on-disk layout
+  * is hive-partitioned inverted lists, querying it prunes to the probed
+  * lists at the filesystem level, and the answer is exactly the ad-hoc
+  * [[Ann.ivfTopK]] dataflow's.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("persisted IVF index: list layout, partition pruning, ad-hoc answer parity") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    Ann.ivfWriteIndex(corpus, "vec_id", "embedding", nCentroids = 8, path = out)
+
+    // layout: one directory per inverted list, centroid table alongside
+    val dirs = new java.io.File(out + "/lists").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("_c_id=")),
+      s"expected hive-partitioned inverted lists, got ${dirs.mkString(",")}")
+    // ids < 8 minus the held-out query vector 0 → 7 centroids
+    assert(spark.read.parquet(out + "/centroids").count() == 7)
+
+    val got = Ann.ivfTopKIndexed(spark, out, "vec_id", q, k = 10, nProbe = 2)
+    // the probe must reach the scan as a PARTITION filter — only the
+    // probed lists' files are opened
+    val scan = got.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.replaceAll("\\s+", " ").contains("_c_id"),
+      s"probe not pushed as a partition filter:\n$scan")
+
+    val gotRows = got.select("vec_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want = Ann.ivfTopK(corpus, "vec_id", "embedding", q,
+      k = 10, nCentroids = 8, nProbe = 2)
+      .select("vec_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(gotRows == want && gotRows.size == 10)
+  }
+}

@@ -1377,6 +1377,48 @@ class CompilerSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty && got.size < batch.count())
   }
 
+  test("index_path on minhash_dedup and line_dedup matches the direct incremental calls") {
+    import org.apache.spark.sql.functions.{col, length}
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val old = docs.filter(col("doc_id") % 4 === 0)
+    val batch = docs.filter(col("doc_id") % 4 =!= 0)
+    val batchPath = java.nio.file.Files.createTempDirectory("idx_b2").toString
+    batch.write.mode("overwrite").parquet(batchPath)
+    val bandIdx = java.nio.file.Files.createTempDirectory("idx_bands").toString
+    graft.ml.Dedup.minhashBandTable(old, "doc_id", "text", 3, 9, 3, 3)
+      .write.mode("overwrite").parquet(bandIdx)
+    // the seg index comes from ONE old doc — a full old slice covers
+    // the synthetic corpus's whole vocabulary and would empty every doc
+    val segIdx = java.nio.file.Files.createTempDirectory("idx_segs").toString
+    graft.ml.Corpus.lineDedupIndex(docs.filter(col("doc_id") === 4),
+      "doc_id", "text", " ")
+      .write.mode("overwrite").parquet(segIdx)
+    val got = PipelineCompiler.compileCuration(spark,
+      s"""curation:
+         |  input: {path: "$batchPath"}
+         |  stages:
+         |    - {type: minhash_dedup, shingle_n: 3, k: 9, bands: 3, rows: 3, index_path: "$bandIdx"}
+         |    - {type: line_dedup, delim: " ", index_path: "$segIdx"}
+         |""".stripMargin)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val step1 = graft.ml.Dedup.minhashDedupAgainst(batch,
+      graft.ml.Dedup.minhashBandTable(old, "doc_id", "text", 3, 9, 3, 3),
+      "doc_id", "text", 3, 9, 3, 3)
+    assert(step1.count() > 0 && step1.count() < batch.count(),
+      "minhash index stage must drop some docs and keep some")
+    val want = step1.drop("text").join(
+      graft.ml.Corpus.lineDedupAgainst(step1,
+        graft.ml.Corpus.lineDedupIndex(docs.filter(col("doc_id") === 4),
+          "doc_id", "text", " "),
+        "doc_id", "text", " ")
+        .filter(length(col("clean_text")) > 0)
+        .select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == want && got.nonEmpty && got.size < batch.count())
+  }
+
   test("go duration strings parse at ms granularity") {
     import PipelineCompiler.{goDurationMillis, goDurationSeconds}
     assert(goDurationMillis("300ms") == 300L)

@@ -138,6 +138,87 @@ class DedupSpec extends AnyFunSuite {
     assert(out2.count() == 800)
   }
 
+  test("simhashNearDup is complete vs brute force for hamming <= blocks-1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon eta"), // near dup
+      (4L, "totally different words entirely here now"),
+      (5L, "alpha beta gamma delta epsilon zeta theta"),
+      (6L, "unrelated content again quite different stuff")
+    ).toDF("doc_id", "text")
+    val (bits, blocks, maxHam) = (60, 4, 3)
+    val got = Dedup.simhashNearDup(docs, "doc_id", "text", bits, blocks, maxHam)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force over ALL pairs — the ground truth the block-key join
+    // must reproduce exactly (pigeonhole completeness + hamming filter)
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text"), bits).as("sim"))
+    val want = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(Dedup.hamming(col("a.sim"), col("b.sim")) <= maxHam)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.contains((1L, 2L)), "the exact-dup pair must surface")
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDup(docs, "doc_id", "text", bits, blocks, maxHamming = 4))
+  }
+
+  test("minhashCandidatesAgainst equals the full-corpus candidates restricted to new-vs-kept") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val old = docs.filter(col("doc_id") % 4 === 0)
+    val batch = docs.filter(col("doc_id") % 4 =!= 0)
+    val index = Dedup.minhashBandTable(old, "doc_id", "text", 3, 9, 3, 3)
+    val got = Dedup.minhashCandidatesAgainst(batch, index, "doc_id", "text", 3, 9, 3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oldIds = old.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = Dedup.minhashCandidates(docs, "doc_id", "text", 3, 9, 3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = full.flatMap { case (a, b) => // a < b by construction
+      (oldIds.contains(a), oldIds.contains(b)) match {
+        case (true, true)   => None // old-old pairs are the index's business
+        case (true, false)  => Some((b, a)) // (new, old)
+        case (false, true)  => Some((a, b)) // (new, old)
+        case (false, false) => Some((b, a)) // within batch: (later, earlier)
+      }
+    }.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("simhashNearDupAgainst: index matches win regardless of id order") {
+    import spark.implicits._
+    // the old doc has a LARGER id than the batch doc — the index hit
+    // must still be reported (previous runs are earlier by definition)
+    val old = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "completely different other words here")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.simhashIndex(old, "doc_id", "text", bits = 60)
+    val got = Dedup.simhashNearDupAgainst(batch, idx, "doc_id", "text",
+      bits = 60, blocks = 4, maxHamming = 3)
+      .select("id_new", "id_match", "ham").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 100L, 0)))
+  }
+
+  test("lineDedupAgainst: index segments are stale even when the old doc id is larger") {
+    import spark.implicits._
+    val old = Seq((100L, "x y")).toDF("doc_id", "text")
+    val batch = Seq((1L, "x a"), (2L, "a b")).toDF("doc_id", "text")
+    for (fp <- Seq(false, true)) {
+      val idx = graft.ml.Corpus.lineDedupIndex(old, "doc_id", "text", " ",
+        fingerprint = fp)
+      val m = graft.ml.Corpus.lineDedupAgainst(batch, idx, "doc_id", "text",
+        " ", fingerprint = fp)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      // "x" hits the index (removed); "a" keeps its first batch
+      // occurrence (doc 1) and is stale in doc 2; "b" is new
+      assert(m(1L) == (("a", 1L)), s"fp=$fp got ${m(1L)}")
+      assert(m(2L) == (("b", 1L)), s"fp=$fp got ${m(2L)}")
+    }
+  }
+
   test("VecDot refuses ragged vectors instead of truncating") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val lit = org.apache.spark.sql.catalyst.expressions.Literal(1.0)
