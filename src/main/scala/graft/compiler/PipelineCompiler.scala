@@ -1549,6 +1549,35 @@ object PipelineCompiler {
         val keys = Option(st.get("keys"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq(text))
         df.dropDuplicates(keys)
+      case "minhash_dedup" =>
+        // streaming near-dup dedup: first-owner band buckets held in
+        // ValueState (Kernels.minhashDedupSurvivors) — a doc survives
+        // iff no band bucket is owned by an earlier arrival; payload
+        // rides the band shuffle and restores the exact columns
+        val sn = intOpt("shingle_n", 3); val kk = intOpt("k", 12)
+        val bb = intOpt("bands", 4); val rr = intOpt("rows", 3)
+        // transformWithState rejects the HDFS-backed default store at
+        // query start; a config-driven user shouldn't need to know that
+        val pk = "spark.sql.streaming.stateStore.providerClass"
+        if (spark.conf.getOption(pk).isEmpty) spark.conf.set(pk,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val inner = df.schema
+        implicit val enc = org.apache.spark.sql.Encoders.product[
+          graft.streaming.Kernels.BandDocEvent]
+        val hashed = df.select(
+          col(id).cast("long").as("doc"),
+          to_json(struct(df.columns.map(col): _*)).as("payload"),
+          graft.functions.ShingleHash(col(text), sn, graft.ml.Dedup.P).as("_hs"))
+        val sig = graft.ml.Dedup.minhashSignature(col("_hs"), kk)
+        val ds = hashed
+          .select(col("doc") +: col("payload") +:
+            graft.ml.Dedup.bandKeys(sig, bb, rr): _*)
+          .select(explode(array((0 until bb).map(b => col(s"band_$b")): _*)).as("bk"),
+            col("doc"), col("payload"))
+          .as[graft.streaming.Kernels.BandDocEvent]
+        graft.streaming.Kernels.minhashDedupSurvivors(ds)
+          .select(from_json(col("payload"), inner).as("_r"))
+          .select(col("_r.*"))
       case "source_quota" =>
         val group = Option(st.get("group")).map(_.asText()).getOrElse("source")
         val budget = Option(st.get("budget")).map(_.asLong()).getOrElse(
@@ -1589,9 +1618,10 @@ object PipelineCompiler {
         throw new IllegalArgumentException(
           s"curation stage `$other` is not streamable — its verdict needs " +
             "the corpus, not a prefix. Streamable stages: gopher_gate, " +
-            "fineweb_gate, lang_filter, exact_dedup, source_quota, " +
-            "split_assign, upsample, chunk. Run set-dependent stages as " +
-            "periodic batch compaction over the landed lake.")
+            "fineweb_gate, lang_filter, exact_dedup, minhash_dedup, " +
+            "source_quota, split_assign, upsample, chunk. Run " +
+            "set-dependent stages as periodic batch compaction over the " +
+            "landed lake.")
     }
   }
 

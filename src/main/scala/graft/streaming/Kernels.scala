@@ -681,6 +681,51 @@ object Kernels {
       .transformWithState(new BandBucketProcessor(), TimeMode.None(),
         OutputMode.Append)
   }
+
+  /** One (band-key, doc) membership carrying the doc's serialized row —
+    * the payload rides the band shuffle (bands× duplicated) so the
+    * surviving doc's full row can be emitted without a stream-stream
+    * join back. */
+  final case class BandDocEvent(bk: String, doc: Long, payload: String)
+  /** Per-band first-owner verdict: `hit` = this doc arrived at a bucket
+    * already owned by ANOTHER doc. */
+  final case class BandHit(doc: Long, hit: Boolean, payload: String)
+  /** A surviving document with its restored payload. */
+  final case class DocKeep(doc: Long, payload: String)
+
+  /** Streaming MinHash-LSH DEDUP — the whole-stage survivor form of
+    * [[minhashCandidatePairs]] (the curation compiler's streamable
+    * `minhash_dedup`): a document survives iff NONE of its band buckets
+    * is owned by an earlier-arrived document; every document (kept or
+    * dropped) claims its unowned buckets, so a chain A~B~C drops both B
+    * and C on in-order ingest — the transitive behavior the batch
+    * connected-components dedup has for its min-id representative.
+    * Verdicts are AT ARRIVAL TIME (the kernel family's monotone-
+    * admission contract): the batch-equivalent reference is the GREEDY
+    * first-owner sweep in doc order (spec-asserted), which equals the
+    * batch CC representative set whenever clusters are bucket-cliques
+    * (exact and near-exact duplicates — the common case), and differs
+    * only on bridge topologies where a later doc links two earlier
+    * singletons (documented, like duplicateSpans' at-arrival verdicts).
+    *
+    * Two chained stateful operators, both TimeMode.None append:
+    * (1) per band key, a ValueState long — the first owner; emission =
+    * per-band hit verdicts with the payload threaded through;
+    * (2) per doc, a STATELESS gate (a doc's band events are generated
+    * from one row in one micro-batch, so they always meet in the same
+    * batch) that keeps the doc iff no band reported a foreign owner.
+    * Persistent state is O(distinct band keys) longs — smaller than
+    * the candidate kernel's ListState membership lists. */
+  def minhashDedupSurvivors(ds: Dataset[BandDocEvent]): Dataset[DocKeep] = {
+    implicit val hitEnc = Encoders.product[BandHit]
+    implicit val keepEnc = Encoders.product[DocKeep]
+    ds.groupByKey(_.bk)(Encoders.STRING)
+      .transformWithState(new BandOwnerProcessor(), TimeMode.None(),
+        OutputMode.Append)
+      .groupByKey(_.doc)(Encoders.scalaLong)
+      .transformWithState(new DocGateProcessor(), TimeMode.None(),
+        OutputMode.Append)
+  }
 }
 
 /** The per-key processor behind [[Kernels.connectedComponents]] —
@@ -814,6 +859,52 @@ private[streaming] class BandBucketProcessor
       }
     }
     out.result().iterator
+  }
+}
+
+/** The per-band-key processor behind [[Kernels.minhashDedupSurvivors]]
+  * step 1: ValueState long = the bucket's first owner. Top-level so the
+  * serialized processor carries no outer reference. */
+private[streaming] class BandOwnerProcessor
+    extends StatefulProcessor[String, Kernels.BandDocEvent, Kernels.BandHit] {
+  import Kernels.{BandDocEvent, BandHit}
+
+  @transient private var owner: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    owner = getHandle.getValueState[Long](
+      "owner", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(bk: String, events: Iterator[BandDocEvent],
+      timerValues: TimerValues): Iterator[BandHit] = {
+    // id-sorted intake: intra-batch collisions resolve first-owner
+    // deterministically (the smallest id in the batch claims an
+    // unowned bucket, like the batch operator's min-id representative)
+    val evs = events.toSeq.sortBy(_.doc)
+    var cur = if (owner.exists()) owner.get() else Long.MinValue
+    evs.iterator.map { e =>
+      if (cur == Long.MinValue) { cur = e.doc; owner.update(e.doc) }
+      BandHit(e.doc, cur != e.doc, e.payload)
+    }
+  }
+}
+
+/** The per-doc gate behind [[Kernels.minhashDedupSurvivors]] step 2 —
+  * deliberately STATELESS (a doc's band events are all generated from
+  * one row in one micro-batch, so they always meet in one call): keep
+  * the doc iff no band reported a foreign owner. Top-level so the
+  * serialized processor carries no outer reference. */
+private[streaming] class DocGateProcessor
+    extends StatefulProcessor[Long, Kernels.BandHit, Kernels.DocKeep] {
+  import Kernels.{BandHit, DocKeep}
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+  override def handleInputRows(doc: Long, events: Iterator[BandHit],
+      timerValues: TimerValues): Iterator[DocKeep] = {
+    val evs = events.toList
+    if (evs.exists(_.hit)) Iterator.empty
+    else Iterator.single(DocKeep(doc, evs.head.payload))
   }
 }
 

@@ -338,6 +338,58 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   } }
 
+  test("streaming minhash dedup survivors equal the greedy first-owner sweep") { withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val bandTab = graft.ml.Dedup
+      .minhashBandTable(docs, "doc_id", "text", shingleN = 3, k = 9,
+        bands = 3, rows = 3)
+      .as[(Long, String)].collect()
+    // the documented batch-equivalent: a greedy first-owner sweep in
+    // doc order — every doc (kept or dropped) claims its unowned
+    // buckets; a doc survives iff no bucket was foreign-owned
+    val byDoc = bandTab.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val owned = scala.collection.mutable.Map.empty[String, Long]
+    val kept = scala.collection.mutable.Set.empty[Long]
+    byDoc.keys.toSeq.sorted.foreach { d =>
+      val bks = byDoc(d)
+      val hit = bks.exists(bk => owned.get(bk).exists(_ != d))
+      bks.foreach(bk => if (!owned.contains(bk)) owned(bk) = d)
+      if (!hit) kept += d
+    }
+    assert(kept.size < byDoc.size, "fixture must contain near-duplicates")
+
+    val events = bandTab
+      .map { case (d, bk) =>
+        Kernels.BandDocEvent(bk, d, s"""{"doc_id":$d}""") }
+      .sortBy(_.doc)
+    val input = MemoryStream[Kernels.BandDocEvent]
+    val q = Kernels.minhashDedupSurvivors(input.toDS())
+      .writeStream.format("memory").queryName("mh_keep")
+      .outputMode("append").start()
+    try {
+      // split on a DOC boundary (a doc's band events are one row's
+      // explosion and must land in one micro-batch); batch-2 docs must
+      // collide with batch-1 owners through the state store
+      val docIds = events.map(_.doc).distinct
+      val firstHalf = docIds.take(docIds.length / 2).toSet
+      val (b1, b2) = events.partition(e => firstHalf(e.doc))
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("mh_keep").as[Kernels.DocKeep].collect()
+        .map(_.doc).toSet
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mh_keep").as[Kernels.DocKeep].collect()
+        .map(_.doc).toSet
+      assert(streamed == kept.toSet,
+        s"streamed=${streamed.size} greedy=${kept.size}")
+      assert(afterB1.subsetOf(streamed) && afterB1 != streamed,
+        "batch-2 verdicts must come through the state store")
+    } finally q.stop()
+  } }
+
   // ------------------------- round 10: the streaming curation COMPILER
 
   private def landDocs(dir: String, rows: Seq[(Long, String, String)]): Unit = {
@@ -379,6 +431,44 @@ class StreamingCurationSpec extends AnyFunSuite {
       assert(got.count() == want.count())
     } finally q.stop()
   }
+
+  test("compiled stream: minhash_dedup drops near-duplicates through the band-owner state") { withRocksDb {
+    val dir = java.nio.file.Files.createTempDirectory("cur_stream_mh").toString
+    landDocs(dir, Seq(
+      (1L, "web", goodText * 3),
+      (2L, "web", goodText * 3), // exact duplicate of 1
+      (3L, "web", goodText * 3 + "tiny edit appended here."), // near dup
+      (4L, "books", "completely different content about stars planets moons galaxies and comets drifting far away."),
+      (5L, "books", "another unrelated document with words that never repeat the first text at all okay then.")))
+    val yaml =
+      s"""curation:
+         |  input: {path: "$dir", max_files_per_trigger: 1}
+         |  stages:
+         |    - {type: minhash_dedup, shingle_n: 3, k: 9, bands: 3, rows: 3}
+         |""".stripMargin
+    val q = compiler.PipelineCompiler.compileCurationStream(spark, yaml)
+      .writeStream.format("memory").queryName("cur_mh")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cur_mh").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      // batch minhash_dedup keeps the min-id cluster representative;
+      // in-id-order single-batch ingest makes first-arrival == min-id
+      val want = compiler.PipelineCompiler.compileCuration(spark, yaml)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"streamed=$got batch=$want")
+      assert(!got.contains(2L) && got.contains(1L),
+        "the exact duplicate must lose to the first owner")
+      // a later micro-batch duplicate must collide with the OWNED
+      // buckets through the state store
+      landDocs(dir, Seq((6L, "web", goodText * 3)))
+      q.processAllAvailable()
+      val got2 = spark.table("cur_mh").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got2 == got, s"cross-batch duplicate leaked: $got2")
+    } finally q.stop()
+  } }
 
   test("compiled stream: source_quota keeps state across micro-batches and restores full rows") {
     val dir = java.nio.file.Files.createTempDirectory("cur_stream_q").toString
