@@ -109,6 +109,32 @@ object ScaleProbe {
         measure(spark)(graft.ml.Dedup.minhashCandidates(docsAt(scale),
           "doc_id", "text", shingleN = 3, k = 9, bands = 3, rows = 3).count())
       },
+      // round-10 incremental forms: the % 4 = 0 slice plays the
+      // persisted index AT THE SAME SCALE (its build cost is inside the
+      // measurement — the realistic first-run shape); the batch is the
+      // remaining 3/4. The claim under test: the Against plans scale
+      // like their batch counterparts with the old corpus never re-read.
+      "spans_against_fp" -> { scale: String =>
+        val d = docsAt(scale)
+        val idx = graft.ml.Corpus.duplicateSpanIndex(
+          d.filter(col("doc_id") % 4 === 0), "doc_id", "text", 20,
+          fingerprint = true)
+        measure(spark)(graft.ml.Corpus.duplicateSpansAgainst(
+          d.filter(col("doc_id") % 4 =!= 0), idx, "doc_id", "text", 20,
+          900L, fingerprint = true).count())
+      },
+      "minhash_against" -> { scale: String =>
+        val d = docsAt(scale)
+        val idx = graft.ml.Dedup.minhashBandTable(
+          d.filter(col("doc_id") % 4 === 0), "doc_id", "text", 3, 9, 3, 3)
+        measure(spark)(graft.ml.Dedup.minhashCandidatesAgainst(
+          d.filter(col("doc_id") % 4 =!= 0), idx, "doc_id", "text",
+          3, 9, 3, 3).count())
+      },
+      "simhash_neardup" -> { scale: String =>
+        measure(spark)(graft.ml.Dedup.simhashNearDup(docsAt(scale),
+          "doc_id", "text", 60, 4, 3).count())
+      },
       "curation_chain_q134" -> { scale: String =>
         val (dir, table) =
           if (scale == "base") (base, "documents") else (sf1Dir, "documents")

@@ -1340,7 +1340,18 @@ object PipelineCompiler {
     * the [[curationReport]] hook, threaded explicitly (no shared
     * mutable state, safe under concurrent compiles). */
   private def compileCurationTapped(spark: SparkSession, yamlStr: String,
-                                    tap: (String, DataFrame) => Unit): DataFrame = {
+                                    tap: (String, DataFrame) => Unit): DataFrame =
+    compileCurationIndexed(spark, yamlStr, tap)._1
+
+  /** [[compileCurationTapped]] plus the pending `index_out` writes: a
+    * dedup stage with `index_out: path` contributes its NEXT-RUN index
+    * (previous index ∪ this run's survivors' contribution — the
+    * *IndexMerged builders) as a (path, frame) pair; [[runCuration]]
+    * executes the writes after the chain lands. Kept lazy here so
+    * compile stays side-effect-free. */
+  private def compileCurationIndexed(spark: SparkSession, yamlStr: String,
+                                     tap: (String, DataFrame) => Unit)
+  : (DataFrame, Seq[(String, DataFrame)]) = {
     val root = yaml.readTree(yamlStr)
     val cur = Option(root.get("curation")).getOrElse(root)
     val in = cur.get("input")
@@ -1379,9 +1390,10 @@ object PipelineCompiler {
         s"curation cache_stages: off|memory|disk, got `$other`")
     }
     val twiceUsing = Set("repetition_gate", "exact_dedup", "duplicate_spans",
-      "minhash_dedup", "line_dedup", "semdedup", "domain_cap", "html_extract",
-      "boilerplate_scrub", "decontaminate", "span_scrub", "source_quota",
-      "classifier_gate", "dsir_upsample")
+      "minhash_dedup", "simhash_dedup", "line_dedup", "semdedup", "domain_cap",
+      "html_extract", "boilerplate_scrub", "decontaminate", "span_scrub",
+      "source_quota", "classifier_gate", "dsir_upsample")
+    val idxOuts = Seq.newBuilder[(String, DataFrame)]
     stages.elements().asScala.foreach { st =>
       val twice = twiceUsing(st.get("type").asText())
       // never cache the raw input scan: re-reading parquet twice beats
@@ -1389,8 +1401,57 @@ object PipelineCompiler {
       if (twice && !(df eq base)) level.foreach(df.persist)
       df = curationStage(spark, base, df, st)
       tap(st.get("type").asText(), df)
+      Option(st.get("index_out")).foreach { p =>
+        idxOuts += ((p.asText(), indexUpdateFor(spark, df, st)))
+      }
     }
-    df
+    (df, idxOuts.result())
+  }
+
+  /** The next-run index a dedup stage with `index_out` persists,
+    * computed from the stage's SURVIVORS merged over the previous index
+    * (if `index_path` was given — a first run bootstraps the index from
+    * the survivors alone). `index_out` must differ from `index_path`:
+    * the input index is read lazily, so writing over it mid-job would
+    * corrupt the very frame being computed — version the paths
+    * (idx_v1 → idx_v2) and swap at the orchestration layer. */
+  private def indexUpdateFor(spark: SparkSession, kept: DataFrame,
+                             st: JsonNode): DataFrame = {
+    val id = Option(st.get("id_col")).map(_.asText()).getOrElse("doc_id")
+    val text = Option(st.get("text_col")).map(_.asText()).getOrElse("text")
+    def intOpt(k: String, d: Int): Int =
+      Option(st.get(k)).map(_.asInt()).getOrElse(d)
+    def boolOpt(k: String): Boolean = Option(st.get(k)).exists(_.asBoolean())
+    val old = Option(st.get("index_path")).map { p =>
+      require(p.asText() != st.get("index_out").asText(),
+        "curation index_out must differ from index_path — the input " +
+          "index is read lazily; version the paths instead")
+      spark.read.parquet(p.asText())
+    }
+    st.get("type").asText() match {
+      case "exact_dedup" =>
+        val keys = Option(st.get("keys"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq(text))
+        graft.ml.Dedup.exactKeyIndexMerged(old, kept, keys)
+      case "duplicate_spans" =>
+        graft.ml.Corpus.duplicateSpanIndexMerged(old, kept, id, text,
+          n = intOpt("n", 20), fingerprint = boolOpt("fingerprint"))
+      case "minhash_dedup" =>
+        graft.ml.Dedup.minhashBandIndexMerged(old, kept, id, text,
+          intOpt("shingle_n", 3), intOpt("k", 12),
+          intOpt("bands", 4), intOpt("rows", 3))
+      case "simhash_dedup" =>
+        graft.ml.Dedup.simhashIndexMerged(old, kept, id, text,
+          intOpt("bits", 60))
+      case "line_dedup" =>
+        graft.ml.Corpus.lineDedupIndexMerged(old, kept, id, text,
+          delim = Option(st.get("delim")).map(_.asText()).getOrElse("\n"),
+          fingerprint = boolOpt("fingerprint"))
+      case other => throw new IllegalArgumentException(
+        s"curation index_out is not supported on `$other` — only the " +
+          "index-backed dedup stages (exact_dedup, duplicate_spans, " +
+          "minhash_dedup, simhash_dedup, line_dedup)")
+    }
   }
 
   /** Per-stage retention report — the observability a 100 TB curation
@@ -1422,7 +1483,7 @@ object PipelineCompiler {
     * pipeline `output: {type: lake}` knobs verbatim). Returns the
     * written frame so callers can keep composing. */
   def runCuration(spark: SparkSession, yamlStr: String): DataFrame = {
-    val df = compileCuration(spark, yamlStr)
+    val (df, idxOuts) = compileCurationIndexed(spark, yamlStr, (_, _) => ())
     val root = yaml.readTree(yamlStr)
     val cur = Option(root.get("curation")).getOrElse(root)
     Option(cur.get("output")).foreach { o =>
@@ -1443,6 +1504,11 @@ object PipelineCompiler {
         fileShards = Option(o.get("file_shards")).map(_.asInt()).getOrElse(0),
         format = Option(o.get("format")).map(_.asText()).getOrElse("parquet"),
         mode = Option(o.get("mode")).map(_.asText()).getOrElse("overwrite"))
+    }
+    // land the next-run dedup indexes AFTER the survivors: the stage
+    // boundary persists make the index frames reuse the chain's work
+    idxOuts.foreach { case (path, up) =>
+      up.write.mode("overwrite").parquet(path)
     }
     df
   }
@@ -1706,6 +1772,23 @@ object PipelineCompiler {
             val cands = graft.ml.Dedup.minhashCandidates(df, id, text,
               shingleN = sn, k = kk, bands = bb, rows = rr)
             val clusters = graft.ml.Dedup.connectedComponents(cands)
+            df.join(clusters.filter(col("node") =!= col("component"))
+              .select(col("node").as(id)), Seq(id), "left_anti")
+        }
+      case "simhash_dedup" =>
+        // near-dup drop by 60-bit SimHash block decomposition (q141
+        // family): candidate join on one of `blocks` signature blocks
+        // (complete for hamming <= blocks-1), exact hamming verify,
+        // one representative per connected component
+        val bits = intOpt("bits", 60); val blocks = intOpt("blocks", 4)
+        val mh = intOpt("max_hamming", 3)
+        Option(st.get("index_path")) match {
+          case Some(p) => graft.ml.Dedup.simhashDedupAgainst(
+            df, spark.read.parquet(p.asText()), id, text, bits, blocks, mh)
+          case None =>
+            val pairs = graft.ml.Dedup.simhashNearDup(
+              df, id, text, bits, blocks, mh).select(col("id_a"), col("id_b"))
+            val clusters = graft.ml.Dedup.connectedComponents(pairs)
             df.join(clusters.filter(col("node") =!= col("component"))
               .select(col("node").as(id)), Seq(id), "left_anti")
         }

@@ -114,6 +114,22 @@ object Corpus {
       .groupBy(col("gram")).agg(min(col(idCol)).as("wdoc"))
   }
 
+  /** Next-run duplicate-spans winner index: the previous index's owners
+    * WIN on gram conflicts (first run owns forever — owner ids from
+    * different runs are not comparable, presence is what matters), new
+    * grams come from this run's KEPT docs. One anti-join on the gram
+    * key, both sides winner-table sized. */
+  def duplicateSpanIndexMerged(index: Option[DataFrame], kept: DataFrame,
+                               idCol: String, textCol: String, n: Int,
+                               fingerprint: Boolean = false): DataFrame = {
+    val nw = duplicateSpanIndex(kept, idCol, textCol, n, fingerprint)
+    index match {
+      case Some(i) => i.select(col("gram"), col("wdoc")).unionByName(
+        nw.join(i.select(col("gram")), Seq("gram"), "left_anti"))
+      case None => nw
+    }
+  }
+
   /** INCREMENTAL [[duplicateSpans]] — the growing-corpus form: a new
     * batch's staleness is measured against an EXISTING winner index
     * (gram → wdoc, from [[duplicateSpanIndex]] over previous runs)
@@ -441,6 +457,19 @@ object Corpus {
     seg.select(
       (if (fingerprint) unhex(md5(col("seg"))) else col("seg")).as("seg_key"))
       .distinct()
+  }
+
+  /** Next-run line-dedup index: previous segment keys ∪ the keys of
+    * this run's KEPT (cleaned) text — which are exactly the segments
+    * now present in the corpus. */
+  def lineDedupIndexMerged(index: Option[DataFrame], kept: DataFrame,
+                           idCol: String, textCol: String, delim: String,
+                           fingerprint: Boolean = false): DataFrame = {
+    val nk = lineDedupIndex(kept, idCol, textCol, delim, fingerprint)
+    index match {
+      case Some(i) => i.select(col("seg_key")).unionByName(nk).distinct()
+      case None => nk
+    }
   }
 
   /** INCREMENTAL [[lineDedupKeepFirst]] — the growing-corpus form: a

@@ -178,6 +178,41 @@ object Dedup {
         .select(col("node").as(idCol)), Seq(idCol), "left_anti")
   }
 
+  // ---- index maintenance: next-run indexes from this run's survivors.
+  // Each merged index is the previous index (first run: None) plus the
+  // contribution of the docs KEPT this run, preserving the invariant
+  // "the index describes exactly the kept corpus" across runs.
+
+  /** The persisted key set behind [[exactKeepFirstAgainst]]. */
+  def exactKeyIndex(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.select(keyCols.map(col): _*).distinct()
+
+  /** Next-run exact-dedup index: previous keys ∪ this run's kept keys. */
+  def exactKeyIndexMerged(index: Option[DataFrame], kept: DataFrame,
+                          keyCols: Seq[String]): DataFrame = index match {
+    case Some(i) => i.select(keyCols.map(col): _*)
+      .unionByName(exactKeyIndex(kept, keyCols)).distinct()
+    case None => exactKeyIndex(kept, keyCols)
+  }
+
+  /** Next-run LSH band index: previous (id, bk) rows ∪ the kept batch's
+    * band table. Plain union — runs contribute disjoint doc ids, so no
+    * distinct shuffle is paid on the (large) band table. */
+  def minhashBandIndexMerged(index: Option[DataFrame], kept: DataFrame,
+                             idCol: String, textCol: String, shingleN: Int,
+                             k: Int, bands: Int, rows: Int): DataFrame = {
+    val nb = minhashBandTable(kept, idCol, textCol, shingleN, k, bands, rows)
+    index.map(_.select(col("id"), col("bk")).unionByName(nb)).getOrElse(nb)
+  }
+
+  /** Next-run SimHash index: previous (id, sim) rows ∪ the kept batch's
+    * signatures (disjoint ids across runs — plain union). */
+  def simhashIndexMerged(index: Option[DataFrame], kept: DataFrame,
+                         idCol: String, textCol: String, bits: Int): DataFrame = {
+    val ns = simhashIndex(kept, idCol, textCol, bits)
+    index.map(_.select(col("id"), col("sim")).unionByName(ns)).getOrElse(ns)
+  }
+
   /** Exact Jaccard similarity between two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
@@ -281,6 +316,34 @@ object Dedup {
       .select(col("l.id").as("id_new"), col("r.id").as("id_match"),
         hamming(col("l.sim"), col("r.sim")).as("ham"))
     vsOld.union(vsNew).distinct().filter(col("ham") <= maxHamming)
+  }
+
+  /** INCREMENTAL SimHash dedup SURVIVORS — the whole-stage form the
+    * curation compiler's `simhash_dedup` + `index_path` spelling uses:
+    * (1) a batch doc within `maxHamming` of ANY indexed signature
+    * (block-key candidate join + exact hamming verify) is a
+    * near-duplicate of the already-kept corpus → dropped; (2) the
+    * remainder dedups within the batch (near-dup pairs → connected
+    * components → min-id representative). The index is 8 bytes per
+    * kept doc; the old corpus is never re-hashed. */
+  def simhashDedupAgainst(df: DataFrame, index: DataFrame,
+                          idCol: String, textCol: String,
+                          bits: Int, blocks: Int,
+                          maxHamming: Int): DataFrame = {
+    val newE = simhashIndex(df, idCol, textCol, bits)
+      .select(col("id"), col("sim"),
+        explode(simhashBlockKeys(col("sim"), bits, blocks)).as("blk"))
+    val oldE = index.select(col("id").as("_oid"), col("sim").as("_osim"),
+      explode(simhashBlockKeys(col("sim"), bits, blocks)).as("blk"))
+    val oldHitIds = newE.join(oldE, Seq("blk"))
+      .filter(hamming(col("sim"), col("_osim")) <= maxHamming)
+      .select(col("id").as(idCol)).distinct()
+    val rest = df.join(oldHitIds, Seq(idCol), "left_anti")
+    val pairs = simhashNearDup(rest, idCol, textCol, bits, blocks, maxHamming)
+      .select(col("id_a"), col("id_b"))
+    val clusters = connectedComponents(pairs)
+    rest.join(clusters.filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol)), Seq(idCol), "left_anti")
   }
 
   /** Exact dedup: keep the first (min orderCol) row per key set —

@@ -1419,6 +1419,122 @@ class CompilerSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty && got.size < batch.count())
   }
 
+  test("index_out lands next-run indexes; run 2 against them equals the direct incremental calls") {
+    import org.apache.spark.sql.functions.col
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val aPath = tmp("idxlc_a"); val bPath = tmp("idxlc_b")
+    docs.filter(col("doc_id") % 4 === 0).write.mode("overwrite").parquet(aPath)
+    docs.filter(col("doc_id") % 4 =!= 0).write.mode("overwrite").parquet(bPath)
+    val v1 = tmp("idxlc_v1"); val v2 = tmp("idxlc_v2")
+    // run 1 bootstraps both indexes (no index_path)
+    PipelineCompiler.runCuration(spark,
+      s"""curation:
+         |  input: {path: "$aPath"}
+         |  stages:
+         |    - {type: exact_dedup, index_out: "$v1/keys"}
+         |    - {type: duplicate_spans, n: 20, index_out: "$v1/grams"}
+         |""".stripMargin)
+    // run 2 reads v1, writes v2
+    val out2 = PipelineCompiler.runCuration(spark,
+      s"""curation:
+         |  input: {path: "$bPath"}
+         |  stages:
+         |    - {type: exact_dedup, index_path: "$v1/keys", index_out: "$v2/keys"}
+         |    - {type: duplicate_spans, n: 20, index_path: "$v1/grams", index_out: "$v2/grams"}
+         |""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the direct two-run reference
+    val sliceA = spark.read.parquet(aPath); val sliceB = spark.read.parquet(bPath)
+    val a1 = sliceA.join(graft.ml.Dedup.exactKeepFirst(sliceA, Seq("text"), "doc_id")
+      .select("doc_id"), Seq("doc_id"), "left_semi")
+    val a2 = a1.join(graft.ml.Corpus.duplicateSpans(a1, "doc_id", "text", 20)
+      .filter(!col("flagged")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val keys1 = graft.ml.Dedup.exactKeyIndex(a1, Seq("text"))
+    val grams1 = graft.ml.Corpus.duplicateSpanIndex(a2, "doc_id", "text", 20)
+    val b1 = sliceB.join(graft.ml.Dedup.exactKeepFirstAgainst(
+      sliceB, keys1, Seq("text"), "doc_id").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val b2 = b1.join(graft.ml.Corpus.duplicateSpansAgainst(b1, grams1,
+      "doc_id", "text", 20).filter(!col("flagged")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val want2 = b2.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out2 == want2 && out2.nonEmpty)
+    // v2 indexes are the merged next-run state
+    val keysV2 = spark.read.parquet(s"$v2/keys").collect().map(_.getString(0)).toSet
+    val wantKeys = keys1.collect().map(_.getString(0)).toSet ++
+      graft.ml.Dedup.exactKeyIndex(b1, Seq("text")).collect().map(_.getString(0)).toSet
+    assert(keysV2 == wantKeys)
+    val gramsV2 = spark.read.parquet(s"$v2/grams")
+    val wantGrams = graft.ml.Corpus.duplicateSpanIndexMerged(
+      Some(grams1), b2, "doc_id", "text", 20)
+    assert(gramsV2.count() == wantGrams.count() &&
+      gramsV2.select("gram").distinct().count() == gramsV2.count(),
+      "merged gram index must keep one owner per gram")
+    // guard rails
+    val e1 = intercept[IllegalArgumentException](PipelineCompiler.runCuration(spark,
+      s"""curation:
+         |  input: {path: "$bPath"}
+         |  stages:
+         |    - {type: exact_dedup, index_path: "$v1/keys", index_out: "$v1/keys"}
+         |""".stripMargin))
+    assert(e1.getMessage.contains("must differ"))
+    val e2 = intercept[IllegalArgumentException](PipelineCompiler.runCuration(spark,
+      s"""curation:
+         |  input: {path: "$bPath"}
+         |  stages:
+         |    - {type: gopher_gate, index_out: "$v2/nope"}
+         |""".stripMargin))
+    assert(e2.getMessage.contains("not supported"))
+  }
+
+  test("simhash_dedup stage: batch, index_path, and index_out forms") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    val batchPath = tmp("sh_b")
+    Seq(
+      (10L, "web", base * 3),
+      (11L, "web", base * 3), // exact dup of 10
+      (12L, "web", base * 3 + "small tail edit."), // near dup of 10
+      (13L, "web", "entirely different words about oceans rivers lakes streams ponds and rain falling softly"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(batchPath)
+    val got = PipelineCompiler.compileCuration(spark,
+      s"""curation:
+         |  input: {path: "$batchPath"}
+         |  stages:
+         |    - {type: simhash_dedup, bits: 60, blocks: 4, max_hamming: 3}
+         |""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.contains(10L) && !got.contains(11L) && got.contains(13L),
+      s"got $got")
+    // incremental: an index doc within hamming 3 swallows the batch dup
+    val idxPath = tmp("sh_idx"); val idx2 = tmp("sh_idx2")
+    graft.ml.Dedup.simhashIndex(
+      Seq((100L, base * 3)).toDF("doc_id", "text"), "doc_id", "text", 60)
+      .write.mode("overwrite").parquet(idxPath)
+    val got2 = PipelineCompiler.runCuration(spark,
+      s"""curation:
+         |  input: {path: "$batchPath"}
+         |  stages:
+         |    - {type: simhash_dedup, index_path: "$idxPath", index_out: "$idx2"}
+         |""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want2 = graft.ml.Dedup.simhashDedupAgainst(
+      spark.read.parquet(batchPath), spark.read.parquet(idxPath),
+      "doc_id", "text", 60, 4, 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got2 == want2, s"YAML=$got2 direct=$want2")
+    assert(!got2.contains(10L) && !got2.contains(11L) && got2.contains(13L),
+      s"the index signature must swallow its exact duplicates, got $got2")
+    // merged index = old signature + the survivors'
+    val ids2 = spark.read.parquet(idx2).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids2 == got2 + 100L, s"got $ids2")
+  }
+
   test("go duration strings parse at ms granularity") {
     import PipelineCompiler.{goDurationMillis, goDurationSeconds}
     assert(goDurationMillis("300ms") == 300L)

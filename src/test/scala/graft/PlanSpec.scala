@@ -303,6 +303,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
   }
 
+  test("incremental-index probes stay unhinted with no cartesian (round 10)") {
+    val docs = Tables(spark, sf, "documents")
+    val oldS = docs.filter(col("doc_id") % 4 === 0)
+    val batch = docs.filter(col("doc_id") % 4 =!= 0)
+    val builds: Seq[org.apache.spark.sql.DataFrame] = Seq(
+      graft.ml.Dedup.exactKeepFirstAgainst(batch,
+        graft.ml.Dedup.exactKeyIndex(oldS, Seq("text")), Seq("text"), "doc_id"),
+      graft.ml.Corpus.duplicateSpansAgainst(batch,
+        graft.ml.Corpus.duplicateSpanIndex(oldS, "doc_id", "text", 20),
+        "doc_id", "text", 20),
+      graft.ml.Dedup.minhashCandidatesAgainst(batch,
+        graft.ml.Dedup.minhashBandTable(oldS, "doc_id", "text", 3, 9, 3, 3),
+        "doc_id", "text", 3, 9, 3, 3),
+      graft.ml.Corpus.lineDedupAgainst(batch,
+        graft.ml.Corpus.lineDedupIndex(oldS, "doc_id", "text", " "),
+        "doc_id", "text", " "),
+      graft.ml.Dedup.simhashNearDupAgainst(batch,
+        graft.ml.Dedup.simhashIndex(oldS, "doc_id", "text", 60),
+        "doc_id", "text", 60, 4, 3))
+    for (df <- builds) {
+      val a = df.queryExecution.analyzed.toString
+      assert(!a.contains("ResolvedHint"),
+        "index joins are corpus-derived and must stay unhinted:\n" + a)
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("simhash block join is an equi-join on the block key, not a pairwise scan") {
+    val p = plan(graft.ml.Dedup.simhashNearDup(
+      Tables(spark, sf, "documents"), "doc_id", "text", 60, 4, 3))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("blk"), p)
+  }
+
   test("the throughput pipeline decodes inside whole-stage codegen") {
     // one NDJSON row is enough to plan against
     val tmp = java.nio.file.Files.createTempDirectory("plan_tp").toString
