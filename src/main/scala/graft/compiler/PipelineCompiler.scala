@@ -1404,8 +1404,36 @@ object PipelineCompiler {
       Option(st.get("index_out")).foreach { p =>
         idxOuts += ((p.asText(), indexUpdateFor(spark, df, st)))
       }
+      Option(st.get("bloom_index_out")).foreach { p =>
+        idxOuts += ((p.asText(), bloomIndexUpdateFor(spark, df, st)))
+      }
     }
     (df, idxOuts.result())
+  }
+
+  /** The next-run BLOOM index (`bloom_index_out` on exact_dedup):
+    * previous runs' filter rows plus this run's survivors' filter.
+    * `bloom_items` is required (all merging runs must share it and
+    * `bloom_fpp` — bit layouts only merge when identical). */
+  private def bloomIndexUpdateFor(spark: SparkSession, kept: DataFrame,
+                                  st: JsonNode): DataFrame = {
+    require(st.get("type").asText() == "exact_dedup",
+      "curation bloom_index_out is only supported on exact_dedup")
+    val text = Option(st.get("text_col")).map(_.asText()).getOrElse("text")
+    val keys = Option(st.get("keys"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq(text))
+    val items = Option(st.get("bloom_items")).map(_.asLong()).getOrElse(
+      throw new IllegalArgumentException(
+        "curation exact_dedup: bloom_index_out needs `bloom_items` " +
+          "(expected keys per run; all merging runs must share it)"))
+    val fpp = Option(st.get("bloom_fpp")).map(_.asDouble()).getOrElse(0.01)
+    val old = Option(st.get("bloom_index_path")).map { p =>
+      require(p.asText() != st.get("bloom_index_out").asText(),
+        "curation bloom_index_out must differ from bloom_index_path — " +
+          "the input index is read lazily; version the paths instead")
+      spark.read.parquet(p.asText())
+    }
+    graft.ml.Dedup.exactKeyBloomIndexMerged(old, kept, keys, items, fpp)
   }
 
   /** The next-run index a dedup stage with `index_out` persists,
@@ -1739,12 +1767,20 @@ object PipelineCompiler {
         val keys = Option(st.get("keys"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq(text))
         // index_path: incremental mode — dedup against the kept-key
-        // index persisted by previous runs (q138), then within the batch
-        val winners = Option(st.get("index_path")) match {
-          case Some(p) => graft.ml.Dedup.exactKeepFirstAgainst(
-            df, spark.read.parquet(p.asText()), keys, id)
-          case None => graft.ml.Dedup.exactKeepFirst(df, keys, id)
-        }
+        // index persisted by previous runs (q138), then within the
+        // batch. bloom_index_path: the O(bits) probabilistic spelling
+        // (exactKeepFirstAgainstBloom — no false negatives, fpp-bounded
+        // novel-row loss, zero-join probe).
+        val winners =
+          (Option(st.get("index_path")), Option(st.get("bloom_index_path"))) match {
+            case (Some(_), Some(_)) => throw new IllegalArgumentException(
+              "curation exact_dedup: choose index_path OR bloom_index_path")
+            case (Some(p), None) => graft.ml.Dedup.exactKeepFirstAgainst(
+              df, spark.read.parquet(p.asText()), keys, id)
+            case (None, Some(p)) => graft.ml.Dedup.exactKeepFirstAgainstBloom(
+              df, spark.read.parquet(p.asText()), keys, id)
+            case (None, None) => graft.ml.Dedup.exactKeepFirst(df, keys, id)
+          }
         df.join(winners.select(id), Seq(id), "left_semi")
       case "duplicate_spans" =>
         // index_path: incremental mode — staleness vs the persisted

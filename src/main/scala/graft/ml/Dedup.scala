@@ -213,6 +213,77 @@ object Dedup {
     index.map(_.select(col("id"), col("sim")).unionByName(ns)).getOrElse(ns)
   }
 
+  // ---- probabilistic (Bloom) exact-key index — the O(bits) spelling.
+  // At 100 TB the exact key index is itself corpus-scale (one row per
+  // kept document); a Bloom filter holds the same membership question
+  // in ~14 bits/key at 0.1% false positives. The trade is explicit and
+  // one-sided: NO false negatives (every true duplicate is dropped —
+  // the dedup guarantee holds exactly), a bounded fpp of NOVEL docs
+  // lost. The probe is a pure per-row expression against a literal —
+  // zero joins, zero shuffles, the cheapest possible incremental dedup.
+
+  private def bloomKeyHash(keyCols: Seq[String]): Column =
+    xxhash64(keyCols.map(col): _*)
+
+  /** ONE binary row: the Bloom filter of the key set. All runs that
+    * will ever merge must use the same (expectedItems, fpp) — bit
+    * layouts are only mergeable when identical (loud
+    * IncompatibleMergeException otherwise). Sizing: Spark's analyzer
+    * caps a single aggregate at
+    * spark.sql.optimizer.runtime.bloomFilter.maxNumItems /
+    * maxNumBits (defaults 4M items / 8 MB) and each partial-agg task
+    * allocates the full bit buffer — size `expectedItems` PER RUN and
+    * let the multi-row lazy merge carry the total; raise the confs
+    * only with the executor memory to back them. */
+  def exactKeyBloomIndex(df: DataFrame, keyCols: Seq[String],
+                         expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val B = org.apache.spark.sql.GraftBridge
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        B.expression(bloomKeyHash(keyCols)),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(bits))
+      .toAggregateExpression()
+    df.select(B.column(agg).as("bloom"))
+  }
+
+  /** INCREMENTAL exact dedup against a BLOOM index: rows whose key the
+    * filter recognizes drop (all true duplicates plus an fpp-bounded
+    * sliver of novel rows), then keep-first within the batch. The index
+    * frame may carry several rows (one per previous run — the lazy
+    * union [[exactKeyBloomIndexMerged]] writes); they are collected
+    * (bounded: run count × filter bytes) and OR-merged driver-side,
+    * then shipped as a BROADCAST — never a plan literal, which would
+    * put the filter bytes into every plan string and task binary — and
+    * probed by a per-executor-deserialized predicate. Zero joins, zero
+    * shuffles on the probe. */
+  def exactKeepFirstAgainstBloom(df: DataFrame, index: DataFrame,
+                                 keyCols: Seq[String],
+                                 orderCol: String): DataFrame = {
+    val rows = index.select(col("bloom")).collect()
+      .map(_.getAs[Array[Byte]](0))
+    require(rows.nonEmpty, "bloom index has no rows")
+    val merged = rows.map(org.apache.spark.util.sketch.BloomFilter.readFrom)
+      .reduce((a, b) => a.mergeInPlace(b))
+    val out = new java.io.ByteArrayOutputStream()
+    merged.writeTo(out)
+    val bc = df.sparkSession.sparkContext.broadcast(out.toByteArray)
+    val hit = udf(new BloomProbe(bc)).apply(bloomKeyHash(keyCols))
+    exactKeepFirst(df.filter(!hit), keyCols, orderCol)
+  }
+
+  /** Next-run Bloom index: the previous runs' rows plus this run's
+    * filter — merged lazily as a UNION of rows (the probe OR-merges at
+    * load), so no driver-side work happens at compile time. */
+  def exactKeyBloomIndexMerged(index: Option[DataFrame], kept: DataFrame,
+                               keyCols: Seq[String], expectedItems: Long,
+                               fpp: Double = 0.01): DataFrame = {
+    val nb = exactKeyBloomIndex(kept, keyCols, expectedItems, fpp)
+    index.map(_.select(col("bloom")).unionByName(nb)).getOrElse(nb)
+  }
+
   /** Exact Jaccard similarity between two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
@@ -571,4 +642,16 @@ object Dedup {
       .min(Int.MaxValue.toLong).toInt
     semDedup(df, idCol, vecCol, k, iters, tau, maxAvgClusterSize)
   }
+}
+
+/** The broadcast Bloom probe behind [[Dedup.exactKeepFirstAgainstBloom]]:
+  * the filter deserializes ONCE per executor JVM (transient lazy) from
+  * the torrent-broadcast bytes; the closure ships only the broadcast
+  * handle. Top-level so serialization carries no outer reference. */
+private[ml] class BloomProbe(
+    bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+    extends (Long => Boolean) with Serializable {
+  @transient private lazy val bf =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(bc.value)
+  def apply(h: Long): Boolean = bf.mightContainLong(h)
 }

@@ -1535,6 +1535,92 @@ class CompilerSpec extends AnyFunSuite {
     assert(ids2 == got2 + 100L, s"got $ids2")
   }
 
+  test("exact_dedup bloom index: YAML roundtrip across two runs") {
+    import org.apache.spark.sql.functions.col
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val aPath = tmp("bl_a"); val bPath = tmp("bl_b")
+    docs.filter(col("doc_id") % 4 === 0).write.mode("overwrite").parquet(aPath)
+    docs.filter(col("doc_id") % 4 =!= 0).write.mode("overwrite").parquet(bPath)
+    val v1 = tmp("bl_v1"); val v2 = tmp("bl_v2")
+    // run 1 bootstraps the filter from its survivors
+    PipelineCompiler.runCuration(spark,
+      s"""curation:
+         |  input: {path: "$aPath"}
+         |  stages:
+         |    - {type: exact_dedup, bloom_items: 1000, bloom_fpp: 0.001,
+         |       bloom_index_out: "$v1"}
+         |""".stripMargin)
+    assert(spark.read.parquet(v1).count() == 1)
+    // run 2 probes v1 and appends its filter row to v2
+    val got2 = PipelineCompiler.runCuration(spark,
+      s"""curation:
+         |  input: {path: "$bPath"}
+         |  stages:
+         |    - {type: exact_dedup, bloom_index_path: "$v1",
+         |       bloom_items: 1000, bloom_fpp: 0.001,
+         |       bloom_index_out: "$v2"}
+         |""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sliceA = spark.read.parquet(aPath); val sliceB = spark.read.parquet(bPath)
+    val a1 = sliceA.join(graft.ml.Dedup.exactKeepFirst(sliceA, Seq("text"), "doc_id")
+      .select("doc_id"), Seq("doc_id"), "left_semi")
+    val want2 = graft.ml.Dedup.exactKeepFirstAgainstBloom(sliceB,
+      graft.ml.Dedup.exactKeyBloomIndex(a1, Seq("text"), 1000, 0.001),
+      Seq("text"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got2 == want2 && got2.nonEmpty)
+    assert(spark.read.parquet(v2).count() == 2, "v2 must carry both runs' rows")
+    // guard rails: both index kinds at once, and bloom on other stages
+    val e = intercept[IllegalArgumentException](PipelineCompiler.compileCuration(spark,
+      s"""curation:
+         |  input: {path: "$bPath"}
+         |  stages:
+         |    - {type: exact_dedup, index_path: "$v1", bloom_index_path: "$v1"}
+         |""".stripMargin))
+    assert(e.getMessage.contains("choose"))
+    val e2 = intercept[IllegalArgumentException](PipelineCompiler.runCuration(spark,
+      s"""curation:
+         |  input: {path: "$bPath"}
+         |  stages:
+         |    - {type: line_dedup, bloom_index_out: "$v2/x"}
+         |""".stripMargin))
+    assert(e2.getMessage.contains("only supported on exact_dedup"))
+  }
+
+  test("incremental curation example: bootstrap v17 indexes, run the batch, land v18") {
+    import org.apache.spark.sql.functions.col
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val old = docs.filter(col("doc_id") % 4 === 0)
+    val root = tmp("incr_ex")
+    val batchPath = s"$root/landing/batch_0017"
+    docs.filter(col("doc_id") % 4 =!= 0).write.parquet(batchPath)
+    // bootstrap the v17 indexes from the old slice — what run 16's
+    // index_out legs would have landed
+    // items/fpp must match the example's knobs exactly — merging bit
+    // layouts are only compatible when identical
+    graft.ml.Dedup.exactKeyBloomIndex(old, Seq("text"), 4000000L, 0.001)
+      .write.parquet(s"$root/index/v17/exact_bloom")
+    graft.ml.Dedup.minhashBandTable(old, "doc_id", "text", 3, 12, 4, 3)
+      .write.parquet(s"$root/index/v17/bands")
+    graft.ml.Corpus.duplicateSpanIndex(old, "doc_id", "text", 20,
+      fingerprint = true).write.parquet(s"$root/index/v17/grams")
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/corpus_curation_incremental.yaml")),
+      "UTF-8").replace("/data", root)
+    val out = PipelineCompiler.runCuration(spark, yaml)
+    assert(out.count() > 0)
+    // the lake and all three v18 indexes landed
+    assert(spark.read.parquet(s"$root/curated").count() == out.count())
+    assert(spark.read.parquet(s"$root/index/v18/exact_bloom").count() == 2)
+    val bands17 = spark.read.parquet(s"$root/index/v17/bands").count()
+    assert(spark.read.parquet(s"$root/index/v18/bands").count() > bands17)
+    val grams18 = spark.read.parquet(s"$root/index/v18/grams")
+    assert(grams18.count() >= spark.read.parquet(s"$root/index/v17/grams").count())
+    assert(grams18.select("gram").distinct().count() == grams18.count())
+  }
+
   test("go duration strings parse at ms granularity") {
     import PipelineCompiler.{goDurationMillis, goDurationSeconds}
     assert(goDurationMillis("300ms") == 300L)

@@ -219,6 +219,41 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom exact-dedup index: no false negatives, bounded over-drop, lazy multi-run merge") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val old = docs.filter(col("doc_id") % 4 === 0)
+    val batch = docs.filter(col("doc_id") % 4 =!= 0)
+    val items = old.count()
+    val idx = Dedup.exactKeyBloomIndex(old, Seq("text"), items, fpp = 0.001)
+    assert(idx.count() == 1)
+    val got = Dedup.exactKeepFirstAgainstBloom(batch, idx, Seq("text"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = Dedup.exactKeepFirstAgainst(batch, old.select("text"),
+      Seq("text"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // one-sided error: the bloom can only OVER-drop (novel keys lost to
+    // false positives) — never keep a true duplicate
+    assert(got.subsetOf(exact), "bloom kept a doc the exact index drops")
+    val overDrop = exact.size - got.size
+    assert(overDrop <= math.max(2, exact.size / 50),
+      s"over-drop $overDrop of ${exact.size} exceeds the fpp budget")
+    // lazy merge: run 2's index is run 1's row plus the batch
+    // survivors' filter; keys from EITHER run must now drop
+    val kept = batch.filter(col("doc_id").isin(got.toSeq: _*))
+    val idx2 = Dedup.exactKeyBloomIndexMerged(Some(idx), kept,
+      Seq("text"), items, fpp = 0.001)
+    assert(idx2.count() == 2)
+    val replayAll = Dedup.exactKeepFirstAgainstBloom(
+      docs, idx2, Seq("text"), "doc_id").count()
+    // every old-slice key and every kept-batch key is recognized;
+    // survivors of a full replay are only bloom-novel texts
+    val replayExact = Dedup.exactKeepFirstAgainst(docs,
+      old.select("text").unionByName(kept.select("text")),
+      Seq("text"), "doc_id").count()
+    assert(replayAll <= replayExact,
+      s"bloom replay kept $replayAll > exact replay $replayExact")
+  }
+
   test("VecDot refuses ragged vectors instead of truncating") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val lit = org.apache.spark.sql.catalyst.expressions.Literal(1.0)
