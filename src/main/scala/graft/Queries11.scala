@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query batch 11 (round 10, cont.): representative selection by
+  * quality, the embedding-space (SemDeDup) member of the incremental
+  * against-index family, and IVF index APPEND maintenance. Together
+  * with Queries10 these close the growing-corpus matrix: every dedup
+  * modality (exact, Bloom, minhash, simhash, line, span, semantic) has
+  * both a batch and an incremental spelling, and both ANN index
+  * operations (build, append) keep the answer of the ad-hoc dataflow.
+  */
+object Queries11 {
+
+  type Q = Queries.Q
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // --------------------------------------- quality-keep representative
+
+  /** Round-10: near-dup clustering with BEST-QUALITY representative
+    * selection — the production policy (keep the best-scoring member
+    * of a duplicate cluster, not the min id). Quality here is the
+    * char length; any integer quality-gate signal plugs in. The
+    * oracle replays q63's candidate CTE, the q69 recursive min-label
+    * walk, then picks per-component arg-max(quality, tie min id). */
+  val q145_dedup_keep_best: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val cands = graft.ml.Dedup.minhashCandidates(docs, "doc_id", "text",
+      shingleN = 3, k = 9, bands = 3, rows = 3)
+    graft.ml.Dedup.clusterKeepBest(docs, cands, "doc_id",
+      length(col("text")))
+  }
+
+  val q145_sql: String = {
+    val candCte = Queries4.q63_sql
+      .substring(0, Queries4.q63_sql.indexOf("SELECT c.id_a"))
+      .trim.stripPrefix("WITH ")
+    s"""WITH RECURSIVE $candCte,
+       |nodes AS (SELECT id_a AS node FROM cand UNION SELECT id_b FROM cand),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM cand
+       |          UNION SELECT id_b, id_a FROM cand),
+       |walk(node, lab) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.u, w.lab FROM edges e JOIN walk w ON w.node = e.v),
+       |comp AS (SELECT node, MIN(lab) AS component FROM walk GROUP BY 1),
+       |lab AS (
+       |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+       |    CAST(length(d.text) AS BIGINT) AS quality
+       |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+       |rep AS (
+       |  SELECT component, doc_id AS rep_id,
+       |    row_number() OVER (PARTITION BY component
+       |      ORDER BY quality DESC, doc_id) AS rn
+       |  FROM lab)
+       |SELECT l.doc_id, l.component, l.quality,
+       |  l.doc_id = r.rep_id AS keep
+       |FROM lab l JOIN rep r ON r.component = l.component AND r.rn = 1""".stripMargin
+  }
+
+  // --------------------------------------------- incremental semdedup
+
+  private val SD_TAU = 0.40
+
+  /** Round-10: INCREMENTAL SemDeDup — the old slice (doc_id % 4 = 0)
+    * persists centroids (one Lloyd pass trained on the old slice only;
+    * seeds = old ids < 32, i.e. 0,4,...,28 → 8 centroids) plus its
+    * member table; the new batch assigns to the SAME centroids, drops
+    * on cosine ≥ τ against kept members of its cluster, then semdedups
+    * within the batch. The oracle replays the filtered k-means CTE,
+    * one assignment pass over everything, both pairwise legs, and the
+    * q69 recursive walk. */
+  val q146_semdedup_against: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val old = emb.filter(col("vec_id") % 4 === 0)
+    val cents = graft.ml.Ann.kmeansQuantized(old, "vec_id", "embedding",
+      k = 32, iters = 1)
+    val members = graft.ml.Dedup.semdedupIndex(old, "vec_id", "embedding", cents)
+    graft.ml.Dedup.semDedupAgainst(
+      emb.filter(col("vec_id") % 4 =!= 0), cents, members,
+      "vec_id", "embedding", tau = SD_TAU)
+  }
+
+  val q146_sql: String =
+    s"""WITH RECURSIVE ${Queries5.kmeansSqlCtes(k = 32, iters = 1,
+         where = " WHERE vec_id % 4 = 0")},
+       |vv AS (
+       |  SELECT vec_id AS vid,
+       |    generate_subscripts(embedding, 1) - 1 AS pos,
+       |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xe6
+       |  FROM embeddings),
+       |d9 AS (
+       |  SELECT v.vid, c.cid,
+       |    SUM((v.xe6 - c.ce6) * (v.xe6 - c.ce6)) AS d2
+       |  FROM vv v JOIN c1 c ON v.pos = c.pos
+       |  GROUP BY v.vid, c.cid),
+       |a9 AS (
+       |  SELECT vid, cid FROM (
+       |    SELECT vid, cid,
+       |      row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+       |    FROM d9) WHERE rn = 1),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+       |        list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                         CAST(embedding AS DOUBLE[])) AS n2
+       |      FROM embeddings),
+       |oldhit AS (
+       |  SELECT DISTINCT an.vid
+       |  FROM a9 an JOIN a9 ao ON an.cid = ao.cid
+       |  JOIN e x ON x.vec_id = an.vid
+       |  JOIN e y ON y.vec_id = ao.vid
+       |  WHERE an.vid % 4 <> 0 AND ao.vid % 4 = 0
+       |    AND list_dot_product(x.ve, y.ve) >= $SD_TAU * sqrt(x.n2 * y.n2)),
+       |p AS (
+       |  SELECT ax.vid AS id_a, ay.vid AS id_b
+       |  FROM a9 ax JOIN a9 ay ON ax.cid = ay.cid AND ax.vid < ay.vid
+       |  JOIN e x ON x.vec_id = ax.vid
+       |  JOIN e y ON y.vec_id = ay.vid
+       |  WHERE ax.vid % 4 <> 0 AND ay.vid % 4 <> 0
+       |    AND ax.vid NOT IN (SELECT vid FROM oldhit)
+       |    AND ay.vid NOT IN (SELECT vid FROM oldhit)
+       |    AND list_dot_product(x.ve, y.ve) >= $SD_TAU * sqrt(x.n2 * y.n2)),
+       |nodes AS (SELECT id_a AS node FROM p UNION SELECT id_b FROM p),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM p
+       |          UNION SELECT id_b, id_a FROM p),
+       |walk(node, lab) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT g.u, w.lab FROM edges g JOIN walk w ON w.node = g.v),
+       |comp AS (SELECT node, MIN(lab) AS component FROM walk GROUP BY 1)
+       |SELECT e.vec_id,
+       |  (e.vec_id NOT IN (SELECT vid FROM oldhit))
+       |  AND coalesce(c.component, e.vec_id) = e.vec_id AS keep
+       |FROM e LEFT JOIN comp c ON c.node = e.vec_id
+       |WHERE e.vec_id % 4 <> 0""".stripMargin
+
+  // --------------------------------------------------- IVF index append
+
+  /** Round-10: IVF index APPEND — build the persisted index on a first
+    * slice (which contains the deterministic centroid ids), append the
+    * remaining vectors against the stored centroids without touching
+    * the existing lists, and answer the q64 query off the appended
+    * index. The maintenance op must not change the answer — the oracle
+    * is exactly q64's SQL over the full table. */
+  val q147_ann_ivf_append: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val out = java.nio.file.Files.createTempDirectory("graft_q147_ivf").toString
+    graft.ml.Ann.ivfWriteIndex(
+      emb.filter(col("vec_id") =!= 0 &&
+        (col("vec_id") <= 8 || col("vec_id") % 2 === 0)),
+      "vec_id", "embedding", nCentroids = 8, path = out)
+    graft.ml.Ann.ivfAppendIndex(s,
+      emb.filter(col("vec_id") > 8 && col("vec_id") % 2 === 1),
+      "vec_id", "embedding", path = out)
+    graft.ml.Ann.ivfTopKIndexed(s, out, "vec_id", q, k = 10, nProbe = 2)
+      .select(col("vec_id"), col("rnk"))
+  }
+
+  val q147_sql: String = Queries4.q64_sql
+
+  // ------------------------------------------------------------- registry
+
+  val all: Map[String, Q] = Map(
+    "q145_dedup_keep_best" -> q145_dedup_keep_best,
+    "q146_semdedup_against" -> q146_semdedup_against,
+    "q147_ann_ivf_append" -> q147_ann_ivf_append
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q145_dedup_keep_best" -> q145_sql,
+    "q146_semdedup_against" -> q146_sql,
+    "q147_ann_ivf_append" -> q147_sql
+  )
+}

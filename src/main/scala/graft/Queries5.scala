@@ -650,7 +650,8 @@ object Queries5 {
   /** The quantized-k-means CTE chain (v, c0, d1..cN) — shared by the
     * q78 oracle and the SemDeDup oracle (q120), which trains the same
     * centroids before its assignment + pairwise stage. */
-  private[graft] def kmeansSqlCtes(k: Int, iters: Int): String = {
+  private[graft] def kmeansSqlCtes(k: Int, iters: Int,
+                                   where: String = ""): String = {
     val iterCtes = (1 to iters).map { i =>
       s"""d$i AS (
          |  SELECT v.vid, c.cid,
@@ -675,7 +676,7 @@ object Queries5 {
        |  SELECT vec_id AS vid,
        |    generate_subscripts(embedding, 1) - 1 AS pos,
        |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xe6
-       |  FROM embeddings),
+       |  FROM embeddings$where),
        |c0 AS (
        |  SELECT CAST(vid AS INT) AS cid, pos, xe6 AS ce6 FROM v WHERE vid < $k),
        |$iterCtes""".stripMargin

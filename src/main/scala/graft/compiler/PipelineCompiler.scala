@@ -1316,9 +1316,13 @@ object PipelineCompiler {
     *     - {type: exact_dedup}                     # keys: [text]
     *     - {type: duplicate_spans, n: 20, threshold_milli: 900}
     *     - {type: minhash_dedup, shingle_n: 3, k: 12, bands: 4, rows: 3}
+    *       # keep: best + quality_expr: <int SQL> keeps the
+    *       # highest-quality member per cluster instead of the min id
     *     - {type: line_dedup, delim: "\n"}         # fingerprint: true
     *     - {type: semdedup, vec_col: emb, tau: 0.95,
-    *        target_cluster_size: 5000}             # or a fixed k
+    *        target_cluster_size: 5000}             # or a fixed k; or
+    *       # index_path/index_out: the packed centroids∪members index
+    *       # (incremental mode — same centroids across runs)
     *     - {type: html_extract, html_col: html,
     *        max_link_density_milli: 500}
     *     - {type: boilerplate_scrub, delim: "\n",
@@ -1475,10 +1479,29 @@ object PipelineCompiler {
         graft.ml.Corpus.lineDedupIndexMerged(old, kept, id, text,
           delim = Option(st.get("delim")).map(_.asText()).getOrElse("\n"),
           fingerprint = boolOpt("fingerprint"))
+      case "semdedup" =>
+        // the packed (centroids ∪ members) layout: a follow-up run keeps
+        // the SAME centroids (incremental regime — rebuild the index to
+        // retrain on drift); a first run trains them on this batch's
+        // survivors
+        val vec = Option(st.get("vec_col")).map(_.asText()).getOrElse("embedding")
+        old match {
+          case Some(idx) =>
+            val cents = graft.ml.Dedup.semdedupIndexCentroids(idx)
+            graft.ml.Dedup.semdedupIndexPack(cents,
+              graft.ml.Dedup.semdedupIndexMerged(
+                Some(graft.ml.Dedup.semdedupIndexMembers(idx)),
+                kept, id, vec, cents))
+          case None =>
+            val cents = graft.ml.Ann.kmeansQuantized(kept, id, vec,
+              k = intOpt("k", 8), iters = intOpt("iters", 2))
+            graft.ml.Dedup.semdedupIndexPack(cents,
+              graft.ml.Dedup.semdedupIndex(kept, id, vec, cents))
+        }
       case other => throw new IllegalArgumentException(
         s"curation index_out is not supported on `$other` — only the " +
           "index-backed dedup stages (exact_dedup, duplicate_spans, " +
-          "minhash_dedup, simhash_dedup, line_dedup)")
+          "minhash_dedup, simhash_dedup, line_dedup, semdedup)")
     }
   }
 
@@ -1672,6 +1695,34 @@ object PipelineCompiler {
         graft.streaming.Kernels.minhashDedupSurvivors(ds)
           .select(from_json(col("payload"), inner).as("_r"))
           .select(col("_r.*"))
+      case "simhash_dedup" =>
+        // streaming simhash dedup: (doc, signature) claims held per
+        // block-key ListState (Kernels.simhashDedupSurvivors) — a doc
+        // survives iff no earlier arrival is within the hamming budget
+        // (block decomposition complete by pigeonhole for
+        // maxHamming <= blocks-1); payload rides the block shuffle
+        val bits = intOpt("bits", 60); val blocks = intOpt("blocks", 4)
+        val maxHam = intOpt("max_hamming", 3)
+        require(maxHam <= blocks - 1,
+          s"curation simhash_dedup: completeness needs max_hamming <= " +
+            s"blocks-1 (got max_hamming=$maxHam, blocks=$blocks)")
+        val pk2 = "spark.sql.streaming.stateStore.providerClass"
+        if (spark.conf.getOption(pk2).isEmpty) spark.conf.set(pk2,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val inner2 = df.schema
+        implicit val enc2 = org.apache.spark.sql.Encoders.product[
+          graft.streaming.Kernels.SimBlockEvent]
+        val ds2 = df.select(
+          col(id).cast("long").as("doc"),
+          graft.ml.Dedup.simhash(col(text), bits).as("sim"),
+          to_json(struct(df.columns.map(col): _*)).as("payload"))
+          .select(explode(graft.ml.Dedup.simhashBlockKeys(
+            col("sim"), bits, blocks)).as("blk"),
+            col("doc"), col("sim"), col("payload"))
+          .as[graft.streaming.Kernels.SimBlockEvent]
+        graft.streaming.Kernels.simhashDedupSurvivors(ds2, maxHam)
+          .select(from_json(col("payload"), inner2).as("_r"))
+          .select(col("_r.*"))
       case "source_quota" =>
         val group = Option(st.get("group")).map(_.asText()).getOrElse("source")
         val budget = Option(st.get("budget")).map(_.asLong()).getOrElse(
@@ -1713,7 +1764,7 @@ object PipelineCompiler {
           s"curation stage `$other` is not streamable — its verdict needs " +
             "the corpus, not a prefix. Streamable stages: gopher_gate, " +
             "fineweb_gate, lang_filter, exact_dedup, minhash_dedup, " +
-            "source_quota, split_assign, upsample, chunk. Run " +
+            "simhash_dedup, source_quota, split_assign, upsample, chunk. Run " +
             "set-dependent stages as periodic batch compaction over the " +
             "landed lake.")
     }
@@ -1798,18 +1849,37 @@ object PipelineCompiler {
       case "minhash_dedup" =>
         val sn = intOpt("shingle_n", 3); val kk = intOpt("k", 12)
         val bb = intOpt("bands", 4); val rr = intOpt("rows", 3)
-        Option(st.get("index_path")) match {
+        // keep: min_id (default) | best — `best` keeps the
+        // highest-quality member per duplicate cluster (quality_expr,
+        // an integer SQL expression over the row; q145 family)
+        val keepMode = Option(st.get("keep")).map(_.asText()).getOrElse("min_id")
+        (Option(st.get("index_path")), keepMode) match {
           // index_path: incremental mode — band-bucket hits against the
           // persisted index (minhashBandTable over previous runs) drop
           // first, the remainder dedups within the batch (q140 family)
-          case Some(p) => graft.ml.Dedup.minhashDedupAgainst(
+          case (Some(p), "min_id") => graft.ml.Dedup.minhashDedupAgainst(
             df, spark.read.parquet(p.asText()), id, text, sn, kk, bb, rr)
-          case None =>
+          case (Some(_), "best") => throw new IllegalArgumentException(
+            "curation minhash_dedup: keep: best is batch-mode only — " +
+              "an index run cannot revisit already-kept docs, so the " +
+              "first-kept member IS the representative; drop keep or " +
+              "index_path")
+          case (None, "min_id") =>
             val cands = graft.ml.Dedup.minhashCandidates(df, id, text,
               shingleN = sn, k = kk, bands = bb, rows = rr)
             val clusters = graft.ml.Dedup.connectedComponents(cands)
             df.join(clusters.filter(col("node") =!= col("component"))
               .select(col("node").as(id)), Seq(id), "left_anti")
+          case (None, "best") =>
+            val qe = Option(st.get("quality_expr")).map(_.asText()).getOrElse(
+              throw new IllegalArgumentException(
+                "curation minhash_dedup: keep: best needs `quality_expr` " +
+                  "(an integer SQL expression over the row, e.g. " +
+                  "length(text))"))
+            keepIds(graft.ml.Dedup.minhashDedupBest(df, id, text,
+              expr(qe), sn, kk, bb, rr), col("keep"))
+          case (_, other) => throw new IllegalArgumentException(
+            s"curation minhash_dedup: keep: min_id|best, got `$other`")
         }
       case "simhash_dedup" =>
         // near-dup drop by 60-bit SimHash block decomposition (q141
@@ -1860,10 +1930,20 @@ object PipelineCompiler {
         val vec = Option(st.get("vec_col")).map(_.asText()).getOrElse("embedding")
         val tau = Option(st.get("tau")).map(_.asDouble()).getOrElse(0.95)
         val iters = intOpt("iters", 2)
-        val verdict = Option(st.get("target_cluster_size")).map(_.asLong()) match {
-          case Some(tcs) =>
+        val verdict = (Option(st.get("index_path")),
+            Option(st.get("target_cluster_size")).map(_.asLong())) match {
+          // index_path: incremental mode — assign the batch to the
+          // persisted centroids, drop on cosine ≥ τ against kept
+          // members of the cluster, semdedup the remainder within the
+          // batch (q146 family; index = semdedupIndexPack layout)
+          case (Some(p), _) =>
+            val idx = spark.read.parquet(p.asText())
+            graft.ml.Dedup.semDedupAgainst(df,
+              graft.ml.Dedup.semdedupIndexCentroids(idx),
+              graft.ml.Dedup.semdedupIndexMembers(idx), id, vec, tau)
+          case (None, Some(tcs)) =>
             graft.ml.Dedup.semDedupAutoK(df, id, vec, tcs, iters, tau)
-          case None =>
+          case (None, None) =>
             graft.ml.Dedup.semDedup(df, id, vec, k = intOpt("k", 8), iters, tau)
         }
         keepIds(verdict, col("keep"))

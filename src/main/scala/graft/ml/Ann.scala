@@ -73,20 +73,46 @@ object Ann {
     * the ad-hoc [[ivfTopK]] answer. Returns (centroids, assigned). */
   private def ivfAssigned(df: DataFrame, idCol: String, vecCol: String,
                           nCentroids: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
     val cents = e.filter(col(idCol) < nCentroids)
       .select(col(idCol).as("_c_id"), col("_v").as("_cv"))
-    // assign every vector to its nearest centroid (broadcast the dim table)
+    (cents, ivfAssignTo(e, cents, idCol))
+  }
+
+  /** Nearest-centroid assignment of prepared (id, _v) rows against an
+    * explicit (_c_id, _cv) centroid table — shared by the index build
+    * and the incremental append so both produce byte-identical
+    * assignments (broadcast the dim table, cosine desc, _c_id ties). */
+  private def ivfAssignTo(e: DataFrame, cents: DataFrame,
+                          idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sim = dot(col("_v"), col("_cv")) /
       (sqrt(dot(col("_v"), col("_v"))) * sqrt(dot(col("_cv"), col("_cv"))))
-    val assigned = e.crossJoin(org.apache.spark.sql.functions.broadcast(cents))
+    e.crossJoin(org.apache.spark.sql.functions.broadcast(cents))
       .withColumn("_sim_c", sim)
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(desc("_sim_c"), col("_c_id"))))
       .filter(col("_rn") === 1)
       .select(col(idCol), col("_v"), col("_c_id"))
-    (cents, assigned)
+  }
+
+  /** APPEND a new vector batch to a persisted IVF index without
+    * touching the existing lists or recomputing centroids: read the
+    * stored centroid table, assign the batch against it (the exact
+    * code path the build used), and append the rows into the
+    * hive-partitioned list layout. This is the index-maintenance leg
+    * of the growing-corpus pattern — at 100 TB the corpus is indexed
+    * once and each new crawl batch lands as an O(batch) append; the
+    * probed-list pruning in [[ivfTopKIndexed]] is unchanged because
+    * partition directories are append-compatible. Re-train centroids
+    * (rebuild) when drift degrades recall — the layout stays the same. */
+  def ivfAppendIndex(spark: org.apache.spark.sql.SparkSession,
+                     df: DataFrame, idCol: String, vecCol: String,
+                     path: String): Unit = {
+    val cents = spark.read.parquet(path + "/centroids")
+    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    ivfAssignTo(e, cents, idCol)
+      .write.mode("append").partitionBy("_c_id").parquet(path + "/lists")
   }
 
   /** Build and PERSIST an IVF index: `path/centroids` (the tiny centroid

@@ -417,6 +417,49 @@ object Dedup {
       .select(col("node").as(idCol)), Seq(idCol), "left_anti")
   }
 
+  /** Representative selection by QUALITY over a duplicate-pair graph:
+    * connected components, then keep the HIGHEST-quality member per
+    * component (ties → min id) instead of the min id — the production
+    * curation policy (FineWeb-style pipelines keep the best-scoring
+    * member of a near-dup cluster, not an arbitrary one). `quality`
+    * is any integer-valued expression over `df`'s row (cast to long:
+    * token counts, char lengths, milli-scores from the quality gates).
+    * Returns one row per input id: (id, component, quality, keep);
+    * singletons keep themselves.
+    *
+    * Scale shape: components run on the candidate-pair graph only
+    * (LSH output, orders of magnitude smaller than the corpus); the
+    * arg-max is a struct-max hash aggregation — max(struct(quality,
+    * -id)) compares field-by-field, so each map partition ships ONE
+    * candidate per component and no per-component sort or Window
+    * straggler exists. One label join + one component shuffle. */
+  def clusterKeepBest(df: DataFrame, pairs: DataFrame, idCol: String,
+                      quality: Column): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val lab = df.select(col(idCol), quality.cast("long").as("quality"))
+      .join(comp.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"),
+        col("quality"))
+    val reps = lab.groupBy(col("component"))
+      .agg(max(struct(col("quality"), (-col(idCol)).as("nid"))).as("_m"))
+      .select(col("component"), (-col("_m.nid")).as("_rep"))
+    lab.join(reps, Seq("component"))
+      .select(col(idCol), col("component"), col("quality"),
+        (col(idCol) === col("_rep")).as("keep"))
+  }
+
+  /** MinHash-LSH dedup with best-quality representative selection:
+    * candidate pairs → connected components → keep the highest-quality
+    * doc per cluster ([[clusterKeepBest]]). The `keep: best` spelling
+    * of the `minhash_dedup` curation stage. */
+  def minhashDedupBest(df: DataFrame, idCol: String, textCol: String,
+                       quality: Column, shingleN: Int, k: Int,
+                       bands: Int, rows: Int): DataFrame =
+    clusterKeepBest(df,
+      minhashCandidates(df, idCol, textCol, shingleN, k, bands, rows),
+      idCol, quality)
+
   /** Exact dedup: keep the first (min orderCol) row per key set —
     * one hash-shuffle, map-side partial aggregation for free. */
   def exactKeepFirst(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame =
@@ -641,6 +684,109 @@ object Dedup {
     val k = math.max(8L, (n + targetClusterSize - 1) / targetClusterSize)
       .min(Int.MaxValue.toLong).toInt
     semDedup(df, idCol, vecCol, k, iters, tau, maxAvgClusterSize)
+  }
+
+  // ---- incremental SemDeDup: the embedding-space member of the
+  // against-index family. The persisted index is (a) the trained
+  // centroid table (kmeansQuantized layout: cid, pos, ce6 — k·dim
+  // rows, tiny) and (b) one row per KEPT document: (vid, cid, ve, n2).
+  // A new crawl batch assigns to the SAME centroids (no re-clustering
+  // — the standard incremental regime; re-train centroids on corpus
+  // drift by rebuilding the index), drops anything cosine ≥ tau to a
+  // kept member of its cluster, then semdedups within the batch.
+
+  /** Member table of a persisted SemDeDup index: each kept doc's
+    * embedding (double-widened), squared norm, and its assignment to
+    * the given centroids. Land with `.write.parquet(...)`. */
+  def semdedupIndex(df: DataFrame, idCol: String, vecCol: String,
+                    cents: DataFrame): DataFrame =
+    df.select(col(idCol).as("vid"),
+        col(vecCol).cast("array<double>").as("ve"))
+      .withColumn("n2", graft.functions.VecDot(col("ve"), col("ve")))
+      .join(Ann.assignClusters(df, idCol, vecCol, cents), "vid")
+
+  /** Next-run SemDeDup member index: previous members ∪ this run's
+    * kept docs assigned to the SAME centroids (disjoint ids across
+    * runs — plain union, no distinct shuffle). */
+  def semdedupIndexMerged(index: Option[DataFrame], kept: DataFrame,
+                          idCol: String, vecCol: String,
+                          cents: DataFrame): DataFrame = {
+    val nm = semdedupIndex(kept, idCol, vecCol, cents)
+    index.map(_.select(col("vid"), col("ve"), col("n2"), col("cid"))
+      .unionByName(nm.select(col("vid"), col("ve"), col("n2"), col("cid"))))
+      .getOrElse(nm)
+  }
+
+  /** Single-DataFrame persisted form of a SemDeDup index — centroid
+    * rows (kind='c': cid, pos, ce6 — the kmeansQuantized layout) ∪
+    * member rows (kind='m': vid, cid, ve, n2), so the curation
+    * compiler's uniform one-frame `index_out` lifecycle applies.
+    * Unpack with [[semdedupIndexCentroids]] / [[semdedupIndexMembers]]. */
+  def semdedupIndexPack(cents: DataFrame, members: DataFrame): DataFrame =
+    cents.select(lit("c").as("kind"), col("cid").cast("int").as("cid"),
+        col("pos").cast("int").as("pos"), col("ce6").cast("long").as("ce6"),
+        lit(null).cast("long").as("vid"),
+        lit(null).cast("array<double>").as("ve"),
+        lit(null).cast("double").as("n2"))
+      .unionByName(members.select(lit("m").as("kind"),
+        col("cid").cast("int").as("cid"), lit(null).cast("int").as("pos"),
+        lit(null).cast("long").as("ce6"), col("vid"), col("ve"), col("n2")))
+
+  /** The centroid table of a packed SemDeDup index. */
+  def semdedupIndexCentroids(index: DataFrame): DataFrame =
+    index.filter(col("kind") === "c").select(col("cid"), col("pos"), col("ce6"))
+
+  /** The member table of a packed SemDeDup index. */
+  def semdedupIndexMembers(index: DataFrame): DataFrame =
+    index.filter(col("kind") === "m")
+      .select(col("vid"), col("ve"), col("n2"), col("cid"))
+
+  /** INCREMENTAL SemDeDup SURVIVAL VERDICTS — one row per batch id:
+    * (id, keep). A batch doc is dropped if (1) any kept index member
+    * of its cluster is cosine ≥ `tau` (it duplicates the already-kept
+    * corpus), else (2) it is a non-representative member of a
+    * within-batch duplicate component (pairs → CC → min-id keep, the
+    * [[semDedup]] step). The old corpus is touched only through the
+    * compact member table; comparisons stay within-cluster on both
+    * legs — never all-pairs. The index-probe join shuffles on cid and
+    * is deliberately unhinted (the member table is corpus-derived and
+    * grows run over run — AQE broadcasts while it fits). */
+  def semDedupAgainst(df: DataFrame, cents: DataFrame, members: DataFrame,
+                      idCol: String, vecCol: String,
+                      tau: Double): DataFrame = {
+    require(tau > 0, "semDedupAgainst: tau must be positive")
+    val assign = Ann.assignClusters(df, idCol, vecCol, cents)
+    val vecs = df
+      .select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("ve"))
+      .withColumn("n2", graft.functions.VecDot(col("ve"), col("ve")))
+      .join(assign, "vid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oldHits = vecs
+      .join(members.select(col("cid"), col("ve").as("_vo"), col("n2").as("_n2o")),
+        Seq("cid"))
+      .filter(graft.functions.VecDot(col("ve"), col("_vo")) >=
+        lit(tau) * sqrt(col("n2") * col("_n2o")))
+      .select(col("vid")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rest = vecs.join(oldHits, Seq("vid"), "left_anti")
+    val a = rest.select(col("cid"), col("vid").as("id_a"),
+      col("ve").as("va"), col("n2").as("n2a"))
+    val b = rest.select(col("cid"), col("vid").as("id_b"),
+      col("ve").as("vb"), col("n2").as("n2b"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.VecDot(col("va"), col("vb")) >=
+        lit(tau) * sqrt(col("n2a") * col("n2b")))
+      .select(col("id_a"), col("id_b"))
+    val comp = connectedComponents(pairs) // materializes (localCheckpoint)
+    val out = df.select(col(idCol).as("vid"))
+      .join(oldHits.withColumn("_dup_old", lit(true)), Seq("vid"), "left")
+      .join(comp.withColumnRenamed("node", "vid"), Seq("vid"), "left")
+      .select(col("vid").as(idCol),
+        (coalesce(col("_dup_old"), lit(false)) === lit(false) &&
+          coalesce(col("component"), col("vid")) === col("vid")).as("keep"))
+    vecs.unpersist(blocking = false)
+    out
   }
 }
 

@@ -726,6 +726,46 @@ object Kernels {
       .transformWithState(new DocGateProcessor(), TimeMode.None(),
         OutputMode.Append)
   }
+
+  /** One (block-key, doc) arrival carrying the doc's full 60-bit
+    * signature and serialized row — the signature rides the block
+    * shuffle so the hamming verify runs bucket-locally. */
+  final case class SimBlockEvent(blk: Long, doc: Long, sim: Long,
+                                 payload: String)
+  /** A bucket claim: a processed doc's (id, signature). */
+  final case class SimClaim(doc: Long, sim: Long)
+
+  /** Streaming SimHash DEDUP — the incremental survivor form of
+    * [[graft.ml.Dedup.simhashNearDup]] (the curation compiler's
+    * streamable `simhash_dedup`): a document survives iff no
+    * EARLIER-arrived document within hamming ≤ maxHamming exists; with
+    * blocks > maxHamming the block decomposition is complete by
+    * pigeonhole, so the bucket-local check loses no pairs. Every
+    * processed document (kept or dropped) claims its block buckets, so
+    * chains drop transitively — the greedy first-owner sweep in
+    * arrival order, ≡ the batch CC representative set on clique-shaped
+    * clusters (exact/near-exact duplicates) and the same documented
+    * monotone-admission contract as [[minhashDedupSurvivors]] on
+    * bridge topologies.
+    *
+    * Stage 1 is keyed by block key with ListState of (doc, sig)
+    * claims — hamming verify against the bucket's claims, then append;
+    * stage 2 is the stateless per-doc gate (a doc's block events are
+    * generated from one row in one micro-batch). Persistent state is
+    * O(docs × blocks) 16-byte claims — the batch operator's exploded
+    * block table held incrementally, sharded across bucket keys with
+    * RocksDB keeping it off-heap. */
+  def simhashDedupSurvivors(ds: Dataset[SimBlockEvent],
+                            maxHamming: Int): Dataset[DocKeep] = {
+    implicit val hitEnc = Encoders.product[BandHit]
+    implicit val keepEnc = Encoders.product[DocKeep]
+    ds.groupByKey(_.blk)(Encoders.scalaLong)
+      .transformWithState(new SimBlockProcessor(maxHamming), TimeMode.None(),
+        OutputMode.Append)
+      .groupByKey(_.doc)(Encoders.scalaLong)
+      .transformWithState(new DocGateProcessor(), TimeMode.None(),
+        OutputMode.Append)
+  }
 }
 
 /** The per-key processor behind [[Kernels.connectedComponents]] —
@@ -886,6 +926,40 @@ private[streaming] class BandOwnerProcessor
       if (cur == Long.MinValue) { cur = e.doc; owner.update(e.doc) }
       BandHit(e.doc, cur != e.doc, e.payload)
     }
+  }
+}
+
+/** The per-block-key processor behind [[Kernels.simhashDedupSurvivors]]
+  * step 1: ListState of (doc, signature) claims; an arrival is a hit
+  * iff any existing claim is within the hamming budget, and claims its
+  * bucket either way. Top-level so the serialized processor carries no
+  * outer reference. */
+private[streaming] class SimBlockProcessor(maxHamming: Int)
+    extends StatefulProcessor[Long, Kernels.SimBlockEvent, Kernels.BandHit] {
+  import Kernels.{BandHit, SimBlockEvent, SimClaim}
+
+  @transient private var claims: org.apache.spark.sql.streaming.ListState[SimClaim] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    claims = getHandle.getListState[SimClaim](
+      "claims", Encoders.product[SimClaim], TTLConfig.NONE)
+
+  override def handleInputRows(blk: Long, events: Iterator[SimBlockEvent],
+      timerValues: TimerValues): Iterator[BandHit] = {
+    // id-sorted intake: intra-batch collisions resolve in doc order,
+    // like the batch operator's min-id representative
+    val known = scala.collection.mutable.ArrayBuffer.empty[SimClaim]
+    claims.get().foreach(known += _)
+    val out = Vector.newBuilder[BandHit]
+    events.toSeq.sortBy(_.doc).foreach { e =>
+      val hit = known.exists(c => c.doc != e.doc &&
+        java.lang.Long.bitCount(c.sim ^ e.sim) <= maxHamming)
+      out += BandHit(e.doc, hit, e.payload)
+      val cl = SimClaim(e.doc, e.sim)
+      known += cl
+      claims.appendValue(cl)
+    }
+    out.result().iterator
   }
 }
 

@@ -49,4 +49,39 @@ class AnnIndexSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(gotRows == want && gotRows.size == 10)
   }
+
+  test("IVF index append: maintenance must not change the answer") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    // first slice carries the deterministic centroid ids (1..7); the
+    // appended slice is assigned against the STORED centroids
+    val first = corpus.filter(col("vec_id") <= 8 || col("vec_id") % 2 === 0)
+    val rest = corpus.filter(col("vec_id") > 8 && col("vec_id") % 2 === 1)
+    assert(rest.count() > 0, "fixture must leave something to append")
+
+    val appended = java.nio.file.Files
+      .createTempDirectory("graft_ivf_app").toString
+    Ann.ivfWriteIndex(first, "vec_id", "embedding", nCentroids = 8,
+      path = appended)
+    val before = new java.io.File(appended + "/lists").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).length
+    Ann.ivfAppendIndex(spark, rest, "vec_id", "embedding", path = appended)
+    val after = new java.io.File(appended + "/lists").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).length
+    assert(after > before, "append must add files, not rewrite the lists")
+
+    val full = java.nio.file.Files
+      .createTempDirectory("graft_ivf_full").toString
+    Ann.ivfWriteIndex(corpus, "vec_id", "embedding", nCentroids = 8,
+      path = full)
+
+    def ans(path: String): Set[(Long, Int)] =
+      Ann.ivfTopKIndexed(spark, path, "vec_id", q, k = 10, nProbe = 2)
+        .select("vec_id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(ans(appended) == ans(full))
+    // the append also must not perturb the stored centroid table
+    assert(spark.read.parquet(appended + "/centroids").count() == 7)
+  }
 }

@@ -254,6 +254,72 @@ class DedupSpec extends AnyFunSuite {
       s"bloom replay kept $replayAll > exact replay $replayExact")
   }
 
+  test("clusterKeepBest keeps the highest-quality member per component, ties to min id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L),
+      (10L, 7L), (11L, 9L),
+      (20L, 1L)).toDF("doc_id", "q")
+    // component {1,2,3} (path), component {10,11}, singletons 4 and 20
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterKeepBest(docs, pairs, "doc_id", col("q"))
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      1L -> ((1L, 10L, false)),
+      2L -> ((1L, 30L, true)), // q tie with 3 → min id wins
+      3L -> ((1L, 30L, false)),
+      4L -> ((4L, 5L, true)),
+      10L -> ((10L, 7L, false)),
+      11L -> ((10L, 9L, true)), // higher quality beats the min id
+      20L -> ((20L, 1L, true))))
+  }
+
+  test("minhashDedupBest keeps exactly the arg-max-quality representative per cluster") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val comp = Dedup.connectedComponents(
+      Dedup.minhashCandidates(docs, "doc_id", "text", 3, 9, 3, 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val quality = docs.select(col("doc_id"), length(col("text")))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    val want = quality.keys.groupBy(id => comp.getOrElse(id, id))
+      .map { case (_, ids) => ids.maxBy(i => (quality(i), -i)) }.toSet
+    val got = Dedup.minhashDedupBest(docs, "doc_id", "text",
+      length(col("text")), 3, 9, 3, 3)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.size < quality.size,
+      "fixture must contain duplicate clusters")
+  }
+
+  test("semDedupAgainst drops near-kept batch docs, then dedups within the batch") {
+    import spark.implicits._
+    val old = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cents = graft.ml.Ann.kmeansQuantized(old, "vec_id", "embedding",
+      k = 2, iters = 1)
+    val members = Dedup.semdedupIndex(old, "vec_id", "embedding", cents)
+    val batch = Seq(
+      (10L, Seq(0.999f, 0.001f, 0f, 0f)), // dup of kept 0 → dropped
+      (11L, Seq(0f, 0.3f, 0.95f, 0f)),    // novel → kept
+      (12L, Seq(0f, 0.3f, 0.951f, 0f)),   // dup of 11 within batch → dropped
+      (13L, Seq(0f, 0.9f, 0.1f, 0f))      // dup of kept 1 → dropped
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDedupAgainst(batch, cents, members,
+      "vec_id", "embedding", tau = 0.99)
+      .as[(Long, Boolean)].collect().toMap
+    assert(out == Map(10L -> false, 11L -> true, 12L -> false, 13L -> false))
+    // pack → unpack roundtrip preserves both halves of the index
+    val packed = Dedup.semdedupIndexPack(cents, members)
+    assert(Dedup.semdedupIndexCentroids(packed).collect().toSet ==
+      cents.select(col("cid").cast("int"), col("pos").cast("int"),
+        col("ce6")).collect().toSet)
+    assert(Dedup.semdedupIndexMembers(packed).select("vid", "cid")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      members.select("vid", "cid").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet)
+  }
+
   test("VecDot refuses ragged vectors instead of truncating") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val lit = org.apache.spark.sql.catalyst.expressions.Literal(1.0)
