@@ -1488,6 +1488,104 @@ class CompilerSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("not supported"))
   }
 
+  test("minhash_dedup keep: best keeps the highest-quality member; misuse rejected") {
+    import org.apache.spark.sql.functions.{col, expr, length}
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val got = PipelineCompiler.compileCuration(spark,
+      """curation:
+        |  input: {dir: /root/testdata/sf0.001, table: documents}
+        |  stages:
+        |    - {type: minhash_dedup, shingle_n: 3, k: 9, bands: 3, rows: 3,
+        |       keep: best, quality_expr: "length(text)"}
+        |""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = graft.ml.Dedup.minhashDedupBest(docs, "doc_id", "text",
+      length(col("text")), 3, 9, 3, 3)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty && got.size < docs.count())
+    // min-id and best-quality policies must actually differ on the fixture
+    val minId = PipelineCompiler.compileCuration(spark,
+      """curation:
+        |  input: {dir: /root/testdata/sf0.001, table: documents}
+        |  stages:
+        |    - {type: minhash_dedup, shingle_n: 3, k: 9, bands: 3, rows: 3}
+        |""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId.size == got.size, "both policies keep one rep per cluster")
+    val e1 = intercept[IllegalArgumentException](PipelineCompiler.compileCuration(spark,
+      """curation:
+        |  input: {dir: /root/testdata/sf0.001, table: documents}
+        |  stages:
+        |    - {type: minhash_dedup, keep: best}
+        |""".stripMargin))
+    assert(e1.getMessage.contains("quality_expr"))
+    val e2 = intercept[IllegalArgumentException](PipelineCompiler.compileCuration(spark,
+      """curation:
+        |  input: {dir: /root/testdata/sf0.001, table: documents}
+        |  stages:
+        |    - {type: minhash_dedup, keep: best, quality_expr: "length(text)",
+        |       index_path: "/nonexistent"}
+        |""".stripMargin))
+    assert(e2.getMessage.contains("batch-mode only"))
+    val e3 = intercept[IllegalArgumentException](PipelineCompiler.compileCuration(spark,
+      """curation:
+        |  input: {dir: /root/testdata/sf0.001, table: documents}
+        |  stages:
+        |    - {type: minhash_dedup, keep: bogus}
+        |""".stripMargin))
+    assert(e3.getMessage.contains("min_id|best"))
+  }
+
+  test("semdedup index_path/index_out: two-run flow equals the direct Against calls") {
+    import org.apache.spark.sql.functions.col
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val aPath = tmp("sdlc_a"); val bPath = tmp("sdlc_b")
+    emb.filter(col("vec_id") % 4 === 0).write.mode("overwrite").parquet(aPath)
+    emb.filter(col("vec_id") % 4 =!= 0).write.mode("overwrite").parquet(bPath)
+    val v1 = tmp("sdlc_v1"); val v2 = tmp("sdlc_v2")
+    // run 1 bootstraps the packed index from its survivors
+    PipelineCompiler.runCuration(spark,
+      s"""curation:
+         |  input: {path: "$aPath"}
+         |  stages:
+         |    - {type: semdedup, id_col: vec_id, vec_col: embedding,
+         |       tau: 0.4, k: 32, iters: 1, index_out: "$v1/sem"}
+         |""".stripMargin)
+    // run 2 dedups against v1 and lands v2
+    val out2 = PipelineCompiler.runCuration(spark,
+      s"""curation:
+         |  input: {path: "$bPath"}
+         |  stages:
+         |    - {type: semdedup, id_col: vec_id, vec_col: embedding,
+         |       tau: 0.4, index_path: "$v1/sem", index_out: "$v2/sem"}
+         |""".stripMargin)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // the direct two-run reference
+    val sliceA = spark.read.parquet(aPath); val sliceB = spark.read.parquet(bPath)
+    val kept1 = sliceA.join(graft.ml.Dedup.semDedup(sliceA, "vec_id",
+      "embedding", k = 32, iters = 1, tau = 0.4)
+      .filter(col("keep")).select("vec_id"), Seq("vec_id"), "left_semi")
+    val cents1 = graft.ml.Ann.kmeansQuantized(kept1, "vec_id", "embedding",
+      k = 32, iters = 1)
+    val members1 = graft.ml.Dedup.semdedupIndex(kept1, "vec_id", "embedding",
+      cents1)
+    val verdict2 = graft.ml.Dedup.semDedupAgainst(sliceB, cents1, members1,
+      "vec_id", "embedding", tau = 0.4)
+    val want2 = verdict2.filter(col("keep")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out2 == want2 && out2.nonEmpty && out2.size < sliceB.count())
+    // v2 carries the SAME centroids and the merged member set
+    val idx2 = spark.read.parquet(s"$v2/sem")
+    assert(graft.ml.Dedup.semdedupIndexCentroids(idx2).collect().toSet ==
+      cents1.select(col("cid").cast("int"), col("pos").cast("int"),
+        col("ce6")).collect().toSet)
+    val memberIds = graft.ml.Dedup.semdedupIndexMembers(idx2)
+      .select("vid").collect().map(_.getLong(0)).toSet
+    val wantMembers = members1.select("vid").collect().map(_.getLong(0)).toSet ++ want2
+    assert(memberIds == wantMembers)
+  }
+
   test("simhash_dedup stage: batch, index_path, and index_out forms") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -390,6 +390,61 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   } }
 
+  test("streaming simhash dedup survivors equal the greedy hamming sweep") { withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val (bits, blocks, maxHam) = (60, 4, 3)
+    val sigs = graft.ml.Dedup.simhashIndex(docs, "doc_id", "text", bits)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // the documented batch-equivalent: a greedy sweep in doc order —
+    // a doc survives iff no earlier-swept doc (kept or dropped) is
+    // within the hamming budget; with blocks > maxHam the block-key
+    // bucket check loses no pairs (pigeonhole), so the reference can
+    // compare signatures directly
+    val kept = scala.collection.mutable.Set.empty[Long]
+    val swept = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    sigs.foreach { case (d, sim) =>
+      val hit = swept.exists { case (_, s) =>
+        java.lang.Long.bitCount(s ^ sim) <= maxHam }
+      swept += ((d, sim))
+      if (!hit) kept += d
+    }
+    assert(kept.size < sigs.length, "fixture must contain near-duplicates")
+
+    val events = graft.ml.Dedup.simhashIndex(docs, "doc_id", "text", bits)
+      .select(col("id").as("doc"), col("sim"),
+        explode(graft.ml.Dedup.simhashBlockKeys(col("sim"), bits, blocks))
+          .as("blk"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, sim, blk) =>
+        Kernels.SimBlockEvent(blk, d, sim, s"""{"doc_id":$d}""") }
+      .sortBy(_.doc)
+    val input = MemoryStream[Kernels.SimBlockEvent]
+    val q = Kernels.simhashDedupSurvivors(input.toDS(), maxHam)
+      .writeStream.format("memory").queryName("sh_keep")
+      .outputMode("append").start()
+    try {
+      // split on a DOC boundary; batch-2 docs must collide with
+      // batch-1 claims through the state store
+      val docIds = events.map(_.doc).distinct
+      val firstHalf = docIds.take(docIds.length / 2).toSet
+      val (b1, b2) = events.partition(e => firstHalf(e.doc))
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("sh_keep").as[Kernels.DocKeep].collect()
+        .map(_.doc).toSet
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sh_keep").as[Kernels.DocKeep].collect()
+        .map(_.doc).toSet
+      assert(streamed == kept.toSet,
+        s"streamed=${streamed.size} greedy=${kept.size}")
+      assert(afterB1.subsetOf(streamed) && afterB1 != streamed,
+        "batch-2 verdicts must come through the state store")
+    } finally q.stop()
+  } }
+
   // ------------------------- round 10: the streaming curation COMPILER
 
   private def landDocs(dir: String, rows: Seq[(Long, String, String)]): Unit = {
@@ -467,6 +522,52 @@ class StreamingCurationSpec extends AnyFunSuite {
       val got2 = spark.table("cur_mh").select("doc_id").collect()
         .map(_.getLong(0)).toSet
       assert(got2 == got, s"cross-batch duplicate leaked: $got2")
+    } finally q.stop()
+  } }
+
+  test("compiled stream: simhash_dedup drops near-duplicates through the block-claim state") { withRocksDb {
+    val dir = java.nio.file.Files.createTempDirectory("cur_stream_sh").toString
+    landDocs(dir, Seq(
+      (1L, "web", goodText * 3),
+      (2L, "web", goodText * 3), // exact duplicate of 1
+      (3L, "books", "completely different content about stars planets moons galaxies and comets drifting far away."),
+      (4L, "books", "another unrelated document with words that never repeat the first text at all okay then.")))
+    val yaml =
+      s"""curation:
+         |  input: {path: "$dir", max_files_per_trigger: 1}
+         |  stages:
+         |    - {type: simhash_dedup, bits: 60, blocks: 4, max_hamming: 3}
+         |""".stripMargin
+    val q = compiler.PipelineCompiler.compileCurationStream(spark, yaml)
+      .writeStream.format("memory").queryName("cur_sh")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cur_sh").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      // batch simhash_dedup keeps the min-id component representative;
+      // in-id-order single-batch ingest makes first-arrival == min-id
+      val want = compiler.PipelineCompiler.compileCuration(spark, yaml)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"streamed=$got batch=$want")
+      assert(!got.contains(2L) && got.contains(1L),
+        "the exact duplicate must lose to the first claim")
+      // a later micro-batch duplicate must collide with the CLAIMED
+      // block buckets through the state store
+      landDocs(dir, Seq((6L, "web", goodText * 3)))
+      q.processAllAvailable()
+      val got2 = spark.table("cur_sh").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got2 == got, s"cross-batch duplicate leaked: $got2")
+      // misconfigured hamming budget rejected at compile time
+      val e = intercept[IllegalArgumentException](
+        compiler.PipelineCompiler.compileCurationStream(spark,
+          s"""curation:
+             |  input: {path: "$dir"}
+             |  stages:
+             |    - {type: simhash_dedup, blocks: 4, max_hamming: 4}
+             |""".stripMargin))
+      assert(e.getMessage.contains("max_hamming"))
     } finally q.stop()
   } }
 
