@@ -1591,12 +1591,16 @@ object PipelineCompiler {
     * monotone-admission contract every streaming kernel here ships
     * with). `source_quota` threads each full row through
     * `Kernels.sourceQuota` as a JSON payload and restores the exact
-    * columns after admission. Set-dependent corpus stages
-    * (duplicate_spans, minhash_dedup, decontaminate, …) are
-    * deliberately NOT offered on the stream — their verdicts need the
-    * corpus, not a prefix; run them as periodic batch compaction over
-    * the landed lake (the streaming kernels in `graft.streaming` cover
-    * the per-shard incremental forms). */
+    * columns after admission; `minhash_dedup`/`simhash_dedup` run the
+    * first-owner kernels; `domain_cap` is the quota kernel with unit
+    * cost; `decontaminate` (static eval_input) and `classifier_gate`
+    * probe driver-collected broadcasts per row; `url_normalize` /
+    * `html_extract` are per-row rewrites. Genuinely set-dependent
+    * stages (duplicate_spans, line_dedup, boilerplate_scrub, semdedup)
+    * are rejected for cause — their verdicts need the corpus, not a
+    * prefix; run them as periodic batch compaction over the landed
+    * lake (the streaming kernels in `graft.streaming` cover the
+    * per-shard incremental forms). */
   def compileCurationStream(spark: SparkSession, yamlStr: String): DataFrame = {
     val root = yaml.readTree(yamlStr)
     val cur = Option(root.get("curation")).getOrElse(root)
@@ -1759,12 +1763,99 @@ object PipelineCompiler {
           stride = Option(st.get("stride")).map(_.asInt()).getOrElse(
             throw new IllegalArgumentException(
               "curation chunk: missing required field `stride`")))
+      case "decontaminate" =>
+        // stream-legal: the eval set is STATIC (eval_input), its grams
+        // driver-collect into one broadcast probed per row
+        // (Corpus.decontaminatePerRow) — eval_filter would sample the
+        // unbounded stream input, rejected for cause
+        require(st.get("eval_filter") == null,
+          "curation decontaminate (streaming): eval_filter samples the " +
+            "stream input, which is unbounded — use eval_input " +
+            "{dir, table} (a static benchmark set)")
+        val ein = Option(st.get("eval_input")).getOrElse(
+          throw new IllegalArgumentException(
+            "curation decontaminate (streaming): needs eval_input {dir, table}"))
+        val eval = graft.Tables(spark, ein.get("dir").asText(),
+          ein.get("table").asText())
+        graft.ml.Corpus.decontaminatePerRow(df, eval, text,
+            n = intOpt("n", 13), threshold = intOpt("threshold", 5))
+          .filter(!col("contaminated"))
+          .drop("ngram_hits", "contaminated")
+      case "classifier_gate" =>
+        // stream-legal: the weight table is bounded (≤ buckets rows) —
+        // driver-collected into a broadcast map, per-row integer score
+        val weights = spark.read.parquet(Option(st.get("weights_path"))
+          .getOrElse(throw new IllegalArgumentException(
+            "curation classifier_gate: missing required field `weights_path`"))
+          .asText())
+        graft.ml.TextOps.classifierGatePerRow(df, text, weights,
+            n = intOpt("n", 2), buckets = intOpt("buckets", 1 << 20),
+            biasMilli = longOpt("bias_milli", 0L),
+            thresholdMilli = longOpt("threshold_milli", 0L))
+          .filter(col("pass"))
+          .drop("n_grams", "score_milli", "pass")
+      case "url_normalize" =>
+        // pure per-row codegen chain — identical to the batch stage
+        val urlCol = Option(st.get("url_expr")).map(e => expr(e.asText()))
+          .getOrElse(col(Option(st.get("url_col")).map(_.asText()).getOrElse("url")))
+        df.withColumn("url_norm", graft.ml.UrlOps.normalize(urlCol))
+          .withColumn("host", graft.ml.UrlOps.host(col("url_norm")))
+          .withColumn("reg_domain",
+            graft.ml.UrlOps.registeredDomain(col("host")))
+      case "html_extract" =>
+        // per-row rewrite IN PLACE (a stream cannot join an extracted
+        // projection back to itself): replace the text column with the
+        // visible text, optional link-density gate
+        val htmlCol = Option(st.get("html_col")).map(_.asText()).getOrElse(text)
+        val densityGated = Option(st.get("max_link_density_milli"))
+          .map(_.asLong()) match {
+          case Some(m) => df
+            .withColumn("_clean", graft.ml.TextOps.htmlCleanText(col(htmlCol)))
+            .withColumn("_lc", graft.ml.TextOps.htmlLinkChars(col(htmlCol)))
+            .withColumn("link_density_milli",
+              expr("(_lc * 1000) DIV greatest(length(_clean), 1)"))
+            .filter(col("link_density_milli") <= m)
+            .drop("_lc")
+          case None => df
+            .withColumn("_clean", graft.ml.TextOps.htmlCleanText(col(htmlCol)))
+        }
+        densityGated.drop(text).drop(htmlCol)
+          .withColumnRenamed("_clean", text)
+      case "domain_cap" =>
+        // streaming domain cap: at most k docs per registered domain —
+        // the sourceQuota kernel with a unit cost per doc (ValueState
+        // counter per domain). Admission is FIRST-k-ARRIVALS, the
+        // monotone-admission contract; the batch stage picks k by
+        // deterministic content-hash order instead (equal sets when
+        // arrivals are hash-ordered; documented divergence otherwise)
+        val domCol = Option(st.get("domain_col")).map(_.asText())
+          .getOrElse("reg_domain")
+        val k = Option(st.get("k")).map(_.asLong()).getOrElse(
+          throw new IllegalArgumentException(
+            "curation domain_cap: missing required field `k`"))
+        val pk3 = "spark.sql.streaming.stateStore.providerClass"
+        if (spark.conf.getOption(pk3).isEmpty) spark.conf.set(pk3,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val inner3 = df.schema
+        implicit val enc3 = org.apache.spark.sql.Encoders.product[
+          graft.streaming.Kernels.DocEvent]
+        val ds3 = df.select(
+          col(domCol).cast("string").as("source"),
+          col(id).cast("long").as("docId"),
+          lit(1L).as("nTok"),
+          to_json(struct(df.columns.map(col): _*)).as("payload"))
+          .as[graft.streaming.Kernels.DocEvent]
+        graft.streaming.Kernels.sourceQuota(ds3, budget = k)
+          .select(from_json(col("payload"), inner3).as("_r"))
+          .select(col("_r.*"))
       case other =>
         throw new IllegalArgumentException(
           s"curation stage `$other` is not streamable — its verdict needs " +
             "the corpus, not a prefix. Streamable stages: gopher_gate, " +
             "fineweb_gate, lang_filter, exact_dedup, minhash_dedup, " +
-            "simhash_dedup, source_quota, split_assign, upsample, chunk. Run " +
+            "simhash_dedup, source_quota, split_assign, upsample, chunk, " +
+            "decontaminate (eval_input), classifier_gate, url_normalize, " +
+            "html_extract, domain_cap. Run " +
             "set-dependent stages as periodic batch compaction over the " +
             "landed lake.")
     }

@@ -208,6 +208,29 @@ object Corpus {
         (col("_ntok") - size(col("_kept")).cast("long")).as("n_removed_tok"))
   }
 
+  /** Per-row (stream-legal) spelling of [[decontaminate]]: the eval
+    * gram set is DRIVER-collected once (benchmark suites are MBs —
+    * bounded at construction, the same argument that lets the batch
+    * operator broadcast it) and shipped as a broadcast set probed by a
+    * per-row function, so the verdict is pure map work — no join, no
+    * aggregation — and composes into a streaming append plan. Returns
+    * the train frame's columns plus `ngram_hits` / `contaminated`,
+    * verdict-identical to the batch operator (spec-asserted). The
+    * batch operator keeps the broadcast-join spelling (codegen'd,
+    * no driver collect). */
+  def decontaminatePerRow(train: DataFrame, eval: DataFrame,
+                          textCol: String, n: Int,
+                          threshold: Int): DataFrame = {
+    val evalGrams = eval
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val bc = train.sparkSession.sparkContext.broadcast(evalGrams)
+    val hits = udf(new GramSetCount(bc))
+      .apply(Dedup.shingles(col(textCol), n)).cast("long")
+    train.withColumn("ngram_hits", hits)
+      .withColumn("contaminated", col("ngram_hits") >= threshold)
+  }
+
   private def decontaminateBy(train: DataFrame, eval: DataFrame,
                               idCol: String, textCol: String,
                               grams: Column => Column,
@@ -543,5 +566,21 @@ object Corpus {
       .withColumn("tokens_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .filter(col("tokens_before") < budget)
       .select(col(groupCol), col(idCol), col("n_tok"), col("tokens_before"))
+  }
+}
+
+/** The broadcast gram-set probe behind [[Corpus.decontaminatePerRow]]:
+  * counts how many of a document's (distinct) n-grams appear in the
+  * driver-collected eval set. Top-level so serialization carries no
+  * outer reference; the set deserializes once per executor via the
+  * broadcast. */
+private[ml] class GramSetCount(
+    bc: org.apache.spark.broadcast.Broadcast[Set[String]])
+    extends (scala.collection.Seq[String] => Int) with Serializable {
+  def apply(grams: scala.collection.Seq[String]): Int = {
+    val s = bc.value
+    var n = 0
+    grams.foreach(g => if (s.contains(g)) n += 1)
+    n
   }
 }

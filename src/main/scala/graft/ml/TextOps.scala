@@ -182,9 +182,21 @@ object TextOps {
     * HTML5 parser only if it needs malformed-markup recovery; the
     * signal definitions are unchanged. */
   def htmlExtract(df: org.apache.spark.sql.DataFrame, idCol: String,
-                  htmlCol: String): org.apache.spark.sql.DataFrame = {
+                  htmlCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+        htmlCleanText(col(htmlCol)).as("text_clean"),
+        regexp_extract(col(htmlCol), "(?s)<title>(.*?)</title>", 1).as("title"),
+        htmlLinkChars(col(htmlCol)).as("link_chars"))
+      .withColumn("text_chars", length(col("text_clean")).cast("long"))
+      .withColumn("link_density_milli",
+        expr("(link_chars * 1000) DIV greatest(text_chars, 1)"))
+
+  /** The visible-text Column of [[htmlExtract]] — exposed so the
+    * streaming compiler can rewrite in place (a stream cannot join an
+    * extracted projection back to itself). Pure per-row expression. */
+  def htmlCleanText(html: Column): Column = {
     val noBlocks = regexp_replace(
-      regexp_replace(col(htmlCol), "(?s)<script[^>]*>.*?</script>", " "),
+      regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " "),
       "(?s)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
     val decoded = regexp_replace(regexp_replace(regexp_replace(
@@ -192,21 +204,18 @@ object TextOps {
         noTags,
         "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
       "&#39;", "'"), "&nbsp;", " "), "&amp;", "&")
-    val clean = trim(regexp_replace(decoded, "\\s+", " "))
-    val linkTexts = regexp_extract_all(col(htmlCol),
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Characters inside `<a>` elements ([[htmlExtract]]'s numerator). */
+  def htmlLinkChars(html: Column): Column = {
+    val linkTexts = regexp_extract_all(html,
       lit("(?s)<a[^>]*>(.*?)</a>"), lit(1))
-    val linkChars = aggregate(
+    aggregate(
       transform(linkTexts,
         t => length(trim(regexp_replace(regexp_replace(t, "<[^>]+>", " "),
           "\\s+", " "))).cast("long")),
       lit(0L), (a, b) => a + b)
-    df.select(col(idCol),
-        clean.as("text_clean"),
-        regexp_extract(col(htmlCol), "(?s)<title>(.*?)</title>", 1).as("title"),
-        linkChars.as("link_chars"))
-      .withColumn("text_chars", length(col("text_clean")).cast("long"))
-      .withColumn("link_density_milli",
-        expr("(link_chars * 1000) DIV greatest(text_chars, 1)"))
   }
 
   /** MassiveText repetition filters in CHARACTER-fraction form (Rae et
@@ -496,5 +505,54 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(sum(col("ratio_milli")).as("weight_milli"),
         count(lit(1)).as("n_grams"))
+  }
+
+  /** Per-row (stream-legal) spelling of [[classifierGate]]: the weight
+    * table is bounded at construction (≤ `buckets` rows — the same
+    * argument that lets the batch operator broadcast-join it), so it
+    * DRIVER-collects into one broadcast map probed per row over the
+    * fused gram-hash array; score arithmetic is the identical integer
+    * math (sum of per-occurrence milli-weights, DIV by gram count).
+    * Appends n_grams / score_milli / pass to the input columns — no
+    * join, no aggregation, legal in a streaming append plan. Documents
+    * too short to produce a gram score NULL and fail a `pass` filter,
+    * like the batch spelling's missing-verdict drop. */
+  def classifierGatePerRow(df: org.apache.spark.sql.DataFrame,
+                           textCol: String,
+                           weights: org.apache.spark.sql.DataFrame,
+                           n: Int, buckets: Int, biasMilli: Long,
+                           thresholdMilli: Long): org.apache.spark.sql.DataFrame = {
+    val wmap = weights
+      .select(col("b").cast("long"), col("w_milli").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bc = df.sparkSession.sparkContext.broadcast(wmap)
+    val wsum = udf(new BucketWeightSum(bc))
+      .apply(graft.functions.ShingleHash.occurrences(
+        col(textCol), n, buckets.toLong))
+    df.withColumn("n_grams",
+        size(graft.functions.ShingleHash.occurrences(
+          col(textCol), n, buckets.toLong)).cast("long"))
+      .withColumn("_wsum", wsum.cast("long"))
+      .withColumn("score_milli",
+        when(col("n_grams") > 0,
+          lit(biasMilli) + expr("_wsum DIV n_grams")))
+      .withColumn("pass", col("score_milli") >= thresholdMilli)
+      .drop("_wsum")
+  }
+}
+
+/** The broadcast weight-map probe behind
+  * [[TextOps.classifierGatePerRow]]: sums the milli-weights of a row's
+  * hashed-gram occurrence array (missing buckets weigh 0, like the
+  * batch left join's coalesce). Top-level so serialization carries no
+  * outer reference. */
+private[ml] class BucketWeightSum(
+    bc: org.apache.spark.broadcast.Broadcast[Map[Long, Long]])
+    extends (scala.collection.Seq[Long] => Long) with Serializable {
+  def apply(occ: scala.collection.Seq[Long]): Long = {
+    val m = bc.value
+    var s = 0L
+    occ.foreach(b => s += m.getOrElse(b, 0L))
+    s
   }
 }

@@ -311,4 +311,47 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(100L) < target,
       s"off-domain per-gram weight ${out(100L)} should be below target $target")
   }
+
+  test("decontaminatePerRow verdicts equal the batch broadcast-join operator") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val eval = docs.filter(col("doc_id") % 97 === 0)
+    val batch = Corpus.decontaminate(docs, eval, "doc_id", "text",
+        n = 3, threshold = 10)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    val perRow = Corpus.decontaminatePerRow(docs, eval, "text",
+        n = 3, threshold = 10)
+      .select(col("doc_id"), col("ngram_hits"), col("contaminated"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(perRow == batch)
+    assert(batch.values.exists(_._2) && batch.values.exists(!_._2),
+      "fixture must split contaminated vs clean")
+  }
+
+  test("classifierGatePerRow scores equal the batch hashed-ngram gate") {
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    // synthetic weight table over a small bucket space: deterministic,
+    // non-trivial (some buckets positive, some negative, most absent)
+    val buckets = 1 << 12
+    val weights = (0 until buckets by 7)
+      .map(b => (b.toLong, ((b % 13) - 6).toLong * 100L))
+      .toDF("b", "w_milli")
+    val batch = TextOps.classifierGate(docs, "doc_id", "text", weights,
+        n = 2, buckets = buckets, biasMilli = 50L, thresholdMilli = 0L)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val perRow = TextOps.classifierGatePerRow(docs, "text", weights,
+        n = 2, buckets = buckets, biasMilli = 50L, thresholdMilli = 0L)
+      .select(col("doc_id"), col("n_grams"), col("score_milli"), col("pass"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // batch omits docs with no grams; per-row nulls them — compare on
+    // the batch's domain and check the remainder is null-verdict only
+    assert(batch.keySet.subsetOf(perRow.keySet))
+    assert(batch.forall { case (id, v) => perRow(id) == v })
+    assert(batch.values.exists(_._3) && batch.values.exists(!_._3),
+      "fixture must split pass vs fail")
+  }
 }

@@ -603,6 +603,113 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("compiled stream: decontaminate gates per row against a static eval table") {
+    val dir = java.nio.file.Files.createTempDirectory("cur_stream_dc").toString
+    val evalDir = java.nio.file.Files.createTempDirectory("cur_eval").toString
+    import spark.implicits._
+    // the static benchmark set: one fixed passage
+    Seq((900L, "bench", "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$evalDir/eval.parquet")
+    landDocs(dir, Seq(
+      (1L, "web", "alpha beta gamma delta epsilon zeta eta theta plus tail"),
+      (2L, "web", "totally unrelated words that never appear in the benchmark")))
+    val yaml =
+      s"""curation:
+         |  input: {path: "$dir"}
+         |  stages:
+         |    - {type: decontaminate, n: 3, threshold: 2,
+         |       eval_input: {dir: "$evalDir", table: eval}}
+         |""".stripMargin
+    val q = compiler.PipelineCompiler.compileCurationStream(spark, yaml)
+      .writeStream.format("memory").queryName("cur_dc")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cur_dc").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == Set(2L), s"got $got")
+      // batch chain parity on the same landing dir
+      val want = compiler.PipelineCompiler.compileCuration(spark, yaml)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == want)
+      // eval_filter on a stream rejected for cause
+      val e = intercept[IllegalArgumentException](
+        compiler.PipelineCompiler.compileCurationStream(spark,
+          s"""curation:
+             |  input: {path: "$dir"}
+             |  stages:
+             |    - {type: decontaminate, eval_filter: "doc_id % 2 = 0"}
+             |""".stripMargin))
+      assert(e.getMessage.contains("unbounded"))
+    } finally q.stop()
+  }
+
+  test("compiled stream: domain_cap admits the first k arrivals per domain across batches") { withRocksDb {
+    val dir = java.nio.file.Files.createTempDirectory("cur_stream_dcap").toString
+    import spark.implicits._
+    def land(rows: (Long, String, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "reg_domain", "text").coalesce(1)
+        .write.mode("append").parquet(dir)
+    land((1L, "a.com", "one"), (2L, "a.com", "two"), (3L, "b.org", "three"))
+    val yaml =
+      s"""curation:
+         |  input: {path: "$dir", max_files_per_trigger: 1}
+         |  stages:
+         |    - {type: domain_cap, k: 2}
+         |""".stripMargin
+    val q = compiler.PipelineCompiler.compileCurationStream(spark, yaml)
+      .writeStream.format("memory").queryName("cur_dcap")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cur_dcap").count() == 3)
+      // batch 2: a.com is at its cap of 2 → 4 rejected; b.org admits 5;
+      // the per-domain counters live in the state store
+      land((4L, "a.com", "four"), (5L, "b.org", "five"))
+      q.processAllAvailable()
+      val got = spark.table("cur_dcap").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L, 3L, 5L), s"got $got")
+      // full rows are restored through the payload round-trip
+      assert(spark.table("cur_dcap").columns.toSeq ==
+        Seq("doc_id", "reg_domain", "text"))
+    } finally q.stop()
+  } }
+
+  test("compiled stream: url_normalize + html_extract rewrite rows in place") {
+    val dir = java.nio.file.Files.createTempDirectory("cur_stream_uh").toString
+    import spark.implicits._
+    Seq(
+      (1L, "https://News.example.com:443/a/?utm_source=x&q=1#frag",
+        "<html><title>T1</title><script>var x=1;</script><p>Real &amp; visible body text here</p><a href='/'>nav</a></html>"),
+      (2L, "http://blog.example.co.uk/path/",
+        "<div><a>l1</a><a>l2</a><a>l3</a><a>l4</a><a>l5</a>tiny</div>"))
+      .toDF("doc_id", "url", "text").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val yaml =
+      s"""curation:
+         |  input: {path: "$dir"}
+         |  stages:
+         |    - {type: url_normalize, url_col: url}
+         |    - {type: html_extract, max_link_density_milli: 500}
+         |""".stripMargin
+    val q = compiler.PipelineCompiler.compileCurationStream(spark, yaml)
+      .writeStream.format("memory").queryName("cur_uh")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cur_uh").collect()
+      // doc 2 is link-dominated (density > 0.5) and must be gated out
+      assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+      val r = rows.head
+      assert(r.getAs[String]("reg_domain") == "example.com")
+      val txt = r.getAs[String]("text")
+      assert(txt.contains("Real & visible body text here") &&
+        !txt.contains("<") && !txt.contains("var x"))
+    } finally q.stop()
+  }
+
   test("startCurationStream lands survivors as a partitioned lake") {
     val dir = java.nio.file.Files.createTempDirectory("cur_stream_l").toString
     val out = java.nio.file.Files.createTempDirectory("cur_stream_lake").toString
