@@ -332,6 +332,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("round-10b additions: keep-best, semdedup-against, IVF append stay scale-shaped") {
+    val docs = Tables(spark, sf, "documents")
+    // clusterKeepBest: the rep choice is a struct-max hash aggregation —
+    // no Window (a giant component would funnel into one sorted task)
+    val kb = graft.ml.Dedup.minhashDedupBest(docs, "doc_id", "text",
+      length(col("text")), 3, 9, 3, 3)
+    val kbPlan = plan(kb)
+    assert(!kbPlan.contains("Window"), kbPlan)
+    assert(!kb.queryExecution.analyzed.toString.contains("ResolvedHint"), "unhinted")
+    // semDedupAgainst: centroid assignment broadcasts (bounded k·dim);
+    // the member probe join is corpus-derived and must stay unhinted,
+    // with no cartesian anywhere
+    val emb = Tables(spark, sf, "embeddings")
+    val oldE = emb.filter(col("vec_id") % 4 === 0)
+    val cents = graft.ml.Ann.kmeansQuantized(oldE, "vec_id", "embedding",
+      k = 32, iters = 1)
+    val members = graft.ml.Dedup.semdedupIndex(oldE, "vec_id", "embedding", cents)
+    val sa = graft.ml.Dedup.semDedupAgainst(
+      emb.filter(col("vec_id") % 4 =!= 0), cents, members,
+      "vec_id", "embedding", tau = 0.40)
+    val saAnalyzed = sa.queryExecution.analyzed.toString
+    // the ONLY hints allowed are the centroid broadcasts (bounded at
+    // construction); the member-probe and pair joins stay unhinted —
+    // count hints and check each is the tiny centroid table join
+    val hintCount = "ResolvedHint".r.findAllIn(saAnalyzed).length
+    val centsJoins = "ResolvedHint.*\n.*(cid|ce6)".r.findAllIn(saAnalyzed).length
+    assert(hintCount == centsJoins,
+      s"non-centroid broadcast hint in semDedupAgainst:\n$saAnalyzed")
+    val saPlan = plan(sa)
+    assert(!saPlan.contains("CartesianProduct") &&
+      !saPlan.contains("BroadcastNestedLoopJoin"), saPlan)
+  }
+
   test("simhash block join is an equi-join on the block key, not a pairwise scan") {
     val p = plan(graft.ml.Dedup.simhashNearDup(
       Tables(spark, sf, "documents"), "doc_id", "text", 60, 4, 3))
