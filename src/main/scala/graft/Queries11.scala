@@ -161,17 +161,41 @@ object Queries11 {
 
   val q147_sql: String = Queries4.q64_sql
 
+  /** Round-10: persisted PQ index — build on a first slice (which
+    * contains the deterministic code ids < 16), APPEND the rest
+    * encoded against the stored codebook, and answer the q65 ADC
+    * query off the compressed codes alone. Build + append must not
+    * change the answer — the oracle is exactly q65's SQL. */
+  val q148_ann_pq_index: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val out = java.nio.file.Files.createTempDirectory("graft_q148_pq").toString
+    graft.ml.Ann.pqWriteIndex(
+      emb.filter(col("vec_id") =!= 0 &&
+        (col("vec_id") <= 16 || col("vec_id") % 2 === 0)),
+      "vec_id", "embedding", m = 4, nCodes = 16, path = out)
+    graft.ml.Ann.pqAppendIndex(s,
+      emb.filter(col("vec_id") > 16 && col("vec_id") % 2 === 1),
+      "vec_id", "embedding", path = out)
+    graft.ml.Ann.pqTopKIndexed(s, out, "vec_id", q, k = 10)
+      .select(col("vec_id"), col("rnk"))
+  }
+
+  val q148_sql: String = Queries5.q65_sql
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
     "q145_dedup_keep_best" -> q145_dedup_keep_best,
     "q146_semdedup_against" -> q146_semdedup_against,
-    "q147_ann_ivf_append" -> q147_ann_ivf_append
+    "q147_ann_ivf_append" -> q147_ann_ivf_append,
+    "q148_ann_pq_index" -> q148_ann_pq_index
   )
 
   val oracles: Map[String, String] = Map(
     "q145_dedup_keep_best" -> q145_sql,
     "q146_semdedup_against" -> q146_sql,
-    "q147_ann_ivf_append" -> q147_sql
+    "q147_ann_ivf_append" -> q147_sql,
+    "q148_ann_pq_index" -> q148_sql
   )
 }

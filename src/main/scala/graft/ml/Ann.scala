@@ -185,9 +185,18 @@ object Ann {
     */
   def pqTopK(df: DataFrame, idCol: String, vecCol: String,
              query: Seq[Float], k: Int, m: Int, nCodes: Int): DataFrame = {
+    val sub = query.length / m
+    val (codebook, encoded) = pqBuild(df, idCol, vecCol, m, sub, nCodes)
+    pqAdcTopK(encoded, codebook, idCol, query, k, m, sub)
+  }
+
+  /** Codebook + encoded codes shared by [[pqTopK]] and the persisted
+    * index — one code path, so an index written by [[pqWriteIndex]]
+    * and probed by [[pqTopKIndexed]] returns exactly the ad-hoc
+    * answer. */
+  private def pqBuild(df: DataFrame, idCol: String, vecCol: String,
+                      m: Int, sub: Int, nCodes: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val dim = query.length
-    val sub = dim / m
     val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
     val parts = e.select(col(idCol),
       posexplode(array((0 until m).map(b => slice(col("_v"), b * sub + 1, sub)): _*))
@@ -201,13 +210,21 @@ object Ann {
         Window.partitionBy(col(idCol), col("_b")).orderBy(col("_d"), col("_code"))))
       .filter(col("_rn") === 1)
       .select(col(idCol), col("_b"), col("_code"))
-    // query→code distance table (m × nCodes rows, broadcast)
+    (codebook, encoded)
+  }
+
+  /** ADC top-k over (id, _b, _code) rows against a codebook — the
+    * query-distance table is m×nCodes rows, broadcast; the sum pivots
+    * per subspace so the addition order is fixed (FP determinism). */
+  private def pqAdcTopK(encoded: DataFrame, codebook: DataFrame,
+                        idCol: String, query: Seq[Float], k: Int,
+                        m: Int, sub: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qsubs = array((0 until m).map(b =>
       array(query.slice(b * sub, (b + 1) * sub).map(v => lit(v.toDouble)): _*)): _*)
     val qd = codebook
       .withColumn("_qd", l2sq(col("_cv"), element_at(qsubs, col("_b") + 1)))
       .select(col("_b"), col("_code"), col("_qd"))
-    // ADC: pivot per subspace then add in fixed order
     val dcols = (0 until m).map(b =>
       sum(when(col("_b") === b, col("_qd"))).as(s"_d$b"))
     val dist = (0 until m).map(b => col(s"_d$b")).reduce(_ + _)
@@ -219,6 +236,59 @@ object Ann {
       .limit(k)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("dist"), col(idCol))))
+  }
+
+  /** Build and PERSIST a PQ index: `path/codebook` (m×nCodes subvector
+    * codes), `path/codes` (the corpus compressed to m small ints per
+    * vector — the 32× storage win that makes PQ the RAM-resident ANN
+    * tier at 100 TB), `path/meta` (m, sub, nCodes). Query time reads
+    * the codes table only — never a full-precision vector. `dim` comes
+    * from one head() on the build corpus (bounded; vectors are
+    * fixed-width by contract). */
+  def pqWriteIndex(df: DataFrame, idCol: String, vecCol: String,
+                   m: Int, nCodes: Int, path: String): Unit = {
+    import df.sparkSession.implicits._
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"pqWriteIndex: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val (codebook, encoded) = pqBuild(df, idCol, vecCol, m, sub, nCodes)
+    codebook.write.mode("overwrite").parquet(path + "/codebook")
+    encoded.write.mode("overwrite").parquet(path + "/codes")
+    Seq((m, sub, nCodes)).toDF("m", "sub", "n_codes")
+      .write.mode("overwrite").parquet(path + "/meta")
+  }
+
+  /** APPEND a new vector batch to a persisted PQ index: encode against
+    * the STORED codebook (same nearest-code rule) and append the code
+    * rows — O(batch) maintenance, existing files untouched. */
+  def pqAppendIndex(spark: org.apache.spark.sql.SparkSession,
+                    df: DataFrame, idCol: String, vecCol: String,
+                    path: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val meta = spark.read.parquet(path + "/meta").head()
+    val (m, sub) = (meta.getAs[Int]("m"), meta.getAs[Int]("sub"))
+    val codebook = spark.read.parquet(path + "/codebook")
+    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    val parts = e.select(col(idCol),
+      posexplode(array((0 until m).map(b => slice(col("_v"), b * sub + 1, sub)): _*))
+        .as(Seq("_b", "_sv")))
+    parts.join(broadcast(codebook), "_b")
+      .withColumn("_d", l2sq(col("_sv"), col("_cv")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(idCol), col("_b")).orderBy(col("_d"), col("_code"))))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("_b"), col("_code"))
+      .write.mode("append").parquet(path + "/codes")
+  }
+
+  /** Probe a persisted PQ index ([[pqWriteIndex]]): read the codes and
+    * codebook, run the identical ADC top-k. */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                    idCol: String, query: Seq[Float], k: Int): DataFrame = {
+    val meta = spark.read.parquet(path + "/meta").head()
+    val (m, sub) = (meta.getAs[Int]("m"), meta.getAs[Int]("sub"))
+    pqAdcTopK(spark.read.parquet(path + "/codes"),
+      spark.read.parquet(path + "/codebook"), idCol, query, k, m, sub)
   }
 
   /** Random-hyperplane signature: bit b = sign(dot(vec, hyperplane_b)).

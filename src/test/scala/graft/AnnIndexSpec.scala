@@ -84,4 +84,33 @@ class AnnIndexSpec extends AnyFunSuite {
     // the append also must not perturb the stored centroid table
     assert(spark.read.parquet(appended + "/centroids").count() == 7)
   }
+
+  test("persisted PQ index: compressed layout, append parity, ad-hoc answer parity") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val first = corpus.filter(col("vec_id") <= 16 || col("vec_id") % 2 === 0)
+    val rest = corpus.filter(col("vec_id") > 16 && col("vec_id") % 2 === 1)
+    val out = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    Ann.pqWriteIndex(first, "vec_id", "embedding", m = 4, nCodes = 16,
+      path = out)
+    // the stored index is codes only: m rows per vector, two small ints
+    val codes = spark.read.parquet(out + "/codes")
+    assert(codes.columns.toSeq == Seq("vec_id", "_b", "_code"))
+    assert(codes.count() == first.count() * 4)
+    val before = new java.io.File(out + "/codes").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    Ann.pqAppendIndex(spark, rest, "vec_id", "embedding", path = out)
+    val after = new java.io.File(out + "/codes").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after > before, "append must add code files, not rewrite")
+    val got = Ann.pqTopKIndexed(spark, out, "vec_id", q, k = 10)
+      .select("vec_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want = Ann.pqTopK(corpus, "vec_id", "embedding", q,
+      k = 10, m = 4, nCodes = 16)
+      .select("vec_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == want && got.size == 10)
+  }
 }
