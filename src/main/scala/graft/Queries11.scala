@@ -183,19 +183,120 @@ object Queries11 {
 
   val q148_sql: String = Queries5.q65_sql
 
+  // --------------------------------------------------------------- IVF-PQ
+
+  /** Round-10: IVF-PQ — the two-level ANN composition (coarse centroids
+    * prune to nProbe inverted lists, residual PQ codes answer by ADC;
+    * the FAISS IVFPQ shape). 8 deterministic centroids / probe 2 /
+    * m=4 subspaces / 16 residual codes. The oracle replays coarse
+    * assignment, residual subvector parts, nearest-code encoding, the
+    * per-probed-list query-residual distance table, and the pivoted ADC
+    * sum in SQL with bit-identical arithmetic. */
+  val q149_ann_ivfpq: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    graft.ml.Ann.ivfpqTopK(emb.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", q, k = 10, nCentroids = 8, nProbe = 2,
+      m = 4, nCodes = 16)
+      .select(col("vec_id"), col("rnk"))
+  }
+
+  val q149_sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  WHERE vec_id <> 0),
+      |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+      |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      |      WHERE vec_id = 0),
+      |assign AS (
+      |  SELECT e.vec_id, e.v, c.c_id,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_dot_product(e.v, c.cv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |      c.c_id) AS rn
+      |  FROM e, c),
+      |assigned AS (SELECT vec_id, v, c_id FROM assign WHERE rn = 1),
+      |res AS (
+      |  SELECT a.vec_id, a.c_id,
+      |    list_transform(a.v, (x, i) -> x - c.cv[i]) AS r
+      |  FROM assigned a JOIN c ON c.c_id = a.c_id),
+      |bs AS (SELECT unnest(range(0, 4)) AS b),
+      |parts AS (
+      |  SELECT res.vec_id, res.c_id, bs.b,
+      |    res.r[(bs.b*16+1):(bs.b*16+16)] AS sv
+      |  FROM res, bs),
+      |cb AS (SELECT vec_id AS code, b, sv AS cbv FROM parts WHERE vec_id < 16),
+      |enc AS (
+      |  SELECT p.vec_id, p.c_id, p.b, cb.code,
+      |    row_number() OVER (PARTITION BY p.vec_id, p.b ORDER BY
+      |      list_sum(list_transform(p.sv,
+      |        (x, i) -> (x - cb.cbv[i]) * (x - cb.cbv[i]))), cb.code) AS rn
+      |  FROM parts p JOIN cb ON p.b = cb.b),
+      |enc1 AS (SELECT vec_id, c_id, b, code FROM enc WHERE rn = 1),
+      |probes AS (
+      |  SELECT c.c_id, c.cv FROM c, q
+      |  ORDER BY list_dot_product(c.cv, q.qv) /
+      |    (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+      |    c.c_id
+      |  LIMIT 2),
+      |qd AS (
+      |  SELECT pr.c_id, cb.b, cb.code,
+      |    list_sum(list_transform(cb.cbv,
+      |      (x, i) -> (x - (q.qv[cb.b*16+i] - pr.cv[cb.b*16+i])) *
+      |                (x - (q.qv[cb.b*16+i] - pr.cv[cb.b*16+i])))) AS d
+      |  FROM probes pr, cb, q),
+      |adc AS (
+      |  SELECT e1.vec_id,
+      |    SUM(CASE WHEN e1.b = 0 THEN qd.d END) +
+      |    SUM(CASE WHEN e1.b = 1 THEN qd.d END) +
+      |    SUM(CASE WHEN e1.b = 2 THEN qd.d END) +
+      |    SUM(CASE WHEN e1.b = 3 THEN qd.d END) AS dist
+      |  FROM enc1 e1
+      |  JOIN qd ON e1.c_id = qd.c_id AND e1.b = qd.b AND e1.code = qd.code
+      |  GROUP BY e1.vec_id)
+      |SELECT vec_id, row_number() OVER (ORDER BY dist, vec_id) AS rnk
+      |FROM adc ORDER BY dist, vec_id LIMIT 10""".stripMargin
+
+  /** Round-10: persisted IVF-PQ index — build on a first slice (which
+    * contains the deterministic centroid ids < 8 and code ids < 16),
+    * APPEND the rest assigned+encoded against the stored tables, and
+    * answer the q149 query off the partition-pruned compressed lists
+    * alone. Build + append must not change the answer — the oracle is
+    * exactly q149's SQL over the full table. */
+  val q150_ann_ivfpq_index: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val out = java.nio.file.Files.createTempDirectory("graft_q150_ivfpq").toString
+    graft.ml.Ann.ivfpqWriteIndex(
+      emb.filter(col("vec_id") =!= 0 &&
+        (col("vec_id") <= 16 || col("vec_id") % 2 === 0)),
+      "vec_id", "embedding", nCentroids = 8, m = 4, nCodes = 16, path = out)
+    graft.ml.Ann.ivfpqAppendIndex(s,
+      emb.filter(col("vec_id") > 16 && col("vec_id") % 2 === 1),
+      "vec_id", "embedding", path = out)
+    graft.ml.Ann.ivfpqTopKIndexed(s, out, "vec_id", q, k = 10, nProbe = 2)
+      .select(col("vec_id"), col("rnk"))
+  }
+
+  val q150_sql: String = q149_sql
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
     "q145_dedup_keep_best" -> q145_dedup_keep_best,
     "q146_semdedup_against" -> q146_semdedup_against,
     "q147_ann_ivf_append" -> q147_ann_ivf_append,
-    "q148_ann_pq_index" -> q148_ann_pq_index
+    "q148_ann_pq_index" -> q148_ann_pq_index,
+    "q149_ann_ivfpq" -> q149_ann_ivfpq,
+    "q150_ann_ivfpq_index" -> q150_ann_ivfpq_index
   )
 
   val oracles: Map[String, String] = Map(
     "q145_dedup_keep_best" -> q145_sql,
     "q146_semdedup_against" -> q146_sql,
     "q147_ann_ivf_append" -> q147_sql,
-    "q148_ann_pq_index" -> q148_sql
+    "q148_ann_pq_index" -> q148_sql,
+    "q149_ann_ivfpq" -> q149_sql,
+    "q150_ann_ivfpq_index" -> q150_sql
   )
 }

@@ -291,6 +291,175 @@ object Ann {
       spark.read.parquet(path + "/codebook"), idCol, query, k, m, sub)
   }
 
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** IVF-PQ — the two-level ANN composition (the FAISS IVFPQ shape,
+    * Jégou et al. 2011): a coarse quantizer assigns each vector to its
+    * nearest centroid (the IVF inverted lists), and the RESIDUAL
+    * (vector − centroid) is product-quantized to m codes. Query time
+    * probes only the nProbe nearest lists and ranks candidates by an
+    * asymmetric-distance sum over per-list query-residual→code tables —
+    * it touches no full-precision vectors at all.
+    *
+    * Scale shape: this is the tier that makes billion-vector ANN fit —
+    * the stored index is ~m bytes/vector laid out as partitioned lists,
+    * query cost is (probed lists' codes) × 0 vector math (the
+    * nProbe×m×nCodes distance table is a broadcast), and the pruning
+    * happens at the FILESYSTEM level in the persisted form. Residual
+    * encoding is what distinguishes it from flat PQ: residuals are
+    * centered around their centroid so the same small codebook covers
+    * every list at much lower quantization error. Centroids/codebook
+    * are deterministic here (ids < nCentroids / nCodes); production
+    * swaps in k-means ([[kmeansQuantized]]) without changing the
+    * dataflow or layout. */
+  def ivfpqTopK(df: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Float], k: Int, nCentroids: Int, nProbe: Int,
+                m: Int, nCodes: Int): DataFrame = {
+    val dim = query.length
+    require(dim % m == 0, s"ivfpqTopK: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    val cents = e.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("_c_id"), col("_v").as("_cv"))
+    val parts = ivfpqResidualParts(e, cents, idCol, m, sub)
+    val codebook = parts.filter(col(idCol) < nCodes)
+      .select(col(idCol).as("_code"), col("_b"), col("_sv").as("_cbv"))
+    val codes = ivfpqEncode(parts, codebook, idCol)
+    ivfpqAdcTopK(codes, codebook, cents, idCol, query, k, m, sub, nProbe)
+  }
+
+  /** Residual subvector parts shared by the build, the ad-hoc flow and
+    * the incremental append: assign (id, _v) rows to their nearest
+    * centroid (the IVF code path — identical tie rules), subtract the
+    * centroid elementwise, and explode the residual into m subvectors.
+    * One code path means an index written by [[ivfpqWriteIndex]] and a
+    * batch appended by [[ivfpqAppendIndex]] encode byte-identically. */
+  private def ivfpqResidualParts(e: DataFrame, cents: DataFrame,
+                                 idCol: String, m: Int, sub: Int): DataFrame = {
+    val assigned = ivfAssignTo(e, cents, idCol)
+    assigned.join(broadcast(cents), "_c_id")
+      .withColumn("_r", zip_with(col("_v"), col("_cv"), (x, c) => x - c))
+      .select(col(idCol), col("_c_id"),
+        posexplode(array((0 until m).map(b =>
+          slice(col("_r"), b * sub + 1, sub)): _*)).as(Seq("_b", "_sv")))
+  }
+
+  /** Nearest-code encoding of residual parts against a codebook —
+    * broadcast the (tiny) codebook, L2 in each subspace, ties → code id. */
+  private def ivfpqEncode(parts: DataFrame, codebook: DataFrame,
+                          idCol: String): DataFrame =
+    parts.join(broadcast(codebook), "_b")
+      .withColumn("_d", l2sq(col("_sv"), col("_cbv")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(idCol), col("_b")).orderBy(col("_d"), col("_code"))))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("_c_id"), col("_b"), col("_code"))
+
+  /** ADC top-k over IVF-PQ codes: rank centroids by cosine against the
+    * query, keep nProbe, build the per-(probed list, subspace, code)
+    * query-residual distance table (nProbe×m×nCodes rows — broadcast),
+    * and pivot-sum the m legs per candidate so the FP addition order is
+    * fixed. The inner join on _c_id IS the list pruning. */
+  private def ivfpqAdcTopK(codes: DataFrame, codebook: DataFrame,
+                           cents: DataFrame, idCol: String, query: Seq[Float],
+                           k: Int, m: Int, sub: Int, nProbe: Int): DataFrame = {
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val probes = cents
+      .withColumn("_qsim", dot(col("_cv"), q) /
+        (sqrt(dot(col("_cv"), col("_cv"))) * sqrt(dot(q, q))))
+      .orderBy(desc("_qsim"), col("_c_id"))
+      .limit(nProbe)
+      .select(col("_c_id"), col("_cv"))
+    val qsubs = array((0 until m).map(b =>
+      array(query.slice(b * sub, (b + 1) * sub).map(v => lit(v.toDouble)): _*)): _*)
+    // query residual against THIS list's centroid, per subspace
+    val qr = zip_with(element_at(qsubs, col("_b") + 1),
+      slice(col("_cv"), col("_b") * lit(sub) + 1, lit(sub)), (qv, c) => qv - c)
+    val qd = probes.crossJoin(codebook)
+      .withColumn("_qd", l2sq(col("_cbv"), qr))
+      .select(col("_c_id"), col("_b"), col("_code"), col("_qd"))
+    val dcols = (0 until m).map(b =>
+      sum(when(col("_b") === b, col("_qd"))).as(s"_d$b"))
+    val dist = (0 until m).map(b => col(s"_d$b")).reduce(_ + _)
+    codes.join(broadcast(qd), Seq("_c_id", "_b", "_code"))
+      .groupBy(col(idCol))
+      .agg(dcols.head, dcols.tail: _*)
+      .select(col(idCol), dist.as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("dist"), col(idCol))))
+  }
+
+  /** Build and PERSIST an IVF-PQ index: `path/centroids`,
+    * `path/codebook` (the residual codebook), `path/codes` — the corpus
+    * compressed to m small ints per vector, hive-partitioned by list
+    * (`_c_id=<k>/`) so a probe opens only the probed lists' FILES —
+    * and `path/meta`. The layout composes the two wins: IVF's
+    * filesystem-level pruning and PQ's ~m-bytes-per-vector storage. */
+  def ivfpqWriteIndex(df: DataFrame, idCol: String, vecCol: String,
+                      nCentroids: Int, m: Int, nCodes: Int,
+                      path: String): Unit = {
+    import df.sparkSession.implicits._
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"ivfpqWriteIndex: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    val cents = e.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("_c_id"), col("_v").as("_cv"))
+    val parts = ivfpqResidualParts(e, cents, idCol, m, sub)
+    val codebook = parts.filter(col(idCol) < nCodes)
+      .select(col(idCol).as("_code"), col("_b"), col("_sv").as("_cbv"))
+      .localCheckpoint(true)
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    codebook.write.mode("overwrite").parquet(path + "/codebook")
+    ivfpqEncode(parts, codebook, idCol)
+      .write.mode("overwrite").partitionBy("_c_id").parquet(path + "/codes")
+    Seq((m, sub, nCodes)).toDF("m", "sub", "n_codes")
+      .write.mode("overwrite").parquet(path + "/meta")
+  }
+
+  /** APPEND a new vector batch to a persisted IVF-PQ index: assign
+    * against the STORED centroids, residual-encode against the STORED
+    * codebook (both the build's exact code paths), and append the code
+    * rows into the partitioned list layout — O(batch) maintenance,
+    * existing files untouched, probe pruning unchanged. */
+  def ivfpqAppendIndex(spark: org.apache.spark.sql.SparkSession,
+                       df: DataFrame, idCol: String, vecCol: String,
+                       path: String): Unit = {
+    val meta = spark.read.parquet(path + "/meta").head()
+    val (m, sub) = (meta.getAs[Int]("m"), meta.getAs[Int]("sub"))
+    val cents = spark.read.parquet(path + "/centroids")
+    val codebook = spark.read.parquet(path + "/codebook")
+    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    ivfpqEncode(ivfpqResidualParts(e, cents, idCol, m, sub), codebook, idCol)
+      .write.mode("append").partitionBy("_c_id").parquet(path + "/codes")
+  }
+
+  /** Probe a persisted IVF-PQ index: rank the stored centroids, read
+    * ONLY the nProbe probed lists' code partitions (directory pruning),
+    * and run the identical ADC top-k. The collect touches the centroid
+    * table only — bounded at construction. */
+  def ivfpqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                       idCol: String, query: Seq[Float], k: Int,
+                       nProbe: Int): DataFrame = {
+    val meta = spark.read.parquet(path + "/meta").head()
+    val (m, sub) = (meta.getAs[Int]("m"), meta.getAs[Int]("sub"))
+    val cents = spark.read.parquet(path + "/centroids")
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val probeIds = cents
+      .withColumn("_qsim", dot(col("_cv"), q) /
+        (sqrt(dot(col("_cv"), col("_cv"))) * sqrt(dot(q, q))))
+      .orderBy(desc("_qsim"), col("_c_id"))
+      .limit(nProbe)
+      .select(col("_c_id").cast("long"))
+      .collect().map(_.getLong(0))
+    val codes = spark.read.parquet(path + "/codes")
+      .filter(col("_c_id").isin(probeIds: _*))
+    ivfpqAdcTopK(codes, spark.read.parquet(path + "/codebook"), cents,
+      idCol, query, k, m, sub, nProbe)
+  }
+
   /** Random-hyperplane signature: bit b = sign(dot(vec, hyperplane_b)).
     * Hyperplanes are deterministic pseudo-random from a seed so signatures
     * are reproducible across runs/executors. */

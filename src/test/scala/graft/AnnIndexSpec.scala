@@ -113,4 +113,62 @@ class AnnIndexSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(got == want && got.size == 10)
   }
+
+  test("persisted IVF-PQ index: partitioned code lists, pruned probe, append ≡ rebuild ≡ ad-hoc") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    // first slice carries both deterministic tables: centroid ids < 8
+    // and residual-code ids < 16
+    val first = corpus.filter(col("vec_id") <= 16 || col("vec_id") % 2 === 0)
+    val rest = corpus.filter(col("vec_id") > 16 && col("vec_id") % 2 === 1)
+    assert(rest.count() > 0, "fixture must leave something to append")
+    val out = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    Ann.ivfpqWriteIndex(first, "vec_id", "embedding", nCentroids = 8,
+      m = 4, nCodes = 16, path = out)
+
+    // layout: codes are hive-partitioned per inverted list AND
+    // compressed — m small-int rows per vector, no vector column
+    val dirs = new java.io.File(out + "/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("_c_id=")),
+      s"expected partitioned code lists, got ${dirs.mkString(",")}")
+    val codes = spark.read.parquet(out + "/codes")
+    assert(codes.columns.toSet == Set("vec_id", "_b", "_code", "_c_id"))
+    assert(codes.count() == first.count() * 4)
+
+    val before = new java.io.File(out + "/codes").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).length
+    Ann.ivfpqAppendIndex(spark, rest, "vec_id", "embedding", path = out)
+    val after = new java.io.File(out + "/codes").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).length
+    assert(after > before, "append must add code files, not rewrite")
+    // append perturbs neither stored dictionary table
+    assert(spark.read.parquet(out + "/centroids").count() == 7)
+    assert(spark.read.parquet(out + "/codebook").count() == 15 * 4)
+
+    val got = Ann.ivfpqTopKIndexed(spark, out, "vec_id", q, k = 10, nProbe = 2)
+    // the probe reaches the code scan as a PARTITION filter
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("\\s+", " ").contains("_c_id"),
+      s"probe not pushed as a partition filter:\n$plan")
+    val gotRows = got.select("vec_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+
+    val want = Ann.ivfpqTopK(corpus, "vec_id", "embedding", q,
+      k = 10, nCentroids = 8, nProbe = 2, m = 4, nCodes = 16)
+      .select("vec_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(gotRows == want && gotRows.size == 10)
+
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_full").toString
+    Ann.ivfpqWriteIndex(corpus, "vec_id", "embedding", nCentroids = 8,
+      m = 4, nCodes = 16, path = rebuilt)
+    val full = Ann.ivfpqTopKIndexed(spark, rebuilt, "vec_id", q,
+      k = 10, nProbe = 2).select("vec_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(gotRows == full, "append must be answer-equivalent to a full rebuild")
+  }
 }
