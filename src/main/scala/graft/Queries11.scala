@@ -280,6 +280,68 @@ object Queries11 {
 
   val q150_sql: String = q149_sql
 
+  // ------------------------------------------- CCNet perplexity buckets
+
+  /** Round-10: CCNet-style per-language LM-quality terciles — langid +
+    * corpus-as-LM bigram scoring + head/middle/tail assignment against
+    * the ceil(n/3)-th / ceil(2n/3)-th largest per-language mean scores
+    * (histogram-CDF thresholds, no corpus sort). The oracle replays
+    * the q57 langid CASE, the q107 LM CTEs, the histogram running
+    * count, and the threshold comparison. */
+  val q151_ccnet_buckets: Q = (s, dir) =>
+    graft.ml.TextOps.ccnetBuckets(t(s, dir, "documents"), "doc_id", "text")
+
+  val q151_sql: String = {
+    import graft.ml.TextOps
+    val langs = TextOps.stopwords.keys.toSeq.sorted
+    val hitCols = langs.map { l =>
+      val sw = TextOps.stopwords(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(lower(text), ' '), t -> list_contains([$sw], t))) AS h_$l"
+    }.mkString(",\n    ")
+    val g = langs.map(l => s"h_$l").mkString(", ")
+    val cases = langs.map(l => s"WHEN h_$l = greatest($g) THEN '$l'").mkString(" ")
+    s"""WITH hits AS (SELECT doc_id,
+       |    $hitCols
+       |  FROM documents),
+       |lang AS (SELECT doc_id,
+       |    CASE WHEN greatest($g) = 0 THEN 'und' $cases END AS lang
+       |  FROM hits),
+       |toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |idx AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks),
+       |occ AS (
+       |  SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS g FROM idx),
+       |uni AS (SELECT unnest(w) AS w1 FROM toks),
+       |uni_c AS (SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY w1),
+       |big_c AS (SELECT g, COUNT(*) AS c2 FROM occ GROUP BY g),
+       |lm AS (
+       |  SELECT o.doc_id,
+       |    CAST(SUM((b.c2 * 1000000) // u.c1) AS BIGINT) AS s,
+       |    COUNT(*) AS nb
+       |  FROM occ o JOIN big_c b USING (g) JOIN uni_c u USING (w1)
+       |  GROUP BY o.doc_id),
+       |scored AS (
+       |  SELECT l.doc_id, l.lang,
+       |    coalesce(CAST(lm.s // lm.nb AS BIGINT), 0) AS score
+       |  FROM lang l LEFT JOIN lm ON lm.doc_id = l.doc_id),
+       |hist AS (SELECT lang, score, COUNT(*) AS c FROM scored GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT lang, score,
+       |    SUM(c) OVER (PARTITION BY lang ORDER BY score DESC) AS cum
+       |  FROM hist),
+       |n AS (SELECT lang, COUNT(*) AS n FROM scored GROUP BY 1),
+       |th AS (
+       |  SELECT cum.lang,
+       |    MAX(CASE WHEN cum.cum >= (n.n + 2) // 3 THEN cum.score END) AS t1,
+       |    MAX(CASE WHEN cum.cum >= (2 * n.n + 2) // 3 THEN cum.score END) AS t2
+       |  FROM cum JOIN n USING (lang) GROUP BY 1)
+       |SELECT s.doc_id, s.lang, s.score AS lm_mean_micro,
+       |  CASE WHEN s.score >= t.t1 THEN 'head'
+       |       WHEN s.score >= t.t2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM scored s JOIN th t USING (lang)""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -288,7 +350,8 @@ object Queries11 {
     "q147_ann_ivf_append" -> q147_ann_ivf_append,
     "q148_ann_pq_index" -> q148_ann_pq_index,
     "q149_ann_ivfpq" -> q149_ann_ivfpq,
-    "q150_ann_ivfpq_index" -> q150_ann_ivfpq_index
+    "q150_ann_ivfpq_index" -> q150_ann_ivfpq_index,
+    "q151_ccnet_buckets" -> q151_ccnet_buckets
   )
 
   val oracles: Map[String, String] = Map(
@@ -297,6 +360,7 @@ object Queries11 {
     "q147_ann_ivf_append" -> q147_sql,
     "q148_ann_pq_index" -> q148_sql,
     "q149_ann_ivfpq" -> q149_sql,
-    "q150_ann_ivfpq_index" -> q150_sql
+    "q150_ann_ivfpq_index" -> q150_sql,
+    "q151_ccnet_buckets" -> q151_sql
   )
 }

@@ -1396,7 +1396,7 @@ object PipelineCompiler {
     val twiceUsing = Set("repetition_gate", "exact_dedup", "duplicate_spans",
       "minhash_dedup", "simhash_dedup", "line_dedup", "semdedup", "domain_cap",
       "html_extract", "boilerplate_scrub", "decontaminate", "span_scrub",
-      "source_quota", "classifier_gate", "dsir_upsample")
+      "source_quota", "classifier_gate", "dsir_upsample", "ccnet_bucket")
     val idxOuts = Seq.newBuilder[(String, DataFrame)]
     stages.elements().asScala.foreach { st =>
       val twice = twiceUsing(st.get("type").asText())
@@ -2118,6 +2118,25 @@ object PipelineCompiler {
           n = intOpt("n", 2), buckets = intOpt("buckets", 1 << 20),
           biasMilli = longOpt("bias_milli", 0L),
           thresholdMilli = longOpt("threshold_milli", 0L)), col("pass"))
+      case "ccnet_bucket" =>
+        // CCNet per-language LM-perplexity terciles (q151): `keep:`
+        // lists the buckets to keep (the Wenzek et al. pipeline keeps
+        // head+middle); without `keep` the stage annotates each row
+        // with its bucket (`out_col`, default lm_bucket) instead.
+        // Thresholds are corpus-level → set-dependent, batch-only.
+        val verdict = graft.ml.TextOps.ccnetBuckets(df, id, text)
+        Option(st.get("keep")) match {
+          case Some(ks) =>
+            val keepSet = ks.elements().asScala.map(_.asText()).toSet
+            require(keepSet.nonEmpty &&
+              keepSet.subsetOf(Set("head", "middle", "tail")),
+              "curation ccnet_bucket: keep must list head|middle|tail")
+            keepIds(verdict, col("bucket").isInCollection(keepSet))
+          case None =>
+            df.join(verdict.select(col(id),
+              col("bucket").as(Option(st.get("out_col")).map(_.asText())
+                .getOrElse("lm_bucket"))), Seq(id))
+        }
       case "dsir_upsample" =>
         // the demo's mixing composition (q117 + q104): DSIR importance
         // weights against `target_expr`, rescaled into

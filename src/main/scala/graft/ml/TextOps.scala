@@ -137,6 +137,54 @@ object TextOps {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** CCNet-style per-language LM-quality bucketing (Wenzek et al. 2020:
+    * score each document with a language-specific LM, split each
+    * language into head/middle/tail perplexity terciles; training
+    * pipelines then keep head+middle). The LM is [[bigramLmScore]] (the
+    * corpus-as-LM exact-integer score; higher mean = more LM-probable =
+    * "head"), the language is [[langId]], and the tercile thresholds
+    * are the ceil(n/3)-th / ceil(2n/3)-th largest per-language mean
+    * scores. Ties at a threshold all land in the better bucket, so
+    * assignment is pure score comparison — deterministic and
+    * engine-reproducible (no percentile-interpolation semantics to
+    * match across engines).
+    *
+    * Shape at scale: the threshold pass is a histogram-CDF, NOT a
+    * per-language global sort — scores compact to (lang, score) counts
+    * (score is an integer mean in [0, 1e6], so the histogram is bounded
+    * at 1e6 rows per language regardless of corpus size), the running
+    * count runs over that bounded table, and the two thresholds per
+    * language broadcast back (bounded at construction: one row per
+    * language the detector can emit). A `Window.partitionBy(lang)` over
+    * the raw corpus would funnel whole languages into single tasks —
+    * this shape never sorts the corpus at all. Docs with no bigram
+    * (under 2 tokens) score 0 → tail. */
+  def ccnetBuckets(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lm = bigramLmScore(df, idCol, textCol)
+    val scored = df.select(col(idCol), langId(col(textCol)).as("lang"))
+      .join(lm, Seq(idCol), "left")
+      .select(col(idCol), col("lang"),
+        coalesce(expr("lm_score_micro DIV n_bigrams"), lit(0L)).as("score"))
+    val hist = scored.groupBy(col("lang"), col("score"))
+      .agg(count(lit(1)).as("_c"))
+    // running doc count with score >= s, over the bounded histogram
+    val cum = hist.withColumn("_cum", sum(col("_c")).over(
+      Window.partitionBy(col("lang")).orderBy(desc("score"))))
+    val th = cum
+      .join(scored.groupBy(col("lang")).agg(count(lit(1)).as("_n")), "lang")
+      .groupBy(col("lang"))
+      .agg(
+        max(when(col("_cum") >= expr("(_n + 2) DIV 3"), col("score"))).as("_t1"),
+        max(when(col("_cum") >= expr("(2 * _n + 2) DIV 3"), col("score"))).as("_t2"))
+    scored.join(broadcast(th), "lang")
+      .select(col(idCol), col("lang"), col("score").as("lm_mean_micro"),
+        when(col("score") >= col("_t1"), "head")
+          .when(col("score") >= col("_t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Repetition signals — the standard "repetitive document" quality
     * filters: token multiplicity (`n_tok` vs `n_distinct_tok`) and the
     * concentration of the single most frequent bigram (`top_gram_cnt`

@@ -1109,6 +1109,66 @@ class CompilerSpec extends AnyFunSuite {
     assert(he == heDirect && he.nonEmpty)
   }
 
+  test("curation YAML: ccnet_bucket keeps the listed terciles, annotates without keep, and refuses to stream") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+
+    // keep mode ≡ the direct call filtered to the kept buckets
+    val kept = PipelineCompiler.compileCuration(spark,
+      s"""curation:
+         |  input: {dir: "$dir", table: documents}
+         |  stages:
+         |    - {type: ccnet_bucket, keep: [head, middle]}
+         |""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val verdict = graft.ml.TextOps.ccnetBuckets(docs, "doc_id", "text")
+    val keptDirect = verdict.filter(col("bucket").isin("head", "middle"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == keptDirect)
+    val n = docs.count()
+    assert(kept.size < n && kept.size > n / 2,
+      s"head+middle must keep roughly two thirds, got ${kept.size}/$n")
+
+    // annotate mode: no rows dropped, bucket column joined on
+    val ann = PipelineCompiler.compileCuration(spark,
+      s"""curation:
+         |  input: {dir: "$dir", table: documents}
+         |  stages:
+         |    - {type: ccnet_bucket, out_col: ppl_bucket}
+         |""".stripMargin)
+    assert(ann.columns.contains("ppl_bucket") && ann.count() == n)
+    val annBuckets = ann.select("doc_id", "ppl_bucket").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val directBuckets = verdict.select("doc_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(annBuckets == directBuckets)
+
+    // invalid bucket name rejected at compile time
+    val bad = intercept[IllegalArgumentException] {
+      PipelineCompiler.compileCuration(spark,
+        s"""curation:
+           |  input: {dir: "$dir", table: documents}
+           |  stages:
+           |    - {type: ccnet_bucket, keep: [best]}
+           |""".stripMargin)
+    }
+    assert(bad.getMessage.contains("head|middle|tail"))
+
+    // set-dependent → the streaming compiler refuses for cause
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ccnet_land")
+    docs.limit(5).write.mode("overwrite").parquet(tmp.toString + "/in")
+    val stream = intercept[IllegalArgumentException] {
+      PipelineCompiler.compileCurationStream(spark,
+        s"""curation:
+           |  input: {path: "${tmp.toString}/in"}
+           |  stages:
+           |    - {type: ccnet_bucket, keep: [head]}
+           |""".stripMargin)
+    }
+    assert(stream.getMessage.contains("not streamable"))
+  }
+
   test("curation YAML compiles the corpus pipeline with operator-identical output") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
