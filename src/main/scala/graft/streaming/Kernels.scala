@@ -346,6 +346,81 @@ object Kernels {
       }
   }
 
+  // --------------------------------------------- heavy hitters (SpaceSaving)
+
+  /** Weighted item observation for [[heavyHitters]]: `group` partitions
+    * independent sketches (e.g. per pipeline/source), `seq` fixes the
+    * processing order inside a micro-batch, `weight` is the increment
+    * (1 for counts, nTok for token-weighted hitters). */
+  final case class HHEvent(group: String, seq: Long, item: String,
+                           weight: Long = 1L)
+  final case class HHCounter(item: String, count: Long, err: Long)
+  final case class HHState(epoch: Long, counters: List[HHCounter])
+  /** Per-micro-batch sketch snapshot: `count` is an UPPER bound on the
+    * item's true weight, `count - err` a LOWER bound; `epoch` increments
+    * per micro-batch the group saw, so downstream keeps the max-epoch
+    * rows per group for the current table. */
+  final case class HHSnapshot(group: String, epoch: Long, item: String,
+                              count: Long, err: Long)
+
+  /** Streaming heavy hitters — the SpaceSaving sketch (Metwally et al.
+    * 2005) as a per-group kernel: at most `capacity` counters per group,
+    * a new item evicts the MINIMUM counter and inherits its count as
+    * `err`. The two classical guarantees hold at any stream length with
+    * O(capacity) state per group: every item with true weight
+    * > totalWeight/capacity is present in the table, and each counter
+    * brackets its item's true weight in [count − err, count] — this is
+    * what "top domains / hottest keys today" costs on an unbounded
+    * stream, where the exact groupBy (q71) would hold every key ever
+    * seen. Batch-equivalence is EXACT, not approximate: processing a
+    * sequence through any micro-batch split equals the one-pass sketch
+    * over the seq-sorted whole (state carries the full sketch), spec'd
+    * in StreamingKernelsSpec. Determinism: events process in `seq`
+    * order; eviction picks the (count, item) minimum so ties are
+    * stable. Each micro-batch emits the group's current table
+    * (≤ capacity rows, count-desc) tagged with an epoch; `stateTtlMs`
+    * evicts idle groups. */
+  def heavyHitters(ds: Dataset[HHEvent], capacity: Int,
+                   stateTtlMs: Long = 0L): Dataset[HHSnapshot] = {
+    require(capacity > 0, "heavyHitters: capacity must be positive")
+    implicit val outEnc = Encoders.product[HHSnapshot]
+    implicit val stEnc = Encoders.product[HHState]
+    ds.groupByKey(_.group)(Encoders.STRING)
+      .flatMapGroupsWithState[HHState, HHSnapshot](
+        OutputMode.Append, ttlMode(stateTtlMs)) {
+        (group, events, state: GroupState[HHState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val st = state.getOption.getOrElse(HHState(0L, Nil))
+            val tbl = scala.collection.mutable.Map.empty[String, (Long, Long)]
+            st.counters.foreach(c => tbl(c.item) = (c.count, c.err))
+            events.toSeq.sortBy(_.seq).foreach { ev =>
+              tbl.get(ev.item) match {
+                case Some((c, e)) => tbl(ev.item) = (c + ev.weight, e)
+                case None if tbl.size < capacity =>
+                  tbl(ev.item) = (ev.weight, 0L)
+                case None =>
+                  // evict the minimum counter (count asc, item asc —
+                  // deterministic); the newcomer inherits its count as
+                  // the overestimation error
+                  val (mi, (mc, _)) = tbl.minBy { case (i, (c, _)) => (c, i) }
+                  tbl.remove(mi)
+                  tbl(ev.item) = (mc + ev.weight, mc)
+              }
+            }
+            val counters = tbl.toList
+              .map { case (i, (c, e)) => HHCounter(i, c, e) }
+              .sortBy(c => (-c.count, c.item))
+            state.update(HHState(st.epoch + 1, counters))
+            armTtl(state, stateTtlMs)
+            counters.iterator
+              .map(c => HHSnapshot(group, st.epoch + 1, c.item, c.count, c.err))
+          }
+      }
+  }
+
   // ------------------------------------------------- as-of enrichment
 
   /** Tagged two-stream event for [[asofEnrich]]: right events update the

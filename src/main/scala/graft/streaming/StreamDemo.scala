@@ -98,7 +98,19 @@ object StreamDemo {
     println("== streaming dedup (expect a,b once each) ==")
     spark.table("demo_dd").select("value").show(false)
 
-    Seq(tq, cq, aq, dq, ddq).foreach(_.stop())
+    // heavy hitters: SpaceSaving sketch, capacity 2, 3 distinct items —
+    // the singleton is evicted, the two heavies survive with bounds
+    val hh = MemoryStream[HHEvent]
+    val hq = Kernels.heavyHitters(hh.toDS(), capacity = 2)
+      .writeStream.format("memory").queryName("demo_hh").outputMode("append").start()
+    hh.addData((1 to 5).map(i => HHEvent("g", i.toLong, "big")) ++
+      Seq(HHEvent("g", 6, "rare"), HHEvent("g", 7, "med"),
+        HHEvent("g", 8, "med")): _*)
+    hq.processAllAvailable()
+    println("== heavy hitters (expect big=5 and med on top, rare evicted) ==")
+    spark.table("demo_hh").show(false)
+
+    Seq(tq, cq, aq, dq, ddq, hq).foreach(_.stop())
     println("STREAM_DEMO_OK")
     spark.stop()
   }

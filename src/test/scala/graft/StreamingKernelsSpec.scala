@@ -559,4 +559,100 @@ class StreamingKernelsSpec extends AnyFunSuite {
     } finally q.stop()
     }
   }
+
+  /** Independent one-pass SpaceSaving reference (Metwally et al. 2005)
+    * — same eviction tie rule as the kernel, reimplemented against the
+    * paper, not the kernel code. */
+  private def spaceSavingRef(events: Seq[HHEvent],
+                             capacity: Int): Map[String, (Long, Long)] = {
+    val tbl = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    events.sortBy(_.seq).foreach { ev =>
+      tbl.get(ev.item) match {
+        case Some((c, e)) => tbl(ev.item) = (c + ev.weight, e)
+        case None if tbl.size < capacity => tbl(ev.item) = (ev.weight, 0L)
+        case None =>
+          val (mi, (mc, _)) = tbl.minBy { case (i, (c, _)) => (c, i) }
+          tbl.remove(mi)
+          tbl(ev.item) = (mc + ev.weight, mc)
+      }
+    }
+    tbl.toMap
+  }
+
+  test("heavy hitters kernel: micro-batch splits ≡ one-pass sketch; SpaceSaving guarantees hold under eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val capacity = 4
+    // 3 genuinely heavy items + a 12-singleton tail that forces
+    // evictions (15 distinct >> 4 counters)
+    val seq0 = Seq.fill(30)("alpha") ++ Seq.fill(20)("beta") ++
+      Seq.fill(10)("gamma")
+    val tail = (0 until 12).map(i => s"one_$i")
+    val items = (seq0 ++ tail).zipWithIndex
+      .map { case (it, i) => HHEvent("g", (i * 37) % 1000, it) } // shuffled seqs
+    val batches = items.grouped(25).toSeq
+    assert(batches.size >= 3, "fixture must span several micro-batches")
+
+    val input = MemoryStream[HHEvent]
+    val q = Kernels.heavyHitters(input.toDS(), capacity)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val snaps = spark.table("hh_out").as[HHSnapshot].collect()
+      val lastEpoch = snaps.map(_.epoch).max
+      val got = snaps.filter(_.epoch == lastEpoch)
+        .map(s => s.item -> (s.count, s.err)).toMap
+      assert(got.size <= capacity)
+
+      // EXACT equivalence: sequentially processed micro-batches = one
+      // pass over the seq-sorted whole... but the kernel sorts by seq
+      // only WITHIN a batch, so the reference must see the same order:
+      // batches in arrival order, seq-sorted inside each
+      val refOrder = batches.zipWithIndex.flatMap { case (b, bi) =>
+        b.sortBy(_.seq).zipWithIndex
+          .map { case (e, i) => e.copy(seq = bi * 1000000L + i) }
+      }
+      assert(got == spaceSavingRef(refOrder, capacity))
+
+      // classical guarantees vs true counts
+      val trueCounts = items.groupBy(_.item).map { case (k, v) => k -> v.size.toLong }
+      val total = items.size.toLong
+      trueCounts.filter(_._2 > total / capacity).keys.foreach { hh =>
+        assert(got.contains(hh), s"true heavy hitter $hh missing from the table")
+      }
+      got.foreach { case (item, (count, err)) =>
+        val t = trueCounts(item)
+        assert(t <= count && count - err <= t,
+          s"$item: true $t outside [${count - err}, $count]")
+      }
+      // the 3 heavy items must in fact surface on top
+      val top3 = got.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(3).map(_._1)
+      assert(top3.toSet == Set("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
+  test("heavy hitters kernel is exact while distinct items fit the capacity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[HHEvent]
+    val q = Kernels.heavyHitters(input.toDS(), capacity = 8)
+      .writeStream.format("memory").queryName("hh_exact_out")
+      .outputMode("append").start()
+    try {
+      input.addData(HHEvent("g", 1, "x", 5L), HHEvent("g", 2, "y", 2L))
+      q.processAllAvailable()
+      input.addData(HHEvent("g", 3, "x", 3L), HHEvent("g", 4, "z", 1L),
+        HHEvent("h", 1, "only", 7L)) // independent group
+      q.processAllAvailable()
+      val snaps = spark.table("hh_exact_out").as[HHSnapshot].collect()
+      val gLast = snaps.filter(s => s.group == "g")
+        .filter(_.epoch == snaps.filter(_.group == "g").map(_.epoch).max)
+        .map(s => s.item -> (s.count, s.err)).toMap
+      assert(gLast == Map("x" -> (8L, 0L), "y" -> (2L, 0L), "z" -> (1L, 0L)),
+        s"under capacity the sketch must be the exact counts, got $gLast")
+      val hLast = snaps.filter(_.group == "h").map(s => (s.item, s.count, s.err))
+      assert(hLast.toSeq == Seq(("only", 7L, 0L)))
+    } finally q.stop()
+  }
 }
