@@ -70,6 +70,22 @@ object ScaleProbe {
       if (scale == "base") Tables(spark, base, "documents")
       else spark.read.parquet(docs1Path)
 
+    // 10× embeddings for the ANN cells (same remap convention; vector
+    // VALUES repeat — quantization cell counts scale honestly, centroid
+    // seeds shift to the remapped ids, which a perf probe tolerates)
+    val emb1Path = s"$sf1Dir/embeddings.parquet"
+    if (!new java.io.File(emb1Path, "_SUCCESS").exists()) {
+      Tables(spark, base, "embeddings")
+        .crossJoin(spark.range(10).select(col("id").as("_rep")))
+        .select((col("vec_id") * 10 + col("_rep")).as("vec_id"),
+          col("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(emb1Path)
+    }
+    def embAt(scale: String): DataFrame =
+      if (scale == "base") Tables(spark, base, "embeddings")
+      else spark.read.parquet(emb1Path)
+
     def curationYaml(dir: String, table: String): String =
       s"""curation:
          |  input: {dir: "$dir", table: $table}
@@ -140,6 +156,23 @@ object ScaleProbe {
           if (scale == "base") (base, "documents") else (sf1Dir, "documents")
         measure(spark)(graft.compiler.PipelineCompiler.compileCuration(
           spark, curationYaml(dir, table)).count())
+      },
+      // round-10c: IVF-PQ full flow (coarse assign + residual encode +
+      // ADC probe) — the per-vector work is the index-build cost; the
+      // claim under test is linear build scaling with flat per-task state
+      "ivfpq_topk" -> { scale: String =>
+        val qv = Tables(spark, base, "embeddings")
+          .filter(col("vec_id") === 0).head().getSeq[Float](1)
+        val e = embAt(scale).filter(col("vec_id") =!= 0)
+        measure(spark)(graft.ml.Ann.ivfpqTopK(e, "vec_id", "embedding",
+          qv, k = 10, nCentroids = 8, nProbe = 2, m = 4, nCodes = 16).count())
+      },
+      // round-10c: CCNet terciles — two corpus-LM shuffles + the bounded
+      // histogram-CDF threshold pass; the claim under test is that the
+      // threshold leg stays bounded while the LM legs scale linearly
+      "ccnet_buckets" -> { scale: String =>
+        measure(spark)(graft.ml.TextOps.ccnetBuckets(docsAt(scale),
+          "doc_id", "text").count())
       }
     )
 

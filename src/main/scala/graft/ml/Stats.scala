@@ -1,0 +1,55 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable corpus-accounting sketches — the statistics side of the
+  * incremental-index family: distinct counts per group (distinct URLs
+  * per source, distinct document fingerprints per crawl, distinct users
+  * per domain) tracked ACROSS runs without ever re-reading previous
+  * corpora. Built on Spark's DataSketches HLL aggregates
+  * (hll_sketch_agg / hll_union_agg — Apache DataSketches HLL_8), whose
+  * register state is a max per bucket: updates and unions are
+  * order-independent and associative, so a per-run sketch row is all a
+  * run needs to persist (~2^lgK bytes per group), and merging N runs
+  * equals sketching the concatenated corpus exactly — not just
+  * approximately (spec'd in StatsSketchSpec).
+  *
+  * Scale shape: one map-side-combined shuffle per run keyed by group;
+  * the persisted index holds one ≤ KB-sized binary row per (group,
+  * run); estimates read the index only. Standard HLL error ≈
+  * 1.04/√2^lgK (1.6% at the default lgK=12). No DuckDB oracle by
+  * design — the sketch bytes are engine-specific — so correctness is
+  * spec'd: partition-order invariance, merge ≡ one-shot equality, and
+  * relative-error bounds against exact distinct counts.
+  */
+object Stats {
+
+  /** One run's distinct-count sketch per group: (group, sketch,
+    * rows_seen). `key` is the expression whose distinct values are
+    * counted (e.g. a URL, a fingerprint, xxhash64 of the text). */
+  def distinctSketch(df: DataFrame, groupCol: String, key: Column,
+                     lgK: Int = 12): DataFrame =
+    df.groupBy(col(groupCol).as("group"))
+      .agg(hll_sketch_agg(key, lit(lgK)).as("sketch"),
+        count(lit(1)).as("rows_seen"))
+
+  /** The next-run index: previous runs' rows ∪ this run's — the lazy
+    * union (one row per (group, run), no re-aggregation of old
+    * sketches at write time; the OR-merge is deferred to read). The
+    * same layout discipline as the Bloom exact-dedup index. */
+  def distinctSketchIndexMerged(old: Option[DataFrame],
+                                cur: DataFrame): DataFrame =
+    old.map(_.unionByName(cur)).getOrElse(cur)
+
+  /** Collapse an index (one or many runs per group) to per-group
+    * estimates: union the sketch registers (associative max — equal to
+    * having sketched everything in one pass) and estimate. */
+  def distinctEstimate(idx: DataFrame): DataFrame =
+    idx.groupBy(col("group"))
+      .agg(hll_union_agg(col("sketch")).as("_u"),
+        sum(col("rows_seen")).as("rows_seen"))
+      .select(col("group"),
+        hll_sketch_estimate(col("_u")).as("distinct_est"),
+        col("rows_seen"))
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.ml.Stats
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of the mergeable distinct-count sketch index: register
+  * state is a per-bucket max, so (1) estimates are invariant to
+  * partitioning/order, (2) merging per-run sketch rows EQUALS the
+  * one-shot sketch over the concatenated runs, and (3) estimates track
+  * exact distinct counts within the standard HLL error band.
+  */
+class StatsSketchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+
+  test("sketch estimates are partition-order invariant and within the HLL error band") {
+    val key = col("text")
+    val est = Stats.distinctEstimate(
+      Stats.distinctSketch(docs, "source", key))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est13 = Stats.distinctEstimate(
+      Stats.distinctSketch(docs.repartition(13), "source", key))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == est13, "estimate must not depend on partitioning")
+
+    val exact = docs.groupBy("source")
+      .agg(countDistinct(col("text")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (g, e) =>
+      val x = exact(g).toDouble
+      assert(math.abs(e.toDouble - x) <= math.max(2.0, 0.05 * x),
+        s"group $g: estimate $e too far from exact $x")
+    }
+  }
+
+  test("merged per-run index rows estimate EXACTLY like the one-shot sketch; lazy union appends") {
+    val runA = docs.filter(col("doc_id") % 3 === 0)
+    val runB = docs.filter(col("doc_id") % 3 =!= 0)
+    val key = col("text")
+
+    val idxA = Stats.distinctSketch(runA, "source", key)
+    val v2 = Stats.distinctSketchIndexMerged(Some(idxA),
+      Stats.distinctSketch(runB, "source", key))
+    // lazy union: one row per (group, run), nothing re-aggregated
+    assert(v2.count() == idxA.count() +
+      Stats.distinctSketch(runB, "source", key).count())
+
+    val merged = Stats.distinctEstimate(v2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = Stats.distinctEstimate(
+      Stats.distinctSketch(docs, "source", key))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == oneShot,
+      "union of per-run registers must equal the one-pass sketch")
+  }
+
+  test("duplicate keys across runs do not inflate the estimate") {
+    // run B repeats run A's keys entirely: distinct must not double
+    val runA = docs.filter(col("doc_id") < 100)
+    val idx = Stats.distinctSketchIndexMerged(
+      Some(Stats.distinctSketch(runA, "source", col("text"))),
+      Stats.distinctSketch(runA.withColumn("doc_id", col("doc_id") + 1000000),
+        "source", col("text")))
+    val est = Stats.distinctEstimate(idx)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val one = Stats.distinctEstimate(
+      Stats.distinctSketch(runA, "source", col("text")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (g, (e, seen)) =>
+      assert(e == one(g), s"group $g: repeated keys changed the estimate")
+      assert(seen == 2 * runA.filter(col("source") === g).count())
+    }
+  }
+}
