@@ -291,7 +291,12 @@ object Queries11 {
   val q151_ccnet_buckets: Q = (s, dir) =>
     graft.ml.TextOps.ccnetBuckets(t(s, dir, "documents"), "doc_id", "text")
 
-  val q151_sql: String = {
+  /** The CCNet CTE block over `from` (any table/CTE with doc_id + text):
+    * langid CASE, corpus-LM scoring, histogram running count, and the
+    * per-language tercile thresholds — shared by q151 (whole corpus) and
+    * q152 (post-gate survivors, where the LM and thresholds are relative
+    * to the survivor corpus exactly like the compiled stage's input). */
+  private[graft] def ccnetCtes(from: String): String = {
     import graft.ml.TextOps
     val langs = TextOps.stopwords.keys.toSeq.sorted
     val hitCols = langs.map { l =>
@@ -300,14 +305,14 @@ object Queries11 {
     }.mkString(",\n    ")
     val g = langs.map(l => s"h_$l").mkString(", ")
     val cases = langs.map(l => s"WHEN h_$l = greatest($g) THEN '$l'").mkString(" ")
-    s"""WITH hits AS (SELECT doc_id,
+    s"""hits AS (SELECT doc_id,
        |    $hitCols
-       |  FROM documents),
+       |  FROM $from),
        |lang AS (SELECT doc_id,
        |    CASE WHEN greatest($g) = 0 THEN 'und' $cases END AS lang
        |  FROM hits),
        |toks AS (
-       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM $from),
        |idx AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks),
        |occ AS (
        |  SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS g FROM idx),
@@ -334,12 +339,72 @@ object Queries11 {
        |  SELECT cum.lang,
        |    MAX(CASE WHEN cum.cum >= (n.n + 2) // 3 THEN cum.score END) AS t1,
        |    MAX(CASE WHEN cum.cum >= (2 * n.n + 2) // 3 THEN cum.score END) AS t2
-       |  FROM cum JOIN n USING (lang) GROUP BY 1)
+       |  FROM cum JOIN n USING (lang) GROUP BY 1)""".stripMargin
+  }
+
+  val q151_sql: String =
+    s"""WITH ${ccnetCtes("documents")}
        |SELECT s.doc_id, s.lang, s.score AS lm_mean_micro,
        |  CASE WHEN s.score >= t.t1 THEN 'head'
        |       WHEN s.score >= t.t2 THEN 'middle'
        |       ELSE 'tail' END AS bucket
        |FROM scored s JOIN th t USING (lang)""".stripMargin
+
+  /** Round-10: the QUALITY curation chain compiled from YAML and oracled
+    * as ONE chained DuckDB query — gopher gate, CCNet head+middle keep
+    * (LM and terciles relative to the gate's survivors), then per-source
+    * token quota over what remains. Proves the new stage composes: each
+    * stage's input is the previous stage's output, nothing recomputed
+    * against the raw corpus. */
+  val q152_curation_quality: Q = (s, dir) =>
+    graft.compiler.PipelineCompiler.compileCuration(s,
+      s"""curation:
+         |  input: {dir: "$dir", table: documents}
+         |  stages:
+         |    - {type: gopher_gate, min_tok: 5}
+         |    - {type: ccnet_bucket, keep: [head, middle]}
+         |    - {type: source_quota, group: source, budget: 500, seed: 7}
+         |""".stripMargin)
+      .select(col("doc_id"))
+
+  val q152_sql: String = {
+    val sw = graft.ml.TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH gop AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+       |      CAST(len(replace(text, ' ', '')) AS BIGINT) AS char_sum,
+       |      CAST(len(list_filter(string_split(lower(text), ' '),
+       |        t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT) AS alpha_cnt,
+       |      CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+       |        AS distinct_cnt,
+       |      CAST(len(list_filter(string_split(lower(text), ' '),
+       |        t -> list_contains([$sw], t))) AS BIGINT) AS stop_hits
+       |    FROM documents)
+       |  WHERE (n_tok BETWEEN 5 AND 100000)
+       |    AND ((char_sum * 100) // n_tok BETWEEN 300 AND 1000)
+       |    AND (alpha_cnt * 1000) // n_tok >= 800 AND stop_hits >= 2
+       |    AND (distinct_cnt * 1000) // n_tok >= 300),
+       |g1 AS (
+       |  SELECT d.doc_id, d.text, d.source FROM documents d JOIN gop USING (doc_id)),
+       |${ccnetCtes("g1")},
+       |g2 AS (
+       |  SELECT g1.doc_id, g1.text, g1.source
+       |  FROM g1 JOIN scored s USING (doc_id) JOIN th t USING (lang)
+       |  WHERE s.score >= t.t2),
+       |h AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    ('0x' || substr(md5(text || '#q7'), 1, 15))::BIGINT AS hk
+       |  FROM g2),
+       |r AS (
+       |  SELECT source, doc_id,
+       |    coalesce(CAST(sum(n_tok) OVER (PARTITION BY source
+       |      ORDER BY hk, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      AS tokens_before
+       |  FROM h)
+       |SELECT doc_id FROM r WHERE tokens_before < 500""".stripMargin
   }
 
   // ------------------------------------------------------------- registry
@@ -351,7 +416,8 @@ object Queries11 {
     "q148_ann_pq_index" -> q148_ann_pq_index,
     "q149_ann_ivfpq" -> q149_ann_ivfpq,
     "q150_ann_ivfpq_index" -> q150_ann_ivfpq_index,
-    "q151_ccnet_buckets" -> q151_ccnet_buckets
+    "q151_ccnet_buckets" -> q151_ccnet_buckets,
+    "q152_curation_quality" -> q152_curation_quality
   )
 
   val oracles: Map[String, String] = Map(
@@ -361,6 +427,7 @@ object Queries11 {
     "q148_ann_pq_index" -> q148_sql,
     "q149_ann_ivfpq" -> q149_sql,
     "q150_ann_ivfpq_index" -> q150_sql,
-    "q151_ccnet_buckets" -> q151_sql
+    "q151_ccnet_buckets" -> q151_sql,
+    "q152_curation_quality" -> q152_sql
   )
 }
