@@ -407,6 +407,56 @@ object Queries11 {
        |SELECT doc_id FROM r WHERE tokens_before < 500""".stripMargin
   }
 
+  // ---------------------------------------- CCNet-normalized line dedup
+
+  /** Round-10: normalized-KEY segment dedup — the CCNet paragraph-dedup
+    * spelling (dedup on the lowercased / digit-zeroed / punct-stripped
+    * key, emit the ORIGINAL text). The synthetic corpus carries no
+    * punctuation, so the query decorates deterministically (the q108
+    * pattern): even docs render `spark` as `Spark1!`, odd docs as
+    * `spark2;` — raw keys differ, normalized keys collide, so the merge
+    * only happens under normalization (a plain line_dedup run would
+    * keep both forms everywhere). */
+  val q153_line_dedup_norm: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val decorated = docs.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0,
+        expr("replace(text, 'spark', 'Spark1!')"))
+        .otherwise(expr("replace(text, 'spark', 'spark2;')")).as("text"))
+    graft.ml.Corpus.lineDedupKeepFirst(decorated, "doc_id", "text",
+      delim = " ", normalize = true)
+  }
+
+  val q153_sql: String =
+    """WITH dec AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN replace(text, 'spark', 'Spark1!')
+      |         ELSE replace(text, 'spark', 'spark2;') END AS text
+      |  FROM documents),
+      |seg AS (
+      |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS seg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM dec)),
+      |k AS (
+      |  SELECT doc_id, pos, seg,
+      |    trim(regexp_replace(regexp_replace(regexp_replace(lower(seg),
+      |      '[0-9]', '0', 'g'), '[!-/:-@\[-`{-~]', '', 'g'),
+      |      ' +', ' ', 'g')) AS nk
+      |  FROM seg),
+      |fl AS (
+      |  SELECT doc_id, pos, seg,
+      |    row_number() OVER (PARTITION BY nk ORDER BY doc_id, pos) = 1
+      |      AS keep
+      |  FROM k),
+      |re AS (
+      |  SELECT doc_id,
+      |    coalesce(string_agg(seg, ' ' ORDER BY pos)
+      |      FILTER (WHERE keep), '') AS clean_text,
+      |    CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed
+      |  FROM fl GROUP BY 1)
+      |SELECT d.doc_id, coalesce(re.clean_text, '') AS clean_text,
+      |  coalesce(re.n_removed, 0) AS n_removed
+      |FROM documents d LEFT JOIN re USING (doc_id)""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -417,7 +467,8 @@ object Queries11 {
     "q149_ann_ivfpq" -> q149_ann_ivfpq,
     "q150_ann_ivfpq_index" -> q150_ann_ivfpq_index,
     "q151_ccnet_buckets" -> q151_ccnet_buckets,
-    "q152_curation_quality" -> q152_curation_quality
+    "q152_curation_quality" -> q152_curation_quality,
+    "q153_line_dedup_norm" -> q153_line_dedup_norm
   )
 
   val oracles: Map[String, String] = Map(
@@ -428,6 +479,7 @@ object Queries11 {
     "q149_ann_ivfpq" -> q149_sql,
     "q150_ann_ivfpq_index" -> q150_sql,
     "q151_ccnet_buckets" -> q151_sql,
-    "q152_curation_quality" -> q152_sql
+    "q152_curation_quality" -> q152_sql,
+    "q153_line_dedup_norm" -> q153_sql
   )
 }

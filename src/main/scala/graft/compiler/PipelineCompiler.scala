@@ -1478,7 +1478,8 @@ object PipelineCompiler {
       case "line_dedup" =>
         graft.ml.Corpus.lineDedupIndexMerged(old, kept, id, text,
           delim = Option(st.get("delim")).map(_.asText()).getOrElse("\n"),
-          fingerprint = boolOpt("fingerprint"))
+          fingerprint = boolOpt("fingerprint"),
+          normalize = boolOpt("normalize"))
       case "semdedup" =>
         // the packed (centroids ∪ members) layout: a follow-up run keeps
         // the SAME centroids (incremental regime — rebuild the index to
@@ -1996,9 +1997,11 @@ object PipelineCompiler {
         val cleaned = Option(st.get("index_path")) match {
           case Some(p) => graft.ml.Corpus.lineDedupAgainst(
             df, spark.read.parquet(p.asText()), id, text,
-            delim = delim, fingerprint = boolOpt("fingerprint"))
+            delim = delim, fingerprint = boolOpt("fingerprint"),
+            normalize = boolOpt("normalize"))
           case None => graft.ml.Corpus.lineDedupKeepFirst(df, id, text,
-            delim = delim, fingerprint = boolOpt("fingerprint"))
+            delim = delim, fingerprint = boolOpt("fingerprint"),
+            normalize = boolOpt("normalize"))
         }
         df.drop(text).join(
           cleaned.filter(length(col("clean_text")) > 0)

@@ -436,8 +436,28 @@ object Corpus {
     * inherent doc-key shuffle; the kept/removed split happens inside
     * that single aggregation (conditional collect + sum), so the corpus
     * is tokenized exactly once. */
+  /** CCNet-ish segment-key normalization (Wenzek et al. 2020,
+    * cc_net text_normalizer: lowercase, digits → 0, punctuation
+    * stripped, whitespace collapsed) — the KEY under which CCNet
+    * removes duplicated paragraphs; the emitted text stays the
+    * original. ASCII punctuation ranges keep the regex RE2-safe so
+    * Spark and DuckDB produce byte-identical keys. */
+  def ccnetSegKey(seg: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(lower(seg),
+      "[0-9]", "0"), "[!-/:-@\\[-`{-~]", ""), " +", " "))
+
+  /** Dedup key of a segment: optionally CCNet-normalized, then
+    * optionally fingerprinted to 16 bytes — shared by every member of
+    * the line-dedup family so batch, index build, and Against agree. */
+  private def segDedupKey(seg: Column, fingerprint: Boolean,
+                          normalize: Boolean): Column = {
+    val base = if (normalize) ccnetSegKey(seg) else seg
+    if (fingerprint) unhex(md5(base)) else base
+  }
+
   def lineDedupKeepFirst(df: DataFrame, idCol: String, textCol: String,
-                         delim: String, fingerprint: Boolean = false): DataFrame = {
+                         delim: String, fingerprint: Boolean = false,
+                         normalize: Boolean = false): DataFrame = {
     val litDelim = java.util.regex.Pattern.quote(delim)
     val ord = struct(col(idCol), col("pos"))
     val seg0 = df.select(col(idCol),
@@ -446,9 +466,10 @@ object Corpus {
     // segment's 128-bit MD5 instead of the segment text — the agg-side
     // shuffle carries 16 bytes per row regardless of line length (the
     // duplicateSpans swap; reassembly still carries `seg` on the
-    // flagged side, which is inherent — the text must survive)
+    // flagged side, which is inherent — the text must survive).
+    // normalize mode keys by the CCNet-normalized segment instead.
     val seg = seg0.withColumn("_k",
-      if (fingerprint) unhex(md5(col("seg"))) else col("seg"))
+      segDedupKey(col("seg"), fingerprint, normalize))
     val winner = seg.groupBy(col("_k")).agg(min(ord).as("first_ord"))
     val flagged = seg.join(winner, Seq("_k"))
       .select(col(idCol), col("pos"), col("seg"),
@@ -474,11 +495,11 @@ object Corpus {
     * corpus. One segment-key shuffle with map-side distinct; rows are
     * one 16-byte key (fingerprint mode) or the segment text. */
   def lineDedupIndex(df: DataFrame, idCol: String, textCol: String,
-                     delim: String, fingerprint: Boolean = false): DataFrame = {
+                     delim: String, fingerprint: Boolean = false,
+                     normalize: Boolean = false): DataFrame = {
     val litDelim = java.util.regex.Pattern.quote(delim)
     val seg = df.select(explode(split(col(textCol), litDelim)).as("seg"))
-    seg.select(
-      (if (fingerprint) unhex(md5(col("seg"))) else col("seg")).as("seg_key"))
+    seg.select(segDedupKey(col("seg"), fingerprint, normalize).as("seg_key"))
       .distinct()
   }
 
@@ -487,8 +508,9 @@ object Corpus {
     * now present in the corpus. */
   def lineDedupIndexMerged(index: Option[DataFrame], kept: DataFrame,
                            idCol: String, textCol: String, delim: String,
-                           fingerprint: Boolean = false): DataFrame = {
-    val nk = lineDedupIndex(kept, idCol, textCol, delim, fingerprint)
+                           fingerprint: Boolean = false,
+                           normalize: Boolean = false): DataFrame = {
+    val nk = lineDedupIndex(kept, idCol, textCol, delim, fingerprint, normalize)
     index match {
       case Some(i) => i.select(col("seg_key")).unionByName(nk).distinct()
       case None => nk
@@ -511,13 +533,14 @@ object Corpus {
     * (AQE broadcasts while it fits). The old corpus is never re-split. */
   def lineDedupAgainst(df: DataFrame, index: DataFrame,
                        idCol: String, textCol: String,
-                       delim: String, fingerprint: Boolean = false): DataFrame = {
+                       delim: String, fingerprint: Boolean = false,
+                       normalize: Boolean = false): DataFrame = {
     val litDelim = java.util.regex.Pattern.quote(delim)
     val ord = struct(col(idCol), col("pos"))
     val seg0 = df.select(col(idCol),
       posexplode(split(col(textCol), litDelim)).as(Seq("pos", "seg")))
     val seg = seg0.withColumn("_k",
-      if (fingerprint) unhex(md5(col("seg"))) else col("seg"))
+      segDedupKey(col("seg"), fingerprint, normalize))
     val winner = seg.groupBy(col("_k")).agg(min(ord).as("first_ord"))
       .join(index.select(col("seg_key").as("_k"), lit(true).as("_old")),
         Seq("_k"), "left")

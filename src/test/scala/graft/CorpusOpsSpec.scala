@@ -156,4 +156,41 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(4L) == (("", 2L)))                 // survives as empty
     assert(out(5L) == (("", 0L)))                 // null text: empty, NOT -1
   }
+
+  test("ccnetSegKey normalizes like cc_net's text_normalizer; normalize mode merges variant segments") {
+    import spark.implicits._
+    // hand vectors: lowercase, digits → 0, ASCII punct stripped,
+    // whitespace collapsed, trimmed
+    val got = Seq("Spark1!", "  A,B..  c35 ", "plain", "!!!", "")
+      .toDF("s").select(Corpus.ccnetSegKey(col("s")).as("k"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("spark0", "ab c00", "plain", "", ""))
+
+    // normalize mode: raw keys differ ("Spark1!" vs "spark2;") but the
+    // normalized key collides — keep-first by (doc, pos), original text
+    // emitted; WITHOUT normalize both variants survive
+    val docs = Seq(
+      (1L, "Spark1! alpha"),
+      (2L, "spark2; beta alpha")
+    ).toDF("doc_id", "text")
+    val norm = Corpus.lineDedupKeepFirst(docs, "doc_id", "text",
+      delim = " ", normalize = true)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(norm(1L) == (("Spark1! alpha", 0L)))
+    assert(norm(2L) == (("beta", 2L))) // spark2; AND alpha both removed
+    val plain = Corpus.lineDedupKeepFirst(docs, "doc_id", "text",
+      delim = " ")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(plain(2L) == (("spark2; beta", 1L))) // raw keys differ → kept
+
+    // the whole family agrees on the key: an index built from doc 1
+    // removes doc 2's variant segment at every occurrence
+    val idx = Corpus.lineDedupIndex(docs.filter(col("doc_id") === 1),
+      "doc_id", "text", delim = " ", normalize = true)
+    val against = Corpus.lineDedupAgainst(
+      docs.filter(col("doc_id") === 2), idx, "doc_id", "text",
+      delim = " ", normalize = true)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(against(2L) == (("beta", 2L)))
+  }
 }
