@@ -457,6 +457,37 @@ object Queries11 {
       |  coalesce(re.n_removed, 0) AS n_removed
       |FROM documents d LEFT JOIN re USING (doc_id)""".stripMargin
 
+  // ------------------------------------------------ NFC normalization
+
+  /** Round-10: Unicode NFC normalization (native codegen Expression,
+    * q154) — the canonical-composition pass multilingual corpora need
+    * before hashing/dedup: decomposed "e"+U+0301 and precomposed
+    * U+00E9 are the same text in different bytes. The fixture appends
+    * deterministic DECOMPOSED sequences (combining acute/ring) plus an
+    * already-composed control; the oracle is DuckDB's own
+    * nfc_normalize — two independent implementations of the same
+    * Unicode standard must produce identical bytes. */
+  val q154_nfc_normalize: Q = (s, dir) => {
+    val decorated = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" cafe\u0301 A\u030Abc \u00e9tat"))
+        .as("text"))
+    decorated.select(col("doc_id"),
+      graft.functions.NfcNormalize(col("text")).as("text_nfc"),
+      (length(col("text")) - length(
+        graft.functions.NfcNormalize(col("text")))).as("chars_composed"))
+  }
+
+  val q154_sql: String =
+    """SELECT doc_id,
+      |  nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778) ||
+      |    'bc ' || chr(233) || 'tat') AS text_nfc,
+      |  CAST(length(text || ' cafe' || chr(769) || ' A' || chr(778) ||
+      |    'bc ' || chr(233) || 'tat') -
+      |   length(nfc_normalize(text || ' cafe' || chr(769) || ' A' ||
+      |    chr(778) || 'bc ' || chr(233) || 'tat')) AS BIGINT)
+      |    AS chars_composed
+      |FROM documents""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -468,7 +499,8 @@ object Queries11 {
     "q150_ann_ivfpq_index" -> q150_ann_ivfpq_index,
     "q151_ccnet_buckets" -> q151_ccnet_buckets,
     "q152_curation_quality" -> q152_curation_quality,
-    "q153_line_dedup_norm" -> q153_line_dedup_norm
+    "q153_line_dedup_norm" -> q153_line_dedup_norm,
+    "q154_nfc_normalize" -> q154_nfc_normalize
   )
 
   val oracles: Map[String, String] = Map(
@@ -480,6 +512,7 @@ object Queries11 {
     "q150_ann_ivfpq_index" -> q150_sql,
     "q151_ccnet_buckets" -> q151_sql,
     "q152_curation_quality" -> q152_sql,
-    "q153_line_dedup_norm" -> q153_sql
+    "q153_line_dedup_norm" -> q153_sql,
+    "q154_nfc_normalize" -> q154_sql
   )
 }

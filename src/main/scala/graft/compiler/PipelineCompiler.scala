@@ -1803,6 +1803,11 @@ object PipelineCompiler {
           .withColumn("host", graft.ml.UrlOps.host(col("url_norm")))
           .withColumn("reg_domain",
             graft.ml.UrlOps.registeredDomain(col("host")))
+      case "nfc_normalize" =>
+        // per-row Unicode canonical composition — identical to the
+        // batch stage, stateless
+        val nc = Option(st.get("col")).map(_.asText()).getOrElse(text)
+        df.withColumn(nc, graft.functions.NfcNormalize(col(nc)))
       case "html_extract" =>
         // per-row rewrite IN PLACE (a stream cannot join an extracted
         // projection back to itself): replace the text column with the
@@ -1856,7 +1861,7 @@ object PipelineCompiler {
             "fineweb_gate, lang_filter, exact_dedup, minhash_dedup, " +
             "simhash_dedup, source_quota, split_assign, upsample, chunk, " +
             "decontaminate (eval_input), classifier_gate, url_normalize, " +
-            "html_extract, domain_cap. Run " +
+            "nfc_normalize, html_extract, domain_cap. Run " +
             "set-dependent stages as periodic batch compaction over the " +
             "landed lake.")
     }
@@ -2041,6 +2046,12 @@ object PipelineCompiler {
             graft.ml.Dedup.semDedup(df, id, vec, k = intOpt("k", 8), iters, tau)
         }
         keepIds(verdict, col("keep"))
+      case "nfc_normalize" =>
+        // q154: Unicode canonical composition in place — per-row, zero
+        // shuffle; run BEFORE any hashing/dedup stage so byte-different
+        // spellings of the same text share keys
+        val nc = Option(st.get("col")).map(_.asText()).getOrElse(text)
+        df.withColumn(nc, graft.functions.NfcNormalize(col(nc)))
       case "url_normalize" =>
         // q118: canonicalize a URL column (or a SQL `url_expr`) and
         // annotate url_norm / host / reg_domain — zero-shuffle codegen

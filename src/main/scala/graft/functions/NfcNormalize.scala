@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC normalization as a native codegen expression — the
+  * canonical-composition pass every multilingual corpus needs before
+  * hashing or deduplicating text: "é" as U+0065 U+0301 (decomposed) and
+  * as U+00E9 (precomposed) are the same text but different bytes, so
+  * without NFC the same paragraph fingerprints to two different keys.
+  * Both the JDK (java.text.Normalizer) and DuckDB (nfc_normalize)
+  * implement the same Unicode standard, which is what makes the q154
+  * oracle possible at all — NFC output is defined byte-for-byte.
+  *
+  * Already-normalized input (the overwhelmingly common case — ASCII and
+  * most precomposed web text) returns the INPUT UTF8String untouched:
+  * `Normalizer.isNormalized` is a scan without allocation, so the hot
+  * path costs one pass and zero copies. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = child.dataType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nfc_normalize expects a string input, got ${other.simpleString}")
+    }
+
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  override def nullSafeEval(v: Any): Any = nfc(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfcNorm", this, classOf[NfcNormalize].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.nfc($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+
+  override def prettyName: String = "nfc_normalize"
+}
+
+object NfcNormalize {
+  def apply(c: Column): Column =
+    GraftBridge.column(NfcNormalize(GraftBridge.expression(c)))
+}

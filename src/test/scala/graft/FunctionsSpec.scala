@@ -154,4 +154,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(DoIf.Cmp.parse(">=") == DoIf.Cmp.Ge)
     assertThrows[IllegalArgumentException](DoIf.Cmp.parse("wat"))
   }
+
+  test("NfcNormalize composes decomposed sequences; already-NFC input returns the SAME object") {
+    import graft.functions.NfcNormalize
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = NfcNormalize(Literal("x"))
+    // decomposed e + combining acute → precomposed é; A + ring → Å
+    assert(e.nfc(UTF8String.fromString("cafe\u0301")).toString == "caf\u00e9")
+    assert(e.nfc(UTF8String.fromString("A\u030A")).toString == "\u00c5")
+    // hot path: NFC input (all ASCII and precomposed text) is returned
+    // as the SAME UTF8String — zero copies on the common case
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(e.nfc(ascii) eq ascii)
+    val pre = UTF8String.fromString("d\u00e9j\u00e0 vu")
+    assert(e.nfc(pre) eq pre)
+  }
 }
