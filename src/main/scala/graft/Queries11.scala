@@ -457,6 +457,32 @@ object Queries11 {
       |  coalesce(re.n_removed, 0) AS n_removed
       |FROM documents d LEFT JOIN re USING (doc_id)""".stripMargin
 
+  // -------------------------------------------- exact dedup keep-best
+
+  /** Round-10: exact dedup with BEST-quality representative (q145's
+    * policy applied to the exact family): per duplicate key keep the
+    * arg-max(quality, tie → min id) row — a struct-max hash
+    * aggregation, never a per-key Window. Keyed on the 40-char text
+    * prefix (the corpus has no full-text duplicates; 476/500 distinct
+    * prefixes at sf0.001 so the dedup BINDS), quality = doc_id % 97. */
+  val q155_dedup_exact_best: Q = (s, dir) => {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      substring(col("text"), 1, 40).as("k"))
+    graft.ml.Dedup.exactKeepBest(d, Seq("k"), "doc_id",
+      pmod(col("doc_id"), lit(97)))
+  }
+
+  val q155_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, substr(text, 1, 40) AS k, doc_id % 97 AS q
+      |  FROM documents),
+      |r AS (
+      |  SELECT k, doc_id, q,
+      |    row_number() OVER (PARTITION BY k ORDER BY q DESC, doc_id) AS rn
+      |  FROM d)
+      |SELECT k, doc_id, CAST(q AS BIGINT) AS quality
+      |FROM r WHERE rn = 1""".stripMargin
+
   // ------------------------------------------------ NFC normalization
 
   /** Round-10: Unicode NFC normalization (native codegen Expression,
@@ -500,7 +526,8 @@ object Queries11 {
     "q151_ccnet_buckets" -> q151_ccnet_buckets,
     "q152_curation_quality" -> q152_curation_quality,
     "q153_line_dedup_norm" -> q153_line_dedup_norm,
-    "q154_nfc_normalize" -> q154_nfc_normalize
+    "q154_nfc_normalize" -> q154_nfc_normalize,
+    "q155_dedup_exact_best" -> q155_dedup_exact_best
   )
 
   val oracles: Map[String, String] = Map(
@@ -513,6 +540,7 @@ object Queries11 {
     "q151_ccnet_buckets" -> q151_sql,
     "q152_curation_quality" -> q152_sql,
     "q153_line_dedup_norm" -> q153_sql,
-    "q154_nfc_normalize" -> q154_sql
+    "q154_nfc_normalize" -> q154_sql,
+    "q155_dedup_exact_best" -> q155_sql
   )
 }

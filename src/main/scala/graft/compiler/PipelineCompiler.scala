@@ -1919,15 +1919,36 @@ object PipelineCompiler {
         // batch. bloom_index_path: the O(bits) probabilistic spelling
         // (exactKeepFirstAgainstBloom — no false negatives, fpp-bounded
         // novel-row loss, zero-join probe).
+        // keep: min_id (default) | best — `best` keeps the highest-
+        // quality row per duplicate key (quality_expr; q155 family);
+        // like minhash keep:best it is batch-mode only — an index run
+        // cannot revisit already-kept rows
+        val keepMode = Option(st.get("keep")).map(_.asText()).getOrElse("min_id")
+        val hasIndex = st.get("index_path") != null ||
+          st.get("bloom_index_path") != null
+        if (keepMode == "best" && hasIndex) throw new IllegalArgumentException(
+          "curation exact_dedup: keep: best is batch-mode only — the " +
+            "first-kept row IS the representative on an index run; drop " +
+            "keep or the index path")
         val winners =
-          (Option(st.get("index_path")), Option(st.get("bloom_index_path"))) match {
-            case (Some(_), Some(_)) => throw new IllegalArgumentException(
+          (Option(st.get("index_path")), Option(st.get("bloom_index_path")),
+            keepMode) match {
+            case (Some(_), Some(_), _) => throw new IllegalArgumentException(
               "curation exact_dedup: choose index_path OR bloom_index_path")
-            case (Some(p), None) => graft.ml.Dedup.exactKeepFirstAgainst(
+            case (Some(p), None, _) => graft.ml.Dedup.exactKeepFirstAgainst(
               df, spark.read.parquet(p.asText()), keys, id)
-            case (None, Some(p)) => graft.ml.Dedup.exactKeepFirstAgainstBloom(
+            case (None, Some(p), _) => graft.ml.Dedup.exactKeepFirstAgainstBloom(
               df, spark.read.parquet(p.asText()), keys, id)
-            case (None, None) => graft.ml.Dedup.exactKeepFirst(df, keys, id)
+            case (None, None, "best") =>
+              val qe = Option(st.get("quality_expr")).map(_.asText()).getOrElse(
+                throw new IllegalArgumentException(
+                  "curation exact_dedup: keep: best needs `quality_expr` " +
+                    "(an integer SQL expression over the row)"))
+              graft.ml.Dedup.exactKeepBest(df, keys, id, expr(qe))
+            case (None, None, "min_id") =>
+              graft.ml.Dedup.exactKeepFirst(df, keys, id)
+            case (_, _, other) => throw new IllegalArgumentException(
+              s"curation exact_dedup: keep: min_id|best, got `$other`")
           }
         df.join(winners.select(id), Seq(id), "left_semi")
       case "duplicate_spans" =>

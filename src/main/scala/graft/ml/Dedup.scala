@@ -466,6 +466,22 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(orderCol)).as(orderCol))
 
+  /** Exact dedup keeping the BEST-quality row per key instead of the
+    * first — the production policy when duplicates differ in metadata
+    * (e.g. the same text crawled from several URLs: keep the highest-
+    * scoring fetch). Arg-max is a struct-max hash aggregation with
+    * map-side partials (quality desc, ties → min id) — deliberately
+    * NOT a per-key Window, where a million-duplicate key would funnel
+    * one sorted task (the q145 rule, applied to the exact family). */
+  def exactKeepBest(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                    quality: Column): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max(struct(quality.as("_q"), (-col(orderCol)).as("_nid")))
+        .as("_best"))
+      .select(keyCols.map(col) :+
+        (-col("_best._nid")).as(orderCol) :+
+        col("_best._q").as("quality"): _*)
+
   /** INCREMENTAL exact dedup — the growing-corpus pattern at 100 TB: a
     * new crawl batch dedups against the keys already KEPT by previous
     * runs without recomputing them. `index` carries one row per

@@ -1109,6 +1109,53 @@ class CompilerSpec extends AnyFunSuite {
     assert(he == heDirect && he.nonEmpty)
   }
 
+  test("curation YAML: exact_dedup keep: best keeps the arg-max row; misuse rejected") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+    // key on a colliding 40-char prefix so the dedup BINDS; quality =
+    // doc_id % 97; the stage consumes a pre-projected landed table
+    // because the raw corpus has no duplicate full texts
+    val tmp = java.nio.file.Files.createTempDirectory("graft_keepbest").toString
+    docs.select(col("doc_id"), col("text"),
+      substring(col("text"), 1, 40).as("k"))
+      .write.mode("overwrite").parquet(tmp + "/docs.parquet")
+    val keptIds = PipelineCompiler.compileCuration(spark,
+      s"""curation:
+         |  input: {dir: "$tmp", table: docs}
+         |  stages:
+         |    - {type: exact_dedup, keys: [k], keep: best,
+         |       quality_expr: "doc_id % 97"}
+         |""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val direct = graft.ml.Dedup.exactKeepBest(
+      docs.select(col("doc_id"), substring(col("text"), 1, 40).as("k")),
+      Seq("k"), "doc_id", pmod(col("doc_id"), lit(97)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == direct)
+    assert(keptIds.size < docs.count(), "the prefix dedup must bind")
+
+    val noQ = intercept[IllegalArgumentException] {
+      PipelineCompiler.compileCuration(spark,
+        s"""curation:
+           |  input: {dir: "$tmp", table: docs}
+           |  stages:
+           |    - {type: exact_dedup, keys: [k], keep: best}
+           |""".stripMargin)
+    }
+    assert(noQ.getMessage.contains("quality_expr"))
+    val withIdx = intercept[IllegalArgumentException] {
+      PipelineCompiler.compileCuration(spark,
+        s"""curation:
+           |  input: {dir: "$tmp", table: docs}
+           |  stages:
+           |    - {type: exact_dedup, keys: [k], keep: best,
+           |       quality_expr: "doc_id % 97", index_path: "/nope"}
+           |""".stripMargin)
+    }
+    assert(withIdx.getMessage.contains("batch-mode only"))
+  }
+
   test("curation YAML: ccnet_bucket keeps the listed terciles, annotates without keep, and refuses to stream") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
