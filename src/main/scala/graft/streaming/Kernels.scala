@@ -421,6 +421,111 @@ object Kernels {
       }
   }
 
+  // ------------------------------------- quantile sketch (Greenwald-Khanna)
+
+  /** Value observation for [[quantileSketch]]: one long per event
+    * (latency µs, token count, byte size …); `seq` fixes in-batch
+    * processing order. */
+  final case class QEvent(group: String, seq: Long, value: Long)
+  final case class GkTuple(v: Long, g: Long, d: Long)
+  final case class GkState(epoch: Long, n: Long, tuples: List[GkTuple])
+  /** Per-micro-batch quantile snapshot: `value` is within εn ranks of
+    * the true φ-quantile over EVERYTHING the group has seen. */
+  final case class QSnapshot(group: String, epoch: Long, phiPermille: Int,
+                             value: Long, n: Long)
+
+  /** Peak GK tuple count observed across [[quantileSketch]] batches —
+    * the bounded-state observable (same pattern as ccStateOps): specs
+    * assert the summary stays O((1/ε)·log(εn)), not O(n). */
+  val gkPeakTuples = new java.util.concurrent.atomic.AtomicLong()
+  def gkPeakReset(): Unit = gkPeakTuples.set(0L)
+
+  /** Streaming quantiles — the Greenwald-Khanna ε-approximate summary
+    * (SIGMOD 2001) as a per-group kernel: state is a sorted tuple list
+    * (v, g, Δ) maintaining the invariant g_i + Δ_i ≤ ⌊2εn⌋, which
+    * bounds EVERY answered quantile within εn ranks of the truth at
+    * any stream length — p50/p90/p99 per service on an unbounded
+    * stream at O((1/ε)·log(εn)) state per group, where the exact
+    * spelling (q77's percentile gates) would hold every value seen.
+    * Processing is deterministic (seq order within a batch, ties by
+    * insertion point); batch-split equivalence is EXACT — the state
+    * carries the whole summary, so any micro-batch split of a sequence
+    * yields the same tuples as one pass. Each micro-batch emits one
+    * snapshot row per requested φ (permille). `stateTtlMs` evicts idle
+    * groups. */
+  def quantileSketch(ds: Dataset[QEvent], eps: Double,
+                     phisPermille: Seq[Int],
+                     stateTtlMs: Long = 0L): Dataset[QSnapshot] = {
+    require(eps > 0 && eps < 0.5, "quantileSketch: eps in (0, 0.5)")
+    require(phisPermille.nonEmpty &&
+      phisPermille.forall(p => p >= 0 && p <= 1000),
+      "quantileSketch: phisPermille must be in [0, 1000]")
+    implicit val outEnc = Encoders.product[QSnapshot]
+    implicit val stEnc = Encoders.product[GkState]
+    val phis = phisPermille.distinct.sorted
+    ds.groupByKey(_.group)(Encoders.STRING)
+      .flatMapGroupsWithState[GkState, QSnapshot](
+        OutputMode.Append, ttlMode(stateTtlMs)) {
+        (group, events, state: GroupState[GkState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val st = state.getOption.getOrElse(GkState(0L, 0L, Nil))
+            val buf = scala.collection.mutable.ArrayBuffer(st.tuples: _*)
+            var n = st.n
+            def maxErr: Long = math.max(1L, (2 * eps * n).toLong)
+            events.toSeq.sortBy(e => (e.seq, e.value)).foreach { ev =>
+              n += 1
+              // insertion point: first tuple with v > value
+              var i = 0
+              while (i < buf.length && buf(i).v <= ev.value) i += 1
+              val delta =
+                if (i == 0 || i == buf.length) 0L else maxErr - 1
+              buf.insert(i, GkTuple(ev.value, 1L, delta))
+              // periodic compress keeps the list near its bound without
+              // paying a full pass per insert
+              if (buf.length % 64 == 0) {
+                var j = buf.length - 2
+                while (j >= 0) {
+                  if (j + 1 < buf.length &&
+                      buf(j).g + buf(j + 1).g + buf(j + 1).d <= maxErr) {
+                    buf(j + 1) = buf(j + 1).copy(g = buf(j).g + buf(j + 1).g)
+                    buf.remove(j)
+                  }
+                  j -= 1
+                }
+              }
+            }
+            val tuples = buf.toList
+            gkPeakTuples.accumulateAndGet(tuples.length.toLong, math.max)
+            state.update(GkState(st.epoch + 1, n, tuples))
+            armTtl(state, stateTtlMs)
+            if (n == 0) Iterator.empty
+            else {
+              val err = math.max(1L, (eps * n).toLong)
+              phis.iterator.map { p =>
+                val r = math.max(1L, math.ceil(p / 1000.0 * n).toLong)
+                // first tuple whose rank bracket covers r within εn
+                var rmin = 0L
+                var ans = tuples.head.v
+                var found = false
+                val it = tuples.iterator
+                while (it.hasNext && !found) {
+                  val t = it.next()
+                  rmin += t.g
+                  if (r - rmin <= err && (rmin + t.d) - r <= err) {
+                    ans = t.v; found = true
+                  }
+                }
+                if (!found) ans = tuples.last.v
+                QSnapshot(group, st.epoch + 1, p, ans, n)
+              }
+            }
+          }
+      }
+  }
+
   // ------------------------------------------------- as-of enrichment
 
   /** Tagged two-stream event for [[asofEnrich]]: right events update the

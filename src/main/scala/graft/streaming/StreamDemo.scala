@@ -110,7 +110,17 @@ object StreamDemo {
     println("== heavy hitters (expect big=5 and med on top, rare evicted) ==")
     spark.table("demo_hh").show(false)
 
-    Seq(tq, cq, aq, dq, ddq, hq).foreach(_.stop())
+    // quantile sketch: p50/p99 of 1..100 (small n → exact ± 1 rank)
+    val qe = MemoryStream[QEvent]
+    val qq = Kernels.quantileSketch(qe.toDS(), eps = 0.01,
+        phisPermille = Seq(500, 990))
+      .writeStream.format("memory").queryName("demo_qs").outputMode("append").start()
+    qe.addData((1 to 100).map(i => QEvent("svc", i.toLong, i.toLong)): _*)
+    qq.processAllAvailable()
+    println("== quantile sketch (expect p500≈50, p990≈99) ==")
+    spark.table("demo_qs").show(false)
+
+    Seq(tq, cq, aq, dq, ddq, hq, qq).foreach(_.stop())
     println("STREAM_DEMO_OK")
     spark.stop()
   }

@@ -632,6 +632,75 @@ class StreamingKernelsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quantile sketch kernel: ε-rank guarantee over micro-batches; split ≡ one batch; small-n exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // deterministic LCG values with heavy duplication (mod 997)
+    val n = 6000
+    var x = 12345L
+    val values = (0 until n).map { _ =>
+      x = (x * 6364136223846793005L + 1442695040888963407L) & 0x7fffffffffffffL
+      x % 997
+    }
+    val events = values.zipWithIndex.map { case (v, i) =>
+      QEvent("g", i.toLong, v)
+    }
+    val eps = 0.02
+    val phis = Seq(500, 900, 990)
+
+    def finalSnaps(batches: Seq[Seq[QEvent]], name: String): Map[Int, (Long, Long)] = {
+      val input = MemoryStream[QEvent]
+      val q = Kernels.quantileSketch(input.toDS(), eps, phis)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        val snaps = spark.table(name).as[QSnapshot].collect()
+        val last = snaps.map(_.epoch).max
+        snaps.filter(_.epoch == last)
+          .map(s => s.phiPermille -> (s.value, s.n)).toMap
+      } finally q.stop()
+    }
+
+    Kernels.gkPeakReset()
+    val split = finalSnaps(events.grouped(1700).toSeq, "qs_split")
+    // bounded state: the summary holds tuples, not values — for
+    // n=6000 / eps=0.02 the GK bound is O((1/eps)·log(eps·n)) ≈
+    // hundreds, nowhere near n
+    val peak = Kernels.gkPeakTuples.get()
+    assert(peak > 0 && peak < n / 4,
+      s"summary grew to $peak tuples for $n values — state is not bounded")
+    val whole = finalSnaps(Seq(events), "qs_whole")
+    assert(split == whole,
+      "micro-batch split must equal the one-pass summary exactly")
+
+    // ε-rank guarantee vs the exact sorted corpus
+    val sorted = values.sorted
+    phis.foreach { p =>
+      val (ans, seen) = split(p)
+      assert(seen == n)
+      val r = math.ceil(p / 1000.0 * n).toLong
+      val lo = sorted.indexOf(ans) + 1L      // smallest rank of ans
+      val hi = sorted.lastIndexOf(ans) + 1L  // largest rank of ans
+      val err = (eps * n).toLong
+      assert(r + err >= lo && r - err <= hi,
+        s"phi=$p: value $ans rank [$lo,$hi] misses target $r ± $err")
+    }
+
+    // small n (no compression possible): exact order statistics ± 1
+    val smallVals = Seq(9L, 1L, 5L, 3L, 7L, 2L, 8L, 4L, 6L, 10L)
+    val small = finalSnaps(Seq(
+      smallVals.zipWithIndex.map { case (v, i) => QEvent("g", i.toLong, v) }),
+      "qs_small")
+    val sSorted = smallVals.sorted
+    phis.foreach { p =>
+      val r = math.max(1, math.ceil(p / 1000.0 * smallVals.size).toInt)
+      val got = small(p)._1
+      val rk = sSorted.indexOf(got) + 1
+      assert(math.abs(rk - r) <= 1, s"phi=$p: got rank $rk want $r ± 1")
+    }
+  }
+
   test("heavy hitters kernel is exact while distinct items fit the capacity") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
