@@ -483,6 +483,54 @@ object Queries11 {
       |SELECT k, doc_id, CAST(q AS BIGINT) AS quality
       |FROM r WHERE rn = 1""".stripMargin
 
+  // -------------------------------------------- uniform bottom-k sample
+
+  /** Round-10: exact-size uniform sample — the k smallest salted
+    * id-hashes per source (bottom-k: exact size AND order-independent,
+    * unlike Bernoulli and reservoir sampling respectively). The oracle
+    * replays the histogram-CDF threshold spelling: bucket by the
+    * hash's top 16 bits, find the crossing bucket per group, keep all
+    * below + ranked boundary rows — no unbounded per-group sort on
+    * either engine. */
+  val q156_sample_bottomk: Q = (s, dir) =>
+    graft.ml.Corpus.uniformSampleK(t(s, dir, "documents"),
+      "source", "doc_id", k = 25, seed = 5L)
+
+  val q156_sql: String =
+    """WITH b AS (
+      |  SELECT source, doc_id,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#u5'), 1, 15))::BIGINT
+      |      AS hk
+      |  FROM documents),
+      |b2 AS (SELECT source, doc_id, hk, hk // 17592186044416 AS bkt FROM b),
+      |hist AS (SELECT source, bkt, count(*) AS c FROM b2 GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT source, bkt, c,
+      |    SUM(c) OVER (PARTITION BY source ORDER BY bkt) AS cum
+      |  FROM hist),
+      |thr AS (
+      |  SELECT source, MIN(bkt) AS thr_bkt FROM cum WHERE cum >= 25
+      |  GROUP BY 1),
+      |thr2 AS (
+      |  SELECT c.source, c.bkt AS thr_bkt, c.cum - c.c AS bef
+      |  FROM cum c JOIN thr t ON c.source = t.source AND c.bkt = t.thr_bkt),
+      |below AS (
+      |  SELECT b2.source, b2.doc_id, b2.hk
+      |  FROM b2 LEFT JOIN thr2 USING (source)
+      |  WHERE thr_bkt IS NULL OR bkt < thr_bkt),
+      |bnd AS (
+      |  SELECT b2.source, b2.doc_id, b2.hk, t.bef,
+      |    row_number() OVER (PARTITION BY b2.source
+      |      ORDER BY b2.hk, b2.doc_id) AS rn
+      |  FROM b2 JOIN thr2 t USING (source) WHERE b2.bkt = t.thr_bkt),
+      |sel AS (
+      |  SELECT source, doc_id, hk FROM below
+      |  UNION ALL
+      |  SELECT source, doc_id, hk FROM bnd WHERE rn <= 25 - bef)
+      |SELECT source, doc_id,
+      |  row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rank
+      |FROM sel""".stripMargin
+
   // ------------------------------------------------ NFC normalization
 
   /** Round-10: Unicode NFC normalization (native codegen Expression,
@@ -527,7 +575,8 @@ object Queries11 {
     "q152_curation_quality" -> q152_curation_quality,
     "q153_line_dedup_norm" -> q153_line_dedup_norm,
     "q154_nfc_normalize" -> q154_nfc_normalize,
-    "q155_dedup_exact_best" -> q155_dedup_exact_best
+    "q155_dedup_exact_best" -> q155_dedup_exact_best,
+    "q156_sample_bottomk" -> q156_sample_bottomk
   )
 
   val oracles: Map[String, String] = Map(
@@ -541,6 +590,7 @@ object Queries11 {
     "q152_curation_quality" -> q152_sql,
     "q153_line_dedup_norm" -> q153_sql,
     "q154_nfc_normalize" -> q154_sql,
-    "q155_dedup_exact_best" -> q155_sql
+    "q155_dedup_exact_best" -> q155_sql,
+    "q156_sample_bottomk" -> q156_sql
   )
 }

@@ -2123,6 +2123,17 @@ object PipelineCompiler {
           Option(st.get("group")).map(_.asText()).getOrElse("source"),
           id, text, budget = req("budget").asLong(),
           seed = longOpt("seed", 0L)).select(id), Seq(id), "left_semi")
+      case "sample_k" =>
+        // q156: exact-size uniform sample per group (bottom-k by salted
+        // id-hash — order/partitioning-independent). Batch-only as a
+        // FILTER stage: a streaming exact-k sample evolves (later rows
+        // evict earlier picks), which an append-mode stage cannot
+        // retract — the monitoring kernel (Kernels.uniformSampleK)
+        // is the streaming spelling.
+        df.join(graft.ml.Corpus.uniformSampleK(df,
+          Option(st.get("group")).map(_.asText()).getOrElse("source"),
+          id, k = req("k").asInt(), seed = longOpt("seed", 0L))
+          .select(id), Seq(id), "left_semi")
       case "chunk" =>
         graft.ml.Corpus.chunk(df, id, text,
           window = req("window").asInt(), stride = req("stride").asInt())

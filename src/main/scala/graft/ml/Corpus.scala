@@ -577,6 +577,57 @@ object Corpus {
     * of sources, so a single colossal source funnels to one task (cap
     * that case upstream by sharding the source label, e.g.
     * 'cc' → 'cc/0..N', and summing shard budgets). */
+  /** Exact-size uniform sample: the k rows with the SMALLEST salted
+    * id-hashes per group (bottom-k sampling). Unlike Bernoulli
+    * sampling (q68's rate thresholds) the size is exactly
+    * min(k, group size), unlike reservoir sampling the result is
+    * ORDER-INDEPENDENT — min-k of a deterministic hash is a pure
+    * function of the row set, so any partitioning, any arrival order,
+    * and the streaming kernel ([[graft.streaming.Kernels.uniformSampleK]])
+    * all select the identical rows.
+    *
+    * Shape at scale: deliberately NOT one `row_number` window per group
+    * (a billion-row group would funnel one sorted task — the q145
+    * rule). Instead the histogram-CDF trick: bucket rows by the hash's
+    * top 16 bits, find per group the CDF bucket where the count crosses
+    * k (bounded histogram, ≤65536 rows per group), keep every row below
+    * that bucket and window ONLY the boundary bucket (expected
+    * group/65536 rows). Exact, deterministic, and the heavy window
+    * never materializes. Returns (group, id, rank) with rank 1..k by
+    * (hash, id). */
+  def uniformSampleK(df: DataFrame, groupCol: String, idCol: String,
+                     k: Int, seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "uniformSampleK: k must be positive")
+    val h = Dedup.tokenHash(concat(col(idCol).cast("string"), lit("#u" + seed)))
+    val base = df.select(col(groupCol), col(idCol), h.as("hk"))
+      .withColumn("_bkt", shiftright(col("hk"), 44))
+    val hist = base.groupBy(col(groupCol), col("_bkt"))
+      .agg(count(lit(1)).as("_c"))
+    val cum = hist.withColumn("_cum", sum(col("_c")).over(
+      Window.partitionBy(col(groupCol)).orderBy(col("_bkt"))))
+    // first bucket whose running count reaches k, and the count before it
+    val thr = cum.filter(col("_cum") >= k)
+      .groupBy(col(groupCol))
+      .agg(min(struct(col("_bkt"), col("_cum"), col("_c"))).as("_b"))
+      .select(col(groupCol), col("_b._bkt").as("_thr_bkt"),
+        (col("_b._cum") - col("_b._c")).as("_before"))
+    val joined = base.join(thr, Seq(groupCol), "left")
+    val below = joined
+      .filter(col("_thr_bkt").isNull || col("_bkt") < col("_thr_bkt"))
+      .select(col(groupCol), col(idCol), col("hk"))
+    val boundary = joined.filter(col("_bkt") === col("_thr_bkt"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("hk"), col(idCol))))
+      .filter(col("_rn") <= lit(k.toLong) - col("_before"))
+      .select(col(groupCol), col(idCol), col("hk"))
+    below.unionByName(boundary)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("hk"), col(idCol)))
+        .cast("long"))
+      .select(col(groupCol), col(idCol), col("rank"))
+  }
+
   def sourceQuota(df: DataFrame, groupCol: String, idCol: String,
                   textCol: String, budget: Long, seed: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window

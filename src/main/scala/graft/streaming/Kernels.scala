@@ -421,6 +421,67 @@ object Kernels {
       }
   }
 
+  // ------------------------------------------ uniform bottom-k sample
+
+  final case class SampleEvent(group: String, docId: Long,
+                               payload: String = "")
+  final case class SampleItem(hk: Long, doc: Long, payload: String)
+  final case class SampleKState(epoch: Long, items: List[SampleItem])
+  final case class SampleSnapshot(group: String, epoch: Long, rank: Long,
+                                  docId: Long, payload: String)
+
+  /** The salted id-hash of the batch sampler (`Dedup.tokenHash` of
+    * "<id>#u<seed>"), computed in the JVM: md5 of the UTF-8 bytes,
+    * first 15 hex digits as a 60-bit long — byte-identical to the
+    * Column spelling and the DuckDB oracle's. */
+  def saltedIdHash(doc: Long, seed: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest((doc.toString + "#u" + seed)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Streaming exact-k uniform sample — bottom-k by salted id-hash per
+    * group. Because min-k of a deterministic hash is a pure function of
+    * the SET of rows seen, this kernel is EXACTLY the batch
+    * `Corpus.uniformSampleK` on whatever has arrived — any micro-batch
+    * split, any arrival order, same k rows (spec'd both ways). State is
+    * the current k items per group, snapshots are epoch-tagged like the
+    * other monitoring kernels. Duplicate doc ids are ignored (the
+    * sample is over the id set). */
+  def uniformSampleK(ds: Dataset[SampleEvent], k: Int, seed: Long,
+                     stateTtlMs: Long = 0L): Dataset[SampleSnapshot] = {
+    require(k > 0, "uniformSampleK: k must be positive")
+    implicit val outEnc = Encoders.product[SampleSnapshot]
+    implicit val stEnc = Encoders.product[SampleKState]
+    ds.groupByKey(_.group)(Encoders.STRING)
+      .flatMapGroupsWithState[SampleKState, SampleSnapshot](
+        OutputMode.Append, ttlMode(stateTtlMs)) {
+        (group, events, state: GroupState[SampleKState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val st = state.getOption.getOrElse(SampleKState(0L, Nil))
+            var items = st.items
+            events.toSeq.sortBy(_.docId).foreach { ev =>
+              if (!items.exists(_.doc == ev.docId)) {
+                val it = SampleItem(saltedIdHash(ev.docId, seed),
+                  ev.docId, ev.payload)
+                items = (it :: items)
+                  .sortBy(i => (i.hk, i.doc)).take(k)
+              }
+            }
+            state.update(SampleKState(st.epoch + 1, items))
+            armTtl(state, stateTtlMs)
+            items.iterator.zipWithIndex.map { case (it, i) =>
+              SampleSnapshot(group, st.epoch + 1, i + 1L, it.doc, it.payload)
+            }
+          }
+      }
+  }
+
   // ------------------------------------- quantile sketch (Greenwald-Khanna)
 
   /** Value observation for [[quantileSketch]]: one long per event

@@ -1156,6 +1156,25 @@ class CompilerSpec extends AnyFunSuite {
     assert(withIdx.getMessage.contains("batch-mode only"))
   }
 
+  test("curation YAML: sample_k keeps exactly the bottom-k sample per group") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+    val kept = PipelineCompiler.compileCuration(spark,
+      s"""curation:
+         |  input: {dir: "$dir", table: documents}
+         |  stages:
+         |    - {type: sample_k, group: source, k: 9, seed: 5}
+         |""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val direct = graft.ml.Corpus.uniformSampleK(docs, "source", "doc_id",
+      k = 9, seed = 5L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == direct)
+    val nSources = docs.select("source").distinct().count()
+    assert(kept.size == 9 * nSources,
+      s"expected 9 per source x $nSources, got ${kept.size}")
+  }
+
   test("curation YAML: ccnet_bucket keeps the listed terciles, annotates without keep, and refuses to stream") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"

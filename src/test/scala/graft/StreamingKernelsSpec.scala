@@ -701,6 +701,45 @@ class StreamingKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("uniform bottom-k sample kernel ≡ batch sampler EXACTLY, under any arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("source", "doc_id").limit(300)
+    val rows = docs.collect().map(r => (r.getString(0), r.getLong(1)))
+    val k = 7; val seed = 5L
+
+    val want = graft.ml.Corpus.uniformSampleK(docs, "source", "doc_id", k, seed)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    def streamed(order: Seq[(String, Long)], name: String): Set[(String, Long, Long)] = {
+      val input = MemoryStream[SampleEvent]
+      val q = Kernels.uniformSampleK(input.toDS(), k, seed)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        order.grouped(97).foreach { b =>
+          input.addData(b.map { case (g, d) => SampleEvent(g, d) }: _*)
+          q.processAllAvailable()
+        }
+        val snaps = spark.table(name).as[SampleSnapshot].collect()
+        val last = snaps.groupBy(_.group).map { case (g, ss) =>
+          g -> ss.filter(_.epoch == ss.map(_.epoch).max)
+        }
+        last.values.flatten.map(s => (s.group, s.docId, s.rank)).toSet
+      } finally q.stop()
+    }
+
+    // arrival order must not matter: forward and reversed streams both
+    // land on the batch sampler's exact (group, doc, rank) set
+    assert(streamed(rows.toSeq, "us_fwd") == want)
+    assert(streamed(rows.reverse.toSeq, "us_rev") == want)
+    // exact size: min(k, group size) per group
+    val sizes = want.groupBy(_._1).map { case (g, s) => g -> s.size }
+    val counts = rows.groupBy(_._1).map { case (g, s) => g -> s.size }
+    sizes.foreach { case (g, n) => assert(n == math.min(k, counts(g))) }
+  }
+
   test("heavy hitters kernel is exact while distinct items fit the capacity") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
