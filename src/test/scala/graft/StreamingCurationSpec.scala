@@ -487,6 +487,36 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("compiled stream: nfc_normalize rewrites per row, verdict-identical to the batch stage") {
+    val dir = java.nio.file.Files.createTempDirectory("cur_stream_nfc").toString
+    // decomposed sequences: e+combining acute, A+combining ring
+    landDocs(dir, Seq(
+      (1L, "web", "café latte"),
+      (2L, "web", "Ångström units"),
+      (3L, "web", "plain ascii text")))
+    val yaml =
+      s"""curation:
+         |  input: {path: "$dir"}
+         |  stages:
+         |    - {type: nfc_normalize}
+         |""".stripMargin
+    val q = compiler.PipelineCompiler.compileCurationStream(spark, yaml)
+      .writeStream.format("memory").queryName("cur_nfc")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cur_nfc").select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got(1L) == "caf\u00e9 latte")
+      assert(got(2L) == "\u00c5ngstr\u00f6m units")
+      assert(got(3L) == "plain ascii text")
+      val want = compiler.PipelineCompiler.compileCuration(spark, yaml)
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("compiled stream: minhash_dedup drops near-duplicates through the band-owner state") { withRocksDb {
     val dir = java.nio.file.Files.createTempDirectory("cur_stream_mh").toString
     landDocs(dir, Seq(
