@@ -531,6 +531,45 @@ object Queries11 {
       |  row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rank
       |FROM sel""".stripMargin
 
+  // ---------------------------------------------- temperature mixing
+
+  /** Round-10: sqrt-flattened (T=2) source mixing over a deliberately
+    * SKEWED synthetic grouping (the real sources are uniform at every
+    * SF, which would make every weight 1000): 60/30/10% groups →
+    * isqrt-derived milli weights 1000/√-ratio, largest group pinned at
+    * 1.0. The oracle replays counts, floor(sqrt), the integer weight,
+    * and the q104 upsample coin. */
+  val q157_temperature_mix: Q = (s, dir) => {
+    val grouped = t(s, dir, "documents").withColumn("mix_grp",
+      expr("CASE WHEN doc_id % 10 < 6 THEN 'big' " +
+        "WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'small' END"))
+    graft.ml.Corpus.temperatureMix(grouped, "mix_grp", "text",
+      temperature = 2)
+      .select(col("doc_id"), col("mix_grp"),
+        col("copy_idx").cast("long").as("copy_idx"))
+  }
+
+  val q157_sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN doc_id % 10 < 6 THEN 'big'
+      |         WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'small' END AS mix_grp
+      |  FROM documents),
+      |n AS (SELECT mix_grp, count(*) AS n FROM g GROUP BY 1),
+      |i AS (SELECT mix_grp, CAST(floor(sqrt(n)) AS BIGINT) AS isq FROM n),
+      |m AS (SELECT MAX(isq) AS mx FROM i),
+      |w AS (
+      |  SELECT g.doc_id, g.mix_grp, g.text, (1000 * m.mx) // i.isq AS wm
+      |  FROM g JOIN i USING (mix_grp), m),
+      |c AS (
+      |  SELECT doc_id, mix_grp,
+      |    wm // 1000 +
+      |    CASE WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 1000 < wm % 1000
+      |         THEN 1 ELSE 0 END AS copies
+      |  FROM w)
+      |SELECT doc_id, mix_grp, unnest(range(0, copies)) AS copy_idx
+      |FROM c WHERE copies > 0""".stripMargin
+
   // ------------------------------------------------ NFC normalization
 
   /** Round-10: Unicode NFC normalization (native codegen Expression,
@@ -576,7 +615,8 @@ object Queries11 {
     "q153_line_dedup_norm" -> q153_line_dedup_norm,
     "q154_nfc_normalize" -> q154_nfc_normalize,
     "q155_dedup_exact_best" -> q155_dedup_exact_best,
-    "q156_sample_bottomk" -> q156_sample_bottomk
+    "q156_sample_bottomk" -> q156_sample_bottomk,
+    "q157_temperature_mix" -> q157_temperature_mix
   )
 
   val oracles: Map[String, String] = Map(
@@ -591,6 +631,7 @@ object Queries11 {
     "q153_line_dedup_norm" -> q153_sql,
     "q154_nfc_normalize" -> q154_sql,
     "q155_dedup_exact_best" -> q155_sql,
-    "q156_sample_bottomk" -> q156_sql
+    "q156_sample_bottomk" -> q156_sql,
+    "q157_temperature_mix" -> q157_sql
   )
 }

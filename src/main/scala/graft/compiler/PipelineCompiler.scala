@@ -2123,6 +2123,12 @@ object PipelineCompiler {
           Option(st.get("group")).map(_.asText()).getOrElse("source"),
           id, text, budget = req("budget").asLong(),
           seed = longOpt("seed", 0L)).select(id), Seq(id), "left_semi")
+      case "temperature_mix" =>
+        // q157: sqrt-flattened source mixing (T=2; T=1 = identity) —
+        // corpus-level counts → set-dependent, batch-only
+        graft.ml.Corpus.temperatureMix(df,
+          Option(st.get("group")).map(_.asText()).getOrElse("source"),
+          text, temperature = intOpt("temperature", 2))
       case "sample_k" =>
         // q156: exact-size uniform sample per group (bottom-k by salted
         // id-hash — order/partitioning-independent). Batch-only as a

@@ -577,6 +577,39 @@ object Corpus {
     * of sources, so a single colossal source funnels to one task (cap
     * that case upstream by sharding the source label, e.g.
     * 'cc' → 'cc/0..N', and summing shard budgets). */
+  /** Temperature-flattened source mixing (the data-mixture rebalance
+    * every multi-source training corpus runs — Gopher/LLaMA-style
+    * sqrt-flattening, the T=2 point of p_s ∝ n_s^(1/T)): each group's
+    * documents get upsample weight K/√n_s with K = √(max n_s), so the
+    * LARGEST source keeps weight 1.0 and smaller sources replicate
+    * toward a flatter mix. Integer-exact: √ is floor-isqrt (IEEE sqrt
+    * is correctly rounded, so floor(sqrt(n)) is exact for n < 2^52 —
+    * any group count), weights in milli through [[upsample]]'s
+    * deterministic whole-copies + hash-threshold fractional coin.
+    * T=1 is the identity mix (weight 1000 everywhere). Shape: one
+    * count aggregation, a 1-row max (broadcast — bounded at
+    * construction), one unhinted weight join, then the upsample
+    * explode; no unbounded state anywhere. */
+  def temperatureMix(df: DataFrame, groupCol: String, textCol: String,
+                     temperature: Int): DataFrame = {
+    require(temperature == 1 || temperature == 2,
+      "temperatureMix: temperature must be 1 (identity) or 2 " +
+        "(sqrt-flattening) — other exponents need non-integer roots, " +
+        "which are not engine-reproducible in exact arithmetic")
+    if (temperature == 1) upsample(df, textCol, lit(1000L))
+    else {
+      val isq = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+        .withColumn("_isq", floor(sqrt(col("_n"))).cast("long"))
+      val mx = isq.agg(max(col("_isq")).as("_mx"))
+      val weights = isq.crossJoin(broadcast(mx))
+        .select(col(groupCol),
+          call_function("div", lit(1000L) * col("_mx"), col("_isq"))
+            .as("_wm"))
+      upsample(df.join(weights, Seq(groupCol)), textCol, col("_wm"))
+        .drop("_wm")
+    }
+  }
+
   /** Exact-size uniform sample: the k rows with the SMALLEST salted
     * id-hashes per group (bottom-k sampling). Unlike Bernoulli
     * sampling (q68's rate thresholds) the size is exactly
