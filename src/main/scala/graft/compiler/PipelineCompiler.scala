@@ -1657,6 +1657,7 @@ object PipelineCompiler {
     val text = Option(st.get("text_col")).map(_.asText()).getOrElse("text")
     def intOpt(k: String, d: Int): Int = Option(st.get(k)).map(_.asInt()).getOrElse(d)
     def longOpt(k: String, d: Long): Long = Option(st.get(k)).map(_.asLong()).getOrElse(d)
+    def boolOpt(k: String): Boolean = Option(st.get(k)).exists(_.asBoolean())
     st.get("type").asText() match {
       case "gopher_gate" =>
         df.filter(graft.ml.TextOps.gopherPass(col(text),
@@ -1778,8 +1779,22 @@ object PipelineCompiler {
             "curation decontaminate (streaming): needs eval_input {dir, table}"))
         val eval = graft.Tables(spark, ein.get("dir").asText(),
           ein.get("table").asText())
-        graft.ml.Corpus.decontaminatePerRow(df, eval, text,
+        // normalize: true — CCNet-normalized matching on both sides,
+        // same contract as the batch stage; the per-row probe runs on a
+        // normalized shadow column so emitted rows keep original text
+        val dNorm = boolOpt("normalize")
+        val probed =
+          if (dNorm) {
+            val shadow = "_deco_norm"
+            graft.ml.Corpus.decontaminatePerRow(
+              df.withColumn(shadow, graft.ml.Corpus.ccnetSegKey(col(text))),
+              eval.withColumn(shadow, graft.ml.Corpus.ccnetSegKey(col(text))),
+              shadow,
+              n = intOpt("n", 13), threshold = intOpt("threshold", 5))
+              .drop(shadow)
+          } else graft.ml.Corpus.decontaminatePerRow(df, eval, text,
             n = intOpt("n", 13), threshold = intOpt("threshold", 5))
+        probed
           .filter(!col("contaminated"))
           .drop("ngram_hits", "contaminated")
       case "classifier_gate" =>
@@ -2033,7 +2048,19 @@ object PipelineCompiler {
           cleaned.filter(length(col("clean_text")) > 0)
             .select(col(id), col("clean_text").as(text)), Seq(id))
       case "decontaminate" =>
-        keepIds(graft.ml.Corpus.decontaminate(df, evalSet, id, text,
+        // normalize: true matches n-grams on the CCNet-normalized text
+        // (lowercase / digits→0 / punct-strip) on BOTH sides — the
+        // production decontamination convention, where a benchmark
+        // answer with different casing/punctuation still contaminates.
+        // The verdict runs on normalized copies; emitted rows keep the
+        // original text (keepIds joins back by id).
+        val decoNorm = boolOpt("normalize")
+        def nTex(f: DataFrame): DataFrame =
+          if (decoNorm)
+            f.withColumn(text, graft.ml.Corpus.ccnetSegKey(col(text)))
+          else f
+        keepIds(graft.ml.Corpus.decontaminate(nTex(df), nTex(evalSet),
+          id, text,
           n = intOpt("n", 13), threshold = intOpt("threshold", 5)),
           !col("contaminated"))
       case "span_scrub" =>

@@ -1156,6 +1156,59 @@ class CompilerSpec extends AnyFunSuite {
     assert(withIdx.getMessage.contains("batch-mode only"))
   }
 
+  test("curation YAML: decontaminate normalize matches eval grams across case/punct variants, batch and streaming") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_deco_norm").toString
+    // doc 1 carries the eval answer decorated with punctuation — the
+    // grams only match after CCNet normalization; doc 2 is clean
+    Seq(
+      (1L, "Alpha, beta! gamma; delta? epsilon omega.", "web"),
+      (2L, "completely unrelated words here now okay.", "web"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(tmp + "/train.parquet")
+    Seq((900L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(tmp + "/evalset.parquet")
+
+    def yaml(norm: String): String =
+      s"""curation:
+         |  input: {dir: "$tmp", table: train}
+         |  stages:
+         |    - {type: decontaminate, n: 3, threshold: 1,$norm
+         |       eval_input: {dir: "$tmp", table: evalset}}
+         |""".stripMargin
+    val plain = PipelineCompiler.compileCuration(spark, yaml(""))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(plain == Set(1L, 2L),
+      "without normalize the punctuated variant must NOT contaminate")
+    val norm = PipelineCompiler.compileCuration(spark, yaml(" normalize: true,"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(norm == Set(2L),
+      "with normalize the punctuated variant must be dropped")
+    // original text survives on kept rows (the verdict ran on copies)
+    val texts = PipelineCompiler.compileCuration(spark, yaml(" normalize: true,"))
+      .select("text").collect().map(_.getString(0)).toSeq
+    assert(texts == Seq("completely unrelated words here now okay."))
+
+    // streaming stage: same contract over a landing dir
+    val streamed = PipelineCompiler.compileCurationStream(spark,
+      s"""curation:
+         |  input: {path: "$tmp/train.parquet"}
+         |  stages:
+         |    - {type: decontaminate, n: 3, threshold: 1, normalize: true,
+         |       eval_input: {dir: "$tmp", table: evalset}}
+         |""".stripMargin)
+    val q = streamed.writeStream.format("memory").queryName("deco_norm_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("deco_norm_out").select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((2L, "completely unrelated words here now okay.")))
+    } finally q.stop()
+  }
+
   test("curation YAML: sample_k keeps exactly the bottom-k sample per group") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
