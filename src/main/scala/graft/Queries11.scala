@@ -570,6 +570,31 @@ object Queries11 {
       |SELECT doc_id, mix_grp, unnest(range(0, copies)) AS copy_idx
       |FROM c WHERE copies > 0""".stripMargin
 
+  // ------------------------------------- normalized decontamination
+
+  /** Round-10: normalized decontamination under the hash gate — the
+    * train corpus is DECORATED (every 'a' becomes 'A!': uppercase +
+    * punctuation, so raw 3-grams cannot match the clean eval slice),
+    * then both sides run through the CCNet normalizer before gram
+    * matching, exactly like `decontaminate` + `normalize: true`
+    * compiles. On this lowercase single-spaced corpus the normalizer
+    * recovers the original text verbatim, so a CORRECT normalizer must
+    * reproduce q102's verdicts exactly — the oracle IS q102's SQL; a
+    * broken normalizer (or raw matching on the decorated text) yields
+    * near-zero hits and fails the hash. */
+  val q158_decontaminate_norm: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val train = docs.select(col("doc_id"),
+      expr("replace(text, 'a', 'A!')").as("text"))
+    val evalSet = docs.filter(col("doc_id") % 97 === 0)
+    def norm(f: DataFrame): DataFrame =
+      f.withColumn("text", graft.ml.Corpus.ccnetSegKey(col("text")))
+    graft.ml.Corpus.decontaminate(norm(train), norm(evalSet),
+      "doc_id", "text", n = 3, threshold = 10)
+  }
+
+  val q158_sql: String = Queries5.q102_sql
+
   // ------------------------------------------------ NFC normalization
 
   /** Round-10: Unicode NFC normalization (native codegen Expression,
@@ -616,7 +641,8 @@ object Queries11 {
     "q154_nfc_normalize" -> q154_nfc_normalize,
     "q155_dedup_exact_best" -> q155_dedup_exact_best,
     "q156_sample_bottomk" -> q156_sample_bottomk,
-    "q157_temperature_mix" -> q157_temperature_mix
+    "q157_temperature_mix" -> q157_temperature_mix,
+    "q158_decontaminate_norm" -> q158_decontaminate_norm
   )
 
   val oracles: Map[String, String] = Map(
@@ -632,6 +658,7 @@ object Queries11 {
     "q154_nfc_normalize" -> q154_sql,
     "q155_dedup_exact_best" -> q155_sql,
     "q156_sample_bottomk" -> q156_sql,
-    "q157_temperature_mix" -> q157_sql
+    "q157_temperature_mix" -> q157_sql,
+    "q158_decontaminate_norm" -> q158_sql
   )
 }
