@@ -494,7 +494,7 @@ object Queries11 {
     * either engine. */
   val q156_sample_bottomk: Q = (s, dir) =>
     graft.ml.Corpus.uniformSampleK(t(s, dir, "documents"),
-      "source", "doc_id", k = 25, seed = 5L)
+      "source", "doc_id", k = 9, seed = 5L)
 
   val q156_sql: String =
     """WITH b AS (
@@ -509,7 +509,7 @@ object Queries11 {
       |    SUM(c) OVER (PARTITION BY source ORDER BY bkt) AS cum
       |  FROM hist),
       |thr AS (
-      |  SELECT source, MIN(bkt) AS thr_bkt FROM cum WHERE cum >= 25
+      |  SELECT source, MIN(bkt) AS thr_bkt FROM cum WHERE cum >= 9
       |  GROUP BY 1),
       |thr2 AS (
       |  SELECT c.source, c.bkt AS thr_bkt, c.cum - c.c AS bef
@@ -526,7 +526,7 @@ object Queries11 {
       |sel AS (
       |  SELECT source, doc_id, hk FROM below
       |  UNION ALL
-      |  SELECT source, doc_id, hk FROM bnd WHERE rn <= 25 - bef)
+      |  SELECT source, doc_id, hk FROM bnd WHERE rn <= 9 - bef)
       |SELECT source, doc_id,
       |  row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rank
       |FROM sel""".stripMargin
