@@ -612,7 +612,8 @@ object Queries11 {
     decorated.select(col("doc_id"),
       graft.functions.NfcNormalize(col("text")).as("text_nfc"),
       (length(col("text")) - length(
-        graft.functions.NfcNormalize(col("text")))).as("chars_composed"))
+        graft.functions.NfcNormalize(col("text"))))
+        .cast("long").as("chars_composed"))
   }
 
   val q154_sql: String =

@@ -1786,6 +1786,10 @@ object PipelineCompiler {
         val probed =
           if (dNorm) {
             val shadow = "_deco_norm"
+            require(!df.columns.contains(shadow),
+              s"curation decontaminate (streaming): input already has a " +
+                s"`$shadow` column — the normalized shadow would silently " +
+                "overwrite it; rename the input column")
             graft.ml.Corpus.decontaminatePerRow(
               df.withColumn(shadow, graft.ml.Corpus.ccnetSegKey(col(text))),
               eval.withColumn(shadow, graft.ml.Corpus.ccnetSegKey(col(text))),

@@ -769,7 +769,8 @@ object Dedup {
     * grows run over run — AQE broadcasts while it fits). */
   def semDedupAgainst(df: DataFrame, cents: DataFrame, members: DataFrame,
                       idCol: String, vecCol: String,
-                      tau: Double): DataFrame = {
+                      tau: Double,
+                      maxAvgClusterSize: Long = 10000L): DataFrame = {
     require(tau > 0, "semDedupAgainst: tau must be positive")
     val assign = Ann.assignClusters(df, idCol, vecCol, cents)
     val vecs = df
@@ -777,6 +778,26 @@ object Dedup {
       .withColumn("n2", graft.functions.VecDot(col("ve"), col("ve")))
       .join(assign, "vid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // LOUD guard, same rule as the batch path (semDedup): the
+    // within-batch pairwise leg grows as (N_batch/k)² per cluster, and
+    // the index-probe leg as (N_batch/k)·(members/k) — a growing crawl
+    // batch against a FIXED persisted centroid set goes quadratic
+    // silently. Measured on the ACTUAL batch assignment (one tiny agg
+    // over the already-persisted vecs, doubling as the persist
+    // warm-up). Remediation is re-building the index with more
+    // centroids (semDedupAutoK's k-scaling rule), since the batch must
+    // assign to the index's centroids.
+    val stats = vecs.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .agg(avg(col("n")).as("avgSz")).head()
+    val avgSz = if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)
+    if (avgSz > maxAvgClusterSize)
+      throw new IllegalArgumentException(
+        f"semDedupAgainst: average batch assignments per cluster $avgSz%.0f " +
+          s"exceed $maxAvgClusterSize — the within-batch pairwise stage " +
+          "(and the member-probe join) would be quadratic. The persisted " +
+          "centroid set is too small for this batch: re-build the index " +
+          "with k scaled to the corpus (k = N / targetClusterSize — " +
+          "semDedupAutoK's rule) or raise maxAvgClusterSize knowingly.")
     val oldHits = vecs
       .join(members.select(col("cid"), col("ve").as("_vo"), col("n2").as("_n2o")),
         Seq("cid"))

@@ -33,14 +33,34 @@ object Stats {
     df.groupBy(col(groupCol).as("group"))
       .agg(hll_sketch_agg(key, lit(lgK)).as("sketch"),
         count(lit(1)).as("rows_seen"))
+      .withColumn("lgk", lit(lgK))
 
-  /** The next-run index: previous runs' rows ∪ this run's — the lazy
-    * union (one row per (group, run), no re-aggregation of old
-    * sketches at write time; the OR-merge is deferred to read). The
-    * same layout discipline as the Bloom exact-dedup index. */
+  /** The next-run index: previous runs' rows ∪ this run's — the union
+    * stays row-lazy (one row per (group, run), no re-aggregation of old
+    * sketch REGISTERS at write time; the OR-merge is deferred to read).
+    * All runs must share one lgK — hll_union_agg refuses mixed register
+    * widths (allowDifferentLgConfigK=false) with an error surfacing far
+    * from the offending write, so this FAILS FAST here instead: each
+    * sketch row persists its lgK, and the merge runs one column-pruned
+    * distinct over the (tiny, one-row-per-run) index to reject a
+    * mismatch at write time. The same shared-parameter discipline as
+    * the Bloom exact-dedup index (merge needs equal bit layouts). */
   def distinctSketchIndexMerged(old: Option[DataFrame],
                                 cur: DataFrame): DataFrame =
-    old.map(_.unionByName(cur)).getOrElse(cur)
+    old.map { o =>
+      require(o.columns.contains("lgk") && cur.columns.contains("lgk"),
+        "Stats.distinctSketchIndexMerged: index rows must carry the lgk " +
+          "column (written by distinctSketch) so mixed-lgK merges fail " +
+          "at write time, not at distinctEstimate read time")
+      val ks = o.select(col("lgk")).unionByName(cur.select(col("lgk")))
+        .distinct().collect().map(_.getInt(0)).sorted
+      if (ks.length > 1) throw new IllegalArgumentException(
+        s"Stats.distinctSketchIndexMerged: mixed lgK ${ks.mkString("{", ",", "}")} " +
+          "across runs — hll_union_agg requires a single lgK " +
+          "(allowDifferentLgConfigK=false); re-sketch this run at the " +
+          "index's lgK or rebuild the index")
+      o.unionByName(cur)
+    }.getOrElse(cur)
 
   /** Collapse an index (one or many runs per group) to per-group
     * estimates: union the sketch registers (associative max — equal to

@@ -372,12 +372,17 @@ object Kernels {
     * brackets its item's true weight in [count − err, count] — this is
     * what "top domains / hottest keys today" costs on an unbounded
     * stream, where the exact groupBy (q71) would hold every key ever
-    * seen. Batch-equivalence is EXACT, not approximate: processing a
-    * sequence through any micro-batch split equals the one-pass sketch
-    * over the seq-sorted whole (state carries the full sketch), spec'd
-    * in StreamingKernelsSpec. Determinism: events process in `seq`
-    * order; eviction picks the (count, item) minimum so ties are
-    * stable. Each micro-batch emits the group's current table
+    * seen. Batch-split equivalence is EXACT when cross-batch arrival
+    * respects `seq` order: the state carries the full sketch, and
+    * events are seq-sorted WITHIN each micro-batch, so any split of a
+    * seq-ordered arrival stream equals the one-pass sketch over the
+    * whole (spec'd in StreamingKernelsSpec). An event arriving in a
+    * LATER batch than its seq implies is processed in arrival order —
+    * the resulting state can differ from the globally seq-sorted
+    * reference, but the SpaceSaving guarantees above are
+    * order-independent and still hold. Determinism: events process in
+    * `seq` order within a batch; eviction picks the (count, item)
+    * minimum so ties are stable. Each micro-batch emits the group's current table
     * (≤ capacity rows, count-desc) tagged with an epoch; `stateTtlMs`
     * evicts idle groups. */
   def heavyHitters(ds: Dataset[HHEvent], capacity: Int,
@@ -509,9 +514,14 @@ object Kernels {
     * stream at O((1/ε)·log(εn)) state per group, where the exact
     * spelling (q77's percentile gates) would hold every value seen.
     * Processing is deterministic (seq order within a batch, ties by
-    * insertion point); batch-split equivalence is EXACT — the state
-    * carries the whole summary, so any micro-batch split of a sequence
-    * yields the same tuples as one pass. Each micro-batch emits one
+    * insertion point); batch-split equivalence is EXACT when
+    * cross-batch arrival respects `seq` order — the state carries the
+    * whole summary, so any split of a seq-ordered arrival stream
+    * yields the same tuples as one pass. A late event (lower seq in a
+    * later batch) is processed in arrival order; its summary may
+    * differ tuple-for-tuple from the globally seq-sorted reference,
+    * but the ε-rank guarantee is insertion-order-independent and
+    * still holds. Each micro-batch emits one
     * snapshot row per requested φ (permille). `stateTtlMs` evicts idle
     * groups. */
   def quantileSketch(ds: Dataset[QEvent], eps: Double,

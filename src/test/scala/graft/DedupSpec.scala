@@ -320,6 +320,40 @@ class DedupSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getInt(1))).toSet)
   }
 
+  test("semDedupAgainst trips the cluster-size guard when the batch outgrows the persisted centroid set") {
+    import spark.implicits._
+    // The index was built small (k=2 over 2 docs) — the standard
+    // incremental-regime failure: crawl batches grow while the
+    // persisted centroids stay fixed, so per-cluster batch
+    // assignments (and the (N/k)² pairwise leg) grow quadratically.
+    // The guard must throw LOUDLY instead of going quadratic.
+    val old = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cents = graft.ml.Ann.kmeansQuantized(old, "vec_id", "embedding",
+      k = 2, iters = 1)
+    val members = Dedup.semdedupIndex(old, "vec_id", "embedding", cents)
+    val batch = (100L until 300L).map { i =>
+      val a = (i % 37).toFloat / 37f
+      (i, Seq(math.cos(a).toFloat, math.sin(a).toFloat,
+        ((i % 11).toFloat - 5f) / 11f, ((i % 7).toFloat - 3f) / 7f))
+    }.toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semDedupAgainst(batch, cents, members,
+        "vec_id", "embedding", tau = 0.99, maxAvgClusterSize = 40L)
+    }
+    assert(e.getMessage.contains("average batch assignments per cluster") &&
+      e.getMessage.contains("re-build the index"),
+      s"guard must name the remediation: ${e.getMessage}")
+    // and the same batch passes under a properly-scaled index
+    val cents2 = graft.ml.Ann.kmeansQuantized(batch, "vec_id", "embedding",
+      k = 8, iters = 1)
+    val members2 = Dedup.semdedupIndex(old, "vec_id", "embedding", cents2)
+    val ok = Dedup.semDedupAgainst(batch, cents2, members2,
+      "vec_id", "embedding", tau = 0.99, maxAvgClusterSize = 40L)
+    assert(ok.count() == 200)
+  }
+
   test("VecDot refuses ragged vectors instead of truncating") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val lit = org.apache.spark.sql.catalyst.expressions.Literal(1.0)

@@ -80,4 +80,37 @@ class StatsSketchSpec extends AnyFunSuite {
       assert(seen == 2 * runA.filter(col("source") === g).count())
     }
   }
+
+  test("mixed-lgK merge fails FAST at index-merge time, not at estimate read time") {
+    // hll_union_agg (allowDifferentLgConfigK=false) would otherwise
+    // surface an opaque error at distinctEstimate, far from the
+    // offending write — the merge must reject the mismatch itself
+    val runA = docs.filter(col("doc_id") < 100)
+    val runB = docs.filter(col("doc_id") >= 100)
+    val e = intercept[IllegalArgumentException] {
+      Stats.distinctSketchIndexMerged(
+        Some(Stats.distinctSketch(runA, "source", col("text"), lgK = 12)),
+        Stats.distinctSketch(runB, "source", col("text"), lgK = 13))
+    }
+    assert(e.getMessage.contains("mixed lgK") &&
+      e.getMessage.contains("12,13"), e.getMessage)
+    // an index row stripped of its lgk column (hand-built layout) is
+    // rejected up front too
+    val bare = Stats.distinctSketch(runA, "source", col("text")).drop("lgk")
+    val e2 = intercept[IllegalArgumentException] {
+      Stats.distinctSketchIndexMerged(Some(bare),
+        Stats.distinctSketch(runB, "source", col("text")))
+    }
+    assert(e2.getMessage.contains("lgk"))
+    // same-lgK merges still estimate exactly like the one-shot sketch
+    val ok = Stats.distinctSketchIndexMerged(
+      Some(Stats.distinctSketch(runA, "source", col("text"))),
+      Stats.distinctSketch(runB, "source", col("text")))
+    val merged = Stats.distinctEstimate(ok)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = Stats.distinctEstimate(
+      Stats.distinctSketch(docs, "source", col("text")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == oneShot)
+  }
 }
