@@ -93,7 +93,7 @@ object CorpusPipelineDemo {
     //    punctuation, so segment = 12-token pseudo-sentence (production
     //    passes '\n' lines or a sentence split directly); docs scrubbed
     //    to nothing drop out.
-    val toks = split(col("text"), " ")
+    val toks = graft.ml.Dedup.tokensCased(col("text"))
     val sentenced = canonical.withColumn("text",
       array_join(transform(
         sequence(lit(0), floor((size(toks) - 1) / 12).cast("int")),
@@ -133,7 +133,7 @@ object CorpusPipelineDemo {
     // stay under budget + its largest admitted doc — the documented
     // overshoot-by-one bound of the greedy prefix
     val overs = capped
-      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .select(col("source"), size(graft.ml.Dedup.tokensCased(col("text"))).cast("long").as("nt"))
       .groupBy("source")
       .agg(sum(col("nt")).as("tok"), max(col("nt")).as("mxdoc"))
       .filter(col("tok") >= lit(400L) + col("mxdoc"))

@@ -230,10 +230,10 @@ object Queries {
   /** split: explode array field into child events (non-array passes). */
   val q11_act_split: Q = (s, dir) =>
     t(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), explode(graft.ml.Dedup.tokensCased(col("text"))).as("word"))
 
   val q11_sql: String =
-    "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"
+    "SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '')) AS word FROM documents"
 
   /** hash action (md5 variant for oracle parity; xxhash64 is the native
     * default — see q31_act_hash_xx). */

@@ -25,8 +25,8 @@ object Queries10 {
 
   private val sqlShingles3: String =
     "list_distinct(list_transform(" +
-      "range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1), " +
-      "i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' ')))"
+      "range(1, greatest(len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')) - 2, 1) + 1), " +
+      "i -> array_to_string(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')[i:i+2], ' ')))"
 
   // ------------------------------------------------- minhash against
 
@@ -87,7 +87,7 @@ object Queries10 {
         s"((sim >> ${b * SH_W}) & ${(1L << SH_W) - 1}))")
       .mkString(", ")
     s"""toks AS (
-       |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+       |  SELECT doc_id, unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''))) AS tok
        |  FROM documents$where),
        |h AS (SELECT doc_id, ${sqlHash("tok")} AS hv FROM toks),
        |agg AS (SELECT doc_id, COUNT(*) AS n, $sums FROM h GROUP BY doc_id),
@@ -152,7 +152,7 @@ object Queries10 {
   val q143_sql: String =
     """WITH seg AS (
       |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS seg
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '') AS l FROM documents)),
       |old AS (SELECT DISTINCT seg FROM seg WHERE doc_id % 4 = 0),
       |segn AS (SELECT * FROM seg WHERE doc_id % 4 <> 0),
       |fl AS (

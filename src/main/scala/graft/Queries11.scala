@@ -301,7 +301,7 @@ object Queries11 {
     val langs = TextOps.stopwords.keys.toSeq.sorted
     val hitCols = langs.map { l =>
       val sw = TextOps.stopwords(l).map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(string_split(lower(text), ' '), t -> list_contains([$sw], t))) AS h_$l"
+      s"len(list_filter(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''), t -> list_contains([$sw], t))) AS h_$l"
     }.mkString(",\n    ")
     val g = langs.map(l => s"h_$l").mkString(", ")
     val cases = langs.map(l => s"WHEN h_$l = greatest($g) THEN '$l'").mkString(" ")
@@ -312,7 +312,7 @@ object Queries11 {
        |    CASE WHEN greatest($g) = 0 THEN 'und' $cases END AS lang
        |  FROM hits),
        |toks AS (
-       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM $from),
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '') AS w FROM $from),
        |idx AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks),
        |occ AS (
        |  SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS g FROM idx),
@@ -372,13 +372,13 @@ object Queries11 {
     s"""WITH gop AS (
        |  SELECT doc_id FROM (
        |    SELECT doc_id,
-       |      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+       |      CAST(len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS n_tok,
        |      CAST(len(replace(text, ' ', '')) AS BIGINT) AS char_sum,
-       |      CAST(len(list_filter(string_split(lower(text), ' '),
+       |      CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''),
        |        t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT) AS alpha_cnt,
-       |      CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+       |      CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''))) AS BIGINT)
        |        AS distinct_cnt,
-       |      CAST(len(list_filter(string_split(lower(text), ' '),
+       |      CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''),
        |        t -> list_contains([$sw], t))) AS BIGINT) AS stop_hits
        |    FROM documents)
        |  WHERE (n_tok BETWEEN 5 AND 100000)
@@ -394,7 +394,7 @@ object Queries11 {
        |  WHERE s.score >= t.t2),
        |h AS (
        |  SELECT source, doc_id,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS n_tok,
        |    ('0x' || substr(md5(text || '#q7'), 1, 15))::BIGINT AS hk
        |  FROM g2),
        |r AS (
@@ -435,7 +435,7 @@ object Queries11 {
       |  FROM documents),
       |seg AS (
       |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS seg
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM dec)),
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '') AS l FROM dec)),
       |k AS (
       |  SELECT doc_id, pos, seg,
       |    trim(regexp_replace(regexp_replace(regexp_replace(lower(seg),

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ml.{Dedup, TextOps}
+
+/** Query batch 12 (round 11 — hardening): whitespace-robust
+  * tokenization under the oracle hash gate. Round 11 changed the
+  * canonical tokenizer (`Dedup.tokens` / `tokensCased`) from
+  * split-on-single-space to split-on-whitespace-runs with empty-token
+  * drop, so gate signals stay sane on real-shaped text (embedded
+  * newlines, double spaces, tabs, leading/trailing whitespace) — the
+  * single-space corpus never exercised that. q159 decorates every
+  * document with deterministic messy whitespace and puts the signal
+  * battery (token counts, token-set fingerprint, stopword ratio,
+  * 3-gram shingle count) under the DuckDB hash gate, alongside the
+  * clean-text values so the decoration-invariance is visible in the
+  * data itself (messy ≡ clean for every signal).
+  */
+object Queries12 {
+
+  type Q = Queries.Q
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** The canonical oracle-side tokenizer spelling (the DuckDB twin of
+    * [[Dedup.tokens]]/[[Dedup.tokensCased]]): split on the explicit
+    * whitespace class, drop empty tokens. */
+  def toksSql(e: String): String =
+    s"list_filter(regexp_split_to_array($e, '[ \\t\\n\\r\\f]+'), t -> t <> '')"
+
+  // ----------------------------- whitespace-robust tokenization (r11)
+
+  /** Every document decorated with deterministic messy whitespace —
+    * leading tab+space, every separator turned into newline + double
+    * space, trailing spaces + newline — then scored with the same
+    * tokenization-dependent signals the curation gates use. The clean
+    * columns ride along so the fixture PROVES (in gate-checked data,
+    * not just a spec) that the signals are whitespace-shape-invariant:
+    * n_tok_messy = n_tok_clean and fp_messy = fp_clean on every row. */
+  val q159_ws_tokens: Q = (s, dir) => {
+    val deco = concat(lit("\t "),
+      regexp_replace(col("text"), " ", "\n  "), lit("  \n"))
+    t(s, dir, "documents").select(col("doc_id"),
+      size(Dedup.tokensCased(deco)).cast("long").as("n_tok_messy"),
+      size(Dedup.tokensCased(col("text"))).cast("long").as("n_tok_clean"),
+      md5(array_join(Dedup.tokens(deco), " ").cast("binary")).as("fp_messy"),
+      md5(array_join(Dedup.tokens(col("text")), " ").cast("binary"))
+        .as("fp_clean"),
+      round(TextOps.stopwordRatio(deco, "en"), 4).as("sw_ratio"),
+      size(Dedup.shingles(deco, 3)).cast("long").as("n_shingles"))
+  }
+
+  val q159_sql: String = {
+    val sw = TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH deco AS (
+       |  SELECT doc_id, text,
+       |    chr(9) || ' ' || replace(text, ' ', chr(10) || '  ') || '  ' ||
+       |      chr(10) AS m
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id,
+       |    ${toksSql("m")} AS wm,
+       |    ${toksSql("text")} AS wc,
+       |    ${toksSql("lower(m)")} AS lm,
+       |    ${toksSql("lower(text)")} AS lc
+       |  FROM deco)
+       |SELECT doc_id,
+       |  CAST(len(wm) AS BIGINT) AS n_tok_messy,
+       |  CAST(len(wc) AS BIGINT) AS n_tok_clean,
+       |  md5(array_to_string(lm, ' ')) AS fp_messy,
+       |  md5(array_to_string(lc, ' ')) AS fp_clean,
+       |  round(CAST(len(list_filter(lm, t -> list_contains([$sw], t)))
+       |    AS DOUBLE) / len(lm), 4) AS sw_ratio,
+       |  CAST(len(list_distinct(list_transform(
+       |    range(1, greatest(len(lm) - 2, 1) + 1),
+       |    i -> array_to_string(lm[i:i+2], ' ')))) AS BIGINT) AS n_shingles
+       |FROM toks""".stripMargin
+  }
+
+  val all: Map[String, Q] = Map(
+    "q159_ws_tokens" -> q159_ws_tokens
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q159_ws_tokens" -> q159_sql
+  )
+}

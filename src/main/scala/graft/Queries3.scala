@@ -22,8 +22,8 @@ object Queries3 {
   // DuckDB fragment mirroring Dedup.shingles(text, 3).
   private val sqlShingles3: String =
     "list_distinct(list_transform(" +
-      "range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1), " +
-      "i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' ')))"
+      "range(1, greatest(len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')) - 2, 1) + 1), " +
+      "i -> array_to_string(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')[i:i+2], ' ')))"
 
   // ------------------------------------------------------------- dedup
 
@@ -89,7 +89,7 @@ object Queries3 {
       .map(b => s"(CASE WHEN s$b * 2 > n THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
     s"""WITH toks AS (
-       |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+       |  SELECT doc_id, unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''))) AS tok
        |  FROM documents),
        |h AS (SELECT doc_id, ${sqlHash("tok")} AS hv FROM toks),
        |agg AS (SELECT doc_id, COUNT(*) AS n, $sums FROM h GROUP BY doc_id)
@@ -191,12 +191,12 @@ object Queries3 {
   val q56_sql: String = {
     val sw = TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
     s"""SELECT doc_id,
-       |  len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
-       |  round(CAST(list_sum(list_transform(string_split(text, ' '), t -> strlen(t))) AS DOUBLE)
-       |        / len(string_split(text, ' ')), 4) AS mean_len,
-       |  round(CAST(len(list_filter(string_split(lower(text), ' '),
+       |  len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\f]+'), t -> t <> '')) AS n_tokens,
+       |  round(CAST(list_sum(list_transform(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> ''), t -> strlen(t))) AS DOUBLE)
+       |        / len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '')), 4) AS mean_len,
+       |  round(CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''),
        |                             t -> list_contains([$sw], t))) AS DOUBLE)
-       |        / len(string_split(lower(text), ' ')), 4) AS sw_ratio
+       |        / len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')), 4) AS sw_ratio
        |FROM documents""".stripMargin
   }
 
@@ -208,7 +208,7 @@ object Queries3 {
     val langs = TextOps.stopwords.keys.toSeq.sorted
     val hitCols = langs.map { l =>
       val sw = TextOps.stopwords(l).map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(string_split(lower(text), ' '), t -> list_contains([$sw], t))) AS h_$l"
+      s"len(list_filter(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''), t -> list_contains([$sw], t))) AS h_$l"
     }.mkString(",\n    ")
     val g = langs.map(l => s"h_$l").mkString(", ")
     val cases = langs.map(l => s"WHEN h_$l = greatest($g) THEN '$l'").mkString(" ")
@@ -226,7 +226,7 @@ object Queries3 {
 
   val q58_sql: String =
     """SELECT doc_id,
-      |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+      |  md5(array_to_string(list_sort(list_distinct(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''))), ' ')) AS fp
       |FROM documents""".stripMargin
 
   // -------------------------------------------------------- multimodal

@@ -213,8 +213,8 @@ object Queries4 {
     }.mkString(", ")
     val shingles =
       "list_distinct(list_transform(" +
-        "range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1), " +
-        "i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' ')))"
+        "range(1, greatest(len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')) - 2, 1) + 1), " +
+        "i -> array_to_string(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')[i:i+2], ' ')))"
     s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents),
        |mh AS (SELECT doc_id,
        |    $sigs

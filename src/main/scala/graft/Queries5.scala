@@ -425,7 +425,7 @@ object Queries5 {
   val q67_text_unigram: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val toks = docs.select(col("doc_id"),
-      explode(split(lower(col("text")), " ")).as("tok"))
+      explode(graft.ml.Dedup.tokens(col("text"))).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
     toks.join(vocab, "tok")
       .groupBy(col("doc_id"))
@@ -434,7 +434,7 @@ object Queries5 {
 
   val q67_sql: String =
     """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')) AS tok
       |  FROM documents),
       |vocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok)
       |SELECT t.doc_id, CAST(SUM(v.tf) AS BIGINT) AS sum_tf, COUNT(*) AS n_toks
@@ -542,7 +542,7 @@ object Queries5 {
 
   val q74_sql: String =
     """WITH base AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '') AS t FROM documents),
       |b2 AS (
       |  SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_distinct_tok, t
       |  FROM base),
@@ -608,7 +608,7 @@ object Queries5 {
     * quality-gate thresholds), deterministic tie-break on doc_id so the
     * picked row is engine-stable; integers end to end. */
   val q77_token_percentiles: Q = (s, dir) => {
-    val nTok = size(split(col("text"), " ")).cast("long")
+    val nTok = size(graft.ml.Dedup.tokensCased(col("text"))).cast("long")
     val w = Window.partitionBy(col("lang")).orderBy(col("n_tok"), col("doc_id"))
     val wc = Window.partitionBy(col("lang"))
     t(s, dir, "documents")
@@ -625,7 +625,7 @@ object Queries5 {
   val q77_sql: String =
     """WITH x AS (
       |  SELECT lang, doc_id,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |    CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS n_tok
       |  FROM documents),
       |r AS (
       |  SELECT lang, n_tok,
@@ -961,7 +961,7 @@ object Queries5 {
 
   val q102_sql: String =
     """WITH toks AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '') AS w FROM documents),
       |grams AS (
       |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
       |    FOR i IN range(1, greatest(len(w) - 2, 1) + 1)]) AS gs FROM toks),
@@ -985,7 +985,7 @@ object Queries5 {
 
   val q103_sql: String =
     """WITH toks AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '') AS w FROM documents),
       |idx AS (
       |  SELECT doc_id, w,
       |    unnest(range(0, greatest((len(w) - 40 + 29) // 30, 0) + 1)) AS ci
@@ -1029,12 +1029,12 @@ object Queries5 {
 
   val q105_sql: String =
     """SELECT source, doc_id,
-      |  len(string_split(text, ' ')) AS n_tok,
-      |  coalesce(CAST(SUM(len(string_split(text, ' '))) OVER (
+      |  len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '')) AS n_tok,
+      |  coalesce(CAST(SUM(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> ''))) OVER (
       |    PARTITION BY source ORDER BY doc_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // 512
       |    AS seq_idx,
-      |  coalesce(CAST(SUM(len(string_split(text, ' '))) OVER (
+      |  coalesce(CAST(SUM(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> ''))) OVER (
       |    PARTITION BY source ORDER BY doc_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) % 512
       |    AS offset_in_seq

@@ -24,7 +24,7 @@ object Queries6 {
 
   val q106_sql: String =
     """WITH toks AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '') AS w FROM documents),
       |grams AS (
       |  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
       |    FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS gram FROM toks),
@@ -47,7 +47,7 @@ object Queries6 {
 
   val q107_sql: String =
     """WITH toks AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '') AS w FROM documents),
       |idx AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks),
       |occ AS (
       |  SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS g FROM idx),
@@ -254,7 +254,7 @@ object Queries6 {
   val q113_sql: String =
     """WITH seg AS (
       |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS seg
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '') AS l FROM documents)),
       |freq AS (
       |  SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY 1)
       |  WHERE df >= CEIL(0.8 * (SELECT count(*) FROM documents))),
@@ -267,7 +267,7 @@ object Queries6 {
       |  FROM kept GROUP BY 1)
       |SELECT d.doc_id,
       |  coalesce(re.clean, '') AS clean_text,
-      |  CAST(len(string_split(d.text, ' ')) - coalesce(re.kn, 0) AS BIGINT) AS n_removed
+      |  CAST(len(list_filter(regexp_split_to_array(d.text, '[ \t\n\r\f]+'), t -> t <> '')) - coalesce(re.kn, 0) AS BIGINT) AS n_removed
       |FROM documents d LEFT JOIN re USING (doc_id)""".stripMargin
 
   val all: Map[String, Q] = Map(

@@ -28,7 +28,7 @@ object Queries7 {
 
   val q114_sql: String =
     """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')) AS term
       |  FROM documents),
       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
       |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -55,7 +55,7 @@ object Queries7 {
   val q115_sql: String =
     """WITH seg AS (
       |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS seg
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '') AS l FROM documents)),
       |fl AS (
       |  SELECT doc_id, pos, seg,
       |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1
@@ -84,7 +84,7 @@ object Queries7 {
   val q116_sql: String =
     """WITH h AS (
       |  SELECT source, doc_id,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS n_tok,
       |    ('0x' || substr(md5(text || '#q7'), 1, 15))::BIGINT AS hk
       |  FROM documents),
       |r AS (
@@ -105,7 +105,7 @@ object Queries7 {
 
   val q117_sql: String =
     """WITH toks AS (
-      |  SELECT doc_id, lang = 'en' AS it, string_split(lower(text), ' ') AS w
+      |  SELECT doc_id, lang = 'en' AS it, list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '') AS w
       |  FROM documents),
       |occ AS (
       |  SELECT doc_id, it,

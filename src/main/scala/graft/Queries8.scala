@@ -193,13 +193,13 @@ object Queries8 {
     val sw = graft.ml.TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
     s"""WITH sig AS (
       |  SELECT doc_id,
-      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS n_tok,
       |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS char_sum,
-      |    CAST(len(list_filter(string_split(lower(text), ' '),
+      |    CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''),
       |      t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT) AS alpha_cnt,
-      |    CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+      |    CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''))) AS BIGINT)
       |      AS distinct_cnt,
-      |    CAST(len(list_filter(string_split(lower(text), ' '),
+      |    CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''),
       |      t -> list_contains([$sw], t))) AS BIGINT) AS stop_hits
       |  FROM documents),
       |u AS (

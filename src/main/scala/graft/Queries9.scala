@@ -21,7 +21,7 @@ object Queries9 {
   /** Deterministic line-structured text per document (mirrored verbatim
     * in the SQL oracle): line i = [maybe "- "] + 5 tokens + {. | ε | ?}. */
   private def synthLines(docId: Column, text: Column): Column = {
-    val toks = split(text, " ")
+    val toks = graft.ml.Dedup.tokensCased(text)
     val lineArr = transform(
       sequence(lit(0), floor((size(toks) - 1) / 5).cast("int")),
       i => concat(
@@ -35,9 +35,9 @@ object Queries9 {
 
   private val synthLinesSql: String =
     """array_to_string(list_transform(
-      |      generate_series(0, (len(string_split(text, ' ')) - 1) // 5),
+      |      generate_series(0, (len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '')) - 1) // 5),
       |      i -> (CASE WHEN (doc_id + i) % 5 = 0 THEN '- ' ELSE '' END) ||
-      |        array_to_string((string_split(text, ' '))[i*5+1 : i*5+5], ' ') ||
+      |        array_to_string((list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> ''))[i*5+1 : i*5+5], ' ') ||
       |        (CASE (doc_id + i) % 3 WHEN 0 THEN '.' WHEN 1 THEN ''
       |              ELSE '?' END)), chr(10))""".stripMargin
 
@@ -96,7 +96,7 @@ object Queries9 {
 
   val q123_sql: String =
     """WITH toks AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '') AS w FROM documents),
       |grams AS (
       |  SELECT doc_id, list_distinct([
       |    array_to_string([w[i + j*2] FOR j IN range(0, 13)], ' ')
@@ -122,7 +122,7 @@ object Queries9 {
     val docs = t(s, dir, "documents").select(col("doc_id"),
       when(col("doc_id") % 7 === 0,
         concat_ws(" ", col("text"),
-          array_join(slice(split(col("text"), " "), 1, 6), " ")))
+          array_join(slice(graft.ml.Dedup.tokensCased(col("text")), 1, 6), " ")))
         .otherwise(col("text")).as("text"))
     graft.ml.TextOps.massiveTextRepetition(docs, "doc_id", "text")
   }
@@ -131,10 +131,10 @@ object Queries9 {
     """WITH docs AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' ||
-      |      array_to_string((string_split(text, ' '))[1:6], ' ')
+      |      array_to_string((list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> ''))[1:6], ' ')
       |    ELSE text END AS text
       |  FROM documents),
-      |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM docs),
+      |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '') AS w FROM docs),
       |g AS (
       |  SELECT doc_id, n, unnest(gl) AS gram FROM (
       |    SELECT doc_id, n,
@@ -173,7 +173,7 @@ object Queries9 {
 
   val q125_sql: String =
     """WITH toks AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '') AS w FROM documents),
       |g AS (
       |  SELECT doc_id, unnest([array_to_string(w[i:i+19], ' ')
       |    FOR i IN range(1, greatest(len(w) - 19, 1) + 1)]) AS gram
@@ -195,7 +195,7 @@ object Queries9 {
     * every 4th doc link-wraps its middle tokens too (link-heavy page),
     * entities to decode. */
   private def synthHtml(docId: Column, text: Column): Column = {
-    val toks = split(text, " ")
+    val toks = graft.ml.Dedup.tokensCased(text)
     val first3 = array_join(slice(toks, 1, 3), " ")
     val mid = array_join(slice(toks, 4, 8), " ")
     val rest = array_join(slice(toks, 12, 1000000), " ")
@@ -221,7 +221,7 @@ object Queries9 {
 
   val q126_sql: String =
     """WITH w0 AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '') AS w FROM documents),
       |h AS (
       |  SELECT doc_id,
       |    '<html><head><title>Doc ' || doc_id || '</title><script>var id=' ||
@@ -269,8 +269,8 @@ object Queries9 {
 
   val q127_sql: String =
     """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS wo,
-      |         string_split(lower(text), ' ') AS w
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '') AS wo,
+      |         list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '') AS w
       |  FROM documents),
       |eg AS (
       |  SELECT DISTINCT unnest(list_distinct([array_to_string(w[i:i+2], ' ')
@@ -311,7 +311,7 @@ object Queries9 {
       |  SELECT b, b * 37 % 211 - 105 AS w_milli
       |  FROM (SELECT unnest(range(0, 64)) AS b)),
       |toks AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '') AS w FROM documents),
       |occ AS (
       |  SELECT doc_id,
       |    ('0x' || substr(md5(array_to_string(w[i:i+1], ' ')), 1, 15))::BIGINT
@@ -370,7 +370,7 @@ object Queries9 {
 
   val q130_sql: String =
     """WITH toks AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '') AS w FROM documents),
       |g AS (
       |  SELECT doc_id, md5(unnest([array_to_string(w[i:i+19], ' ')
       |    FOR i IN range(1, greatest(len(w) - 19, 1) + 1)])) AS fp
@@ -396,7 +396,7 @@ object Queries9 {
   val q131_sql: String =
     """WITH seg AS (
       |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS seg
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '') AS l FROM documents)),
       |fl AS (
       |  SELECT doc_id, pos, seg,
       |    row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) = 1
@@ -426,7 +426,7 @@ object Queries9 {
   val q133_sql: String =
     """WITH seg AS (
       |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS seg
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '') AS l FROM documents)),
       |freq AS (
       |  SELECT fp FROM (SELECT md5(seg) AS fp, count(DISTINCT doc_id) AS df
       |                  FROM seg GROUP BY 1)
@@ -441,7 +441,7 @@ object Queries9 {
       |  FROM kept GROUP BY 1)
       |SELECT d.doc_id,
       |  coalesce(re.clean, '') AS clean_text,
-      |  CAST(len(string_split(d.text, ' ')) - coalesce(re.kn, 0) AS BIGINT) AS n_removed
+      |  CAST(len(list_filter(regexp_split_to_array(d.text, '[ \t\n\r\f]+'), t -> t <> '')) - coalesce(re.kn, 0) AS BIGINT) AS n_removed
       |FROM documents d LEFT JOIN re USING (doc_id)""".stripMargin
 
   /** Antispam with rule-resolved thresholds — the reference's primary
@@ -509,20 +509,20 @@ object Queries9 {
     s"""WITH gop AS (
       |  SELECT doc_id FROM (
       |    SELECT doc_id,
-      |      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+      |      CAST(len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS n_tok,
       |      CAST(len(replace(text, ' ', '')) AS BIGINT) AS char_sum,
-      |      CAST(len(list_filter(string_split(lower(text), ' '),
+      |      CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''),
       |        t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT) AS alpha_cnt,
-      |      CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+      |      CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''))) AS BIGINT)
       |        AS distinct_cnt,
-      |      CAST(len(list_filter(string_split(lower(text), ' '),
+      |      CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''),
       |        t -> list_contains([$sw], t))) AS BIGINT) AS stop_hits
       |    FROM documents)
       |  WHERE (n_tok BETWEEN 5 AND 100000)
       |    AND ((char_sum * 100) // n_tok BETWEEN 300 AND 1000)
       |    AND (alpha_cnt * 1000) // n_tok >= 800 AND stop_hits >= 2
       |    AND (distinct_cnt * 1000) // n_tok >= 300),
-      |rtoks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |rtoks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '') AS w
       |          FROM documents),
       |rg AS (
       |  SELECT doc_id, n, unnest(gl) AS gram FROM (
@@ -551,7 +551,7 @@ object Queries9 {
       |  JOIN gop USING (doc_id) JOIN rep USING (doc_id)),
       |ex AS (SELECT MIN(doc_id) AS doc_id FROM g1 GROUP BY text),
       |g2 AS (SELECT g1.* FROM g1 JOIN ex USING (doc_id)),
-      |t2 AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM g2),
+      |t2 AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '') AS w FROM g2),
       |gg AS (
       |  SELECT doc_id, unnest([array_to_string(w[i:i+19], ' ')
       |    FOR i IN range(1, greatest(len(w) - 19, 1) + 1)]) AS gram FROM t2),
@@ -564,11 +564,11 @@ object Queries9 {
       |g3 AS (
       |  SELECT g2.* FROM g2 JOIN spans USING (doc_id)
       |  WHERE (spans.stale * 1000) // spans.n_grams < 900),
-      |etoks AS (SELECT string_split(lower(text), ' ') AS w
+      |etoks AS (SELECT list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '') AS w
       |          FROM documents WHERE doc_id % 97 = 0),
       |eg AS (SELECT DISTINCT unnest([array_to_string(w[i:i+2], ' ')
       |    FOR i IN range(1, greatest(len(w) - 2, 1) + 1)]) AS gram FROM etoks),
-      |t3 AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM g3),
+      |t3 AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '') AS w FROM g3),
       |g3g AS (
       |  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
       |    FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS gram FROM t3),
@@ -580,7 +580,7 @@ object Queries9 {
       |  WHERE coalesce(hits.h, 0) < 10),
       |h AS (
       |  SELECT source, doc_id,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS n_tok,
       |    ('0x' || substr(md5(text || '#q11'), 1, 15))::BIGINT AS hk
       |  FROM g4),
       |r AS (
@@ -634,13 +634,13 @@ object Queries9 {
     s"""WITH gop AS (
       |  SELECT doc_id FROM (
       |    SELECT doc_id,
-      |      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+      |      CAST(len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS n_tok,
       |      CAST(len(replace(text, ' ', '')) AS BIGINT) AS char_sum,
-      |      CAST(len(list_filter(string_split(lower(text), ' '),
+      |      CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''),
       |        t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT) AS alpha_cnt,
-      |      CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+      |      CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''))) AS BIGINT)
       |        AS distinct_cnt,
-      |      CAST(len(list_filter(string_split(lower(text), ' '),
+      |      CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''),
       |        t -> list_contains([$sw], t))) AS BIGINT) AS stop_hits
       |    FROM documents)
       |  WHERE (n_tok BETWEEN 5 AND 100000)
@@ -651,7 +651,7 @@ object Queries9 {
       |  SELECT d.doc_id, d.text FROM documents d JOIN gop USING (doc_id)),
       |seg AS (
       |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS seg
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM g1)),
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '') AS l FROM g1)),
       |freq AS (
       |  SELECT fp FROM (SELECT md5(seg) AS fp, count(DISTINCT doc_id) AS df
       |                  FROM seg GROUP BY 1)
@@ -714,7 +714,7 @@ object Queries9 {
     val rows = t(s, dir, "documents").select(col("doc_id"), col("source"),
       graft.ml.Corpus.splitAssign(col("text"), seed = 7L, cuts = (800, 900))
         .as("split"),
-      size(split(col("text"), " ")).cast("long").as("n_tok"))
+      size(graft.ml.Dedup.tokensCased(col("text"))).cast("long").as("n_tok"))
     val out = java.nio.file.Files.createTempDirectory("graft_q136_lake").toString
     graft.sinks.Sinks.lakeWrite(rows, out,
       partitionBy = Seq("source", "split"), sortWithin = Seq("doc_id"),
@@ -727,7 +727,7 @@ object Queries9 {
     """SELECT doc_id, source,
       |  CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
       |       ELSE 'test' END AS split,
-      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS n_tok
       |FROM (SELECT doc_id, source, text,
       |        ('0x' || substr(md5(text || '|split7'), 1, 15))::BIGINT % 1000 AS b
       |      FROM documents)""".stripMargin
@@ -742,7 +742,7 @@ object Queries9 {
     * LakeSinkSpec. */
   val q137_lake_compact: Q = (s, dir) => {
     val rows = t(s, dir, "documents").select(col("doc_id"), col("source"),
-      size(split(col("text"), " ")).cast("long").as("n_tok"))
+      size(graft.ml.Dedup.tokensCased(col("text"))).cast("long").as("n_tok"))
     val out = java.nio.file.Files.createTempDirectory("graft_q137_lake").toString
     graft.sinks.Sinks.lakeWrite(rows, out,
       partitionBy = Seq("source"), maxRecordsPerFile = 100L, fileShards = 4)
@@ -753,7 +753,7 @@ object Queries9 {
 
   val q137_sql: String =
     """SELECT doc_id, source,
-      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS n_tok
       |FROM documents""".stripMargin
 
   /** Round-10: INCREMENTAL exact dedup — every 4th doc plays the
@@ -791,7 +791,7 @@ object Queries9 {
 
   val q139_sql: String =
     """WITH toks AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '') AS w FROM documents),
       |g AS (
       |  SELECT doc_id, unnest([array_to_string(w[i:i+19], ' ')
       |    FOR i IN range(1, greatest(len(w) - 19, 1) + 1)]) AS gram

@@ -71,10 +71,20 @@ object PipelineCompiler {
           graft.sinks.Sinks.socketTransport(h, hostPort.substring(cut + 1).toInt)
         case _ => PipelineCompiler.transportFactory(outputType)
       }
+      // `retention` + `retention_exponentially_multiplier` — the
+      // reference's per-sink exponential retry schedule (e.g.
+      // elasticsearch.go:183-190; Go-duration spelling "800ms"/"1s").
+      // Unset retention keeps retry-immediately, so pipelines that
+      // never asked for backoff (and the dead-endpoint specs) don't
+      // silently gain sleeps.
       graft.sinks.Sinks.foreachBatchSink("payload",
         outputConf.get("batch_size").map(_.toInt).getOrElse(1000),
         outputConf.get("retry").map(_.toInt).getOrElse(1),
-        transport)
+        transport,
+        retentionMs = outputConf.get("retention")
+          .map(PipelineCompiler.goDurationMillis).getOrElse(0L),
+        retentionMultiplier = outputConf.get("retention_exponentially_multiplier")
+          .map(_.toDouble).getOrElse(2.0))
     }
 
     /** Batch egress for net sinks: render the payload and push it
@@ -1740,7 +1750,7 @@ object PipelineCompiler {
         val ds = df.select(
           col(group).cast("string").as("source"),
           col(id).cast("long").as("docId"),
-          size(split(col(text), " ")).cast("long").as("nTok"),
+          size(graft.ml.Dedup.tokensCased(col(text))).cast("long").as("nTok"),
           to_json(struct(df.columns.map(col): _*)).as("payload"))
           .as[graft.streaming.Kernels.DocEvent]
         graft.streaming.Kernels.sourceQuota(ds, budget,

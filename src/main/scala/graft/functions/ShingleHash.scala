@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Word-n-gram shingle hashes in ONE pass: lowercase → split on single
-  * spaces → n-token windows → md5-based 60-bit hash mod `mod`.
+/** Word-n-gram shingle hashes in ONE pass: lowercase → split on
+  * whitespace runs, dropping empty tokens (the Dedup.tokens contract —
+  * Dedup.WS class) → n-token windows → md5-based 60-bit hash mod `mod`.
   * `distinct = true` (the MinHash case) keeps first occurrences only
   * (array_distinct semantics, order-insensitive downstream);
   * `distinct = false` emits every window in document order (the
@@ -39,8 +40,14 @@ case class ShingleHash(child: Expression, n: Int, mod: Long,
     }
 
   def shingleHashes(input: UTF8String): GenericArrayData = {
-    // UTF8String.toLowerCase matches Spark's lower() (locale-independent)
-    val toks = input.toLowerCase.toString.split(" ", -1)
+    // UTF8String.toLowerCase matches Spark's lower() (locale-independent).
+    // Tokenization MUST stay bit-equivalent to Dedup.tokens: split on
+    // the Dedup.WS whitespace class, drop empty tokens (limit -1 keeps
+    // trailing empties for the filter to see — split's default would
+    // drop only trailing ones, leading/inner phantoms from "\n a  b"
+    // would survive).
+    val toks = input.toLowerCase.toString
+      .split(graft.ml.Dedup.WS, -1).filter(_.nonEmpty)
     val cnt = math.max(toks.length - (n - 1), 1)
     val grams = new java.util.ArrayList[String](cnt)
     val seen: java.util.HashSet[String] =

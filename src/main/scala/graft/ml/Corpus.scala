@@ -67,7 +67,7 @@ object Corpus {
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      n: Int, thresholdMilli: Long = 900L,
                      fingerprint: Boolean = false): DataFrame = {
-    val toks = split(lower(col(textCol)), " ")
+    val toks = Dedup.tokens(col(textCol))
     val grams = transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => array_join(slice(toks, i, lit(n)), " "))
@@ -103,7 +103,7 @@ object Corpus {
     * partial min. */
   def duplicateSpanIndex(df: DataFrame, idCol: String, textCol: String,
                          n: Int, fingerprint: Boolean = false): DataFrame = {
-    val toks = split(lower(col(textCol)), " ")
+    val toks = Dedup.tokens(col(textCol))
     val grams = transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => array_join(slice(toks, i, lit(n)), " "))
@@ -144,7 +144,7 @@ object Corpus {
                             idCol: String, textCol: String,
                             n: Int, thresholdMilli: Long = 900L,
                             fingerprint: Boolean = false): DataFrame = {
-    val toks = split(lower(col(textCol)), " ")
+    val toks = Dedup.tokens(col(textCol))
     val grams = transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => array_join(slice(toks, i, lit(n)), " "))
@@ -195,7 +195,7 @@ object Corpus {
       .join(broadcast(evalGrams), "gram")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("p"))).as("mp"))
-    val toksO = split(col(textCol), " ")
+    val toksO = Dedup.tokensCased(col(textCol))
     train.join(matched, Seq(idCol), "left")
       .select(col(idCol), toksO.as("_t"),
         coalesce(col("mp"), array().cast("array<int>")).as("_mp"))
@@ -356,7 +356,7 @@ object Corpus {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val nTok = size(split(col(textCol), " ")).cast("long")
+    val nTok = size(Dedup.tokensCased(col(textCol))).cast("long")
     df.select(col(groupCol), col(idCol), nTok.as("n_tok"))
       .withColumn("before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .select(col(groupCol), col(idCol), col("n_tok"),
@@ -401,7 +401,7 @@ object Corpus {
     * count per row is 1 + max(0, ceil((len - window) / stride)). */
   def chunk(df: DataFrame, idCol: String, textCol: String,
             window: Int, stride: Int): DataFrame = {
-    val toks = split(lower(col(textCol)), " ")
+    val toks = Dedup.tokens(col(textCol))
     // floor division (matches SQL's `//`); the numerator is negative
     // only when len <= window, where greatest(..., 0) clamps to 0
     val extra = greatest(
@@ -668,7 +668,7 @@ object Corpus {
     val w = Window.partitionBy(col(groupCol)).orderBy(col("hk"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     df.select(col(groupCol), col(idCol),
-        size(split(col(textCol), " ")).cast("long").as("n_tok"),
+        size(Dedup.tokensCased(col(textCol))).cast("long").as("n_tok"),
         h.as("hk"))
       .withColumn("tokens_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .filter(col("tokens_before") < budget)

@@ -17,8 +17,29 @@ object Dedup {
   def tokenHash(tok: Column): Column =
     conv(substring(md5(tok.cast("binary")), 1, 15), 16, 10).cast("long")
 
-  /** Whitespace tokens, lowercased. */
-  def tokens(text: Column): Column = split(lower(text), " ")
+  /** Whitespace class for tokenization, written as an EXPLICIT char
+    * class so Spark (java.util.regex) and the DuckDB oracles (RE2)
+    * split on exactly the same byte set — the engines' `\s` disagree
+    * on membership (vertical tab), and the explicit spelling is also
+    * immune to Scala string-escape processing differences between
+    * plain and interpolated literals. The oracle-side twin is the
+    * same class inside `regexp_split_to_array` (see Queries*). */
+  val WS: String = "[ \t\n\r\f]+"
+
+  /** Whitespace tokens, lowercased: split on runs of whitespace and
+    * drop empty tokens, so real-shaped text (embedded newlines, double
+    * spaces, leading/trailing whitespace) tokenizes sanely — "a  b\nc"
+    * is 3 tokens, not 4 with a phantom "". The whole gram family
+    * (shingles, MinHash, SimHash, Gopher/CCNet gates, spans) sits on
+    * this. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), WS), t => t =!= "")
+
+  /** Case-preserving whitespace tokens (same split-and-drop-empties
+    * contract as [[tokens]]) — for token counting, packing, chunk
+    * reassembly, anywhere original casing must survive. */
+  def tokensCased(text: Column): Column =
+    filter(split(text, WS), t => t =!= "")
 
   /** Distinct word n-gram shingles ("a b c" word windows). */
   def shingles(text: Column, n: Int): Column = {

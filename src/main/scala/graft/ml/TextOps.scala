@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(split(text, "\\s+"))
+  def tokenCount(text: Column): Column = size(Dedup.tokensCased(text))
 
   /** BPE-ish token estimate: word pieces + punctuation as separate
     * tokens (regex class split, the standard cheap proxy). */
@@ -19,7 +19,7 @@ object TextOps {
 
   /** Mean token length (double — computed identically in oracles). */
   def meanTokenLen(text: Column): Column = {
-    val toks = split(text, " ")
+    val toks = Dedup.tokensCased(text)
     aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
   }
 
@@ -40,7 +40,7 @@ object TextOps {
 
   /** Count of tokens that appear in `words`. */
   def stopwordHits(text: Column, words: Seq[String]): Column =
-    size(array_intersect_keepdup(split(lower(text), " "), words))
+    size(array_intersect_keepdup(Dedup.tokens(text), words))
 
   // filter-based count (keeps duplicates — a stopword used twice counts
   // twice, matching the usual quality-score definition)
@@ -49,7 +49,7 @@ object TextOps {
 
   /** Stopword ratio for one language's table. */
   def stopwordRatio(text: Column, lang: String = "en"): Column =
-    stopwordHits(text, stopwords(lang)).cast("double") / size(split(lower(text), " "))
+    stopwordHits(text, stopwords(lang)).cast("double") / size(Dedup.tokens(text))
 
   /** Language guess = argmax of per-language stopword hit counts; ties go
     * to the alphabetically-first language; 'und' when nothing hits.
@@ -68,10 +68,10 @@ object TextOps {
     * classic "key collision" fingerprint). md5 flavor matches the SQL
     * oracle; xxhash64 flavor is the production path. */
   def fingerprintMd5(text: Column): Column =
-    md5(array_join(array_sort(array_distinct(split(lower(text), " "))), " ").cast("binary"))
+    md5(array_join(array_sort(array_distinct(Dedup.tokens(text))), " ").cast("binary"))
 
   def fingerprint64(text: Column): Column =
-    xxhash64(array_join(array_sort(array_distinct(split(lower(text), " "))), " "))
+    xxhash64(array_join(array_sort(array_distinct(Dedup.tokens(text))), " "))
 
   // PII patterns kept to the RE2-compatible subset (no lookaround, no
   // backreferences) so the Spark (java.util.regex) and oracle (DuckDB,
@@ -117,7 +117,7 @@ object TextOps {
     * shuffles by for the count aggregations. */
   def bigramLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String): org.apache.spark.sql.DataFrame = {
-    val base = df.select(col(idCol), split(lower(col(textCol)), " ").as("_t"))
+    val base = df.select(col(idCol), Dedup.tokens(col(textCol)).as("_t"))
       .withColumn("_n", size(col("_t")))
     val occ = base.select(col(idCol),
       explode(when(col("_n") >= 2,
@@ -198,7 +198,7 @@ object TextOps {
     * Documents with fewer than two tokens yield zero gram counts. */
   def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String): org.apache.spark.sql.DataFrame = {
-    val base = df.select(col(idCol), split(lower(col(textCol)), " ").as("_t"))
+    val base = df.select(col(idCol), Dedup.tokens(col(textCol)).as("_t"))
       .withColumn("_n_tok", size(col("_t")))
       .withColumn("_n_dist", size(array_distinct(col("_t"))))
     val grams = base.select(col(idCol),
@@ -285,7 +285,7 @@ object TextOps {
   def massiveTextRepetition(df: org.apache.spark.sql.DataFrame, idCol: String,
                             textCol: String): org.apache.spark.sql.DataFrame = {
     val ns = Seq(1, 2, 3, 5)
-    val base = df.select(col(idCol), split(lower(col(textCol)), " ").as("_t"))
+    val base = df.select(col(idCol), Dedup.tokens(col(textCol)).as("_t"))
     def gramsOf(n: Int): Column =
       transform(sequence(lit(1), greatest(size(col("_t")) - (n - 1), lit(1))),
         i => struct(lit(n).as("n"), array_join(slice(col("_t"), i, lit(n)), " ").as("gram")))
@@ -334,7 +334,7 @@ object TextOps {
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, k: Int, nDocs: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = df.select(col(idCol), explode(split(lower(col(textCol)), " ")).as("term"))
+    val tf = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -390,7 +390,7 @@ object TextOps {
     * filter Column): (n_tok, mean_len_centi, alpha_milli,
     * distinct_milli, stop_hits). */
   private def gopherSig(text: Column): (Column, Column, Column, Column, Column) = {
-    val toks = split(lower(text), " ")
+    val toks = Dedup.tokens(text)
     val nTok = size(toks).cast("long")
     val charSum = length(regexp_replace(text, " ", "")).cast("long")
     // \A..\z, not ^..$: Java's $ also matches before a trailing \n, so

@@ -354,6 +354,50 @@ class DedupSpec extends AnyFunSuite {
     assert(ok.count() == 200)
   }
 
+  test("whitespace-robust tokenization: messy text yields the same tokens, shingles and gate signals as its clean form") {
+    import spark.implicits._
+    // real-shaped text: embedded newline, double spaces, tab,
+    // leading/trailing whitespace — the single-space corpus never
+    // exercises any of these
+    val rows = Seq(
+      (1L, "The  quick\nbrown\tfox ", "The quick brown fox"),
+      (2L, "\n a  in the\t\that\n", "a in the hat"),
+      (3L, "one", "one"),
+      (4L, "  x\ny  ", "x y")
+    ).toDF("id", "messy", "clean")
+    val got = rows.select(col("id"),
+      Dedup.tokens(col("messy")).as("tm"),
+      Dedup.tokens(col("clean")).as("tc"),
+      Dedup.tokensCased(col("messy")).as("cm"),
+      Dedup.shingles(col("messy"), 3).as("sm"),
+      Dedup.shingles(col("clean"), 3).as("sc"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"id ${r.getLong(0)}: messy tokens ${r.getSeq[String](1)} != clean")
+      assert(r.getSeq[String](4) == r.getSeq[String](5),
+        s"id ${r.getLong(0)}: messy shingles differ from clean")
+      assert(!r.getSeq[String](3).contains(""), "no phantom empty tokens")
+    }
+    // the fused codegen ShingleHash must track the declarative chain
+    // bit-for-bit on messy text too (it re-implements tokenization)
+    val fused = rows.select(
+      graft.functions.ShingleHash(col("messy"), 3, Dedup.P).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    val decl = rows.select(
+      transform(Dedup.shingles(col("messy"), 3),
+        t => pmod(Dedup.tokenHash(t), lit(Dedup.P))).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    assert(fused.toSeq == decl.toSeq,
+      "ShingleHash diverged from the declarative shingle chain on messy whitespace")
+    // gate signals: token counts are whitespace-shape-invariant
+    val counts = rows.select(
+      graft.ml.TextOps.tokenCount(col("messy")).as("a"),
+      graft.ml.TextOps.tokenCount(col("clean")).as("b"))
+      .collect()
+    counts.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("VecDot refuses ragged vectors instead of truncating") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val lit = org.apache.spark.sql.catalyst.expressions.Literal(1.0)
