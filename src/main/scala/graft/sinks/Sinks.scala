@@ -664,14 +664,39 @@ object Sinks {
     w.flush()
   }
 
+  /** Delay before retry number `attempt` (0-based): retention ×
+    * multiplier^attempt, capped at `maxMs` — the reference's
+    * exponential retry schedule (pipeline/backoff.go:44-58,97-105;
+    * per-sink knobs e.g. elasticsearch.go:183-190 `retention` +
+    * `retention_exponentially_multiplier`). The reference jitters
+    * ±50% (RandomizationFactor 0.5); omitted here so the schedule is
+    * deterministic for specs and replays — at 1000 executors the
+    * thundering-herd argument for jitter is better served by the
+    * per-partition phase differences the cluster already has. */
+  def backoffDelayMs(retentionMs: Long, multiplier: Double, attempt: Int,
+                     maxMs: Long = 60000L): Long =
+    if (retentionMs <= 0L) 0L
+    else math.min(maxMs.toDouble,
+      retentionMs.toDouble * math.pow(multiplier, attempt.toDouble)).toLong
+
   /** foreachBatch writer with the reference's batcher + dead-queue
     * semantics (pipeline/batch.go, router.go): payload column rendered,
     * chunked to `batchSize`, each chunk handed to the transport with
     * `retries`; failed chunks go to the DLQ writer instead of failing
-    * the query (≙ BatchStatusInDeadQueue). */
+    * the query (≙ BatchStatusInDeadQueue). Between attempts the task
+    * sleeps [[backoffDelayMs]] (retention × multiplier^attempt) via the
+    * injected `sleeper` — FileRotator's injected-clock discipline, so
+    * specs assert the schedule without wall-clock waits; `retentionMs`
+    * 0 (the default) keeps the historical retry-immediately behavior.
+    * The sleep happens on the executor task, which is exactly where the
+    * reference's batcher worker sleeps — it backpressures that
+    * partition's sends without blocking the driver or other partitions. */
   def foreachBatchSink(payloadCol: String, batchSize: Int, retries: Int,
                        transport: Transport,
-                       dlq: Option[DataFrame => Unit] = None)
+                       dlq: Option[DataFrame => Unit] = None,
+                       retentionMs: Long = 0L,
+                       retentionMultiplier: Double = 2.0,
+                       sleeper: Long => Unit = ms => Thread.sleep(ms))
   : (DataFrame, Long) => Unit = { (df, _epoch) =>
     val spark = df.sparkSession
     val failed = df.select(col(payloadCol)).rdd
@@ -682,7 +707,15 @@ object Sinks {
           var ok = false
           while (!ok && attempt <= retries) {
             try { transport(lines.iterator); ok = true }
-            catch { case _: Throwable => attempt += 1 }
+            catch {
+              case _: Throwable =>
+                attempt += 1
+                if (attempt <= retries) {
+                  val d = backoffDelayMs(retentionMs, retentionMultiplier,
+                    attempt - 1)
+                  if (d > 0L) sleeper(d)
+                }
+            }
           }
           if (ok) Iterator.empty else lines.iterator
         }

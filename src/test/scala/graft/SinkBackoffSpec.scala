@@ -1,0 +1,93 @@
+package graft
+
+import graft.sinks.Sinks
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recorders shared with executor tasks (local mode: same JVM).
+  * Top-level object so the sleeper/transport lambdas serialize without
+  * an outer spec reference. */
+object BackoffProbe {
+  val sleeps = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  val delivered = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val dlq = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def reset(): Unit = { sleeps.clear(); attempts.set(0); delivered.clear(); dlq.clear() }
+}
+
+/** The exponential retry schedule of the net-sink batcher (reference
+  * pipeline/backoff.go retention × multiplier^attempt), asserted via an
+  * INJECTED sleeper — the FileRotator injected-clock discipline: no
+  * wall-clock waits, the spec reads the exact delays the task would
+  * have slept. DLQ semantics must be unchanged by the schedule.
+  */
+class SinkBackoffSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("backoffDelayMs follows retention × multiplier^attempt with a cap") {
+    assert(Sinks.backoffDelayMs(800L, 2.0, 0) == 800L)
+    assert(Sinks.backoffDelayMs(800L, 2.0, 1) == 1600L)
+    assert(Sinks.backoffDelayMs(800L, 2.0, 2) == 3200L)
+    assert(Sinks.backoffDelayMs(100L, 3.0, 3) == 2700L)
+    assert(Sinks.backoffDelayMs(1000L, 2.0, 30) == 60000L, "capped")
+    assert(Sinks.backoffDelayMs(0L, 2.0, 5) == 0L, "retention 0 = no sleep")
+  }
+
+  test("retry sleeps the exponential schedule via the injected sleeper, then delivers") {
+    import spark.implicits._
+    BackoffProbe.reset()
+    val df = Seq("e1", "e2", "e3").toDF("payload").coalesce(1)
+    val flaky: Iterator[String] => Unit = { lines =>
+      val n = BackoffProbe.attempts.incrementAndGet()
+      val mat = lines.toList
+      if (n <= 3) throw new java.io.IOException(s"boom $n")
+      mat.foreach(BackoffProbe.delivered.add)
+    }
+    val sink = Sinks.foreachBatchSink("payload", batchSize = 10, retries = 5,
+      flaky, dlq = None, retentionMs = 100L, retentionMultiplier = 2.0,
+      sleeper = ms => BackoffProbe.sleeps.add(ms))
+    sink(df, 0L)
+    import scala.jdk.CollectionConverters._
+    assert(BackoffProbe.sleeps.asScala.toList == List(100L, 200L, 400L),
+      "three failures → sleeps retention·2^0, ·2^1, ·2^2 before retries")
+    assert(BackoffProbe.delivered.asScala.toSet == Set("e1", "e2", "e3"))
+  }
+
+  test("exhausted retries sleep between every attempt and still route to the DLQ") {
+    import spark.implicits._
+    BackoffProbe.reset()
+    val df = Seq("d1", "d2").toDF("payload").coalesce(1)
+    val dead: Iterator[String] => Unit =
+      _ => throw new java.io.IOException("endpoint down")
+    val sink = Sinks.foreachBatchSink("payload", batchSize = 10, retries = 3,
+      dead, dlq = Some(f => f.collect().map(_.getString(0))
+        .foreach(BackoffProbe.dlq.add)),
+      retentionMs = 50L, retentionMultiplier = 3.0,
+      sleeper = ms => BackoffProbe.sleeps.add(ms))
+    sink(df, 0L)
+    import scala.jdk.CollectionConverters._
+    // 4 attempts (first + 3 retries) → 3 sleeps BETWEEN attempts; no
+    // sleep after the final failure (the batch goes to the DLQ instead)
+    assert(BackoffProbe.sleeps.asScala.toList == List(50L, 150L, 450L))
+    assert(BackoffProbe.dlq.asScala.toSet == Set("d1", "d2"),
+      "DLQ payload routing unchanged by the backoff schedule")
+  }
+
+  test("retention 0 (the default) never invokes the sleeper — historical retry-immediately") {
+    import spark.implicits._
+    BackoffProbe.reset()
+    val df = Seq("x").toDF("payload").coalesce(1)
+    val dead: Iterator[String] => Unit =
+      _ => throw new java.io.IOException("down")
+    val sink = Sinks.foreachBatchSink("payload", batchSize = 10, retries = 4,
+      dead, dlq = None, sleeper = ms => BackoffProbe.sleeps.add(ms))
+    sink(df, 0L)
+    import scala.jdk.CollectionConverters._
+    assert(BackoffProbe.sleeps.asScala.isEmpty)
+  }
+}
