@@ -79,11 +79,102 @@ object Queries12 {
        |FROM toks""".stripMargin
   }
 
+  // -------------------------- full-PSL registered domains (r11, q160)
+
+  /** Synthetic host per document cycling through the cases the full
+    * Public Suffix List decides differently from any small table:
+    * multi-label ICANN suffixes, PRIVATE-section suffixes (github.io),
+    * the `*.ck` wildcard and its `!www.ck` exception, an unlisted TLD
+    * under the implicit `*` default, and bare-public-suffix hosts
+    * whose registered domain is NULL. */
+  private def synthHost(docId: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column = {
+    val d = concat(lit("d"), docId.cast("string"))
+    when(pmod(docId, lit(8)) === 0, lit("www.example.com"))
+      .when(pmod(docId, lit(8)) === 1, concat(d, lit(".sub.example.co.uk")))
+      .when(pmod(docId, lit(8)) === 2, concat(d, lit(".github.io")))
+      .when(pmod(docId, lit(8)) === 3, lit("github.io"))
+      .when(pmod(docId, lit(8)) === 4, concat(d, lit(".b.test.ck")))
+      .when(pmod(docId, lit(8)) === 5, lit("www.ck"))
+      .when(pmod(docId, lit(8)) === 6, concat(d, lit(".example.nosuchtld")))
+      .otherwise(concat(lit("blog."), d, lit(".com.au")))
+  }
+
+  private val synthHostSql: String =
+    """CASE doc_id % 8
+      |      WHEN 0 THEN 'www.example.com'
+      |      WHEN 1 THEN 'd' || doc_id || '.sub.example.co.uk'
+      |      WHEN 2 THEN 'd' || doc_id || '.github.io'
+      |      WHEN 3 THEN 'github.io'
+      |      WHEN 4 THEN 'd' || doc_id || '.b.test.ck'
+      |      WHEN 5 THEN 'www.ck'
+      |      WHEN 6 THEN 'd' || doc_id || '.example.nosuchtld'
+      |      ELSE 'blog.d' || doc_id || '.com.au' END""".stripMargin
+
+  /** Registered domain under the FULL vendored PSL. The oracle embeds
+    * the exact rule rows the fixture's TLDs can consult
+    * ([[graft.functions.Psl.rulesForTlds]] — ~700 of the list's ~9.5k,
+    * including every wildcard/exception in those TLDs) and replays the
+    * prevailing-rule algorithm in SQL: explode right-aligned label
+    * suffixes, match normal/wildcard/exception rows, exception wins
+    * with its head label dropped, else longest match, else the
+    * implicit `*`; registered domain = suffix + one label, NULL when
+    * the host IS a public suffix. Two independent spellings of the
+    * same spec over the same table must agree on every row. */
+  val q160_psl_domains: Q = (s, dir) =>
+    t(s, dir, "documents").select(col("doc_id"),
+      synthHost(col("doc_id")).as("host"))
+      .withColumn("reg_domain",
+        graft.ml.UrlOps.registeredDomain(col("host")))
+
+  val q160_sql: String = {
+    val rows = graft.functions.Psl
+      .rulesForTlds(Set("com", "uk", "io", "ck", "au", "nosuchtld"))
+      .map { case (r, t) => s"('$r','$t')" }.mkString(",\n    ")
+    s"""WITH hosts AS (
+       |  SELECT doc_id, $synthHostSql AS host
+       |  FROM documents),
+       |rules(rule, typ) AS (VALUES
+       |    $rows),
+       |rl AS (SELECT rule, typ, len(string_split(rule, '.')) AS rlen FROM rules),
+       |lab AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM hosts),
+       |cand AS (
+       |  SELECT doc_id, ls,
+       |    unnest(generate_series(1, len(ls))) AS i
+       |  FROM lab),
+       |suf AS (
+       |  SELECT doc_id, array_to_string(ls[i:], '.') AS suffix,
+       |    len(ls) - i + 1 AS slen
+       |  FROM cand),
+       |m AS (
+       |  SELECT s.doc_id, r.typ,
+       |    CASE WHEN r.typ = 'w' THEN r.rlen + 1 ELSE r.rlen END AS mlen
+       |  FROM suf s JOIN rl r ON
+       |    (r.typ IN ('n', 'e') AND s.suffix = r.rule) OR
+       |    (r.typ = 'w' AND s.slen = r.rlen + 1 AND
+       |     array_to_string((string_split(s.suffix, '.'))[2:], '.') = r.rule)),
+       |p AS (
+       |  SELECT l.doc_id, l.host, l.ls,
+       |    coalesce(
+       |      max(CASE WHEN m.typ = 'e' THEN m.mlen END) - 1,
+       |      max(CASE WHEN m.typ IN ('n', 'w') THEN m.mlen END),
+       |      1) AS pub
+       |  FROM lab l LEFT JOIN m ON m.doc_id = l.doc_id
+       |  GROUP BY l.doc_id, l.host, l.ls)
+       |SELECT doc_id, host,
+       |  CASE WHEN len(ls) > pub
+       |    THEN array_to_string(ls[len(ls) - pub:], '.')
+       |    ELSE NULL END AS reg_domain
+       |FROM p""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
-    "q159_ws_tokens" -> q159_ws_tokens
+    "q159_ws_tokens" -> q159_ws_tokens,
+    "q160_psl_domains" -> q160_psl_domains
   )
 
   val oracles: Map[String, String] = Map(
-    "q159_ws_tokens" -> q159_sql
+    "q159_ws_tokens" -> q159_sql,
+    "q160_psl_domains" -> q160_sql
   )
 }

@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The Mozilla Public Suffix List (publicsuffix.org) and its matching
+  * algorithm. The list is vendored at
+  * `src/main/resources/graft/public_suffix_list.dat` (public data,
+  * MPL-2.0 — the file keeps its license header) and parsed ONCE per
+  * executor JVM from the classpath, so no broadcast and no plan-literal
+  * bytes: the jar already ships to every executor. When the resource is
+  * absent (stripped deployment), the mini multi-label table that
+  * predated the full list (co.uk, com.au, co.jp, ac.uk) is the
+  * documented fallback — same layout, fewer rows.
+  *
+  * Matching is the PSL spec's prevailing-rule algorithm: among rules
+  * matching a right-aligned label suffix of the host, an exception
+  * rule (`!www.ck`) wins outright (its public suffix is the rule minus
+  * its leftmost label); otherwise the rule with the MOST labels wins
+  * (`*` in a rule matches exactly one label); no rule → the implicit
+  * `*` default (the bare TLD is the suffix). The registered domain is
+  * the public suffix plus one label; a host that IS a public suffix
+  * has none (null).
+  */
+object Psl {
+
+  final case class Rules(normal: Set[String], wildcard: Set[String],
+                         exception: Set[String]) {
+    /** Label count of `host`'s public suffix under these rules. */
+    def publicSuffixLabels(labels: Array[String]): Int = {
+      val n = labels.length
+      var best = 0
+      var i = 0
+      while (i < n) {
+        val suffix = labels.slice(i, n).mkString(".")
+        val len = n - i
+        if (exception.contains(suffix))
+          return len - 1 // exception prevails; suffix drops its head label
+        if (best < len && normal.contains(suffix)) best = len
+        // wildcard rule `*.X` has len+1 labels where X = labels[i+1..)
+        if (i + 1 < n) {
+          val wlen = n - i
+          if (best < wlen && wildcard.contains(labels.slice(i + 1, n).mkString(".")))
+            best = wlen
+        }
+        i += 1
+      }
+      if (best > 0) best else 1 // implicit default rule `*`
+    }
+
+    /** Registered domain of an already-lowercased host, or null when
+      * the host is itself a public suffix (or malformed). */
+    def registeredDomain(host: String): String = {
+      if (host == null || host.isEmpty) return null
+      val labels = host.split("\\.", -1)
+      if (labels.exists(_.isEmpty)) return null // leading/trailing/double dot
+      val p = publicSuffixLabels(labels)
+      if (labels.length > p) labels.slice(labels.length - p - 1, labels.length).mkString(".")
+      else null
+    }
+  }
+
+  /** The pre-PSL mini table (fallback when the vendored list is absent):
+    * the multi-label suffixes the synthetic fixtures exercised, plus the
+    * implicit default rule the algorithm already carries. */
+  val miniRules: Rules =
+    Rules(Set("co.uk", "com.au", "co.jp", "ac.uk"), Set.empty, Set.empty)
+
+  def parse(lines: Iterator[String]): Rules = {
+    val normal = Set.newBuilder[String]
+    val wildcard = Set.newBuilder[String]
+    val exception = Set.newBuilder[String]
+    lines.foreach { raw =>
+      // spec: a rule is the line up to the first whitespace; comments
+      // are `//` lines; both ICANN and PRIVATE sections apply
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith("//")) {
+        val rule = line.split("\\s+")(0).toLowerCase
+        if (rule.startsWith("!")) exception += rule.substring(1)
+        else if (rule.startsWith("*.")) wildcard += rule.substring(2)
+        else if (rule != "*") normal += rule
+      }
+    }
+    Rules(normal.result(), wildcard.result(), exception.result())
+  }
+
+  lazy val rules: Rules = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    if (in == null) miniRules
+    else try parse(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
+  }
+
+  def registeredDomain(host: String): String = rules.registeredDomain(host)
+
+  /** Rule rows whose last label is in `tlds` — the slice of the table a
+    * fixture's hosts can ever consult; oracles embed these rows
+    * verbatim so DuckDB replays the algorithm over the SAME table. */
+  def rulesForTlds(tlds: Set[String]): Seq[(String, String)] = {
+    def tld(s: String) = s.substring(s.lastIndexOf('.') + 1)
+    (rules.normal.filter(r => tlds.contains(tld(r))).map(r => (r, "n")) ++
+      rules.wildcard.filter(r => tlds.contains(tld(r))).map(r => (r, "w")) ++
+      rules.exception.filter(r => tlds.contains(tld(r))).map(r => (r, "e")))
+      .toSeq.sorted
+  }
+}
+
+/** Registered-domain extraction as a native Expression: per-row set
+  * lookups against the per-JVM-parsed PSL (see [[Psl]]) — codegen'd via
+  * a reference-object call (the ShingleHash pattern), no UDF, no
+  * broadcast. Input must be an already-lowercased host (UrlOps.host
+  * output); returns null for hosts that are themselves public
+  * suffixes. */
+case class PslRegisteredDomain(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  def regDomain(input: UTF8String): UTF8String = {
+    val out = Psl.registeredDomain(input.toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    regDomain(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pslRegDomain", this,
+      classOf[PslRegisteredDomain].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.regDomain($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PslRegisteredDomain =
+    copy(child = newChild)
+  override def prettyName: String = "psl_registered_domain"
+}
+
+object PslRegisteredDomain {
+  def apply(c: Column): Column =
+    GraftBridge.column(PslRegisteredDomain(GraftBridge.expression(c)))
+}

@@ -1,0 +1,105 @@
+package graft
+
+import graft.functions.Psl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The vendored Public Suffix List and its prevailing-rule algorithm,
+  * pinned with the canonical publicsuffix.org example set: plain TLDs,
+  * multi-label ICANN suffixes, PRIVATE-section suffixes (github.io),
+  * wildcard rules (`*.ck`) and their exceptions (`!www.ck`), unlisted
+  * TLDs under the implicit `*` default, and bare-public-suffix hosts
+  * that have NO registered domain. */
+class PslSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("the full vendored list is loaded, not the mini fallback") {
+    assert(Psl.rules.normal.size > 5000, "full ICANN+PRIVATE sections")
+    assert(Psl.rules.wildcard.nonEmpty && Psl.rules.exception.nonEmpty)
+    assert(Psl.rules.normal.contains("github.io"), "PRIVATE section included")
+    assert(Psl.rules.normal.contains("co.uk") && Psl.rules.normal.contains("com.au"))
+  }
+
+  // the publicsuffix.org checkPublicSuffix vector shape: host → registered domain
+  val vectors: Seq[(String, String)] = Seq(
+    // plain TLD
+    ("com", null),
+    ("example.com", "example.com"),
+    ("www.example.com", "example.com"),
+    ("a.b.example.com", "example.com"),
+    // multi-label ICANN suffixes
+    ("uk", null),
+    ("co.uk", null),
+    ("example.co.uk", "example.co.uk"),
+    ("www.example.co.uk", "example.co.uk"),
+    ("example.com.au", "example.com.au"),
+    ("deep.sub.example.com.au", "example.com.au"),
+    ("example.ac.uk", "example.ac.uk"),
+    ("example.co.jp", "example.co.jp"),
+    // PRIVATE section
+    ("github.io", null),
+    ("foo.github.io", "foo.github.io"),
+    ("a.foo.github.io", "foo.github.io"),
+    // wildcard `*.ck` + exception `!www.ck`
+    ("ck", null),
+    ("test.ck", null), // matches *.ck → test.ck IS a public suffix
+    ("b.test.ck", "b.test.ck"),
+    ("a.b.test.ck", "b.test.ck"),
+    ("www.ck", "www.ck"), // the exception rule
+    ("www.www.ck", "www.ck"),
+    // unlisted TLD → implicit `*` default
+    ("nosuchtld", null),
+    ("example.nosuchtld", "example.nosuchtld"),
+    ("b.example.nosuchtld", "example.nosuchtld"),
+    // malformed
+    ("", null),
+    (".example.com", null),
+    ("example.com.", null)
+  )
+
+  test("registered domains match the publicsuffix.org algorithm vectors") {
+    vectors.foreach { case (host, want) =>
+      assert(Psl.registeredDomain(host) == want,
+        s"registeredDomain($host) should be $want, got ${Psl.registeredDomain(host)}")
+    }
+  }
+
+  test("the Expression agrees with the driver-side algorithm row for row (codegen path)") {
+    import spark.implicits._
+    val df = vectors.map(_._1).toDF("host")
+      .select(col("host"), graft.ml.UrlOps.registeredDomain(col("host")).as("rd"))
+    val got = df.collect().map(r => r.getString(0) ->
+      (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    vectors.foreach { case (host, want) =>
+      assert(got(host) == want, s"Expression registeredDomain($host)")
+    }
+    // and the plan stays codegen'd (no UDF fallback)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+
+  test("mini fallback rules decide identically on the fixture suffixes") {
+    val m = Psl.miniRules
+    assert(m.registeredDomain("www.example.co.uk") == "example.co.uk")
+    assert(m.registeredDomain("sub.example.com") == "example.com")
+    assert(m.registeredDomain("com") == null)
+    // (github.io is full-list-only by design — the fallback is the
+    // pre-round-11 four-suffix table plus the implicit default)
+    assert(m.registeredDomain("foo.github.io") == "github.io")
+  }
+
+  test("rulesForTlds returns the exact rule rows for a TLD slice") {
+    val rows = Psl.rulesForTlds(Set("ck")).toMap
+    assert(rows("ck") == "n" || rows.contains("ck"))
+    assert(rows.exists { case (r, t) => t == "w" && r == "ck" } ||
+      Psl.rules.wildcard.contains("ck"))
+    assert(Psl.rulesForTlds(Set("ck")).exists(_._2 == "e"),
+      "the !www.ck exception row rides along")
+  }
+}

@@ -91,12 +91,15 @@ class UrlOpsSpec extends AnyFunSuite {
     cases.zip(got).foreach { case ((in, want), g) =>
       assert(g == want, s"normalize($in)")
     }
-    // host/domain of a non-URL are empty strings, not nulls or errors
+    // host of a non-URL is the empty string (regex miss, no error);
+    // its registered domain is NULL — the round-11 PSL contract: "no
+    // registered domain" is a real outcome (empty host, bare public
+    // suffix) and null distinguishes it from a domain value
     val hd = Seq("no scheme here").toDF("u")
       .select(UrlOps.host(col("u")).as("h"))
       .withColumn("d", UrlOps.registeredDomain(col("h")))
-      .as[(String, String)].head()
-    assert(hd == (("", "")))
+      .head()
+    assert(hd.getString(0) == "" && hd.isNullAt(1))
   }
 
   test("domainCap keeps at most k docs per domain, deterministically") {
