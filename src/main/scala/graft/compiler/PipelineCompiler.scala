@@ -40,6 +40,10 @@ object PipelineCompiler {
 
   private val yaml = new ObjectMapper(new YAMLFactory())
 
+  /** Unique suffix for `debug` action observation names (Dataset
+    * .observe names must be unique per query). */
+  private[compiler] val debugSeq = new java.util.concurrent.atomic.AtomicLong()
+
   /** Deployment-injected transport per output type (HTTP POST, TCP
     * write…). Tests register recorders; the default discards — this
     * environment has no egress. */
@@ -897,6 +901,17 @@ object PipelineCompiler {
     }
 
     action.get("type").asText() match {
+      case "debug" =>
+        // plugin/action/debug (zap-sampled passthrough logging): the
+        // Spark-native spelling is an observe() metric on the flowing
+        // Dataset (q30's pattern) — events pass through untouched, the
+        // count lands on the observation bus (Metrics.attachExporter
+        // bridges it to /metrics). The sequence suffix keeps
+        // observation names unique when a chain carries several debug
+        // actions (the playground's debug: true interleaving).
+        df.observe(
+          s"graft_debug_${PipelineCompiler.debugSeq.incrementAndGet()}",
+          count(lit(1)).as("events_seen"))
       case "discard" =>
         // A missing/null field means "no match" in the reference, so the
         // event must survive the discard: null-protect before inverting,

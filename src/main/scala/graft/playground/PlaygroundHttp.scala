@@ -1,0 +1,174 @@
+package graft.playground
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+/** The playground's REST surface (reference
+  * playground/playground_handler.go:57-152 + playground.go:60-110):
+  * `POST /api/v1/play` with `{"events": [...], "actions": [...],
+  * "actions_type": "json"|"yaml", "debug": bool}` runs the batch
+  * through the action chain on a transient pipeline
+  * (PipelineCompiler.runActionsOnBatch — fake input, devnull output)
+  * and answers `{"result": [...], "stdout": "", "metrics": "..."}`.
+  *
+  * Reference-parity edges: POST-only (405 otherwise), body capped at
+  * 1 MiB, events count in [1, 32] and actions in [0, 64] (400
+  * otherwise), `actions_type: yaml` carries the actions list as one
+  * YAML string, `debug: true` interleaves `debug` actions around every
+  * action of the chain (debugActions), a concurrency limiter sized to
+  * the host's processors parks excess requests up to 30 s then answers
+  * 408, and compile/run failures surface as 400 `do actions: <err>`.
+  * `stdout` is always empty — the Spark engine has no per-pipeline zap
+  * buffer; `metrics` renders this server's own Prometheus registry
+  * (plays, concurrency events) in the same text format the reference
+  * returns. Runs on the MetricsHttp machinery (loopback HttpServer,
+  * ephemeral port 0, small fixed pool).
+  */
+object PlaygroundHttp {
+
+  private val json = new ObjectMapper()
+  private val yaml = new ObjectMapper(new YAMLFactory())
+
+  /** `debug: true` — the reference's debugActions
+    * (playground/playground.go:160-198): a `debug` action before the
+    * chain, after each action, logging via the engine's zap-sampled
+    * debug plugin; the event flow is unchanged. */
+  private[playground] def withDebugActions(actions: ArrayNode): ArrayNode = {
+    val out = json.createArrayNode()
+    out.add(json.createObjectNode().put("type", "debug").put("message", "input event"))
+    actions.forEach { a =>
+      out.add(a)
+      out.add(json.createObjectNode().put("type", "debug")
+        .put("message", s"after ${Option(a.get("type")).map(_.asText()).getOrElse("?")}"))
+    }
+    out
+  }
+
+  /** Parse + validate a play request body; Left(message) on 400s. */
+  private[playground] def parseRequest(body: String)
+  : Either[String, (Seq[String], String)] = {
+    val root =
+      try json.readTree(body)
+      catch { case e: Exception => return Left(s"unmarshalling json: ${e.getMessage}") }
+    if (root == null || !root.isObject) return Left("unmarshalling json: not an object")
+    val events = Option(root.get("events")).collect {
+      case a: ArrayNode =>
+        (0 until a.size()).map(i => json.writeValueAsString(a.get(i)))
+    }.getOrElse(Seq.empty)
+    val actionsNode: Either[String, ArrayNode] =
+      (Option(root.get("actions_type")).map(_.asText()).getOrElse("json"),
+        Option(root.get("actions"))) match {
+        case (_, None) => Right(json.createArrayNode())
+        case ("json" | "", Some(a: ArrayNode)) => Right(a)
+        case ("json" | "", Some(_)) => Left("actions must be a JSON array")
+        case ("yaml", Some(a)) if a.isTextual =>
+          try yaml.readTree(a.asText()) match {
+            case arr: ArrayNode => Right(arr)
+            case _ => Left("yaml actions must be a list")
+          } catch { case e: Exception => Left(s"unmarshalling yaml: ${e.getMessage}") }
+        case ("yaml", Some(_)) => Left("yaml actions must be a string")
+        case (t, _) => Left(s"unknown actions_type: $t")
+      }
+    actionsNode.flatMap { acts =>
+      if (events.isEmpty || events.size > 32 || acts.size() > 64)
+        Left("validate error: events count must be in range [1, 32] and actions count [0, 64]")
+      else {
+        val chain =
+          if (Option(root.get("debug")).exists(_.asBoolean())) withDebugActions(acts)
+          else acts
+        val cfg: ObjectNode = json.createObjectNode()
+        cfg.set[JsonNode]("actions", chain)
+        // YAML is a JSON superset — the compiler's YAML front-end reads
+        // the JSON-rendered config verbatim
+        Right((events, json.writeValueAsString(cfg)))
+      }
+    }
+  }
+
+  final class Server(spark: SparkSession, port: Int = 0) {
+    private val registry = new graft.metrics.PromRegistry
+    registry.describe("graft_playground_plays_total", "Play requests served")
+    registry.describe("graft_playground_concurrency_reached_total",
+      "Requests parked on the concurrency limiter")
+    registry.describe("graft_playground_concurrency_timeouts_total",
+      "Requests rejected after waiting on the concurrency limiter")
+    private val limiter = new java.util.concurrent.Semaphore(
+      Runtime.getRuntime.availableProcessors())
+    @volatile private[playground] var limiterWaitMs = 30000L
+
+    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 16)
+
+    private def respond(ex: HttpExchange, code: Int, body: String,
+                        contentType: String = "application/json"): Unit = {
+      val bytes = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", contentType)
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+
+    private def readBody(ex: HttpExchange, cap: Int = 1 << 20): String = {
+      val in = ex.getRequestBody
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0 && buf.size() <= cap) {
+        buf.write(chunk, 0, math.min(n, cap + 1 - buf.size()))
+        n = in.read(chunk)
+      }
+      new String(buf.toByteArray, UTF_8)
+    }
+
+    server.createContext("/api/v1/play", (ex: HttpExchange) => {
+      try {
+        if (ex.getRequestMethod != "POST") respond(ex, 405, "")
+        else if (!limiter.tryAcquire()) {
+          registry.inc("graft_playground_concurrency_reached_total")
+          if (!limiter.tryAcquire(limiterWaitMs,
+            java.util.concurrent.TimeUnit.MILLISECONDS)) {
+            registry.inc("graft_playground_concurrency_timeouts_total")
+            respond(ex, 408, "concurrency limiter timeout", "text/plain")
+          } else try play(ex) finally limiter.release()
+        } else try play(ex) finally limiter.release()
+      } catch {
+        case e: Exception => respond(ex, 500, e.toString, "text/plain")
+      }
+    })
+
+    private def play(ex: HttpExchange): Unit =
+      parseRequest(readBody(ex)) match {
+        case Left(msg) => respond(ex, 400, msg, "text/plain")
+        case Right((events, cfgText)) =>
+          val out =
+            try graft.compiler.PipelineCompiler
+              .runActionsOnBatch(spark, events, cfgText)
+            catch {
+              case e: Exception =>
+                respond(ex, 400, s"do actions: ${e.getMessage}", "text/plain")
+                return
+            }
+          registry.inc("graft_playground_plays_total")
+          val resp = json.createObjectNode()
+          val arr = resp.putArray("result")
+          out.foreach(doc => arr.add(json.readTree(doc)))
+          resp.put("stdout", "")
+          resp.put("metrics", registry.render())
+          respond(ex, 200, json.writeValueAsString(resp))
+      }
+
+    private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    server.setExecutor(pool)
+    server.start()
+
+    def boundPort: Int = server.getAddress.getPort
+    def stop(): Unit = { server.stop(0); pool.shutdown() }
+  }
+
+  def serve(spark: SparkSession, port: Int = 0): Server = new Server(spark, port)
+}

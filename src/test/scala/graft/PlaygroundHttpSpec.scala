@@ -1,0 +1,101 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Live-HTTP contract of the playground REST surface (reference
+  * playground_handler.go): POST /api/v1/play with events + actions
+  * (JSON or YAML spelling) answers {result, stdout, metrics};
+  * validation and method errors reproduce the reference's status
+  * codes. */
+class PlaygroundHttpSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val om = new ObjectMapper()
+  private lazy val server = graft.playground.PlaygroundHttp.serve(spark)
+  private lazy val url = s"http://127.0.0.1:${server.boundPort}/api/v1/play"
+  private val client = HttpClient.newHttpClient()
+
+  private def post(body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("play: modify + discard chain returns surviving docs, stdout, metrics") {
+    val req =
+      """{"events": [
+        |   {"level": "error", "msg": "boom"},
+        |   {"level": "info",  "msg": "fine"}],
+        | "actions": [
+        |   {"type": "modify", "fields": {"tag": "x"}},
+        |   {"type": "discard", "match_fields": {"level": "info"}}]}""".stripMargin
+    val r = post(req)
+    assert(r.statusCode() == 200, r.body())
+    val j = om.readTree(r.body())
+    val res = j.get("result")
+    assert(res.size() == 1, r.body())
+    assert(res.get(0).get("level").asText() == "error")
+    assert(res.get(0).get("tag").asText() == "x", "modify applied before discard")
+    assert(j.get("stdout").asText() == "")
+    assert(j.get("metrics").asText().contains("graft_playground_plays_total"))
+  }
+
+  test("actions_type yaml: the actions list rides as one YAML string") {
+    val yamlActions = "- type: rename\n  fields: {msg: message}\n- type: modify\n  fields: {k: v}"
+    val req = om.createObjectNode()
+    req.putArray("events").add(om.readTree("""{"msg": "hello"}"""))
+    req.put("actions_type", "yaml")
+    req.put("actions", yamlActions)
+    val r = post(om.writeValueAsString(req))
+    assert(r.statusCode() == 200, r.body())
+    val doc = om.readTree(r.body()).get("result").get(0)
+    assert(doc.get("message").asText() == "hello", "rename applied")
+    assert(doc.get("k").asText() == "v")
+  }
+
+  test("debug: true interleaves debug actions without changing the event flow") {
+    val req =
+      """{"events": [{"a": 1}, {"a": 2}], "debug": true,
+        | "actions": [{"type": "modify", "fields": {"b": "y"}}]}""".stripMargin
+    val r = post(req)
+    assert(r.statusCode() == 200, r.body())
+    val res = om.readTree(r.body()).get("result")
+    assert(res.size() == 2)
+    (0 until 2).foreach(i => assert(res.get(i).get("b").asText() == "y"))
+  }
+
+  test("validation: reference status codes") {
+    // empty events → 400 with the reference's message
+    val e1 = post("""{"events": [], "actions": []}""")
+    assert(e1.statusCode() == 400 && e1.body().contains("[1, 32]"))
+    // > 32 events → 400
+    val many = (1 to 33).map(i => s"""{"i": $i}""").mkString("[", ",", "]")
+    assert(post(s"""{"events": $many, "actions": []}""").statusCode() == 400)
+    // malformed body → 400
+    assert(post("{nope").statusCode() == 400)
+    // bad action type → 400 "do actions: ..."
+    val bad = post(
+      """{"events": [{"a":1}], "actions": [{"type": "no_such_plugin"}]}""")
+    assert(bad.statusCode() == 400 && bad.body().startsWith("do actions:"), bad.body())
+    // GET → 405
+    val get = client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(get.statusCode() == 405)
+  }
+
+  test("no actions: the batch round-trips through decode/encode untouched") {
+    val r = post("""{"events": [{"z": [1, 2], "s": "t"}]}""")
+    assert(r.statusCode() == 200, r.body())
+    val doc = om.readTree(r.body()).get("result").get(0)
+    assert(doc.get("s").asText() == "t" && doc.get("z").size() == 2)
+  }
+}
