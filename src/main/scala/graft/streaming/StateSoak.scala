@@ -1,0 +1,170 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming state SOAK: drive the four long-lived kernels
+  * (minhashDedupSurvivors, lineDedupVerdicts, sourceQuota,
+  * heavyHitters) over a sustained multi-epoch landing stream shaped
+  * like the sf0.1 corpus and record per-epoch RocksDB state sizes from
+  * the progress bus (stateOperators: numRowsTotal + memory/SST
+  * metrics). The scale claim under test (NOTES.md records the runs):
+  *
+  *  - bounded kernels (sourceQuota: one long per source; heavyHitters:
+  *    ≤ capacity counters per group) must hold FLAT state as epochs
+  *    accumulate — the unbounded-stream contract;
+  *  - dedup kernels (band owner, line owner) must grow LINEARLY in
+  *    DISTINCT keys (new content), not in events — re-landed duplicate
+  *    content re-uses existing owners; nothing may grow super-linearly.
+  *
+  * Each epoch lands half REPEATED content (the same band keys /
+  * boilerplate lines as epoch 0 — steady-state crawl re-landing) and
+  * half NEW content (fresh keys), so the expected curve is explicit:
+  * distinct keys grow by half an epoch's worth per epoch.
+  */
+object StateSoak {
+
+  final case class Obs(kernel: String, epoch: Int, op: String,
+                       opIdx: Int, rows: Long, bytes: Long)
+
+  private def progressObs(kernel: String, epoch: Int,
+                          q: StreamingQuery): Seq[Obs] = {
+    val p = q.recentProgress.filter(_.numInputRows > 0).lastOption
+      .getOrElse(q.lastProgress)
+    p.stateOperators.toSeq.zipWithIndex.map { case (so, idx) =>
+      val custom = so.customMetrics
+      // RocksDB provider: SST files on disk + live memtable/block cache
+      val sst = Option(custom.get("rocksdbSstFileSize")).map(_.longValue()).getOrElse(0L)
+      val mem = Option(custom.get("rocksdbTotalMemoryUsageBytes")).map(_.longValue()).getOrElse(0L)
+      Obs(kernel, epoch, so.operatorName, idx,
+        so.numRowsTotal, math.max(sst + mem, so.memoryUsedBytes))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val epochs = args.headOption.map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-state-soak")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val perEpochDocs = 5000 // the sf0.1 documents cardinality
+    val out = scala.collection.mutable.ArrayBuffer.empty[Obs]
+
+    def ckpt() = java.nio.file.Files
+      .createTempDirectory("graft_soak_ck").toString
+
+    // ---- minhash band-owner dedup: state keyed by distinct band key
+    locally {
+      val input = MemoryStream[Kernels.BandDocEvent]
+      val q = Kernels.minhashDedupSurvivors(input.toDS())
+        .writeStream.format("memory").queryName("soak_mh")
+        .option("checkpointLocation", ckpt())
+        .outputMode("append").start()
+      try {
+        for (e <- 0 until epochs) {
+          val evs = (0 until perEpochDocs).flatMap { i =>
+            val doc = e.toLong * perEpochDocs + i
+            val bks =
+              if (i % 2 == 0) (0 until 3).map(b => s"base_${i}_$b") // re-landed content
+              else (0 until 3).map(b => s"new_${e}_${i}_$b")        // fresh content
+            bks.map(bk => Kernels.BandDocEvent(bk, doc, "{}"))
+          }
+          input.addData(evs: _*)
+          q.processAllAvailable()
+          out ++= progressObs("minhash_band_owner", e, q)
+        }
+      } finally q.stop()
+    }
+
+    // ---- line-dedup first-owner: state keyed by distinct segment
+    locally {
+      val input = MemoryStream[Kernels.SegEvent]
+      val q = Kernels.lineDedupVerdicts(input.toDS())
+        .writeStream.format("memory").queryName("soak_line")
+        .option("checkpointLocation", ckpt())
+        .outputMode("append").start()
+      try {
+        for (e <- 0 until epochs) {
+          val evs = (0 until perEpochDocs).flatMap { i =>
+            val doc = e.toLong * perEpochDocs + i
+            (0 until 10).map { pos =>
+              val key =
+                if (pos < 5) s"boiler_${(i * 7 + pos) % 200}" // shared boilerplate
+                else s"uniq_${e}_${i}_$pos"                   // fresh lines
+              Kernels.SegEvent(key.hashCode & 15, doc, pos, key)
+            }
+          }
+          input.addData(evs: _*)
+          q.processAllAvailable()
+          out ++= progressObs("line_first_owner", e, q)
+        }
+      } finally q.stop()
+    }
+
+    // ---- source quota: bounded (one long per source)
+    locally {
+      val input = MemoryStream[Kernels.DocEvent]
+      val q = Kernels.sourceQuota(input.toDS(), budget = Long.MaxValue / 4)
+        .writeStream.format("memory").queryName("soak_quota")
+        .option("checkpointLocation", ckpt())
+        .outputMode("append").start()
+      try {
+        for (e <- 0 until epochs) {
+          val evs = (0 until perEpochDocs).map { i =>
+            Kernels.DocEvent(s"src${i % 8}", e.toLong * perEpochDocs + i,
+              100L, "{}")
+          }
+          input.addData(evs: _*)
+          q.processAllAvailable()
+          out ++= progressObs("source_quota", e, q)
+        }
+      } finally q.stop()
+    }
+
+    // ---- heavy hitters: bounded (≤ capacity counters per group)
+    locally {
+      val input = MemoryStream[Kernels.HHEvent]
+      val q = Kernels.heavyHitters(input.toDS(), capacity = 64)
+        .writeStream.format("memory").queryName("soak_hh")
+        .option("checkpointLocation", ckpt())
+        .outputMode("append").start()
+      try {
+        for (e <- 0 until epochs) {
+          val evs = (0 until 4 * perEpochDocs).map { i =>
+            // zipf-ish: item j lands ~1/(j+1) of the time over 10k items
+            val j = (i * 2654435761L % 10000).toInt
+            val item = s"item_${j / (1 + j % 7)}"
+            Kernels.HHEvent("dom", e.toLong * 4 * perEpochDocs + i, item, 1L)
+          }
+          input.addData(evs: _*)
+          q.processAllAvailable()
+          out ++= progressObs("heavy_hitters", e, q)
+        }
+      } finally q.stop()
+    }
+
+    // ---- report: per-epoch rows/bytes and the growth verdicts
+    out.groupBy(o => (o.kernel, o.opIdx)).toSeq.sortBy(_._1.toString)
+      .foreach { case ((kernel, opIdx), obs) =>
+        val seq = obs.sortBy(_.epoch)
+        seq.foreach(o => println(
+          s"SOAK kernel=$kernel op=${o.op}#$opIdx epoch=${o.epoch} " +
+            s"rows=${o.rows} bytes=${o.bytes}"))
+        val first = seq.head.rows.max(1L)
+        val last = seq.last.rows
+        println(f"SOAK_SUMMARY kernel=$kernel op=${seq.head.op}#$opIdx " +
+          f"rows_first=$first rows_last=$last growth=${last.toDouble / first}%.2f")
+      }
+    println("STATE_SOAK_OK")
+    spark.stop()
+  }
+}
