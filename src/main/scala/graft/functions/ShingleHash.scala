@@ -46,8 +46,8 @@ case class ShingleHash(child: Expression, n: Int, mod: Long,
     // trailing empties for the filter to see — split's default would
     // drop only trailing ones, leading/inner phantoms from "\n a  b"
     // would survive).
-    val toks = input.toLowerCase.toString
-      .split(graft.ml.Dedup.WS, -1).filter(_.nonEmpty)
+    val toks = graft.ml.Dedup.WS_PATTERN
+      .split(input.toLowerCase.toString, -1).filter(_.nonEmpty)
     val cnt = math.max(toks.length - (n - 1), 1)
     val grams = new java.util.ArrayList[String](cnt)
     val seen: java.util.HashSet[String] =

@@ -26,6 +26,13 @@ object Dedup {
     * same class inside `regexp_split_to_array` (see Queries*). */
   val WS: String = "[ \t\n\r\f]+"
 
+  /** Pre-compiled [[WS]] for JVM-side tokenizers (ShingleHash's fused
+    * loop): `String.split` with a multi-char pattern would otherwise
+    * compile the regex once per ROW. Spark's own `split` expression
+    * caches the compiled pattern for literal regexes, so the Column
+    * path needs no twin. */
+  val WS_PATTERN: java.util.regex.Pattern = java.util.regex.Pattern.compile(WS)
+
   /** Whitespace tokens, lowercased: split on runs of whitespace and
     * drop empty tokens, so real-shaped text (embedded newlines, double
     * spaces, leading/trailing whitespace) tokenizes sanely — "a  b\nc"
