@@ -115,4 +115,39 @@ class CurationPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("tokenization is invariant under arbitrary whitespace mangling (round-11 contract)") {
+    import spark.implicits._
+    import graft.ml.Dedup
+    val word = Gen.choose(1, 10).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+    val ws = Gen.oneOf(" ", "  ", "\n", "\t", " \n ", "\t\t", "\r\n", "\f", "   ")
+    // a clean doc and a mangled twin: same words, every separator
+    // replaced by a random whitespace RUN, random leading/trailing runs
+    val docG = for {
+      n <- Gen.choose(1, 20)
+      words <- Gen.listOfN(n, word)
+      seps <- Gen.listOfN(n + 1, ws)
+      lead <- Gen.oneOf("", " ", "\n\t", "  ")
+      trail <- Gen.oneOf("", " ", "\t", "\n")
+    } yield (words.mkString(" "),
+      lead + words.zip(seps).map { case (w, s) => w + s }.mkString.trim + trail)
+    val docs = sample(docG, 300)
+    assert(docs.size > 250)
+    val out = docs.toDF("clean", "messy")
+      .select(
+        Dedup.tokens(col("clean")).as("tc"),
+        Dedup.tokens(col("messy")).as("tm"),
+        Dedup.shingles(col("clean"), 3).as("sc"),
+        Dedup.shingles(col("messy"), 3).as("sm"),
+        graft.functions.ShingleHash(col("clean"), 3, Dedup.P).as("hc"),
+        graft.functions.ShingleHash(col("messy"), 3, Dedup.P).as("hm"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"tokens differ: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      assert(r.getSeq[String](2) == r.getSeq[String](3), "shingles differ")
+      assert(r.getSeq[Long](4) == r.getSeq[Long](5),
+        "fused ShingleHash not whitespace-invariant")
+    }
+  }
 }
