@@ -168,13 +168,52 @@ object Queries12 {
        |FROM p""".stripMargin
   }
 
+  // -------------------- BPE-ish token estimate + punct ratio (r11, q161)
+
+  /** The two text-quality signals that predate the gate (TextOps
+    * round-3 surface) finally under it: the BPE-ish token estimate
+    * (word pieces + each punctuation char as its own token — the
+    * standard cheap tokenizer-cost proxy) and the punctuation ratio.
+    * The corpus text is letters+spaces only, so the query decorates
+    * each doc with deterministic punctuation, digits, underscores and
+    * messy whitespace to make both signals BIND (punct > 0, bpeish >
+    * whitespace count) — the q108 synthesize-from-doc_id pattern. */
+  val q161_text_quality2: Q = (s, dir) => {
+    val deco = concat(col("text"),
+      lit(" (ref_"), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit(")!\te.g. 50% #tag-"), pmod(col("doc_id"), lit(3)).cast("string"),
+      lit(",\nend."))
+    t(s, dir, "documents").select(col("doc_id"),
+      TextOps.bpeishTokenCount(deco).cast("long").as("n_bpeish"),
+      size(graft.ml.Dedup.tokensCased(deco)).cast("long").as("n_ws"),
+      round(TextOps.punctRatio(deco), 4).as("punct_ratio"))
+  }
+
+  val q161_sql: String =
+    """WITH deco AS (
+      |  SELECT doc_id,
+      |    text || ' (ref_' || (doc_id % 7) || ')!' || chr(9) ||
+      |      'e.g. 50% #tag-' || (doc_id % 3) || ',' || chr(10) || 'end.' AS m
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(m,
+      |    '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f]')) AS BIGINT) AS n_bpeish,
+      |  CAST(len(list_filter(regexp_split_to_array(m, '[ \t\n\r\f]+'),
+      |    t -> t <> '')) AS BIGINT) AS n_ws,
+      |  round(CAST(length(m) -
+      |      length(regexp_replace(m, '[^A-Za-z0-9 \t\n\r\f]', '', 'g'))
+      |    AS DOUBLE) / length(m), 4) AS punct_ratio
+      |FROM deco""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q159_ws_tokens" -> q159_ws_tokens,
-    "q160_psl_domains" -> q160_psl_domains
+    "q160_psl_domains" -> q160_psl_domains,
+    "q161_text_quality2" -> q161_text_quality2
   )
 
   val oracles: Map[String, String] = Map(
     "q159_ws_tokens" -> q159_sql,
-    "q160_psl_domains" -> q160_sql
+    "q160_psl_domains" -> q160_sql,
+    "q161_text_quality2" -> q161_sql
   )
 }

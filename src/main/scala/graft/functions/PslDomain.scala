@@ -79,9 +79,20 @@ object Psl {
       val line = raw.trim
       if (line.nonEmpty && !line.startsWith("//")) {
         val rule = line.split("\\s+")(0).toLowerCase
-        if (rule.startsWith("!")) exception += rule.substring(1)
-        else if (rule.startsWith("*.")) wildcard += rule.substring(2)
-        else if (rule != "*") normal += rule
+        val (bucket, body) =
+          if (rule.startsWith("!")) (exception, rule.substring(1))
+          else if (rule.startsWith("*.")) (wildcard, rule.substring(2))
+          else (normal, rule)
+        if (rule != "*") {
+          bucket += body
+          // ~460 rules are unicode (公司.cn, ...); real hosts arrive
+          // IDNA-encoded, so index the punycode twin alongside
+          // (java.net.IDN handles the per-label xn-- mapping; a rule
+          // IDN cannot encode is indexed in its raw spelling only)
+          if (body.exists(_ > 127))
+            try bucket += java.net.IDN.toASCII(body).toLowerCase
+            catch { case _: IllegalArgumentException => }
+        }
       }
     }
     Rules(normal.result(), wildcard.result(), exception.result())

@@ -13,9 +13,12 @@ object TextOps {
   def tokenCount(text: Column): Column = size(Dedup.tokensCased(text))
 
   /** BPE-ish token estimate: word pieces + punctuation as separate
-    * tokens (regex class split, the standard cheap proxy). */
+    * tokens (regex class split, the standard cheap proxy). The
+    * whitespace exclusion is the explicit round-11 class (Dedup.WS
+    * rationale: java.util.regex and RE2 disagree on `\s`). */
   def bpeishTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+    size(regexp_extract_all(text,
+      lit("[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f]"), lit(0)))
 
   /** Mean token length (double — computed identically in oracles). */
   def meanTokenLen(text: Column): Column = {
@@ -23,9 +26,11 @@ object TextOps {
     aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
   }
 
-  /** Ratio of punctuation chars to total chars. */
+  /** Ratio of punctuation chars (anything outside alphanumerics and
+    * whitespace) to total chars. */
   def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("double") /
+    (length(text) -
+      length(regexp_replace(text, "[^A-Za-z0-9 \t\n\r\f]", ""))).cast("double") /
       length(text)
 
   /** Tiny per-language stopword tables for the n-gram/stopword language

@@ -94,6 +94,15 @@ class PslSpec extends AnyFunSuite {
     assert(m.registeredDomain("foo.github.io") == "github.io")
   }
 
+  test("unicode rules match in both spellings — raw and punycode (IDNA twin)") {
+    // 公司.cn is a PSL rule; a real host arrives as xn--55qx5d.cn
+    assert(Psl.registeredDomain("example.xn--55qx5d.cn") == "example.xn--55qx5d.cn")
+    assert(Psl.registeredDomain("xn--55qx5d.cn") == null, "bare punycode suffix")
+    assert(Psl.registeredDomain("example.公司.cn") == "example.公司.cn",
+      "raw-unicode host still matches the raw rule")
+    assert(Psl.registeredDomain("a.b.example.xn--55qx5d.cn") == "example.xn--55qx5d.cn")
+  }
+
   test("rulesForTlds returns the exact rule rows for a TLD slice") {
     val rows = Psl.rulesForTlds(Set("ck")).toMap
     assert(rows("ck") == "n" || rows.contains("ck"))
