@@ -205,15 +205,47 @@ object Queries12 {
       |    AS DOUBLE) / length(m), 4) AS punct_ratio
       |FROM deco""".stripMargin
 
+  // ------------------- multimodal expression-path stubs (r11, q162)
+
+  /** The EXPRESSION-path multimodal stand-ins under the gate (q59
+    * oracles the mapPartitions decode path; these are the inline
+    * per-row flavor): `decodeStub`'s fake feature struct and
+    * `resizeStub`'s truncate-to-w·h-bytes contract — the schema and
+    * size semantics a real image scaler swaps into. Payload is the
+    * UTF-8 text bytes (the corpus is ASCII, so DuckDB's char-indexed
+    * substring ≡ Spark's byte-indexed one — the q61 precedent). */
+  val q162_mm_resize: Q = (s, dir) => {
+    val payload = encode(col("text"), "UTF-8")
+    val dec = graft.ml.Multimodal.decodeStub(payload)
+    val rs = graft.ml.Multimodal.resizeStub(payload, 16, 4)
+    t(s, dir, "documents").select(col("doc_id"),
+      dec.getField("fake_width").as("fake_width"),
+      dec.getField("fake_first_byte").as("fake_first_byte"),
+      rs.getField("w").as("w"), rs.getField("h").as("h"),
+      upper(hex(rs.getField("data"))).as("data_hex"),
+      rs.getField("n_bytes").cast("long").as("n_bytes"))
+  }
+
+  val q162_sql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) % 256 AS INT) AS fake_width,
+      |  ascii(substring(text, 1, 1)) AS fake_first_byte,
+      |  16 AS w, 4 AS h,
+      |  upper(hex(encode(substring(text, 1, 64)))) AS data_hex,
+      |  CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS n_bytes
+      |FROM documents""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q159_ws_tokens" -> q159_ws_tokens,
     "q160_psl_domains" -> q160_psl_domains,
-    "q161_text_quality2" -> q161_text_quality2
+    "q161_text_quality2" -> q161_text_quality2,
+    "q162_mm_resize" -> q162_mm_resize
   )
 
   val oracles: Map[String, String] = Map(
     "q159_ws_tokens" -> q159_sql,
     "q160_psl_domains" -> q160_sql,
-    "q161_text_quality2" -> q161_sql
+    "q161_text_quality2" -> q161_sql,
+    "q162_mm_resize" -> q162_sql
   )
 }

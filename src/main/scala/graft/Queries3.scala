@@ -42,16 +42,21 @@ object Queries3 {
     a.join(b, col("b_id") === col("doc_id") + 1)
       .select(col("doc_id"),
         size(array_intersect(col("sh"), col("b_sh"))).as("inter"),
-        size(array_union(col("sh"), col("b_sh"))).as("uni"))
+        size(array_union(col("sh"), col("b_sh"))).as("uni"),
+        round(Dedup.jaccard(col("sh"), col("b_sh")), 4).as("jac"))
   }
 
   val q51_sql: String =
-    s"""WITH sh AS (SELECT doc_id, $sqlShingles3 AS s FROM documents)
-       |SELECT a.doc_id AS doc_id,
-       |  len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter,
-       |  len(a.s) + len(b.s) -
-       |    len(list_filter(a.s, x -> list_contains(b.s, x))) AS uni
-       |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin
+    s"""WITH sh AS (SELECT doc_id, $sqlShingles3 AS s FROM documents),
+       |iu AS (
+       |  SELECT a.doc_id AS doc_id,
+       |    len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter,
+       |    len(a.s) + len(b.s) -
+       |      len(list_filter(a.s, x -> list_contains(b.s, x))) AS uni
+       |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)
+       |SELECT doc_id, inter, uni,
+       |  round(CAST(inter AS DOUBLE) / uni, 4) AS jac
+       |FROM iu""".stripMargin
 
   private val MH_K = 9; private val MH_BANDS = 3; private val MH_ROWS = 3
 
