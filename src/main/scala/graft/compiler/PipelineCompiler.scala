@@ -1723,7 +1723,8 @@ object PipelineCompiler {
           .select(explode(array((0 until bb).map(b => col(s"band_$b")): _*)).as("bk"),
             col("doc"), col("payload"))
           .as[graft.streaming.Kernels.BandDocEvent]
-        graft.streaming.Kernels.minhashDedupSurvivors(ds)
+        graft.streaming.Kernels.minhashDedupSurvivors(ds,
+            stateTtlMs = longOpt("state_ttl_ms", 0L))
           .select(from_json(col("payload"), inner).as("_r"))
           .select(col("_r.*"))
       case "simhash_dedup" =>
@@ -1751,7 +1752,8 @@ object PipelineCompiler {
             col("sim"), bits, blocks)).as("blk"),
             col("doc"), col("sim"), col("payload"))
           .as[graft.streaming.Kernels.SimBlockEvent]
-        graft.streaming.Kernels.simhashDedupSurvivors(ds2, maxHam)
+        graft.streaming.Kernels.simhashDedupSurvivors(ds2, maxHam,
+            stateTtlMs = longOpt("state_ttl_ms", 0L))
           .select(from_json(col("payload"), inner2).as("_r"))
           .select(col("_r.*"))
       case "source_quota" =>

@@ -134,6 +134,22 @@ object Kernels {
   /** ProcessingTimeTimeout only when a TTL is configured: registering a
     * timeout makes the microbatch engine emit continuous maintenance
     * batches, which TTL-less pipelines shouldn't pay for. */
+
+  /** transformWithState TTL plumbing for the owner-state dedup kernels:
+    * ttl > 0 turns on store-level expiry (TimeMode.ProcessingTime is
+    * required for TTL-enabled state) — the FORGETTING WINDOW for
+    * unbounded streams: an owner entry not re-written within the TTL
+    * expires, and re-landed content after expiry is admitted as new.
+    * That bounds state at O(distinct keys per TTL window) in exchange
+    * for approximate dedup across windows — the knob the state-soak
+    * notes name for corpora whose definition allows forgetting. ttl = 0
+    * (default) keeps exact forever-state and TimeMode.None. */
+  private def twsTtl(ttlMs: Long): TTLConfig =
+    if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+    else TTLConfig.NONE
+  private def twsTimeMode(ttlMs: Long): TimeMode =
+    if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
+
   private def ttlMode(ttlMs: Long): GroupStateTimeout =
     if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
     else GroupStateTimeout.NoTimeout
@@ -863,11 +879,12 @@ object Kernels {
     * incrementally; shard count bounds per-task state and RocksDB keeps
     * it off-heap. Downstream folds partials per doc (sum over shards —
     * each batch carries a doc wholly, so the fold is per-batch local). */
-  def duplicateSpanPartials(ds: Dataset[GramEvent]): Dataset[SpanPartial] = {
+  def duplicateSpanPartials(ds: Dataset[GramEvent],
+                            stateTtlMs: Long = 0L): Dataset[SpanPartial] = {
     implicit val outEnc = Encoders.product[SpanPartial]
     ds.groupByKey(_.shard)(Encoders.scalaInt)
-      .transformWithState(new SpanWinnerProcessor(), TimeMode.None(),
-        OutputMode.Append)
+      .transformWithState(new SpanWinnerProcessor(twsTtl(stateTtlMs)),
+        twsTimeMode(stateTtlMs), OutputMode.Append)
   }
 
   // --------------------------------------------- streaming line dedup
@@ -894,11 +911,12 @@ object Kernels {
     * without revising emitted verdicts — the monotone-admission
     * contract of the kernel family. State is O(distinct segments), the
     * batch winner table held incrementally. */
-  def lineDedupVerdicts(ds: Dataset[SegEvent]): Dataset[SegVerdict] = {
+  def lineDedupVerdicts(ds: Dataset[SegEvent],
+                        stateTtlMs: Long = 0L): Dataset[SegVerdict] = {
     implicit val outEnc = Encoders.product[SegVerdict]
     ds.groupByKey(_.shard)(Encoders.scalaInt)
-      .transformWithState(new LineOwnerProcessor(), TimeMode.None(),
-        OutputMode.Append)
+      .transformWithState(new LineOwnerProcessor(twsTtl(stateTtlMs)),
+        twsTimeMode(stateTtlMs), OutputMode.Append)
   }
 
   // --------------------------------------------- streaming minhash-LSH
@@ -967,12 +985,13 @@ object Kernels {
     * batch) that keeps the doc iff no band reported a foreign owner.
     * Persistent state is O(distinct band keys) longs — smaller than
     * the candidate kernel's ListState membership lists. */
-  def minhashDedupSurvivors(ds: Dataset[BandDocEvent]): Dataset[DocKeep] = {
+  def minhashDedupSurvivors(ds: Dataset[BandDocEvent],
+                            stateTtlMs: Long = 0L): Dataset[DocKeep] = {
     implicit val hitEnc = Encoders.product[BandHit]
     implicit val keepEnc = Encoders.product[DocKeep]
     ds.groupByKey(_.bk)(Encoders.STRING)
-      .transformWithState(new BandOwnerProcessor(), TimeMode.None(),
-        OutputMode.Append)
+      .transformWithState(new BandOwnerProcessor(twsTtl(stateTtlMs)),
+        twsTimeMode(stateTtlMs), OutputMode.Append)
       .groupByKey(_.doc)(Encoders.scalaLong)
       .transformWithState(new DocGateProcessor(), TimeMode.None(),
         OutputMode.Append)
@@ -1007,12 +1026,13 @@ object Kernels {
     * block table held incrementally, sharded across bucket keys with
     * RocksDB keeping it off-heap. */
   def simhashDedupSurvivors(ds: Dataset[SimBlockEvent],
-                            maxHamming: Int): Dataset[DocKeep] = {
+                            maxHamming: Int,
+                            stateTtlMs: Long = 0L): Dataset[DocKeep] = {
     implicit val hitEnc = Encoders.product[BandHit]
     implicit val keepEnc = Encoders.product[DocKeep]
     ds.groupByKey(_.blk)(Encoders.scalaLong)
-      .transformWithState(new SimBlockProcessor(maxHamming), TimeMode.None(),
-        OutputMode.Append)
+      .transformWithState(new SimBlockProcessor(maxHamming, twsTtl(stateTtlMs)),
+        twsTimeMode(stateTtlMs), OutputMode.Append)
       .groupByKey(_.doc)(Encoders.scalaLong)
       .transformWithState(new DocGateProcessor(), TimeMode.None(),
         OutputMode.Append)
@@ -1092,7 +1112,7 @@ private[streaming] class CCProcessor
 /** The per-shard processor behind [[Kernels.duplicateSpanPartials]]:
   * MapState gram → first-owner doc id. Top-level so the serialized
   * processor carries no outer reference. */
-private[streaming] class SpanWinnerProcessor
+private[streaming] class SpanWinnerProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[Int, Kernels.GramEvent, Kernels.SpanPartial] {
   import Kernels.{GramEvent, SpanPartial}
 
@@ -1100,7 +1120,7 @@ private[streaming] class SpanWinnerProcessor
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     winner = getHandle.getMapState[String, Long](
-      "winner", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      "winner", Encoders.STRING, Encoders.scalaLong, ttl)
 
   override def handleInputRows(shard: Int, events: Iterator[GramEvent],
       timerValues: TimerValues): Iterator[SpanPartial] = {
@@ -1156,7 +1176,7 @@ private[streaming] class BandBucketProcessor
 /** The per-band-key processor behind [[Kernels.minhashDedupSurvivors]]
   * step 1: ValueState long = the bucket's first owner. Top-level so the
   * serialized processor carries no outer reference. */
-private[streaming] class BandOwnerProcessor
+private[streaming] class BandOwnerProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, Kernels.BandDocEvent, Kernels.BandHit] {
   import Kernels.{BandDocEvent, BandHit}
 
@@ -1164,7 +1184,7 @@ private[streaming] class BandOwnerProcessor
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     owner = getHandle.getValueState[Long](
-      "owner", Encoders.scalaLong, TTLConfig.NONE)
+      "owner", Encoders.scalaLong, ttl)
 
   override def handleInputRows(bk: String, events: Iterator[BandDocEvent],
       timerValues: TimerValues): Iterator[BandHit] = {
@@ -1185,7 +1205,8 @@ private[streaming] class BandOwnerProcessor
   * iff any existing claim is within the hamming budget, and claims its
   * bucket either way. Top-level so the serialized processor carries no
   * outer reference. */
-private[streaming] class SimBlockProcessor(maxHamming: Int)
+private[streaming] class SimBlockProcessor(maxHamming: Int,
+    ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[Long, Kernels.SimBlockEvent, Kernels.BandHit] {
   import Kernels.{BandHit, SimBlockEvent, SimClaim}
 
@@ -1193,7 +1214,7 @@ private[streaming] class SimBlockProcessor(maxHamming: Int)
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     claims = getHandle.getListState[SimClaim](
-      "claims", Encoders.product[SimClaim], TTLConfig.NONE)
+      "claims", Encoders.product[SimClaim], ttl)
 
   override def handleInputRows(blk: Long, events: Iterator[SimBlockEvent],
       timerValues: TimerValues): Iterator[BandHit] = {
@@ -1238,7 +1259,7 @@ private[streaming] class DocGateProcessor
   * used — doc ids exceed 2^31 in real corpora, so owner doc and pos
   * are kept as a case class). Top-level so the serialized processor
   * carries no outer reference. */
-private[streaming] class LineOwnerProcessor
+private[streaming] class LineOwnerProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[Int, Kernels.SegEvent, Kernels.SegVerdict] {
   import Kernels.{OwnerRef, SegEvent, SegVerdict}
 
@@ -1246,7 +1267,7 @@ private[streaming] class LineOwnerProcessor
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     owner = getHandle.getMapState[String, OwnerRef](
-      "owner", Encoders.STRING, Encoders.product[OwnerRef], TTLConfig.NONE)
+      "owner", Encoders.STRING, Encoders.product[OwnerRef], ttl)
 
   override def handleInputRows(shard: Int, events: Iterator[SegEvent],
       timerValues: TimerValues): Iterator[SegVerdict] = {

@@ -142,6 +142,64 @@ class StreamingCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("owner-state TTL: expired owners forget, re-landed content is admitted after the window") { withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // line dedup with a 600 ms forgetting window: doc 1 owns the
+    // segment; past the TTL a later doc re-lands the SAME segment and
+    // must be ADMITTED (bounded state on unbounded streams, approximate
+    // dedup across windows). Within the window the duplicate still
+    // drops, which also proves the ttl spelling changes nothing until
+    // expiry.
+    // TimeMode.ProcessingTime keeps scheduling maintenance batches, so
+    // processAllAvailable never latches (the documented gotcha) — poll
+    // the sink with a deadline instead
+    def await(table: String, n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table(table).count() < n &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(spark.table(table).count() >= n, s"$table never reached $n rows")
+    }
+    def verdicts(table: String) =
+      spark.table(table).as[Kernels.SegVerdict].collect()
+        .map(x => (x.doc, x.pos) -> x.keep).toMap
+
+    // window far larger than any batch latency: the ttl spelling must
+    // change NOTHING before expiry — the in-window duplicate drops
+    val inA = MemoryStream[Kernels.SegEvent]
+    val qA = Kernels.lineDedupVerdicts(inA.toDS(), stateTtlMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("ttl_line_long")
+      .outputMode("append").start()
+    try {
+      inA.addData(Kernels.SegEvent(0, 1L, 0, "seg"))
+      await("ttl_line_long", 1)
+      inA.addData(Kernels.SegEvent(0, 2L, 0, "seg"))
+      await("ttl_line_long", 2)
+      val v = verdicts("ttl_line_long")
+      assert(v((1L, 0)), "first landing keeps")
+      assert(!v((2L, 0)), "duplicate INSIDE the window still drops")
+    } finally qA.stop()
+
+    // tiny window + a sleep well past it: the owner entry expires and
+    // the SAME segment from a later doc is ADMITTED — bounded state on
+    // unbounded streams, approximate dedup across windows
+    val inB = MemoryStream[Kernels.SegEvent]
+    val qB = Kernels.lineDedupVerdicts(inB.toDS(), stateTtlMs = 600L)
+      .writeStream.format("memory").queryName("ttl_line_short")
+      .outputMode("append").start()
+    try {
+      inB.addData(Kernels.SegEvent(0, 1L, 0, "seg"))
+      await("ttl_line_short", 1)
+      Thread.sleep(2000) // let the 600 ms window lapse in processing time
+      inB.addData(Kernels.SegEvent(0, 3L, 0, "seg"))
+      await("ttl_line_short", 2)
+      val v = verdicts("ttl_line_short")
+      assert(v((1L, 0)), "first landing keeps")
+      assert(v((3L, 0)),
+        "owner expired after the TTL window: re-landed segment admitted")
+    } finally qB.stop()
+  } }
+
   test("streaming duplicate spans ≡ batch operator on in-order ingest") {
     withRocksDb {
     implicit val sqlCtx = spark.sqlContext
