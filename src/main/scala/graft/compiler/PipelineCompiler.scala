@@ -1891,7 +1891,11 @@ object PipelineCompiler {
         val inner3 = df.schema
         implicit val enc3 = org.apache.spark.sql.Encoders.product[
           graft.streaming.Kernels.DocEvent]
-        val ds3 = df.select(
+        // NULL domain = no registered domain (bare public suffix) —
+        // unrelated documents, so they bypass the cap instead of being
+        // collectively throttled as one state key (same policy as the
+        // batch UrlOps.domainCap pass-through)
+        val ds3 = df.filter(col(domCol).isNotNull).select(
           col(domCol).cast("string").as("source"),
           col(id).cast("long").as("docId"),
           lit(1L).as("nTok"),
@@ -1900,6 +1904,7 @@ object PipelineCompiler {
         graft.streaming.Kernels.sourceQuota(ds3, budget = k)
           .select(from_json(col("payload"), inner3).as("_r"))
           .select(col("_r.*"))
+          .unionByName(df.filter(col(domCol).isNull))
       case other =>
         throw new IllegalArgumentException(
           s"curation stage `$other` is not streamable — its verdict needs " +

@@ -80,9 +80,19 @@ object UrlOps {
     import org.apache.spark.sql.expressions.Window
     val h = Dedup.tokenHash(concat(col(textCol), lit("#d" + seed)))
     val w = Window.partitionBy(col(domainCol)).orderBy(col("hk"), col(idCol))
-    df.select(col(domainCol), col(idCol), h.as("hk"))
+    // A NULL domain means "no registered domain" (round-11 PSL
+    // contract: bare public suffix, empty host). Those documents are
+    // UNRELATED to each other — capping them as one group would both
+    // wrongly drop them collectively and funnel every such row through
+    // one window task — so they bypass the cap (rank 0 marks the
+    // pass-through).
+    val capped = df.filter(col(domainCol).isNotNull)
+      .select(col(domainCol), col(idCol), h.as("hk"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col(domainCol), col(idCol), col("rank"))
+    df.filter(col(domainCol).isNull)
+      .select(col(domainCol), col(idCol), lit(0L).as("rank"))
+      .unionByName(capped)
   }
 }

@@ -118,4 +118,22 @@ class UrlOpsSpec extends AnyFunSuite {
       k = 10, seed = 11L).as[(String, Long, Long)].collect()
     assert(out.sortBy(_._2).toSeq == again.sortBy(_._2).toSeq)
   }
+
+  test("domainCap: NULL domains (no registered domain) bypass the cap instead of sharing one group") {
+    import spark.implicits._
+    // 20 docs without a registered domain (bare-suffix hosts) + one
+    // real domain over the cap: the null docs are unrelated and must
+    // ALL survive with the rank-0 pass-through marker, while the real
+    // domain still caps at k
+    val docs = (1L to 30L).map { i =>
+      (if (i <= 20) null else "big.com", i, s"text body $i")
+    }.toDF("reg_domain", "doc_id", "text")
+    val out = UrlOps.domainCap(docs, "reg_domain", "doc_id", "text",
+      k = 4, seed = 7L).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    val nulls = out.filter(_._1.isEmpty)
+    assert(nulls.length == 20 && nulls.forall(_._3 == 0L),
+      "every no-domain doc passes through with rank 0")
+    assert(out.count(_._1.contains("big.com")) == 4, "real domain still capped")
+  }
 }
