@@ -235,17 +235,51 @@ object Queries12 {
       |  CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS n_bytes
       |FROM documents""".stripMargin
 
+  // ------------------- winnowing rolling-hash fingerprints (r11, q163)
+
+  private val FP_K = 8; private val FP_W = 5
+
+  /** Winnowing document fingerprints (the MOSS selection over a Rabin
+    * rolling hash — graft.functions.RollingFingerprints): k-codepoint
+    * gram hashes, window-of-w minima, sorted distinct values, exploded
+    * to (doc_id, fp) rows. The oracle replays the identical B/P
+    * integer math term by term (precomputed B^e mod P coefficients)
+    * and the same clamped-window winnowing in SQL — two spellings of
+    * the same arithmetic must agree long-for-long. */
+  val q163_winnow_fp: Q = (s, dir) =>
+    t(s, dir, "documents").select(col("doc_id"),
+      explode(graft.functions.RollingFingerprints(col("text"), FP_K, FP_W))
+        .as("fp"))
+
+  val q163_sql: String = {
+    val terms = graft.functions.RollingFingerprints.gramTermsSql("text", FP_K)
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, greatest(length(text) - ${FP_K - 1}, 0) + 1),
+       |      i -> $terms) AS hs
+       |  FROM documents),
+       |sel AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      range(1, greatest(len(hs) - ${FP_W - 1}, 1) + 1),
+       |      j -> list_min(hs[j:j+${FP_W - 1}]))) AS fps
+       |  FROM h WHERE len(hs) > 0)
+       |SELECT doc_id, unnest(fps) AS fp FROM sel""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q159_ws_tokens" -> q159_ws_tokens,
     "q160_psl_domains" -> q160_psl_domains,
     "q161_text_quality2" -> q161_text_quality2,
-    "q162_mm_resize" -> q162_mm_resize
+    "q162_mm_resize" -> q162_mm_resize,
+    "q163_winnow_fp" -> q163_winnow_fp
   )
 
   val oracles: Map[String, String] = Map(
     "q159_ws_tokens" -> q159_sql,
     "q160_psl_domains" -> q160_sql,
     "q161_text_quality2" -> q161_sql,
-    "q162_mm_resize" -> q162_sql
+    "q162_mm_resize" -> q162_sql,
+    "q163_winnow_fp" -> q163_sql
   )
 }

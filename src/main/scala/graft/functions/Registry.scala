@@ -26,6 +26,9 @@ object Registry {
         distinct = exprs.length < 4 || bool(exprs(3))), "built-in")
     reg.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "rolling_fp", exprs => RollingFingerprints(exprs.head,
+        int(exprs(1)), int(exprs(2))), "built-in")
   }
 
   private def str(e: org.apache.spark.sql.catalyst.expressions.Expression): String =

@@ -170,4 +170,60 @@ class FunctionsSpec extends AnyFunSuite {
     val pre = UTF8String.fromString("d\u00e9j\u00e0 vu")
     assert(e.nfc(pre) eq pre)
   }
+
+  test("RollingFingerprints: hand vector, independent replay, shared-substring guarantee") {
+    import graft.functions.RollingFingerprints
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val B = RollingFingerprints.B; val P = RollingFingerprints.P
+
+    // hand vector: k=2, w=2 over "abc" — grams "ab"=97·257+98, "bc"=98·257+99,
+    // one complete window (min) selects the smaller
+    val e22 = RollingFingerprints(Literal("x"), 2, 2)
+    assert(e22.fingerprints(UTF8String.fromString("abc")).toLongArray().toSeq ==
+      Seq(97L * 257 + 98))
+    // shorter than k → no fingerprints; exactly k → the single gram
+    assert(e22.fingerprints(UTF8String.fromString("a")).numElements() == 0)
+    assert(e22.fingerprints(UTF8String.fromString("ab")).toLongArray().toSeq ==
+      Seq(97L * 257 + 98))
+
+    // independent naive replay (direct sums + per-window scans — no
+    // rolling update, no deque) on random strings must agree exactly
+    def naive(t: String, k: Int, w: Int): Seq[Long] = {
+      val cps = t.codePoints().toArray
+      val n = cps.length - k + 1
+      if (n <= 0) Seq.empty
+      else {
+        val hs = (0 until n).map(i =>
+          (i until i + k).foldLeft(0L)((a, j) => (a * B + cps(j)) % P))
+        val nw = math.max(n - w + 1, 1)
+        (0 until nw).map(j => hs.slice(j, math.min(j + w, n)).min)
+          .distinct.sorted
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    val e85 = RollingFingerprints(Literal("x"), 8, 5)
+    (0 until 200).foreach { _ =>
+      val t = (0 until rnd.nextInt(60)).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+      assert(e85.fingerprints(UTF8String.fromString(t)).toLongArray().toSeq ==
+        naive(t, 8, 5), s"mismatch on '$t'")
+    }
+
+    // the winnowing guarantee: a shared substring of length >= w+k-1
+    // yields at least one SHARED fingerprint
+    val shared = "zqxjkvwpbzzq" // 12 = w+k-1 for k=8, w=5
+    val d1 = "aaaa" + shared + "bbbb"
+    val d2 = "cccccc" + shared + "dd"
+    val f1 = e85.fingerprints(UTF8String.fromString(d1)).toLongArray().toSet
+    val f2 = e85.fingerprints(UTF8String.fromString(d2)).toLongArray().toSet
+    assert((f1 & f2).nonEmpty, "w+k-1 shared substring must share a fingerprint")
+
+    // SQL registry surface
+    val spark2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    graft.functions.Registry.registerAll(spark2)
+    val viaSql = spark2.sql("SELECT rolling_fp('abc', 2, 2) AS f")
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql == Seq(97L * 257 + 98))
+  }
 }
