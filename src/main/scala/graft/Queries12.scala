@@ -267,12 +267,76 @@ object Queries12 {
        |SELECT doc_id, unnest(fps) AS fp FROM sel""".stripMargin
   }
 
+  // --------------- winnowing near-dup candidates + stop-fp cap (q164)
+
+  /** Near-dup candidate pairs by shared winnowed fingerprints, with
+    * the stop-fingerprint document-frequency cap BINDING: half the
+    * corpus carries one ubiquitous boilerplate sentence (doc freq ≈
+    * 250 ≫ the cap of 100 → its fingerprints are dropped, else every
+    * even doc would pair with every even doc), while every 9th doc
+    * carries a rarer copied sentence (≈ 56 docs ≤ cap → those pairs
+    * survive with their shared counts). The corpus slice (every 5th
+    * doc) keeps the pair table SELECTIVE at every SF — the synthetic
+    * word pool is so small that full-corpus 8-char-gram overlap is
+    * near-all-pairs, which is a property of the generator, not the
+    * operator. */
+  val q164_winnow_neardup: Q = (s, dir) => {
+    val deco = concat(col("text"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        lit(" common boilerplate sentence shared by half the corpus"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(9)) === 0,
+        lit(" zq rare copied span xj kv wp bz distinctive sentence"))
+        .otherwise(lit("")))
+    graft.ml.Dedup.winnowNearDupCandidates(
+      t(s, dir, "documents").filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"), deco.as("text")),
+      "doc_id", "text", k = FP_K, w = FP_W,
+      minShared = 5L, maxDocFreq = 100L)
+  }
+
+  val q164_sql: String = {
+    val terms = graft.functions.RollingFingerprints.gramTermsSql("text", FP_K)
+    s"""WITH deco AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 2 = 0
+       |      THEN ' common boilerplate sentence shared by half the corpus'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 9 = 0
+       |      THEN ' zq rare copied span xj kv wp bz distinctive sentence'
+       |      ELSE '' END AS text
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, greatest(length(text) - ${FP_K - 1}, 0) + 1),
+       |      i -> $terms) AS hs
+       |  FROM deco),
+       |sel AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      range(1, greatest(len(hs) - ${FP_W - 1}, 1) + 1),
+       |      j -> list_min(hs[j:j+${FP_W - 1}]))) AS fps
+       |  FROM h WHERE len(hs) > 0),
+       |fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+       |freq AS (SELECT fp, count(*) AS dfreq FROM fp GROUP BY fp),
+       |keep AS (
+       |  SELECT f.doc_id, f.fp FROM fp f
+       |  JOIN freq d ON d.fp = f.fp WHERE d.dfreq <= 100)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(count(*) AS BIGINT) AS shared
+       |FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) >= 5""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q159_ws_tokens" -> q159_ws_tokens,
     "q160_psl_domains" -> q160_psl_domains,
     "q161_text_quality2" -> q161_text_quality2,
     "q162_mm_resize" -> q162_mm_resize,
-    "q163_winnow_fp" -> q163_winnow_fp
+    "q163_winnow_fp" -> q163_winnow_fp,
+    "q164_winnow_neardup" -> q164_winnow_neardup
   )
 
   val oracles: Map[String, String] = Map(
@@ -280,6 +344,7 @@ object Queries12 {
     "q160_psl_domains" -> q160_sql,
     "q161_text_quality2" -> q161_sql,
     "q162_mm_resize" -> q162_sql,
-    "q163_winnow_fp" -> q163_sql
+    "q163_winnow_fp" -> q163_sql,
+    "q164_winnow_neardup" -> q164_sql
   )
 }

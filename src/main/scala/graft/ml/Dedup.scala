@@ -312,6 +312,41 @@ object Dedup {
     index.map(_.select(col("bloom")).unionByName(nb)).getOrElse(nb)
   }
 
+  /** Winnowing-fingerprint near-dup CANDIDATES: pairs of documents
+    * sharing ≥ `minShared` winnowed rolling-hash fingerprints
+    * ([[graft.functions.RollingFingerprints]] — any shared substring
+    * of length ≥ w+k−1 contributes one), emitted as (id_a, id_b,
+    * shared). Bucket-join shaped like the MinHash family: explode to
+    * (doc, fp), ONE explicit fp exchange reused by BOTH the
+    * document-frequency aggregate and the pair join (the
+    * duplicateSpans plan discipline), pair only within fp buckets.
+    * `maxDocFreq` drops STOP-FINGERPRINTS first — substrings present
+    * in more than that many documents (site chrome, licence
+    * boilerplate) — which is what keeps bucket fan-out bounded at
+    * corpus scale: without it one ubiquitous fingerprint pairs
+    * everything with everything. */
+  def winnowNearDupCandidates(df: DataFrame, idCol: String, textCol: String,
+                              k: Int = 8, w: Int = 5,
+                              minShared: Long = 3L,
+                              maxDocFreq: Long = 1000L): DataFrame = {
+    val fps = df.select(col(idCol).as("_wid"),
+        explode(graft.functions.RollingFingerprints(col(textCol), k, w))
+          .as("fp"))
+      .repartition(col("fp"))
+    val kept =
+      if (maxDocFreq > 0) {
+        // fingerprints are distinct per doc, so count(*) = doc freq
+        val dfreq = fps.groupBy(col("fp")).agg(count(lit(1)).as("_dfreq"))
+          .filter(col("_dfreq") <= maxDocFreq)
+        fps.join(dfreq, Seq("fp")).drop("_dfreq")
+      } else fps
+    val a = kept.select(col("fp"), col("_wid").as("id_a"))
+    val b = kept.select(col("fp"), col("_wid").as("id_b"))
+    a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Exact Jaccard similarity between two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

@@ -398,6 +398,36 @@ class DedupSpec extends AnyFunSuite {
     counts.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
+  test("winnowNearDupCandidates: stop-fingerprint cap kills boilerplate pairs, copied spans survive") {
+    import spark.implicits._
+    // every doc carries the same boilerplate sentence (doc freq 30 ≫
+    // cap 10 → its fingerprints drop); only docs 1 and 2 also share a
+    // rare copied span ≥ w+k−1 chars → the ONLY surviving pair
+    val boiler = " standard footer boilerplate text appears everywhere"
+    val span = " zwevqx unique copied span jqkwpf"
+    val docs = (1L to 30L).map { i =>
+      val base = s"doc body number $i with its own filler content $i$i"
+      (i, base + boiler + (if (i <= 2) span else ""))
+    }.toDF("doc_id", "text")
+    val capped = Dedup.winnowNearDupCandidates(docs, "doc_id", "text",
+      k = 8, w = 5, minShared = 2L, maxDocFreq = 10L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // the deliberate copy survives, with the HIGHEST shared count (the
+    // handful of residual pairs are low-count junction grams where a
+    // doc's unique tail meets the boilerplate — sub-cap by freq)
+    assert(capped.contains((1L, 2L)),
+      s"copied-span pair must survive the cap: ${capped.keySet}")
+    assert(capped((1L, 2L)) == capped.values.max,
+      "the deliberate copy must dominate residual junction pairs")
+    assert(capped.size < 20,
+      s"cap must kill the boilerplate explosion, got ${capped.size} pairs")
+    // without the cap, the boilerplate pairs everything with everything
+    val uncapped = Dedup.winnowNearDupCandidates(docs, "doc_id", "text",
+      k = 8, w = 5, minShared = 2L, maxDocFreq = 0L).count()
+    assert(uncapped == 30L * 29 / 2,
+      "uncapped boilerplate bucket must go all-pairs — the cap is the scale lever")
+  }
+
   test("VecDot refuses ragged vectors instead of truncating") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val lit = org.apache.spark.sql.catalyst.expressions.Literal(1.0)
