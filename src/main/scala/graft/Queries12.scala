@@ -330,13 +330,81 @@ object Queries12 {
        |HAVING count(*) >= 5""".stripMargin
   }
 
+  // ------------- incremental winnow dedup against an fp index (q165)
+
+  /** The winnow modality's against-index member (the q140/q143 family
+    * pattern): the old half of the corpus slice persists its DISTINCT
+    * fingerprint set; a batch doc drops when ≥ min_shared of its
+    * fingerprints hit the index (70 here — the corpus's natural
+    * overlap median, so BOTH probe outcomes occur), survivors winnow-dedup within the
+    * batch (cap on the batch leg, pairs → CC → min-id). The corpus's
+    * natural 8-char-gram self-similarity makes both legs BIND without
+    * decoration. Oracle replays fingerprints, the index probe, the
+    * freq cut, the pair counts, and the q69 recursive component walk. */
+  val q165_winnow_against: Q = (s, dir) => {
+    val slice = t(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+    val idx = graft.ml.Dedup.winnowFpIndex(
+      slice.filter(pmod(col("doc_id"), lit(10)) === 0), "text", FP_K, FP_W)
+    graft.ml.Dedup.winnowDedupAgainst(
+      slice.filter(pmod(col("doc_id"), lit(10)) =!= 0), idx,
+      "doc_id", "text", k = FP_K, w = FP_W,
+      minShared = 70L, maxDocFreq = 100L)
+  }
+
+  val q165_sql: String = {
+    val terms = graft.functions.RollingFingerprints.gramTermsSql("text", FP_K)
+    s"""WITH RECURSIVE h AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, greatest(length(text) - ${FP_K - 1}, 0) + 1),
+       |      i -> $terms) AS hs
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |sel AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      range(1, greatest(len(hs) - ${FP_W - 1}, 1) + 1),
+       |      j -> list_min(hs[j:j+${FP_W - 1}]))) AS fps
+       |  FROM h WHERE len(hs) > 0),
+       |fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+       |oldfp AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 = 0),
+       |bfp AS (SELECT doc_id, fp FROM fp WHERE doc_id % 10 <> 0),
+       |hits AS (
+       |  SELECT b.doc_id FROM bfp b JOIN oldfp o ON o.fp = b.fp
+       |  GROUP BY b.doc_id HAVING count(*) >= 70),
+       |restfp AS (
+       |  SELECT doc_id, fp FROM bfp
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+       |freq AS (SELECT fp, count(*) AS dfreq FROM restfp GROUP BY fp),
+       |keepfp AS (
+       |  SELECT r.doc_id, r.fp FROM restfp r
+       |  JOIN freq f ON f.fp = r.fp WHERE f.dfreq <= 100),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM keepfp a JOIN keepfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 70),
+       |nodes AS (SELECT id_a AS node FROM p UNION SELECT id_b FROM p),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM p
+       |          UNION SELECT id_b, id_a FROM p),
+       |walk(node, lab) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.u, w.lab FROM edges e JOIN walk w ON w.node = e.v),
+       |comp AS (SELECT node, MIN(lab) AS component FROM walk GROUP BY 1)
+       |SELECT d.doc_id,
+       |  (d.doc_id NOT IN (SELECT doc_id FROM hits)) AND
+       |    coalesce(c.component, d.doc_id) = d.doc_id AS keep
+       |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+       |WHERE d.doc_id % 5 = 0 AND d.doc_id % 10 <> 0""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q159_ws_tokens" -> q159_ws_tokens,
     "q160_psl_domains" -> q160_psl_domains,
     "q161_text_quality2" -> q161_text_quality2,
     "q162_mm_resize" -> q162_mm_resize,
     "q163_winnow_fp" -> q163_winnow_fp,
-    "q164_winnow_neardup" -> q164_winnow_neardup
+    "q164_winnow_neardup" -> q164_winnow_neardup,
+    "q165_winnow_against" -> q165_winnow_against
   )
 
   val oracles: Map[String, String] = Map(
@@ -345,6 +413,7 @@ object Queries12 {
     "q161_text_quality2" -> q161_sql,
     "q162_mm_resize" -> q162_sql,
     "q163_winnow_fp" -> q163_sql,
-    "q164_winnow_neardup" -> q164_sql
+    "q164_winnow_neardup" -> q164_sql,
+    "q165_winnow_against" -> q165_sql
   )
 }

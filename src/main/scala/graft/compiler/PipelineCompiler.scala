@@ -1419,7 +1419,8 @@ object PipelineCompiler {
         s"curation cache_stages: off|memory|disk, got `$other`")
     }
     val twiceUsing = Set("repetition_gate", "exact_dedup", "duplicate_spans",
-      "minhash_dedup", "simhash_dedup", "line_dedup", "semdedup", "domain_cap",
+      "minhash_dedup", "simhash_dedup", "winnow_dedup", "line_dedup",
+      "semdedup", "domain_cap",
       "html_extract", "boilerplate_scrub", "decontaminate", "span_scrub",
       "source_quota", "classifier_gate", "dsir_upsample", "ccnet_bucket")
     val idxOuts = Seq.newBuilder[(String, DataFrame)]
@@ -1500,6 +1501,9 @@ object PipelineCompiler {
       case "simhash_dedup" =>
         graft.ml.Dedup.simhashIndexMerged(old, kept, id, text,
           intOpt("bits", 60))
+      case "winnow_dedup" =>
+        graft.ml.Dedup.winnowFpIndexMerged(old, kept, text,
+          intOpt("k", 8), intOpt("w", 5))
       case "line_dedup" =>
         graft.ml.Corpus.lineDedupIndexMerged(old, kept, id, text,
           delim = Option(st.get("delim")).map(_.asText()).getOrElse("\n"),
@@ -1527,7 +1531,8 @@ object PipelineCompiler {
       case other => throw new IllegalArgumentException(
         s"curation index_out is not supported on `$other` — only the " +
           "index-backed dedup stages (exact_dedup, duplicate_spans, " +
-          "minhash_dedup, simhash_dedup, line_dedup, semdedup)")
+          "minhash_dedup, simhash_dedup, winnow_dedup, line_dedup, " +
+          "semdedup)")
     }
   }
 
@@ -2050,6 +2055,23 @@ object PipelineCompiler {
           case (_, other) => throw new IllegalArgumentException(
             s"curation minhash_dedup: keep: min_id|best, got `$other`")
         }
+      case "winnow_dedup" =>
+        // near-dup drop by shared winnowed rolling-hash fingerprints
+        // (q163/q164 family): candidate pairs within fp buckets after
+        // the stop-fingerprint doc-frequency cut, CC, min-id
+        // representative; index_path: incremental mode — ≥ min_shared
+        // fingerprint hits against the persisted fp set drop first,
+        // the remainder dedups within the batch
+        val wk = intOpt("k", 8); val ww = intOpt("w", 5)
+        val ms = longOpt("min_shared", 3L)
+        val mdf = longOpt("max_doc_freq", 1000L)
+        val verdict = Option(st.get("index_path")) match {
+          case Some(p) => graft.ml.Dedup.winnowDedupAgainst(
+            df, spark.read.parquet(p.asText()), id, text, wk, ww, ms, mdf)
+          case None =>
+            graft.ml.Dedup.winnowDedup(df, id, text, wk, ww, ms, mdf)
+        }
+        keepIds(verdict, col("keep"))
       case "simhash_dedup" =>
         // near-dup drop by 60-bit SimHash block decomposition (q141
         // family): candidate join on one of `blocks` signature blocks

@@ -347,6 +347,72 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Batch winnow-dedup VERDICTS: [[winnowNearDupCandidates]] pairs →
+    * connected components → min-id representative; one row per input
+    * id as (id, component, keep) — the semDedup output shape, so the
+    * same keep-filter/join-back spellings apply. */
+  def winnowDedup(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8, w: Int = 5, minShared: Long = 3L,
+                  maxDocFreq: Long = 1000L): DataFrame = {
+    val pairs = winnowNearDupCandidates(df, idCol, textCol, k, w,
+      minShared, maxDocFreq).select(col("id_a"), col("id_b"))
+    val comp = connectedComponents(pairs) // materializes (localCheckpoint)
+    df.select(col(idCol))
+      .join(comp.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"),
+        (coalesce(col("component"), col(idCol)) === col(idCol)).as("keep"))
+  }
+
+  /** Persisted winnow-fingerprint index: the DISTINCT fingerprint set
+    * of the kept corpus — 8 bytes per fingerprint at ~2/(w+1) of the
+    * gram count, the smallest member of the against-index family. Land
+    * with `.write.parquet(...)`. */
+  def winnowFpIndex(df: DataFrame, textCol: String,
+                    k: Int = 8, w: Int = 5): DataFrame =
+    df.select(explode(
+        graft.functions.RollingFingerprints(col(textCol), k, w)).as("fp"))
+      .distinct()
+
+  /** Next-run winnow index: previous runs' fingerprints ∪ this run's
+    * survivors' (one distinct shuffle — fingerprints are a SET, and a
+    * fingerprint present in any earlier run stays authoritative). */
+  def winnowFpIndexMerged(index: Option[DataFrame], kept: DataFrame,
+                          textCol: String,
+                          k: Int = 8, w: Int = 5): DataFrame = {
+    val nw = winnowFpIndex(kept, textCol, k, w)
+    index.map(_.select(col("fp")).unionByName(nw).distinct()).getOrElse(nw)
+  }
+
+  /** INCREMENTAL winnow dedup — survival verdicts (id, keep) for a new
+    * batch against a persisted fingerprint index: a batch doc drops
+    * when ≥ `minShared` of its fingerprints are already in the index
+    * (it substantially overlaps the kept corpus), the remainder
+    * winnow-dedups WITHIN the batch ([[winnowDedup]] — cap applied on
+    * the batch leg). The old corpus is touched only through the
+    * fingerprint set; the probe is one equi-join on fp + a per-doc
+    * count — never a pairwise scan against old documents. */
+  def winnowDedupAgainst(df: DataFrame, index: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 5, minShared: Long = 3L,
+                         maxDocFreq: Long = 1000L): DataFrame = {
+    val fps = df.select(col(idCol).as("_wid"),
+      explode(graft.functions.RollingFingerprints(col(textCol), k, w))
+        .as("fp"))
+    val oldHits = fps.join(index.select(col("fp")), Seq("fp"))
+      .groupBy(col("_wid")).agg(count(lit(1)).as("_hits"))
+      .filter(col("_hits") >= minShared)
+      .select(col("_wid").as(idCol))
+    val rest = df.join(oldHits, Seq(idCol), "left_anti")
+    val within = winnowDedup(rest, idCol, textCol, k, w, minShared, maxDocFreq)
+    df.select(col(idCol))
+      .join(oldHits.withColumn("_dup_old", lit(true)), Seq(idCol), "left")
+      .join(within.select(col(idCol), col("keep").as("_k")), Seq(idCol), "left")
+      .select(col(idCol),
+        (coalesce(col("_dup_old"), lit(false)) === lit(false) &&
+          coalesce(col("_k"), lit(true))).as("keep"))
+  }
+
   /** Exact Jaccard similarity between two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

@@ -1765,6 +1765,58 @@ class CompilerSpec extends AnyFunSuite {
     assert(memberIds == wantMembers)
   }
 
+  test("winnow_dedup stage: batch, index_path, and index_out forms (two-run flow = direct calls)") {
+    import org.apache.spark.sql.functions.col
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") % 5 === 0)
+    val aPath = tmp("wnd_a"); val bPath = tmp("wnd_b")
+    docs.filter(col("doc_id") % 10 === 0).write.mode("overwrite").parquet(aPath)
+    docs.filter(col("doc_id") % 10 =!= 0).write.mode("overwrite").parquet(bPath)
+    val v1 = tmp("wnd_v1"); val v2 = tmp("wnd_v2")
+    // run 1: batch winnow dedup, lands the fp index of its survivors
+    val out1 = PipelineCompiler.runCuration(spark,
+      s"""curation:
+         |  input: {path: "$aPath"}
+         |  stages:
+         |    - {type: winnow_dedup, min_shared: 70, max_doc_freq: 100,
+         |       index_out: "$v1/wfp"}
+         |""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sliceA = spark.read.parquet(aPath); val sliceB = spark.read.parquet(bPath)
+    val want1 = graft.ml.Dedup.winnowDedup(sliceA, "doc_id", "text",
+      minShared = 70L, maxDocFreq = 100L)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out1 == want1 && out1.nonEmpty)
+    // run 2: dedups against v1, lands the merged v2
+    val out2 = PipelineCompiler.runCuration(spark,
+      s"""curation:
+         |  input: {path: "$bPath"}
+         |  stages:
+         |    - {type: winnow_dedup, min_shared: 70, max_doc_freq: 100,
+         |       index_path: "$v1/wfp", index_out: "$v2/wfp"}
+         |""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept1 = sliceA.join(spark.createDataset(want1.toSeq)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val idx1 = graft.ml.Dedup.winnowFpIndex(kept1, "text")
+    val want2 = graft.ml.Dedup.winnowDedupAgainst(sliceB, idx1,
+      "doc_id", "text", minShared = 70L, maxDocFreq = 100L)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out2 == want2 && out2.size < sliceB.count(),
+      "index run must drop batch docs overlapping the kept corpus")
+    // v2 = v1's fps ∪ run-2 survivors' fps (distinct set union)
+    val kept2 = sliceB.join(spark.createDataset(want2.toSeq)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val wantV2 = idx1.collect().map(_.getLong(0)).toSet ++
+      graft.ml.Dedup.winnowFpIndex(kept2, "text")
+        .collect().map(_.getLong(0)).toSet
+    assert(spark.read.parquet(s"$v2/wfp").collect().map(_.getLong(0)).toSet
+      == wantV2)
+  }
+
   test("simhash_dedup stage: batch, index_path, and index_out forms") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
