@@ -95,9 +95,11 @@ object CorpusPipelineDemo {
     //    to nothing drop out.
     val toks = graft.ml.Dedup.tokensCased(col("text"))
     val sentenced = canonical.withColumn("text",
-      array_join(transform(
-        sequence(lit(0), floor((size(toks) - 1) / 12).cast("int")),
-        i => array_join(slice(toks, i * 12 + 1, lit(12)), " ")), "\n"))
+      // empty-token guard: sequence(0, -1) descends — see synthLines
+      array_join(when(size(toks) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), floor((size(toks) - 1) / 12).cast("int")),
+          i => array_join(slice(toks, i * 12 + 1, lit(12)), " "))), "\n"))
     val scrubbed = canonical.drop("text").join(
       graft.ml.Corpus.lineDedupKeepFirst(sentenced, "doc_id", "text", "\n")
         .filter(length(col("clean_text")) > 0)

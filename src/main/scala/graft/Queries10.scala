@@ -152,7 +152,7 @@ object Queries10 {
   val q143_sql: String =
     """WITH seg AS (
       |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS seg
-      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '') AS l FROM documents)),
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
       |old AS (SELECT DISTINCT seg FROM seg WHERE doc_id % 4 = 0),
       |segn AS (SELECT * FROM seg WHERE doc_id % 4 <> 0),
       |fl AS (

@@ -435,7 +435,7 @@ object Queries11 {
       |  FROM documents),
       |seg AS (
       |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS seg
-      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '') AS l FROM dec)),
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM dec)),
       |k AS (
       |  SELECT doc_id, pos, seg,
       |    trim(regexp_replace(regexp_replace(regexp_replace(lower(seg),

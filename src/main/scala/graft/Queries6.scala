@@ -254,7 +254,7 @@ object Queries6 {
   val q113_sql: String =
     """WITH seg AS (
       |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS seg
-      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '') AS l FROM documents)),
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
       |freq AS (
       |  SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY 1)
       |  WHERE df >= CEIL(0.8 * (SELECT count(*) FROM documents))),
@@ -267,7 +267,7 @@ object Queries6 {
       |  FROM kept GROUP BY 1)
       |SELECT d.doc_id,
       |  coalesce(re.clean, '') AS clean_text,
-      |  CAST(len(list_filter(regexp_split_to_array(d.text, '[ \t\n\r\f]+'), t -> t <> '')) - coalesce(re.kn, 0) AS BIGINT) AS n_removed
+      |  CAST(len(string_split(d.text, ' ')) - coalesce(re.kn, 0) AS BIGINT) AS n_removed
       |FROM documents d LEFT JOIN re USING (doc_id)""".stripMargin
 
   val all: Map[String, Q] = Map(

@@ -55,7 +55,7 @@ object Queries7 {
   val q115_sql: String =
     """WITH seg AS (
       |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS seg
-      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '') AS l FROM documents)),
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
       |fl AS (
       |  SELECT doc_id, pos, seg,
       |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1

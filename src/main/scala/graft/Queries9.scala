@@ -22,14 +22,18 @@ object Queries9 {
     * in the SQL oracle): line i = [maybe "- "] + 5 tokens + {. | ε | ?}. */
   private def synthLines(docId: Column, text: Column): Column = {
     val toks = graft.ml.Dedup.tokensCased(text)
-    val lineArr = transform(
-      sequence(lit(0), floor((size(toks) - 1) / 5).cast("int")),
-      i => concat(
-        when(pmod(docId + i, lit(5)) === 0, lit("- ")).otherwise(lit("")),
-        array_join(slice(toks, i * 5 + 1, lit(5)), " "),
-        when(pmod(docId + i, lit(3)) === 0, lit("."))
-          .when(pmod(docId + i, lit(3)) === 1, lit(""))
-          .otherwise(lit("?"))))
+    // empty-token guard: tokensCased can return [] (whitespace-only
+    // doc) and Spark's sequence(0, -1) DESCENDS to [0, -1] where the
+    // oracle's generate_series(0, -1) is [] — short-circuit to match
+    val lineArr = when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((size(toks) - 1) / 5).cast("int")),
+        i => concat(
+          when(pmod(docId + i, lit(5)) === 0, lit("- ")).otherwise(lit("")),
+          array_join(slice(toks, i * 5 + 1, lit(5)), " "),
+          when(pmod(docId + i, lit(3)) === 0, lit("."))
+            .when(pmod(docId + i, lit(3)) === 1, lit(""))
+            .otherwise(lit("?")))))
     array_join(lineArr, "\n")
   }
 
@@ -396,7 +400,7 @@ object Queries9 {
   val q131_sql: String =
     """WITH seg AS (
       |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS seg
-      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '') AS l FROM documents)),
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
       |fl AS (
       |  SELECT doc_id, pos, seg,
       |    row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) = 1
@@ -426,7 +430,7 @@ object Queries9 {
   val q133_sql: String =
     """WITH seg AS (
       |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS seg
-      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '') AS l FROM documents)),
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
       |freq AS (
       |  SELECT fp FROM (SELECT md5(seg) AS fp, count(DISTINCT doc_id) AS df
       |                  FROM seg GROUP BY 1)
@@ -441,7 +445,7 @@ object Queries9 {
       |  FROM kept GROUP BY 1)
       |SELECT d.doc_id,
       |  coalesce(re.clean, '') AS clean_text,
-      |  CAST(len(list_filter(regexp_split_to_array(d.text, '[ \t\n\r\f]+'), t -> t <> '')) - coalesce(re.kn, 0) AS BIGINT) AS n_removed
+      |  CAST(len(string_split(d.text, ' ')) - coalesce(re.kn, 0) AS BIGINT) AS n_removed
       |FROM documents d LEFT JOIN re USING (doc_id)""".stripMargin
 
   /** Antispam with rule-resolved thresholds — the reference's primary
@@ -651,7 +655,7 @@ object Queries9 {
       |  SELECT d.doc_id, d.text FROM documents d JOIN gop USING (doc_id)),
       |seg AS (
       |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS seg
-      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '') AS l FROM g1)),
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM g1)),
       |freq AS (
       |  SELECT fp FROM (SELECT md5(seg) AS fp, count(DISTINCT doc_id) AS df
       |                  FROM seg GROUP BY 1)

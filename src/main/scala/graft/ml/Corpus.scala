@@ -458,6 +458,12 @@ object Corpus {
   def lineDedupKeepFirst(df: DataFrame, idCol: String, textCol: String,
                          delim: String, fingerprint: Boolean = false,
                          normalize: Boolean = false): DataFrame = {
+    // LITERAL-delimiter segmentation (Pattern.quote), deliberately NOT
+    // the whitespace-run tokenizer (Dedup.tokens): segment positions
+    // must round-trip through reassembly, so consecutive delimiters
+    // are real (empty) segments and the document's structure survives
+    // byte-for-byte — the whole line-dedup family (index/Against,
+    // boilerplateScrub) and its oracles share this contract.
     val litDelim = java.util.regex.Pattern.quote(delim)
     val ord = struct(col(idCol), col("pos"))
     val seg0 = df.select(col(idCol),

@@ -324,7 +324,10 @@ object Dedup {
     * in more than that many documents (site chrome, licence
     * boilerplate) — which is what keeps bucket fan-out bounded at
     * corpus scale: without it one ubiquitous fingerprint pairs
-    * everything with everything. */
+    * everything with everything. `maxDocFreq <= 0` DISABLES the cut
+    * entirely (the uncapped all-pairs behavior — tests and small-batch
+    * forensics only, never at corpus scale); it is NOT "strictest
+    * cap". */
   def winnowNearDupCandidates(df: DataFrame, idCol: String, textCol: String,
                               k: Int = 8, w: Int = 5,
                               minShared: Long = 3L,
@@ -790,6 +793,17 @@ object Dedup {
           s"$maxAvgClusterSize — pairwise stage would be quadratic. " +
           "Scale k with the corpus (k = N / targetClusterSize; " +
           "semDedupAutoK does this) or raise maxAvgClusterSize knowingly.")
+    // SKEW guard: a healthy average hides one dense region assigning a
+    // huge share to a single cluster — that one cluster alone goes
+    // quadratic. 10× the average cap is the "one hot cluster" line.
+    val maxSz = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    if (maxSz > 10L * maxAvgClusterSize)
+      throw new IllegalArgumentException(
+        s"semDedup: largest cluster holds $maxSz vectors " +
+          s"(> 10 × maxAvgClusterSize = ${10L * maxAvgClusterSize}) — " +
+          "one dense region is assigning quadratically even though the " +
+          "average looks healthy. Raise k (more centroids split the " +
+          "dense region) or raise maxAvgClusterSize knowingly.")
     val a = vecs.select(col("cid"), col("vid").as("id_a"),
       col("ve").as("va"), col("n2").as("n2a"))
     val b = vecs.select(col("cid"), col("vid").as("id_b"),
@@ -917,7 +931,7 @@ object Dedup {
     // centroids (semDedupAutoK's k-scaling rule), since the batch must
     // assign to the index's centroids.
     val stats = vecs.groupBy(col("cid")).agg(count(lit(1)).as("n"))
-      .agg(avg(col("n")).as("avgSz")).head()
+      .agg(avg(col("n")).as("avgSz"), max(col("n")).as("maxSz")).head()
     val avgSz = if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)
     if (avgSz > maxAvgClusterSize)
       throw new IllegalArgumentException(
@@ -927,6 +941,17 @@ object Dedup {
           "centroid set is too small for this batch: re-build the index " +
           "with k scaled to the corpus (k = N / targetClusterSize — " +
           "semDedupAutoK's rule) or raise maxAvgClusterSize knowingly.")
+    // SKEW guard (the incremental regime's common failure): a crawl
+    // batch concentrated in one topic assigns mostly to ONE persisted
+    // cluster — quadratic there while the average stays healthy
+    val maxSz = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    if (maxSz > 10L * maxAvgClusterSize)
+      throw new IllegalArgumentException(
+        s"semDedupAgainst: hottest cluster takes $maxSz batch assignments " +
+          s"(> 10 × maxAvgClusterSize = ${10L * maxAvgClusterSize}) — one " +
+          "dense region goes quadratic even though the average looks " +
+          "healthy. Re-build the index with more centroids (split the " +
+          "dense region) or raise maxAvgClusterSize knowingly.")
     val oldHits = vecs
       .join(members.select(col("cid"), col("ve").as("_vo"), col("n2").as("_n2o")),
         Seq("cid"))

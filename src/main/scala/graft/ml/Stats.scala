@@ -51,9 +51,14 @@ object Stats {
       require(o.columns.contains("lgk") && cur.columns.contains("lgk"),
         "Stats.distinctSketchIndexMerged: index rows must carry the lgk " +
           "column (written by distinctSketch) so mixed-lgK merges fail " +
-          "at write time, not at distinctEstimate read time")
+          "at write time, not at distinctEstimate read time. A legacy " +
+          "index written before the column existed can be upgraded with " +
+          "one annotation pass: index.withColumn(\"lgk\", lit(<its lgK>))")
+      // numeric-widening read: an index round-tripped through a system
+      // that lands lgk as BIGINT must hit the curated error below, not
+      // a raw ClassCastException
       val ks = o.select(col("lgk")).unionByName(cur.select(col("lgk")))
-        .distinct().collect().map(_.getInt(0)).sorted
+        .distinct().collect().map(_.getAs[Number](0).intValue()).sorted
       if (ks.length > 1) throw new IllegalArgumentException(
         s"Stats.distinctSketchIndexMerged: mixed lgK ${ks.mkString("{", ",", "}")} " +
           "across runs — hll_union_agg requires a single lgK " +

@@ -113,16 +113,26 @@ object PlaygroundHttp {
       ex.close()
     }
 
-    private def readBody(ex: HttpExchange, cap: Int = 1 << 20): String = {
+    /** Body capped at 1 MiB; Left = the over-cap error (an explicit
+      * size message, not a misleading truncated-JSON parse failure —
+      * the remaining bytes drain so a keep-alive connection isn't
+      * poisoned). */
+    private def readBody(ex: HttpExchange, cap: Int = 1 << 20)
+    : Either[String, String] = {
       val in = ex.getRequestBody
       val buf = new java.io.ByteArrayOutputStream()
       val chunk = new Array[Byte](8192)
       var n = in.read(chunk)
-      while (n >= 0 && buf.size() <= cap) {
-        buf.write(chunk, 0, math.min(n, cap + 1 - buf.size()))
+      var over = false
+      while (n >= 0) {
+        if (!over) {
+          if (buf.size() + n > cap) over = true
+          else buf.write(chunk, 0, n)
+        } // else: drain and discard
         n = in.read(chunk)
       }
-      new String(buf.toByteArray, UTF_8)
+      if (over) Left(s"request body exceeds ${cap} bytes")
+      else Right(new String(buf.toByteArray, UTF_8))
     }
 
     server.createContext("/api/v1/play", (ex: HttpExchange) => {
@@ -142,7 +152,7 @@ object PlaygroundHttp {
     })
 
     private def play(ex: HttpExchange): Unit =
-      parseRequest(readBody(ex)) match {
+      readBody(ex).flatMap(parseRequest) match {
         case Left(msg) => respond(ex, 400, msg, "text/plain")
         case Right((events, cfgText)) =>
           val out =

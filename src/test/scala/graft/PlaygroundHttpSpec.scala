@@ -90,6 +90,12 @@ class PlaygroundHttpSpec extends AnyFunSuite {
     val get = client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
       HttpResponse.BodyHandlers.ofString())
     assert(get.statusCode() == 405)
+    // body over the 1 MiB cap → explicit size error, not a misleading
+    // truncated-JSON parse failure
+    val big = "x" * ((1 << 20) + 100)
+    val over = post(s"""{"events": [{"a": "$big"}], "actions": []}""")
+    assert(over.statusCode() == 400 && over.body().contains("exceeds"),
+      s"${over.statusCode()} ${over.body().take(80)}")
   }
 
   test("no actions: the batch round-trips through decode/encode untouched") {
