@@ -332,6 +332,41 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 additions: winnow family plan shape, PSL codegen") {
+    val docs = Tables(spark, sf, "documents")
+    // winnowNearDupCandidates: one explicit fp exchange feeds BOTH the
+    // doc-frequency aggregate and the pair join (the duplicateSpans
+    // discipline) — the finalized adaptive plan must show the reuse
+    val nd = graft.ml.Dedup.winnowNearDupCandidates(docs, "doc_id", "text",
+      minShared = 5L, maxDocFreq = 100L)
+    nd.collect() // finalize AQE so reuse is visible
+    val ndPlan = plan(nd)
+    assert(ndPlan.contains("ReusedExchange") || ndPlan.contains("ReusedQueryStage"),
+      ndPlan)
+    assert(!nd.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "fp tables are corpus-derived and must stay unhinted")
+    // winnowDedupAgainst: index probe is an equi-join + per-doc count —
+    // no cartesian, no broadcast nested loop, unhinted
+    val idx = graft.ml.Dedup.winnowFpIndex(
+      docs.filter(col("doc_id") % 4 === 0), "text")
+    val ag = graft.ml.Dedup.winnowDedupAgainst(
+      docs.filter(col("doc_id") % 4 =!= 0), idx, "doc_id", "text",
+      minShared = 70L, maxDocFreq = 100L)
+    val agPlan = plan(ag)
+    assert(!agPlan.contains("CartesianProduct") &&
+      !agPlan.contains("BroadcastNestedLoopJoin"), agPlan)
+    // PSL registered-domain extraction: per-row codegen'd expression —
+    // zero exchange, no UDF fallback, inside a WholeStageCodegen span
+    val rd = docs.select(graft.ml.UrlOps.registeredDomain(
+      concat(lit("d"), col("doc_id").cast("string"), lit(".example.co.uk")))
+      .as("rd"))
+    val rdPlan = plan(rd)
+    assert(!rdPlan.contains("Exchange") && !rdPlan.contains("ScalaUDF") &&
+      !rdPlan.contains("BatchEvalPython"), rdPlan)
+    // `*(n)` is the whole-stage-codegen marker in the compact plan form
+    assert(rdPlan.contains("*(1) Project"), rdPlan)
+  }
+
   test("round-10b additions: keep-best, semdedup-against, IVF append stay scale-shaped") {
     val docs = Tables(spark, sf, "documents")
     // clusterKeepBest: the rep choice is a struct-max hash aggregation —
