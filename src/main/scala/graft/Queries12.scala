@@ -72,7 +72,7 @@ object Queries12 {
        |  md5(array_to_string(lm, ' ')) AS fp_messy,
        |  md5(array_to_string(lc, ' ')) AS fp_clean,
        |  round(CAST(len(list_filter(lm, t -> list_contains([$sw], t)))
-       |    AS DOUBLE) / len(lm), 4) AS sw_ratio,
+       |    AS DOUBLE) / greatest(len(lm), 1), 4) AS sw_ratio,
        |  CAST(len(list_distinct(list_transform(
        |    range(1, greatest(len(lm) - 2, 1) + 1),
        |    i -> array_to_string(lm[i:i+2], ' ')))) AS BIGINT) AS n_shingles

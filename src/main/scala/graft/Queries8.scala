@@ -204,9 +204,9 @@ object Queries8 {
       |  FROM documents),
       |u AS (
       |  SELECT doc_id, n_tok,
-      |    (char_sum * 100) // n_tok AS mean_len_centi,
-      |    (alpha_cnt * 1000) // n_tok AS alpha_milli,
-      |    (distinct_cnt * 1000) // n_tok AS distinct_milli,
+      |    (char_sum * 100) // greatest(n_tok, 1) AS mean_len_centi,
+      |    (alpha_cnt * 1000) // greatest(n_tok, 1) AS alpha_milli,
+      |    (distinct_cnt * 1000) // greatest(n_tok, 1) AS distinct_milli,
       |    stop_hits
       |  FROM sig)
       |SELECT doc_id, n_tok, mean_len_centi, alpha_milli, distinct_milli,

@@ -523,9 +523,9 @@ object Queries9 {
       |        t -> list_contains([$sw], t))) AS BIGINT) AS stop_hits
       |    FROM documents)
       |  WHERE (n_tok BETWEEN 5 AND 100000)
-      |    AND ((char_sum * 100) // n_tok BETWEEN 300 AND 1000)
-      |    AND (alpha_cnt * 1000) // n_tok >= 800 AND stop_hits >= 2
-      |    AND (distinct_cnt * 1000) // n_tok >= 300),
+      |    AND ((char_sum * 100) // greatest(n_tok, 1) BETWEEN 300 AND 1000)
+      |    AND (alpha_cnt * 1000) // greatest(n_tok, 1) >= 800 AND stop_hits >= 2
+      |    AND (distinct_cnt * 1000) // greatest(n_tok, 1) >= 300),
       |rtoks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '') AS w
       |          FROM documents),
       |rg AS (
@@ -648,9 +648,9 @@ object Queries9 {
       |        t -> list_contains([$sw], t))) AS BIGINT) AS stop_hits
       |    FROM documents)
       |  WHERE (n_tok BETWEEN 5 AND 100000)
-      |    AND ((char_sum * 100) // n_tok BETWEEN 300 AND 1000)
-      |    AND (alpha_cnt * 1000) // n_tok >= 800 AND stop_hits >= 2
-      |    AND (distinct_cnt * 1000) // n_tok >= 300),
+      |    AND ((char_sum * 100) // greatest(n_tok, 1) BETWEEN 300 AND 1000)
+      |    AND (alpha_cnt * 1000) // greatest(n_tok, 1) >= 800 AND stop_hits >= 2
+      |    AND (distinct_cnt * 1000) // greatest(n_tok, 1) >= 300),
       |g1 AS (
       |  SELECT d.doc_id, d.text FROM documents d JOIN gop USING (doc_id)),
       |seg AS (

@@ -23,7 +23,11 @@ object TextOps {
   /** Mean token length (double — computed identically in oracles). */
   def meanTokenLen(text: Column): Column = {
     val toks = Dedup.tokensCased(text)
-    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
+    // greatest-guard: the round-11 tokenizer can return ZERO tokens
+    // (empty/whitespace-only doc) — 0-token docs read as mean 0.0, not
+    // NULL (which would silently null downstream aggregates)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks), lit(1))
   }
 
   /** Ratio of punctuation chars (anything outside alphanumerics and
@@ -54,7 +58,10 @@ object TextOps {
 
   /** Stopword ratio for one language's table. */
   def stopwordRatio(text: Column, lang: String = "en"): Column =
-    stopwordHits(text, stopwords(lang)).cast("double") / size(Dedup.tokens(text))
+    // greatest-guard: zero-token docs read as ratio 0.0, not NULL (a
+    // `sw_ratio >= x` gate would silently drop them via NULL-as-false)
+    stopwordHits(text, stopwords(lang)).cast("double") /
+      greatest(size(Dedup.tokens(text)), lit(1))
 
   /** Language guess = argmax of per-language stopword hit counts; ties go
     * to the alphabetically-first language; 'und' when nothing hits.
@@ -402,10 +409,15 @@ object TextOps {
     // "word\n" would pass here yet fail the oracle's regexp_full_match
     val alphaCnt = size(filter(toks, t => t.rlike("\\A[a-z]+\\z"))).cast("long")
     val distinctCnt = size(array_distinct(toks)).cast("long")
+    // greatest-guard on the divisor: a zero-token doc (possible since
+    // the round-11 tokenizer drops empties) must FAIL the gate on its
+    // zeroed signals, not crash the job with ANSI DIVIDE_BY_ZERO —
+    // with nTok = 0 every milli signal is 0, which fails mean-len's
+    // lower bound, so the verdict is unchanged by the substitution
     (nTok,
-      idiv(charSum * 100L, nTok),
-      idiv(alphaCnt * 1000L, nTok),
-      idiv(distinctCnt * 1000L, nTok),
+      idiv(charSum * 100L, greatest(nTok, lit(1L))),
+      idiv(alphaCnt * 1000L, greatest(nTok, lit(1L))),
+      idiv(distinctCnt * 1000L, greatest(nTok, lit(1L))),
       stopwordHits(text, stopwords("en")).cast("long"))
   }
 

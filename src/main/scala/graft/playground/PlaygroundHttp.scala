@@ -28,7 +28,8 @@ import org.apache.spark.sql.SparkSession
   * buffer; `metrics` renders this server's own Prometheus registry
   * (plays, concurrency events) in the same text format the reference
   * returns. Runs on the MetricsHttp machinery (loopback HttpServer,
-  * ephemeral port 0, small fixed pool).
+  * ephemeral port 0) with a thread-per-request pool so the semaphore —
+  * not an executor queue — is the concurrency control.
   */
 object PlaygroundHttp {
 
@@ -98,9 +99,9 @@ object PlaygroundHttp {
       "Requests parked on the concurrency limiter")
     registry.describe("graft_playground_concurrency_timeouts_total",
       "Requests rejected after waiting on the concurrency limiter")
-    private val limiter = new java.util.concurrent.Semaphore(
+    private[graft] val limiter = new java.util.concurrent.Semaphore(
       Runtime.getRuntime.availableProcessors())
-    @volatile private[playground] var limiterWaitMs = 30000L
+    @volatile private[graft] var limiterWaitMs = 30000L
 
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 16)
 
@@ -172,7 +173,14 @@ object PlaygroundHttp {
           respond(ex, 200, json.writeValueAsString(resp))
       }
 
-    private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // Cached pool (thread per in-flight request, like the reference's
+    // goroutine-per-connection server): the SEMAPHORE is the actual
+    // concurrency control — a fixed pool smaller than the limiter would
+    // queue excess requests invisibly and the park-30s-then-408 path
+    // (and both concurrency metrics) could never fire. Parked waiters
+    // hold a thread for ≤ 30 s by construction, so thread growth is
+    // bounded by concurrent clients, not by work.
+    private val pool = java.util.concurrent.Executors.newCachedThreadPool()
     server.setExecutor(pool)
     server.start()
 

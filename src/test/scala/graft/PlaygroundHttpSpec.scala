@@ -98,6 +98,26 @@ class PlaygroundHttpSpec extends AnyFunSuite {
       s"${over.statusCode()} ${over.body().take(80)}")
   }
 
+  test("concurrency limiter: exhausted permits park then answer 408 (injected wait)") {
+    // drain every permit so the next request must park; the injected
+    // 300 ms wait makes the timeout deterministic without 30 s of
+    // wall-clock — possible only because the executor is a thread-per-
+    // request pool (a fixed pool smaller than the limiter would queue
+    // the request invisibly instead)
+    server.limiterWaitMs = 300L
+    val permits = server.limiter.drainPermits()
+    try {
+      val r = post("""{"events": [{"a": 1}], "actions": []}""")
+      assert(r.statusCode() == 408, s"${r.statusCode()} ${r.body().take(60)}")
+      assert(r.body().contains("concurrency limiter timeout"))
+    } finally {
+      server.limiter.release(permits)
+      server.limiterWaitMs = 30000L
+    }
+    // permits restored: requests flow again
+    assert(post("""{"events": [{"a": 1}], "actions": []}""").statusCode() == 200)
+  }
+
   test("no actions: the batch round-trips through decode/encode untouched") {
     val r = post("""{"events": [{"z": [1, 2], "s": "t"}]}""")
     assert(r.statusCode() == 200, r.body())
