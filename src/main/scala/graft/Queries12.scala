@@ -26,7 +26,12 @@ object Queries12 {
 
   /** The canonical oracle-side tokenizer spelling (the DuckDB twin of
     * [[Dedup.tokens]]/[[Dedup.tokensCased]]): split on the explicit
-    * whitespace class, drop empty tokens. */
+    * whitespace class, drop empty tokens. The round-11 migration left
+    * the same fragment spelled INLINE across Queries3-11 (rewriting
+    * those literals to interpolation would change escape processing of
+    * everything else in each literal — not worth the churn); the gate
+    * itself pins every copy to [[Dedup.tokens]], so a future tokenizer
+    * change that misses one fails loudly at sf0.001. */
   def toksSql(e: String): String =
     s"list_filter(regexp_split_to_array($e, '[ \\t\\n\\r\\f]+'), t -> t <> '')"
 
