@@ -200,6 +200,44 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally qB.stop()
   } }
 
+  test("owner-state TTL on the minhash band kernel: expired bucket owners re-admit") { withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // same contract as the line kernel, on the band-owner ValueState:
+    // doc 1 owns its buckets; past the window doc 9 re-lands the SAME
+    // band keys and must survive (the forgetting window); a long-window
+    // control keeps dropping
+    def drive(name: String, ttl: Long, sleepMs: Long): Map[Long, Boolean] = {
+      val in = MemoryStream[Kernels.BandDocEvent]
+      val q = Kernels.minhashDedupSurvivors(in.toDS(), stateTtlMs = ttl)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        def await(n: Long): Unit = {
+          val dl = System.currentTimeMillis() + 30000
+          while (spark.table(name).count() < n &&
+            System.currentTimeMillis() < dl) Thread.sleep(100)
+        }
+        in.addData(Kernels.BandDocEvent("b0", 1L, "{}"),
+          Kernels.BandDocEvent("b1", 1L, "{}"))
+        await(1)
+        Thread.sleep(sleepMs)
+        in.addData(Kernels.BandDocEvent("b0", 9L, "{}"),
+          Kernels.BandDocEvent("b1", 9L, "{}"))
+        await(if (ttl < 1000L) 2 else 1)
+        val kept = spark.table(name).as[Kernels.DocKeep].collect()
+          .map(_.doc).toSet
+        Map(1L -> kept(1L), 9L -> kept(9L))
+      } finally q.stop()
+    }
+    val short = drive("ttl_mh_short", ttl = 500L, sleepMs = 1800L)
+    assert(short(1L) && short(9L),
+      "band owners expired after the window: re-landed buckets admit the doc")
+    val long = drive("ttl_mh_long", ttl = 30 * 60 * 1000L, sleepMs = 0L)
+    assert(long(1L) && !long(9L),
+      "inside the window the duplicate still drops")
+  } }
+
   test("streaming duplicate spans ≡ batch operator on in-order ingest") {
     withRocksDb {
     implicit val sqlCtx = spark.sqlContext
