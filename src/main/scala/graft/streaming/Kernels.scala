@@ -39,13 +39,16 @@ object Kernels {
       templates: Seq[Int] = Nil)
 
   final case class MultilineState(buf: List[String], firstSeq: Long,
-                                  firstCarry: String = "", tmpl: Int = -1)
+                                  firstCarry: String = "", tmpl: Int = -1,
+                                  bufLen: Long = 0L)
 
   /** Multiline join (plugin/action/join/join.go:63-110): `start` opens a
     * sequence, `continue` (xor negate) extends, anything else flushes and
     * passes through; a processing-time timeout flushes a dangling
     * sequence (≙ event_timeout / TIMEOUT control events). */
   def multiline(ds: Dataset[KEvent], cfg: MultilineCfg): Dataset[KEvent] = {
+    require(cfg.maxEventSize > 0, "multiline: maxEventSize must be positive")
+    require(cfg.timeoutMs > 0, "multiline: timeoutMs must be positive")
     val start = if (cfg.templates.isEmpty) cfg.startRe.r else null
     val cont = if (cfg.templates.isEmpty) cfg.continueRe.r else null
     import org.apache.spark.unsafe.types.UTF8String
@@ -87,16 +90,26 @@ object Kernels {
             events.toSeq.sortBy(_.seq).foreach { ev =>
               cur match {
                 case Some(st) if isCont(st.tmpl, ev.value) && !isStart(ev.value) =>
-                  cur = Some(st.copy(buf = ev.value :: st.buf))
+                  // append-time cap (join.go stops buffering at
+                  // max_event_size): flush truncates to the cap anyway,
+                  // so lines beyond it would only bloat state — drop
+                  // their CONTENT but keep the sequence open
+                  cur = Some(
+                    if (st.bufLen < cfg.maxEventSize)
+                      st.copy(buf = ev.value :: st.buf,
+                        bufLen = st.bufLen + cfg.sep.length + ev.value.length)
+                    else st)
                 case Some(st) =>
                   out += flush(key, st)
                   val t = startTemplate(ev.value)
                   cur =
-                    if (t >= 0) Some(MultilineState(List(ev.value), ev.seq, ev.carry, t))
+                    if (t >= 0) Some(MultilineState(List(ev.value), ev.seq,
+                      ev.carry, t, ev.value.length))
                     else { out += ev; None }
                 case None =>
                   val t = startTemplate(ev.value)
-                  if (t >= 0) cur = Some(MultilineState(List(ev.value), ev.seq, ev.carry, t))
+                  if (t >= 0) cur = Some(MultilineState(List(ev.value), ev.seq,
+                    ev.carry, t, ev.value.length))
                   else out += ev
               }
             }
@@ -161,6 +174,9 @@ object Kernels {
     if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
 
   def throttle(ds: Dataset[TEvent], cfg: ThrottleCfg): Dataset[TEvent] = {
+    require(cfg.bucketIntervalMs > 0, "throttle: bucketIntervalMs must be positive")
+    require(cfg.bucketsCount > 0, "throttle: bucketsCount must be positive")
+    require(cfg.limit >= 0, "throttle: limit must be non-negative")
     implicit val outEnc = Encoders.product[TEvent]
     implicit val stEnc = Encoders.product[ThrottleState]
     ds.groupByKey(_.key)(Encoders.STRING)
@@ -183,7 +199,12 @@ object Kernels {
               val counts = st.counts.drop(shift) ++ Array.fill(shift)(0L)
               st = ThrottleState(bucket, counts)
             }
-            val idx = cfg.bucketsCount - 1 - (st.newestBucket - bucket).toInt
+            // clamp the Long difference BEFORE narrowing: an ancient
+            // timestamp (2^31+ buckets back) would wrap .toInt — either
+            // crashing on a huge index or admitting the event
+            val diff = st.newestBucket - bucket
+            val idx = if (diff >= cfg.bucketsCount) -1
+                      else cfg.bucketsCount - 1 - diff.toInt
             if (idx >= 0 && st.counts(idx) < cfg.limit) {
               st.counts(idx) += 1
               out += ev
@@ -275,6 +296,10 @@ object Kernels {
   final case class DistThrottleState(newestBucket: Long, counts: Array[Long])
 
   def throttleDistributed(ds: Dataset[DEvent], cfg: DistributionCfg): Dataset[DEvent] = {
+    require(cfg.bucketIntervalMs > 0, "throttleDistributed: bucketIntervalMs must be positive")
+    require(cfg.bucketsCount > 0, "throttleDistributed: bucketsCount must be positive")
+    require(cfg.ratios.map(_._1).sum <= 1.0 + 1e-9,
+      "throttleDistributed: distribution ratios must sum to at most 1")
     val width = cfg.ratios.size + 1
     implicit val outEnc = Encoders.product[DEvent]
     implicit val stEnc = Encoders.product[DistThrottleState]
@@ -299,7 +324,9 @@ object Kernels {
               val counts = st.counts.drop(shift * width) ++ Array.fill(shift * width)(0L)
               st = DistThrottleState(bucket, counts)
             }
-            val bIdx = cfg.bucketsCount - 1 - (st.newestBucket - bucket).toInt
+            val bDiff = st.newestBucket - bucket // clamp before .toInt (see throttle)
+            val bIdx = if (bDiff >= cfg.bucketsCount) -1
+                       else cfg.bucketsCount - 1 - bDiff.toInt
             if (bIdx >= 0) {
               // distribution index: 0 = default, 1.. = listed ratios
               var dIdx = cfg.idxByValue.get(ev.dval).map(_ + 1).getOrElse(0)
@@ -455,12 +482,19 @@ object Kernels {
     * "<id>#u<seed>"), computed in the JVM: md5 of the UTF-8 bytes,
     * first 15 hex digits as a 60-bit long — byte-identical to the
     * Column spelling and the DuckDB oracle's. */
+  private val sampleMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
   def saltedIdHash(doc: Long, seed: Long): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest((doc.toString + "#u" + seed)
+    val md = sampleMd5.get(); md.reset()
+    val h = md.digest((doc.toString + "#u" + seed)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    // first 15 hex digits base-16 == first 8 bytes BE >>> 4 (60 bits)
+    var v = 0L
+    var b = 0
+    while (b < 8) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
+    v >>> 4
   }
 
   /** Streaming exact-k uniform sample — bottom-k by salted id-hash per
@@ -486,12 +520,24 @@ object Kernels {
           } else {
             val st = state.getOption.getOrElse(SampleKState(0L, Nil))
             var items = st.items
+            // current admission threshold: once the sample is full,
+            // only hashes below the k-th smallest can enter — the
+            // common-case arrival is one hash + one comparison, not a
+            // re-sort of the whole sample
+            var kth: (Long, Long) =
+              if (items.length >= k) { val w = items.last; (w.hk, w.doc) }
+              else (Long.MaxValue, Long.MaxValue)
             events.toSeq.sortBy(_.docId).foreach { ev =>
-              if (!items.exists(_.doc == ev.docId)) {
-                val it = SampleItem(saltedIdHash(ev.docId, seed),
-                  ev.docId, ev.payload)
+              val hk = saltedIdHash(ev.docId, seed)
+              if ((items.length < k || (hk < kth._1 ||
+                  (hk == kth._1 && ev.docId < kth._2))) &&
+                !items.exists(_.doc == ev.docId)) {
+                val it = SampleItem(hk, ev.docId, ev.payload)
                 items = (it :: items)
                   .sortBy(i => (i.hk, i.doc)).take(k)
+                if (items.length >= k) {
+                  val w = items.last; kth = (w.hk, w.doc)
+                }
               }
             }
             state.update(SampleKState(st.epoch + 1, items))
@@ -605,7 +651,12 @@ object Kernels {
                     ans = t.v; found = true
                   }
                 }
-                if (!found) ans = tuples.last.v
+                // not bracketed: the εn window missed r — possible at
+                // the EXTREMES once compression folds the min/max
+                // tuples' g. Clamp to the NEAREST end of the summary
+                // (the old fallback answered the stream maximum even
+                // for a p0 query).
+                if (!found) ans = if (r <= n - r) tuples.head.v else tuples.last.v
                 QSnapshot(group, st.epoch + 1, p, ans, n)
               }
             }
@@ -630,25 +681,38 @@ object Kernels {
     * right events older than the stored state are ignored (monotone
     * state, the standard as-of stream contract).
     */
-  def asofEnrich(ds: Dataset[EEvent]): Dataset[KEvent] = {
+  def asofEnrich(ds: Dataset[EEvent],
+                 stateTtlMs: Long = 0L): Dataset[KEvent] = {
     implicit val outEnc = Encoders.product[KEvent]
     implicit val stEnc = Encoders.product[EnrichState]
     ds.groupByKey(_.key)(Encoders.STRING)
       .flatMapGroupsWithState[EnrichState, KEvent](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, ttlMode(stateTtlMs)) {
         (key, events, state: GroupState[EnrichState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           var st = state.getOption.getOrElse(EnrichState(null, Long.MinValue))
+          var dirty = false
           val out = scala.collection.mutable.ArrayBuffer.empty[KEvent]
-          events.toSeq.sortBy(e => (e.ts, e.isLeft)).foreach { ev =>
+          // value rides the sort key: equal-ts right events resolve to
+          // the LARGEST payload, matching SeqOps.asofJoin's documented
+          // deterministic tie-break (and keeping replays deterministic)
+          events.toSeq.sortBy(e => (e.ts, e.isLeft, e.value)).foreach { ev =>
             if (!ev.isLeft) {
-              if (ev.ts >= st.rightTs) st = EnrichState(ev.value, ev.ts)
+              if (ev.ts >= st.rightTs) { st = EnrichState(ev.value, ev.ts); dirty = true }
             } else {
               val enriched = if (st.rightTs <= ev.ts) st.rightValue else null
               out += KEvent(key, ev.ts, ev.value, enriched)
             }
           }
-          state.update(st)
+          // write only when a right event landed: left-only keys must
+          // not mint a permanent sentinel entry per key (unbounded key
+          // cardinality), and unchanged state skips the store write
+          if (dirty) { state.update(st); armTtl(state, stateTtlMs) }
           out.iterator
+          }
       }
   }
 
@@ -688,6 +752,8 @@ object Kernels {
     * (spec-asserted in StreamingKernelsSpec).
     */
   def antispam(ds: Dataset[TEvent], cfg: AntispamCfg): Dataset[TEvent] = {
+    require(cfg.intervalMs > 0, "antispam: intervalMs must be positive")
+    require(cfg.unbanIntervals >= 1, "antispam: unbanIntervals must be >= 1")
     implicit val outEnc = Encoders.product[TEvent]
     implicit val stEnc = Encoders.product[SpamState]
     ds.groupByKey(_.key)(Encoders.STRING)
@@ -944,11 +1010,12 @@ object Kernels {
     * held incrementally, sharded across band keys; RocksDB keeps it
     * off-heap. Candidate emission per arrival is O(bucket size) — the
     * same output cardinality the batch bucket-join pays. */
-  def minhashCandidatePairs(ds: Dataset[BandEvent]): Dataset[CandPair] = {
+  def minhashCandidatePairs(ds: Dataset[BandEvent],
+                            stateTtlMs: Long = 0L): Dataset[CandPair] = {
     implicit val outEnc = Encoders.product[CandPair]
     ds.groupByKey(_.bk)(Encoders.STRING)
-      .transformWithState(new BandBucketProcessor(), TimeMode.None(),
-        OutputMode.Append)
+      .transformWithState(new BandBucketProcessor(twsTtl(stateTtlMs)),
+        twsTimeMode(stateTtlMs), OutputMode.Append)
   }
 
   /** One (band-key, doc) membership carrying the doc's serialized row —
@@ -1060,22 +1127,26 @@ private[streaming] class CCProcessor
 
   override def handleInputRows(graph: String, edges: Iterator[EdgeEvent],
       timerValues: TimerValues): Iterator[CCUpdate] = {
-    val ops = Kernels.ccStateOps
+    // local op counter flushed ONCE per group-batch: the probe used to
+    // hammer the shared AtomicLong from every task thread per edge —
+    // cross-core contention in the innermost state loop for a
+    // test-only observable
+    var localOps = 0L
     // node → final label this batch (last write wins; LinkedHashMap for
     // deterministic emission order). Bounded by nodes touched this batch.
     val changed = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
     // Registers an unseen node as its own singleton component; returns
     // the node's current root either way (one read — pointers are direct).
     def ensureRoot(x: Long): Long = {
-      ops.incrementAndGet()
+      localOps += 1
       if (!root.containsKey(x)) {
-        ops.addAndGet(2)
+        localOps += 2
         root.updateValue(x, x)
         tail.updateValue(x, x)
         changed(x) = x
         x
       } else {
-        ops.incrementAndGet()
+        localOps += 1
         root.getValue(x)
       }
     }
@@ -1090,21 +1161,22 @@ private[streaming] class CCProcessor
         var n = hi
         var more = true
         while (more) {
-          ops.addAndGet(2)
+          localOps += 2
           root.updateValue(n, lo)
           changed(n) = lo
-          ops.incrementAndGet()
-          if (next.containsKey(n)) { ops.incrementAndGet(); n = next.getValue(n) }
+          localOps += 1
+          if (next.containsKey(n)) { localOps += 1; n = next.getValue(n) }
           else more = false
         }
         // splice hi's chain after lo's tail: three scalar writes, no
         // dependence on the surviving component's size
-        ops.addAndGet(5)
+        localOps += 5
         next.updateValue(tail.getValue(lo), hi)
         tail.updateValue(lo, tail.getValue(hi))
         tail.removeKey(hi)
       }
     }
+    Kernels.ccStateOps.addAndGet(localOps)
     changed.iterator.map { case (n, c) => CCUpdate(graph, n, c) }
   }
 }
@@ -1143,7 +1215,7 @@ private[streaming] class SpanWinnerProcessor(ttl: TTLConfig = TTLConfig.NONE)
 /** The per-band-key processor behind [[Kernels.minhashCandidatePairs]]:
   * ListState of bucket members in arrival order. Top-level so the
   * serialized processor carries no outer reference. */
-private[streaming] class BandBucketProcessor
+private[streaming] class BandBucketProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, Kernels.BandEvent, Kernels.CandPair] {
   import Kernels.{BandEvent, CandPair}
 
@@ -1151,7 +1223,7 @@ private[streaming] class BandBucketProcessor
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     members = getHandle.getListState[Long](
-      "members", Encoders.scalaLong, TTLConfig.NONE)
+      "members", Encoders.scalaLong, ttl)
 
   override def handleInputRows(bk: String, events: Iterator[BandEvent],
       timerValues: TimerValues): Iterator[CandPair] = {
@@ -1227,9 +1299,14 @@ private[streaming] class SimBlockProcessor(maxHamming: Int,
       val hit = known.exists(c => c.doc != e.doc &&
         java.lang.Long.bitCount(c.sim ^ e.sim) <= maxHamming)
       out += BandHit(e.doc, hit, e.payload)
-      val cl = SimClaim(e.doc, e.sim)
-      known += cl
-      claims.appendValue(cl)
+      // re-delivered docs (upstream replay) must not stack duplicate
+      // claims: ListState would grow per delivery and every later
+      // arrival's hamming scan would pay for the copies
+      if (!known.exists(c => c.doc == e.doc && c.sim == e.sim)) {
+        val cl = SimClaim(e.doc, e.sim)
+        known += cl
+        claims.appendValue(cl)
+      }
     }
     out.result().iterator
   }
