@@ -859,18 +859,48 @@ object PipelineCompiler {
       case "array_len_cmp" => DoIf.ArrayLenCmp(fp, cmp, n.get("value").asLong())
       case "int_val_cmp"  => DoIf.IntValCmp(fp, cmp, n.get("value").asLong())
       case "ts_cmp" =>
+        // constants parse timezone-correctly: an explicit offset/Z is
+        // honored and a bare datetime reads as UTC — Timestamp.valueOf
+        // interpreted the wall-clock fields in the JVM's zone, shifting
+        // every comparison by the host offset on non-UTC machines
+        val rawTs = n.get("value").asText()
+        val inst =
+          try java.time.OffsetDateTime.parse(rawTs).toInstant
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              java.time.LocalDateTime.parse(rawTs.replace(" ", "T"))
+                .toInstant(java.time.ZoneOffset.UTC)
+          }
         DoIf.TsCmpConst(fp,
           Option(n.get("format")).map(_.asText()).getOrElse("rfc3339"), cmp,
-          java.sql.Timestamp.valueOf(n.get("value").asText().replace("T", " ")
-            .stripSuffix("Z")))
+          java.sql.Timestamp.from(inst))
       case "check_type" => DoIf.CheckType(fp, strs("values"))
       case other => throw new IllegalArgumentException(s"unknown do_if op: $other")
     }
   }
 
+  /** Action types whose match_fields/do_if compile as a SPLIT: matching
+    * events run the stateful kernel, the rest bypass it untouched — the
+    * reference's skip-the-plugin semantics (a skipped event neither
+    * joins a sequence nor counts against a throttle/ban window). The
+    * row-wise actions handle their predicate via guarded() instead. */
+  private val splitPredTypes: Set[String] =
+    Set("throttle", "cardinality", "antispam", "join", "join_template")
+
   private def applyAction(df: DataFrame, action: JsonNode,
                           streamKey: Option[String] = Some("stream")): DataFrame = {
     val pred = matchPredicate(action, df)
+    if (pred.isDefined && splitPredTypes(action.get("type").asText())) {
+      // match_fields/do_if on a sequence-stateful action used to be
+      // parsed and then silently DROPPED — the kernel saw every event
+      val p = coalesce(pred.get, lit(false))
+      val strip = action.deepCopy()
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      strip.remove("match_fields"); strip.remove("do_if")
+      strip.remove("match_mode"); strip.remove("match_invert")
+      return applyAction(df.filter(p), strip, streamKey)
+        .unionByName(df.filter(!p))
+    }
     val doc = col("doc")
     def paths(field: String): Seq[FieldPath] =
       action.get(field).elements().asScala.map(e => FieldPath.parse(e.asText())).toSeq
@@ -916,7 +946,10 @@ object PipelineCompiler {
         // A missing/null field means "no match" in the reference, so the
         // event must survive the discard: null-protect before inverting,
         // else !NULL = NULL and filter drops the row (data loss).
-        pred.map(p => df.filter(!coalesce(p, lit(false)))).getOrElse(df.limit(0))
+        // filter(false), not limit(0): Limit is rejected on streaming
+        // Datasets, and a predicate-less discard must compile on both
+        pred.map(p => df.filter(!coalesce(p, lit(false))))
+          .getOrElse(df.filter(lit(false)))
       case "keep" => // keep matched only (inverse discard, for tests)
         pred.map(df.filter).getOrElse(df)
       case "add_host" =>
@@ -1083,8 +1116,15 @@ object PipelineCompiler {
         val bucketsCount =
           Option(action.get("buckets_count")).map(_.asInt()).getOrElse(3)
         val limit = action.get("limit").asLong()
-        val eventTime =
-          unix_millis(XTime.parse(col("doc").getField(tsF).cast("string"), "rfc3339"))
+        val tFmt = Option(action.get("time_format")).map(_.asText())
+          .getOrElse("rfc3339")
+        // null-safe: an unparseable/missing time must not crash the
+        // query on the kernel's non-nullable Long — epoch 0 lands the
+        // event in an ancient bucket, where the window drops it (the
+        // same fate as any event older than the window)
+        val eventTime = coalesce(
+          unix_millis(XTime.parse(col("doc").getField(tsF).cast("string"), tFmt)),
+          lit(0L))
         Option(action.get("limit_distribution")) match {
           case Some(ld) =>
             // ratio sub-limits over a field's values with default-bucket
@@ -1140,8 +1180,19 @@ object PipelineCompiler {
           .getOrElse(col("source_name"))
         val intervalMs = Option(action.get("interval_seconds"))
           .map(_.asLong() * 1000).getOrElse(60000L)
-        val tsMs = unix_millis(XTime.parse(
-          col("doc").getField(tsF).cast("string"), "rfc3339"))
+        val sFmt = Option(action.get("time_format")).map(_.asText())
+          .getOrElse("rfc3339")
+        val tsMs = coalesce(unix_millis(XTime.parse(
+          col("doc").getField(tsF).cast("string"), sFmt)), lit(0L))
+        // exceptions (settings.antispam_exceptions → `exceptions`):
+        // exempted events bypass the counter AND the ban — the batch
+        // path's split/union, previously dropped on the streaming leg
+        val exc = Option(action.get("exceptions"))
+          .map(n => coalesce(DoIf.compile(parseDoIf(n), resolver(df)),
+            lit(false)))
+        val dfIn = exc.map(e => df.filter(!e)).getOrElse(df)
+        def withExempt(out: DataFrame): DataFrame =
+          exc.map(e => out.unionByName(df.filter(e))).getOrElse(out)
         Option(action.get("rules")) match {
           case Some(rn) =>
             // rule thresholds resolve on the DataFrame (DoIf CASE
@@ -1154,14 +1205,14 @@ object PipelineCompiler {
                   resolver(df)), lit(false)),
                   lit(r.get("threshold").asLong())).otherwise(acc)
             }
-            val ds = df.select(srcKey.as("key"), tsMs.as("eventTimeMs"),
+            val ds = dfIn.select(srcKey.as("key"), tsMs.as("eventTimeMs"),
                 envelopeJson.as("value"), thr.cast("long").as("thr"))
               .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.TEventR])
-            unwrapEnvelope(
+            withExempt(unwrapEnvelope(
               graft.streaming.Kernels.antispamRules(ds, intervalMs).toDF(),
-              "value", t)
+              "value", t))
           case None =>
-            val ds = df.select(srcKey.as("key"), tsMs.as("eventTimeMs"),
+            val ds = dfIn.select(srcKey.as("key"), tsMs.as("eventTimeMs"),
                 envelopeJson.as("value"))
               .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.TEvent])
             val cfg = graft.streaming.Kernels.AntispamCfg(
@@ -1171,8 +1222,9 @@ object PipelineCompiler {
                 .map(_.properties().asScala
                   .map(e => e.getKey -> e.getValue.asLong()).toMap)
                 .getOrElse(Map.empty))
-            unwrapEnvelope(graft.streaming.Kernels.antispam(ds, cfg).toDF(),
-              "value", t)
+            withExempt(unwrapEnvelope(
+              graft.streaming.Kernels.antispam(ds, cfg).toDF(),
+              "value", t))
         }
 
       case "throttle" =>
@@ -1191,8 +1243,15 @@ object PipelineCompiler {
         val keyed = df.withColumn("_tkey", key)
           .withColumn("_tord", monotonically_increasing_id())
         val out = kind match {
-          case "size" => graft.state.SeqOps.throttleSize(keyed, Seq("_tkey"),
-            bucket, "_tord", octet_length(col("value")), limit)
+          case "size" =>
+            // `value` (the raw envelope line) can be gone after a join
+            // re-assembly — fall back to the current event's rendered
+            // size instead of failing to resolve
+            val sz =
+              if (df.columns.contains("value")) octet_length(col("value"))
+              else octet_length(to_json(doc))
+            graft.state.SeqOps.throttleSize(keyed, Seq("_tkey"),
+              bucket, "_tord", sz, limit)
           case _ => graft.state.SeqOps.throttle(keyed, Seq("_tkey"),
             bucket, "_tord", limit.toInt)
         }
@@ -1309,8 +1368,16 @@ object PipelineCompiler {
           case None =>
             Option(action.get("exceptions"))
               .map(n => DoIf.compile(parseDoIf(n), resolver(df))) match {
-              case Some(ex) => graft.state.SeqOps.antispam(dfs, srcCols,
-                bucket, threshold, ex)
+              case Some(ex) =>
+                // exceptions bypass counting AND banning — but the
+                // per-source thresholds still apply to the rest (the
+                // old spelling dropped srcThr whenever exceptions were
+                // configured, banning overridden sources at the global
+                // threshold)
+                val exc = coalesce(ex, lit(false))
+                graft.state.SeqOps.antispam(dfs.filter(!exc), srcCols,
+                    bucket, threshold, srcThr)
+                  .unionByName(dfs.filter(exc))
               case None => graft.state.SeqOps.antispam(dfs, srcCols,
                 bucket, threshold, srcThr)
             }
@@ -1701,7 +1768,27 @@ object PipelineCompiler {
       case "exact_dedup" =>
         val keys = Option(st.get("keys"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq(text))
-        df.dropDuplicates(keys)
+        require(st.get("keep") == null || st.get("keep").asText() == "min_id",
+          "curation exact_dedup (streaming): keep: best needs retraction " +
+            "of already-emitted rows — batch mode only")
+        // index_path / bloom_index_path are honored on the stream too
+        // (previously they were silently IGNORED, re-admitting docs the
+        // persisted index already kept): the key table probes as a
+        // stream-static LEFT ANTI, the Bloom filter as a broadcast
+        // per-row predicate; first-arrival-within-stream follows
+        (Option(st.get("index_path")), Option(st.get("bloom_index_path"))) match {
+          case (Some(_), Some(_)) => throw new IllegalArgumentException(
+            "curation exact_dedup: choose index_path OR bloom_index_path")
+          case (Some(pth), None) =>
+            df.join(spark.read.parquet(pth.asText())
+                .select(keys.map(col): _*).distinct(), keys, "left_anti")
+              .dropDuplicates(keys)
+          case (None, Some(pth)) =>
+            graft.ml.Dedup.bloomProbeDrop(df,
+                spark.read.parquet(pth.asText()), keys)
+              .dropDuplicates(keys)
+          case (None, None) => df.dropDuplicates(keys)
+        }
       case "minhash_dedup" =>
         // streaming near-dup dedup: first-owner band buckets held in
         // ValueState (Kernels.minhashDedupSurvivors) — a doc survives
@@ -1906,7 +1993,8 @@ object PipelineCompiler {
           lit(1L).as("nTok"),
           to_json(struct(df.columns.map(col): _*)).as("payload"))
           .as[graft.streaming.Kernels.DocEvent]
-        graft.streaming.Kernels.sourceQuota(ds3, budget = k)
+        graft.streaming.Kernels.sourceQuota(ds3, budget = k,
+            stateTtlMs = longOpt("state_ttl_ms", 0L))
           .select(from_json(col("payload"), inner3).as("_r"))
           .select(col("_r.*"))
           .unionByName(df.filter(col(domCol).isNull))

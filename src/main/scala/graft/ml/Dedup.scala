@@ -289,7 +289,16 @@ object Dedup {
     * shuffles on the probe. */
   def exactKeepFirstAgainstBloom(df: DataFrame, index: DataFrame,
                                  keyCols: Seq[String],
-                                 orderCol: String): DataFrame = {
+                                 orderCol: String): DataFrame =
+    exactKeepFirst(bloomProbeDrop(df, index, keyCols), keyCols, orderCol)
+
+  /** The PROBE leg of [[exactKeepFirstAgainstBloom]] alone: drop rows
+    * whose key the OR-merged filter recognizes. Stream-legal (broadcast
+    * bytes + a per-row predicate — no join, no window), so the
+    * streaming curation stage can consult a persisted Bloom index on
+    * continuous ingest. */
+  def bloomProbeDrop(df: DataFrame, index: DataFrame,
+                     keyCols: Seq[String]): DataFrame = {
     val rows = index.select(col("bloom")).collect()
       .map(_.getAs[Array[Byte]](0))
     require(rows.nonEmpty, "bloom index has no rows")
@@ -299,7 +308,7 @@ object Dedup {
     merged.writeTo(out)
     val bc = df.sparkSession.sparkContext.broadcast(out.toByteArray)
     val hit = udf(new BloomProbe(bc)).apply(bloomKeyHash(keyCols))
-    exactKeepFirst(df.filter(!hit), keyCols, orderCol)
+    df.filter(!hit)
   }
 
   /** Next-run Bloom index: the previous runs' rows plus this run's

@@ -125,4 +125,27 @@ class PlaygroundSpec extends AnyFunSuite {
     assert(out.head.contains("\"message\":\"boom\""))
     assert(out.head.contains("\"lvl\":\"x-error\""))
   }
+
+  test("match_fields/do_if on a stateful action SPLITS: non-matching events bypass the kernel") {
+    // reference semantics: a non-matching event skips the plugin — it
+    // neither counts against the throttle nor gets dropped by it
+    // (previously the predicate was parsed and silently ignored)
+    val yaml =
+      """actions:
+        |  - type: throttle
+        |    do_if: {op: equal, field: level, values: [error]}
+        |    bucket_interval_seconds: 60
+        |    limit: 1
+        |""".stripMargin
+    val events = Seq(
+      """{"level": "error", "time": "2024-01-01T00:00:01Z", "n": 1}""",
+      """{"level": "error", "time": "2024-01-01T00:00:02Z", "n": 2}""",
+      """{"level": "info", "time": "2024-01-01T00:00:03Z", "n": 3}""",
+      """{"level": "info", "time": "2024-01-01T00:00:04Z", "n": 4}""")
+    val out = runActionsOnBatch(spark, events, yaml)
+    assert(out.count(_.contains("\"level\":\"error\"")) == 1,
+      s"one error inside the bucket limit: $out")
+    assert(out.count(_.contains("\"level\":\"info\"")) == 2,
+      s"every info event bypasses the throttle: $out")
+  }
 }
