@@ -197,11 +197,11 @@ object Queries3 {
     val sw = TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
     s"""SELECT doc_id,
        |  len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\f]+'), t -> t <> '')) AS n_tokens,
-       |  round(CAST(list_sum(list_transform(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> ''), t -> strlen(t))) AS DOUBLE)
-       |        / len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '')), 4) AS mean_len,
+       |  round(coalesce(CAST(list_sum(list_transform(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> ''), t -> strlen(t))) AS DOUBLE), 0)
+       |        / greatest(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), t -> t <> '')), 1), 4) AS mean_len,
        |  round(CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''),
        |                             t -> list_contains([$sw], t))) AS DOUBLE)
-       |        / len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')), 4) AS sw_ratio
+       |        / greatest(len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')), 1), 4) AS sw_ratio
        |FROM documents""".stripMargin
   }
 

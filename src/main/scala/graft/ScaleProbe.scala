@@ -151,6 +151,26 @@ object ScaleProbe {
         measure(spark)(graft.ml.Dedup.simhashNearDup(docsAt(scale),
           "doc_id", "text", 60, 4, 3).count())
       },
+      // round-12: the winnow (MOSS) family — q164's corpus slice shape
+      // (the full synthetic corpus is near-all-pairs at 8-gram overlap,
+      // a generator property); the claim under test is linear fp-shuffle
+      // growth with the stop-fingerprint cap BINDING harder at 10×
+      // (replicated texts multiply doc-frequency, so MORE fps stop —
+      // the cap is exactly what bounds pair fan-out at corpus scale)
+      "winnow_candidates" -> { scale: String =>
+        measure(spark)(graft.ml.Dedup.winnowNearDupCandidates(
+          docsAt(scale).filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", k = 8, w = 5,
+          minShared = 5L, maxDocFreq = 100L).count())
+      },
+      "winnow_against" -> { scale: String =>
+        val d = docsAt(scale).filter(col("doc_id") % 5 === 0)
+        val idx = graft.ml.Dedup.winnowFpIndex(
+          d.filter(col("doc_id") % 10 === 0), "text", 8, 5)
+        measure(spark)(graft.ml.Dedup.winnowDedupAgainst(
+          d.filter(col("doc_id") % 10 =!= 0), idx, "doc_id", "text",
+          8, 5, 70L, 100L).count())
+      },
       "curation_chain_q134" -> { scale: String =>
         val (dir, table) =
           if (scale == "base") (base, "documents") else (sf1Dir, "documents")
@@ -196,6 +216,19 @@ object ScaleProbe {
       val wallRatio = if (b.wallSec > 0) x.wallSec / b.wallSec else 0.0
       println(f"# $name: shuffle x$shufRatio%.1f, wall x$wallRatio%.1f, " +
         f"peak-mem ${b.peakTaskMemMb} -> ${x.peakTaskMemMb} MB at 10x data")
+    }
+    // the stop-fingerprint evidence behind the winnow cells: how many
+    // distinct fps the doc-frequency cap cuts at each scale (the count
+    // must GROW at 10× — replicated texts multiply doc freq, and the
+    // cap absorbing them is what keeps the pair join bounded)
+    Seq("base", "x10").foreach { s =>
+      val fps = docsAt(s).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), explode(
+          graft.functions.RollingFingerprints(col("text"), 8, 5)).as("fp"))
+      val freq = fps.groupBy("fp").count()
+      val dropped = freq.filter(col("count") > 100).count()
+      val total = freq.count()
+      println(s"# winnow stop-fps (dfreq > 100) at $s: $dropped of $total distinct")
     }
     spark.stop()
   }

@@ -381,7 +381,22 @@ object PipelineCompiler {
     * playground decodes dynamic JSON, and schema inference over the
     * posted batch is the Spark-native analogue. */
   def runActionsOnBatch(spark: SparkSession, events: Seq[String],
-                        yamlText: String): Seq[String] = {
+                        yamlText: String): Seq[String] =
+    runActionsOnBatchCaptured(spark, events, yamlText)._1
+
+  /** [[runActionsOnBatch]] + the reference's pipeline-stdout capture
+    * (playground.go:70-76,150-156): every `debug` action in the chain
+    * logs each in-flight event as a zap-style JSON line — level info,
+    * zero-relative ts (playground.go's zeroClock, layout `05.000000`),
+    * the action's `message` (default `event sample`, debug.go:62), the
+    * event's source offset and body — concatenated into the response's
+    * `stdout` field. Spark has no per-pipeline log buffer, so the
+    * capture re-runs the chain PREFIX before each debug action and
+    * renders the surviving events; bounded by the playground's
+    * [1,32]×[0,64] validation, and exact because every action is
+    * deterministic on its prefix. */
+  def runActionsOnBatchCaptured(spark: SparkSession, events: Seq[String],
+                                yamlText: String): (Seq[String], String) = {
     import org.apache.spark.sql.functions._
     val root = yaml.readTree(yamlText)
       .deepCopy().asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
@@ -389,6 +404,11 @@ object PipelineCompiler {
     root.remove("output")
     val in = root.putObject("input")
     in.put("type", "fake")
+    // ordered: the reference walks events in arrival order and its
+    // playground `result` array is position-sensitive; the fake source
+    // carries the arrival index so the predicate-split union legs of
+    // stateful actions can be re-sorted before collecting below
+    in.put("ordered", true)
     val lines = in.putArray("lines")
     events.foreach(lines.add)
     if (!root.has("decoder")) {
@@ -398,9 +418,45 @@ object PipelineCompiler {
       d.put("type", "json")
       d.put("schema", schema.toDDL)
     }
-    compileNode(spark, root).result()
-      .select(to_json(col("doc")).as("j"))
-      .collect().map(_.getString(0)).toSeq
+    // (offset, doc-json) in arrival order; offset = 1-based source
+    // offset like the reference's p.In(SourceID(i+1), ...) loop
+    def collectDocs(node: JsonNode): Seq[(Long, String)] = {
+      val res = compileNode(spark, node).result()
+      if (res.columns.contains("_pg_ord"))
+        res.orderBy(col("_pg_ord"))
+          .select(col("_pg_ord"), to_json(col("doc")).as("j"))
+          .collect().map(r => (r.getLong(0) + 1, r.getString(1))).toSeq
+      else res.select(to_json(col("doc")).as("j"))
+        .collect().zipWithIndex
+        .map { case (r, i) => (i.toLong + 1, r.getString(0)) }.toSeq
+    }
+    val acts = Option(root.get("actions"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    val stdout = new StringBuilder
+    val t0 = System.nanoTime()
+    def zapLine(msg: String, offset: Long, eventJson: String): String = {
+      val rel = (System.nanoTime() - t0) / 1000 // micros since play start
+      val ts = f"${rel / 1000000}%02d.${rel % 1000000}%06d"
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        .writeValueAsString(msg)
+      s"""{"level":"info","ts":"$ts","msg":$m,"offset":$offset,"event":$eventJson}""" + "\n"
+    }
+    acts.zipWithIndex
+      .filter(a => Option(a._1.get("type")).exists(_.asText() == "debug"))
+      .foreach { case (a, i) =>
+        // the chain prefix BEFORE this debug action = the events it sees
+        // (earlier debug actions are observe()-passthroughs, harmless)
+        val prefix = root.deepCopy()
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val pa = prefix.putArray("actions")
+        acts.take(i).foreach(pa.add)
+        val msg = Option(a.get("message")).map(_.asText())
+          .getOrElse("event sample")
+        collectDocs(prefix).foreach { case (off, doc) =>
+          stdout.append(zapLine(msg, off, doc))
+        }
+      }
+    (collectDocs(root).map(_._2), stdout.toString)
   }
 
   private def compileNode(spark: SparkSession, rootNode: JsonNode): Compiled = {
@@ -568,7 +624,8 @@ object PipelineCompiler {
   private def buildInput(spark: SparkSession, n: JsonNode): DataFrame =
     n.get("type").asText() match {
       case "fake" =>
-        Sources.fake(spark, n.get("lines").elements().asScala.map(_.asText()).toSeq)
+        Sources.fake(spark, n.get("lines").elements().asScala.map(_.asText()).toSeq,
+          ordered = Option(n.get("ordered")).exists(_.asBoolean()))
       case "file" =>
         val dir = n.get("dir").asText()
         if (Option(n.get("streaming")).exists(_.asBoolean()))
@@ -892,7 +949,11 @@ object PipelineCompiler {
     val pred = matchPredicate(action, df)
     if (pred.isDefined && splitPredTypes(action.get("type").asText())) {
       // match_fields/do_if on a sequence-stateful action used to be
-      // parsed and then silently DROPPED — the kernel saw every event
+      // parsed and then silently DROPPED — the kernel saw every event.
+      // Ordering contract: the two legs union WITHOUT restoring arrival
+      // order (a distributed pipeline has no implicit row order); order-
+      // sensitive consumers sort on the `_pg_ord` arrival index, which
+      // the ordered fake source mints and runActionsOnBatch restores.
       val p = coalesce(pred.get, lit(false))
       val strip = action.deepCopy()
         .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
@@ -1241,7 +1302,9 @@ object PipelineCompiler {
           unix_timestamp(XTime.parse(doc.getField(tsF).cast("string"), tsFmt))
             / interval).cast("long")
         val keyed = df.withColumn("_tkey", key)
-          .withColumn("_tord", monotonically_increasing_id())
+          .withColumn("_tord",
+            if (df.columns.contains("_pg_ord")) col("_pg_ord")
+            else monotonically_increasing_id())
         val out = kind match {
           case "size" =>
             // `value` (the raw envelope line) can be gone after a join
@@ -1269,7 +1332,9 @@ object PipelineCompiler {
             d.withColumn(c, doc.getField(k).cast("string"))
           }
           .withColumn("_cv", doc.getField(valueF).cast("string"))
-          .withColumn("_cord", monotonically_increasing_id())
+          .withColumn("_cord",
+            if (df.columns.contains("_pg_ord")) col("_pg_ord")
+            else monotonically_increasing_id())
         val out = mode match {
           case "remove_fields" =>
             val toRemove = paths("fields")
@@ -1295,11 +1360,17 @@ object PipelineCompiler {
         val contC =
           if (Option(action.get("negate")).exists(_.asBoolean())) !contRaw else contRaw
         val maxSize = Option(action.get("max_event_size")).map(_.asInt())
-        val base0 = df.withColumn("_jord", monotonically_increasing_id())
+        val base0 = df.withColumn("_jord",
+            if (df.columns.contains("_pg_ord")) col("_pg_ord")
+            else monotonically_increasing_id())
           .withColumn("_jf", src)
         val (base, keyCols) = seqKeyCols(base0)
+        // the joined event inherits the sequence-opening row's arrival
+        // index (min_by over orderCol), keeping playground order stable
+        val carry = Seq("doc") ++
+          (if (df.columns.contains("_pg_ord")) Seq("_pg_ord") else Nil)
         val joined = graft.state.SeqOps.multilineJoin(base, keyCols,
-          "_jord", startC, contC, "_jf", carryCols = Seq("doc"))
+          "_jord", startC, contC, "_jf", carryCols = carry)
         val payload = maxSize
           .map(m => substring(col("_jf"), 1, m)).getOrElse(col("_jf"))
         joined
@@ -1321,11 +1392,15 @@ object PipelineCompiler {
         val startC = graft.functions.TemplateCheck(src, tmplIds.head, start = true)
         val contC = graft.functions.TemplateCheck(src, tmplIds.head, start = false)
         val maxSize = Option(action.get("max_event_size")).map(_.asInt())
-        val base0 = df.withColumn("_jord", monotonically_increasing_id())
+        val base0 = df.withColumn("_jord",
+            if (df.columns.contains("_pg_ord")) col("_pg_ord")
+            else monotonically_increasing_id())
           .withColumn("_jf", src)
         val (base, keyCols) = seqKeyCols(base0)
+        val carry = Seq("doc") ++
+          (if (df.columns.contains("_pg_ord")) Seq("_pg_ord") else Nil)
         val joined = graft.state.SeqOps.multilineJoin(base, keyCols,
-          "_jord", startC, contC, "_jf", carryCols = Seq("doc"))
+          "_jord", startC, contC, "_jf", carryCols = carry)
         val payload = maxSize
           .map(m => substring(col("_jf"), 1, m)).getOrElse(col("_jf"))
         joined
@@ -1689,8 +1764,10 @@ object PipelineCompiler {
     * monotone-admission contract every streaming kernel here ships
     * with). `source_quota` threads each full row through
     * `Kernels.sourceQuota` as a JSON payload and restores the exact
-    * columns after admission; `minhash_dedup`/`simhash_dedup` run the
-    * first-owner kernels; `domain_cap` is the quota kernel with unit
+    * columns after admission; `minhash_dedup`/`simhash_dedup`/
+    * `winnow_dedup` run the first-owner kernels (winnow drops on
+    * >= min_shared foreign fingerprints, with the online
+    * stop-fingerprint cap); `domain_cap` is the quota kernel with unit
     * cost; `decontaminate` (static eval_input) and `classifier_gate`
     * probe driver-collected broadcasts per row; `url_normalize` /
     * `html_extract` are per-row rewrites. Genuinely set-dependent
@@ -1848,6 +1925,52 @@ object PipelineCompiler {
             stateTtlMs = longOpt("state_ttl_ms", 0L))
           .select(from_json(col("payload"), inner2).as("_r"))
           .select(col("_r.*"))
+      case "winnow_dedup" =>
+        // streaming winnow dedup: first-owner fingerprints held in
+        // ValueState (Kernels.winnowDedupSurvivors) — a doc drops iff
+        // >= min_shared of its winnowed fingerprints are owned by an
+        // earlier arrival (or sit in the persisted index: index_path
+        // probes fold into the same hit count, the Against form);
+        // max_doc_freq is the ONLINE stop-fingerprint cap — a per-fp
+        // claim counter in state stops over-frequent fps from gluing
+        // the corpus together. Payload rides the fp shuffle.
+        val wk = intOpt("k", 8); val ww = intOpt("w", 5)
+        val ms = longOpt("min_shared", 3L)
+        val mdf = longOpt("max_doc_freq", 1000L)
+        val pk4 = "spark.sql.streaming.stateStore.providerClass"
+        if (spark.conf.getOption(pk4).isEmpty) spark.conf.set(pk4,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val inner4 = df.schema
+        implicit val enc4 = org.apache.spark.sql.Encoders.product[
+          graft.streaming.Kernels.FpDocEvent]
+        // a doc shorter than the k-gram window has NO fingerprints —
+        // the explode would silently DROP it, so it bypasses the
+        // kernel instead (batch parity: zero-fp docs are always kept)
+        val withFps = df.withColumn("_fps",
+          graft.functions.RollingFingerprints(col(text), wk, ww))
+        val bypass = withFps.filter(size(col("_fps")) === 0).drop("_fps")
+        val exploded = withFps.filter(size(col("_fps")) > 0)
+          .select(col(id).cast("long").as("doc"),
+            to_json(struct(df.columns.map(col): _*)).as("payload"),
+            explode(col("_fps")).as("fp"))
+        val ds4 = (Option(st.get("index_path")) match {
+          case Some(p) =>
+            // stream-static LEFT join against the persisted distinct-fp
+            // set (winnowFpIndex): a hit marks the fp foreign-by-index
+            val idx = spark.read.parquet(p.asText())
+              .select(col("fp"), lit(true).as("_old"))
+            exploded.join(idx, Seq("fp"), "left")
+              .select(col("fp"), col("doc"), col("payload"),
+                coalesce(col("_old"), lit(false)).as("oldHit"))
+          case None =>
+            exploded.select(col("fp"), col("doc"), col("payload"),
+              lit(false).as("oldHit"))
+        }).as[graft.streaming.Kernels.FpDocEvent]
+        graft.streaming.Kernels.winnowDedupSurvivors(ds4, ms, mdf,
+            stateTtlMs = longOpt("state_ttl_ms", 0L))
+          .select(from_json(col("payload"), inner4).as("_r"))
+          .select(col("_r.*"))
+          .unionByName(bypass)
       case "source_quota" =>
         val group = Option(st.get("group")).map(_.asText()).getOrElse("source")
         val budget = Option(st.get("budget")).map(_.asLong()).getOrElse(
@@ -2003,7 +2126,8 @@ object PipelineCompiler {
           s"curation stage `$other` is not streamable — its verdict needs " +
             "the corpus, not a prefix. Streamable stages: gopher_gate, " +
             "fineweb_gate, lang_filter, exact_dedup, minhash_dedup, " +
-            "simhash_dedup, source_quota, split_assign, upsample, chunk, " +
+            "simhash_dedup, winnow_dedup, source_quota, split_assign, " +
+            "upsample, chunk, " +
             "decontaminate (eval_input), classifier_gate, url_normalize, " +
             "nfc_normalize, html_extract, domain_cap. Run " +
             "set-dependent stages as periodic batch compaction over the " +

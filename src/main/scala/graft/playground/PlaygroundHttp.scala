@@ -20,16 +20,19 @@ import org.apache.spark.sql.SparkSession
   * Reference-parity edges: POST-only (405 otherwise), body capped at
   * 1 MiB, events count in [1, 32] and actions in [0, 64] (400
   * otherwise), `actions_type: yaml` carries the actions list as one
-  * YAML string, `debug: true` interleaves `debug` actions around every
-  * action of the chain (debugActions), a concurrency limiter sized to
-  * the host's processors parks excess requests up to 30 s then answers
-  * 408, and compile/run failures surface as 400 `do actions: <err>`.
-  * `stdout` is always empty — the Spark engine has no per-pipeline zap
-  * buffer; `metrics` renders this server's own Prometheus registry
-  * (plays, concurrency events) in the same text format the reference
-  * returns. Runs on the MetricsHttp machinery (loopback HttpServer,
-  * ephemeral port 0) with a thread-per-request pool so the semaphore —
-  * not an executor queue — is the concurrency control.
+  * YAML string, `debug: true` wraps every action in a `before <type>`
+  * / `after <type>` debug pair (debugActions, playground.go:174-196;
+  * an empty action type fails the play), a concurrency limiter sized
+  * to the host's processors parks excess requests up to 30 s then
+  * answers 408, and compile/run failures surface as 400 `do actions:
+  * <err>`. `stdout` carries the pipeline's zap capture — each debug
+  * action logs every in-flight event as a zap-style JSON line with the
+  * reference's zero-relative clock (playground.go:70-76,256-271);
+  * `metrics` renders this server's own Prometheus registry (plays,
+  * concurrency events) in the same text format the reference returns.
+  * Runs on the MetricsHttp machinery (loopback HttpServer, ephemeral
+  * port 0) with a thread-per-request pool so the semaphore — not an
+  * executor queue — is the concurrency control.
   */
 object PlaygroundHttp {
 
@@ -37,18 +40,29 @@ object PlaygroundHttp {
   private val yaml = new ObjectMapper(new YAMLFactory())
 
   /** `debug: true` — the reference's debugActions
-    * (playground/playground.go:160-198): a `debug` action before the
-    * chain, after each action, logging via the engine's zap-sampled
-    * debug plugin; the event flow is unchanged. */
-  private[playground] def withDebugActions(actions: ArrayNode): ArrayNode = {
+    * (playground/playground.go:174-196): every action wraps in a
+    * `before <type>` / `after <type>` debug pair; an action with a
+    * missing or empty `type` fails the play ("action type is empty",
+    * surfaced as the handler's 400 `do actions: ...`). The event flow
+    * is unchanged — debug actions are logging passthroughs. */
+  private[playground] def withDebugActions(actions: ArrayNode)
+  : Either[String, ArrayNode] = {
     val out = json.createArrayNode()
-    out.add(json.createObjectNode().put("type", "debug").put("message", "input event"))
+    var err: Option[String] = None
     actions.forEach { a =>
-      out.add(a)
-      out.add(json.createObjectNode().put("type", "debug")
-        .put("message", s"after ${Option(a.get("type")).map(_.asText()).getOrElse("?")}"))
+      if (err.isEmpty) {
+        val ty = Option(a.get("type")).map(_.asText()).getOrElse("")
+        if (ty.isEmpty) err = Some("do actions: action type is empty")
+        else {
+          out.add(json.createObjectNode().put("type", "debug")
+            .put("message", s"before $ty"))
+          out.add(a)
+          out.add(json.createObjectNode().put("type", "debug")
+            .put("message", s"after $ty"))
+        }
+      }
     }
-    out
+    err.toLeft(out)
   }
 
   /** Parse + validate a play request body; Left(message) on 400s. */
@@ -81,7 +95,11 @@ object PlaygroundHttp {
         Left("validate error: events count must be in range [1, 32] and actions count [0, 64]")
       else {
         val chain =
-          if (Option(root.get("debug")).exists(_.asBoolean())) withDebugActions(acts)
+          if (Option(root.get("debug")).exists(_.asBoolean()))
+            withDebugActions(acts) match {
+              case Left(msg) => return Left(msg)
+              case Right(c) => c
+            }
           else acts
         val cfg: ObjectNode = json.createObjectNode()
         cfg.set[JsonNode]("actions", chain)
@@ -156,9 +174,9 @@ object PlaygroundHttp {
       readBody(ex).flatMap(parseRequest) match {
         case Left(msg) => respond(ex, 400, msg, "text/plain")
         case Right((events, cfgText)) =>
-          val out =
+          val (out, stdout) =
             try graft.compiler.PipelineCompiler
-              .runActionsOnBatch(spark, events, cfgText)
+              .runActionsOnBatchCaptured(spark, events, cfgText)
             catch {
               case e: Exception =>
                 respond(ex, 400, s"do actions: ${e.getMessage}", "text/plain")
@@ -168,7 +186,9 @@ object PlaygroundHttp {
           val resp = json.createObjectNode()
           val arr = resp.putArray("result")
           out.foreach(doc => arr.add(json.readTree(doc)))
-          resp.put("stdout", "")
+          // stdout = the pipeline's zap capture (playground.go:150-156):
+          // debug actions render each in-flight event as a log line
+          resp.put("stdout", stdout)
           resp.put("metrics", registry.render())
           respond(ex, 200, json.writeValueAsString(resp))
       }

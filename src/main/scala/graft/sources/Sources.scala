@@ -248,9 +248,20 @@ object Sources {
     }.toDF("source_name", "op", "es_index", "value")
   }
 
-  /** fake input (plugin/input/fake): literal rows, for tests/playground. */
-  def fake(spark: SparkSession, lines: Seq[String]): DataFrame = {
+  /** fake input (plugin/input/fake): literal rows, for tests/playground.
+    * `ordered = true` additionally carries the line's arrival index as
+    * `_pg_ord` so an order-collapsing chain (the predicate-split legs of
+    * stateful actions union two filtered branches) can be re-sorted back
+    * to arrival order at collect time — the playground's `result` array
+    * is position-sensitive, matching the reference's in-order walk. */
+  def fake(spark: SparkSession, lines: Seq[String],
+           ordered: Boolean = false): DataFrame = {
     import spark.implicits._
-    lines.toDF("value").select(col("value"), lit("fake").as("source_name"))
+    if (ordered)
+      lines.zipWithIndex.map { case (l, i) => (l, i.toLong) }
+        .toDF("value", "_pg_ord")
+        .select(col("value"), lit("fake").as("source_name"), col("_pg_ord"))
+    else
+      lines.toDF("value").select(col("value"), lit("fake").as("source_name"))
   }
 }

@@ -709,8 +709,13 @@ object Kernels {
           }
           // write only when a right event landed: left-only keys must
           // not mint a permanent sentinel entry per key (unbounded key
-          // cardinality), and unchanged state skips the store write
-          if (dirty) { state.update(st); armTtl(state, stateTtlMs) }
+          // cardinality), and unchanged state skips the store write.
+          // TTL re-arms on EVERY invocation that leaves state behind:
+          // GroupState clears the timeout each call, so a left-only
+          // batch touching a key with existing right-state must refresh
+          // (not disarm) its forgetting window.
+          if (dirty) state.update(st)
+          if (state.exists) armTtl(state, stateTtlMs)
           out.iterator
           }
       }
@@ -1104,6 +1109,67 @@ object Kernels {
       .transformWithState(new DocGateProcessor(), TimeMode.None(),
         OutputMode.Append)
   }
+
+  // ------------------------------------------ streaming winnow dedup
+
+  /** One (winnowed-fingerprint, doc) arrival of the winnowing (MOSS)
+    * family — [[graft.functions.RollingFingerprints]] exploded, the
+    * payload riding the fp shuffle like [[BandDocEvent]]. `oldHit` =
+    * the fp is already in a persisted kept-corpus index
+    * ([[graft.ml.Dedup.winnowFpIndex]]) — the Against form's probe
+    * outcome, folded into the doc's foreign-hit count. */
+  final case class FpDocEvent(fp: Long, doc: Long, payload: String,
+                              oldHit: Boolean = false)
+  /** ValueState per fingerprint: first-owner doc + how many distinct
+    * docs have carried this fp so far (the online stop-fingerprint
+    * counter). */
+  final case class FpClaim(owner: Long, claims: Long)
+
+  /** Streaming winnow DEDUP — the first-owner survivor form of
+    * [[graft.ml.Dedup.winnowDedup]] (the curation compiler's streamable
+    * `winnow_dedup`), completing the dedup-kernel matrix's fourth
+    * modality: a document drops iff ≥ `minShared` of its winnowed
+    * fingerprints are FOREIGN — owned by an earlier-arrived document
+    * (or present in the persisted index, the Against form); every
+    * document (kept or dropped) claims its unowned fingerprints, so
+    * chains drop transitively — the same greedy first-owner sweep in
+    * arrival order as [[minhashDedupSurvivors]], ≡ the batch CC
+    * representative set on clique-shaped duplicate clusters and
+    * documented monotone-admission divergence on bridge topologies.
+    *
+    * The batch `maxDocFreq` stop-fingerprint cut has an ONLINE analog:
+    * each fp's ValueState counts the distinct docs that carried it;
+    * once the count reaches `maxDocFreq` the fp is a STOP-FINGERPRINT
+    * and stops producing hits (site chrome / licence boilerplate must
+    * not glue the whole corpus into one cluster). Batch parity: a fp
+    * whose total doc-frequency stays ≤ maxDocFreq never stops, exactly
+    * like the batch `_dfreq <= maxDocFreq` filter; an over-frequent fp
+    * online still produced hits for its first maxDocFreq carriers
+    * (verdicts are at arrival time and are never revised — the kernel
+    * family's contract). `maxDocFreq <= 0` disables the cut (tests
+    * only, like the batch flag). Upstream replays of the same doc may
+    * inflate the counter — conservative (stops the fp earlier).
+    *
+    * Stage 1 per fp: ValueState [[FpClaim]] — O(distinct fps) state,
+    * 16 bytes each, the smallest of the four modalities after minhash;
+    * stage 2 per doc: a STATELESS hit-count gate (a doc's fp events
+    * are one row's explosion in one micro-batch) — keep iff foreign
+    * hits < minShared. `stateTtlMs` is the forgetting window shared by
+    * the kernel family: idle fp owners expire and re-landed content is
+    * admitted after the window. */
+  def winnowDedupSurvivors(ds: Dataset[FpDocEvent],
+                           minShared: Long = 3L,
+                           maxDocFreq: Long = 1000L,
+                           stateTtlMs: Long = 0L): Dataset[DocKeep] = {
+    implicit val hitEnc = Encoders.product[BandHit]
+    implicit val keepEnc = Encoders.product[DocKeep]
+    ds.groupByKey(_.fp)(Encoders.scalaLong)
+      .transformWithState(new FpOwnerProcessor(maxDocFreq, twsTtl(stateTtlMs)),
+        twsTimeMode(stateTtlMs), OutputMode.Append)
+      .groupByKey(_.doc)(Encoders.scalaLong)
+      .transformWithState(new MinSharedGateProcessor(minShared),
+        TimeMode.None(), OutputMode.Append)
+  }
 }
 
 /** The per-key processor behind [[Kernels.connectedComponents]] —
@@ -1327,6 +1393,74 @@ private[streaming] class DocGateProcessor
       timerValues: TimerValues): Iterator[DocKeep] = {
     val evs = events.toList
     if (evs.exists(_.hit)) Iterator.empty
+    else Iterator.single(DocKeep(doc, evs.head.payload))
+  }
+}
+
+/** The per-fingerprint processor behind [[Kernels.winnowDedupSurvivors]]
+  * step 1: ValueState [[Kernels.FpClaim]] — first-owner doc + the
+  * distinct-doc claim counter that drives the ONLINE stop-fingerprint
+  * cut (an fp carried by ≥ maxDocFreq docs stops producing hits, the
+  * streaming analog of the batch doc-frequency filter). Top-level so
+  * the serialized processor carries no outer reference. */
+private[streaming] class FpOwnerProcessor(maxDocFreq: Long,
+    ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[Long, Kernels.FpDocEvent, Kernels.BandHit] {
+  import Kernels.{BandHit, FpClaim, FpDocEvent}
+
+  @transient private var claim: org.apache.spark.sql.streaming.ValueState[FpClaim] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    claim = getHandle.getValueState[FpClaim](
+      "claim", Encoders.product[FpClaim], ttl)
+
+  override def handleInputRows(fp: Long, events: Iterator[FpDocEvent],
+      timerValues: TimerValues): Iterator[BandHit] = {
+    // id-sorted intake: intra-batch collisions resolve first-owner
+    // deterministically (smallest doc id claims an unowned fp, like
+    // the batch operator's min-id representative)
+    val evs = events.toSeq.sortBy(_.doc)
+    var st = if (claim.exists()) claim.get() else null
+    val out = Vector.newBuilder[BandHit]
+    evs.foreach { e =>
+      val hit =
+        if (st == null) { st = FpClaim(e.doc, 1L); false }
+        else if (st.owner == e.doc) false // replay of the owner: no-op
+        else {
+          // stop-fingerprint: once maxDocFreq docs carried this fp it
+          // stops producing hits; the carrier still counts (so it
+          // STAYS stopped), mirroring the batch cut where an
+          // over-frequent fp contributes no pairs at all
+          val stopped = maxDocFreq > 0 && st.claims >= maxDocFreq
+          st = FpClaim(st.owner, st.claims + 1)
+          !stopped
+        }
+      // index probes fold in here: a fp already in the persisted kept
+      // corpus is foreign by definition (the Against form's equi-join
+      // hit), regardless of in-stream ownership
+      out += BandHit(e.doc, hit || e.oldHit, e.payload)
+    }
+    claim.update(st)
+    out.result().iterator
+  }
+}
+
+/** The per-doc gate behind [[Kernels.winnowDedupSurvivors]] step 2 —
+  * STATELESS like [[DocGateProcessor]] (a doc's fp events are one
+  * row's explosion in one micro-batch) but COUNTING: the winnow rule
+  * drops a doc only when ≥ minShared of its fingerprints are foreign,
+  * where the minhash rule drops on any foreign band. Top-level so the
+  * serialized processor carries no outer reference. */
+private[streaming] class MinSharedGateProcessor(minShared: Long)
+    extends StatefulProcessor[Long, Kernels.BandHit, Kernels.DocKeep] {
+  import Kernels.{BandHit, DocKeep}
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+  override def handleInputRows(doc: Long, events: Iterator[BandHit],
+      timerValues: TimerValues): Iterator[DocKeep] = {
+    val evs = events.toList
+    if (evs.count(_.hit) >= minShared) Iterator.empty
     else Iterator.single(DocKeep(doc, evs.head.payload))
   }
 }

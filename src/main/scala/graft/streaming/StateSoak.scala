@@ -152,6 +152,82 @@ object StateSoak {
       } finally q.stop()
     }
 
+    // ---- winnow fp-owner dedup (round 12): state keyed by distinct
+    // fingerprint — same expected curve as the band/segment owners:
+    // linear in DISTINCT fps (half of each epoch re-lands epoch-0 fps)
+    locally {
+      val input = MemoryStream[Kernels.FpDocEvent]
+      val q = Kernels.winnowDedupSurvivors(input.toDS())
+        .writeStream.format("memory").queryName("soak_wn")
+        .option("checkpointLocation", ckpt())
+        .outputMode("append").start()
+      try {
+        for (e <- 0 until epochs) {
+          val evs = (0 until perEpochDocs).flatMap { i =>
+            val doc = e.toLong * perEpochDocs + i
+            val fps =
+              if (i % 2 == 0) (0 until 6).map(f => (i * 31 + f).toLong) // re-landed
+              else (0 until 6).map(f => // fresh fps per epoch
+                1000000L * (e + 1) + i * 31 + f)
+            fps.map(fp => Kernels.FpDocEvent(fp, doc, "{}"))
+          }
+          input.addData(evs: _*)
+          q.processAllAvailable()
+          out ++= progressObs("winnow_fp_owner", e, q)
+        }
+      } finally q.stop()
+    }
+
+    // ---- TTL forgetting windows (round 12): ALL-FRESH keys per epoch
+    // with a window shorter than the inter-epoch gap — the r11 curves
+    // proved the forever-state kernels grow linearly in distinct keys;
+    // these prove the state_ttl_ms spelling makes expiry actually FIRE:
+    // each epoch's batch evicts the prior epoch's expired owners, so
+    // rows must PLATEAU at O(keys per window) instead of accumulating.
+    val ttlEpochDocs = perEpochDocs / 2
+    locally {
+      val input = MemoryStream[Kernels.SegEvent]
+      val q = Kernels.lineDedupVerdicts(input.toDS(), stateTtlMs = 1500L)
+        .writeStream.format("memory").queryName("soak_line_ttl")
+        .option("checkpointLocation", ckpt())
+        .outputMode("append").start()
+      try {
+        for (e <- 0 until epochs) {
+          if (e > 0) Thread.sleep(2500) // let the window lapse between epochs
+          val evs = (0 until ttlEpochDocs).flatMap { i =>
+            val doc = e.toLong * ttlEpochDocs + i
+            (0 until 10).map { pos =>
+              val key = s"uniq_${e}_${i}_$pos" // all fresh: no re-landing
+              Kernels.SegEvent(key.hashCode & 15, doc, pos, key)
+            }
+          }
+          input.addData(evs: _*)
+          q.processAllAvailable()
+          out ++= progressObs("line_first_owner_TTL", e, q)
+        }
+      } finally q.stop()
+    }
+    locally {
+      val input = MemoryStream[Kernels.FpDocEvent]
+      val q = Kernels.winnowDedupSurvivors(input.toDS(), stateTtlMs = 1500L)
+        .writeStream.format("memory").queryName("soak_wn_ttl")
+        .option("checkpointLocation", ckpt())
+        .outputMode("append").start()
+      try {
+        for (e <- 0 until epochs) {
+          if (e > 0) Thread.sleep(2500)
+          val evs = (0 until ttlEpochDocs).flatMap { i =>
+            val doc = e.toLong * ttlEpochDocs + i
+            (0 until 6).map(f =>
+              Kernels.FpDocEvent(1000000L * (e + 1) + i * 31 + f, doc, "{}"))
+          }
+          input.addData(evs: _*)
+          q.processAllAvailable()
+          out ++= progressObs("winnow_fp_owner_TTL", e, q)
+        }
+      } finally q.stop()
+    }
+
     // ---- report: per-epoch rows/bytes and the growth verdicts
     out.groupBy(o => (o.kernel, o.opIdx)).toSeq.sortBy(_._1.toString)
       .foreach { case ((kernel, opIdx), obs) =>

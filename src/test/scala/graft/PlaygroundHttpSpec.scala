@@ -62,15 +62,35 @@ class PlaygroundHttpSpec extends AnyFunSuite {
     assert(doc.get("k").asText() == "v")
   }
 
-  test("debug: true interleaves debug actions without changing the event flow") {
+  test("debug: true wraps actions in before/after pairs and captures zap stdout") {
     val req =
       """{"events": [{"a": 1}, {"a": 2}], "debug": true,
         | "actions": [{"type": "modify", "fields": {"b": "y"}}]}""".stripMargin
     val r = post(req)
     assert(r.statusCode() == 200, r.body())
-    val res = om.readTree(r.body()).get("result")
+    val j = om.readTree(r.body())
+    val res = j.get("result")
     assert(res.size() == 2)
     (0 until 2).foreach(i => assert(res.get(i).get("b").asText() == "y"))
+    // stdout: each debug action logged both events as zap-style JSON
+    // lines — `before modify` shows the raw events, `after modify` the
+    // modified ones, with 1-based source offsets and a relative ts
+    val lines = j.get("stdout").asText().split("\n").filter(_.nonEmpty)
+      .map(om.readTree)
+    assert(lines.length == 4, j.get("stdout").asText())
+    val before = lines.filter(_.get("msg").asText() == "before modify")
+    val after = lines.filter(_.get("msg").asText() == "after modify")
+    assert(before.length == 2 && after.length == 2)
+    assert(before.map(_.get("offset").asLong()).toSeq == Seq(1L, 2L))
+    assert(before.forall(l => l.get("event").get("b") == null))
+    assert(after.forall(l => l.get("event").get("b").asText() == "y"))
+    assert(lines.forall(l => l.get("level").asText() == "info" &&
+      l.get("ts").asText().matches("\\d{2}\\.\\d{6}")))
+    // an action with an empty type fails the play like the reference
+    val bad = post(
+      """{"events": [{"a": 1}], "debug": true, "actions": [{"fields": {}}]}""")
+    assert(bad.statusCode() == 400 &&
+      bad.body().contains("action type is empty"), bad.body())
   }
 
   test("validation: reference status codes") {

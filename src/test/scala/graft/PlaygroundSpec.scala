@@ -148,4 +148,49 @@ class PlaygroundSpec extends AnyFunSuite {
     assert(out.count(_.contains("\"level\":\"info\"")) == 2,
       s"every info event bypasses the throttle: $out")
   }
+
+  test("playground result preserves arrival order across a predicate-split action") {
+    // the split compiles as filter + unionByName (two concatenated
+    // legs); the `_pg_ord` arrival index must re-interleave them so
+    // the result array matches the reference's in-order walk
+    val yaml =
+      """actions:
+        |  - type: throttle
+        |    do_if: {op: equal, field: level, values: [error]}
+        |    bucket_interval_seconds: 60
+        |    limit: 10
+        |""".stripMargin
+    val events = (1 to 8).map { i =>
+      val lvl = if (i % 2 == 0) "error" else "info"
+      s"""{"level": "$lvl", "time": "2024-01-01T00:00:0${i % 10}Z", "n": $i}"""
+    }
+    val out = runActionsOnBatch(spark, events, yaml)
+    val ns = out.map { j =>
+      "\"n\":(\\d+)".r.findFirstMatchIn(j).get.group(1).toInt
+    }
+    assert(ns == (1 to 8).toSeq,
+      s"result array must be in arrival order, got $ns")
+  }
+
+  test("playground order survives a multiline join (joined event keeps its opener's slot)") {
+    val yaml =
+      """actions:
+        |  - type: join
+        |    field: log
+        |    start: '^start'
+        |    continue: '^cont'
+        |""".stripMargin
+    val events = Seq(
+      """{"log": "plain-1"}""",
+      """{"log": "start a"}""",
+      """{"log": "cont b"}""",
+      """{"log": "cont c"}""",
+      """{"log": "plain-2"}""")
+    val out = runActionsOnBatch(spark, events, yaml)
+    val logs = out.map { j =>
+      "\"log\":\"([^\"]*)\"".r.findFirstMatchIn(j).get.group(1)
+    }
+    assert(logs == Seq("plain-1", "start a\\ncont b\\ncont c", "plain-2"),
+      s"joined payload must sit in the opening event's arrival slot: $logs")
+  }
 }

@@ -541,6 +541,154 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   } }
 
+  test("streaming winnow dedup survivors equal the greedy first-owner sweep (q164 corpus)") { withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // q164's corpus: the sliced documents table with the boilerplate +
+    // rare-copied-span decorations, k=8 w=5 minShared=5; the cap is 20
+    // here (not q164's 100) so it BINDS at sf0.001's smaller slice —
+    // the boilerplate fps carry ~half the ~100-doc slice
+    val (k, w, minShared, maxDocFreq) = (8, 5, 5L, 20L)
+    val deco = concat(col("text"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        lit(" common boilerplate sentence shared by half the corpus"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(9)) === 0,
+        lit(" zq rare copied span xj kv wp bz distinctive sentence"))
+        .otherwise(lit("")))
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), deco.as("text"))
+    val fpsByDoc = docs.select(col("doc_id"),
+        graft.functions.RollingFingerprints(col("text"), k, w).as("fps"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+
+    // the documented batch-equivalent: a greedy first-owner sweep in
+    // doc order with the ONLINE stop-fingerprint counter — every doc
+    // (kept or dropped) claims its unowned fps; a foreign fp counts as
+    // a hit only while its carrier count is under the cap; a doc drops
+    // on >= minShared hits
+    val owner = scala.collection.mutable.Map.empty[Long, Long]
+    val claims = scala.collection.mutable.Map.empty[Long, Long]
+    val kept = scala.collection.mutable.Set.empty[Long]
+    fpsByDoc.foreach { case (d, fps) =>
+      var hits = 0L
+      fps.foreach { f =>
+        owner.get(f) match {
+          case None => owner(f) = d; claims(f) = 1L
+          case Some(o) if o == d => ()
+          case Some(_) =>
+            val stopped = maxDocFreq > 0 && claims(f) >= maxDocFreq
+            claims(f) += 1L
+            if (!stopped) hits += 1L
+        }
+      }
+      if (hits < minShared) kept += d
+    }
+    assert(kept.size < fpsByDoc.length, "fixture must contain near-duplicates")
+    assert(claims.valuesIterator.exists(_ > maxDocFreq),
+      "fixture must bind the stop-fingerprint cap")
+
+    val events = fpsByDoc.flatMap { case (d, fps) =>
+      fps.map(f => Kernels.FpDocEvent(f, d, s"""{"doc_id":$d}""")) }
+    val input = MemoryStream[Kernels.FpDocEvent]
+    val q = Kernels.winnowDedupSurvivors(input.toDS(), minShared, maxDocFreq)
+      .writeStream.format("memory").queryName("wn_keep")
+      .outputMode("append").start()
+    try {
+      // split on a DOC boundary (a doc's fp events are one row's
+      // explosion and must land in one micro-batch); batch-2 docs must
+      // collide with batch-1 fp owners through the state store
+      val docIds = events.map(_.doc).distinct
+      val firstHalf = docIds.take(docIds.length / 2).toSet
+      val (b1, b2) = events.partition(e => firstHalf(e.doc))
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("wn_keep").as[Kernels.DocKeep].collect()
+        .map(_.doc).toSet
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("wn_keep").as[Kernels.DocKeep].collect()
+        .map(_.doc).toSet
+      assert(streamed == kept.toSet,
+        s"streamed=${streamed.size} greedy=${kept.size}")
+      assert(afterB1.subsetOf(streamed),
+        "emitted verdicts are never revised")
+      // the SMALLEST batch-2 doc claims its fps first within its batch,
+      // so on fresh state it would always survive — its drop can only
+      // come from batch-1 owners READ THROUGH THE STATE STORE
+      val minB2 = docIds.filterNot(firstHalf).min
+      assert(!streamed.contains(minB2),
+        s"doc $minB2 must collide with batch-1 fp owners across the checkpoint")
+    } finally q.stop()
+  } }
+
+  test("streaming winnow dedup: index probes fold into the hit count (the Against form)") { withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // fps 10..19 sit in the persisted index; a doc with >= minShared
+    // of them drops even though NO in-stream owner exists; a doc with
+    // fewer index hits survives
+    def ev(d: Long, f: Long, old: Boolean) =
+      Kernels.FpDocEvent(f, d, s"""{"doc_id":$d}""", oldHit = old)
+    val input = MemoryStream[Kernels.FpDocEvent]
+    val q = Kernels.winnowDedupSurvivors(input.toDS(), minShared = 3L)
+      .writeStream.format("memory").queryName("wn_against")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // doc 1: 3 of 4 fps foreign-by-index -> drops
+        Seq(ev(1L, 10L, old = true), ev(1L, 11L, old = true),
+          ev(1L, 12L, old = true), ev(1L, 50L, old = false)) ++
+        // doc 2: 2 index hits < 3 -> survives (and claims 60, 61)
+        Seq(ev(2L, 13L, old = true), ev(2L, 14L, old = true),
+          ev(2L, 60L, old = false), ev(2L, 61L, old = false)): _*)
+      q.processAllAvailable()
+      val kept = spark.table("wn_against").as[Kernels.DocKeep].collect()
+        .map(_.doc).toSet
+      assert(kept == Set(2L), s"got $kept")
+    } finally q.stop()
+  } }
+
+  test("owner-state TTL on the winnow fp kernel: expired fp owners re-admit") { withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // same forgetting-window contract as the minhash/line kernels, on
+    // the fp-claim ValueState: doc 1 owns fps 1..3; past the window
+    // doc 9 re-lands the SAME fps and must survive; a long-window
+    // control keeps dropping (minShared = 3 — all three fps foreign)
+    def drive(name: String, ttl: Long, sleepMs: Long): Map[Long, Boolean] = {
+      val in = MemoryStream[Kernels.FpDocEvent]
+      val q = Kernels.winnowDedupSurvivors(in.toDS(), minShared = 3L,
+          stateTtlMs = ttl)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        def await(n: Long): Unit = {
+          val dl = System.currentTimeMillis() + 30000
+          while (spark.table(name).count() < n &&
+            System.currentTimeMillis() < dl) Thread.sleep(100)
+        }
+        def evs(d: Long) = Seq(1L, 2L, 3L).map(f =>
+          Kernels.FpDocEvent(f, d, s"""{"doc_id":$d}"""))
+        in.addData(evs(1L): _*)
+        await(1)
+        Thread.sleep(sleepMs)
+        in.addData(evs(9L): _*)
+        await(if (ttl > 0 && ttl < 1000L) 2 else 1)
+        val kept = spark.table(name).as[Kernels.DocKeep].collect()
+          .map(_.doc).toSet
+        Map(1L -> kept(1L), 9L -> kept(9L))
+      } finally q.stop()
+    }
+    val short = drive("ttl_wn_short", ttl = 500L, sleepMs = 1800L)
+    assert(short(1L) && short(9L),
+      "fp owners expired after the window: re-landed fingerprints admit the doc")
+    val long = drive("ttl_wn_long", ttl = 30 * 60 * 1000L, sleepMs = 0L)
+    assert(long(1L) && !long(9L),
+      "inside the window the duplicate still drops")
+  } }
+
   // ------------------------- round 10: the streaming curation COMPILER
 
   private def landDocs(dir: String, rows: Seq[(Long, String, String)]): Unit = {
@@ -694,6 +842,45 @@ class StreamingCurationSpec extends AnyFunSuite {
              |    - {type: simhash_dedup, blocks: 4, max_hamming: 4}
              |""".stripMargin))
       assert(e.getMessage.contains("max_hamming"))
+    } finally q.stop()
+  } }
+
+  test("compiled stream: winnow_dedup drops near-duplicates through the fp-owner state") { withRocksDb {
+    val dir = java.nio.file.Files.createTempDirectory("cur_stream_wn").toString
+    landDocs(dir, Seq(
+      (1L, "web", goodText * 3),
+      (2L, "web", goodText * 3), // exact duplicate of 1
+      (3L, "books", "completely different content about stars planets moons galaxies and comets drifting far away."),
+      (4L, "books", "tiny"))) // shorter than the k-gram window: zero fps
+    val yaml =
+      s"""curation:
+         |  input: {path: "$dir", max_files_per_trigger: 1}
+         |  stages:
+         |    - {type: winnow_dedup, k: 8, w: 5, min_shared: 5}
+         |""".stripMargin
+    val q = compiler.PipelineCompiler.compileCurationStream(spark, yaml)
+      .writeStream.format("memory").queryName("cur_wn")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cur_wn").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      // batch winnow_dedup keeps the min-id component representative;
+      // in-id-order single-batch ingest makes first-arrival == min-id
+      val want = compiler.PipelineCompiler.compileCuration(spark, yaml)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"streamed=$got batch=$want")
+      assert(!got.contains(2L) && got.contains(1L),
+        "the exact duplicate must lose to the first fp owner")
+      assert(got.contains(4L),
+        "a zero-fingerprint doc must bypass the kernel, not vanish")
+      // a later micro-batch duplicate must collide with the OWNED
+      // fingerprints through the state store
+      landDocs(dir, Seq((6L, "web", goodText * 3)))
+      q.processAllAvailable()
+      val got2 = spark.table("cur_wn").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got2 == got, s"cross-batch duplicate leaked: $got2")
     } finally q.stop()
   } }
 

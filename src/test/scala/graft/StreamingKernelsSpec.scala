@@ -452,6 +452,38 @@ class StreamingKernelsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofEnrich TTL re-arms on left-only batches — state still expires") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import Kernels.EEvent
+    val input = MemoryStream[EEvent]
+    val q = Kernels.asofEnrich(input.toDS(), stateTtlMs = 1500L)
+      .writeStream.format("memory").queryName("asof_ttl_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      // batch 1: a right event creates the key's state and arms its TTL
+      input.addData(EEvent("k", 10, isLeft = false, "r1"))
+      q.processAllAvailable()
+      // batch 2: a LEFT-ONLY batch touches the key. GroupState clears the
+      // timeout on every invocation, so the kernel must re-arm it here —
+      // the pre-fix code armed only on dirty (right) batches, leaving the
+      // key's state immortal after any left-only read.
+      input.addData(EEvent("k", 20, isLeft = true, "l1"))
+      awaitRows("asof_ttl_out", 1)
+      // the forgetting window must still fire: state decays to zero
+      awaitStateRows(q, 0)
+      // post-expiry a left event finds no right state → null carry
+      input.addData(EEvent("k", 30, isLeft = true, "l2"))
+      awaitRows("asof_ttl_out", 2)
+      val got = spark.table("asof_ttl_out").as[Kernels.KEvent].collect()
+        .map(e => e.value -> Option(e.carry).filter(_.nonEmpty)).toMap
+      assert(got("l1").contains("r1"))
+      assert(got("l2").isEmpty)
+    } finally q.stop()
+  }
+
   /** transformWithState needs a column-family-capable store; scope the
     * RocksDB provider to the test so the flatMapGroupsWithState kernels
     * keep running on the session default. */
