@@ -42,6 +42,9 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    // optional op filter: `runMain graft.ScaleProbe winnow` runs only
+    // the cells whose name contains the substring (full run otherwise)
+    val opFilter = args.headOption
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -101,7 +104,7 @@ object ScaleProbe {
          |    - {type: source_quota, group: source, budget: 400, seed: 11}
          |""".stripMargin
 
-    val ops: Seq[(String, String => Metrics)] = Seq(
+    val allOps: Seq[(String, String => Metrics)] = Seq(
       "duplicate_spans_fp" -> { scale: String =>
         measure(spark)(graft.ml.Corpus.duplicateSpans(docsAt(scale),
           "doc_id", "text", n = 20, thresholdMilli = 900L,
@@ -196,6 +199,9 @@ object ScaleProbe {
       }
     )
 
+    val ops = opFilter.map(f => allOps.filter(_._1.contains(f))).getOrElse(allOps)
+    require(ops.nonEmpty, s"no ScaleProbe op matches filter `${opFilter.get}`")
+
     // interleave scales so a CPU-steal stall cannot poison one scale's
     // whole column; keep the better (min-wall) measurement per cell
     val out = scala.collection.mutable.LinkedHashMap.empty[(String, String), Metrics]
@@ -221,7 +227,7 @@ object ScaleProbe {
     // distinct fps the doc-frequency cap cuts at each scale (the count
     // must GROW at 10× — replicated texts multiply doc freq, and the
     // cap absorbing them is what keeps the pair join bounded)
-    Seq("base", "x10").foreach { s =>
+    if (ops.exists(_._1.startsWith("winnow"))) Seq("base", "x10").foreach { s =>
       val fps = docsAt(s).filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), explode(
           graft.functions.RollingFingerprints(col("text"), 8, 5)).as("fp"))

@@ -1949,10 +1949,17 @@ object PipelineCompiler {
         val withFps = df.withColumn("_fps",
           graft.functions.RollingFingerprints(col(text), wk, ww))
         val bypass = withFps.filter(size(col("_fps")) === 0).drop("_fps")
+        // payload rides ONE fp event per doc (position 0): a doc
+        // explodes into hundreds of fps, so duplicating the row JSON
+        // per fp would multiply the shuffle by n_fps — the gate
+        // restores the row from whichever event carried it
         val exploded = withFps.filter(size(col("_fps")) > 0)
           .select(col(id).cast("long").as("doc"),
-            to_json(struct(df.columns.map(col): _*)).as("payload"),
-            explode(col("_fps")).as("fp"))
+            to_json(struct(df.columns.map(col): _*)).as("_pl"),
+            posexplode(col("_fps")).as(Seq("_fpos", "fp")))
+          .select(col("fp"), col("doc"),
+            when(col("_fpos") === 0, col("_pl")).otherwise(lit(""))
+              .as("payload"))
         val ds4 = (Option(st.get("index_path")) match {
           case Some(p) =>
             // stream-static LEFT join against the persisted distinct-fp

@@ -1113,9 +1113,13 @@ object Kernels {
   // ------------------------------------------ streaming winnow dedup
 
   /** One (winnowed-fingerprint, doc) arrival of the winnowing (MOSS)
-    * family — [[graft.functions.RollingFingerprints]] exploded, the
-    * payload riding the fp shuffle like [[BandDocEvent]]. `oldHit` =
-    * the fp is already in a persisted kept-corpus index
+    * family — [[graft.functions.RollingFingerprints]] exploded.
+    * Unlike [[BandDocEvent]] (bands ≈ 4 payload copies), a doc
+    * explodes into HUNDREDS of fps, so the payload rides exactly ONE
+    * of its fp events (the rest carry "") — the fp shuffle moves
+    * 8-byte keys, not n_fps payload copies; the per-doc gate restores
+    * the row from whichever event carried it. `oldHit` = the fp is
+    * already in a persisted kept-corpus index
     * ([[graft.ml.Dedup.winnowFpIndex]]) — the Against form's probe
     * outcome, folded into the doc's foreign-hit count. */
   final case class FpDocEvent(fp: Long, doc: Long, payload: String,
@@ -1461,7 +1465,10 @@ private[streaming] class MinSharedGateProcessor(minShared: Long)
       timerValues: TimerValues): Iterator[DocKeep] = {
     val evs = events.toList
     if (evs.count(_.hit) >= minShared) Iterator.empty
-    else Iterator.single(DocKeep(doc, evs.head.payload))
+    // the payload rides ONE of the doc's fp events (shuffle-volume
+    // contract in FpDocEvent's doc) — find whichever carried it
+    else Iterator.single(DocKeep(doc,
+      evs.iterator.map(_.payload).find(_.nonEmpty).getOrElse("")))
   }
 }
 

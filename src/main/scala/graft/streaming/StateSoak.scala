@@ -185,6 +185,16 @@ object StateSoak {
     // each epoch's batch evicts the prior epoch's expired owners, so
     // rows must PLATEAU at O(keys per window) instead of accumulating.
     val ttlEpochDocs = perEpochDocs / 2
+    // TTL queries run TimeMode.ProcessingTime: maintenance batches keep
+    // scheduling, so processAllAvailable never latches (the documented
+    // gotcha) — poll the memory sink for the epoch's cumulative rows
+    def awaitSink(table: String, n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 120000
+      while (spark.table(table).count() < n &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      require(spark.table(table).count() >= n,
+        s"$table never reached $n rows")
+    }
     locally {
       val input = MemoryStream[Kernels.SegEvent]
       val q = Kernels.lineDedupVerdicts(input.toDS(), stateTtlMs = 1500L)
@@ -202,7 +212,8 @@ object StateSoak {
             }
           }
           input.addData(evs: _*)
-          q.processAllAvailable()
+          // all-fresh keys -> every verdict keeps: cumulative rows known
+          awaitSink("soak_line_ttl", (e + 1).toLong * ttlEpochDocs * 10)
           out ++= progressObs("line_first_owner_TTL", e, q)
         }
       } finally q.stop()
@@ -222,7 +233,8 @@ object StateSoak {
               Kernels.FpDocEvent(1000000L * (e + 1) + i * 31 + f, doc, "{}"))
           }
           input.addData(evs: _*)
-          q.processAllAvailable()
+          // all-fresh fps -> every doc survives: cumulative rows known
+          awaitSink("soak_wn_ttl", (e + 1).toLong * ttlEpochDocs)
           out ++= progressObs("winnow_fp_owner_TTL", e, q)
         }
       } finally q.stop()

@@ -457,15 +457,20 @@ class StreamingKernelsSpec extends AnyFunSuite {
     import spark.implicits._
     import Kernels.EEvent
     val input = MemoryStream[EEvent]
-    val q = Kernels.asofEnrich(input.toDS(), stateTtlMs = 1500L)
+    // window long enough that the left event lands INSIDE it even on a
+    // loaded box (batch scheduling is 200 ms-granular), short enough
+    // that the expiry assertion stays fast
+    val q = Kernels.asofEnrich(input.toDS(), stateTtlMs = 6000L)
       .writeStream.format("memory").queryName("asof_ttl_out")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
       .start()
     try {
       // batch 1: a right event creates the key's state and arms its TTL
+      // (no processAllAvailable: a ProcessingTimeTimeout query keeps
+      // scheduling maintenance batches and never latches — poll instead)
       input.addData(EEvent("k", 10, isLeft = false, "r1"))
-      q.processAllAvailable()
+      awaitStateRows(q, 1)
       // batch 2: a LEFT-ONLY batch touches the key. GroupState clears the
       // timeout on every invocation, so the kernel must re-arm it here —
       // the pre-fix code armed only on dirty (right) batches, leaving the

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Round-over-round bench regression gate.
+
+Compares the working tree's BENCH_DETAIL.json per-query seconds against
+a previous run (default: the last committed BENCH_DETAIL.json, via
+`git show`) and flags any query slower by more than THRESHOLD (25%)
+AND by an absolute margin (0.15 s — sub-tenth-second queries jitter by
+scheduler noise, not by plan regressions). Exit code 1 when anything
+is flagged, so the check can gate a build.
+
+Usage:
+    python3 tools/bench_diff.py                # vs last committed
+    python3 tools/bench_diff.py HEAD~3         # vs an older commit
+    python3 tools/bench_diff.py path/to/old.json
+"""
+import json
+import subprocess
+import sys
+
+THRESHOLD = 0.25   # relative slowdown to flag
+ABS_FLOOR = 0.15   # seconds — ignore jitter on tiny queries
+
+
+def load_current():
+    with open("BENCH_DETAIL.json") as f:
+        return json.load(f)
+
+
+def load_previous(ref: str):
+    if ref.endswith(".json"):
+        with open(ref) as f:
+            return json.load(f)
+    out = subprocess.run(
+        ["git", "show", f"{ref}:BENCH_DETAIL.json"],
+        capture_output=True, text=True, check=True)
+    return json.loads(out.stdout)
+
+
+def main():
+    ref = sys.argv[1] if len(sys.argv) > 1 else "HEAD"
+    cur = load_current()["queries"]
+    prev = load_previous(ref)["queries"]
+    common = sorted(set(cur) & set(prev))
+    new = sorted(set(cur) - set(prev))
+    gone = sorted(set(prev) - set(cur))
+
+    flagged = []
+    improved = []
+    for q in common:
+        a, b = prev[q], cur[q]
+        if b > a * (1 + THRESHOLD) and b - a > ABS_FLOOR:
+            flagged.append((q, a, b))
+        elif a > b * (1 + THRESHOLD) and a - b > ABS_FLOOR:
+            improved.append((q, a, b))
+
+    tot_prev = sum(prev[q] for q in common)
+    tot_cur = sum(cur[q] for q in common)
+    print(f"common queries: {len(common)}  "
+          f"prev {tot_prev:.1f}s -> cur {tot_cur:.1f}s "
+          f"({(tot_cur - tot_prev) / tot_prev * 100:+.1f}%)")
+    if new:
+        print(f"new queries ({len(new)}): " + ", ".join(new))
+    if gone:
+        print(f"removed queries ({len(gone)}): " + ", ".join(gone))
+    if improved:
+        print(f"improved >{THRESHOLD:.0%}:")
+        for q, a, b in sorted(improved, key=lambda t: t[1] - t[2],
+                              reverse=True):
+            print(f"  {q}: {a:.2f}s -> {b:.2f}s ({(b - a) / a * 100:+.0f}%)")
+    if flagged:
+        print(f"REGRESSED >{THRESHOLD:.0%} (and >{ABS_FLOOR}s):")
+        for q, a, b in sorted(flagged, key=lambda t: t[2] - t[1],
+                              reverse=True):
+            print(f"  {q}: {a:.2f}s -> {b:.2f}s ({(b - a) / a * 100:+.0f}%)")
+        sys.exit(1)
+    print("no regressions flagged")
+
+
+if __name__ == "__main__":
+    main()
