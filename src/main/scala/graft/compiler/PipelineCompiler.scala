@@ -434,11 +434,11 @@ object PipelineCompiler {
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
     val stdout = new StringBuilder
     val t0 = System.nanoTime()
+    val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def zapLine(msg: String, offset: Long, eventJson: String): String = {
       val rel = (System.nanoTime() - t0) / 1000 // micros since play start
       val ts = f"${rel / 1000000}%02d.${rel % 1000000}%06d"
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
-        .writeValueAsString(msg)
+      val m = jsonMapper.writeValueAsString(msg)
       s"""{"level":"info","ts":"$ts","msg":$m,"offset":$offset,"event":$eventJson}""" + "\n"
     }
     acts.zipWithIndex

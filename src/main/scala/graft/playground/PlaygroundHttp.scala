@@ -94,18 +94,17 @@ object PlaygroundHttp {
       if (events.isEmpty || events.size > 32 || acts.size() > 64)
         Left("validate error: events count must be in range [1, 32] and actions count [0, 64]")
       else {
-        val chain =
+        val chainE =
           if (Option(root.get("debug")).exists(_.asBoolean()))
-            withDebugActions(acts) match {
-              case Left(msg) => return Left(msg)
-              case Right(c) => c
-            }
-          else acts
-        val cfg: ObjectNode = json.createObjectNode()
-        cfg.set[JsonNode]("actions", chain)
-        // YAML is a JSON superset — the compiler's YAML front-end reads
-        // the JSON-rendered config verbatim
-        Right((events, json.writeValueAsString(cfg)))
+            withDebugActions(acts)
+          else Right(acts)
+        chainE.map { chain =>
+          val cfg: ObjectNode = json.createObjectNode()
+          cfg.set[JsonNode]("actions", chain)
+          // YAML is a JSON superset — the compiler's YAML front-end
+          // reads the JSON-rendered config verbatim
+          (events, json.writeValueAsString(cfg))
+        }
       }
     }
   }

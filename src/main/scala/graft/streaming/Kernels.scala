@@ -1165,6 +1165,11 @@ object Kernels {
                            minShared: Long = 3L,
                            maxDocFreq: Long = 1000L,
                            stateTtlMs: Long = 0L): Dataset[DocKeep] = {
+    // minShared = 0 would count ">= 0 foreign hits" — dropping EVERY
+    // doc including singletons; same degenerate-config guard family as
+    // the throttle/cardinality requires
+    require(minShared >= 1,
+      s"winnowDedupSurvivors: minShared must be >= 1 (got $minShared)")
     implicit val hitEnc = Encoders.product[BandHit]
     implicit val keepEnc = Encoders.product[DocKeep]
     ds.groupByKey(_.fp)(Encoders.scalaLong)
