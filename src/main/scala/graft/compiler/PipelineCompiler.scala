@@ -510,7 +510,15 @@ object PipelineCompiler {
         (node: JsonNode)
       }
     }
-    val src0 = buildInput(spark, input)
+    // cfg.Expression values (fd/file.d.go:92-95): settings.capacity
+    // (DefaultCapacity 1024) + the host's processor count — the two
+    // variables the reference's expression knobs may reference
+    val exprValues = Map(
+      "capacity" -> settings.flatMap(s => Option(s.get("capacity")))
+        .map(_.asInt()).getOrElse(1024),
+      "gomaxprocs" -> Runtime.getRuntime.availableProcessors())
+
+    val src0 = buildInput(spark, input, exprValues)
     val src = if (useSpread) src0.repartition() else src0
 
     // decode: value → doc struct
@@ -561,6 +569,10 @@ object PipelineCompiler {
           val v =
             if (e.getValue.isArray)
               e.getValue.elements().asScala.map(_.asText()).mkString(",")
+            // cfg.Expression knobs resolve at compile time like the
+            // reference's config parse (`batch_size: capacity/4`)
+            else if (exprFields(e.getKey))
+              intExpression(e.getValue.asText(), exprValues).toString
             else e.getValue.asText()
           e.getKey -> v
         }.toMap).getOrElse(Map.empty))
@@ -621,7 +633,11 @@ object PipelineCompiler {
     proto ++ saslOpts ++ sslOpts ++ freeform
   }
 
-  private def buildInput(spark: SparkSession, n: JsonNode): DataFrame =
+  private def buildInput(spark: SparkSession, n: JsonNode,
+                         exprValues: Map[String, Int] = Map(
+                           "capacity" -> 1024,
+                           "gomaxprocs" -> Runtime.getRuntime.availableProcessors()))
+  : DataFrame =
     n.get("type").asText() match {
       case "fake" =>
         Sources.fake(spark, n.get("lines").elements().asScala.map(_.asText()).toSeq,
@@ -730,7 +746,10 @@ object PipelineCompiler {
               r
             } else withSasl
           val r0b = Option(n.get("fetch_max_bytes"))
-            .map(v => withSsl.option("maxbytesperfetch", v.asText()))
+            .map(v => withSsl.option("maxbytesperfetch",
+              // kafka.go:115 declares this `parse:"expression"` — the
+              // capacity/gomaxprocs arithmetic spelling resolves here
+              intExpression(v.asText(), exprValues).toString))
             .getOrElse(withSsl) // kafka.go:115 — per-fetch byte budget
           val r1 = Option(n.get("max_offsets_per_trigger"))
             .map(v => r0b.option("maxoffsetspertrigger", v.asText()))
@@ -891,6 +910,48 @@ object PipelineCompiler {
     * of the compiled antispam maintenance buckets. */
   private[graft] def goDurationSeconds(s: String): Long =
     goDurationMillis(s) / 1000
+
+  /** The reference's `cfg.Expression` int knobs (cfg/config.go:441-487):
+    * a value spelled `<int>` or `<op1><*|/|+|-><op2>` where each operand
+    * is an int literal or a pipeline value — `capacity` (settings, the
+    * reference's DefaultCapacity 1024) and `gomaxprocs` (host
+    * processors). The reference's own DEFAULTS use this spelling
+    * (`batch_size: capacity/4`, `workers_count: gomaxprocs*8`), so a
+    * config carrying them verbatim must resolve, not crash on toInt.
+    * Exactly the reference grammar: ONE binary operator at the first
+    * occurrence of mul/div/plus/minus, bare variables without an
+    * operator are invalid. */
+  private[graft] def intExpression(s: String, values: Map[String, Int]): Int = {
+    val pos = s.indexWhere(c => c == '*' || c == '/' || c == '+' || c == '-')
+    if (pos < 0)
+      try s.trim.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"can't convert `$s` to int") }
+    else {
+      def operand(t: String): Int = {
+        val x = t.trim
+        try x.toInt
+        catch { case _: NumberFormatException =>
+          values.getOrElse(x, throw new IllegalArgumentException(
+            s"can't find value for `$x` in expression `$s`")) }
+      }
+      val a = operand(s.substring(0, pos))
+      val b = operand(s.substring(pos + 1))
+      s.charAt(pos) match {
+        case '+' => a + b
+        case '-' => a - b
+        case '*' => a * b
+        case '/' => a / b
+      }
+    }
+  }
+
+  /** Config keys the reference declares `parse:"expression"` on plugin
+    * configs this compiler consumes — resolved to plain ints at compile
+    * time, like the reference's config-parse-time resolution. */
+  private val exprFields: Set[String] =
+    Set("batch_size", "batch_size_bytes", "workers_count",
+      "fetch_max_bytes", "fetch_min_bytes")
 
   /** do_if YAML tree → DoIf ADT (ctor semantics:
     * pipeline/doif/ctor.go:47-66). */

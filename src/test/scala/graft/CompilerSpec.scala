@@ -1987,4 +1987,36 @@ class CompilerSpec extends AnyFunSuite {
     assert(rep(1)._4 > 0 && rep(1)._5 == rep(1)._4 * 1000 / input)
     assert(rep(3)._4 < 0 && rep(3)._5 < 0)
   }
+
+  test("cfg.Expression int knobs: capacity/gomaxprocs arithmetic resolves like the reference") {
+    import graft.compiler.PipelineCompiler.intExpression
+    val procs = Runtime.getRuntime.availableProcessors()
+    val vals = Map("capacity" -> 1024, "gomaxprocs" -> procs)
+    // the reference's own default spellings (file.go:138, file.go:93)
+    assert(intExpression("gomaxprocs*8", vals) == procs * 8)
+    assert(intExpression("capacity/4", vals) == 256)
+    assert(intExpression("17", vals) == 17)
+    assert(intExpression("capacity+16", vals) == 1040)
+    assert(intExpression("2*capacity", vals) == 2048)
+    // reference grammar: bare variables without an operator are invalid,
+    // unknown variables fail loudly (cfg/config.go:445-447,459-471)
+    intercept[IllegalArgumentException](intExpression("gomaxprocs", vals))
+    intercept[IllegalArgumentException](intExpression("nprocs*2", vals))
+
+    // resolution happens at compile time: the expression spelling lands
+    // in the compiled output conf as a plain int, scaled by settings
+    val compiled = PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: ['{"a": 1}']}
+        |settings: {capacity: 2048}
+        |actions: []
+        |output: {type: devnull, batch_size: capacity/4}
+        |""".stripMargin)
+    assert(compiled.outputConf("batch_size") == "512")
+    // and without settings the reference DefaultCapacity (1024) applies
+    val dflt = PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: ['{"a": 1}']}
+        |output: {type: devnull, batch_size: capacity/4}
+        |""".stripMargin)
+    assert(dflt.outputConf("batch_size") == "256")
+  }
 }

@@ -623,6 +623,63 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   } }
 
+  test("streaming winnow dedup: random out-of-order batches match the batch-fold greedy reference") { withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 40 synthetic docs × 8 fps from a 60-fp pool (heavy overlap),
+    // arrival order SHUFFLED away from id order, split into 3 random
+    // batches — the reference folds batches in arrival order and
+    // processes docs in ID order within each batch (the kernel's
+    // id-sorted intake), with the online stop-fp counter (cap 4)
+    val rnd = new scala.util.Random(42)
+    val (minShared, maxDocFreq) = (3L, 4L)
+    val docs = (1L to 40L).map(d =>
+      d -> rnd.shuffle((0L until 60L).toList).take(8)).toMap
+    val arrival = rnd.shuffle(docs.keys.toList)
+    val cut1 = 13; val cut2 = 27
+    val batches = Seq(arrival.take(cut1),
+      arrival.slice(cut1, cut2), arrival.drop(cut2))
+
+    val owner = scala.collection.mutable.Map.empty[Long, Long]
+    val claims = scala.collection.mutable.Map.empty[Long, Long]
+    val kept = scala.collection.mutable.Set.empty[Long]
+    batches.foreach { b =>
+      b.sorted.foreach { d =>
+        var hits = 0L
+        docs(d).foreach { f =>
+          owner.get(f) match {
+            case None => owner(f) = d; claims(f) = 1L
+            case Some(o) if o == d => ()
+            case Some(_) =>
+              val stopped = claims(f) >= maxDocFreq
+              claims(f) += 1L
+              if (!stopped) hits += 1L
+          }
+        }
+        if (hits < minShared) kept += d
+      }
+    }
+    assert(kept.size < 40 && kept.nonEmpty, "fixture must discriminate")
+    assert(claims.valuesIterator.exists(_ > maxDocFreq),
+      "fixture must bind the stop-fp cap")
+
+    val input = MemoryStream[Kernels.FpDocEvent]
+    val q = Kernels.winnowDedupSurvivors(input.toDS(), minShared, maxDocFreq)
+      .writeStream.format("memory").queryName("wn_ooo")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        input.addData(b.flatMap(d =>
+          docs(d).map(f => Kernels.FpDocEvent(f, d, s"""{"doc_id":$d}"""))): _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("wn_ooo").as[Kernels.DocKeep].collect()
+        .map(_.doc).toSet
+      assert(streamed == kept.toSet,
+        s"streamed=${streamed.toList.sorted} greedy=${kept.toList.sorted}")
+    } finally q.stop()
+  } }
+
   test("streaming winnow dedup: index probes fold into the hit count (the Against form)") { withRocksDb {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
