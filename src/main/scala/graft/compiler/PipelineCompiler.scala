@@ -1090,12 +1090,14 @@ object PipelineCompiler {
           FieldPath.parse(Option(action.get("field")).map(_.asText()).getOrElse("time")),
           Option(action.get("source_formats"))
             .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq("rfc3339")),
-          Option(action.get("target_format")).map(_.asText()).getOrElse("unixtime")))
+          Option(action.get("target_format")).map(_.asText()).getOrElse("unixtime"),
+          removeOnFail = Option(action.get("remove_on_fail")).exists(_.asBoolean())))
       case "convert_log_level" =>
         guarded(Actions.convertLogLevel(doc,
           Option(action.get("field")).map(_.asText()).getOrElse("level"),
           Option(action.get("style")).map(_.asText()).getOrElse("number"),
-          Option(action.get("default_level")).map(_.asText())))
+          Option(action.get("default_level")).map(_.asText()),
+          removeOnFail = Option(action.get("remove_on_fail")).exists(_.asBoolean())))
       case "rename" =>
         // journald underscore escape (rename.go:14-17): a config key
         // starting with "_" sheds ONE leading underscore — "___HOSTNAME"
@@ -1118,9 +1120,18 @@ object PipelineCompiler {
       case "json_encode" =>
         guarded(Actions.jsonEncode(doc, action.get("field").asText()))
       case "json_extract" =>
+        // extract_field (singular, json_extract.go:126) accepted
+        // alongside the extract_fields list
+        val extracts =
+          (if (action.get("extract_fields") != null) paths("extract_fields")
+           else Seq.empty) ++
+          Option(action.get("extract_field"))
+            .map(v => FieldPath.parse(v.asText())).toSeq
+        require(extracts.nonEmpty,
+          "json_extract: needs `extract_fields` (or `extract_field`)")
         guarded(Actions.jsonExtract(doc,
           FieldPath.parse(action.get("field").asText()),
-          paths("extract_fields"),
+          extracts,
           Option(action.get("prefix")).map(_.asText()).getOrElse("")))
       case "parse_re2" =>
         val groups = action.get("groups").properties().asScala.toSeq
@@ -1136,19 +1147,104 @@ object PipelineCompiler {
           .getOrElse(Seq(action.get("field").asText()))
         val ignore = Option(action.get("ignore_fields"))
           .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty)
-        val applied = Option(action.get("applied_field")).map(f =>
+        // mask_applied_field is the reference spelling (mask.go);
+        // applied_field stays as the graft shorthand
+        val applied = Option(action.get("applied_field"))
+          .orElse(Option(action.get("mask_applied_field"))).map(f =>
           (f.asText(),
-            Option(action.get("applied_value")).map(_.asText()).getOrElse("true")))
-        val masked = fields.filterNot(ignore).foldLeft(doc) { (d, f) =>
-          Actions.mask(d, f, action.get("re2").asText(),
-            action.get("replacement").asText(), applied)
+            Option(action.get("applied_value"))
+              .orElse(Option(action.get("mask_applied_value")))
+              .map(_.asText()).getOrElse("true")))
+        // the reference's `masks` LIST (mask_struct.go): each entry has
+        // `re` + `groups` (group-targeted star-masking — group 0 /
+        // empty = the whole match) or `replace_word` (whole-match
+        // substitution). cut_values/max_count/match_rules are rejected
+        // loudly rather than silently ignored.
+        val maskNodes = Option(action.get("masks"))
+          .map(_.elements().asScala.toSeq)
+        def applyMasks(d: Column, f: String): Column = maskNodes match {
+          case Some(ms) =>
+            val src0 = d.getField(f).cast("string")
+            val maskedVal = ms.foldLeft(src0) { (s, m) =>
+              require(m.get("cut_values") == null || !m.get("cut_values").asBoolean(),
+                "mask: cut_values is not supported (star-masking keeps lengths)")
+              require(m.get("max_count") == null,
+                "mask: max_count is not supported")
+              require(m.get("match_rules") == null,
+                "mask: per-mask match_rules are not supported — use the " +
+                  "action-level match_fields/do_if")
+              val re = m.get("re").asText()
+              val rw = Option(m.get("replace_word")).map(_.asText())
+                .filter(_.nonEmpty)
+              rw match {
+                case Some(w) =>
+                  regexp_replace(s, re,
+                    java.util.regex.Matcher.quoteReplacement(w))
+                case None =>
+                  val groups = Option(m.get("groups"))
+                    .map(_.elements().asScala.map(_.asInt()).toSeq)
+                    .filter(_.nonEmpty).getOrElse(Seq(0))
+                  graft.functions.MaskGroups(s, re, groups)
+              }
+            }
+            val d2 = d.withField(f, maskedVal)
+            applied match {
+              case Some((af, av)) =>
+                d2.withField(af, when(maskedVal =!= src0, lit(av)))
+              case None => d2
+            }
+          case None =>
+            Actions.mask(d, f, action.get("re2").asText(),
+              action.get("replacement").asText(), applied)
         }
+        val masked = fields.filterNot(ignore).foldLeft(doc)(applyMasks)
         guarded(masked)
       case "hash" =>
         guarded(Actions.hashAction(doc, paths("fields"),
           Option(action.get("result_field")).map(_.asText()).getOrElse("hash"),
           Option(action.get("algo")).map(_.asText()).getOrElse("xxhash64"),
           Option(action.get("normalize")).exists(_.asBoolean())))
+      case "move" =>
+        // move.go:161-196: mode=allow moves the listed fields under
+        // target; mode=block moves every top-level field EXCEPT the
+        // listed + target. Top-level names come from the tracked schema.
+        val mFields = action.get("fields").elements().asScala.map(_.asText()).toSeq
+        val mode = action.get("mode").asText()
+        require(mode == "allow" || mode == "block",
+          s"move: mode must be allow|block, got `$mode`")
+        val target = action.get("target").asText()
+        val allNames = df.schema("doc").dataType match {
+          case s: org.apache.spark.sql.types.StructType => s.fieldNames.toSeq
+          case _ => throw new IllegalArgumentException(
+            "move: the doc column must be a struct (decode first)")
+        }
+        guarded(Actions.move(doc, allNames, mFields, target, mode == "allow"))
+      case "convert_utf8_bytes" =>
+        // convert_utf8_bytes.go: decode \xXX/\uXXXX/\OOO escapes in the
+        // listed string fields (the codegen Utf8Unescape expression);
+        // replace_non_graphic swaps non-graphic decoded chars for the
+        // Unicode replacement char
+        val uFields = action.get("fields").elements().asScala.map(_.asText()).toSeq
+        val nonGraphic = Option(action.get("replace_non_graphic")).exists(_.asBoolean())
+        val converted = uFields.foldLeft(doc) { (d, f) =>
+          val dec = graft.functions.Utf8Unescape(d.getField(f).cast("string"))
+          val cleaned =
+            if (nonGraphic) regexp_replace(dec, "\\p{C}", "�") else dec
+          d.withField(f, cleaned)
+        }
+        guarded(converted)
+      case "json_decode" =>
+        // json_decode.go: parse a JSON-string field into a struct.
+        // Spark needs a static type, so the config carries `schema`
+        // (DDL) like the json decoder; prefix rides like decode's
+        val jField = action.get("field").asText()
+        val jSchema = Option(action.get("schema")).map(_.asText()).getOrElse(
+          throw new IllegalArgumentException(
+            "json_decode: needs `schema` (a DDL struct type — Spark " +
+              "requires a static type; the playground infers one for " +
+              "dynamic batches via the decode action)"))
+        guarded(Actions.jsonDecode(doc, jField,
+          org.apache.spark.sql.types.StructType.fromDDL(jSchema)))
       case "split" =>
         Actions.split("doc", action.get("field").asText())(df)
       case "decode" =>
@@ -1233,13 +1329,28 @@ object PipelineCompiler {
         val key = Option(action.get("throttle_field"))
           .map(f => col("doc").getField(f.asText()).cast("string"))
           .getOrElse(col("source_name"))
+        // reference spellings accepted alongside the _seconds shorthand:
+        // `bucket_interval: 1m` (cfg.Duration, throttle.go:113, default
+        // 1m ≡ our 60 s), `default_limit` (throttle.go:86, 5000),
+        // `time_field_format` (throttle.go:81), `limiter_expiration`
+        // (throttle.go:129 — idle-limiter eviction, our state TTL)
         val intervalMs = Option(action.get("bucket_interval_seconds"))
-          .map(_.asLong() * 1000).getOrElse(60000L)
+          .map(_.asLong() * 1000)
+          .orElse(Option(action.get("bucket_interval"))
+            .map(v => goDurationMillis(v.asText())))
+          .getOrElse(60000L)
         val bucketsCount =
           Option(action.get("buckets_count")).map(_.asInt()).getOrElse(3)
-        val limit = action.get("limit").asLong()
-        val tFmt = Option(action.get("time_format")).map(_.asText())
+        val limit = Option(action.get("limit")).map(_.asLong())
+          .orElse(Option(action.get("default_limit")).map(_.asLong()))
+          .getOrElse(5000L)
+        val tFmt = Option(action.get("time_format"))
+          .orElse(Option(action.get("time_field_format"))).map(_.asText())
           .getOrElse("rfc3339")
+        val ttlMs = Option(action.get("state_ttl_ms")).map(_.asLong())
+          .orElse(Option(action.get("limiter_expiration"))
+            .map(v => goDurationMillis(v.asText())))
+          .getOrElse(0L)
         // null-safe: an unparseable/missing time must not crash the
         // query on the kernel's non-nullable Long — epoch 0 lands the
         // event in an ancient bucket, where the window drops it (the
@@ -1261,7 +1372,7 @@ object PipelineCompiler {
                 envelopeJson.as("value"))
               .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.DEvent])
             val cfg = graft.streaming.Kernels.DistributionCfg(
-              intervalMs, bucketsCount, limit, ratios)
+              intervalMs, bucketsCount, limit, ratios, stateTtlMs = ttlMs)
             unwrapEnvelope(
               graft.streaming.Kernels.throttleDistributed(ds, cfg).toDF(),
               "value", t)
@@ -1270,7 +1381,7 @@ object PipelineCompiler {
                 envelopeJson.as("value"))
               .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.TEvent])
             val cfg = graft.streaming.Kernels.ThrottleCfg(
-              intervalMs, bucketsCount, limit)
+              intervalMs, bucketsCount, limit, stateTtlMs = ttlMs)
             unwrapEnvelope(graft.streaming.Kernels.throttle(ds, cfg).toDF(),
               "value", t)
         }
@@ -1278,17 +1389,35 @@ object PipelineCompiler {
       case "cardinality" if df.isStreaming =>
         val t = envelopeType(df)
         val keys = Option(action.get("keys"))
+          .orElse(Option(action.get("key"))) // reference spelling
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
         val keyCol =
           if (keys.isEmpty) col("source_name")
           else concat_ws("",
             keys.map(k => col("doc").getField(k).cast("string")): _*)
+        // reference spellings (cardinality.go:132-167): `fields` list ≙
+        // `value_field` (combined name:value tuple), limit default
+        // 10000, `ttl` Go-duration ≙ `state_ttl_ms`
+        val tracked: Seq[String] = Option(action.get("value_field"))
+          .map(v => Seq(v.asText()))
+          .orElse(Option(action.get("fields"))
+            .map(_.elements().asScala.map(_.asText()).toSeq))
+          .getOrElse(throw new IllegalArgumentException(
+            "cardinality: needs `value_field` (or the reference's `fields` list)"))
+        val trackedCol = concat_ws("",
+          tracked.map(f => concat_ws(":", lit(f),
+            coalesce(col("doc").getField(f).cast("string"), lit("")))): _*)
         val ds = df.select(keyCol.as("key"), lit(0L).as("seq"),
-            col("doc").getField(action.get("value_field").asText())
-              .cast("string").as("value"),
+            trackedCol.as("value"),
             envelopeJson.as("carry"))
           .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.KEvent])
-        val cfg = graft.streaming.Kernels.CardinalityCfg(action.get("limit").asInt())
+        val cttl = Option(action.get("state_ttl_ms")).map(_.asLong())
+          .orElse(Option(action.get("ttl"))
+            .map(v => goDurationMillis(v.asText())))
+          .getOrElse(0L)
+        val cfg = graft.streaming.Kernels.CardinalityCfg(
+          Option(action.get("limit")).map(_.asInt()).getOrElse(10000),
+          stateTtlMs = cttl)
         unwrapEnvelope(graft.streaming.Kernels.cardinality(ds, cfg).toDF(), "carry", t)
 
       case "antispam" if df.isStreaming =>
@@ -1350,12 +1479,22 @@ object PipelineCompiler {
         }
 
       case "throttle" =>
+        // reference spellings accepted alongside the _seconds shorthand
+        // (throttle.go:81,86,113): bucket_interval Go-duration,
+        // default_limit, time_field_format
         val interval = Option(action.get("bucket_interval_seconds"))
-          .map(_.asLong()).getOrElse(60L)
-        val limit = action.get("limit").asLong()
+          .map(_.asLong())
+          .orElse(Option(action.get("bucket_interval"))
+            .map(v => goDurationSeconds(v.asText())))
+          .getOrElse(60L)
+        val limit = Option(action.get("limit")).map(_.asLong())
+          .orElse(Option(action.get("default_limit")).map(_.asLong()))
+          .getOrElse(5000L)
         val kind = Option(action.get("limit_kind")).map(_.asText()).getOrElse("count")
         val tsF = Option(action.get("time_field")).map(_.asText()).getOrElse("time")
-        val tsFmt = Option(action.get("time_format")).map(_.asText()).getOrElse("rfc3339")
+        val tsFmt = Option(action.get("time_format"))
+          .orElse(Option(action.get("time_field_format"))).map(_.asText())
+          .getOrElse("rfc3339")
         val key = Option(action.get("throttle_field"))
           .map(f => doc.getField(f.asText()).cast("string"))
           .getOrElse(col("source_name"))
@@ -1382,23 +1521,51 @@ object PipelineCompiler {
         out.drop("_tkey", "_tord")
 
       case "cardinality" =>
+        // reference spellings accepted alongside ours
+        // (cardinality.go:132-167): `key` ≙ `keys`, `fields` (the
+        // tracked selectors — their combined value tuple is what counts
+        // toward cardinality, AND what remove_fields strips) ≙
+        // `value_field`, limit default 10000, `action: nothing` =
+        // metrics-only pass-through. Documented delta: our default
+        // action stays `discard` (the reference defaults to `nothing`,
+        // which silently does no limiting — existing graft configs rely
+        // on discard).
         val keys = Option(action.get("keys"))
+          .orElse(Option(action.get("key")))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
-        val valueF = action.get("value_field").asText()
-        val limit = action.get("limit").asInt()
+        val trackedF: Seq[String] = Option(action.get("value_field"))
+          .map(v => Seq(v.asText()))
+          .orElse(Option(action.get("fields"))
+            .map(_.elements().asScala.map(_.asText()).toSeq))
+          .getOrElse(throw new IllegalArgumentException(
+            "cardinality: needs `value_field` (or the reference's `fields` list)"))
+        val limit = Option(action.get("limit")).map(_.asInt()).getOrElse(10000)
         val mode = Option(action.get("action")).map(_.asText()).getOrElse("discard")
+        // combined value tuple, name:value per field like the
+        // reference's appendTo buffer (cardinality.go:97-112)
+        val valueCol = concat_ws("",
+          trackedF.map(f => concat_ws(":", lit(f),
+            coalesce(doc.getField(f).cast("string"), lit("")))): _*)
         val keyCols = keys.indices.map(i => s"_ck$i")
         val withKeys = keys.zip(keyCols)
           .foldLeft(df) { case (d, (k, c)) =>
             d.withColumn(c, doc.getField(k).cast("string"))
           }
-          .withColumn("_cv", doc.getField(valueF).cast("string"))
+          .withColumn("_cv", valueCol)
           .withColumn("_cord",
             if (df.columns.contains("_pg_ord")) col("_pg_ord")
             else monotonically_increasing_id())
         val out = mode match {
+          case "nothing" => withKeys // metrics-only in the reference
           case "remove_fields" =>
-            val toRemove = paths("fields")
+            // graft's historical spelling tracks `value_field` and
+            // removes a SEPARATE `fields` list; the reference removes
+            // the tracked fields themselves — honor whichever is given
+            val toRemove =
+              (if (action.get("value_field") != null && action.get("fields") != null)
+                 Option(action.get("fields")).get.elements().asScala
+                   .map(_.asText()).toSeq
+               else trackedF).map(FieldPath.parse)
             graft.state.SeqOps.cardinalityOverLimit(withKeys, keyCols, "_cv",
                 "_cord", limit)
               .withColumn("doc", when(col("_card_over"),

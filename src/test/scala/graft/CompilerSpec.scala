@@ -1988,6 +1988,141 @@ class CompilerSpec extends AnyFunSuite {
     assert(rep(3)._4 < 0 && rep(3)._5 < 0)
   }
 
+  test("move / convert_utf8_bytes / json_decode compile from YAML (previously unknown actions)") {
+    // move mode=allow nests the listed fields under target
+    val moved = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"a": "1", "b": "2", "c": "3"}"""),
+      """actions:
+        |  - type: move
+        |    mode: allow
+        |    target: meta
+        |    fields: [a, b]
+        |""".stripMargin)
+    assert(moved.head.contains(""""meta":{"a":"1","b":"2"}""") &&
+      moved.head.contains(""""c":"3""""), moved.head)
+    // move mode=block nests everything EXCEPT listed + target
+    val blocked = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"a": "1", "b": "2", "c": "3"}"""),
+      """actions:
+        |  - type: move
+        |    mode: block
+        |    target: rest
+        |    fields: [a]
+        |""".stripMargin)
+    assert(blocked.head.contains(""""a":"1"""") &&
+      blocked.head.contains(""""rest":{"b":"2","c":"3"}"""), blocked.head)
+
+    // convert_utf8_bytes decodes \xXX and \uXXXX escapes in place
+    val utf8 = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"obj": "\\x68\\u0069 there", "keep": "x"}"""),
+      """actions:
+        |  - type: convert_utf8_bytes
+        |    fields: [obj]
+        |""".stripMargin)
+    assert(utf8.head.contains(""""obj":"hi there""""), utf8.head)
+
+    // json_decode parses a JSON-string field into a typed struct
+    val dec = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"payload": "{\"k\": 7}"}"""),
+      """actions:
+        |  - type: json_decode
+        |    field: payload
+        |    schema: "k BIGINT"
+        |""".stripMargin)
+    assert(dec.head.contains(""""payload":{"k":7}"""), dec.head)
+  }
+
+  test("mask `masks` list + json_extract extract_field + remove_on_fail reference spellings") {
+    // masks list: group-targeted star-mask then a replace_word mask
+    val masked = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"log": "card 1234-5678 user bob", "other": "1234-5678"}"""),
+      """actions:
+        |  - type: mask
+        |    field: log
+        |    mask_applied_field: masked
+        |    masks:
+        |      - re: '(\d{4})-(\d{4})'
+        |        groups: [1, 2]
+        |      - re: 'bob'
+        |        replace_word: REDACTED
+        |""".stripMargin)
+    assert(masked.head.contains("card ****-**** user REDACTED"), masked.head)
+    assert(masked.head.contains(""""masked":"true""""), masked.head)
+    assert(masked.head.contains(""""other":"1234-5678""""),
+      "only the processed field masks")
+
+    // extract_field (singular reference spelling)
+    val ext = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"payload": "{\"deep\": {\"v\": 42}}"}"""),
+      """actions:
+        |  - type: json_extract
+        |    field: payload
+        |    extract_field: deep.v
+        |""".stripMargin)
+    assert(ext.head.contains(""""v":"42""""), ext.head)
+
+    // convert_date remove_on_fail nulls the unparseable time
+    val cd = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"time": "not-a-date", "n": 1}""",
+        """{"time": "2024-01-01T00:00:00Z", "n": 2}"""),
+      """actions:
+        |  - type: convert_date
+        |    remove_on_fail: true
+        |""".stripMargin)
+    assert(cd.exists(s => s.contains("\"n\":2") && s.contains("1704067200")), cd.toString)
+    assert(cd.exists(s => s.contains("\"n\":1") && !s.contains("not-a-date")), cd.toString)
+  }
+
+  test("reference throttle/cardinality config spellings compile and behave") {
+    // throttle spelled exactly as a file.d config would: Go-duration
+    // bucket_interval, default_limit, time_field_format
+    def ev(i: Int, t: String) = s"""{"n": $i, "time": "$t"}"""
+    val throttled = PipelineCompiler.runActionsOnBatch(spark,
+      Seq(ev(1, "2024-01-01T00:00:01Z"), ev(2, "2024-01-01T00:00:02Z"),
+        ev(3, "2024-01-01T00:00:03Z"), ev(4, "2024-01-01T00:02:00Z")),
+      """actions:
+        |  - type: throttle
+        |    bucket_interval: 1m
+        |    default_limit: 2
+        |    time_field_format: rfc3339nano
+        |""".stripMargin)
+    // bucket 0 keeps its first 2 of 3; the later bucket's event passes
+    assert(throttled.count(_.contains("\"n\":")) == 3, throttled.toString)
+    assert(throttled.exists(_.contains("\"n\":4")))
+
+    // cardinality spelled as the reference: key/fields lists, ttl,
+    // explicit action (our default stays discard — documented delta)
+    val carded = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"service": "reg", "client_id": "1"}""",
+        """{"service": "reg", "client_id": "1"}""",
+        """{"service": "reg", "client_id": "2"}""",
+        """{"service": "reg", "client_id": "3"}"""),
+      """actions:
+        |  - type: cardinality
+        |    limit: 2
+        |    action: discard
+        |    ttl: 1m
+        |    key: [service]
+        |    fields: [client_id]
+        |""".stripMargin)
+    // cardinality.go's own worked example: client 3 is over the limit
+    assert(carded.length == 3 && !carded.exists(_.contains("\"3\"")), carded.toString)
+
+    // action: nothing = metrics-only pass-through (the reference default)
+    val nothing = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"service": "reg", "client_id": "1"}""",
+        """{"service": "reg", "client_id": "2"}""",
+        """{"service": "reg", "client_id": "3"}"""),
+      """actions:
+        |  - type: cardinality
+        |    limit: 1
+        |    action: nothing
+        |    key: [service]
+        |    fields: [client_id]
+        |""".stripMargin)
+    assert(nothing.length == 3)
+  }
+
   test("cfg.Expression int knobs: capacity/gomaxprocs arithmetic resolves like the reference") {
     import graft.compiler.PipelineCompiler.intExpression
     val procs = Runtime.getRuntime.availableProcessors()
