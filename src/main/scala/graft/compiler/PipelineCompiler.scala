@@ -172,28 +172,104 @@ object PipelineCompiler {
       import graft.sinks.Sinks
       val doc = col("doc")
       def timeCol = outputConf.get("time_field")
+        .orElse(outputConf.get("timestamp_field")) // gelf/loki spelling
         .map(f => XTime.parse(doc.getField(f).cast("string"),
-          outputConf.getOrElse("time_format", "rfc3339")))
+          outputConf.getOrElse("time_format",
+            outputConf.getOrElse("timestamp_field_format", "rfc3339"))))
         .getOrElse(current_timestamp())
-      val rendered = outputType match {
-        case "elasticsearch" =>
-          Sinks.esBulkLines(doc,
-            outputConf.getOrElse("index_prefix", "file-d-"), timeCol)
-        case "gelf" =>
-          Sinks.gelfFrame(
-            doc.getField(outputConf.getOrElse("host_field", "host")).cast("string"),
-            doc.getField(outputConf.getOrElse("message_field", "message")).cast("string"),
-            timeCol,
-            outputConf.get("level_field")
-              .map(f => coalesce(
-                graft.functions.LogLevel.toNumber(doc.getField(f).cast("string")),
-                lit(6)))
-              .getOrElse(lit(6)))
-        case "splunk" => Sinks.splunkEvent(doc, timeCol)
-        case "loki"   => Sinks.lokiEntry(timeCol, to_json(doc)).cast("string")
-        case _        => to_json(doc)
+      // a configured column missing from the doc schema reads as NULL
+      // (the reference's Dig-miss → zero-fill/NULL path), instead of an
+      // analysis error on getField
+      def docField(n: String): Column = df.schema("doc").dataType match {
+        case s: org.apache.spark.sql.types.StructType
+          if s.fieldNames.contains(n) => doc.getField(n)
+        case _ => lit(null).cast("string")
       }
-      df.select(rendered.as("payload"))
+      // structured `columns` spec (clickhouse/postgres) — round-tripped
+      // through outputConf as serialized YAML/JSON
+      def columnSpecs: Seq[(String, String, Boolean)] =
+        outputConf.get("columns").map { s =>
+          PipelineCompiler.yaml.readTree(s).elements().asScala.map { c =>
+            (c.get("name").asText(), c.get("type").asText(),
+              Option(c.get("unique")).exists(_.asBoolean()))
+          }.toSeq
+        }.getOrElse(throw new IllegalArgumentException(
+          s"output $outputType: missing required field `columns`"))
+      outputType match {
+        case "clickhouse" =>
+          // the full reference type matrix (ChColumns) over the doc's
+          // fields; the payload row is the POST-conversion insert values
+          val strict = outputConf.get("strict_types").exists(_.toBoolean)
+          val typed = graft.sinks.ChColumns.chProjection(df,
+            columnSpecs.map { case (n, t, _) => (n, docField(n), t) },
+            strictTypes = strict)
+          typed.select(to_json(struct(typed.columns.map(col): _*)).as("payload"))
+        case "postgres" =>
+          // typed projection (int|string|bool|timestamp) + in-batch
+          // dedup on the `unique: true` columns (postgres.go ConfigColumn)
+          def pgType(t: String): String = t match {
+            case "int" => "long"; case "bool" => "boolean"
+            case "timestamp" => "timestamp"; case _ => "string"
+          }
+          val ordered = df.withColumn("_pgo",
+            if (df.columns.contains("_pg_ord")) col("_pg_ord")
+            else monotonically_increasing_id())
+          val typed = Sinks.typedProjection(ordered,
+              columnSpecs.map { case (n, t, _) =>
+                (n, docField(n), pgType(t)) } :+
+              (("_pgo", col("_pgo"), "long")))
+          val uniqueCols = columnSpecs.filter(_._3).map(_._1)
+          val deduped =
+            if (uniqueCols.nonEmpty)
+              Sinks.pgUniqueDedup(typed, uniqueCols, "_pgo")
+            else typed
+          deduped.drop("_pgo")
+            .select(to_json(struct(columnSpecs.map(c => col(c._1)): _*))
+              .as("payload"))
+        case _ =>
+          val rendered = outputType match {
+            case "elasticsearch" =>
+              // index_format/index_values (elasticsearch.go:109-124) win
+              // over the graft index_prefix shorthand when configured
+              (outputConf.get("index_format"), outputConf.get("index_values")) match {
+                case (None, None) =>
+                  Sinks.esBulkLines(doc,
+                    outputConf.getOrElse("index_prefix", "file-d-"), timeCol)
+                case (fmt, vals) =>
+                  Sinks.esBulkLinesFormatted(doc,
+                    fmt.getOrElse("file-d-%"),
+                    vals.map(_.split(",").map(_.trim).toSeq)
+                      .getOrElse(Seq("@time")),
+                    timeCol,
+                    outputConf.getOrElse("index_time_format", "yyyy-MM-dd"))
+              }
+            case "gelf" =>
+              // reference spellings (gelf.go): short_message_field /
+              // full_message_field / default_short_message_value
+              val msgField = outputConf.get("message_field")
+                .orElse(outputConf.get("short_message_field"))
+                .getOrElse("message")
+              val shortMsg = coalesce(
+                doc.getField(msgField).cast("string"),
+                lit(outputConf.getOrElse("default_short_message_value",
+                  "not set")))
+              Sinks.gelfFrame(
+                doc.getField(outputConf.getOrElse("host_field", "host")).cast("string"),
+                shortMsg,
+                timeCol,
+                outputConf.get("level_field")
+                  .map(f => coalesce(
+                    graft.functions.LogLevel.toNumber(doc.getField(f).cast("string")),
+                    lit(6)))
+                  .getOrElse(lit(6)),
+                fullMessage = outputConf.get("full_message_field")
+                  .map(f => doc.getField(f).cast("string")))
+            case "splunk" => Sinks.splunkEvent(doc, timeCol)
+            case "loki"   => Sinks.lokiEntry(timeCol, to_json(doc)).cast("string")
+            case _        => to_json(doc)
+          }
+          df.select(rendered.as("payload"))
+      }
     }
 
     /** Batch egress: writes the chain's output to the configured sink.
@@ -565,10 +641,16 @@ object PipelineCompiler {
       out.map(o => o.properties().asScala
         .map { e =>
           // list-valued fields (lake partition_by/sort_within) flatten to
-          // the comma-joined spelling both forms normalize to
+          // the comma-joined spelling both forms normalize to; an array
+          // of OBJECTS (clickhouse/postgres `columns`) keeps its JSON
+          // form so the sink can parse the structured spec back
           val v =
-            if (e.getValue.isArray)
-              e.getValue.elements().asScala.map(_.asText()).mkString(",")
+            if (e.getValue.isArray) {
+              val elems = e.getValue.elements().asScala.toSeq
+              if (elems.exists(_.isObject))
+                yaml.writeValueAsString(e.getValue).trim
+              else elems.map(_.asText()).mkString(",")
+            }
             // cfg.Expression knobs resolve at compile time like the
             // reference's config parse (`batch_size: capacity/4`)
             else if (exprFields(e.getKey))

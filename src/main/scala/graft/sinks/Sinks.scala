@@ -278,6 +278,38 @@ object Sinks {
       date_format(eventTime, timeFormat), lit("\"}}\n"),
       to_json(doc))
 
+  /** The reference's templated index name (elasticsearch.go
+    * appendIndexName): every `%` in `indexFormat` consumes the next
+    * entry of `indexValues` — `@time` renders the event time with
+    * `timeFormat`, any other value reads that doc field (missing/empty
+    * → `not_set`). Placeholder/value count mismatch fails at compile
+    * time like the reference's Fatal. */
+  def esBulkLinesFormatted(doc: org.apache.spark.sql.Column, indexFormat: String,
+                           indexValues: Seq[String],
+                           eventTime: org.apache.spark.sql.Column,
+                           timeFormat: String = "yyyy-MM-dd")
+  : org.apache.spark.sql.Column = {
+    val segs = indexFormat.split("%", -1)
+    require(segs.length - 1 == indexValues.length,
+      "count of placeholders and values isn't match, check " +
+        "index_format/index_values config params")
+    val parts = Seq(lit("""{"index":{"_index":"""")) ++
+      segs.zipWithIndex.flatMap { case (s, i) =>
+        val literal = if (s.nonEmpty) Seq(lit(s)) else Seq.empty
+        val value =
+          if (i < indexValues.length) {
+            val v = indexValues(i)
+            if (v == "@time") Seq(date_format(eventTime, timeFormat))
+            else {
+              val f = doc.getField(v).cast("string")
+              Seq(when(f.isNotNull && length(f) > 0, f).otherwise(lit("not_set")))
+            }
+          } else Seq.empty
+        literal ++ value
+      } ++ Seq(lit("\"}}\n"), to_json(doc))
+    concat(parts: _*)
+  }
+
   /** GELF frame (plugin/output/gelf): version/host/short_message/
     * timestamp/level + `_`-prefixed extras; null-byte terminated by the
     * transport. */
@@ -285,13 +317,18 @@ object Sinks {
                 shortMessage: org.apache.spark.sql.Column,
                 timestamp: org.apache.spark.sql.Column,
                 level: org.apache.spark.sql.Column,
-                extras: Map[String, org.apache.spark.sql.Column] = Map.empty)
+                extras: Map[String, org.apache.spark.sql.Column] = Map.empty,
+                fullMessage: Option[org.apache.spark.sql.Column] = None)
   : org.apache.spark.sql.Column =
     to_json(struct(
       (Seq(
         lit("1.1").as("version"),
         host.as("host"),
-        shortMessage.as("short_message"),
+        shortMessage.as("short_message")) ++
+        // full_message is a STANDARD GELF field (no `_` prefix),
+        // gelf.go full_message_field
+        fullMessage.map(_.as("full_message")).toSeq ++
+      Seq(
         // GELF timestamp = seconds with decimals; exact ms-precision
         // decimal (a double renders in scientific notation in JSON)
         (unix_millis(timestamp).cast("decimal(17,0)") / 1000)

@@ -1988,6 +1988,73 @@ class CompilerSpec extends AnyFunSuite {
     assert(rep(3)._4 < 0 && rep(3)._5 < 0)
   }
 
+  test("clickhouse/postgres/elasticsearch/gelf sinks honor reference config spellings") {
+    // clickhouse: structured `columns` + strict_types=false through the
+    // FULL type matrix; the payload row is the post-conversion values
+    val ch = PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: ['{"id": 7, "lvl": "x", "flag": true}']}
+        |decoder: {type: json, schema: "id BIGINT, lvl STRING, flag BOOLEAN"}
+        |output:
+        |  type: clickhouse
+        |  columns:
+        |    - {name: id, type: Int64}
+        |    - {name: lvl, type: LowCardinality(String)}
+        |    - {name: flag, type: Bool}
+        |    - {name: missing, type: Nullable(String)}
+        |""".stripMargin).payload().collect().map(_.getString(0))
+    assert(ch.length == 1 &&
+      ch.head.contains("\"id\":7") && ch.head.contains("\"flag\":true") &&
+      !ch.head.contains("missing"), // Nullable null drops from to_json
+      ch.head)
+
+    // postgres: typed columns + in-batch dedup on unique: true columns
+    val pg = PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: [
+        |  '{"u": "a", "n": 1}', '{"u": "a", "n": 2}', '{"u": "b", "n": 3}']}
+        |decoder: {type: json, schema: "u STRING, n BIGINT"}
+        |output:
+        |  type: postgres
+        |  columns:
+        |    - {name: u, type: string, unique: true}
+        |    - {name: n, type: int}
+        |""".stripMargin).payload().collect().map(_.getString(0)).sorted.toSeq
+    assert(pg == Seq("""{"u":"a","n":1}""", """{"u":"b","n":3}""").sorted,
+      pg.toString)
+
+    // elasticsearch index_format/index_values (appendIndexName): field
+    // value, literal dashes, @time; empty/missing field -> not_set
+    val es = PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: [
+        |  '{"service": "api", "time": "2024-03-05T00:00:01Z"}',
+        |  '{"service": "", "time": "2024-03-05T00:00:02Z"}']}
+        |decoder: {type: json, schema: "service STRING, time STRING"}
+        |output:
+        |  type: elasticsearch
+        |  index_format: "my-index-%-%"
+        |  index_values: "service,@time"
+        |  time_field: time
+        |""".stripMargin).payload().collect().map(_.getString(0))
+    assert(es.exists(_.contains(""""_index":"my-index-api-2024-03-05"""")), es.toSeq)
+    assert(es.exists(_.contains(""""_index":"my-index-not_set-2024-03-05"""")), es.toSeq)
+
+    // gelf: short_message_field + full_message_field +
+    // default_short_message_value (full_message is a STANDARD field)
+    val gelf = PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: [
+        |  '{"host": "h1", "msg": "hello", "detail": "long text"}',
+        |  '{"host": "h2", "detail": "d"}']}
+        |decoder: {type: json, schema: "host STRING, msg STRING, detail STRING"}
+        |output:
+        |  type: gelf
+        |  short_message_field: msg
+        |  full_message_field: detail
+        |""".stripMargin).payload().collect().map(_.getString(0))
+    assert(gelf.exists(s => s.contains(""""short_message":"hello"""") &&
+      s.contains(""""full_message":"long text"""") &&
+      !s.contains("_full_message")), gelf.toSeq)
+    assert(gelf.exists(_.contains(""""short_message":"not set"""")), gelf.toSeq)
+  }
+
   test("move / convert_utf8_bytes / json_decode compile from YAML (previously unknown actions)") {
     // move mode=allow nests the listed fields under target
     val moved = PipelineCompiler.runActionsOnBatch(spark,
