@@ -40,6 +40,11 @@ object PipelineCompiler {
 
   private val yaml = new ObjectMapper(new YAMLFactory())
 
+  /** The most recent `input: {type: http}` listener with its bound
+    * port — the spec-side observable for ephemeral-port configs. */
+  @volatile private[graft] var lastHttpInput:
+    (graft.sources.HttpSpoolInput, Int) = _
+
   /** Unique suffix for `debug` action observation names (Dataset
     * .observe names must be unique per query). */
   private[compiler] val debugSeq = new java.util.concurrent.atomic.AtomicLong()
@@ -754,14 +759,29 @@ object PipelineCompiler {
           lit(n.get("path").asText()).as("source_name"))
       case "tail" =>
         // the DSv2 tailing source (graft.sources.tail) — file.d's `file`
-        // input with per-file offsets and rotation handling
-        spark.readStream.format("graft-tail")
+        // input with per-file offsets and rotation handling; the
+        // reference's recursive discovery surface rides through:
+        // paths.include/exclude doublestar lists + dir_pattern
+        // (file.go:72-87,194, relative-to-dir globs)
+        var tr = spark.readStream.format("graft-tail")
           .option("path", n.get("dir").asText())
           .option("filename_pattern",
             Option(n.get("filename_pattern")).map(_.asText()).getOrElse("*"))
           .option("offsets_op", // continue ≙ the checkpoint itself
             Option(n.get("offsets_op")).map(_.asText()).getOrElse("reset"))
-          .load()
+        Option(n.get("dir_pattern"))
+          .foreach(v => tr = tr.option("dir_pattern", v.asText()))
+        // `paths: {include: [...], exclude: [...]}` (nested) or flat
+        // include/exclude lists
+        val pathsNode = Option(n.get("paths"))
+        def pats(key: String): Seq[String] =
+          (pathsNode.flatMap(p => Option(p.get(key))) orElse Option(n.get(key)))
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+        if (pats("include").nonEmpty)
+          tr = tr.option("include", pats("include").mkString(","))
+        if (pats("exclude").nonEmpty)
+          tr = tr.option("exclude", pats("exclude").mkString(","))
+        tr.load()
           .select(org.apache.spark.sql.functions.col("value"),
             org.apache.spark.sql.functions.col("source_name"))
       case "es_bulk" =>
@@ -860,7 +880,91 @@ object PipelineCompiler {
             Seq(col("value"), col("source_name")) ++ metaCols ++ headerCols: _*)
         }
       case "socket" =>
-        Sources.socket(spark, n.get("host").asText(), n.get("port").asInt())
+        // reference spelling (socket.go): `network: tcp|udp` +
+        // `address: host:port`, alongside the graft host/port shorthand
+        (Option(n.get("host")), Option(n.get("address"))) match {
+          case (Some(h), _) =>
+            Sources.socket(spark, h.asText(), n.get("port").asInt())
+          case (None, Some(a)) =>
+            val hp = a.asText(); val cut = hp.lastIndexOf(':')
+            require(cut > 0, s"input socket: address must be host:port, got `$hp`")
+            require(Option(n.get("network")).forall(_.asText() == "tcp"),
+              "input socket: the built-in stream wrapper is TCP; udp " +
+                "deployments use SocketSpoolInput (the spool-replay edge)")
+            Sources.socket(spark, hp.substring(0, cut),
+              hp.substring(cut + 1).toInt)
+          case _ => throw new IllegalArgumentException(
+            "input socket: needs `address: host:port` (or host + port)")
+        }
+      case "http" =>
+        // http.go: start the real loopback listener (spool-before-ack,
+        // gzip, optional ES emulate-mode handshake, auth
+        // strategy/header/secrets) and stream the durable spool through
+        // the es_bulk replay seam. `address: ":9200"` keeps the
+        // reference's default-port spelling; TLS (ca_cert/private_key)
+        // and CORS are browser/deployment surface, rejected loudly.
+        require(n.get("ca_cert") == null && n.get("private_key") == null,
+          "input http: TLS termination is deployment surface — front " +
+            "with a TLS proxy (documented descope)")
+        val addr = Option(n.get("address")).map(_.asText()).getOrElse(":9200")
+        val port = addr.substring(addr.lastIndexOf(':') + 1) match {
+          case "" => 9200; case p => p.toInt
+        }
+        val emulateEs = Option(n.get("emulate_mode")).map(_.asText())
+          .contains("elasticsearch")
+        val authNode = Option(n.get("auth"))
+        val httpAuth = graft.sources.HttpAuth(
+          authNode.flatMap(a => Option(a.get("strategy"))).map(_.asText())
+            .getOrElse("disabled"),
+          authNode.flatMap(a => Option(a.get("header"))).map(_.asText())
+            .getOrElse("Authorization"),
+          authNode.flatMap(a => Option(a.get("secrets")))
+            .map(_.properties().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap)
+            .getOrElse(Map.empty))
+        val hSpool = Option(n.get("spool_dir")).map(_.asText()).getOrElse(
+          java.nio.file.Files.createTempDirectory("graft_http").toString)
+        val listener = new graft.sources.HttpSpoolInput(port,
+          java.nio.file.Paths.get(hSpool), emulateEs, httpAuth)
+        val bound = listener.start()
+        // observable handle: `address: ":0"` binds an ephemeral port
+        // (specs; a deployment pins the reference's default 9200)
+        PipelineCompiler.lastHttpInput = (listener, bound)
+        // emulate mode replays the spool through the ES bulk
+        // action/doc state machine (the es_bulk input's batch seam);
+        // plain mode streams each acked body as it lands
+        if (emulateEs)
+          Sources.esBulkSpool(spark, hSpool)
+            .filter(col("value").isNotNull)
+        else Sources.fileStream(spark, hSpool, "*")
+      case "journalctl" =>
+        // journalctl.go: spawn the binary with `-o json -a` and resume
+        // from the persisted `__CURSOR` (offsets_file, required like the
+        // reference); entries spool through the replay seam and the
+        // graft-tail source streams the spool. `cmd` swaps the binary
+        // (no systemd in test environments); max_lines caps the read.
+        val offsets = Option(n.get("offsets_file")).map(_.asText()).getOrElse(
+          throw new IllegalArgumentException(
+            "input journalctl: missing required field `offsets_file`"))
+        val spool = Option(n.get("spool_dir")).map(_.asText()).getOrElse(
+          java.nio.file.Files.createTempDirectory("graft_journal").toString)
+        val j = new graft.sources.JournalInput(
+          java.nio.file.Paths.get(spool),
+          java.nio.file.Paths.get(offsets),
+          cmd = Option(n.get("cmd"))
+            .map(_.elements().asScala.map(_.asText()).toSeq)
+            .getOrElse(Seq("journalctl")),
+          journalArgs = Option(n.get("journal_args"))
+            .map(_.elements().asScala.map(_.asText()).toSeq)
+            .getOrElse(Seq("-f")),
+          maxLines = Option(n.get("max_lines")).map(_.asInt()).getOrElse(0))
+        j.start()
+        spark.readStream.format("graft-tail")
+          .option("path", spool)
+          .option("filename_pattern", "*.journal")
+          .option("offsets_op", "reset")
+          .load()
+          .select(col("value"), col("source_name"))
       case other => throw new IllegalArgumentException(s"unknown input: $other")
     }
 

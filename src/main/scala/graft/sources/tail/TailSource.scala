@@ -40,10 +40,21 @@ class TailSourceProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     TailSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    new TailTable(properties.get("path"),
-      Option(properties.get("filename_pattern")).getOrElse("*"),
+                        properties: java.util.Map[String, String]): Table = {
+    def list(key: String): Seq[String] = Option(properties.get(key)).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    // dir_pattern (file.go:194) compiles into one include like the
+    // reference's provider: `*` means every subtree (doublestar `**`)
+    val fp = Option(properties.get("filename_pattern")).getOrElse("*")
+    val dirPatInclude = Option(properties.get("dir_pattern")).map {
+      case "*" => s"**/$fp"
+      case dp  => s"$dp/$fp"
+    }.toSeq
+    new TailTable(TailSource.TailSpec(properties.get("path"), fp,
+        include = list("include") ++ dirPatInclude,
+        exclude = list("exclude")),
       Option(properties.get("offsets_op")).getOrElse("reset"))
+  }
 }
 
 object TailSource {
@@ -77,6 +88,50 @@ object TailSource {
     } finally stream.close()
   }
 
+  /** File-discovery spec: the flat single-dir glob (legacy default) or
+    * the reference's RECURSIVE doublestar include/exclude lists
+    * (file.go:72-87 Paths + provider.go:191-218 — `dir_pattern` and
+    * `filename_pattern` compile to one include when no explicit list is
+    * given). Patterns match the path RELATIVE to `dir` with `glob:`
+    * syntax (`**` crosses directories), the portable spelling of the
+    * reference's absolute doublestar patterns rooted at watching_dir. */
+  final case class TailSpec(dir: String, glob: String = "*",
+                            include: Seq[String] = Nil,
+                            exclude: Seq[String] = Nil) {
+    /** Recursive discovery engages whenever an include/exclude pattern
+      * is configured; the bare glob keeps the flat v0 behavior. */
+    def recursive: Boolean = include.nonEmpty || exclude.nonEmpty
+  }
+
+  /** Offsets under a spec: flat newDirectoryStream scan, or the
+    * recursive walk with include/exclude matching. */
+  def scan(spec: TailSpec): Map[String, Long] =
+    if (!spec.recursive) scanDir(spec.dir, spec.glob)
+    else {
+      val d = Paths.get(spec.dir)
+      if (!Files.isDirectory(d)) return Map.empty
+      val fs = d.getFileSystem
+      // doublestar emulation: Go's `**` matches ZERO or more segments
+      // (`a/**/b` includes `a/b`), Java's `glob:**/` needs at least one
+      // directory — each `**/`-prefixed pattern gains its bare twin
+      val incPats = (if (spec.include.nonEmpty) spec.include
+                     else Seq("**/" + spec.glob))
+        .flatMap(p => if (p.startsWith("**/")) Seq(p, p.stripPrefix("**/"))
+                      else Seq(p))
+      val inc = incPats.map(p => fs.getPathMatcher("glob:" + p))
+      val exc = spec.exclude.map(p => fs.getPathMatcher("glob:" + p))
+      val walk = Files.walk(d)
+      try {
+        walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p))
+          .map(p => (p, d.relativize(p)))
+          .filter { case (_, rel) =>
+            inc.exists(_.matches(rel)) && !exc.exists(_.matches(rel)) }
+          .map { case (p, _) => p.toString -> lastNewlineOffset(p) }
+          .toMap
+      } finally walk.close()
+    }
+
   /** Byte position just after the last '\n' in the file (0 if none). */
   private def lastNewlineOffset(p: Path): Long = {
     val raf = new RandomAccessFile(p.toFile, "r")
@@ -101,28 +156,34 @@ object TailSource {
   }
 }
 
-class TailTable(path: String, glob: String, offsetsOp: String)
+class TailTable(spec: TailSource.TailSpec, offsetsOp: String)
     extends Table with SupportsRead {
-  override def name(): String = s"graft-tail:$path/$glob"
+  def this(path: String, glob: String, offsetsOp: String) =
+    this(TailSource.TailSpec(path, glob), offsetsOp)
+  override def name(): String = s"graft-tail:${spec.dir}/${spec.glob}"
   override def schema(): StructType = TailSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new TailScan(path, glob, offsetsOp)
+    () => new TailScan(spec, offsetsOp)
 }
 
-class TailScan(path: String, glob: String, offsetsOp: String) extends Scan {
+class TailScan(spec: TailSource.TailSpec, offsetsOp: String) extends Scan {
   override def readSchema(): StructType = TailSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TailMicroBatchStream(path, glob, offsetsOp)
+    new TailMicroBatchStream(spec, offsetsOp)
 }
 
 case class TailOffset(offsets: Map[String, Long]) extends Offset {
   override def json(): String = TailSource.serialize(offsets)
 }
 
-class TailMicroBatchStream(dir: String, glob: String,
-                           offsetsOp: String = "reset") extends MicroBatchStream {
+class TailMicroBatchStream(spec: TailSource.TailSpec,
+                           offsetsOp: String) extends MicroBatchStream {
+
+  def this(dir: String, glob: String, offsetsOp: String) =
+    this(TailSource.TailSpec(dir, glob), offsetsOp)
+  def this(dir: String, glob: String) = this(dir, glob, "reset")
 
   /** Start position when no checkpoint exists (file.go `offsets_op`):
     * `reset` reads every file from 0; `tail` starts at the current file
@@ -131,11 +192,11 @@ class TailMicroBatchStream(dir: String, glob: String,
     * never consulted, which is exactly the reference's offset-file
     * semantics. */
   override def initialOffset(): Offset = offsetsOp match {
-    case "tail" => TailOffset(TailSource.scanDir(dir, glob))
+    case "tail" => TailOffset(TailSource.scan(spec))
     case _      => TailOffset(Map.empty)
   }
 
-  override def latestOffset(): Offset = TailOffset(TailSource.scanDir(dir, glob))
+  override def latestOffset(): Offset = TailOffset(TailSource.scan(spec))
 
   override def deserializeOffset(json: String): Offset =
     TailOffset(TailSource.deserialize(json))

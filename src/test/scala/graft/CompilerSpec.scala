@@ -1988,6 +1988,76 @@ class CompilerSpec extends AnyFunSuite {
     assert(rep(3)._4 < 0 && rep(3)._5 < 0)
   }
 
+  test("http input compiles: live listener with auth, posted events flow through the chain") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val dir = java.nio.file.Files.createTempDirectory("http_yaml")
+    val compiled = PipelineCompiler.compile(spark,
+      s"""input:
+         |  type: http
+         |  address: ":0"
+         |  spool_dir: "$dir/spool"
+         |  auth: {strategy: bearer, secrets: {svc: tok123}}
+         |decoder: {type: json, schema: "k STRING"}
+         |output: {type: memory, name: http_yaml_out}
+         |""".stripMargin)
+    val (listener, port) = PipelineCompiler.lastHttpInput
+    val q = compiled.startStream()
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(auth: Option[String]): Int = {
+        val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"k": "v1"}""" + "\n"))
+        auth.foreach(a => b.header("Authorization", a))
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+      assert(post(None) == 401, "unauthenticated request must be rejected")
+      assert(post(Some("Bearer tok123")) == 200)
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("http_yaml_out").count() < 1 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val got = spark.table("http_yaml_out").collect().map(_.getString(0))
+      assert(got.length == 1 && got.head.contains("\"k\":\"v1\""), got.toSeq)
+    } finally { q.stop(); listener.stop() }
+  }
+
+  test("journalctl input compiles: stand-in binary, cursor offsets, spool-tail stream") {
+    import java.nio.file.{Files, Path}
+    import java.nio.file.attribute.PosixFilePermissions
+    val dir = Files.createTempDirectory("journal_yaml")
+    val script: Path = dir.resolve("journalctl")
+    Files.write(script,
+      """#!/bin/bash
+        |for i in $(seq 0 4); do
+        |  echo "{\"__CURSOR\":\"c$i\",\"MESSAGE\":\"m$i\"}"
+        |done
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.setPosixFilePermissions(script,
+      PosixFilePermissions.fromString("rwxr-xr-x"))
+    val q = PipelineCompiler.compile(spark,
+      s"""input:
+         |  type: journalctl
+         |  offsets_file: "$dir/offsets.yaml"
+         |  spool_dir: "$dir/spool"
+         |  cmd: ["$script"]
+         |  journal_args: []
+         |decoder: {type: json, schema: "__CURSOR STRING, MESSAGE STRING"}
+         |output: {type: memory, name: journal_yaml_out}
+         |""".stripMargin).startStream()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("journal_yaml_out").count() < 5 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val got = spark.table("journal_yaml_out").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(got.length == 5 && got.head.contains("\"m0\""), got.toString)
+      // the reference's cursor file landed beside the spool
+      val off = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/offsets.yaml")), "UTF-8")
+      assert(off == "cursor: c4\n", off)
+    } finally q.stop()
+  }
+
   test("clickhouse/postgres/elasticsearch/gelf sinks honor reference config spellings") {
     // clickhouse: structured `columns` + strict_types=false through the
     // FULL type matrix; the payload row is the post-conversion values

@@ -124,4 +124,39 @@ class TailSourceSpec extends AnyFunSuite {
     assert(end.offsets(dir.resolve("empty.log").toString) == 0L)
     assert(end.offsets(dir.resolve("partial.log").toString) == 0L)
   }
+
+  test("recursive include/exclude discovery (the reference's paths doublestar lists)") {
+    val dir = Files.createTempDirectory("tail_tree")
+    Files.createDirectories(dir.resolve("pods/app-1"))
+    Files.createDirectories(dir.resolve("pods/noise-2"))
+    Files.createDirectories(dir.resolve("other"))
+    write(dir.resolve("pods/app-1/c.log"), "a1\n")
+    write(dir.resolve("pods/noise-2/c.log"), "n1\n")
+    write(dir.resolve("other/x.log"), "o1\n")
+    write(dir.resolve("top.log"), "t1\n")
+
+    // include pods/** logs, exclude the noisy pod — patterns are
+    // relative-to-dir doublestar globs like the reference's
+    // watching_dir-rooted include/exclude
+    val spec = TailSource.TailSpec(dir.toString, "*.log",
+      include = Seq("pods/**/*.log"), exclude = Seq("pods/noise-*/**"))
+    val stream = new graft.sources.tail.TailMicroBatchStream(spec, "reset")
+    val (rows, end) = epoch(stream, TailOffset(Map.empty))
+    assert(rows.map(r => (r._1, r._2)).toSet == Set(("a1", "c.log")),
+      rows.toString)
+    assert(end.offsets.keySet.forall(_.contains("app-1")), end.offsets.keys)
+
+    // the flat legacy spec still sees only the top-level file
+    val flat = new graft.sources.tail.TailMicroBatchStream(dir.toString, "*.log")
+    val (flatRows, _) = epoch(flat, TailOffset(Map.empty))
+    assert(flatRows.map(_._1) == Seq("t1"), flatRows.toString)
+
+    // dir_pattern "*" via the provider compiles to the recursive
+    // include ** / filename_pattern — every .log in the tree
+    val all = TailSource.scan(TailSource.TailSpec(dir.toString, "*.log",
+      include = Seq("**/*.log")))
+    assert(all.keySet.map(p => java.nio.file.Paths.get(p).getFileName.toString) ==
+      Set("c.log", "x.log", "top.log"))
+    assert(all.size == 4, all.keys.toString) // both pod c.logs counted
+  }
 }
