@@ -600,12 +600,60 @@ object PipelineCompiler {
       "gomaxprocs" -> Runtime.getRuntime.availableProcessors())
 
     val src0 = buildInput(spark, input, exprValues)
-    val src = if (useSpread) src0.repartition() else src0
+    val src1 = if (useSpread) src0.repartition() else src0
 
-    // decode: value → doc struct
-    val decoded = Option(root.get("decoder")) match {
+    // settings.max_event_size / cut_off_event_by_limit[_field]
+    // (pipeline.go:552-579 checkInputBytes): an over-limit raw event is
+    // DISCARDED, or truncated to the limit when cut_off is set —
+    // byte-wise like the reference (substr on binary), with the
+    // optional post-decode marker field. Applied to the raw value
+    // BEFORE decode, the reference's intake order.
+    val maxEventSize = settings.flatMap(s => Option(s.get("max_event_size")))
+      .map(_.asInt()).getOrElse(0)
+    val cutOffByLimit = settings.exists(s =>
+      Option(s.get("cut_off_event_by_limit")).exists(_.asBoolean()))
+    val cutOffField = settings
+      .flatMap(s => Option(s.get("cut_off_event_by_limit_field")))
+      .map(_.asText()).filter(_.nonEmpty)
+    val src =
+      if (maxEventSize <= 0) src1
+      else if (cutOffByLimit)
+        src1.withColumn("_cut_off",
+            octet_length(col("value")) > maxEventSize)
+          .withColumn("value", when(col("_cut_off"),
+            substring(col("value").cast("binary"), 1, maxEventSize)
+              .cast("string")).otherwise(col("value")))
+      else src1.filter(octet_length(col("value")) <= maxEventSize)
+
+    // decode: value → doc struct. The reference spells the decoder
+    // under settings (`settings: {decoder: json, decoder_params: {…}}`,
+    // fd/util.go:65-70) — accepted alongside the top-level `decoder:`
+    // node, which wins when both are present.
+    val decoderNode: Option[JsonNode] = Option(root.get("decoder"))
+      .orElse(settings.flatMap(s => Option(s.get("decoder"))).map { d =>
+        val node = yaml.createObjectNode()
+        node.put("type", d.asText())
+        settings.flatMap(s => Option(s.get("decoder_params"))).foreach { ps =>
+          ps.properties().asScala.foreach(e =>
+            node.set[JsonNode](e.getKey, e.getValue))
+        }
+        (node: JsonNode)
+      })
+    val decoded0 = decoderNode match {
       case Some(d) => src.withColumn("doc", buildDecoder(d, col("value"), isStrict))
       case None    => src.withColumn("doc", Decoders.raw(col("value")))
+    }
+    val decoded = cutOffField match {
+      case Some(f) if src.columns.contains("_cut_off") =>
+        // marker only on cut events (pipeline.go:541-543); a NULL field
+        // drops from the serialized doc, so uncut events stay unmarked
+        decoded0.withColumn("doc",
+            col("doc").withField(f,
+              when(col("_cut_off"), lit(true))))
+          .drop("_cut_off")
+      case _ =>
+        if (src.columns.contains("_cut_off")) decoded0.drop("_cut_off")
+        else decoded0
     }
 
     val actions0 = settingsAntispam.toSeq ++

@@ -1988,6 +1988,45 @@ class CompilerSpec extends AnyFunSuite {
     assert(rep(3)._4 < 0 && rep(3)._5 < 0)
   }
 
+  test("settings: max_event_size discard/cut_off and settings-level decoder") {
+    // discard mode: the over-limit raw event vanishes at intake
+    val big = "x" * 50
+    val dropped = PipelineCompiler.compile(spark,
+      s"""input: {type: fake, lines: ['{"m": "ok"}', '{"m": "$big"}']}
+         |settings: {max_event_size: 40}
+         |decoder: {type: json, schema: "m STRING"}
+         |output: {type: memory}
+         |""".stripMargin).result().collect()
+    assert(dropped.length == 1)
+
+    // cut_off mode: truncated to the byte limit + the marker field
+    import org.apache.spark.sql.functions.{col, to_json}
+    val cut = PipelineCompiler.compile(spark,
+      s"""input: {type: fake, lines: ['abcdefghij', 'ab']}
+         |settings:
+         |  max_event_size: 5
+         |  cut_off_event_by_limit: true
+         |  cut_off_event_by_limit_field: was_cut
+         |output: {type: memory}
+         |""".stripMargin).result()
+      .select(to_json(col("doc"))).collect().map(_.getString(0)).sorted.toSeq
+    assert(cut.exists(s => s.contains("\"message\":\"abcde\"") &&
+      s.contains("\"was_cut\":true")), cut.toString)
+    assert(cut.exists(s => s.contains("\"message\":\"ab\"") &&
+      !s.contains("was_cut")), cut.toString)
+
+    // settings-level decoder spelling (fd/util.go:65-70)
+    val viaSettings = PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: ['{"k": "v"}']}
+        |settings:
+        |  decoder: json
+        |  decoder_params: {schema: "k STRING"}
+        |output: {type: memory}
+        |""".stripMargin).result()
+      .select(col("doc.k")).collect().map(_.getString(0)).toSeq
+    assert(viaSettings == Seq("v"))
+  }
+
   test("http input compiles: live listener with auth, posted events flow through the chain") {
     import java.net.URI
     import java.net.http.{HttpClient, HttpRequest, HttpResponse}
