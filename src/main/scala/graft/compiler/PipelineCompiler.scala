@@ -1031,13 +1031,52 @@ object PipelineCompiler {
       case "cri"            => Decoders.cri(value)
       case "kmsg"           => Decoders.kmsg(value)
       case "postgres"       => Decoders.postgres(value)
-      case "nginx_error"    => Decoders.nginxError(value)
-      case "syslog_rfc3164" => Decoders.syslog3164(value)
-      case "syslog_rfc5424" => Decoders.syslog5424(value)
+      case "nginx_error" =>
+        // nginx_with_custom_fields (decoder/nginx.go:13): the message
+        // tail's `k: v, k: v` pairs ride as a map field
+        val base = Decoders.nginxError(value)
+        if (Option(n.get("nginx_with_custom_fields")).exists(_.asBoolean()))
+          base.withField("custom_fields",
+            Decoders.nginxCustomFields(base.getField("message")))
+        else base
+      case "syslog_rfc3164" =>
+        Decoders.syslog3164(value,
+          facilityFormat = Option(n.get("syslog_facility_format"))
+            .map(_.asText()).getOrElse("number"),
+          severityFormat = Option(n.get("syslog_severity_format"))
+            .map(_.asText()).getOrElse("number"))
+      case "syslog_rfc5424" =>
+        Decoders.syslog5424(value,
+          facilityFormat = Option(n.get("syslog_facility_format"))
+            .map(_.asText()).getOrElse("number"),
+          severityFormat = Option(n.get("syslog_severity_format"))
+            .map(_.asText()).getOrElse("number"))
       case "csv" =>
-        val schema = DataType.fromDDL(n.get("schema").asText()).asInstanceOf[StructType]
+        // reference spelling (decoder/csv.go): `columns` name list (all
+        // string-typed) alongside the graft `schema` DDL; the unnamed
+        // prefix_N mode needs a static arity Spark can't infer — ask
+        // for columns/schema. invalid_line_mode: fatal ≙ FAILFAST;
+        // continue/default ≙ PERMISSIVE (a column-level decoder can't
+        // drop rows; the malformed line decodes to nulls)
+        val schema = (Option(n.get("schema")), Option(n.get("columns"))) match {
+          case (Some(s), _) =>
+            DataType.fromDDL(s.asText()).asInstanceOf[StructType]
+          case (None, Some(cs)) =>
+            StructType(cs.elements().asScala.toSeq.map(c =>
+              org.apache.spark.sql.types.StructField(c.asText(),
+                org.apache.spark.sql.types.StringType)))
+          case _ => throw new IllegalArgumentException(
+            "csv decoder: needs `schema` (DDL) or `columns` (name list) — " +
+              "the reference's empty-columns prefix_N mode has no static " +
+              "arity for Spark's typed struct")
+        }
+        val csvMode = Option(n.get("invalid_line_mode")).map(_.asText()) match {
+          case Some("fatal") => "FAILFAST"
+          case _             => "PERMISSIVE"
+        }
         Decoders.csv(value, schema,
-          Option(n.get("delimiter")).map(_.asText()).getOrElse(","))
+          Option(n.get("delimiter")).map(_.asText()).getOrElse(","),
+          mode = csvMode)
       case "protobuf" =>
         // The reference's config surface (decoder/readme.md):
         // proto_file (path or inline source) + proto_message +

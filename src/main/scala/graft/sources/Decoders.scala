@@ -104,14 +104,43 @@ object Decoders {
   private val syslog3164Re =
     "^<(\\d{1,3})>([A-Z][a-z]{2} [ \\d]\\d \\d{2}:\\d{2}:\\d{2}) (\\S+) ([^:\\[ ]+)(\\[(\\d+)\\])?:? (.*)$"
 
+  /** syslog_facility_format / syslog_severity_format (decoder/
+    * syslog.go:95-191): `string` renders the RFC name instead of the
+    * number. `number` keeps the int columns (the default and the
+    * oracle-pinned shape). */
+  private val syslogFacilityNames = Seq(
+    "KERN", "USER", "MAIL", "DAEMON", "AUTH", "SYSLOG", "LPR", "NEWS",
+    "UUCP", "CRON", "AUTHPRIV", "FTP", "NTP", "SECURITY", "CONSOLE",
+    "SOLARISCRON", "LOCAL0", "LOCAL1", "LOCAL2", "LOCAL3", "LOCAL4",
+    "LOCAL5", "LOCAL6", "LOCAL7")
+  private val syslogSeverityNames = Seq(
+    "EMERG", "ALERT", "CRIT", "ERR", "WARNING", "NOTICE", "INFO", "DEBUG")
+
+  private def syslogNamed(v: Column, names: Seq[String]): Column =
+    coalesce(element_at(array(names.map(lit): _*), v.cast("int") + 1),
+      lit("UNKNOWN"))
+
+  private def facilityCol(pri: Column, format: String): Column = {
+    val f = floor(pri / 8).cast("int")
+    if (format == "string") syslogNamed(f, syslogFacilityNames).as("facility")
+    else f.as("facility")
+  }
+
+  private def severityCol(pri: Column, format: String): Column = {
+    val s = (pri % 8).cast("int")
+    if (format == "string") syslogNamed(s, syslogSeverityNames).as("severity")
+    else s.as("severity")
+  }
+
   /** RFC-3164 syslog decoder (decoder/syslog.go): priority = facility*8 +
     * severity (syslog.go:24-25). */
-  def syslog3164(line: Column): Column = {
+  def syslog3164(line: Column, facilityFormat: String = "number",
+                 severityFormat: String = "number"): Column = {
     val pri = regexp_extract(line, syslog3164Re, 1).try_cast("int")
     struct(
       pri.as("priority"),
-      floor(pri / 8).cast("int").as("facility"),
-      (pri % 8).cast("int").as("severity"),
+      facilityCol(pri, facilityFormat),
+      severityCol(pri, severityFormat),
       regexp_extract(line, syslog3164Re, 2).as("timestamp"),
       regexp_extract(line, syslog3164Re, 3).as("hostname"),
       regexp_extract(line, syslog3164Re, 4).as("app_name"),
@@ -125,12 +154,13 @@ object Decoders {
   /** RFC-5424 syslog decoder (decoder/syslog_rfc5424.go). The
     * structured-data block is kept raw in `sd`; params of the first
     * SD-element are additionally exposed as a map via sdParams. */
-  def syslog5424(line: Column): Column = {
+  def syslog5424(line: Column, facilityFormat: String = "number",
+                 severityFormat: String = "number"): Column = {
     val pri = regexp_extract(line, syslog5424Re, 1).try_cast("int")
     struct(
       pri.as("priority"),
-      floor(pri / 8).cast("int").as("facility"),
-      (pri % 8).cast("int").as("severity"),
+      facilityCol(pri, facilityFormat),
+      severityCol(pri, severityFormat),
       regexp_extract(line, syslog5424Re, 2).as("version"),
       regexp_extract(line, syslog5424Re, 3).as("timestamp"),
       regexp_extract(line, syslog5424Re, 4).as("hostname"),

@@ -1988,6 +1988,53 @@ class CompilerSpec extends AnyFunSuite {
     assert(rep(3)._4 < 0 && rep(3)._5 < 0)
   }
 
+  test("decoder params: syslog name formats, nginx custom fields, csv columns/invalid_line_mode") {
+    // syslog string facility/severity names (decoder/syslog.go:95-191)
+    val sys = PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: ['<34>Oct 11 22:14:15 host app[1]: hi']}
+        |decoder:
+        |  type: syslog_rfc3164
+        |  syslog_facility_format: string
+        |  syslog_severity_format: string
+        |output: {type: memory}
+        |""".stripMargin).result()
+      .selectExpr("doc.facility", "doc.severity", "doc.message").collect().head
+    assert(sys.getString(0) == "AUTH" && sys.getString(1) == "CRIT" &&
+      sys.getString(2) == "hi", sys.toString)
+
+    // nginx_with_custom_fields: the message tail's k: v pairs as a map
+    val ng = PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: ['2024/01/01 12:00:00 [error] 1#1: *5 open() failed, client: 1.2.3.4, server: example.com']}
+        |decoder: {type: nginx_error, nginx_with_custom_fields: true}
+        |output: {type: memory}
+        |""".stripMargin).result()
+      .selectExpr("doc.custom_fields['client']", "doc.custom_fields['server']")
+      .collect().head
+    assert(ng.getString(0) == "1.2.3.4" && ng.getString(1) == "example.com",
+      ng.toString)
+
+    // csv `columns` name list (all strings) — the reference's spelling
+    val csv = PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: ['1;1.2.3.4;svc']}
+        |decoder:
+        |  type: csv
+        |  columns: [ts, ip, service]
+        |  delimiter: ";"
+        |output: {type: memory}
+        |""".stripMargin).result()
+      .selectExpr("doc.ts", "doc.ip", "doc.service").collect().head
+    assert(csv.getString(0) == "1" && csv.getString(1) == "1.2.3.4" &&
+      csv.getString(2) == "svc", csv.toString)
+    // prefix_N mode without a static arity is rejected for cause
+    val e = intercept[IllegalArgumentException](
+      PipelineCompiler.compile(spark,
+        """input: {type: fake, lines: ['a,b']}
+          |decoder: {type: csv, prefix: csv_}
+          |output: {type: memory}
+          |""".stripMargin).result().collect())
+    assert(e.getMessage.contains("static"), e.getMessage)
+  }
+
   test("settings: max_event_size discard/cut_off and settings-level decoder") {
     // discard mode: the over-limit raw event vanishes at intake
     val big = "x" * 50
