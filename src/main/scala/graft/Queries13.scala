@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Decoders
+
+/** Query batch 13 (round 12): oracle rows for the round-12
+  * config-surface parity work. The decoder-params sweep (COVERAGE.md
+  * round-12 rows) landed spec-verified; the rows here put the
+  * SQL-expressible parts under the DuckDB hash gate as well —
+  * specifically the syslog facility/severity STRING rendering
+  * (decoder/syslog.go:95-183), including the UNKNOWN fallback for
+  * priorities above the RFC table (the regex admits up to `<999>`,
+  * facility up to 124), which is exactly the path ANSI `element_at`
+  * would have crashed on (the round-12 `get()` fix).
+  */
+object Queries13 {
+
+  type Q = Queries.Q
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // The DuckDB twin of the reference's name tables (syslog.go:111-183).
+  private val facSql =
+    "['KERN','USER','MAIL','DAEMON','AUTH','SYSLOG','LPR','NEWS','UUCP'," +
+      "'CRON','AUTHPRIV','FTP','NTP','SECURITY','CONSOLE','SOLARISCRON'," +
+      "'LOCAL0','LOCAL1','LOCAL2','LOCAL3','LOCAL4','LOCAL5','LOCAL6','LOCAL7']"
+  private val sevSql =
+    "['EMERG','ALERT','CRIT','ERROR','WARN','NOTICE','INFO','DEBUG']"
+
+  // --------------------- syslog string facility/severity names (r12)
+
+  /** Both syslog decoders with `syslog_facility_format: string` /
+    * `syslog_severity_format: string`. Priorities sweep facilities
+    * 0..29 — 24..29 are above the RFC table and must render as the
+    * reference's UNKNOWN (syslog.go:159-161), not throw (the ANSI
+    * `element_at` trap). Severities cover the full 0..7 name row. */
+  val q166_syslog_named: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val pri: Column = (col("user_id") % 30) * 8 + col("event_id") % 8
+    val line3164 = concat(lit("<"), pri.cast("string"),
+      lit(">Oct 11 22:14:15 host-"), col("user_id").cast("string"),
+      lit(" app["), col("event_id").cast("string"), lit("]: "),
+      col("event_type"))
+    val line5424 = concat(lit("<"), pri.cast("string"),
+      lit(">1 2003-10-11T22:14:15.003Z host-"), col("user_id").cast("string"),
+      lit(" app "), col("event_id").cast("string"),
+      lit(" ID7 [ex@32473 iut=\"3\"] msg "), col("event_type"))
+    val d3 = Decoders.syslog3164(line3164,
+      facilityFormat = "string", severityFormat = "string")
+    val d5 = Decoders.syslog5424(line5424,
+      facilityFormat = "string", severityFormat = "string")
+    ev.select(
+      col("event_id"),
+      d3.getField("priority").as("s_priority"),
+      d3.getField("facility").as("fac3164"),
+      d3.getField("severity").as("sev3164"),
+      d3.getField("message").as("msg3164"),
+      d5.getField("facility").as("fac5424"),
+      d5.getField("severity").as("sev5424"),
+      d5.getField("message").as("msg5424"))
+  }
+
+  val q166_sql: String =
+    s"""WITH pri AS (
+       |  SELECT event_id, event_type,
+       |    CAST((user_id % 30) * 8 + event_id % 8 AS INT) AS p
+       |  FROM events)
+       |SELECT event_id,
+       |  p AS s_priority,
+       |  coalesce(list_extract($facSql, p // 8 + 1), 'UNKNOWN') AS fac3164,
+       |  list_extract($sevSql, p % 8 + 1) AS sev3164,
+       |  event_type AS msg3164,
+       |  coalesce(list_extract($facSql, p // 8 + 1), 'UNKNOWN') AS fac5424,
+       |  list_extract($sevSql, p % 8 + 1) AS sev5424,
+       |  'msg ' || event_type AS msg5424
+       |FROM pri""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q166_syslog_named" -> q166_syslog_named
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q166_syslog_named" -> q166_sql
+  )
+}

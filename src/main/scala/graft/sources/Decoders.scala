@@ -114,11 +114,16 @@ object Decoders {
     "SOLARISCRON", "LOCAL0", "LOCAL1", "LOCAL2", "LOCAL3", "LOCAL4",
     "LOCAL5", "LOCAL6", "LOCAL7")
   private val syslogSeverityNames = Seq(
-    "EMERG", "ALERT", "CRIT", "ERR", "WARNING", "NOTICE", "INFO", "DEBUG")
+    // the reference's spellings (syslog.go:165-183): ERROR/WARN, not
+    // the RFC-3164 abbreviations ERR/WARNING
+    "EMERG", "ALERT", "CRIT", "ERROR", "WARN", "NOTICE", "INFO", "DEBUG")
 
   private def syslogNamed(v: Column, names: Seq[String]): Column =
-    coalesce(element_at(array(names.map(lit): _*), v.cast("int") + 1),
-      lit("UNKNOWN"))
+    // 0-based get(), NOT element_at: under ANSI (the Spark 4 default)
+    // element_at throws on out-of-range, so a priority above the RFC
+    // table (regex admits up to <999>) would crash instead of taking
+    // the reference's UNKNOWN fallback. get() is NULL-on-miss always.
+    coalesce(get(array(names.map(lit): _*), v.cast("int")), lit("UNKNOWN"))
 
   private def facilityCol(pri: Column, format: String): Column = {
     val f = floor(pri / 8).cast("int")
