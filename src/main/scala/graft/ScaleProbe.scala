@@ -89,6 +89,26 @@ object ScaleProbe {
       if (scale == "base") Tables(spark, base, "embeddings")
       else spark.read.parquet(emb1Path)
 
+    // 10× embeddings with DISTINCT directions for the semdedup cell:
+    // deterministic elementwise sign flips keyed on (rep, pos).
+    // Replicating VALUES verbatim (emb1Path) would make every replica
+    // cosine-1 to its original — 100× within-cluster pairs at 10× data
+    // by construction, measuring the replication artifact rather than
+    // the plan. Sign-flipped variants are distinct directions, so this
+    // corpus is honestly 10× larger in embedding space and the probe
+    // measures how the against-plan's three legs scale.
+    val embDistinctPath = s"$sf1Dir/embeddings_distinct.parquet"
+    if (!new java.io.File(embDistinctPath, "_SUCCESS").exists()) {
+      Tables(spark, base, "embeddings")
+        .crossJoin(spark.range(10).select(col("id").as("_rep")))
+        .select((col("vec_id") * 10 + col("_rep")).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(pmod(xxhash64(col("_rep"), i), lit(2)) === 0, x)
+              .otherwise(-x)).as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(embDistinctPath)
+    }
+
     def curationYaml(dir: String, table: String): String =
       s"""curation:
          |  input: {dir: "$dir", table: $table}
@@ -173,6 +193,33 @@ object ScaleProbe {
         measure(spark)(graft.ml.Dedup.winnowDedupAgainst(
           d.filter(col("doc_id") % 10 =!= 0), idx, "doc_id", "text",
           8, 5, 70L, 100L).count())
+      },
+      // round-12: incremental SemDeDup (q146's shape — the production
+      // 100-TB regime: a FIXED persisted index, a growing crawl batch).
+      // Index = centroids (k=32, one Lloyd pass) + member table from the
+      // BASE old slice, built OUTSIDE the measurement; the batch is the
+      // remaining 3/4 at base and the distinct-direction 10× corpus.
+      // Claim under test: all three batch legs scale ~linearly — the
+      // assignment is O(N_batch·k) with k fixed, the member-probe join
+      // is within-cluster against a FIXED member table, the within-batch
+      // pairwise leg is within-cluster with the avg/skew guards armed
+      // (maxAvgClusterSize stays at the default: the guards must PASS at
+      // x10 on an honestly-distinct corpus, not be widened for the probe)
+      "semdedup_against" -> { scale: String =>
+        val baseEmb = Tables(spark, base, "embeddings")
+        val old = baseEmb.filter(col("vec_id") % 4 === 0)
+        val cents = graft.ml.Ann.kmeansQuantized(old, "vec_id", "embedding",
+          k = 32, iters = 1)
+        val members = graft.ml.Dedup.semdedupIndex(old, "vec_id", "embedding",
+          cents).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        members.count() // build the index outside the measured window
+        val batch = (if (scale == "base") baseEmb
+                     else spark.read.parquet(embDistinctPath))
+          .filter(col("vec_id") % 4 =!= 0)
+        val m = measure(spark)(graft.ml.Dedup.semDedupAgainst(batch, cents,
+          members, "vec_id", "embedding", tau = 0.40).count())
+        members.unpersist(blocking = false)
+        m
       },
       "curation_chain_q134" -> { scale: String =>
         val (dir, table) =
