@@ -77,11 +77,52 @@ object Queries13 {
        |  'msg ' || event_type AS msg5424
        |FROM pri""".stripMargin
 
+  // ------------------- configured normalizer (hash normalizer, r12)
+
+  /** The hash action's configured normalizer (hash.go:346-353): a
+    * builtin subset (square_bracketed runs in the BYTES phase —
+    * depth-counting scanner, not a regex — plus ip and duration) and a
+    * custom `first`-priority pattern. The oracle replays the same table
+    * as chained regexp_replace in engine order (bytes → custom-first →
+    * builtins), valid because the fixture's token spans are disjoint
+    * and each is matched by exactly one pattern. */
+  val q167_normalizer_config: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val msg = concat(lit("req [GET /api/"), col("user_id").cast("string"),
+      lit("] from 10.0."), (col("user_id") % 200).cast("string"), lit("."),
+      (col("event_id") % 200).cast("string"), lit(" took "),
+      (col("event_id") % 1000).cast("string"), lit("ms rc="),
+      (col("user_id") % 97).cast("string"))
+    val normalized = graft.functions.NormalizeTokens(msg,
+      "square_bracketed|ip|duration",
+      Seq(graft.functions.NormalizePattern("<rc>", "rc=\\d+", "first")))
+    ev.select(col("event_id"), normalized.as("normalized"))
+  }
+
+  val q167_sql: String =
+    """SELECT event_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          'req [GET /api/' || CAST(user_id AS VARCHAR) ||
+      |          '] from 10.0.' || CAST(user_id % 200 AS VARCHAR) || '.' ||
+      |          CAST(event_id % 200 AS VARCHAR) || ' took ' ||
+      |          CAST(event_id % 1000 AS VARCHAR) || 'ms rc=' ||
+      |          CAST(user_id % 97 AS VARCHAR),
+      |          '\[[^\]]*\]', '<square_bracketed>', 'g'),
+      |        'rc=\d+', '<rc>', 'g'),
+      |      '(\d{1,3}\.){3}\d{1,3}', '<ip>', 'g'),
+      |    '\d+ms', '<duration>', 'g') AS normalized
+      |FROM events""".stripMargin
+
   val all: Map[String, Q] = Map(
-    "q166_syslog_named" -> q166_syslog_named
+    "q166_syslog_named" -> q166_syslog_named,
+    "q167_normalizer_config" -> q167_normalizer_config
   )
 
   val oracles: Map[String, String] = Map(
-    "q166_syslog_named" -> q166_sql
+    "q166_syslog_named" -> q166_sql,
+    "q167_normalizer_config" -> q167_sql
   )
 }

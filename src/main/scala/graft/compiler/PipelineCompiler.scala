@@ -69,10 +69,32 @@ object PipelineCompiler {
       // begins with "http" (httpserver1:9000) must not be misrouted to
       // the HTTP transport; host:port splits on the LAST colon so
       // bracketed IPv6 literals ([::1]:9000) keep their address intact.
+      // output `auth` (loki.go:86-98 AuthConfig; splunk/ES carry the
+      // same strategies): disabled | tenant (X-Scope-OrgID) | basic |
+      // bearer — rendered as request headers on the HTTP transport
+      val authHeaders: Map[String, String] =
+        outputConf.get("auth").map { s =>
+          val n = PipelineCompiler.yaml.readTree(s)
+          Option(n.get("strategy")).map(_.asText()).getOrElse("disabled") match {
+            case "disabled" => Map.empty[String, String]
+            case "tenant" =>
+              Map("X-Scope-OrgID" -> n.get("tenant_id").asText())
+            case "basic" =>
+              val cred = n.get("username").asText() + ":" +
+                n.get("password").asText()
+              Map("Authorization" -> ("Basic " + java.util.Base64.getEncoder
+                .encodeToString(cred.getBytes("UTF-8"))))
+            case "bearer" =>
+              Map("Authorization" -> ("Bearer " + n.get("bearer_token").asText()))
+            case other => throw new IllegalArgumentException(
+              s"output auth: unknown strategy `$other` " +
+                "(disabled|tenant|basic|bearer)")
+          }
+        }.getOrElse(Map.empty)
       val transport = outputConf.get("endpoint") match {
         case Some(url) if url.startsWith("http://") || url.startsWith("https://") =>
           graft.sinks.Sinks.httpTransport(url,
-            outputConf.get("use_gzip").exists(_.toBoolean))
+            outputConf.get("use_gzip").exists(_.toBoolean), authHeaders)
         case Some(hostPort) if hostPort.contains(":") =>
           val cut = hostPort.lastIndexOf(':')
           val h0 = hostPort.substring(0, cut)
@@ -236,17 +258,21 @@ object PipelineCompiler {
             case "elasticsearch" =>
               // index_format/index_values (elasticsearch.go:109-124) win
               // over the graft index_prefix shorthand when configured
+              // batch_op_type (elasticsearch.go:163,241): index|create
+              val esOp = outputConf.getOrElse("batch_op_type", "index")
               (outputConf.get("index_format"), outputConf.get("index_values")) match {
                 case (None, None) =>
                   Sinks.esBulkLines(doc,
-                    outputConf.getOrElse("index_prefix", "file-d-"), timeCol)
+                    outputConf.getOrElse("index_prefix", "file-d-"), timeCol,
+                    opType = esOp)
                 case (fmt, vals) =>
                   Sinks.esBulkLinesFormatted(doc,
                     fmt.getOrElse("file-d-%"),
                     vals.map(_.split(",").map(_.trim).toSeq)
                       .getOrElse(Seq("@time")),
                     timeCol,
-                    outputConf.getOrElse("index_time_format", "yyyy-MM-dd"))
+                    outputConf.getOrElse("index_time_format", "yyyy-MM-dd"),
+                    opType = esOp)
               }
             case "gelf" =>
               // reference spellings (gelf.go): short_message_field /
@@ -269,7 +295,33 @@ object PipelineCompiler {
                   .getOrElse(lit(6)),
                 fullMessage = outputConf.get("full_message_field")
                   .map(f => doc.getField(f).cast("string")))
-            case "splunk" => Sinks.splunkEvent(doc, timeCol)
+            case "splunk" =>
+              // copy_fields (splunk.go:204,240-253): copies from the
+              // original event into the output json; to=root or
+              // to=event[.…] are rejected (reference logs + skips),
+              // Dig-miss froms are skipped, from="" copies the whole
+              // event
+              val docNames = df.schema("doc").dataType match {
+                case s: org.apache.spark.sql.types.StructType =>
+                  s.fieldNames.toSet
+                case _ => Set.empty[String]
+              }
+              val copies = outputConf.get("copy_fields").toSeq.flatMap { s =>
+                PipelineCompiler.yaml.readTree(s).elements().asScala.map(c =>
+                  (Option(c.get("from")).map(_.asText()).getOrElse(""),
+                    Option(c.get("to")).map(_.asText()).getOrElse(""))).toSeq
+              }.filter { case (_, to) =>
+                to.nonEmpty && to != "event" && !to.startsWith("event.")
+              }.flatMap { case (from, to) =>
+                if (from.isEmpty) Some(to -> doc)
+                else {
+                  val parts = from.split('.').toSeq
+                  if (docNames.contains(parts.head))
+                    Some(to -> parts.foldLeft(doc)(_ getField _))
+                  else None
+                }
+              }
+              Sinks.splunkEvent(doc, timeCol, copies)
             case "loki"   => Sinks.lokiEntry(timeCol, to_json(doc)).cast("string")
             case _        => to_json(doc)
           }
@@ -704,6 +756,10 @@ object PipelineCompiler {
                 yaml.writeValueAsString(e.getValue).trim
               else elems.map(_.asText()).mkString(",")
             }
+            // object-valued fields (loki `auth`) keep their serialized
+            // form too, for the sink to parse back
+            else if (e.getValue.isObject)
+              yaml.writeValueAsString(e.getValue).trim
             // cfg.Expression knobs resolve at compile time like the
             // reference's config parse (`batch_size: capacity/4`)
             else if (exprFields(e.getKey))
@@ -1473,10 +1529,48 @@ object PipelineCompiler {
         val masked = fields.filterNot(ignore).foldLeft(doc)(applyMasks)
         guarded(masked)
       case "hash" =>
-        guarded(Actions.hashAction(doc, paths("fields"),
+        // fields entries are either bare selectors (graft shorthand) or
+        // the reference's structured form {field, format: no|normalize,
+        // max_size} (hash.go:336-342); normalizer = {builtin_patterns,
+        // custom_patterns: [{placeholder, re, priority}]} (hash.go:
+        // 346-353) configures the normalize format's token table
+        val legacyNorm = Option(action.get("normalize")).exists(_.asBoolean())
+        val hFieldsAll = action.get("fields").elements().asScala.map { e =>
+          if (e.isTextual)
+            Actions.HashField(FieldPath.parse(e.asText()), legacyNorm)
+          else Actions.HashField(
+            FieldPath.parse(e.get("field").asText()),
+            Option(e.get("format")).map(_.asText()).getOrElse("no") == "normalize",
+            Option(e.get("max_size")).map(_.asInt()).getOrElse(0))
+        }.toSeq
+        // the reference Digs each field and skips misses (hash.go:
+        // 429-436); Spark's getField on an absent name is an analysis
+        // error, so drop top-level misses against the tracked schema
+        val docNames = df.schema("doc").dataType match {
+          case s: org.apache.spark.sql.types.StructType => s.fieldNames.toSet
+          case _ => Set.empty[String]
+        }
+        val hFields = hFieldsAll.filter(f =>
+          f.path.parts.size > 1 || docNames.contains(f.path.parts.head))
+        require(hFields.nonEmpty,
+          "hash: none of the configured fields exist in the doc schema")
+        val normalizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          Option(action.get("normalizer")) match {
+            case Some(n) =>
+              val builtin = Option(n.get("builtin_patterns"))
+                .map(_.asText()).getOrElse("all")
+              val customs = Option(n.get("custom_patterns")).toSeq
+                .flatMap(_.elements().asScala).map(p =>
+                  graft.functions.NormalizePattern(
+                    p.get("placeholder").asText(), p.get("re").asText(),
+                    Option(p.get("priority")).map(_.asText()).getOrElse("first")))
+              c => graft.functions.NormalizeTokens(c, builtin, customs)
+            case None => graft.operators.Normalizer.normalize(_)
+          }
+        guarded(Actions.hashAction(doc, hFields,
           Option(action.get("result_field")).map(_.asText()).getOrElse("hash"),
           Option(action.get("algo")).map(_.asText()).getOrElse("xxhash64"),
-          Option(action.get("normalize")).exists(_.asBoolean())))
+          normalizer))
       case "move" =>
         // move.go:161-196: mode=allow moves the listed fields under
         // target; mode=block moves every top-level field EXCEPT the

@@ -8,35 +8,128 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import java.util.regex.Pattern
 
-/** Single-pass token normalizer for `hash format: normalize`
-  * (reference: plugin/action/hash/normalize, lexmachine DFA; pattern
-  * table normalize/README.md:10-37): datetimes, UUIDs, URLs, IPs, hex
-  * runs and numbers collapse to `<placeholder>` tokens.
+/** One custom normalization pattern (hash action `normalizer.
+  * custom_patterns`, plugin/action/hash/hash.go:346-348): placeholder +
+  * regex + priority. `first` patterns sit before the built-ins in the
+  * token table, `last` after (token_normalizer.go:229-241); with
+  * `builtin_patterns: no` the table is just the customs in list order. */
+case class NormalizePattern(placeholder: String, re: String,
+                            priority: String = "first")
+
+/** Token normalizer for `hash format: normalize` — full parity with the
+  * reference's two-phase normalizer (plugin/action/hash/normalize):
   *
-  * One combined alternation scanned once per value (the reference's
-  * single-DFA-pass shape) instead of N chained regexp_replace scans;
-  * the replacement token is chosen by which alternative matched, which
-  * regexp_replace cannot express.
+  *  1. BYTES PHASE (token_normalizer.go:313-450): the six bracket/quote
+  *     patterns (curly/square/parenthesized, double/single/grave quoted)
+  *     are matched by a depth-counting scanner, not regexes — nesting of
+  *     the SAME bracket type counts depth, other pattern types are
+  *     ignored until the open token closes, quote runs ("""…""") must be
+  *     closed by a run of the same length, escaped closing quotes (\")
+  *     are skipped, and a still-open token at end-of-input is emitted as
+  *     a cropped token covering the tail.
+  *  2. REGEX PHASE (token_normalizer.go:267-287 + the builtin table at
+  *     :462-560): the remaining thirteen built-ins (email, url, host,
+  *     filepath, uuid, hash, datetime, ip, duration, hex, float, int,
+  *     bool) plus the custom patterns run as a lexer over the bytes
+  *     phase's OUTPUT: leftmost match start, MAXIMAL MUNCH at that start
+  *     (the longest match among all enabled patterns wins; ties go to
+  *     the earlier table entry — lexmachine's rule, which is what lets a
+  *     `priority: last` custom pattern still beat `int` on a longer
+  *     match, hash.go's nginx_datetime example), and a match with a word
+  *     character [0-9A-Za-z_] immediately before or after is SKIPPED
+  *     whole (token_normalizer.go:251-257 — "s1mple" stays "s1mple").
+  *
+  * Divergence note: the reference compiles the table to one DFA
+  * (lexmachine); this expression finds candidate starts with a combined
+  * alternation and resolves maximal munch by probing each pattern at the
+  * found start — same observable semantics, different machinery. The
+  * regexes themselves are the reference's verbatim (RE2-subset, valid
+  * Java syntax).
   */
-case class NormalizeTokens(child: Expression) extends UnaryExpression {
+case class NormalizeTokens(child: Expression,
+                           builtinPatterns: String = "all",
+                           customPatterns: Seq[NormalizePattern] = Nil)
+    extends UnaryExpression {
+
+  import NormalizeTokens._
 
   override def dataType: DataType = StringType
 
+  @transient private lazy val enabled: Set[String] = parseBuiltin(builtinPatterns)
+
+  @transient private lazy val bytePattern: Array[Boolean] = {
+    // index: 0 curly, 1 square, 2 paren, 3 double, 4 single, 5 grave
+    byteIds.map(enabled.contains)
+  }
+  @transient private lazy val anyBytes: Boolean = bytePattern.exists(identity)
+
+  /** (placeholder, compiled) in table order: custom-first, enabled
+    * builtins, custom-last (builtin=no → customs in list order). */
+  @transient private lazy val regexTokens: Array[(String, Pattern)] = {
+    val customs = customPatterns.map(p =>
+      (p.placeholder, compile(p.re, s"custom pattern `${p.placeholder}`"),
+        p.priority))
+    val builtins = regexTable.collect {
+      case (id, ph, re) if enabled.contains(id) =>
+        (ph, compile(re, s"builtin pattern `$id`"), "")
+    }
+    val ordered =
+      if (enabled.isEmpty) customs.map(t => (t._1, t._2))
+      else customs.filter(_._3 != "last").map(t => (t._1, t._2)) ++
+        builtins.map(t => (t._1, t._2)) ++
+        customs.filter(_._3 == "last").map(t => (t._1, t._2))
+    require(ordered.nonEmpty || anyBytes,
+      "normalizer: empty pattern list (builtin_patterns: no with no " +
+        "custom_patterns)")
+    ordered.toArray
+  }
+
+  @transient private lazy val finder: Pattern =
+    Pattern.compile(regexTokens.map { case (_, p) => s"(?:${p.pattern})" }
+      .mkString("|"))
+
   def normalize(input: UTF8String): UTF8String = {
-    val m = NormalizeTokens.combined.matcher(input.toString)
-    if (!m.find()) return input
-    val sb = new java.lang.StringBuilder
-    do {
-      var g = 1
-      var tok: String = null
-      while (tok == null && g <= NormalizeTokens.tokens.length) {
-        if (m.start(g) >= 0) tok = NormalizeTokens.tokens(g - 1)
-        g += 1
+    var s = input.toString
+    if (anyBytes) s = normalizeBytes(s, bytePattern)
+    if (regexTokens.isEmpty) return UTF8String.fromString(s)
+    val fm = finder.matcher(s)
+    if (!fm.find(0)) return if (anyBytes) UTF8String.fromString(s) else input
+    val tms = regexTokens.map(_._2.matcher(s))
+    val sb = new java.lang.StringBuilder(s.length)
+    var prevEnd = 0
+    var pos = 0
+    var found = true
+    while (found) {
+      val start = fm.start
+      // maximal munch at the found start: longest pattern wins, ties to
+      // the earlier table entry
+      var bestEnd = -1
+      var bestTok: String = null
+      var i = 0
+      while (i < tms.length) {
+        val tm = tms(i)
+        tm.region(start, s.length)
+        if (tm.lookingAt() && tm.end > bestEnd) {
+          bestEnd = tm.end; bestTok = regexTokens(i)._1
+        }
+        i += 1
       }
-      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(tok))
-    } while (m.find())
-    m.appendTail(sb)
-    UTF8String.fromString(sb.toString)
+      if (bestEnd <= start) pos = start + 1 // defensive: no empty tokens
+      else {
+        // the reference's \w<match>\w skip: adjacent word char rejects
+        // the WHOLE longest match (shorter ones are not retried)
+        val wordBefore = start > 0 && isWord(s.charAt(start - 1))
+        val wordAfter = bestEnd < s.length && isWord(s.charAt(bestEnd))
+        if (!wordBefore && !wordAfter) {
+          sb.append(s, prevEnd, start).append(bestTok)
+          prevEnd = bestEnd
+        }
+        pos = bestEnd
+      }
+      found = pos < s.length && fm.find(pos)
+    }
+    if (prevEnd == 0 && !anyBytes) input
+    else { sb.append(s, prevEnd, s.length); UTF8String.fromString(sb.toString) }
   }
 
   override def nullSafeEval(input: Any): Any =
@@ -53,25 +146,151 @@ case class NormalizeTokens(child: Expression) extends UnaryExpression {
 }
 
 object NormalizeTokens {
-  /** (placeholder, pattern) in priority order — earlier alternatives win
-    * at the same position (mirrors the pattern priority of
-    * normalize/README.md). Each pattern is one capture group in the
-    * combined alternation. */
-  val table: Seq[(String, String)] = Seq(
-    "<datetime>" ->
-      ("\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?(?:Z|[+-]\\d{2}:?\\d{2})?" +
-        "|\\d{4}/\\d{2}/\\d{2} \\d{2}:\\d{2}:\\d{2}"),
-    "<uuid>" ->
-      "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
-    "<url>" -> "https?://[^\\s\"']+",
-    "<ip>" -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}(?::\\d+)?\\b",
-    "<hex>" -> "\\b0[xX][0-9a-fA-F]+\\b",
-    "<int>" -> "\\b\\d+(?:\\.\\d+)?\\b")
 
-  val tokens: Array[String] = table.map(_._1).toArray
-  val combined: Pattern =
-    Pattern.compile(table.map { case (_, re) => s"($re)" }.mkString("|"))
+  private[functions] def isWord(c: Char): Boolean =
+    c >= '0' && c <= '9' || c >= 'A' && c <= 'Z' || c >= 'a' && c <= 'z' ||
+      c == '_'
+
+  private def compile(re: String, what: String): Pattern =
+    try Pattern.compile(re)
+    catch {
+      case e: java.util.regex.PatternSyntaxException =>
+        throw new IllegalArgumentException(
+          s"normalizer: bad regex for $what: ${e.getMessage}")
+    }
+
+  /** The six bytes-phase pattern ids, index-aligned with the scanner. */
+  private val byteIds = Array("curly_bracketed", "square_bracketed",
+    "parenthesized", "double_quoted", "single_quoted", "grave_quoted")
+  private val byteOpen = Array('{', '[', '(', '"', '\'', '`')
+  private val byteClose = Array('}', ']', ')', '"', '\'', '`')
+  private val bytePh = Array("<curly_bracketed>", "<square_bracketed>",
+    "<parenthesized>", "<double_quoted>", "<single_quoted>", "<grave_quoted>")
+
+  // top-100 TLD alternation of the reference host pattern
+  // (token_normalizer.go:477-481), upper + lower twins
+  private val tldsUpper =
+    "COM|NET|ORG|JP|DE|UK|FR|BR|IT|RU|ES|ME|GOV|PL|CA|AU|CN|CO|IN|NL|EDU|" +
+      "INFO|EU|CH|ID|AT|KR|CZ|MX|BE|TV|SE|TR|TW|AL|UA|IR|VN|CL|SK|LY|CC|TO|" +
+      "NO|FI|US|PT|DK|AR|HU|TK|GR|IL|NEWS|RO|MY|BIZ|IE|ZA|NZ|SG|EE|TH|IO|" +
+      "XYZ|PE|BG|HK|RS|LT|LINK|PH|CLUB|SI|SITE|MOBI|BY|CAT|WIKI|LA|GA|XXX|" +
+      "CF|HR|NG|JOBS|ONLINE|KZ|UG|GQ|AE|IS|LV|PRO|FM|TIPS|MS|SA|APP"
+  private val tldsLower = tldsUpper.toLowerCase
+
+  /** The thirteen regex built-ins, (id, placeholder, re), in the
+    * reference table order (token_normalizer.go:462-560) — which is also
+    * the README's priority 7..19. */
+  private[functions] val regexTable: Seq[(String, String, String)] = Seq(
+    ("email", "<email>",
+      """[0-9a-zA-Z_\.\-\*]+@[0-9a-zA-Z_\-]+(\.[0-9a-zA-Z_\-]+)*"""),
+    ("url", "<url>",
+      """(wss?|https?|ftp)://[0-9a-zA-Z_\.\-@:%\+~#=\?/]+"""),
+    ("host", "<host>", s"""([0-9a-zA-Z_\\-]+\\.)+($tldsUpper|$tldsLower)"""),
+    ("filepath", "<filepath>", """(/[a-zA-Z0-9-_.]+)+"""),
+    ("uuid", "<uuid>",
+      "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+        "[0-9a-fA-F]{12}"),
+    ("hash", "<hash>", // SHA256 | SHA1 | MD5
+      "([0-9a-fA-F]{64})|([0-9a-fA-F]{40})|([0-9a-fA-F]{32})"),
+    ("datetime", "<datetime>",
+      // Go mono-clock | RFC3339[Nano] | TimeOnly | DateOnly[ DateTime]
+      """(\d\d\d\d-\d\d-\d\d \d\d:\d\d:\d\d\.\d+ [+\-]\d\d\d\d [A-Z]+ m=[+\-]\d+\.\d+)|""" +
+        """(\d\d\d\d-\d\d-\d\dT\d\d:\d\d:\d\d(\.\d+)?(Z|[\+\-]\d\d:\d\d))|""" +
+        """(\d\d:\d\d:\d\d)|(\d\d\d\d-\d\d-\d\d( \d\d:\d\d:\d\d)?)"""),
+    ("ip", "<ip>", // IPv4
+      """(25[0-5]|(2[0-4]|1?[0-9])?[0-9])\.(25[0-5]|(2[0-4]|1?[0-9])?[0-9])\.""" +
+        """(25[0-5]|(2[0-4]|1?[0-9])?[0-9])\.(25[0-5]|(2[0-4]|1?[0-9])?[0-9])"""),
+    ("duration", "<duration>", """-?((\d+|\d+\.\d+)(ns|us|µs|ms|s|m|h|d|w))+"""),
+    ("hex", "<hex>", """0[xX][0-9a-fA-F]+"""),
+    ("float", "<float>", """-?\d+\.\d+"""),
+    ("int", "<int>", """-?\d+"""),
+    ("bool", "<bool>", """[Tt][Rr][Uu][Ee]|[Ff][Aa][Ll][Ss][Ee]"""))
+
+  private val allIds: Set[String] =
+    byteIds.toSet ++ regexTable.map(_._1).toSet
+
+  /** `all` | `no` | `id1|id2|...` (hash.go parseBuiltinPatterns). */
+  private[functions] def parseBuiltin(s: String): Set[String] = s match {
+    case "all" => allIds
+    case "no"  => Set.empty
+    case ids =>
+      val parts = ids.split('|').toSeq
+      parts.foreach(p => require(allIds.contains(p),
+        s"normalizer: invalid builtin pattern `$p`"))
+      parts.toSet
+  }
+
+  /** The bytes-phase scanner — a direct port of the reference's
+    * depth-counting tokenizer semantics (token_normalizer.go:313-450):
+    * while a pattern is open, only its OWN open/close characters count;
+    * quote tokens open with a run of N quotes and close only on a run
+    * ≥ N (consuming exactly N), with backslash-escaped closing quotes
+    * skipped; a pattern still open at end-of-input emits a cropped
+    * token covering the tail. */
+  private[functions] def normalizeBytes(s: String,
+                                        on: Array[Boolean]): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var prevEnd = 0
+    var cur = -1      // open pattern index, -1 = none
+    var counter = 0   // bracket depth / opening-quote run length
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      var p = 0
+      var handled = false
+      while (p < on.length && !handled) {
+        if (on(p) && p < 3 && c == byteOpen(p)) { // brackets: open
+          handled = true
+          if (cur == -1) { cur = p; counter = 1; start = i }
+          else if (cur == p) counter += 1
+        } else if (on(p) && p < 3 && c == byteClose(p)) { // brackets: close
+          handled = true
+          if (cur == p) {
+            counter -= 1
+            if (counter == 0) {
+              sb.append(s, prevEnd, start).append(bytePh(p))
+              prevEnd = i + 1
+              cur = -1
+            }
+          }
+        } else if (on(p) && p >= 3 && c == byteOpen(p)) { // quotes
+          handled = true
+          if (cur == -1) {
+            cur = p; start = i
+            counter = 1
+            while (i + 1 < s.length && s.charAt(i + 1) == c) {
+              counter += 1; i += 1
+            }
+          } else if (cur == p && !(i > 0 && s.charAt(i - 1) == '\\')) {
+            var run = 1
+            while (i + 1 < s.length && s.charAt(i + 1) == c && run < counter) {
+              run += 1; i += 1
+            }
+            if (run >= counter) {
+              sb.append(s, prevEnd, start).append(bytePh(p))
+              prevEnd = i + 1
+              cur = -1
+            }
+          }
+        }
+        p += 1
+      }
+      i += 1
+    }
+    if (cur != -1) { // cropped tail token
+      sb.append(s, prevEnd, start).append(bytePh(cur))
+      prevEnd = s.length
+    }
+    if (prevEnd == 0) s
+    else { sb.append(s, prevEnd, s.length); sb.toString }
+  }
 
   def apply(c: Column): Column =
     GraftBridge.column(NormalizeTokens(GraftBridge.expression(c)))
+
+  def apply(c: Column, builtin: String,
+            custom: Seq[NormalizePattern]): Column =
+    GraftBridge.column(
+      NormalizeTokens(GraftBridge.expression(c), builtin, custom))
 }

@@ -188,13 +188,38 @@ object Actions {
     }
   }
 
+  /** One hash-source field (hash.go:336-342): the reference's structured
+    * `fields` entry — per-field `format: no|normalize` and a byte-wise
+    * `max_size` cut applied BEFORE normalization (hash.go:441-453: the
+    * first max_size bytes of the field feed the hash). */
+  case class HashField(path: FieldPath, normalize: Boolean = false,
+                       maxSize: Int = 0)
+
   /** hash (plugin/action/hash/hash.go:424): first-found of prioritized
     * fields → hash into resultField. algo: xxhash64 (native, matches the
     * reference's choice) or md5 hex. */
   def hashAction(doc: Column, fields: Seq[FieldPath], resultField: String,
-                 algo: String = "xxhash64", normalize: Boolean = false): Column = {
-    val src0 = coalesce(fields.map(f => doc.getField(nested(f)).cast("string")): _*)
-    val src = if (normalize) Normalizer.normalize(src0) else src0
+                 algo: String = "xxhash64", normalize: Boolean = false): Column =
+    hashAction(doc, fields.map(f => HashField(f, normalize)), resultField,
+      algo, Normalizer.normalize(_))
+
+  /** Structured form: per-field format/max_size + a configured
+    * normalizer (hash.go:352-353 `normalizer.builtin_patterns` /
+    * `custom_patterns`). First non-null field wins, carrying ITS
+    * format and max_size — the reference's first-present-field rule. */
+  def hashAction(doc: Column, fields: Seq[HashField], resultField: String,
+                 algo: String, normalizer: Column => Column): Column = {
+    val processed = fields.map { hf =>
+      val raw = doc.getField(nested(hf.path)).cast("string")
+      val cut =
+        if (hf.maxSize > 0)
+          // byte-wise cut (hash.go:443-445), not a char cut: the
+          // binary round-trip slices the UTF-8 bytes
+          substring(raw.cast("binary"), 1, hf.maxSize).cast("string")
+        else raw
+      if (hf.normalize) normalizer(cut) else cut
+    }
+    val src = coalesce(processed: _*)
     val hashed = algo match {
       case "md5" => md5(src.cast("binary"))
       case _     => xxhash64(src).cast("string")

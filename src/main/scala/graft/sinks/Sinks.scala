@@ -272,11 +272,20 @@ object Sinks {
     * event date (`index_format`/`@time`). */
   def esBulkLines(doc: org.apache.spark.sql.Column, indexPrefix: String,
                   eventTime: org.apache.spark.sql.Column,
-                  timeFormat: String = "yyyy-MM-dd"): org.apache.spark.sql.Column =
+                  timeFormat: String = "yyyy-MM-dd",
+                  opType: String = "index"): org.apache.spark.sql.Column =
     concat(
-      lit(s"""{"index":{"_index":""""), lit(indexPrefix),
+      lit(s"""{"${checkOpType(opType)}":{"_index":""""), lit(indexPrefix),
       date_format(eventTime, timeFormat), lit("\"}}\n"),
       to_json(doc))
+
+  /** `batch_op_type` (elasticsearch.go:163,241): the bulk action verb —
+    * `index` (default) or `create` (data streams require create). */
+  private def checkOpType(op: String): String = {
+    require(op == "index" || op == "create",
+      s"elasticsearch: batch_op_type must be index|create, got `$op`")
+    op
+  }
 
   /** The reference's templated index name (elasticsearch.go
     * appendIndexName): every `%` in `indexFormat` consumes the next
@@ -287,13 +296,14 @@ object Sinks {
   def esBulkLinesFormatted(doc: org.apache.spark.sql.Column, indexFormat: String,
                            indexValues: Seq[String],
                            eventTime: org.apache.spark.sql.Column,
-                           timeFormat: String = "yyyy-MM-dd")
+                           timeFormat: String = "yyyy-MM-dd",
+                           opType: String = "index")
   : org.apache.spark.sql.Column = {
     val segs = indexFormat.split("%", -1)
     require(segs.length - 1 == indexValues.length,
       "count of placeholders and values isn't match, check " +
         "index_format/index_values config params")
-    val parts = Seq(lit("""{"index":{"_index":"""")) ++
+    val parts = Seq(lit(s"""{"${checkOpType(opType)}":{"_index":"""")) ++
       segs.zipWithIndex.flatMap { case (s, i) =>
         val literal = if (s.nonEmpty) Seq(lit(s)) else Seq.empty
         val value =
@@ -337,10 +347,35 @@ object Sinks {
         extras.toSeq.sortBy(_._1).map { case (k, v) => v.as(s"_$k") }): _*))
 
   /** Splunk HEC envelope (plugin/output/splunk): {"event": doc,
-    * "time": epoch, "fields": {...}}. */
+    * "time": epoch, ...copies}. `copies` is the rendered `copy_fields`
+    * list (splunk.go:204,240-253,363-373): (to-path → value) pairs
+    * copied from the original event to the OUTPUT json next to the
+    * "event" key, nested to-paths (`fields.service_name`) building
+    * nested objects, in config order. The reference envelope carries
+    * only "event" + copies; the epoch "time" key is a graft default
+    * (HEC's standard timestamp field) — a copy targeting `time`
+    * replaces it. */
   def splunkEvent(doc: org.apache.spark.sql.Column,
-                  eventTime: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    to_json(struct(doc.as("event"), unix_timestamp(eventTime).as("time")))
+                  eventTime: org.apache.spark.sql.Column,
+                  copies: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+  : org.apache.spark.sql.Column = {
+    val heads = copies.map(_._1.split('.').head)
+    val base = Seq(doc.as("event")) ++
+      (if (heads.contains("time")) Nil
+       else Seq(unix_timestamp(eventTime).as("time")))
+    to_json(struct(base ++ splunkNested(
+      copies.map { case (to, c) => (to.split('.').toList, c) }): _*))
+  }
+
+  private def splunkNested(
+      pairs: Seq[(List[String], org.apache.spark.sql.Column)])
+  : Seq[org.apache.spark.sql.Column] =
+    pairs.map(_._1.head).distinct.map { head =>
+      val group = pairs.filter(_._1.head == head)
+      val leaves = group.filter(_._1.size == 1)
+      if (leaves.nonEmpty) leaves.last._2.as(head)
+      else struct(splunkNested(group.map(t => (t._1.tail, t._2))): _*).as(head)
+    }
 
   /** Loki push streams entry, serialized to its wire form: the JSON
     * array `["<tsNanos>","<line>"]` (loki.go:253-318). Emitted as one
@@ -651,7 +686,8 @@ object Sinks {
     * gzip optional. Non-2xx or connect failure throws so the
     * foreachBatch batcher's retry/DLQ path engages — covers the http,
     * elasticsearch, loki, splunk and gelf-over-http sink legs. */
-  def httpTransport(url: String, gzip: Boolean = false): Transport = { lines =>
+  def httpTransport(url: String, gzip: Boolean = false,
+                    headers: Map[String, String] = Map.empty): Transport = { lines =>
     val c = java.net.URI.create(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     try {
@@ -659,6 +695,7 @@ object Sinks {
       c.setDoOutput(true)
       c.setRequestProperty("Content-Type", "application/json")
       if (gzip) c.setRequestProperty("Content-Encoding", "gzip")
+      headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
       val os = c.getOutputStream
       val w = if (gzip) new java.util.zip.GZIPOutputStream(os) else os
       lines.foreach { l => w.write(l.getBytes("UTF-8")); w.write('\n') }

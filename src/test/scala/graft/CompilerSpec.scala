@@ -2035,6 +2035,41 @@ class CompilerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("static"), e.getMessage)
   }
 
+  test("hash action: structured fields, normalizer config, max_size byte cut") {
+    val row = PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: ['{"m":"call [x=1] rc=7 from 10.0.0.5","n":null,"long":"abcdefghij"}']}
+        |decoder:
+        |  type: json
+        |  schema: "m string, n string, long string"
+        |actions:
+        |  - type: hash
+        |    fields:
+        |      - {field: m, format: normalize}
+        |    result_field: h1
+        |    normalizer:
+        |      builtin_patterns: square_bracketed|ip
+        |      custom_patterns:
+        |        - {placeholder: "<rc>", re: 'rc=\d+'}
+        |  - type: hash
+        |    fields:
+        |      - missing_entirely
+        |      - n
+        |      - {field: long, max_size: 4}
+        |    result_field: h2
+        |output: {type: memory}
+        |""".stripMargin).result()
+      .selectExpr("doc.h1", "doc.h2",
+        "cast(xxhash64('call <square_bracketed> <rc> from <ip>') as string)",
+        "cast(xxhash64('abcd') as string)")
+      .collect().head
+    // h1: the configured normalizer ran (bytes square_bracketed +
+    // custom <rc> + builtin ip, nothing else)
+    assert(row.getString(0) == row.getString(2), row.toString)
+    // h2: absent field skipped (Dig-miss), null field passed over,
+    // max_size cut the surviving field to its first 4 bytes
+    assert(row.getString(1) == row.getString(3), row.toString)
+  }
+
   test("settings: max_event_size discard/cut_off and settings-level decoder") {
     // discard mode: the over-limit raw event vanishes at intake
     val big = "x" * 50
@@ -2209,6 +2244,97 @@ class CompilerSpec extends AnyFunSuite {
       s.contains(""""full_message":"long text"""") &&
       !s.contains("_full_message")), gelf.toSeq)
     assert(gelf.exists(_.contains(""""short_message":"not set"""")), gelf.toSeq)
+  }
+
+  test("splunk copy_fields and elasticsearch batch_op_type honor reference spellings") {
+    // splunk copy_fields (splunk.go:204,240-253,363-373): copies land
+    // next to "event" in config order, nested to-paths build objects,
+    // to=event*/root rejected, Dig-miss froms skipped, a copy to `time`
+    // replaces the graft default epoch field
+    val sp = PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: ['{"ts": "1723651045", "service": "some-service", "message": "m"}']}
+        |decoder: {type: json, schema: "ts STRING, service STRING, message STRING"}
+        |output:
+        |  type: splunk
+        |  copy_fields:
+        |    - {from: ts, to: time}
+        |    - {from: service, to: fields.service_name}
+        |    - {from: missing_field, to: fields.skipped}
+        |    - {from: message, to: event}
+        |    - {from: message, to: ""}
+        |""".stripMargin).payload().collect().map(_.getString(0))
+    assert(sp.length == 1, sp.toSeq)
+    val line = sp.head
+    assert(line.contains(""""time":"1723651045""""), line) // replaced default
+    assert(line.contains(""""fields":{"service_name":"some-service"}"""), line)
+    assert(!line.contains("skipped"), line)          // Dig-miss skipped
+    assert(line.indexOf(""""event":""") == line.lastIndexOf(""""event":"""),
+      line)                                          // to=event rejected
+    // default time still present when no copy targets it
+    val sp2 = PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: ['{"m": "x", "time": "2024-03-05T00:00:01Z"}']}
+        |decoder: {type: json, schema: "m STRING, time STRING"}
+        |output: {type: splunk, time_field: time}
+        |""".stripMargin).payload().collect().map(_.getString(0))
+    assert(sp2.head.contains(""""time":1709596801"""), sp2.head)
+
+    // elasticsearch batch_op_type: create renders {"create":{...}}
+    // action lines (elasticsearch.go:163,241 — data streams need it)
+    val es = PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: ['{"service": "api", "time": "2024-03-05T00:00:01Z"}']}
+        |decoder: {type: json, schema: "service STRING, time STRING"}
+        |output:
+        |  type: elasticsearch
+        |  batch_op_type: create
+        |  index_format: "my-index-%"
+        |  index_values: "@time"
+        |  time_field: time
+        |""".stripMargin).payload().collect().map(_.getString(0))
+    assert(es.head.startsWith("""{"create":{"_index":"my-index-2024-03-05"}}"""),
+      es.head)
+    intercept[Exception](PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: ['{"time": "2024-03-05T00:00:01Z"}']}
+        |decoder: {type: json, schema: "time STRING"}
+        |output: {type: elasticsearch, batch_op_type: upsert, time_field: time}
+        |""".stripMargin).payload().collect())
+  }
+
+  test("output auth strategies render the reference's headers (loki tenant/bearer)") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/push", (ex: com.sun.net.httpserver.HttpExchange) => {
+      seen.add((
+        Option(ex.getRequestHeaders.getFirst("X-Scope-OrgID")).orNull,
+        Option(ex.getRequestHeaders.getFirst("Authorization")).orNull))
+      ex.getRequestBody.readAllBytes()
+      ex.sendResponseHeaders(204, -1); ex.close()
+    })
+    srv.start()
+    val port = srv.getAddress.getPort
+    def send(auth: String): Unit = PipelineCompiler.compile(spark,
+      s"""input: {type: fake, lines: ['{"m":"x","t":"2024-01-02T03:04:05Z"}']}
+         |decoder: {type: json, schema: "m string, t string"}
+         |output:
+         |  type: loki
+         |  timestamp_field: t
+         |  endpoint: http://127.0.0.1:$port/push
+         |  auth: $auth
+         |""".stripMargin).send()
+    try {
+      // tenant strategy → X-Scope-OrgID (loki.go:456)
+      send("{strategy: tenant, tenant_id: team-a}")
+      // bearer strategy → Authorization: Bearer
+      send("{strategy: bearer, bearer_token: tok123}")
+      // basic strategy → Authorization: Basic base64(user:pass)
+      send("{strategy: basic, username: u, password: p}")
+      val got = seen.toArray(Array.empty[(String, String)]).toSeq
+      assert(got.contains(("team-a", null)), got.toString)
+      assert(got.contains((null, "Bearer tok123")), got.toString)
+      val b64 = java.util.Base64.getEncoder.encodeToString("u:p".getBytes("UTF-8"))
+      assert(got.contains((null, s"Basic $b64")), got.toString)
+      intercept[IllegalArgumentException](send("{strategy: nope}"))
+    } finally srv.stop(0)
   }
 
   test("move / convert_utf8_bytes / json_decode compile from YAML (previously unknown actions)") {
