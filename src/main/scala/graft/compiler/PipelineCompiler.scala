@@ -245,11 +245,25 @@ object PipelineCompiler {
               columnSpecs.map { case (n, t, _) =>
                 (n, docField(n), pgType(t)) } :+
               (("_pgo", col("_pgo"), "long")))
+          // every configured column is required (postgres.go:352-360
+          // processEvent): an event missing one — or whose value fails
+          // the typed cast — is DISCARDED; under `strict`/`strict_fields`
+          // the run fails instead of discarding
+          val anyMissing = columnSpecs.map(c => col(c._1).isNull)
+            .reduce(_ || _)
+          val strictPg = outputConf.get("strict_fields").exists(_.toBoolean) ||
+            outputConf.get("strict").exists(_.toBoolean)
+          val present =
+            if (strictPg)
+              typed.filter(when(anyMissing, raise_error(lit(
+                "postgres: event without a required column " +
+                  "(strict_fields)"))).isNull)
+            else typed.filter(!anyMissing)
           val uniqueCols = columnSpecs.filter(_._3).map(_._1)
           val deduped =
             if (uniqueCols.nonEmpty)
-              Sinks.pgUniqueDedup(typed, uniqueCols, "_pgo")
-            else typed
+              Sinks.pgUniqueDedup(present, uniqueCols, "_pgo")
+            else present
           deduped.drop("_pgo")
             .select(to_json(struct(columnSpecs.map(c => col(c._1)): _*))
               .as("payload"))
@@ -691,7 +705,27 @@ object PipelineCompiler {
         }
         (node: JsonNode)
       })
-    val decoded0 = decoderNode match {
+    val isK8s = input.get("type").asText() == "k8s"
+    lazy val k8sMeta: Option[graft.sources.K8sMetaFile.Meta] =
+      if (isK8s)
+        Option(input.get("meta_file")).map(f =>
+          graft.sources.K8sMetaFile.load(f.asText()))
+      else None
+    // k8s decoder suggestion (k8s.go:200-205 SuggestDecoder): no
+    // configured decoder -> CRI, or docker-json when the meta snapshot
+    // says CriType=docker (the {log, stream, time} docker line shape)
+    val decoderNodeK8s = decoderNode.orElse {
+      if (!isK8s) None
+      else {
+        val node = yaml.createObjectNode()
+        if (k8sMeta.flatMap(_.criType).contains("docker")) {
+          node.put("type", "json")
+          node.put("schema", "log string, stream string, time string")
+        } else node.put("type", "cri")
+        Some(node: JsonNode)
+      }
+    }
+    val decoded0 = decoderNodeK8s match {
       case Some(d) => src.withColumn("doc", buildDecoder(d, col("value"), isStrict))
       case None    => src.withColumn("doc", Decoders.raw(col("value")))
     }
@@ -707,6 +741,9 @@ object PipelineCompiler {
         if (src.columns.contains("_cut_off")) decoded0.drop("_cut_off")
         else decoded0
     }
+
+    val decorated =
+      if (isK8s) decorateK8sInput(input, decoded, k8sMeta) else decoded
 
     val actions0 = settingsAntispam.toSeq ++
       Option(root.get("actions")).map(_.elements().asScala.toSeq)
@@ -731,7 +768,7 @@ object PipelineCompiler {
     // metrics: true → per-action observed counters (the reference's
     // per-action prometheus metrics, pipeline/processor.go:269-329)
     val withMetrics = Option(root.get("metrics")).exists(_.asBoolean())
-    val chained = actions.zipWithIndex.foldLeft(decoded) {
+    val chained = actions.zipWithIndex.foldLeft(decorated) {
       case (df, (action, i)) =>
         val applied = applyAction(df, action, streamKey)
         if (withMetrics)
@@ -888,6 +925,16 @@ object PipelineCompiler {
         tr.load()
           .select(org.apache.spark.sql.functions.col("value"),
             org.apache.spark.sql.functions.col("source_name"))
+      case "k8s" =>
+        // reference k8s input (plugin/input/k8s/k8s.go:108,119): the
+        // file plugin over `watching_dir` with kubelet CRI filenames;
+        // meta decoration, label attach, and the docker-chunk join
+        // happen post-decode (multiline_action.go) in compileNode
+        val dir = Option(n.get("watching_dir")).map(_.asText())
+          .getOrElse("/var/log/containers")
+        if (Option(n.get("streaming")).exists(_.asBoolean()))
+          Sources.fileStream(spark, dir, "*.log")
+        else Sources.fileBatch(spark, dir, "*.log")
       case "es_bulk" =>
         // HTTP /_bulk push entry (§3.3) via spool files; delete actions
         // carry no document and don't enter the decode chain
@@ -1179,6 +1226,158 @@ object PipelineCompiler {
     df.select(from_json(col(envCol), t).as("_env"))
       .select(col("_env.doc").as("doc"),
         col("_env.source_name").as("source_name"))
+
+  /** k8s input decoration (plugin/input/k8s/multiline_action.go:66-200
+    * + meta/gatherer.go): `k8s_node` on every event; unless
+    * `only_node`, the filename meta fields (k8s_pod / k8s_namespace /
+    * k8s_container / k8s_container_id via [[graft.sources.K8sMeta]]),
+    * the docker-chunk join (CRI `P` rows concatenate until the `F` row,
+    * `split_event_size` splitting over-long runs — batch leg only; the
+    * streaming leg keeps chunks as events, route a `join` action for
+    * stream-side assembly), and the meta snapshot's pod/node labels as
+    * `k8s_pod_label_*` / `k8s_node_label_*` fields filtered by
+    * `allowed_pod_labels` / `allowed_node_labels` (multiline_action.go:
+    * 173-199; empty allowlist = all labels). Pod labels broadcast-join
+    * on (namespace, pod, containerID) — the q70 dim pattern; misses
+    * leave the fields null, which drop from the serialized doc (the
+    * reference adds them only on meta hits). */
+  private def decorateK8sInput(n: JsonNode, df: DataFrame,
+                               meta: Option[graft.sources.K8sMetaFile.Meta])
+  : DataFrame = {
+    val onlyNode = Option(n.get("only_node")).exists(_.asBoolean())
+    val nodeName = Option(n.get("node_name")).map(_.asText())
+      .orElse(meta.flatMap(_.nodeName))
+      .getOrElse(java.net.InetAddress.getLocalHost.getHostName)
+    def allow(key: String): Set[String] = Option(n.get(key))
+      .map(_.elements().asScala.map(_.asText()).toSet)
+      .getOrElse(Set.empty)
+    val allowedPod = allow("allowed_pod_labels")
+    val allowedNode = allow("allowed_node_labels")
+    var doc2 = col("doc").withField("k8s_node", lit(nodeName))
+    if (!onlyNode) {
+      val m = graft.sources.K8sMeta.parse(col("source_name"))
+      doc2 = doc2
+        .withField("k8s_pod", m.getField("pod_name"))
+        .withField("k8s_namespace", m.getField("namespace"))
+        .withField("k8s_container", m.getField("container_name"))
+        .withField("k8s_container_id", m.getField("container_id"))
+      meta.foreach(_.nodeLabels
+        .filter { case (k, _) => allowedNode.isEmpty || allowedNode(k) }
+        .toSeq.sortBy(_._1)
+        .foreach { case (k, v) =>
+          doc2 = doc2.withField(s"k8s_node_label_$k", lit(v))
+        })
+    }
+    val based = df.withColumn("doc", doc2)
+    val docFields = based.schema("doc").dataType match {
+      case st: org.apache.spark.sql.types.StructType => st.fieldNames.toSet
+      case _ => Set.empty[String]
+    }
+    val joined =
+      if (!onlyNode && !based.isStreaming &&
+          docFields.contains("partial") && docFields.contains("log")) {
+        val split = Option(n.get("split_event_size")).map(_.asLong())
+          .getOrElse(1000000L)
+        graft.state.SeqOps.criChunkJoin(
+          based.withColumn("_kord", monotonically_increasing_id()),
+          Seq("source_name"), "_kord",
+          col("doc").getField("log").cast("string"),
+          coalesce(col("doc").getField("partial"), lit(false)),
+          split).drop("_kord")
+      } else based
+    meta match {
+      case Some(mm) if !onlyNode && mm.pods.nonEmpty =>
+        val labelNames = mm.pods.flatMap(_.labels.keys).distinct.sorted
+          .filter(k => allowedPod.isEmpty || allowedPod(k))
+        if (labelNames.isEmpty) joined
+        else {
+          val spark = joined.sparkSession
+          import spark.implicits._
+          val dim = mm.pods
+            .map(p => (p.namespace, p.pod, p.containerId,
+              labelNames.map(p.labels.get(_).orNull)))
+            .toDF("_k8s_ns", "_k8s_pod", "_k8s_cid", "_k8s_lvals")
+          val withLabels = joined.join(broadcast(dim),
+            col("doc.k8s_namespace") === col("_k8s_ns") &&
+              col("doc.k8s_pod") === col("_k8s_pod") &&
+              col("doc.k8s_container_id") === col("_k8s_cid"), "left")
+          val doc3 = labelNames.zipWithIndex.foldLeft(col("doc")) {
+            case (d, (name, i)) =>
+              d.withField(s"k8s_pod_label_$name",
+                get(col("_k8s_lvals"), lit(i)))
+          }
+          withLabels.withColumn("doc", doc3)
+            .drop("_k8s_ns", "_k8s_pod", "_k8s_cid", "_k8s_lvals")
+        }
+      case _ => joined
+    }
+  }
+
+  /** Antispam field addressing (pipeline/antispam/rules.go:19-36 — the
+    * antispamData getter): `source_name` → the ingest source name,
+    * `event` → the raw event content, `meta.x` → the meta map. Doc-field
+    * paths stay resolvable (graft superset; the reference restricts
+    * antispam do_if to the three selectors above). */
+  private def antispamResolver(df: DataFrame): FieldPath => Column = { p =>
+    p.parts.toList match {
+      case List("event") => to_json(col("doc"))
+      case "meta" :: rest if rest.nonEmpty && df.columns.contains("meta") =>
+        element_at(col("meta"), rest.mkString(".")).cast("string")
+      case _ => resolver(df)(p)
+    }
+  }
+
+  /** Legacy matchrule exception list (antispammer.go:255-258 +
+    * cfg/matchrule): each set prefix/contains/suffix-matches the raw
+    * event content — or the SOURCE NAME under `check_source_name` —
+    * with `case_insensitive`/`invert` per rule, rules combined by
+    * `cond: and|or` (default and), sets by OR; an empty rule list never
+    * matches (matchrule.go:212-214). Mode defaults to prefix
+    * (matchrule.go:31). */
+  private def matchruleExceptions(n: JsonNode, df: DataFrame): Column = {
+    val sets = n.elements().asScala.toSeq.map { rs =>
+      val target =
+        if (Option(rs.get("check_source_name")).exists(_.asBoolean()))
+          col("source_name").cast("string")
+        else to_json(col("doc"))
+      val rules = Option(rs.get("rules"))
+        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      if (rules.isEmpty) lit(false)
+      else {
+        val conds = rules.map { r =>
+          val ci = Option(r.get("case_insensitive")).exists(_.asBoolean())
+          val t = if (ci) lower(target) else target
+          val vals0 = Option(r.get("values"))
+            .map(_.elements().asScala.map(_.asText()).toSeq)
+            .getOrElse(Seq.empty)
+          val vals = if (ci) vals0.map(_.toLowerCase) else vals0
+          val mode = Option(r.get("mode")).map(_.asText()).getOrElse("prefix")
+          val base =
+            if (vals.isEmpty) lit(false)
+            else vals.map { v =>
+              mode match {
+                case "prefix"   => t.startsWith(v)
+                case "suffix"   => t.endsWith(v)
+                case "contains" => t.contains(v)
+                case other => throw new IllegalArgumentException(
+                  s"matchrule: unknown mode `$other` (prefix|contains|suffix)")
+              }
+            }.reduce(_ || _)
+          if (Option(r.get("invert")).exists(_.asBoolean())) !base else base
+        }
+        if (Option(rs.get("cond")).map(_.asText()).getOrElse("and") == "or")
+          conds.reduce(_ || _)
+        else conds.reduce(_ && _)
+      }
+    }
+    if (sets.isEmpty) lit(false) else sets.reduce(_ || _)
+  }
+
+  /** Antispam exceptions: the legacy matchrule LIST form or the do_if
+    * tree object form — both reference spellings. */
+  private def antispamExceptions(n: JsonNode, df: DataFrame): Column =
+    if (n.isArray) matchruleExceptions(n, df)
+    else DoIf.compile(parseDoIf(n), antispamResolver(df))
 
   private def resolver(df: DataFrame): FieldPath => Column = { p =>
     if (df.columns.contains(p.parts.head) && p.parts.head != "doc")
@@ -1806,8 +2005,7 @@ object PipelineCompiler {
         // exempted events bypass the counter AND the ban — the batch
         // path's split/union, previously dropped on the streaming leg
         val exc = Option(action.get("exceptions"))
-          .map(n => coalesce(DoIf.compile(parseDoIf(n), resolver(df)),
-            lit(false)))
+          .map(n => coalesce(antispamExceptions(n, df), lit(false)))
         val dfIn = exc.map(e => df.filter(!e)).getOrElse(df)
         def withExempt(out: DataFrame): DataFrame =
           exc.map(e => out.unionByName(df.filter(e))).getOrElse(out)
@@ -1820,7 +2018,7 @@ object PipelineCompiler {
               lit(action.get("threshold").asLong()): Column) {
               case (r, acc) =>
                 when(coalesce(DoIf.compile(parseDoIf(r.get("do_if")),
-                  resolver(df)), lit(false)),
+                  antispamResolver(df)), lit(false)),
                   lit(r.get("threshold").asLong())).otherwise(acc)
             }
             val ds = dfIn.select(srcKey.as("key"), tsMs.as("eventTimeMs"),
@@ -2030,14 +2228,14 @@ object PipelineCompiler {
         val banned = Option(action.get("rules")) match {
           case Some(rn) =>
             val rules = rn.elements().asScala.map { r =>
-              (DoIf.compile(parseDoIf(r.get("do_if")), resolver(df)),
+              (DoIf.compile(parseDoIf(r.get("do_if")), antispamResolver(df)),
                 r.get("threshold").asInt())
             }.toSeq
             graft.state.SeqOps.antispamRules(dfs, srcCols,
               bucket, threshold, rules)
           case None =>
             Option(action.get("exceptions"))
-              .map(n => DoIf.compile(parseDoIf(n), resolver(df))) match {
+              .map(n => antispamExceptions(n, df)) match {
               case Some(ex) =>
                 // exceptions bypass counting AND banning — but the
                 // per-source thresholds still apply to the rest (the

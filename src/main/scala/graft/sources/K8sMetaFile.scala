@@ -1,0 +1,62 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** Loader for the reference's saved k8s meta snapshot
+  * (plugin/input/k8s/meta/gatherer.go:506-560 saveMetaFile/loadMeta —
+  * the `meta_file` config knob, the reference's API-server-free meta
+  * source): a JSON document
+  * `{PodMeta: {ns: {pod: {containerID: <corev1.Pod>}}}, CriType,
+  * NodeLabels}` where each container entry is the pod object inline
+  * (podMeta embeds *corev1.Pod, gatherer.go:36-39), so pod labels sit
+  * at `.metadata.labels` and the node name at `.spec.nodeName`.
+  *
+  * Scale shape: the snapshot is bounded by the node's pod count (the
+  * reference holds it in memory on every host); here it parses once on
+  * the driver and broadcasts as a dim table — the q70 pattern.
+  */
+object K8sMetaFile {
+
+  final case class PodRow(namespace: String, pod: String,
+                          containerId: String, labels: Map[String, String])
+
+  final case class Meta(pods: Seq[PodRow], nodeLabels: Map[String, String],
+                        criType: Option[String], nodeName: Option[String])
+
+  private val mapper = new ObjectMapper()
+
+  def load(path: String): Meta = {
+    val root: JsonNode = mapper.readTree(new java.io.File(path))
+    val pods = Option(root.get("PodMeta")).toSeq.flatMap { pm =>
+      pm.properties().asScala.flatMap { nsE =>
+        nsE.getValue.properties().asScala.flatMap { podE =>
+          podE.getValue.properties().asScala.map { cidE =>
+            val labels = Option(cidE.getValue.get("metadata"))
+              .flatMap(m => Option(m.get("labels")))
+              .map(_.properties().asScala
+                .map(e => e.getKey -> e.getValue.asText()).toMap)
+              .getOrElse(Map.empty[String, String])
+            PodRow(nsE.getKey, podE.getKey, cidE.getKey, labels)
+          }
+        }
+      }
+    }
+    val nodeLabels = Option(root.get("NodeLabels"))
+      .filterNot(_.isNull)
+      .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty[String, String])
+    val criType = Option(root.get("CriType")).map(_.asText()).filter(_.nonEmpty)
+    // SelfNodeName analog (gatherer.go:480-491 getNodeName): first
+    // non-empty spec.nodeName across the snapshot
+    val nodeName = Option(root.get("PodMeta")).toSeq.flatMap { pm =>
+      pm.properties().asScala.flatMap(_.getValue.properties().asScala
+        .flatMap(_.getValue.properties().asScala.flatMap { cidE =>
+          Option(cidE.getValue.get("spec"))
+            .flatMap(s => Option(s.get("nodeName")))
+            .map(_.asText()).filter(_.nonEmpty)
+        }))
+    }.headOption
+    Meta(pods, nodeLabels, criType, nodeName)
+  }
+}

@@ -77,6 +77,48 @@ object SeqOps {
       .drop("_grp", "_sk")
   }
 
+  /** k8s docker-chunk assembly (plugin/input/k8s/multiline_action.go:
+    * 66-200): container runtimes split long logs into 16 KB CRI chunks
+    * — `P`(partial) rows concatenate with the following rows until the
+    * `F` row closes the event. `splitEventSize` bounds the assembled
+    * log: a longer run is SPLIT at chunk boundaries into successive
+    * events (the reference's look-ahead split warns and splits, never
+    * drops). The closing row's doc carries each assembled event (the
+    * reference mutates the final chunk's event), with the joined
+    * payload written into its `log` field.
+    *
+    * Shape: one window pass (group = running count of F-rows before
+    * the row; sub-segment = cumulative bytes before the row div cap)
+    * plus one map-side-combinable aggregation — the same 1-shuffle
+    * budget as [[multilineJoin]]. */
+  def criChunkJoin(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                   logCol: Column, partialCol: Column,
+                   splitEventSize: Long,
+                   carryCols: Seq[String] = Seq("doc")): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(orderCol))
+    val grp = sum(when(partialCol, 0).otherwise(1))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val withGrp = df.withColumn("_cg", coalesce(grp, lit(0)))
+      .withColumn("_clen", octet_length(logCol).cast("long"))
+    val wg = Window.partitionBy(keys :+ col("_cg"): _*).orderBy(col(orderCol))
+    val before = coalesce(sum(col("_clen"))
+      .over(wg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val seg =
+      if (splitEventSize > 0) floor(before / splitEventSize) else lit(0L)
+    val carries = carryCols.map(c => max_by(col(c), col(orderCol)).as(c))
+    withGrp.withColumn("_cseg", seg)
+      .groupBy(keys :+ col("_cg") :+ col("_cseg"): _*)
+      .agg(max(col(orderCol)).as(orderCol),
+        (array_join(
+          transform(
+            array_sort(collect_list(struct(col(orderCol).as("o"),
+              logCol.as("v")))),
+            s => s.getField("v")), "").as("_joined") +: carries): _*)
+      .withColumn("doc", col("doc").withField("log", col("_joined")))
+      .drop("_cg", "_cseg", "_joined")
+  }
+
   /** Throttle (plugin/action/throttle/throttle.go:60-170), limit_kind=
     * count: keep at most `limit` events per (key, time-bucket). The
     * reference's sliding bucket window collapses to an exact per-bucket

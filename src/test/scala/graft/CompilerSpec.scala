@@ -312,6 +312,125 @@ class CompilerSpec extends AnyFunSuite {
     assert(kept == Set("1", "2", "3", "4", "6"), kept.toString)
   }
 
+  test("antispam matchrule exceptions: check_source_name, event contains, invert") {
+    // bucket 1 (00:00) holds 2 events -> reaches threshold 1; bucket 2
+    // (00:01) events are banned unless exempted by an exception
+    val lines = Seq(
+      """{"time":"2024-01-01T00:00:01","v":"a1"}""",
+      """{"time":"2024-01-01T00:00:02","v":"a2"}""",
+      """{"time":"2024-01-01T00:01:01","v":"KEEP-me"}""",
+      """{"time":"2024-01-01T00:01:02","v":"b2"}""")
+    def run(exceptions: String): Long = PipelineCompiler.compile(spark,
+      s"""input: {type: fake, lines: [${lines.map("'" + _ + "'").mkString(", ")}]}
+         |decoder: {type: json, schema: "time string, v string"}
+         |actions:
+         |  - type: antispam
+         |    threshold: 1
+         |    interval_seconds: 60
+         |$exceptions
+         |output: {type: memory}
+         |""".stripMargin).result().count()
+    // no exceptions: bucket-2 events banned
+    assert(run("") == 2)
+    // matchrule on raw event content (contains): KEEP event exempt
+    assert(run(
+      """    exceptions:
+        |      - name: keepers
+        |        rules:
+        |          - {mode: contains, values: [KEEP]}""".stripMargin) == 3)
+    // check_source_name (antispammer.go:104-106): target is the SOURCE
+    // NAME, not the event — prefix `fa` matches the fake source, all
+    // exempt
+    assert(run(
+      """    exceptions:
+        |      - name: by-source
+        |        check_source_name: true
+        |        rules:
+        |          - {mode: prefix, values: [fa]}""".stripMargin) == 4)
+    // invert: a non-matching prefix inverted matches everything
+    assert(run(
+      """    exceptions:
+        |      - name: inverted
+        |        rules:
+        |          - {mode: prefix, values: [zz], invert: true}""".stripMargin) == 4)
+    // cond and (default): both rules must hold -> only KEEP exempt
+    assert(run(
+      """    exceptions:
+        |      - name: both
+        |        rules:
+        |          - {mode: contains, values: [KEEP]}
+        |          - {mode: prefix, values: ['{'], case_insensitive: true}""".stripMargin) == 3)
+  }
+
+  test("k8s input: filename meta, label allowlists, chunk join, split, only_node") {
+    val dir = java.nio.file.Files.createTempDirectory("k8s_in")
+    val cid = "a" * 64
+    val logFile = dir.resolve(s"mypod_ns1_web-$cid.log")
+    java.nio.file.Files.write(logFile, Seq(
+      "2024-01-02T03:04:05.1Z stdout P chunk-one-",
+      "2024-01-02T03:04:05.2Z stdout P chunk-two-",
+      "2024-01-02T03:04:05.3Z stdout F end",
+      "2024-01-02T03:04:06.0Z stdout F single"
+    ).mkString("\n").getBytes("UTF-8"))
+    val metaFile = dir.resolve("meta.json")
+    java.nio.file.Files.write(metaFile,
+      s"""{"PodMeta": {"ns1": {"mypod": {"$cid":
+         |  {"metadata": {"labels": {"app": "web", "team": "core"}},
+         |   "spec": {"nodeName": "node-7"}}}}},
+         | "CriType": "containerd",
+         | "NodeLabels": {"zone": "z1", "arch": "amd64"}}""".stripMargin
+        .getBytes("UTF-8"))
+    def yamlFor(extra: String): String =
+      s"""input:
+         |  type: k8s
+         |  watching_dir: $dir
+         |  meta_file: $metaFile
+         |$extra
+         |output: {type: memory}
+         |""".stripMargin
+    // full decoration: suggested CRI decoder, chunk join, allowlisted
+    // labels, node name from the snapshot's spec.nodeName
+    val rows = PipelineCompiler.compile(spark, yamlFor(
+      """  allowed_pod_labels: [app]
+        |  allowed_node_labels: [zone]""".stripMargin)).result()
+      .selectExpr("doc.log", "doc.k8s_pod", "doc.k8s_namespace",
+        "doc.k8s_container", "doc.k8s_container_id", "doc.k8s_node",
+        "doc.k8s_pod_label_app", "doc.k8s_node_label_zone")
+      .collect().sortBy(_.getString(0))
+    assert(rows.length == 2, rows.mkString("|"))
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("chunk-one-chunk-two-end", "single"))
+    val r = rows.head
+    assert(r.getString(1) == "mypod" && r.getString(2) == "ns1" &&
+      r.getString(3) == "web" && r.getString(4) == cid, r.toString)
+    assert(r.getString(5) == "node-7", r.toString)
+    assert(r.getString(6) == "web", r.toString)   // allowlisted pod label
+    assert(r.getString(7) == "z1", r.toString)    // allowlisted node label
+    // disallowed labels don't become fields at all
+    val schema = PipelineCompiler.compile(spark, yamlFor(
+      "  allowed_pod_labels: [app]")).result()
+      .schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSet
+    assert(schema.contains("k8s_pod_label_app") &&
+      !schema.contains("k8s_pod_label_team"), schema.toString)
+    assert(schema.contains("k8s_node_label_arch")) // no node allowlist -> all
+    // split_event_size: the 23-byte assembled run splits at chunk
+    // boundaries into <=20-byte events (multiline_action.go:169)
+    val split = PipelineCompiler.compile(spark, yamlFor(
+      "  split_event_size: 20")).result()
+      .selectExpr("doc.log").collect().map(_.getString(0)).sorted.toSeq
+    assert(split == Seq("chunk-one-chunk-two-", "end", "single"), split.toString)
+    // only_node: just k8s_node, chunks stay separate events
+    val on = PipelineCompiler.compile(spark, yamlFor(
+      "  only_node: true\n  node_name: self")).result()
+    val onSchema = on.schema("doc").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    assert(onSchema.contains("k8s_node") && !onSchema.contains("k8s_pod"),
+      onSchema.toString)
+    assert(on.count() == 4)
+    assert(on.selectExpr("doc.k8s_node").head().getString(0) == "self")
+  }
+
   test("streaming antispam rules compile to the per-event-threshold kernel") {
     val dir = java.nio.file.Files.createTempDirectory("graft_asr_in")
     val lines = java.util.Arrays.asList(
@@ -2211,6 +2330,20 @@ class CompilerSpec extends AnyFunSuite {
         |""".stripMargin).payload().collect().map(_.getString(0)).sorted.toSeq
     assert(pg == Seq("""{"u":"a","n":1}""", """{"u":"b","n":3}""").sorted,
       pg.toString)
+    // every configured column is required (postgres.go:352-360): an
+    // event missing one is DISCARDED; strict_fields fails the run
+    def pgMissing(strict: Boolean): Seq[String] = PipelineCompiler.compile(spark,
+      s"""input: {type: fake, lines: ['{"u": "a", "n": 1}', '{"u": "c"}']}
+         |decoder: {type: json, schema: "u STRING, n BIGINT"}
+         |output:
+         |  type: postgres
+         |  strict_fields: $strict
+         |  columns:
+         |    - {name: u, type: string}
+         |    - {name: n, type: int}
+         |""".stripMargin).payload().collect().map(_.getString(0)).toSeq
+    assert(pgMissing(strict = false) == Seq("""{"u":"a","n":1}"""))
+    intercept[Exception](pgMissing(strict = true))
 
     // elasticsearch index_format/index_values (appendIndexName): field
     // value, literal dashes, @time; empty/missing field -> not_set
