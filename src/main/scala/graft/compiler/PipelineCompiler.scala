@@ -91,10 +91,25 @@ object PipelineCompiler {
                 "(disabled|tenant|basic|bearer)")
           }
         }.getOrElse(Map.empty)
+      // splunk HEC token (splunk.go:130,326): Authorization: Splunk <tok>
+      val tokenHeaders: Map[String, String] =
+        if (outputType == "splunk")
+          outputConf.get("token").map(t => "Authorization" -> s"Splunk $t").toMap
+        else Map.empty
+      // elasticsearch ingest_pipeline (elasticsearch.go:200,344-357):
+      // rides as a bulk-URL query param
+      def withEsPipeline(url: String): String =
+        if (outputType == "elasticsearch")
+          outputConf.get("ingest_pipeline")
+            .map(p => url + (if (url.contains("?")) "&" else "?") +
+              "pipeline=" + p)
+            .getOrElse(url)
+        else url
       val transport = outputConf.get("endpoint") match {
         case Some(url) if url.startsWith("http://") || url.startsWith("https://") =>
-          graft.sinks.Sinks.httpTransport(url,
-            outputConf.get("use_gzip").exists(_.toBoolean), authHeaders)
+          graft.sinks.Sinks.httpTransport(withEsPipeline(url),
+            outputConf.get("use_gzip").exists(_.toBoolean),
+            authHeaders ++ tokenHeaders)
         case Some(hostPort) if hostPort.contains(":") =>
           val cut = hostPort.lastIndexOf(':')
           val h0 = hostPort.substring(0, cut)

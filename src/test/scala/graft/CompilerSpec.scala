@@ -2467,7 +2467,45 @@ class CompilerSpec extends AnyFunSuite {
       val b64 = java.util.Base64.getEncoder.encodeToString("u:p".getBytes("UTF-8"))
       assert(got.contains((null, s"Basic $b64")), got.toString)
       intercept[IllegalArgumentException](send("{strategy: nope}"))
+
+      // splunk HEC token header (splunk.go:130,326)
+      PipelineCompiler.compile(spark,
+        s"""input: {type: fake, lines: ['{"m":"x","t":"2024-01-02T03:04:05Z"}']}
+           |decoder: {type: json, schema: "m string, t string"}
+           |output:
+           |  type: splunk
+           |  time_field: t
+           |  token: hec-tok-1
+           |  endpoint: http://127.0.0.1:$port/push
+           |""".stripMargin).send()
+      assert(seen.toArray(Array.empty[(String, String)]).toSeq
+        .contains((null, "Splunk hec-tok-1")), seen.toString)
     } finally srv.stop(0)
+
+    // elasticsearch ingest_pipeline rides as a bulk-URL query param
+    // (elasticsearch.go:344-357)
+    val uris = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val srv2 = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv2.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      uris.add(ex.getRequestURI.toString)
+      ex.getRequestBody.readAllBytes()
+      ex.sendResponseHeaders(204, -1); ex.close()
+    })
+    srv2.start()
+    try {
+      PipelineCompiler.compile(spark,
+        s"""input: {type: fake, lines: ['{"time":"2024-03-05T00:00:01Z"}']}
+           |decoder: {type: json, schema: "time STRING"}
+           |output:
+           |  type: elasticsearch
+           |  time_field: time
+           |  ingest_pipeline: geoip
+           |  endpoint: http://127.0.0.1:${srv2.getAddress.getPort}/_bulk
+           |""".stripMargin).send()
+      assert(uris.toArray(Array.empty[String]).toSeq
+        .contains("/_bulk?pipeline=geoip"), uris.toString)
+    } finally srv2.stop(0)
   }
 
   test("move / convert_utf8_bytes / json_decode compile from YAML (previously unknown actions)") {
