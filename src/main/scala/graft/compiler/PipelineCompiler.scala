@@ -105,11 +105,15 @@ object PipelineCompiler {
               "pipeline=" + p)
             .getOrElse(url)
         else url
+      // http output content_type (http.go:63; default application/json
+      // is the transport's own default)
+      val ctHeaders: Map[String, String] =
+        outputConf.get("content_type").map("Content-Type" -> _).toMap
       val transport = outputConf.get("endpoint") match {
         case Some(url) if url.startsWith("http://") || url.startsWith("https://") =>
           graft.sinks.Sinks.httpTransport(withEsPipeline(url),
             outputConf.get("use_gzip").exists(_.toBoolean),
-            authHeaders ++ tokenHeaders)
+            authHeaders ++ tokenHeaders ++ ctHeaders)
         case Some(hostPort) if hostPort.contains(":") =>
           val cut = hostPort.lastIndexOf(':')
           val h0 = hostPort.substring(0, cut)
@@ -781,15 +785,33 @@ object PipelineCompiler {
       case None => actions0
     }
     // metrics: true → per-action observed counters (the reference's
-    // per-action prometheus metrics, pipeline/processor.go:269-329)
+    // per-action prometheus metrics, pipeline/processor.go:269-329).
+    // Per-action `metric_name` (pipeline/plugin.go:98) names the family
+    // and turns the observation on for that action alone;
+    // `metric_labels` lists event fields whose values label the counts —
+    // the reference's label values are unbounded per scrape, which
+    // doesn't fit a fixed-column observation, so the tracked value set
+    // rides in `metric_label_values` (count_if per tracked value; the
+    // graft spelling of the same bounded-cardinality discipline
+    // prometheus operators already need).
     val withMetrics = Option(root.get("metrics")).exists(_.asBoolean())
     val chained = actions.zipWithIndex.foldLeft(decorated) {
       case (df, (action, i)) =>
         val applied = applyAction(df, action, streamKey)
-        if (withMetrics)
-          graft.metrics.Metrics.observeAction(applied,
+        val mName = Option(action.get("metric_name")).map(_.asText())
+        if (withMetrics || mName.isDefined) {
+          val name = mName.getOrElse(
             s"graft_a${i}_${action.get("type").asText()}")
-        else applied
+          val labelField = Option(action.get("metric_labels"))
+            .map(_.elements().asScala.map(_.asText()).toSeq)
+            .getOrElse(Nil)
+          val tracked = Option(action.get("metric_label_values"))
+            .map(_.elements().asScala.map(_.asText()).toSeq)
+            .getOrElse(Nil)
+          val lc = labelField.headOption.filter(_ => tracked.nonEmpty)
+            .map(f => col("doc").getField(f).cast("string"))
+          graft.metrics.Metrics.observeAction(applied, name, lc, tracked)
+        } else applied
     }
 
     val out = Option(root.get("output"))

@@ -312,6 +312,31 @@ class CompilerSpec extends AnyFunSuite {
     assert(kept == Set("1", "2", "3", "4", "6"), kept.toString)
   }
 
+  test("per-action metric_name/metric_labels observe labeled counts") {
+    val collected = graft.metrics.Metrics.collectBatch(spark) {
+      PipelineCompiler.compile(spark,
+        """input: {type: fake, lines: [
+          |  '{"level": "error", "m": "a"}',
+          |  '{"level": "error", "m": "b"}',
+          |  '{"level": "info", "m": "c"}']}
+          |decoder: {type: json, schema: "level string, m string"}
+          |actions:
+          |  - type: modify
+          |    fields: {tag: "x"}
+          |    metric_name: modify_acted
+          |    metric_labels: [level]
+          |    metric_label_values: [error, info]
+          |output: {type: memory}
+          |""".stripMargin).result().count()
+    }
+    assert(collected.get("modify_acted.events_total").contains(3L),
+      collected.toString)
+    assert(collected.get("modify_acted.events_error").contains(2L),
+      collected.toString)
+    assert(collected.get("modify_acted.events_info").contains(1L),
+      collected.toString)
+  }
+
   test("antispam matchrule exceptions: check_source_name, event contains, invert") {
     // bucket 1 (00:00) holds 2 events -> reaches threshold 1; bucket 2
     // (00:01) events are banned unless exempted by an exception
