@@ -39,28 +39,39 @@ object Bench {
 
   /** The reference-benchmark-shaped pipeline (decode → filter →
     * transform). Decode = the native JsonFields expression: ONE streaming
-    * Jackson pass extracting only the referenced fields, returned as a
-    * struct so the whole scan → decode → filter → project chain stays in
-    * a single WholeStageCodegen stage (json_tuple has the same one-pass
-    * parse but is a Generator, which splits the stage), and its hot path
-    * is a specialized byte scanner rather than a Jackson parser. The
-    * nested `$.k` probe also goes through JsonFields instead of
-    * get_json_object. Measured on the sf0.1 corpus: json_tuple +
-    * get_json_object ≈ 290 MB/s; JsonFields end-to-end ≈ 920 MB/s
-    * (raw text-scan ceiling ≈ 1.3 GB/s); full-schema from_json is ~3×
-    * slower than json_tuple still. "Decode once, dig lazily." */
-  def throughputPipeline(spark: SparkSession, ndjsonDir: String): DataFrame =
+    * byte-scanner pass extracting the referenced fields — including the
+    * nested `props.k` probe, fused into the same pass via the dotted-path
+    * form — returned as a struct so the whole chain stays in codegen.
+    *
+    * The filter is expressed as an explode(when(pred, array(payload)))
+    * guard instead of a Filter operator: a plain .filter(pred) gets
+    * pushed below the projection and Catalyst inlines the JsonFields
+    * alias into the predicate, so every row is PARSED TWICE (once in the
+    * Filter, once in the Project — subexpression elimination doesn't
+    * reach across the two operators). The explode guard keeps predicate
+    * and payload in ONE expression tree where the parse is a true common
+    * subexpression. Measured on the sf0.1 corpus (TpProbe, round 13):
+    * json_tuple + get_json_object 1.52 s; separate-pass JsonFields +
+    * pushed filter 0.49 s; this form 0.32 s ≈ 2.5 GB/s against a
+    * 3.2-3.6 GB/s raw-scan ceiling, result-identical (exceptAll 0/0).
+    * "Decode once, dig lazily, filter in the same tree." */
+  def throughputPipeline(spark: SparkSession, ndjsonDir: String): DataFrame = {
+    val payload = struct(
+      col("j.event_id").cast("long").as("event_id"),
+      coalesce(graft.functions.LogLevel.toNumber(col("j.event_type")), lit(6))
+        .as("level"),
+      xxhash64(col("j.props")).as("h"))
     spark.read.text(ndjsonDir)
       .select(graft.functions.JsonFields(col("value"),
-        Seq("event_id", "event_type", "props")).as("j"))
-      .filter(col("j.event_type").isNotNull &&
-        graft.functions.JsonFields(col("j.props"), Seq("k")).getField("k")
-          .try_cast("long").isNotNull)
-      .select(
-        col("j.event_id").cast("long"),
-        coalesce(graft.functions.LogLevel.toNumber(col("j.event_type")), lit(6))
-          .as("level"),
-        xxhash64(col("j.props")).as("h"))
+        Seq("event_id", "event_type", "props", "props.k")).as("j"))
+      .select(explode(when(
+        col("j.event_type").isNotNull &&
+          col("j.`props.k`").try_cast("long").isNotNull,
+        array(payload))
+        .otherwise(array().cast(
+          "array<struct<event_id:long,level:int,h:bigint>>"))).as("r"))
+      .select(col("r.*"))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -82,6 +82,79 @@ object TpProbe {
           xxhash64(col("j.props")).as("h"))
     }
 
+    // ---- decomposition: where does the 0.29s→0.46s delta live? ----
+    time("scan_only") { base.select(length(col("value")).as("n")) }
+
+    time("decode_only") {
+      base.select(JsonFields(col("value"),
+        Seq("event_id", "event_type", "props")).as("j"))
+    }
+
+    time("full_no_hash") {
+      base.select(JsonFields(col("value"),
+          Seq("event_id", "event_type", "props")).as("j"))
+        .filter(col("j.event_type").isNotNull &&
+          JsonFields(col("j.props"), Seq("k")).getField("k").try_cast("long").isNotNull)
+        .select(col("j.event_id").cast("long"),
+          coalesce(graft.functions.LogLevel.toNumber(col("j.event_type")), lit(6)).as("level"),
+          length(col("j.props")).as("h"))
+    }
+
+    // one-eval filter: the predicate guards an explode(when(pred,
+    // array(payload))) so filter+project live in ONE expression tree —
+    // JsonFields can't be duplicated into a pushed-down Filter
+    time("explode_guard") {
+      val j = JsonFields(col("value"), Seq("event_id", "event_type", "props"))
+      val payload = struct(
+        col("j.event_id").cast("long").as("event_id"),
+        coalesce(graft.functions.LogLevel.toNumber(col("j.event_type")), lit(6)).as("level"),
+        xxhash64(col("j.props")).as("h"))
+      base.select(j.as("j"))
+        .select(explode(when(col("j.event_type").isNotNull &&
+            JsonFields(col("j.props"), Seq("k")).getField("k").try_cast("long").isNotNull,
+          array(payload)).otherwise(array().cast("array<struct<event_id:long,level:int,h:bigint>>"))).as("r"))
+        .select(col("r.*"))
+    }
+
+    // explode guard over the FUSED dotted-path scan: one JsonFields,
+    // zero extra passes over props
+    time("explode_guard_fused") {
+      val payload = struct(
+        col("j.event_id").cast("long").as("event_id"),
+        coalesce(graft.functions.LogLevel.toNumber(col("j.event_type")), lit(6)).as("level"),
+        xxhash64(col("j.props")).as("h"))
+      base.select(JsonFields(col("value"),
+          Seq("event_id", "event_type", "props", "props.k")).as("j"))
+        .select(explode(when(col("j.event_type").isNotNull &&
+            col("j.`props.k`").try_cast("long").isNotNull,
+          array(payload)).otherwise(array().cast("array<struct<event_id:long,level:int,h:bigint>>"))).as("r"))
+        .select(col("r.*"))
+    }
+
+    // equality check: the explode-guard pipelines must produce the same
+    // rows as the reference filter form
+    val ref = base.select(JsonFields(col("value"),
+        Seq("event_id", "event_type", "props")).as("j"))
+      .filter(col("j.event_type").isNotNull &&
+        JsonFields(col("j.props"), Seq("k")).getField("k").try_cast("long").isNotNull)
+      .select(col("j.event_id").cast("long").as("event_id"),
+        coalesce(graft.functions.LogLevel.toNumber(col("j.event_type")), lit(6)).as("level"),
+        xxhash64(col("j.props")).as("h"))
+    val alt = {
+      val payload = struct(
+        col("j.event_id").cast("long").as("event_id"),
+        coalesce(graft.functions.LogLevel.toNumber(col("j.event_type")), lit(6)).as("level"),
+        xxhash64(col("j.props")).as("h"))
+      base.select(JsonFields(col("value"),
+          Seq("event_id", "event_type", "props", "props.k")).as("j"))
+        .select(explode(when(col("j.event_type").isNotNull &&
+            col("j.`props.k`").try_cast("long").isNotNull,
+          array(payload)).otherwise(array().cast("array<struct<event_id:long,level:int,h:bigint>>"))).as("r"))
+        .select(col("r.*"))
+    }
+    println("ref count=" + ref.count() + " alt count=" + alt.count() +
+      " diff=" + ref.exceptAll(alt).count() + "/" + alt.exceptAll(ref).count())
+
     spark.stop()
   }
 }

@@ -1269,9 +1269,12 @@ object PipelineCompiler {
     * `only_node`, the filename meta fields (k8s_pod / k8s_namespace /
     * k8s_container / k8s_container_id via [[graft.sources.K8sMeta]]),
     * the docker-chunk join (CRI `P` rows concatenate until the `F` row,
-    * `split_event_size` splitting over-long runs — batch leg only; the
-    * streaming leg keeps chunks as events, route a `join` action for
-    * stream-side assembly), and the meta snapshot's pod/node labels as
+    * `split_event_size` splitting over-long runs at chunk boundaries —
+    * batch via [[graft.state.SeqOps.criChunkJoin]], streaming via the
+    * [[graft.streaming.Kernels.criChunkAssembly]] kernel with the SAME
+    * split arithmetic; a stalled run is discarded on event_timeout like
+    * the reference, multiline_action.go:69-73), and the meta snapshot's
+    * pod/node labels as
     * `k8s_pod_label_*` / `k8s_node_label_*` fields filtered by
     * `allowed_pod_labels` / `allowed_node_labels` (multiline_action.go:
     * 173-199; empty allowlist = all labels). Pod labels broadcast-join
@@ -1310,17 +1313,36 @@ object PipelineCompiler {
       case st: org.apache.spark.sql.types.StructType => st.fieldNames.toSet
       case _ => Set.empty[String]
     }
+    val hasChunkCols =
+      !onlyNode && docFields.contains("partial") && docFields.contains("log")
+    val splitSize = Option(n.get("split_event_size")).map(_.asLong())
+      .getOrElse(1000000L)
     val joined =
-      if (!onlyNode && !based.isStreaming &&
-          docFields.contains("partial") && docFields.contains("log")) {
-        val split = Option(n.get("split_event_size")).map(_.asLong())
-          .getOrElse(1000000L)
+      if (hasChunkCols && !based.isStreaming) {
         graft.state.SeqOps.criChunkJoin(
           based.withColumn("_kord", monotonically_increasing_id()),
           Seq("source_name"), "_kord",
           col("doc").getField("log").cast("string"),
           coalesce(col("doc").getField("partial"), lit(false)),
-          split).drop("_kord")
+          splitSize).drop("_kord")
+      } else if (hasChunkCols && based.isStreaming) {
+        // streaming leg: the criChunkAssembly kernel replicates the
+        // batch split boundaries; per-source arrival order is the
+        // in-batch order (stable sort on the constant seq)
+        val t = envelopeType(based)
+        val ds = based.select(col("source_name").as("key"),
+            lit(0L).as("seq"),
+            col("doc").getField("log").cast("string").as("value"),
+            coalesce(col("doc").getField("partial"), lit(false)).as("partial"),
+            envelopeJson.as("carry"))
+          .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.CriEvent])
+        val cfg = graft.streaming.Kernels.CriChunkCfg(splitSize,
+          Option(n.get("event_timeout_ms")).map(_.asLong()).getOrElse(30000L))
+        graft.streaming.Kernels.criChunkAssembly(ds, cfg).toDF()
+          .select(
+            from_json(col("carry"), t).getField("doc")
+              .withField("log", col("value")).as("doc"),
+            from_json(col("carry"), t).getField("source_name").as("source_name"))
       } else based
     meta match {
       case Some(mm) if !onlyNode && mm.pods.nonEmpty =>

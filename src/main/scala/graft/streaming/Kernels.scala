@@ -124,6 +124,101 @@ object Kernels {
       }
   }
 
+  // ----------------------------------- k8s CRI docker-chunk assembly
+
+  /** Config for [[criChunkAssembly]]. `timeoutEmit = false` mirrors the
+    * reference's timeout handling — a dangling chunk run is DISCARDED
+    * when the stream stalls (multiline_action.go:69-73 resetLogBuf +
+    * ActionDiscard); `true` flushes it as an event instead (the batch
+    * operator's end-of-data behavior), which is what the streamed ≡
+    * batch equivalence spec exercises. */
+  final case class CriChunkCfg(splitEventSize: Long,
+                               timeoutMs: Long = 30000L,
+                               timeoutEmit: Boolean = false)
+
+  /** [[KEvent]] plus the CRI partial flag: `partial = true` is a `P`
+    * chunk (the runtime split a long log line), `false` the closing
+    * `F` chunk. */
+  final case class CriEvent(key: String, seq: Long, value: String,
+                            partial: Boolean, carry: String = "")
+
+  /** buf holds the CURRENT sub-segment's chunks (reversed); groupBytes
+    * is the cumulative byte count of all chunks seen in the open P…F
+    * group — the batch operator's window-sum — so the split boundary
+    * arithmetic is identical to [[graft.state.SeqOps.criChunkJoin]]. */
+  final case class CriChunkState(buf: List[String], groupBytes: Long,
+                                 seg: Long, lastSeq: Long,
+                                 lastCarry: String = "")
+
+  /** Streaming k8s docker-chunk assembly (plugin/input/k8s/
+    * multiline_action.go:66-200): `P` chunks of one source concatenate
+    * until the `F` chunk closes the event; `splitEventSize` bounds the
+    * assembled log by SPLITTING an over-long run at chunk boundaries
+    * into successive events (the reference warns-and-splits, never
+    * drops or truncates — unlike [[multiline]]'s max_event_size cap).
+    *
+    * Split boundaries replicate the batch operator exactly: a chunk
+    * belongs to sub-segment `floor(bytesBefore / splitEventSize)`, so a
+    * over-cap corpus streamed through this kernel emits the SAME events
+    * as [[graft.state.SeqOps.criChunkJoin]] (spec-pinned). Each emitted
+    * event carries its sub-segment's LAST chunk's carry (the reference
+    * mutates the final chunk's event) and that chunk's seq.
+    *
+    * State is O(splitEventSize + one chunk) per active key: the buffer
+    * never holds more than one sub-segment, because crossing the cap
+    * flushes before the new chunk is appended. */
+  def criChunkAssembly(ds: Dataset[CriEvent], cfg: CriChunkCfg): Dataset[KEvent] = {
+    require(cfg.timeoutMs > 0, "criChunkAssembly: timeoutMs must be positive")
+    val cap = cfg.splitEventSize
+
+    def flush(key: String, st: CriChunkState): KEvent =
+      KEvent(key, st.lastSeq, st.buf.reverse.mkString(""), st.lastCarry)
+
+    implicit val outEnc = Encoders.product[KEvent]
+    implicit val stEnc = Encoders.product[CriChunkState]
+
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[CriChunkState, KEvent](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (key, events, state: GroupState[CriChunkState]) =>
+          if (state.hasTimedOut) {
+            // reference: timeout-kind event → resetLogBuf + Discard
+            val out = if (cfg.timeoutEmit)
+              state.getOption.filter(_.buf.nonEmpty).map(flush(key, _)).toList
+            else Nil
+            state.remove()
+            out.iterator
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[KEvent]
+            var cur = state.getOption
+              .getOrElse(CriChunkState(Nil, 0L, 0L, 0L))
+            events.toSeq.sortBy(_.seq).foreach { ev =>
+              val seg = if (cap > 0) cur.groupBytes / cap else 0L
+              if (cur.buf.nonEmpty && seg != cur.seg) {
+                // the new chunk opens the next sub-segment: flush the
+                // buffered one first (split at the chunk boundary)
+                out += flush(key, cur)
+                cur = cur.copy(buf = Nil)
+              }
+              val bytes =
+                ev.value.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+              cur = CriChunkState(ev.value :: cur.buf,
+                cur.groupBytes + bytes, seg, ev.seq, ev.carry)
+              if (!ev.partial) {
+                // F chunk closes the P…F group
+                out += flush(key, cur)
+                cur = CriChunkState(Nil, 0L, 0L, 0L)
+              }
+            }
+            if (cur.buf.nonEmpty) {
+              state.update(cur)
+              state.setTimeoutDuration(cfg.timeoutMs)
+            } else if (state.exists) state.remove()
+            out.iterator
+          }
+      }
+  }
+
   // ------------------------------------------------------------- throttle
 
   /** `stateTtlMs` > 0 evicts a key's state after that much processing

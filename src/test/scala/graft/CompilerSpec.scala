@@ -456,6 +456,44 @@ class CompilerSpec extends AnyFunSuite {
     assert(on.selectExpr("doc.k8s_node").head().getString(0) == "self")
   }
 
+  test("k8s streaming input assembles CRI chunks with the batch split boundaries") {
+    // same fixture as the batch test: a 23-byte P/P/F run that must
+    // SPLIT (not truncate) at chunk boundaries under split_event_size
+    // (multiline_action.go:66-200), plus a single-chunk F event
+    val dir = java.nio.file.Files.createTempDirectory("k8s_stream_in")
+    val cid = "b" * 64
+    java.nio.file.Files.write(dir.resolve(s"mypod_ns1_web-$cid.log"), Seq(
+      "2024-01-02T03:04:05.1Z stdout P chunk-one-",
+      "2024-01-02T03:04:05.2Z stdout P chunk-two-",
+      "2024-01-02T03:04:05.3Z stdout F end",
+      "2024-01-02T03:04:06.0Z stdout F single"
+    ).mkString("\n").getBytes("UTF-8"))
+    val yaml =
+      s"""input:
+         |  type: k8s
+         |  streaming: true
+         |  watching_dir: $dir
+         |  split_event_size: 20
+         |output: {type: memory, name: k8s_stream_out}
+         |""".stripMargin
+    val q = PipelineCompiler.compile(spark, yaml).startStream()
+    try {
+      // poll the sink — the chunk kernel registers a processing-time
+      // timeout, under which processAllAvailable can hang (see NOTES.md)
+      val deadline = System.currentTimeMillis() + 60000L
+      def logs() = spark.table("k8s_stream_out").collect()
+        .map(_.getString(0))
+        .map(s => com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+          .readTree(s).get("log").asText()).sorted.toSeq
+      while (spark.table("k8s_stream_out").count() < 3 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(logs() == Seq("chunk-one-chunk-two-", "end", "single"), logs())
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
   test("streaming antispam rules compile to the per-event-threshold kernel") {
     val dir = java.nio.file.Files.createTempDirectory("graft_asr_in")
     val lines = java.util.Arrays.asList(

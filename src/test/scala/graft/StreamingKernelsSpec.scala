@@ -800,4 +800,83 @@ class StreamingKernelsSpec extends AnyFunSuite {
       assert(hLast.toSeq == Seq(("only", 7L, 0L)))
     } finally q.stop()
   }
+
+  test("criChunkAssembly ≡ batch criChunkJoin split boundaries; timeout discards like the reference") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, struct}
+    val cap = 20L
+    // (key, ord, log, partial) — k1: over-cap run of five 8-byte P
+    // chunks + F; k2: the boundary-arithmetic trap (16,8,18,8 at cap 20
+    // → cumulative-floor segments {c1,c2},{c3},{c4}, where a naive
+    // reset-on-flush accumulator would emit {c3,c4} together); k3:
+    // in-cap P,P,F; k4: lone F; k5: dangling P (timeout path).
+    val corpus = Seq(
+      ("k1", 1L, "aaaaaaaa", true), ("k1", 2L, "bbbbbbbb", true),
+      ("k1", 3L, "cccccccc", true), ("k1", 4L, "dddddddd", true),
+      ("k1", 5L, "eeeeeeee", true), ("k1", 6L, "done", false),
+      ("k2", 1L, "x" * 16, true), ("k2", 2L, "y" * 8, true),
+      ("k2", 3L, "z" * 18, true), ("k2", 4L, "w" * 8, false),
+      ("k3", 1L, "ab", true), ("k3", 2L, "cd", true), ("k3", 3L, "ef", false),
+      ("k4", 1L, "solo", false),
+      ("k5", 1L, "dangling", true))
+    val batchDf = corpus.toDF("source_name", "_ord", "log", "partial")
+      .select(col("source_name"), col("_ord"),
+        struct(col("log"), col("partial")).as("doc"))
+    val batch = graft.state.SeqOps.criChunkJoin(batchDf, Seq("source_name"),
+      "_ord", col("doc").getField("log"), col("doc").getField("partial"), cap)
+      .selectExpr("source_name", "_ord", "doc.log")
+      .as[(String, Long, String)].collect()
+      .filter(_._1 != "k5") // batch emits the dangling run at end-of-data;
+                            // streaming discards it on timeout (reference)
+      .sortBy(r => (r._1, r._2)).toSeq
+
+    val input = MemoryStream[CriEvent]
+    val out = Kernels.criChunkAssembly(input.toDS(),
+      CriChunkCfg(cap, timeoutMs = 2000L))
+    val q = out.writeStream.format("memory").queryName("cri_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      // feed in two batches split MID-GROUP (k2's run spans the
+      // boundary) to exercise state carry-over across micro-batches
+      val evs = corpus.map { case (k, o, v, p) =>
+        CriEvent(k, o, v, p, carry = s"$k#$o") }
+      input.addData(evs.take(7): _*)
+      awaitRows("cri_out", 3) // k1's two splits + its F close in batch 1
+      input.addData(evs.drop(7): _*)
+      awaitRows("cri_out", 8)
+      val streamed = spark.table("cri_out").as[KEvent].collect()
+        .map(r => (r.key, r.seq, r.value)).sortBy(r => (r._1, r._2)).toSeq
+      assert(streamed == batch,
+        s"streamed=$streamed\nbatch   =$batch")
+      // each event carries its sub-segment's LAST chunk's carry
+      val carries = spark.table("cri_out").as[KEvent].collect()
+        .map(r => (r.key, r.seq) -> r.carry).toMap
+      assert(carries.forall { case ((k, s), c) => c == s"$k#$s" }, carries)
+      // k5's dangling P run: the 2s timeout DISCARDS it
+      // (multiline_action.go:69-73) — row count stays at 8
+      Thread.sleep(4000)
+      assert(spark.table("cri_out").count() == 8)
+      assert(!spark.table("cri_out").as[KEvent].collect().exists(_.key == "k5"))
+    } finally q.stop()
+
+    // timeoutEmit = true flushes the dangling run instead (the batch
+    // operator's end-of-data behavior)
+    val input2 = MemoryStream[CriEvent]
+    val out2 = Kernels.criChunkAssembly(input2.toDS(),
+      CriChunkCfg(cap, timeoutMs = 1000L, timeoutEmit = true))
+    val q2 = out2.writeStream.format("memory").queryName("cri_out2")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      input2.addData(CriEvent("k5", 1L, "dang", true, "c1"),
+        CriEvent("k5", 2L, "ling", true, "c2"))
+      awaitRows("cri_out2", 1, timeoutMs = 30000L)
+      val r = spark.table("cri_out2").as[KEvent].collect().toSeq
+      assert(r == Seq(KEvent("k5", 2L, "dangling", "c2")), r)
+    } finally q2.stop()
+  }
 }
