@@ -116,13 +116,64 @@ object Queries13 {
       |    '\d+ms', '<duration>', 'g') AS normalized
       |FROM events""".stripMargin
 
+  // --------------------- k8s CRI docker-chunk assembly (r13, q168)
+
+  /** The k8s input's docker-chunk join under the DuckDB gate
+    * (plugin/input/k8s/multiline_action.go:66-200): `P` chunks
+    * concatenate until the `F` chunk closes the event, and
+    * `split_event_size` SPLITS an over-long run at chunk boundaries
+    * (never truncates). Chunk stream synthesized from events: every
+    * 4th event closes a group, so a typical run is ~30 bytes against
+    * the 24-byte cap — most groups split into two events, exercising
+    * the cumulative-floor boundary arithmetic. The oracle replays the
+    * same two windows (F-count group, running-byte-sum `//` cap
+    * sub-segment) and the ordered string_agg. */
+  val q168_cri_chunks: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val base = ev.select(
+        (col("user_id") % 16).cast("long").as("src"),
+        col("event_id"),
+        concat(col("event_type"), lit("-"),
+          (col("event_id") % 100).cast("string")).as("log"),
+        (col("event_id") % 4 =!= 0).as("partial"))
+      .withColumn("doc", struct(col("log"), col("partial")))
+      .drop("log", "partial")
+    graft.state.SeqOps.criChunkJoin(base, Seq("src"), "event_id",
+      col("doc").getField("log"), col("doc").getField("partial"),
+      splitEventSize = 24L)
+      .select(col("src"), col("event_id"),
+        col("doc").getField("log").as("log"))
+  }
+
+  val q168_sql: String =
+    """WITH base AS (
+      |  SELECT user_id % 16 AS src, event_id,
+      |    event_type || '-' || CAST(event_id % 100 AS VARCHAR) AS log,
+      |    (event_id % 4) <> 0 AS partial
+      |  FROM events),
+      |g AS (
+      |  SELECT *, COALESCE(SUM(CASE WHEN partial THEN 0 ELSE 1 END)
+      |    OVER (PARTITION BY src ORDER BY event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cg
+      |  FROM base),
+      |s AS (
+      |  SELECT *, COALESCE(SUM(strlen(log))
+      |    OVER (PARTITION BY src, cg ORDER BY event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 24 AS seg
+      |  FROM g)
+      |SELECT src, MAX(event_id) AS event_id,
+      |  string_agg(log, '' ORDER BY event_id) AS log
+      |FROM s GROUP BY src, cg, seg""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q166_syslog_named" -> q166_syslog_named,
-    "q167_normalizer_config" -> q167_normalizer_config
+    "q167_normalizer_config" -> q167_normalizer_config,
+    "q168_cri_chunks" -> q168_cri_chunks
   )
 
   val oracles: Map[String, String] = Map(
     "q166_syslog_named" -> q166_sql,
-    "q167_normalizer_config" -> q167_sql
+    "q167_normalizer_config" -> q167_sql,
+    "q168_cri_chunks" -> q168_sql
   )
 }

@@ -75,17 +75,22 @@ object PipelineCompiler {
       val authHeaders: Map[String, String] =
         outputConf.get("auth").map { s =>
           val n = PipelineCompiler.yaml.readTree(s)
+          // required subfields fail loudly naming the missing field
+          // (the compiler's loud-failure convention), not with an NPE
+          def req(strategy: String, field: String): String =
+            Option(n.get(field)).map(_.asText()).getOrElse(
+              throw new IllegalArgumentException(
+                s"output auth: strategy `$strategy` needs `$field`"))
           Option(n.get("strategy")).map(_.asText()).getOrElse("disabled") match {
             case "disabled" => Map.empty[String, String]
             case "tenant" =>
-              Map("X-Scope-OrgID" -> n.get("tenant_id").asText())
+              Map("X-Scope-OrgID" -> req("tenant", "tenant_id"))
             case "basic" =>
-              val cred = n.get("username").asText() + ":" +
-                n.get("password").asText()
+              val cred = req("basic", "username") + ":" + req("basic", "password")
               Map("Authorization" -> ("Basic " + java.util.Base64.getEncoder
                 .encodeToString(cred.getBytes("UTF-8"))))
             case "bearer" =>
-              Map("Authorization" -> ("Bearer " + n.get("bearer_token").asText()))
+              Map("Authorization" -> ("Bearer " + req("bearer", "bearer_token")))
             case other => throw new IllegalArgumentException(
               s"output auth: unknown strategy `$other` " +
                 "(disabled|tenant|basic|bearer)")
@@ -109,11 +114,28 @@ object PipelineCompiler {
       // is the transport's own default)
       val ctHeaders: Map[String, String] =
         outputConf.get("content_type").map("Content-Type" -> _).toMap
+      // elasticsearch's own auth fields (elasticsearch.go:516-525
+      // getAuthHeader): api_key → `Authorization: ApiKey <key>`,
+      // overriding username/password basic auth when both are set
+      val esAuthHeaders: Map[String, String] =
+        if (outputType == "elasticsearch")
+          outputConf.get("api_key") match {
+            case Some(k) => Map("Authorization" -> s"ApiKey $k")
+            case None =>
+              (outputConf.get("username"), outputConf.get("password")) match {
+                case (Some(u), Some(p)) =>
+                  Map("Authorization" -> ("Basic " +
+                    java.util.Base64.getEncoder
+                      .encodeToString(s"$u:$p".getBytes("UTF-8"))))
+                case _ => Map.empty
+              }
+          }
+        else Map.empty
       val transport = outputConf.get("endpoint") match {
         case Some(url) if url.startsWith("http://") || url.startsWith("https://") =>
           graft.sinks.Sinks.httpTransport(withEsPipeline(url),
             outputConf.get("use_gzip").exists(_.toBoolean),
-            authHeaders ++ tokenHeaders ++ ctHeaders)
+            authHeaders ++ tokenHeaders ++ ctHeaders ++ esAuthHeaders)
         case Some(hostPort) if hostPort.contains(":") =>
           val cut = hostPort.lastIndexOf(':')
           val h0 = hostPort.substring(0, cut)
@@ -334,10 +356,16 @@ object PipelineCompiler {
               // to=event[.…] are rejected (reference logs + skips),
               // Dig-miss froms are skipped, from="" copies the whole
               // event
-              val docNames = df.schema("doc").dataType match {
-                case s: org.apache.spark.sql.types.StructType =>
-                  s.fieldNames.toSet
-                case _ => Set.empty[String]
+              // Dig-miss skip (splunk.go:369-371): the FULL nested
+              // `from` path resolves against the tracked doc schema —
+              // a missing segment at ANY depth skips the copy, like the
+              // reference's nil Dig, instead of failing analysis
+              def walk(t: org.apache.spark.sql.types.DataType,
+                       ps: List[String]): Boolean = (t, ps) match {
+                case (_, Nil) => true
+                case (s: org.apache.spark.sql.types.StructType, p :: rest) =>
+                  s.fields.find(_.name == p).exists(f => walk(f.dataType, rest))
+                case _ => false
               }
               val copies = outputConf.get("copy_fields").toSeq.flatMap { s =>
                 PipelineCompiler.yaml.readTree(s).elements().asScala.map(c =>
@@ -348,8 +376,8 @@ object PipelineCompiler {
               }.flatMap { case (from, to) =>
                 if (from.isEmpty) Some(to -> doc)
                 else {
-                  val parts = from.split('.').toSeq
-                  if (docNames.contains(parts.head))
+                  val parts = from.split('.').toList
+                  if (walk(df.schema("doc").dataType, parts))
                     Some(to -> parts.foldLeft(doc)(_ getField _))
                   else None
                 }
@@ -808,8 +836,21 @@ object PipelineCompiler {
           val tracked = Option(action.get("metric_label_values"))
             .map(_.elements().asScala.map(_.asText()).toSeq)
             .getOrElse(Nil)
-          val lc = labelField.headOption.filter(_ => tracked.nonEmpty)
-            .map(f => col("doc").getField(f).cast("string"))
+          // labels without a tracked value set can't become a bounded
+          // observation — fail loudly instead of silently dropping them
+          if (labelField.nonEmpty && tracked.isEmpty)
+            throw new IllegalArgumentException(
+              s"metric_labels on `$name` needs metric_label_values " +
+                "(the bounded tracked-value set; reference label " +
+                "cardinality is unbounded per scrape)")
+          // multiple label fields form ONE composite label column
+          // (comma-joined, the prometheus-join spelling) — tracked
+          // values are matched against the composite
+          val lc = Option(labelField).filter(_.nonEmpty).map {
+            case Seq(f) => col("doc").getField(f).cast("string")
+            case fs => concat_ws(",",
+              fs.map(f => col("doc").getField(f).cast("string")): _*)
+          }
           graft.metrics.Metrics.observeAction(applied, name, lc, tracked)
         } else applied
     }
@@ -1372,14 +1413,28 @@ object PipelineCompiler {
     }
   }
 
+  /** The RAW event content for antispam matching (antispammer.go
+    * checkData = event bytes): the `value` column — the undecoded input
+    * line — when it is still in the frame (it survives the decode step
+    * where settings-level antispam runs), matching the reference's
+    * prefix/contains rules written against original event text. The
+    * `to_json(doc)` fallback (frames that dropped `value`, e.g. a
+    * mid-chain antispam action after a rewriting step) is a DOCUMENTED
+    * divergence: Spark's schema inference sorts keys and to_json
+    * compacts, so key order/whitespace differ from the original bytes
+    * there. */
+  private def rawEventCol(df: DataFrame): Column =
+    if (df.columns.contains("value")) col("value").cast("string")
+    else to_json(col("doc"))
+
   /** Antispam field addressing (pipeline/antispam/rules.go:19-36 — the
     * antispamData getter): `source_name` → the ingest source name,
-    * `event` → the raw event content, `meta.x` → the meta map. Doc-field
-    * paths stay resolvable (graft superset; the reference restricts
-    * antispam do_if to the three selectors above). */
+    * `event` → the raw event content (see [[rawEventCol]]), `meta.x` →
+    * the meta map. Doc-field paths stay resolvable (graft superset; the
+    * reference restricts antispam do_if to the three selectors above). */
   private def antispamResolver(df: DataFrame): FieldPath => Column = { p =>
     p.parts.toList match {
-      case List("event") => to_json(col("doc"))
+      case List("event") => rawEventCol(df)
       case "meta" :: rest if rest.nonEmpty && df.columns.contains("meta") =>
         element_at(col("meta"), rest.mkString(".")).cast("string")
       case _ => resolver(df)(p)
@@ -1398,7 +1453,7 @@ object PipelineCompiler {
       val target =
         if (Option(rs.get("check_source_name")).exists(_.asBoolean()))
           col("source_name").cast("string")
-        else to_json(col("doc"))
+        else rawEventCol(df)
       val rules = Option(rs.get("rules"))
         .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
       if (rules.isEmpty) lit(false)

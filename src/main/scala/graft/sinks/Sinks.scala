@@ -367,14 +367,24 @@ object Sinks {
       copies.map { case (to, c) => (to.split('.').toList, c) }): _*))
   }
 
+  /** Conflicting copies sharing a head (`to: fields` leaf AND
+    * `to: fields.svc` nested) resolve LAST-WRITER-WINS in config order,
+    * like the reference's sequential CreateNestedField walk: a leaf
+    * after every nested copy clobbers the object; nested copies AFTER
+    * the last leaf rebuild an object over it (the leaf's scalar is
+    * clobbered when a deeper path is created across it). */
   private def splunkNested(
       pairs: Seq[(List[String], org.apache.spark.sql.Column)])
   : Seq[org.apache.spark.sql.Column] =
     pairs.map(_._1.head).distinct.map { head =>
       val group = pairs.filter(_._1.head == head)
-      val leaves = group.filter(_._1.size == 1)
-      if (leaves.nonEmpty) leaves.last._2.as(head)
-      else struct(splunkNested(group.map(t => (t._1.tail, t._2))): _*).as(head)
+      val lastLeaf = group.lastIndexWhere(_._1.size == 1)
+      val nestedAfter = group.drop(lastLeaf + 1)
+      if (lastLeaf >= 0 && nestedAfter.isEmpty) group(lastLeaf)._2.as(head)
+      else {
+        val nested = if (lastLeaf >= 0) nestedAfter else group
+        struct(splunkNested(nested.map(t => (t._1.tail, t._2))): _*).as(head)
+      }
     }
 
   /** Loki push streams entry, serialized to its wire form: the JSON

@@ -335,6 +335,42 @@ class CompilerSpec extends AnyFunSuite {
       collected.toString)
     assert(collected.get("modify_acted.events_info").contains(1L),
       collected.toString)
+
+    // multiple metric_labels form ONE composite (comma-joined) label
+    // column; tracked values match the composite
+    val multi = graft.metrics.Metrics.collectBatch(spark) {
+      PipelineCompiler.compile(spark,
+        """input: {type: fake, lines: [
+          |  '{"level": "error", "svc": "api"}',
+          |  '{"level": "error", "svc": "web"}',
+          |  '{"level": "info", "svc": "api"}']}
+          |decoder: {type: json, schema: "level string, svc string"}
+          |actions:
+          |  - type: modify
+          |    fields: {tag: "x"}
+          |    metric_name: multi_labels
+          |    metric_labels: [level, svc]
+          |    metric_label_values: ["error,api", "info,api"]
+          |output: {type: memory}
+          |""".stripMargin).result().count()
+    }
+    assert(multi.get("multi_labels.events_error,api").contains(1L), multi.toString)
+    assert(multi.get("multi_labels.events_info,api").contains(1L), multi.toString)
+
+    // labels without a tracked value set fail loudly instead of being
+    // silently dropped
+    intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(spark,
+        """input: {type: fake, lines: ['{"level": "error"}']}
+          |decoder: {type: json, schema: "level string"}
+          |actions:
+          |  - type: modify
+          |    fields: {tag: "x"}
+          |    metric_name: bad_labels
+          |    metric_labels: [level]
+          |output: {type: memory}
+          |""".stripMargin)
+    }
   }
 
   test("antispam matchrule exceptions: check_source_name, event contains, invert") {
@@ -344,7 +380,7 @@ class CompilerSpec extends AnyFunSuite {
       """{"time":"2024-01-01T00:00:01","v":"a1"}""",
       """{"time":"2024-01-01T00:00:02","v":"a2"}""",
       """{"time":"2024-01-01T00:01:01","v":"KEEP-me"}""",
-      """{"time":"2024-01-01T00:01:02","v":"b2"}""")
+      """{"time": "2024-01-01T00:01:02","v":"b2"}""")
     def run(exceptions: String): Long = PipelineCompiler.compile(spark,
       s"""input: {type: fake, lines: [${lines.map("'" + _ + "'").mkString(", ")}]}
          |decoder: {type: json, schema: "time string, v string"}
@@ -385,6 +421,16 @@ class CompilerSpec extends AnyFunSuite {
         |        rules:
         |          - {mode: contains, values: [KEEP]}
         |          - {mode: prefix, values: ['{'], case_insensitive: true}""".stripMargin) == 3)
+    // RAW-bytes matching (antispammer.go checkData = event): the b2
+    // line carries a space after the key — present in the raw `value`
+    // bytes, stripped by any to_json re-serialization — so a reference
+    // prefix rule written against original event text only matches when
+    // the exception sees the raw column. b2 exempt, KEEP still banned.
+    assert(run(
+      """    exceptions:
+        |      - name: raw-prefix
+        |        rules:
+        |          - {mode: prefix, values: ['{"time": "2024-01-01T00:01']}""".stripMargin) == 3)
   }
 
   test("k8s input: filename meta, label allowlists, chunk join, split, only_node") {
@@ -2474,6 +2520,42 @@ class CompilerSpec extends AnyFunSuite {
         |""".stripMargin).payload().collect().map(_.getString(0))
     assert(sp2.head.contains(""""time":1709596801"""), sp2.head)
 
+    // nested FROM paths: the whole path resolves against the doc schema
+    // (splunk.go:369-371 Dig-miss) — `obj.real` copies, `obj.absent`
+    // skips at ANY depth instead of failing analysis
+    val sp3 = PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: ['{"obj": {"real": "v1"}, "m": "x"}']}
+        |decoder: {type: json, schema: "obj STRUCT<real: STRING>, m STRING"}
+        |output:
+        |  type: splunk
+        |  copy_fields:
+        |    - {from: obj.real, to: fields.svc}
+        |    - {from: obj.absent, to: fields.gone}
+        |    - {from: absent.deep, to: fields.gone2}
+        |""".stripMargin).payload().collect().map(_.getString(0))
+    assert(sp3.head.contains(""""fields":{"svc":"v1"}"""), sp3.head)
+    assert(!sp3.head.contains("gone"), sp3.head)
+
+    // leaf/nested TO conflicts resolve last-writer-wins in config order
+    // (the reference's sequential CreateNestedField): leaf last → the
+    // scalar clobbers the object; nested last → the object wins
+    def conflict(copies: String): String = PipelineCompiler.compile(spark,
+      s"""input: {type: fake, lines: ['{"a": "A", "b": "B"}']}
+         |decoder: {type: json, schema: "a STRING, b STRING"}
+         |output:
+         |  type: splunk
+         |  copy_fields:
+         |$copies
+         |""".stripMargin).payload().collect().map(_.getString(0)).head
+    val leafLast = conflict(
+      """    - {from: a, to: fields.svc}
+        |    - {from: b, to: fields}""".stripMargin)
+    assert(leafLast.contains(""""fields":"B""""), leafLast)
+    val nestedLast = conflict(
+      """    - {from: b, to: fields}
+        |    - {from: a, to: fields.svc}""".stripMargin)
+    assert(nestedLast.contains(""""fields":{"svc":"A"}"""), nestedLast)
+
     // elasticsearch batch_op_type: create renders {"create":{...}}
     // action lines (elasticsearch.go:163,241 — data streams need it)
     val es = PipelineCompiler.compile(spark,
@@ -2530,6 +2612,17 @@ class CompilerSpec extends AnyFunSuite {
       val b64 = java.util.Base64.getEncoder.encodeToString("u:p".getBytes("UTF-8"))
       assert(got.contains((null, s"Basic $b64")), got.toString)
       intercept[IllegalArgumentException](send("{strategy: nope}"))
+      // missing required subfields fail as config errors NAMING the
+      // field, not NPEs
+      val eTenant = intercept[IllegalArgumentException](
+        send("{strategy: tenant}"))
+      assert(eTenant.getMessage.contains("tenant_id"), eTenant.getMessage)
+      val eBasic = intercept[IllegalArgumentException](
+        send("{strategy: basic, username: u}"))
+      assert(eBasic.getMessage.contains("password"), eBasic.getMessage)
+      val eBearer = intercept[IllegalArgumentException](
+        send("{strategy: bearer}"))
+      assert(eBearer.getMessage.contains("bearer_token"), eBearer.getMessage)
 
       // splunk HEC token header (splunk.go:130,326)
       PipelineCompiler.compile(spark,
@@ -2569,6 +2662,39 @@ class CompilerSpec extends AnyFunSuite {
       assert(uris.toArray(Array.empty[String]).toSeq
         .contains("/_bulk?pipeline=geoip"), uris.toString)
     } finally srv2.stop(0)
+  }
+
+  test("elasticsearch api_key / username+password render getAuthHeader's Authorization") {
+    // elasticsearch.go:516-525: api_key → `ApiKey <key>`, overriding
+    // username/password; username+password alone → basic auth
+    val auths = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      auths.add(Option(ex.getRequestHeaders.getFirst("Authorization")).orNull)
+      ex.getRequestBody.readAllBytes()
+      ex.sendResponseHeaders(204, -1); ex.close()
+    })
+    srv.start()
+    def send(fields: String): Unit = PipelineCompiler.compile(spark,
+      s"""input: {type: fake, lines: ['{"time":"2024-03-05T00:00:01Z"}']}
+         |decoder: {type: json, schema: "time STRING"}
+         |output:
+         |  type: elasticsearch
+         |  time_field: time
+         |$fields
+         |  endpoint: http://127.0.0.1:${srv.getAddress.getPort}/_bulk
+         |""".stripMargin).send()
+    try {
+      send("  api_key: a2V5LWJ5dGVz")
+      send("  username: elastic\n  password: s3cret")
+      send("  api_key: d2lucw==\n  username: elastic\n  password: s3cret")
+      val got = auths.toArray(Array.empty[String]).toSeq
+      val b64 = java.util.Base64.getEncoder
+        .encodeToString("elastic:s3cret".getBytes("UTF-8"))
+      assert(got == Seq("ApiKey a2V5LWJ5dGVz", s"Basic $b64", "ApiKey d2lucw=="),
+        got.toString)
+    } finally srv.stop(0)
   }
 
   test("move / convert_utf8_bytes / json_decode compile from YAML (previously unknown actions)") {

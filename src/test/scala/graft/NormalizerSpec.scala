@@ -163,4 +163,38 @@ class NormalizerSpec extends AnyFunSuite {
       Seq(NormalizePattern("test", "[asd"))))
     intercept[IllegalArgumentException](norm("x", "nope|int"))
   }
+
+  test("pathological many-candidate-starts line scales near-linearly (quadratic guard)") {
+    // The engine probes every pattern table entry at each candidate
+    // start the combined finder reports (maximal munch). A line that is
+    // almost ALL candidate starts — thousands of int/ip/float tokens —
+    // is the worst case: per-start work must stay O(patterns × token
+    // length), independent of line length, so total time is linear in
+    // the number of starts. A future pattern whose probe scans ahead
+    // unbounded (e.g. an unanchored .*) would turn this quadratic;
+    // this cell catches that before it ships. Bounds are deliberately
+    // loose (4× over linear) to absorb CI timing noise.
+    val tn = NormalizeTokens(Literal("x"), "all", Nil)
+    def mk(n: Int): String = (1 to n)
+      .map(i => s"w$i ${i % 997} 10.${i % 256}.0.${i % 256} ${i % 89}.5ms")
+      .mkString(" ")
+    def timeMs(s: String): Double = {
+      val u = UTF8String.fromString(s)
+      tn.normalize(u) // warm (regex compile, JIT)
+      val runs = 5
+      val t0 = System.nanoTime
+      var k = 0; while (k < runs) { tn.normalize(u); k += 1 }
+      (System.nanoTime - t0) / 1e6 / runs
+    }
+    val tSmall = timeMs(mk(500))
+    val tBig = timeMs(mk(5000)) // 10× the candidate starts
+    val ratio = tBig / tSmall
+    info(f"normalizer pathological: 500-start line $tSmall%.2f ms, " +
+      f"5000-start line $tBig%.2f ms, ratio $ratio%.1f (linear = 10)")
+    assert(ratio < 40.0,
+      f"normalizer scaling ratio $ratio%.1f on 10× candidate starts — " +
+        "quadratic suspect (a pattern probe is scanning past its token?)")
+    assert(tBig < 2000.0,
+      f"pathological 5000-start line took $tBig%.1f ms — absolute ceiling")
+  }
 }

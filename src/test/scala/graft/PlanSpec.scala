@@ -414,10 +414,17 @@ class PlanSpec extends AnyFunSuite {
     java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "a.json"),
       """{"event_id":1,"event_type":"error","props":"{\"k\":\"1\"}"}""".getBytes)
     val p = plan(Bench.throughputPipeline(spark, tmp))
-    // the decode chain (filter + both projections) fuses into ONE
-    // codegen stage (the `*(1)` operator prefix) with no Exchange
-    assert(p.contains("*(1) Project") && p.contains("*(1) Filter"), p)
+    // the whole chain fuses into ONE codegen stage (the `*(1)` operator
+    // prefix) with no Exchange, and — the round-13 shape — the parse
+    // runs ONCE: the explode guard keeps predicate+payload in one
+    // expression tree above a Project that Catalyst does NOT collapse
+    // into the Generate, so exactly one json_fields call appears (a
+    // plain .filter would be pushed below the projection and inline a
+    // SECOND full parse into the predicate)
+    assert(p.contains("*(1) Project") && p.contains("*(1) Generate"), p)
     assert(!p.contains("*(2)"), p)
     assert(!p.contains("Exchange"), p)
+    val parses = "json_fields\\(value".r.findAllIn(p).length
+    assert(parses == 1, s"expected exactly ONE json_fields parse, got $parses:\n$p")
   }
 }
