@@ -60,6 +60,14 @@ object PipelineCompiler {
     /** Batch run: applies the chain and returns the resulting events. */
     def result(): DataFrame = df
 
+    /** The elasticsearch `process_response` indexing-error count — the
+      * Spark analogue of the reference's process-local
+      * `indexing_errors` CounterVec (elasticsearch.go:566-568): the
+      * response hook runs inside the executor-side transport closure,
+      * so the count rides an accumulator back to the driver. */
+    lazy val esIndexingErrorsAcc: org.apache.spark.util.LongAccumulator =
+      df.sparkSession.sparkContext.longAccumulator("graft_es_indexing_errors")
+
     /** Net-sink batcher: wire-format payload → chunking/retry/DLQ →
       * transport. An `endpoint` in the config gets a REAL transport
       * (HTTP POST or host:port TCP — loopback-reachable here);
@@ -131,11 +139,31 @@ object PipelineCompiler {
               }
           }
         else Map.empty
-      val transport = outputConf.get("endpoint") match {
+      // elasticsearch `process_response` (elasticsearch.go:205,419-425,
+      // default TRUE): read the 2xx bulk response — items can fail
+      // individually under a 200 — count indexing errors into a
+      // driver-visible accumulator (the Spark analogue of the
+      // reference's process-local indexing_errors CounterVec) and log a
+      // sample. `process_response: false` skips the body read.
+      val esRespHook: Option[String => Unit] =
+        if (outputType == "elasticsearch" &&
+            !outputConf.get("process_response").exists(_.toBoolean == false)) {
+          val acc = esIndexingErrorsAcc
+          Some { body =>
+            val (n, sample) = graft.sinks.Sinks.esCountIndexingErrors(body)
+            if (n > 0) {
+              acc.add(n.toLong)
+              Console.err.println(
+                s"elasticsearch indexing error ($n items), sample: $sample")
+            }
+          }
+        } else None
+      val baseTransport = outputConf.get("endpoint") match {
         case Some(url) if url.startsWith("http://") || url.startsWith("https://") =>
           graft.sinks.Sinks.httpTransport(withEsPipeline(url),
             outputConf.get("use_gzip").exists(_.toBoolean),
-            authHeaders ++ tokenHeaders ++ ctHeaders ++ esAuthHeaders)
+            authHeaders ++ tokenHeaders ++ ctHeaders ++ esAuthHeaders,
+            onResponse = esRespHook)
         case Some(hostPort) if hostPort.contains(":") =>
           val cut = hostPort.lastIndexOf(':')
           val h0 = hostPort.substring(0, cut)
@@ -143,6 +171,16 @@ object PipelineCompiler {
           graft.sinks.Sinks.socketTransport(h, hostPort.substring(cut + 1).toInt)
         case _ => PipelineCompiler.transportFactory(outputType)
       }
+      // `split_batch` (elasticsearch.go:179 / http.go:162, default
+      // false): 413 responses binary-split the chunk at event
+      // boundaries. Every payload row is one complete event — the ES
+      // bulk renderer embeds the action+document newline INSIDE the
+      // row (esBulkLines) — so element granularity IS event
+      // granularity here
+      val transport =
+        if (outputConf.get("split_batch").exists(_.toBoolean))
+          graft.sinks.Sinks.splitBatchTransport(baseTransport)
+        else baseTransport
       // `retention` + `retention_exponentially_multiplier` — the
       // reference's per-sink exponential retry schedule (e.g.
       // elasticsearch.go:183-190; Go-duration spelling "800ms"/"1s").
@@ -562,7 +600,10 @@ object PipelineCompiler {
       .filter(p => p.properties().asScala.nonEmpty)
       .getOrElse(throw new IllegalArgumentException(
         "no pipelines defined in config"))
-    ps.properties().asScala.map(e => e.getKey -> compileNode(spark, e.getValue)).toMap
+    // the map key is the pipeline name — it prefixes redis limiter keys
+    // (redis_limiter.go:78-84: keyPrefix = pipelineName_field_value_)
+    ps.properties().asScala.map(e =>
+      e.getKey -> compileNode(spark, e.getValue, e.getKey)).toMap
   }
 
   /** Playground equivalent (reference playground/playground.go:60-110,
@@ -653,7 +694,8 @@ object PipelineCompiler {
     (collectDocs(root).map(_._2), stdout.toString)
   }
 
-  private def compileNode(spark: SparkSession, rootNode: JsonNode): Compiled = {
+  private def compileNode(spark: SparkSession, rootNode: JsonNode,
+                          pipelineName: String = "graft"): Compiled = {
     val root = rootNode
     val input = Option(root.get("input"))
       .getOrElse(throw new IllegalArgumentException("missing input"))
@@ -825,7 +867,7 @@ object PipelineCompiler {
     val withMetrics = Option(root.get("metrics")).exists(_.asBoolean())
     val chained = actions.zipWithIndex.foldLeft(decorated) {
       case (df, (action, i)) =>
-        val applied = applyAction(df, action, streamKey)
+        val applied = applyAction(df, action, streamKey, pipelineName)
         val mName = Option(action.get("metric_name")).map(_.asText())
         if (withMetrics || mName.isDefined) {
           val name = mName.getOrElse(
@@ -1553,6 +1595,56 @@ object PipelineCompiler {
   private[graft] def goDurationSeconds(s: String): Long =
     goDurationMillis(s) / 1000
 
+  /** `limiter_backend: redis` + `redis_backend_config`
+    * (throttle.go:94-103,179-291) → the limiter-sync config. Accepted-
+    * ignored transport knobs follow the COVERAGE.md classification:
+    * `pool_size`/`worker_count` (Spark tasks are the workers, one
+    * shared connection per executor), `read_only_routing`,
+    * `limits_save_interval` (the cyclic limits-file save is driver
+    * deployment surface — the redis key is the durable copy).
+    * `client_type` ring|cluster is rejected loudly: client-side
+    * sharding topologies need a real driver, not the minimal RESP
+    * client. Returns the cfg plus the `limiter_key_field` selector. */
+  private def redisThrottleCfg(action: JsonNode, pipelineName: String,
+                               throttleField: String, intervalMs: Long,
+                               bucketsCount: Int, limit: Long, kind: String)
+  : (graft.state.RedisThrottle.Cfg, Option[String]) = {
+    require(Option(action.get("limit_distribution")).isEmpty,
+      "throttle: limit_distribution with limiter_backend: redis is not " +
+        "supported — use the memory backend for distributed ratios")
+    val rc = Option(action.get("redis_backend_config"))
+      .orElse(Option(action.get("redis_backend_cfg")))
+      .getOrElse(throw new IllegalArgumentException(
+        "throttle: limiter_backend: redis needs `redis_backend_config`"))
+    def str(f: String): Option[String] = Option(rc.get(f)).map(_.asText())
+    str("client_type").filter(_ != "base").foreach { t =>
+      throw new IllegalArgumentException(
+        s"throttle redis_backend_config: client_type `$t` is not supported (base only)")
+    }
+    val endpoint = str("endpoint").getOrElse(throw new IllegalArgumentException(
+      "throttle redis_backend_config: needs `endpoint` (HOST:PORT)"))
+    val seeded = str("limits_file")
+      .map(graft.state.RedisThrottle.loadLimitsFile).getOrElse(Map.empty)
+    val cfg = graft.state.RedisThrottle.Cfg(
+      endpoint = endpoint,
+      password = str("password").filter(_.nonEmpty),
+      pipelineName = pipelineName,
+      throttleFieldName = throttleField,
+      bucketIntervalMs = intervalMs,
+      bucketsCount = bucketsCount,
+      defaultLimit = limit,
+      limitKind = kind,
+      syncIntervalMs = str("sync_interval").map(goDurationMillis).getOrElse(5000L),
+      timeoutMs = str("timeout").map(goDurationMillis(_).toInt).getOrElse(1000),
+      maxRetries = Option(rc.get("max_retries")).map(_.asInt()).getOrElse(3),
+      minBackoffMs = str("min_retry_backoff").map(goDurationMillis).getOrElse(8L),
+      maxBackoffMs = str("max_retry_backoff").map(goDurationMillis).getOrElse(512L),
+      valueField = str("limiter_value_field").getOrElse(""),
+      distributionField = str("limiter_distribution_field").getOrElse(""),
+      seededLimits = seeded)
+    (cfg, str("limiter_key_field").filter(_.nonEmpty))
+  }
+
   /** The reference's `cfg.Expression` int knobs (cfg/config.go:441-487):
     * a value spelled `<int>` or `<op1><*|/|+|-><op2>` where each operand
     * is an int literal or a pipeline value — `capacity` (settings, the
@@ -1648,7 +1740,8 @@ object PipelineCompiler {
     Set("throttle", "cardinality", "antispam", "join", "join_template")
 
   private def applyAction(df: DataFrame, action: JsonNode,
-                          streamKey: Option[String] = Some("stream")): DataFrame = {
+                          streamKey: Option[String] = Some("stream"),
+                          pipelineName: String = "graft"): DataFrame = {
     val pred = matchPredicate(action, df)
     if (pred.isDefined && splitPredTypes(action.get("type").asText())) {
       // match_fields/do_if on a sequence-stateful action used to be
@@ -1662,7 +1755,7 @@ object PipelineCompiler {
         .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       strip.remove("match_fields"); strip.remove("do_if")
       strip.remove("match_mode"); strip.remove("match_invert")
-      return applyAction(df.filter(p), strip, streamKey)
+      return applyAction(df.filter(p), strip, streamKey, pipelineName)
         .unionByName(df.filter(!p))
     }
     val doc = col("doc")
@@ -2038,6 +2131,38 @@ object PipelineCompiler {
         val eventTime = coalesce(
           unix_millis(XTime.parse(col("doc").getField(tsF).cast("string"), tFmt)),
           lit(0L))
+        // `limiter_backend: redis`: the kernel syncs each key's dual
+        // window with redis at micro-batch boundaries once
+        // `sync_interval` has elapsed (graft.state.RedisThrottle)
+        if (Option(action.get("limiter_backend")).map(_.asText())
+            .getOrElse("memory") == "redis") {
+          val kind = Option(action.get("limit_kind")).map(_.asText())
+            .getOrElse("count")
+          val throttleFieldSel =
+            Option(action.get("throttle_field")).map(_.asText())
+          val (rcfg, keyFieldSel) = redisThrottleCfg(action, pipelineName,
+            throttleFieldSel.getOrElse(""), intervalMs, bucketsCount,
+            limit, kind)
+          val redisKey = throttleFieldSel
+            .map(f => coalesce(col("doc").getField(f).cast("string"),
+              lit("default")))
+            .getOrElse(lit("default")) // throttle.go:20 defaultThrottleKey
+          val weight =
+            if (kind == "size") {
+              if (df.columns.contains("value")) octet_length(col("value"))
+              else octet_length(to_json(col("doc")))
+            } else lit(1)
+          val overrideKey = keyFieldSel
+            .map(f => coalesce(col("doc").getField(f).cast("string"), lit("")))
+            .getOrElse(lit(""))
+          val ds = df.select(redisKey.as("key"), eventTime.as("eventTimeMs"),
+              weight.cast("long").as("weight"), overrideKey.as("overrideKey"),
+              envelopeJson.as("value"))
+            .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.REvent])
+          return unwrapEnvelope(
+            graft.streaming.Kernels.throttleRedis(ds, rcfg, stateTtlMs = ttlMs)
+              .toDF(), "value", t)
+        }
         Option(action.get("limit_distribution")) match {
           case Some(ld) =>
             // ratio sub-limits over a field's values with default-bucket
@@ -2177,6 +2302,48 @@ object PipelineCompiler {
         val key = Option(action.get("throttle_field"))
           .map(f => doc.getField(f.asText()).cast("string"))
           .getOrElse(col("source_name"))
+        // `limiter_backend: redis` (throttle.go:94-103): limiter keys
+        // become global across engine instances — the batch run pulls
+        // the window's global totals + the dynamic limit key at group
+        // start and pushes its admissions at group end (the batch
+        // collapse of the reference's continuous sync; rationale at
+        // graft.state.RedisThrottle)
+        if (Option(action.get("limiter_backend")).map(_.asText())
+            .getOrElse("memory") == "redis") {
+          val throttleFieldSel =
+            Option(action.get("throttle_field")).map(_.asText())
+          val bucketsCount =
+            Option(action.get("buckets_count")).map(_.asInt()).getOrElse(60)
+          val (rcfg, keyFieldSel) = redisThrottleCfg(action, pipelineName,
+            throttleFieldSel.getOrElse(""), interval * 1000, bucketsCount,
+            limit, kind)
+          // redis key VALUES are a cross-instance wire contract — the
+          // reference's default key is the literal "default"
+          // (throttle.go:20 defaultThrottleKey), not the source name
+          val redisKey = throttleFieldSel
+            .map(f => coalesce(doc.getField(f).cast("string"), lit("default")))
+            .getOrElse(lit("default"))
+          val eventMs = coalesce(
+            unix_millis(XTime.parse(doc.getField(tsF).cast("string"), tsFmt)),
+            lit(0L))
+          val weight =
+            if (kind == "size") {
+              if (df.columns.contains("value")) octet_length(col("value"))
+              else octet_length(to_json(doc))
+            } else lit(1)
+          val overrideCol = keyFieldSel.map(f =>
+            doc.getField(f).cast("string"))
+          var keyed = df.withColumn("_tkey", redisKey)
+            .withColumn("_tms", eventMs)
+            .withColumn("_tord",
+              if (df.columns.contains("_pg_ord")) col("_pg_ord")
+              else monotonically_increasing_id())
+            .withColumn("_twt", weight.cast("long"))
+          overrideCol.foreach(c => keyed = keyed.withColumn("_tko", c))
+          return graft.state.RedisThrottle.batch(keyed, "_tkey", "_tms",
+              "_tord", "_twt", overrideCol.map(_ => "_tko"), rcfg)
+            .drop("_tkey", "_tms", "_tord", "_twt", "_tko")
+        }
         val bucket = floor(
           unix_timestamp(XTime.parse(doc.getField(tsF).cast("string"), tsFmt))
             / interval).cast("long")

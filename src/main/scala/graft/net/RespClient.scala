@@ -1,0 +1,188 @@
+package graft.net
+
+import java.io.{BufferedInputStream, BufferedOutputStream, IOException}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Minimal RESP2 redis client — the transport behind the throttle
+  * plugin's redis limiter backend (reference: xredis wraps go-redis;
+  * limiter semantics at plugin/action/throttle/redis_limiter.go). Pure
+  * JDK sockets, zero driver dependencies: the limiter sync needs only
+  * INCRBY / PEXPIRE / GET plus PING (connect probe), AUTH and SET (the
+  * dynamic-limit key is written by operators, and by specs).
+  *
+  * Retry discipline mirrors the reference's client options
+  * (throttle.go RedisBackendConfig): `maxRetries` attempts with
+  * exponential backoff clamped to [minBackoffMs, maxBackoffMs]
+  * (go-redis retryBackoff), socket-level `timeoutMs` on connect and
+  * read. A failed attempt drops the connection so the next one
+  * reconnects from scratch — half-written commands never leak into the
+  * next request's reply stream.
+  *
+  * Thread-safe by method-level synchronization: one client per
+  * (endpoint, executor JVM) is shared across state-handler tasks (see
+  * [[RespClient.shared]]), and the command rate is a few round-trips
+  * per throttle key per sync interval — contention is not a factor.
+  */
+final class RespClient(host: String, port: Int,
+                       password: Option[String] = None,
+                       timeoutMs: Int = 1000,
+                       maxRetries: Int = 3,
+                       minBackoffMs: Long = 8,
+                       maxBackoffMs: Long = 512,
+                       sleeper: Long => Unit = Thread.sleep)
+  extends AutoCloseable {
+
+  sealed trait Reply
+  final case class Simple(s: String) extends Reply
+  final case class Bulk(s: Option[String]) extends Reply
+  final case class Num(n: Long) extends Reply
+  final case class Err(msg: String) extends Reply
+  final case class Arr(items: Seq[Reply]) extends Reply
+
+  private var socket: Socket = _
+  private var in: BufferedInputStream = _
+  private var out: BufferedOutputStream = _
+
+  private def connect(): Unit = {
+    val s = new Socket()
+    s.connect(new InetSocketAddress(host, port), timeoutMs)
+    s.setSoTimeout(timeoutMs)
+    socket = s
+    in = new BufferedInputStream(s.getInputStream)
+    out = new BufferedOutputStream(s.getOutputStream)
+    password.foreach { pw =>
+      writeCommand(Seq("AUTH", pw))
+      readReply() match {
+        case Simple("OK") => ()
+        case other => throw new IOException(s"redis AUTH failed: $other")
+      }
+    }
+  }
+
+  private def dropConnection(): Unit = {
+    if (socket != null) { try socket.close() catch { case _: Throwable => () } }
+    socket = null; in = null; out = null
+  }
+
+  private def writeCommand(args: Seq[String]): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"*${args.size}\r\n".getBytes(UTF_8))
+    args.foreach { a =>
+      val b = a.getBytes(UTF_8)
+      bos.write(s"$$${b.length}\r\n".getBytes(UTF_8))
+      bos.write(b)
+      bos.write("\r\n".getBytes(UTF_8))
+    }
+    out.write(bos.toByteArray)
+    out.flush()
+  }
+
+  private def readLine(): String = {
+    val sb = new StringBuilder
+    var c = in.read()
+    while (c != '\r') {
+      if (c < 0) throw new IOException("redis: connection closed mid-reply")
+      sb.append(c.toChar)
+      c = in.read()
+    }
+    if (in.read() != '\n') throw new IOException("redis: malformed line ending")
+    sb.toString
+  }
+
+  private def readReply(): Reply = {
+    val t = in.read()
+    if (t < 0) throw new IOException("redis: connection closed")
+    t.toChar match {
+      case '+' => Simple(readLine())
+      case '-' => Err(readLine())
+      case ':' => Num(readLine().toLong)
+      case '$' =>
+        val n = readLine().toInt
+        if (n < 0) Bulk(None)
+        else {
+          val buf = new Array[Byte](n)
+          var off = 0
+          while (off < n) {
+            val r = in.read(buf, off, n - off)
+            if (r < 0) throw new IOException("redis: connection closed mid-bulk")
+            off += r
+          }
+          readLine() // trailing CRLF (empty)
+          Bulk(Some(new String(buf, UTF_8)))
+        }
+      case '*' =>
+        val n = readLine().toInt
+        if (n < 0) Arr(Nil)
+        else Arr((0 until n).map(_ => readReply()))
+      case other => throw new IOException(s"redis: unknown reply type '$other'")
+    }
+  }
+
+  /** go-redis retryBackoff: 2^attempt × min, clamped to max. */
+  private def backoff(attempt: Int): Long =
+    math.min(maxBackoffMs, minBackoffMs << math.min(attempt, 20)).max(0L)
+
+  def command(args: String*): Reply = synchronized {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt <= maxRetries) {
+      try {
+        if (socket == null) connect()
+        writeCommand(args)
+        readReply() match {
+          case Err(m) => throw new IOException(s"redis error: $m") // no retry: server answered
+          case r => return r
+        }
+      } catch {
+        case e: IOException if e.getMessage != null && e.getMessage.startsWith("redis error:") =>
+          throw e // an -ERR reply is a protocol-level answer, not a transport fault
+        case e: Throwable =>
+          last = e
+          dropConnection()
+          attempt += 1
+          if (attempt <= maxRetries) sleeper(backoff(attempt - 1))
+      }
+    }
+    throw new IOException(s"redis: $host:$port unreachable after ${maxRetries + 1} attempts", last)
+  }
+
+  def ping(): Boolean =
+    try command("PING") == Simple("PONG") catch { case _: Throwable => false }
+  def get(key: String): Option[String] =
+    command("GET", key) match { case Bulk(v) => v; case other => throw new IOException(s"GET: $other") }
+  def set(key: String, value: String): Unit =
+    command("SET", key, value)
+  def incrBy(key: String, n: Long): Long =
+    command("INCRBY", key, n.toString) match { case Num(v) => v; case other => throw new IOException(s"INCRBY: $other") }
+  def pexpire(key: String, ms: Long): Boolean =
+    command("PEXPIRE", key, ms.toString) match { case Num(v) => v == 1L; case other => throw new IOException(s"PEXPIRE: $other") }
+
+  override def close(): Unit = synchronized { dropConnection() }
+}
+
+object RespClient {
+  private val pool =
+    new java.util.concurrent.ConcurrentHashMap[String, RespClient]()
+
+  /** One shared client per (endpoint, password) per executor JVM — the
+    * throttle kernel's state handlers all funnel through it (commands
+    * are synchronized; a few round-trips per key per sync interval). */
+  def shared(endpoint: String, password: Option[String],
+             timeoutMs: Int, maxRetries: Int,
+             minBackoffMs: Long, maxBackoffMs: Long): RespClient = {
+    val cut = endpoint.lastIndexOf(':')
+    require(cut > 0, s"redis endpoint must be HOST:PORT, got `$endpoint`")
+    val host = endpoint.substring(0, cut)
+    val port = endpoint.substring(cut + 1).toInt
+    pool.computeIfAbsent(s"$endpoint|${password.getOrElse("")}",
+      _ => new RespClient(host, port, password, timeoutMs, maxRetries,
+        minBackoffMs, maxBackoffMs))
+  }
+
+  /** Drop pooled clients (tests recycle fake servers on new ports). */
+  def resetPool(): Unit = {
+    pool.values.forEach(_.close())
+    pool.clear()
+  }
+}

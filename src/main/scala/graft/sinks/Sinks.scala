@@ -691,13 +691,24 @@ object Sinks {
     * Injected per deployment (HTTP POST, TCP write, JDBC…). */
   type Transport = Iterator[String] => Unit
 
+  /** Non-2xx HTTP response, with the status code visible to wrappers —
+    * [[splitBatchTransport]] dispatches on 413 the way the reference's
+    * sendSplit does (elasticsearch.go:455-460 / http.go:407-414). */
+  final class HttpStatusException(val code: Int, url: String)
+    extends java.io.IOException(s"http transport: status $code from $url")
+
   /** A real HTTP transport: one POST per chunk, newline-joined body
     * (the NDJSON/_bulk wire shape every HTTP-family sink renders into),
     * gzip optional. Non-2xx or connect failure throws so the
     * foreachBatch batcher's retry/DLQ path engages — covers the http,
-    * elasticsearch, loki, splunk and gelf-over-http sink legs. */
+    * elasticsearch, loki, splunk and gelf-over-http sink legs.
+    * `onResponse` reads a 2xx response body — the elasticsearch
+    * `process_response` hook (elasticsearch.go:419-425,527+
+    * reportESErrors): bulk inserts return 200 even when individual
+    * items failed, so skipping the body means silently losing events. */
   def httpTransport(url: String, gzip: Boolean = false,
-                    headers: Map[String, String] = Map.empty): Transport = { lines =>
+                    headers: Map[String, String] = Map.empty,
+                    onResponse: Option[String => Unit] = None): Transport = { lines =>
     val c = java.net.URI.create(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     try {
@@ -712,8 +723,84 @@ object Sinks {
       w.close()
       val code = c.getResponseCode
       if (code < 200 || code >= 300)
-        throw new java.io.IOException(s"http transport: status $code from $url")
+        throw new HttpStatusException(code, url)
+      onResponse.foreach { f =>
+        val in = c.getInputStream
+        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        f(body)
+      }
     } finally c.disconnect()
+  }
+
+  /** `split_batch` (elasticsearch.go:179,392,433-466 sendSplit;
+    * http.go:162,391-421): when the endpoint answers 413 Request Entity
+    * Too Large, binary-split the chunk at EVENT boundaries and send the
+    * halves independently, recursing until everything fits; a single
+    * event that still draws 413 rethrows — it can't be saved at any
+    * split, so it flows into the batcher's retry → DLQ path like any
+    * other poison payload (the reference's non-retryable error branch).
+    * `linesPerEvent` keeps multi-line wire formats intact: the ES bulk
+    * body is action+document pairs, so a split there must land on an
+    * even line index or it would tear an event in half. Any other
+    * failure propagates unchanged — only 413 means "the body was too
+    * big", everything else is the endpoint's problem, not the size's. */
+  def splitBatchTransport(inner: Transport, linesPerEvent: Int = 1): Transport = {
+    require(linesPerEvent >= 1, "splitBatchTransport: linesPerEvent must be >= 1")
+    lines => {
+      val all = lines.toVector
+      require(all.size % linesPerEvent == 0,
+        s"splitBatchTransport: ${all.size} lines is not a multiple of $linesPerEvent per event")
+      val events = all.size / linesPerEvent
+      def sendSplit(left: Int, right: Int): Unit =
+        if (left < right) {
+          try inner(all.slice(left * linesPerEvent, right * linesPerEvent).iterator)
+          catch {
+            case e: HttpStatusException if e.code == 413 =>
+              if (right - left == 1) throw e // can't save even one event
+              val middle = (left + right) / 2
+              sendSplit(left, middle)
+              sendSplit(middle, right)
+          }
+        }
+      sendSplit(0, events)
+    }
+  }
+
+  // executor-local (object = one per JVM); jackson-databind rides on
+  // Spark's own classpath
+  @transient private lazy val esRespMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** The elasticsearch bulk-response processor (elasticsearch.go:527-575
+    * reportESErrors): a 2xx bulk response still carries per-item
+    * verdicts — when `errors` is true, every item whose action node
+    * (`index` or `create`, matching the configured batch_op_type; the
+    * reference digs only "index" but ES answers with the request's
+    * verb) carries an `error` object counts as an indexing error.
+    * `onError(n, sampleMsg)` receives the count per response plus one
+    * sample error body for the log line — the reference increments
+    * `indexing_errors` and logs each item. Pure function over the body
+    * so it runs inside the executor-side transport closure. */
+  def esCountIndexingErrors(body: String): (Int, String) = {
+    if (body == null || body.isBlank) return (0, "") // 204 / empty body
+    val root = esRespMapper.readTree(body)
+    if (root == null || !Option(root.get("errors")).exists(_.asBoolean(false))) (0, "")
+    else {
+      val items = Option(root.get("items")).map(_.elements())
+      var n = 0
+      var sample = ""
+      items.foreach { it =>
+        while (it.hasNext) {
+          val item = it.next()
+          val action = Option(item.get("index")).orElse(Option(item.get("create")))
+          action.flatMap(a => Option(a.get("error"))).foreach { err =>
+            n += 1
+            if (sample.isEmpty) sample = err.toString
+          }
+        }
+      }
+      (n, sample)
+    }
   }
 
   /** A real TCP transport: one connection per chunk, newline-framed

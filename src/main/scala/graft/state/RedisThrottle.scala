@@ -1,0 +1,317 @@
+package graft.state
+
+import graft.net.RespClient
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+
+/** The throttle plugin's REDIS limiter backend
+  * (plugin/action/throttle/redis_limiter.go, throttle.go:94-103
+  * `limiter_backend: redis` + RedisBackendConfig): limiter keys become
+  * GLOBAL across engine instances. Every limiter key holds TWO bucket
+  * windows — an INCREMENT window counting only local admissions since
+  * the last sync, and a TOTAL window holding the last redis-synced
+  * global counts (plus local admissions since). An event is admitted
+  * iff BOTH windows are under the limit (redis_limiter.go:96-105
+  * isAllowed). A sync pushes each non-empty increment bucket with
+  * INCRBY `<prefix><bucketID>_<distrIdx>` — whose return value IS the
+  * new global total for that bucket — zeroes the increment, sets the
+  * reference's staggered PEXPIRE (interval × (1 + bucketIdx)), and
+  * re-reads the dynamic limit key `<prefix>limit` (plain integer, or a
+  * JSON object when `limiter_value_field` names the field —
+  * redis_limiter.go:216-247 decodeKeyLimitValue / updateKeyLimit).
+  *
+  * Spark mapping. Within ONE job, a key's state lives on exactly one
+  * task (hash partitioning), so redis buys nothing; the backend exists
+  * for the reference's deployment shape — MANY independent pipelines
+  * (or file.d boxes) sharing one quota. The sync cadence maps to the
+  * engine's natural quantum:
+  *  - streaming: the kernel syncs at micro-batch boundaries once
+  *    `sync_interval` has elapsed (reference: a wall-clock ticker,
+  *    limiters_map.go:180-210 runSync) — same push/pull round, Spark's
+  *    clock instead of a goroutine's;
+  *  - batch: a run is instantaneous relative to any real sync interval,
+  *    so the continuous loop collapses to one pull at group start (GET
+  *    limit key + GET the window's bucket totals — seeding totals by
+  *    read is the batch strengthening of the reference's
+  *    learn-on-first-INCRBY, which would have nothing to learn from
+  *    inside a single pass) and one push at group end (INCRBY the
+  *    admitted counts + PEXPIRE).
+  *
+  * Failure behavior matches the reference's degrade-to-local
+  * (limiters_map.go:137-147): an unreachable redis logs and keeps the
+  * dual windows counting locally — increments are NOT zeroed, so the
+  * next successful sync pushes everything accumulated.
+  *
+  * `limits_file` (throttle.go RedisBackendConfig:LimitsFile,
+  * limiters_map.go:362-420 loadLimits/parseLimits): a JSON snapshot of
+  * limiter configs loaded ONLY at initialization to seed per-key
+  * limits; redis overrides a seeded value at the first sync — exactly
+  * the reference's documented precedence. The cyclic save
+  * (saveLimitsCyclic) is driver-side deployment surface and stays
+  * descoped: limits only change via the redis key, which IS the
+  * durable copy.
+  */
+object RedisThrottle {
+
+  /** `redis_backend_config` (throttle.go:179-291). `workerCount` and
+    * `poolSize` have no Spark analog (tasks are the workers; one shared
+    * connection per executor) and are accepted-ignored like the other
+    * transport-tuning knobs. */
+  final case class Cfg(endpoint: String,
+                       password: Option[String] = None,
+                       pipelineName: String = "graft",
+                       throttleFieldName: String = "",
+                       bucketIntervalMs: Long = 60000L,
+                       bucketsCount: Int = 60,
+                       defaultLimit: Long = 5000L,
+                       limitKind: String = "count",
+                       syncIntervalMs: Long = 5000L,
+                       timeoutMs: Int = 1000,
+                       maxRetries: Int = 3,
+                       minBackoffMs: Long = 8L,
+                       maxBackoffMs: Long = 512L,
+                       valueField: String = "",
+                       distributionField: String = "",
+                       seededLimits: Map[String, Long] = Map.empty) {
+    require(bucketIntervalMs > 0, "redis throttle: bucket_interval must be positive")
+    require(bucketsCount > 0, "redis throttle: buckets_count must be positive")
+    require(limitKind == "count" || limitKind == "size",
+      s"redis throttle: limit_kind must be count|size, got `$limitKind`")
+
+    /** keyPrefix = pipelineName_throttleFieldName_throttleFieldValue_
+      * (redis_limiter.go:78-90). */
+    def keyPrefix(value: String): String =
+      s"${pipelineName}_${throttleFieldName}_${value}_"
+    /** `<prefix>limit` unless `limiter_key_field` supplied an override. */
+    def limitKey(value: String, overrideKey: String): String =
+      if (overrideKey.nonEmpty) overrideKey else keyPrefix(value) + "limit"
+    def subKey(value: String, bucketId: Long): String =
+      s"${keyPrefix(value)}${bucketId}_0" // distributionIdx 0: plain limiters
+
+    def client(): RespClient =
+      RespClient.shared(endpoint, password, timeoutMs, maxRetries,
+        minBackoffMs, maxBackoffMs)
+
+    def initialLimit(value: String): Long =
+      seededLimits.getOrElse(value, defaultLimit)
+  }
+
+  /** Parse the dynamic-limit key's value: plain integer, or — when
+    * `limiter_value_field` is set — a JSON object whose that field
+    * holds the limit, quoted or bare (redis_limiter.go:216-247). A
+    * malformed value keeps the current limit like the reference's
+    * logged error path. */
+  def parseLimitValue(raw: String, valueField: String): Option[Long] =
+    try {
+      if (valueField.isEmpty) Some(raw.trim.toLong)
+      else {
+        val node = mapper.readTree(raw)
+        Option(node.get(valueField)).map(_.asText().trim.stripPrefix("\"")
+          .stripSuffix("\"").toLong)
+      }
+    } catch { case _: Throwable => None }
+
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** `limits_file` loader (limiters_map.go:362-420): JSON map of
+    * limiter map keys (`pipeline:throttleValue` or any prefix:value
+    * shape — the reference takes everything after the first ':' as the
+    * throttle key) to `{key, kind, limit, distribution}` rows. Returns
+    * throttleValue → limit. Missing file = empty seed, like the
+    * reference's IsNotExist path. */
+  def loadLimitsFile(path: String): Map[String, Long] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) return Map.empty
+    require(!f.isDirectory, s"limits_file $path is a directory")
+    val data = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    if (data.isBlank) return Map.empty
+    val root = mapper.readTree(data)
+    val out = Map.newBuilder[String, Long]
+    root.fields().forEachRemaining { e =>
+      val mapKey = e.getKey
+      val throttleValue = mapKey.substring(mapKey.indexOf(':') + 1)
+      Option(e.getValue.get("limit")).foreach(l => out += throttleValue -> l.asLong())
+    }
+    out.result()
+  }
+
+  /** The dual-window accounting shared by both legs. Arrays are the
+    * circular windows, newest bucket last (the streaming ThrottleState
+    * layout). Mutable and task-local. */
+  final class DualWindow(val cfg: Cfg, var limit: Long) {
+    var newestBucket: Long = Long.MinValue
+    val incr = new Array[Long](cfg.bucketsCount)
+    val total = new Array[Long](cfg.bucketsCount)
+
+    def loadFrom(newest: Long, i: Array[Long], t: Array[Long]): Unit = {
+      newestBucket = newest
+      System.arraycopy(i, 0, incr, 0, cfg.bucketsCount)
+      System.arraycopy(t, 0, total, 0, cfg.bucketsCount)
+    }
+
+    /** Shift the windows so `bucket` fits; returns the window index for
+      * `bucket`, or -1 if it is older than the window (the reference's
+      * "event is very old" drop). */
+    def indexFor(bucket: Long): Int = {
+      if (newestBucket == Long.MinValue) newestBucket = bucket
+      if (bucket > newestBucket) {
+        val shift = math.min(bucket - newestBucket, cfg.bucketsCount.toLong).toInt
+        shiftLeft(incr, shift); shiftLeft(total, shift)
+        newestBucket = bucket
+      }
+      val diff = newestBucket - bucket
+      if (diff >= cfg.bucketsCount) -1 else cfg.bucketsCount - 1 - diff.toInt
+    }
+
+    private def shiftLeft(a: Array[Long], n: Int): Unit = {
+      var i = 0
+      while (i < a.length) { a(i) = if (i + n < a.length) a(i + n) else 0L; i += 1 }
+    }
+
+    /** redis_limiter.go:96-105 + in_memory_limiter.go:64-100: the
+      * reference increments UNCONDITIONALLY and then checks `<= limit`
+      * — a denied event still consumes bucket count. The increment
+      * window counts every OFFERED event (that is what INCRBY pushes to
+      * redis: offered traffic, shared so every instance sees total
+      * pressure, not just admissions); the total window counts events
+      * that passed the increment check. Both must end up under the
+      * limit for admission. Kept reference-exact because the redis
+      * key VALUES are a cross-instance wire contract. */
+    def isAllowed(eventTimeMs: Long, weight: Long): Boolean = {
+      val idx = indexFor(eventTimeMs / cfg.bucketIntervalMs)
+      if (idx < 0) return false
+      incr(idx) += weight
+      if (incr(idx) > limit) return false
+      total(idx) += weight
+      total(idx) <= limit
+    }
+
+    /** Push non-empty increment buckets (INCRBY → returned value is the
+      * new global total), zero them, stagger PEXPIRE, then re-read the
+      * limit key (redis_limiter.go:107-147 sync + updateKeyLimit).
+      * Returns false when redis was unreachable — increments kept. */
+    def sync(value: String, limitKeyOverride: String): Boolean =
+      try {
+        val c = cfg.client()
+        var i = 0
+        while (i < cfg.bucketsCount) {
+          if (incr(i) > 0 && newestBucket != Long.MinValue) {
+            val bucketId = newestBucket - (cfg.bucketsCount - 1 - i)
+            val globalTotal = c.incrBy(cfg.subKey(value, bucketId), incr(i))
+            total(i) = globalTotal
+            incr(i) = 0
+            // oldest bucket lives 1 interval, newest (count+1) intervals
+            // (redis_limiter.go:181-183)
+            c.pexpire(cfg.subKey(value, bucketId),
+              cfg.bucketIntervalMs * (1L + i))
+          }
+          i += 1
+        }
+        pullLimit(value, limitKeyOverride)
+        true
+      } catch {
+        case e: Throwable =>
+          Console.err.println(s"redis throttle: sync failed, counting locally " +
+            s"until reconnect (${e.getMessage})")
+          false
+      }
+
+    /** GET the limit key and update the live limit; redis.Nil (absent
+      * key) keeps the current limit (redis_limiter.go:252-256). */
+    def pullLimit(value: String, limitKeyOverride: String): Unit =
+      cfg.client().get(cfg.limitKey(value, limitKeyOverride)).foreach { raw =>
+        parseLimitValue(raw, cfg.valueField).foreach { v => limit = v }
+      }
+
+    /** Batch-leg start pull: seed the TOTAL window for the buckets
+      * covering [newest-count+1, newest] by reading the global subkeys
+      * (a read-only strengthening of the reference's learn-on-INCRBY —
+      * see the object doc). */
+    def seedTotals(value: String, newest: Long): Unit = {
+      val c = cfg.client()
+      newestBucket = newest
+      var i = 0
+      while (i < cfg.bucketsCount) {
+        val bucketId = newest - (cfg.bucketsCount - 1 - i)
+        total(i) = c.get(cfg.subKey(value, bucketId)).map(_.toLong).getOrElse(0L)
+        i += 1
+      }
+    }
+
+    /** Batch-leg end push: INCRBY this run's admissions + PEXPIRE. */
+    def pushIncrements(value: String): Unit = {
+      val c = cfg.client()
+      var i = 0
+      while (i < cfg.bucketsCount) {
+        if (incr(i) > 0) {
+          val bucketId = newestBucket - (cfg.bucketsCount - 1 - i)
+          c.incrBy(cfg.subKey(value, bucketId), incr(i))
+          c.pexpire(cfg.subKey(value, bucketId), cfg.bucketIntervalMs * (1L + i))
+          incr(i) = 0
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** Batch leg: per-key groups sorted by (timeMs, ord); one pull at
+    * group start (limit key + window totals), the dual-window check per
+    * event, one push at group end. Requires the caller's key / epoch-ms
+    * / order / weight columns (the compiler mints them); `keyOverride`
+    * is the `limiter_key_field` column or null. The group runs INSIDE
+    * one task (mapGroups) — redis round-trips are 2 + bucketsCount per
+    * key per run, independent of event count. */
+  def batch(df: DataFrame, keyCol: String, timeMsCol: String, ordCol: String,
+            weightCol: String, keyOverrideCol: Option[String],
+            cfg: Cfg): DataFrame = {
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val timeIdx = schema.fieldIndex(timeMsCol)
+    val ordIdx = schema.fieldIndex(ordCol)
+    val weightIdx = schema.fieldIndex(weightCol)
+    val overrideIdx = keyOverrideCol.map(schema.fieldIndex)
+    implicit val enc = Encoders.row(schema)
+    val out = df.groupByKey(r => Option(r.get(keyIdx)).map(_.toString).getOrElse(""))(
+        Encoders.STRING)
+      .flatMapGroups { (value: String, rows: Iterator[Row]) =>
+        val sorted = rows.toIndexedSeq.sortBy(r => (r.getLong(timeIdx), r.getLong(ordIdx)))
+        if (sorted.isEmpty) Iterator.empty
+        else {
+          val overrideKey = overrideIdx
+            .flatMap(i => sorted.iterator.map(r => Option(r.get(i))).collectFirst {
+              case Some(v) => v.toString
+            }).getOrElse("")
+          val w = new DualWindow(cfg, cfg.initialLimit(value))
+          val newest = sorted.map(_.getLong(timeIdx)).max / cfg.bucketIntervalMs
+          val redisUp =
+            try { w.seedTotals(value, newest); w.pullLimit(value, overrideKey); true }
+            catch {
+              case e: Throwable =>
+                Console.err.println(s"redis throttle: start pull failed, " +
+                  s"counting locally (${e.getMessage})")
+                false
+            }
+          val out = sorted.filter { r =>
+            w.isAllowed(r.getLong(timeIdx),
+              if (cfg.limitKind == "size") r.getLong(weightIdx) else 1L)
+          }
+          if (redisUp) {
+            try w.pushIncrements(value)
+            catch { case e: Throwable =>
+              Console.err.println(s"redis throttle: end push failed (${e.getMessage})") }
+          }
+          out.iterator
+        }
+      }
+    // The group handler SYNCS WITH REDIS (INCRBY is not idempotent), so
+    // this stage must evaluate exactly once — but a downstream sort's
+    // range-sampling job, or any consumer running two jobs over the
+    // frame, would re-run it and double-push (the foreachBatchSink
+    // send-exactly-once discipline, Sinks.scala). The lazy persist pins
+    // the admitted subset: the first job materializes the cache, later
+    // jobs replay cached rows. Memory cost is bounded by the admitted
+    // events of ONE batch (spills to disk beyond that).
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+}

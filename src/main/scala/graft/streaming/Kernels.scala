@@ -312,6 +312,75 @@ object Kernels {
       }
   }
 
+  // ------------------------------------------- throttle redis backend
+
+  /** Event for the redis-backed throttle: `weight` is 1 for
+    * limit_kind=count or the event's byte size for size;
+    * `overrideKey` carries the `limiter_key_field` value (empty =
+    * default `<prefix>limit` naming). */
+  final case class REvent(key: String, eventTimeMs: Long, weight: Long,
+                          overrideKey: String, value: String)
+
+  /** newest bucket + both circular windows + the live (dynamically
+    * synced) limit + last sync stamp — the per-key serialization of
+    * [[graft.state.RedisThrottle.DualWindow]]. */
+  final case class RedisThrottleState(newestBucket: Long, incr: Array[Long],
+                                      total: Array[Long], limit: Long,
+                                      lastSyncMs: Long)
+
+  /** Streaming throttle with the REDIS limiter backend
+    * (plugin/action/throttle/redis_limiter.go; mapping rationale at
+    * [[graft.state.RedisThrottle]]): per key, a sync round runs at the
+    * FIRST micro-batch the key appears in after `syncIntervalMs` has
+    * elapsed — push increments via INCRBY (returned value = new global
+    * total), staggered PEXPIRE, re-read the dynamic limit key — then
+    * events pass the dual-window check (local-since-sync AND global
+    * windows both under the limit). Redis down = count locally,
+    * increments kept for the next successful sync
+    * (limiters_map.go:137-147 degrade path). The redis round-trips are
+    * per KEY per SYNC INTERVAL — not per event — so executor-side
+    * sockets cost what the reference's sync goroutines cost.
+    * `nowFn` injected for spec determinism. */
+  def throttleRedis(ds: Dataset[REvent], cfg: graft.state.RedisThrottle.Cfg,
+                    stateTtlMs: Long = 0L,
+                    nowFn: () => Long = () => System.currentTimeMillis())
+  : Dataset[REvent] = {
+    implicit val outEnc = Encoders.product[REvent]
+    implicit val stEnc = Encoders.product[RedisThrottleState]
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[RedisThrottleState, REvent](
+        OutputMode.Append, ttlMode(stateTtlMs)) {
+        (key, events, state: GroupState[RedisThrottleState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val st = state.getOption.getOrElse(
+              RedisThrottleState(Long.MinValue,
+                Array.fill(cfg.bucketsCount)(0L),
+                Array.fill(cfg.bucketsCount)(0L),
+                cfg.initialLimit(key), 0L))
+            val evs = events.toIndexedSeq
+            val overrideKey =
+              evs.iterator.map(_.overrideKey).find(_.nonEmpty).getOrElse("")
+            val w = new graft.state.RedisThrottle.DualWindow(cfg, st.limit)
+            w.loadFrom(st.newestBucket, st.incr, st.total)
+            val now = nowFn()
+            val synced =
+              if (now - st.lastSyncMs >= cfg.syncIntervalMs)
+                w.sync(key, overrideKey)
+              else false
+            val out = evs.sortBy(e => (e.eventTimeMs, e.value))
+              .filter(e => w.isAllowed(e.eventTimeMs, e.weight))
+            state.update(RedisThrottleState(w.newestBucket,
+              w.incr.clone(), w.total.clone(), w.limit,
+              if (synced) now else st.lastSyncMs))
+            armTtl(state, stateTtlMs)
+            out.iterator
+          }
+      }
+  }
+
   // ----------------------------------------------- corpus source quota
 
   /** `payload` rides along untouched (the streaming-curation compiler

@@ -2697,6 +2697,94 @@ class CompilerSpec extends AnyFunSuite {
     } finally srv.stop(0)
   }
 
+  test("elasticsearch split_batch: 413 responses binary-split the bulk body at event boundaries") {
+    // elasticsearch.go:179,392,433-466 sendSplit: a 413 splits the
+    // batch in half at event (action+document pair) boundaries and
+    // retries the halves; previously the whole chunk would retry
+    // verbatim and keep drawing 413
+    val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val cap = 400 // bytes; the full 8-event bulk body is well over this
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      if (body.length > cap) ex.sendResponseHeaders(413, -1)
+      else { bodies.add(body); ex.sendResponseHeaders(200, -1) }
+      ex.close()
+    })
+    srv.start()
+    try {
+      val lines = (1 to 8).map(i =>
+        s"""'{"time":"2024-03-05T00:00:0${i % 10}Z","msg":"event-body-$i-${"x" * 40}"}'""")
+      PipelineCompiler.compile(spark,
+        s"""input: {type: fake, lines: [${lines.mkString(", ")}]}
+           |decoder: {type: json, schema: "time STRING, msg STRING"}
+           |output:
+           |  type: elasticsearch
+           |  time_field: time
+           |  split_batch: true
+           |  endpoint: http://127.0.0.1:${srv.getAddress.getPort}/_bulk
+           |""".stripMargin).send()
+      import scala.jdk.CollectionConverters._
+      val got = bodies.asScala.toList
+      assert(got.size > 1, s"expected the batch to split, got ${got.size} request(s)")
+      assert(got.forall(_.length <= cap), "every accepted request fit the cap")
+      val eventLines = got.flatMap(_.split("\n").toSeq)
+      assert(eventLines.size % 2 == 0 &&
+        eventLines.grouped(2).forall(_.head.contains(""""index"""")),
+        "action+document pairs stayed intact across splits")
+      val docs = eventLines.grouped(2).map(_.last).toList
+      assert((1 to 8).forall(i => docs.exists(_.contains(s"event-body-$i-"))),
+        s"all 8 events delivered: $docs")
+    } finally srv.stop(0)
+  }
+
+  test("elasticsearch process_response counts per-item indexing errors under a 200") {
+    // elasticsearch.go:205,419-425,527-575: bulk gives 200 with
+    // errors:true items; process_response (default TRUE) parses the
+    // body and counts them; false skips the read
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val resp =
+      """{"took":1,"errors":true,"items":[
+        |{"index":{"status":201}},
+        |{"index":{"status":400,"error":{"type":"mapper_parsing_exception"}}},
+        |{"index":{"status":429,"error":{"type":"es_rejected_execution_exception"}}}]}"""
+        .stripMargin.replace("\n", "")
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      hits.incrementAndGet()
+      ex.getRequestBody.readAllBytes()
+      val b = resp.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    srv.start()
+    def compiled(extra: String) = PipelineCompiler.compile(spark,
+      s"""input: {type: fake, lines: ['{"time":"2024-03-05T00:00:01Z"}', '{"time":"2024-03-05T00:00:02Z"}', '{"time":"2024-03-05T00:00:03Z"}']}
+         |decoder: {type: json, schema: "time STRING"}
+         |output:
+         |  type: elasticsearch
+         |  time_field: time
+         |$extra  endpoint: http://127.0.0.1:${srv.getAddress.getPort}/_bulk
+         |""".stripMargin)
+    try {
+      val c1 = compiled("")
+      c1.send()
+      // the canned response carries 2 failed items per REQUEST (the
+      // fake source may chunk across partitions)
+      val h1 = hits.get()
+      assert(h1 >= 1 && c1.esIndexingErrorsAcc.value == 2L * h1,
+        s"default process_response counts 2 failed items × $h1 requests, " +
+          s"got ${c1.esIndexingErrorsAcc.value}")
+      val c2 = compiled("  process_response: false\n")
+      c2.send()
+      assert(hits.get() > h1, "the second send reached the endpoint")
+      assert(c2.esIndexingErrorsAcc.value == 0L,
+        "process_response: false skips the body read")
+    } finally srv.stop(0)
+  }
+
   test("move / convert_utf8_bytes / json_decode compile from YAML (previously unknown actions)") {
     // move mode=allow nests the listed fields under target
     val moved = PipelineCompiler.runActionsOnBatch(spark,

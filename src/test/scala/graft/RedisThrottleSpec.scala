@@ -1,0 +1,440 @@
+package graft
+
+import graft.net.RespClient
+import graft.state.RedisThrottle
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.ServerSocket
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** In-process RESP server — the loopback stand-in for the reference's
+  * redis backend (its own tests run against miniredis, the same idea).
+  * State is inspectable: `data` holds values, `pttls` the last PEXPIRE
+  * per key, `commands` the wire log. `failNext` drops N connections
+  * mid-command without replying — the retry-path fault injector. */
+final class FakeRedis(requirePass: Option[String] = None) extends AutoCloseable {
+  val data = new ConcurrentHashMap[String, String]()
+  val pttls = new ConcurrentHashMap[String, Long]()
+  val commands = new ConcurrentLinkedQueue[String]()
+  val failNext = new AtomicInteger(0)
+
+  private val server = new ServerSocket(0, 16,
+    java.net.InetAddress.getByName("127.0.0.1"))
+  def port: Int = server.getLocalPort
+  def endpoint: String = s"127.0.0.1:$port"
+
+  @volatile private var running = true
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        new Thread(() => serve(sock)).start()
+      } catch { case _: Throwable => () }
+    }
+  })
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def serve(sock: java.net.Socket): Unit = {
+    val in = new java.io.BufferedInputStream(sock.getInputStream)
+    val out = sock.getOutputStream
+    var authed = requirePass.isEmpty
+    def line(): String = {
+      val sb = new StringBuilder
+      var c = in.read()
+      while (c != '\r' && c >= 0) { sb.append(c.toChar); c = in.read() }
+      in.read() // \n
+      sb.toString
+    }
+    def reply(s: String): Unit = { out.write(s.getBytes(UTF_8)); out.flush() }
+    try {
+      while (true) {
+        val first = line()
+        if (first.isEmpty || !first.startsWith("*")) return
+        val n = first.drop(1).toInt
+        val args = (0 until n).map { _ =>
+          val len = line().drop(1).toInt
+          val buf = new Array[Byte](len)
+          var off = 0
+          while (off < len) {
+            val r = in.read(buf, off, len - off); if (r < 0) return; off += r
+          }
+          line() // trailing empty
+          new String(buf, UTF_8)
+        }
+        commands.add(args.mkString(" "))
+        if (failNext.get() > 0) { failNext.decrementAndGet(); sock.close(); return }
+        val cmd = args.head.toUpperCase
+        if (!authed && cmd != "AUTH") reply("-NOAUTH Authentication required.\r\n")
+        else cmd match {
+          case "PING" => reply("+PONG\r\n")
+          case "AUTH" =>
+            if (requirePass.contains(args(1))) { authed = true; reply("+OK\r\n") }
+            else reply("-ERR invalid password\r\n")
+          case "GET" =>
+            Option(data.get(args(1))) match {
+              case Some(v) =>
+                val b = v.getBytes(UTF_8)
+                reply(s"$$${b.length}\r\n"); out.write(b); reply("\r\n")
+              case None => reply("$-1\r\n")
+            }
+          case "SET" => data.put(args(1), args(2)); reply("+OK\r\n")
+          case "INCRBY" =>
+            val v = data.merge(args(1), args(2),
+              (a, b) => (a.toLong + b.toLong).toString)
+            reply(s":$v\r\n")
+          case "PEXPIRE" =>
+            if (data.containsKey(args(1))) {
+              pttls.put(args(1), args(2).toLong); reply(":1\r\n")
+            } else reply(":0\r\n")
+          case "DEL" =>
+            val removed = args.tail.count(k => data.remove(k) != null)
+            reply(s":$removed\r\n")
+          case "FLUSHALL" => data.clear(); pttls.clear(); reply("+OK\r\n")
+          case other => reply(s"-ERR unknown command '$other'\r\n")
+        }
+      }
+    } catch { case _: Throwable => () }
+    finally { try sock.close() catch { case _: Throwable => () } }
+  }
+
+  override def close(): Unit = {
+    running = false
+    try server.close() catch { case _: Throwable => () }
+  }
+}
+
+/** The throttle plugin's redis limiter backend
+  * (plugin/action/throttle/redis_limiter.go + throttle.go:94-103):
+  * cross-instance global limits via INCRBY'd bucket subkeys, the
+  * dynamic `<prefix>limit` key, `limiter_key_field`/
+  * `limiter_value_field` overrides, `limits_file` seeding, staggered
+  * PEXPIREs, and the degrade-to-local path when redis is down. */
+class RedisThrottleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def freshCfg(r: FakeRedis, limit: Long = 8L,
+                       field: String = "svc"): RedisThrottle.Cfg =
+    RedisThrottle.Cfg(endpoint = r.endpoint, pipelineName = "graft",
+      throttleFieldName = field, bucketIntervalMs = 60000L, bucketsCount = 3,
+      defaultLimit = limit, syncIntervalMs = 0L, maxRetries = 1,
+      minBackoffMs = 0L, maxBackoffMs = 0L)
+
+  // ------------------------------------------------------ RESP client
+
+  test("RespClient: SET/GET/INCRBY/PEXPIRE round-trip; absent key GETs None") {
+    val r = new FakeRedis()
+    try {
+      RespClient.resetPool()
+      val c = new RespClient("127.0.0.1", r.port)
+      assert(c.ping())
+      c.set("k", "7")
+      assert(c.get("k").contains("7"))
+      assert(c.get("absent").isEmpty)
+      assert(c.incrBy("k", 5) == 12L)
+      assert(c.incrBy("fresh", 3) == 3L, "INCRBY creates absent keys at 0")
+      assert(c.pexpire("k", 1234L))
+      assert(r.pttls.get("k") == 1234L)
+      c.close()
+    } finally r.close()
+  }
+
+  test("RespClient: AUTH on connect; wrong password surfaces the server error") {
+    val r = new FakeRedis(requirePass = Some("s3cret"))
+    try {
+      val ok = new RespClient("127.0.0.1", r.port, password = Some("s3cret"))
+      ok.set("k", "1"); assert(ok.get("k").contains("1")); ok.close()
+      val bad = new RespClient("127.0.0.1", r.port, password = Some("wrong"),
+        maxRetries = 0)
+      intercept[java.io.IOException] { bad.get("k") }
+      bad.close()
+    } finally r.close()
+  }
+
+  test("RespClient: dropped connections retry with the clamped exponential backoff") {
+    val r = new FakeRedis()
+    try {
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val c = new RespClient("127.0.0.1", r.port, maxRetries = 3,
+        minBackoffMs = 8, maxBackoffMs = 20, sleeper = sleeps += _)
+      r.failNext.set(2)
+      assert(c.incrBy("k", 1) == 1L)
+      // 2 faults → 2 sleeps: 8 << 0 = 8, then 8 << 1 = 16 (clamp 20)
+      assert(sleeps.toList == List(8L, 16L), sleeps.toString)
+      // an -ERR reply is an ANSWER, not a transport fault: no retry
+      sleeps.clear()
+      val e = intercept[java.io.IOException] { c.command("BOGUS") }
+      assert(e.getMessage.contains("unknown command") && sleeps.isEmpty)
+      c.close()
+    } finally r.close()
+  }
+
+  // ------------------------------------------------- dual-window core
+
+  test("DualWindow: admission needs BOTH the local-since-sync and global windows under the limit") {
+    val r = new FakeRedis()
+    try {
+      val cfg = freshCfg(r, limit = 5L)
+      val w = new RedisThrottle.DualWindow(cfg, cfg.defaultLimit)
+      // another instance already burned 4 of the 5 in this bucket
+      w.seedTotals("svc-a", newest = 10L)
+      assert(w.total.forall(_ == 0L))
+      r.data.put(cfg.subKey("svc-a", 10L), "4")
+      w.seedTotals("svc-a", newest = 10L)
+      val t = 10L * 60000L
+      assert(w.isAllowed(t, 1))          // 4+1 = 5 ≤ 5
+      assert(!w.isAllowed(t + 1, 1))     // global window full
+      // increment-then-check (in_memory_limiter.go:85-100): the DENIED
+      // event still counted into the increment window — that's what
+      // syncs to redis (offered traffic)
+      assert(w.incr(cfg.bucketsCount - 1) == 2L)
+    } finally r.close()
+  }
+
+  // ----------------------------------------------------- batch leg
+
+  private def runBatch(r: FakeRedis, lines: Seq[String],
+                       extra: String = "", limit: Int = 8): Seq[String] = {
+    import graft.compiler.PipelineCompiler
+    PipelineCompiler.runActionsOnBatch(spark, lines,
+      s"""actions:
+         |  - type: throttle
+         |    throttle_field: svc
+         |    time_field: time
+         |    bucket_interval: 1m
+         |    buckets_count: 3
+         |    default_limit: $limit
+         |    limiter_backend: redis
+         |    redis_backend_config:
+         |      endpoint: ${r.endpoint}
+         |$extra
+         |""".stripMargin)
+  }
+
+  private def ev(i: Int, svc: String = "api"): String =
+    s"""{"svc": "$svc", "time": "2024-03-05T00:00:${"%02d".format(i)}Z", "n": $i}"""
+
+  test("batch redis throttle: admissions land in the reference's key format and enforce across runs") {
+    val r = new FakeRedis()
+    try {
+      RespClient.resetPool()
+      // run 1: 5 events, limit 8 → all pass, redis holds the counts
+      assert(runBatch(r, (1 to 5).map(ev(_))).size == 5)
+      val bucketId = java.time.Instant.parse("2024-03-05T00:00:00Z")
+        .toEpochMilli / 60000L
+      val subKey = s"graft_svc_api_${bucketId}_0"
+      assert(r.data.get(subKey) == "5",
+        s"reference key format pipeline_field_value_bucket_0; got ${r.data}")
+      assert(r.pttls.containsKey(subKey), "staggered PEXPIRE set on the pushed bucket")
+      // run 2, FRESH state, same redis: global 5 + local → only 3 more fit
+      assert(runBatch(r, (10 to 19).map(ev(_))).size == 3)
+      // the push carries OFFERED counts (all 10), not admissions — the
+      // reference's increment window counts denied events too
+      assert(r.data.get(subKey) == "15")
+      // run 3: the global window is exhausted
+      assert(runBatch(r, Seq(ev(30))).isEmpty)
+    } finally r.close()
+  }
+
+  test("batch redis throttle: the dynamic limit key overrides default_limit (plain and JSON forms)") {
+    val r = new FakeRedis()
+    try {
+      RespClient.resetPool()
+      r.data.put("graft_svc_api_limit", "2") // plain integer form
+      assert(runBatch(r, (1 to 6).map(ev(_))).size == 2)
+      r.data.clear(); r.pttls.clear()
+      // JSON form: limiter_value_field names the field, quoted int like
+      // the reference's bytes.Trim (redis_limiter.go:231)
+      r.data.put("graft_svc_api_limit", """{"limit":"3","note":"x"}""")
+      val out = runBatch(r, (1 to 6).map(ev(_)),
+        extra = "      limiter_value_field: limit")
+      assert(out.size == 3, s"JSON-form limit 3, got ${out.size}")
+    } finally r.close()
+  }
+
+  test("batch redis throttle: limiter_key_field reads the limit from the event-named key") {
+    val r = new FakeRedis()
+    try {
+      RespClient.resetPool()
+      r.data.put("custom-quota", "1")
+      val lines = (1 to 4).map(i =>
+        s"""{"svc": "api", "lk": "custom-quota", "time": "2024-03-05T00:00:0${i}Z"}""")
+      val out = runBatch(r, lines, extra = "      limiter_key_field: lk")
+      assert(out.size == 1)
+    } finally r.close()
+  }
+
+  test("batch redis throttle: limits_file seeds initial limits; redis still overrides") {
+    val r = new FakeRedis()
+    try {
+      RespClient.resetPool()
+      val f = java.io.File.createTempFile("limits", ".json")
+      f.deleteOnExit()
+      java.nio.file.Files.write(f.toPath,
+        """{"p:api": {"key": "graft_svc_api_limit", "kind": "count", "limit": 2}}"""
+          .getBytes("UTF-8"))
+      val out = runBatch(r, (1 to 5).map(ev(_)),
+        extra = s"      limits_file: ${f.getAbsolutePath}")
+      assert(out.size == 2, "file-seeded limit binds when redis has no limit key")
+      // redis limit key takes precedence over the file seed
+      r.data.clear()
+      r.data.put("graft_svc_api_limit", "4")
+      val out2 = runBatch(r, (10 to 15).map(ev(_)),
+        extra = s"      limits_file: ${f.getAbsolutePath}")
+      assert(out2.size == 4)
+    } finally r.close()
+  }
+
+  test("batch redis throttle: redis down degrades to local counting (limiters_map.go:137-147)") {
+    val dead = new ServerSocket(0); val port = dead.getLocalPort; dead.close()
+    RespClient.resetPool()
+    val fake = new FakeRedis() // only for endpoint shape; never reached
+    fake.close()
+    val out = graft.compiler.PipelineCompiler.runActionsOnBatch(spark,
+      (1 to 5).map(ev(_)),
+      s"""actions:
+         |  - type: throttle
+         |    throttle_field: svc
+         |    time_field: time
+         |    bucket_interval: 1m
+         |    default_limit: 3
+         |    limiter_backend: redis
+         |    redis_backend_config:
+         |      endpoint: 127.0.0.1:$port
+         |      max_retries: 0
+         |      timeout: 200ms
+         |""".stripMargin)
+    assert(out.size == 3, "local default_limit still binds with redis unreachable")
+  }
+
+  test("redis config errors are loud: missing endpoint, ring client, distribution combo") {
+    def compileWith(body: String): Unit =
+      graft.compiler.PipelineCompiler.runActionsOnBatch(spark, Seq(ev(1)),
+        s"""actions:
+           |  - type: throttle
+           |    limiter_backend: redis
+           |$body
+           |""".stripMargin)
+    val e1 = intercept[IllegalArgumentException] {
+      compileWith("    redis_backend_config: {password: x}")
+    }
+    assert(e1.getMessage.contains("endpoint"))
+    val e2 = intercept[IllegalArgumentException] {
+      compileWith("    redis_backend_config: {endpoint: 'h:1', client_type: ring}")
+    }
+    assert(e2.getMessage.contains("client_type"))
+    val e3 = intercept[IllegalArgumentException] {
+      compileWith(
+        """    redis_backend_config: {endpoint: 'h:1'}
+          |    limit_distribution: {field: level, ratios: []}""".stripMargin)
+    }
+    assert(e3.getMessage.contains("limit_distribution"))
+  }
+
+  // --------------------------------------------------- streaming leg
+
+  test("streaming redis throttle: micro-batch syncs push increments and learn the global window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Kernels
+    import graft.streaming.Kernels.REvent
+    val r = new FakeRedis()
+    try {
+      RespClient.resetPool()
+      val cfg = freshCfg(r, limit = 8L)
+      val input = MemoryStream[REvent]
+      val q = Kernels.throttleRedis(input.toDS(), cfg)
+        .writeStream.format("memory").queryName("redis_th_out")
+        .outputMode("append").start()
+      try {
+        val t = 600L * 60000L // bucket 600
+        def out(): Long = spark.table("redis_th_out").count()
+        // batch 1: first sync has nothing to push; 6 admitted locally
+        input.addData((1 to 6).map(i => REvent("api", t + i, 1L, "", s"e$i")): _*)
+        q.processAllAvailable()
+        assert(out() == 6)
+        // sync happened BEFORE the batch counted, so redis is still
+        // unwritten — the reference's learn-on-next-sync lag
+        // batch 2: sync pushes the 6 (INCRBY → totals=6), then 5 more
+        // arrive → only 2 fit the global window
+        input.addData((10 to 14).map(i => REvent("api", t + i, 1L, "", s"f$i")): _*)
+        q.processAllAvailable()
+        assert(out() == 8, s"6 + 2 admitted, got ${out()}")
+        assert(r.data.get(s"graft_svc_api_600_0") == "6",
+          s"batch-2 sync pushed batch-1's increments: ${r.data}")
+        // another instance burns the rest of the quota out-of-band
+        val sub = s"graft_svc_api_600_0"
+        r.data.put(sub, "20")
+        // batch 3: sync pushes batch-2's OFFERED 5 (total becomes 25 >
+        // 8) → 0 admitted
+        input.addData(REvent("api", t + 20, 1L, "", "g1"),
+          REvent("api", t + 21, 1L, "", "g2"))
+        q.processAllAvailable()
+        assert(out() == 8, "global window (learned via INCRBY return) blocks everything")
+        assert(r.data.get(sub) == "25")
+      } finally q.stop()
+    } finally r.close()
+  }
+
+  test("streaming redis throttle: the dynamic limit key tightens mid-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Kernels
+    import graft.streaming.Kernels.REvent
+    val r = new FakeRedis()
+    try {
+      RespClient.resetPool()
+      val cfg = freshCfg(r, limit = 100L)
+      val input = MemoryStream[REvent]
+      val q = Kernels.throttleRedis(input.toDS(), cfg)
+        .writeStream.format("memory").queryName("redis_th_lim")
+        .outputMode("append").start()
+      try {
+        val t = 700L * 60000L
+        input.addData(REvent("api", t, 1L, "", "a"), REvent("api", t + 1, 1L, "", "b"))
+        q.processAllAvailable()
+        assert(spark.table("redis_th_lim").count() == 2)
+        // operator tightens the quota: next sync reads limit 2; the 2
+        // already-admitted fill it
+        r.data.put("graft_svc_api_limit", "2")
+        input.addData(REvent("api", t + 2, 1L, "", "c"), REvent("api", t + 3, 1L, "", "d"))
+        q.processAllAvailable()
+        assert(spark.table("redis_th_lim").count() == 2,
+          "tightened limit blocks the later arrivals")
+      } finally q.stop()
+    } finally r.close()
+  }
+
+  test("YAML: a reference-spelled limiter_backend redis config runs end-to-end") {
+    // the compiler wiring as a user writes it: reference spellings
+    // only, dynamic limit key read at group start
+    val r = new FakeRedis()
+    try {
+      RespClient.resetPool()
+      r.data.put("graft_svc_api_limit", "1")
+      val out = graft.compiler.PipelineCompiler.runActionsOnBatch(spark,
+        (1 to 3).map(ev(_)),
+        s"""actions:
+           |  - type: throttle
+           |    throttle_field: svc
+           |    time_field: time
+           |    bucket_interval: 1m
+           |    default_limit: 9
+           |    limiter_backend: redis
+           |    redis_backend_config:
+           |      endpoint: ${r.endpoint}
+           |""".stripMargin)
+      assert(out.size == 1, "dynamic limit key read at group start binds")
+    } finally r.close()
+  }
+}

@@ -90,4 +90,70 @@ class SinkBackoffSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     assert(BackoffProbe.sleeps.asScala.isEmpty)
   }
+
+  // --- split_batch (elasticsearch.go:433-466 sendSplit / http.go:391-421):
+  // 413 → binary split at event boundaries, recurse; single-event 413
+  // rethrows into the retry/DLQ path
+
+  /** Inner transport that 413s any body of more than `maxLines` lines
+    * and records accepted sends. */
+  private def cappedInner(maxLines: Int,
+                          sent: java.util.List[List[String]]): Sinks.Transport = { it =>
+    val lines = it.toList
+    if (lines.size > maxLines) throw new Sinks.HttpStatusException(413, "test")
+    sent.add(lines)
+  }
+
+  test("splitBatchTransport: 413 binary-splits until halves fit; order and content preserved") {
+    val sent = new java.util.concurrent.CopyOnWriteArrayList[List[String]]()
+    val t = Sinks.splitBatchTransport(cappedInner(3, sent))
+    t((1 to 10).map(i => s"e$i").iterator)
+    import scala.jdk.CollectionConverters._
+    val batches = sent.asScala.toList
+    assert(batches.forall(_.size <= 3), batches.toString)
+    assert(batches.flatten == (1 to 10).map(i => s"e$i").toList,
+      "every event delivered exactly once, in order")
+  }
+
+  test("splitBatchTransport: ES bulk pairs never tear — splits land on even line indexes") {
+    val sent = new java.util.concurrent.CopyOnWriteArrayList[List[String]]()
+    // inner accepts at most 4 LINES = 2 events
+    val t = Sinks.splitBatchTransport(cappedInner(4, sent), linesPerEvent = 2)
+    val lines = (1 to 7).flatMap(i => Seq(s"""{"index":{}}""", s"""{"doc":$i}"""))
+    t(lines.iterator)
+    import scala.jdk.CollectionConverters._
+    val batches = sent.asScala.toList
+    assert(batches.forall(b => b.size % 2 == 0 && b.size <= 4), batches.toString)
+    assert(batches.forall(b => b.grouped(2).forall(_.head == """{"index":{}}""")),
+      "every sent pair starts with its action line")
+    assert(batches.flatten == lines.toList)
+  }
+
+  test("splitBatchTransport: a single event that still 413s rethrows (poison → retry/DLQ)") {
+    val sent = new java.util.concurrent.CopyOnWriteArrayList[List[String]]()
+    val t = Sinks.splitBatchTransport(cappedInner(0, sent))
+    val e = intercept[Sinks.HttpStatusException] { t(Iterator("too-big")) }
+    assert(e.code == 413 && sent.isEmpty)
+  }
+
+  test("splitBatchTransport: non-413 failures propagate unsplit") {
+    val boom: Sinks.Transport = _ => throw new Sinks.HttpStatusException(500, "test")
+    val t = Sinks.splitBatchTransport(boom)
+    val e = intercept[Sinks.HttpStatusException] { t(Iterator("a", "b")) }
+    assert(e.code == 500)
+  }
+
+  test("esCountIndexingErrors: counts index/create error items, ignores clean responses") {
+    val clean = """{"took":3,"errors":false,"items":[{"index":{"status":201}}]}"""
+    assert(Sinks.esCountIndexingErrors(clean) == ((0, "")))
+    assert(Sinks.esCountIndexingErrors("") == ((0, "")))
+    val mixed =
+      """{"errors":true,"items":[
+        |{"index":{"status":201}},
+        |{"index":{"status":400,"error":{"type":"mapper_parsing_exception"}}},
+        |{"create":{"status":409,"error":{"type":"version_conflict_engine_exception"}}},
+        |{"index":{"status":200}}]}""".stripMargin
+    val (n, sample) = Sinks.esCountIndexingErrors(mixed)
+    assert(n == 2 && sample.contains("mapper_parsing_exception"))
+  }
 }
