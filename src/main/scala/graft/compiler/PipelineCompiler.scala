@@ -865,7 +865,32 @@ object PipelineCompiler {
     // graft spelling of the same bounded-cardinality discipline
     // prometheus operators already need).
     val withMetrics = Option(root.get("metrics")).exists(_.asBoolean())
-    val chained = actions.zipWithIndex.foldLeft(decorated) {
+    // `/sample` live action watcher (pipeline/action_watcher.go +
+    // pipeline.go:1003-1035): engaged with the metrics surface, like
+    // the reference serving /sample on the /metrics mux. One tap at the
+    // input boundary; SampleWatch replays action prefixes on the
+    // captured event. Disarmed fast path = one no-arg nondeterministic
+    // udf call per event (the reference's samplesLen.Load() shape);
+    // the envelope only renders while a sampler is armed (lazy
+    // CaseWhen branch).
+    val tapped =
+      if (!withMetrics) decorated
+      else {
+        graft.playground.SampleWatch.register(pipelineName,
+          actions.map(_.toString))
+        val nm = pipelineName
+        val armedU = udf(() => graft.playground.SampleWatch.armed)
+          .asNondeterministic()
+        val offerU = udf { (env: String, pid: Int) =>
+          graft.playground.SampleWatch.offer(nm, pid, env); true
+        }.asNondeterministic()
+        decorated.filter(
+          when(armedU(),
+            offerU(to_json(struct(decorated.columns.map(col).toSeq: _*)),
+              spark_partition_id()))
+            .otherwise(lit(true)))
+      }
+    val chained = actions.zipWithIndex.foldLeft(tapped) {
       case (df, (action, i)) =>
         val applied = applyAction(df, action, streamKey, pipelineName)
         val mName = Option(action.get("metric_name")).map(_.asText())
@@ -1032,6 +1057,12 @@ object PipelineCompiler {
             Option(n.get("offsets_op")).map(_.asText()).getOrElse("reset"))
         Option(n.get("dir_pattern"))
           .foreach(v => tr = tr.option("dir_pattern", v.asText()))
+        // `remove_after` (file.go:158): delete a source file once it
+        // has sat fully consumed (committed offset = size) for the
+        // window; Go-duration spelling, 0/unset keeps files forever
+        Option(n.get("remove_after")).map(v => goDurationMillis(v.asText()))
+          .filter(_ > 0)
+          .foreach(ms => tr = tr.option("remove_after_ms", ms.toString))
         // `paths: {include: [...], exclude: [...]}` (nested) or flat
         // include/exclude lists
         val pathsNode = Option(n.get("paths"))

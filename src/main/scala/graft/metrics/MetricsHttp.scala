@@ -127,6 +127,23 @@ object MetricsHttp {
     def boundPort: Int = server.getAddress.getPort
     def beginShutdown(): Unit = stopping.set(true)
     def stop(): Unit = { server.stop(0); pool.shutdown() }
+
+    /** Mount the live `/sample` action watcher (reference: actions get
+      * `/pipelines/<name>/<idx>/sample` on the same mux as /metrics,
+      * pipeline.go:282-301). Waiting up to 5 s per request, the handler
+      * must not starve /live — it gets its own thread pool. */
+    def attachSampler(spark: org.apache.spark.sql.SparkSession,
+                      timeoutMs: Long = 5000L): Unit = {
+      val samplePool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      server.createContext("/pipelines", (ex: HttpExchange) =>
+        samplePool.submit(new Runnable {
+          override def run(): Unit = {
+            val (code, body) = graft.playground.SampleWatch
+              .route(spark, ex.getRequestURI.getPath, timeoutMs)
+            respond(ex, code, body, "application/json")
+          }
+        }))
+    }
   }
 
   def serve(registry: PromRegistry, port: Int = 0): Server =

@@ -1,0 +1,118 @@
+package graft.playground
+
+import java.util.concurrent.{ConcurrentHashMap, LinkedBlockingQueue, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** The live `/sample` action watcher
+  * (pipeline/action_watcher.go + pipeline.go:1003-1035
+  * serveActionSample): `GET /pipelines/<name>/<actionIdx>/sample` waits
+  * up to 5 s for the NEXT event to flow through the running pipeline
+  * and answers `{processor_id, event_before, event_after,
+  * event_status}` — the event as it looked entering the action and
+  * after it.
+  *
+  * Spark mapping. The reference fills samples inside each processor's
+  * action loop; a declarative Spark plan has no per-action hook, so the
+  * capture point is ONE tap at the input boundary (engaged only for
+  * pipelines compiled with `metrics: true` — the reference serves
+  * /sample on the same mux as /metrics) and the per-action views are
+  * produced by replaying the action-chain PREFIX on the captured event
+  * through the playground engine (`runActionsOnBatch` — the same
+  * deterministic machinery behind the playground's before/after debug).
+  * Identical observables for the stateless chain; a stateful action
+  * (join/throttle) replays against fresh state, which can differ from
+  * the live pipeline's — the documented delta of replay-based sampling.
+  *
+  * The tap itself is an always-true filter whose disarmed fast path is
+  * one volatile read — the same per-event cost shape as the reference's
+  * `samplesLen.Load()` check (action_watcher.go:104-106). The envelope
+  * JSON is only rendered while a sampler is armed.
+  */
+object SampleWatch {
+
+  /** pipeline name → (actions YAML snippets, live-tap queue). */
+  private final case class Reg(actionsYaml: Seq[String],
+                               queue: LinkedBlockingQueue[(Int, String)])
+  private val pipelines = new ConcurrentHashMap[String, Reg]()
+  private val armedCount = new AtomicInteger(0)
+
+  /** Compile-time registration: the action list (as YAML snippets) and
+    * the tap's existence. Re-compiling a pipeline under the same name
+    * replaces the registration (latest wins, like re-deploying). */
+  def register(name: String, actionsYaml: Seq[String]): Unit =
+    pipelines.put(name, Reg(actionsYaml, new LinkedBlockingQueue[(Int, String)](64)))
+
+  def isRegistered(name: String): Boolean = pipelines.containsKey(name)
+
+  /** The disarmed fast path for the tap expression — a single volatile
+    * read per event. */
+  def armed: Boolean = armedCount.get() > 0
+
+  /** Tap callback: offer a live event's envelope JSON (non-blocking —
+    * a full queue drops, samplers only need one). */
+  def offer(name: String, partitionId: Int, envelopeJson: String): Unit = {
+    val reg = pipelines.get(name)
+    if (reg != null) reg.queue.offer((partitionId, envelopeJson))
+  }
+
+  /** Serve one `/sample` request: arm, wait for a live event, replay
+    * the prefix. Returns (statusCode, jsonBody) — reference codes and
+    * messages (pipeline.go:1007-1034). `actionIdx` is 1-based like the
+    * reference's URL scheme (input is 0, first action is 1). */
+  def sample(spark: org.apache.spark.sql.SparkSession, name: String,
+             actionIdx: Int, timeoutMs: Long = 5000L): (Int, String) = {
+    val reg = pipelines.get(name)
+    if (reg == null)
+      return (400, """{"error":"There are no active processors"}""")
+    if (actionIdx < 1 || actionIdx > reg.actionsYaml.size)
+      return (400, s"""{"error":"no action with index $actionIdx"}""")
+    armedCount.incrementAndGet()
+    val captured =
+      try {
+        reg.queue.clear() // only events that flow AFTER arming count
+        Option(reg.queue.poll(timeoutMs, TimeUnit.MILLISECONDS))
+      } finally armedCount.decrementAndGet()
+    captured match {
+      case None =>
+        (500, """{"error":"Timeout while try to display an event before and after the action processing."}""")
+      case Some((pid, envJson)) =>
+        val doc = mapper.readTree(envJson).get("doc")
+        val docJson = if (doc == null) "{}" else mapper.writeValueAsString(doc)
+        def replay(upTo: Int): Option[String] = {
+          // action entries are single-line JSON (YAML flow style)
+          val chain =
+            if (upTo == 0) "actions: []"
+            else ("actions:" +: reg.actionsYaml.take(upTo).map("  - " + _))
+              .mkString("\n")
+          graft.compiler.PipelineCompiler
+            .runActionsOnBatch(spark, Seq(docJson), chain).headOption
+        }
+        val before = replay(actionIdx - 1)
+        val after = before.flatMap(_ => replay(actionIdx))
+        val resp = mapper.createObjectNode()
+        resp.put("processor_id", pid)
+        resp.set[com.fasterxml.jackson.databind.JsonNode]("event_before",
+          before.map(mapper.readTree).getOrElse(mapper.createObjectNode()))
+        resp.set[com.fasterxml.jackson.databind.JsonNode]("event_after",
+          after.map(mapper.readTree).getOrElse(mapper.createObjectNode()))
+        // replay can observe passed vs discarded; the live-loop-only
+        // statuses (held/collapsed/not_matched) are indistinguishable
+        // from replay — documented delta
+        resp.put("event_status",
+          if (before.isEmpty || after.isDefined) "passed" else "discarded")
+        (200, mapper.writeValueAsString(resp))
+    }
+  }
+
+  /** Route `GET /pipelines/<name>/<idx>/sample` on a diagnostics
+    * server ([[graft.metrics.MetricsHttp.Server]] hosts this under its
+    * mux via `attachSampler`). */
+  def route(spark: org.apache.spark.sql.SparkSession, path: String,
+            timeoutMs: Long = 5000L): (Int, String) = path.split("/").toList match {
+    case "" :: "pipelines" :: name :: idx :: "sample" :: Nil
+      if idx.forall(_.isDigit) => sample(spark, name, idx.toInt, timeoutMs)
+    case _ => (404, """{"error":"unknown endpoint"}""")
+  }
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+}

@@ -52,7 +52,9 @@ class TailSourceProvider extends TableProvider with DataSourceRegister {
     }.toSeq
     new TailTable(TailSource.TailSpec(properties.get("path"), fp,
         include = list("include") ++ dirPatInclude,
-        exclude = list("exclude")),
+        exclude = list("exclude"),
+        removeAfterMs = Option(properties.get("remove_after_ms"))
+          .map(_.toLong).getOrElse(0L)),
       Option(properties.get("offsets_op")).getOrElse("reset"))
   }
 }
@@ -97,7 +99,8 @@ object TailSource {
     * reference's absolute doublestar patterns rooted at watching_dir. */
   final case class TailSpec(dir: String, glob: String = "*",
                             include: Seq[String] = Nil,
-                            exclude: Seq[String] = Nil) {
+                            exclude: Seq[String] = Nil,
+                            removeAfterMs: Long = 0L) {
     /** Recursive discovery engages whenever an include/exclude pattern
       * is configured; the bare glob keeps the flat v0 behavior. */
     def recursive: Boolean = include.nonEmpty || exclude.nonEmpty
@@ -179,11 +182,18 @@ case class TailOffset(offsets: Map[String, Long]) extends Offset {
 }
 
 class TailMicroBatchStream(spec: TailSource.TailSpec,
-                           offsetsOp: String) extends MicroBatchStream {
+                           offsetsOp: String,
+                           nowFn: () => Long = () => System.currentTimeMillis())
+  extends MicroBatchStream {
 
   def this(dir: String, glob: String, offsetsOp: String) =
     this(TailSource.TailSpec(dir, glob), offsetsOp)
   def this(dir: String, glob: String) = this(dir, glob, "reset")
+
+  /** `remove_after` EOF-age tracking: path → first time the COMMITTED
+    * offset covered the whole file. Driver-side (commit runs on the
+    * driver), bounded by the watched file count. */
+  private val eofSince = scala.collection.mutable.Map.empty[String, Long]
 
   /** Start position when no checkpoint exists (file.go `offsets_op`):
     * `reset` reads every file from 0; `tail` starts at the current file
@@ -201,7 +211,30 @@ class TailMicroBatchStream(spec: TailSource.TailSpec,
   override def deserializeOffset(json: String): Offset =
     TailOffset(TailSource.deserialize(json))
 
-  override def commit(end: Offset): Unit = ()
+  /** `remove_after` (file.go:158, provider.go:792-803): delete a source
+    * file once it has sat FULLY CONSUMED for longer than the window —
+    * the committed offset covers every byte, so nothing unread is lost,
+    * and an append (or a dangling partial line, which means a writer is
+    * mid-record) resets the clock exactly like the reference's
+    * eofReadInfo timestamp. Runs at commit time: Spark only commits an
+    * offset once the batch that read up to it is durably processed, so
+    * deletion can never outrun delivery. */
+  override def commit(end: Offset): Unit =
+    if (spec.removeAfterMs > 0) {
+      val now = nowFn()
+      end.asInstanceOf[TailOffset].offsets.foreach { case (path, off) =>
+        val p = Paths.get(path)
+        try {
+          if (Files.exists(p) && off > 0 && Files.size(p) == off) {
+            val since = eofSince.getOrElseUpdate(path, now)
+            if (now - since > spec.removeAfterMs) {
+              Files.deleteIfExists(p)
+              eofSince.remove(path)
+            }
+          } else eofSince.remove(path) // growing / partial tail / gone
+        } catch { case _: java.io.IOException => eofSince.remove(path) }
+      }
+    }
 
   override def stop(): Unit = ()
 

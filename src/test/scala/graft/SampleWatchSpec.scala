@@ -1,0 +1,112 @@
+package graft
+
+import graft.compiler.PipelineCompiler
+import graft.playground.SampleWatch
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The live `/sample` action watcher (pipeline/action_watcher.go +
+  * pipeline.go:1003-1035 serveActionSample): GET
+  * `/pipelines/<name>/<idx>/sample` waits for the next live event,
+  * answers `{processor_id, event_before, event_after, event_status}`;
+  * 400 with "There are no active processors" for an unknown pipeline,
+  * 500 with the reference's timeout message when no event flows. */
+class SampleWatchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def compiled() = PipelineCompiler.compile(spark,
+    """input: {type: fake, lines: ['{"level": "error", "msg": "boom"}', '{"level": "debug", "msg": "noise"}']}
+      |decoder: {type: json, schema: "level STRING, msg STRING"}
+      |metrics: true
+      |actions:
+      |  - type: modify
+      |    fields: {tagged: "yes"}
+      |  - type: discard
+      |    do_if: {op: equal, field: level, values: [debug]}
+      |output: {type: devnull}
+      |""".stripMargin)
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val c = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    val code = c.getResponseCode
+    val in = if (code >= 400) c.getErrorStream else c.getInputStream
+    val body = if (in == null) "" else
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    c.disconnect()
+    (code, body)
+  }
+
+  test("/sample captures a live event and replays the action's before/after") {
+    val c = compiled()
+    val srv = graft.metrics.MetricsHttp.serve(new graft.metrics.PromRegistry, 0)
+    srv.attachSampler(spark)
+    try {
+      // request on its own thread (it blocks awaiting a live event),
+      // then drive the pipeline so the tap fires
+      val resp = new java.util.concurrent.CompletableFuture[(Int, String)]()
+      new Thread(() => resp.complete(
+        get(srv.boundPort, "/pipelines/graft/1/sample"))).start()
+      Thread.sleep(500)
+      c.result().collect()
+      val (code, body) = resp.get(15, java.util.concurrent.TimeUnit.SECONDS)
+      assert(code == 200, body)
+      val j = mapper.readTree(body)
+      assert(j.has("processor_id"))
+      assert(j.get("event_before").get("msg") != null)
+      assert(j.get("event_before").get("tagged") == null,
+        "before view precedes the modify action")
+      assert(j.get("event_after").get("tagged").asText() == "yes",
+        s"after view carries the modify: $body")
+      assert(j.get("event_status").asText() == "passed")
+    } finally srv.stop()
+  }
+
+  test("/sample on the discard action reports event_status discarded for a dropped event") {
+    // direct SampleWatch call (no HTTP) — the discard action is idx 2;
+    // feed only the debug event so the sampled event is the dropped
+    // one. Compile BEFORE arming: registration is latest-wins, a
+    // re-compile under the same name swaps in a fresh tap queue.
+    val only = PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: ['{"level": "debug", "msg": "noise"}']}
+        |decoder: {type: json, schema: "level STRING, msg STRING"}
+        |metrics: true
+        |actions:
+        |  - type: modify
+        |    fields: {tagged: "yes"}
+        |  - type: discard
+        |    do_if: {op: equal, field: level, values: [debug]}
+        |output: {type: devnull}
+        |""".stripMargin)
+    val resp = new java.util.concurrent.CompletableFuture[(Int, String)]()
+    new Thread(() => resp.complete(
+      SampleWatch.sample(spark, "graft", 2, timeoutMs = 10000L))).start()
+    Thread.sleep(500)
+    only.result().collect()
+    val (code, body) = resp.get(15, java.util.concurrent.TimeUnit.SECONDS)
+    assert(code == 200, body)
+    val j = mapper.readTree(body)
+    assert(j.get("event_before").get("tagged").asText() == "yes",
+      s"before the discard = after the modify: $body")
+    assert(j.get("event_status").asText() == "discarded", body)
+  }
+
+  test("/sample error surfaces: unknown pipeline 400, no traffic 500, bad path 404") {
+    compiled() // ensure "graft" is registered
+    val (c1, b1) = SampleWatch.sample(spark, "nope", 1)
+    assert(c1 == 400 && b1.contains("There are no active processors"))
+    val (c2, b2) = SampleWatch.sample(spark, "graft", 1, timeoutMs = 300L)
+    assert(c2 == 500 && b2.contains("Timeout while try to display an event"), b2)
+    val (c3, _) = SampleWatch.route(spark, "/pipelines/graft/zzz/sample")
+    assert(c3 == 404)
+    val (c4, b4) = SampleWatch.sample(spark, "graft", 9)
+    assert(c4 == 400 && b4.contains("no action with index"), b4)
+  }
+}

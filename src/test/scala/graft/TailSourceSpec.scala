@@ -159,4 +159,53 @@ class TailSourceSpec extends AnyFunSuite {
       Set("c.log", "x.log", "top.log"))
     assert(all.size == 4, all.keys.toString) // both pod c.logs counted
   }
+
+  test("remove_after deletes fully-consumed files after the window; appends reset the clock") {
+    // file.go:158 + provider.go:792-803 (worker_test: remove_after /
+    // dont_remove_after_append / dont_remove_after): a file sitting
+    // fully consumed for > remove_after is deleted; an append — or a
+    // dangling partial line — resets the age; deletion never outruns
+    // the committed offset. Injected clock, epoch-driven.
+    val dir = Files.createTempDirectory("tail-rm")
+    val done = dir.resolve("done.log")
+    val busy = dir.resolve("busy.log")
+    write(done, "d1\nd2\n")
+    write(busy, "b1\n")
+    var now = 1000L
+    val spec = TailSource.TailSpec(dir.toString, "*.log", removeAfterMs = 5000L)
+    val stream = new TailMicroBatchStream(spec, "reset", () => now)
+
+    val (rows1, end1) = epoch(stream, TailOffset(Map.empty))
+    stream.commit(end1)                 // both at EOF → age clocks start
+    assert(rows1.size == 3 && Files.exists(done) && Files.exists(busy))
+
+    now += 3000L                        // inside the window: nothing removed
+    write(busy, "b2\npartial")          // busy grows (and keeps a partial tail)
+    val (rows2, end2) = epoch(stream, TailOffset(end1.offsets))
+    stream.commit(end2)
+    assert(rows2.map(_._1) == Seq("b2") && Files.exists(done) && Files.exists(busy))
+
+    now += 3000L                        // done sat consumed for 6 s > 5 s
+    val (_, end3) = epoch(stream, TailOffset(end2.offsets))
+    stream.commit(end3)
+    assert(!Files.exists(done), "fully-consumed file removed after the window")
+    // busy's partial tail means a writer is mid-record: size != offset,
+    // the age clock never started
+    assert(Files.exists(busy), "partial tail keeps the file alive")
+
+    // the append reset busy's clock: even after it seals, the full
+    // window must elapse AGAIN from the seal
+    write(busy, "\n")                   // seal the partial line
+    val (rows4, end4) = epoch(stream, TailOffset(end3.offsets))
+    stream.commit(end4)                 // age clock starts NOW for busy
+    assert(rows4.map(_._1) == Seq("partial"))
+    now += 3000L
+    val (_, end5) = epoch(stream, TailOffset(end4.offsets))
+    stream.commit(end5)
+    assert(Files.exists(busy), "window not yet elapsed since the seal")
+    now += 3000L
+    val (_, end6) = epoch(stream, TailOffset(end5.offsets))
+    stream.commit(end6)
+    assert(!Files.exists(busy), "removed once the full window passed at EOF")
+  }
 }
