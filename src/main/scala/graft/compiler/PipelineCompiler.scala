@@ -1639,10 +1639,22 @@ object PipelineCompiler {
   private def redisThrottleCfg(action: JsonNode, pipelineName: String,
                                throttleField: String, intervalMs: Long,
                                bucketsCount: Int, limit: Long, kind: String)
-  : (graft.state.RedisThrottle.Cfg, Option[String]) = {
-    require(Option(action.get("limit_distribution")).isEmpty,
-      "throttle: limit_distribution with limiter_backend: redis is not " +
-        "supported — use the memory backend for distributed ratios")
+  : (graft.state.RedisThrottle.Cfg, Option[String], Option[String]) = {
+    // `limit_distribution` composes with the redis backend exactly as
+    // in the reference: per-distribution subkeys
+    // `<prefix>_<bucketID>_<distrIdx>` sync, and the limit key's JSON
+    // `distribution` object can replace the ratio set dynamically
+    val distNode = Option(action.get("limit_distribution"))
+    val ratios: Seq[(Double, Seq[String])] = distNode.toSeq.flatMap { ld =>
+      Option(ld.get("ratios")).toSeq.flatMap(_.elements().asScala).map { r =>
+        (r.get("ratio").asDouble(),
+          r.get("values").elements().asScala.map(_.asText()).toSeq)
+      }
+    }
+    val distFieldSel = distNode.flatMap(ld =>
+      Option(ld.get("field")).map(_.asText()))
+    require(distNode.isEmpty || distFieldSel.isDefined,
+      "throttle: limit_distribution needs `field`")
     val rc = Option(action.get("redis_backend_config"))
       .orElse(Option(action.get("redis_backend_cfg")))
       .getOrElse(throw new IllegalArgumentException(
@@ -1672,8 +1684,9 @@ object PipelineCompiler {
       maxBackoffMs = str("max_retry_backoff").map(goDurationMillis).getOrElse(512L),
       valueField = str("limiter_value_field").getOrElse(""),
       distributionField = str("limiter_distribution_field").getOrElse(""),
-      seededLimits = seeded)
-    (cfg, str("limiter_key_field").filter(_.nonEmpty))
+      seededLimits = seeded,
+      ratios = ratios)
+    (cfg, str("limiter_key_field").filter(_.nonEmpty), distFieldSel)
   }
 
   /** The reference's `cfg.Expression` int knobs (cfg/config.go:441-487):
@@ -2171,9 +2184,9 @@ object PipelineCompiler {
             .getOrElse("count")
           val throttleFieldSel =
             Option(action.get("throttle_field")).map(_.asText())
-          val (rcfg, keyFieldSel) = redisThrottleCfg(action, pipelineName,
-            throttleFieldSel.getOrElse(""), intervalMs, bucketsCount,
-            limit, kind)
+          val (rcfg, keyFieldSel, distFieldSel) = redisThrottleCfg(action,
+            pipelineName, throttleFieldSel.getOrElse(""), intervalMs,
+            bucketsCount, limit, kind)
           val redisKey = throttleFieldSel
             .map(f => coalesce(col("doc").getField(f).cast("string"),
               lit("default")))
@@ -2186,9 +2199,12 @@ object PipelineCompiler {
           val overrideKey = keyFieldSel
             .map(f => coalesce(col("doc").getField(f).cast("string"), lit("")))
             .getOrElse(lit(""))
+          val dvalC = distFieldSel
+            .map(f => coalesce(col("doc").getField(f).cast("string"), lit("")))
+            .getOrElse(lit(""))
           val ds = df.select(redisKey.as("key"), eventTime.as("eventTimeMs"),
               weight.cast("long").as("weight"), overrideKey.as("overrideKey"),
-              envelopeJson.as("value"))
+              dvalC.as("dval"), envelopeJson.as("value"))
             .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.REvent])
           return unwrapEnvelope(
             graft.streaming.Kernels.throttleRedis(ds, rcfg, stateTtlMs = ttlMs)
@@ -2345,9 +2361,9 @@ object PipelineCompiler {
             Option(action.get("throttle_field")).map(_.asText())
           val bucketsCount =
             Option(action.get("buckets_count")).map(_.asInt()).getOrElse(60)
-          val (rcfg, keyFieldSel) = redisThrottleCfg(action, pipelineName,
-            throttleFieldSel.getOrElse(""), interval * 1000, bucketsCount,
-            limit, kind)
+          val (rcfg, keyFieldSel, distFieldSel) = redisThrottleCfg(action,
+            pipelineName, throttleFieldSel.getOrElse(""), interval * 1000,
+            bucketsCount, limit, kind)
           // redis key VALUES are a cross-instance wire contract — the
           // reference's default key is the literal "default"
           // (throttle.go:20 defaultThrottleKey), not the source name
@@ -2371,9 +2387,12 @@ object PipelineCompiler {
               else monotonically_increasing_id())
             .withColumn("_twt", weight.cast("long"))
           overrideCol.foreach(c => keyed = keyed.withColumn("_tko", c))
+          distFieldSel.foreach(f => keyed = keyed.withColumn("_tdv",
+            coalesce(doc.getField(f).cast("string"), lit(""))))
           return graft.state.RedisThrottle.batch(keyed, "_tkey", "_tms",
-              "_tord", "_twt", overrideCol.map(_ => "_tko"), rcfg)
-            .drop("_tkey", "_tms", "_tord", "_twt", "_tko")
+              "_tord", "_twt", overrideCol.map(_ => "_tko"), rcfg,
+              dvalCol = distFieldSel.map(_ => "_tdv"))
+            .drop("_tkey", "_tms", "_tord", "_twt", "_tko", "_tdv")
         }
         val bucket = floor(
           unix_timestamp(XTime.parse(doc.getField(tsF).cast("string"), tsFmt))

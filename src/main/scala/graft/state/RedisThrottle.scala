@@ -4,6 +4,8 @@ import graft.net.RespClient
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** The throttle plugin's REDIS limiter backend
   * (plugin/action/throttle/redis_limiter.go, throttle.go:94-103
   * `limiter_backend: redis` + RedisBackendConfig): limiter keys become
@@ -72,11 +74,19 @@ object RedisThrottle {
                        maxBackoffMs: Long = 512L,
                        valueField: String = "",
                        distributionField: String = "",
-                       seededLimits: Map[String, Long] = Map.empty) {
+                       seededLimits: Map[String, Long] = Map.empty,
+                       ratios: Seq[(Double, Seq[String])] = Nil) {
     require(bucketIntervalMs > 0, "redis throttle: bucket_interval must be positive")
     require(bucketsCount > 0, "redis throttle: buckets_count must be positive")
     require(limitKind == "count" || limitKind == "size",
       s"redis throttle: limit_kind must be count|size, got `$limitKind`")
+    require(ratios.map(_._1).sum <= 1.0 + 1e-9,
+      "redis throttle: distribution ratios must sum to at most 1")
+
+    /** Distribution slots per bucket: slot 0 = default, 1.. = listed
+      * ratios (the in_memory_limiter.go getDistrData index shift). A
+      * plain limiter is just width 1. */
+    def width: Int = ratios.size + 1
 
     /** keyPrefix = pipelineName_throttleFieldName_throttleFieldValue_
       * (redis_limiter.go:78-90). */
@@ -85,8 +95,9 @@ object RedisThrottle {
     /** `<prefix>limit` unless `limiter_key_field` supplied an override. */
     def limitKey(value: String, overrideKey: String): String =
       if (overrideKey.nonEmpty) overrideKey else keyPrefix(value) + "limit"
-    def subKey(value: String, bucketId: Long): String =
-      s"${keyPrefix(value)}${bucketId}_0" // distributionIdx 0: plain limiters
+    /** `<prefix><bucketID>_<distrIdx>` (redis_limiter.go:29,166-172). */
+    def subKey(value: String, bucketId: Long, distrIdx: Int = 0): String =
+      s"${keyPrefix(value)}${bucketId}_$distrIdx"
 
     def client(): RespClient =
       RespClient.shared(endpoint, password, timeoutMs, maxRetries,
@@ -95,6 +106,42 @@ object RedisThrottle {
     def initialLimit(value: String): Long =
       seededLimits.getOrElse(value, defaultLimit)
   }
+
+  /** Per-ratio sub-limits + default share + value lookup, recomputable
+    * when a redis-synced distribution cfg replaces the ratios
+    * (redis_limiter.go updateKeyLimit → updateDistribution). Shares
+    * round the way distribution.go:49-58 does. */
+  final case class DistShares(ratios: Seq[(Double, Seq[String])], limit: Long) {
+    val distLimits: Array[Long] =
+      ratios.map(r => math.round(r._1 * limit)).toArray
+    val defLimit: Long = {
+      val dif = 1.0 - ratios.map(_._1).sum
+      math.round(math.round(dif * 100) / 100.0 * limit)
+    }
+    val idxByValue: Map[String, Int] =
+      ratios.zipWithIndex.flatMap { case ((_, vs), i) => vs.map(_ -> i) }.toMap
+  }
+
+  /** Parse a limit key's JSON `distribution` object
+    * ({field, ratios: [{ratio, values}], enabled} —
+    * redis_limiter.go:216-247 decodeKeyLimitValue + limitDistributionCfg).
+    * Returns None when absent/disabled/malformed (keep current), Some
+    * when a well-formed enabled cfg with the SAME ratio count arrived
+    * (a width change would re-shape the bucket matrix mid-flight; the
+    * documented constraint is count-stable ratio updates). */
+  def parseDistribution(raw: String, distField: String,
+                        expectWidth: Int): Option[Seq[(Double, Seq[String])]] =
+    try {
+      if (distField.isEmpty) return None
+      val d = mapper.readTree(raw).get(distField)
+      if (d == null || !Option(d.get("enabled")).forall(_.asBoolean(true))) return None
+      val rs = Option(d.get("ratios")).toSeq.flatMap(_.elements().asScala).map { r =>
+        (r.get("ratio").asDouble(),
+          r.get("values").elements().asScala.map(_.asText()).toSeq)
+      }
+      if (rs.size + 1 == expectWidth && rs.map(_._1).sum <= 1.0 + 1e-9) Some(rs)
+      else None
+    } catch { case _: Throwable => None }
 
   /** Parse the dynamic-limit key's value: plain integer, or — when
     * `limiter_value_field` is set — a JSON object whose that field
@@ -113,6 +160,27 @@ object RedisThrottle {
 
   @transient private lazy val mapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Ratio-set round-trip for the streaming kernel's state (redis can
+    * replace the ratio VALUES mid-stream; the state must carry the live
+    * set across micro-batches). */
+  def ratiosToJson(ratios: Seq[(Double, Seq[String])]): String = {
+    val arr = mapper.createArrayNode()
+    ratios.foreach { case (r, vs) =>
+      val o = arr.addObject()
+      o.put("ratio", r)
+      val a = o.putArray("values")
+      vs.foreach(a.add)
+    }
+    mapper.writeValueAsString(arr)
+  }
+
+  def ratiosFromJson(json: String): Seq[(Double, Seq[String])] =
+    if (json == null || json.isEmpty) Nil
+    else mapper.readTree(json).elements().asScala.map { o =>
+      (o.get("ratio").asDouble(),
+        o.get("values").elements().asScala.map(_.asText()).toSeq)
+    }.toSeq
 
   /** `limits_file` loader (limiters_map.go:362-420): JSON map of
     * limiter map keys (`pipeline:throttleValue` or any prefix:value
@@ -137,17 +205,24 @@ object RedisThrottle {
   }
 
   /** The dual-window accounting shared by both legs. Arrays are the
-    * circular windows, newest bucket last (the streaming ThrottleState
-    * layout). Mutable and task-local. */
-  final class DualWindow(val cfg: Cfg, var limit: Long) {
+    * circular windows flattened row-major (bucket × distribution slot;
+    * width 1 = plain limiter, slot 0 = default distribution), newest
+    * bucket last (the streaming ThrottleState layout). Mutable and
+    * task-local. `shares` holds the live per-distribution sub-limits —
+    * replaced when a redis-synced distribution cfg arrives. */
+  final class DualWindow(val cfg: Cfg, var limit: Long,
+                         initialRatios: Seq[(Double, Seq[String])] = null) {
     var newestBucket: Long = Long.MinValue
-    val incr = new Array[Long](cfg.bucketsCount)
-    val total = new Array[Long](cfg.bucketsCount)
+    private val w = cfg.width
+    val incr = new Array[Long](cfg.bucketsCount * w)
+    val total = new Array[Long](cfg.bucketsCount * w)
+    var shares: DistShares =
+      DistShares(Option(initialRatios).getOrElse(cfg.ratios), limit)
 
     def loadFrom(newest: Long, i: Array[Long], t: Array[Long]): Unit = {
       newestBucket = newest
-      System.arraycopy(i, 0, incr, 0, cfg.bucketsCount)
-      System.arraycopy(t, 0, total, 0, cfg.bucketsCount)
+      System.arraycopy(i, 0, incr, 0, incr.length)
+      System.arraycopy(t, 0, total, 0, total.length)
     }
 
     /** Shift the windows so `bucket` fits; returns the window index for
@@ -157,7 +232,7 @@ object RedisThrottle {
       if (newestBucket == Long.MinValue) newestBucket = bucket
       if (bucket > newestBucket) {
         val shift = math.min(bucket - newestBucket, cfg.bucketsCount.toLong).toInt
-        shiftLeft(incr, shift); shiftLeft(total, shift)
+        shiftLeft(incr, shift * w); shiftLeft(total, shift * w)
         newestBucket = bucket
       }
       val diff = newestBucket - bucket
@@ -169,6 +244,28 @@ object RedisThrottle {
       while (i < a.length) { a(i) = if (i + n < a.length) a(i + n) else 0L; i += 1 }
     }
 
+    /** One limiter's distribution admission (in_memory_limiter.go:64-129
+      * + getDistrData): pick the event value's ratio slot (0 = default);
+      * an exhausted default steals from the most-free listed
+      * distribution; increment-then-check like the plain path. Each of
+      * the dual limiters runs this against its OWN matrix — increment
+      * and total may steal from different slots, exactly as the two
+      * reference inMemoryLimiters do. */
+    private def allowDistOn(m: Array[Long], bIdx: Int, dval: String,
+                            weight: Long): Boolean = {
+      var dIdx = shares.idxByValue.get(dval).map(_ + 1).getOrElse(0)
+      var lim = if (dIdx > 0) shares.distLimits(dIdx - 1) else shares.defLimit
+      if (dIdx == 0 && m(bIdx * w) + weight > lim) {
+        var maxDiff = -1L
+        shares.distLimits.indices.foreach { i =>
+          val curDiff = shares.distLimits(i) - (m(bIdx * w + i + 1) + weight)
+          if (curDiff > maxDiff) { maxDiff = curDiff; dIdx = i + 1; lim = shares.distLimits(i) }
+        }
+      }
+      m(bIdx * w + dIdx) += weight // denied events still count
+      m(bIdx * w + dIdx) <= lim
+    }
+
     /** redis_limiter.go:96-105 + in_memory_limiter.go:64-100: the
       * reference increments UNCONDITIONALLY and then checks `<= limit`
       * — a denied event still consumes bucket count. The increment
@@ -178,33 +275,47 @@ object RedisThrottle {
       * that passed the increment check. Both must end up under the
       * limit for admission. Kept reference-exact because the redis
       * key VALUES are a cross-instance wire contract. */
-    def isAllowed(eventTimeMs: Long, weight: Long): Boolean = {
+    def isAllowed(eventTimeMs: Long, weight: Long, dval: String = ""): Boolean = {
       val idx = indexFor(eventTimeMs / cfg.bucketIntervalMs)
       if (idx < 0) return false
-      incr(idx) += weight
-      if (incr(idx) > limit) return false
-      total(idx) += weight
-      total(idx) <= limit
+      if (w == 1) {
+        incr(idx) += weight
+        if (incr(idx) > limit) return false
+        total(idx) += weight
+        total(idx) <= limit
+      } else {
+        if (!allowDistOn(incr, idx, dval, weight)) return false
+        allowDistOn(total, idx, dval, weight)
+      }
     }
 
     /** Push non-empty increment buckets (INCRBY → returned value is the
       * new global total), zero them, stagger PEXPIRE, then re-read the
-      * limit key (redis_limiter.go:107-147 sync + updateKeyLimit).
-      * Returns false when redis was unreachable — increments kept. */
+      * limit key (redis_limiter.go:107-147 sync + updateKeyLimit). A
+      * bucket with ANY activity pushes every distribution slot — zeros
+      * included — so the returned values refresh the whole row
+      * (syncLocalGlobalLimiters iterates all distrIdx of a touched
+      * bucket). Returns false when redis was unreachable — increments
+      * kept. */
     def sync(value: String, limitKeyOverride: String): Boolean =
       try {
         val c = cfg.client()
         var i = 0
         while (i < cfg.bucketsCount) {
-          if (incr(i) > 0 && newestBucket != Long.MinValue) {
+          val busy = (0 until w).exists(d => incr(i * w + d) > 0)
+          if (busy && newestBucket != Long.MinValue) {
             val bucketId = newestBucket - (cfg.bucketsCount - 1 - i)
-            val globalTotal = c.incrBy(cfg.subKey(value, bucketId), incr(i))
-            total(i) = globalTotal
-            incr(i) = 0
-            // oldest bucket lives 1 interval, newest (count+1) intervals
-            // (redis_limiter.go:181-183)
-            c.pexpire(cfg.subKey(value, bucketId),
-              cfg.bucketIntervalMs * (1L + i))
+            var d = 0
+            while (d < w) {
+              val globalTotal = c.incrBy(cfg.subKey(value, bucketId, d), incr(i * w + d))
+              total(i * w + d) = globalTotal
+              incr(i * w + d) = 0
+              // oldest bucket lives 1 interval, newest (count+1)
+              // intervals (redis_limiter.go:181-183)
+              c.pexpire(cfg.subKey(value, bucketId, d),
+                cfg.bucketIntervalMs * (1L + i))
+              d += 1
+            }
           }
           i += 1
         }
@@ -217,11 +328,16 @@ object RedisThrottle {
           false
       }
 
-    /** GET the limit key and update the live limit; redis.Nil (absent
-      * key) keeps the current limit (redis_limiter.go:252-256). */
+    /** GET the limit key and update the live limit (and, when
+      * `limiter_distribution_field` is set, the live ratio set — the
+      * reference's updateDistribution on both limiters); redis.Nil
+      * (absent key) keeps the current values (redis_limiter.go:252-283). */
     def pullLimit(value: String, limitKeyOverride: String): Unit =
       cfg.client().get(cfg.limitKey(value, limitKeyOverride)).foreach { raw =>
         parseLimitValue(raw, cfg.valueField).foreach { v => limit = v }
+        val newRatios = parseDistribution(raw, cfg.distributionField, w)
+        if (newRatios.isDefined || limit != shares.limit)
+          shares = DistShares(newRatios.getOrElse(shares.ratios), limit)
       }
 
     /** Batch-leg start pull: seed the TOTAL window for the buckets
@@ -234,21 +350,34 @@ object RedisThrottle {
       var i = 0
       while (i < cfg.bucketsCount) {
         val bucketId = newest - (cfg.bucketsCount - 1 - i)
-        total(i) = c.get(cfg.subKey(value, bucketId)).map(_.toLong).getOrElse(0L)
+        var d = 0
+        while (d < w) {
+          total(i * w + d) =
+            c.get(cfg.subKey(value, bucketId, d)).map(_.toLong).getOrElse(0L)
+          d += 1
+        }
         i += 1
       }
     }
 
-    /** Batch-leg end push: INCRBY this run's admissions + PEXPIRE. */
+    /** Batch-leg end push: INCRBY this run's offered counts + PEXPIRE. */
     def pushIncrements(value: String): Unit = {
       val c = cfg.client()
       var i = 0
       while (i < cfg.bucketsCount) {
-        if (incr(i) > 0) {
+        val busy = (0 until w).exists(d => incr(i * w + d) > 0)
+        if (busy) {
           val bucketId = newestBucket - (cfg.bucketsCount - 1 - i)
-          c.incrBy(cfg.subKey(value, bucketId), incr(i))
-          c.pexpire(cfg.subKey(value, bucketId), cfg.bucketIntervalMs * (1L + i))
-          incr(i) = 0
+          var d = 0
+          while (d < w) {
+            if (incr(i * w + d) > 0) {
+              c.incrBy(cfg.subKey(value, bucketId, d), incr(i * w + d))
+              c.pexpire(cfg.subKey(value, bucketId, d),
+                cfg.bucketIntervalMs * (1L + i))
+              incr(i * w + d) = 0
+            }
+            d += 1
+          }
         }
         i += 1
       }
@@ -264,13 +393,14 @@ object RedisThrottle {
     * key per run, independent of event count. */
   def batch(df: DataFrame, keyCol: String, timeMsCol: String, ordCol: String,
             weightCol: String, keyOverrideCol: Option[String],
-            cfg: Cfg): DataFrame = {
+            cfg: Cfg, dvalCol: Option[String] = None): DataFrame = {
     val schema = df.schema
     val keyIdx = schema.fieldIndex(keyCol)
     val timeIdx = schema.fieldIndex(timeMsCol)
     val ordIdx = schema.fieldIndex(ordCol)
     val weightIdx = schema.fieldIndex(weightCol)
     val overrideIdx = keyOverrideCol.map(schema.fieldIndex)
+    val dvalIdx = dvalCol.map(schema.fieldIndex)
     implicit val enc = Encoders.row(schema)
     val out = df.groupByKey(r => Option(r.get(keyIdx)).map(_.toString).getOrElse(""))(
         Encoders.STRING)
@@ -294,7 +424,8 @@ object RedisThrottle {
             }
           val out = sorted.filter { r =>
             w.isAllowed(r.getLong(timeIdx),
-              if (cfg.limitKind == "size") r.getLong(weightIdx) else 1L)
+              if (cfg.limitKind == "size") r.getLong(weightIdx) else 1L,
+              dvalIdx.flatMap(i => Option(r.get(i)).map(_.toString)).getOrElse(""))
           }
           if (redisUp) {
             try w.pushIncrements(value)

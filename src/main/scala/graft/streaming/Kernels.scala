@@ -317,16 +317,19 @@ object Kernels {
   /** Event for the redis-backed throttle: `weight` is 1 for
     * limit_kind=count or the event's byte size for size;
     * `overrideKey` carries the `limiter_key_field` value (empty =
-    * default `<prefix>limit` naming). */
+    * default `<prefix>limit` naming); `dval` is the
+    * `limit_distribution.field` value ("" when no distribution). */
   final case class REvent(key: String, eventTimeMs: Long, weight: Long,
-                          overrideKey: String, value: String)
+                          overrideKey: String, dval: String, value: String)
 
-  /** newest bucket + both circular windows + the live (dynamically
-    * synced) limit + last sync stamp — the per-key serialization of
+  /** newest bucket + both circular windows (bucket × distribution
+    * slot, row-major) + the live (dynamically synced) limit and ratio
+    * set + last sync stamp — the per-key serialization of
     * [[graft.state.RedisThrottle.DualWindow]]. */
   final case class RedisThrottleState(newestBucket: Long, incr: Array[Long],
                                       total: Array[Long], limit: Long,
-                                      lastSyncMs: Long)
+                                      lastSyncMs: Long,
+                                      ratiosJson: String = "")
 
   /** Streaming throttle with the REDIS limiter backend
     * (plugin/action/throttle/redis_limiter.go; mapping rationale at
@@ -357,13 +360,19 @@ object Kernels {
           } else {
             val st = state.getOption.getOrElse(
               RedisThrottleState(Long.MinValue,
-                Array.fill(cfg.bucketsCount)(0L),
-                Array.fill(cfg.bucketsCount)(0L),
+                Array.fill(cfg.bucketsCount * cfg.width)(0L),
+                Array.fill(cfg.bucketsCount * cfg.width)(0L),
                 cfg.initialLimit(key), 0L))
             val evs = events.toIndexedSeq
             val overrideKey =
               evs.iterator.map(_.overrideKey).find(_.nonEmpty).getOrElse("")
-            val w = new graft.state.RedisThrottle.DualWindow(cfg, st.limit)
+            // the live ratio set rides the state (redis can swap the
+            // ratio VALUES between micro-batches)
+            val liveRatios =
+              if (st.ratiosJson.isEmpty) null
+              else graft.state.RedisThrottle.ratiosFromJson(st.ratiosJson)
+            val w = new graft.state.RedisThrottle.DualWindow(cfg, st.limit,
+              liveRatios)
             w.loadFrom(st.newestBucket, st.incr, st.total)
             val now = nowFn()
             val synced =
@@ -371,10 +380,12 @@ object Kernels {
                 w.sync(key, overrideKey)
               else false
             val out = evs.sortBy(e => (e.eventTimeMs, e.value))
-              .filter(e => w.isAllowed(e.eventTimeMs, e.weight))
+              .filter(e => w.isAllowed(e.eventTimeMs, e.weight, e.dval))
             state.update(RedisThrottleState(w.newestBucket,
               w.incr.clone(), w.total.clone(), w.limit,
-              if (synced) now else st.lastSyncMs))
+              if (synced) now else st.lastSyncMs,
+              if (cfg.width == 1) ""
+              else graft.state.RedisThrottle.ratiosToJson(w.shares.ratios)))
             armTtl(state, stateTtlMs)
             out.iterator
           }

@@ -317,7 +317,7 @@ class RedisThrottleSpec extends AnyFunSuite {
     assert(out.size == 3, "local default_limit still binds with redis unreachable")
   }
 
-  test("redis config errors are loud: missing endpoint, ring client, distribution combo") {
+  test("redis config errors are loud: missing endpoint, ring client, fieldless distribution") {
     def compileWith(body: String): Unit =
       graft.compiler.PipelineCompiler.runActionsOnBatch(spark, Seq(ev(1)),
         s"""actions:
@@ -336,9 +336,96 @@ class RedisThrottleSpec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException] {
       compileWith(
         """    redis_backend_config: {endpoint: 'h:1'}
-          |    limit_distribution: {field: level, ratios: []}""".stripMargin)
+          |    limit_distribution: {ratios: []}""".stripMargin)
     }
-    assert(e3.getMessage.contains("limit_distribution"))
+    assert(e3.getMessage.contains("field"))
+  }
+
+  // ----------------------------------- limit_distribution + redis
+
+  test("batch redis throttle with limit_distribution: per-slot subkeys and ratio shares") {
+    // ratios 0.5/[error] + 0.3/[warn] over default_limit 10 → shares
+    // error 5 / warn 3 / default 2 (distribution.go:49-58); each slot
+    // syncs its own `<prefix>_<bucket>_<distrIdx>` subkey
+    // (redis_limiter.go:29,166-172)
+    val r = new FakeRedis()
+    try {
+      RespClient.resetPool()
+      def lines(seq: Seq[(Int, String)]): Seq[String] = seq.map { case (i, lvl) =>
+        s"""{"svc": "api", "level": "$lvl", "time": "2024-03-05T00:00:${"%02d".format(i)}Z"}""" }
+      def run(ls: Seq[String]): Seq[String] =
+        graft.compiler.PipelineCompiler.runActionsOnBatch(spark, ls,
+          s"""actions:
+             |  - type: throttle
+             |    throttle_field: svc
+             |    time_field: time
+             |    bucket_interval: 1m
+             |    buckets_count: 3
+             |    default_limit: 10
+             |    limiter_backend: redis
+             |    limit_distribution:
+             |      field: level
+             |      ratios:
+             |        - {ratio: 0.5, values: [error]}
+             |        - {ratio: 0.3, values: [warn]}
+             |    redis_backend_config:
+             |      endpoint: ${r.endpoint}
+             |""".stripMargin)
+      val mix = (1 to 6).map((_, "error")) ++ (11 to 14).map((_, "warn")) ++
+        (21 to 23).map((_, "info"))
+      val out = run(lines(mix))
+      def n(lvl: String): Int = out.count(_.contains(s""""level":"$lvl""""))
+      assert(n("error") == 5 && n("warn") == 3 && n("info") == 2,
+        s"shares 5/3/2 bind: ${out.size} => ${(n("error"), n("warn"), n("info"))}")
+      val bucketId = java.time.Instant.parse("2024-03-05T00:00:00Z")
+        .toEpochMilli / 60000L
+      // offered counts per slot: default 3 info, error 6, warn 4
+      assert(r.data.get(s"graft_svc_api_${bucketId}_0") == "3", r.data.toString)
+      assert(r.data.get(s"graft_svc_api_${bucketId}_1") == "6")
+      assert(r.data.get(s"graft_svc_api_${bucketId}_2") == "4")
+      // cross-run: every slot's global window is at/over its share
+      val out2 = run(lines(Seq((30, "error"), (31, "warn"), (32, "info"))))
+      assert(out2.isEmpty, s"exhausted global slots block everything: $out2")
+    } finally r.close()
+  }
+
+  test("streaming redis throttle: the limit key's distribution object swaps ratio values live") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Kernels
+    import graft.streaming.Kernels.REvent
+    val r = new FakeRedis()
+    try {
+      RespClient.resetPool()
+      // limit 4, ratios 0.5/[error] → error share 2, default share 2
+      val cfg = freshCfg(r, limit = 4L).copy(
+        ratios = Seq((0.5, Seq("error"))),
+        valueField = "limit", distributionField = "distribution")
+      val input = MemoryStream[REvent]
+      val q = Kernels.throttleRedis(input.toDS(), cfg)
+        .writeStream.format("memory").queryName("redis_th_dist")
+        .outputMode("append").start()
+      try {
+        val t = 800L * 60000L
+        input.addData((1 to 3).map(i => REvent("api", t + i, 1L, "", "error", s"e$i")) ++
+          (4 to 6).map(i => REvent("api", t + i, 1L, "", "info", s"i$i")): _*)
+        q.processAllAvailable()
+        assert(spark.table("redis_th_dist").count() == 4,
+          "error share 2 + default share 2")
+        // operator swaps the listed values: warn takes a 0.25 share
+        // (→ 1), error falls back to the default slot
+        r.data.put("graft_svc_api_limit",
+          """{"limit":"4","distribution":{"field":"level","ratios":[{"ratio":0.25,"values":["warn"]}],"enabled":true}}""")
+        // NEW bucket so the windows are fresh — only the ratio swap
+        // differs; un-swapped ratios would admit 2 warns (default
+        // share), swapped admit exactly 1 (listed share 0.25×4)
+        val t2 = t + 60000L
+        input.addData((1 to 3).map(i => REvent("api", t2 + i, 1L, "", "warn", s"w$i")): _*)
+        q.processAllAvailable()
+        assert(spark.table("redis_th_dist").count() == 5,
+          "exactly 1 warn admitted under the swapped 0.25 share")
+      } finally q.stop()
+    } finally r.close()
   }
 
   // --------------------------------------------------- streaming leg
@@ -360,14 +447,14 @@ class RedisThrottleSpec extends AnyFunSuite {
         val t = 600L * 60000L // bucket 600
         def out(): Long = spark.table("redis_th_out").count()
         // batch 1: first sync has nothing to push; 6 admitted locally
-        input.addData((1 to 6).map(i => REvent("api", t + i, 1L, "", s"e$i")): _*)
+        input.addData((1 to 6).map(i => REvent("api", t + i, 1L, "", "", s"e$i")): _*)
         q.processAllAvailable()
         assert(out() == 6)
         // sync happened BEFORE the batch counted, so redis is still
         // unwritten — the reference's learn-on-next-sync lag
         // batch 2: sync pushes the 6 (INCRBY → totals=6), then 5 more
         // arrive → only 2 fit the global window
-        input.addData((10 to 14).map(i => REvent("api", t + i, 1L, "", s"f$i")): _*)
+        input.addData((10 to 14).map(i => REvent("api", t + i, 1L, "", "", s"f$i")): _*)
         q.processAllAvailable()
         assert(out() == 8, s"6 + 2 admitted, got ${out()}")
         assert(r.data.get(s"graft_svc_api_600_0") == "6",
@@ -377,8 +464,8 @@ class RedisThrottleSpec extends AnyFunSuite {
         r.data.put(sub, "20")
         // batch 3: sync pushes batch-2's OFFERED 5 (total becomes 25 >
         // 8) → 0 admitted
-        input.addData(REvent("api", t + 20, 1L, "", "g1"),
-          REvent("api", t + 21, 1L, "", "g2"))
+        input.addData(REvent("api", t + 20, 1L, "", "", "g1"),
+          REvent("api", t + 21, 1L, "", "", "g2"))
         q.processAllAvailable()
         assert(out() == 8, "global window (learned via INCRBY return) blocks everything")
         assert(r.data.get(sub) == "25")
@@ -401,13 +488,13 @@ class RedisThrottleSpec extends AnyFunSuite {
         .outputMode("append").start()
       try {
         val t = 700L * 60000L
-        input.addData(REvent("api", t, 1L, "", "a"), REvent("api", t + 1, 1L, "", "b"))
+        input.addData(REvent("api", t, 1L, "", "", "a"), REvent("api", t + 1, 1L, "", "", "b"))
         q.processAllAvailable()
         assert(spark.table("redis_th_lim").count() == 2)
         // operator tightens the quota: next sync reads limit 2; the 2
         // already-admitted fill it
         r.data.put("graft_svc_api_limit", "2")
-        input.addData(REvent("api", t + 2, 1L, "", "c"), REvent("api", t + 3, 1L, "", "d"))
+        input.addData(REvent("api", t + 2, 1L, "", "", "c"), REvent("api", t + 3, 1L, "", "", "d"))
         q.processAllAvailable()
         assert(spark.table("redis_th_lim").count() == 2,
           "tightened limit blocks the later arrivals")
