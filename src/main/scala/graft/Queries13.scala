@@ -165,15 +165,82 @@ object Queries13 {
       |  string_agg(log, '' ORDER BY event_id) AS log
       |FROM s GROUP BY src, cg, seg""".stripMargin
 
+  // --------------------- limit_distribution throttle (r13, q169)
+
+  /** The distribution throttle's ratio-share + default-steal admission
+    * under the DuckDB gate (plugin/action/throttle/distribution.go +
+    * in_memory_limiter.go:64-129): total limit 12 splits into error 6 /
+    * warn 3 / default 3; an exhausted default steals from the most-free
+    * listed distribution (strictly-greater argmax, ties to the earlier
+    * slot), increment-then-check so denied events still consume their
+    * slot. Sequential per-key state — the oracle replays it with a
+    * recursive CTE folding the same counts; the fixture caps each key
+    * at its first 40 events so the recursion depth stays flat across
+    * SFs. */
+  val q169_throttle_distribution: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val base = ev.select(
+        (col("user_id") % 8).cast("long").as("src"),
+        col("event_id").cast("long").as("ord"),
+        when(col("event_id") % 5 < 2, "error")
+          .when(col("event_id") % 5 === 2, "warn")
+          .otherwise("info").as("level"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("ord"))
+    val capped = base.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 40).drop("_rn")
+    graft.state.SeqOps.throttleDistributed(capped, Seq("src"), lit(0L),
+        "ord", "level", totalLimit = 12L,
+        ratios = Seq((0.5, Seq("error")), (0.25, Seq("warn"))))
+      .select(col("src"), col("ord"), col("level"))
+  }
+
+  // shares: error = round(0.5×12) = 6, warn = round(0.25×12) = 3,
+  // default = round(round(0.25×100)/100×12) = 3 (distribution.go:49-58)
+  val q169_sql: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT * FROM (
+      |    SELECT user_id % 8 AS src, event_id AS ord,
+      |      CASE WHEN event_id % 5 < 2 THEN 'error'
+      |           WHEN event_id % 5 = 2 THEN 'warn' ELSE 'info' END AS level,
+      |      row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) AS rn
+      |    FROM events) WHERE rn <= 40),
+      |rec AS (
+      |  SELECT src, 0 AS rn, CAST(0 AS BIGINT) AS c0, CAST(0 AS BIGINT) AS c1,
+      |    CAST(0 AS BIGINT) AS c2, CAST(NULL AS BIGINT) AS ord,
+      |    CAST(NULL AS VARCHAR) AS level, FALSE AS admitted
+      |  FROM (SELECT DISTINCT src FROM base)
+      |  UNION ALL
+      |  SELECT src, rn,
+      |    c0 + CASE WHEN slot = 0 THEN 1 ELSE 0 END,
+      |    c1 + CASE WHEN slot = 1 THEN 1 ELSE 0 END,
+      |    c2 + CASE WHEN slot = 2 THEN 1 ELSE 0 END,
+      |    ord, level,
+      |    CASE slot WHEN 0 THEN c0 + 1 <= 3
+      |              WHEN 1 THEN c1 + 1 <= 6
+      |              ELSE c2 + 1 <= 3 END
+      |  FROM (
+      |    SELECT r.src, b.rn, r.c0, r.c1, r.c2, b.ord, b.level,
+      |      CASE WHEN b.level = 'error' THEN 1
+      |           WHEN b.level = 'warn' THEN 2
+      |           WHEN r.c0 + 1 <= 3 THEN 0
+      |           WHEN greatest(6 - (r.c1 + 1), 3 - (r.c2 + 1)) > -1 THEN
+      |             CASE WHEN 6 - (r.c1 + 1) >= 3 - (r.c2 + 1) THEN 1 ELSE 2 END
+      |           ELSE 0 END AS slot
+      |    FROM rec r JOIN base b ON b.src = r.src AND b.rn = r.rn + 1))
+      |SELECT src, ord, level FROM rec WHERE admitted""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q166_syslog_named" -> q166_syslog_named,
     "q167_normalizer_config" -> q167_normalizer_config,
-    "q168_cri_chunks" -> q168_cri_chunks
+    "q168_cri_chunks" -> q168_cri_chunks,
+    "q169_throttle_distribution" -> q169_throttle_distribution
   )
 
   val oracles: Map[String, String] = Map(
     "q166_syslog_named" -> q166_sql,
     "q167_normalizer_config" -> q167_sql,
-    "q168_cri_chunks" -> q168_sql
+    "q168_cri_chunks" -> q168_sql,
+    "q169_throttle_distribution" -> q169_sql
   )
 }

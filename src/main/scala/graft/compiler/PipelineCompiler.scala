@@ -2401,6 +2401,21 @@ object PipelineCompiler {
           .withColumn("_tord",
             if (df.columns.contains("_pg_ord")) col("_pg_ord")
             else monotonically_increasing_id())
+        // memory-backend `limit_distribution` on the batch leg
+        // (distribution.go): ratio shares + default-steal — previously
+        // only the streaming leg honored it
+        Option(action.get("limit_distribution")).foreach { ld =>
+          val dField = ld.get("field").asText()
+          val ratios = ld.get("ratios").elements().asScala.toSeq.map { r =>
+            (r.get("ratio").asDouble(),
+              r.get("values").elements().asScala.map(_.asText()).toSeq)
+          }
+          return graft.state.SeqOps.throttleDistributed(
+              keyed.withColumn("_tdv",
+                coalesce(doc.getField(dField).cast("string"), lit(""))),
+              Seq("_tkey"), bucket, "_tord", "_tdv", limit, ratios)
+            .drop("_tkey", "_tord", "_tdv")
+        }
         val out = kind match {
           case "size" =>
             // `value` (the raw envelope line) can be gone after a join

@@ -133,6 +133,55 @@ object SeqOps {
       .drop("_rn")
   }
 
+  /** Batch `limit_distribution` throttle (plugin/action/throttle/
+    * distribution.go + in_memory_limiter.go:64-129): the total limit
+    * splits by ratio over a field's values — slot 0 is the default
+    * share (1 − Σratios), listed values get ratio × limit — and an
+    * exhausted default STEALS from the most-free listed distribution
+    * (strictly-greater comparison, so ties keep the earlier slot).
+    * Increment-then-check like the reference: denied events still
+    * consume their slot. State is per (key, bucket) — a width-sized
+    * count array folded over the in-bucket arrival order inside one
+    * task (`flatMapGroups`); the shuffle moves each event once on the
+    * (key, bucket) tuple, so the plan scales exactly like the plain
+    * batch throttle.
+    */
+  def throttleDistributed(df: DataFrame, keyCols: Seq[String], bucket: Column,
+                          orderCol: String, dvalCol: String, totalLimit: Long,
+                          ratios: Seq[(Double, Seq[String])]): DataFrame = {
+    require(ratios.map(_._1).sum <= 1.0 + 1e-9,
+      "throttleDistributed: distribution ratios must sum to at most 1")
+    val shares = graft.state.RedisThrottle.DistShares(ratios, totalLimit)
+    val tagged = df.withColumn("_db", bucket.cast("string"))
+    val schema = tagged.schema
+    val keyIdxs = keyCols.map(schema.fieldIndex) :+ schema.fieldIndex("_db")
+    val ordIdx = schema.fieldIndex(orderCol)
+    val dvIdx = schema.fieldIndex(dvalCol)
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    tagged
+      .groupByKey(r => keyIdxs.map(i => String.valueOf(r.get(i))).mkString(" "))(
+        org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroups { (_, rows: Iterator[org.apache.spark.sql.Row]) =>
+        val counts = new Array[Long](ratios.size + 1)
+        rows.toIndexedSeq.sortBy(_.getLong(ordIdx)).iterator.filter { r =>
+          val dval = Option(r.get(dvIdx)).map(_.toString).getOrElse("")
+          var dIdx = shares.idxByValue.get(dval).map(_ + 1).getOrElse(0)
+          var lim = if (dIdx > 0) shares.distLimits(dIdx - 1) else shares.defLimit
+          if (dIdx == 0 && counts(0) + 1 > lim) {
+            var maxDiff = -1L
+            shares.distLimits.indices.foreach { i =>
+              val curDiff = shares.distLimits(i) - (counts(i + 1) + 1)
+              if (curDiff > maxDiff) { maxDiff = curDiff; dIdx = i + 1
+                lim = shares.distLimits(i) }
+            }
+          }
+          counts(dIdx) += 1 // denied events still count (reference behavior)
+          counts(dIdx) <= lim
+        }
+      }
+      .drop("_db")
+  }
+
   /** Distributed as-of join: for every left row, the most recent right
     * row of the same key with right ts ≤ left ts. Implemented as the
     * scalable union-tag + running `last(ignoreNulls)` window — ONE

@@ -2785,6 +2785,34 @@ class CompilerSpec extends AnyFunSuite {
     } finally srv.stop(0)
   }
 
+  test("batch throttle honors limit_distribution (previously streaming-only)") {
+    // distribution.go's own worked example: default_limit 10, error 0.5
+    // (→ 5), warn+info 0.3 (→ 3), default 0.2 (→ 2); default steals
+    // only when a listed slot has room
+    val lines = (1 to 8).map(i =>
+      s"""{"k": "a", "level": "error", "time": "2024-03-05T00:00:0${i % 10}Z"}""") ++
+      (1 to 5).map(i =>
+        s"""{"k": "a", "level": "warn", "time": "2024-03-05T00:00:1$i-00:00"}""") ++
+      (1 to 4).map(i =>
+        s"""{"k": "a", "level": "trace", "time": "2024-03-05T00:00:2$i-00:00"}""")
+    val out = PipelineCompiler.runActionsOnBatch(spark, lines,
+      """actions:
+        |  - type: throttle
+        |    throttle_field: k
+        |    time_field: time
+        |    bucket_interval: 1m
+        |    default_limit: 10
+        |    limit_distribution:
+        |      field: level
+        |      ratios:
+        |        - {ratio: 0.5, values: [error]}
+        |        - {ratio: 0.3, values: [warn, info]}
+        |""".stripMargin)
+    def n(lvl: String): Int = out.count(_.contains(s""""level":"$lvl""""))
+    assert(n("error") == 5 && n("warn") == 3 && n("trace") == 2,
+      s"shares 5/3/2: ${(n("error"), n("warn"), n("trace"))}")
+  }
+
   test("move / convert_utf8_bytes / json_decode compile from YAML (previously unknown actions)") {
     // move mode=allow nests the listed fields under target
     val moved = PipelineCompiler.runActionsOnBatch(spark,
