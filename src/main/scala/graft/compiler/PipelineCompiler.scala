@@ -1083,9 +1083,40 @@ object PipelineCompiler {
         // happen post-decode (multiline_action.go) in compileNode
         val dir = Option(n.get("watching_dir")).map(_.asText())
           .getOrElse("/var/log/containers")
+        // `file_config` (k8s.go:119,226): the nested file-plugin config
+        // customizes the underlying file leg — filename_pattern,
+        // offsets_op, remove_after, paths include/exclude all pass
+        // through; with one configured, the streaming leg reads via the
+        // graft-tail source (offset semantics need it), otherwise the
+        // plain file stream stands. `deleted_pods_cache_size` is a
+        // gatherer cache-size perf knob with no analog against the
+        // driver-side meta snapshot (accepted-ignored, COVERAGE.md).
+        val fileCfg = Option(n.get("file_config"))
+        val k8sGlob = fileCfg.flatMap(c => Option(c.get("filename_pattern")))
+          .map(_.asText()).getOrElse("*.log")
         if (Option(n.get("streaming")).exists(_.asBoolean()))
-          Sources.fileStream(spark, dir, "*.log")
-        else Sources.fileBatch(spark, dir, "*.log")
+          fileCfg match {
+            case Some(c) =>
+              var tr = spark.readStream.format("graft-tail")
+                .option("path", dir)
+                .option("filename_pattern", k8sGlob)
+                .option("offsets_op",
+                  Option(c.get("offsets_op")).map(_.asText()).getOrElse("reset"))
+              Option(c.get("remove_after"))
+                .map(v => goDurationMillis(v.asText())).filter(_ > 0)
+                .foreach(ms => tr = tr.option("remove_after_ms", ms.toString))
+              val pathsN = Option(c.get("paths"))
+              def k8sPats(key: String): Seq[String] =
+                (pathsN.flatMap(p => Option(p.get(key))) orElse Option(c.get(key)))
+                  .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+              if (k8sPats("include").nonEmpty)
+                tr = tr.option("include", k8sPats("include").mkString(","))
+              if (k8sPats("exclude").nonEmpty)
+                tr = tr.option("exclude", k8sPats("exclude").mkString(","))
+              tr.load().select(col("value"), col("source_name"))
+            case None => Sources.fileStream(spark, dir, k8sGlob)
+          }
+        else Sources.fileBatch(spark, dir, k8sGlob)
       case "es_bulk" =>
         // HTTP /_bulk push entry (§3.3) via spool files; delete actions
         // carry no document and don't enter the decode chain
@@ -1204,7 +1235,7 @@ object PipelineCompiler {
         // strategy/header/secrets) and stream the durable spool through
         // the es_bulk replay seam. `address: ":9200"` keeps the
         // reference's default-port spelling; TLS (ca_cert/private_key)
-        // and CORS are browser/deployment surface, rejected loudly.
+        // is deployment surface, rejected loudly.
         require(n.get("ca_cert") == null && n.get("private_key") == null,
           "input http: TLS termination is deployment surface — front " +
             "with a TLS proxy (documented descope)")
@@ -1224,10 +1255,22 @@ object PipelineCompiler {
             .map(_.properties().asScala
               .map(e => e.getKey -> e.getValue.asText()).toMap)
             .getOrElse(Map.empty))
+        // `cors` (http.go:171-174 CORSConfig): origin allowlist with
+        // one-wildcard patterns + allow/expose header lists
+        val corsNode = Option(n.get("cors"))
+        def corsList(f: String): Seq[String] =
+          corsNode.flatMap(c => Option(c.get(f)))
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+        val httpCors = graft.sources.HttpCors(
+          corsList("allowed_origins"),
+          corsNode.flatMap(c => Option(c.get("default_origin"))).map(_.asText())
+            .getOrElse("*"),
+          corsList("allowed_headers"),
+          corsList("exposed_headers"))
         val hSpool = Option(n.get("spool_dir")).map(_.asText()).getOrElse(
           java.nio.file.Files.createTempDirectory("graft_http").toString)
         val listener = new graft.sources.HttpSpoolInput(port,
-          java.nio.file.Paths.get(hSpool), emulateEs, httpAuth)
+          java.nio.file.Paths.get(hSpool), emulateEs, httpAuth, httpCors)
         val bound = listener.start()
         // observable handle: `address: ":0"` binds an ephemeral port
         // (specs; a deployment pins the reference's default 9200)

@@ -13,6 +13,43 @@ import java.util.zip.GZIPInputStream
   * secrets map — basic keys are logins with password values, bearer keys
   * are secret NAMES with token values (the name labels the metric, so
   * lookup is by token). */
+/** http input `cors` config (http.go:171-174,213-267 CORSConfig):
+  * `allowed_origins` — `*` echoes the request origin; an entry with
+  * one wildcard matches prefix*suffix; otherwise exact (lowercased)
+  * match; a non-matching origin answers `default_origin` (default
+  * `*`). `allowed_headers`/`exposed_headers` render as the
+  * comma-joined Access-Control-Allow/Expose-Headers on every
+  * response. Two wildcards in one origin fail at construction like
+  * the reference's prepareAllowedOrigins error. */
+final case class HttpCors(allowedOrigins: Seq[String] = Nil,
+                          defaultOrigin: String = "*",
+                          allowedHeaders: Seq[String] = Nil,
+                          exposedHeaders: Seq[String] = Nil) {
+  private val lower = allowedOrigins.map(_.toLowerCase)
+  private val allowAll = lower.contains("*")
+  private val domains: Seq[(String, String)] = // (prefix, suffix); exact = ("", d)
+    if (allowAll) Nil
+    else lower.map { ao =>
+      val cut = ao.indexOf('*')
+      if (cut < 0) (ao, null)
+      else {
+        require(ao.indexOf('*', cut + 1) < 0,
+          s"invalid origin `$ao`, only one wildcard per origin is allowed")
+        (ao.substring(0, cut), ao.substring(cut + 1))
+      }
+    }
+
+  /** getAllowedByOrigin (http.go:223-240). */
+  def allowedByOrigin(origin: String): String =
+    if (allowAll) origin
+    else if (domains.exists {
+      case (d, null) => d.nonEmpty && origin == d
+      case (p, s) => origin.length > p.length + s.length &&
+        origin.startsWith(p) && origin.endsWith(s)
+    }) origin
+    else defaultOrigin
+}
+
 final case class HttpAuth(strategy: String = "disabled",
                           header: String = "Authorization",
                           secrets: Map[String, String] = Map.empty) {
@@ -69,7 +106,8 @@ final case class HttpAuth(strategy: String = "disabled",
   * `port = 0` binds an ephemeral port, returned by `start()`.
   */
 final class HttpSpoolInput(port: Int, spoolDir: Path, emulateEs: Boolean,
-                           auth: HttpAuth = HttpAuth()) {
+                           auth: HttpAuth = HttpAuth(),
+                           cors: HttpCors = HttpCors()) {
 
   private val seq = new AtomicLong(0)
   private var server: HttpServer = _
@@ -104,6 +142,16 @@ final class HttpSpoolInput(port: Int, spoolDir: Path, emulateEs: Boolean,
 
   private def handle(ex: HttpExchange): Unit =
     try {
+      // CORS on every response (http.go:386-404 ServeHTTP)
+      ex.getResponseHeaders.set("Access-Control-Allow-Origin",
+        cors.allowedByOrigin(
+          Option(ex.getRequestHeaders.getFirst("Origin")).getOrElse("")))
+      if (cors.allowedHeaders.nonEmpty)
+        ex.getResponseHeaders.set("Access-Control-Allow-Headers",
+          cors.allowedHeaders.mkString(","))
+      if (cors.exposedHeaders.nonEmpty)
+        ex.getResponseHeaders.set("Access-Control-Expose-Headers",
+          cors.exposedHeaders.mkString(","))
       val path = ex.getRequestURI.getPath
       if (emulateEs) {
         ex.getResponseHeaders.add("Content-Type", "application/json")

@@ -433,6 +433,45 @@ class CompilerSpec extends AnyFunSuite {
         |          - {mode: prefix, values: ['{"time": "2024-01-01T00:01']}""".stripMargin) == 3)
   }
 
+  test("k8s input file_config customizes the nested file leg (k8s.go:119,226)") {
+    // filename_pattern narrows discovery; streaming + file_config reads
+    // via graft-tail (offsets_op/remove_after semantics ride along)
+    val dir = java.nio.file.Files.createTempDirectory("k8s_fc")
+    val cid = "b" * 64
+    java.nio.file.Files.write(dir.resolve(s"podA_ns1_web-$cid.log"),
+      "2024-01-02T03:04:05.1Z stdout F from-log\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve(s"podB_ns1_web-$cid.special"),
+      "2024-01-02T03:04:05.2Z stdout F from-special\n".getBytes("UTF-8"))
+    def yaml(streaming: Boolean): String =
+      s"""input:
+         |  type: k8s
+         |  watching_dir: $dir
+         |  streaming: $streaming
+         |  file_config:
+         |    filename_pattern: "*.special"
+         |    offsets_op: reset
+         |output: {type: memory}
+         |""".stripMargin
+    val batchLogs = PipelineCompiler.compile(spark, yaml(streaming = false))
+      .result().selectExpr("doc.log").collect().map(_.getString(0)).toSeq
+    assert(batchLogs == Seq("from-special"), batchLogs.toString)
+    // streaming: the graft-tail leg delivers the same narrowed set
+    val q = PipelineCompiler.compile(spark, yaml(streaming = true))
+      .result().writeStream.format("memory").queryName("k8s_fc_out")
+      .outputMode("append").start()
+    try {
+      // poll, don't processAllAvailable: the streaming k8s leg's chunk
+      // assembly registers timers, which keep the no-new-data latch
+      // from firing (the documented Spark 4.1 gotcha)
+      val deadline = System.currentTimeMillis() + 60000L
+      def rows() = spark.table("k8s_fc_out").selectExpr("doc.log")
+        .collect().map(_.getString(0)).toSeq
+      while (rows().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(rows() == Seq("from-special"), rows().toString)
+    } finally q.stop()
+  }
+
   test("k8s input: filename meta, label allowlists, chunk join, split, only_node") {
     val dir = java.nio.file.Files.createTempDirectory("k8s_in")
     val cid = "a" * 64

@@ -204,4 +204,58 @@ class HttpSpoolInputSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+
+  test("CORS config: origin allowlist with wildcards, allow/expose headers (http.go:213-267)") {
+    import graft.sources.HttpCors
+    val dir = Files.createTempDirectory("httpspool_cors")
+    val cors = HttpCors(
+      allowedOrigins = Seq("https://app.example.com", "https://*.corp.io"),
+      defaultOrigin = "https://fallback.example",
+      allowedHeaders = Seq("Content-Type", "Authorization"),
+      exposedHeaders = Seq("X-Request-Id"))
+    val srv = new HttpSpoolInput(0, dir, emulateEs = false, cors = cors)
+    val port = srv.start()
+    // the JDK HttpURLConnection refuses to send an Origin header
+    // (restricted); speak HTTP over a raw socket instead
+    def corsHeaders(port: Int, origin: String): Map[String, String] = {
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        val body = "{}\n"
+        val req = s"POST /_bulk HTTP/1.1\r\nHost: x\r\nOrigin: $origin\r\n" +
+          s"Content-Length: ${body.length}\r\nConnection: close\r\n\r\n$body"
+        sock.getOutputStream.write(req.getBytes("UTF-8"))
+        sock.getOutputStream.flush()
+        val resp = new String(sock.getInputStream.readAllBytes(), "UTF-8")
+        resp.split("\r\n").takeWhile(_.nonEmpty).drop(1).flatMap { l =>
+          val cut = l.indexOf(':')
+          if (cut < 0) None else Some(l.substring(0, cut) -> l.substring(cut + 1).trim)
+        }.toMap
+      } finally sock.close()
+    }
+    try {
+      // exact-match origin echoes back
+      val ok = corsHeaders(port, "https://app.example.com")
+      assert(ok("Access-control-allow-origin") == "https://app.example.com", ok)
+      assert(ok("Access-control-allow-headers") == "Content-Type,Authorization")
+      assert(ok("Access-control-expose-headers") == "X-Request-Id")
+      // one-wildcard prefix*suffix match echoes back
+      assert(corsHeaders(port, "https://build.corp.io")
+        ("Access-control-allow-origin") == "https://build.corp.io")
+      // non-matching origin answers default_origin
+      assert(corsHeaders(port, "https://evil.example")
+        ("Access-control-allow-origin") == "https://fallback.example")
+      // `*` entry: every origin echoes
+      val srv2 = new HttpSpoolInput(0, dir, emulateEs = false,
+        cors = HttpCors(allowedOrigins = Seq("*")))
+      val p2 = srv2.start()
+      try assert(corsHeaders(p2, "https://anything.io")
+        ("Access-control-allow-origin") == "https://anything.io")
+      finally srv2.stop()
+      // two wildcards fail at construction (prepareAllowedOrigins)
+      val e = intercept[IllegalArgumentException] {
+        HttpCors(allowedOrigins = Seq("https://*.x.*"))
+      }
+      assert(e.getMessage.contains("only one wildcard"))
+    } finally srv.stop()
+  }
 }

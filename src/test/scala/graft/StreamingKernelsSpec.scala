@@ -846,7 +846,7 @@ class StreamingKernelsSpec extends AnyFunSuite {
       input.addData(evs.take(7): _*)
       awaitRows("cri_out", 3) // k1's two splits + its F close in batch 1
       input.addData(evs.drop(7): _*)
-      awaitRows("cri_out", 8)
+      awaitRows("cri_out", 8, timeoutMs = 180000L) // timer-paced; generous under full-suite load
       val streamed = spark.table("cri_out").as[KEvent].collect()
         .map(r => (r.key, r.seq, r.value)).sortBy(r => (r._1, r._2)).toSeq
       assert(streamed == batch,
