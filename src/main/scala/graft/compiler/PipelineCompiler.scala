@@ -2272,11 +2272,23 @@ object PipelineCompiler {
               graft.streaming.Kernels.throttleDistributed(ds, cfg).toDF(),
               "value", t)
           case None =>
+            // `limit_kind: size` (in_memory_limiter.go:85-100) weighs
+            // events by raw byte size — previously the streaming leg
+            // silently counted
+            val memKind = Option(action.get("limit_kind")).map(_.asText())
+              .getOrElse("count")
+            val memWeight =
+              if (memKind == "size") {
+                if (df.columns.contains("value")) octet_length(col("value"))
+                else octet_length(to_json(col("doc")))
+              } else lit(1)
             val ds = df.select(key.as("key"), eventTime.as("eventTimeMs"),
-                envelopeJson.as("value"))
+                envelopeJson.as("value"),
+                memWeight.cast("long").as("weight"))
               .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.TEvent])
             val cfg = graft.streaming.Kernels.ThrottleCfg(
-              intervalMs, bucketsCount, limit, stateTtlMs = ttlMs)
+              intervalMs, bucketsCount, limit, stateTtlMs = ttlMs,
+              kind = memKind)
             unwrapEnvelope(graft.streaming.Kernels.throttle(ds, cfg).toDF(),
               "value", t)
         }

@@ -227,8 +227,13 @@ object Kernels {
     * window, exactly like a reference restart clears its in-memory
     * limiter map; a TTL far above bucketIntervalMs × bucketsCount means
     * only windows that are entirely stale anyway are dropped. */
+  /** `kind` = count (default) or size (in_memory_limiter.go:85-100):
+    * size-kind buckets accumulate every event's byte weight
+    * UNCONDITIONALLY — rejected events still fill the bucket — and an
+    * event passes while the running total including itself stays
+    * within the limit (the batch `SeqOps.throttleSize` contract). */
   final case class ThrottleCfg(bucketIntervalMs: Long, bucketsCount: Int, limit: Long,
-                               stateTtlMs: Long = 0L)
+                               stateTtlMs: Long = 0L, kind: String = "count")
 
   /** Circular bucket window, ported bucket math included
     * (plugin/action/throttle/buckets.go:73 timeToBucketID ≙ eventTimeMs /
@@ -237,7 +242,8 @@ object Kernels {
     * "event is very old" path. */
   final case class ThrottleState(newestBucket: Long, counts: Array[Long])
 
-  final case class TEvent(key: String, eventTimeMs: Long, value: String)
+  final case class TEvent(key: String, eventTimeMs: Long, value: String,
+                          weight: Long = 1L)
 
   /** ProcessingTimeTimeout only when a TTL is configured: registering a
     * timeout makes the microbatch engine emit continuous maintenance
@@ -300,10 +306,18 @@ object Kernels {
             val diff = st.newestBucket - bucket
             val idx = if (diff >= cfg.bucketsCount) -1
                       else cfg.bucketsCount - 1 - diff.toInt
-            if (idx >= 0 && st.counts(idx) < cfg.limit) {
-              st.counts(idx) += 1
-              out += ev
-            } // idx < 0: older than window → dropped; over limit → dropped
+            if (idx >= 0) {
+              if (cfg.kind == "size") {
+                // unconditional accumulate; pass while the running
+                // total INCLUDING this event fits (throttleSize
+                // contract, in_memory_limiter.go:85-100)
+                st.counts(idx) += ev.weight
+                if (st.counts(idx) <= cfg.limit) out += ev
+              } else if (st.counts(idx) < cfg.limit) {
+                st.counts(idx) += 1
+                out += ev
+              }
+            } // idx < 0: older than window → dropped
           }
           state.update(st)
           armTtl(state, cfg.stateTtlMs)

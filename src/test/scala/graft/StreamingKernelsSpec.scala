@@ -65,6 +65,37 @@ class StreamingKernelsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("throttle limit_kind=size: streamed ≡ batch throttleSize; rejections still fill the bucket") {
+    // in_memory_limiter.go:85-100 via the SeqOps.throttleSize contract:
+    // the bucket accumulates byte weight UNCONDITIONALLY — a rejected
+    // event still consumes budget — previously the streaming leg
+    // silently counted events instead of sizing them
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val input = MemoryStream[TEvent]
+    val cfg = ThrottleCfg(60000L, 3, limit = 10L, kind = "size")
+    val q = Kernels.throttle(input.toDS(), cfg)
+      .writeStream.format("memory").queryName("th_size_out")
+      .outputMode("append").start()
+    try {
+      // 4+4 pass (8 ≤ 10); 5 → 13 rejected BUT fills; 2 → 15 rejected —
+      // an admitted-only counter would wrongly admit the trailing 2
+      input.addData(TEvent("s", 0L, "a", 4L), TEvent("s", 1L, "b", 4L),
+        TEvent("s", 2L, "c", 5L), TEvent("s", 3L, "d", 2L))
+      q.processAllAvailable()
+      val streamed = spark.table("th_size_out").as[TEvent]
+        .collect().map(_.value).sorted.toSeq
+      assert(streamed == Seq("a", "b"), streamed.toString)
+      // the oracled batch op agrees on the same data
+      val df = Seq(("s", 0L, "a", 4L), ("s", 1L, "b", 4L),
+        ("s", 2L, "c", 5L), ("s", 3L, "d", 2L)).toDF("k", "ts", "v", "sz")
+      val batch = graft.state.SeqOps.throttleSize(df, Seq("k"), lit(0L),
+        "ts", col("sz"), 10L).select("v").as[String].collect().sorted.toSeq
+      assert(batch == Seq("a", "b"), batch.toString)
+    } finally q.stop()
+  }
+
   test("cardinality state decays after the idle TTL and tracks a fresh set") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
