@@ -230,17 +230,64 @@ object Queries13 {
       |    FROM rec r JOIN base b ON b.src = r.src AND b.rn = r.rn + 1))
       |SELECT src, ord, level FROM rec WHERE admitted""".stripMargin
 
+  // --------------------- input meta templates (r13, q170)
+
+  /** Input-level `meta:` template rendering (pipeline/metadata/
+    * templater.go + cfg.MetaTemplates on the file/k8s/http/kafka
+    * inputs): the REAL engine — [[graft.functions.MetaTemplates]] —
+    * compiled against an events-backed variable resolver, covering
+    * every construct the reference surface admits: the single-value
+    * fast path, multi-hole templates with %v int stringify,
+    * cross-template holds (rendered in dependency order from a
+    * deliberately shuffled config order), `index` into a map variable,
+    * `default` with both literal and cross-ref fallbacks, and the
+    * unknown-variable hole rendering empty. */
+  val q170_meta_templates: Q = (s, dir) => {
+    import graft.functions.MetaTemplates
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val ev = t(s, dir, "events")
+    val propsMap = from_json(col("props"), MapType(StringType, StringType))
+    val resolve: Seq[String] => Option[Column] = {
+      case Seq("event_type") => Some(col("event_type"))
+      case Seq("user_id")    => Some(col("user_id"))
+      case Seq("props")      => Some(propsMap)
+      case _                 => None
+    }
+    val rendered = MetaTemplates.compile(Seq(
+      // config order puts dependents FIRST — order() must topo-sort
+      "src"     -> "{{ .who }}@{{ .etype }}",
+      "who"     -> "user_{{ .user_id }}",
+      "etype"   -> "{{ .event_type }}",
+      "k"       -> """{{ index .props "k" | default "none" }}""",
+      "missing" -> """{{ index .props "nope" | default .who }}""",
+      "partial" -> "x={{ .unknown }}y"), resolve)
+    ev.select(col("event_id") +: rendered.map { case (k, c) => c.as(k) }: _*)
+  }
+
+  val q170_sql: String =
+    """SELECT event_id,
+      |  event_type AS etype,
+      |  'user_' || CAST(user_id AS VARCHAR) AS who,
+      |  'user_' || CAST(user_id AS VARCHAR) || '@' || event_type AS src,
+      |  COALESCE(NULLIF(json_extract_string(props, '$.k'), ''), 'none') AS k,
+      |  COALESCE(NULLIF(json_extract_string(props, '$.nope'), ''),
+      |           'user_' || CAST(user_id AS VARCHAR)) AS missing,
+      |  'x=y' AS partial
+      |FROM events""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q166_syslog_named" -> q166_syslog_named,
     "q167_normalizer_config" -> q167_normalizer_config,
     "q168_cri_chunks" -> q168_cri_chunks,
-    "q169_throttle_distribution" -> q169_throttle_distribution
+    "q169_throttle_distribution" -> q169_throttle_distribution,
+    "q170_meta_templates" -> q170_meta_templates
   )
 
   val oracles: Map[String, String] = Map(
     "q166_syslog_named" -> q166_sql,
     "q167_normalizer_config" -> q167_sql,
     "q168_cri_chunks" -> q168_sql,
-    "q169_throttle_distribution" -> q169_sql
+    "q169_throttle_distribution" -> q169_sql,
+    "q170_meta_templates" -> q170_sql
   )
 }

@@ -831,8 +831,29 @@ object PipelineCompiler {
         else decoded0
     }
 
+    // input-level `meta:` templates (cfg.MetaTemplates on the file/
+    // k8s/http/kafka inputs, e.g. file.go:174): rendered per event
+    // over the input's metadata variables and merged into the doc ROOT
+    // as string fields BEFORE actions run (pipeline.go:525-540 —
+    // CreateNestedField is called with the whole key as ONE segment,
+    // so a dotted meta key is a literal top-level field name, hence
+    // the backtick escape)
+    val withInputMeta = Option(input.get("meta")) match {
+      case Some(m) =>
+        val templates = m.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toSeq
+        val resolve = inputMetaResolver(input.get("type").asText(), decoded,
+          templates.map(_._1))
+        graft.functions.MetaTemplates.compile(templates, resolve)
+          .foldLeft(decoded) { case (df, (k, c)) =>
+            df.withColumn("doc", col("doc").withField(s"`$k`", c))
+          }
+      case None => decoded
+    }
+
     val decorated =
-      if (isK8s) decorateK8sInput(input, decoded, k8sMeta) else decoded
+      if (isK8s) decorateK8sInput(input, withInputMeta, k8sMeta)
+      else withInputMeta
 
     val actions0 = settingsAntispam.toSeq ++
       Option(root.get("actions")).map(_.elements().asScala.toSeq)
@@ -1202,9 +1223,12 @@ object PipelineCompiler {
           val loaded = r3.load()
           // include_meta: topic/partition/offset/key/ts_ms ride the
           // envelope — the reference's kafka meta-template variables
-          // (kafka.go:156,224) as real columns
+          // (kafka.go:156,224) as real columns. A configured `meta:`
+          // template block needs the same columns (the templater's
+          // topic/partition/offset variables, kafka.go:383-389).
           val metaCols =
-            if (Option(n.get("include_meta")).exists(_.asBoolean()))
+            if (Option(n.get("include_meta")).exists(_.asBoolean()) ||
+                n.get("meta") != null)
               Seq(col("topic"), col("partition"), col("offset"),
                 col("key"), col("ts_ms"))
             else Nil
@@ -1269,8 +1293,14 @@ object PipelineCompiler {
           corsList("exposed_headers"))
         val hSpool = Option(n.get("spool_dir")).map(_.asText()).getOrElse(
           java.nio.file.Files.createTempDirectory("graft_http").toString)
+        // `meta:` configured → the listener captures the reference's
+        // http meta variables (login/remote_addr/params/request_uuid)
+        // in a sidecar per spool file, and the replay reads only the
+        // `*.bulk` bodies (sidecars excluded by pattern)
+        val wantsMeta = n.get("meta") != null
         val listener = new graft.sources.HttpSpoolInput(port,
-          java.nio.file.Paths.get(hSpool), emulateEs, httpAuth, httpCors)
+          java.nio.file.Paths.get(hSpool), emulateEs, httpAuth, httpCors,
+          captureMeta = wantsMeta)
         val bound = listener.start()
         // observable handle: `address: ":0"` binds an ephemeral port
         // (specs; a deployment pins the reference's default 9200)
@@ -1278,10 +1308,11 @@ object PipelineCompiler {
         // emulate mode replays the spool through the ES bulk
         // action/doc state machine (the es_bulk input's batch seam);
         // plain mode streams each acked body as it lands
+        val httpGlob = if (wantsMeta) "*.bulk" else "*"
         if (emulateEs)
-          Sources.esBulkSpool(spark, hSpool)
+          Sources.esBulkSpool(spark, hSpool, httpGlob)
             .filter(col("value").isNotNull)
-        else Sources.fileStream(spark, hSpool, "*")
+        else Sources.fileStream(spark, hSpool, httpGlob)
       case "journalctl" =>
         // journalctl.go: spawn the binary with `-o json -a` and resume
         // from the persisted `__CURSOR` (offsets_file, required like the
@@ -1438,6 +1469,84 @@ object PipelineCompiler {
     * on (namespace, pod, containerID) — the q70 dim pattern; misses
     * leave the fields null, which drop from the serialized doc (the
     * reference adds them only on meta hits). */
+  /** Metadata-variable resolver for input-level `meta:` templates —
+    * per input type, the reference's documented meta-params surface:
+    *
+    *  - file/tail (worker.go:313-330): `filename`; `symlink`/`inode`
+    *    exist only in the reference's inode-keyed watcher (the tail
+    *    source keys offsets by path — unknown vars, surfaced through
+    *    the template engine's unknown-variable semantics); the k8s
+    *    variables exist too — Go zero-value "" normally, CRI-parsed
+    *    when any meta KEY contains "k8s" (worker.go:38-44's trigger);
+    *  - k8s (k8s.go:245-259 over the file worker's parseK8sMeta):
+    *    `pod_name`/`namespace`/`container_name`/`container_id` parsed
+    *    from the CRI filename, plus the file vars; `pod` (a full
+    *    k8s.io v1.Pod) has no replayable analog — descoped;
+    *  - kafka (kafka.go:383-389): `topic`/`partition`/`offset` — real
+    *    envelope columns from the wire source;
+    *  - http (http.go:698-711): `login`/`remote_addr`/`request_uuid`
+    *    strings and the `params` url.Values map, read from the
+    *    listener's per-request sidecar (`request`, the raw
+    *    http.Request struct, is descoped). Nested refs / `index` keys
+    *    fold through map/array lookups (`.params.k`, `index .params
+    *    "k" 0`) like text/template indexing.
+    */
+  private def inputMetaResolver(inputType: String, df: DataFrame,
+                                templateKeys: Seq[String])
+  : Seq[String] => Option[Column] = {
+    val fileVars: Seq[String] => Option[Column] = {
+      case Seq("filename") => Some(col("source_name"))
+      case _               => None
+    }
+    def withK8sVars(parse: Boolean): Seq[String] => Option[Column] = {
+      val m = graft.sources.K8sMeta.parse(col("source_name"))
+      (path: Seq[String]) => path match {
+        case Seq(v @ ("pod_name" | "namespace" | "container_name" |
+                      "container_id")) =>
+          // a plain file input without the k8s trigger still KNOWS the
+          // variables — as Go zero-value "" (worker.go:292-330: the
+          // K8sMetaInformation struct exists either way)
+          Some(if (parse) m.getField(v) else lit(""))
+        case p => fileVars(p)
+      }
+    }
+    inputType match {
+      case "file" | "tail" =>
+        // worker.go:38-44: ANY meta KEY containing "k8s" arms CRI
+        // filename parsing on the plain file input
+        withK8sVars(parse = templateKeys.exists(_.contains("k8s")))
+      case "k8s" => withK8sVars(parse = true)
+      case "kafka" => {
+        case Seq(v @ ("topic" | "partition" | "offset"))
+          if df.columns.contains(v) => Some(col(v))
+        case _ => None
+      }
+      case "http" =>
+        val sidecar = udf((src: String) =>
+          graft.sources.HttpSpoolInput.sidecarJson(src))
+        val metaJson = sidecar(col("source_name"))
+        val paramsCol = from_json(get_json_object(metaJson, "$.params"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType)))
+        (path: Seq[String]) => path match {
+          case Seq(v @ ("login" | "remote_addr" | "request_uuid")) =>
+            Some(get_json_object(metaJson, s"$$.$v"))
+          case "params" +: rest =>
+            Some(rest.foldLeft(paramsCol: Column) { (acc, k) =>
+              if (k.forall(_.isDigit)) get(acc, lit(k.toInt))
+              else try_element_at(acc, lit(k))
+            })
+          case _ => None
+        }
+      case other => throw new IllegalArgumentException(
+        s"input $other: `meta:` templates are not part of its surface " +
+          "(the reference declares meta on the file/k8s/http/kafka " +
+          "inputs only)")
+    }
+  }
+
   private def decorateK8sInput(n: JsonNode, df: DataFrame,
                                meta: Option[graft.sources.K8sMetaFile.Meta])
   : DataFrame = {
@@ -2370,7 +2479,7 @@ object PipelineCompiler {
               "value", t))
           case None =>
             val ds = dfIn.select(srcKey.as("key"), tsMs.as("eventTimeMs"),
-                envelopeJson.as("value"))
+                envelopeJson.as("value"), lit(1L).as("weight"))
               .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.TEvent])
             val cfg = graft.streaming.Kernels.AntispamCfg(
               intervalMs,

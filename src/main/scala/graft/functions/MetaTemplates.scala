@@ -1,0 +1,308 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Input-level `meta:` templates (pipeline/metadata/templater.go + the
+  * `json:"meta"` field on the file/kafka/http/k8s inputs): a map of
+  * meta-key → Go-template string rendered over per-source metadata
+  * variables, producing STRING values merged into the decoded event
+  * root as top-level fields (pipeline.go:525-540 — `CreateNestedField`
+  * is called with the whole key as ONE segment, so a dotted meta key
+  * becomes a literal top-level field name, not a nested path).
+  *
+  * Template language — the subset the reference's meta surface uses
+  * (templater.go:38-47 registers exactly one extra function,
+  * `default`; `index` and field refs are text/template built-ins):
+  *
+  *   - literal text interleaved with `{{ expr }}` holes
+  *   - `.key` / `.key.sub` variable references
+  *   - `index .base "key"` / `index .base 0` (0-based, like Go)
+  *   - `expr | default "fallback"` / `expr | default .otherRef` —
+  *     reference semantics: nil or "" → fallback (templater.go:40-44)
+  *   - string literals `"…"` and integer literals
+  *
+  * Anything else (`if`/`range`/`with`/custom functions/`{{-` trim
+  * markers) fails loudly at compile — the reference's meta-params
+  * docs never use them, and a silent mis-render would be worse than
+  * an error naming the construct.
+  *
+  * Cross-template references: a template may reference another meta
+  * KEY (templater.go:60-103 builds a dependency graph on the HEAD
+  * identifier of each `.x[.y]` ref and topologically sorts). The
+  * reference ignores `AddEdge`'s cycle error (graph.PreventCycles →
+  * the edge is silently dropped and render order falls back to Go's
+  * nondeterministic map order); here a cycle is a LOUD config error —
+  * deterministic refusal beats nondeterministic partial rendering.
+  *
+  * Render semantics mirrored from templater.go:155-210:
+  *   - single-value form `{{ .key }}` (the exact regex
+  *     `^\{\{ +\.(\w+) +\}\}$`): direct lookup; an UNKNOWN variable
+  *     omits the meta key entirely (the reference logs and skips).
+  *   - full templates: each hole renders `%v`-style; a hole whose
+  *     variable is unknown at compile renders as "" (the reference
+  *     prints Go's `<no value>` / stores the Go error text as the
+  *     value — replicating Go runtime error STRINGS is a logging
+  *     artifact, not a data contract; documented divergence).
+  *   - a NULL column value renders as "" inside a full template and
+  *     as NULL for the single-value form (the field then drops from
+  *     the serialized doc; Go prints "<nil>" — same divergence class).
+  */
+object MetaTemplates {
+
+  sealed trait Expr
+  final case class Ref(path: Seq[String]) extends Expr
+  final case class Str(s: String) extends Expr
+  final case class Num(i: Int) extends Expr
+  final case class Index(args: Seq[Expr]) extends Expr
+  /** default(fallback, value) — piped value LAST, Go pipe convention. */
+  final case class Default(fallback: Expr, value: Expr) extends Expr
+
+  sealed trait Part
+  final case class Lit(s: String) extends Part
+  final case class Hole(e: Expr) extends Part
+
+  final case class Template(source: String, parts: Seq[Part]) {
+    /** Head identifiers of every variable reference — the dependency
+      * surface (templater.go:80-101 takes parts[1] of each `.x.y`). */
+    def refHeads: Set[String] = {
+      def heads(e: Expr): Set[String] = e match {
+        case Ref(p)        => Set(p.head)
+        case Index(as)     => as.flatMap(heads).toSet
+        case Default(f, v) => heads(f) ++ heads(v)
+        case _             => Set.empty
+      }
+      parts.collect { case Hole(e) => heads(e) }.flatten.toSet
+    }
+    /** Some(key) when the template is exactly the reference's
+      * single-value shape (templater.go:112 regex — spaces REQUIRED). */
+    def singleValue: Option[String] = {
+      val m = SingleValueRe.findFirstMatchIn(source)
+      m.map(_.group(1))
+    }
+  }
+
+  private val SingleValueRe = """^\{\{ +\.(\w+) +\}\}$""".r
+
+  // ------------------------------------------------------------ parser
+
+  def parse(source: String): Template = {
+    val parts = Seq.newBuilder[Part]
+    var i = 0
+    val n = source.length
+    val lit = new StringBuilder
+    while (i < n) {
+      val open = source.indexOf("{{", i)
+      if (open < 0) { lit.append(source.substring(i)); i = n }
+      else {
+        lit.append(source.substring(i, open))
+        val close = source.indexOf("}}", open + 2)
+        require(close >= 0,
+          s"meta template `$source`: unclosed {{ at offset $open")
+        val inner = source.substring(open + 2, close)
+        require(!inner.startsWith("-") && !inner.endsWith("-"),
+          s"meta template `$source`: {{- trim markers are not supported")
+        if (lit.nonEmpty) { parts += Lit(lit.toString); lit.clear() }
+        parts += Hole(parseExpr(inner.trim, source))
+        i = close + 2
+      }
+    }
+    if (lit.nonEmpty) parts += Lit(lit.toString)
+    Template(source, parts.result())
+  }
+
+  private def tokenize(s: String, ctx: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case c if c.isWhitespace => i += 1
+        case '|' => out += "|"; i += 1
+        case '"' =>
+          val sb = new StringBuilder("\"")
+          i += 1
+          while (i < s.length && s.charAt(i) != '"') {
+            if (s.charAt(i) == '\\' && i + 1 < s.length) {
+              sb.append(s.charAt(i + 1)); i += 2
+            } else { sb.append(s.charAt(i)); i += 1 }
+          }
+          require(i < s.length, s"meta template `$ctx`: unclosed string")
+          i += 1
+          out += sb.toString
+        case _ =>
+          val start = i
+          while (i < s.length && !s.charAt(i).isWhitespace &&
+                 s.charAt(i) != '|') i += 1
+          out += s.substring(start, i)
+      }
+    }
+    out.result()
+  }
+
+  private def parseExpr(inner: String, ctx: String): Expr = {
+    // split the token stream on `|` into pipe segments
+    val toks = tokenize(inner, ctx)
+    val segments = {
+      val segs = Seq.newBuilder[Seq[String]]
+      var cur = Seq.newBuilder[String]
+      toks.foreach {
+        case "|" => segs += cur.result(); cur = Seq.newBuilder[String]
+        case t   => cur += t
+      }
+      segs += cur.result()
+      segs.result()
+    }
+    segments.foreach(s => require(s.nonEmpty,
+      s"meta template `$ctx`: empty pipe segment"))
+    val first = parseSegment(segments.head, piped = None, ctx)
+    segments.tail.foldLeft(first) { (acc, seg) =>
+      parseSegment(seg, piped = Some(acc), ctx)
+    }
+  }
+
+  private def parsePrimary(tok: String, ctx: String): Expr = tok match {
+    case t if t.startsWith("\"") => Str(t.substring(1))
+    case t if t.startsWith(".")  =>
+      val path = t.substring(1).split('.').toSeq
+      require(path.nonEmpty && path.forall(_.nonEmpty),
+        s"meta template `$ctx`: bad reference `$t`")
+      Ref(path)
+    case t if t.forall(c => c.isDigit || c == '-') && t.exists(_.isDigit) =>
+      Num(t.toInt)
+    case t => throw new IllegalArgumentException(
+      s"meta template `$ctx`: unsupported token `$t` — the meta surface " +
+        "supports .refs, string/int literals, `index`, and `| default`")
+  }
+
+  private def parseSegment(seg: Seq[String], piped: Option[Expr],
+                           ctx: String): Expr = seg.head match {
+    case "index" =>
+      val args = seg.tail.map(parsePrimary(_, ctx)) ++ piped.toSeq
+      require(args.size >= 2,
+        s"meta template `$ctx`: index needs a base and at least one key")
+      Index(args)
+    case "default" =>
+      val explicit = seg.tail.map(parsePrimary(_, ctx))
+      (explicit, piped) match {
+        case (Seq(f), Some(v))  => Default(f, v)
+        case (Seq(f, v), None)  => Default(f, v)
+        case _ => throw new IllegalArgumentException(
+          s"meta template `$ctx`: default takes (fallback, value) — " +
+            "either `expr | default fallback` or `default fallback expr`")
+      }
+    case kw @ ("if" | "else" | "end" | "range" | "with" | "template" |
+               "define" | "block" | "printf" | "print" | "println") =>
+      throw new IllegalArgumentException(
+        s"meta template `$ctx`: `$kw` is not supported — the meta " +
+          "surface covers refs, `index`, and `| default` " +
+          "(templater.go registers no other functions)")
+    case _ =>
+      require(seg.size == 1 && piped.isEmpty,
+        s"meta template `$ctx`: unsupported call `${seg.mkString(" ")}`")
+      parsePrimary(seg.head, ctx)
+  }
+
+  // ------------------------------------------------- ordering + compile
+
+  /** Config-ordered templates → dependency-ordered (templates that
+    * other templates reference render first). Cycle → loud error. */
+  def order(templates: Seq[(String, String)]): Seq[(String, Template)] = {
+    val parsed = templates.map { case (k, v) => k -> parse(v) }
+    val byName = parsed.toMap
+    val out = Seq.newBuilder[(String, Template)]
+    val done = scala.collection.mutable.Set[String]()
+    val inStack = scala.collection.mutable.Set[String]()
+    def visit(k: String): Unit = {
+      if (done.contains(k)) return
+      require(!inStack.contains(k),
+        s"meta templates: dependency cycle through `$k` — the reference " +
+          "silently drops the cycle edge and renders in map order " +
+          "(nondeterministic); refusing instead")
+      inStack += k
+      // a SELF-reference (`topic: "{{ .topic }}"`) reads the input's
+      // DATA variable, not the template being defined — only refs to
+      // OTHER template keys order the render
+      byName(k).refHeads.filter(h => byName.contains(h) && h != k)
+        .toSeq.sorted.foreach(visit)
+      inStack -= k
+      done += k
+      out += (k -> byName(k))
+    }
+    parsed.foreach { case (k, _) => visit(k) }
+    out.result()
+  }
+
+  /** Compile one template against `resolve` (the input's metadata
+    * variables, full path → column) and `computed` (previously
+    * rendered meta keys, always strings). Returns None for the
+    * single-value form over an unknown variable — the caller omits
+    * the key (templater.go:186-190). */
+  def compileOne(tpl: Template, resolve: Seq[String] => Option[Column],
+                 computed: Map[String, Column]): Option[Column] = {
+    def col(e: Expr): Option[Column] = e match {
+      case Str(s) => Some(lit(s))
+      case Num(i) => Some(lit(i))
+      case Ref(path) =>
+        computed.get(path.head) match {
+          case Some(c) if path.size == 1 => Some(c)
+          case Some(_) => None // `.computedKey.sub` — strings have no subfields
+          case None    => resolve(path)
+        }
+      case Index(args) =>
+        col(args.head).map { base =>
+          args.tail.foldLeft(base) { (acc, key) =>
+            key match {
+              case Num(i) => get(acc, lit(i)) // 0-based, Go slice semantics
+              case Str(s) => try_element_at(acc, lit(s))
+              case other  => col(other) match {
+                case Some(c) => try_element_at(acc, c)
+                case None    => lit(null)
+              }
+            }
+          }
+        }
+      case Default(fb, v) =>
+        val value = col(v).map(_.cast("string"))
+        val fallback = col(fb).map(_.cast("string")).getOrElse(lit(null))
+        value match {
+          case Some(vc) =>
+            Some(when(vc.isNull || vc === "", fallback).otherwise(vc))
+          case None => Some(fallback)
+        }
+    }
+    tpl.singleValue match {
+      case Some(key) =>
+        // direct-lookup fast path: unknown key → omit (reference skips)
+        computed.get(key).orElse(resolve(Seq(key))).map(_.cast("string"))
+      case None =>
+        val rendered = tpl.parts.map {
+          case Lit(s)  => lit(s)
+          case Hole(e) =>
+            // unknown ref / null value → "" (Go prints `<no value>` or
+            // the error text — documented divergence, see scaladoc)
+            coalesce(col(e).getOrElse(lit(null)).cast("string"), lit(""))
+        }
+        Some(if (rendered.isEmpty) lit("")
+             else if (rendered.size == 1) rendered.head
+             else concat(rendered: _*))
+    }
+  }
+
+  /** The full surface: config-ordered (name, template) pairs +
+    * variable resolver → dependency-ordered (name, rendered column)
+    * pairs, cross-template refs resolved against earlier renders. */
+  def compile(templates: Seq[(String, String)],
+              resolve: Seq[String] => Option[Column])
+  : Seq[(String, Column)] = {
+    val ordered = order(templates)
+    val out = Seq.newBuilder[(String, Column)]
+    var computed = Map.empty[String, Column]
+    ordered.foreach { case (k, tpl) =>
+      compileOne(tpl, resolve, computed).foreach { c =>
+        out += (k -> c)
+        computed += (k -> c)
+      }
+    }
+    out.result()
+  }
+}

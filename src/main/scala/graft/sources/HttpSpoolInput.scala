@@ -105,9 +105,60 @@ final case class HttpAuth(strategy: String = "disabled",
   * Loopback-only by construction (this environment has no ingress);
   * `port = 0` binds an ephemeral port, returned by `start()`.
   */
+object HttpSpoolInput {
+  /** The reference's `request_uuid` (http.go:714-727 stringToUUID):
+    * sha1 of "contentLength|encodedParams|remoteAddr", first 16 hash
+    * bytes copied verbatim into a UUID (no version bits set). */
+  def requestUuid(contentLength: String, encodedParams: String,
+                  remoteAddr: String): String = {
+    val hash = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s"$contentLength|$encodedParams|$remoteAddr".getBytes("UTF-8"))
+    val hex = hash.take(16).map(b => f"$b%02x").mkString
+    s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-" +
+      s"${hex.substring(16, 20)}-${hex.substring(20, 32)}"
+  }
+
+  /** url.Values.Encode() shape: keys sorted, values in arrival order,
+    * query-escaped `k=v&k=v`. (JDK URLEncoder differs from Go
+    * QueryEscape on a few punctuation bytes — `*`/`~` — which only
+    * perturbs request_uuid for params containing them; documented.) */
+  def encodeParams(params: Seq[(String, String)]): String = {
+    def esc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    params.sortBy(_._1).map { case (k, v) => s"${esc(k)}=${esc(v)}" }
+      .mkString("&")
+  }
+
+  /** `k=v&k=v` raw query → pairs in arrival order, URL-decoded. */
+  def parseQuery(rawQuery: String): Seq[(String, String)] =
+    if (rawQuery == null || rawQuery.isEmpty) Nil
+    else rawQuery.split('&').toSeq.filter(_.nonEmpty).map { kv =>
+      val cut = kv.indexOf('=')
+      def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+      if (cut < 0) (dec(kv), "") else (dec(kv.substring(0, cut)), dec(kv.substring(cut + 1)))
+    }
+
+  private val sidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Sidecar (`<spool file>.meta`) JSON for a spool file path; null when
+    * absent. Per-JVM bounded cache — one entry per REQUEST file, and a
+    * spool dir is construction-bounded, but clear anyway past 64k. */
+  def sidecarJson(spoolFile: String): String = {
+    if (sidecarCache.size() > 65536) sidecarCache.clear()
+    sidecarCache.computeIfAbsent(spoolFile, { f =>
+      val p = java.nio.file.Paths.get(
+        if (f.startsWith("file:")) new java.net.URI(f).getPath else f)
+      val side = p.resolveSibling(p.getFileName.toString + ".meta")
+      if (Files.exists(side)) new String(Files.readAllBytes(side), "UTF-8")
+      else ""
+    }) match { case "" => null; case s => s }
+  }
+}
+
 final class HttpSpoolInput(port: Int, spoolDir: Path, emulateEs: Boolean,
                            auth: HttpAuth = HttpAuth(),
-                           cors: HttpCors = HttpCors()) {
+                           cors: HttpCors = HttpCors(),
+                           captureMeta: Boolean = false) {
 
   private val seq = new AtomicLong(0)
   private var server: HttpServer = _
@@ -175,9 +226,8 @@ final class HttpSpoolInput(port: Int, spoolDir: Path, emulateEs: Boolean,
     * handshake endpoints stay anonymous so health probes work. */
   private def serveBulk(ex: HttpExchange): Unit = {
     if (ex.getRequestMethod != "POST") { respond(ex, 405, ""); return }
-    if (auth.authorize(ex.getRequestHeaders.getFirst(auth.header)).isEmpty) {
-      respond(ex, 401, "auth failed"); return
-    }
+    val login = auth.authorize(ex.getRequestHeaders.getFirst(auth.header))
+    if (login.isEmpty) { respond(ex, 401, "auth failed"); return }
     val raw: InputStream =
       if ("gzip".equalsIgnoreCase(
         ex.getRequestHeaders.getFirst("Content-Encoding")))
@@ -185,6 +235,32 @@ final class HttpSpoolInput(port: Int, spoolDir: Path, emulateEs: Boolean,
       else ex.getRequestBody
     val body = raw.readAllBytes()
     val name = f"${System.currentTimeMillis()}%013d_${seq.getAndIncrement()}%06d.bulk"
+    // meta sidecar rides NEXT TO the spool file, written before the
+    // body's atomic move — any visible body file has its sidecar. The
+    // variables are the reference's http meta surface (http.go:689-711
+    // newMetaInformation/GetData): login, remote_addr (getUserIP's
+    // proxy-header chain, http.go:664-679), params (url.Values), and
+    // the sha1-derived request_uuid. `request` (the raw http.Request
+    // struct) has no replayable analog — documented descope.
+    if (captureMeta) {
+      val hdr = ex.getRequestHeaders
+      val remoteAddr = Seq("CF-Connecting-IP", "X-Forwarded-For", "X-Real-IP")
+        .flatMap(h => Option(hdr.getFirst(h))).headOption
+        .getOrElse(ex.getRemoteAddress.getAddress.getHostAddress)
+      val params = HttpSpoolInput.parseQuery(ex.getRequestURI.getRawQuery)
+      val contentLength = Option(hdr.getFirst("Content-Length")).getOrElse("-1")
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.createObjectNode()
+      root.put("login", login.get)
+      root.put("remote_addr", remoteAddr)
+      root.put("request_uuid", HttpSpoolInput.requestUuid(contentLength,
+        HttpSpoolInput.encodeParams(params), remoteAddr))
+      val pn = root.putObject("params")
+      params.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (k, vs) =>
+        val arr = pn.putArray(k); vs.foreach(v => arr.add(v._2))
+      }
+      Files.write(spoolDir.resolve(name + ".meta"), om.writeValueAsBytes(root))
+    }
     val tmp = spoolDir.resolve(name + ".tmp")
     Files.write(tmp, body)
     Files.move(tmp, spoolDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)

@@ -3018,4 +3018,169 @@ class CompilerSpec extends AnyFunSuite {
         |""".stripMargin)
     assert(dflt.outputConf("batch_size") == "256")
   }
+
+  test("file input `meta:` templates merge into the doc root (file.go:174)") {
+    val dir = java.nio.file.Files.createTempDirectory("meta_file")
+    java.nio.file.Files.write(dir.resolve("app.log"),
+      "{\"k\":\"v1\"}\n{\"k\":\"v2\"}\n".getBytes("UTF-8"))
+    val out = PipelineCompiler.compile(spark,
+      s"""input:
+         |  type: file
+         |  dir: "$dir"
+         |  meta:
+         |    src_file: "{{ .filename }}"
+         |    src_copy: "{{ .src_file }}"
+         |    "k8s.pseudo": "f={{ .filename }}"
+         |    partial: "a={{ .unknown_var }}b"
+         |    gone: "{{ .unknown_var }}"
+         |decoder: {type: json, schema: "k STRING"}
+         |output: {type: memory}
+         |""".stripMargin).result()
+    val docType = out.schema("doc").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // dotted meta key = ONE literal top-level field (pipeline.go:525-540)
+    assert(docType.fieldNames.contains("k8s.pseudo"))
+    // single-value template over an unknown variable omits the key
+    assert(!docType.fieldNames.contains("gone"))
+    val r = out
+      .selectExpr("doc.src_file", "doc.src_copy", "doc.`k8s.pseudo`",
+        "doc.partial", "doc.k")
+      .orderBy("k").collect()
+    assert(r.length == 2)
+    assert(r(0).getString(0).endsWith("app.log"))
+    // cross-template ref holds the rendered value
+    assert(r(0).getString(1) == r(0).getString(0))
+    assert(r(0).getString(2) == s"f=${r(0).getString(0)}")
+    // unknown hole inside a full template renders empty
+    assert(r(0).getString(3) == "a=b")
+  }
+
+  test("plain file input: a `k8s`-containing meta KEY arms CRI parsing (worker.go:38-44)") {
+    val cid = "fedcba9876543210" * 4
+    val dir = java.nio.file.Files.createTempDirectory("meta_file_k8s")
+    java.nio.file.Files.write(
+      dir.resolve(s"web-0_staging_nginx-$cid.log"),
+      "{\"k\":\"v\"}\n".getBytes("UTF-8"))
+    def run(metaYaml: String): org.apache.spark.sql.Row =
+      PipelineCompiler.compile(spark,
+        s"""input:
+           |  type: file
+           |  dir: "$dir"
+           |  meta:
+           |$metaYaml
+           |decoder: {type: json, schema: "k STRING"}
+           |output: {type: memory}
+           |""".stripMargin).result()
+        .selectExpr("doc.a", "doc.b").collect().head
+    // no k8s key anywhere -> the variables exist as Go zero-value ""
+    val cold = run(
+      """    a: "{{ .pod_name }}"
+        |    b: "ns={{ .namespace }}"""".stripMargin)
+    assert(cold.getString(0) == "" && cold.getString(1) == "ns=")
+    // one key CONTAINING "k8s" arms CRI filename parsing for all
+    val armed = run(
+      """    a: "{{ .pod_name }}"
+        |    b: "ns={{ .namespace }}"
+        |    k8s_trigger: "{{ .container_name }}"""".stripMargin)
+    assert(armed.getString(0) == "web-0" && armed.getString(1) == "ns=staging")
+  }
+
+  test("k8s input `meta:` renders pod/namespace/container variables") {
+    val cid = "0123456789abcdef" * 4
+    val dir = java.nio.file.Files.createTempDirectory("meta_k8s")
+    java.nio.file.Files.write(
+      dir.resolve(s"payments-1_prod_app-$cid.log"),
+      "line one\n".getBytes("UTF-8"))
+    val out = PipelineCompiler.compile(spark,
+      s"""input:
+         |  type: k8s
+         |  watching_dir: "$dir"
+         |  meta:
+         |    dc: "{{ .namespace }}-dc"
+         |    who: "{{ .pod_name }}/{{ .container_name }}"
+         |output: {type: memory}
+         |""".stripMargin).result()
+    val r = out.selectExpr("doc.dc", "doc.who",
+      "doc.k8s_pod", "doc.k8s_namespace").collect().head
+    assert(r.getString(0) == "prod-dc")
+    assert(r.getString(1) == "payments-1/app")
+    // built-in k8s decoration still applies alongside user meta
+    assert(r.getString(2) == "payments-1" && r.getString(3) == "prod")
+  }
+
+  test("kafka input `meta:` exposes topic/partition/offset variables") {
+    // compile-only: the wire stream plans lazily, so the rendered meta
+    // schema is assertable without a broker
+    val df = PipelineCompiler.compile(spark,
+      """input:
+        |  type: kafka
+        |  brokers: "127.0.0.1:1"
+        |  topics: [events]
+        |  meta:
+        |    origin: "{{ .topic }}/{{ .partition }}@{{ .offset }}"
+        |decoder: {type: json, schema: "k STRING"}
+        |output: {type: memory}
+        |""".stripMargin).df
+    val docType = df.schema("doc").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(docType.fieldNames.contains("origin"))
+    assert(docType("origin").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
+
+  test("http input `meta:`: login/remote_addr/params/request_uuid from the listener sidecar") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val dir = java.nio.file.Files.createTempDirectory("meta_http")
+    val compiled = PipelineCompiler.compile(spark,
+      s"""input:
+         |  type: http
+         |  address: ":0"
+         |  spool_dir: "$dir/spool"
+         |  auth: {strategy: bearer, secrets: {svc: tok123}}
+         |  meta:
+         |    user: "{{ .login }}"
+         |    ip: "{{ .remote_addr }}"
+         |    rid: "{{ .request_uuid }}"
+         |    app: '{{ index .params "app" 0 | default "unknown" }}'
+         |decoder: {type: json, schema: "k STRING"}
+         |output: {type: memory, name: meta_http_out}
+         |""".stripMargin)
+    val (listener, port) = PipelineCompiler.lastHttpInput
+    val q = compiled.startStream()
+    try {
+      val client = HttpClient.newHttpClient()
+      val req = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/?app=checkout&env=ci"))
+        .header("Authorization", "Bearer tok123")
+        .POST(HttpRequest.BodyPublishers.ofString("""{"k":"v1"}""" + "\n"))
+        .build()
+      assert(client.send(req,
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("meta_http_out").count() < 1 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val got = spark.table("meta_http_out").collect().map(_.getString(0))
+      assert(got.length == 1, got.toSeq)
+      val doc = got.head
+      assert(doc.contains("\"user\":\"svc\""), doc)
+      assert(doc.contains("\"ip\":\"127.0.0.1\""), doc)
+      assert(doc.contains("\"app\":\"checkout\""), doc)
+      // request_uuid: 36-char 8-4-4-4-12, reproducible from the sidecar
+      // recipe (sha1 of contentLength|encodedParams|remoteAddr)
+      val expectUuid = graft.sources.HttpSpoolInput.requestUuid(
+        "11", "app=checkout&env=ci", "127.0.0.1")
+      assert(doc.contains(s"\"rid\":\"$expectUuid\""), doc)
+    } finally { q.stop(); listener.stop() }
+  }
+
+  test("`meta:` on an input without meta variables fails loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(spark,
+        """input: {type: fake, lines: ['{"a":1}'], meta: {x: "{{ .y }}"}}
+          |output: {type: memory}
+          |""".stripMargin)
+    }
+    assert(ex.getMessage.contains("meta"))
+  }
 }

@@ -1,0 +1,142 @@
+package graft
+
+import graft.functions.MetaTemplates
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Input-level `meta:` template engine (pipeline/metadata/templater.go)
+  * — the worked cases from the reference's own templater_test.go:12-148
+  * re-expressed over Column rendering. */
+class MetaTemplatesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Render templates over one row; `data` maps single-segment variable
+    * names, `nested` full paths (the `.headers.broker` shape). */
+  private def render(templates: Seq[(String, String)],
+                     data: Map[String, Column],
+                     nested: Map[Seq[String], Column] = Map.empty)
+  : Map[String, String] = {
+    import spark.implicits._
+    val resolve: Seq[String] => Option[Column] = p =>
+      nested.get(p).orElse(if (p.size == 1) data.get(p.head) else None)
+    val cols = MetaTemplates.compile(templates, resolve)
+    if (cols.isEmpty) Map.empty
+    else {
+      val row = Seq(1).toDF("one")
+        .select(cols.map { case (k, c) => c.cast("string").as(k) }: _*)
+        .collect().head
+      cols.map(_._1).zipWithIndex.map { case (k, i) =>
+        k -> (if (row.isNullAt(i)) null else row.getString(i))
+      }.toMap
+    }
+  }
+
+  test("single value and full-template forms (templater_test 'Basic')") {
+    assert(render(Seq("topic" -> "{{ .topic }}"),
+      Map("topic" -> lit("topic"))) == Map("topic" -> "topic"))
+    assert(render(Seq("topic" -> "topic_{{ .topic }}"),
+      Map("topic" -> lit("topic"))) == Map("topic" -> "topic_topic"))
+  }
+
+  test("cross-template reuse + hold values (templater_test 'Reuse'/'Hold')") {
+    assert(render(
+      Seq("topic1" -> "{{ .topic }}", "topic2" -> "{{ .topic1 }}"),
+      Map("topic" -> lit("topic"))) ==
+      Map("topic1" -> "topic", "topic2" -> "topic"))
+    // config order has the dependent template FIRST — topo order fixes it
+    val held = render(
+      Seq(
+        "partition_fullname2" -> "{{ .partition_fullname }}",
+        "partition_fullname" -> "partition {{ .partition_name }}, topic: {{ .topic }}",
+        "partition_name" -> "partition_{{ .partition }}"),
+      Map("topic" -> lit("topic"), "partition" -> lit(1)))
+    assert(held == Map(
+      "partition_name" -> "partition_1",
+      "partition_fullname" -> "partition partition_1, topic: topic",
+      "partition_fullname2" -> "partition partition_1, topic: topic"))
+  }
+
+  test("default: literal + cross-ref fallbacks (templater_test 'Default values')") {
+    // value present -> value wins
+    assert(render(Seq("topic" -> """{{ .topic | default "default_topic" }}"""),
+      Map("topic" -> lit("topic"))) == Map("topic" -> "topic"))
+    // nil -> fallback (templater.go:40-44: nil or "" takes the default)
+    assert(render(Seq("topic" -> """{{ .topic | default "default_topic" }}"""),
+      Map("topic" -> lit(null).cast("string"))) ==
+      Map("topic" -> "default_topic"))
+    // empty string -> fallback too
+    assert(render(Seq("topic" -> """{{ .topic | default "d" }}"""),
+      Map("topic" -> lit(""))) == Map("topic" -> "d"))
+    // index miss on an empty map -> literal fallback; cross-ref fallback
+    val m = render(
+      Seq(
+        "broker_header_default" -> """{{ index .headers "key" | default "localhost:9093" }}""",
+        "broker_name" -> "{{ .broker }}",
+        "broker_fullname" -> "{{ .broker_name }}",
+        "broker_header" -> """{{ index .headers "key" | default .broker_fullname }}"""),
+      Map("headers" -> map_from_arrays(array(), array()),
+        "broker" -> lit("kafka1:9093")))
+    assert(m == Map(
+      "broker_header_default" -> "localhost:9093",
+      "broker_name" -> "kafka1:9093",
+      "broker_fullname" -> "kafka1:9093",
+      "broker_header" -> "kafka1:9093"))
+  }
+
+  test("nested refs + positional index (templater_test 'Nested fields')") {
+    val m = render(
+      Seq("broker_header" -> """{{ index .headers.broker 0 }}""",
+        "broker" -> "{{ .broker_header }}"),
+      Map.empty,
+      nested = Map(Seq("headers", "broker") -> array(lit("kafka1:9093"))))
+    assert(m == Map(
+      "broker_header" -> "kafka1:9093", "broker" -> "kafka1:9093"))
+  }
+
+  test("unknown variables: single-value omits the key, a hole renders empty") {
+    // single-value over an unknown var -> key omitted entirely
+    // (templater.go:186-190 logs and skips)
+    assert(render(Seq("gone" -> "{{ .nope }}"), Map.empty) == Map.empty)
+    // full template: the unknown hole renders "" (documented divergence
+    // from Go's error-text-as-value)
+    assert(render(Seq("x" -> "v={{ .nope }}!"), Map.empty) ==
+      Map("x" -> "v=!"))
+    // a NULL value inside a full template also renders ""
+    assert(render(Seq("x" -> "v={{ .t }}!"),
+      Map("t" -> lit(null).cast("string"))) == Map("x" -> "v=!"))
+  }
+
+  test("dependency cycles and unsupported constructs fail loudly") {
+    val cyc = intercept[IllegalArgumentException] {
+      MetaTemplates.order(Seq("a" -> "{{ .b }}", "b" -> "{{ .a }}"))
+    }
+    assert(cyc.getMessage.contains("cycle"))
+    val ifErr = intercept[IllegalArgumentException] {
+      MetaTemplates.parse("""{{ if .auth }}x{{ else }}y{{ end }}""")
+    }
+    assert(ifErr.getMessage.contains("`if` is not supported"))
+    val trim = intercept[IllegalArgumentException] {
+      MetaTemplates.parse("""{{- .x }}""")
+    }
+    assert(trim.getMessage.contains("trim markers"))
+    val unclosed = intercept[IllegalArgumentException] {
+      MetaTemplates.parse("""{{ .x """)
+    }
+    assert(unclosed.getMessage.contains("unclosed"))
+  }
+
+  test("single-value regex is exact: no-space braces render as a full template") {
+    // templater.go:112's regex requires the spaces; `{{.t}}` goes down
+    // the full-template path (same value, but null -> "" not omitted)
+    assert(MetaTemplates.parse("{{.t}}").singleValue.isEmpty)
+    assert(MetaTemplates.parse("{{ .t }}").singleValue.contains("t"))
+    assert(render(Seq("k" -> "{{.t}}"), Map("t" -> lit("v"))) ==
+      Map("k" -> "v"))
+  }
+}
