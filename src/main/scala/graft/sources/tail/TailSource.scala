@@ -31,6 +31,10 @@ import scala.jdk.CollectionConverters._
   * plugin/input/file/file.go:182). At-least-once delivery comes from
   * checkpointed offsets exactly like the reference's offset file.
   *
+  * `.lz4` frame archives are read transparently like the reference
+  * (worker.go:99-130): their offsets live in decompressed byte space
+  * and a file is only admitted once sealed — see the lz4 helpers below.
+  *
   * Usage: `spark.readStream.format("graft-tail").option("path", dir)
   * .option("filename_pattern", "*.log").load()` →
   * columns (value, source_name, offset).
@@ -84,11 +88,82 @@ object TailSource {
     if (!Files.isDirectory(d)) return Map.empty
     val stream = Files.newDirectoryStream(d, glob)
     try {
-      stream.asScala.filter(Files.isRegularFile(_)).map { p =>
-        p.toString -> lastNewlineOffset(p)
+      stream.asScala.filter(Files.isRegularFile(_)).flatMap { p =>
+        endOffset(p).map(p.toString -> _)
       }.toMap
     } finally stream.close()
   }
+
+  /** Scan-time end offset for one file: raw last-newline position, or
+    * the DECOMPRESSED one for `.lz4` archives (None while unsealed). */
+  private def endOffset(p: Path): Option[Long] =
+    if (isLz4(p.toString)) lz4End(p).map(_._1)
+    else Some(lastNewlineOffset(p))
+
+  // ------------------------------------------------ lz4 frame archives
+
+  /** `.lz4` files (worker.go:99-130 + provider.go:400-402: mime type
+    * `application/x-lz4` by extension): offsets live in DECOMPRESSED
+    * byte space — the reference skips already-read lines by reading
+    * through the frame decoder, fseek being impossible on a compressed
+    * stream. A frame archive cannot be appended to, so the reference
+    * refuses files still being written (the lsof probe,
+    * worker.go:238-249); the portable equivalent here admits a file
+    * once its (size, mtime) stamp holds across two scans, then caches
+    * the sealed decompressed end per stamp (a rewritten archive gets a
+    * new stamp and re-seals). */
+  def isLz4(path: String): Boolean = path.toLowerCase.endsWith(".lz4")
+
+  private final case class Lz4Stamp(size: Long, mtimeMs: Long)
+  private sealed trait Lz4State
+  private final case class Lz4Pending(stamp: Lz4Stamp) extends Lz4State
+  /** `end` = past the last decompressed newline; `total` = full
+    * decompressed length (they differ on a trailing partial line). */
+  private final case class Lz4Sealed(stamp: Lz4Stamp, end: Long,
+                                     total: Long) extends Lz4State
+  private val lz4States =
+    new java.util.concurrent.ConcurrentHashMap[String, Lz4State]()
+
+  /** (endPastLastNewline, totalDecompressed) once sealed, None while
+    * the archive is still (possibly) being written. */
+  def lz4End(p: Path): Option[(Long, Long)] = {
+    val stamp = Lz4Stamp(Files.size(p),
+      Files.getLastModifiedTime(p).toMillis)
+    lz4States.get(p.toString) match {
+      case Lz4Sealed(s, end, total) if s == stamp => Some((end, total))
+      case Lz4Pending(s) if s == stamp =>
+        val (end, total) = lz4DecompressedEnd(p)
+        lz4States.put(p.toString, Lz4Sealed(stamp, end, total))
+        Some((end, total))
+      case _ =>
+        lz4States.put(p.toString, Lz4Pending(stamp))
+        None
+    }
+  }
+
+  private def lz4DecompressedEnd(p: Path): (Long, Long) = {
+    val in = lz4Stream(p)
+    try {
+      var total = 0L
+      var lastNl = 0L
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n > 0) {
+        var i = 0
+        while (i < n) {
+          if (buf(i) == '\n') lastNl = total + i + 1
+          i += 1
+        }
+        total += n
+        n = in.read(buf)
+      }
+      (lastNl, total)
+    } finally in.close()
+  }
+
+  def lz4Stream(p: Path): java.io.InputStream =
+    new _root_.net.jpountz.lz4.LZ4FrameInputStream(
+      new java.io.BufferedInputStream(Files.newInputStream(p), 1 << 16))
 
   /** File-discovery spec: the flat single-dir glob (legacy default) or
     * the reference's RECURSIVE doublestar include/exclude lists
@@ -130,7 +205,7 @@ object TailSource {
           .map(p => (p, d.relativize(p)))
           .filter { case (_, rel) =>
             inc.exists(_.matches(rel)) && !exc.exists(_.matches(rel)) }
-          .map { case (p, _) => p.toString -> lastNewlineOffset(p) }
+          .flatMap { case (p, _) => endOffset(p).map(p.toString -> _) }
           .toMap
       } finally walk.close()
     }
@@ -224,8 +299,15 @@ class TailMicroBatchStream(spec: TailSource.TailSpec,
       val now = nowFn()
       end.asInstanceOf[TailOffset].offsets.foreach { case (path, off) =>
         val p = Paths.get(path)
+        // "fully consumed" compares the committed offset to the file's
+        // LOGICAL size — the decompressed length for .lz4 archives
+        // (their offsets live in decompressed space), raw size otherwise
+        def logicalSize: Long =
+          if (TailSource.isLz4(path))
+            TailSource.lz4End(p).map(_._2).getOrElse(-1L)
+          else Files.size(p)
         try {
-          if (Files.exists(p) && off > 0 && Files.size(p) == off) {
+          if (Files.exists(p) && off > 0 && logicalSize == off) {
             val since = eofSince.getOrElseUpdate(path, now)
             if (now - since > spec.removeAfterMs) {
               Files.deleteIfExists(p)
@@ -268,15 +350,39 @@ case class TailPartition(path: String, startOff: Long, endOff: Long)
 class TailReader(path: String, startOff: Long, endOff: Long)
   extends PartitionReader[InternalRow] {
 
-  private val bytes: Array[Byte] = {
-    val raf = new RandomAccessFile(path, "r")
-    try {
-      raf.seek(startOff)
-      val b = new Array[Byte]((endOff - startOff).toInt)
-      raf.readFully(b)
-      b
-    } finally raf.close()
-  }
+  private val bytes: Array[Byte] =
+    if (TailSource.isLz4(path)) {
+      // decompressed-space slice: stream through the frame decoder and
+      // drop the first startOff bytes (no seek on compressed data —
+      // worker.go:106-130's skip-by-reading)
+      val in = TailSource.lz4Stream(java.nio.file.Paths.get(path))
+      try {
+        var toSkip = startOff
+        val scratch = new Array[Byte](1 << 16)
+        while (toSkip > 0) {
+          val n = in.read(scratch, 0,
+            math.min(toSkip, scratch.length.toLong).toInt)
+          require(n > 0, s"lz4 archive $path shorter than offset $startOff")
+          toSkip -= n
+        }
+        val b = new Array[Byte]((endOff - startOff).toInt)
+        var got = 0
+        while (got < b.length) {
+          val n = in.read(b, got, b.length - got)
+          require(n > 0, s"lz4 archive $path truncated at ${startOff + got}")
+          got += n
+        }
+        b
+      } finally in.close()
+    } else {
+      val raf = new RandomAccessFile(path, "r")
+      try {
+        raf.seek(startOff)
+        val b = new Array[Byte]((endOff - startOff).toInt)
+        raf.readFully(b)
+        b
+      } finally raf.close()
+    }
   private val pathUtf8 = UTF8String.fromString(path)
   private var pos = 0
   private var current: InternalRow = _

@@ -88,6 +88,51 @@ class TailSourceSpec extends AnyFunSuite {
       ("old-gen", "app.1.log", 24L), ("new2", "app.log", 5L)))
   }
 
+  test("lz4 archives: sealed-only admission, decompressed offsets (worker.go:99-130)") {
+    val dir = Files.createTempDirectory("tail_lz4")
+    val arc = dir.resolve("batch.log.lz4")
+    def lz4Write(p: Path, s: String): Unit = {
+      val out = new _root_.net.jpountz.lz4.LZ4FrameOutputStream(
+        Files.newOutputStream(p, StandardOpenOption.CREATE,
+          StandardOpenOption.TRUNCATE_EXISTING))
+      out.write(s.getBytes("UTF-8")); out.close()
+    }
+    lz4Write(arc, "c1\nc2\ntail-no-nl")
+    write(dir.resolve("plain.log"), "p1\n")
+    val stream = new TailMicroBatchStream(dir.toString, "*")
+
+    // epoch 1: the archive just appeared — PENDING (the reference
+    // refuses lz4 files still being written; here: the (size, mtime)
+    // stamp must hold across two scans). The plain file flows.
+    val (e1, o1) = epoch(stream, TailOffset(Map.empty))
+    assert(e1 == Seq(("p1", "plain.log", 0L)))
+    assert(!o1.offsets.contains(arc.toString))
+
+    // epoch 2: stamp held → sealed; lines flow with DECOMPRESSED
+    // offsets; the trailing newline-less bytes are held back
+    val (e2, o2) = epoch(stream, o1)
+    assert(e2.toSet == Set(
+      ("c1", "batch.log.lz4", 0L), ("c2", "batch.log.lz4", 3L)))
+    assert(o2.offsets(arc.toString) == 6L)
+
+    // epoch 3: static archive → nothing new
+    val (e3, o3) = epoch(stream, o2)
+    assert(e3.isEmpty)
+
+    // REWRITTEN archive (new stamp): goes pending for one epoch, then
+    // re-seals and replays as new content from 0 — an lz4 frame cannot
+    // be appended to, so a changed archive IS a new file (at-least-once:
+    // the shared prefix duplicates, like the reference re-keying on a
+    // changed fingerprint)
+    Thread.sleep(10) // mtime tick
+    lz4Write(arc, "c1\nc2\nc3\nc4\n")
+    val (e4, o4) = epoch(stream, o3)
+    assert(e4.isEmpty && !o4.offsets.contains(arc.toString))
+    val (e5, o5) = epoch(stream, o4)
+    assert(e5.map(_._1).sorted == Seq("c1", "c2", "c3", "c4"))
+    assert(o5.offsets(arc.toString) == 12L)
+  }
+
   test("offsets_op: tail starts at current ends; reset replays from zero") {
     val dir = Files.createTempDirectory("tail3")
     val log = dir.resolve("app.log")
