@@ -427,4 +427,31 @@ class PlanSpec extends AnyFunSuite {
     val parses = "json_fields\\(value".r.findAllIn(p).length
     assert(parses == 1, s"expected exactly ONE json_fields parse, got $parses:\n$p")
   }
+
+  test("meta templates render as pure column trees: zero shuffle, no UDF, one codegen stage") {
+    import graft.functions.MetaTemplates
+    val ev = Tables(spark, sf, "events")
+    val rendered = MetaTemplates.compile(Seq(
+      "who" -> "user_{{ .user_id }}",
+      "src" -> "{{ .who }}@{{ .event_type }}",
+      "k"   -> """{{ index .props "k" | default .who }}"""),
+      {
+        case Seq("user_id")    => Some(col("user_id"))
+        case Seq("event_type") => Some(col("event_type"))
+        case Seq("props")      => Some(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))
+        case _                 => None
+      })
+    val p = plan(ev.select(
+      col("event_id") +: rendered.map { case (k, c) => c.as(k) }: _*))
+    // per-event string assembly over built-in expressions only — the
+    // engine must never widen a projection into a shuffle or drop out
+    // of whole-stage codegen via a UDF (the http sidecar lookup is the
+    // one documented UDF exception, not exercised here)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(p.contains("*(1)") && !p.contains("*(2)"), p)
+  }
 }
