@@ -1662,6 +1662,16 @@ object PipelineCompiler {
       case List("event") => rawEventCol(df)
       case "meta" :: rest if rest.nonEmpty && df.columns.contains("meta") =>
         element_at(col("meta"), rest.mkString(".")).cast("string")
+      case "meta" :: rest if rest.nonEmpty && (df.schema("doc").dataType match {
+        // rendered input meta templates merge into the doc root, so the
+        // reference's `meta.<key>` selector (antispam/rules.go:30-33
+        // reads event.metadata — exactly the rendered template keys)
+        // addresses the doc field of that LITERAL name (dotted meta
+        // keys are single field names)
+        case st: StructType => st.fieldNames.contains(rest.mkString("."))
+        case _              => false
+      }) =>
+        col("doc").getField(rest.mkString(".")).cast("string")
       case _ => resolver(df)(p)
     }
   }

@@ -3055,6 +3055,35 @@ class CompilerSpec extends AnyFunSuite {
     assert(r(0).getString(3) == "a=b")
   }
 
+  test("antispam `meta.<key>` addresses rendered input meta (antispam/rules.go:30-33)") {
+    val dir = java.nio.file.Files.createTempDirectory("meta_antispam")
+    java.nio.file.Files.write(dir.resolve("noisy.log"),
+      ("{\"time\":\"2024-01-01T00:00:01\",\"v\":\"1\"}\n" +
+        "{\"time\":\"2024-01-01T00:00:02\",\"v\":\"2\"}\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("calm.log"),
+      "{\"time\":\"2024-01-01T00:00:03\",\"v\":\"3\"}\n".getBytes("UTF-8"))
+    val out = PipelineCompiler.compile(spark,
+      s"""input:
+         |  type: file
+         |  dir: "$dir"
+         |  meta:
+         |    src: "{{ .filename }}"
+         |decoder: {type: json, schema: "time string, v string"}
+         |actions:
+         |  - type: antispam
+         |    threshold: 100
+         |    interval_seconds: 60
+         |    rules:
+         |      - do_if: {op: suffix, field: meta.src, values: [noisy.log]}
+         |        threshold: 0
+         |output: {type: memory}
+         |""".stripMargin).result()
+    val kept = out.selectExpr("doc.v").collect().map(_.getString(0)).toSet
+    // the rule reads the RENDERED meta key (a doc-root field after the
+    // input merge): noisy.log's events block outright, calm.log flows
+    assert(kept == Set("3"))
+  }
+
   test("plain file input: a `k8s`-containing meta KEY arms CRI parsing (worker.go:38-44)") {
     val cid = "fedcba9876543210" * 4
     val dir = java.nio.file.Files.createTempDirectory("meta_file_k8s")
