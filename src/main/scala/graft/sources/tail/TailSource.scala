@@ -58,7 +58,9 @@ class TailSourceProvider extends TableProvider with DataSourceRegister {
         include = list("include") ++ dirPatInclude,
         exclude = list("exclude"),
         removeAfterMs = Option(properties.get("remove_after_ms"))
-          .map(_.toLong).getOrElse(0L)),
+          .map(_.toLong).getOrElse(0L),
+        maxPartitionBytes = Option(properties.get("max_partition_bytes"))
+          .map(_.toLong).getOrElse(64L << 20)),
       Option(properties.get("offsets_op")).getOrElse("reset"))
   }
 }
@@ -175,7 +177,8 @@ object TailSource {
   final case class TailSpec(dir: String, glob: String = "*",
                             include: Seq[String] = Nil,
                             exclude: Seq[String] = Nil,
-                            removeAfterMs: Long = 0L) {
+                            removeAfterMs: Long = 0L,
+                            maxPartitionBytes: Long = 64L << 20) {
     /** Recursive discovery engages whenever an include/exclude pattern
       * is configured; the bare glob keeps the flat v0 behavior. */
     def recursive: Boolean = include.nonEmpty || exclude.nonEmpty
@@ -327,34 +330,69 @@ class TailMicroBatchStream(spec: TailSource.TailSpec,
       val rawStart = from.getOrElse(path, 0L)
       // truncation/rotation: file shrank below the committed offset
       val startOff = if (endOff < rawStart) 0L else rawStart
-      if (endOff > startOff) Some(TailPartition(path, startOff, endOff))
-      else None
+      if (endOff <= startOff) Nil
+      // a big catch-up range (first read of a large file) splits into
+      // maxPartitionBytes slices so executors parallelize it like a
+      // normal file scan — slice boundaries land mid-line, the reader
+      // owns lines STARTING in its slice (TextInputFormat semantics).
+      // lz4 archives stay one slice: decompression is sequential.
+      else if (TailSource.isLz4(path) ||
+               endOff - startOff <= spec.maxPartitionBytes)
+        Seq(TailPartition(path, startOff, endOff, startOff, endOff))
+      else {
+        val step = spec.maxPartitionBytes
+        (startOff until endOff by step).map { s =>
+          TailPartition(path, s, math.min(s + step, endOff),
+            startOff, endOff)
+        }
+      }
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[TailPartition]
-      new TailReader(p.path, p.startOff, p.endOff)
+      new TailReader(p.path, p.startOff, p.endOff, p.rangeStart, p.rangeEnd)
     }
 }
 
-case class TailPartition(path: String, startOff: Long, endOff: Long)
+/** One slice [startOff, endOff) of the epoch's committed byte range
+  * [rangeStart, rangeEnd) for `path`; slices beyond the first start
+  * mid-line and skip to their first line start. */
+case class TailPartition(path: String, startOff: Long, endOff: Long,
+                         rangeStart: Long, rangeEnd: Long)
   extends InputPartition
 
-/** Reads lines in [startOff, endOff) of one file; startOff is on a line
-  * boundary by construction (latestOffset stops at the last newline).
-  * The slice is read in one bounded I/O — per batch it's just the bytes
-  * appended since the previous epoch; a huge first-catch-up partition
-  * would be chunked at newline boundaries in a later iteration. */
-class TailReader(path: String, startOff: Long, endOff: Long)
+/** Reads the lines of one slice [startOff, endOff) within the epoch's
+  * committed range [rangeStart, rangeEnd). rangeStart/rangeEnd sit on
+  * line boundaries by construction (latestOffset stops at the last
+  * newline); interior slice edges land mid-line, so each slice owns the
+  * lines that START inside it: a slice after the first skips to its
+  * first line start, and every slice reads PAST its end to finish its
+  * last line (TextInputFormat semantics — a line longer than a slice
+  * belongs to the slice holding its first byte). Memory per task is
+  * bounded by maxPartitionBytes + the boundary line's overrun. */
+class TailReader(path: String, startOff: Long, endOff: Long,
+                 rangeStart: Long, rangeEnd: Long)
   extends PartitionReader[InternalRow] {
+
+  def this(path: String, startOff: Long, endOff: Long) =
+    this(path, startOff, endOff, startOff, endOff)
+
+  /** Interior slices read from startOff-1 (the TextInputFormat trick):
+    * the skip-to-first-newline then consumes exactly the boundary '\n'
+    * when the previous slice ended on one — so a line starting exactly
+    * at startOff is kept, and a line spanning the boundary is skipped
+    * here and finished by the previous slice's overrun. */
+  private val effStart: Long =
+    if (startOff > rangeStart) startOff - 1 else startOff
 
   private val bytes: Array[Byte] =
     if (TailSource.isLz4(path)) {
       // decompressed-space slice: stream through the frame decoder and
       // drop the first startOff bytes (no seek on compressed data —
-      // worker.go:106-130's skip-by-reading)
+      // worker.go:106-130's skip-by-reading); lz4 slices are never
+      // split, so no boundary overrun applies
       val in = TailSource.lz4Stream(java.nio.file.Paths.get(path))
       try {
         var toSkip = startOff
@@ -377,24 +415,52 @@ class TailReader(path: String, startOff: Long, endOff: Long)
     } else {
       val raf = new RandomAccessFile(path, "r")
       try {
-        raf.seek(startOff)
-        val b = new Array[Byte]((endOff - startOff).toInt)
+        raf.seek(effStart)
+        val b = new Array[Byte]((endOff - effStart).toInt)
         raf.readFully(b)
-        b
+        // boundary overrun: the slice's last line may continue past
+        // endOff — extend to its newline (bounded by rangeEnd, which is
+        // on a line boundary), streamed in 64 KiB chunks
+        if (endOff < rangeEnd && b.nonEmpty && b.last != '\n') {
+          val extra = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](1 << 16)
+          var pos = endOff
+          var done = false
+          while (!done && pos < rangeEnd) {
+            val n = raf.read(buf, 0,
+              math.min(buf.length.toLong, rangeEnd - pos).toInt)
+            if (n <= 0) done = true
+            else {
+              val nl = buf.indexOf('\n'.toByte)
+              if (nl >= 0 && nl < n) { extra.write(buf, 0, nl + 1); done = true }
+              else { extra.write(buf, 0, n); pos += n }
+            }
+          }
+          b ++ extra.toByteArray
+        } else b
       } finally raf.close()
     }
   private val pathUtf8 = UTF8String.fromString(path)
   private var pos = 0
   private var current: InternalRow = _
 
+  // an interior slice starts one byte early (see effStart): skip to
+  // just past the first newline — exactly the boundary '\n' when the
+  // previous slice ended on one, else the previous slice's tail line
+  if (startOff > rangeStart) {
+    while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+    pos += 1
+  }
+
   override def next(): Boolean = {
-    if (pos >= bytes.length) return false
+    // own only lines STARTING in [startOff, endOff)
+    if (pos >= bytes.length || effStart + pos >= endOff) return false
     var e = pos
     while (e < bytes.length && bytes(e) != '\n') e += 1
     current = InternalRow(
       UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, pos, e)),
       pathUtf8,
-      startOff + pos)
+      effStart + pos)
     pos = e + 1
     true
   }

@@ -133,6 +133,30 @@ class TailSourceSpec extends AnyFunSuite {
     assert(o5.offsets(arc.toString) == 12L)
   }
 
+  test("large catch-up ranges split into bounded slices with line-exact ownership") {
+    val dir = Files.createTempDirectory("tail_split")
+    val log = dir.resolve("big.log")
+    // 33 bytes; 8-byte slices land every boundary case: exactly ON a
+    // newline (offset 8), inside a line LONGER than a slice (the 20-c
+    // line spans three slices), and mid-short-lines at the tail
+    write(log, "aaaa\nbb\n" + "c" * 20 + "\nd\ne\n")
+    val stream = new TailMicroBatchStream(
+      TailSource.TailSpec(dir.toString, "*", maxPartitionBytes = 8), "reset")
+    val end = stream.latestOffset().asInstanceOf[TailOffset]
+    val parts = stream.planInputPartitions(TailOffset(Map.empty), end)
+    assert(parts.length == 5, parts.toSeq) // ceil(33 / 8)
+    val (rows, _) = epoch(stream, TailOffset(Map.empty))
+    assert(rows == Seq(
+      ("aaaa", "big.log", 0L), ("bb", "big.log", 5L),
+      ("c" * 20, "big.log", 8L), ("d", "big.log", 29L),
+      ("e", "big.log", 31L)))
+    // steady-state appends stay one slice (under the cap)
+    val (_, o1) = epoch(stream, TailOffset(Map.empty))
+    write(log, "f\n")
+    val (rows2, _) = epoch(stream, o1)
+    assert(rows2 == Seq(("f", "big.log", 33L)))
+  }
+
   test("offsets_op: tail starts at current ends; reset replays from zero") {
     val dir = Files.createTempDirectory("tail3")
     val log = dir.resolve("app.log")
