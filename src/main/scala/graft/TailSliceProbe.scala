@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch A/B probe for the tail source's catch-up range slicing: one
+  * big file read through graft-tail as a single slice vs bounded
+  * slices (max_partition_bytes). Evidence for the NOTES.md cell — a
+  * first read of a large file must parallelize like a normal file
+  * scan, not serialize through one task. */
+object TailSliceProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = java.nio.file.Files.createTempDirectory("tail_slice_probe")
+    val f = dir.resolve("big.log")
+    val w = java.nio.file.Files.newBufferedWriter(f)
+    val line = "x" * 99 // 100 B/line
+    var i = 0
+    while (i < 4000000) { w.write(line); w.write("\n"); i += 1 } // ~400 MB
+    w.close()
+    val size = java.nio.file.Files.size(f)
+    println(s"file: $size bytes")
+
+    def run(name: String, maxBytes: Long): Unit = {
+      val ts = (1 to 3).map { r =>
+        val ckpt = java.nio.file.Files.createTempDirectory("tsp_ckpt")
+        val t0 = System.nanoTime()
+        val q = spark.readStream.format("graft-tail")
+          .option("path", dir.toString)
+          .option("filename_pattern", "*.log")
+          .option("offsets_op", "reset")
+          .option("max_partition_bytes", maxBytes.toString)
+          .load()
+          .writeStream.format("noop")
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name: min=${ts.min}%.2f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+
+    run("single-slice (cap 1 TiB)", 1L << 40)
+    run("sliced (16 MiB caps, 25 slices)", 16L << 20)
+    run("sliced (default 64 MiB)", 64L << 20)
+    spark.stop()
+  }
+}
