@@ -275,12 +275,60 @@ object Queries13 {
       |  'x=y' AS partial
       |FROM events""".stripMargin
 
+  // --------------------- throttle rules (r13, q171)
+
+  /** Throttle `rules:` (throttle.go:333-338,455-478,547-556 + rule.go):
+    * the first matching rule's limit/limit_kind overrides the action
+    * defaults, and every (key, rule, bucket) tuple owns an independent
+    * window — the reference's 'a'+ruleNum limiter-name prefix. Mixed
+    * kinds in one pass: count rules admit by position, size rules by
+    * running byte sum INCLUDING the event (in_memory_limiter.go:85-100).
+    * error-events ride rule 0 (count 2/bucket), purchases rule 1
+    * (size: 300 props-bytes/bucket), everything else the implicit
+    * default rule (count 3/bucket). */
+  val q171_throttle_rules: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val r = when(col("event_type") === "error", 0)
+      .when(col("event_type") === "purchase", 1).otherwise(2)
+    val lim = when(col("event_type") === "error", 2L)
+      .when(col("event_type") === "purchase", 300L).otherwise(3L)
+    val kind = when(col("event_type") === "purchase", lit("size"))
+      .otherwise(lit("count"))
+    val keyed = ev
+      .withColumn("_k", pmod(col("user_id"), lit(5)))
+      .withColumn("_b", floor(unix_timestamp(col("ts")) / 60))
+    graft.state.SeqOps.throttleRules(keyed, Seq("_k"), col("_b"),
+        "event_id", r.cast("string"), lim, kind, octet_length(col("props")))
+      .select(col("event_id"), col("event_type"))
+  }
+
+  val q171_sql: String =
+    """WITH base AS (
+      |  SELECT event_id, event_type, user_id % 5 AS k,
+      |    CAST(floor(epoch(ts) / 60) AS BIGINT) AS b,
+      |    CASE WHEN event_type = 'error' THEN 0
+      |         WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS r,
+      |    CASE WHEN event_type = 'error' THEN 2
+      |         WHEN event_type = 'purchase' THEN 300 ELSE 3 END AS lim,
+      |    CASE WHEN event_type = 'purchase' THEN 'size' ELSE 'count' END AS kind,
+      |    strlen(props) AS sz
+      |  FROM events),
+      |win AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY k, r, b ORDER BY event_id) AS rn,
+      |    sum(sz) OVER (PARTITION BY k, r, b ORDER BY event_id
+      |                  ROWS UNBOUNDED PRECEDING) AS run
+      |  FROM base)
+      |SELECT event_id, event_type FROM win
+      |WHERE CASE WHEN kind = 'size' THEN run <= lim ELSE rn <= lim END""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q166_syslog_named" -> q166_syslog_named,
     "q167_normalizer_config" -> q167_normalizer_config,
     "q168_cri_chunks" -> q168_cri_chunks,
     "q169_throttle_distribution" -> q169_throttle_distribution,
-    "q170_meta_templates" -> q170_meta_templates
+    "q170_meta_templates" -> q170_meta_templates,
+    "q171_throttle_rules" -> q171_throttle_rules
   )
 
   val oracles: Map[String, String] = Map(
@@ -288,6 +336,7 @@ object Queries13 {
     "q167_normalizer_config" -> q167_sql,
     "q168_cri_chunks" -> q168_sql,
     "q169_throttle_distribution" -> q169_sql,
-    "q170_meta_templates" -> q170_sql
+    "q170_meta_templates" -> q170_sql,
+    "q171_throttle_rules" -> q171_sql
   )
 }

@@ -2396,18 +2396,68 @@ object PipelineCompiler {
             // silently counted
             val memKind = Option(action.get("limit_kind")).map(_.asText())
               .getOrElse("count")
-            val memWeight =
-              if (memKind == "size") {
-                if (df.columns.contains("value")) octet_length(col("value"))
-                else octet_length(to_json(col("doc")))
-              } else lit(1)
-            val ds = df.select(key.as("key"), eventTime.as("eventTimeMs"),
+            val sizeW =
+              if (df.columns.contains("value")) octet_length(col("value"))
+              else octet_length(to_json(col("doc")))
+            // `rules:` (throttle.go:455-478 + rule.go): the first
+            // matching rule's limit/kind applies; the kernel key gains
+            // the rule index as a `<idx>:` prefix (≙ the reference's
+            // 'a'+ruleNum limiter name part) so every (rule, key) pair
+            // owns its own window, and the event weight follows the
+            // MATCHED rule's kind
+            val ruleNodes = Option(action.get("rules"))
+              .filter(_.size() > 0)
+              .map(_.elements().asScala.toSeq).getOrElse(Nil)
+            val (memKey, memWeight, kernelRules) =
+              if (ruleNodes.isEmpty) {
+                (key, if (memKind == "size") sizeW else lit(1), Nil)
+              } else {
+                def docFieldStr(n: String): Column =
+                  df.schema("doc").dataType match {
+                    case s: StructType if s.fieldNames.contains(n) =>
+                      coalesce(col("doc").getField(n).cast("string"), lit(""))
+                    case _ => lit("") // Dig-miss reads "" (rule.go:50-56)
+                  }
+                val specs = ruleNodes.map { r =>
+                  require(r.get("limit_distribution") == null,
+                    "throttle rules: per-rule limit_distribution is not " +
+                      "supported — use the action-level limit_distribution")
+                  val conds = Option(r.get("conditions"))
+                    .map(_.properties().asScala
+                      .map(e => e.getKey -> e.getValue.asText()).toSeq)
+                    .getOrElse(Nil)
+                  (conds,
+                    Option(r.get("limit")).map(_.asLong()).getOrElse(0L),
+                    Option(r.get("limit_kind")).map(_.asText())
+                      .getOrElse("count"))
+                } :+ ((Nil: Seq[(String, String)], limit, memKind))
+                def matches(conds: Seq[(String, String)]): Column =
+                  if (conds.isEmpty) lit(true)
+                  else conds.map { case (f, v) => docFieldStr(f) === v }
+                    .reduce(_ && _)
+                val idxCol = specs.zipWithIndex
+                  .foldRight(lit(null).cast("string"): Column) {
+                    case (((c, _, _), i), acc) =>
+                      when(matches(c), lit(i.toString)).otherwise(acc)
+                  }
+                val wCol = specs.zipWithIndex
+                  .foldRight(lit(null).cast("long"): Column) {
+                    case (((c, _, k), _), acc) =>
+                      when(matches(c),
+                        (if (k == "size") sizeW.cast("long") else lit(1L)))
+                        .otherwise(acc)
+                  }
+                (concat(idxCol, lit(":"), key), wCol,
+                  specs.map { case (_, l, k) =>
+                    graft.streaming.Kernels.ThrottleRule(l, k) })
+              }
+            val ds = df.select(memKey.as("key"), eventTime.as("eventTimeMs"),
                 envelopeJson.as("value"),
                 memWeight.cast("long").as("weight"))
               .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.TEvent])
             val cfg = graft.streaming.Kernels.ThrottleCfg(
               intervalMs, bucketsCount, limit, stateTtlMs = ttlMs,
-              kind = memKind)
+              kind = memKind, rules = kernelRules)
             unwrapEnvelope(graft.streaming.Kernels.throttle(ds, cfg).toDF(),
               "value", t)
         }
@@ -2589,6 +2639,55 @@ object PipelineCompiler {
                 coalesce(doc.getField(dField).cast("string"), lit(""))),
               Seq("_tkey"), bucket, "_tord", "_tdv", limit, ratios)
             .drop("_tkey", "_tord", "_tdv")
+        }
+        // `rules:` (throttle.go:118-124,455-478 + rule.go): the FIRST
+        // rule whose conditions all match (exact string equality; a
+        // missing field reads "") overrides limit/limit_kind for the
+        // event, each (key, rule) pair owning its own window — the
+        // reference's 'a'+ruleNum limiter-name prefix. The implicit
+        // last rule carries the action defaults. Per-rule
+        // limit_distribution is rejected for cause (the distribution
+        // kernels are action-scoped; documented constraint).
+        Option(action.get("rules")).filter(_.size() > 0).foreach { rn =>
+          def docFieldStr(n: String): Column = df.schema("doc").dataType match {
+            case s: StructType if s.fieldNames.contains(n) =>
+              coalesce(doc.getField(n).cast("string"), lit(""))
+            case _ => lit("") // Dig-miss reads "" (rule.go:50-56 AsString)
+          }
+          val specs = rn.elements().asScala.toSeq.map { r =>
+            require(r.get("limit_distribution") == null,
+              "throttle rules: per-rule limit_distribution is not " +
+                "supported — use the action-level limit_distribution")
+            val conds = Option(r.get("conditions"))
+              .map(_.properties().asScala
+                .map(e => e.getKey -> e.getValue.asText()).toSeq)
+              .getOrElse(Nil)
+            (conds,
+              Option(r.get("limit")).map(_.asLong()).getOrElse(0L),
+              Option(r.get("limit_kind")).map(_.asText()).getOrElse("count"))
+          } :+ ((Nil, limit, kind)) // throttle.go:474-478 default rule
+          def cascade[T](f: ((Seq[(String, String)], Long, String), Int) => (Column, Column))
+          : Column = // first-match when-chain over the rule list
+            specs.zipWithIndex.foldRight(lit(null).cast("string"): Column) {
+              case ((spec, i), acc) =>
+                val (cond, value) = f(spec, i)
+                when(cond, value).otherwise(acc)
+            }
+          def matches(conds: Seq[(String, String)]): Column =
+            if (conds.isEmpty) lit(true)
+            else conds.map { case (f, v) => docFieldStr(f) === v }
+              .reduce(_ && _)
+          val ruleIdx = cascade { case ((c, _, _), i) =>
+            (matches(c), lit(i.toString)) }
+          val limitCol = cascade { case ((c, l, _), _) =>
+            (matches(c), lit(l).cast("string")) }.cast("long")
+          val kindCol = cascade { case ((c, _, k), _) => (matches(c), lit(k)) }
+          val sz =
+            if (df.columns.contains("value")) octet_length(col("value"))
+            else octet_length(to_json(doc))
+          return graft.state.SeqOps.throttleRules(keyed, Seq("_tkey"),
+              bucket, "_tord", ruleIdx, limitCol, kindCol, sz)
+            .drop("_tkey", "_tord")
         }
         val out = kind match {
           case "size" =>

@@ -243,6 +243,29 @@ object SeqOps {
       .drop("_run")
   }
 
+  /** Rule-scoped throttle (throttle.go:455-478,547-556 + rule.go): each
+    * event selects the FIRST matching `rules:` entry (condition fields
+    * all equal; the implicit last rule with empty conditions carries
+    * the action defaults), and every (throttle key, rule, bucket)
+    * tuple owns an independent window — the reference keys limiters
+    * with an 'a'+ruleNum name prefix. `ruleIdx`/`limitCol`/`kindCol`
+    * are per-event columns (when-cascades compiled from the config),
+    * so mixed count/size rules admit in ONE window pass — row_number
+    * for count, running byte sum for size — one shuffle total, the
+    * same scale shape as the plain batch throttle. */
+  def throttleRules(df: DataFrame, keyCols: Seq[String], bucket: Column,
+                    orderCol: String, ruleIdx: Column, limitCol: Column,
+                    kindCol: Column, sizeCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col) ++ Seq(ruleIdx, bucket): _*)
+      .orderBy(col(orderCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("_run", sum(sizeCol).over(wRun))
+      .filter(when(kindCol === "size", col("_run") <= limitCol)
+        .otherwise(col("_rn") <= limitCol))
+      .drop("_rn", "_run")
+  }
+
   /** Cardinality guard (plugin/action/cardinality/cardinality.go:76-120):
     * per `keyCols`, allow events whose `valueCol` is among the first
     * `limit` distinct values by first appearance; later distinct values

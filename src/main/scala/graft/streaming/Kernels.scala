@@ -232,8 +232,28 @@ object Kernels {
     * UNCONDITIONALLY — rejected events still fill the bucket — and an
     * event passes while the running total including itself stays
     * within the limit (the batch `SeqOps.throttleSize` contract). */
+  /** One `rules:` entry (throttle.go:333-338 RuleConfig, rule.go):
+    * events matching the rule's conditions throttle under this
+    * limit/kind INSTEAD of the action's defaults. Rule selection and
+    * the condition equality test happen in the compiled projection;
+    * the kernel sees the rule index as a key PREFIX (`<idx>:`) — the
+    * reference's 'a'+ruleNum limiter-name part — so each (rule, key)
+    * pair owns its own window. */
+  final case class ThrottleRule(limit: Long, kind: String = "count")
+
   final case class ThrottleCfg(bucketIntervalMs: Long, bucketsCount: Int, limit: Long,
-                               stateTtlMs: Long = 0L, kind: String = "count")
+                               stateTtlMs: Long = 0L, kind: String = "count",
+                               rules: Seq[ThrottleRule] = Nil) {
+    /** (limit, kind) for a kernel key — rule-prefixed when rules exist
+      * (the last rule is the implicit default, throttle.go:474-478). */
+    def limitKindFor(key: String): (Long, String) =
+      if (rules.isEmpty) (limit, kind)
+      else {
+        val cut = key.indexOf(':')
+        val r = rules(key.substring(0, cut).toInt)
+        (r.limit, r.kind)
+      }
+  }
 
   /** Circular bucket window, ported bucket math included
     * (plugin/action/throttle/buckets.go:73 timeToBucketID ≙ eventTimeMs /
@@ -288,6 +308,7 @@ object Kernels {
             state.remove() // idle past TTL → drop the window entirely
             Iterator.empty
           } else {
+          val (keyLimit, keyKind) = cfg.limitKindFor(key)
           var st = state.getOption.getOrElse(
             ThrottleState(Long.MinValue, Array.fill(cfg.bucketsCount)(0L)))
           val out = scala.collection.mutable.ArrayBuffer.empty[TEvent]
@@ -307,13 +328,13 @@ object Kernels {
             val idx = if (diff >= cfg.bucketsCount) -1
                       else cfg.bucketsCount - 1 - diff.toInt
             if (idx >= 0) {
-              if (cfg.kind == "size") {
+              if (keyKind == "size") {
                 // unconditional accumulate; pass while the running
                 // total INCLUDING this event fits (throttleSize
                 // contract, in_memory_limiter.go:85-100)
                 st.counts(idx) += ev.weight
-                if (st.counts(idx) <= cfg.limit) out += ev
-              } else if (st.counts(idx) < cfg.limit) {
+                if (st.counts(idx) <= keyLimit) out += ev
+              } else if (st.counts(idx) < keyLimit) {
                 st.counts(idx) += 1
                 out += ev
               }

@@ -3055,6 +3055,61 @@ class CompilerSpec extends AnyFunSuite {
     assert(r(0).getString(3) == "a=b")
   }
 
+  test("throttle rules: first-match conditions, per-rule limit/kind windows (rule.go)") {
+    // same key + bucket; 3 error events (rule 0, limit 1), 2 'big'
+    // events (rule 1, size limit 60 bytes — each raw line is ~52 B so
+    // only the first fits the running sum), 3 plain events (default
+    // limit 2)
+    val lines = Seq(
+      """{"time":"2024-01-01T00:00:01","lvl":"error","v":"e1"}""",
+      """{"time":"2024-01-01T00:00:02","lvl":"info","v":"p1"}""",
+      """{"time":"2024-01-01T00:00:03","lvl":"error","v":"e2"}""",
+      """{"time":"2024-01-01T00:00:04","lvl":"big","v":"b1"}""",
+      """{"time":"2024-01-01T00:00:05","lvl":"info","v":"p2"}""",
+      """{"time":"2024-01-01T00:00:06","lvl":"big","v":"b2"}""",
+      """{"time":"2024-01-01T00:00:07","lvl":"info","v":"p3"}""",
+      """{"time":"2024-01-01T00:00:08","lvl":"error","v":"e3"}""")
+    val out = PipelineCompiler.compile(spark,
+      s"""input:
+         |  type: fake
+         |  lines:
+         |${lines.map(l => "    - '" + l + "'").mkString("\n")}
+         |decoder:
+         |  type: json
+         |  schema: "time string, lvl string, v string"
+         |actions:
+         |  - type: throttle
+         |    bucket_interval: 1m
+         |    default_limit: 2
+         |    rules:
+         |      - conditions: {lvl: error}
+         |        limit: 1
+         |      - conditions: {lvl: big}
+         |        limit: 60
+         |        limit_kind: size
+         |output: {type: memory}
+         |""".stripMargin).result()
+    val kept = out.selectExpr("doc.v").collect().map(_.getString(0)).toSet
+    // rule 0: e1 only; rule 1: b1 only (60 B fits one ~52-B line, not
+    // two); default: p1, p2
+    assert(kept == Set("e1", "b1", "p1", "p2"))
+    // per-rule limit_distribution is rejected for cause
+    val ex = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(spark,
+        """input: {type: fake, lines: ['{"time":"2024-01-01T00:00:01","v":"x"}']}
+          |decoder: {type: json, schema: "time string, v string"}
+          |actions:
+          |  - type: throttle
+          |    rules:
+          |      - conditions: {v: x}
+          |        limit: 1
+          |        limit_distribution: {field: v, ratios: []}
+          |output: {type: memory}
+          |""".stripMargin).result().count()
+    }
+    assert(ex.getMessage.contains("per-rule limit_distribution"))
+  }
+
   test("antispam `meta.<key>` addresses rendered input meta (antispam/rules.go:30-33)") {
     val dir = java.nio.file.Files.createTempDirectory("meta_antispam")
     java.nio.file.Files.write(dir.resolve("noisy.log"),

@@ -65,6 +65,40 @@ class StreamingKernelsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("throttle rules: rule-prefixed keys own independent windows with their own limit/kind") {
+    // throttle.go:455-478 + rule.go via the kernel contract: the
+    // compiler prefixes keys with the matched rule index; the kernel
+    // resolves (limit, kind) per key — rule 0 count-limit 1, rule 1
+    // size-limit 10, rule 2 (implicit default) count-limit 2
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[TEvent]
+    val cfg = ThrottleCfg(bucketIntervalMs = 60000L, bucketsCount = 3,
+      limit = 2, rules = Seq(
+        Kernels.ThrottleRule(1, "count"),
+        Kernels.ThrottleRule(10, "size"),
+        Kernels.ThrottleRule(2, "count")))
+    val q = Kernels.throttle(input.toDS(), cfg)
+      .writeStream.format("memory").queryName("th_rules_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // rule 0 on key svc: only the first of three passes
+        TEvent("0:svc", 0L, "e1"), TEvent("0:svc", 1000L, "e2"),
+        TEvent("0:svc", 2000L, "e3"),
+        // rule 1 on the SAME underlying key: independent window, size
+        // kind — 6+6 > 10, so the second is rejected (and still fills)
+        TEvent("1:svc", 0L, "b1", weight = 6L),
+        TEvent("1:svc", 1000L, "b2", weight = 6L),
+        // default rule: two of three pass
+        TEvent("2:svc", 0L, "p1"), TEvent("2:svc", 1000L, "p2"),
+        TEvent("2:svc", 2000L, "p3"))
+      q.processAllAvailable()
+      val vals = spark.table("th_rules_out").as[TEvent].collect().map(_.value).toSet
+      assert(vals == Set("e1", "b1", "p1", "p2"))
+    } finally q.stop()
+  }
+
   test("throttle limit_kind=size: streamed ≡ batch throttleSize; rejections still fill the bucket") {
     // in_memory_limiter.go:85-100 via the SeqOps.throttleSize contract:
     // the bucket accumulates byte weight UNCONDITIONALLY — a rejected
