@@ -2090,12 +2090,22 @@ object PipelineCompiler {
           .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty)
         // mask_applied_field is the reference spelling (mask.go);
         // applied_field stays as the graft shorthand
-        val applied = Option(action.get("applied_field"))
+        val appliedCfg = Option(action.get("applied_field"))
           .orElse(Option(action.get("mask_applied_field"))).map(f =>
           (f.asText(),
             Option(action.get("applied_value"))
               .orElse(Option(action.get("mask_applied_value")))
               .map(_.asText()).getOrElse("true")))
+        // `applied_metric_name` (mask.go maskAppliedMetric): counts
+        // events where ANY mask fired. Needs the applied marker —
+        // synthesize a temp field when none is configured (dropped
+        // after the observation)
+        val appliedMetric = Option(action.get("applied_metric_name"))
+          .map(_.asText())
+        val applied =
+          if (appliedMetric.isDefined && appliedCfg.isEmpty)
+            Some(("_graft_mask_applied", "true"))
+          else appliedCfg
         // the reference's `masks` LIST (mask_struct.go): each entry has
         // `re` + `groups` (group-targeted star-masking — group 0 /
         // empty = the whole match) or `replace_word` (whole-match
@@ -2139,7 +2149,37 @@ object PipelineCompiler {
               action.get("replacement").asText(), applied)
         }
         val masked = fields.filterNot(ignore).foldLeft(doc)(applyMasks)
-        guarded(masked)
+        val base = guarded(masked)
+        appliedMetric match {
+          case Some(name) =>
+            // count only events the mask actually touched (the marker
+            // is null otherwise; do_if-unmatched events never mask);
+            // `applied_metric_labels` uses the same bounded tracked-
+            // value discipline as per-action metric_labels
+            val marker = applied.get._1
+            val fired = base("doc").getField(marker).isNotNull
+            val lblFields = Option(action.get("applied_metric_labels"))
+              .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+            val tracked = Option(action.get("metric_label_values"))
+              .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+            if (lblFields.nonEmpty && tracked.isEmpty)
+              throw new IllegalArgumentException(
+                s"applied_metric_labels on `$name` needs " +
+                  "metric_label_values (the bounded tracked-value set)")
+            val lc = Option(lblFields).filter(_.nonEmpty).map {
+              case Seq(f) => base("doc").getField(f).cast("string")
+              case fs => concat_ws(",",
+                fs.map(f => base("doc").getField(f).cast("string")): _*)
+            }
+            val aggs = count_if(fired).as("mask_applied_total") +:
+              lc.toSeq.flatMap(c =>
+                tracked.map(v => count_if(fired && c === v).as(s"applied_$v")))
+            val observed = base.observe(name, aggs.head, aggs.tail: _*)
+            if (appliedCfg.isEmpty) // synthetic marker: observation-only
+              observed.withColumn("doc", col("doc").dropFields(marker))
+            else observed
+          case None => base
+        }
       case "hash" =>
         // fields entries are either bare selectors (graft shorthand) or
         // the reference's structured form {field, format: no|normalize,

@@ -3055,6 +3055,38 @@ class CompilerSpec extends AnyFunSuite {
     assert(r(0).getString(3) == "a=b")
   }
 
+  test("mask applied_metric_name counts only events a mask touched") {
+    val collected = graft.metrics.Metrics.collectBatch(spark) {
+      val out = PipelineCompiler.compile(spark,
+        """input: {type: fake, lines: [
+          |  '{"svc": "api", "msg": "card 1111 2222 3333 4444"}',
+          |  '{"svc": "web", "msg": "card 5555 6666 7777 8888"}',
+          |  '{"svc": "api", "msg": "nothing to hide"}']}
+          |decoder: {type: json, schema: "svc string, msg string"}
+          |actions:
+          |  - type: mask
+          |    field: msg
+          |    re2: "\\d{4} \\d{4} \\d{4} \\d{4}"
+          |    replacement: "****"
+          |    applied_metric_name: cards_masked
+          |    applied_metric_labels: [svc]
+          |    metric_label_values: [api, web]
+          |output: {type: memory}
+          |""".stripMargin).result()
+      // the synthetic marker is observation-only: no doc field leaks
+      val docType = out.schema("doc").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      assert(!docType.fieldNames.contains("_graft_mask_applied"))
+      out.count()
+    }
+    assert(collected.get("cards_masked.mask_applied_total").contains(2L),
+      collected.toString)
+    assert(collected.get("cards_masked.applied_api").contains(1L),
+      collected.toString)
+    assert(collected.get("cards_masked.applied_web").contains(1L),
+      collected.toString)
+  }
+
   test("throttle rules: first-match conditions, per-rule limit/kind windows (rule.go)") {
     // same key + bucket; 3 error events (rule 0, limit 1), 2 'big'
     // events (rule 1, size limit 60 bytes — each raw line is ~52 B so
