@@ -322,13 +322,40 @@ object Queries13 {
       |SELECT event_id, event_type FROM win
       |WHERE CASE WHEN kind = 'size' THEN run <= lim ELSE rn <= lim END""".stripMargin
 
+  // --------------------- loki full push value (r13, q172)
+
+  /** The reference Loki output's push VALUE (loki.go:376-396): a
+    * 3-element array ["<nanos>", "<message_field content>",
+    * {remaining doc as RAW json}] — ts and message removed from the
+    * metadata object (the Suicide() calls). Byte-exact under the gate
+    * like the other sink wire formats (q80-q84). */
+  val q172_loki_value: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    ev.select(
+      col("event_id"),
+      graft.sinks.Sinks.lokiValue(col("ts"), col("event_type"),
+        to_json(struct(col("event_id"), col("user_id")))).as("entry"))
+  }
+
+  val q172_sql: String =
+    """SELECT event_id,
+      |  left(e2, length(e2) - 1) || ',' ||
+      |    to_json(struct_pack(event_id := event_id, user_id := user_id))
+      |    || ']' AS entry
+      |FROM (
+      |  SELECT event_id, user_id,
+      |    CAST(to_json([CAST(epoch_us(ts) * 1000 AS VARCHAR), event_type])
+      |      AS VARCHAR) AS e2
+      |  FROM events)""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q166_syslog_named" -> q166_syslog_named,
     "q167_normalizer_config" -> q167_normalizer_config,
     "q168_cri_chunks" -> q168_cri_chunks,
     "q169_throttle_distribution" -> q169_throttle_distribution,
     "q170_meta_templates" -> q170_meta_templates,
-    "q171_throttle_rules" -> q171_throttle_rules
+    "q171_throttle_rules" -> q171_throttle_rules,
+    "q172_loki_value" -> q172_loki_value
   )
 
   val oracles: Map[String, String] = Map(
@@ -337,6 +364,7 @@ object Queries13 {
     "q168_cri_chunks" -> q168_sql,
     "q169_throttle_distribution" -> q169_sql,
     "q170_meta_templates" -> q170_sql,
-    "q171_throttle_rules" -> q171_sql
+    "q171_throttle_rules" -> q171_sql,
+    "q172_loki_value" -> q172_sql
   )
 }

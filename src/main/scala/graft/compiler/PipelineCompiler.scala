@@ -158,7 +158,26 @@ object PipelineCompiler {
             }
           }
         } else None
-      val baseTransport = outputConf.get("endpoint") match {
+      // loki with `message_field` speaks the reference's push protocol:
+      // `address` (loki.go:55) + /loki/api/v1/push, static `labels`
+      // around the chunk's values in ONE JSON body
+      val lokiPush: Option[graft.sinks.Sinks.Transport] =
+        if (outputType == "loki" && outputConf.contains("message_field")) {
+          val url0 = outputConf.get("address")
+            .orElse(outputConf.get("endpoint"))
+            .getOrElse(throw new IllegalArgumentException(
+              "output loki: needs `address` (http://host:3100)"))
+          val pushUrl =
+            if (url0.contains("/loki/api/v1/push")) url0
+            else url0.stripSuffix("/") + "/loki/api/v1/push"
+          val labels = outputConf.get("labels").map { s =>
+            PipelineCompiler.yaml.readTree(s).elements().asScala.map(l =>
+              l.get("label").asText() -> l.get("value").asText()).toMap
+          }.getOrElse(Map.empty)
+          Some(graft.sinks.Sinks.lokiTransport(pushUrl, labels,
+            authHeaders ++ ctHeaders))
+        } else None
+      val baseTransport = lokiPush.getOrElse(outputConf.get("endpoint") match {
         case Some(url) if url.startsWith("http://") || url.startsWith("https://") =>
           graft.sinks.Sinks.httpTransport(withEsPipeline(url),
             outputConf.get("use_gzip").exists(_.toBoolean),
@@ -170,7 +189,7 @@ object PipelineCompiler {
           val h = if (h0.startsWith("[") && h0.endsWith("]")) h0.substring(1, h0.length - 1) else h0
           graft.sinks.Sinks.socketTransport(h, hostPort.substring(cut + 1).toInt)
         case _ => PipelineCompiler.transportFactory(outputType)
-      }
+      })
       // `split_batch` (elasticsearch.go:179 / http.go:162, default
       // false): 413 responses binary-split the chunk at event
       // boundaries. Every payload row is one complete event — the ES
@@ -421,7 +440,22 @@ object PipelineCompiler {
                 }
               }
               Sinks.splunkEvent(doc, timeCol, copies)
-            case "loki"   => Sinks.lokiEntry(timeCol, to_json(doc)).cast("string")
+            case "loki" =>
+              // `message_field` configured → the reference's full push
+              // VALUE (loki.go:376-396): ts and message Suicide() out of
+              // the doc, the remainder rides as structured metadata.
+              // Without it, the legacy graft 2-element entry stands.
+              outputConf.get("message_field") match {
+                case Some(mf) =>
+                  val dropped = Seq(mf) ++
+                    outputConf.get("timestamp_field")
+                      .orElse(outputConf.get("time_field")).toSeq
+                  Sinks.lokiValue(timeCol,
+                    doc.getField(mf).cast("string"),
+                    to_json(doc.dropFields(dropped: _*)))
+                case None =>
+                  Sinks.lokiEntry(timeCol, to_json(doc)).cast("string")
+              }
             case _        => to_json(doc)
           }
           df.select(rendered.as("payload"))

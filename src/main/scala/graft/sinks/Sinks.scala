@@ -395,6 +395,39 @@ object Sinks {
                 line: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     to_json(array((unix_micros(eventTime) * 1000).cast("string"), line))
 
+  /** The reference's full Loki push VALUE (loki.go:386-396): a 3-element
+    * array `["<tsNanos>", "<message_field content>", {remaining doc}]` —
+    * the third element rides as RAW JSON (json.RawMessage), Loki's
+    * structured-metadata slot, so it's spliced into the serialized pair
+    * rather than string-encoded. The reference REQUIRES the timestamp
+    * field to already hold unix nanos and errors otherwise
+    * (errUnixNanoFormat); here any parsed event time converts —
+    * a graceful superset, documented. */
+  def lokiValue(eventTime: org.apache.spark.sql.Column,
+                message: org.apache.spark.sql.Column,
+                metaJson: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val pair = to_json(array((unix_micros(eventTime) * 1000).cast("string"),
+      coalesce(message, lit(""))))
+    concat(pair.substr(lit(1), length(pair) - 1), lit(","),
+      coalesce(metaJson, lit("{}")), lit("]"))
+  }
+
+  /** Loki push-body transport (loki.go:360-435): a chunk's value lines
+    * wrap into ONE JSON document `{"streams":[{"stream":<labels>,
+    * "values":[...]}]}` POSTed to `<address>/loki/api/v1/push` — the
+    * one HTTP-family sink whose batch body is a single JSON document
+    * rather than NDJSON lines. Static labels come from the `labels:`
+    * config list (loki.go:462-470 parseLabels). */
+  def lokiTransport(pushUrl: String, labels: Map[String, String],
+                    headers: Map[String, String] = Map.empty): Transport = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lbl = om.createObjectNode()
+    labels.toSeq.sortBy(_._1).foreach { case (k, v) => lbl.put(k, v) }
+    val prefix = s"""{"streams":[{"stream":${om.writeValueAsString(lbl)},"values":["""
+    val inner = httpTransport(pushUrl, headers = headers)
+    lines => inner(Iterator(prefix + lines.mkString(",") + "]}]}"))
+  }
+
   /** postgres sink in-batch dedup (plugin/output/postgres: `unique`
     * columns → first row per key within the batch wins, then ON CONFLICT
     * upsert server-side). */

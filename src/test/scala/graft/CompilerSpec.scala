@@ -3055,6 +3055,50 @@ class CompilerSpec extends AnyFunSuite {
     assert(r(0).getString(3) == "a=b")
   }
 
+  test("loki message_field engages the reference push protocol (streams body, metadata)") {
+    val bodies = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      bodies.add((ex.getRequestURI.getPath,
+        new String(ex.getRequestBody.readAllBytes(), "UTF-8")))
+      ex.sendResponseHeaders(204, -1); ex.close()
+    })
+    srv.start()
+    try {
+      PipelineCompiler.compile(spark,
+        s"""input: {type: fake, lines: [
+           |  '{"message":"hello","ts":"2024-01-02T03:04:05Z","svc":"api"}']}
+           |decoder: {type: json, schema: "message string, ts string, svc string"}
+           |output:
+           |  type: loki
+           |  address: http://127.0.0.1:${srv.getAddress.getPort}
+           |  message_field: message
+           |  timestamp_field: ts
+           |  labels:
+           |    - {label: env, value: ci}
+           |    - {label: app, value: graft}
+           |""".stripMargin).send()
+      val (path, body) = bodies.peek()
+      // address gains the reference's push path (loki.go:435)
+      assert(path == "/loki/api/v1/push", path)
+      // ONE JSON document: streams wrapper with the static labels
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      val stream = root.get("streams").get(0)
+      assert(stream.get("stream").get("env").asText() == "ci")
+      assert(stream.get("stream").get("app").asText() == "graft")
+      val v = stream.get("values").get(0)
+      // 3-element value: nano ts, the message field's CONTENT, and the
+      // remaining doc as raw-JSON structured metadata (ts/message
+      // Suicide()d out, loki.go:376-396)
+      assert(v.size() == 3, body)
+      assert(v.get(0).asText() == "1704164645000000000", body)
+      assert(v.get(1).asText() == "hello", body)
+      assert(v.get(2).isObject && v.get(2).get("svc").asText() == "api", body)
+      assert(v.get(2).get("message") == null && v.get(2).get("ts") == null, body)
+    } finally srv.stop(0)
+  }
+
   test("mask applied_metric_name counts only events a mask touched") {
     val collected = graft.metrics.Metrics.collectBatch(spark) {
       val out = PipelineCompiler.compile(spark,
