@@ -187,7 +187,10 @@ object PipelineCompiler {
           val cut = hostPort.lastIndexOf(':')
           val h0 = hostPort.substring(0, cut)
           val h = if (h0.startsWith("[") && h0.endsWith("]")) h0.substring(1, h0.length - 1) else h0
-          graft.sinks.Sinks.socketTransport(h, hostPort.substring(cut + 1).toInt)
+          graft.sinks.Sinks.socketTransport(h, hostPort.substring(cut + 1).toInt,
+            // socket output `delimiter` (socket.go plugin docs; default
+            // newline, the socket-input-compatible framing)
+            delimiter = outputConf.getOrElse("delimiter", "\n"))
         case _ => PipelineCompiler.transportFactory(outputType)
       })
       // `split_batch` (elasticsearch.go:179 / http.go:162, default
@@ -299,8 +302,14 @@ object PipelineCompiler {
       def timeCol = outputConf.get("time_field")
         .orElse(outputConf.get("timestamp_field")) // gelf/loki spelling
         .map(f => XTime.parse(doc.getField(f).cast("string"),
-          outputConf.getOrElse("time_format",
-            outputConf.getOrElse("timestamp_field_format", "rfc3339"))))
+          // on elasticsearch, `time_format` is the reference's INDEX
+          // RENDER layout (elasticsearch.go:126), not a parse format —
+          // the graft parse override there is `time_parse_format`
+          (if (outputType == "elasticsearch")
+             outputConf.get("time_parse_format")
+           else outputConf.get("time_format")
+             .orElse(outputConf.get("timestamp_field_format")))
+            .getOrElse("rfc3339")))
         .getOrElse(current_timestamp())
       // a configured column missing from the doc schema reads as NULL
       // (the reference's Dig-miss → zero-fill/NULL path), instead of an
@@ -383,7 +392,14 @@ object PipelineCompiler {
                     vals.map(_.split(",").map(_.trim).toSeq)
                       .getOrElse(Seq("@time")),
                     timeCol,
-                    outputConf.getOrElse("index_time_format", "yyyy-MM-dd"),
+                    // index_time_format ≙ the reference's `time_format`
+                    // (elasticsearch.go:126): a Go reference layout
+                    // (2006-01-02 default) — token-translated to the
+                    // Java pattern (yyyy-MM-dd)
+                    outputConf.get("index_time_format")
+                      .orElse(outputConf.get("time_format")
+                        .map(PipelineCompiler.goTimeLayoutToJava))
+                      .getOrElse("yyyy-MM-dd"),
                     opType = esOp)
               }
             case "gelf" =>
@@ -1799,6 +1815,17 @@ object PipelineCompiler {
 
   /** Go-style duration string → milliseconds ("300ms" → 300, "5s" →
     * 5000, "2m" → 120000, "1h" → 3600000; bare numbers are seconds). */
+  /** Go reference-time layout → Java DateTimeFormatter pattern, for
+    * the date tokens the reference's index `time_format` uses
+    * (elasticsearch.go:126; the magic instant Mon Jan 2 15:04:05 2006).
+    * Longest tokens first so `2006` wins over `06`/`02`. */
+  private[graft] def goTimeLayoutToJava(layout: String): String =
+    Seq("2006" -> "yyyy", "01" -> "MM", "02" -> "dd", "15" -> "HH",
+      "04" -> "mm", "05" -> "ss", "06" -> "yy", "Jan" -> "MMM",
+      "Mon" -> "EEE").foldLeft(layout) {
+      case (s, (go, java)) => s.replace(go, java)
+    }
+
   private[graft] def goDurationMillis(s: String): Long = {
     val t = s.trim
     val ms = "^(\\d+)ms$".r

@@ -841,30 +841,36 @@ object Sinks {
     * the socket-sink leg matching [[graft.sources.SocketSpoolInput]]'s
     * framing. Throws on connect/write failure so the foreachBatch
     * batcher's retry/DLQ path engages. */
-  def socketTransport(host: String, port: Int): Transport = { lines =>
+  /** `delimiter` (socket.go:41 + plugin docs): the message separator,
+    * default newline — YAML double-quoted "\t" carries a real tab. */
+  def socketTransport(host: String, port: Int,
+                      delimiter: String = "\n"): Transport = { lines =>
     val s = new java.net.Socket(host, port)
-    try writeFramed(s.getOutputStream, lines) finally s.close()
+    try writeFramed(s.getOutputStream, lines, delimiter) finally s.close()
   }
 
   /** TLS client transport pinning the listener's PEM cert (the sender
     * half of the socket input's ca_cert/private_key leg). */
-  def socketTlsTransport(host: String, port: Int, caCert: String): Transport = { lines =>
+  def socketTlsTransport(host: String, port: Int, caCert: String,
+                         delimiter: String = "\n"): Transport = { lines =>
     val s = graft.sources.SocketTls.clientContext(caCert)
       .getSocketFactory.createSocket(host, port)
-    try writeFramed(s.getOutputStream, lines) finally s.close()
+    try writeFramed(s.getOutputStream, lines, delimiter) finally s.close()
   }
 
   /** AF_UNIX client transport (the sender half of `network: unix`). */
-  def unixTransport(path: String): Transport = { lines =>
+  def unixTransport(path: String, delimiter: String = "\n"): Transport = { lines =>
     val ch = java.nio.channels.SocketChannel.open(
       java.net.UnixDomainSocketAddress.of(path))
-    try writeFramed(java.nio.channels.Channels.newOutputStream(ch), lines)
+    try writeFramed(java.nio.channels.Channels.newOutputStream(ch), lines,
+      delimiter)
     finally ch.close()
   }
 
-  private def writeFramed(os: java.io.OutputStream, lines: Iterator[String]): Unit = {
+  private def writeFramed(os: java.io.OutputStream, lines: Iterator[String],
+                          delimiter: String = "\n"): Unit = {
     val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(os, "UTF-8"))
-    lines.foreach { l => w.write(l); w.write('\n') }
+    lines.foreach { l => w.write(l); w.write(delimiter) }
     w.flush()
   }
 

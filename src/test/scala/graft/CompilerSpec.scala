@@ -2509,6 +2509,21 @@ class CompilerSpec extends AnyFunSuite {
     assert(es.exists(_.contains(""""_index":"my-index-api-2024-03-05"""")), es.toSeq)
     assert(es.exists(_.contains(""""_index":"my-index-not_set-2024-03-05"""")), es.toSeq)
 
+    // the reference's `time_format` spelling is a Go reference layout
+    // (elasticsearch.go:126) — token-translated for the @time render
+    val esGo = PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: [
+        |  '{"service": "api", "time": "2024-03-05T00:00:01Z"}']}
+        |decoder: {type: json, schema: "service STRING, time STRING"}
+        |output:
+        |  type: elasticsearch
+        |  index_format: "idx-%"
+        |  index_values: "@time"
+        |  time_format: "2006.01.02"
+        |  time_field: time
+        |""".stripMargin).payload().collect().map(_.getString(0))
+    assert(esGo.exists(_.contains(""""_index":"idx-2024.03.05"""")), esGo.toSeq)
+
     // gelf: short_message_field + full_message_field +
     // default_short_message_value (full_message is a STANDARD field)
     val gelf = PipelineCompiler.compile(spark,

@@ -73,6 +73,21 @@ class SocketSpoolInputSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("socket sink `delimiter` frames messages with the configured separator") {
+    val dir = Files.createTempDirectory("sockspool4")
+    val srv = new SocketSpoolInput("tcp", 0, dir)
+    val port = srv.start()
+    try {
+      // socket.go plugin docs: configurable separator, default newline
+      graft.sinks.Sinks.socketTransport("127.0.0.1", port, delimiter = "\t")(
+        Iterator("a", "b"))
+      val files = awaitSpool(dir, 1)
+      // the wire carried tab-framed "a\tb\t"; the line-framed listener
+      // spools it as one line (its own trailing newline)
+      assert(new String(Files.readAllBytes(files.head), "UTF-8") == "a\tb\t\n")
+    } finally srv.stop()
+  }
+
   test("TLS tcp leg: openssl PEM cert/key, real handshake, plain client rejected") {
     // generate the reference-shaped material: PEM cert + unencrypted
     // PKCS#8 key (socket.go ca_cert/private_key accept path or content)
