@@ -523,7 +523,46 @@ object PipelineCompiler {
           .write.mode("overwrite").text(outputConf("dir"))
       case "s3" =>
         import graft.sinks.Sinks
-        val bucketField = outputConf.getOrElse("bucket_field", "bucket")
+        // reference bucket routing (s3.go:27-36,364-450): `bucket` is
+        // the DEFAULT bucket name, `bucket_field_event` the doc field
+        // carrying a per-event override, `multi_buckets` the static
+        // extra buckets, `dynamic_buckets_limit` (default 32) caps
+        // on-the-fly buckets (past it events fall back to the default).
+        // The graft shorthand `bucket_field` (route purely by field)
+        // stays for existing configs.
+        val refRouting = outputConf.contains("bucket") ||
+          outputConf.contains("bucket_field_event")
+        val routed: (DataFrame, Column) =
+          if (refRouting) {
+            val defaultBucket = outputConf.getOrElse("bucket",
+              throw new IllegalArgumentException(
+                "output s3: bucket_field_event needs `bucket` (the " +
+                  "default bucket name)"))
+            val fieldCol = outputConf.get("bucket_field_event") match {
+              // Dig-miss (field absent from the doc schema) routes to
+              // the default bucket like the reference's nil Dig
+              case Some(f) => df.schema("doc").dataType match {
+                case s: StructType if s.fieldNames.contains(f) =>
+                  col("doc").getField(f).cast("string")
+                case _ => lit(null).cast("string")
+              }
+              case None => lit(null).cast("string")
+            }
+            val statics = outputConf.get("multi_buckets").map { s =>
+              PipelineCompiler.yaml.readTree(s).elements().asScala
+                .map(b => b.get("bucket").asText()).toSeq
+            }.getOrElse(Nil)
+            val dynLimit = outputConf.get("dynamic_buckets_limit")
+              .map(_.toInt).getOrElse(32)
+            val ordered = df.withColumn("_s3ord",
+              if (df.columns.contains("_pg_ord")) col("_pg_ord")
+              else monotonically_increasing_id())
+            (Sinks.s3BucketResolve(ordered, fieldCol, col("_s3ord"),
+              defaultBucket, statics, dynLimit).drop("_s3ord"),
+              col("_bucket"))
+          } else (df, lit(null)) // legacy: bucket column resolved per leg
+        val (routedDf, _) = routed
+        val legacyField = outputConf.getOrElse("bucket_field", "bucket")
         // compression_type: zip = the reference's one-.zip-per-object
         // semantics (s3.go:166-251); gzip = the Spark-native .json.gz
         // codec layout; absent/none = plain NDJSON objects
@@ -531,13 +570,18 @@ object PipelineCompiler {
           case "zip" =>
             // fields still live inside the envelope's doc struct here
             Sinks.s3ZipObjectsSink(outputConf("path"),
-              col(s"doc.$bucketField"),
+              if (refRouting) col("_bucket") else col(s"doc.$legacyField"),
               outputConf.get("time_field").map(f => col(s"doc.$f"))
                 .getOrElse(current_timestamp()),
-              to_json(col("doc")))(df, 0L)
+              to_json(col("doc")))(routedDf, 0L)
           case c =>
-            Sinks.s3Write(df.select(col("doc.*")), outputConf("path"),
-              col(bucketField),
+            val flat =
+              if (refRouting)
+                routedDf.select(col("_bucket") +: routedDf.select(col("doc.*"))
+                  .columns.map(n => col(s"doc.$n")).toSeq: _*)
+              else routedDf.select(col("doc.*"))
+            Sinks.s3Write(flat, outputConf("path"),
+              if (refRouting) col("_bucket") else col(legacyField),
               outputConf.get("time_field").map(f => col(f))
                 .getOrElse(current_timestamp()),
               compression = Some(c).filter(_ != "none"))

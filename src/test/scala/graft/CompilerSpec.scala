@@ -3070,6 +3070,36 @@ class CompilerSpec extends AnyFunSuite {
     assert(r(0).getString(3) == "a=b")
   }
 
+  test("s3 reference bucket routing: bucket/bucket_field_event/multi_buckets/dynamic limit") {
+    val out = java.nio.file.Files.createTempDirectory("s3_ref")
+    PipelineCompiler.compile(spark,
+      s"""input: {type: fake, lines: [
+         |  '{"bucket_name": "click", "m": "1"}',
+         |  '{"bucket_name": "dyn-a", "m": "2"}',
+         |  '{"bucket_name": "dyn-b", "m": "3"}',
+         |  '{"bucket_name": "dyn-c", "m": "4"}',
+         |  '{"m": "5"}']}
+        |decoder: {type: json, schema: "bucket_name string, m string"}
+        |output:
+        |  type: s3
+        |  path: "$out"
+        |  bucket: logs-default
+        |  bucket_field_event: bucket_name
+        |  multi_buckets:
+        |    - {bucket: click}
+        |  dynamic_buckets_limit: 2
+        |""".stripMargin).write()
+    val byBucket = spark.read.json(out.toString)
+      .selectExpr("_bucket", "m").collect()
+      .map(r => r.getString(1) -> r.getString(0)).toMap
+    assert(byBucket("1") == "click")      // static multi_bucket
+    assert(byBucket("5") == "logs-default") // missing field -> default
+    // two dynamic buckets admitted (first arrivals), the third falls
+    // back to the default (s3.go:364-450 limiter)
+    assert(byBucket("2") == "dyn-a" && byBucket("3") == "dyn-b")
+    assert(byBucket("4") == "logs-default")
+  }
+
   test("loki message_field engages the reference push protocol (streams body, metadata)") {
     val bodies = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
     val srv = com.sun.net.httpserver.HttpServer.create(
