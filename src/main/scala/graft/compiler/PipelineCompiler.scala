@@ -514,8 +514,14 @@ object PipelineCompiler {
         // exact rotation; `dir` layout below is the distributed path
         val rot = new graft.sinks.FileRotator(outputConf("target_file"),
           outputConf.get("retention_interval_ms").map(_.toLong)
+            .orElse(outputConf.get("retention_interval") // file.go:76
+              .map(PipelineCompiler.goDurationMillis))
             .getOrElse(3600 * 1000L),
-          outputConf.getOrElse("time_layout", "MM-dd-yyyy_HH:mm:ss"))
+          // `time_layout` (file.go:82) is a Go reference-time layout
+          // (default 01-02-2006_15:04:05) — token-translated; a Java
+          // pattern passes through (no Go tokens present)
+          PipelineCompiler.goTimeLayoutToJava(
+            outputConf.getOrElse("time_layout", "MM-dd-yyyy_HH:mm:ss")))
         graft.sinks.Sinks.fileRotating("value", rot)(
           df.select(to_json(col("doc")).as("value")), 0L)
       case "file" =>
@@ -608,8 +614,11 @@ object PipelineCompiler {
         case "file" if outputConf.contains("target_file") =>
           val rot = new graft.sinks.FileRotator(outputConf("target_file"),
             outputConf.get("retention_interval_ms").map(_.toLong)
+              .orElse(outputConf.get("retention_interval") // file.go:76
+                .map(PipelineCompiler.goDurationMillis))
               .getOrElse(3600 * 1000L),
-            outputConf.getOrElse("time_layout", "MM-dd-yyyy_HH:mm:ss"))
+            PipelineCompiler.goTimeLayoutToJava(
+              outputConf.getOrElse("time_layout", "MM-dd-yyyy_HH:mm:ss")))
           rendered.writeStream
             .foreachBatch(graft.sinks.Sinks.fileRotating("value", rot))
             .option("checkpointLocation", ckpt).start()
