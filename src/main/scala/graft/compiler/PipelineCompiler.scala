@@ -216,7 +216,12 @@ object PipelineCompiler {
         retentionMs = outputConf.get("retention")
           .map(PipelineCompiler.goDurationMillis).getOrElse(0L),
         retentionMultiplier = outputConf.get("retention_exponentially_multiplier")
-          .map(_.toDouble).getOrElse(2.0))
+          .map(_.toDouble).getOrElse(2.0),
+        // `batch_size_bytes` (batch.go:34-35,76-96): byte-budget batch
+        // readiness alongside the count (cfg.Expression, resolved at
+        // load; 0 = count-only)
+        batchSizeBytes = outputConf.get("batch_size_bytes")
+          .map(_.toLong).getOrElse(0L))
     }
 
     /** Batch egress for net sinks: render the payload and push it

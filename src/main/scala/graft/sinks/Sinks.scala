@@ -906,13 +906,35 @@ object Sinks {
                        dlq: Option[DataFrame => Unit] = None,
                        retentionMs: Long = 0L,
                        retentionMultiplier: Double = 2.0,
-                       sleeper: Long => Unit = ms => Thread.sleep(ms))
+                       sleeper: Long => Unit = ms => Thread.sleep(ms),
+                       batchSizeBytes: Long = 0L)
   : (DataFrame, Long) => Unit = { (df, _epoch) =>
     val spark = df.sparkSession
     val failed = df.select(col(payloadCol)).rdd
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { chunk =>
-          val lines = chunk.map(_.getString(0))
+        // `batch_size_bytes` (pipeline/batch.go:76-96): append-then-
+        // check — a batch is ready at batchSize events OR once the
+        // payload bytes reach the budget (the last event may overflow
+        // it, like the reference's eventsSize accounting); 0 = count-
+        // only chunking
+        val chunks: Iterator[Seq[String]] =
+          if (batchSizeBytes <= 0L)
+            it.map(_.getString(0)).grouped(batchSize)
+          else new Iterator[Seq[String]] {
+            override def hasNext: Boolean = it.hasNext
+            override def next(): Seq[String] = {
+              val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+              var bytes = 0L
+              while (it.hasNext && buf.size < batchSize &&
+                     bytes < batchSizeBytes) {
+                val s = it.next().getString(0)
+                buf += s
+                bytes += s.getBytes("UTF-8").length
+              }
+              buf.toSeq
+            }
+          }
+        chunks.flatMap { lines =>
           var attempt = 0
           var ok = false
           while (!ok && attempt <= retries) {

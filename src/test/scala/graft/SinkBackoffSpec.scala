@@ -12,7 +12,11 @@ object BackoffProbe {
   val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
   val delivered = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   val dlq = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  def reset(): Unit = { sleeps.clear(); attempts.set(0); delivered.clear(); dlq.clear() }
+  val chunkSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+  def reset(): Unit = {
+    sleeps.clear(); attempts.set(0); delivered.clear(); dlq.clear()
+    chunkSizes.clear()
+  }
 }
 
 /** The exponential retry schedule of the net-sink batcher (reference
@@ -56,6 +60,30 @@ class SinkBackoffSpec extends AnyFunSuite {
     assert(BackoffProbe.sleeps.asScala.toList == List(100L, 200L, 400L),
       "three failures → sleeps retention·2^0, ·2^1, ·2^2 before retries")
     assert(BackoffProbe.delivered.asScala.toSet == Set("e1", "e2", "e3"))
+  }
+
+  test("batch_size_bytes chunks on the byte budget, append-then-check (batch.go:76-96)") {
+    import spark.implicits._
+    BackoffProbe.reset()
+    // 10-byte payloads; 25-byte budget: p1+p2=20 < 25, p3 pushes past
+    // (the reference's appended event may overflow) → chunk of 3, the
+    // remaining two close the partition under budget → chunk of 2
+    val df = Seq.tabulate(5)(i => s"payload-$i").toDF("payload").coalesce(1)
+    val sink = Sinks.foreachBatchSink("payload", batchSize = 100, retries = 0,
+      lines => BackoffProbe.chunkSizes.add(lines.size),
+      batchSizeBytes = 25L)
+    sink(df, 0L)
+    import scala.jdk.CollectionConverters._
+    assert(BackoffProbe.chunkSizes.asScala.toList == List(3, 2),
+      BackoffProbe.chunkSizes.toString)
+    // the count cap still binds when it is the tighter limit
+    BackoffProbe.chunkSizes.clear()
+    val sink2 = Sinks.foreachBatchSink("payload", batchSize = 2, retries = 0,
+      lines => BackoffProbe.chunkSizes.add(lines.size),
+      batchSizeBytes = 1000L)
+    sink2(df, 0L)
+    assert(BackoffProbe.chunkSizes.asScala.toList == List(2, 2, 1),
+      BackoffProbe.chunkSizes.toString)
   }
 
   test("exhausted retries sleep between every attempt and still route to the DLQ") {
