@@ -117,6 +117,34 @@ object MetricsHttp {
     server.createContext("/live", (ex: HttpExchange) => respond(ex, 200, ""))
     server.createContext("/ready", (ex: HttpExchange) =>
       respond(ex, if (stopping.get()) 503 else 200, ""))
+    // `/log/level` (fd/file.d.go:347: zap's logger.Level http handler) —
+    // GET returns {"level":"..."}, PUT {"level":"warn"} changes it; here
+    // it drives the log4j2 ROOT level, the engine's runtime log control
+    server.createContext("/log/level", (ex: HttpExchange) => {
+      import org.apache.logging.log4j.{Level, LogManager}
+      def current: String =
+        LogManager.getRootLogger.getLevel.toString.toLowerCase
+      ex.getRequestMethod match {
+        case "GET" =>
+          respond(ex, 200, s"""{"level":"$current"}""", "application/json")
+        case "PUT" =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val want = "\"level\"\\s*:\\s*\"([a-zA-Z]+)\"".r
+            .findFirstMatchIn(body).map(_.group(1))
+          want.flatMap(w =>
+            Option(Level.getLevel(w.toUpperCase))) match {
+            case Some(lvl) =>
+              org.apache.logging.log4j.core.config.Configurator
+                .setRootLevel(lvl)
+              respond(ex, 200, s"""{"level":"$current"}""",
+                "application/json")
+            case None =>
+              respond(ex, 400, s"""{"error":"unrecognized level"}""",
+                "application/json")
+          }
+        case _ => respond(ex, 405, "")
+      }
+    })
     // small pool so a slow /metrics scrape can't delay /live and /ready —
     // the reference keeps liveness green while draining; a serial
     // dispatcher (setExecutor(null)) would fail a probe behind one stall

@@ -39,6 +39,33 @@ class MetricsHttpSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("/log/level: GET reads, PUT changes the root level, bad level 400s (fd/file.d.go:347)") {
+    import org.apache.logging.log4j.{Level, LogManager}
+    val before = LogManager.getRootLogger.getLevel
+    val srv = MetricsHttp.serve(new PromRegistry)
+    try {
+      val (c0, b0) = get(srv.boundPort, "/log/level")
+      assert(c0 == 200 && b0.contains("\"level\""), b0)
+      def put(body: String): (Int, String) = {
+        val conn = new URL(s"http://127.0.0.1:${srv.boundPort}/log/level")
+          .openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("PUT"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        val b = if (is == null) "" else new String(is.readAllBytes(), "UTF-8")
+        conn.disconnect(); (code, b)
+      }
+      val (c1, b1) = put("""{"level":"warn"}""")
+      assert(c1 == 200 && b1.contains("\"level\":\"warn\""), b1)
+      assert(LogManager.getRootLogger.getLevel == Level.WARN)
+      assert(put("""{"level":"nope"}""")._1 == 400)
+    } finally {
+      org.apache.logging.log4j.core.config.Configurator.setRootLevel(before)
+      srv.stop()
+    }
+  }
+
   test("observed action metrics surface in the Prometheus text scrape") {
     val registry = new PromRegistry
     val detach = MetricsHttp.attachExporter(spark, registry)
