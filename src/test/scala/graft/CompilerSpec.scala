@@ -3231,6 +3231,44 @@ class CompilerSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("per-rule limit_distribution"))
   }
 
+  test("streaming throttle rules: the compiled rule prefix keys independent windows") {
+    val dir = java.nio.file.Files.createTempDirectory("thr_rules_stream")
+    java.nio.file.Files.write(dir.resolve("a.log"),
+      ("""{"time":"2024-01-01T00:00:01","lvl":"error","v":"e1"}""" + "\n" +
+        """{"time":"2024-01-01T00:00:02","lvl":"error","v":"e2"}""" + "\n" +
+        """{"time":"2024-01-01T00:00:03","lvl":"info","v":"p1"}""" + "\n" +
+        """{"time":"2024-01-01T00:00:04","lvl":"info","v":"p2"}""" + "\n" +
+        """{"time":"2024-01-01T00:00:05","lvl":"info","v":"p3"}""" + "\n")
+        .getBytes("UTF-8"))
+    val q = PipelineCompiler.compile(spark,
+      s"""input:
+         |  type: file
+         |  dir: "$dir"
+         |  streaming: true
+         |decoder:
+         |  type: json
+         |  schema: "time string, lvl string, v string"
+         |actions:
+         |  - type: throttle
+         |    bucket_interval: 1m
+         |    default_limit: 2
+         |    rules:
+         |      - conditions: {lvl: error}
+         |        limit: 1
+         |output: {type: memory}
+         |""".stripMargin).result()
+      .writeStream.format("memory").queryName("thr_rules_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("thr_rules_stream_out")
+        .selectExpr("doc.v").collect().map(_.getString(0)).toSet
+      // rule 0 admits one error; the implicit default rule admits two
+      // of the three info events — independent windows per rule
+      assert(kept == Set("e1", "p1", "p2"), kept.toString)
+    } finally q.stop()
+  }
+
   test("antispam `meta.<key>` addresses rendered input meta (antispam/rules.go:30-33)") {
     val dir = java.nio.file.Files.createTempDirectory("meta_antispam")
     java.nio.file.Files.write(dir.resolve("noisy.log"),
