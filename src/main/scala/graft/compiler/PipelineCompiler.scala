@@ -2535,6 +2535,9 @@ object PipelineCompiler {
           case Some(ld) =>
             // ratio sub-limits over a field's values with default-bucket
             // stealing (distribution.go) — the DEvent kernel
+            require(action.get("rules") == null,
+              "throttle: combining limit_distribution with rules is not " +
+                "supported — the distribution kernel is action-scoped")
             val dField = ld.get("field").asText()
             val ratios = ld.get("ratios").elements().asScala.toSeq.map { r =>
               (r.get("ratio").asDouble(),
@@ -2788,6 +2791,9 @@ object PipelineCompiler {
         // (distribution.go): ratio shares + default-steal — previously
         // only the streaming leg honored it
         Option(action.get("limit_distribution")).foreach { ld =>
+          require(action.get("rules") == null,
+            "throttle: combining limit_distribution with rules is not " +
+              "supported — the distribution kernel is action-scoped")
           val dField = ld.get("field").asText()
           val ratios = ld.get("ratios").elements().asScala.toSeq.map { r =>
             (r.get("ratio").asDouble(),
