@@ -1186,6 +1186,10 @@ object PipelineCompiler {
             Option(n.get("offsets_op")).map(_.asText()).getOrElse("reset"))
         Option(n.get("dir_pattern"))
           .foreach(v => tr = tr.option("dir_pattern", v.asText()))
+        // catch-up range slicing cap (64 MiB default) — a first read of
+        // a large file parallelizes like a normal file scan
+        Option(n.get("max_partition_bytes"))
+          .foreach(v => tr = tr.option("max_partition_bytes", v.asText()))
         // `remove_after` (file.go:158): delete a source file once it
         // has sat fully consumed (committed offset = size) for the
         // window; Go-duration spelling, 0/unset keeps files forever
