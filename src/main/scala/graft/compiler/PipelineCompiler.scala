@@ -1196,6 +1196,24 @@ object PipelineCompiler {
         Option(n.get("remove_after")).map(v => goDurationMillis(v.asText()))
           .filter(_ > 0)
           .foreach(ms => tr = tr.option("remove_after_ms", ms.toString))
+        // `offsets_file` (file.go:93, required there): the
+        // reference-FORMAT offsets file — seeds the first start under
+        // `offsets_op: continue` (migration from a live file.d) and is
+        // kept current at every commit, so switching back works too.
+        // Optional here: the Spark checkpoint is the resume authority
+        // (exactly-once vs the file's at-least-once), the file is the
+        // interop surface. `persistence_mode: async|sync` +
+        // `async_interval` (file.go:105-108) control the save cadence.
+        Option(n.get("offsets_file"))
+          .foreach(v => tr = tr.option("offsets_file", v.asText()))
+        Option(n.get("persistence_mode")).map(_.asText()).foreach { m =>
+          if (m != "async" && m != "sync") throw new IllegalArgumentException(
+            s"input file: persistence_mode `$m` (options: async|sync)")
+          tr = tr.option("persistence_mode", m)
+        }
+        Option(n.get("async_interval"))
+          .map(v => goDurationMillis(v.asText()))
+          .foreach(ms => tr = tr.option("async_interval_ms", ms.toString))
         // `paths: {include: [...], exclude: [...]}` (nested) or flat
         // include/exclude lists
         val pathsNode = Option(n.get("paths"))
@@ -1584,10 +1602,9 @@ object PipelineCompiler {
   /** Metadata-variable resolver for input-level `meta:` templates —
     * per input type, the reference's documented meta-params surface:
     *
-    *  - file/tail (worker.go:313-330): `filename`; `symlink`/`inode`
-    *    exist only in the reference's inode-keyed watcher (the tail
-    *    source keys offsets by path — unknown vars, surfaced through
-    *    the template engine's unknown-variable semantics); the k8s
+    *  - file/tail (worker.go:283-330): `filename`, plus `symlink`
+    *    (the watched link path, "" for a regular file) and `inode`
+    *    (uint64 decimal) via a per-executor stat cache; the k8s
     *    variables exist too — Go zero-value "" normally, CRI-parsed
     *    when any meta KEY contains "k8s" (worker.go:38-44's trigger);
     *  - k8s (k8s.go:245-259 over the file worker's parseK8sMeta):
@@ -1608,7 +1625,15 @@ object PipelineCompiler {
   : Seq[String] => Option[Column] = {
     val fileVars: Seq[String] => Option[Column] = {
       case Seq("filename") => Some(col("source_name"))
-      case _               => None
+      case Seq(v @ ("symlink" | "inode")) =>
+        // worker.go:283-330 metaInformation: symlink = the watched link
+        // path ("" for a regular file), inode = the uint64 decimal —
+        // resolved via a per-executor stat cache (one stat per distinct
+        // source path, the http-sidecar pattern)
+        val fileMeta = udf((src: String) =>
+          graft.sources.tail.TailSource.fileMetaJson(src))
+        Some(get_json_object(fileMeta(col("source_name")), s"$$.$v"))
+      case _ => None
     }
     def withK8sVars(parse: Boolean): Seq[String] => Option[Column] = {
       val m = graft.sources.K8sMeta.parse(col("source_name"))

@@ -1,0 +1,234 @@
+package graft.sources.tail
+
+import java.nio.file.{Files, LinkOption, Path, StandardCopyOption}
+
+/** The reference's offsets-file format, byte-for-byte
+  * (plugin/input/file/offset.go:76-307) — the migration surface that
+  * lets a user point this engine at a live file.d `offsets_file` and
+  * resume exactly where it left off, and keep maintaining the same
+  * file so the switch works in BOTH directions.
+  *
+  * Format (offset.go:233-297 save / :89-195 parse):
+  * {{{
+  * - file: /var/log/app.log
+  *   inode: 123456
+  *   source_id: 9876543210
+  *   last_read_timestamp: 1763651665000000000
+  *   streams:
+  *     default: 100
+  *     stderr: 300
+  * }}}
+  * `last_read_timestamp` is optional on parse (older files lack it —
+  * offset.go:131-139 defaults it to now); stream names split on the
+  * LAST colon (offset.go:170), so `error:: 960` is stream `error:` at
+  * 960 exactly like the reference's own test vector
+  * (offset_test.go:21). inode / source_id / stream offsets print as
+  * unsigned decimals (offset.go:270-289 AppendUint).
+  *
+  * Saves go through a random-suffixed tmp file + fsync + atomic rename
+  * (offset.go:242-306), so a crash never leaves a torn offsets file.
+  */
+object OffsetDb {
+
+  /** One `- file:` block. `streams` keeps file order (parse) and is
+    * rendered in the given order (save). */
+  final case class Entry(filename: String, inode: Long, sourceId: Long,
+                         lastReadTimestamp: Option[Long],
+                         streams: Seq[(String, Long)]) {
+    /** The reference resumes a matched job at the MIN stream offset and
+      * re-skips per-stream (provider.go:488-520 initJobOffset) — the
+      * at-least-once seed for a single per-file offset. */
+    def minOffset: Long = if (streams.isEmpty) 0L else streams.map(_._2).min
+  }
+
+  /** `sourceIDByStat` (provider.go:475-486): inode plus a symlink hash
+    * folded into the upper bits. Two's-complement Long arithmetic
+    * matches Go's int64 overflow exactly; `symlink` iterates RUNES
+    * (code points), like Go's `range` over a string. */
+  def sourceIdByStat(inode: Long, symlink: String): Long = {
+    var symHash = inode * 8922886018542929L
+    val it = symlink.codePoints().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      symHash <<= 2
+      symHash -= 1
+      symHash += c.toLong * 8460724049L
+    }
+    inode + (symHash & 0xFFFFFFFFL)
+  }
+
+  /** Inode of the file `path` resolves to (stat follows symlinks, like
+    * the reference's os.Stat in sourceIDByStat's callers). */
+  def inodeOf(path: Path): Option[Long] =
+    try Some(Files.getAttribute(path, "unix:ino")
+      .asInstanceOf[java.lang.Long].longValue())
+    catch { case _: Exception => None }
+
+  /** (filename, symlink) as the reference's job carries them
+    * (provider.go:368-466): watching a symlink reports the TARGET as
+    * filename and the link path as symlink; a regular file reports
+    * itself with symlink = "". */
+  def resolveNames(path: Path): (String, String) =
+    if (Files.isSymbolicLink(path))
+      (path.toRealPath().toString, path.toString)
+    else (path.toString, "")
+
+  // ------------------------------------------------------------ parse
+
+  /** Parse a full offsets file; loud errors with the reference's own
+    * messages (offset.go:89-195). `nowNanos` supplies the default
+    * `last_read_timestamp` for blocks that lack one. */
+  def parse(content: String,
+            nowNanos: () => Long = () => System.currentTimeMillis() * 1000000L)
+  : Seq[Entry] = {
+    var rest = content
+    val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    val seen = scala.collection.mutable.Set.empty[Long]
+    while (rest.nonEmpty) {
+      val (entry, r) = parseOne(rest, nowNanos)
+      if (seen.contains(entry.sourceId))
+        // the reference's message names the inode (offset.go:128-130)
+        fail(s"duplicate inode ${entry.inode}")
+      seen += entry.sourceId
+      out += entry
+      rest = r
+    }
+    out.toSeq
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"wrong offsets format, $msg")
+
+  private def parseOne(content: String, nowNanos: () => Long)
+  : (Entry, String) = {
+    val (filename, r1) = parseLine(content, "- file: ")
+    val (inodeStr, r2) = parseLine(r1, "  inode: ")
+    val (sourceIdStr, r3) = parseLine(r2, "  source_id: ")
+    val (tsStr, r4) = parseOptionalLine(r3, "  last_read_timestamp: ")
+    val inode =
+      try java.lang.Long.parseUnsignedLong(inodeStr)
+      catch { case _: NumberFormatException =>
+        fail(s"can't parse inode: $inodeStr") }
+    val sourceId =
+      try java.lang.Long.parseUnsignedLong(sourceIdStr)
+      catch { case _: NumberFormatException =>
+        fail(s"can't parse source id: $sourceIdStr") }
+    val ts = tsStr.map { s =>
+      try s.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"invalid timestamp format \"$s\"") }
+    }
+    val (streams, r5) = parseStreams(r4)
+    (Entry(filename, inode, sourceId,
+      Some(ts.getOrElse(nowNanos())), streams), r5)
+  }
+
+  private def parseStreams(content: String): (Seq[(String, Long)], String) = {
+    val (_, afterHeader) = parseLine(content, "  streams:")
+    var rest = afterHeader
+    val streams = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val names = scala.collection.mutable.Set.empty[String]
+    while (rest.nonEmpty && rest.charAt(0) != '-') {
+      val linePos = rest.indexOf('\n')
+      if (linePos < 0) fail(s"no new line $rest")
+      val line = rest.substring(0, linePos)
+      if (linePos < 5 || line.substring(0, 4) != "    ")
+        fail(s"no leading whitespaces \"$line\"")
+      rest = rest.substring(linePos + 1)
+      // LAST colon splits name from offset (offset.go:170) — a stream
+      // named `error:` round-trips
+      val pos = line.lastIndexOf(':')
+      if (pos < 0) fail(s"no separator \"$line\"")
+      val stream = line.substring(4, pos)
+      if (stream.isEmpty) fail(s"empty stream, $rest")
+      if (names.contains(stream)) fail(s"duplicate stream \"$stream\"")
+      names += stream
+      val offsetStr = line.substring(math.min(pos + 2, line.length))
+      val off =
+        try offsetStr.toLong
+        catch { case _: NumberFormatException =>
+          fail(s"can't parse offset: \"$offsetStr\"") }
+      streams += (stream -> off)
+    }
+    (streams.toSeq, rest)
+  }
+
+  private def parseLine(content: String, prefix: String): (String, String) = {
+    if (content.isEmpty)
+      fail(s"unexpected end of content while looking for \"$prefix\"")
+    val linePos = content.indexOf('\n')
+    if (linePos < 0) fail("no newline found in content")
+    val line = content.substring(0, linePos)
+    if (!line.startsWith(prefix))
+      fail(s"expected prefix \"$prefix\", got \"${line.take(prefix.length)}\"")
+    (line.substring(prefix.length), content.substring(linePos + 1))
+  }
+
+  private def parseOptionalLine(content: String, prefix: String)
+  : (Option[String], String) =
+    if (content.startsWith(prefix)) {
+      val (v, r) = parseLine(content, prefix)
+      (Some(v), r)
+    } else (None, content)
+
+  // ------------------------------------------------------------- save
+
+  /** Render in the exact save layout (offset.go:258-289). Entries with
+    * no streams are skipped like jobs with no offsets (offset.go:263);
+    * `last_read_timestamp` is always written (the reference's save
+    * always has one). */
+  def render(entries: Seq[Entry]): String = {
+    val sb = new StringBuilder
+    entries.foreach { e =>
+      if (e.streams.nonEmpty) {
+        sb.append("- file: ").append(e.filename).append('\n')
+        sb.append("  inode: ")
+          .append(java.lang.Long.toUnsignedString(e.inode)).append('\n')
+        sb.append("  source_id: ")
+          .append(java.lang.Long.toUnsignedString(e.sourceId)).append('\n')
+        sb.append("  last_read_timestamp: ")
+          .append(e.lastReadTimestamp.getOrElse(0L)).append('\n')
+        sb.append("  streams:\n")
+        e.streams.foreach { case (name, off) =>
+          sb.append("    ").append(name).append(": ")
+            .append(java.lang.Long.toUnsignedString(off)).append('\n')
+        }
+      }
+    }
+    sb.toString
+  }
+
+  /** Load an offsets file; absent → empty (offset.go:54-57), a
+    * directory → loud error (offset.go:59-61). */
+  def load(path: Path,
+           nowNanos: () => Long = () => System.currentTimeMillis() * 1000000L)
+  : Seq[Entry] = {
+    if (!Files.exists(path)) return Nil
+    if (Files.isDirectory(path))
+      throw new IllegalArgumentException(
+        s"can't load offsets, file $path is dir")
+    parse(new String(Files.readAllBytes(path),
+      java.nio.charset.StandardCharsets.UTF_8), nowNanos)
+  }
+
+  /** Atomic save: random-suffixed `.atomic` sibling + force + rename
+    * (offset.go:242-306). */
+  def save(path: Path, entries: Seq[Entry]): Unit = {
+    val tmp = path.resolveSibling(
+      path.getFileName.toString + ".atomic." +
+        java.lang.Long.toUnsignedString(
+          java.util.concurrent.ThreadLocalRandom.current().nextLong(), 8))
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(
+        render(entries).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      ch.force(true)
+    } finally ch.close()
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}

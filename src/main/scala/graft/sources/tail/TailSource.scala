@@ -60,7 +60,12 @@ class TailSourceProvider extends TableProvider with DataSourceRegister {
         removeAfterMs = Option(properties.get("remove_after_ms"))
           .map(_.toLong).getOrElse(0L),
         maxPartitionBytes = Option(properties.get("max_partition_bytes"))
-          .map(_.toLong).getOrElse(64L << 20)),
+          .map(_.toLong).getOrElse(64L << 20),
+        offsetsFile = Option(properties.get("offsets_file")),
+        persistenceMode = Option(properties.get("persistence_mode"))
+          .getOrElse("async"),
+        asyncIntervalMs = Option(properties.get("async_interval_ms"))
+          .map(_.toLong).getOrElse(1000L)),
       Option(properties.get("offsets_op")).getOrElse("reset"))
   }
 }
@@ -83,6 +88,37 @@ object TailSource {
     val node = mapper.readTree(json)
     node.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
   }
+
+  /** Per-executor cache behind the file input's `symlink`/`inode` meta
+    * variables (worker.go:283-330 metaInformation): one stat per
+    * distinct source path per JVM, rendered as the reference's data
+    * map — `filename` the resolved target, `symlink` the link path
+    * ("" for a regular file), `inode` the uint64 decimal. A vanished
+    * file (replayed data) falls back to filename = the raw path,
+    * inode "0". */
+  private val fileMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def fileMetaJson(src: String): String =
+    fileMetaCache.computeIfAbsent(src, { path =>
+      // the batch file input's source_name is a `file:` URI
+      // (_metadata.file_path); the tail source's is a plain path
+      val p =
+        if (path.startsWith("file:"))
+          try Paths.get(java.net.URI.create(path))
+          catch { case _: Exception => Paths.get(path.stripPrefix("file:")) }
+        else Paths.get(path)
+      val (filename, symlink) =
+        try OffsetDb.resolveNames(p)
+        catch { case _: java.io.IOException => (path, "") }
+      val inode = OffsetDb.inodeOf(p)
+        .map(java.lang.Long.toUnsignedString).getOrElse("0")
+      val node = mapper.createObjectNode()
+      node.put("filename", filename)
+      node.put("symlink", symlink)
+      node.put("inode", inode)
+      mapper.writeValueAsString(node)
+    })
 
   /** Current per-file end offsets, advanced only to the last newline. */
   def scanDir(dir: String, glob: String): Map[String, Long] = {
@@ -178,7 +214,10 @@ object TailSource {
                             include: Seq[String] = Nil,
                             exclude: Seq[String] = Nil,
                             removeAfterMs: Long = 0L,
-                            maxPartitionBytes: Long = 64L << 20) {
+                            maxPartitionBytes: Long = 64L << 20,
+                            offsetsFile: Option[String] = None,
+                            persistenceMode: String = "async",
+                            asyncIntervalMs: Long = 1000L) {
     /** Recursive discovery engages whenever an include/exclude pattern
       * is configured; the bare glob keeps the flat v0 behavior. */
     def recursive: Boolean = include.nonEmpty || exclude.nonEmpty
@@ -278,10 +317,28 @@ class TailMicroBatchStream(spec: TailSource.TailSpec,
     * ends (only new appends flow). `continue` is the checkpoint itself —
     * when Spark restores offsets from the checkpoint, initialOffset is
     * never consulted, which is exactly the reference's offset-file
-    * semantics. */
+    * semantics — EXCEPT on the very first start with an `offsets_file`
+    * configured: then the reference-format file seeds the frontier
+    * (offset.go load + provider.go:488-520 initJobOffset), which is the
+    * migration path — point the engine at a live file.d offsets file
+    * and it resumes where file.d left off. Matching is by the
+    * reference's own sourceID (inode + symlink hash,
+    * provider.go:475-486); a discovered file with no matching entry
+    * reads from 0, a matched one from the MIN of its stream offsets. */
   override def initialOffset(): Offset = offsetsOp match {
     case "tail" => TailOffset(TailSource.scan(spec))
-    case _      => TailOffset(Map.empty)
+    case "continue" if spec.offsetsFile.isDefined =>
+      val entries = OffsetDb.load(Paths.get(spec.offsetsFile.get))
+      val bySourceId = entries.map(e => e.sourceId -> e).toMap
+      TailOffset(TailSource.scan(spec).flatMap { case (path, _) =>
+        val p = Paths.get(path)
+        val (_, symlink) = OffsetDb.resolveNames(p)
+        for {
+          ino <- OffsetDb.inodeOf(p)
+          e <- bySourceId.get(OffsetDb.sourceIdByStat(ino, symlink))
+        } yield path -> e.minOffset
+      })
+    case _ => TailOffset(Map.empty)
   }
 
   override def latestOffset(): Offset = TailOffset(TailSource.scan(spec))
@@ -297,7 +354,44 @@ class TailMicroBatchStream(spec: TailSource.TailSpec,
     * eofReadInfo timestamp. Runs at commit time: Spark only commits an
     * offset once the batch that read up to it is durably processed, so
     * deletion can never outrun delivery. */
-  override def commit(end: Offset): Unit =
+  /** Last reference-format offsets save (epoch ms from nowFn); -1 =
+    * never saved, so the first commit always writes. */
+  private var lastOffsetsSave = -1L
+
+  /** Maintain the reference-format `offsets_file` at commit time
+    * (offset.go save; file.go:105-108 `persistence_mode`): `sync`
+    * writes every committed epoch, `async` at most once per
+    * `async_interval`. Commit runs AFTER the batch that read these
+    * offsets completed, so the file never claims unread progress —
+    * the same guarantee the reference gets from saving after event
+    * commit. Deleted/rotated-away files drop out (the reference
+    * snapshots live jobs only); entries are keyed by the same
+    * sourceID a file.d process would compute, so a switch BACK to the
+    * reference resumes seamlessly. */
+  private def saveOffsetsFile(end: TailOffset): Unit =
+    spec.offsetsFile.foreach { file =>
+      val now = nowFn()
+      val due = spec.persistenceMode == "sync" ||
+        lastOffsetsSave < 0 || now - lastOffsetsSave >= spec.asyncIntervalMs
+      if (due) {
+        val entries = end.offsets.toSeq.sortBy(_._1).flatMap {
+          case (path, off) if off > 0 =>
+            val p = Paths.get(path)
+            val (filename, symlink) = OffsetDb.resolveNames(p)
+            OffsetDb.inodeOf(p).map { ino =>
+              OffsetDb.Entry(filename, ino,
+                OffsetDb.sourceIdByStat(ino, symlink),
+                Some(now * 1000000L), Seq("default" -> off))
+            }
+          case _ => None
+        }
+        OffsetDb.save(Paths.get(file), entries)
+        lastOffsetsSave = now
+      }
+    }
+
+  override def commit(end: Offset): Unit = {
+    saveOffsetsFile(end.asInstanceOf[TailOffset])
     if (spec.removeAfterMs > 0) {
       val now = nowFn()
       end.asInstanceOf[TailOffset].offsets.foreach { case (path, off) =>
@@ -320,6 +414,7 @@ class TailMicroBatchStream(spec: TailSource.TailSpec,
         } catch { case _: java.io.IOException => eofSince.remove(path) }
       }
     }
+  }
 
   override def stop(): Unit = ()
 

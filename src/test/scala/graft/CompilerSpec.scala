@@ -433,6 +433,51 @@ class CompilerSpec extends AnyFunSuite {
         |          - {mode: prefix, values: ['{"time": "2024-01-01T00:01']}""".stripMargin) == 3)
   }
 
+  test("tail input offsets_file: YAML e2e writes the reference-format file at commit") {
+    // file.go:93,105-108: offsets_file + persistence_mode ride the
+    // graft-tail options; after the stream drains, the file parses with
+    // the reference grammar and carries the real inode + sourceID
+    import graft.sources.tail.OffsetDb
+    val dir = java.nio.file.Files.createTempDirectory("tail_offyaml")
+    val log = dir.resolve("app.log")
+    java.nio.file.Files.write(log, "{\"m\":\"1\"}\n{\"m\":\"2\"}\n".getBytes("UTF-8"))
+    val offsets = dir.resolve("offsets.yaml")
+    intercept[IllegalArgumentException](PipelineCompiler.compile(spark,
+      s"""input: {type: tail, dir: "$dir", persistence_mode: weird}
+         |output: {type: memory}
+         |""".stripMargin))
+    val q = PipelineCompiler.compile(spark,
+      s"""input:
+         |  type: tail
+         |  dir: "$dir"
+         |  filename_pattern: "*.log"
+         |  offsets_file: "$offsets"
+         |  persistence_mode: sync
+         |decoder: {type: json, schema: "m STRING"}
+         |output: {type: memory, name: tail_offyaml_out}
+         |""".stripMargin).result()
+      .writeStream.format("memory").queryName("tail_offyaml_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // Spark invokes source.commit(end of batch N) when batch N+1
+      // starts — drive a second batch so the first one's offsets land
+      java.nio.file.Files.write(log, "{\"m\":\"3\"}\n".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.APPEND)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("tail_offyaml_out").count() == 3)
+    val saved = OffsetDb.load(offsets)
+    assert(saved.size == 1)
+    assert(saved.head.inode == OffsetDb.inodeOf(log).get)
+    assert(saved.head.sourceId ==
+      OffsetDb.sourceIdByStat(saved.head.inode, ""))
+    // batch 0's end (20) committed when batch 1 started; batch 1's end
+    // (30) lands too if an idle cycle ran before stop
+    assert(Seq(Seq("default" -> 20L), Seq("default" -> 30L))
+      .contains(saved.head.streams))
+  }
+
   test("k8s input file_config customizes the nested file leg (k8s.go:119,226)") {
     // filename_pattern narrows discovery; streaming + file_config reads
     // via graft-tail (offsets_op/remove_after semantics ride along)
@@ -3068,6 +3113,37 @@ class CompilerSpec extends AnyFunSuite {
     assert(r(0).getString(2) == s"f=${r(0).getString(0)}")
     // unknown hole inside a full template renders empty
     assert(r(0).getString(3) == "a=b")
+  }
+
+  test("file input meta: `symlink`/`inode` variables resolve via the stat cache (worker.go:283-330)") {
+    val dir = java.nio.file.Files.createTempDirectory("meta_inode")
+    val real = dir.resolve("real.json")
+    java.nio.file.Files.write(real, "{\"k\":\"v\"}\n".getBytes("UTF-8"))
+    val link = dir.resolve("app.log")
+    java.nio.file.Files.createSymbolicLink(link, real)
+    val out = PipelineCompiler.compile(spark,
+      s"""input:
+         |  type: file
+         |  dir: "$dir"
+         |  filename_pattern: "*.log"
+         |  meta:
+         |    ino: "{{ .inode }}"
+         |    link: "{{ .symlink }}"
+         |    fn: "{{ .filename }}"
+         |decoder: {type: json, schema: "k STRING"}
+         |output: {type: memory}
+         |""".stripMargin).result()
+    val r = out.selectExpr("doc.ino", "doc.link", "doc.fn").collect()
+    assert(r.length == 1)
+    // inode follows the link to the real file, like the reference's stat
+    assert(r(0).getString(0) ==
+      java.lang.Long.toUnsignedString(
+        graft.sources.tail.OffsetDb.inodeOf(real).get))
+    // the watched path IS a symlink → symlink = the link PLAIN path
+    // (URI-normalized), while `filename` keeps the raw source_name
+    // (a file: URI on the batch leg — the established q170 shape)
+    assert(r(0).getString(1) == link.toString)
+    assert(r(0).getString(2).endsWith("app.log"))
   }
 
   test("s3 reference bucket routing: bucket/bucket_field_event/multi_buckets/dynamic limit") {

@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.tail.OffsetDb
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference offsets-file format, replaying the reference's own
+  * test vectors (plugin/input/file/offset_test.go:16-70 TestParseOffsets)
+  * plus the save layout and the sourceID formula — the file.d
+  * migration surface. */
+class OffsetDbSpec extends AnyFunSuite {
+
+  private val referenceVector =
+    """- file: /some/informational/name
+      |  inode: 1
+      |  source_id: 1234
+      |  streams:
+      |    default: 100
+      |    error:: 960
+      |    another: 200
+      |- file: /another/informational/name
+      |  inode: 2
+      |  source_id: 4321
+      |  last_read_timestamp: 1763651665000000000
+      |  streams:
+      |    stderr: 300
+      |    error:: 0
+      |""".stripMargin
+
+  test("parses the reference's own TestParseOffsets vector") {
+    val now = 4242L
+    val entries = OffsetDb.parse(referenceVector, () => now)
+    assert(entries.size == 2)
+
+    val a = entries.find(_.sourceId == 1234L).get
+    assert(a.filename == "/some/informational/name")
+    assert(a.inode == 1L)
+    // no last_read_timestamp line → defaults to now (offset.go:131-139)
+    assert(a.lastReadTimestamp.contains(now))
+    // LAST-colon split: `error:: 960` is stream `error:` (offset.go:170)
+    assert(a.streams == Seq("default" -> 100L, "error:" -> 960L,
+      "another" -> 200L))
+
+    val b = entries.find(_.sourceId == 4321L).get
+    assert(b.filename == "/another/informational/name")
+    assert(b.lastReadTimestamp.contains(1763651665000000000L))
+    assert(b.streams == Seq("stderr" -> 300L, "error:" -> 0L))
+    // resume seed = min across streams (provider.go:488-520)
+    assert(b.minOffset == 0L && a.minOffset == 100L)
+  }
+
+  test("parse errors are loud with the reference's messages") {
+    def err(s: String): String =
+      intercept[IllegalArgumentException](OffsetDb.parse(s)).getMessage
+    // duplicate source_id → "duplicate inode" (offset.go:128-130 — the
+    // message names the inode though the key is the source id)
+    val dup = """- file: /a
+                |  inode: 7
+                |  source_id: 9
+                |  streams:
+                |    default: 1
+                |- file: /b
+                |  inode: 7
+                |  source_id: 9
+                |  streams:
+                |    default: 2
+                |""".stripMargin
+    assert(err(dup).contains("duplicate inode 7"))
+    assert(err("- file: /a\n  bad: 1\n").contains("expected prefix"))
+    assert(err("- file: /a\n  inode: xx\n  source_id: 2\n  streams:\n    d: 1\n")
+      .contains("can't parse inode"))
+    val noWs = "- file: /a\n  inode: 1\n  source_id: 2\n  streams:\n  d: 1\n"
+    assert(err(noWs).contains("no leading whitespaces"))
+    val noSep = "- file: /a\n  inode: 1\n  source_id: 2\n  streams:\n    dflt 1\n"
+    assert(err(noSep).contains("no separator"))
+    val dupStream =
+      "- file: /a\n  inode: 1\n  source_id: 2\n  streams:\n    d: 1\n    d: 2\n"
+    assert(err(dupStream).contains("duplicate stream"))
+    val badOff =
+      "- file: /a\n  inode: 1\n  source_id: 2\n  streams:\n    d: zz\n"
+    assert(err(badOff).contains("can't parse offset"))
+    assert(err("- file: /a").contains("no newline"))
+  }
+
+  test("render writes the exact save layout and round-trips") {
+    val entries = Seq(
+      OffsetDb.Entry("/var/log/a.log", 123L, 456L, Some(99L),
+        Seq("default" -> 10L, "error:" -> 20L)),
+      // no streams → skipped like a job with no offsets (offset.go:263)
+      OffsetDb.Entry("/var/log/empty.log", 1L, 2L, Some(0L), Nil),
+      // negative Long = large uint64 — renders unsigned like AppendUint
+      OffsetDb.Entry("/var/log/b.log", -1L, -2L, Some(7L),
+        Seq("default" -> 0L)))
+    val text = OffsetDb.render(entries)
+    val expected =
+      """- file: /var/log/a.log
+        |  inode: 123
+        |  source_id: 456
+        |  last_read_timestamp: 99
+        |  streams:
+        |    default: 10
+        |    error:: 20
+        |- file: /var/log/b.log
+        |  inode: 18446744073709551615
+        |  source_id: 18446744073709551614
+        |  last_read_timestamp: 7
+        |  streams:
+        |    default: 0
+        |""".stripMargin
+    assert(text == expected)
+    val back = OffsetDb.parse(text)
+    assert(back.size == 2)
+    assert(back.head == entries.head)
+    assert(back(1) == entries(2))
+  }
+
+  test("sourceIdByStat matches an independent mod-2^64 replay of provider.go:475-486") {
+    // independent implementation over BigInt, reduced mod 2^64 (Go's
+    // int64 overflow IS mod-2^64 two's complement)
+    def expected(inode: Long, symlink: String): Long = {
+      val m = BigInt(2).pow(64)
+      def norm(b: BigInt): BigInt = b.mod(m)
+      var symHash = norm(BigInt(inode) * BigInt(8922886018542929L))
+      symlink.codePoints().toArray.foreach { c =>
+        symHash = norm(symHash * 4)
+        symHash = norm(symHash - 1)
+        symHash = norm(symHash + BigInt(c) * BigInt(8460724049L))
+      }
+      norm(BigInt(inode) + (symHash & BigInt(0xFFFFFFFFL))).toLong
+    }
+    for {
+      inode <- Seq(0L, 1L, 123456L, Int.MaxValue.toLong + 17L)
+      link <- Seq("", "/var/log/pods/x.log", "логи", "a")
+    } assert(OffsetDb.sourceIdByStat(inode, link) == expected(inode, link),
+      s"inode=$inode link=$link")
+    // symlink hash lands in the upper-32-bit fold: same inode, distinct
+    // links → distinct ids
+    assert(OffsetDb.sourceIdByStat(42L, "/a") !=
+      OffsetDb.sourceIdByStat(42L, "/b"))
+  }
+
+  test("load/save: absent file is empty, dir is loud, save is atomic and parseable") {
+    val dir = Files.createTempDirectory("offdb")
+    assert(OffsetDb.load(dir.resolve("missing.yaml")).isEmpty)
+    intercept[IllegalArgumentException](OffsetDb.load(dir))
+    val f = dir.resolve("offsets.yaml")
+    val entries = Seq(OffsetDb.Entry("/x", 5L, 6L, Some(1L),
+      Seq("default" -> 44L)))
+    OffsetDb.save(f, entries)
+    assert(OffsetDb.load(f) == entries)
+    // no .atomic temp droppings remain (offset.go:242-306 tmp+rename)
+    val leftovers = Files.list(dir).iterator()
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (leftovers.hasNext) names += leftovers.next().getFileName.toString
+    assert(names.toSeq == Seq("offsets.yaml"))
+  }
+
+  test("resolveNames reports (target, link) for a symlink, (self, \"\") for a file") {
+    val dir = Files.createTempDirectory("offdb-link")
+    val real = dir.resolve("real.log")
+    Files.write(real, "x\n".getBytes)
+    assert(OffsetDb.resolveNames(real) == (real.toString, ""))
+    val link = dir.resolve("link.log")
+    Files.createSymbolicLink(link, real)
+    val (fn, sl) = OffsetDb.resolveNames(link)
+    assert(sl == link.toString)
+    assert(java.nio.file.Paths.get(fn).getFileName.toString == "real.log")
+    // inode follows the link: link and target stat the same inode
+    assert(OffsetDb.inodeOf(link) == OffsetDb.inodeOf(real))
+  }
+}

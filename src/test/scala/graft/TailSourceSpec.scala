@@ -277,4 +277,88 @@ class TailSourceSpec extends AnyFunSuite {
     stream.commit(end6)
     assert(!Files.exists(busy), "removed once the full window passed at EOF")
   }
+
+  test("offsets_file seeds `continue` from a live file.d offsets file (migration)") {
+    // offset.go load + provider.go:488-520 initJobOffset: entries match
+    // by the real sourceID (inode + symlink hash), a matched file
+    // resumes at the MIN of its stream offsets, an unmatched one reads
+    // from 0. The offsets file here is built exactly as file.d would
+    // have written it for half-read `a.log`.
+    import graft.sources.tail.OffsetDb
+    val dir = Files.createTempDirectory("tail-offdb")
+    val a = dir.resolve("a.log")
+    val b = dir.resolve("b.log")
+    write(a, "a1\na2\na3\n")  // 9 bytes; file.d "read" through a2 (off 6... min 3)
+    write(b, "b1\n")
+    val aIno = OffsetDb.inodeOf(a).get
+    val offsetsFile = dir.resolve("offsets.yaml")
+    OffsetDb.save(offsetsFile, Seq(OffsetDb.Entry(
+      a.toString, aIno, OffsetDb.sourceIdByStat(aIno, ""),
+      Some(1L), Seq("default" -> 6L, "stderr" -> 3L))))
+
+    val spec = TailSource.TailSpec(dir.toString, "*.log",
+      offsetsFile = Some(offsetsFile.toString))
+    val stream = new TailMicroBatchStream(spec, "continue")
+    val init = stream.initialOffset().asInstanceOf[TailOffset]
+    // min(default=6, stderr=3) = 3; b.log unmatched → absent (reads from 0)
+    assert(init.offsets == Map(a.toString -> 3L))
+    val (rows, _) = epoch(stream, init)
+    assert(rows.map(r => (r._1, r._2)).sorted ==
+      Seq(("a2", "a.log"), ("a3", "a.log"), ("b1", "b.log")))
+
+    // without an offsets_file, `continue` keeps the empty-start default
+    val plain = new TailMicroBatchStream(spec.copy(offsetsFile = None),
+      "continue")
+    assert(plain.initialOffset().asInstanceOf[TailOffset].offsets.isEmpty)
+  }
+
+  test("offsets_file is maintained at commit in the reference format (sync + async cadence)") {
+    import graft.sources.tail.OffsetDb
+    val dir = Files.createTempDirectory("tail-offsave")
+    val log = dir.resolve("app.log")
+    write(log, "l1\nl2\n")
+    val offsetsFile = dir.resolve("offsets.yaml")
+    var now = 10000L
+    val sync = new TailMicroBatchStream(
+      TailSource.TailSpec(dir.toString, "*.log",
+        offsetsFile = Some(offsetsFile.toString), persistenceMode = "sync"),
+      "reset", () => now)
+    val (_, end1) = epoch(sync, TailOffset(Map.empty))
+    sync.commit(end1)
+    val saved = OffsetDb.load(offsetsFile)
+    assert(saved.size == 1)
+    val e = saved.head
+    // a file.d process reading this file back computes the SAME id
+    assert(e.filename == log.toString)
+    assert(e.inode == OffsetDb.inodeOf(log).get)
+    assert(e.sourceId == OffsetDb.sourceIdByStat(e.inode, ""))
+    assert(e.streams == Seq("default" -> 6L))
+    assert(e.lastReadTimestamp.contains(now * 1000000L))
+
+    // sync: every commit rewrites — the offset advances with the epoch
+    write(log, "l3\n")
+    val (_, end2) = epoch(sync, end1)
+    sync.commit(end2)
+    assert(OffsetDb.load(offsetsFile).head.streams == Seq("default" -> 9L))
+
+    // async honors async_interval: inside the window the file is stale
+    val asyncFile = dir.resolve("offsets-async.yaml")
+    val async = new TailMicroBatchStream(
+      TailSource.TailSpec(dir.toString, "*.log",
+        offsetsFile = Some(asyncFile.toString),
+        persistenceMode = "async", asyncIntervalMs = 1000L),
+      "reset", () => now)
+    val (_, a1) = epoch(async, TailOffset(Map.empty))
+    async.commit(a1)                       // first commit always saves
+    assert(OffsetDb.load(asyncFile).head.streams == Seq("default" -> 9L))
+    write(log, "l4\n")
+    now += 400L                            // < interval → no rewrite
+    val (_, a2) = epoch(async, a1)
+    async.commit(a2)
+    assert(OffsetDb.load(asyncFile).head.streams == Seq("default" -> 9L))
+    now += 700L                            // interval elapsed → rewrite
+    val (_, a3) = epoch(async, a2)
+    async.commit(a3)
+    assert(OffsetDb.load(asyncFile).head.streams == Seq("default" -> 12L))
+  }
 }
