@@ -348,6 +348,47 @@ object Queries13 {
       |      AS VARCHAR) AS e2
       |  FROM events)""".stripMargin
 
+  // --------------------- KMV bottom-k distinct sketch (r13, q173)
+
+  /** The sketch family's oracle row: [[graft.ml.Stats.kmvSketch]]'s
+    * full state — the k smallest distinct 60-bit md5 hashes of
+    * user_id per event_type — reduced to gate-safe scalars (count,
+    * kth min, XOR fold; an array output column would crash the
+    * driver's lexsort). k=64 forces eviction on the big groups while
+    * small groups stay exact, so both aggregator paths are under the
+    * gate. XOR (not SUM) folds the hashes: 64 values < 2^60 can
+    * overflow int64 under addition. */
+  val q173_kmv_sketch: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val sk = graft.ml.Stats.kmvSketch(ev, "event_type",
+      col("user_id").cast("string"), k = 64)
+    sk.select(col("group").as("event_type"),
+      size(col("hashes")).cast("long").as("retained"),
+      element_at(col("hashes"), size(col("hashes"))).as("kth_min"),
+      aggregate(col("hashes"), lit(0L), (a, x) => a.bitwiseXOR(x))
+        .as("hxor"),
+      col("rows_seen"))
+  }
+
+  val q173_sql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, hv,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      |  FROM h),
+      |k AS (
+      |  SELECT event_type, count(*) AS retained, max(hv) AS kth_min,
+      |    bit_xor(hv) AS hxor
+      |  FROM r WHERE rn <= 64 GROUP BY event_type),
+      |n AS (
+      |  SELECT event_type, count(*) AS rows_seen FROM events
+      |  GROUP BY event_type)
+      |SELECT k.event_type, retained, kth_min, hxor, rows_seen
+      |FROM k JOIN n USING (event_type)""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q166_syslog_named" -> q166_syslog_named,
     "q167_normalizer_config" -> q167_normalizer_config,
@@ -355,7 +396,8 @@ object Queries13 {
     "q169_throttle_distribution" -> q169_throttle_distribution,
     "q170_meta_templates" -> q170_meta_templates,
     "q171_throttle_rules" -> q171_throttle_rules,
-    "q172_loki_value" -> q172_loki_value
+    "q172_loki_value" -> q172_loki_value,
+    "q173_kmv_sketch" -> q173_kmv_sketch
   )
 
   val oracles: Map[String, String] = Map(
@@ -365,6 +407,7 @@ object Queries13 {
     "q169_throttle_distribution" -> q169_sql,
     "q170_meta_templates" -> q170_sql,
     "q171_throttle_rules" -> q171_sql,
-    "q172_loki_value" -> q172_sql
+    "q172_loki_value" -> q172_sql,
+    "q173_kmv_sketch" -> q173_sql
   )
 }

@@ -113,4 +113,67 @@ class StatsSketchSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(merged == oneShot)
   }
+
+  test("KMV insert/union: sorted, distinct, k-bounded, associative") {
+    import Stats.{kmvInsert, kmvUnion}
+    var b = Array.emptyLongArray
+    Seq(50L, 10L, 90L, 10L, 30L, 70L, 20L).foreach(h => b = kmvInsert(b, h, 4))
+    assert(b.toSeq == Seq(10L, 20L, 30L, 50L))          // bottom 4, dedup'd
+    assert(kmvInsert(b, 60L, 4).toSeq == b.toSeq)       // above kth min
+    assert(kmvInsert(b, 5L, 4).toSeq == Seq(5L, 10L, 20L, 30L))
+    val u = kmvUnion(Array(1L, 3L, 5L), Array(2L, 3L, 8L, 9L), 4)
+    assert(u.toSeq == Seq(1L, 2L, 3L, 5L))
+    assert(kmvUnion(Array.emptyLongArray, Array(7L), 4).toSeq == Seq(7L))
+    // union associativity on random sets
+    val rnd = new scala.util.Random(7)
+    val parts = Seq.fill(5)(Array.fill(40)(rnd.nextLong() & 0xFFFFFFFFL)
+      .distinct.sorted)
+    val leftFold = parts.reduceLeft(kmvUnion(_, _, 16))
+    val rightFold = parts.reduceRight(kmvUnion(_, _, 16))
+    assert(leftFold.toSeq == rightFold.toSeq)
+    assert(leftFold.toSeq ==
+      parts.flatten.distinct.sorted.take(16).toSeq)
+  }
+
+  test("KMV sketch: partition-order invariant, merge ≡ one-shot, exact when under-filled") {
+    val a = docs.filter(col("doc_id") % 4 === 0)
+    val b = docs.filter(col("doc_id") % 4 =!= 0)
+    def content(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("group"), col("hashes"), col("rows_seen"))
+        .collect().map(r => (r.getString(0), r.getSeq[Long](1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val oneShot = Stats.kmvSketch(docs, "source", col("text"), k = 32)
+    assert(content(oneShot) ==
+      content(Stats.kmvSketch(docs.repartition(13), "source", col("text"),
+        k = 32)))
+    val merged = Stats.kmvMerged(
+      Stats.kmvSketch(a, "source", col("text"), k = 32).unionByName(
+        Stats.kmvSketch(b, "source", col("text"), k = 32)))
+    assert(content(merged) == content(oneShot),
+      "merging per-run rows must equal sketching the concatenation")
+    // a group whose distinct count never fills k estimates EXACTLY
+    val tiny = Stats.kmvSketch(docs.limit(20), "source", col("text"), k = 512)
+    val est = Stats.kmvEstimate(tiny)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = docs.limit(20).groupBy("source")
+      .agg(countDistinct(col("text")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(est == exact)
+    // filled sketches estimate within the KMV error band (~1/sqrt(k-2))
+    val full = Stats.kmvEstimate(
+      Stats.kmvSketch(docs, "source", col("doc_id").cast("string"), k = 64))
+    val exactAll = docs.groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    full.collect().foreach { r =>
+      val x = exactAll(r.getString(0))
+      assert(math.abs(r.getDouble(1) - x) <= math.max(4.0, 0.5 * x),
+        s"group ${r.getString(0)}: ${r.getDouble(1)} vs exact $x")
+    }
+    // mixed k rejected at merge time like mixed lgK
+    val e = intercept[IllegalArgumentException](Stats.kmvMerged(
+      Stats.kmvSketch(a, "source", col("text"), k = 32).unionByName(
+        Stats.kmvSketch(b, "source", col("text"), k = 64))))
+    assert(e.getMessage.contains("mixed k"))
+  }
 }
