@@ -370,6 +370,38 @@ object Queries13 {
       col("rows_seen"))
   }
 
+  // --------------- SSL-prototype data pruning (r13, q174)
+
+  /** [[graft.ml.Ann.prototypePrune]] end-to-end under the gate: train
+    * the quantized k-means (the q78/q120 centroid machinery), assign
+    * every embedding to its nearest centroid on the exact integer
+    * grid, keep the hardest 70% of each cluster by (d2 desc, vec_id)
+    * rank. The oracle replays training via the shared kmeans CTE chain
+    * plus the assignment + per-cluster window. */
+  val q174_prototype_prune: Q = (s, dir) =>
+    graft.ml.Ann.prototypePrune(t(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 8, iters = 2, keepFrac = 0.7)
+
+  val q174_sql: String =
+    s"""WITH ${Queries5.kmeansSqlCtes(k = 8, iters = 2)},
+       |df AS (
+       |  SELECT v.vid, c.cid,
+       |    SUM((v.xe6 - c.ce6) * (v.xe6 - c.ce6)) AS d2
+       |  FROM v JOIN c2 c ON v.pos = c.pos
+       |  GROUP BY v.vid, c.cid),
+       |b AS (
+       |  SELECT vid, cid, d2 FROM (
+       |    SELECT vid, cid, d2,
+       |      row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+       |    FROM df) WHERE rn = 1),
+       |r AS (
+       |  SELECT vid, cid, d2,
+       |    row_number() OVER (PARTITION BY cid ORDER BY d2 DESC, vid) AS rn,
+       |    COUNT(*) OVER (PARTITION BY cid) AS cnt
+       |  FROM b)
+       |SELECT vid AS vec_id, cid, CAST(d2 AS BIGINT) AS d2
+       |FROM r WHERE rn <= CAST(ceil(cnt * 0.7) AS BIGINT)""".stripMargin
+
   val q173_sql: String =
     """WITH h AS (
       |  SELECT DISTINCT event_type,
@@ -397,7 +429,8 @@ object Queries13 {
     "q170_meta_templates" -> q170_meta_templates,
     "q171_throttle_rules" -> q171_throttle_rules,
     "q172_loki_value" -> q172_loki_value,
-    "q173_kmv_sketch" -> q173_kmv_sketch
+    "q173_kmv_sketch" -> q173_kmv_sketch,
+    "q174_prototype_prune" -> q174_prototype_prune
   )
 
   val oracles: Map[String, String] = Map(
@@ -408,6 +441,7 @@ object Queries13 {
     "q170_meta_templates" -> q170_sql,
     "q171_throttle_rules" -> q171_sql,
     "q172_loki_value" -> q172_sql,
-    "q173_kmv_sketch" -> q173_sql
+    "q173_kmv_sketch" -> q173_sql,
+    "q174_prototype_prune" -> q174_sql
   )
 }

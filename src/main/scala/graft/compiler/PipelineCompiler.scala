@@ -1256,6 +1256,20 @@ object PipelineCompiler {
               Option(c.get("remove_after"))
                 .map(v => goDurationMillis(v.asText())).filter(_ > 0)
                 .foreach(ms => tr = tr.option("remove_after_ms", ms.toString))
+              // the reference-format offsets file rides the k8s file
+              // leg too — the flagship migration deployment
+              Option(c.get("offsets_file"))
+                .foreach(v => tr = tr.option("offsets_file", v.asText()))
+              Option(c.get("persistence_mode")).map(_.asText()).foreach { m =>
+                if (m != "async" && m != "sync")
+                  throw new IllegalArgumentException(
+                    s"k8s file_config: persistence_mode `$m` " +
+                      "(options: async|sync)")
+                tr = tr.option("persistence_mode", m)
+              }
+              Option(c.get("async_interval"))
+                .map(v => goDurationMillis(v.asText()))
+                .foreach(ms => tr = tr.option("async_interval_ms", ms.toString))
               val pathsN = Option(c.get("paths"))
               def k8sPats(key: String): Seq[String] =
                 (pathsN.flatMap(p => Option(p.get(key))) orElse Option(c.get(key)))

@@ -554,6 +554,49 @@ object Ann {
     cents
   }
 
+  /** SSL-prototype data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws"): prototypicality of an example = its distance to
+    * the nearest trained cluster centroid — small distance means
+    * prototypical/"easy", large means informative/"hard" — and pruning
+    * keeps the hardest `keepFrac` of each cluster, which the paper
+    * shows beats random pruning (and keeps coverage balanced across
+    * the embedding space, unlike a global distance cut-off that would
+    * empty dense clusters first).
+    *
+    * Exactness: centroids, assignment and d2 all use the shared
+    * quantized-integer grid ([[kmeansQuantized]] / [[argminCid]]'s
+    * (d2, cid) struct-min tie-break), so the keep/drop DECISION is
+    * engine-reproducible — the whole operator replays in the DuckDB
+    * oracle. Per-cluster selection ranks (d2 desc, id asc).
+    *
+    * Scale shape: one broadcast of the k×dim centroid table, one
+    * map-side-combined distance aggregation, then a per-CLUSTER rank —
+    * partition count = k, so k should scale with the corpus (the paper
+    * itself scales clusters with dataset size; the SemDeDup family
+    * documents the same cluster-size ≈ N/k discipline). Returns
+    * (id, cid, d2) for the kept rows. */
+  def prototypePrune(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"prototypePrune: keepFrac $keepFrac outside (0, 1]")
+    val cents = kmeansQuantized(df, idCol, vecCol, k, iters)
+    val v = df
+      .select(col(idCol).as("vid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("vid"), col("pos"),
+        round(col("x").cast("double") * 1e6).cast("long").as("xe6"))
+    val best = assignmentDistances(v, cents)
+      .groupBy(col("vid"))
+      .agg(min(struct(col("d2"), col("cid"))).as("_m"))
+      .select(col("vid"), col("_m.cid").as("cid"), col("_m.d2").as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("d2").desc, col("vid"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+    best.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .filter(col("rn") <= ceil(col("cnt") * keepFrac))
+      .select(col("vid").as(idCol), col("cid"), col("d2"))
+  }
+
   /** The seeded random hyperplanes behind hyperplaneSig — exposed so
     * the SQL oracle can embed the exact same plane literals (each float
     * widened to double prints via Double.toString, which round-trips). */

@@ -18,6 +18,39 @@ class AnnIndexSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("prototypePrune: per-cluster hardest-keepFrac boundary law; keepFrac=1 is the assignment") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val kept = Ann.prototypePrune(emb, "vec_id", "embedding",
+      k = 8, iters = 2, keepFrac = 0.6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val all = Ann.prototypePrune(emb, "vec_id", "embedding",
+      k = 8, iters = 2, keepFrac = 1.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // keepFrac=1 keeps every vector = the plain assignment
+    assert(all.length == emb.count())
+    assert(kept.toSet.subsetOf(all.toSet))
+    // per-cluster boundary law: every KEPT row ranks at or above every
+    // DROPPED row of its cluster under (d2 desc, vid asc)
+    val keptSet = kept.map(t => (t._1, t._2)).toSet
+    val dropped = all.filterNot(t => keptSet.contains((t._1, t._2)))
+    val byCidKeptMin = kept.groupBy(_._2).map { case (c, rs) =>
+      c -> rs.map(r => (r._3, -r._1)).min }     // weakest kept (d2, -vid)
+    dropped.groupBy(_._2).foreach { case (c, rs) =>
+      val strongestDropped = rs.map(r => (r._3, -r._1)).max
+      val weakestKept = byCidKeptMin(c)
+      // rank (d2 desc, vid asc) ⇒ kept (d2, -vid) must exceed dropped
+      assert(Ordering[(Long, Long)].gt(weakestKept, strongestDropped),
+        s"cluster $c: kept $weakestKept vs dropped $strongestDropped")
+    }
+    // per-cluster count = ceil(cnt * keepFrac)
+    val cnts = all.groupBy(_._2).view.mapValues(_.length)
+    kept.groupBy(_._2).foreach { case (c, rs) =>
+      assert(rs.length == math.ceil(cnts(c) * 0.6).toLong, s"cluster $c")
+    }
+    intercept[IllegalArgumentException](
+      Ann.prototypePrune(emb, "vec_id", "embedding", 8, 1, 0.0))
+  }
+
   test("persisted IVF index: list layout, partition pruning, ad-hoc answer parity") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)

@@ -476,6 +476,16 @@ class CompilerSpec extends AnyFunSuite {
     // (30) lands too if an idle cycle ran before stop
     assert(Seq(Seq("default" -> 20L), Seq("default" -> 30L))
       .contains(saved.head.streams))
+    // the k8s file leg parses the same fields (loud validation proves
+    // the branch is live)
+    intercept[IllegalArgumentException](PipelineCompiler.compile(spark,
+      s"""input:
+         |  type: k8s
+         |  watching_dir: "$dir"
+         |  streaming: true
+         |  file_config: {persistence_mode: weird}
+         |output: {type: memory}
+         |""".stripMargin))
   }
 
   test("k8s input file_config customizes the nested file leg (k8s.go:119,226)") {

@@ -239,6 +239,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("KMV sketch costs one shuffle with MAP-SIDE partial aggregation") {
+    // the whole point of the bounded-array Aggregator: each task ships
+    // ≤ k longs per group, so the plan must show the partial_ agg
+    // BELOW the exchange (ObjectHashAggregate pair), not a raw
+    // shuffle of hashed keys into a single final agg
+    val p = plan(graft.ml.Stats.kmvSketch(
+      Tables(spark, sf, "events"), "event_type",
+      col("user_id").cast("string"), k = 64))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles in:\n$p")
+    assert("partial_kmvaggregator".r.findAllIn(p.toLowerCase).nonEmpty,
+      s"no map-side partial KMV aggregation in:\n$p")
+    val partialIdx = p.toLowerCase.indexOf("partial_kmvaggregator")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(partialIdx > exchangeIdx,
+      "partial agg must sit below the exchange (tree prints top-down)")
+  }
+
   test("URL normalization is zero-shuffle; domain cap costs exactly one") {
     val docs = Tables(spark, sf, "documents")
     val norm = plan(docs.select(col("doc_id"),
