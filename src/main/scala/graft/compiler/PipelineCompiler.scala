@@ -221,7 +221,12 @@ object PipelineCompiler {
         // readiness alongside the count (cfg.Expression, resolved at
         // load; 0 = count-only)
         batchSizeBytes = outputConf.get("batch_size_bytes")
-          .map(_.toLong).getOrElse(0L))
+          .map(_.toLong).getOrElse(0L),
+        // `fatal_on_failed_insert` (every net sink, e.g.
+        // gelf.go:162,245): retry exhaustion without a dead queue
+        // fails the query instead of dropping
+        fatalOnFailedInsert = outputConf.get("fatal_on_failed_insert")
+          .exists(_.toBoolean))
     }
 
     /** Batch egress for net sinks: render the payload and push it

@@ -907,7 +907,8 @@ object Sinks {
                        retentionMs: Long = 0L,
                        retentionMultiplier: Double = 2.0,
                        sleeper: Long => Unit = ms => Thread.sleep(ms),
-                       batchSizeBytes: Long = 0L)
+                       batchSizeBytes: Long = 0L,
+                       fatalOnFailedInsert: Boolean = false)
   : (DataFrame, Long) => Unit = { (df, _epoch) =>
     val spark = df.sparkSession
     val failed = df.select(col(payloadCol)).rdd
@@ -972,7 +973,18 @@ object Sinks {
             write(failedDf)
           }
         } finally rows.unpersist(blocking = false)
-      case None => failed.count() // force evaluation; drop failures
+      case None =>
+        // force evaluation; then either die loudly or drop. The
+        // reference's `fatal_on_failed_insert` (gelf.go:245-249 and
+        // every sibling sink): retry exhaustion WITHOUT a dead queue
+        // logs at Fatal — process exit — when armed; the Spark analog
+        // fails the batch/streaming query instead of silently
+        // dropping. With a DLQ configured the flag is inert, exactly
+        // the reference's IsDeadQueueAvailable() guard above.
+        val n = failed.count()
+        if (fatalOnFailedInsert && n > 0) throw new IllegalStateException(
+          s"fatal_on_failed_insert: $n events still failing after " +
+            s"$retries retries and no dead queue is configured")
     }
   }
 }

@@ -2687,6 +2687,26 @@ class CompilerSpec extends AnyFunSuite {
   }
 
   test("output auth strategies render the reference's headers (loki tenant/bearer)") {
+    // `fatal_on_failed_insert` rides the YAML output conf: a dead
+    // endpoint with no DLQ fails send() loudly (gelf.go:245-249)
+    val deadPort = {
+      val s = new java.net.ServerSocket(0); val p = s.getLocalPort
+      s.close(); p
+    }
+    val fatalErr = intercept[Exception](PipelineCompiler.compile(spark,
+      s"""input: {type: fake, lines: ['{"m":"x"}']}
+         |decoder: {type: json, schema: "m string"}
+         |output:
+         |  type: http
+         |  endpoint: http://127.0.0.1:$deadPort/ingest
+         |  retry: 0
+         |  fatal_on_failed_insert: true
+         |""".stripMargin).send())
+    assert(Iterator.iterate[Throwable](fatalErr)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .exists(t => Option(t.getMessage)
+        .exists(_.contains("fatal_on_failed_insert"))), fatalErr.toString)
+
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
     val srv = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)

@@ -106,6 +106,33 @@ class SinkBackoffSpec extends AnyFunSuite {
       "DLQ payload routing unchanged by the backoff schedule")
   }
 
+  test("fatal_on_failed_insert: exhaustion fails the query without a DLQ, stays inert with one") {
+    // gelf.go:245-249 (and every sibling sink): FatalOnFailedInsert &&
+    // !IsDeadQueueAvailable → Fatal (process exit); DLQ available →
+    // plain error + Fail routing. Spark analog: throw from the batch fn.
+    import spark.implicits._
+    val df = Seq("f1").toDF("payload").coalesce(1)
+    val dead: Iterator[String] => Unit =
+      _ => throw new java.io.IOException("endpoint down")
+    val e = intercept[IllegalStateException] {
+      Sinks.foreachBatchSink("payload", batchSize = 10, retries = 1, dead,
+        dlq = None, sleeper = _ => (), fatalOnFailedInsert = true)(df, 0L)
+    }
+    assert(e.getMessage.contains("fatal_on_failed_insert") &&
+      e.getMessage.contains("no dead queue"))
+    // with a DLQ the flag is inert — events route, nothing throws
+    BackoffProbe.reset()
+    Sinks.foreachBatchSink("payload", batchSize = 10, retries = 1, dead,
+      dlq = Some(f => f.collect().map(_.getString(0))
+        .foreach(BackoffProbe.dlq.add)),
+      sleeper = _ => (), fatalOnFailedInsert = true)(df, 0L)
+    import scala.jdk.CollectionConverters._
+    assert(BackoffProbe.dlq.asScala.toSet == Set("f1"))
+    // unarmed (the default) keeps the historical drop behavior
+    Sinks.foreachBatchSink("payload", batchSize = 10, retries = 1, dead,
+      dlq = None, sleeper = _ => ())(df, 0L)
+  }
+
   test("retention 0 (the default) never invokes the sleeper — historical retry-immediately") {
     import spark.implicits._
     BackoffProbe.reset()
