@@ -3187,7 +3187,7 @@ object PipelineCompiler {
     }
     val twiceUsing = Set("repetition_gate", "exact_dedup", "duplicate_spans",
       "minhash_dedup", "simhash_dedup", "winnow_dedup", "line_dedup",
-      "semdedup", "domain_cap",
+      "semdedup", "prototype_prune", "domain_cap",
       "html_extract", "boilerplate_scrub", "decontaminate", "span_scrub",
       "source_quota", "classifier_gate", "dsir_upsample", "ccnet_bucket")
     val idxOuts = Seq.newBuilder[(String, DataFrame)]
@@ -3996,6 +3996,16 @@ object PipelineCompiler {
             graft.ml.Dedup.semDedup(df, id, vec, k = intOpt("k", 8), iters, tau)
         }
         keepIds(verdict, col("keep"))
+      case "prototype_prune" =>
+        // SSL-prototype pruning (q174, Sorscher et al. 2022): keep the
+        // hardest `keep_frac` of each embedding cluster by distance to
+        // its trained centroid — per-cluster rank, so coverage survives
+        val vec = Option(st.get("vec_col")).map(_.asText()).getOrElse("embedding")
+        val kept = graft.ml.Ann.prototypePrune(df, id, vec,
+          k = intOpt("k", 8), iters = intOpt("iters", 2),
+          keepFrac = Option(st.get("keep_frac")).map(_.asDouble())
+            .getOrElse(0.7))
+        df.join(kept.select(col(id)), Seq(id), "left_semi")
       case "nfc_normalize" =>
         // q154: Unicode canonical composition in place — per-row, zero
         // shuffle; run BEFORE any hashing/dedup stage so byte-different

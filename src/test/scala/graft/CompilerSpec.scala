@@ -1412,6 +1412,21 @@ class CompilerSpec extends AnyFunSuite {
     assert(sd.nonEmpty && sd.size < emb.count(),
       "semdedup must keep some and drop some near-duplicates")
 
+    // prototype_prune: YAML stage ≡ the q174 library call
+    val pp = PipelineCompiler.compileCuration(spark,
+      s"""curation:
+         |  input: {dir: "$dir", table: embeddings}
+         |  stages:
+         |    - {type: prototype_prune, id_col: vec_id, vec_col: embedding,
+         |       k: 8, iters: 2, keep_frac: 0.6}
+         |""".stripMargin)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ppDirect = graft.ml.Ann.prototypePrune(emb, "vec_id", "embedding",
+      k = 8, iters = 2, keepFrac = 0.6)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pp == ppDirect)
+    assert(pp.nonEmpty && pp.size < emb.count())
+
     // html_extract: replaces the text column with the extracted visible
     // text (plain text in → whitespace-collapsed text out)
     val he = PipelineCompiler.compileCuration(spark,
