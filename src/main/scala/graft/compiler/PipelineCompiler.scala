@@ -531,7 +531,11 @@ object PipelineCompiler {
           // (default 01-02-2006_15:04:05) — token-translated; a Java
           // pattern passes through (no Go tokens present)
           PipelineCompiler.goTimeLayoutToJava(
-            outputConf.getOrElse("time_layout", "MM-dd-yyyy_HH:mm:ss")))
+            outputConf.getOrElse("time_layout", "MM-dd-yyyy_HH:mm:ss")),
+          // `file_mode` (file.go:112, base-8 string e.g. "0644")
+          fileMode = outputConf.get("file_mode")
+            .map(m => Integer.parseInt(
+              m.stripPrefix("0o").stripPrefix("0O"), 8)).getOrElse(-1))
         graft.sinks.Sinks.fileRotating("value", rot)(
           df.select(to_json(col("doc")).as("value")), 0L)
       case "file" =>
@@ -628,7 +632,10 @@ object PipelineCompiler {
                 .map(PipelineCompiler.goDurationMillis))
               .getOrElse(3600 * 1000L),
             PipelineCompiler.goTimeLayoutToJava(
-              outputConf.getOrElse("time_layout", "MM-dd-yyyy_HH:mm:ss")))
+              outputConf.getOrElse("time_layout", "MM-dd-yyyy_HH:mm:ss")),
+            fileMode = outputConf.get("file_mode")
+              .map(m => Integer.parseInt(
+                m.stripPrefix("0o").stripPrefix("0O"), 8)).getOrElse(-1))
           rendered.writeStream
             .foreachBatch(graft.sinks.Sinks.fileRotating("value", rot))
             .option("checkpointLocation", ckpt).start()

@@ -29,7 +29,8 @@ import java.time.{Instant, ZoneOffset}
   */
 final class FileRotator(targetFile: String, retentionMs: Long,
                         layout: String = "MM-dd-yyyy_HH:mm:ss",
-                        clock: () => Long = System.currentTimeMillis) {
+                        clock: () => Long = System.currentTimeMillis,
+                        fileMode: Int = -1) {
 
   private val target = Paths.get(targetFile).toAbsolutePath
   private val dir: Path = target.getParent
@@ -79,7 +80,16 @@ final class FileRotator(targetFile: String, retentionMs: Long,
       case s if s.nonEmpty => s.toLong * 1000
       case _ => clock()
     }
-    if (!Files.exists(active)) Files.createFile(active)
+    if (!Files.exists(active)) {
+      Files.createFile(active)
+      // `file_mode` (file.go:112 cfg.Base8, applied at open(2) create):
+      // -1 (unset) leaves the JVM/umask default; an explicit mode sets
+      // the EXACT bits — deterministic, no umask subtraction (the one
+      // documented divergence from open(2) semantics)
+      if (fileMode >= 0)
+        try Files.setPosixFilePermissions(active, FileRotator.permsOf(fileMode))
+        catch { case _: UnsupportedOperationException => () }
+    }
   }
 
   def write(lines: Iterator[String]): Unit = {
@@ -107,5 +117,21 @@ final class FileRotator(targetFile: String, retentionMs: Long,
       def hasNext: Boolean = it.hasNext
       def next(): A = it.next()
     }
+  }
+}
+
+object FileRotator {
+  import java.nio.file.attribute.PosixFilePermission
+  import PosixFilePermission._
+
+  /** Octal mode int → POSIX permission set (cfg.Base8 `file_mode`). */
+  def permsOf(mode: Int): java.util.Set[PosixFilePermission] = {
+    val bits = Seq(
+      0x100 -> OWNER_READ, 0x80 -> OWNER_WRITE, 0x40 -> OWNER_EXECUTE,
+      0x20 -> GROUP_READ, 0x10 -> GROUP_WRITE, 0x8 -> GROUP_EXECUTE,
+      0x4 -> OTHERS_READ, 0x2 -> OTHERS_WRITE, 0x1 -> OTHERS_EXECUTE)
+    val out = new java.util.HashSet[PosixFilePermission]()
+    bits.foreach { case (b, perm) => if ((mode & b) != 0) out.add(perm) }
+    out
   }
 }

@@ -37,6 +37,25 @@ class FileRotatorSpec extends AnyFunSuite {
     assert(Files.readAllLines(dir.resolve(sealedName)).size() == 2)
   }
 
+  test("file_mode sets explicit POSIX bits on created files; seal preserves them") {
+    import java.nio.file.attribute.PosixFilePermission._
+    val dir = tmpDir()
+    var now = 1700000000000L
+    val r = new FileRotator(s"$dir/app.log", retentionMs = 1000L,
+      clock = () => now, fileMode = Integer.parseInt("640", 8))
+    val expected = java.util.Set.of(OWNER_READ, OWNER_WRITE, GROUP_READ)
+    assert(Files.getPosixFilePermissions(r.activeFile) == expected)
+    r.write(Iterator("x"))
+    now += 2000L
+    r.maybeSeal()                         // rename keeps the bits
+    val sealed0 = names(dir).find(_.startsWith("app_0_")).get
+    assert(Files.getPosixFilePermissions(dir.resolve(sealed0)) == expected)
+    // the fresh active file gets the mode too
+    assert(Files.getPosixFilePermissions(r.activeFile) == expected)
+    assert(FileRotator.permsOf(Integer.parseInt("777", 8)).size == 9)
+    assert(FileRotator.permsOf(0).isEmpty)
+  }
+
   test("sealing an empty active file is a no-op") {
     val dir = tmpDir()
     var now = 1700000000000L
