@@ -541,75 +541,79 @@ object PipelineCompiler {
       case "file" =>
         df.select(to_json(col("doc")).as("value"))
           .write.mode("overwrite").text(outputConf("dir"))
-      case "s3" =>
-        import graft.sinks.Sinks
-        // reference bucket routing (s3.go:27-36,364-450): `bucket` is
-        // the DEFAULT bucket name, `bucket_field_event` the doc field
-        // carrying a per-event override, `multi_buckets` the static
-        // extra buckets, `dynamic_buckets_limit` (default 32) caps
-        // on-the-fly buckets (past it events fall back to the default).
-        // The graft shorthand `bucket_field` (route purely by field)
-        // stays for existing configs.
-        val refRouting = outputConf.contains("bucket") ||
-          outputConf.contains("bucket_field_event")
-        val routed: (DataFrame, Column) =
-          if (refRouting) {
-            val defaultBucket = outputConf.getOrElse("bucket",
-              throw new IllegalArgumentException(
-                "output s3: bucket_field_event needs `bucket` (the " +
-                  "default bucket name)"))
-            val fieldCol = outputConf.get("bucket_field_event") match {
-              // Dig-miss (field absent from the doc schema) routes to
-              // the default bucket like the reference's nil Dig
-              case Some(f) => df.schema("doc").dataType match {
-                case s: StructType if s.fieldNames.contains(f) =>
-                  col("doc").getField(f).cast("string")
-                case _ => lit(null).cast("string")
-              }
-              case None => lit(null).cast("string")
-            }
-            val statics = outputConf.get("multi_buckets").map { s =>
-              PipelineCompiler.yaml.readTree(s).elements().asScala
-                .map(b => b.get("bucket").asText()).toSeq
-            }.getOrElse(Nil)
-            val dynLimit = outputConf.get("dynamic_buckets_limit")
-              .map(_.toInt).getOrElse(32)
-            val ordered = df.withColumn("_s3ord",
-              if (df.columns.contains("_pg_ord")) col("_pg_ord")
-              else monotonically_increasing_id())
-            (Sinks.s3BucketResolve(ordered, fieldCol, col("_s3ord"),
-              defaultBucket, statics, dynLimit).drop("_s3ord"),
-              col("_bucket"))
-          } else (df, lit(null)) // legacy: bucket column resolved per leg
-        val (routedDf, _) = routed
-        val legacyField = outputConf.getOrElse("bucket_field", "bucket")
-        // compression_type: zip = the reference's one-.zip-per-object
-        // semantics (s3.go:166-251); gzip = the Spark-native .json.gz
-        // codec layout; absent/none = plain NDJSON objects
-        outputConf.getOrElse("compression_type", "none") match {
-          case "zip" =>
-            // fields still live inside the envelope's doc struct here
-            Sinks.s3ZipObjectsSink(outputConf("path"),
-              if (refRouting) col("_bucket") else col(s"doc.$legacyField"),
-              outputConf.get("time_field").map(f => col(s"doc.$f"))
-                .getOrElse(current_timestamp()),
-              to_json(col("doc")))(routedDf, 0L)
-          case c =>
-            val flat =
-              if (refRouting)
-                routedDf.select(col("_bucket") +: routedDf.select(col("doc.*"))
-                  .columns.map(n => col(s"doc.$n")).toSeq: _*)
-              else routedDf.select(col("doc.*"))
-            Sinks.s3Write(flat, outputConf("path"),
-              if (refRouting) col("_bucket") else col(legacyField),
-              outputConf.get("time_field").map(f => col(f))
-                .getOrElse(current_timestamp()),
-              compression = Some(c).filter(_ != "none"))
-        }
+      case "s3" => s3SinkFn(df, 0L)
       case _ =>
         payload().write.mode("overwrite").text(
           outputConf.getOrElse("dir",
             java.nio.file.Files.createTempDirectory("graft_out").toString))
+    }
+
+    /** The s3 writer as a per-epoch function — shared by the batch
+      * `write()` and the streaming `foreachBatch` leg (all its layouts
+      * append, so epochs compose). */
+    private def s3SinkFn: (DataFrame, Long) => Unit = { (bdf, _epoch) =>
+      import graft.sinks.Sinks
+      // reference bucket routing (s3.go:27-36,364-450): `bucket` is
+      // the DEFAULT bucket name, `bucket_field_event` the doc field
+      // carrying a per-event override, `multi_buckets` the static
+      // extra buckets, `dynamic_buckets_limit` (default 32) caps
+      // on-the-fly buckets (past it events fall back to the default).
+      // The graft shorthand `bucket_field` (route purely by field)
+      // stays for existing configs.
+      val refRouting = outputConf.contains("bucket") ||
+        outputConf.contains("bucket_field_event")
+      val routedDf: DataFrame =
+        if (refRouting) {
+          val defaultBucket = outputConf.getOrElse("bucket",
+            throw new IllegalArgumentException(
+              "output s3: bucket_field_event needs `bucket` (the " +
+                "default bucket name)"))
+          val fieldCol = outputConf.get("bucket_field_event") match {
+            // Dig-miss (field absent from the doc schema) routes to
+            // the default bucket like the reference's nil Dig
+            case Some(f) => bdf.schema("doc").dataType match {
+              case s: StructType if s.fieldNames.contains(f) =>
+                col("doc").getField(f).cast("string")
+              case _ => lit(null).cast("string")
+            }
+            case None => lit(null).cast("string")
+          }
+          val statics = outputConf.get("multi_buckets").map { s =>
+            PipelineCompiler.yaml.readTree(s).elements().asScala
+              .map(b => b.get("bucket").asText()).toSeq
+          }.getOrElse(Nil)
+          val dynLimit = outputConf.get("dynamic_buckets_limit")
+            .map(_.toInt).getOrElse(32)
+          val ordered = bdf.withColumn("_s3ord",
+            if (bdf.columns.contains("_pg_ord")) col("_pg_ord")
+            else monotonically_increasing_id())
+          Sinks.s3BucketResolve(ordered, fieldCol, col("_s3ord"),
+            defaultBucket, statics, dynLimit).drop("_s3ord")
+        } else bdf // legacy: bucket column resolved per leg
+      val legacyField = outputConf.getOrElse("bucket_field", "bucket")
+      // compression_type: zip = the reference's one-.zip-per-object
+      // semantics (s3.go:166-251); gzip = the Spark-native .json.gz
+      // codec layout; absent/none = plain NDJSON objects
+      outputConf.getOrElse("compression_type", "none") match {
+        case "zip" =>
+          // fields still live inside the envelope's doc struct here
+          Sinks.s3ZipObjectsSink(outputConf("path"),
+            if (refRouting) col("_bucket") else col(s"doc.$legacyField"),
+            outputConf.get("time_field").map(f => col(s"doc.$f"))
+              .getOrElse(current_timestamp()),
+            to_json(col("doc")))(routedDf, 0L)
+        case c =>
+          val flat =
+            if (refRouting)
+              routedDf.select(col("_bucket") +: routedDf.select(col("doc.*"))
+                .columns.map(n => col(s"doc.$n")).toSeq: _*)
+            else routedDf.select(col("doc.*"))
+          Sinks.s3Write(flat, outputConf("path"),
+            if (refRouting) col("_bucket") else col(legacyField),
+            outputConf.get("time_field").map(f => col(f))
+              .getOrElse(current_timestamp()),
+            compression = Some(c).filter(_ != "none"))
+      }
     }
 
     /** Streaming run: wires the compiled chain to its configured sink and
@@ -667,6 +671,21 @@ object PipelineCompiler {
         case "elasticsearch" | "gelf" | "splunk" | "loki" | "http" | "socket" =>
           payload().writeStream
             .foreachBatch(netSinkFn)
+            .option("checkpointLocation", ckpt).start()
+        case "s3" =>
+          // per-epoch append through the shared s3 writer (bucket
+          // routing, zip/gzip layouts) — previously a silent noop
+          df.writeStream
+            .foreachBatch(s3SinkFn)
+            .option("checkpointLocation", ckpt).start()
+        case "postgres" | "clickhouse" =>
+          // the rendered insert payload (the oracled wire surface)
+          // appends per epoch where the batch leg overwrote once
+          val dir = outputConf.getOrElse("dir",
+            java.nio.file.Files.createTempDirectory("graft_out").toString)
+          payload().writeStream
+            .foreachBatch((d: DataFrame, _: Long) =>
+              d.write.mode("append").text(dir))
             .option("checkpointLocation", ckpt).start()
         case _ =>
           rendered.writeStream.format("noop")

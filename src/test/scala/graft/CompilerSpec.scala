@@ -488,6 +488,42 @@ class CompilerSpec extends AnyFunSuite {
          |""".stripMargin))
   }
 
+  test("streaming s3 and clickhouse outputs write per epoch (were silent noops)") {
+    val dir = java.nio.file.Files.createTempDirectory("s3_stream_in")
+    java.nio.file.Files.write(dir.resolve("a.json"),
+      "{\"bucket_name\":\"click\",\"m\":\"1\"}\n{\"m\":\"2\"}\n".getBytes("UTF-8"))
+    val out = java.nio.file.Files.createTempDirectory("s3_stream_out")
+    val q = PipelineCompiler.compile(spark,
+      s"""input: {type: file, dir: "$dir", streaming: true}
+         |decoder: {type: json, schema: "bucket_name string, m string"}
+         |output:
+         |  type: s3
+         |  path: "$out"
+         |  bucket: logs-default
+         |  bucket_field_event: bucket_name
+         |""".stripMargin).startStream()
+    try q.processAllAvailable() finally q.stop()
+    val byBucket = spark.read.json(out.toString)
+      .selectExpr("_bucket", "m").collect()
+      .map(r => r.getString(1) -> r.getString(0)).toMap
+    assert(byBucket == Map("1" -> "click", "2" -> "logs-default"))
+
+    val chOut = java.nio.file.Files.createTempDirectory("ch_stream_out")
+    val q2 = PipelineCompiler.compile(spark,
+      s"""input: {type: file, dir: "$dir", streaming: true}
+         |decoder: {type: json, schema: "bucket_name string, m string"}
+         |output:
+         |  type: clickhouse
+         |  dir: "$chOut"
+         |  columns:
+         |    - {name: m, type: String}
+         |""".stripMargin).startStream()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.text(chOut.toString).collect()
+      .map(_.getString(0)).sorted
+    assert(rows.toSeq == Seq("{\"m\":\"1\"}", "{\"m\":\"2\"}"), rows.toSeq)
+  }
+
   test("k8s input file_config customizes the nested file leg (k8s.go:119,226)") {
     // filename_pattern narrows discovery; streaming + file_config reads
     // via graft-tail (offsets_op/remove_after semantics ride along)
