@@ -542,6 +542,11 @@ object PipelineCompiler {
         df.select(to_json(col("doc")).as("value"))
           .write.mode("overwrite").text(outputConf("dir"))
       case "s3" => s3SinkFn(df, 0L)
+      case "stdout" =>
+        // the reference's stdout debug sink prints every event to the
+        // process stdout (plugin/output/stdout) — driver-side by design
+        df.select(to_json(col("doc")).as("value")).collect()
+          .foreach(r => println(r.getString(0)))
       case _ =>
         payload().write.mode("overwrite").text(
           outputConf.getOrElse("dir",
@@ -648,7 +653,7 @@ object PipelineCompiler {
             .option("path", outputConf("dir"))
             .option("checkpointLocation", ckpt)
             .start()
-        case "console" =>
+        case "console" | "stdout" =>
           rendered.writeStream.format("console")
             .option("checkpointLocation", ckpt).start()
         case "memory" =>

@@ -488,6 +488,19 @@ class CompilerSpec extends AnyFunSuite {
          |""".stripMargin))
   }
 
+  test("stdout output prints events to the process stdout (reference debug sink)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos)) {
+      PipelineCompiler.compile(spark,
+        """input: {type: fake, lines: ['{"m":"x1"}', '{"m":"x2"}']}
+          |decoder: {type: json, schema: "m string"}
+          |output: {type: stdout}
+          |""".stripMargin).write()
+    }
+    val out = bos.toString("UTF-8")
+    assert(out.contains("\"m\":\"x1\"") && out.contains("\"m\":\"x2\""), out)
+  }
+
   test("streaming s3 and clickhouse outputs write per epoch (were silent noops)") {
     val dir = java.nio.file.Files.createTempDirectory("s3_stream_in")
     java.nio.file.Files.write(dir.resolve("a.json"),
