@@ -679,7 +679,11 @@ object PipelineCompiler {
             .option("checkpointLocation", ckpt).start()
         case "s3" =>
           // per-epoch append through the shared s3 writer (bucket
-          // routing, zip/gzip layouts) — previously a silent noop
+          // routing, zip/gzip layouts) — previously a silent noop.
+          // Divergence: the dynamic-bucket limiter admits per EPOCH
+          // (the reference's limiter lives for the process) — a
+          // bucket over the limit in one epoch can be admitted in a
+          // later one; the cap still bounds buckets-per-epoch
           df.writeStream
             .foreachBatch(s3SinkFn)
             .option("checkpointLocation", ckpt).start()
@@ -1530,7 +1534,12 @@ object PipelineCompiler {
                            isStrict: Boolean = false): Column =
     n.get("type").asText() match {
       case "json" =>
-        val schema = DataType.fromDDL(n.get("schema").asText()).asInstanceOf[StructType]
+        val schema = DataType.fromDDL(Option(n.get("schema")).map(_.asText())
+          .getOrElse(throw new IllegalArgumentException(
+            "decoder json: missing required field `schema` (a Spark DDL " +
+              "struct, e.g. \"level string, msg string\") — the " +
+              "reference's schemaless decode maps to an explicit schema " +
+              "here"))).asInstanceOf[StructType]
         val maxSizes = Option(n.get("json_max_fields_size"))
           .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asInt()).toMap)
           .getOrElse(Map.empty[String, Int])

@@ -1089,6 +1089,18 @@ class CompilerSpec extends AnyFunSuite {
     assert(multi("audit").outputType == "lake")
     assert(multi("audit").df.isStreaming)
 
+    // file.d offsets migration: tail input + offsets_file + inode meta
+    val migDir = Files.createTempDirectory("mig_logs")
+    Files.write(migDir.resolve("app.log"),
+      "{\"level\":\"error\",\"m\":\"x\"}\n".getBytes("UTF-8"))
+    val mig = PipelineCompiler.compile(spark,
+      example("filed_offsets_migration.yaml")
+        .replace("/var/log/app", migDir.toString)
+        .replace("/var/lib/file.d/offsets.yaml",
+          migDir.resolve("offsets.yaml").toString))
+    assert(mig.df.isStreaming, "tail input must compile to a stream")
+    assert(mig.outputType == "elasticsearch")
+
     // k8s CRI: fixture spool dir
     val criDir = Files.createTempDirectory("graft_cri")
     Files.write(criDir.resolve("pod_ns_c.log"), java.util.Arrays.asList(
