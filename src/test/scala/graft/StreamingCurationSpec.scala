@@ -788,6 +788,16 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("the curation_streaming example compiles end to end (stage list stays valid)") {
+    val landing = java.nio.file.Files.createTempDirectory("cur_ex_in").toString
+    landDocs(landing, Seq((1L, "web", goodText * 2)))
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/curation_streaming.yaml")), "UTF-8")
+      .replace("/data/landing", landing)
+    val df = compiler.PipelineCompiler.compileCurationStream(spark, yaml)
+    assert(df.isStreaming, "the example must compile to a stream")
+  }
+
   test("compiled stream: nfc_normalize rewrites per row, verdict-identical to the batch stage") {
     val dir = java.nio.file.Files.createTempDirectory("cur_stream_nfc").toString
     // decomposed sequences: e+combining acute, A+combining ring
