@@ -522,36 +522,54 @@ object PipelineCompiler {
       case "file" if outputConf.contains("target_file") =>
         // single-file seal/rename contract (file.go) — the reference's
         // exact rotation; `dir` layout below is the distributed path
-        val rot = new graft.sinks.FileRotator(outputConf("target_file"),
-          outputConf.get("retention_interval_ms").map(_.toLong)
-            .orElse(outputConf.get("retention_interval") // file.go:76
-              .map(PipelineCompiler.goDurationMillis))
-            .getOrElse(3600 * 1000L),
-          // `time_layout` (file.go:82) is a Go reference-time layout
-          // (default 01-02-2006_15:04:05) — token-translated; a Java
-          // pattern passes through (no Go tokens present)
-          PipelineCompiler.goTimeLayoutToJava(
-            outputConf.getOrElse("time_layout", "MM-dd-yyyy_HH:mm:ss")),
-          // `file_mode` (file.go:112, base-8 string e.g. "0644")
-          fileMode = outputConf.get("file_mode")
-            .map(m => Integer.parseInt(
-              m.stripPrefix("0o").stripPrefix("0O"), 8)).getOrElse(-1))
-        graft.sinks.Sinks.fileRotating("value", rot)(
+        graft.sinks.Sinks.fileRotating("value", rotatorFromConf)(
           df.select(to_json(col("doc")).as("value")), 0L)
       case "file" =>
         df.select(to_json(col("doc")).as("value"))
           .write.mode("overwrite").text(outputConf("dir"))
       case "s3" => s3SinkFn(df, 0L)
       case "stdout" =>
-        // the reference's stdout debug sink prints every event to the
-        // process stdout (plugin/output/stdout) — driver-side by design
-        df.select(to_json(col("doc")).as("value")).collect()
-          .foreach(r => println(r.getString(0)))
+        stdoutPrint(df.select(to_json(col("doc")).as("value")))
       case _ =>
         payload().write.mode("overwrite").text(
           outputConf.getOrElse("dir",
             java.nio.file.Files.createTempDirectory("graft_out").toString))
     }
+
+    /** The reference's stdout debug sink prints every event to the
+      * process stdout (plugin/output/stdout) — driver-side by design;
+      * toLocalIterator holds one partition at a time so a large output
+      * streams through instead of materializing on the driver. */
+    private def stdoutPrint(rendered: DataFrame): Unit = {
+      val it = rendered.toLocalIterator()
+      while (it.hasNext) println(it.next().getString(0))
+    }
+
+    /** One FileRotator from the output conf — shared by the batch and
+      * streaming `target_file` legs so knobs can't drift between them. */
+    private def rotatorFromConf: graft.sinks.FileRotator =
+      new graft.sinks.FileRotator(outputConf("target_file"),
+        outputConf.get("retention_interval_ms").map(_.toLong)
+          .orElse(outputConf.get("retention_interval") // file.go:76
+            .map(PipelineCompiler.goDurationMillis))
+          .getOrElse(3600 * 1000L),
+        // `time_layout` (file.go:82) is a Go reference-time layout
+        // (default 01-02-2006_15:04:05) — token-translated; a Java
+        // pattern passes through (no Go tokens present)
+        PipelineCompiler.goTimeLayoutToJava(
+          outputConf.getOrElse("time_layout", "MM-dd-yyyy_HH:mm:ss")),
+        // `file_mode` (file.go:112 cfg.Base8). YAML 1.1 already parses
+        // an UNQUOTED leading-zero literal as octal (`file_mode: 0644`
+        // reaches the flattened conf as the decimal string "420"), so:
+        // a leading-zero/0o string parses base-8 (the reference's
+        // quoted spelling), anything else is the already-resolved
+        // decimal value. A quoted zero-less "644" is therefore decimal
+        // — spell modes with the leading zero.
+        fileMode = outputConf.get("file_mode").map { m =>
+          if (m.startsWith("0") && m.length > 1)
+            Integer.parseInt(m.stripPrefix("0o").stripPrefix("0O"), 8)
+          else Integer.parseInt(m)
+        }.getOrElse(-1))
 
     /** The s3 writer as a per-epoch function — shared by the batch
       * `write()` and the streaming `foreachBatch` leg (all its layouts
@@ -601,12 +619,15 @@ object PipelineCompiler {
       // codec layout; absent/none = plain NDJSON objects
       outputConf.getOrElse("compression_type", "none") match {
         case "zip" =>
-          // fields still live inside the envelope's doc struct here
+          // fields still live inside the envelope's doc struct here;
+          // the REAL epoch rides into the object names
+          // (`<epoch>_<task>_<seq>.zip`) so streaming micro-batches
+          // never clobber a prior epoch's objects
           Sinks.s3ZipObjectsSink(outputConf("path"),
             if (refRouting) col("_bucket") else col(s"doc.$legacyField"),
             outputConf.get("time_field").map(f => col(s"doc.$f"))
               .getOrElse(current_timestamp()),
-            to_json(col("doc")))(routedDf, 0L)
+            to_json(col("doc")))(routedDf, _epoch)
         case c =>
           val flat =
             if (refRouting)
@@ -635,26 +656,24 @@ object PipelineCompiler {
         .select(to_json(col("doc")).as("value"))
       outputType match {
         case "file" if outputConf.contains("target_file") =>
-          val rot = new graft.sinks.FileRotator(outputConf("target_file"),
-            outputConf.get("retention_interval_ms").map(_.toLong)
-              .orElse(outputConf.get("retention_interval") // file.go:76
-                .map(PipelineCompiler.goDurationMillis))
-              .getOrElse(3600 * 1000L),
-            PipelineCompiler.goTimeLayoutToJava(
-              outputConf.getOrElse("time_layout", "MM-dd-yyyy_HH:mm:ss")),
-            fileMode = outputConf.get("file_mode")
-              .map(m => Integer.parseInt(
-                m.stripPrefix("0o").stripPrefix("0O"), 8)).getOrElse(-1))
           rendered.writeStream
-            .foreachBatch(graft.sinks.Sinks.fileRotating("value", rot))
+            .foreachBatch(graft.sinks.Sinks.fileRotating("value",
+              rotatorFromConf))
             .option("checkpointLocation", ckpt).start()
         case "file" =>
           rendered.writeStream.format("text")
             .option("path", outputConf("dir"))
             .option("checkpointLocation", ckpt)
             .start()
-        case "console" | "stdout" =>
+        case "console" =>
           rendered.writeStream.format("console")
+            .option("checkpointLocation", ckpt).start()
+        case "stdout" =>
+          // EVERY event, full content — the console sink's default
+          // 20-truncated-rows table is a debugging view, not the
+          // reference's print-each-event stdout sink
+          rendered.writeStream
+            .foreachBatch((d: DataFrame, _: Long) => stdoutPrint(d))
             .option("checkpointLocation", ckpt).start()
         case "memory" =>
           rendered.writeStream.format("memory")
@@ -1534,7 +1553,8 @@ object PipelineCompiler {
                            isStrict: Boolean = false): Column =
     n.get("type").asText() match {
       case "json" =>
-        val schema = DataType.fromDDL(Option(n.get("schema")).map(_.asText())
+        val schema = DataType.fromDDL(Option(n.get("schema"))
+          .filter(!_.isNull).map(_.asText())
           .getOrElse(throw new IllegalArgumentException(
             "decoder json: missing required field `schema` (a Spark DDL " +
               "struct, e.g. \"level string, msg string\") — the " +

@@ -81,14 +81,23 @@ final class FileRotator(targetFile: String, retentionMs: Long,
       case _ => clock()
     }
     if (!Files.exists(active)) {
-      Files.createFile(active)
       // `file_mode` (file.go:112 cfg.Base8, applied at open(2) create):
       // -1 (unset) leaves the JVM/umask default; an explicit mode sets
       // the EXACT bits — deterministic, no umask subtraction (the one
-      // documented divergence from open(2) semantics)
+      // documented divergence from open(2) semantics). The mode rides
+      // the CREATE call (no umask-default window for a restrictive
+      // mode like 0600), then an exact chmod clears any umask the
+      // attribute form still applied.
       if (fileMode >= 0)
-        try Files.setPosixFilePermissions(active, FileRotator.permsOf(fileMode))
-        catch { case _: UnsupportedOperationException => () }
+        try {
+          val perms = FileRotator.permsOf(fileMode)
+          Files.createFile(active,
+            java.nio.file.attribute.PosixFilePermissions.asFileAttribute(perms))
+          Files.setPosixFilePermissions(active, perms)
+        } catch {
+          case _: UnsupportedOperationException => Files.createFile(active)
+        }
+      else Files.createFile(active)
     }
   }
 

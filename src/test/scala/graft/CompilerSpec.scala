@@ -764,6 +764,21 @@ class CompilerSpec extends AnyFunSuite {
     assert(files.length == 1 && files.head.matches(".*/\\d+_app\\.log"))
     assert(Files.readAllLines(
       java.nio.file.Paths.get(files.head)).size() == 2)
+
+    // file_mode: UNQUOTED YAML octal (Jackson resolves 0640 → decimal
+    // 416 before the conf flattens) and the quoted reference spelling
+    // both land the same bits
+    import java.nio.file.attribute.PosixFilePermission._
+    for ((spelling, tag) <- Seq("0640" -> "q", "\"0640\"" -> "uq")) {
+      val d2 = Files.createTempDirectory(s"rotmode_$tag")
+      PipelineCompiler.compile(spark, yaml
+        .replace(s"$dir/app.log", s"$d2/app.log")
+        + s"  file_mode: $spelling\n").write()
+      val f = Files.list(d2).toArray.map(_.toString).head
+      assert(Files.getPosixFilePermissions(java.nio.file.Paths.get(f)) ==
+        java.util.Set.of(OWNER_READ, OWNER_WRITE, GROUP_READ),
+        s"spelling $spelling")
+    }
   }
 
   test("sink payload renders the configured wire format") {
