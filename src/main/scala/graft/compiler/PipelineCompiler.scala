@@ -175,7 +175,10 @@ object PipelineCompiler {
               l.get("label").asText() -> l.get("value").asText()).toMap
           }.getOrElse(Map.empty)
           Some(graft.sinks.Sinks.lokiTransport(pushUrl, labels,
-            authHeaders ++ ctHeaders))
+            authHeaders ++ ctHeaders,
+            // `use_gzip` is the graft http-leg knob (no reference loki
+            // analog) — honored here like the legacy NDJSON loki leg
+            gzip = outputConf.get("use_gzip").exists(_.toBoolean)))
         } else None
       val baseTransport = lokiPush.getOrElse(outputConf.get("endpoint") match {
         case Some(url) if url.startsWith("http://") || url.startsWith("https://") =>
@@ -1066,6 +1069,13 @@ object PipelineCompiler {
       else {
         graft.playground.SampleWatch.register(pipelineName,
           actions.map(_.toString))
+        // the tap's armed flag/queue are JVM-local (see SampleWatch
+        // Scaladoc) — on a non-local master /sample degrades to the
+        // timeout 500; say so once at compile instead of silently
+        if (!spark.sparkContext.isLocal)
+          Console.err.println(s"[graft] pipeline `$pipelineName`: " +
+            "/sample live tap requires a local master — on a cluster " +
+            "the endpoint will answer the 5s-timeout 500")
         val nm = pipelineName
         val armedU = udf(() => graft.playground.SampleWatch.armed)
           .asNondeterministic()
@@ -1337,7 +1347,12 @@ object PipelineCompiler {
                 tr = tr.option("include", k8sPats("include").mkString(","))
               if (k8sPats("exclude").nonEmpty)
                 tr = tr.option("exclude", k8sPats("exclude").mkString(","))
-              tr.load().select(col("value"), col("source_name"))
+              // `offset` (the in-file byte position) rides along: it is
+              // the true per-source order the chunk assembly sorts on
+              // when a catch-up read is sliced across partitions —
+              // decorateK8sInput consumes and drops it
+              tr.load().select(col("value"), col("source_name"),
+                col("offset"))
             case None => Sources.fileStream(spark, dir, k8sGlob)
           }
         else Sources.fileBatch(spark, dir, k8sGlob)
@@ -1645,6 +1660,53 @@ object PipelineCompiler {
 
   /** Resolver for predicates: doc fields by path, with envelope columns
     * (value, source_name) reachable under their own names. */
+  /** One throttle `rules:` entry: (conditions, limit, limit_kind). */
+  private type ThrottleRuleSpec = (Seq[(String, String)], Long, String)
+
+  /** Parse throttle `rules:` (throttle.go:118-124,455-478 + rule.go)
+    * into specs, appending the implicit last rule that carries the
+    * action defaults (throttle.go:474-478) — shared by the streaming
+    * and batch legs so condition semantics can't drift. */
+  private def throttleRuleSpecs(rn: JsonNode, defaultLimit: Long,
+                                defaultKind: String): Seq[ThrottleRuleSpec] =
+    rn.elements().asScala.toSeq.map { r =>
+      require(r.get("limit_distribution") == null,
+        "throttle rules: per-rule limit_distribution is not " +
+          "supported — use the action-level limit_distribution")
+      val conds = Option(r.get("conditions"))
+        .map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toSeq)
+        .getOrElse(Nil)
+      (conds,
+        Option(r.get("limit")).map(_.asLong()).getOrElse(0L),
+        Option(r.get("limit_kind")).map(_.asText()).getOrElse("count"))
+    } :+ ((Nil, defaultLimit, defaultKind))
+
+  /** A rule's condition column: every condition matches by exact
+    * string equality on the doc field, a missing field reads ""
+    * (rule.go:50-56 AsString Dig-miss). */
+  private def throttleRuleMatch(df: DataFrame,
+                                conds: Seq[(String, String)]): Column = {
+    def docFieldStr(n: String): Column = df.schema("doc").dataType match {
+      case s: StructType if s.fieldNames.contains(n) =>
+        coalesce(col("doc").getField(n).cast("string"), lit(""))
+      case _ => lit("")
+    }
+    if (conds.isEmpty) lit(true)
+    else conds.map { case (f, v) => docFieldStr(f) === v }.reduce(_ && _)
+  }
+
+  /** First-match when-cascade over the rule list. `init` types the
+    * chain; it never surfaces because the implicit default rule always
+    * matches. */
+  private def throttleRuleCascade(df: DataFrame, specs: Seq[ThrottleRuleSpec],
+                                  init: Column)
+                                 (value: (ThrottleRuleSpec, Int) => Column)
+  : Column =
+    specs.zipWithIndex.foldRight(init) { case ((spec, i), acc) =>
+      when(throttleRuleMatch(df, spec._1), value(spec, i)).otherwise(acc)
+    }
+
   /** The (doc, source_name) envelope as JSON + its schema — how events
     * ride through the typed streaming kernels and come back. */
   private def envelopeType(df: DataFrame): StructType =
@@ -1801,19 +1863,30 @@ object PipelineCompiler {
       .getOrElse(1000000L)
     val joined =
       if (hasChunkCols && !based.isStreaming) {
+        // order key = (block start, partition-local id): a file bigger
+        // than one split keeps its true in-file chunk order even when
+        // Spark's size-ordered split planning scatters the slices
+        // across partitions (monotonically_increasing_id alone orders
+        // by partition INDEX, which does not follow file position)
         graft.state.SeqOps.criChunkJoin(
-          based.withColumn("_kord", monotonically_increasing_id()),
+          based.withColumn("_kord",
+            struct(input_file_block_start(), monotonically_increasing_id())),
           Seq("source_name"), "_kord",
           col("doc").getField("log").cast("string"),
           coalesce(col("doc").getField("partial"), lit(false)),
           splitSize).drop("_kord")
       } else if (hasChunkCols && based.isStreaming) {
         // streaming leg: the criChunkAssembly kernel replicates the
-        // batch split boundaries; per-source arrival order is the
-        // in-batch order (stable sort on the constant seq)
+        // batch split boundaries; per-source order is the tail source's
+        // in-file byte `offset` when the graft-tail leg provides it (a
+        // sliced catch-up read shuffles partitions into the group in
+        // arbitrary fetch order), else the in-batch arrival order
+        // (stable sort on the constant seq)
         val t = envelopeType(based)
+        val seqCol =
+          if (based.columns.contains("offset")) col("offset") else lit(0L)
         val ds = based.select(col("source_name").as("key"),
-            lit(0L).as("seq"),
+            seqCol.cast("long").as("seq"),
             col("doc").getField("log").cast("string").as("value"),
             coalesce(col("doc").getField("partial"), lit(false)).as("partial"),
             envelopeJson.as("carry"))
@@ -1825,20 +1898,25 @@ object PipelineCompiler {
             from_json(col("carry"), t).getField("doc")
               .withField("log", col("value")).as("doc"),
             from_json(col("carry"), t).getField("source_name").as("source_name"))
+        // the assembly consumed the order column; the non-assembly
+        // branches drop it below so the frame shape downstream of the
+        // k8s input is the same either way
       } else based
+    val joinedNoOrd =
+      if (joined.columns.contains("offset")) joined.drop("offset") else joined
     meta match {
       case Some(mm) if !onlyNode && mm.pods.nonEmpty =>
         val labelNames = mm.pods.flatMap(_.labels.keys).distinct.sorted
           .filter(k => allowedPod.isEmpty || allowedPod(k))
-        if (labelNames.isEmpty) joined
+        if (labelNames.isEmpty) joinedNoOrd
         else {
-          val spark = joined.sparkSession
+          val spark = joinedNoOrd.sparkSession
           import spark.implicits._
           val dim = mm.pods
             .map(p => (p.namespace, p.pod, p.containerId,
               labelNames.map(p.labels.get(_).orNull)))
             .toDF("_k8s_ns", "_k8s_pod", "_k8s_cid", "_k8s_lvals")
-          val withLabels = joined.join(broadcast(dim),
+          val withLabels = joinedNoOrd.join(broadcast(dim),
             col("doc.k8s_namespace") === col("_k8s_ns") &&
               col("doc.k8s_pod") === col("_k8s_pod") &&
               col("doc.k8s_container_id") === col("_k8s_cid"), "left")
@@ -1850,7 +1928,7 @@ object PipelineCompiler {
           withLabels.withColumn("doc", doc3)
             .drop("_k8s_ns", "_k8s_pod", "_k8s_cid", "_k8s_lvals")
         }
-      case _ => joined
+      case _ => joinedNoOrd
     }
   }
 
@@ -2572,8 +2650,15 @@ object PipelineCompiler {
       case "throttle" if df.isStreaming =>
         val t = envelopeType(df)
         val tsF = Option(action.get("time_field")).map(_.asText()).getOrElse("time")
+        // a missing/empty throttle_field value falls back to the
+        // literal default key (throttle.go:535-541) — which also keeps
+        // the kernel key non-null when `rules:` prefixes it (concat
+        // null-poisons, and ThrottleCfg parses the key)
         val key = Option(action.get("throttle_field"))
-          .map(f => col("doc").getField(f.asText()).cast("string"))
+          .map { f =>
+            val v = col("doc").getField(f.asText()).cast("string")
+            when(v.isNotNull && length(v) > 0, v).otherwise(lit("default"))
+          }
           .getOrElse(col("source_name"))
         // reference spellings accepted alongside the _seconds shorthand:
         // `bucket_interval: 1m` (cfg.Duration, throttle.go:113, default
@@ -2609,6 +2694,12 @@ object PipelineCompiler {
         // `sync_interval` has elapsed (graft.state.RedisThrottle)
         if (Option(action.get("limiter_backend")).map(_.asText())
             .getOrElse("memory") == "redis") {
+          // the reference gives every rule its own redis-synced limiter;
+          // the graft redis kernel is action-scoped — reject instead of
+          // silently throttling everything under the action default
+          require(action.get("rules") == null,
+            "throttle: `rules:` with limiter_backend: redis is not " +
+              "supported — use the memory backend for per-rule limits")
           val kind = Option(action.get("limit_kind")).map(_.asText())
             .getOrElse("count")
           val throttleFieldSel =
@@ -2617,8 +2708,10 @@ object PipelineCompiler {
             pipelineName, throttleFieldSel.getOrElse(""), intervalMs,
             bucketsCount, limit, kind)
           val redisKey = throttleFieldSel
-            .map(f => coalesce(col("doc").getField(f).cast("string"),
-              lit("default")))
+            .map { f => // empty reads as default too (throttle.go:535-541)
+              val v = col("doc").getField(f).cast("string")
+              when(v.isNotNull && length(v) > 0, v).otherwise(lit("default"))
+            }
             .getOrElse(lit("default")) // throttle.go:20 defaultThrottleKey
           val weight =
             if (kind == "size") {
@@ -2674,53 +2767,24 @@ object PipelineCompiler {
             // the rule index as a `<idx>:` prefix (≙ the reference's
             // 'a'+ruleNum limiter name part) so every (rule, key) pair
             // owns its own window, and the event weight follows the
-            // MATCHED rule's kind
-            val ruleNodes = Option(action.get("rules"))
-              .filter(_.size() > 0)
-              .map(_.elements().asScala.toSeq).getOrElse(Nil)
-            val (memKey, memWeight, kernelRules) =
-              if (ruleNodes.isEmpty) {
-                (key, if (memKind == "size") sizeW else lit(1), Nil)
-              } else {
-                def docFieldStr(n: String): Column =
-                  df.schema("doc").dataType match {
-                    case s: StructType if s.fieldNames.contains(n) =>
-                      coalesce(col("doc").getField(n).cast("string"), lit(""))
-                    case _ => lit("") // Dig-miss reads "" (rule.go:50-56)
-                  }
-                val specs = ruleNodes.map { r =>
-                  require(r.get("limit_distribution") == null,
-                    "throttle rules: per-rule limit_distribution is not " +
-                      "supported — use the action-level limit_distribution")
-                  val conds = Option(r.get("conditions"))
-                    .map(_.properties().asScala
-                      .map(e => e.getKey -> e.getValue.asText()).toSeq)
-                    .getOrElse(Nil)
-                  (conds,
-                    Option(r.get("limit")).map(_.asLong()).getOrElse(0L),
-                    Option(r.get("limit_kind")).map(_.asText())
-                      .getOrElse("count"))
-                } :+ ((Nil: Seq[(String, String)], limit, memKind))
-                def matches(conds: Seq[(String, String)]): Column =
-                  if (conds.isEmpty) lit(true)
-                  else conds.map { case (f, v) => docFieldStr(f) === v }
-                    .reduce(_ && _)
-                val idxCol = specs.zipWithIndex
-                  .foldRight(lit(null).cast("string"): Column) {
-                    case (((c, _, _), i), acc) =>
-                      when(matches(c), lit(i.toString)).otherwise(acc)
-                  }
-                val wCol = specs.zipWithIndex
-                  .foldRight(lit(null).cast("long"): Column) {
-                    case (((c, _, k), _), acc) =>
-                      when(matches(c),
-                        (if (k == "size") sizeW.cast("long") else lit(1L)))
-                        .otherwise(acc)
-                  }
+            // MATCHED rule's kind. Spec parsing + cascade are shared
+            // with the batch leg (throttleRuleSpecs).
+            val ruleNodes = Option(action.get("rules")).filter(_.size() > 0)
+            val (memKey, memWeight, kernelRules) = ruleNodes match {
+              case None =>
+                (key, if (memKind == "size") sizeW else lit(1),
+                  Nil: Seq[graft.streaming.Kernels.ThrottleRule])
+              case Some(rn) =>
+                val specs = throttleRuleSpecs(rn, limit, memKind)
+                val idxCol = throttleRuleCascade(df, specs,
+                  lit(null).cast("string")) { case (_, i) => lit(i.toString) }
+                val wCol = throttleRuleCascade(df, specs,
+                  lit(null).cast("long")) { case ((_, _, k), _) =>
+                    if (k == "size") sizeW.cast("long") else lit(1L) }
                 (concat(idxCol, lit(":"), key), wCol,
                   specs.map { case (_, l, k) =>
                     graft.streaming.Kernels.ThrottleRule(l, k) })
-              }
+            }
             val ds = df.select(memKey.as("key"), eventTime.as("eventTimeMs"),
                 envelopeJson.as("value"),
                 memWeight.cast("long").as("weight"))
@@ -2840,8 +2904,13 @@ object PipelineCompiler {
         val tsFmt = Option(action.get("time_format"))
           .orElse(Option(action.get("time_field_format"))).map(_.asText())
           .getOrElse("rfc3339")
+        // missing/empty field value → the literal default key
+        // (throttle.go:535-541), matching the streaming leg
         val key = Option(action.get("throttle_field"))
-          .map(f => doc.getField(f.asText()).cast("string"))
+          .map { f =>
+            val v = doc.getField(f.asText()).cast("string")
+            when(v.isNotNull && length(v) > 0, v).otherwise(lit("default"))
+          }
           .getOrElse(col("source_name"))
         // `limiter_backend: redis` (throttle.go:94-103): limiter keys
         // become global across engine instances — the batch run pulls
@@ -2851,6 +2920,9 @@ object PipelineCompiler {
         // graft.state.RedisThrottle)
         if (Option(action.get("limiter_backend")).map(_.asText())
             .getOrElse("memory") == "redis") {
+          require(action.get("rules") == null,
+            "throttle: `rules:` with limiter_backend: redis is not " +
+              "supported — use the memory backend for per-rule limits")
           val throttleFieldSel =
             Option(action.get("throttle_field")).map(_.asText())
           val bucketsCount =
@@ -2862,7 +2934,10 @@ object PipelineCompiler {
           // reference's default key is the literal "default"
           // (throttle.go:20 defaultThrottleKey), not the source name
           val redisKey = throttleFieldSel
-            .map(f => coalesce(doc.getField(f).cast("string"), lit("default")))
+            .map { f => // empty reads as default too (throttle.go:535-541)
+              val v = doc.getField(f).cast("string")
+              when(v.isNotNull && length(v) > 0, v).otherwise(lit("default"))
+            }
             .getOrElse(lit("default"))
           val eventMs = coalesce(
             unix_millis(XTime.parse(doc.getField(tsF).cast("string"), tsFmt)),
@@ -2922,39 +2997,16 @@ object PipelineCompiler {
         // limit_distribution is rejected for cause (the distribution
         // kernels are action-scoped; documented constraint).
         Option(action.get("rules")).filter(_.size() > 0).foreach { rn =>
-          def docFieldStr(n: String): Column = df.schema("doc").dataType match {
-            case s: StructType if s.fieldNames.contains(n) =>
-              coalesce(doc.getField(n).cast("string"), lit(""))
-            case _ => lit("") // Dig-miss reads "" (rule.go:50-56 AsString)
-          }
-          val specs = rn.elements().asScala.toSeq.map { r =>
-            require(r.get("limit_distribution") == null,
-              "throttle rules: per-rule limit_distribution is not " +
-                "supported — use the action-level limit_distribution")
-            val conds = Option(r.get("conditions"))
-              .map(_.properties().asScala
-                .map(e => e.getKey -> e.getValue.asText()).toSeq)
-              .getOrElse(Nil)
-            (conds,
-              Option(r.get("limit")).map(_.asLong()).getOrElse(0L),
-              Option(r.get("limit_kind")).map(_.asText()).getOrElse("count"))
-          } :+ ((Nil, limit, kind)) // throttle.go:474-478 default rule
-          def cascade[T](f: ((Seq[(String, String)], Long, String), Int) => (Column, Column))
-          : Column = // first-match when-chain over the rule list
-            specs.zipWithIndex.foldRight(lit(null).cast("string"): Column) {
-              case ((spec, i), acc) =>
-                val (cond, value) = f(spec, i)
-                when(cond, value).otherwise(acc)
-            }
-          def matches(conds: Seq[(String, String)]): Column =
-            if (conds.isEmpty) lit(true)
-            else conds.map { case (f, v) => docFieldStr(f) === v }
-              .reduce(_ && _)
-          val ruleIdx = cascade { case ((c, _, _), i) =>
-            (matches(c), lit(i.toString)) }
-          val limitCol = cascade { case ((c, l, _), _) =>
-            (matches(c), lit(l).cast("string")) }.cast("long")
-          val kindCol = cascade { case ((c, _, k), _) => (matches(c), lit(k)) }
+          // spec parsing + first-match cascade shared with the
+          // streaming leg (throttleRuleSpecs / throttleRuleCascade)
+          val specs = throttleRuleSpecs(rn, limit, kind)
+          val ruleIdx = throttleRuleCascade(df, specs,
+            lit(null).cast("string")) { case (_, i) => lit(i.toString) }
+          val limitCol = throttleRuleCascade(df, specs,
+            lit(null).cast("string")) { case ((_, l, _), _) =>
+              lit(l).cast("string") }.cast("long")
+          val kindCol = throttleRuleCascade(df, specs,
+            lit(null).cast("string")) { case ((_, _, k), _) => lit(k) }
           val sz =
             if (df.columns.contains("value")) octet_length(col("value"))
             else octet_length(to_json(doc))

@@ -27,6 +27,15 @@ import java.util.concurrent.atomic.AtomicInteger
   * one volatile read — the same per-event cost shape as the reference's
   * `samplesLen.Load()` check (action_watcher.go:104-106). The envelope
   * JSON is only rendered while a sampler is armed.
+  *
+  * Deployment constraint: the armed flag and the tap queue are
+  * JVM-local, so the live tap observes events only where executors
+  * share the driver JVM (local[*] — the diagnostics deployment this
+  * serves, like the reference's in-process watcher). On a cluster
+  * master the endpoint degrades gracefully to the 5 s timeout 500; the
+  * compiler logs a warning at compile time there (a cluster-wide tap
+  * would need an executor→driver push channel — out of scope for a
+  * debug sampler).
   */
 object SampleWatch {
 
@@ -109,8 +118,10 @@ object SampleWatch {
     * mux via `attachSampler`). */
   def route(spark: org.apache.spark.sql.SparkSession, path: String,
             timeoutMs: Long = 5000L): (Int, String) = path.split("/").toList match {
+    // toIntOption (not isDigit) so an empty segment (`name//sample`)
+    // or an over-Int index 404s instead of throwing past the responder
     case "" :: "pipelines" :: name :: idx :: "sample" :: Nil
-      if idx.forall(_.isDigit) => sample(spark, name, idx.toInt, timeoutMs)
+      if idx.toIntOption.isDefined => sample(spark, name, idx.toInt, timeoutMs)
     case _ => (404, """{"error":"unknown endpoint"}""")
   }
 

@@ -419,12 +419,13 @@ object Sinks {
     * rather than NDJSON lines. Static labels come from the `labels:`
     * config list (loki.go:462-470 parseLabels). */
   def lokiTransport(pushUrl: String, labels: Map[String, String],
-                    headers: Map[String, String] = Map.empty): Transport = {
+                    headers: Map[String, String] = Map.empty,
+                    gzip: Boolean = false): Transport = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val lbl = om.createObjectNode()
     labels.toSeq.sortBy(_._1).foreach { case (k, v) => lbl.put(k, v) }
     val prefix = s"""{"streams":[{"stream":${om.writeValueAsString(lbl)},"values":["""
-    val inner = httpTransport(pushUrl, headers = headers)
+    val inner = httpTransport(pushUrl, gzip = gzip, headers = headers)
     lines => inner(Iterator(prefix + lines.mkString(",") + "]}]}"))
   }
 
@@ -816,7 +817,18 @@ object Sinks {
     * so it runs inside the executor-side transport closure. */
   def esCountIndexingErrors(body: String): (Int, String) = {
     if (body == null || body.isBlank) return (0, "") // 204 / empty body
-    val root = esRespMapper.readTree(body)
+    // a non-JSON 2xx body (proxy rewrite, HTML-with-200) must not fail
+    // the send — the bulk POST itself already succeeded, and throwing
+    // here would re-POST an accepted chunk through the retry loop (the
+    // reference logs "wrong response" and moves on, elasticsearch.go)
+    val root =
+      try esRespMapper.readTree(body)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          Console.err.println(
+            s"elasticsearch: unparseable bulk response body (${e.getMessage})")
+          return (0, "")
+      }
     if (root == null || !Option(root.get("errors")).exists(_.asBoolean(false))) (0, "")
     else {
       val items = Option(root.get("items")).map(_.elements())

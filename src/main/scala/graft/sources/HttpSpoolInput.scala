@@ -39,7 +39,12 @@ final case class HttpCors(allowedOrigins: Seq[String] = Nil,
       }
     }
 
-  /** getAllowedByOrigin (http.go:223-240). */
+  /** getAllowedByOrigin (http.go:223-240). Deliberately reference-
+    * exact: the RAW request origin is compared against LOWERCASED
+    * config entries (http.go:244 lowercases only the config side), so
+    * an uppercase-bearing configured origin never matches there or
+    * here — browsers send lowercase origins, and matching the quirk
+    * keeps behavior identical under a verbatim config. */
   def allowedByOrigin(origin: String): String =
     if (allowAll) origin
     else if (domains.exists {
@@ -116,6 +121,22 @@ object HttpSpoolInput {
     val hex = hash.take(16).map(b => f"$b%02x").mkString
     s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-" +
       s"${hex.substring(16, 20)}-${hex.substring(20, 32)}"
+  }
+
+  /** Go net.ParseIP's accept set, without DNS: a dotted-quad IPv4 or a
+    * colon-bearing IPv6 literal parses to its canonical form; anything
+    * else — including a comma-joined proxy list — is None (Go's nil).
+    * InetAddress is only consulted for strings that cannot be
+    * hostnames (hex/colon/dot charset with at least one colon), so no
+    * resolver lookup can fire. */
+  def parseIpLike(s: String): Option[String] = {
+    val t = if (s == null) "" else s.trim
+    if (t.matches("\\d{1,3}(\\.\\d{1,3}){3}") &&
+        t.split('.').forall(_.toInt <= 255)) Some(t)
+    else if (t.contains(':') && t.matches("[0-9a-fA-F:.%]+"))
+      try Some(java.net.InetAddress.getByName(t).getHostAddress)
+      catch { case _: java.net.UnknownHostException => None }
+    else None
   }
 
   /** url.Values.Encode() shape: keys sorted, values in arrival order,
@@ -244,8 +265,14 @@ final class HttpSpoolInput(port: Int, spoolDir: Path, emulateEs: Boolean,
     // struct) has no replayable analog — documented descope.
     if (captureMeta) {
       val hdr = ex.getRequestHeaders
+      // the reference runs the chosen header value through net.ParseIP
+      // (http.go:664-679) — a value that is not a single IP literal
+      // (e.g. a multi-hop `X-Forwarded-For: client, proxy`) parses to
+      // nil and renders as `<nil>` in the meta and the request_uuid
+      // input; replicated so uuids match byte-for-byte
       val remoteAddr = Seq("CF-Connecting-IP", "X-Forwarded-For", "X-Real-IP")
         .flatMap(h => Option(hdr.getFirst(h))).headOption
+        .map(v => HttpSpoolInput.parseIpLike(v).getOrElse("<nil>"))
         .getOrElse(ex.getRemoteAddress.getAddress.getHostAddress)
       val params = HttpSpoolInput.parseQuery(ex.getRequestURI.getRawQuery)
       val contentLength = Option(hdr.getFirst("Content-Length")).getOrElse("-1")

@@ -574,6 +574,15 @@ class CompilerSpec extends AnyFunSuite {
         Thread.sleep(200)
       assert(rows() == Seq("from-special"), rows().toString)
     } finally q.stop()
+    // plan pin: the chunk assembly's per-source order key is the tail
+    // source's in-file byte `offset` — a sliced catch-up read delivers
+    // partitions in arbitrary fetch order, so a constant seq would
+    // interleave one file's chunks
+    val plan = PipelineCompiler.compile(spark, yaml(streaming = true))
+      .result().queryExecution.analyzed.toString
+    assert(plan.matches(
+      "(?s).*(cast\\(offset#\\d+L? as bigint\\)|offset#\\d+L?) AS seq#.*"),
+      plan.take(3000))
   }
 
   test("k8s input: filename meta, label allowlists, chunk join, split, only_node") {
@@ -3298,30 +3307,36 @@ class CompilerSpec extends AnyFunSuite {
   }
 
   test("loki message_field engages the reference push protocol (streams body, metadata)") {
-    val bodies = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+    val bodies =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Array[Byte])]
     val srv = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
       bodies.add((ex.getRequestURI.getPath,
-        new String(ex.getRequestBody.readAllBytes(), "UTF-8")))
+        Option(ex.getRequestHeaders.getFirst("Content-Encoding")).getOrElse(""),
+        ex.getRequestBody.readAllBytes()))
       ex.sendResponseHeaders(204, -1); ex.close()
     })
     srv.start()
+    def yaml(extra: String): String =
+      s"""input: {type: fake, lines: [
+         |  '{"message":"hello","ts":"2024-01-02T03:04:05Z","svc":"api"}']}
+         |decoder: {type: json, schema: "message string, ts string, svc string"}
+         |output:
+         |  type: loki
+         |  address: http://127.0.0.1:${srv.getAddress.getPort}
+         |  message_field: message
+         |  timestamp_field: ts
+         |$extra
+         |  labels:
+         |    - {label: env, value: ci}
+         |    - {label: app, value: graft}
+         |""".stripMargin
     try {
-      PipelineCompiler.compile(spark,
-        s"""input: {type: fake, lines: [
-           |  '{"message":"hello","ts":"2024-01-02T03:04:05Z","svc":"api"}']}
-           |decoder: {type: json, schema: "message string, ts string, svc string"}
-           |output:
-           |  type: loki
-           |  address: http://127.0.0.1:${srv.getAddress.getPort}
-           |  message_field: message
-           |  timestamp_field: ts
-           |  labels:
-           |    - {label: env, value: ci}
-           |    - {label: app, value: graft}
-           |""".stripMargin).send()
-      val (path, body) = bodies.peek()
+      PipelineCompiler.compile(spark, yaml("")).send()
+      val (path, enc, raw) = bodies.poll()
+      assert(enc == "", enc)
+      val body = new String(raw, "UTF-8")
       // address gains the reference's push path (loki.go:435)
       assert(path == "/loki/api/v1/push", path)
       // ONE JSON document: streams wrapper with the static labels
@@ -3338,6 +3353,14 @@ class CompilerSpec extends AnyFunSuite {
       assert(v.get(1).asText() == "hello", body)
       assert(v.get(2).isObject && v.get(2).get("svc").asText() == "api", body)
       assert(v.get(2).get("message") == null && v.get(2).get("ts") == null, body)
+      // `use_gzip` (the graft http-leg knob) compresses the push body
+      // like the legacy NDJSON loki leg — same document after gunzip
+      PipelineCompiler.compile(spark, yaml("  use_gzip: true")).send()
+      val (_, enc2, raw2) = bodies.poll()
+      assert(enc2 == "gzip", enc2)
+      val unzipped = new String(new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(raw2)).readAllBytes(), "UTF-8")
+      assert(unzipped == body, unzipped)
     } finally srv.stop(0)
   }
 
@@ -3463,6 +3486,50 @@ class CompilerSpec extends AnyFunSuite {
       // rule 0 admits one error; the implicit default rule admits two
       // of the three info events — independent windows per rule
       assert(kept == Set("e1", "p1", "p2"), kept.toString)
+    } finally q.stop()
+  }
+
+  test("streaming throttle rules: a null throttle_field keys the default window (no NPE)") {
+    // regression: a null field value used to null-poison the
+    // rule-prefixed kernel key (concat) and NPE inside ThrottleCfg's
+    // key parsing; the reference reads a missing/empty value as the
+    // literal default key (throttle.go:535-541)
+    val dir = java.nio.file.Files.createTempDirectory("thr_rules_null")
+    java.nio.file.Files.write(dir.resolve("a.log"),
+      ("""{"time":"2024-01-01T00:00:01","lvl":"error","v":"e1"}""" + "\n" +
+        """{"time":"2024-01-01T00:00:02","v":"n1"}""" + "\n" +
+        """{"time":"2024-01-01T00:00:03","v":"n2"}""" + "\n" +
+        """{"time":"2024-01-01T00:00:04","v":"n3"}""" + "\n" +
+        """{"time":"2024-01-01T00:00:05","lvl":"info","v":"p1"}""" + "\n")
+        .getBytes("UTF-8"))
+    val q = PipelineCompiler.compile(spark,
+      s"""input:
+         |  type: file
+         |  dir: "$dir"
+         |  streaming: true
+         |decoder:
+         |  type: json
+         |  schema: "time string, lvl string, v string"
+         |actions:
+         |  - type: throttle
+         |    throttle_field: lvl
+         |    bucket_interval: 1m
+         |    default_limit: 2
+         |    rules:
+         |      - conditions: {lvl: error}
+         |        limit: 1
+         |output: {type: memory}
+         |""".stripMargin).result()
+      .writeStream.format("memory").queryName("thr_rules_null_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("thr_rules_null_out")
+        .selectExpr("doc.v").collect().map(_.getString(0)).toSet
+      // key "error" under rule 0 admits e1; the three null-lvl events
+      // share the "default" key's default-rule window (limit 2); p1
+      // rides its own "info" key
+      assert(kept == Set("e1", "n1", "n2", "p1"), kept.toString)
     } finally q.stop()
   }
 

@@ -258,4 +258,17 @@ class HttpSpoolInputSpec extends AnyFunSuite {
       assert(e.getMessage.contains("only one wildcard"))
     } finally srv.stop()
   }
+
+  test("parseIpLike mirrors net.ParseIP (http.go:664-679): single IPs parse, lists go nil") {
+    import graft.sources.HttpSpoolInput.parseIpLike
+    assert(parseIpLike("1.2.3.4") == Some("1.2.3.4"))
+    assert(parseIpLike("2001:db8::1").isDefined)
+    // a multi-hop X-Forwarded-For is not a single IP — the reference's
+    // net.ParseIP returns nil there, rendered "<nil>" into the meta and
+    // the request_uuid input
+    assert(parseIpLike("1.2.3.4, 10.0.0.1").isEmpty)
+    assert(parseIpLike("999.1.1.1").isEmpty)
+    assert(parseIpLike("evil.example.com").isEmpty) // never a DNS lookup
+    assert(parseIpLike("").isEmpty)
+  }
 }

@@ -339,6 +339,17 @@ class RedisThrottleSpec extends AnyFunSuite {
           |    limit_distribution: {ratios: []}""".stripMargin)
     }
     assert(e3.getMessage.contains("field"))
+    // `rules:` with the redis backend would silently throttle under the
+    // action default (each rule owns a limiter in the reference) —
+    // rejected for cause instead
+    val e4 = intercept[IllegalArgumentException] {
+      compileWith(
+        """    redis_backend_config: {endpoint: 'h:1'}
+          |    rules:
+          |      - conditions: {lvl: error}
+          |        limit: 1""".stripMargin)
+    }
+    assert(e4.getMessage.contains("rules"))
   }
 
   // ----------------------------------- limit_distribution + redis

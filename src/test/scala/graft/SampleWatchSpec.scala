@@ -108,5 +108,11 @@ class SampleWatchSpec extends AnyFunSuite {
     assert(c3 == 404)
     val (c4, b4) = SampleWatch.sample(spark, "graft", 9)
     assert(c4 == 400 && b4.contains("no action with index"), b4)
+    // an empty idx segment and an over-Int idx must 404, not throw past
+    // the responder (the exchange would hang unanswered)
+    val (c5, _) = SampleWatch.route(spark, "/pipelines/graft//sample")
+    assert(c5 == 404)
+    val (c6, _) = SampleWatch.route(spark, "/pipelines/graft/99999999999/sample")
+    assert(c6 == 404)
   }
 }

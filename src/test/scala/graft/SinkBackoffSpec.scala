@@ -210,5 +210,10 @@ class SinkBackoffSpec extends AnyFunSuite {
         |{"index":{"status":200}}]}""".stripMargin
     val (n, sample) = Sinks.esCountIndexingErrors(mixed)
     assert(n == 2 && sample.contains("mapper_parsing_exception"))
+    // a non-JSON 2xx body (proxy rewrite, HTML-with-200) must not
+    // throw: the send succeeded, and an exception here would re-POST
+    // the accepted chunk through the retry loop
+    assert(Sinks.esCountIndexingErrors("<html>gateway</html>") == ((0, "")))
+    assert(Sinks.esCountIndexingErrors("{\"errors\":tru") == ((0, "")))
   }
 }

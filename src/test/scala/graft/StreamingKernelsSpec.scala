@@ -944,4 +944,29 @@ class StreamingKernelsSpec extends AnyFunSuite {
       assert(r == Seq(KEvent("k5", 2L, "dangling", "c2")), r)
     } finally q2.stop()
   }
+
+  test("criChunkAssembly orders by seq, not arrival: shuffled chunks assemble in file order") {
+    // a sliced catch-up read delivers one file's chunks to the group in
+    // arbitrary shuffle-fetch order — the kernel must sort on the tail
+    // source's byte offset (the compiler's seq), not trust arrival
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[CriEvent]
+    val out = Kernels.criChunkAssembly(input.toDS(),
+      CriChunkCfg(1000000L, timeoutMs = 2000L))
+    val q = out.writeStream.format("memory").queryName("cri_shuf")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      // arrival order deliberately scrambled vs seq order
+      input.addData(
+        CriEvent("f", 30L, "gamma", false, "c3"),
+        CriEvent("f", 10L, "alpha-", true, "c1"),
+        CriEvent("f", 20L, "beta-", true, "c2"))
+      awaitRows("cri_shuf", 1, timeoutMs = 30000L)
+      val r = spark.table("cri_shuf").as[KEvent].collect().toSeq
+      assert(r == Seq(KEvent("f", 30L, "alpha-beta-gamma", "c3")), r)
+    } finally q.stop()
+  }
 }
