@@ -1339,6 +1339,11 @@ object PipelineCompiler {
               Option(c.get("async_interval"))
                 .map(v => goDurationMillis(v.asText()))
                 .foreach(ms => tr = tr.option("async_interval_ms", ms.toString))
+              // catch-up slicing rides the k8s leg too (the chunk
+              // assembly re-orders on the offset column, so slices can
+              // land in any partition)
+              Option(c.get("max_partition_bytes"))
+                .foreach(v => tr = tr.option("max_partition_bytes", v.asText()))
               val pathsN = Option(c.get("paths"))
               def k8sPats(key: String): Seq[String] =
                 (pathsN.flatMap(p => Option(p.get(key))) orElse Option(c.get(key)))

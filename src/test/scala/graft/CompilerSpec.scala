@@ -585,6 +585,39 @@ class CompilerSpec extends AnyFunSuite {
       plan.take(3000))
   }
 
+  test("k8s streaming chunk assembly survives a sliced catch-up read (order by offset)") {
+    // one file, ten P chunks + F, read with max_partition_bytes far
+    // below the file size → the first micro-batch plans many slices
+    // whose shuffle arrival order is arbitrary; the assembled log must
+    // still be the in-file concatenation
+    val dir = java.nio.file.Files.createTempDirectory("k8s_sliced")
+    val cid = "c" * 64
+    val chunks = (0 until 10).map(i => s"part$i-")
+    val lines = chunks.map(c => s"2024-01-02T03:04:05.1Z stdout P $c") :+
+      "2024-01-02T03:04:05.9Z stdout F end"
+    java.nio.file.Files.write(dir.resolve(s"podS_ns1_web-$cid.log"),
+      lines.mkString("\n").concat("\n").getBytes("UTF-8"))
+    val q = PipelineCompiler.compile(spark,
+      s"""input:
+         |  type: k8s
+         |  watching_dir: $dir
+         |  streaming: true
+         |  file_config:
+         |    max_partition_bytes: 64
+         |output: {type: memory}
+         |""".stripMargin).result()
+      .writeStream.format("memory").queryName("k8s_sliced_out")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000L
+      def logs() = spark.table("k8s_sliced_out").selectExpr("doc.log")
+        .collect().map(_.getString(0)).toSeq
+      while (logs().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(logs() == Seq(chunks.mkString("") + "end"), logs().toString)
+    } finally q.stop()
+  }
+
   test("k8s input: filename meta, label allowlists, chunk join, split, only_node") {
     val dir = java.nio.file.Files.createTempDirectory("k8s_in")
     val cid = "a" * 64
