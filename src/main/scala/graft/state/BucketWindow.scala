@@ -1,0 +1,26 @@
+package graft.state
+
+/** Circular bucket-window arithmetic shared by the streaming throttle
+  * kernels and [[RedisThrottle.DualWindow]] (the reference's
+  * plugin/action/throttle/buckets.go shift semantics). One home for the
+  * two subtle parts: the shift amount is clamped to the window size
+  * before narrowing, and the index computes the Long bucket difference
+  * BEFORE `.toInt` — an ancient timestamp (2^31+ buckets back) must
+  * answer -1 ("older than the window", the reference's event-is-very-old
+  * drop), never wrap into a huge or admitting index. */
+object BucketWindow {
+
+  /** Slots to vacate when `bucket` advances past `newest`; 0 when it
+    * doesn't. Clamped to `bucketsCount` (a long idle gap empties the
+    * whole window, it can't over-shift). */
+  def shiftAmount(newest: Long, bucket: Long, bucketsCount: Int): Int =
+    if (bucket <= newest) 0
+    else math.min(bucket - newest, bucketsCount.toLong).toInt
+
+  /** Index of `bucket` in a window whose newest slot is `newest`, or
+    * -1 when the bucket is older than the window. */
+  def indexOf(newest: Long, bucket: Long, bucketsCount: Int): Int = {
+    val diff = newest - bucket
+    if (diff >= bucketsCount) -1 else bucketsCount - 1 - diff.toInt
+  }
+}

@@ -230,13 +230,12 @@ object RedisThrottle {
       * "event is very old" drop). */
     def indexFor(bucket: Long): Int = {
       if (newestBucket == Long.MinValue) newestBucket = bucket
-      if (bucket > newestBucket) {
-        val shift = math.min(bucket - newestBucket, cfg.bucketsCount.toLong).toInt
+      val shift = BucketWindow.shiftAmount(newestBucket, bucket, cfg.bucketsCount)
+      if (shift > 0) {
         shiftLeft(incr, shift * w); shiftLeft(total, shift * w)
         newestBucket = bucket
       }
-      val diff = newestBucket - bucket
-      if (diff >= cfg.bucketsCount) -1 else cfg.bucketsCount - 1 - diff.toInt
+      BucketWindow.indexOf(newestBucket, bucket, cfg.bucketsCount)
     }
 
     private def shiftLeft(a: Array[Long], n: Int): Unit = {

@@ -88,8 +88,11 @@ object Kernels {
             val out = scala.collection.mutable.ArrayBuffer.empty[KEvent]
             var cur = state.getOption
             events.toSeq.sortBy(_.seq).foreach { ev =>
+              // ONE template/regex scan per event — the flush-and-
+              // restart branch reuses it instead of re-scanning
+              val t = startTemplate(ev.value)
               cur match {
-                case Some(st) if isCont(st.tmpl, ev.value) && !isStart(ev.value) =>
+                case Some(st) if t < 0 && isCont(st.tmpl, ev.value) =>
                   // append-time cap (join.go stops buffering at
                   // max_event_size): flush truncates to the cap anyway,
                   // so lines beyond it would only bloat state — drop
@@ -99,18 +102,12 @@ object Kernels {
                       st.copy(buf = ev.value :: st.buf,
                         bufLen = st.bufLen + cfg.sep.length + ev.value.length)
                     else st)
-                case Some(st) =>
-                  out += flush(key, st)
-                  val t = startTemplate(ev.value)
+                case other =>
+                  other.foreach(st => out += flush(key, st))
                   cur =
                     if (t >= 0) Some(MultilineState(List(ev.value), ev.seq,
                       ev.carry, t, ev.value.length))
                     else { out += ev; None }
-                case None =>
-                  val t = startTemplate(ev.value)
-                  if (t >= 0) cur = Some(MultilineState(List(ev.value), ev.seq,
-                    ev.carry, t, ev.value.length))
-                  else out += ev
               }
             }
             cur match {
@@ -250,7 +247,15 @@ object Kernels {
       if (rules.isEmpty) (limit, kind)
       else {
         val cut = key.indexOf(':')
-        val r = rules(key.substring(0, cut).toInt)
+        require(cut > 0, s"throttle rules: kernel key `$key` lacks the " +
+          "`<ruleIdx>:` prefix — with cfg.rules set every key must be " +
+          "minted by the compiled rule cascade")
+        val idx = key.substring(0, cut).toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"throttle rules: kernel key `$key` has a non-numeric rule prefix"))
+        require(idx >= 0 && idx < rules.size,
+          s"throttle rules: key `$key` names rule $idx of ${rules.size}")
+        val r = rules(idx)
         (r.limit, r.kind)
       }
   }
@@ -315,18 +320,16 @@ object Kernels {
           events.toSeq.sortBy(e => (e.eventTimeMs, e.value)).foreach { ev =>
             val bucket = ev.eventTimeMs / cfg.bucketIntervalMs
             if (st.newestBucket == Long.MinValue) st = st.copy(newestBucket = bucket)
-            if (bucket > st.newestBucket) {
-              // shift the circular window forward, zeroing vacated slots
-              val shift = math.min(bucket - st.newestBucket, cfg.bucketsCount.toLong).toInt
-              val counts = st.counts.drop(shift) ++ Array.fill(shift)(0L)
-              st = ThrottleState(bucket, counts)
-            }
-            // clamp the Long difference BEFORE narrowing: an ancient
-            // timestamp (2^31+ buckets back) would wrap .toInt — either
-            // crashing on a huge index or admitting the event
-            val diff = st.newestBucket - bucket
-            val idx = if (diff >= cfg.bucketsCount) -1
-                      else cfg.bucketsCount - 1 - diff.toInt
+            // shift/index math shared with throttleDistributed and
+            // RedisThrottle.DualWindow (graft.state.BucketWindow —
+            // incl. the clamp-before-narrowing ancient-timestamp drop)
+            val shift = graft.state.BucketWindow.shiftAmount(
+              st.newestBucket, bucket, cfg.bucketsCount)
+            if (shift > 0)
+              st = ThrottleState(bucket,
+                st.counts.drop(shift) ++ Array.fill(shift)(0L))
+            val idx = graft.state.BucketWindow.indexOf(
+              st.newestBucket, bucket, cfg.bucketsCount)
             if (idx >= 0) {
               if (keyKind == "size") {
                 // unconditional accumulate; pass while the running
@@ -529,14 +532,13 @@ object Kernels {
           events.toSeq.sortBy(e => (e.eventTimeMs, e.value)).foreach { ev =>
             val bucket = ev.eventTimeMs / cfg.bucketIntervalMs
             if (st.newestBucket == Long.MinValue) st = st.copy(newestBucket = bucket)
-            if (bucket > st.newestBucket) {
-              val shift = math.min(bucket - st.newestBucket, cfg.bucketsCount.toLong).toInt
-              val counts = st.counts.drop(shift * width) ++ Array.fill(shift * width)(0L)
-              st = DistThrottleState(bucket, counts)
-            }
-            val bDiff = st.newestBucket - bucket // clamp before .toInt (see throttle)
-            val bIdx = if (bDiff >= cfg.bucketsCount) -1
-                       else cfg.bucketsCount - 1 - bDiff.toInt
+            val shift = graft.state.BucketWindow.shiftAmount(
+              st.newestBucket, bucket, cfg.bucketsCount)
+            if (shift > 0)
+              st = DistThrottleState(bucket,
+                st.counts.drop(shift * width) ++ Array.fill(shift * width)(0L))
+            val bIdx = graft.state.BucketWindow.indexOf(
+              st.newestBucket, bucket, cfg.bucketsCount)
             if (bIdx >= 0) {
               // distribution index: 0 = default, 1.. = listed ratios
               var dIdx = cfg.idxByValue.get(ev.dval).map(_ + 1).getOrElse(0)
@@ -575,6 +577,8 @@ object Kernels {
     * whose value is outside the first `limit` distinct values are
     * discarded. State is a bounded Set — never grows past limit. */
   def cardinality(ds: Dataset[KEvent], cfg: CardinalityCfg): Dataset[KEvent] = {
+    // limit <= 0 would silently discard EVERY event (vals never admits)
+    require(cfg.limit > 0, "cardinality: limit must be positive")
     implicit val outEnc = Encoders.product[KEvent]
     implicit val stEnc = Encoders.product[CardState]
     ds.groupByKey(_.key)(Encoders.STRING)
@@ -648,7 +652,13 @@ object Kernels {
         OutputMode.Append, ttlMode(stateTtlMs)) {
         (group, events, state: GroupState[HHState]) =>
           if (state.hasTimedOut) {
-            state.remove()
+            // evict the DATA but keep the epoch counter as a tombstone:
+            // a fresh table after re-activity must CONTINUE the epoch
+            // sequence, or the documented max-epoch-per-group consumer
+            // rule would pin the dead pre-expiry snapshot forever. One
+            // long per group ever seen — these are per-GROUP monitoring
+            // sketches (pipeline/source), not per-key state.
+            state.getOption.foreach(st => state.update(HHState(st.epoch, Nil)))
             Iterator.empty
           } else {
             val st = state.getOption.getOrElse(HHState(0L, Nil))
@@ -725,7 +735,9 @@ object Kernels {
         OutputMode.Append, ttlMode(stateTtlMs)) {
         (group, events, state: GroupState[SampleKState]) =>
           if (state.hasTimedOut) {
-            state.remove()
+            // epoch tombstone across expiry — see heavyHitters
+            state.getOption.foreach(st =>
+              state.update(SampleKState(st.epoch, Nil)))
             Iterator.empty
           } else {
             val st = state.getOption.getOrElse(SampleKState(0L, Nil))
@@ -811,7 +823,9 @@ object Kernels {
         OutputMode.Append, ttlMode(stateTtlMs)) {
         (group, events, state: GroupState[GkState]) =>
           if (state.hasTimedOut) {
-            state.remove()
+            // epoch tombstone across expiry — see heavyHitters
+            state.getOption.foreach(st =>
+              state.update(GkState(st.epoch, 0L, Nil)))
             Iterator.empty
           } else {
             val st = state.getOption.getOrElse(GkState(0L, 0L, Nil))
@@ -908,10 +922,17 @@ object Kernels {
           val out = scala.collection.mutable.ArrayBuffer.empty[KEvent]
           // value rides the sort key: equal-ts right events resolve to
           // the LARGEST payload, matching SeqOps.asofJoin's documented
-          // deterministic tie-break (and keeping replays deterministic)
+          // deterministic tie-break. The stored-state comparison applies
+          // the SAME tie-break (not a bare >=), so an equal-ts right
+          // arriving in a LATER micro-batch — or replayed by an
+          // at-least-once source — can never regress state to a smaller
+          // payload: output is invariant to batch splits.
           events.toSeq.sortBy(e => (e.ts, e.isLeft, e.value)).foreach { ev =>
             if (!ev.isLeft) {
-              if (ev.ts >= st.rightTs) { st = EnrichState(ev.value, ev.ts); dirty = true }
+              val wins = ev.ts > st.rightTs ||
+                (ev.ts == st.rightTs &&
+                  (st.rightValue == null || ev.value > st.rightValue))
+              if (wins) { st = EnrichState(ev.value, ev.ts); dirty = true }
             } else {
               val enriched = if (st.rightTs <= ev.ts) st.rightValue else null
               out += KEvent(key, ev.ts, ev.value, enriched)
@@ -1096,6 +1117,9 @@ object Kernels {
     * spec-asserted batch ≡ streaming). State per source: current and
     * previous interval counts, four scalars. */
   def antispamRules(ds: Dataset[TEventR], intervalMs: Long): Dataset[TEventR] = {
+    // same guard as the sibling antispam kernel: a zero interval would
+    // surface as a per-event / by zero in an executor task
+    require(intervalMs > 0, "antispamRules: intervalMs must be positive")
     implicit val outEnc = Encoders.product[TEventR]
     implicit val stEnc = Encoders.product[RuleSpamState]
     ds.groupByKey(_.key)(Encoders.STRING)
@@ -1550,10 +1574,16 @@ private[streaming] class BandOwnerProcessor(ttl: TTLConfig = TTLConfig.NONE)
     // unowned bucket, like the batch operator's min-id representative)
     val evs = events.toSeq.sortBy(_.doc)
     var cur = if (owner.exists()) owner.get() else Long.MinValue
-    evs.iterator.map { e =>
+    // materialize EAGERLY like the sibling processors: the state write
+    // (owner.update) must not depend on the caller draining the output
+    // iterator — a short-circuiting consumer would leave the bucket
+    // unclaimed and admit a later duplicate
+    val out = Vector.newBuilder[BandHit]
+    evs.foreach { e =>
       if (cur == Long.MinValue) { cur = e.doc; owner.update(e.doc) }
-      BandHit(e.doc, cur != e.doc, e.payload)
+      out += BandHit(e.doc, cur != e.doc, e.payload)
     }
+    out.result().iterator
   }
 }
 

@@ -508,13 +508,89 @@ class StreamingKernelsSpec extends AnyFunSuite {
       // a left event older than the persisted right state: no time travel
       input.addData(EEvent("k", 25, isLeft = true, "l4"))
       q.processAllAvailable()
+      // an equal-ts right arriving in a LATER micro-batch must not
+      // regress state to a smaller payload: the stored-state comparison
+      // applies the same largest-payload tie-break as the in-batch
+      // sort, so output is invariant to batch splits and replays
+      input.addData(EEvent("k", 50, isLeft = false, "rz"))
+      q.processAllAvailable()
+      input.addData(EEvent("k", 50, isLeft = false, "ra"))
+      q.processAllAvailable()
+      input.addData(EEvent("k", 50, isLeft = true, "l5"))
+      q.processAllAvailable()
       val got = spark.table("asof_out").as[Kernels.KEvent].collect()
         .map(e => e.value -> Option(e.carry).filter(_.nonEmpty)).toMap
       assert(got("l1").contains("r1"))
       assert(got("l2").contains("r1"))
       assert(got("l3").contains("r2"))
       assert(got("l4").isEmpty)
+      assert(got("l5").contains("rz"), got("l5"))
     } finally q.stop()
+  }
+
+  test("sketch epochs survive a TTL eviction: the tombstone keeps the counter") {
+    // after an idle group's data expires, a fresh table must CONTINUE
+    // the epoch sequence — a reset to 1 would let the documented
+    // max-epoch-per-group consumer rule pin the dead pre-expiry table
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import Kernels.HHEvent
+    val input = MemoryStream[HHEvent]
+    val q = Kernels.heavyHitters(input.toDS(), capacity = 4,
+        stateTtlMs = 1500L)
+      .writeStream.format("memory").queryName("hh_epoch_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      input.addData(HHEvent("g", 1, "a"))
+      awaitRows("hh_epoch_out", 1)
+      input.addData(HHEvent("g", 2, "a"))
+      awaitRows("hh_epoch_out", 2)
+      Thread.sleep(6000) // idle well past the TTL → data evicted
+      input.addData(HHEvent("g", 3, "b"))
+      awaitRows("hh_epoch_out", 3)
+      val rows = spark.table("hh_epoch_out").as[Kernels.HHSnapshot].collect()
+      val maxEpoch = rows.map(_.epoch).max
+      val current = rows.filter(_.epoch == maxEpoch)
+      // epoch continued past the pre-expiry 2, and the fresh table holds
+      // only the post-expiry item (the data really was evicted)
+      assert(maxEpoch >= 3, rows.toSeq.toString)
+      assert(current.map(_.item).toSet == Set("b"), current.toSeq.toString)
+    } finally q.stop()
+  }
+
+  test("degenerate kernel configs fail fast with messages, not inside tasks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val e1 = intercept[IllegalArgumentException] {
+      Kernels.cardinality(MemoryStream[Kernels.KEvent].toDS(),
+        Kernels.CardinalityCfg(limit = 0))
+    }
+    assert(e1.getMessage.contains("limit"))
+    val e2 = intercept[IllegalArgumentException] {
+      Kernels.antispamRules(MemoryStream[Kernels.TEventR].toDS(), 0L)
+    }
+    assert(e2.getMessage.contains("intervalMs"))
+    // rule-prefixed key contract violations name the problem
+    val cfg = Kernels.ThrottleCfg(1000L, 3, 5L,
+      rules = Seq(Kernels.ThrottleRule(1L)))
+    val e3 = intercept[IllegalArgumentException] { cfg.limitKindFor("noprefix") }
+    assert(e3.getMessage.contains("prefix"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] { cfg.limitKindFor("9:k") }
+    assert(e4.getMessage.contains("rule 9"), e4.getMessage)
+  }
+
+  test("BucketWindow: shift clamps to the window, ancient timestamps index -1") {
+    import graft.state.BucketWindow
+    assert(BucketWindow.shiftAmount(10L, 9L, 4) == 0)
+    assert(BucketWindow.shiftAmount(10L, 12L, 4) == 2)
+    assert(BucketWindow.shiftAmount(10L, 10L + 1000L, 4) == 4) // clamped
+    assert(BucketWindow.indexOf(10L, 10L, 4) == 3)
+    assert(BucketWindow.indexOf(10L, 8L, 4) == 1)
+    assert(BucketWindow.indexOf(10L, 6L, 4) == -1) // just past the window
+    // 2^31+ buckets back: the Long diff must answer -1, never wrap
+    assert(BucketWindow.indexOf(5_000_000_000L, 1L, 4) == -1)
   }
 
   test("asofEnrich TTL re-arms on left-only batches — state still expires") {
