@@ -1290,9 +1290,9 @@ object PipelineCompiler {
           (pathsNode.flatMap(p => Option(p.get(key))) orElse Option(n.get(key)))
             .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
         if (pats("include").nonEmpty)
-          tr = tr.option("include", pats("include").mkString(","))
+          tr = tr.option("include", pats("include").mkString("\n"))
         if (pats("exclude").nonEmpty)
-          tr = tr.option("exclude", pats("exclude").mkString(","))
+          tr = tr.option("exclude", pats("exclude").mkString("\n"))
         tr.load()
           .select(org.apache.spark.sql.functions.col("value"),
             org.apache.spark.sql.functions.col("source_name"))
@@ -1349,9 +1349,9 @@ object PipelineCompiler {
                 (pathsN.flatMap(p => Option(p.get(key))) orElse Option(c.get(key)))
                   .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
               if (k8sPats("include").nonEmpty)
-                tr = tr.option("include", k8sPats("include").mkString(","))
+                tr = tr.option("include", k8sPats("include").mkString("\n"))
               if (k8sPats("exclude").nonEmpty)
-                tr = tr.option("exclude", k8sPats("exclude").mkString(","))
+                tr = tr.option("exclude", k8sPats("exclude").mkString("\n"))
               // `offset` (the in-file byte position) rides along: it is
               // the true per-source order the chunk assembly sorts on
               // when a catch-up read is sliced across partitions —

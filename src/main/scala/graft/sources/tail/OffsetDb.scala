@@ -144,6 +144,11 @@ object OffsetDb {
       if (stream.isEmpty) fail(s"empty stream, $rest")
       if (names.contains(stream)) fail(s"duplicate stream \"$stream\"")
       names += stream
+      // pos+2 without validating the ": " separator is DELIBERATE
+      // reference parity: offset.go:182 slices line[pos+2:] the same
+      // way, so a malformed "name:405" reads offset 05 there too —
+      // byte-identical handling of hand-edited files (the min() only
+      // avoids the reference's slice-out-of-range panic on "name:")
       val offsetStr = line.substring(math.min(pos + 2, line.length))
       val off =
         try offsetStr.toLong

@@ -45,22 +45,33 @@ class TailSourceProvider extends TableProvider with DataSourceRegister {
     TailSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
+    // newline-separated (NOT comma): glob brace alternation `*.{log,txt}`
+    // legitimately contains commas — the compiler joins with "\n"
     def list(key: String): Seq[String] = Option(properties.get(key)).toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .flatMap(_.split("\n")).map(_.trim).filter(_.nonEmpty)
     // dir_pattern (file.go:194) compiles into one include like the
-    // reference's provider: `*` means every subtree (doublestar `**`)
+    // reference's provider — ONLY when no explicit include list is
+    // given (provider.go:191-218: an explicit Paths.Include wins);
+    // `*` means every subtree (doublestar `**`)
     val fp = Option(properties.get("filename_pattern")).getOrElse("*")
+    val explicitInclude = list("include")
     val dirPatInclude = Option(properties.get("dir_pattern")).map {
       case "*" => s"**/$fp"
       case dp  => s"$dp/$fp"
     }.toSeq
+    val maxPart = Option(properties.get("max_partition_bytes"))
+      .map(_.toLong).getOrElse(64L << 20)
+    // the slice reader buffers one slice (+ boundary-line overrun) as a
+    // byte array — cap well under Int.MaxValue
+    require(maxPart > 0 && maxPart <= (1L << 30),
+      s"max_partition_bytes must be in (0, 1 GiB]: $maxPart")
     new TailTable(TailSource.TailSpec(properties.get("path"), fp,
-        include = list("include") ++ dirPatInclude,
+        include =
+          if (explicitInclude.nonEmpty) explicitInclude else dirPatInclude,
         exclude = list("exclude"),
         removeAfterMs = Option(properties.get("remove_after_ms"))
           .map(_.toLong).getOrElse(0L),
-        maxPartitionBytes = Option(properties.get("max_partition_bytes"))
-          .map(_.toLong).getOrElse(64L << 20),
+        maxPartitionBytes = maxPart,
         offsetsFile = Option(properties.get("offsets_file")),
         persistenceMode = Option(properties.get("persistence_mode"))
           .getOrElse("async"),
@@ -99,7 +110,10 @@ object TailSource {
   private val fileMetaCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def fileMetaJson(src: String): String =
+  def fileMetaJson(src: String): String = {
+    // rotated-away paths would otherwise accumulate forever on a
+    // long-running executor (same bound as the http sidecar cache)
+    if (fileMetaCache.size() > 65536) fileMetaCache.clear()
     fileMetaCache.computeIfAbsent(src, { path =>
       // the batch file input's source_name is a `file:` URI
       // (_metadata.file_path); the tail source's is a plain path
@@ -119,6 +133,7 @@ object TailSource {
       node.put("inode", inode)
       mapper.writeValueAsString(node)
     })
+  }
 
   /** Current per-file end offsets, advanced only to the last newline. */
   def scanDir(dir: String, glob: String): Map[String, Long] = {
@@ -133,10 +148,15 @@ object TailSource {
   }
 
   /** Scan-time end offset for one file: raw last-newline position, or
-    * the DECOMPRESSED one for `.lz4` archives (None while unsealed). */
+    * the DECOMPRESSED one for `.lz4` archives (None while unsealed).
+    * A file vanishing between listing and stat/open is ROUTINE for a
+    * tailing source (external rotation, pod deletion) — it skips this
+    * scan instead of killing the streaming query. */
   private def endOffset(p: Path): Option[Long] =
-    if (isLz4(p.toString)) lz4End(p).map(_._1)
-    else Some(lastNewlineOffset(p))
+    try {
+      if (isLz4(p.toString)) lz4End(p).map(_._1)
+      else Some(lastNewlineOffset(p))
+    } catch { case _: java.io.IOException => None }
 
   // ------------------------------------------------ lz4 frame archives
 
@@ -165,6 +185,12 @@ object TailSource {
   /** (endPastLastNewline, totalDecompressed) once sealed, None while
     * the archive is still (possibly) being written. */
   def lz4End(p: Path): Option[(Long, Long)] = {
+    // bound the state map on long-running streams: rotated-away
+    // archives re-pend harmlessly if ever re-discovered
+    if (lz4States.size() > 4096)
+      lz4States.keySet.asScala
+        .filterNot(k => Files.exists(Paths.get(k)))
+        .foreach(lz4States.remove)
     val stamp = Lz4Stamp(Files.size(p),
       Files.getLastModifiedTime(p).toMillis)
     lz4States.get(p.toString) match {
@@ -240,16 +266,27 @@ object TailSource {
                       else Seq(p))
       val inc = incPats.map(p => fs.getPathMatcher("glob:" + p))
       val exc = spec.exclude.map(p => fs.getPathMatcher("glob:" + p))
-      val walk = Files.walk(d)
-      try {
-        walk.iterator().asScala
-          .filter(p => Files.isRegularFile(p))
-          .map(p => (p, d.relativize(p)))
-          .filter { case (_, rel) =>
-            inc.exists(_.matches(rel)) && !exc.exists(_.matches(rel)) }
-          .flatMap { case (p, _) => endOffset(p).map(p.toString -> _) }
-          .toMap
-      } finally walk.close()
+      // walkFileTree with visitFileFailed=CONTINUE: a directory or file
+      // removed mid-walk (routine under external rotation) must not
+      // abort the scan the way Files.walk's UncheckedIOException would
+      val found = Seq.newBuilder[Path]
+      Files.walkFileTree(d, new java.nio.file.SimpleFileVisitor[Path] {
+        override def visitFile(f: Path,
+            attrs: java.nio.file.attribute.BasicFileAttributes)
+        : java.nio.file.FileVisitResult = {
+          if (attrs.isRegularFile) found += f
+          java.nio.file.FileVisitResult.CONTINUE
+        }
+        override def visitFileFailed(f: Path, e: java.io.IOException)
+        : java.nio.file.FileVisitResult =
+          java.nio.file.FileVisitResult.CONTINUE
+      })
+      found.result().iterator
+        .map(p => (p, d.relativize(p)))
+        .filter { case (_, rel) =>
+          inc.exists(_.matches(rel)) && !exc.exists(_.matches(rel)) }
+        .flatMap { case (p, _) => endOffset(p).map(p.toString -> _) }
+        .toMap
     }
 
   /** Byte position just after the last '\n' in the file (0 if none). */
@@ -331,12 +368,16 @@ class TailMicroBatchStream(spec: TailSource.TailSpec,
       val entries = OffsetDb.load(Paths.get(spec.offsetsFile.get))
       val bySourceId = entries.map(e => e.sourceId -> e).toMap
       TailOffset(TailSource.scan(spec).flatMap { case (path, _) =>
-        val p = Paths.get(path)
-        val (_, symlink) = OffsetDb.resolveNames(p)
-        for {
-          ino <- OffsetDb.inodeOf(p)
-          e <- bySourceId.get(OffsetDb.sourceIdByStat(ino, symlink))
-        } yield path -> e.minOffset
+        try {
+          val p = Paths.get(path)
+          // a dangling symlink (pod deleted mid-scan) makes
+          // toRealPath throw — that file just reads from 0
+          val (_, symlink) = OffsetDb.resolveNames(p)
+          for {
+            ino <- OffsetDb.inodeOf(p)
+            e <- bySourceId.get(OffsetDb.sourceIdByStat(ino, symlink))
+          } yield path -> e.minOffset
+        } catch { case _: java.io.IOException => None }
       })
     case _ => TailOffset(Map.empty)
   }
@@ -376,16 +417,25 @@ class TailMicroBatchStream(spec: TailSource.TailSpec,
       if (due) {
         val entries = end.offsets.toSeq.sortBy(_._1).flatMap {
           case (path, off) if off > 0 =>
-            val p = Paths.get(path)
-            val (filename, symlink) = OffsetDb.resolveNames(p)
-            OffsetDb.inodeOf(p).map { ino =>
-              OffsetDb.Entry(filename, ino,
-                OffsetDb.sourceIdByStat(ino, symlink),
-                Some(now * 1000000L), Seq("default" -> off))
-            }
+            try {
+              val p = Paths.get(path)
+              // vanished/dangling path at commit time: drop the entry
+              // (the reference snapshots live jobs only)
+              val (filename, symlink) = OffsetDb.resolveNames(p)
+              OffsetDb.inodeOf(p).map { ino =>
+                OffsetDb.Entry(filename, ino,
+                  OffsetDb.sourceIdByStat(ino, symlink),
+                  Some(now * 1000000L), Seq("default" -> off))
+              }
+            } catch { case _: java.io.IOException => None }
           case _ => None
         }
-        OffsetDb.save(Paths.get(file), entries)
+        // hardlinked paths share an inode → ONE entry per sourceId
+        // (file.d keys jobs by sourceID and its parser rejects
+        // duplicates); keep the smallest offset — at-least-once
+        val deduped = entries.groupBy(_.sourceId).values.toSeq
+          .map(_.minBy(_.minOffset)).sortBy(_.filename)
+        OffsetDb.save(Paths.get(file), deduped)
         lastOffsetsSave = now
       }
     }
@@ -397,11 +447,13 @@ class TailMicroBatchStream(spec: TailSource.TailSpec,
       end.asInstanceOf[TailOffset].offsets.foreach { case (path, off) =>
         val p = Paths.get(path)
         // "fully consumed" compares the committed offset to the file's
-        // LOGICAL size — the decompressed length for .lz4 archives
-        // (their offsets live in decompressed space), raw size otherwise
+        // readable end — for .lz4 archives that is the PAST-LAST-NEWLINE
+        // decompressed end, not the total length: a sealed archive can
+        // never be appended to, so a trailing partial line will never
+        // complete and must not pin the file on disk forever
         def logicalSize: Long =
           if (TailSource.isLz4(path))
-            TailSource.lz4End(p).map(_._2).getOrElse(-1L)
+            TailSource.lz4End(p).map(_._1).getOrElse(-1L)
           else Files.size(p)
         try {
           if (Files.exists(p) && off > 0 && logicalSize == off) {
@@ -413,6 +465,11 @@ class TailMicroBatchStream(spec: TailSource.TailSpec,
           } else eofSince.remove(path) // growing / partial tail / gone
         } catch { case _: java.io.IOException => eofSince.remove(path) }
       }
+      // rotated-away paths never reappear in the offset map — sweep
+      // them so a long-running stream's age map stays bounded by the
+      // LIVE file count
+      val live = end.asInstanceOf[TailOffset].offsets.keySet
+      eofSince.filterInPlace { case (k, _) => live.contains(k) }
     }
   }
 
@@ -482,59 +539,102 @@ class TailReader(path: String, startOff: Long, endOff: Long,
   private val effStart: Long =
     if (startOff > rangeStart) startOff - 1 else startOff
 
+  private val isLz4Path = TailSource.isLz4(path)
+
+  /** A file truncated or deleted AFTER the epoch's end offsets entered
+    * Spark's offset WAL is unrecoverable data — every task retry and
+    * every restart would replay the same unreadable range, wedging the
+    * query permanently. The reader therefore emits whatever bytes still
+    * exist and stops (at-least-once; the reference's reset-on-truncate
+    * loses the same bytes), instead of throwing. */
+  private def warnShort(what: String): Unit =
+    Console.err.println(s"[graft-tail] $path: $what — emitting what " +
+      "was readable (file truncated/rotated after the batch was planned)")
+
+  // ---- non-lz4: the slice buffer (bounded by maxPartitionBytes + the
+  // boundary line's overrun)
   private val bytes: Array[Byte] =
-    if (TailSource.isLz4(path)) {
-      // decompressed-space slice: stream through the frame decoder and
-      // drop the first startOff bytes (no seek on compressed data —
-      // worker.go:106-130's skip-by-reading); lz4 slices are never
-      // split, so no boundary overrun applies
-      val in = TailSource.lz4Stream(java.nio.file.Paths.get(path))
+    if (isLz4Path) Array.emptyByteArray
+    else {
       try {
+        val raf = new RandomAccessFile(path, "r")
+        try {
+          // a shrunk file bounds the read — emit what's left
+          val avail = math.min(endOff, raf.length())
+          if (avail <= effStart) {
+            if (avail < endOff) warnShort(s"shrank below $endOff")
+            Array.emptyByteArray
+          } else {
+            raf.seek(effStart)
+            val b = new Array[Byte]((avail - effStart).toInt)
+            var got = 0
+            var eof = false
+            while (got < b.length && !eof) {
+              val n = raf.read(b, got, b.length - got)
+              if (n < 0) eof = true else got += n
+            }
+            val base = if (got == b.length) b
+                       else { warnShort(s"EOF at ${effStart + got}")
+                              java.util.Arrays.copyOf(b, got) }
+            // boundary overrun: the slice's last line may continue past
+            // endOff — extend to its newline (bounded by rangeEnd, which
+            // is on a line boundary), streamed in 64 KiB chunks
+            if (endOff < rangeEnd && base.nonEmpty && base.last != '\n') {
+              val extra = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](1 << 16)
+              var pos = endOff
+              var done = false
+              while (!done && pos < rangeEnd) {
+                val n = raf.read(buf, 0,
+                  math.min(buf.length.toLong, rangeEnd - pos).toInt)
+                if (n <= 0) done = true
+                else {
+                  val nl = buf.indexOf('\n'.toByte)
+                  if (nl >= 0 && nl < n) { extra.write(buf, 0, nl + 1); done = true }
+                  else { extra.write(buf, 0, n); pos += n }
+                }
+              }
+              base ++ extra.toByteArray
+            } else base
+          }
+        } finally raf.close()
+      } catch {
+        case e: java.io.IOException =>
+          warnShort(s"unreadable (${e.getClass.getSimpleName})")
+          Array.emptyByteArray
+      }
+    }
+
+  // ---- lz4: STREAM through the frame decoder, O(line) memory — an
+  // archive can exceed 2 GiB decompressed and must never materialize;
+  // skip-by-reading to startOff (no seek on compressed data,
+  // worker.go:106-130). lz4 slices are never split, so no overrun.
+  private val lz4In: java.io.InputStream =
+    if (!isLz4Path) null
+    else {
+      try {
+        val in = TailSource.lz4Stream(java.nio.file.Paths.get(path))
         var toSkip = startOff
         val scratch = new Array[Byte](1 << 16)
-        while (toSkip > 0) {
+        var ok = true
+        while (toSkip > 0 && ok) {
           val n = in.read(scratch, 0,
             math.min(toSkip, scratch.length.toLong).toInt)
-          require(n > 0, s"lz4 archive $path shorter than offset $startOff")
-          toSkip -= n
+          if (n <= 0) { ok = false } else toSkip -= n
         }
-        val b = new Array[Byte]((endOff - startOff).toInt)
-        var got = 0
-        while (got < b.length) {
-          val n = in.read(b, got, b.length - got)
-          require(n > 0, s"lz4 archive $path truncated at ${startOff + got}")
-          got += n
-        }
-        b
-      } finally in.close()
-    } else {
-      val raf = new RandomAccessFile(path, "r")
-      try {
-        raf.seek(effStart)
-        val b = new Array[Byte]((endOff - effStart).toInt)
-        raf.readFully(b)
-        // boundary overrun: the slice's last line may continue past
-        // endOff — extend to its newline (bounded by rangeEnd, which is
-        // on a line boundary), streamed in 64 KiB chunks
-        if (endOff < rangeEnd && b.nonEmpty && b.last != '\n') {
-          val extra = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](1 << 16)
-          var pos = endOff
-          var done = false
-          while (!done && pos < rangeEnd) {
-            val n = raf.read(buf, 0,
-              math.min(buf.length.toLong, rangeEnd - pos).toInt)
-            if (n <= 0) done = true
-            else {
-              val nl = buf.indexOf('\n'.toByte)
-              if (nl >= 0 && nl < n) { extra.write(buf, 0, nl + 1); done = true }
-              else { extra.write(buf, 0, n); pos += n }
-            }
-          }
-          b ++ extra.toByteArray
-        } else b
-      } finally raf.close()
+        if (!ok) { warnShort(s"shorter than offset $startOff"); in.close(); null }
+        else in
+      } catch {
+        case e: java.io.IOException =>
+          warnShort(s"unreadable (${e.getClass.getSimpleName})"); null
+      }
     }
+  private val lzBuf = new Array[Byte](1 << 16)
+  private var lzLen = 0
+  private var lzOff = 0
+  private var lz4Pos = startOff // next unread decompressed offset
+  private var lz4Done = lz4In == null
+
   private val pathUtf8 = UTF8String.fromString(path)
   private var pos = 0
   private var current: InternalRow = _
@@ -542,12 +642,15 @@ class TailReader(path: String, startOff: Long, endOff: Long,
   // an interior slice starts one byte early (see effStart): skip to
   // just past the first newline — exactly the boundary '\n' when the
   // previous slice ended on one, else the previous slice's tail line
-  if (startOff > rangeStart) {
+  if (!isLz4Path && startOff > rangeStart) {
     while (pos < bytes.length && bytes(pos) != '\n') pos += 1
     pos += 1
   }
 
-  override def next(): Boolean = {
+  override def next(): Boolean =
+    if (isLz4Path) nextLz4() else nextBuffered()
+
+  private def nextBuffered(): Boolean = {
     // own only lines STARTING in [startOff, endOff)
     if (pos >= bytes.length || effStart + pos >= endOff) return false
     var e = pos
@@ -560,6 +663,33 @@ class TailReader(path: String, startOff: Long, endOff: Long,
     true
   }
 
+  private def nextLz4(): Boolean = {
+    if (lz4Done || lz4Pos >= endOff) return false
+    val line = new java.io.ByteArrayOutputStream(128)
+    var newline = false
+    while (!newline && !lz4Done) {
+      if (lzOff >= lzLen) {
+        lzLen = try lz4In.read(lzBuf) catch {
+          case e: java.io.IOException =>
+            warnShort(s"read failed (${e.getClass.getSimpleName})"); -1
+        }
+        lzOff = 0
+        if (lzLen <= 0) lz4Done = true
+      }
+      if (!lz4Done) {
+        var i = lzOff
+        while (i < lzLen && lzBuf(i) != '\n') i += 1
+        line.write(lzBuf, lzOff, i - lzOff)
+        if (i < lzLen) { newline = true; lzOff = i + 1 } else lzOff = i
+      }
+    }
+    if (line.size() == 0 && !newline) return false // clean end / truncation
+    current = InternalRow(
+      UTF8String.fromBytes(line.toByteArray), pathUtf8, lz4Pos)
+    lz4Pos += line.size() + (if (newline) 1 else 0)
+    true
+  }
+
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = if (lz4In != null) lz4In.close()
 }

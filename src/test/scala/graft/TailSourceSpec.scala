@@ -278,6 +278,109 @@ class TailSourceSpec extends AnyFunSuite {
     assert(!Files.exists(busy), "removed once the full window passed at EOF")
   }
 
+  test("truncation/deletion AFTER planning emits what's readable instead of wedging") {
+    // once an epoch's end offsets are in Spark's offset WAL, a reader
+    // failure replays forever — the reader must tolerate a file that
+    // shrank or vanished between planning and execution (routine under
+    // external rotation) by emitting the surviving bytes
+    val dir = Files.createTempDirectory("tail_trunc")
+    val log = dir.resolve("app.log")
+    write(log, "l1\nl2\nl3\n")
+    val stream = new TailMicroBatchStream(dir.toString, "*.log")
+    val end = stream.latestOffset().asInstanceOf[TailOffset]
+    assert(end.offsets(log.toString) == 9L)
+    // shrink below the planned end — reader sees the surviving prefix
+    Files.write(log, "l1\n".getBytes("UTF-8"))
+    val parts = stream.planInputPartitions(TailOffset(Map.empty), end)
+    val r = stream.createReaderFactory().createReader(parts.head)
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (r.next()) got += r.get().getUTF8String(0).toString
+    assert(got.toSeq == Seq("l1"), got)
+    // deleted outright — empty, no throw
+    Files.delete(log)
+    val r2 = stream.createReaderFactory().createReader(parts.head)
+    assert(!r2.next())
+  }
+
+  test("provider options: brace globs survive (newline-separated), explicit include wins dir_pattern") {
+    val dir = Files.createTempDirectory("tail_opts")
+    Files.createDirectories(dir.resolve("sub"))
+    write(dir.resolve("a.log"), "a\n")
+    write(dir.resolve("b.txt"), "b\n")
+    write(dir.resolve("c.csv"), "c\n")
+    write(dir.resolve("sub/d.log"), "d\n")
+    def streamFor(opts: (String, String)*): TailMicroBatchStream = {
+      val props = new java.util.HashMap[String, String]()
+      props.put("path", dir.toString)
+      opts.foreach { case (k, v) => props.put(k, v) }
+      new graft.sources.tail.TailSourceProvider()
+        .getTable(null, Array.empty, props)
+        .asInstanceOf[graft.sources.tail.TailTable]
+        .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of()))
+        .build().toMicroBatchStream("")
+        .asInstanceOf[TailMicroBatchStream]
+    }
+    // a glob brace alternation contains commas — the include option is
+    // newline-separated so `*.{log,txt}` survives intact
+    val (rows, _) = epoch(streamFor("include" -> "**/*.{log,txt}"),
+      TailOffset(Map.empty))
+    assert(rows.map(_._1).sorted == Seq("a", "b", "d"), rows)
+    // an explicit include SUPPRESSES dir_pattern (provider.go:191-218:
+    // dir_pattern only compiles into the include when none is given)
+    val (rows2, _) = epoch(
+      streamFor("include" -> "*.log", "dir_pattern" -> "*"),
+      TailOffset(Map.empty))
+    assert(rows2.map(_._1) == Seq("a"), rows2)
+    // max_partition_bytes beyond the slice-buffer cap fails fast
+    val e = intercept[IllegalArgumentException] {
+      streamFor("max_partition_bytes" -> (3L << 30).toString)
+    }
+    assert(e.getMessage.contains("max_partition_bytes"))
+  }
+
+  test("offsets_file save dedupes hardlinked paths to one entry per inode") {
+    // two hardlinks share a sourceID; file.d's parser (and OffsetDb)
+    // reject duplicate inodes, so the save must write ONE entry (min
+    // offset — at-least-once)
+    val dir = Files.createTempDirectory("tail_hardlink")
+    val a = dir.resolve("a.log")
+    write(a, "x1\nx2\n")
+    Files.createLink(dir.resolve("b.log"), a)
+    val off = dir.resolve("offsets.yaml")
+    var now = 1000L
+    val spec = TailSource.TailSpec(dir.toString, "*.log",
+      offsetsFile = Some(off.toString), persistenceMode = "sync")
+    val stream = new TailMicroBatchStream(spec, "reset", () => now)
+    val (_, end) = epoch(stream, TailOffset(Map.empty))
+    stream.commit(end)
+    val entries = graft.sources.tail.OffsetDb.load(off) // parse rejects dup inodes
+    assert(entries.size == 1, entries)
+    assert(entries.head.minOffset == 6L)
+  }
+
+  test("remove_after treats a sealed lz4 archive's past-last-newline end as consumed") {
+    // an archive can never be appended to, so a trailing partial line
+    // never completes — it must not pin the file on disk forever
+    val dir = Files.createTempDirectory("tail_rm_lz4")
+    val arc = dir.resolve("batch.log.lz4")
+    val out = new _root_.net.jpountz.lz4.LZ4FrameOutputStream(
+      Files.newOutputStream(arc, StandardOpenOption.CREATE))
+    out.write("c1\nc2\ntail-no-nl".getBytes("UTF-8")); out.close()
+    var now = 1000L
+    val spec = TailSource.TailSpec(dir.toString, "*", removeAfterMs = 5000L)
+    val stream = new TailMicroBatchStream(spec, "reset", () => now)
+    val (_, o1) = epoch(stream, TailOffset(Map.empty)) // pending
+    stream.commit(o1)
+    val (rows, o2) = epoch(stream, o1)                 // sealed, lines flow
+    assert(rows.map(_._1) == Seq("c1", "c2"))
+    stream.commit(o2)                                  // consumed → clock starts
+    now += 6000L
+    val (_, o3) = epoch(stream, o2)
+    stream.commit(o3)
+    assert(!Files.exists(arc), "sealed archive removed despite the partial tail")
+  }
+
   test("offsets_file seeds `continue` from a live file.d offsets file (migration)") {
     // offset.go load + provider.go:488-520 initJobOffset: entries match
     // by the real sourceID (inode + symlink hash), a matched file
