@@ -185,7 +185,17 @@ object PipelineCompiler {
           graft.sinks.Sinks.httpTransport(withEsPipeline(url),
             outputConf.get("use_gzip").exists(_.toBoolean),
             authHeaders ++ tokenHeaders ++ ctHeaders ++ esAuthHeaders,
-            onResponse = esRespHook)
+            onResponse = esRespHook,
+            // the reference's transport timeouts (Go-duration
+            // spellings, e.g. elasticsearch.go connection_timeout) —
+            // defaults keep a wedged endpoint from blocking the task
+            // forever
+            connectTimeoutMs = outputConf.get("connection_timeout")
+              .map(v => PipelineCompiler.goDurationMillis(v).toInt)
+              .getOrElse(15000),
+            readTimeoutMs = outputConf.get("request_timeout")
+              .map(v => PipelineCompiler.goDurationMillis(v).toInt)
+              .getOrElse(60000))
         case Some(hostPort) if hostPort.contains(":") =>
           val cut = hostPort.lastIndexOf(':')
           val h0 = hostPort.substring(0, cut)
@@ -314,7 +324,7 @@ object PipelineCompiler {
       val doc = col("doc")
       def timeCol = outputConf.get("time_field")
         .orElse(outputConf.get("timestamp_field")) // gelf/loki spelling
-        .map(f => XTime.parse(doc.getField(f).cast("string"),
+        .map(f => coalesce(XTime.parse(doc.getField(f).cast("string"),
           // on elasticsearch, `time_format` is the reference's INDEX
           // RENDER layout (elasticsearch.go:126), not a parse format —
           // the graft parse override there is `time_parse_format`
@@ -322,7 +332,12 @@ object PipelineCompiler {
              outputConf.get("time_parse_format")
            else outputConf.get("time_format")
              .orElse(outputConf.get("timestamp_field_format")))
-            .getOrElse("rfc3339")))
+            .getOrElse("rfc3339")),
+          // an unparseable/missing time must not NULL the rendered
+          // payload (concat null-poisons an ES bulk line / loki value,
+          // and one bad event would fail its whole chunk) — fall back
+          // to arrival time like the reference's now() default
+          current_timestamp()))
         .getOrElse(current_timestamp())
       // a configured column missing from the doc schema reads as NULL
       // (the reference's Dig-miss → zero-fill/NULL path), instead of an

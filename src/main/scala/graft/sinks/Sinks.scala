@@ -143,8 +143,17 @@ object Sinks {
           new KafkaWireClient(h, p, security = security,
             messageFormat = messageFormat))
       val meta = scala.collection.mutable.Map.empty[String, Seq[KafkaWire.PartitionMeta]]
-      def partsOf(t: String): Seq[KafkaWire.PartitionMeta] =
-        meta.getOrElseUpdate(t, client(bh, bp).metadata(Seq(t))(t))
+      def partsOf(t: String): Seq[KafkaWire.PartitionMeta] = {
+        val ps = meta.getOrElseUpdate(t, client(bh, bp).metadata(Seq(t))(t))
+        // empty list = topic still being created (LEADER_NOT_AVAILABLE):
+        // don't cache it, and fail with the state named, not `% 0`
+        if (ps.isEmpty) {
+          meta.remove(t)
+          throw new java.io.IOException(
+            s"kafka: topic `$t` reports no partitions yet (still being created?)")
+        }
+        ps
+      }
       var rr = math.max(org.apache.spark.TaskContext.getPartitionId(), 0)
       val pending = scala.collection.mutable.Map
         .empty[(String, Int), scala.collection.mutable.ArrayBuffer[KafkaWire.RecordMsg]]
@@ -245,6 +254,11 @@ object Sinks {
     val (boot, _) = KafkaWire.connectBootstrap(brokers, security = security)
     try {
       val parts = boot.metadata(Seq(topic))(topic)
+      // an auto-created topic's first metadata response can carry an
+      // empty partition list (LEADER_NOT_AVAILABLE) — name the state
+      // instead of an opaque / by zero; the batcher's retry re-fetches
+      require(parts.nonEmpty, s"kafka: topic `$topic` reports no " +
+        "partitions yet (still being created?) — retrying re-fetches")
       // floorMod everywhere: .abs is Int.MinValue for Int.MinValue and
       // `%` keeps the sign, either of which would index negatively
       var rr = math.floorMod(scala.util.hashing.MurmurHash3.stringHash(topic),
@@ -275,9 +289,18 @@ object Sinks {
                   timeFormat: String = "yyyy-MM-dd",
                   opType: String = "index"): org.apache.spark.sql.Column =
     concat(
-      lit(s"""{"${checkOpType(opType)}":{"_index":""""), lit(indexPrefix),
+      lit(s"""{"${checkOpType(opType)}":{"_index":""""),
+      lit(indexPrefix.replace("\\", "\\\\").replace("\"", "\\\"")),
       date_format(eventTime, timeFormat), lit("\"}}\n"),
       to_json(doc))
+
+  /** Escape a value spliced into a JSON string context (the bulk action
+    * line): a quote or backslash in a doc field must not tear the
+    * action JSON — ES would 400 the WHOLE bulk body for one odd event
+    * (a bad index NAME still fails per-item, the right granularity). */
+  private def jsonStringEscape(c: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
 
   /** `batch_op_type` (elasticsearch.go:163,241): the bulk action verb —
     * `index` (default) or `create` (data streams require create). */
@@ -312,7 +335,8 @@ object Sinks {
             if (v == "@time") Seq(date_format(eventTime, timeFormat))
             else {
               val f = doc.getField(v).cast("string")
-              Seq(when(f.isNotNull && length(f) > 0, f).otherwise(lit("not_set")))
+              Seq(when(f.isNotNull && length(f) > 0, jsonStringEscape(f))
+                .otherwise(lit("not_set")))
             }
           } else Seq.empty
         literal ++ value
@@ -661,7 +685,13 @@ object Sinks {
                        timeCol: org.apache.spark.sql.Column,
                        payloadCol: org.apache.spark.sql.Column,
                        maxObjectEvents: Int = 100000)
-  : (DataFrame, Long) => Unit = { (df, epoch) =>
+  : (DataFrame, Long) => Unit = {
+    // memoized on first batch: the session Hadoop conf is epoch-
+    // invariant — re-broadcasting it every micro-batch would re-ship
+    // the whole KV dump to every executor per trigger and leave stale
+    // broadcasts for the ContextCleaner
+    var hadoopKvMemo: org.apache.spark.broadcast.Broadcast[Array[(String, String)]] = null
+    (df, epoch) => {
     val maxEv = maxObjectEvents
     val base = basePath
     // the SESSION's Hadoop conf, broadcast to the tasks as key-value
@@ -669,14 +699,19 @@ object Sinks {
     // private) — a bare new Configuration() in the task would drop every
     // spark.hadoop.* setting (s3a credentials/endpoint) on a real cluster
     val sc = df.sparkSession.sparkContext
-    val hadoopKv = sc.broadcast {
+    if (hadoopKvMemo == null) hadoopKvMemo = sc.broadcast {
       val it = sc.hadoopConfiguration.iterator()
       val b = Array.newBuilder[(String, String)]
       while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
       b.result()
     }
-    df.select(bucketCol.cast("string").as("_bucket"),
-        date_format(timeCol, "yyyyMMdd").as("_date"),
+    val hadoopKv = hadoopKvMemo
+    // null bucket/date (missing field, unparseable time) must not
+    // interpolate a literal "null/" path segment — route to the default
+    // bucket / the wall-clock date instead
+    df.select(coalesce(bucketCol.cast("string"), lit("default")).as("_bucket"),
+        date_format(coalesce(timeCol, current_timestamp()), "yyyyMMdd")
+          .as("_date"),
         payloadCol.cast("string").as("_payload"))
       .filter(col("_payload").isNotNull)
       .repartition(col("_bucket"), col("_date"))
@@ -717,6 +752,7 @@ object Sinks {
             new Obj(r.getString(0), r.getString(1))).write(r.getString(2))
         } finally open.values.foreach(_.close())
       }
+    }
   }
 
   // ------------------------------------------------- foreachBatch + DLQ
@@ -742,10 +778,17 @@ object Sinks {
     * items failed, so skipping the body means silently losing events. */
   def httpTransport(url: String, gzip: Boolean = false,
                     headers: Map[String, String] = Map.empty,
-                    onResponse: Option[String => Unit] = None): Transport = { lines =>
+                    onResponse: Option[String => Unit] = None,
+                    connectTimeoutMs: Int = 15000,
+                    readTimeoutMs: Int = 60000): Transport = { lines =>
     val c = java.net.URI.create(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     try {
+      // the JDK default is 0 = INFINITE: a wedged endpoint that accepts
+      // the connection but never answers would block the executor task
+      // forever and the retry/DLQ machinery would never engage
+      c.setConnectTimeout(connectTimeoutMs)
+      c.setReadTimeout(readTimeoutMs)
       c.setRequestMethod("POST")
       c.setDoOutput(true)
       c.setRequestProperty("Content-Type", "application/json")
@@ -922,8 +965,15 @@ object Sinks {
                        batchSizeBytes: Long = 0L,
                        fatalOnFailedInsert: Boolean = false)
   : (DataFrame, Long) => Unit = { (df, _epoch) =>
+    // batchSize <= 0 would make the byte-budget chunker loop forever on
+    // empty chunks (and grouped(0) throw) — fail at build, not in a task
+    require(batchSize > 0, s"sink batch_size must be positive: $batchSize")
     val spark = df.sparkSession
-    val failed = df.select(col(payloadCol)).rdd
+    // a null payload (e.g. a render over an unparseable field) must not
+    // NPE the whole chunk's send — nulls can't be delivered, drop them
+    // here; the renderers coalesce their inputs so this is a backstop
+    val failed = df.select(col(payloadCol))
+      .filter(col(payloadCol).isNotNull).rdd
       .mapPartitions { it =>
         // `batch_size_bytes` (pipeline/batch.go:76-96): append-then-
         // check — a batch is ready at batchSize events OR once the
@@ -953,7 +1003,11 @@ object Sinks {
           while (!ok && attempt <= retries) {
             try { transport(lines.iterator); ok = true }
             catch {
-              case _: Throwable =>
+              // NonFatal only: an OOM/LinkageError must not be retried
+              // and then masked as a DLQ'd "data failure", and a task
+              // kill/interrupt must cancel promptly instead of sleeping
+              // through the whole backoff schedule
+              case scala.util.control.NonFatal(_) =>
                 attempt += 1
                 if (attempt <= retries) {
                   val d = backoffDelayMs(retentionMs, retentionMultiplier,

@@ -84,6 +84,53 @@ class SinkBackoffSpec extends AnyFunSuite {
     sink2(df, 0L)
     assert(BackoffProbe.chunkSizes.asScala.toList == List(2, 2, 1),
       BackoffProbe.chunkSizes.toString)
+    // batch_size <= 0 would spin the byte-budget chunker forever on
+    // empty chunks — rejected at build
+    val e = intercept[IllegalArgumentException] {
+      Sinks.foreachBatchSink("payload", batchSize = 0, retries = 0,
+        _ => (), batchSizeBytes = 25L)(df, 0L)
+    }
+    assert(e.getMessage.contains("batch_size"))
+    // a null payload row is dropped instead of NPE-ing its whole chunk
+    BackoffProbe.reset()
+    val withNull = Seq(Some("ok1"), None, Some("ok2"))
+      .toDF("payload").coalesce(1)
+    Sinks.foreachBatchSink("payload", batchSize = 10, retries = 0,
+      lines => lines.foreach(BackoffProbe.delivered.add))(withNull, 0L)
+    assert(BackoffProbe.delivered.asScala.toSet == Set("ok1", "ok2"))
+  }
+
+  test("esBulkLinesFormatted escapes quotes/backslashes in doc-field index values") {
+    import spark.implicits._
+    val df = Seq(("""a"b""", "x"), ("""c\d""", "y")).toDF("svc", "v")
+    val lines = df.select(Sinks.esBulkLinesFormatted(
+        org.apache.spark.sql.functions.struct($"svc", $"v"),
+        "idx-%", Seq("svc"),
+        org.apache.spark.sql.functions.current_timestamp()).as("p"))
+      .collect().map(_.getString(0))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    lines.foreach { l =>
+      val action = l.substring(0, l.indexOf('\n'))
+      val idx = om.readTree(action).get("index").get("_index").asText()
+      assert(idx == "idx-a\"b" || idx == "idx-c\\d", s"$action -> $idx")
+    }
+  }
+
+  test("httpTransport times out on a wedged endpoint instead of blocking forever") {
+    val srv = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      try { val s = srv.accept(); Thread.sleep(10000); s.close() }
+      catch { case _: Throwable => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val transport = Sinks.httpTransport(
+        s"http://127.0.0.1:${srv.getLocalPort}/", readTimeoutMs = 400,
+        connectTimeoutMs = 400)
+      val e = intercept[java.io.IOException] { transport(Iterator("x")) }
+      assert(e.isInstanceOf[java.net.SocketTimeoutException] ||
+        e.getMessage != null, e.toString)
+    } finally srv.close()
   }
 
   test("exhausted retries sleep between every attempt and still route to the DLQ") {
