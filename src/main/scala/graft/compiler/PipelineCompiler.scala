@@ -2703,12 +2703,13 @@ object PipelineCompiler {
             .map(v => goDurationMillis(v.asText())))
           .getOrElse(0L)
         // null-safe: an unparseable/missing time must not crash the
-        // query on the kernel's non-nullable Long — epoch 0 lands the
-        // event in an ancient bucket, where the window drops it (the
-        // same fate as any event older than the window)
+        // query on the kernel's non-nullable Long — and the reference
+        // falls back to time.Now() there (throttle.go:522-533), so the
+        // event throttles in the CURRENT bucket instead of being
+        // silently dropped as ancient
         val eventTime = coalesce(
           unix_millis(XTime.parse(col("doc").getField(tsF).cast("string"), tFmt)),
-          lit(0L))
+          unix_millis(current_timestamp()))
         // `limiter_backend: redis`: the kernel syncs each key's dual
         // window with redis at micro-batch boundaries once
         // `sync_interval` has elapsed (graft.state.RedisThrottle)
@@ -2961,7 +2962,8 @@ object PipelineCompiler {
             .getOrElse(lit("default"))
           val eventMs = coalesce(
             unix_millis(XTime.parse(doc.getField(tsF).cast("string"), tsFmt)),
-            lit(0L))
+            // throttle.go:522-533: unparseable time → now, not a drop
+            unix_millis(current_timestamp()))
           val weight =
             if (kind == "size") {
               if (df.columns.contains("value")) octet_length(col("value"))
@@ -2984,7 +2986,11 @@ object PipelineCompiler {
             .drop("_tkey", "_tms", "_tord", "_twt", "_tko", "_tdv")
         }
         val bucket = floor(
-          unix_timestamp(XTime.parse(doc.getField(tsF).cast("string"), tsFmt))
+          unix_timestamp(coalesce(
+            XTime.parse(doc.getField(tsF).cast("string"), tsFmt),
+            // throttle.go:522-533: unparseable time → now (a NULL
+            // bucket would quietly form its own window)
+            current_timestamp()))
             / interval).cast("long")
         val keyed = df.withColumn("_tkey", key)
           .withColumn("_tord",

@@ -123,7 +123,15 @@ object MetaTemplates {
           i += 1
           while (i < s.length && s.charAt(i) != '"') {
             if (s.charAt(i) == '\\' && i + 1 < s.length) {
-              sb.append(s.charAt(i + 1)); i += 2
+              // Go string-literal escapes: \n/\t/\r are control chars,
+              // not the letters n/t/r; anything else passes through
+              sb.append(s.charAt(i + 1) match {
+                case 'n' => '\n'
+                case 't' => '\t'
+                case 'r' => '\r'
+                case c   => c
+              })
+              i += 2
             } else { sb.append(s.charAt(i)); i += 1 }
           }
           require(i < s.length, s"meta template `$ctx`: unclosed string")
@@ -180,6 +188,17 @@ object MetaTemplates {
       val args = seg.tail.map(parsePrimary(_, ctx)) ++ piped.toSeq
       require(args.size >= 2,
         s"meta template `$ctx`: index needs a base and at least one key")
+      // keys must be literals: a dynamic (reference) key cannot pick
+      // between Go's 0-based slice indexing and map lookup without the
+      // base's runtime type — supporting it silently off-by-one'd
+      // arrays (element_at is 1-based). Loud like the other
+      // unsupported constructs.
+      args.tail.foreach {
+        case Num(_) | Str(_) => ()
+        case other => throw new IllegalArgumentException(
+          s"meta template `$ctx`: index keys must be literal strings " +
+            s"or ints — a dynamic key (`$other`) is not supported")
+      }
       Index(args)
     case "default" =>
       val explicit = seg.tail.map(parsePrimary(_, ctx))
@@ -253,11 +272,9 @@ object MetaTemplates {
           args.tail.foldLeft(base) { (acc, key) =>
             key match {
               case Num(i) => get(acc, lit(i)) // 0-based, Go slice semantics
-              case Str(s) => try_element_at(acc, lit(s))
-              case other  => col(other) match {
-                case Some(c) => try_element_at(acc, c)
-                case None    => lit(null)
-              }
+              case Str(s) => try_element_at(acc, lit(s)) // map lookup
+              case other  => throw new IllegalStateException(
+                s"index key `$other` survived parse rejection") // unreachable
             }
           }
         }

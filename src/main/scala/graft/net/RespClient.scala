@@ -55,6 +55,11 @@ final class RespClient(host: String, port: Int,
       writeCommand(Seq("AUTH", pw))
       readReply() match {
         case Simple("OK") => ()
+        case Err(m) =>
+          // a credential rejection is a server ANSWER, not a transport
+          // fault — retrying would misdiagnose it as an outage and
+          // hammer the server through the whole backoff schedule
+          throw new RespClient.RespErrException(s"redis AUTH failed: $m")
         case other => throw new IOException(s"redis AUTH failed: $other")
       }
     }
@@ -123,6 +128,13 @@ final class RespClient(host: String, port: Int,
   private def backoff(attempt: Int): Long =
     math.min(maxBackoffMs, minBackoffMs << math.min(attempt, 20)).max(0L)
 
+  /** Retry note: a retried INCRBY whose first send executed but whose
+    * reply was lost double-counts the increment — deliberately kept:
+    * the reference's go-redis client retries the same way (network
+    * errors and timeouts re-send), the error direction is conservative
+    * (OVER-throttling a shared quota), and refusing the retry wouldn't
+    * help — the limiter's redis-down degrade path keeps the increment
+    * and re-pushes it at the next sync anyway. */
   def command(args: String*): Reply = synchronized {
     var attempt = 0
     var last: Throwable = null
@@ -131,11 +143,12 @@ final class RespClient(host: String, port: Int,
         if (socket == null) connect()
         writeCommand(args)
         readReply() match {
-          case Err(m) => throw new IOException(s"redis error: $m") // no retry: server answered
+          case Err(m) => // no retry: the server ANSWERED
+            throw new RespClient.RespErrException(s"redis error: $m")
           case r => return r
         }
       } catch {
-        case e: IOException if e.getMessage != null && e.getMessage.startsWith("redis error:") =>
+        case e: RespClient.RespErrException =>
           throw e // an -ERR reply is a protocol-level answer, not a transport fault
         case e: Throwable =>
           last = e
@@ -154,7 +167,8 @@ final class RespClient(host: String, port: Int,
   def set(key: String, value: String): Unit =
     command("SET", key, value)
   def incrBy(key: String, n: Long): Long =
-    command("INCRBY", key, n.toString) match { case Num(v) => v; case other => throw new IOException(s"INCRBY: $other") }
+    command("INCRBY", key, n.toString) match {
+      case Num(v) => v; case other => throw new IOException(s"INCRBY: $other") }
   def pexpire(key: String, ms: Long): Boolean =
     command("PEXPIRE", key, ms.toString) match { case Num(v) => v == 1L; case other => throw new IOException(s"PEXPIRE: $other") }
 
@@ -162,12 +176,19 @@ final class RespClient(host: String, port: Int,
 }
 
 object RespClient {
+  /** A server -ERR reply (wrong password, WRONGTYPE, …): the server
+    * answered — never a retryable transport fault. */
+  final class RespErrException(msg: String) extends IOException(msg)
+
   private val pool =
     new java.util.concurrent.ConcurrentHashMap[String, RespClient]()
 
-  /** One shared client per (endpoint, password) per executor JVM — the
-    * throttle kernel's state handlers all funnel through it (commands
-    * are synchronized; a few round-trips per key per sync interval). */
+  /** One shared client per FULL config per executor JVM — the key
+    * carries the transport knobs too, so two throttle actions against
+    * the same endpoint with different timeout/retry budgets each get
+    * the settings they configured (the state handlers funnel through
+    * it; commands are synchronized; a few round-trips per key per sync
+    * interval). */
   def shared(endpoint: String, password: Option[String],
              timeoutMs: Int, maxRetries: Int,
              minBackoffMs: Long, maxBackoffMs: Long): RespClient = {
@@ -175,7 +196,9 @@ object RespClient {
     require(cut > 0, s"redis endpoint must be HOST:PORT, got `$endpoint`")
     val host = endpoint.substring(0, cut)
     val port = endpoint.substring(cut + 1).toInt
-    pool.computeIfAbsent(s"$endpoint|${password.getOrElse("")}",
+    pool.computeIfAbsent(
+      s"$endpoint|${password.getOrElse("")}|$timeoutMs|$maxRetries|" +
+        s"$minBackoffMs|$maxBackoffMs",
       _ => new RespClient(host, port, password, timeoutMs, maxRetries,
         minBackoffMs, maxBackoffMs))
   }

@@ -221,8 +221,20 @@ object RedisThrottle {
 
     def loadFrom(newest: Long, i: Array[Long], t: Array[Long]): Unit = {
       newestBucket = newest
-      System.arraycopy(i, 0, incr, 0, incr.length)
-      System.arraycopy(t, 0, total, 0, total.length)
+      // a checkpointed state written under a DIFFERENT buckets_count or
+      // ratio width cannot be mapped slot-for-slot — start the windows
+      // fresh (redis keeps the global totals; the next sync re-seeds)
+      // instead of crashing every restart on the arraycopy
+      if (i.length != incr.length || t.length != total.length) {
+        Console.err.println("redis throttle: checkpointed window shape " +
+          s"(${i.length}) != configured (${incr.length}) — buckets_count/" +
+          "ratios changed across a restart; starting fresh windows")
+        java.util.Arrays.fill(incr, 0L)
+        java.util.Arrays.fill(total, 0L)
+      } else {
+        System.arraycopy(i, 0, incr, 0, incr.length)
+        System.arraycopy(t, 0, total, 0, total.length)
+      }
     }
 
     /** Shift the windows so `bucket` fits; returns the window index for
@@ -309,8 +321,10 @@ object RedisThrottle {
               val globalTotal = c.incrBy(cfg.subKey(value, bucketId, d), incr(i * w + d))
               total(i * w + d) = globalTotal
               incr(i * w + d) = 0
-              // oldest bucket lives 1 interval, newest (count+1)
-              // intervals (redis_limiter.go:181-183)
+              // oldest bucket lives 1 interval, newest `count` intervals
+              // — the reference CODE's interval×(1+bucketIdx)
+              // (redis_limiter.go:180; its own comment says count+1 but
+              // the code disagrees — we match the code)
               c.pexpire(cfg.subKey(value, bucketId, d),
                 cfg.bucketIntervalMs * (1L + i))
               d += 1
@@ -441,7 +455,10 @@ object RedisThrottle {
     // send-exactly-once discipline, Sinks.scala). The lazy persist pins
     // the admitted subset: the first job materializes the cache, later
     // jobs replay cached rows. Memory cost is bounded by the admitted
-    // events of ONE batch (spills to disk beyond that).
+    // events of ONE batch (spills to disk beyond that). No caller can
+    // safely unpersist (it cannot know when the last downstream job
+    // ran); the blocks are reclaimed by Spark's ContextCleaner once the
+    // frame becomes unreachable — bounded by GC, not session lifetime.
     out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 }

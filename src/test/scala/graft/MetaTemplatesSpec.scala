@@ -131,6 +131,23 @@ class MetaTemplatesSpec extends AnyFunSuite {
     assert(unclosed.getMessage.contains("unclosed"))
   }
 
+  test("string-literal escapes are Go's: \\n/\\t are control chars, not letters") {
+    assert(render(Seq("k" -> "{{ .x | default \"a\\nb\" }}"),
+      Map("x" -> lit(""))) == Map("k" -> "a\nb"))
+    assert(render(Seq("k" -> "{{ .x | default \"q\\\"w\" }}"),
+      Map("x" -> lit(""))) == Map("k" -> "q\"w"))
+  }
+
+  test("index with a dynamic (reference) key is rejected loudly") {
+    // Go's index is 0-based on slices but element_at is 1-based — a
+    // dynamic key can't choose without the base's runtime type, and
+    // supporting it silently off-by-one'd arrays
+    val e = intercept[IllegalArgumentException] {
+      MetaTemplates.parse("{{ index .items .pos }}")
+    }
+    assert(e.getMessage.contains("dynamic key"), e.getMessage)
+  }
+
   test("single-value regex is exact: no-space braces render as a full template") {
     // templater.go:112's regex requires the spaces; `{{.t}}` goes down
     // the full-template path (same value, but null -> "" not omitted)

@@ -352,6 +352,23 @@ class RedisThrottleSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("rules"))
   }
 
+  test("AUTH rejection is a server answer: fail fast, no backoff retries") {
+    // a credential rejection is a server ANSWER — fail fast, no backoff
+    val authed = new FakeRedis(requirePass = Some("right"))
+    try {
+      val sleeps = new ConcurrentLinkedQueue[Long]()
+      val c = new RespClient("127.0.0.1", authed.port, Some("wrong"),
+        timeoutMs = 500, maxRetries = 3, sleeper = ms => sleeps.add(ms))
+      val e = intercept[java.io.IOException] { c.command("PING") }
+      assert(e.getMessage.contains("AUTH failed"), e.getMessage)
+      import scala.jdk.CollectionConverters._
+      assert(authed.commands.asScala.count(_.startsWith("AUTH")) == 1,
+        authed.commands.toString)
+      assert(sleeps.isEmpty, s"no backoff retries: $sleeps")
+      c.close()
+    } finally authed.close()
+  }
+
   // ----------------------------------- limit_distribution + redis
 
   test("batch redis throttle with limit_distribution: per-slot subkeys and ratio shares") {
