@@ -204,7 +204,14 @@ object PipelineCompiler {
             // socket output `delimiter` (socket.go plugin docs; default
             // newline, the socket-input-compatible framing)
             delimiter = outputConf.getOrElse("delimiter", "\n"))
-        case _ => PipelineCompiler.transportFactory(outputType)
+        case Some(other) =>
+          // a scheme-less, port-less endpoint (forgotten `:9200`) would
+          // fall through to the injected (discard) transport — every
+          // event silently dropped
+          throw new IllegalArgumentException(
+            s"output $outputType: endpoint `$other` is neither an " +
+              "http(s):// URL nor host:port")
+        case None => PipelineCompiler.transportFactory(outputType)
       })
       // `split_batch` (elasticsearch.go:179 / http.go:162, default
       // false): 413 responses binary-split the chunk at event
@@ -423,10 +430,11 @@ object PipelineCompiler {
                     // index_time_format ≙ the reference's `time_format`
                     // (elasticsearch.go:126): a Go reference layout
                     // (2006-01-02 default) — token-translated to the
-                    // Java pattern (yyyy-MM-dd)
+                    // Java pattern (yyyy-MM-dd); a Java pattern passes
+                    // through untouched (no Go tokens present)
                     outputConf.get("index_time_format")
-                      .orElse(outputConf.get("time_format")
-                        .map(PipelineCompiler.goTimeLayoutToJava))
+                      .orElse(outputConf.get("time_format"))
+                      .map(PipelineCompiler.goTimeLayoutToJava)
                       .getOrElse("yyyy-MM-dd"),
                     opType = esOp)
               }
@@ -491,9 +499,12 @@ object PipelineCompiler {
               // Without it, the legacy graft 2-element entry stands.
               outputConf.get("message_field") match {
                 case Some(mf) =>
+                  // drop the SAME field timeCol parses (time_field
+                  // first) — the other spelling, if also configured,
+                  // stays in the structured metadata untouched
                   val dropped = Seq(mf) ++
-                    outputConf.get("timestamp_field")
-                      .orElse(outputConf.get("time_field")).toSeq
+                    outputConf.get("time_field")
+                      .orElse(outputConf.get("timestamp_field")).toSeq
                   Sinks.lokiValue(timeCol,
                     doc.getField(mf).cast("string"),
                     to_json(doc.dropFields(dropped: _*)))
@@ -1200,18 +1211,34 @@ object PipelineCompiler {
           s"""$module required username=${jaasQuote(user)} password=${jaasQuote(pass)};""")
     }
     val sslOpts = if (!sslOn) Map.empty[String, String] else {
+      def pemOf(c: String): String =
+        if (c.contains("-----BEGIN")) c
+        else new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(c)), "UTF-8")
       val ca = Option(n.get("ca_cert")).map(_.asText()).map { c =>
-        val pem = if (c.contains("-----BEGIN")) c
-          else new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(c)), "UTF-8")
         Map("kafka.ssl.truststore.type" -> "PEM",
-          "kafka.ssl.truststore.certificates" -> pem)
+          "kafka.ssl.truststore.certificates" -> pemOf(c))
       }.getOrElse(Map.empty[String, String])
+      // mTLS client identity (client_cert/client_key) rides the
+      // connector too — the wire client honors the same fields, and
+      // silently dropping them would fail the broker's TLS handshake
+      // with no hint
+      val client = (Option(n.get("client_cert")).map(_.asText()),
+          Option(n.get("client_key")).map(_.asText())) match {
+        case (Some(cc), Some(ck)) =>
+          Map("kafka.ssl.keystore.type" -> "PEM",
+            "kafka.ssl.keystore.certificate.chain" -> pemOf(cc),
+            "kafka.ssl.keystore.key" -> pemOf(ck))
+        case (None, None) => Map.empty[String, String]
+        case _ => throw new IllegalArgumentException(
+          "kafka connector: client_cert and client_key must be " +
+            "configured together")
+      }
       val skip =
         if (Option(n.get("ssl_skip_verify")).exists(_.asBoolean()))
           Map("kafka.ssl.endpoint.identification.algorithm" -> "")
         else Map.empty[String, String]
-      ca ++ skip
+      ca ++ client ++ skip
     }
     val freeform = Option(n.get("options"))
       .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
@@ -2064,7 +2091,10 @@ object PipelineCompiler {
         case "or"         => DoIf.MatchMode.OrMode
         case "and_prefix" => DoIf.MatchMode.AndPrefix
         case "or_prefix"  => DoIf.MatchMode.OrPrefix
-        case _            => DoIf.MatchMode.AndMode
+        case "and"        => DoIf.MatchMode.AndMode
+        case other        => throw new IllegalArgumentException(
+          s"match_mode `$other` (options: and|or|and_prefix|or_prefix) — " +
+            "a typo here would silently flip which events match")
       }
       val invert = Option(action.get("match_invert")).exists(_.asBoolean())
       DoIf.compileMatch(conds, mode, invert, resolve)
@@ -2286,8 +2316,16 @@ object PipelineCompiler {
         .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       strip.remove("match_fields"); strip.remove("do_if")
       strip.remove("match_mode"); strip.remove("match_invert")
-      return applyAction(df.filter(p), strip, streamKey, pipelineName)
-        .unionByName(df.filter(!p))
+      // the stateful kernels re-project to (doc, source_name) — union
+      // the legs on their COMMON columns: the bypass leg's extra raw/
+      // meta columns can't be reconstructed for kernel output (the same
+      // fate every event has after the kernel), and a raw unionByName
+      // would throw on the schema mismatch
+      val matched = applyAction(df.filter(p), strip, streamKey, pipelineName)
+      val bypass = df.filter(!p)
+      val common = matched.columns.filter(bypass.columns.contains).toSeq
+      return matched.select(common.map(col): _*)
+        .unionByName(bypass.select(common.map(col): _*))
     }
     val doc = col("doc")
     def paths(field: String): Seq[FieldPath] =
@@ -2872,8 +2910,16 @@ object PipelineCompiler {
         val exc = Option(action.get("exceptions"))
           .map(n => coalesce(antispamExceptions(n, df), lit(false)))
         val dfIn = exc.map(e => df.filter(!e)).getOrElse(df)
+        // the kernel re-projects to (doc, source_name); union the
+        // exempt leg on the COMMON columns or unionByName throws on the
+        // bypass leg's extra raw/meta columns
         def withExempt(out: DataFrame): DataFrame =
-          exc.map(e => out.unionByName(df.filter(e))).getOrElse(out)
+          exc.map { e =>
+            val ex = df.filter(e)
+            val common = out.columns.filter(ex.columns.contains).toSeq
+            out.select(common.map(col): _*)
+              .unionByName(ex.select(common.map(col): _*))
+          }.getOrElse(out)
         Option(action.get("rules")) match {
           case Some(rn) =>
             // rule thresholds resolve on the DataFrame (DoIf CASE
@@ -3177,7 +3223,12 @@ object PipelineCompiler {
         val tsF = Option(action.get("time_field")).map(_.asText()).getOrElse("time")
         val tsFmt = Option(action.get("time_format")).map(_.asText()).getOrElse("rfc3339")
         val bucket = floor(
-          unix_timestamp(XTime.parse(doc.getField(tsF).cast("string"), tsFmt))
+          unix_timestamp(coalesce(
+            XTime.parse(doc.getField(tsF).cast("string"), tsFmt),
+            // a NULL bucket key would match NOTHING in SeqOps.antispam's
+            // inner join — the event silently VANISHED; the streaming
+            // leg and throttle both fall back to now
+            current_timestamp()))
             / interval).cast("long")
         val srcThr = Option(action.get("source_thresholds"))
           .map(_.properties().asScala
@@ -3708,15 +3759,19 @@ object PipelineCompiler {
           graft.streaming.Kernels.FpDocEvent]
         // a doc shorter than the k-gram window has NO fingerprints —
         // the explode would silently DROP it, so it bypasses the
-        // kernel instead (batch parity: zero-fp docs are always kept)
+        // kernel instead (batch parity: zero-fp docs are always kept).
+        // NULL text gives a NULL fp array whose size is -1/NULL — it
+        // must land in the bypass too, not vanish between the filters
         val withFps = df.withColumn("_fps",
           graft.functions.RollingFingerprints(col(text), wk, ww))
-        val bypass = withFps.filter(size(col("_fps")) === 0).drop("_fps")
+        val fpCount = coalesce(size(col("_fps")), lit(0))
+        val bypass = withFps
+          .filter(fpCount <= 0).drop("_fps")
         // payload rides ONE fp event per doc (position 0): a doc
         // explodes into hundreds of fps, so duplicating the row JSON
         // per fp would multiply the shuffle by n_fps — the gate
         // restores the row from whichever event carried it
-        val exploded = withFps.filter(size(col("_fps")) > 0)
+        val exploded = withFps.filter(fpCount > 0)
           .select(col(id).cast("long").as("doc"),
             to_json(struct(df.columns.map(col): _*)).as("_pl"),
             posexplode(col("_fps")).as(Seq("_fpos", "fp")))
@@ -3852,7 +3907,10 @@ object PipelineCompiler {
             .withColumn("link_density_milli",
               expr("(_lc * 1000) DIV greatest(length(_clean), 1)"))
             .filter(col("link_density_milli") <= m)
-            .drop("_lc")
+            // the density column is gate-internal here: the batch stage
+            // never emits it, and leaking it would fork the lake schema
+            // between the two legs
+            .drop("_lc", "link_density_milli")
           case None => df
             .withColumn("_clean", graft.ml.TextOps.htmlCleanText(col(htmlCol)))
         }

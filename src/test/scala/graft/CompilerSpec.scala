@@ -932,6 +932,115 @@ class CompilerSpec extends AnyFunSuite {
     } finally b.close()
   }
 
+  test("predicate-split legs union on common columns (kernel output loses raw columns)") {
+    // batch `join` + do_if: the matched leg's multiline kernel
+    // re-projects the frame while the bypass leg still carries the raw
+    // `value` column — a raw unionByName threw AnalysisException
+    val joined = PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: [
+        |  '{"svc":"app","log":"START a"}',
+        |  '{"svc":"app","log":" cont-1"}',
+        |  '{"svc":"other","log":"solo"}']}
+        |decoder: {type: json, schema: "svc string, log string"}
+        |actions:
+        |  - type: join
+        |    field: log
+        |    start: '^START'
+        |    continue: '^ '
+        |    do_if: {op: equal, field: svc, values: [app]}
+        |output: {type: memory}
+        |""".stripMargin).result()
+      .selectExpr("doc.log").collect().map(_.getString(0)).toSet
+    assert(joined == Set("START a\n cont-1", "solo"), joined)
+    // streaming throttle + do_if: the kernel leg comes back as
+    // (doc, source_name) while the bypass still carries `value`
+    val dir = java.nio.file.Files.createTempDirectory("split_stream")
+    java.nio.file.Files.write(dir.resolve("a.log"),
+      ("""{"time":"2024-01-01T00:00:01","lvl":"noisy","v":"n1"}""" + "\n" +
+        """{"time":"2024-01-01T00:00:02","lvl":"noisy","v":"n2"}""" + "\n" +
+        """{"time":"2024-01-01T00:00:03","lvl":"calm","v":"c1"}""" + "\n")
+        .getBytes("UTF-8"))
+    val q = PipelineCompiler.compile(spark,
+      s"""input: {type: file, dir: "$dir", streaming: true}
+         |decoder: {type: json, schema: "time string, lvl string, v string"}
+         |actions:
+         |  - type: throttle
+         |    bucket_interval: 1m
+         |    limit: 1
+         |    do_if: {op: equal, field: lvl, values: [noisy]}
+         |output: {type: memory}
+         |""".stripMargin).result()
+      .writeStream.format("memory").queryName("split_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("split_stream_out")
+        .selectExpr("doc.v").collect().map(_.getString(0)).toSet
+      // throttle applies only to the matched (noisy) leg: one of two
+      // noisy events survives; the calm event bypasses untouched
+      assert(kept.contains("c1") && kept.count(_.startsWith("n")) == 1, kept)
+    } finally q.stop()
+  }
+
+  test("streaming settings-level antispam exceptions compile and exempt (common-column union)") {
+    val dir = java.nio.file.Files.createTempDirectory("as_exc_stream")
+    // settings threshold is ×interval_seconds (fd/util.go:119-120):
+    // 1 × 5s default = 5 effective. Bucket 0 (t=01) takes 6 events —
+    // spammy — so the ban arms for bucket 1 (t=06), whose events drop
+    // EXCEPT the exception-matched one
+    java.nio.file.Files.write(dir.resolve("a.log"),
+      ((1 to 6).map(i =>
+        f"""{"time":"2024-01-01T00:00:01","svc":"spammy","v":"s$i%02d"}""") ++
+       (7 to 12).map(i =>
+        f"""{"time":"2024-01-01T00:00:06","svc":"spammy","v":"s$i%02d"}"""))
+        .mkString("\n").concat("\n").getBytes("UTF-8"))
+    val q = PipelineCompiler.compile(spark,
+      s"""input: {type: file, dir: "$dir", streaming: true}
+         |decoder: {type: json, schema: "time string, svc string, v string"}
+         |settings:
+         |  antispam_threshold: 1
+         |  antispam_exceptions:
+         |    - rules:
+         |        - values: ["\\"v\\":\\"s12\\""]
+         |          mode: contains
+         |output: {type: memory}
+         |""".stripMargin).result()
+      .writeStream.format("memory").queryName("as_exc_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("as_exc_out")
+        .selectExpr("doc.v").collect().map(_.getString(0)).toSet
+      // bucket 0 passes whole (ban arms only as the bucket closes);
+      // bucket 1 is banned except the exception-matched s12
+      assert(kept("s12") && !kept("s07"), kept)
+      assert(kept.size == 7, kept)
+    } finally q.stop()
+  }
+
+  test("config typos fail loudly: match_mode, scheme-less endpoint") {
+    val e1 = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(spark,
+        """input: {type: fake, lines: ['{"a":"1"}']}
+          |decoder: {type: json, schema: "a string"}
+          |actions:
+          |  - type: discard
+          |    match_fields: {a: "1"}
+          |    match_mode: any
+          |output: {type: memory}
+          |""".stripMargin).result().count()
+    }
+    assert(e1.getMessage.contains("match_mode"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(spark,
+        """input: {type: fake, lines: ['{"a":"1"}']}
+          |decoder: {type: json, schema: "a string"}
+          |output: {type: http, endpoint: logs.example.com}
+          |""".stripMargin).send()
+    }
+    assert(e2.getMessage.contains("endpoint"), e2.getMessage)
+  }
+
   test("streaming pipeline lowers stateful actions to the kernels") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_in")
     val lines = java.util.Arrays.asList(
