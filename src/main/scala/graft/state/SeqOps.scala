@@ -60,7 +60,14 @@ object SeqOps {
     // branch and a pass-through branch (one scan + one window instead of
     // two of each), and the aggregation key is a superset of the window
     // partition key so map-side partial aggregation applies.
-    val seqKey = when(col("_in_seq"), lit(-1L)).otherwise(col(orderCol))
+    // The singleton namespace ("b:" + order) is DISJOINT from the
+    // in-sequence sentinel ("s") — a numeric sentinel (-1) collided
+    // with a pass-through row whose order value was -1. orderCol must
+    // be unique per key for pass-through rows (the compiler mints
+    // monotonically_increasing_id; two break rows sharing an order
+    // value would merge into one event).
+    val seqKey = when(col("_in_seq"), lit("s"))
+      .otherwise(concat(lit("b:"), col(orderCol).cast("string")))
     // carryCols (e.g. the doc struct) take the FIRST row's value — the
     // reference writes the joined payload into the sequence-opening event
     val carries = carryCols.map(c =>
@@ -95,6 +102,12 @@ object SeqOps {
                    logCol: Column, partialCol: Column,
                    splitEventSize: Long,
                    carryCols: Seq[String] = Seq("doc")): DataFrame = {
+    // the joined payload is written back into doc.log below — make the
+    // (currently fixed) write-back target explicit instead of failing
+    // with an unresolved-column error on an unexpected carry set
+    require(carryCols.contains("doc"),
+      "criChunkJoin: carryCols must include `doc` — the assembled " +
+        "payload is written into doc.log")
     val keys = keyCols.map(col)
     val w = Window.partitionBy(keys: _*).orderBy(col(orderCol))
     val grp = sum(when(partialCol, 0).otherwise(1))
@@ -141,10 +154,11 @@ object SeqOps {
     * (strictly-greater comparison, so ties keep the earlier slot).
     * Increment-then-check like the reference: denied events still
     * consume their slot. State is per (key, bucket) — a width-sized
-    * count array folded over the in-bucket arrival order inside one
-    * task (`flatMapGroups`); the shuffle moves each event once on the
-    * (key, bucket) tuple, so the plan scales exactly like the plain
-    * batch throttle.
+    * count array folded over the in-bucket arrival order via
+    * secondary sort (repartition + sortWithinPartitions +
+    * mapPartitions); the shuffle moves each event once on the (key,
+    * bucket) tuple, so the plan scales exactly like the plain batch
+    * throttle.
     */
   def throttleDistributed(df: DataFrame, keyCols: Seq[String], bucket: Column,
                           orderCol: String, dvalCol: String, totalLimit: Long,
@@ -155,15 +169,27 @@ object SeqOps {
     val tagged = df.withColumn("_db", bucket.cast("string"))
     val schema = tagged.schema
     val keyIdxs = keyCols.map(schema.fieldIndex) :+ schema.fieldIndex("_db")
-    val ordIdx = schema.fieldIndex(orderCol)
     val dvIdx = schema.fieldIndex(dvalCol)
     implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    // Secondary-sort shape instead of groupByKey + in-memory sort: the
+    // exchange hashes on the (key, bucket) TUPLE (no string-encoded
+    // group key at all), the in-bucket arrival order comes from Spark's
+    // SPILLABLE partition sort (any orderable orderCol type, not just
+    // Long), and the admission fold streams with O(width) state -- one
+    // hot key's bucket can exceed task memory without the OOM the
+    // previous toIndexedSeq buffering risked.
     tagged
-      .groupByKey(r => keyIdxs.map(i => String.valueOf(r.get(i))).mkString(" "))(
-        org.apache.spark.sql.Encoders.STRING)
-      .flatMapGroups { (_, rows: Iterator[org.apache.spark.sql.Row]) =>
-        val counts = new Array[Long](ratios.size + 1)
-        rows.toIndexedSeq.sortBy(_.getLong(ordIdx)).iterator.filter { r =>
+      .repartition((keyCols :+ "_db").map(col): _*)
+      .sortWithinPartitions((keyCols :+ "_db" :+ orderCol).map(col): _*)
+      .mapPartitions { rows =>
+        var curKey: Seq[Any] = null
+        var counts: Array[Long] = null
+        rows.filter { r =>
+          val k = keyIdxs.map(r.get(_))
+          if (k != curKey) {
+            curKey = k
+            counts = new Array[Long](ratios.size + 1)
+          }
           val dval = Option(r.get(dvIdx)).map(_.toString).getOrElse("")
           var dIdx = shares.idxByValue.get(dval).map(_ + 1).getOrElse(0)
           var lim = if (dIdx > 0) shares.distLimits(dIdx - 1) else shares.defLimit
@@ -204,10 +230,19 @@ object SeqOps {
     val w = Window.partitionBy(col(keyL))
       .orderBy(col(tsL) +: col("_is_l") +: payloadR.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payloadR.foldLeft(u) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_is_l") === 1).drop("_is_l")
+    // ONE struct carries the whole right payload: per-column
+    // last(ignoreNulls) windows could mix fields from DIFFERENT right
+    // rows (a null field in the newest right row would read through to
+    // an older row's value — a row that never existed). The struct is
+    // gated on right rows (left rows' all-null payload still builds a
+    // non-null struct, which would otherwise clobber the carry).
+    val filled = u.withColumn("_asof_r",
+        last(when(col("_is_l") === 0, struct(payloadR.map(col): _*)),
+          ignoreNulls = true).over(w))
+    payloadR.foldLeft(filled) { (d, c) =>
+        d.withColumn(c, col("_asof_r").getField(c))
+      }
+      .filter(col("_is_l") === 1).drop("_is_l", "_asof_r")
   }
 
   /** Skew-salted dim join: the big side gets a deterministic salt in
@@ -219,7 +254,10 @@ object SeqOps {
     */
   def saltedJoin(big: DataFrame, dim: DataFrame, bigKey: String,
                  dimKey: String, salts: Int, saltOf: Column): DataFrame = {
-    val b = big.withColumn("_salt_b", pmod(saltOf, lit(salts)).cast("int"))
+    // a null salt expression must not drop a matching row (the contract
+    // is ≡ plain inner join) — null rows all land in salt 0
+    val b = big.withColumn("_salt_b",
+      coalesce(pmod(saltOf, lit(salts)), lit(0)).cast("int"))
     val d = dim.withColumn("_salt_d",
       explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
     b.join(d, b.col(bigKey) === d.col(dimKey) &&
@@ -238,7 +276,10 @@ object SeqOps {
     val w = Window.partitionBy(keyCols.map(col) :+ bucket: _*)
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_run", sum(sizeCol).over(w))
+    // coalesce inside the sum: a leading null size would NULL the
+    // running total and silently drop every row until the first sized
+    // one (criChunkJoin coalesces its identical running sum)
+    df.withColumn("_run", sum(coalesce(sizeCol, lit(0L))).over(w))
       .filter(col("_run") <= limitBytes)
       .drop("_run")
   }
@@ -260,7 +301,7 @@ object SeqOps {
       .orderBy(col(orderCol))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_rn", row_number().over(w))
-      .withColumn("_run", sum(sizeCol).over(wRun))
+      .withColumn("_run", sum(coalesce(sizeCol, lit(0L))).over(wRun))
       .filter(when(kindCol === "size", col("_run") <= limitCol)
         .otherwise(col("_rn") <= limitCol))
       .drop("_rn", "_run")
@@ -271,24 +312,36 @@ object SeqOps {
     * `limit` distinct values by first appearance; later distinct values
     * are discarded (action: discard mode).
     */
-  def cardinality(df: DataFrame, keyCols: Seq[String], valueCol: String,
-                  orderCol: String, limit: Int): DataFrame = {
+  /** First-appearance distinct-value ranks per key — the shared core of
+    * [[cardinality]] and [[cardinalityOverLimit]] (one implementation so
+    * the tie-break/null semantics can't drift). */
+  private def firstSeenRanks(df: DataFrame, keyCols: Seq[String],
+                             valueCol: String, orderCol: String): DataFrame = {
     val keys = keyCols.map(col)
-    val firsts = df.groupBy(keys :+ col(valueCol): _*)
+    df.groupBy(keys :+ col(valueCol): _*)
       .agg(min(col(orderCol)).as("_first_seen"))
       .withColumn("_vrank",
         row_number().over(
           Window.partitionBy(keys: _*).orderBy(col("_first_seen"), col(valueCol))))
+  }
+
+  /** Null-safe `_l`/`_r` join condition over `cols` (EqualNullSafe still
+    * hash-joins). */
+  private def nullSafeCond(cols: Seq[String]): Column =
+    cols.map(c => col(s"_l.`$c`") <=> col(s"_r.`$c`")).reduce(_ && _)
+
+  def cardinality(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                  orderCol: String, limit: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val firsts = firstSeenRanks(df, keyCols, valueCol, orderCol)
       .filter(col("_vrank") <= limit)
       .select(keys :+ col(valueCol): _*)
     // Null-safe join keys: the reference counts an absent/empty value
     // like any other distinct value, so null-valued (and null-keyed)
     // rows must survive the membership check rather than being dropped
-    // by equi-join null semantics. EqualNullSafe still hash-joins.
+    // by equi-join null semantics.
     val l = df.as("_l"); val r = firsts.as("_r")
-    val cond = (keyCols :+ valueCol)
-      .map(c => col(s"_l.`$c`") <=> col(s"_r.`$c`")).reduce(_ && _)
-    l.join(r, cond, "left_semi")
+    l.join(r, nullSafeCond(keyCols :+ valueCol), "left_semi")
   }
 
   /** Cardinality with action: remove_fields (cardinality.go:274-278):
@@ -299,19 +352,13 @@ object SeqOps {
   def cardinalityOverLimit(df: DataFrame, keyCols: Seq[String], valueCol: String,
                            orderCol: String, limit: Int): DataFrame = {
     val keys = keyCols.map(col)
-    val firsts = df.groupBy(keys :+ col(valueCol): _*)
-      .agg(min(col(orderCol)).as("_first_seen"))
-      .withColumn("_vrank",
-        row_number().over(
-          Window.partitionBy(keys: _*).orderBy(col("_first_seen"), col(valueCol))))
+    val firsts = firstSeenRanks(df, keyCols, valueCol, orderCol)
       .select(keys ++ Seq(col(valueCol), col("_vrank")): _*)
     // Null-safe join (see cardinality): "every row passes" includes
     // rows whose value field is null — they must reach the output with
     // their over-limit flag, not vanish on a null equi-join key.
     val l = df.as("_l"); val r = firsts.as("_r")
-    val cond = (keyCols :+ valueCol)
-      .map(c => col(s"_l.`$c`") <=> col(s"_r.`$c`")).reduce(_ && _)
-    l.join(r, cond)
+    l.join(r, nullSafeCond(keyCols :+ valueCol))
       .select(df.columns.map(c => col(s"_l.`$c`")) :+ col("_r._vrank"): _*)
       .withColumn("_card_over", col("_vrank") > limit)
       .drop("_vrank")
@@ -406,9 +453,16 @@ object SeqOps {
           col("_prev_b").isNotNull && col("_prev_b") === col("_b") - 1 &&
           col("_prev_n") >= col("_thr")))
       .select((keys :+ col("_b") :+ col("_banned")): _*)
-    df.withColumn("_b", bucket)
-      .join(banned, sourceCols :+ "_b")
-      .filter(!col("_banned"))
-      .drop("_b", "_banned")
+    // NULL-SAFE join back (like cardinality): a null source value or
+    // null bucket groups into its own counts row, and a plain
+    // equi-join would match nothing for it — the event would neither
+    // ban nor pass, it would silently VANISH
+    val l = df.withColumn("_b", bucket).as("_l")
+    val r = banned.as("_r")
+    val cond = (sourceCols :+ "_b")
+      .map(c => col(s"_l.`$c`") <=> col(s"_r.`$c`")).reduce(_ && _)
+    l.join(r, cond)
+      .filter(!col("_r._banned"))
+      .select(df.columns.map(c => col(s"_l.`$c`")): _*)
   }
 }
