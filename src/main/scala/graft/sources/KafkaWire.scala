@@ -58,6 +58,60 @@ object KafkaWire {
   /** Partition → leader address, from a Metadata response. */
   final case class PartitionMeta(partition: Int, leaderHost: String, leaderPort: Int)
 
+  /** One fetch's outcome: records at/after the requested offset, the
+    * high watermark, and `nextOffset` — the first offset AFTER the last
+    * COMPLETE unit in the response (-1 if none decoded whole). When
+    * `records` is empty but `nextOffset` advanced past the request, the
+    * response held only record-less units (control batches, compaction
+    * remnants) — the consumer must ADVANCE, not grow its budget. */
+  final case class FetchResult(highWatermark: Long, records: Seq[RecordMsg],
+                               nextOffset: Long)
+
+  /** Lazy chunked read of `[startOff, endOff)` — the ONE consumer loop
+    * behind both the batch flavor and the stream reader: at most one
+    * fetch's records on the heap; an empty decode that did NOT advance
+    * means a message larger than max_bytes (grow the budget and retry
+    * the SAME offset — Fetch v2 has no at-least-one-message rule),
+    * while a record-less ADVANCE (transaction control batch,
+    * compaction-emptied batch) skips forward instead of livelocking
+    * into the cap. `onExhausted` fires once the range is drained. */
+  def chunkedRecords(c: KafkaWireClient, topic: String, partition: Int,
+                     startOff: Long, endOff: Long, maxBytesPerFetch: Int,
+                     onExhausted: () => Unit = () => ())
+  : Iterator[RecordMsg] = {
+    val part = partition // Iterator.partition shadows the param inside
+    new Iterator[RecordMsg] {
+    private val fetchBytesCap = 1 << 27 // above any sane max.message.bytes
+    private var fetchBytes = maxBytesPerFetch
+    private var off = startOff
+    private var pending: Iterator[RecordMsg] = Iterator.empty
+    private var exhausted = false
+    private def fill(): Unit = {
+      while (!pending.hasNext && off < endOff) {
+        val r = c.fetchResult(topic, part, off, fetchBytes)
+        if (r.records.isEmpty) {
+          if (r.nextOffset > off) off = r.nextOffset // record-less batch
+          else if (fetchBytes >= fetchBytesCap)
+            throw new IllegalStateException(
+              s"kafka fetch $topic/$part@$off: no complete record " +
+                s"within max_bytes=$fetchBytes — message larger than the " +
+                "fetch cap")
+          else fetchBytes =
+            math.min(fetchBytes.toLong * 2, fetchBytesCap.toLong).toInt
+        } else {
+          fetchBytes = maxBytesPerFetch
+          pending = r.records.iterator.filter(_.offset < endOff)
+          off = math.max(math.max(r.records.last.offset + 1, r.nextOffset),
+            off + 1)
+        }
+      }
+      if (!pending.hasNext && !exhausted) { exhausted = true; onExhausted() }
+    }
+    override def hasNext: Boolean = { fill(); pending.hasNext }
+    override def next(): RecordMsg = { fill(); pending.next() }
+    }
+  }
+
   /** Big-endian wire writer (the protocol's INT8/16/32/64, STRING,
     * NULLABLE_STRING, BYTES, ARRAY primitives). */
   final class Writer {
@@ -378,21 +432,50 @@ object KafkaWire {
     * unit and dispatched per magic (a real log can interleave formats
     * across segments after a cluster upgrade). A truncated trailing
     * unit (max_bytes cut) is dropped, not an error. */
-  def decodeRecordSet(data: Array[Byte]): Seq[RecordMsg] = {
+  def decodeRecordSet(data: Array[Byte]): Seq[RecordMsg] =
+    decodeRecordSetWithEnd(data)._1
+
+  /** [[decodeRecordSet]] plus the NEXT OFFSET after the last complete
+    * unit (-1 when none decoded whole). A unit can decode to ZERO
+    * records at a perfectly valid position — a magic-2 control batch
+    * (transaction marker) or a compaction-emptied batch — and without
+    * the batch-header end (baseOffset + lastOffsetDelta) the consumer
+    * cannot distinguish "message bigger than max_bytes, grow and
+    * retry" from "advance past this record-less batch": the reference
+    * client advances; a budget-doubling loop would livelock into the
+    * fetch cap on any topic with a transactional producer. */
+  def decodeRecordSetWithEnd(data: Array[Byte]): (Seq[RecordMsg], Long) = {
     val out = Vector.newBuilder[RecordMsg]
     var pos = 0
     var done = false
+    var nextAfter = -1L
     while (!done && data.length - pos >= 17) {
       val len = ByteBuffer.wrap(data, pos + 8, 4).getInt
       if (data.length - pos < 12 + len) done = true
       else {
         val unit = java.util.Arrays.copyOfRange(data, pos, pos + 12 + len)
-        out ++= (if (data(pos + 16) == 2) decodeRecordBatch(unit)
-                 else decodeMessageSet(unit))
+        if (data(pos + 16) == 2) {
+          out ++= decodeRecordBatch(unit)
+          // header layout: baseOffset(8) len(4) epoch(4) magic(1)
+          // crc(4) attrs(2) lastOffsetDelta(4) → delta at byte 23
+          val baseOffset = ByteBuffer.wrap(unit, 0, 8).getLong
+          val lastDelta = ByteBuffer.wrap(unit, 23, 4).getInt
+          nextAfter = math.max(nextAfter, baseOffset + lastDelta + 1)
+        } else {
+          val recs = decodeMessageSet(unit)
+          out ++= recs
+          // magic-0/1: the unit's own offset field is the (wrapper)
+          // message's ABSOLUTE offset — for a compressed wrapper that
+          // is the LAST inner offset (v1 semantics)
+          val unitOff = ByteBuffer.wrap(unit, 0, 8).getLong
+          nextAfter = math.max(nextAfter, unitOff + 1)
+          if (recs.nonEmpty)
+            nextAfter = math.max(nextAfter, recs.last.offset + 1)
+        }
         pos += 12 + len
       }
     }
-    out.result()
+    (out.result(), nextAfter)
   }
 
   /** murmur2 (Austin Appleby's public-domain algorithm, the hash behind
@@ -561,7 +644,12 @@ final class KafkaWireClient(host: String, port: Int, clientId: String = "graft",
         val leader = bb.getInt
         (0 until bb.getInt).foreach(_ => bb.getInt) // replicas
         (0 until bb.getInt).foreach(_ => bb.getInt) // isr
-        require(perr == 0, s"metadata partition error $perr for $name/$idx")
+        // REPLICA_NOT_AVAILABLE (9) reports a down FOLLOWER while the
+        // leader is healthy — official clients ignore it; failing here
+        // would take the whole stream down for a routine rolling
+        // restart of any replica broker
+        require(perr == 0 || perr == 9,
+          s"metadata partition error $perr for $name/$idx")
         val (lh, lp) = brokers(leader)
         PartitionMeta(idx, lh, lp)
       }
@@ -629,6 +717,13 @@ final class KafkaWireClient(host: String, port: Int, clientId: String = "graft",
     * magic-agnostically. */
   def fetch(topic: String, partition: Int, offset: Long,
             maxBytes: Int = 1 << 20, maxWaitMs: Int = 100): (Long, Seq[RecordMsg]) = {
+    val r = fetchResult(topic, partition, offset, maxBytes, maxWaitMs)
+    (r.highWatermark, r.records)
+  }
+
+  def fetchResult(topic: String, partition: Int, offset: Long,
+                  maxBytes: Int = 1 << 20,
+                  maxWaitMs: Int = 100): FetchResult = {
     val w = new Writer().i32(-1).i32(maxWaitMs).i32(1)
     if (messageFormat == 2)
       w.i32(maxBytes).i8(0) // response-level max_bytes, READ_UNCOMMITTED
@@ -648,10 +743,10 @@ final class KafkaWireClient(host: String, port: Int, clientId: String = "graft",
     }
     val set = rBytes(bb)
     require(err == 0, s"fetch error $err on $topic/$partition@$offset")
-    val recs = if (set == null) Nil
-      // sets/batches may start before the requested offset; trim client-side
-      else decodeRecordSet(set).filter(_.offset >= offset)
-    (hw, recs)
+    val (all, nextAfter) =
+      if (set == null) (Nil, -1L) else decodeRecordSetWithEnd(set)
+    // sets/batches may start before the requested offset; trim client-side
+    KafkaWire.FetchResult(hw, all.filter(_.offset >= offset), nextAfter)
   }
 
   /** ListOffsets v1: timestamp -1 = log end, -2 = log start. */

@@ -56,22 +56,28 @@ class KafkaWireStreamProvider extends TableProvider with DataSourceRegister {
     KafkaWireStream.schemaWith(options.getBoolean("include_headers", false))
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
-    val topics = Option(properties.get("topics"))
+    // CASE-INSENSITIVE like inferSchema: Spark hands getTable the
+    // user's original casing — a case-sensitive read here would
+    // silently ignore `maxOffsetsPerTrigger` (the official connector's
+    // spelling) and could even split include_headers between an
+    // 8-column schema and a 7-field row
+    val opts = new CaseInsensitiveStringMap(properties)
+    val topics = Option(opts.get("topics"))
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-      .orElse(Option(properties.get("topic")).map(t => Seq(t.trim)))
+      .orElse(Option(opts.get("topic")).map(t => Seq(t.trim)))
       .getOrElse(Seq.empty)
     require(topics.nonEmpty,
       "graft-kafka: set `topics` (comma-separated) or `topic`")
     new KafkaWireTable(
-      properties.get("brokers"),
+      opts.get("brokers"),
       topics,
-      Option(properties.get("group")).getOrElse("graft"),
-      Option(properties.get("offset")).getOrElse("oldest"),
-      Option(properties.get("maxbytesperfetch")).map(_.toInt).getOrElse(1 << 20),
-      Option(properties.get("maxoffsetspertrigger")).map(_.toLong).getOrElse(0L),
-      KafkaSecurity.fromOptions(k => Option(properties.get(k))),
-      Option(properties.get("message_format")).map(_.toInt).getOrElse(2),
-      Option(properties.get("include_headers")).exists(_.toBoolean))
+      Option(opts.get("group")).getOrElse("graft"),
+      Option(opts.get("offset")).getOrElse("oldest"),
+      Option(opts.get("maxbytesperfetch")).map(_.toInt).getOrElse(1 << 20),
+      Option(opts.get("maxoffsetspertrigger")).map(_.toLong).getOrElse(0L),
+      KafkaSecurity.fromOptions(k => Option(opts.get(k))),
+      Option(opts.get("message_format")).map(_.toInt).getOrElse(2),
+      Option(opts.get("include_headers")).exists(_.toBoolean))
   }
 }
 
@@ -227,10 +233,25 @@ class KafkaWireMicroBatchStream(brokers: String, topics: Seq[String],
     m
   }
 
-  private def withClient[A](f: KafkaWireClient => A): A = {
-    val (c, _) = KafkaWire.connectBootstrap(brokers, security = security,
-      messageFormat = messageFormat)
-    try f(c) finally c.close()
+  /** One cached driver-side planning client, reused across the 3+
+    * planning calls of every micro-batch (latestOffset, plan, commit
+    * helpers) — re-handshaking TCP+TLS+SCRAM per call multiplied the
+    * trigger cadence by redundant connection setup. A stale/broken
+    * connection is dropped and retried ONCE on a fresh one; stop()
+    * closes it. */
+  @transient private var cachedClient: KafkaWireClient = null
+  private def withClient[A](f: KafkaWireClient => A): A = synchronized {
+    def fresh(): KafkaWireClient =
+      KafkaWire.connectBootstrap(brokers, security = security,
+        messageFormat = messageFormat)._1
+    if (cachedClient == null) cachedClient = fresh()
+    try f(cachedClient)
+    catch {
+      case _: java.io.IOException =>
+        try cachedClient.close() catch { case _: Throwable => () }
+        cachedClient = fresh()
+        f(cachedClient)
+    }
   }
 
   /** Committed group offset per (topic, partition), falling back to
@@ -240,18 +261,27 @@ class KafkaWireMicroBatchStream(brokers: String, topics: Seq[String],
     * with the broker group as the secondary copy). */
   override def initialOffset(): Offset = withClient { c =>
     val meta = c.metadata(topics)
-    KafkaWireOffset(topics.flatMap { t =>
-      val parts = meta(t)
-      val committed = c.offsetFetch(group, t, parts.map(_.partition))
-      parts.map { pm =>
-        val fromCommit = committed.getOrElse(pm.partition, -1L)
-        val start =
-          if (fromCommit >= 0) fromCommit
-          else c.listOffset(t, pm.partition,
-            if (offsetReset == "oldest") -2L else -1L)
-        (t, pm.partition) -> start
-      }
-    }.toMap)
+    // group offsets live on the group COORDINATOR — OffsetFetch against
+    // an arbitrary bootstrap broker answers NOT_COORDINATOR on any
+    // multi-broker cluster (the commit side already routes;
+    // Sources.kafkaWireCommit)
+    val (ch, cp) = c.findCoordinator(group)
+    val coord = new KafkaWireClient(ch, cp, security = security,
+      messageFormat = messageFormat)
+    try {
+      KafkaWireOffset(topics.flatMap { t =>
+        val parts = meta(t)
+        val committed = coord.offsetFetch(group, t, parts.map(_.partition))
+        parts.map { pm =>
+          val fromCommit = committed.getOrElse(pm.partition, -1L)
+          val start =
+            if (fromCommit >= 0) fromCommit
+            else c.listOffset(t, pm.partition,
+              if (offsetReset == "oldest") -2L else -1L)
+          (t, pm.partition) -> start
+        }
+      }.toMap)
+    } finally coord.close()
   }
 
   private def latestLogEnds(): Offset = withClient { c =>
@@ -289,9 +319,20 @@ class KafkaWireMicroBatchStream(brokers: String, topics: Seq[String],
   override def latestOffset(): Offset = {
     val ends = latestLogEnds().asInstanceOf[KafkaWireOffset].offsets
     KafkaWireOffset(availableNowEnd match {
-      case Some(pinned) => ends.map { case (tp, e) =>
-        tp -> math.min(e, pinned.getOrElse(tp, e))
-      }
+      case Some(pinned0) =>
+        // a partition discovered AFTER prepareForTriggerAvailableNow
+        // pins at its FIRST observed end — an unpinned frontier would
+        // track the live log and the drain-and-stop query could run
+        // forever against a steady producer
+        val newTps = ends.keySet.diff(pinned0.keySet)
+        val pinned =
+          if (newTps.isEmpty) pinned0
+          else {
+            val p2 = pinned0 ++ newTps.map(tp => tp -> ends(tp))
+            availableNowEnd = Some(p2)
+            p2
+          }
+        ends.map { case (tp, e) => tp -> math.min(e, pinned(tp)) }
       case None => ends
     })
   }
@@ -352,11 +393,24 @@ class KafkaWireMicroBatchStream(brokers: String, topics: Seq[String],
     * checkpoint, which does not lag, remains the resume authority. */
   override def commit(end: Offset): Unit = {
     val offs = end.asInstanceOf[KafkaWireOffset].offsets
-    Sources.kafkaWireCommit(brokers, group,
+    // best-effort: the broker group offset is the SECONDARY copy (the
+    // class doc names Spark's checkpoint as the resume authority) — a
+    // coordinator move mid-commit must not fail the whole query
+    try Sources.kafkaWireCommit(brokers, group,
       offs.toSeq.map { case ((t, p), o) => (t, p, o) }, security)
+    catch {
+      case e: Exception =>
+        logWarning(s"graft-kafka: broker group commit failed " +
+          s"(checkpoint remains authoritative): ${e.getMessage}")
+    }
   }
 
-  override def stop(): Unit = ()
+  override def stop(): Unit = synchronized {
+    if (cachedClient != null) {
+      try cachedClient.close() catch { case _: Throwable => () }
+      cachedClient = null
+    }
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val to = end.asInstanceOf[KafkaWireOffset].offsets
@@ -371,7 +425,10 @@ class KafkaWireMicroBatchStream(brokers: String, topics: Seq[String],
     to.toSeq.sortBy { case ((t, p), _) => (t, p) }
       .flatMap { case (tp @ (t, p), endOff) =>
         val startOff = from.getOrElse(tp, endOff)
-        val (lh, lp) = leaders(tp)
+        val (lh, lp) = leaders.getOrElse(tp, throw new IllegalStateException(
+          s"graft-kafka: checkpointed partition $t/$p is missing from " +
+            "current metadata — topic deleted/recreated with fewer " +
+            "partitions? (resuming would silently lose its data)"))
         if (endOff > startOff)
           Some(KafkaWirePartition(t, p, startOff, endOff, lh, lp,
             maxBytesPerFetch, security, messageFormat, includeHeaders))
@@ -405,35 +462,18 @@ class KafkaWireReader(p: KafkaWirePartition)
 
   private val c = new KafkaWireClient(p.leaderHost, p.leaderPort,
     security = p.security, messageFormat = p.messageFormat)
-  private val fetchBytesCap = 1 << 27
-  private var fetchBytes = p.maxBytesPerFetch
-  private var off = p.startOff
-  private var pending: Iterator[KafkaWire.RecordMsg] = Iterator.empty
+  // the shared consumer loop (KafkaWire.chunkedRecords) — one
+  // implementation of the budget-doubling / record-less-batch-advance
+  // logic for both the batch and stream flavors
+  private val records = KafkaWire.chunkedRecords(c, p.topic, p.partition,
+    p.startOff, p.endOff, p.maxBytesPerFetch)
   private var current: InternalRow = _
   private val topicUtf8 = UTF8String.fromString(p.topic)
   private val srcUtf8 = UTF8String.fromString(s"${p.topic}/${p.partition}")
 
-  private def fill(): Unit = {
-    while (!pending.hasNext && off < p.endOff) {
-      val (_, recs) = c.fetch(p.topic, p.partition, off, fetchBytes)
-      if (recs.isEmpty) {
-        if (fetchBytes >= fetchBytesCap)
-          throw new IllegalStateException(
-            s"kafka fetch ${p.topic}/${p.partition}@$off: no complete record " +
-              s"within max_bytes=$fetchBytes — message larger than the fetch cap")
-        fetchBytes = math.min(fetchBytes.toLong * 2, fetchBytesCap.toLong).toInt
-      } else {
-        fetchBytes = p.maxBytesPerFetch
-        pending = recs.iterator.filter(_.offset < p.endOff)
-        off = math.max(recs.last.offset + 1, off + 1)
-      }
-    }
-  }
-
   override def next(): Boolean = {
-    fill()
-    if (!pending.hasNext) return false
-    val r = pending.next()
+    if (!records.hasNext) return false
+    val r = records.next()
     val base = Seq[Any](
       if (r.value == null) null else UTF8String.fromBytes(r.value),
       srcUtf8, topicUtf8, p.partition, r.offset,

@@ -103,41 +103,17 @@ object Sources {
             if (!closed) { closed = true; c.close() }
           Option(org.apache.spark.TaskContext.get())
             .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
-          private var off = start
-          private var fetchBytes = maxBytesPerFetch
-          private val fetchBytesCap = 1 << 27 // 128 MiB, above any sane max.message.bytes
-          private var pending: Iterator[KafkaWire.RecordMsg] = Iterator.empty
+          // the shared consumer loop (KafkaWire.chunkedRecords): budget
+          // doubling on a truncated-first-message response, ADVANCE past
+          // record-less batches (transaction markers, compaction
+          // remnants) instead of livelocking into the cap
+          private val records = KafkaWire.chunkedRecords(c, topic,
+            pm.partition, start, end, maxBytesPerFetch,
+            onExhausted = () => closeOnce())
 
-          private def fill(): Unit = {
-            while (!pending.hasNext && off < end) {
-              val (_, recs) = c.fetch(topic, pm.partition, off, fetchBytes)
-              if (recs.isEmpty) {
-                // The pinned range says data exists at `off`, and fetch()
-                // throws on broker error codes — so an empty decode is
-                // Fetch v2's truncated-first-message case (a message
-                // larger than max_bytes; the at-least-one-message rule
-                // only exists in v3+). Grow the budget and retry the SAME
-                // offset; skipping would silently lose the tail of the
-                // partition and then commit past it.
-                if (fetchBytes >= fetchBytesCap)
-                  throw new IllegalStateException(
-                    s"kafka fetch $topic/${pm.partition}@$off: no complete " +
-                      s"record within max_bytes=$fetchBytes — message larger " +
-                      "than the fetch cap")
-                fetchBytes = math.min(fetchBytes.toLong * 2, fetchBytesCap.toLong).toInt
-              } else {
-                fetchBytes = maxBytesPerFetch
-                pending = recs.iterator.filter(_.offset < end)
-                off = math.max(recs.last.offset + 1, off + 1)
-              }
-            }
-            if (!pending.hasNext) closeOnce()
-          }
-
-          override def hasNext: Boolean = { fill(); pending.hasNext }
+          override def hasNext: Boolean = records.hasNext
           override def next(): Row = {
-            fill()
-            val r = pending.next()
+            val r = records.next()
             val base = Seq(
               if (r.value == null) null else new String(r.value, "UTF-8"),
               s"$topic/${pm.partition}", topic, pm.partition, r.offset,

@@ -79,6 +79,28 @@ class KafkaWireV2Spec extends AnyFunSuite {
     assert(KafkaWire.decodeRecordSet(bytes).size == 3)
     assert(KafkaWire.decodeRecordSet(bytes.dropRight(1)).isEmpty)
     assert(KafkaWire.decodeRecordSet(bytes ++ bytes.dropRight(1)).size == 3)
+    // the end-tracking twin reports the NEXT offset after the batch
+    // (base 100 + lastOffsetDelta 3 + 1) so consumers can advance past
+    // record-less units
+    assert(KafkaWire.decodeRecordSetWithEnd(bytes)._2 == 104L)
+  }
+
+  test("a control batch decodes to zero records but still reports its end offset") {
+    // a transactional producer's commit marker: records = Nil, yet the
+    // consumer must advance past it (base + lastOffsetDelta + 1) — a
+    // grow-the-budget loop would livelock into the fetch cap
+    val bytes = KafkaWire.encodeRecordBatch(
+      Seq(msg(50L, 1L, "ctl", "marker")), baseOffset = 50L).clone()
+    // set the control bit (0x20) in the int16 attrs at byte 21, then
+    // re-stamp the CRC32C (bytes 17-20, computed over [21, end))
+    bytes(21) = (bytes(21) | 0x00).toByte
+    bytes(22) = (bytes(22) | 0x20).toByte
+    val crc = new java.util.zip.CRC32C
+    crc.update(bytes, 21, bytes.length - 21)
+    java.nio.ByteBuffer.wrap(bytes, 17, 4).putInt(crc.getValue.toInt)
+    val (recs, nextAfter) = KafkaWire.decodeRecordSetWithEnd(bytes)
+    assert(recs.isEmpty, recs)
+    assert(nextAfter == 51L)
   }
 
   test("codec matrix: magic-2 round-trips gzip/snappy/lz4/zstd, magic-1 all but zstd") {
