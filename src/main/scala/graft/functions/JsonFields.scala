@@ -53,25 +53,29 @@ case class JsonFields(child: Expression, fields: Seq[String])
 
   @transient private lazy val factory = new JsonFactory()
 
-  /** One scanned top-level key, fanned out to its output slots: the
-    * slot wanting the raw value (or -1) plus, for dotted paths, the
-    * sub-path scanner (a child JsonFields over the remainder, so `a.b.c`
-    * recurses a level per dot) and the slots its results land in. */
-  private final case class Outer(nameBytes: Array[Byte], rawSlot: Int,
+  /** One scanned top-level key, fanned out to its output slots: every
+    * slot wanting the raw value (duplicate requested names each get
+    * their own — json_tuple fills all duplicates too) plus, for dotted
+    * paths, the sub-path scanner (a child JsonFields over the
+    * remainder, so `a.b.c` recurses a level per dot) and the slots its
+    * results land in. */
+  private final case class Outer(nameBytes: Array[Byte], rawSlots: Array[Int],
                                  scanner: JsonFields, subSlots: Array[Int])
 
   @transient private lazy val outers: Array[Outer] = {
     val order = new scala.collection.mutable.LinkedHashMap[String,
-      (Array[Int], scala.collection.mutable.ArrayBuffer[(String, Int)])]()
+      (scala.collection.mutable.ArrayBuffer[Int],
+        scala.collection.mutable.ArrayBuffer[(String, Int)])]()
     fields.zipWithIndex.foreach { case (f, s) =>
       val d = f.indexOf('.')
       val outer = if (d < 0) f else f.substring(0, d)
       val e = order.getOrElseUpdate(outer,
-        (Array(-1), new scala.collection.mutable.ArrayBuffer[(String, Int)]()))
-      if (d < 0) e._1(0) = s else e._2 += ((f.substring(d + 1), s))
+        (new scala.collection.mutable.ArrayBuffer[Int](),
+          new scala.collection.mutable.ArrayBuffer[(String, Int)]()))
+      if (d < 0) e._1 += s else e._2 += ((f.substring(d + 1), s))
     }
     order.iterator.map { case (name, (raw, subs)) =>
-      Outer(name.getBytes("UTF-8"), raw(0),
+      Outer(name.getBytes("UTF-8"), raw.toArray,
         if (subs.isEmpty) null else JsonFields(child, subs.map(_._1).toSeq),
         if (subs.isEmpty) null else subs.map(_._2).toArray)
     }.toArray
@@ -95,7 +99,8 @@ case class JsonFields(child: Expression, fields: Seq[String])
     * hot in cache — this is the single-pass fusion point). */
   private def deliver(out: Array[Any], oi: Int, v: UTF8String): Unit = {
     val o = outers(oi)
-    if (o.rawSlot >= 0) out(o.rawSlot) = v
+    var ri = 0
+    while (ri < o.rawSlots.length) { out(o.rawSlots(ri)) = v; ri += 1 }
     if (o.scanner != null && v != null) {
       val sub = o.scanner.extract(v)
       var s = 0

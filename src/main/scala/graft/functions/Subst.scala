@@ -40,7 +40,11 @@ object Subst {
             flatten(transform(sequence(lit(1), greatest(n, lit(1))),
               i => array(per.map(p => element_at(p, i)): _*))))
         }
-      val limited = if (limit < 0) all else slice(all, 1, limit)
+      // `limit` counts MATCHES (regex_filter.go:26 FindAllSubmatchIndex
+      // (src, limit)) — with several selected groups the interleaved
+      // array holds groups.size entries per match
+      val limited =
+        if (limit < 0) all else slice(all, 1, limit * groups.size)
       val joined = array_join(limited, sep)
       if (emptyOnNot) joined
       else when(size(all) === 0, c).otherwise(joined)
@@ -51,9 +55,12 @@ object Subst {
       // keep from the first occurrence of cs (inclusive)
       when(locate(cs, c) > 0, substring_index_from(c, locate(cs, c))).otherwise(c)
     case TrimToFilter(_, cs) =>
-      // keep up to the last occurrence of cs (inclusive)
-      val pos = length(c) - locate(cs.reverse, reverse(c)) + 1
-      when(locate(cs, c) > 0, c.substr(lit(1), pos + length(lit(cs)) - 1)).otherwise(c)
+      // keep src[:lastIndex+1] exactly like the reference
+      // (trim_to_filter.go:21-23: through the FIRST char of the last
+      // occurrence — for the common 1-char cutset that is "through the
+      // char"; a multi-char cutset keeps only its first char there too)
+      val start = length(c) - locate(cs.reverse, reverse(c)) - cs.length + 2
+      when(locate(cs, c) > 0, c.substr(lit(1), start)).otherwise(c)
     case CutFilter("first", n) => c.substr(1, n)
     case CutFilter(_, n) =>
       // clamp the start: substr with a negative start counts from the
@@ -77,7 +84,10 @@ object Subst {
     var i = 0
     while (i < t.length) {
       if (t.startsWith("${", i)) {
-        val end = t.indexOf('}', i)
+        // quote-aware end scan (substitution.go indexRuneInExpr with
+        // considerQuotes): a `}` inside a quoted filter arg — e.g. the
+        // regex quantifier in re("\d{3}") — is NOT the placeholder end
+        val end = scanPlaceholderEnd(t, i + 2)
         require(end > 0, s"unterminated placeholder in template: $t")
         if (sb.nonEmpty) { out += Lit(sb.result()); sb.clear() }
         val body = t.substring(i + 2, end)
@@ -90,17 +100,46 @@ object Subst {
     out.toSeq
   }
 
-  /** Split on `sep` at paren/quote depth 0. */
+  /** Index of the placeholder-closing `}` at/after `from`, skipping
+    * any `}` inside single/double quotes; a backslash escapes the next
+    * character (so `\"` inside a quoted arg doesn't close the quote) —
+    * the reference's indexRuneInExpr(expr, '}', considerQuotes=true). */
+  private def scanPlaceholderEnd(t: String, from: Int): Int = {
+    var i = from
+    var q = ' ' // active quote char, ' ' = none
+    while (i < t.length) {
+      val ch = t.charAt(i)
+      if (ch == '\\') i += 1 // skip the escaped char
+      else if (q != ' ') { if (ch == q) q = ' ' }
+      else if (ch == '"' || ch == '\'') q = ch
+      else if (ch == '}') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Split on `sep` at paren/bracket/quote depth 0 — the reference's
+    * parseFilterArgs discipline (filter.go:72-120: quotes take priority
+    * over brackets, `\` escapes the next char, and a group list
+    * `[1, 2, 3]` is ONE argument). */
   private def splitTop(s: String, sep: Char): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0; var inStr = false
+    var depth = 0
+    var q = ' ' // active quote char, ' ' = none
+    var escaped = false
     val cur = new StringBuilder
-    s.foreach {
-      case '"' => inStr = !inStr; cur.append('"')
-      case '(' if !inStr => depth += 1; cur.append('(')
-      case ')' if !inStr => depth -= 1; cur.append(')')
-      case c if c == sep && depth == 0 && !inStr => out += cur.result(); cur.clear()
-      case c => cur.append(c)
+    s.foreach { c =>
+      if (escaped) { cur.append(c); escaped = false }
+      else c match {
+        case '\\' => cur.append('\\'); escaped = true
+        case '"' | '\'' if q == c => q = ' '; cur.append(c)
+        case '"' | '\'' if q == ' ' => q = c; cur.append(c)
+        case '(' | '[' if q == ' ' => depth += 1; cur.append(c)
+        case ')' | ']' if q == ' ' => depth -= 1; cur.append(c)
+        case x if x == sep && depth == 0 && q == ' ' =>
+          out += cur.result(); cur.clear()
+        case x => cur.append(x)
+      }
     }
     out += cur.result()
     out.toSeq

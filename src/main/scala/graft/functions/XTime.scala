@@ -36,6 +36,12 @@ object XTime {
   private val epochAliases =
     Set("unixtime", "unixtimemilli", "unixtimemicro", "unixtimenano")
 
+  /** Aliases whose Go layout uses `_2` — a SPACE-PADDED day ("Aug  5"):
+    * the Java pattern `d` expects a single space before it, so days 1-9
+    * fail to parse without collapsing the padding run first. */
+  private val spacePaddedDay =
+    Set("ansic", "unixdate", "stamp", "stampmilli", "stampmicro", "stampnano")
+
   /** Parse a string column in the named format → TimestampType (null on
     * failure). rfc3339/rfc3339nano use Spark's native ISO-8601 parser,
     * which accepts variable-length fractions.
@@ -50,6 +56,11 @@ object XTime {
     case "unixtimenano"  =>
       timestamp_micros((c.try_cast("long").cast("decimal(20,0)") / 1000)
         .cast("long"))
+    case alias if spacePaddedDay.contains(alias) =>
+      // Go `_2` layouts ("Jan _2 15:04:05"): "Aug  5" carries a double
+      // space for days 1-9 — collapse space runs so the single-space
+      // Java pattern parses every day of the month
+      try_to_timestamp(regexp_replace(c, "  +", " "), lit(patterns(alias)))
     case alias if patterns.contains(alias) => try_to_timestamp(c, lit(patterns(alias)))
     case custom => try_to_timestamp(c, lit(custom)) // raw Spark pattern passthrough
   }

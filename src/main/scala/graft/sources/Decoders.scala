@@ -27,7 +27,19 @@ object Decoders {
       if (strict) from_json(line, schema, Map("mode" -> "FAILFAST"))
       else from_json(line, schema)
     maxFieldsSize.foldLeft(parsed) { case (doc, (field, limit)) =>
-      doc.withField(field, substring(doc.getField(field), 1, limit))
+      // the cap applies to STRING fields only (the reference truncates
+      // string values; substring on e.g. a long would silently rewrite
+      // the struct field's type to string, diverging from the tracked
+      // schema)
+      schema.find(_.name == field) match {
+        case Some(f) if f.dataType == StringType =>
+          doc.withField(field, substring(doc.getField(field), 1, limit))
+        case Some(f) => throw new IllegalArgumentException(
+          s"json_max_fields_size: field `$field` is ${f.dataType.simpleString}, " +
+            "not string — the length cap applies to string fields")
+        case None => throw new IllegalArgumentException(
+          s"json_max_fields_size: field `$field` is not in the decoder schema")
+      }
     }
   }
 
@@ -55,12 +67,19 @@ object Decoders {
   def kmsg(line: Column): Column = {
     val pri = regexp_extract(line, kmsgRe, 1).try_cast("long")
     struct(
-      when(pri <= 3, "error").when(pri <= 5, "warn")
+      // a non-matching line (malformed/continuation record) must not
+      // masquerade as a valid debug record with an empty message —
+      // level stays NULL so callers can see the parse failed
+      when(pri.isNull, lit(null).cast("string"))
+        .when(pri <= 3, "error").when(pri <= 5, "warn")
         .when(pri === 6, "info").otherwise("debug").as("level"),
       pri.as("priority"),
       regexp_extract(line, kmsgRe, 2).try_cast("long").as("sequence_number"),
       regexp_extract(line, kmsgRe, 3).try_cast("long").as("ts_us"),
-      regexp_extract(line, kmsgRe, 5).as("message"))
+      // keep the ORIGINAL line as the message when unparsed (data is
+      // not silently lost), the captured tail otherwise
+      when(pri.isNull, line)
+        .otherwise(regexp_extract(line, kmsgRe, 5)).as("message"))
   }
 
   private val criRe = "^(\\S+) (stdout|stderr) ([FP]) (.*)$"
@@ -153,8 +172,14 @@ object Decoders {
       regexp_extract(line, syslog3164Re, 7).as("message"))
   }
 
+  // SD = one-or-more contiguous bracket elements with NO ']' inside
+  // (negated class, not greedy `.*` — a greedy group swallowed any
+  // message containing ']' into the sd field and emptied the message).
+  // Divergence from the reference's state machine (syslog_rfc5424.go
+  // parseStructuredData): a ']' inside a QUOTED param value still ends
+  // the element here — regex can't track quote state; documented.
   private val syslog5424Re =
-    "^<(\\d{1,3})>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (\\[.*\\]|-)?\\s?(.*)$"
+    "^<(\\d{1,3})>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) ((?:\\[[^\\]]*\\])+|-)?\\s?(.*)$"
 
   /** RFC-5424 syslog decoder (decoder/syslog_rfc5424.go). The
     * structured-data block is kept raw in `sd`; params of the first

@@ -1018,6 +1018,50 @@ class CompilerSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decoder/filter edge semantics: 5424 ']' messages, kmsg fallthrough, filters") {
+    import graft.sources.Decoders
+    import graft.functions.{Subst, XTime}
+    import spark.implicits._
+    // RFC-5424: a ']' in the MESSAGE must not be swallowed into sd
+    // (the old greedy group captured through the last ']')
+    val l5424 = Seq("<165>1 2003-10-11T22:14:15Z host app 123 ID47 " +
+      "[x@1 k=\"v\"] event [detail]").toDF("value")
+    val d5 = l5424.select(Decoders.syslog5424($"value").as("d"))
+      .select($"d.sd", $"d.message").collect().head
+    assert(d5.getString(0) == "[x@1 k=\"v\"]", d5.toString)
+    assert(d5.getString(1) == "event [detail]", d5.toString)
+    // kmsg: a malformed record keeps its content and a NULL level —
+    // not a fabricated empty debug row
+    val km = Seq("not a kmsg line").toDF("value")
+      .select(Decoders.kmsg($"value").as("d"))
+      .select($"d.level", $"d.message").collect().head
+    assert(km.isNullAt(0), km.toString)
+    assert(km.getString(1) == "not a kmsg line", km.toString)
+    // trim_to(right, multi-char cutset) keeps src[:lastIndex+1] exactly
+    // like trim_to_filter.go:21-23
+    val tt = Seq("xxaby").toDF("c").select(Subst.applyFilter($"c",
+      Subst.TrimToFilter("right", "ab")).as("r")).collect().head.getString(0)
+    assert(tt == "xxa", tt)
+    // re filter limit counts MATCHES (regex_filter.go FindAllSubmatchIndex)
+    val rf = Seq("a=1 b=2 c=3").toDF("c").select(Subst.applyFilter($"c",
+      Subst.ReFilter("(\\w+)=(\\w+)", 2, Seq(1, 2), ",")).as("r"))
+      .collect().head.getString(0)
+    assert(rf == "a,1,b,2", rf)
+    // Go's space-padded-day layouts parse days 1-9 ("Aug  5")
+    val ts = Seq("Aug  5 13:04:05").toDF("c")
+      .select(XTime.parse($"c", "stamp").as("t")).collect().head
+    assert(!ts.isNullAt(0), "space-padded day must parse")
+    // json_max_fields_size on a non-string schema field is loud
+    val ej = intercept[IllegalArgumentException] {
+      Decoders.json(org.apache.spark.sql.functions.lit("""{"code":1}"""),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("code",
+            org.apache.spark.sql.types.LongType))),
+        maxFieldsSize = Map("code" -> 4))
+    }
+    assert(ej.getMessage.contains("not string"), ej.getMessage)
+  }
+
   test("config typos fail loudly: match_mode, scheme-less endpoint") {
     val e1 = intercept[IllegalArgumentException] {
       PipelineCompiler.compile(spark,

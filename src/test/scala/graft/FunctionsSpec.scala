@@ -30,6 +30,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ref.filters == Seq(Subst.ReFilter("(\\w+):", -1, Seq(1), ",")))
   }
 
+  test("Subst parser handles brace quantifiers, escaped quotes, comma group lists") {
+    // `}` inside a quoted filter arg is NOT the placeholder end
+    // (substitution.go indexRuneInExpr considerQuotes)
+    val Seq(r1: Subst.Ref) = Subst.parseTemplate("${m|re(\"\\d{3}\",1,[0],\"\")}")
+    assert(r1.filters == Seq(Subst.ReFilter("\\d{3}", 1, Seq(0), "")))
+    // an escaped quote inside the pattern doesn't flip string state
+    val Seq(r2: Subst.Ref) =
+      Subst.parseTemplate("${m|re(\"say \\\"hi, there\\\"\",1,[0],\"\")}")
+    assert(r2.filters.head.asInstanceOf[Subst.ReFilter].regex ==
+      "say \\\"hi, there\\\"")
+    // the reference's own comma group-list spelling `[1, 2]` is ONE arg
+    // (parseFilterArgs is bracket-aware)
+    val Seq(r3: Subst.Ref) =
+      Subst.parseTemplate("${m|re(\"(\\w+)=(\\w+)\",2,[1, 2],\",\")}")
+    assert(r3.filters ==
+      Seq(Subst.ReFilter("(\\w+)=(\\w+)", 2, Seq(1, 2), ",")))
+  }
+
   test("JsonFields dotted paths dig nested objects and escaped-JSON strings in one pass") {
     import graft.functions.JsonFields
     import org.apache.spark.sql.catalyst.expressions.Literal
@@ -91,6 +109,12 @@ class FunctionsSpec extends AnyFunSuite {
     // Scala's lexer would eat \u in a literal)
     assert(ex("{\"a\":\"\\u00e9\",\"b\":\"\\ud83d\\ude00\"}") ==
       Seq("é", new String(Character.toChars(0x1F600)), null))
+    // duplicate REQUESTED names each get their own slot (json_tuple
+    // fills all duplicates; one shared Outer used to leave slot 0 null)
+    val dup = JsonFields(Literal("x"), Seq("a", "a"))
+    val rd = dup.extract(UTF8String.fromString("""{"a":"v"}"""))
+    assert(rd.getUTF8String(0).toString == "v")
+    assert(rd.getUTF8String(1).toString == "v")
   }
 
   test("Multimodal image codec: PNG roundtrip, nearest-neighbor resize, poison bytes") {
