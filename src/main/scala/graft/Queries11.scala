@@ -112,6 +112,7 @@ object Queries11 {
        |  JOIN e x ON x.vec_id = an.vid
        |  JOIN e y ON y.vec_id = ao.vid
        |  WHERE an.vid % 4 <> 0 AND ao.vid % 4 = 0
+       |    AND x.n2 > 0 AND y.n2 > 0
        |    AND list_dot_product(x.ve, y.ve) >= $SD_TAU * sqrt(x.n2 * y.n2)),
        |p AS (
        |  SELECT ax.vid AS id_a, ay.vid AS id_b
@@ -121,6 +122,7 @@ object Queries11 {
        |  WHERE ax.vid % 4 <> 0 AND ay.vid % 4 <> 0
        |    AND ax.vid NOT IN (SELECT vid FROM oldhit)
        |    AND ay.vid NOT IN (SELECT vid FROM oldhit)
+       |    AND x.n2 > 0 AND y.n2 > 0
        |    AND list_dot_product(x.ve, y.ve) >= $SD_TAU * sqrt(x.n2 * y.n2)),
        |nodes AS (SELECT id_a AS node FROM p UNION SELECT id_b FROM p),
        |edges AS (SELECT id_a AS u, id_b AS v FROM p

@@ -169,7 +169,8 @@ object Queries8 {
       |  FROM a3 ax JOIN a3 ay ON ax.cid = ay.cid AND ax.vid < ay.vid
       |  JOIN e x ON x.vec_id = ax.vid
       |  JOIN e y ON y.vec_id = ay.vid
-      |  WHERE list_dot_product(x.ve, y.ve) >= 0.40 * sqrt(x.n2 * y.n2)),
+      |  WHERE x.n2 > 0 AND y.n2 > 0
+      |    AND list_dot_product(x.ve, y.ve) >= 0.40 * sqrt(x.n2 * y.n2)),
       |nodes AS (SELECT id_a AS node FROM p UNION SELECT id_b FROM p),
       |edges AS (SELECT id_a AS u, id_b AS v FROM p
       |          UNION SELECT id_b, id_a FROM p),

@@ -29,7 +29,12 @@ object Ann {
                      query: Seq[Float], k: Int): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)
     val sim = cosine(col(vecCol), q)
-    df.select(col(idCol), sim.as("sim"))
+    // zero-norm corpus vectors have cosine 0/0 = NaN, which sorts FIRST
+    // under desc — a failed-embedder all-zero vector would displace
+    // every true neighbor. Excluded here and in the DuckDB oracles
+    // (list_dot_product(v,v) > 0).
+    df.filter(dot(col(vecCol), col(vecCol)) > 0)
+      .select(col(idCol), sim.as("sim"))
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
       .withColumn("rnk", row_number().over(
@@ -61,6 +66,7 @@ object Ann {
     val qsim = dot(col("_v"), q) /
       (sqrt(dot(col("_v"), col("_v"))) * sqrt(dot(q, q)))
     assigned.join(org.apache.spark.sql.functions.broadcast(probes), "_c_id")
+      .filter(dot(col("_v"), col("_v")) > 0) // NaN-cosine guard (see bruteForceTopK)
       .select(col(idCol), qsim.as("sim"))
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
@@ -156,7 +162,8 @@ object Ann {
       .filter(col("_c_id").isin(probeIds: _*))
     val qsim = dot(col("_v"), q) /
       (sqrt(dot(col("_v"), col("_v"))) * sqrt(dot(q, q)))
-    lists.select(col(idCol), qsim.as("sim"))
+    lists.filter(dot(col("_v"), col("_v")) > 0) // NaN-cosine guard
+      .select(col(idCol), qsim.as("sim"))
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
       .withColumn("rnk", row_number().over(
@@ -185,9 +192,29 @@ object Ann {
     */
   def pqTopK(df: DataFrame, idCol: String, vecCol: String,
              query: Seq[Float], k: Int, m: Int, nCodes: Int): DataFrame = {
+    // same divisibility contract as pqWriteIndex/ivfpqTopK — integer
+    // division would silently drop the trailing dims from encoding AND
+    // the ADC distances
+    require(query.length % m == 0,
+      s"pqTopK: query dim ${query.length} not divisible by m=$m")
     val sub = query.length / m
     val (codebook, encoded) = pqBuild(df, idCol, vecCol, m, sub, nCodes)
     pqAdcTopK(encoded, codebook, idCol, query, k, m, sub)
+  }
+
+  /** Nearest-code encoding of exploded (id, _b, _sv) subvector rows
+    * against a codebook — THE one encode rule (same L2 + code-id
+    * tie-break), shared by the build and the append so appended batches
+    * encode byte-identically to the original index. */
+  private def pqEncode(parts: DataFrame, codebook: DataFrame,
+                       idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    parts.join(broadcast(codebook), "_b")
+      .withColumn("_d", l2sq(col("_sv"), col("_cv")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(idCol), col("_b")).orderBy(col("_d"), col("_code"))))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("_b"), col("_code"))
   }
 
   /** Codebook + encoded codes shared by [[pqTopK]] and the persisted
@@ -196,21 +223,13 @@ object Ann {
     * answer. */
   private def pqBuild(df: DataFrame, idCol: String, vecCol: String,
                       m: Int, sub: Int, nCodes: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
     val parts = e.select(col(idCol),
       posexplode(array((0 until m).map(b => slice(col("_v"), b * sub + 1, sub)): _*))
         .as(Seq("_b", "_sv")))
     val codebook = parts.filter(col(idCol) < nCodes)
       .select(col(idCol).as("_code"), col("_b"), col("_sv").as("_cv"))
-    // encode: nearest code per (vector, subspace)
-    val encoded = parts.join(broadcast(codebook), "_b")
-      .withColumn("_d", l2sq(col("_sv"), col("_cv")))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col(idCol), col("_b")).orderBy(col("_d"), col("_code"))))
-      .filter(col("_rn") === 1)
-      .select(col(idCol), col("_b"), col("_code"))
-    (codebook, encoded)
+    (codebook, pqEncode(parts, codebook, idCol))
   }
 
   /** ADC top-k over (id, _b, _code) rows against a codebook — the
@@ -264,7 +283,6 @@ object Ann {
   def pqAppendIndex(spark: org.apache.spark.sql.SparkSession,
                     df: DataFrame, idCol: String, vecCol: String,
                     path: String): Unit = {
-    import org.apache.spark.sql.expressions.Window
     val meta = spark.read.parquet(path + "/meta").head()
     val (m, sub) = (meta.getAs[Int]("m"), meta.getAs[Int]("sub"))
     val codebook = spark.read.parquet(path + "/codebook")
@@ -272,12 +290,7 @@ object Ann {
     val parts = e.select(col(idCol),
       posexplode(array((0 until m).map(b => slice(col("_v"), b * sub + 1, sub)): _*))
         .as(Seq("_b", "_sv")))
-    parts.join(broadcast(codebook), "_b")
-      .withColumn("_d", l2sq(col("_sv"), col("_cv")))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col(idCol), col("_b")).orderBy(col("_d"), col("_code"))))
-      .filter(col("_rn") === 1)
-      .select(col(idCol), col("_b"), col("_code"))
+    pqEncode(parts, codebook, idCol) // the build's exact encode rule
       .write.mode("append").parquet(path + "/codes")
   }
 
@@ -629,10 +642,12 @@ object Ann {
     val qSig = df.sparkSession.range(1).select(
       hyperplaneSig(array(query.map(lit(_)): _*), dim, nBits).as("_qsig"))
       .head().getLong(0)
-    // all signatures within hamming radius (multi-probe set)
-    val sigs = (0L until (1L << nBits))
-      .filter(s => java.lang.Long.bitCount(s ^ qSig) <= maxHamming)
-    val candidates = withSig.filter(col("_sig").isin(sigs: _*))
+    // hamming-radius probe as a FILTER EXPRESSION — enumerating the
+    // 2^nBits signature space on the driver (the old isin multiprobe)
+    // is infeasible at the nBits the scaladoc recommends for large
+    // corpora (~30 bits → a 2^30 driver-side list)
+    val candidates = withSig.filter(
+      bit_count(col("_sig").bitwiseXOR(lit(qSig))) <= maxHamming)
     bruteForceTopK(candidates, idCol, vecCol, query, k)
   }
 }

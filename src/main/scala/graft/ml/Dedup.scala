@@ -105,11 +105,20 @@ object Dedup {
   /** LSH band keys: signature split into `bands` bands of `rows` values,
     * each band rendered as one string key. Docs sharing any band key are
     * candidate pairs. */
-  def bandKeys(sig: Seq[Column], bands: Int, rows: Int): Seq[Column] =
+  def bandKeys(sig: Seq[Column], bands: Int, rows: Int): Seq[Column] = {
+    // an out-of-range band slices to an EMPTY segment whose key is the
+    // constant band index — every doc would share it and the bucket
+    // join would go O(n²); config-reachable (k/bands/rows are read
+    // independently from YAML), so fail loudly
+    require(bands * rows <= sig.size,
+      s"minhash LSH: bands × rows ($bands × $rows) exceeds the " +
+        s"signature length ${sig.size} — a sliced-empty band key would " +
+        "pair every document with every other")
     (0 until bands).map { b =>
       concat_ws(",", lit(b.toString) +: sig.slice(b * rows, (b + 1) * rows): _*)
         .as(s"band_$b")
     }
+  }
 
   /** MinHash-LSH candidate pairs: explode band keys, self-equi-join on
     * the band key — the scalable pattern (shuffle on band key, bucket-
@@ -244,11 +253,12 @@ object Dedup {
   // ---- probabilistic (Bloom) exact-key index — the O(bits) spelling.
   // At 100 TB the exact key index is itself corpus-scale (one row per
   // kept document); a Bloom filter holds the same membership question
-  // in ~14 bits/key at 0.1% false positives. The trade is explicit and
-  // one-sided: NO false negatives (every true duplicate is dropped —
-  // the dedup guarantee holds exactly), a bounded fpp of NOVEL docs
-  // lost. The probe is a pure per-row expression against a literal —
-  // zero joins, zero shuffles, the cheapest possible incremental dedup.
+  // in ~9.6 bits/key at the 1% default fpp (~14 bits/key if callers
+  // pass fpp = 0.001). The trade is explicit and one-sided: NO false
+  // negatives (every true duplicate is dropped — the dedup guarantee
+  // holds exactly), a bounded fpp of NOVEL docs lost. The probe is a
+  // pure per-row expression against a literal — zero joins, zero
+  // shuffles, the cheapest possible incremental dedup.
 
   private def bloomKeyHash(keyCols: Seq[String]): Column =
     xxhash64(keyCols.map(col): _*)
@@ -542,18 +552,37 @@ object Dedup {
                           idCol: String, textCol: String,
                           bits: Int, blocks: Int,
                           maxHamming: Int): DataFrame = {
+    require(maxHamming <= blocks - 1, // simhashNearDup's pigeonhole bound
+      s"simhashDedupAgainst: completeness needs maxHamming <= blocks-1 " +
+        s"(got maxHamming=$maxHamming, blocks=$blocks)")
     val newE = simhashIndex(df, idCol, textCol, bits)
       .select(col("id"), col("sim"),
         explode(simhashBlockKeys(col("sim"), bits, blocks)).as("blk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val oldE = index.select(col("id").as("_oid"), col("sim").as("_osim"),
       explode(simhashBlockKeys(col("sim"), bits, blocks)).as("blk"))
     val oldHitIds = newE.join(oldE, Seq("blk"))
       .filter(hamming(col("sim"), col("_osim")) <= maxHamming)
       .select(col("id").as(idCol)).distinct()
     val rest = df.join(oldHitIds, Seq(idCol), "left_anti")
-    val pairs = simhashNearDup(rest, idCol, textCol, bits, blocks, maxHamming)
+    // within-batch pairs REUSE newE's signatures/block keys (the
+    // expensive per-token hashing leg) — re-running simhashNearDup on
+    // `rest` would tokenize and hash most of the batch a second time.
+    // Same pair semantics as simhashNearDup: blk equi-join, id_a <
+    // id_b, distinct on (ids, ham), hamming filter after.
+    val restE = newE.join(
+      oldHitIds.withColumnRenamed(idCol, "id"), Seq("id"), "left_anti")
+    val l = restE.as("l")
+    val r = restE.as("r")
+    val pairs = l
+      .join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        hamming(col("l.sim"), col("r.sim")).as("ham"))
+      .distinct()
+      .filter(col("ham") <= maxHamming)
       .select(col("id_a"), col("id_b"))
-    val clusters = connectedComponents(pairs)
+    val clusters = connectedComponents(pairs) // materializes
+    newE.unpersist(blocking = false)
     rest.join(clusters.filter(col("node") =!= col("component"))
       .select(col("node").as(idCol)), Seq(idCol), "left_anti")
   }
@@ -824,8 +853,13 @@ object Dedup {
     // decisions agree bit for bit
     val pairs = a.join(b, Seq("cid"))
       .filter(col("id_a") < col("id_b"))
-      .filter(graft.functions.VecDot(col("va"), col("vb")) >=
-        lit(tau) * sqrt(col("n2a") * col("n2b")))
+      // zero-norm guard: cosine of a zero vector is UNDEFINED — without
+      // it, dot=0 >= tau·√0 holds and one failed-embedder all-zero
+      // vector would pair with (and dedup away) its whole cluster.
+      // Mirrored in the DuckDB oracle so the expressions stay identical.
+      .filter(col("n2a") > 0 && col("n2b") > 0 &&
+        graft.functions.VecDot(col("va"), col("vb")) >=
+          lit(tau) * sqrt(col("n2a") * col("n2b")))
       .select(col("id_a"), col("id_b"))
     val comp = connectedComponents(pairs) // materializes (localCheckpoint)
     vecs.unpersist(blocking = false)
@@ -964,8 +998,10 @@ object Dedup {
     val oldHits = vecs
       .join(members.select(col("cid"), col("ve").as("_vo"), col("n2").as("_n2o")),
         Seq("cid"))
-      .filter(graft.functions.VecDot(col("ve"), col("_vo")) >=
-        lit(tau) * sqrt(col("n2") * col("_n2o")))
+      // zero-norm guard — see semDedup's pairwise filter
+      .filter(col("n2") > 0 && col("_n2o") > 0 &&
+        graft.functions.VecDot(col("ve"), col("_vo")) >=
+          lit(tau) * sqrt(col("n2") * col("_n2o")))
       .select(col("vid")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rest = vecs.join(oldHits, Seq("vid"), "left_anti")
@@ -975,8 +1011,9 @@ object Dedup {
       col("ve").as("vb"), col("n2").as("n2b"))
     val pairs = a.join(b, Seq("cid"))
       .filter(col("id_a") < col("id_b"))
-      .filter(graft.functions.VecDot(col("va"), col("vb")) >=
-        lit(tau) * sqrt(col("n2a") * col("n2b")))
+      .filter(col("n2a") > 0 && col("n2b") > 0 &&
+        graft.functions.VecDot(col("va"), col("vb")) >=
+          lit(tau) * sqrt(col("n2a") * col("n2b")))
       .select(col("id_a"), col("id_b"))
     val comp = connectedComponents(pairs) // materializes (localCheckpoint)
     val out = df.select(col(idCol).as("vid"))

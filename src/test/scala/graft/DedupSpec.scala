@@ -438,4 +438,33 @@ class DedupSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](vd.dot(a, b))
     assert(e.getMessage.contains("mismatched vector lengths"))
   }
+
+  test("zero vectors never pair (semDedup) and never rank (ANN) — cosine is undefined") {
+    import spark.implicits._
+    // dot=0 >= tau*sqrt(0) held before the guard: one failed-embedder
+    // all-zero vector paired with (and deduped away) its whole cluster
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 0.0f)), (3L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ml.Dedup.semDedup(vecs, "vec_id", "embedding",
+      k = 1, iters = 1, tau = 0.95).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // 0 and 1 are near (cos ≈ 0.994) — one drops; the ZERO vector and
+    // the opposite vector both survive
+    assert(out(2L), "zero vector must keep (it matches nothing)")
+    assert(out(3L), "opposite vector keeps")
+    assert(!out(1L) && out(0L), out.toString)
+    // ANN: the zero vector's NaN cosine must not displace true neighbors
+    val top = graft.ml.Ann.bruteForceTopK(vecs, "vec_id", "embedding",
+      Seq(1.0f, 0.0f), k = 2).collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(0L, 1L), top.toString)
+    // out-of-range LSH banding is loud, not a constant-key cross join
+    val eb = intercept[IllegalArgumentException] {
+      graft.ml.Dedup.bandKeys(
+        (0 until 12).map(i => org.apache.spark.sql.functions.lit(i)),
+        bands = 5, rows = 3)
+    }
+    assert(eb.getMessage.contains("signature length"), eb.getMessage)
+  }
 }
