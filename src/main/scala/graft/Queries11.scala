@@ -375,7 +375,7 @@ object Queries11 {
        |  SELECT doc_id FROM (
        |    SELECT doc_id,
        |      CAST(len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS n_tok,
-       |      CAST(len(replace(text, ' ', '')) AS BIGINT) AS char_sum,
+       |      CAST(len(regexp_replace(text, '[ \t\n\r\f]', '', 'g')) AS BIGINT) AS char_sum,
        |      CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''),
        |        t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT) AS alpha_cnt,
        |      CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''))) AS BIGINT)
@@ -566,7 +566,7 @@ object Queries11 {
       |c AS (
       |  SELECT doc_id, mix_grp,
       |    wm // 1000 +
-      |    CASE WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 1000 < wm % 1000
+      |    CASE WHEN ('0x' || substr(md5(text || '#up'), 1, 15))::BIGINT % 1000 < wm % 1000
       |         THEN 1 ELSE 0 END AS copies
       |  FROM w)
       |SELECT doc_id, mix_grp, unnest(range(0, copies)) AS copy_idx

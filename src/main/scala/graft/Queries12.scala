@@ -207,7 +207,7 @@ object Queries12 {
       |    t -> t <> '')) AS BIGINT) AS n_ws,
       |  round(CAST(length(m) -
       |      length(regexp_replace(m, '[^A-Za-z0-9 \t\n\r\f]', '', 'g'))
-      |    AS DOUBLE) / length(m), 4) AS punct_ratio
+      |    AS DOUBLE) / greatest(length(m), 1), 4) AS punct_ratio
       |FROM deco""".stripMargin
 
   // ------------------- multimodal expression-path stubs (r11, q162)

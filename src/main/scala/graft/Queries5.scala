@@ -1014,7 +1014,7 @@ object Queries5 {
       |c AS (
       |  SELECT doc_id, source,
       |    wm // 1000 +
-      |    CASE WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 1000 < wm % 1000
+      |    CASE WHEN ('0x' || substr(md5(text || '#up'), 1, 15))::BIGINT % 1000 < wm % 1000
       |         THEN 1 ELSE 0 END AS copies
       |  FROM w)
       |SELECT doc_id, source, unnest(range(0, copies)) AS copy_idx

@@ -108,7 +108,7 @@ object Queries6 {
   val q109_sql: String =
     """WITH h AS (
       |  SELECT doc_id,
-      |    ('0x' || substr(md5(text || '#42'), 1, 15))::BIGINT AS shuffle_key
+      |    ('0x' || substr(md5(text || '#' || CAST(doc_id AS VARCHAR) || '#42'), 1, 15))::BIGINT AS shuffle_key
       |  FROM documents)
       |SELECT doc_id, shuffle_key, shuffle_key % 8 AS shard,
       |  row_number() OVER (PARTITION BY shuffle_key % 8

@@ -195,7 +195,7 @@ object Queries8 {
     s"""WITH sig AS (
       |  SELECT doc_id,
       |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS n_tok,
-      |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS char_sum,
+      |    CAST(len(regexp_replace(text, '[ \t\n\r\f]', '', 'g')) AS BIGINT) AS char_sum,
       |    CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''),
       |      t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT) AS alpha_cnt,
       |    CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''))) AS BIGINT)

@@ -57,7 +57,7 @@ object Queries9 {
       |  SELECT doc_id, $synthLinesSql AS text
       |  FROM documents),
       |sig AS (
-      |  SELECT doc_id, string_split(text, chr(10)) AS ln FROM l),
+      |  SELECT doc_id, regexp_split_to_array(text, '\r?\n') AS ln FROM l),
       |cnt AS (
       |  SELECT doc_id,
       |    CAST(len(ln) AS BIGINT) AS n_lines,
@@ -65,7 +65,7 @@ object Queries9 {
       |      AS BIGINT) AS term_cnt,
       |    CAST(len(list_filter(ln, x -> len(x) < 30)) AS BIGINT) AS short_cnt,
       |    CAST(len(list_filter(ln, x ->
-      |      regexp_matches(x, '\\A\\s*(?:[-*]|[0-9]+[.)])\\s')))
+      |      regexp_matches(x, '\\A[ \t\f]*(?:[-*]|[0-9]+[.)])[ \t\f]')))
       |      AS BIGINT) AS bullet_cnt,
       |    CAST(coalesce(list_sum(list_transform(ln, x -> len(x))), 0)
       |      AS BIGINT) AS char_total,
@@ -142,8 +142,10 @@ object Queries9 {
       |g AS (
       |  SELECT doc_id, n, unnest(gl) AS gram FROM (
       |    SELECT doc_id, n,
-      |      [array_to_string(w[i:i+n-1], ' ')
-      |       FOR i IN range(1, greatest(len(w) - (n-1), 1) + 1)] AS gl
+      |      CASE WHEN len(w) >= n THEN
+      |        [array_to_string(w[i:i+n-1], ' ')
+      |         FOR i IN range(1, len(w) - (n-1) + 1)]
+      |      ELSE [] END AS gl
       |    FROM toks, (SELECT unnest([1, 2, 3, 5]) AS n) nn)),
       |cnt AS (
       |  SELECT doc_id, n, gram, count(*) AS c,
@@ -245,15 +247,15 @@ object Queries9 {
       |      replace(replace(replace(replace(replace(replace(
       |        regexp_replace(
       |          regexp_replace(
-      |            regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-      |            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+      |            regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
       |          '<[^>]+>', ' ', 'g'),
       |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
       |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
       |      '\s+', ' ', 'g')) AS text_clean,
-      |    regexp_extract(html, '(?s)<title>(.*?)</title>', 1) AS title,
+      |    regexp_extract(html, '(?is)<title>(.*?)</title>', 1) AS title,
       |    CAST(coalesce(list_sum(list_transform(
-      |      regexp_extract_all(html, '(?s)<a[^>]*>(.*?)</a>', 1),
+      |      regexp_extract_all(html, '(?is)<a[^>]*>(.*?)</a>', 1),
       |      t -> len(trim(regexp_replace(regexp_replace(t, '<[^>]+>', ' ', 'g'),
       |        '\s+', ' ', 'g'))))), 0) AS BIGINT) AS link_chars
       |  FROM h)
@@ -514,7 +516,7 @@ object Queries9 {
       |  SELECT doc_id FROM (
       |    SELECT doc_id,
       |      CAST(len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS n_tok,
-      |      CAST(len(replace(text, ' ', '')) AS BIGINT) AS char_sum,
+      |      CAST(len(regexp_replace(text, '[ \t\n\r\f]', '', 'g')) AS BIGINT) AS char_sum,
       |      CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''),
       |        t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT) AS alpha_cnt,
       |      CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''))) AS BIGINT)
@@ -639,7 +641,7 @@ object Queries9 {
       |  SELECT doc_id FROM (
       |    SELECT doc_id,
       |      CAST(len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS n_tok,
-      |      CAST(len(replace(text, ' ', '')) AS BIGINT) AS char_sum,
+      |      CAST(len(regexp_replace(text, '[ \t\n\r\f]', '', 'g')) AS BIGINT) AS char_sum,
       |      CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''),
       |        t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT) AS alpha_cnt,
       |      CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''))) AS BIGINT)

@@ -336,7 +336,13 @@ object Corpus {
         weightMilli.cast("string"))))
     val whole = wholeMilliCopies(w).cast("int")
     val frac = pmod(w, lit(1000))
-    val extra = (pmod(Dedup.tokenHash(col(textCol)), lit(1000)) < frac).cast("int")
+    // OWN salt ("#up") like every other sampling hash in this file: the
+    // unsalted text hash is the exact value q68-style downsampling
+    // filters on, so the fractional coin would be fully CORRELATED with
+    // downsample survival (every survivor of a <250‰ filter also
+    // passes a 400‰ coin — probability 1.0 instead of 0.4)
+    val extra = (pmod(Dedup.tokenHash(concat(col(textCol), lit("#up"))),
+      lit(1000)) < frac).cast("int")
     val copies = (whole + extra).cast("int")
     // explode (not explode_outer) drops the null array when copies = 0
     df.withColumn("copy_idx", explode(when(copies > 0, sequence(lit(0), copies - 1))))
@@ -377,7 +383,13 @@ object Corpus {
   def shardedShuffle(df: DataFrame, idCol: String, textCol: String,
                      seed: Long, shards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = Dedup.tokenHash(concat(col(textCol), lit("#" + seed)))
+    // the id rides the hash: identical-text rows (upsampled copies —
+    // the op this shuffle is designed to follow; pass a copy-unique id
+    // like concat(id, copy_idx) there) must NOT share a shuffle key, or
+    // every repeat lands back-to-back in one shard and the epoch mix is
+    // defeated
+    val h = Dedup.tokenHash(concat(col(textCol), lit("#"),
+      col(idCol).cast("string"), lit("#" + seed)))
     val w = Window.partitionBy(col("shard")).orderBy(col("shuffle_key"), col(idCol))
     df.select(col(idCol), h.as("shuffle_key"))
       .withColumn("shard", pmod(col("shuffle_key"), lit(shards.toLong)))

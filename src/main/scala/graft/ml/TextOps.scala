@@ -35,7 +35,9 @@ object TextOps {
   def punctRatio(text: Column): Column =
     (length(text) -
       length(regexp_replace(text, "[^A-Za-z0-9 \t\n\r\f]", ""))).cast("double") /
-      length(text)
+      // greatest-guard like every sibling: an empty doc reads 0.0, not
+      // NULL (non-ANSI) or DIVIDE_BY_ZERO (ANSI)
+      greatest(length(text), lit(1))
 
   /** Tiny per-language stopword tables for the n-gram/stopword language
     * heuristic. Deliberately small and deterministic — the point is the
@@ -245,7 +247,7 @@ object TextOps {
                   htmlCol: String): org.apache.spark.sql.DataFrame =
     df.select(col(idCol),
         htmlCleanText(col(htmlCol)).as("text_clean"),
-        regexp_extract(col(htmlCol), "(?s)<title>(.*?)</title>", 1).as("title"),
+        regexp_extract(col(htmlCol), "(?is)<title>(.*?)</title>", 1).as("title"),
         htmlLinkChars(col(htmlCol)).as("link_chars"))
       .withColumn("text_chars", length(col("text_clean")).cast("long"))
       .withColumn("link_density_milli",
@@ -255,9 +257,12 @@ object TextOps {
     * streaming compiler can rewrite in place (a stream cannot join an
     * extracted projection back to itself). Pure per-row expression. */
   def htmlCleanText(html: Column): Column = {
+    // (?i): uppercase/mixed-case <SCRIPT>/<STYLE> blocks would have
+    // their TAGS stripped by the generic pass below but their JS/CSS
+    // CONTENT leaked into the visible text
     val noBlocks = regexp_replace(
-      regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " "),
-      "(?s)<style[^>]*>.*?</style>", " ")
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
     val decoded = regexp_replace(regexp_replace(regexp_replace(
       regexp_replace(regexp_replace(regexp_replace(
@@ -270,7 +275,7 @@ object TextOps {
   /** Characters inside `<a>` elements ([[htmlExtract]]'s numerator). */
   def htmlLinkChars(html: Column): Column = {
     val linkTexts = regexp_extract_all(html,
-      lit("(?s)<a[^>]*>(.*?)</a>"), lit(1))
+      lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)) // (?i): <A HREF> counts too
     aggregate(
       transform(linkTexts,
         t => length(trim(regexp_replace(regexp_replace(t, "<[^>]+>", " "),
@@ -298,9 +303,17 @@ object TextOps {
                             textCol: String): org.apache.spark.sql.DataFrame = {
     val ns = Seq(1, 2, 3, 5)
     val base = df.select(col(idCol), Dedup.tokens(col(textCol)).as("_t"))
+    // per-n emptiness guard like bigramLmScore: the old greatest(...,1)
+    // clamp fabricated ONE PARTIAL gram for docs shorter than n tokens,
+    // whose chars covered 100% of the doc — every 1-token doc read as
+    // maximally repetitive and auto-failed the gate (paper semantics:
+    // no n-grams exist → coverage 0)
     def gramsOf(n: Int): Column =
-      transform(sequence(lit(1), greatest(size(col("_t")) - (n - 1), lit(1))),
-        i => struct(lit(n).as("n"), array_join(slice(col("_t"), i, lit(n)), " ").as("gram")))
+      when(size(col("_t")) >= n,
+        transform(sequence(lit(1), size(col("_t")) - (n - 1)),
+          i => struct(lit(n).as("n"),
+            array_join(slice(col("_t"), i, lit(n)), " ").as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
     val tagged = base
       .select(col(idCol), explode(flatten(array(ns.map(gramsOf): _*))).as("g"))
       .select(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
@@ -404,7 +417,11 @@ object TextOps {
   private def gopherSig(text: Column): (Column, Column, Column, Column, Column) = {
     val toks = Dedup.tokens(text)
     val nTok = size(toks).cast("long")
-    val charSum = length(regexp_replace(text, " ", "")).cast("long")
+    // strip the WHOLE tokenizer whitespace class, not just ' ': tabs/
+    // newlines between tokens would count as token characters and
+    // inflate mean_len_centi past the gate bound on line-structured
+    // text (oracle mirrors the same class)
+    val charSum = length(regexp_replace(text, "[ \t\n\r\f]", "")).cast("long")
     // \A..\z, not ^..$: Java's $ also matches before a trailing \n, so
     // "word\n" would pass here yet fail the oracle's regexp_full_match
     val alphaCnt = size(filter(toks, t => t.rlike("\\A[a-z]+\\z"))).cast("long")
@@ -473,14 +490,19 @@ object TextOps {
     * short_line_milli, bullet_milli, dup_char_milli). */
   private def finewebSig(text: Column,
                          shortLineChars: Int): (Column, Column, Column, Column, Column) = {
-    val lines = split(text, "\n")
+    // \r?\n: a CRLF document would otherwise keep a trailing \r on
+    // every line, so the terminal-punctuation anchor never matches and
+    // whole Windows-crawl slices fail the gate on term_punct_milli = 0
+    val lines = split(text, "\r?\n")
     val nLines = size(lines).cast("long")
     // \z anchors (not $): a line can't contain \n post-split, but the
     // gopherGate lesson stands — match regexp_full_match-class exactness
     val termCnt = size(filter(lines, l => l.rlike("[.!?\"']\\z"))).cast("long")
     val shortCnt = size(filter(lines, l => length(l) < shortLineChars)).cast("long")
+    // explicit class, not \s: java and RE2 disagree on \s membership
+    // (vertical tab) — the Dedup.WS engine-parity rule
     val bulletCnt = size(filter(lines,
-      l => l.rlike("\\A\\s*(?:[-*]|[0-9]+[.)])\\s"))).cast("long")
+      l => l.rlike("\\A[ \t\f]*(?:[-*]|[0-9]+[.)])[ \t\f]"))).cast("long")
     val charTotal = aggregate(transform(lines, l => length(l).cast("long")),
       lit(0L), (a, b) => a + b)
     val charDistinct = aggregate(
@@ -615,6 +637,10 @@ private[ml] class BucketWeightSum(
     bc: org.apache.spark.broadcast.Broadcast[Map[Long, Long]])
     extends (scala.collection.Seq[Long] => Long) with Serializable {
   def apply(occ: scala.collection.Seq[Long]): Long = {
+    // null text → ShingleHash propagates a null array, and Scala UDFs
+    // are still INVOKED with null for reference-typed inputs — weigh 0
+    // like the batch spelling (explode of null emits no rows)
+    if (occ == null) return 0L
     val m = bc.value
     var s = 0L
     occ.foreach(b => s += m.getOrElse(b, 0L))
