@@ -2595,12 +2595,19 @@ object PipelineCompiler {
         require(mode == "allow" || mode == "block",
           s"move: mode must be allow|block, got `$mode`")
         val target = action.get("target").asText()
-        val allNames = df.schema("doc").dataType match {
-          case s: org.apache.spark.sql.types.StructType => s.fieldNames.toSeq
+        val docSt = df.schema("doc").dataType match {
+          case s: org.apache.spark.sql.types.StructType => s
           case _ => throw new IllegalArgumentException(
             "move: the doc column must be a struct (decode first)")
         }
-        guarded(Actions.move(doc, allNames, mFields, target, mode == "allow"))
+        // an existing struct target MERGES (move.go inserts into it) —
+        // its current children ride along instead of being replaced
+        val tChildren = docSt.fields.find(_.name == target).map(_.dataType) match {
+          case Some(s: org.apache.spark.sql.types.StructType) => s.fieldNames.toSeq
+          case _ => Nil
+        }
+        guarded(Actions.move(doc, docSt.fieldNames.toSeq, mFields, target,
+          mode == "allow", targetChildren = tChildren))
       case "convert_utf8_bytes" =>
         // convert_utf8_bytes.go: decode \xXX/\uXXXX/\OOO escapes in the
         // listed string fields (the codegen Utf8Unescape expression);

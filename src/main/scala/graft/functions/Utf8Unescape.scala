@@ -46,16 +46,28 @@ object Utf8Unescape {
     while (i < n) {
       val c = str.charAt(i)
       if (c != '\\' || i + 1 >= n) {
-        writeChar(bytes, c); i += 1
+        // literal copy is CODEPOINT-aware: a lone surrogate char fed to
+        // the UTF-8 encoder becomes '?', so an emoji in a string that
+        // also contains a backslash would corrupt to "??"
+        if (Character.isHighSurrogate(c) && i + 1 < n &&
+            Character.isLowSurrogate(str.charAt(i + 1))) {
+          writeCodePoint(bytes, Character.toCodePoint(c, str.charAt(i + 1)))
+          i += 2
+        } else { writeChar(bytes, c); i += 1 }
       } else {
         str.charAt(i + 1) match {
           case 'x' if i + 3 < n && hex(str.charAt(i + 2)) >= 0 && hex(str.charAt(i + 3)) >= 0 =>
             bytes.write(hex(str.charAt(i + 2)) * 16 + hex(str.charAt(i + 3))); i += 4
           case 'u' if i + 5 < n && (2 to 5).forall(d => hex(str.charAt(i + d)) >= 0) =>
             val cp = (2 to 5).foldLeft(0)((acc, d) => acc * 16 + hex(str.charAt(i + d)))
-            // surrogate pair: \uD800-\uDBFF followed by \uDC00-\uDFFF
+            // surrogate pair: \uD800-\uDBFF followed by \uDC00-\uDFFF.
+            // The low escape's digits are VALIDATED like the high ones —
+            // an unchecked fold turns a non-hex char into -1 garbage
+            // that can still land in the low-surrogate range and
+            // swallow input characters
             if (Character.isHighSurrogate(cp.toChar) && i + 11 < n &&
-              str.charAt(i + 6) == '\\' && str.charAt(i + 7) == 'u') {
+              str.charAt(i + 6) == '\\' && str.charAt(i + 7) == 'u' &&
+              (8 to 11).forall(d => hex(str.charAt(i + d)) >= 0)) {
               val lo = (8 to 11).foldLeft(0)((acc, d) => acc * 16 + hex(str.charAt(i + d)))
               if (Character.isLowSurrogate(lo.toChar)) {
                 writeCodePoint(bytes, Character.toCodePoint(cp.toChar, lo.toChar)); i += 12

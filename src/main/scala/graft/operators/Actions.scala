@@ -16,10 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object Actions {
 
-  private def nested(path: FieldPath): String = path.parts.mkString(".")
+  /** READ a (possibly nested) path: getField does NOT split dots, so a
+    * multi-part path must chain one getField per part — and an
+    * escaped-dot part (`a\.b` → literal "a.b") stays one segment. */
+  private def getPath(doc: Column, path: FieldPath): Column =
+    path.parts.foldLeft(doc)(_ getField _)
 
-  /** discard (plugin/action/discard/discard.go:45): drop matched rows. */
-  def discard(pred: Column): DataFrame => DataFrame = df => df.filter(!pred)
+  /** WRITE-side reference for withField/dropFields, which DO split on
+    * dots: parts containing a literal '.' are backtick-quoted so they
+    * stay one segment. */
+  private def nested(path: FieldPath): String =
+    path.parts.map(p => if (p.contains(".")) s"`$p`" else p).mkString(".")
+
+  /** discard (plugin/action/discard/discard.go:45): drop matched rows.
+    * Null predicate = NOT matched (the compiler's own NULL-trap rule:
+    * `!NULL` is NULL and a bare filter would DROP the row). */
+  def discard(pred: Column): DataFrame => DataFrame =
+    df => df.filter(!coalesce(pred, lit(false)))
 
   /** add_host (plugin/action/add_host/add_host.go:26): constant host. */
   def addHost(doc: Column, field: String = "host",
@@ -43,7 +56,7 @@ object Actions {
     * on failure keep the original (or null it out when removeOnFail). */
   def convertDate(doc: Column, field: FieldPath, sourceFormats: Seq[String],
                   targetFormat: String, removeOnFail: Boolean = false): Column = {
-    val src = doc.getField(nested(field)).cast("string")
+    val src = getPath(doc, field).cast("string")
     val parsed = XTime.parseAny(src, sourceFormats)
     val rendered = XTime.format(parsed, targetFormat).cast("string")
     val onFail = if (removeOnFail) lit(null).cast("string") else src
@@ -67,15 +80,26 @@ object Actions {
     doc.withField(field, out)
   }
 
-  /** rename (plugin/action/rename): sequential field renames. */
+  /** rename (plugin/action/rename): sequential field renames.
+    * override=false skips a pair whose target is occupied (rename.go) —
+    * per-row, so the source FIELD stays in the schema and is nulled
+    * only where the move happened (a null field drops from the
+    * serialized doc, observably the reference's skip). A self-rename
+    * (from == to) is a no-op like the reference. */
   def rename(doc: Column, renames: Seq[(FieldPath, String)],
              override_ : Boolean = true): Column =
     renames.foldLeft(doc) { case (d, (from, to)) =>
-      val v = d.getField(nested(from))
-      val moved =
-        if (override_) d.withField(to, v)
-        else d.withField(to, coalesce(d.getField(to), v))
-      moved.dropFields(nested(from))
+      if (nested(from) == to) d
+      else {
+        val v = getPath(d, from)
+        if (override_) d.withField(to, v).dropFields(nested(from))
+        else {
+          val tgt = d.getField(to)
+          d.withField(to, coalesce(tgt, v))
+            .withField(nested(from),
+              when(tgt.isNotNull, v)) // keep the source when SKIPPED
+        }
+      }
     }
 
   /** remove_fields (plugin/action/remove_fields/remove_fields.go:97). */
@@ -95,31 +119,47 @@ object Actions {
 
   /** modify (plugin/action/modify/modify.go:202): field ← rendered
     * substitution template (§2.5 filters). */
-  def modify(doc: Column, sets: Seq[(String, String)]): Column = {
-    val resolve: FieldPath => Column = p => doc.getField(nested(p)).cast("string")
+  def modify(doc: Column, sets: Seq[(String, String)]): Column =
+    // templates resolve against the FOLDED doc: the reference mutates
+    // the event in place sequentially, so a later set referencing an
+    // earlier-set field must read its new value, not the original
     sets.foldLeft(doc) { case (d, (field, template)) =>
-      d.withField(field, Subst.compile(template, resolve))
+      d.withField(field,
+        Subst.compile(template, p => getPath(d, p).cast("string")))
     }
-  }
 
   /** move (plugin/action/move/move.go:161-196): mode=allow moves listed
     * fields under target; mode=block moves all top-level fields except
     * listed + target. Requires known top-level names (supplied by the
     * pipeline compiler from its tracked schema). */
   def move(doc: Column, allNames: Seq[String], fields: Seq[String],
-           target: String, allow: Boolean): Column = {
+           target: String, allow: Boolean,
+           targetChildren: Seq[String] = Nil): Column = {
     val moved = if (allow) fields else allNames.filterNot(n => fields.contains(n) || n == target)
-    val targetStruct = struct(moved.map(f => doc.getField(f).as(f)): _*)
-    doc.dropFields(moved: _*).withField(target, targetStruct)
+    if (moved.isEmpty) doc // nothing to move (and struct() of zero cols is degenerate)
+    else {
+      // MERGE into an existing target object (move.go:161-196 inserts
+      // into it) — replacing it wholesale would silently drop the
+      // target's current children; `targetChildren` comes from the
+      // compiler's tracked schema
+      val kept = targetChildren.filterNot(moved.contains)
+        .map(c => doc.getField(target).getField(c).as(c))
+      val targetStruct = struct(kept ++ moved.map(f => doc.getField(f).as(f)): _*)
+      doc.dropFields(moved: _*).withField(target, targetStruct)
+    }
   }
 
   /** flatten (plugin/action/flatten/flatten.go:36): splice a struct
     * field's keys into the root with a prefix. Requires the field's key
     * names (from the compiler's tracked schema). */
   def flatten(doc: Column, field: String, keys: Seq[String], prefix: String = ""): Column =
-    keys.foldLeft(doc) { (d, k) =>
+    // drop the container FIRST: with an empty prefix, a spliced key
+    // named like the container would otherwise be deleted by the
+    // trailing drop (the splice reads from the original `doc`
+    // expression, so the values survive the reorder)
+    keys.foldLeft(doc.dropFields(field)) { (d, k) =>
       d.withField(prefix + k, doc.getField(field).getField(k))
-    }.dropFields(field)
+    }
 
   /** json_encode (plugin/action/json_encode/json_encode.go:58). */
   def jsonEncode(doc: Column, field: String): Column =
@@ -137,7 +177,7 @@ object Actions {
     * reference's truncation-tolerant extractor in spirit. */
   def jsonExtract(doc: Column, field: FieldPath, extract: Seq[FieldPath],
                   prefix: String = ""): Column = {
-    val payload = doc.getField(nested(field))
+    val payload = getPath(doc, field)
     extract.foldLeft(doc) { (d, p) =>
       d.withField(prefix + p.parts.last, get_json_object(payload, p.jsonPath))
     }
@@ -166,7 +206,7 @@ object Actions {
     * Spark's regexp_extract uses group indexes; `groups` maps name→index. */
   def parseRe2(doc: Column, field: FieldPath, pattern: String,
                groups: Seq[(String, Int)], prefix: String = ""): Column = {
-    val src = doc.getField(nested(field)).cast("string")
+    val src = getPath(doc, field).cast("string")
     groups.foldLeft(doc) { case (d, (name, idx)) =>
       d.withField(prefix + name, regexp_extract(src, pattern, idx))
     }
@@ -210,7 +250,7 @@ object Actions {
   def hashAction(doc: Column, fields: Seq[HashField], resultField: String,
                  algo: String, normalizer: Column => Column): Column = {
     val processed = fields.map { hf =>
-      val raw = doc.getField(nested(hf.path)).cast("string")
+      val raw = getPath(doc, hf.path).cast("string")
       val cut =
         if (hf.maxSize > 0)
           // byte-wise cut (hash.go:443-445), not a char cut: the
@@ -222,7 +262,10 @@ object Actions {
     val src = coalesce(processed: _*)
     val hashed = algo match {
       case "md5" => md5(src.cast("binary"))
-      case _     => xxhash64(src).cast("string")
+      // null-guard: xxhash64(null) returns the SEED (42), so every
+      // field-less event would collide on the fabricated hash "42"
+      // while the md5 branch correctly yields null
+      case _ => when(src.isNotNull, xxhash64(src).cast("string"))
     }
     doc.withField(resultField, hashed)
   }
@@ -247,7 +290,12 @@ object Actions {
                     flagField: Option[String]): Column = {
     val src = doc.getField(field).cast("string")
     val over = octet_length(src) > limitBytes
-    val cut = doc.withField(field, when(over, substring(src, 1, limitBytes)).otherwise(src))
+    // BYTE-wise cut (the limit is bytes): a character substring would
+    // leave multibyte payloads up to 3× over the cap it claims to
+    // enforce — same binary round-trip as the compiler's intake path
+    val cut = doc.withField(field, when(over,
+      substring(src.cast("binary"), 1, limitBytes).cast("string"))
+      .otherwise(src))
     flagField.map(f => cut.withField(f, over)).getOrElse(cut)
   }
 }

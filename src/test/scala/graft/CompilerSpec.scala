@@ -1062,6 +1062,74 @@ class CompilerSpec extends AnyFunSuite {
     assert(ej.getMessage.contains("not string"), ej.getMessage)
   }
 
+  test("action edge semantics: nested paths, rename skip, move merge, flatten, byte cut") {
+    import graft.operators.Actions
+    import graft.model.FieldPath
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, from_json}
+    def doc1(json: String, ddl: String) =
+      Seq(json).toDF("v").select(from_json($"v",
+        org.apache.spark.sql.types.DataType.fromDDL(ddl)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]).as("doc"))
+    // nested selector: getField does not split dots — a multi-part
+    // FieldPath previously threw FIELD_NOT_FOUND on every such action
+    val cd = doc1("""{"meta":{"ts":"2024-01-02T03:04:05Z"}}""",
+        "meta struct<ts string>")
+      .select(Actions.convertDate(col("doc"), FieldPath.parse("meta.ts"),
+        Seq("rfc3339"), "unixtime").as("d"))
+      .selectExpr("d.meta.ts").collect().head.getString(0)
+    assert(cd == "1704164645", cd)
+    // rename override=false: an occupied target SKIPS the pair and the
+    // source survives (it was silently dropped before)
+    val rn = doc1("""{"a":"keep","b":"orig"}""", "a string, b string")
+      .select(Actions.rename(col("doc"), Seq(FieldPath.parse("a") -> "b"),
+        override_ = false).as("d"))
+      .selectExpr("d.a", "d.b").collect().head
+    assert(rn.getString(0) == "keep" && rn.getString(1) == "orig", rn.toString)
+    // move merges into an existing target object instead of replacing it
+    val mv = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"k8s":{"pod":"p1"},"extra":"v"}"""),
+      """decoder: {type: json, schema: "k8s struct<pod string>, extra string"}
+        |actions:
+        |  - type: move
+        |    mode: allow
+        |    fields: [extra]
+        |    target: k8s
+        |""".stripMargin).head
+    assert(mv.contains("\"pod\":\"p1\"") && mv.contains("\"extra\":\"v\""), mv)
+    // flatten with an empty prefix keeps a spliced key named like the
+    // container (the trailing container drop used to delete it)
+    val fl = doc1("""{"a":{"a":"1","b":"2"}}""", "a struct<a string, b string>")
+      .select(Actions.flatten(col("doc"), "a", Seq("a", "b")).as("d"))
+      .selectExpr("d.a", "d.b").collect().head
+    assert(fl.getString(0) == "1" && fl.getString(1) == "2", fl.toString)
+    // cut_off truncates BYTES (multibyte payloads stayed over the cap)
+    val co = doc1("""{"m":"ααααα"}""", "m string")
+      .select(Actions.cutOffByLimit(col("doc"), "m", 4, None).as("d"))
+      .selectExpr("octet_length(d.m)").collect().head.getInt(0)
+    assert(co <= 4, s"still $co bytes")
+    // xxhash64 of no-input events is null, not the seed constant "42"
+    val hx = doc1("""{"other":"x"}""", "other string, f string")
+      .select(Actions.hashAction(col("doc"), Seq(FieldPath.parse("f")),
+        "h", "xxhash64").as("d"))
+      .selectExpr("d.h").collect().head
+    assert(hx.isNullAt(0), hx.toString)
+    // discard with a null predicate keeps the row (NULL = not matched)
+    val kept = Actions.discard(col("doc").getField("other") === "zzz")(
+      doc1("""{"other":null,"f":"x"}""", "other string, f string")).count()
+    assert(kept == 1L)
+    // utf8 escapes: an emoji in a backslash-bearing string survives,
+    // and a malformed low-surrogate escape can't swallow characters
+    val u1 = Seq("\\n 😀 end").toDF("c")
+      .select(graft.functions.Utf8Unescape($"c").as("r"))
+      .collect().head.getString(0)
+    assert(u1 == "\n 😀 end", u1)
+    val u2 = Seq("\\uD83D\\uDE0G tail").toDF("c")
+      .select(graft.functions.Utf8Unescape($"c").as("r"))
+      .collect().head.getString(0)
+    assert(u2.endsWith("G tail"), u2) // the non-hex 'G' is NOT consumed
+  }
+
   test("config typos fail loudly: match_mode, scheme-less endpoint") {
     val e1 = intercept[IllegalArgumentException] {
       PipelineCompiler.compile(spark,
