@@ -113,7 +113,11 @@ object OffsetDb {
       try java.lang.Long.parseUnsignedLong(sourceIdStr)
       catch { case _: NumberFormatException =>
         fail(s"can't parse source id: $sourceIdStr") }
-    val ts = tsStr.map { s =>
+    // a matched-but-EMPTY value (`last_read_timestamp: ` with nothing
+    // after the colon) behaves like an absent line — the reference's
+    // parseOptionalLine returns "" and the timestamp defaults to now
+    // (offset.go parse path), so hand-edited files stay loadable
+    val ts = tsStr.filter(_.nonEmpty).map { s =>
       try s.toLong
       catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(

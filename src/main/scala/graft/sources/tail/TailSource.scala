@@ -111,6 +111,9 @@ object TailSource {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def fileMetaJson(src: String): String = {
+    // a null source_name (no file provenance on this row) yields empty
+    // meta — computeIfAbsent NPEs on a null key and would fail the task
+    if (src == null) return """{"filename":"","symlink":"","inode":"0"}"""
     // rotated-away paths would otherwise accumulate forever on a
     // long-running executor (same bound as the http sidecar cache)
     if (fileMetaCache.size() > 65536) fileMetaCache.clear()
@@ -578,8 +581,15 @@ class TailReader(path: String, startOff: Long, endOff: Long,
                               java.util.Arrays.copyOf(b, got) }
             // boundary overrun: the slice's last line may continue past
             // endOff — extend to its newline (bounded by rangeEnd, which
-            // is on a line boundary), streamed in 64 KiB chunks
-            if (endOff < rangeEnd && base.nonEmpty && base.last != '\n') {
+            // is on a line boundary), streamed in 64 KiB chunks. Entered
+            // ONLY when the slice read was complete through endOff: after
+            // a short read (shrink) the file pointer sits below endOff,
+            // and if the file regrows (rotation race) splicing from the
+            // pointer would attach bytes from the wrong offset to the
+            // boundary line — the explicit seek pins the invariant.
+            if (endOff < rangeEnd && avail == endOff && got == b.length &&
+                base.nonEmpty && base.last != '\n') {
+              raf.seek(endOff)
               val extra = new java.io.ByteArrayOutputStream()
               val buf = new Array[Byte](1 << 16)
               var pos = endOff

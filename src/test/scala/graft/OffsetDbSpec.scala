@@ -49,6 +49,18 @@ class OffsetDbSpec extends AnyFunSuite {
     assert(b.minOffset == 0L && a.minOffset == 100L)
   }
 
+  test("empty last_read_timestamp value defaults to now like an absent line") {
+    // `last_read_timestamp: ` with nothing after the colon — the
+    // reference's parseOptionalLine returns "" and falls back to now;
+    // this must not throw `invalid timestamp format`
+    val text = "- file: /a\n  inode: 7\n  source_id: 9\n" +
+      "  last_read_timestamp: \n" + // trailing space: matched, empty value
+      "  streams:\n    default: 5\n"
+    val now = 777L
+    val e = OffsetDb.parse(text, () => now)
+    assert(e.head.lastReadTimestamp.contains(now))
+  }
+
   test("parse errors are loud with the reference's messages") {
     def err(s: String): String =
       intercept[IllegalArgumentException](OffsetDb.parse(s)).getMessage

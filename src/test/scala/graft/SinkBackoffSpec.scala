@@ -116,6 +116,24 @@ class SinkBackoffSpec extends AnyFunSuite {
     }
   }
 
+  test("esBulkLinesFormatted keeps control chars from tearing the action line") {
+    import spark.implicits._
+    // a literal newline/tab in the doc field spliced into _index must
+    // not split the NDJSON action line — ES 400s the whole bulk body
+    val df = Seq(("a\nb\tc\rde", "x")).toDF("svc", "v")
+    val lines = df.select(Sinks.esBulkLinesFormatted(
+        org.apache.spark.sql.functions.struct($"svc", $"v"),
+        "idx-%", Seq("svc"),
+        org.apache.spark.sql.functions.current_timestamp()).as("p"))
+      .collect().map(_.getString(0))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    lines.foreach { l =>
+      val action = l.substring(0, l.indexOf('\n'))
+      val idx = om.readTree(action).get("index").get("_index").asText()
+      assert(idx == "idx-a\nb\tc\rde", s"$action -> $idx")
+    }
+  }
+
   test("httpTransport times out on a wedged endpoint instead of blocking forever") {
     val srv = new java.net.ServerSocket(0)
     val t = new Thread(() => {

@@ -339,6 +339,11 @@ class TailSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("max_partition_bytes"))
   }
 
+  test("fileMetaJson on a null source_name yields empty meta, not an NPE") {
+    val j = graft.sources.tail.TailSource.fileMetaJson(null)
+    assert(j == """{"filename":"","symlink":"","inode":"0"}""", j)
+  }
+
   test("offsets_file save dedupes hardlinked paths to one entry per inode") {
     // two hardlinks share a sourceID; file.d's parser (and OffsetDb)
     // reject duplicate inodes, so the save must write ONE entry (min
