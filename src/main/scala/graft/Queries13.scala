@@ -35,15 +35,21 @@ object Queries13 {
     * `syslog_severity_format: string`. Priorities sweep facilities
     * 0..29 — 24..29 are above the RFC table and must render as the
     * reference's UNKNOWN (syslog.go:159-161), not throw (the ANSI
-    * `element_at` trap). Severities cover the full 0..7 name row. */
+    * `element_at` trap). Severities cover the full 0..7 name row.
+    * r14: the 3164 leg keeps the 0..29 sweep (its regex path admits
+    * `<999>`); the 5424 leg sweeps 0..23 only — the state-machine port
+    * enforces the reference's priority cap (syslog.go:27
+    * syslogMaxPriority=191, so facility >23 is unreachable through its
+    * Decode and would now null the whole row). */
   val q166_syslog_named: Q = (s, dir) => {
     val ev = t(s, dir, "events")
     val pri: Column = (col("user_id") % 30) * 8 + col("event_id") % 8
+    val pri5: Column = (col("user_id") % 24) * 8 + col("event_id") % 8
     val line3164 = concat(lit("<"), pri.cast("string"),
       lit(">Oct 11 22:14:15 host-"), col("user_id").cast("string"),
       lit(" app["), col("event_id").cast("string"), lit("]: "),
       col("event_type"))
-    val line5424 = concat(lit("<"), pri.cast("string"),
+    val line5424 = concat(lit("<"), pri5.cast("string"),
       lit(">1 2003-10-11T22:14:15.003Z host-"), col("user_id").cast("string"),
       lit(" app "), col("event_id").cast("string"),
       lit(" ID7 [ex@32473 iut=\"3\"] msg "), col("event_type"))
@@ -65,15 +71,16 @@ object Queries13 {
   val q166_sql: String =
     s"""WITH pri AS (
        |  SELECT event_id, event_type,
-       |    CAST((user_id % 30) * 8 + event_id % 8 AS INT) AS p
+       |    CAST((user_id % 30) * 8 + event_id % 8 AS INT) AS p,
+       |    CAST((user_id % 24) * 8 + event_id % 8 AS INT) AS p5
        |  FROM events)
        |SELECT event_id,
        |  p AS s_priority,
        |  coalesce(list_extract($facSql, p // 8 + 1), 'UNKNOWN') AS fac3164,
        |  list_extract($sevSql, p % 8 + 1) AS sev3164,
        |  event_type AS msg3164,
-       |  coalesce(list_extract($facSql, p // 8 + 1), 'UNKNOWN') AS fac5424,
-       |  list_extract($sevSql, p % 8 + 1) AS sev5424,
+       |  list_extract($facSql, p5 // 8 + 1) AS fac5424,
+       |  list_extract($sevSql, p5 % 8 + 1) AS sev5424,
        |  'msg ' || event_type AS msg5424
        |FROM pri""".stripMargin
 

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Decoders
+
+/** Query batch 14 (round 14): oracle rows for the RFC-5424
+  * state-machine port — the quote-state SD semantics the old regex leg
+  * could not express (decoder/syslog_rfc5424.go parseStructuredData),
+  * under the DuckDB hash gate at both SFs.
+  */
+object Queries14 {
+
+  type Q = Queries.Q
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ------------- RFC-5424 state machine under the gate (r14, q175)
+
+  /** Eight fixture shapes (event_id % 8) spanning the ported state
+    * machine: escaped quotes kept raw (v0), multi-SD + empty param +
+    * BOM strip (v1), nil SD (v2), nil ts/host/proc (v3), bare `]`
+    * inside a quoted value = decode ERROR (v4 — the reference's
+    * paramsLoop checks data[idx-1] regardless of quote state), invalid
+    * timestamp (v5), priority over the 191 cap (v6), and the
+    * escaped-quote-then-`]` element truncation (v7). The oracle replays
+    * the expected row per shape — decode errors null every data field
+    * and carry the reference's wrapped error text. */
+  val q175_syslog5424_sd: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val u = col("user_id").cast("string")
+    val e = col("event_id").cast("string")
+    val v = col("event_id") % 8
+    val line =
+      when(v === 0, concat(
+        lit("<165>1 2003-10-11T22:14:15.003Z host-"), u,
+        lit(" app 10 ID47 [ex@32473 iut=\""), e,
+        lit("\" src=\"My \\\"App\\\" "), u, lit("\"] hello "), u))
+      .when(v === 1, concat(
+        lit("<38>1 2003-10-11T22:14:15.003Z host-"), u,
+        lit(" auth 7 ID1 [a@1 p=\""), e,
+        lit("\"][b@2 q=\"\" r=\"x "), u, lit("\"] ﻿bom msg")))
+      .when(v === 2, concat(
+        lit("<165>1 2003-10-11T22:14:15.003Z host-"), u,
+        lit(" app 10 ID47 - free text "), e))
+      .when(v === 3, lit("<165>1 - - app - ID47 [ex@1 k=\"v\"] m"))
+      .when(v === 4,
+        lit("<165>1 2003-10-11T22:14:15.003Z h app 10 ID47 [ex@1 m=\"a]b\"] t"))
+      .when(v === 5,
+        lit("<165>1 2003-13-11T22:14:15.003Z h app 10 ID47 - m"))
+      .when(v === 6,
+        lit("<192>1 2003-10-11T22:14:15.003Z h app 10 ID47 - m"))
+      .otherwise(concat(
+        lit("<165>1 2003-10-11T22:14:15.003Z h app 10 ID47 [ex@1 m=\"a\\\"] tail "), e))
+    val d = Decoders.syslog5424Full(line)
+    ev.select(
+      col("event_id"),
+      d.getField("priority").as("s_pri"),
+      d.getField("facility").as("s_fac"),
+      d.getField("severity").as("s_sev"),
+      d.getField("version").as("s_ver"),
+      d.getField("timestamp").as("s_ts"),
+      d.getField("hostname").as("s_host"),
+      d.getField("app_name").as("s_app"),
+      d.getField("proc_id").as("s_proc"),
+      d.getField("msg_id").as("s_msgid"),
+      d.getField("sd").as("s_sd"),
+      d.getField("sd_json").as("s_sdjson"),
+      d.getField("message").as("s_msg"),
+      d.getField("error").as("s_err"))
+  }
+
+  val q175_sql: String =
+    """WITH vv AS (
+      |  SELECT event_id,
+      |    CAST(user_id AS VARCHAR) AS u, CAST(event_id AS VARCHAR) AS e,
+      |    event_id % 8 AS m
+      |  FROM events)
+      |SELECT event_id,
+      |  CASE WHEN m IN (4,5,6) THEN NULL
+      |       WHEN m = 1 THEN 38 ELSE 165 END AS s_pri,
+      |  CASE WHEN m IN (4,5,6) THEN NULL
+      |       WHEN m = 1 THEN 4 ELSE 20 END AS s_fac,
+      |  CASE WHEN m IN (4,5,6) THEN NULL
+      |       WHEN m = 1 THEN 6 ELSE 5 END AS s_sev,
+      |  CASE WHEN m IN (4,5,6) THEN NULL ELSE '1' END AS s_ver,
+      |  CASE WHEN m IN (3,4,5,6) THEN NULL
+      |       ELSE '2003-10-11T22:14:15.003Z' END AS s_ts,
+      |  CASE WHEN m IN (0,1,2) THEN 'host-' || u
+      |       WHEN m = 7 THEN 'h' ELSE NULL END AS s_host,
+      |  CASE WHEN m IN (4,5,6) THEN NULL
+      |       WHEN m = 1 THEN 'auth' ELSE 'app' END AS s_app,
+      |  CASE WHEN m IN (3,4,5,6) THEN NULL
+      |       WHEN m = 1 THEN '7' ELSE '10' END AS s_proc,
+      |  CASE WHEN m IN (4,5,6) THEN NULL
+      |       WHEN m = 1 THEN 'ID1' ELSE 'ID47' END AS s_msgid,
+      |  CASE WHEN m = 0 THEN '[ex@32473 iut="' || e || '" src="My \"App\" ' || u || '"]'
+      |       WHEN m = 1 THEN '[a@1 p="' || e || '"][b@2 q="" r="x ' || u || '"]'
+      |       WHEN m = 3 THEN '[ex@1 k="v"]'
+      |       WHEN m = 7 THEN '[ex@1 m="a\"]'
+      |       ELSE NULL END AS s_sd,
+      |  CASE WHEN m = 0 THEN '{"ex@32473":{"iut":"' || e || '","src":"My \\\"App\\\" ' || u || '"}}'
+      |       WHEN m = 1 THEN '{"a@1":{"p":"' || e || '"},"b@2":{"q":"","r":"x ' || u || '"}}'
+      |       WHEN m = 3 THEN '{"ex@1":{"k":"v"}}'
+      |       WHEN m = 7 THEN '{"ex@1":{}}'
+      |       ELSE NULL END AS s_sdjson,
+      |  CASE WHEN m = 0 THEN 'hello ' || u
+      |       WHEN m = 1 THEN 'bom msg'
+      |       WHEN m = 2 THEN 'free text ' || e
+      |       WHEN m = 3 THEN 'm'
+      |       WHEN m = 7 THEN 'tail ' || e
+      |       ELSE NULL END AS s_msg,
+      |  CASE WHEN m = 4 THEN 'failed to parse structured data: structured data doesn''t conform the format'
+      |       WHEN m = 5 THEN 'failed to parse timestamp: timestamp doesn''t conform the format'
+      |       WHEN m = 6 THEN 'failed to parse priority: PRI header not a valid priority'
+      |       ELSE NULL END AS s_err
+      |FROM vv""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q175_syslog5424_sd" -> q175_syslog5424_sd
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q175_syslog5424_sd" -> q175_sql
+  )
+}

@@ -48,7 +48,7 @@ object SparkEntry {
     Queries.all ++ Queries2.all ++ Queries3.all ++ Queries4.all ++
       Queries5.all ++ Queries6.all ++ Queries7.all ++ Queries8.all ++
       Queries9.all ++ Queries10.all ++ Queries11.all ++ Queries12.all ++
-      Queries13.all
+      Queries13.all ++ Queries14.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
@@ -57,5 +57,5 @@ object SparkEntry {
       Queries4.oracles ++ Queries5.oracles ++ Queries6.oracles ++
       Queries7.oracles ++ Queries8.oracles ++ Queries9.oracles ++
       Queries10.oracles ++ Queries11.oracles ++ Queries12.oracles ++
-      Queries13.oracles
+      Queries13.oracles ++ Queries14.oracles
 }

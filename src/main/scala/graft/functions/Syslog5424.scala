@@ -1,0 +1,418 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** RFC-5424 syslog decode as ONE fused byte-level parse — a codegen
+  * `UnaryExpression` port of the reference's state machine
+  * (decoder/syslog_rfc5424.go Decode + parseStructuredData +
+  * validateTimestamp, shared helpers decoder/syslog.go:80-191,
+  * decoder/common.go:26-47). The previous regex leg could not track
+  * quote state inside structured-data elements; this parser replicates
+  * the reference byte-for-byte, including its sharp edges:
+  *
+  *  - a bare `]` inside a QUOTED param value is a decode ERROR, not a
+  *    successful parse: the reference's `case b == ']'` fires regardless
+  *    of quote state and demands `data[idx-1] == '"'`
+  *    (syslog_rfc5424.go parseStructuredData paramsLoop) — so
+  *    `[ex@1 msg="a]b"]` fails with the invalid-SD error;
+  *  - an ESCAPED-quote-then-`]` sequence (`m="a\"]`) CLOSES the element
+  *    mid-value: the escaped `"` is skipped as a value byte, then the
+  *    `]` sees a literal `"` before it — the element ends with the
+  *    in-flight param never emitted;
+  *  - escaped quotes inside values are kept RAW (`My \"App\"` stays
+  *    backslashed, reference test valid_full);
+  *  - priority is capped at 191 (syslog.go:27 syslogMaxPriority) — the
+  *    facility table's UNKNOWN branch is unreachable through Decode;
+  *  - the timestamp is validated as RFC-3339 (format + field ranges,
+  *    ≤ 6 fractional digits; trailing bytes after `Z`/`+hh:mm` are
+  *    accepted, exactly like validateTimestamp);
+  *  - nil-value fields (`-`) and the absent/empty message come back
+  *    NULL (syslogDecodeToJson omits empty fields from the JSON doc);
+  *  - a trailing `\n` is trimmed, a UTF-8 BOM before the message is
+  *    stripped, and the error TEXTS mirror the reference's wrapped
+  *    errors verbatim — including its quirk of wrapping the
+  *    missing-timestamp-token failure in the INVALID-VERSION error
+  *    (syslog_rfc5424.go: `failed to parse timestamp: %w`,
+  *    errSyslogInvalidVersion).
+  *
+  * Two divergences where the reference would PANIC (Go `data[-1]`
+  * index-out-of-range): `]` or `"` as the first byte of a param block
+  * — this parser fails the SD parse / treats the quote as unescaped
+  * instead of crashing the task.
+  *
+  * Output: the classic decoder struct (priority, facility, severity,
+  * version, timestamp, hostname, app_name, proc_id, msg_id, sd raw
+  * text, message); `full = true` appends `sd_json` — the reference's
+  * per-SD-ID nested objects (`{"ex@32473":{"iut":"3"}}`, insertion
+  * order, duplicate IDs reset like Go map overwrite) — and `error`.
+  * On a decode error every data field is NULL (the reference merges
+  * nothing into the doc when Decode errors).
+  */
+case class Syslog5424Parse(child: Expression, facilityAsString: Boolean,
+                           severityAsString: Boolean, full: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    Syslog5424Parse.schema(facilityAsString, severityAsString, full)
+
+  override def nullSafeEval(input: Any): Any =
+    Syslog5424Parse.parse(input.asInstanceOf[UTF8String],
+      facilityAsString, severityAsString, full)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Syslog5424Parse.parse($c, $facilityAsString, " +
+        s"$severityAsString, $full)")
+
+  override protected def withNewChildInternal(newChild: Expression): Syslog5424Parse =
+    copy(child = newChild)
+
+  override def prettyName: String = "syslog_rfc5424"
+}
+
+object Syslog5424Parse {
+
+  def apply(line: Column, facilityFormat: String, severityFormat: String,
+            full: Boolean): Column =
+    GraftBridge.column(Syslog5424Parse(GraftBridge.expression(line),
+      facilityFormat == "string", severityFormat == "string", full))
+
+  def schema(facStr: Boolean, sevStr: Boolean, full: Boolean): StructType = {
+    val base = Seq(
+      StructField("priority", IntegerType),
+      StructField("facility", if (facStr) StringType else IntegerType),
+      StructField("severity", if (sevStr) StringType else IntegerType),
+      StructField("version", StringType),
+      StructField("timestamp", StringType),
+      StructField("hostname", StringType),
+      StructField("app_name", StringType),
+      StructField("proc_id", StringType),
+      StructField("msg_id", StringType),
+      StructField("sd", StringType),
+      StructField("message", StringType))
+    StructType(
+      if (full) base ++ Seq(StructField("sd_json", StringType),
+        StructField("error", StringType))
+      else base)
+  }
+
+  // the reference's wrapped error texts (syslog.go:13-17 +
+  // syslog_rfc5424.go fmt.Errorf call sites), byte-exact
+  private val ErrEmpty = "log doesn't conform the format"
+  private val ErrPriority = "failed to parse priority: PRI header not a valid priority"
+  private val ErrPriorityFormat = "failed to parse priority: log doesn't conform the format"
+  private val ErrVersionFormat = "failed to parse version: log doesn't conform the format"
+  private val ErrVersion = "failed to parse version: version doesn't conform the format"
+  // reference quirk: the missing-timestamp-TOKEN failure wraps the
+  // invalid-VERSION error (syslog_rfc5424.go timestamp leg)
+  private val ErrTsToken = "failed to parse timestamp: version doesn't conform the format"
+  private val ErrTs = "failed to parse timestamp: timestamp doesn't conform the format"
+  private val ErrHostname = "failed to parse hostname: log doesn't conform the format"
+  private val ErrAppname = "failed to parse appname: log doesn't conform the format"
+  private val ErrProcId = "failed to parse ProcID: log doesn't conform the format"
+  private val ErrMsgId = "failed to parse MsgID: log doesn't conform the format"
+  private val ErrSd = "failed to parse structured data: structured data doesn't conform the format"
+
+  private val facilityNames = Array(
+    "KERN", "USER", "MAIL", "DAEMON", "AUTH", "SYSLOG", "LPR", "NEWS",
+    "UUCP", "CRON", "AUTHPRIV", "FTP", "NTP", "SECURITY", "CONSOLE",
+    "SOLARISCRON", "LOCAL0", "LOCAL1", "LOCAL2", "LOCAL3", "LOCAL4",
+    "LOCAL5", "LOCAL6", "LOCAL7")
+  private val severityNames = Array(
+    "EMERG", "ALERT", "CRIT", "ERROR", "WARN", "NOTICE", "INFO", "DEBUG")
+
+  private def errRow(full: Boolean, msg: String): InternalRow = {
+    val n = if (full) 13 else 11
+    val a = new Array[Any](n)
+    if (full) a(12) = UTF8String.fromString(msg)
+    new GenericInternalRow(a)
+  }
+
+  /** atoi (decoder/common.go:26-38): digits only, no sign; -1 = invalid. */
+  private def atoi(b: Array[Byte], from: Int, until: Int): Int = {
+    if (until <= from) return -1
+    var x = 0
+    var i = from
+    while (i < until) {
+      val c = b(i)
+      if (c < '0' || c > '9') return -1
+      x = x * 10 + (c - '0')
+      i += 1
+    }
+    x
+  }
+
+  /** checkNumber (decoder/common.go:44-47). */
+  private def num(b: Array[Byte], from: Int, until: Int,
+                  min: Int, max: Int): Boolean = {
+    val x = atoi(b, from, until)
+    x >= 0 && x >= min && x <= max
+  }
+
+  /** readUntilSpaceOrNilValue (syslog_rfc5424.go): -2 = fail, -1 = nil
+    * value (`- `), else the absolute index of the terminating space. */
+  private def untilSpaceOrNil(b: Array[Byte], pos: Int, len: Int): Int = {
+    if (len - pos < 2) return -2
+    if (b(pos) == '-' && b(pos + 1) == ' ') return -1
+    var i = pos
+    while (i < len && b(i) != ' ') i += 1
+    if (i >= len || i == pos) -2 else i
+  }
+
+  /** validateTimestamp (syslog_rfc5424.go): RFC-3339 shape checks. */
+  private def validTs(b: Array[Byte], from: Int, until: Int): Boolean = {
+    val n = until - from
+    if (n < 20) return false
+    def dig(i: Int): Boolean = {
+      val c = b(from + i); c >= '0' && c <= '9'
+    }
+    if (!(b(from + 4) == '-' && b(from + 7) == '-' && b(from + 10) == 'T' &&
+          b(from + 13) == ':' && b(from + 16) == ':')) return false
+    if (!(num(b, from, from + 4, 0, 9999) && num(b, from + 5, from + 7, 1, 12) &&
+          num(b, from + 8, from + 10, 1, 31))) return false
+    if (!(num(b, from + 11, from + 13, 0, 23) && num(b, from + 14, from + 16, 0, 59) &&
+          num(b, from + 17, from + 19, 0, 59))) return false
+    var i = 19
+    if (n - i >= 2 && b(from + i) == '.' && dig(i + 1)) {
+      var j = i + 2
+      while (j < n && dig(j)) j += 1
+      if (j - i > 7) return false // more than 6 fractional digits
+      i = j
+    }
+    if (i < n && b(from + i) == 'Z') return true
+    if (n - i < 6) return false
+    val s0 = b(from + i)
+    if (!((s0 == '+' || s0 == '-') && b(from + i + 3) == ':')) return false
+    num(b, from + i + 1, from + i + 3, 0, 23) &&
+      num(b, from + i + 4, from + i + 6, 0, 59)
+  }
+
+  private def jsonEscapeInto(sb: java.lang.StringBuilder, s: String): Unit = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '\\' => sb.append("\\\\")
+        case '"'  => sb.append("\\\"")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case x if x < 0x20 => sb.append(f"\\u${x.toInt}%04x")
+        case x => sb.append(x)
+      }
+      i += 1
+    }
+  }
+
+  /** The fused decode. Called from generated code — keep it static. */
+  def parse(line: UTF8String, facStr: Boolean, sevStr: Boolean,
+            full: Boolean): InternalRow = {
+    val b = line.getBytes
+    var len = b.length
+    // bytes.TrimSuffix(data, "\n") — exactly one
+    if (len > 0 && b(len - 1) == '\n') len -= 1
+    if (len == 0) return errRow(full, ErrEmpty)
+
+    def str(from: Int, until: Int): UTF8String =
+      UTF8String.fromBytes(b, from, until - from)
+
+    // ---- priority (syslogParsePriority, syslog.go:80-93)
+    if (len < 3 || b(0) != '<') return errRow(full, ErrPriorityFormat)
+    var gt = 0
+    while (gt < len && b(gt) != '>') gt += 1
+    if (gt < 2 || gt > 4) return errRow(full, ErrPriorityFormat)
+    val pri = atoi(b, 1, gt)
+    if (pri < 0 || pri > 191) return errRow(full, ErrPriority)
+    var pos = gt + 1
+
+    // ---- proto version
+    var sp = pos
+    while (sp < len && b(sp) != ' ') sp += 1
+    if (sp >= len || sp == pos) return errRow(full, ErrVersionFormat)
+    // digits-only check (Go atoi never rejects long digit runs — an
+    // Int accumulator could wrap negative and diverge)
+    var vi = pos
+    while (vi < sp && b(vi) >= '0' && b(vi) <= '9') vi += 1
+    if (vi < sp) return errRow(full, ErrVersion)
+    val version = str(pos, sp)
+    pos = sp + 1
+
+    // ---- timestamp
+    var timestamp: UTF8String = null
+    var r = untilSpaceOrNil(b, pos, len)
+    if (r == -2) return errRow(full, ErrTsToken)
+    if (r == -1) pos += 2
+    else {
+      if (!validTs(b, pos, r)) return errRow(full, ErrTs)
+      timestamp = str(pos, r)
+      pos = r + 1
+    }
+
+    // ---- hostname / appname / procid / msgid
+    var hostname: UTF8String = null
+    r = untilSpaceOrNil(b, pos, len)
+    if (r == -2) return errRow(full, ErrHostname)
+    if (r == -1) pos += 2 else { hostname = str(pos, r); pos = r + 1 }
+
+    var appName: UTF8String = null
+    r = untilSpaceOrNil(b, pos, len)
+    if (r == -2) return errRow(full, ErrAppname)
+    if (r == -1) pos += 2 else { appName = str(pos, r); pos = r + 1 }
+
+    var procId: UTF8String = null
+    r = untilSpaceOrNil(b, pos, len)
+    if (r == -2) return errRow(full, ErrProcId)
+    if (r == -1) pos += 2 else { procId = str(pos, r); pos = r + 1 }
+
+    var msgId: UTF8String = null
+    r = untilSpaceOrNil(b, pos, len)
+    if (r == -2) return errRow(full, ErrMsgId)
+    if (r == -1) pos += 2 else { msgId = str(pos, r); pos = r + 1 }
+
+    // ---- structured data (parseStructuredData)
+    val sdStart = pos
+    var sdEnd = pos // absolute index just past the consumed SD bytes
+    var sdRaw: UTF8String = null
+    var sdJson: UTF8String = null
+    if (pos >= len) return errRow(full, ErrSd)
+    if (b(pos) == '-') {
+      // nil SD ok when '-' is last or followed by a space
+      if (!(pos == len - 1 || b(pos + 1) == ' ')) return errRow(full, ErrSd)
+      // offset stays 0: Decode skips the '-' via data[offset+1:]
+    } else {
+      // insertion-ordered; a duplicate SD-ID RESETS its params like the
+      // reference's `sd[sdID] = SyslogSDParams{}` map overwrite (Go map
+      // order is random — insertion order is our deterministic render)
+      val sd = new java.util.LinkedHashMap[String, java.util.LinkedHashMap[String, String]]()
+      var wasOpen = false
+      var p = pos
+      var failed = false
+      while (!failed && p < len && b(p) == '[') {
+        wasOpen = true
+        p += 1
+        var idsp = p
+        while (idsp < len && b(idsp) != ' ') idsp += 1
+        if (idsp >= len || idsp - p < 2) failed = true
+        else {
+          val id = new String(b, p, idsp - p, java.nio.charset.StandardCharsets.UTF_8)
+          sd.put(id, new java.util.LinkedHashMap[String, String]())
+          val params = sd.get(id)
+          p = idsp + 1
+          var i = p
+          var inside = false
+          var startPid = p
+          var startPv = p
+          var pid: String = null
+          var closed = false
+          var scanning = true
+          while (scanning && i < len) {
+            val c = b(i)
+            if (c == ']') {
+              // the reference checks data[idx-1] even inside a quoted
+              // value — a bare ']' mid-value is an SD parse FAILURE
+              // (and idx==0 would panic in Go; we fail loudly)
+              if (i == p || b(i - 1) != '"') failed = true
+              else closed = true
+              scanning = false
+            } else {
+              if (c == ' ' && !inside) startPid = i + 1
+              else if (c == '=' && !inside) {
+                if (i + 1 < len && b(i + 1) != '"') { failed = true; scanning = false }
+                else pid = new String(b, startPid, i - startPid,
+                  java.nio.charset.StandardCharsets.UTF_8)
+              } else if (c == '"') {
+                // escaped quote (prev byte '\\') is a raw value byte;
+                // at i==p Go would read data[-1] — treat as unescaped
+                if (!(i > p && b(i - 1) == '\\')) {
+                  if (inside) {
+                    params.put(pid, new String(b, startPv, i - startPv,
+                      java.nio.charset.StandardCharsets.UTF_8))
+                    inside = false
+                  } else { startPv = i + 1; inside = true }
+                }
+              }
+              i += 1
+            }
+          }
+          if (!failed) {
+            if (!closed) failed = true
+            else p = i + 1
+          }
+        }
+      }
+      if (failed || !wasOpen) return errRow(full, ErrSd)
+      sdEnd = p
+      sdRaw = str(sdStart, sdEnd)
+      if (full) {
+        val sb = new java.lang.StringBuilder(64)
+        sb.append('{')
+        val it = sd.entrySet().iterator()
+        var first = true
+        while (it.hasNext) {
+          val e = it.next()
+          if (!first) sb.append(',')
+          first = false
+          sb.append('"'); jsonEscapeInto(sb, e.getKey); sb.append("\":{")
+          val pit = e.getValue.entrySet().iterator()
+          var pfirst = true
+          while (pit.hasNext) {
+            val pe = pit.next()
+            if (!pfirst) sb.append(',')
+            pfirst = false
+            sb.append('"'); jsonEscapeInto(sb, pe.getKey)
+            sb.append("\":\""); jsonEscapeInto(sb, pe.getValue); sb.append('"')
+          }
+          sb.append('}')
+        }
+        sb.append('}')
+        sdJson = UTF8String.fromString(sb.toString)
+      }
+    }
+
+    // ---- message (Decode tail: skip one byte past the SD offset, one
+    // optional space, and a UTF-8 BOM; empty/absent → NULL like the
+    // reference's len-guarded JSON merge)
+    var message: UTF8String = null
+    val relOffset = sdEnd - sdStart // 0 for the nil-SD '-' branch
+    if (relOffset < len - sdStart) {
+      var m = sdStart + relOffset + 1
+      if (m < len && b(m) == ' ') m += 1
+      if (len - m > 2 && b(m) == 0xEF.toByte && b(m + 1) == 0xBB.toByte &&
+          b(m + 2) == 0xBF.toByte) m += 3
+      if (m < len) message = str(m, len)
+    }
+
+    val fac = pri / 8
+    val sev = pri % 8
+    val facV: Any =
+      if (facStr) UTF8String.fromString(
+        if (fac < facilityNames.length) facilityNames(fac) else "UNKNOWN")
+      else Integer.valueOf(fac)
+    val sevV: Any =
+      if (sevStr) UTF8String.fromString(severityNames(sev))
+      else Integer.valueOf(sev)
+
+    val n = if (full) 13 else 11
+    val a = new Array[Any](n)
+    a(0) = Integer.valueOf(pri)
+    a(1) = facV
+    a(2) = sevV
+    a(3) = version
+    a(4) = timestamp
+    a(5) = hostname
+    a(6) = appName
+    a(7) = procId
+    a(8) = msgId
+    a(9) = sdRaw
+    a(10) = message
+    if (full) { a(11) = sdJson; a(12) = null }
+    new GenericInternalRow(a)
+  }
+}

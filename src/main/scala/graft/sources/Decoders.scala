@@ -172,34 +172,29 @@ object Decoders {
       regexp_extract(line, syslog3164Re, 7).as("message"))
   }
 
-  // SD = one-or-more contiguous bracket elements with NO ']' inside
-  // (negated class, not greedy `.*` — a greedy group swallowed any
-  // message containing ']' into the sd field and emptied the message).
-  // Divergence from the reference's state machine (syslog_rfc5424.go
-  // parseStructuredData): a ']' inside a QUOTED param value still ends
-  // the element here — regex can't track quote state; documented.
-  private val syslog5424Re =
-    "^<(\\d{1,3})>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) ((?:\\[[^\\]]*\\])+|-)?\\s?(.*)$"
-
-  /** RFC-5424 syslog decoder (decoder/syslog_rfc5424.go). The
-    * structured-data block is kept raw in `sd`; params of the first
+  /** RFC-5424 syslog decoder — a codegen state-machine port of
+    * decoder/syslog_rfc5424.go (Decode + parseStructuredData +
+    * validateTimestamp), replacing the earlier regex leg whose negated
+    * bracket class could not track quote state inside SD elements. One
+    * fused byte-level parse per row; see
+    * [[graft.functions.Syslog5424Parse]] for the pinned edge semantics
+    * (bare `]` in a quoted value = decode error, `\"]` truncates the
+    * element, priority ≤ 191, RFC-3339 timestamp validation, nil `-`
+    * fields and empty messages NULL, BOM strip, reference error texts).
+    * The structured-data block is kept raw in `sd`; params of the first
     * SD-element are additionally exposed as a map via sdParams. */
   def syslog5424(line: Column, facilityFormat: String = "number",
-                 severityFormat: String = "number"): Column = {
-    val pri = regexp_extract(line, syslog5424Re, 1).try_cast("int")
-    struct(
-      pri.as("priority"),
-      facilityCol(pri, facilityFormat),
-      severityCol(pri, severityFormat),
-      regexp_extract(line, syslog5424Re, 2).as("version"),
-      regexp_extract(line, syslog5424Re, 3).as("timestamp"),
-      regexp_extract(line, syslog5424Re, 4).as("hostname"),
-      regexp_extract(line, syslog5424Re, 5).as("app_name"),
-      regexp_extract(line, syslog5424Re, 6).as("proc_id"),
-      regexp_extract(line, syslog5424Re, 7).as("msg_id"),
-      regexp_extract(line, syslog5424Re, 8).as("sd"),
-      regexp_extract(line, syslog5424Re, 9).as("message"))
-  }
+                 severityFormat: String = "number"): Column =
+    graft.functions.Syslog5424Parse(line, facilityFormat, severityFormat,
+      full = false)
+
+  /** [[syslog5424]] plus the parity tail: `sd_json` (the reference's
+    * per-SD-ID nested objects, insertion-ordered) and `error` (the
+    * reference's wrapped decode-error text, NULL on success). */
+  def syslog5424Full(line: Column, facilityFormat: String = "number",
+                     severityFormat: String = "number"): Column =
+    graft.functions.Syslog5424Parse(line, facilityFormat, severityFormat,
+      full = true)
 
   /** nginx_with_custom_fields (decoder/nginx.go:72-146): parse the
     * trailing `key: value, key2: value2` context of an nginx error

@@ -1,0 +1,216 @@
+package graft
+
+import graft.functions.Syslog5424Parse
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ports decoder/syslog_rfc5424_test.go's vector table against the
+  * state-machine parser, plus the quote-state edges the old regex leg
+  * could not express (bare `]` in a quoted value = error, `\"]`
+  * truncation, BOM strip, priority cap). */
+class Syslog5424Spec extends AnyFunSuite {
+
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def dec(s: String, fac: Boolean = false,
+                  sev: Boolean = false): InternalRow =
+    Syslog5424Parse.parse(UTF8String.fromString(s), fac, sev, true)
+
+  private def str(r: InternalRow, i: Int): String =
+    if (r.isNullAt(i)) null else r.getUTF8String(i).toString
+
+  private def err(r: InternalRow): String = str(r, 12)
+
+  private val validFull = "<165>1 2003-10-11T22:14:15.003Z " +
+    "mymachine.example.com myproc 10 ID47 [exampleSDID@32473 iut=\"3\" " +
+    "eventSource=\"My \\\"Application\\\"\" eventID=\"1011\"] " +
+    "An application event log"
+
+  test("valid_full: escaped quotes stay raw, trailing newline trimmed") {
+    val r = dec(validFull + "\n")
+    assert(err(r) == null)
+    assert(r.getInt(0) == 165 && r.getInt(1) == 20 && r.getInt(2) == 5)
+    assert(str(r, 3) == "1")
+    assert(str(r, 4) == "2003-10-11T22:14:15.003Z")
+    assert(str(r, 5) == "mymachine.example.com")
+    assert(str(r, 6) == "myproc" && str(r, 7) == "10" && str(r, 8) == "ID47")
+    assert(str(r, 10) == "An application event log")
+    val sd = om.readTree(str(r, 11)).get("exampleSDID@32473")
+    assert(sd.get("iut").asText() == "3")
+    // raw bytes kept, backslashes included (reference valid_full)
+    assert(sd.get("eventSource").asText() == """My \"Application\"""")
+    assert(sd.get("eventID").asText() == "1011")
+  }
+
+  test("valid_full_priority_format: string facility/severity names") {
+    val r = dec(validFull, fac = true, sev = true)
+    assert(str(r, 1) == "LOCAL4" && str(r, 2) == "NOTICE")
+  }
+
+  test("nil-value fields come back NULL (reference valid_no_* rows)") {
+    def line(ts: String = "2003-10-11T22:14:15.003Z", host: String = "h",
+             app: String = "a", proc: String = "10", msgid: String = "ID47") =
+      s"<165>1 $ts $host $app $proc $msgid [ex@32473 iut=\"3\"] msg"
+    val rTs = dec(line(ts = "-"))
+    assert(err(rTs) == null && str(rTs, 4) == null && str(rTs, 5) == "h")
+    val rHost = dec(line(host = "-"))
+    assert(err(rHost) == null && str(rHost, 5) == null && str(rHost, 6) == "a")
+    val rApp = dec(line(app = "-"))
+    assert(err(rApp) == null && str(rApp, 6) == null)
+    val rProc = dec(line(proc = "-"))
+    assert(err(rProc) == null && str(rProc, 7) == null)
+    val rMsgid = dec(line(msgid = "-"))
+    assert(err(rMsgid) == null && str(rMsgid, 8) == null)
+    Seq(rTs, rHost, rApp, rProc, rMsgid).foreach { r =>
+      assert(str(r, 10) == "msg")
+      assert(om.readTree(str(r, 11)).get("ex@32473").get("iut").asText() == "3")
+    }
+  }
+
+  test("valid_no_sd / valid_no_msg / valid_only_required") {
+    val noSd = dec("<165>1 2003-10-11T22:14:15.003Z h a 10 ID47 - hello")
+    assert(err(noSd) == null && str(noSd, 9) == null && str(noSd, 11) == null)
+    assert(str(noSd, 10) == "hello")
+    val noMsg = dec("<165>1 2003-10-11T22:14:15.003Z h a 10 ID47 " +
+      "[exampleSDID@32473 iut=\"3\"]")
+    assert(err(noMsg) == null && str(noMsg, 10) == null)
+    assert(str(noMsg, 9) == "[exampleSDID@32473 iut=\"3\"]")
+    val required = dec("<165>1 - - - - - - An application event log")
+    assert(err(required) == null)
+    assert((4 to 9).forall(required.isNullAt))
+    assert(str(required, 10) == "An application event log")
+  }
+
+  test("valid_multi_sd: two elements, empty param value kept") {
+    val r = dec("<165>1 2003-10-11T22:14:15.003Z h a 10 ID47 " +
+      "[example1@123 param1=\"1\" param2=\"two\"]" +
+      "[example2@123 param1=\"\" param2=\"twotwo\"] msg")
+    assert(err(r) == null)
+    assert(str(r, 9) == "[example1@123 param1=\"1\" param2=\"two\"]" +
+      "[example2@123 param1=\"\" param2=\"twotwo\"]")
+    val j = om.readTree(str(r, 11))
+    assert(j.get("example1@123").get("param2").asText() == "two")
+    assert(j.get("example2@123").get("param1").asText() == "")
+    assert(j.get("example2@123").get("param2").asText() == "twotwo")
+    assert(str(r, 10) == "msg")
+  }
+
+  test("BOM before the message is stripped; double space keeps one strip") {
+    val bom = dec("<165>1 2003-10-11T22:14:15.003Z h a 10 ID47 " +
+      "[ex@32473 iut=\"3\"] ﻿An application event log")
+    assert(str(bom, 10) == "An application event log")
+    val two = dec("<165>1 2003-10-11T22:14:15.003Z h a 10 ID47 " +
+      "[ex@32473 iut=\"3\"]  m")
+    assert(str(two, 10) == "m")
+  }
+
+  test("bare ']' inside a quoted param value is a DECODE ERROR " +
+       "(paramsLoop checks data[idx-1] regardless of quote state)") {
+    val r = dec("<165>1 2003-10-11T22:14:15.003Z h a 10 ID47 " +
+      "[ex@32473 msg=\"a]b\"] tail")
+    assert(err(r) == "failed to parse structured data: structured data " +
+      "doesn't conform the format")
+    assert((0 to 10).forall(r.isNullAt)) // nothing merges on error
+  }
+
+  test("escaped-quote-then-] truncates the element mid-value") {
+    // `m="a\"]` — the escaped quote is a raw value byte, then ']' sees
+    // a literal '"' before it and CLOSES the element; the in-flight
+    // param is never emitted
+    val r = dec("<165>1 2003-10-11T22:14:15.003Z h a 10 ID47 " +
+      "[ex@32473 m=\"a\\\"] tail")
+    assert(err(r) == null)
+    assert(str(r, 9) == "[ex@32473 m=\"a\\\"]")
+    assert(str(r, 11) == "{\"ex@32473\":{}}")
+    assert(str(r, 10) == "tail")
+  }
+
+  test("invalid timestamps are decode errors (reference rows 1-15)") {
+    val bad = Seq(
+      "2003-10-11T22:14:15" -> false, // no space after → token error
+      "2003 10 11T22:14:15Z" -> true,
+      "2003-10-11T22-14-15Z" -> true,
+      "2003-13-11T22:14:15Z" -> true,
+      "2003-12-32T22:14.15Z" -> true,
+      "2003-12-31T25:14.15Z" -> true,
+      "2003-12-31T22:62.15Z" -> true,
+      "2003-12-31T22:14.99Z" -> true,
+      "2003-12-31T22:14.15.0000003Z" -> true,
+      "2003-12-31T22:14.15X" -> true,
+      "2003-12-31T22:14.15-07" -> true,
+      "2003-12-31T22:14.15@07:00" -> true,
+      "2003-12-31T22:14.15+07@00" -> true,
+      "2003-12-31T22:14.15+25:00" -> true,
+      "2003-12-31T22:14.15+07:65" -> true)
+    bad.foreach { case (ts, hasTail) =>
+      val line = s"<165>1 $ts" + (if (hasTail) " h a 10 ID47 - m" else "")
+      val r = dec(line)
+      assert(err(r) != null, s"$ts should fail")
+      assert(err(r).startsWith("failed to parse timestamp:"), s"$ts: ${err(r)}")
+    }
+    // the reference wraps the missing-TOKEN case in the version error
+    assert(err(dec("<165>1 2003-10-11T22:14:15")) ==
+      "failed to parse timestamp: version doesn't conform the format")
+    // 6 fractional digits pass, 7 fail
+    assert(err(dec("<165>1 2003-10-11T22:14:15.123456Z h a 10 ID47 - m")) == null)
+    assert(err(dec("<165>1 2003-10-11T22:14:15.1234567Z h a 10 ID47 - m")) != null)
+  }
+
+  test("missing header fields are decode errors (reference invalid rows)") {
+    assert(err(dec("<165>1 2003-10-11T22:14:15.003Z mymachine.example.com")) ==
+      "failed to parse hostname: log doesn't conform the format")
+    assert(err(dec("<165>1 2003-10-11T22:14:15.003Z h myproc")) ==
+      "failed to parse appname: log doesn't conform the format")
+    assert(err(dec("<165>1 2003-10-11T22:14:15.003Z h myproc 10")) ==
+      "failed to parse ProcID: log doesn't conform the format")
+    assert(err(dec("<165>1 2003-10-11T22:14:15.003Z h myproc 10 ID47")) ==
+      "failed to parse MsgID: log doesn't conform the format")
+  }
+
+  test("invalid structured data rows (reference sd_1..sd_10)") {
+    val prefix = "<165>1 2003-10-11T22:14:15.003Z mymachine.example.com " +
+      "myproc 10 ID47 "
+    val badSd = Seq(
+      "exampleSDID@32473",            // no bracket, no nil
+      "[exampleSDID@32473",           // unterminated, no space
+      "[exampleSDID@32473]",          // no params (no space inside)
+      "[exampleSDID@32473 ",          // params never close
+      "[exampleSDID@32473 =]",        // '=' not followed by quote
+      "[exampleSDID@32473 iut=3\"]",  // unquoted value
+      "[exampleSDID@32473 iut=\"3]",  // ']' inside open quote, prev not '"'
+      "[exampleSDID@32473 iut=\"3\" ", // trailing space, never closed
+      "[exampleSDID@32473 iut=\"3\" ]", // ']' preceded by space
+      "[ exampleSDID@32473 iut=\"3\"]") // empty sd-id
+    badSd.foreach { sd =>
+      val r = dec(prefix + sd)
+      assert(err(r) == "failed to parse structured data: structured data " +
+        "doesn't conform the format", s"$sd: ${err(r)}")
+    }
+  }
+
+  test("priority cap and header format errors") {
+    assert(err(dec("<192>1 2003-10-11T22:14:15.003Z h a 10 ID47 - m")) ==
+      "failed to parse priority: PRI header not a valid priority")
+    assert(err(dec("<191>1 2003-10-11T22:14:15.003Z h a 10 ID47 - m")) == null)
+    assert(err(dec("165>1 x")) ==
+      "failed to parse priority: log doesn't conform the format")
+    assert(err(dec("<16555>1 x")) ==
+      "failed to parse priority: log doesn't conform the format")
+    assert(err(dec("")) == "log doesn't conform the format")
+    assert(err(dec("\n")) == "log doesn't conform the format")
+    assert(err(dec("<165>x 2003-10-11T22:14:15.003Z h a 10 ID47 - m")) ==
+      "failed to parse version: version doesn't conform the format")
+  }
+
+  test("classic (full=false) struct keeps the 11-field shape") {
+    val r = Syslog5424Parse.parse(UTF8String.fromString(validFull),
+      false, false, false)
+    assert(r.numFields == 11)
+    assert(r.getInt(0) == 165)
+    // error → all 11 null
+    val e = Syslog5424Parse.parse(UTF8String.fromString("<192>1 x y"),
+      false, false, false)
+    assert((0 until 11).forall(e.isNullAt))
+  }
+}
