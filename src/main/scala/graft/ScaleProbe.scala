@@ -109,6 +109,25 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(embDistinctPath)
     }
 
+    // 10× events for the stateful-kernel batch legs (event_id remap;
+    // user_id/event_type repeat — key cardinality is a lower bound, but
+    // per-key row counts, sort volume and shuffle bytes scale honestly,
+    // which is what the secondary-sort/chunk-fold cells measure)
+    val ev1Path = s"$sf1Dir/events.parquet"
+    if (!new java.io.File(ev1Path, "_SUCCESS").exists()) {
+      Tables(spark, base, "events")
+        .crossJoin(spark.range(10).select(col("id").as("_rep")))
+        .select((col("event_id") * 10 + col("_rep")).as("event_id"),
+          col("ts"), col("user_id"), col("event_type"), col("value"),
+          col("props"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(ev1Path)
+    }
+    def evAt(scale: String): DataFrame =
+      if (scale == "base") Tables(spark, base, "events")
+      else spark.read.parquet(ev1Path)
+        .withColumn("ts", col("ts")) // layout already normalized by Tables
+
     def curationYaml(dir: String, table: String): String =
       s"""curation:
          |  input: {dir: "$dir", table: $table}
@@ -243,6 +262,53 @@ object ScaleProbe {
       "ccnet_buckets" -> { scale: String =>
         measure(spark)(graft.ml.TextOps.ccnetBuckets(docsAt(scale),
           "doc_id", "text").count())
+      },
+      // round-14: throttleDistributed's secondary-sort rewrite — one
+      // (key, bucket) hash exchange + SPILLABLE partition sort + an
+      // O(width) streaming admission fold. HOT-KEY SKEW built in: half
+      // the corpus lands on key 0, so the claim under test is that the
+      // hot key's partition spills and streams instead of OOMing, wall
+      // grows ~linearly, and peak task memory stays flat-ish (the fold
+      // state is counts-array-sized, the sort spills)
+      "throttle_distributed" -> { scale: String =>
+        val ev = evAt(scale)
+        val b = ev.select(
+          when(col("event_id") % 2 === 0, 0L)
+            .otherwise(col("user_id") % 64).as("src"),
+          col("event_id").cast("long").as("ord"),
+          when(col("event_id") % 5 < 2, "error")
+            .when(col("event_id") % 5 === 2, "warn")
+            .otherwise("info").as("level"))
+        measure(spark)(graft.state.SeqOps.throttleDistributed(b, Seq("src"),
+          lit(0L), "ord", "level", totalLimit = 1000L,
+          ratios = Seq((0.5, Seq("error")), (0.25, Seq("warn")))).count())
+      },
+      // round-14: CRI chunk assembly (q168's batch kernel) — per-source
+      // ordered fold with O(splitEventSize + 1 chunk) state; the claim
+      // under test is linear wall/shuffle with flat per-task state as
+      // per-key chunk streams grow 10×
+      "cri_chunks" -> { scale: String =>
+        val ev = evAt(scale)
+        val b = ev.select(
+            (col("user_id") % 16).cast("long").as("src"),
+            col("event_id"),
+            concat(col("event_type"), lit("-"),
+              (col("event_id") % 100).cast("string")).as("log"),
+            (col("event_id") % 4 =!= 0).as("partial"))
+          .withColumn("doc", struct(col("log"), col("partial")))
+          .drop("log", "partial")
+        measure(spark)(graft.state.SeqOps.criChunkJoin(b, Seq("src"),
+          "event_id", col("doc").getField("log"),
+          col("doc").getField("partial"), splitEventSize = 24L).count())
+      },
+      // round-14: prototypePrune's percentile-cutoff plan — the
+      // assignment agg + k-row cutoff job + broadcast-join filter; the
+      // claim under test is wall sub-linear-ish at 10× with the former
+      // k-task ranking stage gone (cutoff/boundary windows see only
+      // histogram/tie rows)
+      "prototype_prune" -> { scale: String =>
+        measure(spark)(graft.ml.Ann.prototypePrune(embAt(scale),
+          "vec_id", "embedding", k = 32, iters = 1, keepFrac = 0.7).count())
       }
     )
 

@@ -580,16 +580,30 @@ object Ann {
     * quantized-integer grid ([[kmeansQuantized]] / [[argminCid]]'s
     * (d2, cid) struct-min tie-break), so the keep/drop DECISION is
     * engine-reproducible — the whole operator replays in the DuckDB
-    * oracle. Per-cluster selection ranks (d2 desc, id asc).
+    * oracle. Per-cluster selection is EXACTLY the (d2 desc, id asc)
+    * rank-≤-⌈cnt·keepFrac⌉ set, computed without ranking the corpus:
     *
-    * Scale shape: one broadcast of the k×dim centroid table, one
-    * map-side-combined distance aggregation, then a per-CLUSTER rank —
-    * partition count = k, so k should scale with the corpus (the paper
-    * itself scales clusters with dataset size; the SemDeDup family
-    * documents the same cluster-size ≈ N/k discipline). Returns
-    * (id, cid, d2) for the kept rows. */
+    * Scale shape (r14): one broadcast of the k×dim centroid table, one
+    * map-side-combined distance aggregation, then a k-row CUTOFF job —
+    * a (cid, d2) HISTOGRAM aggregation (map-side combined, full
+    * parallelism) whose per-cluster running count is windowed over the
+    * histogram rows, NOT the corpus (the ccnetBuckets pattern), giving
+    * the largest d2 where the running count reaches ⌈cnt·keepFrac⌉
+    * plus the tie allowance at that value. The kept set is then a
+    * broadcast-join filter (`d2 > cutoff`, full parallelism) unioned
+    * with the tie rows at `d2 == cutoff` ranked by id — a window whose
+    * input is only the boundary ties (≈ k rows on a real grid), not
+    * N/k-row cluster partitions like the previous row_number plan. The
+    * same distance-agg exchange backs both branches (ReusedExchange).
+    *
+    * The eager cutoff job doubles as the semDedup-style k-scaling
+    * guard: an average cluster above `maxAvgClusterSize` fails loudly
+    * (k must scale with the corpus — the paper itself scales clusters
+    * with dataset size; cluster-size ≈ N/k discipline as the SemDeDup
+    * family documents). Returns (id, cid, d2) for the kept rows. */
   def prototypePrune(df: DataFrame, idCol: String, vecCol: String,
-                     k: Int, iters: Int, keepFrac: Double): DataFrame = {
+                     k: Int, iters: Int, keepFrac: Double,
+                     maxAvgClusterSize: Long = 5000000L): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0,
       s"prototypePrune: keepFrac $keepFrac outside (0, 1]")
     val cents = kmeansQuantized(df, idCol, vecCol, k, iters)
@@ -601,13 +615,46 @@ object Ann {
       .groupBy(col("vid"))
       .agg(min(struct(col("d2"), col("cid"))).as("_m"))
       .select(col("vid"), col("_m.cid").as("cid"), col("_m.d2").as("d2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cid")).orderBy(col("d2").desc, col("vid"))
-    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
-    best.withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(wc))
-      .filter(col("rn") <= ceil(col("cnt") * keepFrac))
+    // ---- cutoff job: k rows on the driver (construction-bounded)
+    val hist = best.groupBy(col("cid"), col("d2")).agg(count(lit(1)).as("hn"))
+    val wBefore = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("d2").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wCid = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+    val cutRows = hist
+      .withColumn("cumBefore", coalesce(sum(col("hn")).over(wBefore), lit(0L)))
+      .withColumn("cnt", sum(col("hn")).over(wCid))
+      .withColumn("kneed", ceil(col("cnt") * keepFrac))
+      .filter(col("cumBefore") < col("kneed") &&
+        col("cumBefore") + col("hn") >= col("kneed"))
+      .select(col("cid"), col("d2").as("cutoff"),
+        (col("kneed") - col("cumBefore")).as("need"), col("cnt"))
+      .collect()
+    val avgSz = if (cutRows.isEmpty) 0.0
+                else cutRows.map(_.getLong(3)).sum.toDouble / cutRows.length
+    if (avgSz > maxAvgClusterSize)
+      throw new IllegalArgumentException(
+        f"prototypePrune: average cluster size $avgSz%.0f exceeds " +
+          s"$maxAvgClusterSize — the histogram/boundary stages degrade " +
+          "toward per-cluster sorts. Scale k with the corpus " +
+          "(k = N / targetClusterSize) or raise maxAvgClusterSize knowingly.")
+    val session = df.sparkSession
+    import session.implicits._
+    val cut = broadcast(cutRows.toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toDF("cid", "cutoff", "need"))
+    val joined = best.join(cut, "cid")
+    val nonBoundary = joined.filter(col("d2") > col("cutoff"))
       .select(col("vid").as(idCol), col("cid"), col("d2"))
+    // ties at the exact cutoff value: rank by id asc for the remaining
+    // `need` slots — input is only the tie rows, not the cluster
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("vid"))
+    val boundary = joined.filter(col("d2") === col("cutoff"))
+      .withColumn("rnb", row_number().over(wTie))
+      .filter(col("rnb") <= col("need"))
+      .select(col("vid").as(idCol), col("cid"), col("d2"))
+    nonBoundary.unionByName(boundary)
   }
 
   /** The seeded random hyperplanes behind hyperplaneSig — exposed so

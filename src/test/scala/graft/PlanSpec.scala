@@ -472,4 +472,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
     assert(p.contains("*(1)") && !p.contains("*(2)"), p)
   }
+
+  test("prototypePrune keeps no window over a k-partition corpus slice") {
+    // the r13 plan ranked keep-hardest with row_number over
+    // Window.partitionBy(cid) on the CORPUS — k tasks sorting N/k rows
+    // each at scale. The r14 plan computes the per-cluster d2 cutoff on
+    // a k-row driver job and filters via a broadcast join; the only
+    // remaining window ranks the ties AT the cutoff value, whose input
+    // sits above the broadcast cutoff join (a Join below the window),
+    // never the bare assignment
+    val df = graft.ml.Ann.prototypePrune(
+      Tables(spark, sf, "embeddings"), "vec_id", "embedding",
+      k = 8, iters = 1, keepFrac = 0.7)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.size == 1, s"expected only the tie window, got $wins")
+    wins.foreach { w =>
+      val joinBelow = w.child.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joinBelow.nonEmpty,
+        s"window input must sit above the cutoff join, not the corpus:\n$w")
+    }
+    assert(plan(df).contains("BroadcastHashJoin"), plan(df))
+  }
 }
