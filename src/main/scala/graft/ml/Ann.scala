@@ -611,10 +611,15 @@ object Ann {
       .select(col(idCol).as("vid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .select(col("vid"), col("pos"),
         round(col("x").cast("double") * 1e6).cast("long").as("xe6"))
+    // materialize the assignment ONCE (narrow (vid, cid, d2) rows) —
+    // the cutoff job and both result branches read the checkpoint
+    // instead of re-running the explode/join/agg pipeline (the kmeans
+    // house pattern; GC reclaims the blocks with the returned plan)
     val best = assignmentDistances(v, cents)
       .groupBy(col("vid"))
       .agg(min(struct(col("d2"), col("cid"))).as("_m"))
       .select(col("vid"), col("_m.cid").as("cid"), col("_m.d2").as("d2"))
+      .localCheckpoint(true)
     // ---- cutoff job: k rows on the driver (construction-bounded)
     val hist = best.groupBy(col("cid"), col("d2")).agg(count(lit(1)).as("hn"))
     val wBefore = org.apache.spark.sql.expressions.Window
