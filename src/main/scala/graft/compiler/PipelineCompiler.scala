@@ -1039,7 +1039,7 @@ object PipelineCompiler {
         val templates = m.properties().asScala
           .map(e => e.getKey -> e.getValue.asText()).toSeq
         val resolve = inputMetaResolver(input.get("type").asText(), decoded,
-          templates.map(_._1))
+          templates.map(_._1), k8sMeta)
         graft.functions.MetaTemplates.compile(templates, resolve)
           .foldLeft(decoded) { case (df, (k, c)) =>
             df.withColumn("doc", col("doc").withField(s"`$k`", c))
@@ -1808,8 +1808,34 @@ object PipelineCompiler {
     *    fold through map/array lookups (`.params.k`, `index .params
     *    "k" 0`) like text/template indexing.
     */
+  /** Allowlisted v1.Pod subfields for the k8s `pod` template variable:
+    * the reference exposes the WHOLE struct to text/template (Go field
+    * names, case-sensitive); here the practical surface resolves
+    * against the meta_file snapshot's serialized pod JSON. Returns the
+    * JSON path for scalar fields; `Labels`/`Annotations` as whole maps
+    * resolve separately (for `index .pod.Labels "k"`). */
+  private def podFieldJsonPath(rest: Seq[String]): Option[String] =
+    rest match {
+      case Seq("Name")                        => Some("$.metadata.name")
+      case Seq("Namespace")                   => Some("$.metadata.namespace")
+      case Seq("UID")                         => Some("$.metadata.uid")
+      // bracket form: label/annotation keys carry dots and slashes
+      // (app.kubernetes.io/name)
+      case Seq("Labels", k)                   => Some(s"$$.metadata.labels['$k']")
+      case Seq("Annotations", k)              => Some(s"$$.metadata.annotations['$k']")
+      case Seq("Spec", "NodeName")            => Some("$.spec.nodeName")
+      case Seq("Spec", "ServiceAccountName")  => Some("$.spec.serviceAccountName")
+      case Seq("Spec", "Hostname")            => Some("$.spec.hostname")
+      case Seq("Status", "PodIP")             => Some("$.status.podIP")
+      case Seq("Status", "HostIP")            => Some("$.status.hostIP")
+      case Seq("Status", "Phase")             => Some("$.status.phase")
+      case Seq("Status", "QOSClass")          => Some("$.status.qosClass")
+      case _                                  => None
+    }
+
   private def inputMetaResolver(inputType: String, df: DataFrame,
-                                templateKeys: Seq[String])
+                                templateKeys: Seq[String],
+                                k8sMeta: Option[graft.sources.K8sMetaFile.Meta] = None)
   : Seq[String] => Option[Column] = {
     val fileVars: Seq[String] => Option[Column] = {
       case Seq("filename") => Some(col("source_name"))
@@ -1840,7 +1866,52 @@ object PipelineCompiler {
         // worker.go:38-44: ANY meta KEY containing "k8s" arms CRI
         // filename parsing on the plain file input
         withK8sVars(parse = templateKeys.exists(_.contains("k8s")))
-      case "k8s" => withK8sVars(parse = true)
+      case "k8s" =>
+        // `pod` (k8s.go meta-params: the whole v1.Pod) resolves
+        // allowlisted subfields against the meta_file snapshot: a
+        // bounded literal map (node pod count) keyed on the CRI
+        // filename's (ns, pod, cid) → the pod's raw JSON — a pure
+        // column tree, no UDF, no join. Without a meta_file the
+        // variable is UNKNOWN (single-value templates omit the key,
+        // holes render "" — the reference's nil-Pod shape). An
+        // unsupported subfield under a LOADED snapshot errors loudly.
+        val base = withK8sVars(parse = true)
+        val podJsonCol: Option[Column] = k8sMeta.map { meta =>
+          val m = graft.sources.K8sMeta.parse(col("source_name"))
+          if (meta.pods.isEmpty) lit(null).cast("string")
+          else {
+            val entries = meta.pods.flatMap(p => Seq(
+              lit(s"${p.namespace} ${p.pod} ${p.containerId}"),
+              lit(p.podJson)))
+            element_at(map(entries: _*), concat_ws(" ",
+              m.getField("namespace"), m.getField("pod_name"),
+              m.getField("container_id")))
+          }
+        }
+        (path: Seq[String]) => path match {
+          case "pod" +: rest => podJsonCol.flatMap { pj =>
+            rest match {
+              case Seq(coll @ ("Labels" | "Annotations")) =>
+                val sub = if (coll == "Labels") "labels" else "annotations"
+                Some(from_json(get_json_object(pj, s"$$.metadata.$sub"),
+                  org.apache.spark.sql.types.MapType(
+                    org.apache.spark.sql.types.StringType,
+                    org.apache.spark.sql.types.StringType)))
+              case r => podFieldJsonPath(r) match {
+                case Some(jp) => Some(get_json_object(pj, jp))
+                case None => throw new IllegalArgumentException(
+                  s"k8s meta template: unsupported pod subfield " +
+                    s"`.pod.${r.mkString(".")}` — supported: .pod.Name/" +
+                    ".Namespace/.UID/.Labels.<k>/.Annotations.<k>/" +
+                    ".Spec.NodeName/.Spec.ServiceAccountName/" +
+                    ".Spec.Hostname/.Status.PodIP/.Status.HostIP/" +
+                    ".Status.Phase/.Status.QOSClass (Go field spellings, " +
+                    "k8s.go meta-params `pod`)")
+              }
+            }
+          }
+          case p => base(p)
+        }
       case "kafka" => {
         case Seq(v @ ("topic" | "partition" | "offset"))
           if df.columns.contains(v) => Some(col(v))
@@ -1855,6 +1926,17 @@ object PipelineCompiler {
             org.apache.spark.sql.types.StringType,
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.StringType)))
+        // `request` (http.go meta-params: the raw http.Request struct):
+        // allowlisted subfields captured in the sidecar's `request`
+        // node (Go field spellings — Method/Host/RequestURI/Proto/
+        // ContentLength, URL.Path/.RawQuery, Header map with
+        // Go-canonical names for `index .request.Header "X-Foo" 0`).
+        // Sidecars from older spools lack the node → NULL fields.
+        val headerCol = from_json(get_json_object(metaJson, "$.request.Header"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType)))
         (path: Seq[String]) => path match {
           case Seq(v @ ("login" | "remote_addr" | "request_uuid")) =>
             Some(get_json_object(metaJson, s"$$.$v"))
@@ -1863,6 +1945,26 @@ object PipelineCompiler {
               if (k.forall(_.isDigit)) get(acc, lit(k.toInt))
               else try_element_at(acc, lit(k))
             })
+          case "request" +: rest => rest match {
+            case Seq(f @ ("Method" | "Host" | "RequestURI" | "Proto" |
+                          "ContentLength")) =>
+              Some(get_json_object(metaJson, s"$$.request.$f"))
+            case Seq("URL", g @ ("Path" | "RawQuery")) =>
+              Some(get_json_object(metaJson, s"$$.request.URL.$g"))
+            case Seq("Header") => Some(headerCol)
+            case "Header" +: more =>
+              Some(more.foldLeft(headerCol: Column) { (acc, k) =>
+                if (k.forall(_.isDigit)) get(acc, lit(k.toInt))
+                else try_element_at(acc, lit(k))
+              })
+            case other => throw new IllegalArgumentException(
+              s"http meta template: unsupported request subfield " +
+                s"`.request.${other.mkString(".")}` — supported: " +
+                ".request.Method/.Host/.RequestURI/.Proto/" +
+                ".ContentLength/.URL.Path/.URL.RawQuery/" +
+                ".Header.<Name> (Go field spellings, http.go " +
+                "meta-params `request`)")
+          }
           case _ => None
         }
       case other => throw new IllegalArgumentException(

@@ -7,6 +7,7 @@ import java.nio.file.{Files, Path, StandardCopyOption}
 import java.util.Base64
 import java.util.concurrent.atomic.AtomicLong
 import java.util.zip.GZIPInputStream
+import scala.jdk.CollectionConverters._
 
 /** Auth config for the HTTP input (reference http.go:184-204 AuthConfig):
   * `strategy` disabled/basic/bearer, an overridable header name, and a
@@ -150,6 +151,15 @@ object HttpSpoolInput {
   }
 
   /** `k=v&k=v` raw query → pairs in arrival order, URL-decoded. */
+  /** Go's textproto.CanonicalMIMEHeaderKey: each '-'-separated token
+    * capitalized (X-Forwarded-For) — the spelling text/template map
+    * lookups on http.Request.Header match against. */
+  def canonicalHeader(name: String): String =
+    name.split("-", -1).map { t =>
+      if (t.isEmpty) t
+      else t.head.toUpper +: t.tail.toLowerCase
+    }.mkString("-")
+
   def parseQuery(rawQuery: String): Seq[(String, String)] =
     if (rawQuery == null || rawQuery.isEmpty) Nil
     else rawQuery.split('&').toSeq.filter(_.nonEmpty).map { kv =>
@@ -286,6 +296,27 @@ final class HttpSpoolInput(port: Int, spoolDir: Path, emulateEs: Boolean,
       params.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (k, vs) =>
         val arr = pn.putArray(k); vs.foreach(v => arr.add(v._2))
       }
+      // `request` — the allowlisted http.Request subfields the meta
+      // templates may reference (Go field spellings; header names
+      // written Go-canonical, e.g. X-Forwarded-For, since text/template
+      // map lookups are byte-exact on the canonicalized key)
+      val rq = root.putObject("request")
+      rq.put("Method", ex.getRequestMethod)
+      rq.put("Host", Option(hdr.getFirst("Host")).getOrElse(""))
+      rq.put("RequestURI", ex.getRequestURI.toString)
+      rq.put("Proto", ex.getProtocol)
+      rq.put("ContentLength",
+        try contentLength.toLong catch { case _: NumberFormatException => -1L })
+      val urlN = rq.putObject("URL")
+      urlN.put("Path", Option(ex.getRequestURI.getPath).getOrElse(""))
+      urlN.put("RawQuery", Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      val hn = rq.putObject("Header")
+      hdr.entrySet().asScala.toSeq
+        .map(e => HttpSpoolInput.canonicalHeader(e.getKey) -> e.getValue)
+        .sortBy(_._1)
+        .foreach { case (k, vs) =>
+          val arr = hn.putArray(k); vs.asScala.foreach(arr.add)
+        }
       Files.write(spoolDir.resolve(name + ".meta"), om.writeValueAsBytes(root))
     }
     val tmp = spoolDir.resolve(name + ".tmp")

@@ -18,8 +18,12 @@ import scala.jdk.CollectionConverters._
   */
 object K8sMetaFile {
 
+  /** `podJson` keeps the snapshot's raw serialized v1.Pod for the
+    * `meta:` template `pod` variable's allowlisted-subfield resolver
+    * (k8s.go meta-params: `pod` is the whole k8s.io v1.Pod struct). */
   final case class PodRow(namespace: String, pod: String,
-                          containerId: String, labels: Map[String, String])
+                          containerId: String, labels: Map[String, String],
+                          podJson: String)
 
   final case class Meta(pods: Seq[PodRow], nodeLabels: Map[String, String],
                         criType: Option[String], nodeName: Option[String])
@@ -37,7 +41,8 @@ object K8sMetaFile {
               .map(_.properties().asScala
                 .map(e => e.getKey -> e.getValue.asText()).toMap)
               .getOrElse(Map.empty[String, String])
-            PodRow(nsE.getKey, podE.getKey, cidE.getKey, labels)
+            PodRow(nsE.getKey, podE.getKey, cidE.getKey, labels,
+              mapper.writeValueAsString(cidE.getValue))
           }
         }
       }

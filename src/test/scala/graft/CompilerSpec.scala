@@ -676,6 +676,39 @@ class CompilerSpec extends AnyFunSuite {
       "  split_event_size: 20")).result()
       .selectExpr("doc.log").collect().map(_.getString(0)).sorted.toSeq
     assert(split == Seq("chunk-one-chunk-two-", "end", "single"), split.toString)
+    // `pod` meta-template variable: allowlisted v1.Pod subfields
+    // resolved against the meta_file snapshot (k8s.go meta-params
+    // `pod`, Go field spellings)
+    val podMeta = PipelineCompiler.compile(spark, yamlFor(
+      """  meta:
+        |    team: "{{ .pod.Labels.team }}"
+        |    onnode: "{{ .pod.Spec.NodeName }}"
+        |    misslbl: '{{ index .pod.Labels "nope" | default "-" }}'""".stripMargin))
+      .result()
+      .selectExpr("doc.team", "doc.onnode", "doc.misslbl").head()
+    assert(podMeta.getString(0) == "core", podMeta.toString)
+    assert(podMeta.getString(1) == "node-7", podMeta.toString)
+    assert(podMeta.getString(2) == "-", podMeta.toString)
+    // unsupported subfield under a loaded snapshot errors loudly
+    val podErr = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(spark, yamlFor(
+        """  meta: {x: "{{ .pod.Lables.app }}"}"""))
+    }
+    assert(podErr.getMessage.contains("pod subfield"), podErr.getMessage)
+    // without a meta_file the variable is UNKNOWN: `.pod.Labels.team`
+    // is a full template (the single-value regex is one-word refs
+    // only), so the hole renders "" — key present, value empty (the
+    // reference's nil-Pod template-error-in-key shape, engine-doc'd)
+    val noSnap = PipelineCompiler.compile(spark,
+      s"""input:
+         |  type: k8s
+         |  watching_dir: $dir
+         |  meta: {team: "{{ .pod.Labels.team }}", pn: "{{ .pod_name }}"}
+         |output: {type: memory}
+         |""".stripMargin).result()
+    val noSnapRow = noSnap.selectExpr("doc.team", "doc.pn").head()
+    assert(noSnapRow.getString(0) == "" && noSnapRow.getString(1) == "mypod",
+      noSnapRow.toString)
     // only_node: just k8s_node, chunks stay separate events
     val on = PipelineCompiler.compile(spark, yamlFor(
       "  only_node: true\n  node_name: self")).result()
@@ -3904,6 +3937,9 @@ class CompilerSpec extends AnyFunSuite {
          |    ip: "{{ .remote_addr }}"
          |    rid: "{{ .request_uuid }}"
          |    app: '{{ index .params "app" 0 | default "unknown" }}'
+         |    method: "{{ .request.Method }}"
+         |    path: "{{ .request.URL.Path }}"
+         |    trace: '{{ index .request.Header "X-Trace-Id" 0 | default "none" }}'
          |decoder: {type: json, schema: "k STRING"}
          |output: {type: memory, name: meta_http_out}
          |""".stripMargin)
@@ -3914,6 +3950,8 @@ class CompilerSpec extends AnyFunSuite {
       val req = HttpRequest.newBuilder(
           URI.create(s"http://127.0.0.1:$port/?app=checkout&env=ci"))
         .header("Authorization", "Bearer tok123")
+        .header("x-trace-id", "t-9") // lowercase on the wire; the
+        // sidecar canonicalizes Go-style for the template map lookup
         .POST(HttpRequest.BodyPublishers.ofString("""{"k":"v1"}""" + "\n"))
         .build()
       assert(client.send(req,
@@ -3932,7 +3970,26 @@ class CompilerSpec extends AnyFunSuite {
       val expectUuid = graft.sources.HttpSpoolInput.requestUuid(
         "11", "app=checkout&env=ci", "127.0.0.1")
       assert(doc.contains(s"\"rid\":\"$expectUuid\""), doc)
+      // `request` allowlisted subfields (http.go meta-params `request`)
+      assert(doc.contains("\"method\":\"POST\""), doc)
+      assert(doc.contains("\"path\":\"/\""), doc)
+      assert(doc.contains("\"trace\":\"t-9\""), doc)
     } finally { q.stop(); listener.stop() }
+    // an unsupported request subfield is a loud config error
+    val ex = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(spark,
+        s"""input:
+           |  type: http
+           |  address: ":0"
+           |  spool_dir: "$dir/spool2"
+           |  meta: {b: "{{ .request.Body }}"}
+           |decoder: {type: json, schema: "k STRING"}
+           |output: {type: memory}
+           |""".stripMargin)
+    }
+    assert(ex.getMessage.contains("request subfield"), ex.getMessage)
+    try PipelineCompiler.lastHttpInput._1.stop()
+    catch { case _: Throwable => () } // listener may not have survived
   }
 
   test("`meta:` on an input without meta variables fails loudly") {
