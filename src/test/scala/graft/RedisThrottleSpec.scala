@@ -530,6 +530,77 @@ class RedisThrottleSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("streaming redis throttle survives a real checkpoint restart; a reshaped window starts fresh and re-learns from redis") {
+    import graft.streaming.Kernels
+    import graft.streaming.Kernels.REvent
+    import org.apache.spark.sql.Encoders
+    import java.nio.file.Files
+    implicit val evEnc = Encoders.product[REvent]
+    val r = new FakeRedis()
+    try {
+      RespClient.resetPool()
+      val dir = Files.createTempDirectory("redis_restart")
+      val srcDir = dir.resolve("src"); Files.createDirectories(srcDir)
+      val ckpt = dir.resolve("ckpt").toString
+      val outDir = dir.resolve("out").toString
+      val schema = Encoders.product[REvent].schema
+      def writeBatch(name: String, evs: Seq[REvent]): Unit =
+        Files.write(srcDir.resolve(name), evs.map(e =>
+          s"""{"key":"${e.key}","eventTimeMs":${e.eventTimeMs},""" +
+            s""""weight":${e.weight},"overrideKey":"","dval":"",""" +
+            s""""value":"${e.value}"}""").mkString("\n").getBytes("UTF-8"))
+      def start(cfg: RedisThrottle.Cfg) =
+        Kernels.throttleRedis(
+            spark.readStream.schema(schema).json(srcDir.toString).as[REvent],
+            cfg)
+          .writeStream.format("json")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+      def outCount(): Long = spark.read.schema(schema).json(outDir).count()
+      val cfg = freshCfg(r, limit = 8L)
+      val t = 900L * 60000L // bucket 900
+      val sub = "graft_svc_api_900_0"
+
+      // phase A: 6 events under limit 8 → all admitted; the first sync
+      // precedes the counting, so redis stays unwritten (learn-on-next-
+      // sync lag); the local windows land in the checkpoint
+      writeBatch("a.json", (1 to 6).map(i => REvent("api", t + i, 1L, "", "", s"a$i")))
+      val q1 = start(cfg)
+      try { q1.processAllAvailable() } finally q1.stop()
+      assert(outCount() == 6, "phase A admits under the local window")
+
+      // phase B: REAL restart from the checkpoint, same shape. Counts
+      // are continuous: the resumed state holds 6, the restart's first
+      // sync pushes them (INCRBY → redis 6), and of 5 new arrivals only
+      // 2 fit the learned global window
+      writeBatch("b.json", (11 to 15).map(i => REvent("api", t + i, 1L, "", "", s"b$i")))
+      val q2 = start(cfg)
+      try { q2.processAllAvailable() } finally q2.stop()
+      assert(outCount() == 8, s"6 + 2: pre-restart count survived (got ${outCount()})")
+      assert(r.data.get(sub) == "6",
+        s"restart's first sync pushed phase-A increments: ${r.data}")
+
+      // phase C: restart with a DIFFERENT window shape (buckets_count
+      // 3 → 5) — loadFrom can't map slots, starts fresh windows (the
+      // loud reshape path) and DROPS phase-B's unsynced increments;
+      // redis keeps the global truth. Fresh local windows admit the
+      // first 3 locally, then the next sync pushes them (redis → 9),
+      // learns 9 > 8, and denies everything after
+      val cfgWide = cfg.copy(bucketsCount = 5)
+      writeBatch("c.json", (21 to 23).map(i => REvent("api", t + i, 1L, "", "", s"c$i")))
+      val q3 = start(cfgWide)
+      try {
+        q3.processAllAvailable()
+        assert(outCount() == 11, s"reshape starts fresh local windows (got ${outCount()})")
+        writeBatch("d.json", (31 to 32).map(i => REvent("api", t + i, 1L, "", "", s"d$i")))
+        q3.processAllAvailable()
+        assert(outCount() == 11, "sync re-learns the global total from redis and denies")
+        assert(r.data.get(sub) == "9",
+          s"reshaped run pushed its own 3 onto redis's 6: ${r.data}")
+      } finally q3.stop()
+    } finally r.close()
+  }
+
   test("YAML: a reference-spelled limiter_backend redis config runs end-to-end") {
     // the compiler wiring as a user writes it: reference spellings
     // only, dynamic limit key read at group start
