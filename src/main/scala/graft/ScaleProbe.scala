@@ -125,8 +125,7 @@ object ScaleProbe {
     }
     def evAt(scale: String): DataFrame =
       if (scale == "base") Tables(spark, base, "events")
-      else spark.read.parquet(ev1Path)
-        .withColumn("ts", col("ts")) // layout already normalized by Tables
+      else spark.read.parquet(ev1Path) // ts layout normalized at write
 
     def curationYaml(dir: String, table: String): String =
       s"""curation:

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Escape a value for splicing into a JSON string context — backslash,
+  * double-quote, and EVERY control char < 0x20 (`\n`/`\r`/`\t` short
+  * forms, `\u00XX` otherwise). One codegen pass; replaces a 6-deep
+  * regexp_replace chain on the ES bulk hot path. Escaping (never
+  * stripping) control chars keeps the byte content addressable: an
+  * index name containing `` reaches ES verbatim and fails THAT
+  * bulk item — per-item granularity — instead of being silently
+  * rewritten to a different valid index. */
+case class JsonStrEscape(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    JsonStrEscape.escape(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.JsonStrEscape.escape($c)")
+  override protected def withNewChildInternal(newChild: Expression): JsonStrEscape =
+    copy(child = newChild)
+  override def prettyName: String = "json_str_escape"
+}
+
+object JsonStrEscape {
+
+  def apply(c: Column): Column =
+    GraftBridge.column(JsonStrEscape(GraftBridge.expression(c)))
+
+  /** Append `s` to `sb` JSON-escaped — shared with the 5424 sd_json
+    * render so the two escapers cannot drift. */
+  def escapeInto(sb: java.lang.StringBuilder, s: String): Unit = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '\\' => sb.append("\\\\")
+        case '"'  => sb.append("\\\"")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case x if x < 0x20 => sb.append(f"\\u${x.toInt}%04x")
+        case x => sb.append(x)
+      }
+      i += 1
+    }
+  }
+
+  /** Static escaper used by both interpreted eval and generated code. */
+  def escape(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var i = 0
+    var clean = true
+    while (clean && i < str.length) {
+      val c = str.charAt(i)
+      if (c == '\\' || c == '"' || c < 0x20) clean = false else i += 1
+    }
+    if (clean) return s
+    val sb = new java.lang.StringBuilder(str.length + 8)
+    escapeInto(sb, str)
+    UTF8String.fromString(sb.toString)
+  }
+}

@@ -120,13 +120,12 @@ object Syslog5424Parse {
   private val ErrMsgId = "failed to parse MsgID: log doesn't conform the format"
   private val ErrSd = "failed to parse structured data: structured data doesn't conform the format"
 
-  private val facilityNames = Array(
-    "KERN", "USER", "MAIL", "DAEMON", "AUTH", "SYSLOG", "LPR", "NEWS",
-    "UUCP", "CRON", "AUTHPRIV", "FTP", "NTP", "SECURITY", "CONSOLE",
-    "SOLARISCRON", "LOCAL0", "LOCAL1", "LOCAL2", "LOCAL3", "LOCAL4",
-    "LOCAL5", "LOCAL6", "LOCAL7")
-  private val severityNames = Array(
-    "EMERG", "ALERT", "CRIT", "ERROR", "WARN", "NOTICE", "INFO", "DEBUG")
+  // ONE copy of the reference name tables (syslog.go:111-183), shared
+  // with the 3164 leg — two verbatim copies could silently drift
+  private val facilityNames =
+    graft.sources.Decoders.syslogFacilityNames.toArray
+  private val severityNames =
+    graft.sources.Decoders.syslogSeverityNames.toArray
 
   private def errRow(full: Boolean, msg: String): InternalRow = {
     val n = if (full) 13 else 11
@@ -194,22 +193,9 @@ object Syslog5424Parse {
       num(b, from + i + 4, from + i + 6, 0, 59)
   }
 
-  private def jsonEscapeInto(sb: java.lang.StringBuilder, s: String): Unit = {
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      c match {
-        case '\\' => sb.append("\\\\")
-        case '"'  => sb.append("\\\"")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case '\t' => sb.append("\\t")
-        case x if x < 0x20 => sb.append(f"\\u${x.toInt}%04x")
-        case x => sb.append(x)
-      }
-      i += 1
-    }
-  }
+  // shared with the ES bulk splice escaper so the two cannot drift
+  private def jsonEscapeInto(sb: java.lang.StringBuilder, s: String): Unit =
+    JsonStrEscape.escapeInto(sb, s)
 
   /** The fused decode. Called from generated code — keep it static. */
   def parse(line: UTF8String, facStr: Boolean, sevStr: Boolean,
@@ -309,7 +295,11 @@ object Syslog5424Parse {
           var inside = false
           var startPid = p
           var startPv = p
-          var pid: String = null
+          // Go's `var paramID string` starts "" (and resetState keeps
+          // it "") — a quoted value BEFORE any '=' lands under the
+          // empty-string param name, it does not panic; null here
+          // would NPE the task in the sd_json render
+          var pid: String = ""
           var closed = false
           var scanning = true
           while (scanning && i < len) {

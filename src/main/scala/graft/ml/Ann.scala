@@ -584,19 +584,20 @@ object Ann {
     * rank-≤-⌈cnt·keepFrac⌉ set, computed without ranking the corpus:
     *
     * Scale shape (r14): one broadcast of the k×dim centroid table, one
-    * map-side-combined distance aggregation, then a k-row CUTOFF job —
-    * a (cid, d2) HISTOGRAM aggregation (map-side combined, full
-    * parallelism) whose per-cluster running count is windowed over the
-    * histogram rows, NOT the corpus (the ccnetBuckets pattern), giving
-    * the largest d2 where the running count reaches ⌈cnt·keepFrac⌉
-    * plus the tie allowance at that value. The kept set is then a
-    * broadcast-join filter (`d2 > cutoff`, full parallelism) unioned
-    * with the tie rows at `d2 == cutoff` ranked by id — a window whose
-    * input is only the boundary ties (≈ k rows on a real grid), not
-    * N/k-row cluster partitions like the previous row_number plan. The
-    * same distance-agg exchange backs both branches (ReusedExchange).
+    * map-side-combined distance aggregation (checkpointed once), a
+    * k-row range/count job, then a COARSE-BINNED selection: d2 is
+    * near-unique for real embeddings, so the histogram is built over
+    * ⌈4096 value-range bins⌉ per cluster (bounded at k×4096 rows
+    * regardless of corpus size) and the per-cluster running count is
+    * windowed over THOSE rows (the ccnetBuckets pattern), never the
+    * corpus. The bin is a monotone function of d2, so every bin above
+    * the boundary bin is strictly harder and passes a broadcast-join
+    * filter at full parallelism; only the boundary BIN (expected
+    * cluster/4096 rows; an all-equal-d2 cluster degenerates to the
+    * per-cluster sort exactness demands) is ranked (d2 desc, id asc)
+    * for the remaining slots.
     *
-    * The eager cutoff job doubles as the semDedup-style k-scaling
+    * The eager range job doubles as the semDedup-style k-scaling
     * guard: an average cluster above `maxAvgClusterSize` fails loudly
     * (k must scale with the corpus — the paper itself scales clusters
     * with dataset size; cluster-size ≈ N/k discipline as the SemDeDup
@@ -606,13 +607,14 @@ object Ann {
                      maxAvgClusterSize: Long = 5000000L): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0,
       s"prototypePrune: keepFrac $keepFrac outside (0, 1]")
+    val bins = 4096
     val cents = kmeansQuantized(df, idCol, vecCol, k, iters)
     val v = df
       .select(col(idCol).as("vid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .select(col("vid"), col("pos"),
         round(col("x").cast("double") * 1e6).cast("long").as("xe6"))
-    // materialize the assignment ONCE (narrow (vid, cid, d2) rows) —
-    // the cutoff job and both result branches read the checkpoint
+    // materialize the assignment ONCE (narrow (vid, cid, d2) rows) --
+    // the range job and all result branches read the checkpoint
     // instead of re-running the explode/join/agg pipeline (the kmeans
     // house pattern; GC reclaims the blocks with the returned plan)
     val best = assignmentDistances(v, cents)
@@ -620,43 +622,72 @@ object Ann {
       .agg(min(struct(col("d2"), col("cid"))).as("_m"))
       .select(col("vid"), col("_m.cid").as("cid"), col("_m.d2").as("d2"))
       .localCheckpoint(true)
-    // ---- cutoff job: k rows on the driver (construction-bounded)
-    val hist = best.groupBy(col("cid"), col("d2")).agg(count(lit(1)).as("hn"))
-    val wBefore = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cid")).orderBy(col("d2").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val wCid = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
-    val cutRows = hist
-      .withColumn("cumBefore", coalesce(sum(col("hn")).over(wBefore), lit(0L)))
-      .withColumn("cnt", sum(col("hn")).over(wCid))
-      .withColumn("kneed", ceil(col("cnt") * keepFrac))
-      .filter(col("cumBefore") < col("kneed") &&
-        col("cumBefore") + col("hn") >= col("kneed"))
-      .select(col("cid"), col("d2").as("cutoff"),
-        (col("kneed") - col("cumBefore")).as("need"), col("cnt"))
-      .collect()
-    val avgSz = if (cutRows.isEmpty) 0.0
-                else cutRows.map(_.getLong(3)).sum.toDouble / cutRows.length
+    // ---- k-row range/count job (construction-bounded collect): per
+    // cluster d2 range for the COARSE BINNING and the exact keep count.
+    // d2 on the quantized grid is near-UNIQUE for real embeddings, so a
+    // raw (cid, d2) histogram would be corpus-sized and its per-cid
+    // running count the same per-cluster sort this plan exists to
+    // avoid; bins bound the histogram at k x 4096 rows. The bin is a
+    // MONOTONE function of d2, so bins above the boundary bin are
+    // strictly harder and only the boundary BIN (expected cluster/4096
+    // rows; all-ties worst case degenerates to the exact-rank sort
+    // correctness demands) needs the exact (d2 desc, id) rank.
+    val rngRows = best.groupBy(col("cid")).agg(
+        min(col("d2")).as("d2min"), max(col("d2")).as("d2max"),
+        count(lit(1)).as("cnt")).collect()
+    // the semDedup-style k-scaling guard (k must scale with the corpus
+    // -- the paper itself scales clusters with dataset size)
+    val avgSz = if (rngRows.isEmpty) 0.0
+                else rngRows.map(_.getLong(3)).sum.toDouble / rngRows.length
     if (avgSz > maxAvgClusterSize)
       throw new IllegalArgumentException(
         f"prototypePrune: average cluster size $avgSz%.0f exceeds " +
-          s"$maxAvgClusterSize — the histogram/boundary stages degrade " +
+          s"$maxAvgClusterSize -- the boundary-bin stage degrades " +
           "toward per-cluster sorts. Scale k with the corpus " +
           "(k = N / targetClusterSize) or raise maxAvgClusterSize knowingly.")
     val session = df.sparkSession
     import session.implicits._
+    // kneed = ceil(cnt * keepFrac): IEEE double math, same value the
+    // DuckDB oracle's ceil() computes
+    val rng = broadcast(rngRows.toSeq
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getLong(2) - r.getLong(1) + 1L,
+        math.ceil(r.getLong(3) * keepFrac).toLong))
+      .toDF("cid", "d2min", "span", "kneed"))
+    // bin in double space (span * bins can overflow a long for
+    // large-magnitude embeddings); internal-only, any deterministic
+    // monotone mapping yields the same exact kept set
+    val binned = best.join(rng, "cid")
+      .withColumn("bin", least(lit(bins - 1),
+        floor((col("d2") - col("d2min")).cast("double") /
+          col("span") * bins)).cast("int"))
+    val hist = binned.groupBy(col("cid"), col("bin"), col("kneed"))
+      .agg(count(lit(1)).as("hn"))
+    val wBefore = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("bin").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // collected eagerly: k rows (one per cluster), construction-bounded
+    // -- both result branches then join one literal broadcast table
+    // instead of duplicating the histogram subtree in the plan
+    val cutRows = hist
+      .withColumn("cumBefore", coalesce(sum(col("hn")).over(wBefore), lit(0L)))
+      .filter(col("cumBefore") < col("kneed") &&
+        col("cumBefore") + col("hn") >= col("kneed"))
+      .select(col("cid"), col("bin").as("cutbin"),
+        (col("kneed") - col("cumBefore")).as("need"))
+      .collect()
     val cut = broadcast(cutRows.toSeq
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .toDF("cid", "cutoff", "need"))
-    val joined = best.join(cut, "cid")
-    val nonBoundary = joined.filter(col("d2") > col("cutoff"))
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .toDF("cid", "cutbin", "need"))
+    val joined = binned.join(cut, "cid")
+    val nonBoundary = joined.filter(col("bin") > col("cutbin"))
       .select(col("vid").as(idCol), col("cid"), col("d2"))
-    // ties at the exact cutoff value: rank by id asc for the remaining
-    // `need` slots — input is only the tie rows, not the cluster
-    val wTie = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cid")).orderBy(col("vid"))
-    val boundary = joined.filter(col("d2") === col("cutoff"))
-      .withColumn("rnb", row_number().over(wTie))
+    // boundary bin: the exact (d2 desc, id asc) rank takes the
+    // remaining `need` slots -- input is one bin per cluster
+    val wBin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("d2").desc, col("vid"))
+    val boundary = joined.filter(col("bin") === col("cutbin"))
+      .withColumn("rnb", row_number().over(wBin))
       .filter(col("rnb") <= col("need"))
       .select(col("vid").as(idCol), col("cid"), col("d2"))
     nonBoundary.unionByName(boundary)

@@ -299,21 +299,12 @@ object Sinks {
     * action JSON — ES would 400 the WHOLE bulk body for one odd event
     * (a bad index NAME still fails per-item, the right granularity). */
   private def jsonStringEscape(c: org.apache.spark.sql.Column)
-  : org.apache.spark.sql.Column = {
-    val quoted =
-      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
-    // control chars < 0x20 (a literal newline/tab in the doc field)
-    // would still tear the NDJSON action line and 400 the WHOLE bulk
-    // body: escape the common ones, strip the rest (they are illegal
-    // in an ES index name anyway)
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(quoted, "\n", "\\\\n"),
-          "\r", "\\\\r"),
-        "\t", "\\\\t"),
-      "[\\x00-\\x1f]", "")
-  }
+  : org.apache.spark.sql.Column =
+    // one codegen pass for backslash/quote/ALL control chars (escaped,
+    // never stripped: a control char in an index name then fails THAT
+    // bulk item — per-item granularity — instead of silently rerouting
+    // the event to a rewritten-but-valid index)
+    graft.functions.JsonStrEscape(c)
 
   /** `batch_op_type` (elasticsearch.go:163,241): the bulk action verb —
     * `index` (default) or `create` (data streams require create). */

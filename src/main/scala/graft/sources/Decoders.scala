@@ -127,12 +127,12 @@ object Decoders {
     * syslog.go:95-191): `string` renders the RFC name instead of the
     * number. `number` keeps the int columns (the default and the
     * oracle-pinned shape). */
-  private val syslogFacilityNames = Seq(
+  private[graft] val syslogFacilityNames = Seq(
     "KERN", "USER", "MAIL", "DAEMON", "AUTH", "SYSLOG", "LPR", "NEWS",
     "UUCP", "CRON", "AUTHPRIV", "FTP", "NTP", "SECURITY", "CONSOLE",
     "SOLARISCRON", "LOCAL0", "LOCAL1", "LOCAL2", "LOCAL3", "LOCAL4",
     "LOCAL5", "LOCAL6", "LOCAL7")
-  private val syslogSeverityNames = Seq(
+  private[graft] val syslogSeverityNames = Seq(
     // the reference's spellings (syslog.go:165-183): ERROR/WARN, not
     // the RFC-3164 abbreviations ERR/WARNING
     "EMERG", "ALERT", "CRIT", "ERROR", "WARN", "NOTICE", "INFO", "DEBUG")

@@ -313,6 +313,10 @@ final class HttpSpoolInput(port: Int, spoolDir: Path, emulateEs: Boolean,
       val hn = rq.putObject("Header")
       hdr.entrySet().asScala.toSeq
         .map(e => HttpSpoolInput.canonicalHeader(e.getKey) -> e.getValue)
+        // Go's readRequest DELETES Host from Header (promoted to the
+        // .Host field) — a ported `index .request.Header "Host"`
+        // template must miss here like it does on the reference
+        .filter(_._1 != "Host")
         .sortBy(_._1)
         .foreach { case (k, vs) =>
           val arr = hn.putArray(k); vs.asScala.foreach(arr.add)

@@ -476,24 +476,28 @@ class PlanSpec extends AnyFunSuite {
   test("prototypePrune keeps no window over a k-partition corpus slice") {
     // the r13 plan ranked keep-hardest with row_number over
     // Window.partitionBy(cid) on the CORPUS — k tasks sorting N/k rows
-    // each at scale. The r14 plan computes the per-cluster d2 cutoff on
-    // a k-row driver job and filters via a broadcast join; the only
-    // remaining window ranks the ties AT the cutoff value, whose input
-    // sits above the broadcast cutoff join (a Join below the window),
-    // never the bare assignment
+    // each at scale. The r14 plan bins the d2 range (histogram bounded
+    // at k×4096 rows — d2 is near-unique on real embeddings, so a raw
+    // (cid, d2) histogram would be corpus-sized), filters the harder
+    // bins via a broadcast join, and ranks only the boundary bin. The
+    // bin running count lives in the eager k-row cutoff job; the one
+    // window left in the returned plan is the boundary-bin rank, whose
+    // input sits above the broadcast range/cut joins (a Join below the
+    // window), never the bare assignment
     val df = graft.ml.Ann.prototypePrune(
       Tables(spark, sf, "embeddings"), "vec_id", "embedding",
       k = 8, iters = 1, keepFrac = 0.7)
     val wins = df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
-    assert(wins.size == 1, s"expected only the tie window, got $wins")
+    assert(wins.size == 1,
+      s"expected only the boundary-bin window, got ${wins.size}")
     wins.foreach { w =>
       val joinBelow = w.child.collectFirst {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
       }
       assert(joinBelow.nonEmpty,
-        s"window input must sit above the cutoff join, not the corpus:\n$w")
+        s"window input must sit above the range/cut join, not the corpus:\n$w")
     }
     assert(plan(df).contains("BroadcastHashJoin"), plan(df))
   }

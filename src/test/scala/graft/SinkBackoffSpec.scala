@@ -118,9 +118,13 @@ class SinkBackoffSpec extends AnyFunSuite {
 
   test("esBulkLinesFormatted keeps control chars from tearing the action line") {
     import spark.implicits._
-    // a literal newline/tab in the doc field spliced into _index must
-    // not split the NDJSON action line — ES 400s the whole bulk body
-    val df = Seq(("a\nb\tc\rde", "x")).toDF("svc", "v")
+    // a literal newline/tab/0x01 in the doc field spliced into _index
+    // must not split the NDJSON action line (ES 400s the whole bulk
+    // body) and must be ESCAPED, never stripped: the byte reaches ES
+    // and fails that item per-item instead of silently rerouting the
+    // event to a rewritten-but-valid index
+    val ctl = "a\nb\tc\rd" + 1.toChar + "e"
+    val df = Seq((ctl, "x")).toDF("svc", "v")
     val lines = df.select(Sinks.esBulkLinesFormatted(
         org.apache.spark.sql.functions.struct($"svc", $"v"),
         "idx-%", Seq("svc"),
@@ -130,7 +134,7 @@ class SinkBackoffSpec extends AnyFunSuite {
     lines.foreach { l =>
       val action = l.substring(0, l.indexOf('\n'))
       val idx = om.readTree(action).get("index").get("_index").asText()
-      assert(idx == "idx-a\nb\tc\rde", s"$action -> $idx")
+      assert(idx == s"idx-$ctl", s"$action -> [$idx]")
     }
   }
 

@@ -126,6 +126,13 @@ class Syslog5424Spec extends AnyFunSuite {
     assert(str(r, 10) == "tail")
   }
 
+  test("quoted value before any '=' lands under the empty param name (Go's zero-value paramID), no crash") {
+    val r = dec("<165>1 - - - - - [ex@1 \"v\"] m")
+    assert(err(r) == null, String.valueOf(err(r)))
+    assert(str(r, 11) == "{\"ex@1\":{\"\":\"v\"}}", str(r, 11))
+    assert(str(r, 10) == "m")
+  }
+
   test("invalid timestamps are decode errors (reference rows 1-15)") {
     val bad = Seq(
       "2003-10-11T22:14:15" -> false, // no space after → token error
