@@ -1881,9 +1881,9 @@ object PipelineCompiler {
           if (meta.pods.isEmpty) lit(null).cast("string")
           else {
             val entries = meta.pods.flatMap(p => Seq(
-              lit(s"${p.namespace} ${p.pod} ${p.containerId}"),
+              lit(s"${p.namespace} ${p.pod} ${p.containerId}"),
               lit(p.podJson)))
-            element_at(map(entries: _*), concat_ws(" ",
+            element_at(map(entries: _*), concat_ws(" ",
               m.getField("namespace"), m.getField("pod_name"),
               m.getField("container_id")))
           }
@@ -3287,12 +3287,14 @@ object PipelineCompiler {
         // index (min_by over orderCol), keeping playground order stable
         val carry = Seq("doc") ++
           (if (df.columns.contains("_pg_ord")) Seq("_pg_ord") else Nil)
+        // max_event_size gates APPENDING in bytes inside the join (the
+        // reference never truncates at flush; the old char substring
+        // here could split a surrogate pair)
         val joined = graft.state.SeqOps.multilineJoin(base, keyCols,
-          "_jord", startC, contC, "_jf", carryCols = carry)
-        val payload = maxSize
-          .map(m => substring(col("_jf"), 1, m)).getOrElse(col("_jf"))
+          "_jord", startC, contC, "_jf", carryCols = carry,
+          maxEventSize = maxSize.map(_.toLong).getOrElse(0L))
         joined
-          .withColumn("doc", col("doc").withField(fieldName, payload))
+          .withColumn("doc", col("doc").withField(fieldName, col("_jf")))
           .drop("_jf", "_jord", "n_lines", "_stream")
 
       case "join_template" =>
@@ -3317,12 +3319,14 @@ object PipelineCompiler {
         val (base, keyCols) = seqKeyCols(base0)
         val carry = Seq("doc") ++
           (if (df.columns.contains("_pg_ord")) Seq("_pg_ord") else Nil)
+        // max_event_size gates APPENDING in bytes inside the join (the
+        // reference never truncates at flush; the old char substring
+        // here could split a surrogate pair)
         val joined = graft.state.SeqOps.multilineJoin(base, keyCols,
-          "_jord", startC, contC, "_jf", carryCols = carry)
-        val payload = maxSize
-          .map(m => substring(col("_jf"), 1, m)).getOrElse(col("_jf"))
+          "_jord", startC, contC, "_jf", carryCols = carry,
+          maxEventSize = maxSize.map(_.toLong).getOrElse(0L))
         joined
-          .withColumn("doc", col("doc").withField(fieldName, payload))
+          .withColumn("doc", col("doc").withField(fieldName, col("_jf")))
           .drop("_jf", "_jord", "n_lines", "_stream")
 
       case "antispam" =>

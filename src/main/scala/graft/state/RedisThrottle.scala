@@ -120,6 +120,30 @@ object RedisThrottle {
     }
     val idxByValue: Map[String, Int] =
       ratios.zipWithIndex.flatMap { case ((_, vs), i) => vs.map(_ -> i) }.toMap
+
+    /** THE distribution admission (in_memory_limiter.go:64-129 +
+      * getDistrData) — the single copy shared by the batch, streaming,
+      * and redis throttle legs so the rounding and the strictly-greater
+      * steal tie-break cannot drift between them: pick the event
+      * value's ratio slot (0 = default); an exhausted default steals
+      * from the most-free listed distribution (ties keep the earlier
+      * slot); increment-then-check — a denied event still consumes its
+      * slot. `counts` is the width-slot window row starting at `base`
+      * (base = bucketIdx × width). */
+    def admit(counts: Array[Long], base: Int, dval: String,
+              weight: Long): Boolean = {
+      var dIdx = idxByValue.get(dval).map(_ + 1).getOrElse(0)
+      var lim = if (dIdx > 0) distLimits(dIdx - 1) else defLimit
+      if (dIdx == 0 && counts(base) + weight > lim) {
+        var maxDiff = -1L
+        distLimits.indices.foreach { i =>
+          val curDiff = distLimits(i) - (counts(base + i + 1) + weight)
+          if (curDiff > maxDiff) { maxDiff = curDiff; dIdx = i + 1; lim = distLimits(i) }
+        }
+      }
+      counts(base + dIdx) += weight
+      counts(base + dIdx) <= lim
+    }
   }
 
   /** Parse a limit key's JSON `distribution` object
@@ -263,19 +287,8 @@ object RedisThrottle {
       * and total may steal from different slots, exactly as the two
       * reference inMemoryLimiters do. */
     private def allowDistOn(m: Array[Long], bIdx: Int, dval: String,
-                            weight: Long): Boolean = {
-      var dIdx = shares.idxByValue.get(dval).map(_ + 1).getOrElse(0)
-      var lim = if (dIdx > 0) shares.distLimits(dIdx - 1) else shares.defLimit
-      if (dIdx == 0 && m(bIdx * w) + weight > lim) {
-        var maxDiff = -1L
-        shares.distLimits.indices.foreach { i =>
-          val curDiff = shares.distLimits(i) - (m(bIdx * w + i + 1) + weight)
-          if (curDiff > maxDiff) { maxDiff = curDiff; dIdx = i + 1; lim = shares.distLimits(i) }
-        }
-      }
-      m(bIdx * w + dIdx) += weight // denied events still count
-      m(bIdx * w + dIdx) <= lim
-    }
+                            weight: Long): Boolean =
+      shares.admit(m, bIdx * w, dval, weight)
 
     /** redis_limiter.go:96-105 + in_memory_limiter.go:64-100: the
       * reference increments UNCONDITIONALLY and then checks `<= limit`

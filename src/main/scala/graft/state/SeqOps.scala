@@ -29,7 +29,8 @@ object SeqOps {
     */
   def multilineJoin(df: DataFrame, keyCols: Seq[String], orderCol: String,
                     start: Column, cont: Column, field: String,
-                    sep: String = "\n", carryCols: Seq[String] = Seq.empty)
+                    sep: String = "\n", carryCols: Seq[String] = Seq.empty,
+                    maxEventSize: Long = 0L)
   : DataFrame = {
     val keys = keyCols.map(col)
     val wOrd = Window.partitionBy(keys: _*).orderBy(col(orderCol))
@@ -42,9 +43,14 @@ object SeqOps {
     // no break since the start (_sbrk unchanged). This replaces the
     // per-(key, grp) closedAt window, whose different sort keys forced a
     // second sort of the whole partition.
+    // NULL predicates coalesce to false: a row whose field is missing
+    // neither starts nor continues (the reference's nil Dig miss
+    // flushes and passes the row through, join.go Do) — uncoalesced,
+    // `!NULL && !NULL` is NULL and the when() would silently NOT count
+    // the row as a break, splicing a sequence across it.
     val withGrp = df
-      .withColumn("_start", start)
-      .withColumn("_cont", cont)
+      .withColumn("_start", coalesce(start, lit(false)))
+      .withColumn("_cont", coalesce(cont, lit(false)))
       .withColumn("_grp", sum(when(col("_start"), 1).otherwise(0)).over(wOrd))
       .withColumn("_sbrk",
         sum(when(!col("_start") && !col("_cont"), 1).otherwise(0)).over(wOrd))
@@ -72,7 +78,38 @@ object SeqOps {
     // reference writes the joined payload into the sequence-opening event
     val carries = carryCols.map(c =>
       min_by(col(c), col(orderCol)).as(c))
-    flagged
+    // max_event_size (join.go:193): the cap stops APPENDING in BYTES —
+    // the first line always lands, later lines append while the buffer
+    // is under the cap (the appending line may overshoot; nothing is
+    // truncated at flush — the streaming kernel matches). Enforced
+    // BEFORE the aggregation so a runaway million-line sequence can't
+    // materialize a multi-GB collect_list cell: the running byte count
+    // rides the SAME window ordering (no extra sort/shuffle). Dropped
+    // lines sit strictly after the first cap crossing, so the
+    // all-lines running count decides membership exactly like the
+    // buffer-length gate (once over, forever over). n_lines counts the
+    // BUFFERED lines (over-cap lines are collapsed away contentless,
+    // like the reference's ActionCollapse without append).
+    val capped =
+      if (maxEventSize <= 0L) flagged
+      else {
+        val sepB = sep.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .length.toLong
+        flagged
+          .withColumn("_mb",
+            coalesce(octet_length(col(field)).cast("long"), lit(0L)))
+          .withColumn("_contrib", when(col("_in_seq"),
+            col("_mb") + when(col("_start"), lit(0L)).otherwise(lit(sepB)))
+            .otherwise(lit(0L)))
+          .withColumn("_cum", sum(col("_contrib")).over(wOrd))
+          .withColumn("_cum0",
+            last(when(col("_start"), col("_cum") - col("_contrib")),
+              ignoreNulls = true).over(wOrd))
+          .filter(!col("_in_seq") || col("_start") ||
+            (col("_cum") - col("_contrib") - col("_cum0")) < maxEventSize)
+          .drop("_mb", "_contrib", "_cum", "_cum0")
+      }
+    capped
       .groupBy(keys :+ col("_grp") :+ seqKey.as("_sk"): _*)
       .agg(
         min(col(orderCol)).as(orderCol),
@@ -191,18 +228,10 @@ object SeqOps {
             counts = new Array[Long](ratios.size + 1)
           }
           val dval = Option(r.get(dvIdx)).map(_.toString).getOrElse("")
-          var dIdx = shares.idxByValue.get(dval).map(_ + 1).getOrElse(0)
-          var lim = if (dIdx > 0) shares.distLimits(dIdx - 1) else shares.defLimit
-          if (dIdx == 0 && counts(0) + 1 > lim) {
-            var maxDiff = -1L
-            shares.distLimits.indices.foreach { i =>
-              val curDiff = shares.distLimits(i) - (counts(i + 1) + 1)
-              if (curDiff > maxDiff) { maxDiff = curDiff; dIdx = i + 1
-                lim = shares.distLimits(i) }
-            }
-          }
-          counts(dIdx) += 1 // denied events still count (reference behavior)
-          counts(dIdx) <= lim
+          // ONE shared admission (DistShares.admit) across the batch,
+          // streaming, and redis legs — rounding/steal-tie-break drift
+          // between copies would admit different event sets per leg
+          shares.admit(counts, 0, dval, 1L)
         }
       }
       .drop("_db")

@@ -49,6 +49,9 @@ object Kernels {
   def multiline(ds: Dataset[KEvent], cfg: MultilineCfg): Dataset[KEvent] = {
     require(cfg.maxEventSize > 0, "multiline: maxEventSize must be positive")
     require(cfg.timeoutMs > 0, "multiline: timeoutMs must be positive")
+    require(cfg.templates.forall(t => t >= 0 && t <= 2),
+      s"multiline: unknown template id in ${cfg.templates} " +
+        "(0=go_panic, 1=cs_exception, 2=go_data_race)")
     val start = if (cfg.templates.isEmpty) cfg.startRe.r else null
     val cont = if (cfg.templates.isEmpty) cfg.continueRe.r else null
     import org.apache.spark.unsafe.types.UTF8String
@@ -65,13 +68,17 @@ object Kernels {
       else graft.state.JoinTemplateMatch.check(
         UTF8String.fromString(v), tmpl, start = false)
 
-    def flush(key: String, st: MultilineState): KEvent = {
-      val joined = st.buf.reverse.mkString(cfg.sep)
-      val capped =
-        if (joined.length > cfg.maxEventSize) joined.substring(0, cfg.maxEventSize)
-        else joined
-      KEvent(key, st.firstSeq, capped, st.firstCarry)
-    }
+    // the reference's flush does NOT truncate — the cap only stops
+    // APPENDING (join.go:193 len(p.buff) < max, then the whole value
+    // appends), so the flushed event may exceed the cap by one line and
+    // a single over-cap start line stays intact. The old substring
+    // truncation also counted UTF-16 chars and could split a surrogate
+    // pair; byte accounting lives in bufLen now.
+    def flush(key: String, st: MultilineState): KEvent =
+      KEvent(key, st.firstSeq, st.buf.reverse.mkString(cfg.sep), st.firstCarry)
+    val sepBytes = cfg.sep.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    def bytesOf(s: String): Long =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
 
     implicit val outEnc = Encoders.product[KEvent]
     implicit val stEnc = Encoders.product[MultilineState]
@@ -89,24 +96,29 @@ object Kernels {
             var cur = state.getOption
             events.toSeq.sortBy(_.seq).foreach { ev =>
               // ONE template/regex scan per event — the flush-and-
-              // restart branch reuses it instead of re-scanning
-              val t = startTemplate(ev.value)
+              // restart branch reuses it instead of re-scanning. A NULL
+              // value is the reference's nil-field Dig miss (join.go
+              // Do: node == nil → flush + ActionPass): it neither
+              // starts nor continues, and passes through as-is
+              val t = if (ev.value == null) -1 else startTemplate(ev.value)
               cur match {
-                case Some(st) if t < 0 && isCont(st.tmpl, ev.value) =>
-                  // append-time cap (join.go stops buffering at
-                  // max_event_size): flush truncates to the cap anyway,
-                  // so lines beyond it would only bloat state — drop
+                case Some(st) if t < 0 && ev.value != null &&
+                    isCont(st.tmpl, ev.value) =>
+                  // append-time cap in BYTES (join.go:193 stops
+                  // buffering at max_event_size — Go len() over the
+                  // byte buffer; sep stands in for the newline the
+                  // reference's line values carry): over-cap lines drop
                   // their CONTENT but keep the sequence open
                   cur = Some(
                     if (st.bufLen < cfg.maxEventSize)
                       st.copy(buf = ev.value :: st.buf,
-                        bufLen = st.bufLen + cfg.sep.length + ev.value.length)
+                        bufLen = st.bufLen + sepBytes + bytesOf(ev.value))
                     else st)
                 case other =>
                   other.foreach(st => out += flush(key, st))
                   cur =
                     if (t >= 0) Some(MultilineState(List(ev.value), ev.seq,
-                      ev.carry, t, ev.value.length))
+                      ev.carry, t, bytesOf(ev.value)))
                     else { out += ev; None }
               }
             }
@@ -489,14 +501,11 @@ object Kernels {
                                    totalLimit: Long,
                                    ratios: Seq[(Double, Seq[String])],
                                    stateTtlMs: Long = 0L) {
-    val distLimits: Array[Long] =
-      ratios.map(r => math.round(r._1 * totalLimit)).toArray
-    val defLimit: Long = {
-      val dif = 1.0 - ratios.map(_._1).sum
-      math.round(math.round(dif * 100) / 100.0 * totalLimit)
-    }
-    val idxByValue: Map[String, Int] =
-      ratios.zipWithIndex.flatMap { case ((_, vs), i) => vs.map(_ -> i) }.toMap
+    // ONE share/steal implementation across the batch, streaming, and
+    // redis legs (distribution.go:49-58 rounding + the strictly-greater
+    // steal tie-break) — see DistShares.admit
+    val shares: graft.state.RedisThrottle.DistShares =
+      graft.state.RedisThrottle.DistShares(ratios, totalLimit)
   }
 
   /** Event with the distribution-field value split out. */
@@ -526,8 +535,6 @@ object Kernels {
           } else {
           var st = state.getOption.getOrElse(
             DistThrottleState(Long.MinValue, Array.fill(cfg.bucketsCount * width)(0L)))
-          def cnt(b: Int, d: Int): Long = st.counts(b * width + d)
-          def add(b: Int, d: Int): Unit = st.counts(b * width + d) += 1
           val out = scala.collection.mutable.ArrayBuffer.empty[DEvent]
           events.toSeq.sortBy(e => (e.eventTimeMs, e.value)).foreach { ev =>
             val bucket = ev.eventTimeMs / cfg.bucketIntervalMs
@@ -540,21 +547,10 @@ object Kernels {
             val bIdx = graft.state.BucketWindow.indexOf(
               st.newestBucket, bucket, cfg.bucketsCount)
             if (bIdx >= 0) {
-              // distribution index: 0 = default, 1.. = listed ratios
-              var dIdx = cfg.idxByValue.get(ev.dval).map(_ + 1).getOrElse(0)
-              var limit = if (dIdx > 0) cfg.distLimits(dIdx - 1) else cfg.defLimit
-              if (dIdx == 0 && cnt(bIdx, 0) + 1 > limit) {
-                // default exhausted → steal from the most-free distribution
-                var maxDiff = -1L
-                cfg.distLimits.indices.foreach { i =>
-                  val curDiff = cfg.distLimits(i) - (cnt(bIdx, i + 1) + 1)
-                  if (curDiff > maxDiff) {
-                    maxDiff = curDiff; dIdx = i + 1; limit = cfg.distLimits(i)
-                  }
-                }
-              }
-              add(bIdx, dIdx) // denied events still count (reference behavior)
-              if (cnt(bIdx, dIdx) <= limit) out += ev
+              // shared admission (DistShares.admit): slot pick, default
+              // steal, increment-then-check — denied events still count
+              if (cfg.shares.admit(st.counts, bIdx * width, ev.dval, 1L))
+                out += ev
             }
           }
           state.update(st)
@@ -1580,9 +1576,15 @@ private[streaming] class BandOwnerProcessor(ttl: TTLConfig = TTLConfig.NONE)
     // unclaimed and admit a later duplicate
     val out = Vector.newBuilder[BandHit]
     evs.foreach { e =>
-      if (cur == Long.MinValue) { cur = e.doc; owner.update(e.doc) }
+      if (cur == Long.MinValue) cur = e.doc
       out += BandHit(e.doc, cur != e.doc, e.payload)
     }
+    // ONE write per batch with traffic — claims a fresh bucket AND
+    // re-arms the TTL on a hot one (TTL re-arms on WRITES only: without
+    // the rewrite a bucket owner expired ttl-after-first-claim even
+    // under continuous duplicate traffic, re-admitting one duplicate
+    // per window; FpOwnerProcessor always had this via claim.update)
+    if (evs.nonEmpty && cur != Long.MinValue) owner.update(cur)
     out.result().iterator
   }
 }
@@ -1610,19 +1612,23 @@ private[streaming] class SimBlockProcessor(maxHamming: Int,
     val known = scala.collection.mutable.ArrayBuffer.empty[SimClaim]
     claims.get().foreach(known += _)
     val out = Vector.newBuilder[BandHit]
+    var arrived = false
     events.toSeq.sortBy(_.doc).foreach { e =>
+      arrived = true
       val hit = known.exists(c => c.doc != e.doc &&
         java.lang.Long.bitCount(c.sim ^ e.sim) <= maxHamming)
       out += BandHit(e.doc, hit, e.payload)
       // re-delivered docs (upstream replay) must not stack duplicate
       // claims: ListState would grow per delivery and every later
       // arrival's hamming scan would pay for the copies
-      if (!known.exists(c => c.doc == e.doc && c.sim == e.sim)) {
-        val cl = SimClaim(e.doc, e.sim)
-        known += cl
-        claims.appendValue(cl)
-      }
+      if (!known.exists(c => c.doc == e.doc && c.sim == e.sim))
+        known += SimClaim(e.doc, e.sim)
     }
+    // ONE rewrite per batch with traffic: appends land AND every
+    // claim's per-element TTL re-arms — without it a hot block's claims
+    // expired ttl-after-first-write under continuous duplicate traffic
+    // (TTL re-arms on writes only), re-admitting near-dups per window
+    if (arrived) claims.put(known.toArray)
     out.result().iterator
   }
 }
@@ -1741,7 +1747,12 @@ private[streaming] class LineOwnerProcessor(ttl: TTLConfig = TTLConfig.NONE)
       val cur = if (owner.containsKey(e.key)) Some(owner.getValue(e.key)) else None
       val earlier = cur.exists(o =>
         o.doc < e.doc || (o.doc == e.doc && o.pos < e.pos))
-      if (!earlier) owner.updateValue(e.key, OwnerRef(e.doc, e.pos))
+      // ALWAYS write the winning owner: claims a fresh segment and
+      // re-arms the per-entry TTL on a hot one (TTL re-arms on writes
+      // only — without the rewrite a segment owner expired
+      // ttl-after-first-claim under continuous duplicate traffic)
+      owner.updateValue(e.key,
+        if (earlier) cur.get else OwnerRef(e.doc, e.pos))
       out += SegVerdict(shard, e.doc, e.pos, keep = !earlier)
     }
     out.result().iterator

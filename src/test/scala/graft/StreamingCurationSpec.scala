@@ -238,6 +238,43 @@ class StreamingCurationSpec extends AnyFunSuite {
       "inside the window the duplicate still drops")
   } }
 
+  test("hot band owners re-arm their TTL under continuous duplicate traffic") { withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // TTL re-arms on WRITES: before the r14 fix the owner was written
+    // only at the first claim, so continuous duplicate traffic still
+    // expired the bucket ttl-after-first-claim and re-admitted one
+    // duplicate per window. Here doc 1 claims at t0 with ttl 2.5 s and
+    // duplicates keep landing every ~0.7 s for ~4 s — every one must
+    // DROP, including the ones past the would-have-expired mark.
+    val in = MemoryStream[Kernels.BandDocEvent]
+    val q = Kernels.minhashDedupSurvivors(in.toDS(), stateTtlMs = 2500L)
+      .writeStream.format("memory").queryName("ttl_mh_hot")
+      .outputMode("append").start()
+    try {
+      def await(n: Long): Unit = {
+        val dl = System.currentTimeMillis() + 30000
+        while (spark.table("ttl_mh_hot").count() < n &&
+          System.currentTimeMillis() < dl) Thread.sleep(100)
+      }
+      in.addData(Kernels.BandDocEvent("hb", 1L, "{}"))
+      await(1)
+      Seq(3L, 5L, 7L, 9L, 11L).foreach { d =>
+        Thread.sleep(700)
+        in.addData(Kernels.BandDocEvent("hb", d, "{}"))
+      }
+      // fence on a fresh band key: when its keep row lands, every
+      // earlier batch has committed — then only doc 1 (and the fence)
+      // may have survived
+      in.addData(Kernels.BandDocEvent("fence", 99L, "{}"))
+      await(2)
+      val kept = spark.table("ttl_mh_hot").as[Kernels.DocKeep].collect()
+        .map(_.doc).toSet
+      assert(kept == Set(1L, 99L),
+        s"hot owner must not expire under continuous traffic: $kept")
+    } finally q.stop()
+  } }
+
   test("streaming duplicate spans ≡ batch operator on in-order ingest") {
     withRocksDb {
     implicit val sqlCtx = spark.sqlContext

@@ -186,6 +186,68 @@ class StreamingKernelsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multiline kernel: null values are nil-field breaks; byte cap stops appending, never truncates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[KEvent]
+    // cap 8 BYTES: "S€" is 4 bytes (1 + 3-byte euro sign) — char
+    // counting would read 2
+    val cfg = MultilineCfg(startRe = "^S", continueRe = "^c",
+      timeoutMs = 2000L, sep = "|", maxEventSize = 8)
+    val q = Kernels.multiline(input.toDS(), cfg)
+      .writeStream.format("memory").queryName("ml_nullcap")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      input.addData(
+        KEvent("k", 1, "S€"),
+        KEvent("k", 2, "c1"),     // bufLen 4 < 8 → appends (4+1+2 = 7)
+        KEvent("k", 3, null),     // nil Dig miss: flush + pass through
+        KEvent("k", 4, "S2"),     // bufLen 2
+        KEvent("k", 5, "cAAAA"),  // 2 < 8 → appends (2+1+5 = 8)
+        KEvent("k", 6, "cB"),     // 8 < 8 fails → content dropped, seq open
+        KEvent("k", 7, "x"))      // break → flush WITHOUT truncation
+      awaitRows("ml_nullcap", 4)
+      val rows = spark.table("ml_nullcap").as[KEvent].collect().sortBy(_.seq)
+      assert(rows.map(_.value).toSeq ==
+        Seq("S€|c1", null, "S2|cAAAA", "x"), rows.mkString("|"))
+    } finally q.stop()
+    // unknown template ids are a loud config error, not a silent
+    // fallback to the negated go_data_race template
+    val e = intercept[IllegalArgumentException] {
+      Kernels.multiline(input.toDS(),
+        MultilineCfg("", "", templates = Seq(7)))
+    }
+    assert(e.getMessage.contains("template"), e.getMessage)
+  }
+
+  test("batch multilineJoin: null rows break sequences; max_event_size gates appending in bytes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = Seq(
+      (1L, Some("S one")), (2L, Some("c two")), (3L, Option.empty[String]),
+      (4L, Some("c tail")), (5L, Some("S2")), (6L, Some("cAAAA")),
+      (7L, Some("cB")), (8L, Some("zz")))
+      .toDF("ord", "line").withColumn("k", lit("k"))
+    val j = graft.state.SeqOps.multilineJoin(df, Seq("k"), "ord",
+      col("line").rlike("^S"), col("line").rlike("^c"), "line",
+      sep = "|", maxEventSize = 8L)
+    val vals = j.orderBy("ord").collect()
+      .map(r => r.getLong(r.fieldIndex("ord")) ->
+        (if (r.isNullAt(r.fieldIndex("line"))) null
+         else r.getString(r.fieldIndex("line")))).toMap
+    // null row (ord 3): rlike(null) is NULL — coalesced to a BREAK, so
+    // the open sequence flushes as {1,2} and ord 4's continue is a
+    // singleton; sequence 2: "cAAAA" appends at bufLen 2 < 8 (ends 8),
+    // "cB" is gated at 8 < 8 and drops its content, nothing truncates
+    assert(vals(1L) == "S one|c two", vals.toString)
+    assert(vals(4L) == "c tail", vals.toString)
+    assert(vals(5L) == "S2|cAAAA", vals.toString)
+    assert(vals(8L) == "zz", vals.toString)
+    assert(vals.size == 5, vals.toString) // ord 3 rides as its own event
+  }
+
   test("throttle kernel enforces per-bucket limits across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
