@@ -133,6 +133,11 @@ object ChColumns {
       .otherwise(split(src, ":"))
     val shapeOk = src.rlike("^[0-9a-fA-F:]+$") && !src.rlike(":::") &&
       (!dc || size(split(src, "::", -1)) === 2) &&
+      // '::' must compress AT LEAST one zero group (RFC 5952; Go
+      // net.ParseIP and ClickHouse both reject a no-op '::' like
+      // ::1:2:3:4:5:6:7:8) — without this check the repeat count is 0
+      // and an invalid address lands as a plausible value, not NULL
+      (!dc || size(leftG) + size(rightG) <= 7) &&
       size(groups) === 8 &&
       forall(groups, g => g.rlike("^[0-9a-fA-F]{1,4}$"))
     when(shapeOk,

@@ -39,7 +39,10 @@ object Sinks {
     * distributed-scale spelling. */
   def fileRotating(payloadCol: String, rotator: FileRotator)
   : (DataFrame, Long) => Unit = { (df, _epoch) =>
-    val lines = df.select(col(payloadCol)).toLocalIterator()
+    // null backstop, same as foreachBatchSink: an unparseable event
+    // renders a null payload — skip it rather than NPE the writer
+    val lines = df.select(col(payloadCol))
+      .filter(col(payloadCol).isNotNull).toLocalIterator()
     rotator.write(new Iterator[String] {
       def hasNext: Boolean = lines.hasNext
       def next(): String = lines.next().getString(0)
@@ -291,7 +294,12 @@ object Sinks {
     concat(
       lit(s"""{"${checkOpType(opType)}":{"_index":""""),
       lit(indexPrefix.replace("\\", "\\\\").replace("\"", "\\\"")),
-      date_format(eventTime, timeFormat), lit("\"}}\n"),
+      // a null event time must not null the WHOLE concat — the null
+      // backstop would then silently drop the event with no DLQ entry;
+      // the reference stamps bulk index names with time.Now() when the
+      // event carries no time
+      date_format(coalesce(eventTime, current_timestamp()), timeFormat),
+      lit("\"}}\n"),
       to_json(doc))
 
   /** Escape a value spliced into a JSON string context (the bulk action
@@ -332,7 +340,11 @@ object Sinks {
         "index_format/index_values config params")
     val parts = Seq(lit(s"""{"${checkOpType(opType)}":{"_index":"""")) ++
       segs.zipWithIndex.flatMap { case (s, i) =>
-        val literal = if (s.nonEmpty) Seq(lit(s)) else Seq.empty
+        // literal format segments splice into the same JSON string
+        // context as the field values — escape them too (a quote or
+        // backslash in index_format would tear EVERY action line)
+        val esc = s.replace("\\", "\\\\").replace("\"", "\\\"")
+        val literal = if (esc.nonEmpty) Seq(lit(esc)) else Seq.empty
         val value =
           if (i < indexValues.length) {
             val v = indexValues(i)

@@ -86,39 +86,58 @@ object Decoders {
 
   /** CRI decoder (decoder/cri.go): `TIME STREAM TAG LOG`, tag F=full,
     * P=partial (partial-line continuation is a stateful stage — see
-    * graft.state.Multiline). */
-  def cri(line: Column): Column = struct(
-    regexp_extract(line, criRe, 1).as("time"),
-    regexp_extract(line, criRe, 2).as("stream"),
-    (regexp_extract(line, criRe, 3) === "P").as("partial"),
-    regexp_extract(line, criRe, 4).as("log"))
+    * graft.state.Multiline). A non-CRI line (the reference errors on
+    * malformed input) keeps its CONTENT as the log with NULL time/
+    * stream — the kmsg invariant: data is not silently lost, and the
+    * null markers show the parse failed. partial=false so the chunk
+    * stage treats it as a complete line, never a dangling run. */
+  def cri(line: Column): Column = {
+    val matched = regexp_extract(line, criRe, 1) =!= ""
+    struct(
+      when(matched, regexp_extract(line, criRe, 1)).as("time"),
+      when(matched, regexp_extract(line, criRe, 2)).as("stream"),
+      when(matched, regexp_extract(line, criRe, 3) === "P")
+        .otherwise(lit(false)).as("partial"),
+      when(matched, regexp_extract(line, criRe, 4)).otherwise(line).as("log"))
+  }
 
   private val pgRe =
     "^(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2} \\w+) \\[(\\d+)\\] => \\[(\\S+)\\] " +
       "client=([^,]*),db=([^,]*),user=([^ ]*) (.*)$"
 
-  /** postgres log-prefix decoder (decoder/postgres.go). */
-  def postgres(line: Column): Column = struct(
-    regexp_extract(line, pgRe, 1).as("time"),
-    regexp_extract(line, pgRe, 2).as("pid"),
-    regexp_extract(line, pgRe, 3).as("pid_message_number"),
-    regexp_extract(line, pgRe, 4).as("client"),
-    regexp_extract(line, pgRe, 5).as("db"),
-    regexp_extract(line, pgRe, 6).as("user"),
-    regexp_extract(line, pgRe, 7).as("log"))
+  /** postgres log-prefix decoder (decoder/postgres.go). Non-matching
+    * lines (the reference errors) keep their content as the log with
+    * NULL prefix fields — the kmsg no-silent-loss invariant. */
+  def postgres(line: Column): Column = {
+    val matched = regexp_extract(line, pgRe, 1) =!= ""
+    struct(
+      when(matched, regexp_extract(line, pgRe, 1)).as("time"),
+      when(matched, regexp_extract(line, pgRe, 2)).as("pid"),
+      when(matched, regexp_extract(line, pgRe, 3)).as("pid_message_number"),
+      when(matched, regexp_extract(line, pgRe, 4)).as("client"),
+      when(matched, regexp_extract(line, pgRe, 5)).as("db"),
+      when(matched, regexp_extract(line, pgRe, 6)).as("user"),
+      when(matched, regexp_extract(line, pgRe, 7)).otherwise(line).as("log"))
+  }
 
   private val nginxRe =
     "^(\\d{4}/\\d{2}/\\d{2} \\d{2}:\\d{2}:\\d{2}) \\[(\\w+)\\] (\\d+)#(\\d+):( \\*(\\d+))? (.*)$"
 
   /** nginx_error decoder (decoder/nginx.go:13-27): time [level] pid#tid:
-    * *cid message. cid is optional. */
-  def nginxError(line: Column): Column = struct(
-    regexp_extract(line, nginxRe, 1).as("time"),
-    regexp_extract(line, nginxRe, 2).as("level"),
-    regexp_extract(line, nginxRe, 3).as("pid"),
-    regexp_extract(line, nginxRe, 4).as("tid"),
-    regexp_extract(line, nginxRe, 6).as("cid"),
-    regexp_extract(line, nginxRe, 7).as("message"))
+    * *cid message. cid is optional. Non-matching lines (the reference
+    * errors) keep their content as the message with NULL prefix fields
+    * — the kmsg no-silent-loss invariant. */
+  def nginxError(line: Column): Column = {
+    val matched = regexp_extract(line, nginxRe, 1) =!= ""
+    struct(
+      when(matched, regexp_extract(line, nginxRe, 1)).as("time"),
+      when(matched, regexp_extract(line, nginxRe, 2)).as("level"),
+      when(matched, regexp_extract(line, nginxRe, 3)).as("pid"),
+      when(matched, regexp_extract(line, nginxRe, 4)).as("tid"),
+      when(matched, regexp_extract(line, nginxRe, 6)).as("cid"),
+      when(matched, regexp_extract(line, nginxRe, 7)).otherwise(line)
+        .as("message"))
+  }
 
   private val syslog3164Re =
     "^<(\\d{1,3})>([A-Z][a-z]{2} [ \\d]\\d \\d{2}:\\d{2}:\\d{2}) (\\S+) ([^:\\[ ]+)(\\[(\\d+)\\])?:? (.*)$"

@@ -323,7 +323,15 @@ final class HttpSpoolInput(port: Int, spoolDir: Path, emulateEs: Boolean,
         }
       Files.write(spoolDir.resolve(name + ".meta"), om.writeValueAsBytes(root))
     }
-    val tmp = spoolDir.resolve(name + ".tmp")
+    // half-written bodies live in a SUBDIRECTORY, not beside the spool
+    // files with a .tmp suffix: a `*` glob (the meta-less consumer)
+    // could list the suffix-named temp, read a partial body, then
+    // ingest the renamed file again — directories are filtered by the
+    // consumer's isRegularFile check, so the rename is the only
+    // visibility event
+    val tmpDir = spoolDir.resolve(".tmp")
+    Files.createDirectories(tmpDir)
+    val tmp = tmpDir.resolve(name)
     Files.write(tmp, body)
     Files.move(tmp, spoolDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
     respond(ex, 200, bulkResult)

@@ -554,6 +554,30 @@ object KafkaWire {
     throw new java.io.IOException(
       s"no bootstrap broker reachable in [$brokers]", lastErr)
   }
+
+  /** Run `f` against each partition's LEADER — Produce/Fetch already
+    * route per leader, and planning calls must too: an arbitrary
+    * bootstrap broker answers ListOffsets for partitions it does not
+    * lead with NOT_LEADER_OR_FOLLOWER on any multi-broker cluster
+    * (only a single-node loopback masks an unrouted call). Partitions
+    * are grouped by leader endpoint (one short-lived client per
+    * distinct leader); `reuse` serves its own endpoint without a new
+    * connection (the cached planning client). */
+  def perLeader[A](parts: Seq[(String, PartitionMeta)],
+                   reuse: Option[((String, Int), KafkaWireClient)],
+                   security: KafkaSecurity, messageFormat: Int)
+                  (f: (KafkaWireClient, Seq[(String, PartitionMeta)]) => Seq[A])
+  : Seq[A] =
+    parts.groupBy(tp => (tp._2.leaderHost, tp._2.leaderPort)).toSeq.flatMap {
+      case (ep, tps) =>
+        reuse match {
+          case Some((rep, c)) if rep == ep => f(c, tps)
+          case _ =>
+            val c = new KafkaWireClient(ep._1, ep._2, security = security,
+              messageFormat = messageFormat)
+            try f(c, tps) finally c.close()
+        }
+    }
 }
 
 /** Blocking single-connection Kafka client. Thread-confined per Spark
@@ -586,9 +610,18 @@ final class KafkaWireClient(host: String, port: Int, clientId: String = "graft",
 
   private val sock = security.ssl match {
     case Some(ssl) => KafkaTls.clientSocket(host, port, ssl)
-    case None      => new Socket(host, port)
+    case None =>
+      val s = new Socket()
+      s.connect(new java.net.InetSocketAddress(host, port), 10000)
+      s
   }
   sock.setTcpNoDelay(true)
+  // a broker that accepts the connection but never answers (half-dead
+  // node, silent firewall drop) must not wedge the task/driver forever:
+  // the blocking readInt in call() times out instead — 60 s is far
+  // above any fetch max_wait (100 ms default) and the sink's retry/DLQ
+  // machinery takes over (the httpTransport timeout rationale)
+  sock.setSoTimeout(60000)
   private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
   private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
   private var correlation = 0
@@ -647,13 +680,23 @@ final class KafkaWireClient(host: String, port: Int, clientId: String = "graft",
         // REPLICA_NOT_AVAILABLE (9) reports a down FOLLOWER while the
         // leader is healthy — official clients ignore it; failing here
         // would take the whole stream down for a routine rolling
-        // restart of any replica broker
-        require(perr == 0 || perr == 9,
-          s"metadata partition error $perr for $name/$idx")
+        // restart of any replica broker. Other broker-side codes
+        // (LEADER_NOT_AVAILABLE 5 during elections/auto-creation, a
+        // leaderless partition) are TRANSIENT — IOException keeps them
+        // on the retry path (the sink loop rethrows
+        // IllegalArgumentException as a config error; a mid-election
+        // state must resolve by re-fetching metadata, not give up)
+        if (perr != 0 && perr != 9)
+          throw new java.io.IOException(
+            s"metadata partition error $perr for $name/$idx")
+        if (!brokers.contains(leader))
+          throw new java.io.IOException(
+            s"no leader elected for $name/$idx (leader id $leader)")
         val (lh, lp) = brokers(leader)
         PartitionMeta(idx, lh, lp)
       }
-      require(err == 0, s"metadata error $err for topic $name")
+      if (err != 0)
+        throw new java.io.IOException(s"metadata error $err for topic $name")
       name -> parts.sortBy(_.partition)
     }.toMap
   }
@@ -761,7 +804,11 @@ final class KafkaWireClient(host: String, port: Int, clientId: String = "graft",
     val err = bb.getShort
     bb.getLong // timestamp
     val off = bb.getLong
-    require(err == 0, s"listOffsets error $err on $topic/$partition")
+    // broker-side codes (NOT_LEADER after a mid-plan leadership move)
+    // are transient — IOException keeps them retryable
+    if (err != 0)
+      throw new java.io.IOException(
+        s"listOffsets error $err on $topic/$partition")
     off
   }
 

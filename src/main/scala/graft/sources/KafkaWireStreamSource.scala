@@ -240,10 +240,14 @@ class KafkaWireMicroBatchStream(brokers: String, topics: Seq[String],
     * connection is dropped and retried ONCE on a fresh one; stop()
     * closes it. */
   @transient private var cachedClient: KafkaWireClient = null
+  @transient private var cachedAddr: (String, Int) = null
   private def withClient[A](f: KafkaWireClient => A): A = synchronized {
-    def fresh(): KafkaWireClient =
-      KafkaWire.connectBootstrap(brokers, security = security,
-        messageFormat = messageFormat)._1
+    def fresh(): KafkaWireClient = {
+      val (c, addr) = KafkaWire.connectBootstrap(brokers, security = security,
+        messageFormat = messageFormat)
+      cachedAddr = addr
+      c
+    }
     if (cachedClient == null) cachedClient = fresh()
     try f(cachedClient)
     catch {
@@ -253,6 +257,18 @@ class KafkaWireMicroBatchStream(brokers: String, topics: Seq[String],
         f(cachedClient)
     }
   }
+
+  /** ListOffsets routed to each partition's leader ([[KafkaWire.perLeader]])
+    * — the cached planning client serves only its own endpoint. Call
+    * inside withClient (cachedAddr is pinned there). */
+  private def routedListOffsets(c: KafkaWireClient,
+                                parts: Seq[(String, KafkaWire.PartitionMeta)],
+                                ts: Long): Map[(String, Int), Long] =
+    KafkaWire.perLeader(parts, Some((cachedAddr, c)), security, messageFormat) {
+      (lc, tps) => tps.map { case (t, pm) =>
+        (t, pm.partition) -> lc.listOffset(t, pm.partition, ts)
+      }
+    }.toMap
 
   /** Committed group offset per (topic, partition), falling back to
     * `offset: oldest|newest` — identical to the batch flavor's planning.
@@ -269,26 +285,26 @@ class KafkaWireMicroBatchStream(brokers: String, topics: Seq[String],
     val coord = new KafkaWireClient(ch, cp, security = security,
       messageFormat = messageFormat)
     try {
-      KafkaWireOffset(topics.flatMap { t =>
+      val committedAll = topics.flatMap { t =>
         val parts = meta(t)
         val committed = coord.offsetFetch(group, t, parts.map(_.partition))
-        parts.map { pm =>
-          val fromCommit = committed.getOrElse(pm.partition, -1L)
-          val start =
-            if (fromCommit >= 0) fromCommit
-            else c.listOffset(t, pm.partition,
-              if (offsetReset == "oldest") -2L else -1L)
-          (t, pm.partition) -> start
-        }
+        parts.map(pm => (t, pm) -> committed.getOrElse(pm.partition, -1L))
+      }
+      // reset fallbacks route to each partition's LEADER
+      val needReset = committedAll.collect { case (tp, c0) if c0 < 0 => tp }
+      val resets = routedListOffsets(c, needReset,
+        if (offsetReset == "oldest") -2L else -1L)
+      KafkaWireOffset(committedAll.map { case ((t, pm), c0) =>
+        (t, pm.partition) ->
+          (if (c0 >= 0) c0 else resets((t, pm.partition)))
       }.toMap)
     } finally coord.close()
   }
 
   private def latestLogEnds(): Offset = withClient { c =>
     val meta = c.metadata(topics)
-    val ends = topics.flatMap { t =>
-      meta(t).map(pm => (t, pm.partition) -> c.listOffset(t, pm.partition, -1L))
-    }.toMap
+    val ends = routedListOffsets(c,
+      topics.flatMap(t => meta(t).map(pm => t -> pm)), -1L)
     lastKnownEnds = ends
     KafkaWireOffset(ends)
   }
@@ -306,8 +322,14 @@ class KafkaWireMicroBatchStream(brokers: String, topics: Seq[String],
     if (fresh.isEmpty) from
     else {
       val starts = withClient { c =>
-        fresh.toSeq.map { case tp @ (t, p) => tp -> c.listOffset(t, p, -2L) }
-      }.toMap
+        val meta = c.metadata(fresh.map(_._1).toSeq.distinct)
+        routedListOffsets(c,
+          fresh.toSeq.map { case (t, p) =>
+            t -> meta(t).find(_.partition == p).getOrElse(
+              throw new java.io.IOException(
+                s"partition $t/$p vanished from metadata mid-plan"))
+          }, -2L)
+      }
       starts.foreach { case ((t, p), o) =>
         logInfo(s"graft-kafka: discovered new partition $t/$p mid-query, " +
           s"starting at earliest offset $o")

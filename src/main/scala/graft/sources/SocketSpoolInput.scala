@@ -114,7 +114,12 @@ final class SocketSpoolInput(network: String, port: Int, spoolDir: Path,
 
   private def writeSpool(lines: Seq[String]): Unit = if (lines.nonEmpty) {
     val name = f"${System.currentTimeMillis()}%013d_${seq.getAndIncrement()}%06d.sock"
-    val tmp = spoolDir.resolve(name + ".tmp")
+    // tmp rides in a subdirectory — invisible to the consumer's glob +
+    // isRegularFile listing until the atomic rename (HttpSpoolInput
+    // rationale)
+    val tmpDir = spoolDir.resolve(".tmp")
+    Files.createDirectories(tmpDir)
+    val tmp = tmpDir.resolve(name)
     Files.write(tmp, String.join("\n", lines: _*).concat("\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.WRITE)
     Files.move(tmp, spoolDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)

@@ -58,20 +58,36 @@ object Sources {
                      includeHeaders: Boolean = false): KafkaBatch = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val (admin, _) = KafkaWire.connectBootstrap(brokers, security = security,
-      messageFormat = messageFormat)
+    val (admin, adminAddr) = KafkaWire.connectBootstrap(brokers,
+      security = security, messageFormat = messageFormat)
     val ranges = try {
       val parts = admin.metadata(Seq(topic))(topic)
-      val committed = admin.offsetFetch(group, topic, parts.map(_.partition))
-      parts.map { pm =>
-        val fromCommit = committed.getOrElse(pm.partition, -1L)
-        val start =
-          if (fromCommit >= 0) fromCommit
-          else admin.listOffset(topic, pm.partition,
-            if (offsetReset == "oldest") -2L else -1L)
-        val end = admin.listOffset(topic, pm.partition, -1L)
-        (pm, start, end)
+      // group offsets live on the group COORDINATOR (the stream flavor
+      // and the commit side already route; an arbitrary bootstrap
+      // broker answers NOT_COORDINATOR on any multi-broker cluster)
+      val (ch, cp) = admin.findCoordinator(group)
+      val committed =
+        if ((ch, cp) == adminAddr)
+          admin.offsetFetch(group, topic, parts.map(_.partition))
+        else {
+          val coord = new KafkaWireClient(ch, cp, security = security,
+            messageFormat = messageFormat)
+          try coord.offsetFetch(group, topic, parts.map(_.partition))
+          finally coord.close()
+        }
+      // ListOffsets routed to each partition's LEADER
+      val offs = KafkaWire.perLeader(parts.map(pm => topic -> pm),
+        Some((adminAddr, admin)), security, messageFormat) { (lc, tps) =>
+        tps.map { case (t, pm) =>
+          val fromCommit = committed.getOrElse(pm.partition, -1L)
+          val start =
+            if (fromCommit >= 0) fromCommit
+            else lc.listOffset(t, pm.partition,
+              if (offsetReset == "oldest") -2L else -1L)
+          (pm, start, lc.listOffset(t, pm.partition, -1L))
+        }
       }
+      offs.sortBy(_._1.partition)
     } finally admin.close()
     // headers ride along only when asked for (the official connector's
     // includeHeaders switch) so the default envelope — and every oracle

@@ -385,7 +385,36 @@ class TailMicroBatchStream(spec: TailSource.TailSpec,
     case _ => TailOffset(Map.empty)
   }
 
-  override def latestOffset(): Offset = TailOffset(TailSource.scan(spec))
+  /** Same-path REPLACEMENT detection (logrotate create mode): the
+    * committed offset is path-keyed, so a file rotated aside and
+    * recreated that regrows PAST the old offset between two scans
+    * would silently lose its first bytes — only true shrinkage
+    * (endOff < committed) resets by itself. The reference keys jobs
+    * by inode; here the scan remembers each path's inode and an inode
+    * change marks the path for a from-zero read, consumed at the next
+    * plan. Driver-memory only: a restart between detection and plan
+    * re-plans from the checkpointed offset (at-least-once for the
+    * shrink case, documented gap for a regrown replacement across a
+    * restart). */
+  private val lastInodeByPath = scala.collection.mutable.Map.empty[String, Long]
+  private val replacedPaths = scala.collection.mutable.Map.empty[String, Long]
+
+  override def latestOffset(): Offset = {
+    val scan = TailSource.scan(spec)
+    scan.foreach { case (path, endOff) =>
+      try OffsetDb.inodeOf(Paths.get(path)).foreach { ino =>
+        lastInodeByPath.get(path) match {
+          case Some(prev) if prev != ino =>
+            replacedPaths(path) = endOff
+          case _ => ()
+        }
+        lastInodeByPath(path) = ino
+      } catch { case _: java.io.IOException => () }
+    }
+    // rotated-away paths drop out of the maps with the live set
+    lastInodeByPath.filterInPlace { case (k, _) => scan.contains(k) }
+    TailOffset(scan)
+  }
 
   override def deserializeOffset(json: String): Offset =
     TailOffset(TailSource.deserialize(json))
@@ -483,8 +512,17 @@ class TailMicroBatchStream(spec: TailSource.TailSpec,
     val to = end.asInstanceOf[TailOffset].offsets
     to.flatMap { case (path, endOff) =>
       val rawStart = from.getOrElse(path, 0L)
-      // truncation/rotation: file shrank below the committed offset
-      val startOff = if (endOff < rawStart) 0L else rawStart
+      // truncation/rotation: file shrank below the committed offset;
+      // a same-path inode REPLACEMENT also restarts at 0 even when the
+      // new file already regrew past the old offset (latestOffset's
+      // detection). The flag is consumed here — planning runs once per
+      // micro-batch (task retries reuse the SAME partitions), and a
+      // query restart wipes driver memory regardless, so plan-time
+      // consumption is exactly as durable as any in-memory signal
+      val wasReplaced = replacedPaths.remove(path).isDefined
+      val startOff =
+        if (endOff < rawStart || wasReplaced) 0L
+        else rawStart
       if (endOff <= startOff) Nil
       // a big catch-up range (first read of a large file) splits into
       // maxPartitionBytes slices so executors parallelize it like a

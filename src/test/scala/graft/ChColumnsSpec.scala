@@ -108,7 +108,11 @@ class ChColumnsSpec extends AnyFunSuite {
       "a:b:c:d:e:f:1:2" -> "000a000b000c000d000e000f00010002",
       "1::2::3" -> ("0" * 32), // two compressions: invalid -> zero fill
       "12345::1" -> ("0" * 32), // 5-digit group
-      "1:2:3" -> ("0" * 32))
+      "1:2:3" -> ("0" * 32),
+      // '::' must compress AT LEAST one group (RFC 5952; Go/ClickHouse
+      // reject the no-op form) — 8 explicit groups + '::' is invalid
+      "::1:2:3:4:5:6:7:8" -> ("0" * 32),
+      "1:2:3:4:5:6:7:8::" -> ("0" * 32))
     val df = cases.map(_._1).toDF("s")
     val got = ChColumns.chProjection(df, Seq(("h", col("s"), "IPv6")))
       .collect().map(_.getString(0))

@@ -1070,6 +1070,23 @@ class CompilerSpec extends AnyFunSuite {
       .select($"d.level", $"d.message").collect().head
     assert(km.isNullAt(0), km.toString)
     assert(km.getString(1) == "not a kmsg line", km.toString)
+    // the same no-silent-loss invariant on cri/postgres/nginx (r14):
+    // a non-matching line keeps its CONTENT with null prefix fields
+    // (the reference decoders error on malformed input); cri reads as
+    // a FULL line so the chunk stage never dangles on it
+    val cr = Seq("plain docker-ish line").toDF("value")
+      .select(Decoders.cri($"value").as("d"))
+      .select($"d.time", $"d.partial", $"d.log").collect().head
+    assert(cr.isNullAt(0) && !cr.getBoolean(1) &&
+      cr.getString(2) == "plain docker-ish line", cr.toString)
+    val pg = Seq("garbage").toDF("value")
+      .select(Decoders.postgres($"value").as("d"))
+      .select($"d.time", $"d.log").collect().head
+    assert(pg.isNullAt(0) && pg.getString(1) == "garbage", pg.toString)
+    val ng = Seq("garbage").toDF("value")
+      .select(Decoders.nginxError($"value").as("d"))
+      .select($"d.level", $"d.message").collect().head
+    assert(ng.isNullAt(0) && ng.getString(1) == "garbage", ng.toString)
     // trim_to(right, multi-char cutset) keeps src[:lastIndex+1] exactly
     // like trim_to_filter.go:21-23
     val tt = Seq("xxaby").toDF("c").select(Subst.applyFilter($"c",

@@ -138,6 +138,31 @@ class SinkBackoffSpec extends AnyFunSuite {
     }
   }
 
+  test("esBulk: format literals escape; a null event time stamps now instead of vanishing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, struct, lit}
+    // literal index_format text with a quote must not tear EVERY action
+    val df = Seq(("svcA", "x")).toDF("svc", "v")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val l1 = df.select(Sinks.esBulkLinesFormatted(
+        struct($"svc", $"v"), "logs-\"prod\"-%", Seq("svc"),
+        org.apache.spark.sql.functions.current_timestamp()).as("p"))
+      .collect().head.getString(0)
+    val idx1 = om.readTree(l1.substring(0, l1.indexOf('\n')))
+      .get("index").get("_index").asText()
+    assert(idx1 == "logs-\"prod\"-svcA", idx1)
+    // null event time: the action line must still render (reference
+    // stamps with now) — a null concat would silently drop the event
+    // at the null backstop with no DLQ entry
+    val l2 = df.select(Sinks.esBulkLines(
+        struct($"svc", $"v"), "idx-", lit(null).cast("timestamp")).as("p"))
+      .collect().head
+    assert(!l2.isNullAt(0), "null event time must not null the payload")
+    val idx2 = om.readTree(l2.getString(0).substring(0, l2.getString(0).indexOf('\n')))
+      .get("index").get("_index").asText()
+    assert(idx2.startsWith("idx-2"), idx2) // a rendered current date
+  }
+
   test("httpTransport times out on a wedged endpoint instead of blocking forever") {
     val srv = new java.net.ServerSocket(0)
     val t = new Thread(() => {

@@ -88,6 +88,31 @@ class TailSourceSpec extends AnyFunSuite {
       ("old-gen", "app.1.log", 24L), ("new2", "app.log", 5L)))
   }
 
+  test("same-path inode replacement regrown past the old offset replays from zero") {
+    // logrotate create-mode: app.log moves aside and a NEW file appears
+    // under the same path. If the new file already grew PAST the old
+    // committed offset, the shrink rule never fires — the inode change
+    // must reset the read to 0 or bytes 0..oldOffset vanish silently
+    val dir = Files.createTempDirectory("tail_repl")
+    val log = dir.resolve("app.log")
+    val stream = new TailMicroBatchStream(dir.toString, "*.log")
+    write(log, "a\nb\n") // 4 bytes committed
+    val (e1, o1) = epoch(stream, TailOffset(Map.empty))
+    assert(e1.map(_._1) == Seq("a", "b"))
+    // build the replacement under a non-matching name, then move it
+    // over the old file — its inode is guaranteed distinct while the
+    // old file still exists (delete+recreate could reuse the inode)
+    val repl = dir.resolve("app.log.new")
+    write(repl, "x1\nx2\nx3\n") // 9 bytes > the committed 4
+    Files.move(repl, log, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val (e2, o2) = epoch(stream, o1)
+    assert(e2.map(_._1) == Seq("x1", "x2", "x3"), e2.toString)
+    // the flag was consumed at plan: tailing resumes incrementally
+    write(log, "x4\n")
+    val (e3, _) = epoch(stream, o2)
+    assert(e3.map(_._1) == Seq("x4"), e3.toString)
+  }
+
   test("lz4 archives: sealed-only admission, decompressed offsets (worker.go:99-130)") {
     val dir = Files.createTempDirectory("tail_lz4")
     val arc = dir.resolve("batch.log.lz4")
