@@ -57,6 +57,17 @@ object PipelineCompiler {
 
   final case class Compiled(df: DataFrame, outputType: String,
                             outputConf: Map[String, String]) {
+    // eager config validation — construction time, not first write: the
+    // reference marks loki message_field required (loki.go:73); an
+    // `address`-only config would otherwise fall through to the
+    // injected discard transport and silently drop every event
+    if (outputType == "loki" && outputConf.contains("address") &&
+        !outputConf.contains("message_field"))
+      throw new IllegalArgumentException(
+        "output loki: `message_field` is required with `address` " +
+          "(loki.go:73 required:true — the push-protocol leg); the " +
+          "legacy NDJSON leg uses `endpoint`")
+
     /** Batch run: applies the chain and returns the resulting events. */
     def result(): DataFrame = df
 
@@ -331,7 +342,7 @@ object PipelineCompiler {
       val doc = col("doc")
       def timeCol = outputConf.get("time_field")
         .orElse(outputConf.get("timestamp_field")) // gelf/loki spelling
-        .map(f => coalesce(XTime.parse(doc.getField(f).cast("string"),
+        .map(f => coalesce(XTime.parse(docField(f).cast("string"),
           // on elasticsearch, `time_format` is the reference's INDEX
           // RENDER layout (elasticsearch.go:126), not a parse format —
           // the graft parse override there is `time_parse_format`
@@ -444,21 +455,24 @@ object PipelineCompiler {
               val msgField = outputConf.get("message_field")
                 .orElse(outputConf.get("short_message_field"))
                 .getOrElse("message")
+              // docField, not getField: a doc schema missing the
+              // (default) field name is the reference's Dig-miss —
+              // resolve NULL, don't fail the whole query at analysis
               val shortMsg = coalesce(
-                doc.getField(msgField).cast("string"),
+                docField(msgField).cast("string"),
                 lit(outputConf.getOrElse("default_short_message_value",
                   "not set")))
               Sinks.gelfFrame(
-                doc.getField(outputConf.getOrElse("host_field", "host")).cast("string"),
+                docField(outputConf.getOrElse("host_field", "host")).cast("string"),
                 shortMsg,
                 timeCol,
                 outputConf.get("level_field")
                   .map(f => coalesce(
-                    graft.functions.LogLevel.toNumber(doc.getField(f).cast("string")),
+                    graft.functions.LogLevel.toNumber(docField(f).cast("string")),
                     lit(6)))
                   .getOrElse(lit(6)),
                 fullMessage = outputConf.get("full_message_field")
-                  .map(f => doc.getField(f).cast("string")))
+                  .map(f => docField(f).cast("string")))
             case "splunk" =>
               // copy_fields (splunk.go:204,240-253): copies from the
               // original event into the output json; to=root or
@@ -506,7 +520,7 @@ object PipelineCompiler {
                     outputConf.get("time_field")
                       .orElse(outputConf.get("timestamp_field")).toSeq
                   Sinks.lokiValue(timeCol,
-                    doc.getField(mf).cast("string"),
+                    docField(mf).cast("string"), // Dig-miss → NULL
                     to_json(doc.dropFields(dropped: _*)))
                 case None =>
                   Sinks.lokiEntry(timeCol, to_json(doc)).cast("string")
@@ -559,6 +573,11 @@ object PipelineCompiler {
       case "s3" => s3SinkFn(df, 0L)
       case "stdout" =>
         stdoutPrint(df.select(to_json(col("doc")).as("value")))
+      case "devnull" if !outputConf.contains("dir") =>
+        // the discard sink DISCARDS: consume the pipeline (metrics
+        // observers still fire) without rendering a payload or writing
+        // to a throwaway temp directory
+        df.foreach(_ => ())
       case _ =>
         payload().write.mode("overwrite").text(
           outputConf.getOrElse("dir",
@@ -753,6 +772,61 @@ object PipelineCompiler {
 
   /** `template:` (single, deprecated in the reference) or `templates:`
     * (list) → JoinTemplateMatch ids (join_template.go Start). */
+  /** Structural merge of two doc struct types: the NEW type's field
+    * order and leaf types win, fields only the old type has append
+    * (nullable) — the CaseWhen-alignment target for predicated
+    * field-shape-changing actions. */
+  private[compiler] def mergeDocTypes(a: DataType, b: DataType): DataType =
+    (a, b) match {
+      case (as: StructType, bs: StructType) =>
+        val bNames = bs.fieldNames.toSet
+        StructType(bs.fields.map { bf =>
+          as.find(_.name == bf.name) match {
+            case Some(af) => org.apache.spark.sql.types.StructField(bf.name,
+              mergeDocTypes(af.dataType, bf.dataType), nullable = true)
+            case None => bf.copy(nullable = true)
+          }
+        } ++ as.fields.filterNot(f => bNames.contains(f.name))
+          .map(_.copy(nullable = true)))
+      case (x, y) if x == y => x
+      case (_, y) => y
+    }
+
+  /** Rebuild `c` (of type `from`) as type `to`: recursive struct build
+    * with nulls for missing fields, cast for retyped leaves. */
+  private[compiler] def alignDoc(c: Column, from: DataType, to: DataType)
+  : Column = (from, to) match {
+    case (f, t) if f == t => c
+    case (fs: StructType, ts: StructType) =>
+      struct(ts.fields.map { tf =>
+        fs.find(_.name == tf.name) match {
+          case Some(ff) =>
+            alignDoc(c.getField(tf.name), ff.dataType, tf.dataType)
+              .as(tf.name)
+          case None => lit(null).cast(tf.dataType).as(tf.name)
+        }
+      }: _*)
+    case (_, t) => c.cast(t)
+  }
+
+  /** transformWithState rejects the HDFS-backed default store at query
+    * start; a config-driven user shouldn't need to know that. ONE copy
+    * (was pasted into every transformWithState stage). */
+  private[compiler] def ensureRocksDbStateStore(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    if (spark.conf.getOption(pk).isEmpty) spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  }
+
+  /** Loud missing-required-field error (the house convention — a bare
+    * NullPointerException from `.get(f).asLong()` names nothing). */
+  private[compiler] def requiredLong(n: JsonNode, field: String,
+                                     where: String): Long =
+    Option(n.get(field)).map(_.asLong()).getOrElse(
+      throw new IllegalArgumentException(
+        s"$where: missing required field `$field`"))
+
   private[compiler] def templateIds(action: JsonNode): Seq[Int] = {
     def toId(name: String): Int = name match {
       case "go_panic" => graft.state.JoinTemplateMatch.GoPanic
@@ -1998,7 +2072,9 @@ object PipelineCompiler {
         .filter { case (k, _) => allowedNode.isEmpty || allowedNode(k) }
         .toSeq.sortBy(_._1)
         .foreach { case (k, v) =>
-          doc2 = doc2.withField(s"k8s_node_label_$k", lit(v))
+          // backtick: label keys carry dots (app.kubernetes.io/name) —
+          // unescaped, withField would treat them as nested paths
+          doc2 = doc2.withField(s"`k8s_node_label_$k`", lit(v))
         })
     }
     val based = df.withColumn("doc", doc2)
@@ -2071,7 +2147,7 @@ object PipelineCompiler {
               col("doc.k8s_container_id") === col("_k8s_cid"), "left")
           val doc3 = labelNames.zipWithIndex.foldLeft(col("doc")) {
             case (d, (name, i)) =>
-              d.withField(s"k8s_pod_label_$name",
+              d.withField(s"`k8s_pod_label_$name`", // dotted-key escape
                 get(col("_k8s_lvals"), lit(i)))
           }
           withLabels.withColumn("doc", doc3)
@@ -2432,9 +2508,26 @@ object PipelineCompiler {
     val doc = col("doc")
     def paths(field: String): Seq[FieldPath] =
       action.get(field).elements().asScala.map(e => FieldPath.parse(e.asText())).toSeq
+    // match_fields/do_if on a row-wise action: when the action ADDS,
+    // REMOVES or RETYPES doc fields, the two CaseWhen branches have
+    // different struct types and Spark refuses to coerce them — the
+    // branches are ALIGNED onto the structural merge of both schemas
+    // (missing fields null; a null field drops from the serialized doc,
+    // so in JSON space this is exactly the reference's per-event field
+    // presence: matched events carry the new field, others don't).
     def guarded(newDoc: Column): DataFrame = pred match {
-      case Some(p) => df.withColumn("doc", when(p, newDoc).otherwise(doc))
-      case None    => df.withColumn("doc", newDoc)
+      case None => df.withColumn("doc", newDoc)
+      case Some(p) =>
+        val oldType = df.schema("doc").dataType
+        val newType = df.select(newDoc.as("doc")).schema("doc").dataType
+        if (newType == oldType)
+          df.withColumn("doc", when(p, newDoc).otherwise(doc))
+        else {
+          val out = PipelineCompiler.mergeDocTypes(oldType, newType)
+          df.withColumn("doc",
+            when(p, PipelineCompiler.alignDoc(newDoc, newType, out))
+              .otherwise(PipelineCompiler.alignDoc(doc, oldType, out)))
+        }
     }
     // The multiline-sequence key: (source, stream) when streams are on
     // AND the decoded doc actually carries the stream field (the
@@ -2451,6 +2544,30 @@ object PipelineCompiler {
           coalesce(doc.getField(f).cast("string"), lit(""))),
         Seq("source_name", "_stream"))
       case None => (d, Seq("source_name"))
+    }
+    /** ONE batch join lowering shared by `join` and `join_template`
+      * (they differ only in the start/continue predicates) — a fix to
+      * the ordering/carry/cap plumbing cannot silently miss one arm.
+      * The joined event inherits the sequence-opening row's arrival
+      * index (min_by over orderCol), keeping playground order stable;
+      * max_event_size gates APPENDING in bytes inside the join (the
+      * reference never truncates at flush). */
+    def batchJoinArm(fieldName: String, src: Column,
+                     startC: Column, contC: Column): DataFrame = {
+      val maxSize = Option(action.get("max_event_size")).map(_.asInt())
+      val base0 = df.withColumn("_jord",
+          if (df.columns.contains("_pg_ord")) col("_pg_ord")
+          else monotonically_increasing_id())
+        .withColumn("_jf", src)
+      val (base, keyCols) = seqKeyCols(base0)
+      val carry = Seq("doc") ++
+        (if (df.columns.contains("_pg_ord")) Seq("_pg_ord") else Nil)
+      val joined = graft.state.SeqOps.multilineJoin(base, keyCols,
+        "_jord", startC, contC, "_jf", carryCols = carry,
+        maxEventSize = maxSize.map(_.toLong).getOrElse(0L))
+      joined
+        .withColumn("doc", col("doc").withField(fieldName, col("_jf")))
+        .drop("_jf", "_jord", "n_lines", "_stream")
     }
     def seqKeyCol: Column = docHasStream match {
       case Some(f) => concat(col("source_name"), lit("/"),
@@ -3011,8 +3128,13 @@ object PipelineCompiler {
           .map(_.asLong() * 1000).getOrElse(60000L)
         val sFmt = Option(action.get("time_format")).map(_.asText())
           .getOrElse("rfc3339")
+        // unparseable/missing time → NOW, matching the batch leg and
+        // the throttle legs (antispam.go falls back to now): an epoch-0
+        // fallback parked every null-time event in one never-rotating
+        // bucket, permanently banning a source after `threshold` of them
         val tsMs = coalesce(unix_millis(XTime.parse(
-          col("doc").getField(tsF).cast("string"), sFmt)), lit(0L))
+          col("doc").getField(tsF).cast("string"), sFmt)),
+          unix_millis(current_timestamp()))
         // exceptions (settings.antispam_exceptions → `exceptions`):
         // exempted events bypass the counter AND the ban — the batch
         // path's split/union, previously dropped on the streaming leg
@@ -3035,7 +3157,7 @@ object PipelineCompiler {
             // chain), the kernel bans per event against its own value —
             // the batch antispamRules model, spec'd batch≡streaming
             val thr = rn.elements().asScala.toSeq.foldRight(
-              lit(action.get("threshold").asLong()): Column) {
+              lit(requiredLong(action, "threshold", "antispam")): Column) {
               case (r, acc) =>
                 when(coalesce(DoIf.compile(parseDoIf(r.get("do_if")),
                   antispamResolver(df)), lit(false)),
@@ -3053,7 +3175,7 @@ object PipelineCompiler {
               .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.TEvent])
             val cfg = graft.streaming.Kernels.AntispamCfg(
               intervalMs,
-              action.get("threshold").asLong(),
+              requiredLong(action, "threshold", "antispam"),
               sourceThresholds = Option(action.get("source_thresholds"))
                 .map(_.properties().asScala
                   .map(e => e.getKey -> e.getValue.asLong()).toMap)
@@ -3067,11 +3189,16 @@ object PipelineCompiler {
         // reference spellings accepted alongside the _seconds shorthand
         // (throttle.go:81,86,113): bucket_interval Go-duration,
         // default_limit, time_field_format
-        val interval = Option(action.get("bucket_interval_seconds"))
-          .map(_.asLong())
+        // MILLISECOND precision like the streaming leg — the former
+        // whole-seconds truncation turned a sub-second bucket_interval
+        // (e.g. 800ms, valid in the reference) into interval 0 and a
+        // silent divide-by-null single global window
+        val intervalMs = Option(action.get("bucket_interval_seconds"))
+          .map(_.asLong() * 1000L)
           .orElse(Option(action.get("bucket_interval"))
-            .map(v => goDurationSeconds(v.asText())))
-          .getOrElse(60L)
+            .map(v => goDurationMillis(v.asText())))
+          .getOrElse(60000L)
+        require(intervalMs > 0, "throttle: bucket_interval must be positive")
         val limit = Option(action.get("limit")).map(_.asLong())
           .orElse(Option(action.get("default_limit")).map(_.asLong()))
           .getOrElse(5000L)
@@ -3104,7 +3231,7 @@ object PipelineCompiler {
           val bucketsCount =
             Option(action.get("buckets_count")).map(_.asInt()).getOrElse(60)
           val (rcfg, keyFieldSel, distFieldSel) = redisThrottleCfg(action,
-            pipelineName, throttleFieldSel.getOrElse(""), interval * 1000,
+            pipelineName, throttleFieldSel.getOrElse(""), intervalMs,
             bucketsCount, limit, kind)
           // redis key VALUES are a cross-instance wire contract — the
           // reference's default key is the literal "default"
@@ -3141,12 +3268,12 @@ object PipelineCompiler {
             .drop("_tkey", "_tms", "_tord", "_twt", "_tko", "_tdv")
         }
         val bucket = floor(
-          unix_timestamp(coalesce(
+          unix_millis(coalesce(
             XTime.parse(doc.getField(tsF).cast("string"), tsFmt),
             // throttle.go:522-533: unparseable time → now (a NULL
             // bucket would quietly form its own window)
-            current_timestamp()))
-            / interval).cast("long")
+            current_timestamp())).cast("double")
+            / intervalMs).cast("long")
         val keyed = df.withColumn("_tkey", key)
           .withColumn("_tord",
             if (df.columns.contains("_pg_ord")) col("_pg_ord")
@@ -3277,25 +3404,7 @@ object PipelineCompiler {
         val contRaw = src.rlike(action.get("continue").asText())
         val contC =
           if (Option(action.get("negate")).exists(_.asBoolean())) !contRaw else contRaw
-        val maxSize = Option(action.get("max_event_size")).map(_.asInt())
-        val base0 = df.withColumn("_jord",
-            if (df.columns.contains("_pg_ord")) col("_pg_ord")
-            else monotonically_increasing_id())
-          .withColumn("_jf", src)
-        val (base, keyCols) = seqKeyCols(base0)
-        // the joined event inherits the sequence-opening row's arrival
-        // index (min_by over orderCol), keeping playground order stable
-        val carry = Seq("doc") ++
-          (if (df.columns.contains("_pg_ord")) Seq("_pg_ord") else Nil)
-        // max_event_size gates APPENDING in bytes inside the join (the
-        // reference never truncates at flush; the old char substring
-        // here could split a surrogate pair)
-        val joined = graft.state.SeqOps.multilineJoin(base, keyCols,
-          "_jord", startC, contC, "_jf", carryCols = carry,
-          maxEventSize = maxSize.map(_.toLong).getOrElse(0L))
-        joined
-          .withColumn("doc", col("doc").withField(fieldName, col("_jf")))
-          .drop("_jf", "_jord", "n_lines", "_stream")
+        batchJoinArm(fieldName, src, startC, contC)
 
       case "join_template" =>
         // join alias with prebuilt predicate tables (join_template.go).
@@ -3311,26 +3420,10 @@ object PipelineCompiler {
         val src = doc.getField(fieldName).cast("string")
         val startC = graft.functions.TemplateCheck(src, tmplIds.head, start = true)
         val contC = graft.functions.TemplateCheck(src, tmplIds.head, start = false)
-        val maxSize = Option(action.get("max_event_size")).map(_.asInt())
-        val base0 = df.withColumn("_jord",
-            if (df.columns.contains("_pg_ord")) col("_pg_ord")
-            else monotonically_increasing_id())
-          .withColumn("_jf", src)
-        val (base, keyCols) = seqKeyCols(base0)
-        val carry = Seq("doc") ++
-          (if (df.columns.contains("_pg_ord")) Seq("_pg_ord") else Nil)
-        // max_event_size gates APPENDING in bytes inside the join (the
-        // reference never truncates at flush; the old char substring
-        // here could split a surrogate pair)
-        val joined = graft.state.SeqOps.multilineJoin(base, keyCols,
-          "_jord", startC, contC, "_jf", carryCols = carry,
-          maxEventSize = maxSize.map(_.toLong).getOrElse(0L))
-        joined
-          .withColumn("doc", col("doc").withField(fieldName, col("_jf")))
-          .drop("_jf", "_jord", "n_lines", "_stream")
+        batchJoinArm(fieldName, src, startC, contC)
 
       case "antispam" =>
-        val threshold = action.get("threshold").asInt()
+        val threshold = requiredLong(action, "threshold", "antispam").toInt
         val interval = Option(action.get("interval_seconds"))
           .map(_.asLong()).getOrElse(60L)
         val tsF = Option(action.get("time_field")).map(_.asText()).getOrElse("time")
@@ -3800,11 +3893,8 @@ object PipelineCompiler {
         // rides the band shuffle and restores the exact columns
         val sn = intOpt("shingle_n", 3); val kk = intOpt("k", 12)
         val bb = intOpt("bands", 4); val rr = intOpt("rows", 3)
-        // transformWithState rejects the HDFS-backed default store at
-        // query start; a config-driven user shouldn't need to know that
-        val pk = "spark.sql.streaming.stateStore.providerClass"
-        if (spark.conf.getOption(pk).isEmpty) spark.conf.set(pk,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        
+        PipelineCompiler.ensureRocksDbStateStore(spark)
         val inner = df.schema
         implicit val enc = org.apache.spark.sql.Encoders.product[
           graft.streaming.Kernels.BandDocEvent]
@@ -3834,9 +3924,7 @@ object PipelineCompiler {
         require(maxHam <= blocks - 1,
           s"curation simhash_dedup: completeness needs max_hamming <= " +
             s"blocks-1 (got max_hamming=$maxHam, blocks=$blocks)")
-        val pk2 = "spark.sql.streaming.stateStore.providerClass"
-        if (spark.conf.getOption(pk2).isEmpty) spark.conf.set(pk2,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        PipelineCompiler.ensureRocksDbStateStore(spark)
         val inner2 = df.schema
         implicit val enc2 = org.apache.spark.sql.Encoders.product[
           graft.streaming.Kernels.SimBlockEvent]
@@ -3864,9 +3952,7 @@ object PipelineCompiler {
         val wk = intOpt("k", 8); val ww = intOpt("w", 5)
         val ms = longOpt("min_shared", 3L)
         val mdf = longOpt("max_doc_freq", 1000L)
-        val pk4 = "spark.sql.streaming.stateStore.providerClass"
-        if (spark.conf.getOption(pk4).isEmpty) spark.conf.set(pk4,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        PipelineCompiler.ensureRocksDbStateStore(spark)
         val inner4 = df.schema
         implicit val enc4 = org.apache.spark.sql.Encoders.product[
           graft.streaming.Kernels.FpDocEvent]
@@ -4041,9 +4127,7 @@ object PipelineCompiler {
         val k = Option(st.get("k")).map(_.asLong()).getOrElse(
           throw new IllegalArgumentException(
             "curation domain_cap: missing required field `k`"))
-        val pk3 = "spark.sql.streaming.stateStore.providerClass"
-        if (spark.conf.getOption(pk3).isEmpty) spark.conf.set(pk3,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        PipelineCompiler.ensureRocksDbStateStore(spark)
         val inner3 = df.schema
         implicit val enc3 = org.apache.spark.sql.Encoders.product[
           graft.streaming.Kernels.DocEvent]

@@ -634,7 +634,8 @@ class CompilerSpec extends AnyFunSuite {
          |  {"metadata": {"labels": {"app": "web", "team": "core"}},
          |   "spec": {"nodeName": "node-7"}}}}},
          | "CriType": "containerd",
-         | "NodeLabels": {"zone": "z1", "arch": "amd64"}}""".stripMargin
+         | "NodeLabels": {"zone": "z1", "arch": "amd64",
+         |                "topology.kubernetes.io/zone": "z9"}}""".stripMargin
         .getBytes("UTF-8"))
     def yamlFor(extra: String): String =
       s"""input:
@@ -670,6 +671,10 @@ class CompilerSpec extends AnyFunSuite {
     assert(schema.contains("k8s_pod_label_app") &&
       !schema.contains("k8s_pod_label_team"), schema.toString)
     assert(schema.contains("k8s_node_label_arch")) // no node allowlist -> all
+    // dotted label keys land as ONE flat field (backtick-escaped
+    // withField), not a mis-nested struct path
+    assert(schema.contains("k8s_node_label_topology.kubernetes.io/zone"),
+      schema.toString)
     // split_event_size: the 23-byte assembled run splits at chunk
     // boundaries into <=20-byte events (multiline_action.go:169)
     val split = PipelineCompiler.compile(spark, yamlFor(
@@ -4018,4 +4023,68 @@ class CompilerSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("meta"))
   }
+
+  test("predicated field-adding actions compile: branches align on the merged schema") {
+    // add_host with do_if ADDS a struct field in one CaseWhen branch —
+    // pre-r14 the unmergeable struct types threw an AnalysisException.
+    // Matched rows carry the new field, others render WITHOUT it (null
+    // drops from the serialized doc — the reference's per-event shape)
+    val out = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"lvl":"x","m":"1"}""", """{"lvl":"y","m":"2"}"""),
+      """decoder: {type: json, schema: "lvl string, m string"}
+        |actions:
+        |  - type: add_host
+        |    do_if: {op: equal, field: lvl, values: [x]}
+        |""".stripMargin).sorted
+    assert(out.exists(d => d.contains("\"lvl\":\"x\"") && d.contains("\"host\":")), out)
+    assert(out.exists(d => d.contains("\"lvl\":\"y\"") && !d.contains("\"host\":")), out)
+    // remove_fields under a predicate: matched rows drop the field,
+    // unmatched keep it (the static schema keeps the slot, null-valued)
+    val rm = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"lvl":"x","m":"1"}""", """{"lvl":"y","m":"2"}"""),
+      """decoder: {type: json, schema: "lvl string, m string"}
+        |actions:
+        |  - type: remove_fields
+        |    fields: [m]
+        |    do_if: {op: equal, field: lvl, values: [x]}
+        |""".stripMargin).sorted
+    assert(rm.exists(d => d.contains("\"lvl\":\"x\"") && !d.contains("\"m\":")), rm)
+    assert(rm.exists(d => d.contains("\"lvl\":\"y\"") && d.contains("\"m\":\"2\"")), rm)
+  }
+
+  test("batch throttle accepts a sub-second bucket_interval (ms precision like streaming)") {
+    // 500ms buckets: events 0ms/100ms share a bucket (limit 1 drops one),
+    // the 700ms event starts a new bucket — the old whole-seconds
+    // truncation made interval 0 and one never-rotating global window
+    val out = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"svc":"a","time":"2024-03-05T00:00:00.000Z","n":1}""",
+          """{"svc":"a","time":"2024-03-05T00:00:00.100Z","n":2}""",
+          """{"svc":"a","time":"2024-03-05T00:00:00.700Z","n":3}"""),
+      """actions:
+        |  - type: throttle
+        |    throttle_field: svc
+        |    time_field: time
+        |    bucket_interval: 500ms
+        |    default_limit: 1
+        |""".stripMargin)
+    assert(out.size == 2, out.toString)
+    // a missing threshold on antispam is a LOUD error, not a bare NPE
+    val e = intercept[IllegalArgumentException] {
+      PipelineCompiler.runActionsOnBatch(spark,
+        Seq("""{"svc":"a","time":"2024-03-05T00:00:00Z"}"""),
+        "actions:\n  - type: antispam\n")
+    }
+    assert(e.getMessage.contains("threshold"), e.getMessage)
+  }
+
+  test("loki with address but no message_field fails loudly instead of discarding") {
+    val e = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(spark,
+        """input: {type: fake, lines: ['{"m":"1"}']}
+          |output: {type: loki, address: "http://loki:3100"}
+          |""".stripMargin)
+    }
+    assert(e.getMessage.contains("message_field"), e.getMessage)
+  }
 }
+
