@@ -153,9 +153,9 @@ object Queries9 {
       |  FROM g GROUP BY 1, 2, 3),
       |per AS (
       |  SELECT doc_id,
-      |    CAST(sum(CASE WHEN n = 1 THEN c*gchars END) AS BIGINT) AS char_sum,
-      |    CAST(max(CASE WHEN n = 2 THEN c*gchars END) AS BIGINT) AS top2,
-      |    CAST(max(CASE WHEN n = 3 THEN c*gchars END) AS BIGINT) AS top3,
+      |    CAST(coalesce(sum(CASE WHEN n = 1 THEN c*gchars END), 0) AS BIGINT) AS char_sum,
+      |    CAST(coalesce(max(CASE WHEN n = 2 THEN c*gchars END), 0) AS BIGINT) AS top2,
+      |    CAST(coalesce(max(CASE WHEN n = 3 THEN c*gchars END), 0) AS BIGINT) AS top3,
       |    CAST(coalesce(sum(CASE WHEN n = 5 AND c >= 2 THEN c*gchars END), 0)
       |      AS BIGINT) AS dup5
       |  FROM cnt GROUP BY 1),
@@ -165,9 +165,14 @@ object Queries9 {
       |    (top3 * 1000) // greatest(char_sum, 1) AS top3_milli,
       |    (dup5 * 1000) // greatest(char_sum, 1) AS dup5_milli
       |  FROM per)
-      |SELECT doc_id, char_sum, top2_milli, top3_milli, dup5_milli,
-      |  top2_milli <= 200 AND top3_milli <= 180 AND dup5_milli <= 150 AS pass
-      |FROM u""".stripMargin
+      |SELECT t.doc_id,
+      |  coalesce(u.char_sum, 0) AS char_sum,
+      |  coalesce(u.top2_milli, 0) AS top2_milli,
+      |  coalesce(u.top3_milli, 0) AS top3_milli,
+      |  coalesce(u.dup5_milli, 0) AS dup5_milli,
+      |  coalesce(u.top2_milli, 0) <= 200 AND coalesce(u.top3_milli, 0) <= 180
+      |    AND coalesce(u.dup5_milli, 0) <= 150 AS pass
+      |FROM toks t LEFT JOIN u USING (doc_id)""".stripMargin
 
   /** Cross-doc duplicate 20-token spans, keep-first staleness. The
     * fixture's duplicate/near-dup doc pairs give a genuinely-exercised

@@ -2299,21 +2299,27 @@ object PipelineCompiler {
     }
 
   private[graft] def goDurationMillis(s: String): Long = {
-    val t = s.trim
+    // sign accepted like Go's time.ParseDuration — ts_cmp value_shift
+    // "can be negative" (ts_cmp_op.go:29); positive-only call sites
+    // (bucket intervals etc.) enforce their own require(> 0)
+    val t0 = s.trim
+    val neg = t0.startsWith("-")
+    val t = if (neg || t0.startsWith("+")) t0.substring(1) else t0
     val ms = "^(\\d+)ms$".r
     val sec = "^(\\d+)s$".r
     val min = "^(\\d+)m$".r
     val hr = "^(\\d+)h$".r
     val bare = "^(\\d+)$".r
-    t match {
+    val mag = t match {
       case ms(v)   => v.toLong
       case sec(v)  => v.toLong * 1000
       case min(v)  => v.toLong * 60000
       case hr(v)   => v.toLong * 3600000
       case bare(v) => v.toLong * 1000
       case other => throw new IllegalArgumentException(
-        s"cannot parse duration `$other` (expected <n>ms|s|m|h)")
+        s"cannot parse duration `$other` (expected [-]<n>ms|s|m|h)")
     }
+    if (neg) -mag else mag
   }
 
   /** [[goDurationMillis]] truncated to whole seconds — the granularity
@@ -2450,21 +2456,34 @@ object PipelineCompiler {
       case "array_len_cmp" => DoIf.ArrayLenCmp(fp, cmp, n.get("value").asLong())
       case "int_val_cmp"  => DoIf.IntValCmp(fp, cmp, n.get("value").asLong())
       case "ts_cmp" =>
-        // constants parse timezone-correctly: an explicit offset/Z is
-        // honored and a bare datetime reads as UTC — Timestamp.valueOf
-        // interpreted the wall-clock fields in the JVM's zone, shifting
-        // every comparison by the host offset on non-UTC machines
         val rawTs = n.get("value").asText()
-        val inst =
-          try java.time.OffsetDateTime.parse(rawTs).toInstant
-          catch {
-            case _: java.time.format.DateTimeParseException =>
-              java.time.LocalDateTime.parse(rawTs.replace(" ", "T"))
-                .toInstant(java.time.ZoneOffset.UTC)
-          }
-        DoIf.TsCmpConst(fp,
-          Option(n.get("format")).map(_.asText()).getOrElse("rfc3339"), cmp,
-          java.sql.Timestamp.from(inst))
+        val tsFmt = Option(n.get("format")).map(_.asText()).getOrElse("rfc3339")
+        if (rawTs == "now" || rawTs == "file_d_start") {
+          // ts_cmp_op.go:27-32: `now` compares against a periodically
+          // refreshed current time (+ value_shift, may be negative);
+          // `file_d_start` is now-at-pipeline-start, which a batch run
+          // reads as now too. `update_interval` is the reference's
+          // cache-refresh cadence — its "+ update_interval" effect on
+          // the cmp value is a staleness artifact of that cache, not a
+          // shift; accepted-ignored (each run evaluates a fresh now)
+          val shift = Option(n.get("value_shift"))
+            .map(v => PipelineCompiler.goDurationMillis(v.asText()))
+            .getOrElse(0L)
+          DoIf.TsCmpNow(fp, tsFmt, cmp, shift)
+        } else {
+          // constants parse timezone-correctly: an explicit offset/Z is
+          // honored and a bare datetime reads as UTC — Timestamp.valueOf
+          // interpreted the wall-clock fields in the JVM's zone, shifting
+          // every comparison by the host offset on non-UTC machines
+          val inst =
+            try java.time.OffsetDateTime.parse(rawTs).toInstant
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                java.time.LocalDateTime.parse(rawTs.replace(" ", "T"))
+                  .toInstant(java.time.ZoneOffset.UTC)
+            }
+          DoIf.TsCmpConst(fp, tsFmt, cmp, java.sql.Timestamp.from(inst))
+        }
       case "check_type" => DoIf.CheckType(fp, strs("values"))
       case other => throw new IllegalArgumentException(s"unknown do_if op: $other")
     }

@@ -107,8 +107,11 @@ object DoIf {
       case TsCmpConst(f, fmt, op, v) =>
         op.apply(XTime.parse(resolve(f), fmt), lit(v))
       case TsCmpNow(f, fmt, op, shiftMs) =>
+        // integer MILLISECOND interval: a Double seconds render flips
+        // to scientific notation at |shift| >= 1e7 s (~116 days) and
+        // Spark's interval grammar rejects it — `-180d` shifts crashed
         op.apply(XTime.parse(resolve(f), fmt),
-          current_timestamp() + expr(s"INTERVAL ${shiftMs / 1000.0} SECOND"))
+          current_timestamp() + expr(s"INTERVAL $shiftMs MILLISECOND"))
       case CheckType(f, types) =>
         val raw = if (rawJson != null) rawJson(f) else resolve(f)
         types.map {

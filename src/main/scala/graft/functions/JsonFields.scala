@@ -372,7 +372,13 @@ case class JsonFields(child: Expression, fields: Seq[String])
           }
         }
       } finally p.close()
-    } catch { case _: Exception => () } // malformed → nulls
+    } catch { case _: Exception =>
+      // json_tuple parity: a malformed doc returns ALL-null, including
+      // fields already delivered before the parser hit the bad byte —
+      // a partially-filled row would diverge from Spark's JsonTuple
+      // (and from the oracles built on it)
+      java.util.Arrays.fill(out, null)
+    }
   }
 
   /** Scalar → token text; object/array → raw JSON re-render; JSON null →

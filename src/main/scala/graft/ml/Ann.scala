@@ -57,6 +57,9 @@ object Ann {
     // the query's nProbe nearest centroids
     val q = array(query.map(v => lit(v.toDouble)): _*)
     val probes = cents
+      // zero-norm centroid: 0.0/0.0 THROWS under ANSI (and a NaN
+      // would rank first under desc) — exclude before the cosine
+      .filter(dot(col("_cv"), col("_cv")) > 0)
       .withColumn("_qsim", dot(col("_cv"), q) /
         (sqrt(dot(col("_cv"), col("_cv"))) * sqrt(dot(q, q))))
       .orderBy(desc("_qsim"), col("_c_id"))
@@ -94,7 +97,15 @@ object Ann {
     import org.apache.spark.sql.expressions.Window
     val sim = dot(col("_v"), col("_cv")) /
       (sqrt(dot(col("_v"), col("_v"))) * sqrt(dot(col("_cv"), col("_cv"))))
-    e.crossJoin(org.apache.spark.sql.functions.broadcast(cents))
+    // zero-norm guard on BOTH sides (the bruteForceTopK NaN-desc
+    // hazard): one all-zero CENTROID makes every vector's cosine NaN,
+    // which sorts first under desc — the whole corpus would land in
+    // that one inverted list and IVF pruning degenerates to a full
+    // scan per query. Zero-norm corpus vectors are unfindable anyway
+    // (the probe legs exclude them) — answers are unchanged.
+    e.filter(dot(col("_v"), col("_v")) > 0)
+      .crossJoin(org.apache.spark.sql.functions.broadcast(
+        cents.filter(dot(col("_cv"), col("_cv")) > 0)))
       .withColumn("_sim_c", sim)
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(desc("_sim_c"), col("_c_id"))))
@@ -152,6 +163,9 @@ object Ann {
     val q = array(query.map(v => lit(v.toDouble)): _*)
     val cents = spark.read.parquet(path + "/centroids")
     val probeIds = cents
+      // zero-norm centroid: 0.0/0.0 THROWS under ANSI (and a NaN
+      // would rank first under desc) — exclude before the cosine
+      .filter(dot(col("_cv"), col("_cv")) > 0)
       .withColumn("_qsim", dot(col("_cv"), q) /
         (sqrt(dot(col("_cv"), col("_cv"))) * sqrt(dot(q, q))))
       .orderBy(desc("_qsim"), col("_c_id"))
@@ -378,6 +392,9 @@ object Ann {
                            k: Int, m: Int, sub: Int, nProbe: Int): DataFrame = {
     val q = array(query.map(v => lit(v.toDouble)): _*)
     val probes = cents
+      // zero-norm centroid: 0.0/0.0 THROWS under ANSI (and a NaN
+      // would rank first under desc) — exclude before the cosine
+      .filter(dot(col("_cv"), col("_cv")) > 0)
       .withColumn("_qsim", dot(col("_cv"), q) /
         (sqrt(dot(col("_cv"), col("_cv"))) * sqrt(dot(q, q))))
       .orderBy(desc("_qsim"), col("_c_id"))
@@ -461,6 +478,9 @@ object Ann {
     val cents = spark.read.parquet(path + "/centroids")
     val q = array(query.map(v => lit(v.toDouble)): _*)
     val probeIds = cents
+      // zero-norm centroid: 0.0/0.0 THROWS under ANSI (and a NaN
+      // would rank first under desc) — exclude before the cosine
+      .filter(dot(col("_cv"), col("_cv")) > 0)
       .withColumn("_qsim", dot(col("_cv"), q) /
         (sqrt(dot(col("_cv"), col("_cv"))) * sqrt(dot(q, q))))
       .orderBy(desc("_qsim"), col("_c_id"))

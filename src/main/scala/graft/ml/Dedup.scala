@@ -561,9 +561,15 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val oldE = index.select(col("id").as("_oid"), col("sim").as("_osim"),
       explode(simhashBlockKeys(col("sim"), bits, blocks)).as("blk"))
+    // MATERIALIZED (ids only, ≤ batch size) before newE unpersists:
+    // the returned plan's anti-join reads oldHitIds, and a lazy lineage
+    // through the unpersisted newE would re-run the whole per-token
+    // hashing leg at action time — the second pass this method exists
+    // to avoid (semDedupAgainst persists its oldHits the same way)
     val oldHitIds = newE.join(oldE, Seq("blk"))
       .filter(hamming(col("sim"), col("_osim")) <= maxHamming)
       .select(col("id").as(idCol)).distinct()
+      .localCheckpoint(true)
     val rest = df.join(oldHitIds, Seq(idCol), "left_anti")
     // within-batch pairs REUSE newE's signatures/block keys (the
     // expensive per-token hashing leg) — re-running simhashNearDup on

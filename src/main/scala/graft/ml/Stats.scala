@@ -174,9 +174,18 @@ object Stats {
     val agg = udaf(new KmvAggregator(k))
     val rows = idx.groupBy(col("group"))
       .agg(sum(col("rows_seen")).as("rows_seen"))
-    idx.select(col("group"), explode(col("hashes")).as("h"))
-      .groupBy(col("group")).agg(agg(col("h")).as("hashes"))
-      .join(rows, "group")
+    // LEFT join from the rows side: a group whose runs all carried
+    // EMPTY hash sets (e.g. an all-NULL key column — tokenHash skips
+    // nulls) explodes to no rows, and an inner join would silently
+    // drop the group from the merged index; it must survive with an
+    // empty sketch and its true rows_seen
+    rows.join(
+        idx.select(col("group"), explode(col("hashes")).as("h"))
+          .groupBy(col("group")).agg(agg(col("h")).as("hashes")),
+        Seq("group"), "left")
+      .select(col("group"),
+        coalesce(col("hashes"), array().cast("array<long>")).as("hashes"),
+        col("rows_seen"))
       .withColumn("k", lit(k))
   }
 

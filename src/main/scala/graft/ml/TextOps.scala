@@ -314,8 +314,14 @@ object TextOps {
           i => struct(lit(n).as("n"),
             array_join(slice(col("_t"), i, lit(n)), " ").as("gram"))))
         .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    // explode_OUTER + coalesced aggregates: a doc too short for an
+    // n-gram family has coverage 0 and must PASS the gate with a real
+    // verdict row — uncoalesced, top2/top3 were NULL for 1-2-token docs
+    // (pass = NULL, silently dropped by a filter) and a 0-token doc
+    // vanished from the verdict frame entirely
     val tagged = base
-      .select(col(idCol), explode(flatten(array(ns.map(gramsOf): _*))).as("g"))
+      .select(col(idCol),
+        explode_outer(flatten(array(ns.map(gramsOf): _*))).as("g"))
       .select(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
     val cnt = tagged.groupBy(col(idCol), col("n"), col("gram"))
       .agg(count(lit(1)).as("c"))
@@ -323,9 +329,12 @@ object TextOps {
         length(regexp_replace(col("gram"), " ", "")).cast("long"))
     cnt.groupBy(col(idCol))
       .agg(
-        sum(when(col("n") === 1, col("c") * col("gchars"))).as("char_sum"),
-        max(when(col("n") === 2, col("c") * col("gchars"))).as("top2"),
-        max(when(col("n") === 3, col("c") * col("gchars"))).as("top3"),
+        coalesce(sum(when(col("n") === 1, col("c") * col("gchars"))), lit(0L))
+          .as("char_sum"),
+        coalesce(max(when(col("n") === 2, col("c") * col("gchars"))), lit(0L))
+          .as("top2"),
+        coalesce(max(when(col("n") === 3, col("c") * col("gchars"))), lit(0L))
+          .as("top3"),
         coalesce(sum(when(col("n") === 5 && col("c") >= 2,
           col("c") * col("gchars"))), lit(0L)).as("dup5"))
       .select(col(idCol), col("char_sum"),

@@ -51,6 +51,32 @@ class AnnIndexSpec extends AnyFunSuite {
       Ann.prototypePrune(emb, "vec_id", "embedding", 8, 1, 0.0))
   }
 
+  test("a zero-norm centroid cannot swallow the corpus (NaN-desc assignment guard)") {
+    import spark.implicits._
+    // vec_id 0 (< nCentroids) is all-zero: its cosine against every
+    // vector is NaN, which sorts FIRST under desc — pre-r14 the whole
+    // corpus assigned to that one inverted list and IVF pruning
+    // degenerated to a full scan
+    val emb = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),
+      (3L, Seq(0.9f, 0.1f)), (4L, Seq(0.1f, 0.9f)), (5L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf_zero").toString
+    Ann.ivfWriteIndex(emb, "vec_id", "embedding", nCentroids = 3, path = out)
+    val lists = spark.read.parquet(out + "/lists")
+      .groupBy("_c_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(!lists.contains(0), s"zero centroid must hold no list: $lists")
+    assert(lists.values.sum == 5L, s"nonzero vectors all assigned: $lists")
+    // probe answers match brute force on the nonzero corpus
+    val q = Seq(1f, 0f)
+    val ivf = Ann.ivfTopKIndexed(spark, out, "vec_id", q, k = 2, nProbe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding", q, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivf == brute, s"ivf $ivf vs brute $brute")
+  }
+
   test("persisted IVF index: list layout, partition pruning, ad-hoc answer parity") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)

@@ -4077,6 +4077,23 @@ class CompilerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("threshold"), e.getMessage)
   }
 
+  test("ts_cmp value:now + value_shift wires TsCmpNow; 180-day shifts parse (integer interval)") {
+    // old events (2020) discard against now-180d; fresh events stay.
+    // The 180-day shift is the scientific-notation interval regression:
+    // a Double seconds render produced INTERVAL -1.5552E7 SECOND, which
+    // Spark's interval grammar rejects
+    val out = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"t":"2020-01-01T00:00:00Z","m":"old"}""",
+          """{"t":"2099-01-01T00:00:00Z","m":"new"}"""),
+      """decoder: {type: json, schema: "t string, m string"}
+        |actions:
+        |  - type: discard
+        |    do_if: {op: ts_cmp, field: t, cmp_op: lt, value: now,
+        |            value_shift: -4320h}
+        |""".stripMargin)
+    assert(out.size == 1 && out.head.contains("\"m\":\"new\""), out.toString)
+  }
+
   test("loki with address but no message_field fails loudly instead of discarding") {
     val e = intercept[IllegalArgumentException] {
       PipelineCompiler.compile(spark,

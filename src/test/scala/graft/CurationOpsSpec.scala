@@ -155,6 +155,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(3L)._3 >= 2L && out(3L)._5)
   }
 
+  test("massiveTextRepetition: short docs get a real coverage-0 PASS, never NULL or vanish") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "one"), (3L, "one two"),
+      (4L, "one two three")).toDF("doc_id", "text")
+    val out = TextOps.massiveTextRepetition(docs, "doc_id", "text")
+      .select("doc_id", "pass").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getBoolean(1)))
+      .toMap
+    // pre-r14: 1-2 token docs got pass=NULL (silently dropped by a
+    // filter) and the 0-token doc vanished from the verdict frame.
+    // Every doc now gets a REAL boolean: absent n-gram families read
+    // coverage 0 (0- and 1-token docs pass), while a 2-3 token doc's
+    // single bigram/trigram legitimately covers ~all chars and FAILS
+    // the fraction gates — the paper's arithmetic, not a NULL artifact
+    assert(out.size == 4, out.toString)
+    assert(out(1L) == true && out(2L) == true, out.toString)
+    assert(out(3L) == false && out(4L) == false, out.toString)
+  }
+
   test("massiveTextRepetition: char fractions fire per rule, clean prose passes") {
     import spark.implicits._
     val clean = (1 to 30).map(i => s"tok$i").mkString(" ")

@@ -71,6 +71,17 @@ class FunctionsSpec extends AnyFunSuite {
       Seq("0", "1", """{"k":1}""", null, null))
   }
 
+  test("JsonFields: a malformed doc returns ALL-null, even fields delivered before the bad byte") {
+    import graft.functions.JsonFields
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = JsonFields(Literal("x"), Seq("a", "b"))
+    val r = e.extract(UTF8String.fromString("""{"a":1,"b":"\q"}"""))
+    // json_tuple parity: the invalid escape poisons the whole row —
+    // a partially-filled a="1" would diverge from Spark's JsonTuple
+    assert(r.isNullAt(0) && r.isNullAt(1), r.toString)
+  }
+
   test("JsonFields extracts one-pass with json_tuple semantics") {
     import graft.functions.JsonFields
     import org.apache.spark.sql.catalyst.expressions.Literal

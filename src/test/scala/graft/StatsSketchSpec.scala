@@ -135,6 +135,24 @@ class StatsSketchSpec extends AnyFunSuite {
       parts.flatten.distinct.sorted.take(16).toSeq)
   }
 
+  test("kmvMerged keeps a group whose runs carried only empty sketches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // an all-NULL key column sketches to (group, [], rows_seen=N);
+    // merging must keep the group (empty hashes, true rows_seen), not
+    // drop it through an inner join against the exploded hash stream
+    val run = Seq(("g1", "a"), ("g1", "b"))
+      .toDF("grp", "k")
+      .union(Seq(("g2", null.asInstanceOf[String])).toDF("grp", "k"))
+    val idx = graft.ml.Stats.kmvSketch(run, "grp", col("k"), k = 8)
+    val merged = graft.ml.Stats.kmvMerged(idx).collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Long](1).size, r.getLong(2))))
+      .toMap
+    assert(merged("g1") == ((2, 2L)), merged.toString)
+    assert(merged("g2") == ((0, 1L)),
+      s"empty-sketch group must survive the merge: $merged")
+  }
+
   test("KMV sketch: partition-order invariant, merge ≡ one-shot, exact when under-filled") {
     val a = docs.filter(col("doc_id") % 4 === 0)
     val b = docs.filter(col("doc_id") % 4 =!= 0)
