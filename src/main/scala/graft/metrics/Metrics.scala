@@ -18,6 +18,9 @@ object Metrics {
     * metric label sets — count_if per tracked value). */
   def observeAction(df: DataFrame, name: String, labelCol: Option[Column] = None,
                     labelValues: Seq[String] = Nil): DataFrame = {
+    require(labelValues.isEmpty || labelCol.isDefined,
+      s"observe $name: metric label VALUES configured with no label " +
+        "column — the per-value counters would silently never appear")
     val base = Seq(count(lit(1)).as("events_total"))
     val labeled = labelCol match {
       case Some(c) =>

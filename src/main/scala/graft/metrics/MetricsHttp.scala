@@ -154,7 +154,14 @@ object MetricsHttp {
 
     def boundPort: Int = server.getAddress.getPort
     def beginShutdown(): Unit = stopping.set(true)
-    def stop(): Unit = { server.stop(0); pool.shutdown() }
+    def stop(): Unit = {
+      server.stop(0); pool.shutdown()
+      // the sampler's pool too — its non-daemon threads would otherwise
+      // outlive the server and pin the JVM open
+      Option(samplePool).foreach(_.shutdown())
+    }
+
+    @volatile private var samplePool: java.util.concurrent.ExecutorService = null
 
     /** Mount the live `/sample` action watcher (reference: actions get
       * `/pipelines/<name>/<idx>/sample` on the same mux as /metrics,
@@ -162,13 +169,25 @@ object MetricsHttp {
       * must not starve /live — it gets its own thread pool. */
     def attachSampler(spark: org.apache.spark.sql.SparkSession,
                       timeoutMs: Long = 5000L): Unit = {
-      val samplePool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      samplePool = java.util.concurrent.Executors.newFixedThreadPool(2)
       server.createContext("/pipelines", (ex: HttpExchange) =>
         samplePool.submit(new Runnable {
           override def run(): Unit = {
-            val (code, body) = graft.playground.SampleWatch
-              .route(spark, ex.getRequestURI.getPath, timeoutMs)
-            respond(ex, code, body, "application/json")
+            // a replay failure (e.g. the captured doc lacks a field an
+            // action references) must answer 500 — an uncaught throw
+            // dies silently in the FutureTask and the exchange never
+            // closes, hanging the client until its own timeout
+            val (code, body) =
+              try graft.playground.SampleWatch
+                .route(spark, ex.getRequestURI.getPath, timeoutMs)
+              catch {
+                case e: Throwable =>
+                  (500, s"""{"error":${
+                    com.fasterxml.jackson.databind.node.TextNode
+                      .valueOf(String.valueOf(e.getMessage)).toString}}""")
+              }
+            try respond(ex, code, body, "application/json")
+            catch { case _: java.io.IOException => () } // client went away
           }
         }))
     }

@@ -11,12 +11,24 @@ import org.apache.spark.sql.functions._
   */
 final case class FieldPath(parts: Seq[String]) {
   require(parts.nonEmpty, "empty field path")
+  require(parts.forall(_.nonEmpty),
+    s"field path with an empty segment: `${parts.mkString(".")}` — " +
+      "a config typo like `a..b` or a trailing dot would otherwise " +
+      "resolve every row to null silently")
 
   /** JSON path for get_json_object / json-string payloads. */
   def jsonPath: String =
     "$" + parts.map { p =>
       if (p.forall(c => c.isLetterOrDigit || c == '_')) "." + p
-      else s"['$p']"
+      else {
+        // Spark's JSON-path grammar has no escape for these inside
+        // ['…'] — a field named with them is unreachable by
+        // get_json_object; fail loudly instead of matching nothing
+        require(!p.exists(c => c == 0x27.toChar || c == 0x5C.toChar || c == ']'),
+          s"field `$p` contains ' \\ or ] — not expressible as a " +
+            "get_json_object path")
+        s"['$p']"
+      }
     }.mkString
 
   /** Column reference for typed/struct payloads ("a.`b.c`" quoting). */

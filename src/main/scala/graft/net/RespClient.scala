@@ -58,9 +58,14 @@ final class RespClient(host: String, port: Int,
         case Err(m) =>
           // a credential rejection is a server ANSWER, not a transport
           // fault — retrying would misdiagnose it as an outage and
-          // hammer the server through the whole backoff schedule
+          // hammer the server through the whole backoff schedule. The
+          // UNAUTHENTICATED socket must not stay cached, or every later
+          // command would silently reuse it and skip AUTH entirely
+          dropConnection()
           throw new RespClient.RespErrException(s"redis AUTH failed: $m")
-        case other => throw new IOException(s"redis AUTH failed: $other")
+        case other =>
+          dropConnection()
+          throw new IOException(s"redis AUTH failed: $other")
       }
     }
   }

@@ -30,9 +30,10 @@ import org.apache.spark.sql.SparkSession
   * reference's zero-relative clock (playground.go:70-76,256-271);
   * `metrics` renders this server's own Prometheus registry (plays,
   * concurrency events) in the same text format the reference returns.
-  * Runs on the MetricsHttp machinery (loopback HttpServer, ephemeral
-  * port 0) with a thread-per-request pool so the semaphore — not an
-  * executor queue — is the concurrency control.
+  * Same loopback-HttpServer SHAPE as MetricsHttp.Server (own instance,
+  * not shared code: the pools differ deliberately — thread-per-request
+  * here so the semaphore, not an executor queue, is the concurrency
+  * control; MetricsHttp pins a 2-thread pool so probes outrun scrapes).
   */
 object PlaygroundHttp {
 

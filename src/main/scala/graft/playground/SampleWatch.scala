@@ -106,9 +106,11 @@ object SampleWatch {
           after.map(mapper.readTree).getOrElse(mapper.createObjectNode()))
         // replay can observe passed vs discarded; the live-loop-only
         // statuses (held/collapsed/not_matched) are indistinguishable
-        // from replay — documented delta
+        // from replay — documented delta. An event dropped by an action
+        // BEFORE the sampled one never reached it — "discarded", not a
+        // fabricated "passed" over two empty documents
         resp.put("event_status",
-          if (before.isEmpty || after.isDefined) "passed" else "discarded")
+          if (after.isDefined) "passed" else "discarded")
         (200, mapper.writeValueAsString(resp))
     }
   }
