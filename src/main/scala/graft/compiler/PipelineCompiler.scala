@@ -793,7 +793,11 @@ object PipelineCompiler {
     }
 
   /** Rebuild `c` (of type `from`) as type `to`: recursive struct build
-    * with nulls for missing fields, cast for retyped leaves. */
+    * with nulls for missing fields, TRY-cast for retyped leaves — the
+    * unmatched branch of a predicated retyping action (convert_date
+    * with do_if) carries values the new type may not parse, and an
+    * ANSI cast would fail the whole query on one such row; null is the
+    * per-event field-absence shape. */
   private[compiler] def alignDoc(c: Column, from: DataType, to: DataType)
   : Column = (from, to) match {
     case (f, t) if f == t => c
@@ -806,7 +810,7 @@ object PipelineCompiler {
           case None => lit(null).cast(tf.dataType).as(tf.name)
         }
       }: _*)
-    case (_, t) => c.cast(t)
+    case (_, t) => c.try_cast(t.sql)
   }
 
   /** transformWithState rejects the HDFS-backed default store at query

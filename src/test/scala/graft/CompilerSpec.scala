@@ -4052,6 +4052,27 @@ class CompilerSpec extends AnyFunSuite {
     assert(rm.exists(d => d.contains("\"lvl\":\"y\"") && d.contains("\"m\":\"2\"")), rm)
   }
 
+  test("predicated RETYPING action: unmatched rows try-cast to null, never an ANSI crash") {
+    // convert_date retypes t string -> epoch long; the unmatched row's
+    // raw "not-a-date" rides the otherwise-branch — an ANSI cast to
+    // the merged leaf type would fail the whole query on that one row
+    val out = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"lvl":"x","t":"2024-03-05T00:00:01Z"}""",
+          """{"lvl":"y","t":"not-a-date"}"""),
+      """decoder: {type: json, schema: "lvl string, t string"}
+        |actions:
+        |  - type: convert_date
+        |    field: t
+        |    target_format: unixtime
+        |    do_if: {op: equal, field: lvl, values: [x]}
+        |""".stripMargin).sorted
+    assert(out.exists(d => d.contains("\"lvl\":\"x\"") &&
+      d.contains("\"t\":\"1709596801\"")), out.toString)
+    // unmatched: the old string value cannot ride the retyped slot —
+    // null drops the field from the doc (per-event absence)
+    assert(out.exists(d => d.contains("\"lvl\":\"y\"")), out.toString)
+  }
+
   test("batch throttle accepts a sub-second bucket_interval (ms precision like streaming)") {
     // 500ms buckets: events 0ms/100ms share a bucket (limit 1 drops one),
     // the 700ms event starts a new bucket — the old whole-seconds
