@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Per-round benchmark: one JSON line on stdout.
   *
@@ -31,11 +30,6 @@ import org.apache.spark.sql.types._
   * level map → noop sink.
   */
 object Bench {
-
-  private val eventsJsonSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", StringType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
 
   /** The reference-benchmark-shaped pipeline (decode → filter →
     * transform). Decode = the native JsonFields expression: ONE streaming
@@ -214,12 +208,23 @@ object Bench {
     val qMaxSamples = math.max(sweeps,
       sys.env.getOrElse("SPARK_GRAFT_Q_MAX_SAMPLES", "5").toInt)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    final case class QSample(sec: Double, stealPct: Double)
+    final case class QSample(sec: Double, stealPct: Double, ok: Boolean)
     val sampleMap = scala.collection.mutable.LinkedHashMap[String, Vector[QSample]]()
     def qSample(name: String, fn: (SparkSession, String) => DataFrame): Unit = {
       val (t0j, s0, w0) = procStat(); val c0 = cgroupThrottledUsec()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // A crashing query must NOT contribute a fast "timing": without the
+      // ok flag, a post-refactor AnalysisException lands a ~1 ms sample,
+      // its min becomes the reported time, and the artifact reads as an
+      // IMPROVEMENT. Failures are loud (stderr) and excluded from minima;
+      // an all-samples-failed query reports a 999 s sentinel + q_failed.
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ERROR query $name failed: " +
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+          false
+        }
       val sec = (System.nanoTime() - t0) / 1e9
       val (t1j, s1, w1) = procStat(); val c1 = cgroupThrottledUsec()
       val dTotal = math.max(t1j - t0j, 1L)
@@ -227,11 +232,13 @@ object Bench {
         100.0 * ((s1 - s0) + (w1 - w0)) / dTotal,
         (c1 - c0) / 1e4 / math.max(sec, 1e-9))
       sampleMap(name) = sampleMap.getOrElse(name, Vector.empty) :+
-        QSample(sec, stealPct)
+        QSample(sec, stealPct, ok)
     }
+    def okSecs(name: String): Vector[Double] =
+      sampleMap(name).filter(_.ok).map(_.sec)
     // best-two agreement: (2nd-best − best) / best
     def spread2(name: String): Double = {
-      val ss = sampleMap(name).map(_.sec).sorted
+      val ss = okSecs(name).sorted
       if (ss.size < 2 || ss.head <= 0) 0.0 else (ss(1) - ss.head) / ss.head
     }
     for (_ <- 1 to sweeps; (name, fn) <- names) qSample(name, fn)
@@ -245,11 +252,15 @@ object Bench {
       loud = loud.filter { case (n, _) =>
         spread2(n) > noiseBand && sampleMap(n).size < qMaxSamples }
     }
+    val failedNames = names.map(_._1).filter(n => okSecs(n).isEmpty)
+    if (failedNames.nonEmpty)
+      System.err.println(s"[bench] ERROR ${failedNames.size} queries failed " +
+        s"EVERY sample (reported as 999 s sentinels): ${failedNames.mkString(", ")}")
     val results = names.map { case (name, _) =>
-      name -> sampleMap(name).map(_.sec).min }
+      name -> okSecs(name).minOption.getOrElse(999.0) }
     val qSpread = names.map { case (name, _) =>
-      val ss = sampleMap(name).map(_.sec)
-      name -> (if (ss.min > 0) (ss.max - ss.min) / ss.min else 0.0)
+      val ss = okSecs(name)
+      name -> (if (ss.nonEmpty && ss.min > 0) (ss.max - ss.min) / ss.min else 0.0)
     }
     val qSpread2 = names.map { case (name, _) => name -> spread2(name) }
     val qStealMax = names.map { case (name, _) =>
@@ -363,6 +374,8 @@ object Bench {
         f""""q_noisy_count":$qNoisyCount,"q_spread_max":$qSpreadMax%.3f,""" +
         f""""dupspan_shuffle_bytes_string":$dupSpanStrBytes,""" +
         f""""dupspan_shuffle_bytes_fp":$dupSpanFpBytes,""" +
+        f""""q_failed":${failedNames.size},""" +
+        failedNames.map("\"" + _ + "\"").mkString("\"q_failed_names\":[", ",", "],") +
         f""""tp_samples_sec":$tpArr,"corpus_bytes":$corpusBytes,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
@@ -378,7 +391,7 @@ object Bench {
         f""""steal_detected":$stealDetected,"steal_pct_max":$stealPctMax%.2f,""" +
         f""""sweeps":$sweeps,"q_noisy_count":$qNoisyCount,""" +
         f""""q_spread_max":$qSpreadMax%.3f,"q_spread2_max":$qSpread2Max%.3f,""" +
-        f""""q_retries":$retried,""" +
+        f""""q_retries":$retried,"q_failed":${failedNames.size},""" +
         f""""total_sec":$total%.4f,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -231,12 +231,16 @@ object Queries12 {
       rs.getField("n_bytes").cast("long").as("n_bytes"))
   }
 
+  // data_hex = first 64 BYTES, spelled as the hex string's first 128
+  // chars so multibyte text can't drift the oracle from the binary
+  // truncation (fake_first_byte stays char-indexed — decodeStub's
+  // expression IS char-indexed on both engines)
   val q162_sql: String =
     """SELECT doc_id,
       |  CAST(octet_length(encode(text)) % 256 AS INT) AS fake_width,
       |  ascii(substring(text, 1, 1)) AS fake_first_byte,
       |  16 AS w, 4 AS h,
-      |  upper(hex(encode(substring(text, 1, 64)))) AS data_hex,
+      |  upper(left(hex(encode(text)), 128)) AS data_hex,
       |  CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS n_bytes
       |FROM documents""".stripMargin
 

@@ -265,9 +265,17 @@ object Queries2 {
       doc.getField("is_cut").as("is_cut"))
   }
 
+  // char-space spelling of the codepoint-clean BYTE cut (DuckDB strlen
+  // counts bytes, left() counts codepoints; DuckDB 1.0 cannot slice
+  // blobs): keep the maximal codepoint prefix whose byte length fits
+  // the cap — byte-identical to Actions.utf8SafeByteCut. A char count
+  // below bytes/4 can't exceed the cap, so the probe range is bounded.
   val q25_sql: String =
     """SELECT doc_id,
-      |  CASE WHEN strlen(text) > 100 THEN left(text, 100) ELSE text END AS text,
+      |  CASE WHEN strlen(text) > 100 THEN
+      |    left(text, CAST(list_max(list_filter(range(25, 101),
+      |      c -> strlen(left(text, CAST(c AS BIGINT))) <= 100)) AS BIGINT))
+      |  ELSE text END AS text,
       |  strlen(text) > 100 AS is_cut
       |FROM documents""".stripMargin
 

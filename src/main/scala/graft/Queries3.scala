@@ -15,15 +15,45 @@ object Queries3 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  // DuckDB fragment mirroring Dedup.tokenHash.
-  private def sqlHash(e: String): String =
+  // DuckDB fragment mirroring Dedup.tokenHash. Shared with Queries4
+  // (q63/q69 reuse the same candidate construction): ONE copy, so a
+  // tokenizer/hash change cannot silently desynchronize the oracles.
+  private[graft] def sqlHash(e: String): String =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
-  // DuckDB fragment mirroring Dedup.shingles(text, 3).
-  private val sqlShingles3: String =
+  // DuckDB fragment mirroring Dedup.shingles(text, 3). Shared (see above).
+  private[graft] val sqlShingles3: String =
     "list_distinct(list_transform(" +
       "range(1, greatest(len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')) - 2, 1) + 1), " +
       "i -> array_to_string(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')[i:i+2], ' ')))"
+
+  /** Shared minhash-LSH band CTE chain (`sh`,`mh`,`bands`,`e`) + the
+    * candidate-pair SELECT body — the oracle-side mirror of
+    * Dedup.minhashCandidates(shingleN=3, k=9, bands=3, rows=3), used by
+    * q52 directly and by q63/q69/q145 via their `cand` CTE. */
+  private[graft] def minhashBandCtes(k: Int = 9, bands: Int = 3,
+                                     rows: Int = 3): String = {
+    import graft.ml.Dedup
+    val sigs = (0 until k).map { j =>
+      s"list_min(list_transform(s, t -> (${Dedup.hashA(j)} * (${sqlHash("t")} % ${Dedup.P}) " +
+        s"+ ${Dedup.hashB(j)}) % ${Dedup.P})) AS mh_$j"
+    }.mkString(",\n    ")
+    val bandExprs = (0 until bands).map { b =>
+      val parts = (b * rows until (b + 1) * rows)
+        .map(j => s"CAST(mh_$j AS VARCHAR)").mkString(" || ',' || ")
+      s"'$b,' || $parts"
+    }.mkString(", ")
+    s"""sh AS (SELECT doc_id, $sqlShingles3 AS s FROM documents),
+       |mh AS (SELECT doc_id,
+       |    $sigs
+       |  FROM sh),
+       |bands AS (SELECT doc_id, [$bandExprs] AS bks FROM mh),
+       |e AS (SELECT doc_id, unnest(bks) AS bk FROM bands)""".stripMargin
+  }
+
+  private[graft] val minhashCandPairsSql: String =
+    """SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      |FROM e l JOIN e r ON l.bk = r.bk AND l.doc_id < r.doc_id""".stripMargin
 
   // ------------------------------------------------------------- dedup
 
@@ -64,25 +94,9 @@ object Queries3 {
     Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
       shingleN = 3, k = MH_K, bands = MH_BANDS, rows = MH_ROWS)
 
-  val q52_sql: String = {
-    val sigs = (0 until MH_K).map { j =>
-      s"list_min(list_transform(s, t -> (${Dedup.hashA(j)} * (${sqlHash("t")} % ${Dedup.P}) " +
-        s"+ ${Dedup.hashB(j)}) % ${Dedup.P})) AS mh_$j"
-    }.mkString(",\n    ")
-    val bandExprs = (0 until MH_BANDS).map { b =>
-      val parts = (b * MH_ROWS until (b + 1) * MH_ROWS)
-        .map(j => s"CAST(mh_$j AS VARCHAR)").mkString(" || ',' || ")
-      s"'$b,' || $parts"
-    }.mkString(", ")
-    s"""WITH sh AS (SELECT doc_id, $sqlShingles3 AS s FROM documents),
-       |mh AS (SELECT doc_id,
-       |    $sigs
-       |  FROM sh),
-       |bands AS (SELECT doc_id, [$bandExprs] AS bks FROM mh),
-       |e AS (SELECT doc_id, unnest(bks) AS bk FROM bands)
-       |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-       |FROM e l JOIN e r ON l.bk = r.bk AND l.doc_id < r.doc_id""".stripMargin
-  }
+  val q52_sql: String =
+    s"""WITH ${minhashBandCtes(MH_K, MH_BANDS, MH_ROWS)}
+       |$minhashCandPairsSql""".stripMargin
 
   val q53_dedup_simhash: Q = (s, dir) =>
     t(s, dir, "documents").select(
@@ -249,13 +263,18 @@ object Queries3 {
       col("fake_width"), col("fake_first_byte"))
   }
 
+  // head_hex / fake_first_byte are BYTE views of the payload (first 4
+  // bytes / first byte) — spelled via whole-blob hex, not substring(text)
+  // which counts CODEPOINTS and would diverge on multibyte text (DuckDB
+  // 1.0 cannot slice blobs directly)
   val q59_sql: String =
     """SELECT doc_id,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |  md5(text) AS content_hash,
-      |  upper(hex(encode(substring(text, 1, 4)))) AS head_hex,
+      |  upper(left(hex(encode(text)), 8)) AS head_hex,
       |  CAST(octet_length(encode(text)) % 256 AS INT) AS fake_width,
-      |  ascii(substring(text, 1, 1)) AS fake_first_byte
+      |  CASE WHEN octet_length(encode(text)) > 0
+      |    THEN ('0x' || left(hex(encode(text)), 2))::INT END AS fake_first_byte
       |FROM documents""".stripMargin
 
   val q61_mm_slices: Q = (s, dir) => {
@@ -266,11 +285,14 @@ object Queries3 {
         sl => upper(hex(sl))), "|").as("frames"))
   }
 
+  // BYTE slices spelled over the hex string (2 hex chars per byte) so
+  // the oracle stays byte-true on multibyte text — substring(text, …)
+  // counts codepoints and would drift from the binary substr
   val q61_sql: String =
     """SELECT doc_id,
       |  array_to_string(list_transform(range(0, 4),
-      |    i -> upper(hex(encode(substring(text,
-      |           CAST(i * (octet_length(encode(text)) // 4) + 1 AS INT), 8))))), '|') AS frames
+      |    i -> upper(substring(hex(encode(text)),
+      |           CAST(i * (octet_length(encode(text)) // 4) * 2 + 1 AS BIGINT), 16))), '|') AS frames
       |FROM documents""".stripMargin
 
   // ------------------------------------------- joins / window / top-k

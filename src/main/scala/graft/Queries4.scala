@@ -199,31 +199,12 @@ object Queries4 {
         size(array_union(col("sh_a"), col("sh_b"))).as("uni"))
   }
 
-  val q63_sql: String = {
-    import graft.ml.Dedup
-    val sigs = (0 until 9).map { j =>
-      s"list_min(list_transform(s, t -> (${Dedup.hashA(j)} * " +
-        s"(('0x' || substr(md5(t), 1, 15))::BIGINT % ${Dedup.P}) " +
-        s"+ ${Dedup.hashB(j)}) % ${Dedup.P})) AS mh_$j"
-    }.mkString(",\n    ")
-    val bandExprs = (0 until 3).map { b =>
-      val parts = (b * 3 until (b + 1) * 3)
-        .map(j => s"CAST(mh_$j AS VARCHAR)").mkString(" || ',' || ")
-      s"'$b,' || $parts"
-    }.mkString(", ")
-    val shingles =
-      "list_distinct(list_transform(" +
-        "range(1, greatest(len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')) - 2, 1) + 1), " +
-        "i -> array_to_string(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')[i:i+2], ' ')))"
-    s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents),
-       |mh AS (SELECT doc_id,
-       |    $sigs
-       |  FROM sh),
-       |bands AS (SELECT doc_id, [$bandExprs] AS bks FROM mh),
-       |e AS (SELECT doc_id, unnest(bks) AS bk FROM bands),
+  val q63_sql: String =
+    // band CTEs + pair body shared with q52's oracle (Queries3) — one
+    // copy of the LSH construction; q69/q145 slice this text further
+    s"""WITH ${Queries3.minhashBandCtes()},
        |cand AS (
-       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-       |  FROM e l JOIN e r ON l.bk = r.bk AND l.doc_id < r.doc_id)
+       |  ${Queries3.minhashCandPairsSql.replace("\n", "\n  ")})
        |SELECT c.id_a, c.id_b,
        |  len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS inter,
        |  len(sa.s) + len(sb.s) -
@@ -231,7 +212,6 @@ object Queries4 {
        |FROM cand c
        |JOIN sh sa ON sa.doc_id = c.id_a
        |JOIN sh sb ON sb.doc_id = c.id_b""".stripMargin
-  }
 
   /** Near-dup clustering: LSH candidate pairs → connected components →
     * per-doc cluster label + the canonical keep/drop decision (keep the

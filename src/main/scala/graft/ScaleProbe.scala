@@ -35,10 +35,16 @@ object ScaleProbe {
     }
     spark.sparkContext.addSparkListener(l)
     val t0 = System.nanoTime()
-    val rows = try { val r = run; Thread.sleep(800); r } // listener bus drain
-      finally spark.sparkContext.removeSparkListener(l)
-    Metrics((System.nanoTime() - t0) / 1e9, bytes.get(),
-      peak.get() >> 20, rows)
+    // wall stops BEFORE the listener-bus drain sleep: a constant 0.8 s
+    // inside the timed window inflated every cell and flattened the
+    // x10/base ratios this probe exists to report (fast cells worst)
+    val (rows, wall) = try {
+      val r = run
+      val w = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(800) // listener bus drain (untimed)
+      (r, w)
+    } finally spark.sparkContext.removeSparkListener(l)
+    Metrics(wall, bytes.get(), peak.get() >> 20, rows)
   }
 
   def main(args: Array[String]): Unit = {

@@ -104,6 +104,9 @@ object ConfigLoader {
       out
     case t if t.isTextual =>
       val s = t.asText()
+      // ReplaceAll, not a prefix-strip: envs.go:14-17 replaces EVERY
+      // `\env(` occurrence once the value starts with one (and vault.go
+      // likewise) — reference-exact, deliberately not "cleaner"
       if (s.startsWith("\\env(")) new TextNode(s.replace("\\env(", "env("))
       else if (s.startsWith("\\vault(")) new TextNode(s.replace("\\vault(", "vault("))
       else if (s.startsWith("env(") && s.endsWith(")")) {

@@ -823,6 +823,17 @@ object PipelineCompiler {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
   }
 
+  /** Does a nested path resolve against a doc type? The reference's
+    * Dig-miss probe for actions whose semantics on a missing field are
+    * "skip", not "fail analysis" (rename sources, set_time target). */
+  private[compiler] def hasPath(t: DataType, parts: List[String]): Boolean =
+    (t, parts) match {
+      case (_, Nil) => true
+      case (s: StructType, p :: rest) =>
+        s.fields.find(_.name == p).exists(f => hasPath(f.dataType, rest))
+      case _ => false
+    }
+
   /** Loud missing-required-field error (the house convention — a bare
     * NullPointerException from `.get(f).asLong()` names nothing). */
   private[compiler] def requiredLong(n: JsonNode, field: String,
@@ -1050,8 +1061,8 @@ object PipelineCompiler {
         src1.withColumn("_cut_off",
             octet_length(col("value")) > maxEventSize)
           .withColumn("value", when(col("_cut_off"),
-            substring(col("value").cast("binary"), 1, maxEventSize)
-              .cast("string")).otherwise(col("value")))
+            graft.operators.Actions.utf8SafeByteCut(col("value"), maxEventSize))
+            .otherwise(col("value")))
       else src1.filter(octet_length(col("value")) <= maxEventSize)
 
     // decode: value → doc struct. The reference spells the decoder
@@ -2627,10 +2638,12 @@ object PipelineCompiler {
         guarded(Actions.addFileName(doc, col("source_name"),
           Option(action.get("field")).map(_.asText()).getOrElse("file_name")))
       case "set_time" =>
-        guarded(Actions.setTime(doc,
-          Option(action.get("field")).map(_.asText()).getOrElse("time"),
+        val stField = Option(action.get("field")).map(_.asText()).getOrElse("time")
+        guarded(Actions.setTime(doc, stField,
           Option(action.get("format")).map(_.asText()).getOrElse("rfc3339"),
-          override_ = Option(action.get("override")).forall(_.asBoolean())))
+          override_ = Option(action.get("override")).forall(_.asBoolean()),
+          fieldExists = PipelineCompiler.hasPath(
+            df.schema("doc").dataType, List(stField))))
       case "convert_date" =>
         guarded(Actions.convertDate(doc,
           FieldPath.parse(Option(action.get("field")).map(_.asText()).getOrElse("time")),
@@ -2649,12 +2662,32 @@ object PipelineCompiler {
         // starting with "_" sheds ONE leading underscore — "___HOSTNAME"
         // targets field "_HOSTNAME", "_HOSTNAME" targets "HOSTNAME"
         def unesc(k: String) = if (k.startsWith("_")) k.substring(1) else k
+        val docType = df.schema("doc").dataType
         val renames = action.get("fields").properties().asScala.toSeq
           .map(e => FieldPath.parse(unesc(e.getKey)) -> e.getValue.asText())
-        val over = Option(action.get("override")).forall(_.asBoolean())
-        guarded(Actions.rename(doc, renames, over))
+          // Dig-miss source → the reference `continue`s the pair
+          // (rename.go Do); a schema-absent source is absent on every
+          // row, and getField on it would fail the query at analysis
+          .filter { case (from, _) =>
+            PipelineCompiler.hasPath(docType, from.parts.toList) }
+        // reference default is override=FALSE (rename.go Start:
+        // preserveFields when the key is absent or "false")
+        val over = Option(action.get("override")).exists(_.asBoolean())
+        val tops = docType match {
+          case s: StructType => Some(s.fieldNames.toSet)
+          case _ => None
+        }
+        guarded(Actions.rename(doc, renames, over, tops))
       case "remove_fields" => guarded(Actions.removeFields(doc, paths("fields")))
-      case "keep_fields"   => guarded(Actions.keepFields(doc, paths("fields")))
+      case "keep_fields"   =>
+        // Dig-miss keeps are skipped (the reference simply never finds
+        // them to keep); the tracked schema also pins the reference's
+        // original-field-order output
+        val kfType = df.schema("doc").dataType
+        guarded(Actions.keepFields(doc,
+          paths("fields").filter(p =>
+            PipelineCompiler.hasPath(kfType, p.parts.toList)),
+          Some(kfType)))
       case "modify" =>
         val sets = action.get("fields").properties().asScala.toSeq
           .map(e => e.getKey -> e.getValue.asText())

@@ -43,11 +43,16 @@ object Actions {
   def addFileName(doc: Column, sourceName: Column, field: String = "file_name"): Column =
     doc.withField(field, sourceName)
 
-  /** set_time (plugin/action/set_time/set_time.go:66-93). */
+  /** set_time (plugin/action/set_time/set_time.go:66-93). `fieldExists`
+    * comes from the compiler's tracked doc schema: when the time field
+    * is not in the schema at all, override=false must still SET it
+    * (that is the case the option exists for) — `getField` on a missing
+    * field would otherwise fail the whole query at analysis. */
   def setTime(doc: Column, field: String, format: String, override_ : Boolean,
-              now: Column = current_timestamp()): Column = {
+              now: Column = current_timestamp(),
+              fieldExists: Boolean = true): Column = {
     val rendered = XTime.format(now, format)
-    if (override_) doc.withField(field, rendered)
+    if (override_ || !fieldExists) doc.withField(field, rendered)
     else doc.withField(field, coalesce(doc.getField(field), rendered))
   }
 
@@ -85,35 +90,69 @@ object Actions {
     * per-row, so the source FIELD stays in the schema and is nulled
     * only where the move happened (a null field drops from the
     * serialized doc, observably the reference's skip). A self-rename
-    * (from == to) is a no-op like the reference. */
+    * (from == to) is a no-op like the reference.
+    *
+    * `topNames` is the compiler's tracked set of top-level doc fields
+    * (targets are plain names — rename.go Digs `p.names[index]` with a
+    * single segment): a target NOT in the schema is unoccupied on every
+    * row, so the pair renames unconditionally — probing it with
+    * `getField` would fail the whole query at analysis, crashing the
+    * common rename-to-a-NEW-name case. The set evolves across pairs so
+    * a later pair sees fields earlier pairs created or dropped. */
   def rename(doc: Column, renames: Seq[(FieldPath, String)],
-             override_ : Boolean = true): Column =
-    renames.foldLeft(doc) { case (d, (from, to)) =>
-      if (nested(from) == to) d
+             override_ : Boolean = true,
+             topNames: Option[Set[String]] = None): Column =
+    renames.foldLeft((doc, topNames)) { case ((d, names), (from, to)) =>
+      if (nested(from) == to) (d, names)
       else {
         val v = getPath(d, from)
-        if (override_) d.withField(to, v).dropFields(nested(from))
+        val fromTop = if (from.parts.size == 1) Seq(from.parts.head) else Nil
+        def moved = (d.withField(to, v).dropFields(nested(from)),
+          names.map(s => s -- fromTop + to))
+        if (override_) moved
+        else if (names.exists(!_.contains(to))) moved // target not in schema
         else {
           val tgt = d.getField(to)
-          d.withField(to, coalesce(tgt, v))
+          (d.withField(to, coalesce(tgt, v))
             .withField(nested(from),
-              when(tgt.isNotNull, v)) // keep the source when SKIPPED
+              when(tgt.isNotNull, v)), // keep the source when SKIPPED
+            names.map(_ + to))
         }
       }
-    }
+    }._1
 
   /** remove_fields (plugin/action/remove_fields/remove_fields.go:97). */
   def removeFields(doc: Column, fields: Seq[FieldPath]): Column =
     doc.dropFields(fields.map(nested): _*)
 
   /** keep_fields (plugin/action/keep_fields/keep_fields.go:62): project to
-    * the listed (possibly nested) paths, preserving nesting. */
-  def keepFields(doc: Column, fields: Seq[FieldPath]): Column = {
+    * the listed (possibly nested) paths, preserving nesting. The
+    * reference DELETES non-kept fields in place (traverseFieldsTree), so
+    * kept fields keep the EVENT's original order — with `docType` (the
+    * compiler's tracked doc schema) the rebuilt struct preserves that
+    * order at every level; without it the fallback is a deterministic
+    * name sort (direct-API callers whose downstream is order-blind). */
+  def keepFields(doc: Column, fields: Seq[FieldPath],
+                 docType: Option[org.apache.spark.sql.types.DataType] = None)
+  : Column = {
     // Group top-level keys; nested keeps rebuild one level down.
     val byHead = fields.groupBy(_.parts.head)
-    struct(byHead.toSeq.sortBy(_._1).map { case (head, paths) =>
+    val ordered = docType match {
+      case Some(s: org.apache.spark.sql.types.StructType) =>
+        val idx = s.fieldNames.zipWithIndex.toMap
+        byHead.toSeq.sortBy { case (h, _) => (idx.getOrElse(h, Int.MaxValue), h) }
+      case _ => byHead.toSeq.sortBy(_._1)
+    }
+    struct(ordered.map { case (head, paths) =>
       if (paths.exists(_.parts.size == 1)) doc.getField(head).as(head)
-      else keepFields(doc.getField(head), paths.map(p => FieldPath(p.parts.tail))).as(head)
+      else {
+        val childType = docType.collect {
+          case s: org.apache.spark.sql.types.StructType =>
+            s.find(_.name == head).map(_.dataType)
+        }.flatten
+        keepFields(doc.getField(head),
+          paths.map(p => FieldPath(p.parts.tail)), childType).as(head)
+      }
     }: _*)
   }
 
@@ -283,6 +322,29 @@ object Actions {
     exploded.unionByName(passthrough, allowMissingColumns = true)
   }
 
+  /** Longest CODEPOINT-CLEAN byte prefix of `src` holding at most
+    * `limit` bytes: a byte cut is clean iff the byte after it is not a
+    * UTF-8 continuation byte (0x80..0xBF), so at most 3 walk-back
+    * steps decide the cut length. Spark's binary comparison is
+    * unsigned lexicographic, making the single-byte range test exact.
+    * The reference truncates raw bytes mid-rune (pipeline.go:566) —
+    * here the tail partial codepoint is dropped too, keeping the value
+    * a VALID string (a mid-rune cut would smuggle invalid UTF-8 into
+    * parquet/tokenizers downstream); documented delta, ≤3 bytes. */
+  def utf8SafeByteCut(src: Column, limit: Int): Column = {
+    val bin = src.cast("binary")
+    def cont(i: Int): Column = {
+      val b = substring(bin, i, 1)
+      b >= lit(Array(0x80.toByte)) && b <= lit(Array(0xbf.toByte))
+    }
+    val cutLen =
+      when(!cont(limit + 1), lit(limit))
+        .when(!cont(limit), lit(limit - 1))
+        .when(!cont(limit - 1), lit(limit - 2))
+        .otherwise(lit(limit - 3))
+    bin.substr(lit(1), greatest(lit(0), cutLen)).cast("string")
+  }
+
   /** max_event_size / cut_off_event_by_limit
     * (pipeline/pipeline.go:553-580): truncate oversized payloads, mark
     * with a flag field. */
@@ -292,10 +354,10 @@ object Actions {
     val over = octet_length(src) > limitBytes
     // BYTE-wise cut (the limit is bytes): a character substring would
     // leave multibyte payloads up to 3× over the cap it claims to
-    // enforce — same binary round-trip as the compiler's intake path
+    // enforce. Codepoint-clean (utf8SafeByteCut) so the cut value stays
+    // valid UTF-8 — mirrored in the q25 oracle's char-space spelling.
     val cut = doc.withField(field, when(over,
-      substring(src.cast("binary"), 1, limitBytes).cast("string"))
-      .otherwise(src))
+      utf8SafeByteCut(src, limitBytes)).otherwise(src))
     flagField.map(f => cut.withField(f, over)).getOrElse(cut)
   }
 }

@@ -1117,6 +1117,61 @@ class CompilerSpec extends AnyFunSuite {
     assert(ej.getMessage.contains("not string"), ej.getMessage)
   }
 
+  test("rename/set_time: missing targets don't crash; rename default is preserve") {
+    // rename override=false to a NEW name — the common case; getField
+    // on the missing target used to fail the whole query at analysis
+    val rn = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"ts":"x","a":1}"""),
+      """decoder: {type: json, schema: "ts string, a bigint"}
+        |actions:
+        |  - type: rename
+        |    override: false
+        |    fields: {ts: timestamp}
+        |""".stripMargin).head
+    assert(rn.contains("\"timestamp\":\"x\"") && !rn.contains("\"ts\""), rn)
+    // reference default is override=FALSE (rename.go Start: preserveFields
+    // when the key is absent) — an occupied target SKIPS the pair
+    val dflt = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"a":"keep","b":"orig"}"""),
+      """decoder: {type: json, schema: "a string, b string"}
+        |actions:
+        |  - type: rename
+        |    fields: {a: b}
+        |""".stripMargin).head
+    assert(dflt.contains("\"a\":\"keep\"") && dflt.contains("\"b\":\"orig\""), dflt)
+    // a schema-absent SOURCE is the reference's Dig-miss `continue`
+    val miss = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"a":"v"}"""),
+      """decoder: {type: json, schema: "a string"}
+        |actions:
+        |  - type: rename
+        |    fields: {nope: renamed, a: b}
+        |""".stripMargin).head
+    assert(miss.contains("\"b\":\"v\"") && !miss.contains("renamed"), miss)
+    // set_time override=false with the field NOT in the schema must SET
+    // it (that is the case the option exists for), not fail analysis
+    val st = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"a":1}"""),
+      """decoder: {type: json, schema: "a bigint"}
+        |actions:
+        |  - type: set_time
+        |    field: t
+        |    override: false
+        |    format: unixtime
+        |""".stripMargin).head
+    assert(st.contains("\"t\":1"), st) // unixtime renders numeric
+    // keep_fields preserves the EVENT's field order (the reference
+    // deletes non-kept fields in place) and skips Dig-miss keeps
+    val kf = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"z":"1","m":"2","a":"3"}"""),
+      """decoder: {type: json, schema: "z string, m string, a string"}
+        |actions:
+        |  - type: keep_fields
+        |    fields: [a, z, nope]
+        |""".stripMargin).head
+    assert(kf.indexOf("\"z\"") < kf.indexOf("\"a\"") && !kf.contains("nope"), kf)
+  }
+
   test("action edge semantics: nested paths, rename skip, move merge, flatten, byte cut") {
     import graft.operators.Actions
     import graft.model.FieldPath
@@ -1159,10 +1214,21 @@ class CompilerSpec extends AnyFunSuite {
       .selectExpr("d.a", "d.b").collect().head
     assert(fl.getString(0) == "1" && fl.getString(1) == "2", fl.toString)
     // cut_off truncates BYTES (multibyte payloads stayed over the cap)
+    // and lands on a CODEPOINT boundary (no invalid-UTF-8 tail byte)
     val co = doc1("""{"m":"ααααα"}""", "m string")
       .select(Actions.cutOffByLimit(col("doc"), "m", 4, None).as("d"))
-      .selectExpr("octet_length(d.m)").collect().head.getInt(0)
-    assert(co <= 4, s"still $co bytes")
+      .selectExpr("d.m").collect().head.getString(0)
+    assert(co == "αα", s"got '$co' (${co.getBytes("UTF-8").length} bytes)")
+    // odd cap: 3 bytes fits one 2-byte α, cleanly
+    val co3 = doc1("""{"m":"ααααα"}""", "m string")
+      .select(Actions.cutOffByLimit(col("doc"), "m", 3, None).as("d"))
+      .selectExpr("d.m").collect().head.getString(0)
+    assert(co3 == "α", s"got '$co3'")
+    // 4-byte emoji at the cut point is dropped whole
+    val co4 = doc1("""{"m":"ab😀cd"}""", "m string")
+      .select(Actions.cutOffByLimit(col("doc"), "m", 4, None).as("d"))
+      .selectExpr("d.m").collect().head.getString(0)
+    assert(co4 == "ab", s"got '$co4'")
     // xxhash64 of no-input events is null, not the seed constant "42"
     val hx = doc1("""{"other":"x"}""", "other string, f string")
       .select(Actions.hashAction(col("doc"), Seq(FieldPath.parse("f")),
