@@ -19,7 +19,11 @@ object BenchProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     def corpus(replicate: Int): (String, Long) = {
-      val nd = s"/tmp/graft_probe_rep$replicate"
+      // cache key carries the SF dir (Bench's nd-path pattern): keyed on
+      // replicate alone, a corpus built from one SF was silently reused
+      // when the probe ran against another
+      val nd = s"/tmp/graft_probe_rep${replicate}_" +
+        sfDir.replaceAll("[^A-Za-z0-9.]", "_")
       if (!new java.io.File(nd, "_SUCCESS").exists()) {
         val ev = Tables(spark, sfDir, "events")
         ev.crossJoin(spark.range(replicate))

@@ -182,7 +182,7 @@ object Queries10 {
   val q144_ann_index: Q = (s, dir) => {
     val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
       .head().getSeq[Float](1)
-    val out = java.nio.file.Files.createTempDirectory("graft_q144_ivf").toString
+    val out = graft.TempDirs.create("graft_q144_ivf")
     graft.ml.Ann.ivfWriteIndex(
       t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
       "vec_id", "embedding", nCentroids = 8, path = out)

@@ -35,9 +35,8 @@ object Queries11 {
   }
 
   val q145_sql: String = {
-    val candCte = Queries4.q63_sql
-      .substring(0, Queries4.q63_sql.indexOf("SELECT c.id_a"))
-      .trim.stripPrefix("WITH ")
+    // candidate pairs via the same named fragment as q52/q63/q69
+    val candCte = Queries3.minhashCandCtes
     s"""WITH RECURSIVE $candCte,
        |nodes AS (SELECT id_a AS node FROM cand UNION SELECT id_b FROM cand),
        |edges AS (SELECT id_a AS u, id_b AS v FROM cand
@@ -149,7 +148,7 @@ object Queries11 {
   val q147_ann_ivf_append: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
-    val out = java.nio.file.Files.createTempDirectory("graft_q147_ivf").toString
+    val out = graft.TempDirs.create("graft_q147_ivf")
     graft.ml.Ann.ivfWriteIndex(
       emb.filter(col("vec_id") =!= 0 &&
         (col("vec_id") <= 8 || col("vec_id") % 2 === 0)),
@@ -171,7 +170,7 @@ object Queries11 {
   val q148_ann_pq_index: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
-    val out = java.nio.file.Files.createTempDirectory("graft_q148_pq").toString
+    val out = graft.TempDirs.create("graft_q148_pq")
     graft.ml.Ann.pqWriteIndex(
       emb.filter(col("vec_id") =!= 0 &&
         (col("vec_id") <= 16 || col("vec_id") % 2 === 0)),
@@ -268,7 +267,7 @@ object Queries11 {
   val q150_ann_ivfpq_index: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
-    val out = java.nio.file.Files.createTempDirectory("graft_q150_ivfpq").toString
+    val out = graft.TempDirs.create("graft_q150_ivfpq")
     graft.ml.Ann.ivfpqWriteIndex(
       emb.filter(col("vec_id") =!= 0 &&
         (col("vec_id") <= 16 || col("vec_id") % 2 === 0)),
@@ -370,23 +369,7 @@ object Queries11 {
       .select(col("doc_id"))
 
   val q152_sql: String = {
-    val sw = graft.ml.TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
-    s"""WITH gop AS (
-       |  SELECT doc_id FROM (
-       |    SELECT doc_id,
-       |      CAST(len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS n_tok,
-       |      CAST(len(regexp_replace(text, '[ \t\n\r\f]', '', 'g')) AS BIGINT) AS char_sum,
-       |      CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''),
-       |        t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT) AS alpha_cnt,
-       |      CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''))) AS BIGINT)
-       |        AS distinct_cnt,
-       |      CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''),
-       |        t -> list_contains([$sw], t))) AS BIGINT) AS stop_hits
-       |    FROM documents)
-       |  WHERE (n_tok BETWEEN 5 AND 100000)
-       |    AND ((char_sum * 100) // greatest(n_tok, 1) BETWEEN 300 AND 1000)
-       |    AND (alpha_cnt * 1000) // greatest(n_tok, 1) >= 800 AND stop_hits >= 2
-       |    AND (distinct_cnt * 1000) // greatest(n_tok, 1) >= 300),
+    s"""WITH ${Queries9.gopherGateCte(5)},
        |g1 AS (
        |  SELECT d.doc_id, d.text, d.source FROM documents d JOIN gop USING (doc_id)),
        |${ccnetCtes("g1")},

@@ -279,11 +279,12 @@ object Queries12 {
   // --------------- winnowing near-dup candidates + stop-fp cap (q164)
 
   /** Near-dup candidate pairs by shared winnowed fingerprints, with
-    * the stop-fingerprint document-frequency cap BINDING: half the
-    * corpus carries one ubiquitous boilerplate sentence (doc freq ≈
-    * 250 ≫ the cap of 100 → its fingerprints are dropped, else every
-    * even doc would pair with every even doc), while every 9th doc
-    * carries a rarer copied sentence (≈ 56 docs ≤ cap → those pairs
+    * the stop-fingerprint document-frequency cap BINDING AT EVERY SF:
+    * half the SLICE carries one ubiquitous boilerplate sentence (doc
+    * freq 50 at the 500-doc gate SFs, 500 at sf0.1 — both > the cap of
+    * 40 → its fingerprints are dropped, else every even doc would pair
+    * with every even doc), while every 9th doc carries a rarer copied
+    * sentence (doc_id % 45 = 0 → ~12/~23 docs ≤ cap → those pairs
     * survive with their shared counts). The corpus slice (every 5th
     * doc) keeps the pair table SELECTIVE at every SF — the synthetic
     * word pool is so small that full-corpus 8-char-gram overlap is
@@ -301,7 +302,7 @@ object Queries12 {
       t(s, dir, "documents").filter(pmod(col("doc_id"), lit(5)) === 0)
         .select(col("doc_id"), deco.as("text")),
       "doc_id", "text", k = FP_K, w = FP_W,
-      minShared = 5L, maxDocFreq = 100L)
+      minShared = 5L, maxDocFreq = 40L)
   }
 
   val q164_sql: String = {
@@ -331,7 +332,7 @@ object Queries12 {
        |freq AS (SELECT fp, count(*) AS dfreq FROM fp GROUP BY fp),
        |keep AS (
        |  SELECT f.doc_id, f.fp FROM fp f
-       |  JOIN freq d ON d.fp = f.fp WHERE d.dfreq <= 100)
+       |  JOIN freq d ON d.fp = f.fp WHERE d.dfreq <= 40)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(count(*) AS BIGINT) AS shared
        |FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id

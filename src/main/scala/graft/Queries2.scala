@@ -675,7 +675,7 @@ object Queries2 {
   val q44_sql: String =
     """WITH b AS (
       |  SELECT event_id, user_id,
-      |    CAST(epoch(ts) AS BIGINT) // 604800 AS bkt
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS bkt
       |  FROM events),
       |counts AS (
       |  SELECT user_id, bkt, COUNT(*) AS n FROM b GROUP BY 1, 2),

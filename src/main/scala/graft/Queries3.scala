@@ -55,6 +55,16 @@ object Queries3 {
     """SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       |FROM e l JOIN e r ON l.bk = r.bk AND l.doc_id < r.doc_id""".stripMargin
 
+  /** Band CTEs + a `cand` CTE of the candidate pairs — the named block
+    * q63/q69/q145 compose (q69/q145 used to substring-slice q63's SQL
+    * text at indexOf("SELECT c.id_a"), which would turn any rewording
+    * of q63's projection into an ExceptionInInitializerError for the
+    * whole registry). */
+  private[graft] val minhashCandCtes: String =
+    s"""${minhashBandCtes()},
+       |cand AS (
+       |  ${minhashCandPairsSql.replace("\n", "\n  ")})""".stripMargin
+
   // ------------------------------------------------------------- dedup
 
   val q50_dedup_exact: Q = (s, dir) =>

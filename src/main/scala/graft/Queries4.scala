@@ -200,11 +200,9 @@ object Queries4 {
   }
 
   val q63_sql: String =
-    // band CTEs + pair body shared with q52's oracle (Queries3) — one
-    // copy of the LSH construction; q69/q145 slice this text further
-    s"""WITH ${Queries3.minhashBandCtes()},
-       |cand AS (
-       |  ${Queries3.minhashCandPairsSql.replace("\n", "\n  ")})
+    // band CTEs + cand block shared with q52/q69/q145's oracles
+    // (Queries3.minhashCandCtes) — one copy of the LSH construction
+    s"""WITH ${Queries3.minhashCandCtes}
        |SELECT c.id_a, c.id_b,
        |  len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS inter,
        |  len(sa.s) + len(sb.s) -
@@ -230,9 +228,8 @@ object Queries4 {
   }
 
   val q69_sql: String = {
-    // same candidate-pair construction as q63's oracle
-    val candCte = q63_sql.substring(0, q63_sql.indexOf("SELECT c.id_a"))
-      .trim.stripPrefix("WITH ")
+    // same candidate-pair construction as q63's oracle (named fragment)
+    val candCte = Queries3.minhashCandCtes
     s"""WITH RECURSIVE $candCte,
        |nodes AS (SELECT id_a AS node FROM cand UNION SELECT id_b FROM cand),
        |edges AS (SELECT id_a AS u, id_b AS v FROM cand

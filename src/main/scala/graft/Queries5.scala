@@ -191,7 +191,7 @@ object Queries5 {
   val q87_sql: String =
     """WITH ne AS (
       |  SELECT event_id, user_id,
-      |    CAST(epoch(ts) AS BIGINT) // 604800 AS bkt
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS bkt
       |  FROM events WHERE event_type <> 'error'),
       |counts AS (
       |  SELECT user_id, bkt, COUNT(*) AS n FROM ne GROUP BY 1, 2),

@@ -353,7 +353,7 @@ object Queries9 {
   val q129_sql: String =
     """WITH b AS (
       |  SELECT event_id, user_id,
-      |    CAST(epoch(ts) AS BIGINT) // 604800 AS bkt
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS bkt
       |  FROM events),
       |counts AS (
       |  SELECT user_id, bkt, COUNT(*) AS n FROM b GROUP BY 1, 2),
@@ -475,7 +475,7 @@ object Queries9 {
       |  SELECT event_id, user_id, event_type,
       |    CASE event_type WHEN 'error' THEN 0 WHEN 'view' THEN 4
       |      WHEN 'signup' THEN -1 ELSE 12 END AS thr,
-      |    CAST(epoch(ts) AS BIGINT) // 604800 AS bkt
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS bkt
       |  FROM events),
       |counts AS (
       |  SELECT user_id, bkt, COUNT(*) AS n FROM b WHERE thr > 0
@@ -515,9 +515,12 @@ object Queries9 {
          |""".stripMargin)
       .select(col("doc_id"))
 
-  val q134_sql: String = {
+  /** The q121 gopher gate as a survivors CTE (`gop`) — ONE oracle
+    * spelling shared by the three capstone chains (q134/q135/q152); a
+    * threshold or tokenizer change edits exactly one place. */
+  private[graft] def gopherGateCte(minTok: Int): String = {
     val sw = graft.ml.TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
-    s"""WITH gop AS (
+    s"""gop AS (
       |  SELECT doc_id FROM (
       |    SELECT doc_id,
       |      CAST(len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS n_tok,
@@ -529,10 +532,14 @@ object Queries9 {
       |      CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''),
       |        t -> list_contains([$sw], t))) AS BIGINT) AS stop_hits
       |    FROM documents)
-      |  WHERE (n_tok BETWEEN 5 AND 100000)
+      |  WHERE (n_tok BETWEEN $minTok AND 100000)
       |    AND ((char_sum * 100) // greatest(n_tok, 1) BETWEEN 300 AND 1000)
       |    AND (alpha_cnt * 1000) // greatest(n_tok, 1) >= 800 AND stop_hits >= 2
-      |    AND (distinct_cnt * 1000) // greatest(n_tok, 1) >= 300),
+      |    AND (distinct_cnt * 1000) // greatest(n_tok, 1) >= 300)""".stripMargin
+  }
+
+  val q134_sql: String = {
+    s"""WITH ${gopherGateCte(5)},
       |rtoks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '') AS w
       |          FROM documents),
       |rg AS (
@@ -641,23 +648,7 @@ object Queries9 {
       .select(col("doc_id"))
 
   val q135_sql: String = {
-    val sw = graft.ml.TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
-    s"""WITH gop AS (
-      |  SELECT doc_id FROM (
-      |    SELECT doc_id,
-      |      CAST(len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS n_tok,
-      |      CAST(len(regexp_replace(text, '[ \t\n\r\f]', '', 'g')) AS BIGINT) AS char_sum,
-      |      CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''),
-      |        t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT) AS alpha_cnt,
-      |      CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''))) AS BIGINT)
-      |        AS distinct_cnt,
-      |      CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'), t -> t <> ''),
-      |        t -> list_contains([$sw], t))) AS BIGINT) AS stop_hits
-      |    FROM documents)
-      |  WHERE (n_tok BETWEEN 5 AND 100000)
-      |    AND ((char_sum * 100) // greatest(n_tok, 1) BETWEEN 300 AND 1000)
-      |    AND (alpha_cnt * 1000) // greatest(n_tok, 1) >= 800 AND stop_hits >= 2
-      |    AND (distinct_cnt * 1000) // greatest(n_tok, 1) >= 300),
+    s"""WITH ${gopherGateCte(5)},
       |g1 AS (
       |  SELECT d.doc_id, d.text FROM documents d JOIN gop USING (doc_id)),
       |seg AS (
@@ -726,7 +717,7 @@ object Queries9 {
       graft.ml.Corpus.splitAssign(col("text"), seed = 7L, cuts = (800, 900))
         .as("split"),
       size(graft.ml.Dedup.tokensCased(col("text"))).cast("long").as("n_tok"))
-    val out = java.nio.file.Files.createTempDirectory("graft_q136_lake").toString
+    val out = graft.TempDirs.create("graft_q136_lake")
     graft.sinks.Sinks.lakeWrite(rows, out,
       partitionBy = Seq("source", "split"), sortWithin = Seq("doc_id"),
       maxRecordsPerFile = 500L, fileShards = 2)
@@ -754,7 +745,7 @@ object Queries9 {
   val q137_lake_compact: Q = (s, dir) => {
     val rows = t(s, dir, "documents").select(col("doc_id"), col("source"),
       size(graft.ml.Dedup.tokensCased(col("text"))).cast("long").as("n_tok"))
-    val out = java.nio.file.Files.createTempDirectory("graft_q137_lake").toString
+    val out = graft.TempDirs.create("graft_q137_lake")
     graft.sinks.Sinks.lakeWrite(rows, out,
       partitionBy = Seq("source"), maxRecordsPerFile = 100L, fileShards = 4)
     graft.sinks.Sinks.lakeCompact(s, out,

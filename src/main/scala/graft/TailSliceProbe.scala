@@ -16,19 +16,27 @@ object TailSliceProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dir = java.nio.file.Files.createTempDirectory("tail_slice_probe")
+    // fixed path, reused across runs (a fresh ~400 MB single-threaded
+    // write per invocation dominated the probe and leaked each copy);
+    // checkpoints ride the tracked TempDirs and vanish at JVM exit
+    val dir = java.nio.file.Paths.get("/tmp/graft_tail_slice_probe")
+    java.nio.file.Files.createDirectories(dir)
     val f = dir.resolve("big.log")
-    val w = java.nio.file.Files.newBufferedWriter(f)
-    val line = "x" * 99 // 100 B/line
-    var i = 0
-    while (i < 4000000) { w.write(line); w.write("\n"); i += 1 } // ~400 MB
-    w.close()
+    val wantBytes = 4000000L * 100
+    if (!java.nio.file.Files.exists(f) ||
+        java.nio.file.Files.size(f) != wantBytes) {
+      val w = java.nio.file.Files.newBufferedWriter(f)
+      val line = "x" * 99 // 100 B/line
+      var i = 0
+      while (i < 4000000) { w.write(line); w.write("\n"); i += 1 } // ~400 MB
+      w.close()
+    }
     val size = java.nio.file.Files.size(f)
     println(s"file: $size bytes")
 
     def run(name: String, maxBytes: Long): Unit = {
       val ts = (1 to 3).map { r =>
-        val ckpt = java.nio.file.Files.createTempDirectory("tsp_ckpt")
+        val ckpt = java.nio.file.Paths.get(TempDirs.create("tsp_ckpt"))
         val t0 = System.nanoTime()
         val q = spark.readStream.format("graft-tail")
           .option("path", dir.toString)

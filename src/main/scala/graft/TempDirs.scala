@@ -1,0 +1,41 @@
+package graft
+
+/** JVM-lifetime temp directories for queries that exercise persisted
+  * index/lake lifecycles (q136/q137/q144/q147/q148/q150): each
+  * invocation builds its index fresh — that IS the operator under test,
+  * so the dirs are not reusable caches — but nothing deleted them, and
+  * a Bench run (5+ samples × 6 queries) left dozens of corpus-sized
+  * copies under /tmp per round. One shutdown hook reclaims them when
+  * the Verify/Bench/TimeQuery JVM exits. */
+object TempDirs {
+
+  private val created =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private lazy val hook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => drain()))
+  }
+
+  /** Create a tracked temp directory; deleted recursively at JVM exit. */
+  def create(prefix: String): String = {
+    hook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    created.add(p)
+    p.toString
+  }
+
+  /** Delete everything created so far (also the shutdown-hook body). */
+  def drain(): Unit = {
+    var p = created.poll()
+    while (p != null) {
+      deleteRecursively(p.toFile)
+      p = created.poll()
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}

@@ -5,7 +5,18 @@ import org.apache.spark.sql.SparkSession
   * [sfDir] [reps]"`. */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    // validate BEFORE paying SparkSession startup: a typo'd name used to
+    // burn the whole session build and die with a bare key-not-found
+    val name = args.headOption.getOrElse {
+      System.err.println("usage: TimeQuery <query-name> [sfDir] [reps]")
+      sys.exit(2)
+    }
+    if (!SparkEntry.queries.contains(name)) {
+      System.err.println(s"unknown query '$name'; nearest: " +
+        SparkEntry.queries.keys.toSeq.sorted
+          .filter(_.take(4) == name.take(4)).take(8).mkString(", "))
+      sys.exit(2)
+    }
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 2
     val spark = SparkSession.builder().master("local[32]")

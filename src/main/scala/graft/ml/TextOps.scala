@@ -113,6 +113,50 @@ object TextOps {
     size(regexp_extract_all(text, lit(ipv4Re), lit(0))).cast("long"),
     size(regexp_extract_all(text, lit(phoneRe), lit(0))).cast("long"))
 
+  // ---- strict PII: Luhn-validated card numbers + secret tokens.
+  // Regex alone over-redacts card numbers (any 13-19 digit run); the
+  // public pipelines that scrub code/web corpora (The Stack's PII pass
+  // is the canonical example) validate the Luhn checksum before
+  // redacting. Patterns stay in the RE2-compatible subset; the secret
+  // shapes are the PUBLICLY DOCUMENTED prefixes (AWS access key ids,
+  // GitHub personal access tokens).
+  val ccCandidateRe = "\\d(?:[ -]?\\d){11,18}"
+  val awsKeyRe = "\\bAKIA[0-9A-Z]{16}\\b"
+  val ghTokenRe = "\\bghp_[A-Za-z0-9]{36}\\b"
+
+  /** Luhn checksum over a candidate's digits (separators stripped):
+    * double every 2nd digit from the right, fold the digit sums. Pure
+    * HOF integer arithmetic — both engines fold the same ints in the
+    * same order. Candidates come from [[ccCandidateRe]] so the digit
+    * count is ≥ 12 (the `sequence` lower bound can't descend). */
+  def luhnValid(cand: Column): Column = {
+    val digits = regexp_replace(cand, "[^0-9]", "")
+    val rev = reverse(digits)
+    val n = length(digits)
+    val total = aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+      val d = rev.substr(i, lit(1)).cast("int")
+      acc + when(pmod(i, lit(2)) === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    n.between(13, 19) && pmod(total, lit(10)) === 0
+  }
+
+  /** Luhn-VALID card-number candidates, in match order. */
+  def ccFindings(text: Column): Column =
+    filter(regexp_extract_all(text, lit(ccCandidateRe), lit(0)), luhnValid _)
+
+  /** Replace validated card numbers and secret tokens with typed
+    * placeholders. One fold over the (few) validated candidates —
+    * `replace` hits every occurrence of the candidate text, and match
+    * order is the regex scan order on both engines, so the fold is
+    * deterministic. Composes with [[piiScrub]] for email/ip/phone. */
+  def piiScrubStrict(text: Column): Column = {
+    val noCc = aggregate(ccFindings(text), text,
+      (acc, c) => org.apache.spark.sql.functions.replace(acc, c, lit("<CC>")))
+    regexp_replace(regexp_replace(noCc, awsKeyRe, "<SECRET>"),
+      ghTokenRe, "<SECRET>")
+  }
+
   /** Bigram-LM document scoring — the exact-integer core of a CCNet-ish
     * "LM perplexity" quality filter, with the corpus itself as the LM:
     * each bigram occurrence (w1 w2) scores the MLE conditional
