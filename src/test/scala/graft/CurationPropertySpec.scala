@@ -53,6 +53,35 @@ class CurationPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("utf8SafeByteCut: valid, within cap, and maximal on random unicode") {
+    import spark.implicits._
+    // mixed-width codepoints: ASCII (1B), α (2B), 気 (3B), 😀 (4B,
+    // surrogate pair) — cuts land at every walk-back depth
+    val cpG = Gen.oneOf("a", "Z", "7", " ", "α", "ß", "気", "日", "😀", "🎉")
+    val strG = Gen.choose(0, 30).flatMap(n =>
+      Gen.listOfN(n, cpG).map(_.mkString))
+    val limitG = Gen.choose(1, 24)
+    val cases = sample(Gen.zip(strG, limitG), 400)
+    cases.groupBy(_._2).foreach { case (limit, group) =>
+      val df = group.map(_._1).toDF("s")
+      val got = df.select(col("s"),
+        graft.operators.Actions.utf8SafeByteCut(col("s"), limit).as("c"))
+        .as[(String, String)].collect()
+      got.foreach { case (s, c) =>
+        val bytes = s.getBytes("UTF-8")
+        // expected: the longest prefix within `limit` that does not end
+        // mid-codepoint — i.e. back off while the NEXT byte continues one
+        var cut = math.min(limit, bytes.length)
+        while (cut > 0 && cut < bytes.length &&
+          (bytes(cut) & 0xc0) == 0x80) cut -= 1
+        val want = new String(bytes, 0, cut, "UTF-8")
+        assert(c == want,
+          s"'$s' limit $limit: got '$c' want '$want'")
+        assert(c.getBytes("UTF-8").length <= limit)
+      }
+    }
+  }
+
   test("keep-first dedup leaves every segment globally unique and order-preserved") {
     import spark.implicits._
     val word = Gen.oneOf("a", "b", "c", "d", "e", "f")
