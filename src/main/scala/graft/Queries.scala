@@ -58,12 +58,35 @@ object Queries {
   val q02_sql: String =
     "SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"
 
-  /** cri decoder over lines reconstructed from the events table. */
+  /** cri decoder over lines reconstructed from the events table. Five
+    * shapes per event_id % 10 exercise the reference's token-scan
+    * semantics (cri.go:35-42, tested by its Joined2Lines/Joined3Lines
+    * cases): 0 = a spliced write left a stale `ts1 s` prefix (the scan
+    * skips the merged token and recovers on the real 6-char stream);
+    * 1 = two stale prefixes; 2 = a double space makes the tag token
+    * empty (reference errors → our no-silent-loss row); 3 = no 6-char
+    * token at all (same fallback); 4 = a partial (`P`) line; else the
+    * plain full line. The oracle replays the expected row per shape. */
   val q03_dec_cri: Q = (s, dir) => {
-    val line = concat(
+    val base = concat(
       date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"), lit(" "),
       when(col("event_type") === "error", lit("stderr")).otherwise(lit("stdout")),
       lit(" F "), col("props"))
+    val m = col("event_id") % 10
+    val line =
+      when(m === 0, concat(lit("2024-05-22T09:51:04.025764351Z s"), base))
+      .when(m === 1, concat(
+        lit("2024-05-22T09:51:04.025764351Z s2024-05-22T10:15:04.129321194Z stder"),
+        base))
+      .when(m === 2, concat(
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        lit(" stdout  F "), col("props")))
+      .when(m === 3, lit("bad input xx"))
+      .when(m === 4, concat(
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"), lit(" "),
+        when(col("event_type") === "error", lit("stderr")).otherwise(lit("stdout")),
+        lit(" P "), col("props")))
+      .otherwise(base)
     val d = Decoders.cri(line)
     t(s, dir, "events").select(
       col("event_id"),
@@ -75,16 +98,19 @@ object Queries {
 
   val q03_sql: String =
     """WITH lines AS (
-      |  SELECT event_id,
-      |    strftime(ts, '%Y-%m-%dT%H:%M:%SZ') || ' ' ||
-      |    CASE WHEN event_type = 'error' THEN 'stderr' ELSE 'stdout' END ||
-      |    ' F ' || props AS line
+      |  SELECT event_id, event_id % 10 AS m,
+      |    strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS tss,
+      |    CASE WHEN event_type = 'error' THEN 'stderr' ELSE 'stdout' END AS strm,
+      |    props
       |  FROM events)
       |SELECT event_id,
-      |  regexp_extract(line, '^(\S+) (stdout|stderr) ([FP]) (.*)$', 1) AS c_time,
-      |  regexp_extract(line, '^(\S+) (stdout|stderr) ([FP]) (.*)$', 2) AS c_stream,
-      |  regexp_extract(line, '^(\S+) (stdout|stderr) ([FP]) (.*)$', 3) = 'P' AS c_partial,
-      |  regexp_extract(line, '^(\S+) (stdout|stderr) ([FP]) (.*)$', 4) AS c_log
+      |  CASE WHEN m IN (0, 1) THEN '2024-05-22T09:51:04.025764351Z'
+      |       WHEN m IN (2, 3) THEN NULL ELSE tss END AS c_time,
+      |  CASE WHEN m IN (2, 3) THEN NULL ELSE strm END AS c_stream,
+      |  m = 4 AS c_partial,
+      |  CASE WHEN m = 2 THEN tss || ' stdout  F ' || props
+      |       WHEN m = 3 THEN 'bad input xx'
+      |       ELSE props END AS c_log
       |FROM lines""".stripMargin
 
   /** syslog rfc3164 decoder over reconstructed lines. */

@@ -92,7 +92,7 @@ object Queries2 {
       |  regexp_extract(line, 'client=([^,]*),', 1) AS p_client,
       |  regexp_extract(line, 'db=([^,]*),', 1) AS p_db,
       |  regexp_extract(line, 'user=([^ ]*) ', 1) AS p_user,
-      |  regexp_extract(line, 'user=[^ ]* (.*)$', 1) AS p_log
+      |  regexp_extract(line, 'user=[^ ]* [^ ]* .?(.*)$', 1) AS p_log
       |FROM lines""".stripMargin
 
   val q15_dec_syslog5424: Q = (s, dir) => {

@@ -82,28 +82,60 @@ object Decoders {
         .otherwise(regexp_extract(line, kmsgRe, 5)).as("message"))
   }
 
-  private val criRe = "^(\\S+) (stdout|stderr) ([FP]) (.*)$"
+  // (the old regex leg `^(\S+) (stdout|stderr) ([FP]) (.*)$` could not
+  // express the reference's corrupted-splice recovery below)
 
   /** CRI decoder (decoder/cri.go): `TIME STREAM TAG LOG`, tag F=full,
     * P=partial (partial-line continuation is a stateful stage — see
-    * graft.state.Multiline). A non-CRI line (the reference errors on
-    * malformed input) keeps its CONTENT as the log with NULL time/
-    * stream — the kmsg invariant: data is not silently lost, and the
-    * null markers show the parse failed. partial=false so the chunk
-    * stage treats it as a complete line, never a dangling run. */
+    * graft.state.Multiline).
+    *
+    * Reference-exact token scan, NOT a `(stdout|stderr) ([FP])` regex:
+    * DecodeCRI consumes space-separated tokens after the timestamp
+    * until one is EXACTLY SIX BYTES (cri.go:35-42) and takes it as the
+    * stream — that loop is the recovery for corrupted container logs
+    * where a write got spliced mid-line (its Joined2Lines/Joined3Lines
+    * tests), and it also means any 6-char token is a stream and any
+    * non-empty token whose first byte is 'P' marks a partial. The tag
+    * must be non-empty and followed by a delimiter (cri.go:46-57).
+    *
+    * A line with no such shape (the reference errors) keeps its CONTENT
+    * as the log with NULL time/stream — the kmsg invariant: data is not
+    * silently lost, and the null markers show the parse failed.
+    * partial=false so the chunk stage treats it as a complete line,
+    * never a dangling run. */
   def cri(line: Column): Column = {
-    val matched = regexp_extract(line, criRe, 1) =!= ""
+    val toks = split(line, " ", -1)
+    val n = size(toks)
+    // 1-based index of the stream token: first token ≥ position 2 of
+    // exactly 6 chars (get() is 0-based and null-safe out of range)
+    val si = array_min(filter(sequence(lit(2), greatest(n, lit(2))),
+      i => length(get(toks, i - 1)) === 6))
+    val tag = get(toks, si) // 1-based si+1 ⇒ 0-based si
+    // tag exists, is non-empty, and is not the last token (the
+    // reference needs one more delimiter after it)
+    val matched = si.isNotNull && (si + lit(1) < n) && length(tag) > 0
+    // log starts after tokens 1..si+1 and their si+1 separators
+    val sumLen = aggregate(slice(toks, lit(1), si + 1), lit(0),
+      (a, t) => a + length(t))
+    val logStart = sumLen + si + 2
     struct(
-      when(matched, regexp_extract(line, criRe, 1)).as("time"),
-      when(matched, regexp_extract(line, criRe, 2)).as("stream"),
-      when(matched, regexp_extract(line, criRe, 3) === "P")
-        .otherwise(lit(false)).as("partial"),
-      when(matched, regexp_extract(line, criRe, 4)).otherwise(line).as("log"))
+      when(matched, get(toks, lit(0))).as("time"),
+      when(matched, get(toks, si - 1)).as("stream"),
+      when(matched, tag.startsWith("P")).otherwise(lit(false)).as("partial"),
+      when(matched, line.substr(logStart, length(line)))
+        .otherwise(line).as("log"))
   }
 
+  // the tail `[^ ]* .?(.*)$` is DecodePostgres's log step exactly
+  // (postgres.go:164-170): the severity token ("LOG:") is DROPPED and
+  // the cut is data[pos+2:] — one space plus ONE more char (postgres
+  // pads severity with two spaces; the reference assumes that blindly,
+  // and would slice-panic on a space-terminated tail where `.?` here
+  // just yields an empty log). Timezone is any token, as the reference
+  // takes the third space-separated field verbatim.
   private val pgRe =
-    "^(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2} \\w+) \\[(\\d+)\\] => \\[(\\S+)\\] " +
-      "client=([^,]*),db=([^,]*),user=([^ ]*) (.*)$"
+    "^(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2} [^ ]+) \\[(\\d+)\\] => \\[(\\S+)\\] " +
+      "client=([^,]*),db=([^,]*),user=([^ ]*) [^ ]* .?(.*)$"
 
   /** postgres log-prefix decoder (decoder/postgres.go). Non-matching
     * lines (the reference errors) keep their content as the log with
@@ -139,8 +171,21 @@ object Decoders {
         .as("message"))
   }
 
+  // Reference-exact tail semantics (syslog_rfc3164.go Decode):
+  //  - validateTimestamp range-checks hh≤23/mm≤59/ss≤59 (its tests
+  //    reject "27:14:15"), month is only case-shaped ([A-Z][a-z]{2} —
+  //    "Xyz" passes there too), day is space- or digit-padded;
+  //  - hostname is anything up to a space (may be empty);
+  //  - appname ends at the FIRST of "[: " (may be empty);
+  //  - a bracket proc id holds ANY bytes and MUST be followed by ':'
+  //    (its invalid_decode_procid tests) — without brackets one
+  //    delimiter (':' or ' ') is consumed;
+  //  - at most ONE further leading space is trimmed off the message.
+  // Divergence kept deliberately: priority ≤191 is NOT enforced here —
+  // q166 pins the UNKNOWN-facility fallback for the >191 range.
   private val syslog3164Re =
-    "^<(\\d{1,3})>([A-Z][a-z]{2} [ \\d]\\d \\d{2}:\\d{2}:\\d{2}) (\\S+) ([^:\\[ ]+)(\\[(\\d+)\\])?:? (.*)$"
+    "^<(\\d{1,3})>([A-Z][a-z]{2} [ \\d]\\d (?:[01]\\d|2[0-3]):[0-5]\\d:[0-5]\\d) " +
+      "([^ ]*) ([^\\[: ]*)(?:\\[([^\\]]*)\\]:|[: ]) ?(.*)$"
 
   /** syslog_facility_format / syslog_severity_format (decoder/
     * syslog.go:95-191): `string` renders the RFC name instead of the
@@ -176,19 +221,23 @@ object Decoders {
   }
 
   /** RFC-3164 syslog decoder (decoder/syslog.go): priority = facility*8 +
-    * severity (syslog.go:24-25). */
+    * severity (syslog.go:24-25). A non-matching line (the reference
+    * errors) keeps its content as the message with NULL prefix fields —
+    * the decoder family's no-silent-loss invariant. */
   def syslog3164(line: Column, facilityFormat: String = "number",
                  severityFormat: String = "number"): Column = {
-    val pri = regexp_extract(line, syslog3164Re, 1).try_cast("int")
+    val m = regexp_extract(line, syslog3164Re, 0) =!= ""
+    val pri = when(m, regexp_extract(line, syslog3164Re, 1)).try_cast("int")
     struct(
       pri.as("priority"),
-      facilityCol(pri, facilityFormat),
-      severityCol(pri, severityFormat),
-      regexp_extract(line, syslog3164Re, 2).as("timestamp"),
-      regexp_extract(line, syslog3164Re, 3).as("hostname"),
-      regexp_extract(line, syslog3164Re, 4).as("app_name"),
-      regexp_extract(line, syslog3164Re, 6).as("proc_id"),
-      regexp_extract(line, syslog3164Re, 7).as("message"))
+      when(m, facilityCol(pri, facilityFormat)).as("facility"),
+      when(m, severityCol(pri, severityFormat)).as("severity"),
+      when(m, regexp_extract(line, syslog3164Re, 2)).as("timestamp"),
+      when(m, regexp_extract(line, syslog3164Re, 3)).as("hostname"),
+      when(m, regexp_extract(line, syslog3164Re, 4)).as("app_name"),
+      when(m, regexp_extract(line, syslog3164Re, 5)).as("proc_id"),
+      when(m, regexp_extract(line, syslog3164Re, 6)).otherwise(line)
+        .as("message"))
   }
 
   /** RFC-5424 syslog decoder — a codegen state-machine port of
@@ -236,8 +285,16 @@ object Decoders {
           regexp_extract(kv, "(\\S+)=\"([^\"]*)\"", 2).as("value"))))
 
   /** csv decoder (decoder/csv.go:14-27): explicit columns + delimiter;
-    * invalid_line_mode fatal|continue ≙ FAILFAST|PERMISSIVE. */
+    * invalid_line_mode fatal|continue ≙ FAILFAST|PERMISSIVE. The
+    * reference parses with Go's encoding/csv, i.e. RFC-4180: a quote
+    * inside a quoted field is escaped by DOUBLING (`"bb""b"` → `bb"b`),
+    * and backslash is a plain character — Spark's default escape is
+    * backslash, so `escape` is pinned to `"` here or doubled quotes
+    * came through raw (csv_test.go default_delimiter vector). */
   def csv(line: Column, schema: StructType, delimiter: String = ",",
           mode: String = "PERMISSIVE"): Column =
-    from_csv(line, schema, Map("sep" -> delimiter, "mode" -> mode))
+    // one trailing \r stripped: CRLF files reach line-based sources
+    // with the \r still attached (csv_test.go CRLF vector)
+    from_csv(regexp_replace(line, "\r$", ""), schema,
+      Map("sep" -> delimiter, "mode" -> mode, "escape" -> "\""))
 }

@@ -1117,6 +1117,115 @@ class CompilerSpec extends AnyFunSuite {
     assert(ej.getMessage.contains("not string"), ej.getMessage)
   }
 
+  test("cri token-scan matches the reference vector table (cri_test.go)") {
+    import graft.sources.Decoders
+    import spark.implicits._
+    // (time, stream, partial, log) per line; lines arrive NEWLINE-
+    // STRIPPED here (the reference decodes raw bytes incl. '\n' and
+    // strips it only for partials — line-based sources already did)
+    val cases = Seq(
+      // TestCRIPartial
+      ("2016-10-06T00:17:09.669794202Z stdout P partial content 1",
+        ("2016-10-06T00:17:09.669794202Z", "stdout", true, "partial content 1")),
+      // TestCRIFull
+      ("2016-10-06T00:17:09.669794202Z stdout F full content 2",
+        ("2016-10-06T00:17:09.669794202Z", "stdout", false, "full content 2")),
+      // TestCRIJoined2Lines: a spliced write left a merged token — the
+      // scan skips it and recovers on the next 6-char token
+      ("2024-05-22T09:51:04.025764351Z s2024-05-22T10:15:04.129321194Z stderr F 2024/05/22 10:15:04 start prepraring file",
+        ("2024-05-22T09:51:04.025764351Z", "stderr", false,
+          "2024/05/22 10:15:04 start prepraring file")),
+      // TestCRIJoined3Lines: several stale prefixes; note the reference
+      // takes ANY exactly-6-char token as the stream
+      ("2024-05-22T09:51:04.025764351Z s2024-05-22T10:15:04.129321194Z stder2024-05-22T01:16:15.512917014Z stdo 2024-05-22T06:39:29.230708414Z stdout F {\"level\":\"warn\"}",
+        ("2024-05-22T09:51:04.025764351Z", "stdout", false, "{\"level\":\"warn\"}"))
+    )
+    val got = cases.map(_._1).toDF("value")
+      .select(Decoders.cri($"value").as("d"))
+      .select($"d.time", $"d.stream", $"d.partial", $"d.log")
+      .as[(String, String, Boolean, String)].collect()
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"for '$in': got $g")
+    }
+    // TestCRIError (empty tag after a double space) and
+    // TestCRIErrorJoined2Lines (no stream recovered): reference errors,
+    // our contract keeps the content with null prefix fields
+    val errs = Seq(
+      "2016-10-06T00:17:09.669794202Z stdout  full content 3",
+      "2016-10-06T00:17:09.669794202Z s2024-05-22T10:15:04.129321194Z 3")
+    val eg = errs.toDF("value").select(Decoders.cri($"value").as("d"))
+      .select($"d.time", $"d.log").collect()
+    errs.zip(eg).foreach { case (in, r) =>
+      assert(r.isNullAt(0) && r.getString(1) == in, s"for '$in': $r")
+    }
+    // 4-token minimum: a tag with no delimiter after it is the
+    // reference's "log tag is not found" error → fallback
+    val nt = Seq("2016-10-06T00:17:09.669794202Z stdout F").toDF("value")
+      .select(Decoders.cri($"value").as("d"))
+      .select($"d.time", $"d.log").collect().head
+    assert(nt.isNullAt(0) && nt.getString(1).endsWith("stdout F"), nt.toString)
+    // nginx_test.go valid_no_cid / valid_no_message /
+    // valid_no_cid_no_message; postgres_test.go vector
+    // an absent cid is "" in our model (the q13-oracled contract —
+    // regexp_extract of an unmatched group; reference leaves it nil)
+    val ngCases = Seq(
+      ("2022/08/18 09:29:37 [error] 844935#844935: upstream timed out",
+        ("", "upstream timed out")),
+      ("2022/08/18 09:29:37 [error] 844935#844935: *44934601 ",
+        ("44934601", "")),
+      ("2022/08/18 09:29:37 [error] 844935#844935: ", ("", "")))
+    val ngGot = ngCases.map(_._1).toDF("value")
+      .select(Decoders.nginxError($"value").as("d"))
+      .select($"d.cid", $"d.message").collect()
+    ngCases.zip(ngGot).foreach { case ((in, (wc, wm)), r) =>
+      assert(r.getString(0) == wc && r.getString(1) == wm, s"for '$in': $r")
+    }
+    // syslog_rfc3164_test.go vectors: valid_full, valid_no_pid
+    // (space-padded day, colon without pid), any-byte proc id; the
+    // reference's decode ERRORS (bad time ranges, bracket without ':')
+    // take the no-silent-loss fallback here
+    val slCases = Seq(
+      ("<34>Oct 11 22:14:15 mymachine.example.com myproc[10]: 'myproc' failed on /dev/pts/8",
+        (34, "Oct 11 22:14:15", "mymachine.example.com", "myproc", "10",
+          "'myproc' failed on /dev/pts/8")),
+      ("<4>Oct  5 22:14:15 mymachine.example.com myproc: 'myproc' failed on /dev/pts/8",
+        (4, "Oct  5 22:14:15", "mymachine.example.com", "myproc", "",
+          "'myproc' failed on /dev/pts/8")),
+      ("<34>Oct 11 22:14:15 h app[worker-1]: msg",
+        (34, "Oct 11 22:14:15", "h", "app", "worker-1", "msg")))
+    val slGot = slCases.map(_._1).toDF("value")
+      .select(Decoders.syslog3164($"value").as("d"))
+      .select($"d.priority", $"d.timestamp", $"d.hostname", $"d.app_name",
+        $"d.proc_id", $"d.message")
+      .as[(Int, String, String, String, String, String)].collect()
+    slCases.zip(slGot).foreach { case ((in, want), g) =>
+      assert(g == want, s"for '$in': got $g")
+    }
+    val slErrs = Seq(
+      "<34>Oct 11 27:14:15 h app: over-hour",            // hh > 23
+      "<34>Oct 11 22:72:15 h app: over-minute",          // mm > 59
+      "<34>oct 11 22:14:15 h app: lower-month",          // month case
+      "<34>Oct 2  22:14:15 h app: bad day pad",          // dd shape
+      "<34>Oct 11 22:14:15 h app[10] no colon after pid")
+    val seGot = slErrs.toDF("value")
+      .select(Decoders.syslog3164($"value").as("d"))
+      .select($"d.priority", $"d.message").collect()
+    slErrs.zip(seGot).foreach { case (in, r) =>
+      assert(r.isNullAt(0) && r.getString(1) == in, s"for '$in': $r")
+    }
+    val pgv = Seq("2021-06-22 16:24:27 GMT [7291] => [3-1] client=test_client,db=test_db,user=test_user LOG:  listening on Unix socket \"/var/run/postgresql/.s.PGSQL.5432\"")
+      .toDF("value").select(Decoders.postgres($"value").as("d"))
+      .select($"d.time", $"d.pid", $"d.pid_message_number", $"d.client",
+        $"d.db", $"d.user", $"d.log")
+      .as[(String, String, String, String, String, String, String)]
+      .collect().head
+    // the severity token ("LOG:") and its two-space pad are DROPPED
+    // (postgres.go:164-170 — row.Log = data[pos+2:])
+    assert(pgv == (("2021-06-22 16:24:27 GMT", "7291", "3-1", "test_client",
+      "test_db", "test_user",
+      "listening on Unix socket \"/var/run/postgresql/.s.PGSQL.5432\"")), pgv.toString)
+  }
+
   test("rename/set_time: missing targets don't crash; rename default is preserve") {
     // rename override=false to a NEW name — the common case; getField
     // on the missing target used to fail the whole query at analysis

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ports decoder/csv_test.go's vector table: RFC-4180 doubled-quote
+  * escapes, delimiters inside quoted fields, CRLF strip, custom
+  * delimiter. The reference's decode ERRORS (stray quote, missing
+  * closing quote) are PERMISSIVE partials here — invalid_line_mode
+  * fatal ≙ FAILFAST covers the strict path. */
+class CsvVectorSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+
+  private val sch = StructType(Seq(StructField("c1", StringType),
+    StructField("c2", StringType), StructField("c3", StringType)))
+
+  test("csv vectors: doubled-quote escape, quoted delimiter, CRLF, tabs") {
+    import spark.implicits._
+    val cases = Seq(
+      // csv_test.go CRLF: one trailing \r is stripped
+      ("a,b,c\r", ",", ("a", "b", "c")),
+      // default_delimiter: `a,"bb""b","c,c,c"` → a | bb"b | c,c,c
+      ("a,\"bb\"\"b\",\"c,c,c\"", ",", ("a", "bb\"b", "c,c,c")),
+      // custom_delimiter (tab) with a quoted field
+      ("a\tb\t\"c\"", "\t", ("a", "b", "c")))
+    cases.foreach { case (in, delim, want) =>
+      val got = Seq(in).toDF("line")
+        .select(graft.sources.Decoders.csv(col("line"), sch, delim).as("d"))
+        .select($"d.c1", $"d.c2", $"d.c3")
+        .as[(String, String, String)].collect().head
+      assert(got == want, s"for '$in': got $got")
+    }
+  }
+}
