@@ -2217,12 +2217,19 @@ object PipelineCompiler {
     * `cond: and|or` (default and), sets by OR; an empty rule list never
     * matches (matchrule.go:212-214). Mode defaults to prefix
     * (matchrule.go:31). */
-  private def matchruleExceptions(n: JsonNode, df: DataFrame): Column = {
+  private def matchruleExceptions(n: JsonNode, df: DataFrame): Column =
+    matchruleSets(n, rs =>
+      if (Option(rs.get("check_source_name")).exists(_.asBoolean()))
+        col("source_name").cast("string")
+      else rawEventCol(df))
+
+  /** cfg/matchrule RuleSets against a caller-chosen target per set —
+    * antispam exceptions check the raw event / source name, the mask
+    * action's per-mask `match_rules` check the VALUE being masked. */
+  private def matchruleSets(n: JsonNode,
+                            targetFor: JsonNode => Column): Column = {
     val sets = n.elements().asScala.toSeq.map { rs =>
-      val target =
-        if (Option(rs.get("check_source_name")).exists(_.asBoolean()))
-          col("source_name").cast("string")
-        else rawEventCol(df)
+      val target = targetFor(rs)
       val rules = Option(rs.get("rules"))
         .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
       if (rules.isEmpty) lit(false)
@@ -2745,41 +2752,73 @@ object PipelineCompiler {
             Some(("_graft_mask_applied", "true"))
           else appliedCfg
         // the reference's `masks` LIST (mask_struct.go): each entry has
-        // `re` + `groups` (group-targeted star-masking — group 0 /
-        // empty = the whole match) or `replace_word` (whole-match
-        // substitution). cut_values/max_count/match_rules are rejected
-        // loudly rather than silently ignored.
+        // `re` + `groups` (group-targeted masking — group 0 = the whole
+        // match, an EMPTY groups list marks without changing text, the
+        // reference's empty-Groups loop), with modeMask stars capped by
+        // `max_count`, modeReplace (`replace_word` per selected GROUP
+        // section, not per whole match), modeCut (`cut_values`), and a
+        // per-mask `match_rules` pre-filter over the VALUE. The two
+        // incompatible-mode pairs fail at compile like compileMasks.
+        // A rules-only mask (no `re`) fires the applied marker without
+        // touching text.
         val maskNodes = Option(action.get("masks"))
           .map(_.elements().asScala.toSeq)
         def applyMasks(d: Column, f: String): Column = maskNodes match {
           case Some(ms) =>
             val src0 = d.getField(f).cast("string")
+            var fired: Column = lit(false)
             val maskedVal = ms.foldLeft(src0) { (s, m) =>
-              require(m.get("cut_values") == null || !m.get("cut_values").asBoolean(),
-                "mask: cut_values is not supported (star-masking keeps lengths)")
-              require(m.get("max_count") == null,
-                "mask: max_count is not supported")
-              require(m.get("match_rules") == null,
-                "mask: per-mask match_rules are not supported — use the " +
-                  "action-level match_fields/do_if")
-              val re = m.get("re").asText()
+              val maxCount = Option(m.get("max_count")).map(_.asInt()).getOrElse(0)
+              val cut = Option(m.get("cut_values")).exists(_.asBoolean())
               val rw = Option(m.get("replace_word")).map(_.asText())
                 .filter(_.nonEmpty)
-              rw match {
-                case Some(w) =>
-                  regexp_replace(s, re,
-                    java.util.regex.Matcher.quoteReplacement(w))
+              require(!(maxCount > 0 && rw.isDefined),
+                "mask: invalid mask configuration (max_count with replace_word)")
+              require(!(rw.isDefined && cut),
+                "mask: replace mode and cut mode are incompatible")
+              val reOpt = Option(m.get("re")).map(_.asText()).filter(_.nonEmpty)
+              require(reOpt.isDefined || m.get("match_rules") != null,
+                "mask: must have either nonempty `re` or `match_rules`, or both")
+              val rules = Option(m.get("match_rules"))
+                .map(mr => PipelineCompiler.matchruleSets(mr, _ => s))
+                .getOrElse(lit(true))
+              reOpt match {
                 case None =>
-                  val groups = Option(m.get("groups"))
+                  // rules-only mask: marker without a text change
+                  fired = fired || (rules && s.isNotNull)
+                  s
+                case Some(re) =>
+                  val groups0 = Option(m.get("groups"))
                     .map(_.elements().asScala.map(_.asInt()).toSeq)
-                    .filter(_.nonEmpty).getOrElse(Seq(0))
-                  graft.functions.MaskGroups(s, re, groups)
+                    .getOrElse(Seq.empty)
+                  // cfg.VerifyGroupNumbers: unique, count ≤ NumSubexp,
+                  // range-checked; any 0 collapses to [0] (whole match).
+                  // An EMPTY list stays empty = marker-only, no rewrite.
+                  val total = java.util.regex.Pattern.compile(re)
+                    .matcher("").groupCount()
+                  require(groups0.distinct.size == groups0.size,
+                    "mask: groups numbers must be unique")
+                  require(groups0.size <= total,
+                    s"mask: there are many groups (${groups0.size} > " +
+                      s"$total capture groups in `$re`)")
+                  groups0.foreach(g => require(g >= 0 && g <= total,
+                    s"mask: wrong group number $g"))
+                  val groups =
+                    if (groups0.contains(0)) Seq(0) else groups0
+                  val hit = rules && s.rlike(re)
+                  fired = fired || hit
+                  if (groups.isEmpty) s // marker-only (empty Groups loop)
+                  else when(hit, graft.functions.MaskGroups(s, re, groups,
+                    maxCount, rw.getOrElse(""), cut)).otherwise(s)
               }
             }
             val d2 = d.withField(f, maskedVal)
             applied match {
               case Some((af, av)) =>
-                d2.withField(af, when(maskedVal =!= src0, lit(av)))
+                // the reference's maskApplied: rules passed AND the
+                // regex found matches — not a text diff, so marker-only
+                // and identity-output masks still count
+                d2.withField(af, when(fired, lit(av)))
               case None => d2
             }
           case None =>

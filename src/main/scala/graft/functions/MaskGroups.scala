@@ -9,15 +9,24 @@ import org.apache.spark.unsafe.types.UTF8String
 import java.util.regex.Pattern
 
 /** Group-targeted masking (mask action, reference:
-  * plugin/action/mask/mask.go:142-184): for every match of `pattern`,
-  * replace the characters of the selected capture `groups` with '*',
-  * length-preserved, leaving surrounding context (and unselected groups)
-  * intact. regexp_replace can't express this — the replacement depends on
-  * each group's matched length — so it's a native expression; codegen
-  * calls the compiled-pattern instance via a captured reference.
+  * plugin/action/mask/mask.go:142-184 + mask_struct.go maskValue/
+  * maskSection): for every match of `pattern`, rewrite the selected
+  * capture `groups` — modeMask (default) emits one '*' per CODEPOINT of
+  * the section capped at `maxCount` (mask_struct.go:185-187);
+  * modeReplace (`replaceWord` non-empty) substitutes the word for the
+  * whole section; modeCut (`cutValues`) removes it. Surrounding context
+  * and unselected groups pass through (the reference's
+  * copy-gap-then-maskSection rebuild). regexp_replace can't express
+  * any of this — the replacement depends on each group's span — so it's
+  * a native expression; codegen calls the compiled-pattern instance via
+  * a captured reference.
+  *
+  * `digitsOnly` is graft's own flavor (Masks.maskDigitsIn): stars only
+  * the digit characters inside the section, length-preserved.
   */
 case class MaskGroups(child: Expression, pattern: String, groups: Seq[Int],
-                      digitsOnly: Boolean = false)
+                      digitsOnly: Boolean = false, maxCount: Int = 0,
+                      replaceWord: String = "", cutValues: Boolean = false)
     extends UnaryExpression {
 
   @transient private lazy val compiled = Pattern.compile(pattern)
@@ -28,19 +37,43 @@ case class MaskGroups(child: Expression, pattern: String, groups: Seq[Int],
     val s = input.toString
     val m = compiled.matcher(s)
     var sb: java.lang.StringBuilder = null
+    var prevFinish = 0
+    var curFinish = 0
     while (m.find()) {
-      if (sb == null) sb = new java.lang.StringBuilder(s)
+      if (sb == null) sb = new java.lang.StringBuilder(s.length)
       groups.foreach { g =>
-        if (g <= m.groupCount() && m.start(g) >= 0) {
-          var i = m.start(g)
-          while (i < m.end(g)) {
-            if (!digitsOnly || Character.isDigit(sb.charAt(i))) sb.setCharAt(i, '*')
-            i += 1
+        // an out-of-range or unmatched group is skipped (the reference
+        // rejects out-of-range groups at config compile; an optional
+        // group that didn't participate has start -1); a group starting
+        // BEFORE the previous section's end would make the reference's
+        // value[prevFinish:curStart] slice panic — skipped here
+        if (g <= m.groupCount() && m.start(g) >= prevFinish) {
+          val cs = m.start(g); val cf = m.end(g)
+          sb.append(s, prevFinish, cs)
+          prevFinish = cf
+          curFinish = cf
+          if (replaceWord.nonEmpty) sb.append(replaceWord)
+          else if (cutValues) ()
+          else if (digitsOnly) {
+            var i = cs
+            while (i < cf) {
+              sb.append(if (Character.isDigit(s.charAt(i))) '*' else s.charAt(i))
+              i += 1
+            }
+          } else {
+            var n = s.codePointCount(cs, cf)
+            if (maxCount > 0) n = math.min(n, maxCount)
+            var i = 0
+            while (i < n) { sb.append('*'); i += 1 }
           }
         }
       }
     }
-    if (sb == null) input else UTF8String.fromString(sb.toString)
+    if (sb == null) input
+    else {
+      sb.append(s, curFinish, s.length)
+      UTF8String.fromString(sb.toString)
+    }
   }
 
   override def nullSafeEval(input: Any): Any =
@@ -63,4 +96,9 @@ object MaskGroups {
             digitsOnly: Boolean): Column =
     GraftBridge.column(
       MaskGroups(GraftBridge.expression(c), pattern, groups, digitsOnly))
+  def apply(c: Column, pattern: String, groups: Seq[Int], maxCount: Int,
+            replaceWord: String, cutValues: Boolean): Column =
+    GraftBridge.column(
+      MaskGroups(GraftBridge.expression(c), pattern, groups,
+        digitsOnly = false, maxCount, replaceWord, cutValues))
 }

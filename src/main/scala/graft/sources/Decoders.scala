@@ -87,44 +87,12 @@ object Decoders {
 
   /** CRI decoder (decoder/cri.go): `TIME STREAM TAG LOG`, tag F=full,
     * P=partial (partial-line continuation is a stateful stage — see
-    * graft.state.Multiline).
-    *
-    * Reference-exact token scan, NOT a `(stdout|stderr) ([FP])` regex:
-    * DecodeCRI consumes space-separated tokens after the timestamp
-    * until one is EXACTLY SIX BYTES (cri.go:35-42) and takes it as the
-    * stream — that loop is the recovery for corrupted container logs
-    * where a write got spliced mid-line (its Joined2Lines/Joined3Lines
-    * tests), and it also means any 6-char token is a stream and any
-    * non-empty token whose first byte is 'P' marks a partial. The tag
-    * must be non-empty and followed by a delimiter (cri.go:46-57).
-    *
-    * A line with no such shape (the reference errors) keeps its CONTENT
-    * as the log with NULL time/stream — the kmsg invariant: data is not
-    * silently lost, and the null markers show the parse failed.
-    * partial=false so the chunk stage treats it as a complete line,
-    * never a dangling run. */
-  def cri(line: Column): Column = {
-    val toks = split(line, " ", -1)
-    val n = size(toks)
-    // 1-based index of the stream token: first token ≥ position 2 of
-    // exactly 6 chars (get() is 0-based and null-safe out of range)
-    val si = array_min(filter(sequence(lit(2), greatest(n, lit(2))),
-      i => length(get(toks, i - 1)) === 6))
-    val tag = get(toks, si) // 1-based si+1 ⇒ 0-based si
-    // tag exists, is non-empty, and is not the last token (the
-    // reference needs one more delimiter after it)
-    val matched = si.isNotNull && (si + lit(1) < n) && length(tag) > 0
-    // log starts after tokens 1..si+1 and their si+1 separators
-    val sumLen = aggregate(slice(toks, lit(1), si + 1), lit(0),
-      (a, t) => a + length(t))
-    val logStart = sumLen + si + 2
-    struct(
-      when(matched, get(toks, lit(0))).as("time"),
-      when(matched, get(toks, si - 1)).as("stream"),
-      when(matched, tag.startsWith("P")).otherwise(lit(false)).as("partial"),
-      when(matched, line.substr(logStart, length(line)))
-        .otherwise(line).as("log"))
-  }
+    * graft.state.Multiline). One fused codegen scan —
+    * [[graft.functions.CriParse]] — porting DecodeCRI's token-consuming
+    * stream search (the corrupted-splice recovery its Joined2Lines/
+    * Joined3Lines tests pin) with the decoder family's no-silent-loss
+    * fallback on the reference's decode errors. */
+  def cri(line: Column): Column = graft.functions.CriParse(line)
 
   // the tail `[^ ]* .?(.*)$` is DecodePostgres's log step exactly
   // (postgres.go:164-170): the severity token ("LOG:") is DROPPED and

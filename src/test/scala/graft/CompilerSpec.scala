@@ -3581,7 +3581,8 @@ class CompilerSpec extends AnyFunSuite {
         |    masks:
         |      - re: '(\d{4})-(\d{4})'
         |        groups: [1, 2]
-        |      - re: 'bob'
+        |      - re: '(bob)'
+        |        groups: [0]
         |        replace_word: REDACTED
         |""".stripMargin)
     assert(masked.head.contains("card ****-**** user REDACTED"), masked.head)

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.compiler.PipelineCompiler
+
+/** Ports plugin/action/mask/mask_test.go's TestMaskFunctions table
+  * (modeMask/modeReplace/modeCut, max_count, rune-counted stars) and
+  * pins the compiler-level mask config rules (VerifyGroupNumbers,
+  * incompatible modes, per-mask match_rules, rules-only markers). */
+class MaskGroupsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+
+  private def mask(input: String, re: String, groups: Seq[Int],
+                   maxCount: Int = 0, replaceWord: String = "",
+                   cutValues: Boolean = false): String = {
+    import spark.implicits._
+    Seq(input).toDF("v")
+      .select(graft.functions.MaskGroups(col("v"), re, groups, maxCount,
+        replaceWord, cutValues).as("m"))
+      .as[String].collect().head
+  }
+
+  test("mask_test.go vector table: star/limit/replace/cut, rune counting") {
+    // "simple test": all digits masked
+    assert(mask("12.34.5678", "\\d", Seq(0)) == "**.**.****")
+    // "re not matches input string": untouched
+    assert(mask("ab.cd.efgh", "\\d", Seq(0)) == "ab.cd.efgh")
+    // "simple substitution": only group 1
+    assert(mask("-ab-axxb-", "a(x*)b", Seq(1)) == "-ab-a**b-")
+    // group 0: whole match
+    assert(mask("-ab-axxb-", "a(x*)b", Seq(0)) == "-**-****-")
+    // "groups of card number regex": sections 1-3 of 4
+    assert(mask("5568-2587-2420-0263",
+      "(\\d{4})-(\\d{4})-(\\d{4})-(\\d{4})", Seq(1, 2, 3)) ==
+      "****-****-****-0263")
+    // "ID-max_count": 20 runes capped at 10 stars
+    assert(mask("user details: Иванов Иван Иванович",
+      "[А-Я][а-я]+ [А-Я][а-я]+ [А-Я][а-я]+", Seq(0), maxCount = 10) ==
+      "user details: **********")
+    // "mask many UTF-8 values": one star per RUNE, not per byte
+    assert(mask("test 1 Петя 2 Петя 3 Петя 4 end", "(Петя)", Seq(1)) ==
+      "test 1 **** 2 **** 3 **** 4 end")
+    // "mask many UTF-8 values with limit"
+    assert(mask("test 1 Вася 2 Вася 3 Вася 4 end", "(Вася)", Seq(1),
+      maxCount = 2) == "test 1 ** 2 ** 3 ** 4 end")
+    // "ID-replace_word": group section → the word
+    assert(mask("user details: Иванов Иван Иванович",
+      "[А-Я][а-я]+ [А-Я][а-я]+ [А-Я][а-я]+", Seq(0),
+      replaceWord = "***MASKED***") == "user details: ***MASKED***")
+    // "replace many values with long word"
+    assert(mask("test 1 mask 2 mask 3 mask 4 end", "(mask)", Seq(1),
+      replaceWord = "qwerty") == "test 1 qwerty 2 qwerty 3 qwerty 4 end")
+    // "cut email" / "cut many values"
+    assert(mask("email login@domain.ru",
+      "[a-z0-9]+@[a-z0-9]+\\.[a-z]+", Seq(0), cutValues = true) == "email ")
+    assert(mask("test 1 mask 2 mask 3 mask 4 end", "(mask)", Seq(1),
+      cutValues = true) == "test 1  2  3  4 end")
+    // "2 card numbers and text": every match masked
+    assert(mask("issued card number 3528-3889-3793-9946 and card number 4035-3005-3980-4083",
+      "(\\d{4})-(\\d{4})-(\\d{4})-(\\d{4})", Seq(1, 2, 3, 4)) ==
+      "issued card number ****-****-****-**** and card number ****-****-****-****")
+  }
+
+  test("compiler mask config: verification errors, match_rules, rules-only") {
+    def run(events: Seq[String], yaml: String): Seq[String] =
+      PipelineCompiler.runActionsOnBatch(spark, events, yaml)
+    // max_count with replace_word is the reference's compileMasks fatal
+    val e1 = intercept[IllegalArgumentException] {
+      run(Seq("""{"log":"x"}"""),
+        """actions:
+          |  - type: mask
+          |    field: log
+          |    masks:
+          |      - {re: '(x)', groups: [1], max_count: 3, replace_word: w}
+          |""".stripMargin)
+    }
+    assert(e1.getMessage.contains("invalid mask configuration"), e1.getMessage)
+    // replace + cut incompatible
+    val e2 = intercept[IllegalArgumentException] {
+      run(Seq("""{"log":"x"}"""),
+        """actions:
+          |  - type: mask
+          |    field: log
+          |    masks:
+          |      - {re: '(x)', groups: [1], replace_word: w, cut_values: true}
+          |""".stripMargin)
+    }
+    assert(e2.getMessage.contains("incompatible"), e2.getMessage)
+    // VerifyGroupNumbers: more groups than the regex captures
+    val e3 = intercept[IllegalArgumentException] {
+      run(Seq("""{"log":"x"}"""),
+        """actions:
+          |  - type: mask
+          |    field: log
+          |    masks:
+          |      - {re: 'x', groups: [0]}
+          |""".stripMargin)
+    }
+    assert(e3.getMessage.contains("many groups"), e3.getMessage)
+    // match_rules gate the mask per VALUE: only the "secret"-prefixed
+    // value masks; the applied marker follows the rules, not a text diff
+    val mr = run(Seq("""{"log":"secret code 12"}""", """{"log":"plain code 12"}"""),
+      """actions:
+        |  - type: mask
+        |    field: log
+        |    mask_applied_field: masked
+        |    masks:
+        |      - re: '(\d+)'
+        |        groups: [1]
+        |        match_rules:
+        |          - rules:
+        |              - {mode: prefix, values: [secret]}
+        |""".stripMargin)
+    assert(mr.exists(s => s.contains("secret code **") &&
+      s.contains("\"masked\":\"true\"")), mr.toString)
+    assert(mr.exists(s => s.contains("plain code 12") && !s.contains("masked")),
+      mr.toString)
+    // rules-only mask (no re): marker fires, text untouched —
+    // mask_struct.go compileMask's "regex or ruleset, or both"
+    val ro = run(Seq("""{"log":"secret stays"}"""),
+      """actions:
+        |  - type: mask
+        |    field: log
+        |    mask_applied_field: masked
+        |    masks:
+        |      - match_rules:
+        |          - rules:
+        |              - {mode: prefix, values: [secret]}
+        |""".stripMargin)
+    assert(ro.head.contains("secret stays") &&
+      ro.head.contains("\"masked\":\"true\""), ro.head)
+    // empty groups with an re: marker-only (the reference's
+    // "Individual entrepreneur" vector — matched but unchanged)
+    val mo = run(Seq("""{"log":"Individual entrepreneur Ivanov"}"""),
+      """actions:
+        |  - type: mask
+        |    field: log
+        |    mask_applied_field: masked
+        |    masks:
+        |      - {re: 'Individual entrepreneur'}
+        |""".stripMargin)
+    assert(mo.head.contains("Individual entrepreneur Ivanov") &&
+      mo.head.contains("\"masked\":\"true\""), mo.head)
+  }
+}
