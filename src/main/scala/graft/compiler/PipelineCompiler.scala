@@ -2901,27 +2901,47 @@ object PipelineCompiler {
           Option(action.get("algo")).map(_.asText()).getOrElse("xxhash64"),
           normalizer))
       case "move" =>
-        // move.go:161-196: mode=allow moves the listed fields under
-        // target; mode=block moves every top-level field EXCEPT the
-        // listed + target. Top-level names come from the tracked schema.
-        val mFields = action.get("fields").elements().asScala.map(_.asText()).toSeq
+        // move.go:161-196: mode=allow moves the listed (possibly DEEP)
+        // selectors under target by their last segment; mode=block
+        // moves every top-level field EXCEPT the listed depth-1 fields
+        // + target (deep exclusions are ignored, a deep target is the
+        // reference's config error). Names come from the tracked schema.
+        val mPaths0 = action.get("fields").elements().asScala
+          .map(e => FieldPath.parse(e.asText())).toSeq
         val mode = action.get("mode").asText()
         require(mode == "allow" || mode == "block",
           s"move: mode must be allow|block, got `$mode`")
-        val target = action.get("target").asText()
+        val targetPath = FieldPath.parse(action.get("target").asText())
+        require(mode == "allow" || targetPath.parts.size == 1,
+          "move: in \"block\" mode, the maximum \"target\" depth is 1")
         val docSt = df.schema("doc").dataType match {
           case s: org.apache.spark.sql.types.StructType => s
           case _ => throw new IllegalArgumentException(
             "move: the doc column must be a struct (decode first)")
         }
+        // Dig-miss allow fields are skipped (move_test.go
+        // allow_unknown_fields — getField would fail analysis)
+        val mPaths =
+          if (mode == "allow") mPaths0.filter(p =>
+            PipelineCompiler.hasPath(docSt, p.parts.toList))
+          else mPaths0
         // an existing struct target MERGES (move.go inserts into it) —
         // its current children ride along instead of being replaced
-        val tChildren = docSt.fields.find(_.name == target).map(_.dataType) match {
+        def typeAt(t: org.apache.spark.sql.types.DataType,
+                   ps: List[String]): Option[org.apache.spark.sql.types.DataType] =
+          (t, ps) match {
+            case (x, Nil) => Some(x)
+            case (s: org.apache.spark.sql.types.StructType, p :: rest) =>
+              s.fields.find(_.name == p).flatMap(f => typeAt(f.dataType, rest))
+            case _ => None
+          }
+        val tChildren = typeAt(docSt, targetPath.parts.toList) match {
           case Some(s: org.apache.spark.sql.types.StructType) => s.fieldNames.toSeq
           case _ => Nil
         }
-        guarded(Actions.move(doc, docSt.fieldNames.toSeq, mFields, target,
-          mode == "allow", targetChildren = tChildren))
+        guarded(Actions.movePaths(doc, docSt.fieldNames.toSeq, mPaths,
+          targetPath, mode == "allow", targetChildren = tChildren,
+          docType = Some(docSt)))
       case "convert_utf8_bytes" =>
         // convert_utf8_bytes.go: decode \xXX/\uXXXX/\OOO escapes in the
         // listed string fields (the codegen Utf8Unescape expression);

@@ -131,10 +131,20 @@ object Actions {
     * kept fields keep the EVENT's original order — with `docType` (the
     * compiler's tracked doc schema) the rebuilt struct preserves that
     * order at every level; without it the fallback is a deterministic
-    * name sort (direct-API callers whose downstream is order-blind). */
+    * name sort (direct-API callers whose downstream is order-blind).
+    * A NESTED container whose kept leaves are all absent on a row nulls
+    * out entirely — the reference leaves no empty `{}` behind
+    * (keep_fields_test.go TestKeepNestedFields row 3: `{"f":"k"}`, not
+    * `{"a":{},"f":"k"}`); the top level stays an object like the
+    * reference's all-removed event `{}`. */
   def keepFields(doc: Column, fields: Seq[FieldPath],
                  docType: Option[org.apache.spark.sql.types.DataType] = None)
-  : Column = {
+  : Column = keepFieldsWithLeaves(doc, fields, docType)._1
+
+  private def keepFieldsWithLeaves(
+      doc: Column, fields: Seq[FieldPath],
+      docType: Option[org.apache.spark.sql.types.DataType])
+  : (Column, Seq[Column]) = {
     // Group top-level keys; nested keeps rebuild one level down.
     val byHead = fields.groupBy(_.parts.head)
     val ordered = docType match {
@@ -143,17 +153,21 @@ object Actions {
         byHead.toSeq.sortBy { case (h, _) => (idx.getOrElse(h, Int.MaxValue), h) }
       case _ => byHead.toSeq.sortBy(_._1)
     }
-    struct(ordered.map { case (head, paths) =>
-      if (paths.exists(_.parts.size == 1)) doc.getField(head).as(head)
-      else {
+    val parts = ordered.map { case (head, paths) =>
+      if (paths.exists(_.parts.size == 1)) {
+        val c = doc.getField(head)
+        (c.as(head), Seq(c))
+      } else {
         val childType = docType.collect {
           case s: org.apache.spark.sql.types.StructType =>
             s.find(_.name == head).map(_.dataType)
         }.flatten
-        keepFields(doc.getField(head),
-          paths.map(p => FieldPath(p.parts.tail)), childType).as(head)
+        val (sub, leaves) = keepFieldsWithLeaves(doc.getField(head),
+          paths.map(p => FieldPath(p.parts.tail)), childType)
+        (when(leaves.map(_.isNotNull).reduce(_ || _), sub).as(head), leaves)
       }
-    }: _*)
+    }
+    (struct(parts.map(_._1): _*), parts.flatMap(_._2))
   }
 
   /** modify (plugin/action/modify/modify.go:202): field ← rendered
@@ -170,22 +184,76 @@ object Actions {
   /** move (plugin/action/move/move.go:161-196): mode=allow moves listed
     * fields under target; mode=block moves all top-level fields except
     * listed + target. Requires known top-level names (supplied by the
-    * pipeline compiler from its tracked schema). */
+    * pipeline compiler from its tracked schema). String form kept for
+    * the top-level-only callers; [[movePaths]] is the full surface. */
   def move(doc: Column, allNames: Seq[String], fields: Seq[String],
            target: String, allow: Boolean,
-           targetChildren: Seq[String] = Nil): Column = {
-    val moved = if (allow) fields else allNames.filterNot(n => fields.contains(n) || n == target)
-    if (moved.isEmpty) doc // nothing to move (and struct() of zero cols is degenerate)
+           targetChildren: Seq[String] = Nil): Column =
+    movePaths(doc, allNames, fields.map(FieldPath.parse),
+      FieldPath.parse(target), allow, targetChildren)
+
+  /** move with the reference's full selector surface: allow-mode fields
+    * are DEEP selectors landing under target by their LAST segment
+    * (move_test.go allow_deep_fields: `field2.field2_1` → target key
+    * `field2_1`, the deep source removed from its parent); the target
+    * itself may be a deep path in allow mode. Block mode works at
+    * depth 1 only — deep exclusions are ignored by the reference and
+    * a deep target is its config error. */
+  def movePaths(doc: Column, allNames: Seq[String], fields: Seq[FieldPath],
+                target: FieldPath, allow: Boolean,
+                targetChildren: Seq[String] = Nil,
+                docType: Option[org.apache.spark.sql.types.StructType] = None)
+  : Column = {
+    val movedPairs: Seq[(String, FieldPath)] =
+      if (allow) fields.map(f => f.parts.last -> f)
+      else allNames.filterNot(n =>
+          fields.exists(f => f.parts.size == 1 && f.parts.head == n) ||
+            n == target.parts.head)
+        .map(n => n -> FieldPath(Seq(n)))
+    if (movedPairs.isEmpty) doc // nothing to move (struct() of zero cols is degenerate)
     else {
       // MERGE into an existing target object (move.go:161-196 inserts
       // into it) — replacing it wholesale would silently drop the
       // target's current children; `targetChildren` comes from the
       // compiler's tracked schema
-      val kept = targetChildren.filterNot(moved.contains)
-        .map(c => doc.getField(target).getField(c).as(c))
-      val targetStruct = struct(kept ++ moved.map(f => doc.getField(f).as(f)): _*)
-      doc.dropFields(moved: _*).withField(target, targetStruct)
+      val kept = targetChildren.filterNot(c => movedPairs.exists(_._1 == c))
+        .map(c => getPath(doc, target).getField(c).as(c))
+      val targetStruct = struct(
+        kept ++ movedPairs.map { case (n, f) => getPath(doc, f).as(n) }: _*)
+      // a deep move that drains its parent struct must drop the PARENT
+      // (Spark refuses an empty struct via dropFields; an emptied
+      // container is the engine's absent — the same convention
+      // keep_fields' reference output shows for childless nodes)
+      val drops = docType match {
+        case Some(st) =>
+          collapseDrops(st, Nil, movedPairs.map(_._2.parts.toList).toSet)
+            .toSeq.map(p => FieldPath(p))
+        case None => movedPairs.map(_._2)
+      }
+      doc.dropFields(drops.map(nested): _*)
+        .withField(nested(target), targetStruct)
     }
+  }
+
+  /** Effective drop set: if every field of a struct is (transitively)
+    * dropped, drop the struct itself instead of its children. */
+  private def collapseDrops(t: org.apache.spark.sql.types.StructType,
+                            prefix: List[String],
+                            drops: Set[List[String]]): Set[List[String]] = {
+    val perChild = t.fields.map { f =>
+      val p = prefix :+ f.name
+      if (drops.contains(p)) Set(p)
+      else f.dataType match {
+        case s: org.apache.spark.sql.types.StructType =>
+          collapseDrops(s, p, drops)
+        case _ => Set.empty[List[String]]
+      }
+    }
+    val allDropped = t.fields.nonEmpty &&
+      t.fields.zip(perChild).forall { case (f, cd) =>
+        cd == Set(prefix :+ f.name) }
+    if (allDropped && prefix.nonEmpty) Set(prefix)
+    else perChild.flatten.toSet
   }
 
   /** flatten (plugin/action/flatten/flatten.go:36): splice a struct

@@ -1279,6 +1279,71 @@ class CompilerSpec extends AnyFunSuite {
         |    fields: [a, z, nope]
         |""".stripMargin).head
     assert(kf.indexOf("\"z\"") < kf.indexOf("\"a\"") && !kf.contains("nope"), kf)
+    // keep_fields_test.go TestKeepNestedFields: a nested container whose
+    // kept leaves are all absent on a row leaves NO empty {} behind; a
+    // parent keep ("a" with "a.b") keeps the whole subtree
+    val kn = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"a":{"b":{"c":1,"d":1}},"d":1}""",
+        """{"a":{"g":"h","f":"nested"},"f":"k"}"""),
+      """decoder: {type: json, schema: "a struct<b struct<c bigint, d bigint>, d bigint, g string, f string>, d bigint, f string"}
+        |actions:
+        |  - type: keep_fields
+        |    fields: ["a.b.c", "a.b.d", "a.d", f]
+        |""".stripMargin)
+    assert(kn.exists(_ == """{"a":{"b":{"c":1,"d":1}}}"""), kn.toString)
+    assert(kn.exists(_ == """{"f":"k"}"""), kn.toString)
+    // TestRemoveNestedFieldsInConfig: parent keep wins over child keeps
+    val kp = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"a":{"d":123}}"""),
+      """decoder: {type: json, schema: "a struct<d bigint>"}
+        |actions:
+        |  - type: keep_fields
+        |    fields: ["a.b", "a.c", a]
+        |""".stripMargin).head
+    assert(kp == """{"a":{"d":123}}""", kp)
+    // move_test.go allow_deep_fields: deep selectors land under the
+    // target by their LAST segment, the deep source leaves its parent;
+    // unknown fields are Dig-miss skipped
+    val mv1 = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"field1":"v1","field2":{"f21":"v21","f22":{"f222":"v222"}},"field3":3,"nope_src":null}"""),
+      """decoder: {type: json, schema: "field1 string, field2 struct<f21 string, f22 struct<f222 string>>, field3 bigint"}
+        |actions:
+        |  - type: move
+        |    mode: allow
+        |    fields: [field3, "field2.f21", "field2.f22.f222", unknown1]
+        |    target: target_field
+        |""".stripMargin).head
+    assert(mv1.contains("\"target_field\":{") &&
+      mv1.contains("\"field3\":3") && mv1.contains("\"f21\":\"v21\"") &&
+      mv1.contains("\"f222\":\"v222\"") && !mv1.contains("unknown1"), mv1)
+    assert(!mv1.contains("\"field2\":{\"f21\""), "deep sources must move out: " + mv1)
+    // block mode ignores deep exclusions (block_deep_fields: field2
+    // moves WHOLE despite the listed field2.f22) and a deep target is
+    // the reference's config error
+    val mv2 = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"field1":"v1","field2":{"f21":"x"},"field3":3}"""),
+      """decoder: {type: json, schema: "field1 string, field2 struct<f21 string>, field3 bigint"}
+        |actions:
+        |  - type: move
+        |    mode: block
+        |    fields: [field1, "field2.f22"]
+        |    target: target_field
+        |""".stripMargin).head
+    assert(mv2.contains("\"field1\":\"v1\"") &&
+      mv2.contains("\"target_field\":{") && mv2.contains("\"field2\":{\"f21\":\"x\"}") &&
+      mv2.contains("\"field3\":3"), mv2)
+    val mvErr = intercept[IllegalArgumentException] {
+      PipelineCompiler.runActionsOnBatch(spark, Seq("""{"a":1}"""),
+        """decoder: {type: json, schema: "a bigint"}
+          |actions:
+          |  - type: move
+          |    mode: block
+          |    fields: [a]
+          |    target: "t1.t2.t3"
+          |""".stripMargin)
+    }
+    assert(mvErr.getMessage.contains("maximum \"target\" depth is 1"),
+      mvErr.getMessage)
   }
 
   test("action edge semantics: nested paths, rename skip, move merge, flatten, byte cut") {
