@@ -240,17 +240,25 @@ object Queries {
       |  regexp_extract(props, '"k": (\d+)', 1) AS summary
       |FROM events""".stripMargin
 
-  /** convert_log_level: style=number with default. */
+  /** convert_log_level: style=number with default. Reference precedence
+    * (convert_log_level.go Do): the default applies to MISSING/EMPTY
+    * values only — a failed parse keeps the original (or removes under
+    * remove_on_fail), it is never rescued by the default. Every 5th
+    * event's level is blanked so the default path binds. */
   val q10_act_log_level: Q = (s, dir) => {
     val ev = t(s, dir, "events")
-    val doc0 = struct(ev.columns.map(col): _*)
-    val doc = Actions.convertLogLevel(doc0, "event_type", "number", Some("informational"))
-    ev.select(col("event_id"), doc.getField("event_type").as("level"))
+    val lvl = when(col("event_id") % 5 === 0, lit("")).otherwise(col("event_type"))
+    val doc0 = struct(col("event_id"), lvl.as("lvl"))
+    val doc = Actions.convertLogLevel(doc0, FieldPath("lvl"), "number",
+      Some("informational"))
+    ev.select(col("event_id"), doc.getField("lvl").as("level"))
   }
 
   val q10_sql: String =
     """SELECT event_id,
-      |  CASE WHEN lower(trim(event_type)) = 'error' THEN '3' ELSE '6' END AS level
+      |  CASE WHEN event_id % 5 = 0 THEN '6'
+      |       WHEN lower(trim(event_type)) = 'error' THEN '3'
+      |       ELSE event_type END AS level
       |FROM events""".stripMargin
 
   /** split: explode array field into child events (non-array passes). */

@@ -2660,7 +2660,8 @@ object PipelineCompiler {
           removeOnFail = Option(action.get("remove_on_fail")).exists(_.asBoolean())))
       case "convert_log_level" =>
         guarded(Actions.convertLogLevel(doc,
-          Option(action.get("field")).map(_.asText()).getOrElse("level"),
+          FieldPath.parse(
+            Option(action.get("field")).map(_.asText()).getOrElse("level")),
           Option(action.get("style")).map(_.asText()).getOrElse("number"),
           Option(action.get("default_level")).map(_.asText()),
           removeOnFail = Option(action.get("remove_on_fail")).exists(_.asBoolean())))

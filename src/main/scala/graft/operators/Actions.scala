@@ -68,21 +68,27 @@ object Actions {
     doc.withField(nested(field), when(parsed.isNotNull, rendered).otherwise(onFail))
   }
 
-  /** convert_log_level (plugin/action/convert_log_level): style
-    * number|string, default_level fallback. */
-  def convertLogLevel(doc: Column, field: String, style: String,
+  /** convert_log_level (plugin/action/convert_log_level). Reference
+    * precedence (convert_log_level.go Do): a MISSING or EMPTY value
+    * takes `default_level` BEFORE parsing (a missing field with no
+    * default passes untouched); a FAILED parse is never rescued by the
+    * default — remove_on_fail removes the field, otherwise the
+    * pre-parse value stays. Nested selectors supported. The converted
+    * number renders as a string in the doc (the engine's typed-column
+    * convention — the reference mutates the dynamic node to an int). */
+  def convertLogLevel(doc: Column, field: FieldPath, style: String,
                       defaultLevel: Option[String] = None,
                       removeOnFail: Boolean = false): Column = {
-    val src = doc.getField(field)
+    val src = getPath(doc, field).cast("string")
+    val effective = defaultLevel
+      .map(d => when(src.isNull || src === "", lit(d)).otherwise(src))
+      .getOrElse(src)
     val conv =
-      if (style == "number") LogLevel.toNumber(src).cast("string")
-      else LogLevel.toName(src)
-    val dflt = defaultLevel.map { d =>
-      if (style == "number") LogLevel.nameToNumber.get(d.toLowerCase).map(_.toString).orNull
-      else d
-    }
-    val out = coalesce(Seq(Some(conv), dflt.map(lit), if (removeOnFail) None else Some(src.cast("string"))).flatten: _*)
-    doc.withField(field, out)
+      if (style == "number") LogLevel.toNumber(effective).cast("string")
+      else LogLevel.toName(effective)
+    val out = coalesce(conv,
+      if (removeOnFail) lit(null).cast("string") else effective)
+    doc.withField(nested(field), out)
   }
 
   /** rename (plugin/action/rename): sequential field renames.
@@ -279,13 +285,32 @@ object Actions {
     doc.withField(field, from_json(doc.getField(field), schema))
 
   /** json_extract (plugin/action/json_extract/json_extract.go:126-181):
-    * pull listed paths out of a JSON-string field without full parse —
-    * get_json_object is Jackson-streaming underneath, matching the
-    * reference's truncation-tolerant extractor in spirit. */
+    * pull listed paths out of a JSON-string field without full parse.
+    * ONE native scanner pass for all paths (JsonFields) — truncation-
+    * tolerant exactly like the reference's path_tree scanner: fields
+    * delivered before a cut survive, the cut one reads null
+    * (json_extract_test.go partial_json). get_json_object returned
+    * ALL-null on a truncated doc and paid one Jackson pass per path.
+    * Escaped-dot selectors keep the get_json_object leg (JsonFields
+    * splits its dotted paths on '.'). */
   def jsonExtract(doc: Column, field: FieldPath, extract: Seq[FieldPath],
                   prefix: String = ""): Column = {
-    val payload = getPath(doc, field)
-    extract.foldLeft(doc) { (d, p) =>
+    val payload = getPath(doc, field).cast("string")
+    // the same selector via extract_field AND extract_fields lands once
+    // (json_extract_test.go extracted_field_duple) — and a duplicate
+    // name in the scanner's output struct would be ambiguous to read
+    val (plain, dotted) =
+      extract.distinct.partition(p => !p.parts.exists(_.contains(".")))
+    val base =
+      if (plain.isEmpty) doc
+      else {
+        val names = plain.map(_.parts.mkString("."))
+        val j = graft.functions.JsonFields(payload, names)
+        plain.zip(names).foldLeft(doc) { case (d, (p, nm)) =>
+          d.withField(prefix + p.parts.last, j.getField(nm))
+        }
+      }
+    dotted.foldLeft(base) { (d, p) =>
       d.withField(prefix + p.parts.last, get_json_object(payload, p.jsonPath))
     }
   }

@@ -1344,6 +1344,41 @@ class CompilerSpec extends AnyFunSuite {
     }
     assert(mvErr.getMessage.contains("maximum \"target\" depth is 1"),
       mvErr.getMessage)
+    // convert_log_level_test.go vectors: nested selector works; the
+    // default rescues MISSING/EMPTY values only; a failed parse is
+    // removed under remove_on_fail or kept as-is — never defaulted
+    val clYaml =
+      """decoder: {type: json, schema: "info struct<level string>"}
+        |actions:
+        |  - {type: convert_log_level, field: "info.level", style: string}
+        |""".stripMargin
+    val cl = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"info":{"level":"1"}}"""), clYaml).head
+    assert(cl.contains("\"level\":\"alert\""), cl)
+    val cl2 = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"info":{"level":"UNKNOWN"}}"""),
+      """decoder: {type: json, schema: "info struct<level string>"}
+        |actions:
+        |  - {type: convert_log_level, field: "info.level", style: number,
+        |     default_level: "1", remove_on_fail: true}
+        |""".stripMargin).head
+    assert(!cl2.contains("UNKNOWN") && !cl2.contains("\"level\""), cl2)
+    val cl3 = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"info":{"level":"UNKNOWN"}}"""),
+      """decoder: {type: json, schema: "info struct<level string>"}
+        |actions:
+        |  - {type: convert_log_level, field: "info.level", style: number,
+        |     default_level: "1"}
+        |""".stripMargin).head
+    assert(cl3.contains("\"level\":\"UNKNOWN\""), cl3)
+    val cl4 = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"info":{"level":""}}"""),
+      """decoder: {type: json, schema: "info struct<level string>"}
+        |actions:
+        |  - {type: convert_log_level, field: "info.level", style: number,
+        |     default_level: "4"}
+        |""".stripMargin).head
+    assert(cl4.contains("\"level\":\"4\""), cl4)
   }
 
   test("action edge semantics: nested paths, rename skip, move merge, flatten, byte cut") {

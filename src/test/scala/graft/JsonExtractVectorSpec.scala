@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.compiler.PipelineCompiler
+
+/** Ports plugin/action/json_extract/json_extract_test.go's edge
+  * vectors: truncation tolerance (fields delivered before the cut
+  * survive — the reference's path_tree scanner), prefix, Dig-miss,
+  * nested extraction, and the extract_field/extract_fields duple. */
+class JsonExtractVectorSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+
+  private def run(events: Seq[String], yaml: String): Seq[String] =
+    PipelineCompiler.runActionsOnBatch(spark, events, yaml)
+
+  test("partial_json: fields before the truncation point survive") {
+    val out = run(
+      Seq("""{"field1":"value1","json_field":"{\"test\":\"test_value\",\"extracted1\":\"text\",\"extracted2\":\"long text ..."}"""),
+      """decoder: {type: json, schema: "field1 string, json_field string"}
+        |actions:
+        |  - type: json_extract
+        |    field: json_field
+        |    extract_fields: [extracted1, extracted2]
+        |""".stripMargin).head
+    assert(out.contains("\"extracted1\":\"text\""), out)
+    assert(!out.contains("\"extracted2\""), out) // the cut one reads null
+  }
+
+  test("extract_with_prefix + nested + duple + Dig-miss") {
+    val pre = run(
+      Seq("""{"json_field":"{\"extracted1\":\"t1\",\"extracted2\":\"t2\"}"}"""),
+      """decoder: {type: json, schema: "json_field string"}
+        |actions:
+        |  - type: json_extract
+        |    field: json_field
+        |    extract_fields: [extracted1, extracted2]
+        |    prefix: ext_
+        |""".stripMargin).head
+    assert(pre.contains("\"ext_extracted1\":\"t1\"") &&
+      pre.contains("\"ext_extracted2\":\"t2\""), pre)
+    // extract_multi_nested shape: dotted selector digs the sub-object
+    val nest = run(
+      Seq("""{"json_field":"{\"deep\":{\"v\":42,\"w\":\"x\"}}"}"""),
+      """decoder: {type: json, schema: "json_field string"}
+        |actions:
+        |  - type: json_extract
+        |    field: json_field
+        |    extract_fields: ["deep.v", "deep.w"]
+        |""".stripMargin).head
+    assert(nest.contains("\"v\":\"42\"") && nest.contains("\"w\":\"x\""), nest)
+    // extracted_field_duple: the same name via extract_field AND
+    // extract_fields lands once
+    val dup = run(
+      Seq("""{"json_field":"{\"extracted\":\"text\"}"}"""),
+      """decoder: {type: json, schema: "json_field string"}
+        |actions:
+        |  - type: json_extract
+        |    field: json_field
+        |    extract_field: extracted
+        |    extract_fields: [extracted]
+        |""".stripMargin).head
+    assert(dup.contains("\"extracted\":\"text\""), dup)
+    // field_not_exists / extracted_field_not_exists: nothing lands
+    val miss = run(
+      Seq("""{"json_field":"{\"test\":\"v\"}"}"""),
+      """decoder: {type: json, schema: "json_field string"}
+        |actions:
+        |  - type: json_extract
+        |    field: json_field
+        |    extract_fields: [extracted]
+        |""".stripMargin).head
+    assert(!miss.contains("\"extracted\""), miss)
+  }
+}
