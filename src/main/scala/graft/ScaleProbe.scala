@@ -61,13 +61,16 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // synthesize the 10× corpus once (cached across runs)
-    val sf1Dir = "/tmp/graft_sf1"
+    // synthesize the Nx corpus once (cached across runs); the factor
+    // comes from SPARK_GRAFT_PROBE_FACTOR (default 10 — the standing
+    // 10x cells; 100 for the deep-scale datapoints)
+    val factor = sys.env.getOrElse("SPARK_GRAFT_PROBE_FACTOR", "10").toInt
+    val sf1Dir = if (factor == 10) "/tmp/graft_sf1" else s"/tmp/graft_sfx$factor"
     val docs1Path = s"$sf1Dir/documents.parquet"
     if (!new java.io.File(docs1Path, "_SUCCESS").exists()) {
       val d = Tables(spark, base, "documents")
-      d.crossJoin(spark.range(10).select(col("id").as("_rep")))
-        .select((col("doc_id") * 10 + col("_rep")).as("doc_id"),
+      d.crossJoin(spark.range(factor).select(col("id").as("_rep")))
+        .select((col("doc_id") * factor + col("_rep")).as("doc_id"),
           col("text"), col("lang"),
           concat(col("source"), lit("_"), col("_rep")).as("source"),
           col("n_chars"))
@@ -85,8 +88,8 @@ object ScaleProbe {
     val emb1Path = s"$sf1Dir/embeddings.parquet"
     if (!new java.io.File(emb1Path, "_SUCCESS").exists()) {
       Tables(spark, base, "embeddings")
-        .crossJoin(spark.range(10).select(col("id").as("_rep")))
-        .select((col("vec_id") * 10 + col("_rep")).as("vec_id"),
+        .crossJoin(spark.range(factor).select(col("id").as("_rep")))
+        .select((col("vec_id") * factor + col("_rep")).as("vec_id"),
           col("embedding"))
         .repartition(32)
         .write.mode("overwrite").parquet(emb1Path)
@@ -106,8 +109,8 @@ object ScaleProbe {
     val embDistinctPath = s"$sf1Dir/embeddings_distinct.parquet"
     if (!new java.io.File(embDistinctPath, "_SUCCESS").exists()) {
       Tables(spark, base, "embeddings")
-        .crossJoin(spark.range(10).select(col("id").as("_rep")))
-        .select((col("vec_id") * 10 + col("_rep")).as("vec_id"),
+        .crossJoin(spark.range(factor).select(col("id").as("_rep")))
+        .select((col("vec_id") * factor + col("_rep")).as("vec_id"),
           transform(col("embedding"),
             (x, i) => when(pmod(xxhash64(col("_rep"), i), lit(2)) === 0, x)
               .otherwise(-x)).as("embedding"))
@@ -122,8 +125,8 @@ object ScaleProbe {
     val ev1Path = s"$sf1Dir/events.parquet"
     if (!new java.io.File(ev1Path, "_SUCCESS").exists()) {
       Tables(spark, base, "events")
-        .crossJoin(spark.range(10).select(col("id").as("_rep")))
-        .select((col("event_id") * 10 + col("_rep")).as("event_id"),
+        .crossJoin(spark.range(factor).select(col("id").as("_rep")))
+        .select((col("event_id") * factor + col("_rep")).as("event_id"),
           col("ts"), col("user_id"), col("event_type"), col("value"),
           col("props"))
         .repartition(32)
@@ -323,29 +326,30 @@ object ScaleProbe {
     // interleave scales so a CPU-steal stall cannot poison one scale's
     // whole column; keep the better (min-wall) measurement per cell
     val out = scala.collection.mutable.LinkedHashMap.empty[(String, String), Metrics]
-    for (pass <- 1 to 2; (name, f) <- ops; scale <- Seq("base", "x10")) {
+    val xName = s"x$factor"
+    for (pass <- 1 to 2; (name, f) <- ops; scale <- Seq("base", xName)) {
       val m = f(scale)
       val k = (name, scale)
       if (!out.contains(k) || m.wallSec < out(k).wallSec) out(k) = m
     }
     println("op,scale,wall_sec,shuffle_mb,peak_task_mem_mb,rows")
     ops.foreach { case (name, _) =>
-      Seq("base", "x10").foreach { s =>
+      Seq("base", xName).foreach { s =>
         val m = out((name, s))
         println(f"$name,$s,${m.wallSec}%.2f,${m.shuffleBytes / 1e6}%.1f," +
           f"${m.peakTaskMemMb},${m.rows}")
       }
-      val b = out((name, "base")); val x = out((name, "x10"))
+      val b = out((name, "base")); val x = out((name, xName))
       val shufRatio = if (b.shuffleBytes > 0) x.shuffleBytes.toDouble / b.shuffleBytes else 0.0
       val wallRatio = if (b.wallSec > 0) x.wallSec / b.wallSec else 0.0
       println(f"# $name: shuffle x$shufRatio%.1f, wall x$wallRatio%.1f, " +
-        f"peak-mem ${b.peakTaskMemMb} -> ${x.peakTaskMemMb} MB at 10x data")
+        f"peak-mem ${b.peakTaskMemMb} -> ${x.peakTaskMemMb} MB at ${factor}x data")
     }
     // the stop-fingerprint evidence behind the winnow cells: how many
     // distinct fps the doc-frequency cap cuts at each scale (the count
     // must GROW at 10× — replicated texts multiply doc freq, and the
     // cap absorbing them is what keeps the pair join bounded)
-    if (ops.exists(_._1.startsWith("winnow"))) Seq("base", "x10").foreach { s =>
+    if (ops.exists(_._1.startsWith("winnow"))) Seq("base", xName).foreach { s =>
       val fps = docsAt(s).filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), explode(
           graft.functions.RollingFingerprints(col("text"), 8, 5)).as("fp"))

@@ -2697,9 +2697,25 @@ object PipelineCompiler {
             PipelineCompiler.hasPath(kfType, p.parts.toList)),
           Some(kfType)))
       case "modify" =>
-        val sets = action.get("fields").properties().asScala.toSeq
+        // the reference spells the sets DIRECTLY on the action node
+        // (modify's Config IS the field map — docs/examples:
+        // `- type: modify\n  my_object.field: x`); the `fields:`
+        // wrapper stays as the graft spelling. `_skip_empty: true`
+        // (modify.go:139,222) keeps a target untouched when its
+        // rendered value is empty.
+        val reserved = Set("type", "fields", "match_fields", "match_mode",
+          "match_invert", "do_if", "metric_name", "metric_labels",
+          "metric_label_values", "_skip_empty")
+        val rawSets = Option(action.get("fields"))
+          .map(_.properties().asScala.toSeq)
+          .getOrElse(action.properties().asScala.toSeq
+            .filterNot(e => reserved.contains(e.getKey)))
           .map(e => e.getKey -> e.getValue.asText())
-        guarded(Actions.modify(doc, sets))
+        val skipEmpty = Option(action.get("_skip_empty"))
+          .exists(v => v.asBoolean() || v.asText() == "true")
+        val modDocType = df.schema("doc").dataType
+        guarded(Actions.modify(doc, rawSets, skipEmpty,
+          parts => PipelineCompiler.hasPath(modDocType, parts.toList)))
       case "flatten" =>
         guarded(Actions.flatten(doc, action.get("field").asText(),
           action.get("keys").elements().asScala.map(_.asText()).toSeq,

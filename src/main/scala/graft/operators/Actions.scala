@@ -177,15 +177,40 @@ object Actions {
   }
 
   /** modify (plugin/action/modify/modify.go:202): field ← rendered
-    * substitution template (§2.5 filters). */
-  def modify(doc: Column, sets: Seq[(String, String)]): Column =
+    * substitution template (§2.5 filters). A template ref to a field
+    * absent from the tracked schema renders EMPTY like the reference's
+    * nil-Dig AsBytes (getField would fail the query at analysis);
+    * `skipEmpty` (`_skip_empty: true`, modify.go:222) keeps the target
+    * untouched when the rendered value is empty. `hasPath` is the
+    * compiler's schema probe; fields set earlier in THE SAME action are
+    * visible to later refs and skip-reads. */
+  def modify(doc: Column, sets: Seq[(String, String)],
+             skipEmpty: Boolean = false,
+             hasPath: Seq[String] => Boolean = _ => true): Column = {
     // templates resolve against the FOLDED doc: the reference mutates
     // the event in place sequentially, so a later set referencing an
     // earlier-set field must read its new value, not the original
+    val known = scala.collection.mutable.Set.empty[Seq[String]]
+    def exists(parts: Seq[String]): Boolean = known(parts) || hasPath(parts)
     sets.foldLeft(doc) { case (d, (field, template)) =>
-      d.withField(field,
-        Subst.compile(template, p => getPath(d, p).cast("string")))
+      val rendered = Subst.compile(template, p =>
+        if (exists(p.parts)) getPath(d, p).cast("string")
+        else lit(null).cast("string"))
+      // the write side (withField) splits on plain dots — track the
+      // same spelling so skip-reads and later refs agree with it
+      val parts: Seq[String] = field.split("\\.").toSeq
+      val out =
+        if (!skipEmpty) rendered
+        else {
+          val old =
+            if (exists(parts)) parts.foldLeft(d)(_ getField _).cast("string")
+            else lit(null).cast("string")
+          when(length(rendered) > 0, rendered).otherwise(old)
+        }
+      known += parts
+      d.withField(field, out)
     }
+  }
 
   /** move (plugin/action/move/move.go:161-196): mode=allow moves listed
     * fields under target; mode=block moves all top-level fields except

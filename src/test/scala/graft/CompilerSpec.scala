@@ -1379,6 +1379,23 @@ class CompilerSpec extends AnyFunSuite {
         |     default_level: "4"}
         |""".stripMargin).head
     assert(cl4.contains("\"level\":\"4\""), cl4)
+    // modify_test.go TestModify: the reference spells sets DIRECTLY on
+    // the action node; nested targets build step by step; _skip_empty
+    // keeps a target absent when its template renders empty (a ref to a
+    // schema-absent field renders empty, not an analysis crash)
+    val md = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"existing_field":"existing_value","my_object":{"field":{"subfield":"subfield_value"}}}"""),
+      """decoder: {type: json, schema: "existing_field string, my_object struct<field struct<subfield string>>"}
+        |actions:
+        |  - type: modify
+        |    _skip_empty: "true"
+        |    new_field: new_value
+        |    my_object.field.subfield: ${existing_field}
+        |    not_exists: ${not_existing_field}
+        |""".stripMargin).head
+    assert(md.contains("\"new_field\":\"new_value\""), md)
+    assert(md.contains("\"subfield\":\"existing_value\""), md)
+    assert(!md.contains("not_exists"), md)
   }
 
   test("action edge semantics: nested paths, rename skip, move merge, flatten, byte cut") {
