@@ -65,7 +65,13 @@ object ScaleProbe {
     // comes from SPARK_GRAFT_PROBE_FACTOR (default 10 — the standing
     // 10x cells; 100 for the deep-scale datapoints)
     val factor = sys.env.getOrElse("SPARK_GRAFT_PROBE_FACTOR", "10").toInt
-    val sf1Dir = if (factor == 10) "/tmp/graft_sf1" else s"/tmp/graft_sfx$factor"
+    // cache key carries the BASE SF dir (the BenchProbe stale-cache
+    // lesson): a corpus replicated from one SF must not be reused when
+    // the probe runs against another
+    val sfTag = base.replaceAll("[^A-Za-z0-9.]", "_")
+    val sf1Dir =
+      if (factor == 10 && base == "/root/testdata/sf0.1") "/tmp/graft_sf1"
+      else s"/tmp/graft_sfx${factor}_$sfTag"
     val docs1Path = s"$sf1Dir/documents.parquet"
     if (!new java.io.File(docs1Path, "_SUCCESS").exists()) {
       val d = Tables(spark, base, "documents")

@@ -823,16 +823,21 @@ object PipelineCompiler {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
   }
 
+  /** Type at a nested path of a doc type, None on a miss — the shared
+    * struct walk behind [[hasPath]] and move's target-children lookup. */
+  private[compiler] def typeAt(t: DataType, parts: List[String]): Option[DataType] =
+    (t, parts) match {
+      case (x, Nil) => Some(x)
+      case (s: StructType, p :: rest) =>
+        s.fields.find(_.name == p).flatMap(f => typeAt(f.dataType, rest))
+      case _ => None
+    }
+
   /** Does a nested path resolve against a doc type? The reference's
     * Dig-miss probe for actions whose semantics on a missing field are
     * "skip", not "fail analysis" (rename sources, set_time target). */
   private[compiler] def hasPath(t: DataType, parts: List[String]): Boolean =
-    (t, parts) match {
-      case (_, Nil) => true
-      case (s: StructType, p :: rest) =>
-        s.fields.find(_.name == p).exists(f => hasPath(f.dataType, rest))
-      case _ => false
-    }
+    typeAt(t, parts).isDefined
 
   /** Loud missing-required-field error (the house convention — a bare
     * NullPointerException from `.get(f).asLong()` names nothing). */
@@ -2659,12 +2664,14 @@ object PipelineCompiler {
           Option(action.get("target_format")).map(_.asText()).getOrElse("unixtime"),
           removeOnFail = Option(action.get("remove_on_fail")).exists(_.asBoolean())))
       case "convert_log_level" =>
-        guarded(Actions.convertLogLevel(doc,
-          FieldPath.parse(
-            Option(action.get("field")).map(_.asText()).getOrElse("level")),
+        val clField = FieldPath.parse(
+          Option(action.get("field")).map(_.asText()).getOrElse("level"))
+        guarded(Actions.convertLogLevel(doc, clField,
           Option(action.get("style")).map(_.asText()).getOrElse("number"),
           Option(action.get("default_level")).map(_.asText()),
-          removeOnFail = Option(action.get("remove_on_fail")).exists(_.asBoolean())))
+          removeOnFail = Option(action.get("remove_on_fail")).exists(_.asBoolean()),
+          fieldExists = PipelineCompiler.hasPath(
+            df.schema("doc").dataType, clField.parts.toList)))
       case "rename" =>
         // journald underscore escape (rename.go:14-17): a config key
         // starting with "_" sheds ONE leading underscore — "___HOSTNAME"
@@ -2673,11 +2680,6 @@ object PipelineCompiler {
         val docType = df.schema("doc").dataType
         val renames = action.get("fields").properties().asScala.toSeq
           .map(e => FieldPath.parse(unesc(e.getKey)) -> e.getValue.asText())
-          // Dig-miss source → the reference `continue`s the pair
-          // (rename.go Do); a schema-absent source is absent on every
-          // row, and getField on it would fail the query at analysis
-          .filter { case (from, _) =>
-            PipelineCompiler.hasPath(docType, from.parts.toList) }
         // reference default is override=FALSE (rename.go Start:
         // preserveFields when the key is absent or "false")
         val over = Option(action.get("override")).exists(_.asBoolean())
@@ -2685,7 +2687,12 @@ object PipelineCompiler {
           case s: StructType => Some(s.fieldNames.toSet)
           case _ => None
         }
-        guarded(Actions.rename(doc, renames, over, tops))
+        // Dig-miss sources are decided SEQUENTIALLY inside the fold
+        // (rename.go Do digs per event — a pair may consume a target an
+        // earlier pair created, or skip a source an earlier pair
+        // dropped); staticHas answers for nested paths only
+        guarded(Actions.rename(doc, renames, over, tops,
+          staticHas = p => PipelineCompiler.hasPath(docType, p.parts.toList)))
       case "remove_fields" => guarded(Actions.removeFields(doc, paths("fields")))
       case "keep_fields"   =>
         // Dig-miss keeps are skipped (the reference simply never finds
@@ -2783,6 +2790,11 @@ object PipelineCompiler {
         def applyMasks(d: Column, f: String): Column = maskNodes match {
           case Some(ms) =>
             val src0 = d.getField(f).cast("string")
+            // processMask gates on a NON-EMPTY value and checks each
+            // mask's match_rules against the ORIGINAL value — the
+            // masking itself folds over the evolving buffer
+            // (mask.go:415-417, 447 `checkMatchRules(value)`)
+            val nonEmpty = length(src0) > 0
             var fired: Column = lit(false)
             val maskedVal = ms.foldLeft(src0) { (s, m) =>
               val maxCount = Option(m.get("max_count")).map(_.asInt()).getOrElse(0)
@@ -2797,12 +2809,12 @@ object PipelineCompiler {
               require(reOpt.isDefined || m.get("match_rules") != null,
                 "mask: must have either nonempty `re` or `match_rules`, or both")
               val rules = Option(m.get("match_rules"))
-                .map(mr => PipelineCompiler.matchruleSets(mr, _ => s))
+                .map(mr => PipelineCompiler.matchruleSets(mr, _ => src0))
                 .getOrElse(lit(true))
               reOpt match {
                 case None =>
                   // rules-only mask: marker without a text change
-                  fired = fired || (rules && s.isNotNull)
+                  fired = fired || (nonEmpty && rules)
                   s
                 case Some(re) =>
                   val groups0 = Option(m.get("groups"))
@@ -2822,11 +2834,18 @@ object PipelineCompiler {
                     s"mask: wrong group number $g"))
                   val groups =
                     if (groups0.contains(0)) Seq(0) else groups0
-                  val hit = rules && s.rlike(re)
-                  fired = fired || hit
-                  if (groups.isEmpty) s // marker-only (empty Groups loop)
-                  else when(hit, graft.functions.MaskGroups(s, re, groups,
-                    maxCount, rw.getOrElse(""), cut)).otherwise(s)
+                  if (groups.isEmpty) {
+                    // marker-only: shouldApplyMask is false (empty
+                    // Groups), so processMask fires the marker for any
+                    // non-empty value passing rules — NO regex gate
+                    fired = fired || (nonEmpty && rules)
+                    s
+                  } else {
+                    val hit = nonEmpty && rules && s.rlike(re)
+                    fired = fired || hit
+                    when(hit, graft.functions.MaskGroups(s, re, groups,
+                      maxCount, rw.getOrElse(""), cut)).otherwise(s)
+                  }
               }
             }
             val d2 = d.withField(f, maskedVal)
@@ -2944,15 +2963,7 @@ object PipelineCompiler {
           else mPaths0
         // an existing struct target MERGES (move.go inserts into it) —
         // its current children ride along instead of being replaced
-        def typeAt(t: org.apache.spark.sql.types.DataType,
-                   ps: List[String]): Option[org.apache.spark.sql.types.DataType] =
-          (t, ps) match {
-            case (x, Nil) => Some(x)
-            case (s: org.apache.spark.sql.types.StructType, p :: rest) =>
-              s.fields.find(_.name == p).flatMap(f => typeAt(f.dataType, rest))
-            case _ => None
-          }
-        val tChildren = typeAt(docSt, targetPath.parts.toList) match {
+        val tChildren = PipelineCompiler.typeAt(docSt, targetPath.parts.toList) match {
           case Some(s: org.apache.spark.sql.types.StructType) => s.fieldNames.toSeq
           case _ => Nil
         }

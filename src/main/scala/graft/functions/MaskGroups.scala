@@ -37,8 +37,10 @@ case class MaskGroups(child: Expression, pattern: String, groups: Seq[Int],
     val s = input.toString
     val m = compiled.matcher(s)
     var sb: java.lang.StringBuilder = null
+    // one cursor: the reference keeps prevFinish/curFinish separately
+    // only because its invalid-index `continue` skips the assignments —
+    // this port's skip guard makes them always equal
     var prevFinish = 0
-    var curFinish = 0
     while (m.find()) {
       if (sb == null) sb = new java.lang.StringBuilder(s.length)
       groups.foreach { g =>
@@ -51,7 +53,6 @@ case class MaskGroups(child: Expression, pattern: String, groups: Seq[Int],
           val cs = m.start(g); val cf = m.end(g)
           sb.append(s, prevFinish, cs)
           prevFinish = cf
-          curFinish = cf
           if (replaceWord.nonEmpty) sb.append(replaceWord)
           else if (cutValues) ()
           else if (digitsOnly) {
@@ -71,7 +72,7 @@ case class MaskGroups(child: Expression, pattern: String, groups: Seq[Int],
     }
     if (sb == null) input
     else {
-      sb.append(s, curFinish, s.length)
+      sb.append(s, prevFinish, s.length)
       UTF8String.fromString(sb.toString)
     }
   }

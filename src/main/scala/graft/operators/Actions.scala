@@ -78,8 +78,15 @@ object Actions {
     * convention — the reference mutates the dynamic node to an int). */
   def convertLogLevel(doc: Column, field: FieldPath, style: String,
                       defaultLevel: Option[String] = None,
-                      removeOnFail: Boolean = false): Column = {
-    val src = getPath(doc, field).cast("string")
+                      removeOnFail: Boolean = false,
+                      fieldExists: Boolean = true): Column = {
+    // schema-absent field: pass untouched with no default (the
+    // reference's nil-Dig early return), else CREATE it from the
+    // default and convert that (convert_log_level.go Do)
+    if (!fieldExists && defaultLevel.isEmpty) return doc
+    val src =
+      if (fieldExists) getPath(doc, field).cast("string")
+      else lit(null).cast("string")
     val effective = defaultLevel
       .map(d => when(src.isNull || src === "", lit(d)).otherwise(src))
       .getOrElse(src)
@@ -104,12 +111,21 @@ object Actions {
     * row, so the pair renames unconditionally — probing it with
     * `getField` would fail the whole query at analysis, crashing the
     * common rename-to-a-NEW-name case. The set evolves across pairs so
-    * a later pair sees fields earlier pairs created or dropped. */
+    * a later pair sees fields earlier pairs created or dropped —
+    * rename.go Digs SEQUENTIALLY per event, so `{ts: time, time: t2}`
+    * must chain through the pair-1 target, and a pair whose source an
+    * earlier pair dropped is a Dig-miss `continue`, decided HERE, not
+    * against the static pre-action schema. `staticHas` answers for
+    * nested sources (rename only ever creates top-level fields). */
   def rename(doc: Column, renames: Seq[(FieldPath, String)],
              override_ : Boolean = true,
-             topNames: Option[Set[String]] = None): Column =
+             topNames: Option[Set[String]] = None,
+             staticHas: FieldPath => Boolean = _ => true): Column =
     renames.foldLeft((doc, topNames)) { case ((d, names), (from, to)) =>
-      if (nested(from) == to) (d, names)
+      val sourceOk =
+        if (from.parts.size == 1) names.forall(_.contains(from.parts.head))
+        else names.forall(_.contains(from.parts.head)) && staticHas(from)
+      if (!sourceOk || nested(from) == to) (d, names)
       else {
         val v = getPath(d, from)
         val fromTop = if (from.parts.size == 1) Seq(from.parts.head) else Nil
@@ -193,9 +209,13 @@ object Actions {
     val known = scala.collection.mutable.Set.empty[Seq[String]]
     def exists(parts: Seq[String]): Boolean = known(parts) || hasPath(parts)
     sets.foldLeft(doc) { case (d, (field, template)) =>
-      val rendered = Subst.compile(template, p =>
+      // a single-ref template must render "" (not NULL → dropped field)
+      // when its ref misses — the reference SETS the target to the
+      // empty buffer (modify.go Do); multi-segment templates coalesce
+      // inside Subst.compile already
+      val rendered = coalesce(Subst.compile(template, p =>
         if (exists(p.parts)) getPath(d, p).cast("string")
-        else lit(null).cast("string"))
+        else lit(null).cast("string")), lit(""))
       // the write side (withField) splits on plain dots — track the
       // same spelling so skip-reads and later refs agree with it
       val parts: Seq[String] = field.split("\\.").toSeq
@@ -235,12 +255,21 @@ object Actions {
                 targetChildren: Seq[String] = Nil,
                 docType: Option[org.apache.spark.sql.types.StructType] = None)
   : Column = {
-    val movedPairs: Seq[(String, FieldPath)] =
+    val movedPairs0: Seq[(String, FieldPath)] =
       if (allow) fields.map(f => f.parts.last -> f)
       else allNames.filterNot(n =>
           fields.exists(f => f.parts.size == 1 && f.parts.head == n) ||
             n == target.parts.head)
         .map(n => n -> FieldPath(Seq(n)))
+    // selectors sharing a last segment: first position, LAST value —
+    // the reference AddFields into the target object, so a repeat name
+    // overwrites in place (a struct with duplicate field names would be
+    // ambiguous to read and render a duplicate-key JSON object)
+    val lastByName = movedPairs0.groupBy(_._1).map { case (n, ps) => n -> ps.last._2 }
+    val seenNames = scala.collection.mutable.Set.empty[String]
+    val movedPairs = movedPairs0.collect {
+      case (n, _) if seenNames.add(n) => n -> lastByName(n)
+    }
     if (movedPairs.isEmpty) doc // nothing to move (struct() of zero cols is degenerate)
     else {
       // MERGE into an existing target object (move.go:161-196 inserts
@@ -254,12 +283,14 @@ object Actions {
       // a deep move that drains its parent struct must drop the PARENT
       // (Spark refuses an empty struct via dropFields; an emptied
       // container is the engine's absent — the same convention
-      // keep_fields' reference output shows for childless nodes)
+      // keep_fields' reference output shows for childless nodes).
+      // EVERY listed source moves out (movedPairs0), including the
+      // name-collision losers whose values the dedupe dropped.
       val drops = docType match {
         case Some(st) =>
-          collapseDrops(st, Nil, movedPairs.map(_._2.parts.toList).toSet)
+          collapseDrops(st, Nil, movedPairs0.map(_._2.parts.toList).toSet)
             .toSeq.map(p => FieldPath(p))
-        case None => movedPairs.map(_._2)
+        case None => movedPairs0.map(_._2).distinct
       }
       doc.dropFields(drops.map(nested): _*)
         .withField(nested(target), targetStruct)

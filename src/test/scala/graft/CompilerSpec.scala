@@ -1257,6 +1257,29 @@ class CompilerSpec extends AnyFunSuite {
         |    fields: {nope: renamed, a: b}
         |""".stripMargin).head
     assert(miss.contains("\"b\":\"v\"") && !miss.contains("renamed"), miss)
+    // pairs chain SEQUENTIALLY like the reference's per-event Digs:
+    // {ts: time, time: t2} ends at t2 (pair 2's source is pair 1's
+    // target — a static-schema filter would silently stop at `time`)
+    val chain = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"ts":"x"}"""),
+      """decoder: {type: json, schema: "ts string"}
+        |actions:
+        |  - type: rename
+        |    fields: {ts: time, time: t2}
+        |""".stripMargin).head
+    assert(chain.contains("\"t2\":\"x\"") && !chain.contains("\"time\""), chain)
+    // a pair whose source an earlier pair dropped is a Dig-miss skip,
+    // not an analysis crash
+    val dropped = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"a":{"b":"v"}}"""),
+      """decoder: {type: json, schema: "a struct<b string>"}
+        |actions:
+        |  - type: rename
+        |    override: true
+        |    fields: {a: x, "a.b": y}
+        |""".stripMargin).head
+    assert(dropped.contains("\"x\":{\"b\":\"v\"}") && !dropped.contains("\"y\""),
+      dropped)
     // set_time override=false with the field NOT in the schema must SET
     // it (that is the case the option exists for), not fail analysis
     val st = PipelineCompiler.runActionsOnBatch(spark,
@@ -1396,6 +1419,46 @@ class CompilerSpec extends AnyFunSuite {
     assert(md.contains("\"new_field\":\"new_value\""), md)
     assert(md.contains("\"subfield\":\"existing_value\""), md)
     assert(!md.contains("not_exists"), md)
+    // WITHOUT _skip_empty the reference SETS the target to the empty
+    // rendered buffer (a single-ref template must not null the field)
+    val md2 = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"a":"x"}"""),
+      """decoder: {type: json, schema: "a string"}
+        |actions:
+        |  - type: modify
+        |    not_exists: ${not_existing_field}
+        |""".stripMargin).head
+    assert(md2.contains("\"not_exists\":\"\""), md2)
+    // move: selectors sharing a last segment — first position, LAST
+    // value, both sources move out (the reference AddFields overwrite)
+    val mvd = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"a":{"x":"va"},"b":{"x":"vb"},"c":1}"""),
+      """decoder: {type: json, schema: "a struct<x string>, b struct<x string>, c bigint"}
+        |actions:
+        |  - type: move
+        |    mode: allow
+        |    fields: ["a.x", "b.x"]
+        |    target: t
+        |""".stripMargin).head
+    assert(mvd.contains("\"t\":{\"x\":\"vb\"}") && !mvd.contains("\"a\"") &&
+      !mvd.contains("\"b\""), mvd)
+    // missing level field + default_level: the field is CREATED from
+    // the default (convert_log_level.go nil-Dig branch); without a
+    // default the action passes untouched instead of failing analysis
+    val clc = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"a":1}"""),
+      """decoder: {type: json, schema: "a bigint"}
+        |actions:
+        |  - {type: convert_log_level, style: number, default_level: alert}
+        |""".stripMargin).head
+    assert(clc.contains("\"level\":\"1\""), clc)
+    val clp = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"a":1}"""),
+      """decoder: {type: json, schema: "a bigint"}
+        |actions:
+        |  - {type: convert_log_level, style: number}
+        |""".stripMargin).head
+    assert(clp == """{"a":1}""", clp)
   }
 
   test("action edge semantics: nested paths, rename skip, move merge, flatten, byte cut") {

@@ -132,9 +132,11 @@ class MaskGroupsSpec extends AnyFunSuite {
         |""".stripMargin)
     assert(ro.head.contains("secret stays") &&
       ro.head.contains("\"masked\":\"true\""), ro.head)
-    // empty groups with an re: marker-only (the reference's
-    // "Individual entrepreneur" vector — matched but unchanged)
-    val mo = run(Seq("""{"log":"Individual entrepreneur Ivanov"}"""),
+    // empty groups with an re: marker-only — processMask computes
+    // shouldApplyMask=false, so the marker fires for ANY non-empty
+    // value passing rules, with NO regex gate (mask.go:450,475)
+    val mo = run(Seq("""{"log":"Individual entrepreneur Ivanov"}""",
+      """{"log":"no match here"}"""),
       """actions:
         |  - type: mask
         |    field: log
@@ -142,7 +144,26 @@ class MaskGroupsSpec extends AnyFunSuite {
         |    masks:
         |      - {re: 'Individual entrepreneur'}
         |""".stripMargin)
-    assert(mo.head.contains("Individual entrepreneur Ivanov") &&
-      mo.head.contains("\"masked\":\"true\""), mo.head)
+    assert(mo.exists(s => s.contains("Individual entrepreneur Ivanov") &&
+      s.contains("\"masked\":\"true\"")), mo.toString)
+    assert(mo.exists(s => s.contains("no match here") &&
+      s.contains("\"masked\":\"true\"")), mo.toString)
+    // match_rules check the ORIGINAL value — a prior mask's rewrite
+    // must not make a later mask's rules miss (processMask digs the
+    // value once before the mask loop)
+    val orig = run(Seq("""{"log":"123 x"}"""),
+      """actions:
+        |  - type: mask
+        |    field: log
+        |    masks:
+        |      - {re: '(\d+)', groups: [1]}
+        |      - re: '(x)'
+        |        groups: [1]
+        |        replace_word: Y
+        |        match_rules:
+        |          - rules:
+        |              - {mode: prefix, values: ["123"]}
+        |""".stripMargin)
+    assert(orig.head.contains("*** Y"), orig.head)
   }
 }
