@@ -823,6 +823,34 @@ object PipelineCompiler {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
   }
 
+  /** limit_distribution `ratios` with parseLimitDistribution's
+    * validation (distribution.go:34-80): ratio ∈ [0,1], non-empty
+    * values, no duplicated value, Σ ratios ≤ 1 — ONE copy for the
+    * memory-batch, streaming, and redis legs (they each parsed
+    * unvalidated: a config-reachable ratio of 1.4 or a duplicated
+    * value silently skewed the admission math). */
+  private[compiler] def parseDistRatios(ld: JsonNode): Seq[(Double, Seq[String])] = {
+    val ratios = Option(ld.get("ratios")).toSeq
+      .flatMap(_.elements().asScala).map { r =>
+        (r.get("ratio").asDouble(),
+          Option(r.get("values"))
+            .map(_.elements().asScala.map(_.asText()).toSeq)
+            .getOrElse(Seq.empty))
+      }
+    val seen = scala.collection.mutable.Set.empty[String]
+    ratios.zipWithIndex.foreach { case ((ratio, values), i) =>
+      require(ratio >= 0 && ratio <= 1,
+        "throttle limit_distribution: 'ratio' value must be in range [0.0;1.0]")
+      require(values.nonEmpty,
+        s"throttle limit_distribution: empty 'values' in ratio #$i")
+      values.foreach(v => require(seen.add(v),
+        s"throttle limit_distribution: value '$v' is duplicated in 'ratios' list"))
+    }
+    require(ratios.map(_._1).sum <= 1.0 + 1e-9,
+      "throttle limit_distribution: sum of ratios must be less than or equal to 1")
+    ratios
+  }
+
   /** Type at a nested path of a doc type, None on a miss — the shared
     * struct walk behind [[hasPath]] and move's target-children lookup. */
   private[compiler] def typeAt(t: DataType, parts: List[String]): Option[DataType] =
@@ -2373,12 +2401,8 @@ object PipelineCompiler {
     // `<prefix>_<bucketID>_<distrIdx>` sync, and the limit key's JSON
     // `distribution` object can replace the ratio set dynamically
     val distNode = Option(action.get("limit_distribution"))
-    val ratios: Seq[(Double, Seq[String])] = distNode.toSeq.flatMap { ld =>
-      Option(ld.get("ratios")).toSeq.flatMap(_.elements().asScala).map { r =>
-        (r.get("ratio").asDouble(),
-          r.get("values").elements().asScala.map(_.asText()).toSeq)
-      }
-    }
+    val ratios: Seq[(Double, Seq[String])] =
+      distNode.toSeq.flatMap(PipelineCompiler.parseDistRatios)
     val distFieldSel = distNode.flatMap(ld =>
       Option(ld.get("field")).map(_.asText()))
     require(distNode.isEmpty || distFieldSel.isDefined,
@@ -3167,11 +3191,10 @@ object PipelineCompiler {
             require(action.get("rules") == null,
               "throttle: combining limit_distribution with rules is not " +
                 "supported — the distribution kernel is action-scoped")
-            val dField = ld.get("field").asText()
-            val ratios = ld.get("ratios").elements().asScala.toSeq.map { r =>
-              (r.get("ratio").asDouble(),
-                r.get("values").elements().asScala.map(_.asText()).toSeq)
-            }
+            val dField = Option(ld.get("field")).map(_.asText())
+              .getOrElse(throw new IllegalArgumentException(
+                "throttle: limit_distribution needs `field`"))
+            val ratios = PipelineCompiler.parseDistRatios(ld)
             val ds = df.select(key.as("key"), eventTime.as("eventTimeMs"),
                 col("doc").getField(dField).cast("string").as("dval"),
                 envelopeJson.as("value"))
@@ -3428,11 +3451,10 @@ object PipelineCompiler {
           require(action.get("rules") == null,
             "throttle: combining limit_distribution with rules is not " +
               "supported — the distribution kernel is action-scoped")
-          val dField = ld.get("field").asText()
-          val ratios = ld.get("ratios").elements().asScala.toSeq.map { r =>
-            (r.get("ratio").asDouble(),
-              r.get("values").elements().asScala.map(_.asText()).toSeq)
-          }
+          val dField = Option(ld.get("field")).map(_.asText())
+            .getOrElse(throw new IllegalArgumentException(
+              "throttle: limit_distribution needs `field`"))
+          val ratios = PipelineCompiler.parseDistRatios(ld)
           return graft.state.SeqOps.throttleDistributed(
               keyed.withColumn("_tdv",
                 coalesce(doc.getField(dField).cast("string"), lit(""))),

@@ -5,6 +5,7 @@ import graft.streaming.Kernels._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
+// (ratio validation cases live at the bottom — distribution_test.go)
 
 /** Golden cases from the reference's own README example
   * (plugin/action/throttle/README.md limit_distribution): default_limit
@@ -56,5 +57,44 @@ class DistThrottleSpec extends AnyFunSuite {
     val evs = (1 to 80).map(i => DEvent("k", i.toLong, "error", s"e$i"))
     val got = run(evs, "dt3")
     assert(got == Map("error" -> 50))
+  }
+
+  test("ratio config validation mirrors parseLimitDistribution") {
+    import graft.compiler.PipelineCompiler
+    def yamlOf(ratios: String): String =
+      s"""actions:
+         |  - type: throttle
+         |    bucket_interval: 1m
+         |    default_limit: 100
+         |    limit_distribution:
+         |      field: level
+         |      ratios:
+         |$ratios
+         |""".stripMargin
+    def run(ratios: String): Unit = {
+      PipelineCompiler.runActionsOnBatch(spark,
+        Seq("""{"level":"error","time":"2024-01-01T00:00:00Z"}"""),
+        yamlOf(ratios))
+      ()
+    }
+    // distribution_test.go err_invalid_ratio1/2, err_empty_ratio_values,
+    // duplicated value, sum > 1
+    val e1 = intercept[IllegalArgumentException] {
+      run("        - {ratio: -0.5, values: [error]}") }
+    assert(e1.getMessage.contains("[0.0;1.0]"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      run("        - {ratio: 1.4, values: [error]}") }
+    assert(e2.getMessage.contains("[0.0;1.0]"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      run("        - {ratio: 0.66, values: []}") }
+    assert(e3.getMessage.contains("empty 'values'"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      run("        - {ratio: 0.3, values: [error]}\n" +
+          "        - {ratio: 0.3, values: [error]}") }
+    assert(e4.getMessage.contains("duplicated"), e4.getMessage)
+    val e5 = intercept[IllegalArgumentException] {
+      run("        - {ratio: 0.7, values: [error]}\n" +
+          "        - {ratio: 0.7, values: [warn]}") }
+    assert(e5.getMessage.contains("less than or equal to 1"), e5.getMessage)
   }
 }
