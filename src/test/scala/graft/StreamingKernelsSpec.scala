@@ -653,6 +653,15 @@ class StreamingKernelsSpec extends AnyFunSuite {
     assert(BucketWindow.indexOf(10L, 6L, 4) == -1) // just past the window
     // 2^31+ buckets back: the Long diff must answer -1, never wrap
     assert(BucketWindow.indexOf(5_000_000_000L, 1L, 4) == -1)
+    // buckets_test.go TestMetaActualizeIndex translated: index 5 under
+    // maxID 10 (count 8 ⇒ bucket 8) re-resolves to 3 under maxID 12;
+    // under maxID 30 it left the window (the reference's raw -15 and
+    // our -1 are the same not-actual verdict)
+    assert(BucketWindow.indexOf(12L, 8L, 8) == 3)
+    assert(BucketWindow.indexOf(30L, 8L, 8) == -1)
+    // TestRebuildBuckets current_id_greater_max_id: maxID t+2, current
+    // t+4, count 3 ⇒ shift exactly 2 (the [1,2,3]→[3,0,0] vector)
+    assert(BucketWindow.shiftAmount(102L, 104L, 3) == 2)
   }
 
   test("asofEnrich TTL re-arms on left-only batches — state still expires") {
