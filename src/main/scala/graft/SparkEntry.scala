@@ -37,7 +37,10 @@ object SparkEntry {
     val k = col("doc.k").try_cast("long")
     piped
       .filter(k.isNotNull)
-      .select(col("doc.level").cast("int").as("level"),
+      // try_cast: convert_log_level keeps an unparseable level AS-IS
+      // (the reference's precedence — the default rescues only
+      // missing/empty values), so non-level event_types group as null
+      .select(col("doc.level").try_cast("int").as("level"),
         col("doc.event_type").as("event_type"), k.as("k"))
       .groupBy(col("level"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
