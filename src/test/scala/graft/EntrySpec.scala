@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver's t1 smoke surface under the test suite: SparkEntry.entry
+  * must keep producing rows on a PLAIN session. (The convert_log_level
+  * precedence change broke entry's strict level cast this round and
+  * only the manual EntrySmoke run caught it — the flagship was the one
+  * runtime surface no spec covered.) */
+class EntrySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("SparkEntry.entry yields rows on sf0.001 with a plain session") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty, "entry produced no rows")
+  }
+}
