@@ -49,6 +49,34 @@ object PipelineCompiler {
     * .observe names must be unique per query). */
   private[compiler] val debugSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  /** The `debug` action's zap-sampling knobs (debug.go:48-61):
+    * `Some((first, thereafter))` when a non-zero `interval` arms the
+    * sampler, `None` for pass-everything. `interval` must be a valid
+    * Go duration when present (loud on garbage), and negative
+    * first/thereafter are rejected like zap's sampler would
+    * misbehave on them. */
+  private[compiler] def debugSampling(action: JsonNode): Option[(Long, Long)] = {
+    val intervalMs = Option(action.get("interval"))
+      .map(d => goDurationMillis(d.asText())).getOrElse(0L)
+    if (intervalMs < 0)
+      throw new IllegalArgumentException(
+        s"debug: negative interval ${action.get("interval").asText()}")
+    val first = Option(action.get("first")).map(_.asLong()).getOrElse(0L)
+    val thereafter = Option(action.get("thereafter")).map(_.asLong()).getOrElse(0L)
+    if (first < 0 || thereafter < 0)
+      throw new IllegalArgumentException(
+        s"debug: negative first/thereafter ($first/$thereafter)")
+    if (intervalMs == 0) {
+      // the reference intends interval==0 → unsampled parentLogger
+      // (debug.go:106-108); first/thereafter without an interval would
+      // be silently inert — reject so the config says what it means
+      if (first != 0 || thereafter != 0)
+        throw new IllegalArgumentException(
+          "debug: first/thereafter require a non-zero interval")
+      None
+    } else Some((first, thereafter))
+  }
+
   /** Deployment-injected transport per output type (HTTP POST, TCP
     * write…). Tests register recorders; the default discards — this
     * environment has no egress. */
@@ -1005,8 +1033,21 @@ object PipelineCompiler {
         acts.take(i).foreach(pa.add)
         val msg = Option(a.get("message")).map(_.asText())
           .getOrElse("event sample")
+        // zap sampling (debug.go:48-61): the whole batch replays inside
+        // one zeroClock tick, so the sampler state is a single counter
+        // — log event n iff n <= first or (n-first) % thereafter == 0
+        // (zapcore sampler drop condition inverted)
+        val sample = PipelineCompiler.debugSampling(a)
+        var n = 0L
         collectDocs(prefix).foreach { case (off, doc) =>
-          stdout.append(zapLine(msg, off, doc))
+          n += 1
+          val logIt = sample match {
+            case Some((first, thereafter)) =>
+              n <= first ||
+                (thereafter > 0 && (n - first) % thereafter == 0)
+            case None => true
+          }
+          if (logIt) stdout.append(zapLine(msg, off, doc))
         }
       }
     (collectDocs(root).map(_._2), stdout.toString)
@@ -2654,9 +2695,33 @@ object PipelineCompiler {
         // bridges it to /metrics). The sequence suffix keeps
         // observation names unique when a chain carries several debug
         // actions (the playground's debug: true interleaving).
-        df.observe(
-          s"graft_debug_${PipelineCompiler.debugSeq.incrementAndGet()}",
-          count(lit(1)).as("events_seen"))
+        //
+        // Sampling knobs (debug.go:48-61, zapcore sampler): within an
+        // `interval` tick, the first `first` events are logged, then
+        // every `thereafter`-th. A batch flows through in one tick
+        // (the playground's zeroClock), so the logged count is the
+        // closed form min(first, n) + (n-first)/thereafter — emitted
+        // as a second observe aggregate; the per-event sampled capture
+        // lives in runActionsOnBatchCaptured. `interval: 0`/absent
+        // disables the sampler (debug.go:106-108's parentLogger intent
+        // — the missing early-return that still installs a sampler is
+        // a reference bug we do not reproduce; divergence documented).
+        val dbgSample = PipelineCompiler.debugSampling(action)
+        val dbgName =
+          s"graft_debug_${PipelineCompiler.debugSeq.incrementAndGet()}"
+        dbgSample match {
+          case Some((first, thereafter)) =>
+            val n = count(lit(1))
+            val logged =
+              if (thereafter > 0)
+                least(lit(first), n) +
+                  greatest(n - first, lit(0L)) / thereafter
+              else least(lit(first), n)
+            df.observe(dbgName, n.as("events_seen"),
+              logged.cast("long").as("events_logged"))
+          case None =>
+            df.observe(dbgName, count(lit(1)).as("events_seen"))
+        }
       case "discard" =>
         // A missing/null field means "no match" in the reference, so the
         // event must survive the discard: null-protect before inverting,

@@ -4480,5 +4480,72 @@ class CompilerSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("message_field"), e.getMessage)
   }
+
+  test("debug sampling knobs: interval/first/thereafter gate the zap capture") {
+    // debug.go:48-61 / zapcore sampler: first 3 logged, then every 5th
+    // (events 1,2,3, 8,13,18 of 20) — one zeroClock tick per batch
+    val events = (1 to 20).map(i => s"""{"a": $i}""")
+    val cfg =
+      """actions:
+        |  - type: debug
+        |    interval: 1s
+        |    first: 3
+        |    thereafter: 5
+        |    message: sampled
+        |""".stripMargin
+    val (out, stdout) =
+      PipelineCompiler.runActionsOnBatchCaptured(spark, events, cfg)
+    assert(out.size == 20) // passthrough: data untouched
+    val lines = stdout.split("\n").filter(_.nonEmpty)
+    assert(lines.length == 6, stdout)
+    val offsets = lines.map { l =>
+      val m = """"offset":(\d+)""".r.findFirstMatchIn(l).get
+      m.group(1).toInt
+    }.toSeq
+    assert(offsets == Seq(1, 2, 3, 8, 13, 18), offsets.toString)
+    assert(lines.forall(_.contains(""""msg":"sampled"""")), stdout)
+
+    // thereafter: 0 with an interval → only the first N ever log
+    val (_, firstOnly) = PipelineCompiler.runActionsOnBatchCaptured(
+      spark, events,
+      "actions:\n  - {type: debug, interval: 1s, first: 2}\n")
+    assert(firstOnly.split("\n").count(_.nonEmpty) == 2, firstOnly)
+
+    // no knobs → unsampled parentLogger (debug.go:106-108), all 20 log
+    val (_, all) = PipelineCompiler.runActionsOnBatchCaptured(
+      spark, events, "actions:\n  - {type: debug}\n")
+    assert(all.split("\n").count(_.nonEmpty) == 20, all)
+
+    // first/thereafter without an interval would be silently inert in
+    // the reference — we reject the config loudly
+    val e = intercept[IllegalArgumentException] {
+      PipelineCompiler.runActionsOnBatchCaptured(spark, events,
+        "actions:\n  - {type: debug, first: 3}\n")
+    }
+    assert(e.getMessage.contains("interval"), e.getMessage)
+  }
+
+  test("debug sampling: observe() carries the closed-form events_logged") {
+    import org.apache.spark.sql.functions._
+    val lines = (1 to 20).map(i => s"""{"a": $i}""")
+      .map(s => s"'$s'").mkString(", ")
+    val compiled = PipelineCompiler.compile(spark,
+      s"""input: {type: fake, lines: [$lines]}
+         |decoder: {type: json, schema: "a long"}
+         |actions:
+         |  - {type: debug, interval: 1s, first: 3, thereafter: 5}
+         |output: {type: memory}
+         |""".stripMargin)
+    val df = compiled.df
+    val obsName = df.queryExecution.analyzed.collectFirst {
+      case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
+        if c.name.startsWith("graft_debug_") => c.name
+    }.getOrElse(fail("no graft_debug_ observation in the plan"))
+    df.collect()
+    val row = df.queryExecution.observedMetrics(obsName)
+    assert(row.getAs[Long]("events_seen") == 20L)
+    // min(3,20) + (20-3)/5 = 3 + 3 = 6 — matches the capture count
+    assert(row.getAs[Long]("events_logged") == 6L)
+  }
 }
 
