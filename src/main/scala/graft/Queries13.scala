@@ -32,15 +32,17 @@ object Queries13 {
   // --------------------- syslog string facility/severity names (r12)
 
   /** Both syslog decoders with `syslog_facility_format: string` /
-    * `syslog_severity_format: string`. Priorities sweep facilities
-    * 0..29 — 24..29 are above the RFC table and must render as the
-    * reference's UNKNOWN (syslog.go:159-161), not throw (the ANSI
-    * `element_at` trap). Severities cover the full 0..7 name row.
-    * r14: the 3164 leg keeps the 0..29 sweep (its regex path admits
-    * `<999>`); the 5424 leg sweeps 0..23 only — the state-machine port
-    * enforces the reference's priority cap (syslog.go:27
-    * syslogMaxPriority=191, so facility >23 is unreachable through its
-    * Decode and would now null the whole row). */
+    * `syslog_severity_format: string`. Severities cover the full 0..7
+    * name row. The 3164 leg sweeps facilities 0..29: r15 closed the
+    * last in-band decoder divergence — priority > 191 is now a DECODE
+    * ERROR on 3164 too (syslog.go:27 syslogMaxPriority), so the 24..29
+    * band gate-checks the error classification in data (NULL prefix
+    * fields, raw line kept as message — the family's documented
+    * no-silent-loss fate for the reference's dropped event). The
+    * UNKNOWN name fallback (syslog.go:159-161) is thereby unreachable
+    * through either decoder's valid range and stays purely as the
+    * ANSI-`element_at`-trap guard. The 5424 leg sweeps 0..23 only (its
+    * state machine nulls the whole row above the cap since r14). */
   val q166_syslog_named: Q = (s, dir) => {
     val ev = t(s, dir, "events")
     val pri: Column = (col("user_id") % 30) * 8 + col("event_id") % 8
@@ -70,15 +72,21 @@ object Queries13 {
 
   val q166_sql: String =
     s"""WITH pri AS (
-       |  SELECT event_id, event_type,
+       |  SELECT event_id, event_type, user_id,
        |    CAST((user_id % 30) * 8 + event_id % 8 AS INT) AS p,
        |    CAST((user_id % 24) * 8 + event_id % 8 AS INT) AS p5
        |  FROM events)
        |SELECT event_id,
-       |  p AS s_priority,
-       |  coalesce(list_extract($facSql, p // 8 + 1), 'UNKNOWN') AS fac3164,
-       |  list_extract($sevSql, p % 8 + 1) AS sev3164,
-       |  event_type AS msg3164,
+       |  CASE WHEN p <= 191 THEN p END AS s_priority,
+       |  CASE WHEN p <= 191
+       |       THEN list_extract($facSql, p // 8 + 1) END AS fac3164,
+       |  CASE WHEN p <= 191
+       |       THEN list_extract($sevSql, p % 8 + 1) END AS sev3164,
+       |  CASE WHEN p <= 191 THEN event_type
+       |       ELSE '<' || CAST(p AS VARCHAR) || '>Oct 11 22:14:15 host-' ||
+       |            CAST(user_id AS VARCHAR) || ' app[' ||
+       |            CAST(event_id AS VARCHAR) || ']: ' || event_type
+       |  END AS msg3164,
        |  list_extract($facSql, p5 // 8 + 1) AS fac5424,
        |  list_extract($sevSql, p5 % 8 + 1) AS sev5424,
        |  'msg ' || event_type AS msg5424

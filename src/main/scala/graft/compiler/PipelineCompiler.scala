@@ -3107,6 +3107,10 @@ object PipelineCompiler {
           // streaming validity probe of the whole document
           val failed = Option(action.get("params").get("type")).map(_.asText()) match {
             case Some("json") => src.isNotNull && get_json_object(src, "$").isNull
+            // the 3164 struct is never null (no-silent-loss keeps the
+            // line as message) — a failed parse reads as NULL priority
+            case Some("syslog_rfc3164") =>
+              src.isNotNull && inner.getField("priority").isNull
             case _            => src.isNotNull && inner.isNull
           }
           out = out.withField("decode_error", failed)

@@ -148,9 +148,15 @@ object Decoders {
   //  - a bracket proc id holds ANY bytes and MUST be followed by ':'
   //    (its invalid_decode_procid tests) — without brackets one
   //    delimiter (':' or ' ') is consumed;
-  //  - at most ONE further leading space is trimmed off the message.
-  // Divergence kept deliberately: priority ≤191 is NOT enforced here —
-  // q166 pins the UNKNOWN-facility fallback for the >191 range.
+  //  - at most ONE further leading space is trimmed off the message;
+  //  - priority > 191 is a DECODE ERROR (syslog.go:27 syslogMaxPriority
+  //    = 23*8+7 — errSyslogInvalidPriority), classified exactly like
+  //    any other malformed line. The error's FATE follows the decoder
+  //    family's one documented divergence: the reference DROPS errored
+  //    events (pipeline.go:508-524 returns the event to the pool; Fatal
+  //    under is_strict) — here the line keeps its content as `message`
+  //    with NULL prefix fields (no-silent-loss), and `is_strict` fails
+  //    the run. q166 gate-checks the >191 error classification in data.
   private val syslog3164Re =
     "^<(\\d{1,3})>([A-Z][a-z]{2} [ \\d]\\d (?:[01]\\d|2[0-3]):[0-5]\\d:[0-5]\\d) " +
       "([^ ]*) ([^\\[: ]*)(?:\\[([^\\]]*)\\]:|[: ]) ?(.*)$"
@@ -194,8 +200,10 @@ object Decoders {
     * the decoder family's no-silent-loss invariant. */
   def syslog3164(line: Column, facilityFormat: String = "number",
                  severityFormat: String = "number"): Column = {
-    val m = regexp_extract(line, syslog3164Re, 0) =!= ""
-    val pri = when(m, regexp_extract(line, syslog3164Re, 1)).try_cast("int")
+    val priRaw = regexp_extract(line, syslog3164Re, 1).try_cast("int")
+    // shape match AND the RFC priority cap (syslog.go:27: >191 errors)
+    val m = (regexp_extract(line, syslog3164Re, 0) =!= "") && priRaw <= 191
+    val pri = when(m, priRaw)
     struct(
       pri.as("priority"),
       when(m, facilityCol(pri, facilityFormat)).as("facility"),

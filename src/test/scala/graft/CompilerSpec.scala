@@ -1192,7 +1192,10 @@ class CompilerSpec extends AnyFunSuite {
         (4, "Oct  5 22:14:15", "mymachine.example.com", "myproc", "",
           "'myproc' failed on /dev/pts/8")),
       ("<34>Oct 11 22:14:15 h app[worker-1]: msg",
-        (34, "Oct 11 22:14:15", "h", "app", "worker-1", "msg")))
+        (34, "Oct 11 22:14:15", "h", "app", "worker-1", "msg")),
+      // boundary: 191 = 23*8+7 is the max VALID priority (syslog.go:27)
+      ("<191>Oct 11 22:14:15 h app: at-cap",
+        (191, "Oct 11 22:14:15", "h", "app", "", "at-cap")))
     val slGot = slCases.map(_._1).toDF("value")
       .select(Decoders.syslog3164($"value").as("d"))
       .select($"d.priority", $"d.timestamp", $"d.hostname", $"d.app_name",
@@ -1206,7 +1209,13 @@ class CompilerSpec extends AnyFunSuite {
       "<34>Oct 11 22:72:15 h app: over-minute",          // mm > 59
       "<34>oct 11 22:14:15 h app: lower-month",          // month case
       "<34>Oct 2  22:14:15 h app: bad day pad",          // dd shape
-      "<34>Oct 11 22:14:15 h app[10] no colon after pid")
+      "<34>Oct 11 22:14:15 h app[10] no colon after pid",
+      // syslog.go:27 syslogMaxPriority=191: >191 is a decode error
+      // (errSyslogInvalidPriority), same fate as every malformed line
+      // here (reference drops the event — pipeline.go:508-524; our
+      // family-wide no-silent-loss keeps it raw, is_strict fails)
+      "<192>Oct 11 22:14:15 h app: over-priority",
+      "<999>Oct 11 22:14:15 h app: way-over-priority")
     val seGot = slErrs.toDF("value")
       .select(Decoders.syslog3164($"value").as("d"))
       .select($"d.priority", $"d.message").collect()
