@@ -55,15 +55,24 @@ object Queries4 {
       |    '**** **** **** \4') AS masked
       |FROM events""".stripMargin
 
-  /** nginx_with_custom_fields: k:v context tail parsed into a map. */
+  /** nginx_with_custom_fields over FULL nginx error lines (r15: the
+    * reference-exact NginxParse — nginx.go:163-199's right-to-left
+    * scan): quoted values trim, a mid-message `(110: ...)` is NOT a
+    * field, and extracted fields come OUT of the message. */
   val q34_dec_nginx_custom: Q = (s, dir) => {
     val k = get_json_object(col("props"), "$.k")
-    val msg = concat(lit("upstream timed out, client: 10.0.0."),
-      col("user_id").cast("string"), lit(", request: GET-"), k,
-      lit(", context: ngx.timer"))
-    val m = graft.sources.Decoders.nginxCustomFields(msg)
+    val line = concat(
+      lit("2022/08/18 09:29:37 [error] 844935#844935: *"),
+      col("event_id").cast("string"),
+      lit(" upstream timed out (110: Operation timed out), client: 10.0.0."),
+      col("user_id").cast("string"), lit(", request: \"GET-"), k,
+      lit("\", context: ngx.timer"))
+    val d = graft.sources.Decoders.nginxErrorCustomFields(line)
+    val m = d.getField("custom_fields")
     t(s, dir, "events").select(
       col("event_id"),
+      d.getField("cid").as("nf_cid"),
+      d.getField("message").as("nf_message"),
       element_at(m, "client").as("nf_client"),
       element_at(m, "request").as("nf_request"),
       element_at(m, "context").as("nf_context"))
@@ -71,6 +80,8 @@ object Queries4 {
 
   val q34_sql: String =
     """SELECT event_id,
+      |  CAST(event_id AS VARCHAR) AS nf_cid,
+      |  'upstream timed out (110: Operation timed out)' AS nf_message,
       |  '10.0.0.' || CAST(user_id AS VARCHAR) AS nf_client,
       |  'GET-' || json_extract_string(props, '$.k') AS nf_request,
       |  'ngx.timer' AS nf_context

@@ -1794,13 +1794,12 @@ object PipelineCompiler {
       case "kmsg"           => Decoders.kmsg(value)
       case "postgres"       => Decoders.postgres(value)
       case "nginx_error" =>
-        // nginx_with_custom_fields (decoder/nginx.go:13): the message
-        // tail's `k: v, k: v` pairs ride as a map field
-        val base = Decoders.nginxError(value)
+        // nginx_with_custom_fields (decoder/nginx.go:163-199): the
+        // right-to-left `key: value` scan — fields come OUT of the
+        // message (r15: one fused NginxParse, reference-exact)
         if (Option(n.get("nginx_with_custom_fields")).exists(_.asBoolean()))
-          base.withField("custom_fields",
-            Decoders.nginxCustomFields(base.getField("message")))
-        else base
+          Decoders.nginxErrorCustomFields(value)
+        else Decoders.nginxError(value)
       case "syslog_rfc3164" =>
         Decoders.syslog3164(value,
           facilityFormat = Option(n.get("syslog_facility_format"))

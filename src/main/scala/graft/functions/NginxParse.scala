@@ -1,0 +1,194 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** nginx_error decode as ONE scan — a codegen `UnaryExpression` port
+  * of decoder/nginx.go (Decode + extractCustomFields), replacing the
+  * earlier regex leg whose forward `k: v` scan diverged from the
+  * reference on every vector nginx_test.go pins:
+  *
+  *  - the reference finds fields BACKWARDS from the line end
+  *    (LastIndex ", "), stopping at the first tail that is not a
+  *    letters-only `key: value` — so a `(110: Operation timed out)`
+  *    inside the message can never false-positive as a field;
+  *  - extracted fields are REMOVED from the message (the message is
+  *    whatever remains once the right-to-left scan stops);
+  *  - an empty value (`server: ,` / a bare `test:` at line end) is
+  *    admitted as "" (nginx.go:189-192: value stays empty unless
+  *    len(field[idx+1:]) > 1), and values are trimmed of ALL leading/
+  *    trailing double quotes;
+  *  - the prefix is sliced by SPACE POSITIONS (nginx.go:99-130
+  *    spaceSplit), not shape: the level is whatever sits between the
+  *    2nd and 3rd spaces (length-checked only), pid/tid are any bytes
+  *    split by '#' and closed by ':' — digits are not required.
+  *
+  * The reference's decode errors (missing fields, short level, bad
+  * pid#tid) keep the line's content as the message with NULL prefix
+  * fields — the decoder family's no-silent-loss invariant (the
+  * reference drops the event, pipeline.go:508-524). Two rendering
+  * divergences are carried over from the q13-oracled contract: an
+  * absent cid/message is "" here where Go omits the field (a struct
+  * column has a static shape), and the fallback keeps data.
+  */
+case class NginxParse(child: Expression, withCustomFields: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    if (withCustomFields) NginxParse.schemaWithFields else NginxParse.schema
+
+  override def nullSafeEval(input: Any): Any =
+    NginxParse.parse(input.asInstanceOf[UTF8String], withCustomFields)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NginxParse.parse($c, $withCustomFields)")
+
+  override protected def withNewChildInternal(newChild: Expression): NginxParse =
+    copy(child = newChild)
+
+  override def prettyName: String = "nginx_error_decode"
+}
+
+object NginxParse {
+
+  def apply(line: Column, withCustomFields: Boolean = false): Column =
+    GraftBridge.column(
+      NginxParse(GraftBridge.expression(line), withCustomFields))
+
+  val schema: StructType = StructType(Seq(
+    StructField("time", StringType),
+    StructField("level", StringType),
+    StructField("pid", StringType),
+    StructField("tid", StringType),
+    StructField("cid", StringType),
+    StructField("message", StringType)))
+
+  val schemaWithFields: StructType =
+    StructType(schema.fields :+
+      StructField("custom_fields", MapType(StringType, StringType)))
+
+  private def fallback(line: UTF8String, withFields: Boolean): GenericInternalRow = {
+    val a = new Array[Any](if (withFields) 7 else 6)
+    a(5) = line
+    new GenericInternalRow(a)
+  }
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  /** Char positions are safe stand-ins for the reference's byte
+    * positions: every delimiter compared (' ', '#', ':', '*', ',',
+    * '"', '\n') is ASCII, and no UTF-16 unit of a non-ASCII codepoint
+    * equals an ASCII char — identical decisions to the byte scan. */
+  def parse(line: UTF8String, withFields: Boolean): GenericInternalRow = {
+    val raw = line.toString
+    // TrimSuffix(data, "\n") — exactly one (nginx.go:97)
+    val s = if (raw.endsWith("\n")) raw.substring(0, raw.length - 1) else raw
+    val n = s.length
+    // spaceSplit(data, 5) (nginx.go:215-223)
+    val split = new Array[Int](5)
+    var nSplit = 0
+    var i = 0
+    while (i < n && nSplit < 5) {
+      if (s.charAt(i) == ' ') { split(nSplit) = i; nSplit += 1 }
+      i += 1
+    }
+    if (nSplit < 4) return fallback(line, withFields)
+    val time = s.substring(0, split(1))
+    // level length check then positional slice (no bracket validation
+    // beyond what the slice implies — nginx.go:105-109)
+    if (split(2) - split(1) < 4) return fallback(line, withFields)
+    val level = s.substring(split(1) + 2, split(2) - 1)
+    // pid#tid scan (nginx.go:111-130): '#' flips, ':' closes, other
+    // bytes append to the active side ('#' after the flip is skipped)
+    val pid = new java.lang.StringBuilder
+    val tid = new java.lang.StringBuilder
+    var pidComplete = false
+    var tidComplete = false
+    i = split(2) + 1
+    while (i < split(3) && !tidComplete) {
+      val c = s.charAt(i)
+      if (c == '#') pidComplete = true
+      else if (c == ':') tidComplete = true
+      else if (pidComplete) tid.append(c)
+      else pid.append(c)
+      i += 1
+    }
+    if (!(pidComplete && tidComplete)) return fallback(line, withFields)
+
+    val out = new Array[Any](if (withFields) 7 else 6)
+    out(0) = utf8(time)
+    out(1) = utf8(level)
+    out(2) = utf8(pid.toString)
+    out(3) = utf8(tid.toString)
+    // absent cid/message render as "" (the q13-oracled contract; Go
+    // omits the fields)
+    out(4) = UTF8String.EMPTY_UTF8
+    out(5) = UTF8String.EMPTY_UTF8
+
+    var tail: String = null
+    if (n > split(3) + 1) {
+      if (nSplit > 4 && s.charAt(split(3) + 1) == '*') {
+        out(4) = utf8(s.substring(split(3) + 2, split(4)))
+        if (n > split(4) + 1) tail = s.substring(split(4) + 1)
+      } else tail = s.substring(split(3) + 1)
+    }
+    if (tail != null) {
+      if (!withFields) out(5) = utf8(tail)
+      else {
+        val (msg, fields) = extractCustomFields(tail)
+        out(5) = utf8(msg)
+        out(6) = fields
+      }
+    } else if (withFields) {
+      out(6) = ArrayBasedMapData(Array.empty[Any], Array.empty[Any])
+    }
+    new GenericInternalRow(out)
+  }
+
+  /** extractCustomFields (nginx.go:163-199): right-to-left over the
+    * LAST ", " separator; the tail must be `key: value` with a
+    * letters-only key; stop at the first tail that doesn't parse —
+    * what's left is the message. */
+  private def extractCustomFields(data0: String): (String, ArrayBasedMapData) = {
+    var data = data0
+    val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var done = false
+    while (!done && data.nonEmpty) {
+      val sepIdx = data.lastIndexOf(", ")
+      if (sepIdx < 0) done = true
+      else {
+        val field = data.substring(sepIdx + 2)
+        val idx = field.indexOf(':')
+        if (idx < 0) done = true
+        else {
+          val key = field.substring(0, idx)
+          if (!key.forall(Character.isLetter)) done = true
+          else {
+            // value = "" unless more than one char follows ':'
+            // (nginx.go:189-192 — the single char after ':' is assumed
+            // to be the space and skipped; quotes fully trimmed)
+            val after = field.substring(idx + 1)
+            val v =
+              if (after.length > 1)
+                after.substring(1).replaceAll("^\"+|\"+$", "")
+              else ""
+            // last write wins like Go's map assignment on a dup key
+            val at = keys.indexOf(utf8(key))
+            if (at >= 0) values(at) = utf8(v)
+            else { keys += utf8(key); values += utf8(v) }
+            data = data.substring(0, sepIdx)
+          }
+        }
+      }
+    }
+    (data, ArrayBasedMapData(keys.toArray, values.toArray))
+  }
+}

@@ -120,24 +120,20 @@ object Decoders {
       when(matched, regexp_extract(line, pgRe, 7)).otherwise(line).as("log"))
   }
 
-  private val nginxRe =
-    "^(\\d{4}/\\d{2}/\\d{2} \\d{2}:\\d{2}:\\d{2}) \\[(\\w+)\\] (\\d+)#(\\d+):( \\*(\\d+))? (.*)$"
+  /** nginx_error decoder (decoder/nginx.go:94-146): time [level]
+    * pid#tid: *cid message, sliced by SPACE POSITIONS like the
+    * reference (r15: the regex leg — bracketed \w+ level, digit-only
+    * pid/tid/cid — replaced by the [[graft.functions.NginxParse]]
+    * codegen port of Decode; nginx_test.go vectors pinned). Decode
+    * errors keep the content as the message with NULL prefix fields —
+    * the kmsg no-silent-loss invariant. */
+  def nginxError(line: Column): Column = graft.functions.NginxParse(line)
 
-  /** nginx_error decoder (decoder/nginx.go:13-27): time [level] pid#tid:
-    * *cid message. cid is optional. Non-matching lines (the reference
-    * errors) keep their content as the message with NULL prefix fields
-    * — the kmsg no-silent-loss invariant. */
-  def nginxError(line: Column): Column = {
-    val matched = regexp_extract(line, nginxRe, 1) =!= ""
-    struct(
-      when(matched, regexp_extract(line, nginxRe, 1)).as("time"),
-      when(matched, regexp_extract(line, nginxRe, 2)).as("level"),
-      when(matched, regexp_extract(line, nginxRe, 3)).as("pid"),
-      when(matched, regexp_extract(line, nginxRe, 4)).as("tid"),
-      when(matched, regexp_extract(line, nginxRe, 6)).as("cid"),
-      when(matched, regexp_extract(line, nginxRe, 7)).otherwise(line)
-        .as("message"))
-  }
+  /** [[nginxError]] with `nginx_with_custom_fields` (nginx.go:163-199):
+    * the right-to-left `key: value` scan that REMOVES extracted fields
+    * from the message — see [[graft.functions.NginxParse]]. */
+  def nginxErrorCustomFields(line: Column): Column =
+    graft.functions.NginxParse(line, withCustomFields = true)
 
   // Reference-exact tail semantics (syslog_rfc3164.go Decode):
   //  - validateTimestamp range-checks hh≤23/mm≤59/ss≤59 (its tests
@@ -239,17 +235,6 @@ object Decoders {
                      severityFormat: String = "number"): Column =
     graft.functions.Syslog5424Parse(line, facilityFormat, severityFormat,
       full = true)
-
-  /** nginx_with_custom_fields (decoder/nginx.go:72-146): parse the
-    * trailing `key: value, key2: value2` context of an nginx error
-    * message into a map. */
-  def nginxCustomFields(message: Column): Column =
-    map_from_entries(
-      transform(
-        regexp_extract_all(message, lit("(\\w+): ([^,]+)(, |$)"), lit(0)),
-        kv => struct(
-          regexp_extract(kv, "(\\w+): ", 1).as("key"),
-          rtrim(regexp_extract(kv, "\\w+: ([^,]+)", 1)).as("value"))))
 
   /** SD-element params `[id k1="v1" k2="v2"]` → map<string,string>. */
   def sdParams(sd: Column): Column =

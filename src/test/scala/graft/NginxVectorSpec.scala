@@ -1,0 +1,159 @@
+package graft
+
+import graft.sources.Decoders
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's own decoder/nginx_test.go vector table ported
+  * verbatim against [[graft.functions.NginxParse]], plus the kmsg
+  * record shapes of the dmesg input (dmesg.go:104-121). The
+  * reference's `wantDecodeErr` cases land on the decoder family's
+  * no-silent-loss fallback here (NULL prefix fields, content kept as
+  * the message) — the reference drops the event (pipeline.go:508-524).
+  */
+class NginxVectorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val tail =
+    """upstream timed out (110: Operation timed out) while connecting """ +
+      """to upstream, client: 10.125.172.251, server: """ +
+      """mpm-youtube-downloader-38.name.tldn, request: "POST /download """ +
+      """HTTP/1.1", upstream: "http://10.117.246.15:84/download", host: """ +
+      """"mpm-youtube-downloader-38.name.tldn:84""""
+
+  test("nginx_test.go: valid vectors without custom fields") {
+    import spark.implicits._
+    // (input, time, level, pid, tid, cid, message)
+    val cases = Seq(
+      // valid_full — trailing \n trimmed
+      (s"2022/08/18 09:29:37 [error] 844935#844935: *44934601 $tail\n",
+        ("2022/08/18 09:29:37", "error", "844935", "844935", "44934601", tail)),
+      // valid_no_cid
+      (s"2022/08/18 09:29:37 [error] 844935#844935: $tail",
+        ("2022/08/18 09:29:37", "error", "844935", "844935", "", tail)),
+      // valid_no_message
+      ("2022/08/18 09:29:37 [error] 844935#844935: *44934601 ",
+        ("2022/08/18 09:29:37", "error", "844935", "844935", "44934601", "")),
+      // valid_no_cid_no_message
+      ("2022/08/18 09:29:37 [error] 844935#844935: ",
+        ("2022/08/18 09:29:37", "error", "844935", "844935", "", "")),
+      // positional slicing: pid/tid are not digit-validated
+      // (nginx.go:111-130 — any bytes around '#', closed by ':')
+      ("2022/08/18 09:29:37 [warn] abc#def: msg here",
+        ("2022/08/18 09:29:37", "warn", "abc", "def", "", "msg here")),
+      // no 5th space: a `*cid`-looking token with nothing after it is
+      // the MESSAGE (nginx.go:136 requires len(split) > 4)
+      ("2022/08/18 09:29:37 [error] 1#1: *44934601",
+        ("2022/08/18 09:29:37", "error", "1", "1", "", "*44934601")))
+    val got = cases.map(_._1).toDF("value")
+      .select(Decoders.nginxError($"value").as("d"))
+      .select($"d.time", $"d.level", $"d.pid", $"d.tid", $"d.cid", $"d.message")
+      .as[(String, String, String, String, String, String)].collect()
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"for '$in'")
+    }
+  }
+
+  test("nginx_test.go: decode errors take the no-silent-loss fallback") {
+    import spark.implicits._
+    val errs = Seq(
+      " ",                              // invalid_decode_1
+      "invalid",                        // invalid_decode_2
+      "2022/08/18 09:38:25",            // invalid_decode_3
+      "2022/08/18 09:38:25 message",    // invalid_decode_4
+      "2022/08/18 09:38:25 [] message", // invalid_decode_5: level < 4
+      "2022/08/18 09:38:25 [error] ",   // invalid_decode_6: no pid#tid
+      "2022/08/18 09:38:25 [error] pid_tid: ", // invalid_decode_7: no '#'
+      "2022/08/18 09:38:25 [error] pid#tid ")  // invalid_decode_8: no ':'
+    val got = errs.toDF("value")
+      .select(Decoders.nginxError($"value").as("d"))
+      .select($"d.time", $"d.message").collect()
+    errs.zip(got).foreach { case (in, r) =>
+      assert(r.isNullAt(0) && r.getString(1) == in, s"for '$in': $r")
+    }
+  }
+
+  test("nginx_test.go valid_custom_fields: backwards scan, empty values, message truncation") {
+    import spark.implicits._
+    val in = "2022/08/18 09:29:37 [error] 844935#844935: *44934601 " +
+      "upstream timed out (110: Operation timed out), while connecting " +
+      "to upstream, client: 10.125.172.251, server: , request: " +
+      "\"POST /download HTTP/1.1\", upstream: " +
+      "\"http://10.117.246.15:84/download\", host: " +
+      "\"mpm-youtube-downloader-38.name.tldn:84\", test:"
+    val r = Seq(in).toDF("value")
+      .select(Decoders.nginxErrorCustomFields($"value").as("d"))
+      .select($"d.cid", $"d.message", $"d.custom_fields").collect().head
+    assert(r.getString(0) == "44934601")
+    // the message STOPS where the right-to-left field scan stopped:
+    // ", while connecting to upstream" has no `letters-only-key:` tail
+    assert(r.getString(1) ==
+      "upstream timed out (110: Operation timed out), while connecting to upstream")
+    val m = r.getMap[String, String](2)
+    assert(m == Map(
+      "client" -> "10.125.172.251",
+      "server" -> "",      // `server: ,` — nothing after ': '
+      "request" -> "POST /download HTTP/1.1",   // quotes trimmed
+      "upstream" -> "http://10.117.246.15:84/download",
+      "host" -> "mpm-youtube-downloader-38.name.tldn:84",
+      "test" -> ""),       // bare `test:` at line end
+      m.toString)
+  }
+
+  test("custom-fields scan stops at the first non-field tail; no mid-message false positives") {
+    import spark.implicits._
+    // `(110: Operation timed out)` parses as key="(110" → non-letter →
+    // the scan STOPS even though more `k: v` shapes sit to the left
+    val in = "2022/08/18 09:29:37 [error] 1#1: " +
+      "client: 1.2.3.4 then (110: fail), host: h8"
+    val r = Seq(in).toDF("value")
+      .select(Decoders.nginxErrorCustomFields($"value").as("d"))
+      .select($"d.message", $"d.custom_fields").collect().head
+    assert(r.getString(0) == "client: 1.2.3.4 then (110: fail)", r.toString)
+    assert(r.getMap[String, String](1) == Map("host" -> "h8"), r.toString)
+    // a digit in a key ("host8") also stops the scan — letters only
+    val r2 = Seq("2022/08/18 09:29:37 [error] 1#1: msg, host8: x")
+      .toDF("value")
+      .select(Decoders.nginxErrorCustomFields($"value").as("d"))
+      .select($"d.message", $"d.custom_fields").collect().head
+    assert(r2.getString(0) == "msg, host8: x", r2.toString)
+    assert(r2.getMap[String, String](1).isEmpty, r2.toString)
+  }
+
+  test("kmsg record shapes: dmesg.go level mapping incl. facility-carrying priorities") {
+    import spark.implicits._
+    // dmesg.go:104-110: switch on the FULL priority value — 0-3 error,
+    // 4-5 warn, 6 info, anything else (incl. facility-carrying values
+    // like 14 = facility 1, severity 6) debug
+    val cases = Seq(
+      ("0,1,1000,-;panic now", ("error", 0L, 1L, "panic now")),
+      ("3,2,1000,-;io error", ("error", 3L, 2L, "io error")),
+      ("4,3,1000,-;careful", ("warn", 4L, 3L, "careful")),
+      ("5,4,1000,-;notice-ish", ("warn", 5L, 4L, "notice-ish")),
+      ("6,5,1000,-;hello", ("info", 6L, 5L, "hello")),
+      ("7,6,1000,-;debugging", ("debug", 7L, 6L, "debugging")),
+      ("14,7,1000,-;user info", ("debug", 14L, 7L, "user info")),
+      // flags field is free-form; message may contain semicolons
+      ("6,8,1000,c,+;dev: probe; ok", ("info", 6L, 8L, "dev: probe; ok")))
+    val got = cases.map(_._1).toDF("value")
+      .select(Decoders.kmsg($"value").as("d"))
+      .select($"d.level", $"d.priority", $"d.sequence_number", $"d.message")
+      .as[(String, Long, Long, String)].collect()
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"for '$in'")
+    }
+    // continuation records (leading space, `KEY=value`) and malformed
+    // lines keep their content with a NULL level — no silent loss
+    val errs = Seq(" SUBSYSTEM=acpi", "not kmsg")
+    val eg = errs.toDF("value").select(Decoders.kmsg($"value").as("d"))
+      .select($"d.level", $"d.message").collect()
+    errs.zip(eg).foreach { case (in, r) =>
+      assert(r.isNullAt(0) && r.getString(1) == in, s"for '$in': $r")
+    }
+  }
+}
