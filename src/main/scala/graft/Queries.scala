@@ -230,7 +230,7 @@ object Queries {
     val ev = t(s, dir, "events")
     val doc0 = struct(ev.columns.map(col): _*)
     val doc = Actions.modify(doc0, Seq(
-      "summary" -> "lvl=${event_type|cut(first,3)} k=${props|re(\"\\\"k\\\": (\\d+)\",-1,[1],\",\")}"))
+      "summary" -> "lvl=${event_type|cut(\"first\",3)} k=${props|re(\"\\\"k\\\": (\\\\d+)\",-1,[1],\",\")}"))
     ev.select(col("event_id"), doc.getField("summary").as("summary"))
   }
 

@@ -232,7 +232,7 @@ object Queries5 {
     val ev = t(s, dir, "events")
     val doc0 = struct(ev.columns.map(col): _*)
     val doc = Actions.modify(doc0, Seq(
-      "tail" -> "${props|trim_to(left,\"k\")|cut(last,10)}"))
+      "tail" -> "${props|trim_to(\"left\",\"k\")|cut(\"last\",10)}"))
     ev.select(col("event_id"), doc.getField("tail").as("tail"))
   }
 

@@ -32,7 +32,7 @@ import scala.jdk.CollectionConverters._
   *     match_mode: or
   *     do_if: {op: equal, field: x, values: [a]}
   *   - type: modify
-  *     fields: {summary: "lvl=${level|cut(first,3)}"}
+  *     fields: {summary: "lvl=${level|cut(\"first\",3)}"}
   * output: {type: devnull|console|memory|file, ...}
   * }}}
   */

@@ -33,7 +33,7 @@ object PipelineDemo {
          |    prefix: "ex_"
          |  - type: modify
          |    fields:
-         |      summary: "type=$${event_type|cut(first,4)} k=$${ex_k}"
+         |      summary: "type=$${event_type|cut(\"first\",4)} k=$${ex_k}"
          |  - type: convert_log_level
          |    field: event_type
          |    style: number

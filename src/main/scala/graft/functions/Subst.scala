@@ -3,6 +3,7 @@ package graft.functions
 import graft.model.FieldPath
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** The substitution template mini-language used by the `modify` action:
   * `"... ${field.path|filter1|filter2} ..."` with filters re / trim /
@@ -26,6 +27,8 @@ object Subst {
   final case class CutFilter(mode: String, count: Int) extends Filter
 
   def applyFilter(c: Column, f: Filter): Column = f match {
+    case ReFilter(_, _, groups, _, _) if groups.isEmpty =>
+      c // regex_filter.go:23-25: no groups → dst unchanged
     case ReFilter(re, limit, groups, sep, emptyOnNot) =>
       // Extract all matches of each selected group in order, interleaved
       // per match as the reference does (modify.go doc: groups of match 1,
@@ -42,25 +45,30 @@ object Subst {
         }
       // `limit` counts MATCHES (regex_filter.go:26 FindAllSubmatchIndex
       // (src, limit)) — with several selected groups the interleaved
-      // array holds groups.size entries per match
+      // array holds groups.size entries per match. The no-match check is
+      // on the LIMITED array so limit=0 behaves like Go's zero matches.
       val limited =
         if (limit < 0) all else slice(all, 1, limit * groups.size)
-      val joined = array_join(limited, sep)
-      if (emptyOnNot) joined
-      else when(size(all) === 0, c).otherwise(joined)
+      when(size(limited) === 0, if (emptyOnNot) lit("") else c)
+        .otherwise(array_join(limited, sep))
     case TrimFilter("left", cs)  => ltrim(c, cs)
     case TrimFilter("right", cs) => rtrim(c, cs)
     case TrimFilter(_, cs)       => trim(c, cs)
-    case TrimToFilter("left", cs) =>
-      // keep from the first occurrence of cs (inclusive)
-      when(locate(cs, c) > 0, substring_index_from(c, locate(cs, c))).otherwise(c)
-    case TrimToFilter(_, cs) =>
-      // keep src[:lastIndex+1] exactly like the reference
-      // (trim_to_filter.go:21-23: through the FIRST char of the last
-      // occurrence — for the common 1-char cutset that is "through the
-      // char"; a multi-char cutset keeps only its first char there too)
-      val start = length(c) - locate(cs.reverse, reverse(c)) - cs.length + 2
-      when(locate(cs, c) > 0, c.substr(lit(1), start)).otherwise(c)
+    case TrimToFilter(mode, cs) =>
+      // trim_to_filter.go:15-26: left/all cut to the FIRST occurrence
+      // (inclusive); right/all keep through the FIRST char of the LAST
+      // occurrence (src[:idx+1]); "all" applies both sides
+      val afterLeft =
+        if (mode == "left" || mode == "all")
+          when(locate(cs, c) > 0, substring_index_from(c, locate(cs, c)))
+            .otherwise(c)
+        else c
+      if (mode == "right" || mode == "all") {
+        val start = length(afterLeft) -
+          locate(cs.reverse, reverse(afterLeft)) - cs.length + 2
+        when(locate(cs, afterLeft) > 0, afterLeft.substr(lit(1), start))
+          .otherwise(afterLeft)
+      } else afterLeft
     case CutFilter("first", n) => c.substr(1, n)
     case CutFilter(_, n) =>
       // clamp the start: substr with a negative start counts from the
@@ -76,14 +84,18 @@ object Subst {
   final case class Lit(text: String) extends Seg
   final case class Ref(path: FieldPath, filters: Seq[Filter]) extends Seg
 
-  /** Parse `"... ${a.b|cut(first,2)} ..."` into segments. Filter syntax is
-    * the reference's: name(args) piped with `|` inside the placeholder. */
+  /** Parse `"... ${a.b|cut("first",2)} ..."` into segments. Filter
+    * syntax is the reference's: `name(args)` piped with `|` inside the
+    * placeholder, args as JSON values (substitution.go ParseSubstitution
+    * + filter.go parseFilterArgs). `$$` escapes a literal `$`
+    * (substitution.go:91-93); a lone `$` passes through. */
   def parseTemplate(t: String): Seq[Seg] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Seg]
     val sb = new StringBuilder
     var i = 0
     while (i < t.length) {
-      if (t.startsWith("${", i)) {
+      if (t.startsWith("$$", i)) { sb.append('$'); i += 2 }
+      else if (t.startsWith("${", i)) {
         // quote-aware end scan (substitution.go indexRuneInExpr with
         // considerQuotes): a `}` inside a quoted filter arg — e.g. the
         // regex quantifier in re("\d{3}") — is NOT the placeholder end
@@ -145,26 +157,84 @@ object Subst {
     out.toSeq
   }
 
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Filter args are JSON VALUES like the reference's json.Unmarshal
+    * per arg (regex_filter.go:124-141, trim_filter.go:82-92,
+    * cut_filter.go:84-96): strings must be double-quoted JSON strings
+    * (single quotes are invalid, `\\` escapes resolve), counts/limits
+    * are JSON numbers, group lists JSON int arrays, the re flag a JSON
+    * bool. Counts, modes, and cut's count > 0 are validated here like
+    * the reference validates at parse — a bad filter never compiles. */
   private def parseFilter(s: String): Filter = {
     val t = s.trim
     val open = t.indexOf('(')
     require(open > 0 && t.endsWith(")"), s"bad filter: $s")
     val name = t.substring(0, open)
-    val args = splitTop(t.substring(open + 1, t.length - 1), ',').map(_.trim)
-    def unq(a: String) =
-      if (a.length >= 2 && a.startsWith("\"") && a.endsWith("\"")) a.substring(1, a.length - 1)
-      else a
+    val args = splitTop(t.substring(open + 1, t.length - 1), ',')
+      .map(_.trim).filter(_.nonEmpty)
+    def node(i: Int, what: String) = {
+      require(i < args.size, s"$name filter: missing arg ${i + 1} ($what)")
+      try jsonMapper.readTree(args(i))
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalArgumentException(
+            s"$name filter: arg ${i + 1} ($what) is not a JSON value: " +
+              s"${args(i)} (${e.getOriginalMessage})")
+      }
+    }
+    def str(i: Int, what: String): String = {
+      val n = node(i, what)
+      require(n.isTextual, s"$name filter: arg ${i + 1} ($what) must be " +
+        s"a double-quoted string, got ${args(i)}")
+      n.asText()
+    }
+    def int(i: Int, what: String): Int = {
+      val n = node(i, what)
+      require(n.isIntegralNumber,
+        s"$name filter: arg ${i + 1} ($what) must be an int, got ${args(i)}")
+      n.asInt()
+    }
+    def argCount(want: Range): Unit =
+      require(want.contains(args.size),
+        s"$name filter: expected ${want.head}" +
+          (if (want.size > 1) s"..${want.last}" else "") +
+          s" args, got ${args.size}")
+    def trimMode(i: Int): String = {
+      val m = str(i, "mode")
+      require(m == "all" || m == "left" || m == "right",
+        s"$name filter: invalid mode \"$m\" (all|left|right)")
+      m
+    }
     name match {
       case "re" =>
-        val groups = args.lift(2).map(_.stripPrefix("[").stripSuffix("]")
-          .split(";|,").filter(_.nonEmpty).map(_.trim.toInt).toSeq).getOrElse(Seq(0))
-        ReFilter(unq(args(0)), args.lift(1).map(_.toInt).getOrElse(-1), groups,
-          args.lift(3).map(unq).getOrElse(""),
-          args.lift(4).exists(_.toBoolean))
-      case "trim"    => TrimFilter(unq(args(0)), unq(args(1)))
-      case "trim_to" => TrimToFilter(unq(args(0)), unq(args(1)))
-      case "cut"     => CutFilter(unq(args(0)), args(1).toInt)
-      case other     => throw new IllegalArgumentException(s"unknown filter: $other")
+        argCount(4 to 5)
+        val g = node(2, "groups")
+        require(g.isArray && g.elements().asScala.forall(_.isIntegralNumber),
+          s"re filter: arg 3 (groups) must be an int array, got ${args(2)}")
+        val groups = g.elements().asScala.map(_.asInt()).toSeq
+        val flag = if (args.size > 4) {
+          val b = node(4, "empty_on_not_matched")
+          require(b.isBoolean, "re filter: arg 5 must be a bool")
+          b.asBoolean()
+        } else false
+        ReFilter(str(0, "regex"), int(1, "limit"), groups,
+          str(3, "separator"), flag)
+      case "trim" =>
+        argCount(2 to 2)
+        TrimFilter(trimMode(0), str(1, "cutset"))
+      case "trim_to" =>
+        argCount(2 to 2)
+        TrimToFilter(trimMode(0), str(1, "cutset"))
+      case "cut" =>
+        argCount(2 to 2)
+        val m = str(0, "mode")
+        require(m == "first" || m == "last",
+          s"cut filter: invalid mode \"$m\" (first|last)")
+        val n = int(1, "count")
+        require(n > 0, "cut filter: count must be greater than 0")
+        CutFilter(m, n)
+      case other => throw new IllegalArgumentException(s"unknown filter: $other")
     }
   }
 

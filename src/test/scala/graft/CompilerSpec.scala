@@ -102,7 +102,7 @@ class CompilerSpec extends AnyFunSuite {
         |      should_drop: [ok]
         |  - type: modify
         |    fields:
-        |      summary: "lvl=${level|cut(first,1)} msg=${message}"
+        |      summary: "lvl=${level|cut(\"first\",1)} msg=${message}"
         |  - type: convert_log_level
         |    field: level
         |    style: number

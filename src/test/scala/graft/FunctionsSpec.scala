@@ -15,7 +15,7 @@ class FunctionsSpec extends AnyFunSuite {
   }
 
   test("Subst template parser splits literals, refs and filters") {
-    val segs = Subst.parseTemplate("lvl=${level|cut(first,3)} msg=${log.msg}")
+    val segs = Subst.parseTemplate("lvl=${level|cut(\"first\",3)} msg=${log.msg}")
     assert(segs.size == 4)
     assert(segs(0) == Subst.Lit("lvl="))
     val r1 = segs(1).asInstanceOf[Subst.Ref]
@@ -26,24 +26,24 @@ class FunctionsSpec extends AnyFunSuite {
   }
 
   test("Subst re filter parses groups and separators") {
-    val Seq(ref: Subst.Ref) = Subst.parseTemplate("${m|re(\"(\\w+):\",-1,[1],\",\")}")
+    val Seq(ref: Subst.Ref) = Subst.parseTemplate("${m|re(\"(\\\\w+):\",-1,[1],\",\")}")
     assert(ref.filters == Seq(Subst.ReFilter("(\\w+):", -1, Seq(1), ",")))
   }
 
   test("Subst parser handles brace quantifiers, escaped quotes, comma group lists") {
     // `}` inside a quoted filter arg is NOT the placeholder end
     // (substitution.go indexRuneInExpr considerQuotes)
-    val Seq(r1: Subst.Ref) = Subst.parseTemplate("${m|re(\"\\d{3}\",1,[0],\"\")}")
+    val Seq(r1: Subst.Ref) = Subst.parseTemplate("${m|re(\"\\\\d{3}\",1,[0],\"\")}")
     assert(r1.filters == Seq(Subst.ReFilter("\\d{3}", 1, Seq(0), "")))
     // an escaped quote inside the pattern doesn't flip string state
     val Seq(r2: Subst.Ref) =
       Subst.parseTemplate("${m|re(\"say \\\"hi, there\\\"\",1,[0],\"\")}")
     assert(r2.filters.head.asInstanceOf[Subst.ReFilter].regex ==
-      "say \\\"hi, there\\\"")
+      "say \"hi, there\"")
     // the reference's own comma group-list spelling `[1, 2]` is ONE arg
     // (parseFilterArgs is bracket-aware)
     val Seq(r3: Subst.Ref) =
-      Subst.parseTemplate("${m|re(\"(\\w+)=(\\w+)\",2,[1, 2],\",\")}")
+      Subst.parseTemplate("${m|re(\"(\\\\w+)=(\\\\w+)\",2,[1, 2],\",\")}")
     assert(r3.filters ==
       Seq(Subst.ReFilter("(\\w+)=(\\w+)", 2, Seq(1, 2), ",")))
   }

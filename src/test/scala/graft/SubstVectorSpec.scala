@@ -1,0 +1,163 @@
+package graft
+
+import graft.functions.Subst
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's own cfg/substitution/substitution_test.go tables
+  * ported against [[graft.functions.Subst]]: TestParseSubstitution
+  * (segment structure, `$$` escape, every filter arg-validation error)
+  * and TestFilterApply (filter pipelines over data). Filter args are
+  * JSON values exactly like the reference's per-arg json.Unmarshal —
+  * single-quoted strings, wrong arities, bad modes, and non-positive
+  * cut counts are all compile-time errors. */
+class SubstVectorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def lits(t: String): Seq[Any] = Subst.parseTemplate(t)
+
+  test("TestParseSubstitution: structure and the $$ escape") {
+    // no_filter_no_field
+    assert(lits("just value") == Seq(Subst.Lit("just value")))
+    // no_filter_only_field
+    val Seq(f1: Subst.Ref) = Subst.parseTemplate("${prediction.days}")
+    assert(f1.path.parts == Seq("prediction", "days") && f1.filters.isEmpty)
+    // no_filter_field
+    val s3 = Subst.parseTemplate("days till world end ${prediction.days}. so what?")
+    assert(s3.size == 3 && s3(0) == Subst.Lit("days till world end ") &&
+      s3(2) == Subst.Lit(". so what?"))
+    // no_filter_field_no_ending
+    assert(Subst.parseTemplate("days till world end ${prediction.days}").size == 2)
+    // $$ escape collapses; bare $ passes through (substitution.go:79-93)
+    assert(lits("days till world end $$100") ==
+      Seq(Subst.Lit("days till world end $100")))
+    assert(lits("days till world end $100") ==
+      Seq(Subst.Lit("days till world end $100")))
+    assert(lits("days till world end $100$") ==
+      Seq(Subst.Lit("days till world end $100$")))
+    assert(lits("$") == Seq(Subst.Lit("$")))
+    assert(lits("") == Seq.empty)
+    // with_one_filter (the reference's own spelling, JSON args)
+    val Seq(_, w1: Subst.Ref, _) = Subst.parseTemplate(
+      """days till world end ${prediction.days|re("(\\d),(test.+)",-1,[1,2]," , ")}. so what?""")
+    assert(w1.filters == Seq(
+      Subst.ReFilter("(\\d),(test.+)", -1, Seq(1, 2), " , ")))
+    // with_two_filters
+    val Seq(_, w2: Subst.Ref, _) = Subst.parseTemplate(
+      """days till world end ${prediction.days|re("(\\d),(test.+)",-1,[1,2]," , ") | re("(test2\\.subtest)",-1, [1], "-||-")}. so what?""")
+    assert(w2.filters == Seq(
+      Subst.ReFilter("(\\d),(test.+)", -1, Seq(1, 2), " , "),
+      Subst.ReFilter("(test2\\.subtest)", -1, Seq(1), "-||-")))
+    // with_two_substitutions_one_filter
+    val s4 = Subst.parseTemplate(
+      """days till world end ${prediction.days|re("(\\d),(test.+)",-1,[1,2]," , ")}. Hello, ${name|re("(\\w+)",1,[1],",",true)}""")
+    assert(s4.size == 4)
+    assert(s4(3).asInstanceOf[Subst.Ref].filters ==
+      Seq(Subst.ReFilter("(\\w+)", 1, Seq(1), ",", emptyOnNotMatched = true)))
+    // trim/trim_to/cut ok-forms
+    assert(Subst.parseTemplate("""test ${field|trim("all","\\n")} test2""")(1)
+      .asInstanceOf[Subst.Ref].filters == Seq(Subst.TrimFilter("all", "\\n")))
+    assert(Subst.parseTemplate("""test ${field|trim_to("left","{")} test2""")(1)
+      .asInstanceOf[Subst.Ref].filters == Seq(Subst.TrimToFilter("left", "{")))
+    assert(Subst.parseTemplate("""test ${field|cut("first",5)} test2""")(1)
+      .asInstanceOf[Subst.Ref].filters == Seq(Subst.CutFilter("first", 5)))
+  }
+
+  test("TestParseSubstitution: every error vector is a loud parse error") {
+    val errs = Seq(
+      // err_invalid_field (unterminated placeholder)
+      """days till world end ${prediction.days. so what?""",
+      // err_invalid_filter
+      """test ${field|abcd()} test2""",
+      // re arg errors: empty, count min/max, single-quoted regex,
+      // non-int limit, bad group list, single-quoted separator,
+      // non-bool fifth arg
+      """test ${field|re()} test2""",
+      """test ${field|re("invalid", -1, [1,2])} test2""",
+      """test ${field|re("invalid", -1, [1,2], "|", 1, 2)} test2""",
+      """test ${field|re('(invalid)',-1,[1,],"|")} test2""",
+      """test ${field|re("(invalid)","abcd",[1,],"|")} test2""",
+      """test ${field|re("invalid",-1,[invalid],"|")} test2""",
+      """test ${field|re("(invalid)",-1,[1],'invalid')} test2""",
+      """test ${field|re("(invalid)",-1,[1],"|",100)} test2""",
+      // bracket/quote errors
+      """test ${field|re('invalid'} test2""",
+      """test ${field|re('invalid', -1, [(1,2, "|")} test2""",
+      """test ${field|re('invalid', -1, [1,2, "|")} test2""",
+      """test ${field|re('invalid', -1, [(1,2], "|")} test2""",
+      """test ${field|re("invalid", -1, [1,2], "|)} test2""",
+      // trim arg errors
+      """test ${field|trim()} test2""",
+      """test ${field|trim("all")} test2""",
+      """test ${field|trim("all","\\n",123)} test2""",
+      """test ${field|trim("invalid","\\n")} test2""",
+      """test ${field|trim('invalid',"\\n")} test2""",
+      """test ${field|trim("all",'invalid')} test2""",
+      // trim_to arg errors
+      """test ${field|trim_to()} test2""",
+      """test ${field|trim_to("all")} test2""",
+      """test ${field|trim_to("all","{","asd")} test2""",
+      """test ${field|trim_to("invalid","}")} test2""",
+      """test ${field|trim_to('invalid',"}")} test2""",
+      """test ${field|trim_to("all",'invalid')} test2""",
+      // cut arg errors (incl. bad mode, bool count, negative count)
+      """test ${field|cut()} test2""",
+      """test ${field|cut("last")} test2""",
+      """test ${field|cut("last",10,11)} test2""",
+      """test ${field|cut("invalid",10)} test2""",
+      """test ${field|cut(true,10)} test2""",
+      """test ${field|cut("first",true)} test2""",
+      """test ${field|cut("first",-10)} test2""")
+    errs.foreach { t =>
+      val e = intercept[Exception](Subst.parseTemplate(t))
+      assert(e.isInstanceOf[IllegalArgumentException] ||
+        e.isInstanceOf[IndexOutOfBoundsException], s"for template: $t ($e)")
+    }
+  }
+
+  test("TestFilterApply: filter pipelines over data") {
+    import spark.implicits._
+    // (substitution, data, want) — the reference table verbatim; the
+    // trim vectors' `\n` is a literal backslash+n (Go raw strings), and
+    // the cutset "\\n" JSON-unescapes to those same two chars
+    val cases = Seq(
+      ("""${field|re("(re\\d)",-1,[1],"|")}""",
+        "this is some text re1 end", "re1"),
+      ("""${field|re("(.*)",-1,[1],"|")|re("(\\d\\.)",-1,[1],"|")}""",
+        "1.2.3.4.5.", "1.|2.|3.|4.|5."),
+      ("""${field|re("(re\\d)",2,[1],"|")}""",
+        "this is some text re1 re2 re3 re4 end", "re1|re2"),
+      ("""${field|re("(re\\d)",1,[1],"|")}""",
+        "this is some text", "this is some text"),
+      ("""${field|re("(re\\d)",1,[1],"|",true)}""",
+        "this is some text", ""),
+      ("""${field|trim("all","\\n")}""",
+        "\\n{\"message\":\"test\"}\\n", "{\"message\":\"test\"}"),
+      ("""${field|trim("left","\\n")}""",
+        "\\n{\"message\":\"test\"}\\n", "{\"message\":\"test\"}\\n"),
+      ("""${field|trim("right","\\n")}""",
+        "\\n{\"message\":\"test\"}\\n", "\\n{\"message\":\"test\"}"),
+      ("""${field|trim_to("all","\"")}""",
+        "some data \"quoted\" some another data", "\"quoted\""),
+      ("""${field|trim_to("left","{")|trim_to("right","}")}""",
+        "some data {\"message\":\"test\"} some data",
+        "{\"message\":\"test\"}"),
+      ("""${field|cut("first",10)}""", "some looooooooong data", "some loooo"),
+      ("""${field|cut("last",10)}""", "some looooooooong data", "ooong data"),
+      ("""${field|cut("first",17)|cut("last",12)}""",
+        "some looooooooong data", "looooooooong"),
+      ("""${field|cut("first",10)|cut("last",10)}""", "some data", "some data"))
+    cases.foreach { case (t, data, want) =>
+      val col = Subst.compile(t, _ => $"field")
+      val got = Seq(data).toDF("field").select(col.as("r"))
+        .collect().head.getString(0)
+      assert(got == want, s"for template $t on '$data': got '$got'")
+    }
+  }
+}
