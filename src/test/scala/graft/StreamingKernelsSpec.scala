@@ -1116,4 +1116,79 @@ class StreamingKernelsSpec extends AnyFunSuite {
       assert(r == Seq(KEvent("f", 30L, "alpha-beta-gamma", "c3")), r)
     } finally q.stop()
   }
+
+  test("criChunkAssembly survives a real checkpoint restart mid-partial-chunk") {
+    // the kernel's riskiest state shape: a P…P run buffered with no F
+    // yet when the query dies — the restarted query must resume that
+    // exact buffer from the checkpoint and close it with the F that
+    // arrives after the restart, byte-identical to the batch operator
+    // over the union corpus
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, struct}
+    import org.apache.spark.sql.Encoders
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("cri_restart")
+    val srcDir = dir.resolve("src"); Files.createDirectories(srcDir)
+    val ckpt = dir.resolve("ckpt").toString
+    val outDir = dir.resolve("out").toString
+    val inSchema = Encoders.product[CriEvent].schema
+    val outSchema = Encoders.product[KEvent].schema
+    def js(s: String) =
+      com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .writeValueAsString(s)
+    def writeBatch(name: String, evs: Seq[CriEvent]): Unit =
+      Files.write(srcDir.resolve(name), evs.map(e =>
+        s"""{"key":${js(e.key)},"seq":${e.seq},"value":${js(e.value)},""" +
+          s""""partial":${e.partial},"carry":${js(e.carry)}}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val cap = 1000000L
+    // timeout far beyond the test's wall so the dangling run can only
+    // be closed by the post-restart F, never timeout-discarded
+    def start() = Kernels.criChunkAssembly(
+        spark.readStream.schema(inSchema).json(srcDir.toString).as[CriEvent],
+        CriChunkCfg(cap, timeoutMs = 600000L))
+      .writeStream.format("json")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    def landed(): Seq[KEvent] =
+      spark.read.schema(outSchema).json(outDir).as[KEvent].collect().toSeq
+    def awaitLanded(n: Int, timeoutMs: Long = 120000L): Unit = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (landed().size < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(landed().size == n, s"out never reached $n rows: ${landed()}")
+    }
+    val phaseA = Seq(
+      CriEvent("k1", 1L, "chunk-one-", true, "c1"),
+      CriEvent("k1", 2L, "chunk-two-", true, "c2"),   // dangling P run
+      CriEvent("k2", 1L, "solo", false, "s1"))        // complete event
+    val phaseB = Seq(
+      CriEvent("k1", 3L, "end", false, "c3"),          // closes the run
+      CriEvent("k3", 1L, "post", false, "p1"))
+    // phase A: k2 lands; k1's P,P buffer sits in the state store
+    writeBatch("a.json", phaseA)
+    val q1 = start()
+    try awaitLanded(1) finally q1.stop()
+    assert(landed() == Seq(KEvent("k2", 1L, "solo", "s1")))
+    // phase B: REAL restart from the checkpoint; the F arrives now
+    writeBatch("b.json", phaseB)
+    val q2 = start()
+    try awaitLanded(3) finally q2.stop()
+    val streamed = landed().map(e => (e.key, e.seq, e.value, e.carry)).sorted
+    assert(streamed.contains(("k1", 3L, "chunk-one-chunk-two-end", "c3")),
+      s"the pre-restart buffer must close with the post-restart F: $streamed")
+    // batch ≡ streaming on the union corpus
+    val batchDf = (phaseA ++ phaseB)
+      .map(e => (e.key, e.seq, e.value, e.partial)).toDF("source_name", "_ord", "log", "partial")
+      .select(col("source_name"), col("_ord"),
+        struct(col("log"), col("partial")).as("doc"))
+    val batch = graft.state.SeqOps.criChunkJoin(batchDf, Seq("source_name"),
+      "_ord", col("doc").getField("log"), col("doc").getField("partial"), cap)
+      .selectExpr("source_name", "_ord", "doc.log")
+      .as[(String, Long, String)].collect().sorted.toSeq
+    assert(streamed.map(e => (e._1, e._2, e._3)) == batch,
+      s"streamed=$streamed\nbatch=$batch")
+  }
 }
