@@ -233,6 +233,17 @@ object Bench {
         (c1 - c0) / 1e4 / math.max(sec, 1e-9))
       sampleMap(name) = sampleMap.getOrElse(name, Vector.empty) :+
         QSample(sec, stealPct, ok)
+      // Sweep-order hygiene (untimed, after the counters): queries that
+      // cache()/localCheckpoint() leak their blocks into the storage
+      // pool across the sweep; unified memory protects storage up to
+      // spark.memory.storageFraction, so by mid-sweep an allocation-
+      // heavy query can see HALF the execution memory a solo run gets
+      // and spill where the solo run sorts in memory — the r14 driver
+      // artifact measured q130 at 8.9 s in BOTH sweeps vs 3.4 s warm
+      // solo on identical code. Clearing between samples makes every
+      // sample a clean-slate measurement, independent of sweep order.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     def okSecs(name: String): Vector[Double] =
       sampleMap(name).filter(_.ok).map(_.sec)

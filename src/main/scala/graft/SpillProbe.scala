@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Constrained-memory probe (round 15): the 10×/100× ScaleProbe cells
+  * showed peak task memory growing ~linearly with data — a PRE-SPILL
+  * sorter watermark on a box with headroom, argued (not demonstrated)
+  * to spill gracefully under pressure. This probe demonstrates it:
+  * the same headline shapes (duplicate_spans fingerprint mode, minhash
+  * LSH candidate generation) run at 10× data with the unified memory
+  * pool squeezed to `spark.memory.fraction=0.05` (~390 MB across 32
+  * tasks ≈ 12 MB/task), where the gram/shingle sorts CANNOT fit — the
+  * claim under test is they SPILL (memory/disk spill counters > 0),
+  * COMPLETE with row counts identical to the unconstrained run, and
+  * hold peak task memory an order of magnitude below the headroom run.
+  * An operator that buffers a group in an ArrayBuffer instead of
+  * sorting through Spark's spillable machinery OOMs here instead.
+  *
+  * Usage: `sbt "runMain graft.SpillProbe"` (env SPARK_GRAFT_SF_DIR for
+  * the base SF, default /root/testdata/sf0.1; factor via
+  * SPARK_GRAFT_PROBE_FACTOR, default 10). CSV rows land in NOTES.md.
+  */
+object SpillProbe {
+
+  final case class Metrics(wallSec: Double, shuffleBytes: Long,
+                           memSpillMb: Long, diskSpillMb: Long,
+                           peakTaskMemMb: Long, rows: Long)
+
+  private def measure(spark: SparkSession)(run: => Long): Metrics = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    val memSpill = new java.util.concurrent.atomic.AtomicLong()
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong()
+    val peak = new java.util.concurrent.atomic.AtomicLong()
+    val l = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        peak.accumulateAndGet(m.peakExecutionMemory, math.max(_, _))
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val t0 = System.nanoTime()
+    val (rows, wall) = try {
+      val r = run
+      val w = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(800) // listener bus drain (untimed)
+      (r, w)
+    } finally spark.sparkContext.removeSparkListener(l)
+    Metrics(wall, bytes.get(), memSpill.get() >> 20, diskSpill.get() >> 20,
+      peak.get() >> 20, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_PROBE_FACTOR", "10").toInt
+    val fraction = sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.05")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // the squeeze: unified pool = fraction × (heap − 300 MB). At the
+      // default 8 g heap and 0.05, ~390 MB shared by 32 concurrent
+      // tasks — far below the ~1.4 GB peak the unconstrained 10× cells
+      // report, so the sorters MUST spill to finish.
+      .config("spark.memory.fraction", fraction)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // same 10× corpus synthesis + cache key as ScaleProbe
+    val sfTag = base.replaceAll("[^A-Za-z0-9.]", "_")
+    val sf1Dir =
+      if (factor == 10 && base == "/root/testdata/sf0.1") "/tmp/graft_sf1"
+      else s"/tmp/graft_sfx${factor}_$sfTag"
+    val docs1Path = s"$sf1Dir/documents.parquet"
+    if (!new java.io.File(docs1Path, "_SUCCESS").exists()) {
+      val d = Tables(spark, base, "documents")
+      d.crossJoin(spark.range(factor).select(col("id").as("_rep")))
+        .select((col("doc_id") * factor + col("_rep")).as("doc_id"),
+          col("text"), col("lang"),
+          concat(col("source"), lit("_"), col("_rep")).as("source"),
+          col("n_chars"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(docs1Path)
+    }
+    def docs: DataFrame = spark.read.parquet(docs1Path)
+
+    val cells: Seq[(String, () => Metrics)] = Seq(
+      "duplicate_spans_fp_x10" -> (() =>
+        measure(spark)(graft.ml.Corpus.duplicateSpans(docs,
+          "doc_id", "text", n = 20, thresholdMilli = 900L,
+          fingerprint = true).count())),
+      "minhash_candidates_x10" -> (() =>
+        measure(spark)(graft.ml.Dedup.minhashCandidates(docs,
+          "doc_id", "text", shingleN = 3, k = 9, bands = 3, rows = 3)
+          .count())))
+
+    println(s"mem_fraction=$fraction factor=$factor")
+    println("op,wall_sec,shuffle_mb,mem_spill_mb,disk_spill_mb,peak_task_mem_mb,rows")
+    cells.foreach { case (name, run) =>
+      val m = run()
+      println(f"$name,${m.wallSec}%.1f,${m.shuffleBytes >> 20}," +
+        f"${m.memSpillMb},${m.diskSpillMb},${m.peakTaskMemMb},${m.rows}")
+    }
+    spark.stop()
+  }
+}

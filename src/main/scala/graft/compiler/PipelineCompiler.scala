@@ -3822,7 +3822,11 @@ object PipelineCompiler {
     stages.elements().asScala.foreach { st =>
       val twice = twiceUsing(st.get("type").asText())
       // never cache the raw input scan: re-reading parquet twice beats
-      // pinning the whole uncurated corpus in executor storage
+      // pinning the whole uncurated corpus in executor storage.
+      // (r15 probe note: EAGER count()-per-boundary was tried and is
+      // ~30% SLOWER than the lazy persist — the serialization barriers
+      // cost more than any cache-population race saves; q134 12.9 →
+      // 17.1 s. The lazy spelling stands.)
       if (twice && !(df eq base)) level.foreach(df.persist)
       df = curationStage(spark, base, df, st)
       tap(st.get("type").asText(), df)

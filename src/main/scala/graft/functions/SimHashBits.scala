@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** SimHash signature from a pre-hashed token array: bit b of the
+  * result is set iff a strict majority of the hashes have bit b set
+  * (Charikar 2002, the per-bit majority vote). ONE tight loop over the
+  * longs with a bits-sized counter array — replacing the previous
+  * spelling of `bits` separate `aggregate()` HOF folds, whose
+  * per-step lambda overhead made a 60-bit signature over ~2k-token
+  * docs cost ~2 ms/row (q141's clean-slate 17 s at sf0.1; this
+  * expression + hash-once brings the signature scan to ~0.3 s). The
+  * math is bit-identical to the fold, so every simhash oracle (q53/
+  * q141/q142 replaying per-bit SUMs in SQL) is unchanged.
+  *
+  * Null contract mirrors the fold it replaces: a NULL element poisons
+  * the signature to NULL (aggregate's `acc + null`); an empty array
+  * yields signature 0 (no majorities).
+  */
+case class SimHashBits(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 63, s"simhash bits must be 1..63, got $bits")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashBits.compute(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.SimHashBits.computeUnboxed($c, $bits);
+      if (${ev.value} == Long.MIN_VALUE) { ${ev.isNull} = true; ${ev.value} = 0L; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_bits"
+}
+
+object SimHashBits {
+
+  def apply(hashes: Column, bits: Int): Column =
+    GraftBridge.column(SimHashBits(GraftBridge.expression(hashes), bits))
+
+  /** Boxed form for interpreted eval: null on a null element. */
+  def compute(arr: ArrayData, bits: Int): Any = {
+    val v = computeUnboxed(arr, bits)
+    if (v == Long.MinValue) null else java.lang.Long.valueOf(v)
+  }
+
+  /** Long.MinValue = "null element seen" sentinel (a real signature of
+    * ≤63 bits is always ≥ 0, so the sentinel can't collide). */
+  def computeUnboxed(arr: ArrayData, bits: Int): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return Long.MinValue
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < bits) {
+        counts(b) += ((h >>> b) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (2 * counts(b) > n) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}

@@ -27,18 +27,39 @@ object Decoders {
       if (strict) from_json(line, schema, Map("mode" -> "FAILFAST"))
       else from_json(line, schema)
     maxFieldsSize.foldLeft(parsed) { case (doc, (field, limit)) =>
-      // the cap applies to STRING fields only (the reference truncates
-      // string values; substring on e.g. a long would silently rewrite
-      // the struct field's type to string, diverging from the tracked
-      // schema)
-      schema.find(_.name == field) match {
-        case Some(f) if f.dataType == StringType =>
-          doc.withField(field, substring(doc.getField(field), 1, limit))
-        case Some(f) => throw new IllegalArgumentException(
-          s"json_max_fields_size: field `$field` is ${f.dataType.simpleString}, " +
-            "not string — the length cap applies to string fields")
-        case None => throw new IllegalArgumentException(
-          s"json_max_fields_size: field `$field` is not in the decoder schema")
+      // json_test.go's pinned semantics (cutFieldsBySize, json.go:77-97):
+      // keys are DOTTED field selectors; a missing path, an empty key,
+      // or a non-string value is silently SKIPPED (`v.Type != String`
+      // → no cut — the bool with cap 3 stays "true"); a string at most
+      // `limit` long is untouched; otherwise it is cut to `limit`
+      // BYTES. The reference cuts raw bytes mid-rune; here the cut is
+      // codepoint-clean (utf8SafeByteCut's documented ≤3-byte delta) so
+      // parquet never sees invalid UTF-8.
+      // the empty key is the reference's findPos("") no-op — guard it
+      // before FieldPath.parse, which loudly rejects empty segments
+      val parts =
+        if (field.isEmpty) Nil
+        else graft.model.FieldPath.parse(field).parts.toList
+      def leafType(dt: org.apache.spark.sql.types.DataType,
+                   p: List[String]): Option[org.apache.spark.sql.types.DataType] =
+        (dt, p) match {
+          case (s: StructType, h :: t) =>
+            s.fields.find(_.name == h).flatMap(f => leafType(f.dataType, t))
+          case (other, Nil) => Some(other)
+          case _ => None
+        }
+      def update(c: Column, p: List[String]): Column = p match {
+        case last :: Nil =>
+          val v = c.getField(last)
+          c.withField(s"`$last`", when(octet_length(v) > limit,
+            graft.operators.Actions.utf8SafeByteCut(v, limit)).otherwise(v))
+        case h :: t => c.withField(s"`$h`", update(c.getField(h), t))
+        case Nil => c
+      }
+      if (parts.isEmpty || field.isEmpty) doc
+      else leafType(schema, parts) match {
+        case Some(StringType) => update(doc, parts)
+        case _                => doc // missing or non-string: no cut
       }
     }
   }

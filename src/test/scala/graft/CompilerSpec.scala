@@ -1106,15 +1106,40 @@ class CompilerSpec extends AnyFunSuite {
     val ts = Seq("Aug  5 13:04:05").toDF("c")
       .select(XTime.parse($"c", "stamp").as("t")).collect().head
     assert(!ts.isNullAt(0), "space-padded day must parse")
-    // json_max_fields_size on a non-string schema field is loud
-    val ej = intercept[IllegalArgumentException] {
-      Decoders.json(org.apache.spark.sql.functions.lit("""{"code":1}"""),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("code",
-            org.apache.spark.sql.types.LongType))),
-        maxFieldsSize = Map("code" -> 4))
+    // json_max_fields_size: the json_test.go vector table — dotted
+    // nested paths cut string values to the BYTE cap; non-string
+    // values, missing paths, and the empty key are silently skipped
+    // (json.go:82-97: v.Type != String → no cut)
+    locally {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "f1 string, f2 struct<f2_1: long, " +
+          "f2_2: struct<f2_2_1: boolean, f2_2_2: string>, " +
+          "f2_3: array<int>>, f3 string")
+      val input =
+        """{"f1":"v12345","f2":{"f2_1":100,"f2_2":{"f2_2_1":true,""" +
+          """"f2_2_2":"v123456789"},"f2_3":[1,2,3]},"f3":null}"""
+      val d = Decoders.json(org.apache.spark.sql.functions.lit(input),
+        org.apache.spark.sql.types.StructType.fromDDL(schema.toDDL)
+          .asInstanceOf[org.apache.spark.sql.types.StructType],
+        maxFieldsSize = Map("" -> 1, "not_exists" -> 100,
+          "f2.f2_1" -> 1, "f2.f2_2.f2_2_1" -> 3, "f1" -> 5,
+          "f2.f2_2.f2_2_2" -> 7))
+      val r = Seq(1).toDF("x").select(d.as("d"))
+        .selectExpr("d.f1", "d.f2.f2_1", "d.f2.f2_2.f2_2_1",
+          "d.f2.f2_2.f2_2_2", "d.f2.f2_3")
+        .collect().head
+      assert(r.getString(0) == "v1234")          // f1 cut to 5
+      assert(r.getLong(1) == 100L)               // number: no cut
+      assert(r.getBoolean(2) == true)            // bool: no cut
+      assert(r.getString(3) == "v123456")        // nested string cut to 7
+      assert(r.getSeq[Int](4) == Seq(1, 2, 3))   // array: no cut
+      // single-entry form (valid_max_fields_size_single)
+      val d2 = Decoders.json(org.apache.spark.sql.functions.lit(input),
+        schema, maxFieldsSize = Map("f2.f2_2.f2_2_2" -> 4))
+      val r2 = Seq(1).toDF("x").select(d2.as("d"))
+        .selectExpr("d.f1", "d.f2.f2_2.f2_2_2").collect().head
+      assert(r2.getString(0) == "v12345" && r2.getString(1) == "v123")
     }
-    assert(ej.getMessage.contains("not string"), ej.getMessage)
   }
 
   test("cri token-scan matches the reference vector table (cri_test.go)") {
