@@ -7,20 +7,26 @@ import org.apache.spark.sql.functions._
   * showed peak task memory growing ~linearly with data — a PRE-SPILL
   * sorter watermark on a box with headroom, argued (not demonstrated)
   * to spill gracefully under pressure. This probe demonstrates it:
-  * the same headline shapes (duplicate_spans fingerprint mode, minhash
-  * LSH candidate generation) run at 10× data with the unified memory
-  * pool squeezed to `spark.memory.fraction=0.05` (~390 MB across 32
-  * tasks ≈ 12 MB/task), where the gram/shingle sorts CANNOT fit — the
+  * the headline shapes (duplicate_spans fingerprint mode, minhash LSH
+  * candidate generation) run with the unified memory pool squeezed via
+  * `spark.memory.fraction` so the gram/shingle sorts CANNOT fit — the
   * claim under test is they SPILL (memory/disk spill counters > 0),
   * COMPLETE with row counts identical to the unconstrained run, and
-  * hold peak task memory an order of magnitude below the headroom run.
-  * An operator that buffers a group in an ArrayBuffer instead of
-  * sorting through Spark's spillable machinery OOMs here instead.
+  * hold peak task memory bounded. An operator that buffers a group in
+  * an ArrayBuffer instead of Spark's spillable machinery OOMs instead.
   *
-  * Usage: `sbt "runMain graft.SpillProbe"` (env SPARK_GRAFT_SF_DIR for
-  * the base SF, default /root/testdata/sf0.1; factor via
-  * SPARK_GRAFT_PROBE_FACTOR, default 10). CSV rows land in NOTES.md.
-  */
+  * Calibration (measured, r15): at 10× the per-task sort data (~2.4 MB)
+  * fits even a 0.05-fraction pool — nothing binds; fraction 0.01 is
+  * below the task-minimum page reservations (UNABLE_TO_ACQUIRE_MEMORY
+  * before any sort begins) and a 3 g heap OOMs on UNMANAGED memory
+  * (32 concurrent parquet readers) regardless of the pool. The binding
+  * cells are factor=100 with fraction 0.02-0.05 on the default 8 g
+  * heap — see NOTES.md for the committed rows.
+  *
+  * Usage: `sbt "runMain graft.SpillProbe [opFilter]"` (env
+  * SPARK_GRAFT_SF_DIR for the base SF, SPARK_GRAFT_PROBE_FACTOR
+  * default 10, SPARK_GRAFT_MEM_FRACTION default 0.05). CSV rows land
+  * in NOTES.md. */
 object SpillProbe {
 
   final case class Metrics(wallSec: Double, shuffleBytes: Long,
@@ -91,18 +97,20 @@ object SpillProbe {
     def docs: DataFrame = spark.read.parquet(docs1Path)
 
     val cells: Seq[(String, () => Metrics)] = Seq(
-      "duplicate_spans_fp_x10" -> (() =>
+      s"duplicate_spans_fp_x$factor" -> (() =>
         measure(spark)(graft.ml.Corpus.duplicateSpans(docs,
           "doc_id", "text", n = 20, thresholdMilli = 900L,
           fingerprint = true).count())),
-      "minhash_candidates_x10" -> (() =>
+      s"minhash_candidates_x$factor" -> (() =>
         measure(spark)(graft.ml.Dedup.minhashCandidates(docs,
           "doc_id", "text", shingleN = 3, k = 9, bands = 3, rows = 3)
           .count())))
 
+    // optional substring filter: `runMain graft.SpillProbe minhash`
+    val opFilter = args.headOption
     println(s"mem_fraction=$fraction factor=$factor")
     println("op,wall_sec,shuffle_mb,mem_spill_mb,disk_spill_mb,peak_task_mem_mb,rows")
-    cells.foreach { case (name, run) =>
+    cells.filter(c => opFilter.forall(c._1.contains)).foreach { case (name, run) =>
       val m = run()
       println(f"$name,${m.wallSec}%.1f,${m.shuffleBytes >> 20}," +
         f"${m.memSpillMb},${m.diskSpillMb},${m.peakTaskMemMb},${m.rows}")
