@@ -3066,10 +3066,22 @@ object PipelineCompiler {
         val uFields = action.get("fields").elements().asScala.map(_.asText()).toSeq
         val nonGraphic = Option(action.get("replace_non_graphic")).exists(_.asBoolean())
         val converted = uFields.foldLeft(doc) { (d, f) =>
-          val dec = graft.functions.Utf8Unescape(d.getField(f).cast("string"))
-          val cleaned =
-            if (nonGraphic) regexp_replace(dec, "\\p{C}", "�") else dec
-          d.withField(f, cleaned)
+          // replace_non_graphic rides INSIDE the scan: it applies only
+          // to \u/\U-DECODED runes (convert_utf8_bytes.go:236-238),
+          // never to characters already present — the r15 vector port
+          // replaced the old post-decode regexp_replace(\p{C}), which
+          // also ate pre-existing control chars. A non-string field is
+          // SKIPPED like the reference's !node.IsString() continue
+          // (the field_not_string vector) — statically decidable here.
+          val isStr = df.schema("doc").dataType match {
+            case s: org.apache.spark.sql.types.StructType =>
+              s.fields.find(_.name == f)
+                .exists(_.dataType == org.apache.spark.sql.types.StringType)
+            case _ => false
+          }
+          if (!isStr) d
+          else d.withField(f, graft.functions.Utf8Unescape(
+            d.getField(f), replaceNonGraphic = nonGraphic))
         }
         guarded(converted)
       case "json_decode" =>

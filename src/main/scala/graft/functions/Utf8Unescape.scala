@@ -8,92 +8,210 @@ import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** convert_utf8_bytes (reference:
-  * plugin/action/convert_utf8_bytes/convert_utf8_bytes.go:118-149):
-  * decode `\xNN`, `\uNNNN`, `\NNN` (octal) and standard backslash
-  * escapes embedded in a string field into real UTF-8 characters.
+  * plugin/action/convert_utf8_bytes/convert_utf8_bytes.go:160-292) —
+  * a faithful port of the action's `convert` scan, pinned by its own
+  * convert_utf8_bytes_test.go vector table (r15):
   *
-  * Not expressible with built-in functions (regexp_replace can't compute
-  * the replacement byte from the match), so this is a native Catalyst
-  * `UnaryExpression` with `doGenCode` delegating to a static decoder —
-  * one virtual call per row, no boxing, stays inside whole-stage codegen.
+  *  - `\uNNNN` / `\UNNNNNNNN` decode (surrogate PAIRS pair up; a high
+  *    escape whose follower isn't a parseable `\u` re-emits `\uNNNN`
+  *    literally; a parseable follower that isn't a low surrogate is
+  *    Go's utf16.DecodeRune → U+FFFD, both consumed);
+  *  - `\xNN` runs are consumed together, an invalid run re-emits
+  *    `\x` + everything consumed;
+  *  - octal is EXACTLY three digits with the first in 0..3 (`\40` and
+  *    `\777` stay literal — the reference switches on '0'..'3' only);
+  *  - `\\` keeps BOTH backslashes (convert_utf8_bytes.go:179 appends
+  *    the two-byte `\\`) — the winpath vector pins it;
+  *  - every other escape (incl. `\n`, `\t`, `\"`) is NOT an escape
+  *    here: the backslash is kept and scanning continues — the
+  *    non_graphic vector pins a literal `\t` surviving;
+  *  - `replace_non_graphic` applies ONLY to `\u`/`\U`-decoded runes
+  *    (unicode.IsGraphic = L/M/N/P/S/Zs categories), never to
+  *    pre-existing characters — so it lives inside the scan, not as a
+  *    downstream regexp_replace over the whole value.
+  *
+  * Not expressible with built-in functions (regexp_replace can't
+  * compute the replacement byte from the match), so this is a native
+  * Catalyst `UnaryExpression` with `doGenCode` delegating to a static
+  * decoder — one virtual call per row, no boxing, stays inside
+  * whole-stage codegen.
   */
-case class Utf8Unescape(child: Expression)
+case class Utf8Unescape(child: Expression, replaceNonGraphic: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =
-    Utf8Unescape.decode(input.asInstanceOf[UTF8String])
+    Utf8Unescape.decode(input.asInstanceOf[UTF8String], replaceNonGraphic)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.Utf8Unescape.decode($c)")
+      c => s"graft.functions.Utf8Unescape.decode($c, $replaceNonGraphic)")
   override protected def withNewChildInternal(newChild: Expression): Utf8Unescape =
     copy(child = newChild)
   override def prettyName: String = "utf8_unescape"
 }
 
 object Utf8Unescape {
-  def apply(c: Column): Column =
-    GraftBridge.column(Utf8Unescape(GraftBridge.expression(c)))
+  def apply(c: Column): Column = apply(c, replaceNonGraphic = false)
 
-  /** Static decoder used by both interpreted eval and generated code. */
-  def decode(s: UTF8String): UTF8String = {
-    val str = s.toString
-    if (str.indexOf('\\') < 0) return s
-    val bytes = new java.io.ByteArrayOutputStream(str.length)
-    var i = 0
-    val n = str.length
-    def hex(c: Char): Int = Character.digit(c, 16)
-    while (i < n) {
-      val c = str.charAt(i)
-      if (c != '\\' || i + 1 >= n) {
-        // literal copy is CODEPOINT-aware: a lone surrogate char fed to
-        // the UTF-8 encoder becomes '?', so an emoji in a string that
-        // also contains a backslash would corrupt to "??"
-        if (Character.isHighSurrogate(c) && i + 1 < n &&
-            Character.isLowSurrogate(str.charAt(i + 1))) {
-          writeCodePoint(bytes, Character.toCodePoint(c, str.charAt(i + 1)))
-          i += 2
-        } else { writeChar(bytes, c); i += 1 }
-      } else {
-        str.charAt(i + 1) match {
-          case 'x' if i + 3 < n && hex(str.charAt(i + 2)) >= 0 && hex(str.charAt(i + 3)) >= 0 =>
-            bytes.write(hex(str.charAt(i + 2)) * 16 + hex(str.charAt(i + 3))); i += 4
-          case 'u' if i + 5 < n && (2 to 5).forall(d => hex(str.charAt(i + d)) >= 0) =>
-            val cp = (2 to 5).foldLeft(0)((acc, d) => acc * 16 + hex(str.charAt(i + d)))
-            // surrogate pair: \uD800-\uDBFF followed by \uDC00-\uDFFF.
-            // The low escape's digits are VALIDATED like the high ones —
-            // an unchecked fold turns a non-hex char into -1 garbage
-            // that can still land in the low-surrogate range and
-            // swallow input characters
-            if (Character.isHighSurrogate(cp.toChar) && i + 11 < n &&
-              str.charAt(i + 6) == '\\' && str.charAt(i + 7) == 'u' &&
-              (8 to 11).forall(d => hex(str.charAt(i + d)) >= 0)) {
-              val lo = (8 to 11).foldLeft(0)((acc, d) => acc * 16 + hex(str.charAt(i + d)))
-              if (Character.isLowSurrogate(lo.toChar)) {
-                writeCodePoint(bytes, Character.toCodePoint(cp.toChar, lo.toChar)); i += 12
-              } else { writeCodePoint(bytes, cp); i += 6 }
-            } else { writeCodePoint(bytes, cp); i += 6 }
-          case d if d >= '0' && d <= '7' =>
-            var v = 0; var j = i + 1
-            while (j < n && j < i + 4 && str.charAt(j) >= '0' && str.charAt(j) <= '7') {
-              v = v * 8 + (str.charAt(j) - '0'); j += 1
-            }
-            bytes.write(v & 0xff); i = j
-          case 'n' => bytes.write('\n'); i += 2
-          case 't' => bytes.write('\t'); i += 2
-          case 'r' => bytes.write('\r'); i += 2
-          case '\\' => bytes.write('\\'); i += 2
-          case '"' => bytes.write('"'); i += 2
-          case '/' => bytes.write('/'); i += 2
-          case other => writeChar(bytes, c); i += 1
-        }
-      }
+  def apply(c: Column, replaceNonGraphic: Boolean): Column =
+    GraftBridge.column(
+      Utf8Unescape(GraftBridge.expression(c), replaceNonGraphic))
+
+  /** Go unicode.IsGraphic: categories L, M, N, P, S, Zs. */
+  private[graft] def isGraphic(cp: Int): Boolean = {
+    import java.lang.Character._
+    getType(cp) match {
+      case UPPERCASE_LETTER | LOWERCASE_LETTER | TITLECASE_LETTER |
+           MODIFIER_LETTER | OTHER_LETTER |
+           NON_SPACING_MARK | ENCLOSING_MARK | COMBINING_SPACING_MARK |
+           DECIMAL_DIGIT_NUMBER | LETTER_NUMBER | OTHER_NUMBER |
+           DASH_PUNCTUATION | START_PUNCTUATION | END_PUNCTUATION |
+           CONNECTOR_PUNCTUATION | OTHER_PUNCTUATION |
+           INITIAL_QUOTE_PUNCTUATION | FINAL_QUOTE_PUNCTUATION |
+           MATH_SYMBOL | CURRENCY_SYMBOL | MODIFIER_SYMBOL | OTHER_SYMBOL |
+           SPACE_SEPARATOR => true
+      case _ => false
     }
-    UTF8String.fromBytes(bytes.toByteArray)
   }
 
-  private def writeChar(out: java.io.ByteArrayOutputStream, c: Char): Unit =
-    writeCodePoint(out, c.toInt)
+  private def isSurrogateCp(cp: Long): Boolean =
+    cp >= 0xD800L && cp <= 0xDFFFL
+
+  /** Go string(rune(u)): an invalid rune (surrogate or > 0x10FFFF or
+    * negative) encodes as U+FFFD. */
+  private def writeRune(out: java.io.ByteArrayOutputStream, cp0: Long): Unit = {
+    val cp =
+      if (cp0 < 0 || cp0 > 0x10FFFFL || isSurrogateCp(cp0)) 0xFFFD
+      else cp0.toInt
+    writeCodePoint(out, cp)
+  }
+
+  private def writeStr(out: java.io.ByteArrayOutputStream, s: String): Unit = {
+    val bs = s.getBytes("UTF-8")
+    out.write(bs, 0, bs.length)
+  }
+
+  private def parseHex(s: String): Long = {
+    // strconv.ParseUint(_, 16, 64): every char must be a hex digit
+    var v = 0L
+    var i = 0
+    while (i < s.length) {
+      val d = Character.digit(s.charAt(i), 16)
+      if (d < 0) return -1L
+      v = v * 16 + d
+      i += 1
+    }
+    v
+  }
+
+  def decode(s: UTF8String): UTF8String = decode(s, replaceNonGraphic = false)
+
+  /** Static decoder used by both interpreted eval and generated code —
+    * the reference's convert() scan verbatim. */
+  def decode(s: UTF8String, replaceNonGraphic: Boolean): UTF8String = {
+    val str = s.toString
+    var idx = str.indexOf('\\')
+    if (idx < 0) return s
+    val buf = new java.io.ByteArrayOutputStream(str.length)
+    writeStr(buf, str.substring(0, idx))
+    var rest = str.substring(idx + 1)
+    var done = false
+    while (!done && rest.nonEmpty) {
+      val ch = rest.charAt(0)
+      ch match {
+        case '\\' =>
+          rest = rest.substring(1)
+          writeStr(buf, "\\\\") // the pair is PRESERVED (go:179)
+        case 'u' | 'U' =>
+          rest = rest.substring(1)
+          val size = if (ch == 'U') 8 else 4
+          if (rest.length < size) writeStr(buf, "\\" + ch)
+          else {
+            val ss = rest.substring(0, size)
+            val u = parseHex(ss)
+            if (u < 0) writeStr(buf, "\\" + ch)
+            else {
+              rest = rest.substring(size)
+              val u1 =
+                if (replaceNonGraphic && !(u >= 0 && u <= 0x10FFFFL &&
+                    !isSurrogateCp(u) && isGraphic(u.toInt))) 0xFFFDL
+                else u
+              if (size == 8 || !isSurrogateCp(u1)) writeRune(buf, u1)
+              else if (rest.length < 6 || !rest.startsWith("\\u"))
+                writeStr(buf, "\\u" + ss)
+              else {
+                val u2 = parseHex(rest.substring(2, 6))
+                if (u2 < 0) writeStr(buf, "\\u" + ss)
+                else {
+                  // utf16.DecodeRune: valid hi+lo pairs combine, any
+                  // other combination is U+FFFD — both escapes consumed
+                  val r =
+                    if (u1 >= 0xD800L && u1 <= 0xDBFFL &&
+                        u2 >= 0xDC00L && u2 <= 0xDFFFL)
+                      0x10000L + ((u1 - 0xD800L) << 10) + (u2 - 0xDC00L)
+                    else 0xFFFDL
+                  writeRune(buf, r)
+                  rest = rest.substring(6)
+                }
+              }
+            }
+          }
+        case 'x' =>
+          rest = rest.substring(1)
+          if (rest.length < 2) writeStr(buf, "\\x")
+          else {
+            // consume the whole \xNN\xNN… run, decode it as one hex
+            // string; any bad digit re-emits \x + the consumed prefix
+            val sb = new StringBuilder(rest.substring(0, 2))
+            var pos = 2
+            while (rest.length - pos >= 4 &&
+                   rest.startsWith("\\x", pos)) {
+              sb.append(rest.substring(pos + 2, pos + 4))
+              pos += 4
+            }
+            val hexStr = sb.result()
+            val ok = hexStr.forall(Character.digit(_, 16) >= 0)
+            if (!ok) writeStr(buf, "\\x" + rest.substring(0, pos))
+            else {
+              var i = 0
+              while (i < hexStr.length) {
+                buf.write(Character.digit(hexStr.charAt(i), 16) * 16 +
+                  Character.digit(hexStr.charAt(i + 1), 16))
+                i += 2
+              }
+            }
+            rest = rest.substring(pos)
+          }
+        case '0' | '1' | '2' | '3' =>
+          // octal: EXACTLY three digits, first 0..3 (the switch cases)
+          if (rest.length < 3) buf.write('\\')
+          else {
+            var v = 0
+            var ok = true
+            var i = 0
+            while (i < 3) {
+              val c = rest.charAt(i)
+              if (c < '0' || c > '7') ok = false
+              else v = v * 8 + (c - '0')
+              i += 1
+            }
+            if (!ok) buf.write('\\')
+            else { buf.write(v & 0xff); rest = rest.substring(3) }
+          }
+        case _ =>
+          // not an escape here — `\n`, `\t`, `\"`, `\4`… keep the
+          // backslash, the char flows through the literal copy below
+          buf.write('\\')
+      }
+      idx = rest.indexOf('\\')
+      if (idx < 0) { writeStr(buf, rest); done = true }
+      else {
+        writeStr(buf, rest.substring(0, idx))
+        rest = rest.substring(idx + 1)
+      }
+    }
+    UTF8String.fromBytes(buf.toByteArray)
+  }
 
   private def writeCodePoint(out: java.io.ByteArrayOutputStream, cp: Int): Unit = {
     val bs = new String(Character.toChars(cp)).getBytes("UTF-8")

@@ -1563,11 +1563,13 @@ class CompilerSpec extends AnyFunSuite {
       doc1("""{"other":null,"f":"x"}""", "other string, f string")).count()
     assert(kept == 1L)
     // utf8 escapes: an emoji in a backslash-bearing string survives,
-    // and a malformed low-surrogate escape can't swallow characters
+    // and a malformed low-surrogate escape can't swallow characters.
+    // (r15: `\n` is NOT an escape to the reference action — the
+    // backslash is kept, convert_utf8_bytes_test.go non_graphic vector)
     val u1 = Seq("\\n 😀 end").toDF("c")
       .select(graft.functions.Utf8Unescape($"c").as("r"))
       .collect().head.getString(0)
-    assert(u1 == "\n 😀 end", u1)
+    assert(u1 == "\\n 😀 end", u1)
     val u2 = Seq("\\uD83D\\uDE0G tail").toDF("c")
       .select(graft.functions.Utf8Unescape($"c").as("r"))
       .collect().head.getString(0)

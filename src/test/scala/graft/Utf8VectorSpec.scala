@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's own convert_utf8_bytes_test.go vector table ported
+  * against [[graft.functions.Utf8Unescape]] (r15). Inputs are the
+  * post-JSON-decode field VALUES (what the action's scan sees);
+  * `~` stands for a backslash because Scala 2's lexer processes
+  * `\uXXXX` escapes even inside triple-quoted strings. */
+class Utf8VectorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def bs(s: String): String = s.replace('~', '\\')
+
+  private def decode(in: String, nonGraphic: Boolean = false): String = {
+    import spark.implicits._
+    Seq(bs(in)).toDF("c")
+      .select(graft.functions.Utf8Unescape($"c", nonGraphic).as("r"))
+      .collect().head.getString(0)
+  }
+
+  test("convert_utf8_bytes_test.go: valid vectors") {
+    // valid_hex
+    assert(decode("~xD0~xA1~xD0~x98~xD0~xA1~xD0~xA2~xD0~x95~xD0~x9C~xD0~x90.xml")
+      == "СИСТЕМА.xml")
+    // valid_octal
+    assert(decode("$~110~145~154~154~157~054~040~146~151~154~145~056~144!")
+      == "$Hello, file.d!")
+    // valid_unicode4
+    assert(decode("$~u0048~u0065~u006C~u006C~u006F~u002C~u0020~u0066~u0069~u006C~u0065~u002E~u0064!")
+      == "$Hello, file.d!")
+    // valid_unicode4_surrogate
+    assert(decode("$~u0048~u0065~u006C~u006C~u006F~u002C~u0020~uD801~uDC01!")
+      == "$Hello, 𐐁!")
+    // valid_unicode8
+    assert(decode("$~U00000048~U00000065~U0000006C~U0000006C~U0000006F~U0000002C~U00000020~U00000066~U00000069~U0000006C~U00000065~U0000002E~U00000064!")
+      == "$Hello, file.d!")
+  }
+
+  test("convert_utf8_bytes_test.go: escaped backslashes and windows paths") {
+    // valid_escaped — `\\` pairs are PRESERVED, \u decodes, \x runs
+    // decode; the doubled backslash never merges into the hex scan
+    assert(decode(
+      """{"Test":"test~u003F~ud801~udc01","User":"NT AUTHORITY~~~xD0~xA1~xD0~x98~xD0~xA1~xD0~xA2~xD0~x95~xD0~x9C~xD0~x90"}""")
+      == bs("""{"Test":"test?𐐁","User":"NT AUTHORITY~~СИСТЕМА"}"""))
+    // valid_escaped_winpath — `\\x86_64` stays a literal path segment
+    // (the pair consumes both backslashes BEFORE 'x' is looked at)
+    assert(decode(
+      """{"Dir":"C:~~Users~~username~~.prog~~120.67.0~~x86_64~~x64","File":"H$Storage_2e3d6dbe-3b0a-4fa9-a6b7-bf1e91e8b3de$~xD0~x9F~xD1~x80~xD0~xB8~xD0~xB7~xD0~xBD~xD0~xB0~xD0~xBA.20.tbl.xml"}""")
+      == bs("""{"Dir":"C:~~Users~~username~~.prog~~120.67.0~~x86_64~~x64","File":"H$Storage_2e3d6dbe-3b0a-4fa9-a6b7-bf1e91e8b3de$Признак.20.tbl.xml"}"""))
+    // valid_multiple_fields' second value
+    assert(decode("test~u003F~uD801~uDC01") == "test?𐐁")
+  }
+
+  test("convert_utf8_bytes_test.go: invalid escapes stay literal") {
+    // invalid_octal: \40 (not 3 digits from {0-3}) and \777 (first
+    // digit > 3) are NOT octal — backslash kept, chars flow through
+    assert(decode("$~110~145~154~154~157~054~40~146~151~154~145~777~144!")
+      == bs("$Hello,~40file~777d!"))
+    // invalid_unicode4: short/unparseable \u re-emits and consumes
+    // nothing beyond the marker
+    assert(decode("$~u0048~u0065~u006C~u006C~u006F~u002C~u~u0066~u0069~u006C~u0065~u00~u0064!")
+      == bs("$Hello,~ufile~u00d!"))
+    // invalid_unicode8
+    assert(decode("$~U00000048~U00000065~U0000006C~U0000006C~U0000006F~U0000002C~U0000~U00000066~U00000069~U0000006C~U00000065~UFFFFFFF~U00000064!")
+      == bs("$Hello,~U0000file~UFFFFFFFd!"))
+    // `\n`/`\t` are NOT escapes to this action — backslash kept
+    assert(decode("a~nb~tc") == bs("a~nb~tc"))
+    // lone high surrogate with no \u follower stays literal
+    assert(decode("x~uD801 end") == bs("x~uD801 end"))
+    // high surrogate + parseable non-low-surrogate: Go's
+    // utf16.DecodeRune → U+FFFD, BOTH escapes consumed
+    assert(decode("x~uD801~u0041 end") == "x� end")
+  }
+
+  test("convert_utf8_bytes_test.go: replace_non_graphic scopes to decoded runes only") {
+    // non_graphic_char: the literal `\t` TEXT survives; the DECODED
+    //  becomes the replacement char
+    assert(decode("""{"version":"1.0.18.16 6~t~u0001ProductVersion"}""",
+      nonGraphic = true)
+      == bs("""{"version":"1.0.18.16 6~t�ProductVersion"}"""))
+    // without the flag the control char lands as-is
+    assert(decode("a~u0001b") == "ab")
+  }
+
+  test("compiler: non-string fields are skipped like !node.IsString()") {
+    val out = compiler.PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"obj": true, "s": "\\x68i"}"""),
+      """decoder: {type: json, schema: "obj boolean, s string"}
+        |actions:
+        |  - type: convert_utf8_bytes
+        |    fields: [obj, s]
+        |""".stripMargin)
+    assert(out.head.contains(""""obj":true"""), out.head)   // untouched, still bool
+    assert(out.head.contains(""""s":"hi""""), out.head)
+  }
+}
