@@ -76,6 +76,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the default 100-entry generated-class cache is cycled by a
+      // 171-query × 2-sweep run, so sweep-2 samples re-pay janino
+      // compilation of every big fused stage — a long-lived cluster
+      // keeps its compiled classes; size the cache like one (static
+      // conf, must be set before the session starts)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

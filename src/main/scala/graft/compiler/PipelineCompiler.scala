@@ -2299,8 +2299,8 @@ object PipelineCompiler {
   /** cfg/matchrule RuleSets against a caller-chosen target per set —
     * antispam exceptions check the raw event / source name, the mask
     * action's per-mask `match_rules` check the VALUE being masked. */
-  private def matchruleSets(n: JsonNode,
-                            targetFor: JsonNode => Column): Column = {
+  private[graft] def matchruleSets(n: JsonNode,
+                                   targetFor: JsonNode => Column): Column = {
     val sets = n.elements().asScala.toSeq.map { rs =>
       val target = targetFor(rs)
       val rules = Option(rs.get("rules"))

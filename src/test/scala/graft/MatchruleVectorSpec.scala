@@ -1,0 +1,108 @@
+package graft
+
+import graft.compiler.PipelineCompiler
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's own cfg/matchrule/matchrule_test.go vectors ported
+  * against the compiler's matchrule column builder (the surface behind
+  * antispam `exceptions` and the mask action's `match_rules`). */
+class MatchruleVectorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val yaml = new com.fasterxml.jackson.databind.ObjectMapper(
+    new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+
+  /** One RuleSet (list-of-one) evaluated against `arg`. */
+  private def runSets(setsYaml: String, arg: String): Boolean = {
+    import spark.implicits._
+    val n = yaml.readTree(setsYaml)
+    val c = PipelineCompiler.matchruleSets(n, _ => col("raw"))
+    Seq(arg).toDF("raw").select(c.as("m")).collect().head.getBoolean(0)
+  }
+
+  private def rule(values: Seq[String], mode: String,
+                   insensitive: Boolean, arg: String): Boolean = {
+    val vs = values.map(v =>
+      "'" + v.replace("\\", "\\\\").replace("'", "''") + "'").mkString(", ")
+    runSets(
+      s"""- rules:
+         |    - {values: [$vs], mode: $mode, case_insensitive: $insensitive}
+         |""".stripMargin, arg)
+  }
+
+  test("TestRule_Match: prefix/suffix/contains with case folding") {
+    // prefix ok / not ok / ignore case
+    assert(rule(Seq("""{"level":"error""""), "prefix", insensitive = false,
+      """{"level":"error","message":"some message"}"""))
+    assert(!rule(Seq("""{"level":"info""""), "prefix", insensitive = false,
+      """{"level":"error","message":"some message"}"""))
+    assert(rule(Seq("""{"level":"info""""), "prefix", insensitive = true,
+      """{"level":"INFO","message":"some message"}"""))
+    // suffix ok / not ok / ignore case
+    assert(rule(Seq(""""level":"error"}"""), "suffix", insensitive = false,
+      """{"message":"some message","level":"error"}"""))
+    assert(!rule(Seq("""{"level":"info""""), "suffix", insensitive = false,
+      """{"message":"some message","level":"error"}"""))
+    assert(rule(Seq(""""level":"Info"}"""), "suffix", insensitive = true,
+      """{"message":"some message","level":"INFO"}"""))
+    // contains ok / not ok
+    assert(rule(Seq(""""level":"panic""""), "contains", insensitive = false,
+      """{"time":"18:00", "event":"dinner", "level":"panic", "ok":"google"}"""))
+    assert(!rule(Seq(""""level":"fatal""""), "contains", insensitive = false,
+      """{"time":"18:00", "event":"dinner", "level":"panic", "ok":"google"}"""))
+  }
+
+  test("TestRule_Match_ZeroAlloc's multi-value rule: ANY value matches") {
+    val rawEvent = """{"level":"error","ts":"2019-08-21T11:43:25.865Z",""" +
+      """"message":"get_items_error_1","trace_id":"3ea4a6589d06bb3f"}"""
+    assert(rule(
+      Seq(""""ts":"2019-08-21T11:43:25.865Z"""", "get_items_error_1",
+        """"trace_id":"3ea4a6589d06bb3f""""),
+      "contains", insensitive = false, rawEvent))
+    // a value list where nothing matches
+    assert(!rule(Seq("absent-one", "absent-two"), "contains",
+      insensitive = false, rawEvent))
+  }
+
+  test("TestException_Match: cond and/or combine rules in a set") {
+    val and =
+      """- cond: and
+        |  rules:
+        |    - {values: ["404"], mode: prefix, case_insensitive: true}
+        |    - {values: ["ok"], mode: prefix, case_insensitive: true}
+        |""".stripMargin
+    assert(!runSets(and, "ok"))
+    val or = and.replace("cond: and", "cond: or")
+    assert(runSets(or, "ok"))
+  }
+
+  test("rule edges: invert, empty rules never match, default mode is prefix") {
+    // invert flips the per-rule verdict (matchrule.go:99-101)
+    assert(runSets(
+      """- rules:
+        |    - {values: ["x"], mode: contains, invert: true}
+        |""".stripMargin, "no-letter-here... well it has one"))
+    assert(!runSets(
+      """- rules:
+        |    - {values: ["x"], mode: contains, invert: true}
+        |""".stripMargin, "xyz"))
+    // an empty rule list never matches (matchrule.go:212-214)
+    assert(!runSets("- rules: []\n", "anything"))
+    // mode defaults to prefix (matchrule.go:31)
+    assert(runSets(
+      """- rules:
+        |    - {values: ["pre"]}
+        |""".stripMargin, "prefix-me"))
+    assert(!runSets(
+      """- rules:
+        |    - {values: ["fix"]}
+        |""".stripMargin, "prefix-me"))
+  }
+}
