@@ -2342,12 +2342,43 @@ object PipelineCompiler {
     if (n.isArray) matchruleExceptions(n, df)
     else DoIf.compile(parseDoIf(n), antispamResolver(df))
 
+  /** The leaf Spark type a field path resolves to (None when the walk
+    * leaves the schema — the analysis error surfaces as before). */
+  private def leafType(df: DataFrame,
+                       p: FieldPath): Option[org.apache.spark.sql.types.DataType] = {
+    def walk(dt: org.apache.spark.sql.types.DataType,
+             parts: List[String]): Option[org.apache.spark.sql.types.DataType] =
+      (dt, parts) match {
+        case (t, Nil) => Some(t)
+        case (s: org.apache.spark.sql.types.StructType, h :: t) =>
+          s.fields.find(_.name == h).flatMap(f => walk(f.dataType, t))
+        case _ => None
+      }
+    if (p.parts.nonEmpty && df.columns.contains(p.parts.head) &&
+        p.parts.head != "doc")
+      walk(df.schema(p.parts.head).dataType, p.parts.tail.toList)
+    else walk(df.schema("doc").dataType, p.parts.toList)
+  }
+
+  /** The raw (un-cast) column a path selects; root = the whole doc. */
+  private def rawCol(df: DataFrame, p: FieldPath): Column =
+    if (p.parts.nonEmpty && df.columns.contains(p.parts.head) &&
+        p.parts.head != "doc") p.structCol
+    else p.parts.foldLeft(col("doc"))((acc, part) => acc.getField(part))
+
   private def resolver(df: DataFrame): FieldPath => Column = { p =>
-    if (df.columns.contains(p.parts.head) && p.parts.head != "doc")
-      p.structCol.cast("string")
-    else {
-      val c = p.parts.foldLeft(col("doc"))((acc, part) => acc.getField(part))
-      c.cast("string")
+    val c = rawCol(df, p)
+    // the reference's Dig(...).AsString over dynamic JSON renders a
+    // container node as its ENCODED (dry) JSON — do_if byte_len on an
+    // object field measures that encoding (do_if_test.go
+    // TestCheckLenCmpLtObject), and the empty selector measures the
+    // whole event. A Spark struct/array cast-to-string is NOT JSON
+    // (`{a, b}` spelling), so containers render via to_json.
+    leafType(df, p) match {
+      case Some(_: org.apache.spark.sql.types.StructType) |
+           Some(_: org.apache.spark.sql.types.ArrayType) |
+           Some(_: org.apache.spark.sql.types.MapType) => to_json(c)
+      case _ => c.cast("string")
     }
   }
 
@@ -2372,8 +2403,15 @@ object PipelineCompiler {
       val invert = Option(action.get("match_invert")).exists(_.asBoolean())
       DoIf.compileMatch(conds, mode, invert, resolve)
     }
+    // array_len_cmp wants the ARRAY column; a statically non-array or
+    // absent field resolves to a NULL array so the length comparison is
+    // false — the reference's orig.IsArray() gate
+    val resolveArr: FieldPath => Column = p => leafType(df, p) match {
+      case Some(_: org.apache.spark.sql.types.ArrayType) => rawCol(df, p)
+      case _ => lit(null).cast("array<string>")
+    }
     val fromDoIf = Option(action.get("do_if"))
-      .map(n => DoIf.compile(parseDoIf(n), resolve))
+      .map(n => DoIf.compile(parseDoIf(n), resolve, resolveArray = resolveArr))
     (fromMatch, fromDoIf) match {
       case (Some(a), Some(b)) => Some(a && b)
       case (a, b)             => a.orElse(b)
@@ -2528,7 +2566,12 @@ object PipelineCompiler {
   def parseDoIf(n: JsonNode): DoIf.Node = {
     def strs(field: String): Seq[String] =
       n.get(field).elements().asScala.map(_.asText()).toSeq
-    def fp = FieldPath.parse(n.get("field").asText())
+    // an absent/empty `field` is the ROOT selector (the whole event —
+    // byte_len_cmp with an empty selector measures the encoded event)
+    def fp = Option(n.get("field")).map(f => FieldPath.parse(f.asText()))
+      .getOrElse(FieldPath.root)
+    def caseSensitive =
+      !Option(n.get("case_insensitive")).exists(_.asBoolean())
     def cmp = DoIf.Cmp.parse(n.get("cmp_op").asText())
     n.get("op").asText() match {
       case "and" => DoIf.And(n.get("operands").elements().asScala.map(parseDoIf).toSeq)
@@ -2537,11 +2580,15 @@ object PipelineCompiler {
       case "equal" =>
         DoIf.Equal(fp, n.get("values").elements().asScala
           .map(v => if (v.isNull) None else Some(v.asText())).toSeq,
-          !Option(n.get("case_insensitive")).exists(_.asBoolean()))
-      case "contains"     => DoIf.Contains(fp, strs("values"))
+          caseSensitive)
+      // case_insensitive applies to every byte-check op
+      // (field_op.go:292-301 lowercases values and data alike) — it was
+      // previously plumbed for `equal` only and silently ignored on
+      // contains/prefix/suffix (caught by the do_if_test.go port)
+      case "contains"     => DoIf.Contains(fp, strs("values"), caseSensitive)
       case "contains_any" => DoIf.ContainsAny(fp, strs("values"))
-      case "prefix"       => DoIf.Prefix(fp, strs("values"))
-      case "suffix"       => DoIf.Suffix(fp, strs("values"))
+      case "prefix"       => DoIf.Prefix(fp, strs("values"), caseSensitive)
+      case "suffix"       => DoIf.Suffix(fp, strs("values"), caseSensitive)
       case "regex"        => DoIf.Regex(fp, strs("values"))
       case "byte_len_cmp" => DoIf.ByteLenCmp(fp, cmp, n.get("value").asLong())
       case "array_len_cmp" => DoIf.ArrayLenCmp(fp, cmp, n.get("value").asLong())
@@ -2566,13 +2613,21 @@ object PipelineCompiler {
           // honored and a bare datetime reads as UTC — Timestamp.valueOf
           // interpreted the wall-clock fields in the JVM's zone, shifting
           // every comparison by the host offset on non-UTC machines
-          val inst =
+          val inst0 =
             try java.time.OffsetDateTime.parse(rawTs).toInstant
             catch {
               case _: java.time.format.DateTimeParseException =>
                 java.time.LocalDateTime.parse(rawTs.replace(" ", "T"))
                   .toInstant(java.time.ZoneOffset.UTC)
             }
+          // value_shift applies to CONST values too (ts_cmp_op.go:114
+  	      // adds cmpValueShift unconditionally; do_if_test.go
+          // ts_cmp_lt_value_shifted) — it was previously honored only
+          // in `now` mode and silently ignored here
+          val inst = Option(n.get("value_shift"))
+            .map(v => inst0.plusMillis(
+              PipelineCompiler.goDurationMillis(v.asText())))
+            .getOrElse(inst0)
           DoIf.TsCmpConst(fp, tsFmt, cmp, java.sql.Timestamp.from(inst))
         }
       case "check_type" => DoIf.CheckType(fp, strs("values"))

@@ -76,10 +76,15 @@ object DoIf {
   /** Compile a do_if tree to one boolean Column. `resolve` maps a field
     * path to its (string-typed) Column — struct-backed or JSON-string
     * backed, the tree doesn't care. `rawJson` additionally resolves to the
-    * raw JSON text of the field (needed only by CheckType).
+    * raw JSON text of the field (needed only by CheckType);
+    * `resolveArray` to an ARRAY-typed column for array_len_cmp (a
+    * non-array/missing field must resolve to a NULL array so the
+    * comparison is false like the reference's orig.IsArray() gate,
+    * do_if_test.go array_len_cmp_field_is_not_array).
     */
   def compile(node: Node, resolve: FieldPath => Column,
-              rawJson: FieldPath => Column = null): Column = {
+              rawJson: FieldPath => Column = null,
+              resolveArray: FieldPath => Column = null): Column = {
     def go(n: Node): Column = n match {
       case Equal(f, values, cs) =>
         val c = if (cs) resolve(f) else lower(resolve(f))
@@ -102,7 +107,9 @@ object DoIf {
       case Regex(f, patterns) =>
         patterns.map(p => resolve(f).rlike(p)).reduce(_ || _)
       case ByteLenCmp(f, op, v)  => op.apply(octet_length(resolve(f)), lit(v))
-      case ArrayLenCmp(f, op, v) => op.apply(size(resolve(f)), lit(v))
+      case ArrayLenCmp(f, op, v) =>
+        val arr = if (resolveArray != null) resolveArray(f) else resolve(f)
+        op.apply(size(arr), lit(v))
       case IntValCmp(f, op, v)   => op.apply(resolve(f).try_cast("long"), lit(v))
       case TsCmpConst(f, fmt, op, v) =>
         op.apply(XTime.parse(resolve(f), fmt), lit(v))

@@ -10,11 +10,17 @@ import org.apache.spark.sql.functions._
   * "a.b\.c" selects key "b.c" under key "a".
   */
 final case class FieldPath(parts: Seq[String]) {
-  require(parts.nonEmpty, "empty field path")
+  // an EMPTY parts list is the ROOT selector (the reference's
+  // cfg.ParseFieldSelector("") → nil → Dig(nil…) = the whole event —
+  // do_if byte_len with an empty `field` measures the encoded event,
+  // do_if_test.go byte_len_cmp_lt_empty_selector); empty SEGMENTS
+  // (`a..b`, a trailing dot) stay loud config errors
   require(parts.forall(_.nonEmpty),
     s"field path with an empty segment: `${parts.mkString(".")}` — " +
       "a config typo like `a..b` or a trailing dot would otherwise " +
       "resolve every row to null silently")
+
+  def isRoot: Boolean = parts.isEmpty
 
   /** JSON path for get_json_object / json-string payloads. */
   def jsonPath: String =
@@ -32,8 +38,12 @@ final case class FieldPath(parts: Seq[String]) {
     }.mkString
 
   /** Column reference for typed/struct payloads ("a.`b.c`" quoting). */
-  def structCol: Column =
+  def structCol: Column = {
+    require(parts.nonEmpty,
+      "root field path has no standalone column — resolve it against " +
+        "the document column at the call site")
     parts.tail.foldLeft(col(quote(parts.head)))((c, p) => c.getField(p))
+  }
 
   /** Extract from a JSON-string payload column (string result). */
   def fromJson(payload: Column): Column = get_json_object(payload, jsonPath)
@@ -43,8 +53,12 @@ final case class FieldPath(parts: Seq[String]) {
 }
 
 object FieldPath {
-  /** Parse "a.b\.c" → FieldPath(Seq("a", "b.c")). */
+  /** The whole-event selector (reference: an empty/absent `field`). */
+  val root: FieldPath = FieldPath(Seq.empty)
+
+  /** Parse "a.b\.c" → FieldPath(Seq("a", "b.c")); "" → [[root]]. */
   def parse(selector: String): FieldPath = {
+    if (selector.isEmpty) return root
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var i = 0

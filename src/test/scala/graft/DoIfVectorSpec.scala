@@ -1,0 +1,392 @@
+package graft
+
+import graft.compiler.PipelineCompiler
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's own pipeline/doif/do_if_test.go TestCheck table
+  * ported through the PRODUCTION path: each vector group compiles a
+  * `keep` action with the group's do_if tree (runActionsOnBatch — the
+  * same parse/resolve/compile chain every YAML pipeline uses) and
+  * asserts exactly the reference's surviving events. Spark needs a
+  * static schema, so each group declares one; reference vectors whose
+  * point is a dynamic-type mismatch (an object where a string was
+  * expected) are expressed as the schema-true analog where one exists
+  * and noted where not. */
+class DoIfVectorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  /** Runs events through `keep` with the do_if tree; returns the
+    * 0-based indexes of the survivors (arrival order preserved). */
+  private def survivors(schema: String, doIfYaml: String,
+                        events: Seq[String]): Seq[Int] = {
+    // tag each event with its index so survivors map back uniquely
+    val tagged = events.zipWithIndex.map { case (e, i) =>
+      e.patch(e.lastIndexOf('}'), s""","_i":$i""", 0)
+    }
+    val out = PipelineCompiler.runActionsOnBatch(spark, tagged,
+      s"""decoder: {type: json, schema: "$schema, _i long"}
+         |actions:
+         |  - type: keep
+         |    do_if:
+         |$doIfYaml
+         |""".stripMargin)
+    out.map(j => """"_i":(\d+)""".r.findFirstMatchIn(j).get.group(1).toInt)
+  }
+
+  private def wanted(events: Seq[(String, Boolean)]): Seq[Int] =
+    events.zipWithIndex.collect { case ((_, true), i) => i }
+
+  private def run(schema: String, doIfYaml: String,
+                  events: Seq[(String, Boolean)]): Unit = {
+    val got = survivors(schema, doIfYaml, events.map(_._1))
+    assert(got == wanted(events),
+      s"do_if\n$doIfYaml\nevents=${events.mkString("\n")}\ngot=$got")
+  }
+
+  test("TestCheck: equal (case-sensitive) incl. absent field") {
+    run("pod string, service string",
+      """      op: equal
+        |      field: pod
+        |      values: [test-1, test-2, test-pod-123, po-32]""".stripMargin,
+      Seq(
+        ("""{"pod":"test-1"}""", true),
+        ("""{"pod":"test-2"}""", true),
+        ("""{"pod":"test-3"}""", false),
+        ("""{"pod":"TEST-2"}""", false),
+        ("""{"pod":"test-pod-123"}""", true),
+        ("""{"pod":"po-32"}""", true),
+        ("""{"pod":"p-32"}""", false),
+        ("""{"service":"test-1"}""", false),       // absent pod
+        ("""{"pod":"test-123456789"}""", false)))
+  }
+
+  test("TestCheck: contains / contains_any / prefix / suffix / regex") {
+    run("pod string",
+      """      op: contains
+        |      field: pod
+        |      values: [test-1, test-2]""".stripMargin,
+      Seq(
+        ("""{"pod":"my-test-1-pod"}""", true),
+        ("""{"pod":"my-test-2-pod"}""", true),
+        ("""{"pod":"my-test-3-pod"}""", false),
+        ("""{"pod":"my-TEST-2-pod"}""", false)))
+    run("pod string",
+      """      op: contains_any
+        |      field: pod
+        |      values: ["!#$"]""".stripMargin,
+      Seq(
+        ("""{"pod":"my-test-pod!"}""", true),
+        ("""{"pod":"#my-test-pod#"}""", true),
+        ("""{"pod":"$$$"}""", true),
+        ("""{"pod":"my-test-pod"}""", false)))
+    run("pod string",
+      """      op: prefix
+        |      field: pod
+        |      values: [test-1, test-2]""".stripMargin,
+      Seq(
+        ("""{"pod":"test-1-pod"}""", true),
+        ("""{"pod":"test-2-pod"}""", true),
+        ("""{"pod":"test-3-pod"}""", false),
+        ("""{"pod":"TEST-2-pod"}""", false)))
+    run("pod string",
+      """      op: suffix
+        |      field: pod
+        |      values: [test-1, test-2]""".stripMargin,
+      Seq(
+        ("""{"pod":"my-test-1"}""", true),
+        ("""{"pod":"my-test-2"}""", true),
+        ("""{"pod":"my-test-3"}""", false),
+        ("""{"pod":"my-TEST-2"}""", false)))
+    run("pod string",
+      """      op: regex
+        |      field: pod
+        |      values: ['test-\d']""".stripMargin,
+      Seq(
+        ("""{"pod":"my-test-1-pod"}""", true),
+        ("""{"pod":"my-test-2-pod"}""", true),
+        ("""{"pod":"my-test-3-pod"}""", true),
+        ("""{"pod":"my-test-pod"}""", false),
+        ("""{"pod":"my-pod-3-pod"}""", false),
+        ("""{"pod":"my-TEST-4-pod"}""", false)))
+  }
+
+  test("TestCheck: or / and / not composition") {
+    run("pod string",
+      """      op: or
+        |      operands:
+        |        - {op: equal, field: pod, values: [test-1, test-2]}
+        |        - {op: equal, field: pod, values: [test-3, test-4]}""".stripMargin,
+      Seq(
+        ("""{"pod":"test-1"}""", true), ("""{"pod":"test-2"}""", true),
+        ("""{"pod":"test-3"}""", true), ("""{"pod":"test-4"}""", true),
+        ("""{"pod":"test-5"}""", false), ("""{"pod":"TEST-1"}""", false),
+        ("""{"pod":"TEST-3"}""", false)))
+    run("pod string",
+      """      op: and
+        |      operands:
+        |        - {op: prefix, field: pod, values: [test]}
+        |        - {op: suffix, field: pod, values: [pod]}""".stripMargin,
+      Seq(
+        ("""{"pod":"test-1-pod"}""", true), ("""{"pod":"test-2-pod"}""", true),
+        ("""{"pod":"test-3"}""", false),
+        ("""{"pod":"service-test-4-pod"}""", false),
+        ("""{"pod":"service-test-5"}""", false),
+        ("""{"pod":"TEST-6-pod"}""", false),
+        ("""{"pod":"test-7-POD"}""", false)))
+    run("pod string",
+      """      op: not
+        |      operands:
+        |        - {op: equal, field: pod, values: [test-1, test-2]}""".stripMargin,
+      Seq(
+        ("""{"pod":"test-1"}""", false), ("""{"pod":"test-2"}""", false),
+        ("""{"pod":"TEST-2"}""", true), ("""{"pod":"test-3"}""", true),
+        ("""{"pod":"test-4"}""", true)))
+  }
+
+  test("TestCheck: case-insensitive variants") {
+    run("pod string",
+      """      op: equal
+        |      field: pod
+        |      case_insensitive: true
+        |      values: [Test-1, tesT-2]""".stripMargin,
+      Seq(
+        ("""{"pod":"tEST-1"}""", true), ("""{"pod":"test-2"}""", true),
+        ("""{"pod":"test-3"}""", false), ("""{"pod":"TEST-2"}""", true)))
+    run("pod string",
+      """      op: contains
+        |      field: pod
+        |      case_insensitive: true
+        |      values: [Test-1, tesT-2]""".stripMargin,
+      Seq(
+        ("""{"pod":"my-tEST-1-pod"}""", true),
+        ("""{"pod":"my-test-2-pod"}""", true),
+        ("""{"pod":"my-test-3-pod"}""", false),
+        ("""{"pod":"my-TEST-2-pod"}""", true)))
+    run("pod string",
+      """      op: prefix
+        |      field: pod
+        |      case_insensitive: true
+        |      values: [Test-1, tesT-2]""".stripMargin,
+      Seq(
+        ("""{"pod":"tEST-1-pod"}""", true),
+        ("""{"pod":"test-2-pod"}""", true),
+        ("""{"pod":"test-3-pod"}""", false),
+        ("""{"pod":"TEST-2-pod"}""", true)))
+    run("pod string",
+      """      op: suffix
+        |      field: pod
+        |      case_insensitive: true
+        |      values: [Test-1, tesT-2]""".stripMargin,
+      Seq(
+        ("""{"pod":"my-teST-1"}""", true),
+        ("""{"pod":"my-test-2"}""", true),
+        ("""{"pod":"my-test-3"}""", false),
+        ("""{"pod":"my-TEST-2"}""", true)))
+  }
+
+  test("TestCheck equal_nil_or_empty_string: null in values matches absent/null") {
+    run("pod string, `test-field` string",
+      """      op: equal
+        |      field: test-field
+        |      case_insensitive: true
+        |      values: [null, ""]""".stripMargin,
+      Seq(
+        ("""{"pod":"my-teST-1"}""", true),                        // absent
+        ("""{"pod":"my-test-2","test-field":null}""", true),      // null
+        ("""{"pod":"my-test-3","test-field":""}""", true),        // empty
+        ("""{"pod":"my-TEST-2","test-field":"non-empty"}""", false)))
+  }
+
+  test("TestCheck: byte_len_cmp incl. numbers, whole-event selector, object encoding") {
+    // numbers measure their ENCODED length (msg is a long here)
+    run("msg long",
+      """      op: byte_len_cmp
+        |      field: msg
+        |      cmp_op: lt
+        |      value: 4""".stripMargin,
+      Seq(
+        ("""{"msg":1}""", true), ("""{"msg":12}""", true),
+        ("""{"msg":123}""", true), ("""{"msg":1234}""", false),
+        ("""{"msg":12345}""", false), ("""{"msg":123456}""", false)))
+    run("msg long",
+      """      op: byte_len_cmp
+        |      field: msg
+        |      cmp_op: ge
+        |      value: 4""".stripMargin,
+      Seq(
+        ("""{"msg":1}""", false), ("""{"msg":123}""", false),
+        ("""{"msg":1234}""", true), ("""{"msg":123456}""", true)))
+    run("msg string",
+      """      op: byte_len_cmp
+        |      field: msg
+        |      cmp_op: eq
+        |      value: 2""".stripMargin,
+      Seq(
+        ("""{"msg":"1"}""", false), ("""{"msg":"12"}""", true),
+        ("""{"msg":"123"}""", false)))
+    run("msg string",
+      """      op: byte_len_cmp
+        |      field: msg
+        |      cmp_op: ne
+        |      value: 2""".stripMargin,
+      Seq(
+        ("""{"msg":"1"}""", true), ("""{"msg":"12"}""", false),
+        ("""{"msg":"123"}""", true)))
+    // TestCheckLenCmpLtObject: an OBJECT field measures its dry-JSON
+    // encoding — {"name":"jack","age":120} = 25 bytes (the _i tag rides
+    // OUTSIDE user_info so the measured encoding is stable)
+    val obj = """{"user_info":{"name":"jack","age":120}}"""
+    run("user_info struct<name: string, age: long>",
+      """      op: byte_len_cmp
+        |      field: user_info
+        |      cmp_op: lt
+        |      value: 25""".stripMargin, Seq((obj, false)))
+    run("user_info struct<name: string, age: long>",
+      """      op: byte_len_cmp
+        |      field: user_info
+        |      cmp_op: lt
+        |      value: 26""".stripMargin, Seq((obj, true)))
+    // empty selector = the WHOLE encoded event. The decoded doc here is
+    // {"msg":"abcde","_i":0} = 22 bytes dry
+    run("msg string",
+      """      op: byte_len_cmp
+        |      field: ""
+        |      cmp_op: eq
+        |      value: 22""".stripMargin, Seq(("""{"msg":"abcde"}""", true)))
+  }
+
+  test("TestCheck: array_len_cmp incl. non-array and missing fields") {
+    run("numbers array<long>",
+      """      op: array_len_cmp
+        |      field: numbers
+        |      cmp_op: lt
+        |      value: 2""".stripMargin,
+      Seq(
+        ("""{"numbers":[]}""", true), ("""{"numbers":[1]}""", true),
+        ("""{"numbers":[1, 2]}""", false),
+        ("""{"numbers":[1, 2, 3]}""", false)))
+    run("numbers array<long>",
+      """      op: array_len_cmp
+        |      field: numbers
+        |      cmp_op: ge
+        |      value: 2""".stripMargin,
+      Seq(
+        ("""{"numbers":[]}""", false), ("""{"numbers":[1]}""", false),
+        ("""{"numbers":[1, 2]}""", true),
+        ("""{"numbers":[1, 2, 3]}""", true)))
+    run("numbers array<long>",
+      """      op: array_len_cmp
+        |      field: numbers
+        |      cmp_op: eq
+        |      value: 2""".stripMargin,
+      Seq(
+        ("""{"numbers":[1]}""", false), ("""{"numbers":[1, 2]}""", true),
+        ("""{"numbers":[1, 2, 3]}""", false)))
+    run("numbers array<long>",
+      """      op: array_len_cmp
+        |      field: numbers
+        |      cmp_op: ne
+        |      value: 2""".stripMargin,
+      Seq(
+        ("""{"numbers":[1]}""", true), ("""{"numbers":[1, 2]}""", false),
+        ("""{"numbers":[1, 2, 3]}""", true)))
+    // array_len_cmp_field_not_found: a missing field NEVER matches
+    run("msg string, some array<long>",
+      """      op: array_len_cmp
+        |      field: some
+        |      cmp_op: lt
+        |      value: 100""".stripMargin,
+      Seq(("""{"msg":"qwerty"}""", false)))
+    // array_len_cmp_field_is_not_array: a statically non-array field
+    // never matches (the reference's orig.IsArray() gate)
+    run("items long",
+      """      op: array_len_cmp
+        |      field: items
+        |      cmp_op: lt
+        |      value: 100""".stripMargin,
+      Seq(("""{"items":123}""", false)))
+    run("items array<long>",
+      """      op: array_len_cmp
+        |      field: items
+        |      cmp_op: lt
+        |      value: 100""".stripMargin,
+      Seq(("""{"items":null}""", false), ("""{"items":[]}""", true)))
+  }
+
+  test("TestCheck: int_val_cmp incl. numeric strings and non-ints") {
+    run("count long",
+      """      op: int_val_cmp
+        |      field: count
+        |      cmp_op: ge
+        |      value: 50""".stripMargin,
+      Seq(
+        ("""{"count":50}""", true), ("""{"count":51}""", true),
+        ("""{"count":49}""", false)))
+    run("count string",
+      """      op: int_val_cmp
+        |      field: count
+        |      cmp_op: ge
+        |      value: 0""".stripMargin,
+      Seq(
+        ("""{"count":"0"}""", true),    // numeric string parses
+        ("""{"count":"n"}""", false),   // garbage never matches
+        ("""{"not_count":0}""", false)))// missing never matches
+  }
+
+  test("TestCheck: ts_cmp const/shift/unixtime across cmp ops") {
+    val ts = "2024-03-01T10:00:00Z"
+    def tsRun(cmp: String, shift: Option[String],
+              events: Seq[(String, Boolean)]): Unit =
+      run("ts string",
+        s"""      op: ts_cmp
+           |      field: ts
+           |      format: rfc3339
+           |      cmp_op: $cmp
+           |      value: "$ts"""".stripMargin +
+          shift.map(s => s"\n      value_shift: $s").getOrElse(""),
+        events)
+    // lt
+    tsRun("lt", None, Seq(
+      ("""{"ts":"2024-03-01T09:59:58Z"}""", true),
+      ("""{"ts":"2024-03-01T09:59:59Z"}""", true),
+      ("""{"ts":"2024-03-01T10:00:00Z"}""", false),
+      ("""{"ts":"2024-03-01T10:00:01Z"}""", false),
+      ("""{"ts":"2024-03-01T10:00:02Z"}""", false)))
+    // lt with +1s shift admits the boundary
+    tsRun("lt", Some("1s"), Seq(
+      ("""{"ts":"2024-03-01T09:59:59Z"}""", true),
+      ("""{"ts":"2024-03-01T10:00:00Z"}""", true),
+      ("""{"ts":"2024-03-01T10:00:01Z"}""", false)))
+    // ge / eq / ne
+    tsRun("ge", None, Seq(
+      ("""{"ts":"2024-03-01T09:59:59Z"}""", false),
+      ("""{"ts":"2024-03-01T10:00:00Z"}""", true),
+      ("""{"ts":"2024-03-01T10:00:01Z"}""", true)))
+    tsRun("eq", None, Seq(
+      ("""{"ts":"2024-03-01T09:59:59Z"}""", false),
+      ("""{"ts":"2024-03-01T10:00:00Z"}""", true),
+      ("""{"ts":"2024-03-01T10:00:01Z"}""", false)))
+    tsRun("ne", None, Seq(
+      ("""{"ts":"2024-03-01T09:59:59Z"}""", true),
+      ("""{"ts":"2024-03-01T10:00:00Z"}""", false),
+      ("""{"ts":"2024-03-01T10:00:01Z"}""", true)))
+    // ts_cmp_eq_unixtime: seconds-as-string field vs an epoch constant
+    run("ts string",
+      """      op: ts_cmp
+        |      field: ts
+        |      format: unixtime
+        |      cmp_op: eq
+        |      value: "2025-01-01T00:00:00+03:00"""".stripMargin,
+      Seq(
+        ("""{"ts":"1735678799"}""", false),
+        ("""{"ts":"1735678800"}""", true),
+        ("""{"ts":"1735678801"}""", false)))
+  }
+}
