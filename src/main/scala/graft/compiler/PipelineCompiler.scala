@@ -2410,8 +2410,25 @@ object PipelineCompiler {
       case Some(_: org.apache.spark.sql.types.ArrayType) => rawCol(df, p)
       case _ => lit(null).cast("array<string>")
     }
+    // check_type probes JSON-shaped text; typed columns render a
+    // just-enough encoding (containers via to_json, strings with a
+    // leading quote, scalars as text, schema-absent fields as NULL).
+    // A decoded-to-SQL-NULL field keeps the pinned contract: it
+    // matches `nil`, not `null` (from_json cannot distinguish a JSON
+    // null from an omitted key).
+    import org.apache.spark.sql.types._
+    val resolveJsonText: FieldPath => Column = p => leafType(df, p) match {
+      case Some(_: StructType) | Some(_: ArrayType) | Some(_: MapType) =>
+        to_json(rawCol(df, p))
+      case Some(StringType) =>
+        val c = rawCol(df, p)
+        when(c.isNull, lit(null)).otherwise(concat(lit("\""), c))
+      case Some(_) => rawCol(df, p).cast("string")
+      case None    => lit(null).cast("string")
+    }
     val fromDoIf = Option(action.get("do_if"))
-      .map(n => DoIf.compile(parseDoIf(n), resolve, resolveArray = resolveArr))
+      .map(n => DoIf.compile(parseDoIf(n), resolve,
+        rawJson = resolveJsonText, resolveArray = resolveArr))
     (fromMatch, fromDoIf) match {
       case (Some(a), Some(b)) => Some(a && b)
       case (a, b)             => a.orElse(b)

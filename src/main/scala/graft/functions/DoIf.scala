@@ -121,13 +121,16 @@ object DoIf {
           current_timestamp() + expr(s"INTERVAL $shiftMs MILLISECOND"))
       case CheckType(f, types) =>
         val raw = if (rawJson != null) rawJson(f) else resolve(f)
+        // aliases per check_type_op.go:93-133: obj/object, arr/array,
+        // num/number, str/string (duplicates across aliases are
+        // harmless — boolean OR dedups semantically)
         types.map {
-          case "object"        => raw.startsWith("{")
-          case "array"         => raw.startsWith("[")
-          case "string"        => raw.startsWith("\"")
-          case "number" | "int" => raw.try_cast("double").isNotNull
-          case "null"          => trim(raw) === "null"
-          case "nil"           => raw.isNull
+          case "object" | "obj"         => raw.startsWith("{")
+          case "array" | "arr"          => raw.startsWith("[")
+          case "string" | "str"         => raw.startsWith("\"")
+          case "number" | "num" | "int" => raw.try_cast("double").isNotNull
+          case "null"                   => trim(raw) === "null"
+          case "nil"                    => raw.isNull
           case other => throw new IllegalArgumentException(s"bad check_type: $other")
         }.reduce(_ || _)
       case And(cs) => cs.map(go).reduce(_ && _)

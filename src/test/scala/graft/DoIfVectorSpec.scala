@@ -340,6 +340,61 @@ class DoIfVectorSpec extends AnyFunSuite {
         ("""{"not_count":0}""", false)))// missing never matches
   }
 
+  test("check_type_test.go: obj/arr/number/string/null/nil over typed docs") {
+    // ok_type_obj (short alias)
+    run("log struct<sublog: string>",
+      """      op: check_type
+        |      field: log
+        |      values: [obj]""".stripMargin,
+      Seq(
+        ("""{"log":{"sublog":"test"}}""", true),
+        ("""{"nolog":1}""", false)))
+    // ok_type_arr
+    run("log array<string>",
+      """      op: check_type
+        |      field: log
+        |      values: [arr]""".stripMargin,
+      Seq(
+        ("""{"log":["test"]}""", true),
+        ("""{"nolog":1}""", false)))
+    // ok_type_number / ok_type_string on their typed columns
+    run("log long",
+      """      op: check_type
+        |      field: log
+        |      values: [number]""".stripMargin,
+      Seq(("""{"log":123}""", true), ("""{"nolog":1}""", false)))
+    run("log string",
+      """      op: check_type
+        |      field: log
+        |      values: [string]""".stripMargin,
+      Seq(("""{"log":"test"}""", true), ("""{"nolog":1}""", false)))
+    // a typed-but-SQL-NULL field matches `nil` (pinned contract:
+    // from_json can't tell JSON null from an omitted key)
+    run("log string",
+      """      op: check_type
+        |      field: log
+        |      values: [nil]""".stripMargin,
+      Seq(
+        ("""{"log":null}""", true),
+        ("""{"nolog":1}""", true),
+        ("""{"log":"test"}""", false)))
+    // ok_multiple_types with aliases
+    run("log struct<subfield: string>",
+      """      op: check_type
+        |      field: log
+        |      values: [obj, arr]""".stripMargin,
+      Seq(
+        ("""{"log":{"subfield":"test"}}""", true),
+        ("""{"nolog":1}""", false)))
+    // ok_root_is_obj_or_arr: the empty selector probes the whole event
+    // (a decoded doc is always an object here)
+    run("log string",
+      """      op: check_type
+        |      field: ""
+        |      values: [obj, arr]""".stripMargin,
+      Seq(("""{"log":"x"}""", true)))
+  }
+
   test("TestCheck: ts_cmp const/shift/unixtime across cmp ops") {
     val ts = "2024-03-01T10:00:00Z"
     def tsRun(cmp: String, shift: Option[String],
