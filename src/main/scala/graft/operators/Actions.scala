@@ -227,9 +227,37 @@ object Actions {
             else lit(null).cast("string")
           when(length(rendered) > 0, rendered).otherwise(old)
         }
-      known += parts
-      d.withField(field, out)
+      val next = setNested(d, Nil, parts.toList, out, exists)
+      // AFTER the write resolves (exists() during it must still see the
+      // pre-set state): every prefix of the path now exists — creating
+      // my_object.new_field.x materializes my_object.new_field too
+      // (modify_test.go's nested-creation vector)
+      (1 to parts.size).foreach(k => known += parts.take(k))
+      next
     }
+  }
+
+  private def quoteSeg(s: String): String = "`" + s.replace("`", "``") + "`"
+
+  /** Set `parts` under `d` to `value`, CREATING missing intermediate
+    * objects like the reference's Dig/AddField walk (modify_test.go:
+    * `my_object.new_field.new_subfield` materializes `new_field`) —
+    * Column.withField with a dotted name can only descend structs that
+    * already exist. `exists` answers against the tracked schema plus
+    * fields created earlier in the same action. */
+  private def setNested(d: Column, prefix: List[String], parts: List[String],
+                        value: Column,
+                        exists: Seq[String] => Boolean): Column = parts match {
+    case Nil => value
+    case last :: Nil => d.withField(quoteSeg(last), value)
+    case h :: t =>
+      val p2 = prefix :+ h
+      if (exists(p2))
+        d.withField(quoteSeg(h),
+          setNested(d.getField(h), p2, t, value, exists))
+      else // the whole missing chain becomes nested struct literals
+        d.withField(quoteSeg(h),
+          t.foldRight(value)((name, v) => struct(v.as(name))))
   }
 
   /** move (plugin/action/move/move.go:161-196): mode=allow moves listed

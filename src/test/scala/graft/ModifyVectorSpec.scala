@@ -1,0 +1,68 @@
+package graft
+
+import graft.compiler.PipelineCompiler
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's plugin/action/modify/modify_test.go vectors through
+  * the production YAML path. The r15 port found nested-path CREATION
+  * missing: `my_object.new_field.new_subfield` must materialize the
+  * `new_field` object like the reference's Dig/AddField walk —
+  * Column.withField alone only descends structs that already exist. */
+class ModifyVectorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("TestModify: nested create, template refs, _skip_empty drops empty renders") {
+    val out = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"existing_field":"existing_value","my_object":{"field":{"subfield":"subfield_value"}}}"""),
+      """actions:
+        |  - type: modify
+        |    _skip_empty: "true"
+        |    new_field: new_value
+        |    my_object.field.subfield: "${existing_field}"
+        |    my_object.new_field.new_subfield: new_subfield_value
+        |    not_exists: "${not_existing_field}"
+        |""".stripMargin).head
+    assert(out.contains(""""new_field":"new_value""""), out)
+    assert(out.contains(""""field":{"subfield":"existing_value"}"""), out)
+    assert(out.contains(""""new_field":{"new_subfield":"new_subfield_value"}"""), out)
+    assert(!out.contains("not_exists"), out) // _skip_empty: empty render → no field
+  }
+
+  test("TestModifyRegex: re filter with empty_on_not_matched through modify") {
+    def run(event: String): String = PipelineCompiler.runActionsOnBatch(spark,
+      Seq(event),
+      """decoder: {type: json, schema: "existing_field string, other_field string"}
+        |actions:
+        |  - type: modify
+        |    new_field: new_value
+        |    substitution_field: "${existing_field|re(\"(existing).*(value)\", -1, [1,2], \" | \", true)}"
+        |""".stripMargin).head
+    val m = run("""{"existing_field":"existing_value"}""")
+    assert(m.contains(""""substitution_field":"existing | value""""), m)
+    // ref missing → rendered empty, field present as "" (no _skip_empty)
+    val miss = run("""{"other_field":"other_value"}""")
+    assert(miss.contains("\"substitution_field\":\"\""), miss)
+    // value present but regex doesn't match → empty via the true flag
+    val nm = run("""{"existing_field":"not_matched_re"}""")
+    assert(nm.contains("\"substitution_field\":\"\""), nm)
+  }
+
+  test("TestModifyTrim: trim left with a char-set cutset") {
+    val out = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"existing_field":"existing_value"}"""),
+      """decoder: {type: json, schema: "existing_field string"}
+        |actions:
+        |  - type: modify
+        |    substitution_field: "${existing_field|trim(\"left\",\"existing_\")}"
+        |""".stripMargin).head
+    // bytes.TrimLeft cutset CHARACTERS {e,x,i,s,t,n,g,_}: every leading
+    // char of "existing_" is in the set, 'v' stops the trim
+    assert(out.contains(""""substitution_field":"value""""), out)
+  }
+}
