@@ -2437,16 +2437,12 @@ object PipelineCompiler {
 
   /** Go-style duration string → milliseconds ("300ms" → 300, "5s" →
     * 5000, "2m" → 120000, "1h" → 3600000; bare numbers are seconds). */
-  /** Go reference-time layout → Java DateTimeFormatter pattern, for
-    * the date tokens the reference's index `time_format` uses
-    * (elasticsearch.go:126; the magic instant Mon Jan 2 15:04:05 2006).
-    * Longest tokens first so `2006` wins over `06`/`02`. */
+  /** Go reference-time layout → Java DateTimeFormatter pattern —
+    * delegates to the shared [[graft.functions.XTime.goLayoutToJava]]
+    * table (r15: one translation for the elasticsearch index
+    * `time_format` and every custom set_time/convert_date layout). */
   private[graft] def goTimeLayoutToJava(layout: String): String =
-    Seq("2006" -> "yyyy", "01" -> "MM", "02" -> "dd", "15" -> "HH",
-      "04" -> "mm", "05" -> "ss", "06" -> "yy", "Jan" -> "MMM",
-      "Mon" -> "EEE").foldLeft(layout) {
-      case (s, (go, java)) => s.replace(go, java)
-    }
+    graft.functions.XTime.goLayoutToJava(layout)
 
   private[graft] def goDurationMillis(s: String): Long = {
     // sign accepted like Go's time.ParseDuration — ts_cmp value_shift
@@ -2812,7 +2808,9 @@ object PipelineCompiler {
       case "set_time" =>
         val stField = Option(action.get("field")).map(_.asText()).getOrElse("time")
         guarded(Actions.setTime(doc, stField,
-          Option(action.get("format")).map(_.asText()).getOrElse("rfc3339"),
+          // default rfc3339nano (set_time.go:31); fractional render is
+          // fixed-width 9 digits where Go trims trailing zeros
+          Option(action.get("format")).map(_.asText()).getOrElse("rfc3339nano"),
           override_ = Option(action.get("override")).forall(_.asBoolean()),
           fieldExists = PipelineCompiler.hasPath(
             df.schema("doc").dataType, List(stField))))

@@ -34,7 +34,25 @@ object XTime {
   )
 
   private val epochAliases =
-    Set("unixtime", "unixtimemilli", "unixtimemicro", "unixtimenano")
+    Set("unixtime", "unixtimemilli", "unixtimemicro", "unixtimenano",
+      // set_time.go:82-86 backward-compat spellings
+      "timestampmilli", "timestampmicro", "timestampnano")
+
+  /** Go reference-time layout → Spark/Java pattern for custom formats
+    * (the magic instant `Mon Jan 2 15:04:05 MST 2006`): the reference
+    * speaks Go layouts everywhere a custom format is accepted
+    * (set_time.go:89 t.Format, xtime.ParseTime default), and a Go
+    * layout fed raw to Spark parses only its literal digits. Longest
+    * tokens first so `2006` wins over `06`/`02`, `Z07:00` over `07`.
+    * Layouts without Go tokens translate to themselves. */
+  private[graft] def goLayoutToJava(layout: String): String =
+    Seq(
+      ".000000000" -> ".SSSSSSSSS", ".000000" -> ".SSSSSS", ".000" -> ".SSS",
+      "2006" -> "yyyy", "Z07:00" -> "XXX", "-07:00" -> "xxx",
+      "-0700" -> "xx", "MST" -> "zzz", "Jan" -> "MMM", "Mon" -> "EEE",
+      "15" -> "HH", "01" -> "MM", "02" -> "dd", "04" -> "mm",
+      "05" -> "ss", "06" -> "yy", "_2" -> "d", "PM" -> "a"
+    ).foldLeft(layout) { case (s, (go, java)) => s.replace(go, java) }
 
   /** Aliases whose Go layout uses `_2` — a SPACE-PADDED day ("Aug  5"):
     * the Java pattern `d` expects a single space before it, so days 1-9
@@ -62,7 +80,11 @@ object XTime {
       // Java pattern parses every day of the month
       try_to_timestamp(regexp_replace(c, "  +", " "), lit(patterns(alias)))
     case alias if patterns.contains(alias) => try_to_timestamp(c, lit(patterns(alias)))
-    case custom => try_to_timestamp(c, lit(custom)) // raw Spark pattern passthrough
+    // custom formats are GO layouts in every reference config surface —
+    // translate before parsing (r15; a Go layout fed raw to Spark
+    // parses only its literal digits). A layout with no Go tokens
+    // translates to itself, so Spark-pattern passthrough still works.
+    case custom => try_to_timestamp(c, lit(goLayoutToJava(custom)))
   }
 
   /** First-success parse over a prioritized format list (convert_date's
@@ -75,13 +97,13 @@ object XTime {
     * LongType; layouts produce StringType. */
   def format(ts: Column, fmt: String): Column = fmt match {
     case "unixtime"      => unix_timestamp(ts)
-    case "unixtimemilli" => unix_millis(ts)
-    case "unixtimemicro" => unix_micros(ts)
-    case "unixtimenano"  => unix_micros(ts) * 1000
+    case "unixtimemilli" | "timestampmilli" => unix_millis(ts)
+    case "unixtimemicro" | "timestampmicro" => unix_micros(ts)
+    case "unixtimenano" | "timestampnano"   => unix_micros(ts) * 1000
     case "rfc3339"       => date_format(ts, "yyyy-MM-dd'T'HH:mm:ssXXX")
     case "rfc3339nano"   => date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSSXXX")
     case alias if patterns.contains(alias) => date_format(ts, patterns(alias))
-    case custom => date_format(ts, custom)
+    case custom => date_format(ts, goLayoutToJava(custom))
   }
 
   def isEpochAlias(fmt: String): Boolean = epochAliases.contains(fmt)

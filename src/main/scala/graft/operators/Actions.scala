@@ -37,11 +37,11 @@ object Actions {
   /** add_host (plugin/action/add_host/add_host.go:26): constant host. */
   def addHost(doc: Column, field: String = "host",
               host: String = java.net.InetAddress.getLocalHost.getHostName): Column =
-    doc.withField(field, lit(host))
+    doc.withField(quoteSeg(field), lit(host)) // one literal key (AddFieldNoAlloc)
 
   /** add_file_name (plugin/action/add_file_name/add_file_name.go:29). */
   def addFileName(doc: Column, sourceName: Column, field: String = "file_name"): Column =
-    doc.withField(field, sourceName)
+    doc.withField(quoteSeg(field), sourceName) // one literal key
 
   /** set_time (plugin/action/set_time/set_time.go:66-93). `fieldExists`
     * comes from the compiler's tracked doc schema: when the time field
@@ -52,8 +52,12 @@ object Actions {
               now: Column = current_timestamp(),
               fieldExists: Boolean = true): Column = {
     val rendered = XTime.format(now, format)
-    if (override_ || !fieldExists) doc.withField(field, rendered)
-    else doc.withField(field, coalesce(doc.getField(field), rendered))
+    // the field is ONE LITERAL key even with dots (set_time.go:71 digs
+    // a single segment; the "dots field" vector creates key "a.b.c",
+    // not a nested path) — backtick-quote so withField doesn't nest
+    val q = quoteSeg(field)
+    if (override_ || !fieldExists) doc.withField(q, rendered)
+    else doc.withField(q, coalesce(doc.getField(field), rendered))
   }
 
   /** convert_date (plugin/action/convert_date/convert_date.go:80-115):

@@ -53,6 +53,42 @@ class ModifyVectorSpec extends AnyFunSuite {
     assert(nm.contains("\"substitution_field\":\"\""), nm)
   }
 
+  test("set_time_test.go: formats, override, dots-as-literal-key") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val now = java.sql.Timestamp.from(
+      java.time.OffsetDateTime.parse("2006-01-02T15:04:05+07:00").toInstant)
+    val doc = Seq(123L).toDF("time").select(struct(col("time")).as("doc"))
+    def st(field: String, fmt: String, over: Boolean,
+           exists: Boolean): org.apache.spark.sql.Row =
+      doc.select(to_json(graft.operators.Actions.setTime(col("doc"), field,
+        fmt, over, now = lit(now), fieldExists = exists)).as("j"))
+        .collect().head
+    // unix / timestampnano (compat alias) / custom Go layout
+    assert(st("t2", "unixtime", over = true, exists = false).getString(0)
+      .contains(s""""t2":${now.toInstant.getEpochSecond}"""))
+    assert(st("t2", "timestampnano", over = true, exists = false).getString(0)
+      .contains(s""""t2":${now.toInstant.getEpochSecond}000000000"""))
+    assert(st("my-time", "2006-01-02", over = true, exists = false).getString(0)
+      .contains(""""my-time":"2006-01-02""""))
+    // override=false with the field present keeps the value
+    assert(st("time", "rfc3339", over = false, exists = true).getString(0)
+      .contains(""""time":123"""))
+    // override=true replaces it
+    assert(st("time", "unixtime", over = true, exists = true).getString(0)
+      .contains(s""""time":${now.toInstant.getEpochSecond}"""))
+    // "dots field": a dotted name is ONE literal key (set_time.go:71
+    // digs a single segment), never a nested path
+    val dotted = Seq(("x")).toDF("c")
+      .select(struct(struct(col("c").as("b")).as("a")).as("doc"))
+      .select(to_json(graft.operators.Actions.setTime(col("doc"), "a.b.c",
+        "timestampmilli", override_ = true, now = lit(now),
+        fieldExists = false)).as("j")).collect().head.getString(0)
+    assert(dotted.contains(s""""a.b.c":${now.toInstant.toEpochMilli}"""),
+      dotted)
+    assert(dotted.contains(""""a":{"b":"x"}"""), dotted) // untouched
+  }
+
   test("TestModifyTrim: trim left with a char-set cutset") {
     val out = PipelineCompiler.runActionsOnBatch(spark,
       Seq("""{"existing_field":"existing_value"}"""),
