@@ -252,8 +252,10 @@ object Queries2 {
 
   val q24_sql: String =
     """SELECT doc_id,
-      |  regexp_extract(text, '^(\w+) (\w+)', 1) AS g_first,
-      |  regexp_extract(text, '^(\w+) (\w+)', 2) AS g_second
+      |  CASE WHEN regexp_matches(text, '^(\w+) (\w+)')
+      |       THEN regexp_extract(text, '^(\w+) (\w+)', 1) END AS g_first,
+      |  CASE WHEN regexp_matches(text, '^(\w+) (\w+)')
+      |       THEN regexp_extract(text, '^(\w+) (\w+)', 2) END AS g_second
       |FROM documents""".stripMargin
 
   val q25_act_cutoff: Q = (s, dir) => {

@@ -2437,6 +2437,37 @@ object PipelineCompiler {
 
   /** Go-style duration string → milliseconds ("300ms" → 300, "5s" →
     * 5000, "2m" → 120000, "1h" → 3600000; bare numbers are seconds). */
+  /** Capturing-group name→index map of a Go regex: groups count in
+    * opening-paren order (RE2 SubexpNames); `(?P<name>` is a NAMED
+    * capturing group, any other `(?…` is non-capturing, a bare `(` is
+    * an unnamed capturing group (counts, emits nothing). Escaped
+    * parens and character-class parens don't count. */
+  private[graft] def namedGroups(pattern: String): Seq[(String, Int)] = {
+    val out = Seq.newBuilder[(String, Int)]
+    var idx = 0
+    var i = 0
+    var inClass = false
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '\\' => i += 1 // skip the escaped char
+        case '[' if !inClass => inClass = true
+        case ']' if inClass  => inClass = false
+        case '(' if !inClass =>
+          if (pattern.startsWith("(?P<", i)) {
+            idx += 1
+            val end = pattern.indexOf('>', i + 4)
+            require(end > 0, s"parse_re2: unterminated group name in $pattern")
+            out += ((pattern.substring(i + 4, end), idx))
+            i = end
+          } else if (i + 1 < pattern.length && pattern.charAt(i + 1) != '?')
+            idx += 1 // unnamed capturing group: counts, no field
+        case _ =>
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   /** Go reference-time layout → Java DateTimeFormatter pattern —
     * delegates to the shared [[graft.functions.XTime.goLayoutToJava]]
     * table (r15: one translation for the elasticsearch index
@@ -2902,10 +2933,26 @@ object PipelineCompiler {
           extracts,
           Option(action.get("prefix")).map(_.asText()).getOrElse("")))
       case "parse_re2" =>
-        val groups = action.get("groups").properties().asScala.toSeq
-          .map(e => e.getKey -> e.getValue.asInt())
+        // a verbatim reference config carries Go named groups
+        // ((?P<name>…), parse_re2.go SubexpNames) — derive the
+        // name→index map from the pattern when the graft `groups`
+        // spelling is absent, and rewrite `(?P<` to Java's `(?<` so
+        // Spark's regex engine accepts the pattern; unnamed capturing
+        // groups still count toward indexes but emit no field
+        // (SubexpNames yields "" → continue)
+        val re2raw = action.get("re2").asText()
+        val groups = Option(action.get("groups"))
+          .map(_.properties().asScala.toSeq
+            .map(e => e.getKey -> e.getValue.asInt()))
+          .getOrElse(PipelineCompiler.namedGroups(re2raw))
+        require(groups.nonEmpty,
+          "parse_re2: no named groups in `re2` and no `groups` map — " +
+            "the action would extract nothing")
+        // names become PLAIN capturing groups (indexes unchanged):
+        // Java rejects underscores in group names, and regexp_extract
+        // addresses groups by index anyway
         guarded(Actions.parseRe2(doc, FieldPath.parse(action.get("field").asText()),
-          action.get("re2").asText(), groups,
+          re2raw.replaceAll("\\(\\?P<[^>]*>", "("), groups,
           Option(action.get("prefix")).map(_.asText()).getOrElse("")))
       case "mask" =>
         // process_fields: apply the mask to each listed field (mask.go

@@ -54,6 +54,19 @@ object XTime {
       "05" -> "ss", "06" -> "yy", "_2" -> "d", "PM" -> "a"
     ).foldLeft(layout) { case (s, (go, java)) => s.replace(go, java) }
 
+  /** Spark ≥3 PARSE patterns reject week-day tokens (E is
+    * format-only): layouts that carry a leading weekday — ansic,
+    * unixdate, rubydate, rfc850, rfc1123(z) — parse by stripping the
+    * weekday from BOTH the pattern and the input (the weekday is
+    * redundant with the date anyway). */
+  private def parsePattern(alias: String): String =
+    patterns(alias).replaceFirst("^E+,? ", "")
+
+  private def stripWeekday(c: Column, alias: String): Column =
+    if (patterns(alias).startsWith("E"))
+      regexp_replace(c, "^[A-Za-z]{3,9},? ", "")
+    else c
+
   /** Aliases whose Go layout uses `_2` — a SPACE-PADDED day ("Aug  5"):
     * the Java pattern `d` expects a single space before it, so days 1-9
     * fail to parse without collapsing the padding run first. */
@@ -64,22 +77,35 @@ object XTime {
     * failure). rfc3339/rfc3339nano use Spark's native ISO-8601 parser,
     * which accepts variable-length fractions.
     */
+  /** Epoch parse with the reference's FLOAT rule (parse_time.go:59-75):
+    * a value with a decimal point reads whole-part-as-SECONDS plus a
+    * sub-second fraction REGARDLESS of the format's integer unit
+    * ("998578999.1346" is seconds under unixtimemilli too); integers
+    * follow the format's unit (`intPath`). Decimal math — epoch ns
+    * (~1.7e18) exceeds double's 53-bit mantissa. */
+  private def epochParse(c: Column, intPath: Column => Column): Column = {
+    val s = c.cast("string")
+    val floatTs = timestamp_micros(
+      (s.try_cast("decimal(25,9)") * 1000000).cast("long"))
+    when(s.contains("."), floatTs).otherwise(intPath(s.try_cast("long")))
+  }
+
   def parse(c: Column, format: String): Column = format match {
     case "rfc3339" | "rfc3339nano" => try_to_timestamp(c)
-    case "unixtime"      => timestamp_seconds(c.try_cast("long"))
-    case "unixtimemilli" => timestamp_millis(c.try_cast("long"))
-    case "unixtimemicro" => timestamp_micros(c.try_cast("long"))
-    // integral division via exact decimal — long `/` is double division,
-    // and current-epoch ns (~1.7e18) exceeds double's 53-bit mantissa
-    case "unixtimenano"  =>
-      timestamp_micros((c.try_cast("long").cast("decimal(20,0)") / 1000)
-        .cast("long"))
+    case "unixtime"      => epochParse(c, timestamp_seconds)
+    case "unixtimemilli" | "timestampmilli" => epochParse(c, timestamp_millis)
+    case "unixtimemicro" | "timestampmicro" => epochParse(c, timestamp_micros)
+    case "unixtimenano" | "timestampnano" =>
+      epochParse(c, l => timestamp_micros(
+        (l.cast("decimal(20,0)") / 1000).cast("long")))
     case alias if spacePaddedDay.contains(alias) =>
       // Go `_2` layouts ("Jan _2 15:04:05"): "Aug  5" carries a double
       // space for days 1-9 — collapse space runs so the single-space
       // Java pattern parses every day of the month
-      try_to_timestamp(regexp_replace(c, "  +", " "), lit(patterns(alias)))
-    case alias if patterns.contains(alias) => try_to_timestamp(c, lit(patterns(alias)))
+      try_to_timestamp(stripWeekday(regexp_replace(c, "  +", " "), alias),
+        lit(parsePattern(alias)))
+    case alias if patterns.contains(alias) =>
+      try_to_timestamp(stripWeekday(c, alias), lit(parsePattern(alias)))
     // custom formats are GO layouts in every reference config surface —
     // translate before parsing (r15; a Go layout fed raw to Spark
     // parses only its literal digits). A layout with no Go tokens

@@ -423,13 +423,22 @@ object Actions {
   }
 
   /** parse_re2 (plugin/action/parse_re2): regex named groups → fields.
-    * Spark's regexp_extract uses group indexes; `groups` maps name→index. */
+    * Spark's regexp_extract uses group indexes; `groups` maps
+    * name→index. r15 parity (parse_re2_test.go): a NON-matching event
+    * passes untouched (no group fields — here they stay NULL, which
+    * the serialized doc omits); on a match the SOURCE field is removed
+    * (parse_re2.go:79 Suicide — nulled per row, the rename-skip
+    * convention); prefixed keys are ONE literal field each
+    * (`prefix.date`), never nested paths. */
   def parseRe2(doc: Column, field: FieldPath, pattern: String,
                groups: Seq[(String, Int)], prefix: String = ""): Column = {
     val src = getPath(doc, field).cast("string")
-    groups.foldLeft(doc) { case (d, (name, idx)) =>
-      d.withField(prefix + name, regexp_extract(src, pattern, idx))
+    val matched = src.isNotNull && src.rlike(pattern)
+    val d1 = groups.foldLeft(doc) { case (d, (name, idx)) =>
+      d.withField(quoteSeg(prefix + name),
+        when(matched, regexp_extract(src, pattern, idx)))
     }
+    d1.withField(nested(field), when(!matched, getPath(doc, field)))
   }
 
   /** mask (plugin/action/mask/mask.go:142-184): replace matched spans with

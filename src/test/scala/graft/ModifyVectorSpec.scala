@@ -89,6 +89,67 @@ class ModifyVectorSpec extends AnyFunSuite {
     assert(dotted.contains(""""a":{"b":"x"}"""), dotted) // untouched
   }
 
+  test("convert_date_test.go: float unixtime, nginx layout, remove_on_fail") {
+    def run(event: String, removeOnFail: Boolean = false): String =
+      PipelineCompiler.runActionsOnBatch(spark, Seq(event),
+        s"""decoder: {type: json, schema: "time string"}
+           |actions:
+           |  - type: convert_date
+           |    source_formats: [rfc3339nano, rfc3339, ansic, unixtime, nginx_errorlog]
+           |    remove_on_fail: $removeOnFail
+           |""".stripMargin).head
+    // integer unixtime passes through; a FLOAT's whole part is seconds
+    // (parse_time.go:59-75). The engine renders converted values as
+    // strings (typed-column convention, documented divergence from the
+    // reference's int node).
+    assert(run("""{"time":998578502}""").contains(""""time":"998578502""""))
+    assert(run("""{"time":998578999.1346}""").contains(""""time":"998578999""""))
+    // nginx_errorlog layout (2022/02/07 13:06:14 UTC)
+    assert(run("""{"time":"2022/02/07 13:06:14"}""")
+      .contains(""""time":"1644239174""""), run("""{"time":"2022/02/07 13:06:14"}"""))
+    // unparseable + remove_on_fail → the field is gone
+    assert(!run("""{"time":"XXX"}""", removeOnFail = true).contains("time"))
+    // unparseable without the flag keeps the original
+    assert(run("""{"time":"XXX"}""").contains(""""time":"XXX""""))
+  }
+
+  test("parse_re2_test.go: verbatim Go config, literal prefix keys, source removal") {
+    // the reference's own config: (?P<...>) named groups, no `groups`
+    // map, dotted prefix — prefixed keys are LITERAL single fields
+    val out = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"log":"2021-06-22 16:24:27 GMT [7291] => [2-1] client=test_client,db=test_db,user=test_user LOG:  listening on IPv4 address \"0.0.0.0\", port 5432"}"""),
+      """decoder: {type: json, schema: "log string"}
+        |actions:
+        |  - type: parse_re2
+        |    field: log
+        |    prefix: "prefix."
+        |    re2: '(?P<date>[\d]{4}-[\d]{2}-[\d]{2} [\d]{2}:[\d]{2}:[\d]{2} GMT) \[(?P<pid>[\d]+)\] => \[(?P<pid_message_number>[\d-]+)\] client=(?P<client>[^,]*),db=(?P<db>[^,]*),user=(?P<user>[^,]*) (LOG|HINT):  (?P<message>.+)'
+        |""".stripMargin).head
+    assert(out.contains(""""prefix.date":"2021-06-22 16:24:27 GMT""""), out)
+    assert(out.contains(""""prefix.pid":"7291""""), out)
+    assert(out.contains(""""prefix.pid_message_number":"2-1""""), out)
+    assert(out.contains(""""prefix.client":"test_client""""), out)
+    assert(out.contains(""""prefix.db":"test_db""""), out)
+    assert(out.contains(""""prefix.user":"test_user""""), out)
+    // the unnamed (LOG|HINT) group counts toward indexes but emits no
+    // field; message lands intact after the index shift
+    assert(out.contains(
+      """"prefix.message":"listening on IPv4 address \"0.0.0.0\", port 5432""""), out)
+    // the SOURCE field is removed on a match (parse_re2.go:79 Suicide)
+    assert(!out.contains(""""log":"""), out)
+    // a NON-matching event passes untouched: source kept, no group keys
+    val miss = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"log":"no match here"}"""),
+      """decoder: {type: json, schema: "log string"}
+        |actions:
+        |  - type: parse_re2
+        |    field: log
+        |    re2: '(?P<pid>\d{4})'
+        |""".stripMargin).head
+    assert(miss.contains(""""log":"no match here""""), miss)
+    assert(!miss.contains("pid"), miss)
+  }
+
   test("TestModifyTrim: trim left with a char-set cutset") {
     val out = PipelineCompiler.runActionsOnBatch(spark,
       Seq("""{"existing_field":"existing_value"}"""),
