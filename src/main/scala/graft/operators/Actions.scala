@@ -359,7 +359,8 @@ object Actions {
     // trailing drop (the splice reads from the original `doc`
     // expression, so the values survive the reorder)
     keys.foldLeft(doc.dropFields(field)) { (d, k) =>
-      d.withField(prefix + k, doc.getField(field).getField(k))
+      // one literal key each (flatten.go AddFieldNoAlloc of prefix+key)
+      d.withField(quoteSeg(prefix + k), doc.getField(field).getField(k))
     }
 
   /** json_encode (plugin/action/json_encode/json_encode.go:58). */
