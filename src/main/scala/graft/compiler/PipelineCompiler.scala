@@ -3215,6 +3215,30 @@ object PipelineCompiler {
           org.apache.spark.sql.types.StructType.fromDDL(jSchema)))
       case "split" =>
         Actions.split("doc", action.get("field").asText())(df)
+      case "parse_es" =>
+        // ES-bulk request stream → documents (parse_es.go:42-86): the
+        // 1-bit per-source state machine — index/create pass their doc
+        // line, update discards its doc, delete and malformed lines
+        // drop. Sequential state → SeqOps.parseEsKeep (per-key sorted
+        // fold). Streaming bulk ingestion is the HTTP input's
+        // emulate_mode: elasticsearch surface; the action itself is
+        // batch/replay.
+        require(!df.isStreaming,
+          "parse_es: streaming bulk ingestion is the http input's " +
+            "emulate_mode: elasticsearch — the action compiles on " +
+            "batch/replay inputs")
+        val peOrd =
+          if (df.columns.contains("_pg_ord")) col("_pg_ord")
+          else monotonically_increasing_id()
+        val (peBase, peKeys) = seqKeyCols(df.withColumn("_pe_ord", peOrd))
+        def peHas(k: String): Column =
+          if (PipelineCompiler.hasPath(df.schema("doc").dataType, List(k)))
+            col("doc").getField(k).isNotNull
+          else lit(false)
+        graft.state.SeqOps.parseEsKeep(peBase, peKeys, "_pe_ord",
+            peHas("delete"), peHas("update"),
+            peHas("index") || peHas("create"))
+          .drop("_pe_ord", "_stream")
       case "decode" =>
         // options (decode.go:657-721): prefix namespaces the decoded
         // struct, keep_origin retains the source string next to it,

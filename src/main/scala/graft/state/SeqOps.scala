@@ -494,4 +494,52 @@ object SeqOps {
       .filter(!col("_r._banned"))
       .select(df.columns.map(c => col(s"_l.`$c`")): _*)
   }
+
+  /** parse_es (plugin/action/parse_es/parse_es.go:42-86): the ES-bulk
+    * request stream's 1-bit state machine per source — an `index`/
+    * `create` action line collapses and PASSES the next line (the doc,
+    * passed WITHOUT inspection: a doc that itself carries an
+    * action-shaped key is still just a doc), `update` collapses and
+    * DISCARDS its doc line, `delete` collapses alone, anything else
+    * outside a pass/discard slot is a wrong-format discard. The state
+    * is inherently sequential, so this is a per-key sorted partition
+    * fold (repartition on the key, sortWithinPartitions, one
+    * mapPartitions with the two booleans) — one shuffle, state resets
+    * at each key boundary, no window expressible.
+    *
+    * `isDelete`/`isUpdate`/`isIndexCreate` are the action-key probes
+    * (schema-absent keys come in as lit(false)). Returns the KEPT rows
+    * with the input's columns. */
+  def parseEsKeep(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                  isDelete: Column, isUpdate: Column,
+                  isIndexCreate: Column): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val arranged = df
+      .withColumn("_pe_del", coalesce(isDelete, lit(false)))
+      .withColumn("_pe_upd", coalesce(isUpdate, lit(false)))
+      .withColumn("_pe_idx", coalesce(isIndexCreate, lit(false)))
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols :+ orderCol).map(col): _*)
+    val schema = arranged.schema
+    val ki = keyCols.map(schema.fieldIndex)
+    val di = schema.fieldIndex("_pe_del")
+    val ui = schema.fieldIndex("_pe_upd")
+    val xi = schema.fieldIndex("_pe_idx")
+    arranged.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var passNext = false
+      var discardNext = false
+      it.filter { r: Row =>
+        val k = ki.map(r.get)
+        if (k != curKey) { curKey = k; passNext = false; discardNext = false }
+        if (passNext) { passNext = false; true }
+        else if (discardNext) { discardNext = false; false }
+        else if (r.getBoolean(di)) false
+        else if (r.getBoolean(ui)) { discardNext = true; false }
+        else if (r.getBoolean(xi)) { passNext = true; false }
+        else false // wrong-format line (parse_es.go:83 ActionDiscard)
+      }
+    }(Encoders.row(schema))
+      .drop("_pe_del", "_pe_upd", "_pe_idx")
+  }
 }

@@ -150,6 +150,31 @@ class ModifyVectorSpec extends AnyFunSuite {
     assert(!miss.contains("pid"), miss)
   }
 
+  test("parse_es_test.go: the bulk state machine as a YAML action") {
+    // index/create pass their doc line (WITHOUT inspection — a doc
+    // carrying an action-shaped key is still just a doc), update
+    // discards its doc, delete stands alone, malformed lines drop
+    val out = PipelineCompiler.runActionsOnBatch(spark,
+      Seq(
+        """{"index":{"_index":"a"}}""",  // action → collapse, pass next
+        """{"msg":"doc-1"}""",           // KEPT
+        """{"create":{"_index":"a"}}""", // action → collapse, pass next
+        """{"index":{"_index":"doc2"}}""",  // KEPT (passNext wins)
+        """{"update":{"_id":"1"}}""",    // action → collapse, discard next
+        """{"msg":"update-doc"}""",      // DISCARDED
+        """{"delete":{"_id":"2"}}""",    // collapse alone
+        """{"msg":"orphan"}"""),         // wrong format → discard
+      """decoder:
+        |  type: json
+        |  schema: "index struct<_index: string>, create struct<_index: string>, update struct<_id: string>, delete struct<_id: string>, msg string"
+        |actions:
+        |  - type: parse_es
+        |""".stripMargin)
+    assert(out.size == 2, out.toString)
+    assert(out.head.contains(""""msg":"doc-1""""), out.head)
+    assert(out(1).contains(""""index":{"_index":"doc2"}"""), out(1))
+  }
+
   test("TestModifyTrim: trim left with a char-set cutset") {
     val out = PipelineCompiler.runActionsOnBatch(spark,
       Seq("""{"existing_field":"existing_value"}"""),
