@@ -2437,6 +2437,18 @@ object PipelineCompiler {
 
   /** Go-style duration string → milliseconds ("300ms" → 300, "5s" →
     * 5000, "2m" → 120000, "1h" → 3600000; bare numbers are seconds). */
+  /** The reference's `parse:"regexp"` config form REQUIRES the value
+    * surrounded by slashes (cfg.CompileRegex, config.go:715-725:
+    * `/pattern/`) — join's start/continue are the only such fields.
+    * Accept both spellings: strip the slashes when present (a verbatim
+    * reference config), pass bare patterns through (the graft spelling
+    * — a bare pattern is the reference's config ERROR, so accepting it
+    * is a strict superset). */
+  private[graft] def regexCfg(s: String): String =
+    if (s.length > 1 && s.startsWith("/") && s.endsWith("/"))
+      s.substring(1, s.length - 1)
+    else s
+
   /** Capturing-group name→index map of a Go regex: groups count in
     * opening-paren order (RE2 SubexpNames); `(?P<name>` is a NAMED
     * capturing group, any other `(?…` is non-capturing, a bare `(` is
@@ -3288,7 +3300,8 @@ object PipelineCompiler {
             envelopeJson.as("carry"))
           .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.KEvent])
         val cfg = graft.streaming.Kernels.MultilineCfg(
-          action.get("start").asText(), action.get("continue").asText(),
+          PipelineCompiler.regexCfg(action.get("start").asText()),
+          PipelineCompiler.regexCfg(action.get("continue").asText()),
           Option(action.get("negate")).exists(_.asBoolean()),
           Option(action.get("max_event_size")).map(_.asInt()).getOrElse(1 << 20),
           Option(action.get("event_timeout_ms")).map(_.asLong()).getOrElse(30000L))
@@ -3786,8 +3799,8 @@ object PipelineCompiler {
         // Kernels.multiline with event_timeout flushes.
         val fieldName = Option(action.get("field")).map(_.asText()).getOrElse("log")
         val src = doc.getField(fieldName).cast("string")
-        val startC = src.rlike(action.get("start").asText())
-        val contRaw = src.rlike(action.get("continue").asText())
+        val startC = src.rlike(PipelineCompiler.regexCfg(action.get("start").asText()))
+        val contRaw = src.rlike(PipelineCompiler.regexCfg(action.get("continue").asText()))
         val contC =
           if (Option(action.get("negate")).exists(_.asBoolean())) !contRaw else contRaw
         batchJoinArm(fieldName, src, startC, contC)

@@ -175,6 +175,29 @@ class ModifyVectorSpec extends AnyFunSuite {
     assert(out(1).contains(""""index":{"_index":"doc2"}"""), out(1))
   }
 
+  test("join_test.go: slash-surrounded regex configs (cfg.CompileRegex form)") {
+    // the reference REQUIRES /pattern/ for parse:"regexp" fields
+    // (config.go:715-725) — a verbatim config must not match literal
+    // slashes here. TestSimpleJoin's shape on a tiny corpus.
+    val out = PipelineCompiler.runActionsOnBatch(spark,
+      Seq(
+        """{"log":"2021-10-12 08:25:44 GMT [23379] => [520-1] client=[local],db=exampledb,user=none LOG:  bind: select x"}""",
+        """{"log":"\tfrom pg_catalog.pg_constraint F"}""",
+        """{"log":"\t where F.contype = 'f'"}""",
+        """{"log":"2021-10-12 08:25:44 GMT [23379] => [521-1] client=[local],db=exampledb,user=none DETAIL:  parameters"}"""),
+      """decoder: {type: json, schema: "log string"}
+        |actions:
+        |  - type: join
+        |    field: log
+        |    start: '/^\d\d\d\d-\d\d-\d\d \d\d:\d\d:\d\d.*?\[\d+\] => .+?client=.+?,db=.+?,user=.+:.*/'
+        |    continue: '/.+/'
+        |""".stripMargin)
+    assert(out.size == 2, out.toString)
+    assert(out.head.contains("pg_constraint") && out.head.contains("contype"),
+      out.head)
+    assert(out(1).contains("DETAIL"), out(1))
+  }
+
   test("TestModifyTrim: trim left with a char-set cutset") {
     val out = PipelineCompiler.runActionsOnBatch(spark,
       Seq("""{"existing_field":"existing_value"}"""),
