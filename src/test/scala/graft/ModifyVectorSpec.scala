@@ -198,6 +198,25 @@ class ModifyVectorSpec extends AnyFunSuite {
     assert(out(1).contains("DETAIL"), out(1))
   }
 
+  test("keep_fields_test.go: nested selectors keep subtrees; redundant entries collapse") {
+    def run(events: Seq[String], fields: String, schema: String): Seq[String] =
+      PipelineCompiler.runActionsOnBatch(spark, events,
+        s"""decoder: {type: json, schema: "$schema"}
+           |actions:
+           |  - type: keep_fields
+           |    fields: [$fields]
+           |""".stripMargin)
+    // TestKeepNestedFields
+    val o1 = run(
+      Seq("""{"a":{"b":{"c":1,"d":1}},"d":1}""", """{"a":{"b":{"c":5}},"d":2}"""),
+      "a.b.c, a.b.d, a.d, f",
+      "a struct<b: struct<c: long, d: long>, d: long>, d long, f string")
+    assert(o1 == Seq("""{"a":{"b":{"c":1,"d":1}}}""", """{"a":{"b":{"c":5}}}"""), o1)
+    // TestRemoveNestedFieldsInConfig: "a.b","a.c","a" collapse to "a"
+    val o2 = run(Seq("""{"a":{"d":123}}"""), "a.b, a.c, a", "a struct<d: long>")
+    assert(o2 == Seq("""{"a":{"d":123}}"""), o2)
+  }
+
   test("TestModifyTrim: trim left with a char-set cutset") {
     val out = PipelineCompiler.runActionsOnBatch(spark,
       Seq("""{"existing_field":"existing_value"}"""),
