@@ -2437,6 +2437,11 @@ object PipelineCompiler {
 
   /** Go-style duration string → milliseconds ("300ms" → 300, "5s" →
     * 5000, "2m" → 120000, "1h" → 3600000; bare numbers are seconds). */
+  /** Backtick-quote ONE literal field segment for withField (which
+    * would otherwise split dotted names into nested paths). */
+  private[graft] def quoteSeg(s: String): String =
+    "`" + s.replace("`", "``") + "`"
+
   /** The reference's `parse:"regexp"` config form REQUIRES the value
     * surrounded by slashes (cfg.CompileRegex, config.go:715-725:
     * `/pattern/`) — join's start/continue are the only such fields.
@@ -3252,8 +3257,12 @@ object PipelineCompiler {
             peHas("index") || peHas("create"))
           .drop("_pe_ord", "_stream")
       case "decode" =>
-        // options (decode.go:657-721): prefix namespaces the decoded
-        // struct, keep_origin retains the source string next to it,
+        // decode.go: the decoded fields MERGE INTO THE EVENT ROOT with
+        // a per-key `prefix` (decode_test.go json_prefix: `p_field1`
+        // beside `level`, never a nested struct — r15 rework of the
+        // previous struct-under-prefix+field shape), the source field
+        // is removed on SUCCESS (kept on a failed decode, json_not_obj
+        // vector) unless keep_origin retains it always;
         // log_decode_error_mode=withnode adds an error marker
         val field = action.get("field").asText()
         val prefix = Option(action.get("prefix")).map(_.asText()).getOrElse("")
@@ -3262,23 +3271,28 @@ object PipelineCompiler {
           .map(_.asText()).getOrElse("off")
         val src = doc.getField(field).cast("string")
         val inner = buildDecoder(action.get("params"), src)
-        val target = prefix + field
-        var out = doc.withField(target, inner)
-        if (!keepOrigin && target != field) out = out.dropFields(field)
-        if (errMode == "withnode") {
-          // from_json (PERMISSIVE) yields an all-null struct on bad input
-          // rather than a null struct, so the json decoder needs a
-          // streaming validity probe of the whole document
-          val failed = Option(action.get("params").get("type")).map(_.asText()) match {
-            case Some("json") => src.isNotNull && get_json_object(src, "$").isNull
-            // the 3164 struct is never null (no-silent-loss keeps the
-            // line as message) — a failed parse reads as NULL priority
-            case Some("syslog_rfc3164") =>
-              src.isNotNull && inner.getField("priority").isNull
-            case _            => src.isNotNull && inner.isNull
-          }
-          out = out.withField("decode_error", failed)
+        // from_json (PERMISSIVE) yields an all-null struct on bad input
+        // rather than a null struct, so the json decoder needs a
+        // validity probe of the whole document; the 3164 struct is
+        // never null (no-silent-loss keeps the line as message) — its
+        // failed parse reads as NULL priority
+        val failed = Option(action.get("params").get("type")).map(_.asText()) match {
+          case Some("json") => src.isNotNull && get_json_object(src, "$").isNull
+          case Some("syslog_rfc3164") =>
+            src.isNotNull && inner.getField("priority").isNull
+          case _            => src.isNotNull && inner.isNull
         }
+        // the decoded struct's static shape (analysis-only, no job)
+        val innerFields = df.select(inner.as("_dec")).schema.head.dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+        var out = innerFields.foldLeft(doc) { (d, f) =>
+          d.withField(quoteSeg(prefix + f), when(!failed, inner.getField(f)))
+        }
+        val overwritten = innerFields.exists(f => prefix + f == field)
+        if (!keepOrigin && !overwritten)
+          out = out.withField(quoteSeg(field),
+            when(failed, doc.getField(field))) // kept only on failure
+        if (errMode == "withnode") out = out.withField("decode_error", failed)
         guarded(out)
 
       // ---- sequence-stateful actions (batch compile → SeqOps; the

@@ -1684,7 +1684,7 @@ class CompilerSpec extends AnyFunSuite {
         |output: {type: memory}
         |""".stripMargin
     val rows = PipelineCompiler.compile(spark, yaml).result()
-      .selectExpr("doc.payload", "doc.dec_payload.k", "doc.decode_error",
+      .selectExpr("doc.payload", "doc.dec_k", "doc.decode_error",
         "doc.card", "doc.alt", "doc.masked")
       .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
         r.getString(3), r.getString(4), r.getString(5)))

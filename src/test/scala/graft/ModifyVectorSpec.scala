@@ -217,6 +217,38 @@ class ModifyVectorSpec extends AnyFunSuite {
     assert(o2 == Seq("""{"a":{"d":123}}"""), o2)
   }
 
+  test("decode_test.go: fields merge into the ROOT with per-key prefix") {
+    def run(event: String, extra: String, params: String = ""): String =
+      PipelineCompiler.runActionsOnBatch(spark, Seq(event),
+        s"""decoder: {type: json, schema: "level string, log string"}
+           |actions:
+           |  - type: decode
+           |    field: log
+           |$extra
+           |    params:
+           |$params
+           |""".stripMargin).head
+    // json: decoded fields land BESIDE level, log removed on success
+    val j = run("""{"level":"error","log":"{\"field1\":\"value1\",\"field2\":\"value2\"}"}""",
+      "", "      {type: json, schema: \"field1 string, field2 string\"}")
+    assert(j.contains(""""field1":"value1"""") && j.contains(""""field2":"value2""""), j)
+    assert(j.contains(""""level":"error"""") && !j.contains(""""log":"""), j)
+    // json_prefix: per-KEY prefix at root, never a nested struct
+    val p = run("""{"level":"error","log":"{\"field1\":\"value1\"}"}""",
+      "    prefix: p_", "      {type: json, schema: \"field1 string\"}")
+    assert(p.contains(""""p_field1":"value1"""") && !p.contains("dec_"), p)
+    // json_not_obj: the failed decode KEEPS the source, adds nothing
+    val n = run("""{"level":"error","log":"not obj"}""",
+      "", "      {type: json, schema: \"field1 string\"}")
+    assert(n.contains(""""log":"not obj"""") && !n.contains("field1"), n)
+    // postgres: the decoded `log` key overwrites the source field
+    val pg = run("""{"level":"error","log":"2021-06-22 16:24:27 GMT [7291] => [3-1] client=test_client,db=test_db,user=test_user LOG:  listening"}""",
+      "", "      {type: postgres}")
+    assert(pg.contains(""""time":"2021-06-22 16:24:27 GMT""""), pg)
+    assert(pg.contains(""""pid":"7291"""") && pg.contains(""""user":"test_user""""), pg)
+    assert(pg.contains(""""log":"listening""""), pg)
+  }
+
   test("TestModifyTrim: trim left with a char-set cutset") {
     val out = PipelineCompiler.runActionsOnBatch(spark,
       Seq("""{"existing_field":"existing_value"}"""),
