@@ -2884,7 +2884,17 @@ object PipelineCompiler {
         // targets field "_HOSTNAME", "_HOSTNAME" targets "HOSTNAME"
         def unesc(k: String) = if (k.startsWith("_")) k.substring(1) else k
         val docType = df.schema("doc").dataType
-        val renames = action.get("fields").properties().asScala.toSeq
+        // the reference spells the pairs DIRECTLY on the action node
+        // (rename's Config IS the pair map, `override` riding as a
+        // special key — rename_test.go); the `fields:` wrapper stays
+        // as the graft spelling
+        val renameReserved = Set("type", "fields", "override",
+          "match_fields", "match_mode", "match_invert", "do_if",
+          "metric_name", "metric_labels", "metric_label_values")
+        val renames = Option(action.get("fields"))
+          .map(_.properties().asScala.toSeq)
+          .getOrElse(action.properties().asScala.toSeq
+            .filterNot(e => renameReserved.contains(e.getKey)))
           .map(e => FieldPath.parse(unesc(e.getKey)) -> e.getValue.asText())
         // reference default is override=FALSE (rename.go Start:
         // preserveFields when the key is absent or "false")
@@ -2897,8 +2907,29 @@ object PipelineCompiler {
         // (rename.go Do digs per event — a pair may consume a target an
         // earlier pair created, or skip a source an earlier pair
         // dropped); staticHas answers for nested paths only
+        // Spark structs cannot be empty: a nested drop that would
+        // empty its container walks UP to drop the container whole
+        // (rename_test.go keeps "field_4":{} — unrepresentable here;
+        // documented divergence). Arity answered on the pre-action
+        // schema (rename only creates top-level fields).
+        def arity(parts: Seq[String]): Int = {
+          def walk(dt: org.apache.spark.sql.types.DataType,
+                   p: List[String]): Int = (dt, p) match {
+            case (s: StructType, Nil) => s.fields.length
+            case (s: StructType, h :: t) =>
+              s.fields.find(_.name == h).map(f => walk(f.dataType, t)).getOrElse(0)
+            case _ => 0
+          }
+          walk(docType, parts.toList)
+        }
+        def dropPathFor(p: FieldPath): FieldPath = {
+          var parts = p.parts
+          while (parts.size > 1 && arity(parts.init) == 1) parts = parts.init
+          FieldPath(parts)
+        }
         guarded(Actions.rename(doc, renames, over, tops,
-          staticHas = p => PipelineCompiler.hasPath(docType, p.parts.toList)))
+          staticHas = p => PipelineCompiler.hasPath(docType, p.parts.toList),
+          dropPath = dropPathFor))
       case "remove_fields" => guarded(Actions.removeFields(doc, paths("fields")))
       case "keep_fields"   =>
         // Dig-miss keeps are skipped (the reference simply never finds

@@ -124,7 +124,8 @@ object Actions {
   def rename(doc: Column, renames: Seq[(FieldPath, String)],
              override_ : Boolean = true,
              topNames: Option[Set[String]] = None,
-             staticHas: FieldPath => Boolean = _ => true): Column =
+             staticHas: FieldPath => Boolean = _ => true,
+             dropPath: FieldPath => FieldPath = identity): Column =
     renames.foldLeft((doc, topNames)) { case ((d, names), (from, to)) =>
       val sourceOk =
         if (from.parts.size == 1) names.forall(_.contains(from.parts.head))
@@ -133,13 +134,21 @@ object Actions {
       else {
         val v = getPath(d, from)
         val fromTop = if (from.parts.size == 1) Seq(from.parts.head) else Nil
-        def moved = (d.withField(to, v).dropFields(nested(from)),
+        // the TARGET is ONE literal key — rename.go Digs/AddFields a
+        // single segment, the escaped-target vector pins
+        // `renamed_field.escaped` as one field (r15). dropPath walks a
+        // nested source UP past containers the drop would empty: Spark
+        // structs cannot be empty, so where the reference keeps
+        // `"field_4":{}` the emptied container is dropped whole
+        // (documented divergence)
+        def moved = (d.withField(quoteSeg(to), v)
+            .dropFields(nested(dropPath(from))),
           names.map(s => s -- fromTop + to))
         if (override_) moved
         else if (names.exists(!_.contains(to))) moved // target not in schema
         else {
           val tgt = d.getField(to)
-          (d.withField(to, coalesce(tgt, v))
+          (d.withField(quoteSeg(to), coalesce(tgt, v))
             .withField(nested(from),
               when(tgt.isNotNull, v)), // keep the source when SKIPPED
             names.map(_ + to))

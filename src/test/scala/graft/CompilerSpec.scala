@@ -195,8 +195,11 @@ class CompilerSpec extends AnyFunSuite {
         |      type: cri
         |""".stripMargin
     val out = PipelineCompiler.compile(spark, yaml).result()
-    val r = out.selectExpr("doc.line.stream", "doc.line.log").collect().head
+    // r15 root-merge: decoded fields land at the doc root and the
+    // source is removed on success (decode_test.go)
+    val r = out.selectExpr("doc.stream", "doc.log", "doc.time").collect().head
     assert(r.getString(0) == "stderr" && r.getString(1) == "oh no")
+    assert(r.getString(2) == "2016-10-06T00:17:09.66Z")
   }
 
   test("stateful actions compile from YAML: throttle, cardinality, antispam") {

@@ -249,6 +249,36 @@ class ModifyVectorSpec extends AnyFunSuite {
     assert(pg.contains(""""log":"listening""""), pg)
   }
 
+  test("rename_test.go: escaped selectors, dotted literal targets, emptied containers") {
+    def run(event: String, schema: String, pairs: String): String =
+      PipelineCompiler.runActionsOnBatch(spark, Seq(event),
+        s"""decoder: {type: json, schema: "$schema"}
+           |actions:
+           |  - type: rename
+           |$pairs
+           |""".stripMargin).head
+    // nested source moves to a top-level target; the emptied container
+    // stays as {} (TestRename outEvents[3])
+    val nested = run("""{"field_4":{"field_5":"value_5"}}""",
+      "field_4 struct<field_5: string>",
+      """    field_4.field_5: renamed_field_5""")
+    assert(nested.contains(""""renamed_field_5":"value_5""""), nested)
+    // the reference keeps "field_4":{} — a Spark struct cannot be
+    // empty, so the emptied container drops whole (pinned divergence)
+    assert(!nested.contains("field_4"), nested)
+    // escaped-dot SOURCE selector + dotted TARGET as ONE literal key
+    val esc = run("""{"k8s_node_label_topology.kubernetes.io/zone":"value_6"}""",
+      "`k8s_node_label_topology.kubernetes.io/zone` string",
+      """    k8s_node_label_topology\.kubernetes\.io/zone: renamed_field.escaped""")
+    assert(esc.contains(""""renamed_field.escaped":"value_6""""), esc)
+    assert(!esc.contains("kubernetes"), esc)
+    // TestRenamingSequence: pairs chain — key1 walks to key8
+    val chain = run("""{"key1":"value_1"}""", "key1 string",
+      (1 to 7).map(i => s"    key$i: key${i + 1}").mkString("\n"))
+    assert(chain.contains(""""key8":"value_1""""), chain)
+    assert(!chain.contains("key1") || chain.indexOf("key1") < 0, chain)
+  }
+
   test("TestModifyTrim: trim left with a char-set cutset") {
     val out = PipelineCompiler.runActionsOnBatch(spark,
       Seq("""{"existing_field":"existing_value"}"""),
