@@ -3260,7 +3260,8 @@ object PipelineCompiler {
               "requires a static type; the playground infers one for " +
               "dynamic batches via the decode action)"))
         guarded(Actions.jsonDecode(doc, jField,
-          org.apache.spark.sql.types.StructType.fromDDL(jSchema)))
+          org.apache.spark.sql.types.StructType.fromDDL(jSchema),
+          prefix = Option(action.get("prefix")).map(_.asText()).getOrElse("")))
       case "split" =>
         Actions.split("doc", action.get("field").asText())(df)
       case "parse_es" =>

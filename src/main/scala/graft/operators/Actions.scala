@@ -379,8 +379,21 @@ object Actions {
   /** json_decode (plugin/action/json_decode): parse a JSON-string field
     * into a typed struct (schema from the compiler). */
   def jsonDecode(doc: Column, field: String,
-                 schema: org.apache.spark.sql.types.StructType): Column =
-    doc.withField(field, from_json(doc.getField(field), schema))
+                 schema: org.apache.spark.sql.types.StructType,
+                 prefix: String = ""): Column = {
+    // json_decode.go:84-120 (r15 root-merge rework): the decoded
+    // OBJECT's fields merge into the event ROOT with a per-key literal
+    // `prefix`, the source field is removed on success (Suicide); a
+    // parse failure or a non-object payload passes the event untouched
+    val src = doc.getField(field).cast("string")
+    val valid = src.isNotNull && get_json_object(src, "$").isNotNull &&
+      trim(src).startsWith("{")
+    val parsed = from_json(src, schema)
+    val merged = schema.fieldNames.foldLeft(doc) { (d, f) =>
+      d.withField(quoteSeg(prefix + f), when(valid, parsed.getField(f)))
+    }
+    merged.withField(quoteSeg(field), when(!valid, doc.getField(field)))
+  }
 
   /** json_extract (plugin/action/json_extract/json_extract.go:126-181):
     * pull listed paths out of a JSON-string field without full parse.

@@ -3786,7 +3786,10 @@ class CompilerSpec extends AnyFunSuite {
         |    field: payload
         |    schema: "k BIGINT"
         |""".stripMargin)
-    assert(dec.head.contains(""""payload":{"k":7}"""), dec.head)
+    // r15 root-merge (json_decode.go MergeToRoot): k lands at root,
+    // the source is removed on success
+    assert(dec.head.contains(""""k":7""") && !dec.head.contains("payload"),
+      dec.head)
   }
 
   test("mask `masks` list + json_extract extract_field + remove_on_fail reference spellings") {

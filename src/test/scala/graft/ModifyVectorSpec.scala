@@ -279,6 +279,42 @@ class ModifyVectorSpec extends AnyFunSuite {
     assert(!chain.contains("key1") || chain.indexOf("key1") < 0, chain)
   }
 
+  test("json_decode_test.go / json_encode_test.go: root-merge with prefix; encode in place") {
+    // json_decode: decoded fields at ROOT with the literal per-key
+    // prefix, source removed on success
+    val d = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"log":"{\"field2\":\"value2\",\"field3\":\"value3\"}"}"""),
+      """decoder: {type: json, schema: "log string"}
+        |actions:
+        |  - type: json_decode
+        |    field: log
+        |    prefix: "prefix."
+        |    schema: "field2 string, field3 string"
+        |""".stripMargin).head
+    assert(d.contains(""""prefix.field2":"value2""""), d)
+    assert(d.contains(""""prefix.field3":"value3""""), d)
+    assert(!d.contains(""""log":"""), d)
+    // a non-JSON payload passes untouched
+    val miss = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"log":"not json"}"""),
+      """decoder: {type: json, schema: "log string"}
+        |actions:
+        |  - type: json_decode
+        |    field: log
+        |    schema: "field2 string"
+        |""".stripMargin).head
+    assert(miss.contains(""""log":"not json"""") && !miss.contains("field2"), miss)
+    // json_encode: the field serializes in place
+    val e = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"server":{"os":"linux","arch":"amd64"}}"""),
+      """decoder: {type: json, schema: "server struct<os: string, arch: string>"}
+        |actions:
+        |  - type: json_encode
+        |    field: server
+        |""".stripMargin).head
+    assert(e.contains(""""server":"{\"os\":\"linux\",\"arch\":\"amd64\"}""""), e)
+  }
+
   test("TestModifyTrim: trim left with a char-set cutset") {
     val out = PipelineCompiler.runActionsOnBatch(spark,
       Seq("""{"existing_field":"existing_value"}"""),
