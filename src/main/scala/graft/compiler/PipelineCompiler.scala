@@ -2485,6 +2485,34 @@ object PipelineCompiler {
     out.result()
   }
 
+  /** Strip `(?P<name>` group names to plain `(` capturing groups with
+    * the SAME escaped-paren/char-class awareness as [[namedGroups]] —
+    * a blanket replaceAll would also rewrite an ESCAPED `\(?P<…`
+    * (optional literal paren), corrupting the pattern. */
+  private[graft] def stripGoGroupNames(pattern: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var inClass = false
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      c match {
+        case '\\' =>
+          out.append(c)
+          if (i + 1 < pattern.length) { out.append(pattern.charAt(i + 1)); i += 1 }
+        case '[' if !inClass => inClass = true; out.append(c)
+        case ']' if inClass  => inClass = false; out.append(c)
+        case '(' if !inClass && pattern.startsWith("(?P<", i) =>
+          val end = pattern.indexOf('>', i + 4)
+          require(end > 0, s"parse_re2: unterminated group name in $pattern")
+          out.append('(')
+          i = end
+        case _ => out.append(c)
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   /** Go reference-time layout → Java DateTimeFormatter pattern —
     * delegates to the shared [[graft.functions.XTime.goLayoutToJava]]
     * table (r15: one translation for the elasticsearch index
@@ -2647,7 +2675,8 @@ object PipelineCompiler {
       // previously plumbed for `equal` only and silently ignored on
       // contains/prefix/suffix (caught by the do_if_test.go port)
       case "contains"     => DoIf.Contains(fp, strs("values"), caseSensitive)
-      case "contains_any" => DoIf.ContainsAny(fp, strs("values"))
+      case "contains_any" =>
+        DoIf.ContainsAny(fp, strs("values"), caseSensitive)
       case "prefix"       => DoIf.Prefix(fp, strs("values"), caseSensitive)
       case "suffix"       => DoIf.Suffix(fp, strs("values"), caseSensitive)
       case "regex"        => DoIf.Regex(fp, strs("values"))
@@ -2922,9 +2951,21 @@ object PipelineCompiler {
           }
           walk(docType, parts.toList)
         }
+        // remaining-member counts are tracked ACROSS pairs: two pairs
+        // that together empty a container must walk up on the SECOND
+        // drop (a single pre-action arity answer compiled to
+        // CANNOT_DROP_ALL_FIELDS)
+        val remaining = scala.collection.mutable.Map.empty[Seq[String], Int]
         def dropPathFor(p: FieldPath): FieldPath = {
           var parts = p.parts
-          while (parts.size > 1 && arity(parts.init) == 1) parts = parts.init
+          var walk = true
+          while (walk && parts.size > 1) {
+            val parent = parts.init
+            val left =
+              remaining.getOrElseUpdate(parent, arity(parent)) - 1
+            remaining(parent) = left
+            if (left == 0) parts = parent else walk = false
+          }
           FieldPath(parts)
         }
         guarded(Actions.rename(doc, renames, over, tops,
@@ -3000,7 +3041,7 @@ object PipelineCompiler {
         // Java rejects underscores in group names, and regexp_extract
         // addresses groups by index anyway
         guarded(Actions.parseRe2(doc, FieldPath.parse(action.get("field").asText()),
-          re2raw.replaceAll("\\(\\?P<[^>]*>", "("), groups,
+          PipelineCompiler.stripGoGroupNames(re2raw), groups,
           Option(action.get("prefix")).map(_.asText()).getOrElse("")))
       case "mask" =>
         // process_fields: apply the mask to each listed field (mask.go
@@ -3235,18 +3276,22 @@ object PipelineCompiler {
           // to \u/\U-DECODED runes (convert_utf8_bytes.go:236-238),
           // never to characters already present — the r15 vector port
           // replaced the old post-decode regexp_replace(\p{C}), which
-          // also ate pre-existing control chars. A non-string field is
-          // SKIPPED like the reference's !node.IsString() continue
-          // (the field_not_string vector) — statically decidable here.
-          val isStr = df.schema("doc").dataType match {
-            case s: org.apache.spark.sql.types.StructType =>
-              s.fields.find(_.name == f)
-                .exists(_.dataType == org.apache.spark.sql.types.StringType)
-            case _ => false
+          // also ate pre-existing control chars. Fields are DOTTED
+          // selectors (cfg.FieldSelector — the reference's own docs use
+          // `obj.field`); a non-string leaf is SKIPPED like the
+          // reference's !node.IsString() continue, statically decided.
+          val fp = FieldPath.parse(f)
+          val isStr =
+            leafType(df, fp).contains(org.apache.spark.sql.types.StringType)
+          def upd(c: Column, parts: List[String]): Column = parts match {
+            case last :: Nil => c.withField(PipelineCompiler.quoteSeg(last),
+              graft.functions.Utf8Unescape(c.getField(last),
+                replaceNonGraphic = nonGraphic))
+            case h :: t =>
+              c.withField(PipelineCompiler.quoteSeg(h), upd(c.getField(h), t))
+            case Nil => c
           }
-          if (!isStr) d
-          else d.withField(f, graft.functions.Utf8Unescape(
-            d.getField(f), replaceNonGraphic = nonGraphic))
+          if (!isStr) d else upd(d, fp.parts.toList)
         }
         guarded(converted)
       case "json_decode" =>
@@ -3309,7 +3354,11 @@ object PipelineCompiler {
         // never null (no-silent-loss keeps the line as message) — its
         // failed parse reads as NULL priority
         val failed = Option(action.get("params").get("type")).map(_.asText()) match {
-          case Some("json") => src.isNotNull && get_json_object(src, "$").isNull
+          // decode.go returns the event untouched for any valid
+          // NON-OBJECT JSON too (node.IsObject gate) — "42"/"[1,2]"
+          // must not destroy the source
+          case Some("json") => src.isNotNull &&
+            (get_json_object(src, "$").isNull || !trim(src).startsWith("{"))
           case Some("syslog_rfc3164") =>
             src.isNotNull && inner.getField("priority").isNull
           case _            => src.isNotNull && inner.isNull

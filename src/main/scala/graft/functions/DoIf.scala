@@ -47,7 +47,8 @@ object DoIf {
                             caseSensitive: Boolean = true) extends Node
   /** True if the field contains ANY single character drawn from `values`
     * (field_op.go:351-356). */
-  final case class ContainsAny(field: FieldPath, values: Seq[String]) extends Node
+  final case class ContainsAny(field: FieldPath, values: Seq[String],
+                               caseSensitive: Boolean = true) extends Node
   final case class Prefix(field: FieldPath, values: Seq[String],
                           caseSensitive: Boolean = true) extends Node
   final case class Suffix(field: FieldPath, values: Seq[String],
@@ -95,9 +96,12 @@ object DoIf {
         val c = if (cs) resolve(f) else lower(resolve(f))
         values.map(v => c.contains(lit(if (cs) v else v.toLowerCase)))
           .reduce(_ || _)
-      case ContainsAny(f, values) =>
-        val chars = values.flatten.distinct.mkString
-        resolve(f).rlike("[" + java.util.regex.Pattern.quote(chars) + "]")
+      case ContainsAny(f, values, cs) =>
+        // field_op.go:351-353 lowercases data for contains_any too
+        val chars0 = values.flatten.distinct.mkString
+        val chars = if (cs) chars0 else chars0.toLowerCase
+        val c = if (cs) resolve(f) else lower(resolve(f))
+        c.rlike("[" + java.util.regex.Pattern.quote(chars) + "]")
       case Prefix(f, values, cs) =>
         val c = if (cs) resolve(f) else lower(resolve(f))
         values.map(v => c.startsWith(if (cs) v else v.toLowerCase)).reduce(_ || _)

@@ -91,12 +91,21 @@ object Utf8Unescape {
     out.write(bs, 0, bs.length)
   }
 
+  /** ASCII hex value, -1 for anything else — Character.digit also
+    * accepts non-ASCII Unicode digits (fullwidth ０-９) that Go's
+    * strconv/hex reject. */
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
   private def parseHex(s: String): Long = {
-    // strconv.ParseUint(_, 16, 64): every char must be a hex digit
+    // strconv.ParseUint(_, 16, 64): every char must be an ASCII hex digit
     var v = 0L
     var i = 0
     while (i < s.length) {
-      val d = Character.digit(s.charAt(i), 16)
+      val d = hexVal(s.charAt(i))
       if (d < 0) return -1L
       v = v * 16 + d
       i += 1
@@ -170,13 +179,13 @@ object Utf8Unescape {
               pos += 4
             }
             val hexStr = sb.result()
-            val ok = hexStr.forall(Character.digit(_, 16) >= 0)
+            val ok = hexStr.forall(hexVal(_) >= 0)
             if (!ok) writeStr(buf, "\\x" + rest.substring(0, pos))
             else {
               var i = 0
               while (i < hexStr.length) {
-                buf.write(Character.digit(hexStr.charAt(i), 16) * 16 +
-                  Character.digit(hexStr.charAt(i + 1), 16))
+                buf.write(hexVal(hexStr.charAt(i)) * 16 +
+                  hexVal(hexStr.charAt(i + 1)))
                 i += 2
               }
             }

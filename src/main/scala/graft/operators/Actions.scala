@@ -392,7 +392,11 @@ object Actions {
     val merged = schema.fieldNames.foldLeft(doc) { (d, f) =>
       d.withField(quoteSeg(prefix + f), when(valid, parsed.getField(f)))
     }
-    merged.withField(quoteSeg(field), when(!valid, doc.getField(field)))
+    // a decoded key named like the source already overwrote it — the
+    // reference Suicides the source BEFORE MergeToRoot, so that decoded
+    // value survives; clobbering it back to NULL would lose it
+    if (schema.fieldNames.exists(f => prefix + f == field)) merged
+    else merged.withField(quoteSeg(field), when(!valid, doc.getField(field)))
   }
 
   /** json_extract (plugin/action/json_extract/json_extract.go:126-181):
@@ -461,7 +465,12 @@ object Actions {
       d.withField(quoteSeg(prefix + name),
         when(matched, regexp_extract(src, pattern, idx)))
     }
-    d1.withField(nested(field), when(!matched, getPath(doc, field)))
+    // a group named like the source field already overwrote it (the
+    // reference Suicides the source before writing groups, so the
+    // group value survives) — don't clobber it back to NULL
+    if (field.parts.size == 1 &&
+        groups.exists { case (n, _) => prefix + n == field.parts.head }) d1
+    else d1.withField(nested(field), when(!matched, getPath(doc, field)))
   }
 
   /** mask (plugin/action/mask/mask.go:142-184): replace matched spans with

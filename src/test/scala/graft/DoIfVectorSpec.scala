@@ -150,6 +150,17 @@ class DoIfVectorSpec extends AnyFunSuite {
         ("""{"pod":"test-4"}""", true)))
   }
 
+  test("contains_any honors case_insensitive (field_op.go lowercases data)") {
+    run("pod string",
+      """      op: contains_any
+        |      field: pod
+        |      case_insensitive: true
+        |      values: ["abc"]""".stripMargin,
+      Seq(
+        ("""{"pod":"XAY"}""", true),   // 'A' folds to 'a'
+        ("""{"pod":"xyz"}""", false)))
+  }
+
   test("TestCheck: case-insensitive variants") {
     run("pod string",
       """      op: equal

@@ -315,6 +315,64 @@ class ModifyVectorSpec extends AnyFunSuite {
     assert(e.contains(""""server":"{\"os\":\"linux\",\"arch\":\"amd64\"}""""), e)
   }
 
+  test("review regressions: self-named outputs survive, non-object json keeps source") {
+    // parse_re2: a group named like the source field keeps its captured
+    // value (the reference Suicides the source BEFORE writing groups)
+    val re = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"message":"warn everything is fine"}"""),
+      """decoder: {type: json, schema: "message string"}
+        |actions:
+        |  - type: parse_re2
+        |    field: message
+        |    re2: '(?P<level>\w+) (?P<message>.*)'
+        |""".stripMargin).head
+    assert(re.contains(""""level":"warn""""), re)
+    assert(re.contains(""""message":"everything is fine""""), re)
+    // json_decode: a decoded key named like the source survives
+    val jd = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"log":"{\"log\":\"inner\",\"a\":\"1\"}"}"""),
+      """decoder: {type: json, schema: "log string"}
+        |actions:
+        |  - type: json_decode
+        |    field: log
+        |    schema: "log string, a string"
+        |""".stripMargin).head
+    assert(jd.contains(""""log":"inner"""") && jd.contains(""""a":"1""""), jd)
+    // decode: a VALID non-object JSON payload passes untouched
+    // (decode.go's IsObject gate — "42" must not destroy the source)
+    val no = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"level":"error","log":"42"}"""),
+      """decoder: {type: json, schema: "level string, log string"}
+        |actions:
+        |  - type: decode
+        |    field: log
+        |    params: {type: json, schema: "field1 string"}
+        |""".stripMargin).head
+    assert(no.contains(""""log":"42"""") && !no.contains("field1"), no)
+    // rename: two pairs that together empty a nested struct compile
+    // (the remaining-arity walk is tracked ACROSS pairs)
+    val rn = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"a":{"x":"1","y":"2"}}"""),
+      """decoder: {type: json, schema: "a struct<x: string, y: string>"}
+        |actions:
+        |  - type: rename
+        |    a.x: p
+        |    a.y: q
+        |""".stripMargin).head
+    assert(rn.contains(""""p":"1"""") && rn.contains(""""q":"2""""), rn)
+    assert(!rn.contains(""""a":"""), rn) // emptied container drops whole
+    // convert_utf8_bytes: NESTED selectors (the reference's own
+    // introduction example is obj.field)
+    val u = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"obj":{"field":"\\x68i"}}"""),
+      """decoder: {type: json, schema: "obj struct<field: string>"}
+        |actions:
+        |  - type: convert_utf8_bytes
+        |    fields: [obj.field]
+        |""".stripMargin).head
+    assert(u.contains(""""field":"hi""""), u)
+  }
+
   test("TestModifyTrim: trim left with a char-set cutset") {
     val out = PipelineCompiler.runActionsOnBatch(spark,
       Seq("""{"existing_field":"existing_value"}"""),
