@@ -2342,6 +2342,17 @@ object PipelineCompiler {
     if (n.isArray) matchruleExceptions(n, df)
     else DoIf.compile(parseDoIf(n), antispamResolver(df))
 
+  /** Root field names of the tracked doc struct — the "does this field
+    * already exist" set the failure-restore paths of json_decode /
+    * decode / parse_re2 consult (a failed decode / non-matching regex
+    * must pass the event UNTOUCHED, so pre-existing fields keep their
+    * values instead of reading the decoded NULL). */
+  private def docRootFields(df: DataFrame): Set[String] =
+    df.schema("doc").dataType match {
+      case s: org.apache.spark.sql.types.StructType => s.fieldNames.toSet
+      case _ => Set.empty
+    }
+
   /** The leaf Spark type a field path resolves to (None when the walk
     * leaves the schema — the analysis error surfaces as before). */
   private def leafType(df: DataFrame,
@@ -3042,7 +3053,8 @@ object PipelineCompiler {
         // addresses groups by index anyway
         guarded(Actions.parseRe2(doc, FieldPath.parse(action.get("field").asText()),
           PipelineCompiler.stripGoGroupNames(re2raw), groups,
-          Option(action.get("prefix")).map(_.asText()).getOrElse("")))
+          Option(action.get("prefix")).map(_.asText()).getOrElse(""),
+          existing = docRootFields(df)))
       case "mask" =>
         // process_fields: apply the mask to each listed field (mask.go
         // whitelist); single `field` is the degenerate one-element list
@@ -3306,7 +3318,8 @@ object PipelineCompiler {
               "dynamic batches via the decode action)"))
         guarded(Actions.jsonDecode(doc, jField,
           org.apache.spark.sql.types.StructType.fromDDL(jSchema),
-          prefix = Option(action.get("prefix")).map(_.asText()).getOrElse("")))
+          prefix = Option(action.get("prefix")).map(_.asText()).getOrElse(""),
+          existing = docRootFields(df)))
       case "split" =>
         Actions.split("doc", action.get("field").asText())(df)
       case "parse_es" =>
@@ -3366,8 +3379,19 @@ object PipelineCompiler {
         // the decoded struct's static shape (analysis-only, no job)
         val innerFields = df.select(inner.as("_dec")).schema.head.dataType
           .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+        // a failed decode passes the event UNTOUCHED (decode.go Do
+        // returns ActionPass): the source keeps its value even when a
+        // decoded key collides with it, and pre-existing root fields
+        // named prefix+key keep theirs instead of reading NULL
+        val existingRoot = docRootFields(df)
         var out = innerFields.foldLeft(doc) { (d, f) =>
-          d.withField(quoteSeg(prefix + f), when(!failed, inner.getField(f)))
+          val tgt = prefix + f
+          val ok = when(!failed, inner.getField(f))
+          val v =
+            if (tgt == field) ok.otherwise(doc.getField(field))
+            else if (existingRoot.contains(tgt)) ok.otherwise(doc.getField(tgt))
+            else ok
+          d.withField(quoteSeg(tgt), v)
         }
         val overwritten = innerFields.exists(f => prefix + f == field)
         if (!keepOrigin && !overwritten)

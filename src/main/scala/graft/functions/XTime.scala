@@ -47,11 +47,26 @@ object XTime {
     * Layouts without Go tokens translate to themselves. */
   private[graft] def goLayoutToJava(layout: String): String =
     Seq(
+      // zero-padded fractions (exact digit count)
       ".000000000" -> ".SSSSSSSSS", ".000000" -> ".SSSSSS", ".000" -> ".SSS",
-      "2006" -> "yyyy", "Z07:00" -> "XXX", "-07:00" -> "xxx",
-      "-0700" -> "xx", "MST" -> "zzz", "Jan" -> "MMM", "Mon" -> "EEE",
-      "15" -> "HH", "01" -> "MM", "02" -> "dd", "04" -> "mm",
-      "05" -> "ss", "06" -> "yy", "_2" -> "d", "PM" -> "a"
+      // Go trimmed fractions (.9…) drop trailing zeros; Spark's S
+      // pattern parses [1, count] digits, so the longest S run covers
+      // every trimmed width (an entirely absent fraction still fails —
+      // Java has no optional-dot parse; documented divergence)
+      ".999999999" -> ".SSSSSSSSS", ".999999" -> ".SSSSSS",
+      ".999" -> ".SSS", ".99" -> ".SS", ".9" -> ".S",
+      // full names BEFORE their 3-letter prefixes
+      "January" -> "MMMM", "Monday" -> "EEEE",
+      "2006" -> "yyyy", "Z07:00" -> "XXX", "Z0700" -> "XX",
+      "-07:00" -> "xxx", "-0700" -> "xx", "-07" -> "x",
+      "MST" -> "zzz", "Jan" -> "MMM", "Mon" -> "EEE",
+      "15" -> "HH", "01" -> "MM", "02" -> "dd", "03" -> "hh",
+      "04" -> "mm", "05" -> "ss", "06" -> "yy", "_2" -> "d",
+      "PM" -> "a", "pm" -> "a",
+      // unpadded single-digit tokens LAST (every longer digit token —
+      // 15, 2006, 01…06, fractions — is already consumed above, so a
+      // remaining bare digit is Go's unpadded month/day/12-hour)
+      "1" -> "M", "2" -> "d", "3" -> "h"
     ).foldLeft(layout) { case (s, (go, java)) => s.replace(go, java) }
 
   /** Spark ≥3 PARSE patterns reject week-day tokens (E is

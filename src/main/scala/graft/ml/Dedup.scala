@@ -451,9 +451,11 @@ object Dedup {
     // hash(t) per token — cost ~2 ms/row at bits=60 (q141's
     // clean-slate 17 s at sf0.1, hidden until the r15 bench hygiene
     // stopped sweep-leaked caches masking it). Bit-identical output,
-    // so every simhash oracle replaying per-bit SUMs is unchanged.
-    graft.functions.SimHashBits(
-      transform(array_distinct(tokens(text)), t => hash(t)), bits)
+    // so every simhash oracle replaying per-bit SUMs is unchanged —
+    // including NULL text: the old per-bit fold summed its null-guarded
+    // whens to 0, so coalesce the expression's NULL back to 0L.
+    coalesce(graft.functions.SimHashBits(
+      transform(array_distinct(tokens(text)), t => hash(t)), bits), lit(0L))
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -380,17 +380,29 @@ object Actions {
     * into a typed struct (schema from the compiler). */
   def jsonDecode(doc: Column, field: String,
                  schema: org.apache.spark.sql.types.StructType,
-                 prefix: String = ""): Column = {
+                 prefix: String = "",
+                 existing: Set[String] = Set.empty): Column = {
     // json_decode.go:84-120 (r15 root-merge rework): the decoded
     // OBJECT's fields merge into the event ROOT with a per-key literal
     // `prefix`, the source field is removed on success (Suicide); a
-    // parse failure or a non-object payload passes the event untouched
+    // parse failure or a non-object payload passes the event UNTOUCHED
+    // (json_decode.go Do returns ActionPass on a failed parse) — so a
+    // failed row must keep the source AND any pre-existing root field
+    // that happens to share a decoded key's name (`existing` carries
+    // the tracked doc's root field names from the compiler)
     val src = doc.getField(field).cast("string")
     val valid = src.isNotNull && get_json_object(src, "$").isNotNull &&
       trim(src).startsWith("{")
     val parsed = from_json(src, schema)
     val merged = schema.fieldNames.foldLeft(doc) { (d, f) =>
-      d.withField(quoteSeg(prefix + f), when(valid, parsed.getField(f)))
+      val tgt = prefix + f
+      val onFail: Option[Column] =
+        if (tgt == field) Some(doc.getField(field))
+        else if (existing.contains(tgt)) Some(doc.getField(tgt))
+        else None // field didn't exist before: NULL reads as absent
+      val v = onFail.fold(when(valid, parsed.getField(f)))(
+        when(valid, parsed.getField(f)).otherwise(_))
+      d.withField(quoteSeg(tgt), v)
     }
     // a decoded key named like the source already overwrote it — the
     // reference Suicides the source BEFORE MergeToRoot, so that decoded
@@ -458,12 +470,19 @@ object Actions {
     * convention); prefixed keys are ONE literal field each
     * (`prefix.date`), never nested paths. */
   def parseRe2(doc: Column, field: FieldPath, pattern: String,
-               groups: Seq[(String, Int)], prefix: String = ""): Column = {
+               groups: Seq[(String, Int)], prefix: String = "",
+               existing: Set[String] = Set.empty): Column = {
     val src = getPath(doc, field).cast("string")
     val matched = src.isNotNull && src.rlike(pattern)
     val d1 = groups.foldLeft(doc) { case (d, (name, idx)) =>
-      d.withField(quoteSeg(prefix + name),
-        when(matched, regexp_extract(src, pattern, idx)))
+      // a NON-matching event passes untouched (parse_re2.go Do returns
+      // ActionPass before any group write) — a pre-existing root field
+      // named prefix+group must keep its value on no-match rather than
+      // read the group's NULL (`existing` = tracked root field names)
+      val tgt = prefix + name
+      val ext = when(matched, regexp_extract(src, pattern, idx))
+      d.withField(quoteSeg(tgt),
+        if (existing.contains(tgt)) ext.otherwise(doc.getField(tgt)) else ext)
     }
     // a group named like the source field already overwrote it (the
     // reference Suicides the source before writing groups, so the

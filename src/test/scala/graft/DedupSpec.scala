@@ -138,6 +138,17 @@ class DedupSpec extends AnyFunSuite {
     assert(out2.count() == 800)
   }
 
+  test("simhash NULL text reads 0, matching the pre-SimHashBits per-bit-sum contract") {
+    import spark.implicits._
+    val r = Seq((1L, Option.empty[String]), (2L, Some("alpha beta")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.simhash(col("text"), 60).as("sim"))
+      .orderBy("doc_id").collect()
+    assert(!r(0).isNullAt(1) && r(0).getLong(1) == 0L,
+      "NULL text must keep the old 0 signature, not NULL")
+    assert(r(1).getLong(1) != 0L)
+  }
+
   test("simhashNearDup is complete vs brute force for hamming <= blocks-1") {
     import spark.implicits._
     val docs = Seq(

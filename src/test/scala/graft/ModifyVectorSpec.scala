@@ -373,6 +373,96 @@ class ModifyVectorSpec extends AnyFunSuite {
     assert(u.contains(""""field":"hi""""), u)
   }
 
+  test("r16: failed decodes pass the event UNTOUCHED (collision + pre-existing fields)") {
+    // json_decode.go Do returns ActionPass on a failed parse — nothing
+    // is written, so a decoded-key/source collision keeps the source…
+    val jd1 = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"log":"not json"}"""),
+      """decoder: {type: json, schema: "log string"}
+        |actions:
+        |  - type: json_decode
+        |    field: log
+        |    schema: "log string, a string"
+        |""".stripMargin).head
+    assert(jd1.contains(""""log":"not json"""") && !jd1.contains(""""a":"""), jd1)
+    // …and a pre-existing root field named like a decoded key keeps its
+    // value on the failed row (it used to read the decoded NULL)
+    val jd2 = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"log":"not json","a":"keep"}"""),
+      """decoder: {type: json, schema: "log string, a string"}
+        |actions:
+        |  - type: json_decode
+        |    field: log
+        |    schema: "a string"
+        |""".stripMargin).head
+    assert(jd2.contains(""""a":"keep"""") && jd2.contains(""""log":"not json""""), jd2)
+    // a SUCCESSFUL decode still overwrites the pre-existing field
+    val jd3 = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"log":"{\"a\":\"new\"}","a":"old"}"""),
+      """decoder: {type: json, schema: "log string, a string"}
+        |actions:
+        |  - type: json_decode
+        |    field: log
+        |    schema: "a string"
+        |""".stripMargin).head
+    assert(jd3.contains(""""a":"new"""") && !jd3.contains(""""log":"""), jd3)
+    // the decode action: same contract (decode.go Do → ActionPass)
+    val dc1 = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"log":"not json"}"""),
+      """decoder: {type: json, schema: "log string"}
+        |actions:
+        |  - type: decode
+        |    field: log
+        |    params: {type: json, schema: "log string"}
+        |""".stripMargin).head
+    assert(dc1.contains(""""log":"not json""""), dc1)
+    val dc2 = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"level":"error","log":"not json"}"""),
+      """decoder: {type: json, schema: "level string, log string"}
+        |actions:
+        |  - type: decode
+        |    field: log
+        |    params: {type: json, schema: "level string"}
+        |""".stripMargin).head
+    assert(dc2.contains(""""level":"error"""") && dc2.contains(""""log":"not json""""), dc2)
+    // parse_re2: a NON-matching event passes untouched — a pre-existing
+    // field named like a group keeps its value (parse_re2.go Do)
+    val re = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"message":"12345","level":"orig"}"""),
+      """decoder: {type: json, schema: "message string, level string"}
+        |actions:
+        |  - type: parse_re2
+        |    field: message
+        |    re2: '(?P<level>[a-z]+) (?P<rest>.*)'
+        |""".stripMargin).head
+    assert(re.contains(""""level":"orig"""") && re.contains(""""message":"12345""""), re)
+  }
+
+  test("r16: goLayoutToJava covers trimmed fractions, full names, unpadded and pm tokens") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def parse(value: String, layout: String): String = {
+      val r = Seq(value).toDF("v")
+        .select(graft.functions.XTime.parse(col("v"), layout).cast("string"))
+        .collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    // full month name + unpadded day/12-hour + lowercase pm
+    assert(parse("August 5, 2021 4:35 pm", "January 2, 2006 3:04 pm")
+      == "2021-08-05 16:35:00", "full-name layout")
+    // unpadded month/day slash form
+    assert(parse("8/5/2021 4:35 pm", "1/2/2006 3:04 pm")
+      == "2021-08-05 16:35:00", "unpadded slash layout")
+    // Go trimmed fraction .999 accepts 1..3 digits
+    assert(parse("2021-08-05 04:35:21.7", "2006-01-02 15:04:05.999")
+      == "2021-08-05 04:35:21.7", "trimmed fraction")
+    assert(parse("2021-08-05 04:35:21.731", "2006-01-02 15:04:05.999")
+      == "2021-08-05 04:35:21.731", "3-digit fraction")
+    // zero-padded 12-hour (03) and numeric zone without colon
+    assert(parse("05:04:21 PM -0700", "03:04:05 PM -0700") != null,
+      "padded 12-hour + zone")
+  }
+
   test("TestModifyTrim: trim left with a char-set cutset") {
     val out = PipelineCompiler.runActionsOnBatch(spark,
       Seq("""{"existing_field":"existing_value"}"""),
