@@ -85,6 +85,9 @@ object PipelineCompiler {
 
   final case class Compiled(df: DataFrame, outputType: String,
                             outputConf: Map[String, String]) {
+    // knob-parity gate: an unknown output key fails at construction
+    // (see Knobs registry)
+    Knobs.validateOutput(outputType, outputConf.keySet)
     // eager config validation — construction time, not first write: the
     // reference marks loki message_field required (loki.go:73); an
     // `address`-only config would otherwise fall through to the
@@ -1113,6 +1116,7 @@ object PipelineCompiler {
         .map(_.asInt()).getOrElse(1024),
       "gomaxprocs" -> Runtime.getRuntime.availableProcessors())
 
+    Knobs.validateInput(input) // knob-parity gate (see Knobs registry)
     val src0 = buildInput(spark, input, exprValues)
     val src1 = if (useSpread) src0.repartition() else src0
 
@@ -1281,8 +1285,15 @@ object PipelineCompiler {
       case (df, (action, i)) =>
         val applied = applyAction(df, action, streamKey, pipelineName)
         val mName = Option(action.get("metric_name")).map(_.asText())
-        if (withMetrics || mName.isDefined) {
-          val name = mName.getOrElse(
+        // `metric_prefix` (cardinality.go:153): a namespace prefix on
+        // the metric family name — honored generically for any action
+        // carrying it, and it arms the observation by itself like
+        // metric_name does (a prefix with nothing to prefix would be
+        // the accepted-and-ignored class this registry exists to kill)
+        val mPrefix = Option(action.get("metric_prefix")).map(_.asText())
+          .getOrElse("")
+        if (withMetrics || mName.isDefined || mPrefix.nonEmpty) {
+          val name = mPrefix + mName.getOrElse(
             s"graft_a${i}_${action.get("type").asText()}")
           val labelField = Option(action.get("metric_labels"))
             .map(_.elements().asScala.map(_.asText()).toSeq)
@@ -1418,13 +1429,57 @@ object PipelineCompiler {
       case "fake" =>
         Sources.fake(spark, n.get("lines").elements().asScala.map(_.asText()).toSeq,
           ordered = Option(n.get("ordered")).exists(_.asBoolean()))
-      case "file" =>
+      case "file"
+          // a verbatim reference `file` config (file.go knobs: paths,
+          // offsets, rotation) routes to the tail leg below; the plain
+          // dir reader stays for the dir/streaming graft spelling
+          if !Seq("paths", "offsets_file", "offsets_op",
+              "persistence_mode", "async_interval", "remove_after",
+              "dir_pattern", "max_partition_bytes", "watching_dir",
+              "include", "exclude").exists(k => n.get(k) != null) =>
         val dir = n.get("dir").asText()
         if (Option(n.get("streaming")).exists(_.asBoolean()))
           Sources.fileStream(spark, dir,
             Option(n.get("filename_pattern")).map(_.asText()).getOrElse("*"))
         else Sources.fileBatch(spark, dir,
           Option(n.get("filename_pattern")).map(_.asText()).getOrElse("*"))
+      case "dmesg" =>
+        // plugin/input/dmesg (dmesg.go:57-131): /dev/kmsg records →
+        // level/ts/priority/sequence_number/message via the kmsg
+        // decoder; the input emits the ENCODED doc like the reference
+        // (downstream json decoder parses it). `offsets_file` is the
+        // reference's ts-state YAML ({ts: <nanos>}) — records at or
+        // below the saved ts are SKIPPED (dmesg.go:97-99); with no
+        // boot-time in a replay the comparison uses the record's
+        // monotonic timestamp in nanos (documented divergence).
+        // `path` is the graft device override for replay/tests.
+        val devPath = Option(n.get("path")).map(_.asText())
+          .getOrElse("/dev/kmsg")
+        val offFile = Option(n.get("offsets_file")).map(_.asText())
+          .getOrElse(throw new IllegalArgumentException(
+            "input dmesg: `offsets_file` is required (dmesg.go:39)"))
+        val savedTs: Long = {
+          val p = java.nio.file.Paths.get(offFile)
+          if (java.nio.file.Files.exists(p))
+            "ts:\\s*(\\d+)".r.findFirstMatchIn(new String(
+                java.nio.file.Files.readAllBytes(p),
+                java.nio.charset.StandardCharsets.UTF_8))
+              .map(_.group(1).toLong).getOrElse(0L)
+          else 0L
+        }
+        val devFile = new java.io.File(devPath)
+        val devDir = Option(devFile.getParent).getOrElse("/")
+        val base =
+          if (Option(n.get("streaming")).exists(_.asBoolean()))
+            Sources.fileStream(spark, devDir, devFile.getName)
+          else Sources.fileBatch(spark, devDir, devFile.getName)
+        val k = Decoders.kmsg(col("value"))
+        base.select(k.as("_k"), col("source_name"))
+          // malformed records pass (no-silent-loss); parsed ones honor
+          // the ts state like dmesg.go's `ts <= p.state.TS` continue
+          .filter(col("_k").getField("ts_us").isNull ||
+            col("_k").getField("ts_us") * 1000L > savedTs)
+          .select(to_json(col("_k")).as("value"), col("source_name"))
       case "parquet" =>
         // replay path: any parquet table re-serialized into the envelope.
         // Timestamp columns are rendered as epoch-NANOS longs regardless of
@@ -1446,14 +1501,21 @@ object PipelineCompiler {
         val norm = df.select(cols: _*)
         norm.select(to_json(struct(norm.columns.map(col): _*)).as("value"),
           lit(n.get("path").asText()).as("source_name"))
-      case "tail" =>
+      case "file" | "tail" =>
+        // reference `file` spelling: `watching_dir` is file.go's dir key
+        val tailDir = Option(n.get("dir"))
+          .orElse(Option(n.get("watching_dir"))).map(_.asText())
+          .getOrElse(throw new IllegalArgumentException(
+            "input file: needs `dir` (graft) or `watching_dir` " +
+              "(file.go) — the scan root the include/exclude globs " +
+              "resolve against"))
         // the DSv2 tailing source (graft.sources.tail) — file.d's `file`
         // input with per-file offsets and rotation handling; the
         // reference's recursive discovery surface rides through:
         // paths.include/exclude doublestar lists + dir_pattern
         // (file.go:72-87,194, relative-to-dir globs)
         var tr = spark.readStream.format("graft-tail")
-          .option("path", n.get("dir").asText())
+          .option("path", tailDir)
           .option("filename_pattern",
             Option(n.get("filename_pattern")).map(_.asText()).getOrElse("*"))
           .option("offsets_op", // continue ≙ the checkpoint itself
@@ -2747,6 +2809,10 @@ object PipelineCompiler {
   private def applyAction(df: DataFrame, action: JsonNode,
                           streamKey: Option[String] = Some("stream"),
                           pipelineName: String = "graft"): DataFrame = {
+    // knob-parity gate (Knobs registry): a reference action carrying a
+    // key that is neither consumed nor a documented no-op fails HERE,
+    // not silently — the r15 accepted-and-ignored class
+    Knobs.validateAction(action)
     val pred = matchPredicate(action, df)
     if (pred.isDefined && splitPredTypes(action.get("type").asText())) {
       // match_fields/do_if on a sequence-stateful action used to be
@@ -3214,17 +3280,27 @@ object PipelineCompiler {
             Option(e.get("format")).map(_.asText()).getOrElse("no") == "normalize",
             Option(e.get("max_size")).map(_.asInt()).getOrElse(0))
         }.toSeq
-        // the reference Digs each field and skips misses (hash.go:
-        // 429-436); Spark's getField on an absent name is an analysis
-        // error, so drop top-level misses against the tracked schema
-        val docNames = df.schema("doc").dataType match {
-          case s: org.apache.spark.sql.types.StructType => s.fieldNames.toSet
-          case _ => Set.empty[String]
+        // the reference Digs each field, skipping misses AND
+        // container-typed values (hash.go:429-436 — IsArray/IsObject
+        // nodes never win the priority walk, hash_test.go field_obj/
+        // field_arr); both are static schema facts here
+        val hFields = hFieldsAll.filter { f =>
+          PipelineCompiler.hasPath(df.schema("doc").dataType,
+            f.path.parts.toList) &&
+          (leafType(df, f.path) match {
+            case Some(_: org.apache.spark.sql.types.StructType) => false
+            case Some(_: org.apache.spark.sql.types.ArrayType) => false
+            case _ => true
+          })
         }
-        val hFields = hFieldsAll.filter(f =>
-          f.path.parts.size > 1 || docNames.contains(f.path.parts.head))
-        require(hFields.nonEmpty,
-          "hash: none of the configured fields exist in the doc schema")
+        // every field statically missing/container → the action passes
+        // every event untouched (hash.go:437-439 ActionPass), loudly
+        if (hFields.isEmpty) {
+          Console.err.println("[graft] hash: none of the configured " +
+            "fields is a hashable (non-container) doc field — events " +
+            "pass unchanged (hash.go:429-439)")
+          df
+        } else {
         val normalizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
           Option(action.get("normalizer")) match {
             case Some(n) =>
@@ -3242,6 +3318,7 @@ object PipelineCompiler {
           Option(action.get("result_field")).map(_.asText()).getOrElse("hash"),
           Option(action.get("algo")).map(_.asText()).getOrElse("xxhash64"),
           normalizer))
+        }
       case "move" =>
         // move.go:161-196: mode=allow moves the listed (possibly DEEP)
         // selectors under target by their last segment; mode=block
@@ -3316,12 +3393,53 @@ object PipelineCompiler {
             "json_decode: needs `schema` (a DDL struct type — Spark " +
               "requires a static type; the playground infers one for " +
               "dynamic batches via the decode action)"))
-        guarded(Actions.jsonDecode(doc, jField,
+        // log_json_parse_error_mode (json_decode.go:52, options
+        // off|erronly|withnode): log-verbosity in the reference; the
+        // engine's observable analog (same as decode's sibling knob)
+        // is a `decode_error` marker field under `withnode`. Unknown
+        // options are rejected loudly.
+        val jdErrMode = Option(action.get("log_json_parse_error_mode"))
+          .map(_.asText()).getOrElse("off")
+        require(Set("off", "erronly", "withnode").contains(jdErrMode),
+          s"json_decode: log_json_parse_error_mode `$jdErrMode` is not " +
+            "one of off|erronly|withnode (json_decode.go:52)")
+        val jdOut = Actions.jsonDecode(doc, jField,
           org.apache.spark.sql.types.StructType.fromDDL(jSchema),
           prefix = Option(action.get("prefix")).map(_.asText()).getOrElse(""),
-          existing = docRootFields(df)))
+          existing = docRootFields(df))
+        guarded(
+          if (jdErrMode != "withnode") jdOut
+          else jdOut.withField("decode_error",
+            !Actions.jsonDecodeValid(doc, jField)))
       case "split" =>
-        Actions.split("doc", action.get("field").asText())(df)
+        // split.go:72-105 + split_test.go: children replace the parent;
+        // an empty/objectless array or a non-array field passes the
+        // parent unchanged; an EMPTY field selector (TestPlugin_DoArray)
+        // splits a ROOT array — the doc schema is the element schema,
+        // so the raw value re-parses as array<docType>.
+        val sField = Option(action.get("field")).map(_.asText()).getOrElse("")
+        if (sField.isEmpty) {
+          require(df.columns.contains("value"),
+            "split: empty `field` (root-array split) needs the raw " +
+              "`value` column in flight — place split before any " +
+              "stage that re-projects the envelope")
+          val arr = from_json(col("value").cast("string"),
+            org.apache.spark.sql.types.ArrayType(df.schema("doc").dataType))
+          val keep = arr.isNull || size(arr) === 0
+          df.filter(!keep).withColumn("doc", explode(arr))
+            .unionByName(df.filter(keep), allowMissingColumns = true)
+        } else leafType(df, FieldPath.parse(sField)) match {
+          case Some(at: org.apache.spark.sql.types.ArrayType)
+              if at.elementType.isInstanceOf[StructType] =>
+            Actions.split("doc", FieldPath.parse(sField))(df)
+          case _ =>
+            // "skip an event because field is not an array [of objects]"
+            // (split.go:82-93) — statically decided here, loudly
+            Console.err.println(s"[graft] split: field `$sField` is " +
+              "not an array of objects — events pass unchanged " +
+              "(split.go:82-99)")
+            df
+        }
       case "parse_es" =>
         // ES-bulk request stream → documents (parse_es.go:42-86): the
         // 1-bit per-source state machine — index/create pass their doc
@@ -3359,14 +3477,31 @@ object PipelineCompiler {
         val keepOrigin = Option(action.get("keep_origin")).exists(_.asBoolean())
         val errMode = Option(action.get("log_decode_error_mode"))
           .map(_.asText()).getOrElse("off")
+        require(Set("off", "erronly", "withnode").contains(errMode),
+          s"decode: log_decode_error_mode `$errMode` is not one of " +
+            "off|erronly|withnode (decode.go:721)")
         val src = doc.getField(field).cast("string")
-        val inner = buildDecoder(action.get("params"), src)
+        // the reference spells the decoder TYPE as `decoder:` with
+        // `params:` as its option map (decode.go:663,703); the graft
+        // spelling folds the type into params. Normalize to one node
+        // (deep-copied — never mutate the caller's config tree), the
+        // graft `params.type` winning when both are present.
+        val decParams: com.fasterxml.jackson.databind.node.ObjectNode =
+          Option(action.get("params"))
+            .map(_.deepCopy[JsonNode]()
+              .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+            .getOrElse(com.fasterxml.jackson.databind.node.JsonNodeFactory
+              .instance.objectNode())
+        if (!decParams.has("type"))
+          decParams.put("type",
+            Option(action.get("decoder")).map(_.asText()).getOrElse("json"))
+        val inner = buildDecoder(decParams, src)
         // from_json (PERMISSIVE) yields an all-null struct on bad input
         // rather than a null struct, so the json decoder needs a
         // validity probe of the whole document; the 3164 struct is
         // never null (no-silent-loss keeps the line as message) — its
         // failed parse reads as NULL priority
-        val failed = Option(action.get("params").get("type")).map(_.asText()) match {
+        val failed = Option(decParams.get("type")).map(_.asText()) match {
           // decode.go returns the event untouched for any valid
           // NON-OBJECT JSON too (node.IsObject gate) — "42"/"[1,2]"
           // must not destroy the source
@@ -3605,10 +3740,17 @@ object PipelineCompiler {
         val keys = Option(action.get("keys"))
           .orElse(Option(action.get("key"))) // reference spelling
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+        // NESTED selectors + static-miss-as-NULL, like the batch leg
+        def scField(sel: String): Column = {
+          val fp = FieldPath.parse(sel)
+          if (PipelineCompiler.hasPath(df.schema("doc").dataType,
+              fp.parts.toList))
+            fp.parts.foldLeft(col("doc"))(_ getField _).cast("string")
+          else lit(null).cast("string")
+        }
         val keyCol =
           if (keys.isEmpty) col("source_name")
-          else concat_ws("",
-            keys.map(k => col("doc").getField(k).cast("string")): _*)
+          else concat_ws("", keys.map(scField): _*)
         // reference spellings (cardinality.go:132-167): `fields` list ≙
         // `value_field` (combined name:value tuple), limit default
         // 10000, `ttl` Go-duration ≙ `state_ttl_ms`
@@ -3620,7 +3762,7 @@ object PipelineCompiler {
             "cardinality: needs `value_field` (or the reference's `fields` list)"))
         val trackedCol = concat_ws("",
           tracked.map(f => concat_ws(":", lit(f),
-            coalesce(col("doc").getField(f).cast("string"), lit("")))): _*)
+            coalesce(scField(f), lit("")))): _*)
         val ds = df.select(keyCol.as("key"), lit(0L).as("seq"),
             trackedCol.as("value"),
             envelopeJson.as("carry"))
@@ -3876,15 +4018,26 @@ object PipelineCompiler {
             "cardinality: needs `value_field` (or the reference's `fields` list)"))
         val limit = Option(action.get("limit")).map(_.asInt()).getOrElse(10000)
         val mode = Option(action.get("action")).map(_.asText()).getOrElse("discard")
+        // key/tracked selectors are cfg.FieldSelector — NESTED paths
+        // (cardinality_test.go digs info.host / value.i); a statically
+        // absent selector reads NULL like the reference's Dig-miss,
+        // never an analysis error
+        def cardField(sel: String): Column = {
+          val fp = FieldPath.parse(sel)
+          if (PipelineCompiler.hasPath(df.schema("doc").dataType,
+              fp.parts.toList))
+            fp.parts.foldLeft(doc)(_ getField _).cast("string")
+          else lit(null).cast("string")
+        }
         // combined value tuple, name:value per field like the
         // reference's appendTo buffer (cardinality.go:97-112)
         val valueCol = concat_ws("",
           trackedF.map(f => concat_ws(":", lit(f),
-            coalesce(doc.getField(f).cast("string"), lit("")))): _*)
+            coalesce(cardField(f), lit("")))): _*)
         val keyCols = keys.indices.map(i => s"_ck$i")
         val withKeys = keys.zip(keyCols)
           .foldLeft(df) { case (d, (k, c)) =>
-            d.withColumn(c, doc.getField(k).cast("string"))
+            d.withColumn(c, cardField(k))
           }
           .withColumn("_cv", valueCol)
           .withColumn("_cord",
@@ -3901,10 +4054,23 @@ object PipelineCompiler {
                  Option(action.get("fields")).get.elements().asScala
                    .map(_.asText()).toSeq
                else trackedF).map(FieldPath.parse)
+            // a struct can't change SHAPE per row — over-limit rows
+            // NULL the tracked fields instead (NULL = absent in the
+            // serialized doc, the engine's removal convention), keeping
+            // one static type across both branches
+            def nullWhenOver(d: Column, fp: FieldPath): Column = {
+              def upd(c: Column, parts: List[String]): Column = parts match {
+                case last :: Nil => c.withField(quoteSeg(last),
+                  when(!col("_card_over"), c.getField(last)))
+                case h :: t =>
+                  c.withField(quoteSeg(h), upd(c.getField(h), t))
+                case Nil => c
+              }
+              upd(d, fp.parts.toList)
+            }
             graft.state.SeqOps.cardinalityOverLimit(withKeys, keyCols, "_cv",
                 "_cord", limit)
-              .withColumn("doc", when(col("_card_over"),
-                Actions.removeFields(doc, toRemove)).otherwise(doc))
+              .withColumn("doc", toRemove.foldLeft(doc)(nullWhenOver))
               .drop("_card_over")
           case _ =>
             graft.state.SeqOps.cardinality(withKeys, keyCols, "_cv", "_cord", limit)
@@ -4103,18 +4269,49 @@ object PipelineCompiler {
       "semdedup", "prototype_prune", "domain_cap",
       "html_extract", "boilerplate_scrub", "decontaminate", "span_scrub",
       "source_quota", "classifier_gate", "dsir_upsample", "ccnet_bucket")
+    // share_tokens (r16, on by default): stages that consume the
+    // whitespace token stream of the default `text` column read ONE
+    // shared `_toks` array instead of re-splitting per stage (and, for
+    // langId, per language — lambda-bearing splits sit outside Spark's
+    // subexpression elimination). The column rides the persisted
+    // survivor frames, so post-boundary stages read the stored array;
+    // marginal storage, measured ~25% off the q134 chain. Stages that
+    // REWRITE text (html_extract, span_scrub, pack, …) invalidate it —
+    // the column is kept only across stages known to preserve text.
+    val tokenConsumers = Set("gopher_gate", "lang_filter",
+      "repetition_gate", "duplicate_spans", "decontaminate")
+    val textPreserving = tokenConsumers ++ Set("exact_dedup",
+      "minhash_dedup", "simhash_dedup", "winnow_dedup", "semdedup",
+      "prototype_prune", "domain_cap", "source_quota", "classifier_gate",
+      "fineweb_gate", "ccnet_bucket")
+    val stageTypes =
+      stages.elements().asScala.map(_.get("type").asText()).toSeq
+    val shareTokens =
+      Option(cur.get("share_tokens")).map(_.asBoolean()).getOrElse(true) &&
+        stageTypes.count(tokenConsumers) >= 2
+    if (shareTokens)
+      df = df.withColumn("_toks", graft.ml.Dedup.tokens(col("text")))
+    // the frame that still IS the raw input scan (+ the lazily-derived
+    // token column) — the never-cache-the-input rule matches on it
+    val inputFrame = df
     val idxOuts = Seq.newBuilder[(String, DataFrame)]
     stages.elements().asScala.foreach { st =>
-      val twice = twiceUsing(st.get("type").asText())
+      val tpe = st.get("type").asText()
+      val twice = twiceUsing(tpe)
       // never cache the raw input scan: re-reading parquet twice beats
       // pinning the whole uncurated corpus in executor storage.
       // (r15 probe note: EAGER count()-per-boundary was tried and is
       // ~30% SLOWER than the lazy persist — the serialization barriers
       // cost more than any cache-population race saves; q134 12.9 →
       // 17.1 s. The lazy spelling stands.)
-      if (twice && !(df eq base)) level.foreach(df.persist)
+      if (twice && !(df eq base) && !(df eq inputFrame))
+        level.foreach(df.persist)
       df = curationStage(spark, base, df, st)
-      tap(st.get("type").asText(), df)
+      // a stage that may rewrite/re-shape text invalidates the shared
+      // token column — drop rather than serve stale tokens
+      if (df.columns.contains("_toks") && !textPreserving(tpe))
+        df = df.drop("_toks")
+      tap(tpe, df)
       Option(st.get("index_out")).foreach { p =>
         idxOuts += ((p.asText(), indexUpdateFor(spark, df, st)))
       }
@@ -4122,7 +4319,8 @@ object PipelineCompiler {
         idxOuts += ((p.asText(), bloomIndexUpdateFor(spark, df, st)))
       }
     }
-    (df, idxOuts.result())
+    (if (df.columns.contains("_toks")) df.drop("_toks") else df,
+      idxOuts.result())
   }
 
   /** The next-run BLOOM index (`bloom_index_out` on exact_dedup):
@@ -4709,6 +4907,15 @@ object PipelineCompiler {
     // planner is free to broadcast it and never widens the row.
     def keepIds(verdict: DataFrame, keep: Column): DataFrame =
       df.join(verdict.filter(keep).select(id), Seq(id), "left_semi")
+    // the shared pre-tokenized column (share_tokens, r16): when the
+    // chain materialized `_toks` for THIS stage's text column, the
+    // token-consuming stages read it instead of re-splitting — both
+    // across stages (the persisted survivor frames store the array)
+    // and within one (langId tokenized once per language: lambda-
+    // bearing splits are outside subexpression elimination)
+    val preToks: Option[Column] =
+      if (text == "text" && df.columns.contains("_toks")) Some(col("_toks"))
+      else None
     st.get("type").asText() match {
       // The two narrow gates filter IN PLACE: their verdict is pure
       // per-row expression work (gopherPass / finewebPass), so a
@@ -4717,13 +4924,15 @@ object PipelineCompiler {
       // would shuffle the whole corpus twice to join its own verdict.
       case "gopher_gate" =>
         df.filter(graft.ml.TextOps.gopherPass(col(text),
-          minTok = intOpt("min_tok", 50), maxTok = intOpt("max_tok", 100000)))
+          minTok = intOpt("min_tok", 50), maxTok = intOpt("max_tok", 100000),
+          toks = preToks))
       case "fineweb_gate" =>
         df.filter(graft.ml.TextOps.finewebPass(col(text)))
       case "repetition_gate" =>
-        keepIds(graft.ml.TextOps.massiveTextRepetition(df, id, text), col("pass"))
+        keepIds(graft.ml.TextOps.massiveTextRepetition(df, id, text,
+          toks = preToks), col("pass"))
       case "lang_filter" =>
-        val lid = graft.ml.TextOps.langId(col(text))
+        val lid = graft.ml.TextOps.langId(col(text), preToks)
         Option(st.get("lang")).map(l => df.filter(lid === l.asText()))
           .getOrElse(df.filter(lid.isNotNull))
       case "exact_dedup" =>
@@ -4773,10 +4982,10 @@ object PipelineCompiler {
           case Some(p) => graft.ml.Corpus.duplicateSpansAgainst(
             df, spark.read.parquet(p.asText()), id, text,
             n = intOpt("n", 20), thresholdMilli = longOpt("threshold_milli", 900L),
-            fingerprint = boolOpt("fingerprint"))
+            fingerprint = boolOpt("fingerprint"), preToks = preToks)
           case None => graft.ml.Corpus.duplicateSpans(df, id, text,
             n = intOpt("n", 20), thresholdMilli = longOpt("threshold_milli", 900L),
-            fingerprint = boolOpt("fingerprint"))
+            fingerprint = boolOpt("fingerprint"), preToks = preToks)
         }
         keepIds(verdict, !col("flagged"))
       case "minhash_dedup" =>
@@ -4878,7 +5087,10 @@ object PipelineCompiler {
           else f
         keepIds(graft.ml.Corpus.decontaminate(nTex(df), nTex(evalSet),
           id, text,
-          n = intOpt("n", 13), threshold = intOpt("threshold", 5)),
+          n = intOpt("n", 13), threshold = intOpt("threshold", 5),
+          // _toks tokenized the ORIGINAL text — unusable on the
+          // normalized copies
+          preToks = if (decoNorm) None else preToks),
           !col("contaminated"))
       case "span_scrub" =>
         df.drop(text).join(

@@ -163,12 +163,16 @@ object DoIf {
     import MatchMode._
     def one(cond: MatchCond, prefix: Boolean): Column = {
       val c = resolve(cond.field)
-      cond.values.map { v =>
+      val m = cond.values.map { v =>
         if (v.length > 1 && v.startsWith("/") && v.endsWith("/"))
           c.rlike(v.substring(1, v.length - 1))
         else if (prefix) c.startsWith(v)
         else c === v
       }.reduce(_ || _)
+      // a missing/null field FAILS the condition (the processor's match
+      // walk treats a Dig miss as no-match, discard_test.go
+      // match_and_invert) — a NULL here would poison the inverted form
+      coalesce(m, lit(false))
     }
     val compiled = mode match {
       case AndMode   => conds.map(one(_, prefix = false)).reduce(_ && _)

@@ -27,9 +27,14 @@ object Corpus {
     * before the one doc_id shuffle. */
   def decontaminate(train: DataFrame, eval: DataFrame,
                     idCol: String, textCol: String,
-                    n: Int, threshold: Int): DataFrame =
+                    n: Int, threshold: Int,
+                    preToks: Option[Column] = None): DataFrame =
     decontaminateBy(train, eval, idCol, textCol,
-      Dedup.shingles(_, n), threshold)
+      // preToks is TRAIN-side only — the eval frame has no shared
+      // token column, it re-splits its (small) text as before
+      trainGrams = c => preToks.map(t => Dedup.shinglesFrom(t, n))
+        .getOrElse(Dedup.shingles(c, n)),
+      evalGrams0 = Dedup.shingles(_, n), threshold = threshold)
 
   /** Skip-distance variant of [[decontaminate]] (the GPT-3/4-report
     * 13-gram sweep family): grams sample every `skip`-th token, so an
@@ -39,9 +44,10 @@ object Corpus {
     * broadcast-eval-grams plan shape. */
   def decontaminateSkip(train: DataFrame, eval: DataFrame,
                         idCol: String, textCol: String,
-                        n: Int, skip: Int, threshold: Int): DataFrame =
-    decontaminateBy(train, eval, idCol, textCol,
-      Dedup.skipShingles(_, n, skip), threshold)
+                        n: Int, skip: Int, threshold: Int): DataFrame = {
+    val g = Dedup.skipShingles(_: Column, n, skip)
+    decontaminateBy(train, eval, idCol, textCol, g, g, threshold)
+  }
 
   /** Cross-document duplicate-SPAN signal (the doc-level form of Lee et
     * al. 2022's exact-substring dedup, "Deduplicating Training Data
@@ -66,8 +72,9 @@ object Corpus {
     * ~1e-20, i.e. fingerprint mode is the 100 TB spelling. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      n: Int, thresholdMilli: Long = 900L,
-                     fingerprint: Boolean = false): DataFrame = {
-    val toks = Dedup.tokens(col(textCol))
+                     fingerprint: Boolean = false,
+                     preToks: Option[Column] = None): DataFrame = {
+    val toks = preToks.getOrElse(Dedup.tokens(col(textCol)))
     val grams = transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => array_join(slice(toks, i, lit(n)), " "))
@@ -102,8 +109,9 @@ object Corpus {
     * re-exploding the old corpus. One gram shuffle with map-side
     * partial min. */
   def duplicateSpanIndex(df: DataFrame, idCol: String, textCol: String,
-                         n: Int, fingerprint: Boolean = false): DataFrame = {
-    val toks = Dedup.tokens(col(textCol))
+                         n: Int, fingerprint: Boolean = false,
+                         preToks: Option[Column] = None): DataFrame = {
+    val toks = preToks.getOrElse(Dedup.tokens(col(textCol)))
     val grams = transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => array_join(slice(toks, i, lit(n)), " "))
@@ -143,8 +151,9 @@ object Corpus {
   def duplicateSpansAgainst(df: DataFrame, index: DataFrame,
                             idCol: String, textCol: String,
                             n: Int, thresholdMilli: Long = 900L,
-                            fingerprint: Boolean = false): DataFrame = {
-    val toks = Dedup.tokens(col(textCol))
+                            fingerprint: Boolean = false,
+                            preToks: Option[Column] = None): DataFrame = {
+    val toks = preToks.getOrElse(Dedup.tokens(col(textCol)))
     val grams = transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => array_join(slice(toks, i, lit(n)), " "))
@@ -233,13 +242,14 @@ object Corpus {
 
   private def decontaminateBy(train: DataFrame, eval: DataFrame,
                               idCol: String, textCol: String,
-                              grams: Column => Column,
+                              trainGrams: Column => Column,
+                              evalGrams0: Column => Column,
                               threshold: Int): DataFrame = {
     val evalGrams = eval
-      .select(explode(grams(col(textCol))).as("gram"))
+      .select(explode(evalGrams0(col(textCol))).as("gram"))
       .distinct()
     val hits = train
-      .select(col(idCol), explode(grams(col(textCol))).as("gram"))
+      .select(col(idCol), explode(trainGrams(col(textCol))).as("gram"))
       .join(broadcast(evalGrams), "gram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("ngram_hits"))

@@ -49,8 +49,11 @@ object Dedup {
     filter(split(text, WS), t => t =!= "")
 
   /** Distinct word n-gram shingles ("a b c" word windows). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shingles(text: Column, n: Int): Column = shinglesFrom(tokens(text), n)
+
+  /** [[shingles]] over a PRE-TOKENIZED array (the curation compiler's
+    * shared `_toks` column — skips re-splitting the text). */
+  def shinglesFrom(toks: Column, n: Int): Column = {
     val grams = transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => array_join(slice(toks, i, lit(n)), " "))
     array_distinct(grams)

@@ -49,9 +49,14 @@ object TextOps {
     "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "que"),
     "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
 
-  /** Count of tokens that appear in `words`. */
-  def stopwordHits(text: Column, words: Seq[String]): Column =
-    size(array_intersect_keepdup(Dedup.tokens(text), words))
+  /** Count of tokens that appear in `words`. `toks` overrides the
+    * tokenization with a pre-materialized token array (the curation
+    * compiler's shared `_toks` column — r16: langId built this
+    * expression once PER LANGUAGE, and lambda-bearing splits are not
+    * subexpression-eliminated). */
+  def stopwordHits(text: Column, words: Seq[String],
+                   toks: Option[Column] = None): Column =
+    size(array_intersect_keepdup(toks.getOrElse(Dedup.tokens(text)), words))
 
   // filter-based count (keeps duplicates — a stopword used twice counts
   // twice, matching the usual quality-score definition)
@@ -68,10 +73,10 @@ object TextOps {
   /** Language guess = argmax of per-language stopword hit counts; ties go
     * to the alphabetically-first language; 'und' when nothing hits.
     * array_max on (hits, -priority, lang) structs — field-order compare. */
-  def langId(text: Column): Column = {
+  def langId(text: Column, toks: Option[Column] = None): Column = {
     val langs = stopwords.keys.toSeq.sorted
     val scored = langs.zipWithIndex.map { case (lang, i) =>
-      struct(stopwordHits(text, stopwords(lang)).as("hits"),
+      struct(stopwordHits(text, stopwords(lang), toks).as("hits"),
         lit(-i).as("pri"), lit(lang).as("lang"))
     }
     val best = array_max(array(scored: _*))
@@ -344,9 +349,11 @@ object TextOps {
     * doc-key join is needed), one (doc,n,gram) shuffle with map-side
     * partial counts, one (doc) fold — no window, no global sort. */
   def massiveTextRepetition(df: org.apache.spark.sql.DataFrame, idCol: String,
-                            textCol: String): org.apache.spark.sql.DataFrame = {
+                            textCol: String,
+                            toks: Option[Column] = None): org.apache.spark.sql.DataFrame = {
     val ns = Seq(1, 2, 3, 5)
-    val base = df.select(col(idCol), Dedup.tokens(col(textCol)).as("_t"))
+    val base = df.select(col(idCol),
+      toks.getOrElse(Dedup.tokens(col(textCol))).as("_t"))
     // per-n emptiness guard like bigramLmScore: the old greatest(...,1)
     // clamp fabricated ONE PARTIAL gram for docs shorter than n tokens,
     // whose chars covered 100% of the doc — every 1-token doc read as
@@ -467,8 +474,9 @@ object TextOps {
     * frame (named milli columns) and [[gopherPass]] (one composed
     * filter Column): (n_tok, mean_len_centi, alpha_milli,
     * distinct_milli, stop_hits). */
-  private def gopherSig(text: Column): (Column, Column, Column, Column, Column) = {
-    val toks = Dedup.tokens(text)
+  private def gopherSig(text: Column, preToks: Option[Column] = None)
+  : (Column, Column, Column, Column, Column) = {
+    val toks = preToks.getOrElse(Dedup.tokens(text))
     val nTok = size(toks).cast("long")
     // strip the WHOLE tokenizer whitespace class, not just ' ': tabs/
     // newlines between tokens would count as token characters and
@@ -488,7 +496,7 @@ object TextOps {
       idiv(charSum * 100L, greatest(nTok, lit(1L))),
       idiv(alphaCnt * 1000L, greatest(nTok, lit(1L))),
       idiv(distinctCnt * 1000L, greatest(nTok, lit(1L))),
-      stopwordHits(text, stopwords("en")).cast("long"))
+      stopwordHits(text, stopwords("en"), preToks).cast("long"))
   }
 
   /** The gate verdict as ONE Column over the raw text — for callers
@@ -496,8 +504,10 @@ object TextOps {
     * `.filter` keeps the stage zero-shuffle and inside the scan's
     * codegen span, where joining the verdict frame back would cost two
     * corpus-wide id shuffles. Thresholds identical to [[gopherGate]]. */
-  def gopherPass(text: Column, minTok: Int = 50, maxTok: Int = 100000): Column = {
-    val (nTok, meanLenCenti, alphaMilli, distinctMilli, stopHits) = gopherSig(text)
+  def gopherPass(text: Column, minTok: Int = 50, maxTok: Int = 100000,
+                 toks: Option[Column] = None): Column = {
+    val (nTok, meanLenCenti, alphaMilli, distinctMilli, stopHits) =
+      gopherSig(text, toks)
     nTok.between(minTok, maxTok) &&
       meanLenCenti.between(300L, 1000L) &&
       alphaMilli >= 800L &&

@@ -378,6 +378,14 @@ object Actions {
 
   /** json_decode (plugin/action/json_decode): parse a JSON-string field
     * into a typed struct (schema from the compiler). */
+  /** json_decode's validity probe: decodable = parseable JSON whose
+    * root is an OBJECT (json_decode.go's node.IsObject gate). */
+  def jsonDecodeValid(doc: Column, field: String): Column = {
+    val src = doc.getField(field).cast("string")
+    src.isNotNull && get_json_object(src, "$").isNotNull &&
+      trim(src).startsWith("{")
+  }
+
   def jsonDecode(doc: Column, field: String,
                  schema: org.apache.spark.sql.types.StructType,
                  prefix: String = "",
@@ -391,8 +399,7 @@ object Actions {
     // that happens to share a decoded key's name (`existing` carries
     // the tracked doc's root field names from the compiler)
     val src = doc.getField(field).cast("string")
-    val valid = src.isNotNull && get_json_object(src, "$").isNotNull &&
-      trim(src).startsWith("{")
+    val valid = jsonDecodeValid(doc, field)
     val parsed = from_json(src, schema)
     val merged = schema.fieldNames.foldLeft(doc) { (d, f) =>
       val tgt = prefix + f
@@ -542,10 +549,22 @@ object Actions {
     val src = coalesce(processed: _*)
     val hashed = algo match {
       case "md5" => md5(src.cast("binary"))
-      // null-guard: xxhash64(null) returns the SEED (42), so every
-      // field-less event would collide on the fabricated hash "42"
+      // reference hash = xxhash.Sum64 — XXH64 with SEED 0 (hash.go:459).
+      // Spark's xxhash64 function pins seed 42, so construct the
+      // catalyst expression with seed 0 directly (same codegen). The
+      // value renders as the UNSIGNED decimal the reference's
+      // MutateToUint64 writes — hash_test.go pins the exact numbers.
+      // null-guard: xxhash64(null) returns the seed, so every
+      // field-less event would collide on the fabricated hash "0"
       // while the md5 branch correctly yields null
-      case _ => when(src.isNotNull, xxhash64(src).cast("string"))
+      case _ =>
+        val h = org.apache.spark.sql.GraftBridge.column(
+          org.apache.spark.sql.catalyst.expressions.XxHash64(
+            Seq(org.apache.spark.sql.GraftBridge.expression(src)), 0L))
+        val unsigned = when(h >= 0, h.cast("decimal(20,0)"))
+          .otherwise(h.cast("decimal(30,0)") +
+            lit(new java.math.BigDecimal("18446744073709551616")))
+        when(src.isNotNull, unsigned.cast("decimal(20,0)").cast("string"))
     }
     doc.withField(resultField, hashed)
   }
@@ -553,11 +572,14 @@ object Actions {
   /** split (plugin/action/split/split.go:72-105): explode an array field
     * into child events; parent discarded; non-array passes unchanged.
     * Operates at DataFrame level since it changes row count. */
-  def split(docCol: String, field: String): DataFrame => DataFrame = { df =>
-    val arr = col(docCol).getField(field)
-    val exploded = df.filter(arr.isNotNull)
-      .withColumn(docCol, explode(arr))
-    val passthrough = df.filter(arr.isNull)
+  def split(docCol: String, field: FieldPath): DataFrame => DataFrame = { df =>
+    val arr = getPath(col(docCol), field)
+    // split_test.go/split.go:78-99: a missing field OR an empty array
+    // passes the parent UNCHANGED (explode alone would drop it); the
+    // parent of a non-empty array is replaced by its children
+    val keep = arr.isNull || size(arr) === 0
+    val exploded = df.filter(!keep).withColumn(docCol, explode(arr))
+    val passthrough = df.filter(keep)
     // child docs carry the element schema, passthrough keeps the parent
     // schema — union pads the missing struct fields with nulls
     exploded.unionByName(passthrough, allowMissingColumns = true)

@@ -176,12 +176,16 @@ object SeqOps {
     * order (the reference uses arrival order).
     */
   def throttle(df: DataFrame, keyCols: Seq[String], bucket: Column,
-               orderCol: String, limit: Int): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col) :+ bucket: _*).orderBy(col(orderCol))
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= limit)
-      .drop("_rn")
-  }
+               orderCol: String, limit: Int): DataFrame =
+    // a NEGATIVE limit is UNLIMITED (in_memory_limiter.go:68 fast-path
+    // returns true), not drop-everything
+    if (limit < 0) df
+    else {
+      val w = Window.partitionBy(keyCols.map(col) :+ bucket: _*).orderBy(col(orderCol))
+      df.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= limit)
+        .drop("_rn")
+    }
 
   /** Batch `limit_distribution` throttle (plugin/action/throttle/
     * distribution.go + in_memory_limiter.go:64-129): the total limit
@@ -301,17 +305,20 @@ object SeqOps {
     * sum in arrival order.
     */
   def throttleSize(df: DataFrame, keyCols: Seq[String], bucket: Column,
-                   orderCol: String, sizeCol: Column, limitBytes: Long): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col) :+ bucket: _*)
-      .orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // coalesce inside the sum: a leading null size would NULL the
-    // running total and silently drop every row until the first sized
-    // one (criChunkJoin coalesces its identical running sum)
-    df.withColumn("_run", sum(coalesce(sizeCol, lit(0L))).over(w))
-      .filter(col("_run") <= limitBytes)
-      .drop("_run")
-  }
+                   orderCol: String, sizeCol: Column, limitBytes: Long): DataFrame =
+    // negative limit = unlimited (in_memory_limiter.go:68)
+    if (limitBytes < 0) df
+    else {
+      val w = Window.partitionBy(keyCols.map(col) :+ bucket: _*)
+        .orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // coalesce inside the sum: a leading null size would NULL the
+      // running total and silently drop every row until the first sized
+      // one (criChunkJoin coalesces its identical running sum)
+      df.withColumn("_run", sum(coalesce(sizeCol, lit(0L))).over(w))
+        .filter(col("_run") <= limitBytes)
+        .drop("_run")
+    }
 
   /** Rule-scoped throttle (throttle.go:455-478,547-556 + rule.go): each
     * event selects the FIRST matching `rules:` entry (condition fields
@@ -331,7 +338,10 @@ object SeqOps {
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_rn", row_number().over(w))
       .withColumn("_run", sum(coalesce(sizeCol, lit(0L))).over(wRun))
-      .filter(when(kindCol === "size", col("_run") <= limitCol)
+      // a rule with a negative limit is unlimited (in_memory_limiter
+      // .go:68) — the fast-path check before any bucket math
+      .filter(when(limitCol < 0, lit(true))
+        .when(kindCol === "size", col("_run") <= limitCol)
         .otherwise(col("_rn") <= limitCol))
       .drop("_rn", "_run")
   }

@@ -314,7 +314,8 @@ object Kernels {
   def throttle(ds: Dataset[TEvent], cfg: ThrottleCfg): Dataset[TEvent] = {
     require(cfg.bucketIntervalMs > 0, "throttle: bucketIntervalMs must be positive")
     require(cfg.bucketsCount > 0, "throttle: bucketsCount must be positive")
-    require(cfg.limit >= 0, "throttle: limit must be non-negative")
+    // a negative limit is UNLIMITED (in_memory_limiter.go:68), handled
+    // per key below — limitKindFor may return per-rule negatives too
     implicit val outEnc = Encoders.product[TEvent]
     implicit val stEnc = Encoders.product[ThrottleState]
     ds.groupByKey(_.key)(Encoders.STRING)
@@ -343,7 +344,8 @@ object Kernels {
             val idx = graft.state.BucketWindow.indexOf(
               st.newestBucket, bucket, cfg.bucketsCount)
             if (idx >= 0) {
-              if (keyKind == "size") {
+              if (keyLimit < 0) out += ev // unlimited fast-path
+              else if (keyKind == "size") {
                 // unconditional accumulate; pass while the running
                 // total INCLUDING this event fits (throttleSize
                 // contract, in_memory_limiter.go:85-100)

@@ -3183,16 +3183,21 @@ class CompilerSpec extends AnyFunSuite {
         |    result_field: h2
         |output: {type: memory}
         |""".stripMargin).result()
-      .selectExpr("doc.h1", "doc.h2",
-        "cast(xxhash64('call <square_bracketed> <rc> from <ip>') as string)",
-        "cast(xxhash64('abcd') as string)")
+      .selectExpr("doc.h1", "doc.h2")
       .collect().head
+    // r16: the hash action is reference-exact — XXH64 seed 0
+    // (xxhash.Sum64, hash.go:459) rendered as MutateToUint64's
+    // unsigned decimal; the independent spec-derived XxHash64Ref is
+    // the cross-check (HashVectorSpec pins hash_test.go's values)
+    def refHash(s: String): String =
+      java.lang.Long.toUnsignedString(XxHash64Ref.hashUtf8(s, 0L))
     // h1: the configured normalizer ran (bytes square_bracketed +
     // custom <rc> + builtin ip, nothing else)
-    assert(row.getString(0) == row.getString(2), row.toString)
+    assert(row.getString(0) == refHash("call <square_bracketed> <rc> from <ip>"),
+      row.toString)
     // h2: absent field skipped (Dig-miss), null field passed over,
     // max_size cut the surviving field to its first 4 bytes
-    assert(row.getString(1) == row.getString(3), row.toString)
+    assert(row.getString(1) == refHash("abcd"), row.toString)
   }
 
   test("settings: max_event_size discard/cut_off and settings-level decoder") {

@@ -1,0 +1,139 @@
+package graft
+
+import graft.compiler.PipelineCompiler
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** plugin/action/hash/hash_test.go vectors through the production YAML
+  * path — the reference's EXACT xxhash.Sum64 (XXH64 seed 0) uint64
+  * values, so any byte divergence in the field-priority walk, the
+  * max_size cut, or the normalizer's emitted text fails the pin.
+  * The r16 sweep found and fixed: Spark xxhash64's fixed seed 42
+  * (reference uses 0), signed rendering (reference MutateToUint64),
+  * containers winning the priority walk (hash.go:431 skips
+  * IsArray/IsObject), and all-fields-missing raising instead of
+  * passing (hash.go:437-439). */
+class HashVectorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def run(event: String, schema: String, hashYaml: String): String =
+    PipelineCompiler.runActionsOnBatch(spark, Seq(event),
+      s"""decoder: {type: json, schema: "$schema"}
+         |actions:
+         |  - type: hash
+         |$hashYaml
+         |""".stripMargin).head
+
+  test("hash_test.go: format no — first existing field wins, raw bytes") {
+    // format_no1: error.code exists and wins the priority walk
+    val no1 = run(
+      """{"level":"error","error":{"code":"unauthenticated","message":"bad token format"},"message":"error occurred"}""",
+      "level string, error struct<code: string, message: string>, message string",
+      """    fields:
+        |      - {field: error.code}
+        |      - {field: message, format: normalize}
+        |    result_field: hash""".stripMargin)
+    assert(no1.contains(""""hash":"6584967863753642363""""), no1)
+    // format_no2: error.code missing -> message, format no (raw)
+    val no2 = run(
+      """{"level":"error","message":"2023-10-30T13:35:33.638720813Z error occurred, client: 10.125.172.251, upstream: \"http://10.117.246.15:84/download\", host: \"mpm-youtube-downloader-38.name.com:84\""}""",
+      "level string, error struct<code: string>, message string",
+      """    fields:
+        |      - {field: error.code}
+        |      - {field: message, format: no}
+        |    result_field: hash""".stripMargin)
+    assert(no2.contains(""""hash":"6051551654033583881""""), no2)
+  }
+
+  test("hash_test.go: format normalize — default builtin table") {
+    val n1 = run("""{"level":"error","message":"error occurred"}""",
+      "level string, error struct<code: string>, message string",
+      """    fields:
+        |      - {field: error.code}
+        |      - {field: message, format: normalize}
+        |    result_field: hash""".stripMargin)
+    assert(n1.contains(""""hash":"10960504816536859672""""), n1)
+    val n2 = run(
+      """{"level":"error","message":"2023-10-30T13:35:33.638720813Z error occurred, client: 10.125.172.251, upstream: \"http://10.117.246.15:84/download\", host: \"mpm-youtube-downloader-38.name.com:84\""}""",
+      "level string, error struct<code: string>, message string",
+      """    fields:
+        |      - {field: error.code}
+        |      - {field: message, format: normalize}
+        |    result_field: hash""".stripMargin)
+    assert(n2.contains(""""hash":"16996027065257776963""""), n2)
+  }
+
+  test("hash_test.go: field_max_size — byte cut BEFORE normalize") {
+    val out = run(
+      """{"level":"error","message":"2023-10-30T13:35:33.638720813Z error occurred, client: 10.125.172.251, upstream: \"http://10.117.246.15:84/download\", host: \"mpm-youtube-downloader-38.name.com:84\""}""",
+      "level string, message string",
+      """    fields:
+        |      - {field: message, format: normalize, max_size: 70}
+        |    result_field: hash""".stripMargin)
+    assert(out.contains(""""hash":"10662808184633841128""""), out)
+  }
+
+  test("hash_test.go: normalizer config — custom/builtin pattern tables") {
+    // normalizer_only_custom: builtin no + <date> custom
+    val c1 = run(
+      """{"level":"error","message":"request from \"ivanivanov\", signed on 19.03.2025"}""",
+      "level string, message string",
+      """    fields:
+        |      - {field: message, format: normalize}
+        |    result_field: hash
+        |    normalizer:
+        |      builtin_patterns: "no"
+        |      custom_patterns:
+        |        - {placeholder: "<date>", re: '\d\d.\d\d.\d\d\d\d'}""".stripMargin)
+    assert(c1.contains(""""hash":"6546706502540149833""""), c1)
+    // normalizer_custom_and_builtin: builtin all + priority last custom
+    val c2 = run(
+      """{"level":"error","message":"2006/01/02 15:04:05 error occurred, client: 10.125.172.251, upstream: \"http://10.117.246.15:84/download\", host: \"mpm-youtube-downloader-38.name.com:84\""}""",
+      "level string, message string",
+      """    fields:
+        |      - {field: message, format: normalize}
+        |    result_field: hash
+        |    normalizer:
+        |      builtin_patterns: "all"
+        |      custom_patterns:
+        |        - {placeholder: "<nginx_datetime>", re: '\d\d\d\d/\d\d/\d\d \d\d:\d\d:\d\d', priority: last}""".stripMargin)
+    assert(c2.contains(""""hash":"4150276598667727274""""), c2)
+    // normalizer_partial_builtin: one builtin id enabled
+    val c3 = run(
+      """{"level":"error","message":"2006/01/02 15:04:05 error occurred, client: 10.125.172.251, upstream: \"http://10.117.246.15:84/download\", host: \"mpm-youtube-downloader-38.name.com:84\""}""",
+      "level string, message string",
+      """    fields:
+        |      - {field: message, format: normalize}
+        |    result_field: hash
+        |    normalizer:
+        |      builtin_patterns: "double_quoted"""".stripMargin)
+    assert(c3.contains(""""hash":"18348543511044429638""""), c3)
+  }
+
+  test("hash_test.go: no_field / field_obj / field_arr pass without a hash") {
+    // statically missing field -> every event passes unchanged
+    val miss = run("""{"level":"error"}""", "level string",
+      """    fields:
+        |      - {field: test}
+        |    result_field: hash""".stripMargin)
+    assert(!miss.contains(""""hash""""), miss)
+    // object-typed field never wins the priority walk (hash.go:431)
+    val obj = run("""{"test":{"level":"error"}}""",
+      "test struct<level: string>",
+      """    fields:
+        |      - {field: test}
+        |    result_field: hash""".stripMargin)
+    assert(!obj.contains(""""hash""""), obj)
+    // array-typed field never wins either
+    val arr = run("""{"test":[1,2,3]}""", "test array<bigint>",
+      """    fields:
+        |      - {field: test}
+        |    result_field: hash""".stripMargin)
+    assert(!arr.contains(""""hash""""), arr)
+  }
+}

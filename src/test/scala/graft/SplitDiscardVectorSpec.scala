@@ -1,0 +1,153 @@
+package graft
+
+import graft.compiler.PipelineCompiler
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** plugin/action/split/split_test.go and
+  * plugin/action/discard/discard_test.go vectors through the
+  * production YAML path (r16 stateful-family sweep). */
+class SplitDiscardVectorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("TestPlugin_Do: children replace the parent, fields at root") {
+    val out = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"data":[{"message":"go"},{"message":"rust"},{"message":"c++"}]}""",
+        """{"data":[{"message":"python"},{"message":"ruby"},{"message":"js"}]}"""),
+      """decoder: {type: json, schema: "data array<struct<message: string>>"}
+        |actions:
+        |  - type: split
+        |    field: data
+        |""".stripMargin)
+    val words = out.flatMap(j =>
+      """"message":"([^"]+)"""".r.findAllMatchIn(j).map(_.group(1)))
+    assert(words == Seq("go", "rust", "c++", "python", "ruby", "js"), words)
+    assert(out.forall(!_.contains(""""data"""")), out)
+  }
+
+  test("TestPlugin_DoArray: empty field splits a ROOT array") {
+    val out = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""[{"message":"go"},{"message":"rust"},{"message":"c++"}]"""),
+      """decoder: {type: json, schema: "message string"}
+        |actions:
+        |  - type: split
+        |    field: ""
+        |""".stripMargin)
+    val words = out.flatMap(j =>
+      """"message":"([^"]+)"""".r.findAllMatchIn(j).map(_.group(1)))
+    assert(words == Seq("go", "rust", "c++"), words)
+  }
+
+  test("split edge: empty array / missing field passes the parent unchanged") {
+    val out = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"keep":"me","data":[]}""", """{"keep":"too"}""",
+        """{"keep":"kid","data":[{"message":"one"}]}"""),
+      """decoder: {type: json, schema: "keep string, data array<struct<message: string>>"}
+        |actions:
+        |  - type: split
+        |    field: data
+        |""".stripMargin)
+    assert(out.exists(j => j.contains(""""keep":"me"""")), out)
+    assert(out.exists(j => j.contains(""""keep":"too"""")), out)
+    // the non-empty parent is REPLACED by its child
+    assert(out.exists(j => j.contains(""""message":"one"""")), out)
+    assert(!out.exists(j => j.contains(""""keep":"kid"""")), out)
+    assert(out.size == 3, out)
+  }
+
+  test("split edge: a non-array field passes everything unchanged (split.go:82)") {
+    val out = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"data":"not an array"}"""),
+      """decoder: {type: json, schema: "data string"}
+        |actions:
+        |  - type: split
+        |    field: data
+        |""".stripMargin)
+    assert(out.head.contains(""""data":"not an array""""), out)
+  }
+
+  // ---- discard_test.go: the four match-mode cases ----
+
+  private def discard(events: Seq[String], schema: String,
+                      matchYaml: String): Seq[String] =
+    PipelineCompiler.runActionsOnBatch(spark, events,
+      s"""decoder: {type: json, schema: "$schema"}
+         |actions:
+         |  - type: discard
+         |$matchYaml
+         |""".stripMargin)
+
+  test("TestDiscard match_and") {
+    val pass = Seq(
+      """{"field1":"not_value1"}""", """{"field2":"not_value2"}""",
+      """{"field1":"value1"}""", """{"field2":"value2"}""")
+    val drop = Seq(
+      """{"field1":"value1","field2":"value2"}""",
+      """{"field3":"value3","field1":"value1","field2":"value2"}""")
+    val out = discard(pass ++ drop,
+      "field1 string, field2 string, field3 string",
+      """    match_fields:
+        |      field1: value1
+        |      field2: value2
+        |    match_mode: and""".stripMargin)
+    assert(out.size == pass.size, out)
+    assert(out.forall(j => !(j.contains(""""field1":"value1"""") &&
+      j.contains(""""field2":"value2""""))), out)
+  }
+
+  test("TestDiscard match_or") {
+    val pass = Seq("""{"field1":"not_value1"}""", """{"field2":"not_value2"}""")
+    val drop = Seq(
+      """{"field1":"value1"}""", """{"field2":"value2"}""",
+      """{"field1":"value1","field2":"value2"}""",
+      """{"field3":"value3","field1":"value1","field2":"value2"}""")
+    val out = discard(pass ++ drop,
+      "field1 string, field2 string, field3 string",
+      """    match_fields:
+        |      field1: value1
+        |      field2: value2
+        |    match_mode: or""".stripMargin)
+    assert(out.size == pass.size, out)
+  }
+
+  test("TestDiscard match_or_regex with a nested selector") {
+    val pass = Seq(
+      """{"field2":{"field3":"0000 one 0000"}}""",
+      """{"field1":"four"}""",
+      """{"field3":"value3","field1":"value1"}""")
+    val drop = Seq(
+      """{"field1":"0000 one 0000"}""",
+      """{"field2":{"field3":"0000 four 0000"}}""",
+      """{"field1":". two ."}""")
+    val out = discard(pass ++ drop,
+      "field1 string, field2 struct<field3: string>, field3 string",
+      """    match_fields:
+        |      field1: "/(one|two|three)/"
+        |      field2.field3: "/four/"
+        |    match_mode: or""".stripMargin)
+    assert(out.size == pass.size, out.mkString("\n"))
+  }
+
+  test("TestDiscard match_and_invert") {
+    val pass = Seq(
+      """{"field2":"value2"}""",
+      """{"field1":"value1","field2":"value2"}""",
+      """{"field3":"value3","field1":"value1","field2":"value2"}""")
+    val drop = Seq(
+      """{"field1":"not_value1"}""", """{"field2":"not_value2"}""",
+      """{"field1":"value1"}""")
+    val out = discard(pass ++ drop,
+      "field1 string, field2 string, field3 string",
+      """    match_fields:
+        |      field2: value2
+        |    match_mode: and
+        |    match_invert: true""".stripMargin)
+    assert(out.size == pass.size, out.mkString("\n"))
+    assert(out.forall(_.contains(""""field2":"value2"""")), out)
+  }
+}

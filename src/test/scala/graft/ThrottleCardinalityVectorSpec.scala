@@ -1,0 +1,163 @@
+package graft
+
+import graft.compiler.PipelineCompiler
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** plugin/action/throttle/throttle_test.go and
+  * plugin/action/cardinality/cardinality_test.go scenarios through the
+  * production YAML path (r16 stateful-family sweep). The reference
+  * tests drive processing-time with a mocked clock; the batch replay
+  * carries the same instants in an explicit `time` field — identical
+  * bucket math (buckets_test.go's window arithmetic is pinned
+  * separately in StreamingKernelsSpec). */
+class ThrottleCardinalityVectorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // the reference's three event shapes (throttle_test.go formats),
+  // timestamp zero-padded to RFC3339Nano's full width so every event of
+  // a shape has the SAME byte size (the size-limit math depends on it)
+  private def ts(ms: Long): String = {
+    val i = java.time.Instant.ofEpochMilli(ms)
+    val base = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+      .format(i)
+    f"$base.${(ms % 1000) * 1000000}%09dZ"
+  }
+
+  private def throttleEvents(iterations: Int, perIter: Int,
+                             baseMs: Long, intervalMs: Long): Seq[String] = {
+    val formats = Seq(
+      (ns: String, pod: String, t: String) =>
+        s"""{"time":"$t","k8s_ns":"$ns","k8s_pod":"$pod"}""")
+    val shapes = Seq(("ns_1", "pod_1"), ("ns_2", "pod_2"),
+      ("not_matched", "pod_3"))
+    (0 until iterations).flatMap { i =>
+      val t = ts(baseMs + i * intervalMs)
+      (0 until perIter).map { j =>
+        val (ns, pod) = shapes(j % 3)
+        formats.head(ns, pod, t)
+      }
+    }
+  }
+
+  test("TestThrottle: per-rule count limits + default, bucketed") {
+    // rules: ns_1 limit 2, ns_2 limit 3, default 20; 5 iterations in
+    // distinct 100ms buckets; 90 events/iteration (30 per shape)
+    val events = throttleEvents(5, 90, 1700000000050L, 100L)
+    val out = PipelineCompiler.runActionsOnBatch(spark, events,
+      """decoder: {type: json, schema: "time string, k8s_ns string, k8s_pod string"}
+        |actions:
+        |  - type: throttle
+        |    throttle_field: k8s_pod
+        |    time_field: time
+        |    bucket_interval: 100ms
+        |    buckets_count: 2
+        |    default_limit: 20
+        |    rules:
+        |      - {limit: 2, conditions: {k8s_ns: ns_1}}
+        |      - {limit: 3, conditions: {k8s_ns: ns_2}}
+        |""".stripMargin)
+    assert(out.size == 5 * (2 + 3 + 20), s"got ${out.size}")
+    val byNs = out.groupBy(j =>
+      """"k8s_ns":"([^"]+)"""".r.findFirstMatchIn(j).get.group(1))
+    assert(byNs("ns_1").size == 10 && byNs("ns_2").size == 15 &&
+      byNs("not_matched").size == 100, byNs.view.mapValues(_.size).toMap)
+  }
+
+  test("TestThrottleNoLimit: negative limits are UNLIMITED, not zero") {
+    val events = throttleEvents(5, 30, 1700000000050L, 100L)
+    val out = PipelineCompiler.runActionsOnBatch(spark, events,
+      """decoder: {type: json, schema: "time string, k8s_ns string, k8s_pod string"}
+        |actions:
+        |  - type: throttle
+        |    throttle_field: k8s_pod
+        |    time_field: time
+        |    bucket_interval: 100ms
+        |    buckets_count: 2
+        |    default_limit: -20
+        |    rules:
+        |      - {limit: -2, conditions: {k8s_ns: ns_1}}
+        |      - {limit: -3, conditions: {k8s_ns: ns_2}}
+        |""".stripMargin)
+    assert(out.size == events.size, s"got ${out.size} of ${events.size}")
+  }
+
+  test("TestMixedThrottle: count rule + SIZE rule measured on raw event bytes") {
+    // ns_1: count 2; ns_2: size 270 bytes (each ns_2 event is 75 bytes:
+    // 45 format chars + 30 timestamp chars) -> 3 events/bucket; default 20
+    val events = throttleEvents(5, 90, 1700000000050L, 100L)
+    val sample = events.find(_.contains("ns_2")).get
+    assert(sample.getBytes("UTF-8").length == 75, sample)
+    val out = PipelineCompiler.runActionsOnBatch(spark, events,
+      """decoder: {type: json, schema: "time string, k8s_ns string, k8s_pod string"}
+        |actions:
+        |  - type: throttle
+        |    throttle_field: k8s_pod
+        |    time_field: time
+        |    bucket_interval: 100ms
+        |    buckets_count: 2
+        |    default_limit: 20
+        |    rules:
+        |      - {limit: 2, conditions: {k8s_ns: ns_1}}
+        |      - {limit: 270, limit_kind: size, conditions: {k8s_ns: ns_2}}
+        |""".stripMargin)
+    assert(out.size == 5 * (2 + 3 + 20), s"got ${out.size}")
+  }
+
+  test("TestCardinalityLimitDiscard: nested selectors, miss key reads empty") {
+    val events = (0 until 20).map(i =>
+      s"""{"info":{"host":"localhost"},"value":{"i":"$i"}}""")
+    val out = PipelineCompiler.runActionsOnBatch(spark, events,
+      """decoder: {type: json, schema: "info struct<host: string>, value struct<i: string>"}
+        |actions:
+        |  - type: cardinality
+        |    key: [info.host, not_exists_fields]
+        |    fields: [value.i]
+        |    limit: 10
+        |    action: discard
+        |    ttl: 1h
+        |""".stripMargin)
+    assert(out.size == 10, s"got ${out.size}")
+    // the FIRST 10 distinct values survive
+    (0 until 10).foreach(i => assert(out.exists(_.contains(s""""i":"$i"""")), out))
+  }
+
+  test("TestCardinalityLimitRemoveFields: over-limit keeps events, strips fields") {
+    val events = (0 until 20).map(i => s"""{"host":"localhost","i":"$i"}""")
+    val out = PipelineCompiler.runActionsOnBatch(spark, events,
+      """decoder: {type: json, schema: "host string, i string"}
+        |actions:
+        |  - type: cardinality
+        |    key: [host]
+        |    fields: [i]
+        |    limit: 10
+        |    action: remove_fields
+        |    ttl: 1h
+        |""".stripMargin)
+    assert(out.size == 20, s"got ${out.size}")
+    assert(out.count(_.contains(""""i":""")) == 10, out.mkString("\n"))
+    // the key field survives on every event
+    assert(out.forall(_.contains(""""host":"localhost"""")), out)
+  }
+
+  test("TestCardinalityLimitDiscardIfNoSetKeyFields: one global key") {
+    val events = (0 until 20).map(i =>
+      s"""{"host":"localhost$i","i":"$i"}""")
+    val out = PipelineCompiler.runActionsOnBatch(spark, events,
+      """decoder: {type: json, schema: "host string, i string"}
+        |actions:
+        |  - type: cardinality
+        |    fields: [i]
+        |    limit: 10
+        |    action: discard
+        |    ttl: 1h
+        |""".stripMargin)
+    assert(out.size == 10, s"got ${out.size}")
+  }
+}
