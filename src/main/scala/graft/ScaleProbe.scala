@@ -239,16 +239,21 @@ object ScaleProbe {
       // (maxAvgClusterSize stays at the default: the guards must PASS at
       // x10 on an honestly-distinct corpus, not be widened for the probe)
       "semdedup_against" -> { scale: String =>
-        val baseEmb = Tables(spark, base, "embeddings")
-        val old = baseEmb.filter(col("vec_id") % 4 === 0)
+        // BOTH sides scale, and k scales WITH the corpus (the
+        // semDedupAutoK rule — r16: running a 100× batch against the
+        // base-k index trips the loud avg-cluster-size guard at 18750
+        // assignments/cluster, by design; the guard-armed trip is
+        // recorded in NOTES, this cell measures the prescribed fix)
+        val all = if (scale == "base") Tables(spark, base, "embeddings")
+                  else spark.read.parquet(embDistinctPath)
+        val old = all.filter(col("vec_id") % 4 === 0)
+        val k = if (scale == "base") 32 else 32 * factor
         val cents = graft.ml.Ann.kmeansQuantized(old, "vec_id", "embedding",
-          k = 32, iters = 1)
+          k = k, iters = 1)
         val members = graft.ml.Dedup.semdedupIndex(old, "vec_id", "embedding",
           cents).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         members.count() // build the index outside the measured window
-        val batch = (if (scale == "base") baseEmb
-                     else spark.read.parquet(embDistinctPath))
-          .filter(col("vec_id") % 4 =!= 0)
+        val batch = all.filter(col("vec_id") % 4 =!= 0)
         val m = measure(spark)(graft.ml.Dedup.semDedupAgainst(batch, cents,
           members, "vec_id", "embedding", tau = 0.40).count())
         members.unpersist(blocking = false)
@@ -276,6 +281,38 @@ object ScaleProbe {
       "ccnet_buckets" -> { scale: String =>
         measure(spark)(graft.ml.TextOps.ccnetBuckets(docsAt(scale),
           "doc_id", "text").count())
+      },
+      // round-16 (VERDICT_r15 #4): the q152 quality CHAIN — gopher gate
+      // → ccnet head+middle keep → per-source quota, compiled from
+      // YAML. The claim under test: the histogram/threshold legs stay
+      // bounded (the window runs over the HISTOGRAM, not the corpus)
+      // while the two LM shuffles scale linearly
+      "ccnet_quality_q152" -> { scale: String =>
+        val (dir, table) =
+          if (scale == "base") (base, "documents") else (sf1Dir, "documents")
+        measure(spark)(graft.compiler.PipelineCompiler.compileCuration(
+          spark,
+          s"""curation:
+             |  input: {dir: "$dir", table: $table}
+             |  stages:
+             |    - {type: gopher_gate, min_tok: 5}
+             |    - {type: ccnet_bucket, keep: [head, middle]}
+             |    - {type: source_quota, group: source, budget: 500, seed: 7}
+             |""".stripMargin).count())
+      },
+      // round-16 (VERDICT_r15 #4): the q120 within-batch SemDeDup shape
+      // at scale — k follows the corpus via the target-cluster-size
+      // rule (semDedupAutoK; q120's fixed k=8 is the pinned-size
+      // spelling: 2000 vecs / 8 ≈ the 250 target here), so the claim
+      // under test is that within-cluster pairwise work stays bounded
+      // per cluster while assignment scales linearly; the avg-cluster-
+      // size guard is ARMED (maxAvgClusterSize) and must not fire
+      "semdedup_batch" -> { scale: String =>
+        val e = if (scale == "base") Tables(spark, base, "embeddings")
+                else spark.read.parquet(embDistinctPath)
+        measure(spark)(graft.ml.Dedup.semDedupAutoK(e, "vec_id",
+          "embedding", targetClusterSize = 250L, iters = 1, tau = 0.40,
+          maxAvgClusterSize = 2000L).count())
       },
       // round-14: throttleDistributed's secondary-sort rewrite — one
       // (key, bucket) hash exchange + SPILLABLE partition sort + an

@@ -319,10 +319,17 @@ object Knobs {
     }
   }
 
+  /** Graft keys legal on EVERY output node: the streaming checkpoint
+    * location plus the generic spool/render knobs the runner consumes
+    * across sink types. */
+  private val outputGraftCommon: Set[String] =
+    Set("type", "checkpoint", "dir", "path", "format", "mode",
+      "time_field", "name")
+
   /** Loud unknown-key validation for a reference OUTPUT config. */
   def validateOutput(tpe: String, keys: Set[String]): Unit =
     outputMapped.get(tpe).foreach { mapped =>
-      val legal = mapped ++ Set("type") ++ outputNoop(tpe).keySet
+      val legal = mapped ++ outputGraftCommon ++ outputNoop(tpe).keySet
       unknown("output", tpe, keys.filterNot(legal), legal)
     }
 }

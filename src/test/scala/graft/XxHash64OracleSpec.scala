@@ -88,6 +88,26 @@ class XxHash64OracleSpec extends AnyFunSuite {
     assert(XxHash64Ref.hash(Array.emptyByteArray, 0L) == 0xEF46DB3751D8E999L)
   }
 
+  test("the hash ACTION is XXH64 seed 0 rendered unsigned (q31's production path)") {
+    // r16: the action builds catalyst XxHash64 with seed 0
+    // (xxhash.Sum64, hash.go:459) and renders MutateToUint64's
+    // unsigned decimal — cross-checked against the spec-derived
+    // implementation, which shares no code with Spark's XXH64
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Seq("", "a", "unauthenticated", "error occurred",
+        "日本語テキスト", "x" * 100)
+      .toDF("s")
+      .select(col("s"), graft.operators.Actions.hashAction(
+        struct(col("s")), Seq(graft.model.FieldPath("s")), "h")
+        .getField("h").as("h"))
+      .as[(String, String)].collect()
+    rows.foreach { case (s, h) =>
+      assert(h == java.lang.Long.toUnsignedString(
+        XxHash64Ref.hashUtf8(s, 0L)), s"mismatch on ${s.take(20)}")
+    }
+  }
+
   test("byte-equal with Spark's builtin across generated strings") {
     import spark.implicits._
     val gen: Gen[String] = Gen.oneOf(
