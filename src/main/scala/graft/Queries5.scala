@@ -66,7 +66,7 @@ object Queries5 {
       |  '{"version":"1.1","host":"h' || (user_id % 10) ||
       |  '","short_message":"' || event_type ||
       |  '","timestamp":' ||
-      |    CAST(CAST(epoch_ms(ts) AS DECIMAL(17,0)) / 1000 AS DECIMAL(14,3)) ||
+      |    CAST(CAST(epoch_us(ts) AS DECIMAL(20,0)) / 1000000 AS DECIMAL(17,6)) ||
       |  ',"level":' ||
       |    CASE WHEN lower(trim(event_type)) = 'error' THEN 3 ELSE 6 END ||
       |  ',"_k":"' || coalesce(json_extract_string(props, '$.k'), '0') || '"}'

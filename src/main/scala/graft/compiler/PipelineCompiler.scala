@@ -489,21 +489,48 @@ object PipelineCompiler {
               // docField, not getField: a doc schema missing the
               // (default) field name is the reference's Dig-miss —
               // resolve NULL, don't fail the whole query at analysis
-              val shortMsg = coalesce(
-                docField(msgField).cast("string"),
-                lit(outputConf.getOrElse("default_short_message_value",
-                  "not set")))
+              val gelfHostF = outputConf.getOrElse("host_field", "host")
+              val gelfFullF = outputConf.get("full_message_field")
+              val gelfLevelF = outputConf.get("level_field")
+              val gelfTsF = outputConf.get("time_field")
+                .orElse(outputConf.get("timestamp_field"))
+              // every OTHER event field rides as a `_name` extra
+              // (gelf.go makeExtraFields: all fields convert, then the
+              // configured ones are renamed back to the base keys);
+              // non-string/non-number values encode as JSON strings
+              val gelfBase: Set[String] =
+                Set(gelfHostF, msgField) ++ gelfFullF ++ gelfLevelF ++ gelfTsF
+              import org.apache.spark.sql.types._
+              val gelfExtras: Map[String, Column] =
+                (df.schema("doc").dataType match {
+                  case s: StructType => s.fields.toSeq
+                  case _ => Nil
+                }).filterNot(f => gelfBase.contains(f.name)).map { f =>
+                  val v = f.dataType match {
+                    case StringType => doc.getField(f.name)
+                    case _: NumericType => doc.getField(f.name)
+                    case _: StructType | _: ArrayType | _: MapType =>
+                      to_json(doc.getField(f.name))
+                    case _ => doc.getField(f.name).cast("string")
+                  }
+                  f.name -> v
+                }.toMap
               Sinks.gelfFrame(
-                docField(outputConf.getOrElse("host_field", "host")).cast("string"),
-                shortMsg,
+                docField(gelfHostF).cast("string"),
+                docField(msgField).cast("string"),
                 timeCol,
-                outputConf.get("level_field")
+                // level: string names parse (unknown → informational 6),
+                // a missing/unconfigured level field omits the key
+                // (gelf.go makeLevelField returns without writing)
+                gelfLevelF
                   .map(f => coalesce(
                     graft.functions.LogLevel.toNumber(docField(f).cast("string")),
-                    lit(6)))
-                  .getOrElse(lit(6)),
-                fullMessage = outputConf.get("full_message_field")
-                  .map(f => docField(f).cast("string")))
+                    when(docField(f).isNotNull, lit(6))))
+                  .getOrElse(lit(null).cast("int")),
+                extras = gelfExtras,
+                fullMessage = gelfFullF.map(f => docField(f).cast("string")),
+                defaultShort = outputConf.getOrElse(
+                  "default_short_message_value", "not set"))
             case "splunk" =>
               // copy_fields (splunk.go:204,240-253): copies from the
               // original event into the output json; to=root or

@@ -363,28 +363,48 @@ object Sinks {
   /** GELF frame (plugin/output/gelf): version/host/short_message/
     * timestamp/level + `_`-prefixed extras; null-byte terminated by the
     * transport. */
+  /** gelf.go formatExtraField: letters/digits/`_-.` keep, anything
+    * else becomes `-` (gelf_test.go: `m&m` → `_m-m`). */
+  def gelfExtraName(name: String): String = name.map { c =>
+    val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_' || c == '-' || c == '.'
+    if (ok) c else '-'
+  }
+
+  /** gelf.go isBlank's exact character class (space, tab, LF, CR, VT,
+    * FF, FS, GS, RS, US) — a blank base-field value reads its default. */
+  private val gelfBlankRe = "\\A[ \\t\\n\\r\\u000B\\f\\u001C-\\u001F]*\\z"
+
   def gelfFrame(host: org.apache.spark.sql.Column,
                 shortMessage: org.apache.spark.sql.Column,
                 timestamp: org.apache.spark.sql.Column,
                 level: org.apache.spark.sql.Column,
                 extras: Map[String, org.apache.spark.sql.Column] = Map.empty,
-                fullMessage: Option[org.apache.spark.sql.Column] = None)
-  : org.apache.spark.sql.Column =
+                fullMessage: Option[org.apache.spark.sql.Column] = None,
+                defaultShort: String = "not set")
+  : org.apache.spark.sql.Column = {
+    // missing OR blank → default (gelf.go makeBaseField + isBlank;
+    // gelf_test.go: short_message "   " renders the default)
+    def orDefault(c: org.apache.spark.sql.Column, dflt: String) =
+      when(c.isNull || c.rlike(gelfBlankRe), lit(dflt)).otherwise(c)
     to_json(struct(
       (Seq(
         lit("1.1").as("version"),
-        host.as("host"),
-        shortMessage.as("short_message")) ++
+        orDefault(host, "unknown").as("host"),
+        orDefault(shortMessage, defaultShort).as("short_message")) ++
         // full_message is a STANDARD GELF field (no `_` prefix),
-        // gelf.go full_message_field
+        // gelf.go full_message_field — no default: NULL is omitted
         fullMessage.map(_.as("full_message")).toSeq ++
       Seq(
-        // GELF timestamp = seconds with decimals; exact ms-precision
-        // decimal (a double renders in scientific notation in JSON)
-        (unix_millis(timestamp).cast("decimal(17,0)") / 1000)
-          .cast("decimal(14,3)").as("timestamp"),
+        // GELF timestamp = seconds with decimals; exact µs-precision
+        // decimal (gelf_test.go 1257894000.423141 — a double would
+        // render in scientific notation in JSON)
+        (unix_micros(timestamp).cast("decimal(20,0)") / 1000000)
+          .cast("decimal(17,6)").as("timestamp"),
         level.as("level")) ++
-        extras.toSeq.sortBy(_._1).map { case (k, v) => v.as(s"_$k") }): _*))
+        extras.toSeq.sortBy(_._1)
+          .map { case (k, v) => v.as(s"_${gelfExtraName(k)}" ) }): _*))
+  }
 
   /** Splunk HEC envelope (plugin/output/splunk): {"event": doc,
     * "time": epoch, ...copies}. `copies` is the rendered `copy_fields`

@@ -1,0 +1,80 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.compiler.PipelineCompiler
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** plugin/output/gelf/gelf_test.go TestFormatEvent vectors through the
+  * production payload surface (r16): extra-field `_` prefixing with
+  * char sanitation (`m&m` → `_m-m`), container values encoded as JSON
+  * strings, blank base fields reading their defaults, µs-precision
+  * float timestamp, level names as syslog numbers. */
+class GelfVectorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import scala.jdk.CollectionConverters._
+
+  private val om = new ObjectMapper().configure(
+    com.fasterxml.jackson.databind.DeserializationFeature
+      .USE_BIG_DECIMAL_FOR_FLOATS, true)
+
+  private def render(event: String, schema: String): Map[String, String] = {
+    val yaml =
+      s"""input: {type: fake, lines: ['${event.replace("'", "''")}']}
+         |decoder: {type: json, schema: "$schema"}
+         |output:
+         |  type: gelf
+         |  endpoint: "host:1000"
+         |  host_field: my_host_field
+         |  short_message_field: my_short_message_field
+         |  full_message_field: my_full_message_field
+         |  timestamp_field: my_timestamp_field
+         |  timestamp_field_format: rfc3339nano
+         |  level_field: my_level_field
+         |""".stripMargin
+    val json = PipelineCompiler.compile(spark, yaml).payload()
+      .collect().head.getString(0)
+    val n = om.readTree(json)
+    n.properties().asScala.map(e =>
+      e.getKey -> (if (e.getValue.isTextual) e.getValue.asText()
+                   else e.getValue.toString)).toMap
+  }
+
+  test("TestFormatEvent: base fields, sanitized extras, float timestamp") {
+    val got = render(
+      """{"my_host_field":"my_host_value","my_short_message_field":"my_short_message_value","my_full_message_field":"my_full_message_value","my_timestamp_field":"2009-11-10T23:00:00.423141234Z","my_level_field":"emergency","payload":"payload_value","extra":"extra_value","extra_array":["extra_array_value"],"m&m":"tasty"}""",
+      "my_host_field string, my_short_message_field string, " +
+        "my_full_message_field string, my_timestamp_field string, " +
+        "my_level_field string, payload string, extra string, " +
+        "extra_array array<string>, `m&m` string")
+    assert(got("version") == "1.1")
+    assert(got("host") == "my_host_value")
+    assert(got("short_message") == "my_short_message_value")
+    assert(got("full_message") == "my_full_message_value")
+    assert(got("timestamp") == "1257894000.423141", got("timestamp"))
+    assert(got("level") == "0")
+    assert(got("_payload") == "payload_value")
+    assert(got("_extra") == "extra_value")
+    assert(got("_extra_array") == """["extra_array_value"]""")
+    assert(got("_m-m") == "tasty")
+    assert(!got.contains("m&m") && !got.contains("my_host_field"), got)
+  }
+
+  test("TestFormatEvent: blank short_message reads the default") {
+    val got = render(
+      """{"my_host_field":"my_host_value","my_short_message_field":"   ","my_timestamp_field":"2009-11-10T23:00:00.423141234Z","my_level_field":"emergency","payload":"payload_value"}""",
+      "my_host_field string, my_short_message_field string, " +
+        "my_full_message_field string, my_timestamp_field string, " +
+        "my_level_field string, payload string")
+    assert(got("short_message") == "not set", got)
+    assert(!got.contains("full_message"), got) // missing → omitted
+    assert(got("_payload") == "payload_value")
+  }
+}
