@@ -574,12 +574,43 @@ object PipelineCompiler {
                   // drop the SAME field timeCol parses (time_field
                   // first) — the other spelling, if also configured,
                   // stays in the structured metadata untouched
-                  val dropped = Seq(mf) ++
-                    outputConf.get("time_field")
-                      .orElse(outputConf.get("timestamp_field")).toSeq
-                  Sinks.lokiValue(timeCol,
+                  val tsSel = outputConf.get("time_field")
+                    .orElse(outputConf.get("timestamp_field"))
+                  val dropped = Seq(mf) ++ tsSel.toSeq
+                  // loki.go:376-384 + isUnixNanoFormat: a ts value
+                  // ALREADY in unix-nano form (all digits, in (0, now])
+                  // rides VERBATIM — sub-µs digits preserved; anything
+                  // else goes through the configured parse (a documented
+                  // SUPERSET: the reference hard-errors the batch on a
+                  // non-nano value, a per-row fatal a distributed sink
+                  // doesn't fabricate), with now() as the empty/
+                  // unparseable fallback like the reference's empty case
+                  val tsRaw = tsSel.map(f => docField(f).cast("string"))
+                    .getOrElse(lit(null).cast("string"))
+                  val nowNanos =
+                    (unix_micros(current_timestamp()) * 1000)
+                  val nanos = when(
+                    tsRaw.isNotNull && tsRaw.rlike("\\A\\d{1,19}\\z") &&
+                      // try_cast: ANSI cast evaluates even when the
+                      // rlike guard is false (no short-circuit across
+                      // codegen subexpressions)
+                      tsRaw.try_cast("decimal(20,0)") > 0 &&
+                      tsRaw.try_cast("decimal(20,0)") <=
+                        nowNanos.cast("decimal(20,0)"), tsRaw)
+                    .otherwise((unix_micros(timeCol) * 1000).cast("string"))
+                  // a doc holding ONLY message+ts has empty metadata —
+                  // Spark structs can't be empty, render the literal {}
+                  val docNamesL = df.schema("doc").dataType match {
+                    case s: org.apache.spark.sql.types.StructType =>
+                      s.fieldNames.toSet
+                    case _ => Set.empty[String]
+                  }
+                  val metaJson =
+                    if ((docNamesL -- dropped).isEmpty) lit("{}")
+                    else to_json(doc.dropFields(dropped.filter(docNamesL): _*))
+                  Sinks.lokiValueNanos(nanos,
                     docField(mf).cast("string"), // Dig-miss → NULL
-                    to_json(doc.dropFields(dropped: _*)))
+                    metaJson)
                 case None =>
                   Sinks.lokiEntry(timeCol, to_json(doc)).cast("string")
               }

@@ -465,9 +465,19 @@ object Sinks {
     * a graceful superset, documented. */
   def lokiValue(eventTime: org.apache.spark.sql.Column,
                 message: org.apache.spark.sql.Column,
-                metaJson: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val pair = to_json(array((unix_micros(eventTime) * 1000).cast("string"),
-      coalesce(message, lit(""))))
+                metaJson: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lokiValueNanos((unix_micros(eventTime) * 1000).cast("string"),
+      message, metaJson)
+
+  /** [[lokiValue]] with a pre-rendered NANO-STRING timestamp — the
+    * push leg's reference contract (loki.go:376-384,472-484): a ts
+    * field already in unix-nano form rides VERBATIM, preserving
+    * sub-microsecond digits a parse round-trip would truncate. */
+  def lokiValueNanos(nanos: org.apache.spark.sql.Column,
+                     message: org.apache.spark.sql.Column,
+                     metaJson: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column = {
+    val pair = to_json(array(nanos, coalesce(message, lit(""))))
     concat(pair.substr(lit(1), length(pair) - 1), lit(","),
       coalesce(metaJson, lit("{}")), lit("]"))
   }

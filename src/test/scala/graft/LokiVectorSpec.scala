@@ -1,0 +1,50 @@
+package graft
+
+import graft.compiler.PipelineCompiler
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** plugin/output/loki isUnixNanoFormat vectors (loki_test.go) through
+  * the push-leg payload: a ts value already in unix-nano form rides
+  * VERBATIM (sub-µs digits preserved); out-of-range or non-numeric
+  * values fall to the configured parse / now() (documented superset of
+  * the reference's batch error). */
+class LokiVectorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def value(ts: String): String =
+    PipelineCompiler.compile(spark,
+      s"""input: {type: fake, lines: ['{"m":"hello","t":"$ts"}']}
+         |decoder: {type: json, schema: "m string, t string"}
+         |output:
+         |  type: loki
+         |  address: "http://127.0.0.1:1"
+         |  message_field: m
+         |  timestamp_field: t
+         |""".stripMargin).payload().collect().head.getString(0)
+
+  test("TestIsUnixNanoFormat: valid nano strings pass verbatim") {
+    // 1 January 2021 in nanos, with sub-µs digits — byte-preserved
+    assert(value("1609459200123456789")
+      .startsWith("""["1609459200123456789","hello""""))
+    assert(value("1700000000000000000")
+      .startsWith("""["1700000000000000000","hello""""))
+  }
+
+  test("TestIsUnixNanoFormat: too-large / non-numeric values do not pass") {
+    // 20 November 2286 — beyond now, NOT a valid nano stamp
+    assert(!value("9999999999999999999")
+      .startsWith("""["9999999999999999999"""))
+    // non-numeric: parses as rfc3339 (fails) → now() fallback
+    assert(!value("hello123456789").startsWith("""["hello"""))
+    // an rfc3339 value parses through the configured format
+    assert(value("2021-01-01T00:00:00Z")
+      .startsWith("""["1609459200000000000","hello""""))
+  }
+}
