@@ -33,7 +33,13 @@ object Knobs {
   val actionCommon: Set[String] = Set(
     "type", "match_fields", "match_mode", "match_invert", "do_if",
     "metric_name", "metric_labels", "metric_label_values",
-    "metric_prefix", "metric_skip_status")
+    "metric_prefix")
+
+  /** Common keys accepted as DOCUMENTED no-ops on every action. */
+  val actionCommonNoop: Map[String, String] = Map(
+    "metric_skip_status" -> ("the reference's ok/discarded/collapse " +
+      "status label on per-action counters — the engine's observation " +
+      "rides Spark's metrics bus with no status dimension to skip"))
 
   /** Per-action accepted-no-op keys, with the documented reason. */
   val actionNoop: Map[String, Map[String, String]] = Map[String, Map[String, String]](
@@ -89,7 +95,7 @@ object Knobs {
       "time_format", "default_limit", "limit", "limit_kind",
       "limit_distribution", "rules", "buckets_count", "bucket_interval",
       "bucket_interval_seconds", "limiter_backend", "limiter_expiration",
-      "redis_backend_config", "state_ttl_ms")
+      "redis_backend_config", "redis_backend_cfg", "state_ttl_ms")
   )
 
   /** Actions whose config node IS a dynamic key map (modify's field
@@ -212,7 +218,7 @@ object Knobs {
       "batch_size_bytes", "key_field", "headers_field", "message_format"),
     "elasticsearch" -> Set("endpoints", "endpoint", "index_format",
       "index_values", "index_prefix", "time_field",
-      "time_format", "index_time_format", "batch_size",
+      "time_format", "time_parse_format", "index_time_format", "batch_size",
       "batch_size_bytes", "api_key", "username", "password", "ca_cert",
       "use_gzip", "batch_op_type", "ingest_pipeline", "strict",
       "split_batch", "process_response", "retention", "retry",
@@ -235,7 +241,8 @@ object Knobs {
       "bearer_token", "tls_enabled", "tls_skip_verify", "username",
       "password", "batch_size", "batch_size_bytes", "strategy", "stream",
       "streams", "value", "values", "request_timeout", "time_field",
-      "time_parse_format", "use_gzip", "retention", "retry",
+      "time_format", "timestamp_field_format", "use_gzip",
+      "retention", "retry",
       "retention_exponentially_multiplier", "fatal_on_failed_insert"),
     "gelf" -> Set("endpoint", "host_field", "short_message_field",
       "message_field",
@@ -303,7 +310,8 @@ object Knobs {
     val tpe = Option(action.get("type")).map(_.asText()).getOrElse(return)
     if (dynamicKeyActions.contains(tpe)) return
     actionMapped.get(tpe).foreach { mapped =>
-      val legal = mapped ++ actionCommon ++ actionNoop(tpe).keySet
+      val legal = mapped ++ actionCommon ++ actionCommonNoop.keySet ++
+        actionNoop(tpe).keySet
       unknown("action", tpe,
         action.properties().asScala.map(_.getKey).filterNot(legal), legal)
     }

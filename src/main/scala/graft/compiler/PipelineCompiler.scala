@@ -491,9 +491,23 @@ object PipelineCompiler {
               // resolve NULL, don't fail the whole query at analysis
               val gelfHostF = outputConf.getOrElse("host_field", "host")
               val gelfFullF = outputConf.get("full_message_field")
+              // gelf.go defaults: level_field "level", timestamp_field
+              // "time" (r16 review — unconfigured pipelines previously
+              // dropped level and stamped arrival time, letting the doc
+              // fields ride as _level/_time extras)
               val gelfLevelF = outputConf.get("level_field")
+                .orElse(Some("level"))
               val gelfTsF = outputConf.get("time_field")
                 .orElse(outputConf.get("timestamp_field"))
+                .orElse(Some("time"))
+              val gelfTime =
+                if (outputConf.contains("time_field") ||
+                    outputConf.contains("timestamp_field")) timeCol
+                else coalesce(
+                  XTime.parse(docField("time").cast("string"),
+                    outputConf.getOrElse("timestamp_field_format",
+                      "rfc3339nano")),
+                  current_timestamp())
               // every OTHER event field rides as a `_name` extra
               // (gelf.go makeExtraFields: all fields convert, then the
               // configured ones are renamed back to the base keys);
@@ -518,7 +532,7 @@ object PipelineCompiler {
               Sinks.gelfFrame(
                 docField(gelfHostF).cast("string"),
                 docField(msgField).cast("string"),
-                timeCol,
+                gelfTime,
                 // level: string names parse (unknown → informational 6),
                 // a missing/unconfigured level field omits the key
                 // (gelf.go makeLevelField returns without writing)
@@ -600,11 +614,7 @@ object PipelineCompiler {
                     .otherwise((unix_micros(timeCol) * 1000).cast("string"))
                   // a doc holding ONLY message+ts has empty metadata —
                   // Spark structs can't be empty, render the literal {}
-                  val docNamesL = df.schema("doc").dataType match {
-                    case s: org.apache.spark.sql.types.StructType =>
-                      s.fieldNames.toSet
-                    case _ => Set.empty[String]
-                  }
+                  val docNamesL = docRootFields(df)
                   val metaJson =
                     if ((docNamesL -- dropped).isEmpty) lit("{}")
                     else to_json(doc.dropFields(dropped.filter(docNamesL): _*))
@@ -2473,6 +2483,20 @@ object PipelineCompiler {
       case _ => Set.empty
     }
 
+  /** Root doc fields safe to RESTORE on a failed decode: present AND
+    * type-equal to the would-be decoded value (r16 review: a CaseWhen
+    * can't unify a struct fallback with a string decode — on type
+    * conflict the failed row keeps the pre-r16 NULL, documented). */
+  private def restorableRoots(df: DataFrame,
+      targets: Seq[(String, org.apache.spark.sql.types.DataType)])
+  : Set[String] =
+    df.schema("doc").dataType match {
+      case s: org.apache.spark.sql.types.StructType =>
+        targets.collect { case (n, t)
+          if s.fields.exists(f => f.name == n && f.dataType == t) => n }.toSet
+      case _ => Set.empty
+    }
+
   /** The leaf Spark type a field path resolves to (None when the walk
     * leaves the schema — the analysis error surfaces as before). */
   private def leafType(df: DataFrame,
@@ -3175,10 +3199,15 @@ object PipelineCompiler {
         // names become PLAIN capturing groups (indexes unchanged):
         // Java rejects underscores in group names, and regexp_extract
         // addresses groups by index anyway
+        val reGroupPrefix =
+          Option(action.get("prefix")).map(_.asText()).getOrElse("")
         guarded(Actions.parseRe2(doc, FieldPath.parse(action.get("field").asText()),
           PipelineCompiler.stripGoGroupNames(re2raw), groups,
-          Option(action.get("prefix")).map(_.asText()).getOrElse(""),
-          existing = docRootFields(df)))
+          reGroupPrefix,
+          // groups extract STRINGS — only string-typed fields restore
+          existing = restorableRoots(df, groups.map { case (n, _) =>
+            (reGroupPrefix + n, org.apache.spark.sql.types.StringType:
+              org.apache.spark.sql.types.DataType) })))
       case "mask" =>
         // process_fields: apply the mask to each listed field (mask.go
         // whitelist); single `field` is the degenerate one-element list
@@ -3461,10 +3490,12 @@ object PipelineCompiler {
         require(Set("off", "erronly", "withnode").contains(jdErrMode),
           s"json_decode: log_json_parse_error_mode `$jdErrMode` is not " +
             "one of off|erronly|withnode (json_decode.go:52)")
-        val jdOut = Actions.jsonDecode(doc, jField,
-          org.apache.spark.sql.types.StructType.fromDDL(jSchema),
-          prefix = Option(action.get("prefix")).map(_.asText()).getOrElse(""),
-          existing = docRootFields(df))
+        val jdT = org.apache.spark.sql.types.StructType.fromDDL(jSchema)
+        val jdPrefix =
+          Option(action.get("prefix")).map(_.asText()).getOrElse("")
+        val jdOut = Actions.jsonDecode(doc, jField, jdT, prefix = jdPrefix,
+          existing = restorableRoots(df, jdT.fields.toSeq
+            .map(f => (jdPrefix + f.name, f.dataType))))
         guarded(
           if (jdErrMode != "withnode") jdOut
           else jdOut.withField("decode_error",
@@ -3559,32 +3590,37 @@ object PipelineCompiler {
         // validity probe of the whole document; the 3164 struct is
         // never null (no-silent-loss keeps the line as message) — its
         // failed parse reads as NULL priority
+        // a NULL/missing source is a Dig miss → ActionPass (decode.go
+        // Do): it must read FAILED so the pass-untouched restore
+        // engages (r16 review: src.isNotNull && … made a null source a
+        // "successful" decode that nulled pre-existing fields)
         val failed = Option(decParams.get("type")).map(_.asText()) match {
           // decode.go returns the event untouched for any valid
           // NON-OBJECT JSON too (node.IsObject gate) — "42"/"[1,2]"
           // must not destroy the source
-          case Some("json") => src.isNotNull &&
-            (get_json_object(src, "$").isNull || !trim(src).startsWith("{"))
+          case Some("json") => src.isNull ||
+            get_json_object(src, "$").isNull || !trim(src).startsWith("{")
           case Some("syslog_rfc3164") =>
-            src.isNotNull && inner.getField("priority").isNull
-          case _            => src.isNotNull && inner.isNull
+            src.isNull || inner.getField("priority").isNull
+          case _            => src.isNull || inner.isNull
         }
         // the decoded struct's static shape (analysis-only, no job)
-        val innerFields = df.select(inner.as("_dec")).schema.head.dataType
-          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+        val innerStruct = df.select(inner.as("_dec")).schema.head.dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val innerFields = innerStruct.fieldNames
         // a failed decode passes the event UNTOUCHED (decode.go Do
         // returns ActionPass): the source keeps its value even when a
-        // decoded key collides with it, and pre-existing root fields
-        // named prefix+key keep theirs instead of reading NULL
-        val existingRoot = docRootFields(df)
+        // decoded key collides with it, and pre-existing TYPE-COMPATIBLE
+        // root fields named prefix+key keep theirs instead of reading
+        // NULL (restorableRoots — type conflicts keep the old NULL)
+        val restorable = restorableRoots(df, innerStruct.fields.toSeq
+          .map(f => (prefix + f.name, f.dataType)))
         var out = innerFields.foldLeft(doc) { (d, f) =>
           val tgt = prefix + f
           val ok = when(!failed, inner.getField(f))
-          val v =
-            if (tgt == field) ok.otherwise(doc.getField(field))
-            else if (existingRoot.contains(tgt)) ok.otherwise(doc.getField(tgt))
-            else ok
-          d.withField(quoteSeg(tgt), v)
+          d.withField(quoteSeg(tgt),
+            if (restorable.contains(tgt)) ok.otherwise(doc.getField(tgt))
+            else ok)
         }
         val overwritten = innerFields.exists(f => prefix + f == field)
         if (!keepOrigin && !overwritten)
@@ -4115,8 +4151,15 @@ object PipelineCompiler {
             // a struct can't change SHAPE per row — over-limit rows
             // NULL the tracked fields instead (NULL = absent in the
             // serialized doc, the engine's removal convention), keeping
-            // one static type across both branches
-            def nullWhenOver(d: Column, fp: FieldPath): Column = {
+            // one static type across both branches. Statically absent
+            // selectors SKIP (the reference's Dig-miss; r16 review —
+            // cardField reads them as NULL but a withField walk would
+            // still fail analysis)
+            def nullWhenOver(d: Column, fp: FieldPath): Column =
+              if (!PipelineCompiler.hasPath(df.schema("doc").dataType,
+                  fp.parts.toList)) d
+              else nullWhenOverKnown(d, fp)
+            def nullWhenOverKnown(d: Column, fp: FieldPath): Column = {
               def upd(c: Column, parts: List[String]): Column = parts match {
                 case last :: Nil => c.withField(quoteSeg(last),
                   when(!col("_card_over"), c.getField(last)))

@@ -403,12 +403,14 @@ object Actions {
     val parsed = from_json(src, schema)
     val merged = schema.fieldNames.foldLeft(doc) { (d, f) =>
       val tgt = prefix + f
-      val onFail: Option[Column] =
-        if (tgt == field) Some(doc.getField(field))
-        else if (existing.contains(tgt)) Some(doc.getField(tgt))
-        else None // field didn't exist before: NULL reads as absent
-      val v = onFail.fold(when(valid, parsed.getField(f)))(
-        when(valid, parsed.getField(f)).otherwise(_))
+      // `existing` is the compiler's TYPE-COMPATIBLE restorable set
+      // (restorableRoots) — the source-collision case rides in it too
+      // (the source is a string field like a string-decoded key); a
+      // field not in it reads NULL on failure = absent, the old shape
+      val v =
+        if (existing.contains(tgt))
+          when(valid, parsed.getField(f)).otherwise(doc.getField(tgt))
+        else when(valid, parsed.getField(f))
       d.withField(quoteSeg(tgt), v)
     }
     // a decoded key named like the source already overwrote it — the

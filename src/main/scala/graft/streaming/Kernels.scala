@@ -327,6 +327,13 @@ object Kernels {
             Iterator.empty
           } else {
           val (keyLimit, keyKind) = cfg.limitKindFor(key)
+          // unlimited fast-path BEFORE any bucket math (in_memory_
+          // limiter.go:68 returns true before rebuildBuckets; r16
+          // review — inside the window check, ancient events were
+          // still dropped under a negative limit, unlike the batch
+          // leg). No state touched, like the reference.
+          if (keyLimit < 0) events
+          else {
           var st = state.getOption.getOrElse(
             ThrottleState(Long.MinValue, Array.fill(cfg.bucketsCount)(0L)))
           val out = scala.collection.mutable.ArrayBuffer.empty[TEvent]
@@ -344,8 +351,7 @@ object Kernels {
             val idx = graft.state.BucketWindow.indexOf(
               st.newestBucket, bucket, cfg.bucketsCount)
             if (idx >= 0) {
-              if (keyLimit < 0) out += ev // unlimited fast-path
-              else if (keyKind == "size") {
+              if (keyKind == "size") {
                 // unconditional accumulate; pass while the running
                 // total INCLUDING this event fits (throttleSize
                 // contract, in_memory_limiter.go:85-100)
@@ -360,6 +366,7 @@ object Kernels {
           state.update(st)
           armTtl(state, cfg.stateTtlMs)
           out.iterator
+          }
           }
       }
   }

@@ -67,6 +67,21 @@ class GelfVectorSpec extends AnyFunSuite {
     assert(!got.contains("m&m") && !got.contains("my_host_field"), got)
   }
 
+  test("r16 review: unconfigured level/time use gelf.go's defaults, not extras") {
+    // level_field default "level", timestamp_field default "time"
+    // (gelf.go:105,126) — both rename OUT of the extras
+    val json = PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: ['{"host":"h1","message":"hello","time":"2009-11-10T23:00:00.423141234Z","level":"error","extra":"x"}']}
+        |decoder: {type: json, schema: "host string, message string, time string, level string, extra string"}
+        |output: {type: gelf, endpoint: "host:1000"}
+        |""".stripMargin).payload().collect().head.getString(0)
+    val got = om.readTree(json)
+    assert(got.get("level").asInt() == 3, json)
+    assert(got.get("timestamp").asText() == "1257894000.423141", json)
+    assert(got.get("_extra").asText() == "x", json)
+    assert(!got.has("_level") && !got.has("_time"), json)
+  }
+
   test("TestFormatEvent: blank short_message reads the default") {
     val got = render(
       """{"my_host_field":"my_host_value","my_short_message_field":"   ","my_timestamp_field":"2009-11-10T23:00:00.423141234Z","my_level_field":"emergency","payload":"payload_value"}""",

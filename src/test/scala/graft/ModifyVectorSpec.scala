@@ -438,6 +438,46 @@ class ModifyVectorSpec extends AnyFunSuite {
     assert(re.contains(""""level":"orig"""") && re.contains(""""message":"12345""""), re)
   }
 
+  test("r16 review regressions: decode NULL source, type-conflict restore, cardinality miss") {
+    // decode: a NULL/missing source is a Dig miss → ActionPass; the
+    // pre-existing root field must survive (failed used to read false
+    // on a null source and null every decoded key)
+    val nullSrc = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"level":"error"}"""),
+      """decoder: {type: json, schema: "level string, log string"}
+        |actions:
+        |  - type: decode
+        |    field: log
+        |    params: {type: json, schema: "level string"}
+        |""".stripMargin).head
+    assert(nullSrc.contains(""""level":"error""""), nullSrc)
+    // json_decode: a decoded key colliding with a pre-existing field of
+    // a DIFFERENT type compiles (no restore — type conflicts keep the
+    // old NULL-on-failure, documented) instead of a CaseWhen mismatch
+    val tc = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"log":"not json","a":{"x":"1"}}"""),
+      """decoder: {type: json, schema: "log string, a struct<x: string>"}
+        |actions:
+        |  - type: json_decode
+        |    field: log
+        |    schema: "a string"
+        |""".stripMargin).head
+    assert(tc.contains(""""log":"not json""""), tc)
+    // cardinality remove_fields with a statically absent tracked
+    // selector: Dig-miss skips, no analysis error
+    val cm = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"host":"h","i":"1"}"""),
+      """decoder: {type: json, schema: "host string, i string"}
+        |actions:
+        |  - type: cardinality
+        |    key: [host]
+        |    fields: [not_there]
+        |    limit: 1
+        |    action: remove_fields
+        |""".stripMargin).head
+    assert(cm.contains(""""host":"h""""), cm)
+  }
+
   test("r16: goLayoutToJava covers trimmed fractions, full names, unpadded and pm tokens") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
