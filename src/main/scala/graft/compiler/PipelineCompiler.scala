@@ -1282,9 +1282,42 @@ object PipelineCompiler {
       case None => decoded
     }
 
-    val decorated =
+    val decorated0 =
       if (isK8s) decorateK8sInput(input, withInputMeta, k8sMeta)
       else withInputMeta
+    // settings.max_event_size gates the ASSEMBLED k8s chunk run too
+    // (multiline_action.go:119-146: the intake gate sees 16 KB CRI
+    // lines, the assembled event is checked as the buffer grows —
+    // over-limit runs DISCARD, or truncate under cut_off_event_by_limit
+    // with the marker field). Byte position: the reference counts the
+    // ESCAPED buffer incl. fragment quotes; this gate measures the
+    // assembled unescaped log — identical verdicts at real (MB-scale)
+    // limits, a few bytes' difference in the exact cut (documented).
+    val decorated = {
+      val hasLog = isK8s && maxEventSize > 0 &&
+        (decorated0.schema("doc").dataType match {
+          case s: org.apache.spark.sql.types.StructType =>
+            s.fieldNames.contains("log")
+          case _ => false
+        })
+      if (!hasLog) decorated0
+      else {
+        val lg = col("doc").getField("log").cast("string")
+        if (cutOffByLimit) {
+          val over = octet_length(lg) > maxEventSize
+          val cut = graft.operators.Actions.utf8SafeByteCut(lg, maxEventSize)
+          // ONE projection: the marker must see the PRE-cut length (a
+          // second withColumn would re-resolve doc.log as the cut one)
+          val newDoc0 = col("doc").withField("log",
+            when(over, cut).otherwise(lg))
+          val newDoc = cutOffField
+            .map(f => newDoc0.withField(f, when(over, lit(true))))
+            .getOrElse(newDoc0)
+          decorated0.withColumn("doc", newDoc)
+        } else decorated0.filter(
+          lg.isNull || octet_length(lg) <= maxEventSize)
+      }
+    }
 
     val actions0 = settingsAntispam.toSeq ++
       Option(root.get("actions")).map(_.elements().asScala.toSeq)

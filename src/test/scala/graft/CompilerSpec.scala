@@ -621,6 +621,46 @@ class CompilerSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("k8s assembled chunk run honors settings.max_event_size (discard / cutoff)") {
+    // multiline_action.go:119-146: the ASSEMBLED buffer is checked
+    // against the pipeline max_event_size as it grows — over-limit
+    // runs discard, or truncate + marker under cut_off_event_by_limit.
+    // Raw lines here are 63 bytes (under the 70 limit, so the intake
+    // gate passes them); the assembled run is 93 bytes (over).
+    val dir = java.nio.file.Files.createTempDirectory("k8s_max")
+    val cid = "b" * 64
+    val logFile = dir.resolve(s"pod1_ns1_web-$cid.log")
+    val chunk = "a" * 30
+    java.nio.file.Files.write(logFile, Seq(
+      s"2024-01-02T03:04:05.1Z stdout P $chunk",
+      s"2024-01-02T03:04:05.2Z stdout P $chunk",
+      s"2024-01-02T03:04:05.3Z stdout P $chunk",
+      "2024-01-02T03:04:05.4Z stdout F end",
+      "2024-01-02T03:04:06.0Z stdout F single"
+    ).mkString("\n").getBytes("UTF-8"))
+    def yamlFor(settings: String): String =
+      s"""input: {type: k8s, watching_dir: $dir}
+         |settings:
+         |$settings
+         |output: {type: memory}
+         |""".stripMargin
+    // default: the over-limit assembled event is DISCARDED
+    val dropped = PipelineCompiler.compile(spark,
+      yamlFor("  max_event_size: 70")).result()
+      .selectExpr("doc.log").collect().map(_.getString(0)).toSeq
+    assert(dropped == Seq("single"), dropped.toString)
+    // cut_off_event_by_limit: truncated to the limit + marker field
+    val cut = PipelineCompiler.compile(spark, yamlFor(
+      """  max_event_size: 70
+        |  cut_off_event_by_limit: true
+        |  cut_off_event_by_limit_field: cutoff""".stripMargin)).result()
+      .selectExpr("doc.log", "doc.cutoff")
+      .collect().map(r => (r.getString(0), r.get(1))).sortBy(_._1)
+    assert(cut.map(_._1).toSeq == Seq(chunk * 2 + "a" * 10, "single"),
+      cut.mkString("|"))
+    assert(cut.head._2 == true && cut(1)._2 == null, cut.toString)
+  }
+
   test("k8s input: filename meta, label allowlists, chunk join, split, only_node") {
     val dir = java.nio.file.Files.createTempDirectory("k8s_in")
     val cid = "a" * 64
