@@ -79,7 +79,7 @@ object Queries5 {
     ev.select(
       col("event_id"),
       Sinks.splunkEvent(struct(col("event_id"), col("event_type")),
-        col("ts")).as("hec"))
+        Some(col("ts"))).as("hec"))
   }
 
   val q82_sql: String =

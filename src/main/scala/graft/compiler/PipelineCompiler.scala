@@ -577,7 +577,12 @@ object PipelineCompiler {
                   else None
                 }
               }
-              Sinks.splunkEvent(doc, timeCol, copies)
+              // time only when configured — the reference body is bare
+              // {"event": …} (splunk_test.go TestSplunk)
+              Sinks.splunkEvent(doc,
+                Some(timeCol).filter(_ =>
+                  outputConf.contains("time_field") ||
+                    outputConf.contains("timestamp_field")), copies)
             case "loki" =>
               // `message_field` configured → the reference's full push
               // VALUE (loki.go:376-396): ts and message Suicide() out of

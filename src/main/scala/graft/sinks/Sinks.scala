@@ -416,13 +416,17 @@ object Sinks {
     * (HEC's standard timestamp field) — a copy targeting `time`
     * replaces it. */
   def splunkEvent(doc: org.apache.spark.sql.Column,
-                  eventTime: org.apache.spark.sql.Column,
+                  eventTime: Option[org.apache.spark.sql.Column],
                   copies: Seq[(String, org.apache.spark.sql.Column)] = Nil)
   : org.apache.spark.sql.Column = {
     val heads = copies.map(_._1.split('.').head)
+    // the reference envelope is ONLY {"event": …} (+ copies) —
+    // splunk_test.go TestSplunk pins the exact body. `time` rides only
+    // when the graft `time_field` is CONFIGURED (HEC's standard
+    // timestamp key); a copy targeting `time` replaces it.
     val base = Seq(doc.as("event")) ++
-      (if (heads.contains("time")) Nil
-       else Seq(unix_timestamp(eventTime).as("time")))
+      eventTime.filterNot(_ => heads.contains("time"))
+        .map(t => unix_timestamp(t).as("time")).toSeq
     to_json(struct(base ++ splunkNested(
       copies.map { case (to, c) => (to.split('.').toList, c) }): _*))
   }

@@ -3445,6 +3445,23 @@ class CompilerSpec extends AnyFunSuite {
     assert(gelf.exists(_.contains(""""short_message":"not set"""")), gelf.toSeq)
   }
 
+  test("TestSplunk basic: the HEC body is BARE {\"event\":…} — time only when configured") {
+    // splunk_test.go pins the exact request body: no `time` key unless
+    // the graft time_field spelling asks for one
+    val bare = PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: ['{"msg":"AAAA","some_field":"BBBB"}']}
+        |decoder: {type: json, schema: "msg string, some_field string"}
+        |output: {type: splunk, endpoint: "http://127.0.0.1:1", token: t}
+        |""".stripMargin).payload().collect().head.getString(0)
+    assert(bare == """{"event":{"msg":"AAAA","some_field":"BBBB"}}""", bare)
+    val timed = PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: ['{"msg":"A","time":"2021-01-01T00:00:00Z"}']}
+        |decoder: {type: json, schema: "msg string, time string"}
+        |output: {type: splunk, endpoint: "http://127.0.0.1:1", token: t, time_field: time}
+        |""".stripMargin).payload().collect().head.getString(0)
+    assert(timed.contains(""""time":1609459200"""), timed)
+  }
+
   test("splunk copy_fields and elasticsearch batch_op_type honor reference spellings") {
     // splunk copy_fields (splunk.go:204,240-253,363-373): copies land
     // next to "event" in config order, nested to-paths build objects,
