@@ -3199,8 +3199,22 @@ object PipelineCompiler {
         guarded(Actions.modify(doc, rawSets, skipEmpty,
           parts => PipelineCompiler.hasPath(modDocType, parts.toList)))
       case "flatten" =>
-        guarded(Actions.flatten(doc, action.get("field").asText(),
-          action.get("keys").elements().asScala.map(_.asText()).toSeq,
+        // the reference config is just {field, prefix} — the object's
+        // keys come from the event (flatten.go walks the node); here
+        // they are STATIC schema facts, so the graft `keys` list is
+        // optional and defaults to the struct's fields (flatten_test.go
+        // configs compile verbatim)
+        val fField = action.get("field").asText()
+        val fKeys = Option(action.get("keys"))
+          .map(_.elements().asScala.map(_.asText()).toSeq)
+          .getOrElse(leafType(df, FieldPath.parse(fField)) match {
+            case Some(s: StructType) => s.fieldNames.toSeq
+            case other => throw new IllegalArgumentException(
+              s"flatten: field `$fField` is not an object in the doc " +
+                s"schema (${other.getOrElse("missing")}) and no `keys` " +
+                "list was given")
+          })
+        guarded(Actions.flatten(doc, fField, fKeys,
           Option(action.get("prefix")).map(_.asText()).getOrElse("")))
       case "json_encode" =>
         guarded(Actions.jsonEncode(doc, action.get("field").asText()))

@@ -503,6 +503,18 @@ class ModifyVectorSpec extends AnyFunSuite {
       "padded 12-hour + zone")
   }
 
+  test("TestFlatten: verbatim reference config — keys derive from the schema") {
+    val out = PipelineCompiler.runActionsOnBatch(spark,
+      Seq("""{"complex":{"a":"b","c":"d"}}"""),
+      """decoder: {type: json, schema: "complex struct<a: string, c: string>"}
+        |actions:
+        |  - type: flatten
+        |    field: complex
+        |    prefix: flat_
+        |""".stripMargin).head
+    assert(out == """{"flat_a":"b","flat_c":"d"}""", out)
+  }
+
   test("TestModifyTrim: trim left with a char-set cutset") {
     val out = PipelineCompiler.runActionsOnBatch(spark,
       Seq("""{"existing_field":"existing_value"}"""),
