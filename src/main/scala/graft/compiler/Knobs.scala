@@ -102,6 +102,38 @@ object Knobs {
     * sets, rename's pairs) — unknown-key validation can't apply. */
   val dynamicKeyActions: Set[String] = Set("modify", "rename")
 
+  /** Pipeline `settings:` keys the compiler consumes
+    * (fd/util.go extractPipelineParams is the reference enumeration). */
+  val settingsMapped: Set[String] = Set(
+    "capacity", "max_event_size", "cut_off_event_by_limit",
+    "cut_off_event_by_limit_field", "decoder", "decoder_params",
+    "stream_field", "event_timeout", "is_strict",
+    "antispam", "antispam_threshold", "antispam_exceptions",
+    "source_name_meta_field",
+    // graft spellings
+    "disable_streams", "use_spread", "metrics")
+
+  /** Pipeline settings accepted as documented no-ops (runtime tuning
+    * of the reference's own allocator/maintenance/metric machinery). */
+  val settingsNoop: Map[String, String] = Map(
+    "meta_cache_size" -> "reference meta-pool sizing",
+    "avg_log_size" -> "event-buffer preallocation hint",
+    "maintenance_interval" -> ("reference maintenance-loop cadence — " +
+      "Spark owns task lifecycle/compaction"),
+    "pool" -> "event-pool implementation selector (std|low_memory)",
+    "metric_hold_duration" -> ("stale-metric expiry on the scrape " +
+      "surface; the engine's observations ride per-query"),
+    "max_label_value_length" -> ("metric label truncation on the " +
+      "scrape surface"),
+    "name" -> "pipeline display name (the map key names pipelines here)")
+
+  /** Loud unknown-key validation for the pipeline `settings:` node. */
+  def validateSettings(settings: JsonNode): Unit = {
+    val legal = settingsMapped ++ settingsNoop.keySet
+    unknown("settings", "pipeline",
+      settings.properties().asScala.map(_.getKey).filterNot(legal), legal)
+  }
+
   /** Per-input mapped keys. */
   val inputMapped: Map[String, Set[String]] = Map(
     "fake" -> Set("lines", "ordered"),

@@ -1142,6 +1142,7 @@ object PipelineCompiler {
     // SeqID%procCount load-balancing, which forfeits per-stream order,
     // so it implies disable_streams exactly like the reference pairing.
     val settings = Option(root.get("settings"))
+    settings.foreach(Knobs.validateSettings) // knob-parity gate
     val streamField = settings.flatMap(s => Option(s.get("stream_field")))
       .map(_.asText()).getOrElse("stream")
     val disableStreams = settings.exists(s =>

@@ -210,6 +210,32 @@ class KnobsSpec extends AnyFunSuite {
       s"unaccounted reference output knobs: ${misses.mkString(", ")}")
   }
 
+  // fd/util.go extractPipelineParams — the pipeline settings surface
+  val referenceSettingsTags: Set[String] = Set(
+    "capacity", "meta_cache_size", "avg_log_size", "max_event_size",
+    "cut_off_event_by_limit", "cut_off_event_by_limit_field",
+    "decoder", "decoder_params", "stream_field", "maintenance_interval",
+    "event_timeout", "is_strict", "pool", "antispam",
+    "antispam_threshold", "antispam_exceptions",
+    "source_name_meta_field", "metric_hold_duration",
+    "max_label_value_length")
+
+  test("every reference pipeline SETTINGS knob is mapped or a documented no-op") {
+    val misses = referenceSettingsTags.toSeq.sorted.filterNot(t =>
+      Knobs.settingsMapped.contains(t) || Knobs.settingsNoop.contains(t))
+    assert(misses.isEmpty,
+      s"unaccounted reference settings knobs: ${misses.mkString(", ")}")
+    // a typo'd settings key fails compile loudly
+    val e = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(spark,
+        """input: {type: fake, lines: ['{}']}
+          |settings: {strem_field: s}
+          |output: {type: devnull}
+          |""".stripMargin)
+    }
+    assert(e.getMessage.contains("strem_field"), e.getMessage)
+  }
+
   test("unknown keys fail compile loudly (action / input / output)") {
     val eAct = intercept[IllegalArgumentException] {
       PipelineCompiler.runActionsOnBatch(spark, Seq("""{"f":"x"}"""),
