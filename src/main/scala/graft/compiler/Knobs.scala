@@ -134,6 +134,38 @@ object Knobs {
       settings.properties().asScala.map(_.getKey).filterNot(legal), legal)
   }
 
+  /** Per-decoder params the builder consumes (the reference enumeration
+    * is the decoder sources' `*Param` consts; `schema` is the graft static-
+    * type spelling everywhere the reference decodes dynamically). */
+  val decoderMapped: Map[String, Set[String]] = Map(
+    "json" -> Set("schema", "json_max_fields_size"),
+    "raw" -> Set.empty,
+    "cri" -> Set.empty,
+    "kmsg" -> Set.empty,
+    "postgres" -> Set.empty,
+    "auto" -> Set("schema"),
+    "nginx_error" -> Set("nginx_with_custom_fields"),
+    "protobuf" -> Set("proto_file", "proto_import_paths",
+      "proto_message", "encoding", "fields"),
+    "syslog_rfc3164" -> Set("syslog_facility_format",
+      "syslog_severity_format"),
+    "syslog_rfc5424" -> Set("syslog_facility_format",
+      "syslog_severity_format"),
+    "csv" -> Set("schema", "columns", "delimiter", "invalid_line_mode",
+      "prefix"))
+
+  /** Loud unknown-key validation for a decoder node. */
+  def validateDecoder(n: JsonNode): Unit = {
+    val tpe = Option(n.get("type")).map(_.asText()).getOrElse(return)
+    decoderMapped.get(tpe).foreach { mapped =>
+      // `schema` is the graft static-type spelling on EVERY decoder
+      // (settings-level `decoder:` configs carry it generically)
+      val legal = mapped + "type" + "schema"
+      unknown("decoder", tpe,
+        n.properties().asScala.map(_.getKey).filterNot(legal), legal)
+    }
+  }
+
   /** Per-input mapped keys. */
   val inputMapped: Map[String, Set[String]] = Map(
     "fake" -> Set("lines", "ordered"),

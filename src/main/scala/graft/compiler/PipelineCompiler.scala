@@ -1944,7 +1944,8 @@ object PipelineCompiler {
   // ---------------------------------------------------------- decoders
 
   private def buildDecoder(n: JsonNode, value: Column,
-                           isStrict: Boolean = false): Column =
+                           isStrict: Boolean = false): Column = {
+    Knobs.validateDecoder(n) // knob-parity gate (see Knobs registry)
     n.get("type").asText() match {
       case "json" =>
         val schema = DataType.fromDDL(Option(n.get("schema"))
@@ -2033,6 +2034,7 @@ object PipelineCompiler {
         Decoders.protobuf(bin, spec)
       case other => throw new IllegalArgumentException(s"unknown decoder: $other")
     }
+  }
 
   // ----------------------------------------------------------- actions
 

@@ -236,6 +236,38 @@ class KnobsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("strem_field"), e.getMessage)
   }
 
+  // decoder/*_test.go surface — the `*Param` consts per decoder
+  val referenceDecoderTags: Map[String, Set[String]] = Map(
+    "json" -> Set("json_max_fields_size"),
+    "cri" -> Set.empty,
+    "postgres" -> Set.empty,
+    "nginx_error" -> Set("nginx_with_custom_fields"),
+    "protobuf" -> Set("proto_file", "proto_import_paths", "proto_message"),
+    "syslog_rfc3164" -> Set("syslog_facility_format",
+      "syslog_severity_format"),
+    "syslog_rfc5424" -> Set("syslog_facility_format",
+      "syslog_severity_format"),
+    "csv" -> Set("columns", "delimiter", "invalid_line_mode", "prefix"))
+
+  test("every reference DECODER param is mapped; typos fail compile") {
+    val misses = for {
+      (tpe, tags) <- referenceDecoderTags.toSeq.sortBy(_._1)
+      tag <- tags.toSeq.sorted
+      if !Knobs.decoderMapped.getOrElse(tpe,
+        fail(s"decoder `$tpe` missing from Knobs.decoderMapped")).contains(tag)
+    } yield s"$tpe.$tag"
+    assert(misses.isEmpty,
+      s"unaccounted reference decoder params: ${misses.mkString(", ")}")
+    val e = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(spark,
+        """input: {type: fake, lines: ['{}']}
+          |decoder: {type: json, schema: "a string", json_max_fields_siez: {a: 1}}
+          |output: {type: devnull}
+          |""".stripMargin).result().collect()
+    }
+    assert(e.getMessage.contains("json_max_fields_siez"), e.getMessage)
+  }
+
   test("unknown keys fail compile loudly (action / input / output)") {
     val eAct = intercept[IllegalArgumentException] {
       PipelineCompiler.runActionsOnBatch(spark, Seq("""{"f":"x"}"""),
