@@ -4435,7 +4435,8 @@ object PipelineCompiler {
     // REWRITE text (html_extract, span_scrub, pack, …) invalidate it —
     // the column is kept only across stages known to preserve text.
     val tokenConsumers = Set("gopher_gate", "lang_filter",
-      "repetition_gate", "duplicate_spans", "decontaminate")
+      "repetition_gate", "duplicate_spans", "decontaminate",
+      "ccnet_bucket")
     val textPreserving = tokenConsumers ++ Set("exact_dedup",
       "minhash_dedup", "simhash_dedup", "winnow_dedup", "semdedup",
       "prototype_prune", "domain_cap", "source_quota", "classifier_gate",
@@ -5398,7 +5399,8 @@ object PipelineCompiler {
         // head+middle); without `keep` the stage annotates each row
         // with its bucket (`out_col`, default lm_bucket) instead.
         // Thresholds are corpus-level → set-dependent, batch-only.
-        val verdict = graft.ml.TextOps.ccnetBuckets(df, id, text)
+        val verdict = graft.ml.TextOps.ccnetBuckets(df, id, text,
+          toks = preToks)
         Option(st.get("keep")) match {
           case Some(ks) =>
             val keepSet = ks.elements().asScala.map(_.asText()).toSet

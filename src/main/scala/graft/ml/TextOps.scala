@@ -179,8 +179,10 @@ object TextOps {
     * shuffle-joins on `g`/`w1` at large scale, which `occ` already
     * shuffles by for the count aggregations. */
   def bigramLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
-                    textCol: String): org.apache.spark.sql.DataFrame = {
-    val base = df.select(col(idCol), Dedup.tokens(col(textCol)).as("_t"))
+                    textCol: String,
+                    toks: Option[Column] = None): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol),
+      toks.getOrElse(Dedup.tokens(col(textCol))).as("_t"))
       .withColumn("_n", size(col("_t")))
     val occ = base.select(col(idCol),
       explode(when(col("_n") >= 2,
@@ -223,10 +225,11 @@ object TextOps {
     * this shape never sorts the corpus at all. Docs with no bigram
     * (under 2 tokens) score 0 → tail. */
   def ccnetBuckets(df: org.apache.spark.sql.DataFrame, idCol: String,
-                   textCol: String): org.apache.spark.sql.DataFrame = {
+                   textCol: String,
+                   toks: Option[Column] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lm = bigramLmScore(df, idCol, textCol)
-    val scored = df.select(col(idCol), langId(col(textCol)).as("lang"))
+    val lm = bigramLmScore(df, idCol, textCol, toks)
+    val scored = df.select(col(idCol), langId(col(textCol), toks).as("lang"))
       .join(lm, Seq(idCol), "left")
       .select(col(idCol), col("lang"),
         coalesce(expr("lm_score_micro DIV n_bigrams"), lit(0L)).as("score"))
