@@ -244,11 +244,14 @@ class StreamingCurationSpec extends AnyFunSuite {
     // TTL re-arms on WRITES: before the r14 fix the owner was written
     // only at the first claim, so continuous duplicate traffic still
     // expired the bucket ttl-after-first-claim and re-admitted one
-    // duplicate per window. Here doc 1 claims at t0 with ttl 2.5 s and
-    // duplicates keep landing every ~0.7 s for ~4 s — every one must
+    // duplicate per window. Here doc 1 claims at t0 with ttl 8 s and
+    // duplicates keep landing every ~0.9 s for ~9 s — every one must
     // DROP, including the ones past the would-have-expired mark.
+    // (r16: margins widened from 2.5 s / 0.7 s — a host-steal stall
+    // between micro-batches longer than the TTL legitimately expires
+    // the owner and flaked the test on a 9%-steal box.)
     val in = MemoryStream[Kernels.BandDocEvent]
-    val q = Kernels.minhashDedupSurvivors(in.toDS(), stateTtlMs = 2500L)
+    val q = Kernels.minhashDedupSurvivors(in.toDS(), stateTtlMs = 8000L)
       .writeStream.format("memory").queryName("ttl_mh_hot")
       .outputMode("append").start()
     try {
@@ -259,8 +262,8 @@ class StreamingCurationSpec extends AnyFunSuite {
       }
       in.addData(Kernels.BandDocEvent("hb", 1L, "{}"))
       await(1)
-      Seq(3L, 5L, 7L, 9L, 11L).foreach { d =>
-        Thread.sleep(700)
+      Seq(3L, 5L, 7L, 9L, 11L, 13L, 15L, 17L, 19L, 21L).foreach { d =>
+        Thread.sleep(900)
         in.addData(Kernels.BandDocEvent("hb", d, "{}"))
       }
       // fence on a fresh band key: when its keep row lands, every
