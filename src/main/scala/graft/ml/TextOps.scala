@@ -176,8 +176,23 @@ object TextOps {
     * they must NOT be force-broadcast (a `broadcast()` hint on a table
     * with billions of rows is a driver OOM, not a slow plan). The joins
     * are left unhinted: AQE broadcasts them at small scale and
-    * shuffle-joins on `g`/`w1` at large scale, which `occ` already
-    * shuffles by for the count aggregations. */
+    * shuffle-joins on `gh`/`w1h` at large scale, which `occ` already
+    * shuffles by for the count aggregations.
+    *
+    * Shuffle keys are xxhash64 of the grams, not the gram STRINGS — the
+    * counts only need gram identity, never the text, so the three
+    * shuffles (two vocab aggregations + the occurrence join) move 8-byte
+    * longs instead of variable-length strings. The same trick measured
+    * 2.7× narrower shuffle bytes on duplicate-spans (BENCH_DETAIL
+    * dupspan_shuffle_bytes_string 21.0 MB vs _fp 7.8 MB). Collision
+    * argument (same as dupspans-fp): a 64-bit hash over a corpus-gram
+    * vocabulary of ~2^33 distinct grams (a 100 TB web corpus) has
+    * birthday collision expectation ~2^(66-64)/2 pairs — a handful of
+    * merged gram counts among billions, each perturbing one count by a
+    * near-duplicate's worth; the tercile bucketing downstream is
+    * insensitive to it. The bigram key hashes (w1, w2) as TWO hash
+    * inputs (chained-seed), not the joined string — no separator
+    * ambiguity, and the concat never materializes. */
   def bigramLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String,
                     toks: Option[Column] = None): org.apache.spark.sql.DataFrame = {
@@ -187,16 +202,17 @@ object TextOps {
     val occ = base.select(col(idCol),
       explode(when(col("_n") >= 2,
         transform(sequence(lit(1), col("_n") - 1),
-          i => struct(element_at(col("_t"), i).as("w1"),
-            concat_ws(" ", element_at(col("_t"), i),
-              element_at(col("_t"), i + 1)).as("g"))))
-        .otherwise(array().cast("array<struct<w1:string,g:string>>"))).as("_o"))
-      .select(col(idCol), col("_o.w1").as("w1"), col("_o.g").as("g"))
-    val uni = base.select(explode(col("_t")).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val big = occ.groupBy(col("g")).agg(count(lit(1)).as("c2"))
-    occ.join(big, "g")
-      .join(uni, "w1")
+          i => struct(xxhash64(element_at(col("_t"), i)).as("w1h"),
+            xxhash64(element_at(col("_t"), i),
+              element_at(col("_t"), i + 1)).as("gh"))))
+        .otherwise(array().cast("array<struct<w1h:bigint,gh:bigint>>"))).as("_o"))
+      .select(col(idCol), col("_o.w1h").as("w1h"), col("_o.gh").as("gh"))
+    val uni = base.select(explode(col("_t")).as("w"))
+      .select(xxhash64(col("w")).as("w1h"))
+      .groupBy(col("w1h")).agg(count(lit(1)).as("c1"))
+    val big = occ.groupBy(col("gh")).agg(count(lit(1)).as("c2"))
+    occ.join(big, "gh")
+      .join(uni, "w1h")
       .groupBy(col(idCol))
       .agg(sum(expr("(c2 * 1000000) DIV c1")).as("lm_score_micro"),
         count(lit(1)).as("n_bigrams"))
