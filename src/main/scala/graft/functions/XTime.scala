@@ -105,7 +105,22 @@ object XTime {
     when(s.contains("."), floatTs).otherwise(intPath(s.try_cast("long")))
   }
 
-  def parse(c: Column, format: String): Column = format match {
+  /** The reference resolves format names case-INSENSITIVELY with
+    * whitespace trimmed (parse_format_name.go:19
+    * `strings.ToLower(strings.TrimSpace(formatName))`), and every call
+    * site falls back to the RAW string as a custom Go layout when the
+    * alias lookup fails (convert_date.go:62-71, set_time.go:54-59,
+    * ts_cmp_op.go:106-109, gelf.go:214): `RFC3339` or `" Unixtime "`
+    * are the named aliases; an unrecognized name keeps its original
+    * case (Go layouts are case-sensitive — `Jan` vs `jan`). */
+  private def canon(fmt: String): String = {
+    val n = fmt.trim.toLowerCase
+    if (patterns.contains(n) || epochAliases.contains(n) ||
+      n == "rfc3339" || n == "rfc3339nano") n
+    else fmt
+  }
+
+  def parse(c: Column, format: String): Column = canon(format) match {
     case "rfc3339" | "rfc3339nano" => try_to_timestamp(c)
     case "unixtime"      => epochParse(c, timestamp_seconds)
     case "unixtimemilli" | "timestampmilli" => epochParse(c, timestamp_millis)
@@ -136,7 +151,7 @@ object XTime {
 
   /** Render a timestamp column in the named format. unixtime* produce
     * LongType; layouts produce StringType. */
-  def format(ts: Column, fmt: String): Column = fmt match {
+  def format(ts: Column, fmt: String): Column = canon(fmt) match {
     case "unixtime"      => unix_timestamp(ts)
     case "unixtimemilli" | "timestampmilli" => unix_millis(ts)
     case "unixtimemicro" | "timestampmicro" => unix_micros(ts)
@@ -147,5 +162,5 @@ object XTime {
     case custom => date_format(ts, goLayoutToJava(custom))
   }
 
-  def isEpochAlias(fmt: String): Boolean = epochAliases.contains(fmt)
+  def isEpochAlias(fmt: String): Boolean = epochAliases.contains(canon(fmt))
 }

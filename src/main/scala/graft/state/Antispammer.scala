@@ -1,0 +1,198 @@
+package graft.state
+
+import scala.collection.mutable
+
+/** Event-at-a-time source-ban model — the exact counter mechanism of the
+  * reference's intake guard (pipeline/antispam/antispammer.go:95-235):
+  * per-source counters incremented while consecutive events arrive
+  * closer than the maintenance interval, a ban latching when the counter
+  * REACHES the threshold (the counter then jumps to
+  * unbanIterations×threshold), and a maintenance tick shedding
+  * `threshold` per interval until the ban lifts.
+  *
+  * Role in this engine: the distributed plan uses the interval-bucket
+  * analogs ([[SeqOps.antispam]] batch, `streaming.Kernels.antispam`)
+  * whose granularity is the maintenance interval — the right projection
+  * for a shuffled plan, where wall-clock arrival order inside an
+  * interval is not reproducible. THIS class is the sequential model for
+  * the single-reader ingestion legs (a tail/file reader consumes each
+  * source's events in order, exactly like the reference's pipeline
+  * intake) and the semantic pin the analogs are documented against:
+  * AntispamVectorSpec replays the reference's own unit table
+  * (pipeline/antispam/antispammer_test.go) on it verbatim.
+  *
+  * Not thread-safe (the reference model synchronizes a shared map across
+  * reader goroutines; a Spark ingestion leg holds one instance per
+  * sequential reader, so the lock would be dead weight).
+  */
+final class Antispammer(
+    threshold: Int,
+    unbanIterations: Int,
+    maintenanceIntervalNs: Long,
+    exceptions: Seq[Antispammer.Exception] = Nil,
+    rules: Seq[Antispammer.Rule] = Nil) {
+
+  import Antispammer._
+
+  private final class Source(val name: String) {
+    var counter: Int = 0
+    var timestampNs: Long = 0L
+  }
+
+  private val sources = mutable.Map.empty[String, Source]
+  private val sourcesThresholds = mutable.Map.empty[String, Int]
+
+  /** `antispam_exceptions_total` by ruleset name (metric.CounterVec). */
+  val exceptionCounts: mutable.Map[String, Long] =
+    mutable.Map.empty.withDefaultValue(0L)
+
+  /** antispam_active gauge: 1 while any source stays banned. */
+  var active: Boolean = false
+
+  /** antispam_banned gauge by source name. */
+  val banCounts: mutable.Map[String, Long] =
+    mutable.Map.empty.withDefaultValue(0L)
+
+  /** antispammer.go:95-186 IsSpam, control flow 1:1. */
+  def isSpam(id: String, name: String, isNewSource: Boolean, event: String,
+             timeEventNs: Long,
+             meta: Map[String, String] = Map.empty): Boolean = {
+    if (rules.isEmpty && threshold == -1) return false
+
+    var thr = threshold
+    if (rules.isEmpty) {
+      // exception list: first matching set passes the event, uncounted
+      for (e <- exceptions) {
+        val checkData = if (e.checkSourceName) name else event
+        if (e.set.matches(checkData)) {
+          if (e.set.name.nonEmpty)
+            exceptionCounts(e.set.name) += 1
+          return false
+        }
+      }
+    } else {
+      // rules replace exceptions: FIRST matching rule resolves threshold
+      val data = RuleData(event, name, meta)
+      rules.find(_.matches(data)) match {
+        case Some(rule) => rule.threshold match {
+          case ThresholdUnlimited =>
+            exceptionCounts(rule.name) += 1
+            return false
+          case ThresholdBlocked => return true
+          case t => thr = t
+        }
+        case None => ()
+      }
+    }
+
+    thr match {
+      case ThresholdUnlimited => return false
+      case ThresholdBlocked => return true
+      case _ => ()
+    }
+
+    val src = sources.getOrElseUpdate(id, {
+      val s = new Source(name)
+      s.timestampNs = timeEventNs
+      sourcesThresholds(id) = thr
+      s
+    })
+
+    if (isNewSource) { src.counter = 0; return false }
+
+    var x = src.counter
+    val diff = timeEventNs - src.timestampNs
+    src.timestampNs = timeEventNs
+    // the counter only advances while events arrive FASTER than the
+    // maintenance interval (antispammer.go:172-175) — a source pacing
+    // itself at >= interval never accumulates
+    if (diff < maintenanceIntervalNs) { src.counter += 1; x = src.counter }
+    if (x == thr) {
+      src.counter = unbanIterations * thr
+      active = true
+      banCounts(name) += 1
+    }
+    x >= thr
+  }
+
+  /** antispammer.go:188-230 Maintenance: shed `threshold` per tick,
+    * dropping idle sources and lifting bans that decay under it. */
+  def maintenance(): Unit = {
+    var allUnbanned = true
+    for ((id, src) <- sources.toSeq) {
+      var x = src.counter
+      if (x == 0) {
+        sources.remove(id)
+        sourcesThresholds.remove(id)
+        banCounts.remove(src.name)
+      } else {
+        val thr = sourcesThresholds(id)
+        val isMore = x >= thr
+        x = math.max(x - thr, 0)
+        if (isMore && x < thr) banCounts(src.name) -= 1
+        if (x >= thr) allUnbanned = false
+        if (x > unbanIterations * thr) x = unbanIterations * thr
+        src.counter = x
+      }
+    }
+    if (allUnbanned) active = false
+  }
+}
+
+object Antispammer {
+
+  /** antispammer.go:16-17 sentinels. */
+  val ThresholdUnlimited: Int = -1
+  val ThresholdBlocked: Int = 0
+
+  /** Plain mirror of cfg/matchrule.Rule (matchrule.go:42-67): match =
+    * ANY value hits under `mode`; `caseInsensitive` lowercases BOTH
+    * sides (Prepare lowercases the values, match lowercases the data);
+    * `invert` negates. Mode's zero value is prefix (matchrule.go:31),
+    * despite the doc comment saying contains. */
+  final case class MatchRule(values: Seq[String], mode: String = "prefix",
+                             caseInsensitive: Boolean = false,
+                             invert: Boolean = false) {
+    private val prepared =
+      if (caseInsensitive) values.map(_.toLowerCase) else values
+    def matches(raw: String): Boolean = {
+      val data = if (caseInsensitive) raw.toLowerCase else raw
+      val hit = prepared.exists { v =>
+        data.length >= v.length && (mode match {
+          case "prefix" => data.startsWith(v)
+          case "suffix" => data.endsWith(v)
+          case "contains" => data.contains(v)
+          case m => throw new IllegalArgumentException(s"unknown mode $m")
+        })
+      }
+      hit != invert
+    }
+  }
+
+  /** cfg/matchrule.RuleSet (matchrule.go:189-232): and/or over rules,
+    * short-circuit; an EMPTY set never matches. */
+  final case class MatchRuleSet(name: String, cond: String = "and",
+                                rules: Seq[MatchRule]) {
+    def matches(data: String): Boolean =
+      rules.nonEmpty && (cond match {
+        case "or" => rules.exists(_.matches(data))
+        case _ => rules.forall(_.matches(data))
+      })
+  }
+
+  /** Antispammer.Exception (antispammer.go:255-258): a ruleset checked
+    * against the raw event, or the source NAME when checkSourceName. */
+  final case class Exception(set: MatchRuleSet,
+                             checkSourceName: Boolean = false)
+
+  /** The antispamData view rules predicate over (antispam/rules.go:19-36
+    * — selectors `event`, `source_name`, `meta.<key>`). */
+  final case class RuleData(event: String, sourceName: String,
+                            meta: Map[String, String])
+
+  /** Antispam rule (antispam/rules.go): first match resolves the
+    * threshold; predicate = any do_if tree over the RuleData selectors
+    * (the compiler builds these from YAML; tests build them directly). */
+  final case class Rule(name: String, threshold: Int,
+                        matches: RuleData => Boolean)
+}

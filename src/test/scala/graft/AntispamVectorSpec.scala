@@ -1,0 +1,113 @@
+package graft
+
+import graft.state.Antispammer
+import graft.state.Antispammer._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's pipeline/antispam/antispammer_test.go replayed
+  * verbatim against the sequential intake model [[Antispammer]] — the
+  * counter/ban/unban mechanism the interval-bucket analogs
+  * (SeqOps.antispam, Kernels.antispam) are documented projections of.
+  */
+class AntispamVectorSpec extends AnyFunSuite {
+
+  private val S = 1_000_000_000L // 1s in ns
+  private val t0 = 1_700_000_000L * S // pinned start (Go test uses Now())
+
+  test("TestAntispam: ban at threshold, unban after unbanIterations ticks") {
+    val threshold = 5; val unban = 2
+    val a = new Antispammer(threshold, unban, S)
+    def checkSpam(i: Int): Boolean =
+      a.isSpam("1", "test", isNewSource = false, "{}", t0 + i * S / 2)
+
+    for (i <- 1 until threshold) assert(!checkSpam(i), s"i=$i")
+    for (i <- 0 to unban - 1) {
+      assert(checkSpam(threshold + i), s"banned i=$i")
+      a.maintenance()
+    }
+    assert(!checkSpam(threshold + 1))
+  }
+
+  test("TestAntispamAfterRestart: events paced >= interval never ban") {
+    val threshold = 5
+    val a = new Antispammer(threshold, 2, S)
+    def checkSpam(i: Int): Boolean =
+      a.isSpam("1", "test", isNewSource = false, "{}", t0 + i * S)
+
+    for (i <- 1 until threshold) assert(!checkSpam(i), s"i=$i")
+    assert(!checkSpam(threshold))
+  }
+
+  test("TestAntispamExceptions: first matching set passes, counted by name") {
+    val eventRuleset = "test_event"; val sourceRuleset = "test_sourcename"
+    val a = new Antispammer(1, 2, S, exceptions = Seq(
+      Exception(MatchRuleSet(eventRuleset, "or", Seq(
+        MatchRule(Seq("""{"level":"debug"""", """{"level":"info""""), "prefix"),
+        MatchRule(Seq("test_event"), "contains")))),
+      Exception(MatchRuleSet(sourceRuleset, "and", Seq(
+        MatchRule(Seq("my_source1", "my_source2"), "contains"))),
+        checkSourceName = true)))
+
+    def checkSpam(source: String, event: String,
+                  want: Map[String, Long]): Unit = {
+      a.isSpam("1", source, isNewSource = true, event, t0)
+      for ((k, v) <- want) assert(a.exceptionCounts(k) == v, k)
+    }
+
+    checkSpam("test", """{"level":"info","message":test"}""",
+      Map(eventRuleset -> 1, sourceRuleset -> 0))
+    checkSpam("test", """{"level":"error","message":test_event123"}""",
+      Map(eventRuleset -> 2, sourceRuleset -> 0))
+    checkSpam("my_source2", """{"level":"error","message":test"}""",
+      Map(eventRuleset -> 2, sourceRuleset -> 1))
+    checkSpam("my_source1", """{"level":"debug","message":test"}""",
+      Map(eventRuleset -> 3, sourceRuleset -> 1))
+    checkSpam("test", """{"level":"error","message":test"}""",
+      Map(eventRuleset -> 3, sourceRuleset -> 1))
+  }
+
+  test("TestAntispamRules: first match resolves threshold; 0/-1 sentinels") {
+    // the Go table builds these via doif equal/prefix over the three
+    // antispamData selectors (rules.go:19-36); predicates inlined here
+    val a = new Antispammer(2, 4, S, rules = Seq(
+      Rule("test_ban_all", ThresholdBlocked,
+        d => d.sourceName == "test_source_name"),
+      Rule("test_pass_all", ThresholdUnlimited,
+        d => d.meta.get("some_field").contains("test_meta_field")),
+      Rule("test_custom_threshold", 3,
+        d => d.event.startsWith("""{"level":"error""""))))
+
+    def checkSpam(expected: Boolean, source: String, event: String,
+                  meta: Map[String, String] = Map.empty): Unit =
+      assert(a.isSpam(source, source, isNewSource = false, event, t0,
+        meta) == expected, s"$source/$event")
+
+    checkSpam(expected = true, "test_source_name",
+      """{"level":"info","message":test"}""")
+    checkSpam(expected = false, "test_meta_field",
+      """{"level":"info","message":test"}""",
+      Map("some_field" -> "test_meta_field"))
+    checkSpam(expected = false, "test_event_bytes",
+      """{"level":"error","message":test"}""")
+    checkSpam(expected = false, "test_event_bytes",
+      """{"level":"error","message":test"}""")
+    checkSpam(expected = true, "test_event_bytes",
+      """{"level":"error","message":test"}""")
+    checkSpam(expected = false, "test", """{"level":"info","message":test"}""")
+    checkSpam(expected = true, "test", """{"level":"info","message":test"}""")
+    // the pass-all rule incremented its exception counter
+    assert(a.exceptionCounts("test_pass_all") == 1)
+  }
+
+  test("maintenance drops idle sources and clears the active gauge") {
+    val a = new Antispammer(2, 2, S)
+    assert(!a.isSpam("s", "s", isNewSource = false, "{}", t0))
+    assert(a.isSpam("s", "s", isNewSource = false, "{}", t0 + 1))
+    assert(a.active)
+    // counter 4 → 2 → 0 → source dropped
+    a.maintenance(); assert(a.active) // still >= threshold
+    a.maintenance(); assert(!a.active)
+    a.maintenance()
+    assert(!a.isSpam("s", "s", isNewSource = false, "{}", t0))
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import graft.functions.XTime
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's xtime unit tables: parse_time_test.go's unixtime
+  * family (replayed against a pinned instant — the Go test parameterizes
+  * on time.Now(), the semantics under test are the unit conversions),
+  * parse_time.go's float-timestamp rules, and parse_format_name.go's
+  * case-insensitive trimmed alias resolution with the call sites'
+  * raw-string custom-layout fallback (convert_date.go:62-71,
+  * set_time.go:54-59, ts_cmp_op.go:106-109).
+  *
+  * Precision note: Spark timestamps are MICROsecond; the reference's
+  * nanosecond tails truncate to micros here (documented divergence,
+  * COVERAGE.md) — expectations below are written in micros.
+  */
+class XTimeVectorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** parse `value` under `format`, return Some(epoch micros) or None. */
+  private def p(format: String, value: String): Option[Long] = {
+    val r = spark.range(1)
+      .select(unix_micros(XTime.parse(lit(value), format)).as("us"))
+      .collect()(0)
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
+  // pinned instant: 2023-07-14T12:34:56.789123456Z = 1689338096 s
+  test("TestParseTime: unixtime/milli/micro/nano integer values") {
+    assert(p("unixtime", "1689338096") === Some(1689338096000000L))
+    assert(p("unixtimemilli", "1689338096789") === Some(1689338096789000L))
+    assert(p("unixtimemicro", "1689338096789123") === Some(1689338096789123L))
+    // reference want = ...789123456 ns; micros truncation
+    assert(p("unixtimenano", "1689338096789123456") === Some(1689338096789123L))
+  }
+
+  test("parseUnixTime float rule: whole part is SECONDS under every unit") {
+    // parse_time.go:59-61 — "when timestamp is presented as a float
+    // number its whole part is always considered as seconds"
+    assert(p("unixtimemilli", "1689338096.5") === Some(1689338096500000L))
+    assert(p("unixtimenano", "1689338096.5") === Some(1689338096500000L))
+    // digits < 9 → right-pad: nsec = frac * 10^(9-digits)
+    assert(p("unixtime", "100.123") === Some(100123000L))
+    assert(p("unixtime", "100.123456789") === Some(100123456L)) // ns→µs cut
+  }
+
+  test("parseUnixTime errors: two dots, non-numeric, negative epoch ok") {
+    assert(p("unixtime", "1.2.3") === None)   // "unexpected time format"
+    assert(p("unixtime", "abc") === None)     // ParseInt error
+    assert(p("unixtimemilli", "-5") === Some(-5000L)) // time.Unix(0,-5e6)
+  }
+
+  test("ParseFormatName: case-insensitive, trimmed, all aliases resolve") {
+    assert(p("RFC3339", "2023-07-14T12:34:56Z") === Some(1689338096000000L))
+    assert(p(" Unixtime ", "100") === Some(100000000L))
+    assert(p("NGINX_ERRORLOG", "2023/07/14 12:34:56") ===
+      Some(1689338096000000L))
+    assert(XTime.isEpochAlias(" UnixTimeNano "))
+    assert(!XTime.isEpochAlias("rfc1123"))
+    // every alias in the reference's formats list parses its own render
+    val rendered = Map(
+      "ansic" -> "Fri Jul 14 12:34:56 2023",
+      "unixdate" -> "Fri Jul 14 12:34:56 UTC 2023",
+      "rubydate" -> "Fri Jul 14 12:34:56 +0000 2023",
+      "rfc822" -> "14 Jul 23 12:34 UTC",
+      "rfc822z" -> "14 Jul 23 12:34 +0000",
+      "rfc850" -> "Friday, 14-Jul-23 12:34:56 UTC",
+      "rfc1123" -> "Fri, 14 Jul 2023 12:34:56 UTC",
+      "rfc1123z" -> "Fri, 14 Jul 2023 12:34:56 +0000",
+      "rfc3339" -> "2023-07-14T12:34:56Z",
+      "rfc3339nano" -> "2023-07-14T12:34:56.789123456Z",
+      "stamp" -> "Jul 14 12:34:56")
+    for ((alias, value) <- rendered) {
+      val got = p(alias, value)
+      assert(got.isDefined, s"$alias failed on '$value'")
+      // date-bearing aliases pin the full instant; stamp has no year,
+      // rfc822(z) no seconds (Go layout "02 Jan 06 15:04 MST")
+      if (!Set("stamp", "rfc3339nano", "rfc822", "rfc822z")(alias))
+        assert(got === Some(1689338096000000L), alias)
+      if (alias.startsWith("rfc822"))
+        assert(got === Some(1689338040000000L), alias)
+    }
+    assert(p("rfc3339nano", "2023-07-14T12:34:56.789123456Z") ===
+      Some(1689338096789123L))
+    assert(p("kitchen", "12:34PM").isDefined)
+  }
+
+  test("unknown names fall back to custom Go layouts, case preserved") {
+    // convert_date.go:62-64: ParseFormatName error → raw string layout
+    assert(p("2006-01-02 15:04:05", "2023-07-14 12:34:56") ===
+      Some(1689338096000000L))
+    // a custom layout is NOT lowercased (Jan would become jan and die)
+    assert(p("Jan 2 2006 15:04:05", "Jul 14 2023 12:34:56") ===
+      Some(1689338096000000L))
+  }
+
+  test("format renders case-insensitive aliases too") {
+    val df = spark.range(1).select(
+      timestamp_seconds(lit(1689338096L)).as("ts"))
+    val out = df.select(
+      XTime.format(col("ts"), "UnixTimeMilli").cast("string").as("a"),
+      XTime.format(col("ts"), "Kitchen").as("b")).collect()(0)
+    assert(out.getString(0) == "1689338096789".take(10) + "000")
+    assert(out.getString(1) == "12:34PM")
+  }
+}
