@@ -933,7 +933,7 @@ object PipelineCompiler {
     * memory-batch, streaming, and redis legs (they each parsed
     * unvalidated: a config-reachable ratio of 1.4 or a duplicated
     * value silently skewed the admission math). */
-  private[compiler] def parseDistRatios(ld: JsonNode): Seq[(Double, Seq[String])] = {
+  private[graft] def parseDistRatios(ld: JsonNode): Seq[(Double, Seq[String])] = {
     val ratios = Option(ld.get("ratios")).toSeq
       .flatMap(_.elements().asScala).map { r =>
         (r.get("ratio").asDouble(),
@@ -953,6 +953,21 @@ object PipelineCompiler {
     require(ratios.map(_._1).sum <= 1.0 + 1e-9,
       "throttle limit_distribution: sum of ratios must be less than or equal to 1")
     ratios
+  }
+
+  /** A dotted field selector dug down the doc struct — the reference's
+    * `parse:"selector"` fields (cfg.ParseFieldSelector: `.`-separated
+    * with `\.` escaping) + Dig-miss-reads-null: throttle_field,
+    * time_field, limiter_key_field, limit_distribution.field,
+    * source_name_meta_field are all selectors in the reference
+    * (throttle.go:66-74,246, distribution_test.go's canonical
+    * `log.level`), so `getField(raw)` — which neither descends dots nor
+    * tolerates a missing field (AnalysisException) — mis-handled both. */
+  private[compiler] def digDoc(df: DataFrame, selector: String): Column = {
+    val parts = FieldPath.parse(selector).parts.toList
+    if (hasPath(df.schema("doc").dataType, parts))
+      parts.foldLeft(col("doc"))(_ getField _)
+    else lit(null)
   }
 
   /** Type at a nested path of a doc type, None on a miss — the shared
@@ -3744,7 +3759,7 @@ object PipelineCompiler {
         // null-poisons, and ThrottleCfg parses the key)
         val key = Option(action.get("throttle_field"))
           .map { f =>
-            val v = col("doc").getField(f.asText()).cast("string")
+            val v = digDoc(df, f.asText()).cast("string")
             when(v.isNotNull && length(v) > 0, v).otherwise(lit("default"))
           }
           .getOrElse(col("source_name"))
@@ -3776,7 +3791,7 @@ object PipelineCompiler {
         // event throttles in the CURRENT bucket instead of being
         // silently dropped as ancient
         val eventTime = coalesce(
-          unix_millis(XTime.parse(col("doc").getField(tsF).cast("string"), tFmt)),
+          unix_millis(XTime.parse(digDoc(df, tsF).cast("string"), tFmt)),
           unix_millis(current_timestamp()))
         // `limiter_backend: redis`: the kernel syncs each key's dual
         // window with redis at micro-batch boundaries once
@@ -3808,10 +3823,10 @@ object PipelineCompiler {
               else octet_length(to_json(col("doc")))
             } else lit(1)
           val overrideKey = keyFieldSel
-            .map(f => coalesce(col("doc").getField(f).cast("string"), lit("")))
+            .map(f => coalesce(digDoc(df, f).cast("string"), lit("")))
             .getOrElse(lit(""))
           val dvalC = distFieldSel
-            .map(f => coalesce(col("doc").getField(f).cast("string"), lit("")))
+            .map(f => coalesce(digDoc(df, f).cast("string"), lit("")))
             .getOrElse(lit(""))
           val ds = df.select(redisKey.as("key"), eventTime.as("eventTimeMs"),
               weight.cast("long").as("weight"), overrideKey.as("overrideKey"),
@@ -3833,7 +3848,7 @@ object PipelineCompiler {
                 "throttle: limit_distribution needs `field`"))
             val ratios = PipelineCompiler.parseDistRatios(ld)
             val ds = df.select(key.as("key"), eventTime.as("eventTimeMs"),
-                col("doc").getField(dField).cast("string").as("dval"),
+                digDoc(df, dField).cast("string").as("dval"),
                 envelopeJson.as("value"))
               .as(org.apache.spark.sql.Encoders.product[graft.streaming.Kernels.DEvent])
             val cfg = graft.streaming.Kernels.DistributionCfg(
@@ -3931,7 +3946,7 @@ object PipelineCompiler {
         // source_name_meta_field (pipeline.go:452-462): ban-key by a doc
         // field instead of the ingest source, falling back when absent
         val srcKey = Option(action.get("source_name_meta_field"))
-          .map(f => coalesce(col("doc").getField(f.asText()).cast("string"),
+          .map(f => coalesce(digDoc(df, f.asText()).cast("string"),
             col("source_name")))
           .getOrElse(col("source_name"))
         val intervalMs = Option(action.get("interval_seconds"))
@@ -3943,7 +3958,7 @@ object PipelineCompiler {
         // fallback parked every null-time event in one never-rotating
         // bucket, permanently banning a source after `threshold` of them
         val tsMs = coalesce(unix_millis(XTime.parse(
-          col("doc").getField(tsF).cast("string"), sFmt)),
+          digDoc(df, tsF).cast("string"), sFmt)),
           unix_millis(current_timestamp()))
         // exceptions (settings.antispam_exceptions → `exceptions`):
         // exempted events bypass the counter AND the ban — the batch
@@ -4021,7 +4036,7 @@ object PipelineCompiler {
         // (throttle.go:535-541), matching the streaming leg
         val key = Option(action.get("throttle_field"))
           .map { f =>
-            val v = doc.getField(f.asText()).cast("string")
+            val v = digDoc(df, f.asText()).cast("string")
             when(v.isNotNull && length(v) > 0, v).otherwise(lit("default"))
           }
           .getOrElse(col("source_name"))
@@ -4048,12 +4063,12 @@ object PipelineCompiler {
           // (throttle.go:20 defaultThrottleKey), not the source name
           val redisKey = throttleFieldSel
             .map { f => // empty reads as default too (throttle.go:535-541)
-              val v = doc.getField(f).cast("string")
+              val v = digDoc(df, f).cast("string")
               when(v.isNotNull && length(v) > 0, v).otherwise(lit("default"))
             }
             .getOrElse(lit("default"))
           val eventMs = coalesce(
-            unix_millis(XTime.parse(doc.getField(tsF).cast("string"), tsFmt)),
+            unix_millis(XTime.parse(digDoc(df, tsF).cast("string"), tsFmt)),
             // throttle.go:522-533: unparseable time → now, not a drop
             unix_millis(current_timestamp()))
           val weight =
@@ -4062,7 +4077,7 @@ object PipelineCompiler {
               else octet_length(to_json(doc))
             } else lit(1)
           val overrideCol = keyFieldSel.map(f =>
-            doc.getField(f).cast("string"))
+            digDoc(df, f).cast("string"))
           var keyed = df.withColumn("_tkey", redisKey)
             .withColumn("_tms", eventMs)
             .withColumn("_tord",
@@ -4071,7 +4086,7 @@ object PipelineCompiler {
             .withColumn("_twt", weight.cast("long"))
           overrideCol.foreach(c => keyed = keyed.withColumn("_tko", c))
           distFieldSel.foreach(f => keyed = keyed.withColumn("_tdv",
-            coalesce(doc.getField(f).cast("string"), lit(""))))
+            coalesce(digDoc(df, f).cast("string"), lit(""))))
           return graft.state.RedisThrottle.batch(keyed, "_tkey", "_tms",
               "_tord", "_twt", overrideCol.map(_ => "_tko"), rcfg,
               dvalCol = distFieldSel.map(_ => "_tdv"))
@@ -4079,7 +4094,7 @@ object PipelineCompiler {
         }
         val bucket = floor(
           unix_millis(coalesce(
-            XTime.parse(doc.getField(tsF).cast("string"), tsFmt),
+            XTime.parse(digDoc(df, tsF).cast("string"), tsFmt),
             // throttle.go:522-533: unparseable time → now (a NULL
             // bucket would quietly form its own window)
             current_timestamp())).cast("double")
@@ -4101,7 +4116,7 @@ object PipelineCompiler {
           val ratios = PipelineCompiler.parseDistRatios(ld)
           return graft.state.SeqOps.throttleDistributed(
               keyed.withColumn("_tdv",
-                coalesce(doc.getField(dField).cast("string"), lit(""))),
+                coalesce(digDoc(df, dField).cast("string"), lit(""))),
               Seq("_tkey"), bucket, "_tord", "_tdv", limit, ratios)
             .drop("_tkey", "_tord", "_tdv")
         }
@@ -4270,7 +4285,7 @@ object PipelineCompiler {
         val tsFmt = Option(action.get("time_format")).map(_.asText()).getOrElse("rfc3339")
         val bucket = floor(
           unix_timestamp(coalesce(
-            XTime.parse(doc.getField(tsF).cast("string"), tsFmt),
+            XTime.parse(digDoc(df, tsF).cast("string"), tsFmt),
             // a NULL bucket key would match NOTHING in SeqOps.antispam's
             // inner join — the event silently VANISHED; the streaming
             // leg and throttle both fall back to now

@@ -121,6 +121,23 @@ object RedisThrottle {
     val idxByValue: Map[String, Int] =
       ratios.zipWithIndex.flatMap { case ((_, vs), i) => vs.map(_ -> i) }.toMap
 
+    /** The default share's ratio — distribution.go:81-86: the residue
+      * 1−Σratios rounded to 2 decimals BEFORE the limit multiply. */
+    val defRatio: Double = {
+      val dif = 1.0 - ratios.map(_._1).sum
+      math.round(dif * 100) / 100.0
+    }
+
+    /** Ratios re-grouped for serialization — distribution.go:139-165
+      * getCfg: values group by their slot's RATIO (two slots sharing a
+      * ratio merge), the shape the redis limit cfg round-trips through.
+      * Sorted (ratio, then values) for determinism. */
+    def getCfgRatios: Seq[(Double, Seq[String])] =
+      idxByValue.toSeq
+        .groupBy { case (_, i) => ratios(i)._1 }
+        .map { case (r, vs) => (r, vs.map(_._1).sorted) }
+        .toSeq.sortBy(_._1)
+
     /** THE distribution admission (in_memory_limiter.go:64-129 +
       * getDistrData) — the single copy shared by the batch, streaming,
       * and redis throttle legs so the rounding and the strictly-greater

@@ -1,0 +1,107 @@
+package graft
+
+import graft.compiler.PipelineCompiler
+import graft.state.RedisThrottle.DistShares
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's plugin/action/throttle/distribution_test.go table:
+  * Test_parseLimitDistribution rows against parseDistRatios (the YAML
+  * front-end validation) + DistShares (the limit math), and
+  * TestLimitDistributionsGetCfg against getCfgRatios. */
+class DistributionVectorSpec extends AnyFunSuite {
+
+  private val yaml = new com.fasterxml.jackson.databind.ObjectMapper(
+    new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+
+  private def parse(ratiosYaml: String): Seq[(Double, Seq[String])] =
+    PipelineCompiler.parseDistRatios(yaml.readTree(ratiosYaml))
+
+  private val validRatios =
+    """ratios:
+      |  - {ratio: 0.5, values: [error]}
+      |  - {ratio: 0.35, values: [warn, info]}
+      |  - {ratio: 0.15, values: [debug]}
+      |""".stripMargin
+
+  test("valid_enabled/valid_disabled: limits = round(ratio * total)") {
+    val shares = DistShares(parse(validRatios), 100L)
+    assert(shares.distLimits.toSeq == Seq(50L, 35L, 15L))
+    assert(shares.idxByValue ==
+      Map("error" -> 0, "warn" -> 1, "info" -> 1, "debug" -> 2))
+    // Σ ratios = 1 → empty default share
+    assert(shares.defRatio == 0.0)
+    assert(shares.defLimit == 0L)
+  }
+
+  test("valid_with_def: residue ratio rounds to 2 decimals first") {
+    // 1 - (0.5 + 0.3 + 0.16) = 0.04 (the float residue is 0.040000...1
+    // — the round-to-2-decimals is what makes limit 4, not 3)
+    val shares = DistShares(parse(
+      """ratios:
+        |  - {ratio: 0.5, values: [error]}
+        |  - {ratio: 0.3, values: [warn, info]}
+        |  - {ratio: 0.16, values: [debug]}
+        |""".stripMargin), 100L)
+    assert(shares.distLimits.toSeq == Seq(50L, 30L, 16L))
+    assert(shares.defRatio == 0.04)
+    assert(shares.defLimit == 4L)
+  }
+
+  test("empty / valid_empty_ratios: no ratios = everything on default") {
+    val shares = DistShares(parse("{}"), 100L)
+    assert(shares.distLimits.isEmpty)
+    assert(shares.defRatio == 1.0)
+    assert(shares.defLimit == 100L)
+  }
+
+  test("err rows: ratio range, empty values, duplicates, sum > 1") {
+    def bad(y: String): String =
+      intercept[IllegalArgumentException](parse(y)).getMessage
+    assert(bad("ratios: [{ratio: -0.5, values: [x]}]")
+      .contains("'ratio' value must be in range [0.0;1.0]"))
+    assert(bad("ratios: [{ratio: 1.4, values: [x]}]")
+      .contains("'ratio' value must be in range [0.0;1.0]"))
+    assert(bad("ratios: [{ratio: 0.66}]").contains("empty 'values' in ratio #0"))
+    assert(bad(
+      """ratios:
+        |  - {ratio: 0.66, values: [error]}
+        |  - {ratio: 0.1, values: [debug, error]}
+        |""".stripMargin)
+      .contains("value 'error' is duplicated in 'ratios' list"))
+    assert(bad(
+      """ratios:
+        |  - {ratio: 0.5, values: [error]}
+        |  - {ratio: 0.51, values: [warn, info]}
+        |""".stripMargin)
+      .contains("sum of ratios must be less than or equal to 1"))
+  }
+
+  test("TestLimitDistributionsGetCfg: values re-group by ratio") {
+    // idxByKey {A->0, B->1, C->0}, distributions [0.1, 0.2]
+    val shares = DistShares(
+      Seq((0.1, Seq("A", "C")), (0.2, Seq("B"))), 100L)
+    assert(shares.getCfgRatios ==
+      Seq((0.1, Seq("A", "C")), (0.2, Seq("B"))))
+    // two slots sharing one ratio MERGE in the cfg render
+    val merged = DistShares(
+      Seq((0.1, Seq("A")), (0.1, Seq("C")), (0.2, Seq("B"))), 100L)
+    assert(merged.getCfgRatios ==
+      Seq((0.1, Seq("A", "C")), (0.2, Seq("B"))))
+  }
+
+  test("the worked example end to end: steal order + denial accounting") {
+    // distribution.go's admission via the shared DistShares.admit: limit
+    // 10, ratios 0.5/0.3, default 0.2 → limits 5/3/2
+    val shares = DistShares(
+      Seq((0.5, Seq("error")), (0.3, Seq("warn"))), 10L)
+    assert(shares.distLimits.toSeq == Seq(5L, 3L))
+    assert(shares.defLimit == 2L)
+    val counts = new Array[Long](3)
+    // 2 default events fill the default share
+    assert(shares.admit(counts, 0, "info", 1))
+    assert(shares.admit(counts, 0, "debug", 1))
+    // 3rd default steals from the most-free listed slot (error: 5 free)
+    assert(shares.admit(counts, 0, "trace", 1))
+    assert(counts.toSeq == Seq(2L, 1L, 0L))
+  }
+}

@@ -160,4 +160,67 @@ class ThrottleCardinalityVectorSpec extends AnyFunSuite {
         |""".stripMargin)
     assert(out.size == 10, s"got ${out.size}")
   }
+
+  test("throttle selectors are DOTTED paths (distribution_test.go's log.level)") {
+    // throttle_field / limit_distribution.field / time_field are
+    // `parse:"selector"` in the reference (throttle.go:66-74) — dotted
+    // names dig nested structs, and a missing path reads null (falls to
+    // the default key / now) instead of failing analysis
+    val t = ts(1700000000050L)
+    val events = (0 until 12).map { i =>
+      val lvl = Seq("error", "warn", "info")(i % 3)
+      s"""{"time":"$t","log":{"level":"$lvl"}}"""
+    }
+    val out = PipelineCompiler.runActionsOnBatch(spark, events,
+      """decoder: {type: json, schema: "time string, log struct<level string>"}
+        |actions:
+        |  - type: throttle
+        |    throttle_field: log.level
+        |    bucket_interval: 1m
+        |    buckets_count: 1
+        |    limit: 2
+        |""".stripMargin)
+    // 3 distinct nested keys × limit 2 — a flat getField would have
+    // thrown (no literal "log.level" field) or keyed everything together
+    assert(out.size == 6, s"got ${out.size}: $out")
+
+    val dist = PipelineCompiler.runActionsOnBatch(spark, events,
+      """decoder: {type: json, schema: "time string, log struct<level string>"}
+        |actions:
+        |  - type: throttle
+        |    bucket_interval: 1m
+        |    buckets_count: 1
+        |    limit: 10
+        |    limit_distribution:
+        |      field: log.level
+        |      ratios:
+        |        - {ratio: 0.5, values: [error]}
+        |        - {ratio: 0.25, values: [warn]}
+        |""".stripMargin)
+    // expected admissions come from the shared admission model itself
+    // (DistShares.admit is the single copy all legs run):
+    val shares = graft.state.RedisThrottle.DistShares(
+      Seq((0.5, Seq("error")), (0.25, Seq("warn"))), 10L)
+    val counts = new Array[Long](3)
+    val admitted = events.map { e =>
+      val lvl = if (e.contains("error")) "error"
+        else if (e.contains("warn")) "warn" else "info"
+      shares.admit(counts, 0, lvl, 1L)
+    }.count(identity)
+    assert(dist.size == admitted, s"got ${dist.size}, model says $admitted")
+
+    // missing time_field (no `time` in schema) must not fail analysis —
+    // the reference Dig-misses and falls back to now()
+    val noTime = PipelineCompiler.runActionsOnBatch(spark,
+      (0 until 4).map(i => s"""{"k":"a"}"""),
+      """decoder: {type: json, schema: "k string"}
+        |actions:
+        |  - type: throttle
+        |    throttle_field: k
+        |    bucket_interval: 1m
+        |    buckets_count: 1
+        |    limit: 2
+        |""".stripMargin)
+    assert(noTime.size == 2, s"got ${noTime.size}")
+  }
 }
