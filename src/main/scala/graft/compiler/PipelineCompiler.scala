@@ -343,11 +343,17 @@ object PipelineCompiler {
         def headerCol(f: String): Column =
           (if (batch.columns.contains(f)) col(f) else col("doc").getField(f))
             .cast("array<struct<key:string,value:string>>")
+        // kafka.go:335-339: the topic field Dig-misses to the default
+        // topic, and an EMPTY string value falls back too (`if
+        // fieldValue != ""`); key_field Dig-misses to an unkeyed record
+        def safeDocF(f: String): Column = digDoc(batch, f).cast("string")
+        val topicVal = safeDocF(topicField)
         val projected = batch.select(
           Seq(
-            (if (useTopicField) col("doc").getField(topicField).cast("string")
+            (if (useTopicField)
+               when(topicVal.isNotNull && length(topicVal) > 0, topicVal)
              else lit(null).cast("string")).as("_t"),
-            keyField.map(f => col("doc").getField(f).cast("string"))
+            keyField.map(safeDocF)
               .getOrElse(lit(null).cast("string")).as("_k"),
             to_json(col("doc")).as("_v")) ++
           headersField.map(f => headerCol(f).as("_h")): _*)
@@ -416,10 +422,15 @@ object PipelineCompiler {
             strictTypes = strict)
           typed.select(to_json(struct(typed.columns.map(col): _*)).as("payload"))
         case "postgres" =>
-          // typed projection (int|string|bool|timestamp) + in-batch
-          // dedup on the `unique: true` columns (postgres.go ConfigColumn)
+          // typed projection + in-batch dedup on the `unique: true`
+          // columns (postgres.go ConfigColumn). The query-builder
+          // validation runs here with the reference's exact errors —
+          // incl. rejecting `bool`, which the config doc advertises but
+          // initPgFields refuses (query_builder.go:92-101)
+          graft.sinks.Sinks.pgQueryBuilder(columnSpecs,
+            outputConf.getOrElse("table", "table"))
           def pgType(t: String): String = t match {
-            case "int" => "long"; case "bool" => "boolean"
+            case "int" => "long"
             case "timestamp" => "timestamp"; case _ => "string"
           }
           val ordered = df.withColumn("_pgo",
@@ -628,6 +639,44 @@ object PipelineCompiler {
                     metaJson)
                 case None =>
                   Sinks.lokiEntry(timeCol, to_json(doc)).cast("string")
+              }
+            case "http" =>
+              // output/http `encoding:` (encoding.go): json (default) =
+              // the whole event; raw = the JSON ENCODING of one dug
+              // field (a string renders WITH quotes — http_test.go's
+              // `"[INFO] some event"`), default field `message`.
+              // Unknown types fail with the reference's message. A
+              // schema-missing field renders the empty string per event
+              // (the reference's RawEncoder returns buf[:0] — which
+              // truncates everything the BATCH buffered so far, an
+              // apparent reference bug we do not reproduce; batch
+              // boundaries aren't semantic here).
+              val enc = outputConf.get("encoding")
+                .map(PipelineCompiler.yaml.readTree)
+              val encType = enc.flatMap(e => Option(e.get("type"))
+                .map(_.asText())).getOrElse("json")
+              encType match {
+                case "json" | "" => to_json(doc)
+                case "raw" =>
+                  val f = enc.flatMap(e => Option(e.get("params")))
+                    .flatMap(p => Option(p.get("field")).map(_.asText()))
+                    .filter(_.nonEmpty).getOrElse("message")
+                  val inSchema = df.schema("doc").dataType match {
+                    case s: org.apache.spark.sql.types.StructType =>
+                      s.fieldNames.contains(f)
+                    case _ => false
+                  }
+                  if (!inSchema) lit("")
+                  else {
+                    // node.Encode of a scalar/container: to_json over a
+                    // 1-element array, brackets stripped (to_json won't
+                    // take a bare scalar; the array render adds exactly
+                    // "[" and "]", no whitespace)
+                    val j = to_json(array(doc.getField(f)))
+                    j.substr(lit(2), length(j) - 2)
+                  }
+                case other => throw new IllegalArgumentException(
+                  s"""unknown encoding type "$other"; supported: json, raw""")
               }
             case _        => to_json(doc)
           }

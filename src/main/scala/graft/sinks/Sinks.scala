@@ -503,6 +503,36 @@ object Sinks {
     lines => inner(Iterator(prefix + lines.mkString(",") + "]}]}"))
   }
 
+  /** postgres INSERT statement pieces — the reference's query builder
+    * (plugin/output/postgres/query_builder.go): the insert head over the
+    * configured columns plus the ON CONFLICT postfix (unique + updatable
+    * → DO UPDATE SET col=EXCLUDED.col; all unique → DO NOTHING — note
+    * the reference's postfix spacing differs between the two:
+    * `ON CONFLICT(...)` vs `ON CONFLICT (...)`, query_builder.go:27-28,
+    * kept verbatim since the SQL text is the wire contract). Validation
+    * errors carry the reference's exact messages. Only int, string and
+    * timestamp are valid types — the config doc advertises bool but
+    * initPgFields rejects it (query_builder.go:92-101), and we match
+    * the code. Returns (insertHead, postfix). */
+  def pgQueryBuilder(cols: Seq[(String, String, Boolean)],
+                     table: String): (String, String) = {
+    require(cols.nonEmpty, "no pg columns in config")
+    require(table.nonEmpty, "table name can't be empty string")
+    cols.foreach { case (_, t, _) =>
+      require(Set("int", "string", "timestamp")(t), s"invalid pg type: $t")
+    }
+    val uniq = cols.filter(_._3).map(_._1)
+    val upd = cols.filterNot(_._3).map(_._1)
+    val postfix =
+      if (uniq.nonEmpty && upd.nonEmpty)
+        s"ON CONFLICT(${uniq.mkString(",")}) DO UPDATE SET " +
+          upd.map(f => s"$f=EXCLUDED.$f").mkString(",")
+      else if (uniq.nonEmpty)
+        s"ON CONFLICT (${uniq.mkString(",")}) DO NOTHING"
+      else ""
+    (s"INSERT INTO $table (${cols.map(_._1).mkString(",")})", postfix)
+  }
+
   /** postgres sink in-batch dedup (plugin/output/postgres: `unique`
     * columns → first row per key within the batch wins, then ON CONFLICT
     * upsert server-side). */

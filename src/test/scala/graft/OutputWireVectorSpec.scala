@@ -1,0 +1,96 @@
+package graft
+
+import graft.compiler.PipelineCompiler
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The last two output wire tables of the parity sweep:
+  * plugin/output/http/http_test.go TestAppendEvent (the json/raw
+  * encoders, encoding.go) and plugin/output/kafka/kafka_test.go's
+  * topic-routing semantics (kafka.go:335-339 — Dig-miss and empty
+  * string both fall to default_topic). */
+class OutputWireVectorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val event =
+    """{"message":"[INFO] some event","field_a":"AAAA","field_b":"BBBB"}"""
+
+  private def httpPayload(encodingYaml: String): Seq[String] =
+    PipelineCompiler.compile(spark,
+      s"""input: {type: fake, lines: ['$event']}
+         |decoder: {type: json,
+         |  schema: "message string, field_a string, field_b string"}
+         |output:
+         |  type: http
+         |  endpoint: "http://127.0.0.1:1/unused"
+         |$encodingYaml
+         |""".stripMargin).payload().collect().map(_.getString(0)).toSeq
+
+  test("TestAppendEvent: json encoder emits the whole event") {
+    assert(httpPayload("") == Seq(event))
+    assert(httpPayload("  encoding: {type: json}") == Seq(event))
+  }
+
+  test("TestAppendEvent: raw encoder emits the field's JSON encoding") {
+    // a string field renders WITH quotes — node.Encode, not AsString
+    assert(httpPayload("  encoding: {type: raw}") ==
+      Seq(""""[INFO] some event""""))
+    assert(httpPayload(
+      "  encoding: {type: raw, params: {field: field_a}}") ==
+      Seq(""""AAAA""""))
+    // schema-missing field: empty payload per event (the reference's
+    // buf[:0] batch-truncation bug is documented, not reproduced)
+    assert(httpPayload(
+      "  encoding: {type: raw, params: {field: nope}}") == Seq(""))
+  }
+
+  test("unknown encoding type fails with the reference's message") {
+    val e = intercept[Exception](httpPayload("  encoding: {type: msgpack}"))
+    assert(e.getMessage.contains(
+      """unknown encoding type "msgpack"; supported: json, raw"""), e.getMessage)
+  }
+
+  test("kafka topic routing: missing field and empty value fall to default") {
+    import graft.sources.KafkaLoopbackBroker
+    val b = new KafkaLoopbackBroker(numPartitions = 1)
+    try {
+      // `route` carries "", a real topic, and null; `topic_field: gone`
+      // isn't in the schema at all — both degenerate cases route to
+      // default_topic instead of failing analysis / minting topic ""
+      PipelineCompiler.compile(spark,
+        s"""input: {type: fake, lines: [
+           |  '{"route": "", "m": "empty"}',
+           |  '{"route": "hot", "m": "routed"}',
+           |  '{"m": "nullfield"}']}
+           |decoder: {type: json, schema: "route string, m string"}
+           |output:
+           |  type: kafka
+           |  brokers: "${b.bootstrap}"
+           |  default_topic: fallback
+           |  use_topic_field: true
+           |  topic_field: route
+           |""".stripMargin).write()
+      PipelineCompiler.compile(spark,
+        s"""input: {type: fake, lines: ['{"m": "nofield"}']}
+           |decoder: {type: json, schema: "m string"}
+           |output:
+           |  type: kafka
+           |  brokers: "${b.bootstrap}"
+           |  default_topic: fallback
+           |  use_topic_field: true
+           |  topic_field: gone
+           |""".stripMargin).write()
+      def all(t: String): Seq[String] = b.values(t, 0)
+      assert(all("hot").exists(_.contains(""""m":"routed"""")))
+      val fb = all("fallback")
+      assert(fb.exists(_.contains(""""m":"empty"""")), fb)
+      assert(fb.exists(_.contains(""""m":"nullfield"""")), fb)
+      assert(fb.exists(_.contains(""""m":"nofield"""")), fb)
+    } finally b.close()
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.sinks.Sinks
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's plugin/output/postgres/query_builder_test.go table
+  * against [[Sinks.pgQueryBuilder]] — the INSERT head + ON CONFLICT
+  * postfix are the SQL wire contract. */
+class PgQueryBuilderSpec extends AnyFunSuite {
+
+  private def col(n: String, t: String, u: Boolean = false) = (n, t, u)
+
+  test("TestNewQueryBuilderError: empty columns, empty table, bad type") {
+    def err(cols: Seq[(String, String, Boolean)], table: String): String =
+      intercept[IllegalArgumentException](
+        Sinks.pgQueryBuilder(cols, table)).getMessage
+    assert(err(Nil, "secret").contains("no pg columns in config"))
+    assert(err(Seq(col("", "string")), "")
+      .contains("table name can't be empty string"))
+    assert(err(Seq(col("col_name", "invalid_type")), "test_table")
+      .contains("invalid pg type: invalid_type"))
+    // the config doc advertises bool; initPgFields rejects it — match
+    // the code (query_builder.go:92-101)
+    assert(err(Seq(col("b", "bool")), "t").contains("invalid pg type: bool"))
+  }
+
+  test("no unique columns: bare insert, empty postfix") {
+    val (head, postfix) = Sinks.pgQueryBuilder(Seq(
+      col("some_string_col", "string"), col("some_int_col", "int"),
+      col("some_timestamp_col", "timestamp"),
+      col("some_other_string_col", "string")), "yet_another_table")
+    assert(head == "INSERT INTO yet_another_table " +
+      "(some_string_col,some_int_col,some_timestamp_col,some_other_string_col)")
+    assert(postfix == "")
+  }
+
+  test("one unique column: DO UPDATE SET over the rest") {
+    val (head, postfix) = Sinks.pgQueryBuilder(Seq(
+      col("uni_str_col", "string", u = true), col("int_col", "int"),
+      col("timestamp_col", "timestamp"), col("other_string_col", "string")),
+      "yet_another_table_with_unique_col")
+    assert(head == "INSERT INTO yet_another_table_with_unique_col " +
+      "(uni_str_col,int_col,timestamp_col,other_string_col)")
+    assert(postfix == "ON CONFLICT(uni_str_col) DO UPDATE SET " +
+      "int_col=EXCLUDED.int_col,timestamp_col=EXCLUDED.timestamp_col," +
+      "other_string_col=EXCLUDED.other_string_col")
+  }
+
+  test("many unique columns: conflict on all uniques, update the rest") {
+    val (_, postfix) = Sinks.pgQueryBuilder(Seq(
+      col("uni_str_col", "string", u = true), col("int_col", "int", u = true),
+      col("timestamp_col", "timestamp", u = true),
+      col("other_string_col", "string", u = true),
+      col("other_timestamp_col", "timestamp")),
+      "yet_another_table_with_many_unique_cols")
+    assert(postfix ==
+      "ON CONFLICT(uni_str_col,int_col,timestamp_col,other_string_col) " +
+        "DO UPDATE SET other_timestamp_col=EXCLUDED.other_timestamp_col")
+  }
+
+  test("all columns unique: DO NOTHING (with the reference's space)") {
+    val (_, postfix) = Sinks.pgQueryBuilder(Seq(
+      col("uni_str_col", "string", u = true), col("int_col", "int", u = true),
+      col("timestamp_col", "timestamp", u = true),
+      col("other_string_col", "string", u = true),
+      col("other_timestamp_col", "timestamp", u = true)),
+      "yet_another_table_with_all_unique_cols")
+    assert(postfix == "ON CONFLICT (uni_str_col,int_col,timestamp_col," +
+      "other_string_col,other_timestamp_col) DO NOTHING")
+  }
+}
