@@ -3188,7 +3188,16 @@ object PipelineCompiler {
           .map(_.properties().asScala.toSeq)
           .getOrElse(action.properties().asScala.toSeq
             .filterNot(e => renameReserved.contains(e.getKey)))
-          .map(e => FieldPath.parse(unesc(e.getKey)) -> e.getValue.asText())
+          .map { e =>
+            // value-shape registry: the reference's Config is an
+            // ordered string→string map — a list/object value fails its
+            // unmarshal loudly; asText() on a container is "" and would
+            // silently rename to the empty field name
+            require(e.getValue.isValueNode,
+              s"rename: value for `${e.getKey}` must be a field name " +
+                s"string, got ${e.getValue.getNodeType}")
+            FieldPath.parse(unesc(e.getKey)) -> e.getValue.asText()
+          }
         // reference default is override=FALSE (rename.go Start:
         // preserveFields when the key is absent or "false")
         val over = Option(action.get("override")).exists(_.asBoolean())
@@ -3259,7 +3268,15 @@ object PipelineCompiler {
           .map(_.properties().asScala.toSeq)
           .getOrElse(action.properties().asScala.toSeq
             .filterNot(e => reserved.contains(e.getKey)))
-          .map(e => e.getKey -> e.getValue.asText())
+          .map { e =>
+            // value-shape registry: modify's Config is string→string —
+            // a container value is invalid in the reference and asText()
+            // would silently render it as ""
+            require(e.getValue.isValueNode,
+              s"modify: value for `${e.getKey}` must be a substitution " +
+                s"template string, got ${e.getValue.getNodeType}")
+            e.getKey -> e.getValue.asText()
+          }
         val skipEmpty = Option(action.get("_skip_empty"))
           .exists(v => v.asBoolean() || v.asText() == "true")
         val modDocType = df.schema("doc").dataType

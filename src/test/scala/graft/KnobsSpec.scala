@@ -17,6 +17,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * fails compile. Together they make the accepted-and-ignored knob
   * class (r15: json_decode.log_json_parse_error_mode,
   * cardinality.metric_prefix) structurally unrepresentable.
+  *
+  * Transcription provenance: enumerated 2026-08 (rounds 16-17) from the
+  * vendored reference snapshot at /root/reference (go 1.25 tree, no git
+  * metadata shipped — the snapshot itself is the authority). When the
+  * snapshot is refreshed, re-run the grep above per plugin and diff the
+  * fixture; a new upstream knob lands here as a failing row first.
   */
 class KnobsSpec extends AnyFunSuite {
 

@@ -527,4 +527,32 @@ class ModifyVectorSpec extends AnyFunSuite {
     // char of "existing_" is in the set, 'v' stops the trim
     assert(out.contains(""""substitution_field":"value""""), out)
   }
+
+  test("value-shape registry: bad modify/rename VALUES fail compile loudly") {
+    val dec = "decoder: {type: json, schema: \"a string, b string\"}\n"
+    def run(yaml: String): Seq[String] =
+      PipelineCompiler.runActionsOnBatch(spark,
+        Seq("""{"a":"x","b":"y"}"""), dec + yaml)
+    // a typo'd substitution filter never compiles (cfg/substitution
+    // parses filters at config time — so do we)
+    val typo = intercept[Exception](run(
+      "actions:\n  - type: modify\n    c: \"${a|filtr}\"\n"))
+    assert(typo.getMessage.contains("bad filter: filtr"), typo.getMessage)
+    val unterm = intercept[Exception](run(
+      "actions:\n  - type: modify\n    c: \"${a\"\n"))
+    assert(unterm.getMessage.contains("unterminated placeholder"),
+      unterm.getMessage)
+    // container VALUES are invalid string→string config in the
+    // reference; asText() would silently rename/modify to ""
+    val badRename = intercept[Exception](run(
+      "actions:\n  - type: rename\n    a: [1, 2]\n"))
+    assert(badRename.getMessage.contains(
+      "rename: value for `a` must be a field name string"),
+      badRename.getMessage)
+    val badModify = intercept[Exception](run(
+      "actions:\n  - type: modify\n    c: {x: 1}\n"))
+    assert(badModify.getMessage.contains(
+      "modify: value for `c` must be a substitution template string"),
+      badModify.getMessage)
+  }
 }
