@@ -275,6 +275,34 @@ object ScaleProbe {
         measure(spark)(graft.ml.Ann.ivfpqTopK(e, "vec_id", "embedding",
           qv, k = 10, nCentroids = 8, nProbe = 2, m = 4, nCodes = 16).count())
       },
+      // round-17 (VERDICT_r16 #5): the persisted index BUILDS — q144's
+      // ivfWriteIndex and q149/q150's ivfpqWriteIndex. The claim under
+      // test: build cost is one assignment pass (corpus × nCentroids
+      // dot products) + a hive-partitioned write — shuffle/wall linear
+      // in the corpus, peak task memory flat. nCentroids stays FIXED
+      // across scales so the ratio isolates the plan shape (production
+      // scales k with the corpus, which adds the per-vector k factor,
+      // not a new shuffle).
+      "ann_ivf_build" -> { scale: String =>
+        val out = s"/tmp/graft_probe_ivfidx_${scale}_$sfTag"
+        val e = embAt(scale)
+        val n = e.count()
+        measure(spark) {
+          graft.ml.Ann.ivfWriteIndex(e, "vec_id", "embedding",
+            nCentroids = 16, path = out)
+          n
+        }
+      },
+      "ann_ivfpq_build" -> { scale: String =>
+        val out = s"/tmp/graft_probe_ivfpqidx_${scale}_$sfTag"
+        val e = embAt(scale)
+        val n = e.count()
+        measure(spark) {
+          graft.ml.Ann.ivfpqWriteIndex(e, "vec_id", "embedding",
+            nCentroids = 8, m = 4, nCodes = 16, path = out)
+          n
+        }
+      },
       // round-10c: CCNet terciles — two corpus-LM shuffles + the bounded
       // histogram-CDF threshold pass; the claim under test is that the
       // threshold leg stays bounded while the LM legs scale linearly

@@ -94,23 +94,43 @@ object Ann {
     * assignments (broadcast the dim table, cosine desc, _c_id ties). */
   private def ivfAssignTo(e: DataFrame, cents: DataFrame,
                           idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sim = dot(col("_v"), col("_cv")) /
-      (sqrt(dot(col("_v"), col("_v"))) * sqrt(dot(col("_cv"), col("_cv"))))
     // zero-norm guard on BOTH sides (the bruteForceTopK NaN-desc
     // hazard): one all-zero CENTROID makes every vector's cosine NaN,
     // which sorts first under desc — the whole corpus would land in
     // that one inverted list and IVF pruning degenerates to a full
     // scan per query. Zero-norm corpus vectors are unfindable anyway
     // (the probe legs exclude them) — answers are unchanged.
+    //
+    // Shape (r17, found by the ScaleProbe build cells): the centroid
+    // table folds to ONE broadcast row holding the sorted centroid
+    // ARRAY, and the assignment is a map-only projection — an
+    // `aggregate` fold over the array picking the best (sim, c_id).
+    // The previous crossJoin+row_number window materialized
+    // corpus×nCentroids rows, each carrying the full embedding, through
+    // a per-id sort: ~300 KB execution memory per corpus row in the
+    // probe, growing linearly with per-task input. The fold keeps the
+    // tie-break bit-exact (sort_array orders by _c_id asc; a strictly-
+    // greater sim replaces, so equal sims keep the SMALLEST c_id —
+    // identical to the window's desc-sim, asc-c_id row 1).
+    val centsArr = cents.filter(dot(col("_cv"), col("_cv")) > 0)
+      .select(col("_c_id").cast("long").as("_c_id"), col("_cv"))
+      .agg(sort_array(collect_list(struct(col("_c_id"), col("_cv"))))
+        .as("_cents"))
+    val best = aggregate(col("_cents"),
+      struct(lit(Double.NegativeInfinity).as("_s"), lit(-1L).as("_c")),
+      (acc, c) => {
+        val cv = c.getField("_cv")
+        val s = dot(col("_v"), cv) /
+          (sqrt(dot(col("_v"), col("_v"))) * sqrt(dot(cv, cv)))
+        when(s > acc.getField("_s"),
+          struct(s.as("_s"), c.getField("_c_id").as("_c"))).otherwise(acc)
+      })
     e.filter(dot(col("_v"), col("_v")) > 0)
-      .crossJoin(org.apache.spark.sql.functions.broadcast(
-        cents.filter(dot(col("_cv"), col("_cv")) > 0)))
-      .withColumn("_sim_c", sim)
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(desc("_sim_c"), col("_c_id"))))
-      .filter(col("_rn") === 1)
-      .select(col(idCol), col("_v"), col("_c_id"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(centsArr))
+      .select(col(idCol), col("_v"), best.getField("_c").as("_c_id"))
+      // empty/all-zero centroid table: the old crossJoin produced no
+      // rows; the fold's -1 sentinel reproduces that
+      .filter(col("_c_id") >= 0)
   }
 
   /** APPEND a new vector batch to a persisted IVF index without
@@ -221,14 +241,39 @@ object Ann {
     * tie-break), shared by the build and the append so appended batches
     * encode byte-identically to the original index. */
   private def pqEncode(parts: DataFrame, codebook: DataFrame,
-                       idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    parts.join(broadcast(codebook), "_b")
-      .withColumn("_d", l2sq(col("_sv"), col("_cv")))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col(idCol), col("_b")).orderBy(col("_d"), col("_code"))))
-      .filter(col("_rn") === 1)
+                       idCol: String): DataFrame =
+    bestCodeFold(parts, codebook, "_cv")
       .select(col(idCol), col("_b"), col("_code"))
+
+  /** The one nearest-code rule (L2 asc, code-id ties) as a broadcast
+    * per-subspace fold — shared by the PQ and IVF-PQ encodes. The
+    * codebook groups to ONE row per `_b` holding its sorted
+    * (code, vector) array; parts broadcast-join on `_b` (m rows) and an
+    * `aggregate` fold picks the best code. Map-only per subvector row:
+    * the previous join+row_number window materialized
+    * corpus×m×nCodes rows, each carrying the subvector, through a
+    * per-(id, b) sort (the r17 ScaleProbe build cells measured the
+    * blowup; same rewrite as ivfAssignTo). sort_array orders by code
+    * asc and a strictly-smaller distance replaces, so equal distances
+    * keep the SMALLEST code — identical to the window's tie-break. */
+  private def bestCodeFold(parts: DataFrame, codebook: DataFrame,
+                           vecCol: String): DataFrame = {
+    val cbArr = codebook
+      .select(col("_b"), struct(col("_code").cast("long").as("_code"),
+        col(vecCol).as("_cbv")).as("_e"))
+      .groupBy(col("_b")).agg(sort_array(collect_list(col("_e"))).as("_codes"))
+    val best = aggregate(col("_codes"),
+      struct(lit(Double.PositiveInfinity).as("_d"), lit(-1L).as("_c")),
+      (acc, c) => {
+        val d = l2sq(col("_sv"), c.getField("_cbv"))
+        when(d < acc.getField("_d"),
+          struct(d.as("_d"), c.getField("_code").as("_c"))).otherwise(acc)
+      })
+    parts.join(broadcast(cbArr), "_b")
+      .withColumn("_code", best.getField("_c"))
+      // empty per-subspace codebook: the old join produced no rows
+      .filter(col("_code") >= 0)
+      .drop("_codes")
   }
 
   /** Codebook + encoded codes shared by [[pqTopK]] and the persisted
@@ -375,11 +420,7 @@ object Ann {
     * broadcast the (tiny) codebook, L2 in each subspace, ties → code id. */
   private def ivfpqEncode(parts: DataFrame, codebook: DataFrame,
                           idCol: String): DataFrame =
-    parts.join(broadcast(codebook), "_b")
-      .withColumn("_d", l2sq(col("_sv"), col("_cbv")))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col(idCol), col("_b")).orderBy(col("_d"), col("_code"))))
-      .filter(col("_rn") === 1)
+    bestCodeFold(parts, codebook, "_cbv")
       .select(col(idCol), col("_c_id"), col("_b"), col("_code"))
 
   /** ADC top-k over IVF-PQ codes: rank centroids by cosine against the

@@ -1,0 +1,31 @@
+package graft.playground
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object SplitProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val p = "/tmp/graft_sfx100__root_testdata_sf0.1/embeddings.parquet"
+    for (mpb <- Seq(128L << 20, 2L << 20)) {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+      val e = spark.read.parquet(p)
+      println(s"mpb=${mpb >> 20}MB scanParts=${e.rdd.getNumPartitions}")
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+      val peak = new java.util.concurrent.atomic.AtomicLong()
+      val l = new SparkListener {
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+          peak.accumulateAndGet(sc.stageInfo.taskMetrics.peakExecutionMemory, math.max(_, _))
+      }
+      spark.sparkContext.addSparkListener(l)
+      val t0 = System.nanoTime()
+      graft.ml.Ann.ivfWriteIndex(e, "vec_id", "embedding", 16, s"/tmp/graft_splitprobe_$mpb")
+      val w = (System.nanoTime()-t0)/1e9
+      Thread.sleep(800)
+      spark.sparkContext.removeSparkListener(l)
+      println(f"mpb=${mpb >> 20}MB wall=$w%.2f peakTaskMemMB=${peak.get >> 20}")
+    }
+    spark.stop()
+  }
+}
