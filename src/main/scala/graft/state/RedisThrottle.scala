@@ -163,25 +163,51 @@ object RedisThrottle {
     }
   }
 
-  /** Parse a limit key's JSON `distribution` object
-    * ({field, ratios: [{ratio, values}], enabled} —
-    * redis_limiter.go:216-247 decodeKeyLimitValue + limitDistributionCfg).
-    * Returns None when absent/disabled/malformed (keep current), Some
-    * when a well-formed enabled cfg with the SAME ratio count arrived
-    * (a width change would re-shape the bucket matrix mid-flight; the
-    * documented constraint is count-stable ratio updates). */
-  def parseDistribution(raw: String, distField: String,
-                        expectWidth: Int): Option[Seq[(Double, Seq[String])]] =
+  /** Atomic decode of a dynamic limit key's JSON value —
+    * redis_limiter.go:210-240 decodeKeyLimitValue, replayed by
+    * Test_decodeKeyLimitValue (RedisThrottleSpec): the value must be an
+    * OBJECT holding `valField` (quoted or bare integer), optionally
+    * `distField` with a {field, ratios, enabled} distribution cfg. ANY
+    * error — non-object value, missing/non-integer limit, malformed or
+    * invalid distribution — returns None and the WHOLE update is
+    * rejected (a bad distribution drops the limit too; the reference
+    * logs and keeps current). Returns (limit, distr): distr None = no
+    * distribution key (keep current ratios), Some(Nil) = present but
+    * disabled/empty (isEnabled false → plain limiter), Some(ratios) =
+    * a live enabled set. `enabled` must be explicitly true — the Go
+    * zero value is false. */
+  def decodeKeyLimitValue(raw: String, valField: String, distField: String)
+  : Option[(Long, Option[Seq[(Double, Seq[String])]])] =
     try {
-      if (distField.isEmpty) return None
-      val d = mapper.readTree(raw).get(distField)
-      if (d == null || !Option(d.get("enabled")).forall(_.asBoolean(true))) return None
-      val rs = Option(d.get("ratios")).toSeq.flatMap(_.elements().asScala).map { r =>
-        (r.get("ratio").asDouble(),
-          r.get("values").elements().asScala.map(_.asText()).toSeq)
-      }
-      if (rs.size + 1 == expectWidth && rs.map(_._1).sum <= 1.0 + 1e-9) Some(rs)
-      else None
+      val node = mapper.readTree(raw)
+      if (node == null || !node.isObject) return None
+      val lv = node.get(valField)
+      if (lv == null || lv.isContainerNode) return None
+      val limit = lv.asText().trim.stripPrefix("\"").stripSuffix("\"").toLong
+      val distr: Option[Seq[(Double, Seq[String])]] =
+        if (distField.isEmpty) None
+        else Option(node.get(distField)).map { d =>
+          require(d.isObject, "distribution must be an object")
+          val enabled = Option(d.get("enabled")).exists(_.asBoolean(false))
+          val rs = Option(d.get("ratios")).toSeq
+            .flatMap(_.elements().asScala).map { r =>
+              (r.get("ratio").asDouble(),
+                Option(r.get("values"))
+                  .map(_.elements().asScala.map(_.asText()).toSeq)
+                  .getOrElse(Seq.empty))
+            }
+          // parseLimitDistribution's validation (distribution.go:34-80)
+          // — an invalid set rejects the whole update
+          rs.foreach { case (ratio, values) =>
+            require(ratio >= 0 && ratio <= 1, "ratio out of range")
+            require(values.nonEmpty, "empty values")
+          }
+          require(rs.flatMap(_._2).distinct.size == rs.flatMap(_._2).size,
+            "duplicated value")
+          require(rs.map(_._1).sum <= 1.0 + 1e-9, "ratio sum > 1")
+          if (enabled && rs.nonEmpty) rs else Nil
+        }
+      Some((limit, distr))
     } catch { case _: Throwable => None }
 
   /** Parse the dynamic-limit key's value: plain integer, or — when
@@ -254,9 +280,12 @@ object RedisThrottle {
   final class DualWindow(val cfg: Cfg, var limit: Long,
                          initialRatios: Seq[(Double, Seq[String])] = null) {
     var newestBucket: Long = Long.MinValue
-    private val w = cfg.width
-    val incr = new Array[Long](cfg.bucketsCount * w)
-    val total = new Array[Long](cfg.bucketsCount * w)
+    // width/arrays are vars: a redis-synced distribution with a
+    // DIFFERENT ratio count recreates the buckets (counters reset) like
+    // in_memory_limiter.go:189-195 newBuckets
+    private var w = cfg.width
+    var incr = new Array[Long](cfg.bucketsCount * w)
+    var total = new Array[Long](cfg.bucketsCount * w)
     var shares: DistShares =
       DistShares(Option(initialRatios).getOrElse(cfg.ratios), limit)
 
@@ -374,13 +403,36 @@ object RedisThrottle {
     /** GET the limit key and update the live limit (and, when
       * `limiter_distribution_field` is set, the live ratio set — the
       * reference's updateDistribution on both limiters); redis.Nil
-      * (absent key) keeps the current values (redis_limiter.go:252-283). */
+      * (absent key) keeps the current values (redis_limiter.go:252-283).
+      * The decode is ATOMIC like decodeKeyLimitValue
+      * (redis_limiter.go:210-240, Test_decodeKeyLimitValue
+      * distribution_format_error): a malformed distribution rejects the
+      * LIMIT update too — nothing changes. A valid distribution with a
+      * different ratio count recreates the buckets with zeroed counters
+      * (in_memory_limiter.go:189-195); redis keeps the global totals
+      * and the next sync re-seeds. */
     def pullLimit(value: String, limitKeyOverride: String): Unit =
       cfg.client().get(cfg.limitKey(value, limitKeyOverride)).foreach { raw =>
-        parseLimitValue(raw, cfg.valueField).foreach { v => limit = v }
-        val newRatios = parseDistribution(raw, cfg.distributionField, w)
-        if (newRatios.isDefined || limit != shares.limit)
-          shares = DistShares(newRatios.getOrElse(shares.ratios), limit)
+        if (cfg.valueField.isEmpty) {
+          parseLimitValue(raw, "").foreach { v =>
+            limit = v
+            if (limit != shares.limit) shares = DistShares(shares.ratios, limit)
+          }
+        } else decodeKeyLimitValue(raw, cfg.valueField,
+          cfg.distributionField).foreach { case (v, distr) =>
+          limit = v
+          distr match {
+            case Some(rs) =>
+              if (rs.size + 1 != w) {
+                w = rs.size + 1
+                incr = new Array[Long](cfg.bucketsCount * w)
+                total = new Array[Long](cfg.bucketsCount * w)
+              }
+              shares = DistShares(rs, limit)
+            case None =>
+              if (limit != shares.limit) shares = DistShares(shares.ratios, limit)
+          }
+        }
       }
 
     /** Batch-leg start pull: seed the TOTAL window for the buckets

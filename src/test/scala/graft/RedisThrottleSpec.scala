@@ -623,4 +623,76 @@ class RedisThrottleSpec extends AnyFunSuite {
       assert(out.size == 1, "dynamic limit key read at group start binds")
     } finally r.close()
   }
+
+  test("Test_decodeKeyLimitValue: the reference's atomic decode table") {
+    import graft.state.RedisThrottle.decodeKeyLimitValue
+    // ok_only_limit
+    assert(decodeKeyLimitValue("""{"limit_key":"3000"}""", "limit_key", "") ==
+      Some((3000L, None)))
+    // ok_with_object: unrelated keys ignored
+    assert(decodeKeyLimitValue(
+      """{"limit_key":"3000","some_obj":{"field":"key"}}""", "limit_key", "") ==
+      Some((3000L, None)))
+    // ok_limit_and_distribution
+    assert(decodeKeyLimitValue(
+      """{"limit_key":"3000","distr_key":{"field":"my-field","ratios":[""" +
+        """{"ratio":0.4,"values":["val1","val2"]},""" +
+        """{"ratio":0.6,"values":["val3"]}],"enabled":true}}""",
+      "limit_key", "distr_key") ==
+      Some((3000L, Some(Seq((0.4, Seq("val1", "val2")), (0.6, Seq("val3")))))))
+    // decode_error: top-level non-object
+    assert(decodeKeyLimitValue(""""3000"""", "limit_key", "").isEmpty)
+    // limit_key_not_exists
+    assert(decodeKeyLimitValue("""{"not_limit_key":"3000"}""",
+      "limit_key", "").isEmpty)
+    // limit_format_error
+    assert(decodeKeyLimitValue("""{"limit_key":"not_int"}""",
+      "limit_key", "").isEmpty)
+    // distribution_key_not_exists: limit still decodes
+    assert(decodeKeyLimitValue(
+      """{"limit_key":"3000","not_distr_key":"test"}""",
+      "limit_key", "distr_key") == Some((3000L, None)))
+    // distribution_format_error: the WHOLE update is rejected —
+    // including the (valid) limit
+    assert(decodeKeyLimitValue(
+      """{"limit_key":"3000","distr_key":"test"}""",
+      "limit_key", "distr_key").isEmpty)
+    // enabled defaults FALSE (Go zero value): present-but-disabled
+    // reads Some(Nil) — distribution off, plain limiter
+    assert(decodeKeyLimitValue(
+      """{"limit_key":"5","distr_key":{"field":"f","ratios":[""" +
+        """{"ratio":0.5,"values":["a"]}]}}""",
+      "limit_key", "distr_key") == Some((5L, Some(Nil))))
+    // invalid ratio set rejects everything (parseLimitDistribution errs)
+    assert(decodeKeyLimitValue(
+      """{"limit_key":"5","distr_key":{"field":"f","ratios":[""" +
+        """{"ratio":1.4,"values":["a"]}],"enabled":true}}""",
+      "limit_key", "distr_key").isEmpty)
+  }
+
+  test("a ratio-count change recreates the buckets (newBuckets semantics)") {
+    import graft.state.RedisThrottle
+    val r = new FakeRedis()
+    try {
+      RespClient.resetPool()
+      val cfg = RedisThrottle.Cfg(endpoint = r.endpoint, password = None,
+        pipelineName = "p", throttleFieldName = "k", bucketIntervalMs = 1000,
+        bucketsCount = 2, defaultLimit = 10, limitKind = "count",
+        syncIntervalMs = 0, timeoutMs = 500, maxRetries = 1,
+        minBackoffMs = 1, maxBackoffMs = 2, valueField = "limit",
+        distributionField = "distribution",
+        ratios = Seq((0.5, Seq("err"))))
+      val w = new RedisThrottle.DualWindow(cfg, 10L)
+      assert(w.incr.length == 2 * 2) // width 2: default + 1 ratio slot
+      r.data.put(cfg.limitKey("k", ""),
+        """{"limit":"8","distribution":{"field":"level","ratios":[""" +
+          """{"ratio":0.3,"values":["a"]},{"ratio":0.3,"values":["b"]},""" +
+          """{"ratio":0.3,"values":["c"]}],"enabled":true}}""")
+      w.pullLimit("k", "")
+      assert(w.limit == 8L)
+      assert(w.shares.distLimits.toSeq == Seq(2L, 2L, 2L)) // round(.3*8)
+      assert(w.incr.length == 2 * 4, "buckets recreated at width 4")
+      assert(w.incr.forall(_ == 0L), "counters reset like newBuckets")
+    } finally r.close()
+  }
 }
