@@ -1271,15 +1271,19 @@ object PipelineCompiler {
     val cutOffField = settings
       .flatMap(s => Option(s.get("cut_off_event_by_limit_field")))
       .map(_.asText()).filter(_.nonEmpty)
+    // empty intake (pipeline.go:556-558 checkInputBytes): a zero-length
+    // event (the reference's "" / lone "\n" — line sources here strip
+    // the newline) never enters the pipeline, for EVERY input type
+    val src2 = src1.filter(octet_length(col("value")) > 0)
     val src =
-      if (maxEventSize <= 0) src1
+      if (maxEventSize <= 0) src2
       else if (cutOffByLimit)
-        src1.withColumn("_cut_off",
+        src2.withColumn("_cut_off",
             octet_length(col("value")) > maxEventSize)
           .withColumn("value", when(col("_cut_off"),
             graft.operators.Actions.utf8SafeByteCut(col("value"), maxEventSize))
             .otherwise(col("value")))
-      else src1.filter(octet_length(col("value")) <= maxEventSize)
+      else src2.filter(octet_length(col("value")) <= maxEventSize)
 
     // decode: value → doc struct. The reference spells the decoder
     // under settings (`settings: {decoder: json, decoder_params: {…}}`,

@@ -3267,6 +3267,15 @@ class CompilerSpec extends AnyFunSuite {
     assert(cut.exists(s => s.contains("\"message\":\"ab\"") &&
       !s.contains("was_cut")), cut.toString)
 
+    // TestCheckInputBytes empty_input/only_newline: a zero-length event
+    // never enters the pipeline (pipeline.go:556-558; line sources
+    // strip the newline, so the lone-"\n" row is the empty string here)
+    val withEmpty = PipelineCompiler.compile(spark,
+      """input: {type: fake, lines: ['', 'real']}
+        |output: {type: memory}
+        |""".stripMargin).result().collect()
+    assert(withEmpty.length == 1, s"empty event must drop: ${withEmpty.toSeq}")
+
     // settings-level decoder spelling (fd/util.go:65-70)
     val viaSettings = PipelineCompiler.compile(spark,
       """input: {type: fake, lines: ['{"k": "v"}']}
