@@ -112,16 +112,21 @@ object Ann {
     // tie-break bit-exact (sort_array orders by _c_id asc; a strictly-
     // greater sim replaces, so equal sims keep the SMALLEST c_id —
     // identical to the window's desc-sim, asc-c_id row 1).
+    // centroids are stored UNIT-normalized in the array: per row the
+    // fold then pays ONE dot per centroid — argmax(dot(v, c/|c|)) ranks
+    // identically to argmax(cosine) because the row's own 1/|v| factor
+    // is a shared positive constant (and the HOF fold is interpreted,
+    // so shaving the two norms + sqrt per centroid matters)
     val centsArr = cents.filter(dot(col("_cv"), col("_cv")) > 0)
-      .select(col("_c_id").cast("long").as("_c_id"), col("_cv"))
-      .agg(sort_array(collect_list(struct(col("_c_id"), col("_cv"))))
+      .select(col("_c_id").cast("long").as("_c_id"),
+        transform(col("_cv"), x => x / sqrt(dot(col("_cv"), col("_cv"))))
+          .as("_cnv"))
+      .agg(sort_array(collect_list(struct(col("_c_id"), col("_cnv"))))
         .as("_cents"))
     val best = aggregate(col("_cents"),
       struct(lit(Double.NegativeInfinity).as("_s"), lit(-1L).as("_c")),
       (acc, c) => {
-        val cv = c.getField("_cv")
-        val s = dot(col("_v"), cv) /
-          (sqrt(dot(col("_v"), col("_v"))) * sqrt(dot(cv, cv)))
+        val s = dot(col("_v"), c.getField("_cnv"))
         when(s > acc.getField("_s"),
           struct(s.as("_s"), c.getField("_c_id").as("_c"))).otherwise(acc)
       })
@@ -258,14 +263,20 @@ object Ann {
     * keep the SMALLEST code — identical to the window's tie-break. */
   private def bestCodeFold(parts: DataFrame, codebook: DataFrame,
                            vecCol: String): DataFrame = {
+    // each entry carries its precomputed squared norm: per subvector
+    // row the fold then pays ONE dot per code — argmin(|s-c|²) =
+    // argmin(|c|² - 2·dot(s,c)) because the row's own |s|² is a shared
+    // constant (and the HOF fold is interpreted, so dropping the
+    // per-element subtract-square matters)
     val cbArr = codebook
       .select(col("_b"), struct(col("_code").cast("long").as("_code"),
-        col(vecCol).as("_cbv")).as("_e"))
+        col(vecCol).as("_cbv"),
+        dot(col(vecCol), col(vecCol)).as("_cc")).as("_e"))
       .groupBy(col("_b")).agg(sort_array(collect_list(col("_e"))).as("_codes"))
     val best = aggregate(col("_codes"),
       struct(lit(Double.PositiveInfinity).as("_d"), lit(-1L).as("_c")),
       (acc, c) => {
-        val d = l2sq(col("_sv"), c.getField("_cbv"))
+        val d = c.getField("_cc") - lit(2.0) * dot(col("_sv"), c.getField("_cbv"))
         when(d < acc.getField("_d"),
           struct(d.as("_d"), c.getField("_code").as("_c"))).otherwise(acc)
       })
