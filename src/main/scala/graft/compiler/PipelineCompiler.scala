@@ -2919,37 +2919,95 @@ object PipelineCompiler {
   def parseDoIf(n: JsonNode): DoIf.Node = {
     def strs(field: String): Seq[String] =
       n.get(field).elements().asScala.map(_.asText()).toSeq
-    // an absent/empty `field` is the ROOT selector (the whole event —
-    // byte_len_cmp with an empty selector measures the encoded event)
-    def fp = Option(n.get("field")).map(f => FieldPath.parse(f.asText()))
-      .getOrElse(FieldPath.root)
-    def caseSensitive =
-      !Option(n.get("case_insensitive")).exists(_.asBoolean())
-    def cmp = DoIf.Cmp.parse(n.get("cmp_op").asText())
-    n.get("op").asText() match {
-      case "and" => DoIf.And(n.get("operands").elements().asScala.map(parseDoIf).toSeq)
-      case "or"  => DoIf.Or(n.get("operands").elements().asScala.map(parseDoIf).toSeq)
-      case "not" => DoIf.Not(parseDoIf(n.get("operands").elements().asScala.next()))
+    // ctor.go's get[T] discipline (ctor_test.go error rows): required
+    // keys fail with the key NAME, wrong types fail too — a bare NPE
+    // named nothing
+    def req(name: String): JsonNode = Option(n.get(name)).getOrElse(
+      throw new IllegalArgumentException(s"do_if: no `$name` in node"))
+    def reqStr(name: String): String = {
+      val v = req(name)
+      if (!v.isTextual) throw new IllegalArgumentException(
+        s"do_if: `$name` must be a string, got ${v.getNodeType}")
+      v.asText()
+    }
+    // `field` is REQUIRED for every non-logical op (ctor.go get[string];
+    // ctor_test error_*_no_field); an EMPTY string is the ROOT selector
+    // (the whole event — byte_len_cmp with "" measures the encoding)
+    def fp = FieldPath.parse(reqStr("field"))
+    // reference spelling `case_sensitive` (default true, ctor.go:13,
+    // must be a bool — error_invalid_case_sensitive_type); the graft
+    // `case_insensitive` spelling stays accepted
+    def caseSensitive = Option(n.get("case_sensitive")) match {
+      case Some(v) =>
+        if (!v.isBoolean) throw new IllegalArgumentException(
+          s"do_if: `case_sensitive` must be a bool, got ${v.getNodeType}")
+        v.asBoolean()
+      case None => !Option(n.get("case_insensitive")).exists(_.asBoolean())
+    }
+    def cmp = DoIf.Cmp.parse(reqStr("cmp_op"))
+    // `value` for the len/int cmps: required, integer, non-negative for
+    // the length ops (len_cmp_op.go:111-115)
+    def cmpValue(allowNegative: Boolean): Long = {
+      val v = req("value")
+      if (!v.isIntegralNumber) throw new IllegalArgumentException(
+        s"do_if: `value` must be an integer, got ${v.asText()}")
+      val x = v.asLong()
+      if (!allowNegative && x < 0) throw new IllegalArgumentException(
+        s"do_if: negative cmp value: $x")
+      x
+    }
+    // `values` is REQUIRED (extractOpValues); a scalar string is ONE
+    // value, an explicit null is the null value (ctor.go:113-127
+    // ok_single_val)
+    def opValues: Seq[Option[String]] = {
+      val v = req("values")
+      if (v.isNull) Seq(None)
+      else if (v.isTextual) Seq(Some(v.asText()))
+      else if (v.isArray) v.elements().asScala
+        .map(e => if (e.isNull) None else Some(e.asText())).toSeq
+      else throw new IllegalArgumentException(
+        s"do_if: type ${v.getNodeType} not convertable to op values")
+    }
+    def opValuesStr: Seq[String] = opValues.map(_.getOrElse(""))
+    def operands: Seq[DoIf.Node] = {
+      val v = req("operands")
+      val out = v.elements().asScala.map(parseDoIf).toSeq
+      if (out.isEmpty) throw new IllegalArgumentException(
+        "do_if: logical op needs at least one operand")
+      out
+    }
+    reqStr("op") match {
+      case "and" => DoIf.And(operands)
+      case "or"  => DoIf.Or(operands)
+      case "not" => DoIf.Not(operands.head)
       case "equal" =>
-        DoIf.Equal(fp, n.get("values").elements().asScala
-          .map(v => if (v.isNull) None else Some(v.asText())).toSeq,
-          caseSensitive)
+        DoIf.Equal(fp, opValues, caseSensitive)
       // case_insensitive applies to every byte-check op
       // (field_op.go:292-301 lowercases values and data alike) — it was
       // previously plumbed for `equal` only and silently ignored on
       // contains/prefix/suffix (caught by the do_if_test.go port)
-      case "contains"     => DoIf.Contains(fp, strs("values"), caseSensitive)
+      case "contains"     => DoIf.Contains(fp, opValuesStr, caseSensitive)
       case "contains_any" =>
-        DoIf.ContainsAny(fp, strs("values"), caseSensitive)
-      case "prefix"       => DoIf.Prefix(fp, strs("values"), caseSensitive)
-      case "suffix"       => DoIf.Suffix(fp, strs("values"), caseSensitive)
-      case "regex"        => DoIf.Regex(fp, strs("values"))
-      case "byte_len_cmp" => DoIf.ByteLenCmp(fp, cmp, n.get("value").asLong())
-      case "array_len_cmp" => DoIf.ArrayLenCmp(fp, cmp, n.get("value").asLong())
-      case "int_val_cmp"  => DoIf.IntValCmp(fp, cmp, n.get("value").asLong())
+        DoIf.ContainsAny(fp, opValuesStr, caseSensitive)
+      case "prefix"       => DoIf.Prefix(fp, opValuesStr, caseSensitive)
+      case "suffix"       => DoIf.Suffix(fp, opValuesStr, caseSensitive)
+      case "regex"        => DoIf.Regex(fp, opValuesStr)
+      case "byte_len_cmp" =>
+        DoIf.ByteLenCmp(fp, cmp, cmpValue(allowNegative = false))
+      case "array_len_cmp" =>
+        DoIf.ArrayLenCmp(fp, cmp, cmpValue(allowNegative = false))
+      case "int_val_cmp"  =>
+        DoIf.IntValCmp(fp, cmp, cmpValue(allowNegative = true))
       case "ts_cmp" =>
-        val rawTs = n.get("value").asText()
-        val tsFmt = Option(n.get("format")).map(_.asText()).getOrElse("rfc3339")
+        val rawTs = reqStr("value")
+        // format must be a STRING (error_ts_cmp_op_invalid_format_type);
+        // default rfc3339nano (ctor.go:31 defaultTsFormat — parses
+        // identically to rfc3339 here, kept for faithfulness)
+        val tsFmt = Option(n.get("format")).map { v =>
+          if (!v.isTextual) throw new IllegalArgumentException(
+            s"do_if ts_cmp: `format` must be a string, got ${v.getNodeType}")
+          v.asText()
+        }.getOrElse("rfc3339nano")
         if (rawTs == "now" || rawTs == "file_d_start") {
           // ts_cmp_op.go:27-32: `now` compares against a periodically
           // refreshed current time (+ value_shift, may be negative);
@@ -2984,7 +3042,19 @@ object PipelineCompiler {
             .getOrElse(inst0)
           DoIf.TsCmpConst(fp, tsFmt, cmp, java.sql.Timestamp.from(inst))
         }
-      case "check_type" => DoIf.CheckType(fp, strs("values"))
+      case "check_type" =>
+        // check_type_op.go:85-147: empty values and unknown type names
+        // are config errors with the allowed list
+        val vs = opValuesStr
+        if (vs.isEmpty) throw new IllegalArgumentException(
+          "do_if check_type: values are not provided")
+        val allowed = Set("obj", "object", "arr", "array", "num", "number",
+          "str", "string", "null", "nil")
+        vs.filterNot(allowed).headOption.foreach(v =>
+          throw new IllegalArgumentException(
+            s"""invalid value for check_type: "$v". Allowed values are: """ +
+              "'obj','arr','number','string','null','nil'"))
+        DoIf.CheckType(fp, vs)
       case other => throw new IllegalArgumentException(s"unknown do_if op: $other")
     }
   }

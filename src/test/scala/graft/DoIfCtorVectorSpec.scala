@@ -1,0 +1,96 @@
+package graft
+
+import graft.compiler.PipelineCompiler
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's pipeline/doif/ctor_test.go Test_extractDoIfChecker
+  * table — the construction/validation rows (the evaluation rows live
+  * in DoIfVectorSpec). Every error row must fail LOUDLY with the key
+  * or value named, not pass misparsed. */
+class DoIfCtorVectorSpec extends AnyFunSuite {
+
+  private val yaml = new com.fasterxml.jackson.databind.ObjectMapper(
+    new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+
+  private def parse(y: String) = PipelineCompiler.parseDoIf(yaml.readTree(y))
+  private def err(y: String): String =
+    intercept[Exception](parse(y)).getMessage
+
+  test("ok rows: field ops, len cmps, ts_cmp, check_type, single value") {
+    parse("""{op: equal, field: log, values: [a, null]}""")
+    parse("""{op: byte_len_cmp, field: data, cmp_op: lt, value: 10}""")
+    parse("""{op: array_len_cmp, field: items, cmp_op: ge, value: 0}""")
+    parse("""{op: ts_cmp, field: t, cmp_op: lt, value: "2009-11-10T23:00:00Z",
+            | format: rfc3339}""".stripMargin)
+    // defaults: format rfc3339nano (ctor.go:31), value `now` mode
+    parse("""{op: ts_cmp, field: t, cmp_op: lt, value: now}""")
+    parse("""{op: check_type, field: a, values: [obj, arr]}""")
+    // ok_single_val: a scalar `values` is ONE value (ctor.go:113-127)
+    parse("""{op: equal, field: a, values: abc}""")
+    parse("""{op: prefix, field: a, values: abc}""")
+    // an EMPTY field is the ROOT selector, not an error
+    parse("""{op: byte_len_cmp, field: "", cmp_op: lt, value: 10}""")
+    // reference case_sensitive spelling parses (bool)
+    parse("""{op: equal, field: a, values: [A], case_sensitive: false}""")
+  }
+
+  test("error rows: missing/invalid op and operands") {
+    assert(err("""{field: val}""").contains("no `op`"))
+    assert(err("""{op: invalid}""").contains("unknown do_if op: invalid"))
+    assert(err("""{op: or}""").contains("no `operands`"))
+    assert(err("""{op: or, operands: [{op: equal}]}""").contains("no `field`"))
+  }
+
+  test("error rows: field op validation") {
+    assert(err("""{op: equal}""").contains("no `field`"))
+    assert(err("""{op: equal, field: a}""").contains("no `values`"))
+    assert(err("""{op: equal, field: a, values: [a],
+                 | case_sensitive: abc}""".stripMargin)
+      .contains("`case_sensitive` must be a bool"))
+    assert(err("""{op: equal, field: 123, values: [a]}""")
+      .contains("`field` must be a string"))
+  }
+
+  test("error rows: len cmp validation") {
+    assert(err("""{op: byte_len_cmp, cmp_op: lt, value: 10}""")
+      .contains("no `field`"))
+    assert(err("""{op: array_len_cmp, cmp_op: lt, value: 10}""")
+      .contains("no `field`"))
+    assert(err("""{op: byte_len_cmp, field: 123, cmp_op: lt, value: 10}""")
+      .contains("`field` must be a string"))
+    assert(err("""{op: byte_len_cmp, field: data, value: 10}""")
+      .contains("no `cmp_op`"))
+    assert(err("""{op: byte_len_cmp, field: data, cmp_op: 123, value: 10}""")
+      .contains("`cmp_op` must be a string"))
+    assert(err("""{op: byte_len_cmp, field: data, cmp_op: lt}""")
+      .contains("no `value`"))
+    assert(err("""{op: byte_len_cmp, field: data, cmp_op: lt, value: abc}""")
+      .contains("`value` must be an integer"))
+    assert(err("""{op: byte_len_cmp, field: data, cmp_op: ABC, value: 10}""")
+      .toLowerCase.contains("cmp op"))
+    assert(err("""{op: byte_len_cmp, field: data, cmp_op: lt, value: -1}""")
+      .contains("negative cmp value: -1"))
+    // int_val_cmp allows negatives (only the LENGTH ops reject them)
+    parse("""{op: int_val_cmp, field: data, cmp_op: lt, value: -1}""")
+  }
+
+  test("error rows: ts_cmp validation") {
+    assert(err("""{op: ts_cmp, cmp_op: lt, value: now}""").contains("no `field`"))
+    assert(err("""{op: ts_cmp, field: t, value: now}""").contains("no `cmp_op`"))
+    assert(err("""{op: ts_cmp, field: t, cmp_op: lt}""").contains("no `value`"))
+    assert(err("""{op: ts_cmp, field: t, cmp_op: lt, value: 2009}""")
+      .contains("`value` must be a string"))
+    assert(err("""{op: ts_cmp, field: t, cmp_op: lt, value: "qwe"}""").nonEmpty)
+    assert(err("""{op: ts_cmp, field: t, cmp_op: lt,
+                 | value: "2009-11-10T23:00:00Z", format: 123}""".stripMargin)
+      .contains("`format` must be a string"))
+  }
+
+  test("error rows: check_type validation") {
+    assert(err("""{op: check_type, field: a, values: []}""")
+      .contains("values are not provided"))
+    assert(err("""{op: check_type, field: a, values: [noname]}""")
+      .contains("""invalid value for check_type: "noname""""))
+    assert(err("""{op: check_type, values: [obj]}""").contains("no `field`"))
+  }
+}
