@@ -693,6 +693,26 @@ class RedisThrottleSpec extends AnyFunSuite {
       assert(w.shares.distLimits.toSeq == Seq(2L, 2L, 2L)) // round(.3*8)
       assert(w.incr.length == 2 * 4, "buckets recreated at width 4")
       assert(w.incr.forall(_ == 0L), "counters reset like newBuckets")
+
+      // TestInMemoryLimiterUpdateDistribution err_parsing_new: an
+      // invalid new set (ratio 10) keeps the CURRENT distribution —
+      // and, atomically, the current limit
+      r.data.put(cfg.limitKey("k", ""),
+        """{"limit":"3","distribution":{"field":"level","ratios":[""" +
+          """{"ratio":0.5,"values":["x"]},{"ratio":10,"values":["y"]}],""" +
+          """"enabled":true}}""")
+      w.pullLimit("k", "")
+      assert(w.limit == 8L, "invalid distribution rejects the limit too")
+      assert(w.incr.length == 2 * 4, "window untouched")
+
+      // new_empty: a present-but-disabled/empty distribution turns the
+      // distribution OFF — plain limiter, width 1
+      r.data.put(cfg.limitKey("k", ""),
+        """{"limit":"6","distribution":{}}""")
+      w.pullLimit("k", "")
+      assert(w.limit == 6L)
+      assert(w.shares.distLimits.isEmpty)
+      assert(w.incr.length == 2 * 1, "width back to 1 (no distributions)")
     } finally r.close()
   }
 }
