@@ -1,0 +1,175 @@
+package graft
+
+import graft.state.JoinTemplateMatch._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's join_template PRIMITIVE tables —
+  * plugin/action/join_template/template/go_panic_test.go and
+  * cs_exception_test.go — replayed verbatim against the shared scanner
+  * helpers (JoinTemplateMatchSpec drives the composed start/continue
+  * predicates; these tables pin each primitive's edge cases, including
+  * the first-occurrence-only and last-occurrence-only rules). */
+class GoTemplateVectorSpec extends AnyFunSuite {
+
+  private def table(f: String => Boolean, positive: Seq[String],
+                    negative: Seq[String]): Unit = {
+    positive.foreach(s => assert(f(s), s"positive: `$s`"))
+    negative.foreach(s => assert(!f(s), s"negative: `$s`"))
+  }
+
+  test("TestContainsCreatedBy") {
+    table(containsCreatedBy,
+      positive = Seq(
+        "created by net/http.(*Server).Serve",
+        "created by .",
+        "created by some.qwe123",
+        "    created by some.qwe123"),
+      negative = Seq(
+        "created net/http.(*Server).Serve",
+        "created by{net/http.(*Server).Serve}",
+        "by net/http.(*Server).Serve",
+        "",
+        "created by ",
+        "created by     ",
+        "    created by someQwe123"))
+  }
+
+  test("TestEndsWithIdentifier") {
+    table(s => endsWithIdentifier(s, s.length),
+      positive = Seq("_", "a1", "A1", "abc", "ABC", "aB", "1a",
+        "123 _", "    a", "    a1", "    1a"),
+      negative = Seq("", "1234", "a-123", "     ", "    1", "  a 1"))
+  }
+
+  test("TestContainsGoroutineID") {
+    table(containsGoroutineID,
+      positive = Seq(
+        "goroutine 1 [running]:",
+        "    goroutine 123 [running]:",
+        "goroutine 100 [",
+        "goroutine 1 [qwe",
+        "goroutine 108568134 gp=0xc0011cddc0 m=nil [IO wait]:"),
+      negative = Seq(
+        "qwe abc",
+        "goroutine",
+        "goroutine qwe",
+        "goroutine [",
+        "goroutine  ",
+        "goroutine  [",
+        "goroutine ABC ",
+        "goroutine 1a ",
+        "goroutine 108568134 gp=0xc0011cddc0 m=nil[IO wait]:",
+        "goroutine QWE goroutine 1 [running]:"))
+  }
+
+  test("TestContainsLineNumber") {
+    table(containsLineNumber,
+      positive = Seq(
+        "/some/path/proc.go:123",
+        "    /some/path/proc.go:123",
+        "qwe.go:100",
+        "/some/path/util.go:0",
+        ".go:123"),
+      negative = Seq(
+        "qwe", "proc.go:", "proc.go:qwe", "proc.go: 1",
+        "proc.go:qwe proc.go:100"))
+  }
+
+  test("TestContainsPanicAddress") {
+    table(containsPanicAddress,
+      positive = Seq(
+        "panic(0xb6afc0, 0xd7c240)",
+        "panic({0x102feb9c0, 0x102ffc8d0})",
+        "panic(0xb6afc0",
+        "panic(0xb",
+        "panic(0x123",
+        "panic (  0xb",
+        "/usr/local/go/src/runtime/panic.go:513 +0x1b9"),
+      negative = Seq(
+        "qwe", "panic 123", "panic0x", "panic 0x", "panic 0xM",
+        "panic 0xQWE 0x123", "panic 0xQWE panic 0x123"))
+  }
+
+  test("TestContainsCall") {
+    table(containsCall,
+      positive = Seq(
+        "main.main()",
+        "(some).main()",
+        "net/http.(*conn).serve.func1(0xc000a54dc0)",
+        "nlopes/slack.(*RTM).receiveIncomingEvent(0xc000119040)",
+        "sync.(*WaitGroup).state(...)",
+        "a.main()",
+        "(a).main()",
+        "abc.A()"),
+      negative = Seq(
+        "qwe", "qwe )",
+        "()", "a.F ()", "abc.main*()",
+        "F()", "some. F()",
+        "[some].F()",
+        "some.F() ... 123.F()",
+        ".F()", "some .F()", "123.F()", "a*.main()", "(some*).main()"))
+  }
+
+  test("TestSharpStart") {
+    table(csExceptionStart,
+      positive = Seq(
+        "\t\n UNHANDLED EXCEPTION    ",
+        "Unhandled exception    ",
+        "  Unhandled exception  ",
+        "    Unhandled exception",
+        "Unhandled exception. Tail."),
+      negative = Seq(
+        "\t\n ",
+        "Unhandled except",
+        "Unhandled\u0000exception",
+        "\t unhandled_exception",
+        "\t UNHANDLED\nexception",
+        "Unhandled expression"))
+  }
+
+  test("TestContainsAt") {
+    table(containsAt,
+      positive = Seq(
+        "at ", "\t\n at ", "at\t", "at\n", "at ",
+        "   at Some.Path.F()"),
+      negative = Seq(
+        "\t\n ", "a", "  at", "  at1", "  at_", "  atX"))
+  }
+
+  test("TestContainsArrow") {
+    table(containsArrow,
+      positive = Seq(
+        "--->", "--->  ", " ---> ", "  --->", "\t\t--->QWE",
+        " ---> System.Net.Name (10): Resource temporarily unavailable"),
+      negative = Seq(
+        "\t\n ", "qwe", "12", "   >", "  ->", " -->",
+        "abcd", "  ---->  ", "--> Some.Do", "--> --->"))
+  }
+
+  test("TestContainsEndOf") {
+    table(containsEndOf,
+      positive = Seq(
+        "--- End of", "--- END OF", "--- end of", "--- end of    ",
+        "  --- end of  ", "\t\t--- end of",
+        "   --- End of inner exception stack trace ---"),
+      negative = Seq(
+        "\t\n ", "qwe", "1234", "--- End   ", "  --- End ",
+        "0123456789", "--- End ab", "--- End ab--- End of"))
+  }
+
+  test("TestContainsException") {
+    table(containsException,
+      positive = Seq(
+        "A.Exception:", "1.Exception:", "_.Exception:",
+        "AException:", "1Exception:", "_Exception:",
+        "AB.Exception:", "\t \t AB.Exception:"),
+      negative = Seq(
+        "", "QWE", "123",
+        "   Exc", "Except", "Exception",
+        "Exception:",
+        ".Exception:",
+        "@.Exception:", " .Exception:",
+        "@Exception:", " Exception:",
+        "@.Exception: ... A.Exception:"))
+  }
+}
