@@ -157,6 +157,19 @@ class GoTemplateVectorSpec extends AnyFunSuite {
         "0123456789", "--- End ab", "--- End ab--- End of"))
   }
 
+  test("TestGoDataRaceStartCheck / TestGoDataRaceFinishCheck") {
+    table(goDataRaceStart,
+      positive = Seq("WARNING: DATA RACE", "WARNING: DATA RACE    ",
+        "WARNING: DATA RACE qwe"),
+      negative = Seq("", "qwe", "WARNING", "WARNING: DATA",
+        "  WARNING: DATA RACE"))
+    val prefix = "==================" // 18 chars, go_data_race.go:7
+    table(goDataRaceFinish,
+      positive = Seq(prefix, prefix + "    ", prefix + " qwe"),
+      negative = Seq("", "qwe", prefix.dropRight(6), prefix.dropRight(4),
+        prefix.dropRight(2), "  " + prefix))
+  }
+
   test("TestContainsException") {
     table(containsException,
       positive = Seq(
