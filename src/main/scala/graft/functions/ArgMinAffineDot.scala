@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Argmin of `bias + scale·dot(v, w)` over a (broadcast) entry table —
+  * the nearest-centroid / nearest-code kernel behind the ANN index
+  * builds (reference: the assignment loops the native engines run; here
+  * it replaces an `aggregate()` HOF fold whose per-element lambda eval
+  * and nested `zip_with` allocation dominated q65/q148-150 after the
+  * r17 map-only rewrite). One tight primitive loop per row, no
+  * allocation; the arithmetic ORDER matches the fold it replaces —
+  * score = bias + scale * Σ v_j·w_j, sequential left-to-right sum, a
+  * strictly-smaller score replaces — so ties resolve identically
+  * (entries arrive sorted by id; equal scores keep the earliest) and
+  * every ANN oracle is byte-stable.
+  *
+  * Shapes: `v` array<double>, `entries`
+  * array<struct<id long, vec array<double>, bias double, scale double>>.
+  * Returns the best id, or -1 when `entries` is empty (the caller's
+  * no-valid-entries sentinel, filtered like the old fold's init).
+  * A vec shorter than v zero-pads implicitly (dot stops at the shorter
+  * length — construction guarantees equal dims, this is the bounds
+  * guard). CodegenFallback: the loop is already primitive; wrapping it
+  * in janino adds compile latency for no arithmetic gain.
+  */
+case class ArgMinAffineDot(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v0: Any, e0: Any): Any = {
+    val v = v0.asInstanceOf[ArrayData]
+    val entries = e0.asInstanceOf[ArrayData]
+    val nv = v.numElements()
+    val vd = new Array[Double](nv)
+    var i = 0
+    while (i < nv) { vd(i) = v.getDouble(i); i += 1 }
+    var bestId = -1L
+    var bestScore = Double.PositiveInfinity
+    val ne = entries.numElements()
+    var k = 0
+    while (k < ne) {
+      val row = entries.getStruct(k, 4)
+      val w = row.getArray(1)
+      val nw = math.min(nv, w.numElements())
+      var s = 0.0
+      var j = 0
+      while (j < nw) { s += vd(j) * w.getDouble(j); j += 1 }
+      val score = row.getDouble(2) + row.getDouble(3) * s
+      if (score < bestScore) { bestScore = score; bestId = row.getLong(0) }
+      k += 1
+    }
+    bestId
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArgMinAffineDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "argmin_affine_dot"
+}
+
+object ArgMinAffineDot {
+  def apply(v: Column, entries: Column): Column =
+    GraftBridge.column(ArgMinAffineDot(
+      GraftBridge.expression(v), GraftBridge.expression(entries)))
+}

@@ -121,20 +121,17 @@ object Ann {
       .select(col("_c_id").cast("long").as("_c_id"),
         transform(col("_cv"), x => x / sqrt(dot(col("_cv"), col("_cv"))))
           .as("_cnv"))
-      .agg(sort_array(collect_list(struct(col("_c_id"), col("_cnv"))))
-        .as("_cents"))
-    val best = aggregate(col("_cents"),
-      struct(lit(Double.NegativeInfinity).as("_s"), lit(-1L).as("_c")),
-      (acc, c) => {
-        val s = dot(col("_v"), c.getField("_cnv"))
-        when(s > acc.getField("_s"),
-          struct(s.as("_s"), c.getField("_c_id").as("_c"))).otherwise(acc)
-      })
+      .agg(sort_array(collect_list(struct(col("_c_id"), col("_cnv"),
+        lit(0.0).as("_bias"), lit(-1.0).as("_scale")))).as("_cents"))
+    // the native kernel: argmin of 0 + (-1)·dot(v, ĉ) ≡ argmax cosine,
+    // ties keep the smallest id (entries sorted; strictly-smaller
+    // replaces) — one primitive loop per row instead of the HOF fold
     e.filter(dot(col("_v"), col("_v")) > 0)
       .crossJoin(org.apache.spark.sql.functions.broadcast(centsArr))
-      .select(col(idCol), col("_v"), best.getField("_c").as("_c_id"))
+      .select(col(idCol), col("_v"),
+        graft.functions.ArgMinAffineDot(col("_v"), col("_cents")).as("_c_id"))
       // empty/all-zero centroid table: the old crossJoin produced no
-      // rows; the fold's -1 sentinel reproduces that
+      // rows; the -1 sentinel reproduces that
       .filter(col("_c_id") >= 0)
   }
 
@@ -271,17 +268,15 @@ object Ann {
     val cbArr = codebook
       .select(col("_b"), struct(col("_code").cast("long").as("_code"),
         col(vecCol).as("_cbv"),
-        dot(col(vecCol), col(vecCol)).as("_cc")).as("_e"))
+        dot(col(vecCol), col(vecCol)).as("_bias"),
+        lit(-2.0).as("_scale")).as("_e"))
       .groupBy(col("_b")).agg(sort_array(collect_list(col("_e"))).as("_codes"))
-    val best = aggregate(col("_codes"),
-      struct(lit(Double.PositiveInfinity).as("_d"), lit(-1L).as("_c")),
-      (acc, c) => {
-        val d = c.getField("_cc") - lit(2.0) * dot(col("_sv"), c.getField("_cbv"))
-        when(d < acc.getField("_d"),
-          struct(d.as("_d"), c.getField("_code").as("_c"))).otherwise(acc)
-      })
+    // the native kernel: argmin of |c|² + (-2)·dot(s, c) ≡ argmin L2
+    // (the row's |s|² is a shared constant), ties keep the smallest
+    // code — same arithmetic order as the fold it replaces
     parts.join(broadcast(cbArr), "_b")
-      .withColumn("_code", best.getField("_c"))
+      .withColumn("_code",
+        graft.functions.ArgMinAffineDot(col("_sv"), col("_codes")))
       // empty per-subspace codebook: the old join produced no rows
       .filter(col("_code") >= 0)
       .drop("_codes")
