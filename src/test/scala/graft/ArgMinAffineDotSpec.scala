@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.ArgMinAffineDot
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge contract of the native ANN assignment kernel — the behavioral
+  * cases the oracle queries can't isolate: tie-break, empty entries,
+  * dimension guard, null propagation. */
+class ArgMinAffineDotSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def run(v: Seq[Double],
+                  entries: Seq[(Long, Seq[Double], Double, Double)]): Any = {
+    val vC = array(v.map(lit): _*)
+    val eC = array(entries.map { case (id, w, b, s) =>
+      struct(lit(id).as("id"), array(w.map(lit): _*).as("vec"),
+        lit(b).as("bias"), lit(s).as("scale"))
+    }: _*)
+    spark.range(1).select(ArgMinAffineDot(vC, eC).as("r")).collect()(0).get(0)
+  }
+
+  test("argmin of bias + scale*dot; ties keep the EARLIEST entry") {
+    // dot with (1,0) = v(0): entries score -v0*1 = -2 each → tie → id 3
+    assert(run(Seq(2.0, 5.0), Seq(
+      (3L, Seq(1.0, 0.0), 0.0, -1.0),
+      (7L, Seq(1.0, 0.0), 0.0, -1.0))) == 3L)
+    // biased: |c|^2 - 2 dot — the closer code wins
+    assert(run(Seq(1.0, 1.0), Seq(
+      (0L, Seq(0.0, 0.0), 0.0, -2.0),   // d = |s|^2 + 0 = const + 0
+      (1L, Seq(1.0, 1.0), 2.0, -2.0))) == 1L) // d = const + 2 - 4 < d0
+  }
+
+  test("empty entries return the -1 sentinel; null input is null") {
+    assert(run(Seq(1.0), Nil) == -1L)
+    val r = spark.range(1).select(ArgMinAffineDot(
+      lit(null).cast("array<double>"),
+      array(struct(lit(1L), array(lit(1.0)), lit(0.0), lit(-1.0))))
+      .as("r")).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("a shorter entry vec stops the dot at its length (bounds guard)") {
+    // w = (10) against v = (1, 100): dot = 10, not an exception
+    assert(run(Seq(1.0, 100.0), Seq((5L, Seq(10.0), 0.0, -1.0))) == 5L)
+  }
+}
