@@ -427,8 +427,12 @@ object PipelineCompiler {
           // validation runs here with the reference's exact errors —
           // incl. rejecting `bool`, which the config doc advertises but
           // initPgFields refuses (query_builder.go:92-101)
+          // `table` is required:"true" in the reference config — a
+          // defaulted placeholder made the builder's empty-table error
+          // unreachable for the mistake it exists to catch (r17 review)
           graft.sinks.Sinks.pgQueryBuilder(columnSpecs,
-            outputConf.getOrElse("table", "table"))
+            outputConf.getOrElse("table", throw new IllegalArgumentException(
+              "output postgres: missing required field `table`")))
           def pgType(t: String): String = t match {
             case "int" => "long"
             case "timestamp" => "timestamp"; case _ => "string"

@@ -56,7 +56,14 @@ case class ArgMinAffineDot(left: Expression, right: Expression)
       if (score < bestScore) { bestScore = score; bestId = row.getLong(0) }
       k += 1
     }
-    bestId
+    // every score NaN (a NaN component in v): the window sort this
+    // kernel replaced ranked all-NaN distances by the id tie-break, so
+    // the SMALLEST id won — fall back to the first (sorted) entry
+    // instead of the -1 sentinel, which would silently DROP the row and
+    // leave a NULL-summing hole in the ADC pivot downstream (r17
+    // review). -1 remains exclusively the entries-empty signal.
+    if (bestId == -1L && ne > 0) entries.getStruct(0, 4).getLong(0)
+    else bestId
   }
 
   override protected def withNewChildrenInternal(

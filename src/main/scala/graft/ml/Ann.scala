@@ -118,9 +118,13 @@ object Ann {
     // is a shared positive constant (and the HOF fold is interpreted,
     // so shaving the two norms + sqrt per centroid matters)
     val centsArr = cents.filter(dot(col("_cv"), col("_cv")) > 0)
-      .select(col("_c_id").cast("long").as("_c_id"),
-        transform(col("_cv"), x => x / sqrt(dot(col("_cv"), col("_cv"))))
-          .as("_cnv"))
+      // norm once per centroid ROW, then divide — a sqrt(dot) inside
+      // the transform lambda re-folds the whole norm per ELEMENT,
+      // O(d²) per centroid (r17 review)
+      .select(col("_c_id").cast("long").as("_c_id"), col("_cv"),
+        sqrt(dot(col("_cv"), col("_cv"))).as("_n"))
+      .select(col("_c_id"),
+        transform(col("_cv"), x => x / col("_n")).as("_cnv"))
       .agg(sort_array(collect_list(struct(col("_c_id"), col("_cnv"),
         lit(0.0).as("_bias"), lit(-1.0).as("_scale")))).as("_cents"))
     // the native kernel: argmin of 0 + (-1)·dot(v, ĉ) ≡ argmax cosine,

@@ -280,14 +280,19 @@ object RedisThrottle {
   final class DualWindow(val cfg: Cfg, var limit: Long,
                          initialRatios: Seq[(Double, Seq[String])] = null) {
     var newestBucket: Long = Long.MinValue
-    // width/arrays are vars: a redis-synced distribution with a
-    // DIFFERENT ratio count recreates the buckets (counters reset) like
-    // in_memory_limiter.go:189-195 newBuckets
-    private var w = cfg.width
-    var incr = new Array[Long](cfg.bucketsCount * w)
-    var total = new Array[Long](cfg.bucketsCount * w)
     var shares: DistShares =
       DistShares(Option(initialRatios).getOrElse(cfg.ratios), limit)
+    // width/arrays are vars: a redis-synced distribution with a
+    // DIFFERENT ratio count recreates the buckets (counters reset) like
+    // in_memory_limiter.go:189-195 newBuckets. Width follows the LIVE
+    // ratio set — when a checkpointed state restores redis-resized
+    // ratios (initialRatios), the windows must match THEM, not the
+    // static cfg (the r17 review: a cfg-width window with live-resized
+    // shares either crashed admit's stride walk or wiped the restored
+    // counters every micro-batch)
+    private var w = shares.ratios.size + 1
+    var incr = new Array[Long](cfg.bucketsCount * w)
+    var total = new Array[Long](cfg.bucketsCount * w)
 
     def loadFrom(newest: Long, i: Array[Long], t: Array[Long]): Unit = {
       newestBucket = newest
@@ -509,8 +514,12 @@ object RedisThrottle {
             }).getOrElse("")
           val w = new DualWindow(cfg, cfg.initialLimit(value))
           val newest = sorted.map(_.getLong(timeIdx)).max / cfg.bucketIntervalMs
+          // pull BEFORE seeding: the limit key may deliver a resized
+          // distribution, and the resize recreates the windows — seeding
+          // first would read the wrong-width subkeys and then lose the
+          // seeded totals to the recreation (r17 review)
           val redisUp =
-            try { w.seedTotals(value, newest); w.pullLimit(value, overrideKey); true }
+            try { w.pullLimit(value, overrideKey); w.seedTotals(value, newest); true }
             catch {
               case e: Throwable =>
                 Console.err.println(s"redis throttle: start pull failed, " +

@@ -440,11 +440,18 @@ object Kernels {
               else false
             val out = evs.sortBy(e => (e.eventTimeMs, e.value))
               .filter(e => w.isAllowed(e.eventTimeMs, e.weight, e.dval))
+            // ratios persist UNCONDITIONALLY: a redis-delivered
+            // distribution on a statically-plain limiter (cfg.width 1)
+            // must survive the micro-batch boundary — the old
+            // cfg.width gate dropped it, so the next batch rebuilt a
+            // plain window, saw the array-length mismatch and wiped the
+            // counters every sync cycle (r17 review). "[]" restores as
+            // the live-EMPTY set (width 1), distinct from the legacy ""
+            // which means use-the-static-cfg.
             state.update(RedisThrottleState(w.newestBucket,
               w.incr.clone(), w.total.clone(), w.limit,
               if (synced) now else st.lastSyncMs,
-              if (cfg.width == 1) ""
-              else graft.state.RedisThrottle.ratiosToJson(w.shares.ratios)))
+              graft.state.RedisThrottle.ratiosToJson(w.shares.ratios)))
             armTtl(state, stateTtlMs)
             out.iterator
           }

@@ -39,6 +39,11 @@ class ArgMinAffineDotSpec extends AnyFunSuite {
 
   test("empty entries return the -1 sentinel; null input is null") {
     assert(run(Seq(1.0), Nil) == -1L)
+    // all-NaN scores keep the FIRST (smallest-id) entry — the replaced
+    // window's id tie-break over all-NaN distances; -1 stays exclusive
+    // to the entries-empty signal
+    assert(run(Seq(Double.NaN), Seq(
+      (4L, Seq(1.0), 0.0, -1.0), (9L, Seq(2.0), 0.0, -1.0))) == 4L)
     val r = spark.range(1).select(ArgMinAffineDot(
       lit(null).cast("array<double>"),
       array(struct(lit(1L), array(lit(1.0)), lit(0.0), lit(-1.0))))

@@ -3384,6 +3384,7 @@ class CompilerSpec extends AnyFunSuite {
         |decoder: {type: json, schema: "u STRING, n BIGINT"}
         |output:
         |  type: postgres
+        |  table: t
         |  columns:
         |    - {name: u, type: string, unique: true}
         |    - {name: n, type: int}
@@ -3397,6 +3398,7 @@ class CompilerSpec extends AnyFunSuite {
          |decoder: {type: json, schema: "u STRING, n BIGINT"}
          |output:
          |  type: postgres
+         |  table: t
          |  strict_fields: $strict
          |  columns:
          |    - {name: u, type: string}

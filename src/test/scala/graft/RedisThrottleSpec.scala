@@ -713,6 +713,23 @@ class RedisThrottleSpec extends AnyFunSuite {
       assert(w.limit == 6L)
       assert(w.shares.distLimits.isEmpty)
       assert(w.incr.length == 2 * 1, "width back to 1 (no distributions)")
+
+      // restore path (r17 review): a window rebuilt from checkpointed
+      // LIVE ratios must size itself from THEM, not the static cfg —
+      // a cfg-width window with resized shares either overran admit's
+      // stride or wiped the restored counters on every load
+      val live = Seq((0.2, Seq("a")), (0.2, Seq("b")), (0.2, Seq("c")))
+      val restored = new RedisThrottle.DualWindow(cfg, 8L, live)
+      assert(restored.incr.length == 2 * 4, "width follows the live ratios")
+      val prior = new Array[Long](2 * 4); prior(0) = 5L
+      restored.loadFrom(7L, prior, prior.clone())
+      assert(restored.incr(0) == 5L, "restored counters survive the load")
+      // round-trip through the streaming state encoding: "[]" is the
+      // live-EMPTY set (width 1), "" stays use-the-static-cfg
+      assert(RedisThrottle.ratiosFromJson(
+        RedisThrottle.ratiosToJson(Nil)).isEmpty)
+      val plain = new RedisThrottle.DualWindow(cfg, 8L, Nil)
+      assert(plain.incr.length == 2 * 1)
     } finally r.close()
   }
 }
