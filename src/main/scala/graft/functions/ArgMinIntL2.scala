@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Integer-exact nearest-centroid argmin over the quantized 1e-6 grid —
+  * the per-row kernel behind [[graft.ml.Ann.assignClusters]]: argmin of
+  * Σ(x−c)² with ties to the smallest cid (entries arrive cid-sorted; a
+  * strictly-smaller distance replaces — identical to argminCid's
+  * min(struct(d2, cid)) tie-break). All-long arithmetic, so the result
+  * is bit-identical to the exploded (vid,cid)-shuffle aggregation it
+  * replaces regardless of summation order (integer addition is exact
+  * and commutative) — the engine-reproducibility contract of the
+  * quantized grid is preserved while the corpus×k shuffle disappears.
+  *
+  * Shapes: `v` array<long> (quantized coords), `entries`
+  * array<struct<cid int, cv array<long>>>. Returns the best cid, or -1
+  * when `entries` is empty (callers filter — the old join produced no
+  * rows). A shorter entry vec stops the walk (bounds guard;
+  * construction guarantees equal dims). Overflow headroom: |x−c| ≤
+  * ~4e6 in grid units → (x−c)² ≤ 1.6e13; dims beyond ~5×10⁵ would
+  * approach Long range — far past any embedding width here. */
+case class ArgMinIntL2(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(v0: Any, e0: Any): Any = {
+    val v = v0.asInstanceOf[ArrayData]
+    val entries = e0.asInstanceOf[ArrayData]
+    val nv = v.numElements()
+    val vd = new Array[Long](nv)
+    var i = 0
+    while (i < nv) { vd(i) = v.getLong(i); i += 1 }
+    var bestCid = -1
+    var bestD = Long.MaxValue
+    val ne = entries.numElements()
+    var k = 0
+    while (k < ne) {
+      val row = entries.getStruct(k, 2)
+      val w = row.getArray(1)
+      val nw = math.min(nv, w.numElements())
+      var d = 0L
+      var j = 0
+      while (j < nw) { val t = vd(j) - w.getLong(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; bestCid = row.getInt(0) }
+      k += 1
+    }
+    bestCid
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArgMinIntL2 =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "argmin_int_l2"
+}
+
+object ArgMinIntL2 {
+  def apply(v: Column, entries: Column): Column =
+    GraftBridge.column(ArgMinIntL2(
+      GraftBridge.expression(v), GraftBridge.expression(entries)))
+}

@@ -88,6 +88,17 @@ object Ann {
     (cents, ivfAssignTo(e, cents, idCol))
   }
 
+  /** Attach a ONE-ROW broadcast table to every row — the broadcast
+    * scalar-attach pattern behind the native assignment kernels. Plans
+    * as a BroadcastNestedLoopJoin whose build side is a single
+    * aggregate row: per-row cost is one array reference, NOT a
+    * cartesian (a constant-equi-key spelling does not survive the
+    * optimizer — ConstantFolding erases the key and the join reverts).
+    * The PlanSpec locks that forbid BNLJ over DATA tables recognize
+    * this shape by its one-row aggregate build side. */
+  private[ml] def attachOne(df: DataFrame, one: DataFrame): DataFrame =
+    df.crossJoin(org.apache.spark.sql.functions.broadcast(one))
+
   /** Nearest-centroid assignment of prepared (id, _v) rows against an
     * explicit (_c_id, _cv) centroid table — shared by the index build
     * and the incremental append so both produce byte-identical
@@ -130,13 +141,16 @@ object Ann {
     // the native kernel: argmin of 0 + (-1)·dot(v, ĉ) ≡ argmax cosine,
     // ties keep the smallest id (entries sorted; strictly-smaller
     // replaces) — one primitive loop per row instead of the HOF fold
-    e.filter(dot(col("_v"), col("_v")) > 0)
-      .crossJoin(org.apache.spark.sql.functions.broadcast(centsArr))
+    // empty/all-zero centroid table: guarded on the BROADCAST side (one
+    // row filtered to zero → no output rows, the old crossJoin
+    // behavior) — a left-side sentinel filter would push into the join
+    // as a non-equi condition and degrade it to a BNLJ (see
+    // assignClusters); with non-empty entries the kernel always
+    // resolves, so no sentinel remains to filter
+    attachOne(e.filter(dot(col("_v"), col("_v")) > 0),
+        centsArr.filter(size(col("_cents")) > 0))
       .select(col(idCol), col("_v"),
         graft.functions.ArgMinAffineDot(col("_v"), col("_cents")).as("_c_id"))
-      // empty/all-zero centroid table: the old crossJoin produced no
-      // rows; the -1 sentinel reproduces that
-      .filter(col("_c_id") >= 0)
   }
 
   /** APPEND a new vector batch to a persisted IVF index without
@@ -278,11 +292,12 @@ object Ann {
     // the native kernel: argmin of |c|² + (-2)·dot(s, c) ≡ argmin L2
     // (the row's |s|² is a shared constant), ties keep the smallest
     // code — same arithmetic order as the fold it replaces
+    // a groupBy group is non-empty by construction, so the kernel
+    // always resolves — no sentinel filter (which would ride into the
+    // join as a residual condition and evaluate the kernel twice)
     parts.join(broadcast(cbArr), "_b")
       .withColumn("_code",
         graft.functions.ArgMinAffineDot(col("_sv"), col("_codes")))
-      // empty per-subspace codebook: the old join produced no rows
-      .filter(col("_code") >= 0)
       .drop("_codes")
   }
 
@@ -589,14 +604,42 @@ object Ann {
   /** Nearest-centroid assignment against a trained centroid table
     * (kmeansQuantized output): same integer squared-L2 + cid tie-break
     * as the training passes, so an assignment is reproducible across
-    * engines and partitionings. Returns (vid, cid). */
+    * engines and partitionings. Returns (vid, cid).
+    *
+    * Shape (r17): the centroid table folds to ONE broadcast row of
+    * cid-sorted quantized vectors and the per-row argmin runs in the
+    * native [[graft.functions.ArgMinIntL2]] kernel — a map-only
+    * projection. The previous posexplode → pos-join → (vid,cid)
+    * partial-agg → argmin hash-agg spelling shuffled corpus×k narrow
+    * rows per assignment — ~24 B × k per vector, the dominant shuffle
+    * of the semdedup path at corpus scale. Integer addition is exact
+    * and commutative, so the kernel's per-row sums equal the shuffled
+    * aggregation's regardless of order — assignments are bit-identical
+    * (gate-pinned: q120/q146/q174 unchanged). kmeansQuantized keeps
+    * the exploded spelling internally: its UPDATE step needs the
+    * (vid,pos) rows anyway. */
   def assignClusters(df: DataFrame, idCol: String, vecCol: String,
                      cents: DataFrame): DataFrame = {
-    val v = df
-      .select(col(idCol).as("vid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .select(col("vid"), col("pos"),
-        round(col("x").cast("double") * 1e6).cast("long").as("xe6"))
-    argminCid(assignmentDistances(v, cents))
+    val perCid = cents
+      .select(col("cid"), struct(col("pos"), col("ce6")).as("_pc"))
+      .groupBy(col("cid"))
+      .agg(transform(sort_array(collect_list(col("_pc"))),
+        s => s.getField("ce6")).as("_cv6"))
+    val centsArr = perCid
+      .agg(sort_array(collect_list(struct(col("cid"), col("_cv6"))))
+        .as("_qcents"))
+    val q = df.select(col(idCol).as("vid"),
+      transform(col(vecCol),
+        x => round(x.cast("double") * 1e6).cast("long")).as("_v6"))
+    // the empty-centroids guard lives on the BROADCAST side (one row →
+    // zero rows → the join yields nothing, the old behavior): a
+    // left-side filter on the kernel's sentinel references both join
+    // sides, and Catalyst pushes it into the join as a non-equi
+    // condition — degrading the constant-key BroadcastHashJoin to the
+    // BroadcastNestedLoopJoin the PlanSpec locks forbid
+    attachOne(q, centsArr.filter(size(col("_qcents")) > 0))
+      .select(col("vid"),
+        graft.functions.ArgMinIntL2(col("_v6"), col("_qcents")).as("cid"))
   }
 
   /** Distributed Lloyd k-means over QUANTIZED coordinates — the trained-

@@ -410,12 +410,29 @@ class PlanSpec extends AnyFunSuite {
     // construction); the member-probe and pair joins stay unhinted —
     // count hints and check each is the tiny centroid table join
     val hintCount = "ResolvedHint".r.findAllIn(saAnalyzed).length
-    val centsJoins = "ResolvedHint.*\n.*(cid|ce6)".r.findAllIn(saAnalyzed).length
+    // the bounded-table shapes: the (cid, pos, ce6) centroid rows, or
+    // the one-row cid-sorted centroid-ARRAY aggregate (`_qcents`) the
+    // r17 native assignment kernel broadcasts
+    val centsJoins =
+      "ResolvedHint.*\n.*(cid|ce6|_qcents)".r.findAllIn(saAnalyzed).length
     assert(hintCount == centsJoins,
       s"non-centroid broadcast hint in semDedupAgainst:\n$saAnalyzed")
     val saPlan = plan(sa)
-    assert(!saPlan.contains("CartesianProduct") &&
-      !saPlan.contains("BroadcastNestedLoopJoin"), saPlan)
+    assert(!saPlan.contains("CartesianProduct"), saPlan)
+    // BNLJ is legal ONLY as the one-row broadcast attach (the r17
+    // native assignment kernel: build side = a single no-grouping
+    // aggregate row carrying the centroid array). Checked
+    // STRUCTURALLY: every condition-less join in the optimized plan
+    // must have a side the optimizer can prove is one row — a
+    // cartesian over data tables still fails here
+    val crossJoins = sa.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.isEmpty => j
+    }
+    crossJoins.foreach { j =>
+      assert(j.left.maxRows.contains(1L) || j.right.maxRows.contains(1L),
+        s"cross join over data tables in semDedupAgainst:\n$j")
+    }
   }
 
   test("simhash block join is an equi-join on the block key, not a pairwise scan") {
