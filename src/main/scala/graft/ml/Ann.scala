@@ -648,12 +648,15 @@ object Ann {
     * of partitioning and engine: coordinates round to 1e-6 units up
     * front, distances are integer squared-L2 with ties broken by
     * centroid id, and centroid updates are floor(intSum / count).
-    * Per iteration: one broadcast (pos) join + (vid,cid) partial-agg
-    * shuffle for assignment, one (cid,pos) shuffle for the update — the
-    * standard scalable k-means shape (no driver-side state; the
-    * centroid table is k×dim rows, localCheckpointed per pass to stop
-    * plan growth with superseded snapshots unpersisted). Empty clusters
-    * keep their previous centroid. Returns (cid, pos, ce6). */
+    * Per iteration (r17): assignment is the MAP-ONLY native kernel
+    * ([[assignClusters]] — bit-identical to the former exploded
+    * (vid,cid) aggregation, see its scaladoc), so the only per-pass
+    * exchanges are the (vid) join feeding the update and the (cid,pos)
+    * update aggregation — the former corpus×k assignment shuffle per
+    * iteration is gone. No driver-side state; the centroid table is
+    * k×dim rows, localCheckpointed per pass to stop plan growth with
+    * superseded snapshots unpersisted. Empty clusters keep their
+    * previous centroid. Returns (cid, pos, ce6). */
   def kmeansQuantized(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int): DataFrame = {
     val v = df
@@ -665,7 +668,7 @@ object Ann {
       .select(col("vid").cast("int").as("cid"), col("pos"), col("xe6").as("ce6"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val assign = argminCid(assignmentDistances(v, cents))
+      val assign = assignClusters(df, idCol, vecCol, cents)
       val updated = v.join(assign, "vid")
         .groupBy(col("cid"), col("pos"))
         .agg(floor(sum(col("xe6")).cast("double") / count(lit(1)))
