@@ -18,16 +18,24 @@ import org.apache.spark.sql.types._
   * quantized grid is preserved while the corpus×k shuffle disappears.
   *
   * Shapes: `v` array<long> (quantized coords), `entries`
-  * array<struct<cid int, cv array<long>>>. Returns the best cid, or -1
-  * when `entries` is empty (callers filter — the old join produced no
-  * rows). A shorter entry vec stops the walk (bounds guard;
-  * construction guarantees equal dims). Overflow headroom: |x−c| ≤
-  * ~4e6 in grid units → (x−c)² ≤ 1.6e13; dims beyond ~5×10⁵ would
-  * approach Long range — far past any embedding width here. */
+  * array<struct<cid int, cv array<long>>>. Returns struct<cid int,
+  * d2 long> — the winning centroid AND its distance (prototypePrune's
+  * prototypicality needs d2; assignClusters extracts cid) — or NULL
+  * when `entries` is empty (callers guard emptiness on the broadcast
+  * side, so the null never surfaces). A shorter entry vec stops the
+  * walk (bounds guard; construction guarantees equal dims). Overflow
+  * headroom: |x−c| ≤ ~4e6 in grid units → (x−c)² ≤ 1.6e13; dims
+  * beyond ~5×10⁵ would approach Long range — far past any embedding
+  * width here. */
 case class ArgMinIntL2(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 
-  override def dataType: DataType = IntegerType
+  override def dataType: DataType = StructType(Seq(
+    StructField("cid", IntegerType, nullable = false),
+    StructField("d2", LongType, nullable = false)))
+
+  // null on EMPTY entries even when both inputs are non-null
+  override def nullable: Boolean = true
 
   override def nullSafeEval(v0: Any, e0: Any): Any = {
     val v = v0.asInstanceOf[ArrayData]
@@ -50,7 +58,9 @@ case class ArgMinIntL2(left: Expression, right: Expression)
       if (d < bestD) { bestD = d; bestCid = row.getInt(0) }
       k += 1
     }
-    bestCid
+    if (bestCid == -1) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestCid, bestD))
   }
 
   override protected def withNewChildrenInternal(

@@ -580,27 +580,6 @@ object Ann {
         sum(round(col("v").cast("double") * 1e6).cast("long")).as("sum_e6"),
         count(lit(1)).as("n_chunks"))
 
-  /** One k-means assignment pass: per-(vid,cid) integer squared-L2.
-    * cents is k-by-dim rows — tiny, but localCheckpoint drops its
-    * stats, so without the hint Catalyst shuffle-joins keyed on pos
-    * alone (parallelism capped at the vector dimension, full corpus
-    * reshuffled every pass). Broadcast explicitly, like every other
-    * centroid join in this file. */
-  private[graft] def assignmentDistances(v: DataFrame, cents: DataFrame): DataFrame =
-    v.join(broadcast(cents), "pos")
-      .groupBy(col("vid"), col("cid"))
-      .agg(sum((col("xe6") - col("ce6")) * (col("xe6") - col("ce6"))).as("d2"))
-
-  /** argmin over the per-(vid,cid) distance rows as a STRUCT-MIN hash
-    * aggregation — min(struct(d2, cid)) compares field-by-field, which
-    * is exactly the (d2 asc, cid asc) tie-break the former row_number
-    * Window spelled, but with map-side partial min (each map partition
-    * ships ONE candidate per vid instead of k) and no per-key sort. */
-  private[graft] def argminCid(d2: DataFrame): DataFrame =
-    d2.groupBy(col("vid"))
-      .agg(min(struct(col("d2"), col("cid"))).as("_m"))
-      .select(col("vid"), col("_m.cid").as("cid"))
-
   /** Nearest-centroid assignment against a trained centroid table
     * (kmeansQuantized output): same integer squared-L2 + cid tie-break
     * as the training passes, so an assignment is reproducible across
@@ -619,7 +598,15 @@ object Ann {
     * the exploded spelling internally: its UPDATE step needs the
     * (vid,pos) rows anyway. */
   def assignClusters(df: DataFrame, idCol: String, vecCol: String,
-                     cents: DataFrame): DataFrame = {
+                     cents: DataFrame): DataFrame =
+    assignClustersD2(df, idCol, vecCol, cents)
+      .select(col("vid"), col("cid"))
+
+  /** [[assignClusters]] + the winning distance — (vid, cid, d2), the
+    * prototypicality input of [[prototypePrune]]. */
+  private[graft] def assignClustersD2(df: DataFrame, idCol: String,
+                                      vecCol: String,
+                                      cents: DataFrame): DataFrame = {
     val perCid = cents
       .select(col("cid"), struct(col("pos"), col("ce6")).as("_pc"))
       .groupBy(col("cid"))
@@ -635,11 +622,12 @@ object Ann {
     // zero rows → the join yields nothing, the old behavior): a
     // left-side filter on the kernel's sentinel references both join
     // sides, and Catalyst pushes it into the join as a non-equi
-    // condition — degrading the constant-key BroadcastHashJoin to the
-    // BroadcastNestedLoopJoin the PlanSpec locks forbid
+    // condition — degrading the join to the BroadcastNestedLoopJoin-
+    // over-data shape the PlanSpec locks forbid
     attachOne(q, centsArr.filter(size(col("_qcents")) > 0))
       .select(col("vid"),
-        graft.functions.ArgMinIntL2(col("_v6"), col("_qcents")).as("cid"))
+        graft.functions.ArgMinIntL2(col("_v6"), col("_qcents")).as("_m"))
+      .select(col("vid"), col("_m.cid").as("cid"), col("_m.d2").as("d2"))
   }
 
   /** Distributed Lloyd k-means over QUANTIZED coordinates — the trained-
@@ -726,18 +714,13 @@ object Ann {
       s"prototypePrune: keepFrac $keepFrac outside (0, 1]")
     val bins = 4096
     val cents = kmeansQuantized(df, idCol, vecCol, k, iters)
-    val v = df
-      .select(col(idCol).as("vid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .select(col("vid"), col("pos"),
-        round(col("x").cast("double") * 1e6).cast("long").as("xe6"))
     // materialize the assignment ONCE (narrow (vid, cid, d2) rows) --
     // the range job and all result branches read the checkpoint
-    // instead of re-running the explode/join/agg pipeline (the kmeans
-    // house pattern; GC reclaims the blocks with the returned plan)
-    val best = assignmentDistances(v, cents)
-      .groupBy(col("vid"))
-      .agg(min(struct(col("d2"), col("cid"))).as("_m"))
-      .select(col("vid"), col("_m.cid").as("cid"), col("_m.d2").as("d2"))
+    // instead of re-running the pipeline (the kmeans house pattern; GC
+    // reclaims the blocks with the returned plan). r17: the map-only
+    // kernel computes cid AND d2 in one pass — the corpus×k
+    // assignment-distance shuffle is gone here too.
+    val best = assignClustersD2(df, idCol, vecCol, cents)
       .localCheckpoint(true)
     // ---- k-row range/count job (construction-bounded collect): per
     // cluster d2 range for the COARSE BINNING and the exact keep count.

@@ -74,19 +74,21 @@ class DedupSpec extends AnyFunSuite {
     val cents = graft.ml.Ann.kmeansQuantized(vecs, "vec_id", "embedding",
       k = 3, iters = 2)
     assert(cents.count() == 12) // k * dim
-    // the scale contract: the per-iteration assignment join must be a
-    // broadcast, never a shuffle keyed on pos alone (VERDICT r3). The
-    // returned cents is localCheckpointed — exactly the stats-less shape
-    // the loop feeds back in — so planning the REAL loop stage against
-    // it proves the hint holds where it matters.
-    val v = vecs.select(col("vec_id").as("vid"),
-        posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select(col("vid"), col("pos"),
-        round(col("x").cast("double") * 1e6).cast("long").as("xe6"))
-    val phys = graft.ml.Ann.assignmentDistances(v, cents)
+    // the scale contract (r17, supersedes the r3 broadcast-hint check):
+    // assignment is MAP-ONLY — the corpus side reaches the argmin
+    // kernel with no shuffle at all; the only exchange is the one-row
+    // centroid-array broadcast. The returned cents is localCheckpointed
+    // — exactly the stats-less shape the loop feeds back in — so
+    // planning the REAL loop stage against it proves the shape holds
+    // where it matters.
+    val phys = graft.ml.Ann.assignClusters(vecs, "vec_id", "embedding", cents)
       .queryExecution.executedPlan.toString
-    assert(phys.contains("BroadcastHashJoin"))
+    // no CORPUS-side shuffle: the old argminCid spelling exchanged on
+    // vid; the bounded centroid-side aggregations (keyed on cid, k×dim
+    // rows) and the one-row broadcast are the only exchanges left
+    assert(!phys.contains("hashpartitioning(vid"), phys)
     assert(!phys.contains("SortMergeJoin") && !phys.contains("ShuffledHashJoin"))
+    assert(phys.contains("BroadcastExchange"), phys)
   }
 
   test("semDedup connects within-cluster cosine near-dups and keeps the min id") {
