@@ -29,6 +29,15 @@ object Registry {
     reg.createOrReplaceTempFunction(
       "rolling_fp", exprs => RollingFingerprints(exprs.head,
         int(exprs(1)), int(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash_bits", exprs => SimHashBits(exprs.head, int(exprs(1))),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "argmin_affine_dot", exprs => ArgMinAffineDot(exprs.head, exprs(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "argmin_int_l2", exprs => ArgMinIntL2(exprs.head, exprs(1)),
+      "built-in")
   }
 
   private def str(e: org.apache.spark.sql.catalyst.expressions.Expression): String =

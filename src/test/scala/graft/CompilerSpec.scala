@@ -943,6 +943,20 @@ class CompilerSpec extends AnyFunSuite {
     assert(r.getInt(3) == 2)
     assert(r.getInt(4) == 3) // occurrence mode keeps the repeated "a b"
     assert(r.getDouble(5) == 32.0)
+    val r2 = spark.sql(
+      """SELECT simhash_bits(array(7L, 7L, 1L), 3) AS s,
+        |  argmin_affine_dot(array(1.0D, 0.0D), array(
+        |    named_struct('id', 3L, 'vec', array(1.0D, 0.0D),
+        |                 'bias', 0.0D, 'scale', -1.0D),
+        |    named_struct('id', 5L, 'vec', array(0.0D, 1.0D),
+        |                 'bias', 0.0D, 'scale', -1.0D))) AS a,
+        |  argmin_int_l2(array(10L, 0L), array(
+        |    named_struct('cid', 1, 'cv', array(10L, 0L)),
+        |    named_struct('cid', 2, 'cv', array(0L, 0L)))).cid AS c
+        |""".stripMargin).head()
+    assert(r2.getLong(0) == 7L) // every bit has a 2-of-3 strict majority
+    assert(r2.getLong(1) == 3L)
+    assert(r2.getInt(2) == 1)
   }
 
   test("asofJoin: no-earlier-row gives null, equal-ts row matches, ties pick max payload") {
