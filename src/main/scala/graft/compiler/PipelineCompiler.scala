@@ -2921,8 +2921,6 @@ object PipelineCompiler {
   /** do_if YAML tree → DoIf ADT (ctor semantics:
     * pipeline/doif/ctor.go:47-66). */
   def parseDoIf(n: JsonNode): DoIf.Node = {
-    def strs(field: String): Seq[String] =
-      n.get(field).elements().asScala.map(_.asText()).toSeq
     // ctor.go's get[T] discipline (ctor_test.go error rows): required
     // keys fail with the key NAME, wrong types fail too — a bare NPE
     // named nothing
