@@ -102,7 +102,14 @@ object Ann {
   /** Nearest-centroid assignment of prepared (id, _v) rows against an
     * explicit (_c_id, _cv) centroid table — shared by the index build
     * and the incremental append so both produce byte-identical
-    * assignments (broadcast the dim table, cosine desc, _c_id ties). */
+    * assignments (broadcast the dim table, cosine desc, _c_id ties).
+    * SCOPE of that claim (ADVICE r17): build and append must both run
+    * the CURRENT kernel spelling. The r17 rewrite changed the ranking
+    * arithmetic from dot(v,c)/(|v||c|) to dot(v, c/|c|) — rank-
+    * equivalent in real arithmetic but not bit-equal in floating
+    * point, so near-tie assignments can flip relative to an index
+    * persisted by the pre-r17 code; appending onto such an index
+    * should be a full rebuild instead. */
   private def ivfAssignTo(e: DataFrame, cents: DataFrame,
                           idCol: String): DataFrame = {
     // zero-norm guard on BOTH sides (the bruteForceTopK NaN-desc
@@ -624,7 +631,14 @@ object Ann {
     // sides, and Catalyst pushes it into the join as a non-equi
     // condition — degrading the join to the BroadcastNestedLoopJoin-
     // over-data shape the PlanSpec locks forbid
-    attachOne(q, centsArr.filter(size(col("_qcents")) > 0))
+    // degenerate-row drop (ADVICE r17): the former posexplode spelling
+    // produced NO rows for a null/empty vector — a null vector must
+    // not surface a (vid, null, null) row and an EMPTY array must not
+    // score d2=0 against every centroid (prototypePrune would rank it
+    // maximally prototypical); filter BEFORE the kernel to keep the
+    // old drop semantics
+    val qq = q.filter(col("_v6").isNotNull && size(col("_v6")) > 0)
+    attachOne(qq, centsArr.filter(size(col("_qcents")) > 0))
       .select(col("vid"),
         graft.functions.ArgMinIntL2(col("_v6"), col("_qcents")).as("_m"))
       .select(col("vid"), col("_m.cid").as("cid"), col("_m.d2").as("d2"))

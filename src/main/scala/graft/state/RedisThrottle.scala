@@ -163,49 +163,117 @@ object RedisThrottle {
     }
   }
 
-  /** Atomic decode of a dynamic limit key's JSON value —
-    * redis_limiter.go:210-240 decodeKeyLimitValue, replayed by
-    * Test_decodeKeyLimitValue (RedisThrottleSpec): the value must be an
-    * OBJECT holding `valField` (quoted or bare integer), optionally
-    * `distField` with a {field, ratios, enabled} distribution cfg. ANY
-    * error — non-object value, missing/non-integer limit, malformed or
-    * invalid distribution — returns None and the WHOLE update is
-    * rejected (a bad distribution drops the limit too; the reference
-    * logs and keeps current). Returns (limit, distr): distr None = no
-    * distribution key (keep current ratios), Some(Nil) = present but
-    * disabled/empty (isEnabled false → plain limiter), Some(ratios) =
-    * a live enabled set. `enabled` must be explicitly true — the Go
-    * zero value is false. */
+  /** What a decoded limit value says about the distribution — the three
+    * observable outcomes of the reference's updateKeyLimit →
+    * updateDistribution sequence (redis_limiter.go:242-280,
+    * in_memory_limiter.go:176-195):
+    *  - [[DistrEmpty]]: no distribution member, or one that
+    *    parseLimitDistribution treats as empty (field missing/empty, or
+    *    no ratios, or `enabled` not explicitly true — Go zero value).
+    *    updateDistribution is ALWAYS called with the (possibly
+    *    zero-value) cfg, so when a live set exists this CLEARS it and
+    *    recreates the buckets at width 1 (distribution.go:29-31 isEmpty,
+    *    in_memory_limiter.go:189-195 newBuckets).
+    *  - [[DistrInvalid]]: well-formed JSON whose ratio set fails
+    *    parseLimitDistribution's validation (distribution.go:34-80).
+    *    The reference applies the LIMIT first (updateLimit precedes
+    *    updateDistribution in updateKeyLimit) and then errors out of
+    *    the distribution update — limit changes, live set and buckets
+    *    stay.
+    *  - [[DistrLive]]: a valid enabled set replaces the ratios.
+    * (Width note: the reference sizes buckets at ratios+1 even when
+    * `enabled` is false and admission ignores the slots; this port
+    * collapses disabled sets to width 1 — the slots are unobservable
+    * through admission, the only contract the Spark legs expose.) */
+  sealed trait DistrUpdate
+  case object DistrEmpty extends DistrUpdate
+  case object DistrInvalid extends DistrUpdate
+  final case class DistrLive(ratios: Seq[(Double, Seq[String])]) extends DistrUpdate
+
+  /** Decode of a dynamic limit key's JSON value — redis_limiter.go:
+    * 210-240 decodeKeyLimitValue, replayed by Test_decodeKeyLimitValue
+    * (RedisThrottleSpec): the value must be an OBJECT holding `valField`
+    * (quoted or bare integer), optionally `distField` with a {field,
+    * ratios, enabled} distribution cfg. A SHAPE error — non-object
+    * value, missing/non-integer limit, a distribution member Go's
+    * json.Unmarshal would reject (non-object distr, non-string field,
+    * non-array ratios, non-number ratio, non-bool enabled, non-string
+    * values) — returns None and the WHOLE update is rejected (the
+    * reference logs and keeps current). A distribution that unmarshals
+    * but fails parseLimitDistribution's SEMANTIC validation decodes as
+    * DistrInvalid — the limit still applies, matching updateKeyLimit's
+    * updateLimit-before-updateDistribution order. JSON nulls behave as
+    * missing members (Go unmarshal no-ops on null).
+    *
+    * The limit parse mirrors json.Number(bytes.Trim(raw, `"`)).Int64():
+    * quotes are trimmed from the RAW token and the remainder must be a
+    * bare base-10 integer — no whitespace tolerance, so `" 3000"` is
+    * rejected exactly like strconv.ParseInt rejects it, and a string
+    * whose CONTENT carries quotes keeps its escape backslashes and
+    * fails. */
   def decodeKeyLimitValue(raw: String, valField: String, distField: String)
-  : Option[(Long, Option[Seq[(Double, Seq[String])]])] =
+  : Option[(Long, DistrUpdate)] =
     try {
       val node = mapper.readTree(raw)
       if (node == null || !node.isObject) return None
       val lv = node.get(valField)
-      if (lv == null || lv.isContainerNode) return None
-      val limit = lv.asText().trim.stripPrefix("\"").stripSuffix("\"").toLong
-      val distr: Option[Seq[(Double, Seq[String])]] =
-        if (distField.isEmpty) None
-        else Option(node.get(distField)).map { d =>
-          require(d.isObject, "distribution must be an object")
-          val enabled = Option(d.get("enabled")).exists(_.asBoolean(false))
-          val rs = Option(d.get("ratios")).toSeq
-            .flatMap(_.elements().asScala).map { r =>
-              (r.get("ratio").asDouble(),
-                Option(r.get("values"))
-                  .map(_.elements().asScala.map(_.asText()).toSeq)
-                  .getOrElse(Seq.empty))
+      val limit: Long = lv match {
+        case null => return None
+        case n if n.isIntegralNumber && n.canConvertToLong => n.asLong()
+        case n if n.isTextual =>
+          // reference: bytes.Trim(rawToken, `"`) then ParseInt. The raw
+          // token of a string is its JSON encoding; re-encode to keep
+          // embedded escapes the way the Go path sees them.
+          val encoded = mapper.writeValueAsString(n)
+          java.lang.Long.parseLong(encoded.replaceAll("^\"+|\"+$", ""))
+        case _ => return None // float/bool/null/container limit
+      }
+      def present(n: com.fasterxml.jackson.databind.JsonNode) =
+        Option(n).filterNot(_.isNull)
+      val distr: DistrUpdate =
+        if (distField.isEmpty) DistrEmpty
+        else present(node.get(distField)) match {
+          case None => DistrEmpty
+          case Some(d) =>
+            // ---- shape layer (Go json.Unmarshal of limitDistributionCfg)
+            require(d.isObject, "distribution must be an object")
+            val field = present(d.get("field")).map { f =>
+              require(f.isTextual, "field must be a string"); f.asText()
+            }.getOrElse("")
+            val enabled = present(d.get("enabled")).exists { e =>
+              require(e.isBoolean, "enabled must be a bool"); e.asBoolean()
             }
-          // parseLimitDistribution's validation (distribution.go:34-80)
-          // — an invalid set rejects the whole update
-          rs.foreach { case (ratio, values) =>
-            require(ratio >= 0 && ratio <= 1, "ratio out of range")
-            require(values.nonEmpty, "empty values")
-          }
-          require(rs.flatMap(_._2).distinct.size == rs.flatMap(_._2).size,
-            "duplicated value")
-          require(rs.map(_._1).sum <= 1.0 + 1e-9, "ratio sum > 1")
-          if (enabled && rs.nonEmpty) rs else Nil
+            val rs = present(d.get("ratios")).toSeq.flatMap { arr =>
+              require(arr.isArray, "ratios must be an array")
+              arr.elements().asScala.map { r =>
+                require(r.isObject, "ratio entry must be an object")
+                val ratio = present(r.get("ratio")).map { x =>
+                  require(x.isNumber, "ratio must be a number"); x.asDouble()
+                }.getOrElse(0.0)
+                val values = present(r.get("values")).toSeq.flatMap { vs =>
+                  require(vs.isArray, "values must be an array")
+                  vs.elements().asScala.map { v =>
+                    require(v.isTextual, "values entries must be strings")
+                    v.asText()
+                  }
+                }
+                (ratio, values)
+              }.toSeq
+            }
+            // ---- semantic layer (parseLimitDistribution,
+            //      distribution.go:34-80) — only reached when the field
+            //      selector is set; errors keep the current set
+            if (field.isEmpty || rs.isEmpty) DistrEmpty
+            else {
+              val semanticOk =
+                rs.forall { case (ratio, values) =>
+                  ratio >= 0 && ratio <= 1 && values.nonEmpty } &&
+                rs.flatMap(_._2).distinct.size == rs.flatMap(_._2).size &&
+                1.0 - rs.map(_._1).sum >= 0 // exact, like `dif < 0`
+              if (!semanticOk) DistrInvalid
+              else if (enabled) DistrLive(rs)
+              else DistrEmpty // parsed but isEnabled()==false → plain
+            }
         }
       Some((limit, distr))
     } catch { case _: Throwable => None }
@@ -217,7 +285,9 @@ object RedisThrottle {
     * logged error path. */
   def parseLimitValue(raw: String, valueField: String): Option[Long] =
     try {
-      if (valueField.isEmpty) Some(raw.trim.toLong)
+      // plain path = strconv.ParseInt(string(data), 10, 64)
+      // (redis_limiter.go:264-266): no whitespace tolerance
+      if (valueField.isEmpty) Some(java.lang.Long.parseLong(raw))
       else {
         val node = mapper.readTree(raw)
         Option(node.get(valueField)).map(_.asText().trim.stripPrefix("\"")
@@ -409,34 +479,55 @@ object RedisThrottle {
       * `limiter_distribution_field` is set, the live ratio set — the
       * reference's updateDistribution on both limiters); redis.Nil
       * (absent key) keeps the current values (redis_limiter.go:252-283).
-      * The decode is ATOMIC like decodeKeyLimitValue
-      * (redis_limiter.go:210-240, Test_decodeKeyLimitValue
-      * distribution_format_error): a malformed distribution rejects the
-      * LIMIT update too — nothing changes. A valid distribution with a
-      * different ratio count recreates the buckets with zeroed counters
-      * (in_memory_limiter.go:189-195); redis keeps the global totals
-      * and the next sync re-seeds. */
+      * A MALFORMED value (decodeKeyLimitValue shape error) rejects the
+      * whole update — nothing changes. updateKeyLimit then ALWAYS runs
+      * updateDistribution with whatever cfg decoded — so a value
+      * WITHOUT a distribution member (or with an empty/disabled one)
+      * CLEARS a live ratio set and recreates the buckets at width 1,
+      * and only a semantically-invalid ratio set keeps the current one
+      * (the limit, applied first, still changes). Any width change
+      * recreates the buckets with zeroed counters (in_memory_limiter
+      * .go:189-195 newBuckets); redis keeps the global totals and the
+      * next sync re-seeds. */
     def pullLimit(value: String, limitKeyOverride: String): Unit =
       cfg.client().get(cfg.limitKey(value, limitKeyOverride)).foreach { raw =>
+        def install(distr: DistrUpdate): Unit = distr match {
+          case DistrLive(rs) =>
+            if (rs.size + 1 != w) {
+              w = rs.size + 1
+              incr = new Array[Long](cfg.bucketsCount * w)
+              total = new Array[Long](cfg.bucketsCount * w)
+            }
+            shares = DistShares(rs, limit)
+          case DistrEmpty =>
+            // the empty-cfg leg of updateDistribution: a live set is
+            // dropped and the window collapses to the plain width
+            if (w != 1) {
+              w = 1
+              incr = new Array[Long](cfg.bucketsCount)
+              total = new Array[Long](cfg.bucketsCount)
+            }
+            if (shares.ratios.nonEmpty || limit != shares.limit)
+              shares = DistShares(Nil, limit)
+          case DistrInvalid =>
+            // parseLimitDistribution error: ratio set and buckets stay.
+            // Sub-limits are PARSE-TIME values in the reference
+            // (complexDistribution.limit, distribution.go:70-73) and
+            // updateLimit alone never recomputes them — so a live set
+            // keeps its stale sub-limits verbatim; only the plain
+            // limiter (whose limit is the default share) re-binds
+            if (shares.ratios.isEmpty && limit != shares.limit)
+              shares = DistShares(Nil, limit)
+        }
         if (cfg.valueField.isEmpty) {
-          parseLimitValue(raw, "").foreach { v =>
-            limit = v
-            if (limit != shares.limit) shares = DistShares(shares.ratios, limit)
-          }
+          // plain-integer limit value — the reference still calls
+          // updateDistribution with the zero-value cfg (updateKeyLimit's
+          // unconditional tail), so this leg clears a live set too
+          parseLimitValue(raw, "").foreach { v => limit = v; install(DistrEmpty) }
         } else decodeKeyLimitValue(raw, cfg.valueField,
           cfg.distributionField).foreach { case (v, distr) =>
           limit = v
-          distr match {
-            case Some(rs) =>
-              if (rs.size + 1 != w) {
-                w = rs.size + 1
-                incr = new Array[Long](cfg.bucketsCount * w)
-                total = new Array[Long](cfg.bucketsCount * w)
-              }
-              shares = DistShares(rs, limit)
-            case None =>
-              if (limit != shares.limit) shares = DistShares(shares.ratios, limit)
-          }
+          install(distr)
         }
       }
 

@@ -624,22 +624,22 @@ class RedisThrottleSpec extends AnyFunSuite {
     } finally r.close()
   }
 
-  test("Test_decodeKeyLimitValue: the reference's atomic decode table") {
-    import graft.state.RedisThrottle.decodeKeyLimitValue
+  test("Test_decodeKeyLimitValue: the reference's decode table") {
+    import graft.state.RedisThrottle._
     // ok_only_limit
     assert(decodeKeyLimitValue("""{"limit_key":"3000"}""", "limit_key", "") ==
-      Some((3000L, None)))
+      Some((3000L, DistrEmpty)))
     // ok_with_object: unrelated keys ignored
     assert(decodeKeyLimitValue(
       """{"limit_key":"3000","some_obj":{"field":"key"}}""", "limit_key", "") ==
-      Some((3000L, None)))
+      Some((3000L, DistrEmpty)))
     // ok_limit_and_distribution
     assert(decodeKeyLimitValue(
       """{"limit_key":"3000","distr_key":{"field":"my-field","ratios":[""" +
         """{"ratio":0.4,"values":["val1","val2"]},""" +
         """{"ratio":0.6,"values":["val3"]}],"enabled":true}}""",
       "limit_key", "distr_key") ==
-      Some((3000L, Some(Seq((0.4, Seq("val1", "val2")), (0.6, Seq("val3")))))))
+      Some((3000L, DistrLive(Seq((0.4, Seq("val1", "val2")), (0.6, Seq("val3")))))))
     // decode_error: top-level non-object
     assert(decodeKeyLimitValue(""""3000"""", "limit_key", "").isEmpty)
     // limit_key_not_exists
@@ -648,26 +648,51 @@ class RedisThrottleSpec extends AnyFunSuite {
     // limit_format_error
     assert(decodeKeyLimitValue("""{"limit_key":"not_int"}""",
       "limit_key", "").isEmpty)
-    // distribution_key_not_exists: limit still decodes
+    // ...including ParseInt's no-whitespace rule on a quoted limit
+    assert(decodeKeyLimitValue("""{"limit_key":" 3000"}""",
+      "limit_key", "").isEmpty)
+    // distribution_key_not_exists: limit still decodes; the zero-value
+    // cfg reaches updateDistribution (clears a live set)
     assert(decodeKeyLimitValue(
       """{"limit_key":"3000","not_distr_key":"test"}""",
-      "limit_key", "distr_key") == Some((3000L, None)))
-    // distribution_format_error: the WHOLE update is rejected —
+      "limit_key", "distr_key") == Some((3000L, DistrEmpty)))
+    // distribution_format_error (shape): the WHOLE update is rejected —
     // including the (valid) limit
     assert(decodeKeyLimitValue(
       """{"limit_key":"3000","distr_key":"test"}""",
       "limit_key", "distr_key").isEmpty)
+    // shape errors inside the object reject too (Go unmarshal typing)
+    assert(decodeKeyLimitValue(
+      """{"limit_key":"5","distr_key":{"field":7}}""",
+      "limit_key", "distr_key").isEmpty)
+    assert(decodeKeyLimitValue(
+      """{"limit_key":"5","distr_key":{"field":"f","ratios":[""" +
+        """{"ratio":"0.5","values":["a"]}],"enabled":true}}""",
+      "limit_key", "distr_key").isEmpty)
     // enabled defaults FALSE (Go zero value): present-but-disabled
-    // reads Some(Nil) — distribution off, plain limiter
+    // reads DistrEmpty — distribution off, plain limiter
     assert(decodeKeyLimitValue(
       """{"limit_key":"5","distr_key":{"field":"f","ratios":[""" +
         """{"ratio":0.5,"values":["a"]}]}}""",
-      "limit_key", "distr_key") == Some((5L, Some(Nil))))
-    // invalid ratio set rejects everything (parseLimitDistribution errs)
+      "limit_key", "distr_key") == Some((5L, DistrEmpty)))
+    // field missing/empty = empty distribution (distribution.go:35-37
+    // parseLimitDistribution returns before touching the ratios), even
+    // with enabled ratios present
+    assert(decodeKeyLimitValue(
+      """{"limit_key":"5","distr_key":{"ratios":[""" +
+        """{"ratio":0.5,"values":["a"]}],"enabled":true}}""",
+      "limit_key", "distr_key") == Some((5L, DistrEmpty)))
+    // a SEMANTICALLY invalid ratio set (parseLimitDistribution error)
+    // keeps the current set but the limit — applied first by
+    // updateKeyLimit — still lands
     assert(decodeKeyLimitValue(
       """{"limit_key":"5","distr_key":{"field":"f","ratios":[""" +
         """{"ratio":1.4,"values":["a"]}],"enabled":true}}""",
-      "limit_key", "distr_key").isEmpty)
+      "limit_key", "distr_key") == Some((5L, DistrInvalid)))
+    // JSON null members behave as missing (Go unmarshal no-ops on null)
+    assert(decodeKeyLimitValue(
+      """{"limit_key":"5","distr_key":null}""",
+      "limit_key", "distr_key") == Some((5L, DistrEmpty)))
   }
 
   test("a ratio-count change recreates the buckets (newBuckets semantics)") {
@@ -695,14 +720,17 @@ class RedisThrottleSpec extends AnyFunSuite {
       assert(w.incr.forall(_ == 0L), "counters reset like newBuckets")
 
       // TestInMemoryLimiterUpdateDistribution err_parsing_new: an
-      // invalid new set (ratio 10) keeps the CURRENT distribution —
-      // and, atomically, the current limit
+      // invalid new set (ratio 10) keeps the CURRENT distribution and
+      // buckets — but the limit, applied by updateKeyLimit BEFORE
+      // updateDistribution errors, still lands
       r.data.put(cfg.limitKey("k", ""),
         """{"limit":"3","distribution":{"field":"level","ratios":[""" +
           """{"ratio":0.5,"values":["x"]},{"ratio":10,"values":["y"]}],""" +
           """"enabled":true}}""")
       w.pullLimit("k", "")
-      assert(w.limit == 8L, "invalid distribution rejects the limit too")
+      assert(w.limit == 3L, "updateLimit precedes the distribution error")
+      assert(w.shares.distLimits.toSeq == Seq(2L, 2L, 2L),
+        "sub-limits are parse-time values — stale ones stay verbatim")
       assert(w.incr.length == 2 * 4, "window untouched")
 
       // new_empty: a present-but-disabled/empty distribution turns the
@@ -713,6 +741,20 @@ class RedisThrottleSpec extends AnyFunSuite {
       assert(w.limit == 6L)
       assert(w.shares.distLimits.isEmpty)
       assert(w.incr.length == 2 * 1, "width back to 1 (no distributions)")
+
+      // ADVICE r17 (medium): a limit value with NO distribution member
+      // also clears a live set — updateKeyLimit always runs
+      // updateDistribution with the (possibly zero-value) cfg
+      r.data.put(cfg.limitKey("k", ""),
+        """{"limit":"9","distribution":{"field":"level","ratios":[""" +
+          """{"ratio":0.5,"values":["z"]}],"enabled":true}}""")
+      w.pullLimit("k", "")
+      assert(w.incr.length == 2 * 2, "live again at width 2")
+      r.data.put(cfg.limitKey("k", ""), """{"limit":"7"}""")
+      w.pullLimit("k", "")
+      assert(w.limit == 7L)
+      assert(w.shares.ratios.isEmpty, "no-member cfg clears the live set")
+      assert(w.incr.length == 2 * 1, "width back to 1")
 
       // restore path (r17 review): a window rebuilt from checkpointed
       // LIVE ratios must size itself from THEM, not the static cfg —
