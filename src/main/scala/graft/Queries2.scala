@@ -358,8 +358,18 @@ object Queries2 {
 
   val q30_sql: String = "SELECT event_id FROM events"
 
-  /** hash with the native xxhash64 + token normalizer — not expressible in
-    * DuckDB, declared without an oracle (rows-only driver check). */
+  /** hash with the native xxhash64 + token normalizer. DuckDB cannot
+    * compute XXH64, but the normalizer erases every varying token in
+    * this message (datetime, IP, the k digits), so the normalized
+    * string — hence the hash — is a pure function of event_type. The
+    * oracle is therefore a closed-form CASE over the five normalized
+    * strings' XXH64(seed 0) values, derived INDEPENDENTLY of the Spark
+    * path (a from-scratch Python XXH64 written off xxhash_spec.md,
+    * checked against the canonical empty-input vector; same derivation
+    * as the XxHash64Ref cross-oracle in XxHash64OracleSpec). An
+    * unexpected event_type or a normalizer drift makes the CASE yield
+    * NULL against a real hash — the oracle fails LOUD on domain or
+    * semantics drift rather than re-deriving whatever Spark produced. */
   val q31_act_hash_xx: Q = (s, dir) => {
     val msg = concat(lit("2023-10-30T13:35:33Z "), col("event_type"),
       lit(", client: 10.125.172.251, k="), k())
@@ -369,6 +379,21 @@ object Queries2 {
       algo = "xxhash64", normalize = true)
     ev.select(col("event_id"), doc.getField("h").as("h"))
   }
+
+  /** Normalized forms: `<datetime> {event_type}, client: <ip>, k=<int>`;
+    * constants are XXH64(seed 0) of those five strings (see q31's doc
+    * for the independent derivation). A null/missing k nulls the whole
+    * concat — hashAction renders a null source as null. */
+  val q31_sql: String =
+    """SELECT event_id,
+      |  CASE WHEN json_extract_string(props, '$.k') IS NULL THEN NULL
+      |       WHEN event_type = 'click'    THEN '4513479126666366294'
+      |       WHEN event_type = 'error'    THEN '892509066702743312'
+      |       WHEN event_type = 'purchase' THEN '9079976493326987456'
+      |       WHEN event_type = 'signup'   THEN '12920268940019906957'
+      |       WHEN event_type = 'view'     THEN '14535413571504773623'
+      |  END AS h
+      |FROM events""".stripMargin
 
   // ------------------------------------------------- sequence-stateful
 
@@ -780,6 +805,7 @@ object Queries2 {
     "q28_doif_check_type" -> q28_sql,
     "q29_act_decode" -> q29_sql,
     "q30_act_debug" -> q30_sql,
+    "q31_act_hash_xx" -> q31_sql,
     "q40_join_multiline" -> q40_sql,
     "q41_join_template" -> q41_sql,
     "q46_join_template_forms" -> q46_sql,
