@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Adjudication probe for VERDICT r17 finding #2: q130 (duplicate-spans
+  * FINGERPRINT mode) benched slower than q125 (string mode) despite a
+  * 2.7× narrower shuffle. Hypothesis: the per-gram `unhex(md5(...))` is
+  * JVM MessageDigest CPU that dominates at local scale, while the
+  * narrow shuffle only pays off across a real network. This probe
+  * separates the two mechanisms by timing, over the same exploded gram
+  * stream (noop sink, nothing pruned):
+  *   - explode_only        — tokenize+gram cost floor
+  *   - explode_md5/xxh64   — + the hash projection (NO shuffle): the
+  *                           pure per-gram hash CPU delta
+  *   - shuffle_string/md5/xxh64 — + repartition(key)+min aggregate:
+  *                           what the bench actually pays
+  * xxhash64 rides along as the cheap-hash control: if md5 CPU is the
+  * mechanism, xxh64's shuffle leg should land at/below the string leg.
+  * Results are recorded in NOTES.md (round 18 adjudication). */
+object SpanFpProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+    val toks = graft.ml.Dedup.tokens(col("text"))
+    val n = 20
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    def g: DataFrame = df.select(col("doc_id"), explode(grams).as("g"))
+
+    def t(label: String)(mk: => DataFrame): Unit = {
+      mk.write.mode("overwrite").format("noop").save() // warm
+      val secs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"SPANFP $label%-16s best=${secs.min}%6.3f s  " +
+        s"all=${secs.map(s => f"$s%.3f").mkString(",")}")
+    }
+
+    t("explode_only")(g)
+    t("explode_md5")(g.select(col("doc_id"), unhex(md5(col("g"))).as("k")))
+    t("explode_xxh64")(g.select(col("doc_id"), xxhash64(col("g")).as("k")))
+    t("shuffle_string")(
+      g.repartition(col("g")).groupBy("g").agg(min("doc_id")))
+    t("shuffle_md5")(
+      g.select(col("doc_id"), unhex(md5(col("g"))).as("k"))
+        .repartition(col("k")).groupBy("k").agg(min("doc_id")))
+    t("shuffle_xxh64")(
+      g.select(col("doc_id"), xxhash64(col("g")).as("k"))
+        .repartition(col("k")).groupBy("k").agg(min("doc_id")))
+    spark.stop()
+  }
+}
