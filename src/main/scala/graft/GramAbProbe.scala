@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-18 A/B adjudication probe for the fused [[graft.functions.GramStrings]]
+  * kernel: times the PRE-round-18 declarative gram chain (re-spelled
+  * inline, exactly as duplicateSpans used to build it) against the
+  * kernel over the same corpus, INTERLEAVED in one JVM (rep pattern
+  * A,B,A,B,… so a box-contention stall cannot poison one side), with
+  * the noop sink so nothing is pruned. Legs:
+  *   - decl_explode / kern_explode   — the tokenize+gram+explode floor
+  *   - decl_q125    / kern_q125      — the full duplicate-spans plan
+  * `sbt "runMain graft.GramAbProbe [sfDir] [reps]"` */
+object GramAbProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 5
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = 20
+
+    // the pre-r18 declarative spelling, verbatim
+    val toks = graft.ml.Dedup.tokens(col("text"))
+    val declGrams = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    val kernGrams = graft.functions.GramStrings.occurrences(col("text"), n)
+
+    def spans(grams: org.apache.spark.sql.Column): DataFrame = {
+      val g = df.select(col("doc_id"), explode(grams).as("gram"))
+        .repartition(col("gram"))
+      val win = g.groupBy(col("gram")).agg(min(col("doc_id")).as("wdoc"))
+      g.join(win, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("wdoc") < col("doc_id"), 1L).otherwise(0L))
+            .as("stale_grams"))
+    }
+
+    val legs: Seq[(String, () => DataFrame)] = Seq(
+      "decl_explode" -> (() => df.select(col("doc_id"), explode(declGrams).as("g"))),
+      "kern_explode" -> (() => df.select(col("doc_id"), explode(kernGrams).as("g"))),
+      "decl_q125" -> (() => spans(declGrams)),
+      "kern_q125" -> (() => spans(kernGrams)))
+
+    val samples = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    // warm every leg once (codegen/JIT), then interleave reps
+    legs.foreach { case (_, mk) =>
+      mk().write.mode("overwrite").format("noop").save() }
+    for (_ <- 1 to reps; (name, mk) <- legs) {
+      val t0 = System.nanoTime()
+      mk().write.mode("overwrite").format("noop").save()
+      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+    }
+    legs.foreach { case (name, _) =>
+      val ss = samples(name)
+      println(f"GRAMAB $name%-14s best=${ss.min}%6.3f s  " +
+        s"all=${ss.map(s => f"$s%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable
+
+/** Round-18 measurement probe (guide §1: measure first): runs one
+  * registry query under the Bench session settings and decomposes its
+  * wall time into Spark JOBS and STAGES via a listener — job count ×
+  * per-job latency separates driver-round overhead (many tiny
+  * sequential jobs: Lloyd iterations, AQE stage materializations,
+  * `head()` guards) from genuine task compute (few jobs, long stages).
+  * Per stage: wall, task-time sum, shuffle read/write bytes, task count.
+  *
+  * `sbt "runMain graft.QProfile q125_duplicate_spans [sfDir] [reps]"`
+  */
+object QProfile {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse {
+      System.err.println("usage: QProfile <query-name> [sfDir] [reps]")
+      sys.exit(2)
+    }
+    if (!SparkEntry.queries.contains(name)) {
+      System.err.println(s"unknown query '$name'")
+      sys.exit(2)
+    }
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    final case class StageRec(id: Int, name: String, tasks: Int,
+        wallMs: Long, taskMs: Long, shRead: Long, shWrite: Long,
+        input: Long)
+    final case class JobRec(id: Int, wallMs: Long, stages: Seq[Int])
+    val stages = mutable.Map[Int, StageRec]()
+    val jobs = mutable.ArrayBuffer[JobRec]()
+    val jobStart = mutable.Map[Int, (Long, Seq[Int])]()
+    val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit =
+        jobStart(e.jobId) = (System.nanoTime(), e.stageIds)
+      override def onJobEnd(e: SparkListenerJobEnd): Unit =
+        jobStart.remove(e.jobId).foreach { case (t0, sids) =>
+          jobs += JobRec(e.jobId, (System.nanoTime() - t0) / 1000000, sids)
+        }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val tm = si.taskMetrics
+        stages(si.stageId) = StageRec(si.stageId,
+          si.name.take(60), si.numTasks,
+          (for {c <- si.completionTime; s <- si.submissionTime} yield c - s)
+            .getOrElse(-1L),
+          tm.executorRunTime,
+          tm.shuffleReadMetrics.totalBytesRead,
+          tm.shuffleWriteMetrics.bytesWritten,
+          tm.inputMetrics.bytesRead)
+      }
+    }
+
+    val fn = SparkEntry.queries(name)
+    fn(spark, dir).count() // warm: codegen + footer caches
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+
+    for (rep <- 1 to reps) {
+      stages.clear(); jobs.clear()
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val n = fn(spark, dir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // drain listener bus
+      spark.sparkContext.removeSparkListener(listener)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      val jobSum = jobs.map(_.wallMs).sum / 1000.0
+      println(f"QPROF $name rep$rep wall=$wall%.3f s rows=$n " +
+        f"jobs=${jobs.size} jobWallSum=$jobSum%.3f s " +
+        f"gap=${wall - jobSum}%.3f s")
+      if (rep == reps) {
+        jobs.sortBy(_.id).foreach { j =>
+          val ss = j.stages.flatMap(stages.get)
+          val det = ss.map(s =>
+            f"s${s.id}[${s.tasks}t ${s.wallMs}ms task=${s.taskMs}ms " +
+              f"in=${s.input / 1024}K sr=${s.shRead / 1024}K " +
+              f"sw=${s.shWrite / 1024}K]").mkString(" ")
+          println(f"  job ${j.id}%3d ${j.wallMs}%5d ms  $det")
+        }
+      }
+    }
+    spark.stop()
+  }
+}

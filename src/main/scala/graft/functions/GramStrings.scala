@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Word-n-gram STRINGS in ONE pass — the string-emitting sibling of
+  * [[ShingleHash]] (round 18, guide §1.2 "per-task work"): the
+  * declarative chain
+  * `transform(sequence(1, greatest(size(toks)-(n-1), 1)), i ->
+  *   array_join(slice(toks, i, n), " "))`
+  * evaluates three nested higher-order functions per document —
+  * interpreted (CodegenFallback) per gram, each `slice` allocating an
+  * n-element array and each lambda binding boxing its index — which the
+  * round-18 SpanFpProbe measured as a 2.48 s scan+explode floor at
+  * sf0.1 for the duplicate-spans family. This kernel builds the same
+  * grams in a single primitive loop over the token array and stays
+  * inside whole-stage codegen (reference-object call, the ShingleHash
+  * pattern).
+  *
+  * Accepts either a STRING child (fuses tokenization too: lowercase →
+  * split on the [[graft.ml.Dedup.WS]] whitespace class → drop empty
+  * tokens, bit-equal to `Dedup.tokens`) or an ARRAY<STRING> child (the
+  * curation compiler's pre-tokenized shared `_toks` column — tokens are
+  * used verbatim, matching `Dedup.shinglesFrom`).
+  *
+  * Tail semantics, both bit-equal to their declarative twins:
+  *  - `exactTail = false` (shingles / duplicate-spans contract): emit
+  *    `max(len-(n-1), 1)` grams — a doc shorter than n tokens yields ONE
+  *    truncated gram (an empty doc yields one "" gram), because
+  *    `slice(toks, i, n)` truncates at the end and `greatest(..., 1)`
+  *    clamps the count;
+  *  - `exactTail = true` (massiveTextRepetition contract): emit
+  *    `len-n+1` grams when `len >= n`, else an EMPTY array (paper
+  *    semantics: no n-grams exist).
+  *
+  * `distinct = true` keeps first occurrences only in document order —
+  * `array_distinct` semantics (the [[graft.ml.Dedup.shinglesFrom]]
+  * contract); `distinct = false` emits every window in order (the
+  * duplicate-spans occurrence stream).
+  *
+  * Null tokens inside an array child are SKIPPED when joining, exactly
+  * like `array_join`'s null handling (they still occupy a window
+  * position, like `slice`). A NULL child does NOT yield null — it
+  * replays the declarative chains' own null flow: `greatest` SKIPS
+  * null arguments, so `greatest(size(null)-(n-1), 1)` is 1, the chain
+  * emits ONE gram `array_join(slice(null,...))` = null — i.e. `[null]`
+  * (clamp mode); the exactTail chain's `when(size(null) >= n)` guard is
+  * null-falsy, so it emits `[]`. GramStringsSpec pins both against the
+  * re-spelled chains.
+  */
+case class GramStrings(child: Expression, n: Int,
+                       distinct: Boolean = false,
+                       exactTail: Boolean = false)
+    extends UnaryExpression {
+  require(n >= 1, "GramStrings: n must be >= 1")
+
+  private def isArrayInput: Boolean = child.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gram_strings expects STRING or ARRAY<STRING>, got $other")
+    }
+
+  // element nullability matches the declarative chain (array_join is a
+  // nullable expression); the whole array is never null — see scaladoc
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = false
+
+  /** STRING child: tokenize (Dedup.tokens contract) then build grams. */
+  def gramsOfText(input: UTF8String): GenericArrayData = {
+    // limit -1 keeps trailing empties for the filter to see — identical
+    // reasoning to ShingleHash.shingleHashes
+    val toks = graft.ml.Dedup.WS_PATTERN
+      .split(input.toLowerCase.toString, -1).filter(_.nonEmpty)
+    build(toks.length, i => toks(i))
+  }
+
+  /** ARRAY<STRING> child: tokens verbatim (null elements join-skipped). */
+  def gramsOfArray(input: ArrayData): GenericArrayData = {
+    val len = input.numElements()
+    build(len, i => {
+      val u = input.getUTF8String(i)
+      if (u == null) null else u.toString
+    })
+  }
+
+  private def build(len: Int, tok: Int => String): GenericArrayData = {
+    if (exactTail && len < n) return new GenericArrayData(new Array[Any](0))
+    val cnt = math.max(len - (n - 1), 1)
+    val out = new java.util.ArrayList[UTF8String](cnt)
+    val seen: java.util.HashSet[String] =
+      if (distinct) new java.util.HashSet[String]() else null
+    var i = 0
+    while (i < cnt) {
+      val end = math.min(i + n, len)
+      val sb = new java.lang.StringBuilder()
+      var first = true
+      var j = i
+      while (j < end) {
+        val t = tok(j)
+        // array_join skips NULL elements (no separator for them)
+        if (t != null) {
+          if (!first) sb.append(' ')
+          sb.append(t)
+          first = false
+        }
+        j += 1
+      }
+      val g = sb.toString
+      if (seen == null || seen.add(g)) out.add(UTF8String.fromString(g))
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    var k = 0
+    while (k < out.size) { arr(k) = out.get(k); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** The declarative chains' null-input results — see scaladoc. */
+  private def nullInputResult: GenericArrayData =
+    if (exactTail) new GenericArrayData(Array.empty[Any])
+    else new GenericArrayData(Array[Any](null))
+
+  def gramsOfTextN(input: UTF8String): ArrayData =
+    if (input == null) nullInputResult else gramsOfText(input)
+
+  def gramsOfArrayN(input: ArrayData): ArrayData =
+    if (input == null) nullInputResult else gramsOfArray(input)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (isArrayInput) gramsOfArrayN(v.asInstanceOf[ArrayData])
+    else gramsOfTextN(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("gramStrings", this, classOf[GramStrings].getName)
+    val c = child.genCode(ctx)
+    val call = if (isArrayInput) "gramsOfArrayN" else "gramsOfTextN"
+    val javaType =
+      org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        $javaType ${ev.value} = $ref.$call(${c.isNull} ? null : ${c.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramStrings =
+    copy(child = newChild)
+  override def prettyName: String = "gram_strings"
+}
+
+object GramStrings {
+  /** Every n-token window in document order (duplicate-spans stream). */
+  def occurrences(c: Column, n: Int): Column =
+    GraftBridge.column(GramStrings(GraftBridge.expression(c), n))
+
+  /** Distinct grams, first occurrence order (the shingles contract). */
+  def distinctGrams(c: Column, n: Int): Column =
+    GraftBridge.column(
+      GramStrings(GraftBridge.expression(c), n, distinct = true))
+
+  /** Exact-tail occurrences: empty array when the doc is shorter than n
+    * (massiveTextRepetition's per-n gram stream). */
+  def exact(c: Column, n: Int): Column =
+    GraftBridge.column(
+      GramStrings(GraftBridge.expression(c), n, exactTail = true))
+}

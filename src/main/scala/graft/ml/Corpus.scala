@@ -74,10 +74,12 @@ object Corpus {
                      n: Int, thresholdMilli: Long = 900L,
                      fingerprint: Boolean = false,
                      preToks: Option[Column] = None): DataFrame = {
-    val toks = preToks.getOrElse(Dedup.tokens(col(textCol)))
-    val grams = transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => array_join(slice(toks, i, lit(n)), " "))
+    // fused gram kernel (r18): tokenize+window+join in one codegen pass,
+    // bit-equal to the declarative transform/slice/array_join chain
+    // (GramStringsSpec) — the chain's interpreted HOFs were the
+    // family's measured 2.48 s scan+explode floor at sf0.1 (SpanFpProbe)
+    val grams = graft.functions.GramStrings.occurrences(
+      preToks.getOrElse(col(textCol)), n)
     val gramKey =
       if (fingerprint) unhex(md5(col("_gram_str"))) else col("_gram_str")
     // One explicit gram-key exchange feeds BOTH the winner aggregate and
@@ -111,10 +113,9 @@ object Corpus {
   def duplicateSpanIndex(df: DataFrame, idCol: String, textCol: String,
                          n: Int, fingerprint: Boolean = false,
                          preToks: Option[Column] = None): DataFrame = {
-    val toks = preToks.getOrElse(Dedup.tokens(col(textCol)))
-    val grams = transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => array_join(slice(toks, i, lit(n)), " "))
+    // fused gram kernel — see duplicateSpans
+    val grams = graft.functions.GramStrings.occurrences(
+      preToks.getOrElse(col(textCol)), n)
     val gramKey =
       if (fingerprint) unhex(md5(col("_gram_str"))) else col("_gram_str")
     df.select(col(idCol), explode(grams).as("_gram_str"))
@@ -153,10 +154,9 @@ object Corpus {
                             n: Int, thresholdMilli: Long = 900L,
                             fingerprint: Boolean = false,
                             preToks: Option[Column] = None): DataFrame = {
-    val toks = preToks.getOrElse(Dedup.tokens(col(textCol)))
-    val grams = transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => array_join(slice(toks, i, lit(n)), " "))
+    // fused gram kernel — see duplicateSpans
+    val grams = graft.functions.GramStrings.occurrences(
+      preToks.getOrElse(col(textCol)), n)
     val gramKey =
       if (fingerprint) unhex(md5(col("_gram_str"))) else col("_gram_str")
     val g = df.select(col(idCol), explode(grams).as("_gram_str"))

@@ -48,16 +48,20 @@ object Dedup {
   def tokensCased(text: Column): Column =
     filter(split(text, WS), t => t =!= "")
 
-  /** Distinct word n-gram shingles ("a b c" word windows). */
-  def shingles(text: Column, n: Int): Column = shinglesFrom(tokens(text), n)
+  /** Distinct word n-gram shingles ("a b c" word windows). Fused
+    * kernel (r18): tokenize + window + join + distinct in one codegen
+    * pass — bit-equal to
+    * `array_distinct(transform(sequence(1, greatest(size(toks)-(n-1),1)),
+    *   i -> array_join(slice(toks, i, n), " ")))` over [[tokens]]
+    * (GramStringsSpec pins the equivalence), without the interpreted
+    * HOF chain's per-gram slice/lambda allocations. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.GramStrings.distinctGrams(text, n)
 
   /** [[shingles]] over a PRE-TOKENIZED array (the curation compiler's
     * shared `_toks` column — skips re-splitting the text). */
-  def shinglesFrom(toks: Column, n: Int): Column = {
-    val grams = transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => array_join(slice(toks, i, lit(n)), " "))
-    array_distinct(grams)
-  }
+  def shinglesFrom(toks: Column, n: Int): Column =
+    graft.functions.GramStrings.distinctGrams(toks, n)
 
   /** Distinct SKIP-distance n-gram shingles: the gram at position i
     * samples tokens i, i+skip, …, i+(n-1)·skip — contiguous n-grams are

@@ -378,12 +378,13 @@ object TextOps {
     // whose chars covered 100% of the doc — every 1-token doc read as
     // maximally repetitive and auto-failed the gate (paper semantics:
     // no n-grams exist → coverage 0)
+    // fused gram kernel (r18, GramStrings exactTail mode — bit-equal to
+    // the guarded transform/slice/array_join chain, GramStringsSpec);
+    // only the struct tag remains a (now trivial) per-element lambda
     def gramsOf(n: Int): Column =
-      when(size(col("_t")) >= n,
-        transform(sequence(lit(1), size(col("_t")) - (n - 1)),
-          i => struct(lit(n).as("n"),
-            array_join(slice(col("_t"), i, lit(n)), " ").as("gram"))))
-        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+      transform(
+        graft.functions.GramStrings.exact(col("_t"), n),
+        g => struct(lit(n).as("n"), g.as("gram")))
     // explode_OUTER + coalesced aggregates: a doc too short for an
     // n-gram family has coverage 0 and must PASS the gate with a real
     // verdict row — uncoalesced, top2/top3 were NULL for 1-2-token docs

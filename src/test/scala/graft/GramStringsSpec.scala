@@ -1,0 +1,123 @@
+package graft
+
+import graft.ml.Dedup
+import graft.functions.GramStrings
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the fused [[graft.functions.GramStrings]] kernel (round 18)
+  * bit-for-bit to the declarative gram chain it replaced in
+  * duplicateSpans / shinglesFrom / massiveTextRepetition — the chain is
+  * re-spelled HERE so the old semantics stay executable after the
+  * product call sites swapped to the kernel. */
+class GramStringsSpec extends AnyFunSuite {
+
+  lazy val spark: org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  import spark.implicits._
+
+  // the pre-round-18 declarative spellings, verbatim
+  private def declTokens(text: org.apache.spark.sql.Column) =
+    filter(split(lower(text), Dedup.WS), t => t =!= "")
+  private def declGrams(toks: org.apache.spark.sql.Column, n: Int) =
+    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+  private def declExact(toks: org.apache.spark.sql.Column, n: Int) =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  private val docs = Seq(
+    "alpha beta gamma delta epsilon zeta",
+    "  leading\tand\n trailing   whitespace\f runs \r here  ",
+    "MiXeD CaSe TOKENS lower",
+    "one two",              // shorter than n for n >= 3
+    "single",               // one token
+    "   \t\n  ",            // whitespace-only → zero tokens
+    "",                     // empty text → zero tokens
+    "dup dup dup dup dup",  // repeated grams (distinct mode)
+    null.asInstanceOf[String] // null text
+  ).toDF("text")
+
+  private def assertSame(a: org.apache.spark.sql.DataFrame,
+                         b: org.apache.spark.sql.DataFrame,
+                         what: String): Unit = {
+    val ra = a.collect().map(_.toSeq).toSeq
+    val rb = b.collect().map(_.toSeq).toSeq
+    assert(ra == rb, s"$what diverged:\nkernel   = $ra\ndeclared = $rb")
+  }
+
+  test("occurrences over text == declarative tokens+grams chain") {
+    for (n <- Seq(1, 2, 3, 20)) {
+      assertSame(
+        docs.select(GramStrings.occurrences(col("text"), n).as("g")),
+        docs.select(declGrams(declTokens(col("text")), n).as("g")),
+        s"occurrences(text, n=$n)")
+    }
+  }
+
+  test("occurrences over a pre-tokenized array == declarative grams") {
+    for (n <- Seq(2, 5)) {
+      val toked = docs.select(declTokens(col("text")).as("toks"))
+      assertSame(
+        toked.select(GramStrings.occurrences(col("toks"), n).as("g")),
+        toked.select(declGrams(col("toks"), n).as("g")),
+        s"occurrences(array, n=$n)")
+    }
+  }
+
+  test("array input with NULL elements matches array_join null-skip") {
+    val arr = Seq(Seq[String]("a", null, "b", "c")).toDF("toks")
+    assertSame(
+      arr.select(GramStrings.occurrences(col("toks"), 2).as("g")),
+      arr.select(declGrams(col("toks"), 2).as("g")),
+      "null-element windows")
+  }
+
+  test("distinct mode == array_distinct of the declarative chain (shinglesFrom)") {
+    for (n <- Seq(1, 3)) {
+      assertSame(
+        docs.select(GramStrings.distinctGrams(col("text"), n).as("g")),
+        docs.select(array_distinct(declGrams(declTokens(col("text")), n)).as("g")),
+        s"distinct(n=$n)")
+      val toked = docs.select(declTokens(col("text")).as("toks"))
+      assertSame(
+        toked.select(GramStrings.distinctGrams(col("toks"), n).as("g")),
+        toked.select(array_distinct(declGrams(col("toks"), n)).as("g")),
+        s"distinct(array, n=$n)")
+    }
+  }
+
+  test("exactTail mode == massiveTextRepetition's guarded chain") {
+    for (n <- Seq(1, 2, 3, 5)) {
+      val toked = docs.select(declTokens(col("text")).as("toks"))
+      assertSame(
+        toked.select(GramStrings.exact(col("toks"), n).as("g")),
+        toked.select(declExact(col("toks"), n).as("g")),
+        s"exactTail(n=$n)")
+    }
+  }
+
+  test("kernel survives explode + md5 fingerprint (the q130 shape)") {
+    // end-to-end mini duplicate-spans: same winner/stale counts both ways
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z a b"))
+      .toDF("doc_id", "text")
+    def spans(grams: org.apache.spark.sql.Column) = {
+      val g = d.select(col("doc_id"), explode(grams).as("gram"))
+      val win = g.groupBy("gram").agg(min("doc_id").as("wdoc"))
+      g.join(win, "gram").groupBy("doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("wdoc") < col("doc_id"), 1L).otherwise(0L)).as("stale"))
+        .orderBy("doc_id")
+    }
+    assertSame(
+      spans(GramStrings.occurrences(col("text"), 3)),
+      spans(declGrams(declTokens(col("text")), 3)),
+      "mini duplicate-spans")
+  }
+}
