@@ -88,7 +88,7 @@ object QProfile {
           val det = ss.map(s =>
             f"s${s.id}[${s.tasks}t ${s.wallMs}ms task=${s.taskMs}ms " +
               f"in=${s.input / 1024}K sr=${s.shRead / 1024}K " +
-              f"sw=${s.shWrite / 1024}K]").mkString(" ")
+              f"sw=${s.shWrite / 1024}K ${s.name}]").mkString(" ")
           println(f"  job ${j.id}%3d ${j.wallMs}%5d ms  $det")
         }
       }

@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The bigram-LM occurrence stream of
+  * [[graft.ml.TextOps.bigramLmScore]] in ONE codegen pass (r18):
+  * per bigram position i emits
+  * `struct(w1h = xxhash64(tok_i), gh = xxhash64(tok_i, tok_{i+1}))`,
+  * exactly the declarative
+  * `when(n >= 2, transform(sequence(1, n-1), i ->
+  *    struct(xxhash64(element_at(t,i)),
+  *           xxhash64(element_at(t,i), element_at(t,i+1)))))
+  *  .otherwise(empty)` — which evaluated an interpreted lambda plus
+  * three interpreted hash expressions per bigram (q151's dominant
+  * single-task CPU leg). Hash identities used (Spark's XxHash64
+  * semantics): seed 42; a multi-child hash chains the running value as
+  * the next child's seed; a NULL child leaves the running value
+  * unchanged. So w1h_i = hash(tok_i, 42) is computed once per token
+  * and gh_i = hash(tok_{i+1}, w1h_i) reuses it — one XXH64 per token
+  * plus one per bigram, vs three per bigram interpreted.
+  *
+  * Accepts STRING (fused Dedup.tokens tokenization: lowercase → WS
+  * split → drop empties) or ARRAY<STRING> (the materialized `_t`
+  * column). NULL input and docs with fewer than 2 tokens yield an
+  * EMPTY array (the `when` guard is null-falsy), never null —
+  * BigramHashesSpec pins all of it against the re-spelled chain. */
+case class BigramHashes(child: Expression)
+    extends UnaryExpression {
+
+  private def isArrayInput: Boolean = child.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bigram_hashes expects STRING or ARRAY<STRING>, got $other")
+    }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("w1h", LongType, nullable = false),
+      StructField("gh", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  private val SEED = 42L
+
+  private def hashTok(t: UTF8String, seed: Long): Long =
+    if (t == null) seed else XXH64.hashUTF8String(t, seed)
+
+  def bigramsOfText(input: UTF8String): ArrayData = {
+    if (input == null) return new GenericArrayData(Array.empty[Any])
+    val toks = graft.ml.Dedup.WS_PATTERN
+      .split(input.toLowerCase.toString, -1).filter(_.nonEmpty)
+    val n = toks.length
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var h = XXH64.hashUTF8String(UTF8String.fromString(toks(0)), SEED)
+    var i = 0
+    while (i < n - 1) {
+      val u = UTF8String.fromString(toks(i + 1))
+      val next = XXH64.hashUTF8String(u, SEED)
+      // gh = hash(tok_{i+1}, seed = w1h_i) — the chained-seed identity
+      val gh = XXH64.hashUTF8String(u, h)
+      out(i) = new GenericInternalRow(Array[Any](h, gh))
+      h = next
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def bigramsOfArray(input: ArrayData): ArrayData = {
+    if (input == null) return new GenericArrayData(Array.empty[Any])
+    val n = input.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var h = hashTok(input.getUTF8String(0), SEED)
+    var i = 0
+    while (i < n - 1) {
+      val t1 = input.getUTF8String(i + 1)
+      val next = hashTok(t1, SEED)
+      val gh = hashTok(t1, h)
+      out(i) = new GenericInternalRow(Array[Any](h, gh))
+      h = next
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (isArrayInput) bigramsOfArray(v.asInstanceOf[ArrayData])
+    else bigramsOfText(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("bigramHashes", this, classOf[BigramHashes].getName)
+    val c = child.genCode(ctx)
+    val call = if (isArrayInput) "bigramsOfArray" else "bigramsOfText"
+    val javaType =
+      org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        $javaType ${ev.value} = $ref.$call(${c.isNull} ? null : ${c.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramHashes =
+    copy(child = newChild)
+  override def prettyName: String = "bigram_hashes"
+}
+
+object BigramHashes {
+  def apply(c: Column): Column =
+    GraftBridge.column(BigramHashes(GraftBridge.expression(c)))
+}

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-word-set token hit counts in ONE pass (r18): for each of the
+  * given word sets, how many tokens (duplicates counted) are members —
+  * exactly `size(filter(toks, t -> t.isin(words)))` per set, which
+  * [[graft.ml.TextOps.langId]] evaluated as five separate interpreted
+  * ArrayFilter lambdas over the token array (and stopwordRatio as a
+  * sixth). One HashMap lookup per token replaces |sets| interpreted
+  * filter passes; membership compares UTF8String binary equality, the
+  * same comparison `In` performs.
+  *
+  * NULL tokens never match (isin over null is null-falsy); a NULL
+  * token ARRAY yields null (size(filter(null)) is null) — the
+  * declarative null flow, pinned by StopwordProfileSpec. Output is
+  * array<int> aligned with `sets`. */
+case class StopwordProfile(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression {
+  require(sets.nonEmpty, "StopwordProfile: at least one word set")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"stopword_profile expects ARRAY<STRING>, got $other")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  // word → indexes of the sets containing it (a word may sit in
+  // several languages' tables)
+  @transient private lazy val members: java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    sets.zipWithIndex.foreach { case (ws, i) =>
+      ws.foreach { w =>
+        val u = UTF8String.fromString(w)
+        val prev = m.get(u)
+        m.put(u, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+
+  def profileOf(toks: ArrayData): GenericArrayData = {
+    val counts = new Array[Int](sets.size)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        val hit = members.get(t)
+        if (hit != null) {
+          var j = 0
+          while (j < hit.length) { counts(hit(j)) += 1; j += 1 }
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](counts.length)
+    var k = 0
+    while (k < counts.length) { out(k) = counts(k); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    profileOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwordProfile", this,
+      classOf[StopwordProfile].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.profileOf($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordProfile =
+    copy(child = newChild)
+  override def prettyName: String = "stopword_profile"
+}
+
+object StopwordProfile {
+  def apply(toks: Column, sets: Seq[Seq[String]]): Column =
+    GraftBridge.column(StopwordProfile(GraftBridge.expression(toks), sets))
+}

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Whitespace tokenization in ONE codegen pass (r18, guide §1.2
+  * "per-task work"): the declarative
+  * `filter(split(lower(text), WS), t -> t != "")` chain evaluates an
+  * interpreted ArrayFilter lambda per token on every call site — and
+  * `Dedup.tokens` sits under every text operator (gates, LM scoring,
+  * langId, token counts, the curation compiler's shared `_toks`
+  * column), so the corpus pays it once per consumer leg. This kernel
+  * is the loop ShingleHash/GramStrings already run internally, exposed
+  * as the token array itself: lowercase (optional) → split on the
+  * [[graft.ml.Dedup.WS]] class → drop empty tokens.
+  *
+  * Bit-equal to the declarative chain (TokensKernelSpec): null text →
+  * null; empty/whitespace-only text → empty array;
+  * `UTF8String.toLowerCase` is Spark's own `lower()`. */
+case class Tokens(child: Expression, lowercase: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"tokens expects STRING, got $other")
+    }
+
+  // element nullability mirrors the declarative chain (split's element
+  // type is nullable even though tokens never are)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  def tokensOf(input: UTF8String): GenericArrayData = {
+    val s = (if (lowercase) input.toLowerCase else input).toString
+    // limit -1 keeps trailing empties for the filter to see — the
+    // ShingleHash reasoning; split's default would drop only trailing
+    // empties and leading/inner phantoms would survive unfiltered
+    val parts = graft.ml.Dedup.WS_PATTERN.split(s, -1)
+    var n = 0
+    var i = 0
+    while (i < parts.length) { if (parts(i).nonEmpty) n += 1; i += 1 }
+    val out = new Array[Any](n)
+    var k = 0
+    i = 0
+    while (i < parts.length) {
+      if (parts(i).nonEmpty) { out(k) = UTF8String.fromString(parts(i)); k += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    tokensOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokens", this, classOf[Tokens].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.tokensOf($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Tokens =
+    copy(child = newChild)
+  override def prettyName: String = "tokens_ws"
+}
+
+object Tokens {
+  def lower(c: Column): Column =
+    GraftBridge.column(Tokens(GraftBridge.expression(c), lowercase = true))
+  def cased(c: Column): Column =
+    GraftBridge.column(Tokens(GraftBridge.expression(c), lowercase = false))
+}

@@ -38,15 +38,16 @@ object Dedup {
     * spaces, leading/trailing whitespace) tokenizes sanely — "a  b\nc"
     * is 3 tokens, not 4 with a phantom "". The whole gram family
     * (shingles, MinHash, SimHash, Gopher/CCNet gates, spans) sits on
-    * this. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), WS), t => t =!= "")
+    * this. Fused kernel (r18): one codegen pass, bit-equal to
+    * `filter(split(lower(text), WS), t -> t != "")` — the declarative
+    * chain paid an interpreted ArrayFilter lambda per token at every
+    * call site (TokensKernelSpec pins the equivalence). */
+  def tokens(text: Column): Column = graft.functions.Tokens.lower(text)
 
   /** Case-preserving whitespace tokens (same split-and-drop-empties
     * contract as [[tokens]]) — for token counting, packing, chunk
     * reassembly, anywhere original casing must survive. */
-  def tokensCased(text: Column): Column =
-    filter(split(text, WS), t => t =!= "")
+  def tokensCased(text: Column): Column = graft.functions.Tokens.cased(text)
 
   /** Distinct word n-gram shingles ("a b c" word windows). Fused
     * kernel (r18): tokenize + window + join + distinct in one codegen

@@ -56,12 +56,11 @@ object TextOps {
     * subexpression-eliminated). */
   def stopwordHits(text: Column, words: Seq[String],
                    toks: Option[Column] = None): Column =
-    size(array_intersect_keepdup(toks.getOrElse(Dedup.tokens(text)), words))
-
-  // filter-based count (keeps duplicates — a stopword used twice counts
-  // twice, matching the usual quality-score definition)
-  private def array_intersect_keepdup(toks: Column, words: Seq[String]): Column =
-    filter(toks, t => t.isin(words.map(w => lit(w): Any): _*))
+    // fused kernel (r18): one map-lookup pass, duplicates counted —
+    // bit-equal to size(filter(toks, t -> t.isin(words))) including
+    // the null flow (StopwordProfileSpec)
+    get(graft.functions.StopwordProfile(
+      toks.getOrElse(Dedup.tokens(text)), Seq(words)), lit(0))
 
   /** Stopword ratio for one language's table. */
   def stopwordRatio(text: Column, lang: String = "en"): Column =
@@ -75,8 +74,13 @@ object TextOps {
     * array_max on (hits, -priority, lang) structs — field-order compare. */
   def langId(text: Column, toks: Option[Column] = None): Column = {
     val langs = stopwords.keys.toSeq.sorted
+    // ONE fused profile pass counts every language's hits (r18) —
+    // previously five separate interpreted filter chains, each
+    // re-tokenizing when no shared token column was passed
+    val prof = graft.functions.StopwordProfile(
+      toks.getOrElse(Dedup.tokens(text)), langs.map(stopwords))
     val scored = langs.zipWithIndex.map { case (lang, i) =>
-      struct(stopwordHits(text, stopwords(lang), toks).as("hits"),
+      struct(get(prof, lit(i)).as("hits"),
         lit(-i).as("pri"), lit(lang).as("lang"))
     }
     val best = array_max(array(scored: _*))
@@ -199,13 +203,12 @@ object TextOps {
     val base = df.select(col(idCol),
       toks.getOrElse(Dedup.tokens(col(textCol))).as("_t"))
       .withColumn("_n", size(col("_t")))
+    // fused kernel (r18): one pass emitting (w1h, gh) per bigram —
+    // bit-equal to the interpreted transform/element_at/xxhash64 chain
+    // (BigramHashesSpec), one XXH64 per token + one per bigram instead
+    // of three interpreted hash evals per bigram
     val occ = base.select(col(idCol),
-      explode(when(col("_n") >= 2,
-        transform(sequence(lit(1), col("_n") - 1),
-          i => struct(xxhash64(element_at(col("_t"), i)).as("w1h"),
-            xxhash64(element_at(col("_t"), i),
-              element_at(col("_t"), i + 1)).as("gh"))))
-        .otherwise(array().cast("array<struct<w1h:bigint,gh:bigint>>"))).as("_o"))
+      explode(graft.functions.BigramHashes(col("_t"))).as("_o"))
       .select(col(idCol), col("_o.w1h").as("w1h"), col("_o.gh").as("gh"))
     val uni = base.select(explode(col("_t")).as("w"))
       .select(xxhash64(col("w")).as("w1h"))

@@ -1,0 +1,114 @@
+package graft
+
+import graft.ml.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the round-18 fused text kernels — [[graft.functions.Tokens]],
+  * [[graft.functions.BigramHashes]], [[graft.functions.StopwordProfile]]
+  * — bit-for-bit to the declarative chains they replaced (re-spelled
+  * here verbatim so the old semantics stay executable). */
+class TokensKernelSpec extends AnyFunSuite {
+
+  lazy val spark: org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  import spark.implicits._
+
+  // pre-r18 declarative spellings, verbatim
+  private def declTokens(text: org.apache.spark.sql.Column) =
+    filter(split(lower(text), Dedup.WS), t => t =!= "")
+  private def declTokensCased(text: org.apache.spark.sql.Column) =
+    filter(split(text, Dedup.WS), t => t =!= "")
+  private def declBigrams(t: org.apache.spark.sql.Column) = {
+    val n = size(t)
+    when(n >= 2,
+      transform(sequence(lit(1), n - 1),
+        i => struct(xxhash64(element_at(t, i)).as("w1h"),
+          xxhash64(element_at(t, i), element_at(t, i + 1)).as("gh"))))
+      .otherwise(array().cast("array<struct<w1h:bigint,gh:bigint>>"))
+  }
+  private def declHits(toks: org.apache.spark.sql.Column, words: Seq[String]) =
+    size(filter(toks, t => t.isin(words.map(w => lit(w): Any): _*)))
+
+  private val docs = Seq(
+    "The quick brown Fox jumps over the lazy dog the end",
+    "  Mixed \t CASE\n tokens  here  ",
+    "one",
+    "el la de que y en un los de la",
+    "   \t\n  ",
+    "",
+    null.asInstanceOf[String]
+  ).toDF("text")
+
+  private def assertSame(a: org.apache.spark.sql.DataFrame,
+                         b: org.apache.spark.sql.DataFrame,
+                         what: String): Unit = {
+    val ra = a.collect().map(_.toSeq).toSeq
+    val rb = b.collect().map(_.toSeq).toSeq
+    assert(ra == rb, s"$what diverged:\nkernel   = $ra\ndeclared = $rb")
+  }
+
+  test("Tokens (lowercased) == filter(split(lower(text), WS))") {
+    assertSame(
+      docs.select(Dedup.tokens(col("text")).as("t")),
+      docs.select(declTokens(col("text")).as("t")),
+      "tokens")
+  }
+
+  test("Tokens (cased) == filter(split(text, WS))") {
+    assertSame(
+      docs.select(Dedup.tokensCased(col("text")).as("t")),
+      docs.select(declTokensCased(col("text")).as("t")),
+      "tokensCased")
+  }
+
+  test("BigramHashes == the xxhash64 transform chain, both input types") {
+    assertSame(
+      docs.select(graft.functions.BigramHashes(col("text")).as("b")),
+      docs.select(declBigrams(declTokens(col("text"))).as("b")),
+      "bigrams(text)")
+    val toked = docs.select(declTokens(col("text")).as("toks"))
+    assertSame(
+      toked.select(graft.functions.BigramHashes(col("toks")).as("b")),
+      toked.select(declBigrams(col("toks")).as("b")),
+      "bigrams(array)")
+  }
+
+  test("BigramHashes on a null token array is empty like the when-guard") {
+    val d = Seq((1L, null.asInstanceOf[Seq[String]]), (2L, Seq("a", "b", "a")))
+      .toDF("id", "toks")
+    assertSame(
+      d.select(graft.functions.BigramHashes(col("toks")).as("b")),
+      d.select(declBigrams(col("toks")).as("b")),
+      "bigrams(null array)")
+  }
+
+  test("StopwordProfile single set == size(filter(isin)) incl. null flow") {
+    val words = graft.ml.TextOps.stopwords("en")
+    assertSame(
+      docs.select(graft.ml.TextOps.stopwordHits(col("text"), words).as("h")),
+      docs.select(declHits(declTokens(col("text")), words).as("h")),
+      "stopwordHits")
+  }
+
+  test("langId over the fused profile == the per-language filter spelling") {
+    def declLangId(text: org.apache.spark.sql.Column) = {
+      val langs = graft.ml.TextOps.stopwords.keys.toSeq.sorted
+      val scored = langs.zipWithIndex.map { case (lang, i) =>
+        struct(declHits(declTokens(text),
+          graft.ml.TextOps.stopwords(lang)).as("hits"),
+          lit(-i).as("pri"), lit(lang).as("lang"))
+      }
+      val best = array_max(array(scored: _*))
+      when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    }
+    assertSame(
+      docs.select(graft.ml.TextOps.langId(col("text")).as("l")),
+      docs.select(declLangId(col("text")).as("l")),
+      "langId")
+  }
+}
