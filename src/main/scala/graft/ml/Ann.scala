@@ -613,7 +613,22 @@ object Ann {
     * prototypicality input of [[prototypePrune]]. */
   private[graft] def assignClustersD2(df: DataFrame, idCol: String,
                                       vecCol: String,
-                                      cents: DataFrame): DataFrame = {
+                                      cents: DataFrame): DataFrame =
+    assignClustersD2With(df, idCol, vecCol, cents, Nil)
+      .select(col("vid"), col("cid"), col("d2"))
+
+  /** The assignment computed INLINE with caller payload columns (r18,
+    * guide §2.4 "remove shuffles outright"): semDedup/semdedupIndex/
+    * kmeansQuantized used to compute `assignClusters` separately and
+    * JOIN it back to the corpus on vid — a full corpus-keyed exchange
+    * (per Lloyd iteration, in kmeans' case) that exists only to attach
+    * a cid the map-only kernel can produce in the same projection.
+    * Returns (vid, payload..., _v6, cid, d2); row set and every value
+    * are identical to the former join (inner join on the unique vid =
+    * exactly the guard-surviving rows). */
+  private[graft] def assignClustersD2With(df: DataFrame, idCol: String,
+                                          vecCol: String, cents: DataFrame,
+                                          payload: Seq[Column]): DataFrame = {
     val perCid = cents
       .select(col("cid"), struct(col("pos"), col("ce6")).as("_pc"))
       .groupBy(col("cid"))
@@ -622,9 +637,9 @@ object Ann {
     val centsArr = perCid
       .agg(sort_array(collect_list(struct(col("cid"), col("_cv6"))))
         .as("_qcents"))
-    val q = df.select(col(idCol).as("vid"),
+    val q = df.select((col(idCol).as("vid") +: payload) :+
       transform(col(vecCol),
-        x => round(x.cast("double") * 1e6).cast("long")).as("_v6"))
+        x => round(x.cast("double") * 1e6).cast("long")).as("_v6"): _*)
     // the empty-centroids guard lives on the BROADCAST side (one row →
     // zero rows → the join yields nothing, the old behavior): a
     // left-side filter on the kernel's sentinel references both join
@@ -638,10 +653,11 @@ object Ann {
     // maximally prototypical); filter BEFORE the kernel to keep the
     // old drop semantics
     val qq = q.filter(col("_v6").isNotNull && size(col("_v6")) > 0)
+    val keep = q.columns.map(col).toSeq
     attachOne(qq, centsArr.filter(size(col("_qcents")) > 0))
-      .select(col("vid"),
-        graft.functions.ArgMinIntL2(col("_v6"), col("_qcents")).as("_m"))
-      .select(col("vid"), col("_m.cid").as("cid"), col("_m.d2").as("d2"))
+      .select(keep :+
+        graft.functions.ArgMinIntL2(col("_v6"), col("_qcents")).as("_m"): _*)
+      .select(keep :+ col("_m.cid").as("cid") :+ col("_m.d2").as("d2"): _*)
   }
 
   /** Distributed Lloyd k-means over QUANTIZED coordinates — the trained-
@@ -650,28 +666,36 @@ object Ann {
     * of partitioning and engine: coordinates round to 1e-6 units up
     * front, distances are integer squared-L2 with ties broken by
     * centroid id, and centroid updates are floor(intSum / count).
-    * Per iteration (r17): assignment is the MAP-ONLY native kernel
-    * ([[assignClusters]] — bit-identical to the former exploded
-    * (vid,cid) aggregation, see its scaladoc), so the only per-pass
-    * exchanges are the (vid) join feeding the update and the (cid,pos)
-    * update aggregation — the former corpus×k assignment shuffle per
-    * iteration is gone. No driver-side state; the centroid table is
-    * k×dim rows, localCheckpointed per pass to stop plan growth with
-    * superseded snapshots unpersisted. Empty clusters keep their
-    * previous centroid. Returns (cid, pos, ce6). */
+    * Per iteration (r17/r18): assignment is the MAP-ONLY native kernel
+    * computed INLINE with the update ([[assignClustersD2With]] — r18
+    * removed the (vid) join that used to attach it to a persisted
+    * coordinate explosion), so the only per-pass exchange is the
+    * bounded (cid,pos) update aggregation with map-side partial sums —
+    * nothing corpus-keyed crosses the network per Lloyd pass at all.
+    * No driver-side state; the centroid table is k×dim rows,
+    * localCheckpointed per pass to stop plan growth with superseded
+    * snapshots unpersisted. Empty clusters keep their previous
+    * centroid. Returns (cid, pos, ce6). */
   def kmeansQuantized(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int): DataFrame = {
-    val v = df
-      .select(col(idCol).as("vid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .select(col("vid"), col("pos"),
-        round(col("x").cast("double") * 1e6).cast("long").as("xe6"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cents = v.filter(col("vid") < k)
-      .select(col("vid").cast("int").as("cid"), col("pos"), col("xe6").as("ce6"))
+    var cents = df.filter(col(idCol) < k)
+      .select(col(idCol).cast("int").as("cid"),
+        posexplode(transform(col(vecCol),
+          x => round(x.cast("double") * 1e6).cast("long"))).as(Seq("pos", "ce6")))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val assign = assignClusters(df, idCol, vecCol, cents)
-      val updated = v.join(assign, "vid")
+      // r18 (guide §2.4): assignment and update fused into ONE map-only
+      // pass — the former spelling computed assignClusters separately
+      // and JOINED it back to a persisted (vid, pos, xe6) explosion of
+      // the corpus, i.e. a corpus×dim vid-keyed exchange per Lloyd
+      // iteration. The quantized coordinates are deterministic, so
+      // re-deriving them per pass costs one corpus scan (which the
+      // assignment leg already paid) and the only remaining exchange
+      // is the bounded (cid, pos) update aggregation with map-side
+      // partial sums; integer sums are order-independent, so centroids
+      // are bit-identical to the join spelling.
+      val updated = assignClustersD2With(df, idCol, vecCol, cents, Nil)
+        .select(col("cid"), posexplode(col("_v6")).as(Seq("pos", "xe6")))
         .groupBy(col("cid"), col("pos"))
         .agg(floor(sum(col("xe6")).cast("double") / count(lit(1)))
           .cast("long").as("ce6new"))
@@ -682,7 +706,6 @@ object Ann {
       CheckpointUtil.unpersistCheckpoint(cents)
       cents = next
     }
-    v.unpersist(blocking = false)
     cents
   }
 

@@ -746,8 +746,17 @@ object Dedup {
     // executor-local storage and replaces the plan with the RDD scan;
     // on a long-lived cluster job swap in checkpoint() on reliable
     // storage if executor loss during the loop matters.
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Init with least(node, min neighbor) — exactly the neighbor-min
+    // state after the old `label = node` init's first pass, for the
+    // same one aggregation over edges the node-distinct init cost
+    // (every node appears as u since edges are symmetrized). Min-label
+    // propagation is monotone toward its unique fixpoint from any
+    // per-node upper bound, so the loop converges to identical labels
+    // one pass earlier (r18: each saved pass is a join+agg+checkpoint
+    // driver round; cliques — the LSH case — now converge in 1).
+    var labels = edges.groupBy(col("u").as("node"))
+      .agg(min(col("v")).as("_mn"))
+      .select(col("node"), least(col("node"), col("_mn")).as("label"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
@@ -817,18 +826,20 @@ object Dedup {
     require(tau > 0, "semDedup: tau must be positive (cos >= tau with " +
       "tau <= 0 would pair everything in a cluster)")
     val cents = Ann.kmeansQuantized(df, idCol, vecCol, k, iters)
-    val assign = Ann.assignClusters(df, idCol, vecCol, cents)
     // squared norm ONCE per vector, and persist: the self-join reads
     // this subtree (scan + assignment window) from both sides, and the
     // higher-order dot-product expressions are interpreted, not
     // codegen'd — the pairwise stage must pay exactly one array fold
     // per pair, not three (dot + both norms rebuilt per pair is 3× the
     // interpreter cost; measured 38 s → ~13 s on the sf0.1 sweep).
-    val vecs = df
-      .select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("ve"))
-      .withColumn("n2",
-        graft.functions.VecDot(col("ve"), col("ve")))
-      .join(assign, "vid")
+    // r18 (guide §2.4): the cid is computed INLINE with the payload
+    // (assignClustersD2With) — the former separate assignClusters +
+    // vid join shuffled the corpus once just to attach a map-only
+    // column; row set and values are identical by construction.
+    val vecs = Ann.assignClustersD2With(df, idCol, vecCol, cents,
+        Seq(col(vecCol).cast("array<double>").as("ve")))
+      .withColumn("n2", graft.functions.VecDot(col("ve"), col("ve")))
+      .select(col("vid"), col("ve"), col("n2"), col("cid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // LOUD guard on the k-scaling rule: within-cluster pairs grow as
     // (N/k)² per cluster, so a fixed k on a growing corpus is quadratic
@@ -918,10 +929,11 @@ object Dedup {
     * the given centroids. Land with `.write.parquet(...)`. */
   def semdedupIndex(df: DataFrame, idCol: String, vecCol: String,
                     cents: DataFrame): DataFrame =
-    df.select(col(idCol).as("vid"),
-        col(vecCol).cast("array<double>").as("ve"))
+    // inline assignment (r18) — see semDedup's vecs
+    Ann.assignClustersD2With(df, idCol, vecCol, cents,
+        Seq(col(vecCol).cast("array<double>").as("ve")))
       .withColumn("n2", graft.functions.VecDot(col("ve"), col("ve")))
-      .join(Ann.assignClusters(df, idCol, vecCol, cents), "vid")
+      .select(col("vid"), col("ve"), col("n2"), col("cid"))
 
   /** Next-run SemDeDup member index: previous members ∪ this run's
     * kept docs assigned to the SAME centroids (disjoint ids across
@@ -974,11 +986,11 @@ object Dedup {
                       tau: Double,
                       maxAvgClusterSize: Long = 10000L): DataFrame = {
     require(tau > 0, "semDedupAgainst: tau must be positive")
-    val assign = Ann.assignClusters(df, idCol, vecCol, cents)
-    val vecs = df
-      .select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("ve"))
+    // inline assignment (r18) — see semDedup's vecs
+    val vecs = Ann.assignClustersD2With(df, idCol, vecCol, cents,
+        Seq(col(vecCol).cast("array<double>").as("ve")))
       .withColumn("n2", graft.functions.VecDot(col("ve"), col("ve")))
-      .join(assign, "vid")
+      .select(col("vid"), col("ve"), col("n2"), col("cid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // LOUD guard, same rule as the batch path (semDedup): the
     // within-batch pairwise leg grows as (N_batch/k)² per cluster, and
