@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-18 decomposition probe for the persisted-ANN-index queries
+  * (q144/q147/q148/q150): times each leg — index BUILD write, APPEND
+  * write, PROBE read — separately and counts the parquet files each
+  * write produced (guide §6: small-file commit overhead is driver-side
+  * wall time that job metrics don't show).
+  * `sbt "runMain graft.AnnIndexProbe [sfDir] [reps]"` */
+object AnnIndexProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = Tables(spark, sfDir, "embeddings")
+    def files(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isFile) (if (f.getName.endsWith(".parquet")) 1 else 0)
+        else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0)
+      walk(new java.io.File(p))
+    }
+    def t(label: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"ANNIDX $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.3f s")
+    }
+
+    for (rep <- 1 to reps) {
+      println(s"--- rep $rep")
+      val out = TempDirs.create("graft_annidx_probe")
+      val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+      t("ivfpq_build_write") {
+        graft.ml.Ann.ivfpqWriteIndex(
+          emb.filter(col("vec_id") =!= 0 &&
+            (col("vec_id") <= 16 || col("vec_id") % 2 === 0)),
+          "vec_id", "embedding", nCentroids = 8, m = 4, nCodes = 16, path = out)
+      }
+      println(s"ANNIDX build files: codes=${files(out + "/codes")} " +
+        s"centroids=${files(out + "/centroids")} " +
+        s"codebook=${files(out + "/codebook")}")
+      t("ivfpq_append") {
+        graft.ml.Ann.ivfpqAppendIndex(spark,
+          emb.filter(col("vec_id") > 16 && col("vec_id") % 2 === 1),
+          "vec_id", "embedding", path = out)
+      }
+      println(s"ANNIDX after append: codes=${files(out + "/codes")}")
+      t("ivfpq_probe") {
+        graft.ml.Ann.ivfpqTopKIndexed(spark, out, "vec_id", q, k = 10,
+          nProbe = 2).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -28,7 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `conv(substring(md5(tok),1,15),16,10) % mod`.
   */
 case class ShingleHash(child: Expression, n: Int, mod: Long,
-                       distinct: Boolean = true)
+                       distinct: Boolean = true,
+                       clampTail: Boolean = true)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -48,7 +49,13 @@ case class ShingleHash(child: Expression, n: Int, mod: Long,
     // would survive).
     val toks = graft.ml.Dedup.WS_PATTERN
       .split(input.toLowerCase.toString, -1).filter(_.nonEmpty)
-    val cnt = math.max(toks.length - (n - 1), 1)
+    // clampTail = the shingles contract (a doc shorter than n yields ONE
+    // truncated gram, an empty doc one "" gram — greatest(…, 1));
+    // clampTail = false is plain token/window semantics (r18, the
+    // simhash token-hash case at n = 1): an empty doc yields NO grams,
+    // matching `transform(array_distinct(tokens(text)), …)`.
+    val cnt = if (clampTail) math.max(toks.length - (n - 1), 1)
+              else math.max(toks.length - (n - 1), 0)
     val grams = new java.util.ArrayList[String](cnt)
     val seen: java.util.HashSet[String] =
       if (distinct) new java.util.HashSet[String]() else null
@@ -101,4 +108,12 @@ object ShingleHash {
   def occurrences(c: Column, n: Int, mod: Long): Column =
     GraftBridge.column(
       ShingleHash(GraftBridge.expression(c), n, mod, distinct = false))
+  /** Distinct-token 60-bit md5 hashes, NO tail clamp (r18): n = 1 with
+    * mod = 2^60 makes `(v >>> 4) % mod` the identity, so this is
+    * bit-equal to `transform(array_distinct(tokens(text)), tokenHash)`
+    * — including the empty doc, which yields NO hashes (the shingles
+    * contract would fabricate one "" gram). */
+  def distinctTokenHashes(c: Column): Column =
+    GraftBridge.column(ShingleHash(GraftBridge.expression(c), 1, 1L << 60,
+      distinct = true, clampTail = false))
 }

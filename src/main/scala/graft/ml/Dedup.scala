@@ -451,17 +451,23 @@ object Dedup {
   /** SimHash: per-bit majority vote over token hashes. `bits` ≤ 60 with
     * the md5 token hash (oracle-parity path); the perf path uses
     * xxhash64 with bits=64. */
-  def simhash(text: Column, bits: Int,
-              hash: Column => Column = tokenHash): Column =
-    // Hash each distinct token ONCE, then run the per-bit majority
-    // vote as ONE codegen loop (SimHashBits). The previous spelling —
-    // `bits` separate aggregate() HOF folds, each re-evaluating
-    // hash(t) per token — cost ~2 ms/row at bits=60 (q141's
-    // clean-slate 17 s at sf0.1, hidden until the r15 bench hygiene
-    // stopped sweep-leaked caches masking it). Bit-identical output,
-    // so every simhash oracle replaying per-bit SUMs is unchanged —
-    // including NULL text: the old per-bit fold summed its null-guarded
-    // whens to 0, so coalesce the expression's NULL back to 0L.
+  def simhash(text: Column, bits: Int): Column =
+    // Default md5 flavor, fully fused (r18): tokenize + distinct +
+    // tokenHash in the ShingleHash kernel at n = 1 with an identity
+    // mod (2^60) and NO tail clamp — bit-equal to
+    // `transform(array_distinct(tokens(text)), tokenHash)`, which
+    // evaluated the interpreted md5→substring→conv chain per distinct
+    // token (DedupSpec pins the equivalence). The per-bit majority
+    // vote stays the ONE codegen loop (SimHashBits, r15). NULL text:
+    // the old per-bit fold summed its null-guarded whens to 0, so
+    // coalesce the expression's NULL back to 0L.
+    coalesce(graft.functions.SimHashBits(
+      graft.functions.ShingleHash.distinctTokenHashes(text), bits), lit(0L))
+
+  /** Custom-hash SimHash flavor (e.g. xxhash64 with bits = 64 — the
+    * non-oracle perf spelling); the md5 default above is the fused
+    * kernel path. */
+  def simhash(text: Column, bits: Int, hash: Column => Column): Column =
     coalesce(graft.functions.SimHashBits(
       transform(array_distinct(tokens(text)), t => hash(t)), bits), lit(0L))
 

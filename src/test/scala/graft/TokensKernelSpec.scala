@@ -95,6 +95,16 @@ class TokensKernelSpec extends AnyFunSuite {
       "stopwordHits")
   }
 
+  test("fused simhash == the per-distinct-token tokenHash chain (incl. empty docs)") {
+    val decl = coalesce(graft.functions.SimHashBits(
+      transform(array_distinct(declTokens(col("text"))),
+        t => Dedup.tokenHash(t)), 16), lit(0L))
+    assertSame(
+      docs.select(Dedup.simhash(col("text"), 16).as("s")),
+      docs.select(decl.as("s")),
+      "simhash")
+  }
+
   test("langId over the fused profile == the per-language filter spelling") {
     def declLangId(text: org.apache.spark.sql.Column) = {
       val langs = graft.ml.TextOps.stopwords.keys.toSeq.sorted
