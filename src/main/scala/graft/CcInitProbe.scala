@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-18 A/B probe for the connectedComponents INIT change: replays
+  * the exact CC loop with both inits — `label = node` (pre-r18) vs
+  * `label = least(node, min neighbor)` (r18) — over the real q69/q145
+  * candidate-pair graphs, interleaved in one JVM, reporting passes and
+  * wall per variant. `sbt "runMain graft.CcInitProbe [sfDir] [reps]"` */
+object CcInitProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables(spark, sfDir, "documents")
+    val pairs = graft.ml.Dedup.minhashCandidates(docs, "doc_id", "text",
+      shingleN = 3, k = 9, bands = 3, rows = 3)
+      .localCheckpoint(true) // freeze the input so only the CC loop is timed
+
+    def cc(initMinNbr: Boolean): (Int, Long) = {
+      val e0 = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      val edges = e0.union(e0.select(col("v"), col("u")).toDF("u", "v")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels =
+        if (initMinNbr)
+          edges.groupBy(col("u").as("node")).agg(min(col("v")).as("_mn"))
+            .select(col("node"), least(col("node"), col("_mn")).as("label"))
+            .localCheckpoint(true)
+        else
+          edges.select(col("u").as("node")).distinct()
+            .withColumn("label", col("node")).localCheckpoint(true)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < 20) {
+        val viaNeighbors = edges
+          .join(labels, edges("v") === labels("node"))
+          .groupBy(col("u").as("node")).agg(min(col("label")).as("_nl"))
+        val l1 = labels.join(viaNeighbors, "node")
+          .select(col("node"), col("label"),
+            least(col("label"), col("_nl")).as("_l1"))
+        val ptr = l1.select(col("node").as("pnode"), col("_l1").as("plabel"))
+        val obs = new org.apache.spark.sql.Observation()
+        val next = l1.join(ptr, l1("_l1") === ptr("pnode"), "left")
+          .select(l1("node"), l1("label"),
+            least(l1("_l1"), coalesce(col("plabel"), l1("_l1"))).as("_label2"))
+          .observe(obs, sum(when(col("_label2") =!= col("label"), 1L)
+            .otherwise(0L)).as("changed"))
+          .localCheckpoint(true)
+        converged = obs.get("changed").asInstanceOf[Long] == 0L
+        labels = next.select(col("node"), col("_label2").as("label"))
+        iter += 1
+      }
+      edges.unpersist(blocking = false)
+      val n = labels.count()
+      (iter, n)
+    }
+
+    for (variant <- Seq(false, true)) { // warm both
+      val (it, n) = cc(variant)
+      println(s"CCINIT warm init_minnbr=$variant passes=$it nodes=$n")
+    }
+    for (rep <- 1 to reps; variant <- Seq(false, true)) {
+      val t0 = System.nanoTime()
+      val (it, _) = cc(variant)
+      println(f"CCINIT rep$rep init_minnbr=$variant passes=$it " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%6.3f s")
+    }
+    spark.stop()
+  }
+}
