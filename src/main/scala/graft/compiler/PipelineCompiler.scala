@@ -5268,27 +5268,34 @@ object PipelineCompiler {
           "curation exact_dedup: keep: best is batch-mode only — the " +
             "first-kept row IS the representative on an index run; drop " +
             "keep or the index path")
-        val winners =
-          (Option(st.get("index_path")), Option(st.get("bloom_index_path")),
-            keepMode) match {
-            case (Some(_), Some(_), _) => throw new IllegalArgumentException(
-              "curation exact_dedup: choose index_path OR bloom_index_path")
-            case (Some(p), None, _) => graft.ml.Dedup.exactKeepFirstAgainst(
-              df, spark.read.parquet(p.asText()), keys, id)
-            case (None, Some(p), _) => graft.ml.Dedup.exactKeepFirstAgainstBloom(
-              df, spark.read.parquet(p.asText()), keys, id)
-            case (None, None, "best") =>
-              val qe = Option(st.get("quality_expr")).map(_.asText()).getOrElse(
-                throw new IllegalArgumentException(
-                  "curation exact_dedup: keep: best needs `quality_expr` " +
-                    "(an integer SQL expression over the row)"))
-              graft.ml.Dedup.exactKeepBest(df, keys, id, expr(qe))
-            case (None, None, "min_id") =>
-              graft.ml.Dedup.exactKeepFirst(df, keys, id)
-            case (_, _, other) => throw new IllegalArgumentException(
-              s"curation exact_dedup: keep: min_id|best, got `$other`")
-          }
-        df.join(winners.select(id), Seq(id), "left_semi")
+        // r18 (guide §2.4): the winning ROW rides the keep-first/best
+        // aggregation itself (exactKeepFirstRows/exactKeepBestRows) —
+        // the former (key, min id) winner table + left-semi join back
+        // by id cost a second corpus exchange (two at scale) purely to
+        // re-attach columns the aggregation can carry. Same survivor
+        // rows by construction (unique id decides the struct order).
+        (Option(st.get("index_path")), Option(st.get("bloom_index_path")),
+          keepMode) match {
+          case (Some(_), Some(_), _) => throw new IllegalArgumentException(
+            "curation exact_dedup: choose index_path OR bloom_index_path")
+          case (Some(p), None, _) => graft.ml.Dedup.exactKeepFirstRows(
+            df.join(spark.read.parquet(p.asText())
+              .select(keys.map(col): _*).distinct(), keys, "left_anti"),
+            keys, id)
+          case (None, Some(p), _) => graft.ml.Dedup.exactKeepFirstRows(
+            graft.ml.Dedup.bloomProbeDrop(df,
+              spark.read.parquet(p.asText()), keys), keys, id)
+          case (None, None, "best") =>
+            val qe = Option(st.get("quality_expr")).map(_.asText()).getOrElse(
+              throw new IllegalArgumentException(
+                "curation exact_dedup: keep: best needs `quality_expr` " +
+                  "(an integer SQL expression over the row)"))
+            graft.ml.Dedup.exactKeepBestRows(df, keys, id, expr(qe))
+          case (None, None, "min_id") =>
+            graft.ml.Dedup.exactKeepFirstRows(df, keys, id)
+          case (_, _, other) => throw new IllegalArgumentException(
+            s"curation exact_dedup: keep: min_id|best, got `$other`")
+        }
       case "duplicate_spans" =>
         // index_path: incremental mode — staleness vs the persisted
         // gram→first-owner winner table (duplicateSpanIndex, q139)

@@ -658,6 +658,45 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(orderCol)).as(orderCol))
 
+  /** [[exactKeepFirst]] returning the winning ROWS themselves, every
+    * input column preserved (r18, guide §2.4): the curation compiler
+    * used to compute the (key, min id) winner table and then join it
+    * back to the corpus by id to recover the surviving rows — a second
+    * corpus-wide exchange (two at scale, where the winner table is
+    * corpus-sized and the semi join shuffles both sides) whose only
+    * purpose was re-attaching columns the aggregation can carry. The
+    * row rides the min-struct: `orderCol` is unique, so it alone
+    * decides the struct comparison and the winning struct IS the
+    * first row — same survivor set, same values, one exchange.
+    * DedupSpec pins the equivalence against the join-back spelling. */
+  def exactKeepFirstRows(df: DataFrame, keyCols: Seq[String],
+                         orderCol: String): DataFrame = {
+    val others = df.columns.toSeq.filterNot(keyCols.contains)
+    require(others.contains(orderCol),
+      s"exactKeepFirstRows: orderCol $orderCol must be a non-key column")
+    val packed = df.groupBy(keyCols.map(col): _*)
+      .agg(min(struct(col(orderCol) +:
+        others.filterNot(_ == orderCol).map(col): _*)).as("_w"))
+    packed.select(df.columns.toSeq.map(c =>
+      if (keyCols.contains(c)) col(c) else col("_w." + c).as(c)): _*)
+  }
+
+  /** [[exactKeepBest]] returning the winning ROWS (r18 — see
+    * [[exactKeepFirstRows]]): max of (quality, −orderCol, row…), so
+    * quality decides, ties go to the smallest id, and the unique id
+    * means the trailing row fields never influence the comparison. */
+  def exactKeepBestRows(df: DataFrame, keyCols: Seq[String],
+                        orderCol: String, quality: Column): DataFrame = {
+    val others = df.columns.toSeq.filterNot(keyCols.contains)
+    require(others.contains(orderCol),
+      s"exactKeepBestRows: orderCol $orderCol must be a non-key column")
+    val packed = df.groupBy(keyCols.map(col): _*)
+      .agg(max(struct(quality.as("_q") +: (-col(orderCol)).as("_nid") +:
+        others.map(col): _*)).as("_w"))
+    packed.select(df.columns.toSeq.map(c =>
+      if (keyCols.contains(c)) col(c) else col("_w." + c).as(c)): _*)
+  }
+
   /** Exact dedup keeping the BEST-quality row per key instead of the
     * first — the production policy when duplicates differ in metadata
     * (e.g. the same text crawled from several URLs: keep the highest-

@@ -95,6 +95,31 @@ class TokensKernelSpec extends AnyFunSuite {
       "stopwordHits")
   }
 
+  test("exactKeepFirstRows/BestRows == the winner + semi-join-back spelling") {
+    val d = Seq(
+      (1L, "aaa", "s1", 10L), (2L, "aaa", "s2", 99L), (3L, "bbb", "s3", 5L),
+      (4L, "bbb", "s4", 5L), (5L, null.asInstanceOf[String], "s5", 1L),
+      (6L, null.asInstanceOf[String], "s6", 2L))
+      .toDF("doc_id", "text", "source", "q")
+    def sortRows(x: org.apache.spark.sql.DataFrame) =
+      x.select("doc_id", "text", "source", "q").orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+    // pre-r18 spelling: winner table then left-semi join back by id
+    val firstOld = d.join(
+      graft.ml.Dedup.exactKeepFirst(d, Seq("text"), "doc_id").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val firstNew = graft.ml.Dedup.exactKeepFirstRows(d, Seq("text"), "doc_id")
+    assert(sortRows(firstNew) == sortRows(firstOld), "keep-first rows diverged")
+    val bestOld = d.join(
+      graft.ml.Dedup.exactKeepBest(d, Seq("text"), "doc_id", col("q"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    val bestNew = graft.ml.Dedup.exactKeepBestRows(d, Seq("text"), "doc_id", col("q"))
+    assert(sortRows(bestNew) == sortRows(bestOld), "keep-best rows diverged")
+    // q ties (text=bbb) keep the smaller id; null keys form a group
+    assert(sortRows(firstNew).map(_.head) == Seq(1L, 3L, 5L))
+    assert(sortRows(bestNew).map(_.head) == Seq(2L, 3L, 6L))
+  }
+
   test("fused simhash == the per-distinct-token tokenHash chain (incl. empty docs)") {
     val decl = coalesce(graft.functions.SimHashBits(
       transform(array_distinct(declTokens(col("text"))),
