@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count of all-lowercase-alphabetic tokens in ONE pass (r18) —
+  * bit-equal to `size(filter(toks, t -> t.rlike("\\A[a-z]+\\z")))`,
+  * the gopherGate alpha signal, which evaluated an interpreted
+  * ArrayFilter lambda plus a regex machine per token. A token matches
+  * iff it is non-empty and every BYTE is in 'a'..'z' (any multi-byte
+  * UTF-8 character has bytes ≥ 0x80, so the byte test and the
+  * char-class regex agree on all inputs). NULL array → null
+  * (size(filter(null)) is null); null tokens never match. */
+case class AlphaTokenCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"alpha_token_count expects ARRAY<STRING>, got $other")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  def countOf(toks: ArrayData): Int = {
+    var cnt = 0
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null && t.numBytes() > 0) {
+        var ok = true
+        var j = 0
+        while (ok && j < t.numBytes()) {
+          val b = t.getByte(j)
+          if (b < 'a' || b > 'z') ok = false
+          j += 1
+        }
+        if (ok) cnt += 1
+      }
+      i += 1
+    }
+    cnt
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    countOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("alphaCount", this, classOf[AlphaTokenCount].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.countOf($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AlphaTokenCount =
+    copy(child = newChild)
+  override def prettyName: String = "alpha_token_count"
+}
+
+object AlphaTokenCount {
+  def apply(toks: Column): Column =
+    GraftBridge.column(AlphaTokenCount(GraftBridge.expression(toks)))
+}
+
+/** The five FineWeb line-wise raw counts in ONE pass (r18) — bit-equal
+  * to the declarative chain in `TextOps.finewebSig`: split on `\r?\n`
+  * (trailing empties kept, Spark split semantics), then per line the
+  * terminal-punctuation test (`[.!?"']\z` — last byte in the set; a
+  * multi-byte final character has bytes ≥ 0x80 and fails both
+  * spellings), the short-line test (`length(l) < shortLineChars`,
+  * code-point length), the bullet regex (same compiled pattern), and
+  * the total / distinct-line character sums (array_distinct keeps
+  * first occurrences; lengths are occurrence-independent). The
+  * declarative chain ran four interpreted ArrayFilter/aggregate passes
+  * per document. Returns
+  * struct(n_lines, term_cnt, short_cnt, bullet_cnt, char_total,
+  * char_distinct) as longs; NULL text → a null STRUCT where the chain
+  * produced a struct of null fields — every `getField` read (the only
+  * consumption, finewebSig) is null either way. */
+case class FinewebLineStats(child: Expression, shortLineChars: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"fineweb_line_stats expects STRING, got $other")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("term_cnt", LongType, nullable = false),
+    StructField("short_cnt", LongType, nullable = false),
+    StructField("bullet_cnt", LongType, nullable = false),
+    StructField("char_total", LongType, nullable = false),
+    StructField("char_distinct", LongType, nullable = false)))
+
+  @transient private lazy val nl =
+    java.util.regex.Pattern.compile("\r?\n")
+  @transient private lazy val bullet =
+    java.util.regex.Pattern.compile("\\A[ \t\f]*(?:[-*]|[0-9]+[.)])[ \t\f]")
+
+  def statsOf(input: UTF8String): GenericInternalRow = {
+    // limit -1: Spark's split keeps trailing empty strings
+    val lines = nl.split(input.toString, -1)
+    var term = 0L; var short = 0L; var bul = 0L
+    var total = 0L; var dist = 0L
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      val u = UTF8String.fromString(l)
+      val chars = u.numChars()
+      val nb = u.numBytes()
+      if (nb > 0) {
+        val last = u.getByte(nb - 1)
+        if (last == '.' || last == '!' || last == '?' ||
+            last == '"' || last == '\'') term += 1L
+      }
+      if (chars < shortLineChars) short += 1L
+      if (bullet.matcher(l).lookingAt()) bul += 1L
+      total += chars
+      if (seen.add(l)) dist += chars
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      lines.length.toLong, term, short, bul, total, dist))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    statsOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("finewebStats", this, classOf[FinewebLineStats].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.statsOf($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FinewebLineStats =
+    copy(child = newChild)
+  override def prettyName: String = "fineweb_line_stats"
+}
+
+object FinewebLineStats {
+  def apply(text: Column, shortLineChars: Int): Column =
+    GraftBridge.column(
+      FinewebLineStats(GraftBridge.expression(text), shortLineChars))
+}

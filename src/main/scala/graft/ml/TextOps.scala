@@ -507,8 +507,11 @@ object TextOps {
     // text (oracle mirrors the same class)
     val charSum = length(regexp_replace(text, "[ \t\n\r\f]", "")).cast("long")
     // \A..\z, not ^..$: Java's $ also matches before a trailing \n, so
-    // "word\n" would pass here yet fail the oracle's regexp_full_match
-    val alphaCnt = size(filter(toks, t => t.rlike("\\A[a-z]+\\z"))).cast("long")
+    // "word\n" would pass here yet fail the oracle's regexp_full_match.
+    // r18: fused kernel — bit-equal to
+    // size(filter(toks, t -> t.rlike("\\A[a-z]+\\z"))), which paid an
+    // interpreted lambda + regex machine per token (TokensKernelSpec)
+    val alphaCnt = graft.functions.AlphaTokenCount(toks).cast("long")
     val distinctCnt = size(array_distinct(toks)).cast("long")
     // greatest-guard on the divisor: a zero-token doc (possible since
     // the round-11 tokenizer drops empties) must FAIL the gate on its
@@ -576,24 +579,18 @@ object TextOps {
     * short_line_milli, bullet_milli, dup_char_milli). */
   private def finewebSig(text: Column,
                          shortLineChars: Int): (Column, Column, Column, Column, Column) = {
-    // \r?\n: a CRLF document would otherwise keep a trailing \r on
-    // every line, so the terminal-punctuation anchor never matches and
-    // whole Windows-crawl slices fail the gate on term_punct_milli = 0
-    val lines = split(text, "\r?\n")
-    val nLines = size(lines).cast("long")
-    // \z anchors (not $): a line can't contain \n post-split, but the
-    // gopherGate lesson stands — match regexp_full_match-class exactness
-    val termCnt = size(filter(lines, l => l.rlike("[.!?\"']\\z"))).cast("long")
-    val shortCnt = size(filter(lines, l => length(l) < shortLineChars)).cast("long")
-    // explicit class, not \s: java and RE2 disagree on \s membership
-    // (vertical tab) — the Dedup.WS engine-parity rule
-    val bulletCnt = size(filter(lines,
-      l => l.rlike("\\A[ \t\f]*(?:[-*]|[0-9]+[.)])[ \t\f]"))).cast("long")
-    val charTotal = aggregate(transform(lines, l => length(l).cast("long")),
-      lit(0L), (a, b) => a + b)
-    val charDistinct = aggregate(
-      transform(array_distinct(lines), l => length(l).cast("long")),
-      lit(0L), (a, b) => a + b)
+    // r18: the five raw line counts come from ONE fused pass
+    // (FinewebLineStats — bit-equal to the former four interpreted
+    // filter/aggregate HOF passes over split(text, "\r?\n"); the
+    // CRLF/\z/explicit-class reasoning lives in the kernel's scaladoc
+    // and the equivalence is pinned by TokensKernelSpec)
+    val st = graft.functions.FinewebLineStats(text, shortLineChars)
+    val nLines = st.getField("n_lines")
+    val termCnt = st.getField("term_cnt")
+    val shortCnt = st.getField("short_cnt")
+    val bulletCnt = st.getField("bullet_cnt")
+    val charTotal = st.getField("char_total")
+    val charDistinct = st.getField("char_distinct")
     (nLines,
       idiv(termCnt * 1000L, nLines),
       idiv(shortCnt * 1000L, nLines),

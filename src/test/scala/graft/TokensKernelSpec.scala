@@ -130,6 +130,48 @@ class TokensKernelSpec extends AnyFunSuite {
       "simhash")
   }
 
+  test("AlphaTokenCount == size(filter(rlike alpha)) incl. unicode/null") {
+    val d = Seq("the Quick brown fox 123 abc-def über naïve",
+      "alllower tokens only here", "", "  ", null.asInstanceOf[String])
+      .toDF("text")
+    val toks = declTokens(col("text"))
+    assertSame(
+      d.select(graft.functions.AlphaTokenCount(toks).cast("long").as("a")),
+      d.select(size(filter(toks, t => t.rlike("\\A[a-z]+\\z"))).cast("long").as("a")),
+      "alpha count")
+  }
+
+  test("FinewebLineStats == the four line-wise HOF passes") {
+    val d = Seq(
+      "A prose line ends here.\nshort\n- bullet item\n1. numbered thing\nA prose line ends here.\n\ncrlf line.\r\nlast 'quoted'",
+      "single line no terminal",
+      "",
+      null.asInstanceOf[String]).toDF("text")
+    val lines = split(col("text"), "\r?\n")
+    def declSig = struct(
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => l.rlike("[.!?\"']\\z"))).cast("long").as("term_cnt"),
+      size(filter(lines, l => length(l) < 30)).cast("long").as("short_cnt"),
+      size(filter(lines,
+        l => l.rlike("\\A[ \t\f]*(?:[-*]|[0-9]+[.)])[ \t\f]"))).cast("long")
+        .as("bullet_cnt"),
+      aggregate(transform(lines, l => length(l).cast("long")),
+        lit(0L), (a, b) => a + b).as("char_total"),
+      aggregate(transform(array_distinct(lines), l => length(l).cast("long")),
+        lit(0L), (a, b) => a + b).as("char_distinct"))
+    // compare FIELD-wise (what finewebSig consumes): on null text the
+    // kernel is a null STRUCT where the chain was a struct of null
+    // fields — every getField read is null either way
+    val fields = Seq("n_lines", "term_cnt", "short_cnt", "bullet_cnt",
+      "char_total", "char_distinct")
+    def unpack(s: org.apache.spark.sql.Column) =
+      fields.map(f => s.getField(f).as(f))
+    assertSame(
+      d.select(unpack(graft.functions.FinewebLineStats(col("text"), 30)): _*),
+      d.select(unpack(declSig): _*),
+      "fineweb line stats")
+  }
+
   test("langId over the fused profile == the per-language filter spelling") {
     def declLangId(text: org.apache.spark.sql.Column) = {
       val langs = graft.ml.TextOps.stopwords.keys.toSeq.sorted
