@@ -4600,6 +4600,28 @@ object PipelineCompiler {
       "fineweb_gate", "ccnet_bucket")
     val stageTypes =
       stages.elements().asScala.map(_.get("type").asText()).toSeq
+    // Scale-conditional input spread (r19, guide §2.5 "input skew"): at
+    // small corpus sizes the input parquet is a single split, so every
+    // scan-side leg of the chain (tokenize + gates, the gram explodes)
+    // serializes on ONE core — r19 QProfile measured three ~1.1-1.3 s
+    // single-task stages on q134 at sf0.1. Repartition to the session's
+    // parallelism ONLY when (a) the chain contains a set-dependent
+    // stage (a gates-only chain stays the locked zero-shuffle in-place
+    // filter — PlanSpec) and (b) the scan is provably under-split
+    // (strictly fewer splits than half the cores); at 100 TB the scan
+    // has thousands of splits and the condition never fires — the
+    // at-scale plan stays exchange-free. Round-robin repartition is
+    // deterministic (Spark sorts before repartitioning) and every chain
+    // stage is partition-invariant (PartitionInvarianceSpec), so
+    // results are unchanged. `spread_input: false` opts out.
+    val spreadInput =
+      Option(cur.get("spread_input")).forall(_.asBoolean()) &&
+        stageTypes.exists(twiceUsing)
+    if (spreadInput) {
+      val want = spark.sparkContext.defaultParallelism
+      val have = base.rdd.getNumPartitions
+      if (have * 2 < want) df = df.repartition(want)
+    }
     val shareTokens =
       Option(cur.get("share_tokens")).map(_.asBoolean()).getOrElse(true) &&
         stageTypes.count(tokenConsumers) >= 2

@@ -30,7 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * split → drop empties) or ARRAY<STRING> (the materialized `_t`
   * column). NULL input and docs with fewer than 2 tokens yield an
   * EMPTY array (the `when` guard is null-falsy), never null —
-  * BigramHashesSpec pins all of it against the re-spelled chain. */
+  * TokensKernelSpec pins all of it against the re-spelled chain. */
 case class BigramHashes(child: Expression)
     extends UnaryExpression {
 

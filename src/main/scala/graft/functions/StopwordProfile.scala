@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * NULL tokens never match (isin over null is null-falsy); a NULL
   * token ARRAY yields null (size(filter(null)) is null) — the
-  * declarative null flow, pinned by StopwordProfileSpec. Output is
+  * declarative null flow, pinned by TokensKernelSpec. Output is
   * array<int> aligned with `sets`. */
 case class StopwordProfile(child: Expression, sets: Seq[Seq[String]])
     extends UnaryExpression {
@@ -37,11 +37,14 @@ case class StopwordProfile(child: Expression, sets: Seq[Seq[String]])
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   // word → indexes of the sets containing it (a word may sit in
-  // several languages' tables)
+  // several languages' tables). Each set is deduplicated first
+  // (ADVICE r18): a word listed twice INSIDE one set must count a
+  // matching token once, as the replaced size(filter(isin)) did —
+  // `isin` is set membership, duplicates in the list are harmless.
   @transient private lazy val members: java.util.HashMap[UTF8String, Array[Int]] = {
     val m = new java.util.HashMap[UTF8String, Array[Int]]()
     sets.zipWithIndex.foreach { case (ws, i) =>
-      ws.foreach { w =>
+      ws.distinct.foreach { w =>
         val u = UTF8String.fromString(w)
         val prev = m.get(u)
         m.put(u, if (prev == null) Array(i) else prev :+ i)

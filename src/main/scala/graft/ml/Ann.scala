@@ -1,8 +1,9 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>). Brute-force cosine is the exactness baseline (one
@@ -135,7 +136,17 @@ object Ann {
     // identically to argmax(cosine) because the row's own 1/|v| factor
     // is a shared positive constant (and the HOF fold is interpreted,
     // so shaving the two norms + sqrt per centroid matters)
-    val centsArr = cents.filter(dot(col("_cv"), col("_cv")) > 0)
+    // r19 (guide §5 — cut the per-call driver rounds): the normalized
+    // centroid rows are COLLECTED (bounded at nCentroids rows — the
+    // exact bytes the former collect_list aggregate + broadcast already
+    // moved through the driver) and re-shipped as a one-row
+    // LocalRelation, so the two aggregation exchanges the old spelling
+    // re-materialized per assignment call (and their AQE job rounds)
+    // disappear. The normalization arithmetic stays IN Spark inside the
+    // collect job — same expressions, same doubles; driver-side the rows
+    // are only sorted by _c_id, exactly sort_array's order on the unique
+    // key. Entries layout / tie rules unchanged (ArgMinAffineDot).
+    val centRows = cents.filter(dot(col("_cv"), col("_cv")) > 0)
       // norm once per centroid ROW, then divide — a sqrt(dot) inside
       // the transform lambda re-folds the whole norm per ELEMENT,
       // O(d²) per centroid (r17 review)
@@ -143,21 +154,47 @@ object Ann {
         sqrt(dot(col("_cv"), col("_cv"))).as("_n"))
       .select(col("_c_id"),
         transform(col("_cv"), x => x / col("_n")).as("_cnv"))
-      .agg(sort_array(collect_list(struct(col("_c_id"), col("_cnv"),
-        lit(0.0).as("_bias"), lit(-1.0).as("_scale")))).as("_cents"))
+      .collect().sortBy(_.getLong(0))
+    val entrySchema = StructType(Seq(
+      StructField("_c_id", LongType, nullable = false),
+      StructField("_cnv", ArrayType(DoubleType, containsNull = true)),
+      StructField("_bias", DoubleType, nullable = false),
+      StructField("_scale", DoubleType, nullable = false)))
+    val centsArr = oneRowArrayFrame(e.sparkSession, "_cents", entrySchema,
+      centRows.map(r => Row(r.getLong(0), r.get(1), 0.0, -1.0)))
     // the native kernel: argmin of 0 + (-1)·dot(v, ĉ) ≡ argmax cosine,
     // ties keep the smallest id (entries sorted; strictly-smaller
     // replaces) — one primitive loop per row instead of the HOF fold
-    // empty/all-zero centroid table: guarded on the BROADCAST side (one
-    // row filtered to zero → no output rows, the old crossJoin
-    // behavior) — a left-side sentinel filter would push into the join
-    // as a non-equi condition and degrade it to a BNLJ (see
-    // assignClusters); with non-empty entries the kernel always
-    // resolves, so no sentinel remains to filter
-    attachOne(e.filter(dot(col("_v"), col("_v")) > 0),
-        centsArr.filter(size(col("_cents")) > 0))
+    // empty/all-zero centroid table: guarded on the BROADCAST side (the
+    // one-row frame is built EMPTY when no centroid survives → no
+    // output rows, the old crossJoin behavior) — a left-side sentinel
+    // filter would push into the join as a non-equi condition and
+    // degrade it to a BNLJ (see assignClusters); with non-empty entries
+    // the kernel always resolves, so no sentinel remains to filter
+    attachOne(e.filter(dot(col("_v"), col("_v")) > 0), centsArr)
       .select(col(idCol), col("_v"),
         graft.functions.ArgMinAffineDot(col("_v"), col("_cents")).as("_c_id"))
+  }
+
+  /** ONE-row (or zero-row, when `entries` is empty — the callers'
+    * empty-broadcast-side guard) LocalRelation holding `entries` as a
+    * single array column — the broadcast-attach payload of the native
+    * assignment kernels. Building it from driver rows instead of a
+    * collect_list aggregation removes that aggregation's exchange (an
+    * AQE materialization round) and its broadcast-build job from EVERY
+    * assignment call, and collapses the centroid lineage feeding every
+    * downstream action to a LocalTableScan (r19, guide §5: the driver
+    * already held these bytes — every broadcast collects to the driver
+    * first — so this moves no new data, only removes barriers). */
+  private[ml] def oneRowArrayFrame(spark: SparkSession, colName: String,
+                                   entrySchema: StructType,
+                                   entries: Seq[Row]): DataFrame = {
+    val schema = StructType(Seq(StructField(colName,
+      ArrayType(entrySchema, containsNull = false), nullable = false)))
+    val rows: java.util.List[Row] =
+      if (entries.isEmpty) java.util.Collections.emptyList[Row]()
+      else java.util.Collections.singletonList(Row(entries))
+    spark.createDataFrame(rows, schema)
   }
 
   /** APPEND a new vector batch to a persisted IVF index without
@@ -290,17 +327,39 @@ object Ann {
     // argmin(|c|² - 2·dot(s,c)) because the row's own |s|² is a shared
     // constant (and the HOF fold is interpreted, so dropping the
     // per-element subtract-square matters)
-    val cbArr = codebook
-      .select(col("_b"), struct(col("_code").cast("long").as("_code"),
-        col(vecCol).as("_cbv"),
-        dot(col(vecCol), col(vecCol)).as("_bias"),
-        lit(-2.0).as("_scale")).as("_e"))
-      .groupBy(col("_b")).agg(sort_array(collect_list(col("_e"))).as("_codes"))
+    // r19 (guide §5): the per-subspace code tables are COLLECTED
+    // (bounded at m×nCodes rows — the bytes the former broadcast
+    // already pulled to the driver) and re-shipped as an m-row
+    // LocalRelation, removing the collect_list aggregation exchange
+    // (an AQE materialization round) from every encode call. The |c|²
+    // arithmetic stays IN Spark inside the collect job; driver-side the
+    // entries are only grouped by _b and sorted by _code — exactly
+    // sort_array's order on the unique leading field.
+    val cbRows = codebook
+      .select(col("_b").cast("int").as("_b"),
+        col("_code").cast("long").as("_code"), col(vecCol).as("_cbv"),
+        dot(col(vecCol), col(vecCol)).as("_bias"))
+      .collect()
+    val entrySchema = StructType(Seq(
+      StructField("_code", LongType, nullable = false),
+      StructField("_cbv", ArrayType(DoubleType, containsNull = true)),
+      StructField("_bias", DoubleType, nullable = true),
+      StructField("_scale", DoubleType, nullable = false)))
+    val cbSchema = StructType(Seq(
+      StructField("_b", IntegerType, nullable = false),
+      StructField("_codes",
+        ArrayType(entrySchema, containsNull = false), nullable = false)))
+    val cbLocal = cbRows.groupBy(_.getInt(0)).toSeq.map { case (b, rs) =>
+      Row(b, rs.sortBy(_.getLong(1))
+        .map(r => Row(r.getLong(1), r.get(2), r.get(3), -2.0)).toSeq)
+    }
+    val cbArr = parts.sparkSession.createDataFrame(
+      java.util.Arrays.asList(cbLocal: _*), cbSchema)
     // the native kernel: argmin of |c|² + (-2)·dot(s, c) ≡ argmin L2
     // (the row's |s|² is a shared constant), ties keep the smallest
     // code — same arithmetic order as the fold it replaces
-    // a groupBy group is non-empty by construction, so the kernel
-    // always resolves — no sentinel filter (which would ride into the
+    // a group is non-empty by construction, so the kernel always
+    // resolves — no sentinel filter (which would ride into the
     // join as a residual condition and evaluate the kernel twice)
     parts.join(broadcast(cbArr), "_b")
       .withColumn("_code",
@@ -628,24 +687,60 @@ object Ann {
     * exactly the guard-surviving rows). */
   private[graft] def assignClustersD2With(df: DataFrame, idCol: String,
                                           vecCol: String, cents: DataFrame,
+                                          payload: Seq[Column]): DataFrame =
+    assignClustersD2Entries(df, idCol, vecCol, collectQCents(cents), payload)
+
+  /** The (cid, pos, ce6) centroid table pulled to the driver as
+    * cid-sorted (cid, pos-sorted coords) entries — the local form of
+    * the `_qcents` array the assignment kernel broadcasts. Bounded at
+    * k×dim rows: the exact bytes every broadcast already collected to
+    * the driver, so this moves no new data — it removes the TWO
+    * collect_list aggregation exchanges (each an AQE materialization
+    * round) the old spelling re-ran per assignment call (r19, guide
+    * §5). Grouping/sorting driver-side replays sort_array's order on
+    * the unique (pos / cid) leading fields exactly. A LocalRelation
+    * input (kmeansQuantized's output) collects on the driver with no
+    * job at all. */
+  private[graft] def collectQCents(cents: DataFrame)
+  : Array[(Int, Array[java.lang.Long])] = {
+    val rows = cents.select(col("cid").cast("int").as("cid"),
+      col("pos").cast("int").as("pos"),
+      col("ce6").cast("long").as("ce6")).collect()
+    rows.groupBy(_.getInt(0)).toArray.map { case (cid, rs) =>
+      (cid, rs.sortBy(_.getInt(1)).map(r =>
+        if (r.isNullAt(2)) null
+        else java.lang.Long.valueOf(r.getLong(2))))
+    }.sortBy(_._1)
+  }
+
+  /** The one-row broadcast payload of the quantized assignment kernel,
+    * built from driver-held entries (see [[collectQCents]]). Empty
+    * entries → a ZERO-row frame: the empty-centroids guard lives on the
+    * BROADCAST side (no rows → the attach yields nothing, the old
+    * filtered-aggregate behavior) — a left-side filter on the kernel's
+    * sentinel would push into the join as a non-equi condition and
+    * degrade it to the BroadcastNestedLoopJoin-over-data shape the
+    * PlanSpec locks forbid. */
+  private[ml] def qcentsFrame(spark: SparkSession,
+                              entries: Array[(Int, Array[java.lang.Long])])
+  : DataFrame =
+    oneRowArrayFrame(spark, "_qcents",
+      StructType(Seq(
+        StructField("cid", IntegerType, nullable = false),
+        StructField("_cv6", ArrayType(LongType, containsNull = true)))),
+      entries.toSeq.map { case (cid, cv) => Row(cid, cv.toSeq) })
+
+  /** [[assignClustersD2With]] against driver-held centroid entries —
+    * the shared inner spelling ([[kmeansQuantized]] calls it directly
+    * per Lloyd pass, so the loop never round-trips its state through a
+    * distributed frame). */
+  private[ml] def assignClustersD2Entries(df: DataFrame, idCol: String,
+                                          vecCol: String,
+                                          entries: Array[(Int, Array[java.lang.Long])],
                                           payload: Seq[Column]): DataFrame = {
-    val perCid = cents
-      .select(col("cid"), struct(col("pos"), col("ce6")).as("_pc"))
-      .groupBy(col("cid"))
-      .agg(transform(sort_array(collect_list(col("_pc"))),
-        s => s.getField("ce6")).as("_cv6"))
-    val centsArr = perCid
-      .agg(sort_array(collect_list(struct(col("cid"), col("_cv6"))))
-        .as("_qcents"))
     val q = df.select((col(idCol).as("vid") +: payload) :+
       transform(col(vecCol),
         x => round(x.cast("double") * 1e6).cast("long")).as("_v6"): _*)
-    // the empty-centroids guard lives on the BROADCAST side (one row →
-    // zero rows → the join yields nothing, the old behavior): a
-    // left-side filter on the kernel's sentinel references both join
-    // sides, and Catalyst pushes it into the join as a non-equi
-    // condition — degrading the join to the BroadcastNestedLoopJoin-
-    // over-data shape the PlanSpec locks forbid
     // degenerate-row drop (ADVICE r17): the former posexplode spelling
     // produced NO rows for a null/empty vector — a null vector must
     // not surface a (vid, null, null) row and an EMPTY array must not
@@ -654,7 +749,7 @@ object Ann {
     // old drop semantics
     val qq = q.filter(col("_v6").isNotNull && size(col("_v6")) > 0)
     val keep = q.columns.map(col).toSeq
-    attachOne(qq, centsArr.filter(size(col("_qcents")) > 0))
+    attachOne(qq, qcentsFrame(df.sparkSession, entries))
       .select(keep :+
         graft.functions.ArgMinIntL2(col("_v6"), col("_qcents")).as("_m"): _*)
       .select(keep :+ col("_m.cid").as("cid") :+ col("_m.d2").as("d2"): _*)
@@ -667,22 +762,37 @@ object Ann {
     * front, distances are integer squared-L2 with ties broken by
     * centroid id, and centroid updates are floor(intSum / count).
     * Per iteration (r17/r18): assignment is the MAP-ONLY native kernel
-    * computed INLINE with the update ([[assignClustersD2With]] — r18
+    * computed INLINE with the update ([[assignClustersD2Entries]] — r18
     * removed the (vid) join that used to attach it to a persisted
     * coordinate explosion), so the only per-pass exchange is the
     * bounded (cid,pos) update aggregation with map-side partial sums —
     * nothing corpus-keyed crosses the network per Lloyd pass at all.
-    * No driver-side state; the centroid table is k×dim rows,
-    * localCheckpointed per pass to stop plan growth with superseded
-    * snapshots unpersisted. Empty clusters keep their previous
-    * centroid. Returns (cid, pos, ce6). */
+    * The centroid table (k×dim rows — the bytes every per-pass
+    * broadcast already moved through the driver) is HELD on the driver
+    * between passes (r19, guide §5): each pass is exactly ONE
+    * distributed action (the update aggregation's collect), where the
+    * former spelling paid a per-pass broadcast-build, a (cid,pos) merge
+    * join and an eager localCheckpoint round on top of it. The merge
+    * (new ce6 where the aggregation produced one, previous ce6
+    * otherwise — empty clusters keep their centroid) replays the old
+    * left-join + coalesce row for row; the aggregation arithmetic is
+    * unchanged, so centroids stay bit-identical. Returns (cid, pos,
+    * ce6) as a LocalRelation — downstream plans read a LocalTableScan
+    * instead of re-materializing a checkpoint. */
   def kmeansQuantized(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int): DataFrame = {
-    var cents = df.filter(col(idCol) < k)
+    val spark = df.sparkSession
+    val initRows = df.filter(col(idCol) < k)
       .select(col(idCol).cast("int").as("cid"),
         posexplode(transform(col(vecCol),
           x => round(x.cast("double") * 1e6).cast("long"))).as(Seq("pos", "ce6")))
-      .localCheckpoint(true)
+      .collect()
+    var cents: Array[(Int, Array[java.lang.Long])] =
+      initRows.groupBy(_.getInt(0)).toArray.map { case (cid, rs) =>
+        (cid, rs.sortBy(_.getInt(1)).map(r =>
+          if (r.isNullAt(2)) null
+          else java.lang.Long.valueOf(r.getLong(2))))
+      }.sortBy(_._1)
     for (_ <- 1 to iters) {
       // r18 (guide §2.4): assignment and update fused into ONE map-only
       // pass — the former spelling computed assignClusters separately
@@ -694,19 +804,27 @@ object Ann {
       // is the bounded (cid, pos) update aggregation with map-side
       // partial sums; integer sums are order-independent, so centroids
       // are bit-identical to the join spelling.
-      val updated = assignClustersD2With(df, idCol, vecCol, cents, Nil)
+      val updated = assignClustersD2Entries(df, idCol, vecCol, cents, Nil)
         .select(col("cid"), posexplode(col("_v6")).as(Seq("pos", "xe6")))
         .groupBy(col("cid"), col("pos"))
         .agg(floor(sum(col("xe6")).cast("double") / count(lit(1)))
           .cast("long").as("ce6new"))
-      val next = cents.join(broadcast(updated), Seq("cid", "pos"), "left")
-        .select(col("cid"), col("pos"),
-          coalesce(col("ce6new"), col("ce6")).as("ce6"))
-        .localCheckpoint(true)
-      CheckpointUtil.unpersistCheckpoint(cents)
-      cents = next
+        .collect()
+      val upd = updated.map(r => ((r.getInt(0), r.getInt(1)),
+        if (r.isNullAt(2)) null
+        else java.lang.Long.valueOf(r.getLong(2)))).toMap
+      cents = cents.map { case (cid, cv) =>
+        (cid, Array.tabulate[java.lang.Long](cv.length)(p =>
+          upd.getOrElse((cid, p), cv(p))))
+      }
     }
-    cents
+    val schema = StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("pos", IntegerType, nullable = false),
+      StructField("ce6", LongType, nullable = true)))
+    val outRows = cents.toSeq.flatMap { case (cid, cv) =>
+      cv.indices.map(p => Row(cid, p, cv(p))) }
+    spark.createDataFrame(java.util.Arrays.asList(outRows: _*), schema)
   }
 
   /** SSL-prototype data pruning (Sorscher et al. 2022, "Beyond neural

@@ -457,7 +457,7 @@ object Dedup {
     // mod (2^60) and NO tail clamp — bit-equal to
     // `transform(array_distinct(tokens(text)), tokenHash)`, which
     // evaluated the interpreted md5→substring→conv chain per distinct
-    // token (DedupSpec pins the equivalence). The per-bit majority
+    // token (TokensKernelSpec pins the equivalence). The per-bit majority
     // vote stays the ONE codegen loop (SimHashBits, r15). NULL text:
     // the old per-bit fold summed its null-guarded whens to 0, so
     // coalesce the expression's NULL back to 0L.
@@ -658,6 +658,21 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(orderCol)).as(orderCol))
 
+  /** Whether the row-carrying min/max-struct spelling is safe for this
+    * schema (ADVICE r18): every carried column must be ORDERABLE (a
+    * MapType payload column fails struct-min analysis where the old
+    * winner + semi-join spelling worked on any schema), and no user
+    * column may collide with the spelling's internal names (`_w` as a
+    * KEY duplicates the aggregate alias; `_q`/`_nid` as carried columns
+    * duplicate struct field names and corrupt extraction). */
+  private def rowCarrySafe(df: DataFrame, keyCols: Seq[String]): Boolean = {
+    val orderable = df.schema.fields.forall(f =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+    orderable && !keyCols.contains("_w") &&
+      !df.columns.exists(c => c == "_q" || c == "_nid")
+  }
+
   /** [[exactKeepFirst]] returning the winning ROWS themselves, every
     * input column preserved (r18, guide §2.4): the curation compiler
     * used to compute the (key, min id) winner table and then join it
@@ -665,36 +680,57 @@ object Dedup {
     * corpus-wide exchange (two at scale, where the winner table is
     * corpus-sized and the semi join shuffles both sides) whose only
     * purpose was re-attaching columns the aggregation can carry. The
-    * row rides the min-struct: `orderCol` is unique, so it alone
-    * decides the struct comparison and the winning struct IS the
-    * first row — same survivor set, same values, one exchange.
-    * DedupSpec pins the equivalence against the join-back spelling. */
+    * row rides the min-struct: `orderCol` must be UNIQUE AND NON-NULL
+    * (the id contract), so it alone decides the struct comparison and
+    * the winning struct IS the first row — same survivor set, same
+    * values, one exchange. (A null orderCol would sort FIRST inside
+    * the struct where plain min() skips nulls — outside the contract
+    * on both spellings.) Schemas the struct spelling cannot carry
+    * (non-orderable columns, `_w`/`_q`/`_nid` collisions — ADVICE r18)
+    * fall back to the winner + left-semi join. TokensKernelSpec pins
+    * the equivalence against the join-back spelling. */
   def exactKeepFirstRows(df: DataFrame, keyCols: Seq[String],
                          orderCol: String): DataFrame = {
     val others = df.columns.toSeq.filterNot(keyCols.contains)
     require(others.contains(orderCol),
       s"exactKeepFirstRows: orderCol $orderCol must be a non-key column")
-    val packed = df.groupBy(keyCols.map(col): _*)
-      .agg(min(struct(col(orderCol) +:
-        others.filterNot(_ == orderCol).map(col): _*)).as("_w"))
-    packed.select(df.columns.toSeq.map(c =>
-      if (keyCols.contains(c)) col(c) else col("_w." + c).as(c)): _*)
+    if (!rowCarrySafe(df, keyCols)) {
+      val winners = exactKeepFirst(
+        df.select((keyCols :+ orderCol).map(col): _*), keyCols, orderCol)
+      df.join(winners, keyCols :+ orderCol, "left_semi")
+        .select(df.columns.toSeq.map(col): _*) // using-join reorders keys first
+    } else {
+      val packed = df.groupBy(keyCols.map(col): _*)
+        .agg(min(struct(col(orderCol) +:
+          others.filterNot(_ == orderCol).map(col): _*)).as("_w"))
+      packed.select(df.columns.toSeq.map(c =>
+        if (keyCols.contains(c)) col(c) else col("_w." + c).as(c)): _*)
+    }
   }
 
   /** [[exactKeepBest]] returning the winning ROWS (r18 — see
-    * [[exactKeepFirstRows]]): max of (quality, −orderCol, row…), so
-    * quality decides, ties go to the smallest id, and the unique id
-    * means the trailing row fields never influence the comparison. */
+    * [[exactKeepFirstRows]], including the non-null unique orderCol
+    * contract and the schema fallback): max of (quality, −orderCol,
+    * row…), so quality decides, ties go to the smallest id, and the
+    * unique id means the trailing row fields never influence the
+    * comparison. */
   def exactKeepBestRows(df: DataFrame, keyCols: Seq[String],
                         orderCol: String, quality: Column): DataFrame = {
     val others = df.columns.toSeq.filterNot(keyCols.contains)
     require(others.contains(orderCol),
       s"exactKeepBestRows: orderCol $orderCol must be a non-key column")
-    val packed = df.groupBy(keyCols.map(col): _*)
-      .agg(max(struct(quality.as("_q") +: (-col(orderCol)).as("_nid") +:
-        others.map(col): _*)).as("_w"))
-    packed.select(df.columns.toSeq.map(c =>
-      if (keyCols.contains(c)) col(c) else col("_w." + c).as(c)): _*)
+    if (!rowCarrySafe(df, keyCols)) {
+      val winners = exactKeepBest(df, keyCols, orderCol, quality)
+        .select((keyCols :+ orderCol).map(col): _*)
+      df.join(winners, keyCols :+ orderCol, "left_semi")
+        .select(df.columns.toSeq.map(col): _*) // using-join reorders keys first
+    } else {
+      val packed = df.groupBy(keyCols.map(col): _*)
+        .agg(max(struct(quality.as("_q") +: (-col(orderCol)).as("_nid") +:
+          others.map(col): _*)).as("_w"))
+      packed.select(df.columns.toSeq.map(c =>
+        if (keyCols.contains(c)) col(c) else col("_w." + c).as(c)): _*)
+    }
   }
 
   /** Exact dedup keeping the BEST-quality row per key instead of the
@@ -781,8 +817,17 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // Symmetrize in ONE pass over the pair stream (r19, guide §2.4):
+    // the former union(e0, e0.swapped) spelled the WHOLE candidate-pair
+    // subtree (an LSH self-join upstream) twice in the edge plan, so
+    // building the edge table computed it twice — the explode emits
+    // both directions from a single evaluation. Same edge set, same
+    // distinct.
     val e0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-    val edges = e0.union(e0.select(col("v"), col("u")).toDF("u", "v")).distinct()
+    val edges = e0.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("_e"))
+      .select(col("_e.u").as("u"), col("_e.v").as("v")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Iterative joins MUST truncate lineage each pass: the next plan
     // references the previous one twice, so without a checkpoint the

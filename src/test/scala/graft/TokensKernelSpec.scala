@@ -120,6 +120,46 @@ class TokensKernelSpec extends AnyFunSuite {
     assert(sortRows(bestNew).map(_.head) == Seq(2L, 3L, 6L))
   }
 
+  test("exactKeep*Rows falls back for non-orderable or colliding schemas (ADVICE r18)") {
+    // a MapType payload column fails min(struct(...)) analysis — the
+    // fallback must route through the winner + left-semi spelling and
+    // still return the winning rows with every column intact
+    val m = Seq(
+      (1L, "aaa", Map("k" -> "v1")), (2L, "aaa", Map("k" -> "v2")),
+      (3L, "bbb", Map("k" -> "v3")))
+      .toDF("doc_id", "text", "meta")
+    val keptM = graft.ml.Dedup.exactKeepFirstRows(m, Seq("text"), "doc_id")
+    assert(keptM.columns.toSeq == Seq("doc_id", "text", "meta"))
+    assert(keptM.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L))
+    val bestM = graft.ml.Dedup.exactKeepBestRows(m, Seq("text"), "doc_id",
+      length(col("text")))
+    assert(bestM.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L))
+    // user columns named _q/_nid collide with the best-struct's internal
+    // field names — the fallback keeps them intact
+    val c = Seq((1L, "aaa", 7L, 8L), (2L, "aaa", 9L, 1L), (3L, "bbb", 2L, 3L))
+      .toDF("doc_id", "text", "_q", "_nid")
+    val keptC = graft.ml.Dedup.exactKeepBestRows(c, Seq("text"), "doc_id",
+      col("_q"))
+    assert(keptC.orderBy("doc_id").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(2L, "aaa", 9L, 1L), Seq(3L, "bbb", 2L, 3L)))
+    // a KEY column named _w duplicates the aggregate alias — fallback
+    val w = Seq((1L, "aaa", "x"), (2L, "aaa", "y")).toDF("doc_id", "_w", "z")
+    val keptW = graft.ml.Dedup.exactKeepFirstRows(w, Seq("_w"), "doc_id")
+    assert(keptW.collect().map(_.toSeq).toSeq == Seq(Seq(1L, "aaa", "x")))
+  }
+
+  test("StopwordProfile counts a token once per set despite duplicate words (ADVICE r18)") {
+    // a word listed twice inside ONE set must count a matching token
+    // once — isin is set membership, duplicates in the list are harmless
+    val words = Seq("the", "the", "dog")
+    assertSame(
+      docs.select(graft.ml.TextOps.stopwordHits(col("text"), words).as("h")),
+      docs.select(declHits(declTokens(col("text")), words).as("h")),
+      "stopwordHits(dup words)")
+  }
+
   test("fused simhash == the per-distinct-token tokenHash chain (incl. empty docs)") {
     val decl = coalesce(graft.functions.SimHashBits(
       transform(array_distinct(declTokens(col("text"))),
